@@ -1,0 +1,180 @@
+"""Engine golden tests — parity with the reference's end-to-end suite.
+
+TestSimple  (db_test.go:35-135): write N, get with ?last=, newest-first.
+TestBatch   (db_test.go:137-198): atomic batch; abort on error.
+TestExpiry  (db_test.go:200-240): pre-expired entries invisible.
+Delete      (db_test.go:132-134): delete then get -> absent.
+Wildcards   (db_test.go:288-318): symmetric matrix through Spark.
+Contracts   (db_test.go:55): isolation between tenants.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from unitdb_spark.core.model import MASTER_CONTRACT, Entry, Query
+from unitdb_spark.engine import Engine, ImmutableError
+
+T0 = 1_700_000_000.0  # fixed test clock base
+
+
+class TestSimple:
+    def test_put_get_newest_first(self, engine: Engine):
+        n = 10
+        # golden construction: vals[i] = "msg.%2d" % (n-i-1)  (db_test.go:75)
+        for i in range(n):
+            engine.put_entry(
+                Entry(topic="unit1.test", payload=b"msg.%2d" % i), ts=T0 + i
+            )
+        got = engine.get(Query("unit1.test?last=1h"), now=T0 + n)
+        want = [b"msg.%2d" % (n - i - 1) for i in range(n)]
+        assert got == want
+
+    def test_last_window_cuts(self, engine: Engine):
+        for i in range(10):
+            engine.put_entry(Entry("unit1.test", b"m%d" % i), ts=T0 + i * 600)
+        # window of 1h from now=T0+5400 covers ts >= T0+1800: i in 3..9
+        got = engine.get(Query("unit1.test", last="1h"), now=T0 + 5400)
+        assert got == [b"m%d" % i for i in range(9, 2, -1)]
+
+    def test_limit(self, engine: Engine):
+        for i in range(20):
+            engine.put_entry(Entry("a.b", b"p%d" % i), ts=T0 + i)
+        got = engine.get(Query("a.b", limit=5), now=T0 + 100)
+        assert got == [b"p19", b"p18", b"p17", b"p16", b"p15"]
+
+    def test_default_limit_and_reopen(self, engine: Engine, spark):
+        for i in range(5):
+            engine.put_entry(Entry("x.y", b"v%d" % i), ts=T0 + i)
+        engine.flush()
+        # reopen: seq continues monotonically (recovery parity)
+        eng2 = Engine(spark, engine.path)
+        s = eng2.put_entry(Entry("x.y", b"v5"), ts=T0 + 5)
+        assert s == 6
+        assert eng2.get("x.y", now=T0 + 10) == [b"v5", b"v4", b"v3", b"v2", b"v1", b"v0"]
+
+
+class TestBatch:
+    def test_commit(self, engine: Engine):
+        with engine.batch() as b:
+            for i in range(5):
+                b.put_entry(Entry("ab.c", b"b%d" % i), ts=T0 + i)
+        assert engine.get("ab.c", now=T0 + 10) == [b"b4", b"b3", b"b2", b"b1", b"b0"]
+
+    def test_abort_on_error(self, engine: Engine):
+        with pytest.raises(RuntimeError):
+            with engine.batch() as b:
+                b.put_entry(Entry("ab.c", b"x"), ts=T0)
+                raise RuntimeError("boom")
+        assert engine.get("ab.c", now=T0 + 10) == []
+
+    def test_multi_topic_atomic(self, engine: Engine):
+        with engine.batch() as b:
+            b.put("t1.a", b"1")
+            b.put("t2.b", b"2")
+            b.put("t3.c", b"3")
+        assert engine.count() == 3
+
+
+class TestExpiry:
+    def test_pre_expired_invisible(self, engine: Engine):
+        # entries whose TTL already lapsed are never returned
+        # (db_test.go:217-228, 234-238)
+        for i in range(5):
+            engine.put_entry(Entry("e.t", b"dead%d" % i, ttl="1s"), ts=T0 + i)
+        for i in range(3):
+            engine.put_entry(Entry("e.t", b"live%d" % i), ts=T0 + 100 + i)
+        got = engine.get("e.t", now=T0 + 3600)
+        assert got == [b"live2", b"live1", b"live0"]
+
+    def test_ttl_option_on_topic(self, engine: Engine):
+        engine.put_entry(Entry("e.t?ttl=1h", b"soon"), ts=T0)
+        assert engine.get("e.t", now=T0 + 60) == [b"soon"]
+        assert engine.get("e.t", now=T0 + 7200) == []
+
+    def test_purge_compaction(self, engine: Engine):
+        engine.put_entry(Entry("e.t", b"dead", ttl="1s"), ts=T0)
+        engine.put_entry(Entry("e.t", b"live"), ts=T0)
+        engine.flush()
+        engine.purge_expired(now=T0 + 100)
+        assert engine.count(now=T0 + 100) == 1
+        assert engine.get("e.t", now=T0 + 100) == [b"live"]
+
+
+class TestDelete:
+    def test_delete_then_get(self, engine: Engine):
+        seqs = [engine.put_entry(Entry("d.t", b"m%d" % i), ts=T0 + i) for i in range(4)]
+        engine.delete(seqs[2])
+        assert engine.get("d.t", now=T0 + 10) == [b"m3", b"m1", b"m0"]
+
+    def test_immutable_forbids_delete(self, spark, tmp_path):
+        eng = Engine.open(spark, str(tmp_path / "imm"), immutable=True)
+        eng.put_entry(Entry("a.b", b"x"), ts=T0)
+        with pytest.raises(ImmutableError):
+            eng.delete(1)
+
+    def test_delete_entry_by_id(self, engine: Engine):
+        from unitdb_spark.core.model import message_id
+
+        e = Entry("d.t", b"gone").with_id(message_id(0, MASTER_CONTRACT, T0))
+        seq = engine.put_entry(Entry("d.t", b"gone"), ts=T0)
+        engine.delete_entry(Entry("d.t").with_id(message_id(seq, MASTER_CONTRACT, T0)))
+        assert engine.get("d.t", now=T0 + 10) == []
+
+
+class TestContracts:
+    def test_isolation(self, engine: Engine):
+        c2 = 424242
+        engine.put_entry(Entry("same.topic", b"master"), ts=T0)
+        engine.put_entry(Entry("same.topic", b"tenant", contract=c2), ts=T0)
+        assert engine.get(Query("same.topic"), now=T0 + 10) == [b"master"]
+        assert engine.get(Query("same.topic", contract=c2), now=T0 + 10) == [b"tenant"]
+
+
+class TestWildcardsThroughSpark:
+    """db_test.go:288-318 through the full engine path."""
+
+    def test_query_side_wildcards(self, engine: Engine):
+        engine.put_entry(Entry("teams.alpha.ch1", b"a1"), ts=T0)
+        engine.put_entry(Entry("teams.alpha.ch2", b"a2"), ts=T0 + 1)
+        engine.put_entry(Entry("teams.beta.ch1", b"b1"), ts=T0 + 2)
+        engine.put_entry(Entry("other.alpha.ch1", b"o1"), ts=T0 + 3)
+
+        assert engine.get("teams.alpha.*", now=T0 + 10) == [b"a2", b"a1"]
+        assert engine.get("teams...", now=T0 + 10) == [b"b1", b"a2", b"a1"]
+        assert engine.get("teams.*.ch1", now=T0 + 10) == [b"b1", b"a1"]
+        assert engine.get("...", now=T0 + 10) == [b"o1", b"b1", b"a2", b"a1"]
+
+    def test_write_side_wildcards(self, engine: Engine):
+        # wildcards are legal on write; a stored pattern matches later
+        # static queries (db_test.go:296-317 symmetric direction)
+        engine.put_entry(Entry("teams.alpha.*", b"pat1"), ts=T0)
+        engine.put_entry(Entry("teams...", b"pat2"), ts=T0 + 1)
+        engine.put_entry(Entry("teams.alpha.ch1", b"conc"), ts=T0 + 2)
+
+        got = engine.get("teams.alpha.ch1", now=T0 + 10)
+        assert got == [b"conc", b"pat2", b"pat1"]
+        # deeper topic: only '...' pattern matches
+        assert engine.get("teams.alpha.ch1.u1", now=T0 + 10) == [b"pat2"]
+        # different team: only 'teams...' matches
+        assert engine.get("teams.beta.ch9", now=T0 + 10) == [b"pat2"]
+
+    def test_deep_star_matrix(self, engine: Engine):
+        deep = "unit.b.b1.b11.b111.b1111.b11111.b111111"
+        engine.put_entry(Entry(deep, b"deep"), ts=T0)
+        assert engine.get("unit.*.b1.b11.*.*.b11111.*", now=T0 + 10) == [b"deep"]
+        assert engine.get("unit.*.b1.*.*.*.b11111.*", now=T0 + 10) == [b"deep"]
+        assert engine.get("unit.b...", now=T0 + 10) == [b"deep"]
+        assert engine.get("unit.b", now=T0 + 10) == []
+
+
+class TestCountVarz:
+    def test_count_and_varz(self, engine: Engine):
+        for i in range(7):
+            engine.put_entry(Entry("c.t", b"x"), ts=T0 + i)
+        engine.delete(1)
+        assert engine.count(now=T0 + 10) == 6
+        v = engine.varz()
+        assert v["puts"] == 7 and v["dels"] == 1

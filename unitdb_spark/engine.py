@@ -1,0 +1,293 @@
+"""Engine: the public unitdb-equivalent API surface on Spark.
+
+Maps the reference's embedded-DB API (reference: db.go:50-482,
+batch.go:60-293) onto DataFrame operations:
+
+- ``Open``   -> Engine.open (SparkSession + table path)
+- ``Put/PutEntry`` -> buffered driver-side rows, flushed as one atomic
+  Parquet append (the tiny-log 100 ms group commit collapses into the
+  flush — memdb/tiny_log.go:202-301)
+- ``Get``    -> one declarative DataFrame expression: contract filter →
+  topic match → trailing-window cutoff → TTL filter → tombstone
+  anti-join → newest-first top-K (db.go:222-319)
+- ``Delete/DeleteEntry`` -> tombstone table + read-time anti-join
+  (db.go:389-425); forbidden when immutable (options.go:102-119)
+- ``Batch``  -> context manager; commit = single append, abort = drop
+  buffer (batch.go:60-293)
+- ``Count``  -> live-entry count (db.go:474-482)
+
+Scale notes (100 TB): every Get compiles to a single Catalyst plan with
+partition pruning on (contract, p_date) and predicate pushdown on
+seq/ts; the tombstone side of the anti-join is broadcast (deletes are
+rare relative to data); no driver-side row loops anywhere on the read
+path.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from unitdb_spark.core.model import (
+    DEFAULT_QUERY_LIMIT,
+    MASTER_CONTRACT,
+    MAX_PAYLOAD_BYTES,
+    Entry,
+    Query,
+    _SeqSource,
+    message_id,
+    new_contract,
+)
+from unitdb_spark.core.topic import InvalidTopicError, TopicKind, parse_topic
+from unitdb_spark.operators.topic_match import topic_match_expr
+from unitdb_spark.table import MESSAGES_SCHEMA, MessagesTable, ttl_live_expr
+
+
+class ImmutableError(RuntimeError):
+    pass
+
+
+@dataclass
+class EngineOptions:
+    """Subset of options.go:102-252 that has meaning on Spark."""
+
+    immutable: bool = False
+    default_query_limit: int = DEFAULT_QUERY_LIMIT
+    flush_every: int = 50_000  # driver buffer bound (tiny-log parity)
+
+
+class Engine:
+    """A unitdb-compatible message store on Spark + Parquet."""
+
+    def __init__(self, spark: SparkSession, path: str, options: EngineOptions | None = None) -> None:
+        self.spark = spark
+        self.path = str(path)
+        self.options = options or EngineOptions()
+        self.table = MessagesTable(spark, str(Path(self.path) / "messages"))
+        self.tombstones_path = str(Path(self.path) / "tombstones")
+        self._seq = _SeqSource()
+        self._buffer: list[Row] = []
+        self._metrics: dict[str, int] = {"puts": 0, "gets": 0, "dels": 0}
+        if self.table.exists():
+            top = self.table.read().agg(F.max("seq")).collect()[0][0]
+            self._seq.advance_to(int(top or 0))
+
+    # ------------------------------------------------------------- open
+    @classmethod
+    def open(cls, spark: SparkSession, path: str, **opts) -> "Engine":
+        """db.go:50-210 Open()."""
+        Path(path).mkdir(parents=True, exist_ok=True)
+        return cls(spark, path, EngineOptions(**opts))
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    # ------------------------------------------------------------ write
+    def put(self, topic: str, payload: bytes | str, contract: int = MASTER_CONTRACT) -> int:
+        """db.go:336-341 Put(): append one message under a contract."""
+        return self.put_entry(Entry(topic=topic, payload=_as_bytes(payload), contract=contract))
+
+    def put_entry(self, entry: Entry, ts: float | None = None) -> int:
+        """db.go:343-387 PutEntry(): validated, TTL-resolved append."""
+        spec = parse_topic(entry.topic)  # validates (db.go:351-360)
+        if len(entry.payload) > MAX_PAYLOAD_BYTES:
+            raise ValueError("payload exceeds 1GB")
+        now = ts if ts is not None else time.time()
+        ttl = entry.ttl_seconds()
+        seq = self._seq.next()
+        self._buffer.append(
+            Row(
+                seq=seq,
+                msg_id=entry.msg_id or message_id(seq, entry.contract, now),
+                contract=entry.contract,
+                topic=spec.raw,
+                ts=dt.datetime.fromtimestamp(now, dt.timezone.utc).replace(tzinfo=None),
+                expires_at=(
+                    dt.datetime.fromtimestamp(now + ttl, dt.timezone.utc).replace(tzinfo=None)
+                    if ttl is not None
+                    else None
+                ),
+                payload=bytes(entry.payload),
+            )
+        )
+        self._metrics["puts"] += 1
+        if len(self._buffer) >= self.options.flush_every:
+            self.flush()
+        return seq
+
+    def put_df(self, df: DataFrame) -> None:
+        """Bulk ingest path: append a DataFrame already in messages
+        schema (seq, msg_id?, contract, topic, ts, expires_at, payload).
+        This is the 100 TB path — no driver-side rows."""
+        self.flush()
+        cols = {c for c in df.columns}
+        if "msg_id" not in cols:
+            df = df.withColumn("msg_id", F.lit(None).cast("binary"))
+        if "expires_at" not in cols:
+            df = df.withColumn("expires_at", F.lit(None).cast("timestamp"))
+        self.table.append(df.select([f.name for f in MESSAGES_SCHEMA.fields]))
+        top = df.agg(F.max("seq")).collect()[0][0]
+        self._seq.advance_to(int(top or 0))
+
+    def flush(self) -> None:
+        """Group commit (tiny-log writeLoop parity,
+        memdb/tiny_log.go:202-301): one atomic append per flush."""
+        if not self._buffer:
+            return
+        df = self.spark.createDataFrame(self._buffer, MESSAGES_SCHEMA)
+        self.table.append(df)
+        self._buffer.clear()
+
+    # ------------------------------------------------------------- read
+    def get_df(self, query: Query | str, now: float | None = None) -> DataFrame:
+        """db.go:222-319 Get() as a single declarative plan; returns the
+        full rows (callers project payload)."""
+        q = Query(topic=query) if isinstance(query, str) else query
+        spec = q.spec
+        self._metrics["gets"] += 1
+        now_ts = F.lit(
+            dt.datetime.fromtimestamp(now, dt.timezone.utc).replace(tzinfo=None)
+        ) if now is not None else F.current_timestamp()
+
+        df = self._live_df()
+        df = df.filter(F.col("contract") == F.lit(q.contract))  # prefix routing db.go:238
+        df = df.filter(topic_match_expr(spec))
+        last = q.last_seconds()
+        if last is not None:  # ?last=1h cutoff (query.go:107-118)
+            df = df.filter(F.col("ts") >= now_ts - F.expr(f"INTERVAL {int(last)} SECOND"))
+        df = df.filter(ttl_live_expr(now_ts))
+        return df.orderBy(F.desc("seq")).limit(q.effective_limit())
+
+    def get(self, query: Query | str, now: float | None = None) -> list[bytes]:
+        """Payloads, newest-first (the reference's [][]byte return)."""
+        rows = self.get_df(query, now=now).select("payload").collect()
+        return [bytes(r[0]) if r[0] is not None else b"" for r in rows]
+
+    def _live_df(self) -> DataFrame:
+        self.flush()
+        df = self.table.read()
+        tombs = self._tombstones_df()
+        if tombs is not None:
+            # deletes are rare → broadcast anti-join, no shuffle of the big side
+            df = df.join(F.broadcast(tombs), on="seq", how="left_anti")
+        return df
+
+    # ----------------------------------------------------------- delete
+    def delete(self, seq: int) -> None:
+        """db.go:389-425 Delete(): tombstone by sequence."""
+        if self.options.immutable:
+            raise ImmutableError("delete forbidden: store is immutable")
+        self._metrics["dels"] += 1
+        self.spark.createDataFrame([(int(seq),)], "seq long").write.mode("append").parquet(
+            self.tombstones_path
+        )
+
+    def delete_entry(self, entry: Entry) -> None:
+        if entry.msg_id is None:
+            raise ValueError("delete requires message id")
+        from unitdb_spark.core.model import message_id_seq
+
+        self.delete(message_id_seq(entry.msg_id))
+
+    def _tombstones_df(self) -> DataFrame | None:
+        p = Path(self.tombstones_path)
+        if p.exists() and any(p.rglob("*.parquet")):
+            return self.spark.read.parquet(self.tombstones_path)
+        return None
+
+    # ------------------------------------------------------------ batch
+    def batch(self) -> "Batch":
+        """batch.go:60-293: atomic multi-topic batch."""
+        return Batch(self)
+
+    # ------------------------------------------------------------ admin
+    def count(self, now: float | None = None) -> int:
+        """db.go:474-482 Count(): live entries (TTL + tombstones applied)."""
+        now_ts = (
+            F.lit(dt.datetime.fromtimestamp(now, dt.timezone.utc).replace(tzinfo=None))
+            if now is not None
+            else F.current_timestamp()
+        )
+        if not self.table.exists() and not self._buffer:
+            return 0
+        return self._live_df().filter(ttl_live_expr(now_ts)).count()
+
+    def varz(self) -> dict[str, int]:
+        """meter.go:28-90 Varz() counters (latency percentiles live in
+        bench.py via observe())."""
+        return dict(self._metrics)
+
+    def purge_expired(self, now: float | None = None) -> None:
+        """Background expirer parity (expiry_window.go:28-148): rewrite
+        the table dropping dead rows. At scale this is the compaction /
+        retention job; on Parquet we rewrite partitions."""
+        if not self.table.exists():
+            return
+        now_dt = dt.datetime.fromtimestamp(now or time.time(), dt.timezone.utc).replace(tzinfo=None)
+        df = self.table.read().filter(ttl_live_expr(F.lit(now_dt))).select(
+            [f.name for f in MESSAGES_SCHEMA.fields]
+        )
+        tmp = self.path + "/.compact"
+        MessagesTable(self.spark, tmp).append(df)
+        live = Path(self.table.path)
+        shutil.rmtree(live, ignore_errors=True)
+        Path(tmp).rename(live)
+
+    def new_contract(self) -> int:
+        return new_contract()
+
+    def new_id(self, contract: int = MASTER_CONTRACT) -> bytes:
+        return message_id(self._seq.next(), contract)
+
+
+class Batch:
+    """All-or-nothing write batch (batch.go:60-293).
+
+    Entries buffer locally; ``write()`` stages them; ``commit()`` is a
+    single atomic append; ``abort()``/exception drops everything.
+    """
+
+    def __init__(self, engine: Engine) -> None:
+        self.engine = engine
+        self._entries: list[tuple[Entry, float | None]] = []
+        self._committed = False
+
+    def put(self, topic: str, payload: bytes | str, contract: int = MASTER_CONTRACT) -> None:
+        self.put_entry(Entry(topic=topic, payload=_as_bytes(payload), contract=contract))
+
+    def put_entry(self, entry: Entry, ts: float | None = None) -> None:
+        parse_topic(entry.topic)  # validate eagerly, abort-before-commit
+        self._entries.append((entry, ts))
+
+    def write(self) -> None:  # staging no-op kept for API parity
+        pass
+
+    def commit(self) -> None:
+        for entry, ts in self._entries:
+            self.engine.put_entry(entry, ts=ts)
+        self.engine.flush()
+        self._entries.clear()
+        self._committed = True
+
+    def abort(self) -> None:
+        self._entries.clear()
+
+    def __enter__(self) -> "Batch":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            self.commit()
+        else:
+            self.abort()  # fn error -> nothing persisted (db.go:427-447)
+        return False
+
+
+def _as_bytes(payload: bytes | str) -> bytes:
+    return payload.encode("utf-8") if isinstance(payload, str) else bytes(payload)

@@ -1,0 +1,128 @@
+"""The `messages` table: canonical schema, derivation, partitioned I/O.
+
+Replaces the reference's entire storage stack (WAL, tiny-log, memdb,
+index/data/window files, trie, bloom filters, leasing — reference:
+db_sync.go, memdb/, wal/, trie.go, filter.go, leasing.go) with a
+partitioned Parquet layout that Catalyst can prune:
+
+- partitioned by ``contract`` (tenant prefix pruning — query.go:106,
+  db.go:238) and ``p_date`` (time-block pruning — time_window.go:67-69);
+- Parquet min/max stats on ``seq``/``ts`` stand in for the reverse-time
+  window chains; dictionary encoding stands in for store-topic-once
+  (db_internal.go:271-276); snappy is the codec parity
+  (db_internal.go:292).
+
+At 100 TB the same layout holds: date partitions bound each scan,
+contract partitions bound each tenant, and files within a partition are
+written sorted by ``seq`` so newest-first top-K reads touch few
+row-groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from unitdb_spark.core.topic import WILDCARD_TAIL
+
+MESSAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("msg_id", T.BinaryType(), True),
+        T.StructField("contract", T.LongType(), False),
+        T.StructField("topic", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("expires_at", T.TimestampType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+#: columns derived from `topic` at write time (never stored stale)
+DERIVED_COLUMNS = ("parts", "depth", "has_tail", "p_date")
+
+
+def with_topic_columns(df: DataFrame, topic_col: str = "topic") -> DataFrame:
+    """Add ``parts``/``depth``/``has_tail`` derived from the topic string.
+
+    Pure built-in expressions (split / size / endswith) — no UDF — so
+    the derivation runs JVM-side inside whole-stage codegen.
+    ``parts`` excludes a trailing '...' token; ``has_tail`` records it
+    (write-side wildcard, message/topic.go:36-42).
+    """
+    t = F.col(topic_col)
+    tail = t.endswith(F.lit(WILDCARD_TAIL))
+    body = F.when(
+        tail, F.expr(f"substring({topic_col}, 1, length({topic_col}) - 3)")
+    ).otherwise(t)
+    parts = F.when(body == F.lit(""), F.array().cast("array<string>")).otherwise(
+        F.split(body, r"\.")
+    )
+    return (
+        df.withColumn("has_tail", tail)
+        .withColumn("parts", parts)
+        .withColumn("depth", F.size(parts))
+    )
+
+
+def with_partition_columns(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    return df.withColumn("p_date", F.to_date(F.col(ts_col)))
+
+
+class MessagesTable:
+    """Partitioned-Parquet messages store.
+
+    Layout: ``<path>/contract=<c>/p_date=<d>/part-*.parquet`` — both
+    partition columns are prunable by Catalyst, reproducing the
+    reference's contract-prefix routing + timeID pruning for free.
+    """
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def append(self, df: DataFrame) -> None:
+        """Atomic Parquet append of fully-derived rows.
+
+        Rows are sorted by ``seq`` within each output partition so that
+        row-group min/max stats on ``seq``/``ts`` make newest-first
+        top-K scans skip old row groups (reverse-time layout parity,
+        time_window.go:37-40).
+        """
+        out = with_partition_columns(with_topic_columns(df))
+        (
+            out.sortWithinPartitions("seq")
+            .write.mode("append")
+            .partitionBy("contract", "p_date")
+            .parquet(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], self._full_schema())
+        return self.spark.read.schema(self._full_schema()).parquet(self.path)
+
+    def exists(self) -> bool:
+        from pathlib import Path
+
+        p = Path(self.path)
+        return p.exists() and any(p.rglob("*.parquet"))
+
+    @staticmethod
+    def _full_schema() -> T.StructType:
+        fields = [f for f in MESSAGES_SCHEMA.fields if f.name != "contract"]
+        fields += [
+            T.StructField("has_tail", T.BooleanType(), True),
+            T.StructField("parts", T.ArrayType(T.StringType()), True),
+            T.StructField("depth", T.IntegerType(), True),
+            T.StructField("contract", T.LongType(), True),
+            T.StructField("p_date", T.DateType(), True),
+        ]
+        return T.StructType(fields)
+
+
+def ttl_live_expr(now: Column, expires_col: str = "expires_at") -> Column:
+    """Expired entries are silently skipped at read
+    (time_window.go:63-65, 239-251)."""
+    e = F.col(expires_col)
+    return e.isNull() | (e > now)
