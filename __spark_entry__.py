@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes the implemented operator surface from SURVEY.md §2
+(unitdb Get semantics over a derived `messages` log) plus the
+north-star analytics / LLM-pipeline operators; `oracle_sql()` gives the
+DuckDB-equivalent ANSI SQL for every SQL-expressible query. Column
+names are aliased identically on both sides.
+
+Determinism rules used throughout (so value-hashes match DuckDB):
+- timestamps are returned as epoch seconds (BIGINT) — Spark
+  `unix_timestamp` == DuckDB `floor(epoch(ts))`;
+- money/metric sums go through DECIMAL (order-independent, exact) and
+  are cast back to DOUBLE (exact for < 2^53 cents);
+- float divisions are single IEEE ops on identical inputs (bitwise
+  deterministic); no floating SUMs anywhere.
 """
 
 from __future__ import annotations
@@ -12,27 +20,724 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unitdb_spark.core.model import MASTER_CONTRACT, Query
+from unitdb_spark.functions import text as TXT
+from unitdb_spark.functions.multimodal import documents_as_media, extract_media_meta
+from unitdb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from unitdb_spark.operators.get import apply_get
+from unitdb_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from unitdb_spark.operators.topk import topk_per_key
+from unitdb_spark.operators.window_agg import sessionize_ids
+from unitdb_spark.sources.events import (
+    ALT_CONTRACT,
+    MESSAGES_FROM_EVENTS_SQL,
+    messages_from_events,
+    now_expr,
+)
+from unitdb_spark.table import ttl_live_expr
+
+# --------------------------------------------------------------- helpers
+
+EPOCH = lambda c: F.unix_timestamp(F.col(c)).alias(c + "_s")  # noqa: E731
+
+SQL_LIVE = "(expires_at IS NULL OR expires_at > now)"
+
+
+def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return messages_from_events(spark, sf_dir)
+
+
+def _now(spark: SparkSession, sf_dir: str):
+    return now_expr(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from unitdb_spark.sources.events import load_events
+    return load_events(spark, sf_dir)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------- unitdb Get semantics
+
+
+def q_get_static(spark, sf_dir):
+    df = apply_get(
+        _messages(spark, sf_dir), Query("events.click.u3", limit=100), now=_now(spark, sf_dir)
+    )
+    return df.select("seq", "topic", EPOCH("ts"), "payload")
+
+
+def q_get_last7d(spark, sf_dir):
+    df = apply_get(
+        _messages(spark, sf_dir),
+        Query("events.click.u3", last="168h", limit=100000),
+        now=_now(spark, sf_dir),
+    )
+    return df.select("seq", "topic", EPOCH("ts"), "payload")
+
+
+def q_get_wild_star(spark, sf_dir):
+    df = apply_get(
+        _messages(spark, sf_dir), Query("events.*.u7", limit=100000), now=_now(spark, sf_dir)
+    )
+    return df.select("seq", "topic", EPOCH("ts"))
+
+
+def q_get_wild_tail(spark, sf_dir):
+    df = apply_get(
+        _messages(spark, sf_dir),
+        Query("events.purchase...", limit=100000),
+        now=_now(spark, sf_dir),
+    )
+    return df.select("seq", "topic", EPOCH("ts"))
+
+
+def q_topic_counts_live(spark, sf_dir):
+    now = _now(spark, sf_dir)
+    return (
+        _messages(spark, sf_dir)
+        .filter(ttl_live_expr(F.lit(now)))
+        .groupBy("contract", "topic")
+        .agg(F.count(F.lit(1)).alias("n_live"))
+    )
+
+
+def q_expired_stats(spark, sf_dir):
+    now = _now(spark, sf_dir)
+    return (
+        _messages(spark, sf_dir)
+        .filter(F.col("expires_at").isNotNull() & (F.col("expires_at") <= F.lit(now)))
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n_expired"))
+    )
+
+
+def q_tombstone_antijoin(spark, sf_dir):
+    now = _now(spark, sf_dir)
+    msgs = _messages(spark, sf_dir)
+    tombs = msgs.filter(F.col("seq") % 97 == 0).select("seq")
+    return (
+        msgs.join(F.broadcast(tombs), on="seq", how="left_anti")
+        .filter(ttl_live_expr(F.lit(now)))
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n_live"))
+    )
+
+
+def q_topk_per_topic(spark, sf_dir):
+    now = _now(spark, sf_dir)
+    msgs = (
+        _messages(spark, sf_dir)
+        .filter(F.col("contract") == MASTER_CONTRACT)
+        .filter(ttl_live_expr(F.lit(now)))
+    )
+    return topk_per_key(msgs, ["topic"], 5, order=F.desc("seq")).select(
+        "topic", "seq", EPOCH("ts"), "rn"
+    )
+
+
+def q_contract_counts(spark, sf_dir):
+    return (
+        _messages(spark, sf_dir)
+        .groupBy("contract")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+        )
+    )
+
+
+# ------------------------------------------------------ TPC-H analytics
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("sum_qty"),
+            F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").alias(
+                "sum_base_price"
+            ),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)"
+            ).alias("sum_disc_price"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE)"
+            ).alias("sum_charge"),
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+            ).alias("avg_qty"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+            ).alias("avg_price"),
+            F.expr(
+                "CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)"
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_top_orders_by_revenue(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)"
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    tot = orders.groupBy("o_custkey").agg(
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").alias("total_spent"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        tot.join(F.broadcast(cust), tot.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "total_spent", "n_orders")
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_brand_stats(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ------------------------------------------------------ events analytics
+
+
+def q_events_tumbling_daily(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("_w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").alias("sum_value"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)").alias(
+                "avg_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("_w.start")).alias("window_s"),
+            "event_type",
+            "n",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def q_events_sliding_6h(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("_w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("_w.start")).alias("window_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    sess = sessionize_ids(ev, gap_seconds=1800, key="user_id")
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("start_s"),
+        F.unix_timestamp(F.max("ts")).alias("end_s"),
+    )
+
+
+def q_events_dedup_minute(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id",
+            "event_type",
+            F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias("minute_s"),
+        )
+        .agg(F.min("event_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ------------------------------------------- documents / LLM pipeline ops
+
+
+def q_doc_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_doc_token_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TXT.token_count("text").alias("n_tokens"),
+        TXT.char_count("text").alias("n_chars_m"),
+        TXT.mean_word_len("text").alias("mean_wl"),
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TXT.stopword_ratio("text").alias("stopword_r"),
+        TXT.punct_ratio("text").alias("punct_r"),
+        TXT.digit_ratio("text").alias("digit_r"),
+        TXT.quality_score("text").alias("quality"),
+    )
+
+
+def q_doc_lang(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TXT.lang_id("text").alias("lang_pred"))
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), block_col="source", threshold=0.2
+    )
+
+
+def q_doc_minhash_lsh(spark, sf_dir):
+    # no SQL oracle: xxhash64-based signatures aren't DuckDB-expressible
+    return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, bands=4)
+
+
+def q_doc_simhash(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", simhash64("text").alias("simhash"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TXT.fingerprint64("text").alias("fingerprint"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_r"), "rank"
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    # approximate variant — recall<1 by design, rows-only check
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_bucket_topk(emb, queries, k=10, n_planes=6, dim=64)
+    return out.select("query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_r"), "rank")
+
+
+def q_multimodal_meta(spark, sf_dir):
+    media = documents_as_media(_docs(spark, sf_dir))
+    return extract_media_meta(media)
+
+
+# ----------------------------------------------------------- the contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
+    a trailing window, newest-first top-100."""
+    sf_dir = "/root/testdata/sf0.001"
+    df = apply_get(
+        _messages(spark, sf_dir),
+        Query("events...", last="720h", limit=100),
+        now=_now(spark, sf_dir),
+    )
+    return df.select("seq", "topic", EPOCH("ts"), "payload")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # unitdb Get surface (SURVEY §2.1)
+        "get_static": q_get_static,
+        "get_last7d": q_get_last7d,
+        "get_wild_star": q_get_wild_star,
+        "get_wild_tail": q_get_wild_tail,
+        "topic_counts_live": q_topic_counts_live,
+        "expired_stats": q_expired_stats,
+        "tombstone_antijoin": q_tombstone_antijoin,
+        "topk_per_topic": q_topk_per_topic,
+        "contract_counts": q_contract_counts,
+        # analytics (SURVEY §7 phase 5)
+        "tpch_q1": q_tpch_q1,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders_by_revenue": q_top_orders_by_revenue,
+        "top_customers": q_top_customers,
+        "brand_stats": q_brand_stats,
+        "events_tumbling_daily": q_events_tumbling_daily,
+        "events_sliding_6h": q_events_sliding_6h,
+        "events_sessionize": q_events_sessionize,
+        "events_dedup_minute": q_events_dedup_minute,
+        # LLM-pipeline ops
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_lang": q_doc_lang,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_simhash": q_doc_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracles
+
+M = MESSAGES_FROM_EVENTS_SQL  # WITH messages AS (...), clock AS (...)
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+_Q1_AGGS = """
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)            AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)       AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)      AS avg_disc,
+  COUNT(*) AS count_order
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    return {
+        "get_static": M
+        + f"""
+        SELECT seq, topic, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, payload
+        FROM messages, clock
+        WHERE contract = {MASTER_CONTRACT} AND topic = 'events.click.u3'
+          AND {SQL_LIVE}
+        ORDER BY seq DESC LIMIT 100
+        """,
+        "get_last7d": M
+        + f"""
+        SELECT seq, topic, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, payload
+        FROM messages, clock
+        WHERE contract = {MASTER_CONTRACT} AND topic = 'events.click.u3'
+          AND ts >= now - INTERVAL 604800 SECOND AND {SQL_LIVE}
+        ORDER BY seq DESC LIMIT 100000
+        """,
+        "get_wild_star": M
+        + f"""
+        SELECT seq, topic, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM messages, clock
+        WHERE contract = {MASTER_CONTRACT}
+          AND regexp_matches(topic, '^events\\.[^.]+\\.u7$')
+          AND {SQL_LIVE}
+        ORDER BY seq DESC LIMIT 100000
+        """,
+        "get_wild_tail": M
+        + f"""
+        SELECT seq, topic, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM messages, clock
+        WHERE contract = {MASTER_CONTRACT}
+          AND regexp_matches(topic, '^events\\.purchase(\\..+)?$')
+          AND {SQL_LIVE}
+        ORDER BY seq DESC LIMIT 100000
+        """,
+        "topic_counts_live": M
+        + f"""
+        SELECT contract, topic, COUNT(*) AS n_live
+        FROM messages, clock WHERE {SQL_LIVE}
+        GROUP BY contract, topic
+        """,
+        "expired_stats": M
+        + """
+        SELECT topic, COUNT(*) AS n_expired
+        FROM messages, clock
+        WHERE expires_at IS NOT NULL AND expires_at <= now
+        GROUP BY topic
+        """,
+        "tombstone_antijoin": M
+        + f"""
+        SELECT topic, COUNT(*) AS n_live
+        FROM messages, clock
+        WHERE seq % 97 <> 0 AND {SQL_LIVE}
+        GROUP BY topic
+        """,
+        "topk_per_topic": M
+        + f"""
+        SELECT topic, seq, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, rn FROM (
+          SELECT topic, seq, ts,
+                 row_number() OVER (PARTITION BY topic ORDER BY seq DESC) AS rn
+          FROM messages, clock
+          WHERE contract = {MASTER_CONTRACT} AND {SQL_LIVE}
+        ) WHERE rn <= 5
+        """,
+        "contract_counts": M
+        + """
+        SELECT contract, COUNT(*) AS n, MIN(seq) AS min_seq, MAX(seq) AS max_seq
+        FROM messages GROUP BY contract
+        """,
+        "tpch_q1": f"""
+        SELECT l_returnflag, l_linestatus, {_Q1_AGGS}
+        FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+        SELECT r_name, n_name,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+          COUNT(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        """,
+        "top_orders_by_revenue": """
+        SELECT l_orderkey,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "top_customers": """
+        SELECT c_custkey, c_name,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+          COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY total_spent DESC, c_custkey LIMIT 10
+        """,
+        "brand_stats": """
+        SELECT p_brand,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        """,
+        "events_tumbling_daily": """
+        SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS window_s,
+          event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        FROM events GROUP BY 1, 2
+        """,
+        "events_sliding_6h": """
+        WITH bounds AS (
+          SELECT date_trunc('hour', min(ts)) - INTERVAL 5 HOUR AS lo,
+                 date_trunc('hour', max(ts)) AS hi
+          FROM events
+        ), starts AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws
+          FROM bounds
+        )
+        SELECT CAST(floor(epoch(ws)) AS BIGINT) AS window_s, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM starts JOIN events ON ts >= ws AND ts < ws + INTERVAL 6 HOUR
+        GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+        WITH marked AS (
+          SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+          SELECT user_id, ts,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+          CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+          CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
+        FROM sess GROUP BY user_id, session_id
+        """,
+        "events_dedup_minute": """
+        SELECT user_id, event_type,
+          CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute_s,
+          MIN(event_id) AS keep_id, COUNT(*) AS n_dups
+        FROM events GROUP BY 1, 2, 3
+        """,
+        "doc_dedup_exact": """
+        SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
+          COUNT(*) AS dup_count
+        FROM documents GROUP BY 1
+        """,
+        "doc_token_stats": f"""
+        SELECT doc_id,
+          len({_TOKS}) AS n_tokens,
+          length(text) AS n_chars_m,
+          CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE)
+            / greatest(len({_TOKS}), 1) AS mean_wl
+        FROM documents
+        """,
+        "doc_quality": _doc_quality_oracle(),
+        "doc_lang": _doc_lang_oracle(),
+        "doc_ngram_jaccard": f"""
+        WITH t AS (
+          SELECT doc_id AS id, source,
+                 list_distinct({_TOKS}) AS tok
+          FROM documents
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+          CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+            / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) AS jaccard
+        FROM t a JOIN t b ON a.source = b.source AND a.id < b.id
+        WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+            / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.2
+        """,
+        "ann_cosine_topk": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])) AS sim
+          FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+        ), ranked AS (
+          SELECT query_id, vec_id, round(sim, 6) AS cosine_r,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
+        """,
+        "multimodal_meta": """
+        WITH m AS (
+          SELECT doc_id AS id,
+            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                 WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+            octet_length(encode(text)) AS n
+          FROM documents
+        )
+        SELECT id, media_type, CAST(n AS BIGINT) AS n_bytes,
+          CAST(CASE media_type WHEN 'image' THEN n % 640 + 1
+               WHEN 'video' THEN n % 1280 + 1 ELSE 0 END AS INT) AS width,
+          CAST(CASE media_type WHEN 'image' THEN (n // 7) % 480 + 1
+               WHEN 'video' THEN (n // 11) % 720 + 1 ELSE 0 END AS INT) AS height,
+          CAST(CASE media_type WHEN 'image' THEN 1
+               WHEN 'video' THEN n % 300 + 1 ELSE 0 END AS INT) AS n_frames,
+          CAST(CASE media_type WHEN 'audio' THEN 16000 ELSE 0 END AS INT) AS sample_rate,
+          CASE media_type WHEN 'audio' THEN n / 32000.0
+               WHEN 'video' THEN (n % 300 + 1) / 30.0 ELSE 0.0 END AS duration_s
+        FROM m
+        """,
+    }
+
+
+def _doc_quality_oracle() -> str:
+    toks = _TOKS
+    sw = ", ".join(f"'{w}'" for w in TXT.STOPWORDS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+        len({toks}) AS n_tok,
+        CAST(len(list_filter({toks}, x -> list_contains([{sw}], x))) AS DOUBLE)
+          / greatest(len({toks}), 1) AS stopword_r,
+        CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS punct_r,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS digit_r,
+        CAST(list_sum(list_transform({toks}, x -> length(x))) AS DOUBLE)
+          / greatest(len({toks}), 1) AS mean_wl
+      FROM documents
+    )
+    SELECT doc_id, stopword_r, punct_r, digit_r,
+      least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.3
+      + (CASE WHEN mean_wl >= 3 AND mean_wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+      + least(stopword_r * 4.0, 1.0) * 0.2
+      + greatest(1.0 - punct_r * 5.0, 0.0) * 0.15
+      + greatest(1.0 - digit_r * 5.0, 0.0) * 0.15 AS quality
+    FROM base
     """
-    return {}
+
+
+def _doc_lang_oracle() -> str:
+    toks = _TOKS
+    hit_cols = []
+    for lang, words in TXT.LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(
+            f"len(list_filter({toks}, x -> list_contains([{lst}], x))) AS h_{lang}"
+        )
+    # same argmax fold as TXT.lang_id: iterate langs in dict order,
+    # replace when strictly greater
+    langs = list(TXT.LANG_MARKERS)
+    expr = "'und'"
+    best = "0"
+    for lang in langs:
+        expr = f"CASE WHEN h_{lang} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({best}, h_{lang})"
+    return f"""
+    WITH hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM documents)
+    SELECT doc_id, {expr} AS lang_pred FROM hits
+    """

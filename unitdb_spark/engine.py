@@ -44,8 +44,7 @@ from unitdb_spark.core.model import (
     message_id,
     new_contract,
 )
-from unitdb_spark.core.topic import InvalidTopicError, TopicKind, parse_topic
-from unitdb_spark.operators.topic_match import topic_match_expr
+from unitdb_spark.core.topic import parse_topic
 from unitdb_spark.table import MESSAGES_SCHEMA, MessagesTable, ttl_live_expr
 
 
@@ -148,21 +147,10 @@ class Engine:
     def get_df(self, query: Query | str, now: float | None = None) -> DataFrame:
         """db.go:222-319 Get() as a single declarative plan; returns the
         full rows (callers project payload)."""
-        q = Query(topic=query) if isinstance(query, str) else query
-        spec = q.spec
-        self._metrics["gets"] += 1
-        now_ts = F.lit(
-            dt.datetime.fromtimestamp(now, dt.timezone.utc).replace(tzinfo=None)
-        ) if now is not None else F.current_timestamp()
+        from unitdb_spark.operators.get import apply_get
 
-        df = self._live_df()
-        df = df.filter(F.col("contract") == F.lit(q.contract))  # prefix routing db.go:238
-        df = df.filter(topic_match_expr(spec))
-        last = q.last_seconds()
-        if last is not None:  # ?last=1h cutoff (query.go:107-118)
-            df = df.filter(F.col("ts") >= now_ts - F.expr(f"INTERVAL {int(last)} SECOND"))
-        df = df.filter(ttl_live_expr(now_ts))
-        return df.orderBy(F.desc("seq")).limit(q.effective_limit())
+        self._metrics["gets"] += 1
+        return apply_get(self._live_df(), query, now=now)
 
     def get(self, query: Query | str, now: float | None = None) -> list[bytes]:
         """Payloads, newest-first (the reference's [][]byte return)."""

@@ -1,0 +1,105 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Media decode libraries (PIL/ffmpeg/librosa) are NOT in this container,
+so the decode kernels are stubbed: ``decode_stub=True`` (default) runs
+a deterministic fake decoder so the Spark-side plumbing — schema,
+mapInPandas batch shape, partitioning — is real and tested; wiring a
+real decoder is replacing one clearly-marked function body.
+
+Design for 100 TB of media:
+- media rows stay (id, media_type, blob BINARY, meta STRUCT); blobs
+  never shuffle — extraction projects small typed columns first.
+- mapInPandas streams Arrow batches, so peak executor memory is
+  one batch of blobs, not one partition of decoded frames.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "id long, media_type string, n_bytes long, width int, height int, "
+    "n_frames int, sample_rate int, duration_s double"
+)
+
+
+def _fake_decode(blob: bytes, media_type: str) -> dict:
+    """Deterministic stand-in for a real media decoder.
+
+    Derives plausible metadata purely from blob length/bytes so tests
+    and oracles are reproducible. Replace with PIL/av/soundfile here.
+    """
+    n = len(blob)
+    if media_type == "image":
+        return {"width": n % 640 + 1, "height": (n // 7) % 480 + 1, "n_frames": 1,
+                "sample_rate": 0, "duration_s": 0.0}
+    if media_type == "audio":
+        sr = 16000
+        # plain IEEE division (no rounding) -> bit-identical to any SQL
+        # oracle computing n/32000.0, regardless of rounding mode
+        return {"width": 0, "height": 0, "n_frames": 0, "sample_rate": sr,
+                "duration_s": n / 32000.0}
+    if media_type == "video":
+        return {"width": n % 1280 + 1, "height": (n // 11) % 720 + 1,
+                "n_frames": n % 300 + 1, "sample_rate": 0,
+                "duration_s": (n % 300 + 1) / 30.0}
+    raise NotImplementedError(f"unknown media_type {media_type!r}")
+
+
+def extract_media_meta(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """(id, media_type, blob) -> typed metadata row per blob.
+
+    Arrow-batched mapInPandas: each batch decodes independently, blobs
+    are dropped from the output immediately (never carried through a
+    shuffle).
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real media decoding requires PIL/av/soundfile — not in this container"
+        )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                _fake_decode(bytes(b), mt)
+                for b, mt in zip(pdf["blob"], pdf["media_type"])
+            ]
+            out = pd.DataFrame(metas)
+            out.insert(0, "n_bytes", [len(bytes(b)) for b in pdf["blob"]])
+            out.insert(0, "media_type", pdf["media_type"].values)
+            out.insert(0, "id", pdf["id"].values)
+            yield out
+
+    return df.select("id", "media_type", "blob").mapInPandas(_extract, MEDIA_META_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per frame to decode
+    (id, frame_idx) — generated JVM-side with sequence/explode, so the
+    decode stage can repartition by id and stream frames without ever
+    materializing a whole video's frames in one task."""
+    meta = df
+    return meta.filter(F.col("media_type") == "video").select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Adapter for TESTDATA: treat document text bytes as opaque blobs
+    (id, media_type cycling image/audio/video, blob) — exercises the
+    multimodal plumbing with driver-provided data only."""
+    return df.select(
+        F.col("doc_id").alias("id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("blob"),
+    )

@@ -1,0 +1,144 @@
+"""Text-analysis functions for document pipelines.
+
+All pure built-in expressions (split / regexp / aggregate) so the whole
+document pass is one codegen stage; the only Python is the rolling-
+hash fingerprint's window step, still expression-based.
+
+- token_stats: token count (whitespace + BPE-ish subword estimate),
+  char/word lengths.
+- quality_score: length / punctuation / digit / stopword ratios
+  composed into a [0,1] heuristic (the C4/Gopher-style filters).
+- lang_id_scores: marker-word n-gram heuristic over a small per-language
+  lexicon — returns per-language hit counts and the argmax language.
+- fingerprint64: order-sensitive rolling hash of the token stream
+  (document fingerprinting for shift-tolerant near-dup blocking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on with as at by".split()
+)
+
+# tiny marker lexicons: enough signal for a deterministic heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _toks(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(_toks(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-flavored token estimate: split on whitespace, punctuation
+    boundaries, and digit runs (regex approximation of a subword
+    tokenizer's pre-tokenization; ~chars/4 floor)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.filter(
+        F.split(F.lower(c), r"[\s]+|(?=[^\w\s])|(?<=[^\w\s])|(?=\d)(?<=\D)"),
+        lambda t: t != "",
+    )
+    # long words split into ~4-char subwords
+    return F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, p: acc + F.greatest(F.ceil(F.length(p) / F.lit(4.0)).cast("int"), F.lit(1)),
+    )
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    toks = _toks(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_dig = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return n_dig.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def mean_word_len(col: Column | str) -> Column:
+    toks = _toks(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic (Gopher/C4-style rules):
+    rewards sane length, word shape, stopword presence; penalizes
+    punctuation/digit soup. Deterministic arithmetic only."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))  # saturate at 50 tokens
+    wl = mean_word_len(col)
+    shape_score = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_score = F.least(stopword_ratio(col) * F.lit(4.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(col) * F.lit(5.0), F.lit(0.0))
+    digit_pen = F.greatest(F.lit(1.0) - digit_ratio(col) * F.lit(5.0), F.lit(0.0))
+    return (
+        len_score * F.lit(0.3)
+        + shape_score * F.lit(0.2)
+        + sw_score * F.lit(0.2)
+        + punct_pen * F.lit(0.15)
+        + digit_pen * F.lit(0.15)
+    )
+
+
+def lang_marker_hits(col: Column | str, lang: str) -> Column:
+    """Count of marker-word occurrences for one language."""
+    toks = _toks(col)
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language over marker hits; 'und' when no marker fires.
+    Ties break by fixed language order (en,de,fr,es,zh)."""
+    out = F.lit("und")
+    best = F.lit(0)
+    # build argmax as nested CASE (deterministic tie-break: first wins on >)
+    for lang in LANG_MARKERS:
+        hits = lang_marker_hits(col, lang)
+        out = F.when(hits > best, F.lit(lang)).otherwise(out)
+        best = F.when(hits > best, hits).otherwise(best)
+    return out
+
+
+def fingerprint64(col: Column | str) -> Column:
+    """Order-sensitive 64-bit rolling document fingerprint: fold the
+    token stream with a hash chain h' = xxhash64(h, token). Unlike
+    simhash this is sensitive to token order — an exact-content
+    fingerprint robust to whitespace normalization. (A hash chain
+    rather than h*31+x so the fold is overflow-free under ANSI mode.)"""
+    toks = _toks(col)
+    return F.aggregate(
+        toks,
+        F.lit(1125899906842597).cast("long"),  # seed
+        lambda acc, t: F.xxhash64(acc, t),
+    )

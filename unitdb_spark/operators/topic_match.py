@@ -49,7 +49,7 @@ def _query_pattern_vs_stored(spec: TopicSpec, parts: Column, depth: Column, has_
     for i, p in enumerate(base):
         if p != WILDCARD_ONE:
             # element_at is 1-indexed
-            conds.append(F.element_at(parts, i + 1) == F.lit(p))
+            conds.append(F.get(parts, i) == F.lit(p))
     out = conds[0]
     for c in conds[1:]:
         out = out & c
@@ -68,14 +68,14 @@ def _stored_pattern_vs_query(spec: TopicSpec, parts: Column, depth: Column, has_
     tail_conds: Column = has_tail & (depth <= F.lit(qd))
     for i, qp in enumerate(qparts):
         pos_ok = (depth < F.lit(i + 1)) | (
-            (F.element_at(parts, i + 1) == F.lit(qp)) | (F.element_at(parts, i + 1) == F.lit(WILDCARD_ONE))
+            (F.get(parts, i) == F.lit(qp)) | (F.get(parts, i) == F.lit(WILDCARD_ONE))
         )
         tail_conds = tail_conds & pos_ok
     # stored flat pattern: same depth, each part equal or '*'
     flat_conds: Column = (~has_tail) & (depth == F.lit(qd))
     for i, qp in enumerate(qparts):
         flat_conds = flat_conds & (
-            (F.element_at(parts, i + 1) == F.lit(qp)) | (F.element_at(parts, i + 1) == F.lit(WILDCARD_ONE))
+            (F.get(parts, i) == F.lit(qp)) | (F.get(parts, i) == F.lit(WILDCARD_ONE))
         )
     return tail_conds | flat_conds
 

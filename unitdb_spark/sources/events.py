@@ -32,7 +32,18 @@ ALT_CONTRACT = 1042
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    """Read events.parquet, tolerating INT64(TIMESTAMP_NANOS) columns.
+
+    Spark 4 has no nanosecond timestamp type; with
+    ``legacy.parquet.nanosAsLong`` the column arrives as raw nanos and
+    is truncated to microseconds here — exactly what DuckDB does
+    internally (its TIMESTAMP is µs), so both engines see equal values.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def messages_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
