@@ -50,12 +50,21 @@ EPOCH = lambda c: F.unix_timestamp(F.col(c)).alias(c + "_s")  # noqa: E731
 SQL_LIVE = "(expires_at IS NULL OR expires_at > now)"
 
 
+_CACHE: dict = {}
+
+
 def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return messages_from_events(spark, sf_dir)
+    key = ("messages", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = messages_from_events(spark, sf_dir)
+    return _CACHE[key]
 
 
 def _now(spark: SparkSession, sf_dir: str):
-    return now_expr(spark, sf_dir)
+    key = ("now", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = now_expr(spark, sf_dir)
+    return _CACHE[key]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

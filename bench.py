@@ -61,11 +61,28 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = time.time() - t
 
+    # B2/B3: Get against the materialized store (the real read path —
+    # partition pruning on contract, pushed topic/ts/TTL filters)
+    from unitdb_spark.core.model import Query
+    from unitdb_spark.engine import Engine
+    from unitdb_spark.sources.events import now_expr
+
+    import datetime as dt
+
+    eng = Engine(spark, tmp)
+    now = now_expr(spark, SF_DIR).replace(tzinfo=dt.timezone.utc).timestamp()
+
+    def timed_get(name: str, q: Query) -> None:
+        t = time.time()
+        eng.get_df(q, now=now).write.format("noop").mode("overwrite").save()
+        timings[name] = time.time() - t
+
+    timed_get("get_static", Query("events.click.u3", limit=1000))
+    timed_get("get_last7d", Query("events.click.u3", last="168h", limit=100000))
+    timed_get("get_wild_star", Query("events.*.u7", limit=100000))
+    timed_get("get_wild_tail", Query("events.purchase...", limit=100000))
+
     qs = entry.queries()
-    timed("get_static", qs["get_static"])
-    timed("get_last7d", qs["get_last7d"])
-    timed("get_wild_star", qs["get_wild_star"])
-    timed("get_wild_tail", qs["get_wild_tail"])
     timed("topk_per_topic", qs["topk_per_topic"])
     timed("window_tumbling", qs["events_tumbling_daily"])
     timed("window_sliding", qs["events_sliding_6h"])

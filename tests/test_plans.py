@@ -1,0 +1,86 @@
+"""Plan-quality regression tests: the plan itself is an assertion.
+
+At 100 TB these properties are the difference between touching one
+partition and scanning the table — so they are tested, not hoped for.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unitdb_spark.core.model import Query
+from unitdb_spark.engine import Engine
+from unitdb_spark.plans.explain import (
+    formatted_plan,
+    has_python_eval,
+    scan_info,
+    shuffle_count,
+)
+
+T0 = 1_700_000_000.0
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    from unitdb_spark.core.model import Entry
+
+    eng = Engine.open(spark, str(tmp_path / "plans-store"))
+    for i in range(50):
+        eng.put_entry(Entry(f"t.{i % 5}.x", b"p%d" % i), ts=T0 + i)
+    eng.flush()
+    return eng
+
+
+class TestGetPlan:
+    def test_partition_pruning_on_contract(self, store):
+        info = scan_info(store.get_df(Query("t.1.x"), now=T0 + 100))
+        assert any("contract" in f for f in info["partition_filters"])
+
+    def test_static_topic_pushdown(self, store):
+        info = scan_info(store.get_df(Query("t.1.x"), now=T0 + 100))
+        assert any("StringStartsWith(topic,t.1.x)" in f for f in info["pushed_filters"])
+
+    def test_wildcard_prefix_pushdown(self, store):
+        info = scan_info(store.get_df(Query("t.1..."), now=T0 + 100))
+        assert any("StringStartsWith(topic,t.1.)" in f for f in info["pushed_filters"])
+
+    def test_ttl_filter_pushdown(self, store):
+        info = scan_info(store.get_df(Query("t.1.x"), now=T0 + 100))
+        assert any("expires_at" in f for f in info["pushed_filters"])
+
+    def test_last_window_ts_pushdown(self, store):
+        info = scan_info(store.get_df(Query("t.1.x", last="1h"), now=T0 + 100))
+        assert any("GreaterThanOrEqual(ts" in f for f in info["pushed_filters"])
+
+    def test_no_shuffle_in_get(self, store):
+        # newest-first top-K = TakeOrderedAndProject, not a sort shuffle
+        assert shuffle_count(store.get_df(Query("t.1.x"), now=T0 + 100)) == 0
+
+    def test_no_python_udf_in_get(self, store):
+        assert not has_python_eval(store.get_df(Query("t.*.x"), now=T0 + 100))
+
+
+class TestAnalyticsPlans:
+    def test_broadcast_join_for_small_dims(self, spark):
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        plan = formatted_plan(
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey).groupBy(
+                "p_brand"
+            ).count()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_column_pruning_reaches_scan(self, spark):
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        info = scan_info(li.select("l_orderkey", "l_quantity"))
+        assert info["read_schema"], "no scan found"
+        rs = info["read_schema"][0]
+        assert "l_orderkey" in rs and "l_extendedprice" not in rs
+
+    def test_dedup_has_no_python_stage(self, spark):
+        from unitdb_spark.operators.dedup import exact_dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert not has_python_eval(exact_dedup(docs))

@@ -69,9 +69,13 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    joined = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec")
-    ).join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
+    # scoring is CPU-bound; spread a small (single-file) corpus across
+    # the cluster — no-op at scale where the scan already has splits
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
+    joined = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     sim = cosine_expr("_cvec", "_qvec").alias("cosine_sim")
     scored = joined.select("query_id", "vec_id", sim)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))

@@ -56,12 +56,23 @@ def _query_pattern_vs_stored(spec: TopicSpec, parts: Column, depth: Column, has_
     return out
 
 
-def _stored_pattern_vs_query(spec: TopicSpec, parts: Column, depth: Column, has_tail: Column) -> Column:
+def _stored_pattern_vs_query(
+    spec: TopicSpec,
+    parts: Column,
+    depth: Column,
+    has_tail: Column,
+    is_pattern: Column | None = None,
+) -> Column:
     """Stored patterns (rows written to wildcard topics) matched against
     the query's concrete parts. Only sound when the query itself is
     static; for wildcard-vs-wildcard the reference's trie matches on
     hash equality of non-wild parts, which the symmetric OR still
-    covers via the other direction."""
+    covers via the other direction.
+
+    When ``is_pattern`` is given, the whole branch is guarded by it —
+    Parquet then receives the pushable `Or(topic = x, is_pattern)`
+    residual and prunes pattern-free row groups on stats.
+    """
     qparts = spec.base_parts
     qd = len(qparts)
     # stored has trailing '...': base must be a (wildcard-tolerant) prefix
@@ -77,7 +88,10 @@ def _stored_pattern_vs_query(spec: TopicSpec, parts: Column, depth: Column, has_
         flat_conds = flat_conds & (
             (F.get(parts, i) == F.lit(qp)) | (F.get(parts, i) == F.lit(WILDCARD_ONE))
         )
-    return tail_conds | flat_conds
+    out = tail_conds | flat_conds
+    if is_pattern is not None:
+        out = is_pattern & out
+    return out
 
 
 def topic_match_expr(
@@ -86,6 +100,7 @@ def topic_match_expr(
     parts: Column | str = "parts",
     depth: Column | str = "depth",
     has_tail: Column | str = "has_tail",
+    is_pattern: Column | str | None = "is_pattern",
     symmetric: bool = True,
 ) -> Column:
     """Build the match predicate for one query topic.
@@ -101,18 +116,57 @@ def topic_match_expr(
     parts_c = F.col(parts) if isinstance(parts, str) else parts
     depth_c = F.col(depth) if isinstance(depth, str) else depth
     tail_c = F.col(has_tail) if isinstance(has_tail, str) else has_tail
+    pat_c = F.col(is_pattern) if isinstance(is_pattern, str) else is_pattern
 
     fwd = _query_pattern_vs_stored(spec, parts_c, depth_c, tail_c, topic_c)
     if spec.kind == TopicKind.STATIC:
-        fwd = fwd & ~tail_c  # exact-equality fast path already excludes patterns lexically, keep depth sanity
         if not symmetric:
             return topic_c == F.lit(spec.raw)
-        rev = _stored_pattern_vs_query(spec, parts_c, depth_c, tail_c)
-        return (topic_c == F.lit(spec.raw)) | rev
-    if not symmetric:
-        return fwd
-    rev = _stored_pattern_vs_query(spec, parts_c, depth_c, tail_c)
-    return fwd | rev
+        rev = _stored_pattern_vs_query(spec, parts_c, depth_c, tail_c, pat_c)
+        out = (topic_c == F.lit(spec.raw)) | rev
+    elif not symmetric:
+        out = fwd
+    else:
+        rev = _stored_pattern_vs_query(spec, parts_c, depth_c, tail_c, pat_c)
+        out = fwd | rev
+    coarse = _coarse_pushdown(spec, topic_c, pat_c if symmetric else None)
+    return out & coarse if coarse is not None else out
+
+
+def _coarse_pushdown(
+    spec: TopicSpec, topic: Column, is_pattern: Column | None
+) -> Column | None:
+    """A *necessary* (weaker) condition built only from pushable
+    predicates (string equality / StartsWith / boolean), AND-ed onto the
+    exact match as a redundant conjunct. Catalyst can't derive it from
+    the OR of array conditions itself, but given explicitly it reaches
+    the Parquet scan and prunes row groups holding neither the topic
+    prefix nor any stored patterns."""
+    if spec.kind == TopicKind.STATIC:
+        # StartsWith, not equality: a plain `topic = x` here would be a
+        # common factor with the exact branch and Catalyst's boolean
+        # simplification would refactor `(x|rev)&(x|pat)` back into
+        # `x|(rev&pat)`, dropping the pushable conjunct. The strict
+        # superset survives optimization and still prunes row groups.
+        cond = topic.startswith(F.lit(spec.raw))
+    else:
+        # concrete prefix before the first wildcard token
+        prefix_parts = []
+        for p in spec.base_parts:
+            if p == WILDCARD_ONE:
+                break
+            prefix_parts.append(p)
+        if not prefix_parts:
+            return None  # bare '*' / '...' — nothing pushable
+        prefix = ".".join(prefix_parts)
+        if len(prefix_parts) == len(spec.base_parts) and spec.has_tail:
+            # 'a.b...' -> exactly 'a.b' or anything under 'a.b.'
+            cond = (topic == F.lit(prefix)) | topic.startswith(F.lit(prefix + "."))
+        else:
+            cond = topic.startswith(F.lit(prefix + "."))
+    if is_pattern is not None:
+        cond = cond | is_pattern
+    return cond
 
 
 def topic_regex(query_topic: str | TopicSpec) -> str:

@@ -160,7 +160,12 @@ def fanout_once(
         ),
         topic_col="s_topic",
     ).withColumnsRenamed(
-        {"parts": "s_parts", "depth": "s_depth", "has_tail": "s_has_tail"}
+        {
+            "parts": "s_parts",
+            "depth": "s_depth",
+            "has_tail": "s_has_tail",
+            "is_pattern": "s_is_pattern",
+        }
     )
     # symmetric match, fully column-vs-column (both sides unknown until
     # runtime): equality fast path OR pattern-vs-concrete both ways

@@ -39,7 +39,7 @@ MESSAGES_SCHEMA = T.StructType(
 )
 
 #: columns derived from `topic` at write time (never stored stale)
-DERIVED_COLUMNS = ("parts", "depth", "has_tail", "p_date")
+DERIVED_COLUMNS = ("parts", "depth", "has_tail", "is_pattern", "p_date")
 
 
 def with_topic_columns(df: DataFrame, topic_col: str = "topic") -> DataFrame:
@@ -58,10 +58,19 @@ def with_topic_columns(df: DataFrame, topic_col: str = "topic") -> DataFrame:
     parts = F.when(body == F.lit(""), F.array().cast("array<string>")).otherwise(
         F.split(body, r"\.")
     )
-    return (
+    out = (
         df.withColumn("has_tail", tail)
         .withColumn("parts", parts)
         .withColumn("depth", F.size(parts))
+    )
+    # is_pattern marks write-side wildcards. Guarding the symmetric
+    # reverse match with this plain boolean makes a static Get's whole
+    # predicate `Or(topic = 'a.b', is_pattern)` — pushable to Parquet,
+    # so row groups holding only concrete topics prune on stats instead
+    # of being scanned (critical at 100 TB where patterns are rare).
+    return out.withColumn(
+        "is_pattern",
+        F.col("has_tail") | F.exists("parts", lambda p: p == F.lit("*")),
     )
 
 
@@ -90,8 +99,14 @@ class MessagesTable:
         time_window.go:37-40).
         """
         out = with_partition_columns(with_topic_columns(df))
+        # cluster rows by partition key before the write: one task per
+        # (contract, date) -> one right-sized file per partition dir
+        # instead of n_tasks x n_dirs small files; AQE splits any
+        # skewed partition. seq-sort within gives row-group stats that
+        # newest-first scans prune on.
         (
-            out.sortWithinPartitions("seq")
+            out.repartition(F.col("contract"), F.col("p_date"))
+            .sortWithinPartitions("seq")
             .write.mode("append")
             .partitionBy("contract", "p_date")
             .parquet(self.path)
@@ -115,6 +130,7 @@ class MessagesTable:
             T.StructField("has_tail", T.BooleanType(), True),
             T.StructField("parts", T.ArrayType(T.StringType()), True),
             T.StructField("depth", T.IntegerType(), True),
+            T.StructField("is_pattern", T.BooleanType(), True),
             T.StructField("contract", T.LongType(), True),
             T.StructField("p_date", T.DateType(), True),
         ]
