@@ -333,6 +333,56 @@ def q_events_dedup_minute(spark, sf_dir):
     )
 
 
+def q_events_percentiles(spark, sf_dir):
+    """Varz latency-percentile parity (meter.go:100-115) as exact
+    interpolated percentiles — bitwise-identical to quantile_cont."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("_p"),
+             F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.col("_p")[0].alias("p50"),
+            F.col("_p")[1].alias("p90"),
+            F.col("_p")[2].alias("p99"),
+            "n",
+        )
+    )
+
+
+def q_events_approx_stats(spark, sf_dir):
+    """Sketch versions (approx_count_distinct / percentile_approx) —
+    rows-only check by design: sketches are engine-specific."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.95).alias("p95_approx"),
+    )
+
+
+def q_events_asof_click(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest prior (or
+    simultaneous) click; oracled against DuckDB's native ASOF JOIN."""
+    from unitdb_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(purchases, clicks, by=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        EPOCH("ts"),
+        F.col("click_id_r").alias("click_id"),
+        F.unix_timestamp("matched_ts_r").alias("click_ts_s"),
+    )
+
+
 # ------------------------------------------- documents / LLM pipeline ops
 
 
@@ -450,6 +500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_6h": q_events_sliding_6h,
         "events_sessionize": q_events_sessionize,
         "events_dedup_minute": q_events_dedup_minute,
+        "events_percentiles": q_events_percentiles,
+        "events_approx_stats": q_events_approx_stats,
+        "events_asof_click": q_events_asof_click,
         # LLM-pipeline ops
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
@@ -635,6 +688,23 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute_s,
           MIN(event_id) AS keep_id, COUNT(*) AS n_dups
         FROM events GROUP BY 1, 2, 3
+        """,
+        "events_percentiles": """
+        SELECT event_type,
+          quantile_cont(value, 0.5) AS p50,
+          quantile_cont(value, 0.9) AS p90,
+          quantile_cont(value, 0.99) AS p99,
+          COUNT(*) AS n
+        FROM events GROUP BY event_type
+        """,
+        "events_asof_click": """
+        SELECT p.event_id, p.user_id,
+          CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
+          c.event_id AS click_id,
+          CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
         """,
         "doc_dedup_exact": """
         SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,

@@ -1,0 +1,205 @@
+"""Operator unit tests: as-of join, range join, KV emulation, security
+keys, dedup/similarity sanity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def ts(s: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=s)
+
+
+class TestAsofJoin:
+    def test_backward_asof(self, spark):
+        from unitdb_spark.operators.asof import asof_join
+
+        trades = spark.createDataFrame(
+            [(1, ts(10), 100.0), (1, ts(20), 101.0), (2, ts(15), 50.0)],
+            "uid long, ts timestamp, price double",
+        )
+        quotes = spark.createDataFrame(
+            [(1, ts(5), 99.0), (1, ts(12), 99.5), (1, ts(30), 98.0), (2, ts(40), 51.0)],
+            "uid long, ts timestamp, quote double",
+        )
+        out = asof_join(trades, quotes, by=["uid"]).toPandas().set_index(["uid", "ts"])
+        assert out.loc[(1, ts(10)), "quote_r"] == 99.0
+        assert out.loc[(1, ts(20)), "quote_r"] == 99.5
+        assert out.loc[(2, ts(15))].isna()["quote_r"]  # nothing before
+
+    def test_equal_ts_matches(self, spark):
+        from unitdb_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, ts(10))], "uid long, ts timestamp")
+        right = spark.createDataFrame([(1, ts(10), 7.0)], "uid long, ts timestamp, v double")
+        out = asof_join(left, right, by=["uid"]).collect()[0]
+        assert out["v_r"] == 7.0  # ties: right-at-same-instant matches
+
+    def test_tolerance(self, spark):
+        from unitdb_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, ts(100))], "uid long, ts timestamp")
+        right = spark.createDataFrame([(1, ts(10), 7.0)], "uid long, ts timestamp, v double")
+        out = asof_join(left, right, by=["uid"], tolerance_seconds=30).collect()[0]
+        assert out["v_r"] is None  # 90s gap > 30s tolerance
+
+    def test_no_python_stage(self, spark):
+        from unitdb_spark.operators.asof import asof_join
+        from unitdb_spark.plans.explain import has_python_eval
+
+        left = spark.createDataFrame([(1, ts(1), 1.0)], "uid long, ts timestamp, x double")
+        right = spark.createDataFrame([(1, ts(0), 2.0)], "uid long, ts timestamp, y double")
+        assert not has_python_eval(asof_join(left, right, by=["uid"]))
+
+
+class TestRangeJoin:
+    def test_bucketed_interval_join(self, spark):
+        from unitdb_spark.operators.asof import range_join_bucketed
+
+        points = spark.createDataFrame(
+            [(i, ts(i * 100)) for i in range(10)], "pid long, ts timestamp"
+        )
+        intervals = spark.createDataFrame(
+            [(100, ts(150), ts(450)), (200, ts(800), ts(950))],
+            "iid long, lo timestamp, hi timestamp",
+        )
+        out = range_join_bucketed(points, intervals, "ts", "lo", "hi", bucket_seconds=300)
+        got = {(r["pid"], r["iid"]) for r in out.collect()}
+        assert got == {(2, 100), (3, 100), (4, 100), (8, 200), (9, 200)}
+
+
+class TestKV:
+    """F4 fixture semantics (memdb/db_test.go:24-92)."""
+
+    @pytest.fixture()
+    def oplog(self, spark):
+        rows = []
+        order = 0
+        for i in range(255):  # puts: "msg." + chr(i)
+            order += 1
+            rows.append((i, ("msg.%c" % (i % 64 + 32)).encode(), "put", order))
+        for i in range(0, 255, 5):  # delete every 5th
+            order += 1
+            rows.append((i, None, "delete", order))
+        for i in range(0, 255, 10):  # re-put every 10th
+            order += 1
+            rows.append((i, b"again", "put", order))
+        return spark.createDataFrame(
+            rows, "key long, value binary, op string, op_order long"
+        )
+
+    def test_last_write_wins_and_deletes(self, spark, oplog):
+        from unitdb_spark.operators.kv import kv_count, kv_get, kv_state
+
+        # deleted-but-not-reput keys invisible; re-put keys live again
+        assert kv_get(oplog, 5) is None
+        assert kv_get(oplog, 10) == b"again"
+        assert kv_get(oplog, 7) == b"msg.%c" % (7 % 64 + 32)
+        # 255 - (deleted every 5: 51) + (re-put every 10: 26)
+        assert kv_count(oplog) == 255 - 51 + 26
+
+    def test_point_in_time_lookup(self, spark, oplog):
+        from unitdb_spark.operators.kv import kv_state
+
+        state_before_deletes = kv_state(oplog, as_of_order=255)
+        assert state_before_deletes.count() == 255
+
+
+class TestSecurityKeys:
+    SECRET = b"unit-test-secret"
+
+    def test_roundtrip_and_wildcards(self):
+        from unitdb_spark.core.security import (
+            ALLOW_READ,
+            ALLOW_WRITE,
+            generate_key,
+            validate_key,
+        )
+
+        key = generate_key(self.SECRET, "teams.alpha.*", ALLOW_READ)
+        assert validate_key(self.SECRET, key, "teams.alpha.ch1", ALLOW_READ)
+        assert not validate_key(self.SECRET, key, "teams.beta.ch1", ALLOW_READ)
+        assert not validate_key(self.SECRET, key, "teams.alpha.ch1", ALLOW_WRITE)
+
+    def test_forgery_and_expiry(self):
+        from unitdb_spark.core.security import ALLOW_READ, generate_key, validate_key
+
+        key = generate_key(self.SECRET, "a.b", ALLOW_READ, ttl_seconds=60, now=1000.0)
+        assert validate_key(self.SECRET, key, "a.b", ALLOW_READ, now=1030.0)
+        assert not validate_key(self.SECRET, key, "a.b", ALLOW_READ, now=2000.0)
+        assert not validate_key(b"other-secret", key, "a.b", ALLOW_READ, now=1030.0)
+        assert not validate_key(self.SECRET, key[:-4] + "AAAA", "a.b", ALLOW_READ, now=1030.0)
+
+    def test_contract_scoping(self):
+        from unitdb_spark.core.security import ALLOW_ALL, generate_key, validate_key
+
+        key = generate_key(self.SECRET, "a.b", ALLOW_ALL, contract=42)
+        assert validate_key(self.SECRET, key, "a.b", ALLOW_ALL, contract=42)
+        assert not validate_key(self.SECRET, key, "a.b", ALLOW_ALL, contract=7)
+
+
+class TestDedupSanity:
+    def test_exact_dedup_finds_planted_dup(self, spark):
+        from unitdb_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "other")],
+            "doc_id long, text string",
+        )
+        out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(df).collect()}
+        assert out == {1: 2, 3: 1}
+
+    def test_minhash_finds_near_dup(self, spark):
+        from unitdb_spark.operators.dedup import minhash_lsh_pairs
+
+        base = "the quick brown fox jumps over the lazy dog " * 5
+        df = spark.createDataFrame(
+            [(1, base), (2, base + "extra tail"), (3, "completely different words here entirely")],
+            "doc_id long, text string",
+        )
+        pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, num_hashes=16, bands=4).collect()}
+        assert (1, 2) in pairs and (1, 3) not in pairs
+
+    def test_simhash_hamming_locality(self, spark):
+        from unitdb_spark.operators.dedup import hamming64, simhash64
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "alpha beta gamma delta epsilon zeta eta iota"),
+             (3, "one two three four five six seven eight")],
+            "doc_id long, text string",
+        ).select("doc_id", simhash64("text").alias("h"))
+        mask = (1 << 64) - 1  # Spark longs are signed; XOR in uint64 space
+        rows = {r["doc_id"]: r["h"] & mask for r in df.collect()}
+        near = bin(rows[1] ^ rows[2]).count("1")
+        far = bin(rows[1] ^ rows[3]).count("1")
+        assert near < far
+
+
+class TestSimilaritySanity:
+    def test_cosine_topk_self_similarity(self, spark):
+        from unitdb_spark.operators.similarity import cosine_topk
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        q = emb.filter("vec_id = 1").select(F.col("vec_id").alias("query_id"), "embedding")
+        out = cosine_topk(emb, q, k=1).collect()[0]
+        assert out["vec_id"] == 2  # nearest non-self
+
+    def test_ivf_assign_covers_all(self, spark):
+        from unitdb_spark.operators.similarity import ivf_assign
+
+        emb = spark.createDataFrame(
+            [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(50)],
+            "vec_id long, embedding array<float>",
+        )
+        assigned, cents = ivf_assign(emb, n_cells=4)
+        assert assigned.count() == 50
+        assert assigned.select("cell").distinct().count() <= 4

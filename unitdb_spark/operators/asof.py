@@ -1,0 +1,134 @@
+"""As-of and range joins — time-series operators the north star adds.
+
+The reference has no joins at all (SURVEY §2.4); these are the standard
+time-series analytics companions, built shuffle-conscious:
+
+- asof_join: "for each left row, the latest right row with
+  right.ts <= left.ts (within tolerance), per key" — implemented as a
+  union + single window pass: one shuffle on the key, NO range-explode,
+  no per-row subquery. This is the scalable formulation (a lateral/
+  broadcast approach would be O(n*m) or driver-bound).
+- range_join_bucketed: inequality join ts in [lo, hi) accelerated by
+  equi-joining on coarse time buckets first (turns a cross join into
+  a bucket-local join, the classic interval-bucketing trick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    ts_col: str = "ts",
+    tolerance_seconds: float | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: latest right row at-or-before each left row per key.
+
+    One shuffle on ``by`` + one ordered window pass over the union —
+    the same cost profile as a window function, independent of how
+    many right rows precede each left row.
+
+    ``direction='backward'`` (default): right.ts <= left.ts.
+    Output: every left row + matched right columns (suffixed), NULL
+    when nothing precedes within tolerance.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of implemented")
+    rcols = right_cols or [c for c in right.columns if c not in by and c != ts_col]
+
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.withColumn("_side", F.lit(0))
+    # align schemas: left carries its own columns, right contributes
+    # the payload columns to be carried forward
+    carried = [F.col(c).alias(c + suffix) for c in rcols]
+    lt2 = lt.select(
+        *by, F.col(ts_col), F.lit(None).cast("timestamp").alias("_rts"), "_side",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in rcols],
+        *[F.col(c) for c in left.columns if c not in by and c != ts_col],
+    )
+    rt2 = rt.select(
+        *by, F.col(ts_col), F.col(ts_col).alias("_rts"), "_side",
+        *carried,
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in by and c != ts_col
+        ],
+    )
+    u = lt2.unionByName(rt2)
+    # right rows sort before left rows at equal ts so ties match
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *by,
+        ts_col,
+        "_side",
+        F.last("_rts", ignorenulls=True).over(w).alias("_matched_ts"),
+        *[
+            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
+            for c in rcols
+        ],
+        *[F.col(c) for c in left.columns if c not in by and c != ts_col],
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    if tolerance_seconds is not None:
+        within = (
+            F.col("_matched_ts").isNotNull()
+            & (
+                (F.col(ts_col).cast("double") - F.col("_matched_ts").cast("double"))
+                <= tolerance_seconds
+            )
+        )
+        out = out.select(
+            *by,
+            ts_col,
+            F.when(within, F.col("_matched_ts")).alias("_matched_ts"),
+            *[F.when(within, F.col(c + suffix)).alias(c + suffix) for c in rcols],
+            *[F.col(c) for c in left.columns if c not in by and c != ts_col],
+        )
+    return out.withColumnRenamed("_matched_ts", "matched_ts" + suffix)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_seconds: int,
+    extra_on: Column | None = None,
+) -> DataFrame:
+    """Interval join left.ts in [right.lo, right.hi) via bucket
+    equi-join: each right interval is exploded onto the coarse buckets
+    it spans (bounded by interval length / bucket), then the join is
+    bucket-local. Shuffle key = bucket, so cost ~ matches, not |L|x|R|.
+    """
+    lb = left.withColumn(
+        "_bkt", (F.unix_timestamp(F.col(left_ts)) / bucket_seconds).cast("long")
+    )
+    rb = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(right_lo)) / bucket_seconds).cast("long"),
+                (F.unix_timestamp(F.col(right_hi)) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (F.col(left_ts) >= F.col(right_lo))
+        & (F.col(left_ts) < F.col(right_hi))
+    )
+    if extra_on is not None:
+        cond = cond & extra_on
+    return lb.join(rb, on=["_bkt"]).filter(cond).drop("_bkt")
