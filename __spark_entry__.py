@@ -437,6 +437,53 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", TXT.fingerprint64("text").alias("fingerprint"))
 
 
+def q_doc_top_tokens(spark, sf_dir):
+    """Corpus token frequencies (explode + count + top-K): the heavy
+    shuffle shape of vocabulary building at 100 TB (map-side partial
+    aggregation + single merge)."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+def q_doc_training_select(spark, sf_dir):
+    """Composed training-set selection: quality gate + near-dup removal
+    (keep the lower doc_id of any >=0.5-jaccard pair within a source)."""
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        TXT.quality_score("text").alias("quality"),
+        TXT.token_count("text").alias("n_tokens"),
+    ).filter(F.col("quality") >= 0.5)
+    dups = (
+        ngram_jaccard_pairs(d, block_col="source", threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return scored.join(F.broadcast(dups), on="doc_id", how="left_anti")
+
+
+def q_get_multi_topic(spark, sf_dir):
+    """Batch Get across topics (Batch #12 / multi-topic relay #20):
+    per-topic newest-first limits union-ed into one result."""
+    msgs = _messages(spark, sf_dir)
+    now = _now(spark, sf_dir)
+    parts = [
+        apply_get(msgs, Query(t, limit=50), now=now).select("seq", "topic", EPOCH("ts"))
+        for t in ("events.click.u1", "events.signup.u2", "events.error.u3")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -509,6 +556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang": q_doc_lang,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_top_tokens": q_doc_top_tokens,
+        "doc_training_select": q_doc_training_select,
+        "get_multi_topic": q_get_multi_topic,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
@@ -734,6 +784,28 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
             / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.2
         """,
+        "doc_top_tokens": f"""
+        SELECT u.token AS token, COUNT(*) AS n
+        FROM documents, unnest({_TOKS}) AS u(token)
+        GROUP BY u.token ORDER BY n DESC, token LIMIT 50
+        """,
+        "doc_training_select": _doc_training_select_oracle(),
+        "get_multi_topic": M
+        + f"""
+        SELECT seq, topic, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM (
+          (SELECT seq, topic, ts FROM messages, clock
+           WHERE contract = {MASTER_CONTRACT} AND topic = 'events.click.u1'
+             AND {SQL_LIVE} ORDER BY seq DESC LIMIT 50)
+          UNION ALL
+          (SELECT seq, topic, ts FROM messages, clock
+           WHERE contract = {MASTER_CONTRACT} AND topic = 'events.signup.u2'
+             AND {SQL_LIVE} ORDER BY seq DESC LIMIT 50)
+          UNION ALL
+          (SELECT seq, topic, ts FROM messages, clock
+           WHERE contract = {MASTER_CONTRACT} AND topic = 'events.error.u3'
+             AND {SQL_LIVE} ORDER BY seq DESC LIMIT 50)
+        )
+        """,
         "ann_cosine_topk": """
         WITH q AS (
           SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
@@ -797,6 +869,42 @@ def _doc_quality_oracle() -> str:
       + greatest(1.0 - punct_r * 5.0, 0.0) * 0.15
       + greatest(1.0 - digit_r * 5.0, 0.0) * 0.15 AS quality
     FROM base
+    """
+
+
+def _doc_training_select_oracle() -> str:
+    toks = _TOKS
+    sw = ", ".join(f"'{w}'" for w in TXT.STOPWORDS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source,
+        len({toks}) AS n_tok,
+        CAST(len(list_filter({toks}, x -> list_contains([{sw}], x))) AS DOUBLE)
+          / greatest(len({toks}), 1) AS stopword_r,
+        CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS punct_r,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS digit_r,
+        CAST(list_sum(list_transform({toks}, x -> length(x))) AS DOUBLE)
+          / greatest(len({toks}), 1) AS mean_wl,
+        list_distinct({toks}) AS tok
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, tok, n_tok AS n_tokens,
+        least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.3
+        + (CASE WHEN mean_wl >= 3 AND mean_wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+        + least(stopword_r * 4.0, 1.0) * 0.2
+        + greatest(1.0 - punct_r * 5.0, 0.0) * 0.15
+        + greatest(1.0 - digit_r * 5.0, 0.0) * 0.15 AS quality
+      FROM base
+    ), dup_b AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM scored a JOIN scored b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+          / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5
+    )
+    SELECT doc_id, quality, n_tokens FROM scored
+    WHERE quality >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM dup_b)
     """
 
 
