@@ -178,3 +178,37 @@ class TestCountVarz:
         assert engine.count(now=T0 + 10) == 6
         v = engine.varz()
         assert v["puts"] == 7 and v["dels"] == 1
+
+
+class TestEncryption:
+    """Payload value-codec parity (db.go:281-294; reference uses
+    chacha20-poly1305, we use JVM-side AES-GCM via aes_encrypt)."""
+
+    def test_roundtrip_and_at_rest_ciphertext(self, spark, tmp_path):
+        from unitdb_spark.engine import Engine
+
+        key = b"0123456789abcdef"  # 16-byte AES-128 key
+        eng = Engine.open(spark, str(tmp_path / "enc"), encryption_key=key)
+        try:
+            eng.put("unit1.sec", b"secret-payload")
+            eng.put("unit1.sec", b"second")
+            assert eng.get("unit1.sec") == [b"second", b"secret-payload"]
+            # at rest: raw parquet holds ciphertext, not the plaintext
+            raw = {bytes(r[0]) for r in eng.table.read().select("payload").collect()}
+            assert b"secret-payload" not in raw and b"second" not in raw
+        finally:
+            eng.destroy()
+
+    def test_wrong_key_unreadable(self, spark, tmp_path):
+        from unitdb_spark.engine import Engine, EngineOptions
+
+        path = str(tmp_path / "enc2")
+        eng = Engine.open(spark, path, encryption_key=b"0123456789abcdef")
+        eng.put("unit1.sec", b"secret")
+        eng.flush()
+        eng2 = Engine(eng.spark, path, EngineOptions(encryption_key=b"fedcba9876543210"))
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            eng2.get("unit1.sec")
+        eng.destroy()

@@ -59,6 +59,11 @@ class EngineOptions:
     immutable: bool = False
     default_query_limit: int = DEFAULT_QUERY_LIMIT
     flush_every: int = 50_000  # driver buffer bound (tiny-log parity)
+    # payload encryption parity (options.go WithEncryption + reference
+    # chacha20-poly1305 value codec, db.go:281-294): AES-GCM via Spark's
+    # built-in aes_encrypt/aes_decrypt — encryption/decryption runs
+    # JVM-side on executors, never in Python. Key must be 16/24/32 bytes.
+    encryption_key: bytes | None = None
 
 
 class Engine:
@@ -130,7 +135,7 @@ class Engine:
             df = df.withColumn("msg_id", F.lit(None).cast("binary"))
         if "expires_at" not in cols:
             df = df.withColumn("expires_at", F.lit(None).cast("timestamp"))
-        self.table.append(df.select([f.name for f in MESSAGES_SCHEMA.fields]))
+        self.table.append(self._encrypt(df.select([f.name for f in MESSAGES_SCHEMA.fields])))
         top = df.agg(F.max("seq")).collect()[0][0]
         self._seq.advance_to(int(top or 0))
 
@@ -140,8 +145,27 @@ class Engine:
         if not self._buffer:
             return
         df = self.spark.createDataFrame(self._buffer, MESSAGES_SCHEMA)
-        self.table.append(df)
+        self.table.append(self._encrypt(df))
         self._buffer.clear()
+
+    def _encrypt(self, df: DataFrame) -> DataFrame:
+        """Value-codec parity (db.go:281-294, chacha20-poly1305 there,
+        AES-GCM here): executors encrypt JVM-side; payloads at rest are
+        ciphertext, everything else stays queryable plaintext."""
+        key = self.options.encryption_key
+        if key is None:
+            return df
+        return df.withColumn(
+            "payload", F.aes_encrypt(F.col("payload"), F.lit(key), F.lit("GCM"))
+        )
+
+    def _decrypt(self, df: DataFrame) -> DataFrame:
+        key = self.options.encryption_key
+        if key is None:
+            return df
+        return df.withColumn(
+            "payload", F.aes_decrypt(F.col("payload"), F.lit(key), F.lit("GCM"))
+        )
 
     # ------------------------------------------------------------- read
     def get_df(self, query: Query | str, now: float | None = None) -> DataFrame:
@@ -164,7 +188,7 @@ class Engine:
         if tombs is not None:
             # deletes are rare → broadcast anti-join, no shuffle of the big side
             df = df.join(F.broadcast(tombs), on="seq", how="left_anti")
-        return df
+        return self._decrypt(df)
 
     # ----------------------------------------------------------- delete
     def delete(self, seq: int) -> None:
