@@ -32,7 +32,12 @@ from unitdb_spark.operators.dedup import (
     simhash64,
 )
 from unitdb_spark.operators.get import apply_get
-from unitdb_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from unitdb_spark.operators.similarity import (
+    cosine_topk,
+    embedding_cosine_dups,
+    ivf_topk,
+    lsh_bucket_topk,
+)
 from unitdb_spark.operators.topk import topk_per_key
 from unitdb_spark.operators.window_agg import sessionize_ids
 from unitdb_spark.sources.events import (
@@ -505,6 +510,28 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_r"), "rank")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    # approximate variant (probes 2/8 cells) — recall<1 by design,
+    # rows-only check; centroid choice uses xxhash64 (not in DuckDB)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=10, n_cells=8, n_probe=2)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_r"), "rank"
+    )
+
+
+def q_doc_embed_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (stand-in for
+    an LSH/IVF bucket column at scale)."""
+    out = embedding_cosine_dups(
+        _emb(spark, sf_dir), threshold=0.3, block_col="label"
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     media = documents_as_media(_docs(spark, sf_dir))
     return extract_media_meta(media)
@@ -564,6 +591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "doc_embed_cosine_dups": q_doc_embed_cosine_dups,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -821,6 +850,15 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
+        """,
+        "doc_embed_cosine_dups": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine_r
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.3
         """,
         "multimodal_meta": """
         WITH m AS (

@@ -203,3 +203,34 @@ class TestSimilaritySanity:
         assigned, cents = ivf_assign(emb, n_cells=4)
         assert assigned.count() == 50
         assert assigned.select("cell").distinct().count() <= 4
+
+    def test_ivf_topk_finds_exact_match(self, spark):
+        from unitdb_spark.operators.similarity import ivf_topk
+
+        # clustered data: an in-cell exact duplicate must rank first
+        rows = [(i, [float(i % 4) + 0.01 * i, 1.0]) for i in range(40)]
+        rows.append((100, rows[0][1]))  # duplicate of vec 0
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = emb.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+        out = ivf_topk(emb, q, k=1, n_cells=4, n_probe=4).collect()
+        assert out and out[0]["vec_id"] == 100
+        assert abs(out[0]["cosine_sim"] - 1.0) < 1e-9
+
+    def test_embedding_cosine_dups_blocked(self, spark):
+        from unitdb_spark.operators.similarity import embedding_cosine_dups
+
+        emb = spark.createDataFrame(
+            [
+                (1, "a", [1.0, 0.0]),
+                (2, "a", [0.99, 0.01]),   # near-dup of 1, same block
+                (3, "b", [1.0, 0.0]),      # identical to 1 but other block
+                (4, "a", [0.0, 1.0]),      # orthogonal
+            ],
+            "vec_id long, label string, embedding array<float>",
+        )
+        pairs = embedding_cosine_dups(emb, threshold=0.95, block_col="label").collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+        import pytest
+
+        with pytest.raises(ValueError):
+            embedding_cosine_dups(emb, threshold=0.9)

@@ -140,6 +140,88 @@ def lsh_bucket_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def embedding_cosine_dups(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector-space analogue
+    of MinHash near-dup: two docs are dups if their embeddings point the
+    same way).
+
+    ``block_col`` bounds the self-join to same-block pairs — at 100 TB
+    an unblocked pairwise pass is O(n^2) and is refused here; use an
+    LSH/IVF bucket column (``hyperplane_bucket_expr`` / ``ivf_assign``)
+    or a metadata key as the block. Within a block the join shuffles
+    both sides on the block key once; the cosine itself is a JVM
+    zip_with/aggregate expression (no Python).
+
+    Output: (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    """
+    if block_col is None:
+        raise ValueError("embedding_cosine_dups requires a blocking column at scale")
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).alias("_vec"),
+    )
+    a = t.select(
+        F.col("_id").alias("id_a"), F.col("_blk").alias("_blk"), F.col("_vec").alias("_va")
+    )
+    b = t.select(
+        F.col("_id").alias("id_b"), F.col("_blk").alias("_blk"), F.col("_vec").alias("_vb")
+    )
+    pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr("_va", "_vb").alias("cosine")
+    return pairs.select("id_a", "id_b", cos).filter(F.col("cosine") >= F.lit(threshold))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-K: probe only the ``n_probe`` cells
+    whose centroids are closest to each query.
+
+    Cells come from ``ivf_assign`` (deterministic sampled centroids,
+    broadcast assignment). The probe side is a broadcast of
+    (query, cell) pairs, so the search is one scan of the assigned
+    corpus filtered to ~n_probe/n_cells of its rows — at 100 TB the
+    ``cell`` column is the partition key and the filter becomes
+    partition pruning. Recall < 1 by design.
+    """
+    assigned, cents = ivf_assign(corpus, n_cells, id_col, vec_col, seed)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    # route each query to its n_probe nearest centroids (tiny cross join)
+    qc = q.join(F.broadcast(cents))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine_expr("_qvec", "_cent")), F.asc("cent_id")
+    )
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qvec", F.col("cent_id").alias("cell"))
+    )
+    joined = assigned.join(F.broadcast(probes), on="cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = cosine_expr("embedding", "_qvec").alias("cosine_sim")
+    scored = joined.select("query_id", "vec_id", sim)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_cells: int = 16,
