@@ -1,0 +1,105 @@
+"""Multimodal plumbing: binary blobs + typed metadata, decode stubs.
+
+The decode kernels are deterministic fakes (media libs absent in this
+container); what these tests pin is the Spark-side contract — schemas,
+mapInPandas batch shapes, blob-dropping projections — which is the part
+that must survive swapping in a real decoder.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unitdb_spark.functions.multimodal import (
+    documents_as_media,
+    extract_features,
+    extract_media_meta,
+    frame_sample_plan,
+    resize_images,
+)
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    return documents_as_media(docs).cache()
+
+
+class TestMediaMeta:
+    def test_meta_schema_and_types(self, media):
+        out = extract_media_meta(media)
+        assert out.columns == [
+            "id", "media_type", "n_bytes", "width", "height",
+            "n_frames", "sample_rate", "duration_s",
+        ]
+        rows = out.collect()
+        assert len(rows) == media.count()
+        for r in rows:
+            if r["media_type"] == "image":
+                assert r["n_frames"] == 1 and r["width"] >= 1
+            elif r["media_type"] == "audio":
+                assert r["sample_rate"] == 16000 and r["duration_s"] > 0
+            else:
+                assert r["n_frames"] >= 1
+
+    def test_meta_deterministic(self, media):
+        a = sorted(map(tuple, extract_media_meta(media).collect()))
+        b = sorted(map(tuple, extract_media_meta(media).collect()))
+        assert a == b
+
+    def test_real_decode_is_marked_unimplemented(self, media):
+        with pytest.raises(NotImplementedError):
+            extract_media_meta(media, decode_stub=False)
+
+
+class TestFrameSample:
+    def test_one_row_per_sampled_frame(self, media):
+        meta = extract_media_meta(media)
+        plan = frame_sample_plan(meta, every_n=30)
+        got = plan.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()
+        want = {
+            r["id"]: (r["n_frames"] - 1) // 30 + 1
+            for r in meta.filter("media_type = 'video'").collect()
+        }
+        assert {r["id"]: r["n"] for r in got} == want
+
+
+class TestResize:
+    def test_fixed_output_size(self, media):
+        out = resize_images(media, width=16, height=8).collect()
+        n_images = media.filter("media_type = 'image'").count()
+        assert len(out) == n_images
+        assert all(len(r["blob"]) == 16 * 8 for r in out)
+        assert all((r["width"], r["height"]) == (16, 8) for r in out)
+
+    def test_deterministic(self, media):
+        a = {r["id"]: bytes(r["blob"]) for r in resize_images(media, 8, 8).collect()}
+        b = {r["id"]: bytes(r["blob"]) for r in resize_images(media, 8, 8).collect()}
+        assert a == b
+
+
+class TestFeatures:
+    def test_unit_norm_and_dim(self, media):
+        out = extract_features(media, dim=32).collect()
+        assert len(out) == media.count()
+        for r in out:
+            assert len(r["feature"]) == 32
+            norm = sum(x * x for x in r["feature"]) ** 0.5
+            assert abs(norm - 1.0) < 1e-5
+
+    def test_features_feed_similarity_search(self, spark, media):
+        """End-to-end: media -> features -> exact cosine top-1 finds the
+        planted duplicate blob."""
+        from unitdb_spark.operators.similarity import cosine_topk
+
+        feats = extract_features(media, dim=32)
+        corpus = feats.select(F.col("id").alias("vec_id"), F.col("feature").alias("embedding"))
+        # plant a duplicate of the first row under a new id
+        first = corpus.orderBy("vec_id").limit(1)
+        dup = first.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+        q = first.select(F.col("vec_id").alias("query_id"), "embedding")
+        out = cosine_topk(corpus.unionByName(dup), q, k=1).collect()
+        assert out and out[0]["vec_id"] == out[0]["query_id"] + 1_000_000

@@ -91,6 +91,90 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+def resize_images(
+    df: DataFrame, width: int = 224, height: int = 224, decode_stub: bool = True
+) -> DataFrame:
+    """(id, media_type, blob) -> (id, width, height, blob) with image
+    blobs resized to (width, height).
+
+    Arrow-batched mapInPandas; output blob size is bounded by the
+    target dims so the stage's memory and shuffle footprint is fixed
+    regardless of input blob size — the property that matters when the
+    input is 100 TB of mixed-size images. The stub "resize" is a
+    deterministic byte resample (stride/repeat to width*height bytes);
+    a real implementation replaces only ``_resample``.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real image resizing requires PIL — not in this container"
+        )
+    target = width * height
+
+    def _resample(b: bytes) -> bytes:
+        if not b:
+            return bytes(target)
+        if len(b) >= target:
+            stride = len(b) // target
+            return bytes(b[i * stride] for i in range(target))
+        reps = target // len(b) + 1
+        return (b * reps)[:target]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = pdf["media_type"] == "image"
+            sub = pdf[mask]
+            yield pd.DataFrame(
+                {
+                    "id": sub["id"].values,
+                    "width": width,
+                    "height": height,
+                    "blob": [_resample(bytes(b)) for b in sub["blob"]],
+                }
+            )
+
+    return df.select("id", "media_type", "blob").mapInPandas(
+        _resize, "id long, width int, height int, blob binary"
+    )
+
+
+def extract_features(
+    df: DataFrame, dim: int = 64, decode_stub: bool = True
+) -> DataFrame:
+    """(id, media_type, blob) -> (id, feature array<float>) embedding
+    extraction — the bridge from raw media to the similarity-search
+    operators (operators.similarity).
+
+    The stub features are a deterministic byte-histogram projection
+    (numpy, vectorized per Arrow batch) so downstream ANN plumbing is
+    exercised end-to-end; a real model inference replaces only
+    ``_featurize`` (same signature: one Arrow batch in, one out — which
+    is also exactly the batch shape a GPU inference stage wants).
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real feature extraction requires a vision/audio model — not in this container"
+        )
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for b in pdf["blob"]:
+                a = np.frombuffer(bytes(b), dtype=np.uint8)
+                if a.size == 0:
+                    feats.append(np.zeros(dim, dtype=np.float32).tolist())
+                    continue
+                hist = np.bincount(a % dim, minlength=dim).astype(np.float32)
+                norm = float(np.linalg.norm(hist))
+                feats.append((hist / norm if norm else hist).tolist())
+            yield pd.DataFrame({"id": pdf["id"].values, "feature": feats})
+
+    return df.select("id", "blob").mapInPandas(
+        _featurize, "id long, feature array<float>"
+    )
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter for TESTDATA: treat document text bytes as opaque blobs
     (id, media_type cycling image/audio/video, blob) — exercises the
