@@ -77,6 +77,40 @@ class TestBatch:
             b.put("t3.c", b"3")
         assert engine.count() == 3
 
+    def test_batch_delete_staged_until_commit(self, engine: Engine):
+        s1 = engine.put_entry(Entry("d.a", b"keep"), ts=T0)
+        s2 = engine.put_entry(Entry("d.a", b"drop"), ts=T0 + 1)
+        with engine.batch() as b:
+            b.delete(s2)
+            # staged: still visible before commit
+            assert engine.get("d.a", now=T0 + 10) == [b"drop", b"keep"]
+        assert engine.get("d.a", now=T0 + 10) == [b"keep"]
+        assert s1 != s2
+
+    def test_batch_abort_drops_deletes(self, engine: Engine):
+        s = engine.put_entry(Entry("d.b", b"v"), ts=T0)
+        with pytest.raises(RuntimeError):
+            with engine.batch() as b:
+                b.delete(s)
+                raise RuntimeError("boom")
+        assert engine.get("d.b", now=T0 + 10) == [b"v"]
+
+    def test_batch_set_options_contract(self, engine: Engine):
+        c = engine.new_contract()
+        with engine.batch() as b:
+            b.set_options(contract=c)
+            b.put("ct.a", b"scoped")
+        assert engine.get(Query("ct.a", contract=c), now=T0 + 10) == [b"scoped"]
+        assert engine.get("ct.a", now=T0 + 10) == []  # master sees nothing
+
+    def test_sync_and_close_flush(self, engine: Engine, spark):
+        engine.put_entry(Entry("s.a", b"1"), ts=T0)
+        engine.sync()
+        engine.put_entry(Entry("s.a", b"2"), ts=T0 + 1)
+        engine.close()
+        eng2 = Engine(spark, engine.path)
+        assert eng2.get("s.a", now=T0 + 10) == [b"2", b"1"]
+
 
 class TestExpiry:
     def test_pre_expired_invisible(self, engine: Engine):

@@ -234,3 +234,67 @@ class TestSimilaritySanity:
 
         with pytest.raises(ValueError):
             embedding_cosine_dups(emb, threshold=0.9)
+
+
+class TestSaltedAgg:
+    def _skewed(self, spark):
+        # one hot key with 10k rows, 50 cold keys with 10 each
+        hot = [("hot", i, float(i % 7)) for i in range(10_000)]
+        cold = [(f"k{j}", i, float(i)) for j in range(50) for i in range(10)]
+        return spark.createDataFrame(hot + cold, "key string, seq long, v double")
+
+    def test_matches_plain_groupby(self, spark):
+        from unitdb_spark.operators.skew import hash_salt, salted_agg
+
+        df = self._skewed(spark)
+        got = salted_agg(
+            df,
+            ["key"],
+            {"n": ("count", "v"), "s": ("sum", "v"), "mx": ("max", "v")},
+            salt=hash_salt("seq", 16),
+            n_salts=16,
+        )
+        want = df.groupBy("key").agg(
+            F.count("v").alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx")
+        )
+        g = {r["key"]: (r["n"], r["s"], r["mx"]) for r in got.collect()}
+        w = {r["key"]: (r["n"], r["s"], r["mx"]) for r in want.collect()}
+        assert g == w
+
+    def test_phase1_shuffles_on_salt(self, spark):
+        from unitdb_spark.operators.skew import hash_salt, salted_agg
+
+        df = self._skewed(spark)
+        out = salted_agg(
+            df, ["key"], {"n": ("count", "v")}, salt=hash_salt("seq", 8), n_salts=8
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan  # first exchange keyed by (key, _salt)
+
+    def test_rejects_non_algebraic(self, spark):
+        import pytest
+
+        from unitdb_spark.operators.skew import hash_salt, salted_agg
+
+        with pytest.raises(ValueError):
+            salted_agg(
+                self._skewed(spark),
+                ["key"],
+                {"a": ("avg", "v")},
+                salt=hash_salt("seq", 8),
+            )
+
+    def test_salted_join_replication(self, spark):
+        from unitdb_spark.operators.skew import (
+            hash_salt,
+            replicate_small_for_salted_join,
+        )
+
+        big = self._skewed(spark).withColumn("_salt", hash_salt("seq", 4))
+        dim = spark.createDataFrame(
+            [("hot", "H")] + [(f"k{j}", f"D{j}") for j in range(50)],
+            "key string, label string",
+        )
+        rep = replicate_small_for_salted_join(dim, 4)
+        joined = big.join(rep, on=["key", "_salt"])
+        assert joined.count() == big.count()  # every row finds its dim

@@ -257,6 +257,17 @@ class Engine:
     def new_id(self, contract: int = MASTER_CONTRACT) -> bytes:
         return message_id(self._seq.next(), contract)
 
+    def sync(self) -> None:
+        """db.go:452 Sync(): force-persist buffered writes (the ticker
+        goroutine's job there; here one atomic append)."""
+        self.flush()
+
+    def close(self) -> None:
+        """db.go:213-220 Close(): flush pending writes and drop buffers.
+        The SparkSession is owned by the caller and stays open."""
+        self.flush()
+        self._buffer.clear()
+
 
 class Batch:
     """All-or-nothing write batch (batch.go:60-293).
@@ -268,14 +279,34 @@ class Batch:
     def __init__(self, engine: Engine) -> None:
         self.engine = engine
         self._entries: list[tuple[Entry, float | None]] = []
+        self._deletes: list[int] = []
+        self._default_contract: int | None = None
         self._committed = False
 
-    def put(self, topic: str, payload: bytes | str, contract: int = MASTER_CONTRACT) -> None:
-        self.put_entry(Entry(topic=topic, payload=_as_bytes(payload), contract=contract))
+    def set_options(self, contract: int | None = None) -> None:
+        """batch.go:29 SetOptions(): batch-wide defaults (contract)."""
+        self._default_contract = contract
+
+    def put(self, topic: str, payload: bytes | str, contract: int | None = None) -> None:
+        c = contract if contract is not None else (self._default_contract or MASTER_CONTRACT)
+        self.put_entry(Entry(topic=topic, payload=_as_bytes(payload), contract=c))
 
     def put_entry(self, entry: Entry, ts: float | None = None) -> None:
         parse_topic(entry.topic)  # validate eagerly, abort-before-commit
         self._entries.append((entry, ts))
+
+    def delete(self, seq: int) -> None:
+        """batch.go:108 Delete(): tombstone staged until commit."""
+        if self.engine.options.immutable:
+            raise ImmutableError("delete forbidden: store is immutable")
+        self._deletes.append(int(seq))
+
+    def delete_entry(self, entry: Entry) -> None:
+        if entry.msg_id is None:
+            raise ValueError("delete requires message id")
+        from unitdb_spark.core.model import message_id_seq
+
+        self.delete(message_id_seq(entry.msg_id))
 
     def write(self) -> None:  # staging no-op kept for API parity
         pass
@@ -284,11 +315,19 @@ class Batch:
         for entry, ts in self._entries:
             self.engine.put_entry(entry, ts=ts)
         self.engine.flush()
+        if self._deletes:
+            eng = self.engine
+            eng._metrics["dels"] += len(self._deletes)
+            eng.spark.createDataFrame(
+                [(s,) for s in self._deletes], "seq long"
+            ).coalesce(1).write.mode("append").parquet(eng.tombstones_path)
         self._entries.clear()
+        self._deletes.clear()
         self._committed = True
 
     def abort(self) -> None:
         self._entries.clear()
+        self._deletes.clear()
 
     def __enter__(self) -> "Batch":
         return self
