@@ -212,6 +212,73 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    """Pure filter+agg: every predicate reaches the Parquet scan
+    (PushedFilters), zero shuffles besides the single-row final agg."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE)"
+        ).alias("revenue")
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """Unshipped-orders shape (q3-ish on the synthetic schema): fact
+    join + group + top-10; the orders side filter prunes before the
+    join."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-06-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)"
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_s"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_events_salted_agg(spark, sf_dir):
+    """Skew-proof two-phase aggregation (operators.skew.salted_agg):
+    result is identical to a plain GROUP BY — which is exactly what the
+    oracle checks."""
+    from unitdb_spark.operators.skew import hash_salt, salted_agg
+
+    ev = _events(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "value"),
+            "sv": ("sum", F.col("value").cast("decimal(18,6)")),
+            "mx": ("max", "value"),
+        },
+        salt=hash_salt("event_id", 16),
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", "n", F.col("sv").cast("double").alias("sum_value"), F.col("mx").alias("max_value")
+    )
+
+
 def q_revenue_by_nation(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     orders = _read(spark, sf_dir, "orders")
@@ -566,6 +633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_counts": q_contract_counts,
         # analytics (SURVEY §7 phase 5)
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "events_salted_agg": q_events_salted_agg,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_by_revenue": q_top_orders_by_revenue,
         "top_customers": q_top_customers,
@@ -689,6 +759,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT l_returnflag, l_linestatus, {_Q1_AGGS}
         FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q6": """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        "tpch_q3": """
+        SELECT l_orderkey,
+          CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+          o_orderpriority,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate < TIMESTAMP '1995-06-01' AND l_shipdate > TIMESTAMP '1995-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "events_salted_agg": """
+        SELECT event_type, COUNT(value) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+          MAX(value) AS max_value
+        FROM events GROUP BY event_type
         """,
         "revenue_by_nation": """
         SELECT r_name, n_name,

@@ -52,14 +52,15 @@ def random_salt(n_salts: int, seed: int = 42) -> Column:
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, tuple[str, str]],
+    aggs: dict[str, tuple[str, str | Column]],
     salt: Column,
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase skew-proof groupBy.
 
-    ``aggs`` maps output column -> (agg_fn, input_col) with agg_fn in
-    {sum, count, min, max}. Phase 1 reduces (keys + salt) partitions —
+    ``aggs`` maps output column -> (agg_fn, input_col_or_Column) with
+    agg_fn in {sum, count, min, max} (pass a decimal-cast Column for
+    order-independent exact sums). Phase 1 reduces (keys + salt) partitions —
     the hot key's rows land on n_salts reducers instead of one; phase 2
     merges n_salts partials per key. Equivalent to
     ``df.groupBy(keys).agg(...)`` for these algebraic functions.
