@@ -84,3 +84,31 @@ class TestAnalyticsPlans:
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         assert not has_python_eval(exact_dedup(docs))
+
+    def test_q6_all_predicates_pushed(self, spark):
+        """SCALE.md §4: a selective filter+agg pushes every predicate
+        into the Parquet scan and reads only the projected columns."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["tpch_q6"](spark, "/root/testdata/sf0.001")
+        info = scan_info(df)
+        pushed = ";".join(info["pushed_filters"])
+        for frag in ("l_shipdate", "l_discount", "l_quantity"):
+            assert frag in pushed
+        rs = info["read_schema"][0]
+        assert "l_orderkey" not in rs  # pruned
+
+    def test_cosine_topk_broadcasts_queries_not_corpus(self, spark):
+        """SCALE.md §4: ANN exact search broadcasts the query side; the
+        corpus is never exchanged for the join (the only exchanges are
+        the deliberate spread-small-input repartition and the per-query
+        ranking window)."""
+        from unitdb_spark.operators.similarity import cosine_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        plan = formatted_plan(cosine_topk(emb, q, k=5))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert not has_python_eval(cosine_topk(emb, q, k=5))
