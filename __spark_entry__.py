@@ -541,6 +541,26 @@ def q_doc_training_select(spark, sf_dir):
     return scored.join(F.broadcast(dups), on="doc_id", how="left_anti")
 
 
+def q_topic_rollup(spark, sf_dir):
+    """Hierarchical rollup: one aggregate row per populated topic-tree
+    node (trie.go as data, SURVEY §2.3) — counts, distinct leaves,
+    freshness, value sum at every prefix depth."""
+    from unitdb_spark.operators.rollup import topic_rollup
+
+    now = _now(spark, sf_dir)
+    live = _messages(spark, sf_dir).filter(ttl_live_expr(F.lit(now)))
+    out = topic_rollup(live, value_col="value")
+    return out.select(
+        "contract",
+        "topic_prefix",
+        "n_msgs",
+        "n_topics",
+        F.unix_timestamp("first_ts").alias("first_ts_s"),
+        F.unix_timestamp("last_ts").alias("last_ts_s"),
+        "sum_value",
+    )
+
+
 def q_get_multi_topic(spark, sf_dir):
     """Batch Get across topics (Batch #12 / multi-topic relay #20):
     per-topic newest-first limits union-ed into one result."""
@@ -627,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_wild_star": q_get_wild_star,
         "get_wild_tail": q_get_wild_tail,
         "topic_counts_live": q_topic_counts_live,
+        "topic_rollup": q_topic_rollup,
         "expired_stats": q_expired_stats,
         "tombstone_antijoin": q_tombstone_antijoin,
         "topk_per_topic": q_topk_per_topic,
@@ -726,6 +747,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT contract, topic, COUNT(*) AS n_live
         FROM messages, clock WHERE {SQL_LIVE}
         GROUP BY contract, topic
+        """,
+        "topic_rollup": M
+        + f"""
+        SELECT contract,
+          array_to_string(list_slice(string_split(topic, '.'), 1, d), '.') AS topic_prefix,
+          COUNT(*) AS n_msgs,
+          COUNT(DISTINCT topic) AS n_topics,
+          CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_ts_s,
+          CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_ts_s,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM messages, clock,
+             UNNEST(generate_series(1, len(string_split(topic, '.')))) AS t(d)
+        WHERE {SQL_LIVE}
+        GROUP BY contract, topic_prefix
         """,
         "expired_stats": M
         + """

@@ -236,6 +236,29 @@ class TestSimilaritySanity:
             embedding_cosine_dups(emb, threshold=0.9)
 
 
+class TestTopicRollup:
+    def test_every_prefix_aggregated(self, spark):
+        from unitdb_spark.operators.rollup import topic_rollup
+        from unitdb_spark.table import with_topic_columns
+
+        df = with_topic_columns(
+            spark.createDataFrame(
+                [
+                    (1, "a.b.c", "2024-01-01 00:00:00"),
+                    (1, "a.b.d", "2024-01-01 00:00:01"),
+                    (1, "a.x", "2024-01-01 00:00:02"),
+                    (1, "p.*", "2024-01-01 00:00:03"),  # pattern: excluded
+                ],
+                "contract long, topic string, ts string",
+            ).withColumn("ts", F.to_timestamp("ts"))
+        )
+        out = {r["topic_prefix"]: r for r in topic_rollup(df).collect()}
+        assert set(out) == {"a", "a.b", "a.b.c", "a.b.d", "a.x"}
+        assert out["a"]["n_msgs"] == 3 and out["a"]["n_topics"] == 3
+        assert out["a.b"]["n_msgs"] == 2 and out["a.b"]["n_topics"] == 2
+        assert out["a.b.c"]["n_msgs"] == 1
+
+
 class TestSaltedAgg:
     def _skewed(self, spark):
         # one hot key with 10k rows, 50 cold keys with 10 each
