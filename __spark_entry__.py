@@ -596,7 +596,9 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    # approximate variant — recall<1 by design, rows-only check
+    # approximate variant — recall<1 by design vs exact top-K, but the
+    # bucket assignment itself is deterministic, so the oracle replays
+    # the same hyperplanes (literals embedded in the SQL) and matches
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -987,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
         """,
+        "ann_lsh_topk": _ann_lsh_oracle(),
         "doc_minhash_lsh_md5": r"""
         WITH toks AS (
           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
@@ -1049,6 +1052,42 @@ def oracle_sql() -> dict[str, str]:
         FROM m
         """,
     }
+
+
+def _ann_lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """Replays lsh_bucket_topk's hyperplane bucketing in SQL: the seeded
+    planes are embedded as DOUBLE[] literals (repr round-trips exactly),
+    so bucket ids — and therefore the candidate sets — are identical."""
+    from unitdb_spark.operators.similarity import random_planes
+
+    planes = random_planes(dim, n_planes, seed)
+
+    def lit(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS sim
+      FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, round(sim, 6) AS cosine_r,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
+    """
 
 
 def _doc_quality_oracle() -> str:
