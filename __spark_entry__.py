@@ -608,8 +608,9 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    # approximate variant (probes 2/8 cells) — recall<1 by design,
-    # rows-only check; centroid choice uses xxhash64 (not in DuckDB)
+    # approximate variant (probes 2/8 cells) — recall<1 by design vs
+    # exact top-K, but centroid sampling (md5 ordering), assignment,
+    # and probing are engine-portable, so the oracle replays them fully
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -990,6 +991,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
         """,
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "ann_ivf_topk": """
+        WITH cents AS (
+          SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+        ), assigned AS (
+          SELECT vec_id, embedding, cent_id AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(c.cv AS DOUBLE[])) DESC,
+                              c.cent_id) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+        ), probes AS (
+          SELECT query_id, qv, cent_id AS cell FROM (
+            SELECT q.query_id, q.qv, c.cent_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                                     CAST(c.cv AS DOUBLE[])) DESC,
+                              c.cent_id) AS pr
+            FROM q CROSS JOIN cents c)
+          WHERE pr <= 2
+        ), scored AS (
+          SELECT p.query_id, a.vec_id,
+                 list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(p.qv AS DOUBLE[])) AS sim
+          FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+        ), ranked AS (
+          SELECT query_id, vec_id, round(sim, 6) AS cosine_r,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
+        """,
         "doc_minhash_lsh_md5": r"""
         WITH toks AS (
           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
