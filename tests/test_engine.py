@@ -213,6 +213,15 @@ class TestCountVarz:
         v = engine.varz()
         assert v["puts"] == 7 and v["dels"] == 1
 
+    def test_varz_latency_percentiles(self, engine: Engine):
+        engine.put_entry(Entry("c.t", b"x"), ts=T0)
+        for _ in range(3):
+            engine.get("c.t", now=T0 + 10)
+        lat = engine.varz()["get_latency"]
+        assert lat["n"] == 3
+        assert 0 < lat["p50"] <= lat["p95"] <= lat["p999"]
+        assert lat["hmean"] > 0
+
 
 class TestEncryption:
     """Payload value-codec parity (db.go:281-294; reference uses

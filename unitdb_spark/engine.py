@@ -28,6 +28,7 @@ from __future__ import annotations
 import datetime as dt
 import shutil
 import time
+from collections import deque
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -78,6 +79,10 @@ class Engine:
         self._seq = _SeqSource()
         self._buffer: list[Row] = []
         self._metrics: dict[str, int] = {"puts": 0, "gets": 0, "dels": 0}
+        # per-op latency reservoirs (meter.go:100-115: 50-sample window)
+        self._latencies: dict[str, deque] = {
+            op: deque(maxlen=50) for op in ("get", "put", "del")
+        }
         if self.table.exists():
             top = self.table.read().agg(F.max("seq")).collect()[0][0]
             self._seq.advance_to(int(top or 0))
@@ -178,7 +183,9 @@ class Engine:
 
     def get(self, query: Query | str, now: float | None = None) -> list[bytes]:
         """Payloads, newest-first (the reference's [][]byte return)."""
+        t0 = time.monotonic()
         rows = self.get_df(query, now=now).select("payload").collect()
+        self._latencies["get"].append(time.monotonic() - t0)
         return [bytes(r[0]) if r[0] is not None else b"" for r in rows]
 
     def _live_df(self) -> DataFrame:
@@ -230,10 +237,29 @@ class Engine:
             return 0
         return self._live_df().filter(ttl_live_expr(now_ts)).count()
 
-    def varz(self) -> dict[str, int]:
-        """meter.go:28-90 Varz() counters (latency percentiles live in
-        bench.py via observe())."""
-        return dict(self._metrics)
+    def varz(self) -> dict:
+        """meter.go:28-90 Varz(): op counters + per-op latency
+        percentiles from a trailing 50-sample reservoir
+        (metrics/timeseries.go:24-44, P50..P999 as there)."""
+        out: dict = dict(self._metrics)
+        for op, samples in self._latencies.items():
+            if not samples:
+                continue
+            s = sorted(samples)
+
+            def pct(p: float) -> float:
+                return s[min(int(p * len(s)), len(s) - 1)]
+
+            out[f"{op}_latency"] = {
+                "p50": pct(0.50),
+                "p75": pct(0.75),
+                "p95": pct(0.95),
+                "p99": pct(0.99),
+                "p999": pct(0.999),
+                "hmean": len(s) / sum(1.0 / x for x in s if x > 0) if any(s) else 0.0,
+                "n": len(s),
+            }
+        return out
 
     def purge_expired(self, now: float | None = None) -> None:
         """Background expirer parity (expiry_window.go:28-148): rewrite
