@@ -517,6 +517,22 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", TXT.fingerprint64("text").alias("fingerprint"))
 
 
+def q_doc_simhash_md5(spark, sf_dir):
+    """Engine-portable SimHash (md5 token hashes, same bit-vote) —
+    hash-checked against the DuckDB oracle."""
+    from unitdb_spark.operators.dedup import simhash64_md5
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", simhash64_md5("text").alias("simhash"))
+
+
+def q_doc_fingerprint_md5(spark, sf_dir):
+    """Engine-portable rolling fingerprint (md5 hash chain) —
+    hash-checked against the DuckDB oracle."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TXT.fingerprint64_md5("text").alias("fingerprint"))
+
+
 def q_doc_top_tokens(spark, sf_dir):
     """Corpus token frequencies (explode + count + top-K): the heavy
     shuffle shape of vocabulary building at 100 TB (map-side partial
@@ -691,7 +707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_minhash_lsh_md5": q_doc_minhash_lsh_md5,
         "doc_simhash": q_doc_simhash,
+        "doc_simhash_md5": q_doc_simhash_md5,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_fingerprint_md5": q_doc_fingerprint_md5,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -989,6 +1007,27 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
+        """,
+        "doc_fingerprint_md5": f"""
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(list_reduce(list_prepend('', {_TOKS}),
+                                               (acc, x) -> md5(acc || x))), 1, 15))
+               AS BIGINT) AS fingerprint
+        FROM documents
+        """,
+        "doc_simhash_md5": f"""
+        WITH t AS (
+          SELECT doc_id,
+            list_transform(list_distinct({_TOKS}),
+                           x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+          FROM documents
+        )
+        SELECT doc_id,
+          CAST(COALESCE(list_sum(list_transform(generate_series(0, 59), i ->
+            CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> i) & 1)) > len(hs)
+                 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), 0)
+               AS BIGINT) AS simhash
+        FROM t
         """,
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": """

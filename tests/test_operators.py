@@ -182,6 +182,32 @@ class TestDedupSanity:
         assert (1, 2) in pairs and (1, 3) not in pairs
         assert pairs[(1, 2)] == 1.0
 
+    def test_simhash_md5_hamming_locality(self, spark):
+        from unitdb_spark.operators.dedup import simhash64_md5
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "alpha beta gamma delta epsilon zeta eta iota"),
+             (3, "one two three four five six seven eight")],
+            "doc_id long, text string",
+        ).select("doc_id", simhash64_md5("text").alias("h"))
+        rows = {r["doc_id"]: r["h"] for r in df.collect()}
+        assert all(0 <= h < (1 << 60) for h in rows.values())  # 60-bit, positive
+        near = bin(rows[1] ^ rows[2]).count("1")
+        far = bin(rows[1] ^ rows[3]).count("1")
+        assert near < far
+
+    def test_fingerprint_md5_order_sensitive(self, spark):
+        from unitdb_spark.functions.text import fingerprint64_md5
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "c b a"), (3, "a  b \t c")],
+            "doc_id long, text string",
+        ).select("doc_id", fingerprint64_md5("text").alias("f"))
+        rows = {r["doc_id"]: r["f"] for r in df.collect()}
+        assert rows[1] != rows[2]       # order matters
+        assert rows[1] == rows[3]       # whitespace-normalized
+
     def test_simhash_hamming_locality(self, spark):
         from unitdb_spark.operators.dedup import hamming64, simhash64
 

@@ -142,3 +142,15 @@ def fingerprint64(col: Column | str) -> Column:
         F.lit(1125899906842597).cast("long"),  # seed
         lambda acc, t: F.xxhash64(acc, t),
     )
+
+
+def fingerprint64_md5(col: Column | str) -> Column:
+    """Engine-portable twin of ``fingerprint64``: the hash chain is
+    h' = md5(h || token) over the ordered token stream, folded to a
+    60-bit int via the first 15 hex chars — every step (md5, string
+    fold, hex->int) exists identically in any SQL engine, so external
+    oracles can replay it exactly. xxhash64 variant stays the fast
+    path (pure JVM arithmetic vs digest per token)."""
+    toks = _toks(col)
+    chain = F.aggregate(toks, F.lit(""), lambda acc, t: F.md5(F.concat(acc, t)))
+    return F.conv(F.substring(F.md5(chain), 1, 15), 16, 10).cast("long")

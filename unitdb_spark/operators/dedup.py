@@ -300,5 +300,22 @@ def _simhash_from_hashes(hashes: Column) -> Column:
     return _vote(hashes)
 
 
+def token_hashes_md5(col: Column | str) -> Column:
+    """Engine-portable 60-bit token hashes: first 15 hex chars of md5,
+    parsed as int — reproducible in any SQL engine (md5 + hex cast)."""
+    return F.transform(
+        tokens(col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def simhash64_md5(col: Column | str) -> Column:
+    """Engine-portable twin of ``simhash64``: same majority bit-vote
+    (Arrow-vectorized), but over md5-derived 60-bit token hashes so an
+    external oracle can replay the exact fingerprint. xxhash64 variant
+    stays the fast path."""
+    return _simhash_from_hashes(token_hashes_md5(col))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
