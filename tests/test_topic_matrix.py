@@ -84,6 +84,25 @@ class TestExhaustiveMatrix:
                 mismatches.append((t, q, got[(t, q)], want))
         assert not mismatches, f"{len(mismatches)} mismatches, first 10: {mismatches[:10]}"
 
+    def test_deep_topics_sampled_patterns(self, spark):
+        """Depth-5 universe (beyond the reference's own tests): all 363
+        concrete topics over {a,b,c} vs a seeded 60-pattern sample of
+        the depth-5 pattern space — 21,780 combos, one Spark job."""
+        import random
+
+        stored = list(_all_topics(("a", "b", "c"), 5))
+        rng = random.Random(42)
+        universe = [p for p in _all_patterns(5)]
+        queries = rng.sample(universe, 60)
+        got = _eval_matrix(spark, stored, queries)
+        mismatches = []
+        for t, q in got:
+            spec = parse_topic(q)
+            want = _pattern_matches(list(spec.base_parts), spec.has_tail, t.split("."))
+            if got[(t, q)] != want:
+                mismatches.append((t, q, got[(t, q)], want))
+        assert not mismatches, f"{len(mismatches)} mismatches, first 10: {mismatches[:10]}"
+
     def test_pattern_stored_vs_static_queries(self, spark):
         stored = [p for p in _all_patterns(3) if ("*" in p or p.endswith("..."))]
         queries = list(_all_topics(ALPHABET, 3))           # static gets
