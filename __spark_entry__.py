@@ -585,6 +585,29 @@ def q_topic_rollup(spark, sf_dir):
     )
 
 
+def q_doc_train_split(spark, sf_dir):
+    """Stable train/valid/test assignment by content hash (row-level
+    checked): same row -> same split on any engine/partitioning."""
+    from unitdb_spark.operators.sampling import split_assign
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", split_assign("doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    )
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic per-source sampling (training-mix reweighting):
+    keep all of src0, half of src1, a tenth of src2, none of the rest."""
+    from unitdb_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    out = stratified_sample(
+        d, {"src0": 1.0, "src1": 0.5, "src2": 0.1}, "source", "doc_id"
+    )
+    return out.select("doc_id", "source")
+
+
 def q_get_multi_topic(spark, sf_dir):
     """Batch Get across topics (Batch #12 / multi-topic relay #20):
     per-topic newest-first limits union-ed into one result."""
@@ -703,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_top_tokens": q_doc_top_tokens,
         "doc_training_select": q_doc_training_select,
+        "doc_train_split": q_doc_train_split,
+        "doc_stratified_sample": q_doc_stratified_sample,
         "get_multi_topic": q_get_multi_topic,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_minhash_lsh_md5": q_doc_minhash_lsh_md5,
@@ -1007,6 +1032,27 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
+        """,
+        "doc_train_split": """
+        SELECT doc_id,
+          CASE WHEN u < 0.1 THEN 'test'
+               WHEN u < 0.9 THEN 'train'
+               ELSE 'valid' END AS split
+        FROM (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)) AS BIGINT)
+              / 1152921504606846976.0 AS u
+          FROM documents)
+        """,
+        "doc_stratified_sample": """
+        SELECT doc_id, source
+        FROM (
+          SELECT doc_id, source,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15)) AS BIGINT)
+              / 1152921504606846976.0 AS u
+          FROM documents)
+        WHERE u < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                   WHEN 'src2' THEN 0.1 ELSE 0.0 END)
         """,
         "doc_fingerprint_md5": f"""
         SELECT doc_id,

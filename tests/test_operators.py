@@ -279,6 +279,44 @@ class TestSimilaritySanity:
             embedding_cosine_dups(emb, threshold=0.9)
 
 
+class TestSampling:
+    def test_split_stable_under_repartition(self, spark):
+        from unitdb_spark.operators.sampling import split_assign
+
+        df = spark.range(2000).select(F.col("id").alias("doc_id"))
+        ratios = {"train": 0.8, "valid": 0.1, "test": 0.1}
+        a = {r["doc_id"]: r["split"] for r in df.select("doc_id", split_assign("doc_id", ratios)).collect()}
+        b = {
+            r["doc_id"]: r["split"]
+            for r in df.repartition(13).select("doc_id", split_assign("doc_id", ratios)).collect()
+        }
+        assert a == b  # layout-independent
+        from collections import Counter
+
+        c = Counter(a.values())
+        assert 0.75 < c["train"] / 2000 < 0.85
+        assert 0.07 < c["valid"] / 2000 < 0.13
+        assert 0.07 < c["test"] / 2000 < 0.13
+
+    def test_deterministic_sample_is_subset_consistent(self, spark):
+        from unitdb_spark.operators.sampling import deterministic_sample
+
+        df = spark.range(1000).select(F.col("id").alias("k"))
+        s10 = {r["k"] for r in deterministic_sample(df, 0.1, "k").collect()}
+        s20 = {r["k"] for r in deterministic_sample(df, 0.2, "k").collect()}
+        assert s10 <= s20  # growing the rate only adds rows
+        assert 50 < len(s10) < 150 and 130 < len(s20) < 270
+
+    def test_stratified_rates(self, spark):
+        from unitdb_spark.operators.sampling import stratified_sample
+
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("g")
+        )
+        out = stratified_sample(df, {"0": 1.0, "1": 0.0}, "g", "k").collect()
+        assert all(r["g"] == "0" for r in out) and len(out) == 500
+
+
 class TestTopicRollup:
     def test_every_prefix_aggregated(self, spark):
         from unitdb_spark.operators.rollup import topic_rollup
