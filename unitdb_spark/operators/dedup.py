@@ -105,11 +105,12 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """K minhash values: min over shingles of xxhash64(shingle, seed=k).
-
-    xxhash64 is Spark-native (JVM, codegen); one array column holds the
-    whole signature, so no shuffle until banding.
-    """
+    """K minhash values as one expression: min over shingles of
+    xxhash64(shingle, seed=k). Column-level variant for callers that
+    already hold a shingle array; ``minhash_lsh_pairs`` itself uses the
+    equivalent explode + groupBy-min formulation (identical values,
+    ~2x faster cold because the codegen'd aggregate is K simple mins
+    rather than one K-lambda method)."""
     return F.array(
         *[
             F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(k))))
@@ -134,9 +135,6 @@ def minhash_lsh_pairs(
     this tiny candidate set).
     """
     rows_per_band = num_hashes // bands
-    # materialize shingles as a column FIRST: referencing the bound
-    # column k times is free, while inlining the shingle expression into
-    # each of the k minhash transforms would rebuild it k times per row
     # signature computation is CPU-bound: spread small inputs (one
     # parquet file = one task) across the cluster BEFORE deriving
     # shingles, so the shuffle moves raw text, not shingle arrays; at
@@ -145,9 +143,16 @@ def minhash_lsh_pairs(
     narrow = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
     if narrow.rdd.getNumPartitions() < par:
         narrow = narrow.repartition(par)
-    sh = narrow.select("_id", shingles("_txt", shingle_n).alias("_sh"))
-    sig = sh.select(
-        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
+    # explode + groupBy-min instead of K array_min(transform(...)) passes:
+    # identical signatures, but the aggregate's codegen is K simple min
+    # exprs instead of one huge K-lambda method (~2x faster cold), and
+    # map-side partial min collapses each doc's shingles before the
+    # exchange, so the added shuffle carries exactly one row per doc
+    sh = narrow.select("_id", F.explode(shingles("_txt", shingle_n)).alias("_s"))
+    sig = sh.groupBy("_id").agg(
+        F.array(
+            *[F.min(F.xxhash64("_s", F.lit(k))) for k in range(num_hashes)]
+        ).alias("_sig")
     ).cache()
     # explode to (band, bucket_hash, id): shuffle key is the bucket
     banded = sig.select(
