@@ -213,18 +213,19 @@ def minhash_lsh_pairs_md5(
     Output: (id_a, id_b, est_jaccard), id_a < id_b.
     """
     rows_per_band = num_hashes // bands
+    # same explode + groupBy-min formulation as minhash_lsh_pairs; min
+    # over md5 hex strings is lexicographic — identical on any engine
     sh = df.select(
-        F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh")
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, shingle_n)).alias("_s"),
     )
-    def _minhash(k: int) -> Column:
-        # NB: the lambda must stay unary — F.transform treats a binary
-        # lambda as (element, index) and would shadow k with the index
-        salt = F.lit(f":{k}")
-        return F.array_min(F.transform("_sh", lambda s: F.md5(F.concat(s, salt))))
-
-    sig = sh.select(
-        "_id",
-        F.array(*[_minhash(k) for k in range(num_hashes)]).alias("_sig"),
+    sig = sh.groupBy("_id").agg(
+        F.array(
+            *[
+                F.min(F.md5(F.concat(F.col("_s"), F.lit(f":{k}"))))
+                for k in range(num_hashes)
+            ]
+        ).alias("_sig")
     ).cache()
     banded = sig.select(
         "_id",
