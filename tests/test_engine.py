@@ -77,6 +77,18 @@ class TestBatch:
             b.put("t3.c", b"3")
         assert engine.count() == 3
 
+    def test_managed_batch_fn(self, engine: Engine):
+        engine.batch_fn(lambda b: [b.put("m.a", b"1"), b.put("m.b", b"2")])
+        assert engine.count() == 2
+
+        def failing(b):
+            b.put("m.c", b"3")
+            raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError):
+            engine.batch_fn(failing)
+        assert engine.count() == 2  # aborted batch left nothing
+
     def test_batch_delete_staged_until_commit(self, engine: Engine):
         s1 = engine.put_entry(Entry("d.a", b"keep"), ts=T0)
         s2 = engine.put_entry(Entry("d.a", b"drop"), ts=T0 + 1)

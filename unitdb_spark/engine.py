@@ -225,6 +225,12 @@ class Engine:
         """batch.go:60-293: atomic multi-topic batch."""
         return Batch(self)
 
+    def batch_fn(self, fn) -> None:
+        """db.go:434-447 Batch(fn): managed batch — commit iff ``fn``
+        returns without raising; any error aborts the whole batch."""
+        with self.batch() as b:
+            fn(b)
+
     # ------------------------------------------------------------ admin
     def count(self, now: float | None = None) -> int:
         """db.go:474-482 Count(): live entries (TTL + tombstones applied)."""
