@@ -32,6 +32,35 @@ class TestAsofJoin:
         assert out.loc[(1, ts(20)), "quote_r"] == 99.5
         assert out.loc[(2, ts(15))].isna()["quote_r"]  # nothing before
 
+    def test_forward_asof(self, spark):
+        from unitdb_spark.operators.asof import asof_join
+
+        trades = spark.createDataFrame(
+            [(1, ts(10), 100.0), (1, ts(20), 101.0), (2, ts(50), 50.0)],
+            "uid long, ts timestamp, price double",
+        )
+        quotes = spark.createDataFrame(
+            [(1, ts(5), 99.0), (1, ts(12), 99.5), (1, ts(30), 98.0), (2, ts(40), 51.0)],
+            "uid long, ts timestamp, quote double",
+        )
+        out = (
+            asof_join(trades, quotes, by=["uid"], direction="forward")
+            .toPandas()
+            .set_index(["uid", "ts"])
+        )
+        assert out.loc[(1, ts(10)), "quote_r"] == 99.5   # earliest >= 10 is ts 12
+        assert out.loc[(1, ts(20)), "quote_r"] == 98.0   # earliest >= 20 is ts 30
+        assert out.loc[(2, ts(50))].isna()["quote_r"]    # nothing after
+
+    def test_forward_tolerance(self, spark):
+        from unitdb_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, ts(100))], "uid long, ts timestamp")
+        right = spark.createDataFrame([(1, ts(150), 7.0)], "uid long, ts timestamp, v double")
+        near = asof_join(left, right, by=["uid"], direction="forward", tolerance_seconds=60).collect()[0]
+        far = asof_join(left, right, by=["uid"], direction="forward", tolerance_seconds=30).collect()[0]
+        assert near["v_r"] == 7.0 and far["v_r"] is None
+
     def test_equal_ts_matches(self, spark):
         from unitdb_spark.operators.asof import asof_join
 

@@ -35,12 +35,14 @@ def asof_join(
     the same cost profile as a window function, independent of how
     many right rows precede each left row.
 
-    ``direction='backward'`` (default): right.ts <= left.ts.
-    Output: every left row + matched right columns (suffixed), NULL
-    when nothing precedes within tolerance.
+    ``direction='backward'`` (default): latest right.ts <= left.ts;
+    ``direction='forward'``: earliest right.ts >= left.ts (same single
+    window pass, reversed ordering). Output: every left row + matched
+    right columns (suffixed), NULL when nothing matches within
+    tolerance.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     rcols = right_cols or [c for c in right.columns if c not in by and c != ts_col]
 
     lt = left.withColumn("_side", F.lit(1))
@@ -63,10 +65,12 @@ def asof_join(
         ],
     )
     u = lt2.unionByName(rt2)
-    # right rows sort before left rows at equal ts so ties match
+    # right rows sort before left rows at equal ts so ties match;
+    # forward = the same pass over reversed time order
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
@@ -82,13 +86,12 @@ def asof_join(
     )
     out = filled.filter(F.col("_side") == 1).drop("_side")
     if tolerance_seconds is not None:
-        within = (
-            F.col("_matched_ts").isNotNull()
-            & (
-                (F.col(ts_col).cast("double") - F.col("_matched_ts").cast("double"))
-                <= tolerance_seconds
-            )
+        gap = (
+            F.col(ts_col).cast("double") - F.col("_matched_ts").cast("double")
+            if direction == "backward"
+            else F.col("_matched_ts").cast("double") - F.col(ts_col).cast("double")
         )
+        within = F.col("_matched_ts").isNotNull() & (gap <= tolerance_seconds)
         out = out.select(
             *by,
             ts_col,
