@@ -190,6 +190,70 @@ class TestStreamingWindowAgg:
         assert sum(seen) == 1000 and len(seen) >= 2  # grouped deliveries
 
 
+class TestStatefulRestart:
+    def test_topk_state_survives_checkpoint_restart(self, spark, tmp_path):
+        """Stop the stateful query, append new data, restart from the
+        SAME checkpoint: the rebuilt top-K must merge pre-stop state
+        with post-restart input (recovery parity — recovery.go:17-120,
+        here the state store + checkpoint do it)."""
+        import datetime as dt
+
+        from unitdb_spark.streaming.state import streaming_topk_per_topic
+
+        src = tmp_path / "src"
+        src.mkdir()
+        cp = str(tmp_path / "cp")
+        schema = "contract long, topic string, seq long, ts timestamp, payload binary"
+
+        def write_file(name, seqs):
+            rows = [
+                (
+                    MASTER_CONTRACT,
+                    "t.a",
+                    s,
+                    dt.datetime.fromtimestamp(1_700_000_000 + s, dt.timezone.utc).replace(tzinfo=None),
+                    b"p",
+                )
+                for s in seqs
+            ]
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+        out_dir = str(tmp_path / "out")
+
+        def run_once():
+            stream = spark.readStream.schema(
+                spark.read.parquet(str(src)).schema
+            ).parquet(str(src))
+            out = streaming_topk_per_topic(stream, k=3)
+
+            def sink(df, bid):
+                df.withColumn("_b", F.lit(bid)).write.mode("append").parquet(out_dir)
+
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        # phase 1: seqs 10,20,30,40 -> state top3 = {40,30,20}
+        write_file("a", [10, 20, 30, 40])
+        run_once()
+        # phase 2 (restart from checkpoint): only 35 arrives; a correct
+        # restart merges it into surviving state -> {40,35,30}
+        write_file("b", [35])
+        run_once()
+        rows = spark.read.parquet(out_dir).toPandas()
+        # batch ids are monotonic across restarts; the final emission
+        # for the key is the row set at the max batch id
+        final = rows[rows["_b"] == rows["_b"].max()].sort_values("rank")
+        assert list(final["seq"]) == [40, 35, 30]
+
+
 class TestStatefulTopK:
     def test_streaming_topk_per_topic(self, spark, events_dir):
         from unitdb_spark.streaming.state import streaming_topk_per_topic
