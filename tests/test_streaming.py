@@ -254,6 +254,47 @@ class TestStatefulRestart:
         assert list(final["seq"]) == [40, 35, 30]
 
 
+class TestContinuousRollup:
+    def test_streamed_rollup_matches_batch(self, spark, events_dir, tmp_path):
+        """Incrementally-folded rollup == one-shot batch rollup on the
+        mergeable columns, including across a stop/restart boundary."""
+        from unitdb_spark.operators.rollup import topic_rollup
+        from unitdb_spark.streaming.continuous import continuous_rollup
+
+        agg = str(tmp_path / "agg")
+        cp = str(tmp_path / "cp")
+
+        q = continuous_rollup(entries_stream(spark, events_dir), agg, cp)
+        q.awaitTermination(180)
+        # restart with no new data: applied-marker makes it a no-op
+        q2 = continuous_rollup(entries_stream(spark, events_dir), agg, cp)
+        q2.awaitTermination(180)
+
+        got = {
+            (r["contract"], r["topic_prefix"]): (r["n_msgs"], r["first_ts"], r["last_ts"])
+            for r in spark.read.parquet(agg).collect()
+        }
+        batch = entries_stream_batch(spark, events_dir)
+        want = {
+            (r["contract"], r["topic_prefix"]): (r["n_msgs"], r["first_ts"], r["last_ts"])
+            for r in topic_rollup(batch).collect()
+        }
+        assert got == want
+
+
+def entries_stream_batch(spark, events_dir):
+    """The batch twin of entries_stream (same derivation, plain read)."""
+    ev = spark.read.parquet(events_dir)
+    return prepare_entries(
+        ev.select(
+            F.concat(F.lit("events."), "event_type", F.lit(".u"), (F.col("user_id") % 10)).alias("topic"),
+            F.col("props").cast("binary").alias("payload"),
+            F.col("ts"),
+            F.col("event_id").cast("long").alias("seq"),
+        )
+    )
+
+
 class TestStatefulTopK:
     def test_streaming_topk_per_topic(self, spark, events_dir):
         from unitdb_spark.streaming.state import streaming_topk_per_topic
