@@ -1079,7 +1079,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": """
         WITH cents AS (
           SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+          ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id LIMIT 8
         ), assigned AS (
           SELECT vec_id, embedding, cent_id AS cell FROM (
             SELECT e.vec_id, e.embedding, c.cent_id,

@@ -236,12 +236,15 @@ def ivf_assign(
     assignment is one scan + broadcast; `cell` becomes the partition
     key for the index table.
     """
-    # deterministic pseudo-random sample: order by md5 of the id — an
+    # deterministic pseudo-random sample: order by md5(id:seed) — an
     # engine-portable shuffle (hex-string ordering is plain ASCII), so
     # external oracles can replay the exact centroid choice
     cents = (
         corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cent"))
-        .orderBy(F.md5(F.col("cent_id").cast("string")), F.col("cent_id"))
+        .orderBy(
+            F.md5(F.concat(F.col("cent_id").cast("string"), F.lit(f":{seed}"))),
+            F.col("cent_id"),
+        )
         .limit(n_cells)
     )
     joined = corpus.select(
