@@ -458,6 +458,63 @@ def q_events_asof_click(spark, sf_dir):
 # ------------------------------------------- documents / LLM pipeline ops
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel signup -> click -> purchase per user (each step
+    strictly after the previous): per-stage user counts. Three
+    same-key groupBys — at scale one shuffle on user_id reused across
+    stages (co-partitioned joins)."""
+    ev = _events(spark, sf_dir)
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        s1.agg(F.lit(1).alias("stage_n"), F.lit("signup").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        s2.agg(F.lit(2).alias("stage_n"), F.lit("click").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        s3.agg(F.lit(3).alias("stage_n"), F.lit("purchase").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per subsequent active week offset."""
+    ev = _events(spark, sf_dir)
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = weekly.join(cohort, "user_id")
+    return (
+        joined.groupBy(
+            F.unix_timestamp("cohort_week").alias("cohort_week_s"),
+            F.floor(
+                (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+                / (7 * 86400)
+            ).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def q_doc_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -718,6 +775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": q_events_percentiles,
         "events_approx_stats": q_events_approx_stats,
         "events_asof_click": q_events_asof_click,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         # LLM-pipeline ops
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
@@ -1032,6 +1091,34 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
+        """,
+        "events_funnel": """
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+        )
+        SELECT 1 AS stage_n, 'signup' AS stage, COUNT(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click', COUNT(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', COUNT(*) FROM s3
+        """,
+        "events_retention": """
+        WITH weekly AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+        ), cohort AS (
+          SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+        )
+        SELECT CAST(floor(epoch(cohort_week)) AS BIGINT) AS cohort_week_s,
+               CAST(floor((epoch(week) - epoch(cohort_week)) / (7 * 86400)) AS BIGINT) AS week_offset,
+               COUNT(DISTINCT w.user_id) AS n_users
+        FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+        GROUP BY cohort_week_s, week_offset
         """,
         "doc_train_split": """
         SELECT doc_id,
