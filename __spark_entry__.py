@@ -680,6 +680,25 @@ def q_get_multi_topic(spark, sf_dir):
     return out
 
 
+def q_get_many_fused(spark, sf_dir):
+    """N Gets in ONE table scan (operators.get.apply_get_many) — the
+    batch fan-out: per-query newest-K from a single pass."""
+    from unitdb_spark.operators.get import apply_get_many
+
+    msgs = _messages(spark, sf_dir)
+    now = _now(spark, sf_dir)
+    out = apply_get_many(
+        msgs,
+        [
+            Query("events.click.u1", limit=50),
+            Query("events.signup.u2", limit=50),
+            Query("events.error.u3", limit=50),
+        ],
+        now=now,
+    )
+    return out.select("query_id", "seq", "topic", EPOCH("ts"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -788,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_train_split": q_doc_train_split,
         "doc_stratified_sample": q_doc_stratified_sample,
         "get_multi_topic": q_get_multi_topic,
+        "get_many_fused": q_get_many_fused,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_minhash_lsh_md5": q_doc_minhash_lsh_md5,
         "doc_simhash": q_doc_simhash,
@@ -1072,6 +1092,22 @@ def oracle_sql() -> dict[str, str]:
              AND {SQL_LIVE} ORDER BY seq DESC LIMIT 50)
           UNION ALL
           (SELECT seq, topic, ts FROM messages, clock
+           WHERE contract = {MASTER_CONTRACT} AND topic = 'events.error.u3'
+             AND {SQL_LIVE} ORDER BY seq DESC LIMIT 50)
+        )
+        """,
+        "get_many_fused": M
+        + f"""
+        SELECT query_id, seq, topic, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM (
+          (SELECT 0 AS query_id, seq, topic, ts FROM messages, clock
+           WHERE contract = {MASTER_CONTRACT} AND topic = 'events.click.u1'
+             AND {SQL_LIVE} ORDER BY seq DESC LIMIT 50)
+          UNION ALL
+          (SELECT 1, seq, topic, ts FROM messages, clock
+           WHERE contract = {MASTER_CONTRACT} AND topic = 'events.signup.u2'
+             AND {SQL_LIVE} ORDER BY seq DESC LIMIT 50)
+          UNION ALL
+          (SELECT 2, seq, topic, ts FROM messages, clock
            WHERE contract = {MASTER_CONTRACT} AND topic = 'events.error.u3'
              AND {SQL_LIVE} ORDER BY seq DESC LIMIT 50)
         )

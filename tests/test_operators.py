@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
+from unitdb_spark.core.model import MASTER_CONTRACT as MASTER  # noqa: E402
+
 
 def ts(s: float) -> dt.datetime:
     return T0 + dt.timedelta(seconds=s)
@@ -306,6 +308,50 @@ class TestSimilaritySanity:
 
         with pytest.raises(ValueError):
             embedding_cosine_dups(emb, threshold=0.9)
+
+
+class TestGetMany:
+    def test_fused_equals_individual_gets(self, spark):
+        from unitdb_spark.core.model import Query
+        from unitdb_spark.operators.get import apply_get, apply_get_many
+        from unitdb_spark.table import with_topic_columns
+
+        import datetime as dt
+
+        rows = [
+            (MASTER, f"t.{i % 3}.x", i, dt.datetime(2024, 1, 1, 0, 0, i), None, b"p")
+            for i in range(50)
+        ]
+        df = with_topic_columns(
+            spark.createDataFrame(
+                rows,
+                "contract long, topic string, seq long, ts timestamp, "
+                "expires_at timestamp, payload binary",
+            )
+        )
+        queries = [Query("t.0.x", limit=5), Query("t.*.x", limit=7), Query("t.1.x")]
+        now = dt.datetime(2024, 1, 1, 1, 0, 0)
+        fused = apply_get_many(df, queries, now=now)
+        for qi, q in enumerate(queries):
+            got = sorted(
+                r["seq"] for r in fused.filter(F.col("query_id") == qi).collect()
+            )
+            want = sorted(r["seq"] for r in apply_get(df, q, now=now).collect())
+            assert got == want, f"query {qi}"
+
+    def test_single_scan(self, spark):
+        """The fused plan reads the source once (one scan node), vs N
+        scans for N separate gets."""
+        from unitdb_spark.core.model import Query
+        from unitdb_spark.operators.get import apply_get_many
+        from unitdb_spark.plans.explain import formatted_plan
+
+        from unitdb_spark.plans.explain import scan_info
+        from unitdb_spark.sources.events import messages_from_events
+
+        msgs = messages_from_events(spark, "/root/testdata/sf0.001")
+        fused = apply_get_many(msgs, [Query("events.click.u1"), Query("events.view.u2")])
+        assert len(scan_info(fused)["read_schema"]) == 1  # ONE scan for N queries
 
 
 class TestSampling:
