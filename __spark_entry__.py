@@ -515,6 +515,18 @@ def q_events_retention(spark, sf_dir):
     )
 
 
+def q_events_cms_user_counts(spark, sf_dir):
+    """Count-min sketch frequency estimates (operators.cms): grid build
+    is one bounded-size pass; estimates for user_id < 10. Deterministic
+    md5 hashing — the oracle replays grid and probes exactly."""
+    from unitdb_spark.operators.cms import cms_build, cms_estimate
+
+    ev = _events(spark, sf_dir)
+    grid = cms_build(ev, "user_id", depth=4, width=64)
+    keys = ev.filter(F.col("user_id") < 10).select("user_id").distinct()
+    return cms_estimate(grid, keys, "user_id", depth=4, width=64)
+
+
 def q_doc_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
@@ -796,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_click": q_events_asof_click,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_cms_user_counts": q_events_cms_user_counts,
         # LLM-pipeline ops
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_token_stats": q_doc_token_stats,
@@ -1127,6 +1140,24 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
+        """,
+        "events_cms_user_counts": """
+        WITH grid AS (
+          SELECT row_i, bucket, COUNT(*) AS cnt FROM (
+            SELECT r AS row_i,
+              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' || r), 1, 15)) AS BIGINT) % 64 AS bucket
+            FROM events, UNNEST([0, 1, 2, 3]) AS t(r))
+          GROUP BY row_i, bucket
+        ), probes AS (
+          SELECT DISTINCT user_id AS key FROM events WHERE user_id < 10
+        ), pb AS (
+          SELECT key, r AS row_i,
+            CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || '#' || r), 1, 15)) AS BIGINT) % 64 AS bucket
+          FROM probes, UNNEST([0, 1, 2, 3]) AS t(r)
+        )
+        SELECT key, MIN(COALESCE(cnt, 0)) AS est_count
+        FROM pb LEFT JOIN grid USING (row_i, bucket)
+        GROUP BY key
         """,
         "events_funnel": """
         WITH s1 AS (

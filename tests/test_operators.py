@@ -354,6 +354,31 @@ class TestGetMany:
         assert len(scan_info(fused)["read_schema"]) == 1  # ONE scan for N queries
 
 
+class TestCountMinSketch:
+    def test_overestimate_guarantee_and_exactness_when_wide(self, spark):
+        from unitdb_spark.operators.cms import cms_build, cms_estimate
+
+        df = spark.createDataFrame(
+            [(f"k{i % 20}",) for i in range(2000)], "key string"
+        )
+        exact = {r["key"]: r["n"] for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
+        keys = df.select("key").distinct()
+        # narrow grid: estimates are overestimates, never under
+        narrow = cms_estimate(cms_build(df, "key", 4, 8), keys, "key", 4, 8)
+        for r in narrow.collect():
+            assert r["est_count"] >= exact[r["key"]]
+        # wide grid (20 keys in 1024 buckets x 4 rows): exact w.h.p.
+        wide = cms_estimate(cms_build(df, "key", 4, 1024), keys, "key", 4, 1024)
+        assert {r["key"]: r["est_count"] for r in wide.collect()} == exact
+
+    def test_grid_is_bounded(self, spark):
+        from unitdb_spark.operators.cms import cms_build
+
+        df = spark.range(10_000).select(F.col("id").cast("string").alias("key"))
+        grid = cms_build(df, "key", depth=4, width=32)
+        assert grid.count() <= 4 * 32  # independent of key cardinality
+
+
 class TestSampling:
     def test_split_stable_under_repartition(self, spark):
         from unitdb_spark.operators.sampling import split_assign
