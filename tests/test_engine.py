@@ -124,6 +124,16 @@ class TestBatch:
         assert eng2.get("s.a", now=T0 + 10) == [b"2", b"1"]
 
 
+class TestGetMany:
+    def test_fused_matches_individual(self, engine: Engine):
+        for i in range(12):
+            engine.put_entry(Entry(f"g.{i % 3}.x", b"v%d" % i), ts=T0 + i)
+        qs = [Query("g.0.x"), Query("g.*.x", limit=5), Query("g.2.x", last="1h")]
+        fused = engine.get_many(qs, now=T0 + 100)
+        individual = [engine.get(q, now=T0 + 100) for q in qs]
+        assert fused == individual
+
+
 class TestExpiry:
     def test_pre_expired_invisible(self, engine: Engine):
         # entries whose TTL already lapsed are never returned

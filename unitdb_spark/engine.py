@@ -188,6 +188,27 @@ class Engine:
         self._latencies["get"].append(time.monotonic() - t0)
         return [bytes(r[0]) if r[0] is not None else b"" for r in rows]
 
+    def get_many(
+        self, queries: list[Query | str], now: float | None = None
+    ) -> list[list[bytes]]:
+        """Multi-topic relay (store/store.go:170-181) fused to ONE
+        table scan: per-query newest-first payload lists, same results
+        as N separate ``get`` calls."""
+        from unitdb_spark.operators.get import apply_get_many
+
+        t0 = time.monotonic()
+        self._metrics["gets"] += len(queries)
+        rows = (
+            apply_get_many(self._live_df(), queries, now=now)
+            .select("query_id", "seq", "payload")
+            .collect()
+        )
+        self._latencies["get"].append(time.monotonic() - t0)
+        out: list[list[tuple[int, bytes]]] = [[] for _ in queries]
+        for r in rows:
+            out[r["query_id"]].append((r["seq"], bytes(r["payload"] or b"")))
+        return [[p for _, p in sorted(l, reverse=True)] for l in out]
+
     def _live_df(self) -> DataFrame:
         self.flush()
         df = self.table.read()
