@@ -654,6 +654,21 @@ def q_topic_rollup(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking (32-token windows, 8 overlap): one row
+    per chunk, JVM-only, runs at scan speed."""
+    return TXT.chunk_documents(
+        _docs(spark, sf_dir), max_tokens=32, overlap=8
+    )
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signal: top-3-gram share of each
+    document's n-grams."""
+    out = TXT.ngram_repetition(_docs(spark, sf_dir), "text", "doc_id", 3)
+    return out.select("doc_id", F.round("rep_ratio", 6).alias("rep3_r"))
+
+
 def q_doc_train_split(spark, sf_dir):
     """Stable train/valid/test assignment by content hash (row-level
     checked): same row -> same split on any engine/partitioning."""
@@ -819,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_training_select": q_doc_training_select,
         "doc_train_split": q_doc_train_split,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_chunks": q_doc_chunks,
+        "doc_repetition": q_doc_repetition,
         "get_multi_topic": q_get_multi_topic,
         "get_many_fused": q_get_many_fused,
         "doc_minhash_lsh": q_doc_minhash_lsh,
@@ -1207,6 +1224,32 @@ def oracle_sql() -> dict[str, str]:
           FROM documents)
         WHERE u < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                    WHEN 'src2' THEN 0.1 ELSE 0.0 END)
+        """,
+        "doc_chunks": f"""
+        WITH toks AS (SELECT doc_id AS id, {_TOKS} AS tk FROM documents),
+        st AS (
+          SELECT id, tk, s AS chunk_idx
+          FROM toks,
+               UNNEST(generate_series(0,
+                 CAST(floor(greatest(len(tk) - 1, 0) / 24) AS INT))) AS t(s)
+        )
+        SELECT id, chunk_idx,
+          array_to_string(list_slice(tk, chunk_idx*24 + 1, chunk_idx*24 + 32), ' ') AS chunk_text,
+          len(list_slice(tk, chunk_idx*24 + 1, chunk_idx*24 + 32)) AS n_tokens
+        FROM st
+        """,
+        "doc_repetition": f"""
+        WITH g AS (
+          SELECT doc_id, list_transform(
+            generate_series(0, greatest(len(tk) - 3, 0)),
+            i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')) AS grams
+          FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+        )
+        SELECT doc_id,
+          round(CAST(list_max(list_transform(list_distinct(grams),
+                     d -> len(list_filter(grams, x -> x = d)))) AS DOUBLE)
+                / len(grams), 6) AS rep3_r
+        FROM g
         """,
         "doc_fingerprint_md5": f"""
         SELECT doc_id,

@@ -354,6 +354,44 @@ class TestGetMany:
         assert len(scan_info(fused)["read_schema"]) == 1  # ONE scan for N queries
 
 
+class TestChunking:
+    def test_windows_and_overlap(self, spark):
+        from unitdb_spark.functions.text import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(25))  # 25 tokens
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        chunks = {
+            r["chunk_idx"]: r for r in chunk_documents(df, max_tokens=10, overlap=2).collect()
+        }
+        # stride 8: starts 0,8,16,24 -> 4 chunks
+        assert set(chunks) == {0, 1, 2, 3}
+        assert chunks[0]["chunk_text"].split() == [f"w{i}" for i in range(10)]
+        assert chunks[1]["chunk_text"].split() == [f"w{i}" for i in range(8, 18)]
+        assert chunks[3]["chunk_text"].split() == ["w24"]  # tail remainder
+        assert chunks[3]["n_tokens"] == 1
+
+    def test_rejects_bad_overlap(self, spark):
+        from unitdb_spark.functions.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, max_tokens=8, overlap=8)
+
+
+class TestRepetition:
+    def test_boilerplate_scores_high(self, spark):
+        from unitdb_spark.functions.text import ngram_repetition
+
+        spam = " ".join(["click here now"] * 10)
+        prose = " ".join(f"unique{i} word{i} here{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(1, spam), (2, prose)], "doc_id long, text string"
+        )
+        r = {x["doc_id"]: x["rep_ratio"] for x in ngram_repetition(df).collect()}
+        assert r[1] > 0.3 and r[2] < 0.1
+        assert r[1] > r[2]
+
+
 class TestCountMinSketch:
     def test_overestimate_guarantee_and_exactness_when_wide(self, spark):
         from unitdb_spark.operators.cms import cms_build, cms_estimate

@@ -154,3 +154,94 @@ def fingerprint64_md5(col: Column | str) -> Column:
     toks = _toks(col)
     chain = F.aggregate(toks, F.lit(""), lambda acc, t: F.md5(F.concat(acc, t)))
     return F.conv(F.substring(F.md5(chain), 1, 15), 16, 10).cast("long")
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 128,
+    overlap: int = 16,
+):
+    """Split documents into fixed-token windows with overlap — the
+    standard training-data chunking pass (context-length packing).
+
+    Pure JVM expressions: tokenize once, generate window starts with
+    ``sequence`` (stride = max_tokens - overlap), slice each window and
+    re-join. One output row per chunk; no UDF, no shuffle — chunking is
+    embarrassingly parallel and stays inside whole-stage codegen, so at
+    100 TB it runs at scan speed.
+
+    Output: (id, chunk_idx, chunk_text, n_tokens).
+    """
+    from pyspark.sql import functions as F
+
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    toks = _toks(text_col)
+    n = F.size(toks)
+    # window starts: 0, stride, 2*stride, ... while start < n (at least
+    # one chunk even for empty docs)
+    starts = F.sequence(
+        F.lit(0),
+        F.floor(F.greatest(n - F.lit(1), F.lit(0)) / F.lit(stride)).cast("int"),
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_tok"),
+        F.posexplode(starts).alias("chunk_idx", "_step"),
+    )
+    piece = F.slice(F.col("_tok"), F.col("chunk_idx") * stride + 1, max_tokens)
+    return (
+        out.filter((F.col("chunk_idx") * stride < F.size("_tok")) | (F.col("chunk_idx") == 0))
+        .select(
+            "id",
+            "chunk_idx",
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).alias("n_tokens"),
+        )
+    )
+
+
+def ngram_repetition(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+):
+    """Gopher-style repetition signal per document: the fraction of the
+    document's word n-grams occupied by its single most frequent n-gram
+    (high → boilerplate/spam).
+
+    Explode + two same-key aggregations (doc,gram)→count, doc→max:
+    map-side partial aggregation collapses each doc's grams before the
+    exchange, so the shuffle carries (doc, distinct-gram) partials —
+    linear in input, unlike the O(grams × distinct) nested-array-filter
+    formulation, which is quadratic per document.
+
+    Output: (id_col, rep_ratio DOUBLE).
+    """
+    from pyspark.sql import functions as F
+
+    # materialize the token array FIRST: an expression referenced inside
+    # a higher-order lambda is re-evaluated per element, so inlining the
+    # split would tokenize the document once per gram (quadratic)
+    t = df.select(F.col(id_col), _toks(text_col).alias("_tok"))
+    toks = F.col("_tok")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    ex = t.select(
+        F.col(id_col), F.size(grams).alias("_n_grams"), F.explode(grams).alias("_g")
+    )
+    per_gram = ex.groupBy(id_col, "_n_grams", "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return per_gram.groupBy(id_col, "_n_grams").agg(
+        F.max("_c").alias("_mx")
+    ).select(
+        id_col,
+        (F.col("_mx").cast("double") / F.col("_n_grams").cast("double")).alias(
+            "rep_ratio"
+        ),
+    )

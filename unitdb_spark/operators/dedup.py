@@ -95,13 +95,31 @@ def ngram_jaccard_pairs(
     )
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array of strings."""
-    toks = F.filter(F.split(F.lower(F.col(col) if isinstance(col, str) else col), r"\s+"), lambda t: t != "")
+def shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array.
+
+    Callers must bind the token array to a column first: an expression
+    referenced inside the higher-order ``transform`` lambda is
+    re-evaluated per element, so inlining the tokenizer would re-split
+    the document once per shingle (quadratic in document length)."""
+    toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
+
+
+def raw_tokens(col: Column | str) -> Column:
+    """Ordered (non-distinct) lowercase whitespace tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings. Convenience form —
+    prefer binding ``raw_tokens`` to a column and using
+    ``shingles_from_tokens`` in hot paths (see its docstring)."""
+    return shingles_from_tokens(raw_tokens(col), n)
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
@@ -147,8 +165,11 @@ def minhash_lsh_pairs(
     # identical signatures, but the aggregate's codegen is K simple min
     # exprs instead of one huge K-lambda method (~2x faster cold), and
     # map-side partial min collapses each doc's shingles before the
-    # exchange, so the added shuffle carries exactly one row per doc
-    sh = narrow.select("_id", F.explode(shingles("_txt", shingle_n)).alias("_s"))
+    # exchange, so the added shuffle carries exactly one row per doc.
+    # Tokens are bound to a column first — see shingles_from_tokens.
+    sh = narrow.select("_id", raw_tokens("_txt").alias("_tk")).select(
+        "_id", F.explode(shingles_from_tokens("_tk", shingle_n)).alias("_s")
+    )
     sig = sh.groupBy("_id").agg(
         F.array(
             *[F.min(F.xxhash64("_s", F.lit(k))) for k in range(num_hashes)]
@@ -216,9 +237,8 @@ def minhash_lsh_pairs_md5(
     # same explode + groupBy-min formulation as minhash_lsh_pairs; min
     # over md5 hex strings is lexicographic — identical on any engine
     sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles(text_col, shingle_n)).alias("_s"),
-    )
+        F.col(id_col).alias("_id"), raw_tokens(text_col).alias("_tk")
+    ).select("_id", F.explode(shingles_from_tokens("_tk", shingle_n)).alias("_s"))
     sig = sh.groupBy("_id").agg(
         F.array(
             *[
