@@ -924,6 +924,8 @@ def oracle_sql() -> dict[str, str]:
         FROM messages, clock,
              UNNEST(generate_series(1, len(string_split(topic, '.')))) AS t(d)
         WHERE {SQL_LIVE}
+          -- mirror topic_rollup's ~is_pattern (wildcard writes excluded)
+          AND NOT (topic LIKE '%...' OR list_contains(string_split(topic, '.'), '*'))
         GROUP BY contract, topic_prefix
         """,
         "expired_stats": M

@@ -66,6 +66,38 @@ class TestJsonAdapter:
         assert eng.get(Query("a.*", contract=7), now=t0 + 100) == []
 
 
+class TestTopicValidationParity:
+    def test_regex_is_subset_of_parse_topic(self):
+        """Drift guard: the adapter gate is deliberately stricter than
+        parse_topic, but must never admit a topic the engine rejects —
+        and must agree on the core shapes (concrete/wildcard/tail)."""
+        import re
+
+        from unitdb_spark.core.topic import parse_topic
+        from unitdb_spark.sources.adapters import _TOPIC_OK
+
+        rx = re.compile(_TOPIC_OK)
+
+        def core_ok(t):
+            try:
+                parse_topic(t)
+                return True
+            except Exception:
+                return False
+
+        # subset: regex-accepted => parse_topic-accepted
+        accepted = ["a", "a.b", "a.b.c", "...", "a...", "a.b...", "a.*.c", "*", "*.b"]
+        for t in accepted:
+            assert rx.match(t), f"adapter rejects core shape {t!r}"
+            assert core_ok(t), f"adapter admits engine-invalid {t!r}"
+        # both reject malformed dot-paths
+        for t in ["", "a..b", "a.", ".a", "a...b"]:
+            assert not rx.match(t) and not core_ok(t), t
+        # deliberately stricter: engine-tolerated but ingest-rejected
+        for t in ["a b", "a?x=1.b", "a.#"]:
+            assert not rx.match(t) and core_ok(t), t
+
+
 class TestCsvAdapter:
     def test_csv_roundtrip(self, spark, tmp_path):
         (tmp_path / "csv").mkdir()

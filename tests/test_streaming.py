@@ -259,7 +259,7 @@ class TestContinuousRollup:
         """Incrementally-folded rollup == one-shot batch rollup on the
         mergeable columns, including across a stop/restart boundary."""
         from unitdb_spark.operators.rollup import topic_rollup
-        from unitdb_spark.streaming.continuous import continuous_rollup
+        from unitdb_spark.streaming.continuous import continuous_rollup, read_rollup
 
         agg = str(tmp_path / "agg")
         cp = str(tmp_path / "cp")
@@ -272,7 +272,7 @@ class TestContinuousRollup:
 
         got = {
             (r["contract"], r["topic_prefix"]): (r["n_msgs"], r["first_ts"], r["last_ts"])
-            for r in spark.read.parquet(agg).collect()
+            for r in read_rollup(spark, agg).collect()
         }
         batch = entries_stream_batch(spark, events_dir)
         want = {

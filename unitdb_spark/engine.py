@@ -102,29 +102,40 @@ class Engine:
         """db.go:336-341 Put(): append one message under a contract."""
         return self.put_entry(Entry(topic=topic, payload=_as_bytes(payload), contract=contract))
 
-    def put_entry(self, entry: Entry, ts: float | None = None) -> int:
-        """db.go:343-387 PutEntry(): validated, TTL-resolved append."""
-        spec = parse_topic(entry.topic)  # validates (db.go:351-360)
+    def _validate_entry(self, entry: Entry) -> None:
+        """Write-path validation (db.go:351-360) — shared by the direct
+        put path and Batch staging so errors surface BEFORE anything is
+        buffered or persisted."""
+        parse_topic(entry.topic)
         if len(entry.payload) > MAX_PAYLOAD_BYTES:
             raise ValueError("payload exceeds 1GB")
+
+    def _make_row(self, entry: Entry, ts: float | None = None) -> tuple[int, Row]:
+        """Seq assignment + full row construction for one entry."""
+        spec = parse_topic(entry.topic)
         now = ts if ts is not None else time.time()
         ttl = entry.ttl_seconds()
         seq = self._seq.next()
-        self._buffer.append(
-            Row(
-                seq=seq,
-                msg_id=entry.msg_id or message_id(seq, entry.contract, now),
-                contract=entry.contract,
-                topic=spec.raw,
-                ts=dt.datetime.fromtimestamp(now, dt.timezone.utc).replace(tzinfo=None),
-                expires_at=(
-                    dt.datetime.fromtimestamp(now + ttl, dt.timezone.utc).replace(tzinfo=None)
-                    if ttl is not None
-                    else None
-                ),
-                payload=bytes(entry.payload),
-            )
+        row = Row(
+            seq=seq,
+            msg_id=entry.msg_id or message_id(seq, entry.contract, now),
+            contract=entry.contract,
+            topic=spec.raw,
+            ts=dt.datetime.fromtimestamp(now, dt.timezone.utc).replace(tzinfo=None),
+            expires_at=(
+                dt.datetime.fromtimestamp(now + ttl, dt.timezone.utc).replace(tzinfo=None)
+                if ttl is not None
+                else None
+            ),
+            payload=bytes(entry.payload),
         )
+        return seq, row
+
+    def put_entry(self, entry: Entry, ts: float | None = None) -> int:
+        """db.go:343-387 PutEntry(): validated, TTL-resolved append."""
+        self._validate_entry(entry)
+        seq, row = self._make_row(entry, ts)
+        self._buffer.append(row)
         self._metrics["puts"] += 1
         if len(self._buffer) >= self.options.flush_every:
             self.flush()
@@ -345,7 +356,9 @@ class Batch:
         self.put_entry(Entry(topic=topic, payload=_as_bytes(payload), contract=c))
 
     def put_entry(self, entry: Entry, ts: float | None = None) -> None:
-        parse_topic(entry.topic)  # validate eagerly, abort-before-commit
+        # validate eagerly (topic AND payload) so a bad entry fails at
+        # staging time, before anything could persist — abort-safe
+        self.engine._validate_entry(entry)
         self._entries.append((entry, ts))
 
     def delete(self, seq: int) -> None:
@@ -365,11 +378,18 @@ class Batch:
         pass
 
     def commit(self) -> None:
-        for entry, ts in self._entries:
-            self.engine.put_entry(entry, ts=ts)
-        self.engine.flush()
+        """All-or-nothing: every entry was validated at staging time;
+        rows are built and written as ONE atomic append, bypassing the
+        engine's incremental buffer entirely (no flush_every flush can
+        fire mid-batch, and a failure persists nothing)."""
+        eng = self.engine
+        eng.flush()  # earlier direct puts are a separate commit unit
+        if self._entries:
+            rows = [eng._make_row(entry, ts)[1] for entry, ts in self._entries]
+            df = eng.spark.createDataFrame(rows, MESSAGES_SCHEMA)
+            eng.table.append(eng._encrypt(df))
+            eng._metrics["puts"] += len(rows)
         if self._deletes:
-            eng = self.engine
             eng._metrics["dels"] += len(self._deletes)
             eng.spark.createDataFrame(
                 [(s,) for s in self._deletes], "seq long"

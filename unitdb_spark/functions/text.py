@@ -187,20 +187,19 @@ def chunk_documents(
         F.lit(0),
         F.floor(F.greatest(n - F.lit(1), F.lit(0)) / F.lit(stride)).cast("int"),
     )
+    # sequence already stops at the last start < n (and yields [0] for
+    # empty docs), so every generated element is a valid chunk index
     out = df.select(
         F.col(id_col).alias("id"),
         toks.alias("_tok"),
-        F.posexplode(starts).alias("chunk_idx", "_step"),
+        F.explode(starts).alias("chunk_idx"),
     )
     piece = F.slice(F.col("_tok"), F.col("chunk_idx") * stride + 1, max_tokens)
-    return (
-        out.filter((F.col("chunk_idx") * stride < F.size("_tok")) | (F.col("chunk_idx") == 0))
-        .select(
-            "id",
-            "chunk_idx",
-            F.array_join(piece, " ").alias("chunk_text"),
-            F.size(piece).alias("n_tokens"),
-        )
+    return out.select(
+        "id",
+        "chunk_idx",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
     )
 
 

@@ -235,10 +235,17 @@ def minhash_lsh_pairs_md5(
     """
     rows_per_band = num_hashes // bands
     # same explode + groupBy-min formulation as minhash_lsh_pairs; min
-    # over md5 hex strings is lexicographic — identical on any engine
-    sh = df.select(
-        F.col(id_col).alias("_id"), raw_tokens(text_col).alias("_tk")
-    ).select("_id", F.explode(shingles_from_tokens("_tk", shingle_n)).alias("_s"))
+    # over md5 hex strings is lexicographic — identical on any engine.
+    # Spread small (single-file) inputs before the digest-heavy stage,
+    # exactly as the xxhash64 variant does — md5 per shingle is the
+    # slowest hash path, where one idle-cluster task hurts most.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    narrow = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    sh = narrow.select("_id", raw_tokens("_txt").alias("_tk")).select(
+        "_id", F.explode(shingles_from_tokens("_tk", shingle_n)).alias("_s")
+    )
     sig = sh.groupBy("_id").agg(
         F.array(
             *[

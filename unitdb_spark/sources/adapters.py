@@ -35,22 +35,35 @@ ENVELOPE_SCHEMA = T.StructType(
     ]
 )
 
-_TOPIC_OK = r"^[^.?#+ ]+(\.[^.?#+ ]+)*(\.\.\.)?$"
+#: vectorizable topic gate for bulk ingest. Deliberately STRICTER than
+#: core.topic.parse_topic: inline ?options, spaces and reserved chars
+#: (#, +) are rejected here even though the driver-side parser
+#: tolerates them — interchange files should carry clean dot-paths,
+#: TTL comes via the ttl_seconds column. Invariant (pinned by
+#: tests/test_sources.py): everything this regex admits, parse_topic
+#: accepts — the adapter never lets an engine-invalid topic through.
+_TOPIC_OK = r"^(\.\.\.|[^.?#+ ]+(\.[^.?#+ ]+)*(\.\.\.)?)$"
 
 
 def _normalize(df: DataFrame, default_contract: int) -> DataFrame:
     """Envelope → messages schema. Rows with invalid topics are dropped
     (the reference rejects them at PutEntry — db.go:351-360); callers
     wanting a quarantine keep `invalid_rows` instead."""
-    out = df.filter(F.col("topic").rlike(_TOPIC_OK)).select(
+    # bind the effective ts first: expires_at must derive from the
+    # SAME value that is stored (a row with ttl but no ts would
+    # otherwise get NULL expires_at and silently never expire)
+    eff = df.filter(F.col("topic").rlike(_TOPIC_OK)).withColumn(
+        "_ts", F.coalesce(F.col("ts"), F.current_timestamp())
+    )
+    out = eff.select(
         F.coalesce(F.col("seq"), F.monotonically_increasing_id() + 1).alias("seq"),
         F.lit(None).cast("binary").alias("msg_id"),
         F.coalesce(F.col("contract"), F.lit(default_contract)).cast("long").alias("contract"),
         F.col("topic"),
-        F.coalesce(F.col("ts"), F.current_timestamp()).alias("ts"),
+        F.col("_ts").alias("ts"),
         F.when(
             F.col("ttl_seconds").isNotNull(),
-            F.col("ts") + (F.col("ttl_seconds") * F.expr("INTERVAL 1 SECOND")),
+            F.col("_ts") + (F.col("ttl_seconds") * F.expr("INTERVAL 1 SECOND")),
         ).alias("expires_at"),
         F.encode(F.col("payload"), "utf-8").alias("payload"),
     )

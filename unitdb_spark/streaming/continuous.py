@@ -17,14 +17,22 @@ approx-distinct sketch instead.
 
 The merge cost per refresh is O(|table| + |touched prefixes|), never
 O(history). The read-merge-write fold is NOT naturally idempotent (a
-replayed batch would double-count), so the applied batch id is stored
-next to the table and replays of already-applied batches are skipped —
-the same applied-marker trick the reference's WAL release uses
-(db_sync.go: segments freed only after sync completes).
+replayed batch would double-count), so the table is maintained as
+versioned snapshots with a marker file as the commit point:
+
+  read snapshot v(marker) -> merge batch b -> write snapshot v(b)
+  -> atomically swap marker to b (tmp file + rename)
+
+A crash anywhere before the marker swap leaves the old marker pointing
+at the old snapshot, so the replayed batch re-merges from unchanged
+state (no loss, no double-count) — the same commit discipline as the
+reference's WAL release (db_sync.go: segments freed only after sync
+completes). Superseded snapshots are pruned after the swap.
 """
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 
@@ -32,8 +40,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from unitdb_spark.operators.rollup import prefix_expr
-
-AGG_COLS = ("n_msgs", "first_ts", "last_ts", "sum_value")
 
 
 def _batch_partials(batch: DataFrame) -> DataFrame:
@@ -62,33 +68,52 @@ def _merge(existing: DataFrame, partials: DataFrame) -> DataFrame:
     )
 
 
+def read_rollup(spark, agg_path: str) -> DataFrame:
+    """Read the current committed rollup snapshot."""
+    marker = Path(agg_path) / "_current"
+    if not marker.exists():
+        raise FileNotFoundError(f"no committed rollup snapshot under {agg_path}")
+    return spark.read.parquet(str(Path(agg_path) / f"v{int(marker.read_text())}"))
+
+
 def continuous_rollup(
     entries: DataFrame,
     agg_path: str,
     checkpoint: str,
     trigger_available_now: bool = True,
 ):
-    """Start the streaming query maintaining the rollup table at
-    ``agg_path`` from a messages-schema stream (with derived topic
-    columns). Returns the StreamingQuery."""
+    """Start the streaming query maintaining the versioned rollup
+    table under ``agg_path`` (read it with ``read_rollup``) from a
+    messages-schema stream (with derived topic columns). Returns the
+    StreamingQuery."""
     spark = entries.sparkSession
 
-    marker = Path(agg_path + ".applied")
+    root = Path(agg_path)
+    root.mkdir(parents=True, exist_ok=True)
+    marker = root / "_current"
+
+    def _applied() -> int | None:
+        return int(marker.read_text()) if marker.exists() else None
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if marker.exists() and batch_id <= int(marker.read_text()):
+        applied = _applied()
+        if applied is not None and batch_id <= applied:
             return  # replay of an already-applied batch: skip (idempotence)
         partials = _batch_partials(batch_df)
-        live = Path(agg_path)
-        if live.exists() and any(live.rglob("*.parquet")):
-            merged = _merge(spark.read.parquet(agg_path), partials)
+        if applied is not None:
+            merged = _merge(spark.read.parquet(str(root / f"v{applied}")), partials)
         else:
             merged = partials
-        tmp = agg_path + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(agg_path, ignore_errors=True)
-        Path(tmp).rename(agg_path)
-        marker.write_text(str(batch_id))
+        snap = root / f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(str(snap))
+        # commit point: atomic marker swap (tmp write + rename)
+        tmp = root / "_current.tmp"
+        tmp.write_text(str(batch_id))
+        os.replace(tmp, marker)
+        # prune superseded snapshots (best-effort; never the current one)
+        for old in root.glob("v*"):
+            if old.name != f"v{batch_id}":
+                shutil.rmtree(old, ignore_errors=True)
 
     writer = (
         entries.writeStream.foreachBatch(fold)
