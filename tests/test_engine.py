@@ -217,6 +217,17 @@ class TestWildcardsThroughSpark:
         # different team: only 'teams...' matches
         assert engine.get("teams.beta.ch9", now=T0 + 10) == [b"pat2"]
 
+    def test_tail_query_matches_deeper_tail_write(self, engine: Engine):
+        """Stored 'a.b...' must be visible to a 'a...' query — both
+        sides carry tails; batch Get, the Python matcher and streaming
+        fan-out all agree."""
+        engine.put_entry(Entry("a.b...", b"deep"), ts=T0)
+        engine.put_entry(Entry("z.z", b"other"), ts=T0 + 1)
+        assert engine.get("a...", now=T0 + 10) == [b"deep"]
+        assert engine.get("a.b.c", now=T0 + 10) == [b"deep"]  # under the tail
+        assert engine.get("a.*", now=T0 + 10) == []  # depth-2 query vs depth-3 pattern
+        assert engine.get("b...", now=T0 + 10) == []
+
     def test_deep_star_matrix(self, engine: Engine):
         deep = "unit.b.b1.b11.b111.b1111.b11111.b111111"
         engine.put_entry(Entry(deep, b"deep"), ts=T0)

@@ -103,6 +103,22 @@ class TestExhaustiveMatrix:
                 mismatches.append((t, q, got[(t, q)], want))
         assert not mismatches, f"{len(mismatches)} mismatches, first 10: {mismatches[:10]}"
 
+    def test_pattern_stored_vs_pattern_queries(self, spark):
+        """Full pattern-vs-pattern cross product vs the Python
+        reference matcher (core.topic.topic_match) — pins the symmetric
+        semantics where BOTH sides carry wildcards, e.g. stored
+        'a.b...' must be visible to a 'a...' query."""
+        from unitdb_spark.core.topic import topic_match
+
+        universe = list(_all_patterns(2))  # 25 patterns incl '...'
+        got = _eval_matrix(spark, universe, universe)
+        mismatches = []
+        for t, q in got:
+            want = topic_match(t, q)
+            if got[(t, q)] != want:
+                mismatches.append((t, q, got[(t, q)], want))
+        assert not mismatches, f"{len(mismatches)} mismatches, first 10: {mismatches[:10]}"
+
     def test_pattern_stored_vs_static_queries(self, spark):
         stored = [p for p in _all_patterns(3) if ("*" in p or p.endswith("..."))]
         queries = list(_all_topics(ALPHABET, 3))           # static gets

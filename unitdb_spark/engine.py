@@ -111,11 +111,21 @@ class Engine:
             raise ValueError("payload exceeds 1GB")
 
     def _make_row(self, entry: Entry, ts: float | None = None) -> tuple[int, Row]:
-        """Seq assignment + full row construction for one entry."""
+        """Seq assignment + full row construction for one entry.
+
+        A caller-supplied msg_id (NewID + WithID flow, entry.go:61-66)
+        pins the row's seq to the one embedded in the id — otherwise
+        delete_entry would tombstone a seq no row carries."""
+        from unitdb_spark.core.model import message_id_seq
+
         spec = parse_topic(entry.topic)
         now = ts if ts is not None else time.time()
         ttl = entry.ttl_seconds()
-        seq = self._seq.next()
+        if entry.msg_id is not None:
+            seq = message_id_seq(entry.msg_id)
+            self._seq.advance_to(seq)
+        else:
+            seq = self._seq.next()
         row = Row(
             seq=seq,
             msg_id=entry.msg_id or message_id(seq, entry.contract, now),
@@ -144,16 +154,23 @@ class Engine:
     def put_df(self, df: DataFrame) -> None:
         """Bulk ingest path: append a DataFrame already in messages
         schema (seq, msg_id?, contract, topic, ts, expires_at, payload).
-        This is the 100 TB path — no driver-side rows."""
+        This is the 100 TB path — no driver-side rows. The max(seq) the
+        seq counter needs is captured via observe() DURING the write —
+        a separate agg would re-execute the caller's whole input plan."""
+        from pyspark.sql import Observation
+
         self.flush()
         cols = {c for c in df.columns}
         if "msg_id" not in cols:
             df = df.withColumn("msg_id", F.lit(None).cast("binary"))
         if "expires_at" not in cols:
             df = df.withColumn("expires_at", F.lit(None).cast("timestamp"))
-        self.table.append(self._encrypt(df.select([f.name for f in MESSAGES_SCHEMA.fields])))
-        top = df.agg(F.max("seq")).collect()[0][0]
-        self._seq.advance_to(int(top or 0))
+        obs = Observation("put_df_seq")
+        observed = df.select([f.name for f in MESSAGES_SCHEMA.fields]).observe(
+            obs, F.max("seq").alias("max_seq")
+        )
+        self.table.append(self._encrypt(observed))
+        self._seq.advance_to(int(obs.get["max_seq"] or 0))
 
     def flush(self) -> None:
         """Group commit (tiny-log writeLoop parity,
@@ -266,14 +283,11 @@ class Engine:
     # ------------------------------------------------------------ admin
     def count(self, now: float | None = None) -> int:
         """db.go:474-482 Count(): live entries (TTL + tombstones applied)."""
-        now_ts = (
-            F.lit(dt.datetime.fromtimestamp(now, dt.timezone.utc).replace(tzinfo=None))
-            if now is not None
-            else F.current_timestamp()
-        )
+        from unitdb_spark.operators.get import now_column
+
         if not self.table.exists() and not self._buffer:
             return 0
-        return self._live_df().filter(ttl_live_expr(now_ts)).count()
+        return self._live_df().filter(ttl_live_expr(now_column(now))).count()
 
     def varz(self) -> dict:
         """meter.go:28-90 Varz(): op counters + per-op latency
@@ -302,18 +316,30 @@ class Engine:
     def purge_expired(self, now: float | None = None) -> None:
         """Background expirer parity (expiry_window.go:28-148): rewrite
         the table dropping dead rows. At scale this is the compaction /
-        retention job; on Parquet we rewrite partitions."""
+        retention job; on Parquet we rewrite partitions.
+
+        Crash-safe swap: the rewrite lands in a fresh staging dir
+        (stale staging from a failed prior run is discarded first, so
+        it can never be appended into twice), then live -> trash and
+        staging -> live. The only loss window is between the two
+        renames (ms); a crash there leaves the completed rewrite in
+        staging for manual promotion rather than silently reusing seqs
+        against old tombstones."""
         if not self.table.exists():
             return
         now_dt = dt.datetime.fromtimestamp(now or time.time(), dt.timezone.utc).replace(tzinfo=None)
         df = self.table.read().filter(ttl_live_expr(F.lit(now_dt))).select(
             [f.name for f in MESSAGES_SCHEMA.fields]
         )
-        tmp = self.path + "/.compact"
-        MessagesTable(self.spark, tmp).append(df)
+        tmp = Path(self.path) / ".compact"
+        trash = Path(self.path) / ".compact-old"
+        shutil.rmtree(tmp, ignore_errors=True)  # stale staging from a crash
+        shutil.rmtree(trash, ignore_errors=True)
+        MessagesTable(self.spark, str(tmp)).append(df)
         live = Path(self.table.path)
-        shutil.rmtree(live, ignore_errors=True)
-        Path(tmp).rename(live)
+        live.rename(trash)
+        tmp.rename(live)
+        shutil.rmtree(trash, ignore_errors=True)
 
     def new_contract(self) -> int:
         return new_contract()
@@ -378,22 +404,29 @@ class Batch:
         pass
 
     def commit(self) -> None:
-        """All-or-nothing: every entry was validated at staging time;
-        rows are built and written as ONE atomic append, bypassing the
-        engine's incremental buffer entirely (no flush_every flush can
-        fire mid-batch, and a failure persists nothing)."""
+        """All-or-nothing for the entry set: every entry was validated
+        at staging time; rows are built and written as ONE atomic
+        append, bypassing the engine's incremental buffer entirely (no
+        flush_every flush can fire mid-batch, and a failure persists
+        nothing).
+
+        Entries and tombstones are two physical tables, so a crash
+        between the writes is a partial batch either way. Tombstones go
+        FIRST: they target pre-existing seqs and re-applying them on a
+        retried batch is idempotent, whereas the reverse order can
+        surface the batch's puts while its deletes vanish."""
         eng = self.engine
         eng.flush()  # earlier direct puts are a separate commit unit
-        if self._entries:
-            rows = [eng._make_row(entry, ts)[1] for entry, ts in self._entries]
-            df = eng.spark.createDataFrame(rows, MESSAGES_SCHEMA)
-            eng.table.append(eng._encrypt(df))
-            eng._metrics["puts"] += len(rows)
         if self._deletes:
             eng._metrics["dels"] += len(self._deletes)
             eng.spark.createDataFrame(
                 [(s,) for s in self._deletes], "seq long"
             ).coalesce(1).write.mode("append").parquet(eng.tombstones_path)
+        if self._entries:
+            rows = [eng._make_row(entry, ts)[1] for entry, ts in self._entries]
+            df = eng.spark.createDataFrame(rows, MESSAGES_SCHEMA)
+            eng.table.append(eng._encrypt(df))
+            eng._metrics["puts"] += len(rows)
         self._entries.clear()
         self._deletes.clear()
         self._committed = True

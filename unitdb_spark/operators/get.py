@@ -45,8 +45,10 @@ def apply_get(
     out = out.filter(topic_match_expr(q.spec, symmetric=symmetric))
     last = q.last_seconds()
     if last is not None:
+        # fractional-second windows stay exact (INTERVAL accepts them);
+        # int() would truncate ?last=500ms to a zero-width window
         out = out.filter(
-            F.col("ts") >= now_ts - F.expr(f"INTERVAL {int(last)} SECOND")
+            F.col("ts") >= now_ts - F.expr(f"INTERVAL {float(last)!r} SECOND")
         )
     out = out.filter(ttl_live_expr(now_ts))
     return out.orderBy(F.desc("seq")).limit(q.effective_limit())
@@ -82,7 +84,7 @@ def apply_get_many(
         last = q.last_seconds()
         if last is not None:
             cond = cond & (
-                F.col("ts") >= now_ts - F.expr(f"INTERVAL {int(last)} SECOND")
+                F.col("ts") >= now_ts - F.expr(f"INTERVAL {float(last)!r} SECOND")
             )
         per_query.append(cond)
     tagged = base.select(

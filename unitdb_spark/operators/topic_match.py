@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from unitdb_spark.core.topic import (
     WILDCARD_ONE,
+    WILDCARD_TAIL,
     TopicKind,
     TopicSpec,
     parse_topic,
@@ -35,21 +36,33 @@ from unitdb_spark.core.topic import (
 
 
 def _query_pattern_vs_stored(spec: TopicSpec, parts: Column, depth: Column, has_tail: Column, topic: Column) -> Column:
-    """Query pattern (driver-side constant) matched against stored
-    concrete topics. Generated as a plain conjunction — codegen-friendly."""
-    base = spec.base_parts
+    """Query pattern (driver-side constant) matched against the stored
+    topic *treated as concrete* — where a stored trailing '...' counts
+    as one literal level, exactly like the Python reference matcher
+    (core.topic._pattern_matches: the concrete side keeps its wildcard
+    tokens as literals). Generated as a plain conjunction.
+    """
     if spec.kind == TopicKind.STATIC:
         # Fast path: plain string equality — partition/predicate prunable.
         return topic == F.lit(spec.raw)
-    conds: list[Column] = [~has_tail]  # stored concrete only in this direction
-    if spec.has_tail:
-        conds.append(depth >= F.lit(len(base)))
+    qp = list(spec.parts)  # INCLUDES a trailing '...' token if present
+    # effective stored token count: parts plus the tail token
+    length = depth + has_tail.cast("int")
+
+    def stored_tok(i: int) -> Column:
+        return F.when(F.lit(i) < depth, F.get(parts, i)).otherwise(
+            F.lit(WILDCARD_TAIL)
+        )
+
+    if qp and qp[-1] == WILDCARD_TAIL:
+        base = qp[:-1]
+        conds: list[Column] = [length >= F.lit(len(base))]
     else:
-        conds.append(depth == F.lit(len(base)))
+        base = qp
+        conds = [length == F.lit(len(base))]
     for i, p in enumerate(base):
         if p != WILDCARD_ONE:
-            # element_at is 1-indexed
-            conds.append(F.get(parts, i) == F.lit(p))
+            conds.append(stored_tok(i) == F.lit(p))
     out = conds[0]
     for c in conds[1:]:
         out = out & c
@@ -64,16 +77,15 @@ def _stored_pattern_vs_query(
     is_pattern: Column | None = None,
 ) -> Column:
     """Stored patterns (rows written to wildcard topics) matched against
-    the query's concrete parts. Only sound when the query itself is
-    static; for wildcard-vs-wildcard the reference's trie matches on
-    hash equality of non-wild parts, which the symmetric OR still
-    covers via the other direction.
+    the query *treated as concrete* — the query's own wildcard/tail
+    tokens count as literal levels, mirroring the Python reference
+    matcher's symmetric formulation.
 
     When ``is_pattern`` is given, the whole branch is guarded by it —
     Parquet then receives the pushable `Or(topic = x, is_pattern)`
     residual and prunes pattern-free row groups on stats.
     """
-    qparts = spec.base_parts
+    qparts = list(spec.parts)  # INCLUDES a trailing '...' token if present
     qd = len(qparts)
     # stored has trailing '...': base must be a (wildcard-tolerant) prefix
     tail_conds: Column = has_tail & (depth <= F.lit(qd))

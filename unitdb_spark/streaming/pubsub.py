@@ -97,18 +97,33 @@ def ingest_stream(
 ) -> StreamingQuery:
     """PUBLISH path: stream entries into the messages table.
 
-    foreachBatch append = group commit; checkpoint = WAL. Exactly-once
-    into the table because the Parquet append is atomic per batch and
-    the checkpoint tracks batch ids.
+    foreachBatch append = group commit; checkpoint = WAL. The Spark
+    checkpoint alone is at-least-once: a crash after the append but
+    before the checkpoint commit replays the whole batch as duplicate
+    rows. The applied-batch-id marker beside the table closes that
+    replay path (a batch whose id is recorded is skipped), shrinking
+    the duplicate window to the instants between data append and
+    marker swap — true exactly-once needs a transactional table format
+    (Delta/Iceberg) where data+txn commit together. Same discipline as
+    streaming.continuous and the reference's WAL-release-after-sync
+    (db_sync.go).
     """
+    import os
+    from pathlib import Path as _P
+
     table = MessagesTable(entries.sparkSession, table_path)
+    marker = _P(table_path + ".applied")
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        table.append(batch_df.select(
-            "seq", "msg_id", "contract", "topic", "ts", "expires_at", "payload"
-        ))
+        if marker.exists() and batch_id <= int(marker.read_text()):
+            return  # replayed batch already in the table: skip
+        if not batch_df.isEmpty():
+            table.append(batch_df.select(
+                "seq", "msg_id", "contract", "topic", "ts", "expires_at", "payload"
+            ))
+        tmp = _P(table_path + ".applied.tmp")
+        tmp.write_text(str(batch_id))
+        os.replace(tmp, marker)
 
     writer = entries.writeStream.foreachBatch(_commit).option(
         "checkpointLocation", checkpoint
@@ -134,10 +149,24 @@ def subscribe(
         topic_match_expr(spec)
     )
     if mode == DeliveryMode.RELIABLE:
-        # exactly-once-ish: drop redelivered msg_ids within the
+        # exactly-once-ish: drop redelivered messages within the
         # watermark horizon (NOTIFY/RECEIPT ledger parity,
-        # store/store.go:183-288)
-        out = out.withWatermark("ts", watermark).dropDuplicates(["msg_id"])
+        # store/store.go:183-288). Two correctness points:
+        # - the dedup key falls back to seq when msg_id is NULL
+        #   (prepare_entries emits NULL ids; dropDuplicates groups all
+        #   NULLs together and would keep exactly one message ever);
+        # - dropDuplicatesWithinWatermark, not dropDuplicates: plain
+        #   dropDuplicates never evicts state unless the event-time
+        #   column is part of the key, so its ledger grows unboundedly.
+        out = out.withColumn(
+            "_dedup_key",
+            F.coalesce(F.hex(F.col("msg_id")), F.col("seq").cast("string")),
+        )
+        out = (
+            out.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["_dedup_key"])
+            .drop("_dedup_key")
+        )
     return out
 
 
