@@ -63,6 +63,23 @@ class TestAsofJoin:
         far = asof_join(left, right, by=["uid"], direction="forward", tolerance_seconds=30).collect()[0]
         assert near["v_r"] == 7.0 and far["v_r"] is None
 
+    def test_matched_row_is_atomic_null_field_not_backfilled(self, spark):
+        """A NULL field in the matched right row must surface as NULL —
+        not be backfilled from an older right row."""
+        from unitdb_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, ts(360))], "uid long, ts timestamp")
+        right = spark.createDataFrame(
+            [(1, ts(0), 5.0), (1, ts(300), None)],
+            "uid long, ts timestamp, px double",
+        )
+        out = asof_join(left, right, by=["uid"]).collect()[0]
+        assert out["matched_ts_r"] == ts(300)
+        assert out["px_r"] is None  # from the 300s row, not the 0s row
+        # and with tolerance: the matched row is in range, px stays NULL
+        out2 = asof_join(left, right, by=["uid"], tolerance_seconds=120).collect()[0]
+        assert out2["px_r"] is None and out2["matched_ts_r"] == ts(300)
+
     def test_equal_ts_matches(self, spark):
         from unitdb_spark.operators.asof import asof_join
 
@@ -172,6 +189,37 @@ class TestSecurityKeys:
         key = generate_key(self.SECRET, "a.b", ALLOW_ALL, contract=42)
         assert validate_key(self.SECRET, key, "a.b", ALLOW_ALL, contract=42)
         assert not validate_key(self.SECRET, key, "a.b", ALLOW_ALL, contract=7)
+
+    def test_no_privilege_escalation_via_broad_request(self):
+        """A narrow grant must NOT validate a broader wildcard request
+        (validation is containment, not the symmetric query match)."""
+        from unitdb_spark.core.security import ALLOW_READ, generate_key, validate_key
+
+        narrow = generate_key(self.SECRET, "teams.alpha", ALLOW_READ)
+        assert validate_key(self.SECRET, narrow, "teams.alpha", ALLOW_READ)
+        assert not validate_key(self.SECRET, narrow, "teams.*", ALLOW_READ)
+        assert not validate_key(self.SECRET, narrow, "...", ALLOW_READ)
+        assert not validate_key(self.SECRET, narrow, "teams...", ALLOW_READ)
+        # wildcard grant covers narrower requests, not broader ones
+        wild = generate_key(self.SECRET, "teams.*", ALLOW_READ)
+        assert validate_key(self.SECRET, wild, "teams.alpha", ALLOW_READ)
+        assert validate_key(self.SECRET, wild, "teams.*", ALLOW_READ)
+        assert not validate_key(self.SECRET, wild, "teams...", ALLOW_READ)
+        assert not validate_key(self.SECRET, wild, "teams.a.b", ALLOW_READ)
+        tail = generate_key(self.SECRET, "teams...", ALLOW_READ)
+        assert validate_key(self.SECRET, tail, "teams.a.b", ALLOW_READ)
+        assert validate_key(self.SECRET, tail, "teams.*...", ALLOW_READ)
+        assert not validate_key(self.SECRET, tail, "...", ALLOW_READ)
+
+    def test_zero_ttl_key_is_expired(self):
+        from unitdb_spark.core.security import ALLOW_READ, generate_key, validate_key
+
+        key = generate_key(self.SECRET, "a.b", ALLOW_READ, ttl_seconds=0, now=1000.0)
+        assert not validate_key(self.SECRET, key, "a.b", ALLOW_READ, now=1001.0)
+        # pinned epoch-adjacent clock is honored, not replaced by wall time
+        expired = generate_key(self.SECRET, "a.b", ALLOW_READ, ttl_seconds=60, now=1.0)
+        assert not validate_key(self.SECRET, expired, "a.b", ALLOW_READ, now=100.0)
+        assert validate_key(self.SECRET, expired, "a.b", ALLOW_READ, now=30.0)
 
 
 class TestDedupSanity:

@@ -116,14 +116,13 @@ class Entry:
         return replace(self, payload=payload)
 
     def ttl_seconds(self) -> float | None:
-        spec = parse_topic(self.topic)
-        if spec.ttl_seconds is not None:
-            return spec.ttl_seconds
-        if self.ttl is None:
-            return None
-        if isinstance(self.ttl, (int, float)):
-            return float(self.ttl)
-        return parse_duration(self.ttl)
+        # explicit builder TTL wins over the topic's ?ttl= option —
+        # same precedence rule as Query.last_seconds
+        if self.ttl is not None:
+            if isinstance(self.ttl, (int, float)):
+                return float(self.ttl)
+            return parse_duration(self.ttl)
+        return parse_topic(self.topic).ttl_seconds
 
 
 def new_entry(topic: str, payload: bytes = b"") -> Entry:

@@ -19,15 +19,11 @@ import json
 import time
 
 from unitdb_spark.core.model import MASTER_CONTRACT
-from unitdb_spark.core.topic import parse_topic, topic_match
+from unitdb_spark.core.topic import parse_topic, pattern_covers
 
 ALLOW_READ = 1  # security/key.go permission bits parity
 ALLOW_WRITE = 2
 ALLOW_ALL = ALLOW_READ | ALLOW_WRITE
-
-
-class KeyError_(ValueError):
-    pass
 
 
 def generate_key(
@@ -44,7 +40,11 @@ def generate_key(
         "t": spec.raw,
         "p": permissions,
         "c": contract,
-        "e": int((now or time.time()) + ttl_seconds) if ttl_seconds else 0,
+        "e": (
+            int((now if now is not None else time.time()) + ttl_seconds)
+            if ttl_seconds is not None
+            else 0
+        ),
     }
     body = json.dumps(payload, sort_keys=True, separators=(",", ":")).encode()
     sig = hmac.new(secret, body, hashlib.sha256).digest()[:16]
@@ -74,12 +74,15 @@ def validate_key(
         return False
     if payload.get("c") != contract:
         return False
-    if payload.get("e", 0) and (now or time.time()) > payload["e"]:
+    clock = now if now is not None else time.time()
+    if payload.get("e", 0) and clock > payload["e"]:
         return False
     if (payload.get("p", 0) & permission) != permission:
         return False
     granted = payload.get("t", "")
     try:
-        return topic_match(granted, topic)
+        # one-directional containment, NOT the symmetric query match: a
+        # key for 'teams.alpha' must not authorize a 'teams.*' request
+        return pattern_covers(granted, topic)
     except Exception:
         return False

@@ -198,6 +198,38 @@ def _pattern_matches(pattern: tuple[str, ...], concrete: tuple[str, ...]) -> boo
     return all(p == WILDCARD_ONE or p == c for p, c in zip(pattern, concrete))
 
 
+def pattern_covers(grant: TopicSpec | str, request: TopicSpec | str) -> bool:
+    """One-directional containment: every topic the ``request`` pattern
+    can match is also matched by the ``grant`` pattern.
+
+    This is the ACL relation (security/key.go validation) — NOT the
+    symmetric ``topic_match``: a capability for 'teams.alpha' must not
+    authorize a 'teams.*' or '...' request, even though those pairs
+    *match* symmetrically.
+
+    Rules: a request '...' tail needs a grant tail at the same-or-
+    shallower base; a request '*' at position i needs a grant '*' (or
+    tail coverage) there; literals must agree wherever the grant is
+    literal.
+    """
+    g = parse_topic(grant) if isinstance(grant, str) else grant
+    r = parse_topic(request) if isinstance(request, str) else request
+    gb, rb = list(g.base_parts), list(r.base_parts)
+    if r.has_tail and not g.has_tail:
+        return False  # request reaches unbounded depth, grant doesn't
+    if g.has_tail:
+        if len(rb) < len(gb):
+            return False  # request can match topics shallower than grant base
+    elif r.has_tail or len(rb) != len(gb):
+        return False
+    for i, gp in enumerate(gb):
+        if gp == WILDCARD_ONE:
+            continue  # grant wildcard covers literal or '*' request here
+        if i >= len(rb) or rb[i] != gp:
+            return False  # request '*' or mismatch where grant is literal
+    return True
+
+
 def topic_match(stored: TopicSpec | str, query: TopicSpec | str) -> bool:
     """Symmetric wildcard match between a stored topic and a query topic.
 

@@ -47,17 +47,23 @@ def asof_join(
 
     lt = left.withColumn("_side", F.lit(1))
     rt = right.withColumn("_side", F.lit(0))
-    # align schemas: left carries its own columns, right contributes
-    # the payload columns to be carried forward
-    carried = [F.col(c).alias(c + suffix) for c in rcols]
+    # the matched right row travels as ONE struct column: last(...,
+    # ignorenulls) then selects whole rows atomically — per-column
+    # fills would backfill a NULL field of the matched row with a
+    # stale value from an older right row
+    rrow_type = (
+        "struct<_rts:timestamp,"
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in rcols)
+        + ">"
+    )
     lt2 = lt.select(
-        *by, F.col(ts_col), F.lit(None).cast("timestamp").alias("_rts"), "_side",
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in rcols],
+        *by, F.col(ts_col), "_side",
+        F.lit(None).cast(rrow_type).alias("_rrow"),
         *[F.col(c) for c in left.columns if c not in by and c != ts_col],
     )
     rt2 = rt.select(
-        *by, F.col(ts_col), F.col(ts_col).alias("_rts"), "_side",
-        *carried,
+        *by, F.col(ts_col), "_side",
+        F.struct(F.col(ts_col).alias("_rts"), *[F.col(c) for c in rcols]).alias("_rrow"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
@@ -73,15 +79,13 @@ def asof_join(
         .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    matched = F.last("_rrow", ignorenulls=True).over(w)
     filled = u.select(
         *by,
         ts_col,
         "_side",
-        F.last("_rts", ignorenulls=True).over(w).alias("_matched_ts"),
-        *[
-            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
-            for c in rcols
-        ],
+        matched.getField("_rts").alias("_matched_ts"),
+        *[matched.getField(c).alias(c + suffix) for c in rcols],
         *[F.col(c) for c in left.columns if c not in by and c != ts_col],
     )
     out = filled.filter(F.col("_side") == 1).drop("_side")
@@ -115,7 +119,16 @@ def range_join_bucketed(
     equi-join: each right interval is exploded onto the coarse buckets
     it spans (bounded by interval length / bucket), then the join is
     bucket-local. Shuffle key = bucket, so cost ~ matches, not |L|x|R|.
+
+    Column names shared by both sides (other than the join machinery)
+    would make the range predicate ambiguous — refuse loudly instead
+    of failing later inside Catalyst.
     """
+    overlap = (set(left.columns) & set(right.columns)) - set()
+    if overlap:
+        raise ValueError(
+            f"range_join_bucketed: rename overlapping columns first: {sorted(overlap)}"
+        )
     lb = left.withColumn(
         "_bkt", (F.unix_timestamp(F.col(left_ts)) / bucket_seconds).cast("long")
     )

@@ -37,7 +37,10 @@ def kv_state(oplog: DataFrame, as_of_order: int | None = None) -> DataFrame:
 
 def kv_get(oplog: DataFrame, key: int) -> bytes | None:
     rows = kv_state(oplog.filter(F.col("key") == key)).collect()
-    return bytes(rows[0]["value"]) if rows else None
+    if not rows:
+        return None
+    v = rows[0]["value"]
+    return bytes(v) if v is not None else None  # put-with-NULL stays None
 
 
 def kv_keys(oplog: DataFrame) -> DataFrame:

@@ -7,10 +7,15 @@ the reference's in-memory per-topic reverse-time window
 entries served before disk). Each micro-batch updates the per-key
 top-K and emits the refreshed view.
 
-State is bounded: K entries per key, and an event-time timeout drops
-keys idle past the watermark horizon (expiry-window parity,
-expiry_window.go:28-148). At scale state is partitioned by the group
-key across executors by the state store — no driver involvement.
+State is bounded: K entries per key, incoming rows are deduped by seq
+(upstream delivery is at-least-once), and a PROCESSING-TIME timeout
+drops keys idle past ``idle_timeout_ms`` of wall clock (expiry-window
+parity, expiry_window.go:28-148 — which is also wall-clock there).
+Note this is not an event-time eviction: a historical replay processed
+quickly won't time keys out mid-replay (usually what you want), and a
+paused stream does evict after the idle window. At scale state is
+partitioned by the group key across executors by the state store — no
+driver involvement.
 """
 
 from __future__ import annotations
@@ -66,9 +71,16 @@ def _topk_fn(k: int, timeout_ms: int | None):
             seqs, ts_us, payloads = list(seqs), list(ts_us), list(payloads)
         else:
             seqs, ts_us, payloads = [], [], []
+        # dedup by seq: upstream delivery is at-least-once, and a
+        # redelivered message must not occupy two of the K slots
+        seen = set(seqs)
         for pdf in pdfs:
             for seq, t, p in zip(pdf["seq"], pdf["ts_us"], pdf["payload"]):
-                seqs.append(int(seq))
+                s = int(seq)
+                if s in seen:
+                    continue
+                seen.add(s)
+                seqs.append(s)
                 ts_us.append(int(t))
                 payloads.append(bytes(p) if p is not None else b"")
         order = sorted(range(len(seqs)), key=lambda i: -seqs[i])[:k]

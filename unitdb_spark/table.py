@@ -118,10 +118,22 @@ class MessagesTable:
         return self.spark.read.schema(self._full_schema()).parquet(self.path)
 
     def exists(self) -> bool:
-        from pathlib import Path
+        """True when the table directory exists and holds data files.
 
-        p = Path(self.path)
-        return p.exists() and any(p.rglob("*.parquet"))
+        Goes through the Hadoop FileSystem API so any Spark-readable
+        scheme works (s3a://, hdfs://, gs://, file:) — local pathlib
+        would silently report 'no table' for every object-store path,
+        turning each Get/Count into an empty result."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return False
+        it = fs.listFiles(hpath, True)  # recursive
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False
 
     @staticmethod
     def _full_schema() -> T.StructType:
