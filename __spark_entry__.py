@@ -1041,7 +1041,7 @@ def oracle_sql() -> dict[str, str]:
         WITH marked AS (
           SELECT user_id, ts,
             CASE WHEN lag(ts) OVER w IS NULL
-                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+                 OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ), sess AS (
@@ -1242,15 +1242,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_repetition": f"""
         WITH g AS (
-          SELECT doc_id, list_transform(
-            generate_series(0, greatest(len(tk) - 3, 0)),
-            i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')) AS grams
+          SELECT doc_id,
+            CASE WHEN len(tk) < 3 THEN [] ELSE list_transform(
+              generate_series(0, greatest(len(tk) - 3, 0)),
+              i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')) END AS grams
           FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
         )
         SELECT doc_id,
-          round(CAST(list_max(list_transform(list_distinct(grams),
-                     d -> len(list_filter(grams, x -> x = d)))) AS DOUBLE)
-                / len(grams), 6) AS rep3_r
+          CASE WHEN len(grams) < 1 THEN 0.0 ELSE
+            round(CAST(list_max(list_transform(list_distinct(grams),
+                       d -> len(list_filter(grams, x -> x = d)))) AS DOUBLE)
+                  / len(grams), 6) END AS rep3_r
         FROM g
         """,
         "doc_fingerprint_md5": f"""

@@ -26,11 +26,9 @@ from pyspark.sql import functions as F
 
 
 def _bucket_expr(key: Column, row: int, width: int) -> Column:
-    h = F.conv(
-        F.substring(F.md5(F.concat(key.cast("string"), F.lit(f"#{row}"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    from unitdb_spark.functions.portable_hash import md5_int60
+
+    h = md5_int60(F.concat(key.cast("string"), F.lit(f"#{row}")))
     return F.pmod(h, F.lit(width))
 
 

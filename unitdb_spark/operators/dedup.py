@@ -110,9 +110,12 @@ def shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:
 
 
 def raw_tokens(col: Column | str) -> Column:
-    """Ordered (non-distinct) lowercase whitespace tokens."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    """Ordered (non-distinct) lowercase whitespace tokens — the ONE
+    tokenization shared with functions.text (delegating keeps minhash
+    grams and the text-analysis token stream in lockstep)."""
+    from unitdb_spark.functions.text import _toks
+
+    return _toks(col)
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
@@ -334,12 +337,10 @@ def _simhash_from_hashes(hashes: Column) -> Column:
 
 
 def token_hashes_md5(col: Column | str) -> Column:
-    """Engine-portable 60-bit token hashes: first 15 hex chars of md5,
-    parsed as int — reproducible in any SQL engine (md5 + hex cast)."""
-    return F.transform(
-        tokens(col),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
-    )
+    """Engine-portable 60-bit token hashes (functions.portable_hash)."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+
+    return F.transform(tokens(col), lambda t: md5_int60(t))
 
 
 def simhash64_md5(col: Column | str) -> Column:

@@ -25,11 +25,16 @@ from pyspark.sql import functions as F
 
 
 def prefix_expr(parts: Column | str = "parts", depth: Column | str = "depth") -> Column:
-    """Array of all dot-joined prefixes of `parts`: [a, a.b, a.b.c]."""
+    """Array of all dot-joined prefixes of `parts`: [a, a.b, a.b.c].
+
+    Empty topics (depth 0) yield an empty array — sequence(1, 0) would
+    otherwise step DOWNWARD to [1, 0] and fabricate two '' prefixes."""
     p = F.col(parts) if isinstance(parts, str) else parts
     d = F.col(depth) if isinstance(depth, str) else depth
-    return F.transform(
-        F.sequence(F.lit(1), d), lambda i: F.array_join(F.slice(p, F.lit(1), i), ".")
+    return F.when(d < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), d), lambda i: F.array_join(F.slice(p, F.lit(1), i), ".")
+        )
     )
 
 

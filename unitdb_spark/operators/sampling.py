@@ -22,18 +22,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_DENOM = float(1 << 60)
+from unitdb_spark.functions.portable_hash import INT60_DENOM, md5_int60
 
 
 def uniform_hash(key: Column | str, salt: str = "sample") -> Column:
-    """Deterministic uniform [0,1) from a key column + salt."""
+    """Deterministic uniform [0,1) from a key column + salt.
+
+    NULL keys hash via a sentinel instead of propagating NULL — a
+    null-propagating concat would silently drop every null-key row
+    from samples and dump them all into one split."""
     k = F.col(key) if isinstance(key, str) else key
-    h = F.conv(
-        F.substring(F.md5(F.concat(k.cast("string"), F.lit(":" + salt))), 1, 15),
-        16,
-        10,
-    ).cast("double")
-    return h / F.lit(_DENOM)
+    keyed = F.concat(
+        F.coalesce(k.cast("string"), F.lit("\x00null")), F.lit(":" + salt)
+    )
+    return md5_int60(keyed).cast("double") / F.lit(INT60_DENOM)
 
 
 def deterministic_sample(
@@ -68,8 +70,12 @@ def split_assign(
     """Stable train/valid/test label from cumulative hash ranges.
 
     ``ratios`` maps label -> weight (normalized internally). Iteration
-    order is sorted for determinism; e.g. {"train": .8, "valid": .1,
-    "test": .1} assigns u<0.1 -> test, u<0.2 -> valid, else train.
+    order is sorted-by-label for determinism: with {"train": .8,
+    "valid": .1, "test": .1} the cumulative boundaries are
+    u < 0.1 -> 'test', u < 0.9 -> 'train', else 'valid' (sorted order
+    test, train, valid). The measure of each label always equals its
+    normalized weight; only the u-interval layout depends on the
+    label sort.
     """
     total = sum(ratios.values())
     u = uniform_hash(key, salt)

@@ -122,6 +122,14 @@ def lsh_bucket_topk(
     Recall < 1 by design; at scale the bucket is a cluster/partition
     key so each query reads ~corpus/2^n_planes rows.
     """
+    # dim must match the data: zip_with null-pads a mismatched plane,
+    # the dot would go NULL, and every vector would silently land in
+    # bucket 0 (turning the bucketed search into a full cross join)
+    actual = corpus.select(F.size(F.col(vec_col))).first()
+    if actual is not None and actual[0] != dim:
+        raise ValueError(
+            f"lsh_bucket_topk: dim={dim} but embeddings have {actual[0]} dimensions"
+        )
     planes = random_planes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -251,11 +259,20 @@ def ivf_assign(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
     ).join(F.broadcast(cents))
     sim = cosine_expr("_v", "_cent").alias("_sim")
-    w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("cent_id"))
+    # argmax via max_by over (sim, -cent_id), NOT a row_number window:
+    # the window would shuffle corpus x n_cells rows (embeddings
+    # included) and sort them; max_by gets map-side partial aggregation
+    # that collapses the n_cells fan-out before the exchange, so the
+    # shuffle carries ~1x the corpus. Tie-break (-cent_id) keeps the
+    # lowest centroid id, identical to ORDER BY sim DESC, cent_id ASC.
     assigned = (
         joined.select("vec_id", "_v", "cent_id", sim)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", F.col("_v").alias("embedding"), F.col("cent_id").alias("cell"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("_v").alias("embedding"),
+            F.max_by(
+                "cent_id", F.struct(F.col("_sim"), (-F.col("cent_id")).alias("_nc"))
+            ).alias("cell"),
+        )
     )
     return assigned, cents

@@ -81,6 +81,11 @@ def sessionize_ids(
     SQL-expressible (lag + cumulative sum over per-key windows) so the
     DuckDB oracle can reproduce it exactly; same shuffle profile as a
     window function (one shuffle on key).
+
+    Boundary semantics match native ``session_window`` (its windows
+    are end-exclusive): a gap EQUAL to ``gap_seconds`` starts a new
+    session — so the batch and streaming sessionizations agree row for
+    row at exact-gap boundaries.
     """
     wk = Window.partitionBy(key).orderBy(ts_col)
     prev = F.lag(ts_col).over(wk)
@@ -88,7 +93,7 @@ def sessionize_ids(
     # precision, matching an `extract(epoch ...)` SQL oracle exactly)
     new_s = (
         prev.isNull()
-        | ((F.col(ts_col).cast("double") - prev.cast("double")) > gap_seconds)
+        | ((F.col(ts_col).cast("double") - prev.cast("double")) >= gap_seconds)
     ).cast("int")
     return df.withColumn("_new_s", new_s).withColumn(
         "session_id", F.sum("_new_s").over(wk.rowsBetween(Window.unboundedPreceding, 0))
