@@ -385,7 +385,7 @@ def q_events_sliding_6h(spark, sf_dir):
 
 def q_events_sessionize(spark, sf_dir):
     ev = _events(spark, sf_dir)
-    sess = sessionize_ids(ev, gap_seconds=1800, key="user_id")
+    sess = sessionize_ids(ev, gap_seconds=1800, key="user_id", tiebreak_cols=["event_id"])
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.unix_timestamp(F.min("ts")).alias("start_s"),
@@ -1039,15 +1039,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sessionize": """
         WITH marked AS (
-          SELECT user_id, ts,
+          SELECT user_id, ts, event_id,
             CASE WHEN lag(ts) OVER w IS NULL
                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
           FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
+          -- CAST: DuckDB windowed SUM yields HUGEINT -> pandas float64,
+          -- which hash-mismatches Spark's BIGINT even when values agree.
           SELECT user_id, ts,
-            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+            CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM marked
         )
         SELECT user_id, session_id, COUNT(*) AS n_events,

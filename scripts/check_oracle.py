@@ -55,7 +55,18 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
     s, d = normalize(sdf), normalize(ddf)
     for c in s.columns:
         sv, dv = s[c].to_numpy(), d[c].to_numpy()
-        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
+        s_float = np.issubdtype(sv.dtype, np.floating)
+        d_float = np.issubdtype(dv.dtype, np.floating)
+        if s_float != d_float:
+            # The driver hashes rendered values, so int 1 vs float 1.0
+            # mismatch even when numerically equal (e.g. DuckDB windowed
+            # SUM -> HUGEINT -> pandas float64 vs Spark BIGINT).
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={sv.dtype} duck={dv.dtype} "
+                "(int-vs-float hashes differently in the driver; CAST the oracle)"
+            )
+            continue
+        if s_float or d_float:
             sv64 = sv.astype(np.float64)
             dv64 = dv.astype(np.float64)
             if not np.array_equal(sv64, dv64, equal_nan=True):

@@ -74,7 +74,11 @@ def session_agg(
 
 
 def sessionize_ids(
-    df: DataFrame, gap_seconds: int, key: str, ts_col: str = "ts"
+    df: DataFrame,
+    gap_seconds: int,
+    key: str,
+    ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gaps-and-islands sessionization: adds session_id per key row.
 
@@ -86,8 +90,12 @@ def sessionize_ids(
     are end-exclusive): a gap EQUAL to ``gap_seconds`` starts a new
     session — so the batch and streaming sessionizations agree row for
     row at exact-gap boundaries.
+
+    ``tiebreak_cols`` makes the per-key row order fully deterministic
+    when timestamps collide (session assignment is tie-order-invariant,
+    but a pinned order keeps lag() reproducible across engines).
     """
-    wk = Window.partitionBy(key).orderBy(ts_col)
+    wk = Window.partitionBy(key).orderBy(ts_col, *(tiebreak_cols or []))
     prev = F.lag(ts_col).over(wk)
     # epoch-with-fraction diff (cast timestamp->double keeps sub-second
     # precision, matching an `extract(epoch ...)` SQL oracle exactly)
