@@ -1338,9 +1338,15 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, b,
             md5(g[b*4+1] || ',' || g[b*4+2] || ',' || g[b*4+3] || ',' || g[b*4+4] || ',' || b) AS bucket
           FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
+        ), ok AS (
+          -- degenerate-bucket cap (max_bucket_size=500), matching
+          -- _cap_buckets in operators/dedup.py
+          SELECT b, bucket FROM banded GROUP BY b, bucket HAVING COUNT(*) <= 500
+        ), capped AS (
+          SELECT banded.* FROM banded JOIN ok USING (b, bucket)
         ), cand AS (
           SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-          FROM banded a JOIN banded c ON a.b = c.b AND a.bucket = c.bucket
+          FROM capped a JOIN capped c ON a.b = c.b AND a.bucket = c.bucket
           WHERE a.doc_id < c.doc_id
         )
         SELECT id_a, id_b,

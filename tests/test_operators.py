@@ -261,6 +261,56 @@ class TestDedupSanity:
         assert (1, 2) in pairs and (1, 3) not in pairs
         assert pairs[(1, 2)] == 1.0
 
+    def test_lsh_degenerate_bucket_cap(self, spark):
+        """10k identical docs share every (band, bucket); without the
+        cap the self-join builds ~50M pairs in one task. With the cap
+        they are dropped (exact_dedup's job), the planted near-dup in
+        the long tail survives, and the overflow report names the
+        degenerate buckets."""
+        from unitdb_spark.operators.dedup import (
+            lsh_overflow_report,
+            minhash_lsh_pairs,
+        )
+
+        boiler = [(i, "lorem ipsum dolor sit amet " * 4) for i in range(10_000)]
+        base = "the quick brown fox jumps over the lazy dog " * 5
+        df = spark.createDataFrame(
+            boiler + [(20_001, base), (20_002, base + "extra tail")],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                df, num_hashes=16, bands=4, max_bucket_size=100
+            ).collect()
+        }
+        assert (20_001, 20_002) in pairs
+        assert not any(a < 10_000 for a, _ in pairs)  # boilerplate dropped
+        report = lsh_overflow_report(
+            df, num_hashes=16, bands=4, max_bucket_size=100
+        ).collect()
+        assert len(report) == 4  # one degenerate bucket per band
+        assert all(r["n_docs"] == 10_000 for r in report)
+        assert all(len(r["sample_ids"]) == 10 for r in report)
+
+    def test_lsh_persist_disk_and_none_agree(self, spark):
+        from unitdb_spark.operators.dedup import minhash_lsh_pairs
+
+        base = "the quick brown fox jumps over the lazy dog " * 5
+        df = spark.createDataFrame(
+            [(1, base), (2, base + "extra tail"), (3, "completely different words here entirely")],
+            "doc_id long, text string",
+        )
+        expect = {(1, 2)}
+        for mode in ("disk", "none"):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in minhash_lsh_pairs(
+                    df, num_hashes=16, bands=4, persist=mode
+                ).collect()
+            }
+            assert got == expect, mode
+
     def test_simhash_md5_hamming_locality(self, spark):
         from unitdb_spark.operators.dedup import simhash64_md5
 

@@ -140,20 +140,43 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """Near-dup candidate pairs via MinHash + LSH banding.
+def _persist_sig(sig: DataFrame, persist: str) -> DataFrame:
+    """Signature reuse strategy — the signature df is read twice (band
+    join + est_jaccard), so callers choose how it is kept:
 
-    rows = num_hashes/bands; docs sharing any band bucket meet once.
-    Output: (id_a, id_b, est_jaccard) — est from full-signature
-    agreement of the candidates (exact verify is a cheap follow-up on
-    this tiny candidate set).
+    - "memory": .cache() (MEMORY_AND_DISK) — right at bench scale.
+    - "disk": StorageLevel.DISK_ONLY — at 100 TB signatures outgrow
+      executor memory; disk-only persist avoids evicting the shuffle
+      data the bucket join needs while still computing them once.
+    - "none": no persist — recompute per use; right when even local
+      disk is tight or lineage is cheap relative to storage.
+    """
+    if persist == "memory":
+        return sig.cache()
+    if persist == "disk":
+        from pyspark import StorageLevel
+
+        return sig.persist(StorageLevel.DISK_ONLY)
+    if persist == "none":
+        return sig
+    raise ValueError(f"persist must be memory|disk|none, got {persist!r}")
+
+
+def _minhash_sig_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    hash_family: str,
+    persist: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature + banding pipeline for both hash families.
+
+    Returns (sig, banded): sig = (_id, _sig array), banded =
+    (_id, band, bucket) where bucket is the hash of the band's
+    signature slice — the LSH shuffle key.
     """
     rows_per_band = num_hashes // bands
     # signature computation is CPU-bound: spread small inputs (one
@@ -173,26 +196,73 @@ def minhash_lsh_pairs(
     sh = narrow.select("_id", raw_tokens("_txt").alias("_tk")).select(
         "_id", F.explode(shingles_from_tokens("_tk", shingle_n)).alias("_s")
     )
-    sig = sh.groupBy("_id").agg(
-        F.array(
-            *[F.min(F.xxhash64("_s", F.lit(k))) for k in range(num_hashes)]
-        ).alias("_sig")
-    ).cache()
-    # explode to (band, bucket_hash, id): shuffle key is the bucket
-    banded = sig.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(",", *[F.get("_sig", b * rows_per_band + r).cast("string") for r in range(rows_per_band)]),
-                        F.lit(b),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+    if hash_family == "xxhash64":
+        mins = [F.min(F.xxhash64("_s", F.lit(k))) for k in range(num_hashes)]
+    else:  # md5: min over hex strings is lexicographic — engine-portable
+        mins = [
+            F.min(F.md5(F.concat(F.col("_s"), F.lit(f":{k}"))))
+            for k in range(num_hashes)
+        ]
+    sig = _persist_sig(
+        sh.groupBy("_id").agg(F.array(*mins).alias("_sig")), persist
     )
+    # explode to (band, bucket_hash, id): shuffle key is the bucket
+    if hash_family == "xxhash64":
+        band_exprs = [
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.get("_sig", b * rows_per_band + r).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_exprs = [
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.get("_sig", b * rows_per_band + r) for r in range(rows_per_band)],
+                    F.lit(str(b)),
+                )
+            )
+            for b in range(bands)
+        ]
+    banded = sig.select(
+        "_id", F.posexplode(F.array(*band_exprs)).alias("band", "bucket")
+    )
+    return sig, banded
+
+
+def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop degenerate LSH buckets before the self-join.
+
+    Identical signatures (empty docs, boilerplate) put O(n) docs into
+    one (band, bucket); the self-join then builds O(n^2) pairs in a
+    single task — at 100 TB one such cluster kills the stage. Buckets
+    above the cap are whole-cluster duplicates anyway, which
+    ``exact_dedup`` already catches for ~free; LSH's job is the long
+    tail of *near* dups. The count agg and the join share the
+    (band, bucket) partitioning with the pair join, so AQE reuses the
+    exchange — no extra wide shuffle. ``lsh_overflow_report`` surfaces
+    what was dropped.
+    """
+    if max_bucket_size is None:
+        return banded
+    ok = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    return banded.join(ok, on=["band", "bucket"])
+
+
+def _lsh_pairs_from(sig: DataFrame, banded: DataFrame, num_hashes: int) -> DataFrame:
     a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
     cand = (
@@ -217,6 +287,34 @@ def minhash_lsh_pairs(
         .join(sb, "id_b")
         .select("id_a", "id_b", est.alias("est_jaccard"))
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 500,
+    persist: str = "memory",
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + LSH banding.
+
+    rows = num_hashes/bands; docs sharing any band bucket meet once.
+    Buckets larger than ``max_bucket_size`` are dropped before the
+    self-join (degenerate-cluster guard — see ``_cap_buckets``; audit
+    the dropped mass with ``lsh_overflow_report``). ``persist``
+    controls signature reuse ("memory" | "disk" | "none", see
+    ``_persist_sig``).
+    Output: (id_a, id_b, est_jaccard) — est from full-signature
+    agreement of the candidates (exact verify is a cheap follow-up on
+    this tiny candidate set).
+    """
+    sig, banded = _minhash_sig_banded(
+        df, text_col, id_col, num_hashes, bands, shingle_n, "xxhash64", persist
+    )
+    return _lsh_pairs_from(sig, _cap_buckets(banded, max_bucket_size), num_hashes)
 
 
 def minhash_lsh_pairs_md5(
@@ -226,77 +324,52 @@ def minhash_lsh_pairs_md5(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 500,
+    persist: str = "memory",
 ) -> DataFrame:
     """MinHash+LSH with md5 as the hash family — engine-portable, so
     the full pipeline (shingle → signature → banding → bucket join →
     est_jaccard) is reproducible bit-for-bit in any SQL engine with
     md5(), giving the driver's DuckDB oracle full coverage of the LSH
-    path. Same plan shape as ``minhash_lsh_pairs`` (which stays the
-    fast path: xxhash64 is codegen'd JVM arithmetic, md5 is a digest).
+    path (including the bucket cap, replayed in SQL via HAVING).
+    Same plan shape as ``minhash_lsh_pairs`` (which stays the fast
+    path: xxhash64 is codegen'd JVM arithmetic, md5 is a digest).
 
     Output: (id_a, id_b, est_jaccard), id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
-    # same explode + groupBy-min formulation as minhash_lsh_pairs; min
-    # over md5 hex strings is lexicographic — identical on any engine.
-    # Spread small (single-file) inputs before the digest-heavy stage,
-    # exactly as the xxhash64 variant does — md5 per shingle is the
-    # slowest hash path, where one idle-cluster task hurts most.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    narrow = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
-    if narrow.rdd.getNumPartitions() < par:
-        narrow = narrow.repartition(par)
-    sh = narrow.select("_id", raw_tokens("_txt").alias("_tk")).select(
-        "_id", F.explode(shingles_from_tokens("_tk", shingle_n)).alias("_s")
+    sig, banded = _minhash_sig_banded(
+        df, text_col, id_col, num_hashes, bands, shingle_n, "md5", persist
     )
-    sig = sh.groupBy("_id").agg(
-        F.array(
-            *[
-                F.min(F.md5(F.concat(F.col("_s"), F.lit(f":{k}"))))
-                for k in range(num_hashes)
-            ]
-        ).alias("_sig")
-    ).cache()
-    banded = sig.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[F.get("_sig", b * rows_per_band + r) for r in range(rows_per_band)],
-                            F.lit(str(b)),
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
-    a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
-    sb = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
+    return _lsh_pairs_from(sig, _cap_buckets(banded, max_bucket_size), num_hashes)
+
+
+def lsh_overflow_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int = 500,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Buckets the cap dropped: (band, bucket, n_docs, sample_ids).
+
+    Run alongside ``minhash_lsh_pairs`` to audit what the degenerate-
+    bucket guard excluded — at scale these are boilerplate/empty-doc
+    clusters that belong to exact dedup, and a large report is a data-
+    quality signal, not an LSH tuning problem.
+    """
+    _, banded = _minhash_sig_banded(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hash_family, "none"
     )
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", est.alias("est_jaccard"))
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.slice(F.sort_array(F.collect_list("_id")), 1, 10).alias("sample_ids"),
+        )
+        .filter(F.col("n_docs") > max_bucket_size)
     )
 
 
