@@ -246,6 +246,19 @@ class TestCountVarz:
         v = engine.varz()
         assert v["puts"] == 7 and v["dels"] == 1
 
+    def test_file_size_grows(self, engine: Engine):
+        """FileSize parity (db.go:474-482): 0 before any flush, >0
+        after, and monotonically growing with appended data."""
+        assert engine.file_size() == 0
+        engine.put_entry(Entry("c.t", b"x" * 100), ts=T0)
+        engine.flush()
+        s1 = engine.file_size()
+        assert s1 > 0
+        for i in range(50):
+            engine.put_entry(Entry("c.t", b"y" * 200), ts=T0 + 1 + i)
+        engine.flush()
+        assert engine.file_size() > s1
+
     def test_varz_latency_percentiles(self, engine: Engine):
         engine.put_entry(Entry("c.t", b"x"), ts=T0)
         for _ in range(3):

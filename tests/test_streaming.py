@@ -190,6 +190,97 @@ class TestStreamingWindowAgg:
         assert sum(seen) == 1000 and len(seen) >= 2  # grouped deliveries
 
 
+class TestSeqTiebreak:
+    def test_fallback_seq_distinct_on_ts_collision(self, spark):
+        """Distinct messages sharing a second-granularity timestamp must
+        not collide on the fallback seq (downstream treats seq as
+        identity: RELIABLE dedup, stateful top-K seen-set)."""
+        df = spark.createDataFrame(
+            [("a.b", b"x"), ("a.b", b"y"), ("a.c", b"x")],
+            "topic string, payload binary",
+        ).withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+        seqs = [r[0] for r in prepare_entries(df).select("seq").collect()]
+        assert len(set(seqs)) == 3
+        # ts ordering is preserved across different timestamps
+        df2 = spark.createDataFrame(
+            [("a.b", b"x", 1_700_000_000), ("a.b", b"y", 1_700_000_001)],
+            "topic string, payload binary, t long",
+        ).withColumn("ts", F.timestamp_seconds(F.col("t"))).drop("t")
+        s = {bytes(r["payload"]): r["seq"] for r in prepare_entries(df2).collect()}
+        assert s[b"x"] < s[b"y"]
+
+
+class TestDelayGrouping:
+    def test_delay_ms_splits_flush_groups(self, spark, tmp_path):
+        """Two subscriptions with different delay_ms flush in different
+        trigger groups (timeID(delay) parity, batch.go:93-108)."""
+        src = str(tmp_path / "delay-src")
+        spark.createDataFrame(
+            [("a.b", b"m1"), ("a.b", b"m2")], "topic string, payload binary"
+        ).withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000))).write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = prepare_entries(spark.readStream.schema(schema).parquet(src))
+        subs = spark.createDataFrame(
+            [(1, "a.b", MASTER_CONTRACT, 0), (2, "a.b", MASTER_CONTRACT, 5000)],
+            "sub_id long, topic string, contract long, delay_ms long",
+        )
+        out = fanout_once(stream, subs)
+        flushed: dict[tuple, list[int]] = {}
+
+        def sink(df, key):
+            flushed[key] = sorted(r[0] for r in df.select("sub_id").collect())
+
+        q = batched_writer(
+            out,
+            sink,
+            str(tmp_path / "ckpt-delay"),
+            batch_interval_ms=1000,
+            available_now=True,
+            delay_col="delay_ms",
+        )
+        q.awaitTermination(120)
+        # one flush group per distinct due time: sub 1 (delay 0) and
+        # sub 2 (delay 5s) are 5 interval buckets apart
+        by_group = {k[1]: v for k, v in flushed.items()}
+        assert len(by_group) == 2
+        g1, g2 = sorted(by_group)
+        assert g2 - g1 == 5
+        assert by_group[g1] == [1, 1] and by_group[g2] == [2, 2]
+
+
+class TestFreshCheckpoint:
+    def test_new_checkpoint_does_not_skip_batches(self, spark, tmp_path):
+        """Round-1 regression: a bare high-water marker made a fresh
+        checkpoint (batch ids reset to 0) skip every real batch until
+        the stale id was passed — silent data loss. The commit log is
+        keyed by query generation, so new-checkpoint runs apply."""
+        table = str(tmp_path / "fresh" / "messages")
+
+        def src_of(name, rows):
+            p = str(tmp_path / name)
+            spark.createDataFrame(rows, "topic string, payload binary").withColumn(
+                "ts", F.timestamp_seconds(F.lit(1_700_000_000))
+            ).write.mode("overwrite").parquet(p)
+            schema = spark.read.parquet(p).schema
+            return prepare_entries(spark.readStream.schema(schema).parquet(p))
+
+        q = ingest_stream(
+            src_of("srcA", [("a.b", b"one"), ("a.b", b"two")]),
+            table,
+            str(tmp_path / "ckptA"),
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(table).count() == 2
+        # second pipeline: NEW source, FRESH checkpoint, same table
+        q2 = ingest_stream(
+            src_of("srcB", [("a.c", b"three")]), table, str(tmp_path / "ckptB")
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(table).count() == 3
+
+
 class TestStatefulRestart:
     def test_topk_state_survives_checkpoint_restart(self, spark, tmp_path):
         """Stop the stateful query, append new data, restart from the
@@ -266,7 +357,7 @@ class TestContinuousRollup:
 
         q = continuous_rollup(entries_stream(spark, events_dir), agg, cp)
         q.awaitTermination(180)
-        # restart with no new data: applied-marker makes it a no-op
+        # restart with no new data: applied-batch commit log -> no-op
         q2 = continuous_rollup(entries_stream(spark, events_dir), agg, cp)
         q2.awaitTermination(180)
 
@@ -280,6 +371,18 @@ class TestContinuousRollup:
             for r in topic_rollup(batch).collect()
         }
         assert got == want
+
+        # FRESH checkpoint over the same source: the full replay
+        # rebuilds its own snapshot generation (round-1's bare marker
+        # would have skipped every batch and pinned the stale snapshot)
+        cp2 = str(tmp_path / "cp-fresh")
+        q3 = continuous_rollup(entries_stream(spark, events_dir), agg, cp2)
+        q3.awaitTermination(180)
+        got2 = {
+            (r["contract"], r["topic_prefix"]): (r["n_msgs"], r["first_ts"], r["last_ts"])
+            for r in read_rollup(spark, agg).collect()
+        }
+        assert got2 == want
 
 
 def entries_stream_batch(spark, events_dir):

@@ -26,7 +26,6 @@ path.
 from __future__ import annotations
 
 import datetime as dt
-import shutil
 import time
 from collections import deque
 from dataclasses import dataclass
@@ -34,6 +33,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
+
+from unitdb_spark import fs
 
 from unitdb_spark.core.model import (
     DEFAULT_QUERY_LIMIT,
@@ -90,12 +91,13 @@ class Engine:
     # ------------------------------------------------------------- open
     @classmethod
     def open(cls, spark: SparkSession, path: str, **opts) -> "Engine":
-        """db.go:50-210 Open()."""
-        Path(path).mkdir(parents=True, exist_ok=True)
+        """db.go:50-210 Open(). Scheme-agnostic: mkdir goes through the
+        Hadoop FS API, like every other path operation (fs.py)."""
+        fs.mkdirs(spark, str(path))
         return cls(spark, path, EngineOptions(**opts))
 
     def destroy(self) -> None:
-        shutil.rmtree(self.path, ignore_errors=True)
+        fs.delete(self.spark, self.path)
 
     # ------------------------------------------------------------ write
     def put(self, topic: str, payload: bytes | str, contract: int = MASTER_CONTRACT) -> int:
@@ -264,8 +266,7 @@ class Engine:
         self.delete(message_id_seq(entry.msg_id))
 
     def _tombstones_df(self) -> DataFrame | None:
-        p = Path(self.tombstones_path)
-        if p.exists() and any(p.rglob("*.parquet")):
+        if fs.has_files(self.spark, self.tombstones_path):
             return self.spark.read.parquet(self.tombstones_path)
         return None
 
@@ -288,6 +289,13 @@ class Engine:
         if not self.table.exists() and not self._buffer:
             return 0
         return self._live_df().filter(ttl_live_expr(now_column(now))).count()
+
+    def file_size(self) -> int:
+        """db.go:474-482 FileSize(): bytes on storage for this store
+        (messages + tombstones; buffered rows not yet flushed don't
+        count, matching the reference where only synced files do).
+        One recursive content-summary listing — no data read."""
+        return fs.tree_bytes(self.spark, self.path)
 
     def varz(self) -> dict:
         """meter.go:28-90 Varz(): op counters + per-op latency
@@ -331,15 +339,14 @@ class Engine:
         df = self.table.read().filter(ttl_live_expr(F.lit(now_dt))).select(
             [f.name for f in MESSAGES_SCHEMA.fields]
         )
-        tmp = Path(self.path) / ".compact"
-        trash = Path(self.path) / ".compact-old"
-        shutil.rmtree(tmp, ignore_errors=True)  # stale staging from a crash
-        shutil.rmtree(trash, ignore_errors=True)
-        MessagesTable(self.spark, str(tmp)).append(df)
-        live = Path(self.table.path)
-        live.rename(trash)
-        tmp.rename(live)
-        shutil.rmtree(trash, ignore_errors=True)
+        tmp = str(Path(self.path) / ".compact")
+        trash = str(Path(self.path) / ".compact-old")
+        fs.delete(self.spark, tmp)  # stale staging from a crash
+        fs.delete(self.spark, trash)
+        MessagesTable(self.spark, tmp).append(df)
+        fs.rename(self.spark, self.table.path, trash)
+        fs.rename(self.spark, tmp, self.table.path)
+        fs.delete(self.spark, trash)
 
     def new_contract(self) -> int:
         return new_contract()

@@ -18,28 +18,32 @@ approx-distinct sketch instead.
 The merge cost per refresh is O(|table| + |touched prefixes|), never
 O(history). The read-merge-write fold is NOT naturally idempotent (a
 replayed batch would double-count), so the table is maintained as
-versioned snapshots with a marker file as the commit point:
+versioned snapshots with the applied-batch commit log
+(streaming.commitlog) as the commit point:
 
-  read snapshot v(marker) -> merge batch b -> write snapshot v(b)
-  -> atomically swap marker to b (tmp file + rename)
+  read snapshot v(last committed) -> merge batch b -> write snapshot
+  v(b) -> create the commit-log entry for b
 
-A crash anywhere before the marker swap leaves the old marker pointing
+A crash anywhere before the commit-log append leaves the log pointing
 at the old snapshot, so the replayed batch re-merges from unchanged
 state (no loss, no double-count) — the same commit discipline as the
 reference's WAL release (db_sync.go: segments freed only after sync
-completes). Superseded snapshots are pruned after the swap.
+completes). Snapshots are keyed by (query-generation, batch), so a
+pipeline restarted with a FRESH checkpoint — which replays the whole
+source from batch 0 — rebuilds its own snapshot line instead of
+matching a stale high-water mark and skipping every batch (the
+round-1 single-marker failure mode). One maintainer stream per rollup
+table; superseded snapshots are pruned after each commit.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-from pathlib import Path
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from unitdb_spark import fs
 from unitdb_spark.operators.rollup import prefix_expr
+from unitdb_spark.streaming.commitlog import CommitLog, latest_commit
 
 
 def _batch_partials(batch: DataFrame) -> DataFrame:
@@ -68,12 +72,17 @@ def _merge(existing: DataFrame, partials: DataFrame) -> DataFrame:
     )
 
 
+def _snap_path(agg_path: str, qid: str, batch_id: int) -> str:
+    return f"{agg_path.rstrip('/')}/v_{qid}_{batch_id}"
+
+
 def read_rollup(spark, agg_path: str) -> DataFrame:
-    """Read the current committed rollup snapshot."""
-    marker = Path(agg_path) / "_current"
-    if not marker.exists():
+    """Read the current committed rollup snapshot (latest commit-log
+    entry across query generations)."""
+    cur = latest_commit(spark, agg_path)
+    if cur is None:
         raise FileNotFoundError(f"no committed rollup snapshot under {agg_path}")
-    return spark.read.parquet(str(Path(agg_path) / f"v{int(marker.read_text())}"))
+    return spark.read.parquet(_snap_path(agg_path, *cur))
 
 
 def continuous_rollup(
@@ -87,33 +96,29 @@ def continuous_rollup(
     messages-schema stream (with derived topic columns). Returns the
     StreamingQuery."""
     spark = entries.sparkSession
-
-    root = Path(agg_path)
-    root.mkdir(parents=True, exist_ok=True)
-    marker = root / "_current"
-
-    def _applied() -> int | None:
-        return int(marker.read_text()) if marker.exists() else None
+    fs.mkdirs(spark, agg_path)
+    log = CommitLog(spark, checkpoint, agg_path)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        applied = _applied()
-        if applied is not None and batch_id <= applied:
+        if log.applied(batch_id):
             return  # replay of an already-applied batch: skip (idempotence)
+        applied = log.last()
         partials = _batch_partials(batch_df)
         if applied is not None:
-            merged = _merge(spark.read.parquet(str(root / f"v{applied}")), partials)
+            merged = _merge(
+                spark.read.parquet(_snap_path(agg_path, log.query_id, applied)),
+                partials,
+            )
         else:
             merged = partials
-        snap = root / f"v{batch_id}"
-        merged.write.mode("overwrite").parquet(str(snap))
-        # commit point: atomic marker swap (tmp write + rename)
-        tmp = root / "_current.tmp"
-        tmp.write_text(str(batch_id))
-        os.replace(tmp, marker)
+        snap = _snap_path(agg_path, log.query_id, batch_id)
+        merged.write.mode("overwrite").parquet(snap)
+        log.record(batch_id)  # commit point
         # prune superseded snapshots (best-effort; never the current one)
-        for old in root.glob("v*"):
-            if old.name != f"v{batch_id}":
-                shutil.rmtree(old, ignore_errors=True)
+        keep = f"v_{log.query_id}_{batch_id}"
+        for name, _, is_dir in fs.list_status(spark, agg_path):
+            if is_dir and name.startswith("v_") and name != keep:
+                fs.delete(spark, f"{agg_path.rstrip('/')}/{name}")
 
     writer = (
         entries.writeStream.foreachBatch(fold)

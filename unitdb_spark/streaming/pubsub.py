@@ -79,12 +79,18 @@ def prepare_entries(df: DataFrame) -> DataFrame:
     if "msg_id" not in cols:
         df = df.withColumn("msg_id", F.lit(None).cast("binary"))
     if "seq" not in cols:
-        # streaming-safe monotonic-ish ordering key: event-time micros.
-        # Strict per-ingest sequence is assigned at flush time by the
-        # batch engine; streams order by (ts, tiebreak hash).
+        # streaming-safe monotonic-ish ordering key: event-time micros
+        # shifted left 12 bits with a content-hash tiebreak in the low
+        # bits. Distinct messages sharing a timestamp (second-granular
+        # sources are common) would otherwise collide on seq, and
+        # downstream treats seq as identity (RELIABLE dedup fallback,
+        # stateful top-K seen-set) — colliding seqs silently drop
+        # messages. micros < 2^51 until ~2255, so the shift can't
+        # overflow a signed 64-bit long.
         df = df.withColumn(
             "seq",
-            (F.unix_micros(F.col("ts"))).cast("long"),
+            F.shiftleft(F.unix_micros(F.col("ts")), 12)
+            + F.pmod(F.xxhash64(F.col("topic"), F.col("payload")), F.lit(4096)),
         )
     return with_topic_columns(df)
 
@@ -100,30 +106,29 @@ def ingest_stream(
     foreachBatch append = group commit; checkpoint = WAL. The Spark
     checkpoint alone is at-least-once: a crash after the append but
     before the checkpoint commit replays the whole batch as duplicate
-    rows. The applied-batch-id marker beside the table closes that
-    replay path (a batch whose id is recorded is skipped), shrinking
-    the duplicate window to the instants between data append and
-    marker swap — true exactly-once needs a transactional table format
+    rows. The applied-batch commit log beside the table closes that
+    replay path (a batch whose id is logged for this checkpoint
+    generation is skipped — see streaming.commitlog for why the log is
+    keyed by query id, not a bare high-water mark), shrinking the
+    duplicate window to the instants between data append and log
+    append — true exactly-once needs a transactional table format
     (Delta/Iceberg) where data+txn commit together. Same discipline as
     streaming.continuous and the reference's WAL-release-after-sync
     (db_sync.go).
     """
-    import os
-    from pathlib import Path as _P
+    from unitdb_spark.streaming.commitlog import CommitLog
 
     table = MessagesTable(entries.sparkSession, table_path)
-    marker = _P(table_path + ".applied")
+    log = CommitLog(entries.sparkSession, checkpoint, table_path + ".applied")
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        if marker.exists() and batch_id <= int(marker.read_text()):
+        if log.applied(batch_id):
             return  # replayed batch already in the table: skip
         if not batch_df.isEmpty():
             table.append(batch_df.select(
                 "seq", "msg_id", "contract", "topic", "ts", "expires_at", "payload"
             ))
-        tmp = _P(table_path + ".applied.tmp")
-        tmp.write_text(str(batch_id))
-        os.replace(tmp, marker)
+        log.record(batch_id)
 
     writer = entries.writeStream.foreachBatch(_commit).option(
         "checkpointLocation", checkpoint
@@ -158,9 +163,15 @@ def subscribe(
         # - dropDuplicatesWithinWatermark, not dropDuplicates: plain
         #   dropDuplicates never evicts state unless the event-time
         #   column is part of the key, so its ledger grows unboundedly.
+        # domain prefixes keep the two keyspaces disjoint: without
+        # them, a msg_id whose hex rendering equals another NULL-id
+        # row's decimal seq string would dedup two distinct messages
         out = out.withColumn(
             "_dedup_key",
-            F.coalesce(F.hex(F.col("msg_id")), F.col("seq").cast("string")),
+            F.coalesce(
+                F.concat(F.lit("m:"), F.hex(F.col("msg_id"))),
+                F.concat(F.lit("s:"), F.col("seq").cast("string")),
+            ),
         )
         out = (
             out.withWatermark("ts", watermark)
@@ -181,11 +192,15 @@ def fanout_once(
     wildcard predicate over pre-split parts, evaluated as a broadcast
     stream-static join. Output: one row per (message, matching sub).
     """
+    # per-subscription delivery attributes (delay_ms, mode) ride along
+    # when present, so the batch manager downstream can group flushes
+    extra = [c for c in ("delay_ms", "mode") if c in subscriptions.columns]
     subs = with_topic_columns(
         subscriptions.select(
             "sub_id",
             F.col("topic").alias("s_topic"),
             F.col("contract").alias("s_contract"),
+            *extra,
         ),
         topic_col="s_topic",
     ).withColumnsRenamed(
@@ -223,15 +238,57 @@ def fanout_once(
     return stream.join(F.broadcast(subs), on=match, how="inner")
 
 
+def flush_group_expr(
+    batch_interval_ms: int, ts_col: str = "ts", delay_col: str = "delay_ms"
+) -> "F.Column":
+    """timeID(delay) parity (server/internal/batch.go:93-108): the
+    outbound batch a message belongs to = its delivery due time
+    (event ts + the subscription's delay) quantized to the interval —
+    so two subscriptions with different delays flush in different
+    groups, exactly as the reference's batch manager groups by
+    ``timeID(delay)``."""
+    due_ms = (F.unix_micros(F.col(ts_col)) / F.lit(1000)) + F.coalesce(
+        F.col(delay_col).cast("long"), F.lit(0)
+    )
+    return F.floor(due_ms / F.lit(batch_interval_ms)).cast("long")
+
+
 def batched_writer(
     df: DataFrame,
     sink_fn,
     checkpoint: str,
     batch_interval_ms: int = 100,
     available_now: bool = False,
+    delay_col: str | None = None,
 ):
     """BATCH delivery mode: group outbound messages per trigger interval
-    (100 ms default, mirroring server/internal/batch.go:14-18)."""
+    (100 ms default, mirroring server/internal/batch.go:14-18).
+
+    With ``delay_col`` (e.g. fanout output carrying each subscription's
+    ``delay_ms``), messages are further split into per-due-time flush
+    groups inside every micro-batch and ``sink_fn(group_df, (batch_id,
+    flush_group))`` fires once per group, in due-time order. The
+    driver-side loop is bounded by distinct (delay, interval-window)
+    combinations in one micro-batch — subscriptions share a handful of
+    delay values, so this is dozens of groups, not rows.
+    """
+    if delay_col is not None:
+        grouped = df.withColumn(
+            "_flush_group", flush_group_expr(batch_interval_ms, delay_col=delay_col)
+        )
+        user_sink = sink_fn
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            groups = sorted(
+                r[0] for r in batch_df.select("_flush_group").distinct().collect()
+            )
+            for g in groups:
+                user_sink(
+                    batch_df.filter(F.col("_flush_group") == g).drop("_flush_group"),
+                    (batch_id, g),
+                )
+
+        df, sink_fn = grouped, _sink
     trigger = (
         {"availableNow": True}
         if available_now

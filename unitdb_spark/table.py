@@ -124,16 +124,16 @@ class MessagesTable:
         scheme works (s3a://, hdfs://, gs://, file:) — local pathlib
         would silently report 'no table' for every object-store path,
         turning each Get/Count into an empty result."""
-        jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
-        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if not fs.exists(hpath):
-            return False
-        it = fs.listFiles(hpath, True)  # recursive
-        while it.hasNext():
-            if it.next().getPath().getName().endswith(".parquet"):
-                return True
-        return False
+        from unitdb_spark import fs
+
+        return fs.has_files(self.spark, self.path)
+
+    def file_size(self) -> int:
+        """Total bytes of the table's data files (db.go:474-482
+        FileSize parity — there the sum of index/data/log sizes)."""
+        from unitdb_spark import fs
+
+        return fs.tree_bytes(self.spark, self.path)
 
     @staticmethod
     def _full_schema() -> T.StructType:
