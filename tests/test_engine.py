@@ -288,6 +288,48 @@ class TestEncryption:
         finally:
             eng.destroy()
 
+    def test_per_entry_encryption_mixed_store(self, spark, tmp_path):
+        """Per-entry WithEncryption (entry.go:54-95, ID bit
+        db_internal.go:304-306): with encrypt_all=False only flagged
+        entries are ciphertext at rest; reads decrypt selectively so
+        both kinds round-trip from one store."""
+        from unitdb_spark.engine import Engine
+
+        eng = Engine.open(
+            spark,
+            str(tmp_path / "mixed"),
+            encryption_key=b"0123456789abcdef",
+            encrypt_all=False,
+        )
+        try:
+            eng.put_entry(Entry("unit1.mix", b"plain-one"), ts=T0)
+            eng.put_entry(
+                Entry("unit1.mix", b"secret-two").with_encryption(), ts=T0 + 1
+            )
+            eng.put_entry(Entry("unit1.mix", b"plain-three"), ts=T0 + 2)
+            # reads decrypt selectively: everything round-trips
+            assert eng.get("unit1.mix", now=T0 + 10) == [
+                b"plain-three",
+                b"secret-two",
+                b"plain-one",
+            ]
+            # at rest: only the flagged entry is ciphertext
+            raw = {
+                bool(r["encrypted"]): bytes(r["payload"])
+                for r in eng.table.read().select("encrypted", "payload").collect()
+                if r["payload"] not in (b"plain-one", b"plain-three")
+            }
+            assert set(raw) == {True} and raw[True] != b"secret-two"
+        finally:
+            eng.destroy()
+
+    def test_entry_encryption_requires_key(self, spark, tmp_path):
+        from unitdb_spark.engine import Engine
+
+        eng = Engine.open(spark, str(tmp_path / "nokey"))
+        with pytest.raises(ValueError, match="encryption_key"):
+            eng.put_entry(Entry("a.b", b"x").with_encryption())
+
     def test_wrong_key_unreadable(self, spark, tmp_path):
         from unitdb_spark.engine import Engine, EngineOptions
 

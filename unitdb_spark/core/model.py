@@ -101,10 +101,19 @@ class Entry:
     contract: int = MASTER_CONTRACT
     ttl: str | float | None = None  # "1h" or seconds
     msg_id: bytes | None = None
+    # per-entry encryption flag (entry.go:54-95 WithEncryption; the
+    # reference stores the bit in the ID, db_internal.go:304-306 — we
+    # keep a queryable boolean column so reads decrypt selectively)
+    encryption: bool = False
 
     # -- builder API (NewEntry/WithID/WithTTL/WithContract/WithPayload) --
     def with_id(self, msg_id: bytes) -> "Entry":
         return replace(self, msg_id=msg_id)
+
+    def with_encryption(self) -> "Entry":
+        """entry.go WithEncryption(): encrypt THIS entry's payload
+        (store key required; store-wide encryption encrypts all)."""
+        return replace(self, encryption=True)
 
     def with_ttl(self, ttl: str | float) -> "Entry":
         return replace(self, ttl=ttl)

@@ -66,6 +66,11 @@ class EngineOptions:
     # built-in aes_encrypt/aes_decrypt — encryption/decryption runs
     # JVM-side on executors, never in Python. Key must be 16/24/32 bytes.
     encryption_key: bytes | None = None
+    # None = "encrypt everything iff a key is set" (store-wide
+    # WithEncryption, the round-1 behavior). False + key = mixed store:
+    # only entries flagged Entry.encryption are encrypted (per-entry
+    # WithEncryption, entry.go:54-95).
+    encrypt_all: bool | None = None
 
 
 class Engine:
@@ -104,6 +109,12 @@ class Engine:
         """db.go:336-341 Put(): append one message under a contract."""
         return self.put_entry(Entry(topic=topic, payload=_as_bytes(payload), contract=contract))
 
+    @property
+    def _encrypt_all(self) -> bool:
+        if self.options.encrypt_all is not None:
+            return self.options.encrypt_all
+        return self.options.encryption_key is not None
+
     def _validate_entry(self, entry: Entry) -> None:
         """Write-path validation (db.go:351-360) — shared by the direct
         put path and Batch staging so errors surface BEFORE anything is
@@ -111,6 +122,8 @@ class Engine:
         parse_topic(entry.topic)
         if len(entry.payload) > MAX_PAYLOAD_BYTES:
             raise ValueError("payload exceeds 1GB")
+        if entry.encryption and self.options.encryption_key is None:
+            raise ValueError("Entry.encryption requires a store encryption_key")
 
     def _make_row(self, entry: Entry, ts: float | None = None) -> tuple[int, Row]:
         """Seq assignment + full row construction for one entry.
@@ -140,6 +153,7 @@ class Engine:
                 else None
             ),
             payload=bytes(entry.payload),
+            encrypted=bool(entry.encryption or self._encrypt_all),
         )
         return seq, row
 
@@ -167,6 +181,8 @@ class Engine:
             df = df.withColumn("msg_id", F.lit(None).cast("binary"))
         if "expires_at" not in cols:
             df = df.withColumn("expires_at", F.lit(None).cast("timestamp"))
+        if "encrypted" not in cols:
+            df = df.withColumn("encrypted", F.lit(self._encrypt_all))
         obs = Observation("put_df_seq")
         observed = df.select([f.name for f in MESSAGES_SCHEMA.fields]).observe(
             obs, F.max("seq").alias("max_seq")
@@ -186,20 +202,28 @@ class Engine:
     def _encrypt(self, df: DataFrame) -> DataFrame:
         """Value-codec parity (db.go:281-294, chacha20-poly1305 there,
         AES-GCM here): executors encrypt JVM-side; payloads at rest are
-        ciphertext, everything else stays queryable plaintext."""
+        ciphertext, everything else stays queryable plaintext. Only
+        rows whose ``encrypted`` marker is set are touched, so a mixed
+        store (per-entry WithEncryption) round-trips correctly."""
         key = self.options.encryption_key
         if key is None:
             return df
+        enc = F.coalesce(F.col("encrypted"), F.lit(False))
         return df.withColumn(
-            "payload", F.aes_encrypt(F.col("payload"), F.lit(key), F.lit("GCM"))
+            "payload",
+            F.when(enc, F.aes_encrypt(F.col("payload"), F.lit(key), F.lit("GCM")))
+            .otherwise(F.col("payload")),
         )
 
     def _decrypt(self, df: DataFrame) -> DataFrame:
         key = self.options.encryption_key
         if key is None:
             return df
+        enc = F.coalesce(F.col("encrypted"), F.lit(False))
         return df.withColumn(
-            "payload", F.aes_decrypt(F.col("payload"), F.lit(key), F.lit("GCM"))
+            "payload",
+            F.when(enc, F.aes_decrypt(F.col("payload"), F.lit(key), F.lit("GCM")))
+            .otherwise(F.col("payload")),
         )
 
     # ------------------------------------------------------------- read

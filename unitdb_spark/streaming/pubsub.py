@@ -78,6 +78,8 @@ def prepare_entries(df: DataFrame) -> DataFrame:
         df = df.withColumn("expires_at", F.lit(None).cast("timestamp"))
     if "msg_id" not in cols:
         df = df.withColumn("msg_id", F.lit(None).cast("binary"))
+    if "encrypted" not in cols:
+        df = df.withColumn("encrypted", F.lit(False))
     if "seq" not in cols:
         # streaming-safe monotonic-ish ordering key: event-time micros
         # shifted left 12 bits with a content-hash tiebreak in the low
@@ -126,7 +128,8 @@ def ingest_stream(
             return  # replayed batch already in the table: skip
         if not batch_df.isEmpty():
             table.append(batch_df.select(
-                "seq", "msg_id", "contract", "topic", "ts", "expires_at", "payload"
+                "seq", "msg_id", "contract", "topic", "ts", "expires_at",
+                "payload", "encrypted",
             ))
         log.record(batch_id)
 

@@ -35,6 +35,12 @@ MESSAGES_SCHEMA = T.StructType(
         T.StructField("ts", T.TimestampType(), False),
         T.StructField("expires_at", T.TimestampType(), True),
         T.StructField("payload", T.BinaryType(), True),
+        # per-entry encryption marker (entry.go WithEncryption; the
+        # reference packs this bit into the stored ID,
+        # db_internal.go:304-306 — a plain boolean column lets reads
+        # decrypt selectively and Parquet stats skip fully-plaintext
+        # row groups)
+        T.StructField("encrypted", T.BooleanType(), True),
     ]
 )
 
