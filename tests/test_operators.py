@@ -376,6 +376,28 @@ class TestSimilaritySanity:
         assert assigned.count() == 50
         assert assigned.select("cell").distinct().count() <= 4
 
+    def test_ivf_centroid_prefilter_is_exact(self, spark):
+        """The hash-threshold pre-filter (reads ~N/256 rows into the
+        TakeOrdered heap) must choose bit-identical centroids to the
+        full ORDER BY md5 LIMIT n — the SQL oracle replays the latter."""
+        from unitdb_spark.operators.similarity import ivf_assign
+
+        n = 10_000  # large enough that the pre-filter path is taken
+        emb = spark.createDataFrame(
+            [(i, [float(i % 7), 1.0]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        _, cents = ivf_assign(emb, n_cells=16)
+        got = sorted(r["cent_id"] for r in cents.collect())
+        want = sorted(
+            r[0]
+            for r in emb.select(F.col("vec_id").alias("cent_id"))
+            .orderBy(F.md5(F.concat(F.col("cent_id").cast("string"), F.lit(":42"))), "cent_id")
+            .limit(16)
+            .collect()
+        )
+        assert got == want
+
     def test_ivf_topk_finds_exact_match(self, spark):
         from unitdb_spark.operators.similarity import ivf_topk
 

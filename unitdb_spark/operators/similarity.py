@@ -247,14 +247,19 @@ def ivf_assign(
     # deterministic pseudo-random sample: order by md5(id:seed) — an
     # engine-portable shuffle (hex-string ordering is plain ASCII), so
     # external oracles can replay the exact centroid choice
-    cents = (
-        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cent"))
-        .orderBy(
-            F.md5(F.concat(F.col("cent_id").cast("string"), F.lit(f":{seed}"))),
-            F.col("cent_id"),
-        )
-        .limit(n_cells)
-    )
+    base = corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cent"))
+    hash_c = F.md5(F.concat(F.col("cent_id").cast("string"), F.lit(f":{seed}")))
+    # hash-threshold pre-filter: the n_cells smallest md5 values are
+    # almost surely inside the lowest 1/256 of the hash space, so the
+    # TakeOrdered heap only sees ~N/256 candidate rows instead of the
+    # full corpus. Superset-safe: if the filtered set can't cover
+    # n_cells (small corpus), fall back to the full scan — either way
+    # the chosen centroids are bit-identical to an unfiltered
+    # ORDER BY md5 LIMIT n_cells, which is what the SQL oracle replays.
+    pref = base.filter(hash_c < F.lit("01"))
+    if pref.count() < n_cells:
+        pref = base
+    cents = pref.orderBy(hash_c, F.col("cent_id")).limit(n_cells)
     joined = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
     ).join(F.broadcast(cents))
