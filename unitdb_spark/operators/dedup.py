@@ -253,13 +253,18 @@ def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
     """
     if max_bucket_size is None:
         return banded
-    ok = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_bn"))
+    from pyspark.sql import Window
+
+    # a window count (no ORDER BY -> no sort) over (band, bucket)
+    # instead of a count-agg + join: one shuffle that leaves the data
+    # hash-partitioned on exactly the pair-join keys, so the self-join
+    # downstream reuses the partitioning instead of exchanging again
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w))
         .filter(F.col("_bn") <= max_bucket_size)
-        .select("band", "bucket")
+        .drop("_bn")
     )
-    return banded.join(ok, on=["band", "bucket"])
 
 
 def _lsh_pairs_from(sig: DataFrame, banded: DataFrame, num_hashes: int) -> DataFrame:
