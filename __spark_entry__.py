@@ -777,6 +777,80 @@ def q_multimodal_meta(spark, sf_dir):
     return extract_media_meta(media)
 
 
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 41 == 0 act as the
+    held-out benchmark; every doc is scored by its share of word
+    3-grams appearing in the benchmark (bench gram set broadcast —
+    corpus never shuffles against it)."""
+    from unitdb_spark.operators.decontam import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    out = decontaminate(d, bench, n=3, threshold=0.5)
+    return out.select(
+        "id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_contaminated",
+        F.round("overlap_frac", 6).alias("overlap_r"),
+        "contaminated",
+    )
+
+
+def q_doc_pack_greedy(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 256-token bins, packed
+    shard-locally (doc_id % 8) so the window never needs a global
+    sort."""
+    from unitdb_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), ctx_tokens=256, n_shards=8)
+
+
+def q_doc_dup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: n-gram Jaccard pairs -> connected
+    components (iterative min-label propagation; the oracle replays it
+    with a recursive CTE) -> per-doc cluster id + keeper verdict."""
+    from unitdb_spark.operators.cluster import dup_clusters
+
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, block_col="source", threshold=0.2)
+    return dup_clusters(d, pairs)
+
+
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII scrubbing: deterministic emails (doc_id % 7 == 0) and IPv4s
+    (doc_id % 11 == 0) are planted on both engines so the regexes are
+    actually exercised; output counts + md5 of the scrubbed text (the
+    hash verifies every redacted byte cross-engine)."""
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        TXT.pii_email_count("text").cast("long").alias("n_emails"),
+        TXT.pii_ipv4_count("text").cast("long").alias("n_ips"),
+        F.md5(TXT.scrub_pii("text")).alias("clean_md5"),
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -849,6 +923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "doc_embed_cosine_dups": q_doc_embed_cosine_dups,
         "multimodal_meta": q_multimodal_meta,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_pack_greedy": q_doc_pack_greedy,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_pii_scrub": q_doc_pii_scrub,
     }
 
 
@@ -857,6 +935,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 M = MESSAGES_FROM_EVENTS_SQL  # WITH messages AS (...), clock AS (...)
 
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+# PII regexes shared verbatim with functions.text (Java regex + RE2
+# compatible: no lookarounds/backreferences)
+from unitdb_spark.functions.text import EMAIL_RE as _PII_EMAIL  # noqa: E402
+from unitdb_spark.functions.text import IPV4_RE as _PII_IPV4  # noqa: E402
 
 _Q1_AGGS = """
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)            AS sum_qty,
@@ -1384,6 +1467,94 @@ def oracle_sql() -> dict[str, str]:
           CASE media_type WHEN 'audio' THEN n / 32000.0
                WHEN 'video' THEN (n % 300 + 1) / 30.0 ELSE 0.0 END AS duration_s
         FROM m
+        """,
+        "doc_decontaminate": f"""
+        WITH tk AS (
+          SELECT doc_id, {_TOKS} AS tk FROM documents
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(0, greatest(len(tk) - 3, 0)),
+            i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')
+          )) AS g
+          FROM tk
+        ), bench AS (
+          SELECT DISTINCT u.gram AS gram
+          FROM sh, unnest(g) AS u(gram) WHERE doc_id % 41 = 0
+        ), ex AS (
+          SELECT doc_id, len(g) AS n_grams, u.gram AS gram
+          FROM sh, unnest(g) AS u(gram)
+        ), agg AS (
+          SELECT e.doc_id AS id, e.n_grams,
+                 CAST(count(b.gram) AS BIGINT) AS n_contaminated
+          FROM ex e LEFT JOIN bench b USING (gram)
+          GROUP BY 1, 2
+        )
+        SELECT id, CAST(n_grams AS BIGINT) AS n_grams, n_contaminated,
+          round(CASE WHEN n_grams < 1 THEN 0.0
+                ELSE CAST(n_contaminated AS DOUBLE) / n_grams END, 6) AS overlap_r,
+          (CASE WHEN n_grams < 1 THEN 0.0
+                ELSE CAST(n_contaminated AS DOUBLE) / n_grams END) >= 0.5
+            AS contaminated
+        FROM agg
+        """,
+        "doc_pack_greedy": f"""
+        WITH t AS (
+          SELECT doc_id AS id, doc_id % 8 AS shard,
+                 len({_TOKS}) AS n_tokens
+          FROM documents
+        ), w AS (
+          SELECT id, shard, n_tokens,
+            SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+          FROM t
+        )
+        SELECT id, CAST(shard AS BIGINT) AS shard,
+          CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(off // 256 AS BIGINT) AS bin_id,
+          CAST(off % 256 AS BIGINT) AS bin_offset
+        FROM w
+        """,
+        "doc_dup_clusters": f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id AS id, source, list_distinct({_TOKS}) AS tok
+          FROM documents
+        ), pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM t a JOIN t b ON a.source = b.source AND a.id < b.id
+          WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+            / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.2
+        ), edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION ALL
+          SELECT id_b AS s, id_a AS d FROM pairs
+        ), reach(node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
+        )
+        SELECT node AS doc_id, MIN(label) AS cluster_id,
+               (node = MIN(label)) AS is_keeper
+        FROM reach GROUP BY node
+        """,
+        "doc_pii_scrub": rf"""
+        WITH aug AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                 ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+          md5(regexp_replace(
+                regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                '{_PII_IPV4}', '<IP>', 'g')) AS clean_md5
+        FROM aug
         """,
     }
 

@@ -353,6 +353,75 @@ class TestDedupSanity:
         assert near < far
 
 
+class TestPipelineOps:
+    def test_decontaminate_flags_benchmark_copy(self, spark):
+        from unitdb_spark.operators.decontam import decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),  # copy
+                (2, "completely unrelated words with no overlap at all here"),
+                (3, "prefix words then the quick brown fox jumps over the lazy dog"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["id"]: r for r in decontaminate(docs, bench, n=3).collect()}
+        assert out[1]["contaminated"] and out[1]["overlap_frac"] == 1.0
+        assert not out[2]["contaminated"] and out[2]["n_contaminated"] == 0
+        assert out[3]["contaminated"]  # high-overlap superset doc
+
+    def test_pack_sequences_bin_math(self, spark):
+        from unitdb_spark.operators.packing import pack_sequences
+
+        # 4 docs of 3 tokens each, ctx=5, one shard: offsets 0,3,6,9
+        docs = spark.createDataFrame(
+            [(i, "a b c") for i in range(4)], "doc_id long, text string"
+        )
+        out = {
+            r["id"]: (r["bin_id"], r["bin_offset"])
+            for r in pack_sequences(docs, ctx_tokens=5, n_shards=1).collect()
+        }
+        assert out == {0: (0, 0), 1: (0, 3), 2: (1, 1), 3: (1, 4)}
+
+    def test_connected_components_chain_and_singleton(self, spark):
+        from unitdb_spark.operators.cluster import dup_clusters
+
+        docs = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 9)], "doc_id long"
+        )
+        pairs = spark.createDataFrame(
+            [(2, 3), (1, 2)], "id_a long, id_b long"  # chain 1-2-3
+        )
+        out = {
+            r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+            for r in dup_clusters(docs, pairs).collect()
+        }
+        assert out == {1: (1, True), 2: (1, False), 3: (1, False), 9: (9, True)}
+
+    def test_scrub_pii_redacts_and_counts(self, spark):
+        from unitdb_spark.functions.text import (
+            pii_email_count,
+            pii_ipv4_count,
+            scrub_pii,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "mail a.user+x@test.org then 192.168.0.1 and b@c.io done")],
+            "doc_id long, text string",
+        ).select(
+            pii_email_count("text").alias("e"),
+            pii_ipv4_count("text").alias("i"),
+            scrub_pii("text").alias("t"),
+        )
+        r = df.collect()[0]
+        assert r["e"] == 2 and r["i"] == 1
+        assert r["t"] == "mail <EMAIL> then <IP> and <EMAIL> done"
+
+
 class TestSimilaritySanity:
     def test_cosine_topk_self_similarity(self, spark):
         from unitdb_spark.operators.similarity import cosine_topk

@@ -137,6 +137,34 @@ def lang_id(col: Column | str) -> Column:
     return F.when(best["h"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
+# PII patterns chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB/Go): no lookarounds, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_email_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(EMAIL_RE))
+
+
+def pii_ipv4_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(IPV4_RE))
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails and IPv4 addresses with typed placeholders — the
+    training-data privacy pass (C4-style scrubbing). Pure
+    ``regexp_replace`` (global), so scrubbing runs at scan speed inside
+    codegen; order is email-then-ip (an email can't contain an IPv4
+    once redacted, so the order is observable and must match the SQL
+    oracle's)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
 def fingerprint64(col: Column | str) -> Column:
     """Order-sensitive 64-bit rolling document fingerprint: fold the
     token stream with a hash chain h' = xxhash64(h, token). Unlike

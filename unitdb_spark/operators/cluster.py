@@ -1,0 +1,102 @@
+"""Near-duplicate cluster resolution: connected components over pairs.
+
+Pair generators (MinHash-LSH, n-gram Jaccard, embedding-cosine) emit
+EDGES; deduplication needs CLUSTERS — every document labeled with its
+group so one keeper survives per group. Components = min-label
+propagation to a fixpoint (the standard large-graph formulation, e.g.
+Hash-to-Min / Pregel-style label propagation):
+
+    label(v) <- min(label(v), min over neighbors' labels)
+
+iterated until no label changes. Each round is one join + one
+aggregation; the number of rounds is the graph diameter, and near-dup
+clusters are shallow (stars/cliques around a canonical doc), so this
+converges in 2-4 rounds in practice. `localCheckpoint` after each
+round cuts the growing lineage — without it round k replans rounds
+1..k-1 and the job goes quadratic.
+
+This is the repo's one deliberately ITERATIVE operator (driver-side
+loop with a convergence check); the driver's oracle replays it with a
+recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Label every node with the smallest node id in its component.
+
+    ``nodes`` (optional, single-column) adds isolated vertices —
+    pass the full corpus ids so singleton documents appear as their
+    own cluster. Raises if propagation hasn't converged after
+    ``max_iterations`` (diameter > iterations means the input is not
+    near-dup-shaped; fail loudly rather than return wrong labels).
+
+    Output: (node, cluster_id).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    bi = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    base = bi.select(F.col("s").alias("node")).distinct()
+    if nodes is not None:
+        base = base.unionByName(
+            nodes.select(F.col(node_col).alias("node"))
+        ).distinct()
+    labels = base.select("node", F.col("node").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        msgs = bi.join(labels, bi["s"] == labels["node"]).select(
+            F.col("d").alias("node"), "label"
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster ids for EVERY document (singletons included) from a
+    near-dup pair set, plus the keep/drop verdict: the smallest doc id
+    in each cluster is the keeper — the same keeper rule as
+    ``exact_dedup``.
+
+    Output: (doc_id, cluster_id, is_keeper).
+    """
+    comp = connected_components(
+        pairs, src=src, dst=dst, nodes=docs.select(F.col(id_col).alias("node"))
+    )
+    return comp.select(
+        F.col("node").alias(id_col),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )
