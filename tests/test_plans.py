@@ -98,6 +98,38 @@ class TestAnalyticsPlans:
         rs = info["read_schema"][0]
         assert "l_orderkey" not in rs  # pruned
 
+    def test_decontaminate_broadcasts_benchmark(self, spark):
+        """SCALE.md §4: the benchmark gram set is the broadcast side;
+        the corpus gram stream is never exchanged for the join (its
+        only shuffle is the per-doc hit-count aggregation)."""
+        from unitdb_spark.operators.decontam import decontaminate
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        bench = docs.filter("doc_id % 41 = 0")
+        out = decontaminate(docs, bench)
+        assert "BroadcastHashJoin" in formatted_plan(out)
+        assert not has_python_eval(out)
+
+    def test_pack_sequences_single_shuffle(self, spark):
+        """SCALE.md §4: shard-local packing = exactly one exchange (the
+        shard partitioning for the window), never a global sort."""
+        from unitdb_spark.operators.packing import pack_sequences
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = pack_sequences(docs, ctx_tokens=256, n_shards=8)
+        assert shuffle_count(out) == 1
+        assert not has_python_eval(out)
+
+    def test_pii_scrub_no_shuffle_no_python(self, spark):
+        from unitdb_spark.functions.text import pii_email_count, scrub_pii
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = docs.select(
+            "doc_id", pii_email_count("text").alias("n"), scrub_pii("text").alias("t")
+        )
+        assert shuffle_count(out) == 0
+        assert not has_python_eval(out)
+
     def test_cosine_topk_broadcasts_queries_not_corpus(self, spark):
         """SCALE.md §4: ANN exact search broadcasts the query side; the
         corpus is never exchanged for the join (the only exchanges are

@@ -53,4 +53,10 @@ def codegen_stage_count(df: DataFrame) -> int:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    return len(re.findall(r"Exchange", formatted_plan(df)))
+    """Number of shuffle Exchange nodes in the physical plan.
+
+    Counts the detail-section headers ``(n) Exchange`` so each node is
+    counted once (the formatted output also repeats nodes in the tree
+    sketch), and so BroadcastExchange / ReusedExchange — which move no
+    shuffle data — are excluded."""
+    return len(re.findall(r"\(\d+\) Exchange", formatted_plan(df)))
