@@ -455,6 +455,60 @@ def q_events_asof_click(spark, sf_dir):
     )
 
 
+def q_events_asof_forward(spark, sf_dir):
+    """Forward as-of join: each click matched to the user's NEXT
+    purchase at-or-after it (conversion attribution); oracled against
+    DuckDB's native ASOF with the reversed inequality."""
+    from unitdb_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(clicks, purchases, by=["user_id"], direction="forward")
+    return out.select(
+        "event_id",
+        "user_id",
+        EPOCH("ts"),
+        F.col("purchase_id_r").alias("purchase_id"),
+        F.unix_timestamp("matched_ts_r").alias("purchase_ts_s"),
+    )
+
+
+def q_events_range_join(spark, sf_dir):
+    """Interval join via bucket equi-join (range_join_bucketed): clicks
+    landing inside the 24h attribution window opened by every 10th
+    user's purchases, aggregated per window. The bucket explode bounds
+    the join to bucket-local pairs — never |clicks| x |windows|."""
+    from unitdb_spark.operators.asof import range_join_bucketed
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    windows = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 10 == 0))
+        .select(
+            F.col("event_id").alias("w_id"),
+            F.col("user_id").alias("w_user"),
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 24 HOUR")).alias("hi"),
+        )
+    )
+    j = range_join_bucketed(
+        clicks, windows, "c_ts", "lo", "hi", bucket_seconds=21600,
+        extra_on=F.col("c_user") == F.col("w_user"),
+    )
+    return j.groupBy("w_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"), F.min("c_id").alias("first_click")
+    )
+
+
 # ------------------------------------------- documents / LLM pipeline ops
 
 
@@ -895,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": q_events_percentiles,
         "events_approx_stats": q_events_approx_stats,
         "events_asof_click": q_events_asof_click,
+        "events_asof_forward": q_events_asof_forward,
+        "events_range_join": q_events_range_join,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_cms_user_counts": q_events_cms_user_counts,
@@ -1162,6 +1218,29 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND c.ts <= p.ts
+        """,
+        "events_asof_forward": """
+        SELECT cl.event_id, cl.user_id,
+          CAST(floor(epoch(cl.ts)) AS BIGINT) AS ts_s,
+          p.event_id AS purchase_id,
+          CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts_s
+        FROM (SELECT * FROM events WHERE event_type = 'click') cl
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON cl.user_id = p.user_id AND p.ts >= cl.ts
+        """,
+        "events_range_join": """
+        WITH clicks AS (
+          SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+          FROM events WHERE event_type = 'click'
+        ), win AS (
+          SELECT event_id AS w_id, user_id AS w_user,
+                 ts AS lo, ts + INTERVAL 24 HOUR AS hi
+          FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0
+        )
+        SELECT w_id, COUNT(*) AS n_clicks, MIN(c_id) AS first_click
+        FROM win JOIN clicks
+          ON c_user = w_user AND c_ts >= lo AND c_ts < hi
+        GROUP BY w_id
         """,
         "doc_dedup_exact": """
         SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
