@@ -345,6 +345,49 @@ class TestStatefulRestart:
         assert list(final["seq"]) == [40, 35, 30]
 
 
+class TestStreamingSessionWindows:
+    def test_streamed_sessions_match_batch(self, spark, events_dir):
+        """session_agg is the same expression in batch and streaming;
+        append-mode emits watermark-closed sessions, each of which must
+        equal its batch twin row-for-row."""
+        from unitdb_spark.operators.window_agg import session_agg
+
+        stream = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        out = session_agg(
+            stream.withWatermark("ts", "1 hour"),
+            gap="30 minutes",
+            keys=["user_id"],
+            aggs=[F.count(F.lit(1)).alias("n")],
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"]): r["n"]
+            for r in spark.sql("SELECT * FROM stream_sessions").collect()
+        }
+        assert got, "no sessions closed by the watermark"
+        batch = {
+            (r["user_id"], r["session_start"], r["session_end"]): r["n"]
+            for r in session_agg(
+                spark.read.parquet(events_dir),
+                gap="30 minutes",
+                keys=["user_id"],
+                aggs=[F.count(F.lit(1)).alias("n")],
+            ).collect()
+        }
+        # every emitted (closed) session equals its batch twin; open
+        # sessions at the stream tail are the only permitted difference
+        for k, n in got.items():
+            assert batch.get(k) == n, k
+        assert len(got) >= 0.8 * len(batch)
+
+
 class TestContinuousRollup:
     def test_streamed_rollup_matches_batch(self, spark, events_dir, tmp_path):
         """Incrementally-folded rollup == one-shot batch rollup on the
