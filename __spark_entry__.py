@@ -905,6 +905,51 @@ def q_doc_pii_scrub(spark, sf_dir):
     )
 
 
+_BOILER = "all rights reserved cookie policy"
+
+
+def q_doc_line_dedup(spark, sf_dir):
+    """Corpus-level duplicate-line removal (C4/RefinedWeb boilerplate
+    rule). The synthetic docs are single-line, so both engines derive
+    the same line structure first: 10-token chunks as lines, plus a
+    planted boilerplate line on every 5th doc so the rule actually
+    fires. Output md5 of the cleaned text verifies every kept byte."""
+    from unitdb_spark.operators.dedup import line_dedup
+
+    d = _docs(spark, sf_dir)
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    n_chunks = F.floor(
+        F.greatest(F.size(words) - F.lit(1), F.lit(0)) / F.lit(10)
+    ).cast("int")
+    lined = d.select(
+        "doc_id",
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks),
+                    lambda i: F.array_join(
+                        F.slice(words, i * F.lit(10) + F.lit(1), F.lit(10)),
+                        " ",
+                    ),
+                ),
+                "\n",
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\n" + _BOILER)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = line_dedup(lined, min_count=2)
+    return out.select(
+        "id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.md5("text").alias("clean_md5"),
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -983,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_greedy": q_doc_pack_greedy,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_line_dedup": q_doc_line_dedup,
     }
 
 
@@ -1634,6 +1680,34 @@ def oracle_sql() -> dict[str, str]:
                 regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
                 '{_PII_IPV4}', '<IP>', 'g')) AS clean_md5
         FROM aug
+        """,
+        "doc_line_dedup": f"""
+        WITH w AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        lined AS (
+          SELECT doc_id,
+            array_to_string(list_transform(
+              generate_series(0,
+                CAST(floor(greatest(len(tk) - 1, 0) / 10) AS INT)),
+              i -> array_to_string(list_slice(tk, i*10 + 1, i*10 + 10), ' ')),
+              chr(10))
+            || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || '{_BOILER}' ELSE '' END AS text
+          FROM w),
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+        lines AS (
+          SELECT doc_id, s AS pos, ls[s + 1] AS line
+          FROM ls, UNNEST(generate_series(0, len(ls) - 1)) AS t(s)),
+        dup AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 2),
+        kept AS (SELECT * FROM lines l
+                 WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.line = l.line)),
+        agg AS (SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS text
+                FROM kept GROUP BY doc_id)
+        SELECT t.doc_id AS id,
+               CAST(len(t.ls) AS BIGINT) AS n_lines,
+               CAST(len(t.ls) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+               md5(coalesce(a.text, '')) AS clean_md5
+        FROM ls t LEFT JOIN agg a USING (doc_id)
         """,
     }
 

@@ -233,6 +233,40 @@ class TestDedupSanity:
         out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(df).collect()}
         assert out == {1: 2, 3: 1}
 
+    def test_line_dedup_removes_corpus_duplicates(self, spark):
+        """The C4 rule: a line appearing min_count+ times anywhere in
+        the corpus is dropped from every doc; unique lines keep their
+        original order. A doc that is all boilerplate comes back
+        empty, not missing."""
+        from unitdb_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha\nCOOKIE NOTICE\nbeta"),
+                (2, "COOKIE NOTICE\ngamma"),
+                (3, "COOKIE NOTICE"),
+                (4, "delta\nepsilon"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["id"]: r for r in line_dedup(df, min_count=2).collect()}
+        assert out[1]["text"] == "alpha\nbeta" and out[1]["n_removed"] == 1
+        assert out[2]["text"] == "gamma"
+        assert out[3]["text"] == "" and out[3]["n_removed"] == 1
+        assert out[4]["text"] == "delta\nepsilon" and out[4]["n_removed"] == 0
+        assert {r["n_lines"] for r in out.values()} == {3, 2, 1, 2}
+
+    def test_line_dedup_hash_key_variant_agrees(self, spark):
+        from unitdb_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a\nb\nc"), (2, "b\nd"), (3, "c\nb")],
+            "doc_id long, text string",
+        )
+        exact = sorted(line_dedup(df).collect())
+        hashed = sorted(line_dedup(df, hash_key=True).collect())
+        assert exact == hashed
+
     def test_minhash_finds_near_dup(self, spark):
         from unitdb_spark.operators.dedup import minhash_lsh_pairs
 

@@ -431,3 +431,71 @@ def simhash64_md5(col: Column | str) -> Column:
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_count: int = 2,
+    hash_key: bool = False,
+) -> DataFrame:
+    """Corpus-level duplicate-line removal (the C4/RefinedWeb cleanup
+    rule: a line that appears ``min_count``+ times anywhere in the
+    corpus is boilerplate — drop every occurrence).
+
+    Returns one row per document: ``(id, n_lines, n_removed, text)``
+    where ``text`` is the document with duplicated lines removed and
+    original line order preserved (empty string if everything was
+    boilerplate).
+
+    Scale shape (100 TB): the duplicate-line set is built by a
+    map-side-combined groupBy whose shuffle carries only the distinct
+    lines per partition with partial counts — never the corpus. The
+    corpus itself is filtered with a left-anti join against that
+    (usually tiny) set, which AQE turns into a broadcast anti-join, so
+    the only full-text shuffle is the final per-document reassembly
+    groupBy. With ``hash_key=True`` the count/anti-join key is
+    ``xxhash64(line)`` instead of the raw line — cheaper network/state
+    at extreme scale, at the cost of a ~2^-64 false-drop chance per
+    distinct line pair (fine for boilerplate removal; keep the exact
+    default when an external oracle must replay the result).
+
+    The reference has no corpus-level text cleanup (its closest surface
+    is idempotent msg-id writes, /root/reference/db.go Put path); this
+    is part of the LLM-training-data operator set the north star adds.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    key = F.xxhash64("line").alias("k") if hash_key else F.col("line").alias("k")
+    dup = (
+        lines.select(key)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("k")
+    )
+    kept = lines.withColumn("k", key).join(dup, "k", "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), sep)).alias("n_lines"),
+    )
+    return totals.join(agg, "id", "left").select(
+        "id",
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("kept_text", F.lit("")).alias("text"),
+    )
