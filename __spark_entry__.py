@@ -950,6 +950,36 @@ def q_doc_line_dedup(spark, sf_dir):
     )
 
 
+# planted dirty suffix for doc_normalize: decomposed e+acute, a BEL
+# control byte, a double space, decomposed i+diaeresis — exercises NFC
+# composition, control stripping, and whitespace collapse
+_DIRTY = " café  naïve"
+
+
+def q_doc_normalize(spark, sf_dir):
+    """Unicode NFC + control-strip + whitespace-collapse cleanup. The
+    synthetic docs are clean ASCII, so a deterministically dirty suffix
+    is planted on every 13th doc in both engines; md5 of the cleaned
+    text verifies every normalized byte (DuckDB nfc_normalize is the
+    oracle for the pandas Series.str.normalize path)."""
+    from unitdb_spark.functions.text import normalize_text
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(_DIRTY)),
+        ).otherwise(F.col("text")),
+    )
+    d = d.withColumn("clean", normalize_text("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_before"),
+        F.length("clean").cast("long").alias("len_after"),
+        F.md5("clean").alias("clean_md5"),
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -1029,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_line_dedup": q_doc_line_dedup,
+        "doc_normalize": q_doc_normalize,
     }
 
 
@@ -1040,6 +1071,7 @@ _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
 # PII regexes shared verbatim with functions.text (Java regex + RE2
 # compatible: no lookarounds/backreferences)
+from unitdb_spark.functions.text import CONTROL_RE as _CONTROL  # noqa: E402
 from unitdb_spark.functions.text import EMAIL_RE as _PII_EMAIL  # noqa: E402
 from unitdb_spark.functions.text import IPV4_RE as _PII_IPV4  # noqa: E402
 
@@ -1708,6 +1740,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(t.ls) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
                md5(coalesce(a.text, '')) AS clean_md5
         FROM ls t LEFT JOIN agg a USING (doc_id)
+        """,
+        "doc_normalize": f"""
+        WITH aug AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 13 = 0
+              THEN text || ' cafe' || chr(769) || chr(7) || '  nai'
+                        || chr(776) || 've'
+              ELSE text END AS text
+          FROM documents),
+        norm AS (
+          SELECT doc_id, length(text) AS len_before,
+            trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                 '{_CONTROL}', '', 'g'), '\\s+', ' ', 'g')) AS clean
+          FROM aug)
+        SELECT doc_id, CAST(len_before AS BIGINT) AS len_before,
+               CAST(length(clean) AS BIGINT) AS len_after,
+               md5(clean) AS clean_md5
+        FROM norm
         """,
     }
 

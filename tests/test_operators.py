@@ -455,6 +455,30 @@ class TestPipelineOps:
         assert r["e"] == 2 and r["i"] == 1
         assert r["t"] == "mail <EMAIL> then <IP> and <EMAIL> done"
 
+    def test_normalize_text(self, spark):
+        """NFC composes combining sequences, control bytes are
+        stripped, whitespace runs collapse, nulls pass through."""
+        from unitdb_spark.functions.text import normalize_text
+
+        df = spark.createDataFrame(
+            [
+                (1, "café x"),          # decomposed e+acute
+                (2, "a\x07b\t\t c\n\nd "),    # BEL + messy whitespace
+                (3, None),
+                (4, "café x"),           # already composed
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["t"]
+            for r in df.select(
+                "doc_id", normalize_text("text").alias("t")
+            ).collect()
+        }
+        assert out[1] == "café x" and out[1] == out[4]
+        assert out[2] == "ab c d"
+        assert out[3] is None
+
 
 class TestSimilaritySanity:
     def test_cosine_topk_self_similarity(self, spark):

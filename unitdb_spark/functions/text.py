@@ -288,3 +288,45 @@ def ngram_repetition(
         .otherwise(F.col("_mx").cast("double") / F.col("_n_grams").cast("double"))
         .alias("rep_ratio"),
     )
+
+
+# Control characters to strip during normalization (keep \t \n \r,
+# which the whitespace collapse handles). Shared verbatim with the
+# DuckDB oracle — Java regex and RE2 both accept \xHH classes.
+CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def nfc(col: Column | str, form: str = "NFC"):
+    """Unicode normalization of a string column.
+
+    Spark has no built-in Unicode-normalization expression, so this is
+    one of the repo's few Python touchpoints — an Arrow-vectorized
+    pandas UDF (pandas ``Series.str.normalize``, null-safe). Everything
+    around it (control strip, whitespace collapse) stays JVM-side so
+    only the normalization itself pays the Python hop.
+    """
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize(form)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc(c)
+
+
+def normalize_text(col: Column | str, form: str = "NFC") -> Column:
+    """Full text cleanup: Unicode-normalize (NFC), strip control
+    characters, collapse runs of whitespace to single spaces, trim.
+
+    The standard first pass of an LLM-training-data pipeline (fixes
+    mojibake-adjacent decomposition, kills stray control bytes, makes
+    whitespace canonical before tokenization/dedup). The reference has
+    no text surface at all; this belongs to the training-pipeline
+    operator set the north star adds.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = nfc(c, form)
+    out = F.regexp_replace(out, CONTROL_RE, "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
