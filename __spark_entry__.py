@@ -791,6 +791,23 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ann_int8_topk(spark, sf_dir):
+    """Int8-quantized brute-force cosine top-K — the 4x-memory ANN
+    scale lever. Integer dot/norm accumulation makes the quantized
+    score bit-reproducible, so the oracle replays the whole
+    quantize+score+rank pipeline and hash-matches."""
+    from unitdb_spark.operators.similarity import int8_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = int8_cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_r"), "rank"
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     # approximate variant — recall<1 by design vs exact top-K, but the
     # bucket assignment itself is deterministic, so the oracle replays
@@ -1060,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_line_dedup": q_doc_line_dedup,
         "doc_normalize": q_doc_normalize,
+        "ann_int8_topk": q_ann_int8_topk,
     }
 
 
@@ -1758,6 +1776,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(clean) AS BIGINT) AS len_after,
                md5(clean) AS clean_md5
         FROM norm
+        """,
+        "ann_int8_topk": """
+        WITH qz AS (
+          SELECT vec_id,
+            list_transform(embedding, x ->
+              CAST(floor(CAST(x AS DOUBLE) /
+                (CASE WHEN m = 0 THEN 1.0 ELSE m END / 127.0) + 0.5)
+              AS BIGINT)) AS qv
+          FROM (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) AS m
+                FROM embeddings)
+        ), q AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+            list_dot_product(CAST(e.qv AS DOUBLE[]), CAST(q.qq AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(e.qv AS DOUBLE[]),
+                                     CAST(e.qv AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(q.qq AS DOUBLE[]),
+                                     CAST(q.qq AS DOUBLE[])))) AS sim
+          FROM qz e JOIN q ON e.vec_id <> q.query_id
+        ), ranked AS (
+          SELECT query_id, vec_id, round(sim, 6) AS cosine_r,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
         """,
     }
 

@@ -481,6 +481,48 @@ class TestPipelineOps:
 
 
 class TestSimilaritySanity:
+    def test_int8_quantize_roundtrip(self, spark):
+        """qvec is a true array<tinyint>, |q| <= 127, zero vectors
+        survive (scale guard), and the quantized cosine tracks the
+        float cosine to ~1e-2."""
+        from unitdb_spark.operators.similarity import (
+            cosine_expr,
+            int8_cosine_topk,
+            quantize_int8,
+        )
+
+        rows = [
+            (1, [1.0, 0.0, 0.5, -0.25]),
+            (2, [0.9, 0.1, 0.6, -0.2]),
+            (3, [-1.0, 2.0, 0.0, 0.0]),
+            (4, [0.0, 0.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qz = quantize_int8(df)
+        assert dict(qz.dtypes)["qvec"] == "array<tinyint>"
+        for r in qz.collect():
+            assert all(abs(v) <= 127 for v in r["qvec"])
+        assert qz.filter("vec_id = 4").collect()[0]["qvec"] == [0, 0, 0, 0]
+
+        queries = df.filter("vec_id = 1").selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        got = {
+            r["vec_id"]: r["cosine_sim"]
+            for r in int8_cosine_topk(
+                df.filter("vec_id != 4"), queries, k=3
+            ).collect()
+        }
+        exact = {
+            r["vec_id"]: r["c"]
+            for r in df.filter("vec_id = 2 OR vec_id = 3")
+            .crossJoin(df.filter("vec_id = 1").selectExpr("embedding AS q"))
+            .select("vec_id", cosine_expr("embedding", "q").alias("c"))
+            .collect()
+        }
+        for vid, c in exact.items():
+            assert abs(got[vid] - c) < 1e-2, (vid, got[vid], c)
+
     def test_cosine_topk_self_similarity(self, spark):
         from unitdb_spark.operators.similarity import cosine_topk
 
