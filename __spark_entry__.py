@@ -997,6 +997,67 @@ def q_doc_normalize(spark, sf_dir):
     )
 
 
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_lineitem_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP(returnflag, linestatus): every aggregation
+    level in ONE shuffle (Expand + map-side partial agg), vs one scan
+    per level for the naive union. Decimal-cast sums keep double
+    aggregation order-independent so the oracle hash-matches."""
+    from unitdb_spark.operators.olap import rollup_agg
+
+    li = _read(spark, sf_dir, "lineitem")
+    out = rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias(
+                "sum_qty"
+            ),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n", "grouping_id"
+    )
+
+
+def q_events_pivot(spark, sf_dir):
+    """Daily event-type matrix via groupBy().pivot() with an EXPLICIT
+    value list — no distinct-discovery pass over the fact table; one
+    groupBy shuffle with map-side partial aggs per pivot value."""
+    from unitdb_spark.operators.olap import pivot_counts
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    out = pivot_counts(ev, "day", "event_type", _EVENT_TYPES)
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
+    )
+
+
+def q_events_running(spark, sf_dir):
+    """Per-user running sum / trailing-3 moving average / prev-row
+    delta in one Window node (one shuffle + one sort serves all
+    three); ROWS frames keep evaluation streaming. (ts, event_id)
+    ordering makes tie accumulation order engine-independent."""
+    from unitdb_spark.operators.olap import running_agg
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 25)
+    out = running_agg(ev, ["user_id"], ["ts", "event_id"], "value", moving_n=3)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("running_sum", 6).alias("running_r"),
+        F.round("moving_avg_3", 6).alias("mavg3_r"),
+        F.round("delta_prev", 6).alias("delta_r"),
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -1078,6 +1139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": q_doc_line_dedup,
         "doc_normalize": q_doc_normalize,
         "ann_int8_topk": q_ann_int8_topk,
+        "lineitem_rollup": q_lineitem_rollup,
+        "events_pivot": q_events_pivot,
+        "events_running": q_events_running,
     }
 
 
@@ -1803,6 +1867,35 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY sim DESC, vec_id) AS rank
           FROM scored)
         SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
+        """,
+        "lineitem_rollup": """
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          COUNT(*) AS n,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "events_pivot": """
+        SELECT CAST(ts AS DATE) AS day,
+          CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+          CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+          CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+          CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+          CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        FROM events GROUP BY 1
+        """,
+        "events_running": """
+        SELECT user_id, event_id,
+          round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+            AS running_r,
+          round(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3_r,
+          round(value - lag(value) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id), 6) AS delta_r
+        FROM events WHERE user_id < 25
         """,
     }
 

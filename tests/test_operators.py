@@ -480,6 +480,75 @@ class TestPipelineOps:
         assert out[3] is None
 
 
+class TestOlap:
+    def test_rollup_levels(self, spark):
+        from unitdb_spark.operators.olap import rollup_agg
+
+        df = spark.createDataFrame(
+            [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)],
+            "k1 string, k2 string, v long",
+        )
+        out = rollup_agg(df, ["k1", "k2"], [F.sum("v").alias("s")])
+        rows = {
+            (r["k1"], r["k2"], r["grouping_id"]): r["s"] for r in out.collect()
+        }
+        assert rows[("a", "x", 0)] == 1 and rows[("a", "y", 0)] == 2
+        assert rows[("a", None, 1)] == 3 and rows[("b", None, 1)] == 4
+        assert rows[(None, None, 3)] == 7
+
+    def test_cube_has_all_grouping_sets(self, spark):
+        from unitdb_spark.operators.olap import cube_agg
+
+        df = spark.createDataFrame(
+            [("a", "x", 1), ("b", "y", 2)], "k1 string, k2 string, v long"
+        )
+        out = cube_agg(df, ["k1", "k2"], [F.sum("v").alias("s")])
+        assert {r["grouping_id"] for r in out.collect()} == {0, 1, 2, 3}
+
+    def test_pivot_explicit_values(self, spark):
+        from unitdb_spark.operators.olap import pivot_counts
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "b"), (2, "b")], "k long, t string"
+        )
+        out = {
+            r["k"]: (r["a"], r["b"], r["c"])
+            for r in pivot_counts(df, "k", "t", ["a", "b", "c"]).collect()
+        }
+        assert out[1] == (2, 1, None) and out[2] == (None, 1, None)
+
+    def test_running_agg_windows(self, spark):
+        from unitdb_spark.operators.olap import running_agg
+
+        df = spark.createDataFrame(
+            [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0)],
+            "k long, seq long, value double",
+        )
+        out = running_agg(df, ["k"], ["seq"], "value", moving_n=2)
+        rows = {(r["k"], r["seq"]): r for r in out.collect()}
+        assert rows[(1, 3)]["running_sum"] == 60.0
+        assert rows[(1, 3)]["moving_avg_2"] == 25.0
+        assert rows[(1, 3)]["delta_prev"] == 10.0
+        assert rows[(1, 1)]["delta_prev"] is None
+        assert rows[(2, 1)]["running_sum"] == 5.0
+
+    def test_running_agg_single_window_node(self, spark):
+        """All three window functions share one WindowSpec — the plan
+        must contain exactly one Window node (one shuffle + one sort
+        serves everything)."""
+        import re
+
+        from unitdb_spark.operators.olap import running_agg
+        from unitdb_spark.plans.explain import formatted_plan, shuffle_count
+
+        df = spark.createDataFrame(
+            [(1, 1, 1.0)], "k long, seq long, value double"
+        )
+        out = running_agg(df, ["k"], ["seq"], "value")
+        assert len(re.findall(r"\(\d+\) Window", formatted_plan(out))) == 1
+        assert shuffle_count(out) == 1
+
+
 class TestSimilaritySanity:
     def test_int8_quantize_roundtrip(self, spark):
         """qvec is a true array<tinyint>, |q| <= 127, zero vectors
