@@ -256,6 +256,149 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """Order-priority checking (q4 shape; the synthetic lineitem has no
+    commit/receipt dates, so "late" = shipped after the order date).
+    The EXISTS becomes a left-semi join — Spark's semi join never
+    materializes lineitem columns, and the orders date filter prunes
+    the build side before the shuffle."""
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01"))
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """Returned-item reporting (q10): lost revenue per customer for one
+    quarter, top 20. Nation broadcasts; customer⋈orders⋈lineitem
+    shuffle on the join keys with AQE."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)"
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Shipping-speed priority mix (q12 shape; no l_shipmode column, so
+    the bucket is fast/slow by days-to-ship). One join + one tiny agg;
+    the year filter pushes to the lineitem scan."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _read(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    speed = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30, F.lit("fast")
+    ).otherwise(F.lit("slow"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        j.groupBy(speed.alias("ship_speed"))
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+        .orderBy("ship_speed")
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Promotion-revenue share (q14): part broadcasts into the lineitem
+    month slice; single scalar out."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = _read(spark, sf_dir, "part")
+    rev = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))"
+    # sums stay decimal (exact, order-insensitive); the division runs in
+    # double so Spark's decimal-division scale rounding can't diverge
+    # from the oracle
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.expr(
+            f"100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {rev} ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) "
+            f"/ CAST(SUM({rev}) AS DOUBLE)"
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Large-volume customers (q18): HAVING-subquery becomes an
+    aggregate + semi-filter; quantities aggregate map-side before the
+    orders/customer joins."""
+    li = _read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_s"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """Discounted-revenue with disjunctive predicates (q19 shape on the
+    available columns): the OR-of-ANDs stays one codegen'd predicate
+    after the broadcast join — no union-of-scans."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    p = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 15))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return j.filter(p).agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)"
+        ).alias("revenue")
+    )
+
+
 def q_events_salted_agg(spark, sf_dir):
     """Skew-proof two-phase aggregation (operators.skew.salted_agg):
     result is identical to a plain GROUP BY — which is exactly what the
@@ -1089,6 +1232,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analytics (SURVEY §7 phase 5)
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
         "tpch_q6": q_tpch_q6,
         "events_salted_agg": q_events_salted_agg,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1275,6 +1424,67 @@ def oracle_sql() -> dict[str, str]:
         WHERE o_orderdate < TIMESTAMP '1995-06-01' AND l_shipdate > TIMESTAMP '1995-06-01'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "tpch_q4": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+          AND o_orderdate < TIMESTAMP '1995-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "tpch_q10": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "tpch_q12": """
+        SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+                    THEN 'fast' ELSE 'slow' END AS ship_speed,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1 ORDER BY ship_speed
+        """,
+        "tpch_q14": """
+        SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+            ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+          AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "tpch_q18": """
+        WITH big AS (
+          SELECT l_orderkey,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+          CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+          o_totalprice, sum_qty
+        FROM big JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "tpch_q19": """
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         """,
         "events_salted_agg": """
         SELECT event_type, COUNT(value) AS n,

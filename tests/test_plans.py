@@ -144,3 +144,39 @@ class TestAnalyticsPlans:
         plan = formatted_plan(cosine_topk(emb, q, k=5))
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         assert not has_python_eval(cosine_topk(emb, q, k=5))
+
+
+class TestTpchPlans:
+    """New round-2 TPC-H shapes: the physical strategy is the point."""
+
+    def test_q4_uses_semi_join(self, spark):
+        import __spark_entry__ as entry
+
+        plan = formatted_plan(entry.queries()["tpch_q4"](spark, "/root/testdata/sf0.001"))
+        assert "LeftSemi" in plan  # EXISTS never materializes lineitem columns
+
+    def test_q10_broadcasts_nation(self, spark):
+        import __spark_entry__ as entry
+
+        df = entry.queries()["tpch_q10"](spark, "/root/testdata/sf0.001")
+        assert "BroadcastHashJoin" in formatted_plan(df)
+        assert not has_python_eval(df)
+
+    def test_q19_one_broadcast_join_no_union(self, spark):
+        """Disjunctive predicates stay one codegen'd filter after the
+        broadcast join — not a union of per-branch scans."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["tpch_q19"](spark, "/root/testdata/sf0.001")
+        plan = formatted_plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "Union" not in plan
+        assert not has_python_eval(df)
+
+    def test_q18_having_aggregates_before_joins(self, spark):
+        """The quantity rollup happens on lineitem alone (map-side
+        partials), so the joins see only qualifying orderkeys."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["tpch_q18"](spark, "/root/testdata/sf0.001")
+        assert not has_python_eval(df)
