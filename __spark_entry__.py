@@ -399,6 +399,14 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def q_events_profile(spark, sf_dir):
+    """One-scan whole-table profile (operators.profile.table_profile):
+    null/distinct/min/max per column, typed slots, no Python."""
+    from unitdb_spark.operators.profile import table_profile
+
+    return table_profile(_events(spark, sf_dir))
+
+
 def q_events_salted_agg(spark, sf_dir):
     """Skew-proof two-phase aggregation (operators.skew.salted_agg):
     result is identical to a plain GROUP BY — which is exactly what the
@@ -1238,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "events_profile": q_events_profile,
         "tpch_q6": q_tpch_q6,
         "events_salted_agg": q_events_salted_agg,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1485,6 +1494,38 @@ def oracle_sql() -> dict[str, str]:
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "events_profile": """
+        WITH base AS (SELECT * FROM events)
+        SELECT 'event_id' AS "column", COUNT(*) AS n_rows, COUNT(event_id) AS n_nonnull,
+          CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+          CAST(MIN(event_id) AS DOUBLE) AS min_num, CAST(MAX(event_id) AS DOUBLE) AS max_num,
+          CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+          CAST(NULL AS BIGINT) AS min_ts_s, CAST(NULL AS BIGINT) AS max_ts_s
+        FROM base
+        UNION ALL
+        SELECT 'ts', COUNT(*), COUNT(ts), CAST(COUNT(DISTINCT ts) AS BIGINT),
+          NULL, NULL, NULL, NULL,
+          CAST(floor(epoch(MIN(ts))) AS BIGINT), CAST(floor(epoch(MAX(ts))) AS BIGINT)
+        FROM base
+        UNION ALL
+        SELECT 'user_id', COUNT(*), COUNT(user_id), CAST(COUNT(DISTINCT user_id) AS BIGINT),
+          CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+          NULL, NULL, NULL, NULL
+        FROM base
+        UNION ALL
+        SELECT 'event_type', COUNT(*), COUNT(event_type), CAST(COUNT(DISTINCT event_type) AS BIGINT),
+          NULL, NULL, MIN(event_type), MAX(event_type), NULL, NULL
+        FROM base
+        UNION ALL
+        SELECT 'value', COUNT(*), COUNT(value), CAST(COUNT(DISTINCT value) AS BIGINT),
+          CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE),
+          NULL, NULL, NULL, NULL
+        FROM base
+        UNION ALL
+        SELECT 'props', COUNT(*), COUNT(props), CAST(COUNT(DISTINCT props) AS BIGINT),
+          NULL, NULL, MIN(props), MAX(props), NULL, NULL
+        FROM base
         """,
         "events_salted_agg": """
         SELECT event_type, COUNT(value) AS n,

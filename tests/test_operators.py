@@ -898,3 +898,57 @@ class TestSaltedAgg:
         rep = replicate_small_for_salted_join(dim, 4)
         joined = big.join(rep, on=["key", "_salt"])
         assert joined.count() == big.count()  # every row finds its dim
+
+
+class TestTableProfile:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a", 1.5, bytearray(b"\x01"), "2024-01-01 00:00:05"),
+                (2, "b", None, bytearray(b"\x02"), "2024-01-01 00:00:09"),
+                (3, None, 2.5, None, None),
+                (3, "a", 2.5, bytearray(b"\x03"), "2024-01-01 00:00:05"),
+            ],
+            "id bigint, s string, v double, b binary, t string",
+        ).withColumn("t", F.col("t").cast("timestamp"))
+
+    def test_one_row_per_column_typed_slots(self, spark):
+        from unitdb_spark.operators.profile import table_profile
+
+        rows = {r["column"]: r for r in table_profile(self._df(spark)).collect()}
+        assert set(rows) == {"id", "s", "v", "b", "t"}
+        assert rows["id"]["n_rows"] == 4 and rows["id"]["n_nonnull"] == 4
+        assert rows["id"]["n_distinct"] == 3
+        assert rows["id"]["min_num"] == 1.0 and rows["id"]["max_num"] == 3.0
+        assert rows["id"]["min_str"] is None and rows["id"]["min_ts_s"] is None
+        assert rows["s"]["n_nonnull"] == 3 and rows["s"]["n_distinct"] == 2
+        assert rows["s"]["min_str"] == "a" and rows["s"]["max_str"] == "b"
+        assert rows["v"]["n_nonnull"] == 3 and rows["v"]["n_distinct"] == 2
+        # opaque binary: presence stats only, every min/max slot NULL
+        assert rows["b"]["n_nonnull"] == 3
+        assert all(
+            rows["b"][k] is None
+            for k in ("min_num", "max_num", "min_str", "max_str", "min_ts_s", "max_ts_s")
+        )
+        assert rows["t"]["min_ts_s"] == 1704067205 and rows["t"]["max_ts_s"] == 1704067209
+
+    def test_column_subset_and_unknown_rejected(self, spark):
+        import pytest as _pytest
+
+        from unitdb_spark.operators.profile import table_profile
+
+        out = table_profile(self._df(spark), columns=["id", "s"])
+        assert out.count() == 2
+        with _pytest.raises(ValueError):
+            table_profile(self._df(spark), columns=["nope"])
+
+    def test_approx_path_has_no_expand(self, spark):
+        """exact_distinct=False must keep the plan a plain single-pass
+        agg — no Expand multiplying the shuffle by profiled columns."""
+        from unitdb_spark.operators.profile import table_profile
+        from unitdb_spark.plans.explain import formatted_plan
+
+        exact = formatted_plan(table_profile(self._df(spark)))
+        approx = formatted_plan(table_profile(self._df(spark), exact_distinct=False))
+        assert "Expand" in exact
+        assert "Expand" not in approx
