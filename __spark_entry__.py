@@ -971,6 +971,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_r"), "rank")
 
 
+def q_embed_kmeans(spark, sf_dir):
+    """K-means semantic clustering (operators.kmeans.kmeans_lloyd):
+    deterministic md5-sampled init, one full Lloyd round, final
+    assignment. Output is the integer (vec_id, cell) contract — the
+    oracle replays init/assign/update with list_cosine_similarity and
+    an unrolled mean CTE."""
+    from unitdb_spark.operators.kmeans import kmeans_lloyd
+
+    emb = _emb(spark, sf_dir)
+    return kmeans_lloyd(emb, k=8, n_iters=1)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     # approximate variant (probes 2/8 cells) — recall<1 by design vs
     # exact top-K, but centroid sampling (md5 ordering), assignment,
@@ -1297,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_dedup": q_doc_line_dedup,
         "doc_normalize": q_doc_normalize,
         "ann_int8_topk": q_ann_int8_topk,
+        "embed_kmeans": q_embed_kmeans,
         "lineitem_rollup": q_lineitem_rollup,
         "events_pivot": q_events_pivot,
         "events_running": q_events_running,
@@ -2118,6 +2131,32 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY sim DESC, vec_id) AS rank
           FROM scored)
         SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
+        """,
+        "embed_kmeans": """
+        WITH cents0 AS (
+          SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id LIMIT 8
+        ), a0 AS (
+          SELECT vec_id, embedding, cent_id AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                              c.cent_id) AS rn
+            FROM embeddings e CROSS JOIN cents0 c) WHERE rn = 1
+        ), m AS (
+          SELECT cell, r.pos AS pos, AVG(CAST(embedding[r.pos + 1] AS DOUBLE)) AS mv
+          FROM a0, range(64) r(pos) GROUP BY cell, r.pos
+        ), cents1 AS (
+          SELECT cell AS cent_id, list(mv ORDER BY pos) AS cv FROM m GROUP BY cell
+        )
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cent_id AS cell,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                            c.cent_id) AS rn
+          FROM embeddings e CROSS JOIN cents1 c) WHERE rn = 1
         """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,

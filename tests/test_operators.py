@@ -952,3 +952,81 @@ class TestTableProfile:
         approx = formatted_plan(table_profile(self._df(spark), exact_distinct=False))
         assert "Expand" in exact
         assert "Expand" not in approx
+
+
+class TestKmeans:
+    def _emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_every_vector_assigned_once(self, spark):
+        from unitdb_spark.operators.kmeans import kmeans_lloyd
+
+        emb = self._emb(spark)
+        out = kmeans_lloyd(emb, k=4, n_iters=1)
+        assert out.count() == emb.count()
+        assert out.select("vec_id").distinct().count() == emb.count()
+        cells = [r["cell"] for r in out.select("cell").distinct().collect()]
+        assert 1 <= len(cells) <= 4
+
+    def test_deterministic_across_runs(self, spark):
+        from unitdb_spark.operators.kmeans import kmeans_lloyd
+
+        emb = self._emb(spark)
+        a = sorted(map(tuple, kmeans_lloyd(emb, k=4, n_iters=2).collect()))
+        b = sorted(map(tuple, kmeans_lloyd(emb, k=4, n_iters=2).collect()))
+        assert a == b
+
+    def test_zero_iters_is_init_assignment(self, spark):
+        """n_iters=0 assigns to the sampled init centroids — the same
+        cells ivf_assign would produce with the same seed/k."""
+        from unitdb_spark.operators.kmeans import kmeans_lloyd
+        from unitdb_spark.operators.similarity import ivf_assign
+
+        emb = self._emb(spark)
+        km = {r["vec_id"]: r["cell"] for r in kmeans_lloyd(emb, k=4, n_iters=0).collect()}
+        assigned, _ = ivf_assign(emb, n_cells=4)
+        ivf = {r["vec_id"]: r["cell"] for r in assigned.select("vec_id", "cell").collect()}
+        assert km == ivf
+
+    def test_iteration_tightens_clusters(self, spark):
+        """One Lloyd round must not worsen mean cosine-to-centroid
+        (monotone improvement is the algorithm's defining property)."""
+        from pyspark.sql import functions as F
+        from unitdb_spark.operators.kmeans import _assign, _init_centroids
+        from unitdb_spark.operators.similarity import cosine_expr
+
+        emb = self._emb(spark)
+
+        def mean_sim(cents):
+            a = _assign(emb, cents, "vec_id", "embedding")
+            joined = a.join(
+                cents.withColumnRenamed("cent_id", "cell"), on="cell"
+            )
+            return joined.select(
+                F.avg(cosine_expr("_v", "_cent")).alias("m")
+            ).first()["m"]
+
+        cents0 = _init_centroids(emb, 4, "vec_id", "embedding", 42)
+        a0 = _assign(emb, cents0, "vec_id", "embedding")
+        ex = a0.select("cell", F.posexplode("_v").alias("pos", "val"))
+        cents1 = (
+            ex.groupBy("cell", "pos").agg(F.avg("val").alias("mv"))
+            .groupBy("cell")
+            .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                             lambda s: s["mv"]).alias("_cent"))
+            .select(F.col("cell").alias("cent_id"), "_cent")
+        )
+        assert mean_sim(cents1) >= mean_sim(cents0) - 1e-9
+
+    def test_no_python_eval_and_rejects_bad_args(self, spark):
+        import pytest as _pytest
+
+        from unitdb_spark.operators.kmeans import kmeans_lloyd
+        from unitdb_spark.plans.explain import has_python_eval
+
+        emb = self._emb(spark)
+        assert not has_python_eval(kmeans_lloyd(emb, k=3, n_iters=1))
+        with _pytest.raises(ValueError):
+            kmeans_lloyd(emb, k=0)
+        with _pytest.raises(ValueError):
+            kmeans_lloyd(emb, k=2, n_iters=-1)

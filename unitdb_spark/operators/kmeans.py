@@ -1,0 +1,119 @@
+"""K-means (Lloyd's algorithm) over an embedding column, DataFrame-only.
+
+The training-data use case is semantic clustering: group a corpus's
+embeddings into k cells for semantic dedup (SemDeDup-style: keep one
+doc per tight cluster), topical sharding, or as a trained alternative
+to the sampled-centroid IVF index in ``similarity.ivf_assign``.
+
+Spark-first formulation (no MLlib dependency, everything a plan):
+
+- init: deterministic pseudo-random sample — the same engine-portable
+  ``ORDER BY md5(id:seed) LIMIT k`` trick as ``ivf_assign``, so an
+  external SQL oracle replays the exact starting centroids.
+- assign: broadcast the k centroids (k × dim doubles — KBs), score
+  with the JVM-side cosine expression, argmax via ``max_by`` with a
+  deterministic tie-break. One corpus scan, zero corpus shuffle.
+- update: element-wise mean per cell via ``posexplode`` →
+  ``groupBy(cell, pos).avg``. The explode fans each row into ``dim``
+  rows, but map-side partial aggregation collapses them to
+  ``partitions × k × dim`` partials before the exchange — the shuffle
+  never carries the corpus. Cosine ignores magnitude, so the plain
+  mean is the spherical-k-means update (no renormalization needed).
+- loop: the driver iterates ``n_iters`` times, collecting only the
+  k centroid vectors between rounds (metadata, not data — k × dim
+  doubles) and re-literalizing them so every round starts from a flat
+  plan instead of a lineage that replans all prior rounds.
+
+Determinism: assignment ties break to the lowest cent_id; centroid
+means are floating-point and engine-order-sensitive in the last ulps,
+so only the integer ASSIGNMENT (vec_id → cell) is contract output —
+margins between distinct random embeddings dwarf ulp noise. Clusters
+that lose all members disappear (standard drop-empty-cells variant).
+
+The reference has no clustering surface; this extends its query
+engine the same way ivf/lsh extend Get (SURVEY §2 "beyond-reference"
+training-pipeline operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from unitdb_spark.operators.similarity import cosine_expr
+
+
+def _init_centroids(
+    df: DataFrame, k: int, id_col: str, vec_col: str, seed: int
+) -> DataFrame:
+    base = df.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cent"))
+    h = F.md5(F.concat(F.col("cent_id").cast("string"), F.lit(f":{seed}")))
+    # hash-threshold pre-filter (superset-safe) as in similarity.ivf_assign
+    pref = base.filter(h < F.lit("01"))
+    if pref.count() < k:
+        pref = base
+    return pref.orderBy(h, F.col("cent_id")).limit(k)
+
+
+def _assign(df: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    joined = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).join(F.broadcast(cents))
+    sim = cosine_expr("_v", "_cent").alias("_sim")
+    return (
+        joined.select("vec_id", "_v", "cent_id", sim)
+        .groupBy("vec_id")
+        .agg(
+            F.first("_v").alias("_v"),
+            F.max_by(
+                "cent_id", F.struct(F.col("_sim"), (-F.col("cent_id")).alias("_nc"))
+            ).alias("cell"),
+        )
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Cluster ``df[vec_col]`` into ``k`` cells; returns (vec_id, cell).
+
+    ``n_iters`` full Lloyd rounds (assign → mean-update) run before the
+    final assignment that is returned, so ``n_iters=0`` is plain
+    assignment to the sampled init centroids (== IVF assignment).
+    """
+    if k < 1 or n_iters < 0:
+        raise ValueError("kmeans_lloyd: need k >= 1 and n_iters >= 0")
+    spark = df.sparkSession
+    cents = _init_centroids(df, k, id_col, vec_col, seed)
+    for _ in range(n_iters):
+        assigned = _assign(df, cents, id_col, vec_col)
+        ex = assigned.select("cell", F.posexplode("_v").alias("pos", "val"))
+        means = ex.groupBy("cell", "pos").agg(F.avg("val").alias("mv"))
+        new_cents = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("_cent")
+            )
+            .select(F.col("cell").alias("cent_id"), "_cent")
+        )
+        # k rows of metadata — literalize so the next round's plan is
+        # flat (no lineage replaying every earlier round)
+        rows = new_cents.collect()
+        cents = spark.createDataFrame(
+            [(r["cent_id"], [float(x) for x in r["_cent"]]) for r in rows],
+            "cent_id long, _cent array<double>",
+        )
+    return _assign(df, cents, id_col, vec_col).select("vec_id", "cell")
+
+
+def cluster_sizes(assignment: DataFrame) -> DataFrame:
+    """Tiny convenience rollup: (cell, n_members)."""
+    return assignment.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
