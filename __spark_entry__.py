@@ -660,6 +660,31 @@ def q_events_range_join(spark, sf_dir):
     )
 
 
+def q_events_attribution(spark, sf_dir):
+    """Click→purchase attribution pairs via streaming.joins.
+    stream_interval_join run in BATCH mode (withWatermark is a batch
+    no-op) — the same code path the streaming parity test drives, so
+    the oracle checks the operator both modes share."""
+    from unitdb_spark.streaming.joins import stream_interval_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"), F.col("event_id").alias("buy_id")
+    )
+    j = stream_interval_join(
+        clicks, buys, "user_id", "click_ts", "buy_ts",
+        lower_seconds=0, upper_seconds=86400,
+    )
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("click_id").alias("first_click"),
+        F.max("buy_id").alias("last_buy"),
+    )
+
+
 # ------------------------------------------- documents / LLM pipeline ops
 
 
@@ -1274,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_click": q_events_asof_click,
         "events_asof_forward": q_events_asof_forward,
         "events_range_join": q_events_range_join,
+        "events_attribution": q_events_attribution,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_cms_user_counts": q_events_cms_user_counts,
@@ -1665,6 +1691,22 @@ def oracle_sql() -> dict[str, str]:
         FROM win JOIN clicks
           ON c_user = w_user AND c_ts >= lo AND c_ts < hi
         GROUP BY w_id
+        """,
+        "events_attribution": """
+        WITH clicks AS (
+          SELECT user_id, ts AS click_ts, event_id AS click_id
+          FROM events WHERE event_type = 'click'
+        ), buys AS (
+          SELECT user_id AS b_user, ts AS buy_ts, event_id AS buy_id
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT user_id, COUNT(*) AS n_pairs,
+          MIN(click_id) AS first_click, MAX(buy_id) AS last_buy
+        FROM clicks JOIN buys
+          ON user_id = b_user
+         AND buy_ts >= click_ts
+         AND buy_ts <= click_ts + INTERVAL 86400 SECONDS
+        GROUP BY user_id
         """,
         "doc_dedup_exact": """
         SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,

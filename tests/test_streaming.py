@@ -482,3 +482,68 @@ class TestStatefulTopK:
             lambda s: tuple(s)
         )
         assert dict(got) == dict(top_batch)
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch(self, spark, events_dir):
+        """Streaming stream-stream interval join == the same function
+        run in batch on the same input (withWatermark is a batch
+        no-op), row for row."""
+        from unitdb_spark.streaming.joins import stream_interval_join
+
+        def split(df):
+            clicks = df.filter(F.col("event_type") == "click").select(
+                "user_id",
+                F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"),
+            )
+            buys = df.filter(F.col("event_type") == "purchase").select(
+                "user_id",
+                F.col("ts").alias("buy_ts"),
+                F.col("event_id").alias("buy_id"),
+            )
+            return clicks, buys
+
+        batch_df = spark.read.parquet(events_dir)
+        bc, bb = split(batch_df)
+        expected = sorted(
+            map(
+                tuple,
+                stream_interval_join(
+                    bc, bb, "user_id", "click_ts", "buy_ts",
+                    lower_seconds=0, upper_seconds=86400,
+                ).select("user_id", "click_id", "buy_id").collect(),
+            )
+        )
+        assert expected, "fixture must produce at least one attribution pair"
+
+        stream_df = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        sc, sb = split(stream_df)
+        out = stream_interval_join(
+            sc, sb, "user_id", "click_ts", "buy_ts",
+            lower_seconds=0, upper_seconds=86400,
+        ).select("user_id", "click_id", "buy_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ssj_pairs")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.sql("SELECT * FROM ssj_pairs").collect()))
+        assert got == expected
+
+    def test_rejects_ambiguous_columns(self, spark, events_dir):
+        from unitdb_spark.streaming.joins import stream_interval_join
+
+        df = spark.read.parquet(events_dir)
+        with pytest.raises(ValueError):
+            stream_interval_join(df, df.withColumnRenamed("ts", "ts2"),
+                                 "user_id", "ts", "ts2")
+        with pytest.raises(ValueError):
+            stream_interval_join(
+                df.select("user_id", "ts"),
+                df.select("user_id", F.col("ts").alias("ts")),
+                "user_id", "ts", "ts",
+            )
