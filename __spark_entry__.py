@@ -1055,6 +1055,27 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_decontam_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination: same benchmark split and
+    output as `doc_decontaminate` (the Bloom pass has no false
+    negatives, exact confirm removes the false positives), but the
+    broadcast is a fixed-size bitset rather than the gram string set —
+    the 100 TB path when the eval suite's gram set outgrows a
+    broadcast hash map."""
+    from unitdb_spark.operators.decontam import bloom_decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    out = bloom_decontaminate(d, bench, n=3, threshold=0.5, m_bits=1 << 16, k=2)
+    return out.select(
+        "id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_contaminated",
+        F.round("overlap_frac", 6).alias("overlap_r"),
+        "contaminated",
+    )
+
+
 def q_doc_pack_greedy(spark, sf_dir):
     """Concat-and-chunk sequence packing into 256-token bins, packed
     shard-locally (doc_id % 8) so the window never needs a global
@@ -1329,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_embed_cosine_dups": q_doc_embed_cosine_dups,
         "multimodal_meta": q_multimodal_meta,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_decontam_bloom": q_doc_decontam_bloom,
         "doc_pack_greedy": q_doc_pack_greedy,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_pii_scrub": q_doc_pii_scrub,
@@ -2012,6 +2034,37 @@ def oracle_sql() -> dict[str, str]:
           CASE media_type WHEN 'audio' THEN n / 32000.0
                WHEN 'video' THEN (n % 300 + 1) / 30.0 ELSE 0.0 END AS duration_s
         FROM m
+        """,
+        # bloom variant is bit-identical to the exact pass by design
+        # (no false negatives + exact confirm) — same oracle SQL
+        "doc_decontam_bloom": f"""
+        WITH tk AS (
+          SELECT doc_id, {_TOKS} AS tk FROM documents
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(0, greatest(len(tk) - 3, 0)),
+            i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')
+          )) AS g
+          FROM tk
+        ), bench AS (
+          SELECT DISTINCT u.gram AS gram
+          FROM sh, unnest(g) AS u(gram) WHERE doc_id % 41 = 0
+        ), ex AS (
+          SELECT doc_id, len(g) AS n_grams, u.gram AS gram
+          FROM sh, unnest(g) AS u(gram)
+        ), agg AS (
+          SELECT e.doc_id AS id, e.n_grams,
+                 CAST(count(b.gram) AS BIGINT) AS n_contaminated
+          FROM ex e LEFT JOIN bench b USING (gram)
+          GROUP BY 1, 2
+        )
+        SELECT id, CAST(n_grams AS BIGINT) AS n_grams, n_contaminated,
+          round(CASE WHEN n_grams < 1 THEN 0.0
+                ELSE CAST(n_contaminated AS DOUBLE) / n_grams END, 6) AS overlap_r,
+          (CASE WHEN n_grams < 1 THEN 0.0
+                ELSE CAST(n_contaminated AS DOUBLE) / n_grams END) >= 0.5
+            AS contaminated
+        FROM agg
         """,
         "doc_decontaminate": f"""
         WITH tk AS (

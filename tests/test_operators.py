@@ -408,6 +408,43 @@ class TestPipelineOps:
         assert not out[2]["contaminated"] and out[2]["n_contaminated"] == 0
         assert out[3]["contaminated"]  # high-overlap superset doc
 
+    def test_bloom_decontaminate_equals_exact(self, spark):
+        """Bloom pre-filter + exact confirm must be bit-identical to the
+        exact pass (no false negatives by Bloom guarantee, false
+        positives removed by confirm) — even with a deliberately tiny,
+        collision-heavy bitset."""
+        from unitdb_spark.operators.decontam import bloom_decontaminate, decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated words with no overlap at all here"),
+                (3, "prefix words then the quick brown fox jumps over the lazy dog"),
+                (4, "fox"),  # shorter than n -> single degenerate gram
+            ],
+            "doc_id long, text string",
+        )
+        exact = {tuple(r) for r in decontaminate(docs, bench, n=3).collect()}
+        # m_bits=256 forces heavy bit collisions: confirm must clean up
+        bloom = {
+            tuple(r)
+            for r in bloom_decontaminate(docs, bench, n=3, m_bits=256, k=2).collect()
+        }
+        assert bloom == exact
+
+    def test_bloom_build_bounded(self, spark):
+        """The bitset table never exceeds m_bits/64 rows no matter the
+        input cardinality (that bound is the whole scale story)."""
+        from unitdb_spark.operators.decontam import bloom_build
+
+        vals = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+        words = bloom_build(vals, "v", m_bits=1024, k=3)
+        assert words.count() <= 1024 // 64
+
     def test_pack_sequences_bin_math(self, spark):
         from unitdb_spark.operators.packing import pack_sequences
 
