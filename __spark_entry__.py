@@ -1076,6 +1076,22 @@ def q_doc_decontam_bloom(spark, sf_dir):
     )
 
 
+def q_doc_classify_score(spark, sf_dir):
+    """Hashed linear quality scorer (fastText-style): unigram+bigram
+    features hashed into 4096 buckets, deterministic md5-derived
+    weights, score = sigmoid(mean weight). The no-model path is one
+    whole-stage-codegen projection — zero joins, zero shuffles."""
+    from unitdb_spark.operators.classify import classify_score
+
+    out = classify_score(_docs(spark, sf_dir), n_buckets=4096)
+    return out.select(
+        "id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.round("score", 6).alias("score_r"),
+        "label",
+    )
+
+
 def q_doc_pack_greedy(spark, sf_dir):
     """Concat-and-chunk sequence packing into 256-token bins, packed
     shard-locally (doc_id % 8) so the window never needs a global
@@ -1351,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontam_bloom": q_doc_decontam_bloom,
+        "doc_classify_score": q_doc_classify_score,
         "doc_pack_greedy": q_doc_pack_greedy,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_pii_scrub": q_doc_pii_scrub,
@@ -2034,6 +2051,30 @@ def oracle_sql() -> dict[str, str]:
           CASE media_type WHEN 'audio' THEN n / 32000.0
                WHEN 'video' THEN (n % 300 + 1) / 30.0 ELSE 0.0 END AS duration_s
         FROM m
+        """,
+        "doc_classify_score": f"""
+        WITH tk AS (
+          SELECT doc_id, {_TOKS} AS tk FROM documents
+        ), f AS (
+          SELECT doc_id, list_concat(tk,
+            CASE WHEN len(tk) >= 2 THEN list_transform(
+              generate_series(0, len(tk) - 2),
+              i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))
+            ELSE [] END) AS feats
+          FROM tk
+        ), s AS (
+          SELECT doc_id AS id, len(feats) AS n_feats,
+            coalesce(list_sum(list_transform(feats, x ->
+              CAST(('0x' || substr(md5(CAST(
+                CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 4096
+              AS VARCHAR)), 1, 15)) AS BIGINT)
+              / 1152921504606846976.0 - 0.5)), 0.0) AS wsum
+          FROM f
+        )
+        SELECT id, CAST(n_feats AS BIGINT) AS n_feats,
+          round(1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1)))), 6) AS score_r,
+          (1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1))))) >= 0.5 AS label
+        FROM s
         """,
         # bloom variant is bit-identical to the exact pass by design
         # (no false negatives + exact confirm) — same oracle SQL

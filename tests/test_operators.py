@@ -445,6 +445,67 @@ class TestPipelineOps:
         words = bloom_build(vals, "v", m_bits=1024, k=3)
         assert words.count() <= 1024 // 64
 
+    def test_classify_trained_weights_math(self, spark):
+        """Broadcast-join path: hand-check sigmoid(mean bucket weight)
+        against a tiny trained table; unknown buckets weigh 0."""
+        import math
+
+        from unitdb_spark.operators.classify import _bucket, classify_score
+
+        docs = spark.createDataFrame(
+            [(1, "good good"), (2, "")], "doc_id long, text string"
+        )
+        # features of doc 1: ["good", "good", "good good"] (bag semantics)
+        b_uni = spark.range(1).select(_bucket(F.lit("good"), 64).alias("b")).head()[0]
+        b_bi = (
+            spark.range(1).select(_bucket(F.lit("good good"), 64).alias("b")).head()[0]
+        )
+        w = {b_uni: 2.0}
+        w[b_bi] = w.get(b_bi, 0.0) + 1.0  # collision-safe accumulate
+        weights = spark.createDataFrame(
+            [(int(k), float(v)) for k, v in w.items()], "bucket long, weight double"
+        )
+        out = {
+            r["id"]: r
+            for r in classify_score(docs, weights_df=weights, n_buckets=64).collect()
+        }
+        if b_uni == b_bi:  # degenerate collision: all three feats share w
+            expect_z = (3 * w[b_uni]) / 3
+        else:
+            expect_z = (2 * 2.0 + 1.0) / 3
+        assert abs(out[1]["score"] - 1 / (1 + math.exp(-expect_z))) < 1e-9
+        assert out[1]["n_feats"] == 3 and out[1]["label"]
+        # empty doc: zero features -> sigmoid(bias=0) = 0.5 -> label True
+        assert out[2]["n_feats"] == 0 and abs(out[2]["score"] - 0.5) < 1e-12
+
+    def test_classify_hash_path_matches_trained_path(self, spark):
+        """The zero-join expression path and the explode+join path must
+        agree when the join table holds exactly the hash weights."""
+        from unitdb_spark.operators.classify import (
+            _bucket,
+            _hash_weight,
+            classify_score,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(["a b c", "c d", "a", ""])],
+            "doc_id long, text string",
+        )
+        nb = 32
+        weights = (
+            spark.range(nb)
+            .select(F.col("id").alias("bucket"))
+            .select("bucket", _hash_weight(F.col("bucket")).alias("weight"))
+        )
+        fast = {r["id"]: r["score"] for r in classify_score(docs, n_buckets=nb).collect()}
+        slow = {
+            r["id"]: r["score"]
+            for r in classify_score(docs, weights_df=weights, n_buckets=nb).collect()
+        }
+        assert fast.keys() == slow.keys()
+        for k in fast:
+            assert abs(fast[k] - slow[k]) < 1e-12
+
     def test_pack_sequences_bin_math(self, spark):
         from unitdb_spark.operators.packing import pack_sequences
 
