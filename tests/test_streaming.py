@@ -428,6 +428,72 @@ class TestContinuousRollup:
         assert got2 == want
 
 
+class TestContinuousKV:
+    _SCHEMA = "key long, value binary, op string, op_order long"
+
+    def _write_ops(self, spark, path, rows):
+        spark.createDataFrame(rows, self._SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    def test_streamed_kv_matches_batch_reduce(self, spark, tmp_path):
+        """Folded state == operators.kv.kv_state over the whole op-log,
+        across two micro-batches and a no-new-data restart."""
+        from unitdb_spark.operators.kv import kv_state
+        from unitdb_spark.streaming.kv_sink import continuous_kv, read_kv
+
+        src, state, cp = (str(tmp_path / d) for d in ("src", "state", "cp"))
+        b1 = [
+            (1, bytearray(b"v1"), "put", 10),
+            (2, bytearray(b"v2"), "put", 11),
+            (1, bytearray(b"v1b"), "put", 12),
+        ]
+        b2 = [
+            (2, None, "delete", 20),
+            (3, bytearray(b"v3"), "put", 21),
+        ]
+        self._write_ops(spark, src, b1)
+        stream = spark.readStream.schema(self._SCHEMA).parquet(src)
+        continuous_kv(stream, state, cp).awaitTermination(180)
+        self._write_ops(spark, src, b2)
+        continuous_kv(
+            spark.readStream.schema(self._SCHEMA).parquet(src), state, cp
+        ).awaitTermination(180)
+
+        got = {r["key"]: bytes(r["value"]) for r in read_kv(spark, state).collect()}
+        oplog = spark.read.parquet(src)
+        want = {
+            r["key"]: bytes(r["value"]) for r in kv_state(oplog).collect()
+        }
+        assert got == want == {1: b"v1b", 3: b"v3"}
+
+        # restart with no new data: commit log makes it a no-op
+        continuous_kv(
+            spark.readStream.schema(self._SCHEMA).parquet(src), state, cp
+        ).awaitTermination(180)
+        again = {r["key"]: bytes(r["value"]) for r in read_kv(spark, state).collect()}
+        assert again == want
+
+    def test_tombstone_blocks_stale_put(self, spark, tmp_path):
+        """A later batch carrying an OLDER put (lower op_order) must not
+        resurrect a deleted key — the tombstone row wins the re-reduce."""
+        from unitdb_spark.streaming.kv_sink import continuous_kv, read_kv
+
+        src, state, cp = (str(tmp_path / d) for d in ("src", "state", "cp"))
+        self._write_ops(spark, src, [(7, None, "delete", 100)])
+        continuous_kv(
+            spark.readStream.schema(self._SCHEMA).parquet(src), state, cp
+        ).awaitTermination(180)
+        # stale put arrives late (out-of-order source)
+        self._write_ops(spark, src, [(7, bytearray(b"old"), "put", 50)])
+        continuous_kv(
+            spark.readStream.schema(self._SCHEMA).parquet(src), state, cp
+        ).awaitTermination(180)
+        assert read_kv(spark, state).count() == 0
+        tomb = read_kv(spark, state, include_tombstones=True).collect()
+        assert len(tomb) == 1 and tomb[0]["op"] == "delete"
+
+
 def entries_stream_batch(spark, events_dir):
     """The batch twin of entries_stream (same derivation, plain read)."""
     ev = spark.read.parquet(events_dir)
