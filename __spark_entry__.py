@@ -535,6 +535,134 @@ def q_tpch_q9(spark, sf_dir):
     )
 
 
+def _li_pairs(spark, sf_dir):
+    """partsupp surrogate (the schema ships no partsupp table): observed
+    (part, supplier) pairs from lineitem with the best observed
+    discounted unit price as the supply-cost proxy. One shuffle,
+    map-side combined to pair cardinality."""
+    li = _read(spark, sf_dir, "lineitem")
+    # cost stays a plain DOUBLE: MIN (unlike SUM) does no accumulation,
+    # so the IEEE value is bit-identical in any engine — a DECIMAL cast
+    # would instead expose engine-specific rounding at .5-ulp ties
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.expr("MIN(l_extendedprice * (1 - l_discount) / l_quantity)").alias("cost")
+    )
+
+
+def q_tpch_q2(spark, sf_dir):
+    """Minimum-cost supplier (q2 shape over the partsupp surrogate):
+    for each ECONOMY part of size >= 25 supplied from EUROPE, the
+    supplier(s) with the minimum observed unit cost. The correlated MIN
+    subquery is a per-part re-aggregation of the (small) pair table
+    joined back on exact DECIMAL equality; top-100 output pinned by a
+    deterministic sort."""
+    pairs = _li_pairs(spark, sf_dir)
+    part = _read(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") >= 25)
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    scope = (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .join(supp, pairs.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    minc = scope.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("cost").alias("_min_cost")
+    )
+    return (
+        scope.join(
+            minc,
+            (scope.p_partkey == minc._pk) & (scope.cost == minc._min_cost),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("cost").cast("double").alias("min_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """Important stock (q11 shape): per-part shipped value from one
+    nation's suppliers, keeping parts above 0.1% of that nation's
+    total. The scalar subquery is a one-row broadcast cross join; both
+    aggregations reuse the same per-part partials."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    val = "SUM(CAST(l_quantity * p_retailprice AS DECIMAL(28,6)))"
+    per_part = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey")
+        .agg(F.expr(val).alias("_value"))
+    )
+    total = per_part.agg(F.sum("_value").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_value") > F.col("_total") * 0.001)
+        .select("p_partkey", F.col("_value").cast("double").alias("value"))
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """Top supplier (q15): revenue per supplier for 1996Q1, return the
+    max-revenue supplier(s). The max is a one-row broadcast; equality
+    is exact (DECIMAL partials), so ties surface identically in any
+    engine."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.expr(
+            "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))"
+        ).alias("_rev")
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """Parts/supplier relationship (q16 shape): distinct supplier count
+    per (brand, type, size) over the pair surrogate, excluding one
+    brand, PROMO types, and negative-balance suppliers (the complaint
+    filter analogue). The distinct-count shuffles only pair rows."""
+    pairs = _li_pairs(spark, sf_dir).select("l_partkey", "l_suppkey")
+    part = _read(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = _read(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("_bad_key")
+    )
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), pairs.l_suppkey == F.col("_bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q_events_profile(spark, sf_dir):
     """One-scan whole-table profile (operators.profile.table_profile):
     null/distinct/min/max per column, typed slots, no Python."""
@@ -1456,10 +1584,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tpch_q2": q_tpch_q2,
         "tpch_q5": q_tpch_q5,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
         "events_profile": q_events_profile,
         "tpch_q6": q_tpch_q6,
         "events_salted_agg": q_events_salted_agg,
@@ -1712,6 +1844,67 @@ def oracle_sql() -> dict[str, str]:
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q2": """
+        WITH pairs AS (
+          SELECT l_partkey, l_suppkey,
+            MIN(l_extendedprice * (1 - l_discount) / l_quantity) AS cost
+          FROM lineitem GROUP BY 1, 2
+        ), scope AS (
+          SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost
+          FROM pairs
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE p_type = 'ECONOMY' AND p_size >= 25 AND r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+               CAST(cost AS DOUBLE) AS min_cost
+        FROM scope s
+        WHERE cost = (SELECT MIN(cost) FROM scope m WHERE m.p_partkey = s.p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """,
+        "tpch_q11": """
+        WITH per_part AS (
+          SELECT p_partkey, SUM(CAST(l_quantity * p_retailprice AS DECIMAL(28,6))) AS value
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN part ON l_partkey = p_partkey
+          WHERE n_name = 'NATION_4'
+          GROUP BY 1
+        )
+        SELECT p_partkey, CAST(value AS DOUBLE) AS value
+        FROM per_part
+        WHERE value > (SELECT SUM(value) FROM per_part) * 0.001
+        """,
+        "tpch_q15": """
+        WITH rev AS (
+          SELECT l_suppkey,
+            SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS r
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE r = (SELECT MAX(r) FROM rev)
+        """,
+        "tpch_q16": """
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT p_brand, p_type, p_size,
+          CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM pairs
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
         """,
         "tpch_q5": """
         SELECT n_name,
