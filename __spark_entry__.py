@@ -663,6 +663,149 @@ def q_tpch_q16(spark, sf_dir):
     )
 
 
+def q_tpch_q13(spark, sf_dir):
+    """Customer order-count distribution (q13; no o_comment column, so
+    the exclusion class is URGENT priority). LEFT join keeps
+    zero-order customers; two cheap aggregations."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q17(spark, sf_dir):
+    """Small-quantity-order revenue (q17): lineitems of one brand under
+    20% of their part's average quantity. The correlated AVG is a
+    per-part re-aggregation joined back; the average is DECIMAL-sum /
+    count so the threshold is bit-stable across engines."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    brand_li = li.join(part, li.l_partkey == part.p_partkey)
+    avg_q = brand_li.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+        ).alias("_avg_q")
+    )
+    return (
+        brand_li.join(F.broadcast(avg_q), brand_li.p_partkey == avg_q._pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_q"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0"
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """Potential part promotion (q20 shape over the partsupp
+    surrogate): NATION_1 suppliers who shipped > 50 units of 'cold'
+    parts during 1996. The IN-subquery is a left-semi join; part is
+    pre-filtered before the pair join."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    part = _read(spark, sf_dir, "part").filter(F.col("p_name").startswith("cold"))
+    qty = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.expr("SUM(CAST(l_quantity AS DECIMAL(18,2)))").alias("_q"))
+        .filter(F.col("_q") > 50)
+        .select("l_suppkey")
+    )
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(qty, supp.s_suppkey == qty.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """Suppliers who kept orders waiting (q21 shape; no
+    commit/receipt dates, so "late" = shipped > 30 days after the
+    order date). For finished ('F') multi-supplier orders: the late
+    supplier was the ONLY late one — EXISTS becomes a left-semi join
+    on other-supplier lines, NOT EXISTS a left-anti on other-supplier
+    LATE lines. Top 100 by wait count."""
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_lines = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("s_key")
+    ).distinct()
+    # another supplier touched the order
+    l1 = late.join(
+        all_lines,
+        (late.l_orderkey == all_lines.o_key) & (late.l_suppkey != all_lines.s_key),
+        "left_semi",
+    )
+    # ... but no OTHER supplier was late on it
+    late2 = late.select(
+        F.col("l_orderkey").alias("o_key2"), F.col("l_suppkey").alias("s_key2")
+    )
+    only_late = l1.join(
+        late2,
+        (l1.l_orderkey == late2.o_key2) & (l1.l_suppkey != late2.s_key2),
+        "left_anti",
+    )
+    return (
+        only_late.join(supp, only_late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Global sales opportunity (q22 shape; no c_phone, so the country
+    code is c_nationkey). Idle rich customers: above the pool's
+    average positive balance (DECIMAL-sum average, one-row broadcast)
+    with no orders since 1999 (left-anti join on the date-filtered
+    order set — every synthetic customer has SOME order, so recency is
+    the faithful reading of the original's 7-year dormancy)."""
+    pool = _read(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    avg_bal = pool.filter(F.col("c_acctbal") > 0).agg(
+        F.expr(
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)"
+        ).alias("_avg")
+    )
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, pool.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.expr(
+                "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("totacctbal"),
+        )
+    )
+
+
 def q_events_profile(spark, sf_dir):
     """One-scan whole-table profile (operators.profile.table_profile):
     null/distinct/min/max per column, typed slots, no Python."""
@@ -1590,8 +1733,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q11": q_tpch_q11,
+        "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "events_profile": q_events_profile,
         "tpch_q6": q_tpch_q6,
         "events_salted_agg": q_events_salted_agg,
@@ -1879,6 +2027,80 @@ def oracle_sql() -> dict[str, str]:
         SELECT p_partkey, CAST(value AS DOUBLE) AS value
         FROM per_part
         WHERE value > (SELECT SUM(value) FROM per_part) * 0.001
+        """,
+        "tpch_q13": """
+        WITH per_cust AS (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY 1
+        )
+        SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY 1
+        """,
+        "tpch_q17": """
+        WITH brand_li AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#23'
+        ), avg_q AS (
+          SELECT l_partkey,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS aq
+          FROM brand_li GROUP BY 1
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+          AS avg_yearly
+        FROM brand_li JOIN avg_q USING (l_partkey)
+        WHERE l_quantity < 0.2 * aq
+        """,
+        "tpch_q20": """
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1' AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'cold%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_partkey, l_suppkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50
+        )
+        """,
+        "tpch_q21": """
+        WITH late AS (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        ), alllines AS (
+          SELECT DISTINCT l_orderkey AS o_key, l_suppkey AS s_key FROM lineitem
+        )
+        SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        FROM late l
+        JOIN supplier ON l.l_suppkey = s_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM alllines a
+            WHERE a.o_key = l.l_orderkey AND a.s_key <> l.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM late l2
+            WHERE l2.l_orderkey = l.l_orderkey AND l2.l_suppkey <> l.l_suppkey)
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 100
+        """,
+        "tpch_q22": """
+        WITH pool AS (
+          SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        ), ab AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+          FROM pool WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM pool, ab
+        WHERE c_acctbal > a
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY 1
         """,
         "tpch_q15": """
         WITH rev AS (
