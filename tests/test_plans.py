@@ -180,3 +180,62 @@ class TestTpchPlans:
 
         df = entry.queries()["tpch_q18"](spark, "/root/testdata/sf0.001")
         assert not has_python_eval(df)
+
+    def test_q5_broadcasts_dims_no_nested_loop(self, spark):
+        """Nation/region ride as broadcasts; the facts join hash-wise —
+        a nested-loop anywhere means the same-nation filter leaked into
+        a join condition without an equi key."""
+        import __spark_entry__ as entry
+
+        plan = formatted_plan(entry.queries()["tpch_q5"](spark, "/root/testdata/sf0.001"))
+        assert "BroadcastHashJoin" in plan
+        assert "NestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q21_semi_and_anti_joins(self, spark):
+        """EXISTS/NOT EXISTS compile to LeftSemi/LeftAnti — never a
+        count-subquery or a nested loop over lineitem."""
+        import __spark_entry__ as entry
+
+        plan = formatted_plan(entry.queries()["tpch_q21"](spark, "/root/testdata/sf0.001"))
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q22_scalar_subquery_is_broadcast(self, spark):
+        """The avg-balance scalar rides as a one-row broadcast; the
+        dormancy check is a LeftAnti, not a per-row subquery."""
+        import __spark_entry__ as entry
+
+        plan = formatted_plan(entry.queries()["tpch_q22"](spark, "/root/testdata/sf0.001"))
+        assert "LeftAnti" in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestPipelinePlans:
+    """Round-2 additions: classifier / bloom decontam plan shapes."""
+
+    def test_classifier_hash_path_zero_shuffle_zero_python(self, spark):
+        """SCALE.md: the no-model scorer is ONE codegen projection."""
+        from unitdb_spark.operators.classify import classify_score
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = classify_score(docs, n_buckets=4096)
+        assert shuffle_count(out) == 0
+        assert not has_python_eval(out)
+
+    def test_bloom_decontam_single_corpus_shuffle(self, spark):
+        """SCALE.md: k Bloom probes are k broadcast joins — the only
+        corpus-side exchange is the final per-doc aggregation. The
+        bounded benchmark side may exchange freely (it's tiny — the
+        gram-distinct subtree runs once for the bitset and once for the
+        confirm join, 5 bounded exchanges total), so the pin is the
+        known layout: 5 benchmark-side + 1 corpus-side."""
+        from unitdb_spark.operators.decontam import bloom_decontaminate
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        bench = docs.filter("doc_id % 41 = 0")
+        out = bloom_decontaminate(docs, bench, m_bits=1 << 16, k=2)
+        plan = formatted_plan(out)
+        assert "BroadcastHashJoin" in plan
+        assert not has_python_eval(out)
+        assert shuffle_count(out) <= 6
