@@ -1499,6 +1499,31 @@ def q_doc_classify_score(spark, sf_dir):
     )
 
 
+def q_doc_source_mixture(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) source mixture weights + implied
+    epochs for a 1M-token budget; the shuffle carries one row per
+    source, the normalizer is a one-row broadcast."""
+    from unitdb_spark.operators.mixture import source_mixture
+
+    return source_mixture(_docs(spark, sf_dir), alpha=0.5, budget_tokens=1_000_000)
+
+
+def q_doc_source_cap(spark, sf_dir):
+    """Per-source 2000-token quota admitted in content-hash order —
+    layout/engine independent, so the kept set is a pure function of
+    the data."""
+    from unitdb_spark.operators.mixture import source_cap
+
+    out = source_cap(_docs(spark, sf_dir), cap_tokens=2000)
+    return out.select(
+        "id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        "kept",
+    )
+
+
 def q_doc_pack_greedy(spark, sf_dir):
     """Concat-and-chunk sequence packing into 256-token bins, packed
     shard-locally (doc_id % 8) so the window never needs a global
@@ -1788,6 +1813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontam_bloom": q_doc_decontam_bloom,
         "doc_classify_score": q_doc_classify_score,
+        "doc_source_mixture": q_doc_source_mixture,
+        "doc_source_cap": q_doc_source_cap,
         "doc_pack_greedy": q_doc_pack_greedy,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_pii_scrub": q_doc_pii_scrub,
@@ -2669,6 +2696,37 @@ def oracle_sql() -> dict[str, str]:
           CASE media_type WHEN 'audio' THEN n / 32000.0
                WHEN 'video' THEN (n % 300 + 1) / 30.0 ELSE 0.0 END AS duration_s
         FROM m
+        """,
+        "doc_source_mixture": f"""
+        WITH per_src AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1
+        ), t AS (
+          SELECT SUM(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS total FROM per_src
+        ), wtd AS (
+          SELECT source, n_docs, n_tokens,
+            round(pow(CAST(n_tokens AS DOUBLE), 0.5) / total, 6) AS weight
+          FROM per_src, t
+        )
+        SELECT source, n_docs, n_tokens, weight,
+          round(1000000.0 * (weight / CAST(n_tokens AS DOUBLE)), 6) AS epochs
+        FROM wtd
+        """,
+        "doc_source_cap": f"""
+        WITH d AS (
+          SELECT doc_id AS id, source, len({_TOKS}) AS n_tokens FROM documents
+        ), w AS (
+          SELECT id, source, n_tokens,
+            SUM(n_tokens) OVER (PARTITION BY source
+              ORDER BY CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT), id
+              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM d
+        )
+        SELECT id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens,
+               (cum_tokens <= 2000 OR cum_tokens = n_tokens) AS kept
+        FROM w
         """,
         "doc_classify_score": f"""
         WITH tk AS (

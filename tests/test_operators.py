@@ -506,6 +506,37 @@ class TestPipelineOps:
         for k in fast:
             assert abs(fast[k] - slow[k]) < 1e-12
 
+    def test_source_mixture_weights_sum_to_one(self, spark):
+        from unitdb_spark.operators.mixture import source_mixture
+
+        docs = spark.createDataFrame(
+            [(i, "tok " * (10 if i % 2 else 40), f"s{i % 2}") for i in range(20)],
+            "doc_id long, text string, source string",
+        )
+        rows = source_mixture(docs, alpha=0.5, budget_tokens=1000).collect()
+        assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-5
+        by_src = {r["source"]: r for r in rows}
+        # alpha=0.5 flattens: the 4x-token source gets only 2x the weight
+        ratio = by_src["s0"]["weight"] / by_src["s1"]["weight"]
+        assert abs(ratio - 2.0) < 0.01
+        # epochs * n_tokens == budget * weight
+        for r in rows:
+            assert abs(r["epochs"] * r["n_tokens"] - 1000 * r["weight"]) < 0.5
+
+    def test_source_cap_admission(self, spark):
+        """Cap honored in content-hash order; the first doc of a source
+        is always admitted even when it alone blows the quota."""
+        from unitdb_spark.operators.mixture import source_cap
+
+        docs = spark.createDataFrame(
+            [(1, "a " * 50, "big"), (2, "b " * 50, "big"), (3, "c " * 999, "solo")],
+            "doc_id long, text string, source string",
+        )
+        out = {r["id"]: r for r in source_cap(docs, cap_tokens=60).collect()}
+        kept_big = [i for i in (1, 2) if out[i]["kept"]]
+        assert len(kept_big) == 1  # second 50-token doc passes the 60 cap
+        assert out[3]["kept"] and out[3]["n_tokens"] == 999  # oversize first doc
+
     def test_pack_sequences_bin_math(self, spark):
         from unitdb_spark.operators.packing import pack_sequences
 
