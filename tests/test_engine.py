@@ -330,6 +330,34 @@ class TestEncryption:
         with pytest.raises(ValueError, match="encryption_key"):
             eng.put_entry(Entry("a.b", b"x").with_encryption())
 
+    def test_legacy_store_without_marker_column_decrypts(self, spark, tmp_path):
+        """A store written before the `encrypted` marker column existed
+        (round-1 behavior: key set => every payload encrypted; files
+        carry no marker, so the fixed read schema yields NULL) must
+        still decrypt on read — a NULL marker follows the store-wide
+        setting, never 'plaintext'."""
+        from unitdb_spark.engine import Engine
+
+        import shutil
+
+        key = b"0123456789abcdef"
+        eng = Engine.open(spark, str(tmp_path / "legacy"), encryption_key=key)
+        try:
+            eng.put_entry(Entry("unit1.old", b"legacy-secret"), ts=T0)
+            eng.flush()
+            # Rewrite the table without the marker column == legacy files.
+            rewrite = str(tmp_path / "legacy_rewrite")
+            eng.table.read().drop("encrypted").write.partitionBy(
+                "contract", "p_date"
+            ).parquet(rewrite)
+            shutil.rmtree(eng.table.path)
+            shutil.move(rewrite, eng.table.path)
+
+            reopened = Engine(spark, str(tmp_path / "legacy"), eng.options)
+            assert reopened.get("unit1.old", now=T0 + 10) == [b"legacy-secret"]
+        finally:
+            eng.destroy()
+
     def test_wrong_key_unreadable(self, spark, tmp_path):
         from unitdb_spark.engine import Engine, EngineOptions
 

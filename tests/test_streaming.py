@@ -613,3 +613,41 @@ class TestStreamStreamJoin:
                 df.select("user_id", F.col("ts").alias("ts")),
                 "user_id", "ts", "ts",
             )
+
+
+class TestCommitLog:
+    def test_stale_round1_marker_file_is_cleared(self, spark, tmp_path):
+        """Round 1 left a plain FILE at the log root; CommitLog needs a
+        directory tree there. Init must clear the stale file so an
+        existing round-1 pipeline restarts cleanly."""
+        from unitdb_spark import fs
+        from unitdb_spark.streaming.commitlog import CommitLog
+
+        root = str(tmp_path / "messages.applied")
+        fs.write_text(spark, root, "7")  # the round-1 high-water marker
+        assert not fs.is_dir(spark, root)
+        log = CommitLog(spark, str(tmp_path / "ckpt"), root)
+        log.record(0)
+        assert log.applied(0) and fs.is_dir(spark, root)
+
+    def test_prune_other_generations_removes_stale_commits(self, spark, tmp_path):
+        """A superseded query generation's commit entries must go with
+        its snapshots — otherwise latest_commit can tie-break onto a
+        generation whose snapshot was just deleted."""
+        import json
+
+        from unitdb_spark import fs
+        from unitdb_spark.streaming.commitlog import CommitLog, latest_commit
+
+        root = str(tmp_path / "state")
+        ck_old = str(tmp_path / "ck_old")
+        ck_new = str(tmp_path / "ck_new")
+        fs.write_text(spark, ck_old + "/metadata", json.dumps({"id": "gen-old"}))
+        fs.write_text(spark, ck_new + "/metadata", json.dumps({"id": "gen-new"}))
+        old = CommitLog(spark, ck_old, root)
+        old.record(9)  # stale generation, higher batch id
+        new = CommitLog(spark, ck_new, root)
+        new.record(1)
+        new.prune_other_generations()
+        assert latest_commit(spark, root) == ("gen-new", 1)
+        assert not fs.exists(spark, f"{root}/_applied/gen-old")

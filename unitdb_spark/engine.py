@@ -204,11 +204,17 @@ class Engine:
         AES-GCM here): executors encrypt JVM-side; payloads at rest are
         ciphertext, everything else stays queryable plaintext. Only
         rows whose ``encrypted`` marker is set are touched, so a mixed
-        store (per-entry WithEncryption) round-trips correctly."""
+        store (per-entry WithEncryption) round-trips correctly.
+
+        A NULL marker means the row predates the column (a store written
+        when encryption_key implied encrypt-everything and no marker was
+        stored) — those rows follow the store-wide setting, not False:
+        treating them as plaintext would return raw ciphertext from
+        get() with no error."""
         key = self.options.encryption_key
         if key is None:
             return df
-        enc = F.coalesce(F.col("encrypted"), F.lit(False))
+        enc = F.coalesce(F.col("encrypted"), F.lit(self._encrypt_all))
         return df.withColumn(
             "payload",
             F.when(enc, F.aes_encrypt(F.col("payload"), F.lit(key), F.lit("GCM")))
@@ -216,10 +222,12 @@ class Engine:
         )
 
     def _decrypt(self, df: DataFrame) -> DataFrame:
+        """Inverse of _encrypt; the NULL-marker case mirrors it (legacy
+        rows decrypt under the store-wide setting)."""
         key = self.options.encryption_key
         if key is None:
             return df
-        enc = F.coalesce(F.col("encrypted"), F.lit(False))
+        enc = F.coalesce(F.col("encrypted"), F.lit(self._encrypt_all))
         return df.withColumn(
             "payload",
             F.when(enc, F.aes_decrypt(F.col("payload"), F.lit(key), F.lit("GCM")))

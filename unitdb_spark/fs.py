@@ -37,6 +37,11 @@ def mkdirs(spark: SparkSession, path: str) -> None:
     fs.mkdirs(p)
 
 
+def is_dir(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
+
+
 def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     """Remove path (no-op, False if absent)."""
     fs, p = _fs(spark, path)

@@ -48,9 +48,10 @@ def _init_centroids(
 ) -> DataFrame:
     base = df.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("_cent"))
     h = F.md5(F.concat(F.col("cent_id").cast("string"), F.lit(f":{seed}")))
-    # hash-threshold pre-filter (superset-safe) as in similarity.ivf_assign
+    # hash-threshold pre-filter (superset-safe) as in similarity.ivf_assign;
+    # limit(k).count() short-circuits the coverage probe (no full scan)
     pref = base.filter(h < F.lit("01"))
-    if pref.count() < k:
+    if pref.limit(k).count() < k:
         pref = base
     return pref.orderBy(h, F.col("cent_id")).limit(k)
 

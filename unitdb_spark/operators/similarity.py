@@ -256,8 +256,12 @@ def ivf_assign(
     # n_cells (small corpus), fall back to the full scan — either way
     # the chosen centroids are bit-identical to an unfiltered
     # ORDER BY md5 LIMIT n_cells, which is what the SQL oracle replays.
+    # the coverage check is limit(n).count(), not count(): CollectLimit
+    # stops scanning as soon as n_cells matching rows surface (first
+    # partition, usually), instead of running a full filtered-corpus
+    # scan as a plan-construction side effect
     pref = base.filter(hash_c < F.lit("01"))
-    if pref.count() < n_cells:
+    if pref.limit(n_cells).count() < n_cells:
         pref = base
     cents = pref.orderBy(hash_c, F.col("cent_id")).limit(n_cells)
     joined = corpus.select(

@@ -45,6 +45,11 @@ class CommitLog:
         self.checkpoint = checkpoint.rstrip("/")
         self.log_root = log_root.rstrip("/")
         self._qid: str | None = None
+        # Round 1 wrote a plain marker FILE at log_root; the log needs a
+        # directory tree there. Clear the stale file so restarting an
+        # existing round-1 pipeline doesn't fail on mkdir-under-a-file.
+        if fs.exists(spark, self.log_root) and not fs.is_dir(spark, self.log_root):
+            fs.delete(spark, self.log_root)
 
     @property
     def query_id(self) -> str:
@@ -83,6 +88,21 @@ class CommitLog:
         )
         for old in ids[:-keep]:
             fs.delete(self.spark, f"{self._dir()}/{old}")
+
+    def prune_other_generations(self) -> None:
+        """Drop OTHER query generations' commit entries.
+
+        For single-writer versioned-snapshot sinks (continuous rollup /
+        KV state) that already prune other generations' snapshot dirs:
+        without this, a stale generation's entry can win latest_commit's
+        mtime tie-break on a coarse-mtime filesystem and point readers
+        at a just-deleted snapshot. Do NOT call this for multi-writer
+        logs (e.g. the ingest table log) — there, sibling generations
+        belong to live concurrent writers."""
+        base = f"{self.log_root}/_applied"
+        for qid, _, is_dir in fs.list_status(self.spark, base):
+            if is_dir and qid != self.query_id:
+                fs.delete(self.spark, f"{base}/{qid}")
 
 
 def latest_commit(spark: SparkSession, log_root: str) -> tuple[str, int] | None:

@@ -119,6 +119,9 @@ def continuous_rollup(
         for name, _, is_dir in fs.list_status(spark, agg_path):
             if is_dir and name.startswith("v_") and name != keep:
                 fs.delete(spark, f"{agg_path.rstrip('/')}/{name}")
+        # ...and stale generations' commit entries, so latest_commit can
+        # never resolve to a snapshot the line above just deleted
+        log.prune_other_generations()
 
     writer = (
         entries.writeStream.foreachBatch(fold)

@@ -99,6 +99,8 @@ def continuous_kv(
         for name, _, is_dir in fs.list_status(spark, state_path):
             if is_dir and name.startswith("v_") and name != keep:
                 fs.delete(spark, f"{state_path.rstrip('/')}/{name}")
+        # stale generations' commit entries go with their snapshots
+        log.prune_other_generations()
 
     writer = (
         oplog.writeStream.foreachBatch(fold)

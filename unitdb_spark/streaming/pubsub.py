@@ -74,6 +74,10 @@ def prepare_entries(df: DataFrame) -> DataFrame:
         df = df.withColumn("contract", F.lit(MASTER_CONTRACT).cast("long"))
     if "ts" not in cols:
         df = df.withColumn("ts", F.current_timestamp())
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # messages schema (and event-time ops downstream) use the
+        # session-tz TIMESTAMP; NTZ inputs coerce here, not at the sink
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if "expires_at" not in cols:
         df = df.withColumn("expires_at", F.lit(None).cast("timestamp"))
     if "msg_id" not in cols:
@@ -82,17 +86,18 @@ def prepare_entries(df: DataFrame) -> DataFrame:
         df = df.withColumn("encrypted", F.lit(False))
     if "seq" not in cols:
         # streaming-safe monotonic-ish ordering key: event-time micros
-        # shifted left 12 bits with a content-hash tiebreak in the low
+        # shifted left 10 bits with a content-hash tiebreak in the low
         # bits. Distinct messages sharing a timestamp (second-granular
         # sources are common) would otherwise collide on seq, and
         # downstream treats seq as identity (RELIABLE dedup fallback,
         # stateful top-K seen-set) — colliding seqs silently drop
-        # messages. micros < 2^51 until ~2255, so the shift can't
-        # overflow a signed 64-bit long.
+        # messages. Headroom: the shift overflows a signed 64-bit long
+        # once micros >= 2^53, i.e. around year 2255 — a 12-bit shift
+        # would have gone negative at 2^51 micros (~2041).
         df = df.withColumn(
             "seq",
-            F.shiftleft(F.unix_micros(F.col("ts")), 12)
-            + F.pmod(F.xxhash64(F.col("topic"), F.col("payload")), F.lit(4096)),
+            F.shiftleft(F.unix_micros(F.col("ts")), 10)
+            + F.pmod(F.xxhash64(F.col("topic"), F.col("payload")), F.lit(1024)),
         )
     return with_topic_columns(df)
 
@@ -328,10 +333,18 @@ def prepare_events_stream_dir(
 def events_as_stream(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """Replay a (µs-timestamped) events directory as a file stream."""
-    schema = spark.read.parquet(events_dir).schema
-    return (
-        spark.readStream.schema(schema)
+    """Replay a (µs-timestamped) events directory as a file stream.
+
+    Parquet written without timezone metadata reads back TIMESTAMP_NTZ
+    in Spark 4, which event-time ops (withWatermark, window) reject —
+    normalize `ts` to the session-tz TIMESTAMP (sessions run UTC, so
+    wall-clock values are unchanged)."""
+    df = spark.read.parquet(events_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
