@@ -43,6 +43,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # parquet written without tz metadata reads back TIMESTAMP_NTZ;
+        # event-time ops (watermarks, numeric casts) and the messages
+        # schema want the session-tz TIMESTAMP. Sessions run UTC, so
+        # epoch values are unchanged — DuckDB (naive = UTC) agrees.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
