@@ -1715,6 +1715,84 @@ def q_events_running(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- round-3 additions
+
+
+def q_events_ohlc(spark, sf_dir):
+    """Candlestick downsampling per event_type on 6-hour buckets: ONE
+    groupBy shuffle; open/close via min_by/max_by on event_id (unique,
+    so no timestamp-tie ambiguity); sums DECIMAL-exact."""
+    from unitdb_spark.operators.timeseries import ohlc
+
+    ev = _events(spark, sf_dir)
+    out = ohlc(ev, ["event_type"], bucket="6 hours")
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_s"),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n",
+        "sum_value",
+    )
+
+
+def q_events_zscore(spark, sf_dir):
+    """Trailing-20 z-score anomaly flag per event_type. The z-test is
+    cross-multiplied to integer-scaled form over DECIMAL window sums —
+    no mean/variance division, no order-dependent float accumulation —
+    so the boolean is bit-identical on any engine."""
+    from unitdb_spark.operators.timeseries import trailing_zscore
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    out = trailing_zscore(
+        ev, ["event_type"], ["ts", "event_id"], "value", n=20, z=3.0
+    )
+    return out.select("event_id", "event_type", "value", "trail_n", "is_anomaly")
+
+
+def q_events_gap_fill(spark, sf_dir):
+    """Hourly grid per event_type with forward fill: dense sequence()
+    grid bounded by time range (not event count), exact per-bucket
+    averages, one window pass carrying the last observation forward."""
+    from unitdb_spark.operators.timeseries import gap_fill
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 5 == 0)
+    out = gap_fill(ev, ["event_type"], step_minutes=60)
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        "avg_value",
+        "filled_value",
+        "is_gap",
+    )
+
+
+def q_doc_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document. Smooth RATIONAL idf
+    (N+1)/(df+1) — same ranking as the log form, zero transcendental
+    functions, so scores replay bit-exactly in SQL."""
+    from unitdb_spark.operators.tfidf import tfidf_top_terms
+
+    d = _docs(spark, sf_dir)
+    return tfidf_top_terms(d, k=3).select(
+        "doc_id", "term", "tf", "df", "score", "rank"
+    )
+
+
+def q_doc_dedup_resolve(spark, sf_dir):
+    """End-to-end corpus dedup: near-dup pairs -> connected components
+    -> keep the BEST doc per cluster (arg-max n_chars, smallest id on
+    ties) instead of the smallest id — dedup that keeps the cleanest
+    copy. Oracle replays components with a recursive CTE + window."""
+    from unitdb_spark.operators.cluster import dedup_resolve
+
+    d = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(d, block_col="source", threshold=0.2)
+    return dedup_resolve(d, pairs, quality_col="n_chars")
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -1785,7 +1863,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "events_running": q_events_running,
         # --- new in round 3 ------------------------------------------
-        # (inserted here so they land inside the driver window)
+        "events_ohlc": q_events_ohlc,
+        "events_zscore": q_events_zscore,
+        "events_gap_fill": q_events_gap_fill,
+        "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+        "doc_dedup_resolve": q_doc_dedup_resolve,
         # --- r02-green re-checks filling the window to 50 -------------
         "get_static": q_get_static,
         "get_wild_star": q_get_wild_star,
@@ -3011,6 +3093,114 @@ def oracle_sql() -> dict[str, str]:
           round(value - lag(value) OVER (PARTITION BY user_id
                 ORDER BY ts, event_id), 6) AS delta_r
         FROM events WHERE user_id < 25
+        """,
+        # ------------------------------------------- round-3 additions
+        "events_ohlc": """
+        SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS window_s,
+          event_type,
+          arg_min(value, event_id) AS open,
+          MAX(value) AS high,
+          MIN(value) AS low,
+          arg_max(value, event_id) AS close,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+        "events_zscore": """
+        WITH s AS (
+          SELECT event_id, event_type, value,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s,
+            CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                 OVER w AS DOUBLE) AS q,
+            CAST(COUNT(value) OVER w AS DOUBLE) AS m
+          FROM events WHERE user_id < 50
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, event_type, value,
+          CAST(m AS BIGINT) AS trail_n,
+          CASE WHEN m >= 2
+               THEN (m * value - s) * (m * value - s) > 9.0 * (m * q - s * s)
+               ELSE FALSE END AS is_anomaly
+        FROM s
+        """,
+        "events_gap_fill": """
+        WITH b AS (
+          SELECT event_type, date_trunc('hour', min(ts)) AS lo,
+                 date_trunc('hour', max(ts)) AS hi
+          FROM events WHERE user_id % 5 = 0 GROUP BY 1
+        ), grid AS (
+          SELECT event_type,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+          FROM b
+        ), obs AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS avg_value
+          FROM events WHERE user_id % 5 = 0 GROUP BY 1, 2
+        )
+        SELECT g.event_type,
+          CAST(floor(epoch(g.bucket_ts)) AS BIGINT) AS bucket_s,
+          o.avg_value,
+          last_value(o.avg_value IGNORE NULLS) OVER (
+            PARTITION BY g.event_type ORDER BY g.bucket_ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+          o.avg_value IS NULL AS is_gap
+        FROM grid g LEFT JOIN obs o USING (event_type, bucket_ts)
+        """,
+        "doc_tfidf_top_terms": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), n AS (
+          SELECT COUNT(*) AS n_docs FROM documents
+        ), scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+            CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE)
+              / CAST(dfreq.df + 1 AS DOUBLE) AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 3
+        """,
+        "doc_dedup_resolve": f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id AS id, source, list_distinct({_TOKS}) AS tok
+          FROM documents
+        ), pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM t a JOIN t b ON a.source = b.source AND a.id < b.id
+          WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+            / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.2
+        ), edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION ALL
+          SELECT id_b AS s, id_a AS d FROM pairs
+        ), reach(node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
+        ), comp AS (
+          SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+        ), j AS (
+          SELECT c.doc_id, c.cluster_id, d.n_chars
+          FROM comp c JOIN documents d USING (doc_id)
+        ), k AS (
+          SELECT cluster_id, doc_id AS keeper_id,
+            row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM j
+        )
+        SELECT c.doc_id, c.cluster_id, k.keeper_id,
+               c.doc_id = k.keeper_id AS is_keeper
+        FROM comp c JOIN (SELECT cluster_id, keeper_id FROM k WHERE rn = 1) k
+          USING (cluster_id)
         """,
     }
 

@@ -1159,3 +1159,131 @@ class TestKmeans:
             kmeans_lloyd(emb, k=0)
         with _pytest.raises(ValueError):
             kmeans_lloyd(emb, k=2, n_iters=-1)
+
+
+class TestTimeseries:
+    def _events(self, spark):
+        rows = [
+            # (event_id, ts, event_type, value)
+            (1, T0, "a", 10.0),
+            (2, T0 + dt.timedelta(hours=1), "a", 12.0),
+            (3, T0 + dt.timedelta(hours=2), "a", 11.0),
+            # gap: hours 3-4 empty
+            (4, T0 + dt.timedelta(hours=5), "a", 14.0),
+            (5, T0 + dt.timedelta(hours=7), "a", 13.0),
+            (6, T0, "b", 1.0),
+            (7, T0 + dt.timedelta(hours=7), "b", 2.0),
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+
+    def test_ohlc_open_close_by_order(self, spark):
+        from unitdb_spark.operators.timeseries import ohlc
+
+        out = ohlc(self._events(spark), ["event_type"], bucket="6 hours")
+        a = {
+            r["window_start"]: r
+            for r in out.filter(F.col("event_type") == "a").collect()
+        }
+        first = a[T0]
+        assert (first["open"], first["close"]) == (10.0, 14.0)
+        assert (first["high"], first["low"], first["n"]) == (14.0, 10.0, 4)
+        assert first["sum_value"] == 47.0
+        second = a[T0 + dt.timedelta(hours=6)]
+        assert (second["open"], second["close"], second["n"]) == (13.0, 13.0, 1)
+
+    def test_trailing_zscore_flags_outlier_not_itself_in_frame(self, spark):
+        from unitdb_spark.operators.timeseries import trailing_zscore
+
+        rows = [(i, T0 + dt.timedelta(minutes=i), "a", 10.0 + (i % 2) * 0.1)
+                for i in range(10)]
+        rows.append((10, T0 + dt.timedelta(minutes=10), "a", 1000.0))
+        rows.append((11, T0 + dt.timedelta(minutes=11), "a", 10.0))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        out = trailing_zscore(df, ["event_type"], ["ts", "event_id"], "value",
+                              n=20, z=3.0)
+        got = {r["event_id"]: r for r in out.collect()}
+        assert got[10]["is_anomaly"] is True          # the spike
+        assert got[5]["is_anomaly"] is False          # in-band value
+        # the row AFTER the spike: trailing frame now contains the spike,
+        # inflating the variance -> normal value must not be flagged
+        assert got[11]["is_anomaly"] is False
+        # frame excludes current row and needs >= 2 trailing rows
+        assert got[0]["is_anomaly"] is False and got[0]["trail_n"] == 0
+
+    def test_gap_fill_forward_fills_and_flags(self, spark):
+        from unitdb_spark.operators.timeseries import gap_fill
+
+        out = gap_fill(self._events(spark), ["event_type"], step_minutes=60)
+        a = {
+            int((r["bucket_ts"] - T0).total_seconds() // 3600): r
+            for r in out.filter(F.col("event_type") == "a").collect()
+        }
+        assert len(a) == 8  # dense hourly grid 0..7
+        assert a[3]["is_gap"] and a[4]["is_gap"]
+        assert a[3]["filled_value"] == 11.0 == a[4]["filled_value"]  # ffill h2
+        assert not a[5]["is_gap"] and a[5]["filled_value"] == 14.0
+
+
+class TestTfidf:
+    def test_scores_and_ranking(self, spark):
+        from unitdb_spark.operators.tfidf import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana apple"),
+                (2, "banana cherry"),
+                (3, "cherry durian cherry durian"),
+            ],
+            "doc_id long, text string",
+        )
+        out = tfidf_top_terms(docs, k=2)
+        rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+        # doc 1: apple tf=2 df=1 -> 2*4/2=4.0 beats banana tf=1 df=2 -> 4/3
+        assert rows[(1, 1)]["term"] == "apple" and rows[(1, 1)]["score"] == 4.0
+        assert rows[(1, 2)]["term"] == "banana"
+        # doc 3: cherry and durian both tf=2; cherry df=2, durian df=1
+        # durian tf=2 df=1 -> 2*4/2=4.0 beats cherry tf=2 df=2 -> 8/3
+        assert rows[(3, 1)]["term"] == "durian" and rows[(3, 1)]["score"] == 4.0
+        # every doc emits at most k rows
+        assert out.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0] <= 2
+
+    def test_min_df_prunes(self, spark):
+        from unitdb_spark.operators.tfidf import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [(1, "common rare1"), (2, "common rare2")], "doc_id long, text string"
+        )
+        out = tfidf_top_terms(docs, k=3, min_df=2)
+        assert {r["term"] for r in out.collect()} == {"common"}
+
+
+class TestDedupResolve:
+    def test_keeps_best_quality_per_cluster(self, spark):
+        from unitdb_spark.operators.cluster import dedup_resolve
+
+        docs = spark.createDataFrame(
+            [(1, 100), (2, 300), (3, 200), (4, 50), (5, 300)],
+            "doc_id long, n_chars long",
+        )
+        # cluster {1,2,3} (chain), {4} singleton, {5} singleton
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        out = {r["doc_id"]: r for r in dedup_resolve(docs, pairs, "n_chars").collect()}
+        assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+        assert out[2]["keeper_id"] == 2  # best n_chars wins over min id
+        assert out[2]["is_keeper"] and not out[1]["is_keeper"]
+        assert out[4]["is_keeper"] and out[4]["keeper_id"] == 4
+        assert out[5]["is_keeper"]
+
+    def test_quality_tie_breaks_to_smallest_id(self, spark):
+        from unitdb_spark.operators.cluster import dedup_resolve
+
+        docs = spark.createDataFrame(
+            [(7, 100), (9, 100)], "doc_id long, n_chars long"
+        )
+        pairs = spark.createDataFrame([(7, 9)], "id_a long, id_b long")
+        out = {r["doc_id"]: r for r in dedup_resolve(docs, pairs, "n_chars").collect()}
+        assert out[7]["is_keeper"] and out[9]["keeper_id"] == 7

@@ -239,3 +239,61 @@ class TestPipelinePlans:
         assert "BroadcastHashJoin" in plan
         assert not has_python_eval(out)
         assert shuffle_count(out) <= 6
+
+
+class TestRound3Plans:
+    def _events(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(minutes=17 * i), "t%d" % (i % 3), float(i % 7))
+            for i in range(200)
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+
+    def test_ohlc_single_shuffle_no_python(self, spark):
+        """SCALE.md: one groupBy exchange; min_by/max_by partial-agg
+        map-side so the exchange carries one row per (key, bucket)."""
+        from unitdb_spark.operators.timeseries import ohlc
+
+        out = ohlc(self._events(spark), ["event_type"], bucket="6 hours")
+        assert shuffle_count(out) == 1
+        assert not has_python_eval(out)
+        assert "partial_min" in formatted_plan(out) or "partial" in formatted_plan(out)
+
+    def test_zscore_single_window_shuffle(self, spark):
+        """SCALE.md: one window shuffle+sort per key; ROWS frame keeps
+        evaluation streaming (a RunningWindowFunction / bounded frame,
+        never a full-partition buffer)."""
+        from unitdb_spark.operators.timeseries import trailing_zscore
+
+        out = trailing_zscore(
+            self._events(spark), ["event_type"], ["ts", "event_id"], "value"
+        )
+        assert shuffle_count(out) == 1
+        assert not has_python_eval(out)
+
+    def test_tfidf_window_group_limit_and_no_python(self, spark):
+        """SCALE.md: the per-doc top-k cut runs as WindowGroupLimit
+        BEFORE the exchange, so the rank window never materializes the
+        full (doc, term) score list per task."""
+        from unitdb_spark.operators.tfidf import tfidf_top_terms
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = tfidf_top_terms(docs, k=3)
+        plan = formatted_plan(out)
+        assert "WindowGroupLimit" in plan
+        assert not has_python_eval(out)
+
+    def test_gap_fill_no_python_and_bounded_exchanges(self, spark):
+        from unitdb_spark.operators.timeseries import gap_fill
+
+        out = gap_fill(self._events(spark), ["event_type"], step_minutes=60)
+        assert not has_python_eval(out)
+        # bounds agg, grid co-partition for the join, bucket agg, ffill
+        # window — every exchange carries grid- or bucket-sized rows,
+        # never the raw event stream twice
+        assert shuffle_count(out) <= 4

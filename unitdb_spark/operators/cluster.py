@@ -100,3 +100,48 @@ def dup_clusters(
         "cluster_id",
         (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def dedup_resolve(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """End-to-end corpus dedup verdict: cluster near-dup pairs, then
+    keep the BEST document per cluster instead of the smallest id —
+    keeper = arg-max by (quality, then smallest id on ties). This is
+    the operator a training pipeline actually runs: ``dup_clusters``
+    labels groups; this picks survivors by quality (e.g. ``n_chars``,
+    a classifier score) so dedup doesn't discard the cleanest copy.
+
+    One extra aggregation over ``dup_clusters``: keeper per cluster
+    via max_by (map-side partial agg; the exchange carries one row per
+    cluster), joined back on cluster_id — the same key the component
+    labels already shuffle on.
+
+    Output: (doc_id, cluster_id, keeper_id, is_keeper).
+    """
+    comp = connected_components(
+        pairs, src=src, dst=dst, nodes=docs.select(F.col(id_col).alias("node"))
+    ).select(F.col("node").alias(id_col), "cluster_id")
+    labeled = comp.join(
+        docs.select(id_col, quality_col), id_col
+    )
+    keepers = labeled.groupBy("cluster_id").agg(
+        F.max_by(
+            id_col,
+            F.struct(F.col(quality_col), (-F.col(id_col)).alias("_neg_id")),
+        ).alias("keeper_id")
+    )
+    return (
+        comp.join(keepers, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "keeper_id",
+            (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""TF-IDF keyword extraction over the documents corpus.
+
+The reference has no text analytics (its payloads are opaque bytes);
+this extends the LLM-pipeline surface (SURVEY §2.4 beyond-reference
+operators) with the standard corpus-statistics primitive behind
+keyword extraction, BM25-ish relevance, and stopword discovery.
+
+Shape (100 TB): one explode + groupBy(doc, term) shuffle with map-side
+combine (the explode never crosses the wire raw), one groupBy(term)
+shuffle for document frequencies (rows = vocabulary size), and the
+corpus size N as a 1-row broadcast. The per-doc top-K ranking windows
+on doc_id — same key as the tf shuffle, so AQE coalesces without a new
+exchange. Nothing driver-side, nothing quadratic.
+
+Determinism: idf is the RATIONAL smooth variant (N+1)/(df+1) — same
+ranking as the usual log form but free of transcendental functions, so
+the score is one multiply + one divide in identical operation order on
+any engine (bit-exact against SQL oracles; cf. the DECIMAL convention
+in tpch_q1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _tokens(text_col: str):
+    """lowercase whitespace tokens (shared convention with
+    functions.text / the DuckDB ``_TOKS`` oracle fragment)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    reuse_tf: bool = False,
+) -> DataFrame:
+    """Top-``k`` terms per document by smooth TF-IDF.
+
+    score(d, t) = tf(d,t) · (N+1)/(df(t)+1), ties broken by term
+    (ascending) so the cut is total-ordered. ``min_df`` drops hapax
+    noise before ranking when > 1.
+
+    The document-frequency branch re-derives the (doc, term) set, so
+    the corpus is tokenized twice (embarrassingly parallel map work;
+    the skew-safe alternative — df as a window count over term — puts
+    every occurrence of a stopword in ONE task, which is exactly the
+    partition that explodes at corpus scale). ``reuse_tf=True``
+    persists the tf aggregate instead, trading executor storage for
+    the second scan — the right call on a cluster where the corpus
+    read dominates; leave False when inputs are small or memory-tight.
+
+    Output: (doc_id, term, tf, df, score, rank), rank 1..k.
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if reuse_tf:
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        df_counts = df_counts.filter(F.col("df") >= min_df)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_counts, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs") + 1).cast("double")
+            / (F.col("df") + 1).cast("double"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

@@ -1,0 +1,159 @@
+"""Time-series analytics over the events/messages stream: OHLC
+downsampling, trailing-window anomaly detection, and gap filling.
+
+These extend the reference's time-window read surface (SURVEY §2.4
+"north-star analytics"; the reference's own time machinery is the
+timeID bucketing in memdb/tiny_log.go:122-128 and the window chains in
+time_window.go — pure storage, no analytics) with the operators an
+IoT/metrics user runs over a topic's value stream.
+
+Scale notes (100 TB):
+
+- ``ohlc``: ONE groupBy shuffle keyed (key, bucket); min/max/min_by/
+  max_by all have map-side partial aggregation, so the exchange
+  carries one row per (key, bucket), not per event.
+- ``trailing_zscore``: one window shuffle+sort per key; ROWS frames
+  evaluate streaming (no full-partition buffering). Keys are
+  independent — skew only if one topic dominates (salt via
+  operators.skew if so).
+- ``gap_fill``: the dense grid is generated per key with ``sequence``
+  (size = time-range/step, independent of event count), then
+  left-joined against per-bucket aggregates (shuffle keyed
+  (key, bucket)) and forward-filled with one window pass. The grid
+  explode is the scale knob: a year of minutes is 525 600 rows/key —
+  bound ``step`` to the retention window, never to event density.
+
+Determinism/oracle notes: every float that crosses an engine boundary
+is either an exact DECIMAL sum cast to DOUBLE once, or a single
+arithmetic expression evaluated in the same operation order on both
+engines — no transcendental functions, no order-dependent double
+accumulation (cf. the DECIMAL-cast convention of tpch_q1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: exact accumulator for double values (order-independent sums)
+_DEC = "decimal(18,6)"
+
+
+def ohlc(
+    df: DataFrame,
+    keys: list[str],
+    bucket: str = "6 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Candlestick downsampling: per (keys, time bucket) the first /
+    max / min / last value plus count and exact sum.
+
+    open/close are ordered by ``order_col`` (the engine's seq — unique
+    and monotone within a key, so first/last are well-defined without
+    timestamp tie ambiguity). One shuffle; all aggs partial-aggregate
+    map-side.
+    """
+    w = F.window(F.col(ts_col), bucket)
+    return (
+        df.groupBy(w.alias("_w"), *keys)
+        .agg(
+            F.min_by(value_col, order_col).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, order_col).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .withColumn("window_start", F.col("_w.start"))
+        .drop("_w")
+    )
+
+
+def trailing_zscore(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str = "value",
+    n: int = 20,
+    z: float = 3.0,
+) -> DataFrame:
+    """Flag values whose deviation from the TRAILING n-row mean exceeds
+    ``z`` standard deviations (classic online anomaly rule; the
+    trailing frame excludes the current row so an outlier can't mask
+    itself).
+
+    Exactness: the windowed sums accumulate in DECIMAL (order-free),
+    and the z-test is evaluated on the cross-multiplied integer-scaled
+    form — with s = Σv, q = Σv² over the m trailing rows:
+
+        (m·v − s)²  >  z² · (m·q − s²)
+
+    (both sides ×m² of the usual form), so no mean/variance division
+    ever happens in floating point. Output adds ``trail_n`` (rows in
+    the frame) and ``is_anomaly`` (NULL-safe: false until the frame
+    holds ≥2 rows).
+    """
+    win = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(-n, -1)
+    )
+    v = F.col(value_col).cast(_DEC)
+    s = F.sum(v).over(win).cast("double")
+    q = F.sum(v * v).over(win).cast("double")
+    m = F.count(v).over(win).cast("double")
+    vd = F.col(value_col).cast("double")
+    lhs = (m * vd - s) * (m * vd - s)
+    rhs = F.lit(float(z * z)) * (m * q - s * s)
+    return df.withColumn("trail_n", m.cast("long")).withColumn(
+        "is_anomaly", F.when(F.col("trail_n") >= 2, lhs > rhs).otherwise(F.lit(False))
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_minutes: int = 60,
+) -> DataFrame:
+    """Regularize an event stream onto a dense per-key time grid with
+    forward fill (last observation carried forward).
+
+    Steps: (1) per-key min/max bounds -> ``sequence`` grid (explode is
+    bounded by range/step, not event count); (2) per-(key, bucket)
+    exact average of observed values; (3) left join grid<-buckets and
+    one window pass carrying the last non-null average forward.
+    Output: keys + ``bucket_ts``, ``avg_value`` (NULL on gap rows
+    before fill), ``filled_value``, ``is_gap``.
+    """
+    step = F.expr(f"INTERVAL {int(step_minutes)} MINUTES")
+    trunc = lambda c: F.date_trunc("hour", c) if step_minutes == 60 else F.date_trunc("minute", c)  # noqa: E731
+
+    bounds = df.groupBy(*keys).agg(
+        F.min(trunc(F.col(ts_col))).alias("_lo"),
+        F.max(trunc(F.col(ts_col))).alias("_hi"),
+    )
+    grid = bounds.select(
+        *keys, F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias("bucket_ts")
+    )
+    observed = df.groupBy(*keys, trunc(F.col(ts_col)).alias("bucket_ts")).agg(
+        (
+            F.sum(F.col(value_col).cast(_DEC)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_value")
+    )
+    joined = grid.join(observed, [*keys, "bucket_ts"], "left")
+    ffill = Window.partitionBy(*keys).orderBy("bucket_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        *keys,
+        "bucket_ts",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(ffill).alias("filled_value"),
+        F.col("avg_value").isNull().alias("is_gap"),
+    )
