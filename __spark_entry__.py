@@ -1793,6 +1793,67 @@ def q_doc_dedup_resolve(spark, sf_dir):
     return dedup_resolve(d, pairs, quality_col="n_chars")
 
 
+_LONG_WORD = "x" * 30
+
+
+def _c4_planted(spark, sf_dir):
+    """Documents with deterministic C4-rule violations planted (the
+    synthetic corpus is clean prose, so each rule is exercised on a
+    known doc subset; both engines build the identical text)."""
+    return _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" config {")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" see our privacy policy"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" lorem ipsum dolor sit."))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0, F.lit(" " + _LONG_WORD + ".")
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_doc_c4_filter(spark, sf_dir):
+    """C4 page-filter rules (Raffel et al. 2020 §2.2) as one codegen
+    projection: terminal punctuation, min tokens, max word length,
+    lorem-ipsum, code-brace, policy-boilerplate — per-rule booleans +
+    the keep verdict, violations planted deterministically."""
+    d = _c4_planted(spark, sf_dir)
+    rules = TXT.c4_rules("text")
+    return d.select("doc_id", *[rules[k].alias(k) for k in sorted(rules)])
+
+
+def q_doc_url_stats(spark, sf_dir):
+    """URL extraction for web-corpus provenance: per-doc URL count and
+    first host (the per-domain key for source caps). Deterministic
+    URLs planted; codegen regexp at scan speed."""
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".example.org/a/b"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 9 == 0, F.lit(" and http://mirror.example.net")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        TXT.url_count("text").cast("long").alias("n_urls"),
+        TXT.first_url_host("text").alias("first_host"),
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -1868,6 +1929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": q_events_gap_fill,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
         "doc_dedup_resolve": q_doc_dedup_resolve,
+        "doc_c4_filter": q_doc_c4_filter,
+        "doc_url_stats": q_doc_url_stats,
         # --- r02-green re-checks filling the window to 50 -------------
         "get_static": q_get_static,
         "get_wild_star": q_get_wild_star,
@@ -3201,6 +3264,54 @@ def oracle_sql() -> dict[str, str]:
                c.doc_id = k.keeper_id AS is_keeper
         FROM comp c JOIN (SELECT cluster_id, keeper_id FROM k WHERE rn = 1) k
           USING (cluster_id)
+        """,
+        "doc_c4_filter": f"""
+        WITH aug AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 7 = 0 THEN ' config {{' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN ' see our privacy policy' ELSE '' END
+            || CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum dolor sit.' ELSE '' END
+            || CASE WHEN doc_id % 17 = 0 THEN ' {_LONG_WORD}.' ELSE '' END
+            AS text
+          FROM documents
+        ), r AS (
+          SELECT doc_id,
+            len(regexp_extract_all(rtrim(text), '[.!?"'']$')) > 0 AS r_terminal,
+            len({_TOKS}) >= 5 AS r_min_tokens,
+            len(list_filter({_TOKS}, x -> length(x) > 25)) = 0 AS r_word_len,
+            NOT contains(lower(text), 'lorem ipsum') AS r_lorem,
+            NOT contains(text, '{{') AS r_brace,
+            NOT (contains(lower(text), 'terms of use')
+                 OR contains(lower(text), 'privacy policy')
+                 OR contains(lower(text), 'cookie policy')
+                 OR contains(lower(text), 'uses cookies')) AS r_policy
+          FROM aug
+        )
+        SELECT doc_id, r_terminal, r_min_tokens, r_word_len, r_lorem, r_brace,
+               r_policy,
+               (r_terminal AND r_min_tokens AND r_word_len AND r_lorem
+                AND r_brace AND r_policy) AS keep
+        FROM r
+        """,
+        "doc_url_stats": """
+        WITH aug AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 3 = 0
+                 THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+                      || '.example.org/a/b'
+                 ELSE '' END
+            || CASE WHEN doc_id % 9 = 0
+                 THEN ' and http://mirror.example.net' ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(/[^\\s]*)?'))
+               AS BIGINT) AS n_urls,
+          COALESCE(regexp_extract(text, 'https?://([A-Za-z0-9.-]+)', 1), '')
+            AS first_host
+        FROM aug
         """,
     }
 

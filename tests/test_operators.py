@@ -1287,3 +1287,49 @@ class TestDedupResolve:
         pairs = spark.createDataFrame([(7, 9)], "id_a long, id_b long")
         out = {r["doc_id"]: r for r in dedup_resolve(docs, pairs, "n_chars").collect()}
         assert out[7]["is_keeper"] and out[9]["keeper_id"] == 7
+
+
+class TestC4AndUrls:
+    def test_c4_rules_flag_each_violation(self, spark):
+        from unitdb_spark.functions.text import c4_rules
+
+        docs = spark.createDataFrame(
+            [
+                (1, "this is a perfectly normal sentence with many words."),
+                (2, "short"),                              # min tokens + terminal
+                (3, "code sample int main() { return 0; }"),   # brace, no terminal
+                (4, "please read our privacy policy first."),  # policy
+                (5, "lorem ipsum dolor sit amet consectetur."),  # lorem
+                (6, "word " * 5 + "a" * 30 + " more words here."),  # long word
+            ],
+            "doc_id long, text string",
+        )
+        rules = c4_rules("text")
+        out = {r["doc_id"]: r for r in docs.select(
+            "doc_id", *[rules[k].alias(k) for k in rules]).collect()}
+        assert out[1]["keep"] is True
+        assert out[2]["r_min_tokens"] is False and out[2]["keep"] is False
+        assert out[3]["r_brace"] is False
+        assert out[4]["r_policy"] is False
+        assert out[5]["r_lorem"] is False
+        assert out[6]["r_word_len"] is False
+        # violations are independent: doc 4 still has terminal punct etc.
+        assert out[4]["r_terminal"] is True and out[4]["r_brace"] is True
+
+    def test_url_count_and_first_host(self, spark):
+        from unitdb_spark.functions.text import first_url_host, url_count
+
+        docs = spark.createDataFrame(
+            [
+                (1, "no links here"),
+                (2, "see https://a.example.org/x and http://b.example.net"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in docs.select(
+            "doc_id",
+            url_count("text").alias("n"),
+            first_url_host("text").alias("h"),
+        ).collect()}
+        assert out[1]["n"] == 0 and out[1]["h"] == ""
+        assert out[2]["n"] == 2 and out[2]["h"] == "a.example.org"

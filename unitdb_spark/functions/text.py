@@ -153,6 +153,65 @@ def pii_ipv4_count(col: Column | str) -> Column:
     return F.regexp_count(c, F.lit(IPV4_RE))
 
 
+# URL extraction (web-pipeline provenance): scheme + host + optional
+# path, host captured for per-domain stats. Java-regex + RE2 compatible
+# (no lookarounds) so SQL oracles replay it verbatim.
+URL_RE = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
+URL_HOST_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(URL_RE))
+
+
+def first_url_host(col: Column | str) -> Column:
+    """Host of the first URL in the document ('' when none) — the
+    per-domain key for source-mixture / domain-cap stats over scraped
+    corpora. Codegen regexp, scan speed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, URL_HOST_RE, 1)
+
+
+# C4 page-filter phrases (Raffel et al. 2020 §2.2: boilerplate/policy
+# pages and code are dropped). Lowercase-matched.
+C4_POLICY_PHRASES = ("terms of use", "privacy policy", "cookie policy", "uses cookies")
+C4_LOREM = "lorem ipsum"
+C4_MAX_WORD_CHARS = 25
+C4_MIN_TOKENS = 5
+
+
+def c4_rules(col: Column | str) -> dict[str, Column]:
+    """The C4 cleanup rules as named boolean Columns (True = rule
+    passes), plus the conjunction under 'keep'. Doc-level adaptation of
+    the line-level originals: terminal punctuation, a minimum token
+    count, a maximum word length (C4 uses 1000 chars to catch minified
+    junk; the bound is a parameter here), no 'lorem ipsum', no '{'
+    (code), no policy boilerplate phrases. All plain string/array
+    expressions — the whole filter runs inside one codegen stage.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lower = F.lower(c)
+    toks = _toks(col)
+    rules = {
+        "r_terminal": F.regexp_count(F.rtrim(c), F.lit(r"[.!?\"']$")) > 0,
+        "r_min_tokens": F.size(toks) >= C4_MIN_TOKENS,
+        "r_word_len": ~F.exists(
+            toks, lambda t: F.length(t) > F.lit(C4_MAX_WORD_CHARS)
+        ),
+        "r_lorem": ~lower.contains(C4_LOREM),
+        "r_brace": ~c.contains("{"),
+        "r_policy": ~F.array_contains(
+            F.array(*[lower.contains(p) for p in C4_POLICY_PHRASES]), F.lit(True)
+        ),
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    rules["keep"] = keep
+    return rules
+
+
 def scrub_pii(col: Column | str) -> Column:
     """Redact emails and IPv4 addresses with typed placeholders — the
     training-data privacy pass (C4-style scrubbing). Pure
