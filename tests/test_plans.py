@@ -297,3 +297,39 @@ class TestRound3Plans:
         # window — every exchange carries grid- or bucket-sized rows,
         # never the raw event stream twice
         assert shuffle_count(out) <= 4
+
+
+class TestBucketedJoin:
+    def test_same_bucket_spec_join_has_no_exchange(self, spark):
+        """SCALE.md: two tables bucketed on the same key with the same
+        bucket count co-join with NO Exchange on either side — the
+        catalog bucket spec satisfies the join's distribution
+        requirement. Broadcast is disabled so the test proves
+        bucketing, not small-table luck."""
+        from unitdb_spark.sources.bucketed import read_table, write_bucketed
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            facts = spark.range(0, 1000).selectExpr(
+                "id % 50 AS contract", "id AS seq", "id * 2 AS v"
+            )
+            dims = spark.range(0, 50).selectExpr(
+                "id AS contract", "concat('tenant-', id) AS name"
+            )
+            write_bucketed(facts, "bkt_facts", ["contract"], n_buckets=8,
+                           sort_cols=["contract"])
+            write_bucketed(dims, "bkt_dims", ["contract"], n_buckets=8,
+                           sort_cols=["contract"])
+            joined = read_table(spark, "bkt_facts").join(
+                read_table(spark, "bkt_dims"), "contract"
+            )
+            assert shuffle_count(joined) == 0
+            assert joined.count() == 1000
+            # control: the same join on unbucketed frames shuffles
+            plain = facts.join(dims, "contract")
+            assert shuffle_count(plain) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS bkt_facts")
+            spark.sql("DROP TABLE IF EXISTS bkt_dims")

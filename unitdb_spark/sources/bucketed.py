@@ -1,0 +1,56 @@
+"""Bucketed-table support: shuffle-free co-located joins.
+
+The reference co-locates a tenant's data by ring-hashing ``contract``
+to a node (cluster.go:352-420); SURVEY §2.2 #25 maps that to Spark
+partitioning. Partition columns solve pruning; BUCKETING solves the
+other half — repeated joins/aggregations on the same key without
+re-shuffling either side. A table written with ``bucketBy(n, key)``
+records its hash-partitioning in the catalog, so a join of two tables
+bucketed on the same key with the same bucket count needs NO Exchange
+on either side: Catalyst sees the output partitioning already
+satisfies the join's distribution requirement.
+
+At 100 TB this is the difference between shuffling the fact table
+once per query and never: bucket ``messages`` by contract for
+tenant-scoped joins (sessions, ACL tables), bucket an IVF-assigned
+embedding corpus by cell so every probe batch equi-joins its cells
+in place.
+
+Bucketed writes must go through ``saveAsTable`` (the bucket spec
+lives in the catalog, not in the parquet footers) — plain
+``.parquet(path)`` silently drops the spec. ``sortBy`` within buckets
+additionally pre-sorts for sort-merge joins, removing the per-task
+sort as well.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a catalog table bucketed on ``bucket_cols``.
+
+    ``n_buckets`` must match between tables meant to co-join (Spark
+    only elides the Exchange when both sides hash to the same bucket
+    count). Rule of thumb: buckets ≈ cluster cores, fixed for the
+    table's lifetime — repartition-by-key jobs can grow with data,
+    bucket counts cannot (changing one is a rewrite).
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read — bucket metadata rides along, so downstream joins
+    on the bucket key skip their Exchange."""
+    return spark.table(table)
