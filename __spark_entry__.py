@@ -1781,6 +1781,15 @@ def q_doc_tfidf_top_terms(spark, sf_dir):
     )
 
 
+def q_doc_token_rarity(spark, sf_dir):
+    """Corpus-frequency quality signal (CCNet-style, LM-free): per-doc
+    mean/min corpus occurrence count of its tokens. Integer aggregation
+    until one final division — engine-exact."""
+    from unitdb_spark.operators.tfidf import token_rarity
+
+    return token_rarity(_docs(spark, sf_dir))
+
+
 def q_doc_dedup_resolve(spark, sf_dir):
     """End-to-end corpus dedup: near-dup pairs -> connected components
     -> keep the BEST doc per cluster (arg-max n_chars, smallest id on
@@ -1931,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_resolve": q_doc_dedup_resolve,
         "doc_c4_filter": q_doc_c4_filter,
         "doc_url_stats": q_doc_url_stats,
+        "doc_token_rarity": q_doc_token_rarity,
         # --- r02-green re-checks filling the window to 50 -------------
         "get_static": q_get_static,
         "get_wild_star": q_get_wild_star,
@@ -3312,6 +3322,23 @@ def oracle_sql() -> dict[str, str]:
           COALESCE(regexp_extract(text, 'https?://([A-Za-z0-9.-]+)', 1), '')
             AS first_host
         FROM aug
+        """,
+        "doc_token_rarity": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ), corpus AS (
+          SELECT term, SUM(tf) AS ctf FROM tf GROUP BY 1
+        )
+        SELECT tf.doc_id,
+          CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+          CAST(SUM(tf.tf * corpus.ctf) AS BIGINT) AS sum_corpus_tf,
+          CAST(CAST(SUM(tf.tf * corpus.ctf) AS BIGINT) AS DOUBLE)
+            / CAST(CAST(SUM(tf.tf) AS BIGINT) AS DOUBLE) AS mean_corpus_tf,
+          CAST(MIN(corpus.ctf) AS BIGINT) AS min_corpus_tf
+        FROM tf JOIN corpus USING (term)
+        GROUP BY 1
         """,
     }
 

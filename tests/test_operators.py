@@ -1333,3 +1333,18 @@ class TestC4AndUrls:
         ).collect()}
         assert out[1]["n"] == 0 and out[1]["h"] == ""
         assert out[2]["n"] == 2 and out[2]["h"] == "a.example.org"
+
+
+class TestTokenRarity:
+    def test_corpus_counts_and_min(self, spark):
+        from unitdb_spark.operators.tfidf import token_rarity
+
+        docs = spark.createDataFrame(
+            [(1, "the the cat"), (2, "the dog")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in token_rarity(docs).collect()}
+        # corpus: the=3, cat=1, dog=1
+        assert out[1]["n_tokens"] == 3
+        assert out[1]["sum_corpus_tf"] == 3 + 3 + 1  # the, the, cat
+        assert out[1]["min_corpus_tf"] == 1          # cat
+        assert out[2]["sum_corpus_tf"] == 3 + 1 and out[2]["mean_corpus_tf"] == 2.0

@@ -651,3 +651,40 @@ class TestCommitLog:
         new.prune_other_generations()
         assert latest_commit(spark, root) == ("gen-new", 1)
         assert not fs.exists(spark, f"{root}/_applied/gen-old")
+
+
+class TestStreamingZscore:
+    def test_streamed_flags_match_batch_operator(self, spark, events_dir):
+        """In-order replay: the streaming detector's flags equal the
+        batch trailing_zscore flags row for row (same algebra, exact
+        sums on both sides)."""
+        from unitdb_spark.operators.timeseries import trailing_zscore
+        from unitdb_spark.streaming.state import streaming_zscore
+
+        stream = events_as_stream(spark, events_dir, max_files_per_trigger=100)
+        out = streaming_zscore(stream, key_col="event_type", n=20, z=3.0)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("zscore_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r["event_id"]: (r["trail_n"], r["is_anomaly"])
+            for r in spark.sql("SELECT * FROM zscore_stream").collect()
+        }
+        ev = spark.read.parquet(events_dir)
+        if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        batch = trailing_zscore(ev, ["event_type"], ["ts", "event_id"], "value",
+                                n=20, z=3.0)
+        want = {
+            r["event_id"]: (r["trail_n"], r["is_anomaly"])
+            for r in batch.collect()
+        }
+        assert len(got) == len(want) > 0
+        mismatches = {k for k in want if got[k] != want[k]}
+        assert not mismatches, f"{len(mismatches)} rows diverge: {sorted(mismatches)[:5]}"
+        assert any(f for _, f in got.values())  # detector actually fires

@@ -86,3 +86,47 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def token_rarity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document corpus-frequency statistics — the CCNet-style
+    "how ordinary is this text" signal without a language model:
+    documents whose tokens are all corpus-rare are typically junk
+    (hashes, minified code), documents of only ultra-common tokens are
+    boilerplate; training pipelines cut both tails.
+
+    For each doc: n_tokens, the SUM over its tokens (with
+    multiplicity) of each token's corpus occurrence count, their mean,
+    and the rarest token's count. All integer aggregation until one
+    final division — bit-exact on any engine, no log/probability
+    needed (the mean corpus count is a monotone transform of mean
+    unigram probability).
+
+    Shape: same as TF-IDF — explode → (doc, term) counts, corpus
+    counts per term (map-side combined), join, per-doc sum. Output:
+    (doc_id, n_tokens, sum_corpus_tf, mean_corpus_tf, min_corpus_tf).
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    return (
+        tf.join(corpus, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("ctf")).alias("sum_corpus_tf"),
+            F.min("ctf").alias("min_corpus_tf"),
+        )
+        .withColumn(
+            "mean_corpus_tf",
+            F.col("sum_corpus_tf").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .select(id_col, "n_tokens", "sum_corpus_tf", "mean_corpus_tf", "min_corpus_tf")
+    )

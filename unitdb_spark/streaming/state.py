@@ -29,6 +29,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -128,4 +130,109 @@ def streaming_topk_per_topic(
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=timeout,
+    )
+
+
+# ------------------------------------------------- streaming anomaly
+
+ZSCORE_OUTPUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("key", StringType()),
+        StructField("value", DoubleType()),
+        StructField("trail_n", LongType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+
+#: ring buffer of the trailing n observations, in event order
+ZSCORE_STATE = StructType(
+    [
+        StructField("ord_us", ArrayType(LongType())),
+        StructField("ids", ArrayType(LongType())),
+        StructField("values", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _zscore_fn(n: int, z: float):
+    z2 = float(z * z)
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        (k,) = key
+        if state.exists:
+            ord_us, ids, values = (list(x) for x in state.get)
+        else:
+            ord_us, ids, values = [], [], []
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        for eid, t, v in zip(batch["event_id"], batch["ts_us"], batch["value"]):
+            tail_v = values[-n:]
+            m = len(tail_v)
+            if m >= 2:
+                # identical algebra to operators.timeseries.trailing_zscore:
+                # (m·v − s)² > z²·(m·q − s²), s/q via exact fsum so the
+                # flag matches the batch operator's DECIMAL-sum result
+                s = math.fsum(tail_v)
+                q = math.fsum(x * x for x in tail_v)
+                v_f = float(v)
+                flag = (m * v_f - s) ** 2 > z2 * (m * q - s * s)
+            else:
+                flag = False
+            rows.append((int(eid), k, float(v), m, flag))
+            ord_us.append(int(t))
+            ids.append(int(eid))
+            values.append(float(v))
+        # trim state to the trailing n observations
+        state.update((ord_us[-n:], ids[-n:], values[-n:]))
+        yield pd.DataFrame(
+            rows, columns=["event_id", "key", "value", "trail_n", "is_anomaly"]
+        )
+
+    return fn
+
+
+def streaming_zscore(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    n: int = 20,
+    z: float = 3.0,
+) -> DataFrame:
+    """Streaming trailing-z-score anomaly detection: the stateful twin
+    of ``operators.timeseries.trailing_zscore`` — per-key state is a
+    bounded ring of the last ``n`` observations (O(keys × n), never
+    the stream), each event is judged against the trailing window
+    BEFORE being added to it, and the same cross-multiplied z-test is
+    evaluated with exact sums (``math.fsum`` ↔ the batch operator's
+    DECIMAL accumulation), so on an in-order replay the flags match
+    the batch operator row for row.
+
+    Ordering caveat (inherent to streaming): rows are sorted by event
+    time WITHIN a micro-batch, but late data across batches sees a
+    different trailing window than a batch recomputation would — the
+    usual streaming/batch divergence, same as the reference's
+    in-memory window serving unsynced entries (time_window.go ilookup).
+
+    Input needs (event_id, ts, <key_col>, value). Output (append
+    mode): one judged row per event.
+    """
+    from pyspark.sql import functions as F
+
+    prepped = stream.select(
+        "event_id",
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepped.groupBy("key").applyInPandasWithState(
+        _zscore_fn(n, z),
+        outputStructType=ZSCORE_OUTPUT,
+        stateStructType=ZSCORE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
