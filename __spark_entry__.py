@@ -1832,7 +1832,9 @@ def q_doc_c4_filter(spark, sf_dir):
     the keep verdict, violations planted deterministically."""
     d = _c4_planted(spark, sf_dir)
     rules = TXT.c4_rules("text")
-    return d.select("doc_id", *[rules[k].alias(k) for k in sorted(rules)])
+    order = ["r_terminal", "r_min_tokens", "r_word_len", "r_lorem",
+             "r_brace", "r_policy", "keep"]  # same column order as the oracle
+    return d.select("doc_id", *[rules[k].alias(k) for k in order])
 
 
 def q_doc_url_stats(spark, sf_dir):
@@ -3199,15 +3201,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_gap_fill": """
         WITH b AS (
-          SELECT event_type, date_trunc('hour', min(ts)) AS lo,
-                 date_trunc('hour', max(ts)) AS hi
+          SELECT event_type,
+            TIMESTAMP '1970-01-01 00:00:00'
+              + to_hours(CAST(floor(epoch(min(ts)) / 3600) AS BIGINT)) AS lo,
+            TIMESTAMP '1970-01-01 00:00:00'
+              + to_hours(CAST(floor(epoch(max(ts)) / 3600) AS BIGINT)) AS hi
           FROM events WHERE user_id % 5 = 0 GROUP BY 1
         ), grid AS (
           SELECT event_type,
                  unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
           FROM b
         ), obs AS (
-          SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+          SELECT event_type,
+            TIMESTAMP '1970-01-01 00:00:00'
+              + to_hours(CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS bucket_ts,
             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
               / CAST(COUNT(*) AS DOUBLE) AS avg_value
           FROM events WHERE user_id % 5 = 0 GROUP BY 1, 2
@@ -3287,7 +3294,8 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ), r AS (
           SELECT doc_id,
-            len(regexp_extract_all(rtrim(text), '[.!?"'']$')) > 0 AS r_terminal,
+            len(regexp_extract_all(regexp_replace(text, '\\s+$', ''),
+                                   '[.!?"'']$')) > 0 AS r_terminal,
             len({_TOKS}) >= 5 AS r_min_tokens,
             len(list_filter({_TOKS}, x -> length(x) > 25)) = 0 AS r_word_len,
             NOT contains(lower(text), 'lorem ipsum') AS r_lorem,

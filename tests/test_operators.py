@@ -1227,6 +1227,29 @@ class TestTimeseries:
         assert a[3]["filled_value"] == 11.0 == a[4]["filled_value"]  # ffill h2
         assert not a[5]["is_gap"] and a[5]["filled_value"] == 14.0
 
+    def test_gap_fill_non_hour_step_buckets_on_step_grid(self, spark):
+        """Steps other than 1/60 minutes must floor observations onto
+        the step grid — a calendar trunc would land them between grid
+        points and report real data as gaps."""
+        from unitdb_spark.operators.timeseries import gap_fill
+
+        rows = [
+            (1, T0 + dt.timedelta(minutes=17), "a", 10.0),  # -> :00 bucket
+            (2, T0 + dt.timedelta(minutes=95), "a", 20.0),  # -> :90 bucket
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        out = {
+            int((r["bucket_ts"] - T0).total_seconds() // 60): r
+            for r in gap_fill(df, ["event_type"], step_minutes=30).collect()
+        }
+        assert sorted(out) == [0, 30, 60, 90]
+        assert not out[0]["is_gap"] and out[0]["avg_value"] == 10.0
+        assert out[30]["is_gap"] and out[30]["filled_value"] == 10.0
+        assert out[60]["is_gap"] and out[60]["filled_value"] == 10.0
+        assert not out[90]["is_gap"] and out[90]["avg_value"] == 20.0
+
 
 class TestTfidf:
     def test_scores_and_ranking(self, spark):

@@ -193,8 +193,13 @@ def c4_rules(col: Column | str) -> dict[str, Column]:
     c = F.col(col) if isinstance(col, str) else col
     lower = F.lower(c)
     toks = _toks(col)
+    # strip ALL trailing whitespace (incl. newlines) before anchoring:
+    # rtrim only strips spaces, and Java's '$' matches before a final
+    # newline while RE2's does not — stripping first makes the anchor
+    # behave identically on both engines
+    stripped = F.regexp_replace(c, r"\s+$", "")
     rules = {
-        "r_terminal": F.regexp_count(F.rtrim(c), F.lit(r"[.!?\"']$")) > 0,
+        "r_terminal": F.regexp_count(stripped, F.lit(r"[.!?\"']$")) > 0,
         "r_min_tokens": F.size(toks) >= C4_MIN_TOKENS,
         "r_word_len": ~F.exists(
             toks, lambda t: F.length(t) > F.lit(C4_MAX_WORD_CHARS)

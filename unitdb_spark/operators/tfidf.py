@@ -25,11 +25,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-
-def _tokens(text_col: str):
-    """lowercase whitespace tokens (shared convention with
-    functions.text / the DuckDB ``_TOKS`` oracle fragment)."""
-    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+# the repo-wide tokenizer (lowercase whitespace split, '' filtered) —
+# one definition so operators can't drift from the DuckDB _TOKS oracle
+# fragment
+from unitdb_spark.functions.text import _toks as _tokens
 
 
 def tfidf_top_terms(
@@ -54,6 +53,10 @@ def tfidf_top_terms(
     persists the tf aggregate instead, trading executor storage for
     the second scan — the right call on a cluster where the corpus
     read dominates; leave False when inputs are small or memory-tight.
+    The persist is pinned for the session (Spark offers no
+    plan-scoped lifetime); long-lived jobs calling this repeatedly
+    should release it via ``spark.catalog.clearCache()`` (or track
+    ``df.persist`` handles themselves) once the result is consumed.
 
     Output: (doc_id, term, tf, df, score, rank), rank 1..k.
     """

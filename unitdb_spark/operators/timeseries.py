@@ -131,7 +131,16 @@ def gap_fill(
     before fill), ``filled_value``, ``is_gap``.
     """
     step = F.expr(f"INTERVAL {int(step_minutes)} MINUTES")
-    trunc = lambda c: F.date_trunc("hour", c) if step_minutes == 60 else F.date_trunc("minute", c)  # noqa: E731
+    step_s = int(step_minutes) * 60
+
+    def trunc(c):
+        # floor to the step grid (epoch-aligned), not date_trunc: for
+        # any step other than 1/60 minutes a calendar trunc lands
+        # observations BETWEEN grid points and the join would report
+        # real data as gaps
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(c) / F.lit(step_s)) * F.lit(step_s)
+        )
 
     bounds = df.groupBy(*keys).agg(
         F.min(trunc(F.col(ts_col))).alias("_lo"),

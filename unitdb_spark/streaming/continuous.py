@@ -114,14 +114,16 @@ def continuous_rollup(
         snap = _snap_path(agg_path, log.query_id, batch_id)
         merged.write.mode("overwrite").parquet(snap)
         log.record(batch_id)  # commit point
+        # retire stale generations' commit entries BEFORE deleting any
+        # snapshot: a reader between the two steps (or after a crash
+        # here) must never resolve latest_commit to a generation whose
+        # snapshot is already gone
+        log.prune_other_generations()
         # prune superseded snapshots (best-effort; never the current one)
         keep = f"v_{log.query_id}_{batch_id}"
         for name, _, is_dir in fs.list_status(spark, agg_path):
             if is_dir and name.startswith("v_") and name != keep:
                 fs.delete(spark, f"{agg_path.rstrip('/')}/{name}")
-        # ...and stale generations' commit entries, so latest_commit can
-        # never resolve to a snapshot the line above just deleted
-        log.prune_other_generations()
 
     writer = (
         entries.writeStream.foreachBatch(fold)

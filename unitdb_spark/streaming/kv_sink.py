@@ -95,12 +95,13 @@ def continuous_kv(
         snap = _snap_path(state_path, log.query_id, batch_id)
         merged.write.mode("overwrite").parquet(snap)
         log.record(batch_id)  # commit point
+        # retire stale generations' commit entries BEFORE their
+        # snapshots so latest_commit never points at a deleted path
+        log.prune_other_generations()
         keep = f"v_{log.query_id}_{batch_id}"
         for name, _, is_dir in fs.list_status(spark, state_path):
             if is_dir and name.startswith("v_") and name != keep:
                 fs.delete(spark, f"{state_path.rstrip('/')}/{name}")
-        # stale generations' commit entries go with their snapshots
-        log.prune_other_generations()
 
     writer = (
         oplog.writeStream.foreachBatch(fold)

@@ -86,18 +86,22 @@ def prepare_entries(df: DataFrame) -> DataFrame:
         df = df.withColumn("encrypted", F.lit(False))
     if "seq" not in cols:
         # streaming-safe monotonic-ish ordering key: event-time micros
-        # shifted left 10 bits with a content-hash tiebreak in the low
+        # shifted left 12 bits with a content-hash tiebreak in the low
         # bits. Distinct messages sharing a timestamp (second-granular
         # sources are common) would otherwise collide on seq, and
         # downstream treats seq as identity (RELIABLE dedup fallback,
         # stateful top-K seen-set) — colliding seqs silently drop
         # messages. Headroom: the shift overflows a signed 64-bit long
-        # once micros >= 2^53, i.e. around year 2255 — a 12-bit shift
-        # would have gone negative at 2^51 micros (~2041).
+        # once micros >= 2^51, around May 2041 — not ~2255 as round 1
+        # claimed. The encoding is nevertheless kept STABLE at 12 bits:
+        # rows persisted under it order by seq, and shrinking the shift
+        # would rank every new row below every existing one (newest-
+        # first Gets would serve stale data forever). Before 2041 the
+        # encoding needs a versioned bump + store rewrite.
         df = df.withColumn(
             "seq",
-            F.shiftleft(F.unix_micros(F.col("ts")), 10)
-            + F.pmod(F.xxhash64(F.col("topic"), F.col("payload")), F.lit(1024)),
+            F.shiftleft(F.unix_micros(F.col("ts")), 12)
+            + F.pmod(F.xxhash64(F.col("topic"), F.col("payload")), F.lit(4096)),
         )
     return with_topic_columns(df)
 

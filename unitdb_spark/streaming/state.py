@@ -145,14 +145,9 @@ ZSCORE_OUTPUT = StructType(
     ]
 )
 
-#: ring buffer of the trailing n observations, in event order
-ZSCORE_STATE = StructType(
-    [
-        StructField("ord_us", ArrayType(LongType())),
-        StructField("ids", ArrayType(LongType())),
-        StructField("values", ArrayType(DoubleType())),
-    ]
-)
+#: ring buffer of the trailing n observed values, in event order — the
+#: z-test needs nothing else, so nothing else is serialized per batch
+ZSCORE_STATE = StructType([StructField("values", ArrayType(DoubleType()))])
 
 
 def _zscore_fn(n: int, z: float):
@@ -164,14 +159,13 @@ def _zscore_fn(n: int, z: float):
         import math
 
         (k,) = key
-        if state.exists:
-            ord_us, ids, values = (list(x) for x in state.get)
-        else:
-            ord_us, ids, values = [], [], []
+        values = list(state.get[0]) if state.exists else []
         rows = []
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts_us", "event_id"])
-        for eid, t, v in zip(batch["event_id"], batch["ts_us"], batch["value"]):
+        for eid, v in zip(batch["event_id"], batch["value"]):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue  # batch operator's DECIMAL sums skip NULLs too
             tail_v = values[-n:]
             m = len(tail_v)
             if m >= 2:
@@ -185,11 +179,9 @@ def _zscore_fn(n: int, z: float):
             else:
                 flag = False
             rows.append((int(eid), k, float(v), m, flag))
-            ord_us.append(int(t))
-            ids.append(int(eid))
             values.append(float(v))
         # trim state to the trailing n observations
-        state.update((ord_us[-n:], ids[-n:], values[-n:]))
+        state.update((values[-n:],))
         yield pd.DataFrame(
             rows, columns=["event_id", "key", "value", "trail_n", "is_anomaly"]
         )
@@ -210,7 +202,12 @@ def streaming_zscore(
     BEFORE being added to it, and the same cross-multiplied z-test is
     evaluated with exact sums (``math.fsum`` ↔ the batch operator's
     DECIMAL accumulation), so on an in-order replay the flags match
-    the batch operator row for row.
+    the batch operator row for row — for values exactly representable
+    in DECIMAL(18,6) (≤6 fractional digits, |v| < 10¹²; outside that
+    domain the batch DECIMAL cast rounds/overflows while this path
+    keeps the full double, and a borderline flag can differ). NULL/NaN
+    values are skipped, matching the batch operator's NULL-skipping
+    sums.
 
     Ordering caveat (inherent to streaming): rows are sorted by event
     time WITHIN a micro-batch, but late data across batches sees a
