@@ -58,35 +58,48 @@ SQL_LIVE = "(expires_at IS NULL OR expires_at > now)"
 _CACHE: dict = {}
 
 
+def _pin_utc(spark: SparkSession) -> SparkSession:
+    """Pin the SQL session timezone to UTC.
+
+    The harness may hand us a session with any default timezone; the
+    testdata's timestamps are tz-naive and every oracle runs DuckDB
+    with naive (= UTC) semantics, so both the NTZ→TIMESTAMP cast in
+    load_events and calendar functions (date_trunc/to_date/window)
+    must evaluate under UTC to be engine-portable. Runtime-mutable
+    conf; no job is triggered."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("messages", sf_dir)
     if key not in _CACHE:
-        _CACHE[key] = messages_from_events(spark, sf_dir)
+        _CACHE[key] = messages_from_events(_pin_utc(spark), sf_dir)
     return _CACHE[key]
 
 
 def _now(spark: SparkSession, sf_dir: str):
     key = ("now", sf_dir)
     if key not in _CACHE:
-        _CACHE[key] = now_expr(spark, sf_dir)
+        _CACHE[key] = now_expr(_pin_utc(spark), sf_dir)
     return _CACHE[key]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _pin_utc(spark).read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _pin_utc(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unitdb_spark.sources.events import load_events
-    return load_events(spark, sf_dir)
+    return load_events(_pin_utc(spark), sf_dir)
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _pin_utc(spark).read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # ------------------------------------------------- unitdb Get semantics
