@@ -371,3 +371,33 @@ class TestEncryption:
         with _pytest.raises(Exception):
             eng2.get("unit1.sec")
         eng.destroy()
+
+
+class TestCompact:
+    def test_compact_merges_fragmented_partitions_only(self, spark, tmp_path):
+        """Many micro-batch appends fragment a partition; compact()
+        bin-packs it back down without touching healthy partitions or
+        changing any query result."""
+        from unitdb_spark.engine import Engine
+
+        eng = Engine.open(spark, str(tmp_path / "frag"))
+        try:
+            # 6 separate flushes -> >= 6 files in the same partition
+            for i in range(6):
+                eng.put_entry(Entry("frag.topic", b"m%d" % i), ts=T0 + i)
+                eng.flush()
+            # one healthy partition on another day (single flush)
+            eng.put_entry(Entry("ok.topic", b"solo"), ts=T0 + 90_000)
+            eng.flush()
+            before = eng.get("frag.topic", now=T0 + 100)
+            report = eng.compact(min_files=4)
+            assert len(report) == 1  # only the fragmented partition
+            (part, (n_before, n_after)), = report.items()
+            assert n_before >= 6 and n_after == 1
+            # data unchanged, newest-first order preserved
+            assert eng.get("frag.topic", now=T0 + 100) == before
+            assert eng.get("ok.topic", now=T0 + 100_000) == [b"solo"]
+            # idempotent: nothing left to do
+            assert eng.compact(min_files=4) == {}
+        finally:
+            eng.destroy()

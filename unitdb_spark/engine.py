@@ -380,6 +380,71 @@ class Engine:
         fs.rename(self.spark, tmp, self.table.path)
         fs.delete(self.spark, trash)
 
+    def compact(
+        self,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 4,
+    ) -> dict[str, tuple[int, int]]:
+        """Selective small-file compaction (free-block/defrag parity,
+        leasing.go + db_internal.go:143 — there reclaiming deleted
+        blocks; here bin-packing micro-batch appends).
+
+        Streaming ingest appends one file per (contract, p_date) per
+        micro-batch, so a hot partition accretes files over time. This
+        rewrites ONLY partitions holding >= ``min_files`` data files,
+        coalescing each to ceil(bytes / target_file_bytes) files —
+        unlike ``purge_expired`` it never touches healthy partitions,
+        so the job's cost tracks fragmentation, not table size (the
+        property that matters at 100 TB: compaction of a day's worth
+        of micro-batches reads a day, not the decade).
+
+        Per-partition crash-safe swap, same discipline as
+        purge_expired: stage → trash → promote; a crash between the
+        renames leaves the completed rewrite in staging. Returns
+        {partition_dir: (files_before, files_after)}.
+        """
+        import math
+
+        report: dict[str, tuple[int, int]] = {}
+        if not self.table.exists():
+            return report
+        self.flush()
+        root = self.table.path
+        for cdir, _, c_is_dir in fs.list_status(self.spark, root):
+            if not c_is_dir or not cdir.startswith("contract="):
+                continue
+            for ddir, _, d_is_dir in fs.list_status(self.spark, f"{root}/{cdir}"):
+                if not d_is_dir or not ddir.startswith("p_date="):
+                    continue
+                part = f"{cdir}/{ddir}"
+                ppath = f"{root}/{part}"
+                files = [
+                    n for n, _, isd in fs.list_status(self.spark, ppath)
+                    if not isd and n.endswith(".parquet")
+                ]
+                if len(files) < min_files:
+                    continue
+                n_out = max(1, math.ceil(fs.tree_bytes(self.spark, ppath) / target_file_bytes))
+                if n_out >= len(files):
+                    continue  # already at or under the target layout
+                # data files inside a partition dir carry only data
+                # columns; the rewrite preserves them (and the seq sort
+                # that newest-first scans prune on)
+                df = self.spark.read.parquet(ppath).sortWithinPartitions("seq")
+                tmp, trash = f"{ppath}.compacting", f"{ppath}.old"
+                fs.delete(self.spark, tmp)
+                fs.delete(self.spark, trash)
+                df.coalesce(n_out).write.parquet(tmp)
+                fs.rename(self.spark, ppath, trash)
+                fs.rename(self.spark, tmp, ppath)
+                fs.delete(self.spark, trash)
+                after = len([
+                    n for n, _, isd in fs.list_status(self.spark, ppath)
+                    if not isd and n.endswith(".parquet")
+                ])
+                report[part] = (len(files), after)
+        return report
+
     def new_contract(self) -> int:
         return new_contract()
 
