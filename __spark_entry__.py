@@ -1815,6 +1815,20 @@ def q_doc_dedup_resolve(spark, sf_dir):
     return dedup_resolve(d, pairs, quality_col="n_chars")
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-Quantization ADC search (Jégou et al. 2011): 64-dim
+    float32 vectors -> 4 bytes of codes; codebooks are block-slices of
+    an md5-deterministic corpus sample (the IVF centroid trick), so
+    the oracle replays codebooks, assignment, and the ADC scores."""
+    from unitdb_spark.operators.pq import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, dim=64, k=10, m_blocks=4, k_codes=16)
+
+
 _LONG_WORD = "x" * 30
 
 
@@ -1956,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_filter": q_doc_c4_filter,
         "doc_url_stats": q_doc_url_stats,
         "doc_token_rarity": q_doc_token_rarity,
+        "ann_pq_topk": q_ann_pq_topk,
         # --- r02-green re-checks filling the window to 50 -------------
         "get_static": q_get_static,
         "get_wild_star": q_get_wild_star,
@@ -3360,6 +3375,49 @@ def oracle_sql() -> dict[str, str]:
           CAST(MIN(corpus.ctf) AS BIGINT) AS min_corpus_tf
         FROM tf JOIN corpus USING (term)
         GROUP BY 1
+        """,
+        "ann_pq_topk": """
+        WITH samp AS (
+          SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR) || ':pq42'), vec_id
+                 ) - 1 AS code,
+                 embedding AS cv
+          FROM embeddings
+          QUALIFY code < 16
+        ), cb AS (
+          SELECT t.block, samp.code,
+                 CAST(samp.cv[t.block*16+1 : t.block*16+16] AS DOUBLE[]) AS cvec
+          FROM samp CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(block)
+        ), codes AS (
+          SELECT vec_id, block, code FROM (
+            SELECT e.vec_id, cb.block, cb.code,
+              row_number() OVER (PARTITION BY e.vec_id, cb.block
+                ORDER BY list_distance(
+                  CAST(e.embedding[cb.block*16+1 : cb.block*16+16] AS DOUBLE[]),
+                  cb.cvec), cb.code) AS rn
+            FROM embeddings e CROSS JOIN cb)
+          WHERE rn = 1
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), lut AS (
+          SELECT q.query_id, cb.block, cb.code,
+            list_dot_product(
+              CAST(q.qv[cb.block*16+1 : cb.block*16+16] AS DOUBLE[]),
+              cb.cvec) AS pdot
+          FROM q CROSS JOIN cb
+        ), scored AS (
+          SELECT l.query_id, c.vec_id, SUM(l.pdot) AS score
+          FROM codes c JOIN lut l USING (block, code)
+          WHERE c.vec_id <> l.query_id
+          GROUP BY 1, 2
+        ), ranked AS (
+          SELECT query_id, vec_id, round(score, 6) AS score_r,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, score_r, rank FROM ranked WHERE rank <= 10
         """,
     }
 

@@ -1371,3 +1371,73 @@ class TestTokenRarity:
         assert out[1]["sum_corpus_tf"] == 3 + 3 + 1  # the, the, cat
         assert out[1]["min_corpus_tf"] == 1          # cat
         assert out[2]["sum_corpus_tf"] == 3 + 1 and out[2]["mean_corpus_tf"] == 2.0
+
+
+class TestProductQuantization:
+    def _corpus(self, spark, n=40, dim=8, seed=7):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_codebooks_shape_and_determinism(self, spark):
+        from unitdb_spark.operators.pq import pq_codebooks
+
+        corpus = self._corpus(spark)
+        cb1 = pq_codebooks(corpus, dim=8, m_blocks=4, k_codes=8).collect()
+        cb2 = pq_codebooks(corpus, dim=8, m_blocks=4, k_codes=8).collect()
+        assert len(cb1) == 4 * 8
+        assert all(len(r["cvec"]) == 2 for r in cb1)
+        key = lambda r: (r["block"], r["code"], tuple(r["cvec"]))  # noqa: E731
+        assert sorted(map(key, cb1)) == sorted(map(key, cb2))
+
+    def test_assign_codes_bounded_and_self_nearest(self, spark):
+        from unitdb_spark.operators.pq import pq_assign, pq_codebooks
+
+        corpus = self._corpus(spark, n=8)  # corpus == sample
+        cb = pq_codebooks(corpus, dim=8, m_blocks=2, k_codes=8)
+        codes = pq_assign(corpus, cb, dim=8, m_blocks=2).collect()
+        assert len(codes) == 8 * 2
+        assert all(0 <= r["code"] < 8 for r in codes)
+        # every vector IS a codebook entry -> its block distance to its
+        # own entry is 0, so each (vec, block) maps back to one code
+        # consistently across blocks of the same sampled vector
+        by_vec = {}
+        for r in codes:
+            by_vec.setdefault(r["vec_id"], set()).add(r["code"])
+        assert all(len(s) == 1 for s in by_vec.values())
+
+    def test_topk_finds_identical_vector(self, spark):
+        from unitdb_spark.operators.pq import pq_topk
+
+        corpus = self._corpus(spark, n=30)
+        # vec 99 duplicates vec 0's embedding exactly
+        dup = corpus.filter(F.col("vec_id") == 0).select(
+            F.lit(99).cast("long").alias("vec_id"), "embedding"
+        )
+        full = corpus.unionByName(dup)
+        queries = corpus.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = pq_topk(full, queries, dim=8, k=3, m_blocks=4, k_codes=8).collect()
+        # identical codes -> identical ADC score -> the duplicate ranks
+        # first (ties broken by vec_id would put a lower id first only
+        # if it shares all 4 codes)
+        top = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        assert 99 in top[:2]
+
+    def test_no_python_eval_and_broadcasts(self, spark):
+        from unitdb_spark.operators.pq import pq_topk
+        from unitdb_spark.plans.explain import formatted_plan, has_python_eval
+
+        corpus = self._corpus(spark)
+        queries = corpus.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = pq_topk(corpus, queries, dim=8, k=5, m_blocks=4, k_codes=8)
+        assert not has_python_eval(out)
+        assert "BroadcastHashJoin" in formatted_plan(out)

@@ -1,0 +1,167 @@
+"""Product-Quantization ANN (Jégou et al. 2011): codes + ADC search.
+
+Completes the similarity-search ladder (SURVEY §2.4 beyond-reference
+operators): exact (`cosine_topk`) → LSH buckets → IVF cells → int8 →
+PQ, the memory end of the spectrum — a 64-dim float32 vector (256 B)
+compresses to m_blocks bytes of codes (4 B at the defaults), so a
+100 TB embedding corpus's searchable representation fits a fraction
+of cluster RAM, with the full vectors left in cold storage for
+re-ranking.
+
+Design (deterministic, SQL-replayable — same conventions as IVF):
+
+- codebooks: one per block, K entries each = block-slices of a
+  deterministic md5-ordered corpus sample (the IVF centroid trick —
+  hash-threshold prefilter, superset-safe fallback, so the choice is
+  bit-identical to `ORDER BY md5 LIMIT K` which oracles replay).
+  k-means refinement per block is orthogonal (see operators.kmeans).
+- assignment: code[m] = argmin_j L2²(subvec_m, codebook[m][j]), ties
+  to the smallest code id.
+- search (ADC — asymmetric distance computation): per query, a
+  (block, code) → partial-dot lookup table (m_blocks × K rows, tiny);
+  score(vec) ≈ Σ_m lut[m][code[m]]; top-k by (score desc, vec_id).
+
+Scale shape: codebooks and LUTs broadcast (KBs); the corpus is
+exploded ×m_blocks into block slices but the argmin partial-aggregates
+map-side, so the one exchange carries m_blocks rows per vector (codes,
+not vectors); search joins the int code table against the broadcast
+LUT and partial-aggregates the Σ_m — the embedding column itself never
+shuffles anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _sub(vec_col: str, block_col: str, sub_dim: int):
+    """block-slice of a vector as double[] (1-based slice, like SQL)."""
+    return F.expr(
+        f"transform(slice({vec_col}, {block_col} * {sub_dim} + 1, {sub_dim}), "
+        "x -> CAST(x AS DOUBLE))"
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _dist2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m_blocks: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(block, code, cvec): per-block codebooks from a deterministic
+    md5-ordered corpus sample — engine-portable, so SQL oracles replay
+    the exact codebook. Broadcast-sized (m_blocks × k_codes rows)."""
+    if dim % m_blocks:
+        raise ValueError(f"dim {dim} not divisible by m_blocks {m_blocks}")
+    sub_dim = dim // m_blocks
+    base = corpus.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_sv"))
+    h = F.md5(F.concat(F.col("_sid").cast("string"), F.lit(f":pq{seed}")))
+    pref = base.filter(h < F.lit("01"))
+    if pref.limit(k_codes).count() < k_codes:
+        pref = base  # superset-safe fallback, identical to full ORDER BY
+    samp = (
+        pref.withColumn("_h", h)
+        .withColumn(
+            "code",
+            F.row_number().over(Window.orderBy(F.col("_h"), F.col("_sid"))) - 1,
+        )
+        .filter(F.col("code") < k_codes)
+    )
+    return samp.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m_blocks - 1))).alias("block"),
+        "code",
+        F.col("_sv").alias("_cvfull"),
+    ).select("block", "code", _sub("_cvfull", "block", sub_dim).alias("cvec"))
+
+
+def pq_assign(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, block, code): nearest codebook entry per block.
+
+    Explode ×m_blocks, broadcast-join the codebooks, min_by argmin
+    with map-side partial agg — the exchange carries codes, not
+    vectors."""
+    sub_dim = dim // m_blocks
+    blocks = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m_blocks - 1))).alias("block"),
+        F.col(vec_col).alias("_v"),
+    ).select("vec_id", "block", _sub("_v", "block", sub_dim).alias("_bv"))
+    joined = blocks.join(F.broadcast(codebooks), "block")
+    d2 = _dist2(F.col("_bv"), F.col("cvec")).alias("_d2")
+    return (
+        joined.select("vec_id", "block", "code", d2)
+        .groupBy("vec_id", "block")
+        .agg(
+            F.min_by("code", F.struct(F.col("_d2"), F.col("code"))).alias("code")
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m_blocks: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """ADC top-k: approximate dot-product search over PQ codes.
+
+    Output: (query_id, vec_id, score_r, rank) — score rounded to 6
+    decimals (the repo's cross-engine float convention), rank by
+    (score desc, vec_id)."""
+    sub_dim = dim // m_blocks
+    cb = pq_codebooks(
+        corpus, dim, m_blocks, k_codes, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    codes = pq_assign(corpus, cb, dim, m_blocks, id_col=id_col, vec_col=vec_col)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m_blocks - 1))).alias("block"),
+        F.col(vec_col).alias("_qv"),
+    ).select("query_id", "block", _sub("_qv", "block", sub_dim).alias("_qb"))
+    lut = q.join(F.broadcast(cb), "block").select(
+        "query_id", "block", "code", _dot(F.col("_qb"), F.col("cvec")).alias("pdot")
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["block", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("score", 6).alias("score_r"), "rank")
+    )
