@@ -1782,6 +1782,17 @@ def q_events_gap_fill(spark, sf_dir):
     )
 
 
+def q_events_gaps(spark, sf_dir):
+    """Silence detection: per event_type, inter-event gaps over 30
+    minutes (dead-sensor audit). One lag window; epoch-second output."""
+    from unitdb_spark.operators.timeseries import silence_gaps
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    return silence_gaps(
+        ev, ["event_type"], min_gap_seconds=1800
+    ).select("event_type", "gap_start_s", "gap_end_s", "gap_s")
+
+
 def q_doc_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document. Smooth RATIONAL idf
     (N+1)/(df+1) — same ranking as the log form, zero transcendental
@@ -1971,7 +1982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_stats": q_doc_url_stats,
         "doc_token_rarity": q_doc_token_rarity,
         "ann_pq_topk": q_ann_pq_topk,
-        # --- r02-green re-checks filling the window to 50 -------------
+        "events_gaps": q_events_gaps,
+        # --- r02-green re-checks (the window is now exactly 50) -------
         "get_static": q_get_static,
         "get_wild_star": q_get_wild_star,
         "tpch_q1": q_tpch_q1,
@@ -3418,6 +3430,18 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT query_id, vec_id, score_r, rank FROM ranked WHERE rank <= 10
+        """,
+        "events_gaps": """
+        WITH g AS (
+          SELECT event_type,
+            CAST(floor(epoch(lag(ts) OVER (PARTITION BY event_type
+                 ORDER BY ts, event_id))) AS BIGINT) AS gap_start_s,
+            CAST(floor(epoch(ts)) AS BIGINT) AS gap_end_s
+          FROM events WHERE user_id % 10 = 0
+        )
+        SELECT event_type, gap_start_s, gap_end_s,
+               gap_end_s - gap_start_s AS gap_s
+        FROM g WHERE gap_end_s - gap_start_s > 1800
         """,
     }
 

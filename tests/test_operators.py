@@ -1441,3 +1441,23 @@ class TestProductQuantization:
         out = pq_topk(corpus, queries, dim=8, k=5, m_blocks=4, k_codes=8)
         assert not has_python_eval(out)
         assert "BroadcastHashJoin" in formatted_plan(out)
+
+
+class TestSilenceGaps:
+    def test_reports_only_gaps_over_threshold(self, spark):
+        from unitdb_spark.operators.timeseries import silence_gaps
+
+        rows = [
+            (1, T0, "a", 0.0),
+            (2, T0 + dt.timedelta(minutes=10), "a", 0.0),
+            (3, T0 + dt.timedelta(minutes=130), "a", 0.0),  # 2h gap
+            (4, T0, "b", 0.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        out = silence_gaps(df, ["event_type"], min_gap_seconds=3600).collect()
+        assert len(out) == 1
+        (r,) = out
+        assert r["event_type"] == "a" and r["gap_s"] == 7200
+        assert r["gap_end_s"] - r["gap_start_s"] == 7200

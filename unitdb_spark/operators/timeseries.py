@@ -113,6 +113,32 @@ def trailing_zscore(
     )
 
 
+def silence_gaps(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    min_gap_seconds: int = 3600,
+) -> DataFrame:
+    """Report silences: per key, consecutive-event gaps exceeding
+    ``min_gap_seconds`` — the dead-sensor/offline-device alert over a
+    topic's history (the streaming analog is a state timeout; this is
+    the batch audit). One window shuffle+sort per key; lag is a
+    streaming ROWS frame.
+
+    Output: keys + (gap_start_s, gap_end_s, gap_s) as epoch seconds.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col, order_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    cur_s = F.unix_timestamp(F.col(ts_col))
+    prev_s = F.unix_timestamp(prev)
+    return (
+        df.select(*keys, prev_s.alias("gap_start_s"), cur_s.alias("gap_end_s"))
+        .withColumn("gap_s", F.col("gap_end_s") - F.col("gap_start_s"))
+        .filter(F.col("gap_s") > min_gap_seconds)
+    )
+
+
 def gap_fill(
     df: DataFrame,
     keys: list[str],
