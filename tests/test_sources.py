@@ -121,3 +121,21 @@ class TestStreamingAdapters:
         s = synthetic_rate_stream(spark, rows_per_second=10, n_topics=3)
         assert s.isStreaming
         assert {"seq", "contract", "topic", "ts", "payload", "parts"} <= set(s.columns)
+
+
+class TestOrcAdapter:
+    def test_orc_roundtrip(self, spark, tmp_path):
+        from unitdb_spark.sources.adapters import ENVELOPE_SCHEMA, messages_from_orc
+
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        src = spark.createDataFrame(
+            [(1, None, "x.y", t0, None, "hello"),
+             (2, None, "bad topic", t0, None, "drop")],
+            ENVELOPE_SCHEMA,
+        )
+        src.write.orc(str(tmp_path / "orc"))
+        rows = messages_from_orc(spark, str(tmp_path / "orc")).collect()
+        assert len(rows) == 1 and rows[0]["topic"] == "x.y"
+        assert bytes(rows[0]["payload"]) == b"hello"

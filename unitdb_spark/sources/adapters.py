@@ -93,6 +93,17 @@ def messages_from_csv(
     )
 
 
+def messages_from_orc(
+    spark: SparkSession, path: str, default_contract: int = MASTER_CONTRACT
+) -> DataFrame:
+    """ORC drop → messages (Spark-native columnar alternative to
+    Parquet — common in Hive-lineage lakes; stats/pushdown work the
+    same way)."""
+    return _normalize(
+        spark.read.schema(ENVELOPE_SCHEMA).orc(path), default_contract
+    )
+
+
 def messages_json_stream(
     spark: SparkSession, path: str, default_contract: int = MASTER_CONTRACT
 ) -> DataFrame:
