@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the round-3 time-series
+algebra: the Spark operators are checked against independent pandas
+models on randomized inputs — beyond the reference's golden-value
+style (SURVEY §5), these pin the algebra itself (frame bounds, tie
+order, grid alignment) rather than one fixture.
+
+Example counts are kept small: each example pays a Spark job; the
+value is in the model comparison, not the volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import given, settings, strategies as st
+
+T0 = dt.datetime(2024, 1, 1)
+
+# events: (minute offsets strictly increasing, 3-decimal values)
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),
+        st.decimals(min_value=-100, max_value=100, places=3).map(float),
+    ),
+    min_size=1,
+    max_size=40,
+).map(lambda xs: [( i, off, v) for i, (off, v) in enumerate(xs)])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, T0 + dt.timedelta(minutes=off), "k", v) for i, off, v in rows],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+
+
+class TestZscoreProperty:
+    @settings(max_examples=12, deadline=None)
+    @given(rows=_events)
+    def test_matches_python_model(self, spark, rows):
+        from unitdb_spark.operators.timeseries import trailing_zscore
+
+        out = trailing_zscore(
+            _df(spark, rows), ["event_type"], ["ts", "event_id"], "value",
+            n=5, z=2.0,
+        ).collect()
+        got = {r["event_id"]: (r["trail_n"], r["is_anomaly"]) for r in out}
+        # model: same ordering (ts, event_id); trailing 5 excl. current
+        ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+        vals = []
+        for i, _, v in ordered:
+            tail = vals[-5:]
+            m = len(tail)
+            if m >= 2:
+                s = math.fsum(tail)
+                q = math.fsum(x * x for x in tail)
+                flag = (m * v - s) ** 2 > 4.0 * (m * q - s * s)
+            else:
+                flag = False
+            assert got[i] == (m, flag), (i, got[i], (m, flag))
+            vals.append(v)
+
+
+class TestOhlcProperty:
+    @settings(max_examples=12, deadline=None)
+    @given(rows=_events)
+    def test_matches_pandas_model(self, spark, rows):
+        from unitdb_spark.operators.timeseries import ohlc
+
+        out = ohlc(_df(spark, rows), ["event_type"], bucket="1 hour").collect()
+        got = {
+            r["window_start"]: (r["open"], r["high"], r["low"], r["close"], r["n"])
+            for r in out
+        }
+        buckets = {}
+        for i, off, v in rows:
+            b = T0 + dt.timedelta(hours=(off // 60))
+            buckets.setdefault(b, []).append((i, v))
+        assert set(got) == set(buckets)
+        for b, members in buckets.items():
+            members.sort()  # by event_id — the declared open/close order
+            vals = [v for _, v in members]
+            want = (members[0][1], max(vals), min(vals), members[-1][1], len(vals))
+            assert got[b] == want, (b, got[b], want)
+
+
+class TestGapFillProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(rows=_events, step=st.sampled_from([15, 30, 60]))
+    def test_dense_grid_and_locf(self, spark, rows, step):
+        from unitdb_spark.operators.timeseries import gap_fill
+
+        out = gap_fill(_df(spark, rows), ["event_type"], step_minutes=step).collect()
+        by_bucket = {r["bucket_ts"]: r for r in out}
+        offs = [off for _, off, _ in rows]
+        lo = (min(offs) // step) * step
+        hi = (max(offs) // step) * step
+        want_grid = [
+            T0 + dt.timedelta(minutes=m) for m in range(lo, hi + step, step)
+        ]
+        assert sorted(by_bucket) == want_grid  # dense, step-aligned
+        # LOCF: every bucket at/after the first observation is filled
+        assert all(r["filled_value"] is not None for r in out)
+        # a bucket holding data is not a gap and its avg matches a model
+        import statistics
+
+        buckets = {}
+        for _, off, v in rows:
+            buckets.setdefault((off // step) * step, []).append(v)
+        for m, vals in buckets.items():
+            r = by_bucket[T0 + dt.timedelta(minutes=m)]
+            assert not r["is_gap"]
+            assert abs(r["avg_value"] - statistics.fmean(vals)) < 1e-9
