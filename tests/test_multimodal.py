@@ -103,3 +103,28 @@ class TestFeatures:
         q = first.select(F.col("vec_id").alias("query_id"), "embedding")
         out = cosine_topk(corpus.unionByName(dup), q, k=1).collect()
         assert out and out[0]["vec_id"] == out[0]["query_id"] + 1_000_000
+
+
+class TestAudioChunks:
+    def test_fixed_windows_cover_duration(self, media):
+        from unitdb_spark.functions.multimodal import audio_chunk_plan
+
+        meta = extract_media_meta(media)
+        plan = audio_chunk_plan(meta, chunk_s=0.005)
+        rows = plan.collect()
+        assert rows, "audio rows expected in the media fixture"
+        durations = {
+            r["id"]: r["duration_s"]
+            for r in meta.filter("media_type = 'audio'").collect()
+        }
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r["id"], []).append(r)
+        assert set(by_id) == set(durations)
+        for mid, chunks in by_id.items():
+            chunks.sort(key=lambda r: r["chunk_idx"])
+            # contiguous windows, last one clipped to the duration
+            assert chunks[0]["start_s"] == 0.0
+            for a, b in zip(chunks, chunks[1:]):
+                assert b["start_s"] == a["end_s"]
+            assert chunks[-1]["end_s"] == durations[mid]

@@ -91,6 +91,34 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+def audio_chunk_plan(df: DataFrame, chunk_s: float = 30.0) -> DataFrame:
+    """Audio chunking *plan* (the audio analog of frame_sample_plan):
+    one output row per fixed-length window to decode/transcribe —
+    (id, chunk_idx, start_s, end_s) from the typed metadata, generated
+    JVM-side with sequence/explode. The decode/ASR stage repartitions
+    by id and streams windows; no task ever materializes a whole
+    recording."""
+    n_chunks = F.greatest(
+        F.ceil(F.col("duration_s") / F.lit(float(chunk_s))).cast("int"), F.lit(1)
+    )
+    return (
+        df.filter(F.col("media_type") == "audio")
+        .select(
+            "id",
+            "duration_s",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            (F.col("chunk_idx") * chunk_s).alias("start_s"),
+            F.least(
+                (F.col("chunk_idx") + 1) * chunk_s, F.col("duration_s")
+            ).alias("end_s"),
+        )
+    )
+
+
 def resize_images(
     df: DataFrame, width: int = 224, height: int = 224, decode_stub: bool = True
 ) -> DataFrame:
