@@ -3401,12 +3401,18 @@ def oracle_sql() -> dict[str, str]:
                  CAST(samp.cv[t.block*16+1 : t.block*16+16] AS DOUBLE[]) AS cvec
           FROM samp CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(block)
         ), codes AS (
+          -- squared distance (NOT list_distance's sqrt): pq_assign
+          -- argmins the squared form, and sqrt maps distinct-but-close
+          -- d2 values to equal doubles, which would tie-break to a
+          -- different code than Spark picked
           SELECT vec_id, block, code FROM (
             SELECT e.vec_id, cb.block, cb.code,
               row_number() OVER (PARTITION BY e.vec_id, cb.block
-                ORDER BY list_distance(
-                  CAST(e.embedding[cb.block*16+1 : cb.block*16+16] AS DOUBLE[]),
-                  cb.cvec), cb.code) AS rn
+                ORDER BY list_sum(list_transform(
+                  list_zip(
+                    CAST(e.embedding[cb.block*16+1 : cb.block*16+16] AS DOUBLE[]),
+                    cb.cvec),
+                  x -> (x[1] - x[2]) * (x[1] - x[2]))), cb.code) AS rn
             FROM embeddings e CROSS JOIN cb)
           WHERE rn = 1
         ), q AS (

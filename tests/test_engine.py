@@ -401,3 +401,49 @@ class TestCompact:
             assert eng.compact(min_files=4) == {}
         finally:
             eng.destroy()
+
+
+class TestCompactMixedGenerations:
+    def test_compact_preserves_marker_for_legacy_files(self, spark, tmp_path):
+        """A partition mixing legacy files (no `encrypted` column) with
+        current files must keep the marker column through compaction —
+        schema inference from the legacy file would silently drop it
+        and decrypt-on-read semantics with it."""
+        import shutil
+
+        from unitdb_spark.engine import Engine
+
+        key = b"0123456789abcdef"
+        eng = Engine.open(spark, str(tmp_path / "mix"), encryption_key=key)
+        try:
+            for i in range(3):
+                eng.put_entry(Entry("m.t", b"enc%d" % i), ts=T0 + i)
+                eng.flush()
+            # rewrite ONE data file without the marker column (legacy)
+            part_dirs = sorted(
+                p for p in (tmp_path / "mix" / "messages").rglob("*.parquet")
+            )
+            legacy_src = str(part_dirs[0])
+            df = spark.read.parquet(legacy_src).drop("encrypted")
+            tmp_out = str(tmp_path / "legacy_one")
+            df.coalesce(1).write.parquet(tmp_out)
+            new_file = next((tmp_path / "legacy_one").glob("*.parquet"))
+            shutil.copy(new_file, legacy_src)
+            # drop the stale Hadoop checksum sidecar and the session's
+            # cached file status for the replaced file
+            from pathlib import Path as _P
+
+            crc = _P(legacy_src).parent / ("." + _P(legacy_src).name + ".crc")
+            if crc.exists():
+                crc.unlink()
+            spark.catalog.refreshByPath(str(tmp_path / "mix" / "messages"))
+
+            # pre-compact: legacy row reads marker NULL -> still decrypts
+            assert eng.get("m.t", now=T0 + 10) == [b"enc2", b"enc1", b"enc0"]
+            report = eng.compact(min_files=2)
+            assert report, "fragmented partition should compact"
+            reopened = Engine(spark, str(tmp_path / "mix"), eng.options)
+            assert reopened.get("m.t", now=T0 + 10) == [b"enc2", b"enc1", b"enc0"]
+            assert "encrypted" in reopened.table.read().columns
+        finally:
+            eng.destroy()

@@ -128,3 +128,13 @@ class TestAudioChunks:
             for a, b in zip(chunks, chunks[1:]):
                 assert b["start_s"] == a["end_s"]
             assert chunks[-1]["end_s"] == durations[mid]
+
+    def test_null_duration_rows_are_dropped(self, spark):
+        from unitdb_spark.functions.multimodal import audio_chunk_plan
+
+        meta = spark.createDataFrame(
+            [(1, "audio", None), (2, "audio", 0.02)],
+            "id long, media_type string, duration_s double",
+        )
+        rows = audio_chunk_plan(meta, chunk_s=0.005).collect()
+        assert {r["id"] for r in rows} == {2}

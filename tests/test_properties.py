@@ -46,20 +46,27 @@ class TestZscoreProperty:
             n=5, z=2.0,
         ).collect()
         got = {r["event_id"]: (r["trail_n"], r["is_anomaly"]) for r in out}
-        # model: same ordering (ts, event_id); trailing 5 excl. current
+        # model: same ordering (ts, event_id); trailing 5 excl. current.
+        # s/q mirror the operator's DECIMAL(18,6) accumulation EXACTLY
+        # (Decimal sums, one float conversion at the end) — an
+        # fsum-of-doubles model disagrees on exact lhs==rhs ties (e.g.
+        # constant windows, where the decimal path gets rhs == 0.0
+        # while double rounding leaves a residual)
+        from decimal import Decimal
+
         ordered = sorted(rows, key=lambda r: (r[1], r[0]))
         vals = []
         for i, _, v in ordered:
             tail = vals[-5:]
             m = len(tail)
             if m >= 2:
-                s = math.fsum(tail)
-                q = math.fsum(x * x for x in tail)
+                s = float(sum(tail))
+                q = float(sum(x * x for x in tail))
                 flag = (m * v - s) ** 2 > 4.0 * (m * q - s * s)
             else:
                 flag = False
             assert got[i] == (m, flag), (i, got[i], (m, flag))
-            vals.append(v)
+            vals.append(Decimal(str(round(v, 6))))
 
 
 class TestOhlcProperty:

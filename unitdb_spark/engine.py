@@ -33,6 +33,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from unitdb_spark import fs
 
@@ -427,14 +428,36 @@ class Engine:
                 n_out = max(1, math.ceil(fs.tree_bytes(self.spark, ppath) / target_file_bytes))
                 if n_out >= len(files):
                     continue  # already at or under the target layout
-                # data files inside a partition dir carry only data
-                # columns; the rewrite preserves them (and the seq sort
-                # that newest-first scans prune on)
-                df = self.spark.read.parquet(ppath).sortWithinPartitions("seq")
-                tmp, trash = f"{ppath}.compacting", f"{ppath}.old"
+                # explicit DATA schema (everything but the dir-encoded
+                # partition columns): schema inference from one file
+                # would silently drop columns legacy files lack — e.g.
+                # the `encrypted` marker, turning mixed-store ciphertext
+                # into "plaintext" on read
+                from unitdb_spark.table import MessagesTable as _MT
+
+                data_schema = T.StructType([
+                    f for f in _MT._full_schema().fields
+                    if f.name not in ("contract", "p_date")
+                ])
+                # sort AFTER coalesce: the merged output files must be
+                # seq-sorted end to end for row-group stats pruning —
+                # sorting before would leave concatenated sorted runs
+                df = (
+                    self.spark.read.schema(data_schema).parquet(ppath)
+                    .coalesce(n_out)
+                    .sortWithinPartitions("seq")
+                )
+                # stage/trash OUTSIDE the table dir (dot-prefixed under
+                # the engine root, like purge_expired): a leftover
+                # '<partition>.old' dir inside the table would parse as
+                # a partition value and brick or double every read
+                stage_root = str(Path(self.path) / ".compact-part")
+                tmp = f"{stage_root}/stage/{part}"
+                trash = f"{stage_root}/trash/{part}"
                 fs.delete(self.spark, tmp)
                 fs.delete(self.spark, trash)
-                df.coalesce(n_out).write.parquet(tmp)
+                df.write.parquet(tmp)
+                fs.mkdirs(self.spark, str(Path(trash).parent))
                 fs.rename(self.spark, ppath, trash)
                 fs.rename(self.spark, tmp, ppath)
                 fs.delete(self.spark, trash)

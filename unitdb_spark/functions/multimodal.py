@@ -98,8 +98,16 @@ def audio_chunk_plan(df: DataFrame, chunk_s: float = 30.0) -> DataFrame:
     JVM-side with sequence/explode. The decode/ASR stage repartitions
     by id and streams windows; no task ever materializes a whole
     recording."""
-    n_chunks = F.greatest(
-        F.ceil(F.col("duration_s") / F.lit(float(chunk_s))).cast("int"), F.lit(1)
+    # NULL duration (a real decoder that failed to extract it) must
+    # DROP the row, not fabricate a window: greatest() skips NULLs, so
+    # guard explicitly — sequence(0, NULL) is NULL and explode drops it
+    # (same behavior as frame_sample_plan on NULL n_frames)
+    n_chunks = F.when(
+        F.col("duration_s").isNotNull(),
+        F.greatest(
+            F.ceil(F.col("duration_s") / F.lit(float(chunk_s))).cast("int"),
+            F.lit(1),
+        ),
     )
     return (
         df.filter(F.col("media_type") == "audio")

@@ -141,9 +141,16 @@ def pq_topk(
     decimals (the repo's cross-engine float convention), rank by
     (score desc, vec_id)."""
     sub_dim = dim // m_blocks
-    cb = pq_codebooks(
+    cb_plan = pq_codebooks(
         corpus, dim, m_blocks, k_codes, id_col=id_col, vec_col=vec_col, seed=seed
     )
+    # materialize the codebook ONCE (m_blocks × k_codes rows — KBs) and
+    # re-create it as a local frame: without this, each of the two
+    # broadcasts below re-executes the codebook subplan (a corpus-wide
+    # md5 ordering in the fallback path) — same discipline as the
+    # IVF/kmeans centroid handling
+    spark = corpus.sparkSession
+    cb = spark.createDataFrame(cb_plan.collect(), cb_plan.schema)
     codes = pq_assign(corpus, cb, dim, m_blocks, id_col=id_col, vec_col=vec_col)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
