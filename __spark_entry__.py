@@ -3430,9 +3430,12 @@ def oracle_sql() -> dict[str, str]:
           WHERE c.vec_id <> l.query_id
           GROUP BY 1, 2
         ), ranked AS (
+          -- rank on the ROUNDED score (round-6 convention): the raw
+          -- double is an accumulation-order-dependent sum, so ulp-close
+          -- ties could rank differently between Spark and DuckDB
           SELECT query_id, vec_id, round(score, 6) AS score_r,
             row_number() OVER (PARTITION BY query_id
-                               ORDER BY score DESC, vec_id) AS rank
+                               ORDER BY round(score, 6) DESC, vec_id) AS rank
           FROM scored
         )
         SELECT query_id, vec_id, score_r, rank FROM ranked WHERE rank <= 10

@@ -403,6 +403,117 @@ class TestCompact:
             eng.destroy()
 
 
+class TestCompactSafety:
+    def test_append_refuses_while_lease_held(self, spark, tmp_path):
+        """Single-writer guard: any append (flush / put_df / streaming
+        foreachBatch — all route through MessagesTable.append) refuses
+        loudly while a compaction lease is held, instead of racing the
+        partition swap and losing the new file to the trash delete."""
+        import pytest as _pytest
+
+        from unitdb_spark import fs
+        from unitdb_spark.engine import Engine
+
+        eng = Engine.open(spark, str(tmp_path / "leased"))
+        try:
+            eng.put_entry(Entry("a.b", b"before"), ts=T0)
+            eng.flush()
+            fs.write_text(spark, eng.table.lease_path, "")
+            eng.put_entry(Entry("a.b", b"blocked"), ts=T0 + 1)
+            with _pytest.raises(RuntimeError, match="compact"):
+                eng.flush()
+            fs.delete(spark, eng.table.lease_path)
+            eng.flush()  # lease released -> append proceeds
+            assert eng.get("a.b", now=T0 + 10) == [b"blocked", b"before"]
+        finally:
+            fs.delete(spark, eng.table.lease_path)
+            eng.destroy()
+
+    def test_compact_raises_when_lease_already_held(self, spark, tmp_path):
+        from unitdb_spark import fs
+        from unitdb_spark.engine import Engine
+
+        import pytest as _pytest
+
+        eng = Engine.open(spark, str(tmp_path / "held"))
+        try:
+            for i in range(5):
+                eng.put_entry(Entry("h.t", b"m%d" % i), ts=T0 + i)
+                eng.flush()
+            fs.write_text(spark, eng.table.lease_path, "")
+            with _pytest.raises(RuntimeError, match="lease"):
+                eng.compact(min_files=4)
+        finally:
+            fs.delete(spark, eng.table.lease_path)
+            eng.destroy()
+
+    def test_recovery_promotes_complete_stage(self, spark, tmp_path):
+        """Crash BETWEEN the two swap renames: partition gone from the
+        table, rewrite complete in staging. Reopening the engine must
+        promote the stage so no data is lost."""
+        from unitdb_spark import fs
+        from unitdb_spark.engine import Engine
+
+        path = str(tmp_path / "crashmid")
+        eng = Engine.open(spark, path)
+        for i in range(4):
+            eng.put_entry(Entry("c.t", b"v%d" % i), ts=T0 + i)
+            eng.flush()
+        before = eng.get("c.t", now=T0 + 10)
+        root = eng.table.path
+        part = next(
+            f"{c}/{d}"
+            for c, _, cd in fs.list_status(spark, root)
+            if cd and c.startswith("contract=")
+            for d, _, dd in fs.list_status(spark, f"{root}/{c}")
+            if dd and d.startswith("p_date=")
+        )
+        ppath = f"{root}/{part}"
+        stage = f"{path}/.compact-part/stage/{part}"
+        # a complete rewrite (with _SUCCESS) sits in staging...
+        spark.read.parquet(ppath).coalesce(1).write.parquet(stage)
+        # ...and the crash happened right after ppath -> trash
+        trash = f"{path}/.compact-part/trash/{part}"
+        fs.mkdirs(spark, str(__import__("pathlib").Path(trash).parent))
+        fs.rename(spark, ppath, trash)
+        spark.catalog.refreshByPath(root)
+        reopened = Engine(spark, path)
+        assert reopened.get("c.t", now=T0 + 10) == before
+        assert not fs.exists(spark, stage) and not fs.exists(spark, trash)
+        reopened.destroy()
+
+    def test_recovery_restores_trash_when_stage_incomplete(self, spark, tmp_path):
+        """Crash during the stage write (no _SUCCESS): the original
+        partition must come back from trash, the partial stage dropped."""
+        from unitdb_spark import fs
+        from unitdb_spark.engine import Engine
+
+        path = str(tmp_path / "crashearly")
+        eng = Engine.open(spark, path)
+        eng.put_entry(Entry("r.t", b"keep"), ts=T0)
+        eng.flush()
+        root = eng.table.path
+        part = next(
+            f"{c}/{d}"
+            for c, _, cd in fs.list_status(spark, root)
+            if cd and c.startswith("contract=")
+            for d, _, dd in fs.list_status(spark, f"{root}/{c}")
+            if dd and d.startswith("p_date=")
+        )
+        ppath = f"{root}/{part}"
+        stage = f"{path}/.compact-part/stage/{part}"
+        fs.mkdirs(spark, stage)
+        fs.write_text(spark, f"{stage}/part-torn.parquet", "not a rewrite")
+        trash = f"{path}/.compact-part/trash/{part}"
+        fs.mkdirs(spark, str(__import__("pathlib").Path(trash).parent))
+        fs.rename(spark, ppath, trash)
+        spark.catalog.refreshByPath(root)
+        reopened = Engine(spark, path)
+        assert reopened.get("r.t", now=T0 + 10) == [b"keep"]
+        assert not fs.exists(spark, stage)
+        reopened.destroy()
+
+
 class TestCompactMixedGenerations:
     def test_compact_preserves_marker_for_legacy_files(self, spark, tmp_path):
         """A partition mixing legacy files (no `encrypted` column) with

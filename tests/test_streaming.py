@@ -630,6 +630,21 @@ class TestCommitLog:
         log.record(0)
         assert log.applied(0) and fs.is_dir(spark, root)
 
+    def test_init_refuses_to_delete_non_marker_file(self, spark, tmp_path):
+        """Only a genuine round-1 marker (bare batch id) is cleared; a
+        misconfigured log_root pointing at an unrelated data file must
+        raise, not silently destroy it."""
+        import pytest as _pytest
+
+        from unitdb_spark import fs
+        from unitdb_spark.streaming.commitlog import CommitLog
+
+        root = str(tmp_path / "precious.json")
+        fs.write_text(spark, root, '{"not": "a marker"}')
+        with _pytest.raises(ValueError, match="refusing"):
+            CommitLog(spark, str(tmp_path / "ckpt"), root)
+        assert fs.read_text(spark, root) == '{"not": "a marker"}'  # untouched
+
     def test_prune_other_generations_removes_stale_commits(self, spark, tmp_path):
         """A superseded query generation's commit entries must go with
         its snapshots — otherwise latest_commit can tie-break onto a
@@ -688,3 +703,53 @@ class TestStreamingZscore:
         mismatches = {k for k in want if got[k] != want[k]}
         assert not mismatches, f"{len(mismatches)} rows diverge: {sorted(mismatches)[:5]}"
         assert any(f for _, f in got.values())  # detector actually fires
+
+    def test_null_rows_keep_frame_slots_and_emit(self, spark, tmp_path):
+        """ROWS-frame parity WITH missing values: a NULL-value row is
+        emitted (value NULL, is_anomaly NULL once ≥2 trailing
+        observations exist) and occupies a trailing slot, exactly like
+        the batch operator's rowsBetween(-n,-1) frame."""
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import trailing_zscore
+        from unitdb_spark.streaming.state import streaming_zscore
+
+        base = dt.datetime(2024, 1, 1)
+        vals = [1.0, 2.0, None, 3.0, None, 100.0, 2.5, 2.0, None, 2.2,
+                2.1, 1.9, 50.0, None, 2.0]
+        rows = [
+            (i, base + dt.timedelta(minutes=i), "k", v)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        src = str(tmp_path / "null_events")
+        df.coalesce(1).write.parquet(src)  # one file = one in-order batch
+        out = streaming_zscore(
+            events_as_stream(spark, src, max_files_per_trigger=1),
+            key_col="event_type", n=4, z=2.0,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("zscore_nulls")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["event_id"]: (r["value"], r["trail_n"], r["is_anomaly"])
+            for r in spark.sql("SELECT * FROM zscore_nulls").collect()
+        }
+        batch = trailing_zscore(
+            spark.read.parquet(src), ["event_type"], ["ts", "event_id"],
+            "value", n=4, z=2.0,
+        )
+        want = {
+            r["event_id"]: (r["value"], r["trail_n"], r["is_anomaly"])
+            for r in batch.collect()
+        }
+        assert got == want  # every row emitted, NULLs included
+        # the NULL rows really carry NULL value + NULL flag (not dropped)
+        assert got[2][0] is None and got[8][2] is None

@@ -90,6 +90,14 @@ class Engine:
         self._latencies: dict[str, deque] = {
             op: deque(maxlen=50) for op in ("get", "put", "del")
         }
+        # finish any crashed compact() swap BEFORE first read: a crash
+        # between its renames leaves a partition absent from the table
+        self._recover_compact()
+        # break a lease whose holder crashed past the TTL (else appends
+        # would refuse until someone re-runs compact)
+        lease_m = fs.mtime(self.spark, self.table.lease_path)
+        if lease_m is not None and (time.time() * 1000 - lease_m) >= 3600 * 1000:
+            fs.delete(self.spark, self.table.lease_path)
         if self.table.exists():
             top = self.table.read().agg(F.max("seq")).collect()[0][0]
             self._seq.advance_to(int(top or 0))
@@ -399,74 +407,157 @@ class Engine:
         property that matters at 100 TB: compaction of a day's worth
         of micro-batches reads a day, not the decade).
 
-        Per-partition crash-safe swap, same discipline as
-        purge_expired: stage → trash → promote; a crash between the
-        renames leaves the completed rewrite in staging. Returns
+        Writer safety: compact is SINGLE-WRITER. It takes a lease file
+        (``table.lease_path``, atomic create-if-absent) for its whole
+        run; ``MessagesTable.append`` — every write path: flush,
+        put_df, streaming foreachBatch — refuses loudly while the lease
+        is held, so a micro-batch file can never land in a partition
+        between compact's listing and its directory swap (where the old
+        swap would have silently deleted it with the trash dir). A
+        lease older than ``lease_ttl_s`` is presumed crashed and
+        broken. Defense in depth: the partition's file list is
+        re-checked right before the swap and the partition is skipped
+        if it changed under us.
+
+        Crash safety: per-partition stage → trash → promote swap, with
+        ``_recover_compact()`` at engine open promoting a complete
+        leftover stage (crash between the renames), restoring trash
+        (incomplete stage), and clearing debris — so no crash point
+        leaves a partition missing from the table. Returns
         {partition_dir: (files_before, files_after)}.
         """
         import math
+        import time as _time
 
         report: dict[str, tuple[int, int]] = {}
         if not self.table.exists():
             return report
-        self.flush()
-        root = self.table.path
-        for cdir, _, c_is_dir in fs.list_status(self.spark, root):
-            if not c_is_dir or not cdir.startswith("contract="):
-                continue
-            for ddir, _, d_is_dir in fs.list_status(self.spark, f"{root}/{cdir}"):
-                if not d_is_dir or not ddir.startswith("p_date="):
-                    continue
-                part = f"{cdir}/{ddir}"
-                ppath = f"{root}/{part}"
-                files = [
-                    n for n, _, isd in fs.list_status(self.spark, ppath)
-                    if not isd and n.endswith(".parquet")
-                ]
-                if len(files) < min_files:
-                    continue
-                n_out = max(1, math.ceil(fs.tree_bytes(self.spark, ppath) / target_file_bytes))
-                if n_out >= len(files):
-                    continue  # already at or under the target layout
-                # explicit DATA schema (everything but the dir-encoded
-                # partition columns): schema inference from one file
-                # would silently drop columns legacy files lack — e.g.
-                # the `encrypted` marker, turning mixed-store ciphertext
-                # into "plaintext" on read
-                from unitdb_spark.table import MessagesTable as _MT
-
-                data_schema = T.StructType([
-                    f for f in _MT._full_schema().fields
-                    if f.name not in ("contract", "p_date")
-                ])
-                # sort AFTER coalesce: the merged output files must be
-                # seq-sorted end to end for row-group stats pruning —
-                # sorting before would leave concatenated sorted runs
-                df = (
-                    self.spark.read.schema(data_schema).parquet(ppath)
-                    .coalesce(n_out)
-                    .sortWithinPartitions("seq")
+        self.flush()  # before the lease: flush appends, appends check the lease
+        lease = self.table.lease_path
+        lease_ttl_s = 3600
+        if not fs.create_new(self.spark, lease):
+            age_ms = fs.mtime(self.spark, lease)
+            if age_ms is not None and (_time.time() * 1000 - age_ms) < lease_ttl_s * 1000:
+                raise RuntimeError(
+                    f"another compact() holds the lease at {lease}; "
+                    "retry after it finishes (or after the 1h lease TTL)"
                 )
-                # stage/trash OUTSIDE the table dir (dot-prefixed under
-                # the engine root, like purge_expired): a leftover
-                # '<partition>.old' dir inside the table would parse as
-                # a partition value and brick or double every read
-                stage_root = str(Path(self.path) / ".compact-part")
-                tmp = f"{stage_root}/stage/{part}"
-                trash = f"{stage_root}/trash/{part}"
-                fs.delete(self.spark, tmp)
-                fs.delete(self.spark, trash)
-                df.write.parquet(tmp)
-                fs.mkdirs(self.spark, str(Path(trash).parent))
-                fs.rename(self.spark, ppath, trash)
-                fs.rename(self.spark, tmp, ppath)
-                fs.delete(self.spark, trash)
-                after = len([
-                    n for n, _, isd in fs.list_status(self.spark, ppath)
-                    if not isd and n.endswith(".parquet")
-                ])
-                report[part] = (len(files), after)
+            fs.delete(self.spark, lease)  # stale: previous compactor crashed
+            if not fs.create_new(self.spark, lease):
+                raise RuntimeError(f"lost the race re-acquiring the lease at {lease}")
+        try:
+            root = self.table.path
+            for cdir, _, c_is_dir in fs.list_status(self.spark, root):
+                if not c_is_dir or not cdir.startswith("contract="):
+                    continue
+                for ddir, _, d_is_dir in fs.list_status(self.spark, f"{root}/{cdir}"):
+                    if not d_is_dir or not ddir.startswith("p_date="):
+                        continue
+                    part = f"{cdir}/{ddir}"
+                    ppath = f"{root}/{part}"
+                    files = sorted(
+                        n for n, _, isd in fs.list_status(self.spark, ppath)
+                        if not isd and n.endswith(".parquet")
+                    )
+                    if len(files) < min_files:
+                        continue
+                    n_out = max(1, math.ceil(fs.tree_bytes(self.spark, ppath) / target_file_bytes))
+                    if n_out >= len(files):
+                        continue  # already at or under the target layout
+                    # explicit DATA schema (everything but the dir-encoded
+                    # partition columns): schema inference from one file
+                    # would silently drop columns legacy files lack — e.g.
+                    # the `encrypted` marker, turning mixed-store ciphertext
+                    # into "plaintext" on read
+                    from unitdb_spark.table import MessagesTable as _MT
+
+                    data_schema = T.StructType([
+                        f for f in _MT._full_schema().fields
+                        if f.name not in ("contract", "p_date")
+                    ])
+                    # sort AFTER coalesce: the merged output files must be
+                    # seq-sorted end to end for row-group stats pruning —
+                    # sorting before would leave concatenated sorted runs
+                    df = (
+                        self.spark.read.schema(data_schema).parquet(ppath)
+                        .coalesce(n_out)
+                        .sortWithinPartitions("seq")
+                    )
+                    # stage/trash OUTSIDE the table dir (dot-prefixed under
+                    # the engine root, like purge_expired): a leftover
+                    # '<partition>.old' dir inside the table would parse as
+                    # a partition value and brick or double every read
+                    stage_root = str(Path(self.path) / ".compact-part")
+                    tmp = f"{stage_root}/stage/{part}"
+                    trash = f"{stage_root}/trash/{part}"
+                    fs.delete(self.spark, tmp)
+                    fs.delete(self.spark, trash)
+                    df.write.parquet(tmp)
+                    # re-list before the swap: if a writer ignored the
+                    # lease and appended since our listing, skip this
+                    # partition rather than delete its new file
+                    now_files = sorted(
+                        n for n, _, isd in fs.list_status(self.spark, ppath)
+                        if not isd and n.endswith(".parquet")
+                    )
+                    if now_files != files:
+                        fs.delete(self.spark, tmp)
+                        continue
+                    fs.mkdirs(self.spark, str(Path(trash).parent))
+                    fs.rename(self.spark, ppath, trash)
+                    fs.rename(self.spark, tmp, ppath)
+                    fs.delete(self.spark, trash)
+                    after = len([
+                        n for n, _, isd in fs.list_status(self.spark, ppath)
+                        if not isd and n.endswith(".parquet")
+                    ])
+                    report[part] = (len(files), after)
+        finally:
+            fs.delete(self.spark, lease)
         return report
+
+    def _recover_compact(self) -> None:
+        """Promote/restore leftovers of a crashed ``compact()`` swap.
+
+        Crash points and their cleanup (stage written → rename ppath→
+        trash → rename stage→ppath → delete trash):
+
+        - stage written, swap not started: partition intact → drop stage;
+        - between the renames: partition MISSING, stage complete
+          (``_SUCCESS`` present) → promote stage, drop trash;
+        - stage incomplete (no ``_SUCCESS``) and partition missing:
+          restore trash;
+        - after promote, trash delete lost: partition intact → drop trash.
+        """
+        stage_root = str(Path(self.path) / ".compact-part")
+        root = self.table.path
+
+        def _parts(base: str):
+            for cdir, _, c_is_dir in fs.list_status(self.spark, base):
+                if c_is_dir and cdir.startswith("contract="):
+                    for ddir, _, d_is_dir in fs.list_status(self.spark, f"{base}/{cdir}"):
+                        if d_is_dir and ddir.startswith("p_date="):
+                            yield f"{cdir}/{ddir}"
+
+        for part in list(_parts(f"{stage_root}/stage")):
+            stage = f"{stage_root}/stage/{part}"
+            trash = f"{stage_root}/trash/{part}"
+            ppath = f"{root}/{part}"
+            complete = fs.exists(self.spark, f"{stage}/_SUCCESS")
+            if not fs.exists(self.spark, ppath) and complete:
+                fs.rename(self.spark, stage, ppath)
+                fs.delete(self.spark, trash)
+            else:
+                if not fs.exists(self.spark, ppath) and fs.exists(self.spark, trash):
+                    fs.rename(self.spark, trash, ppath)
+                fs.delete(self.spark, stage)
+        for part in list(_parts(f"{stage_root}/trash")):
+            trash = f"{stage_root}/trash/{part}"
+            ppath = f"{root}/{part}"
+            if not fs.exists(self.spark, ppath):
+                fs.rename(self.spark, trash, ppath)
+            else:
+                fs.delete(self.spark, trash)
 
     def new_contract(self) -> int:
         return new_contract()

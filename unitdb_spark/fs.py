@@ -50,6 +50,26 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     return bool(fs.delete(p, recursive))
 
 
+def create_new(spark: SparkSession, path: str) -> bool:
+    """Atomic create-if-absent (lock/lease primitive): True iff this
+    call created the file. Rides HDFS/local `createNewFile` — an atomic
+    namenode op; on S3A it is best-effort (no atomic create-exclusive),
+    which is the same caveat every file-lock on S3 carries."""
+    fs, p = _fs(spark, path)
+    parent = p.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    return bool(fs.createNewFile(p))
+
+
+def mtime(spark: SparkSession, path: str) -> int | None:
+    """Modification time (ms since epoch) of path, None if absent."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return None
+    return int(fs.getFileStatus(p).getModificationTime())
+
+
 def rename(spark: SparkSession, src: str, dst: str) -> bool:
     fs, p_src = _fs(spark, src)
     _, p_dst = _fs(spark, dst)

@@ -166,9 +166,14 @@ def pq_topk(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("pdot").alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    # rank on the ROUNDED score (the repo's round-6 cross-engine
+    # convention): the raw double is a sum of m_blocks partial dots
+    # whose accumulation order differs between Spark's partial aggs and
+    # DuckDB's SUM, so ulp-close ties could rank differently per engine
+    score_r = F.round("score", 6)
+    w = Window.partitionBy("query_id").orderBy(score_r.desc(), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", F.round("score", 6).alias("score_r"), "rank")
+        .select("query_id", "vec_id", score_r.alias("score_r"), "rank")
     )

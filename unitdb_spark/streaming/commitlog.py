@@ -47,9 +47,21 @@ class CommitLog:
         self._qid: str | None = None
         # Round 1 wrote a plain marker FILE at log_root; the log needs a
         # directory tree there. Clear the stale file so restarting an
-        # existing round-1 pipeline doesn't fail on mkdir-under-a-file.
+        # existing round-1 pipeline doesn't fail on mkdir-under-a-file —
+        # but ONLY if it actually looks like a round-1 marker (a bare
+        # batch id). Deleting anything else would destroy an unrelated
+        # data file behind a misconfigured log_root.
         if fs.exists(spark, self.log_root) and not fs.is_dir(spark, self.log_root):
-            fs.delete(spark, self.log_root)
+            content = fs.read_text(spark, self.log_root)
+            body = (content or "").strip()
+            if body.isdigit() and len(body) <= 19:  # bare int64 batch id
+                fs.delete(spark, self.log_root)
+            else:
+                raise ValueError(
+                    f"commit-log root {self.log_root} is an existing file that "
+                    "is not a round-1 batch marker; refusing to delete it — "
+                    "point log_root at a directory (or remove the file yourself)"
+                )
 
     @property
     def query_id(self) -> str:

@@ -145,8 +145,9 @@ ZSCORE_OUTPUT = StructType(
     ]
 )
 
-#: ring buffer of the trailing n observed values, in event order — the
-#: z-test needs nothing else, so nothing else is serialized per batch
+#: ring buffer of the trailing n ROWS (slots) in event order — a NULL
+#: value keeps its slot as None, mirroring the batch operator's ROWS
+#: frame where a NULL-value row still occupies one of the n positions
 ZSCORE_STATE = StructType([StructField("values", ArrayType(DoubleType()))])
 
 
@@ -164,9 +165,13 @@ def _zscore_fn(n: int, z: float):
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts_us", "event_id"])
         for eid, v in zip(batch["event_id"], batch["value"]):
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                continue  # batch operator's DECIMAL sums skip NULLs too
-            tail_v = values[-n:]
+            is_null = v is None or (isinstance(v, float) and math.isnan(v))
+            # ROWS-frame parity: the tail is the last n SLOTS (NULL rows
+            # included), the stats skip the NULL slots — exactly the
+            # batch operator's frame (rowsBetween(-n,-1)) with
+            # count/sum over a nullable column
+            tail = values[-n:]
+            tail_v = [x for x in tail if x is not None]
             m = len(tail_v)
             if m >= 2:
                 # identical algebra to operators.timeseries.trailing_zscore:
@@ -174,16 +179,27 @@ def _zscore_fn(n: int, z: float):
                 # flag matches the batch operator's DECIMAL-sum result
                 s = math.fsum(tail_v)
                 q = math.fsum(x * x for x in tail_v)
-                v_f = float(v)
-                flag = (m * v_f - s) ** 2 > z2 * (m * q - s * s)
+                if is_null:
+                    flag = None  # batch: NULL value ⇒ NULL comparison
+                else:
+                    v_f = float(v)
+                    flag = (m * v_f - s) ** 2 > z2 * (m * q - s * s)
             else:
-                flag = False
-            rows.append((int(eid), k, float(v), m, flag))
-            values.append(float(v))
-        # trim state to the trailing n observations
+                flag = False  # batch: when(trail_n>=2, …).otherwise(False)
+            rows.append((int(eid), k, None if is_null else float(v), m, flag))
+            values.append(None if is_null else float(v))
+        # trim state to the trailing n slots
         state.update((values[-n:],))
+        # object dtype keeps None as SQL NULL through Arrow (a float
+        # column would coerce None→NaN, which is NOT NULL to Spark)
         yield pd.DataFrame(
-            rows, columns=["event_id", "key", "value", "trail_n", "is_anomaly"]
+            {
+                "event_id": pd.array([r[0] for r in rows], dtype="int64"),
+                "key": pd.Series([r[1] for r in rows], dtype=object),
+                "value": pd.Series([r[2] for r in rows], dtype=object),
+                "trail_n": pd.array([r[3] for r in rows], dtype="int64"),
+                "is_anomaly": pd.Series([r[4] for r in rows], dtype=object),
+            }
         )
 
     return fn
@@ -206,8 +222,12 @@ def streaming_zscore(
     in DECIMAL(18,6) (≤6 fractional digits, |v| < 10¹²; outside that
     domain the batch DECIMAL cast rounds/overflows while this path
     keeps the full double, and a borderline flag can differ). NULL/NaN
-    values are skipped, matching the batch operator's NULL-skipping
-    sums.
+    rows mirror the batch ROWS frame exactly: the row is emitted
+    (value NULL, is_anomaly NULL when the trailing stats exist, False
+    under 2 observations) and occupies one of the n trailing slots,
+    while the trailing sums/count skip it — so ``trail_n`` and flags
+    stay row-for-row identical to the batch operator on streams WITH
+    missing values.
 
     Ordering caveat (inherent to streaming): rows are sorted by event
     time WITHIN a micro-batch, but late data across batches sees a

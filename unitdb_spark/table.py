@@ -96,6 +96,14 @@ class MessagesTable:
         self.spark = spark
         self.path = path
 
+    @property
+    def lease_path(self) -> str:
+        """Compaction lease marker — a dot-free SIBLING of the table dir
+        (never inside it, where it would parse as a partition value).
+        While this file exists, `Engine.compact` owns the table: appends
+        refuse loudly instead of racing the partition swap."""
+        return self.path.rstrip("/") + ".compact-lease"
+
     def append(self, df: DataFrame) -> None:
         """Atomic Parquet append of fully-derived rows.
 
@@ -103,7 +111,19 @@ class MessagesTable:
         row-group min/max stats on ``seq``/``ts`` make newest-first
         top-K scans skip old row groups (reverse-time layout parity,
         time_window.go:37-40).
+
+        Refuses while a compaction lease is held: a file appended to a
+        partition between compact's listing and its directory swap
+        would be silently deleted with the old partition (leasing.go
+        parity — writers there also wait out the lease).
         """
+        from unitdb_spark import fs
+
+        if fs.exists(self.spark, self.lease_path):
+            raise RuntimeError(
+                "messages table is being compacted (lease held at "
+                f"{self.lease_path}); retry after compact() finishes"
+            )
         out = with_partition_columns(with_topic_columns(df))
         # cluster rows by partition key before the write: one task per
         # (contract, date) -> one right-sized file per partition dir
