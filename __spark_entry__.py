@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from unitdb_spark.core.model import MASTER_CONTRACT, Query
 from unitdb_spark.functions import text as TXT
-from unitdb_spark.functions.multimodal import documents_as_media, extract_media_meta
+from unitdb_spark.functions.multimodal import extract_media_meta, synthetic_media
 from unitdb_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -1452,7 +1452,14 @@ def q_doc_embed_cosine_dups(spark, sf_dir):
 
 
 def q_multimodal_meta(spark, sf_dir):
-    media = documents_as_media(_docs(spark, sf_dir))
+    """REAL header-parsed media metadata: every document becomes a
+    structurally-valid PNG/JPEG/GIF/WAV/MP4 blob (media_codec builders,
+    parameters closed-form in doc_id), then extract_media_meta parses
+    dimensions / frame counts / sample rate / duration back out of the
+    container headers. The oracle predicts the metadata from doc_id —
+    a hash-match proves the byte-level parser inverts the real
+    container layout."""
+    media = synthetic_media(_docs(spark, sf_dir))
     return extract_media_meta(media)
 
 
@@ -2888,23 +2895,39 @@ def oracle_sql() -> dict[str, str]:
                                      CAST(b.embedding AS DOUBLE[])) >= 0.3
         """,
         "multimodal_meta": """
+        -- replays synthetic_media's closed-form container parameters;
+        -- the Spark side PARSES them back out of real PNG/JPEG/GIF/
+        -- WAV/MP4 headers, so a hash-match verifies the byte parser
         WITH m AS (
-          SELECT doc_id AS id,
-            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-                 WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-            octet_length(encode(text)) AS n
+          SELECT doc_id AS id, doc_id AS d, CAST(doc_id % 5 AS INT) AS t
           FROM documents
         )
-        SELECT id, media_type, CAST(n AS BIGINT) AS n_bytes,
-          CAST(CASE media_type WHEN 'image' THEN n % 640 + 1
-               WHEN 'video' THEN n % 1280 + 1 ELSE 0 END AS INT) AS width,
-          CAST(CASE media_type WHEN 'image' THEN (n // 7) % 480 + 1
-               WHEN 'video' THEN (n // 11) % 720 + 1 ELSE 0 END AS INT) AS height,
-          CAST(CASE media_type WHEN 'image' THEN 1
-               WHEN 'video' THEN n % 300 + 1 ELSE 0 END AS INT) AS n_frames,
-          CAST(CASE media_type WHEN 'audio' THEN 16000 ELSE 0 END AS INT) AS sample_rate,
-          CASE media_type WHEN 'audio' THEN n / 32000.0
-               WHEN 'video' THEN (n % 300 + 1) / 30.0 ELSE 0.0 END AS duration_s
+        SELECT id,
+          CASE WHEN t IN (0, 1, 2) THEN 'image'
+               WHEN t = 3 THEN 'audio' ELSE 'video' END AS media_type,
+          CASE t WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+                 WHEN 3 THEN 'wav' ELSE 'mp4' END AS container,
+          CAST(CASE t WHEN 0 THEN 57 + d % 64
+                      WHEN 1 THEN 55 + d % 32
+                      WHEN 2 THEN 14 + 17 * (d % 4 + 1)
+                      WHEN 3 THEN 44 + 2 * (d % 4000 + 100)
+                      ELSE 284 END AS BIGINT) AS n_bytes,
+          CAST(CASE t WHEN 0 THEN d % 640 + 16 WHEN 1 THEN d % 320 + 16
+                      WHEN 2 THEN d % 256 + 16
+                      WHEN 4 THEN d % 1280 + 16 END AS INT) AS width,
+          CAST(CASE t WHEN 0 THEN (d // 7) % 480 + 16
+                      WHEN 1 THEN (d // 5) % 240 + 16
+                      WHEN 2 THEN (d // 3) % 128 + 16
+                      WHEN 4 THEN (d // 9) % 720 + 16 END AS INT) AS height,
+          CAST(CASE t WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN d % 4 + 1
+                      WHEN 4 THEN d % 300 + 1 END AS INT) AS n_frames,
+          CAST(CASE t WHEN 3 THEN ([8000, 16000, 44100])[CAST(d % 3 AS INT) + 1]
+               END AS INT) AS sample_rate,
+          CASE t
+            WHEN 3 THEN CAST(2 * (d % 4000 + 100) AS DOUBLE)
+                        / CAST(2 * (([8000, 16000, 44100])[CAST(d % 3 AS INT) + 1]) AS DOUBLE)
+            WHEN 4 THEN CAST(d % 60000 + 500 AS DOUBLE) / 1000.0
+          END AS duration_s
         FROM m
         """,
         "doc_source_mixture": f"""

@@ -1,0 +1,123 @@
+"""Header-codec unit tests: parsers must invert the builders AND
+survive structures the builders never emit (extra segments/chunks/
+boxes, color tables, truncation, garbage) — a real-world file is not a
+fixture."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from unitdb_spark.functions.media_codec import (
+    build_gif,
+    build_jpeg,
+    build_mp4,
+    build_png,
+    build_wav,
+    parse_media,
+)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("w,h,extra", [(1, 1, 0), (640, 480, 63), (16, 4096, 7)])
+    def test_png(self, w, h, extra):
+        m = parse_media(build_png(w, h, extra))
+        assert (m["container"], m["width"], m["height"], m["n_frames"]) == ("png", w, h, 1)
+        assert m["sample_rate"] is None and m["duration_s"] is None
+
+    @pytest.mark.parametrize("w,h", [(16, 16), (320, 240), (65500, 1)])
+    def test_jpeg(self, w, h):
+        m = parse_media(build_jpeg(w, h, 11))
+        assert (m["container"], m["width"], m["height"]) == ("jpeg", w, h)
+
+    @pytest.mark.parametrize("frames", [1, 2, 4])
+    def test_gif_counts_frames(self, frames):
+        m = parse_media(build_gif(100, 50, frames))
+        assert (m["container"], m["width"], m["height"], m["n_frames"]) == (
+            "gif", 100, 50, frames,
+        )
+
+    @pytest.mark.parametrize("sr,n", [(8000, 100), (16000, 4099), (44100, 44100)])
+    def test_wav_duration_exact(self, sr, n):
+        m = parse_media(build_wav(sr, n))
+        assert m["container"] == "wav" and m["sample_rate"] == sr
+        # duration = data_len / (sr * block_align), one IEEE division
+        assert m["duration_s"] == (2 * n) / float(2 * sr)
+        assert m["width"] is None and m["n_frames"] is None
+
+    def test_mp4(self):
+        m = parse_media(build_mp4(1920, 1080, 90500, 299))
+        assert (m["container"], m["width"], m["height"], m["n_frames"]) == (
+            "mp4", 1920, 1080, 299,
+        )
+        assert m["duration_s"] == 90.5
+
+
+class TestRobustness:
+    def test_garbage_and_empty(self):
+        for b in (b"", b"garbage", b"\x00" * 64, None):
+            m = parse_media(b)
+            assert m["container"] is None and m["width"] is None
+
+    def test_truncated_blobs_do_not_raise(self):
+        for build in (
+            lambda: build_png(9, 9, 5),
+            lambda: build_jpeg(9, 9, 5),
+            lambda: build_gif(9, 9, 2),
+            lambda: build_wav(8000, 10),
+            lambda: build_mp4(9, 9, 1000, 1),
+        ):
+            blob = build()
+            for cut in range(0, len(blob), 7):
+                parse_media(blob[:cut])  # must never raise
+
+    def test_jpeg_skips_leading_segments(self):
+        """SOF found after APP0 + a fat COM segment (marker walk, not a
+        fixed offset)."""
+        j = build_jpeg(77, 33, 0)
+        com = b"\xff\xfe" + struct.pack(">H", 130) + b"x" * 128
+        patched = j[:2] + com + j[2:]
+        m = parse_media(patched)
+        assert (m["width"], m["height"]) == (77, 33)
+
+    def test_gif_with_global_color_table_and_extension(self):
+        """GCT and a graphic-control extension sit before the image
+        descriptor — the block walk must skip both."""
+        g = bytearray(build_gif(31, 17, 1))
+        g[10] |= 0x80  # declare a GCT of size 2 << 0 = 2 entries
+        gct = bytes(6)
+        gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        patched = bytes(g[:13]) + gct + gce + bytes(g[13:])
+        m = parse_media(patched)
+        assert (m["width"], m["height"], m["n_frames"]) == (31, 17, 1)
+
+    def test_wav_with_list_chunk_before_data(self):
+        """RIFF chunk walk: a LIST metadata chunk (odd length → padded)
+        between fmt and data must not derail sample_rate/duration."""
+        w = build_wav(22050, 50)
+        fmt_end = 12 + 8 + 16
+        lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+        patched = w[:fmt_end] + lst + w[fmt_end:]
+        m = parse_media(patched)
+        assert m["sample_rate"] == 22050
+        assert m["duration_s"] == 100 / float(2 * 22050)
+
+    def test_mp4_with_unknown_boxes(self):
+        """Unknown top-level (free) and unknown moov-child boxes are
+        skipped by size, not parsed."""
+        m4 = build_mp4(64, 48, 2000, 10)
+        free = struct.pack(">I", 16) + b"free" + b"\x00" * 8
+        # insert 'free' between ftyp (24 bytes) and moov
+        patched = m4[:24] + free + m4[24:]
+        m = parse_media(patched)
+        assert (m["width"], m["height"], m["n_frames"], m["duration_s"]) == (
+            64, 48, 10, 2.0,
+        )
+
+    def test_png_crc_is_real(self):
+        import zlib
+
+        p = build_png(10, 20, 3)
+        # IHDR CRC covers type+payload and verifies
+        assert struct.unpack(">I", p[29:33])[0] == zlib.crc32(p[12:29]) & 0xFFFFFFFF

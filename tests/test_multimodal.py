@@ -1,9 +1,10 @@
-"""Multimodal plumbing: binary blobs + typed metadata, decode stubs.
+"""Multimodal plumbing: binary blobs + typed metadata.
 
-The decode kernels are deterministic fakes (media libs absent in this
-container); what these tests pin is the Spark-side contract — schemas,
-mapInPandas batch shapes, blob-dropping projections — which is the part
-that must survive swapping in a real decoder.
+Metadata extraction is REAL (container-header parsing, see
+test_media_codec for the byte-level cases); these tests pin the
+Spark-side contract — schemas, mapInPandas batch shapes, blob-dropping
+projections, NULL-on-unparseable semantics — plus the pixel-level
+kernels that remain deterministic stubs (resize, features).
 """
 
 from __future__ import annotations
@@ -17,6 +18,7 @@ from unitdb_spark.functions.multimodal import (
     extract_media_meta,
     frame_sample_plan,
     resize_images,
+    synthetic_media,
 )
 
 from .conftest import SF_SMALL
@@ -24,40 +26,66 @@ from .conftest import SF_SMALL
 
 @pytest.fixture(scope="module")
 def media(spark):
+    """Opaque text-byte blobs (exercises the stub resize/feature path
+    and the unparseable-blob metadata path)."""
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
     return documents_as_media(docs).cache()
 
 
+@pytest.fixture(scope="module")
+def real_media(spark):
+    """Structurally-valid PNG/JPEG/GIF/WAV/MP4 blobs built per doc_id."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    return synthetic_media(docs).cache()
+
+
 class TestMediaMeta:
-    def test_meta_schema_and_types(self, media):
-        out = extract_media_meta(media)
+    def test_meta_schema_and_header_derived_values(self, real_media):
+        out = extract_media_meta(real_media)
         assert out.columns == [
-            "id", "media_type", "n_bytes", "width", "height",
+            "id", "media_type", "container", "n_bytes", "width", "height",
             "n_frames", "sample_rate", "duration_s",
         ]
         rows = out.collect()
-        assert len(rows) == media.count()
+        assert len(rows) == real_media.count()
         for r in rows:
-            if r["media_type"] == "image":
-                assert r["n_frames"] == 1 and r["width"] >= 1
-            elif r["media_type"] == "audio":
-                assert r["sample_rate"] == 16000 and r["duration_s"] > 0
+            d = r["id"]
+            t = d % 5
+            if t == 0:
+                assert r["container"] == "png"
+                assert (r["width"], r["height"]) == (d % 640 + 16, (d // 7) % 480 + 16)
+            elif t == 1:
+                assert r["container"] == "jpeg"
+                assert (r["width"], r["height"]) == (d % 320 + 16, (d // 5) % 240 + 16)
+            elif t == 2:
+                assert r["container"] == "gif" and r["n_frames"] == d % 4 + 1
+            elif t == 3:
+                assert r["container"] == "wav"
+                sr = [8000, 16000, 44100][d % 3]
+                assert r["sample_rate"] == sr
+                assert r["duration_s"] == 2 * (d % 4000 + 100) / float(2 * sr)
             else:
-                assert r["n_frames"] >= 1
+                assert r["container"] == "mp4" and r["n_frames"] == d % 300 + 1
+                assert r["duration_s"] == (d % 60000 + 500) / 1000.0
 
-    def test_meta_deterministic(self, media):
-        a = sorted(map(tuple, extract_media_meta(media).collect()))
-        b = sorted(map(tuple, extract_media_meta(media).collect()))
+    def test_meta_deterministic(self, real_media):
+        a = sorted(map(tuple, extract_media_meta(real_media).collect()))
+        b = sorted(map(tuple, extract_media_meta(real_media).collect()))
         assert a == b
 
-    def test_real_decode_is_marked_unimplemented(self, media):
-        with pytest.raises(NotImplementedError):
-            extract_media_meta(media, decode_stub=False)
+    def test_unparseable_blobs_yield_null_metadata(self, media):
+        """Text bytes are not a media container: the row survives with
+        NULL container/metadata (corrupt files are data, not crashes)."""
+        out = extract_media_meta(media)
+        rows = out.collect()
+        assert len(rows) == media.count()
+        assert all(r["container"] is None and r["width"] is None for r in rows)
+        assert all(r["n_bytes"] > 0 for r in rows)
 
 
 class TestFrameSample:
-    def test_one_row_per_sampled_frame(self, media):
-        meta = extract_media_meta(media)
+    def test_one_row_per_sampled_frame(self, real_media):
+        meta = extract_media_meta(real_media)
         plan = frame_sample_plan(meta, every_n=30)
         got = plan.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()
         want = {
@@ -80,6 +108,10 @@ class TestResize:
         b = {r["id"]: bytes(r["blob"]) for r in resize_images(media, 8, 8).collect()}
         assert a == b
 
+    def test_real_decode_is_marked_unimplemented(self, media):
+        with pytest.raises(NotImplementedError):
+            resize_images(media, decode_stub=False)
+
 
 class TestFeatures:
     def test_unit_norm_and_dim(self, media):
@@ -89,6 +121,10 @@ class TestFeatures:
             assert len(r["feature"]) == 32
             norm = sum(x * x for x in r["feature"]) ** 0.5
             assert abs(norm - 1.0) < 1e-5
+
+    def test_real_model_is_marked_unimplemented(self, media):
+        with pytest.raises(NotImplementedError):
+            extract_features(media, decode_stub=False)
 
     def test_features_feed_similarity_search(self, spark, media):
         """End-to-end: media -> features -> exact cosine top-1 finds the
@@ -106,11 +142,11 @@ class TestFeatures:
 
 
 class TestAudioChunks:
-    def test_fixed_windows_cover_duration(self, media):
+    def test_fixed_windows_cover_duration(self, real_media):
         from unitdb_spark.functions.multimodal import audio_chunk_plan
 
-        meta = extract_media_meta(media)
-        plan = audio_chunk_plan(meta, chunk_s=0.005)
+        meta = extract_media_meta(real_media).cache()
+        plan = audio_chunk_plan(meta, chunk_s=0.05)
         rows = plan.collect()
         assert rows, "audio rows expected in the media fixture"
         durations = {
@@ -127,7 +163,7 @@ class TestAudioChunks:
             assert chunks[0]["start_s"] == 0.0
             for a, b in zip(chunks, chunks[1:]):
                 assert b["start_s"] == a["end_s"]
-            assert chunks[-1]["end_s"] == durations[mid]
+            assert chunks[-1]["end_s"] == pytest.approx(durations[mid])
 
     def test_null_duration_rows_are_dropped(self, spark):
         from unitdb_spark.functions.multimodal import audio_chunk_plan

@@ -1,16 +1,19 @@
 """Multimodal column handling: opaque binary payloads + typed metadata.
 
-Media decode libraries (PIL/ffmpeg/librosa) are NOT in this container,
-so the decode kernels are stubbed: ``decode_stub=True`` (default) runs
-a deterministic fake decoder so the Spark-side plumbing — schema,
-mapInPandas batch shape, partitioning — is real and tested; wiring a
-real decoder is replacing one clearly-marked function body.
+Metadata extraction is REAL: container headers (PNG IHDR, JPEG SOF,
+GIF block walk, WAV fmt/data chunks, MP4 box tree) are parsed from the
+raw bytes by ``functions.media_codec`` — stdlib-only, no PIL/ffmpeg.
+Only the pixel/sample-level kernels (resize, feature extraction) that
+genuinely need a decode library or a model remain behind clearly-marked
+deterministic stubs.
 
 Design for 100 TB of media:
 - media rows stay (id, media_type, blob BINARY, meta STRUCT); blobs
   never shuffle — extraction projects small typed columns first.
 - mapInPandas streams Arrow batches, so peak executor memory is
   one batch of blobs, not one partition of decoded frames.
+- a blob the sniffer can't claim yields NULL metadata, not an
+  exception: at scale, corrupt files are data to audit, not crashes.
 """
 
 from __future__ import annotations
@@ -21,60 +24,103 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from unitdb_spark.functions.media_codec import parse_media
+
 MEDIA_META_SCHEMA = (
-    "id long, media_type string, n_bytes long, width int, height int, "
-    "n_frames int, sample_rate int, duration_s double"
+    "id long, media_type string, container string, n_bytes long, "
+    "width int, height int, n_frames int, sample_rate int, duration_s double"
 )
 
 
-def _fake_decode(blob: bytes, media_type: str) -> dict:
-    """Deterministic stand-in for a real media decoder.
-
-    Derives plausible metadata purely from blob length/bytes so tests
-    and oracles are reproducible. Replace with PIL/av/soundfile here.
-    """
-    n = len(blob)
-    if media_type == "image":
-        return {"width": n % 640 + 1, "height": (n // 7) % 480 + 1, "n_frames": 1,
-                "sample_rate": 0, "duration_s": 0.0}
-    if media_type == "audio":
-        sr = 16000
-        # plain IEEE division (no rounding) -> bit-identical to any SQL
-        # oracle computing n/32000.0, regardless of rounding mode
-        return {"width": 0, "height": 0, "n_frames": 0, "sample_rate": sr,
-                "duration_s": n / 32000.0}
-    if media_type == "video":
-        return {"width": n % 1280 + 1, "height": (n // 11) % 720 + 1,
-                "n_frames": n % 300 + 1, "sample_rate": 0,
-                "duration_s": (n % 300 + 1) / 30.0}
-    raise NotImplementedError(f"unknown media_type {media_type!r}")
-
-
-def extract_media_meta(df: DataFrame, decode_stub: bool = True) -> DataFrame:
-    """(id, media_type, blob) -> typed metadata row per blob.
+def extract_media_meta(df: DataFrame) -> DataFrame:
+    """(id, media_type, blob) -> one typed metadata row per blob, with
+    the metadata parsed from the blob's REAL container header (see
+    functions.media_codec): container sniffed from magic bytes, then
+    width/height (PNG/JPEG/GIF/MP4), frame count (GIF descriptors,
+    MP4 stsz), sample rate + duration (WAV fmt/data, MP4 mvhd).
+    Unparseable blobs keep their row with NULL metadata.
 
     Arrow-batched mapInPandas: each batch decodes independently, blobs
     are dropped from the output immediately (never carried through a
     shuffle).
     """
-    if not decode_stub:
-        raise NotImplementedError(
-            "real media decoding requires PIL/av/soundfile — not in this container"
-        )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [
-                _fake_decode(bytes(b), mt)
-                for b, mt in zip(pdf["blob"], pdf["media_type"])
+            metas = [parse_media(b) for b in pdf["blob"]]
+            out = pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "media_type": pdf["media_type"].values,
+                    # object dtype end-to-end: None must reach Spark as
+                    # NULL (a float column would smuggle NaN instead)
+                    **{
+                        k: pd.Series([m[k] for m in metas], dtype=object)
+                        for k in (
+                            "container", "width", "height",
+                            "n_frames", "sample_rate", "duration_s",
+                        )
+                    },
+                }
+            )
+            out.insert(
+                2, "n_bytes",
+                [len(bytes(b)) if b is not None else 0 for b in pdf["blob"]],
+            )
+            yield out[
+                ["id", "media_type", "container", "n_bytes", "width",
+                 "height", "n_frames", "sample_rate", "duration_s"]
             ]
-            out = pd.DataFrame(metas)
-            out.insert(0, "n_bytes", [len(bytes(b)) for b in pdf["blob"]])
-            out.insert(0, "media_type", pdf["media_type"].values)
-            out.insert(0, "id", pdf["id"].values)
-            yield out
 
     return df.select("id", "media_type", "blob").mapInPandas(_extract, MEDIA_META_SCHEMA)
+
+
+def synthetic_media(documents: DataFrame) -> DataFrame:
+    """Deterministic media fixture over the driver's documents table:
+    every doc becomes a REAL container blob (media_codec builders) whose
+    parameters are closed-form in doc_id — so an SQL oracle can predict
+    the parsed metadata exactly, and a hash-match on
+    ``extract_media_meta(synthetic_media(docs))`` proves the header
+    parser actually inverts the container layout (if the parser read
+    the wrong bytes, nothing would line up).
+
+    Cycle by doc_id % 5: PNG, JPEG, GIF (animated), WAV, MP4.
+    """
+    from unitdb_spark.functions import media_codec as mc
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, kinds = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                t = d % 5
+                if t == 0:
+                    blobs.append(mc.build_png(d % 640 + 16, (d // 7) % 480 + 16, d % 64))
+                    kinds.append("image")
+                elif t == 1:
+                    blobs.append(mc.build_jpeg(d % 320 + 16, (d // 5) % 240 + 16, d % 32))
+                    kinds.append("image")
+                elif t == 2:
+                    blobs.append(mc.build_gif(d % 256 + 16, (d // 3) % 128 + 16, d % 4 + 1))
+                    kinds.append("image")
+                elif t == 3:
+                    blobs.append(
+                        mc.build_wav([8000, 16000, 44100][d % 3], d % 4000 + 100)
+                    )
+                    kinds.append("audio")
+                else:
+                    blobs.append(
+                        mc.build_mp4(d % 1280 + 16, (d // 9) % 720 + 16,
+                                     d % 60000 + 500, d % 300 + 1)
+                    )
+                    kinds.append("video")
+            yield pd.DataFrame(
+                {"id": pdf["doc_id"].values, "media_type": kinds, "blob": blobs}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _build, "id long, media_type string, blob binary"
+    )
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
@@ -213,8 +259,11 @@ def extract_features(
 
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter for TESTDATA: treat document text bytes as opaque blobs
-    (id, media_type cycling image/audio/video, blob) — exercises the
-    multimodal plumbing with driver-provided data only."""
+    (id, media_type cycling image/audio/video, blob). These are NOT
+    valid containers — extract_media_meta yields NULL metadata for them
+    (the honest-failure path); use ``synthetic_media`` for blobs with
+    real parseable headers. Still the fixture for the stub resize/
+    feature kernels, which operate on raw bytes."""
     return df.select(
         F.col("doc_id").alias("id"),
         F.element_at(
