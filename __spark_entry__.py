@@ -996,12 +996,27 @@ def q_events_percentiles(spark, sf_dir):
 
 def q_events_approx_stats(spark, sf_dir):
     """Sketch versions (approx_count_distinct / percentile_approx) —
-    rows-only check by design: sketches are engine-specific."""
+    rows-only check by design: HLL/KLL register layouts are
+    engine-specific. The PORTABLE twin with a full value oracle is
+    `events_kmv_users` (same distinct-count question, bottom-k md5
+    sketch); the exact counterpart of the percentile is
+    `events_percentiles`."""
     ev = _events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.95).alias("p95_approx"),
     )
+
+
+def q_events_kmv_users(spark, sf_dir):
+    """KMV bottom-k distinct-user sketch per event_type: the
+    engine-portable (md5-hashed, SQL-replayable) counterpart of
+    `events_approx_stats`' HLL column — kth_hash is integer-exact and
+    the estimate is the same IEEE expression on both engines."""
+    from unitdb_spark.operators.sketch import kmv_distinct
+
+    ev = _events(spark, sf_dir)
+    return kmv_distinct(ev, ["event_type"], "user_id", k=64)
 
 
 def q_events_asof_click(spark, sf_dir):
@@ -2037,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup_minute": q_events_dedup_minute,
         "events_percentiles": q_events_percentiles,
         "events_approx_stats": q_events_approx_stats,
+        "events_kmv_users": q_events_kmv_users,
         "events_asof_forward": q_events_asof_forward,
         "events_range_join": q_events_range_join,
         "events_attribution": q_events_attribution,
@@ -2690,6 +2706,30 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
+        """,
+        "events_kmv_users": """
+        -- KMV bottom-k: identical hash + identical estimator
+        -- expression order ((k-1) * (2^60 / h)) as the Spark operator
+        WITH d AS (
+          SELECT DISTINCT event_type, user_id FROM events
+          WHERE user_id IS NOT NULL
+        ), h AS (
+          SELECT event_type,
+            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          FROM d
+        ), r AS (
+          SELECT event_type, hv,
+            row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+          FROM h
+        ), a AS (
+          SELECT event_type, COUNT(*) AS n_kept, MAX(hv) AS kth_hash
+          FROM r WHERE rn <= 64 GROUP BY 1
+        )
+        SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept, kth_hash,
+          round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                ELSE 63.0 * (1152921504606846976.0 / CAST(kth_hash AS DOUBLE))
+                END, 6) AS kmv_est
+        FROM a
         """,
         "events_cms_user_counts": """
         WITH grid AS (

@@ -1461,3 +1461,36 @@ class TestSilenceGaps:
         (r,) = out
         assert r["event_type"] == "a" and r["gap_s"] == 7200
         assert r["gap_end_s"] - r["gap_start_s"] == 7200
+
+
+class TestKmvSketch:
+    def test_small_groups_are_exact(self, spark):
+        from unitdb_spark.operators.sketch import kmv_distinct
+
+        rows = [("a", i % 10) for i in range(100)] + [("b", 7)]
+        df = spark.createDataFrame(rows, "k string, v long")
+        out = {r["k"]: r for r in kmv_distinct(df, ["k"], "v", k=64).collect()}
+        # fewer than k distinct -> sketch saw everything -> exact
+        assert out["a"]["n_kept"] == 10 and out["a"]["kmv_est"] == 10.0
+        assert out["b"]["n_kept"] == 1 and out["b"]["kmv_est"] == 1.0
+
+    def test_estimate_tracks_exact_within_error_bound(self, spark):
+        from unitdb_spark.operators.sketch import kmv_distinct
+
+        n, k = 5000, 64
+        df = spark.range(n).select(
+            F.lit("g").alias("k"), (F.col("id") * 7919).alias("v")
+        )
+        (r,) = kmv_distinct(df, ["k"], "v", k=k).collect()
+        assert r["n_kept"] == k
+        # KMV relative error ~ 1/sqrt(k-2); allow 4 sigma
+        rel = abs(r["kmv_est"] - n) / n
+        assert rel < 4.0 / (k - 2) ** 0.5, f"estimate {r['kmv_est']} vs {n}"
+
+    def test_nulls_ignored_and_duplicates_collapse(self, spark):
+        from unitdb_spark.operators.sketch import kmv_distinct
+
+        rows = [("a", 1), ("a", 1), ("a", None), ("a", 2)]
+        df = spark.createDataFrame(rows, "k string, v long")
+        (r,) = kmv_distinct(df, ["k"], "v", k=8).collect()
+        assert r["n_kept"] == 2 and r["kmv_est"] == 2.0

@@ -1,0 +1,74 @@
+"""Engine-portable distinct-count sketch: K-minimum-values (KMV).
+
+The reference's Varz surface exposes approximate stats; Spark's
+``approx_count_distinct`` is a HyperLogLog++ whose register layout is
+engine-specific — fine in production, impossible to oracle-check
+against another engine. KMV (Bar-Yossef et al. 2002, the bottom-k
+sketch) is the portable twin: keep the k smallest hash values of the
+distinct inputs; with h_k = the k-th smallest hash normalized to
+[0, 1), the estimator (k-1)/h_k is unbiased with relative error
+≈ 1/sqrt(k-2). Built on the repo-wide ``md5_int60`` hash, every number
+it produces is replayable in any SQL engine — the DuckDB oracle runs
+the identical pipeline and hash-matches.
+
+Scale shape: one (keys, value) distinct shuffle + one per-key top-k
+window that Spark rewrites to WindowGroupLimit (map-side partial
+top-k before the exchange, so the second shuffle carries ≤ k rows per
+key per input partition, not the distinct stream). Per-key state is k
+longs — mergeable by unioning and re-taking the bottom k, which is
+what a 1000-executor rollup wants. For pure speed with no
+cross-engine contract, ``approx_count_distinct`` remains the
+one-shuffle HLL path (`events_approx_stats`); this operator is the
+checkable one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from unitdb_spark.functions.portable_hash import INT60_DENOM, md5_int60
+
+
+def kmv_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per ``keys``: bottom-k md5 sketch of distinct ``value_col``.
+
+    Output: keys + (n_kept, kth_hash, kmv_est) where ``n_kept`` is
+    min(k, exact distinct), ``kth_hash`` the k-th smallest 60-bit hash
+    (integer-exact across engines), and ``kmv_est`` the rounded
+    distinct-count estimate — exact when the group holds fewer than k
+    distinct values (the sketch has seen them all).
+    """
+    distinct = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, value_col)
+        .distinct()
+    )
+    hashed = distinct.select(
+        *keys, md5_int60(F.col(value_col).cast("string")).alias("_h")
+    )
+    w = Window.partitionBy(*keys).orderBy("_h")
+    bottom_k = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    agg = bottom_k.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("_h").alias("kth_hash"),
+    )
+    # (k-1)/h_k with h normalized by 2^60; evaluated as
+    # (k-1) * (2^60 / h) in BOTH engines so the doubles are identical
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        * (F.lit(INT60_DENOM) / F.col("kth_hash").cast("double"))
+    )
+    return agg.select(
+        *keys, "n_kept", "kth_hash", F.round(est, 6).alias("kmv_est")
+    )
