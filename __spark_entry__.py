@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from unitdb_spark.core.model import MASTER_CONTRACT, Query
 from unitdb_spark.functions import text as TXT
@@ -1017,6 +1018,123 @@ def q_events_kmv_users(spark, sf_dir):
 
     ev = _events(spark, sf_dir)
     return kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+def _events_stream_src(spark, sf_dir: str, n_files: int = 4) -> str:
+    """Materialize the events table as an n-file directory so the
+    streaming twins replay it in >1 micro-batch (fresh tmp dir per
+    call: fresh checkpoint generation, full deterministic replay)."""
+    import tempfile
+
+    from unitdb_spark.streaming.pubsub import prepare_events_stream_dir
+
+    base = tempfile.mkdtemp(prefix="stream_twin_")
+    src = f"{base}/src"
+    prepare_events_stream_dir(spark, sf_dir, src, n_files=n_files)
+    return src
+
+
+def q_streamed_rollup_snapshot(spark, sf_dir):
+    """Driver-checkable twin of the CONTINUOUS rollup: replays the
+    events-derived messages as a multi-batch stream, folds each batch
+    into the versioned snapshot table (commit-log commit point, replay
+    idempotence — streaming/continuous.py), then returns the committed
+    snapshot. The oracle is the one-shot SQL rollup over the same
+    messages: a hash-match proves streamed incremental fold == batch
+    aggregate on the mergeable columns (counts and ts bounds are
+    split-independent; the float sum column is excluded because its
+    batch-split accumulation order is not part of the contract)."""
+    from unitdb_spark.sources.events import messages_from_events_df
+    from unitdb_spark.streaming.continuous import continuous_rollup, read_rollup
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    entries = messages_from_events_df(
+        events_as_stream(spark, src, max_files_per_trigger=2)
+    )
+    q = continuous_rollup(entries, f"{base}/agg", f"{base}/cp")
+    q.awaitTermination(300)
+    out = read_rollup(spark, f"{base}/agg")
+    return out.select(
+        "contract",
+        "topic_prefix",
+        "n_msgs",
+        F.unix_timestamp("first_ts").alias("first_ts_s"),
+        F.unix_timestamp("last_ts").alias("last_ts_s"),
+    )
+
+
+def q_streamed_kv_state(spark, sf_dir):
+    """Driver-checkable twin of the streaming KV sink: events become a
+    put/delete op-log (purchases delete the user's key), replayed as a
+    multi-batch stream through continuous_kv's winner-per-key fold +
+    versioned snapshots; returns the committed state INCLUDING delete
+    tombstones. Oracle = SQL winner-per-key over the whole op-log —
+    the fold is associative, so the result is batch-split independent."""
+    import tempfile
+
+    from unitdb_spark.streaming.kv_sink import continuous_kv, read_kv
+
+    spark = _pin_utc(spark)
+    base = tempfile.mkdtemp(prefix="kv_twin_")
+    src, state, cp = f"{base}/src", f"{base}/state", f"{base}/cp"
+    oplog = _events(spark, sf_dir).select(
+        F.col("user_id").alias("key"),
+        F.col("props").cast("binary").alias("value"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("put"))
+        .alias("op"),
+        F.col("event_id").alias("op_order"),
+    )
+    oplog.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(oplog.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    continuous_kv(stream, state, cp).awaitTermination(300)
+    snap = read_kv(spark, state, include_tombstones=True)
+    return snap.select(
+        "key", F.md5("value").alias("value_md5"), "op", "op_order"
+    )
+
+
+def q_streamed_topk_snapshot(spark, sf_dir):
+    """Driver-checkable twin of the stateful streaming top-K
+    (applyInPandasWithState): the messages stream runs through
+    streaming_topk_per_topic(k=3) in update mode; the final per-key
+    state is reconstructed from the update stream (state is the
+    newest-K by seq with dedup, so the K largest distinct seqs ever
+    emitted for a key ARE its final state). Oracle = SQL newest-3 per
+    (contract, topic) over the same messages."""
+    import uuid
+
+    from unitdb_spark.sources.events import messages_from_events_df
+    from unitdb_spark.streaming.pubsub import events_as_stream
+    from unitdb_spark.streaming.state import streaming_topk_per_topic
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    entries = messages_from_events_df(
+        events_as_stream(spark, src, max_files_per_trigger=2)
+    ).withColumn("payload", F.col("payload").cast("binary"))
+    out = streaming_topk_per_topic(entries, k=3)
+    sink = f"topk_twin_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    upd = spark.table(sink).select("contract", "topic", "seq", "ts_us").distinct()
+    w = W.partitionBy("contract", "topic").orderBy(F.desc("seq"))
+    return upd.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 3
+    )
 
 
 def q_events_asof_click(spark, sf_dir):
@@ -2053,6 +2171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": q_events_percentiles,
         "events_approx_stats": q_events_approx_stats,
         "events_kmv_users": q_events_kmv_users,
+        "streamed_rollup_snapshot": q_streamed_rollup_snapshot,
+        "streamed_kv_state": q_streamed_kv_state,
+        "streamed_topk_snapshot": q_streamed_topk_snapshot,
         "events_asof_forward": q_events_asof_forward,
         "events_range_join": q_events_range_join,
         "events_attribution": q_events_attribution,
@@ -2706,6 +2827,44 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
+        """,
+        "streamed_rollup_snapshot": M + """
+        , pfx AS (
+          SELECT contract, ts, p AS topic_prefix
+          FROM messages, UNNEST([
+            'events',
+            'events.' || split_part(topic, '.', 2),
+            topic
+          ]) AS t(p)
+        )
+        SELECT contract, topic_prefix, COUNT(*) AS n_msgs,
+          CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_ts_s,
+          CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_ts_s
+        FROM pfx GROUP BY 1, 2
+        """,
+        "streamed_kv_state": """
+        WITH ops AS (
+          SELECT user_id AS key, md5(props) AS value_md5,
+            CASE WHEN event_type = 'purchase' THEN 'delete'
+                 ELSE 'put' END AS op,
+            event_id AS op_order
+          FROM events
+        ), w AS (
+          SELECT key, value_md5, op, op_order,
+            row_number() OVER (PARTITION BY key
+              ORDER BY op_order DESC, (op = 'delete') DESC) AS rn
+          FROM ops
+        )
+        SELECT key, value_md5, op, op_order FROM w WHERE rn = 1
+        """,
+        "streamed_topk_snapshot": M + """
+        , r AS (
+          SELECT contract, topic, seq, epoch_us(ts) AS ts_us,
+            row_number() OVER (PARTITION BY contract, topic
+                               ORDER BY seq DESC) AS rank
+          FROM messages
+        )
+        SELECT contract, topic, seq, ts_us, rank FROM r WHERE rank <= 3
         """,
         "events_kmv_users": """
         -- KMV bottom-k: identical hash + identical estimator

@@ -54,7 +54,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def messages_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `messages` DataFrame (with derived topic columns) at sf_dir."""
-    ev = load_events(spark, sf_dir)
+    return messages_from_events_df(load_events(spark, sf_dir))
+
+
+def messages_from_events_df(ev: DataFrame) -> DataFrame:
+    """The same derivation over an already-loaded events frame — works
+    on a STREAMING events frame too (pure row-wise expressions), which
+    is how the streaming batch-twin queries replay the exact messages
+    the batch oracles describe."""
     df = ev.select(
         (F.col("event_id") + F.lit(1)).cast("long").alias("seq"),
         F.when(F.col("user_id") % 7 == 0, F.lit(ALT_CONTRACT))
