@@ -668,6 +668,78 @@ class TestCommitLog:
         assert not fs.exists(spark, f"{root}/_applied/gen-old")
 
 
+class TestReliableSink:
+    def test_crashed_subscriber_resumes_unacked_exactly_once(
+        self, spark, events_dir, tmp_path
+    ):
+        """Kill the subscriber mid-batch (after the in-flight log
+        persisted, before the ack), then resume: every message is
+        delivered exactly once across crash + restart — the
+        store.go:203-257 pending-log contract."""
+        from unitdb_spark.streaming.pubsub import ReliableSink
+
+        root = str(tmp_path / "sub1")
+        cp = str(tmp_path / "cp")
+        delivered: list[int] = []
+        state = {"crash_on": 1}
+
+        def sink(df, batch_id):
+            rows = [r["seq"] for r in df.select("seq").collect()]
+            if batch_id == state["crash_on"]:
+                raise RuntimeError("subscriber died mid-delivery")
+            delivered.extend(rows)
+
+        rs = ReliableSink(spark, root, cp, sink)
+        q = (
+            entries_stream(spark, events_dir)
+            .writeStream.foreachBatch(rs)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception):
+            q.awaitTermination(180)
+            if q.exception() is not None:
+                raise q.exception()
+        # the crashed batch is persisted in-flight and unacked
+        state["crash_on"] = None
+        assert rs.resume() == 1  # reconnect drains the pending log
+        # restart the stream on the same checkpoint: the resumed batch
+        # is acked (skipped), the rest flows normally
+        rs2 = ReliableSink(spark, root, cp, sink)
+        assert rs2.resume() == 0  # nothing pending anymore
+        q2 = (
+            entries_stream(spark, events_dir)
+            .writeStream.foreachBatch(rs2)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(180)
+        want = sorted(
+            r["seq"] for r in entries_stream_batch(spark, events_dir).collect()
+        )
+        assert sorted(delivered) == want  # every message, exactly once
+
+    def test_empty_inflight_torn_write_is_dropped_not_delivered(
+        self, spark, tmp_path
+    ):
+        """A torn in-flight dir (no _SUCCESS) is debris from a crash
+        BEFORE the durable-notify point: resume must drop it (the
+        Spark checkpoint will replay that batch), never half-deliver."""
+        from unitdb_spark import fs
+        from unitdb_spark.streaming.pubsub import ReliableSink
+
+        root = str(tmp_path / "sub2")
+        torn = f"{root}/inflight/gen-x/3"
+        fs.mkdirs(spark, torn)
+        fs.write_text(spark, f"{torn}/part-torn.parquet", "half a file")
+        calls = []
+        rs = ReliableSink(spark, root, str(tmp_path / "cp2"), lambda df, b: calls.append(b))
+        assert rs.resume() == 0
+        assert not calls and not fs.exists(spark, torn)
+
+
 class TestStreamingZscore:
     def test_streamed_flags_match_batch_operator(self, spark, events_dir):
         """In-order replay: the streaming detector's flags equal the

@@ -101,6 +101,21 @@ class CommitLog:
         for old in ids[:-keep]:
             fs.delete(self.spark, f"{self._dir()}/{old}")
 
+    def applied_for(self, query_id: str, batch_id: int) -> bool:
+        """`applied` for an EXPLICIT generation (resume paths touch
+        other generations' entries — e.g. redelivering a crashed
+        subscriber's in-flight batches, streaming.pubsub.ReliableSink)."""
+        return fs.exists(
+            self.spark, f"{self.log_root}/_applied/{query_id}/{int(batch_id)}"
+        )
+
+    def record_for(self, query_id: str, batch_id: int) -> None:
+        """`record` for an explicit generation (no pruning: the foreign
+        generation's tail is not ours to manage)."""
+        fs.write_text(
+            self.spark, f"{self.log_root}/_applied/{query_id}/{int(batch_id)}", ""
+        )
+
     def prune_other_generations(self) -> None:
         """Drop OTHER query generations' commit entries.
 

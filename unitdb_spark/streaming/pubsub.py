@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from unitdb_spark import fs
 from unitdb_spark.core.model import MASTER_CONTRACT
 from unitdb_spark.core.topic import parse_topic
 from unitdb_spark.operators.topic_match import topic_match_expr
@@ -312,6 +313,91 @@ def batched_writer(
         .trigger(**trigger)
         .start()
     )
+
+
+class ReliableSink:
+    """Resumable reliable delivery: a persisted in-flight log around a
+    foreachBatch sink (the missing half of delivery mode 2).
+
+    Reference parity: the store keeps every outbound message in a
+    pending log and deletes it only on COMPLETE
+    (store/store.go:203-257); the uTP flow is NOTIFY → RECEIVE →
+    RECEIPT → COMPLETE (docs/utp.md:153-171), and a reconnecting
+    subscriber is re-served whatever the pending log still holds. The
+    Spark mapping takes the micro-batch as the delivery unit:
+
+      1. persist the batch under ``<root>/inflight/<gen>/<batch_id>``
+         (the NOTIFY is durable before the subscriber sees anything);
+      2. deliver the PERSISTED copy to ``sink_fn(df, batch_id)`` — what
+         is on disk is exactly what was handed over, so a later resume
+         redelivers identical content;
+      3. ack: commit-log entry (COMPLETE) + drop the in-flight dir.
+
+    ``resume()`` — the crashed-subscriber reconnect — redelivers every
+    persisted-but-unacked batch from ANY generation (a subscriber that
+    restarts with a fresh checkpoint still drains its old generation's
+    pending log), acking each. Call it before restarting the stream.
+
+    Delivery to the sink is at-least-once with one crash window
+    (between sink return and ack — the same window as the reference's
+    re-NOTIFY after a lost RECEIPT); client-visible exactly-once means
+    an idempotent sink keyed on batch content or msg ids, exactly as
+    uTP clients ack by message id. Scale: the in-flight write is one
+    bounded parquet append per micro-batch (executor-side); ack is one
+    marker-file create; resume is driver-light directory listing.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, checkpoint: str, sink_fn) -> None:
+        from unitdb_spark.streaming.commitlog import CommitLog
+
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.sink_fn = sink_fn
+        self.log = CommitLog(spark, checkpoint, f"{self.root}/acked")
+
+    def _inflight(self, qid: str, batch_id: int) -> str:
+        return f"{self.root}/inflight/{qid}/{int(batch_id)}"
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.log.applied(batch_id):
+            return  # replayed, already COMPLETE
+        qid = self.log.query_id
+        inflight = self._inflight(qid, batch_id)
+        fs.delete(self.spark, inflight)  # torn earlier attempt
+        if batch_df.isEmpty():
+            self.log.record(batch_id)
+            return
+        batch_df.write.parquet(inflight)        # durable NOTIFY
+        self.sink_fn(self.spark.read.parquet(inflight), batch_id)
+        self.log.record(batch_id)               # COMPLETE
+        fs.delete(self.spark, inflight)
+
+    def resume(self) -> int:
+        """Redeliver every persisted-but-unacked batch (any generation);
+        returns how many batches were redelivered."""
+        base = f"{self.root}/inflight"
+        redelivered = 0
+        for qid, _, qid_is_dir in fs.list_status(self.spark, base):
+            qdir = f"{base}/{qid}"
+            if not qid_is_dir:
+                continue
+            for name, _, is_dir in fs.list_status(self.spark, qdir):
+                if not is_dir or not name.isdigit():
+                    continue
+                bid = int(name)
+                bdir = f"{qdir}/{name}"
+                if not self.log.applied_for(qid, bid):
+                    if not fs.exists(self.spark, f"{bdir}/_SUCCESS"):
+                        # torn in-flight write: the Spark checkpoint
+                        # never committed this batch either — it will
+                        # replay through __call__; don't deliver half
+                        fs.delete(self.spark, bdir)
+                        continue
+                    self.sink_fn(self.spark.read.parquet(bdir), bid)
+                    self.log.record_for(qid, bid)
+                    redelivered += 1
+                fs.delete(self.spark, bdir)
+        return redelivered
 
 
 def relay(engine, topic: str, last: str | None = None, now: float | None = None):
