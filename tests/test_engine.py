@@ -403,6 +403,35 @@ class TestCompact:
             eng.destroy()
 
 
+class TestGetResultCap:
+    def test_oversized_result_aborts_before_buffering(self, spark, tmp_path):
+        """limit × payload products past the cap must raise mid-fetch,
+        not OOM the driver after collecting everything."""
+        import pytest as _pytest
+
+        from unitdb_spark.engine import Engine, ResultTooLarge
+
+        eng = Engine.open(spark, str(tmp_path / "capped"))
+        try:
+            big = b"x" * 100_000
+            for i in range(30):
+                eng.put_entry(Entry("cap.t", big), ts=T0 + i)
+            eng.flush()
+            # default cap (512 MB): 3 MB result passes untouched
+            assert len(eng.get("cap.t", now=T0 + 100)) == 30
+            # per-call cap below the result size: loud abort
+            with _pytest.raises(ResultTooLarge, match="get_df"):
+                eng.get("cap.t", now=T0 + 100, max_result_bytes=1_000_000)
+            # explicit None disables the guard entirely
+            assert len(eng.get("cap.t", now=T0 + 100, max_result_bytes=None)) == 30
+            # engine-wide option applies to get_many too
+            eng.options.max_get_result_bytes = 1_000_000
+            with _pytest.raises(ResultTooLarge):
+                eng.get_many(["cap.t"], now=T0 + 100)
+        finally:
+            eng.destroy()
+
+
 class TestCompactSafety:
     def test_append_refuses_while_lease_held(self, spark, tmp_path):
         """Single-writer guard: any append (flush / put_df / streaming

@@ -55,6 +55,15 @@ class ImmutableError(RuntimeError):
     pass
 
 
+class ResultTooLarge(RuntimeError):
+    """get()/get_many() would buffer more payload bytes on the driver
+    than EngineOptions.max_get_result_bytes allows."""
+
+
+#: sentinel distinguishing "not passed" from an explicit None (= no cap)
+_UNSET = object()
+
+
 @dataclass
 class EngineOptions:
     """Subset of options.go:102-252 that has meaning on Spark."""
@@ -72,6 +81,11 @@ class EngineOptions:
     # only entries flagged Entry.encryption are encrypted (per-entry
     # WithEncryption, entry.go:54-95).
     encrypt_all: bool | None = None
+    # driver-memory guard for the list-returning get()/get_many() API
+    # (the reference's [][]byte return is inherently driver-resident;
+    # limit 100k × payload ≤1 GB is a ~silent-OOM product without a
+    # cap). None disables the guard. get_df is the scale path.
+    max_get_result_bytes: int | None = 512 << 20
 
 
 class Engine:
@@ -252,12 +266,42 @@ class Engine:
         self._metrics["gets"] += 1
         return apply_get(self._live_df(), query, now=now)
 
-    def get(self, query: Query | str, now: float | None = None) -> list[bytes]:
-        """Payloads, newest-first (the reference's [][]byte return)."""
+    def get(
+        self,
+        query: Query | str,
+        now: float | None = None,
+        max_result_bytes: int | None = _UNSET,
+    ) -> list[bytes]:
+        """Payloads, newest-first (the reference's [][]byte return).
+
+        Driver-memory guard: results stream to the driver one partition
+        at a time (``toLocalIterator``) with a running byte count, and
+        the fetch ABORTS with ``ResultTooLarge`` once accepted payloads
+        exceed ``max_result_bytes`` (default
+        ``EngineOptions.max_get_result_bytes``, 512 MB; None disables)
+        — so a ``limit=100000`` query over GB-sized payloads fails
+        loudly part-way instead of OOMing the driver after buffering
+        everything. ``get_df`` is the scale path: it never materializes
+        results driver-side and has no cap."""
+        cap = (
+            self.options.max_get_result_bytes
+            if max_result_bytes is _UNSET
+            else max_result_bytes
+        )
         t0 = time.monotonic()
-        rows = self.get_df(query, now=now).select("payload").collect()
+        out: list[bytes] = []
+        total = 0
+        for r in self.get_df(query, now=now).select("payload").toLocalIterator():
+            p = bytes(r[0]) if r[0] is not None else b""
+            total += len(p)
+            if cap is not None and total > cap:
+                raise ResultTooLarge(
+                    f"get() result passed {cap} bytes at row {len(out) + 1}; "
+                    "raise max_get_result_bytes or use get_df()"
+                )
+            out.append(p)
         self._latencies["get"].append(time.monotonic() - t0)
-        return [bytes(r[0]) if r[0] is not None else b"" for r in rows]
+        return out
 
     def get_many(
         self, queries: list[Query | str], now: float | None = None
@@ -267,17 +311,27 @@ class Engine:
         as N separate ``get`` calls."""
         from unitdb_spark.operators.get import apply_get_many
 
+        cap = self.options.max_get_result_bytes
         t0 = time.monotonic()
         self._metrics["gets"] += len(queries)
-        rows = (
+        it = (
             apply_get_many(self._live_df(), queries, now=now)
             .select("query_id", "seq", "payload")
-            .collect()
+            .toLocalIterator()
         )
-        self._latencies["get"].append(time.monotonic() - t0)
         out: list[list[tuple[int, bytes]]] = [[] for _ in queries]
-        for r in rows:
-            out[r["query_id"]].append((r["seq"], bytes(r["payload"] or b"")))
+        total = n = 0
+        for r in it:
+            p = bytes(r["payload"] or b"")
+            total += len(p)
+            n += 1
+            if cap is not None and total > cap:
+                raise ResultTooLarge(
+                    f"get_many() result passed {cap} bytes at row {n}; "
+                    "raise max_get_result_bytes or use apply_get_many directly"
+                )
+            out[r["query_id"]].append((r["seq"], p))
+        self._latencies["get"].append(time.monotonic() - t0)
         return [[p for _, p in sorted(l, reverse=True)] for l in out]
 
     def _live_df(self) -> DataFrame:
