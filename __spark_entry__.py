@@ -1101,6 +1101,26 @@ def q_streamed_kv_state(spark, sf_dir):
     )
 
 
+def q_doc_winnow(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. '03 / MOSS): per-window
+    min-hash selection with the density + shared-substring guarantee;
+    the (min hash, rightmost tie) choice rides ONE integer window-min.
+    Row-level oracle: DuckDB replays gram md5s, the packed ordering
+    key, the sliding window and the distinct."""
+    from unitdb_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+
+
+def q_doc_winnow_pairs(spark, sf_dir):
+    """Near-dup candidates by shared winnowing fingerprints: docs meet
+    only on equal fp_hash (banded-meeting discipline), boilerplate
+    hashes capped before the self-join."""
+    from unitdb_spark.operators.winnow import winnow_pairs
+
+    return winnow_pairs(_docs(spark, sf_dir), k=5, w=4, min_shared=2)
+
+
 def q_streamed_topk_snapshot(spark, sf_dir):
     """Driver-checkable twin of the stateful streaming top-K
     (applyInPandasWithState): the messages stream runs through
@@ -2184,6 +2204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_stats": q_doc_url_stats,
         "doc_token_rarity": q_doc_token_rarity,
         "events_gaps": q_events_gaps,
+        # --- new in round 4 (enter the driver window in round 5) ------
+        "doc_winnow": q_doc_winnow,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
     }
 
 
@@ -2870,6 +2893,57 @@ def oracle_sql() -> dict[str, str]:
           FROM messages
         )
         SELECT contract, topic, seq, ts_us, rank FROM r WHERE rank <= 3
+        """,
+        "doc_winnow": f"""
+        -- winnowing: gram md5 -> packed (hash, rightmost-pos) integer
+        -- key -> sliding window-min -> distinct; integer ops end to end
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS tk FROM documents
+        ), g AS (
+          SELECT doc_id, i AS pos,
+            CAST(('0x' || substr(md5(array_to_string(
+                   list_slice(tk, i + 1, i + 5), ' ')), 1, 9)) AS BIGINT)
+              * 16777216 + (16777215 - i) AS key
+          FROM t, UNNEST(generate_series(0, len(tk) - 5)) AS u(i)
+          WHERE len(tk) >= 5 AND i <= 16777215
+        ), sel AS (
+          SELECT DISTINCT doc_id,
+            MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selk
+          FROM g
+        )
+        SELECT doc_id, selk // 16777216 AS fp_hash,
+          CAST(16777215 - (selk % 16777216) AS INT) AS fp_pos
+        FROM sel
+        """,
+        "doc_winnow_pairs": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS tk FROM documents
+        ), g AS (
+          SELECT doc_id, i AS pos,
+            CAST(('0x' || substr(md5(array_to_string(
+                   list_slice(tk, i + 1, i + 5), ' ')), 1, 9)) AS BIGINT)
+              * 16777216 + (16777215 - i) AS key
+          FROM t, UNNEST(generate_series(0, len(tk) - 5)) AS u(i)
+          WHERE len(tk) >= 5 AND i <= 16777215
+        ), sel AS (
+          SELECT DISTINCT doc_id,
+            MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selk
+          FROM g
+        ), fp AS (
+          SELECT DISTINCT doc_id, selk // 16777216 AS fp_hash FROM sel
+        ), capped AS (
+          SELECT doc_id, fp_hash FROM (
+            SELECT doc_id, fp_hash,
+              COUNT(*) OVER (PARTITION BY fp_hash) AS bn FROM fp)
+          WHERE bn <= 500
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM capped a JOIN capped b USING (fp_hash)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
         """,
         "events_kmv_users": """
         -- KMV bottom-k: identical hash + identical estimator

@@ -1494,3 +1494,60 @@ class TestKmvSketch:
         df = spark.createDataFrame(rows, "k string, v long")
         (r,) = kmv_distinct(df, ["k"], "v", k=8).collect()
         assert r["n_kept"] == 2 and r["kmv_est"] == 2.0
+
+
+class TestWinnowing:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_shared_substring_guarantee(self, spark):
+        """Schleimer '03 Thm 1: a shared run of >= k + w - 1 words
+        yields at least one SHARED fingerprint, regardless of where the
+        run sits in each document (content-aligned sampling)."""
+        from unitdb_spark.operators.winnow import winnow_fingerprints
+
+        shared = "the quick brown fox jumps over the lazy dog today"  # 10 words >= 5+4-1
+        rows = [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "completely different preamble words here " + shared),
+            (3, "nothing in common with either of the others at all huh"),
+        ]
+        fp = winnow_fingerprints(self._docs(spark, rows), k=5, w=4).collect()
+        by_doc = {}
+        for r in fp:
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+        assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+        assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+
+    def test_density_bound(self, spark):
+        """Fingerprints per doc ~ 2/(w+1) of grams: must be well under
+        the gram count and at least one per w-window span."""
+        from unitdb_spark.operators.winnow import winnow_fingerprints
+
+        words = " ".join(f"w{i * 7919 % 1000}x{i}" for i in range(200))
+        fp = winnow_fingerprints(self._docs(spark, [(1, words)]), k=5, w=4).collect()
+        n_grams = 200 - 5 + 1
+        assert n_grams / 8 <= len(fp) <= n_grams  # >= one per window span, far under all
+        assert len({(r["fp_hash"], r["fp_pos"]) for r in fp}) == len(fp)
+
+    def test_short_docs_have_no_fingerprints(self, spark):
+        from unitdb_spark.operators.winnow import winnow_fingerprints
+
+        fp = winnow_fingerprints(
+            self._docs(spark, [(1, "only four words here"), (2, "now five little words here")]),
+            k=5, w=4,
+        ).collect()
+        assert {r["doc_id"] for r in fp} == {2}  # 4 words < k -> none; 5 words -> 1 gram
+        assert len(fp) == 1 and fp[0]["fp_pos"] == 0
+
+    def test_pairs_find_planted_near_dup(self, spark):
+        from unitdb_spark.operators.winnow import winnow_pairs
+
+        base = " ".join(f"tok{i * 31 % 97}q{i}" for i in range(60))
+        rows = [
+            (1, base),
+            (2, "inserted prefix words " + base),  # shifted copy
+            (3, " ".join(f"other{i}z{i * 13 % 53}" for i in range(60))),
+        ]
+        pairs = winnow_pairs(self._docs(spark, rows), k=5, w=4, min_shared=2).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
