@@ -121,3 +121,37 @@ class TestRobustness:
         p = build_png(10, 20, 3)
         # IHDR CRC covers type+payload and verifies
         assert struct.unpack(">I", p[29:33])[0] == zlib.crc32(p[12:29]) & 0xFFFFFFFF
+
+
+class TestFuzz:
+    """parse_media's contract is total: ANY byte string yields a dict,
+    never an exception — pinned here with hypothesis (pure Python, no
+    Spark job per example, so examples are cheap)."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.binary(max_size=512))
+    @settings(max_examples=300, deadline=None)
+    def test_arbitrary_bytes_never_raise(self, data):
+        m = parse_media(data)
+        assert set(m) == {
+            "container", "width", "height", "n_frames", "sample_rate", "duration_s"
+        }
+
+    @given(
+        st.sampled_from(["png", "jpeg", "gif", "wav", "mp4"]),
+        st.integers(min_value=0, max_value=400),
+        st.binary(min_size=1, max_size=4),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_mutated_valid_containers_never_raise(self, kind, pos, patch):
+        blob = {
+            "png": lambda: build_png(33, 44, 9),
+            "jpeg": lambda: build_jpeg(33, 44, 9),
+            "gif": lambda: build_gif(33, 44, 2),
+            "wav": lambda: build_wav(8000, 64),
+            "mp4": lambda: build_mp4(33, 44, 1500, 7),
+        }[kind]()
+        pos = pos % len(blob)
+        mutated = blob[:pos] + patch + blob[pos + len(patch):]
+        parse_media(mutated)  # total: parses or returns None fields
