@@ -333,3 +333,43 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql("DROP TABLE IF EXISTS bkt_facts")
             spark.sql("DROP TABLE IF EXISTS bkt_dims")
+
+
+class TestRound4Plans:
+    def test_kmv_window_group_limit_and_bounded_shuffles(self, spark):
+        """SCALE.md: the bottom-k cut runs as WindowGroupLimit (map-side
+        partial top-k BEFORE the exchange); two exchanges total
+        (distinct + per-key window)."""
+        from unitdb_spark.operators.sketch import kmv_distinct
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = kmv_distinct(ev, ["event_type"], "user_id", k=16)
+        plan = formatted_plan(out)
+        assert "WindowGroupLimit" in plan
+        assert not has_python_eval(out)
+        assert shuffle_count(out) <= 3
+
+    def test_winnow_fingerprints_two_exchanges_no_python(self, spark):
+        """SCALE.md: everything before the distinct is per-document —
+        one window shuffle on doc_id, one distinct; the selection rides
+        a single integer window-min (no struct comparator, no UDF)."""
+        from unitdb_spark.operators.winnow import winnow_fingerprints
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = winnow_fingerprints(docs, k=5, w=4)
+        assert shuffle_count(out) <= 2
+        assert not has_python_eval(out)
+
+    def test_media_meta_no_shuffle_no_python_udf(self, spark):
+        """SCALE.md: header parsing is mapInPandas (ArrowEval — the
+        sanctioned batch path, not BatchEvalPython) and blobs never
+        shuffle: zero exchanges in the whole extraction plan."""
+        from unitdb_spark.functions.multimodal import (
+            extract_media_meta,
+            synthetic_media,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = extract_media_meta(synthetic_media(docs))
+        assert shuffle_count(out) == 0
+        assert not has_python_eval(out)
