@@ -2000,6 +2000,23 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(emb, queries, dim=64, k=10, m_blocks=4, k_codes=16)
 
 
+def q_ann_pq_rerank(spark, sf_dir):
+    """Two-stage retrieval: PQ-ADC coarse top-50 over 4-byte codes,
+    then EXACT dot-product re-rank of the shortlist to top-10 — the
+    production shape where codes live in RAM and full vectors are
+    touched only for candidates. The shortlist broadcasts against one
+    corpus scan (zero corpus shuffles in stage 2)."""
+    from unitdb_spark.operators.pq import pq_rerank_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_rerank_topk(
+        emb, queries, dim=64, k=10, shortlist=50, m_blocks=4, k_codes=16
+    )
+
+
 _LONG_WORD = "x" * 30
 
 
@@ -2207,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 (enter the driver window in round 5) ------
         "doc_winnow": q_doc_winnow,
         "doc_winnow_pairs": q_doc_winnow_pairs,
+        "ann_pq_rerank": q_ann_pq_rerank,
     }
 
 
@@ -3689,7 +3707,50 @@ def oracle_sql() -> dict[str, str]:
         FROM tf JOIN corpus USING (term)
         GROUP BY 1
         """,
-        "ann_pq_topk": """
+        "ann_pq_topk": _pq_oracle_cte() + """
+        SELECT query_id, vec_id, score_r, rank FROM ranked WHERE rank <= 10
+        """,
+        "ann_pq_rerank": _pq_oracle_cte() + """
+        , shortlist AS (
+          SELECT query_id, vec_id FROM ranked WHERE rank <= 50
+        ), exact AS (
+          -- exact dot over the full vectors, shortlist only; round-6
+          -- then rank on the rounded score (both sides identical)
+          SELECT s.query_id, s.vec_id,
+            round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(q.qv AS DOUBLE[])), 6) AS score_r
+          FROM shortlist s
+          JOIN embeddings e USING (vec_id)
+          JOIN q USING (query_id)
+        ), rr AS (
+          SELECT query_id, vec_id, score_r,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_r DESC, vec_id) AS rank
+          FROM exact
+        )
+        SELECT query_id, vec_id, score_r, rank FROM rr WHERE rank <= 10
+        """,
+        "events_gaps": """
+        WITH g AS (
+          SELECT event_type,
+            CAST(floor(epoch(lag(ts) OVER (PARTITION BY event_type
+                 ORDER BY ts, event_id))) AS BIGINT) AS gap_start_s,
+            CAST(floor(epoch(ts)) AS BIGINT) AS gap_end_s
+          FROM events WHERE user_id % 10 = 0
+        )
+        SELECT event_type, gap_start_s, gap_end_s,
+               gap_end_s - gap_start_s AS gap_s
+        FROM g WHERE gap_end_s - gap_start_s > 1800
+        """,
+    }
+
+
+def _pq_oracle_cte() -> str:
+    """Shared PQ-ADC oracle pipeline (codebooks → assignment → LUT →
+    coarse scores → rounded ranking), ending after the `ranked` CTE so
+    callers append their final stage (plain top-k, or the exact-re-rank
+    chain of `ann_pq_rerank`)."""
+    return """
         WITH samp AS (
           SELECT row_number() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':pq42'), vec_id
@@ -3739,21 +3800,7 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY round(score, 6) DESC, vec_id) AS rank
           FROM scored
         )
-        SELECT query_id, vec_id, score_r, rank FROM ranked WHERE rank <= 10
-        """,
-        "events_gaps": """
-        WITH g AS (
-          SELECT event_type,
-            CAST(floor(epoch(lag(ts) OVER (PARTITION BY event_type
-                 ORDER BY ts, event_id))) AS BIGINT) AS gap_start_s,
-            CAST(floor(epoch(ts)) AS BIGINT) AS gap_end_s
-          FROM events WHERE user_id % 10 = 0
-        )
-        SELECT event_type, gap_start_s, gap_end_s,
-               gap_end_s - gap_start_s AS gap_s
-        FROM g WHERE gap_end_s - gap_start_s > 1800
-        """,
-    }
+    """
 
 
 def _ann_lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:

@@ -1551,3 +1551,47 @@ class TestWinnowing:
         ]
         pairs = winnow_pairs(self._docs(spark, rows), k=5, w=4, min_shared=2).collect()
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+class TestPqRerank:
+    def test_rerank_recall_at_least_coarse(self, spark):
+        """Two-stage retrieval: exact re-rank of the PQ shortlist must
+        match the exact-DOT top-k (PQ's metric) at least as well as raw
+        PQ order does — candidates are re-scored with the true dot
+        product, so re-ranking can only fix coarse-quantization
+        mistakes within the shortlist, never add new ones."""
+        from unitdb_spark.operators.pq import pq_rerank_topk, pq_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        n = emb.count()
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+        def topset(df):
+            out = {}
+            for r in df.collect():
+                out.setdefault(r["query_id"], set()).add(r["vec_id"])
+            return out
+
+        # shortlist = whole corpus -> stage 2 IS the exact dot ranking
+        exact = topset(pq_rerank_topk(emb, queries, dim=64, k=10, shortlist=n))
+        coarse = topset(pq_topk(emb, queries, dim=64, k=10))
+        rerank = topset(
+            pq_rerank_topk(emb, queries, dim=64, k=10, shortlist=50)
+        )
+        for qid in exact:
+            hit_coarse = len(exact[qid] & coarse.get(qid, set()))
+            hit_rerank = len(exact[qid] & rerank.get(qid, set()))
+            assert hit_rerank >= hit_coarse
+        # aggregate: re-ranking lifts recall strictly above raw PQ
+        # order (sample-based codebooks are crude; measured 4/30 ->
+        # 14/30 at shortlist=50 on this fixture)
+        n_exact = sum(len(v) for v in exact.values())
+        total_coarse = sum(len(exact[q] & coarse.get(q, set())) for q in exact)
+        total_rerank = sum(len(exact[q] & rerank.get(q, set())) for q in exact)
+        assert total_rerank > total_coarse
+        # a wider shortlist converges toward the exact ranking
+        wide = topset(pq_rerank_topk(emb, queries, dim=64, k=10, shortlist=200))
+        total_wide = sum(len(exact[q] & wide.get(q, set())) for q in exact)
+        assert total_wide >= total_rerank and total_wide >= 0.6 * n_exact

@@ -177,3 +177,57 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", score_r.alias("score_r"), "rank")
     )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    shortlist: int = 50,
+    m_blocks: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Two-stage retrieval: PQ-ADC coarse top-``shortlist`` → EXACT
+    dot-product re-rank → top-``k`` (the standard production ANN shape:
+    search the 4 B/vector code table, touch full vectors only for the
+    shortlist — at 100 TB the codes live in RAM and the float vectors
+    in cold storage, and this operator is the access pattern).
+
+    Scale shape: stage 1 is `pq_topk` (corpus never shuffles); stage 2
+    BROADCASTS the (query, candidate, query-vector) shortlist —
+    |queries| × shortlist rows — against ONE corpus scan, so the exact
+    re-rank adds zero corpus shuffles; the final per-query window sorts
+    only candidate rows. Output: (query_id, vec_id, score_r, rank) with
+    the exact cosine-numerator (dot) score, round-6, ties to vec_id.
+    """
+    coarse = pq_topk(
+        corpus, queries, dim, k=shortlist, m_blocks=m_blocks, k_codes=k_codes,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, seed=seed,
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_qv"),
+    )
+    cand = coarse.select("query_id", "vec_id").join(q, "query_id")
+    full = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_cv"),
+    )
+    exact = full.join(F.broadcast(cand), "vec_id").select(
+        "query_id",
+        "vec_id",
+        F.round(_dot(F.col("_cv"), F.col("_qv")), 6).alias("score_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_r"), F.asc("vec_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score_r", "rank")
+    )
