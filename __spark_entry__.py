@@ -1101,6 +1101,41 @@ def q_streamed_kv_state(spark, sf_dir):
     )
 
 
+def q_events_histogram(spark, sf_dir):
+    """Fixed-bucket value histogram per event_type (width_bucket
+    semantics, 20 buckets over [0, 1000)): ONE partial-agg shuffle
+    carrying (type, bucket) partials — the dashboard distribution
+    query. Bucket arithmetic is integer-exact on both engines."""
+    ev = _events(spark, sf_dir)
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(50.0)).cast("int"), F.lit(0)),
+        F.lit(19),
+    )
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_events_heatmap(spark, sf_dir):
+    """Hour-of-day × day-of-week activity heatmap per event_type: the
+    canonical ops-dashboard pivot, one partial-agg shuffle; calendar
+    extraction stays JVM-side and matches DuckDB's ISO semantics."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def q_doc_winnow(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. '03 / MOSS): per-window
     min-hash selection with the density + shared-substring guarantee;
@@ -2225,6 +2260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": q_doc_winnow,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "ann_pq_rerank": q_ann_pq_rerank,
+        "events_histogram": q_events_histogram,
+        "events_heatmap": q_events_heatmap,
     }
 
 
@@ -2911,6 +2948,24 @@ def oracle_sql() -> dict[str, str]:
           FROM messages
         )
         SELECT contract, topic, seq, ts_us, rank FROM r WHERE rank <= 3
+        """,
+        "events_histogram": """
+        SELECT event_type,
+          CAST(least(greatest(CAST(floor(value / 50.0) AS INT), 0), 19) AS INT) AS bucket,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+        """,
+        "events_heatmap": """
+        -- DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7
+        SELECT event_type,
+          CAST(dayofweek(ts) + 1 AS INT) AS dow,
+          CAST(hour(ts) AS INT) AS hod,
+          COUNT(*) AS n,
+          COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2, 3
         """,
         "doc_winnow": f"""
         -- winnowing: gram md5 -> packed (hash, rightmost-pos) integer

@@ -1595,3 +1595,22 @@ class TestPqRerank:
         wide = topset(pq_rerank_topk(emb, queries, dim=64, k=10, shortlist=200))
         total_wide = sum(len(exact[q] & wide.get(q, set())) for q in exact)
         assert total_wide >= total_rerank and total_wide >= 0.6 * n_exact
+
+
+class TestKmvMerge:
+    def test_union_rebuild_equals_whole(self, spark):
+        """Mergeability (the 1000-executor rollup property): bottom-k of
+        (bottom-k(A) ∪ bottom-k(B)) == bottom-k(A ∪ B) — per-key sketch
+        state is k longs that re-minimize associatively."""
+        from unitdb_spark.operators.sketch import kmv_distinct
+
+        df = spark.range(2000).select(
+            F.lit("g").alias("k"), (F.col("id") * 104729).alias("v")
+        )
+        a = df.filter(F.col("v") % 2 == 0)
+        b = df.filter(F.col("v") % 2 == 1)
+        whole = kmv_distinct(df, ["k"], "v", k=32).collect()[0]
+        merged = kmv_distinct(a.unionByName(b), ["k"], "v", k=32).collect()[0]
+        assert (whole["kth_hash"], whole["kmv_est"]) == (
+            merged["kth_hash"], merged["kmv_est"]
+        )
