@@ -119,3 +119,46 @@ class TestGapFillProperty:
             r = by_bucket[T0 + dt.timedelta(minutes=m)]
             assert not r["is_gap"]
             assert abs(r["avg_value"] - statistics.fmean(vals)) < 1e-9
+
+
+# ---------------------------------------------------------- winnowing
+
+_doc_words = st.lists(
+    st.sampled_from([f"w{i}" for i in range(12)]),  # small vocab -> hash ties happen
+    min_size=0,
+    max_size=40,
+)
+
+
+def _winnow_model(words: list[str], k: int, w: int) -> set[tuple[int, int]]:
+    """Pure-Python robust winnowing (Schleimer '03): per window of w
+    consecutive gram hashes select (min hash, rightmost position);
+    fingerprints = distinct selections. Mirrors the operator's md5/h36
+    hashing exactly."""
+    import hashlib
+
+    if len(words) < k:
+        return set()
+    grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:9], 16) for g in grams]
+    out = set()
+    for end in range(len(hs)):
+        lo = max(0, end - w + 1)
+        window = hs[lo:end + 1]
+        m = min(window)
+        pos = max(i for i in range(lo, end + 1) if hs[i] == m)  # rightmost tie
+        out.add((m, pos))
+    return out
+
+
+@given(_doc_words)
+@settings(max_examples=12, deadline=None)
+def test_winnow_matches_python_model(spark, words):
+    from unitdb_spark.operators.winnow import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    got = {
+        (r["fp_hash"], r["fp_pos"])
+        for r in winnow_fingerprints(df, k=3, w=4).collect()
+    }
+    assert got == _winnow_model([w.lower() for w in words], 3, 4)
