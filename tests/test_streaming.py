@@ -668,6 +668,87 @@ class TestCommitLog:
         assert not fs.exists(spark, f"{root}/_applied/gen-old")
 
 
+class TestStreamingSessionize:
+    def test_closed_sessions_match_batch_across_batches(self, spark, tmp_path):
+        """Two in-order micro-batches (second run continues the first's
+        checkpoint): every CLOSED session equals the batch
+        gaps-and-islands sessionization row for row; each key's final
+        still-open session is the only difference (append-mode lag)."""
+        import datetime as dt
+
+        from unitdb_spark.operators.window_agg import sessionize_ids
+        from unitdb_spark.streaming.state import streaming_sessionize
+
+        base = dt.datetime(2024, 3, 1)
+        # user 1: three sessions (gaps 40+ min); user 2: one long session
+        offs = {
+            1: [0, 5, 10, 55, 60, 120, 125, 130],
+            2: [0, 20, 40, 60, 80, 100, 120, 140],
+        }
+        rows = []
+        eid = 0
+        for u, mins in offs.items():
+            for m in mins:
+                rows.append((eid, base + dt.timedelta(minutes=m), u))
+                eid += 1
+        rows.sort(key=lambda r: r[1])
+        schema = "event_id long, ts timestamp, user_id long"
+        half = len(rows) // 2
+        src = str(tmp_path / "sess_src")
+        cp = str(tmp_path / "sess_cp")
+        emitted: list = []
+
+        def run(batch_rows):
+            spark.createDataFrame(batch_rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            out = streaming_sessionize(
+                spark.readStream.schema(
+                    spark.read.parquet(src).schema
+                ).option("maxFilesPerTrigger", 1).parquet(src),
+                key_col="user_id",
+                gap_seconds=1800,
+            )
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, bid: emitted.extend(df.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        run(rows[:half])
+        run(rows[half:])
+        got = {
+            (r["key"], r["session_id"]): (r["n_events"], r["start_us"], r["end_us"])
+            for r in emitted
+        }
+        batch = sessionize_ids(
+            spark.createDataFrame(rows, schema),
+            gap_seconds=1800, key="user_id", tiebreak_cols=["event_id"],
+        ).groupBy("user_id", "session_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.unix_micros(F.min("ts")).alias("s"),
+            F.unix_micros(F.max("ts")).alias("e"),
+        )
+        want_all = {
+            (r["user_id"], r["session_id"]): (r["n"], r["s"], r["e"])
+            for r in batch.collect()
+        }
+        # drop each key's LAST (still-open) session from the batch view
+        last = {}
+        for (u, sid) in want_all:
+            last[u] = max(last.get(u, 0), sid)
+        want_closed = {
+            ks: v for ks, v in want_all.items() if ks[1] != last[ks[0]]
+        }
+        assert got == want_closed
+        assert len(got) >= 2  # user 1 really closed two sessions
+
+
 class TestReliableSink:
     def test_crashed_subscriber_resumes_unacked_exactly_once(
         self, spark, events_dir, tmp_path

@@ -205,6 +205,103 @@ def _zscore_fn(n: int, z: float):
     return fn
 
 
+# ------------------------------------------------- streaming sessions
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("session_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+    ]
+)
+
+#: (next session ordinal, current session start/last/n) — one open
+#: session per key, O(keys) state total
+SESSION_STATE = StructType(
+    [
+        StructField("session_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _sessionize_fn(gap_us: int):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            sid, start, last, n = state.get
+        else:
+            sid, start, last, n = 0, None, None, 0
+        closed = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        for t in batch["ts_us"]:
+            t = int(t)
+            if start is None:
+                sid, start, last, n = sid + 1, t, t, 1
+            elif t - last >= gap_us:
+                closed.append((int(k), sid, n, start, last))
+                sid, start, last, n = sid + 1, t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((sid, start, last, n))
+        yield pd.DataFrame(
+            closed,
+            columns=["key", "session_id", "n_events", "start_us", "end_us"],
+        )
+
+    return fn
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Streaming gaps-and-islands sessionization: the stateful twin of
+    ``operators.window_agg.sessionize_ids`` + the per-session aggregate
+    (count, start, end) — state per key is ONE open session (4 longs,
+    O(keys) total), and a session is emitted exactly once, when the
+    first event at or past the gap closes it (append mode).
+
+    Boundary semantics match the batch operator: a gap EQUAL to
+    ``gap_seconds`` starts a new session; ``session_id`` ordinals count
+    from 1 per key in event order, so on an in-order replay the closed
+    sessions match the batch sessionization row for row (the batch
+    side's final — still open — session per key has no streaming
+    counterpart until more data or a timeout closes it; that is the
+    inherent append-mode lag, same reason native session_window needs
+    a watermark to emit).
+
+    Ordering caveat (shared with streaming_zscore): rows sort by event
+    time within a micro-batch; cross-batch late data would split
+    sessions a batch recomputation would merge.
+
+    Input needs (``key_col``, ts, event_id). Output:
+    (key, session_id, n_events, start_us, end_us).
+    """
+    from pyspark.sql import functions as F
+
+    prepped = stream.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    return prepped.groupBy("key").applyInPandasWithState(
+        _sessionize_fn(int(gap_seconds) * 1_000_000),
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_zscore(
     stream: DataFrame,
     key_col: str = "event_type",
