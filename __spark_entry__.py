@@ -1101,6 +1101,19 @@ def q_streamed_kv_state(spark, sf_dir):
     )
 
 
+def q_doc_lsh_verified(spark, sf_dir):
+    """Candidate→verify near-dup pipeline: MinHash-LSH candidates
+    confirmed by the EXACT Jaccard over shingle sets — exactness is
+    paid only on pairs LSH surfaced, never the n² space. Both stages
+    replayed by the oracle (shared CTE with doc_minhash_lsh_md5)."""
+    from unitdb_spark.operators.dedup import lsh_verified_pairs
+
+    return lsh_verified_pairs(
+        _docs(spark, sf_dir), num_hashes=16, bands=4, threshold=0.5,
+        hash_family="md5",
+    )
+
+
 def q_events_histogram(spark, sf_dir):
     """Fixed-bucket value histogram per event_type (width_bucket
     semantics, 20 buckets over [0, 1000)): ONE partial-agg shuffle
@@ -2262,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank": q_ann_pq_rerank,
         "events_histogram": q_events_histogram,
         "events_heatmap": q_events_heatmap,
+        "doc_lsh_verified": q_doc_lsh_verified,
     }
 
 
@@ -3198,43 +3212,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
         """,
-        "doc_minhash_lsh_md5": r"""
-        WITH toks AS (
-          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
-          FROM documents
-        ), sh AS (
-          SELECT doc_id, list_distinct(list_transform(
-            generate_series(0, greatest(len(tk) - 3, 0)),
-            i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')
-          )) AS s
-          FROM toks
-        ), sig AS (
-          SELECT doc_id, list_transform(
-            generate_series(0, 15),
-            k -> list_min(list_transform(s, x -> md5(x || ':' || k)))
-          ) AS g
-          FROM sh
-        ), banded AS (
-          SELECT doc_id, b,
-            md5(g[b*4+1] || ',' || g[b*4+2] || ',' || g[b*4+3] || ',' || g[b*4+4] || ',' || b) AS bucket
-          FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
-        ), ok AS (
-          -- degenerate-bucket cap (max_bucket_size=500), matching
-          -- _cap_buckets in operators/dedup.py
-          SELECT b, bucket FROM banded GROUP BY b, bucket HAVING COUNT(*) <= 500
-        ), capped AS (
-          SELECT banded.* FROM banded JOIN ok USING (b, bucket)
-        ), cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-          FROM capped a JOIN capped c ON a.b = c.b AND a.bucket = c.bucket
-          WHERE a.doc_id < c.doc_id
+        "doc_minhash_lsh_md5": _minhash_md5_cte() + """
+        SELECT id_a, id_b, est_jaccard FROM est
+        """,
+        "doc_lsh_verified": _minhash_md5_cte() + """
+        , verified AS (
+          -- exact Jaccard over the distinct shingle sets, candidate
+          -- pairs ONLY (the n^2 space is never touched)
+          SELECT e.id_a, e.id_b, e.est_jaccard,
+            round(CAST(len(list_intersect(sha.s, shb.s)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(sha.s, shb.s))) AS DOUBLE),
+                  6) AS jaccard
+          FROM est e
+          JOIN sh sha ON sha.doc_id = e.id_a
+          JOIN sh shb ON shb.doc_id = e.id_b
         )
-        SELECT id_a, id_b,
-          CAST(len(list_filter(generate_series(1, 16), i -> sa.g[i] = sb.g[i])) AS DOUBLE) / 16.0
-            AS est_jaccard
-        FROM cand
-        JOIN sig sa ON sa.doc_id = id_a
-        JOIN sig sb ON sb.doc_id = id_b
+        SELECT id_a, id_b, est_jaccard, jaccard
+        FROM verified WHERE jaccard >= 0.5
         """,
         "doc_embed_cosine_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -3798,6 +3792,53 @@ def oracle_sql() -> dict[str, str]:
         FROM g WHERE gap_end_s - gap_start_s > 1800
         """,
     }
+
+
+def _minhash_md5_cte() -> str:
+    """Shared MinHash-LSH (md5 family) oracle pipeline: shingles →
+    signatures → banding → capped bucket join → candidate pairs →
+    signature-agreement estimate, ending after the `est` CTE so callers
+    append either the plain candidate select (`doc_minhash_lsh_md5`)
+    or the exact-Jaccard verify chain (`doc_lsh_verified`)."""
+    return r"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(0, greatest(len(tk) - 3, 0)),
+            i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')
+          )) AS s
+          FROM toks
+        ), sig AS (
+          SELECT doc_id, list_transform(
+            generate_series(0, 15),
+            k -> list_min(list_transform(s, x -> md5(x || ':' || k)))
+          ) AS g
+          FROM sh
+        ), banded AS (
+          SELECT doc_id, b,
+            md5(g[b*4+1] || ',' || g[b*4+2] || ',' || g[b*4+3] || ',' || g[b*4+4] || ',' || b) AS bucket
+          FROM sig, UNNEST([0, 1, 2, 3]) AS t(b)
+        ), ok AS (
+          -- degenerate-bucket cap (max_bucket_size=500), matching
+          -- _cap_buckets in operators/dedup.py
+          SELECT b, bucket FROM banded GROUP BY b, bucket HAVING COUNT(*) <= 500
+        ), capped AS (
+          SELECT banded.* FROM banded JOIN ok USING (b, bucket)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM capped a JOIN capped c ON a.b = c.b AND a.bucket = c.bucket
+          WHERE a.doc_id < c.doc_id
+        ), est AS (
+          SELECT id_a, id_b,
+            CAST(len(list_filter(generate_series(1, 16), i -> sa.g[i] = sb.g[i])) AS DOUBLE) / 16.0
+              AS est_jaccard
+          FROM cand
+          JOIN sig sa ON sa.doc_id = id_a
+          JOIN sig sb ON sb.doc_id = id_b
+        )
+    """
 
 
 def _pq_oracle_cte() -> str:

@@ -1614,3 +1614,30 @@ class TestKmvMerge:
         assert (whole["kth_hash"], whole["kmv_est"]) == (
             merged["kth_hash"], merged["kmv_est"]
         )
+
+
+class TestLshVerified:
+    def test_verify_confirms_and_threshold_filters(self, spark):
+        from unitdb_spark.operators.dedup import lsh_verified_pairs
+
+        base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30))
+        near = base.replace("alpha3", "replaced3")  # one token differs
+        rows = [
+            (1, base),
+            (2, near),
+            (3, " ".join(f"zeta{i} eta{i}" for i in range(40))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = lsh_verified_pairs(
+            df, num_hashes=16, bands=4, threshold=0.5, hash_family="md5"
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+        (r,) = got
+        # exact jaccard is high but < 1 (three 3-gram shingles changed)
+        assert 0.8 < r["jaccard"] < 1.0
+        # a threshold above the true similarity filters the pair out:
+        # the verify stage gates on EXACT jaccard, not the estimate
+        none = lsh_verified_pairs(
+            df, num_hashes=16, bands=4, threshold=0.999, hash_family="md5"
+        ).collect()
+        assert none == []

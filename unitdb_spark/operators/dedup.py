@@ -348,6 +348,52 @@ def minhash_lsh_pairs_md5(
     return _lsh_pairs_from(sig, _cap_buckets(banded, max_bucket_size), num_hashes)
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 500,
+    threshold: float = 0.5,
+    hash_family: str = "md5",
+    persist: str = "memory",
+) -> DataFrame:
+    """The full candidate→verify near-dup pipeline: LSH candidates
+    (banded bucket join) confirmed by the EXACT Jaccard over distinct
+    shingle sets, thresholded.
+
+    This is the production composition the signature estimate alone
+    doesn't give you: ``est_jaccard`` from signature agreement is a
+    k-sample estimate (variance ~ J(1−J)/k); the verify stage joins the
+    candidate ids back to the docs and computes the true
+    |A∩B| / |A∪B| — touching ONLY candidate pairs, never the n² space,
+    so the expensive exactness is bounded by what LSH surfaced.
+    Output: (id_a, id_b, est_jaccard, jaccard) with jaccard >= threshold.
+    """
+    pairs_fn = minhash_lsh_pairs_md5 if hash_family == "md5" else minhash_lsh_pairs
+    cand = pairs_fn(
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        max_bucket_size=max_bucket_size, persist=persist,
+    )
+    sets = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(text_col, shingle_n).alias("_sh"),  # already distinct
+    )
+    a = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", "est_jaccard", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
 def lsh_overflow_report(
     df: DataFrame,
     text_col: str = "text",
