@@ -1101,6 +1101,54 @@ def q_streamed_kv_state(spark, sf_dir):
     )
 
 
+def q_streamed_sessions(spark, sf_dir):
+    """Driver-checkable twin of STREAMING sessionization: events split
+    at the midpoint timestamp replay as two in-order micro-batch runs
+    (second run continues the first's checkpoint) through the stateful
+    sessionizer; the collected CLOSED sessions are returned. Oracle =
+    batch gaps-and-islands sessionization minus each user's final
+    (still-open) session — the append-mode invariant, exact."""
+    import tempfile
+
+    from unitdb_spark.streaming.state import streaming_sessionize
+
+    spark = _pin_utc(spark)
+    base = tempfile.mkdtemp(prefix="sess_twin_")
+    src, cp, out = f"{base}/src", f"{base}/cp", f"{base}/out"
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id")
+    lo, hi = ev.agg(
+        F.unix_timestamp(F.min("ts")), F.unix_timestamp(F.max("ts"))
+    ).collect()[0]
+    mid = F.timestamp_seconds(F.lit((int(lo) + int(hi)) // 2))
+
+    def run(batch_df):
+        batch_df.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            streaming_sessionize(
+                spark.readStream.schema(batch_df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                key_col="user_id",
+                gap_seconds=1800,
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+                if not df.isEmpty() else None
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run(ev.filter(F.col("ts") < mid))
+    run(ev.filter(F.col("ts") >= mid))
+    return spark.read.parquet(out).select(
+        F.col("key").alias("user_id"), "session_id", "n_events",
+        "start_us", "end_us",
+    )
+
+
 def q_doc_lsh_verified(spark, sf_dir):
     """Candidate→verify near-dup pipeline: MinHash-LSH candidates
     confirmed by the EXACT Jaccard over shingle sets — exactness is
@@ -2276,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_histogram": q_events_histogram,
         "events_heatmap": q_events_heatmap,
         "doc_lsh_verified": q_doc_lsh_verified,
+        "streamed_sessions": q_streamed_sessions,
     }
 
 
@@ -2786,6 +2835,30 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute_s,
           MIN(event_id) AS keep_id, COUNT(*) AS n_dups
         FROM events GROUP BY 1, 2, 3
+        """,
+        "streamed_sessions": """
+        -- batch gaps-and-islands minus each user's final (still-open)
+        -- session == the streaming sessionizer's closed-session output
+        WITH marked AS (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+            CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM marked
+        ), agg AS (
+          SELECT user_id, session_id, COUNT(*) AS n_events,
+            epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+          FROM sess GROUP BY user_id, session_id
+        )
+        SELECT user_id, session_id, n_events, start_us, end_us
+        FROM agg
+        WHERE session_id < (SELECT MAX(session_id) FROM agg a2
+                            WHERE a2.user_id = agg.user_id)
         """,
         "events_percentiles": """
         SELECT event_type,
