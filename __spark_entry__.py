@@ -1101,6 +1101,18 @@ def q_streamed_kv_state(spark, sf_dir):
     )
 
 
+def q_events_ewma(spark, sf_dir):
+    """Trailing EWMA (α=1/2, last 8 obs) per event_type: dyadic weights
+    keep every term and partial sum an exact double-integer, so the
+    float is engine-exact with no pinned fold order (see
+    operators.timeseries.trailing_ewma)."""
+    from unitdb_spark.operators.timeseries import trailing_ewma
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    out = trailing_ewma(ev, ["event_type"], ["ts", "event_id"], "value", n=8)
+    return out.select("event_id", "event_type", "ewma_n", "ewma_r")
+
+
 def q_streamed_sessions(spark, sf_dir):
     """Driver-checkable twin of STREAMING sessionization: events split
     at the midpoint timestamp replay as two in-order micro-batch runs
@@ -2325,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heatmap": q_events_heatmap,
         "doc_lsh_verified": q_doc_lsh_verified,
         "streamed_sessions": q_streamed_sessions,
+        "events_ewma": q_events_ewma,
     }
 
 
@@ -2835,6 +2848,30 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute_s,
           MIN(event_id) AS keep_id, COUNT(*) AS n_dups
         FROM events GROUP BY 1, 2, 3
+        """,
+        "events_ewma": """
+        -- dyadic-weight EWMA: terms and partial sums are exact double
+        -- integers, so the SUM order is immaterial; one pinned
+        -- division pair at the end (matches trailing_ewma exactly)
+        WITH src AS (
+          SELECT event_id, event_type, ts,
+            CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS sv
+          FROM events WHERE user_id < 50
+        ), l AS (
+          SELECT event_id, event_type,
+            list(sv) FILTER (WHERE sv IS NOT NULL) OVER (
+              PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+          FROM src
+        )
+        SELECT event_id, event_type,
+          CAST(len(vals) AS INT) AS ewma_n,
+          CASE WHEN len(vals) > 0 THEN
+            round((list_sum(list_transform(generate_series(1, len(vals)),
+                     j -> CAST(vals[j] AS DOUBLE) * power(2, j - 1)))
+                   / (power(2, len(vals)) - 1)) / 1000000.0, 6)
+          END AS ewma_r
+        FROM l
         """,
         "streamed_sessions": """
         -- batch gaps-and-islands minus each user's final (still-open)

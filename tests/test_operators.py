@@ -1641,3 +1641,44 @@ class TestLshVerified:
             df, num_hashes=16, bands=4, threshold=0.999, hash_family="md5"
         ).collect()
         assert none == []
+
+
+class TestTrailingEwma:
+    def test_matches_python_model_and_handles_nulls(self, spark):
+        from unitdb_spark.operators.timeseries import trailing_ewma
+
+        vals = [1.0, 2.0, None, 4.0, 0.5, 8.0, None, 1.25]
+        rows = [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), "k", v)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        got = {
+            r["event_id"]: (r["ewma_n"], r["ewma_r"])
+            for r in trailing_ewma(
+                df, ["event_type"], ["ts", "event_id"], n=4
+            ).collect()
+        }
+        # model: newest-weighted dyadic average over last-4-rows frame,
+        # NULLs contribute neither weight nor slot value
+        for eid in range(len(vals)):
+            frame = [v for v in vals[max(0, eid - 3):eid + 1] if v is not None]
+            m = len(frame)
+            want = round(
+                sum(v * 2 ** j for j, v in enumerate(frame)) / (2 ** m - 1), 6
+            ) if m else None
+            assert got[eid] == (m, want), f"event {eid}"
+
+    def test_n_cap_is_enforced(self, spark):
+        import pytest as _pytest
+
+        from unitdb_spark.operators.timeseries import trailing_ewma
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), "k", 1.0)],
+            "event_id long, ts timestamp, event_type string, value double",
+        )
+        with _pytest.raises(ValueError, match="envelope"):
+            trailing_ewma(df, ["event_type"], ["ts"], n=21)

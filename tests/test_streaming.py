@@ -668,6 +668,37 @@ class TestCommitLog:
         assert not fs.exists(spark, f"{root}/_applied/gen-old")
 
 
+class TestCompactWithStreaming:
+    def test_compact_between_ingest_runs_preserves_everything(
+        self, spark, events_dir, tmp_path
+    ):
+        """The real compaction lifecycle: streaming ingest fragments
+        partitions (one file per micro-batch), compact() bin-packs them
+        under its lease, a later ingest run appends more — no rows
+        lost, no duplicates, queries unchanged."""
+        from unitdb_spark import fs
+        from unitdb_spark.engine import Engine
+
+        store = str(tmp_path / "cstore")
+        table = store + "/messages"
+        ckpt = str(tmp_path / "cckpt")
+        q = ingest_stream(entries_stream(spark, events_dir), table, ckpt)
+        q.awaitTermination(120)
+        eng = Engine(spark, store)
+        before = eng.count(now=0)  # TTL clock before any expiry
+        report = eng.compact(min_files=2, target_file_bytes=256 << 20)
+        assert report, "micro-batch appends should leave compactable partitions"
+        assert not fs.exists(spark, eng.table.lease_path)  # released
+        assert eng.count(now=0) == before
+        # post-compact ingest still works (lease released) and lands
+        eng.put(b"post.compact".decode(), b"tail")
+        eng.flush()
+        assert eng.count(now=0) == before + 1
+        # recovery dir left no debris inside the table
+        names = [n for n, _, _ in fs.list_status(spark, table)]
+        assert all(n.startswith("contract=") or n.startswith("_") for n in names)
+
+
 class TestStreamingSessionize:
     def test_closed_sessions_match_batch_across_batches(self, spark, tmp_path):
         """Two in-order micro-batches (second run continues the first's

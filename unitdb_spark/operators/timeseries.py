@@ -113,6 +113,54 @@ def trailing_zscore(
     )
 
 
+def trailing_ewma(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str = "value",
+    n: int = 8,
+) -> DataFrame:
+    """Trailing exponentially-weighted moving average (α = 1/2) over
+    the last ``n`` observations per key — the smoothing half of the
+    anomaly pair (``trailing_zscore`` flags, this smooths).
+
+    Exactness without a pinned fold order: with α = 1/2 the weights
+    are powers of two, so every term (micro-unit-scaled value × 2^i)
+    and every partial sum is an integer exactly representable in a
+    double as long as Σ|v|·10⁶·2^(m−1) stays under 2⁵³ — integer
+    addition in doubles is then EXACT and order-free (unlike general
+    float accumulation), and the only rounding is the final pinned
+    division pair:
+
+        ewma = (Σ scaled_j · 2^(j−1)) / (2^m − 1) / 10⁶
+
+    which any SQL engine reproduces bit-for-bit. The envelope holds
+    for |value| < 2⁵³ / (10⁶ · 2ⁿ · n) — ≈ 4.4·10⁶ at the default
+    n = 8; ``n`` is capped at 20 (envelope ≈ 430) to keep the claim
+    honest. NULL values drop out of the frame list (no weight, no
+    slot). One window shuffle+sort per key.
+    """
+    if n > 20:
+        raise ValueError("n > 20 shrinks the exact-integer envelope below usefulness")
+    win = Window.partitionBy(*keys).orderBy(*order_cols).rowsBetween(-(n - 1), 0)
+    # frame-ordered micro-unit values, oldest first / newest last
+    # (collect_list skips NULLs on both engines' FILTERed twin)
+    vals = F.collect_list(
+        (F.col(value_col).cast(_DEC) * F.lit(1_000_000)).cast("long")
+    ).over(win)
+    m = F.size(vals)
+    num = F.aggregate(
+        F.transform(
+            vals, lambda x, i: x.cast("double") * F.pow(F.lit(2.0), i)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.pow(F.lit(2.0), m) - F.lit(1.0)
+    ewma = F.when(m > 0, (num / denom) / F.lit(1_000_000.0))
+    return df.withColumn("ewma_n", m).withColumn("ewma_r", F.round(ewma, 6))
+
+
 def silence_gaps(
     df: DataFrame,
     keys: list[str],
