@@ -403,6 +403,61 @@ class TestCompact:
             eng.destroy()
 
 
+class TestVacuum:
+    def test_vacuum_applies_tombstones_physically_and_retires_them(
+        self, spark, tmp_path
+    ):
+        from unitdb_spark import fs
+        from unitdb_spark.engine import Engine
+
+        eng = Engine.open(spark, str(tmp_path / "vac"))
+        try:
+            seqs = []
+            for i in range(4):
+                seqs.append(eng.put_entry(Entry("v.t", b"d%d" % i), ts=T0 + i))
+            # second partition (next day)
+            seqs.append(eng.put_entry(Entry("v.t", b"other-day"), ts=T0 + 90_000))
+            eng.flush()
+            eng.delete(seqs[1])
+            eng.delete(seqs[4])
+            before = eng.get("v.t", now=T0 + 100_000)
+            assert len(before) == 3  # tombstones already applied at read
+            report = eng.vacuum()
+            assert sum(report.values()) == 2 and len(report) == 2
+            # tombstone set retired; reads unchanged; lease released
+            assert not fs.has_files(spark, eng.tombstones_path)
+            assert not fs.exists(spark, eng.table.lease_path)
+            assert eng.get("v.t", now=T0 + 100_000) == before
+            # rows are PHYSICALLY gone (raw read, no anti-join)
+            raw = {r["seq"] for r in eng.table.read().select("seq").collect()}
+            assert raw == set(seqs) - {seqs[1], seqs[4]}
+            # re-runnable no-op, and appends still work
+            assert eng.vacuum() == {}
+            eng.put_entry(Entry("v.t", b"after"), ts=T0 + 5)
+            eng.flush()
+            assert len(eng.get("v.t", now=T0 + 100_000)) == 4
+        finally:
+            eng.destroy()
+
+    def test_vacuum_with_nonexistent_seq_tombstone(self, spark, tmp_path):
+        """A tombstone for a seq no partition holds (deleted before
+        flush, or double-deleted after a previous vacuum) must retire
+        without rewriting anything."""
+        from unitdb_spark import fs
+        from unitdb_spark.engine import Engine
+
+        eng = Engine.open(spark, str(tmp_path / "vac2"))
+        try:
+            eng.put_entry(Entry("v.t", b"keep"), ts=T0)
+            eng.flush()
+            eng.delete(10_000_000)  # matches nothing
+            assert eng.vacuum() == {}
+            assert not fs.has_files(spark, eng.tombstones_path)
+            assert eng.get("v.t", now=T0 + 10) == [b"keep"]
+        finally:
+            eng.destroy()
+
+
 class TestGetResultCap:
     def test_oversized_result_aborts_before_buffering(self, spark, tmp_path):
         """limit × payload products past the cap must raise mid-fetch,

@@ -416,32 +416,133 @@ class Engine:
             }
         return out
 
+    def _acquire_table_lease(self, lease_ttl_s: int = 3600) -> str:
+        """Take the single-writer table lease (atomic create-if-absent;
+        a lease older than the TTL is presumed crashed and broken).
+        Callers flush() BEFORE acquiring — appends check the lease."""
+        import time as _time
+
+        lease = self.table.lease_path
+        if not fs.create_new(self.spark, lease):
+            age_ms = fs.mtime(self.spark, lease)
+            if age_ms is not None and (_time.time() * 1000 - age_ms) < lease_ttl_s * 1000:
+                raise RuntimeError(
+                    f"another maintenance job holds the lease at {lease}; "
+                    "retry after it finishes (or after the 1h lease TTL)"
+                )
+            fs.delete(self.spark, lease)  # stale: previous holder crashed
+            if not fs.create_new(self.spark, lease):
+                raise RuntimeError(f"lost the race re-acquiring the lease at {lease}")
+        return lease
+
     def purge_expired(self, now: float | None = None) -> None:
         """Background expirer parity (expiry_window.go:28-148): rewrite
         the table dropping dead rows. At scale this is the compaction /
         retention job; on Parquet we rewrite partitions.
 
-        Crash-safe swap: the rewrite lands in a fresh staging dir
-        (stale staging from a failed prior run is discarded first, so
-        it can never be appended into twice), then live -> trash and
-        staging -> live. The only loss window is between the two
-        renames (ms); a crash there leaves the completed rewrite in
-        staging for manual promotion rather than silently reusing seqs
-        against old tombstones."""
+        Single-writer (same table lease as compact/vacuum — a
+        micro-batch landing between the full-table read and the swap
+        would vanish with the trash dir otherwise). Crash-safe swap:
+        the rewrite lands in a fresh staging dir (stale staging from a
+        failed prior run is discarded first, so it can never be
+        appended into twice), then live -> trash and staging -> live.
+        The only loss window is between the two renames (ms); a crash
+        there leaves the completed rewrite in staging for manual
+        promotion rather than silently reusing seqs against old
+        tombstones."""
         if not self.table.exists():
             return
-        now_dt = dt.datetime.fromtimestamp(now or time.time(), dt.timezone.utc).replace(tzinfo=None)
-        df = self.table.read().filter(ttl_live_expr(F.lit(now_dt))).select(
-            [f.name for f in MESSAGES_SCHEMA.fields]
+        self.flush()
+        lease = self._acquire_table_lease()
+        try:
+            now_dt = dt.datetime.fromtimestamp(now or time.time(), dt.timezone.utc).replace(tzinfo=None)
+            df = self.table.read().filter(ttl_live_expr(F.lit(now_dt))).select(
+                [f.name for f in MESSAGES_SCHEMA.fields]
+            )
+            tmp = str(Path(self.path) / ".compact")
+            trash = str(Path(self.path) / ".compact-old")
+            fs.delete(self.spark, tmp)  # stale staging from a crash
+            fs.delete(self.spark, trash)
+            # the staging table's OWN lease path is distinct, so the
+            # staging append is not blocked by the lease we hold
+            MessagesTable(self.spark, tmp).append(df)
+            fs.rename(self.spark, self.table.path, trash)
+            fs.rename(self.spark, tmp, self.table.path)
+            fs.delete(self.spark, trash)
+        finally:
+            fs.delete(self.spark, lease)
+
+    def vacuum(self) -> dict[str, int]:
+        """Physically apply delete tombstones, then drop them — the
+        free-block reclaim half of Delete (reference: deletes release
+        blocks to the lease/free lists for reuse, leasing.go +
+        db_internal.go:143; here tombstoned rows leave the Parquet
+        files and the read path's anti-join shrinks to nothing).
+
+        Selective like compact(): one stats aggregate finds the
+        partitions whose seq range intersects a tombstoned seq —
+        deletes are rare, so the rewrite cost tracks deleted data, not
+        table size. Single-writer via the shared table lease;
+        stage → trash → promote per partition with the same
+        ``_recover_compact`` coverage; re-runnable — a crash leaves
+        the tombstone set in place, so reads stay correct either way.
+        Returns {partition_dir: rows_removed}.
+        """
+        report: dict[str, int] = {}
+        self.flush()
+        tombs = self._tombstones_df()
+        if tombs is None or not self.table.exists():
+            return report
+        tomb_seqs = sorted({int(r[0]) for r in tombs.select("seq").collect()})
+        if not tomb_seqs:
+            return report
+        ranges = (
+            self.table.read()
+            .groupBy("contract", "p_date")
+            .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"))
+            .collect()
         )
-        tmp = str(Path(self.path) / ".compact")
-        trash = str(Path(self.path) / ".compact-old")
-        fs.delete(self.spark, tmp)  # stale staging from a crash
-        fs.delete(self.spark, trash)
-        MessagesTable(self.spark, tmp).append(df)
-        fs.rename(self.spark, self.table.path, trash)
-        fs.rename(self.spark, tmp, self.table.path)
-        fs.delete(self.spark, trash)
+        affected = [
+            (r["contract"], r["p_date"])
+            for r in ranges
+            if any(r["lo"] <= s <= r["hi"] for s in tomb_seqs)
+        ]
+        lease = self._acquire_table_lease()
+        try:
+            root = self.table.path
+            data_schema = T.StructType([
+                f for f in MessagesTable._full_schema().fields
+                if f.name not in ("contract", "p_date")
+            ])
+            stage_root = str(Path(self.path) / ".compact-part")
+            for contract, p_date in affected:
+                part = f"contract={contract}/p_date={p_date}"
+                ppath = f"{root}/{part}"
+                pdf = self.spark.read.schema(data_schema).parquet(ppath)
+                removed = pdf.filter(F.col("seq").isin(tomb_seqs)).count()
+                if not removed:
+                    continue
+                kept = (
+                    pdf.filter(~F.col("seq").isin(tomb_seqs))
+                    .sortWithinPartitions("seq")
+                )
+                tmp = f"{stage_root}/stage/{part}"
+                trash = f"{stage_root}/trash/{part}"
+                fs.delete(self.spark, tmp)
+                fs.delete(self.spark, trash)
+                kept.write.parquet(tmp)
+                fs.mkdirs(self.spark, str(Path(trash).parent))
+                fs.rename(self.spark, ppath, trash)
+                fs.rename(self.spark, tmp, ppath)
+                fs.delete(self.spark, trash)
+                report[part] = removed
+            # every tombstoned seq is now physically absent (rewritten
+            # above, or never present in any partition's range) — the
+            # whole set retires at once
+            fs.delete(self.spark, self.tombstones_path)
+        finally:
+            fs.delete(self.spark, lease)
+        return report
 
     def compact(
         self,
