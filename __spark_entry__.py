@@ -1724,6 +1724,31 @@ def q_multimodal_meta(spark, sf_dir):
     return extract_media_meta(media)
 
 
+def q_media_audio_chunks(spark, sf_dir):
+    """Audio chunking plan over REAL parsed WAV metadata: 0.2s windows
+    per recording, last window clipped to the parsed duration — the
+    decode/ASR work list, generated JVM-side (sequence/explode). The
+    oracle replays duration from the closed-form WAV parameters."""
+    from unitdb_spark.functions.multimodal import audio_chunk_plan
+
+    meta = extract_media_meta(synthetic_media(_docs(spark, sf_dir)))
+    out = audio_chunk_plan(meta, chunk_s=0.2)
+    return out.select(
+        "id", "chunk_idx",
+        F.round("start_s", 6).alias("start_s"),
+        F.round("end_s", 6).alias("end_s"),
+    )
+
+
+def q_media_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan over REAL parsed MP4 metadata (stsz
+    frame counts): one row per 30th frame — the decode work list."""
+    from unitdb_spark.functions.multimodal import frame_sample_plan
+
+    meta = extract_media_meta(synthetic_media(_docs(spark, sf_dir)))
+    return frame_sample_plan(meta, every_n=30)
+
+
 def q_doc_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 == 0 act as the
     held-out benchmark; every doc is scored by its share of word
@@ -2338,6 +2363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lsh_verified": q_doc_lsh_verified,
         "streamed_sessions": q_streamed_sessions,
         "events_ewma": q_events_ewma,
+        "media_audio_chunks": q_media_audio_chunks,
+        "media_frame_plan": q_media_frame_plan,
     }
 
 
@@ -2848,6 +2875,33 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute_s,
           MIN(event_id) AS keep_id, COUNT(*) AS n_dups
         FROM events GROUP BY 1, 2, 3
+        """,
+        "media_audio_chunks": """
+        -- replay the parsed WAV duration from the closed-form build
+        -- parameters, then the same window arithmetic as the plan
+        WITH m AS (
+          SELECT doc_id AS id, doc_id AS d FROM documents WHERE doc_id % 5 = 3
+        ), p AS (
+          SELECT id,
+            CAST(2 * (d % 4000 + 100) AS DOUBLE)
+              / CAST(2 * (([8000, 16000, 44100])[CAST(d % 3 AS INT) + 1]) AS DOUBLE)
+              AS dur
+          FROM m
+        ), c AS (
+          SELECT id, dur, greatest(CAST(ceil(dur / 0.2) AS INT), 1) AS nch FROM p
+        )
+        SELECT id, CAST(u.i AS INT) AS chunk_idx,
+          round(u.i * 0.2, 6) AS start_s,
+          round(least((u.i + 1) * 0.2, dur), 6) AS end_s
+        FROM c, UNNEST(generate_series(0, nch - 1)) AS u(i)
+        """,
+        "media_frame_plan": """
+        WITH m AS (
+          SELECT doc_id AS id, doc_id % 300 + 1 AS nf
+          FROM documents WHERE doc_id % 5 = 4
+        )
+        SELECT id, CAST(u.i AS INT) AS frame_idx
+        FROM m, UNNEST(generate_series(0, nf - 1, 30)) AS u(i)
         """,
         "events_ewma": """
         -- dyadic-weight EWMA: terms and partial sums are exact double
