@@ -162,3 +162,36 @@ def test_winnow_matches_python_model(spark, words):
         for r in winnow_fingerprints(df, k=3, w=4).collect()
     }
     assert got == _winnow_model([w.lower() for w in words], 3, 4)
+
+
+# ------------------------------------------- symmetric wildcard match
+
+_level = st.sampled_from(["a", "b", "c", "*"])
+_topic = st.tuples(
+    st.lists(_level, min_size=1, max_size=4),
+    st.booleans(),  # trailing '...'
+).map(lambda t: ".".join(t[0]) + ("..." if t[1] else ""))
+
+
+@given(st.lists(_topic, min_size=1, max_size=12, unique=True), _topic)
+@settings(max_examples=15, deadline=None)
+def test_topic_match_expr_equals_python_matcher(spark, stored, query):
+    """The Column-expression wildcard matcher (operators.topic_match,
+    what every Get compiles to) must agree with the pure-Python
+    semantics model (core.topic.topic_match) on random stored/query
+    topic combinations — both directions of the symmetric match,
+    tails, and '*' levels included."""
+    from unitdb_spark.core.topic import topic_match
+    from unitdb_spark.operators.topic_match import topic_match_expr
+    from unitdb_spark.table import with_topic_columns
+
+    from pyspark.sql import functions as F
+
+    df = with_topic_columns(
+        spark.createDataFrame([(t,) for t in stored], "topic string")
+    )
+    got = {
+        r["topic"] for r in df.filter(topic_match_expr(query)).collect()
+    }
+    want = {t for t in stored if topic_match(t, query)}
+    assert got == want, f"query={query!r}"
