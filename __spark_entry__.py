@@ -1724,6 +1724,54 @@ def q_multimodal_meta(spark, sf_dir):
     return extract_media_meta(media)
 
 
+def q_doc_pipeline(spark, sf_dir):
+    """The composed LLM training-data prep pipeline as ONE declarative
+    plan: C4 page rules (raw text) → language gate (en) → quality
+    floor (≥ 0.8) → exact-dup keeper (min doc_id per content md5) →
+    benchmark decontamination (3-gram overlap < 0.5, benchmark docs
+    themselves excluded). Every stage is an already-oracled operator;
+    this query's oracle composes the same CTEs, so the driver checks
+    the STAGE INTERACTIONS (filter order, join semantics), not each
+    stage in isolation. One plan, Catalyst-fused: the filters all run
+    in one scan stage; dedup and decontam add their own exchanges."""
+    from unitdb_spark.operators.decontam import decontaminate
+
+    d = _docs(spark, sf_dir)
+    rules = TXT.c4_rules("text")
+    # r_terminal is excluded: the synthetic corpus never ends with
+    # terminal punctuation (zero-signal gate here; the rule itself
+    # stays driver-checked in doc_c4_filter, which plants violations)
+    c4_keep = (
+        rules["r_min_tokens"] & rules["r_word_len"] & rules["r_lorem"]
+        & rules["r_brace"] & rules["r_policy"]
+    )
+    gated = (
+        d.withColumn("keep_c4", c4_keep)
+        .withColumn("lang", TXT.lang_id("text"))
+        .withColumn("quality", TXT.quality_score("text"))
+        .filter(
+            F.col("keep_c4") & (F.col("lang") == "en") & (F.col("quality") >= 0.8)
+        )
+    )
+    keeper = gated.groupBy(F.md5(F.col("text")).alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = gated.join(keeper.select("doc_id"), "doc_id")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    decon = decontaminate(d, bench, n=3, threshold=0.5).select(
+        F.col("id").alias("doc_id"), "contaminated"
+    )
+    survivors = (
+        kept.join(decon, "doc_id")
+        .filter(~F.col("contaminated") & (F.col("doc_id") % 41 != 0))
+    )
+    return survivors.select(
+        "doc_id",
+        TXT.token_count("text").cast("long").alias("n_tokens"),
+        F.round("quality", 6).alias("quality_r"),
+    )
+
+
 def q_media_audio_chunks(spark, sf_dir):
     """Audio chunking plan over REAL parsed WAV metadata: 0.2s windows
     per recording, last window clipped to the parsed duration — the
@@ -2365,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": q_events_ewma,
         "media_audio_chunks": q_media_audio_chunks,
         "media_frame_plan": q_media_frame_plan,
+        "doc_pipeline": q_doc_pipeline,
     }
 
 
@@ -2875,6 +2924,90 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute_s,
           MIN(event_id) AS keep_id, COUNT(*) AS n_dups
         FROM events GROUP BY 1, 2, 3
+        """,
+        "doc_pipeline": f"""
+        -- composed pipeline: every stage formula is copied verbatim
+        -- from its individually-oracled query (doc_c4_filter on raw
+        -- text, doc_lang, doc_quality, exact-dedup keeper,
+        -- doc_decontaminate), so this checks the stage INTERACTIONS
+        WITH feats AS (
+          SELECT doc_id, text,
+            len({_TOKS}) AS n_tok,
+            -- C4 rules on RAW text
+            len({_TOKS}) >= 5 AS r_min_tokens,
+            len(list_filter({_TOKS}, x -> length(x) > 25)) = 0 AS r_word_len,
+            NOT contains(lower(text), 'lorem ipsum') AS r_lorem,
+            NOT contains(text, '{{') AS r_brace,
+            NOT (contains(lower(text), 'terms of use')
+                 OR contains(lower(text), 'privacy policy')
+                 OR contains(lower(text), 'cookie policy')
+                 OR contains(lower(text), 'uses cookies')) AS r_policy,
+            -- language marker hits
+            len(list_filter({_TOKS}, x -> list_contains(['the','and','of','to','is'], x))) AS h_en,
+            len(list_filter({_TOKS}, x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+            len(list_filter({_TOKS}, x -> list_contains(['le','la','les','et','est'], x))) AS h_fr,
+            len(list_filter({_TOKS}, x -> list_contains(['el','los','las','y','es'], x))) AS h_es,
+            len(list_filter({_TOKS}, x -> list_contains(['的','是','了','在','我'], x))) AS h_zh,
+            -- quality ingredients
+            CAST(len(list_filter({_TOKS}, x -> list_contains(
+              ['the','a','an','and','or','of','to','in','is','are','was','were',
+               'be','been','it','this','that','for','on','with','as','at','by'], x))) AS DOUBLE)
+              / greatest(len({_TOKS}), 1) AS stopword_r,
+            CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) AS punct_r,
+            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) AS digit_r,
+            CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE)
+              / greatest(len({_TOKS}), 1) AS mean_wl
+          FROM documents
+        ), scored AS (
+          SELECT *,
+            CASE WHEN h_zh > greatest(greatest(greatest(greatest(0, h_en), h_de), h_fr), h_es) THEN 'zh'
+                 ELSE CASE WHEN h_es > greatest(greatest(greatest(0, h_en), h_de), h_fr) THEN 'es'
+                 ELSE CASE WHEN h_fr > greatest(greatest(0, h_en), h_de) THEN 'fr'
+                 ELSE CASE WHEN h_de > greatest(0, h_en) THEN 'de'
+                 ELSE CASE WHEN h_en > 0 THEN 'en' ELSE 'und' END END END END END AS lang_pred,
+            least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.3
+              + (CASE WHEN mean_wl >= 3 AND mean_wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+              + least(stopword_r * 4.0, 1.0) * 0.2
+              + greatest(1.0 - punct_r * 5.0, 0.0) * 0.15
+              + greatest(1.0 - digit_r * 5.0, 0.0) * 0.15 AS quality
+          FROM feats
+        ), gate AS (
+          SELECT doc_id, text, n_tok, quality FROM scored
+          WHERE r_min_tokens AND r_word_len AND r_lorem
+            AND r_brace AND r_policy
+            AND lang_pred = 'en' AND quality >= 0.8
+        ), keeper AS (
+          SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM gate GROUP BY 1
+        ), kept AS (
+          SELECT g.* FROM gate g JOIN keeper k USING (doc_id)
+        ), tkk AS (
+          SELECT doc_id, {_TOKS} AS tk FROM documents
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(0, greatest(len(tk) - 3, 0)),
+            i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')
+          )) AS g
+          FROM tkk
+        ), bench AS (
+          SELECT DISTINCT u.gram AS gram
+          FROM sh, unnest(g) AS u(gram) WHERE doc_id % 41 = 0
+        ), ex AS (
+          SELECT doc_id, len(g) AS n_grams, u.gram AS gram
+          FROM sh, unnest(g) AS u(gram)
+        ), contam AS (
+          SELECT e.doc_id, e.n_grams,
+                 CAST(count(b.gram) AS BIGINT) AS n_contaminated
+          FROM ex e LEFT JOIN bench b USING (gram)
+          GROUP BY 1, 2
+        )
+        SELECT k.doc_id, CAST(k.n_tok AS BIGINT) AS n_tokens,
+               round(k.quality, 6) AS quality_r
+        FROM kept k JOIN contam c USING (doc_id)
+        WHERE NOT ((CASE WHEN c.n_grams < 1 THEN 0.0
+                    ELSE CAST(c.n_contaminated AS DOUBLE) / c.n_grams END) >= 0.5)
+          AND k.doc_id % 41 <> 0
         """,
         "media_audio_chunks": """
         -- replay the parsed WAV duration from the closed-form build
@@ -3866,8 +3999,6 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ), r AS (
           SELECT doc_id,
-            len(regexp_extract_all(regexp_replace(text, '\\s+$', ''),
-                                   '[.!?"'']$')) > 0 AS r_terminal,
             len({_TOKS}) >= 5 AS r_min_tokens,
             len(list_filter({_TOKS}, x -> length(x) > 25)) = 0 AS r_word_len,
             NOT contains(lower(text), 'lorem ipsum') AS r_lorem,
