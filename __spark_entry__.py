@@ -1724,6 +1724,30 @@ def q_multimodal_meta(spark, sf_dir):
     return extract_media_meta(media)
 
 
+def q_events_asof_nearest(spark, sf_dir):
+    """Nearest-in-time as-of join (ties → backward): each purchase
+    matched to the user's closest click either side — one shuffle, two
+    sorts over the same exchange. Oracle is a LATERAL argmin with the
+    identical tie order."""
+    from unitdb_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(purchases, clicks, by=["user_id"], direction="nearest")
+    return out.select(
+        "event_id",
+        "user_id",
+        EPOCH("ts"),
+        F.col("click_id_r").alias("click_id"),
+        F.unix_timestamp("matched_ts_r").alias("click_ts_s"),
+    )
+
+
 def q_doc_pipeline(spark, sf_dir):
     """The composed LLM training-data prep pipeline as ONE declarative
     plan: C4 page rules (raw text) → language gate (en) → quality
@@ -2414,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_chunks": q_media_audio_chunks,
         "media_frame_plan": q_media_frame_plan,
         "doc_pipeline": q_doc_pipeline,
+        "events_asof_nearest": q_events_asof_nearest,
     }
 
 
@@ -3100,6 +3125,22 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND c.ts <= p.ts
+        """,
+        "events_asof_nearest": """
+        -- LATERAL argmin over |gap| with the operator's exact tie
+        -- order: closer wins, equal gap -> backward (c.ts <= p.ts)
+        SELECT p.event_id, p.user_id,
+          CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
+          n.click_id,
+          CAST(floor(epoch(n.cts)) AS BIGINT) AS click_ts_s
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN LATERAL (
+          SELECT c.event_id AS click_id, c.ts AS cts
+          FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          ORDER BY abs(epoch(c.ts) - epoch(p.ts)), (c.ts > p.ts)
+          LIMIT 1
+        ) n ON TRUE
         """,
         "events_asof_forward": """
         SELECT cl.event_id, cl.user_id,

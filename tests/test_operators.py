@@ -1682,3 +1682,60 @@ class TestTrailingEwma:
         )
         with _pytest.raises(ValueError, match="envelope"):
             trailing_ewma(df, ["event_type"], ["ts"], n=21)
+
+
+class TestAsofNearest:
+    def test_nearest_picks_closer_side_ties_backward(self, spark):
+        from unitdb_spark.operators.asof import asof_join
+
+        T = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [
+                (1, T + dt.timedelta(seconds=100)),  # back@90 fwd@105 -> fwd
+                (2, T + dt.timedelta(seconds=200)),  # back@190 fwd@210 -> back (tie)
+                (3, T + dt.timedelta(seconds=300)),  # only back@190... -> back
+            ],
+            "lid long, ts timestamp",
+        ).withColumn("user_id", F.lit(7))
+        right = spark.createDataFrame(
+            [
+                (90, T + dt.timedelta(seconds=90)),
+                (105, T + dt.timedelta(seconds=105)),
+                (190, T + dt.timedelta(seconds=190)),
+                (210, T + dt.timedelta(seconds=210)),
+            ],
+            "rid long, ts timestamp",
+        ).withColumn("user_id", F.lit(7))
+        out = {
+            r["lid"]: r["rid_r"]
+            for r in asof_join(
+                left, right, by=["user_id"], direction="nearest"
+            ).collect()
+        }
+        # lid=1: fwd gap 5 < back gap 10; lid=2: tie (10 vs 10) -> back;
+        # lid=3: no forward rows -> backward only
+        assert out == {1: 105, 2: 190, 3: 210}
+
+    def test_tolerance_gates_each_side_before_the_choice(self, spark):
+        from unitdb_spark.operators.asof import asof_join
+
+        T = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, T + dt.timedelta(seconds=100))], "lid long, ts timestamp"
+        ).withColumn("user_id", F.lit(1))
+        right = spark.createDataFrame(
+            [(5, T + dt.timedelta(seconds=5)), (104, T + dt.timedelta(seconds=104))],
+            "rid long, ts timestamp",
+        ).withColumn("user_id", F.lit(1))
+        # backward match (gap 95) is outside tolerance; forward (gap 4) in
+        out = asof_join(
+            left, right, by=["user_id"], direction="nearest",
+            tolerance_seconds=10,
+        ).collect()
+        assert out[0]["rid_r"] == 104
+        # nothing within tolerance -> NULL match
+        none = asof_join(
+            left, right, by=["user_id"], direction="nearest",
+            tolerance_seconds=1,
+        ).collect()
+        assert none[0]["rid_r"] is None and none[0]["matched_ts_r"] is None

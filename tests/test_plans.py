@@ -373,3 +373,13 @@ class TestRound4Plans:
         out = extract_media_meta(synthetic_media(docs))
         assert shuffle_count(out) == 0
         assert not has_python_eval(out)
+
+    def test_doc_pipeline_fused_filters_no_python(self, spark):
+        """The composed prep pipeline: all three gates (C4, lang,
+        quality) fold into scan-side codegen (no Python stage anywhere);
+        exchanges are bounded by the dedup keeper + decontam aggs."""
+        import __spark_entry__ as entry
+
+        out = entry.queries()["doc_pipeline"](spark, "/root/testdata/sf0.001")
+        assert not has_python_eval(out)
+        assert shuffle_count(out) <= 7

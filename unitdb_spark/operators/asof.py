@@ -37,12 +37,19 @@ def asof_join(
 
     ``direction='backward'`` (default): latest right.ts <= left.ts;
     ``direction='forward'``: earliest right.ts >= left.ts (same single
-    window pass, reversed ordering). Output: every left row + matched
-    right columns (suffixed), NULL when nothing matches within
+    window pass, reversed ordering); ``direction='nearest'``: whichever
+    of the two is closer in time, ties to backward — two window passes
+    over ONE exchange (same partition keys, so Catalyst reuses the
+    shuffle and only adds the second sort). Output: every left row +
+    matched right columns (suffixed), NULL when nothing matches within
     tolerance.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, by, ts_col, tolerance_seconds, right_cols, suffix
+        )
     rcols = right_cols or [c for c in right.columns if c not in by and c != ts_col]
 
     lt = left.withColumn("_side", F.lit(1))
@@ -104,6 +111,77 @@ def asof_join(
             *[F.col(c) for c in left.columns if c not in by and c != ts_col],
         )
     return out.withColumnRenamed("_matched_ts", "matched_ts" + suffix)
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    ts_col: str,
+    tolerance_seconds: float | None,
+    right_cols: list[str] | None,
+    suffix: str,
+) -> DataFrame:
+    """Nearest-in-time as-of: per left row the closer of the backward /
+    forward matches (tie → backward). Both matches come from window
+    passes over the SAME union and partitioning — one shuffle, two
+    sorts; tolerance gates each side BEFORE the choice, so a too-far
+    backward match still yields a within-tolerance forward one."""
+    rcols = right_cols or [c for c in right.columns if c not in by and c != ts_col]
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.withColumn("_side", F.lit(0))
+    rrow_type = (
+        "struct<_rts:timestamp,"
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in rcols)
+        + ">"
+    )
+    lcols = [c for c in left.columns if c not in by and c != ts_col]
+    lt2 = lt.select(
+        *by, F.col(ts_col), "_side",
+        F.lit(None).cast(rrow_type).alias("_rrow"),
+        *[F.col(c) for c in lcols],
+    )
+    rt2 = rt.select(
+        *by, F.col(ts_col), "_side",
+        F.struct(F.col(ts_col).alias("_rts"), *[F.col(c) for c in rcols]).alias("_rrow"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    u = lt2.unionByName(rt2)
+    w_b = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_f = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mb = F.last("_rrow", ignorenulls=True).over(w_b)
+    mf = F.last("_rrow", ignorenulls=True).over(w_f)
+    ts_d = F.col(ts_col).cast("double")
+    gap_b = ts_d - mb.getField("_rts").cast("double")
+    gap_f = mf.getField("_rts").cast("double") - ts_d
+    valid_b = mb.isNotNull() & (
+        F.lit(True) if tolerance_seconds is None else gap_b <= tolerance_seconds
+    )
+    valid_f = mf.isNotNull() & (
+        F.lit(True) if tolerance_seconds is None else gap_f <= tolerance_seconds
+    )
+    winner = (
+        F.when(valid_b & (~valid_f | (gap_b <= gap_f)), mb)
+        .when(valid_f, mf)
+        .otherwise(F.lit(None).cast(rrow_type))
+    )
+    filled = u.select(
+        *by,
+        ts_col,
+        "_side",
+        winner.getField("_rts").alias("matched_ts" + suffix),
+        *[winner.getField(c).alias(c + suffix) for c in rcols],
+        *[F.col(c) for c in lcols],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
 
 
 def range_join_bucketed(
