@@ -1724,6 +1724,19 @@ def q_multimodal_meta(spark, sf_dir):
     return extract_media_meta(media)
 
 
+def q_doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via Manku '07 pigeonhole banding: pairs
+    within Hamming distance 3 share one of four 16-bit fingerprint
+    chunks, so candidates meet on (band, chunk) — never all-pairs —
+    and popcount(xor) confirms exactly. md5 hash family, fully
+    SQL-replayable (shared CTE with doc_simhash_md5)."""
+    from unitdb_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _docs(spark, sf_dir), k=3, bands=4, hash_family="md5"
+    )
+
+
 def q_events_asof_nearest(spark, sf_dir):
     """Nearest-in-time as-of join (ties → backward): each purchase
     matched to the user's closest click either side — one shuffle, two
@@ -2439,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_plan": q_media_frame_plan,
         "doc_pipeline": q_doc_pipeline,
         "events_asof_nearest": q_events_asof_nearest,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
     }
 
 
@@ -3496,19 +3510,31 @@ def oracle_sql() -> dict[str, str]:
                AS BIGINT) AS fingerprint
         FROM documents
         """,
-        "doc_simhash_md5": f"""
-        WITH t AS (
-          SELECT doc_id,
-            list_transform(list_distinct({_TOKS}),
-                           x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
-          FROM documents
+        "doc_simhash_md5": _simhash_md5_cte() + """
+        SELECT doc_id, fp AS simhash FROM f
+        """,
+        "doc_simhash_pairs": _simhash_md5_cte() + """
+        , banded AS (
+          -- Manku '07 pigeonhole: distance <= 3 shares >= 1 of 4
+          -- 16-bit chunks; (fp >> s) & 0xFFFF is shift-kind-agnostic
+          SELECT doc_id, u.b AS band, (fp >> (u.b * 16)) & 65535 AS chunk
+          FROM f, UNNEST([0, 1, 2, 3]) AS u(b)
+        ), ok AS (
+          SELECT band, chunk FROM banded
+          GROUP BY 1, 2 HAVING COUNT(*) <= 500
+        ), capped AS (
+          SELECT banded.* FROM banded JOIN ok USING (band, chunk)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM capped a JOIN capped c USING (band, chunk)
+          WHERE a.doc_id < c.doc_id
         )
-        SELECT doc_id,
-          CAST(COALESCE(list_sum(list_transform(generate_series(0, 59), i ->
-            CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> i) & 1)) > len(hs)
-                 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), 0)
-               AS BIGINT) AS simhash
-        FROM t
+        SELECT id_a, id_b,
+          CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
+        FROM cand
+        JOIN f fa ON fa.doc_id = id_a
+        JOIN f fb ON fb.doc_id = id_b
+        WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
         """,
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": """
@@ -4128,6 +4154,27 @@ def oracle_sql() -> dict[str, str]:
         FROM g WHERE gap_end_s - gap_start_s > 1800
         """,
     }
+
+
+def _simhash_md5_cte() -> str:
+    """Shared md5-family SimHash oracle (token hashes → majority bit
+    vote → 64-bit fingerprint as `f(doc_id, fp)`); composed by the
+    fingerprint query and the Hamming-pair query."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+            list_transform(list_distinct({_TOKS}),
+                           x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+          FROM documents
+        ), f AS (
+          SELECT doc_id,
+            CAST(COALESCE(list_sum(list_transform(generate_series(0, 59), i ->
+              CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> i) & 1)) > len(hs)
+                   THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), 0)
+                 AS BIGINT) AS fp
+          FROM t
+        )
+    """
 
 
 def _minhash_md5_cte() -> str:

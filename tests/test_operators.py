@@ -1739,3 +1739,32 @@ class TestAsofNearest:
             tolerance_seconds=1,
         ).collect()
         assert none[0]["rid_r"] is None and none[0]["matched_ts_r"] is None
+
+
+class TestSimhashPairs:
+    def test_near_identical_docs_pair_distant_docs_dont(self, spark):
+        from unitdb_spark.operators.dedup import simhash_pairs
+
+        base = " ".join(f"word{i}tok{i*7%31}" for i in range(80))
+        near = base.replace("word3tok21", "changed3tok21")
+        rows = [
+            (1, base),
+            (2, near),
+            (3, " ".join(f"zq{i}xx{i*13%17}" for i in range(80))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_pairs(df, k=3, bands=4).collect()
+        }
+        assert set(got) == {(1, 2)}
+        assert 0 < got[(1, 2)] <= 3  # one token changed: close, not equal
+
+    def test_band_count_must_cover_distance(self, spark):
+        import pytest as _pytest
+
+        from unitdb_spark.operators.dedup import simhash_pairs
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="guarantee"):
+            simhash_pairs(df, k=4, bands=4)

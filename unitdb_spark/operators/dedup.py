@@ -479,6 +479,83 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 4,
+    hash_family: str = "md5",
+    max_bucket_size: int | None = 500,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``k`` via the
+    pigeonhole banding of Manku et al. (WWW '07, Google's web dedup):
+    split the 64-bit fingerprint into ``bands`` equal chunks — at most
+    ``k`` differing bits can spoil at most ``k`` bands, so any pair
+    within distance k shares AT LEAST one identical band chunk
+    (requires bands ≥ k+1, enforced). Candidates meet on (band, chunk)
+    equality — never all-pairs — then the exact popcount(xor) confirms.
+
+    Portability note: both engines take bits s..s+15 of the signed
+    fingerprint as ``(fp >> s) & 0xFFFF`` — after the mask, arithmetic
+    vs logical shift is immaterial, so the md5 family replays exactly
+    in SQL. Same degenerate-bucket cap as LSH (identical fingerprints
+    are exact_dedup's job).
+
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤ k.
+    """
+    if bands < k + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee distance {k} (needs >= k+1)"
+        )
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    fp_expr = simhash64_md5(text_col) if hash_family == "md5" else simhash64(text_col)
+    fps = df.select(F.col(id_col).alias("_id"), fp_expr.alias("_fp"))
+    # the fingerprint UDF runs once; band explode + both join sides
+    # reuse the cached result (same discipline as the LSH signatures)
+    fps = fps.cache()
+    banded = fps.select(
+        "_id",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("_fp", b * width).bitwiseAND(F.lit(mask))
+                for b in range(bands)
+            ])
+        ).alias("band", "chunk"),
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        bw = Window.partitionBy("band", "chunk")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(bw))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    a = banded.select(F.col("_id").alias("id_a"), "band", "chunk")
+    b = banded.select(F.col("_id").alias("id_b"), "band", "chunk")
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fps.select(F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"))
+    fb = fps.select(F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a", "id_b",
+            hamming64(F.col("fp_a"), F.col("fp_b")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",
