@@ -4066,6 +4066,8 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ), r AS (
           SELECT doc_id,
+            len(regexp_extract_all(regexp_replace(text, '\\s+$', ''),
+                                   '[.!?"'']$')) > 0 AS r_terminal,
             len({_TOKS}) >= 5 AS r_min_tokens,
             len(list_filter({_TOKS}, x -> length(x) > 25)) = 0 AS r_word_len,
             NOT contains(lower(text), 'lorem ipsum') AS r_lorem,
