@@ -1724,6 +1724,22 @@ def q_multimodal_meta(spark, sf_dir):
     return extract_media_meta(media)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ: probed cells bound WHICH vectors score (partition
+    pruning at scale), PQ codes bound WHAT is read (4 B/vector). Both
+    samples md5-deterministic, so the full composition replays in SQL."""
+    from unitdb_spark.operators.pq import ivf_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk(
+        emb, queries, dim=64, k=10, n_cells=8, n_probe=2,
+        m_blocks=4, k_codes=16,
+    )
+
+
 def q_doc_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs via Manku '07 pigeonhole banding: pairs
     within Hamming distance 3 share one of four 16-bit fingerprint
@@ -2453,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pipeline": q_doc_pipeline,
         "events_asof_nearest": q_events_asof_nearest,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
     }
 
 
@@ -4122,6 +4139,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_pq_topk": _pq_oracle_cte() + """
         SELECT query_id, vec_id, score_r, rank FROM ranked WHERE rank <= 10
+        """,
+        "ann_ivfpq_topk": _pq_oracle_cte() + """
+        -- IVF restriction composed onto the PQ coarse scores: the
+        -- probed-cell candidate set filters `scored` before ranking
+        , icents AS (
+          SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id LIMIT 8
+        ), iassigned AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT e.vec_id, c.cent_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(c.cv AS DOUBLE[])) DESC,
+                              c.cent_id) AS rn
+            FROM embeddings e CROSS JOIN icents c)
+          WHERE rn = 1
+        ), iprobes AS (
+          SELECT query_id, cent_id AS cell FROM (
+            SELECT q.query_id, c.cent_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                                     CAST(c.cv AS DOUBLE[])) DESC,
+                              c.cent_id) AS pr
+            FROM q CROSS JOIN icents c)
+          WHERE pr <= 2
+        ), icand AS (
+          SELECT p.query_id, a.vec_id
+          FROM iassigned a JOIN iprobes p ON a.cell = p.cell
+          WHERE a.vec_id <> p.query_id
+        ), iranked AS (
+          SELECT s.query_id, s.vec_id, round(s.score, 6) AS score_r,
+            row_number() OVER (PARTITION BY s.query_id
+                               ORDER BY round(s.score, 6) DESC, s.vec_id) AS rank
+          FROM scored s JOIN icand USING (query_id, vec_id)
+        )
+        SELECT query_id, vec_id, score_r, rank FROM iranked WHERE rank <= 10
         """,
         "ann_pq_rerank": _pq_oracle_cte() + """
         , shortlist AS (

@@ -179,6 +179,86 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_blocks: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ (the FAISS-standard index shape, non-residual variant):
+    IVF cells bound WHICH vectors are scored — each query probes its
+    ``n_probe`` nearest cells — and PQ-ADC bounds WHAT is read to
+    score them (4-byte codes, broadcast LUT). Together: at 100 TB the
+    cell column is the partition key (probe = partition pruning) and
+    the scored representation is the RAM-resident code table, so a
+    query touches n_probe/n_cells of the code table and zero full
+    vectors (follow with ``pq_rerank_topk``'s exact stage if recall
+    demands it).
+
+    Deterministic and SQL-replayable end to end: IVF centroids and PQ
+    codebooks are both md5-ordered corpus samples (seeds ':{seed}' and
+    ':pq{seed}'), ranking is on the round-6 score with vec_id ties.
+    Output: (query_id, vec_id, score_r, rank).
+    """
+    from unitdb_spark.operators.similarity import cosine_expr, ivf_assign
+
+    assigned, cents = ivf_assign(corpus, n_cells, id_col, vec_col, seed)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    qc = q.join(F.broadcast(cents))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine_expr("_qv", "_cent")), F.asc("cent_id")
+    )
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", F.col("cent_id").alias("cell"))
+    )
+    cand = (
+        assigned.select("vec_id", "cell")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    sub_dim = dim // m_blocks
+    cb_plan = pq_codebooks(
+        corpus, dim, m_blocks, k_codes, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    spark = corpus.sparkSession
+    cb = spark.createDataFrame(cb_plan.collect(), cb_plan.schema)
+    codes = pq_assign(corpus, cb, dim, m_blocks, id_col=id_col, vec_col=vec_col)
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m_blocks - 1))).alias("block"),
+        F.col(vec_col).alias("_qvv"),
+    ).select("query_id", "block", _sub("_qvv", "block", sub_dim).alias("_qb"))
+    lut = qb.join(F.broadcast(cb), "block").select(
+        "query_id", "block", "code", _dot(F.col("_qb"), F.col("cvec")).alias("pdot")
+    )
+    scored = (
+        codes.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(lut), ["query_id", "block", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot").alias("score"))
+    )
+    score_r = F.round("score", 6)
+    w = Window.partitionBy("query_id").orderBy(score_r.desc(), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", score_r.alias("score_r"), "rank")
+    )
+
+
 def pq_rerank_topk(
     corpus: DataFrame,
     queries: DataFrame,
