@@ -2314,6 +2314,69 @@ def q_doc_url_stats(spark, sf_dir):
     )
 
 
+# planted Gopher-rule violations (shared verbatim with the oracle SQL:
+# the f-string embeds these literals, real newlines included)
+_GOPHER_BULLETS = "\n- item" * 9
+_GOPHER_ELLIPSIS = "\nto be continued..."
+_GOPHER_HASHES = " " + "#" * 30
+_GOPHER_DIGITS = " " + " ".join(str(i) for i in range(30))
+
+
+def q_doc_gopher_filter(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 appendix A) as
+    one all-integer codegen projection: word-count bounds, mean word
+    length, symbol ratios, bullet/ellipsis line fractions, alpha-word
+    ratio, required stop words. Violations planted deterministically
+    (bullet walls, ellipsis lines, hash runs, digit runs). Complements
+    doc_c4_filter (boilerplate cues) and doc_repetition (the same
+    paper's repetition section)."""
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_GOPHER_BULLETS)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(_GOPHER_ELLIPSIS)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(_GOPHER_HASHES)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0, F.lit(_GOPHER_DIGITS)).otherwise(F.lit("")),
+        ),
+    )
+    rules = TXT.gopher_rules("text")
+    order = ["r_word_count", "r_mean_len", "r_symbols", "r_bullets",
+             "r_ellipsis", "r_alpha", "r_stops", "keep"]
+    return d.select("doc_id", *[rules[k].alias(k) for k in order])
+
+
+def q_embed_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means cells as the blocking
+    structure, near-dup marking only within a cell — the published
+    recipe for semantic dedup at corpus scale. Keep rule is min-id
+    exemplar per ε-ball (engine-portable variant of 'pick one');
+    oracle replays the Lloyd round and the per-cell pair scan in SQL."""
+    from unitdb_spark.operators.semdedup import semdedup
+
+    return semdedup(_emb(spark, sf_dir), k=8, n_iters=1, threshold=0.15)
+
+
+def q_doc_postings(spark, sf_dir):
+    """Impact-ordered inverted-index build (Anh & Moffat): per term
+    with df >= 5, the top-3 postings by tf (ties → ascending doc) —
+    the static index layout behind early-termination retrieval."""
+    from unitdb_spark.operators.tfidf import impact_postings
+
+    return impact_postings(_docs(spark, sf_dir), k=3, min_df=5)
+
+
+def q_doc_bm25(spark, sf_dir):
+    """Okapi BM25 ranked retrieval for a fixed bag-of-words query with
+    rational smooth idf — transcendental-free, so every step replays
+    bit-exactly in SQL; per-term contributions round-6 + DECIMAL-sum
+    (order-free), global top-10 via TakeOrdered (no single-task
+    window)."""
+    from unitdb_spark.operators.tfidf import bm25_search
+
+    return bm25_search(_docs(spark, sf_dir), ["spark", "query", "window"], topk=10)
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2470,6 +2533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_nearest": q_events_asof_nearest,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "doc_gopher_filter": q_doc_gopher_filter,
+        "embed_semdedup": q_embed_semdedup,
+        "doc_postings": q_doc_postings,
+        "doc_bm25": q_doc_bm25,
     }
 
 
@@ -4209,6 +4276,147 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, gap_start_s, gap_end_s,
                gap_end_s - gap_start_s AS gap_s
         FROM g WHERE gap_end_s - gap_start_s > 1800
+        """,
+        # ------------------------------------------- round-4 late additions
+        "doc_gopher_filter": f"""
+        WITH aug AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 7 = 0 THEN '{_GOPHER_BULLETS}' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN '{_GOPHER_ELLIPSIS}' ELSE '' END
+            || CASE WHEN doc_id % 13 = 0 THEN '{_GOPHER_HASHES}' ELSE '' END
+            || CASE WHEN doc_id % 17 = 0 THEN '{_GOPHER_DIGITS}' ELSE '' END
+            AS text
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+            len({_TOKS}) AS n,
+            list_sum(list_transform({_TOKS}, x -> length(x))) AS sum_len,
+            len(list_filter({_TOKS}, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+            len(string_split(text, chr(10))) AS n_lines,
+            len(list_filter(string_split(text, chr(10)),
+                            l -> regexp_matches(l, '^\\s*[-*•]'))) AS n_bullet,
+            len(list_filter(string_split(text, chr(10)),
+                            l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS n_ell_line,
+            length(text) - length(replace(text, '#', '')) AS n_hash,
+            (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+            (CASE WHEN list_contains({_TOKS}, 'the') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains({_TOKS}, 'be') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains({_TOKS}, 'to') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains({_TOKS}, 'of') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains({_TOKS}, 'and') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains({_TOKS}, 'that') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains({_TOKS}, 'have') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains({_TOKS}, 'with') THEN 1 ELSE 0 END) AS n_req
+          FROM aug
+        )
+        SELECT doc_id,
+          (n >= 50 AND n <= 100000) AS r_word_count,
+          (sum_len >= 3 * n AND sum_len <= 10 * n) AS r_mean_len,
+          (10 * n_hash <= n AND 10 * n_ell <= n) AS r_symbols,
+          (10 * n_bullet < 9 * n_lines) AS r_bullets,
+          (10 * n_ell_line < 3 * n_lines) AS r_ellipsis,
+          (5 * n_alpha >= 4 * n) AS r_alpha,
+          (n_req >= 2) AS r_stops,
+          ((n >= 50 AND n <= 100000) AND (sum_len >= 3 * n AND sum_len <= 10 * n)
+           AND (10 * n_hash <= n AND 10 * n_ell <= n)
+           AND (10 * n_bullet < 9 * n_lines) AND (10 * n_ell_line < 3 * n_lines)
+           AND (5 * n_alpha >= 4 * n) AND (n_req >= 2)) AS keep
+        FROM m
+        """,
+        "embed_semdedup": """
+        WITH cents0 AS (
+          SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id LIMIT 8
+        ), a0 AS (
+          SELECT vec_id, embedding, cent_id AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                              c.cent_id) AS rn
+            FROM embeddings e CROSS JOIN cents0 c) WHERE rn = 1
+        ), mm AS (
+          SELECT cell, r.pos AS pos, AVG(CAST(embedding[r.pos + 1] AS DOUBLE)) AS mv
+          FROM a0, range(64) r(pos) GROUP BY cell, r.pos
+        ), cents1 AS (
+          SELECT cell AS cent_id, list(mv ORDER BY pos) AS cv FROM mm GROUP BY cell
+        ), asg AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cent_id AS cell,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                              c.cent_id) AS rn
+            FROM embeddings e CROSS JOIN cents1 c) WHERE rn = 1
+        ), t AS (
+          SELECT e.vec_id, asg.cell, CAST(e.embedding AS DOUBLE[]) AS v
+          FROM embeddings e JOIN asg USING (vec_id)
+        ), p AS (
+          SELECT a.vec_id AS vid,
+                 max(round(list_cosine_similarity(a.v, b.v), 6)) AS max_sim_r,
+                 min(b.vec_id) AS kept_by
+          FROM t a JOIN t b ON a.cell = b.cell AND b.vec_id < a.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.15
+          GROUP BY a.vec_id
+        )
+        SELECT t.vec_id, t.cell, p.vid IS NOT NULL AS is_dup,
+               p.max_sim_r, p.kept_by
+        FROM t LEFT JOIN p ON t.vec_id = p.vid
+        """,
+        "doc_postings": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) >= 5
+        ), ranked AS (
+          SELECT tf.term, tf.doc_id, tf.tf, dfreq.df,
+            row_number() OVER (PARTITION BY tf.term
+                               ORDER BY tf.tf DESC, tf.doc_id ASC) AS rank
+          FROM tf JOIN dfreq USING (term)
+        )
+        SELECT term, doc_id, tf, df, rank FROM ranked WHERE rank <= 3
+        """,
+        "doc_bm25": f"""
+        WITH lens AS (
+          SELECT doc_id, len({_TOKS}) AS dl FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tok
+          WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), st AS (
+          SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM lens
+        ), c AS (
+          -- identical operation order to bm25_search: ((idf * tf*(k1+1))
+          -- / denom), k1+1 computed from the same literals so the
+          -- double is bit-identical
+          SELECT tf.doc_id,
+            round(
+              CAST(st.n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)
+              * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+              / (CAST(tf.tf AS DOUBLE)
+                 + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE) * CAST(lens.dl AS DOUBLE) / st.avgdl)),
+              6) AS c6
+          FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN st
+        ), s AS (
+          SELECT doc_id, COUNT(*) AS n_hit,
+                 SUM(CAST(c6 AS DECIMAL(18,6))) AS sc
+          FROM c GROUP BY doc_id
+        )
+        SELECT doc_id, n_hit, CAST(sc AS DOUBLE) AS score_r, rank FROM (
+          SELECT doc_id, n_hit, sc,
+                 row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS rank
+          FROM s
+        ) WHERE rank <= 10
         """,
     }
 

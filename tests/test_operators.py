@@ -1768,3 +1768,127 @@ class TestSimhashPairs:
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="guarantee"):
             simhash_pairs(df, k=4, bands=4)
+
+
+class TestGopherRules:
+    def _rules(self, spark, texts):
+        from unitdb_spark.functions.text import gopher_rules
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        rules = gopher_rules("text", min_words=5, max_words=100)
+        out = df.select("doc_id", *[v.alias(k) for k, v in rules.items()])
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_each_rule_fires_on_its_violation(self, spark):
+        good = "the quick brown fox jumps over that lazy dog with style and grace"
+        rows = self._rules(
+            spark,
+            [
+                good,
+                "one two",  # too few words
+                good + " " + "#" * 40,  # symbol ratio
+                "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j and the of",  # bullets
+                good + "\nto be continued...\nmore coming...",  # ellipsis lines
+                good + " 11 22 33 44 55 66 77 88 99 00",  # alpha ratio
+                "zq xv qj wk vb nm lp rs tw yu zz qq",  # no required stop words
+            ],
+        )
+        assert rows[0]["keep"] is True
+        assert rows[1]["r_word_count"] is False
+        assert rows[2]["r_symbols"] is False
+        assert rows[3]["r_bullets"] is False
+        assert rows[4]["r_ellipsis"] is False
+        assert rows[5]["r_alpha"] is False
+        assert rows[6]["r_stops"] is False
+
+    def test_mean_word_len_bounds(self, spark):
+        short = " ".join(["a"] * 10) + " the of"  # mean ~1 char
+        long = " ".join(["pneumonoultramicroscopics"] * 10) + " the of"
+        rows = self._rules(spark, [short, long])
+        assert rows[0]["r_mean_len"] is False
+        assert rows[1]["r_mean_len"] is False
+
+
+class TestSemDeDup:
+    def test_identical_vectors_dedup_to_min_id(self, spark):
+        from unitdb_spark.operators.semdedup import semdedup
+
+        # 3 well-separated directions; ids 0/1 identical, 2 near-identical
+        # to them; 10/11 identical on another axis; 20 alone
+        import math
+
+        def v(axis, eps=0.0):
+            base = [0.0] * 8
+            base[axis] = 1.0
+            base[(axis + 1) % 8] = eps
+            n = math.sqrt(sum(x * x for x in base))
+            return [x / n for x in base]
+
+        rows = [
+            (0, v(0)), (1, v(0)), (2, v(0, 0.05)),
+            (10, v(3)), (11, v(3)),
+            (20, v(6)),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semdedup(df, k=3, n_iters=1, threshold=0.9)
+        got = {r["vec_id"]: r.asDict() for r in out.collect()}
+        assert len(got) == 6
+        assert got[0]["is_dup"] is False
+        assert got[1]["is_dup"] and got[1]["kept_by"] == 0
+        assert got[2]["is_dup"] and got[2]["kept_by"] == 0
+        assert got[10]["is_dup"] is False
+        assert got[11]["is_dup"] and got[11]["kept_by"] == 10
+        assert got[20]["is_dup"] is False
+        # identical vectors: rounded cosine is exactly 1.0
+        assert got[1]["max_sim_r"] == 1.0
+
+
+class TestPostingsBm25:
+    def _docs(self, spark):
+        rows = [
+            (1, "spark spark spark window join"),
+            (2, "spark window window query"),
+            (3, "query query query query spark"),
+            (4, "filter scan agg sort merge"),
+            (5, "spark query window filter scan"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_postings_rank_by_tf_then_doc(self, spark):
+        from unitdb_spark.operators.tfidf import impact_postings
+
+        out = impact_postings(self._docs(spark), k=2, min_df=3)
+        rows = [
+            (r["term"], r["doc_id"], r["tf"], r["df"], r["rank"])
+            for r in out.orderBy("term", "rank").collect()
+        ]
+        # terms with df >= 3: spark (4 docs), query (3), window (3)
+        assert ("spark", 1, 3, 4, 1) in rows  # highest tf first
+        assert ("query", 3, 4, 3, 1) in rows
+        # tie on tf=1 breaks by ascending doc_id
+        spark_rank2 = [r for r in rows if r[0] == "spark" and r[4] == 2]
+        assert spark_rank2 == [("spark", 2, 1, 4, 2)]
+        assert all(r[4] <= 2 for r in rows)
+
+    def test_bm25_ranks_heavier_matches_higher(self, spark):
+        from unitdb_spark.operators.tfidf import bm25_search
+
+        out = bm25_search(self._docs(spark), ["spark", "query"], topk=10)
+        rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+        assert 4 not in rows  # no query term
+        # doc 3 (query x4, the rarer term, + spark) ranks first; tf
+        # SATURATION means doc 1's spark x3 does NOT beat doc 5's
+        # two distinct hits (tf/(tf+k1·norm) caps per-term influence)
+        assert rows[3]["rank"] == 1
+        assert rows[5]["rank"] < rows[1]["rank"]
+        assert {rows[d]["n_hit"] for d in (1, 2, 3, 5)} <= {1, 2}
+        assert rows[1]["n_hit"] == 1 and rows[5]["n_hit"] == 2
+
+    def test_bm25_empty_query_raises(self, spark):
+        from unitdb_spark.operators.tfidf import bm25_search
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            bm25_search(self._docs(spark), [])

@@ -217,6 +217,70 @@ def c4_rules(col: Column | str) -> dict[str, Column]:
     return rules
 
 
+# Gopher quality-filter constants (Rae et al. 2021, appendix A —
+# published heuristics; fractions are encoded as integer ratios below
+# so every rule is transcendental- and division-free).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    col: Column | str,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+) -> dict[str, Column]:
+    """The Gopher document-quality rules (Rae et al. 2021 appendix A)
+    as named boolean Columns (True = rule passes) plus the conjunction
+    under 'keep'. Complements ``c4_rules`` (boilerplate/code cues) and
+    ``ngram_repetition`` (the repetition section of the same paper):
+
+    - r_word_count: token count in [min_words, max_words]
+    - r_mean_len:   mean word length in [3, 10] chars
+    - r_symbols:    '#' and '...' each <= 10% of the word count
+    - r_bullets:    < 90% of lines start with a bullet (-, *, •)
+    - r_ellipsis:   < 30% of lines end with '...'
+    - r_alpha:      >= 80% of words contain an alphabetic character
+    - r_stops:      >= 2 distinct required stop words present
+
+    Every ratio is cross-multiplied to integer arithmetic (e.g.
+    ``10*n_bullet < 9*n_lines``), so the whole filter is one codegen
+    projection with no floating point — bit-exact against any SQL
+    oracle by construction.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = _toks(col)
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ell_line = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    # '...' occurrences: leftmost non-overlapping, so the length delta
+    # is always a multiple of 3 and the double division below is exact
+    n_ell = ((F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))) / 3).cast("int")
+    n_req = None
+    for w in GOPHER_REQUIRED_WORDS:
+        hit = F.array_contains(toks, w).cast("int")
+        n_req = hit if n_req is None else (n_req + hit)
+    rules = {
+        "r_word_count": (n >= min_words) & (n <= max_words),
+        "r_mean_len": (sum_len >= 3 * n) & (sum_len <= 10 * n),
+        "r_symbols": (10 * n_hash <= n) & (10 * n_ell <= n),
+        "r_bullets": 10 * n_bullet < 9 * n_lines,
+        "r_ellipsis": 10 * n_ell_line < 3 * n_lines,
+        "r_alpha": 5 * n_alpha >= 4 * n,
+        "r_stops": n_req >= 2,
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    rules["keep"] = keep
+    return rules
+
+
 def scrub_pii(col: Column | str) -> Column:
     """Redact emails and IPv4 addresses with typed placeholders — the
     training-data privacy pass (C4-style scrubbing). Pure

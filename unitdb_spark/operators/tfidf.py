@@ -133,3 +133,118 @@ def token_rarity(
         )
         .select(id_col, "n_tokens", "sum_corpus_tf", "mean_corpus_tf", "min_corpus_tf")
     )
+
+
+def impact_postings(
+    docs: DataFrame,
+    k: int = 3,
+    min_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Impact-ordered inverted-index build: for each term with
+    document frequency >= ``min_df``, the top-``k`` postings by term
+    frequency (ties by ascending doc id) — the static index layout
+    behind early-termination search (Anh & Moffat's impact ordering).
+
+    Shape (100 TB): one explode → (doc, term) partial-agg shuffle,
+    one (term) shuffle for df, and a per-term window on the SAME term
+    key as the df shuffle (AQE reuses the partitioning). The heaviest
+    term's postings rank inside one task, but only after the (doc,
+    term) combine — the raw explode never crosses the wire, so the
+    stopword task holds df rows (corpus docs), not occurrences.
+
+    Output: (term, doc_id, tf, df, rank), rank 1..k.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        tf.join(df_counts, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("term", "doc_id", "tf", "df", "rank")
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    topk: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed bag-of-words query
+    (Robertson & Walker '94; the Okapi formula), with the smooth
+    RATIONAL idf (N+1)/(df+1) — same ranking family, no log, so every
+    arithmetic step is an IEEE-exact multiply/divide that replays
+    bit-identically on any engine.
+
+    contribution(d, t) = idf(t) * tf * (k1+1)
+                         / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Per-term contributions are rounded to 6 decimals and summed as
+    DECIMAL(18,6) (the repo's order-free cross-engine convention), and
+    the final ranking is (score_r DESC, doc_id) — total-ordered.
+
+    Shape (100 TB): doc lengths and the (doc, term) tf for the few
+    query terms are two map-side-combined aggregations over one scan
+    pattern; df and avgdl are tiny (|q| rows / 1 row) and broadcast.
+    The corpus never shuffles on anything wider than doc_id.
+
+    Output: (doc_id, n_hit, score_r, rank), rank 1..topk.
+    """
+    if not query_terms:
+        raise ValueError("bm25_search: query_terms must be non-empty")
+    lens = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(_tokens(text_col)).alias("dl")
+    )
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"))
+    contrib = (
+        tf.join(F.broadcast(df_counts), "term")
+        .join(lens, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "_c",
+            (F.col("n_docs") + 1).cast("double")
+            / (F.col("df") + 1).cast("double")
+            * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(F.round(F.col("_c"), 6).cast("decimal(18,6)")).alias("_s"),
+    )
+    # global top-k via sort+limit (Catalyst's TakeOrderedAndProject —
+    # per-partition heaps, no single-task global window); the rank
+    # window then runs over <= topk rows
+    cut = scored.orderBy(F.desc("_s"), F.asc("doc_id")).limit(topk)
+    w = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    return cut.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_hit", F.col("_s").cast("double").alias("score_r"), "rank"
+    )
