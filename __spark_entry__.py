@@ -2377,6 +2377,25 @@ def q_doc_bm25(spark, sf_dir):
     return bm25_search(_docs(spark, sf_dir), ["spark", "query", "window"], topk=10)
 
 
+def q_events_hist_quantiles(spark, sf_dir):
+    """Approximate P50/P90/P99 by interpolation inside the fixed
+    20-bucket histogram — the engine-portable approx-quantile twin
+    (KLL/t-digest counterpart; the KLL fast path stays in
+    events_approx_stats). Every arithmetic step is a pinned-order IEEE
+    op, so the estimates replay bit-exactly in SQL."""
+    from unitdb_spark.operators.sketch import histogram_quantiles
+
+    return histogram_quantiles(
+        _events(spark, sf_dir),
+        value_col="value",
+        keys=["event_type"],
+        quantiles=[0.5, 0.9, 0.99],
+        lo=0.0,
+        hi=1000.0,
+        n_buckets=20,
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2537,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_semdedup": q_embed_semdedup,
         "doc_postings": q_doc_postings,
         "doc_bm25": q_doc_bm25,
+        "events_hist_quantiles": q_events_hist_quantiles,
     }
 
 
@@ -4417,6 +4437,33 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS rank
           FROM s
         ) WHERE rank <= 10
+        """,
+        "events_hist_quantiles": """
+        WITH h AS (
+          SELECT event_type,
+                 least(greatest(CAST(floor((value - 0.0) / 50.0) AS INT), 0), 19)
+                   AS bucket,
+                 count(*) AS n_b
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), c AS (
+          SELECT event_type, bucket, n_b,
+                 SUM(n_b) OVER (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(n_b) OVER (PARTITION BY event_type) AS n
+          FROM h
+        ), e AS (
+          SELECT event_type, bucket, n_b, cum, cum - n_b AS cum_prev, n,
+                 q.quantile AS quantile,
+                 q.quantile * CAST(n AS DOUBLE) AS target
+          FROM c, (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                  CAST(0.99 AS DOUBLE)]) AS quantile) q
+        )
+        SELECT event_type, quantile, CAST(n AS BIGINT) AS n,
+          round(CAST(0.0 AS DOUBLE) + CAST(bucket AS DOUBLE) * 50.0
+                + (target - CAST(cum_prev AS DOUBLE)) / CAST(n_b AS DOUBLE) * 50.0,
+                6) AS est_r
+        FROM e
+        WHERE CAST(cum_prev AS DOUBLE) < target AND target <= CAST(cum AS DOUBLE)
         """,
     }
 

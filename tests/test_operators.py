@@ -1892,3 +1892,44 @@ class TestPostingsBm25:
 
         with _pytest.raises(ValueError):
             bm25_search(self._docs(spark), [])
+
+
+class TestHistogramQuantiles:
+    def test_interpolation_matches_hand_computation(self, spark):
+        from unitdb_spark.operators.sketch import histogram_quantiles
+
+        # 10 values in one key, buckets of width 50 over [0, 1000)
+        vals = [10.0, 20.0, 30.0, 40.0, 60.0, 70.0, 80.0, 90.0, 110.0, 120.0]
+        df = spark.createDataFrame([("k", v) for v in vals], "key string, value double")
+        out = histogram_quantiles(
+            df, "value", ["key"], [0.5, 0.9], lo=0.0, hi=1000.0, n_buckets=20
+        )
+        got = {r["quantile"]: r["est_r"] for r in out.collect()}
+        # buckets: [0,50)->4, [50,100)->4, [100,150)->2; N=10
+        # q=0.5: target 5 -> bucket 1, est = 50 + (5-4)/4*50 = 62.5
+        assert got[0.5] == 62.5
+        # q=0.9: target 9 -> bucket 2, est = 100 + (9-8)/2*50 = 125.0
+        assert got[0.9] == 125.0
+
+    def test_exact_boundary_lands_in_lower_bucket(self, spark):
+        from unitdb_spark.operators.sketch import histogram_quantiles
+
+        # target == cum of bucket 0 exactly: est stays in bucket 0
+        df = spark.createDataFrame(
+            [("k", 10.0), ("k", 20.0), ("k", 60.0), ("k", 70.0)],
+            "key string, value double",
+        )
+        out = histogram_quantiles(df, "value", ["key"], [0.5], n_buckets=20)
+        [row] = out.collect()
+        # target 2.0 == cum(bucket 0); est = 0 + (2-0)/2*50 = 50.0
+        assert row["est_r"] == 50.0
+
+    def test_validation(self, spark):
+        from unitdb_spark.operators.sketch import histogram_quantiles
+        import pytest as _pytest
+
+        df = spark.createDataFrame([("k", 1.0)], "key string, value double")
+        with _pytest.raises(ValueError):
+            histogram_quantiles(df, "value", ["key"], [])
+        with _pytest.raises(ValueError):
+            histogram_quantiles(df, "value", ["key"], [1.5])

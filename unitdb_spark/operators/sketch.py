@@ -72,3 +72,78 @@ def kmv_distinct(
     return agg.select(
         *keys, "n_kept", "kth_hash", F.round(est, 6).alias("kmv_est")
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    quantiles: list[float],
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Approximate quantiles by linear interpolation inside a
+    fixed-bucket histogram — the engine-portable counterpart of
+    KLL/t-digest (the same estimator a dashboard derives from a
+    histogram panel). Fixed boundaries make the sketch mergeable
+    (bucket counts add) and SQL-replayable; accuracy is bounded by
+    the bucket width, which is the published histogram-sketch
+    trade-off.
+
+    est(q) = bucket_lo + (q·N − cum_prev) / n_bucket · width, taken in
+    the first bucket whose cumulative count reaches q·N. Every step is
+    one IEEE multiply/divide in pinned order — bit-exact across
+    engines; the output is rounded to 6 decimals per repo convention.
+
+    Scale shape: one (keys, bucket) partial-agg shuffle (the histogram
+    — counts combine map-side), then windows over the tiny histogram
+    relation (keys × n_buckets rows), never over events.
+
+    Output: keys + (quantile, n, est_r).
+    """
+    if not quantiles:
+        raise ValueError("histogram_quantiles: need at least one quantile")
+    if not all(0.0 < q < 1.0 for q in quantiles):
+        raise ValueError("histogram_quantiles: quantiles must be in (0, 1)")
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    w_cum = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = (
+        hist.withColumn("cum", F.sum("n_b").over(w_cum))
+        .withColumn("cum_prev", F.col("cum") - F.col("n_b"))
+        .withColumn("n", F.sum("n_b").over(w_all))
+    )
+    ex = cum.withColumn(
+        "quantile", F.explode(F.array(*[F.lit(float(q)) for q in quantiles]))
+    ).withColumn("target", F.col("quantile") * F.col("n").cast("double"))
+    # cum is strictly increasing over the buckets present, so
+    # cum_prev < target <= cum selects exactly one bucket per quantile
+    picked = ex.filter(
+        (F.col("cum_prev").cast("double") < F.col("target"))
+        & (F.col("target") <= F.col("cum").cast("double"))
+    )
+    est = (
+        F.lit(lo)
+        + F.col("bucket").cast("double") * F.lit(width)
+        + (F.col("target") - F.col("cum_prev").cast("double"))
+        / F.col("n_b").cast("double")
+        * F.lit(width)
+    )
+    return picked.select(
+        *keys, "quantile", "n", F.round(est, 6).alias("est_r")
+    )
