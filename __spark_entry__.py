@@ -2396,6 +2396,57 @@ def q_events_hist_quantiles(spark, sf_dir):
     )
 
 
+def q_streamed_gapfill(spark, sf_dir):
+    """Driver-checkable twin of STREAMING gap fill/LOCF: events split
+    at the midpoint timestamp replay as two in-order micro-batch runs
+    (second continues the first's checkpoint) through the stateful
+    grid-filler; the emitted grid rows are returned. Oracle = batch
+    gap-fill SQL minus each key's final (still-open) bucket — the
+    append-mode invariant, bitwise (same DECIMAL-exact average, same
+    ignorenulls carry)."""
+    import tempfile
+
+    from unitdb_spark.streaming.state import streaming_gap_fill
+
+    spark = _pin_utc(spark)
+    base = tempfile.mkdtemp(prefix="gapfill_twin_")
+    src, cp, out = f"{base}/src", f"{base}/cp", f"{base}/out"
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 5 == 0).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    lo, hi = ev.agg(
+        F.unix_timestamp(F.min("ts")), F.unix_timestamp(F.max("ts"))
+    ).collect()[0]
+    mid = F.timestamp_seconds(F.lit((int(lo) + int(hi)) // 2))
+
+    def run(batch_df):
+        batch_df.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            streaming_gap_fill(
+                spark.readStream.schema(batch_df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                key_col="event_type",
+                step_minutes=60,
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+                if not df.isEmpty() else None
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run(ev.filter(F.col("ts") < mid))
+    run(ev.filter(F.col("ts") >= mid))
+    return spark.read.parquet(out).select(
+        F.col("key").alias("event_type"), "bucket_s", "avg_value",
+        "filled_value", "is_gap",
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2557,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_postings": q_doc_postings,
         "doc_bm25": q_doc_bm25,
         "events_hist_quantiles": q_events_hist_quantiles,
+        "streamed_gapfill": q_streamed_gapfill,
     }
 
 
@@ -4464,6 +4516,39 @@ def oracle_sql() -> dict[str, str]:
                 6) AS est_r
         FROM e
         WHERE CAST(cum_prev AS DOUBLE) < target AND target <= CAST(cum AS DOUBLE)
+        """,
+        "streamed_gapfill": """
+        WITH b AS (
+          SELECT event_type,
+            TIMESTAMP '1970-01-01 00:00:00'
+              + to_hours(CAST(floor(epoch(min(ts)) / 3600) AS BIGINT)) AS lo,
+            TIMESTAMP '1970-01-01 00:00:00'
+              + to_hours(CAST(floor(epoch(max(ts)) / 3600) AS BIGINT)) AS hi
+          FROM events WHERE user_id % 5 = 0 GROUP BY 1
+        ), grid AS (
+          SELECT event_type,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+          FROM b
+        ), obs AS (
+          SELECT event_type,
+            TIMESTAMP '1970-01-01 00:00:00'
+              + to_hours(CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS bucket_ts,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS avg_value
+          FROM events WHERE user_id % 5 = 0 GROUP BY 1, 2
+        ), full_grid AS (
+          SELECT g.event_type,
+            CAST(floor(epoch(g.bucket_ts)) AS BIGINT) AS bucket_s,
+            o.avg_value,
+            last_value(o.avg_value IGNORE NULLS) OVER (
+              PARTITION BY g.event_type ORDER BY g.bucket_ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+            o.avg_value IS NULL AS is_gap
+          FROM grid g LEFT JOIN obs o USING (event_type, bucket_ts)
+        )
+        -- append-mode invariant: each key's final bucket is still open
+        SELECT * FROM full_grid
+        QUALIFY bucket_s < MAX(bucket_s) OVER (PARTITION BY event_type)
         """,
     }
 

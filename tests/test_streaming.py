@@ -937,3 +937,100 @@ class TestStreamingZscore:
         assert got == want  # every row emitted, NULLs included
         # the NULL rows really carry NULL value + NULL flag (not dropped)
         assert got[2][0] is None and got[8][2] is None
+
+
+class TestStreamingGapFill:
+    def test_matches_batch_gap_fill_row_for_row(self, spark, events_dir):
+        """Streamed grid rows == batch gap_fill minus each key's final
+        (still-open) bucket — same avg arithmetic, same LOCF carry,
+        same all-NULL-bucket gap semantics."""
+        from unitdb_spark.operators.timeseries import gap_fill
+        from unitdb_spark.streaming.state import streaming_gap_fill
+
+        # one trigger = an in-order replay (the parity domain; files are
+        # not globally time-ordered, so multi-trigger replay would fold
+        # early late-arriving buckets into open ones by design)
+        stream = events_as_stream(spark, events_dir, max_files_per_trigger=100)
+        out = streaming_gap_fill(stream, key_col="event_type", step_minutes=60)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("gapfill_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["key"], r["bucket_s"]): (r["avg_value"], r["filled_value"], r["is_gap"])
+            for r in spark.sql("SELECT * FROM gapfill_stream").collect()
+        }
+        ev = spark.read.parquet(events_dir)
+        if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        batch = gap_fill(ev, ["event_type"], "ts", "value", step_minutes=60)
+        rows = batch.select(
+            "event_type",
+            F.unix_timestamp("bucket_ts").alias("bucket_s"),
+            "avg_value",
+            "filled_value",
+            "is_gap",
+        ).collect()
+        last_bucket = {}
+        for r in rows:
+            k = r["event_type"]
+            last_bucket[k] = max(last_bucket.get(k, 0), r["bucket_s"])
+        want = {
+            (r["event_type"], r["bucket_s"]): (r["avg_value"], r["filled_value"], r["is_gap"])
+            for r in rows
+            if r["bucket_s"] != last_bucket[r["event_type"]]
+        }
+        assert len(got) == len(want) > 0
+        mismatch = [k for k in want if got.get(k) != want[k]]
+        assert not mismatch, f"{len(mismatch)} grid rows diverge: {mismatch[:5]}"
+        assert any(g for _, _, g in got.values())  # gaps actually synthesized
+
+    def test_all_null_bucket_stays_gap_and_carry_survives(self, spark, tmp_path):
+        """A bucket whose observed rows are all NULL emits as a gap row
+        (avg NULL) with the fill carried across it — F.last(ignorenulls)
+        semantics, matching batch."""
+        import datetime as dt
+
+        from unitdb_spark.streaming.state import streaming_gap_fill
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, base, "k", 10.0),
+            (1, base + dt.timedelta(hours=1), "k", None),   # observed, NULL
+            (2, base + dt.timedelta(hours=4), "k", 30.0),   # 2 gap hours before
+            (3, base + dt.timedelta(hours=5), "k", 40.0),   # closes bucket 4
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        src = str(tmp_path / "gapfill_nulls")
+        df.coalesce(1).write.parquet(src)
+        out = streaming_gap_fill(
+            events_as_stream(spark, src, max_files_per_trigger=1),
+            key_col="event_type",
+            step_minutes=60,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("gapfill_nulls")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["bucket_s"]: (r["avg_value"], r["filled_value"], r["is_gap"])
+            for r in spark.sql("SELECT * FROM gapfill_nulls").collect()
+        }
+        t0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+        h = 3600
+        assert got[t0] == (10.0, 10.0, False)
+        assert got[t0 + h] == (None, 10.0, True)      # all-NULL observed bucket
+        assert got[t0 + 2 * h] == (None, 10.0, True)  # synthesized gap
+        assert got[t0 + 3 * h] == (None, 10.0, True)  # synthesized gap
+        assert got[t0 + 4 * h] == (30.0, 30.0, False)
+        assert t0 + 5 * h not in got                  # final bucket still open

@@ -350,3 +350,152 @@ def streaming_zscore(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------- streaming gap fill
+
+GAPFILL_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("bucket_s", LongType()),
+        StructField("avg_value", DoubleType()),
+        StructField("filled_value", DoubleType()),
+        StructField("is_gap", BooleanType()),
+    ]
+)
+
+#: one OPEN bucket per key: (bucket, exact micro-unit sum, whether any
+#: non-null value landed, row count, last carried fill) — O(keys)
+GAPFILL_STATE = StructType(
+    [
+        StructField("cur_bucket_s", LongType()),
+        StructField("sum_micro", LongType()),
+        StructField("has_sum", BooleanType()),
+        StructField("cnt", LongType()),
+        StructField("filled", DoubleType()),
+        StructField("has_filled", BooleanType()),
+    ]
+)
+
+
+def _gapfill_fn(step_s: int):
+    step_us = step_s * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        MICRO = Decimal("0.000001")
+
+        (k,) = key
+        if state.exists:
+            cur, sum_micro, has_sum, cnt, filled, has_filled = state.get
+        else:
+            cur = None
+            sum_micro, has_sum, cnt, filled, has_filled = 0, False, 0, 0.0, False
+
+        rows = []
+
+        def close_and_advance(new_bucket: int):
+            # emit the finished open bucket, then one gap row per
+            # missing grid step up to (not including) new_bucket
+            nonlocal cur, sum_micro, has_sum, cnt, filled, has_filled
+            if has_sum:
+                # identical arithmetic to the batch operator:
+                # DECIMAL(18,6)-exact sum -> double, then /count double
+                avg = float(Decimal(sum_micro) * MICRO) / float(cnt)
+                filled, has_filled = avg, True
+            else:
+                avg = None  # observed rows, all NULL values: a gap row
+            rows.append((k, cur, avg, filled if has_filled else None,
+                         avg is None))
+            for g in range(cur + step_s, new_bucket, step_s):
+                rows.append((k, g, None, filled if has_filled else None, True))
+            cur, sum_micro, has_sum, cnt = new_bucket, 0, False, 0
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        for ts_us, v in zip(batch["ts_us"], batch["value"]):
+            b = int(ts_us // step_us) * step_s
+            if cur is None:
+                cur = b
+            elif b > cur:
+                close_and_advance(b)
+            # late cross-bucket data (b < cur) folds into the open
+            # bucket: an emitted bucket can't be reopened in append
+            # mode (same caveat as the other stateful twins — in-order
+            # replay matches batch exactly)
+            cnt += 1
+            is_null = v is None or (isinstance(v, float) and math.isnan(v))
+            if not is_null:
+                # Spark's double->DECIMAL(18,6) cast: shortest decimal
+                # repr, HALF_UP at 6 fractional digits
+                q = Decimal(repr(float(v))).quantize(MICRO, rounding=ROUND_HALF_UP)
+                sum_micro += int(q.scaleb(6))
+                has_sum = True
+        if cur is not None:
+            state.update((cur, sum_micro, has_sum, cnt,
+                          filled if has_filled else 0.0, has_filled))
+        yield pd.DataFrame(
+            {
+                "key": pd.Series([r[0] for r in rows], dtype=object),
+                "bucket_s": pd.array([r[1] for r in rows], dtype="int64"),
+                "avg_value": pd.Series([r[2] for r in rows], dtype=object),
+                "filled_value": pd.Series([r[3] for r in rows], dtype=object),
+                "is_gap": pd.Series([r[4] for r in rows], dtype=object),
+            }
+        )
+
+    return fn
+
+
+def streaming_gap_fill(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    step_minutes: int = 60,
+) -> DataFrame:
+    """Streaming time-grid regularization with LOCF: the stateful twin
+    of ``operators.timeseries.gap_fill``. Per-key state is ONE open
+    grid bucket (an exact DECIMAL-micro sum + count + the carried fill
+    value — O(keys) total, never the stream). When an event lands past
+    the open bucket, the bucket closes and is emitted exactly once,
+    followed by one synthesized gap row per missing grid step (avg
+    NULL, ``filled_value`` carried forward, ``is_gap`` True) — append
+    mode, so the dense grid materializes incrementally as data
+    arrives.
+
+    Parity with the batch operator on an in-order replay, row for row
+    and bit for bit: the per-bucket average is the same
+    DECIMAL(18,6)-exact sum cast to double divided by the ALL-rows
+    count (a bucket whose observed rows are all NULL stays a gap row,
+    exactly like batch), and the carry-forward updates only on
+    non-NULL averages (``F.last(ignorenulls=True)`` semantics). The
+    batch result equals the streamed rows plus each key's final —
+    still open — bucket, which streams out once later data (or a
+    restart with more input) passes it: the inherent append-mode lag,
+    same as ``streaming_sessionize``'s open session.
+
+    Ordering caveat (shared with the other twins): rows sort by event
+    time within a micro-batch; late cross-bucket data folds into the
+    open bucket rather than reopening an emitted one.
+
+    Input needs (``key_col``, ts, event_id, value). Output:
+    (key, bucket_s, avg_value, filled_value, is_gap).
+    """
+    from pyspark.sql import functions as F
+
+    prepped = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepped.groupBy("key").applyInPandasWithState(
+        _gapfill_fn(int(step_minutes) * 60),
+        outputStructType=GAPFILL_OUTPUT,
+        stateStructType=GAPFILL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
