@@ -383,3 +383,76 @@ class TestRound4Plans:
         out = entry.queries()["doc_pipeline"](spark, "/root/testdata/sf0.001")
         assert not has_python_eval(out)
         assert shuffle_count(out) <= 7
+
+
+class TestRound4LatePlans:
+    def test_gopher_rules_single_codegen_projection(self, spark):
+        """SCALE.md: all seven rules + keep fold into one projection —
+        zero exchanges, zero Python, all-integer arithmetic."""
+        from unitdb_spark.functions.text import gopher_rules
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rules = gopher_rules("text")
+        out = docs.select("doc_id", *[v.alias(k) for k, v in rules.items()])
+        assert shuffle_count(out) == 0
+        assert not has_python_eval(out)
+
+    def test_bm25_takeordered_not_global_window(self, spark):
+        """SCALE.md: the global top-k is TakeOrderedAndProject (per-
+        partition heaps), never a single-task global-window exchange
+        over all scored docs."""
+        from unitdb_spark.operators.tfidf import bm25_search
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = bm25_search(docs, ["spark", "query"], topk=10)
+        plan = formatted_plan(out)
+        assert "TakeOrderedAndProject" in plan
+        assert not has_python_eval(out)
+
+    def test_postings_bounded_exchanges_no_python(self, spark):
+        """SCALE.md: explode feeds the (doc, term) partial agg before
+        any exchange; df + per-term rank ride the term key."""
+        from unitdb_spark.operators.tfidf import impact_postings
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = impact_postings(docs, k=3, min_df=5)
+        # tf agg + df distinct + df count + rank window — the df branch
+        # re-tokenizes rather than persisting (tfidf module trade-off)
+        assert shuffle_count(out) <= 4
+        plan = formatted_plan(out)
+        assert not has_python_eval(out)
+        assert "HashAggregate" in plan  # partial agg, not raw explode
+        # per-term top-k cuts map-side BEFORE the rank exchange
+        assert "WindowGroupLimit" in plan
+        assert "BroadcastHashJoin" in plan  # df (vocab-sized) broadcasts
+
+    def test_semdedup_centroids_broadcast_pairs_blocked(self, spark):
+        """SCALE.md: the k-means assignment broadcasts centroids (the
+        corpus never shuffles to assign) and the pair scan joins on the
+        cell key — a SortMerge/Hash join on cell, not a cartesian."""
+        from unitdb_spark.operators.semdedup import semdedup
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = semdedup(emb, k=4, n_iters=0, threshold=0.2)
+        plan = formatted_plan(out)
+        assert "CartesianProduct" not in plan
+        # the per-cell self-join is a KEYED join (hash/sort-merge/
+        # broadcast-hash on the cell column); the only nested-loop
+        # allowed is the centroid argmin over k broadcast rows
+        assert any(
+            j in plan
+            for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        )
+        assert not has_python_eval(out)
+
+    def test_hist_quantiles_one_event_sized_exchange(self, spark):
+        """SCALE.md: the only event-sized exchange is the (key, bucket)
+        histogram agg; windows + quantile explode run over the tiny
+        histogram relation."""
+        from unitdb_spark.operators.sketch import histogram_quantiles
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = histogram_quantiles(ev, "value", ["event_type"], [0.5, 0.9])
+        assert shuffle_count(out) <= 3
+        assert not has_python_eval(out)
+        assert "HashAggregate" in formatted_plan(out)
