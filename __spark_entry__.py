@@ -2447,6 +2447,29 @@ def q_streamed_gapfill(spark, sf_dir):
     )
 
 
+def q_embed_knn_label(spark, sf_dir):
+    """kNN label propagation: every 7th vector is the held-out query
+    set, classified by majority vote of its 10 nearest labeled
+    neighbors (ties → smaller label). The training-pipeline pass that
+    extends a labeled seed set across a corpus + the holdout-accuracy
+    eval; neighbor search broadcasts queries against ONE corpus scan."""
+    from unitdb_spark.operators.similarity import knn_label
+
+    emb = _emb(spark, sf_dir)
+    labeled = emb.filter(F.col("vec_id") % 7 != 0)
+    qs = emb.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = emb.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    preds = knn_label(labeled, qs, k=10)
+    return preds.join(truth, "query_id").select(
+        "query_id", "pred_label", "votes", "best_sim_r", "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("is_correct"),
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2609,6 +2632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25": q_doc_bm25,
         "events_hist_quantiles": q_events_hist_quantiles,
         "streamed_gapfill": q_streamed_gapfill,
+        "embed_knn_label": q_embed_knn_label,
     }
 
 
@@ -4549,6 +4573,35 @@ def oracle_sql() -> dict[str, str]:
         -- append-mode invariant: each key's final bucket is still open
         SELECT * FROM full_grid
         QUALIFY bucket_s < MAX(bucket_s) OVER (PARTITION BY event_type)
+        """,
+        "embed_knn_label": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+          FROM embeddings WHERE vec_id % 7 = 0
+        ), scored AS (
+          SELECT q.query_id, e.vec_id, e.label,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])) AS sim
+          FROM embeddings e JOIN q ON e.vec_id % 7 <> 0
+        ), ranked AS (
+          SELECT query_id, vec_id, label, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rnk
+          FROM scored
+        ), nn AS (
+          SELECT * FROM ranked WHERE rnk <= 10
+        ), votes AS (
+          SELECT query_id, label, COUNT(*) AS votes,
+                 round(MAX(sim), 6) AS best_sim_r
+          FROM nn GROUP BY 1, 2
+        ), best AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY votes DESC, label) AS rn
+          FROM votes
+        )
+        SELECT b.query_id, b.label AS pred_label, b.votes, b.best_sim_r,
+               q.true_label, b.label = q.true_label AS is_correct
+        FROM best b JOIN q USING (query_id) WHERE rn = 1
         """,
     }
 

@@ -1933,3 +1933,44 @@ class TestHistogramQuantiles:
             histogram_quantiles(df, "value", ["key"], [])
         with _pytest.raises(ValueError):
             histogram_quantiles(df, "value", ["key"], [1.5])
+
+
+class TestKnnLabel:
+    def test_majority_vote_and_tie_to_smaller_label(self, spark):
+        from unitdb_spark.operators.similarity import knn_label
+
+        import math
+
+        def v(axis, eps=0.0):
+            base = [0.0] * 4
+            base[axis] = 1.0
+            base[(axis + 1) % 4] = eps
+            n = math.sqrt(sum(x * x for x in base))
+            return [x / n for x in base]
+
+        # labeled corpus: axis 0 -> label 1 (3 vecs), axis 2 -> label 2 (3 vecs)
+        corpus = spark.createDataFrame(
+            [
+                (1, v(0), 1), (2, v(0, 0.01), 1), (3, v(0, 0.02), 1),
+                (11, v(2), 2), (12, v(2, 0.01), 2), (13, v(2, 0.02), 2),
+            ],
+            "vec_id long, embedding array<double>, label int",
+        )
+        queries = spark.createDataFrame(
+            [(100, v(0, 0.05)), (200, v(2, 0.05))],
+            "query_id long, embedding array<double>",
+        )
+        got = {
+            r["query_id"]: r.asDict()
+            for r in knn_label(corpus, queries, k=3).collect()
+        }
+        assert got[100]["pred_label"] == 1 and got[100]["votes"] == 3
+        assert got[200]["pred_label"] == 2 and got[200]["votes"] == 3
+
+        # k=6 pulls all six neighbors: 3 votes each, tie -> label 1
+        tied = {
+            r["query_id"]: r.asDict()
+            for r in knn_label(corpus, queries, k=6).collect()
+        }
+        assert tied[100]["pred_label"] == 1 and tied[100]["votes"] == 3
+        assert tied[200]["pred_label"] == 1 and tied[200]["votes"] == 3

@@ -369,3 +369,52 @@ def int8_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def knn_label(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """kNN majority-vote classification over the embedding space — the
+    label-propagation pass a training pipeline uses to extend a small
+    hand-labeled seed set (quality tiers, topic tags) across a huge
+    corpus, and the standard eval for embedding quality (holdout
+    accuracy).
+
+    The neighbor search is ``cosine_topk`` (queries broadcast, corpus
+    never shuffles); the vote join attaches labels to the tiny
+    (queries × k) neighbor relation — broadcast again — so the only
+    corpus-sized work is the one scoring scan. Majority wins; ties
+    break to the smaller label (total order, engine-portable).
+
+    Output: (query_id, pred_label, votes, best_sim_r) — ``best_sim_r``
+    is the winning label's closest-neighbor cosine, rounded to 6.
+    """
+    nn = cosine_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    labels = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        labels.join(F.broadcast(nn), "vec_id")
+        .groupBy("query_id", "_nl")
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+            F.round(F.max("cosine_sim"), 6).alias("best_sim_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("_nl"))
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id", F.col("_nl").alias("pred_label"), "votes", "best_sim_r"
+        )
+    )
