@@ -2316,7 +2316,7 @@ def q_doc_url_stats(spark, sf_dir):
 
 # planted Gopher-rule violations (shared verbatim with the oracle SQL:
 # the f-string embeds these literals, real newlines included)
-_GOPHER_BULLETS = "\n- item" * 9
+_GOPHER_BULLETS = "\n- item" * 10  # 10/11 lines bulleted: > 90%, fails
 _GOPHER_ELLIPSIS = "\nto be continued..."
 _GOPHER_HASHES = " " + "#" * 30
 _GOPHER_DIGITS = " " + " ".join(str(i) for i in range(30))
@@ -4410,13 +4410,13 @@ def oracle_sql() -> dict[str, str]:
           (n >= 50 AND n <= 100000) AS r_word_count,
           (sum_len >= 3 * n AND sum_len <= 10 * n) AS r_mean_len,
           (10 * n_hash <= n AND 10 * n_ell <= n) AS r_symbols,
-          (10 * n_bullet < 9 * n_lines) AS r_bullets,
-          (10 * n_ell_line < 3 * n_lines) AS r_ellipsis,
+          (10 * n_bullet <= 9 * n_lines) AS r_bullets,
+          (10 * n_ell_line <= 3 * n_lines) AS r_ellipsis,
           (5 * n_alpha >= 4 * n) AS r_alpha,
           (n_req >= 2) AS r_stops,
           ((n >= 50 AND n <= 100000) AND (sum_len >= 3 * n AND sum_len <= 10 * n)
            AND (10 * n_hash <= n AND 10 * n_ell <= n)
-           AND (10 * n_bullet < 9 * n_lines) AND (10 * n_ell_line < 3 * n_lines)
+           AND (10 * n_bullet <= 9 * n_lines) AND (10 * n_ell_line <= 3 * n_lines)
            AND (5 * n_alpha >= 4 * n) AND (n_req >= 2)) AS keep
         FROM m
         """,

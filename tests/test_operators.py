@@ -1974,3 +1974,70 @@ class TestKnnLabel:
         }
         assert tied[100]["pred_label"] == 1 and tied[100]["votes"] == 3
         assert tied[200]["pred_label"] == 1 and tied[200]["votes"] == 3
+
+
+class TestReviewFixes:
+    def test_bm25_lowercases_and_weights_repeated_terms(self, spark):
+        from unitdb_spark.operators.tfidf import bm25_search
+
+        docs = spark.createDataFrame(
+            [(1, "spark window join"), (2, "query filter scan")],
+            "doc_id long, text string",
+        )
+        up = {r["doc_id"]: r["score_r"] for r in bm25_search(docs, ["Spark"]).collect()}
+        lo = {r["doc_id"]: r["score_r"] for r in bm25_search(docs, ["spark"]).collect()}
+        assert up == lo and 1 in up  # case-normalized, matches postings
+        single = bm25_search(docs, ["spark"]).collect()[0]["score_r"]
+        doubled = bm25_search(docs, ["spark", "spark"]).collect()[0]["score_r"]
+        assert abs(doubled - 2 * single) < 1e-9  # Okapi qtf factor
+
+    def test_knn_label_ranks_colliding_corpus_id(self, spark):
+        """Corpus and query id spaces are independent: a corpus vector
+        whose id equals a query id is a real neighbor, not 'self'."""
+        from unitdb_spark.operators.similarity import knn_label
+
+        corpus = spark.createDataFrame(
+            [(5, [1.0, 0.0], 7), (6, [0.0, 1.0], 9)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        queries = spark.createDataFrame(
+            [(5, [1.0, 0.1])], "query_id long, embedding array<double>"
+        )
+        [row] = knn_label(corpus, queries, k=1).collect()
+        assert row["pred_label"] == 7  # the id-5 corpus vector was rankable
+
+    def test_semdedup_single_assignment_pass(self, spark):
+        """The persisted (id, cell, vec) relation is reused by both
+        self-join sides; the closing join carries no vectors."""
+        from unitdb_spark.operators.semdedup import semdedup
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = semdedup(emb, k=4, n_iters=0, threshold=0.2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan  # cache reuse, not recompute
+        spark.catalog.clearCache()
+
+    def test_histogram_quantiles_degenerate_ranges_raise(self, spark):
+        from unitdb_spark.operators.sketch import histogram_quantiles
+        import pytest as _pytest
+
+        df = spark.createDataFrame([("k", 1.0)], "key string, value double")
+        with _pytest.raises(ValueError):
+            histogram_quantiles(df, "value", ["key"], [0.5], n_buckets=0)
+        with _pytest.raises(ValueError):
+            histogram_quantiles(df, "value", ["key"], [0.5], lo=5.0, hi=5.0)
+        with _pytest.raises(ValueError):
+            histogram_quantiles(df, "value", ["key"], [0.5], lo=10.0, hi=0.0)
+
+    def test_gopher_exact_90pct_bullets_passes(self, spark):
+        """Rae '21 removes at MORE than 90% — a 10-line doc with exactly
+        9 bullet lines stays."""
+        from unitdb_spark.functions.text import gopher_rules
+
+        text = "the data of and that with rows here" + "\n- item" * 9
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        rules = gopher_rules("text", min_words=5, max_words=1000)
+        [row] = df.select(
+            rules["r_bullets"].alias("b"), rules["r_ellipsis"].alias("e")
+        ).collect()
+        assert row["b"] is True and row["e"] is True

@@ -238,8 +238,10 @@ def gopher_rules(
     - r_word_count: token count in [min_words, max_words]
     - r_mean_len:   mean word length in [3, 10] chars
     - r_symbols:    '#' and '...' each <= 10% of the word count
-    - r_bullets:    < 90% of lines start with a bullet (-, *, •)
-    - r_ellipsis:   < 30% of lines end with '...'
+    - r_bullets:    <= 90% of lines start with a bullet (-, *, •)
+      (the paper removes when MORE than 90% — exactly 90% passes)
+    - r_ellipsis:   <= 30% of lines end with '...' (same: strictly
+      more than 30% fails)
     - r_alpha:      >= 80% of words contain an alphabetic character
     - r_stops:      >= 2 distinct required stop words present
 
@@ -269,8 +271,8 @@ def gopher_rules(
         "r_word_count": (n >= min_words) & (n <= max_words),
         "r_mean_len": (sum_len >= 3 * n) & (sum_len <= 10 * n),
         "r_symbols": (10 * n_hash <= n) & (10 * n_ell <= n),
-        "r_bullets": 10 * n_bullet < 9 * n_lines,
-        "r_ellipsis": 10 * n_ell_line < 3 * n_lines,
+        "r_bullets": 10 * n_bullet <= 9 * n_lines,
+        "r_ellipsis": 10 * n_ell_line <= 3 * n_lines,
         "r_alpha": 5 * n_alpha >= 4 * n,
         "r_stops": n_req >= 2,
     }

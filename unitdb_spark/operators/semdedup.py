@@ -41,6 +41,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    persist: str = "memory",
 ) -> DataFrame:
     """Mark semantic near-duplicates within k-means cells.
 
@@ -49,12 +50,26 @@ def semdedup(
     same cell has rounded cosine >= threshold; ``max_sim_r`` is the
     highest such cosine (NULL for keepers) and ``kept_by`` the lowest
     qualifying earlier id (the exemplar this row deduplicates to).
+
+    The assigned (id, cell, vec) relation feeds both self-join sides,
+    so it is persisted once (``persist``: "memory" / "disk" / "none",
+    same convention as MinHash signatures) — without it Spark re-runs
+    the assignment subplan per branch. The final keeper join runs on
+    the NARROW (id, cell) assignment relation (16 B/row — vectors
+    never ride the closing exchange, and the dup side can be any size
+    without a broadcast gamble).
     """
     assigned = kmeans_lloyd(df, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col, seed=seed)
     t = (
         df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec"))
         .join(assigned.withColumnRenamed(id_col, "vec_id"), "vec_id")
     )
+    if persist != "none":
+        from pyspark import StorageLevel
+
+        t = t.persist(
+            StorageLevel.MEMORY_AND_DISK if persist == "memory" else StorageLevel.DISK_ONLY
+        )
     a = t.select(F.col("vec_id").alias("_ida"), F.col("cell"), F.col("_vec").alias("_va"))
     b = t.select(F.col("vec_id").alias("_idb"), F.col("cell"), F.col("_vec").alias("_vb"))
     pairs = (
@@ -66,8 +81,11 @@ def semdedup(
     dups = pairs.groupBy("_ida").agg(
         F.max("_cos_r").alias("max_sim_r"), F.min("_idb").alias("kept_by")
     )
+    # derive from the persisted relation (cache hit), projecting the
+    # vector away so the closing exchange carries 16 B/row
+    slim = t.select("vec_id", "cell")
     return (
-        t.join(dups, t["vec_id"] == dups["_ida"], "left")
+        slim.join(dups, slim["vec_id"] == dups["_ida"], "left")
         .select(
             "vec_id",
             "cell",

@@ -59,12 +59,19 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact brute-force cosine top-K per query vector.
 
     ``queries`` (small) is broadcast against ``corpus`` (huge): one
     corpus scan, no corpus shuffle; per-query ranking is a window over
     (query, sim). Output: (query_id, vec_id, cosine_sim, rank).
+
+    ``exclude_self`` drops corpus rows whose id equals the query id —
+    right when queries ARE corpus rows (self-search). Pass False when
+    the two relations have independent id spaces (e.g. a labeled seed
+    set vs a holdout set), where a numeric id collision is NOT the
+    same vector and must stay rankable.
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
@@ -75,7 +82,8 @@ def cosine_topk(
     par = corpus.sparkSession.sparkContext.defaultParallelism
     if c.rdd.getNumPartitions() < par:
         c = c.repartition(par)
-    joined = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cond = F.col("vec_id") != F.col("query_id") if exclude_self else F.lit(True)
+    joined = c.join(F.broadcast(q), cond)
     sim = cosine_expr("_cvec", "_qvec").alias("cosine_sim")
     scored = joined.select("query_id", "vec_id", sim)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
@@ -387,17 +395,20 @@ def knn_label(
     accuracy).
 
     The neighbor search is ``cosine_topk`` (queries broadcast, corpus
-    never shuffles); the vote join attaches labels to the tiny
-    (queries × k) neighbor relation — broadcast again — so the only
-    corpus-sized work is the one scoring scan. Majority wins; ties
-    break to the smaller label (total order, engine-portable).
+    never shuffles) with ``exclude_self=False``: corpus and queries
+    are separate relations with independent id spaces, so a corpus id
+    that happens to equal a query id is a real neighbor, not the query
+    itself. The vote join attaches labels to the tiny (queries × k)
+    neighbor relation — broadcast again — so the only corpus-sized
+    work is the one scoring scan. Majority wins; ties break to the
+    smaller label (total order, engine-portable).
 
     Output: (query_id, pred_label, votes, best_sim_r) — ``best_sim_r``
     is the winning label's closest-neighbor cosine, rounded to 6.
     """
     nn = cosine_topk(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
-        query_id_col=query_id_col,
+        query_id_col=query_id_col, exclude_self=False,
     )
     labels = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(label_col).alias("_nl")

@@ -106,6 +106,10 @@ def histogram_quantiles(
         raise ValueError("histogram_quantiles: need at least one quantile")
     if not all(0.0 < q < 1.0 for q in quantiles):
         raise ValueError("histogram_quantiles: quantiles must be in (0, 1)")
+    if n_buckets < 1:
+        raise ValueError("histogram_quantiles: n_buckets must be >= 1")
+    if not hi > lo:
+        raise ValueError("histogram_quantiles: need hi > lo (got a degenerate range)")
     width = (hi - lo) / n_buckets
     bucket = F.least(
         F.greatest(

@@ -186,7 +186,9 @@ def bm25_search(
     (Robertson & Walker '94; the Okapi formula), with the smooth
     RATIONAL idf (N+1)/(df+1) — same ranking family, no log, so every
     arithmetic step is an IEEE-exact multiply/divide that replays
-    bit-identically on any engine.
+    bit-identically on any engine. Query terms are lowercased to the
+    corpus tokenizer's case; repeated terms weight their contribution
+    by the query-side tf (Okapi's qtf factor) instead of collapsing.
 
     contribution(d, t) = idf(t) * tf * (k1+1)
                          / (tf + k1 * (1 - b + b * dl/avgdl))
@@ -204,12 +206,19 @@ def bm25_search(
     """
     if not query_terms:
         raise ValueError("bm25_search: query_terms must be non-empty")
+    # normalize to the corpus tokenizer's case, and weight repeated
+    # query terms by their query-side tf (the Okapi qtf factor) rather
+    # than silently collapsing them
+    from collections import Counter
+
+    qtf = Counter(t.lower() for t in query_terms)
+    uniq = sorted(qtf)
     lens = docs.select(
         F.col(id_col).alias("doc_id"), F.size(_tokens(text_col)).alias("dl")
     )
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("term"))
-        .filter(F.col("term").isin(list(query_terms)))
+        .filter(F.col("term").isin(uniq))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -236,6 +245,17 @@ def bm25_search(
             ),
         )
     )
+    if any(c > 1 for c in qtf.values()):
+        # query-side tf multiplier; skipped entirely for an all-unique
+        # query so the single-occurrence arithmetic stays bit-identical
+        m = None
+        for t in uniq:
+            m = (
+                F.when(F.col("term") == t, F.lit(float(qtf[t])))
+                if m is None
+                else m.when(F.col("term") == t, F.lit(float(qtf[t])))
+            )
+        contrib = contrib.withColumn("_c", F.col("_c") * m)
     scored = contrib.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_hit"),
         F.sum(F.round(F.col("_c"), 6).cast("decimal(18,6)")).alias("_s"),
