@@ -2470,6 +2470,35 @@ def q_embed_knn_label(spark, sf_dir):
     )
 
 
+# planted line-filter violations (shared verbatim with the oracle SQL)
+_LINEF_NAV = "\nHOME\nShare"          # all-caps + nav captions
+_LINEF_NUM = "\n12345 678"            # no alphabetic content
+_LINEF_SHORT = "\nok go\nok then."    # fragment dropped, punct-short kept
+
+
+def q_doc_line_filter(spark, sf_dir):
+    """RefinedWeb line-wise corrections (Penedo '23): drop nav
+    captions, all-caps lines, no-alpha lines, and sub-3-word fragments
+    without terminal punctuation; keep everything else in order. One
+    codegen projection (split → filter → re-join), zero shuffles."""
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_LINEF_NAV)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_LINEF_NUM)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(_LINEF_SHORT)).otherwise(F.lit("")),
+        ),
+    )
+    cols = TXT.line_filter("text")
+    return d.select(
+        "doc_id",
+        cols["n_lines"].alias("n_lines"),
+        cols["n_removed"].alias("n_removed"),
+        cols["clean_text"].alias("clean_text"),
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2633,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hist_quantiles": q_events_hist_quantiles,
         "streamed_gapfill": q_streamed_gapfill,
         "embed_knn_label": q_embed_knn_label,
+        "doc_line_filter": q_doc_line_filter,
     }
 
 
@@ -4602,6 +4632,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT b.query_id, b.label AS pred_label, b.votes, b.best_sim_r,
                q.true_label, b.label = q.true_label AS is_correct
         FROM best b JOIN q USING (query_id) WHERE rn = 1
+        """,
+        "doc_line_filter": f"""
+        WITH aug AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 3 = 0 THEN '{_LINEF_NAV}' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN '{_LINEF_NUM}' ELSE '' END
+            || CASE WHEN doc_id % 4 = 0 THEN '{_LINEF_SHORT}' ELSE '' END
+            AS text
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+            string_split(text, chr(10)) AS lines,
+            list_filter(string_split(text, chr(10)), l ->
+              regexp_matches(l, '[A-Za-z]')
+              AND NOT (upper(l) = l AND regexp_matches(l, '[A-Za-z]'))
+              AND NOT list_contains(
+                    ['home','menu','search','share','sign in','log in',
+                     'read more','advertisement'], lower(trim(l)))
+              AND NOT (len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                       x -> x <> '')) < 3
+                       AND NOT regexp_matches(l, '[.!?]\\s*$'))
+            ) AS kept
+          FROM aug
+        )
+        SELECT doc_id, len(lines) AS n_lines,
+               len(lines) - len(kept) AS n_removed,
+               array_to_string(kept, chr(10)) AS clean_text
+        FROM m
         """,
     }
 

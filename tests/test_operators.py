@@ -2041,3 +2041,44 @@ class TestReviewFixes:
             rules["r_bullets"].alias("b"), rules["r_ellipsis"].alias("e")
         ).collect()
         assert row["b"] is True and row["e"] is True
+
+
+class TestLineFilter:
+    def test_each_line_rule(self, spark):
+        from unitdb_spark.functions.text import line_filter
+
+        text = "\n".join(
+            [
+                "This is a perfectly reasonable sentence.",
+                "HOME",              # nav caption (also all-caps)
+                "SHOUTING AT YOU",   # all-caps
+                "12345 678",         # no alphabetic content
+                "ok go",             # short fragment, no punctuation
+                "ok then.",          # short but terminally punctuated
+                "Share",             # nav caption
+                "another decent line of text here",
+            ]
+        )
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        cols = line_filter("text")
+        [row] = df.select(
+            cols["n_lines"].alias("n"),
+            cols["n_removed"].alias("r"),
+            cols["clean_text"].alias("t"),
+        ).collect()
+        assert row["n"] == 8 and row["r"] == 5
+        assert row["t"].split("\n") == [
+            "This is a perfectly reasonable sentence.",
+            "ok then.",
+            "another decent line of text here",
+        ]
+
+    def test_zero_shuffle_plan(self, spark):
+        from unitdb_spark.functions.text import line_filter
+        from tests.test_plans import has_python_eval, shuffle_count
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        cols = line_filter("text")
+        out = docs.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+        assert shuffle_count(out) == 0
+        assert not has_python_eval(out)

@@ -460,3 +460,48 @@ def normalize_text(col: Column | str, form: str = "NFC") -> Column:
     out = F.regexp_replace(out, CONTROL_RE, "")
     out = F.regexp_replace(out, r"\s+", " ")
     return F.trim(out)
+
+
+# RefinedWeb-style line-wise cleanup (Penedo et al. 2023 — the line
+# corrections applied before document-level filtering). Lowercase-
+# matched navigation/boilerplate captions.
+LINE_NAV_WORDS = (
+    "home", "menu", "search", "share", "sign in", "log in",
+    "read more", "advertisement",
+)
+
+
+def line_filter(col: Column | str) -> dict[str, Column]:
+    """Line-wise quality cleanup: drop navigation captions, all-caps
+    shouting lines, lines with no alphabetic content, and fragments
+    under 3 words that do not end in terminal punctuation — the
+    RefinedWeb "line-wise corrections" stage, complementing the
+    document-level C4/Gopher gates and the corpus-level duplicate-line
+    removal (``operators.dedup.line_dedup``).
+
+    Pure array/string expressions over the split line list — the whole
+    cleanup is ONE codegen projection, zero shuffles, embarrassingly
+    parallel. Returns Columns: ``n_lines``, ``n_removed``, and
+    ``clean_text`` (kept lines re-joined, original order).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+
+    def keep(l: Column) -> Column:
+        lower_t = F.lower(F.trim(l))
+        n_words = F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda t: t != ""))
+        has_alpha = l.rlike("[A-Za-z]")
+        all_caps = (F.upper(l) == l) & has_alpha
+        nav = None
+        for w in LINE_NAV_WORDS:
+            hit = lower_t == w
+            nav = hit if nav is None else (nav | hit)
+        short = (n_words < 3) & ~l.rlike(r"[.!?]\s*$")
+        return has_alpha & ~all_caps & ~nav & ~short
+
+    kept = F.filter(lines, keep)
+    return {
+        "n_lines": F.size(lines),
+        "n_removed": F.size(lines) - F.size(kept),
+        "clean_text": F.array_join(kept, "\n"),
+    }
