@@ -195,3 +195,127 @@ def test_topic_match_expr_equals_python_matcher(spark, stored, query):
     }
     want = {t for t in stored if topic_match(t, query)}
     assert got == want, f"query={query!r}"
+
+
+# ---------------------------------------------------- round-4 text ops
+
+_line_st = st.lists(
+    st.one_of(
+        st.sampled_from(
+            ["HOME", "Share", "ok go", "ok then.", "12345 678", "",
+             "a normal sentence with several words here.",
+             "SHOUTY LINE", "- bullet item", "to be continued..."]
+        ),
+        st.text(
+            alphabet="abcdefg .!?#-",
+            min_size=0,
+            max_size=30,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+class TestLineFilterProperty:
+    @settings(max_examples=15, deadline=None)
+    @given(lines=_line_st)
+    def test_matches_python_model(self, spark, lines):
+        import re
+
+        from unitdb_spark.functions.text import LINE_NAV_WORDS, line_filter
+
+        text = "\n".join(lines)
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        cols = line_filter("text")
+        [row] = df.select(
+            cols["n_lines"].alias("n"),
+            cols["n_removed"].alias("r"),
+            cols["clean_text"].alias("t"),
+        ).collect()
+
+        def keep(l):
+            has_alpha = re.search(r"[A-Za-z]", l) is not None
+            all_caps = l.upper() == l and has_alpha
+            nav = l.strip().lower() in LINE_NAV_WORDS
+            n_words = len([w for w in re.split(r"\s+", l.strip()) if w])
+            short = n_words < 3 and re.search(r"[.!?]\s*$", l) is None
+            return has_alpha and not all_caps and not nav and not short
+
+        kept = [l for l in lines if keep(l)]
+        assert row["n"] == len(lines)
+        assert row["r"] == len(lines) - len(kept)
+        assert row["t"] == "\n".join(kept)
+
+
+class TestGopherProperty:
+    @settings(max_examples=15, deadline=None)
+    @given(lines=_line_st)
+    def test_counts_match_python_model(self, spark, lines):
+        import re
+
+        from unitdb_spark.functions.text import (
+            GOPHER_REQUIRED_WORDS,
+            gopher_rules,
+        )
+
+        text = "\n".join(lines)
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        rules = gopher_rules("text", min_words=2, max_words=50)
+        [row] = df.select(
+            *[v.alias(k) for k, v in rules.items()]
+        ).collect()
+
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        n = len(toks)
+        sum_len = sum(len(t) for t in toks)
+        n_alpha = len([t for t in toks if re.search(r"[a-z]", t)])
+        n_lines = len(lines)
+        n_bullet = len([l for l in lines if re.match(r"^\s*[-*•]", l)])
+        n_ell_line = len([l for l in lines if re.search(r"\.\.\.\s*$", l)])
+        n_hash = text.count("#")
+        n_ell = (len(text) - len(text.replace("...", ""))) // 3
+        n_req = sum(1 for w in GOPHER_REQUIRED_WORDS if w in toks)
+
+        assert row["r_word_count"] == (2 <= n <= 50)
+        assert row["r_mean_len"] == (3 * n <= sum_len <= 10 * n)
+        assert row["r_symbols"] == (10 * n_hash <= n and 10 * n_ell <= n)
+        assert row["r_bullets"] == (10 * n_bullet <= 9 * n_lines)
+        assert row["r_ellipsis"] == (10 * n_ell_line <= 3 * n_lines)
+        assert row["r_alpha"] == (5 * n_alpha >= 4 * n)
+        assert row["r_stops"] == (n_req >= 2)
+
+
+class TestHistogramQuantilesProperty:
+    @settings(max_examples=12, deadline=None)
+    @given(
+        vals=st.lists(
+            st.decimals(min_value=0, max_value=999, places=2).map(float),
+            min_size=1,
+            max_size=30,
+        ),
+        q=st.sampled_from([0.25, 0.5, 0.75, 0.9]),
+    )
+    def test_matches_python_interpolation(self, spark, vals, q):
+        from unitdb_spark.operators.sketch import histogram_quantiles
+
+        df = spark.createDataFrame(
+            [("k", v) for v in vals], "key string, value double"
+        )
+        [row] = histogram_quantiles(
+            df, "value", ["key"], [q], lo=0.0, hi=1000.0, n_buckets=20
+        ).collect()
+
+        import collections
+
+        width = 50.0
+        hist = collections.Counter(min(max(int(v // width), 0), 19) for v in vals)
+        target = q * len(vals)
+        cum = 0
+        for b in sorted(hist):
+            prev, cum = cum, cum + hist[b]
+            if prev < target <= cum:
+                est = 0.0 + b * width + (target - prev) / hist[b] * width
+                break
+        assert row["n"] == len(vals)
+        assert row["est_r"] == round(est, 6) or abs(row["est_r"] - est) < 1e-6
