@@ -1779,14 +1779,17 @@ def q_events_asof_nearest(spark, sf_dir):
 
 def q_doc_pipeline(spark, sf_dir):
     """The composed LLM training-data prep pipeline as ONE declarative
-    plan: C4 page rules (raw text) → language gate (en) → quality
-    floor (≥ 0.8) → exact-dup keeper (min doc_id per content md5) →
-    benchmark decontamination (3-gram overlap < 0.5, benchmark docs
-    themselves excluded). Every stage is an already-oracled operator;
-    this query's oracle composes the same CTEs, so the driver checks
-    the STAGE INTERACTIONS (filter order, join semantics), not each
-    stage in isolation. One plan, Catalyst-fused: the filters all run
-    in one scan stage; dedup and decontam add their own exchanges."""
+    plan: C4 page rules (raw text) → Gopher quality rules → language
+    gate (en) → quality floor (≥ 0.8) → exact-dup keeper (min doc_id
+    per content md5) → benchmark decontamination (3-gram overlap
+    < 0.5, benchmark docs themselves excluded). Every stage is an
+    already-oracled operator; this query's oracle composes the same
+    CTEs, so the driver checks the STAGE INTERACTIONS (filter order,
+    join semantics), not each stage in isolation. One plan,
+    Catalyst-fused: the filters all run in one scan stage; dedup and
+    decontam add their own exchanges. (The line-wise corrections stage
+    is zero-signal on this single-line synthetic corpus, so it stays
+    separately checked in doc_line_filter.)"""
     from unitdb_spark.operators.decontam import decontaminate
 
     d = _docs(spark, sf_dir)
@@ -1798,12 +1801,23 @@ def q_doc_pipeline(spark, sf_dir):
         rules["r_min_tokens"] & rules["r_word_len"] & rules["r_lorem"]
         & rules["r_brace"] & rules["r_policy"]
     )
+    # r_stops is excluded like C4's r_terminal: the synthetic vocab
+    # lacks most required stop words, so the rule would fail EVERY doc
+    # (degenerate all-fail gate); it stays driver-checked with planted
+    # signal in doc_gopher_filter
+    g = TXT.gopher_rules("text")
+    gopher_keep = (
+        g["r_word_count"] & g["r_mean_len"] & g["r_symbols"]
+        & g["r_bullets"] & g["r_ellipsis"] & g["r_alpha"]
+    )
     gated = (
         d.withColumn("keep_c4", c4_keep)
+        .withColumn("keep_gopher", gopher_keep)
         .withColumn("lang", TXT.lang_id("text"))
         .withColumn("quality", TXT.quality_score("text"))
         .filter(
-            F.col("keep_c4") & (F.col("lang") == "en") & (F.col("quality") >= 0.8)
+            F.col("keep_c4") & F.col("keep_gopher")
+            & (F.col("lang") == "en") & (F.col("quality") >= 0.8)
         )
     )
     keeper = gated.groupBy(F.md5(F.col("text")).alias("_h")).agg(
@@ -3207,7 +3221,17 @@ def oracle_sql() -> dict[str, str]:
             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
               / greatest(length(text), 1) AS digit_r,
             CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE)
-              / greatest(len({_TOKS}), 1) AS mean_wl
+              / greatest(len({_TOKS}), 1) AS mean_wl,
+            -- Gopher rule ingredients (doc_gopher_filter formulas, no plants)
+            list_sum(list_transform({_TOKS}, x -> length(x))) AS g_sum_len,
+            len(list_filter({_TOKS}, x -> regexp_matches(x, '[a-z]'))) AS g_alpha,
+            len(string_split(text, chr(10))) AS g_lines,
+            len(list_filter(string_split(text, chr(10)),
+                            l -> regexp_matches(l, '^\\s*[-*•]'))) AS g_bullet,
+            len(list_filter(string_split(text, chr(10)),
+                            l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS g_ell_line,
+            length(text) - length(replace(text, '#', '')) AS g_hash,
+            (length(text) - length(replace(text, '...', ''))) // 3 AS g_ell
           FROM documents
         ), scored AS (
           SELECT *,
@@ -3226,6 +3250,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, text, n_tok, quality FROM scored
           WHERE r_min_tokens AND r_word_len AND r_lorem
             AND r_brace AND r_policy
+            AND n_tok >= 50 AND n_tok <= 100000
+            AND g_sum_len >= 3 * n_tok AND g_sum_len <= 10 * n_tok
+            AND 10 * g_hash <= n_tok AND 10 * g_ell <= n_tok
+            AND 10 * g_bullet <= 9 * g_lines
+            AND 10 * g_ell_line <= 3 * g_lines
+            AND 5 * g_alpha >= 4 * n_tok
             AND lang_pred = 'en' AND quality >= 0.8
         ), keeper AS (
           SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM gate GROUP BY 1
