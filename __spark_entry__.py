@@ -2513,6 +2513,39 @@ def q_doc_line_filter(spark, sf_dir):
     )
 
 
+def q_events_transitions(spark, sf_dir):
+    """Behavioral transition matrix (first-order Markov counts): per
+    user, consecutive event-type pairs via ONE lag window, then a
+    (from, to) count with the empirical transition probability as an
+    exact integer ratio times 1e6 (order-free, engine-exact). The
+    funnel/attribution companion: where funnels check a fixed path,
+    this surfaces ALL observed paths."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_tot = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(w_tot).alias("row_total"),
+        # integer-exact probability in parts-per-million: floor(n*1e6/total)
+        F.floor(F.col("n") * F.lit(1_000_000) / F.sum("n").over(w_tot))
+        .cast("long")
+        .alias("p_ppm"),
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2677,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_gapfill": q_streamed_gapfill,
         "embed_knn_label": q_embed_knn_label,
         "doc_line_filter": q_doc_line_filter,
+        "events_transitions": q_events_transitions,
     }
 
 
@@ -4691,6 +4725,24 @@ def oracle_sql() -> dict[str, str]:
                len(lines) - len(kept) AS n_removed,
                array_to_string(kept, chr(10)) AS clean_text
         FROM m
+        """,
+        "events_transitions": """
+        WITH p AS (
+          SELECT user_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type,
+                 event_type AS to_type
+          FROM events
+        ), c AS (
+          SELECT from_type, to_type, COUNT(*) AS n
+          FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+               CAST(floor(n * 1000000
+                          / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT))
+                    AS BIGINT) AS p_ppm
+        FROM c
         """,
     }
 
