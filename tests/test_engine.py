@@ -642,3 +642,49 @@ class TestCompactMixedGenerations:
             assert "encrypted" in reopened.table.read().columns
         finally:
             eng.destroy()
+
+
+class TestVacuumConcurrency:
+    def test_tombstone_appended_after_snapshot_survives(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A delete() landing between vacuum's tombstone snapshot and
+        the retire step must NOT be discarded (that would silently
+        un-delete the row); it stays live for the next vacuum run."""
+        from unitdb_spark import fs
+        from unitdb_spark import engine as eng_mod
+        from unitdb_spark.engine import Engine
+
+        eng = Engine.open(spark, str(tmp_path / "vacc"))
+        try:
+            seqs = [eng.put_entry(Entry("v.t", b"d%d" % i), ts=T0 + i) for i in range(3)]
+            eng.flush()
+            eng.delete(seqs[0])
+
+            real_ls = eng_mod.fs.list_status
+            fired = {}
+
+            def racing_ls(sp, path):
+                res = real_ls(sp, path)
+                if path == eng.tombstones_path and "x" not in fired:
+                    fired["x"] = True
+                    eng.delete(seqs[1])  # lands AFTER the snapshot
+                return res
+
+            monkeypatch.setattr(eng_mod.fs, "list_status", racing_ls)
+            report = eng.vacuum()
+            monkeypatch.setattr(eng_mod.fs, "list_status", real_ls)
+
+            assert sum(report.values()) == 1  # only the snapshotted seq applied
+            # the concurrent tombstone survived the retire step...
+            assert fs.has_files(spark, eng.tombstones_path)
+            # ...so the row stays hidden from reads
+            assert len(eng.get("v.t", now=T0 + 100)) == 1
+            # and the NEXT vacuum applies it physically
+            report2 = eng.vacuum()
+            assert sum(report2.values()) == 1
+            assert not fs.has_files(spark, eng.tombstones_path)
+            raw = {r["seq"] for r in eng.table.read().select("seq").collect()}
+            assert raw == {seqs[2]}
+        finally:
+            eng.destroy()

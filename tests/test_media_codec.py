@@ -155,3 +155,21 @@ class TestFuzz:
         pos = pos % len(blob)
         mutated = blob[:pos] + patch + blob[pos + len(patch):]
         parse_media(mutated)  # total: parses or returns None fields
+
+
+def test_wav_fmt_chunk_claiming_more_than_blob_holds_is_null():
+    """A 'fmt ' header that claims clen>=16 on a blob truncated before
+    the chunk body must return None, not raise struct.error (corrupt
+    media is data, not a task failure)."""
+    from struct import pack
+
+    from unitdb_spark.functions.media_codec import parse_media, parse_wav
+
+    b = (
+        b"RIFF" + pack("<I", 100) + b"WAVE"
+        + b"JUNK" + pack("<I", 20) + b"\0" * 20
+        + b"fmt " + pack("<I", 16) + b"\0\0"
+    )
+    assert len(b) >= 44
+    assert parse_wav(b) is None
+    assert parse_media(b)["container"] is None

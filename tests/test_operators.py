@@ -2082,3 +2082,70 @@ class TestLineFilter:
         out = docs.select("doc_id", *[v.alias(k) for k, v in cols.items()])
         assert shuffle_count(out) == 0
         assert not has_python_eval(out)
+
+class TestAsofNoPayloadColumns:
+    def test_right_side_with_only_key_and_ts(self, spark):
+        """A caller that only wants matched_ts (no right payload
+        columns) must not crash on struct DDL construction — all three
+        directions."""
+        import datetime as dt
+
+        from unitdb_spark.operators.asof import asof_join
+
+        base = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(1, base + dt.timedelta(minutes=5))], "user_id long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, base), (1, base + dt.timedelta(minutes=9))],
+            "user_id long, ts timestamp",
+        )
+        for direction in ("backward", "forward", "nearest"):
+            out = asof_join(left, right, by=["user_id"], direction=direction)
+            rows = out.collect()
+            assert len(rows) == 1, direction
+            assert rows[0]["matched_ts_r"] is not None, direction
+
+
+class TestResumeOrdering:
+    def test_redelivery_in_numeric_batch_order(self, spark, tmp_path):
+        """resume() must feed batch 9 before batch 10 even though the
+        directory listing is lexicographic ('10' < '9')."""
+        from unitdb_spark.streaming.pubsub import ReliableSink
+
+        root = str(tmp_path / "rel")
+        sink_order = []
+        rs = ReliableSink(
+            spark, root, str(tmp_path / "cp"),
+            lambda df, bid: sink_order.append(bid),
+        )
+        qid = rs.log.query_id
+        for bid in (10, 9, 2):
+            d = f"{root}/inflight/{qid}/{bid}"
+            spark.createDataFrame([(bid,)], "x long").coalesce(1).write.parquet(d)
+        n = rs.resume()
+        assert n == 3
+        assert sink_order == [2, 9, 10]
+
+    def test_pruned_marker_with_stale_inflight_not_redelivered(self, spark, tmp_path):
+        """A stale inflight dir whose ack marker was pruned (a later
+        batch IS acked) must not double-deliver."""
+        from unitdb_spark.streaming.pubsub import ReliableSink
+        from unitdb_spark import fs
+
+        root = str(tmp_path / "rel2")
+        delivered = []
+        rs = ReliableSink(
+            spark, root, str(tmp_path / "cp2"),
+            lambda df, bid: delivered.append(bid),
+        )
+        qid = rs.log.query_id
+        # batch 3: crashed between record() and the inflight delete,
+        # then its marker was pruned; batch 20 is acked (the high-water
+        # proof that 3 completed)
+        d3 = f"{root}/inflight/{qid}/3"
+        spark.createDataFrame([(3,)], "x long").coalesce(1).write.parquet(d3)
+        rs.log.record_for(qid, 20)
+        n = rs.resume()
+        assert n == 0 and delivered == []
+        assert not fs.exists(spark, d3)  # stale dir cleaned up

@@ -490,25 +490,36 @@ class Engine:
         """
         report: dict[str, int] = {}
         self.flush()
-        tombs = self._tombstones_df()
-        if tombs is None or not self.table.exists():
+        if not fs.has_files(self.spark, self.tombstones_path) or not self.table.exists():
             return report
-        tomb_seqs = sorted({int(r[0]) for r in tombs.select("seq").collect()})
-        if not tomb_seqs:
-            return report
-        ranges = (
-            self.table.read()
-            .groupBy("contract", "p_date")
-            .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"))
-            .collect()
-        )
-        affected = [
-            (r["contract"], r["p_date"])
-            for r in ranges
-            if any(r["lo"] <= s <= r["hi"] for s in tomb_seqs)
-        ]
+        # lease FIRST, snapshot SECOND: a tombstone appended after the
+        # snapshot survives (only the snapshotted files retire below),
+        # and appends to the table are blocked for the whole rewrite —
+        # no window where a concurrent delete() can be silently undone
         lease = self._acquire_table_lease()
         try:
+            snap_files = [
+                f"{self.tombstones_path}/{name}"
+                for name, _sz, is_dir in fs.list_status(self.spark, self.tombstones_path)
+                if not is_dir and name.endswith(".parquet")
+            ]
+            if not snap_files:
+                return report
+            tombs = self.spark.read.parquet(*snap_files)
+            tomb_seqs = sorted({int(r[0]) for r in tombs.select("seq").collect()})
+            if not tomb_seqs:
+                return report
+            ranges = (
+                self.table.read()
+                .groupBy("contract", "p_date")
+                .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"))
+                .collect()
+            )
+            affected = [
+                (r["contract"], r["p_date"])
+                for r in ranges
+                if any(r["lo"] <= s <= r["hi"] for s in tomb_seqs)
+            ]
             root = self.table.path
             data_schema = T.StructType([
                 f for f in MessagesTable._full_schema().fields
@@ -536,10 +547,12 @@ class Engine:
                 fs.rename(self.spark, tmp, ppath)
                 fs.delete(self.spark, trash)
                 report[part] = removed
-            # every tombstoned seq is now physically absent (rewritten
-            # above, or never present in any partition's range) — the
-            # whole set retires at once
-            fs.delete(self.spark, self.tombstones_path)
+            # every seq in the SNAPSHOT is now physically absent
+            # (rewritten above, or never present in any partition's
+            # range) — retire exactly the snapshotted files; tombstones
+            # appended since the snapshot stay live for the next run
+            for f in snap_files:
+                fs.delete(self.spark, f)
         finally:
             fs.delete(self.spark, lease)
         return report

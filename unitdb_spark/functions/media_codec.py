@@ -237,6 +237,11 @@ def parse_wav(b: bytes) -> dict | None:
         ctype = b[pos:pos + 4]
         clen = struct.unpack("<I", b[pos + 4:pos + 8])[0]
         if ctype == b"fmt " and clen >= 16:
+            # a chunk header may CLAIM 16+ bytes a truncated blob
+            # doesn't hold — corrupt input is data (NULL row), never
+            # a struct.error escaping into the Spark task
+            if pos + 24 > len(b):
+                return None
             _, _, sample_rate, _, block_align, _ = struct.unpack(
                 "<HHIIHH", b[pos + 8:pos + 24]
             )

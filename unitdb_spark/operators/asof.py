@@ -58,11 +58,12 @@ def asof_join(
     # ignorenulls) then selects whole rows atomically — per-column
     # fills would backfill a NULL field of the matched row with a
     # stale value from an older right row
-    rrow_type = (
-        "struct<_rts:timestamp,"
-        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in rcols)
-        + ">"
-    )
+    # field list built uniformly so an empty rcols (caller only wants
+    # matched_ts) yields valid DDL, not a trailing-comma ParseException
+    rrow_type = "struct<" + ",".join(
+        ["_rts:timestamp"]
+        + [f"{c}:{right.schema[c].dataType.simpleString()}" for c in rcols]
+    ) + ">"
     lt2 = lt.select(
         *by, F.col(ts_col), "_side",
         F.lit(None).cast(rrow_type).alias("_rrow"),
@@ -130,11 +131,12 @@ def _asof_nearest(
     rcols = right_cols or [c for c in right.columns if c not in by and c != ts_col]
     lt = left.withColumn("_side", F.lit(1))
     rt = right.withColumn("_side", F.lit(0))
-    rrow_type = (
-        "struct<_rts:timestamp,"
-        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in rcols)
-        + ">"
-    )
+    # field list built uniformly so an empty rcols (caller only wants
+    # matched_ts) yields valid DDL, not a trailing-comma ParseException
+    rrow_type = "struct<" + ",".join(
+        ["_rts:timestamp"]
+        + [f"{c}:{right.schema[c].dataType.simpleString()}" for c in rcols]
+    ) + ">"
     lcols = [c for c in left.columns if c not in by and c != ts_col]
     lt2 = lt.select(
         *by, F.col(ts_col), "_side",

@@ -377,9 +377,14 @@ def lsh_verified_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_n,
         max_bucket_size=max_bucket_size, persist=persist,
     )
+    # bind tokens to a column FIRST (shingles_from_tokens contract:
+    # inlining the tokenizer re-splits the doc once per shingle —
+    # quadratic in document length)
     sets = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(text_col, shingle_n).alias("_sh"),  # already distinct
+        F.col(id_col).alias("_id"), raw_tokens(text_col).alias("_tk")
+    ).select(
+        "_id",
+        shingles_from_tokens(F.col("_tk"), shingle_n).alias("_sh"),  # distinct
     )
     a = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
@@ -487,6 +492,7 @@ def simhash_pairs(
     bands: int = 4,
     hash_family: str = "md5",
     max_bucket_size: int | None = 500,
+    persist: str = "memory",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``k`` via the
     pigeonhole banding of Manku et al. (WWW '07, Google's web dedup):
@@ -515,8 +521,10 @@ def simhash_pairs(
     fp_expr = simhash64_md5(text_col) if hash_family == "md5" else simhash64(text_col)
     fps = df.select(F.col(id_col).alias("_id"), fp_expr.alias("_fp"))
     # the fingerprint UDF runs once; band explode + both join sides
-    # reuse the cached result (same discipline as the LSH signatures)
-    fps = fps.cache()
+    # reuse the persisted result — same memory/disk/none discipline as
+    # the LSH signatures (at 100 TB fingerprints outgrow executor
+    # memory; "disk" avoids evicting shuffle blocks, "none" recomputes)
+    fps = _persist_sig(fps, persist)
     banded = fps.select(
         "_id",
         F.posexplode(

@@ -244,8 +244,13 @@ def ivf_pq_topk(
     lut = qb.join(F.broadcast(cb), "block").select(
         "query_id", "block", "code", _dot(F.col("_qb"), F.col("cvec")).alias("pdot")
     )
+    # cand is corpus-proportional (~|queries| * corpus * n_probe /
+    # n_cells), so it must NOT be forced into a broadcast — a plain
+    # keyed join lets AQE broadcast when it IS small and shuffle on
+    # vec_id otherwise; only the bounded frames (probes, LUT,
+    # codebooks) are pinned broadcast
     scored = (
-        codes.join(F.broadcast(cand), "vec_id")
+        codes.join(cand, "vec_id")
         .join(F.broadcast(lut), ["query_id", "block", "code"])
         .groupBy("query_id", "vec_id")
         .agg(F.sum("pdot").alias("score"))

@@ -109,6 +109,18 @@ class CommitLog:
             self.spark, f"{self.log_root}/_applied/{query_id}/{int(batch_id)}"
         )
 
+    def last_for(self, query_id: str) -> int | None:
+        """`last` for an explicit generation (resume paths use it as
+        the ack high-water mark when an old marker has been pruned)."""
+        ids = [
+            int(name)
+            for name, _, _ in fs.list_status(
+                self.spark, f"{self.log_root}/_applied/{query_id}"
+            )
+            if name.isdigit()
+        ]
+        return max(ids) if ids else None
+
     def record_for(self, query_id: str, batch_id: int) -> None:
         """`record` for an explicit generation (no pruning: the foreign
         generation's tail is not ours to manage)."""

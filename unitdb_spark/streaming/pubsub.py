@@ -373,29 +373,46 @@ class ReliableSink:
         fs.delete(self.spark, inflight)
 
     def resume(self) -> int:
-        """Redeliver every persisted-but-unacked batch (any generation);
-        returns how many batches were redelivered."""
+        """Redeliver every persisted-but-unacked batch (any generation)
+        in NUMERIC batch order — directory listings come back
+        lexicographic ('10' < '9'), and an order-sensitive sink must
+        see batch 9 before 10 on the recovery path exactly as on the
+        live path. Returns how many batches were redelivered."""
         base = f"{self.root}/inflight"
         redelivered = 0
-        for qid, _, qid_is_dir in fs.list_status(self.spark, base):
+        for qid, _, qid_is_dir in sorted(fs.list_status(self.spark, base)):
             qdir = f"{base}/{qid}"
             if not qid_is_dir:
                 continue
-            for name, _, is_dir in fs.list_status(self.spark, qdir):
-                if not is_dir or not name.isdigit():
-                    continue
-                bid = int(name)
-                bdir = f"{qdir}/{name}"
+            bids = sorted(
+                int(name)
+                for name, _, is_dir in fs.list_status(self.spark, qdir)
+                if is_dir and name.isdigit()
+            )
+            high = self.log.last_for(qid)
+            for bid in bids:
+                bdir = f"{qdir}/{bid}"
                 if not self.log.applied_for(qid, bid):
-                    if not fs.exists(self.spark, f"{bdir}/_SUCCESS"):
+                    if high is not None and bid < high:
+                        # marker pruned AFTER ack: foreachBatch runs
+                        # batches sequentially and Spark commits N
+                        # before starting N+1, so a later acked batch
+                        # proves this one completed — a stale inflight
+                        # dir here is leftover from a crash between
+                        # record() and the inflight delete, NOT an
+                        # undelivered batch; redelivering would
+                        # double-feed an order-sensitive sink
+                        pass
+                    elif not fs.exists(self.spark, f"{bdir}/_SUCCESS"):
                         # torn in-flight write: the Spark checkpoint
                         # never committed this batch either — it will
                         # replay through __call__; don't deliver half
                         fs.delete(self.spark, bdir)
                         continue
-                    self.sink_fn(self.spark.read.parquet(bdir), bid)
-                    self.log.record_for(qid, bid)
-                    redelivered += 1
+                    else:
+                        self.sink_fn(self.spark.read.parquet(bdir), bid)
+                        self.log.record_for(qid, bid)
+                        redelivered += 1
                 fs.delete(self.spark, bdir)
         return redelivered
 
