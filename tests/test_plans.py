@@ -456,3 +456,18 @@ class TestRound4LatePlans:
         assert shuffle_count(out) <= 3
         assert not has_python_eval(out)
         assert "HashAggregate" in formatted_plan(out)
+
+
+class TestAssignmentPlans:
+    def test_nearest_cell_assign_is_a_pure_projection(self, spark):
+        """SCALE.md: for k <= the inline cap, IVF/k-means assignment
+        inlines centroid literals — zero exchanges, zero joins, no
+        Python; the corpus is never shuffled to assign."""
+        from unitdb_spark.operators.similarity import ivf_assign
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        assigned, _cents = ivf_assign(emb, n_cells=8)
+        assert shuffle_count(assigned) == 0
+        plan = formatted_plan(assigned)
+        assert "Join" not in plan
+        assert not has_python_eval(assigned)

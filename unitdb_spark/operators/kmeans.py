@@ -57,20 +57,13 @@ def _init_centroids(
 
 
 def _assign(df: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    joined = df.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
-    ).join(F.broadcast(cents))
-    sim = cosine_expr("_v", "_cent").alias("_sim")
-    return (
-        joined.select("vec_id", "_v", "cent_id", sim)
-        .groupBy("vec_id")
-        .agg(
-            F.first("_v").alias("_v"),
-            F.max_by(
-                "cent_id", F.struct(F.col("_sim"), (-F.col("cent_id")).alias("_nc"))
-            ).alias("cell"),
-        )
-    )
+    """Nearest-centroid assignment — delegated to the shared
+    ``similarity.nearest_cell_assign``: a zero-shuffle inlined-literal
+    argmax projection for k <= its inline cap, broadcast-join +
+    map-side max_by beyond."""
+    from unitdb_spark.operators.similarity import nearest_cell_assign
+
+    return nearest_cell_assign(df, cents, id_col=id_col, vec_col=vec_col, vec_out="_v")
 
 
 def kmeans_lloyd(

@@ -238,6 +238,61 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# above this k the inlined-literal assignment plan (k * dim literals)
+# bloats codegen; fall back to the broadcast-join path
+_INLINE_MAX_K = 64
+
+
+def nearest_cell_assign(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_out: str = "_v",
+) -> DataFrame:
+    """Nearest-centroid assignment shared by IVF and k-means. For
+    moderate k the centroids inline as literal arrays and the argmax is
+    one greatest() over k structs (sim, -cent_id, cent_id) — a pure
+    codegen PROJECTION: the corpus is never joined, exploded, or
+    shuffled to assign. Winner semantics (max sim, ties → smaller
+    cent_id) and the cosine arithmetic are identical to the
+    broadcast-join + max_by formulation, so values (and SQL oracles)
+    are unchanged; past ``_INLINE_MAX_K`` it falls back to that join
+    path (one exchange carrying (id, vec), map-side combined).
+
+    ``cents`` must have (cent_id, _cent) rows; output is
+    (vec_id, <vec_out>, cell).
+    """
+    rows = sorted(cents.collect(), key=lambda r: int(r["cent_id"]))
+    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias(vec_out))
+    if 1 < len(rows) <= _INLINE_MAX_K:
+        entries = [
+            F.struct(
+                cosine_expr(
+                    F.col(vec_out), F.array(*[F.lit(float(x)) for x in r["_cent"]])
+                ).alias("s"),
+                F.lit(-int(r["cent_id"])).alias("nc"),
+                F.lit(int(r["cent_id"])).alias("c"),
+            )
+            for r in rows
+        ]
+        return base.select(
+            "vec_id", vec_out, F.greatest(*entries)["c"].alias("cell")
+        )
+    joined = base.join(F.broadcast(cents))
+    sim = cosine_expr(vec_out, "_cent").alias("_sim")
+    return (
+        joined.select("vec_id", vec_out, "cent_id", sim)
+        .groupBy("vec_id")
+        .agg(
+            F.first(vec_out).alias(vec_out),
+            F.max_by(
+                "cent_id", F.struct(F.col("_sim"), (-F.col("cent_id")).alias("_nc"))
+            ).alias("cell"),
+        )
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -272,25 +327,10 @@ def ivf_assign(
     if pref.limit(n_cells).count() < n_cells:
         pref = base
     cents = pref.orderBy(hash_c, F.col("cent_id")).limit(n_cells)
-    joined = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
-    ).join(F.broadcast(cents))
-    sim = cosine_expr("_v", "_cent").alias("_sim")
-    # argmax via max_by over (sim, -cent_id), NOT a row_number window:
-    # the window would shuffle corpus x n_cells rows (embeddings
-    # included) and sort them; max_by gets map-side partial aggregation
-    # that collapses the n_cells fan-out before the exchange, so the
-    # shuffle carries ~1x the corpus. Tie-break (-cent_id) keeps the
-    # lowest centroid id, identical to ORDER BY sim DESC, cent_id ASC.
-    assigned = (
-        joined.select("vec_id", "_v", "cent_id", sim)
-        .groupBy("vec_id")
-        .agg(
-            F.first("_v").alias("embedding"),
-            F.max_by(
-                "cent_id", F.struct(F.col("_sim"), (-F.col("cent_id")).alias("_nc"))
-            ).alias("cell"),
-        )
+    # zero-shuffle inline assignment (or broadcast-join + map-side
+    # max_by past _INLINE_MAX_K) — see nearest_cell_assign
+    assigned = nearest_cell_assign(
+        corpus, cents, id_col=id_col, vec_col=vec_col, vec_out="embedding"
     )
     return assigned, cents
 
