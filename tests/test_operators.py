@@ -2149,3 +2149,29 @@ class TestResumeOrdering:
         n = rs.resume()
         assert n == 0 and delivered == []
         assert not fs.exists(spark, d3)  # stale dir cleaned up
+
+
+class TestNearestCellAssignEquivalence:
+    def test_inline_and_join_paths_agree(self, spark, monkeypatch):
+        """The zero-shuffle inlined-literal argmax and the
+        broadcast-join + max_by fallback must produce identical
+        assignments (same winner, same tie-break)."""
+        import unitdb_spark.operators.similarity as sim
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(40)
+        cents = emb.limit(5).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").cast("array<double>").alias("_cent"),
+        )
+        inline = {
+            r["vec_id"]: r["cell"]
+            for r in sim.nearest_cell_assign(emb, cents).collect()
+        }
+        monkeypatch.setattr(sim, "_INLINE_MAX_K", 1)  # force the join path
+        joined = {
+            r["vec_id"]: r["cell"]
+            for r in sim.nearest_cell_assign(emb, cents).collect()
+        }
+        assert inline == joined and len(inline) == 40

@@ -54,7 +54,10 @@ def semdedup(
     The assigned (id, cell, vec) relation feeds both self-join sides,
     so it is persisted once (``persist``: "memory" / "disk" / "none",
     same convention as MinHash signatures) — without it Spark re-runs
-    the assignment subplan per branch. The final keeper join runs on
+    the assignment subplan per branch. The persist is session-pinned
+    (Spark has no plan-scoped lifetime); long-lived jobs should release
+    it via ``spark.catalog.clearCache()`` once consumed, as with the
+    TF-IDF ``reuse_tf`` persist. The final keeper join runs on
     the NARROW (id, cell) assignment relation (16 B/row — vectors
     never ride the closing exchange, and the dup side can be any size
     without a broadcast gamble).
