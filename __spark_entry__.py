@@ -2546,6 +2546,24 @@ def q_events_transitions(spark, sf_dir):
     )
 
 
+def q_doc_neardup_resolve(spark, sf_dir):
+    """The PRODUCTION near-dup path end to end, composed: MinHash-LSH
+    candidates → exact-Jaccard verify (candidate pairs only) →
+    connected components → quality keeper (longest doc survives, ties
+    → smallest id). Every stage is individually oracled
+    (doc_minhash_lsh_md5, doc_lsh_verified, doc_dup_clusters,
+    doc_dedup_resolve); this checks their composition — the verified
+    pairs ARE the component edges, like a real pipeline run."""
+    from unitdb_spark.operators.cluster import dedup_resolve
+    from unitdb_spark.operators.dedup import lsh_verified_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = lsh_verified_pairs(
+        d, num_hashes=16, bands=4, threshold=0.5, hash_family="md5"
+    )
+    return dedup_resolve(d, pairs, quality_col="n_chars")
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2711,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_knn_label": q_embed_knn_label,
         "doc_line_filter": q_doc_line_filter,
         "events_transitions": q_events_transitions,
+        "doc_neardup_resolve": q_doc_neardup_resolve,
     }
 
 
@@ -4743,6 +4762,43 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT))
                     AS BIGINT) AS p_ppm
         FROM c
+        """,
+        "doc_neardup_resolve": _minhash_md5_cte().replace(
+            "WITH toks", "WITH RECURSIVE toks", 1
+        ) + """
+        , verified AS (
+          SELECT e.id_a, e.id_b
+          FROM est e
+          JOIN sh sha ON sha.doc_id = e.id_a
+          JOIN sh shb ON shb.doc_id = e.id_b
+          WHERE round(CAST(len(list_intersect(sha.s, shb.s)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(sha.s, shb.s))) AS DOUBLE),
+                6) >= 0.5
+        ), ndr_edges AS (
+          SELECT id_a AS s, id_b AS d FROM verified
+          UNION ALL
+          SELECT id_b AS s, id_a AS d FROM verified
+        ), ndr_reach(node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, r.label FROM ndr_reach r JOIN ndr_edges e ON r.node = e.s
+        ), ndr_comp AS (
+          SELECT node AS doc_id, MIN(label) AS cluster_id
+          FROM ndr_reach GROUP BY node
+        ), ndr_j AS (
+          SELECT c.doc_id, c.cluster_id, dd.n_chars
+          FROM ndr_comp c JOIN documents dd USING (doc_id)
+        ), ndr_k AS (
+          SELECT cluster_id, doc_id AS keeper_id,
+            row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM ndr_j
+        )
+        SELECT c.doc_id, c.cluster_id, k2.keeper_id,
+               c.doc_id = k2.keeper_id AS is_keeper
+        FROM ndr_comp c
+        JOIN (SELECT cluster_id, keeper_id FROM ndr_k WHERE rn = 1) k2
+          USING (cluster_id)
         """,
     }
 
