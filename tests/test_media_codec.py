@@ -173,3 +173,18 @@ def test_wav_fmt_chunk_claiming_more_than_blob_holds_is_null():
     assert len(b) >= 44
     assert parse_wav(b) is None
     assert parse_media(b)["container"] is None
+
+
+def test_wav_zero_sample_rate_is_null_not_division_error():
+    from struct import pack
+
+    from unitdb_spark.functions.media_codec import parse_media, parse_wav
+
+    b = (
+        b"RIFF" + pack("<I", 36) + b"WAVE"
+        + b"fmt " + pack("<I", 16)
+        + pack("<HHIIHH", 1, 1, 0, 0, 2, 16)   # sample_rate = 0
+        + b"data" + pack("<I", 4) + b"\0\0\0\0"
+    )
+    assert parse_wav(b) is None
+    assert parse_media(b)["container"] is None

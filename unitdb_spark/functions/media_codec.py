@@ -248,7 +248,9 @@ def parse_wav(b: bytes) -> dict | None:
         elif ctype == b"data":
             data_len = clen
         pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
-    if sample_rate is None or data_len is None or not block_align:
+    # `not sample_rate` also rejects a declared rate of 0 — corrupt
+    # media is data (NULL row), never a ZeroDivisionError in the task
+    if not sample_rate or data_len is None or not block_align:
         return None
     duration = data_len / float(sample_rate * block_align)
     return dict(

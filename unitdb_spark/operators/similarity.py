@@ -261,11 +261,18 @@ def nearest_cell_assign(
     path (one exchange carrying (id, vec), map-side combined).
 
     ``cents`` must have (cent_id, _cent) rows; output is
-    (vec_id, <vec_out>, cell).
+    (vec_id, <vec_out>, cell). Input ids must be UNIQUE (the corpus
+    contract throughout this package): on duplicate ids the inline
+    path keeps one output row per input row while the join fallback's
+    groupBy collapses them — don't feed either path a non-keyed id.
+
+    The centroid fetch is bounded (``take(cap+1)``), so the fallback
+    path never pays a full collect just to learn that k is large.
     """
-    rows = sorted(cents.collect(), key=lambda r: int(r["cent_id"]))
+    rows = cents.take(_INLINE_MAX_K + 1)
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias(vec_out))
     if 1 < len(rows) <= _INLINE_MAX_K:
+        rows = sorted(rows, key=lambda r: int(r["cent_id"]))
         entries = [
             F.struct(
                 cosine_expr(
