@@ -2564,6 +2564,28 @@ def q_doc_neardup_resolve(spark, sf_dir):
     return dedup_resolve(d, pairs, quality_col="n_chars")
 
 
+def q_doc_substring_dup(spark, sf_dir):
+    """Exact substring-duplication audit (Lee et al. '21): every 8-token
+    span occurring >= 2 times corpus-wide is duplicated text; per doc,
+    the exact interval-union token coverage a span-removal pass would
+    delete. All-integer on the portable md5 hash — the oracle replays
+    gram hashing, the corpus group-by and the lag-window interval union
+    bit for bit."""
+    from unitdb_spark.operators.substring import substring_dup_stats
+
+    return substring_dup_stats(_docs(spark, sf_dir), k=8, min_occ=2)
+
+
+def q_doc_dup_grams(spark, sf_dir):
+    """Corpus-wide duplicated 8-gram inventory: (gram_hash, n_occ,
+    n_docs, first_doc). The hash IS the identity — gram text never
+    leaves the map-side projection (hash-before-explode), so the
+    shuffle carries 8-byte longs, not k-token strings."""
+    from unitdb_spark.operators.substring import duplicated_grams
+
+    return duplicated_grams(_docs(spark, sf_dir), k=8, min_occ=2)
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2730,6 +2752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_filter": q_doc_line_filter,
         "events_transitions": q_events_transitions,
         "doc_neardup_resolve": q_doc_neardup_resolve,
+        "doc_substring_dup": q_doc_substring_dup,
+        "doc_dup_grams": q_doc_dup_grams,
     }
 
 
@@ -4800,6 +4824,56 @@ def oracle_sql() -> dict[str, str]:
         JOIN (SELECT cluster_id, keeper_id FROM ndr_k WHERE rn = 1) k2
           USING (cluster_id)
         """,
+        "doc_substring_dup": f"""
+        -- Lee '21 exact-substring audit: 8-gram md5_int60 hashes,
+        -- corpus-wide dup filter, lag-window interval union (spans all
+        -- have length 8, so covered = sum(min(8, pos - prev)) with the
+        -- first term = 8) — integer end to end
+        WITH t AS (
+          SELECT doc_id, {{toks}} AS tk FROM documents
+        ), g AS (
+          SELECT doc_id, i AS pos,
+            CAST(('0x' || substr(md5(array_to_string(
+                   list_slice(tk, i + 1, i + 8), ' ')), 1, 15)) AS BIGINT) AS gh
+          FROM t, UNNEST(generate_series(0, len(tk) - 8)) AS u(i)
+          WHERE len(tk) >= 8
+        ), s AS (
+          SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2
+        ), d AS (
+          SELECT doc_id, pos,
+            lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM g JOIN s USING (gh)
+        ), c AS (
+          SELECT doc_id, COUNT(*) AS n_dup_pos,
+            SUM(CASE WHEN prev IS NULL THEN 8
+                     ELSE least(8, pos - prev) END) AS covered
+          FROM d GROUP BY doc_id
+        )
+        SELECT t.doc_id, len(t.tk) AS n_tokens,
+          CASE WHEN len(t.tk) >= 8 THEN len(t.tk) - 7 ELSE 0 END AS n_pos,
+          coalesce(c.n_dup_pos, 0) AS n_dup_pos,
+          CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+          CAST(floor(coalesce(c.covered, 0) * 1000000.0
+                     / greatest(len(t.tk), 1)) AS BIGINT) AS dup_ppm,
+          CAST(CASE WHEN floor(coalesce(c.covered, 0) * 1000000.0
+                     / greatest(len(t.tk), 1)) >= 300000
+               THEN 1 ELSE 0 END AS INT) AS is_dup
+        FROM t LEFT JOIN c USING (doc_id)
+        """.replace("{toks}", _TOKS),
+        "doc_dup_grams": f"""
+        WITH t AS (
+          SELECT doc_id, {{toks}} AS tk FROM documents
+        ), g AS (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(array_to_string(
+                   list_slice(tk, i + 1, i + 8), ' ')), 1, 15)) AS BIGINT) AS gram_hash
+          FROM t, UNNEST(generate_series(0, len(tk) - 8)) AS u(i)
+          WHERE len(tk) >= 8
+        )
+        SELECT gram_hash, COUNT(*) AS n_occ,
+          COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+        FROM g GROUP BY gram_hash HAVING COUNT(*) >= 2
+        """.replace("{toks}", _TOKS),
     }
 
 

@@ -2175,3 +2175,94 @@ class TestNearestCellAssignEquivalence:
             for r in sim.nearest_cell_assign(emb, cents).collect()
         }
         assert inline == joined and len(inline) == 40
+
+
+class TestSubstringDup:
+    """Exact substring-duplication detection (Lee '21 exact-substring
+    criterion, corpus group-by instead of a suffix array)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_shared_phrase_flags_both_docs(self, spark):
+        from unitdb_spark.operators.substring import substring_dup_stats
+
+        phrase = " ".join(f"w{i}" for i in range(8))  # exactly one 8-gram
+        rows = [
+            (1, phrase + " aa bb cc"),
+            (2, "xx yy " + phrase),
+            (3, "totally different words here none repeat at all ok"),
+            (4, "short doc"),  # < 8 tokens -> zero positions
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in substring_dup_stats(
+                self._docs(spark, rows), k=8, min_occ=2
+            ).collect()
+        }
+        assert out[1]["n_dup_pos"] == 1 and out[1]["covered_tokens"] == 8
+        assert out[2]["n_dup_pos"] == 1 and out[2]["covered_tokens"] == 8
+        assert out[3]["n_dup_pos"] == 0 and out[3]["covered_tokens"] == 0
+        assert out[4]["n_pos"] == 0 and out[4]["dup_ppm"] == 0
+        # doc 1: 11 tokens, 8 covered -> 727272 ppm -> flagged
+        assert out[1]["dup_ppm"] == 727272 and out[1]["is_dup"] == 1
+        assert out[3]["is_dup"] == 0
+
+    def test_overlapping_spans_union_not_sum(self, spark):
+        from unitdb_spark.operators.substring import substring_dup_stats
+
+        run = " ".join(f"t{i}" for i in range(10))  # 10-token shared run
+        rows = [(1, run + " p q r"), (2, run + " s u v")]
+        out = {
+            r["doc_id"]: r
+            for r in substring_dup_stats(
+                self._docs(spark, rows), k=8, min_occ=2
+            ).collect()
+        }
+        # positions 0,1,2 all duplicated; union covers exactly the 10
+        # run tokens (8 + 1 + 1), NOT 24
+        for d in (1, 2):
+            assert out[d]["n_dup_pos"] == 3
+            assert out[d]["covered_tokens"] == 10
+
+    def test_disjoint_spans_sum(self, spark):
+        from unitdb_spark.operators.substring import substring_dup_stats
+
+        a = " ".join(f"a{i}" for i in range(8))
+        b = " ".join(f"b{i}" for i in range(8))
+        gap = " ".join(f"g{i}" for i in range(8))
+        rows = [
+            (1, f"{a} {gap} {b}"),
+            (2, a),
+            (3, b),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in substring_dup_stats(
+                self._docs(spark, rows), k=8, min_occ=2
+            ).collect()
+        }
+        assert out[1]["covered_tokens"] == 16  # two disjoint 8-spans
+
+    def test_within_doc_repeat_counts(self, spark):
+        from unitdb_spark.operators.substring import (
+            duplicated_grams,
+            substring_dup_stats,
+        )
+
+        phrase = " ".join(f"w{i}" for i in range(8))
+        rows = [(1, phrase + " mid1 mid2 " + phrase)]
+        inv = duplicated_grams(self._docs(spark, rows), k=8, min_occ=2).collect()
+        by_occ = {r["gram_hash"]: r for r in inv}
+        assert any(r["n_occ"] == 2 and r["n_docs"] == 1 for r in by_occ.values())
+        out = substring_dup_stats(self._docs(spark, rows), k=8, min_occ=2).collect()
+        # both occurrences' positions are duplicated spans
+        assert out[0]["n_dup_pos"] == 2 and out[0]["covered_tokens"] == 16
+
+    def test_min_occ_three_not_met(self, spark):
+        from unitdb_spark.operators.substring import substring_dup_stats
+
+        phrase = " ".join(f"w{i}" for i in range(8))
+        rows = [(1, phrase), (2, phrase)]
+        out = substring_dup_stats(self._docs(spark, rows), k=8, min_occ=3).collect()
+        assert all(r["n_dup_pos"] == 0 for r in out)

@@ -471,3 +471,28 @@ class TestAssignmentPlans:
         plan = formatted_plan(assigned)
         assert "Join" not in plan
         assert not has_python_eval(assigned)
+
+
+class TestSubstringDupPlan:
+    def test_hash_before_explode_and_no_python(self, spark):
+        """SCALE.md: the k-gram hash is computed inside the transform
+        lambda BEFORE posexplode, so the exploded relation (and every
+        shuffle) carries 8-byte longs — gram strings never leave the
+        map-side projection. All-JVM, bounded exchange count."""
+        from unitdb_spark.operators.substring import substring_dup_stats
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = substring_dup_stats(docs, k=8, min_occ=2)
+        plan = formatted_plan(out)
+        assert not has_python_eval(out)
+        # the explode's generator output is the hash array, not text
+        assert "posexplode" not in plan or "gram_hash" in plan
+        assert shuffle_count(out) <= 7
+
+    def test_dup_gram_inventory_single_agg_shuffle(self, spark):
+        from unitdb_spark.operators.substring import duplicated_grams
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = duplicated_grams(docs, k=8, min_occ=2)
+        assert not has_python_eval(out)
+        assert shuffle_count(out) <= 2  # partial-agg + final on gram_hash

@@ -1,0 +1,159 @@
+"""Exact substring-duplication detection (Lee et al. '21,
+"Deduplicating Training Data Makes Language Models Better").
+
+The reference engine stores opaque payloads and has no corpus-dedup
+surface (unitdb payloads are byte blobs, db_internal.go:59-60); this is
+a north-star LLM-pipeline operator: find every k-token span that occurs
+more than once across the corpus — the exact-substring criterion the
+paper applies with a suffix array — and report, per document, how much
+of it is duplicated text (the tokens a span-removal pass would delete).
+
+Spark-first shape, no suffix array
+----------------------------------
+A suffix array is a single-machine construction; the distributed
+equivalent of "does this k-gram occur elsewhere?" is a corpus-wide
+group-by on the gram hash:
+
+1. tokenize once, bind the array, enumerate positions 0..len-k;
+2. hash each k-token window to a 60-bit integer INSIDE the
+   ``transform`` lambda — only 8-byte longs are exploded, the k-token
+   gram strings never leave the projection (at 100 TB the k× text
+   blowup of exploding raw grams is the difference between a scan and
+   an outage);
+3. one shuffle on gram_hash -> (n_occ, n_docs) per gram;
+4. join positions back on the same key (the exchange is reused — same
+   subtree, Catalyst ReusedExchange; pinned in tests/test_plans.py) to
+   keep duplicated positions;
+5. per-doc interval union: duplicated spans all have length k, so with
+   sorted dup positions p1 < p2 < ..., covered tokens
+   = sum_i min(k, p_i - p_{i-1}) with the first term = k — one lag
+   window per doc, no interval-merge loop.
+
+Everything is integer arithmetic on the portable md5_int60 hash, so a
+DuckDB oracle replays it bit for bit (ratios are exact ppm floors).
+
+At scale: the gram relation is |tokens| rows of (long, long, int) —
+linear, not quadratic; both heavy ops shuffle on gram_hash (uniform by
+construction); the doc-level rollup shuffles doc_id only for positions
+that survived the dup filter (typically a small fraction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from unitdb_spark.functions.portable_hash import md5_int60
+
+
+def gram_hashes(tok_col: Column | str, k: int) -> Column:
+    """Array of 60-bit md5 hashes, one per k-token window, hashed
+    before any explode so only longs travel. Position i's hash covers
+    tokens [i, i+k). Empty array when the doc has < k tokens."""
+    toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    return F.when(F.size(toks) >= k, F.transform(
+        idx, lambda i: md5_int60(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )).otherwise(F.array().cast("array<bigint>"))
+
+
+def _positions(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, n_tokens, pos, gram_hash) — one row per k-gram position."""
+    from unitdb_spark.operators.dedup import raw_tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), raw_tokens(text_col).alias("_tok")
+    ).select("id", F.size("_tok").alias("n_tokens"),
+             gram_hashes("_tok", k).alias("_gh"))
+    return toks.select(
+        "id", "n_tokens",
+        F.posexplode_outer("_gh").alias("pos", "gram_hash"),
+    )
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_occ: int = 2,
+    flag_ppm: int = 300_000,
+) -> DataFrame:
+    """Per-document duplicated-substring audit.
+
+    Output (one row per doc, including docs shorter than k tokens):
+      id, n_tokens, n_pos (k-gram positions), n_dup_pos (positions
+      whose gram occurs >= min_occ times corpus-wide), covered_tokens
+      (exact interval union of the duplicated spans), dup_ppm
+      (floor(covered * 1e6 / n_tokens), integer-exact) and is_dup
+      (dup_ppm >= flag_ppm — the doc is mostly duplicated text).
+    """
+    pos = _positions(docs, id_col, text_col, k)
+    grams = pos.filter(F.col("gram_hash").isNotNull())
+    stats = grams.groupBy("gram_hash").agg(F.count("*").alias("n_occ"))
+    dup_pos = (
+        grams.join(stats.filter(F.col("n_occ") >= min_occ), "gram_hash")
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    covered = (
+        dup_pos.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "add",
+            F.when(F.col("prev").isNull(), F.lit(k)).otherwise(
+                F.least(F.lit(k), F.col("pos") - F.col("prev"))
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_dup_pos"),
+            F.sum("add").alias("covered_tokens"),
+        )
+    )
+    base = pos.groupBy("id", "n_tokens").agg(
+        F.count("gram_hash").alias("n_pos")
+    )
+    out = (
+        base.join(covered, "id", "left")
+        .withColumn("n_dup_pos", F.coalesce("n_dup_pos", F.lit(0)))
+        .withColumn(
+            "covered_tokens", F.coalesce("covered_tokens", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "dup_ppm",
+            F.floor(
+                F.col("covered_tokens") * F.lit(1_000_000)
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+            ),
+        )
+        .withColumn("is_dup", (F.col("dup_ppm") >= flag_ppm).cast("int"))
+    )
+    return out.select(
+        F.col("id").alias(id_col), "n_tokens", "n_pos", "n_dup_pos",
+        "covered_tokens", "dup_ppm", "is_dup",
+    )
+
+
+def duplicated_grams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_occ: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicated k-gram inventory: (gram_hash, n_occ,
+    n_docs, first_doc). The gram text itself is NOT carried — at scale
+    the hash is the identity; callers that need the text re-derive it
+    from (first_doc, first_pos) against the source."""
+    pos = _positions(docs, id_col, text_col, k).filter(
+        F.col("gram_hash").isNotNull()
+    )
+    return (
+        pos.groupBy("gram_hash")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("id").alias("n_docs"),
+            F.min("id").alias("first_doc"),
+        )
+        .filter(F.col("n_occ") >= min_occ)
+    )
