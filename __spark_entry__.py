@@ -2586,6 +2586,16 @@ def q_doc_dup_grams(spark, sf_dir):
     return duplicated_grams(_docs(spark, sf_dir), k=8, min_occ=2)
 
 
+def q_doc_novelty(spark, sf_dir):
+    """Per-doc 3-gram novelty vs the whole corpus (fraction of the
+    doc's distinct grams whose first occurrence — min doc_id — is this
+    doc). Integer-exact ppm; the oracle replays gram hashing, the
+    per-doc distinct, and the min-id attribution."""
+    from unitdb_spark.operators.substring import novelty_stats
+
+    return novelty_stats(_docs(spark, sf_dir), k=3)
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2754,6 +2764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neardup_resolve": q_doc_neardup_resolve,
         "doc_substring_dup": q_doc_substring_dup,
         "doc_dup_grams": q_doc_dup_grams,
+        "doc_novelty": q_doc_novelty,
     }
 
 
@@ -4873,6 +4884,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT gram_hash, COUNT(*) AS n_occ,
           COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
         FROM g GROUP BY gram_hash HAVING COUNT(*) >= 2
+        """.replace("{toks}", _TOKS),
+        "doc_novelty": f"""
+        WITH t AS (
+          SELECT doc_id, {{toks}} AS tk FROM documents
+        ), g AS (
+          SELECT DISTINCT doc_id,
+            CAST(('0x' || substr(md5(array_to_string(
+                   list_slice(tk, i + 1, i + 3), ' ')), 1, 15)) AS BIGINT) AS gh
+          FROM t, UNNEST(generate_series(0, len(tk) - 3)) AS u(i)
+          WHERE len(tk) >= 3
+        ), f AS (
+          SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh
+        )
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+          COUNT(*) FILTER (f.first_doc = g.doc_id) AS n_novel,
+          CAST(floor(COUNT(*) FILTER (f.first_doc = g.doc_id) * 1000000.0
+                     / greatest(COUNT(*), 1)) AS BIGINT) AS novelty_ppm
+        FROM g JOIN f USING (gh) GROUP BY g.doc_id
         """.replace("{toks}", _TOKS),
     }
 

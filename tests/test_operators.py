@@ -2266,3 +2266,42 @@ class TestSubstringDup:
         rows = [(1, phrase), (2, phrase)]
         out = substring_dup_stats(self._docs(spark, rows), k=8, min_occ=3).collect()
         assert all(r["n_dup_pos"] == 0 for r in out)
+
+
+class TestNovelty:
+    def test_first_doc_gets_full_credit(self, spark):
+        from unitdb_spark.operators.substring import novelty_stats
+
+        rows = [
+            (1, "alpha beta gamma delta"),       # grams all first-seen here
+            (2, "alpha beta gamma delta"),       # exact re-tread -> 0 novel
+            (3, "epsilon zeta eta theta iota"),  # disjoint -> all novel
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in novelty_stats(docs, k=3).collect()}
+        assert out[1]["n_novel"] == out[1]["n_grams"] == 2
+        assert out[1]["novelty_ppm"] == 1_000_000
+        assert out[2]["n_novel"] == 0 and out[2]["novelty_ppm"] == 0
+        assert out[3]["novelty_ppm"] == 1_000_000
+
+    def test_partial_overlap(self, spark):
+        from unitdb_spark.operators.substring import novelty_stats
+
+        rows = [
+            (1, "a b c d"),        # grams: (a b c), (b c d)
+            (2, "a b c x y z"),    # grams: (a b c)* seen, 3 new
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in novelty_stats(docs, k=3).collect()}
+        assert out[2]["n_grams"] == 4 and out[2]["n_novel"] == 3
+        assert out[2]["novelty_ppm"] == 750_000
+
+    def test_duplicate_grams_within_doc_counted_once(self, spark):
+        from unitdb_spark.operators.substring import novelty_stats
+
+        docs = spark.createDataFrame(
+            [(1, "a b c a b c a b c")], "doc_id long, text string"
+        )
+        out = novelty_stats(docs, k=3).collect()[0]
+        # rolling grams: abc, bca, cab, abc, bca, cab, abc -> 3 distinct
+        assert out["n_grams"] == 3 and out["n_novel"] == 3

@@ -134,6 +134,61 @@ def substring_dup_stats(
     )
 
 
+def novelty_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: of this doc's DISTINCT k-grams, how
+    many appear in no earlier document (first corpus occurrence = min
+    id)? A curation-time diversity signal — a doc whose grams are all
+    re-treads adds little to a training set even if it is not an exact
+    near-dup of any single other doc (near-dup checks are pairwise;
+    novelty is against the whole corpus union).
+
+    Same scale discipline as the dup audit: grams are hashed inside the
+    projection (longs shuffle, strings don't), per-doc distinct happens
+    map-side via array_distinct BEFORE the explode, and the first-doc
+    attribution plus the join back share one gram_hash shuffle key.
+
+    Output: (id, n_grams, n_novel, novelty_ppm) with
+    novelty_ppm = floor(n_novel * 1e6 / n_grams) — integer-exact.
+    """
+    from unitdb_spark.operators.dedup import raw_tokens
+
+    g = (
+        docs.select(
+            F.col(id_col).alias("id"), raw_tokens(text_col).alias("_tok")
+        )
+        .select(
+            "id", F.array_distinct(gram_hashes("_tok", k)).alias("_gh")
+        )
+        .select("id", F.explode("_gh").alias("gram_hash"))
+    )
+    first = g.groupBy("gram_hash").agg(F.min("id").alias("first_doc"))
+    out = (
+        g.join(first, "gram_hash")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("id"), 1)).alias(
+                "n_novel"
+            ),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.floor(
+                F.col("n_novel") * F.lit(1_000_000)
+                / F.greatest(F.col("n_grams"), F.lit(1))
+            ),
+        )
+    )
+    return out.select(
+        F.col("id").alias(id_col), "n_grams", "n_novel", "novelty_ppm"
+    )
+
+
 def duplicated_grams(
     docs: DataFrame,
     id_col: str = "doc_id",
