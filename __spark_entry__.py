@@ -2596,6 +2596,48 @@ def q_doc_novelty(spark, sf_dir):
     return novelty_stats(_docs(spark, sf_dir), k=3)
 
 
+def q_streamed_kmv_snapshot(spark, sf_dir):
+    """Driver-checkable twin of the STREAMING KMV sketch: the events
+    table replays as a multi-batch stream through streaming_kmv
+    (applyInPandasWithState, O(k) longs per key), the final state is
+    reconstructed from the update stream (max n_batches per key = last
+    emission), and the estimate is computed with the SAME pinned IEEE
+    expression as the batch operator. Bottom-k of a set is order-free,
+    so the oracle is the identical SQL as `events_kmv_users` — a
+    hash-match proves the streamed sketch == the batch sketch bitwise
+    regardless of micro-batch split."""
+    import uuid
+
+    from unitdb_spark.operators.sketch import kmv_estimate
+    from unitdb_spark.streaming.pubsub import events_as_stream
+    from unitdb_spark.streaming.state import streaming_kmv
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    ev = events_as_stream(spark, src, max_files_per_trigger=2)
+    out = streaming_kmv(ev, key_col="event_type", value_col="user_id", k=64)
+    sink = f"kmv_twin_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    upd = spark.table(sink)
+    w = W.partitionBy("key").orderBy(F.desc("n_batches"))
+    final = upd.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return final.select(
+        F.col("key").alias("event_type"),
+        "n_kept",
+        "kth_hash",
+        F.round(kmv_estimate("n_kept", "kth_hash", 64), 6).alias("kmv_est"),
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2765,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dup": q_doc_substring_dup,
         "doc_dup_grams": q_doc_dup_grams,
         "doc_novelty": q_doc_novelty,
+        "streamed_kmv_snapshot": q_streamed_kmv_snapshot,
     }
 
 
@@ -2773,6 +2816,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 M = MESSAGES_FROM_EVENTS_SQL  # WITH messages AS (...), clock AS (...)
 
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+# KMV bottom-k: identical hash + identical estimator expression order
+# ((k-1) * (2^60 / h)) as the Spark operator; shared verbatim by the
+# batch query (events_kmv_users) and the streaming snapshot twin
+# (streamed_kmv_snapshot) — the twins' whole point is one contract
+_KMV_USERS_SQL = """
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL
+), h AS (
+  SELECT event_type,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM d
+), r AS (
+  SELECT event_type, hv,
+    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+), a AS (
+  SELECT event_type, COUNT(*) AS n_kept, MAX(hv) AS kth_hash
+  FROM r WHERE rn <= 64 GROUP BY 1
+)
+SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept, kth_hash,
+  round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+        ELSE 63.0 * (1152921504606846976.0 / CAST(kth_hash AS DOUBLE))
+        END, 6) AS kmv_est
+FROM a
+"""
 
 # PII regexes shared verbatim with functions.text (Java regex + RE2
 # compatible: no lookarounds/backreferences)
@@ -3712,30 +3782,11 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
         HAVING COUNT(*) >= 2
         """,
-        "events_kmv_users": """
-        -- KMV bottom-k: identical hash + identical estimator
-        -- expression order ((k-1) * (2^60 / h)) as the Spark operator
-        WITH d AS (
-          SELECT DISTINCT event_type, user_id FROM events
-          WHERE user_id IS NOT NULL
-        ), h AS (
-          SELECT event_type,
-            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-          FROM d
-        ), r AS (
-          SELECT event_type, hv,
-            row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
-          FROM h
-        ), a AS (
-          SELECT event_type, COUNT(*) AS n_kept, MAX(hv) AS kth_hash
-          FROM r WHERE rn <= 64 GROUP BY 1
-        )
-        SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept, kth_hash,
-          round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
-                ELSE 63.0 * (1152921504606846976.0 / CAST(kth_hash AS DOUBLE))
-                END, 6) AS kmv_est
-        FROM a
-        """,
+        "events_kmv_users": _KMV_USERS_SQL,
+        # the streamed sketch's contract IS the batch sketch: bottom-k
+        # of a set is order-free, so the snapshot twin shares the
+        # events_kmv_users oracle verbatim
+        "streamed_kmv_snapshot": _KMV_USERS_SQL,
         "events_cms_user_counts": """
         WITH grid AS (
           SELECT row_i, bucket, COUNT(*) AS cnt FROM (

@@ -1034,3 +1034,48 @@ class TestStreamingGapFill:
         assert got[t0 + 3 * h] == (None, 10.0, True)  # synthesized gap
         assert got[t0 + 4 * h] == (30.0, 30.0, False)
         assert t0 + 5 * h not in got                  # final bucket still open
+
+
+class TestStreamingKmv:
+    def test_final_state_equals_batch_sketch_bitwise(self, spark, events_dir):
+        """Bottom-k of a set is order-free: after a 4-file/2-per-trigger
+        replay, the reconstructed final state (max n_batches per key)
+        equals the batch kmv_distinct output bitwise, including the
+        IEEE estimate."""
+        from pyspark.sql.window import Window
+
+        from unitdb_spark.operators.sketch import kmv_distinct, kmv_estimate
+        from unitdb_spark.streaming.state import streaming_kmv
+
+        out = streaming_kmv(
+            events_as_stream(spark, events_dir, max_files_per_trigger=1),
+            key_col="event_type", value_col="user_id", k=16,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("kmv_stream")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        upd = spark.table("kmv_stream")
+        w = Window.partitionBy("key").orderBy(F.desc("n_batches"))
+        final = (
+            upd.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "key", "n_kept", "kth_hash",
+                F.round(kmv_estimate("n_kept", "kth_hash", 16), 6).alias("kmv_est"),
+            )
+        )
+        got = {r["key"]: (r["n_kept"], r["kth_hash"], r["kmv_est"])
+               for r in final.collect()}
+        ev = spark.read.parquet(events_dir)
+        want = {r["event_type"]: (r["n_kept"], r["kth_hash"], r["kmv_est"])
+                for r in kmv_distinct(ev, ["event_type"], "user_id", k=16).collect()}
+        assert got == want and len(got) > 0
+        # a 4-batch single-file replay actually exercised multiple batches
+        assert upd.agg(F.max("n_batches")).first()[0] >= 2
+        # state boundedness: never more than k hashes kept
+        assert upd.agg(F.max("n_kept")).first()[0] <= 16

@@ -61,16 +61,21 @@ def kmv_distinct(
         F.count(F.lit(1)).alias("n_kept"),
         F.max("_h").alias("kth_hash"),
     )
-    # (k-1)/h_k with h normalized by 2^60; evaluated as
-    # (k-1) * (2^60 / h) in BOTH engines so the doubles are identical
-    est = F.when(
-        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    return agg.select(
+        *keys, "n_kept", "kth_hash",
+        F.round(kmv_estimate("n_kept", "kth_hash", k), 6).alias("kmv_est"),
+    )
+
+
+def kmv_estimate(n_kept_col: str, kth_hash_col: str, k: int):
+    """The KMV estimator as ONE pinned IEEE expression — (k-1)/h_k with
+    h normalized by 2^60, evaluated as (k-1) * (2^60 / h) in every
+    engine (and in the streaming twin) so the doubles are identical."""
+    return F.when(
+        F.col(n_kept_col) < k, F.col(n_kept_col).cast("double")
     ).otherwise(
         F.lit(float(k - 1))
-        * (F.lit(INT60_DENOM) / F.col("kth_hash").cast("double"))
-    )
-    return agg.select(
-        *keys, "n_kept", "kth_hash", F.round(est, 6).alias("kmv_est")
+        * (F.lit(INT60_DENOM) / F.col(kth_hash_col).cast("double"))
     )
 
 

@@ -499,3 +499,96 @@ def streaming_gap_fill(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------- streaming KMV sketch
+
+KMV_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_kept", LongType()),
+        StructField("kth_hash", LongType()),
+        StructField("n_batches", LongType()),
+    ]
+)
+
+#: bottom-k distinct 60-bit hashes (sorted ascending) + emission counter
+KMV_STATE = StructType(
+    [
+        StructField("hashes", ArrayType(LongType())),
+        StructField("n_batches", LongType()),
+    ]
+)
+
+
+def _kmv_fn(k: int):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (kv,) = key
+        if state.exists:
+            hashes, n_batches = state.get
+            merged = set(hashes)
+        else:
+            merged, n_batches = set(), 0
+        for pdf in pdfs:
+            merged.update(int(h) for h in pdf["_h"])
+        hashes = sorted(merged)[:k]
+        n_batches = int(n_batches) + 1
+        state.update((hashes, n_batches))
+        yield pd.DataFrame(
+            {
+                "key": [kv],
+                "n_kept": [len(hashes)],
+                "kth_hash": [hashes[-1] if hashes else None],
+                "n_batches": [n_batches],
+            }
+        )
+
+    return fn
+
+
+def streaming_kmv(
+    stream: DataFrame, key_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Streaming KMV bottom-k distinct sketch per key — the stateful
+    twin of ``operators.sketch.kmv_distinct``.
+
+    Bottom-k of a SET is order-free and mergeable
+    (bottom_k(bottom_k(A) ∪ B) = bottom_k(A ∪ B)), so however the
+    stream is split into micro-batches, the final state is bitwise the
+    batch sketch over the same rows — the strongest batch-parity
+    contract of the streaming twins, checked value-for-value by the
+    driver oracle (`streamed_kmv_snapshot`).
+
+    State is exactly min(k, distinct) longs + one counter per key —
+    O(keys × k), independent of throughput. Hashing (md5_int60 of the
+    cast value — identical to the batch path) runs JVM-side BEFORE the
+    Arrow hop, so the Python worker only merges longs. The hash-tie
+    caveat: the batch path counts two distinct values colliding on one
+    60-bit hash twice (row_number over ties), the set-state collapses
+    them — a ~2^-60-probability divergence accepted for O(k) state.
+
+    Output (update mode): refreshed (key, n_kept, kth_hash, n_batches)
+    per touched key each batch; n_batches is a per-key monotone
+    emission counter, so "latest row per key" = max n_batches — how
+    the snapshot twin reconstructs final state from the update stream.
+    """
+    from pyspark.sql import functions as F
+
+    from unitdb_spark.functions.portable_hash import md5_int60
+
+    prepped = (
+        stream.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).cast("string").alias("key"),
+            md5_int60(F.col(value_col).cast("string")).alias("_h"),
+        )
+    )
+    return prepped.groupBy("key").applyInPandasWithState(
+        _kmv_fn(k),
+        outputStructType=KMV_OUTPUT,
+        stateStructType=KMV_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
