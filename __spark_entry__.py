@@ -2638,6 +2638,18 @@ def q_streamed_kmv_snapshot(spark, sf_dir):
     )
 
 
+def q_doc_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential race): 50 docs with inclusion probability proportional
+    to n_chars, deterministic via content-hash uniforms. The race key
+    is round-6 with doc_id tie-break, so the one libm ln() per row
+    cannot reorder the sample across engines."""
+    from unitdb_spark.operators.sampling import weighted_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return weighted_sample(d, n=50, weight_col="n_chars", key_col="doc_id")
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2808,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_grams": q_doc_dup_grams,
         "doc_novelty": q_doc_novelty,
         "streamed_kmv_snapshot": q_streamed_kmv_snapshot,
+        "doc_weighted_sample": q_doc_weighted_sample,
     }
 
 
@@ -4954,6 +4967,22 @@ def oracle_sql() -> dict[str, str]:
                      / greatest(COUNT(*), 1)) AS BIGINT) AS novelty_ppm
         FROM g JOIN f USING (gh) GROUP BY g.doc_id
         """.replace("{toks}", _TOKS),
+        "doc_weighted_sample": """
+        -- Efraimidis-Spirakis race: u = (hash+1)/2^60 exact on both
+        -- engines; the single ln() is round-6'd with doc_id tie-break
+        WITH r AS (
+          SELECT doc_id, source, n_chars,
+            round(-ln((CAST(('0x' || substr(md5(
+                    CAST(doc_id AS VARCHAR) || ':wsample'), 1, 15)) AS BIGINT)
+                    + 1.0) / 1152921504606846976.0)
+                  / CAST(n_chars AS DOUBLE), 6) AS race_r
+          FROM documents
+        )
+        SELECT doc_id, source, n_chars, race_r,
+          CAST(row_number() OVER (ORDER BY race_r, doc_id) AS BIGINT)
+            AS sample_rank
+        FROM r ORDER BY race_r, doc_id LIMIT 50
+        """,
     }
 
 

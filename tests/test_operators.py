@@ -2305,3 +2305,46 @@ class TestNovelty:
         out = novelty_stats(docs, k=3).collect()[0]
         # rolling grams: abc, bca, cab, abc, bca, cab, abc -> 3 distinct
         assert out["n_grams"] == 3 and out["n_novel"] == 3
+
+
+class TestWeightedSample:
+    def test_deterministic_and_layout_independent(self, spark):
+        from unitdb_spark.operators.sampling import weighted_sample
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = [r["doc_id"] for r in
+             weighted_sample(docs.select("doc_id", "n_chars"), n=20,
+                             weight_col="n_chars", key_col="doc_id").collect()]
+        b = [r["doc_id"] for r in
+             weighted_sample(docs.select("doc_id", "n_chars").repartition(7),
+                             n=20, weight_col="n_chars", key_col="doc_id").collect()]
+        assert a == b and len(a) == 20
+
+    def test_heavier_rows_win_more(self, spark):
+        """Statistical sanity at 10x weight ratio: heavy rows should
+        dominate the sample (deterministic given the fixed hash salt)."""
+        from unitdb_spark.operators.sampling import weighted_sample
+
+        rows = [(i, 1000 if i < 50 else 100) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, w long")
+        got = weighted_sample(df, n=50, weight_col="w", key_col="id").collect()
+        heavy = sum(1 for r in got if r["w"] == 1000)
+        # E[heavy] ≈ 50 * (50*1000)/(50*1000+450*100) ≈ 26 of 50
+        assert heavy >= 15
+
+    def test_nonpositive_weight_raises(self, spark):
+        from unitdb_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame([(1, 5), (2, 0)], "id long, w long")
+        with pytest.raises(Exception, match="nonpositive weight"):
+            weighted_sample(df, n=1, weight_col="w", key_col="id").collect()
+
+    def test_rank_ordering_matches_race(self, spark):
+        from unitdb_spark.operators.sampling import weighted_sample
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = weighted_sample(docs.select("doc_id", "n_chars"), n=10,
+                              weight_col="n_chars", key_col="doc_id").collect()
+        keys = [(r["race_r"], r["doc_id"]) for r in
+                sorted(got, key=lambda r: r["sample_rank"])]
+        assert keys == sorted(keys)

@@ -496,3 +496,18 @@ class TestSubstringDupPlan:
         out = duplicated_grams(docs, k=8, min_occ=2)
         assert not has_python_eval(out)
         assert shuffle_count(out) <= 2  # partial-agg + final on gram_hash
+
+
+class TestWeightedSamplePlan:
+    def test_global_cut_is_take_ordered(self, spark):
+        """SCALE.md: the smallest-n cut compiles to
+        TakeOrderedAndProject (per-partition heaps, no global sort, no
+        single-task window on the data-sized relation)."""
+        from unitdb_spark.operators.sampling import weighted_sample
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = weighted_sample(docs.select("doc_id", "n_chars"), n=20,
+                              weight_col="n_chars", key_col="doc_id")
+        plan = formatted_plan(out)
+        assert "TakeOrderedAndProject" in plan
+        assert not has_python_eval(out)

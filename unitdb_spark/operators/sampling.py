@@ -62,6 +62,69 @@ def stratified_sample(
     return df.filter(uniform_hash(key_col, salt) < frac)
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis '06)
+    — select ``n`` rows with inclusion probability proportional to
+    ``weight_col``, deterministically.
+
+    The exponential-race formulation: each row draws
+    e_i = -ln(u_i) / w_i  ~  Exp(rate=w_i) with u_i the content-hash
+    uniform (so the race is layout/engine-independent, like every
+    sampler here); the n smallest e_i win. Equivalent to the paper's
+    "take top-n by u^(1/w)" but numerically tamer for tiny weights.
+
+    Cross-engine contract: u_i = (hash+1)/2^60 is an exact double on
+    both engines; one ln() per row is the only libm call, and the race
+    key is rounded to 6 decimals (repo convention) with the id as the
+    tie-break, so an ulp of libm divergence cannot reorder the sample.
+
+    Scale shape: key computation is pure map-side; the global smallest-n
+    cut is orderBy+limit = TakeOrderedAndProject (per-partition top-n,
+    then a driver-side merge of n-row heaps — no single-task window, no
+    full sort). Weights must be > 0: nonpositive-weight rows raise at
+    plan build (a silent filter would skew the advertised inclusion
+    probabilities).
+
+    Output: the winning rows + (race_r, sample_rank).
+    """
+    if n < 1:
+        raise ValueError("weighted_sample: n must be >= 1")
+    w = F.col(weight_col).cast("double")
+    # (h+1)/2^60 in (0, 1]: ln(0) is the degenerate corner, ln(1)=0 is
+    # fine (race key 0 sorts first — the "instant win" draw)
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    keyed = F.concat(
+        F.coalesce(k.cast("string"), F.lit("\x00null")), F.lit(":" + salt)
+    )
+    u = (md5_int60(keyed).cast("double") + F.lit(1.0)) / F.lit(INT60_DENOM)
+    race = F.round(-F.log(u) / w, 6)
+    guarded = F.when(w > 0, race).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample: nonpositive weight for key "),
+                k.cast("string"),
+            )
+        )
+    )
+    from pyspark.sql.window import Window
+
+    winners = df.withColumn("race_r", guarded).orderBy(
+        F.col("race_r").asc(), k.asc()
+    ).limit(n)
+    # ranking the n winners is an n-row window — driver-result sized,
+    # not data sized (the heavy cut already happened in TakeOrdered)
+    return winners.withColumn(
+        "sample_rank",
+        F.row_number().over(Window.orderBy(F.col("race_r").asc(), k.asc())),
+    )
+
+
 def split_assign(
     key: Column | str,
     ratios: dict[str, float],
