@@ -2650,6 +2650,16 @@ def q_doc_weighted_sample(spark, sf_dir):
     return weighted_sample(d, n=50, weight_col="n_chars", key_col="doc_id")
 
 
+def q_doc_unigram_nll(spark, sf_dir):
+    """CCNet-style LM quality signal: per-doc cross-entropy under the
+    corpus unigram model. One libm log10 per vocab TYPE (round-6 +
+    DECIMAL sum = order-free); the oracle replays counts, per-type
+    logs and the exact decimal summation."""
+    from unitdb_spark.operators.tfidf import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2821,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty": q_doc_novelty,
         "streamed_kmv_snapshot": q_streamed_kmv_snapshot,
         "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_unigram_nll": q_doc_unigram_nll,
     }
 
 
@@ -4983,6 +4994,29 @@ def oracle_sql() -> dict[str, str]:
             AS sample_rank
         FROM r ORDER BY race_r, doc_id LIMIT 50
         """,
+        "doc_unigram_nll": f"""
+        -- corpus unigram NLL: one log10 per vocab type (round-6,
+        -- DECIMAL(18,6)); per-doc sum is exact decimal arithmetic
+        WITH tok AS (
+          SELECT doc_id, u.t AS term
+          FROM documents, unnest({{toks}}) AS u(t)
+        ), c AS (
+          SELECT term, COUNT(*) AS n_t FROM tok GROUP BY term
+        ), tot AS (
+          SELECT SUM(n_t) AS total FROM c
+        ), lp AS (
+          SELECT term,
+            CAST(round(log10(CAST(n_t AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS logp
+          FROM c, tot
+        )
+        SELECT tok.doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(lp.logp) AS DOUBLE) AS logp_sum_r,
+          round(-CAST(SUM(lp.logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+            AS nll_r
+        FROM tok JOIN lp USING (term)
+        GROUP BY tok.doc_id
+        """.replace("{toks}", _TOKS),
     }
 
 

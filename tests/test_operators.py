@@ -2348,3 +2348,38 @@ class TestWeightedSample:
         keys = [(r["race_r"], r["doc_id"]) for r in
                 sorted(got, key=lambda r: r["sample_rank"])]
         assert keys == sorted(keys)
+
+
+class TestUnigramLogprob:
+    def test_typical_doc_scores_lower_nll_than_rare_soup(self, spark):
+        from unitdb_spark.operators.tfidf import unigram_logprob
+
+        common = "the cat sat on the mat " * 10
+        rows = [(i, common) for i in range(1, 9)]
+        rows.append((9, "zyx wvu tsr qpo nml kji"))  # singleton-vocab soup
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["nll_r"] for r in unigram_logprob(docs).collect()}
+        assert out[9] > out[1]  # rare tokens -> higher cross-entropy
+
+    def test_identical_docs_identical_scores(self, spark):
+        from unitdb_spark.operators.tfidf import unigram_logprob
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e"), (3, "a b x y z")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: (r["n_tokens"], r["logp_sum_r"], r["nll_r"])
+               for r in unigram_logprob(docs).collect()}
+        assert out[1] == out[2] != out[3]
+
+    def test_repartition_invariant(self, spark):
+        """The DECIMAL contribution sum is order-free: a different
+        partitioning must produce bitwise-identical scores."""
+        from unitdb_spark.operators.tfidf import unigram_logprob
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = {r["doc_id"]: (r["logp_sum_r"], r["nll_r"])
+             for r in unigram_logprob(docs).collect()}
+        b = {r["doc_id"]: (r["logp_sum_r"], r["nll_r"])
+             for r in unigram_logprob(docs.repartition(13)).collect()}
+        assert a == b and len(a) > 0

@@ -268,3 +268,63 @@ def bm25_search(
     return cut.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "n_hit", F.col("_s").cast("double").alias("score_r"), "rank"
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model quality score: per-doc cross-entropy
+    under the corpus's own unigram distribution — the portable stand-in
+    for CCNet's KenLM-perplexity filter (Wenzek '19). A doc whose
+    tokens are corpus-typical scores a low NLL; gibberish and
+    vocabulary-soup outliers score high. Scoring the corpus under
+    itself means every token has nonzero count — no smoothing knob.
+
+    Cross-engine contract (the BM25 trick): log10(n_t/total) is one
+    libm call per vocabulary TYPE (not per token instance), rounded to
+    6 decimals and cast DECIMAL(18,6); per-doc summation is then exact
+    decimal arithmetic — order-free — with one final double division
+    wrapped in round-6.
+
+    Shape (100 TB): counts = one explode + map-side-combined agg on
+    term; scoring joins the token stream to the vocab relation on term
+    (both sides shuffle on term once — the vocab side is Zipf-small
+    after aggregation and broadcasts when it fits); doc rollup shuffles
+    (doc, partials) only.
+
+    Output: (id, n_tokens, logp_sum_r, nll_r) where nll_r =
+    round(-logp_sum / n_tokens, 6) — mean negative log10 probability
+    per token.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("term")
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    total = counts.agg(F.sum("n_t").alias("total"))
+    lp = counts.join(F.broadcast(total)).select(
+        "term",
+        F.round(
+            F.log10(F.col("n_t").cast("double") / F.col("total").cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("_logp"),
+    )
+    scored = (
+        tok.join(lp, "term")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_logp").alias("_s"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.col("_s").cast("double").alias("logp_sum_r"),
+        F.round(
+            -F.col("_s").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("nll_r"),
+    )
