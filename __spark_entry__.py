@@ -2660,6 +2660,25 @@ def q_doc_unigram_nll(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_events_zorder(spark, sf_dir):
+    """Morton (Z-order) clustering key over (user_id, minute-of-day) —
+    the two-axis layout key behind zorder_layout's multi-dimension
+    file pruning. Pure unrolled shift/mask integer arithmetic, one
+    codegen projection; the oracle replays every bit."""
+    from unitdb_spark.operators.zorder import zorder_key
+
+    spark = _pin_utc(spark)
+    ev = _events(spark, sf_dir)
+    x = F.col("user_id")
+    y = F.hour("ts") * 60 + F.minute("ts")
+    return ev.select(
+        "event_id",
+        F.greatest(F.least(x.cast("long"), F.lit(65535)), F.lit(0)).alias("xb"),
+        y.cast("long").alias("yb"),
+        zorder_key(x, y, bits=16).alias("zkey"),
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2832,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_kmv_snapshot": q_streamed_kmv_snapshot,
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_unigram_nll": q_doc_unigram_nll,
+        "events_zorder": q_events_zorder,
     }
 
 
@@ -5017,6 +5037,22 @@ def oracle_sql() -> dict[str, str]:
         FROM tok JOIN lp USING (term)
         GROUP BY tok.doc_id
         """.replace("{toks}", _TOKS),
+        "events_zorder": """
+        -- Morton interleave replayed bit by bit: x bit i -> 2i,
+        -- y bit i -> 2i+1 (16 bits each)
+        WITH b AS (
+          SELECT event_id,
+            greatest(least(CAST(user_id AS BIGINT), 65535), 0) AS xb,
+            CAST(hour(ts) * 60 + minute(ts) AS BIGINT) AS yb
+          FROM events
+        )
+        SELECT event_id, xb, yb,
+          CAST((""" + " | ".join(
+            f"(((xb >> {i}) & 1) << {2 * i}) | (((yb >> {i}) & 1) << {2 * i + 1})"
+            for i in range(16)
+        ) + """) AS BIGINT) AS zkey
+        FROM b
+        """,
     }
 
 

@@ -2383,3 +2383,53 @@ class TestUnigramLogprob:
         b = {r["doc_id"]: (r["logp_sum_r"], r["nll_r"])
              for r in unigram_logprob(docs.repartition(13)).collect()}
         assert a == b and len(a) > 0
+
+
+class TestZorder:
+    def test_key_matches_python_reference(self, spark):
+        from unitdb_spark.operators.zorder import zorder_key
+
+        def morton(x, y, bits=16):
+            z = 0
+            for i in range(bits):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        rows = [(x, y) for x in (0, 1, 5, 255, 65535, 70000)
+                for y in (0, 2, 77, 1439, 65535)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = df.select("x", "y", zorder_key("x", "y").alias("z")).collect()
+        for r in got:
+            assert r["z"] == morton(min(r["x"], 65535), min(r["y"], 65535))
+
+    def test_layout_clusters_both_dimensions(self, spark, tmp_path):
+        """The point of Z-order vs a single-column sort: per output
+        partition, BOTH axes have a small bounding box."""
+        import random
+
+        from unitdb_spark.operators.zorder import zorder_layout
+
+        rng = random.Random(7)
+        rows = [(rng.randrange(4096), rng.randrange(4096)) for _ in range(20000)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        laid = zorder_layout(df, "x", "y", bits=12, num_partitions=16)
+        spans = (
+            laid.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+            .first()
+        )
+        # random layout would give ~4095 span on both axes; a 16-way
+        # Z-layout bounds each partition's box well under half the domain
+        assert spans["ax"] < 2048 and spans["ay"] < 2048
+
+    def test_bits_validation(self, spark):
+        from unitdb_spark.operators.zorder import zorder_key
+
+        with pytest.raises(ValueError, match="bits"):
+            zorder_key("x", "y", bits=0)

@@ -511,3 +511,14 @@ class TestWeightedSamplePlan:
         plan = formatted_plan(out)
         assert "TakeOrderedAndProject" in plan
         assert not has_python_eval(out)
+
+
+class TestZorderPlan:
+    def test_key_is_single_codegen_projection(self, spark):
+        from unitdb_spark.operators.zorder import zorder_key
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = ev.select("event_id", zorder_key("user_id", "event_id").alias("z"))
+        assert shuffle_count(out) == 0
+        assert not has_python_eval(out)
+        assert "WholeStageCodegen" in formatted_plan(out)
