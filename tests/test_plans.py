@@ -521,4 +521,5 @@ class TestZorderPlan:
         out = ev.select("event_id", zorder_key("user_id", "event_id").alias("z"))
         assert shuffle_count(out) == 0
         assert not has_python_eval(out)
-        assert "WholeStageCodegen" in formatted_plan(out)
+        # formatted mode marks codegen'd nodes with a leading *
+        assert "* Project" in formatted_plan(out)
