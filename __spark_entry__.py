@@ -2679,6 +2679,19 @@ def q_events_zorder(spark, sf_dir):
     )
 
 
+def q_doc_containment(spark, sf_dir):
+    """Asymmetric containment near-dup (Broder '97): |A∩B|/|A| over the
+    SAME md5 LSH candidates as doc_lsh_verified — catches excerpts and
+    boilerplate-wrapped copies that symmetric Jaccard misses. Both
+    directions exact on the distinct shingle sets, round-6."""
+    from unitdb_spark.operators.dedup import lsh_containment_pairs
+
+    return lsh_containment_pairs(
+        _docs(spark, sf_dir), num_hashes=16, bands=4, threshold=0.6,
+        hash_family="md5",
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2852,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_unigram_nll": q_doc_unigram_nll,
         "events_zorder": q_events_zorder,
+        "doc_containment": q_doc_containment,
     }
 
 
@@ -4016,6 +4030,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, est_jaccard, jaccard
         FROM verified WHERE jaccard >= 0.5
+        """,
+        "doc_containment": _minhash_md5_cte() + """
+        , cont AS (
+          -- both containment directions, exact distinct shingle sets,
+          -- candidate pairs ONLY
+          SELECT e.id_a, e.id_b,
+            round(CAST(len(list_intersect(sha.s, shb.s)) AS DOUBLE)
+                  / CAST(len(sha.s) AS DOUBLE), 6) AS c_ab,
+            round(CAST(len(list_intersect(sha.s, shb.s)) AS DOUBLE)
+                  / CAST(len(shb.s) AS DOUBLE), 6) AS c_ba
+          FROM est e
+          JOIN sh sha ON sha.doc_id = e.id_a
+          JOIN sh shb ON shb.doc_id = e.id_b
+        )
+        SELECT id_a, id_b, c_ab, c_ba,
+          greatest(c_ab, c_ba) AS containment
+        FROM cont WHERE greatest(c_ab, c_ba) >= 0.6
         """,
         "doc_embed_cosine_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

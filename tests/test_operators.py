@@ -2433,3 +2433,40 @@ class TestZorder:
 
         with pytest.raises(ValueError, match="bits"):
             zorder_key("x", "y", bits=0)
+
+
+class TestContainment:
+    def test_excerpt_detected_despite_low_jaccard(self, spark):
+        """A 10-gram excerpt inside a 60-token doc: Jaccard ~ 8/58 is
+        far below any dedup threshold, containment of the excerpt is
+        1.0 — the case the asymmetric measure exists for."""
+        from unitdb_spark.operators.dedup import (
+            lsh_containment_pairs,
+            lsh_verified_pairs,
+        )
+
+        quote = " ".join(f"q{i}" for i in range(10))
+        big = quote + " " + " ".join(f"f{i}" for i in range(50))
+        rows = [(1, quote), (2, big)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = lsh_containment_pairs(
+            docs, num_hashes=16, bands=16, threshold=0.9, hash_family="md5",
+        ).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert {r["id_a"], r["id_b"]} == {1, 2}
+        small_dir = r["c_ab"] if r["id_a"] == 1 else r["c_ba"]
+        assert small_dir == 1.0
+        # the symmetric verify at the same banding finds nothing
+        sym = lsh_verified_pairs(
+            docs, num_hashes=16, bands=16, threshold=0.5, hash_family="md5",
+        ).collect()
+        assert sym == []
+
+    def test_directions_are_consistent(self, spark):
+        from unitdb_spark.operators.dedup import lsh_containment_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        for r in lsh_containment_pairs(docs, threshold=0.0).collect():
+            assert r["containment"] == max(r["c_ab"], r["c_ba"])
+            assert 0.0 <= r["c_ab"] <= 1.0 and 0.0 <= r["c_ba"] <= 1.0

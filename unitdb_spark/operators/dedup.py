@@ -399,6 +399,61 @@ def lsh_verified_pairs(
     )
 
 
+def lsh_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 500,
+    threshold: float = 0.6,
+    hash_family: str = "md5",
+    persist: str = "memory",
+) -> DataFrame:
+    """ASYMMETRIC near-dup: Jaccard containment C(A,B) = |A∩B| / |A|
+    over LSH candidates (Broder '97 distinguishes resemblance from
+    containment) — catches a quote, excerpt or boilerplate-wrapped
+    copy whose symmetric Jaccard is low because the other doc is much
+    larger. The dedup policy question it answers: "is the small doc
+    already inside the big one?"
+
+    Candidate generation is the SAME banded LSH as the symmetric path
+    (signature agreement is resemblance-biased, so deeply-contained
+    tiny docs can evade banding — the published trade-off; a
+    containment-optimal scheme would band suffix-anchored sketches).
+    Verification computes both directions on the exact distinct
+    shingle sets and keeps pairs where max(c_ab, c_ba) >= threshold.
+    Cost is bounded by the LSH candidate count, never n².
+
+    Output: (id_a, id_b, c_ab, c_ba, containment) — round-6 doubles.
+    """
+    pairs_fn = minhash_lsh_pairs_md5 if hash_family == "md5" else minhash_lsh_pairs
+    cand = pairs_fn(
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        max_bucket_size=max_bucket_size, persist=persist,
+    ).select("id_a", "id_b")
+    sets = df.select(
+        F.col(id_col).alias("_id"), raw_tokens(text_col).alias("_tk")
+    ).select(
+        "_id", shingles_from_tokens(F.col("_tk"), shingle_n).alias("_sh")
+    )
+    a = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    c_ab = F.round(inter / F.size("sh_a").cast("double"), 6)
+    c_ba = F.round(inter / F.size("sh_b").cast("double"), 6)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", c_ab.alias("c_ab"), c_ba.alias("c_ba"),
+            F.greatest(c_ab, c_ba).alias("containment"),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+    )
+
+
 def lsh_overflow_report(
     df: DataFrame,
     text_col: str = "text",
