@@ -2692,6 +2692,29 @@ def q_doc_containment(spark, sf_dir):
     )
 
 
+def q_doc_weighted_stratified(spark, sf_dir):
+    """Per-source weighted sampling: the ES race run independently in
+    each source stratum (10 docs per source, weight = n_chars). The
+    cut is a WindowGroupLimit rank — map-side partial top-n before the
+    exchange (plan pinned)."""
+    from unitdb_spark.operators.sampling import weighted_sample_per_stratum
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return weighted_sample_per_stratum(
+        d, n_per=10, weight_col="n_chars", key_col="doc_id",
+        strata_col="source",
+    )
+
+
+def q_doc_bigram_pmi(spark, sf_dir):
+    """Collocation extraction: top-50 adjacent-pair PMI (Church &
+    Hanks '90) with min_count=5. One log2 per surviving bigram type,
+    pinned division order, round-6, total-ordered rank."""
+    from unitdb_spark.operators.tfidf import bigram_pmi
+
+    return bigram_pmi(_docs(spark, sf_dir), min_count=5, topk=50)
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2866,6 +2889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_nll": q_doc_unigram_nll,
         "events_zorder": q_events_zorder,
         "doc_containment": q_doc_containment,
+        "doc_weighted_stratified": q_doc_weighted_stratified,
+        "doc_bigram_pmi": q_doc_bigram_pmi,
     }
 
 
@@ -4048,6 +4073,56 @@ def oracle_sql() -> dict[str, str]:
           greatest(c_ab, c_ba) AS containment
         FROM cont WHERE greatest(c_ab, c_ba) >= 0.6
         """,
+        "doc_weighted_stratified": """
+        WITH r AS (
+          SELECT doc_id, source, n_chars,
+            round(-ln((CAST(('0x' || substr(md5(
+                    CAST(doc_id AS VARCHAR) || ':wsample'), 1, 15)) AS BIGINT)
+                    + 1.0) / 1152921504606846976.0)
+                  / CAST(n_chars AS DOUBLE), 6) AS race_r
+          FROM documents
+        )
+        SELECT doc_id, source, n_chars, race_r,
+          CAST(stratum_rank AS INT) AS stratum_rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY race_r, doc_id) AS stratum_rank
+          FROM r
+        ) WHERE stratum_rank <= 10
+        """,
+        "doc_bigram_pmi": f"""
+        -- PMI with pinned division order:
+        -- (c_ab/N_bi) / ((c_a/N_uni) * (c_b/N_uni)), one log2 per type
+        WITH t AS (
+          SELECT doc_id, {{toks}} AS tk FROM documents
+        ), bg AS (
+          SELECT tk[i + 1] AS t_a, tk[i + 2] AS t_b
+          FROM t, UNNEST(generate_series(0, len(tk) - 2)) AS u(i)
+          WHERE len(tk) >= 2
+        ), uni AS (
+          SELECT u.term, COUNT(*) AS c_term
+          FROM t, unnest(tk) AS u(term) GROUP BY u.term
+        ), bc AS (
+          SELECT t_a, t_b, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2
+          HAVING COUNT(*) >= 5
+        ), nb AS (SELECT COUNT(*) AS n_bi FROM bg),
+        nu AS (SELECT SUM(c_term) AS n_uni FROM uni),
+        scored AS (
+          SELECT bc.t_a || ' ' || bc.t_b AS bigram, bc.c_ab,
+            ua.c_term AS c_a, ub.c_term AS c_b,
+            round(log2(
+              (CAST(bc.c_ab AS DOUBLE) / CAST(nb.n_bi AS DOUBLE))
+              / ((CAST(ua.c_term AS DOUBLE) / CAST(nu.n_uni AS DOUBLE))
+                 * (CAST(ub.c_term AS DOUBLE) / CAST(nu.n_uni AS DOUBLE)))
+            ), 6) AS pmi_r
+          FROM bc
+          JOIN uni ua ON ua.term = bc.t_a
+          JOIN uni ub ON ub.term = bc.t_b, nb, nu
+        )
+        SELECT bigram, c_ab, c_a, c_b, pmi_r,
+          CAST(row_number() OVER (ORDER BY pmi_r DESC, bigram) AS INT) AS rank
+        FROM scored ORDER BY pmi_r DESC, bigram LIMIT 50
+        """.replace("{toks}", _TOKS),
         "doc_embed_cosine_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

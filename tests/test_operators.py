@@ -2470,3 +2470,68 @@ class TestContainment:
         for r in lsh_containment_pairs(docs, threshold=0.0).collect():
             assert r["containment"] == max(r["c_ab"], r["c_ba"])
             assert 0.0 <= r["c_ab"] <= 1.0 and 0.0 <= r["c_ba"] <= 1.0
+
+
+class TestWeightedStratified:
+    def test_exactly_n_per_stratum(self, spark):
+        from unitdb_spark.operators.sampling import weighted_sample_per_stratum
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = weighted_sample_per_stratum(
+            docs.select("doc_id", "source", "n_chars"),
+            n_per=5, weight_col="n_chars", key_col="doc_id",
+            strata_col="source",
+        )
+        counts = {r["source"]: r["n"] for r in
+                  out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        sizes = {r["source"]: r["n"] for r in
+                 docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        for src, n in counts.items():
+            assert n == min(5, sizes[src])
+        assert set(counts) == set(sizes)
+
+    def test_global_and_stratified_agree_on_race_keys(self, spark):
+        """Same salt → same race key per row: a stratum winner with a
+        globally-small key must also win the global race."""
+        from unitdb_spark.operators.sampling import (
+            weighted_sample,
+            weighted_sample_per_stratum,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "source", "n_chars")
+        glob = {r["doc_id"]: r["race_r"]
+                for r in weighted_sample(docs, n=10, weight_col="n_chars",
+                                         key_col="doc_id").collect()}
+        strat = {r["doc_id"]: r["race_r"]
+                 for r in weighted_sample_per_stratum(
+                     docs, n_per=10, weight_col="n_chars", key_col="doc_id",
+                     strata_col="source").collect()}
+        for d, k in glob.items():
+            assert strat.get(d) == k  # global winners all rank in-stratum
+
+
+class TestBigramPmi:
+    def test_collocation_beats_independent_pair(self, spark):
+        from unitdb_spark.operators.tfidf import bigram_pmi
+
+        # "strong coffee" always adjacent; "strong" and "tea" both
+        # frequent but never adjacent
+        rows = [(i, "strong coffee " + ("tea time " * 3)) for i in range(10)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["bigram"]: r for r in
+               bigram_pmi(docs, min_count=5, topk=20).collect()}
+        assert "strong coffee" in out
+        assert out["strong coffee"]["pmi_r"] > out["tea time"]["pmi_r"] - 10
+        assert "strong tea" not in out
+
+    def test_min_count_filters(self, spark):
+        from unitdb_spark.operators.tfidf import bigram_pmi
+
+        docs = spark.createDataFrame(
+            [(1, "rare pair common run common run common run common run")],
+            "doc_id long, text string",
+        )
+        got = {r["bigram"] for r in bigram_pmi(docs, min_count=3, topk=10).collect()}
+        assert "rare pair" not in got and "common run" in got

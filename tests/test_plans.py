@@ -523,3 +523,19 @@ class TestZorderPlan:
         assert not has_python_eval(out)
         # formatted mode marks codegen'd nodes with a leading *
         assert "* Project" in formatted_plan(out)
+
+
+class TestStratifiedSamplePlan:
+    def test_cut_is_window_group_limit(self, spark):
+        """SCALE.md: the per-stratum rank cut runs as WindowGroupLimit
+        (map-side partial top-n per stratum before the exchange)."""
+        from unitdb_spark.operators.sampling import weighted_sample_per_stratum
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = weighted_sample_per_stratum(
+            docs.select("doc_id", "source", "n_chars"),
+            n_per=5, weight_col="n_chars", key_col="doc_id",
+            strata_col="source",
+        )
+        assert "WindowGroupLimit" in formatted_plan(out)
+        assert not has_python_eval(out)

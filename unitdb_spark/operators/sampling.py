@@ -125,6 +125,53 @@ def weighted_sample(
     )
 
 
+def weighted_sample_per_stratum(
+    df: DataFrame,
+    n_per: int,
+    weight_col: str,
+    key_col: str,
+    strata_col: str,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: the
+    Efraimidis-Spirakis race run independently inside each stratum
+    (e.g. n docs per source, weighted by length). Same deterministic
+    race key as ``weighted_sample``; the cut is a rank window over
+    (stratum, race) that Spark executes as WindowGroupLimit — a
+    map-side partial top-n per stratum BEFORE the exchange, so the
+    shuffle carries ≤ n_per rows per stratum per input partition.
+
+    Output: winning rows + (race_r, stratum_rank).
+    """
+    if n_per < 1:
+        raise ValueError("weighted_sample_per_stratum: n_per must be >= 1")
+    from pyspark.sql.window import Window
+
+    w = F.col(weight_col).cast("double")
+    k = F.col(key_col)
+    keyed = F.concat(
+        F.coalesce(k.cast("string"), F.lit("\x00null")), F.lit(":" + salt)
+    )
+    u = (md5_int60(keyed).cast("double") + F.lit(1.0)) / F.lit(INT60_DENOM)
+    race = F.round(-F.log(u) / w, 6)
+    guarded = F.when(w > 0, race).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample_per_stratum: nonpositive weight for key "),
+                k.cast("string"),
+            )
+        )
+    )
+    win = Window.partitionBy(strata_col).orderBy(
+        F.col("race_r").asc(), k.asc()
+    )
+    return (
+        df.withColumn("race_r", guarded)
+        .withColumn("stratum_rank", F.row_number().over(win))
+        .filter(F.col("stratum_rank") <= n_per)
+    )
+
+
 def split_assign(
     key: Column | str,
     ratios: dict[str, float],

@@ -328,3 +328,91 @@ def unigram_logprob(
             -F.col("_s").cast("double") / F.col("n_tokens").cast("double"), 6
         ).alias("nll_r"),
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    topk: int = 50,
+) -> DataFrame:
+    """Collocation extraction: pointwise mutual information of adjacent
+    token pairs (Church & Hanks '90) — the classic corpus-analytics
+    signal for multiword expressions, and a curation probe for
+    template/boilerplate phrases (suspiciously high-PMI bigrams at high
+    count = machine-generated filler).
+
+    pmi = log2( (c_ab / N_bi) / ((c_a / N_uni) * (c_b / N_uni)) ),
+    computed with each division pinned in that order so the doubles
+    match on every engine; one log2 per surviving bigram TYPE, round-6,
+    ranked (pmi_r DESC, bigram) — total-ordered.
+
+    Shape (100 TB): bigrams materialize map-side from the bound token
+    array (an index transform — no self-join, no window shuffle);
+    bigram and unigram counts are two map-side-combined aggs; the
+    ``min_count`` filter cuts the heavy tail BEFORE the two tiny joins
+    against the unigram relation; the final cut is TakeOrdered.
+
+    Output: (bigram, c_ab, c_a, c_b, pmi_r, rank).
+    """
+    if min_count < 1:
+        raise ValueError("bigram_pmi: min_count must be >= 1")
+    toks = docs.select(
+        F.col(id_col).alias("id"), _tokens(text_col).alias("_tok")
+    )
+    uni = (
+        toks.select(F.explode("_tok").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_term"))
+    )
+    big = toks.select(
+        F.explode(
+            F.when(
+                F.size("_tok") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tok") - 2),
+                    lambda i: F.struct(
+                        F.element_at("_tok", i + 1).alias("t_a"),
+                        F.element_at("_tok", i + 2).alias("t_b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<t_a:string,t_b:string>>"))
+        ).alias("bg")
+    ).select("bg.t_a", "bg.t_b")
+    big_counts = (
+        big.groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_bi = big.agg(F.count(F.lit(1)).alias("n_bi"))
+    n_uni = uni.agg(F.sum("c_term").alias("n_uni"))
+    joined = (
+        big_counts.join(
+            uni.select(F.col("term").alias("t_a"),
+                       F.col("c_term").alias("c_a")), "t_a"
+        )
+        .join(
+            uni.select(F.col("term").alias("t_b"),
+                       F.col("c_term").alias("c_b")), "t_b"
+        )
+        .join(F.broadcast(n_bi))
+        .join(F.broadcast(n_uni))
+    )
+    pmi = F.log2(
+        (F.col("c_ab").cast("double") / F.col("n_bi").cast("double"))
+        / (
+            (F.col("c_a").cast("double") / F.col("n_uni").cast("double"))
+            * (F.col("c_b").cast("double") / F.col("n_uni").cast("double"))
+        )
+    )
+    scored = joined.select(
+        F.concat_ws(" ", "t_a", "t_b").alias("bigram"),
+        "c_ab", "c_a", "c_b",
+        F.round(pmi, 6).alias("pmi_r"),
+    )
+    cut = scored.orderBy(F.desc("pmi_r"), F.asc("bigram")).limit(topk)
+    return cut.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("pmi_r"), F.asc("bigram"))),
+    )
