@@ -2715,6 +2715,20 @@ def q_doc_bigram_pmi(spark, sf_dir):
     return bigram_pmi(_docs(spark, sf_dir), min_count=5, topk=50)
 
 
+def q_media_meta_ext(spark, sf_dir):
+    """Second-wave container parsing: BMP info header, TIFF IFD walk in
+    BOTH byte orders, MP3 frame walk over an ID3v2 skip — all real
+    stdlib-only byte parsers over real container blobs; the oracle
+    replays the fixture's closed-form parameters, so a hash-match
+    proves the parsers invert the container layouts."""
+    from unitdb_spark.functions.multimodal import (
+        extract_media_meta,
+        synthetic_media_ext,
+    )
+
+    return extract_media_meta(synthetic_media_ext(_docs(spark, sf_dir)))
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2891,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment": q_doc_containment,
         "doc_weighted_stratified": q_doc_weighted_stratified,
         "doc_bigram_pmi": q_doc_bigram_pmi,
+        "media_meta_ext": q_media_meta_ext,
     }
 
 
@@ -4123,6 +4138,39 @@ def oracle_sql() -> dict[str, str]:
           CAST(row_number() OVER (ORDER BY pmi_r DESC, bigram) AS INT) AS rank
         FROM scored ORDER BY pmi_r DESC, bigram LIMIT 50
         """.replace("{toks}", _TOKS),
+        "media_meta_ext": """
+        -- replays synthetic_media_ext's closed-form parameters: BMP,
+        -- TIFF-LE, TIFF-BE, MP3 (ID3v2 skip + CBR frame walk at
+        -- 128 kbps: frame_len = 18432000 // rate, 1152 samples/frame)
+        WITH m AS (
+          SELECT doc_id AS id, doc_id AS d, CAST(doc_id % 4 AS INT) AS t,
+            CASE (doc_id % 3) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                 ELSE 32000 END AS rate,
+            doc_id % 50 + 1 AS frames,
+            CASE WHEN doc_id % 100 = 0 THEN 0
+                 ELSE 10 + doc_id % 100 END AS id3_part
+          FROM documents
+        )
+        SELECT id,
+          CASE WHEN t = 3 THEN 'audio' ELSE 'image' END AS media_type,
+          CASE t WHEN 0 THEN 'bmp' WHEN 3 THEN 'mp3'
+                 ELSE 'tiff' END AS container,
+          CAST(CASE t WHEN 0 THEN 54 + d % 200
+                      WHEN 3 THEN id3_part + frames * (18432000 // rate)
+                      ELSE 38 END AS BIGINT) AS n_bytes,
+          CAST(CASE t WHEN 0 THEN d % 512 + 8
+                      WHEN 1 THEN d % 1024 + 8
+                      WHEN 2 THEN d % 300 + 8 END AS INT) AS width,
+          CAST(CASE t WHEN 0 THEN (d // 5) % 256 + 8
+                      WHEN 1 THEN (d // 3) % 512 + 8
+                      WHEN 2 THEN (d // 7) % 200 + 8 END AS INT) AS height,
+          CAST(CASE WHEN t = 3 THEN frames ELSE 1 END AS INT) AS n_frames,
+          CAST(CASE WHEN t = 3 THEN rate END AS INT) AS sample_rate,
+          CASE WHEN t = 3
+               THEN CAST(frames * 1152 AS DOUBLE) / CAST(rate AS DOUBLE)
+          END AS duration_s
+        FROM m
+        """,
         "doc_embed_cosine_dups": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

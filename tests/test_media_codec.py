@@ -188,3 +188,59 @@ def test_wav_zero_sample_rate_is_null_not_division_error():
     )
     assert parse_wav(b) is None
     assert parse_media(b)["container"] is None
+
+
+class TestExtendedCodecs:
+    def test_bmp_roundtrip(self):
+        from unitdb_spark.functions.media_codec import build_bmp, parse_media
+
+        m = parse_media(build_bmp(640, 480, 100))
+        assert m["container"] == "bmp" and (m["width"], m["height"]) == (640, 480)
+        assert m["n_frames"] == 1 and m["sample_rate"] is None
+
+    def test_bmp_topdown_negative_height(self):
+        import struct
+
+        from unitdb_spark.functions.media_codec import build_bmp, parse_media
+
+        b = bytearray(build_bmp(10, 20))
+        b[22:26] = struct.pack("<i", -20)  # top-down row order
+        assert parse_media(bytes(b))["height"] == 20
+
+    def test_tiff_both_endians(self):
+        from unitdb_spark.functions.media_codec import build_tiff, parse_media
+
+        for le in (True, False):
+            m = parse_media(build_tiff(123, 77, little_endian=le))
+            assert m["container"] == "tiff"
+            assert (m["width"], m["height"]) == (123, 77)
+
+    def test_mp3_roundtrip_with_and_without_id3(self):
+        from unitdb_spark.functions.media_codec import build_mp3, parse_media
+
+        for id3 in (0, 37):
+            m = parse_media(build_mp3(44100, 10, id3_len=id3))
+            assert m["container"] == "mp3"
+            assert m["n_frames"] == 10 and m["sample_rate"] == 44100
+            assert m["duration_s"] == 10 * 1152 / 44100.0
+
+    def test_mp3_truncated_final_frame_not_counted(self):
+        from unitdb_spark.functions.media_codec import build_mp3, parse_media
+
+        full = build_mp3(48000, 3)
+        m = parse_media(full[:-10])  # last frame loses its tail
+        assert m["n_frames"] == 2
+
+    def test_corrupt_inputs_yield_null_rows(self):
+        from unitdb_spark.functions.media_codec import parse_media
+
+        for blob in (b"BMxx", b"II*\x00\xff", b"\xff\xfb", b"ID3" + b"\x00" * 7):
+            m = parse_media(blob)
+            assert m["container"] is None
+
+    def test_bitrate_variants(self):
+        from unitdb_spark.functions.media_codec import build_mp3, parse_media
+
+        for kbps in (32, 128, 320):
+            m = parse_media(build_mp3(32000, 5, bitrate_kbps=kbps))
+            assert m["n_frames"] == 5 and m["sample_rate"] == 32000

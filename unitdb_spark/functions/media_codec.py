@@ -4,7 +4,8 @@ The reference treats payloads as opaque bytes (db_internal.go:59-60 —
 no media surface); this module is the north-star multimodal piece: the
 metadata a training-data pipeline needs (dimensions, frame counts,
 sample rate, duration) parsed from the CONTAINER HEADERS of real
-formats — PNG, JPEG, GIF, WAV, MP4 — with no external decode library.
+formats — PNG, JPEG, GIF, WAV, MP4, BMP, TIFF (both byte orders),
+MP3 (ID3v2 skip + CBR frame walk) — with no external decode library.
 Pixel/sample decoding (which genuinely needs PIL/ffmpeg) stays behind
 the clearly-marked stubs in functions.multimodal; header metadata does
 not need it.
@@ -292,6 +293,148 @@ def parse_mp4(b: bytes) -> dict | None:
     return meta if found_moov else None
 
 
+# ------------------------------------------ BMP / TIFF / MP3 extension
+
+#: MPEG-1 Layer III bitrate table (kbps), index 1..14
+_MP3_BITRATES = [
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+#: MPEG-1 sample-rate table, index 0..2
+_MP3_RATES = [44100, 48000, 32000]
+#: samples per MPEG-1 Layer III frame
+_MP3_SPF = 1152
+
+
+def build_bmp(width: int, height: int, pix_len: int = 0) -> bytes:
+    """BITMAPINFOHEADER BMP: 14-byte file header + 40-byte info header
+    + filler pixel bytes. Closed-form size: 54 + pix_len."""
+    total = 54 + pix_len
+    fh = b"BM" + struct.pack("<IHHI", total, 0, 0, 54)
+    ih = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                     pix_len, 2835, 2835, 0, 0)
+    return fh + ih + bytes(i & 0xFF for i in range(pix_len))
+
+
+def build_tiff(width: int, height: int, little_endian: bool = True) -> bytes:
+    """Minimal single-IFD TIFF: header + 2 LONG entries (ImageWidth 256,
+    ImageLength 257), next-IFD = 0. Both byte orders supported so the
+    parser's endian handling is actually exercised."""
+    e = "<" if little_endian else ">"
+    head = (b"II" if little_endian else b"MM") + struct.pack(e + "HI", 42, 8)
+    entries = struct.pack(e + "H", 2)
+    for tag, val in ((256, width), (257, height)):
+        entries += struct.pack(e + "HHII", tag, 4, 1, val)
+    return head + entries + struct.pack(e + "I", 0)
+
+
+def build_mp3(
+    sample_rate: int, n_frames: int, bitrate_kbps: int = 128,
+    id3_len: int = 0,
+) -> bytes:
+    """CBR MPEG-1 Layer III stream: optional ID3v2 tag + n_frames
+    frames, each a real 4-byte header followed by filler to the
+    header-implied frame length floor(144000·kbps/rate)."""
+    if sample_rate not in _MP3_RATES:
+        raise ValueError(f"build_mp3: unsupported sample rate {sample_rate}")
+    if bitrate_kbps not in _MP3_BITRATES[1:]:
+        raise ValueError(f"build_mp3: unsupported bitrate {bitrate_kbps}")
+    out = b""
+    if id3_len:
+        # ID3v2 header: syncsafe 28-bit size of the tag body
+        sz = id3_len
+        ss = bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        )
+        out += b"ID3" + b"\x04\x00" + b"\x00" + ss + bytes(id3_len)
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr_idx = _MP3_RATES.index(sample_rate)
+    hdr = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00]
+    )  # sync, MPEG1 L3 no-CRC, bitrate/samplerate, no padding
+    frame_len = (144000 * bitrate_kbps) // sample_rate
+    frame = hdr + bytes((frame_len - 4) * [0x55])
+    return out + frame * n_frames
+
+
+def parse_bmp(b: bytes) -> dict | None:
+    if len(b) < 26 or b[:2] != b"BM":
+        return None
+    info_len = struct.unpack("<I", b[14:18])[0]
+    if info_len < 40 or len(b) < 54:
+        return None  # BITMAPCOREHEADER and truncated variants: NULL row
+    w, h = struct.unpack("<ii", b[18:26])
+    # height may be negative (top-down rows); the dimension is |h|
+    return dict(_EMPTY, container="bmp", width=w, height=abs(h), n_frames=1)
+
+
+def parse_tiff(b: bytes) -> dict | None:
+    if len(b) < 8:
+        return None
+    if b[:4] == b"II*\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return None
+    (ifd_off,) = struct.unpack(e + "I", b[4:8])
+    if ifd_off + 2 > len(b):
+        return None
+    (n_entries,) = struct.unpack(e + "H", b[ifd_off:ifd_off + 2])
+    w = h = None
+    for i in range(n_entries):
+        lo = ifd_off + 2 + 12 * i
+        if lo + 12 > len(b):
+            return None
+        tag, ftype, count = struct.unpack(e + "HHI", b[lo:lo + 8])
+        if count != 1 or ftype not in (3, 4):
+            continue
+        if ftype == 3:  # SHORT sits in the first two value bytes
+            (val,) = struct.unpack(e + "H", b[lo + 8:lo + 10])
+        else:  # LONG uses all four
+            (val,) = struct.unpack(e + "I", b[lo + 8:lo + 12])
+        if tag == 256:
+            w = val
+        elif tag == 257:
+            h = val
+    if w is None or h is None:
+        return None
+    return dict(_EMPTY, container="tiff", width=w, height=h, n_frames=1)
+
+
+def parse_mp3(b: bytes) -> dict | None:
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        sz = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        pos = 10 + sz
+    n_frames = 0
+    sample_rate = None
+    while pos + 4 <= len(b):
+        h = b[pos:pos + 4]
+        # MPEG-1 Layer III sync: 11 set bits, version 11, layer 01
+        if h[0] != 0xFF or (h[1] & 0xFE) != 0xFA:
+            break
+        br_idx = (h[2] >> 4) & 0xF
+        sr_idx = (h[2] >> 2) & 0x3
+        padding = (h[2] >> 1) & 0x1
+        if br_idx in (0, 15) or sr_idx == 3:
+            break  # free-format/bad: stop at the last valid frame
+        rate = _MP3_RATES[sr_idx]
+        if sample_rate is None:
+            sample_rate = rate
+        frame_len = (144000 * _MP3_BITRATES[br_idx]) // rate + padding
+        if pos + frame_len > len(b):
+            break  # truncated final frame doesn't count
+        n_frames += 1
+        pos += frame_len
+    if not n_frames or not sample_rate:
+        return None
+    duration = n_frames * _MP3_SPF / float(sample_rate)
+    return dict(
+        _EMPTY, container="mp3", n_frames=n_frames,
+        sample_rate=sample_rate, duration_s=duration,
+    )
+
+
 def parse_media(blob: bytes) -> dict:
     """Sniff the container from magic bytes and parse its header.
 
@@ -309,6 +452,12 @@ def parse_media(blob: bytes) -> dict:
         out = parse_wav(b)
     elif len(b) >= 12 and b[4:8] == b"ftyp":
         out = parse_mp4(b)
+    elif b[:2] == b"BM":
+        out = parse_bmp(b)
+    elif b[:4] in (b"II*\x00", b"MM\x00*"):
+        out = parse_tiff(b)
+    elif b[:3] == b"ID3" or (len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xFE) == 0xFA):
+        out = parse_mp3(b)
     else:
         out = None
     return out if out is not None else dict(_EMPTY)

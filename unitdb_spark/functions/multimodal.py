@@ -123,6 +123,48 @@ def synthetic_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_media_ext(documents: DataFrame) -> DataFrame:
+    """Second-wave container fixture: BMP, TIFF (both byte orders) and
+    MP3 — same closed-form-parameters contract as ``synthetic_media``
+    so the oracle predicts every parsed field, exercising the extended
+    parsers (BMP info header, TIFF IFD walk in either endianness, MP3
+    frame walk over an ID3v2 skip).
+
+    Cycle by doc_id % 4: BMP, TIFF-LE, TIFF-BE, MP3.
+    """
+    from unitdb_spark.functions import media_codec as mc
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, kinds = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                t = d % 4
+                if t == 0:
+                    blobs.append(mc.build_bmp(d % 512 + 8, (d // 5) % 256 + 8,
+                                              d % 200))
+                    kinds.append("image")
+                elif t == 1:
+                    blobs.append(mc.build_tiff(d % 1024 + 8, (d // 3) % 512 + 8,
+                                               little_endian=True))
+                    kinds.append("image")
+                elif t == 2:
+                    blobs.append(mc.build_tiff(d % 300 + 8, (d // 7) % 200 + 8,
+                                               little_endian=False))
+                    kinds.append("image")
+                else:
+                    blobs.append(mc.build_mp3([44100, 48000, 32000][d % 3],
+                                              d % 50 + 1, id3_len=d % 100))
+                    kinds.append("audio")
+            yield pd.DataFrame(
+                {"id": pdf["doc_id"].values, "media_type": kinds, "blob": blobs}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _build, "id long, media_type string, blob binary"
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame to decode
     (id, frame_idx) — generated JVM-side with sequence/explode, so the
