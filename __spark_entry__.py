@@ -2729,6 +2729,22 @@ def q_media_meta_ext(spark, sf_dir):
     return extract_media_meta(synthetic_media_ext(_docs(spark, sf_dir)))
 
 
+def q_doc_incremental_dedup(spark, sf_dir):
+    """Ingestion-time dedup: docs 400+ arrive as the NEW batch against
+    the 0-399 corpus. Exact md5 lookup first, then banded LSH over the
+    union restricted to cross-side candidates, exact-Jaccard verified,
+    best corpus match resolved. Oracle composes the shared MinHash CTE
+    with the side split and both stages."""
+    from unitdb_spark.operators.dedup import incremental_dedup
+
+    d = _docs(spark, sf_dir)
+    return incremental_dedup(
+        d.filter(F.col("doc_id") >= 400),
+        d.filter(F.col("doc_id") < 400),
+        num_hashes=16, bands=4, threshold=0.5, hash_family="md5",
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2906,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_stratified": q_doc_weighted_stratified,
         "doc_bigram_pmi": q_doc_bigram_pmi,
         "media_meta_ext": q_media_meta_ext,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
     }
 
 
@@ -4070,6 +4087,45 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, est_jaccard, jaccard
         FROM verified WHERE jaccard >= 0.5
+        """,
+        "doc_incremental_dedup": _minhash_md5_cte() + """
+        , inc_v AS (
+          SELECT e.id_a, e.id_b,
+            round(CAST(len(list_intersect(sha.s, shb.s)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(sha.s, shb.s))) AS DOUBLE),
+                  6) AS j
+          FROM est e
+          JOIN sh sha ON sha.doc_id = e.id_a
+          JOIN sh shb ON shb.doc_id = e.id_b
+        ), inc_cross AS (
+          -- candidate pairs restricted to cross-side (corpus < 400,
+          -- new >= 400); id_a < id_b so id_a is always the corpus side
+          SELECT id_b AS new_id, id_a AS corp_id, j FROM inc_v
+          WHERE id_a < 400 AND id_b >= 400 AND j >= 0.5
+        ), inc_best AS (
+          SELECT new_id, corp_id AS near_match, j AS near_jaccard FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY new_id ORDER BY j DESC, corp_id) AS rn
+            FROM inc_cross)
+          WHERE rn = 1
+        ), inc_exact AS (
+          SELECT n.doc_id AS new_id, MIN(c.doc_id) AS exact_match
+          FROM documents n JOIN documents c
+            ON md5(n.text) = md5(c.text)
+          WHERE n.doc_id >= 400 AND c.doc_id < 400
+          GROUP BY 1
+        )
+        SELECT d.doc_id,
+          CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+               WHEN b.near_match IS NOT NULL THEN 'near_dup'
+               ELSE 'kept' END AS status,
+          coalesce(e.exact_match, b.near_match) AS match_id,
+          CASE WHEN e.exact_match IS NULL THEN b.near_jaccard END
+            AS jaccard_r
+        FROM documents d
+        LEFT JOIN inc_exact e ON e.new_id = d.doc_id
+        LEFT JOIN inc_best b ON b.new_id = d.doc_id
+        WHERE d.doc_id >= 400
         """,
         "doc_containment": _minhash_md5_cte() + """
         , cont AS (

@@ -2535,3 +2535,50 @@ class TestBigramPmi:
         )
         got = {r["bigram"] for r in bigram_pmi(docs, min_count=3, topk=10).collect()}
         assert "rare pair" not in got and "common run" in got
+
+
+class TestIncrementalDedup:
+    def _run(self, spark, corpus_rows, new_rows, **kw):
+        from unitdb_spark.operators.dedup import incremental_dedup
+
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in incremental_dedup(new, corpus, **kw).collect()}
+
+    def test_exact_near_and_kept(self, spark):
+        phrase = " ".join(f"w{i}" for i in range(30))
+        near = " ".join(f"w{i}" for i in range(28)) + " zz yy"
+        corpus = [(1, phrase), (2, "completely different corpus text here ok")]
+        new = [
+            (100, phrase),                       # exact copy of 1
+            (101, near),                         # near-dup of 1
+            (102, "fresh novel content nothing like the corpus at all"),
+        ]
+        out = self._run(spark, corpus, new, num_hashes=16, bands=16,
+                        threshold=0.5)
+        assert out[100]["status"] == "exact_dup" and out[100]["match_id"] == 1
+        assert out[100]["jaccard_r"] is None
+        assert out[101]["status"] == "near_dup" and out[101]["match_id"] == 1
+        assert out[101]["jaccard_r"] >= 0.5
+        assert out[102]["status"] == "kept" and out[102]["match_id"] is None
+
+    def test_intra_batch_dups_not_rejected(self, spark):
+        """Two identical NEW docs with no corpus match both stay 'kept'
+        — cross-side restriction is the operator's contract."""
+        t = " ".join(f"n{i}" for i in range(30))
+        out = self._run(
+            spark, [(1, "unrelated corpus doc words entirely other")],
+            [(100, t), (101, t)], num_hashes=16, bands=16, threshold=0.5,
+        )
+        assert out[100]["status"] == "kept" and out[101]["status"] == "kept"
+
+    def test_best_match_is_max_jaccard(self, spark):
+        base = " ".join(f"w{i}" for i in range(30))
+        closer = base + " x1"
+        farther = " ".join(f"w{i}" for i in range(20)) + " " + " ".join(
+            f"q{i}" for i in range(10))
+        out = self._run(
+            spark, [(1, farther), (2, closer)], [(100, base + " x1 x2")],
+            num_hashes=16, bands=16, threshold=0.2,
+        )
+        assert out[100]["status"] == "near_dup" and out[100]["match_id"] == 2

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -452,6 +452,109 @@ def lsh_containment_pairs(
         )
         .filter(F.col("containment") >= F.lit(threshold))
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_family: str = "md5",
+    persist: str = "memory",
+) -> DataFrame:
+    """Ingestion-time dedup: admit a NEW batch against an EXISTING
+    corpus — the production shape where yesterday's 100 TB is already
+    deduped and today's crawl must not re-introduce copies.
+
+    Two stages, cheap-first:
+
+    1. exact — md5(text) lookup against the corpus (one semi-join-sized
+       aggregate on the corpus side, keyed by content hash);
+    2. near — banded MinHash-LSH over corpus ∪ new, with candidate
+       pairs RESTRICTED to cross-side (a new doc is never rejected for
+       matching another new doc — intra-batch dedup is `exact_dedup` /
+       `lsh_verified_pairs`' job), verified by exact Jaccard and
+       resolved to the best corpus match (max jaccard, min id).
+
+    Ids must be disjoint across the two frames. In production the
+    corpus side's signatures are precomputed once and persisted
+    (``persist=``/a signature table); computing them here keeps the
+    operator self-contained.
+
+    Output: one row per NEW doc — (id, status, match_id, jaccard_r)
+    with status in ('exact_dup', 'near_dup', 'kept'); exact wins over
+    near; jaccard_r is NULL unless status = 'near_dup'.
+    """
+    new = new_df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    corp = corpus_df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    # stage 1: exact content-hash lookup
+    corp_md5 = corp.select(F.md5("text").alias("_h"), "id").groupBy("_h").agg(
+        F.min("id").alias("exact_match")
+    )
+    exact = (
+        new.select("id", F.md5("text").alias("_h"))
+        .join(corp_md5, "_h", "left")
+        .select("id", "exact_match")
+    )
+    # stage 2: LSH over the union, cross-side candidates only
+    union = corp.unionByName(new)
+    pairs = lsh_verified_pairs(
+        union, text_col="text", id_col="id",
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, hash_family=hash_family, persist=persist,
+    )
+    sides = corp.select("id", F.lit(0).alias("side")).unionByName(
+        new.select("id", F.lit(1).alias("side"))
+    )
+    sa = sides.select(F.col("id").alias("id_a"), F.col("side").alias("side_a"))
+    sb = sides.select(F.col("id").alias("id_b"), F.col("side").alias("side_b"))
+    cross = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("side_a") != F.col("side_b"))
+        .select(
+            F.when(F.col("side_a") == 1, F.col("id_a"))
+            .otherwise(F.col("id_b")).alias("new_id"),
+            F.when(F.col("side_a") == 1, F.col("id_b"))
+            .otherwise(F.col("id_a")).alias("corp_id"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("jaccard"), F.asc("corp_id")
+    )
+    best = (
+        cross.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("new_id").alias("id"),
+            F.col("corp_id").alias("near_match"),
+            F.col("jaccard").alias("near_jaccard"),
+        )
+    )
+    out = (
+        new.select("id")
+        .join(exact, "id", "left")
+        .join(best, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+            F.when(
+                F.col("exact_match").isNull(), F.col("near_jaccard")
+            ).alias("jaccard_r"),
+        )
+    )
+    return out
 
 
 def lsh_overflow_report(
