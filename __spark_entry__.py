@@ -2745,6 +2745,20 @@ def q_doc_incremental_dedup(spark, sf_dir):
     )
 
 
+def q_events_robust_z(spark, sf_dir):
+    """Iglewicz-Hoaglin modified z-score per event_type: rank-computed
+    exact medians (no quantile-interpolation dependence), MAD scale,
+    round-6 scores, 3.5 cutoff — the robust companion to the
+    mean/sigma trailing z-score."""
+    from unitdb_spark.operators.timeseries import robust_zscore
+
+    ev = _events(spark, sf_dir)
+    return robust_zscore(
+        ev.select("event_id", "event_type", "value"),
+        keys=["event_type"], value_col="value", id_cols=["event_id"],
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2923,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_pmi": q_doc_bigram_pmi,
         "media_meta_ext": q_media_meta_ext,
         "doc_incremental_dedup": q_doc_incremental_dedup,
+        "events_robust_z": q_events_robust_z,
     }
 
 
@@ -4087,6 +4102,46 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, est_jaccard, jaccard
         FROM verified WHERE jaccard >= 0.5
+        """,
+        "events_robust_z": """
+        -- rank-based exact medians: median = (v[floor((n+1)/2)] +
+        -- v[ceil((n+1)/2)]) / 2.0 over (value, id)-sorted rows; no
+        -- quantile-interpolation formula dependence
+        WITH v AS (
+          SELECT event_id, event_type, value FROM events
+        ), r AS (
+          SELECT *, row_number() OVER (
+              PARTITION BY event_type ORDER BY value, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM v WHERE value IS NOT NULL
+        ), med AS (
+          SELECT event_type, (MIN(value) + MAX(value)) / 2.0 AS med
+          FROM r WHERE rn = floor((n + 1) / 2) OR rn = ceil((n + 1) / 2)
+          GROUP BY 1
+        ), d AS (
+          SELECT v.event_id, v.event_type, v.value, m.med,
+            abs(v.value - m.med) AS dev
+          FROM v JOIN med m USING (event_type)
+        ), r2 AS (
+          SELECT event_type, dev, event_id, row_number() OVER (
+              PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM d WHERE dev IS NOT NULL
+        ), mad AS (
+          SELECT event_type, (MIN(dev) + MAX(dev)) / 2.0 AS mad
+          FROM r2 WHERE rn = floor((n + 1) / 2) OR rn = ceil((n + 1) / 2)
+          GROUP BY 1
+        )
+        SELECT v.event_id, v.event_type, v.value, m.med, md.mad,
+          CASE WHEN v.value IS NOT NULL AND md.mad > 0
+               THEN round(0.6745 * (v.value - m.med) / md.mad, 6)
+          END AS robust_z_r,
+          CASE WHEN v.value IS NOT NULL AND md.mad > 0
+               THEN abs(round(0.6745 * (v.value - m.med) / md.mad, 6)) > 3.5
+          END AS is_outlier
+        FROM v
+        LEFT JOIN med m USING (event_type)
+        LEFT JOIN mad md USING (event_type)
         """,
         "doc_incremental_dedup": _minhash_md5_cte() + """
         , inc_v AS (

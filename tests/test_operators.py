@@ -2582,3 +2582,43 @@ class TestIncrementalDedup:
             num_hashes=16, bands=16, threshold=0.2,
         )
         assert out[100]["status"] == "near_dup" and out[100]["match_id"] == 2
+
+
+class TestRobustZscore:
+    def test_outlier_immune_scale(self, spark):
+        """One 1000x spike: classic sigma would absorb it; MAD flags
+        it and ONLY it."""
+        from unitdb_spark.operators.timeseries import robust_zscore
+
+        rows = [(i, "k", 10.0 + (i % 5) * 0.1) for i in range(20)]
+        rows.append((99, "k", 10000.0))
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        out = {r["event_id"]: r for r in robust_zscore(
+            df, keys=["event_type"], value_col="value", id_cols=["event_id"]
+        ).collect()}
+        assert out[99]["is_outlier"] is True
+        assert all(not out[i]["is_outlier"] for i in range(20))
+
+    def test_even_count_median_interpolates(self, spark):
+        from unitdb_spark.operators.timeseries import robust_zscore
+
+        df = spark.createDataFrame(
+            [(1, "k", 1.0), (2, "k", 2.0), (3, "k", 3.0), (4, "k", 10.0)],
+            "event_id long, event_type string, value double",
+        )
+        out = robust_zscore(df, keys=["event_type"], value_col="value",
+                            id_cols=["event_id"]).collect()
+        assert out[0]["med"] == 2.5  # (2+3)/2
+
+    def test_constant_series_and_nulls_yield_null_scores(self, spark):
+        from unitdb_spark.operators.timeseries import robust_zscore
+
+        rows = [(1, "c", 5.0), (2, "c", 5.0), (3, "c", 5.0), (4, "c", None)]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        out = {r["event_id"]: r for r in robust_zscore(
+            df, keys=["event_type"], value_col="value", id_cols=["event_id"]
+        ).collect()}
+        # MAD = 0 -> no scale; every score/flag NULL, rows retained
+        assert len(out) == 4
+        assert all(out[i]["robust_z_r"] is None for i in (1, 2, 3, 4))
+        assert out[4]["value"] is None

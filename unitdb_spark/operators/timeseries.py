@@ -240,3 +240,61 @@ def gap_fill(
         F.last("avg_value", ignorenulls=True).over(ffill).alias("filled_value"),
         F.col("avg_value").isNull().alias("is_gap"),
     )
+
+
+def robust_zscore(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    id_cols: list[str],
+    z_thresh: float = 3.5,
+) -> DataFrame:
+    """Robust per-key outlier detection: the Iglewicz-Hoaglin modified
+    z-score 0.6745 * (x - median) / MAD — immune to the outliers
+    themselves inflating the scale, which is exactly what breaks the
+    mean/stddev z-score on spiky telemetry (one 1000x spike widens
+    sigma enough to hide the next one).
+
+    Medians are computed by RANK, not a quantile function: per key,
+    median = (v[floor((n+1)/2)] + v[ceil((n+1)/2)]) / 2.0 over the
+    (value, id)-sorted rows — so there is no interpolation-formula
+    dependence and any SQL engine replays the exact doubles. MAD is the
+    same construction over |x - median|. Scores are round-6 with the
+    standard 3.5 cutoff; a NULL value or a zero-MAD key (constant
+    series — no scale to score against) yields NULL score/flag.
+
+    Shape (100 TB): two window-rank passes per key and two key-level
+    joins — 4 exchanges, all on the key column; no state, no UDF.
+
+    Output: id_cols + keys + (value, med, mad, robust_z_r, is_outlier).
+    """
+
+    def _median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(F.col(col).asc(), *[
+            F.col(c).asc() for c in id_cols
+        ])
+        ranked = frame.filter(F.col(col).isNotNull()).withColumn(
+            "_rn", F.row_number().over(w)
+        ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+        mid = ranked.filter(
+            (F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+            | (F.col("_rn") == F.ceil((F.col("_n") + 1) / 2))
+        )
+        return mid.groupBy(*keys).agg(
+            ((F.min(col) + F.max(col)) / F.lit(2.0)).alias(out)
+        )
+
+    med = _median(df.select(*keys, *id_cols, value_col), value_col, "med")
+    with_med = df.join(med, keys, "left")
+    dev = with_med.withColumn("_dev", F.abs(F.col(value_col) - F.col("med")))
+    mad = _median(dev.select(*keys, *id_cols, "_dev"), "_dev", "mad")
+    scored = with_med.join(mad, keys, "left")
+    z = F.round(
+        F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad"), 6
+    )
+    valid = F.col(value_col).isNotNull() & (F.col("mad") > 0)
+    return scored.select(
+        *id_cols, *keys, value_col, "med", "mad",
+        F.when(valid, z).alias("robust_z_r"),
+        F.when(valid, F.abs(z) > F.lit(z_thresh)).alias("is_outlier"),
+    )
