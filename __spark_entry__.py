@@ -2759,6 +2759,20 @@ def q_events_robust_z(spark, sf_dir):
     )
 
 
+def q_ann_hamming_topk(spark, sf_dir):
+    """Binary sign-sketch ANN: 1 bit/dim (32x over float32), Hamming
+    distance = integer popcount over two 32-bit words — the crudest,
+    fastest member of the quantized family (exact/int8/PQ/IVF-PQ are
+    the finer ones). All-integer ranking, bit-exact oracle."""
+    from unitdb_spark.operators.similarity import hamming_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return hamming_topk(emb, q, dim=64, k=10)
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2938,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_ext": q_media_meta_ext,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "events_robust_z": q_events_robust_z,
+        "ann_hamming_topk": q_ann_hamming_topk,
     }
 
 
@@ -4102,6 +4117,32 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, est_jaccard, jaccard
         FROM verified WHERE jaccard >= 0.5
+        """,
+        "ann_hamming_topk": """
+        -- sign sketch: bit i = embedding[i] >= 0, two 32-bit words;
+        -- hamming = bit_count(xor) summed over words — all integer
+        WITH sk AS (
+          SELECT vec_id,
+            CAST(list_sum(list_transform(generate_series(0, 31),
+              i -> CASE WHEN embedding[i + 1] >= 0
+                   THEN 1 << i ELSE 0 END)) AS BIGINT) AS w0,
+            CAST(list_sum(list_transform(generate_series(32, 63),
+              i -> CASE WHEN embedding[i + 1] >= 0
+                   THEN 1 << (i - 32) ELSE 0 END)) AS BIGINT) AS w1
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+          FROM sk WHERE vec_id < 5
+        )
+        SELECT query_id, vec_id, hamming, CAST(rank AS INT) AS rank FROM (
+          SELECT q.query_id, c.vec_id,
+            CAST(bit_count(xor(c.w0, q.q0))
+                 + bit_count(xor(c.w1, q.q1)) AS INT) AS hamming,
+            row_number() OVER (PARTITION BY q.query_id
+              ORDER BY bit_count(xor(c.w0, q.q0))
+                       + bit_count(xor(c.w1, q.q1)), c.vec_id) AS rank
+          FROM sk c, q WHERE c.vec_id <> q.query_id
+        ) WHERE rank <= 10
         """,
         "events_robust_z": """
         -- rank-based exact medians: median = (v[floor((n+1)/2)] +

@@ -2622,3 +2622,54 @@ class TestRobustZscore:
         assert len(out) == 4
         assert all(out[i]["robust_z_r"] is None for i in (1, 2, 3, 4))
         assert out[4]["value"] is None
+
+
+class TestHammingAnn:
+    def test_sketch_matches_python_reference(self, spark):
+        from unitdb_spark.operators.similarity import sign_sketch_words
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(20)
+        got = emb.select(
+            "vec_id", "embedding", sign_sketch_words("embedding", 64).alias("sk")
+        ).collect()
+        for r in got:
+            w0 = sum(1 << i for i in range(32) if r["embedding"][i] >= 0)
+            w1 = sum(1 << (i - 32) for i in range(32, 64) if r["embedding"][i] >= 0)
+            assert list(r["sk"]) == [w0, w1]
+
+    def test_self_distance_zero_and_ordering(self, spark):
+        from unitdb_spark.operators.similarity import hamming_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = hamming_topk(emb, q, dim=64, k=5, exclude_self=False).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: r["rank"])
+            assert rows[0]["vec_id"] == qid and rows[0]["hamming"] == 0
+            dists = [r["hamming"] for r in rows]
+            assert dists == sorted(dists)
+
+    def test_coarse_recall_against_exact(self, spark):
+        """The sketch is a coarse filter, not noise: hamming top-10
+        should recover a solid chunk of the exact cosine top-10."""
+        from unitdb_spark.operators.similarity import cosine_topk, hamming_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        ham = {(r["query_id"], r["vec_id"])
+               for r in hamming_topk(emb, q, dim=64, k=10).collect()}
+        exact = {(r["query_id"], r["vec_id"])
+                 for r in cosine_topk(emb, q, k=10).collect()}
+        # chance overlap is k/N = 2%; the 1-bit sketch lands ~25% on
+        # these unrotated synthetic embeddings — assert an order of
+        # magnitude above chance, not a tuned recall target
+        assert len(ham & exact) >= len(exact) * 0.15

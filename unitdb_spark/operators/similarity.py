@@ -476,3 +476,83 @@ def knn_label(
             "query_id", F.col("_nl").alias("pred_label"), "votes", "best_sim_r"
         )
     )
+
+
+def sign_sketch_words(
+    vec_col: Column | str, dim: int, word_bits: int = 32
+) -> Column:
+    """Binary sign sketch: bit i = 1 iff vec[i] >= 0, packed into
+    ceil(dim/word_bits) non-negative longs (32-bit words by default so
+    no word ever touches the sign bit — the arithmetic stays
+    replayable on engines that error on signed overflow).
+
+    1 bit per dimension = 32x over float32: the crudest member of the
+    quantized-ANN family (charikar '02 SimHash for vectors is this
+    sketch under random rotations), and the only one whose distance is
+    pure integer popcount.
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    n_words = (dim + word_bits - 1) // word_bits
+    words = []
+    for w in range(n_words):
+        acc = F.lit(0).cast("long")
+        for i in range(w * word_bits, min((w + 1) * word_bits, dim)):
+            bit = i - w * word_bits
+            acc = acc + F.when(
+                F.element_at(v, i + 1) >= 0, F.lit(1 << bit).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(acc)
+    return F.array(*words)
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-K by Hamming distance between binary sign sketches — the
+    32x-compressed coarse-search stage (re-rank survivors with
+    ``cosine_topk``/``pq_rerank_topk`` when exactness matters).
+
+    Same shape as ``cosine_topk``: queries broadcast, one corpus scan,
+    zero corpus shuffles; but the searchable representation is
+    ceil(dim/32) longs per vector and the distance is
+    sum(bit_count(xor)) — all-integer, so ranking is deterministic
+    with no float tie subtleties beyond the (distance, vec_id) order.
+
+    Output: (query_id, vec_id, hamming, rank).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        sign_sketch_words(vec_col, dim).alias("_qsk"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        sign_sketch_words(vec_col, dim).alias("_csk"),
+    )
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
+    cond = F.col("vec_id") != F.col("query_id") if exclude_self else F.lit(True)
+    joined = c.join(F.broadcast(q), cond)
+    n_words = (dim + 31) // 32
+    dist = None
+    for w in range(n_words):
+        d = F.bit_count(
+            F.element_at("_csk", w + 1).bitwiseXOR(F.element_at("_qsk", w + 1))
+        )
+        dist = d if dist is None else dist + d
+    scored = joined.select(
+        "query_id", "vec_id", dist.cast("int").alias("hamming")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w_rank)).filter(
+        F.col("rank") <= k
+    )
