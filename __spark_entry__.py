@@ -2773,6 +2773,40 @@ def q_ann_hamming_topk(spark, sf_dir):
     return hamming_topk(emb, q, dim=64, k=10)
 
 
+def q_events_scd2(spark, sf_dir):
+    """Changelog → SCD-type-2 history: each user's event_type runs
+    collapse into [valid_from, valid_to) intervals with an is_current
+    flag — the temporal-table view over a CDC feed. One exchange, two
+    windows on the same sort; integer-microsecond bounds."""
+    from unitdb_spark.operators.timeseries import scd2_intervals
+
+    ev = _events(spark, sf_dir)
+    return scd2_intervals(
+        ev, key_cols=["user_id"], ts_col="ts", attr_col="event_type",
+        order_cols=["event_id"],
+    )
+
+
+def q_events_twa(spark, sf_dir):
+    """Time-weighted average per (event_type, hour): LOCF holding-time
+    weighting — immune to reporting-rate bias, unlike plain AVG.
+    Round-6 products + DECIMAL sum = order-free; one final pinned
+    division."""
+    from unitdb_spark.operators.timeseries import time_weighted_avg
+
+    spark = _pin_utc(spark)
+    ev = _events(spark, sf_dir)
+    out = time_weighted_avg(
+        ev, keys=["event_type"], ts_col="ts", value_col="value",
+        bucket="1 hour", order_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        F.unix_seconds("bucket_start").alias("bucket_s"),
+        "n", "twa_r",
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2953,6 +2987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "events_robust_z": q_events_robust_z,
         "ann_hamming_topk": q_ann_hamming_topk,
+        "events_scd2": q_events_scd2,
+        "events_twa": q_events_twa,
     }
 
 
@@ -4117,6 +4153,52 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, est_jaccard, jaccard
         FROM verified WHERE jaccard >= 0.5
+        """,
+        "events_scd2": """
+        -- run-collapse: rows where attr changes start an interval;
+        -- valid_to = next interval's start (lead over the same sort)
+        WITH c AS (
+          SELECT user_id, event_type,
+            CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS t_us,
+            lag(event_type) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), starts AS (
+          SELECT user_id, event_type AS attr, t_us AS valid_from_us
+          FROM c WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+        )
+        SELECT user_id, attr, valid_from_us,
+          lead(valid_from_us) OVER (
+            PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+          lead(valid_from_us) OVER (
+            PARTITION BY user_id ORDER BY valid_from_us) IS NULL
+            AS is_current
+        FROM starts
+        """,
+        "events_twa": """
+        -- LOCF time-weighted average: v_i holds until the next sample;
+        -- round-6 products summed as DECIMAL(28,6), one final division
+        WITH r AS (
+          SELECT event_type, event_id, date_trunc('hour', ts) AS b,
+            CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS t,
+            CAST(value AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        ), seg AS (
+          SELECT *, lead(t) OVER (
+            PARTITION BY event_type, b ORDER BY t, event_id) AS tn
+          FROM r
+        ), agg AS (
+          SELECT event_type, b, COUNT(*) AS n,
+            SUM(CAST(round(v * CAST(tn - t AS DOUBLE), 6)
+                     AS DECIMAL(28,6))) AS num,
+            MAX(t) - MIN(t) AS span
+          FROM seg GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(floor(epoch(b)) AS BIGINT) AS bucket_s, n,
+          CASE WHEN span > 0
+               THEN round(CAST(num AS DOUBLE) / CAST(span AS DOUBLE), 6)
+          END AS twa_r
+        FROM agg
         """,
         "ann_hamming_topk": """
         -- sign sketch: bit i = embedding[i] >= 0, two 32-bit words;

@@ -2673,3 +2673,68 @@ class TestHammingAnn:
         # these unrotated synthetic embeddings — assert an order of
         # magnitude above chance, not a tuned recall target
         assert len(ham & exact) >= len(exact) * 0.15
+
+
+class TestScd2:
+    def test_runs_collapse_into_intervals(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import scd2_intervals
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 10, "a"), (2, t0 + dt.timedelta(minutes=1), 10, "a"),
+            (3, t0 + dt.timedelta(minutes=2), 10, "b"),
+            (4, t0 + dt.timedelta(minutes=3), 10, "a"),
+            (5, t0, 20, "x"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        out = scd2_intervals(df, ["user_id"], "ts", "event_type",
+                             order_cols=["event_id"]).collect()
+        u10 = sorted([r for r in out if r["user_id"] == 10],
+                     key=lambda r: r["valid_from_us"])
+        assert [r["attr"] for r in u10] == ["a", "b", "a"]  # a-run collapsed
+        assert u10[0]["valid_to_us"] == u10[1]["valid_from_us"]
+        assert u10[1]["valid_to_us"] == u10[2]["valid_from_us"]
+        assert u10[2]["is_current"] and not u10[0]["is_current"]
+        u20 = [r for r in out if r["user_id"] == 20]
+        assert len(u20) == 1 and u20[0]["is_current"]
+
+
+class TestTimeWeightedAvg:
+    def test_holding_time_beats_sample_rate(self, spark):
+        """Value 100 held 50 min + value 0 held 10 min (sampled 10x as
+        often): plain AVG would be dragged toward 0, TWA is ~83.3."""
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import time_weighted_avg
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(1, t0, "k", 100.0)]
+        rows += [(10 + i, t0 + dt.timedelta(minutes=50 + i), "k", 0.0)
+                 for i in range(10)]  # minutes 50..59, same hour bucket
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        out = time_weighted_avg(df, ["event_type"], "ts", "value",
+                                bucket="1 hour",
+                                order_cols=["event_id"]).collect()
+        assert len(out) == 1
+        # span = 59 min; only the 100-value holds time (50 min):
+        # twa = 100 * 50/59 = 84.745763; plain AVG would say 9.09
+        assert abs(out[0]["twa_r"] - 84.745763) < 1e-6
+
+    def test_single_sample_bucket_is_null(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import time_weighted_avg
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), "k", 5.0)],
+            "event_id long, ts timestamp, event_type string, value double",
+        )
+        out = time_weighted_avg(df, ["event_type"], "ts", "value",
+                                order_cols=["event_id"]).collect()
+        assert out[0]["n"] == 1 and out[0]["twa_r"] is None

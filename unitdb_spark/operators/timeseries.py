@@ -298,3 +298,107 @@ def robust_zscore(
         F.when(valid, z).alias("robust_z_r"),
         F.when(valid, F.abs(z) > F.lit(z_thresh)).alias("is_outlier"),
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Changelog → slowly-changing-dimension (type 2) history: collapse
+    an event stream into validity intervals per key — one row per RUN
+    of equal ``attr_col`` values, with [valid_from, valid_to) bounds
+    and an is_current flag on the open interval. The temporal-table
+    view every warehouse builds over a CDC feed.
+
+    Change detection (attr != lag(attr)) and interval closing
+    (valid_to = lead(valid_from)) ride windows over the SAME
+    (key, ts, order) partitioning and sort, so the whole operator is
+    one exchange + one sort. Bounds are emitted as epoch microseconds
+    (integer-exact across engines).
+
+    Output: key_cols + (attr, valid_from_us, valid_to_us, is_current).
+    """
+    order = [ts_col] + (order_cols or [])
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in order])
+    changed = df.withColumn("_prev", F.lag(attr_col).over(w)).withColumn(
+        "_is_change",
+        F.col("_prev").isNull()
+        | (~F.col(attr_col).eqNullSafe(F.col("_prev"))),
+    )
+    starts = changed.filter(F.col("_is_change")).select(
+        *key_cols,
+        F.col(attr_col).alias("attr"),
+        F.unix_micros(ts_col).alias("valid_from_us"),
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(F.col("valid_from_us").asc())
+    return (
+        starts.withColumn("valid_to_us", F.lead("valid_from_us").over(w2))
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 hour",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average per (keys, bucket) — the irregular-sample
+    average a plain AVG gets wrong (a sensor reporting 10x more often
+    during a spike drags the arithmetic mean; weighting each sample by
+    its holding time doesn't care about reporting rate). LOCF
+    weighting: each sample holds its value until the next sample in
+    the bucket; twa = Σ v_i·Δt_i / (t_n − t_1).
+
+    Cross-engine contract: Δt is integer microseconds; each v·Δt
+    product is round-6'd and summed as DECIMAL(28,6) (order-free); one
+    final double division, round-6. Buckets with < 2 samples have no
+    holding time — twa_r is NULL (n is still reported).
+
+    One window (lead over the (keys, bucket) sort) + one partial-agg
+    shuffle on the same key.
+
+    Output: keys + (bucket_start, n, twa_r).
+    """
+    b = F.window(F.col(ts_col), bucket).getField("start").alias("_bucket")
+    order = order_cols or []
+    rows = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        *keys, *order, b, F.unix_micros(ts_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    # equal-timestamp ties get a deterministic lead order (their own
+    # holding time is 0 either way, but WHICH value holds to the next
+    # distinct instant must not depend on layout)
+    w = Window.partitionBy(*keys, "_bucket").orderBy(
+        F.col("_t").asc(), *[F.col(c).asc() for c in order]
+    )
+    seg = rows.withColumn("_t_next", F.lead("_t").over(w)).withColumn(
+        "_contrib",
+        F.round(
+            F.col("_v") * (F.col("_t_next") - F.col("_t")).cast("double"), 6
+        ).cast("decimal(28,6)"),
+    )
+    agg = seg.groupBy(*keys, "_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_contrib").alias("_num"),
+        (F.max("_t") - F.min("_t")).alias("_span_us"),
+    )
+    return agg.select(
+        *keys,
+        F.col("_bucket").alias("bucket_start"),
+        "n",
+        F.when(
+            F.col("_span_us") > 0,
+            F.round(
+                F.col("_num").cast("double") / F.col("_span_us").cast("double"),
+                6,
+            ),
+        ).alias("twa_r"),
+    )
