@@ -2807,6 +2807,55 @@ def q_events_twa(spark, sf_dir):
     )
 
 
+def q_doc_lang_confusion(spark, sf_dir):
+    """Confusion matrix of the n-gram language detector against the
+    table's trusted lang labels: (label, pred, n, label_total,
+    recall_ppm) — per-class recall on the diagonal, leak targets off
+    it. Integer floor-ppm, full oracle via the shared lang-ID CTE."""
+    from unitdb_spark.functions.text import lang_id
+    from unitdb_spark.operators.evaluation import confusion_matrix
+
+    d = _docs(spark, sf_dir).select(
+        "lang", lang_id("text").alias("pred")
+    )
+    return confusion_matrix(d, "lang", "pred")
+
+
+def q_doc_corpus_report(spark, sf_dir):
+    """Per-source corpus health panel: docs, tokens, chars, exact-dup
+    involvement, short-doc and English counts, mean word length — the
+    one-scan dataset card a curation run starts from. Exact integers +
+    one pinned round-6 division."""
+    from unitdb_spark.functions.text import _toks
+
+    d = _docs(spark, sf_dir)
+    toks = _toks("text")  # the ONE repo tokenizer (matches _TOKS)
+    md5w = W.partitionBy(F.md5("text"))
+    rows = d.select(
+        "source", "lang",
+        F.size(toks).alias("_n_tok"),
+        F.length("text").alias("_n_chars"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0), lambda a, x: a + x,
+        ).alias("_tok_chars"),
+        (F.count(F.lit(1)).over(md5w) > 1).cast("int").alias("_is_dup"),
+    )
+    return rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tok").alias("n_tokens"),
+        F.sum("_n_chars").alias("n_chars"),
+        F.sum("_is_dup").alias("n_dup_docs"),
+        F.count(F.when(F.col("_n_tok") < 20, 1)).alias("n_short"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+        F.round(
+            F.sum("_tok_chars").cast("double")
+            / F.sum("_n_tok").cast("double"),
+            6,
+        ).alias("mean_wl_r"),
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -2989,6 +3038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hamming_topk": q_ann_hamming_topk,
         "events_scd2": q_events_scd2,
         "events_twa": q_events_twa,
+        "doc_lang_confusion": q_doc_lang_confusion,
+        "doc_corpus_report": q_doc_corpus_report,
     }
 
 
@@ -4154,6 +4205,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, est_jaccard, jaccard
         FROM verified WHERE jaccard >= 0.5
         """,
+        "doc_lang_confusion": """
+        WITH lp AS (
+        """ + _doc_lang_oracle() + """
+        ), m AS (
+          SELECT d.lang AS label, lp.lang_pred AS pred, COUNT(*) AS n
+          FROM documents d JOIN lp USING (doc_id) GROUP BY 1, 2
+        )
+        SELECT label, pred, n,
+          CAST(SUM(n) OVER (PARTITION BY label) AS BIGINT) AS label_total,
+          CAST(floor(n * 1000000.0 / SUM(n) OVER (PARTITION BY label))
+               AS BIGINT) AS recall_ppm
+        FROM m
+        """,
+        "doc_corpus_report": f"""
+        WITH rows AS (
+          SELECT source, lang, {{toks}} AS tk, text,
+            COUNT(*) OVER (PARTITION BY md5(text)) AS md5_n
+          FROM documents
+        )
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(len(tk)) AS BIGINT) AS n_tokens,
+          CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+          CAST(SUM(CASE WHEN md5_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_docs,
+          COUNT(*) FILTER (len(tk) < 20) AS n_short,
+          COUNT(*) FILTER (lang = 'en') AS n_en,
+          round(CAST(SUM(list_sum(list_transform(tk, x -> length(x))))
+                     AS DOUBLE)
+                / CAST(SUM(len(tk)) AS DOUBLE), 6) AS mean_wl_r
+        FROM rows GROUP BY source
+        """.replace("{toks}", _TOKS),
         "events_scd2": """
         -- run-collapse: rows where attr changes start an interval;
         -- valid_to = next interval's start (lead over the same sort)

@@ -2738,3 +2738,38 @@ class TestTimeWeightedAvg:
         out = time_weighted_avg(df, ["event_type"], "ts", "value",
                                 order_cols=["event_id"]).collect()
         assert out[0]["n"] == 1 and out[0]["twa_r"] is None
+
+
+class TestEvaluation:
+    def test_confusion_matrix_counts_and_recall(self, spark):
+        from unitdb_spark.operators.evaluation import confusion_matrix
+
+        rows = [("a", "a")] * 8 + [("a", "b")] * 2 + [("b", "b")] * 5
+        df = spark.createDataFrame(rows, "label string, pred string")
+        out = {(r["label"], r["pred"]): r
+               for r in confusion_matrix(df, "label", "pred").collect()}
+        assert out[("a", "a")]["n"] == 8
+        assert out[("a", "a")]["label_total"] == 10
+        assert out[("a", "a")]["recall_ppm"] == 800_000
+        assert out[("b", "b")]["recall_ppm"] == 1_000_000
+
+    def test_accuracy_report_macro_vs_micro(self, spark):
+        """Imbalanced classes: accuracy is dominated by the big class,
+        macro recall is not — the report must show both."""
+        from unitdb_spark.operators.evaluation import accuracy_report
+
+        rows = [("big", "big")] * 98 + [("small", "big")] * 2
+        df = spark.createDataFrame(rows, "label string, pred string")
+        r = accuracy_report(df, "label", "pred").first()
+        assert r["accuracy_ppm"] == 980_000
+        assert r["n_classes"] == 2
+        assert r["macro_recall_ppm"] == 500_000  # (100% + 0%) / 2
+
+    def test_class_with_no_correct_rows_drags_macro(self, spark):
+        from unitdb_spark.operators.evaluation import accuracy_report
+
+        rows = [("a", "a"), ("b", "a"), ("c", "a")]
+        df = spark.createDataFrame(rows, "label string, pred string")
+        r = accuracy_report(df, "label", "pred").first()
+        assert r["n_classes"] == 3
+        assert r["macro_recall_ppm"] == 333_333

@@ -1,0 +1,77 @@
+"""Model-evaluation primitives over DataFrames.
+
+A curation pipeline is full of predicted labels (language ID, quality
+classifiers, kNN propagation) sitting next to trusted ones; grading
+them is a grouped count, not an ML-library import. Everything here is
+integer arithmetic + the repo's floor-ppm convention, so results
+replay exactly in any SQL engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def confusion_matrix(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Grouped (label, pred) counts with per-label recall.
+
+    Output: (label, pred, n, label_total, recall_ppm) where
+    recall_ppm = floor(n · 1e6 / label_total) — the diagonal rows are
+    per-class recall, off-diagonals show where the mass leaks. One
+    partial-agg shuffle on (label, pred); the per-label total is a
+    window over the matrix relation (classes², not rows).
+    """
+    counts = df.groupBy(
+        F.col(label_col).alias("label"), F.col(pred_col).alias("pred")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("label")
+    return counts.select(
+        "label", "pred", "n",
+        F.sum("n").over(w).alias("label_total"),
+        F.floor(F.col("n") * F.lit(1_000_000) / F.sum("n").over(w))
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
+def accuracy_report(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """One-row overall accuracy + per-class macro recall mean.
+
+    macro_recall_ppm is the floor-ppm MEAN of per-class recalls (each
+    itself a floor-ppm) — integer-exact end to end, so class-imbalance
+    distortion of plain accuracy is visible by comparing the columns.
+    """
+    cm = confusion_matrix(df, label_col, pred_col)
+    per_class = cm.filter(F.col("label") == F.col("pred")).select(
+        "label", "recall_ppm"
+    )
+    # classes with zero correct predictions have no diagonal row — they
+    # must still drag the macro average down
+    labels = cm.select("label").distinct()
+    filled = labels.join(per_class, "label", "left").select(
+        F.coalesce("recall_ppm", F.lit(0)).alias("r")
+    )
+    totals = df.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(
+            F.when(F.col(label_col) == F.col(pred_col), 1)
+        ).alias("n_correct"),
+    )
+    macro = filled.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.floor(F.sum("r") / F.count(F.lit(1))).cast("long").alias(
+            "macro_recall_ppm"
+        ),
+    )
+    return totals.join(macro).select(
+        "n_rows", "n_correct",
+        F.floor(F.col("n_correct") * F.lit(1_000_000) / F.col("n_rows"))
+        .cast("long")
+        .alias("accuracy_ppm"),
+        "n_classes", "macro_recall_ppm",
+    )
