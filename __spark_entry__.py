@@ -2856,6 +2856,15 @@ def q_doc_corpus_report(spark, sf_dir):
     )
 
 
+def q_doc_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per doc (gibberish detector):
+    exact counts, one libm log2 per (doc, char) class round-6'd into a
+    DECIMAL sum — order-free, bitwise oracle."""
+    from unitdb_spark.functions.text import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3040,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twa": q_events_twa,
         "doc_lang_confusion": q_doc_lang_confusion,
         "doc_corpus_report": q_doc_corpus_report,
+        "doc_char_entropy": q_doc_char_entropy,
     }
 
 
@@ -4217,6 +4227,24 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(n * 1000000.0 / SUM(n) OVER (PARTITION BY label))
                AS BIGINT) AS recall_ppm
         FROM m
+        """,
+        "doc_char_entropy": """
+        -- identical char enumeration (substr over a generated index),
+        -- exact counts, round-6 terms, DECIMAL sum
+        WITH ch AS (
+          SELECT doc_id, length(text) AS n, substr(text, i, 1) AS ch
+          FROM documents,
+               UNNEST(generate_series(1, length(text))) AS u(i)
+        ), c AS (
+          SELECT doc_id, n, ch, COUNT(*) AS n_c FROM ch GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, n AS n_chars_m,
+          CAST(COUNT(*) AS BIGINT) AS n_unique,
+          CAST(SUM(CAST(round(
+            -(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))
+            * log2(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+            AS DECIMAL(18,6))) AS DOUBLE) AS entropy_r
+        FROM c GROUP BY doc_id, n
         """,
         "doc_corpus_report": f"""
         WITH rows AS (

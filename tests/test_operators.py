@@ -2773,3 +2773,39 @@ class TestEvaluation:
         r = accuracy_report(df, "label", "pred").first()
         assert r["n_classes"] == 3
         assert r["macro_recall_ppm"] == 333_333
+
+
+class TestCharEntropy:
+    def test_known_entropies(self, spark):
+        from unitdb_spark.functions.text import char_entropy
+
+        rows = [
+            (1, "aaaaaaaa"),          # H = 0
+            (2, "abababab"),          # H = 1 bit
+            (3, "abcdabcd"),          # H = 2 bits
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+        assert out[1]["entropy_r"] == 0.0 and out[1]["n_unique"] == 1
+        assert out[2]["entropy_r"] == 1.0
+        assert out[3]["entropy_r"] == 2.0
+        assert out[3]["n_chars_m"] == 8
+
+    def test_gibberish_scores_above_text(self, spark):
+        from unitdb_spark.functions.text import char_entropy
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "x9!Kq2@Zw8#Jv4$Yt6%Hr1&Gp3*Fo5(En7)Dm0_Cl~Bk^Aj"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["entropy_r"] for r in char_entropy(docs).collect()}
+        assert out[2] > out[1]
+
+    def test_multibyte_chars_counted_as_chars(self, spark):
+        from unitdb_spark.functions.text import char_entropy
+
+        docs = spark.createDataFrame([(1, "ééàà")], "doc_id long, text string")
+        out = char_entropy(docs).collect()[0]
+        assert out["n_chars_m"] == 4 and out["n_unique"] == 2
+        assert out["entropy_r"] == 1.0

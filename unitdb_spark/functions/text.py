@@ -505,3 +505,55 @@ def line_filter(col: Column | str) -> dict[str, Column]:
         "n_removed": F.size(lines) - F.size(kept),
         "clean_text": F.array_join(kept, "\n"),
     }
+
+
+def char_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document character-level Shannon entropy — the classic
+    gibberish/compression-artifact detector (natural text sits ~4-4.5
+    bits/char; base64 blobs and key-mash both stand out, high and low).
+
+    H = -Σ_c p_c·log2(p_c) over the doc's character distribution.
+    Cross-engine contract: counts are exact integers; each character
+    class's term -p·log2(p) is one libm call, round-6'd and summed as
+    DECIMAL(18,6) (order-free, the repo convention); the distinct
+    character count rides the same aggregation.
+
+    Characters enumerate via substr(text, i, 1) over a generated index
+    — the identical construction replays in SQL (no engine-specific
+    empty-pattern split semantics).
+
+    Shape: explode is linear in characters; one (id, char) partial-agg
+    shuffle + one id rollup.
+
+    Output: (id, n_chars_m, n_unique, entropy_r).
+    """
+    from pyspark.sql import functions as F
+
+    chars = docs.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).alias("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col)),
+                lambda i: F.col(text_col).substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("id", "n", "ch").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    p = F.col("n_c").cast("double") / F.col("n").cast("double")
+    term = F.round(-p * F.log2(p), 6).cast("decimal(18,6)")
+    return (
+        counts.groupBy("id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(term).alias("_h"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n").alias("n_chars_m"),
+            "n_unique",
+            F.col("_h").cast("double").alias("entropy_r"),
+        )
+    )
