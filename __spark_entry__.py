@@ -2865,6 +2865,23 @@ def q_doc_char_entropy(spark, sf_dir):
     return char_entropy(_docs(spark, sf_dir))
 
 
+def q_ann_mplsh_topk(spark, sf_dir):
+    """Multi-probe LSH (Lv '07): own bucket + every Hamming-1 neighbor
+    — recall climbs for a linear extra read, corpus keeps one bucket
+    per vector. Deterministic planes replayed as SQL literals."""
+    from unitdb_spark.operators.similarity import lsh_multiprobe_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_multiprobe_topk(emb, queries, k=10, n_planes=6, dim=64)
+    return out.select(
+        "query_id", "vec_id",
+        F.round("cosine_sim", 6).alias("cosine_r"), "rank",
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3050,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_confusion": q_doc_lang_confusion,
         "doc_corpus_report": q_doc_corpus_report,
         "doc_char_entropy": q_doc_char_entropy,
+        "ann_mplsh_topk": q_ann_mplsh_topk,
     }
 
 
@@ -4158,6 +4176,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
         """,
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "ann_mplsh_topk": _ann_lsh_oracle(multiprobe=True),
         "ann_ivf_topk": """
         WITH cents AS (
           SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
@@ -5680,10 +5699,15 @@ def _pq_oracle_cte() -> str:
     """
 
 
-def _ann_lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+def _ann_lsh_oracle(
+    n_planes: int = 6, dim: int = 64, seed: int = 42,
+    multiprobe: bool = False,
+) -> str:
     """Replays lsh_bucket_topk's hyperplane bucketing in SQL: the seeded
     planes are embedded as DOUBLE[] literals (repr round-trips exactly),
-    so bucket ids — and therefore the candidate sets — are identical."""
+    so bucket ids — and therefore the candidate sets — are identical.
+    ``multiprobe`` adds the Hamming-1 probe fan-out on the query side
+    (lsh_multiprobe_topk's contract)."""
     from unitdb_spark.operators.similarity import random_planes
 
     planes = random_planes(dim, n_planes, seed)
@@ -5696,11 +5720,25 @@ def _ann_lsh_oracle(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
         f" THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
+    if multiprobe:
+        probe_list = "[bucket, " + ", ".join(
+            f"xor(bucket, {1 << i})" for i in range(n_planes)
+        ) + "]"
+        q_cte = f"""
+      SELECT query_id, qv, unnest({probe_list}) AS bucket FROM (
+        SELECT vec_id AS query_id, embedding AS qv, bucket
+        FROM b WHERE vec_id < 5)
+        """
+    else:
+        q_cte = (
+            "SELECT vec_id AS query_id, embedding AS qv, bucket "
+            "FROM b WHERE vec_id < 5"
+        )
     return f"""
     WITH b AS (
       SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
     ), q AS (
-      SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 5
+      {q_cte}
     ), scored AS (
       SELECT q.query_id, c.vec_id,
              list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),

@@ -2809,3 +2809,42 @@ class TestCharEntropy:
         out = char_entropy(docs).collect()[0]
         assert out["n_chars_m"] == 4 and out["n_unique"] == 2
         assert out["entropy_r"] == 1.0
+
+
+class TestMultiprobeLsh:
+    def test_superset_of_single_probe_and_better_recall(self, spark):
+        from unitdb_spark.operators.similarity import (
+            cosine_topk,
+            lsh_bucket_topk,
+            lsh_multiprobe_topk,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # k > corpus size: no rank cut, results ARE the candidate sets —
+        # every single-probe candidate is also a multi-probe candidate
+        single = {(r["query_id"], r["vec_id"])
+                  for r in lsh_bucket_topk(emb, q, k=1000, n_planes=6).collect()}
+        multi = {(r["query_id"], r["vec_id"])
+                 for r in lsh_multiprobe_topk(emb, q, k=1000, n_planes=6).collect()}
+        assert single < multi  # strictly more candidates reached
+        exact = {(r["query_id"], r["vec_id"])
+                 for r in cosine_topk(emb, q, k=10).collect()}
+        m10 = {(r["query_id"], r["vec_id"])
+               for r in lsh_multiprobe_topk(emb, q, k=10, n_planes=6).collect()}
+        s10 = {(r["query_id"], r["vec_id"])
+               for r in lsh_bucket_topk(emb, q, k=10, n_planes=6).collect()}
+        assert len(m10 & exact) >= len(s10 & exact)
+
+    def test_no_duplicate_candidates(self, spark):
+        from unitdb_spark.operators.similarity import lsh_multiprobe_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = lsh_multiprobe_topk(emb, q, k=100, n_planes=6).collect()
+        pairs = [(r["query_id"], r["vec_id"]) for r in got]
+        assert len(pairs) == len(set(pairs))

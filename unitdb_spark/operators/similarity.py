@@ -556,3 +556,63 @@ def hamming_topk(
     return scored.withColumn("rank", F.row_number().over(w_rank)).filter(
         F.col("rank") <= k
     )
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-probe LSH (Lv et al. '07): each query searches its own
+    hyperplane bucket AND every Hamming-1 neighbor (one sign bit
+    flipped) — n_planes+1 probes. Near-boundary vectors that single-
+    probe LSH loses to an unlucky sign live in exactly those buckets,
+    so recall climbs steeply for a linear (not exponential) extra read.
+
+    The probe fan-out happens on the QUERY side (tiny): the corpus
+    keeps exactly one bucket per vector — at scale that bucket stays
+    the partition key and a query costs (n_planes+1) bucket reads, not
+    a restructured index. A corpus vector can match a query through
+    only one probe (buckets are distinct), so no dedup pass is needed.
+
+    Output: (query_id, vec_id, cosine_sim, rank).
+    """
+    actual = corpus.select(F.size(F.col(vec_col))).first()
+    if actual is not None and actual[0] != dim:
+        raise ValueError(
+            f"lsh_multiprobe_topk: dim={dim} but embeddings have "
+            f"{actual[0]} dimensions"
+        )
+    planes = random_planes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cvec"),
+        hyperplane_bucket_expr(vec_col, planes).alias("_bucket"),
+    )
+    home = hyperplane_bucket_expr(vec_col, planes)
+    probes = F.array(
+        home, *[home.bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)]
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(probes).alias("_bucket"),
+    )
+    joined = c.join(F.broadcast(q), on="_bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = cosine_expr("_cvec", "_qvec").alias("cosine_sim")
+    scored = joined.select("query_id", "vec_id", sim)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
