@@ -4287,20 +4287,22 @@ def oracle_sql() -> dict[str, str]:
         -- run-collapse: rows where attr changes start an interval;
         -- valid_to = next interval's start (lead over the same sort)
         WITH c AS (
-          SELECT user_id, event_type,
+          SELECT user_id, event_type, event_id,
             CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS t_us,
             lag(event_type) OVER (
               PARTITION BY user_id ORDER BY ts, event_id) AS prev
           FROM events
         ), starts AS (
-          SELECT user_id, event_type AS attr, t_us AS valid_from_us
+          SELECT user_id, event_type AS attr, t_us AS valid_from_us,
+            event_id
           FROM c WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
         )
         SELECT user_id, attr, valid_from_us,
           lead(valid_from_us) OVER (
-            PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+            PARTITION BY user_id ORDER BY valid_from_us, event_id)
+            AS valid_to_us,
           lead(valid_from_us) OVER (
-            PARTITION BY user_id ORDER BY valid_from_us) IS NULL
+            PARTITION BY user_id ORDER BY valid_from_us, event_id) IS NULL
             AS is_current
         FROM starts
         """,

@@ -2848,3 +2848,65 @@ class TestMultiprobeLsh:
         got = lsh_multiprobe_topk(emb, q, k=100, n_planes=6).collect()
         pairs = [(r["query_id"], r["vec_id"]) for r in got]
         assert len(pairs) == len(set(pairs))
+
+
+class TestReviewFixesRound4b:
+    """Regression pins for the mid-session review findings."""
+
+    def test_char_entropy_survives_empty_doc(self, spark):
+        from unitdb_spark.functions.text import char_entropy
+
+        docs = spark.createDataFrame(
+            [(1, "abab"), (2, "")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+        # empty doc has no char distribution -> absent (both engines)
+        assert set(out) == {1} and out[1]["entropy_r"] == 1.0
+
+    def test_scd2_same_timestamp_ties_deterministic(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import scd2_intervals
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(1, t0, 1, "a"), (2, t0, 1, "b"), (3, t0, 1, "c")]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        outs = [
+            sorted(
+                ((r["attr"], r["is_current"]) for r in
+                 scd2_intervals(d, ["user_id"], "ts", "event_type",
+                                order_cols=["event_id"]).collect())
+            )
+            for d in (df, df.repartition(5))
+        ]
+        assert outs[0] == outs[1]
+        # the LAST change by event_id order is the open interval
+        assert ("c", True) in outs[0] and ("a", False) in outs[0]
+
+    def test_hamming_dim_mismatch_raises(self, spark):
+        from unitdb_spark.operators.similarity import hamming_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter("vec_id < 2").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        with pytest.raises(ValueError, match="dim=128"):
+            hamming_topk(emb, q, dim=128)
+
+    def test_accuracy_report_empty_input(self, spark):
+        from unitdb_spark.operators.evaluation import accuracy_report
+
+        df = spark.createDataFrame([], "label string, pred string")
+        r = accuracy_report(df, "label", "pred").first()
+        assert r["n_rows"] == 0 and r["accuracy_ppm"] == 0
+
+    def test_bmp_negative_width_is_null_row(self, spark):
+        import struct
+
+        from unitdb_spark.functions.media_codec import build_bmp, parse_media
+
+        b = bytearray(build_bmp(10, 20))
+        b[18:22] = struct.pack("<i", -10)
+        assert parse_media(bytes(b))["container"] is None

@@ -363,7 +363,11 @@ def parse_bmp(b: bytes) -> dict | None:
     if info_len < 40 or len(b) < 54:
         return None  # BITMAPCOREHEADER and truncated variants: NULL row
     w, h = struct.unpack("<ii", b[18:26])
-    # height may be negative (top-down rows); the dimension is |h|
+    # height may be negative (top-down rows) — the dimension is |h|;
+    # width may NOT (no spec meaning), so a negative width is a corrupt
+    # file and yields the module's NULL row, like parse_wav's rate=0
+    if w <= 0:
+        return None
     return dict(_EMPTY, container="bmp", width=w, height=abs(h), n_frames=1)
 
 

@@ -529,14 +529,22 @@ def char_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
     """
     from pyspark.sql import functions as F
 
+    # guard the empty doc: sequence(1, 0) is [1, 0] in Spark (a DOWN
+    # ramp, not empty) — unguarded it explodes two '' rows with n=0 and
+    # the p division blows up under ANSI; an empty doc has no character
+    # distribution, so it is absent from the output on BOTH engines
+    # (DuckDB's generate_series(1, 0) is empty)
     chars = docs.select(
         F.col(id_col).alias("id"),
         F.length(text_col).alias("n"),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(text_col)),
-                lambda i: F.col(text_col).substr(i, F.lit(1)),
-            )
+            F.when(
+                F.length(text_col) > 0,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(text_col)),
+                    lambda i: F.col(text_col).substr(i, F.lit(1)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("ch"),
     )
     counts = chars.groupBy("id", "n", "ch").agg(

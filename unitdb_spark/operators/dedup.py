@@ -377,9 +377,32 @@ def lsh_verified_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_n,
         max_bucket_size=max_bucket_size, persist=persist,
     )
-    # bind tokens to a column FIRST (shingles_from_tokens contract:
-    # inlining the tokenizer re-splits the doc once per shingle —
-    # quadratic in document length)
+    verified = _join_candidate_shingles(df, cand, text_col, id_col, shingle_n)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return verified.select(
+        "id_a", "id_b", "est_jaccard", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= F.lit(threshold))
+
+
+def _join_candidate_shingles(
+    df: DataFrame,
+    cand: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+) -> DataFrame:
+    """Join candidate (id_a, id_b) pairs to both docs' distinct shingle
+    sets — the shared verify-stage scaffolding (symmetric Jaccard,
+    containment and incremental dedup all measure over the same
+    (sh_a, sh_b) relation; keep the construction in ONE place so the
+    bind-tokens-first quadratic-explode guard can't drift).
+
+    Tokens are bound to a column FIRST (shingles_from_tokens contract:
+    inlining the tokenizer re-splits the doc once per shingle —
+    quadratic in document length).
+    """
     sets = df.select(
         F.col(id_col).alias("_id"), raw_tokens(text_col).alias("_tk")
     ).select(
@@ -388,15 +411,7 @@ def lsh_verified_pairs(
     )
     a = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.round(inter.cast("double") / union.cast("double"), 6)
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", "est_jaccard", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= F.lit(threshold))
-    )
+    return cand.join(a, "id_a").join(b, "id_b")
 
 
 def lsh_containment_pairs(
@@ -433,25 +448,14 @@ def lsh_containment_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_n,
         max_bucket_size=max_bucket_size, persist=persist,
     ).select("id_a", "id_b")
-    sets = df.select(
-        F.col(id_col).alias("_id"), raw_tokens(text_col).alias("_tk")
-    ).select(
-        "_id", shingles_from_tokens(F.col("_tk"), shingle_n).alias("_sh")
-    )
-    a = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = sets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    verified = _join_candidate_shingles(df, cand, text_col, id_col, shingle_n)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     c_ab = F.round(inter / F.size("sh_a").cast("double"), 6)
     c_ba = F.round(inter / F.size("sh_b").cast("double"), 6)
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a", "id_b", c_ab.alias("c_ab"), c_ba.alias("c_ba"),
-            F.greatest(c_ab, c_ba).alias("containment"),
-        )
-        .filter(F.col("containment") >= F.lit(threshold))
-    )
+    return verified.select(
+        "id_a", "id_b", c_ab.alias("c_ab"), c_ba.alias("c_ba"),
+        F.greatest(c_ab, c_ba).alias("containment"),
+    ).filter(F.col("containment") >= F.lit(threshold))
 
 
 def incremental_dedup(
@@ -502,22 +506,35 @@ def incremental_dedup(
         .join(corp_md5, "_h", "left")
         .select("id", "exact_match")
     )
-    # stage 2: LSH over the union, cross-side candidates only
+    # stage 2: LSH candidates over the union, cross-side restriction
+    # BEFORE the exact-Jaccard verify — intra-corpus candidate pairs
+    # dominate the bucket join when corpus >> batch, and tokenizing/
+    # intersecting shingle sets for pairs the side filter discards
+    # would be the operator's dominant (wasted) cost
     union = corp.unionByName(new)
-    pairs = lsh_verified_pairs(
-        union, text_col="text", id_col="id",
-        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        threshold=threshold, hash_family=hash_family, persist=persist,
-    )
+    pairs_fn = minhash_lsh_pairs_md5 if hash_family == "md5" else minhash_lsh_pairs
+    cand = pairs_fn(
+        union, "text", "id", num_hashes, bands, shingle_n, persist=persist
+    ).select("id_a", "id_b")
     sides = corp.select("id", F.lit(0).alias("side")).unionByName(
         new.select("id", F.lit(1).alias("side"))
     )
     sa = sides.select(F.col("id").alias("id_a"), F.col("side").alias("side_a"))
     sb = sides.select(F.col("id").alias("id_b"), F.col("side").alias("side_b"))
-    cross = (
-        pairs.join(sa, "id_a")
+    cand_cross = (
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(F.col("side_a") != F.col("side_b"))
+    )
+    verified = _join_candidate_shingles(
+        union, cand_cross, "text", "id", shingle_n
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.round(inter.cast("double") / uni.cast("double"), 6)
+    cross = (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
         .select(
             F.when(F.col("side_a") == 1, F.col("id_a"))
             .otherwise(F.col("id_b")).alias("new_id"),

@@ -70,7 +70,12 @@ def accuracy_report(
     )
     return totals.join(macro).select(
         "n_rows", "n_correct",
-        F.floor(F.col("n_correct") * F.lit(1_000_000) / F.col("n_rows"))
+        # greatest(n_rows, 1): an empty input reports 0 ppm instead of
+        # dividing by zero (ANSI mode throws)
+        F.floor(
+            F.col("n_correct") * F.lit(1_000_000)
+            / F.greatest(F.col("n_rows"), F.lit(1))
+        )
         .cast("long")
         .alias("accuracy_ppm"),
         "n_classes", "macro_recall_ppm",

@@ -62,6 +62,34 @@ def stratified_sample(
     return df.filter(uniform_hash(key_col, salt) < frac)
 
 
+
+def _race_key(weight_col: str, key, salt: str, op_name: str):
+    """The Efraimidis-Spirakis race key -ln(u)/w as ONE shared
+    construction (null-key sentinel, (h+1)/2^60 uniform, round-6,
+    nonpositive-weight raise) — `weighted_sample` and the per-stratum
+    variant MUST stay bitwise identical (a cross-check test depends on
+    it), so the contract lives here once.
+
+    u = (h+1)/2^60 lands in (0, 1]: ln(0) is the degenerate corner,
+    ln(1)=0 is fine (race key 0 sorts first — the "instant win" draw).
+    """
+    w = F.col(weight_col).cast("double")
+    k = F.col(key) if isinstance(key, str) else key
+    keyed = F.concat(
+        F.coalesce(k.cast("string"), F.lit("\x00null")), F.lit(":" + salt)
+    )
+    u = (md5_int60(keyed).cast("double") + F.lit(1.0)) / F.lit(INT60_DENOM)
+    race = F.round(-F.log(u) / w, 6)
+    return k, F.when(w > 0, race).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op_name}: nonpositive weight for key "),
+                k.cast("string"),
+            )
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     n: int,
@@ -95,23 +123,7 @@ def weighted_sample(
     """
     if n < 1:
         raise ValueError("weighted_sample: n must be >= 1")
-    w = F.col(weight_col).cast("double")
-    # (h+1)/2^60 in (0, 1]: ln(0) is the degenerate corner, ln(1)=0 is
-    # fine (race key 0 sorts first — the "instant win" draw)
-    k = F.col(key_col) if isinstance(key_col, str) else key_col
-    keyed = F.concat(
-        F.coalesce(k.cast("string"), F.lit("\x00null")), F.lit(":" + salt)
-    )
-    u = (md5_int60(keyed).cast("double") + F.lit(1.0)) / F.lit(INT60_DENOM)
-    race = F.round(-F.log(u) / w, 6)
-    guarded = F.when(w > 0, race).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("weighted_sample: nonpositive weight for key "),
-                k.cast("string"),
-            )
-        )
-    )
+    k, guarded = _race_key(weight_col, key_col, salt, "weighted_sample")
     from pyspark.sql.window import Window
 
     winners = df.withColumn("race_r", guarded).orderBy(
@@ -147,20 +159,8 @@ def weighted_sample_per_stratum(
         raise ValueError("weighted_sample_per_stratum: n_per must be >= 1")
     from pyspark.sql.window import Window
 
-    w = F.col(weight_col).cast("double")
-    k = F.col(key_col)
-    keyed = F.concat(
-        F.coalesce(k.cast("string"), F.lit("\x00null")), F.lit(":" + salt)
-    )
-    u = (md5_int60(keyed).cast("double") + F.lit(1.0)) / F.lit(INT60_DENOM)
-    race = F.round(-F.log(u) / w, 6)
-    guarded = F.when(w > 0, race).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("weighted_sample_per_stratum: nonpositive weight for key "),
-                k.cast("string"),
-            )
-        )
+    k, guarded = _race_key(
+        weight_col, key_col, salt, "weighted_sample_per_stratum"
     )
     win = Window.partitionBy(strata_col).orderBy(
         F.col("race_r").asc(), k.asc()

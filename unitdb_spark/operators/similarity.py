@@ -527,6 +527,14 @@ def hamming_topk(
 
     Output: (query_id, vec_id, hamming, rank).
     """
+    # same guard as the LSH paths: a dim mismatch would either throw a
+    # raw index error (ANSI) or silently zero the out-of-range bits
+    actual = corpus.select(F.size(F.col(vec_col))).first()
+    if actual is not None and actual[0] != dim:
+        raise ValueError(
+            f"hamming_topk: dim={dim} but embeddings have "
+            f"{actual[0]} dimensions"
+        )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         sign_sketch_words(vec_col, dim).alias("_qsk"),

@@ -328,15 +328,24 @@ def scd2_intervals(
         F.col("_prev").isNull()
         | (~F.col(attr_col).eqNullSafe(F.col("_prev"))),
     )
+    # carry the tie-break through: two changes in the same microsecond
+    # (a CDC feed emitting twice per instant) must close in the SAME
+    # order they were detected in, or which interval is zero-length
+    # becomes layout-dependent
+    extra = list(order_cols or [])
     starts = changed.filter(F.col("_is_change")).select(
         *key_cols,
         F.col(attr_col).alias("attr"),
         F.unix_micros(ts_col).alias("valid_from_us"),
+        *extra,
     )
-    w2 = Window.partitionBy(*key_cols).orderBy(F.col("valid_from_us").asc())
+    w2 = Window.partitionBy(*key_cols).orderBy(
+        F.col("valid_from_us").asc(), *[F.col(c).asc() for c in extra]
+    )
     return (
         starts.withColumn("valid_to_us", F.lead("valid_from_us").over(w2))
         .withColumn("is_current", F.col("valid_to_us").isNull())
+        .drop(*extra)
     )
 
 
