@@ -2882,6 +2882,39 @@ def q_ann_mplsh_topk(spark, sf_dir):
     )
 
 
+def q_events_cusum(spark, sf_dir):
+    """CUSUM change-point chart (Page '54) per event_type: prefix-sum
+    closed form (C+ = S - min(0, min S); C- = max(0, max S) - S) over
+    exact DECIMAL deviations — catches persistent level shifts no
+    per-point z-score flags. Bitwise oracle."""
+    from unitdb_spark.operators.timeseries import cusum
+
+    spark = _pin_utc(spark)
+    ev = _events(spark, sf_dir)
+    out = cusum(
+        ev.select("event_id", "ts", "event_type", "value"),
+        keys=["event_type"], order_cols=["ts", "event_id"],
+        value_col="value", h=5000.0,
+    )
+    return out.select(
+        "event_id", "event_type", "value", "s_r",
+        "cusum_pos_r", "cusum_neg_r", "alarm",
+    )
+
+
+def q_events_deciles(spark, sf_dir):
+    """Per-type value-decile profile (ntile(10) with deterministic tie
+    order): count/bounds/round-6 mean per bucket — the distribution
+    panel behind threshold decisions."""
+    from unitdb_spark.operators.olap import decile_stats
+
+    ev = _events(spark, sf_dir)
+    return decile_stats(
+        ev, keys=["event_type"], value_col="value",
+        order_cols=["event_id"], n_buckets=10,
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3068,6 +3101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_report": q_doc_corpus_report,
         "doc_char_entropy": q_doc_char_entropy,
         "ann_mplsh_topk": q_ann_mplsh_topk,
+        "events_cusum": q_events_cusum,
+        "events_deciles": q_events_deciles,
     }
 
 
@@ -4283,6 +4318,60 @@ def oracle_sql() -> dict[str, str]:
                 / CAST(SUM(len(tk)) AS DOUBLE), 6) AS mean_wl_r
         FROM rows GROUP BY source
         """.replace("{toks}", _TOKS),
+        "events_cusum": """
+        -- exact DECIMAL deviations -> exact prefix sums and extrema;
+        -- CUSUM closed form, all decimal until the final double casts
+        WITH v AS (
+          SELECT event_id, ts, event_type, value FROM events
+          WHERE value IS NOT NULL
+        ), m AS (
+          SELECT event_type,
+            CAST(round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+                            AS DOUBLE) / COUNT(*), 6)
+                 AS DECIMAL(18,6)) AS mean_r
+          FROM v GROUP BY 1
+        ), d AS (
+          SELECT v.*, CAST(round(v.value, 6) AS DECIMAL(18,6)) - m.mean_r
+            AS dev
+          FROM v JOIN m USING (event_type)
+        ), s1 AS (
+          SELECT event_id, ts, event_type, value,
+            SUM(dev) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS s
+          FROM d
+        ), r AS (
+          SELECT event_id, event_type, value, s,
+            CASE WHEN MIN(s) OVER w2 < CAST(0 AS DECIMAL(38,6))
+                 THEN MIN(s) OVER w2 ELSE CAST(0 AS DECIMAL(38,6))
+            END AS min_s,
+            CASE WHEN MAX(s) OVER w2 > CAST(0 AS DECIMAL(38,6))
+                 THEN MAX(s) OVER w2 ELSE CAST(0 AS DECIMAL(38,6))
+            END AS max_s
+          FROM s1
+          WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT event_id, event_type, value,
+          CAST(s AS DOUBLE) AS s_r,
+          CAST(s - min_s AS DOUBLE) AS cusum_pos_r,
+          CAST(max_s - s AS DOUBLE) AS cusum_neg_r,
+          (CAST(s - min_s AS DOUBLE) > 5000.0
+           OR CAST(max_s - s AS DOUBLE) > 5000.0) AS alarm
+        FROM r
+        """,
+        "events_deciles": """
+        WITH b AS (
+          SELECT event_type, value,
+            ntile(10) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS decile
+          FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_type, decile, COUNT(*) AS n,
+          MIN(value) AS lo, MAX(value) AS hi,
+          round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+                     AS DOUBLE) / COUNT(*), 6) AS mean_r
+        FROM b GROUP BY 1, 2
+        """,
         "events_scd2": """
         -- run-collapse: rows where attr changes start an interval;
         -- valid_to = next interval's start (lead over the same sort)

@@ -2910,3 +2910,73 @@ class TestReviewFixesRound4b:
         b = bytearray(build_bmp(10, 20))
         b[18:22] = struct.pack("<i", -10)
         assert parse_media(bytes(b))["container"] is None
+
+
+class TestCusum:
+    def test_level_shift_alarms_where_zscore_silent(self, spark):
+        """A +3-unit persistent shift in a sigma=2-ish series: no
+        single point is extreme, but CUSUM accumulates the drift."""
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import cusum, trailing_zscore
+
+        t0 = dt.datetime(2024, 1, 1)
+        vals = [10.0, 12.0, 8.0, 11.0, 9.0, 10.0, 12.0, 8.0, 10.0, 11.0]
+        vals += [13.0, 15.0, 11.0, 14.0, 12.0, 13.0, 15.0, 11.0, 13.0, 14.0]
+        rows = [(i, t0 + dt.timedelta(minutes=i), "k", v)
+                for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        out = cusum(df, ["event_type"], ["ts", "event_id"], "value", h=10.0)
+        rows_out = out.collect()
+        assert any(r["alarm"] for r in rows_out)  # the drift IS caught
+        # classic CUSUM segmentation: against the whole-series mean the
+        # prefix sum bottoms out exactly at the last pre-shift point
+        argmin = min(rows_out, key=lambda r: r["s_r"])["event_id"]
+        assert argmin == 9
+        z = trailing_zscore(df, ["event_type"], ["ts", "event_id"],
+                            "value", n=10, z=3.0)
+        assert not any(r["is_anomaly"] for r in z.collect())
+
+    def test_stable_series_stays_quiet(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import cusum
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(i, t0 + dt.timedelta(minutes=i), "k", 10.0 + (i % 3))
+                for i in range(50)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        out = cusum(df, ["event_type"], ["ts", "event_id"], "value", h=10.0)
+        assert not any(r["alarm"] for r in out.collect())
+
+    def test_statistics_nonnegative(self, spark):
+        from unitdb_spark.operators.timeseries import cusum
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = cusum(ev, ["event_type"], ["ts", "event_id"], "value").collect()
+        assert all(r["cusum_pos_r"] >= 0 and r["cusum_neg_r"] >= 0 for r in out)
+
+
+class TestDecileStats:
+    def test_buckets_partition_ordered_values(self, spark):
+        from unitdb_spark.operators.olap import decile_stats
+
+        rows = [(i, "k", float(i)) for i in range(100)]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        out = sorted(
+            decile_stats(df, ["event_type"], "value", ["event_id"]).collect(),
+            key=lambda r: r["decile"],
+        )
+        assert [r["n"] for r in out] == [10] * 10
+        assert out[0]["lo"] == 0.0 and out[0]["hi"] == 9.0
+        assert out[9]["lo"] == 90.0 and out[9]["hi"] == 99.0
+        assert out[0]["mean_r"] == 4.5
+        # buckets tile the range: each lo follows the previous hi
+        for a, b in zip(out, out[1:]):
+            assert b["lo"] > a["hi"] or b["lo"] == a["hi"]

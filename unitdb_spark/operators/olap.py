@@ -96,3 +96,41 @@ def running_agg(
         ),
         (v - F.lag(v, 1).over(w)).alias("delta_prev"),
     )
+
+
+def decile_stats(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    order_cols: list[str],
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-key quantile-bucket profile: ntile(n) over the
+    (value, order)-sorted rows, then per-bucket count/bounds/mean —
+    the distribution panel behind score-threshold decisions (e.g.
+    "keep the top 3 quality deciles").
+
+    ntile's fill rule (equal buckets, remainder to the leading ones)
+    is standard SQL and identical across engines; the tie-break order
+    makes bucket assignment deterministic. The per-bucket mean is a
+    round-6 DECIMAL sum over exact bucket membership — order-free.
+
+    One window shuffle on the key + one (key, bucket) partial agg.
+
+    Output: keys + (decile, n, lo, hi, mean_r).
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    bucketed = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "decile", F.ntile(n_buckets).over(w)
+    )
+    v6 = F.round(F.col(value_col), 6).cast("decimal(18,6)")
+    return bucketed.groupBy(*keys, "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.round(
+            F.sum(v6).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_r"),
+    )

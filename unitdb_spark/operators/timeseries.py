@@ -411,3 +411,64 @@ def time_weighted_avg(
             ),
         ).alias("twa_r"),
     )
+
+
+def cusum(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    h: float = 25.0,
+) -> DataFrame:
+    """CUSUM change-point detection (Page '54): the control chart that
+    catches a small persistent SHIFT in a series' level — the drift a
+    per-point z-score never flags because no single point is extreme.
+
+    The textbook recurrence C+_i = max(0, C+_{i-1} + dev_i) is not
+    window-expressible, but its closed form is: with S_i the prefix sum
+    of deviations-from-mean, C+_i = S_i − min(0, min_{j≤i} S_j) and
+    C−_i = max(0, max_{j≤i} S_j) − S_i — two running windows over one
+    (key, order) sort.
+
+    Cross-engine contract: deviations are exact DECIMAL(18,6)
+    (round-6'd value minus the round-6 per-key mean), so prefix sums,
+    running extrema and the CUSUM statistics are exact decimal
+    arithmetic — bitwise identical however either engine schedules it.
+
+    Output: order_cols + keys + (value, s_r, cusum_pos_r, cusum_neg_r,
+    alarm) — alarm when either statistic exceeds ``h``.
+    """
+    order = [F.col(c).asc() for c in order_cols]
+    v6 = F.round(F.col(value_col), 6).cast("decimal(18,6)")
+    w_all = Window.partitionBy(*keys)
+    mean_r = (
+        F.round(
+            F.sum(v6).over(w_all).cast("double")
+            / F.count(v6).over(w_all).cast("double"),
+            6,
+        )
+    ).cast("decimal(18,6)")
+    base = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "_dev", v6 - mean_r
+    )
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = (
+        base.withColumn("_s", F.sum("_dev").over(w_run))
+        .withColumn("_min_s", F.least(F.lit(0).cast("decimal(28,6)"),
+                                      F.min("_s").over(w_run)))
+        .withColumn("_max_s", F.greatest(F.lit(0).cast("decimal(28,6)"),
+                                         F.max("_s").over(w_run)))
+    )
+    cpos = (F.col("_s") - F.col("_min_s")).cast("double")
+    cneg = (F.col("_max_s") - F.col("_s")).cast("double")
+    return run.select(
+        *order_cols, *keys, value_col,
+        F.col("_s").cast("double").alias("s_r"),
+        cpos.alias("cusum_pos_r"),
+        cneg.alias("cusum_neg_r"),
+        ((cpos > F.lit(h)) | (cneg > F.lit(h))).alias("alarm"),
+    )
