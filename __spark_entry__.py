@@ -2915,6 +2915,29 @@ def q_events_deciles(spark, sf_dir):
     )
 
 
+def q_events_constraints(spark, sf_dir):
+    """Declarative data-quality audit in one pass: not_null +
+    accepted_values as conditional counts in ONE aggregation,
+    uniqueness as excess-row counts, referential integrity to
+    customer as a distinct-key anti-join. All exact integers."""
+    from unitdb_spark.operators.constraints import (
+        Constraints,
+        check_constraints,
+    )
+
+    ev = _events(spark, sf_dir)
+    cust = _read(spark, sf_dir, "customer")
+    spec = Constraints(
+        not_null=["event_id", "ts", "user_id", "value"],
+        unique=[["event_id"]],
+        accepted_values={
+            "event_type": ["click", "view", "purchase", "signup", "error"]
+        },
+        relationships=[("user_id", cust, "c_custkey")],
+    )
+    return check_constraints(ev, spec)
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3103,6 +3126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mplsh_topk": q_ann_mplsh_topk,
         "events_cusum": q_events_cusum,
         "events_deciles": q_events_deciles,
+        "events_constraints": q_events_constraints,
     }
 
 
@@ -4318,6 +4342,30 @@ def oracle_sql() -> dict[str, str]:
                 / CAST(SUM(len(tk)) AS DOUBLE), 6) AS mean_wl_r
         FROM rows GROUP BY source
         """.replace("{toks}", _TOKS),
+        "events_constraints": """
+        SELECT 'not_null:event_id' AS constraint,
+          COUNT(*) FILTER (event_id IS NULL) AS n_violations FROM events
+        UNION ALL
+        SELECT 'not_null:ts', COUNT(*) FILTER (ts IS NULL) FROM events
+        UNION ALL
+        SELECT 'not_null:user_id', COUNT(*) FILTER (user_id IS NULL)
+        FROM events
+        UNION ALL
+        SELECT 'not_null:value', COUNT(*) FILTER (value IS NULL) FROM events
+        UNION ALL
+        SELECT 'accepted_values:event_type',
+          COUNT(*) FILTER (event_type IS NOT NULL AND event_type NOT IN
+            ('click', 'view', 'purchase', 'signup', 'error'))
+        FROM events
+        UNION ALL
+        SELECT 'unique:event_id',
+          CAST(coalesce(SUM(greatest(n - 1, 0)), 0) AS BIGINT)
+        FROM (SELECT event_id, COUNT(*) AS n FROM events GROUP BY 1)
+        UNION ALL
+        SELECT 'relationship:user_id->c_custkey', COUNT(*)
+        FROM events WHERE user_id IS NOT NULL
+          AND user_id NOT IN (SELECT c_custkey FROM customer)
+        """,
         "events_cusum": """
         -- exact DECIMAL deviations -> exact prefix sums and extrema;
         -- CUSUM closed form, all decimal until the final double casts

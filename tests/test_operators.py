@@ -2980,3 +2980,50 @@ class TestDecileStats:
         # buckets tile the range: each lo follows the previous hi
         for a, b in zip(out, out[1:]):
             assert b["lo"] > a["hi"] or b["lo"] == a["hi"]
+
+
+class TestConstraints:
+    def test_all_four_constraint_kinds_count_violations(self, spark):
+        from unitdb_spark.operators.constraints import (
+            Constraints,
+            check_constraints,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", None), (2, "zz", 30), (4, "b", 40)],
+            "id long, cat string, parent_ref long",
+        )
+        parent = spark.createDataFrame([(10,), (30,), (40,)], "pk long")
+        spec = Constraints(
+            not_null=["parent_ref"],
+            unique=[["id"]],
+            accepted_values={"cat": ["a", "b"]},
+            relationships=[("parent_ref", parent, "pk")],
+        )
+        out = {r["constraint"]: r["n_violations"]
+               for r in check_constraints(df, spec).collect()}
+        assert out["not_null:parent_ref"] == 1
+        assert out["unique:id"] == 1          # id=2 twice -> 1 excess row
+        assert out["accepted_values:cat"] == 1  # 'zz'
+        assert out["relationship:parent_ref->pk"] == 0  # nulls ignored
+
+    def test_clean_table_reports_all_zero(self, spark):
+        from unitdb_spark.operators.constraints import (
+            Constraints,
+            check_constraints,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        spec = Constraints(not_null=["event_id"], unique=[["event_id"]])
+        out = check_constraints(ev, spec).collect()
+        assert all(r["n_violations"] == 0 for r in out) and len(out) == 2
+
+    def test_empty_spec_raises(self, spark):
+        from unitdb_spark.operators.constraints import (
+            Constraints,
+            check_constraints,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        with pytest.raises(ValueError, match="empty"):
+            check_constraints(ev, Constraints())
