@@ -2938,6 +2938,21 @@ def q_events_constraints(spark, sf_dir):
     return check_constraints(ev, spec)
 
 
+def q_events_kmv_merged(spark, sf_dir):
+    """Sketch MERGEABILITY, driver-checked: per-(type, day) KMV
+    sketches merged up to per-type must equal the direct per-type
+    sketch bitwise (bottom-k of a set is associative) — so this query
+    shares the events_kmv_users oracle VERBATIM. The rollup a
+    1000-executor fleet runs over persisted daily sketches instead of
+    rescanning raw data."""
+    from unitdb_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    spark = _pin_utc(spark)
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    daily = kmv_sketch(ev, ["event_type", "day"], "user_id", k=64)
+    return kmv_merge(daily, ["event_type"], k=64)
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3127,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": q_events_cusum,
         "events_deciles": q_events_deciles,
         "events_constraints": q_events_constraints,
+        "events_kmv_merged": q_events_kmv_merged,
     }
 
 
@@ -4104,8 +4120,10 @@ def oracle_sql() -> dict[str, str]:
         "events_kmv_users": _KMV_USERS_SQL,
         # the streamed sketch's contract IS the batch sketch: bottom-k
         # of a set is order-free, so the snapshot twin shares the
-        # events_kmv_users oracle verbatim
+        # events_kmv_users oracle verbatim — and so does the merged
+        # daily-sketch rollup (mergeability is the same algebra)
         "streamed_kmv_snapshot": _KMV_USERS_SQL,
+        "events_kmv_merged": _KMV_USERS_SQL,
         "events_cms_user_counts": """
         WITH grid AS (
           SELECT row_i, bucket, COUNT(*) AS cnt FROM (

@@ -3027,3 +3027,32 @@ class TestConstraints:
         ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         with pytest.raises(ValueError, match="empty"):
             check_constraints(ev, Constraints())
+
+
+class TestKmvSketchMerge:
+    def test_merge_of_splits_equals_direct(self, spark):
+        """Associativity on real data: merge(per-(type,day)) ==
+        direct per-type, including the kth hash and IEEE estimate."""
+        from unitdb_spark.operators.sketch import (
+            kmv_distinct,
+            kmv_merge,
+            kmv_sketch,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ev = ev.withColumn("day", F.to_date("ts"))
+        daily = kmv_sketch(ev, ["event_type", "day"], "user_id", k=16)
+        merged = {r["event_type"]: (r["n_kept"], r["kth_hash"], r["kmv_est"])
+                  for r in kmv_merge(daily, ["event_type"], k=16).collect()}
+        direct = {r["event_type"]: (r["n_kept"], r["kth_hash"], r["kmv_est"])
+                  for r in kmv_distinct(ev, ["event_type"], "user_id",
+                                        k=16).collect()}
+        assert merged == direct and len(merged) > 0
+
+    def test_sketch_is_sorted_bottom_k(self, spark):
+        from unitdb_spark.operators.sketch import kmv_sketch
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        for r in kmv_sketch(ev, ["event_type"], "user_id", k=8).collect():
+            sk = list(r["sketch"])
+            assert sk == sorted(sk) and len(sk) <= 8

@@ -156,3 +156,64 @@ def histogram_quantiles(
     return picked.select(
         *keys, "quantile", "n", F.round(est, 6).alias("est_r")
     )
+
+
+def kmv_sketch(
+    df: DataFrame, keys: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-key KMV sketch as a VALUE: the sorted bottom-k distinct
+    hash array (``sketch``), not just its summary — the form you
+    persist per partition/day and merge later. Same WindowGroupLimit
+    cut as ``kmv_distinct``.
+    """
+    distinct = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, value_col)
+        .distinct()
+    )
+    hashed = distinct.select(
+        *keys, md5_int60(F.col(value_col).cast("string")).alias("_h")
+    )
+    w = Window.partitionBy(*keys).orderBy("_h")
+    bottom_k = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return bottom_k.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("_h")).alias("sketch")
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame, group_keys: list[str], k: int = 64,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge fine-grained KMV sketches up to coarser keys — the
+    operation a 1000-executor rollup (or a daily-partition backfill)
+    runs instead of rescanning raw data. bottom-k(bottom-k(A) ∪
+    bottom-k(B)) = bottom-k(A ∪ B), so the merged summary is bitwise
+    the direct sketch over the union (driver-checked:
+    `events_kmv_merged` shares the direct sketch's oracle verbatim).
+
+    One aggregation: flatten collected arrays → distinct → sort →
+    slice k. collect_list order is nondeterministic, but the
+    distinct+sort makes the result order-free. The merged relation is
+    sketch-sized (groups × k longs), never data-sized.
+
+    Output: group_keys + (n_kept, kth_hash, kmv_est).
+    """
+    merged = sketches.groupBy(*group_keys).agg(
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(sketch_col)))
+            ),
+            1, k,
+        ).alias("_m")
+    )
+    return merged.select(
+        *group_keys,
+        F.size("_m").cast("long").alias("n_kept"),
+        F.element_at("_m", F.size("_m")).alias("kth_hash"),
+    ).select(
+        *group_keys, "n_kept", "kth_hash",
+        F.round(kmv_estimate("n_kept", "kth_hash", k), 6).alias("kmv_est"),
+    )
