@@ -2953,6 +2953,35 @@ def q_events_kmv_merged(spark, sf_dir):
     return kmv_merge(daily, ["event_type"], k=64)
 
 
+def q_events_interval_lookup(spark, sf_dir):
+    """Temporal (point-in-interval) lookup against the SCD-2 history:
+    each event probes its user's state 30 minutes LATER — shifted
+    instants genuinely cross interval boundaries, so the closed-open
+    semantics and the open-interval tail are exercised. As-of shape
+    (one union + one window), not a range join."""
+    from unitdb_spark.operators.asof import interval_lookup
+    from unitdb_spark.operators.timeseries import scd2_intervals
+
+    spark = _pin_utc(spark)
+    ev = _events(spark, sf_dir)
+    ivl = scd2_intervals(
+        ev, key_cols=["user_id"], ts_col="ts", attr_col="event_type",
+        order_cols=["event_id"],
+    )
+    probes = ev.select(
+        "event_id", "user_id",
+        (F.unix_micros("ts") + F.lit(30 * 60 * 1_000_000)).alias("probe_us"),
+    )
+    out = interval_lookup(
+        probes, ivl, by=["user_id"], t_col="probe_us",
+        attr_cols=["attr"],
+    )
+    return out.select(
+        "event_id", "user_id", "probe_us",
+        F.col("attr").alias("state_at_probe"), "in_interval",
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3143,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_deciles": q_events_deciles,
         "events_constraints": q_events_constraints,
         "events_kmv_merged": q_events_kmv_merged,
+        "events_interval_lookup": q_events_interval_lookup,
     }
 
 
@@ -3178,6 +3208,31 @@ SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept, kth_hash,
         END, 6) AS kmv_est
 FROM a
 """
+
+_SCD2_SQL = """
+        -- run-collapse: rows where attr changes start an interval;
+        -- valid_to = next interval's start (lead over the same sort)
+        WITH c AS (
+          SELECT user_id, event_type, event_id,
+            CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS t_us,
+            lag(event_type) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), starts AS (
+          SELECT user_id, event_type AS attr, t_us AS valid_from_us,
+            event_id
+          FROM c WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+        )
+        SELECT user_id, attr, valid_from_us,
+          lead(valid_from_us) OVER (
+            PARTITION BY user_id ORDER BY valid_from_us, event_id)
+            AS valid_to_us,
+          lead(valid_from_us) OVER (
+            PARTITION BY user_id ORDER BY valid_from_us, event_id) IS NULL
+            AS is_current
+        FROM starts
+        """
+
 
 # PII regexes shared verbatim with functions.text (Java regex + RE2
 # compatible: no lookarounds/backreferences)
@@ -4438,28 +4493,22 @@ def oracle_sql() -> dict[str, str]:
                      AS DOUBLE) / COUNT(*), 6) AS mean_r
         FROM b GROUP BY 1, 2
         """,
-        "events_scd2": """
-        -- run-collapse: rows where attr changes start an interval;
-        -- valid_to = next interval's start (lead over the same sort)
-        WITH c AS (
-          SELECT user_id, event_type, event_id,
-            CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS t_us,
-            lag(event_type) OVER (
-              PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        "events_scd2": _SCD2_SQL,
+        "events_interval_lookup": """
+        WITH ivl AS (
+        """ + _SCD2_SQL + """
+        ), p AS (
+          SELECT event_id, user_id,
+            CAST(floor(epoch(ts) * 1000000) AS BIGINT) + 1800000000
+              AS probe_us
           FROM events
-        ), starts AS (
-          SELECT user_id, event_type AS attr, t_us AS valid_from_us,
-            event_id
-          FROM c WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
         )
-        SELECT user_id, attr, valid_from_us,
-          lead(valid_from_us) OVER (
-            PARTITION BY user_id ORDER BY valid_from_us, event_id)
-            AS valid_to_us,
-          lead(valid_from_us) OVER (
-            PARTITION BY user_id ORDER BY valid_from_us, event_id) IS NULL
-            AS is_current
-        FROM starts
+        SELECT p.event_id, p.user_id, p.probe_us,
+          i.attr AS state_at_probe,
+          i.attr IS NOT NULL AS in_interval
+        FROM p LEFT JOIN ivl i ON i.user_id = p.user_id
+          AND p.probe_us >= i.valid_from_us
+          AND (i.valid_to_us IS NULL OR p.probe_us < i.valid_to_us)
         """,
         "events_twa": """
         -- LOCF time-weighted average: v_i holds until the next sample;

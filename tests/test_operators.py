@@ -3056,3 +3056,51 @@ class TestKmvSketchMerge:
         for r in kmv_sketch(ev, ["event_type"], "user_id", k=8).collect():
             sk = list(r["sketch"])
             assert sk == sorted(sk) and len(sk) <= 8
+
+
+class TestIntervalLookup:
+    def _setup(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import scd2_intervals
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 1, "a"),
+            (2, t0 + dt.timedelta(hours=1), 1, "b"),
+            (3, t0 + dt.timedelta(hours=2), 1, "c"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        ivl = scd2_intervals(ev, ["user_id"], "ts", "event_type",
+                             order_cols=["event_id"])
+        return t0, ivl
+
+    def _probe(self, spark, t0, ivl, offsets_min):
+        import datetime as dt
+
+        from unitdb_spark.operators.asof import interval_lookup
+
+        probes = spark.createDataFrame(
+            [(i, 1, int((t0 + dt.timedelta(minutes=m)).timestamp() * 1e6))
+             for i, m in enumerate(offsets_min)],
+            "probe_id long, user_id long, t_us long",
+        )
+        return {
+            r["probe_id"]: (r["attr"], r["in_interval"])
+            for r in interval_lookup(
+                probes, ivl, by=["user_id"], t_col="t_us",
+                attr_cols=["attr"],
+            ).collect()
+        }
+
+    def test_closed_open_semantics_and_open_tail(self, spark):
+        t0, ivl = self._setup(spark)
+        got = self._probe(spark, t0, ivl, [-10, 0, 30, 60, 90, 500])
+        assert got[0] == (None, False)      # before any interval
+        assert got[1] == ("a", True)        # t == valid_from -> new interval
+        assert got[2] == ("a", True)
+        assert got[3] == ("b", True)        # boundary belongs to 'b'
+        assert got[4] == ("b", True)
+        assert got[5] == ("c", True)        # open interval extends forever

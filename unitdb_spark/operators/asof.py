@@ -228,3 +228,84 @@ def range_join_bucketed(
     if extra_on is not None:
         cond = cond & extra_on
     return lb.join(rb, on=["_bkt"]).filter(cond).drop("_bkt")
+
+
+def interval_lookup(
+    facts: DataFrame,
+    intervals: DataFrame,
+    by: list[str],
+    t_col: str,
+    from_col: str = "valid_from_us",
+    to_col: str = "valid_to_us",
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval (temporal) lookup: for each fact row, the
+    interval containing its time instant — the join that makes an
+    SCD-2 dimension (``scd2_intervals``) queryable ("what was this
+    user's state WHEN the event happened", not "now").
+
+    Same shape as the as-of join, not a range join: with
+    non-overlapping intervals per key (the SCD-2 invariant), the
+    containing interval is the LAST one starting at-or-before t — one
+    union, one (key, time) window pass, one shuffle; then a bound
+    check against ``to_col`` (NULL = open interval). A fact landing
+    exactly on ``from_col`` belongs to the NEW interval (t >= from,
+    closed-open semantics), enforced by sorting interval rows before
+    fact rows on time ties.
+
+    Times are integer (epoch-microsecond) columns end to end — no
+    timestamp arithmetic, exact on any engine.
+
+    Output: every fact row + matched attr_cols (NULL when no interval
+    contains t) + ``in_interval`` flag.
+    """
+    attrs = attr_cols or [
+        c for c in intervals.columns
+        if c not in by and c not in (from_col, to_col)
+    ]
+    iv = intervals.select(
+        *by,
+        F.col(from_col).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(from_col).alias("_from"),
+            F.col(to_col).alias("_to"),
+            *[F.col(c).alias(c) for c in attrs],
+        ).alias("_ivl"),
+    )
+    fact_cols = facts.columns
+    ft = facts.select(
+        *fact_cols,
+        F.col(t_col).cast("long").alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(iv.schema["_ivl"].dataType.simpleString()).alias(
+            "_ivl"
+        ),
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = iv.select(
+        *[F.lit(None).cast(facts.schema[c].dataType.simpleString()).alias(c)
+          for c in fact_cols if c not in by],
+        *by, "_t", "_side", "_ivl",
+    ).unionByName(
+        ft.select(
+            *[c for c in fact_cols if c not in by],
+            *by, "_t", "_side", "_ivl",
+        )
+    )
+    filled = merged.withColumn(
+        "_m", F.last("_ivl", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 1)
+    hit = F.col("_m").isNotNull() & (
+        F.col("_m._to").isNull() | (F.col("_t") < F.col("_m._to"))
+    )
+    out = filled.select(
+        *fact_cols,
+        *[F.when(hit, F.col(f"_m.{c}")).alias(c) for c in attrs],
+        hit.alias("in_interval"),
+    )
+    return out
