@@ -2982,6 +2982,40 @@ def q_events_interval_lookup(spark, sf_dir):
     )
 
 
+def q_events_multitouch(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's credit split in
+    exact integer ppm across the user's clicks in the 24h lookback,
+    floor remainder absorbed by the last touch so every conversion
+    sums to exactly 1e6 — auditable, zero float leakage."""
+    from unitdb_spark.operators.asof import multitouch_attribution
+
+    spark = _pin_utc(spark)
+    ev = _events(spark, sf_dir)
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("touch_id"), "ts"
+    )
+    return multitouch_attribution(
+        buys, clicks, by=["user_id"], conv_id="conv_id",
+        touch_id="touch_id", window_seconds=86400, model="linear",
+    )
+
+
+def q_events_lateness(spark, sf_dir):
+    """Watermark-sizing audit: per-type event-time lateness relative to
+    arrival order (event_id) — the empirical bound `withWatermark`
+    must exceed. Integer-µs exact; one pinned division pair."""
+    from unitdb_spark.operators.timeseries import watermark_lateness
+
+    spark = _pin_utc(spark)
+    ev = _events(spark, sf_dir)
+    return watermark_lateness(
+        ev, keys=["event_type"], ts_col="ts", arrival_cols=["event_id"]
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3173,6 +3207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_constraints": q_events_constraints,
         "events_kmv_merged": q_events_kmv_merged,
         "events_interval_lookup": q_events_interval_lookup,
+        "events_multitouch": q_events_multitouch,
+        "events_lateness": q_events_lateness,
     }
 
 
@@ -4415,6 +4451,51 @@ def oracle_sql() -> dict[str, str]:
                 / CAST(SUM(len(tk)) AS DOUBLE), 6) AS mean_wl_r
         FROM rows GROUP BY source
         """.replace("{toks}", _TOKS),
+        "events_lateness": """
+        WITH l AS (
+          SELECT event_type,
+            MAX(CAST(floor(epoch(ts) * 1000000) AS BIGINT)) OVER (
+              PARTITION BY event_type ORDER BY event_id
+              ROWS UNBOUNDED PRECEDING)
+            - CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS late
+          FROM events WHERE ts IS NOT NULL
+        )
+        SELECT event_type, COUNT(*) AS n,
+          COUNT(*) FILTER (late > 0) AS n_late,
+          MAX(late) AS max_late_us,
+          round(CAST(SUM(late) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                / 1000000.0, 6) AS mean_late_s_r
+        FROM l GROUP BY 1
+        """,
+        "events_multitouch": """
+        -- linear model: floor(1e6/n) each, remainder to the LAST touch
+        WITH buys AS (
+          SELECT user_id, event_id AS conv_id,
+            CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS ct
+          FROM events WHERE event_type = 'purchase'
+        ), clicks AS (
+          SELECT user_id, event_id AS touch_id,
+            CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS tt
+          FROM events WHERE event_type = 'click'
+        ), pairs AS (
+          SELECT b.conv_id, c.touch_id, c.tt
+          FROM buys b JOIN clicks c USING (user_id)
+          WHERE c.tt <= b.ct AND c.tt >= b.ct - 86400000000
+        ), r AS (
+          SELECT conv_id, touch_id,
+            row_number() OVER (PARTITION BY conv_id
+                               ORDER BY tt, touch_id) AS touch_rank,
+            COUNT(*) OVER (PARTITION BY conv_id) AS n_touches
+          FROM pairs
+        )
+        SELECT conv_id, touch_id,
+          CAST(n_touches AS BIGINT) AS n_touches,
+          CAST(touch_rank AS INT) AS touch_rank,
+          CAST(CASE WHEN touch_rank = n_touches
+               THEN 1000000 - (n_touches - 1) * (1000000 // n_touches)
+               ELSE 1000000 // n_touches END AS BIGINT) AS weight_ppm
+        FROM r
+        """,
         "events_constraints": """
         SELECT 'not_null:event_id' AS constraint,
           COUNT(*) FILTER (event_id IS NULL) AS n_violations FROM events

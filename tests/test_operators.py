@@ -3104,3 +3104,81 @@ class TestIntervalLookup:
         assert got[3] == ("b", True)        # boundary belongs to 'b'
         assert got[4] == ("b", True)
         assert got[5] == ("c", True)        # open interval extends forever
+
+
+class TestMultitouch:
+    def test_linear_weights_sum_to_million(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.asof import multitouch_attribution
+
+        t0 = dt.datetime(2024, 1, 1)
+        clicks = spark.createDataFrame(
+            [(i, 1, t0 + dt.timedelta(hours=i)) for i in range(3)],
+            "touch_id long, user_id long, ts timestamp",
+        )
+        buys = spark.createDataFrame(
+            [(100, 1, t0 + dt.timedelta(hours=5))],
+            "conv_id long, user_id long, ts timestamp",
+        )
+        out = multitouch_attribution(
+            buys, clicks, by=["user_id"], model="linear"
+        ).collect()
+        assert len(out) == 3
+        assert sum(r["weight_ppm"] for r in out) == 1_000_000
+        # floor(1e6/3)=333333 twice; the last touch absorbs +1
+        by_rank = {r["touch_rank"]: r["weight_ppm"] for r in out}
+        assert by_rank[1] == by_rank[2] == 333_333 and by_rank[3] == 333_334
+
+    def test_u_shaped_and_window_bound(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.asof import multitouch_attribution
+
+        t0 = dt.datetime(2024, 1, 1)
+        clicks = spark.createDataFrame(
+            [(0, 1, t0 - dt.timedelta(days=3))]  # outside the lookback
+            + [(i, 1, t0 + dt.timedelta(hours=i)) for i in range(1, 5)],
+            "touch_id long, user_id long, ts timestamp",
+        )
+        buys = spark.createDataFrame(
+            [(100, 1, t0 + dt.timedelta(hours=6))],
+            "conv_id long, user_id long, ts timestamp",
+        )
+        out = multitouch_attribution(
+            buys, clicks, by=["user_id"], model="u_shaped"
+        ).collect()
+        assert len(out) == 4  # the stale click is excluded
+        by_rank = {r["touch_rank"]: r["weight_ppm"] for r in out}
+        assert by_rank[1] == 400_000
+        assert by_rank[2] == by_rank[3] == 100_000
+        assert by_rank[4] == 400_000
+        assert sum(by_rank.values()) == 1_000_000
+
+
+class TestLateness:
+    def test_in_order_stream_has_zero_lateness(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import watermark_lateness
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(i, t0 + dt.timedelta(minutes=i), "k") for i in range(10)]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+        r = watermark_lateness(df, ["event_type"], "ts", ["event_id"]).first()
+        assert r["n_late"] == 0 and r["max_late_us"] == 0
+
+    def test_late_row_measured_against_running_max(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import watermark_lateness
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0 + dt.timedelta(minutes=10), "k"),
+            (2, t0 + dt.timedelta(minutes=3), "k"),   # 7 min late
+            (3, t0 + dt.timedelta(minutes=11), "k"),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+        r = watermark_lateness(df, ["event_type"], "ts", ["event_id"]).first()
+        assert r["n_late"] == 1 and r["max_late_us"] == 7 * 60 * 1_000_000

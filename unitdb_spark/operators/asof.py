@@ -309,3 +309,80 @@ def interval_lookup(
         hit.alias("in_interval"),
     )
     return out
+
+
+def multitouch_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    by: list[str],
+    conv_ts: str = "ts",
+    touch_ts: str = "ts",
+    conv_id: str = "conv_id",
+    touch_id: str = "touch_id",
+    window_seconds: int = 86400,
+    model: str = "linear",
+) -> DataFrame:
+    """Multi-touch attribution: distribute each conversion's credit
+    across the touchpoints in its lookback window — the step past
+    last-click (`asof_join`) every marketing/causal pipeline takes.
+
+    Models (weights in exact integer ppm, floor'd; the remainder goes
+    to the LAST touch so every conversion's credit sums to exactly
+    1e6 — auditable, no float leakage):
+      - 'linear': 1/n each;
+      - 'u_shaped': 40/40/20 — 40% first, 40% last, the middle 20%
+        split linearly (first-touch gets it all when n <= 2... n=1 ->
+        100%, n=2 -> 50/50).
+
+    Shape: the (touch, conversion) pairing is the bucketed interval
+    join discipline (`range_join_bucketed`'s key insight) — here the
+    per-key join with a window-bound predicate; pair counts per
+    conversion ride one window over the pair relation.
+
+    Output: (conv_id, touch_id, n_touches, touch_rank, weight_ppm).
+    """
+    if model not in ("linear", "u_shaped"):
+        raise ValueError("model must be 'linear' or 'u_shaped'")
+    c = conversions.select(
+        *[F.col(k).alias(f"_k{i}") for i, k in enumerate(by)],
+        F.col(conv_id).alias("conv_id"),
+        F.unix_micros(conv_ts).alias("_ct"),
+    )
+    t = touches.select(
+        *[F.col(k).alias(f"_k{i}") for i, k in enumerate(by)],
+        F.col(touch_id).alias("touch_id"),
+        F.unix_micros(touch_ts).alias("_tt"),
+    )
+    keys = [f"_k{i}" for i in range(len(by))]
+    pairs = c.join(t, keys).filter(
+        (F.col("_tt") <= F.col("_ct"))
+        & (F.col("_tt") >= F.col("_ct") - F.lit(window_seconds * 1_000_000))
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("_tt").asc(), F.col("touch_id").asc()
+    )
+    w_all = Window.partitionBy("conv_id")
+    ranked = pairs.withColumn("touch_rank", F.row_number().over(w)).withColumn(
+        "n_touches", F.count(F.lit(1)).over(w_all)
+    )
+    n = F.col("n_touches")
+    r = F.col("touch_rank")
+    if model == "linear":
+        base = F.floor(F.lit(1_000_000) / n)
+    else:
+        mid = F.greatest(n - 2, F.lit(0))
+        base = (
+            F.when(n == 1, F.lit(1_000_000))
+            .when((r == 1) | (r == n), F.when(n == 2, F.lit(500_000))
+                  .otherwise(F.lit(400_000)))
+            .otherwise(F.floor(F.lit(200_000) / mid))
+        )
+    # exact-sum invariant: the last touch absorbs the floor remainder
+    others_sum = F.sum(F.when(r < n, base)).over(w_all)
+    weight = F.when(
+        r == n, F.lit(1_000_000) - F.coalesce(others_sum, F.lit(0))
+    ).otherwise(base)
+    return ranked.select(
+        "conv_id", "touch_id", "n_touches", "touch_rank",
+        weight.cast("long").alias("weight_ppm"),
+    )

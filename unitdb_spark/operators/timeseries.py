@@ -472,3 +472,42 @@ def cusum(
         cneg.alias("cusum_neg_r"),
         ((cpos > F.lit(h)) | (cneg > F.lit(h))).alias("alarm"),
     )
+
+
+def watermark_lateness(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    arrival_cols: list[str],
+) -> DataFrame:
+    """Out-of-orderness audit: how late does data really arrive? Per
+    key, each row's lateness is (running max event-time in ARRIVAL
+    order) − its own event time — exactly the quantity a Structured
+    Streaming watermark must exceed to never drop that row. Run this
+    over a day's history BEFORE picking `withWatermark`'s delay; the
+    repo's streaming twins otherwise inherit a guessed bound.
+
+    ``arrival_cols`` define arrival order (ingest seq / file order /
+    kafka offset — NOT the event time). All-integer microseconds:
+    exact counts, exact max, one pinned division pair for the mean.
+
+    Output: keys + (n, n_late, max_late_us, mean_late_s_r).
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c).asc() for c in arrival_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.unix_micros(F.col(ts_col))
+    late = (F.max(t).over(w) - t).alias("_late")
+    per_row = df.filter(F.col(ts_col).isNotNull()).select(*keys, late)
+    return per_row.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("_late") > 0, 1)).alias("n_late"),
+        F.max("_late").alias("max_late_us"),
+        F.round(
+            F.sum("_late").cast("double") / F.count(F.lit(1)).cast("double")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("mean_late_s_r"),
+    )
