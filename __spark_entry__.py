@@ -3016,6 +3016,32 @@ def q_events_lateness(spark, sf_dir):
     )
 
 
+def q_orders_basket_pairs(spark, sf_dir):
+    """Frequent 2-itemsets over orders: part brands co-ordered in one
+    order, support >= 5, lift in pinned round-6 — the a-priori first
+    pass as a basket-blocked self-join (pair explosion is per-order,
+    never corpus-wide)."""
+    from unitdb_spark.operators.olap import basket_pairs
+
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    baskets = li.join(
+        part, li.l_partkey == part.p_partkey
+    ).select(F.col("l_orderkey").alias("order_id"), "p_brand")
+    return basket_pairs(baskets, "order_id", "p_brand", min_support=5)
+
+
+def q_events_percent_rank(spark, sf_dir):
+    """Percentile-rank normalization of event values per type, exact
+    integer ppm — the cross-source score-calibration step."""
+    from unitdb_spark.operators.olap import percent_rank_ppm
+
+    ev = _events(spark, sf_dir)
+    return percent_rank_ppm(
+        ev, keys=["event_type"], value_col="value", order_cols=["event_id"]
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3209,6 +3235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_lookup": q_events_interval_lookup,
         "events_multitouch": q_events_multitouch,
         "events_lateness": q_events_lateness,
+        "orders_basket_pairs": q_orders_basket_pairs,
+        "events_percent_rank": q_events_percent_rank,
     }
 
 
@@ -4451,6 +4479,47 @@ def oracle_sql() -> dict[str, str]:
                 / CAST(SUM(len(tk)) AS DOUBLE), 6) AS mean_wl_r
         FROM rows GROUP BY source
         """.replace("{toks}", _TOKS),
+        "orders_basket_pairs": """
+        -- lift evaluated in pinned order:
+        -- (n_ab/N) / ((n_a/N) * (n_b/N)), N = distinct baskets
+        WITH base AS (
+          SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), nb AS (
+          SELECT COUNT(DISTINCT b) AS n FROM base
+        ), ic AS (
+          SELECT i, COUNT(*) AS n_item FROM base GROUP BY 1
+        ), pairs AS (
+          SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_ab
+          FROM base a JOIN base c ON a.b = c.b AND a.i < c.i
+          GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        )
+        SELECT item_a, item_b, n_ab,
+          ia.n_item AS n_a, ib.n_item AS n_b,
+          round(
+            (CAST(n_ab AS DOUBLE) / CAST(nb.n AS DOUBLE))
+            / ((CAST(ia.n_item AS DOUBLE) / CAST(nb.n AS DOUBLE))
+               * (CAST(ib.n_item AS DOUBLE) / CAST(nb.n AS DOUBLE))),
+            6) AS lift_r
+        FROM pairs
+        JOIN ic ia ON ia.i = item_a
+        JOIN ic ib ON ib.i = item_b, nb
+        """,
+        "events_percent_rank": """
+        WITH r AS (
+          SELECT event_id, event_type, value,
+            row_number() OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS rank,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_id, event_type, value,
+          CAST(rank AS INT) AS rank, CAST(n AS BIGINT) AS n,
+          CAST(CASE WHEN n > 1
+               THEN floor((rank - 1) * 1000000.0 / (n - 1))
+               ELSE 0 END AS BIGINT) AS pr_ppm
+        FROM r
+        """,
         "events_lateness": """
         WITH l AS (
           SELECT event_type,

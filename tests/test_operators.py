@@ -3182,3 +3182,57 @@ class TestLateness:
         df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
         r = watermark_lateness(df, ["event_type"], "ts", ["event_id"]).first()
         assert r["n_late"] == 1 and r["max_late_us"] == 7 * 60 * 1_000_000
+
+
+class TestBasketPairs:
+    def test_support_and_lift(self, spark):
+        from unitdb_spark.operators.olap import basket_pairs
+
+        # A and B always together (5 baskets), C independent-ish
+        rows = []
+        for b in range(5):
+            rows += [(b, "A"), (b, "B")]
+        for b in range(5, 10):
+            rows += [(b, "C")]
+        rows += [(0, "C")]
+        df = spark.createDataFrame(rows, "order_id long, item string")
+        out = {(r["item_a"], r["item_b"]): r for r in basket_pairs(
+            df, "order_id", "item", min_support=2).collect()}
+        ab = out[("A", "B")]
+        assert ab["n_ab"] == 5 and ab["n_a"] == 5 and ab["n_b"] == 5
+        # lift = (5/10)/((5/10)*(5/10)) = 2.0 — perfect co-occurrence
+        assert ab["lift_r"] == 2.0
+        assert ("A", "C") not in out  # support 1 < 2
+
+    def test_duplicate_items_in_basket_count_once(self, spark):
+        from unitdb_spark.operators.olap import basket_pairs
+
+        df = spark.createDataFrame(
+            [(1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B")],
+            "order_id long, item string",
+        )
+        out = basket_pairs(df, "order_id", "item", min_support=1).collect()
+        assert len(out) == 1 and out[0]["n_ab"] == 2
+
+
+class TestPercentRank:
+    def test_endpoints_and_monotonicity(self, spark):
+        from unitdb_spark.operators.olap import percent_rank_ppm
+
+        rows = [(i, "k", float(i * 3)) for i in range(11)]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        out = sorted(percent_rank_ppm(df, ["event_type"], "value",
+                                      ["event_id"]).collect(),
+                     key=lambda r: r["rank"])
+        assert out[0]["pr_ppm"] == 0 and out[-1]["pr_ppm"] == 1_000_000
+        prs = [r["pr_ppm"] for r in out]
+        assert prs == sorted(prs)
+        assert out[5]["pr_ppm"] == 500_000  # the median sits at half
+
+    def test_single_row_key_is_zero(self, spark):
+        from unitdb_spark.operators.olap import percent_rank_ppm
+
+        df = spark.createDataFrame([(1, "k", 9.0)],
+                                   "event_id long, event_type string, value double")
+        assert percent_rank_ppm(df, ["event_type"], "value",
+                                ["event_id"]).first()["pr_ppm"] == 0

@@ -134,3 +134,101 @@ def decile_stats(
             F.sum(v6).cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("mean_r"),
     )
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 5,
+) -> DataFrame:
+    """Market-basket co-occurrence mining: item pairs appearing in the
+    same basket, with support and lift — the a-priori first pass
+    (frequent 2-itemsets) as a blocked self-join, the basket id being
+    the natural block (pair explosion is per-basket O(b²), never
+    corpus-wide).
+
+    lift = (n_ab/N) / ((n_a/N)·(n_b/N)) evaluated in that pinned
+    order (counts are exact integers; N = basket count), round-6 —
+    lift > 1 means the pair co-occurs beyond independence.
+
+    ``min_support`` prunes the pair tail BEFORE the item-frequency
+    joins. Items are deduped within a basket first (a basket containing
+    an item twice is one incidence).
+
+    Output: (item_a, item_b, n_ab, n_a, n_b, lift_r) with
+    item_a < item_b.
+    """
+    base = (
+        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+    )
+    # the basket total rides the plan as a broadcast 1-row aggregate —
+    # NO eager count() at plan build (the round-2 advisor's
+    # eager-probe rule); empty input simply yields no pairs
+    nb = base.agg(F.countDistinct("_b").alias("_nb"))
+    item_counts = base.groupBy("_i").agg(F.count(F.lit(1)).alias("n_item"))
+    a = base.select(F.col("_b"), F.col("_i").alias("item_a"))
+    b = base.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    joined = (
+        pairs.join(
+            item_counts.select(F.col("_i").alias("item_a"),
+                               F.col("n_item").alias("n_a")), "item_a"
+        )
+        .join(
+            item_counts.select(F.col("_i").alias("item_b"),
+                               F.col("n_item").alias("n_b")), "item_b"
+        )
+    )
+    n = F.col("_nb").cast("double")
+    lift = (
+        (F.col("n_ab").cast("double") / n)
+        / (
+            (F.col("n_a").cast("double") / n)
+            * (F.col("n_b").cast("double") / n)
+        )
+    )
+    return joined.join(F.broadcast(nb)).select(
+        "item_a", "item_b", "n_ab", "n_a", "n_b",
+        F.round(lift, 6).alias("lift_r"),
+    )
+
+
+def percent_rank_ppm(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Percentile-rank normalization per key, in exact integer ppm:
+    floor((rank − 1) · 1e6 / (n − 1)) over the (value, order)-sorted
+    rows — maps any score distribution onto [0, 1e6] so thresholds
+    compose across heterogeneous sources (the normalization step
+    before mixing classifier scores). Single-row keys get 0.
+
+    Same SQL `percent_rank` semantics, but floored to an integer so
+    the result is engine-exact by construction.
+
+    Output: order_cols + keys + (value, rank, n, pr_ppm).
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    w_all = Window.partitionBy(*keys)
+    ranked = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "rank", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(w_all))
+    pr = F.when(F.col("n") > 1, F.floor(
+        (F.col("rank") - 1) * F.lit(1_000_000) / (F.col("n") - 1)
+    )).otherwise(F.lit(0))
+    return ranked.select(
+        *order_cols, *keys, value_col, "rank", "n",
+        pr.cast("long").alias("pr_ppm"),
+    )
