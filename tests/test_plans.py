@@ -539,3 +539,56 @@ class TestStratifiedSamplePlan:
         )
         assert "WindowGroupLimit" in formatted_plan(out)
         assert not has_python_eval(out)
+
+
+class TestSessionPlans:
+    """Plan pins for the round-4 continuation operators."""
+
+    def test_scd2_single_exchange(self, spark):
+        from unitdb_spark.operators.timeseries import scd2_intervals
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = scd2_intervals(ev, ["user_id"], "ts", "event_type",
+                             order_cols=["event_id"])
+        assert shuffle_count(out) == 1
+        assert not has_python_eval(out)
+
+    def test_cusum_single_exchange(self, spark):
+        from unitdb_spark.operators.timeseries import cusum
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = cusum(ev, ["event_type"], ["ts", "event_id"], "value")
+        assert shuffle_count(out) <= 2  # mean window + running windows
+        assert not has_python_eval(out)
+
+    def test_interval_lookup_single_exchange(self, spark):
+        from unitdb_spark.operators.asof import interval_lookup
+        from unitdb_spark.operators.timeseries import scd2_intervals
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        ivl = scd2_intervals(ev, ["user_id"], "ts", "event_type",
+                             order_cols=["event_id"])
+        probes = ev.select("event_id", "user_id",
+                           F.unix_micros("ts").alias("t_us"))
+        out = interval_lookup(probes, ivl, by=["user_id"], t_col="t_us",
+                              attr_cols=["attr"])
+        assert not has_python_eval(out)
+        assert shuffle_count(out) <= 3  # scd2's + the union window
+
+    def test_hamming_topk_no_corpus_shuffle_no_python(self, spark):
+        from unitdb_spark.operators.similarity import hamming_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = hamming_topk(emb, q, dim=64, k=5)
+        plan = formatted_plan(out)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert not has_python_eval(out)
