@@ -3042,6 +3042,59 @@ def q_events_percent_rank(spark, sf_dir):
     )
 
 
+def q_streamed_scd_enrich(spark, sf_dir):
+    """Stream-static TEMPORAL enrichment, driver-checked: the events
+    replay as a multi-batch stream; every micro-batch is enriched
+    against the static SCD-2 interval table via interval_lookup
+    (foreachBatch — the stream-static pattern for joins that need
+    window machinery), probing each event's user state 15 minutes
+    after its own instant. The accumulated output must equal the
+    one-shot batch enrichment — the oracle is the same LEFT range
+    join, so micro-batching provably doesn't change temporal-join
+    semantics. At scale the static side is a broadcast or
+    storage-backed dimension refreshed per trigger."""
+    from unitdb_spark.operators.asof import interval_lookup
+    from unitdb_spark.operators.timeseries import scd2_intervals
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    out_dir, cp = f"{base}/enriched", f"{base}/cp_enrich"
+    ev = _events(spark, sf_dir)
+    ivl = scd2_intervals(
+        ev, key_cols=["user_id"], ts_col="ts", attr_col="event_type",
+        order_cols=["event_id"],
+    )
+
+    def handle(batch_df, _bid):
+        probes = batch_df.select(
+            "event_id", "user_id",
+            (F.unix_micros("ts") + F.lit(15 * 60 * 1_000_000)).alias(
+                "probe_us"
+            ),
+        )
+        res = interval_lookup(
+            probes, ivl, by=["user_id"], t_col="probe_us",
+            attr_cols=["attr"],
+        )
+        res.write.mode("append").parquet(out_dir)
+
+    stream = events_as_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        "event_id", "user_id", "probe_us",
+        F.col("attr").alias("state_at_probe"), "in_interval",
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3237,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lateness": q_events_lateness,
         "orders_basket_pairs": q_orders_basket_pairs,
         "events_percent_rank": q_events_percent_rank,
+        "streamed_scd_enrich": q_streamed_scd_enrich,
     }
 
 
@@ -4479,6 +4533,22 @@ def oracle_sql() -> dict[str, str]:
                 / CAST(SUM(len(tk)) AS DOUBLE), 6) AS mean_wl_r
         FROM rows GROUP BY source
         """.replace("{toks}", _TOKS),
+        "streamed_scd_enrich": """
+        WITH ivl AS (
+        """ + _SCD2_SQL + """
+        ), p AS (
+          SELECT event_id, user_id,
+            CAST(floor(epoch(ts) * 1000000) AS BIGINT) + 900000000
+              AS probe_us
+          FROM events
+        )
+        SELECT p.event_id, p.user_id, p.probe_us,
+          i.attr AS state_at_probe,
+          i.attr IS NOT NULL AS in_interval
+        FROM p LEFT JOIN ivl i ON i.user_id = p.user_id
+          AND p.probe_us >= i.valid_from_us
+          AND (i.valid_to_us IS NULL OR p.probe_us < i.valid_to_us)
+        """,
         "orders_basket_pairs": """
         -- lift evaluated in pinned order:
         -- (n_ab/N) / ((n_a/N) * (n_b/N)), N = distinct baskets
