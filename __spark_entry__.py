@@ -4930,22 +4930,27 @@ def oracle_sql() -> dict[str, str]:
         "media_meta_ext": """
         -- replays synthetic_media_ext's closed-form parameters: BMP,
         -- TIFF-LE, TIFF-BE, MP3 (ID3v2 skip + CBR frame walk at
-        -- 128 kbps: frame_len = 18432000 // rate, 1152 samples/frame)
+        -- 128 kbps: frame_len = 18432000 // rate, 1152 samples/frame),
+        -- FLAC (STREAMINFO bit fields: duration = total/rate)
         WITH m AS (
-          SELECT doc_id AS id, doc_id AS d, CAST(doc_id % 4 AS INT) AS t,
+          SELECT doc_id AS id, doc_id AS d, CAST(doc_id % 5 AS INT) AS t,
             CASE (doc_id % 3) WHEN 0 THEN 44100 WHEN 1 THEN 48000
                  ELSE 32000 END AS rate,
+            CASE (doc_id % 3) WHEN 0 THEN 8000 WHEN 1 THEN 22050
+                 ELSE 44100 END AS frate,
+            doc_id * 997 % 100000 + 1000 AS fsamples,
             doc_id % 50 + 1 AS frames,
             CASE WHEN doc_id % 100 = 0 THEN 0
                  ELSE 10 + doc_id % 100 END AS id3_part
           FROM documents
         )
         SELECT id,
-          CASE WHEN t = 3 THEN 'audio' ELSE 'image' END AS media_type,
-          CASE t WHEN 0 THEN 'bmp' WHEN 3 THEN 'mp3'
+          CASE WHEN t >= 3 THEN 'audio' ELSE 'image' END AS media_type,
+          CASE t WHEN 0 THEN 'bmp' WHEN 3 THEN 'mp3' WHEN 4 THEN 'flac'
                  ELSE 'tiff' END AS container,
           CAST(CASE t WHEN 0 THEN 54 + d % 200
                       WHEN 3 THEN id3_part + frames * (18432000 // rate)
+                      WHEN 4 THEN 42 + d % 300
                       ELSE 38 END AS BIGINT) AS n_bytes,
           CAST(CASE t WHEN 0 THEN d % 512 + 8
                       WHEN 1 THEN d % 1024 + 8
@@ -4953,10 +4958,14 @@ def oracle_sql() -> dict[str, str]:
           CAST(CASE t WHEN 0 THEN (d // 5) % 256 + 8
                       WHEN 1 THEN (d // 3) % 512 + 8
                       WHEN 2 THEN (d // 7) % 200 + 8 END AS INT) AS height,
-          CAST(CASE WHEN t = 3 THEN frames ELSE 1 END AS INT) AS n_frames,
-          CAST(CASE WHEN t = 3 THEN rate END AS INT) AS sample_rate,
+          CAST(CASE WHEN t = 3 THEN frames
+                    WHEN t = 4 THEN NULL ELSE 1 END AS INT) AS n_frames,
+          CAST(CASE WHEN t = 3 THEN rate
+                    WHEN t = 4 THEN frate END AS INT) AS sample_rate,
           CASE WHEN t = 3
                THEN CAST(frames * 1152 AS DOUBLE) / CAST(rate AS DOUBLE)
+               WHEN t = 4
+               THEN CAST(fsamples AS DOUBLE) / CAST(frate AS DOUBLE)
           END AS duration_s
         FROM m
         """,

@@ -244,3 +244,45 @@ class TestExtendedCodecs:
         for kbps in (32, 128, 320):
             m = parse_media(build_mp3(32000, 5, bitrate_kbps=kbps))
             assert m["n_frames"] == 5 and m["sample_rate"] == 32000
+
+
+class TestFlac:
+    def test_roundtrip(self):
+        from unitdb_spark.functions.media_codec import build_flac, parse_media
+
+        m = parse_media(build_flac(44100, 441000))
+        assert m["container"] == "flac"
+        assert m["sample_rate"] == 44100
+        assert m["duration_s"] == 10.0
+        assert m["width"] is None and m["n_frames"] is None
+
+    def test_36bit_total_samples(self):
+        from unitdb_spark.functions.media_codec import build_flac, parse_media
+
+        total = (1 << 35) + 12345
+        m = parse_media(build_flac(8000, total))
+        assert m["duration_s"] == total / 8000.0
+
+    def test_corrupt_inputs_null(self):
+        from unitdb_spark.functions.media_codec import build_flac, parse_media
+
+        good = build_flac(22050, 1000)
+        assert parse_media(good[:10])["container"] is None  # truncated
+        b = bytearray(good)
+        b[12:14] = b"\x00\x00"  # zero the rate's high bits
+        b[14] = 0
+        # rate field zeroed -> corrupt -> NULL row (build packs rate
+        # at bits 44+, i.e. bytes 18.. of the file; zero those instead
+        b = bytearray(good)
+        b[18] = 0; b[19] = 0; b[20] &= 0x0F
+        assert parse_media(bytes(b))["container"] is None
+
+    def test_builder_range_validation(self):
+        import pytest as _pytest
+
+        from unitdb_spark.functions.media_codec import build_flac
+
+        with _pytest.raises(ValueError):
+            build_flac(1 << 21, 100)
+        with _pytest.raises(ValueError):
+            build_flac(8000, 1 << 37)

@@ -356,6 +356,52 @@ def build_mp3(
     return out + frame * n_frames
 
 
+def build_flac(sample_rate: int, n_samples: int, frame_len: int = 0) -> bytes:
+    """FLAC skeleton: "fLaC" magic + a last-block STREAMINFO (type 0,
+    34 bytes) carrying sample rate (20 bits), channels, bps and the
+    36-bit total-sample count, + filler frame bytes. Size: 42 +
+    frame_len."""
+    if not 0 < sample_rate < (1 << 20):
+        raise ValueError(f"build_flac: sample rate {sample_rate} out of range")
+    if not 0 <= n_samples < (1 << 36):
+        raise ValueError("build_flac: total samples out of 36-bit range")
+    header = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+    # min/max block size, min/max frame size
+    info = (4096).to_bytes(2, "big") * 2 + (0).to_bytes(3, "big") * 2
+    # 64-bit field: rate(20) | channels-1(3) | bps-1(5) | total(36)
+    packed = (sample_rate << 44) | (0 << 41) | (15 << 36) | n_samples
+    info += packed.to_bytes(8, "big")
+    info += bytes(16)  # MD5 of the unencoded audio (zeroed)
+    return header + info + bytes(frame_len)
+
+
+def parse_flac(b: bytes) -> dict | None:
+    if len(b) < 8 or b[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(b):
+        btype = b[pos] & 0x7F
+        last = bool(b[pos] & 0x80)
+        blen = int.from_bytes(b[pos + 1:pos + 4], "big")
+        body = pos + 4
+        if btype == 0:  # STREAMINFO
+            if blen < 34 or body + 34 > len(b):
+                return None
+            packed = int.from_bytes(b[body + 10:body + 18], "big")
+            rate = packed >> 44
+            total = packed & ((1 << 36) - 1)
+            if not rate:
+                return None  # a declared rate of 0 is corrupt: NULL row
+            return dict(
+                _EMPTY, container="flac", sample_rate=rate,
+                duration_s=total / float(rate),
+            )
+        if last:
+            break
+        pos = body + blen
+    return None  # no STREAMINFO: spec-invalid
+
+
 def parse_bmp(b: bytes) -> dict | None:
     if len(b) < 26 or b[:2] != b"BM":
         return None
@@ -456,6 +502,8 @@ def parse_media(blob: bytes) -> dict:
         out = parse_wav(b)
     elif len(b) >= 12 and b[4:8] == b"ftyp":
         out = parse_mp4(b)
+    elif b[:4] == b"fLaC":
+        out = parse_flac(b)
     elif b[:2] == b"BM":
         out = parse_bmp(b)
     elif b[:4] in (b"II*\x00", b"MM\x00*"):

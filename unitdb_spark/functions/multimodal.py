@@ -130,7 +130,7 @@ def synthetic_media_ext(documents: DataFrame) -> DataFrame:
     parsers (BMP info header, TIFF IFD walk in either endianness, MP3
     frame walk over an ID3v2 skip).
 
-    Cycle by doc_id % 4: BMP, TIFF-LE, TIFF-BE, MP3.
+    Cycle by doc_id % 5: BMP, TIFF-LE, TIFF-BE, MP3, FLAC.
     """
     from unitdb_spark.functions import media_codec as mc
 
@@ -139,7 +139,7 @@ def synthetic_media_ext(documents: DataFrame) -> DataFrame:
             blobs, kinds = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                t = d % 4
+                t = d % 5
                 if t == 0:
                     blobs.append(mc.build_bmp(d % 512 + 8, (d // 5) % 256 + 8,
                                               d % 200))
@@ -152,9 +152,15 @@ def synthetic_media_ext(documents: DataFrame) -> DataFrame:
                     blobs.append(mc.build_tiff(d % 300 + 8, (d // 7) % 200 + 8,
                                                little_endian=False))
                     kinds.append("image")
-                else:
+                elif t == 3:
                     blobs.append(mc.build_mp3([44100, 48000, 32000][d % 3],
                                               d % 50 + 1, id3_len=d % 100))
+                    kinds.append("audio")
+                else:
+                    blobs.append(mc.build_flac(
+                        [8000, 22050, 44100][d % 3],
+                        d * 997 % 100000 + 1000, frame_len=d % 300,
+                    ))
                     kinds.append("audio")
             yield pd.DataFrame(
                 {"id": pdf["doc_id"].values, "media_type": kinds, "blob": blobs}
