@@ -3095,6 +3095,38 @@ def q_streamed_scd_enrich(spark, sf_dir):
     )
 
 
+def q_doc_quality_pipeline(spark, sf_dir):
+    """The session's four new quality signals composed as ONE gate —
+    substring-dup coverage, char entropy band, unigram-LM NLL ceiling,
+    n-gram novelty floor — the v2 curation pass layered on top of
+    doc_pipeline's C4/Gopher/dedup gates. The oracle composes the four
+    signals' own CTEs, so the hash-match checks their interaction."""
+    from unitdb_spark.functions.text import char_entropy
+    from unitdb_spark.operators.substring import (
+        novelty_stats,
+        substring_dup_stats,
+    )
+    from unitdb_spark.operators.tfidf import unigram_logprob
+
+    d = _docs(spark, sf_dir)
+    sub = substring_dup_stats(d, k=8, min_occ=2).select("doc_id", "dup_ppm")
+    ent = char_entropy(d).select("doc_id", "entropy_r")
+    nll = unigram_logprob(d).select("doc_id", "nll_r")
+    nov = novelty_stats(d, k=3).select("doc_id", "novelty_ppm")
+    out = (
+        sub.join(ent, "doc_id").join(nll, "doc_id").join(nov, "doc_id")
+        .filter(
+            (F.col("dup_ppm") < 300_000)
+            & F.col("entropy_r").between(3.8, 4.3)
+            & (F.col("nll_r") <= 1.479)
+            & (F.col("novelty_ppm") >= 400_000)
+        )
+    )
+    return out.select(
+        "doc_id", "dup_ppm", "entropy_r", "nll_r", "novelty_ppm"
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3291,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_basket_pairs": q_orders_basket_pairs,
         "events_percent_rank": q_events_percent_rank,
         "streamed_scd_enrich": q_streamed_scd_enrich,
+        "doc_quality_pipeline": q_doc_quality_pipeline,
     }
 
 
@@ -3371,7 +3404,7 @@ _Q1_AGGS = """
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "get_static": M
         + f"""
         SELECT seq, topic, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, payload
@@ -6006,6 +6039,28 @@ def oracle_sql() -> dict[str, str]:
         FROM b
         """,
     }
+    # composed v2 quality pipeline: the four session signals' oracles
+    # become CTEs of one statement, checking their INTERACTION (the
+    # same discipline as doc_pipeline's staged CTEs)
+    d["doc_quality_pipeline"] = (
+        "WITH sub AS (" + d["doc_substring_dup"] + "), "
+        "ent AS (" + d["doc_char_entropy"] + "), "
+        "nll AS (" + d["doc_unigram_nll"] + "), "
+        "nov AS (" + d["doc_novelty"] + ") "
+        """
+        SELECT sub.doc_id, sub.dup_ppm, ent.entropy_r, nll.nll_r,
+               nov.novelty_ppm
+        FROM sub
+        JOIN ent USING (doc_id)
+        JOIN nll USING (doc_id)
+        JOIN nov USING (doc_id)
+        WHERE sub.dup_ppm < 300000
+          AND ent.entropy_r BETWEEN 3.8 AND 4.3
+          AND nll.nll_r <= 1.479
+          AND nov.novelty_ppm >= 400000
+        """
+    )
+    return d
 
 
 def _simhash_md5_cte() -> str:
