@@ -1144,7 +1144,8 @@ def q_streamed_sessions(spark, sf_dir):
                 gap_seconds=1800,
             )
             .writeStream.foreachBatch(
-                lambda df, bid: df.write.mode("append").parquet(out)
+                lambda df, bid: df.write.mode("overwrite")
+                .parquet(f"{out}/batch={bid}")
                 if not df.isEmpty() else None
             )
             .option("checkpointLocation", cp)
@@ -2444,7 +2445,8 @@ def q_streamed_gapfill(spark, sf_dir):
                 step_minutes=60,
             )
             .writeStream.foreachBatch(
-                lambda df, bid: df.write.mode("append").parquet(out)
+                lambda df, bid: df.write.mode("overwrite")
+                .parquet(f"{out}/batch={bid}")
                 if not df.isEmpty() else None
             )
             .option("checkpointLocation", cp)
@@ -3067,7 +3069,7 @@ def q_streamed_scd_enrich(spark, sf_dir):
         order_cols=["event_id"],
     )
 
-    def handle(batch_df, _bid):
+    def handle(batch_df, bid):
         probes = batch_df.select(
             "event_id", "user_id",
             (F.unix_micros("ts") + F.lit(15 * 60 * 1_000_000)).alias(
@@ -3078,7 +3080,10 @@ def q_streamed_scd_enrich(spark, sf_dir):
             probes, ivl, by=["user_id"], t_col="probe_us",
             attr_cols=["attr"],
         )
-        res.write.mode("append").parquet(out_dir)
+        # per-batch dir + overwrite: a retried micro-batch rewrites its
+        # own directory instead of double-appending (plain append would
+        # duplicate rows under task retry and break the oracle match)
+        res.write.mode("overwrite").parquet(f"{out_dir}/batch={bid}")
 
     stream = events_as_stream(spark, src, max_files_per_trigger=2)
     q = (
@@ -4611,8 +4616,7 @@ def oracle_sql() -> dict[str, str]:
         "events_percent_rank": """
         WITH r AS (
           SELECT event_id, event_type, value,
-            row_number() OVER (PARTITION BY event_type
-                               ORDER BY value, event_id) AS rank,
+            rank() OVER (PARTITION BY event_type ORDER BY value) AS rank,
             COUNT(*) OVER (PARTITION BY event_type) AS n
           FROM events WHERE value IS NOT NULL
         )

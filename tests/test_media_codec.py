@@ -268,11 +268,8 @@ class TestFlac:
 
         good = build_flac(22050, 1000)
         assert parse_media(good[:10])["container"] is None  # truncated
-        b = bytearray(good)
-        b[12:14] = b"\x00\x00"  # zero the rate's high bits
-        b[14] = 0
-        # rate field zeroed -> corrupt -> NULL row (build packs rate
-        # at bits 44+, i.e. bytes 18.. of the file; zero those instead
+        # zero the 20-bit rate field (bits 44+ of the packed word =
+        # bytes 18-20 of the file): declared rate 0 -> NULL row
         b = bytearray(good)
         b[18] = 0; b[19] = 0; b[20] &= 0x0F
         assert parse_media(bytes(b))["container"] is None

@@ -3236,3 +3236,17 @@ class TestPercentRank:
                                    "event_id long, event_type string, value double")
         assert percent_rank_ppm(df, ["event_type"], "value",
                                 ["event_id"]).first()["pr_ppm"] == 0
+
+
+class TestPercentRankTies:
+    def test_equal_scores_equal_percentiles(self, spark):
+        """The review-pinned tie contract: identical values MUST map to
+        identical pr_ppm (rank semantics, not row_number)."""
+        from unitdb_spark.operators.olap import percent_rank_ppm
+
+        rows = [(1, "k", 1.0), (2, "k", 5.0), (3, "k", 5.0), (4, "k", 9.0)]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        out = {r["event_id"]: r["pr_ppm"] for r in percent_rank_ppm(
+            df, ["event_type"], "value", ["event_id"]).collect()}
+        assert out[2] == out[3] == 333_333
+        assert out[1] == 0 and out[4] == 1_000_000

@@ -358,10 +358,13 @@ def multitouch_attribution(
         (F.col("_tt") <= F.col("_ct"))
         & (F.col("_tt") >= F.col("_ct") - F.lit(window_seconds * 1_000_000))
     )
-    w = Window.partitionBy("conv_id").orderBy(
+    # partition by the join keys TOO: conv_id need only be unique
+    # within a key (per-user sequence numbers are legal), and a shared
+    # conv_id across keys must not pool touches
+    w = Window.partitionBy(*keys, "conv_id").orderBy(
         F.col("_tt").asc(), F.col("touch_id").asc()
     )
-    w_all = Window.partitionBy("conv_id")
+    w_all = Window.partitionBy(*keys, "conv_id")
     ranked = pairs.withColumn("touch_rank", F.row_number().over(w)).withColumn(
         "n_touches", F.count(F.lit(1)).over(w_all)
     )

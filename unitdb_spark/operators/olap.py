@@ -213,20 +213,25 @@ def percent_rank_ppm(
     compose across heterogeneous sources (the normalization step
     before mixing classifier scores). Single-row keys get 0.
 
-    Same SQL `percent_rank` semantics, but floored to an integer so
-    the result is engine-exact by construction.
+    True SQL `percent_rank` TIE semantics — rank() over value alone,
+    so equal scores get equal percentiles (row_number would split ties
+    by an arbitrary order and a downstream threshold would keep one
+    twin and drop the other) — floored to an integer so the result is
+    engine-exact by construction. ``order_cols`` only carry through to
+    the output for row identity.
 
     Output: order_cols + keys + (value, rank, n, pr_ppm).
     """
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(value_col).asc(), *[F.col(c).asc() for c in order_cols]
-    )
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
     w_all = Window.partitionBy(*keys)
     ranked = df.filter(F.col(value_col).isNotNull()).withColumn(
-        "rank", F.row_number().over(w)
+        "rank", F.rank().over(w)
     ).withColumn("n", F.count(F.lit(1)).over(w_all))
+    # rank is int: cast long BEFORE the 1e6 multiply (32-bit overflows
+    # past ~2148 rows per key — ANSI mode then throws at bench scale)
     pr = F.when(F.col("n") > 1, F.floor(
-        (F.col("rank") - 1) * F.lit(1_000_000) / (F.col("n") - 1)
+        (F.col("rank").cast("long") - 1) * F.lit(1_000_000)
+        / (F.col("n") - 1)
     )).otherwise(F.lit(0))
     return ranked.select(
         *order_cols, *keys, value_col, "rank", "n",

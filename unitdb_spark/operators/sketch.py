@@ -31,6 +31,27 @@ from pyspark.sql.window import Window
 from unitdb_spark.functions.portable_hash import INT60_DENOM, md5_int60
 
 
+def _bottom_k(
+    df: DataFrame, keys: list[str], value_col: str, k: int
+) -> DataFrame:
+    """The shared bottom-k relation (keys + _h): distinct values, md5
+    hashing, WindowGroupLimit cut — `kmv_distinct` summarizes it,
+    `kmv_sketch` materializes it; ONE construction so the hash family
+    and the cut can never diverge between the two outputs."""
+    distinct = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, value_col)
+        .distinct()
+    )
+    hashed = distinct.select(
+        *keys, md5_int60(F.col(value_col).cast("string")).alias("_h")
+    )
+    w = Window.partitionBy(*keys).orderBy("_h")
+    return hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     keys: list[str],
@@ -45,19 +66,7 @@ def kmv_distinct(
     distinct-count estimate — exact when the group holds fewer than k
     distinct values (the sketch has seen them all).
     """
-    distinct = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*keys, value_col)
-        .distinct()
-    )
-    hashed = distinct.select(
-        *keys, md5_int60(F.col(value_col).cast("string")).alias("_h")
-    )
-    w = Window.partitionBy(*keys).orderBy("_h")
-    bottom_k = hashed.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
-    )
-    agg = bottom_k.groupBy(*keys).agg(
+    agg = _bottom_k(df, keys, value_col, k).groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.max("_h").alias("kth_hash"),
     )
@@ -166,19 +175,7 @@ def kmv_sketch(
     persist per partition/day and merge later. Same WindowGroupLimit
     cut as ``kmv_distinct``.
     """
-    distinct = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*keys, value_col)
-        .distinct()
-    )
-    hashed = distinct.select(
-        *keys, md5_int60(F.col(value_col).cast("string")).alias("_h")
-    )
-    w = Window.partitionBy(*keys).orderBy("_h")
-    bottom_k = hashed.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
-    )
-    return bottom_k.groupBy(*keys).agg(
+    return _bottom_k(df, keys, value_col, k).groupBy(*keys).agg(
         F.array_sort(F.collect_list("_h")).alias("sketch")
     )
 
