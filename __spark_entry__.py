@@ -3132,6 +3132,45 @@ def q_doc_quality_pipeline(spark, sf_dir):
     )
 
 
+def q_events_anomaly_ensemble(spark, sf_dir):
+    """Three-detector anomaly ensemble: trailing z-score (point
+    spikes), median/MAD robust z (spike-immune scale) and CUSUM
+    (persistent shifts) voting per event — consensus at >= 2 votes.
+    Each detector family catches what the others miss; the composed
+    oracle joins all three detectors' own constructions."""
+    from unitdb_spark.operators.timeseries import (
+        cusum,
+        robust_zscore,
+        trailing_zscore,
+    )
+
+    spark = _pin_utc(spark)
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    z = trailing_zscore(
+        ev, ["event_type"], ["ts", "event_id"], "value", n=20, z=3.0
+    ).select("event_id", "event_type", "value", "is_anomaly")
+    rz = robust_zscore(
+        ev, keys=["event_type"], value_col="value", id_cols=["event_id"]
+    ).select("event_id", F.col("is_outlier").alias("is_robust_outlier"))
+    cs = cusum(
+        ev, ["event_type"], ["ts", "event_id"], "value", h=5000.0
+    ).select("event_id", F.col("alarm").alias("is_shift"))
+    joined = z.join(rz, "event_id").join(cs, "event_id")
+    votes = (
+        F.col("is_anomaly").cast("int")
+        + F.coalesce(F.col("is_robust_outlier"), F.lit(False)).cast("int")
+        + F.col("is_shift").cast("int")
+    )
+    return joined.select(
+        "event_id", "event_type", "value",
+        "is_anomaly", "is_robust_outlier", "is_shift",
+        votes.alias("votes"),
+        (votes >= 2).alias("consensus"),
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3329,6 +3368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percent_rank": q_events_percent_rank,
         "streamed_scd_enrich": q_streamed_scd_enrich,
         "doc_quality_pipeline": q_doc_quality_pipeline,
+        "events_anomaly_ensemble": q_events_anomaly_ensemble,
     }
 
 
@@ -6046,6 +6086,30 @@ def oracle_sql() -> dict[str, str]:
     # composed v2 quality pipeline: the four session signals' oracles
     # become CTEs of one statement, checking their INTERACTION (the
     # same discipline as doc_pipeline's staged CTEs)
+    # anomaly-detector ensemble: the three detectors' own oracle
+    # constructions joined and voting; the z-score entry's bench-scope
+    # user filter is lifted for the full-table ensemble
+    d["events_anomaly_ensemble"] = (
+        "WITH zd AS ("
+        + d["events_zscore"].replace(" WHERE user_id < 50", "")
+        + "), rd AS (" + d["events_robust_z"]
+        + "), cd AS (" + d["events_cusum"] + ") "
+        """
+        SELECT zd.event_id, zd.event_type, zd.value,
+          zd.is_anomaly,
+          rd.is_outlier AS is_robust_outlier,
+          cd.alarm AS is_shift,
+          CAST(CAST(zd.is_anomaly AS INT)
+               + CAST(coalesce(rd.is_outlier, FALSE) AS INT)
+               + CAST(cd.alarm AS INT) AS INT) AS votes,
+          (CAST(zd.is_anomaly AS INT)
+           + CAST(coalesce(rd.is_outlier, FALSE) AS INT)
+           + CAST(cd.alarm AS INT)) >= 2 AS consensus
+        FROM zd
+        JOIN rd ON rd.event_id = zd.event_id
+        JOIN cd ON cd.event_id = zd.event_id
+        """
+    )
     d["doc_quality_pipeline"] = (
         "WITH sub AS (" + d["doc_substring_dup"] + "), "
         "ent AS (" + d["doc_char_entropy"] + "), "
