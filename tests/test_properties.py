@@ -319,3 +319,120 @@ class TestHistogramQuantilesProperty:
                 break
         assert row["n"] == len(vals)
         assert row["est_r"] == round(est, 6) or abs(row["est_r"] - est) < 1e-6
+
+
+class TestCusumProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(rows=_events)
+    def test_closed_form_equals_direct_recurrence(self, spark, rows):
+        """C+ = S - min(0, min S) must equal the textbook sequential
+        recurrence max(0, C+_{i-1} + dev_i) on random series (both
+        computed over the same round-6/decimal deviations)."""
+        from decimal import Decimal
+
+        from unitdb_spark.operators.timeseries import cusum
+
+        by_id = {
+            r["event_id"]: r
+            for r in cusum(_df(spark, rows), ["event_type"],
+                           ["ts", "event_id"], "value", h=5.0).collect()
+        }
+        # replicate the operator's exact decimal deviations, iterating
+        # in the SAME (ts, event_id) order the windows use
+        ordered = sorted(rows, key=lambda t: (t[1], t[0]))
+        vals = [Decimal(str(round(v, 6))) for _, _, v in ordered]
+        mean_r = Decimal(str(round(float(sum(vals)) / len(vals), 6)))
+        devs = [v - mean_r for v in vals]
+        cpos = cneg = Decimal(0)
+        for (ev_id, _, _), d in zip(ordered, devs):
+            cpos = max(Decimal(0), cpos + d)
+            cneg = max(Decimal(0), cneg - d)
+            r = by_id[ev_id]
+            assert Decimal(str(r["cusum_pos_r"])) == cpos
+            assert Decimal(str(r["cusum_neg_r"])) == cneg
+
+
+class TestMortonProperty:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        x=st.integers(min_value=0, max_value=(1 << 16) - 1),
+        y=st.integers(min_value=0, max_value=(1 << 16) - 1),
+    )
+    def test_interleave_is_invertible(self, x, y):
+        """zorder_key is a bijection on [0,2^16)² — deinterleaving the
+        bits recovers exactly (x, y)."""
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.zorder import zorder_key
+
+        # evaluate the Column against a literal row without a Spark job
+        # per example: build once per test call (hypothesis batches)
+        import pyspark.sql as pssql
+
+        spark = pssql.SparkSession.getActiveSession()
+        z = spark.range(1).select(
+            zorder_key(F.lit(x), F.lit(y)).alias("z")
+        ).first()["z"]
+        gx = gy = 0
+        for i in range(16):
+            gx |= ((z >> (2 * i)) & 1) << i
+            gy |= ((z >> (2 * i + 1)) & 1) << i
+        assert (gx, gy) == (x, y)
+
+
+class TestWeightedSampleProperty:
+    @settings(max_examples=6, deadline=None)
+    @given(
+        weights=st.lists(st.integers(min_value=1, max_value=1000),
+                         min_size=5, max_size=25),
+    )
+    def test_selected_row_survives_weight_increase(self, spark, weights):
+        """ES monotonicity: raising a selected row's weight can only
+        shrink its race key — it must stay selected."""
+        from unitdb_spark.operators.sampling import weighted_sample
+
+        rows = [(i, w) for i, w in enumerate(weights)]
+        df = spark.createDataFrame(rows, "id long, w long")
+        n = max(1, len(rows) // 3)
+        sel = weighted_sample(df, n=n, weight_col="w", key_col="id").collect()
+        boosted_id = sel[0]["id"]
+        rows2 = [(i, w * 10 if i == boosted_id else w) for i, w in rows]
+        df2 = spark.createDataFrame(rows2, "id long, w long")
+        sel2 = {r["id"] for r in
+                weighted_sample(df2, n=n, weight_col="w", key_col="id").collect()}
+        assert boosted_id in sel2
+
+    @settings(max_examples=4, deadline=None)
+    @given(weights=st.lists(st.integers(min_value=1, max_value=50),
+                            min_size=3, max_size=10))
+    def test_full_sample_returns_everything(self, spark, weights):
+        from unitdb_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(weights)], "id long, w long"
+        )
+        got = weighted_sample(df, n=len(weights) + 5, weight_col="w",
+                              key_col="id").count()
+        assert got == len(weights)
+
+
+class TestCharEntropyProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(text=st.text(alphabet="abcdef ", min_size=1, max_size=60))
+    def test_matches_python_model(self, spark, text):
+        from collections import Counter
+        from decimal import Decimal
+
+        from unitdb_spark.functions.text import char_entropy
+
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = char_entropy(docs).collect()[0]
+        counts = Counter(text)
+        n = len(text)
+        model = sum(
+            (Decimal(str(round(-(c / n) * math.log2(c / n), 6)))
+             for c in counts.values()),
+            Decimal(0),
+        )
+        assert got["n_unique"] == len(counts)
+        assert Decimal(str(got["entropy_r"])) == model
