@@ -3171,6 +3171,50 @@ def q_events_anomaly_ensemble(spark, sf_dir):
     )
 
 
+def q_events_psi(spark, sf_dir):
+    """Population Stability Index per event_type: value distribution of
+    the chronologically FIRST half vs the second half over 10 fixed
+    buckets — the production drift alarm. Exact ppm proportions with
+    the standard epsilon floor; one ln per bucket, round-6 + DECIMAL
+    sum."""
+    from unitdb_spark.operators.sketch import population_stability
+
+    spark = _pin_utc(spark)
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(
+        F.percentile("event_id", F.lit(0.5)).alias("m")
+    )
+    tagged = ev.join(F.broadcast(mid)).withColumn(
+        "_half", (F.col("event_id").cast("double") <= F.col("m")).cast("int")
+    )
+    a = tagged.filter(F.col("_half") == 1)
+    b = tagged.filter(F.col("_half") == 0)
+    return population_stability(
+        a, b, "value", ["event_type"], lo=0.0, hi=1000.0, n_buckets=10
+    )
+
+
+def q_orders_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation: two deterministic views of orders (the
+    'old' one drops key%101 rows and bumps key%97 totals; the 'new'
+    one drops key%103 rows) diffed per key — added/removed/changed
+    counts row-level and per compared column, exact integers."""
+    from unitdb_spark.operators.profile import snapshot_diff
+
+    orders = _read(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    new = orders.filter(F.col("o_orderkey") % 103 != 0)
+    return snapshot_diff(
+        old, new, key_cols=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3369,6 +3413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_scd_enrich": q_streamed_scd_enrich,
         "doc_quality_pipeline": q_doc_quality_pipeline,
         "events_anomaly_ensemble": q_events_anomaly_ensemble,
+        "events_psi": q_events_psi,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
     }
 
 
@@ -4711,6 +4757,89 @@ def oracle_sql() -> dict[str, str]:
                THEN 1000000 - (n_touches - 1) * (1000000 // n_touches)
                ELSE 1000000 // n_touches END AS BIGINT) AS weight_ppm
         FROM r
+        """,
+        "events_psi": """
+        -- PSI with exact ppm proportions + epsilon floor 100 ppm;
+        -- quantile_cont(0.5) == Spark percentile(0.5) (same linear
+        -- interpolation; exact for the .5 midpoint of integers)
+        WITH m AS (
+          SELECT quantile_cont(event_id, 0.5) AS m FROM events
+        ), a AS (
+          SELECT event_type, value FROM events, m
+          WHERE CAST(event_id AS DOUBLE) <= m AND value IS NOT NULL
+        ), bb AS (
+          SELECT event_type, value FROM events, m
+          WHERE CAST(event_id AS DOUBLE) > m AND value IS NOT NULL
+        ), k AS (
+          SELECT DISTINCT event_type FROM events
+        ), g AS (
+          SELECT event_type, CAST(u.b AS INT) AS bucket
+          FROM k, unnest(generate_series(0, 9)) AS u(b)
+        ), ha AS (
+          SELECT event_type,
+            least(greatest(CAST(floor(value / 100.0) AS INT), 0), 9)
+              AS bucket, COUNT(*) AS n_a
+          FROM a GROUP BY 1, 2
+        ), hb AS (
+          SELECT event_type,
+            least(greatest(CAST(floor(value / 100.0) AS INT), 0), 9)
+              AS bucket, COUNT(*) AS n_b
+          FROM bb GROUP BY 1, 2
+        ), j AS (
+          SELECT g.event_type, g.bucket,
+            coalesce(ha.n_a, 0) AS n_a, coalesce(hb.n_b, 0) AS n_b
+          FROM g
+          LEFT JOIN ha USING (event_type, bucket)
+          LEFT JOIN hb USING (event_type, bucket)
+        ), t AS (
+          SELECT event_type, n_a, n_b,
+            CAST(greatest(CAST(floor(n_a * 1000000 / greatest(
+              SUM(n_a) OVER (PARTITION BY event_type), 1)) AS BIGINT),
+              100) AS DOUBLE) AS p,
+            CAST(greatest(CAST(floor(n_b * 1000000 / greatest(
+              SUM(n_b) OVER (PARTITION BY event_type), 1)) AS BIGINT),
+              100) AS DOUBLE) AS q
+          FROM j
+        )
+        SELECT event_type,
+          CAST(SUM(n_a) AS BIGINT) AS n_a,
+          CAST(SUM(n_b) AS BIGINT) AS n_b,
+          CAST(SUM(CAST(round(((p - q) / 1000000.0) * ln(p / q), 6)
+                        AS DECIMAL(18,6))) AS DOUBLE) AS psi_r
+        FROM t GROUP BY event_type
+        """,
+        "orders_snapshot_diff": """
+        WITH o AS (
+          SELECT o_orderkey AS k,
+            CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1
+                 ELSE o_totalprice END AS p,
+            o_orderstatus AS s
+          FROM orders WHERE o_orderkey % 101 <> 0
+        ), n AS (
+          SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+          FROM orders WHERE o_orderkey % 103 <> 0
+        ), j AS (
+          SELECT o.k AS ko, n.k AS kn, o.p AS op, n.p AS np,
+                 o.s AS os, n.s AS ns
+          FROM o FULL OUTER JOIN n ON o.k = n.k
+        )
+        SELECT '_rows' AS entity,
+          COUNT(*) FILTER (ko IS NULL) AS n_added,
+          COUNT(*) FILTER (kn IS NULL) AS n_removed,
+          COUNT(*) FILTER (ko IS NOT NULL AND kn IS NOT NULL
+            AND (op IS DISTINCT FROM np OR os IS DISTINCT FROM ns))
+            AS n_changed
+        FROM j
+        UNION ALL
+        SELECT 'o_totalprice', 0, 0,
+          COUNT(*) FILTER (ko IS NOT NULL AND kn IS NOT NULL
+            AND op IS DISTINCT FROM np)
+        FROM j
+        UNION ALL
+        SELECT 'o_orderstatus', 0, 0,
+          COUNT(*) FILTER (ko IS NOT NULL AND kn IS NOT NULL
+            AND os IS DISTINCT FROM ns)
+        FROM j
         """,
         "events_constraints": """
         SELECT 'not_null:event_id' AS constraint,

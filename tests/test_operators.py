@@ -3250,3 +3250,69 @@ class TestPercentRankTies:
             df, ["event_type"], "value", ["event_id"]).collect()}
         assert out[2] == out[3] == 333_333
         assert out[1] == 0 and out[4] == 1_000_000
+
+
+class TestPsi:
+    def test_identical_distributions_score_zero(self, spark):
+        from unitdb_spark.operators.sketch import population_stability
+
+        rows = [(i, "k", float(i % 100) * 10) for i in range(500)]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        r = population_stability(df, df, "value", ["event_type"]).first()
+        assert r["psi_r"] == 0.0
+
+    def test_shift_raises_psi(self, spark):
+        from unitdb_spark.operators.sketch import population_stability
+
+        a = spark.createDataFrame(
+            [(i, "k", 100.0 + (i % 50)) for i in range(500)],
+            "event_id long, event_type string, value double",
+        )
+        b = spark.createDataFrame(
+            [(i, "k", 700.0 + (i % 50)) for i in range(500)],
+            "event_id long, event_type string, value double",
+        )
+        r = population_stability(a, b, "value", ["event_type"]).first()
+        assert r["psi_r"] > 0.25  # the standard 'shifted' threshold
+
+    def test_empty_buckets_pay_epsilon_not_infinity(self, spark):
+        import math
+
+        from unitdb_spark.operators.sketch import population_stability
+
+        a = spark.createDataFrame([(1, "k", 50.0)],
+                                  "event_id long, event_type string, value double")
+        b = spark.createDataFrame([(1, "k", 950.0)],
+                                  "event_id long, event_type string, value double")
+        r = population_stability(a, b, "value", ["event_type"]).first()
+        assert r["psi_r"] is not None and math.isfinite(r["psi_r"])
+
+
+class TestSnapshotDiff:
+    def test_added_removed_changed(self, spark):
+        from unitdb_spark.operators.profile import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+            "k long, price double, status string",
+        )
+        new = spark.createDataFrame(
+            [(2, 25.0, "b"), (3, 30.0, "x"), (4, 40.0, "d")],
+            "k long, price double, status string",
+        )
+        out = {r["entity"]: r for r in snapshot_diff(
+            old, new, ["k"], ["price", "status"]).collect()}
+        rows = out["_rows"]
+        assert rows["n_added"] == 1 and rows["n_removed"] == 1
+        assert rows["n_changed"] == 2  # k=2 price, k=3 status
+        assert out["price"]["n_changed"] == 1
+        assert out["status"]["n_changed"] == 1
+
+    def test_null_safe_compare(self, spark):
+        from unitdb_spark.operators.profile import snapshot_diff
+
+        old = spark.createDataFrame([(1, None), (2, 5.0)], "k long, v double")
+        new = spark.createDataFrame([(1, None), (2, None)], "k long, v double")
+        out = {r["entity"]: r for r in snapshot_diff(
+            old, new, ["k"], ["v"]).collect()}
+        assert out["v"]["n_changed"] == 1  # NULL==NULL is unchanged

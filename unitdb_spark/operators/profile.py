@@ -103,3 +103,71 @@ def table_profile(
         "column", "n_rows", "n_nonnull", "n_distinct",
         "min_num", "max_num", "min_str", "max_str", "min_ts_s", "max_ts_s",
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Reconciliation between two snapshots of one logical table: per
+    compared column plus the row-level summary, how many keys were
+    added, removed, or changed — the audit a backfill/migration runs
+    before swapping tables.
+
+    One full-outer join on the key; presence flags and per-column
+    null-safe inequality counts fold into a single aggregation over
+    the joined relation (one scan each side, one shuffle on the key).
+    Exact integer counts.
+
+    Output rows: ('_rows', n_added, n_removed, n_changed) + one
+    ('col', 0, 0, n_changed) per compared column — n_changed counting
+    keys present on BOTH sides whose value differs (null-safe).
+    """
+    o = old.select(
+        *[F.col(c).alias(f"_k_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_k_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    j = o.join(n, [f"_k_{c}" for c in key_cols], "full_outer")
+    both = F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull()
+    col_changed = {
+        c: both & ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        for c in compare_cols
+    }
+    any_changed = None
+    for expr in col_changed.values():
+        any_changed = expr if any_changed is None else (any_changed | expr)
+    aggs = [
+        F.count(F.when(F.col("_in_old").isNull(), 1)).alias("n_added"),
+        F.count(F.when(F.col("_in_new").isNull(), 1)).alias("n_removed"),
+        F.count(F.when(any_changed, 1)).alias("n_changed_rows"),
+    ] + [
+        F.count(F.when(col_changed[c], 1)).alias(f"n_ch_{c}")
+        for c in compare_cols
+    ]
+    wide = j.agg(*aggs)
+    rows = F.array(
+        F.struct(
+            F.lit("_rows").alias("entity"),
+            F.col("n_added").alias("n_added"),
+            F.col("n_removed").alias("n_removed"),
+            F.col("n_changed_rows").alias("n_changed"),
+        ),
+        *[
+            F.struct(
+                F.lit(c).alias("entity"),
+                F.lit(0).cast("long").alias("n_added"),
+                F.lit(0).cast("long").alias("n_removed"),
+                F.col(f"n_ch_{c}").alias("n_changed"),
+            )
+            for c in compare_cols
+        ],
+    )
+    return wide.select(F.explode(rows).alias("kv")).select("kv.*")

@@ -214,3 +214,92 @@ def kmv_merge(
         *group_keys, "n_kept", "kth_hash",
         F.round(kmv_estimate("n_kept", "kth_hash", k), 6).alias("kmv_est"),
     )
+
+
+def population_stability(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    keys: list[str],
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_buckets: int = 10,
+    eps_ppm: int = 100,
+) -> DataFrame:
+    """Population Stability Index — THE production drift alarm for
+    score/feature distributions (PSI < 0.1 stable, 0.1-0.25 watch,
+    > 0.25 shifted). Compares df_a (baseline) vs df_b (current) per
+    key over fixed buckets:
+
+        PSI = Σ_i (p_i − q_i) · ln(p_i / q_i)
+
+    Cross-engine contract: bucket proportions are exact integer ppm
+    (floored), floored to ``eps_ppm`` so empty buckets contribute a
+    finite penalty (the standard PSI epsilon, here exact by
+    construction); each bucket's term gets one libm ln on identical
+    ppm-ratio doubles, round-6, summed as DECIMAL — order-free.
+
+    Fixed boundaries make both histograms mergeable (the same property
+    as ``histogram_quantiles``); the PSI itself runs over keys ×
+    n_buckets rows, never data-sized relations.
+
+    Output: keys + (n_a, n_b, psi_r).
+    """
+    if n_buckets < 2:
+        raise ValueError("population_stability: need n_buckets >= 2")
+    if not hi > lo:
+        raise ValueError("population_stability: need hi > lo")
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+
+    def hist(df, side):
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(*keys, bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    # dense (key, bucket) grid so empty buckets still pay the epsilon
+    grid = (
+        df_a.select(*keys).unionByName(df_b.select(*keys)).distinct()
+        .crossJoin(
+            df_a.sparkSession.range(n_buckets).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    joined = (
+        grid.join(hist(df_a, "a"), [*keys, "bucket"], "left")
+        .join(hist(df_b, "b"), [*keys, "bucket"], "left")
+        .withColumn("n_a", F.coalesce("n_a", F.lit(0)))
+        .withColumn("n_b", F.coalesce("n_b", F.lit(0)))
+    )
+    w_all = Window.partitionBy(*keys)
+    tot_a = F.sum("n_a").over(w_all)
+    tot_b = F.sum("n_b").over(w_all)
+    p = F.greatest(
+        F.floor(F.col("n_a") * F.lit(1_000_000) / F.greatest(tot_a, F.lit(1))),
+        F.lit(eps_ppm),
+    ).cast("double")
+    q = F.greatest(
+        F.floor(F.col("n_b") * F.lit(1_000_000) / F.greatest(tot_b, F.lit(1))),
+        F.lit(eps_ppm),
+    ).cast("double")
+    term = F.round(
+        ((p - q) / F.lit(1_000_000.0)) * F.log(p / q), 6
+    ).cast("decimal(18,6)")
+    per_bucket = joined.select(
+        *keys, term.alias("_t"), F.col("n_a").alias("_na"),
+        F.col("n_b").alias("_nb"),
+    )
+    return per_bucket.groupBy(*keys).agg(
+        F.sum("_na").alias("n_a"),
+        F.sum("_nb").alias("n_b"),
+        F.sum("_t").cast("double").alias("psi_r"),
+    )
