@@ -3215,6 +3215,16 @@ def q_orders_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_doc_longest_dup_span(spark, sf_dir):
+    """Longest contiguous duplicated region per doc (gaps-and-islands
+    over the dup-gram positions): distinguishes one verbatim block
+    (cut it) from scattered duplicated phrases (drop the doc).
+    Integer-exact."""
+    from unitdb_spark.operators.substring import longest_dup_span
+
+    return longest_dup_span(_docs(spark, sf_dir), k=8, min_occ=2)
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3415,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_ensemble": q_events_anomaly_ensemble,
         "events_psi": q_events_psi,
         "orders_snapshot_diff": q_orders_snapshot_diff,
+        "doc_longest_dup_span": q_doc_longest_dup_span,
     }
 
 
@@ -6137,6 +6148,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT gram_hash, COUNT(*) AS n_occ,
           COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
         FROM g GROUP BY gram_hash HAVING COUNT(*) >= 2
+        """.replace("{toks}", _TOKS),
+        "doc_longest_dup_span": f"""
+        -- gaps-and-islands: island = pos - row_number is constant
+        -- within a consecutive dup run; run of r positions spans
+        -- r + k - 1 tokens
+        WITH t AS (
+          SELECT doc_id, {{toks}} AS tk FROM documents
+        ), g AS (
+          SELECT doc_id, i AS pos,
+            CAST(('0x' || substr(md5(array_to_string(
+                   list_slice(tk, i + 1, i + 8), ' ')), 1, 15)) AS BIGINT) AS gh
+          FROM t, UNNEST(generate_series(0, len(tk) - 8)) AS u(i)
+          WHERE len(tk) >= 8
+        ), s AS (
+          SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2
+        ), d AS (
+          SELECT doc_id, pos,
+            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+              AS island
+          FROM g JOIN s USING (gh)
+        ), runs AS (
+          SELECT doc_id, island, COUNT(*) + 7 AS span
+          FROM d GROUP BY 1, 2
+        ), agg AS (
+          SELECT doc_id, SUM(span - 7) AS n_dup_pos,
+            MAX(span) AS longest
+          FROM runs GROUP BY 1
+        )
+        SELECT t.doc_id,
+          CAST(coalesce(a.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+          CAST(coalesce(a.longest, 0) AS BIGINT) AS longest_span_tokens
+        FROM t LEFT JOIN agg a USING (doc_id)
         """.replace("{toks}", _TOKS),
         "doc_novelty": f"""
         WITH t AS (

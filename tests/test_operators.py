@@ -3316,3 +3316,27 @@ class TestSnapshotDiff:
         out = {r["entity"]: r for r in snapshot_diff(
             old, new, ["k"], ["v"]).collect()}
         assert out["v"]["n_changed"] == 1  # NULL==NULL is unchanged
+
+
+class TestLongestDupSpan:
+    def test_block_vs_scattered(self, spark):
+        from unitdb_spark.operators.substring import longest_dup_span
+
+        block = " ".join(f"w{i}" for i in range(20))  # 20-token block
+        a = " ".join(f"a{i}" for i in range(8))
+        b = " ".join(f"b{i}" for i in range(8))
+        filler = " ".join(f"f{i}" for i in range(8))
+        rows = [
+            (1, block + " tail1 tail2"),       # one long run
+            (2, block),
+            (3, f"{a} {filler} {b} x y"),       # two scattered 8-spans
+            (4, a), (5, b),
+            (6, "no duplicates here at all truly nothing repeats ok"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               longest_dup_span(docs, k=8, min_occ=2).collect()}
+        assert out[1]["longest_span_tokens"] == 20
+        assert out[3]["longest_span_tokens"] == 8  # not 16: runs split
+        assert out[3]["n_dup_pos"] == 2
+        assert out[6]["longest_span_tokens"] == 0

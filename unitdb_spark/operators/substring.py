@@ -189,6 +189,59 @@ def novelty_stats(
     )
 
 
+def longest_dup_span(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_occ: int = 2,
+) -> DataFrame:
+    """Per doc, the LONGEST contiguous duplicated region (in tokens):
+    the dup audit's scalar coverage says how much is duplicated, this
+    says how concentrated — a doc with one long verbatim block is a
+    different cleanup case (cut the block) than one with scattered
+    phrases (drop the doc).
+
+    A maximal run of consecutive duplicated positions p..p+r spans
+    r + k tokens. Runs are gaps-and-islands over the dup positions:
+    island id = p − row_number (constant within a consecutive run),
+    one window + one two-level aggregation.
+
+    Output: (id, n_dup_pos, longest_span_tokens) — docs without any
+    duplicated gram report 0.
+    """
+    pos = _positions(docs, id_col, text_col, k)
+    grams = pos.filter(F.col("gram_hash").isNotNull())
+    stats = grams.groupBy("gram_hash").agg(F.count("*").alias("n_occ"))
+    dup_pos = grams.join(
+        stats.filter(F.col("n_occ") >= min_occ), "gram_hash"
+    ).select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    runs = dup_pos.withColumn(
+        "_island", F.col("pos") - F.row_number().over(w)
+    )
+    span = (
+        runs.groupBy("id", "_island")
+        .agg((F.count(F.lit(1)) + F.lit(k - 1)).alias("_span"))
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("_span") - F.lit(k - 1)).alias("n_dup_pos"),
+            F.max("_span").alias("longest_span_tokens"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return (
+        ids.join(span, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_dup_pos", F.lit(0)).cast("long").alias("n_dup_pos"),
+            F.coalesce("longest_span_tokens", F.lit(0)).cast("long").alias(
+                "longest_span_tokens"
+            ),
+        )
+    )
+
+
 def duplicated_grams(
     docs: DataFrame,
     id_col: str = "doc_id",
