@@ -3225,6 +3225,74 @@ def q_doc_longest_dup_span(spark, sf_dir):
     return longest_dup_span(_docs(spark, sf_dir), k=8, min_occ=2)
 
 
+def q_doc_prefix_jaccard(spark, sf_dir):
+    """EVERY pair with exact 3-gram-shingle Jaccard >= 0.5, NO
+    blocking column: prefix filtering (Bayardo et al. WWW'07 /
+    PPJoin) makes the unblocked exact join tractable — candidates
+    must share one of each side's globally-rarest tokens. Lossless:
+    the oracle is literal brute force over all pairs."""
+    from unitdb_spark.operators.setjoin import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_doc_lsh_recall(spark, sf_dir):
+    """The near-dup audit every approximate pipeline owes its users:
+    recall/precision of the MinHash-LSH candidate set (md5 family,
+    16 hashes x 4 bands) against the exact prefix-join ground truth
+    at J >= 0.5. One floor-ppm row."""
+    from unitdb_spark.operators.dedup import minhash_lsh_pairs_md5
+    from unitdb_spark.operators.evaluation import pair_retrieval_report
+    from unitdb_spark.operators.setjoin import prefix_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    truth = prefix_jaccard_pairs(docs, threshold=0.5)
+    cand = minhash_lsh_pairs_md5(docs, num_hashes=16, bands=4)
+    return pair_retrieval_report(truth, cand)
+
+
+def q_customer_er(spark, sf_dir):
+    """Record linkage: a deterministically-perturbed copy of customer
+    (exactly one edit per name, variant keyed by custkey % 3) is
+    re-linked to the clean table by blocked levenshtein matching —
+    best (distance, id) candidate per record, unmatched kept as NULL
+    rows."""
+    from unitdb_spark.operators.linkage import link_records
+
+    c = _read(spark, sf_dir, "customer")
+    dirty = c.select(
+        F.col("c_custkey").alias("d_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.regexp_replace("c_name", "Customer", "Custmer"),
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.concat(F.col("c_name"), F.lit("!")))
+        .otherwise(F.lower(F.col("c_name")))
+        .alias("d_name"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    return link_records(
+        dirty, c, ["c_nationkey", "c_mktsegment"], "d_id", "c_custkey",
+        "d_name", "c_name", max_distance=2,
+    ).withColumn("distance", F.col("distance").cast("long"))
+
+
+def q_parts_pagerank(spark, sf_dir):
+    """PageRank over the part co-purchase graph (parts sharing an
+    order), 5 power iterations, damping 0.85 — the repo's second
+    iterative graph operator (components being the first). Rank
+    scaled by N (mean 1.0), round-6; the oracle unrolls the same 5
+    iterations as CTEs."""
+    from unitdb_spark.operators.graph import cooccurrence_edges, pagerank
+
+    li = _read(spark, sf_dir, "lineitem")
+    pr = pagerank(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey"), iterations=5
+    )
+    return pr.select(F.col("node").alias("part_id"), "pr_r")
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3426,6 +3494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_psi": q_events_psi,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "doc_longest_dup_span": q_doc_longest_dup_span,
+        "doc_prefix_jaccard": q_doc_prefix_jaccard,
+        "doc_lsh_recall": q_doc_lsh_recall,
+        "customer_er": q_customer_er,
+        "parts_pagerank": q_parts_pagerank,
     }
 
 
@@ -6254,6 +6326,69 @@ def oracle_sql() -> dict[str, str]:
         ) + """) AS BIGINT) AS zkey
         FROM b
         """,
+        "doc_prefix_jaccard": r"""
+        -- brute force over ALL pairs: prefix filtering is lossless,
+        -- so the Spark plan (which never materializes the n^2 space)
+        -- must equal this quadratic reference exactly
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(0, greatest(len(tk) - 3, 0)),
+            i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')
+          )) AS s
+          FROM toks
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        """,
+        "doc_lsh_recall": _minhash_md5_cte() + r"""
+        , truth AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) >= 0.5
+        ), hit AS (
+          SELECT id_a, id_b FROM truth JOIN est USING (id_a, id_b)
+        ), m AS (
+          SELECT (SELECT count(*) FROM truth) AS n_true,
+                 (SELECT count(*) FROM est) AS n_cand,
+                 (SELECT count(*) FROM hit) AS n_hit
+        )
+        SELECT n_true, n_cand, n_hit,
+          CAST(floor(n_hit * 1000000.0 / greatest(n_true, 1)) AS BIGINT) AS recall_ppm,
+          CAST(floor(n_hit * 1000000.0 / greatest(n_cand, 1)) AS BIGINT) AS precision_ppm
+        FROM m
+        """,
+        "customer_er": """
+        WITH dirty AS (
+          SELECT c_custkey AS d_id,
+            CASE c_custkey % 3 WHEN 0 THEN replace(c_name, 'Customer', 'Custmer')
+              WHEN 1 THEN c_name || '!' ELSE lower(c_name) END AS d_name,
+            c_nationkey, c_mktsegment FROM customer
+        ), cand AS (
+          SELECT d.d_id, c.c_custkey AS rid,
+                 levenshtein(d.d_name, c.c_name) AS dist,
+                 greatest(length(d.d_name), length(c.c_name)) AS mx
+          FROM dirty d JOIN customer c USING (c_nationkey, c_mktsegment)
+          WHERE levenshtein(d.d_name, c.c_name) <= 2
+        ), best AS (
+          SELECT d_id, rid, dist, mx,
+            row_number() OVER (PARTITION BY d_id ORDER BY dist, rid) AS rk,
+            count(*) OVER (PARTITION BY d_id) AS nc FROM cand
+        )
+        SELECT dd.d_id, b.rid AS matched_id, b.dist AS distance,
+          CAST(floor((1.0 - b.dist / b.mx) * 1000000) AS BIGINT) AS score_ppm,
+          coalesce(b.nc, 0) AS n_candidates
+        FROM (SELECT DISTINCT d_id FROM dirty) dd
+        LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (d_id)
+        """,
+        "parts_pagerank": _pagerank_oracle(),
     }
     # composed v2 quality pipeline: the four session signals' oracles
     # become CTEs of one statement, checking their INTERACTION (the
@@ -6567,3 +6702,34 @@ def _doc_lang_oracle() -> str:
     WITH hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM documents)
     SELECT doc_id, {expr} AS lang_pred FROM hits
     """
+
+
+def _pagerank_oracle() -> str:
+    """`parts_pagerank` replay: the SAME 5 power iterations the Spark
+    loop runs, unrolled as CTEs (fixed iteration count is the
+    determinism contract — no float convergence test to diverge on)."""
+    it = """
+          SELECT e.dst AS node,
+            (SELECT 0.15 / nn FROM n) + 0.85 * sum(r.pr / deg.d) AS pr
+          FROM e JOIN {prev} r ON e.src = r.node JOIN deg ON e.src = deg.src
+          GROUP BY e.dst
+    """
+    steps = ",\n".join(
+        f"r{k} AS ({it.format(prev=f'r{k - 1}')})" for k in range(1, 6)
+    )
+    return (
+        """
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+               FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        n AS (SELECT count(*) AS nn FROM deg),
+        r0 AS (SELECT src AS node, (SELECT 1.0 / nn FROM n) AS pr FROM deg),
+        """
+        + steps
+        + """
+        SELECT node AS part_id, round(pr * (SELECT nn FROM n), 6) AS pr_r
+        FROM r5
+        """
+    )

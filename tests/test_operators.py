@@ -3340,3 +3340,192 @@ class TestLongestDupSpan:
         assert out[3]["longest_span_tokens"] == 8  # not 16: runs split
         assert out[3]["n_dup_pos"] == 2
         assert out[6]["longest_span_tokens"] == 0
+
+
+class TestPrefixJaccard:
+    """setjoin.prefix_jaccard_pairs — the unblocked exact path."""
+
+    def test_matches_brute_force_on_corpus_sample(self, spark):
+        from unitdb_spark.operators.setjoin import prefix_jaccard_pairs
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 120)
+        )
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in prefix_jaccard_pairs(docs, threshold=0.35).collect()
+        }
+        # brute force over the same shingle sets (cross join is fine
+        # at 120 docs -- this is the ground truth the filter must equal)
+        from unitdb_spark.operators.dedup import raw_tokens, shingles_from_tokens
+
+        t = docs.select(
+            F.col("doc_id").alias("_id"), raw_tokens("text").alias("_raw")
+        ).select("_id", shingles_from_tokens("_raw", 3).alias("_tok"))
+        a = t.select(F.col("_id").alias("id_a"), F.col("_tok").alias("ta"))
+        b = t.select(F.col("_id").alias("id_b"), F.col("_tok").alias("tb"))
+        inter = F.size(F.array_intersect("ta", "tb"))
+        union = F.size(F.array_union("ta", "tb"))
+        brute = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                F.round(inter.cast("double") / union.cast("double"), 6).alias("j"),
+            )
+            .filter(F.col("j") >= 0.35)
+        )
+        want = {(r.id_a, r.id_b, r.j) for r in brute.collect()}
+        assert got == want
+        assert len(got) > 0  # the corpus plants near-dup pairs
+
+    def test_word_unit_handcrafted(self, spark):
+        from unitdb_spark.operators.setjoin import prefix_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "alpha beta gamma epsilon"),  # J(1,2) = 3/5
+                (3, "zeta eta theta iota"),       # J with others = 0
+                (4, "alpha beta gamma delta"),    # J(1,4) = 1
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in prefix_jaccard_pairs(df, threshold=0.5, unit="word").collect()
+        }
+        assert rows == {(1, 2): 0.6, (1, 4): 1.0, (2, 4): 0.6}
+
+    def test_threshold_validated(self, spark):
+        from unitdb_spark.operators.setjoin import prefix_jaccard_pairs
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            prefix_jaccard_pairs(df, threshold=0.0)
+        with pytest.raises(ValueError):
+            prefix_jaccard_pairs(df, unit="chars")
+
+
+class TestLinkRecords:
+    def _clean(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "Alice Johnson", "US"),
+                (2, "Bob Smith", "US"),
+                (3, "Carol Jones", "DE"),
+            ],
+            ["rid", "name", "country"],
+        )
+
+    def test_best_match_and_unmatched(self, spark):
+        from unitdb_spark.operators.linkage import link_records
+
+        left = spark.createDataFrame(
+            [
+                (10, "Alice Johnsen", "US"),   # 1 edit from Alice Johnson
+                (11, "Bob Smyth", "US"),       # 1 edit from Bob Smith
+                (12, "Zelda Nobody", "US"),    # no match within 2
+            ],
+            ["lid", "name", "country"],
+        )
+        out = {
+            r.lid: r
+            for r in link_records(
+                left, self._clean(spark), ["country"], "lid", "rid", "name", "name"
+            ).collect()
+        }
+        assert out[10].matched_id == 1 and out[10].distance == 1
+        assert out[11].matched_id == 2 and out[11].distance == 1
+        assert out[12].matched_id is None and out[12].n_candidates == 0
+        # score_ppm = floor((1 - 1/13) * 1e6) for the Alice pair
+        assert out[10].score_ppm == 923076
+
+    def test_blocking_restricts_candidates(self, spark):
+        from unitdb_spark.operators.linkage import link_records
+
+        # same name, wrong block: must NOT match
+        left = spark.createDataFrame([(20, "Carol Jones", "US")], ["lid", "name", "country"])
+        out = link_records(
+            left, self._clean(spark), ["country"], "lid", "rid", "name", "name"
+        ).collect()
+        assert out[0].matched_id is None
+
+    def test_requires_blocking(self, spark):
+        from unitdb_spark.operators.linkage import link_records
+
+        df = self._clean(spark)
+        with pytest.raises(ValueError):
+            link_records(df, df, [], "rid", "rid", "name", "name")
+
+
+class TestPagerank:
+    def test_two_node_symmetric_is_uniform(self, spark):
+        from unitdb_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+        rows = {r.node: r.pr_r for r in pagerank(e, iterations=5).collect()}
+        assert rows == {1: 1.0, 2: 1.0}
+
+    def test_path_graph_matches_numpy_power_iteration(self, spark):
+        import numpy as np
+        from unitdb_spark.operators.graph import pagerank
+
+        edges = [(1, 2), (2, 1), (2, 3), (3, 2)]
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.node: r.pr_r for r in pagerank(e, iterations=5).collect()}
+        # replicate: deg = {1:1, 2:2, 3:1}, 5 iterations, d=0.85
+        pr = {n: 1 / 3 for n in (1, 2, 3)}
+        deg = {1: 1, 2: 2, 3: 1}
+        for _ in range(5):
+            nxt = {}
+            for n in (1, 2, 3):
+                s = sum(pr[u] / deg[u] for (u, v) in edges if v == n)
+                nxt[n] = 0.15 / 3 + 0.85 * s
+            pr = nxt
+        for n in (1, 2, 3):
+            assert got[n] == pytest.approx(round(pr[n] * 3, 6), abs=1e-6)
+        # center of the path outranks the leaves
+        assert got[2] > got[1] == got[3]
+
+    def test_cooccurrence_edges_symmetric_distinct(self, spark):
+        from unitdb_spark.operators.graph import cooccurrence_edges
+
+        df = spark.createDataFrame(
+            [(100, "a"), (100, "b"), (100, "b"), (101, "b"), (101, "c"), (102, "z")],
+            ["grp", "item"],
+        )
+        got = {(r.src, r.dst) for r in cooccurrence_edges(df, "grp", "item").collect()}
+        assert got == {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")}
+
+    def test_empty_edges_raise(self, spark):
+        from unitdb_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame([], "src int, dst int")
+        with pytest.raises(ValueError):
+            pagerank(e)
+
+
+class TestPairRetrievalReport:
+    def test_counts_and_ppm(self, spark):
+        from unitdb_spark.operators.evaluation import pair_retrieval_report
+
+        truth = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (4, 5)], ["id_a", "id_b"]
+        )
+        cand = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8), (9, 10), (4, 6)], ["id_a", "id_b"]
+        )
+        r = pair_retrieval_report(truth, cand).collect()[0]
+        assert (r.n_true, r.n_cand, r.n_hit) == (4, 5, 2)
+        assert r.recall_ppm == 500000
+        assert r.precision_ppm == 400000
+
+    def test_empty_truth_reports_zero(self, spark):
+        from unitdb_spark.operators.evaluation import pair_retrieval_report
+
+        truth = spark.createDataFrame([], "id_a int, id_b int")
+        cand = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        r = pair_retrieval_report(truth, cand).collect()[0]
+        assert (r.n_true, r.n_cand, r.n_hit) == (0, 1, 0)
+        assert r.recall_ppm == 0 and r.precision_ppm == 0

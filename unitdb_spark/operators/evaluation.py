@@ -80,3 +80,40 @@ def accuracy_report(
         .alias("accuracy_ppm"),
         "n_classes", "macro_recall_ppm",
     )
+
+
+def pair_retrieval_report(
+    truth: DataFrame,
+    candidates: DataFrame,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """One-row recall/precision of a candidate pair set vs ground truth.
+
+    The audit every approximate near-dup path owes its users: how many
+    of the TRUE pairs (exact similarity >= t, e.g. from
+    `setjoin.prefix_jaccard_pairs`) did the cheap candidate generator
+    (MinHash-LSH, SimHash) actually surface, and how much junk came
+    with them. Output: (n_true, n_cand, n_hit, recall_ppm,
+    precision_ppm) — floor-ppm, integer-exact.
+
+    Both inputs are pair relations keyed (id_a, id_b); a full outer
+    join on the pair key computes all three counts in ONE pass (no
+    separate inner/anti joins — the pair sets are tiny next to the
+    corpus but there is no reason to scan them three times).
+    """
+    ka, kb = id_cols
+    t = truth.select(ka, kb, F.lit(1).alias("_t"))
+    c = candidates.select(ka, kb, F.lit(1).alias("_c"))
+    j = t.join(c, [ka, kb], "full")
+    ppm = F.lit(1_000_000)
+    return j.agg(
+        F.count("_t").alias("n_true"),
+        F.count("_c").alias("n_cand"),
+        F.count(F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)).alias("n_hit"),
+    ).select(
+        "n_true", "n_cand", "n_hit",
+        F.floor(F.col("n_hit") * ppm / F.greatest(F.col("n_true"), F.lit(1)))
+        .cast("long").alias("recall_ppm"),
+        F.floor(F.col("n_hit") * ppm / F.greatest(F.col("n_cand"), F.lit(1)))
+        .cast("long").alias("precision_ppm"),
+    )

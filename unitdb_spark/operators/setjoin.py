@@ -1,0 +1,141 @@
+"""All-pairs exact set-similarity join via prefix filtering.
+
+The blocked Jaccard join (`dedup.ngram_jaccard_pairs`) refuses to run
+without a blocking column — an unblocked self-join is quadratic. But
+"find EVERY pair above a Jaccard threshold, exactly" is a real
+request (dedup ground truth, LSH recall audits), and it has a
+published sub-quadratic answer: prefix filtering (Bayardo et al.,
+"Scaling Up All Pairs Similarity Search", WWW'07; the PPJoin family,
+Xiao et al., WWW'08). This module is the principled UNBLOCKED path:
+
+1. order every set's tokens by GLOBAL document frequency, rarest
+   first (one groupBy to build the frequency dictionary);
+2. a pair with Jaccard >= t must share a token inside each side's
+   first  |x| - ceil(t*|x|) + 1  tokens of that order (the prefix) —
+   any pair sharing NO prefix token is provably below t, so joining
+   on prefix tokens alone is LOSSLESS;
+3. verify surviving candidates with the exact intersection.
+
+Why this scales where the naive join cannot: the join key is a
+prefix token, and prefixes hold each set's globally RAREST tokens —
+the candidate lists per key are short by construction, and the hot
+(frequent) tokens that would blow up a token-inverted-index join are
+exactly the ones the frequency ordering pushes OUT of prefixes. The
+shuffles are: token-frequency groupBy, frequency join back (both on
+token), one per-set window to rank, the candidate self-join on
+prefix token, and the two id-joins of the verify step — every one on
+a bounded key, none quadratic.
+
+Reference parity note: the reference engine has no similarity join —
+this is north-star LLM-pipeline surface (ground-truth generation for
+the MinHash/SimHash near-dup family in `operators/dedup.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from unitdb_spark.operators.dedup import raw_tokens, shingles_from_tokens
+
+
+def _token_sets(
+    df: DataFrame, text_col: str, id_col: str, unit: str, shingle_n: int
+) -> DataFrame:
+    """(_id, _tok) with _tok a DISTINCT token/shingle array; empty
+    sets dropped (Jaccard is undefined on them)."""
+    if unit == "word":
+        toks: Column = F.array_distinct(raw_tokens(text_col))
+    elif unit == "shingle":
+        bound = df.select(
+            F.col(id_col).alias("_id"), raw_tokens(text_col).alias("_raw")
+        )
+        return bound.select(
+            "_id", shingles_from_tokens("_raw", shingle_n).alias("_tok")
+        ).filter(F.size("_tok") > 0)
+    else:
+        raise ValueError(f"unit must be word|shingle, got {unit!r}")
+    return df.select(F.col(id_col).alias("_id"), toks.alias("_tok")).filter(
+        F.size("_tok") > 0
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    unit: str = "shingle",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EVERY pair with exact Jaccard >= threshold — no blocking column.
+
+    ``unit`` picks the set elements: "shingle" (word n-grams, the
+    near-dup convention shared with MinHash) or "word" (distinct
+    tokens, the `ngram_jaccard_pairs` convention). Output:
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6
+    (cross-engine division convention, same as `doc_lsh_verified`).
+
+    Exactness: prefix filtering is lossless — the output equals the
+    brute-force all-pairs result. Cost: near-linear in the inverted
+    prefix-index size instead of quadratic in documents.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = _token_sets(df, text_col, id_col, unit, shingle_n)
+
+    # global document frequency per token — the ordering dictionary.
+    # One partial-agg shuffle on token; at 100 TB this relation is
+    # |vocabulary| rows, far smaller than the corpus.
+    ex = t.select("_id", F.size("_tok").alias("_len"), F.explode("_tok").alias("_t"))
+    freq = ex.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+
+    # rank each set's tokens rarest-first; the (df, token) order is
+    # total, so prefixes are deterministic. The join is on token (the
+    # same key the freq groupBy just used), the window on _id.
+    w = Window.partitionBy("_id").orderBy("_df", "_t")
+    pos = ex.join(freq, "_t").select(
+        "_id", "_len", "_t", F.row_number().over(w).alias("_pos")
+    )
+
+    # prefix size p = |x| - ceil(t*|x|) + 1: a pair at J >= t shares
+    # >= ceil(t*|x|) tokens, more than fit in the suffix alone.
+    p = F.col("_len") - F.ceil(F.lit(threshold) * F.col("_len")) + 1
+    pre = pos.filter(F.col("_pos") <= p)
+
+    # candidates: share any prefix token + the length filter
+    # (|y| >= t*|x| is necessary for J >= t); dedup multi-token hits.
+    a = pre.select(
+        F.col("_id").alias("id_a"), "_t", F.col("_len").alias("_la")
+    )
+    b = pre.select(
+        F.col("_id").alias("id_b"), "_t", F.col("_len").alias("_lb")
+    )
+    cand = (
+        a.join(b, "_t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("_lb") >= F.ceil(F.lit(threshold) * F.col("_la")))
+        .filter(F.col("_la") >= F.ceil(F.lit(threshold) * F.col("_lb")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # verify: exact Jaccard on the candidate set only. Union via
+    # distinct-concat length (arrays are already distinct) — the
+    # formulation the DuckDB oracle replays verbatim.
+    ta = t.select(F.col("_id").alias("id_a"), F.col("_tok").alias("_tka"))
+    tb = t.select(F.col("_id").alias("id_b"), F.col("_tok").alias("_tkb"))
+    inter = F.size(F.array_intersect("_tka", "_tkb"))
+    union = F.size(F.array_union("_tka", "_tkb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union.cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
