@@ -3293,6 +3293,30 @@ def q_parts_pagerank(spark, sf_dir):
     return pr.select(F.col("node").alias("part_id"), "pr_r")
 
 
+def q_parts_triangles(spark, sf_dir):
+    """Per-node triangle counts over the co-purchase graph — the
+    degree-ordered wedge-close formulation (each triangle found once,
+    at its order-smallest corner; forward fan-out bounded, so hubs
+    don't square). Exact integers; the oracle replays the same
+    orientation."""
+    from unitdb_spark.operators.graph import cooccurrence_edges, triangle_counts
+
+    li = _read(spark, sf_dir, "lineitem")
+    return triangle_counts(cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+
+
+def q_parts_related(spark, sf_dir):
+    """'Also bought' retrieval: top-10 related parts per part by
+    cosine-normalized co-purchase (n_ab / sqrt(n_a·n_b)) — the
+    normalization basket_pairs' raw lift lacks; round-6 score with
+    the neighbor-id tie-break per the cross-engine ranking
+    convention."""
+    from unitdb_spark.operators.graph import related_items
+
+    li = _read(spark, sf_dir, "lineitem")
+    return related_items(li, "l_orderkey", "l_partkey", k=10, min_cooc=2)
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3498,6 +3522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lsh_recall": q_doc_lsh_recall,
         "customer_er": q_customer_er,
         "parts_pagerank": q_parts_pagerank,
+        "parts_triangles": q_parts_triangles,
+        "parts_related": q_parts_related,
     }
 
 
@@ -6389,6 +6415,45 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (d_id)
         """,
         "parts_pagerank": _pagerank_oracle(),
+        "parts_triangles": """
+        -- same degree-ordered wedge-close orientation as the Spark
+        -- operator: each triangle closes at its (degree, id)-smallest
+        -- corner; closing-edge membership tested on the id-normalized
+        -- undirected set (direction depends on degree)
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (SELECT DISTINCT a.p AS ea, b.p AS eb
+              FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        nodes AS (SELECT ea AS n FROM e UNION ALL SELECT eb FROM e),
+        deg AS (SELECT n, count(*) AS d FROM nodes GROUP BY n),
+        fwd AS (
+          SELECT CASE WHEN (da.d, e.ea) < (db.d, e.eb) THEN e.ea ELSE e.eb END AS u,
+                 CASE WHEN (da.d, e.ea) < (db.d, e.eb) THEN e.eb ELSE e.ea END AS v
+          FROM e JOIN deg da ON e.ea = da.n JOIN deg db ON e.eb = db.n
+        ),
+        wedges AS (SELECT w1.u, w1.v AS x, w2.v AS y
+                   FROM fwd w1 JOIN fwd w2 ON w1.u = w2.u AND w1.v < w2.v),
+        tri AS (SELECT u, x, y FROM wedges JOIN e ON x = e.ea AND y = e.eb),
+        corners AS (SELECT u AS n FROM tri UNION ALL SELECT x FROM tri
+                    UNION ALL SELECT y FROM tri),
+        cnt AS (SELECT n, count(*) AS c FROM corners GROUP BY n)
+        SELECT deg.n AS node, CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles
+        FROM deg LEFT JOIN cnt USING (n)
+        """,
+        "parts_related": """
+        WITH g AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        freq AS (SELECT i, count(*) AS n FROM g GROUP BY i),
+        p0 AS (SELECT a.i AS ia, b.i AS ib, count(*) AS nab
+               FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        p AS (SELECT ia, ib, nab FROM p0
+              UNION ALL SELECT ib, ia, nab FROM p0),
+        s AS (SELECT p.ia AS item, p.ib AS neighbor, p.nab AS n_cooc,
+                round(p.nab / sqrt(fa.n * fb.n), 6) AS cosine_r
+              FROM p JOIN freq fa ON p.ia = fa.i JOIN freq fb ON p.ib = fb.i),
+        r AS (SELECT *, row_number() OVER (PARTITION BY item
+                ORDER BY cosine_r DESC, neighbor) AS rank FROM s)
+        SELECT item, neighbor, n_cooc, cosine_r, rank FROM r WHERE rank <= 10
+        """,
     }
     # composed v2 quality pipeline: the four session signals' oracles
     # become CTEs of one statement, checking their INTERACTION (the

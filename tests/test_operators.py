@@ -3529,3 +3529,76 @@ class TestPairRetrievalReport:
         r = pair_retrieval_report(truth, cand).collect()[0]
         assert (r.n_true, r.n_cand, r.n_hit) == (0, 1, 0)
         assert r.recall_ppm == 0 and r.precision_ppm == 0
+
+
+class TestTriangleCounts:
+    def test_matches_brute_force_random_graph(self, spark):
+        import itertools
+        import random
+
+        from unitdb_spark.operators.graph import triangle_counts
+
+        rng = random.Random(7)
+        nodes = list(range(30))
+        edges = set()
+        for _ in range(80):
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        adj = {n: set() for n in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {n: 0 for n in nodes}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                want[a] += 1
+                want[b] += 1
+                want[c] += 1
+        want = {n: v for n, v in want.items() if adj[n]}
+        e = spark.createDataFrame(sorted(edges), ["src", "dst"])
+        got = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+        assert got == want
+
+    def test_accepts_symmetric_input(self, spark):
+        from unitdb_spark.operators.graph import triangle_counts
+
+        # triangle 1-2-3 given in both directions + a dangling edge
+        sym = [(a, b) for (a, b) in
+               [(1, 2), (2, 3), (1, 3), (3, 4)] for (a, b) in [(a, b), (b, a)]]
+        e = spark.createDataFrame(sym, ["src", "dst"])
+        got = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+class TestRelatedItems:
+    def test_cosine_and_ranking(self, spark):
+        from unitdb_spark.operators.graph import related_items
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"),
+             (3, "b"), (4, "b"), (4, "c"), (5, "c"), (5, "d")],
+            ["grp", "item"],
+        )
+        rows = {
+            (r.item, r.neighbor): (r.n_cooc, r.cosine_r, r.rank)
+            for r in related_items(df, "grp", "item", k=3, min_cooc=1).collect()
+        }
+        # n_a=3, n_b=4, n_ab=3 -> 3/sqrt(12)
+        assert rows[("a", "b")] == (3, 0.866025, 1)
+        assert rows[("b", "a")] == (3, 0.866025, 1)
+        # the ubiquitous 'b' ranks BELOW 'd' for item c: cosine
+        # normalization at work (raw co-occurrence would say b)
+        assert rows[("c", "b")][2] == 1 and rows[("c", "d")][2] == 2
+        assert rows[("c", "b")][1] == rows[("c", "d")][1] == 0.57735
+
+    def test_k_cut_and_min_cooc(self, spark):
+        from unitdb_spark.operators.graph import related_items
+
+        df = spark.createDataFrame(
+            [(g, i) for g in range(6) for i in ("x", "y")] + [(0, "z")],
+            ["grp", "item"],
+        )
+        out = related_items(df, "grp", "item", k=1, min_cooc=2).collect()
+        # (x,z)/(y,z) co-occur once -> pruned; only x<->y survives
+        assert {(r.item, r.neighbor) for r in out} == {("x", "y"), ("y", "x")}
+        assert all(r.rank == 1 for r in out)

@@ -592,3 +592,50 @@ class TestSessionPlans:
         plan = formatted_plan(out)
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         assert not has_python_eval(out)
+
+
+class TestNewFamiliesPlans:
+    """Plan pins for the setjoin / linkage / graph operators."""
+
+    def test_prefix_jaccard_bounded_exchanges_no_python(self, spark):
+        from unitdb_spark.operators.setjoin import prefix_jaccard_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = prefix_jaccard_pairs(docs, threshold=0.5)
+        # token-df agg, df join-back, per-doc rank window, candidate
+        # self-join, pair distinct, two verify id-joins -- bounded,
+        # and every exchange key is a token / doc id, never a cross
+        assert shuffle_count(out) <= 9
+        assert not has_python_eval(out)
+        plan = formatted_plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_link_records_block_join_no_cross(self, spark):
+        from unitdb_spark.operators.linkage import link_records
+
+        c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        dirty = c.select(
+            F.col("c_custkey").alias("d_id"),
+            F.lower("c_name").alias("d_name"),
+            "c_nationkey", "c_mktsegment",
+        )
+        out = link_records(
+            dirty, c, ["c_nationkey", "c_mktsegment"], "d_id",
+            "c_custkey", "d_name", "c_name",
+        )
+        plan = formatted_plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert not has_python_eval(out)
+
+    def test_pagerank_no_python_no_cross(self, spark):
+        from unitdb_spark.operators.graph import cooccurrence_edges, pagerank
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        out = pagerank(
+            cooccurrence_edges(li, "l_orderkey", "l_partkey"), iterations=2
+        )
+        plan = formatted_plan(out)
+        assert "CartesianProduct" not in plan
+        assert not has_python_eval(out)

@@ -95,3 +95,145 @@ def pagerank(
         F.col("_s").alias("node"),
         F.round(F.col("_pr") * F.lit(float(n)), 6).alias("pr_r"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph.
+
+    Triangles measure local clustering — in a co-purchase or co-citation
+    graph they separate genuinely cohesive neighborhoods from hub
+    artifacts (a hub has high degree but few closed triangles).
+
+    Input may be symmetric (both directions, as `cooccurrence_edges`
+    emits) or one-row-per-undirected-edge; it is normalized to
+    distinct a < b pairs first. The count uses the standard
+    degree-ordered formulation (each edge directed from the
+    (degree, id)-SMALLER endpoint to the larger): every triangle has
+    exactly one wedge centered at its smallest vertex, so the
+    wedge-close join counts each triangle once, and wedge fan-out per
+    node is bounded by its FORWARD degree — the O(m^1.5) bound that
+    keeps hub nodes from exploding the join (the reason this survives
+    a power-law graph at scale; an undirected wedge join would square
+    the hub degree).
+
+    Output: (node, n_triangles) for every node in the edge set,
+    zeros included. Exact integers end to end.
+    """
+    e = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .select(
+            F.least("_a", "_b").alias("_a"), F.greatest("_a", "_b").alias("_b")
+        )
+        .distinct()
+    )
+    # total degree per node (undirected), then direct each edge from
+    # the (degree, id)-smaller endpoint to the larger
+    nodes = e.select(F.col("_a").alias("_n")).unionAll(
+        e.select(F.col("_b").alias("_n"))
+    )
+    deg = nodes.groupBy("_n").agg(F.count(F.lit(1)).alias("_deg"))
+    da = deg.select(F.col("_n").alias("_a"), F.col("_deg").alias("_dega"))
+    db = deg.select(F.col("_n").alias("_b"), F.col("_deg").alias("_degb"))
+    ed = e.join(da, "_a").join(db, "_b")
+    fwd = ed.select(
+        F.when(
+            (F.col("_dega") < F.col("_degb"))
+            | ((F.col("_dega") == F.col("_degb")) & (F.col("_a") < F.col("_b"))),
+            F.struct(F.col("_a").alias("u"), F.col("_b").alias("v")),
+        )
+        .otherwise(F.struct(F.col("_b").alias("u"), F.col("_a").alias("v")))
+        .alias("_e")
+    ).select(F.col("_e.u").alias("_u"), F.col("_e.v").alias("_v"))
+    # wedges at the order-smallest vertex (its two forward neighbors),
+    # id-normalized x < y, closed against the id-normalized undirected
+    # edge set (the closing edge's FORWARD direction depends on degree,
+    # so the membership test must be direction-free)
+    w1 = fwd.select(F.col("_u"), F.col("_v").alias("_x"))
+    w2 = fwd.select(F.col("_u"), F.col("_v").alias("_y"))
+    wedges = w1.join(w2, "_u").filter(F.col("_x") < F.col("_y"))
+    tri = wedges.join(
+        e.select(F.col("_a").alias("_x"), F.col("_b").alias("_y")),
+        ["_x", "_y"],
+    ).select("_u", "_x", "_y")
+    # each triangle credits all three corners
+    corners = (
+        tri.select(F.col("_u").alias("_n"))
+        .unionAll(tri.select(F.col("_x").alias("_n")))
+        .unionAll(tri.select(F.col("_y").alias("_n")))
+    )
+    counts = corners.groupBy("_n").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        deg.select("_n")
+        .join(counts, "_n", "left")
+        .select(
+            F.col("_n").alias("node"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+    )
+
+
+def related_items(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 10,
+    min_cooc: int = 2,
+) -> DataFrame:
+    """Top-k related items by cosine-normalized co-occurrence.
+
+    The "users who bought X also bought" retrieval surface: for each
+    item, the k neighbors ranked by n_ab / sqrt(n_a * n_b) — the
+    cosine between binary group-incidence vectors. Normalization is
+    what separates this from raw co-occurrence (`olap.basket_pairs`):
+    a ubiquitous item co-occurs with everything, but its sqrt(n)
+    denominator pushes it down every neighbor list.
+
+    min_cooc prunes the pair tail BEFORE the frequency joins;
+    the per-item cut is a rank window on (cosine_r DESC, neighbor) —
+    rounded-6 score with the id tie-break, the repo's cross-engine
+    ranking convention. Per-group pair fan-out is O(b^2) with the
+    group as the natural block, exactly like `basket_pairs`.
+
+    Output: (item, neighbor, n_cooc, cosine_r, rank), rank <= k.
+    """
+    g = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    freq = g.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
+    a = g.select("_g", F.col("_i").alias("_ia"))
+    b = g.select("_g", F.col("_i").alias("_ib"))
+    # both directions in one pass: count unordered, emit ordered later
+    pairs = (
+        a.join(b, "_g")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.count(F.lit(1)).alias("_nab"))
+        .filter(F.col("_nab") >= min_cooc)
+    )
+    both = pairs.unionAll(
+        pairs.select(
+            F.col("_ib").alias("_ia"), F.col("_ia").alias("_ib"), "_nab"
+        )
+    )
+    fa = freq.select(F.col("_i").alias("_ia"), F.col("_n").alias("_na"))
+    fb = freq.select(F.col("_i").alias("_ib"), F.col("_n").alias("_nb"))
+    scored = both.join(fa, "_ia").join(fb, "_ib").select(
+        F.col("_ia").alias("item"),
+        F.col("_ib").alias("neighbor"),
+        F.col("_nab").alias("n_cooc"),
+        F.round(
+            F.col("_nab") / F.sqrt(F.col("_na") * F.col("_nb")), 6
+        ).alias("cosine_r"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine_r").desc(), F.col("neighbor")
+    )
+    return scored.select(
+        "item", "neighbor", "n_cooc", "cosine_r",
+        F.row_number().over(w).alias("rank"),
+    ).filter(F.col("rank") <= k)
