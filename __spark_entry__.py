@@ -3317,6 +3317,24 @@ def q_parts_related(spark, sf_dir):
     return related_items(li, "l_orderkey", "l_partkey", k=10, min_cooc=2)
 
 
+def q_doc_keyphrases(spark, sf_dir):
+    """Top-3 RAKE keyphrases per document (Rose '10): candidate runs
+    split at stopwords/non-letter tokens, word score = floor-ppm
+    degree/frequency, phrase score = integer sum — order-free, so
+    the oracle replays it exactly."""
+    from unitdb_spark.operators.keyphrase import rake_keyphrases
+
+    return rake_keyphrases(_docs(spark, sf_dir), top_k=3)
+
+
+def q_doc_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch-Kincaid grade per document —
+    regex sentence/vowel-run counting, integer-exact counts, pinned
+    float order, round-6. Zero shuffles (pure projection)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", *TXT.readability_scores("text"))
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3524,6 +3542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_pagerank": q_parts_pagerank,
         "parts_triangles": q_parts_triangles,
         "parts_related": q_parts_related,
+        "doc_keyphrases": q_doc_keyphrases,
+        "doc_readability": q_doc_readability,
     }
 
 
@@ -6454,6 +6474,30 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cosine_r DESC, neighbor) AS rank FROM s)
         SELECT item, neighbor, n_cooc, cosine_r, rank FROM r WHERE rank <= 10
         """,
+        "doc_keyphrases": _rake_oracle(),
+        "doc_readability": f"""
+        WITH c AS (
+          SELECT doc_id,
+            CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+              AS n_sentences,
+            CAST(greatest(len({_TOKS}), 1) AS BIGINT) AS n_words,
+            CAST(coalesce(list_sum(list_transform({_TOKS},
+              w -> greatest(len(regexp_extract_all(w, '[aeiouy]+'))
+                    - CASE WHEN regexp_matches(w, 'e$')
+                            AND len(regexp_extract_all(w, '[aeiouy]+')) >= 2
+                           THEN 1 ELSE 0 END, 1))), 0) AS BIGINT) AS n_syllables
+          FROM documents
+        )
+        SELECT doc_id, n_sentences, n_words, n_syllables,
+          round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                - 15.59, 6) AS fk_grade_r,
+          round(206.835
+                - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+                6) AS ease_r
+        FROM c
+        """,
     }
     # composed v2 quality pipeline: the four session signals' oracles
     # become CTEs of one statement, checking their INTERACTION (the
@@ -6798,3 +6842,47 @@ def _pagerank_oracle() -> str:
         FROM r5
         """
     )
+
+
+def _rake_oracle() -> str:
+    """`doc_keyphrases` replay: same stopword/letter-run candidate
+    split, floor-ppm word scores, integer phrase sums, (score, phrase)
+    ranking."""
+    sw = ", ".join(f"'{w}'" for w in TXT.STOPWORDS)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS tk FROM documents
+        ), tok AS (
+          SELECT doc_id, i AS pos, tk[i] AS w
+          FROM t, UNNEST(generate_series(1, len(tk))) AS u(i)
+        ), nb AS (
+          SELECT doc_id, pos, w,
+            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM tok
+          WHERE w NOT IN ({sw}) AND regexp_matches(w, '^[a-z]+$')
+        ), ph AS (
+          SELECT doc_id, isl,
+            string_agg(w, ' ' ORDER BY pos) AS phrase,
+            count(*) AS n_words
+          FROM nb GROUP BY 1, 2 HAVING count(*) <= 4
+        ), inst AS (
+          SELECT p.doc_id, p.isl, p.n_words, u.w
+          FROM ph p, UNNEST(string_split(p.phrase, ' ')) AS u(w)
+        ), stats AS (
+          SELECT doc_id, w,
+            CAST(floor(sum(n_words) * 1000000.0 / count(*)) AS BIGINT) AS wscore
+          FROM inst GROUP BY 1, 2
+        ), sc AS (
+          SELECT i.doc_id, i.isl, sum(s.wscore) AS score_ppm
+          FROM inst i JOIN stats s USING (doc_id, w) GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT p.doc_id, p.phrase, p.n_words,
+            CAST(sc.score_ppm AS BIGINT) AS score_ppm
+          FROM ph p JOIN sc USING (doc_id, isl)
+        ), r AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score_ppm DESC, phrase) AS rank
+          FROM cand
+        )
+        SELECT doc_id, phrase, n_words, score_ppm, rank FROM r WHERE rank <= 3
+    """

@@ -3602,3 +3602,83 @@ class TestRelatedItems:
         # (x,z)/(y,z) co-occur once -> pruned; only x<->y survives
         assert {(r.item, r.neighbor) for r in out} == {("x", "y"), ("y", "x")}
         assert all(r.rank == 1 for r in out)
+
+
+class TestRakeKeyphrases:
+    def test_handcrafted_scores(self, spark):
+        from unitdb_spark.operators.keyphrase import rake_keyphrases
+
+        # "the models overfit small corpora easily!" ->
+        # one 4-word run (easily! breaks on '!'), each word deg=4 freq=1
+        df = spark.createDataFrame(
+            [(1, "the models overfit small corpora easily!")],
+            ["doc_id", "text"],
+        )
+        rows = rake_keyphrases(df).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.phrase == "models overfit small corpora"
+        assert r.n_words == 4 and r.score_ppm == 16_000_000 and r.rank == 1
+
+    def test_degree_rewards_longer_phrases(self, spark):
+        from unitdb_spark.operators.keyphrase import rake_keyphrases
+
+        # 'red' appears alone AND inside a 2-word phrase:
+        # freq(red)=2, deg(red)=1+2=3 -> 1.5e6; wine: 2e6 (freq 1 deg 2)
+        # "red wine" = 3.5e6 outranks "red" = 1.5e6
+        df = spark.createDataFrame(
+            [(1, "red. red wine.")], ["doc_id", "text"]
+        )
+        # tokens: 'red.' breaks (punct) -- use commas instead
+        df = spark.createDataFrame(
+            [(1, "red and red wine and cheese")], ["doc_id", "text"]
+        )
+        rows = {r.phrase: (r.score_ppm, r.rank)
+                for r in rake_keyphrases(df).collect()}
+        assert rows["red wine"][0] == 3_500_000
+        assert rows["red"][0] == 1_500_000
+        assert rows["red wine"][1] < rows["red"][1]
+
+    def test_long_runs_and_stopwords_excluded(self, spark):
+        from unitdb_spark.operators.keyphrase import rake_keyphrases
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),  # 6-run: dropped
+             (2, "the of and to in")],                    # all stopwords
+            ["doc_id", "text"],
+        )
+        assert rake_keyphrases(df, max_words=4).count() == 0
+
+
+class TestReadability:
+    def test_counts_and_formula(self, spark):
+        from unitdb_spark.functions.text import readability_scores
+
+        df = spark.createDataFrame(
+            [(1, "The cat sat. The cat ran!")], ["doc_id", "text"]
+        )
+        r = df.select("doc_id", *readability_scores("text")).collect()[0]
+        assert r.n_sentences == 2 and r.n_words == 6
+        # each token is single-syllable ('the' has one vowel run;
+        # 'sat.'/'ran!' one run each)
+        assert r.n_syllables == 6
+        wps, spw = 6 / 2, 6 / 6
+        assert r.fk_grade_r == pytest.approx(
+            round(0.39 * wps + 11.8 * spw - 15.59, 6), abs=1e-9
+        )
+        assert r.ease_r == pytest.approx(
+            round(206.835 - 1.015 * wps - 84.6 * spw, 6), abs=1e-9
+        )
+
+    def test_silent_e_and_empty_floor(self, spark):
+        from unitdb_spark.functions.text import syllable_count
+
+        df = spark.createDataFrame(
+            [("there",), ("be",), ("queue",), ("xyz",)], ["w"]
+        )
+        got = [r[0] for r in df.select(syllable_count("w")).collect()]
+        # there: runs e,e -> 2, silent final e -> 1
+        # be: one run, no discount (runs < 2) -> 1
+        # queue: ueue = 1 run -> 1 (no discount: runs < 2)
+        # xyz: y counts as vowel -> 1
+        assert got == [1, 1, 1, 1]

@@ -565,3 +565,46 @@ def char_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
             F.col("_h").cast("double").alias("entropy_r"),
         )
     )
+
+
+def syllable_count(col: Column | str) -> Column:
+    """Heuristic syllables for ONE lowercase token: maximal vowel
+    runs ([aeiouy]+), minus one for a silent trailing 'e' when
+    another vowel run exists, floored at 1 — the standard
+    Flesch-family approximation, pure regex so any engine replays
+    it."""
+    c = F.col(col) if isinstance(col, str) else col
+    runs = F.regexp_count(c, F.lit("[aeiouy]+"))
+    silent_e = F.when(c.rlike("e$") & (runs >= 2), 1).otherwise(0)
+    return F.greatest(runs - silent_e, F.lit(1))
+
+
+def readability_scores(text_col: Column | str = "text") -> list[Column]:
+    """Flesch reading-ease + Flesch-Kincaid grade as column list.
+
+    (n_sentences, n_words, n_syllables, fk_grade_r, ease_r):
+    sentences = [.!?]+ runs in the RAW text (floor 1), words =
+    whitespace tokens, syllables summed per token inside one
+    higher-order expression — integer-exact counts, zero shuffles,
+    all codegen. The two scores evaluate their textbook formulas in
+    a PINNED operation order and round to 6, so both engines produce
+    bit-identical doubles.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = _toks(c)
+    n_sent = F.greatest(F.regexp_count(c, F.lit("[.!?]+")), F.lit(1)).cast("long")
+    n_words = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    n_syl = F.aggregate(
+        F.transform(toks, syllable_count), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syl.cast("double") / n_words.cast("double")
+    fk = F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6)
+    ease = F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6)
+    return [
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syl.alias("n_syllables"),
+        fk.alias("fk_grade_r"),
+        ease.alias("ease_r"),
+    ]
