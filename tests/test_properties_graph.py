@@ -1,0 +1,99 @@
+"""Property-based tests for the setjoin/graph family: randomized
+inputs checked against independent pure-Python models, pinning the
+ALGEBRA (losslessness of prefix filtering, triangle closure, rank
+mass conservation) rather than one fixture. Example counts stay
+small — every example pays a Spark job."""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import given, settings, strategies as st
+
+# documents over a small vocabulary — small vocab forces overlapping
+# token sets, the regime where prefix filtering must not lose pairs
+_VOCAB = ["ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen"]
+_docs = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=6),
+    min_size=2,
+    max_size=10,
+)
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)),
+    min_size=1,
+    max_size=30,
+).map(lambda es: sorted({(min(a, b), max(a, b)) for a, b in es if a != b}))
+
+
+class TestPrefixJaccardProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(docs=_docs, thr=st.sampled_from([0.3, 0.5, 0.8]))
+    def test_lossless_vs_python_brute_force(self, spark, docs, thr):
+        from unitdb_spark.operators.setjoin import prefix_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            ["doc_id", "text"],
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in prefix_jaccard_pairs(df, threshold=thr, unit="word").collect()
+        }
+        sets = [frozenset(t) for t in docs]
+        want = set()
+        for a, b in itertools.combinations(range(len(sets)), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            # the operator compares the ROUNDED ratio (round-6 is the
+            # cross-engine convention) — mirror it
+            if union and round(inter / union, 6) >= thr:
+                want.add((a, b))
+        assert got == want
+
+
+class TestTriangleProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(edges=_edges)
+    def test_counts_match_python_model(self, spark, edges):
+        from unitdb_spark.operators.graph import triangle_counts
+
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {n: 0 for n in adj}
+        for a, b, c in itertools.combinations(sorted(adj), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                want[a] += 1
+                want[b] += 1
+                want[c] += 1
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+        assert got == want
+
+
+class TestPagerankProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(edges=_edges.filter(lambda e: len(e) >= 1))
+    def test_matches_python_power_iteration(self, spark, edges):
+        from unitdb_spark.operators.graph import pagerank
+
+        sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        deg: dict[int, int] = {}
+        for a, _ in sym:
+            deg[a] = deg.get(a, 0) + 1
+        n = len(deg)
+        pr = {v: 1 / n for v in deg}
+        for _ in range(3):
+            nxt = {v: 0.15 / n for v in deg}
+            for a, b in sym:
+                nxt[b] += 0.85 * pr[a] / deg[a]
+            pr = nxt
+        df = spark.createDataFrame(sym, "src int, dst int")
+        got = {r.node: r.pr_r for r in pagerank(df, iterations=3).collect()}
+        assert set(got) == set(pr)
+        for v in pr:
+            assert abs(got[v] - round(pr[v] * n, 6)) <= 2e-6
+        # total rank mass is conserved (scaled sum == N)
+        assert abs(sum(got.values()) - n) < 1e-3
