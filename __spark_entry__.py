@@ -3335,6 +3335,40 @@ def q_doc_readability(spark, sf_dir):
     return d.select("doc_id", *TXT.readability_scores("text"))
 
 
+def q_parts_ppr(spark, sf_dir):
+    """Personalized PageRank (random walk with restart): proximity of
+    every part to a deterministic seed set (partkey % 97 == 0) over
+    the co-purchase graph — the graph-based data-selection shape
+    ('rank the catalog by closeness to these anchors'). 5 iterations,
+    N-scaled round-6; oracle replays the same unrolled iterations."""
+    from unitdb_spark.operators.graph import cooccurrence_edges, personalized_pagerank
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    seeds = edges.select(F.col("src").alias("node")).distinct().filter(
+        F.col("node") % 97 == 0
+    )
+    return personalized_pagerank(edges, seeds, iterations=5).select(
+        F.col("node").alias("part_id"), "ppr_r"
+    )
+
+
+def q_parts_bfs(spark, sf_dir):
+    """Minimum hop distance from the seed parts (partkey % 97 == 0)
+    over the co-purchase graph, capped at 2 hops — frontier-expansion
+    BFS, cost tracks the frontier. Exact integers."""
+    from unitdb_spark.operators.graph import bfs_hops, cooccurrence_edges
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    seeds = edges.select(F.col("src").alias("node")).distinct().filter(
+        F.col("node") % 97 == 0
+    )
+    return bfs_hops(edges, seeds, max_hops=2).select(
+        F.col("node").alias("part_id"), "hop"
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3544,6 +3578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_related": q_parts_related,
         "doc_keyphrases": q_doc_keyphrases,
         "doc_readability": q_doc_readability,
+        "parts_ppr": q_parts_ppr,
+        "parts_bfs": q_parts_bfs,
     }
 
 
@@ -6474,6 +6510,23 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cosine_r DESC, neighbor) AS rank FROM s)
         SELECT item, neighbor, n_cooc, cosine_r, rank FROM r WHERE rank <= 10
         """,
+        "parts_ppr": _ppr_oracle(),
+        "parts_bfs": """
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+               FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        nodes AS (SELECT DISTINCT src FROM e),
+        s0 AS (SELECT src AS n FROM nodes WHERE src % 97 = 0),
+        r1 AS (SELECT DISTINCT e.dst AS n FROM e JOIN s0 ON e.src = s0.n
+               WHERE e.dst NOT IN (SELECT n FROM s0)),
+        r2 AS (SELECT DISTINCT e.dst AS n FROM e JOIN r1 ON e.src = r1.n
+               WHERE e.dst NOT IN (SELECT n FROM s0)
+                 AND e.dst NOT IN (SELECT n FROM r1))
+        SELECT n AS part_id, CAST(0 AS INTEGER) AS hop FROM s0
+        UNION ALL SELECT n, 1 FROM r1
+        UNION ALL SELECT n, 2 FROM r2
+        """,
         "doc_keyphrases": _rake_oracle(),
         "doc_readability": f"""
         WITH c AS (
@@ -6886,3 +6939,42 @@ def _rake_oracle() -> str:
         )
         SELECT doc_id, phrase, n_words, score_ppm, rank FROM r WHERE rank <= 3
     """
+
+
+def _ppr_oracle() -> str:
+    """`parts_ppr` replay: seeds = graph nodes with partkey % 97 == 0,
+    restart mass 0.15/|S| on seeds only, 5 unrolled iterations over
+    the FULL node relation (zeros kept, like the Spark loop)."""
+    it = """
+          SELECT nd.node,
+            0.85 * coalesce(c.v, 0) + CASE WHEN nd.is_seed
+              THEN 0.15 / (SELECT s FROM ns) ELSE 0 END AS pr
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node, sum(r.pr / deg.d) AS v
+            FROM e JOIN {prev} r ON e.src = r.node
+            JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+          ) c USING (node)
+    """
+    steps = ",\n".join(
+        f"r{k} AS ({it.format(prev=f'r{k - 1}')})" for k in range(1, 6)
+    )
+    return (
+        """
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+               FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        n AS (SELECT count(*) AS nn FROM deg),
+        nodes AS (SELECT src AS node, (src % 97 = 0) AS is_seed FROM deg),
+        ns AS (SELECT count(*) AS s FROM nodes WHERE is_seed),
+        r0 AS (SELECT node, CASE WHEN is_seed
+                 THEN 1.0 / (SELECT s FROM ns) ELSE 0 END AS pr FROM nodes),
+        """
+        + steps
+        + """
+        SELECT node AS part_id, round(pr * (SELECT nn FROM n), 6) AS ppr_r
+        FROM r5
+        """
+    )

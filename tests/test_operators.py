@@ -3682,3 +3682,73 @@ class TestReadability:
         # queue: ueue = 1 run -> 1 (no discount: runs < 2)
         # xyz: y counts as vowel -> 1
         assert got == [1, 1, 1, 1]
+
+
+class TestPersonalizedPagerank:
+    def test_path_graph_matches_python_model(self, spark):
+        from unitdb_spark.operators.graph import personalized_pagerank
+
+        sym = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)]
+        e = spark.createDataFrame(sym, ["src", "dst"])
+        seeds = spark.createDataFrame([(1,)], ["node"])
+        got = {
+            r.node: r.ppr_r
+            for r in personalized_pagerank(e, seeds, iterations=3).collect()
+        }
+        deg = {1: 1, 2: 2, 3: 2, 4: 1}
+        pr = {1: 1.0, 2: 0.0, 3: 0.0, 4: 0.0}
+        for _ in range(3):
+            nxt = {v: (0.15 if v == 1 else 0.0) for v in deg}
+            for a, b in sym:
+                nxt[b] += 0.85 * pr[a] / deg[a]
+            pr = nxt
+        for v in pr:
+            assert got[v] == pytest.approx(round(pr[v] * 4, 6), abs=2e-6)
+        # rank decays with distance from the seed's neighborhood:
+        # node 4 (3 hops) scores below node 2 (1 hop)
+        assert got[2] > got[4]
+
+    def test_all_nodes_present_zeros_kept(self, spark):
+        from unitdb_spark.operators.graph import personalized_pagerank
+
+        # two components; seed in one -- the other must appear with 0
+        e = spark.createDataFrame(
+            [(1, 2), (2, 1), (8, 9), (9, 8)], ["src", "dst"]
+        )
+        seeds = spark.createDataFrame([(1,)], ["node"])
+        got = {
+            r.node: r.ppr_r
+            for r in personalized_pagerank(e, seeds, iterations=2).collect()
+        }
+        assert set(got) == {1, 2, 8, 9}
+        assert got[8] == 0.0 and got[9] == 0.0 and got[1] > 0
+
+    def test_seed_outside_graph_raises(self, spark):
+        from unitdb_spark.operators.graph import personalized_pagerank
+
+        e = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+        seeds = spark.createDataFrame([(99,)], ["node"])
+        with pytest.raises(ValueError):
+            personalized_pagerank(e, seeds)
+
+
+class TestBfsHops:
+    def test_min_hop_and_cap(self, spark):
+        from unitdb_spark.operators.graph import bfs_hops
+
+        # path 1-2-3-4-5 plus shortcut 1-4: node 4 is hop 1, 5 is hop 2
+        und = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]
+        sym = und + [(b, a) for a, b in und]
+        e = spark.createDataFrame(sym, ["src", "dst"])
+        seeds = spark.createDataFrame([(1,)], ["node"])
+        got = {r.node: r.hop for r in bfs_hops(e, seeds, max_hops=2).collect()}
+        assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+    def test_multi_seed_and_isolated_seed(self, spark):
+        from unitdb_spark.operators.graph import bfs_hops
+
+        sym = [(1, 2), (2, 1), (5, 6), (6, 5)]
+        e = spark.createDataFrame(sym, ["src", "dst"])
+        seeds = spark.createDataFrame([(1,), (5,), (99,)], ["node"])
+        got = {r.node: r.hop for r in bfs_hops(e, seeds, max_hops=3).collect()}
+        assert got == {1: 0, 5: 0, 2: 1, 6: 1}

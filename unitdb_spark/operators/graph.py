@@ -237,3 +237,119 @@ def related_items(
         "item", "neighbor", "n_cooc", "cosine_r",
         F.row_number().over(w).alias("rank"),
     ).filter(F.col("rank") <= k)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str | None = None,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Random walk with restart to a SEED set — proximity to the
+    seeds, not global importance.
+
+    The data-selection workhorse: rank a corpus/catalog by closeness
+    to a trusted seed set (quality documents, anchor products) and
+    take the top of the list. Differs from `pagerank` only in the
+    teleport vector: restart mass lands uniformly on the seeds, so
+    rank decays with graph distance from them.
+
+    Seeds outside the edge set are ignored (they have no edges to
+    walk). Output: (node, ppr_r) over ALL graph nodes — zeros kept
+    (an unreachable node scoring 0 is the answer, not a missing row
+    ) — scaled by N and rounded to 6 like `pagerank`.
+    Per-iteration cost identical to `pagerank`; the seed relation is
+    broadcast-sized by assumption.
+    """
+    sc = seed_col or seeds.columns[0]
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    ewd = e.join(deg, "_s")
+    n = deg.count()
+    if n == 0:
+        raise ValueError("personalized_pagerank: empty edge list")
+    sd = (
+        seeds.select(F.col(sc).alias("_s"))
+        .distinct()
+        .join(deg.select("_s"), "_s", "leftsemi")
+    )
+    n_seeds = sd.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed is a graph node")
+    base = (1.0 - damping) / n_seeds
+    nodes = deg.select("_s")
+    marked = nodes.join(
+        sd.select("_s", F.lit(True).alias("_is_seed")), "_s", "left"
+    ).select("_s", F.coalesce("_is_seed", F.lit(False)).alias("_is_seed"))
+    ranks = marked.select(
+        "_s",
+        F.when(F.col("_is_seed"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)).alias("_pr"),
+    )
+    for _ in range(iterations):
+        contrib = ewd.join(ranks, "_s").select(
+            F.col("_d"), (F.col("_pr") / F.col("_deg")).alias("_c")
+        )
+        agg = contrib.groupBy("_d").agg(F.sum("_c").alias("_in"))
+        ranks = (
+            marked.join(agg.select(F.col("_d").alias("_s"), "_in"), "_s", "left")
+            .select(
+                "_s",
+                (
+                    F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+                    + F.when(F.col("_is_seed"), F.lit(base)).otherwise(F.lit(0.0))
+                ).alias("_pr"),
+            )
+        ).localCheckpoint(eager=False)
+    return ranks.select(
+        F.col("_s").alias("node"),
+        F.round(F.col("_pr") * F.lit(float(n)), 6).alias("ppr_r"),
+    )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str | None = None,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Minimum hop distance from a seed set, capped at ``max_hops``.
+
+    Frontier-expansion BFS: each round joins the CURRENT frontier to
+    the edge list and anti-joins the visited set — cost tracks the
+    frontier, not the graph, and the loop runs a FIXED number of
+    rounds (the determinism contract; nodes farther than ``max_hops``
+    are absent, which is the answer). `localCheckpoint` per round
+    cuts lineage like every iterative operator here.
+
+    Output: (node, hop), hop 0 = the seeds themselves (only seeds
+    that are graph nodes — isolated seeds have no distance to
+    anything).
+    """
+    sc = seed_col or seeds.columns[0]
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = e.select("_s").distinct()
+    visited = (
+        seeds.select(F.col(sc).alias("_n"))
+        .distinct()
+        .join(nodes.select(F.col("_s").alias("_n")), "_n", "leftsemi")
+        .select("_n", F.lit(0).alias("hop"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited.select("_n")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["_n"] == e["_s"])
+            .select(F.col("_d").alias("_n"))
+            .distinct()
+            .join(visited.select("_n"), "_n", "left_anti")
+            .select("_n", F.lit(k).alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("_n")
+    return visited.select(F.col("_n").alias("node"), "hop")
