@@ -3369,6 +3369,16 @@ def q_parts_bfs(spark, sf_dir):
     )
 
 
+def q_events_profile_match(spark, sf_dir):
+    """Time-series similarity search (cf. the streaming-similarity
+    line of work in PAPERS.md): each user's hour-of-day activity
+    profile scored against the corpus profile by squared distance —
+    integer micro-units end to end, no float accumulation."""
+    from unitdb_spark.operators.timeseries import hourly_profile_distance
+
+    return hourly_profile_distance(_events(spark, sf_dir))
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3580,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": q_doc_readability,
         "parts_ppr": q_parts_ppr,
         "parts_bfs": q_parts_bfs,
+        "events_profile_match": q_events_profile_match,
     }
 
 
@@ -6509,6 +6520,33 @@ def oracle_sql() -> dict[str, str]:
         r AS (SELECT *, row_number() OVER (PARTITION BY item
                 ORDER BY cosine_r DESC, neighbor) AS rank FROM s)
         SELECT item, neighbor, n_cooc, cosine_r, rank FROM r WHERE rank <= 10
+        """,
+        "events_profile_match": """
+        WITH per AS (
+          SELECT user_id, hour(ts) AS b,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+            count(*) AS c
+          FROM events GROUP BY 1, 2
+        ), mu AS (
+          SELECT user_id, b, CAST(floor(cents * 10000 / c) AS BIGINT) AS mu
+          FROM per
+        ), grid AS (
+          SELECT k.user_id, u.b
+          FROM (SELECT DISTINCT user_id FROM events) k,
+               UNNEST(generate_series(0, 23)) AS u(b)
+        ), up AS (
+          SELECT g.user_id, g.b, coalesce(m.mu, 0) AS mu
+          FROM grid g LEFT JOIN mu m ON g.user_id = m.user_id AND g.b = m.b
+        ), gprof AS (
+          SELECT hour(ts) AS b,
+            CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       * 10000 / count(*)) AS BIGINT) AS gmu
+          FROM events GROUP BY 1
+        )
+        SELECT up.user_id,
+          CAST(SUM((up.mu - coalesce(g.gmu, 0))
+                   * (up.mu - coalesce(g.gmu, 0))) AS BIGINT) AS dist_sq
+        FROM up LEFT JOIN gprof g USING (b) GROUP BY 1
         """,
         "parts_ppr": _ppr_oracle(),
         "parts_bfs": """

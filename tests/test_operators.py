@@ -3752,3 +3752,41 @@ class TestBfsHops:
         seeds = spark.createDataFrame([(1,), (5,), (99,)], ["node"])
         got = {r.node: r.hop for r in bfs_hops(e, seeds, max_hops=3).collect()}
         assert got == {1: 0, 5: 0, 2: 1, 6: 1}
+
+
+class TestHourlyProfileDistance:
+    def test_integer_exact_vs_python_model(self, spark):
+        import datetime as dt
+        from unitdb_spark.operators.timeseries import hourly_profile_distance
+
+        rows = []
+        # user a: all value 10.00 at hour 0; user b: 10.00 at hour 1
+        for i in range(4):
+            rows.append((f"a{i}", dt.datetime(2024, 1, 1, 0, 5 * i), "a", 10.0))
+            rows.append((f"b{i}", dt.datetime(2024, 1, 1, 1, 5 * i), "b", 10.0))
+        df = spark.createDataFrame(
+            rows, "event_id string, ts timestamp, user_id string, value double"
+        )
+        got = {r.user_id: r.dist_sq for r in hourly_profile_distance(df).collect()}
+        # corpus profile: hour0 mu=10e6 (8 events/2 users -> mean 10),
+        # hour1 mu=10e6; both users deviate in exactly two buckets:
+        # own bucket (10e6 vs 10e6 -> 0... wait user a hour0 mu=10e6,
+        # corpus hour0 mu=10e6 -> 0; user a hour1 mu=0 vs corpus 10e6
+        # -> (10e6)^2. Same for b symmetric.
+        assert got["a"] == got["b"] == 10_000_000**2
+
+    def test_identical_profile_zero_distance(self, spark):
+        import datetime as dt
+        from unitdb_spark.operators.timeseries import hourly_profile_distance
+
+        rows = [
+            (str(i), dt.datetime(2024, 1, 1, h, 0), u, 5.5)
+            for i, (h, u) in enumerate(
+                (h, u) for h in (3, 7) for u in ("x", "y")
+            )
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id string, ts timestamp, user_id string, value double"
+        )
+        got = {r.user_id: r.dist_sq for r in hourly_profile_distance(df).collect()}
+        assert got == {"x": 0, "y": 0}

@@ -511,3 +511,72 @@ def watermark_lateness(
             6,
         ).alias("mean_late_s_r"),
     )
+
+
+def hourly_profile_distance(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_buckets: int = 24,
+) -> DataFrame:
+    """Time-series similarity: each key's hour-of-day activity profile
+    scored against the CORPUS profile by squared distance.
+
+    The "whose rhythm deviates" question (bot detection, cohort
+    discovery, anomaly triage): a key's profile is its mean value per
+    hour-of-day bucket; the output ranks keys by how far that shape
+    sits from the global mean shape. Missing buckets read as 0 on
+    both sides — absence of activity IS shape.
+
+    Integer-exact end to end (the cross-engine contract): per-bucket
+    means become micro-units via floor(cents·10⁴ / n) on an exact
+    DECIMAL sum, the squared distance is a BIGINT sum of squared
+    integer diffs — no float accumulation anywhere, so any engine
+    replays it bit for bit.
+
+    Output: (key, dist_sq) — micro-unit² squared distance.
+    Shuffles: the (key, bucket) partial agg and a key-sized rollup;
+    the grid explode is keys × n_buckets (profile-sized, not
+    event-sized) and the corpus profile joins as n_buckets rows
+    (broadcast).
+    """
+    b = F.hour(ts_col)
+    cents = F.expr(
+        f"CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) * 100 AS BIGINT)"
+    )
+    per = df.groupBy(F.col(key_col).alias("_k"), b.alias("_b")).agg(
+        cents.alias("_cents"), F.count(F.lit(1)).alias("_c")
+    )
+    mu = per.select(
+        "_k", "_b",
+        F.floor(F.col("_cents") * F.lit(10_000) / F.col("_c"))
+        .cast("long")
+        .alias("_mu"),
+    )
+    grid = (
+        df.select(F.col(key_col).alias("_k"))
+        .distinct()
+        .select("_k", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("_b"))
+    )
+    up = grid.join(mu, ["_k", "_b"], "left").select(
+        "_k", "_b", F.coalesce("_mu", F.lit(0)).alias("_mu")
+    )
+    glob = (
+        df.groupBy(b.alias("_b"))
+        .agg(cents.alias("_cents"), F.count(F.lit(1)).alias("_c"))
+        .select(
+            "_b",
+            F.floor(F.col("_cents") * F.lit(10_000) / F.col("_c"))
+            .cast("long")
+            .alias("_gmu"),
+        )
+    )
+    d = F.col("_mu") - F.coalesce("_gmu", F.lit(0))
+    return (
+        up.join(glob, "_b", "left")
+        .select("_k", (d * d).alias("_t"))
+        .groupBy("_k")
+        .agg(F.sum("_t").alias("dist_sq"))
+        .select(F.col("_k").alias(key_col), "dist_sq")
+    )
