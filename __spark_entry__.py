@@ -6433,19 +6433,25 @@ def oracle_sql() -> dict[str, str]:
           )) AS s
           FROM toks
         ), pairs AS (
+          -- exact rational threshold test (2*inter >= union <=> J >= 1/2),
+          -- round-6 only for display — matches the operator's integer
+          -- cross-multiplied filter
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+            len(list_intersect(a.s, b.s)) AS i,
+            len(list_distinct(list_concat(a.s, b.s))) AS u
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         )
-        SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        SELECT id_a, id_b,
+          round(CAST(i AS DOUBLE) / CAST(u AS DOUBLE), 6) AS jaccard
+        FROM pairs WHERE 2 * i >= u
         """,
         "doc_lsh_recall": _minhash_md5_cte() + r"""
         , truth AS (
+          -- exact rational J >= 1/2, same integer test as the operator
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) >= 0.5
+          WHERE 2 * len(list_intersect(a.s, b.s))
+                >= len(list_distinct(list_concat(a.s, b.s)))
         ), hit AS (
           SELECT id_a, id_b FROM truth JOIN est USING (id_a, id_b)
         ), m AS (
@@ -6907,12 +6913,18 @@ def _doc_lang_oracle() -> str:
 def _pagerank_oracle() -> str:
     """`parts_pagerank` replay: the SAME 5 power iterations the Spark
     loop runs, unrolled as CTEs (fixed iteration count is the
-    determinism contract — no float convergence test to diverge on)."""
+    determinism contract — no float convergence test to diverge on).
+    Each round re-joins the full node relation, like the operator, so
+    a node with out-edges but no in-edges keeps its row."""
     it = """
-          SELECT e.dst AS node,
-            (SELECT 0.15 / nn FROM n) + 0.85 * sum(r.pr / deg.d) AS pr
-          FROM e JOIN {prev} r ON e.src = r.node JOIN deg ON e.src = deg.src
-          GROUP BY e.dst
+          SELECT nd.src AS node,
+            (SELECT 0.15 / nn FROM n) + 0.85 * coalesce(c.v, 0) AS pr
+          FROM deg nd LEFT JOIN (
+            SELECT e.dst, sum(r.pr / deg.d) AS v
+            FROM e JOIN {prev} r ON e.src = r.node
+            JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+          ) c ON nd.src = c.dst
     """
     steps = ",\n".join(
         f"r{k} AS ({it.format(prev=f'r{k - 1}')})" for k in range(1, 6)

@@ -3367,13 +3367,14 @@ class TestPrefixJaccard:
         b = t.select(F.col("_id").alias("id_b"), F.col("_tok").alias("tb"))
         inter = F.size(F.array_intersect("ta", "tb"))
         union = F.size(F.array_union("ta", "tb"))
+        # exact rational filter (0.35 = 7/20), same contract as the op
         brute = (
             a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(F.lit(20) * inter >= F.lit(7) * union)
             .select(
                 "id_a", "id_b",
                 F.round(inter.cast("double") / union.cast("double"), 6).alias("j"),
             )
-            .filter(F.col("j") >= 0.35)
         )
         want = {(r.id_a, r.id_b, r.j) for r in brute.collect()}
         assert got == want
@@ -3790,3 +3791,71 @@ class TestHourlyProfileDistance:
         )
         got = {r.user_id: r.dist_sq for r in hourly_profile_distance(df).collect()}
         assert got == {"x": 0, "y": 0}
+
+
+class TestReviewFixesRound4c:
+    """Regression pins for the session's self-review findings."""
+
+    def test_prefix_jaccard_float_ceil_overshoot(self, spark):
+        # t=0.55, |x|=100, y a 55-token subset: J = 0.55 exactly.
+        # Float ceil(0.55*100) evaluates to 56 and would prune the
+        # pair; the integer cross-multiplied bounds must keep it.
+        from unitdb_spark.operators.setjoin import prefix_jaccard_pairs
+
+        x_toks = [f"w{i:03d}" for i in range(100)]
+        y_toks = x_toks[:55]
+        df = spark.createDataFrame(
+            [(1, " ".join(x_toks)), (2, " ".join(y_toks))],
+            ["doc_id", "text"],
+        )
+        rows = prefix_jaccard_pairs(df, threshold=0.55, unit="word").collect()
+        assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(1, 2, 0.55)]
+
+    def test_pagerank_keeps_source_only_nodes(self, spark):
+        # node 1 has out-edges but NO in-edges: it must keep its row
+        # (teleport mass only) and keep contributing to node 2
+        from unitdb_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame([(1, 2), (2, 3), (3, 2)], ["src", "dst"])
+        got = {r.node: r.pr_r for r in pagerank(e, iterations=3).collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[1] == pytest.approx(0.15, abs=1e-6)  # 3 * (0.05)
+        # model the same 3 iterations
+        deg = {1: 1, 2: 1, 3: 1}
+        pr = {1: 1 / 3, 2: 1 / 3, 3: 1 / 3}
+        for _ in range(3):
+            nxt = {v: 0.15 / 3 for v in deg}
+            for a, b in [(1, 2), (2, 3), (3, 2)]:
+                nxt[b] += 0.85 * pr[a] / deg[a]
+            pr = nxt
+        for v in pr:
+            assert got[v] == pytest.approx(round(pr[v] * 3, 6), abs=2e-6)
+
+    def test_pair_report_dedups_inputs(self, spark):
+        from unitdb_spark.operators.evaluation import pair_retrieval_report
+
+        truth = spark.createDataFrame([(1, 2), (1, 2)], ["id_a", "id_b"])
+        cand = spark.createDataFrame(
+            [(1, 2), (1, 2), (1, 2), (3, 4)], ["id_a", "id_b"]
+        )
+        r = pair_retrieval_report(truth, cand).collect()[0]
+        assert (r.n_true, r.n_cand, r.n_hit) == (1, 2, 1)
+        assert r.recall_ppm == 1_000_000  # never above 1e6
+
+    def test_profile_distance_buckets_fold(self, spark):
+        import datetime as dt
+        from unitdb_spark.operators.timeseries import hourly_profile_distance
+
+        # hours 3 and 15 fold onto the same bucket with n_buckets=12
+        rows = [
+            ("a", dt.datetime(2024, 1, 1, 3, 0), "u", 4.0),
+            ("b", dt.datetime(2024, 1, 1, 15, 0), "u", 8.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id string, ts timestamp, user_id string, value double"
+        )
+        got = hourly_profile_distance(df, n_buckets=12).collect()
+        # single user == corpus -> distance 0 in every bucket
+        assert got[0].dist_sq == 0
+        with pytest.raises(ValueError):
+            hourly_profile_distance(df, n_buckets=48)

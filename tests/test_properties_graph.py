@@ -40,14 +40,16 @@ class TestPrefixJaccardProperty:
             (r.id_a, r.id_b)
             for r in prefix_jaccard_pairs(df, threshold=thr, unit="word").collect()
         }
+        from fractions import Fraction
+
         sets = [frozenset(t) for t in docs]
+        tfrac = Fraction(str(thr))
         want = set()
         for a, b in itertools.combinations(range(len(sets)), 2):
             inter = len(sets[a] & sets[b])
             union = len(sets[a] | sets[b])
-            # the operator compares the ROUNDED ratio (round-6 is the
-            # cross-engine convention) — mirror it
-            if union and round(inter / union, 6) >= thr:
+            # exact rational threshold — the operator's contract
+            if union and Fraction(inter, union) >= tfrac:
                 want.add((a, b))
         assert got == want
 

@@ -102,8 +102,11 @@ def pair_retrieval_report(
     corpus but there is no reason to scan them three times).
     """
     ka, kb = id_cols
-    t = truth.select(ka, kb, F.lit(1).alias("_t"))
-    c = candidates.select(ka, kb, F.lit(1).alias("_c"))
+    # distinct guards: a duplicated pair row (e.g. raw per-band LSH
+    # matches fed in directly) would otherwise fan out the join and
+    # inflate every count — recall above 1e6 ppm is how that bug reads
+    t = truth.select(ka, kb).distinct().select(ka, kb, F.lit(1).alias("_t"))
+    c = candidates.select(ka, kb).distinct().select(ka, kb, F.lit(1).alias("_c"))
     j = t.join(c, [ka, kb], "full")
     ppm = F.lit(1_000_000)
     return j.agg(

@@ -70,26 +70,47 @@ def pagerank(
     with genuinely directed graphs must add back-edges or drop sinks.
 
     Per iteration: one shuffle joining ranks to edges on ``src`` and
-    one partial-agg shuffle on ``dst``. The edges-with-degree relation
-    is computed once; at scale, persist it (the loop reuses it k
-    times) — here Spark's shuffle reuse already covers the bench SFs.
+    one partial-agg shuffle on ``dst``, then a node-relation re-join so
+    a node with out-edges but NO in-edges keeps its row (and its
+    outgoing contributions) instead of silently dropping after round 1.
+    The edges-with-degree relation is computed once; at scale, persist
+    it (the loop reuses it k times) — here Spark's shuffle reuse
+    already covers the bench SFs.
+
+    Cross-engine note: the restart term is derived via exact Decimal
+    (1 − 0.85 in doubles is 0.15000000000000002, NOT the 0.15 literal
+    an oracle writes); the per-node contribution sums are still IEEE
+    doubles whose accumulation order can differ between engines at the
+    ~1e-16 level — the round-6 output absorbs that except for values
+    within an ulp of a rounding boundary.
     """
+    from decimal import Decimal
+
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     ewd = e.join(deg, "_s")  # (src, dst, out-degree of src)
     n = deg.count()
     if n == 0:
         raise ValueError("pagerank: empty edge list")
-    ranks = deg.select("_s", F.lit(1.0 / n).alias("_pr"))
-    base = (1.0 - damping) / n
+    nodes = deg.select("_s")
+    ranks = nodes.select("_s", F.lit(1.0 / n).alias("_pr"))
+    # exact decimal restart so Spark and a SQL oracle share the SAME
+    # double for (1 - damping)
+    base = float(Decimal(1) - Decimal(str(damping))) / n
     for _ in range(iterations):
         contrib = ewd.join(ranks, "_s").select(
             F.col("_d"), (F.col("_pr") / F.col("_deg")).alias("_c")
         )
+        agg = contrib.groupBy("_d").agg(F.sum("_c").alias("_in"))
         ranks = (
-            contrib.groupBy("_d")
-            .agg((F.lit(base) + F.lit(damping) * F.sum("_c")).alias("_pr"))
-            .select(F.col("_d").alias("_s"), "_pr")
+            nodes.join(agg.select(F.col("_d").alias("_s"), "_in"), "_s", "left")
+            .select(
+                "_s",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+                ).alias("_pr"),
+            )
         ).localCheckpoint(eager=False)
     return ranks.select(
         F.col("_s").alias("node"),
@@ -279,7 +300,10 @@ def personalized_pagerank(
     n_seeds = sd.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: no seed is a graph node")
-    base = (1.0 - damping) / n_seeds
+    # exact decimal restart — see pagerank's cross-engine note
+    from decimal import Decimal
+
+    base = float(Decimal(1) - Decimal(str(damping))) / n_seeds
     nodes = deg.select("_s")
     marked = nodes.join(
         sd.select("_s", F.lit(True).alias("_is_seed")), "_s", "left"

@@ -67,22 +67,41 @@ def prefix_jaccard_pairs(
     threshold: float = 0.5,
     unit: str = "shingle",
     shingle_n: int = 3,
+    persist: str = "memory",
 ) -> DataFrame:
     """EVERY pair with exact Jaccard >= threshold — no blocking column.
 
     ``unit`` picks the set elements: "shingle" (word n-grams, the
     near-dup convention shared with MinHash) or "word" (distinct
     tokens, the `ngram_jaccard_pairs` convention). Output:
-    (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6
-    (cross-engine division convention, same as `doc_lsh_verified`).
+    (id_a, id_b, jaccard) with id_a < id_b; the FILTER is the exact
+    rational test inter·q >= p·union (threshold read as the decimal
+    p/q the caller wrote), the reported jaccard is round-6 display.
 
     Exactness: prefix filtering is lossless — the output equals the
-    brute-force all-pairs result. Cost: near-linear in the inverted
-    prefix-index size instead of quadratic in documents.
+    brute-force all-pairs result. Every bound below is evaluated in
+    INTEGER arithmetic (cross-multiplied rationals): float ceil of
+    t·len overshoots for thresholds like 0.55 (ceil(0.55*100) == 56
+    in doubles), which would silently prune true pairs. Cost:
+    near-linear in the inverted prefix-index size instead of
+    quadratic in documents.
+
+    ``persist`` caches the token-set relation, read three times
+    (frequency explode + both verify sides) — same knob as the
+    MinHash family's signature persist.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    t = _token_sets(df, text_col, id_col, unit, shingle_n)
+    from fractions import Fraction
+
+    # the threshold as the exact decimal the caller wrote (str() of a
+    # float round-trips the shortest decimal), so 0.55 becomes 11/20
+    # and every bound is exact integer arithmetic from here on
+    frac = Fraction(str(threshold))
+    tp, tq = frac.numerator, frac.denominator
+    from unitdb_spark.operators.dedup import _persist_sig
+
+    t = _persist_sig(_token_sets(df, text_col, id_col, unit, shingle_n), persist)
 
     # global document frequency per token — the ordering dictionary.
     # One partial-agg shuffle on token; at 100 TB this relation is
@@ -98,13 +117,16 @@ def prefix_jaccard_pairs(
         "_id", "_len", "_t", F.row_number().over(w).alias("_pos")
     )
 
-    # prefix size p = |x| - ceil(t*|x|) + 1: a pair at J >= t shares
+    # prefix size |x| - ceil(t*|x|) + 1: a pair at J >= t shares
     # >= ceil(t*|x|) tokens, more than fit in the suffix alone.
-    p = F.col("_len") - F.ceil(F.lit(threshold) * F.col("_len")) + 1
-    pre = pos.filter(F.col("_pos") <= p)
+    # pos <= len - ceil(p*len/q) + 1  <=>  p*len <= q*(len - pos + 1)
+    pre = pos.filter(
+        F.lit(tp) * F.col("_len")
+        <= F.lit(tq) * (F.col("_len") - F.col("_pos") + 1)
+    )
 
     # candidates: share any prefix token + the length filter
-    # (|y| >= t*|x| is necessary for J >= t); dedup multi-token hits.
+    # (|y| >= t*|x| is necessary for J >= t): q*|y| >= p*|x|.
     a = pre.select(
         F.col("_id").alias("id_a"), "_t", F.col("_len").alias("_la")
     )
@@ -114,15 +136,17 @@ def prefix_jaccard_pairs(
     cand = (
         a.join(b, "_t")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("_lb") >= F.ceil(F.lit(threshold) * F.col("_la")))
-        .filter(F.col("_la") >= F.ceil(F.lit(threshold) * F.col("_lb")))
+        .filter(F.lit(tq) * F.col("_lb") >= F.lit(tp) * F.col("_la"))
+        .filter(F.lit(tq) * F.col("_la") >= F.lit(tp) * F.col("_lb"))
         .select("id_a", "id_b")
         .distinct()
     )
 
-    # verify: exact Jaccard on the candidate set only. Union via
-    # distinct-concat length (arrays are already distinct) — the
-    # formulation the DuckDB oracle replays verbatim.
+    # verify: exact Jaccard on the candidate set only — the threshold
+    # test is the cross-multiplied integer comparison (never a float),
+    # the reported score is round-6 display. Union via array_union
+    # length (arrays are already distinct); the DuckDB oracle replays
+    # the same integer filter.
     ta = t.select(F.col("_id").alias("id_a"), F.col("_tok").alias("_tka"))
     tb = t.select(F.col("_id").alias("id_b"), F.col("_tok").alias("_tkb"))
     inter = F.size(F.array_intersect("_tka", "_tkb"))
@@ -130,6 +154,7 @@ def prefix_jaccard_pairs(
     return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
+        .filter(F.lit(tq) * inter >= F.lit(tp) * union)
         .select(
             "id_a",
             "id_b",
@@ -137,5 +162,4 @@ def prefix_jaccard_pairs(
                 "jaccard"
             ),
         )
-        .filter(F.col("jaccard") >= F.lit(threshold))
     )

@@ -540,8 +540,14 @@ def hourly_profile_distance(
     the grid explode is keys × n_buckets (profile-sized, not
     event-sized) and the corpus profile joins as n_buckets rows
     (broadcast).
+
+    ``n_buckets`` folds the hour of day modulo n (24 = hourly
+    profile, 12 = AM/PM-folded, 6 = four-hour blocks) so the bucket
+    expression and the zero-fill grid always agree.
     """
-    b = F.hour(ts_col)
+    if not 0 < n_buckets <= 24:
+        raise ValueError(f"n_buckets must be in 1..24, got {n_buckets}")
+    b = F.hour(ts_col) % n_buckets
     cents = F.expr(
         f"CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) * 100 AS BIGINT)"
     )
