@@ -3379,6 +3379,58 @@ def q_events_profile_match(spark, sf_dir):
     return hourly_profile_distance(_events(spark, sf_dir))
 
 
+def q_streamed_cusum(spark, sf_dir):
+    """Driver-checkable twin of the STREAMING CUSUM chart: events
+    split at the midpoint replay as two in-order checkpointed runs
+    (the second continues the first's three-integer state) through
+    `streaming.state.streaming_cusum` with a fixed target. Oracle =
+    the batch closed form at the same target — bitwise (integer
+    micro-units == DECIMAL(18,6))."""
+    import tempfile
+
+    from unitdb_spark.streaming.state import streaming_cusum
+
+    spark = _pin_utc(spark)
+    base = tempfile.mkdtemp(prefix="cusum_twin_")
+    src, cp, out = f"{base}/src", f"{base}/cp", f"{base}/out"
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 5 == 0).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    lo, hi = ev.agg(
+        F.unix_timestamp(F.min("ts")), F.unix_timestamp(F.max("ts"))
+    ).collect()[0]
+    mid = F.timestamp_seconds(F.lit((int(lo) + int(hi)) // 2))
+
+    def run(batch_df):
+        batch_df.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            streaming_cusum(
+                spark.readStream.schema(batch_df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                key_col="event_type",
+                target=12.0,
+                h=500.0,
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("overwrite")
+                .parquet(f"{out}/batch={bid}")
+                if not df.isEmpty() else None
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run(ev.filter(F.col("ts") < mid))
+    run(ev.filter(F.col("ts") >= mid))
+    return spark.read.parquet(out).select(
+        "event_id", F.col("key").alias("event_type"), "value",
+        "s_r", "cusum_pos_r", "cusum_neg_r", "alarm",
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3591,6 +3643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_ppr": q_parts_ppr,
         "parts_bfs": q_parts_bfs,
         "events_profile_match": q_events_profile_match,
+        "streamed_cusum": q_streamed_cusum,
     }
 
 
@@ -6526,6 +6579,42 @@ def oracle_sql() -> dict[str, str]:
         r AS (SELECT *, row_number() OVER (PARTITION BY item
                 ORDER BY cosine_r DESC, neighbor) AS rank FROM s)
         SELECT item, neighbor, n_cooc, cosine_r, rank FROM r WHERE rank <= 10
+        """,
+        "streamed_cusum": """
+        -- the STREAMING chart's committed rows vs the batch closed
+        -- form at the same fixed target: integer micro-unit state is
+        -- DECIMAL(18,6)-exact, so the match is bitwise
+        WITH v AS (
+          SELECT event_id, ts, event_type, value FROM events
+          WHERE user_id % 5 = 0 AND value IS NOT NULL
+        ), d AS (
+          SELECT v.*, CAST(round(v.value, 6) AS DECIMAL(18,6))
+            - CAST(12.0 AS DECIMAL(18,6)) AS dev
+          FROM v
+        ), s1 AS (
+          SELECT event_id, ts, event_type, value,
+            SUM(dev) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS s
+          FROM d
+        ), r AS (
+          SELECT event_id, event_type, value, s,
+            CASE WHEN MIN(s) OVER w2 < CAST(0 AS DECIMAL(38,6))
+                 THEN MIN(s) OVER w2 ELSE CAST(0 AS DECIMAL(38,6))
+            END AS min_s,
+            CASE WHEN MAX(s) OVER w2 > CAST(0 AS DECIMAL(38,6))
+                 THEN MAX(s) OVER w2 ELSE CAST(0 AS DECIMAL(38,6))
+            END AS max_s
+          FROM s1
+          WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT event_id, event_type, value,
+          CAST(s AS DOUBLE) AS s_r,
+          CAST(s - min_s AS DOUBLE) AS cusum_pos_r,
+          CAST(max_s - s AS DOUBLE) AS cusum_neg_r,
+          (CAST(s - min_s AS DOUBLE) > 500.0
+           OR CAST(max_s - s AS DOUBLE) > 500.0) AS alarm
+        FROM r
         """,
         "events_profile_match": """
         WITH per AS (

@@ -1079,3 +1079,86 @@ class TestStreamingKmv:
         assert upd.agg(F.max("n_batches")).first()[0] >= 2
         # state boundedness: never more than k hashes kept
         assert upd.agg(F.max("n_kept")).first()[0] <= 16
+
+
+class TestStreamingCusum:
+    def test_streamed_stats_match_batch_fixed_target(self, spark, events_dir):
+        """In-order replay with a fixed target: every streaming CUSUM
+        statistic equals the batch closed form bit for bit (integer
+        micro-units == DECIMAL(18,6) algebra)."""
+        from unitdb_spark.operators.timeseries import cusum
+        from unitdb_spark.streaming.state import streaming_cusum
+
+        stream = events_as_stream(spark, events_dir, max_files_per_trigger=100)
+        out = streaming_cusum(stream, key_col="event_type", target=12.0, h=500.0)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cusum_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r["event_id"]: (r["s_r"], r["cusum_pos_r"], r["cusum_neg_r"], r["alarm"])
+            for r in spark.sql("SELECT * FROM cusum_stream").collect()
+        }
+        ev = spark.read.parquet(events_dir)
+        if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        batch = cusum(ev, ["event_type"], ["ts", "event_id"], "value",
+                      h=500.0, target=12.0)
+        want = {
+            r["event_id"]: (r["s_r"], r["cusum_pos_r"], r["cusum_neg_r"], r["alarm"])
+            for r in batch.collect()
+        }
+        assert len(got) == len(want) > 0
+        mismatches = {k for k in want if got[k] != want[k]}
+        assert not mismatches, f"{len(mismatches)} rows diverge: {sorted(mismatches)[:5]}"
+        assert any(r[3] for r in got.values())  # the chart actually alarms
+
+    def test_state_survives_restart(self, spark, tmp_path):
+        """The three-integer state carries across checkpointed runs: a
+        second run continues the prefix sum, not a fresh chart."""
+        import datetime as dt
+
+        from unitdb_spark.streaming.state import streaming_cusum
+
+        base = dt.datetime(2024, 1, 1)
+        src = str(tmp_path / "src")
+        cp = str(tmp_path / "cp")
+        out_dir = str(tmp_path / "out")
+        schema = "event_id long, ts timestamp, event_type string, value double"
+
+        def run(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            out = streaming_cusum(
+                spark.readStream.schema(
+                    spark.read.parquet(src).schema
+                ).parquet(src),
+                key_col="event_type", target=10.0, h=5.0,
+            )
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(out_dir)
+                    if not df.isEmpty()
+                    else None
+                )
+                .outputMode("append")
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run([(i, base + dt.timedelta(minutes=i), "k", 12.0) for i in range(3)])
+        run([(i + 3, base + dt.timedelta(minutes=i + 3), "k", 12.0)
+             for i in range(3)])
+        rows = {
+            r["event_id"]: r["s_r"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        # dev = +2 each event; prefix sum continues 2,4,6,8,10,12
+        assert rows == {i: 2.0 * (i + 1) for i in range(6)}

@@ -419,6 +419,7 @@ def cusum(
     order_cols: list[str],
     value_col: str,
     h: float = 25.0,
+    target: float | None = None,
 ) -> DataFrame:
     """CUSUM change-point detection (Page '54): the control chart that
     catches a small persistent SHIFT in a series' level — the drift a
@@ -430,8 +431,14 @@ def cusum(
     C−_i = max(0, max_{j≤i} S_j) − S_i — two running windows over one
     (key, order) sort.
 
+    ``target`` picks the reference level deviations are measured from:
+    None (default) centers on each key's own mean — the retrospective
+    chart; a float is the FIXED reference of a live control chart (and
+    what the streaming twin `streaming.state.streaming_cusum` uses —
+    a stream cannot know its mean upfront).
+
     Cross-engine contract: deviations are exact DECIMAL(18,6)
-    (round-6'd value minus the round-6 per-key mean), so prefix sums,
+    (round-6'd value minus the round-6 reference), so prefix sums,
     running extrema and the CUSUM statistics are exact decimal
     arithmetic — bitwise identical however either engine schedules it.
 
@@ -440,16 +447,19 @@ def cusum(
     """
     order = [F.col(c).asc() for c in order_cols]
     v6 = F.round(F.col(value_col), 6).cast("decimal(18,6)")
-    w_all = Window.partitionBy(*keys)
-    mean_r = (
-        F.round(
-            F.sum(v6).over(w_all).cast("double")
-            / F.count(v6).over(w_all).cast("double"),
-            6,
-        )
-    ).cast("decimal(18,6)")
+    if target is None:
+        w_all = Window.partitionBy(*keys)
+        ref = (
+            F.round(
+                F.sum(v6).over(w_all).cast("double")
+                / F.count(v6).over(w_all).cast("double"),
+                6,
+            )
+        ).cast("decimal(18,6)")
+    else:
+        ref = F.lit(round(target, 6)).cast("decimal(18,6)")
     base = df.filter(F.col(value_col).isNotNull()).withColumn(
-        "_dev", v6 - mean_r
+        "_dev", v6 - ref
     )
     w_run = (
         Window.partitionBy(*keys)

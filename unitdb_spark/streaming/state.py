@@ -592,3 +592,123 @@ def streaming_kmv(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------- streaming CUSUM
+
+CUSUM_OUTPUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("key", StringType()),
+        StructField("value", DoubleType()),
+        StructField("s_r", DoubleType()),
+        StructField("cusum_pos_r", DoubleType()),
+        StructField("cusum_neg_r", DoubleType()),
+        StructField("alarm", BooleanType()),
+    ]
+)
+
+#: prefix sum / running extrema of deviations, in exact 1e-6 units
+CUSUM_STATE = StructType(
+    [
+        StructField("s_u", LongType()),
+        StructField("min_u", LongType()),
+        StructField("max_u", LongType()),
+    ]
+)
+
+
+def _cusum_fn(target_u: int, h_u: int):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        (k,) = key
+        s_u, mn_u, mx_u = state.get if state.exists else (0, 0, 0)
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        q6 = Decimal("0.000001")
+        for eid, v in zip(batch["event_id"], batch["value"]):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue  # batch operator filters NULL values out
+            # round-half-up at 6 dp on the double's shortest repr —
+            # exactly Spark's round(value, 6) — then exact 1e-6 units
+            v_u = int(
+                (Decimal(repr(float(v))).quantize(q6, ROUND_HALF_UP) / q6)
+            )
+            s_u += v_u - target_u
+            mn_u = min(mn_u, s_u)  # starts at 0 == min(0, min prefix)
+            mx_u = max(mx_u, s_u)
+            cpos_u = s_u - mn_u
+            cneg_u = mx_u - s_u
+            rows.append(
+                (
+                    int(eid),
+                    k,
+                    float(v),
+                    s_u / 1e6,
+                    cpos_u / 1e6,
+                    cneg_u / 1e6,
+                    cpos_u > h_u or cneg_u > h_u,
+                )
+            )
+        state.update((s_u, mn_u, mx_u))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "event_id", "key", "value", "s_r",
+                "cusum_pos_r", "cusum_neg_r", "alarm",
+            ],
+        )
+
+    return fn
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    target: float = 0.0,
+    h: float = 25.0,
+) -> DataFrame:
+    """Streaming CUSUM control chart: the stateful twin of
+    ``operators.timeseries.cusum(..., target=...)``.
+
+    A live chart runs the textbook recurrence directly — per-key state
+    is THREE integers (prefix sum, running min, running max of
+    deviations, in exact 1e-6 units), so state is O(keys), never the
+    stream. The integer micro-units are value-identical to the batch
+    operator's DECIMAL(18,6) algebra: on an in-order replay every
+    emitted statistic matches the batch closed form bit for bit
+    (integer arithmetic has no accumulation-order ambiguity to
+    diverge on). A fixed ``target`` is required — a stream cannot
+    center on a mean it has not seen yet (the batch operator's
+    target=None retrospective mode has no streaming analog).
+
+    Input needs (event_id, ts, <key_col>, value); NULL values are
+    dropped like the batch operator. Output (append): one judged row
+    per event — (event_id, key, value, s_r, cusum_pos_r, cusum_neg_r,
+    alarm), alarm when either statistic exceeds ``h``.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    q6 = Decimal("0.000001")
+    target_u = int(Decimal(repr(float(target))).quantize(q6, ROUND_HALF_UP) / q6)
+    h_u = int(Decimal(repr(float(h))).quantize(q6, ROUND_HALF_UP) / q6)
+    prepped = stream.select(
+        "event_id",
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepped.groupBy("key").applyInPandasWithState(
+        _cusum_fn(target_u, h_u),
+        outputStructType=CUSUM_OUTPUT,
+        stateStructType=CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
