@@ -639,3 +639,45 @@ class TestNewFamiliesPlans:
         plan = formatted_plan(out)
         assert "CartesianProduct" not in plan
         assert not has_python_eval(out)
+
+
+class TestSessionPlans4c:
+    """Plan pins for the second half of the round-4c additions."""
+
+    def test_readability_zero_shuffle_codegen(self, spark):
+        from unitdb_spark.functions.text import readability_scores
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = docs.select("doc_id", *readability_scores("text"))
+        assert shuffle_count(out) == 0
+        assert not has_python_eval(out)
+
+    def test_keyphrases_all_doc_keyed_no_python(self, spark):
+        from unitdb_spark.operators.keyphrase import rake_keyphrases
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = rake_keyphrases(docs)
+        assert not has_python_eval(out)
+        plan = formatted_plan(out)
+        assert "CartesianProduct" not in plan
+
+    def test_profile_distance_bounded_exchanges(self, spark):
+        from unitdb_spark.operators.timeseries import hourly_profile_distance
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = hourly_profile_distance(ev)
+        # (key,bucket) agg, key distinct for the grid, the grid join,
+        # the 24-row corpus profile join, final key rollup
+        assert shuffle_count(out) <= 7
+        assert not has_python_eval(out)
+
+    def test_related_items_blocked_join_no_cross(self, spark):
+        from unitdb_spark.operators.graph import related_items
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        out = related_items(li, "l_orderkey", "l_partkey", k=5)
+        plan = formatted_plan(out)
+        assert "CartesianProduct" not in plan
+        assert not has_python_eval(out)
