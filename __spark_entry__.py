@@ -3431,6 +3431,52 @@ def q_streamed_cusum(spark, sf_dir):
     )
 
 
+def q_doc_url_canonical(spark, sf_dir):
+    """URL-keyed web dedup: six deterministic spellings of each page
+    (tracking params, case, default ports, www, trailing slash,
+    fragments) planted per doc, collapsed by
+    `functions.text.canonical_url` — group sizes and the kept doc
+    per canonical page."""
+    d = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 17).cast("string")
+    variant = F.col("doc_id") % 6
+    url = (
+        F.when(variant == 0, F.concat(F.lit("https://WWW.Site"), k,
+                                      F.lit(".COM:443/page/?utm_source=x&b=2&a=1#top")))
+        .when(variant == 1, F.concat(F.lit("https://site"), k, F.lit(".com/page?a=1&b=2")))
+        .when(variant == 2, F.concat(F.lit("http://site"), k, F.lit(".com:80/page/")))
+        .when(variant == 3, F.concat(F.lit("https://site"), k,
+                                     F.lit(".com/page?fbclid=zz&b=2&a=1")))
+        .when(variant == 4, F.concat(F.lit("https://www.site"), k, F.lit(".com/page?b=2&a=1")))
+    )
+    withu = d.select("doc_id", url.alias("url")).filter(F.col("url").isNotNull())
+    return (
+        withu.select(
+            "doc_id", "url", TXT.canonical_url("url").alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_variants"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def q_doc_curriculum(spark, sf_dir):
+    """Curriculum layout keys: quality-banded (fixed thresholds — a
+    map-side projection, never a global ntile sort), hash-interleaved
+    within each band. Sort by (band, ord_key) to stream easy-first
+    with thorough within-band mixing."""
+    from unitdb_spark.operators.curriculum import curriculum_key
+
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id", TXT.quality_score("text").alias("quality")
+    )
+    return curriculum_key(scored, "quality", n_bands=4)
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3644,6 +3690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_bfs": q_parts_bfs,
         "events_profile_match": q_events_profile_match,
         "streamed_cusum": q_streamed_cusum,
+        "doc_url_canonical": q_doc_url_canonical,
+        "doc_curriculum": q_doc_curriculum,
     }
 
 
@@ -6580,6 +6628,40 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cosine_r DESC, neighbor) AS rank FROM s)
         SELECT item, neighbor, n_cooc, cosine_r, rank FROM r WHERE rank <= 10
         """,
+        "doc_curriculum": "WITH q AS (" + _doc_quality_oracle() + """
+        )
+        SELECT doc_id,
+          CAST(greatest(least(floor((1.0 - quality) * 4.0), 3), 0) AS INTEGER)
+            AS band,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':curr'), 1, 15))
+               AS BIGINT) AS ord_key
+        FROM q
+        """,
+        "doc_url_canonical": """
+        WITH withu AS (
+          SELECT doc_id,
+            CASE doc_id % 6
+              WHEN 0 THEN 'https://WWW.Site' || CAST(doc_id % 17 AS VARCHAR)
+                          || '.COM:443/page/?utm_source=x&b=2&a=1#top'
+              WHEN 1 THEN 'https://site' || CAST(doc_id % 17 AS VARCHAR)
+                          || '.com/page?a=1&b=2'
+              WHEN 2 THEN 'http://site' || CAST(doc_id % 17 AS VARCHAR)
+                          || '.com:80/page/'
+              WHEN 3 THEN 'https://site' || CAST(doc_id % 17 AS VARCHAR)
+                          || '.com/page?fbclid=zz&b=2&a=1'
+              WHEN 4 THEN 'https://www.site' || CAST(doc_id % 17 AS VARCHAR)
+                          || '.com/page?b=2&a=1'
+            END AS url
+          FROM documents
+        ), c AS (
+          SELECT doc_id, url, {canon} AS canonical_url
+          FROM withu WHERE url IS NOT NULL
+        )
+        SELECT canonical_url, COUNT(*) AS n_docs,
+          COUNT(DISTINCT url) AS n_raw_variants,
+          MIN(doc_id) AS keep_id
+        FROM c GROUP BY 1
+        """.replace("{canon}", _canon_url_sql("url")),
         "streamed_cusum": """
         -- the STREAMING chart's committed rows vs the batch closed
         -- form at the same fixed target: integer micro-unit state is
@@ -7117,3 +7199,31 @@ def _ppr_oracle() -> str:
         FROM r5
         """
     )
+
+
+def _canon_url_sql(e: str) -> str:
+    """DuckDB replay of `functions.text.canonical_url`, rule for rule."""
+    u = f"regexp_replace({e}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z]+)://', 1))"
+    host0 = f"lower(regexp_extract({u}, '^[A-Za-z]+://([^/?#]+)', 1))"
+    host1 = f"regexp_replace({host0}, '^www\\.', '')"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host1}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host1}, ':443$', '') "
+        f"ELSE {host1} END"
+    )
+    path = (
+        f"regexp_replace(regexp_extract({u}, '^[A-Za-z]+://[^/?#]+([^?]*)', 1),"
+        f" '/+$', '')"
+    )
+    query = f"regexp_extract({u}, '\\?(.*)$', 1)"
+    keep = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"t -> t <> '' AND NOT regexp_matches(t, '^(utm_[^=]*|fbclid|gclid|ref)=')))"
+    )
+    q2 = f"array_to_string({keep}, '&')"
+    rebuilt = (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {q2} <> '' THEN '?' || {q2} ELSE '' END"
+    )
+    return f"CASE WHEN {scheme} = '' THEN {e} ELSE {rebuilt} END"

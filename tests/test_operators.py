@@ -3859,3 +3859,79 @@ class TestReviewFixesRound4c:
         assert got[0].dist_sq == 0
         with pytest.raises(ValueError):
             hourly_profile_distance(df, n_buckets=48)
+
+
+class TestCanonicalUrl:
+    def test_variants_collapse(self, spark):
+        from unitdb_spark.functions.text import canonical_url
+
+        cases = [
+            "https://WWW.Example.COM:443/path/?utm_source=x&b=2&a=1#frag",
+            "https://example.com/path?a=1&b=2",
+            "https://example.com/path/?b=2&a=1",
+            "https://www.example.com/path?fbclid=zz&a=1&b=2",
+        ]
+        df = spark.createDataFrame([(c,) for c in cases], ["u"])
+        got = {r[0] for r in df.select(canonical_url("u")).collect()}
+        assert got == {"https://example.com/path?a=1&b=2"}
+
+    def test_scheme_port_and_passthrough(self, spark):
+        from unitdb_spark.functions.text import canonical_url
+
+        cases = [
+            ("http://example.com:80/x", "http://example.com/x"),
+            ("http://example.com:8080/x", "http://example.com:8080/x"),
+            ("https://example.com/?ref=hn", "https://example.com"),
+            ("not a url", "not a url"),
+        ]
+        df = spark.createDataFrame(cases, ["u", "want"])
+        for r in df.select(canonical_url("u").alias("c"), "want").collect():
+            assert r.c == r.want
+
+    def test_zero_shuffle(self, spark):
+        from unitdb_spark.functions.text import canonical_url
+        from unitdb_spark.plans.explain import has_python_eval, shuffle_count
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = docs.select(canonical_url("text"))
+        assert shuffle_count(out) == 0 and not has_python_eval(out)
+
+
+class TestCurriculumKey:
+    def test_banding_and_clamp(self, spark):
+        from unitdb_spark.operators.curriculum import curriculum_key
+
+        df = spark.createDataFrame(
+            [(1, 0.95), (2, 0.60), (3, 0.30), (4, 0.05), (5, 1.0), (6, -0.2)],
+            ["doc_id", "q"],
+        )
+        got = {r.doc_id: r.band for r in curriculum_key(df, "q").collect()}
+        # easy_first: raw = 1-q, band = floor(raw*4) clamped
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 0, 6: 3}
+
+    def test_hard_first_and_determinism(self, spark):
+        from unitdb_spark.operators.curriculum import curriculum_key
+
+        df = spark.createDataFrame([(1, 0.9), (2, 0.1)], ["doc_id", "q"])
+        hard = {
+            r.doc_id: r.band
+            for r in curriculum_key(df, "q", easy_first=False).collect()
+        }
+        assert hard == {1: 3, 2: 0}
+        a = curriculum_key(df, "q").collect()
+        b = curriculum_key(df, "q").collect()
+        assert {(r.doc_id, r.ord_key) for r in a} == {
+            (r.doc_id, r.ord_key) for r in b
+        }
+
+    def test_map_side_only(self, spark):
+        from unitdb_spark.operators.curriculum import curriculum_key
+        from unitdb_spark.plans.explain import has_python_eval, shuffle_count
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", (F.col("n_chars") / 1000).alias("q"))
+        out = curriculum_key(docs, "q")
+        assert shuffle_count(out) == 0 and not has_python_eval(out)
+        with pytest.raises(ValueError):
+            curriculum_key(docs, "q", n_bands=0)

@@ -608,3 +608,55 @@ def readability_scores(text_col: Column | str = "text") -> list[Column]:
         fk.alias("fk_grade_r"),
         ease.alias("ease_r"),
     ]
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a URL for web-corpus dedup keys.
+
+    The same page arrives under dozens of spellings — tracking
+    params, fragments, WWW/case/port variants, trailing slashes —
+    and URL-keyed dedup is only as good as the canonicalization.
+    Rules (all pure regex/array expressions, engine-replayable):
+
+    - strip the #fragment;
+    - scheme and host lowercase; leading ``www.`` dropped; default
+      ports (``:80`` http, ``:443`` https) dropped;
+    - tracking params removed (``utm_*``, ``fbclid``, ``gclid``,
+      ``ref``), survivors SORTED (param order never distinguishes
+      pages);
+    - trailing slashes dropped from the path.
+
+    Non-URL input passes through unchanged (the caller decides what
+    counts as a URL candidate). Zero shuffles — scan-speed like the
+    PII scrubber.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(c, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    host0 = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host1 = F.regexp_replace(host0, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host1, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host1, ":443$", ""))
+        .otherwise(host1)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?]*)", 1), "/+$", ""
+    )
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    keep = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda t: (t != "")
+            & ~t.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)="),
+        )
+    )
+    q2 = F.array_join(keep, "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", c).otherwise(rebuilt)
