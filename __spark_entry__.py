@@ -3477,6 +3477,37 @@ def q_doc_curriculum(spark, sf_dir):
     return curriculum_key(scored, "quality", n_bands=4)
 
 
+def q_events_abtest(spark, sf_dir):
+    """Two-proportion A/B readout: users split into arms by the
+    portable content hash (reproducible, layout-independent);
+    conversion = a heavy-purchaser criterion (>= 14 purchase events —
+    'any purchase' is degenerate on this corpus: every user has one,
+    so the chart would have zero variance). Integer-ppm rates + the
+    pooled z statistic in one pinned expression."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.evaluation import ab_test_report
+
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("_np")
+    )
+    arm = (
+        md5_int60(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))) % 2
+    ).cast("int")
+    return ab_test_report(per_user, "user_id", F.col("_np") >= 14, arm)
+
+
+def q_orders_rfm(spark, sf_dir):
+    """RFM segmentation over orders: recency vs the corpus max date,
+    exact DECIMAL spend in cents, fixed-threshold 3/2/1 bands composed
+    into the 3-digit segment code. Integer-exact."""
+    from unitdb_spark.operators.olap import rfm_segments
+
+    return rfm_segments(_read(spark, sf_dir, "orders")).withColumn(
+        "recency_days", F.col("recency_days").cast("long")
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3692,6 +3723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_cusum": q_streamed_cusum,
         "doc_url_canonical": q_doc_url_canonical,
         "doc_curriculum": q_doc_curriculum,
+        "events_abtest": q_events_abtest,
+        "orders_rfm": q_orders_rfm,
     }
 
 
@@ -6627,6 +6660,69 @@ def oracle_sql() -> dict[str, str]:
         r AS (SELECT *, row_number() OVER (PARTITION BY item
                 ORDER BY cosine_r DESC, neighbor) AS rank FROM s)
         SELECT item, neighbor, n_cooc, cosine_r, rank FROM r WHERE rank <= 10
+        """,
+        "events_abtest": """
+        WITH pu AS (
+          SELECT user_id,
+            count(*) FILTER (event_type = 'purchase') AS np
+          FROM events GROUP BY 1
+        ), units AS (
+          SELECT user_id,
+            CAST((CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                        1, 15)) AS BIGINT) % 2) AS INTEGER) AS arm,
+            MAX(CASE WHEN np >= 14 THEN 1 ELSE 0 END) AS cv
+          FROM pu GROUP BY 1, 2
+        ), a AS (
+          SELECT
+            count(*) FILTER (arm = 0) AS n_a,
+            CAST(sum(cv) FILTER (arm = 0) AS BIGINT) AS conv_a,
+            count(*) FILTER (arm = 1) AS n_b,
+            CAST(sum(cv) FILTER (arm = 1) AS BIGINT) AS conv_b
+          FROM units
+        )
+        SELECT n_a, conv_a, n_b, conv_b,
+          CAST(floor(conv_a * 1000000 / greatest(n_a, 1)) AS BIGINT)
+            AS conv_a_ppm,
+          CAST(floor(conv_b * 1000000 / greatest(n_b, 1)) AS BIGINT)
+            AS conv_b_ppm,
+          CAST(floor(conv_a * 1000000 / greatest(n_a, 1))
+               - floor(conv_b * 1000000 / greatest(n_b, 1)) AS BIGINT)
+            AS diff_ppm,
+          round(
+            (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+            / sqrt(
+                (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+              ), 6) AS z_r
+        FROM a
+        """,
+        "orders_rfm": """
+        WITH ref AS (SELECT max(o_orderdate) AS refd FROM orders),
+        per AS (
+          SELECT o_custkey, max(o_orderdate) AS last_d, count(*) AS n_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+              AS monetary_cents
+          FROM orders GROUP BY 1
+        ), s AS (
+          SELECT o_custkey,
+            CAST(date_diff('day', last_d, refd) AS BIGINT) AS recency_days,
+            n_orders, monetary_cents,
+            CASE WHEN date_diff('day', last_d, refd) <= 365 THEN 3
+                 WHEN date_diff('day', last_d, refd) <= 730 THEN 2
+                 ELSE 1 END AS r_score,
+            CASE WHEN n_orders >= 15 THEN 3
+                 WHEN n_orders >= 8 THEN 2 ELSE 1 END AS f_score,
+            CASE WHEN monetary_cents >= 180000000 THEN 3
+                 WHEN monetary_cents >= 120000000 THEN 2 ELSE 1 END AS m_score
+          FROM per, ref
+        )
+        SELECT o_custkey, recency_days, n_orders, monetary_cents,
+          r_score, f_score, m_score,
+          r_score * 100 + f_score * 10 + m_score AS segment
+        FROM s
         """,
         "doc_curriculum": "WITH q AS (" + _doc_quality_oracle() + """
         )

@@ -3935,3 +3935,70 @@ class TestCurriculumKey:
         assert shuffle_count(out) == 0 and not has_python_eval(out)
         with pytest.raises(ValueError):
             curriculum_key(docs, "q", n_bands=0)
+
+
+class TestAbTestReport:
+    def test_counts_rates_and_z(self, spark):
+        import math
+
+        from unitdb_spark.operators.evaluation import ab_test_report
+
+        # arm 0: 4 units, 3 convert; arm 1: 4 units, 1 converts
+        rows = [(u, u % 2, u in (0, 2, 4, 1)) for u in range(8)]
+        df = spark.createDataFrame(rows, ["uid", "arm", "cv"])
+        r = ab_test_report(df, "uid", F.col("cv"), F.col("arm")).collect()[0]
+        assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (4, 3, 4, 1)
+        assert r.conv_a_ppm == 750000 and r.conv_b_ppm == 250000
+        assert r.diff_ppm == 500000
+        pool = 4 / 8
+        se = math.sqrt(pool * (1 - pool) * (1 / 4 + 1 / 4))
+        assert r.z_r == pytest.approx(round((0.75 - 0.25) / se, 6), abs=1e-9)
+
+    def test_degenerate_chart_null_z(self, spark):
+        from unitdb_spark.operators.evaluation import ab_test_report
+
+        # everyone converts -> zero variance -> z NULL, no ANSI error
+        df = spark.createDataFrame(
+            [(u, u % 2, True) for u in range(6)], ["uid", "arm", "cv"]
+        )
+        r = ab_test_report(df, "uid", F.col("cv"), F.col("arm")).collect()[0]
+        assert r.z_r is None and r.diff_ppm == 0
+
+    def test_unit_dedup_any_row_converts(self, spark):
+        from unitdb_spark.operators.evaluation import ab_test_report
+
+        # one unit, many rows, one converting row -> counted once
+        df = spark.createDataFrame(
+            [(1, 0, False), (1, 0, True), (1, 0, False), (2, 1, False)],
+            ["uid", "arm", "cv"],
+        )
+        r = ab_test_report(df, "uid", F.col("cv"), F.col("arm")).collect()[0]
+        assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (1, 1, 1, 0)
+
+
+class TestRfmSegments:
+    def test_banding_integer_exact(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.olap import rfm_segments
+
+        rows = [
+            # cust 1: recent, frequent, big spender (15 x 130k = 1.95M
+            # -> 195M cents >= 180M) -> 333
+            *[(i, 1, dt.date(2001, 6, 1), 130000.00) for i in range(15)],
+            # cust 2: old single small order -> 111
+            (100, 2, dt.date(1995, 3, 1), 10.50),
+            # cust 3: mid recency (eq boundary 365 days), 8 orders, mid spend
+            *[(200 + i, 3, dt.date(2000, 6, 2), 160000.00) for i in range(8)],
+        ]
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+        )
+        got = {r.o_custkey: r for r in rfm_segments(df).collect()}
+        assert got[1].segment == 333 and got[1].recency_days == 0
+        assert got[2].segment == 111
+        # ref date = 2001-06-01; 2000-06-02 -> 364 days -> r=3;
+        # 8 orders -> f=2; 8*160k*100 cents = 128M -> m=2
+        assert got[3].recency_days == 364
+        assert (got[3].r_score, got[3].f_score, got[3].m_score) == (3, 2, 2)
+        assert got[3].monetary_cents == 128_000_000

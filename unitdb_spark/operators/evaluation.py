@@ -120,3 +120,66 @@ def pair_retrieval_report(
         F.floor(F.col("n_hit") * ppm / F.greatest(F.col("n_cand"), F.lit(1)))
         .cast("long").alias("precision_ppm"),
     )
+
+
+def ab_test_report(
+    df: DataFrame,
+    unit_col: str,
+    convert_expr,
+    cohort_col,
+) -> DataFrame:
+    """One-row two-proportion A/B readout with a z statistic.
+
+    ``cohort_col`` is a 0/1 column assigning each row's UNIT to a arm
+    (use a deterministic content hash of the unit id so assignment is
+    reproducible and layout-independent); ``convert_expr`` is a
+    boolean conversion predicate per row. A unit converts if ANY of
+    its rows converts; unit de-dup happens here, so event-grained
+    input is fine.
+
+    Output: (n_a, conv_a, n_b, conv_b, conv_a_ppm, conv_b_ppm,
+    diff_ppm, z_r) — counts and ppm rates integer-exact; the z
+    statistic is the pooled two-proportion test evaluated in ONE
+    pinned expression order and rounded to 6 (the only float in the
+    row, identical on any engine given identical integer inputs).
+
+    Scale: one distinct on (unit, cohort, converted) + one global
+    aggregate — the exchange carries units, not events.
+    """
+    units = (
+        df.select(
+            F.col(unit_col).alias("_u"),
+            cohort_col.alias("_arm"),
+            F.when(convert_expr, 1).otherwise(0).alias("_cv"),
+        )
+        .groupBy("_u", "_arm")
+        .agg(F.max("_cv").alias("_cv"))
+    )
+    agg = units.agg(
+        F.count(F.when(F.col("_arm") == 0, 1)).alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 0, F.col("_cv"))).alias("conv_a"),
+        F.count(F.when(F.col("_arm") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("_arm") == 1, F.col("_cv"))).alias("conv_b"),
+    )
+    ppm = F.lit(1_000_000)
+    na, ca = F.col("n_a"), F.col("conv_a")
+    nb, cb = F.col("n_b"), F.col("conv_b")
+    pa = ca.cast("double") / na.cast("double")
+    pb = cb.cast("double") / nb.cast("double")
+    pool = (ca + cb).cast("double") / (na + nb).cast("double")
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / na.cast("double") + F.lit(1.0) / nb.cast("double"))
+    )
+    return agg.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        F.floor(ca * ppm / F.greatest(na, F.lit(1))).cast("long").alias("conv_a_ppm"),
+        F.floor(cb * ppm / F.greatest(nb, F.lit(1))).cast("long").alias("conv_b_ppm"),
+        (
+            F.floor(ca * ppm / F.greatest(na, F.lit(1)))
+            - F.floor(cb * ppm / F.greatest(nb, F.lit(1)))
+        ).cast("long").alias("diff_ppm"),
+        # degenerate charts (every unit converts, or none, or an empty
+        # arm) have no variance — z is NULL, not a division error
+        F.when(se > F.lit(0.0), F.round((pa - pb) / se, 6)).alias("z_r"),
+    )
