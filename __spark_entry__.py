@@ -3508,6 +3508,26 @@ def q_orders_rfm(spark, sf_dir):
     )
 
 
+def q_events_forecast_bt(spark, sf_dir):
+    """Seasonal-naive forecast backtest: per event_type, the hour-h
+    bucket predicted by yesterday's hour h — the baseline every real
+    forecaster must beat, scored as exact integer micro-unit MAE and
+    signed bias. Gaps are not silently yesterday: only strict
+    previous-calendar-day pairs score."""
+    from unitdb_spark.operators.timeseries import seasonal_naive_backtest
+
+    return seasonal_naive_backtest(_events(spark, sf_dir))
+
+
+def q_doc_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (tokenizer budget design): share of
+    corpus token instances covered by the top-k types for k in
+    {100, 1k, 10k}. The only sort is vocabulary-sized."""
+    from unitdb_spark.functions.text import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir))
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3725,6 +3745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curriculum": q_doc_curriculum,
         "events_abtest": q_events_abtest,
         "orders_rfm": q_orders_rfm,
+        "events_forecast_bt": q_events_forecast_bt,
+        "doc_vocab_coverage": q_doc_vocab_coverage,
     }
 
 
@@ -6660,6 +6682,46 @@ def oracle_sql() -> dict[str, str]:
         r AS (SELECT *, row_number() OVER (PARTITION BY item
                 ORDER BY cosine_r DESC, neighbor) AS rank FROM s)
         SELECT item, neighbor, n_cooc, cosine_r, rank FROM r WHERE rank <= 10
+        """,
+        "events_forecast_bt": """
+        WITH b AS (
+          SELECT event_type AS k, CAST(ts AS DATE) AS d, hour(ts) AS h,
+            CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       * 10000 / count(*)) AS BIGINT) AS mu
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+        ), s AS (
+          SELECT k, d, mu,
+            lag(mu) OVER w AS prev_mu, lag(d) OVER w AS prev_d
+          FROM b WINDOW w AS (PARTITION BY k, h ORDER BY d)
+        ), sc AS (
+          SELECT k, mu - prev_mu AS e FROM s
+          WHERE prev_mu IS NOT NULL AND date_diff('day', prev_d, d) = 1
+        )
+        SELECT k AS event_type, count(*) AS n_scored,
+          CAST(sum(abs(e)) AS BIGINT) AS sum_ae_mu,
+          CAST(sum(e) AS BIGINT) AS sum_err_mu,
+          CAST(floor(CAST(sum(abs(e)) AS BIGINT) / count(*)) AS BIGINT)
+            AS mae_mu
+        FROM sc GROUP BY 1
+        """,
+        "doc_vocab_coverage": f"""
+        WITH counts AS (
+          SELECT u.t AS t, count(*) AS n
+          FROM documents, UNNEST({_TOKS}) AS u(t) GROUP BY 1
+        ), ranked AS (
+          SELECT t, n, row_number() OVER (ORDER BY n DESC, t) AS rk,
+            sum(n) OVER (ORDER BY n DESC, t ROWS UNBOUNDED PRECEDING) AS cum
+          FROM counts
+        ), tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS vocab
+          FROM counts
+        ), ks AS (SELECT CAST(unnest([100, 1000, 10000]) AS BIGINT) AS k)
+        SELECT ks.k, CAST(least(ks.k, tot.vocab) AS BIGINT) AS n_types,
+          CAST(r.cum AS BIGINT) AS covered, tot.total AS total,
+          CAST(floor(CAST(r.cum AS BIGINT) * 1000000 / tot.total) AS BIGINT)
+            AS covered_ppm
+        FROM ks CROSS JOIN tot
+        JOIN ranked r ON r.rk = least(ks.k, tot.vocab)
         """,
         "events_abtest": """
         WITH pu AS (

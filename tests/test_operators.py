@@ -4002,3 +4002,64 @@ class TestRfmSegments:
         assert got[3].recency_days == 364
         assert (got[3].r_score, got[3].f_score, got[3].m_score) == (3, 2, 2)
         assert got[3].monetary_cents == 128_000_000
+
+
+class TestSeasonalNaiveBacktest:
+    def test_scores_only_strict_prev_day(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import seasonal_naive_backtest
+
+        rows = []
+        # key k: hour 6 on Jan 1 -> 10.0, Jan 2 -> 12.0 (scored, err +2)
+        # Jan 4 -> 99.0 (gap: Jan 3 missing, NOT scored)
+        for i, (day, v) in enumerate([(1, 10.0), (2, 12.0), (4, 99.0)]):
+            rows.append((i, dt.datetime(2024, 1, day, 6, 0), "k", v))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        r = {x.event_type: x for x in seasonal_naive_backtest(df).collect()}["k"]
+        assert r.n_scored == 1
+        assert r.sum_err_mu == 2_000_000 and r.sum_ae_mu == 2_000_000
+        assert r.mae_mu == 2_000_000
+
+    def test_bias_sign_and_mae(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import seasonal_naive_backtest
+
+        rows = []
+        # two hours, three consecutive days: errors +1, -3 per hour-series
+        for h in (3, 9):
+            for i, (day, v) in enumerate([(1, 5.0), (2, 6.0), (3, 3.0)]):
+                rows.append((h * 10 + i, dt.datetime(2024, 1, day, h, 0), "k", v))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        r = seasonal_naive_backtest(df).collect()[0]
+        assert r.n_scored == 4
+        assert r.sum_ae_mu == 8_000_000      # |1| + |-3| per series
+        assert r.sum_err_mu == -4_000_000    # 1 - 3 per series
+        assert r.mae_mu == 2_000_000
+
+
+class TestVocabCoverage:
+    def test_exact_counts_and_clamp(self, spark):
+        from unitdb_spark.functions.text import vocab_coverage
+
+        df = spark.createDataFrame(
+            [(1, "a a a b b c")], ["doc_id", "text"]
+        )
+        rows = {r.k: r for r in vocab_coverage(df, ks=(1, 2, 100)).collect()}
+        assert rows[1].covered == 3 and rows[1].covered_ppm == 500_000
+        assert rows[2].covered == 5 and rows[2].covered_ppm == 833_333
+        # k beyond vocab clamps to |vocab| and covers everything
+        assert rows[100].n_types == 3 and rows[100].covered_ppm == 1_000_000
+
+    def test_tie_break_deterministic(self, spark):
+        from unitdb_spark.functions.text import vocab_coverage
+
+        # 'x' and 'y' tie at 2 occurrences: rank by (count DESC, token)
+        df = spark.createDataFrame([(1, "y y x x z")], ["doc_id", "text"])
+        r = {x.k: x for x in vocab_coverage(df, ks=(1,)).collect()}[1]
+        assert r.covered == 2  # 'x' wins the tie

@@ -660,3 +660,61 @@ def canonical_url(col: Column | str) -> Column:
         F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
     )
     return F.when(scheme == "", c).otherwise(rebuilt)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (100, 1000, 10000),
+) -> DataFrame:
+    """Vocabulary coverage curve: what share of the corpus' token
+    INSTANCES do the top-k most frequent types cover, per k.
+
+    The tokenizer-budget question (how big a vocab before the tail is
+    all <unk>?) answered with exact integers: type counts are one
+    map-side-combined aggregate; the cumulative instance counts ride
+    a rank window over the VOCABULARY relation (Zipf-small next to
+    the corpus — the only sort is vocab-sized, never token-sized).
+
+    Output: (k, n_types, covered, total, covered_ppm) — n_types =
+    min(k, |vocab|), covered/total exact instance counts, floor-ppm
+    share. Ties at the rank boundary break by (count DESC, token) —
+    deterministic on any engine.
+    """
+    from pyspark.sql import Window
+
+    toks = _toks(F.col(text_col))
+    counts = (
+        df.select(F.explode(toks).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w = Window.orderBy(F.col("_n").desc(), "_t")
+    ranked = counts.select(
+        "_t", "_n",
+        F.row_number().over(w).alias("_rk"),
+        F.sum("_n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+    )
+    total = counts.agg(
+        F.sum("_n").alias("_total"), F.count(F.lit(1)).alias("_vocab")
+    )
+    ks_df = df.sparkSession.createDataFrame([(k,) for k in ks], ["k"])
+    # per k: the cumulative count at rank min(k, vocab)
+    at_k = (
+        ks_df.join(total)
+        .join(
+            ranked.select(F.col("_rk").alias("_cut"), F.col("_cum")),
+            F.col("_cut") == F.least(F.col("k"), F.col("_vocab")),
+        )
+    )
+    return at_k.select(
+        "k",
+        F.least(F.col("k"), F.col("_vocab")).cast("long").alias("n_types"),
+        F.col("_cum").alias("covered"),
+        F.col("_total").alias("total"),
+        F.floor(F.col("_cum") * F.lit(1_000_000) / F.col("_total"))
+        .cast("long")
+        .alias("covered_ppm"),
+    )

@@ -596,3 +596,75 @@ def hourly_profile_distance(
         .agg(F.sum("_t").alias("dist_sq"))
         .select(F.col("_k").alias(key_col), "dist_sq")
     )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Forecast-quality floor: backtest the seasonal-naive predictor
+    (tomorrow's hour h = today's hour h) over the series' history.
+
+    Every fancier forecaster must beat this baseline; publishing its
+    per-key error first is the honest starting point. Buckets are
+    (key, day, hour) means in exact integer micro-units (the
+    DECIMAL-cents → floored-scale idiom of `hourly_profile_distance`);
+    the prediction for a bucket is the SAME HOUR of the PREVIOUS
+    CALENDAR day (a lag over the (key, hour) series ordered by day,
+    scored only when the previous day actually exists — a gap is not
+    silently treated as yesterday).
+
+    Output per key: (n_scored, sum_ae_mu, sum_err_mu, mae_mu) — the
+    absolute-error sum, the signed bias sum, and floor(sum_ae/n), all
+    exact integers.
+
+    Shuffles: one (key, day, hour) partial agg (event-sized exchange
+    carries bucket partials), one window over the bucket relation
+    (profile-sized), one key rollup.
+    """
+    cents = F.expr(
+        f"CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) * 100 AS BIGINT)"
+    )
+    b = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("_k"),
+            F.to_date(ts_col).alias("_d"),
+            F.hour(ts_col).alias("_h"),
+        )
+        .agg(cents.alias("_cents"), F.count(F.lit(1)).alias("_c"))
+        .select(
+            "_k", "_d", "_h",
+            F.floor(F.col("_cents") * F.lit(10_000) / F.col("_c"))
+            .cast("long")
+            .alias("_mu"),
+        )
+    )
+    w = Window.partitionBy("_k", "_h").orderBy("_d")
+    scored = b.select(
+        "_k", "_d", "_h", "_mu",
+        F.lag("_mu").over(w).alias("_prev_mu"),
+        F.lag("_d").over(w).alias("_prev_d"),
+    ).filter(
+        F.col("_prev_mu").isNotNull()
+        & (F.datediff(F.col("_d"), F.col("_prev_d")) == 1)
+    )
+    err = F.col("_mu") - F.col("_prev_mu")
+    return (
+        scored.select("_k", err.alias("_e"))
+        .groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(F.abs(F.col("_e"))).alias("sum_ae_mu"),
+            F.sum("_e").alias("sum_err_mu"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            "n_scored", "sum_ae_mu", "sum_err_mu",
+            F.floor(F.col("sum_ae_mu") / F.col("n_scored"))
+            .cast("long")
+            .alias("mae_mu"),
+        )
+    )
