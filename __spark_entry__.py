@@ -3528,6 +3528,24 @@ def q_doc_vocab_coverage(spark, sf_dir):
     return vocab_coverage(_docs(spark, sf_dir))
 
 
+def q_events_user_concentration(spark, sf_dir):
+    """Key-concentration audit over user_id: top-1/top-10 shares +
+    the HHI, the pre-flight skew check for any join or groupBy on
+    this key. HHI needs no sort; the top-k cut is a TakeOrdered
+    heap."""
+    from unitdb_spark.operators.profile import concentration_report
+
+    return concentration_report(_events(spark, sf_dir), "user_id")
+
+
+def q_doc_source_balance(spark, sf_dir):
+    """Dataset-card balance panel: per-source doc counts, floor-ppm
+    corpus shares, (count DESC, key) rank."""
+    from unitdb_spark.operators.profile import group_shares
+
+    return group_shares(_docs(spark, sf_dir), "source")
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3747,6 +3765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rfm": q_orders_rfm,
         "events_forecast_bt": q_events_forecast_bt,
         "doc_vocab_coverage": q_doc_vocab_coverage,
+        "events_user_concentration": q_events_user_concentration,
+        "doc_source_balance": q_doc_source_balance,
     }
 
 
@@ -6682,6 +6702,34 @@ def oracle_sql() -> dict[str, str]:
         r AS (SELECT *, row_number() OVER (PARTITION BY item
                 ORDER BY cosine_r DESC, neighbor) AS rank FROM s)
         SELECT item, neighbor, n_cooc, cosine_r, rank FROM r WHERE rank <= 10
+        """,
+        "events_user_concentration": """
+        WITH counts AS (
+          SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1
+        ), topk AS (
+          SELECT CAST(sum(n) AS BIGINT) AS topk FROM (
+            SELECT n FROM counts ORDER BY n DESC, k LIMIT 10
+          )
+        ), a AS (
+          SELECT CAST(sum(n) AS BIGINT) AS N, count(*) AS n_keys,
+            CAST(max(n) AS BIGINT) AS top1,
+            CAST(sum(n * n) AS BIGINT) AS sq
+          FROM counts
+        )
+        SELECT N AS n_rows, n_keys,
+          CAST(floor(top1 * 1000000 / N) AS BIGINT) AS top1_share_ppm,
+          CAST(floor(topk * 1000000 / N) AS BIGINT) AS topk_share_ppm,
+          CAST(floor(sq * 1000000 / (N * N)) AS BIGINT) AS hhi_ppm
+        FROM a, topk
+        """,
+        "doc_source_balance": """
+        WITH counts AS (
+          SELECT source, count(*) AS n FROM documents GROUP BY 1
+        ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM counts)
+        SELECT source, n,
+          CAST(floor(n * 1000000 / total_n) AS BIGINT) AS share_ppm,
+          row_number() OVER (ORDER BY n DESC, source) AS rank
+        FROM counts, tot
         """,
         "events_forecast_bt": """
         WITH b AS (

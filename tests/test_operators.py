@@ -4063,3 +4063,35 @@ class TestVocabCoverage:
         df = spark.createDataFrame([(1, "y y x x z")], ["doc_id", "text"])
         r = {x.k: x for x in vocab_coverage(df, ks=(1,)).collect()}[1]
         assert r.covered == 2  # 'x' wins the tie
+
+
+class TestConcentration:
+    def test_report_exact(self, spark):
+        from unitdb_spark.operators.profile import concentration_report
+
+        # key a: 6 rows, b: 3, c: 1 -> N=10, HHI = (36+9+1)*1e6/100
+        rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)]
+        df = spark.createDataFrame(rows, ["k"])
+        r = concentration_report(df, "k", top_k=2).collect()[0]
+        assert (r.n_rows, r.n_keys) == (10, 3)
+        assert r.top1_share_ppm == 600_000
+        assert r.topk_share_ppm == 900_000  # a + b
+        assert r.hhi_ppm == 460_000
+
+    def test_group_shares_rank_ties(self, spark):
+        from unitdb_spark.operators.profile import group_shares
+
+        rows = [("x",)] * 2 + [("y",)] * 2 + [("z",)]
+        df = spark.createDataFrame(rows, ["s"])
+        got = {r.s: (r.share_ppm, r.rank) for r in group_shares(df, "s").collect()}
+        assert got["x"] == (400_000, 1)  # tie with y -> key order
+        assert got["y"] == (400_000, 2)
+        assert got["z"] == (200_000, 3)
+
+    def test_topk_is_take_ordered_not_global_sort(self, spark):
+        from unitdb_spark.operators.profile import concentration_report
+        from unitdb_spark.plans.explain import formatted_plan
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = formatted_plan(concentration_report(ev, "user_id"))
+        assert "TakeOrderedAndProject" in plan

@@ -171,3 +171,76 @@ def snapshot_diff(
         ],
     )
     return wide.select(F.explode(rows).alias("kv")).select("kv.*")
+
+
+def concentration_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """One-row key-concentration audit: the "will this key skew my
+    join/groupBy?" question answered BEFORE the 100 TB run.
+
+    Output: (n_rows, n_keys, top1_share_ppm, topk_share_ppm, hhi_ppm)
+    — the heaviest key's share, the top-k cumulative share, and the
+    Herfindahl-Hirschman index floor(Σ n_k² · 1e6 / N²) (1e6 = one
+    key owns everything; 1e6/n_keys = perfectly uniform). All
+    integer-exact.
+
+    Scale: one partial-agg shuffle on the key; every metric over the
+    counts relation is either an aggregate (HHI — NO sort needed:
+    Σ n_k² is order-free) or a TakeOrderedAndProject top-k heap
+    (never a global single-partition sort).
+    """
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    topk = (
+        counts.orderBy(F.col("_n").desc(), "_k")
+        .limit(top_k)
+        .agg(F.sum("_n").alias("_topk"))
+    )
+    agg = counts.agg(
+        F.sum("_n").alias("_N"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("_n").alias("_top1"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_sq"),
+    )
+    ppm = F.lit(1_000_000)
+    return agg.join(topk).select(
+        F.col("_N").alias("n_rows"),
+        "n_keys",
+        F.floor(F.col("_top1") * ppm / F.col("_N")).cast("long").alias("top1_share_ppm"),
+        F.floor(F.col("_topk") * ppm / F.col("_N")).cast("long").alias("topk_share_ppm"),
+        F.floor(F.col("_sq") * ppm / (F.col("_N") * F.col("_N")))
+        .cast("long")
+        .alias("hhi_ppm"),
+    )
+
+
+def group_shares(df: DataFrame, key_col: str) -> DataFrame:
+    """Per-group share table (the dataset-card balance panel): every
+    group's row count, floor-ppm share of the corpus, and rank by
+    (count DESC, key).
+
+    The rank window is GLOBAL over the group relation — right when
+    groups are dataset-card-sized (sources, languages, splits);
+    for high-cardinality keys use `concentration_report`, whose
+    metrics need no sort at all.
+    """
+    counts = df.groupBy(F.col(key_col).alias(key_col)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    tot = counts.agg(F.sum("n").alias("_N"))
+    w = Window.orderBy(F.col("n").desc(), key_col)
+    return (
+        counts.join(tot)
+        .select(
+            key_col,
+            "n",
+            F.floor(F.col("n") * F.lit(1_000_000) / F.col("_N"))
+            .cast("long")
+            .alias("share_ppm"),
+            F.row_number().over(w).alias("rank"),
+        )
+    )
