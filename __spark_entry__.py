@@ -6713,13 +6713,17 @@ def oracle_sql() -> dict[str, str]:
         ), a AS (
           SELECT CAST(sum(n) AS BIGINT) AS N, count(*) AS n_keys,
             CAST(max(n) AS BIGINT) AS top1,
-            CAST(sum(n * n) AS BIGINT) AS sq
+            sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) AS sq
           FROM counts
         )
         SELECT N AS n_rows, n_keys,
-          CAST(floor(top1 * 1000000 / N) AS BIGINT) AS top1_share_ppm,
-          CAST(floor(topk * 1000000 / N) AS BIGINT) AS topk_share_ppm,
-          CAST(floor(sq * 1000000 / (N * N)) AS BIGINT) AS hhi_ppm
+          CAST(floor(CAST(top1 AS DOUBLE) * 1000000.0 / CAST(N AS DOUBLE))
+               AS BIGINT) AS top1_share_ppm,
+          CAST(floor(CAST(topk AS DOUBLE) * 1000000.0 / CAST(N AS DOUBLE))
+               AS BIGINT) AS topk_share_ppm,
+          CAST(floor(CAST(sq AS DOUBLE) * 1000000.0
+                     / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)))
+               AS BIGINT) AS hhi_ppm
         FROM a, topk
         """,
         "doc_source_balance": """

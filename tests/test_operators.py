@@ -4095,3 +4095,38 @@ class TestConcentration:
         ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         plan = formatted_plan(concentration_report(ev, "user_id"))
         assert "TakeOrderedAndProject" in plan
+
+
+class TestReviewFixesRound4d:
+    """Regression pins for the second self-review pass."""
+
+    def test_hhi_no_bigint_overflow_path(self, spark):
+        # a key count big enough that sum(n^2)*1e6 would wrap BIGINT
+        # (3.2e6^2 * 1e6 > 9.2e18): the DECIMAL/double path must give
+        # the correct ~1e6 ppm, not garbage
+        from unitdb_spark.operators.profile import concentration_report
+
+        n_big = 3_200_000
+        df = spark.range(n_big).select(F.lit("hot").alias("k")).unionAll(
+            spark.range(5).select(F.lit("cold").alias("k"))
+        )
+        r = concentration_report(df, "k").collect()[0]
+        assert r.n_rows == n_big + 5 and r.n_keys == 2
+        assert 999_000 < r.hhi_ppm <= 1_000_000
+        assert 999_000 < r.top1_share_ppm <= 1_000_000
+
+    def test_cusum_target_rounding_matches_streaming(self, spark):
+        # target=1.0000015: Python round() gives 1.000001 (half-even
+        # on the binary double); F.round/the streaming twin give
+        # 1.000002 — the batch ref must use the repr HALF_UP value
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import cusum
+
+        df = spark.createDataFrame(
+            [(0, dt.datetime(2024, 1, 1), "k", 2.0)],
+            "event_id long, ts timestamp, event_type string, value double",
+        )
+        r = cusum(df, ["event_type"], ["ts", "event_id"], "value",
+                  target=1.0000015).collect()[0]
+        assert r.s_r == pytest.approx(2.0 - 1.000002, abs=1e-9)

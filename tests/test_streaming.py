@@ -1162,3 +1162,51 @@ class TestStreamingCusum:
         }
         # dev = +2 each event; prefix sum continues 2,4,6,8,10,12
         assert rows == {i: 2.0 * (i + 1) for i in range(6)}
+
+
+class TestStreamingCusumNaN:
+    def test_nan_rows_emitted_with_unchanged_stats(self, spark):
+        """NaN parity: the batch twin keeps NaN rows (NULL deviation,
+        stats unchanged) — the streaming chart must emit them too."""
+        import datetime as dt
+        import math
+
+        from unitdb_spark.streaming.state import streaming_cusum
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, base, "k", 12.0),
+            (1, base + dt.timedelta(minutes=1), "k", float("nan")),
+            (2, base + dt.timedelta(minutes=2), "k", 12.0),
+        ]
+        src = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        import tempfile
+
+        d = tempfile.mkdtemp()
+        src.write.parquet(f"{d}/src")
+        out = streaming_cusum(
+            spark.readStream.schema(src.schema).parquet(f"{d}/src"),
+            key_col="event_type", target=10.0, h=100.0,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cusum_nan")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["event_id"]: r
+            for r in spark.sql("SELECT * FROM cusum_nan").collect()
+        }
+        assert set(got) == {0, 1, 2}
+        # the Arrow hop renders the NaN as SQL NULL (pandas cannot
+        # distinguish them); the row itself and its statistics are
+        # what parity is about
+        assert got[1]["value"] is None
+        # NaN row carries the stats as of event 0 (dev +2)
+        assert got[1]["s_r"] == got[0]["s_r"] == 2.0
+        assert got[2]["s_r"] == 4.0

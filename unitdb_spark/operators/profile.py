@@ -189,6 +189,13 @@ def concentration_report(
     counts relation is either an aggregate (HHI — NO sort needed:
     Σ n_k² is order-free) or a TakeOrderedAndProject top-k heap
     (never a global single-partition sort).
+
+    Overflow discipline (this audit targets exactly the scales where
+    naive integer ppm wraps): Σ n² accumulates in DECIMAL(38,0) —
+    exact and order-free up to n ≈ 10¹⁹ — and every ppm ratio is ONE
+    pinned double expression (value × 1e6 / N), never an integer
+    product that can exceed BIGINT; pinned order keeps the doubles
+    engine-identical.
     """
     counts = df.groupBy(F.col(key_col).alias("_k")).agg(
         F.count(F.lit(1)).alias("_n")
@@ -198,19 +205,25 @@ def concentration_report(
         .limit(top_k)
         .agg(F.sum("_n").alias("_topk"))
     )
+    nd = F.col("_n").cast("decimal(19,0)")
     agg = counts.agg(
         F.sum("_n").alias("_N"),
         F.count(F.lit(1)).alias("n_keys"),
         F.max("_n").alias("_top1"),
-        F.sum(F.col("_n") * F.col("_n")).alias("_sq"),
+        F.sum(nd * nd).alias("_sq"),
     )
-    ppm = F.lit(1_000_000)
+    ppm = F.lit(1_000_000.0)
+    nD = F.col("_N").cast("double")
     return agg.join(topk).select(
         F.col("_N").alias("n_rows"),
         "n_keys",
-        F.floor(F.col("_top1") * ppm / F.col("_N")).cast("long").alias("top1_share_ppm"),
-        F.floor(F.col("_topk") * ppm / F.col("_N")).cast("long").alias("topk_share_ppm"),
-        F.floor(F.col("_sq") * ppm / (F.col("_N") * F.col("_N")))
+        F.floor(F.col("_top1").cast("double") * ppm / nD)
+        .cast("long")
+        .alias("top1_share_ppm"),
+        F.floor(F.col("_topk").cast("double") * ppm / nD)
+        .cast("long")
+        .alias("topk_share_ppm"),
+        F.floor(F.col("_sq").cast("double") * ppm / (nD * nD))
         .cast("long")
         .alias("hhi_ppm"),
     )

@@ -457,7 +457,18 @@ def cusum(
             )
         ).cast("decimal(18,6)")
     else:
-        ref = F.lit(round(target, 6)).cast("decimal(18,6)")
+        # round-half-up on the double's shortest repr — the SAME
+        # rounding as F.round and the streaming twin's micro-unit
+        # quantize (Python round() is half-even on the binary value
+        # and can disagree at the 6th decimal, e.g. 1.0000015)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        t6 = float(
+            Decimal(repr(float(target))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        ref = F.lit(t6).cast("decimal(18,6)")
     base = df.filter(F.col(value_col).isNotNull()).withColumn(
         "_dev", v6 - ref
     )

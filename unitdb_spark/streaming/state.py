@@ -632,8 +632,22 @@ def _cusum_fn(target_u: int, h_u: int):
         batch = batch.sort_values(["ts_us", "event_id"])
         q6 = Decimal("0.000001")
         for eid, v in zip(batch["event_id"], batch["value"]):
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                continue  # batch operator filters NULL values out
+            if v is None:
+                continue  # batch operator filters NULL rows out
+            if isinstance(v, float) and math.isnan(v):
+                # batch KEEPS NaN rows: round(NaN)→decimal casts to
+                # NULL, the window sum skips it, and the row emits
+                # with the UNCHANGED statistics — mirror that
+                rows.append(
+                    (
+                        int(eid), k, float("nan"),
+                        s_u / 1e6,
+                        (s_u - mn_u) / 1e6,
+                        (mx_u - s_u) / 1e6,
+                        (s_u - mn_u) > h_u or (mx_u - s_u) > h_u,
+                    )
+                )
+                continue
             # round-half-up at 6 dp on the double's shortest repr —
             # exactly Spark's round(value, 6) — then exact 1e-6 units
             v_u = int(
@@ -687,10 +701,17 @@ def streaming_cusum(
     center on a mean it has not seen yet (the batch operator's
     target=None retrospective mode has no streaming analog).
 
-    Input needs (event_id, ts, <key_col>, value); NULL values are
-    dropped like the batch operator. Output (append): one judged row
-    per event — (event_id, key, value, s_r, cusum_pos_r, cusum_neg_r,
-    alarm), alarm when either statistic exceeds ``h``.
+    Input needs (event_id, ts, <key_col>, value); NULL rows are
+    dropped like the batch operator's isNotNull filter, while NaN
+    rows are EMITTED with unchanged statistics (the batch twin keeps
+    them: round(NaN)→DECIMAL is NULL, so the window sums skip the
+    deviation but the row survives). One representational caveat:
+    the emitted ``value`` of a NaN row reads as SQL NULL (the Arrow
+    hop cannot distinguish pandas NaN from null) where the batch
+    operator keeps the NaN — row count and every statistic still
+    match. Output (append): one judged row per event — (event_id,
+    key, value, s_r, cusum_pos_r, cusum_neg_r, alarm), alarm when
+    either statistic exceeds ``h``.
     """
     from decimal import ROUND_HALF_UP, Decimal
 
