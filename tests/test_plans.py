@@ -681,3 +681,44 @@ class TestSessionPlans4c:
         plan = formatted_plan(out)
         assert "CartesianProduct" not in plan
         assert not has_python_eval(out)
+
+
+class TestSessionPlans4d:
+    def test_abtest_unit_sized_exchange(self, spark):
+        from unitdb_spark.operators.evaluation import ab_test_report
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = ab_test_report(
+            ev, "user_id", F.col("event_type") == "purchase",
+            (F.col("user_id") % 2).cast("int"),
+        )
+        assert not has_python_eval(out)
+        assert shuffle_count(out) <= 3  # unit agg + 1-row joins
+
+    def test_rfm_single_customer_agg(self, spark):
+        from unitdb_spark.operators.olap import rfm_segments
+
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        out = rfm_segments(orders)
+        assert not has_python_eval(out)
+        plan = formatted_plan(out)
+        assert "CartesianProduct" not in plan  # ref date is a 1-row bcast
+
+    def test_forecast_backtest_bounded(self, spark):
+        from unitdb_spark.operators.timeseries import seasonal_naive_backtest
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = seasonal_naive_backtest(ev)
+        assert not has_python_eval(out)
+        assert shuffle_count(out) <= 4
+
+    def test_concentration_takeordered_pinned(self, spark):
+        from unitdb_spark.operators.profile import concentration_report
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = formatted_plan(concentration_report(ev, "user_id"))
+        assert "TakeOrderedAndProject" in plan
+        # the audit itself must not global-sort the counts relation
+        assert plan.count("Sort ") <= 1
