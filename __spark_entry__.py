@@ -3546,6 +3546,22 @@ def q_doc_source_balance(spark, sf_dir):
     return group_shares(_docs(spark, sf_dir), "source")
 
 
+def q_events_did(spark, sf_dir):
+    """Difference-in-differences over the events stream: hash-split
+    arms, pre/post at the fixed 2024-01-16 cutoff, exact integer
+    micro-unit cell means — the observational companion to
+    `events_abtest`."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.evaluation import diff_in_diff
+
+    ev = _events(spark, sf_dir)
+    arm = (
+        md5_int60(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))) % 2
+    ).cast("int")
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    return diff_in_diff(ev, "value", arm, pre)
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3767,6 +3783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_coverage": q_doc_vocab_coverage,
         "events_user_concentration": q_events_user_concentration,
         "doc_source_balance": q_doc_source_balance,
+        "events_did": q_events_did,
     }
 
 
@@ -6702,6 +6719,47 @@ def oracle_sql() -> dict[str, str]:
         r AS (SELECT *, row_number() OVER (PARTITION BY item
                 ORDER BY cosine_r DESC, neighbor) AS rank FROM s)
         SELECT item, neighbor, n_cooc, cosine_r, rank FROM r WHERE rank <= 10
+        """,
+        "events_did": """
+        WITH cells AS (
+          SELECT value AS v,
+            CAST((CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                        1, 15)) AS BIGINT) % 2) AS INTEGER) AS arm,
+            (ts < TIMESTAMP '2024-01-16') AS pre
+          FROM events WHERE value IS NOT NULL
+        ), a AS (
+          SELECT
+            count(*) FILTER (arm = 0 AND pre) AS n_ctrl_pre,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))) FILTER (arm = 0 AND pre) * 100
+                 AS BIGINT) AS c00,
+            count(*) FILTER (arm = 0 AND NOT pre) AS n_ctrl_post,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))) FILTER (arm = 0 AND NOT pre) * 100
+                 AS BIGINT) AS c01,
+            count(*) FILTER (arm = 1 AND pre) AS n_treat_pre,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))) FILTER (arm = 1 AND pre) * 100
+                 AS BIGINT) AS c10,
+            count(*) FILTER (arm = 1 AND NOT pre) AS n_treat_post,
+            CAST(SUM(CAST(v AS DECIMAL(18,2))) FILTER (arm = 1 AND NOT pre) * 100
+                 AS BIGINT) AS c11
+          FROM cells
+        ), m AS (
+          SELECT n_ctrl_pre, n_ctrl_post, n_treat_pre, n_treat_post,
+            CAST(floor(coalesce(c00, 0) * 10000 / greatest(n_ctrl_pre, 1))
+                 AS BIGINT) AS mu_ctrl_pre,
+            CAST(floor(coalesce(c01, 0) * 10000 / greatest(n_ctrl_post, 1))
+                 AS BIGINT) AS mu_ctrl_post,
+            CAST(floor(coalesce(c10, 0) * 10000 / greatest(n_treat_pre, 1))
+                 AS BIGINT) AS mu_treat_pre,
+            CAST(floor(coalesce(c11, 0) * 10000 / greatest(n_treat_post, 1))
+                 AS BIGINT) AS mu_treat_post
+          FROM a
+        )
+        SELECT *,
+          mu_treat_post - mu_treat_pre AS delta_treat_mu,
+          mu_ctrl_post - mu_ctrl_pre AS delta_ctrl_mu,
+          (mu_treat_post - mu_treat_pre) - (mu_ctrl_post - mu_ctrl_pre)
+            AS did_mu
+        FROM m
         """,
         "events_user_concentration": """
         WITH counts AS (

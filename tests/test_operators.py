@@ -4130,3 +4130,32 @@ class TestReviewFixesRound4d:
         r = cusum(df, ["event_type"], ["ts", "event_id"], "value",
                   target=1.0000015).collect()[0]
         assert r.s_r == pytest.approx(2.0 - 1.000002, abs=1e-9)
+
+
+class TestDiffInDiff:
+    def test_cell_means_and_estimate(self, spark):
+        from unitdb_spark.operators.evaluation import diff_in_diff
+
+        rows = [
+            # (value, arm, pre): ctrl 10->11 (+1), treat 10->13 (+3)
+            (10.0, 0, True), (10.0, 0, True),
+            (11.0, 0, False),
+            (10.0, 1, True),
+            (13.0, 1, False), (13.0, 1, False),
+        ]
+        df = spark.createDataFrame(rows, ["value", "arm", "pre"])
+        r = diff_in_diff(df, "value", F.col("arm"), F.col("pre")).collect()[0]
+        assert (r.n_ctrl_pre, r.n_ctrl_post, r.n_treat_pre, r.n_treat_post) == (2, 1, 1, 2)
+        assert r.mu_ctrl_pre == 10_000_000 and r.mu_treat_post == 13_000_000
+        assert r.delta_ctrl_mu == 1_000_000 and r.delta_treat_mu == 3_000_000
+        assert r.did_mu == 2_000_000
+
+    def test_empty_cell_reads_zero_not_null(self, spark):
+        from unitdb_spark.operators.evaluation import diff_in_diff
+
+        df = spark.createDataFrame(
+            [(5.0, 0, True), (6.0, 1, False)], ["value", "arm", "pre"]
+        )
+        r = diff_in_diff(df, "value", F.col("arm"), F.col("pre")).collect()[0]
+        assert r.n_ctrl_post == 0 and r.mu_ctrl_post == 0
+        assert r.did_mu is not None

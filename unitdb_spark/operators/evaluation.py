@@ -183,3 +183,77 @@ def ab_test_report(
         # arm) have no variance — z is NULL, not a division error
         F.when(se > F.lit(0.0), F.round((pa - pb) / se, 6)).alias("z_r"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    value_col: str,
+    arm_col,
+    pre_col,
+) -> DataFrame:
+    """One-row 2×2 difference-in-differences readout.
+
+    The observational cousin of `ab_test_report`: when exposure was
+    NOT randomized, compare the treated arm's pre→post change against
+    the control arm's — parallel-trends is the caller's assumption to
+    defend; this computes the estimate exactly.
+
+    ``arm_col`` is 0 (control) / 1 (treated); ``pre_col`` a boolean
+    marking the pre period. Cell means are exact integer micro-units
+    (DECIMAL cents → floored scale, the repo convention), so the DiD
+    estimate (Δtreated − Δcontrol) is an exact integer difference —
+    no float anywhere. Output: per-cell n and mean plus
+    (delta_treat_mu, delta_ctrl_mu, did_mu). One aggregation; the
+    exchange carries eight partials.
+    """
+    cells = df.select(
+        F.col(value_col).alias("_v"),
+        arm_col.alias("_arm"),
+        pre_col.alias("_pre"),
+    ).filter(F.col("_v").isNotNull())
+
+    def cell(arm: int, pre: bool, what: str):
+        cond = (F.col("_arm") == arm) & (F.col("_pre") == pre)
+        if what == "n":
+            return F.count(F.when(cond, 1))
+        return F.expr(
+            f"CAST(SUM(CASE WHEN _arm = {arm} AND _pre = {str(pre).lower()} "
+            f"THEN CAST(_v AS DECIMAL(18,2)) END) * 100 AS BIGINT)"
+        )
+
+    agg = cells.agg(
+        cell(0, True, "n").alias("n_ctrl_pre"),
+        cell(0, True, "c").alias("_c00"),
+        cell(0, False, "n").alias("n_ctrl_post"),
+        cell(0, False, "c").alias("_c01"),
+        cell(1, True, "n").alias("n_treat_pre"),
+        cell(1, True, "c").alias("_c10"),
+        cell(1, False, "n").alias("n_treat_post"),
+        cell(1, False, "c").alias("_c11"),
+    )
+
+    def mu(cents: str, n: str):
+        # an empty cell sums to NULL — read it as mean 0 rather than
+        # poisoning the whole row
+        return (
+            F.floor(
+                F.coalesce(F.col(cents), F.lit(0)) * F.lit(10_000)
+                / F.greatest(F.col(n), F.lit(1))
+            ).cast("long")
+        )
+
+    with_mu = agg.select(
+        "n_ctrl_pre", "n_ctrl_post", "n_treat_pre", "n_treat_post",
+        mu("_c00", "n_ctrl_pre").alias("mu_ctrl_pre"),
+        mu("_c01", "n_ctrl_post").alias("mu_ctrl_post"),
+        mu("_c10", "n_treat_pre").alias("mu_treat_pre"),
+        mu("_c11", "n_treat_post").alias("mu_treat_post"),
+    )
+    d_t = F.col("mu_treat_post") - F.col("mu_treat_pre")
+    d_c = F.col("mu_ctrl_post") - F.col("mu_ctrl_pre")
+    return with_mu.select(
+        "*",
+        d_t.alias("delta_treat_mu"),
+        d_c.alias("delta_ctrl_mu"),
+        (d_t - d_c).alias("did_mu"),
+    )
