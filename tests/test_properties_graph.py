@@ -99,3 +99,44 @@ class TestPagerankProperty:
             assert abs(got[v] - round(pr[v] * n, 6)) <= 2e-6
         # total rank mass is conserved (scaled sum == N)
         assert abs(sum(got.values()) - n) < 1e-3
+
+
+class TestCanonicalUrlProperty:
+    """canonical_url over randomized URL components."""
+
+    _scheme = st.sampled_from(["http", "https", "HTTP", "HtTpS"])
+    _host = st.sampled_from(
+        ["Example.COM", "www.site.org", "a-b.net:8080", "x.io:443", "y.io:80"]
+    )
+    _path = st.sampled_from(["", "/", "/p", "/p/q/", "/p//"])
+    _params = st.lists(
+        st.sampled_from(
+            ["a=1", "b=2", "utm_source=x", "utm_x=y", "fbclid=z", "ref=hn", "z=9"]
+        ),
+        max_size=4,
+    )
+    _frag = st.sampled_from(["", "#top", "#a/b?c=1"])
+
+    @settings(max_examples=10, deadline=None)
+    @given(scheme=_scheme, host=_host, path=_path, params=_params, frag=_frag)
+    def test_idempotent_and_clean(self, spark, scheme, host, path, params, frag):
+        from unitdb_spark.functions.text import canonical_url
+
+        url = f"{scheme}://{host}{path}"
+        if params:
+            url += "?" + "&".join(params)
+        url += frag
+        df = spark.createDataFrame([(url,)], ["u"])
+        once = df.select(canonical_url("u").alias("c"))
+        c1 = once.collect()[0].c
+        c2 = once.select(canonical_url("c")).collect()[0][0]
+        # idempotence: canonicalizing a canonical URL is a no-op
+        assert c2 == c1
+        # invariants: no fragment, no tracking params, lowercase
+        # scheme/host, no trailing slash, no default port
+        assert "#" not in c1
+        assert "utm_" not in c1 and "fbclid" not in c1 and "ref=hn" not in c1
+        head = c1.split("://")[0]
+        assert head == head.lower()
+        assert not c1.endswith("/")
+        assert ":443" not in c1 or scheme.lower() == "http"
