@@ -1210,3 +1210,61 @@ class TestStreamingCusumNaN:
         # NaN row carries the stats as of event 0 (dev +2)
         assert got[1]["s_r"] == got[0]["s_r"] == 2.0
         assert got[2]["s_r"] == 4.0
+
+
+class TestStreamingCusumNullVsNan:
+    def _run(self, spark, rows, tmp_path, name):
+        import tempfile
+
+        from unitdb_spark.streaming.state import streaming_cusum
+
+        src = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        d = tempfile.mkdtemp(dir=str(tmp_path))
+        src.write.parquet(f"{d}/src")
+        out = streaming_cusum(
+            spark.readStream.schema(src.schema).parquet(f"{d}/src"),
+            key_col="event_type", target=10.0, h=100.0,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["event_id"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    def test_null_rows_dropped_like_batch(self, spark, tmp_path):
+        """SQL NULL is DROPPED (batch isNotNull parity) while NaN is
+        kept — the Arrow hop must not conflate them."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, base, "k", 12.0),
+            (1, base + dt.timedelta(minutes=1), "k", None),
+            (2, base + dt.timedelta(minutes=2), "k", 12.0),
+        ]
+        got = self._run(spark, rows, tmp_path, "cusum_nullrow")
+        assert set(got) == {0, 2}  # the NULL row is gone
+        assert got[2]["s_r"] == 4.0  # stats unaffected by the gap
+
+    def test_all_nan_prefix_emits_null_stats(self, spark, tmp_path):
+        """A key whose first rows are all NaN matches the batch twin:
+        NULL statistics (SUM over an all-NULL window), not zeros."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, base, "k", float("nan")),
+            (1, base + dt.timedelta(minutes=1), "k", 12.0),
+            (2, base + dt.timedelta(minutes=2), "k", float("nan")),
+        ]
+        got = self._run(spark, rows, tmp_path, "cusum_nanprefix")
+        assert set(got) == {0, 1, 2}
+        assert got[0]["s_r"] is None and got[0]["alarm"] is None
+        assert got[1]["s_r"] == 2.0
+        assert got[2]["s_r"] == 2.0 and got[2]["alarm"] is False

@@ -199,12 +199,13 @@ def diff_in_diff(
     defend; this computes the estimate exactly.
 
     ``arm_col`` is 0 (control) / 1 (treated); ``pre_col`` a boolean
-    marking the pre period. Cell means are exact integer micro-units
-    (DECIMAL cents → floored scale, the repo convention), so the DiD
-    estimate (Δtreated − Δcontrol) is an exact integer difference —
-    no float anywhere. Output: per-cell n and mean plus
-    (delta_treat_mu, delta_ctrl_mu, did_mu). One aggregation; the
-    exchange carries eight partials.
+    marking the pre period. Cell SUMS are exact DECIMAL cents; each
+    cell mean is the pinned floor(cents·10⁴ / n) — engine-identical,
+    and integer-exact while cents·10⁴ stays inside 2⁵³ (≈ $9·10¹²
+    per cell, the repo's ppm-idiom envelope) — so the DiD estimate
+    (Δtreated − Δcontrol) is the exact difference of those means.
+    Output: per-cell n and mean plus (delta_treat_mu, delta_ctrl_mu,
+    did_mu). One aggregation; the exchange carries eight partials.
     """
     cells = df.select(
         F.col(value_col).alias("_v"),
@@ -212,24 +213,31 @@ def diff_in_diff(
         pre_col.alias("_pre"),
     ).filter(F.col("_v").isNotNull())
 
-    def cell(arm: int, pre: bool, what: str):
+    def cell(arm: int, pre: bool):
+        # ONE predicate feeds both the count and the cents sum — a
+        # future edit to the cell definition cannot desync n from
+        # its sum
         cond = (F.col("_arm") == arm) & (F.col("_pre") == pre)
-        if what == "n":
-            return F.count(F.when(cond, 1))
-        return F.expr(
-            f"CAST(SUM(CASE WHEN _arm = {arm} AND _pre = {str(pre).lower()} "
-            f"THEN CAST(_v AS DECIMAL(18,2)) END) * 100 AS BIGINT)"
-        )
+        n = F.count(F.when(cond, 1))
+        cents = (
+            F.sum(F.when(cond, F.col("_v").cast("decimal(18,2)")))
+            * F.lit(100)
+        ).cast("long")
+        return n, cents
 
+    n00, c00 = cell(0, True)
+    n01, c01 = cell(0, False)
+    n10, c10 = cell(1, True)
+    n11, c11 = cell(1, False)
     agg = cells.agg(
-        cell(0, True, "n").alias("n_ctrl_pre"),
-        cell(0, True, "c").alias("_c00"),
-        cell(0, False, "n").alias("n_ctrl_post"),
-        cell(0, False, "c").alias("_c01"),
-        cell(1, True, "n").alias("n_treat_pre"),
-        cell(1, True, "c").alias("_c10"),
-        cell(1, False, "n").alias("n_treat_post"),
-        cell(1, False, "c").alias("_c11"),
+        n00.alias("n_ctrl_pre"),
+        c00.alias("_c00"),
+        n01.alias("n_ctrl_post"),
+        c01.alias("_c01"),
+        n10.alias("n_treat_pre"),
+        c10.alias("_c10"),
+        n11.alias("n_treat_post"),
+        c11.alias("_c11"),
     )
 
     def mu(cents: str, n: str):

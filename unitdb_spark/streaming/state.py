@@ -614,6 +614,7 @@ CUSUM_STATE = StructType(
         StructField("s_u", LongType()),
         StructField("min_u", LongType()),
         StructField("max_u", LongType()),
+        StructField("n_valid", LongType()),
     ]
 )
 
@@ -626,27 +627,35 @@ def _cusum_fn(target_u: int, h_u: int):
         from decimal import ROUND_HALF_UP, Decimal
 
         (k,) = key
-        s_u, mn_u, mx_u = state.get if state.exists else (0, 0, 0)
+        # n_valid: rows with a real deviation so far — a key whose
+        # prefix is all-NaN must emit NULL statistics like the batch
+        # twin (SUM over an all-NULL window is NULL, not 0)
+        s_u, mn_u, mx_u, n_valid = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
         rows = []
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts_us", "event_id"])
         q6 = Decimal("0.000001")
         for eid, v in zip(batch["event_id"], batch["value"]):
-            if v is None:
-                continue  # batch operator filters NULL rows out
+            # NULL rows never reach here (JVM-side isNotNull filter in
+            # streaming_cusum — the Arrow hop would render SQL NULL as
+            # NaN and conflate it with genuine NaN values); a NaN here
+            # IS a NaN value, which the batch twin keeps
             if isinstance(v, float) and math.isnan(v):
-                # batch KEEPS NaN rows: round(NaN)→decimal casts to
-                # NULL, the window sum skips it, and the row emits
-                # with the UNCHANGED statistics — mirror that
-                rows.append(
-                    (
-                        int(eid), k, float("nan"),
-                        s_u / 1e6,
-                        (s_u - mn_u) / 1e6,
-                        (mx_u - s_u) / 1e6,
-                        (s_u - mn_u) > h_u or (mx_u - s_u) > h_u,
+                if n_valid == 0:
+                    rows.append((int(eid), k, float("nan"),
+                                 None, None, None, None))
+                else:
+                    rows.append(
+                        (
+                            int(eid), k, float("nan"),
+                            s_u / 1e6,
+                            (s_u - mn_u) / 1e6,
+                            (mx_u - s_u) / 1e6,
+                            (s_u - mn_u) > h_u or (mx_u - s_u) > h_u,
+                        )
                     )
-                )
                 continue
             # round-half-up at 6 dp on the double's shortest repr —
             # exactly Spark's round(value, 6) — then exact 1e-6 units
@@ -656,6 +665,7 @@ def _cusum_fn(target_u: int, h_u: int):
             s_u += v_u - target_u
             mn_u = min(mn_u, s_u)  # starts at 0 == min(0, min prefix)
             mx_u = max(mx_u, s_u)
+            n_valid += 1
             cpos_u = s_u - mn_u
             cneg_u = mx_u - s_u
             rows.append(
@@ -669,13 +679,19 @@ def _cusum_fn(target_u: int, h_u: int):
                     cpos_u > h_u or cneg_u > h_u,
                 )
             )
-        state.update((s_u, mn_u, mx_u))
+        state.update((s_u, mn_u, mx_u, n_valid))
+        # object dtype keeps None as SQL NULL through Arrow (float
+        # columns would coerce None→NaN, which is NOT NULL to Spark)
         yield pd.DataFrame(
-            rows,
-            columns=[
-                "event_id", "key", "value", "s_r",
-                "cusum_pos_r", "cusum_neg_r", "alarm",
-            ],
+            {
+                "event_id": pd.array([r[0] for r in rows], dtype="int64"),
+                "key": pd.Series([r[1] for r in rows], dtype=object),
+                "value": pd.Series([r[2] for r in rows], dtype=object),
+                "s_r": pd.Series([r[3] for r in rows], dtype=object),
+                "cusum_pos_r": pd.Series([r[4] for r in rows], dtype=object),
+                "cusum_neg_r": pd.Series([r[5] for r in rows], dtype=object),
+                "alarm": pd.Series([r[6] for r in rows], dtype=object),
+            }
         )
 
     return fn
@@ -720,7 +736,10 @@ def streaming_cusum(
     q6 = Decimal("0.000001")
     target_u = int(Decimal(repr(float(target))).quantize(q6, ROUND_HALF_UP) / q6)
     h_u = int(Decimal(repr(float(h))).quantize(q6, ROUND_HALF_UP) / q6)
-    prepped = stream.select(
+    # NULL rows drop JVM-SIDE (batch isNotNull parity) — past the
+    # Arrow hop a SQL NULL double reads as NaN and would conflate
+    # with genuine NaN values, which the batch twin KEEPS
+    prepped = stream.filter(F.col("value").isNotNull()).select(
         "event_id",
         F.col(key_col).cast("string").alias("key"),
         F.unix_micros("ts").alias("ts_us"),
