@@ -3562,6 +3562,18 @@ def q_events_did(spark, sf_dir):
     return diff_in_diff(ev, "value", arm, pre)
 
 
+def q_orders_revenue_concentration(spark, sf_dir):
+    """Revenue concentration per customer (the Pareto question —
+    how much do the top spenders carry?): the concentration audit
+    with DECIMAL-cents mass instead of row counts."""
+    from unitdb_spark.operators.profile import concentration_report
+
+    return concentration_report(
+        _read(spark, sf_dir, "orders"), "o_custkey",
+        weight_col="o_totalprice",
+    )
+
+
 # ----------------------------------------------------------- the contract
 
 
@@ -3784,6 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_concentration": q_events_user_concentration,
         "doc_source_balance": q_doc_source_balance,
         "events_did": q_events_did,
+        "orders_revenue_concentration": q_orders_revenue_concentration,
     }
 
 
@@ -6719,6 +6732,32 @@ def oracle_sql() -> dict[str, str]:
         r AS (SELECT *, row_number() OVER (PARTITION BY item
                 ORDER BY cosine_r DESC, neighbor) AS rank FROM s)
         SELECT item, neighbor, n_cooc, cosine_r, rank FROM r WHERE rank <= 10
+        """,
+        "orders_revenue_concentration": """
+        WITH counts AS (
+          SELECT o_custkey AS k,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+              AS n
+          FROM orders GROUP BY 1
+        ), topk AS (
+          SELECT CAST(sum(n) AS BIGINT) AS topk FROM (
+            SELECT n FROM counts ORDER BY n DESC, k LIMIT 10
+          )
+        ), a AS (
+          SELECT CAST(sum(n) AS BIGINT) AS N, count(*) AS n_keys,
+            CAST(max(n) AS BIGINT) AS top1,
+            sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) AS sq
+          FROM counts
+        )
+        SELECT N AS n_rows, n_keys,
+          CAST(floor(CAST(top1 AS DOUBLE) * 1000000.0 / CAST(N AS DOUBLE))
+               AS BIGINT) AS top1_share_ppm,
+          CAST(floor(CAST(topk AS DOUBLE) * 1000000.0 / CAST(N AS DOUBLE))
+               AS BIGINT) AS topk_share_ppm,
+          CAST(floor(CAST(sq AS DOUBLE) * 1000000.0
+                     / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)))
+               AS BIGINT) AS hhi_ppm
+        FROM a, topk
         """,
         "events_did": """
         WITH cells AS (

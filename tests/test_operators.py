@@ -4159,3 +4159,18 @@ class TestDiffInDiff:
         r = diff_in_diff(df, "value", F.col("arm"), F.col("pre")).collect()[0]
         assert r.n_ctrl_post == 0 and r.mu_ctrl_post == 0
         assert r.did_mu is not None
+
+
+class TestWeightedConcentration:
+    def test_revenue_mass(self, spark):
+        from unitdb_spark.operators.profile import concentration_report
+
+        rows = [("a", 60.00), ("a", 20.00), ("b", 15.00), ("c", 5.00)]
+        df = spark.createDataFrame(rows, ["k", "amt"])
+        r = concentration_report(df, "k", top_k=2, weight_col="amt").collect()[0]
+        # mass in cents: a=8000, b=1500, c=500, N=10000
+        assert r.n_rows == 10_000 and r.n_keys == 3
+        assert r.top1_share_ppm == 800_000
+        assert r.topk_share_ppm == 950_000
+        # HHI = (8000^2 + 1500^2 + 500^2) * 1e6 / 1e8 = 665000
+        assert r.hhi_ppm == 665_000

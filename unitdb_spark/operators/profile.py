@@ -174,7 +174,7 @@ def snapshot_diff(
 
 
 def concentration_report(
-    df: DataFrame, key_col: str, top_k: int = 10
+    df: DataFrame, key_col: str, top_k: int = 10, weight_col: str | None = None
 ) -> DataFrame:
     """One-row key-concentration audit: the "will this key skew my
     join/groupBy?" question answered BEFORE the 100 TB run.
@@ -196,10 +196,19 @@ def concentration_report(
     pinned double expression (value × 1e6 / N), never an integer
     product that can exceed BIGINT; pinned order keeps the doubles
     engine-identical.
+
+    ``weight_col`` switches the mass from row COUNTS to a value sum
+    (exact DECIMAL cents — e.g. revenue concentration per customer
+    instead of event concentration per user). Weights must be
+    non-negative: shares of a signed mass are not shares.
     """
-    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
-        F.count(F.lit(1)).alias("_n")
-    )
+    if weight_col is None:
+        mass = F.count(F.lit(1)).alias("_n")
+    else:
+        mass = F.expr(
+            f"CAST(SUM(CAST({weight_col} AS DECIMAL(18,2))) * 100 AS BIGINT)"
+        ).alias("_n")
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(mass)
     topk = (
         counts.orderBy(F.col("_n").desc(), "_k")
         .limit(top_k)
