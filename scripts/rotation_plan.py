@@ -1,0 +1,67 @@
+"""Compute the next round's driver-window rotation.
+
+The external driver hash-checks only the FIRST 50 `queries()` entries
+(observed r01-r04). With the inventory far past 50, declaration order
+rotates per round so every query eventually gets a hard CORRECTNESS
+row (COVERAGE.md "Driver-window rotation" is the authoritative log).
+
+This script does the set arithmetic: it reads every CORRECTNESS_r*.json
+beside the repo root, takes each query's LATEST driver verdict, and
+prints the recommended next declaration order — never-checked queries
+first (oldest declaration first), then the stalest-checked blocks.
+Rotate by reordering the dict literal in `__spark_entry__.queries()`
+to match, then update COVERAGE.md's rotation log (the
+tests/test_docs_consistency.py guard keeps the counts honest).
+
+Usage: python scripts/rotation_plan.py [--window 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--window", type=int, default=50)
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+
+    declared = list(e.queries().keys())
+
+    # latest round each query was driver-checked in (0 = never)
+    last_round: dict[str, int] = {q: 0 for q in declared}
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f.name).group(1))
+        for q in json.load(open(f)):
+            if q in last_round:
+                last_round[q] = max(last_round[q], rnd)
+
+    # stable order: never-checked first (declaration order), then by
+    # ascending staleness (oldest hard signal first), declaration
+    # order within a staleness class
+    order = sorted(
+        declared, key=lambda q: (last_round[q], declared.index(q))
+    )
+    w = args.window
+    print(f"# inventory: {len(declared)}; window: first {w}")
+    never = [q for q in declared if last_round[q] == 0]
+    print(f"# never driver-checked: {len(never)}")
+    print(f"# next window would cover {min(w, len(order))} queries, "
+          f"of which {sum(1 for q in order[:w] if last_round[q] == 0)} "
+          "get their FIRST hard row")
+    for q in order:
+        tag = "never" if last_round[q] == 0 else f"r{last_round[q]:02d}"
+        print(f"{tag}  {q}")
+
+
+if __name__ == "__main__":
+    main()
