@@ -37,29 +37,55 @@ def main() -> None:
 
     declared = list(e.queries().keys())
 
-    # latest round each query was driver-checked in (0 = never)
+    # latest round each query was driver-checked in (0 = never).
+    # A row only counts as "checked" if it PASSED (hash_match true, or
+    # the declared-rows-only `no_oracle` path with rows present); a
+    # hash-FAIL or errored row must not deprioritize the query — its
+    # latest verdict being a failure puts it in the must-re-front
+    # class, ahead even of never-checked queries.
     last_round: dict[str, int] = {q: 0 for q in declared}
+    failed_latest: dict[str, bool] = {q: False for q in declared}
     for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", f.name).group(1))
-        for q in json.load(open(f)):
-            if q in last_round:
-                last_round[q] = max(last_round[q], rnd)
+        for q, row in json.load(open(f)).items():
+            if q not in last_round:
+                continue
+            ok = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if ok:
+                last_round[q] = rnd
+                failed_latest[q] = False
+            else:
+                failed_latest[q] = True
 
-    # stable order: never-checked first (declaration order), then by
-    # ascending staleness (oldest hard signal first), declaration
-    # order within a staleness class
+    # stable order: latest-verdict-FAILED first (must re-front), then
+    # never-checked (declaration order), then by ascending staleness
+    # (oldest hard signal first), declaration order within a class
     order = sorted(
-        declared, key=lambda q: (last_round[q], declared.index(q))
+        declared,
+        key=lambda q: (
+            0 if failed_latest[q] else 1,
+            last_round[q],
+            declared.index(q),
+        ),
     )
     w = args.window
     print(f"# inventory: {len(declared)}; window: first {w}")
     never = [q for q in declared if last_round[q] == 0]
-    print(f"# never driver-checked: {len(never)}")
+    nfail = sum(failed_latest.values())
+    print(f"# never driver-checked: {len(never)} "
+          f"(of which latest-verdict-FAILED: {nfail})")
     print(f"# next window would cover {min(w, len(order))} queries, "
           f"of which {sum(1 for q in order[:w] if last_round[q] == 0)} "
           "get their FIRST hard row")
     for q in order:
-        tag = "never" if last_round[q] == 0 else f"r{last_round[q]:02d}"
+        tag = (
+            "FAIL!" if failed_latest[q]
+            else "never" if last_round[q] == 0
+            else f"r{last_round[q]:02d}"
+        )
         print(f"{tag}  {q}")
 
 
