@@ -7392,12 +7392,19 @@ def _pagerank_oracle() -> str:
     loop runs, unrolled as CTEs (fixed iteration count is the
     determinism contract — no float convergence test to diverge on).
     Each round re-joins the full node relation, like the operator, so
-    a node with out-edges but no in-edges keeps its row."""
+    a node with out-edges but no in-edges keeps its row.
+
+    All arithmetic is BIGINT picounits exactly as `operators.graph.
+    pagerank`: contribution = u // out_degree, damping 0.85 applied as
+    (17·x) // 20, restart = (3 · 1e12) // (20 · N). Integer sums are
+    order-free, so this matches Spark bitwise — the final pr_r is the
+    one pinned float expression round(double(u) · N / 1e12, 6)."""
     it = """
           SELECT nd.src AS node,
-            (SELECT 0.15 / nn FROM n) + 0.85 * coalesce(c.v, 0) AS pr
+            (SELECT (3 * 1000000000000) // (20 * nn) FROM n)
+              + (17 * coalesce(c.v, CAST(0 AS BIGINT))) // 20 AS u
           FROM deg nd LEFT JOIN (
-            SELECT e.dst, sum(r.pr / deg.d) AS v
+            SELECT e.dst, CAST(sum(r.u // deg.d) AS BIGINT) AS v
             FROM e JOIN {prev} r ON e.src = r.node
             JOIN deg ON e.src = deg.src
             GROUP BY e.dst
@@ -7414,11 +7421,14 @@ def _pagerank_oracle() -> str:
         e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
         deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
         n AS (SELECT count(*) AS nn FROM deg),
-        r0 AS (SELECT src AS node, (SELECT 1.0 / nn FROM n) AS pr FROM deg),
+        r0 AS (SELECT src AS node,
+                 (SELECT 1000000000000 // nn FROM n) AS u FROM deg),
         """
         + steps
         + """
-        SELECT node AS part_id, round(pr * (SELECT nn FROM n), 6) AS pr_r
+        SELECT node AS part_id,
+          round(CAST(u AS DOUBLE) * (SELECT CAST(nn AS DOUBLE) FROM n)
+                / 1000000000000.0, 6) AS pr_r
         FROM r5
         """
     )
@@ -7470,14 +7480,18 @@ def _rake_oracle() -> str:
 
 def _ppr_oracle() -> str:
     """`parts_ppr` replay: seeds = graph nodes with partkey % 97 == 0,
-    restart mass 0.15/|S| on seeds only, 5 unrolled iterations over
-    the FULL node relation (zeros kept, like the Spark loop)."""
+    restart mass on seeds only, 5 unrolled iterations over the FULL
+    node relation (zeros kept, like the Spark loop). Same exact
+    BIGINT-picounit arithmetic as `_pagerank_oracle` — restart =
+    (3 · 1e12) // (20 · |S|) per seed — so the replay is bitwise."""
     it = """
           SELECT nd.node,
-            0.85 * coalesce(c.v, 0) + CASE WHEN nd.is_seed
-              THEN 0.15 / (SELECT s FROM ns) ELSE 0 END AS pr
+            (17 * coalesce(c.v, CAST(0 AS BIGINT))) // 20
+              + CASE WHEN nd.is_seed
+                THEN (SELECT (3 * 1000000000000) // (20 * s) FROM ns)
+                ELSE 0 END AS u
           FROM nodes nd LEFT JOIN (
-            SELECT e.dst AS node, sum(r.pr / deg.d) AS v
+            SELECT e.dst AS node, CAST(sum(r.u // deg.d) AS BIGINT) AS v
             FROM e JOIN {prev} r ON e.src = r.node
             JOIN deg ON e.src = deg.src
             GROUP BY e.dst
@@ -7497,11 +7511,14 @@ def _ppr_oracle() -> str:
         nodes AS (SELECT src AS node, (src % 97 = 0) AS is_seed FROM deg),
         ns AS (SELECT count(*) AS s FROM nodes WHERE is_seed),
         r0 AS (SELECT node, CASE WHEN is_seed
-                 THEN 1.0 / (SELECT s FROM ns) ELSE 0 END AS pr FROM nodes),
+                 THEN (SELECT 1000000000000 // s FROM ns)
+                 ELSE CAST(0 AS BIGINT) END AS u FROM nodes),
         """
         + steps
         + """
-        SELECT node AS part_id, round(pr * (SELECT nn FROM n), 6) AS ppr_r
+        SELECT node AS part_id,
+          round(CAST(u AS DOUBLE) * (SELECT CAST(nn AS DOUBLE) FROM n)
+                / 1000000000000.0, 6) AS ppr_r
         FROM r5
         """
     )

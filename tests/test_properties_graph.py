@@ -100,6 +100,101 @@ class TestPagerankProperty:
         # total rank mass is conserved (scaled sum == N)
         assert abs(sum(got.values()) - n) < 1e-3
 
+    @settings(max_examples=8, deadline=None)
+    @given(
+        edges=_edges.filter(lambda e: len(e) >= 1),
+        # boundary-adjacent dampings included on purpose: the round-4
+        # IEEE formulation could flip within an ulp of a round-6
+        # boundary; the fixed-point formulation must match an integer
+        # replay EXACTLY for any damping rational
+        damping=st.sampled_from([0.85, 0.5, 0.999999, 0.123456, 0.000001]),
+    )
+    def test_bitwise_matches_integer_replay(self, spark, edges, damping):
+        """The determinism contract itself: Spark's result equals a
+        pure-Python BIGINT-picounit replay bit for bit (same floors,
+        same pinned final float expression, same HALF_UP round-6) —
+        the property the DuckDB oracle relies on."""
+        from decimal import ROUND_HALF_UP, Decimal
+        from fractions import Fraction
+
+        from unitdb_spark.operators.graph import PR_SCALE, pagerank
+
+        frac = Fraction(str(damping))
+        num, den = frac.numerator, frac.denominator
+        sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        deg: dict[int, int] = {}
+        for a, _ in sym:
+            deg[a] = deg.get(a, 0) + 1
+        n = len(deg)
+        u = {v: PR_SCALE // n for v in deg}
+        base = ((den - num) * PR_SCALE) // (den * n)
+        for _ in range(3):
+            inflow = {v: 0 for v in deg}
+            for a, b in sym:
+                inflow[b] += u[a] // deg[a]
+            u = {v: base + (num * inflow[v]) // den for v in deg}
+        q6 = Decimal("0.000001")
+        want = {
+            v: float(
+                Decimal(repr(float(u[v]) * float(n) / float(PR_SCALE)))
+                .quantize(q6, ROUND_HALF_UP)
+            )
+            for v in deg
+        }
+        df = spark.createDataFrame(sym, "src int, dst int")
+        got = {
+            r.node: r.pr_r
+            for r in pagerank(df, iterations=3, damping=damping).collect()
+        }
+        assert got == want  # bitwise: dict equality over float64
+
+    @settings(max_examples=6, deadline=None)
+    @given(edges=_edges.filter(lambda e: len(e) >= 2))
+    def test_ppr_bitwise_matches_integer_replay(self, spark, edges):
+        """Same exact-replay property for personalized_pagerank:
+        restart mass on the even-id seed nodes only, zeros kept."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from unitdb_spark.operators.graph import (
+            PR_SCALE,
+            personalized_pagerank,
+        )
+
+        sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        deg: dict[int, int] = {}
+        for a, _ in sym:
+            deg[a] = deg.get(a, 0) + 1
+        n = len(deg)
+        seeds = sorted(v for v in deg if v % 2 == 0)
+        if not seeds:
+            return
+        ns = len(seeds)
+        u = {v: (PR_SCALE // ns if v in set(seeds) else 0) for v in deg}
+        base = (3 * PR_SCALE) // (20 * ns)  # damping 0.85 = 17/20
+        for _ in range(3):
+            inflow = {v: 0 for v in deg}
+            for a, b in sym:
+                inflow[b] += u[a] // deg[a]
+            u = {
+                v: (17 * inflow[v]) // 20 + (base if v in set(seeds) else 0)
+                for v in deg
+            }
+        q6 = Decimal("0.000001")
+        want = {
+            v: float(
+                Decimal(repr(float(u[v]) * float(n) / float(PR_SCALE)))
+                .quantize(q6, ROUND_HALF_UP)
+            )
+            for v in deg
+        }
+        df = spark.createDataFrame(sym, "src int, dst int")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node int")
+        got = {
+            r.node: r.ppr_r
+            for r in personalized_pagerank(df, sdf, iterations=3).collect()
+        }
+        assert got == want
+
 
 class TestCanonicalUrlProperty:
     """canonical_url over randomized URL components."""

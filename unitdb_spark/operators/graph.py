@@ -11,9 +11,11 @@ shuffle on the destination key; `localCheckpoint` per round cuts the
 growing lineage exactly as in `kmeans.py`/`cluster.py`.
 
 Determinism contract: fixed iteration count (no float convergence
-test), damping as an exact literal, output scaled by N and rounded
-to 6 — the driver's DuckDB oracle replays the same unrolled
-iterations and hash-matches.
+test), and the PageRank family runs in exact BIGINT fixed-point
+(picounits of mass, damping as an integer rational) so every
+iteration is order-free — the driver's DuckDB oracle replays the
+same unrolled iterations and matches BITWISE, with no
+IEEE-accumulation-order ulp risk at rounding boundaries.
 
 The reference engine has no graph surface; north-star analytics.
 """
@@ -49,6 +51,14 @@ def cooccurrence_edges(
     return und.unionAll(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
+#: fixed-point scale for the quantized PageRank family: ranks are
+#: BIGINT picounits (1e-12 of total mass). Large enough that the
+#: per-step floor loss (< 1 unit per edge/node) is invisible at the
+#: round-6 output resolution, small enough that damping_num * SCALE
+#: stays far inside int64.
+PR_SCALE = 1_000_000_000_000
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -56,9 +66,10 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
 ) -> DataFrame:
-    """Power-iteration PageRank over a directed edge list.
+    """Power-iteration PageRank over a directed edge list, computed in
+    EXACT integer fixed-point (BIGINT picounits of mass).
 
-    Returns (node, pr_r): rank scaled by N (mean 1.0 — readable and
+    Returns (node, pr_r): rank scaled by N (mean ~1.0 — readable and
     better round-6 resolution than raw 1/N-sized values) and rounded
     to 6 for the cross-engine hash convention.
 
@@ -77,15 +88,22 @@ def pagerank(
     it (the loop reuses it k times) — here Spark's shuffle reuse
     already covers the bench SFs.
 
-    Cross-engine note: the restart term is derived via exact Decimal
-    (1 − 0.85 in doubles is 0.15000000000000002, NOT the 0.15 literal
-    an oracle writes); the per-node contribution sums are still IEEE
-    doubles whose accumulation order can differ between engines at the
-    ~1e-16 level — the round-6 output absorbs that except for values
-    within an ulp of a rounding boundary.
+    Determinism contract (the fix for the round-4 ulp risk): all
+    arithmetic is BIGINT — contribution = pr_u div out_degree, damping
+    applied as the exact rational (num·x) div den from
+    Fraction(str(damping)), restart mass floor((den−num)·SCALE /
+    (den·N)). Integer sums are order-free, so Spark and any SQL oracle
+    agree BITWISE regardless of accumulation order — no value can sit
+    "within an ulp of a rounding boundary". Each floor drops < 1
+    picounit, so the result differs from IEEE PageRank by < (E+N)·k
+    picounits of mass — invisible at round-6 after N-scaling for any
+    graph small enough to enumerate. The final pr_r is one pinned
+    float expression: round(double(u) · N / SCALE, 6).
     """
-    from decimal import Decimal
+    from fractions import Fraction
 
+    frac = Fraction(str(damping))
+    d_num, d_den = frac.numerator, frac.denominator
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     ewd = e.join(deg, "_s")  # (src, dst, out-degree of src)
@@ -93,13 +111,11 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank: empty edge list")
     nodes = deg.select("_s")
-    ranks = nodes.select("_s", F.lit(1.0 / n).alias("_pr"))
-    # exact decimal restart so Spark and a SQL oracle share the SAME
-    # double for (1 - damping)
-    base = float(Decimal(1) - Decimal(str(damping))) / n
+    ranks = nodes.select("_s", F.lit(PR_SCALE // n).alias("_pr_u"))
+    base_u = ((d_den - d_num) * PR_SCALE) // (d_den * n)
     for _ in range(iterations):
         contrib = ewd.join(ranks, "_s").select(
-            F.col("_d"), (F.col("_pr") / F.col("_deg")).alias("_c")
+            F.col("_d"), F.expr("_pr_u div _deg").alias("_c")
         )
         agg = contrib.groupBy("_d").agg(F.sum("_c").alias("_in"))
         ranks = (
@@ -107,14 +123,21 @@ def pagerank(
             .select(
                 "_s",
                 (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
-                ).alias("_pr"),
+                    F.lit(base_u)
+                    + F.expr(
+                        f"({d_num} * coalesce(_in, 0L)) div {d_den}"
+                    )
+                ).alias("_pr_u"),
             )
         ).localCheckpoint(eager=False)
     return ranks.select(
         F.col("_s").alias("node"),
-        F.round(F.col("_pr") * F.lit(float(n)), 6).alias("pr_r"),
+        F.round(
+            F.col("_pr_u").cast("double")
+            * F.lit(float(n))
+            / F.lit(float(PR_SCALE)),
+            6,
+        ).alias("pr_r"),
     )
 
 
@@ -284,7 +307,15 @@ def personalized_pagerank(
     ) — scaled by N and rounded to 6 like `pagerank`.
     Per-iteration cost identical to `pagerank`; the seed relation is
     broadcast-sized by assumption.
+
+    Same exact-BIGINT-picounit determinism contract as `pagerank`
+    (see its docstring): integer sums are order-free, so the SQL
+    oracle replay matches bitwise by construction.
     """
+    from fractions import Fraction
+
+    frac = Fraction(str(damping))
+    d_num, d_den = frac.numerator, frac.denominator
     sc = seed_col or seeds.columns[0]
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
@@ -300,21 +331,21 @@ def personalized_pagerank(
     n_seeds = sd.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: no seed is a graph node")
-    # exact decimal restart — see pagerank's cross-engine note
-    from decimal import Decimal
-
-    base = float(Decimal(1) - Decimal(str(damping))) / n_seeds
+    base_u = ((d_den - d_num) * PR_SCALE) // (d_den * n_seeds)
     nodes = deg.select("_s")
     marked = nodes.join(
         sd.select("_s", F.lit(True).alias("_is_seed")), "_s", "left"
     ).select("_s", F.coalesce("_is_seed", F.lit(False)).alias("_is_seed"))
     ranks = marked.select(
         "_s",
-        F.when(F.col("_is_seed"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)).alias("_pr"),
+        F.when(F.col("_is_seed"), F.lit(PR_SCALE // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_pr_u"),
     )
     for _ in range(iterations):
         contrib = ewd.join(ranks, "_s").select(
-            F.col("_d"), (F.col("_pr") / F.col("_deg")).alias("_c")
+            F.col("_d"), F.expr("_pr_u div _deg").alias("_c")
         )
         agg = contrib.groupBy("_d").agg(F.sum("_c").alias("_in"))
         ranks = (
@@ -322,14 +353,19 @@ def personalized_pagerank(
             .select(
                 "_s",
                 (
-                    F.lit(damping) * F.coalesce("_in", F.lit(0.0))
-                    + F.when(F.col("_is_seed"), F.lit(base)).otherwise(F.lit(0.0))
-                ).alias("_pr"),
+                    F.expr(f"({d_num} * coalesce(_in, 0L)) div {d_den}")
+                    + F.when(F.col("_is_seed"), F.lit(base_u)).otherwise(F.lit(0))
+                ).alias("_pr_u"),
             )
         ).localCheckpoint(eager=False)
     return ranks.select(
         F.col("_s").alias("node"),
-        F.round(F.col("_pr") * F.lit(float(n)), 6).alias("ppr_r"),
+        F.round(
+            F.col("_pr_u").cast("double")
+            * F.lit(float(n))
+            / F.lit(float(PR_SCALE)),
+            6,
+        ).alias("ppr_r"),
     )
 
 
