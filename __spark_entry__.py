@@ -3581,6 +3581,46 @@ def q_orders_revenue_concentration(spark, sf_dir):
 # ----------------------------------------------------------- the contract
 
 
+def q_media_bmp_resize(spark, sf_dir):
+    """REAL pixel kernel end-to-end: every doc becomes a valid 24-bit
+    BMP whose every pixel is closed-form in doc_id, the actual pixel
+    array is decoded, nearest-neighbor-resampled to 8×6 with integer
+    index math, re-encoded as a BMP, decoded AGAIN, and reduced to
+    integer statistics (channel sum + position-weighted checksum over
+    the flattened top-down BGR array). The oracle regenerates the
+    resampled pixels from doc_id alone — a hash-match proves decode,
+    resample, row order, row padding, and channel order are all
+    byte-correct. No stub in the path."""
+    from unitdb_spark.functions.multimodal import (
+        bmp_pixel_stats,
+        resize_bmp_images,
+        synthetic_bmp_media,
+    )
+
+    media = synthetic_bmp_media(_docs(spark, sf_dir))
+    return bmp_pixel_stats(resize_bmp_images(media, 8, 6)).select(
+        F.col("id").alias("doc_id"), "width", "height", "px_sum", "px_wsum"
+    )
+
+
+def q_media_wav_pcm(spark, sf_dir):
+    """REAL sample kernel: the WAV blobs in the synthetic media fixture
+    (doc_id % 5 == 3) carry actual 16-bit PCM — decode the samples and
+    compute integer-exact signal statistics (energy, strict
+    zero-crossings, min/max) plus the one pinned float rms_r. The
+    oracle regenerates every sample from the closed-form byte pattern
+    ((6j)%256 | ((6j+3)%256)<<8, sign-extended) — bitwise."""
+    from unitdb_spark.functions.multimodal import pcm_features
+
+    media = synthetic_media(_docs(spark, sf_dir)).filter(
+        F.col("media_type") == "audio"
+    )
+    return pcm_features(media).select(
+        F.col("id").alias("doc_id"), "sample_rate", "n_samples", "energy",
+        "zero_crossings", "v_min", "v_max", "rms_r",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -3800,6 +3840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_rollup_snapshot": q_streamed_rollup_snapshot,
         "streamed_kv_state": q_streamed_kv_state,
         "streamed_topk_snapshot": q_streamed_topk_snapshot,
+        # --- new in round 5 (enter a later window per rotation) -------
+        "media_bmp_resize": q_media_bmp_resize,
+        "media_wav_pcm": q_media_wav_pcm,
     }
 
 
@@ -4462,6 +4505,67 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT ((CASE WHEN c.n_grams < 1 THEN 0.0
                     ELSE CAST(c.n_contaminated AS DOUBLE) / c.n_grams END) >= 0.5)
           AND k.doc_id % 41 <> 0
+        """,
+        "media_bmp_resize": """
+        -- regenerate the 8x6 nearest-neighbor-resampled pixels from
+        -- doc_id alone: source dims sw = d%24+4, sh = (d//3)%20+4,
+        -- seed s = d%251; source pixel for output (X, Y) is
+        -- (X*sw//8, Y*sh//6); channels are the fixture's closed form.
+        -- px_wsum weights each channel value by its 1-based position
+        -- in the flattened top-down BGR array — any flip/transpose/
+        -- channel-swap in the decoder breaks the match
+        WITH g AS (
+          SELECT d.doc_id,
+            d.doc_id % 24 + 4 AS sw,
+            (d.doc_id // 3) % 20 + 4 AS sh,
+            d.doc_id % 251 AS s, x.vx, y.vy
+          FROM documents d,
+               UNNEST(generate_series(0, 7)) AS x(vx),
+               UNNEST(generate_series(0, 5)) AS y(vy)
+        ), px AS (
+          SELECT doc_id, vx, vy,
+            (s + 3 * ((vx * sw) // 8) + 7 * ((vy * sh) // 6)) % 256 AS cb,
+            (2 * s + 5 * ((vx * sw) // 8) + 11 * ((vy * sh) // 6)) % 256 AS cg,
+            (3 * s + ((vx * sw) // 8) + 13 * ((vy * sh) // 6)) % 256 AS cr
+          FROM g
+        )
+        SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+          CAST(SUM(cb + cg + cr) AS BIGINT) AS px_sum,
+          CAST(SUM(cb * ((vy * 8 + vx) * 3 + 1)
+                 + cg * ((vy * 8 + vx) * 3 + 2)
+                 + cr * ((vy * 8 + vx) * 3 + 3)) AS BIGINT) AS px_wsum
+        FROM px GROUP BY 1
+        """,
+        "media_wav_pcm": """
+        -- regenerate every PCM sample from build_wav's byte pattern:
+        -- data byte i = (3i)%256, so sample j (int16 LE) has
+        -- lo = (6j)%256, hi = (6j+3)%256, sign-extended
+        WITH w AS (
+          SELECT doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 ELSE 44100 END AS sr,
+            doc_id % 4000 + 100 AS n
+          FROM documents WHERE doc_id % 5 = 3
+        ), s AS (
+          SELECT w.doc_id, w.sr, w.n, j.j,
+            CASE WHEN ((6 * j.j) % 256 + 256 * ((6 * j.j + 3) % 256)) >= 32768
+                 THEN ((6 * j.j) % 256 + 256 * ((6 * j.j + 3) % 256)) - 65536
+                 ELSE ((6 * j.j) % 256 + 256 * ((6 * j.j + 3) % 256))
+            END AS v
+          FROM w, UNNEST(generate_series(0, CAST(w.n - 1 AS BIGINT))) AS j(j)
+        ), z AS (
+          SELECT doc_id, sr, n, v,
+            lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+          FROM s
+        )
+        SELECT doc_id, CAST(MAX(sr) AS INTEGER) AS sample_rate,
+          CAST(MAX(n) AS BIGINT) AS n_samples,
+          CAST(SUM(v * v) AS BIGINT) AS energy,
+          CAST(COUNT(*) FILTER (pv * v < 0) AS BIGINT) AS zero_crossings,
+          CAST(MIN(v) AS BIGINT) AS v_min,
+          CAST(MAX(v) AS BIGINT) AS v_max,
+          round(sqrt(CAST(SUM(v * v) AS DOUBLE) / MAX(n)), 6) AS rms_r
+        FROM z GROUP BY 1
         """,
         "media_audio_chunks": """
         -- replay the parsed WAV duration from the closed-form build

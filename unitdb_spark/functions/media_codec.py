@@ -6,9 +6,14 @@ metadata a training-data pipeline needs (dimensions, frame counts,
 sample rate, duration) parsed from the CONTAINER HEADERS of real
 formats — PNG, JPEG, GIF, WAV, MP4, BMP, TIFF (both byte orders),
 MP3 (ID3v2 skip + CBR frame walk) — with no external decode library.
-Pixel/sample decoding (which genuinely needs PIL/ffmpeg) stays behind
-the clearly-marked stubs in functions.multimodal; header metadata does
-not need it.
+Pixel/sample decoding of COMPRESSED formats (which genuinely needs
+PIL/ffmpeg) stays behind the clearly-marked stubs in
+functions.multimodal. Uncompressed containers need only ``struct``:
+this module also carries REAL pixel/sample codecs for them —
+24-bit BMP pixel arrays (encode_bmp24/decode_bmp24, bottom-up rows,
+4-byte row padding, BGR order) and 16-bit PCM WAV samples
+(decode_wav_pcm16) — which back functions.multimodal's real resize
+and audio-feature kernels.
 
 Two halves, designed to invert each other:
 
@@ -513,3 +518,113 @@ def parse_media(blob: bytes) -> dict:
     else:
         out = None
     return out if out is not None else dict(_EMPTY)
+
+
+# ------------------------------------------- real pixel/sample codecs
+#
+# Uncompressed containers decode with struct/numpy alone — these are
+# REAL kernels, not stubs: encode_bmp24/decode_bmp24 invert each other
+# over the actual BMP pixel layout (bottom-up rows, 4-byte row
+# padding, BGR channel order), decode_wav_pcm16 yields the actual
+# int16 samples the RIFF data chunk carries.
+
+
+def encode_bmp24(arr) -> bytes:
+    """numpy (h, w, 3) uint8, BGR channel order, top-down rows -> a
+    valid 24-bit BITMAPINFOHEADER BMP (bottom-up storage, rows padded
+    to 4 bytes)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    pad = (-(w * 3)) % 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up storage order
+        rows += a[y].tobytes() + b"\x00" * pad
+    pix = bytes(rows)
+    total = 54 + len(pix)
+    fh = b"BM" + struct.pack("<IHHI", total, 0, 0, 54)
+    ih = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return fh + ih + pix
+
+
+def decode_bmp24(b: bytes):
+    """24-bit uncompressed BMP -> numpy (h, w, 3) uint8 BGR top-down,
+    or None for anything this real-but-narrow decoder doesn't cover
+    (other bit depths, compressed BMPs, truncated pixel arrays) —
+    decode failures are data, never exceptions.
+
+    Handles both bottom-up (height > 0) and top-down (height < 0)
+    storage and the 4-byte row padding."""
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    offset = struct.unpack("<I", b[10:14])[0]
+    info_len = struct.unpack("<I", b[14:18])[0]
+    if info_len < 40:
+        return None
+    w, h_signed = struct.unpack("<ii", b[18:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    compression = struct.unpack("<I", b[30:34])[0]
+    if w <= 0 or h_signed == 0 or bpp != 24 or compression != 0:
+        return None
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    if offset + stride * h > len(b):
+        return None
+    raw = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up file -> top-down array
+        rows = rows[::-1]
+    return rows.copy()
+
+
+def resize_bmp24_nearest(b: bytes, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor resample of a 24-bit BMP, re-encoded as a
+    24-bit BMP. Source pixel for output (X, Y) is
+    (floor(X·sw/width), floor(Y·sh/height)) — pure integer index math,
+    so an SQL oracle can predict every output pixel. None for blobs
+    decode_bmp24 doesn't claim."""
+    import numpy as np
+
+    src = decode_bmp24(b)
+    if src is None:
+        return None
+    sh, sw, _ = src.shape
+    xs = (np.arange(width) * sw) // width
+    ys = (np.arange(height) * sh) // height
+    return encode_bmp24(src[np.ix_(ys, xs)])
+
+
+def decode_wav_pcm16(b: bytes):
+    """Mono 16-bit PCM RIFF/WAVE -> (sample_rate, numpy int16 samples),
+    or None for anything else (other encodings/bit depths/channel
+    counts, truncated data) — same honest-failure contract as the
+    header parsers."""
+    import numpy as np
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        ctype = b[pos : pos + 4]
+        clen = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if ctype == b"fmt " and clen >= 16 and pos + 24 <= len(b):
+            fmt = struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
+        elif ctype == b"data":
+            if pos + 8 + clen > len(b):
+                return None  # truncated data chunk
+            data = b[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or channels != 1 or bits != 16 or sample_rate == 0:
+        return None
+    samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+    return sample_rate, samples

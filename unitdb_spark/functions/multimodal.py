@@ -3,9 +3,12 @@
 Metadata extraction is REAL: container headers (PNG IHDR, JPEG SOF,
 GIF block walk, WAV fmt/data chunks, MP4 box tree) are parsed from the
 raw bytes by ``functions.media_codec`` — stdlib-only, no PIL/ffmpeg.
-Only the pixel/sample-level kernels (resize, feature extraction) that
-genuinely need a decode library or a model remain behind clearly-marked
-deterministic stubs.
+Pixel/sample kernels are REAL for uncompressed containers too:
+24-bit BMP decode → true nearest-neighbor resize → re-encode
+(`resize_bmp_images`) and WAV PCM16 sample statistics
+(`pcm_features`). Only kernels for COMPRESSED formats (JPEG/MP4
+pixels) or model inference remain behind clearly-marked deterministic
+stubs.
 
 Design for 100 TB of media:
 - media rows stay (id, media_type, blob BINARY, meta STRUCT); blobs
@@ -236,7 +239,9 @@ def resize_images(
     """
     if not decode_stub:
         raise NotImplementedError(
-            "real image resizing requires PIL — not in this container"
+            "real resizing of COMPRESSED images (JPEG/PNG/GIF pixels) "
+            "requires PIL — not in this container; uncompressed 24-bit "
+            "BMPs have a REAL kernel: resize_bmp_images"
         )
     target = width * height
 
@@ -282,7 +287,9 @@ def extract_features(
     """
     if not decode_stub:
         raise NotImplementedError(
-            "real feature extraction requires a vision/audio model — not in this container"
+            "model-based feature extraction requires a vision/audio "
+            "model — not in this container; WAV PCM16 audio has a REAL "
+            "signal-statistics kernel: pcm_features"
         )
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -319,4 +326,195 @@ def documents_as_media(df: DataFrame) -> DataFrame:
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("media_type"),
         F.encode(F.col("text"), "utf-8").alias("blob"),
+    )
+
+
+# ----------------------------------------- real pixel/sample kernels
+#
+# Uncompressed containers don't need PIL/ffmpeg — these kernels do the
+# actual work on the actual bytes: BMP24 pixel arrays (decode, true
+# nearest-neighbor resample, re-encode) and WAV PCM16 samples (energy,
+# RMS, zero-crossings). The `decode_stub` paths above remain ONLY for
+# compressed formats (JPEG/MP4 pixels genuinely need a decode
+# library).
+
+
+def synthetic_bmp_media(documents: DataFrame) -> DataFrame:
+    """Real-pixel BMP fixture: every doc becomes a VALID 24-bit BMP
+    whose dimensions AND every pixel are closed-form in doc_id —
+    pixel (x, y) holds BGR = ((s + 3x + 7y) % 256,
+    (2s + 5x + 11y) % 256, (3s + x + 13y) % 256) with s = doc_id % 251
+    — so an SQL oracle can predict any derived pixel statistic, and a
+    hash-match proves the decode→resample→encode path touches the
+    right bytes."""
+    from unitdb_spark.functions import media_codec as mc
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sw, sh, s = d % 24 + 4, (d // 3) % 20 + 4, d % 251
+                X, Y = np.meshgrid(np.arange(sw), np.arange(sh))
+                arr = np.stack(
+                    [
+                        (s + 3 * X + 7 * Y) % 256,
+                        (2 * s + 5 * X + 11 * Y) % 256,
+                        (3 * s + X + 13 * Y) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                blobs.append(mc.encode_bmp24(arr))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"].values,
+                    "media_type": "image",
+                    "blob": blobs,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _build, "id long, media_type string, blob binary"
+    )
+
+
+def resize_bmp_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor resize for 24-bit BMP blobs: decode the
+    actual pixel array, resample with integer index math
+    (sx = floor(X·sw/W)), re-encode as a valid BMP. Blobs the BMP24
+    decoder doesn't claim (compressed formats, other depths) keep
+    their row with a NULL blob — the honest-failure contract.
+
+    Output blob size is bounded by the target dims regardless of input
+    size — the fixed-footprint property that matters at 100 TB."""
+    from unitdb_spark.functions.media_codec import resize_bmp24_nearest
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                resize_bmp24_nearest(bytes(b), width, height)
+                if b is not None
+                else None
+                for b in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "width": width,
+                    "height": height,
+                    "blob": pd.Series(out, dtype=object),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _resize, "id long, width int, height int, blob binary"
+    )
+
+
+def bmp_pixel_stats(df: DataFrame) -> DataFrame:
+    """Integer-exact pixel statistics from REAL BMP24 decode: per
+    image, the dimensions, the plain channel-value sum, and a
+    position-weighted checksum sum(v · p) over the flattened top-down
+    BGR array (p = 1-based position) — order-sensitive, so a flipped,
+    transposed, or channel-swapped decode cannot hash-match. NULL
+    stats for undecodable blobs."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import decode_bmp24
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"].values, pdf["blob"]):
+                arr = decode_bmp24(bytes(b)) if b is not None else None
+                if arr is None:
+                    rows.append((int(i), None, None, None, None))
+                    continue
+                flat = arr.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(i),
+                        int(arr.shape[1]),
+                        int(arr.shape[0]),
+                        int(flat.sum()),
+                        int((flat * (np.arange(flat.size) + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "width": pd.Series([r[1] for r in rows], dtype=object),
+                    "height": pd.Series([r[2] for r in rows], dtype=object),
+                    "px_sum": pd.Series([r[3] for r in rows], dtype=object),
+                    "px_wsum": pd.Series([r[4] for r in rows], dtype=object),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _stats, "id long, width int, height int, px_sum long, px_wsum long"
+    )
+
+
+def pcm_features(df: DataFrame) -> DataFrame:
+    """REAL audio features from WAV PCM16 sample decode: per blob the
+    sample rate, sample count, integer energy (sum of squared
+    samples), strict zero-crossing count (v[i-1]·v[i] < 0), min/max
+    sample, and rms_r = round(sqrt(energy / n), 6) — one pinned float
+    expression, everything else exact BIGINT, so an SQL oracle that
+    regenerates the samples matches bitwise. NULL features for blobs
+    that aren't mono PCM16 WAV — the stub `extract_features` remains
+    the path for formats that genuinely need a model/decoder."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import decode_wav_pcm16
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"].values, pdf["blob"]):
+                dec = decode_wav_pcm16(bytes(b)) if b is not None else None
+                if dec is None or len(dec[1]) == 0:
+                    rows.append((int(i),) + (None,) * 6 + (None,))
+                    continue
+                sr, s = dec
+                v = s.astype(np.int64)
+                energy = int((v * v).sum())
+                zc = int(((v[:-1] * v[1:]) < 0).sum()) if v.size > 1 else 0
+                # same pinned expression as the SQL replay:
+                # round(sqrt(double(energy) / n), 6), half-up on the
+                # shortest repr like Spark's round()
+                from decimal import ROUND_HALF_UP, Decimal
+
+                rms = float(
+                    Decimal(repr(math.sqrt(energy / v.size))).quantize(
+                        Decimal("0.000001"), ROUND_HALF_UP
+                    )
+                )
+                rows.append(
+                    (int(i), sr, int(v.size), energy, zc,
+                     int(v.min()), int(v.max()), rms)
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "sample_rate": pd.Series([r[1] for r in rows], dtype=object),
+                    "n_samples": pd.Series([r[2] for r in rows], dtype=object),
+                    "energy": pd.Series([r[3] for r in rows], dtype=object),
+                    "zero_crossings": pd.Series([r[4] for r in rows], dtype=object),
+                    "v_min": pd.Series([r[5] for r in rows], dtype=object),
+                    "v_max": pd.Series([r[6] for r in rows], dtype=object),
+                    "rms_r": pd.Series([r[7] for r in rows], dtype=object),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _feat,
+        "id long, sample_rate int, n_samples long, energy long, "
+        "zero_crossings long, v_min long, v_max long, rms_r double",
     )
