@@ -722,3 +722,35 @@ class TestSessionPlans4d:
         assert "TakeOrderedAndProject" in plan
         # the audit itself must not global-sort the counts relation
         assert plan.count("Sort ") <= 1
+
+
+class TestVacuumPlans:
+    """Round-5 join-based tombstone purge: the planning path must stay
+    distributed for a mass delete — no IN-list of seqs, no collect of
+    the tombstone relation; the only driver-sized thing is the
+    affected-partition list."""
+
+    def test_affected_partitions_is_broadcast_range_join(self, spark):
+        from unitdb_spark.engine import _tombstone_affected
+
+        ranges = spark.createDataFrame(
+            [(1, "2024-01-01", 1, 100)], "contract int, p_date string, lo long, hi long"
+        )
+        tombs = spark.range(1000).selectExpr("id AS seq")
+        plan = formatted_plan(_tombstone_affected(ranges, tombs))
+        # the tiny partition-range aggregate is the broadcast side of a
+        # non-equi join; the tombstone relation streams
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_partition_kept_is_anti_join_not_in_list(self, spark):
+        from unitdb_spark.engine import _partition_kept
+
+        pdf = spark.range(100).selectExpr("id AS seq", "id AS payload")
+        tombs = spark.range(10).selectExpr("id * 7 AS seq")
+        df = _partition_kept(pdf, tombs)
+        plan = formatted_plan(df)
+        assert "LeftAnti" in plan
+        assert " IN (" not in plan  # never a driver-built literal list
+        got = sorted(r["seq"] for r in df.collect())
+        assert got == sorted(set(range(100)) - {i * 7 for i in range(10)})

@@ -479,10 +479,15 @@ class Engine:
         db_internal.go:143; here tombstoned rows leave the Parquet
         files and the read path's anti-join shrinks to nothing).
 
-        Selective like compact(): one stats aggregate finds the
-        partitions whose seq range intersects a tombstoned seq —
-        deletes are rare, so the rewrite cost tracks deleted data, not
-        table size. Single-writer via the shared table lease;
+        Selective like compact(): the partitions whose seq range holds
+        a tombstoned seq are found by JOINING the tombstone relation
+        against the broadcast partition-range aggregate — the rewrite
+        cost tracks deleted data, not table size, and a MASS delete
+        (GDPR-style, millions of tombstones) stays fully distributed:
+        nothing serializes through the driver except the
+        affected-partition list, and the per-partition rewrite is an
+        anti-JOIN on seq, never a driver-built IN-list. Single-writer
+        via the shared table lease;
         stage → trash → promote per partition with the same
         ``_recover_compact`` coverage; re-runnable — a crash leaves
         the tombstone set in place, so reads stay correct either way.
@@ -506,19 +511,21 @@ class Engine:
             if not snap_files:
                 return report
             tombs = self.spark.read.parquet(*snap_files)
-            tomb_seqs = sorted({int(r[0]) for r in tombs.select("seq").collect()})
-            if not tomb_seqs:
-                return report
+            tomb_seqs_df = tombs.select("seq").distinct()
+            # affected-partition discovery is a JOIN, not a driver-side
+            # intersect: a mass delete (GDPR-style) may tombstone
+            # millions of seqs, which must never serialize through the
+            # driver or inflate a plan IN-list. The partition-range
+            # aggregate (one row per partition) is the broadcast side;
+            # the only collect is the affected-partition list itself.
             ranges = (
                 self.table.read()
                 .groupBy("contract", "p_date")
                 .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"))
-                .collect()
             )
             affected = [
                 (r["contract"], r["p_date"])
-                for r in ranges
-                if any(r["lo"] <= s <= r["hi"] for s in tomb_seqs)
+                for r in _tombstone_affected(ranges, tomb_seqs_df).collect()
             ]
             root = self.table.path
             data_schema = T.StructType([
@@ -530,13 +537,10 @@ class Engine:
                 part = f"contract={contract}/p_date={p_date}"
                 ppath = f"{root}/{part}"
                 pdf = self.spark.read.schema(data_schema).parquet(ppath)
-                removed = pdf.filter(F.col("seq").isin(tomb_seqs)).count()
+                removed = pdf.join(tomb_seqs_df, "seq", "leftsemi").count()
                 if not removed:
                     continue
-                kept = (
-                    pdf.filter(~F.col("seq").isin(tomb_seqs))
-                    .sortWithinPartitions("seq")
-                )
+                kept = _partition_kept(pdf, tomb_seqs_df)
                 tmp = f"{stage_root}/stage/{part}"
                 trash = f"{stage_root}/trash/{part}"
                 fs.delete(self.spark, tmp)
@@ -834,3 +838,26 @@ class Batch:
 
 def _as_bytes(payload: bytes | str) -> bytes:
     return payload.encode("utf-8") if isinstance(payload, str) else bytes(payload)
+
+
+def _tombstone_affected(ranges: DataFrame, tomb_seqs: DataFrame) -> DataFrame:
+    """Partitions whose [lo, hi] seq range holds at least one
+    tombstoned seq — as a JOIN with the partition-range aggregate on
+    the broadcast side (one row per partition), so the tombstone
+    relation can be arbitrarily large without ever touching the
+    driver. Returns distinct (contract, p_date)."""
+    return (
+        tomb_seqs.join(
+            F.broadcast(ranges),
+            (tomb_seqs["seq"] >= ranges["lo"]) & (tomb_seqs["seq"] <= ranges["hi"]),
+        )
+        .select("contract", "p_date")
+        .distinct()
+    )
+
+
+def _partition_kept(pdf: DataFrame, tomb_seqs: DataFrame) -> DataFrame:
+    """Surviving rows of one partition under a tombstone set: an
+    anti-join on seq (never a driver-built IN-list — a mass delete
+    must stay distributed), seq-sorted for the rewrite."""
+    return pdf.join(tomb_seqs, "seq", "left_anti").sortWithinPartitions("seq")
