@@ -3621,6 +3621,33 @@ def q_media_wav_pcm(spark, sf_dir):
     )
 
 
+def q_streamed_concentration(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING concentration audit: the
+    events stream folds per-user counts into a versioned commit-logged
+    state (streaming.continuous.continuous_key_counts — O(state+batch)
+    per refresh), then the report is derived from the committed state
+    by the BATCH operator's own shared math. Count partials merge by
+    SUM, so the state equals the one-shot groupBy bit for bit and the
+    oracle is events_user_concentration's SQL verbatim."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_key_counts,
+        read_concentration,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_key_counts(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "user_id",
+        f"{base}/state",
+        f"{base}/cp",
+    )
+    q.awaitTermination(300)
+    return read_concentration(spark, f"{base}/state", top_k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -3843,6 +3870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (enter a later window per rotation) -------
         "media_bmp_resize": q_media_bmp_resize,
         "media_wav_pcm": q_media_wav_pcm,
+        "streamed_concentration": q_streamed_concentration,
     }
 
 
@@ -3877,6 +3905,34 @@ SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept, kth_hash,
         ELSE 63.0 * (1152921504606846976.0 / CAST(kth_hash AS DOUBLE))
         END, 6) AS kmv_est
 FROM a
+"""
+
+# key-concentration audit SQL — shared verbatim by the batch query
+# (events_user_concentration) and the streaming rolling-state twin
+# (streamed_concentration): count partials merge by SUM, so the folded
+# state equals the one-shot GROUP BY and both run the same report math
+_USER_CONC_SQL = """
+WITH counts AS (
+  SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1
+), topk AS (
+  SELECT CAST(sum(n) AS BIGINT) AS topk FROM (
+    SELECT n FROM counts ORDER BY n DESC, k LIMIT 10
+  )
+), a AS (
+  SELECT CAST(sum(n) AS BIGINT) AS N, count(*) AS n_keys,
+    CAST(max(n) AS BIGINT) AS top1,
+    sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) AS sq
+  FROM counts
+)
+SELECT N AS n_rows, n_keys,
+  CAST(floor(CAST(top1 AS DOUBLE) * 1000000.0 / CAST(N AS DOUBLE))
+       AS BIGINT) AS top1_share_ppm,
+  CAST(floor(CAST(topk AS DOUBLE) * 1000000.0 / CAST(N AS DOUBLE))
+       AS BIGINT) AS topk_share_ppm,
+  CAST(floor(CAST(sq AS DOUBLE) * 1000000.0
+             / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)))
+       AS BIGINT) AS hhi_ppm
+FROM a, topk
 """
 
 _SCD2_SQL = """
@@ -6907,29 +6963,11 @@ def oracle_sql() -> dict[str, str]:
             AS did_mu
         FROM m
         """,
-        "events_user_concentration": """
-        WITH counts AS (
-          SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1
-        ), topk AS (
-          SELECT CAST(sum(n) AS BIGINT) AS topk FROM (
-            SELECT n FROM counts ORDER BY n DESC, k LIMIT 10
-          )
-        ), a AS (
-          SELECT CAST(sum(n) AS BIGINT) AS N, count(*) AS n_keys,
-            CAST(max(n) AS BIGINT) AS top1,
-            sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) AS sq
-          FROM counts
-        )
-        SELECT N AS n_rows, n_keys,
-          CAST(floor(CAST(top1 AS DOUBLE) * 1000000.0 / CAST(N AS DOUBLE))
-               AS BIGINT) AS top1_share_ppm,
-          CAST(floor(CAST(topk AS DOUBLE) * 1000000.0 / CAST(N AS DOUBLE))
-               AS BIGINT) AS topk_share_ppm,
-          CAST(floor(CAST(sq AS DOUBLE) * 1000000.0
-                     / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)))
-               AS BIGINT) AS hhi_ppm
-        FROM a, topk
-        """,
+        "events_user_concentration": _USER_CONC_SQL,
+        # the streaming twin's whole point is ONE contract: the folded
+        # commit-logged state feeds the batch operator's shared report
+        # math, so the oracle is shared verbatim
+        "streamed_concentration": _USER_CONC_SQL,
         "doc_source_balance": """
         WITH counts AS (
           SELECT source, count(*) AS n FROM documents GROUP BY 1

@@ -428,6 +428,43 @@ class TestContinuousRollup:
         assert got2 == want
 
 
+class TestContinuousConcentration:
+    def test_rolling_state_and_report_match_batch(self, spark, events_dir, tmp_path):
+        """The concentration audit's streaming twin: per-key counts
+        folded across micro-batches (and a stop/restart boundary)
+        equal the one-shot groupBy, and the derived report — shared
+        math with the batch operator — equals batch
+        concentration_report row for row."""
+        from unitdb_spark.operators.profile import concentration_report
+        from unitdb_spark.streaming.continuous import (
+            continuous_key_counts,
+            read_concentration,
+            read_key_counts,
+        )
+
+        state = str(tmp_path / "conc-state")
+        cp = str(tmp_path / "conc-cp")
+        ev = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q = continuous_key_counts(ev, "user_id", state, cp)
+        q.awaitTermination(180)
+        # restart with no new data: commit log -> no double count
+        ev2 = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q2 = continuous_key_counts(ev2, "user_id", state, cp)
+        q2.awaitTermination(180)
+
+        batch = spark.read.parquet(events_dir)
+        want_counts = {
+            r["user_id"]: r["n"]
+            for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        got_counts = {r["_k"]: r["_n"] for r in read_key_counts(spark, state).collect()}
+        assert got_counts == want_counts
+
+        want = concentration_report(batch, "user_id").collect()[0].asDict()
+        got = read_concentration(spark, state).collect()[0].asDict()
+        assert got == want
+
+
 class TestContinuousKV:
     _SCHEMA = "key long, value binary, op string, op_order long"
 

@@ -209,6 +209,16 @@ def concentration_report(
             f"CAST(SUM(CAST({weight_col} AS DECIMAL(18,2))) * 100 AS BIGINT)"
         ).alias("_n")
     counts = df.groupBy(F.col(key_col).alias("_k")).agg(mass)
+    return concentration_from_counts(counts, top_k)
+
+
+def concentration_from_counts(counts: DataFrame, top_k: int = 10) -> DataFrame:
+    """The report half of `concentration_report`, over an
+    already-aggregated (_k, _n) mass relation — shared verbatim by the
+    batch operator and the streaming twin's committed per-key state
+    (streaming.continuous.continuous_key_counts), so 'streamed state
+    == batch groupBy' immediately gives 'streamed report == batch
+    report'. Same math, same pinned expressions."""
     topk = (
         counts.orderBy(F.col("_n").desc(), "_k")
         .limit(top_k)

@@ -133,3 +133,86 @@ def continuous_rollup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------------- rolling key-count state
+#
+# The concentration audit's streaming twin: per-key mass (row counts)
+# is the algebraic state — count partials merge by SUM, so the
+# committed state equals the one-shot batch groupBy bit for bit
+# regardless of how the stream was split into micro-batches. The
+# CONCENTRATION REPORT (top-1/top-k shares, HHI) is derived from the
+# state at read time via the batch operator's own math
+# (operators.profile.concentration_from_counts): a rolling skew audit
+# refreshed per micro-batch at O(state + batch) cost, never
+# O(history). Same versioned-snapshot + commit-log discipline as
+# continuous_rollup above (crash before the commit point re-merges
+# from unchanged state; replayed batches are skipped).
+
+
+def continuous_key_counts(
+    stream: DataFrame,
+    key_col: str,
+    state_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain the versioned per-key count state under ``state_path``
+    from any streaming DataFrame; read it with ``read_key_counts`` or
+    go straight to the audit with ``read_concentration``. Returns the
+    StreamingQuery."""
+    spark = stream.sparkSession
+    fs.mkdirs(spark, state_path)
+    log = CommitLog(spark, checkpoint, state_path)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if log.applied(batch_id):
+            return
+        applied = log.last()
+        partials = batch_df.groupBy(F.col(key_col).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        if applied is not None:
+            prev = spark.read.parquet(_snap_path(state_path, log.query_id, applied))
+            merged = (
+                prev.unionByName(partials)
+                .groupBy("_k")
+                .agg(F.sum("_n").alias("_n"))
+            )
+        else:
+            merged = partials
+        snap = _snap_path(state_path, log.query_id, batch_id)
+        merged.write.mode("overwrite").parquet(snap)
+        log.record(batch_id)  # commit point
+        log.prune_other_generations()
+        keep = f"v_{log.query_id}_{batch_id}"
+        for name, _, is_dir in fs.list_status(spark, state_path):
+            if is_dir and name.startswith("v_") and name != keep:
+                fs.delete(spark, f"{state_path.rstrip('/')}/{name}")
+
+    writer = (
+        stream.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_key_counts(spark, state_path: str) -> DataFrame:
+    """The committed (_k, _n) per-key state."""
+    cur = latest_commit(spark, state_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed key-count state under {state_path}")
+    return spark.read.parquet(_snap_path(state_path, *cur))
+
+
+def read_concentration(spark, state_path: str, top_k: int = 10) -> DataFrame:
+    """The rolling concentration audit over the committed state —
+    identical math to the batch `operators.profile.concentration_report`
+    (shared implementation), so on the same data the streamed audit IS
+    the batch audit."""
+    from unitdb_spark.operators.profile import concentration_from_counts
+
+    return concentration_from_counts(read_key_counts(spark, state_path), top_k)
