@@ -3648,6 +3648,19 @@ def q_streamed_concentration(spark, sf_dir):
     return read_concentration(spark, f"{base}/state", top_k=10)
 
 
+def q_events_kmv_overlap(spark, sf_dir):
+    """KMV set algebra: pairwise audience overlap between event types
+    from the per-type bottom-64 user sketches ALONE (Beyer '07 —
+    union sketch by integer set ops, bottom-k Jaccard estimator,
+    intersection size by inclusion-exclusion). The pair join is over
+    sketch values, never data; integers exact, estimates pinned-order
+    IEEE, the oracle replays the identical md5 bottom-k pipeline."""
+    from unitdb_spark.operators.sketch import kmv_set_algebra, kmv_sketch
+
+    sk = kmv_sketch(_events(spark, sf_dir), ["event_type"], "user_id", k=64)
+    return kmv_set_algebra(sk, "event_type", k=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -3871,6 +3884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_bmp_resize": q_media_bmp_resize,
         "media_wav_pcm": q_media_wav_pcm,
         "streamed_concentration": q_streamed_concentration,
+        "events_kmv_overlap": q_events_kmv_overlap,
     }
 
 
@@ -4966,6 +4980,65 @@ def oracle_sql() -> dict[str, str]:
         # daily-sketch rollup (mergeability is the same algebra)
         "streamed_kmv_snapshot": _KMV_USERS_SQL,
         "events_kmv_merged": _KMV_USERS_SQL,
+        "events_kmv_overlap": """
+        -- pairwise set algebra over the same md5 bottom-64 sketches:
+        -- union sketch per pair, n_common = union minima in BOTH
+        -- sides, Jaccard = n_common/|U|, intersection by
+        -- inclusion-exclusion — every expression pinned like the
+        -- Spark operator
+        WITH d AS (
+          SELECT DISTINCT event_type, user_id FROM events
+          WHERE user_id IS NOT NULL
+        ), h AS (
+          SELECT event_type,
+            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS hv
+          FROM d
+        ), r AS (
+          SELECT event_type, hv,
+            row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+          FROM h
+        ), sk AS (SELECT event_type, hv FROM r WHERE rn <= 64),
+        keys AS (SELECT DISTINCT event_type FROM sk),
+        pairs AS (
+          SELECT a.event_type AS key_a, b.event_type AS key_b
+          FROM keys a JOIN keys b ON a.event_type < b.event_type
+        ), uni0 AS (
+          SELECT p.key_a, p.key_b, s.hv
+          FROM pairs p JOIN sk s ON s.event_type IN (p.key_a, p.key_b)
+          GROUP BY 1, 2, 3
+        ), uni AS (
+          SELECT key_a, key_b, hv,
+            row_number() OVER (PARTITION BY key_a, key_b ORDER BY hv) AS rn
+          FROM uni0
+        ), u AS (SELECT key_a, key_b, hv FROM uni WHERE rn <= 64),
+        common AS (
+          SELECT u.key_a, u.key_b, count(*) AS n_common
+          FROM u
+          JOIN sk sa ON sa.event_type = u.key_a AND sa.hv = u.hv
+          JOIN sk sb ON sb.event_type = u.key_b AND sb.hv = u.hv
+          GROUP BY 1, 2
+        ), agg AS (
+          SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS k_union,
+            MAX(hv) AS kth_hash
+          FROM u GROUP BY 1, 2
+        )
+        SELECT a.key_a, a.key_b, a.k_union, a.kth_hash,
+          CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+          round(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+                / CAST(a.k_union AS DOUBLE), 6) AS jaccard_r,
+          round(CASE WHEN a.k_union < 64 THEN CAST(a.k_union AS DOUBLE)
+                ELSE 63.0 * (1152921504606846976.0
+                             / CAST(a.kth_hash AS DOUBLE)) END, 6)
+            AS union_est_r,
+          round((CAST(coalesce(c.n_common, 0) AS DOUBLE)
+                 / CAST(a.k_union AS DOUBLE))
+                * (CASE WHEN a.k_union < 64 THEN CAST(a.k_union AS DOUBLE)
+                   ELSE 63.0 * (1152921504606846976.0
+                                / CAST(a.kth_hash AS DOUBLE)) END), 6)
+            AS inter_est_r
+        FROM agg a LEFT JOIN common c USING (key_a, key_b)
+        """,
         "events_cms_user_counts": """
         WITH grid AS (
           SELECT row_i, bucket, COUNT(*) AS cnt FROM (

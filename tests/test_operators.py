@@ -1495,6 +1495,49 @@ class TestKmvSketch:
         (r,) = kmv_distinct(df, ["k"], "v", k=8).collect()
         assert r["n_kept"] == 2 and r["kmv_est"] == 2.0
 
+    def test_set_algebra_exact_below_k(self, spark):
+        """When every set fits inside the sketch (|A ∪ B| < k), the
+        union sketch IS the union, so Jaccard and the estimates are
+        EXACT — and disjoint sets report zero overlap."""
+        from unitdb_spark.operators.sketch import kmv_set_algebra, kmv_sketch
+
+        rows = (
+            [("a", v) for v in range(20)]
+            + [("b", v) for v in range(10, 30)]  # |A∩B|=10, |A∪B|=30
+            + [("c", v) for v in range(100, 105)]  # disjoint from both
+        )
+        df = spark.createDataFrame(rows, "k string, v long")
+        sk = kmv_sketch(df, ["k"], "v", k=64)
+        out = {
+            (r["key_a"], r["key_b"]): r
+            for r in kmv_set_algebra(sk, "k", k=64).collect()
+        }
+        ab = out[("a", "b")]
+        assert ab["k_union"] == 30 and ab["n_common"] == 10
+        assert abs(ab["jaccard_r"] - round(10 / 30, 6)) < 1e-9
+        assert ab["union_est_r"] == 30.0
+        assert abs(ab["inter_est_r"] - round(10 / 30 * 30.0, 6)) < 1e-9
+        for pair in (("a", "c"), ("b", "c")):
+            assert out[pair]["n_common"] == 0
+            assert out[pair]["jaccard_r"] == 0.0
+            assert out[pair]["inter_est_r"] == 0.0
+
+    def test_set_algebra_estimates_large_overlap(self, spark):
+        """Above k the estimator must land near truth: two 5000-element
+        sets with a 2500-element overlap (true J = 1/3)."""
+        from unitdb_spark.operators.sketch import kmv_set_algebra, kmv_sketch
+
+        k = 128
+        rows = [("a", v) for v in range(5000)] + [
+            ("b", v) for v in range(2500, 7500)
+        ]
+        df = spark.createDataFrame(rows, "k string, v long")
+        sk = kmv_sketch(df, ["k"], "v", k=k)
+        (r,) = kmv_set_algebra(sk, "k", k=k).collect()
+        assert abs(r["jaccard_r"] - 1 / 3) < 0.15
+        assert abs(r["union_est_r"] - 7500) / 7500 < 4.0 / (k - 2) ** 0.5
+        assert abs(r["inter_est_r"] - 2500) / 2500 < 0.5
+
 
 class TestWinnowing:
     def _docs(self, spark, rows):
