@@ -3661,6 +3661,20 @@ def q_events_kmv_overlap(spark, sf_dir):
     return kmv_set_algebra(sk, "event_type", k=64)
 
 
+def q_events_seasonal_decomp(spark, sf_dir):
+    """Classical additive seasonal decomposition of each event type's
+    hourly series: value = trend (25-bucket centered MA, NULL until
+    the frame fills) + seasonal (per hour-of-day mean of the
+    detrended values) + residual — all exact BIGINT micro-units with
+    two pinned floor divisions, so the oracle replays the windows bit
+    for bit. The residual column is the anomaly-triage signal the raw
+    z-score family can't give on a series with both growth and
+    rhythm."""
+    from unitdb_spark.operators.timeseries import seasonal_decompose
+
+    return seasonal_decompose(_events(spark, sf_dir), "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -3885,6 +3899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_pcm": q_media_wav_pcm,
         "streamed_concentration": q_streamed_concentration,
         "events_kmv_overlap": q_events_kmv_overlap,
+        "events_seasonal_decomp": q_events_seasonal_decomp,
     }
 
 
@@ -4980,6 +4995,40 @@ def oracle_sql() -> dict[str, str]:
         # daily-sketch rollup (mergeability is the same algebra)
         "streamed_kmv_snapshot": _KMV_USERS_SQL,
         "events_kmv_merged": _KMV_USERS_SQL,
+        "events_seasonal_decomp": """
+        -- same two pinned floor divisions and the same ROWS frames as
+        -- the operator: trend over 25 observed buckets, seasonal per
+        -- (key, hour-of-day) over the detrended values
+        WITH b AS (
+          SELECT event_type AS k, date_trunc('hour', ts) AS bucket,
+            CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       * 10000 / count(*)) AS BIGINT) AS value_mu
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), t AS (
+          SELECT k, bucket, value_mu,
+            CASE WHEN count(*) OVER w = 25
+                 THEN CAST(floor(CAST(SUM(value_mu) OVER w AS BIGINT) / 25)
+                      AS BIGINT)
+            END AS trend_mu
+          FROM b
+          WINDOW w AS (PARTITION BY k ORDER BY bucket
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        ), d AS (
+          SELECT *, value_mu - trend_mu AS detr,
+            hour(bucket) % 24 AS hod
+          FROM t
+        ), s AS (
+          SELECT k, hod,
+            CAST(floor(CAST(SUM(detr) AS BIGINT) / count(detr)) AS BIGINT)
+              AS seasonal_mu
+          FROM d GROUP BY 1, 2
+        )
+        SELECT d.k AS event_type,
+          CAST(floor(epoch(d.bucket)) AS BIGINT) AS bucket_s,
+          d.hod, d.value_mu, d.trend_mu, s.seasonal_mu,
+          d.value_mu - d.trend_mu - s.seasonal_mu AS residual_mu
+        FROM d JOIN s ON d.k = s.k AND d.hod = s.hod
+        """,
         "events_kmv_overlap": """
         -- pairwise set algebra over the same md5 bottom-64 sketches:
         -- union sketch per pair, n_common = union minima in BOTH

@@ -4217,3 +4217,54 @@ class TestWeightedConcentration:
         assert r.topk_share_ppm == 950_000
         # HHI = (8000^2 + 1500^2 + 500^2) * 1e6 / 1e8 = 665000
         assert r.hhi_ppm == 665_000
+
+
+class TestSeasonalDecompose:
+    def _series(self, spark):
+        """6 days of hourly points: level 100 + rising trend (1/hour)
+        + a ±50 half-day rhythm, one point per hour (mu == value·1e4)."""
+        import datetime as dt
+
+        rows = []
+        t0 = dt.datetime(2024, 1, 1)
+        for h in range(6 * 24):
+            season = 50.0 if (h % 24) < 12 else -50.0
+            rows.append(("a", t0 + dt.timedelta(hours=h), 100.0 + h + season))
+        return spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+
+    def test_identity_and_edges(self, spark):
+        from unitdb_spark.operators.timeseries import seasonal_decompose
+
+        out = seasonal_decompose(self._series(spark), "event_type").collect()
+        assert len(out) == 6 * 24
+        rows = sorted(out, key=lambda r: r["bucket_s"])
+        # trend undefined until the 25-bucket frame fills (12 each end)
+        assert all(r["trend_mu"] is None for r in rows[:12] + rows[-12:])
+        assert all(r["trend_mu"] is not None for r in rows[12:-12])
+        for r in rows:
+            if r["trend_mu"] is not None:
+                assert (
+                    r["value_mu"]
+                    == r["trend_mu"] + r["seasonal_mu"] + r["residual_mu"]
+                )
+            else:
+                assert r["residual_mu"] is None
+
+    def test_recovers_planted_structure(self, spark):
+        """On trend+rhythm data the decomposition must assign the ±50
+        swing to seasonal and leave near-zero residuals — the exact
+        property a raw z-score on the same series lacks."""
+        from unitdb_spark.operators.timeseries import seasonal_decompose
+
+        rows = seasonal_decompose(self._series(spark), "event_type").collect()
+        by_hod = {}
+        for r in rows:
+            by_hod.setdefault(r["hod"], r["seasonal_mu"])
+        # morning-vs-evening seasonal split ~ 100.0 (in 1e-6 units);
+        # the centered MA bleeds a little of the square wave into the
+        # trend, so allow a coarse band
+        hi = sum(by_hod[h] for h in range(12)) / 12 / 1e6
+        lo = sum(by_hod[h] for h in range(12, 24)) / 12 / 1e6
+        assert 70 < hi - lo < 130
+        mid = [r for r in rows if r["residual_mu"] is not None]
+        assert mid and all(abs(r["residual_mu"]) / 1e6 < 30 for r in mid)

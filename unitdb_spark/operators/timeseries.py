@@ -679,3 +679,105 @@ def seasonal_naive_backtest(
             .alias("mae_mu"),
         )
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 24,
+    trend_radius: int = 12,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly series:
+    value = trend + seasonal + residual — the "is this spike growth,
+    rhythm, or an anomaly?" question, per key.
+
+    Deterministic integer formulation (the cross-engine contract):
+
+    1. bucket to hours; per (key, bucket) the mean becomes exact
+       micro-units: floor(DECIMAL-cents-sum · 10⁴ / n).
+    2. trend = centered moving average over 2·trend_radius+1 OBSERVED
+       buckets (ROWS frame; NULL until the frame is full — a partial
+       frame would bias the ends), floored to an integer.
+    3. seasonal = per (key, hour-of-day mod ``period``) mean of the
+       detrended values, floored — the fixed daily shape.
+    4. residual = value − trend − seasonal: what neither the level nor
+       the rhythm explains (the anomaly-triage column).
+
+    Every number is a BIGINT; the two floor(sum/n) divisions are
+    pinned single-double expressions, so any SQL engine replays the
+    decomposition bit for bit. Gaps: the ROWS trend frame spans
+    observed buckets (an empty hour is absent, not zero) — on sparse
+    series pre-fill with `gap_fill` if calendar alignment matters.
+
+    Scale: one (key, bucket) partial-agg shuffle over events, then
+    windows and a (key, hod) agg over the BUCKET relation (keys ×
+    hours rows — profile-sized). Output: (key, bucket_s, hod,
+    value_mu, trend_mu, seasonal_mu, residual_mu).
+    """
+    from pyspark.sql import Window
+
+    span = 2 * trend_radius + 1
+    b = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("k"),
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+        )
+        .agg(
+            F.expr(
+                f"CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            ).alias("_cents"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "k",
+            "bucket",
+            F.floor(F.col("_cents") * 10000 / F.col("_n"))
+            .cast("long")
+            .alias("value_mu"),
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("bucket")
+        .rowsBetween(-trend_radius, trend_radius)
+    )
+    t = b.select(
+        "k",
+        "bucket",
+        "value_mu",
+        F.when(
+            F.count(F.lit(1)).over(w) == span,
+            F.floor(F.sum("value_mu").over(w) / F.lit(span)).cast("long"),
+        ).alias("trend_mu"),
+    ).withColumn("_detr", F.col("value_mu") - F.col("trend_mu"))
+    hod = (F.hour("bucket") % period).alias("hod")
+    seas = (
+        t.groupBy("k", hod)
+        .agg(
+            F.sum("_detr").alias("_sd"),
+            F.count("_detr").alias("_nd"),
+        )
+        .select(
+            "k",
+            "hod",
+            F.floor(F.col("_sd") / F.col("_nd")).cast("long").alias("seasonal_mu"),
+        )
+    )
+    return (
+        t.withColumn("hod", hod)
+        .join(seas, ["k", "hod"])
+        .select(
+            F.col("k").alias(key_col),
+            F.unix_timestamp("bucket").alias("bucket_s"),
+            "hod",
+            "value_mu",
+            "trend_mu",
+            "seasonal_mu",
+            (F.col("value_mu") - F.col("trend_mu") - F.col("seasonal_mu")).alias(
+                "residual_mu"
+            ),
+        )
+    )
