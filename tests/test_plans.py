@@ -754,3 +754,29 @@ class TestVacuumPlans:
         assert " IN (" not in plan  # never a driver-built literal list
         got = sorted(r["seq"] for r in df.collect())
         assert got == sorted(set(range(100)) - {i * 7 for i in range(10)})
+
+
+class TestBucketedJoinReadiness:
+    """is_colocated_join_ready: the pre-flight layout check (the
+    no-Exchange join plan itself is pinned in TestPlans above)."""
+
+    def test_ready_and_mismatch_cases(self, spark):
+        from unitdb_spark.sources.bucketed import (
+            is_colocated_join_ready,
+            write_bucketed,
+        )
+
+        a = spark.range(100).selectExpr("id AS k")
+        write_bucketed(a, "bt_r8a", ["k"], n_buckets=8)
+        write_bucketed(a, "bt_r8b", ["k"], n_buckets=8)
+        write_bucketed(a, "bt_r4", ["k"], n_buckets=4)
+        unb = spark.range(10).selectExpr("id AS k")
+        unb.write.mode("overwrite").saveAsTable("bt_plain")
+        try:
+            assert is_colocated_join_ready(spark, "bt_r8a", "bt_r8b", "k")
+            assert not is_colocated_join_ready(spark, "bt_r8a", "bt_r4", "k")
+            assert not is_colocated_join_ready(spark, "bt_r8a", "bt_plain", "k")
+            assert not is_colocated_join_ready(spark, "bt_r8a", "bt_r8b", "other")
+        finally:
+            for t in ("bt_r8a", "bt_r8b", "bt_r4", "bt_plain"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")

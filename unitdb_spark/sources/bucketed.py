@@ -54,3 +54,36 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read — bucket metadata rides along, so downstream joins
     on the bucket key skip their Exchange."""
     return spark.table(table)
+
+
+def is_colocated_join_ready(
+    spark: SparkSession, table_a: str, table_b: str, key: str
+) -> bool:
+    """Pre-flight check before betting a 100 TB join on the layout:
+    True iff BOTH tables are bucketed on exactly ``key`` with equal
+    bucket counts — the condition under which Catalyst elides the
+    Exchange on both sides. A pipeline that can't assert this should
+    plan the write-side repartition instead of discovering the double
+    shuffle in production."""
+
+    def spec(table: str) -> tuple[list[str], int] | None:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        cols: list[str] = []
+        n = None
+        for r in rows:
+            if r["col_name"] == "Num Buckets":
+                n = int(r["data_type"])
+            elif r["col_name"] == "Bucket Columns":
+                cols = [
+                    c.strip(" `") for c in r["data_type"].strip("[]").split(",")
+                ]
+        return (cols, n) if n else None
+
+    a, b = spec(table_a), spec(table_b)
+    return (
+        a is not None
+        and b is not None
+        and a[0] == [key]
+        and b[0] == [key]
+        and a[1] == b[1]
+    )
