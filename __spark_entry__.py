@@ -3675,6 +3675,24 @@ def q_events_seasonal_decomp(spark, sf_dir):
     return seasonal_decompose(_events(spark, sf_dir), "event_type")
 
 
+def q_doc_compress_ratio(spark, sf_dir):
+    """Compression-ratio quality signal (Gopher/CCNet lineage): per
+    doc, UTF-8 byte length, DEFLATE-compressed length, and the
+    floor-ppm ratio — one number that catches BOTH repetitive
+    boilerplate (ratio far below prose) and random gibberish (ratio
+    near 1e6). Declared rows-only BY NECESSITY: the DEFLATE byte
+    count is not expressible in SQL (no zlib in DuckDB), so there is
+    no oracle to replay; the deterministic kernel is pinned instead
+    by property tests (band separation, partitioning invariance) and
+    the oracle-checkable cousins of the signal are doc_repetition /
+    doc_novelty / doc_char_entropy."""
+    from unitdb_spark.functions.text import compression_signal
+
+    return compression_signal(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -3900,6 +3918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_concentration": q_streamed_concentration,
         "events_kmv_overlap": q_events_kmv_overlap,
         "events_seasonal_decomp": q_events_seasonal_decomp,
+        "doc_compress_ratio": q_doc_compress_ratio,
     }
 
 
