@@ -3693,6 +3693,34 @@ def q_doc_compress_ratio(spark, sf_dir):
     )
 
 
+def q_streamed_forecast_bt(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING forecast backtest: the
+    events stream folds (key, day, hour) cents/count cells into a
+    commit-logged versioned state (mergeable sums — bit-equal to the
+    batch groupBy however the stream splits), then the seasonal-naive
+    scoring runs over the committed cells through the batch operator's
+    shared code path. Oracle = events_forecast_bt's SQL verbatim."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_hourly_cells,
+        read_forecast_backtest,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_hourly_cells(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "event_type",
+        "ts",
+        "value",
+        f"{base}/cells",
+        f"{base}/cp",
+    )
+    q.awaitTermination(300)
+    return read_forecast_backtest(spark, f"{base}/cells", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -3919,6 +3947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_overlap": q_events_kmv_overlap,
         "events_seasonal_decomp": q_events_seasonal_decomp,
         "doc_compress_ratio": q_doc_compress_ratio,
+        "streamed_forecast_bt": q_streamed_forecast_bt,
     }
 
 
@@ -3981,6 +4010,33 @@ SELECT N AS n_rows, n_keys,
              / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)))
        AS BIGINT) AS hhi_ppm
 FROM a, topk
+"""
+
+# seasonal-naive backtest SQL — shared verbatim by the batch query
+# (events_forecast_bt) and the rolling cell-state twin
+# (streamed_forecast_bt): cents/count cells merge by SUM, so the
+# folded state equals the one-shot groupBy and both score through
+# operators.timeseries.seasonal_naive_from_cells
+_FORECAST_BT_SQL = """
+WITH b AS (
+  SELECT event_type AS k, CAST(ts AS DATE) AS d, hour(ts) AS h,
+    CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+               * 10000 / count(*)) AS BIGINT) AS mu
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+), s AS (
+  SELECT k, d, mu,
+    lag(mu) OVER w AS prev_mu, lag(d) OVER w AS prev_d
+  FROM b WINDOW w AS (PARTITION BY k, h ORDER BY d)
+), sc AS (
+  SELECT k, mu - prev_mu AS e FROM s
+  WHERE prev_mu IS NOT NULL AND date_diff('day', prev_d, d) = 1
+)
+SELECT k AS event_type, count(*) AS n_scored,
+  CAST(sum(abs(e)) AS BIGINT) AS sum_ae_mu,
+  CAST(sum(e) AS BIGINT) AS sum_err_mu,
+  CAST(floor(CAST(sum(abs(e)) AS BIGINT) / count(*)) AS BIGINT)
+    AS mae_mu
+FROM sc GROUP BY 1
 """
 
 _SCD2_SQL = """
@@ -7118,27 +7174,11 @@ def oracle_sql() -> dict[str, str]:
           row_number() OVER (ORDER BY n DESC, source) AS rank
         FROM counts, tot
         """,
-        "events_forecast_bt": """
-        WITH b AS (
-          SELECT event_type AS k, CAST(ts AS DATE) AS d, hour(ts) AS h,
-            CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
-                       * 10000 / count(*)) AS BIGINT) AS mu
-          FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
-        ), s AS (
-          SELECT k, d, mu,
-            lag(mu) OVER w AS prev_mu, lag(d) OVER w AS prev_d
-          FROM b WINDOW w AS (PARTITION BY k, h ORDER BY d)
-        ), sc AS (
-          SELECT k, mu - prev_mu AS e FROM s
-          WHERE prev_mu IS NOT NULL AND date_diff('day', prev_d, d) = 1
-        )
-        SELECT k AS event_type, count(*) AS n_scored,
-          CAST(sum(abs(e)) AS BIGINT) AS sum_ae_mu,
-          CAST(sum(e) AS BIGINT) AS sum_err_mu,
-          CAST(floor(CAST(sum(abs(e)) AS BIGINT) / count(*)) AS BIGINT)
-            AS mae_mu
-        FROM sc GROUP BY 1
-        """,
+        "events_forecast_bt": _FORECAST_BT_SQL,
+        # the rolling twin folds the SAME (key, day, hour) cells the
+        # batch operator aggregates (cents/counts are mergeable sums)
+        # and scores through the shared code path — oracle verbatim
+        "streamed_forecast_bt": _FORECAST_BT_SQL,
         "doc_vocab_coverage": f"""
         WITH counts AS (
           SELECT u.t AS t, count(*) AS n

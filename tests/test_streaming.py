@@ -465,6 +465,64 @@ class TestContinuousConcentration:
         assert got == want
 
 
+class TestContinuousForecastBacktest:
+    def test_rolling_cells_and_backtest_match_batch(self, spark, events_dir, tmp_path):
+        """The forecast backtest's streaming twin: (key, day, hour)
+        cents/count cells folded across micro-batches (and a restart)
+        equal the one-shot groupBy, and the derived backtest — scored
+        through the shared code path — equals the batch operator row
+        for row."""
+        from unitdb_spark.operators.timeseries import seasonal_naive_backtest
+        from unitdb_spark.streaming.continuous import (
+            continuous_hourly_cells,
+            read_cells,
+            read_forecast_backtest,
+        )
+
+        state = str(tmp_path / "cells")
+        cp = str(tmp_path / "cells-cp")
+        ev = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q = continuous_hourly_cells(ev, "event_type", "ts", "value", state, cp)
+        q.awaitTermination(180)
+        # restart with no new data: commit log -> no double count
+        ev2 = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q2 = continuous_hourly_cells(ev2, "event_type", "ts", "value", state, cp)
+        q2.awaitTermination(180)
+
+        batch = spark.read.parquet(events_dir)
+        want_cells = {
+            (r["_k"], str(r["_d"]), r["_h"]): (r["_cents"], r["_c"])
+            for r in batch.filter(F.col("value").isNotNull())
+            .groupBy(
+                F.col("event_type").alias("_k"),
+                F.to_date("ts").alias("_d"),
+                F.hour("ts").alias("_h"),
+            )
+            .agg(
+                F.expr(
+                    "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)"
+                ).alias("_cents"),
+                F.count(F.lit(1)).alias("_c"),
+            )
+            .collect()
+        }
+        got_cells = {
+            (r["_k"], str(r["_d"]), r["_h"]): (r["_cents"], r["_c"])
+            for r in read_cells(spark, state).collect()
+        }
+        assert got_cells == want_cells
+
+        want = {
+            r["event_type"]: r.asDict()
+            for r in seasonal_naive_backtest(batch, "event_type").collect()
+        }
+        got = {
+            r["event_type"]: r.asDict()
+            for r in read_forecast_backtest(spark, state).collect()
+        }
+        assert got == want
+
+
 class TestContinuousKV:
     _SCHEMA = "key long, value binary, op string, op_order long"
 

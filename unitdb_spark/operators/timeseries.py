@@ -638,7 +638,7 @@ def seasonal_naive_backtest(
     cents = F.expr(
         f"CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) * 100 AS BIGINT)"
     )
-    b = (
+    cells = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(
             F.col(key_col).alias("_k"),
@@ -646,12 +646,22 @@ def seasonal_naive_backtest(
             F.hour(ts_col).alias("_h"),
         )
         .agg(cents.alias("_cents"), F.count(F.lit(1)).alias("_c"))
-        .select(
-            "_k", "_d", "_h",
-            F.floor(F.col("_cents") * F.lit(10_000) / F.col("_c"))
-            .cast("long")
-            .alias("_mu"),
-        )
+    )
+    return seasonal_naive_from_cells(cells, key_col)
+
+
+def seasonal_naive_from_cells(cells: DataFrame, key_col: str) -> DataFrame:
+    """The scoring half of `seasonal_naive_backtest`, over an
+    already-aggregated (_k, _d, _h, _cents, _c) cell relation — shared
+    verbatim with the streaming twin's committed cell state
+    (streaming.continuous.continuous_hourly_cells): cents and counts
+    are mergeable sums, so 'streamed cells == batch groupBy' gives
+    'streamed backtest == batch backtest' through this one code path."""
+    b = cells.select(
+        "_k", "_d", "_h",
+        F.floor(F.col("_cents") * F.lit(10_000) / F.col("_c"))
+        .cast("long")
+        .alias("_mu"),
     )
     w = Window.partitionBy("_k", "_h").orderBy("_d")
     scored = b.select(

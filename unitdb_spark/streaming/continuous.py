@@ -150,17 +150,19 @@ def continuous_rollup(
 # from unchanged state; replayed batches are skipped).
 
 
-def continuous_key_counts(
+def _run_maintainer(
     stream: DataFrame,
-    key_col: str,
     state_path: str,
     checkpoint: str,
+    partials_fn,
+    merge_fn,
     trigger_available_now: bool = True,
 ):
-    """Maintain the versioned per-key count state under ``state_path``
-    from any streaming DataFrame; read it with ``read_key_counts`` or
-    go straight to the audit with ``read_concentration``. Returns the
-    StreamingQuery."""
+    """The shared versioned-snapshot fold: per batch, compute the
+    mergeable partials, merge into the committed state, write the new
+    snapshot, commit, prune — identical commit discipline to
+    continuous_rollup (replayed batches skipped, crash before commit
+    re-merges from unchanged state)."""
     spark = stream.sparkSession
     fs.mkdirs(spark, state_path)
     log = CommitLog(spark, checkpoint, state_path)
@@ -169,16 +171,10 @@ def continuous_key_counts(
         if log.applied(batch_id):
             return
         applied = log.last()
-        partials = batch_df.groupBy(F.col(key_col).alias("_k")).agg(
-            F.count(F.lit(1)).alias("_n")
-        )
+        partials = partials_fn(batch_df)
         if applied is not None:
             prev = spark.read.parquet(_snap_path(state_path, log.query_id, applied))
-            merged = (
-                prev.unionByName(partials)
-                .groupBy("_k")
-                .agg(F.sum("_n").alias("_n"))
-            )
+            merged = merge_fn(prev, partials)
         else:
             merged = partials
         snap = _snap_path(state_path, log.query_id, batch_id)
@@ -200,6 +196,31 @@ def continuous_key_counts(
     return writer.start()
 
 
+def continuous_key_counts(
+    stream: DataFrame,
+    key_col: str,
+    state_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain the versioned per-key count state under ``state_path``
+    from any streaming DataFrame; read it with ``read_key_counts`` or
+    go straight to the audit with ``read_concentration``. Returns the
+    StreamingQuery."""
+    return _run_maintainer(
+        stream,
+        state_path,
+        checkpoint,
+        lambda b: b.groupBy(F.col(key_col).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_n")
+        ),
+        lambda prev, p: prev.unionByName(p)
+        .groupBy("_k")
+        .agg(F.sum("_n").alias("_n")),
+        trigger_available_now,
+    )
+
+
 def read_key_counts(spark, state_path: str) -> DataFrame:
     """The committed (_k, _n) per-key state."""
     cur = latest_commit(spark, state_path)
@@ -216,3 +237,73 @@ def read_concentration(spark, state_path: str, top_k: int = 10) -> DataFrame:
     from unitdb_spark.operators.profile import concentration_from_counts
 
     return concentration_from_counts(read_key_counts(spark, state_path), top_k)
+
+
+# ------------------------------------------ rolling forecast backtest
+#
+# The seasonal-naive backtest's streaming twin: the mergeable state is
+# the (key, day, hour) cell relation — exact BIGINT cents + counts,
+# both plain sums, so the committed state equals the batch groupBy bit
+# for bit however the stream was split. The SCORING (previous-calendar-
+# day lag, MAE/bias) runs over the committed cells at read time
+# through the batch operator's own shared code path
+# (operators.timeseries.seasonal_naive_from_cells) — a forecast-error
+# dashboard refreshed per micro-batch at O(cells + batch) cost.
+
+
+def continuous_hourly_cells(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    state_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain the versioned (key, day, hour) cents/count cell state;
+    read it with ``read_cells`` or go straight to the rolling backtest
+    with ``read_forecast_backtest``. Returns the StreamingQuery."""
+    cents = F.expr(
+        f"CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) * 100 AS BIGINT)"
+    )
+
+    def partials(b: DataFrame) -> DataFrame:
+        return (
+            b.filter(F.col(value_col).isNotNull())
+            .groupBy(
+                F.col(key_col).alias("_k"),
+                F.to_date(ts_col).alias("_d"),
+                F.hour(ts_col).alias("_h"),
+            )
+            .agg(cents.alias("_cents"), F.count(F.lit(1)).alias("_c"))
+        )
+
+    def merge(prev: DataFrame, p: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(p)
+            .groupBy("_k", "_d", "_h")
+            .agg(F.sum("_cents").alias("_cents"), F.sum("_c").alias("_c"))
+        )
+
+    return _run_maintainer(
+        stream, state_path, checkpoint, partials, merge, trigger_available_now
+    )
+
+
+def read_cells(spark, state_path: str) -> DataFrame:
+    """The committed (_k, _d, _h, _cents, _c) cell state."""
+    cur = latest_commit(spark, state_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed cell state under {state_path}")
+    return spark.read.parquet(_snap_path(state_path, *cur))
+
+
+def read_forecast_backtest(
+    spark, state_path: str, key_col: str = "event_type"
+) -> DataFrame:
+    """The rolling seasonal-naive backtest over the committed cells —
+    scoring shared verbatim with the batch operator, so on the same
+    data the streamed backtest IS the batch backtest."""
+    from unitdb_spark.operators.timeseries import seasonal_naive_from_cells
+
+    return seasonal_naive_from_cells(read_cells(spark, state_path), key_col)
