@@ -3721,6 +3721,29 @@ def q_streamed_forecast_bt(spark, sf_dir):
     return read_forecast_backtest(spark, f"{base}/cells", "event_type")
 
 
+def q_media_phash_dups(spark, sf_dir):
+    """Perceptual image dedup over REAL pixels: every doc becomes a
+    16×16 BMP whose pixels are closed-form in (doc_id % 23) — docs in
+    the same residue class are byte-identical images (the planted
+    ground truth) — then the integer average-hash (8×8 NN resample →
+    gray → strict-above-floor-mean bits → four 16-bit chunks) feeds
+    the Manku pigeonhole pair join (distance ≤ 3 agrees on ≥ 1
+    chunk), confirmed by exact xor popcount. The oracle regenerates
+    every bit from doc_id — the multimodal analog of doc_simhash_pairs
+    with pixels replacing text."""
+    from unitdb_spark.functions.multimodal import (
+        ahash_pairs,
+        bmp_ahash_chunks,
+        synthetic_bmp_media,
+    )
+
+    media = synthetic_bmp_media(_docs(spark, sf_dir), seed_mod=23)
+    h = bmp_ahash_chunks(media)
+    return ahash_pairs(h, max_distance=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -3948,6 +3971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_decomp": q_events_seasonal_decomp,
         "doc_compress_ratio": q_doc_compress_ratio,
         "streamed_forecast_bt": q_streamed_forecast_bt,
+        "media_phash_dups": q_media_phash_dups,
     }
 
 
@@ -4695,6 +4719,56 @@ def oracle_sql() -> dict[str, str]:
                  + cg * ((vy * 8 + vx) * 3 + 2)
                  + cr * ((vy * 8 + vx) * 3 + 3)) AS BIGINT) AS px_wsum
         FROM px GROUP BY 1
+        """,
+        "media_phash_dups": """
+        -- regenerate every average-hash bit from doc_id: fixed 16x16
+        -- dims so the 8x8 NN resample reads pixel (2x, 2y); gray =
+        -- (b+g+r)//3 from the fixture's closed-form channels; mean =
+        -- floor(sum/64), bit = gray > mean; four 16-bit chunks, the
+        -- pigeonhole candidate join, exact xor popcount
+        WITH g AS (
+          SELECT d.doc_id, i.i, d.doc_id % 23 AS s,
+            (i.i % 8) AS gx, (i.i // 8) AS gy
+          FROM documents d, UNNEST(generate_series(0, 63)) AS i(i)
+        ), px AS (
+          SELECT doc_id, i,
+            ((((s + 1) * (2 * gx + 1) * (2 * gy + 3)) % 256)
+             + (((s + 2) * (2 * gx + 3) * (2 * gy + 1) + 5 * (2 * gx)) % 256)
+             + (((s + 3) * (2 * gx + 2) * (2 * gy + 2) + 11 * (2 * gy)) % 256)
+            ) // 3 AS gray
+          FROM g
+        ), m AS (
+          SELECT doc_id, CAST(SUM(gray) AS BIGINT) // 64 AS mn
+          FROM px GROUP BY 1
+        ), bits AS (
+          SELECT px.doc_id, px.i,
+            CASE WHEN px.gray > m.mn THEN 1 ELSE 0 END AS b
+          FROM px JOIN m USING (doc_id)
+        ), ch AS (
+          SELECT doc_id, i // 16 AS j,
+            CAST(SUM(b * (1 << (15 - (i % 16)))) AS BIGINT) AS c
+          FROM bits GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ch a JOIN ch b
+            ON a.j = b.j AND a.c = b.c AND a.doc_id < b.doc_id
+        ), wide AS (
+          SELECT doc_id,
+            MAX(CASE WHEN j = 0 THEN c END) AS c0,
+            MAX(CASE WHEN j = 1 THEN c END) AS c1,
+            MAX(CASE WHEN j = 2 THEN c END) AS c2,
+            MAX(CASE WHEN j = 3 THEN c END) AS c3
+          FROM ch GROUP BY 1
+        ), scored AS (
+          SELECT c.id_a, c.id_b,
+            CAST(bit_count(xor(wa.c0, wb.c0)) + bit_count(xor(wa.c1, wb.c1))
+               + bit_count(xor(wa.c2, wb.c2)) + bit_count(xor(wa.c3, wb.c3))
+              AS BIGINT) AS hamming
+          FROM cand c
+          JOIN wide wa ON wa.doc_id = c.id_a
+          JOIN wide wb ON wb.doc_id = c.id_b
+        )
+        SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 3
         """,
         "media_wav_pcm": """
         -- regenerate every PCM sample from build_wav's byte pattern:

@@ -266,3 +266,71 @@ class TestRealPixelKernels:
         rows = {r["id"]: r for r in pcm_features(df).collect()}
         for i in (1, 2):
             assert rows[i]["energy"] is None and rows[i]["rms_r"] is None
+
+
+class TestPerceptualHash:
+    def _hashes(self, spark, imgs):
+        import numpy as np  # noqa: F401
+
+        from unitdb_spark.functions.media_codec import encode_bmp24
+        from unitdb_spark.functions.multimodal import bmp_ahash_chunks
+
+        df = spark.createDataFrame(
+            [(i, bytearray(encode_bmp24(a))) for i, a in imgs],
+            "id long, blob binary",
+        )
+        return bmp_ahash_chunks(df)
+
+    def test_identical_images_hash_equal_and_pair_at_zero(self, spark):
+        import numpy as np
+
+        from unitdb_spark.functions.multimodal import ahash_pairs
+
+        rng = np.random.RandomState(3)
+        a = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        b = rng.randint(0, 256, (12, 20, 3)).astype(np.uint8)
+        h = self._hashes(spark, [(1, a), (2, a.copy()), (3, b)])
+        rows = {r["id"]: (r["c0"], r["c1"], r["c2"], r["c3"]) for r in h.collect()}
+        assert rows[1] == rows[2]
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in ahash_pairs(h).collect()}
+        assert pairs.get((1, 2)) == 0
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_pigeonhole_is_lossless_to_distance_3(self, spark):
+        """Every pair within Hamming 3 of the full 64-bit hash must
+        surface through the chunk buckets — compare against the brute
+        force over all pairs of hashes."""
+        import itertools
+
+        import numpy as np
+
+        from unitdb_spark.functions.multimodal import ahash_pairs
+
+        rng = np.random.RandomState(11)
+        base = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        imgs = [(0, base)]
+        for i in range(1, 8):
+            v = base.copy()
+            # perturb a few pixels hard so some hashes land within 1-3
+            # bits of the base and others far away
+            v[: i, : i] = 255 - v[: i, : i]
+            imgs.append((i, v))
+        h = self._hashes(spark, imgs)
+        rows = {r["id"]: [r["c0"], r["c1"], r["c2"], r["c3"]] for r in h.collect()}
+        want = set()
+        for x, y in itertools.combinations(sorted(rows), 2):
+            d = sum(bin(a ^ b).count("1") for a, b in zip(rows[x], rows[y]))
+            if d <= 3:
+                want.add((x, y))
+        got = {(r["id_a"], r["id_b"]) for r in ahash_pairs(h, max_distance=3).collect()}
+        assert got == want
+
+    def test_undecodable_blobs_drop_out(self, spark):
+        from unitdb_spark.functions.multimodal import ahash_pairs, bmp_ahash_chunks
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"junk")), (2, None)], "id long, blob binary"
+        )
+        h = bmp_ahash_chunks(df)
+        assert all(r["c0"] is None for r in h.collect())
+        assert ahash_pairs(h).count() == 0

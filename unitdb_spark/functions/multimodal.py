@@ -339,14 +339,26 @@ def documents_as_media(df: DataFrame) -> DataFrame:
 # library).
 
 
-def synthetic_bmp_media(documents: DataFrame) -> DataFrame:
+def synthetic_bmp_media(
+    documents: DataFrame, seed_mod: int | None = None
+) -> DataFrame:
     """Real-pixel BMP fixture: every doc becomes a VALID 24-bit BMP
     whose dimensions AND every pixel are closed-form in doc_id —
     pixel (x, y) holds BGR = ((s + 3x + 7y) % 256,
     (2s + 5x + 11y) % 256, (3s + x + 13y) % 256) with s = doc_id % 251
     — so an SQL oracle can predict any derived pixel statistic, and a
     hash-match proves the decode→resample→encode path touches the
-    right bytes."""
+    right bytes.
+
+    ``seed_mod`` switches to the DUPLICATE-CLASS variant (fixed 16×16
+    dims, s = doc_id % seed_mod): docs sharing a residue class carry
+    byte-identical images — the planted ground truth for perceptual
+    dedup. This variant uses a NONLINEAR pixel pattern
+    (channel = (s+k)·(x+a)·(y+b) mod 256): a linear gradient
+    thresholds at its mean into nearly the same bit pattern for every
+    seed (the average-hash would then match everything to
+    everything), while the products make different seeds genuinely
+    different images."""
     from unitdb_spark.functions import media_codec as mc
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -356,6 +368,19 @@ def synthetic_bmp_media(documents: DataFrame) -> DataFrame:
             blobs = []
             for d in pdf["doc_id"]:
                 d = int(d)
+                if seed_mod is not None:
+                    sw, sh, s = 16, 16, d % seed_mod
+                    X, Y = np.meshgrid(np.arange(sw), np.arange(sh))
+                    arr = np.stack(
+                        [
+                            ((s + 1) * (X + 1) * (Y + 3)) % 256,
+                            ((s + 2) * (X + 3) * (Y + 1) + 5 * X) % 256,
+                            ((s + 3) * (X + 2) * (Y + 2) + 11 * Y) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    blobs.append(mc.encode_bmp24(arr))
+                    continue
                 sw, sh, s = d % 24 + 4, (d // 3) % 20 + 4, d % 251
                 X, Y = np.meshgrid(np.arange(sw), np.arange(sh))
                 arr = np.stack(
@@ -517,4 +542,104 @@ def pcm_features(df: DataFrame) -> DataFrame:
         _feat,
         "id long, sample_rate int, n_samples long, energy long, "
         "zero_crossings long, v_min long, v_max long, rms_r double",
+    )
+
+
+def bmp_ahash_chunks(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash from REAL BMP pixels: nearest-neighbor
+    resample to grid×grid (integer index math), integer grayscale
+    (b+g+r)//3, threshold strictly above the floor mean — 64 bits,
+    emitted as four 16-bit chunks (the pigeonhole banding unit
+    `ahash_pairs` joins on, and small positive ints that never touch
+    the signed-64 edge). NULL chunks for undecodable blobs.
+
+    Everything is integer arithmetic on closed-form-checkable pixels,
+    so a SQL oracle replays the hash bit for bit — unlike library
+    pHashes whose DCT floats are engine-specific."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import decode_bmp24
+
+        weights = 1 << (15 - np.arange(16, dtype=np.int64))
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["id"].values, pdf["blob"]):
+                arr = decode_bmp24(bytes(blob)) if blob is not None else None
+                if arr is None:
+                    rows.append((int(i), None, None, None, None))
+                    continue
+                sh, sw, _ = arr.shape
+                xs = (np.arange(grid) * sw) // grid
+                ys = (np.arange(grid) * sh) // grid
+                px = arr[np.ix_(ys, xs)].astype(np.int64)
+                gray = px.sum(axis=-1) // 3
+                mean = int(gray.sum()) // (grid * grid)
+                bits = (gray > mean).astype(np.int64).reshape(-1)
+                cs = [
+                    int((bits[16 * j : 16 * (j + 1)] * weights).sum())
+                    for j in range(4)
+                ]
+                rows.append((int(i), *cs))
+            yield pd.DataFrame(
+                {
+                    "id": pd.array([r[0] for r in rows], dtype="int64"),
+                    **{
+                        f"c{j}": pd.Series(
+                            [r[j + 1] for r in rows], dtype=object
+                        )
+                        for j in range(4)
+                    },
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _hash, "id long, c0 long, c1 long, c2 long, c3 long"
+    )
+
+
+def ahash_pairs(hashes: DataFrame, max_distance: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance over the
+    average-hash: the Manku '07 pigeonhole — any pair within distance
+    ``max_distance`` ≤ 3 agrees EXACTLY on at least one of the four
+    16-bit chunks — so candidates meet on (chunk_index, chunk_value)
+    buckets, never all-pairs, and bit_count(xor) confirms exactly.
+    Same candidate-join shape as `operators.dedup.simhash_pairs`, fed
+    by pixels instead of text.
+
+    Output: (id_a, id_b, hamming), hamming ≤ max_distance.
+    """
+    if max_distance > 3:
+        raise ValueError(
+            "ahash_pairs: 4-chunk pigeonhole only covers distance <= 3"
+        )
+    h = hashes.filter(F.col("c0").isNotNull())
+    melted = h.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), F.col(f"c{j}").alias("c"))
+                for j in range(4)
+            ])
+        ).alias("kv"),
+    ).select("id", "kv.j", "kv.c")
+    a = melted.select(F.col("id").alias("id_a"), "j", "c")
+    b = melted.select(F.col("id").alias("id_b"), "j", "c")
+    cand = (
+        a.join(b, ["j", "c"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = h.select(*[F.col(c).alias(f"{c}_a") for c in ("id", "c0", "c1", "c2", "c3")])
+    hb = h.select(*[F.col(c).alias(f"{c}_b") for c in ("id", "c0", "c1", "c2", "c3")])
+    dist = sum(
+        F.bit_count(F.expr(f"c{j}_a ^ c{j}_b")) for j in range(4)
+    )
+    return (
+        cand.join(ha, cand["id_a"] == ha["id_a"])
+        .join(hb, cand["id_b"] == hb["id_b"])
+        .select(cand["id_a"], cand["id_b"], dist.alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
     )
