@@ -3744,6 +3744,47 @@ def q_media_phash_dups(spark, sf_dir):
     )
 
 
+def q_events_session_overlap(spark, sf_dir):
+    """Interval × interval OVERLAP join (the co-presence / conflict
+    question `events_range_join`'s point-in-interval shape can't ask):
+    each event type's activity span per 6-hour block — [first event,
+    last event + 1s) — joined against every OTHER type's spans that
+    overlap it in time. Bucket-local equi-join; each pair surfaces
+    exactly once via the overlap-start-bucket attribution, no distinct
+    pass in the plan. Oracle = the same spans + a literal brute-force
+    overlap join."""
+    from unitdb_spark.operators.asof import interval_overlap_join
+
+    spans = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("_d"),
+            F.floor(F.hour("ts") / 6).cast("int").alias("_blk"),
+        )
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("_lo"),
+            (F.unix_timestamp(F.max("ts")) + 1).alias("_hi"),
+        )
+    )
+    a = spans.select(
+        F.col("event_type").alias("type_a"),
+        F.col("_lo").alias("lo_a"), F.col("_hi").alias("hi_a"),
+    )
+    b = spans.select(
+        F.col("event_type").alias("type_b"),
+        F.col("_lo").alias("lo_b"), F.col("_hi").alias("hi_b"),
+    )
+    out = interval_overlap_join(
+        a, b, "lo_a", "hi_a", "lo_b", "hi_b", 3600,
+        extra_on=F.col("type_a") < F.col("type_b"),
+    )
+    return out.select(
+        "type_a", "lo_a", "type_b", "lo_b",
+        (F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b")).alias("overlap_s"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -3972,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_compress_ratio": q_doc_compress_ratio,
         "streamed_forecast_bt": q_streamed_forecast_bt,
         "media_phash_dups": q_media_phash_dups,
+        "events_session_overlap": q_events_session_overlap,
     }
 
 
@@ -4583,6 +4625,23 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
           CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
         FROM sess GROUP BY user_id, session_id
+        """,
+        "events_session_overlap": """
+        -- the same per-(type, day, 6h-block) activity spans + a
+        -- literal brute-force overlap join — the bucketed
+        -- exactly-once join must equal it
+        WITH spans AS (
+          SELECT event_type,
+            CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
+            CAST(floor(epoch(max(ts))) AS BIGINT) + 1 AS hi
+          FROM events
+          GROUP BY event_type, CAST(ts AS DATE), hour(ts) // 6
+        )
+        SELECT a.event_type AS type_a, a.lo AS lo_a,
+          b.event_type AS type_b, b.lo AS lo_b,
+          least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_s
+        FROM spans a JOIN spans b
+          ON a.event_type < b.event_type AND a.lo < b.hi AND b.lo < a.hi
         """,
         "events_dedup_minute": """
         SELECT user_id, event_type,

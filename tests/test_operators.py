@@ -4268,3 +4268,52 @@ class TestSeasonalDecompose:
         assert 70 < hi - lo < 130
         mid = [r for r in rows if r["residual_mu"] is not None]
         assert mid and all(abs(r["residual_mu"]) / 1e6 < 30 for r in mid)
+
+
+class TestIntervalOverlapJoin:
+    def _run(self, spark, la, ra, bucket):
+        from unitdb_spark.operators.asof import interval_overlap_join
+
+        left = spark.createDataFrame(la, "id_l long, lo_l long, hi_l long")
+        right = spark.createDataFrame(ra, "id_r long, lo_r long, hi_r long")
+        return interval_overlap_join(
+            left, right, "lo_l", "hi_l", "lo_r", "hi_r", bucket
+        ).collect()
+
+    def test_exactly_once_vs_brute_force(self, spark):
+        """Pairs spanning many buckets must surface EXACTLY once, and
+        the result must equal the brute-force half-open overlap —
+        including touching intervals (hi == lo), which must NOT match."""
+        import random
+
+        rng = random.Random(5)
+        la = [(i, rng.randrange(0, 500), 0) for i in range(40)]
+        la = [(i, lo, lo + rng.randrange(1, 200)) for i, lo, _ in la]
+        ra = [(100 + i, rng.randrange(0, 500), 0) for i in range(40)]
+        ra = [(i, lo, lo + rng.randrange(1, 200)) for i, lo, _ in ra]
+        # plant a touching pair: [10, 20) vs [20, 30) — no overlap
+        la.append((90, 10, 20))
+        ra.append((190, 20, 30))
+        for bucket in (7, 64, 1000):  # many-bucket, mid, single-bucket
+            got = [
+                (r["id_l"], r["id_r"])
+                for r in self._run(spark, la, ra, bucket)
+            ]
+            want = sorted(
+                (il, ir)
+                for il, ll, hl in la
+                for ir, lr, hr in ra
+                if ll < hr and lr < hl
+            )
+            assert sorted(got) == want, f"bucket={bucket}"
+            assert len(got) == len(set(got))  # exactly once
+            assert (90, 190) not in got
+
+    def test_refuses_overlapping_columns(self, spark):
+        from unitdb_spark.operators.asof import interval_overlap_join
+
+        df = spark.createDataFrame([(1, 2, 3)], "a long, lo long, hi long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="rename overlapping"):
+            interval_overlap_join(df, df, "lo", "hi", "lo", "hi", 10)

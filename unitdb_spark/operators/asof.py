@@ -230,6 +230,74 @@ def range_join_bucketed(
     return lb.join(rb, on=["_bkt"]).filter(cond).drop("_bkt")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_seconds: int,
+    extra_on: Column | None = None,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (half-open: overlap iff
+    l_lo < r_hi AND r_lo < l_hi) — the co-presence / conflict /
+    double-booking question that `range_join_bucketed` (point in
+    interval) can't ask.
+
+    Both sides explode onto the coarse time buckets their intervals
+    span, the join is bucket-local, and each overlapping pair is kept
+    EXACTLY ONCE without a distinct shuffle: the match is attributed
+    to the single bucket containing the overlap's START
+    (max(l_lo, r_lo)) — every overlapping pair has exactly one such
+    bucket, so no dedup pass exists in the plan. Shuffle key =
+    bucket; cost tracks interval span / bucket_seconds × matches,
+    never |L|·|R|. Long intervals fan onto span/bucket rows — pick
+    ``bucket_seconds`` near the typical interval length.
+
+    Inputs use integer-second columns (unix seconds, the repo's
+    interval convention); refuses overlapping column names loudly
+    like `range_join_bucketed`.
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"interval_overlap_join: rename overlapping columns first: {sorted(overlap)}"
+        )
+    lb = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.col(left_lo) / bucket_seconds).cast("long"),
+                (F.col(left_hi) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.col(right_lo) / bucket_seconds).cast("long"),
+                (F.col(right_hi) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    cond = (
+        (F.col(left_lo) < F.col(right_hi))
+        & (F.col(right_lo) < F.col(left_hi))
+        # exactly-once: only the bucket holding the overlap start
+        & (
+            F.col("_bkt")
+            == (
+                F.greatest(F.col(left_lo), F.col(right_lo)) / bucket_seconds
+            ).cast("long")
+        )
+    )
+    if extra_on is not None:
+        cond = cond & extra_on
+    return lb.join(rb, on=["_bkt"]).filter(cond).drop("_bkt")
+
+
 def interval_lookup(
     facts: DataFrame,
     intervals: DataFrame,
