@@ -3785,6 +3785,36 @@ def q_events_session_overlap(spark, sf_dir):
     )
 
 
+def q_doc_pii_ccn(spark, sf_dir):
+    """Payment-card PII with Luhn VERIFICATION (the step separating
+    card scrubbing from blind digit redaction): deterministic card
+    strings planted per doc_id % 4 — a separator-spelled valid Visa
+    test number, a Luhn-INVALID 16-digit decoy that must survive, a
+    dash-spelled valid Amex test number, and nothing — then the
+    JVM-side regex + nested-HOF checksum counts and scrubs. Entirely
+    codegen (no UDF); the oracle replays regex, checksum, and the
+    fold-replace scrub (md5-verified text)."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.element_at(
+            F.array(
+                F.lit(" card 4111 1111 1111 1111 ok"),
+                F.lit(" card 4111111111111112 ok"),
+                F.lit(" card 3400-0000-0000-009 ok"),
+                F.lit(" no card here"),
+            ),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
+    )
+    w = d.select("doc_id", planted.alias("text"))
+    return w.select(
+        "doc_id",
+        TXT.pii_ccn_count("text").alias("n_ccn"),
+        F.md5(TXT.scrub_ccn("text")).alias("scrubbed_md5"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4014,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_forecast_bt": q_streamed_forecast_bt,
         "media_phash_dups": q_media_phash_dups,
         "events_session_overlap": q_events_session_overlap,
+        "doc_pii_ccn": q_doc_pii_ccn,
     }
 
 
@@ -6249,6 +6280,7 @@ def oracle_sql() -> dict[str, str]:
                (node = MIN(label)) AS is_keeper
         FROM reach GROUP BY node
         """,
+        "doc_pii_ccn": _ccn_oracle(),
         "doc_pii_scrub": rf"""
         WITH aug AS (
           SELECT doc_id,
@@ -7994,6 +8026,40 @@ def _ppr_oracle() -> str:
         FROM r5
         """
     )
+
+
+def _ccn_oracle() -> str:
+    """`doc_pii_ccn` replay: same planted strings, same candidate
+    regex (CCN_RE verbatim), same Luhn fold (DuckDB list_* lambdas in
+    place of Spark's filter/aggregate), same left-fold replace scrub,
+    md5-compared."""
+    digits = "replace(replace(c, ' ', ''), '-', '')"
+    dig = f"CAST(substr(reverse({digits}), i + 1, 1) AS INT)"
+    luhn = (
+        f"list_sum(list_transform(range(0, length({digits})), "
+        f"i -> CASE WHEN i % 2 = 0 THEN {dig} "
+        f"WHEN 2 * {dig} > 9 THEN 2 * {dig} - 9 "
+        f"ELSE 2 * {dig} END)) % 10 = 0"
+    )
+    valid = (
+        f"list_filter(regexp_extract_all(txt, '{TXT.CCN_RE}', 0), "
+        f"c -> ({luhn}))"
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text || CASE doc_id % 4
+            WHEN 0 THEN ' card 4111 1111 1111 1111 ok'
+            WHEN 1 THEN ' card 4111111111111112 ok'
+            WHEN 2 THEN ' card 3400-0000-0000-009 ok'
+            ELSE ' no card here' END AS txt
+          FROM documents
+        )
+        SELECT doc_id,
+          CAST(len({valid}) AS INTEGER) AS n_ccn,
+          md5(list_reduce(list_prepend(txt, {valid}),
+              (acc, c) -> replace(acc, c, '[CCN]'))) AS scrubbed_md5
+        FROM t
+        """
 
 
 def _canon_url_sql(e: str) -> str:

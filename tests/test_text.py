@@ -53,3 +53,41 @@ class TestCompressionSignal:
             assert out[i]["n_bytes"] == len(b)
             assert out[i]["zlib_bytes"] == len(zlib.compress(b, 6))
             assert out[i]["ratio_ppm"] == len(zlib.compress(b, 6)) * 10**6 // len(b)
+
+
+class TestCcnScrubbing:
+    def test_luhn_verification_separates_decoys(self, spark):
+        """Valid test numbers (any separator spelling) are counted and
+        scrubbed; Luhn-invalid runs and short order-ids survive — the
+        property blind digit redaction lacks."""
+        from unitdb_spark.functions.text import pii_ccn_count, scrub_ccn
+
+        rows = [
+            (1, "pay with 4111 1111 1111 1111 now"),
+            (2, "bad 4111111111111112 number"),
+            (3, "amex 3400-0000-0000-009 here"),
+            (4, "order 12345 on 2024-01-01 no card"),
+            (5, "two cards 4111111111111111 and 5500 0000 0000 0004 ok"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = {
+            r["id"]: r
+            for r in df.select(
+                "id",
+                pii_ccn_count("text").alias("n"),
+                scrub_ccn("text").alias("s"),
+            ).collect()
+        }
+        assert [out[i]["n"] for i in range(1, 6)] == [1, 0, 1, 0, 2]
+        assert out[1]["s"] == "pay with [CCN] now"
+        assert out[2]["s"] == "bad 4111111111111112 number"
+        assert out[3]["s"] == "amex [CCN] here"
+        assert out[5]["s"] == "two cards [CCN] and [CCN] ok"
+
+    def test_codegen_no_python(self, spark):
+        """The whole detect+verify+scrub path must stay JVM-side."""
+        from unitdb_spark.functions.text import pii_ccn_count, scrub_ccn
+
+        df = spark.createDataFrame([(1, "x")], "id long, text string")
+        out = df.select(pii_ccn_count("text"), scrub_ccn("text"))
+        assert "pythonUDF" not in out._jdf.queryExecution().executedPlan().toString()
