@@ -3815,6 +3815,20 @@ def q_doc_pii_ccn(spark, sf_dir):
     )
 
 
+def q_doc_bpe_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING (Sennrich '16): learn the first 10 merge
+    rules from the corpus word-frequency vocabulary — one corpus pass
+    for word counts, then every iteration is vocab-sized (pair-count
+    shuffle + single-row argmax + relational greedy merge). Fully
+    deterministic ((count DESC, left, right) total order, greedy
+    left-to-right application with the aaa-overlap rule), so the
+    oracle unrolls the same 10 iterations as CTEs — like the pagerank
+    and kmeans replays."""
+    from unitdb_spark.operators.bpe import bpe_train_df
+
+    return bpe_train_df(_docs(spark, sf_dir), n_merges=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4045,6 +4059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_dups": q_media_phash_dups,
         "events_session_overlap": q_events_session_overlap,
         "doc_pii_ccn": q_doc_pii_ccn,
+        "doc_bpe_merges": q_doc_bpe_merges,
     }
 
 
@@ -6281,6 +6296,7 @@ def oracle_sql() -> dict[str, str]:
         FROM reach GROUP BY node
         """,
         "doc_pii_ccn": _ccn_oracle(),
+        "doc_bpe_merges": _bpe_oracle(10),
         "doc_pii_scrub": rf"""
         WITH aug AS (
           SELECT doc_id,
@@ -8060,6 +8076,58 @@ def _ccn_oracle() -> str:
               (acc, c) -> replace(acc, c, '[CCN]'))) AS scrubbed_md5
         FROM t
         """
+
+
+def _bpe_oracle(n_merges: int = 10) -> str:
+    """`doc_bpe_merges` replay: the SAME ``n_merges`` iterations
+    unrolled as CTEs (the pagerank/kmeans pattern) — pair counts with
+    overlap tallying (lead window), argmax by (n DESC, a, b), and the
+    relational greedy merge (islands of consecutive match positions,
+    even offsets applied, right neighbors dropped, positions
+    renumbered) — exactly `operators.bpe._merge_once`."""
+    ctes = [
+        f"words AS MATERIALIZED (SELECT u.t AS w, CAST(count(*) AS BIGINT) AS f "
+        f"FROM documents, UNNEST({_TOKS}) AS u(t) GROUP BY 1)",
+        "p0 AS MATERIALIZED (SELECT w, f, i.i AS pos, substr(w, i.i, 1) AS sym "
+        "FROM words, UNNEST(generate_series(1, length(w))) AS i(i))",
+    ]
+    for k in range(1, n_merges + 1):
+        p = f"p{k - 1}"
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(SUM(f) AS BIGINT) AS n "
+            f"FROM (SELECT w, f, sym, lead(sym) OVER "
+            f"(PARTITION BY w ORDER BY pos) AS nxt FROM {p}) "
+            f"WHERE nxt IS NOT NULL GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{k} AS MATERIALIZED (SELECT a, b, n FROM c{k} ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"m{k} AS MATERIALIZED (SELECT w, f, pos, sym, m, CASE WHEN m THEN pos - "
+            f"row_number() OVER (PARTITION BY w, m ORDER BY pos) END AS isl "
+            f"FROM (SELECT q.w, q.f, q.pos, q.sym, "
+            f"(q.sym = (SELECT a FROM b{k}) AND lead(q.sym) OVER "
+            f"(PARTITION BY q.w ORDER BY q.pos) = (SELECT b FROM b{k})) AS m "
+            f"FROM {p} q))"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT *, (m AND ((pos - MIN(pos) OVER "
+            f"(PARTITION BY w, isl)) % 2 = 0)) AS app FROM m{k})"
+        )
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT w, f, row_number() OVER "
+            f"(PARTITION BY w ORDER BY pos) AS pos, "
+            f"CASE WHEN app THEN (SELECT a FROM b{k}) || (SELECT b FROM b{k}) "
+            f"ELSE sym END AS sym FROM (SELECT *, coalesce(lag(app) OVER "
+            f"(PARTITION BY w ORDER BY pos), false) AS dropped FROM s{k}) "
+            f"WHERE NOT dropped)"
+        )
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_rank, a AS merge_left, "
+        f"b AS merge_right, n AS n_pairs FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
 def _canon_url_sql(e: str) -> str:

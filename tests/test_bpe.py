@@ -1,0 +1,77 @@
+"""BPE tokenizer training vs an independent pure-Python model:
+pair counting (overlaps tallied), (count DESC, pair) argmax, greedy
+left-to-right merge application including the aaa-overlap rule."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+
+def _model(text: str, n: int):
+    words = Counter(text.lower().split())
+    vocab = {w: list(w) for w in words}
+    out = []
+    for rank in range(1, n + 1):
+        pc: Counter = Counter()
+        for w, f in words.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        m = max(pc.values())
+        a, b = sorted(k for k, v in pc.items() if v == m)[0]
+        out.append((rank, a, b, pc[(a, b)]))
+        for w in vocab:
+            s, ns, i = vocab[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            vocab[w] = ns
+    return out
+
+
+class TestBpeTrain:
+    def test_overlap_and_frequency_weighting(self, spark):
+        from unitdb_spark.operators.bpe import bpe_train
+
+        text = "low low low lower lowest aaa aaa newest newest newest"
+        df = spark.createDataFrame([(1, text)], "id long, text string")
+        assert bpe_train(df, n_merges=6) == _model(text, 6)
+
+    def test_matches_model_on_random_corpora(self, spark):
+        from unitdb_spark.operators.bpe import bpe_train
+
+        rng = random.Random(42)
+        syll = ["ba", "na", "to", "ken", "iz", "er", "lo", "w", "est", "s"]
+        for _ in range(2):
+            words = [
+                "".join(rng.choice(syll) for _ in range(rng.randrange(1, 4)))
+                for _ in range(30)
+            ]
+            text = " ".join(rng.choice(words) for _ in range(200))
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate([text[: len(text) // 2], text[len(text) // 2 :]])],
+                "id long, text string",
+            )
+            # NOTE the model must see the SAME tokenization (split on
+            # whitespace after lowercasing) — slicing mid-word changes
+            # the word multiset, so compare against the sliced text
+            joined = " ".join(
+                [text[: len(text) // 2], text[len(text) // 2 :]]
+            )
+            assert bpe_train(df, n_merges=5) == _model(joined, 5)
+
+    def test_stops_when_pairs_exhaust(self, spark):
+        from unitdb_spark.operators.bpe import bpe_train
+
+        df = spark.createDataFrame([(1, "ab ab cd")], "id long, text string")
+        rules = bpe_train(df, n_merges=10)
+        # ab (freq 2) then cd (freq 1); all words are single symbols after
+        assert [(r[1], r[2]) for r in rules] == [("a", "b"), ("c", "d")]
+        assert len(rules) == 2

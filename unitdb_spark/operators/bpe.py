@@ -1,0 +1,164 @@
+"""Byte-pair-encoding tokenizer training (Sennrich et al. 2016).
+
+The LLM-pipeline operator the token-counting family assumes someone
+already ran: LEARN the merge table from the corpus. Word-level BPE:
+
+1. one corpus pass builds the word-frequency vocabulary (the ONLY
+   corpus-sized work — everything after runs on the vocabulary
+   relation, which grows sublinearly with data);
+2. every word becomes its character-symbol sequence;
+3. iterate: count adjacent symbol pairs weighted by word frequency,
+   take the most frequent pair ((count DESC, left, right) — a total
+   order, so training is deterministic), merge it greedily
+   left-to-right in every word, repeat.
+
+Spark shape per iteration: one vocab-sized window (adjacent pairs),
+one vocab-sized partial-agg shuffle (pair counts), one single-row
+argmax collected driver-side (the merge RULE — metadata-sized, the
+kmeans-centroid precedent), and a relational greedy-merge rewrite
+(windows, no UDF). `localCheckpoint` per round cuts lineage like
+every iterative operator here.
+
+The greedy left-to-right application is done RELATIONALLY so a SQL
+oracle can replay it: match positions (sym = left, next = right) form
+runs of consecutive positions; within a run, matches at even offsets
+from the run start are applied (overlaps only arise for left == right
+pairs, where "aaa" must merge as (aa)(a), not a(aa)).
+
+Intra-word only, no end-of-word marker (the </w> variant changes
+boundary merges, not the algorithm; documented divergence from the
+paper's figure 2).
+
+Reference parity: the reference engine has no tokenizer surface —
+north-star LLM-pipeline operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from unitdb_spark.operators.dedup import raw_tokens
+
+
+def _word_symbols(words: DataFrame) -> DataFrame:
+    """(word, freq) -> (word, freq, pos, sym): one row per character,
+    1-based positions, substr-over-index (the char_entropy convention —
+    no split() semantics dependence)."""
+    return words.select(
+        "_w",
+        "_f",
+        F.posexplode(F.sequence(F.lit(1), F.length("_w"))).alias("_x", "_p"),
+    ).select(
+        "_w", "_f", F.col("_p").alias("_pos"),
+        F.substring(F.col("_w"), F.col("_p"), 1).alias("_sym"),
+    )
+
+
+def _merge_once(syms: DataFrame, left: str, right: str) -> DataFrame:
+    """Apply one merge rule greedily left-to-right, relationally:
+    runs of consecutive match positions keep even offsets; kept
+    matches become the concatenated symbol, their right neighbors
+    drop, everything re-numbers."""
+    w = Window.partitionBy("_w").orderBy("_pos")
+    with_next = syms.select(
+        "_w", "_f", "_pos", "_sym", F.lead("_sym").over(w).alias("_nxt")
+    )
+    flagged = with_next.withColumn(
+        "_m", (F.col("_sym") == left) & (F.col("_nxt") == right)
+    )
+    # runs of consecutive match positions: island id = pos - rank
+    wm = Window.partitionBy("_w").orderBy("_pos")
+    runs = flagged.withColumn(
+        "_isl",
+        F.when(
+            F.col("_m"),
+            F.col("_pos")
+            - F.row_number().over(
+                Window.partitionBy("_w", "_m").orderBy("_pos")
+            ),
+        ),
+    )
+    wr = Window.partitionBy("_w", "_isl")
+    sel = runs.withColumn(
+        "_apply",
+        F.col("_m")
+        & (((F.col("_pos") - F.min("_pos").over(wr)) % 2) == 0),
+    )
+    # a position is DROPPED when the previous position applied
+    dropped = sel.withColumn(
+        "_drop", F.coalesce(F.lag("_apply").over(wm), F.lit(False))
+    )
+    out = (
+        dropped.filter(~F.col("_drop"))
+        .select(
+            "_w",
+            "_f",
+            "_pos",
+            F.when(F.col("_apply"), F.concat(F.lit(left), F.lit(right)))
+            .otherwise(F.col("_sym"))
+            .alias("_sym"),
+        )
+        .select(
+            "_w", "_f",
+            F.row_number().over(wm).alias("_pos"),
+            "_sym",
+        )
+    )
+    return out
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus.
+
+    Returns the merge table driver-side: [(rank, left, right,
+    n_pairs)] with rank 1-based and n_pairs the weighted adjacent-pair
+    count at selection time (overlapping occurrences counted, the
+    textbook tally). Stops early if the symbol pairs exhaust.
+
+    The rules ARE metadata (a tokenizer ships them as a file), so a
+    driver-side list is the honest return type; `bpe_train_df` wraps
+    them as a DataFrame for the oracle-checked query surface.
+    """
+    words = (
+        df.select(F.explode(raw_tokens(text_col)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    syms = _word_symbols(words).localCheckpoint(eager=False)
+    rules: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        w = Window.partitionBy("_w").orderBy("_pos")
+        pairs = (
+            syms.select(
+                "_w", "_f", "_sym", F.lead("_sym").over(w).alias("_nxt")
+            )
+            .filter(F.col("_nxt").isNotNull())
+            .groupBy("_sym", "_nxt")
+            .agg(F.sum("_f").alias("_n"))
+        )
+        top = pairs.orderBy(F.col("_n").desc(), "_sym", "_nxt").limit(1).collect()
+        if not top:
+            break
+        left, right, n = top[0]["_sym"], top[0]["_nxt"], int(top[0]["_n"])
+        rules.append((rank, left, right, n))
+        syms = _merge_once(syms, left, right).localCheckpoint(eager=False)
+    return rules
+
+
+def bpe_train_df(
+    df: DataFrame, text_col: str = "text", n_merges: int = 10
+) -> DataFrame:
+    """`bpe_train` as a DataFrame: (merge_rank, merge_left,
+    merge_right, n_pairs) — LEFT/RIGHT are SQL keywords, so the
+    column names carry the prefix."""
+    spark = df.sparkSession
+    rules = bpe_train(df, text_col, n_merges)
+    return spark.createDataFrame(
+        rules,
+        "merge_rank int, merge_left string, merge_right string, n_pairs long",
+    )
