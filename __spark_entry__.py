@@ -3829,6 +3829,20 @@ def q_doc_bpe_merges(spark, sf_dir):
     return bpe_train_df(_docs(spark, sf_dir), n_merges=10)
 
 
+def q_doc_bpe_tokens(spark, sf_dir):
+    """BPE ENCODE under the merges doc_bpe_merges learns: apply the 10
+    rules in rank order to the vocabulary (the same relational greedy
+    merge), then per-doc word and subword counts — the corpus token
+    budget under the learned tokenizer. The oracle extends the
+    unrolled training chain with the per-word subword counts joined to
+    the token instances."""
+    from unitdb_spark.operators.bpe import bpe_subword_counts, bpe_train
+
+    d = _docs(spark, sf_dir)
+    rules = bpe_train(d, n_merges=10)
+    return bpe_subword_counts(d, rules)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4060,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_overlap": q_events_session_overlap,
         "doc_pii_ccn": q_doc_pii_ccn,
         "doc_bpe_merges": q_doc_bpe_merges,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
     }
 
 
@@ -6297,6 +6312,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_pii_ccn": _ccn_oracle(),
         "doc_bpe_merges": _bpe_oracle(10),
+        "doc_bpe_tokens": _bpe_encode_oracle(10),
         "doc_pii_scrub": rf"""
         WITH aug AS (
           SELECT doc_id,
@@ -8128,6 +8144,31 @@ def _bpe_oracle(n_merges: int = 10) -> str:
         for k in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+def _bpe_encode_oracle(n_merges: int = 10) -> str:
+    """`doc_bpe_tokens` replay: the training chain's final symbol
+    relation p{n} gives each word's subword count; joined back to the
+    token instances for the per-doc budget."""
+    train = _bpe_oracle(n_merges)
+    head = train[: train.rindex("\nSELECT CAST(1 AS INTEGER)")]
+    return (
+        head
+        + f""",
+        wc AS MATERIALIZED (
+          SELECT w, CAST(count(*) AS BIGINT) AS n_sub
+          FROM p{n_merges} GROUP BY 1
+        ),
+        inst AS (
+          SELECT d.doc_id, u.t AS w
+          FROM documents d, UNNEST({_TOKS}) AS u(t)
+        )
+        SELECT i.doc_id, count(*) AS n_words,
+          CAST(SUM(wc.n_sub) AS BIGINT) AS n_subwords
+        FROM inst i JOIN wc ON i.w = wc.w
+        GROUP BY 1
+        """
+    )
 
 
 def _canon_url_sql(e: str) -> str:

@@ -75,3 +75,40 @@ class TestBpeTrain:
         # ab (freq 2) then cd (freq 1); all words are single symbols after
         assert [(r[1], r[2]) for r in rules] == [("a", "b"), ("c", "d")]
         assert len(rules) == 2
+
+
+class TestBpeEncode:
+    def test_subword_counts_match_model(self, spark):
+        from unitdb_spark.operators.bpe import bpe_subword_counts, bpe_train
+
+        texts = {
+            1: "low low lower lowest",
+            2: "newest newest estimate",
+            3: "aaa aaa ab",
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        rules = bpe_train(df, n_merges=5)
+        # python model: re-apply the learned merges greedily per word
+        vocab = {w: list(w) for t in texts.values() for w in t.split()}
+        for _rank, a, b, _n in sorted(rules):
+            for w in vocab:
+                s, ns, i = vocab[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                vocab[w] = ns
+        out = {
+            r["doc_id"]: r for r in bpe_subword_counts(df, rules).collect()
+        }
+        for did, t in texts.items():
+            ws = t.split()
+            assert out[did]["n_words"] == len(ws)
+            assert out[did]["n_subwords"] == sum(len(vocab[w]) for w in ws)
+            # merges only ever shrink the char tokenization
+            assert out[did]["n_subwords"] <= sum(len(w) for w in ws)

@@ -162,3 +162,45 @@ def bpe_train_df(
         rules,
         "merge_rank int, merge_left string, merge_right string, n_pairs long",
     )
+
+
+def bpe_subword_counts(
+    df: DataFrame,
+    rules: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ENCODE under a learned merge table: apply the rules in rank
+    order to the corpus VOCABULARY (each application is the same
+    relational greedy merge training used), then join the per-word
+    subword counts back to the token instances — the "how many
+    subword tokens is my corpus under this tokenizer" question that
+    drives packing/budget decisions.
+
+    Scale shape: merges run on the vocabulary relation; the only
+    corpus-sized work is the token explode + the word-count join
+    (vocab relation broadcasts when it fits — it is Zipf-small).
+
+    Output: (id_col, n_words, n_subwords).
+    """
+    words = (
+        df.select(F.explode(raw_tokens(text_col)).alias("_w"))
+        .distinct()
+        .select("_w", F.lit(1).alias("_f"))
+    )
+    syms = _word_symbols(words).localCheckpoint(eager=False)
+    for _rank, left, right, _n in sorted(rules):
+        syms = _merge_once(syms, left, right).localCheckpoint(eager=False)
+    wc = syms.groupBy("_w").agg(F.count(F.lit(1)).alias("_nsub"))
+    inst = df.select(
+        F.col(id_col).alias("_id"), F.explode(raw_tokens(text_col)).alias("_w")
+    )
+    return (
+        inst.join(wc, "_w")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_nsub").alias("n_subwords"),
+        )
+        .select(F.col("_id").alias(id_col), "n_words", "n_subwords")
+    )
