@@ -3843,6 +3843,33 @@ def q_doc_bpe_tokens(spark, sf_dir):
     return bpe_subword_counts(d, rules)
 
 
+def q_streamed_seasonal_decomp(spark, sf_dir):
+    """Second dashboard off the SAME rolling cell state the forecast
+    twin maintains: the committed (key, day, hour) cells decomposed
+    through the batch operator's shared seasonal_from_cells path —
+    one commit-logged fold, two derived read-time views. Oracle =
+    events_seasonal_decomp's SQL verbatim."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_hourly_cells,
+        read_seasonal_decompose,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_hourly_cells(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "event_type",
+        "ts",
+        "value",
+        f"{base}/cells",
+        f"{base}/cp",
+    )
+    q.awaitTermination(300)
+    return read_seasonal_decompose(spark, f"{base}/cells", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4075,6 +4102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_ccn": q_doc_pii_ccn,
         "doc_bpe_merges": q_doc_bpe_merges,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "streamed_seasonal_decomp": q_streamed_seasonal_decomp,
     }
 
 
@@ -4165,6 +4193,45 @@ SELECT k AS event_type, count(*) AS n_scored,
     AS mae_mu
 FROM sc GROUP BY 1
 """
+
+# seasonal-decomposition SQL — shared verbatim by the batch query
+# (events_seasonal_decomp) and the rolling cell-state twin
+# (streamed_seasonal_decomp): both decompose the same mergeable
+# (key, day, hour) cells through seasonal_from_cells
+_SEASONAL_DECOMP_SQL = """
+        -- same two pinned floor divisions and the same ROWS frames as
+        -- the operator: trend over 25 observed buckets, seasonal per
+        -- (key, hour-of-day) over the detrended values
+        WITH b AS (
+          SELECT event_type AS k, date_trunc('hour', ts) AS bucket,
+            CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       * 10000 / count(*)) AS BIGINT) AS value_mu
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), t AS (
+          SELECT k, bucket, value_mu,
+            CASE WHEN count(*) OVER w = 25
+                 THEN CAST(floor(CAST(SUM(value_mu) OVER w AS BIGINT) / 25)
+                      AS BIGINT)
+            END AS trend_mu
+          FROM b
+          WINDOW w AS (PARTITION BY k ORDER BY bucket
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        ), d AS (
+          SELECT *, value_mu - trend_mu AS detr,
+            hour(bucket) % 24 AS hod
+          FROM t
+        ), s AS (
+          SELECT k, hod,
+            CAST(floor(CAST(SUM(detr) AS BIGINT) / count(detr)) AS BIGINT)
+              AS seasonal_mu
+          FROM d GROUP BY 1, 2
+        )
+        SELECT d.k AS event_type,
+          CAST(floor(epoch(d.bucket)) AS BIGINT) AS bucket_s,
+          d.hod, d.value_mu, d.trend_mu, s.seasonal_mu,
+          d.value_mu - d.trend_mu - s.seasonal_mu AS residual_mu
+        FROM d JOIN s ON d.k = s.k AND d.hod = s.hod
+        """
 
 _SCD2_SQL = """
         -- run-collapse: rows where attr changes start an interval;
@@ -5264,40 +5331,8 @@ def oracle_sql() -> dict[str, str]:
         # daily-sketch rollup (mergeability is the same algebra)
         "streamed_kmv_snapshot": _KMV_USERS_SQL,
         "events_kmv_merged": _KMV_USERS_SQL,
-        "events_seasonal_decomp": """
-        -- same two pinned floor divisions and the same ROWS frames as
-        -- the operator: trend over 25 observed buckets, seasonal per
-        -- (key, hour-of-day) over the detrended values
-        WITH b AS (
-          SELECT event_type AS k, date_trunc('hour', ts) AS bucket,
-            CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
-                       * 10000 / count(*)) AS BIGINT) AS value_mu
-          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
-        ), t AS (
-          SELECT k, bucket, value_mu,
-            CASE WHEN count(*) OVER w = 25
-                 THEN CAST(floor(CAST(SUM(value_mu) OVER w AS BIGINT) / 25)
-                      AS BIGINT)
-            END AS trend_mu
-          FROM b
-          WINDOW w AS (PARTITION BY k ORDER BY bucket
-                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
-        ), d AS (
-          SELECT *, value_mu - trend_mu AS detr,
-            hour(bucket) % 24 AS hod
-          FROM t
-        ), s AS (
-          SELECT k, hod,
-            CAST(floor(CAST(SUM(detr) AS BIGINT) / count(detr)) AS BIGINT)
-              AS seasonal_mu
-          FROM d GROUP BY 1, 2
-        )
-        SELECT d.k AS event_type,
-          CAST(floor(epoch(d.bucket)) AS BIGINT) AS bucket_s,
-          d.hod, d.value_mu, d.trend_mu, s.seasonal_mu,
-          d.value_mu - d.trend_mu - s.seasonal_mu AS residual_mu
-        FROM d JOIN s ON d.k = s.k AND d.hod = s.hod
-        """,
+        "events_seasonal_decomp": _SEASONAL_DECOMP_SQL,
+        "streamed_seasonal_decomp": _SEASONAL_DECOMP_SQL,
         "events_kmv_overlap": """
         -- pairwise set algebra over the same md5 bottom-64 sketches:
         -- union sketch per pair, n_common = union minima in BOTH

@@ -522,6 +522,21 @@ class TestContinuousForecastBacktest:
         }
         assert got == want
 
+        # second dashboard over the SAME committed state: the rolling
+        # decomposition equals the batch operator row for row
+        from unitdb_spark.operators.timeseries import seasonal_decompose
+        from unitdb_spark.streaming.continuous import read_seasonal_decompose
+
+        want_d = {
+            (r["event_type"], r["bucket_s"]): r.asDict()
+            for r in seasonal_decompose(batch, "event_type").collect()
+        }
+        got_d = {
+            (r["event_type"], r["bucket_s"]): r.asDict()
+            for r in read_seasonal_decompose(spark, state).collect()
+        }
+        assert got_d == want_d
+
 
 class TestContinuousKV:
     _SCHEMA = "key long, value binary, op string, op_order long"

@@ -726,68 +726,84 @@ def seasonal_decompose(
     hours rows — profile-sized). Output: (key, bucket_s, hod,
     value_mu, trend_mu, seasonal_mu, residual_mu).
     """
-    from pyspark.sql import Window
-
-    span = 2 * trend_radius + 1
-    b = (
+    cells = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(
-            F.col(key_col).alias("k"),
-            F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+            F.col(key_col).alias("_k"),
+            F.to_date(ts_col).alias("_d"),
+            F.hour(ts_col).alias("_h"),
         )
         .agg(
             F.expr(
                 f"CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) * 100 AS BIGINT)"
             ).alias("_cents"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .select(
-            "k",
-            "bucket",
-            F.floor(F.col("_cents") * 10000 / F.col("_n"))
-            .cast("long")
-            .alias("value_mu"),
+            F.count(F.lit(1)).alias("_c"),
         )
     )
+    return seasonal_from_cells(cells, key_col, period, trend_radius)
+
+
+def seasonal_from_cells(
+    cells: DataFrame,
+    key_col: str,
+    period: int = 24,
+    trend_radius: int = 12,
+) -> DataFrame:
+    """The decomposition half of `seasonal_decompose`, over the
+    (_k, _d, _h, _cents, _c) cell relation — the SAME mergeable cells
+    the forecast backtest and its streaming twin fold
+    (streaming.continuous.continuous_hourly_cells), so a rolling
+    streamed decomposition IS the batch decomposition on the committed
+    state."""
+    from pyspark.sql import Window
+
+    span = 2 * trend_radius + 1
+    b = cells.select(
+        "_k",
+        (
+            F.unix_timestamp(F.col("_d").cast("timestamp"))
+            + F.col("_h").cast("long") * 3600
+        ).alias("bucket_s"),
+        (F.col("_h") % period).alias("hod"),
+        F.floor(F.col("_cents") * 10000 / F.col("_c"))
+        .cast("long")
+        .alias("value_mu"),
+    )
     w = (
-        Window.partitionBy("k")
-        .orderBy("bucket")
+        Window.partitionBy("_k")
+        .orderBy("bucket_s")
         .rowsBetween(-trend_radius, trend_radius)
     )
     t = b.select(
-        "k",
-        "bucket",
+        "_k",
+        "bucket_s",
+        "hod",
         "value_mu",
         F.when(
             F.count(F.lit(1)).over(w) == span,
             F.floor(F.sum("value_mu").over(w) / F.lit(span)).cast("long"),
         ).alias("trend_mu"),
     ).withColumn("_detr", F.col("value_mu") - F.col("trend_mu"))
-    hod = (F.hour("bucket") % period).alias("hod")
     seas = (
-        t.groupBy("k", hod)
+        t.groupBy("_k", "hod")
         .agg(
             F.sum("_detr").alias("_sd"),
             F.count("_detr").alias("_nd"),
         )
         .select(
-            "k",
+            "_k",
             "hod",
             F.floor(F.col("_sd") / F.col("_nd")).cast("long").alias("seasonal_mu"),
         )
     )
-    return (
-        t.withColumn("hod", hod)
-        .join(seas, ["k", "hod"])
-        .select(
-            F.col("k").alias(key_col),
-            F.unix_timestamp("bucket").alias("bucket_s"),
-            "hod",
-            "value_mu",
-            "trend_mu",
-            "seasonal_mu",
-            (F.col("value_mu") - F.col("trend_mu") - F.col("seasonal_mu")).alias(
-                "residual_mu"
-            ),
-        )
+    return t.join(seas, ["_k", "hod"]).select(
+        F.col("_k").alias(key_col),
+        "bucket_s",
+        "hod",
+        "value_mu",
+        "trend_mu",
+        "seasonal_mu",
+        (F.col("value_mu") - F.col("trend_mu") - F.col("seasonal_mu")).alias(
+            "residual_mu"
+        ),
     )

@@ -307,3 +307,16 @@ def read_forecast_backtest(
     from unitdb_spark.operators.timeseries import seasonal_naive_from_cells
 
     return seasonal_naive_from_cells(read_cells(spark, state_path), key_col)
+
+
+def read_seasonal_decompose(
+    spark, state_path: str, key_col: str = "event_type"
+) -> DataFrame:
+    """The rolling seasonal decomposition over the committed hourly
+    cells — the same state `read_forecast_backtest` scores, decomposed
+    through the batch operator's shared code path
+    (operators.timeseries.seasonal_from_cells): one maintained state,
+    two derived dashboards."""
+    from unitdb_spark.operators.timeseries import seasonal_from_cells
+
+    return seasonal_from_cells(read_cells(spark, state_path), key_col)
