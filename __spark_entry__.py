@@ -3870,6 +3870,20 @@ def q_streamed_seasonal_decomp(spark, sf_dir):
     return read_seasonal_decompose(spark, f"{base}/cells", "event_type")
 
 
+def q_lineitem_corr(spark, sf_dir):
+    """One-pass Pearson correlation matrix over the lineitem measures:
+    every pairwise moment from a single aggregation (one scan, one
+    exchange of DECIMAL partials), correlations as pinned-double
+    compositions of the exact moments — the profiling step before
+    anyone trusts a regression on these columns."""
+    from unitdb_spark.operators.olap import correlation_matrix
+
+    return correlation_matrix(
+        _read(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4103,6 +4117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_merges": q_doc_bpe_merges,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "streamed_seasonal_decomp": q_streamed_seasonal_decomp,
+        "lineitem_corr": q_lineitem_corr,
     }
 
 
@@ -6348,6 +6363,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_ccn": _ccn_oracle(),
         "doc_bpe_merges": _bpe_oracle(10),
         "doc_bpe_tokens": _bpe_encode_oracle(10),
+        "lineitem_corr": _corr_oracle(),
         "doc_pii_scrub": rf"""
         WITH aug AS (
           SELECT doc_id,
@@ -8203,6 +8219,48 @@ def _bpe_encode_oracle(n_merges: int = 10) -> str:
         FROM inst i JOIN wc ON i.w = wc.w
         GROUP BY 1
         """
+    )
+
+
+def _corr_oracle() -> str:
+    """`lineitem_corr` replay: same exact-DECIMAL moments from one
+    pass, same pinned-double correlation composition, same
+    zero-variance NULL guard."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    dec = {c: f"CAST({c} AS DECIMAL(18,2))" for c in cols}
+    sums = [f"SUM({dec[c]}) AS s_{c}" for c in cols]
+    prods = [
+        f"SUM({dec[a]} * {dec[b]}) AS p_{a}_{b}"
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    ]
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    selects = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            num = (
+                f"CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE) "
+                f"- CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE)"
+            )
+            va = (
+                f"CAST(n AS DOUBLE) * CAST(p_{a}_{a} AS DOUBLE) "
+                f"- CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)"
+            )
+            vb = (
+                f"CAST(n AS DOUBLE) * CAST(p_{b}_{b} AS DOUBLE) "
+                f"- CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)"
+            )
+            selects.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, "
+                f"CASE WHEN ({va}) > 0 AND ({vb}) > 0 THEN "
+                f"round(({num}) / sqrt(({va}) * ({vb})), 6) END AS corr_r "
+                f"FROM m"
+            )
+    return (
+        "WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        + ", ".join(sums + prods)
+        + f" FROM lineitem WHERE {notnull})\n"
+        + "\nUNION ALL ".join(selects)
     )
 
 

@@ -4317,3 +4317,42 @@ class TestIntervalOverlapJoin:
 
         with _pytest.raises(ValueError, match="rename overlapping"):
             interval_overlap_join(df, df, "lo", "hi", "lo", "hi", 10)
+
+
+class TestCorrelationMatrix:
+    def test_matches_numpy_and_guards(self, spark):
+        import numpy as np
+
+        from unitdb_spark.operators.olap import correlation_matrix
+
+        rng = np.random.RandomState(9)
+        x = np.round(rng.uniform(0, 100, 200), 2)
+        y = np.round(0.5 * x + rng.uniform(0, 10, 200), 2)
+        z = np.round(rng.uniform(0, 100, 200), 2)
+        const = np.full(200, 7.0)
+        rows = [
+            (float(a), float(b), float(c), float(k))
+            for a, b, c, k in zip(x, y, z, const)
+        ]
+        df = spark.createDataFrame(rows, "x double, y double, z double, k double")
+        out = {
+            (r["col_a"], r["col_b"]): r
+            for r in correlation_matrix(df, ["x", "y", "z", "k"]).collect()
+        }
+        assert len(out) == 6 and all(r["n"] == 200 for r in out.values())
+        for pair, arr in [(("x", "y"), (x, y)), (("x", "z"), (x, z)), (("y", "z"), (y, z))]:
+            want = float(np.corrcoef(arr[0], arr[1])[0, 1])
+            assert abs(out[pair]["corr_r"] - want) < 1e-4
+        assert out[("x", "y")]["corr_r"] > 0.9  # planted relationship
+        for pair in (("x", "k"), ("y", "k"), ("z", "k")):
+            assert out[pair]["corr_r"] is None  # zero-variance guard
+
+    def test_null_rows_drop_as_complete_cases(self, spark):
+        from unitdb_spark.operators.olap import correlation_matrix
+
+        df = spark.createDataFrame(
+            [(1.0, 2.0), (2.0, 4.0), (3.0, None), (4.0, 8.0)],
+            "x double, y double",
+        )
+        (r,) = correlation_matrix(df, ["x", "y"]).collect()
+        assert r["n"] == 3 and abs(r["corr_r"] - 1.0) < 1e-9

@@ -294,3 +294,56 @@ def rfm_segments(
         m_s.alias("m_score"),
         (r_s * 100 + f_s * 10 + m_s).alias("segment"),
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pearson correlation for every column pair in ONE pass over the
+    data: all sufficient moments (count, sums, pairwise product sums)
+    come from a single aggregation — the exchange carries a handful of
+    DECIMAL partials, the table is scanned once however many pairs are
+    asked for.
+
+    Cross-engine determinism: the moments are exact DECIMAL sums
+    (order-free); the final corr = (n·Sxy − Sx·Sy) /
+    sqrt((n·Sxx − Sx²)(n·Syy − Sy²)) is evaluated in ONE pinned
+    double expression per pair, rounded to 6 — and NULL on a
+    zero-variance column (matching the A/B readout's guard).
+
+    Rows must be complete cases: NULL in any column drops the row
+    (the one-pass moment set shares a single n). Output:
+    (col_a, col_b, n, corr_r) for each unordered pair.
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix: need at least two columns")
+    d = df.na.drop(subset=cols)
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(dec[c]).alias(f"_s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.sum(dec[a] * dec[b]).alias(f"_p_{a}_{b}"))
+    m = d.agg(*aggs)
+
+    def _d(name):  # exact decimal -> double, once
+        return F.col(name).cast("double")
+
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            n = F.col("_n").cast("double")
+            num = n * _d(f"_p_{a}_{b}") - _d(f"_s_{a}") * _d(f"_s_{b}")
+            va = n * _d(f"_p_{a}_{a}") - _d(f"_s_{a}") * _d(f"_s_{a}")
+            vb = n * _d(f"_p_{b}_{b}") - _d(f"_s_{b}") * _d(f"_s_{b}")
+            rows.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("_n").alias("n"),
+                    F.when(
+                        (va > 0) & (vb > 0),
+                        F.round(num / F.sqrt(va * vb), 6),
+                    ).alias("corr_r"),
+                )
+            )
+    return m.select(F.explode(F.array(*rows)).alias("kv")).select("kv.*")
