@@ -3884,6 +3884,22 @@ def q_lineitem_corr(spark, sf_dir):
     )
 
 
+def q_events_funnel_window(spark, sf_dir):
+    """Time-bounded conversion funnel: signup → click → purchase with
+    EACH step within 72 h of the previous (earliest-attempt chains,
+    the dashboard convention) — the completion-window semantics the
+    unconstrained events_funnel can't express. Same co-partitioned
+    per-stage shape; oracle replays the chained min-joins with the
+    epoch bound."""
+    from unitdb_spark.operators.funnel import funnel_within
+
+    return funnel_within(
+        _events(spark, sf_dir),
+        ["signup", "click", "purchase"],
+        within_seconds=72 * 3600,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4118,6 +4134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "streamed_seasonal_decomp": q_streamed_seasonal_decomp,
         "lineitem_corr": q_lineitem_corr,
+        "events_funnel_window": q_events_funnel_window,
     }
 
 
@@ -5434,6 +5451,30 @@ def oracle_sql() -> dict[str, str]:
         ), s3 AS (
           SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+        )
+        SELECT 1 AS stage_n, 'signup' AS stage, COUNT(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click', COUNT(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', COUNT(*) FROM s3
+        """,
+        "events_funnel_window": """
+        -- the chained min-joins with the 72h epoch bound per step
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+            AND epoch(e.ts) <= epoch(s1.t1) + 259200.0
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            AND epoch(e.ts) <= epoch(s2.t2) + 259200.0
+          GROUP BY e.user_id
         )
         SELECT 1 AS stage_n, 'signup' AS stage, COUNT(*) AS n_users FROM s1
         UNION ALL

@@ -4356,3 +4356,55 @@ class TestCorrelationMatrix:
         )
         (r,) = correlation_matrix(df, ["x", "y"]).collect()
         assert r["n"] == 3 and abs(r["corr_r"] - 1.0) < 1e-9
+
+
+class TestFunnelWithin:
+    def _ev(self, spark, rows):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        data = [
+            (u, typ, t0 + dt.timedelta(hours=h)) for u, typ, h in rows
+        ]
+        return spark.createDataFrame(
+            data, "user_id long, event_type string, ts timestamp"
+        )
+
+    def test_window_bound_cuts_late_conversions(self, spark):
+        from unitdb_spark.operators.funnel import funnel_within
+
+        rows = [
+            (1, "signup", 0), (1, "click", 1), (1, "purchase", 2),     # full chain
+            (2, "signup", 0), (2, "click", 30), (2, "purchase", 31),   # click too late
+            (3, "signup", 0), (3, "click", 1), (3, "purchase", 40),    # purchase too late
+            (4, "click", 0), (4, "purchase", 1),                       # never signed up
+        ]
+        ev = self._ev(spark, rows)
+        got = {
+            r["stage"]: r["n_users"]
+            for r in funnel_within(
+                ev, ["signup", "click", "purchase"], within_seconds=24 * 3600
+            ).collect()
+        }
+        assert got == {"signup": 3, "click": 2, "purchase": 1}
+        # unbounded degenerates to the classic funnel
+        un = {
+            r["stage"]: r["n_users"]
+            for r in funnel_within(ev, ["signup", "click", "purchase"]).collect()
+        }
+        assert un == {"signup": 3, "click": 3, "purchase": 3}
+
+    def test_earliest_attempt_semantics(self, spark):
+        """The chain anchors on the FIRST step-1 event: a later signup
+        that would have enabled the conversion does not count — the
+        documented greedy-earliest convention."""
+        from unitdb_spark.operators.funnel import funnel_within
+
+        rows = [(1, "signup", 0), (1, "signup", 100), (1, "click", 101)]
+        got = {
+            r["stage"]: r["n_users"]
+            for r in funnel_within(
+                self._ev(spark, rows), ["signup", "click"], within_seconds=3600
+            ).collect()
+        }
+        assert got == {"signup": 1, "click": 0}
