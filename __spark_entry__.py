@@ -3900,6 +3900,26 @@ def q_events_funnel_window(spark, sf_dir):
     )
 
 
+def q_media_dup_resolve(spark, sf_dir):
+    """The composed IMAGE-dedup production path (the multimodal analog
+    of doc_neardup_resolve): perceptual-hash pairs → connected
+    components → smallest-id keeper per cluster, singletons included.
+    With the duplicate-class fixture, every residue class collapses to
+    one keeper. Oracle = the shared pHash pair chain + the recursive
+    min-label reach, exactly like doc_dup_clusters."""
+    from unitdb_spark.functions.multimodal import (
+        ahash_pairs,
+        bmp_ahash_chunks,
+        synthetic_bmp_media,
+    )
+    from unitdb_spark.operators.cluster import dup_clusters
+
+    d = _docs(spark, sf_dir)
+    media = synthetic_bmp_media(d, seed_mod=23)
+    pairs = ahash_pairs(bmp_ahash_chunks(media), max_distance=3)
+    return dup_clusters(d, pairs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4135,6 +4155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_seasonal_decomp": q_streamed_seasonal_decomp,
         "lineitem_corr": q_lineitem_corr,
         "events_funnel_window": q_events_funnel_window,
+        "media_dup_resolve": q_media_dup_resolve,
     }
 
 
@@ -4939,55 +4960,26 @@ def oracle_sql() -> dict[str, str]:
                  + cr * ((vy * 8 + vx) * 3 + 3)) AS BIGINT) AS px_wsum
         FROM px GROUP BY 1
         """,
-        "media_phash_dups": """
-        -- regenerate every average-hash bit from doc_id: fixed 16x16
-        -- dims so the 8x8 NN resample reads pixel (2x, 2y); gray =
-        -- (b+g+r)//3 from the fixture's closed-form channels; mean =
-        -- floor(sum/64), bit = gray > mean; four 16-bit chunks, the
-        -- pigeonhole candidate join, exact xor popcount
-        WITH g AS (
-          SELECT d.doc_id, i.i, d.doc_id % 23 AS s,
-            (i.i % 8) AS gx, (i.i // 8) AS gy
-          FROM documents d, UNNEST(generate_series(0, 63)) AS i(i)
-        ), px AS (
-          SELECT doc_id, i,
-            ((((s + 1) * (2 * gx + 1) * (2 * gy + 3)) % 256)
-             + (((s + 2) * (2 * gx + 3) * (2 * gy + 1) + 5 * (2 * gx)) % 256)
-             + (((s + 3) * (2 * gx + 2) * (2 * gy + 2) + 11 * (2 * gy)) % 256)
-            ) // 3 AS gray
-          FROM g
-        ), m AS (
-          SELECT doc_id, CAST(SUM(gray) AS BIGINT) // 64 AS mn
-          FROM px GROUP BY 1
-        ), bits AS (
-          SELECT px.doc_id, px.i,
-            CASE WHEN px.gray > m.mn THEN 1 ELSE 0 END AS b
-          FROM px JOIN m USING (doc_id)
-        ), ch AS (
-          SELECT doc_id, i // 16 AS j,
-            CAST(SUM(b * (1 << (15 - (i % 16)))) AS BIGINT) AS c
-          FROM bits GROUP BY 1, 2
-        ), cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM ch a JOIN ch b
-            ON a.j = b.j AND a.c = b.c AND a.doc_id < b.doc_id
-        ), wide AS (
-          SELECT doc_id,
-            MAX(CASE WHEN j = 0 THEN c END) AS c0,
-            MAX(CASE WHEN j = 1 THEN c END) AS c1,
-            MAX(CASE WHEN j = 2 THEN c END) AS c2,
-            MAX(CASE WHEN j = 3 THEN c END) AS c3
-          FROM ch GROUP BY 1
-        ), scored AS (
-          SELECT c.id_a, c.id_b,
-            CAST(bit_count(xor(wa.c0, wb.c0)) + bit_count(xor(wa.c1, wb.c1))
-               + bit_count(xor(wa.c2, wb.c2)) + bit_count(xor(wa.c3, wb.c3))
-              AS BIGINT) AS hamming
-          FROM cand c
-          JOIN wide wa ON wa.doc_id = c.id_a
-          JOIN wide wb ON wb.doc_id = c.id_b
-        )
+        "media_phash_dups": _PHASH_CHAIN_SQL + """
         SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 3
+        """,
+        "media_dup_resolve": _PHASH_CHAIN_SQL.replace(
+            "WITH g AS", "WITH RECURSIVE g AS", 1
+        ) + """
+        , p AS (SELECT id_a, id_b FROM scored WHERE hamming <= 3),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM p
+          UNION ALL
+          SELECT id_b AS s, id_a AS d FROM p
+        ),
+        reach(node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
+        )
+        SELECT node AS doc_id, MIN(label) AS cluster_id,
+               (node = MIN(label)) AS is_keeper
+        FROM reach GROUP BY node
         """,
         "media_wav_pcm": """
         -- regenerate every PCM sample from build_wav's byte pattern:
@@ -8303,6 +8295,59 @@ def _corr_oracle() -> str:
         + f" FROM lineitem WHERE {notnull})\n"
         + "\nUNION ALL ".join(selects)
     )
+
+
+# perceptual-hash pair CTE chain — shared by media_phash_dups and
+# the composed media_dup_resolve (pairs -> components -> keeper)
+_PHASH_CHAIN_SQL = """
+        -- regenerate every average-hash bit from doc_id: fixed 16x16
+        -- dims so the 8x8 NN resample reads pixel (2x, 2y); gray =
+        -- (b+g+r)//3 from the fixture's closed-form channels; mean =
+        -- floor(sum/64), bit = gray > mean; four 16-bit chunks, the
+        -- pigeonhole candidate join, exact xor popcount
+        WITH g AS (
+          SELECT d.doc_id, i.i, d.doc_id % 23 AS s,
+            (i.i % 8) AS gx, (i.i // 8) AS gy
+          FROM documents d, UNNEST(generate_series(0, 63)) AS i(i)
+        ), px AS (
+          SELECT doc_id, i,
+            ((((s + 1) * (2 * gx + 1) * (2 * gy + 3)) % 256)
+             + (((s + 2) * (2 * gx + 3) * (2 * gy + 1) + 5 * (2 * gx)) % 256)
+             + (((s + 3) * (2 * gx + 2) * (2 * gy + 2) + 11 * (2 * gy)) % 256)
+            ) // 3 AS gray
+          FROM g
+        ), m AS (
+          SELECT doc_id, CAST(SUM(gray) AS BIGINT) // 64 AS mn
+          FROM px GROUP BY 1
+        ), bits AS (
+          SELECT px.doc_id, px.i,
+            CASE WHEN px.gray > m.mn THEN 1 ELSE 0 END AS b
+          FROM px JOIN m USING (doc_id)
+        ), ch AS (
+          SELECT doc_id, i // 16 AS j,
+            CAST(SUM(b * (1 << (15 - (i % 16)))) AS BIGINT) AS c
+          FROM bits GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ch a JOIN ch b
+            ON a.j = b.j AND a.c = b.c AND a.doc_id < b.doc_id
+        ), wide AS (
+          SELECT doc_id,
+            MAX(CASE WHEN j = 0 THEN c END) AS c0,
+            MAX(CASE WHEN j = 1 THEN c END) AS c1,
+            MAX(CASE WHEN j = 2 THEN c END) AS c2,
+            MAX(CASE WHEN j = 3 THEN c END) AS c3
+          FROM ch GROUP BY 1
+        ), scored AS (
+          SELECT c.id_a, c.id_b,
+            CAST(bit_count(xor(wa.c0, wb.c0)) + bit_count(xor(wa.c1, wb.c1))
+               + bit_count(xor(wa.c2, wb.c2)) + bit_count(xor(wa.c3, wb.c3))
+              AS BIGINT) AS hamming
+          FROM cand c
+          JOIN wide wa ON wa.doc_id = c.id_a
+          JOIN wide wb ON wb.doc_id = c.id_b
+        )
+        """
 
 
 def _canon_url_sql(e: str) -> str:
