@@ -4294,6 +4294,10 @@ class TestIntervalOverlapJoin:
         # plant a touching pair: [10, 20) vs [20, 30) — no overlap
         la.append((90, 10, 20))
         ra.append((190, 20, 30))
+        # pre-1970 intervals: floor (not truncate) bucketing must
+        # still attribute exactly once
+        la.append((91, -150, -50))
+        ra.append((191, -100, -40))
         for bucket in (7, 64, 1000):  # many-bucket, mid, single-bucket
             got = [
                 (r["id_l"], r["id_r"])

@@ -512,14 +512,17 @@ def pcm_features(df: DataFrame) -> DataFrame:
                 energy = int((v * v).sum())
                 zc = int(((v[:-1] * v[1:]) < 0).sum()) if v.size > 1 else 0
                 # same pinned expression as the SQL replay:
-                # round(sqrt(double(energy) / n), 6), half-up on the
+                # round(sqrt(double(energy) / double(n)), 6) — convert
+                # each operand to double BEFORE dividing (int/int true
+                # division would round once instead of twice and
+                # diverge from SQL past 2^53) — half-up on the
                 # shortest repr like Spark's round()
                 from decimal import ROUND_HALF_UP, Decimal
 
                 rms = float(
-                    Decimal(repr(math.sqrt(energy / v.size))).quantize(
-                        Decimal("0.000001"), ROUND_HALF_UP
-                    )
+                    Decimal(
+                        repr(math.sqrt(float(energy) / float(v.size)))
+                    ).quantize(Decimal("0.000001"), ROUND_HALF_UP)
                 )
                 rows.append(
                     (int(i), sr, int(v.size), energy, zc,

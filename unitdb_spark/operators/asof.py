@@ -264,34 +264,24 @@ def interval_overlap_join(
         raise ValueError(
             f"interval_overlap_join: rename overlapping columns first: {sorted(overlap)}"
         )
+    # floor, not truncate-toward-zero: pre-1970 (negative-epoch)
+    # intervals must bucket consistently with the attribution test
+    def bkt(c):
+        return F.floor(c / F.lit(bucket_seconds)).cast("long")
+
     lb = left.withColumn(
         "_bkt",
-        F.explode(
-            F.sequence(
-                (F.col(left_lo) / bucket_seconds).cast("long"),
-                (F.col(left_hi) / bucket_seconds).cast("long"),
-            )
-        ),
+        F.explode(F.sequence(bkt(F.col(left_lo)), bkt(F.col(left_hi)))),
     )
     rb = right.withColumn(
         "_bkt",
-        F.explode(
-            F.sequence(
-                (F.col(right_lo) / bucket_seconds).cast("long"),
-                (F.col(right_hi) / bucket_seconds).cast("long"),
-            )
-        ),
+        F.explode(F.sequence(bkt(F.col(right_lo)), bkt(F.col(right_hi)))),
     )
     cond = (
         (F.col(left_lo) < F.col(right_hi))
         & (F.col(right_lo) < F.col(left_hi))
         # exactly-once: only the bucket holding the overlap start
-        & (
-            F.col("_bkt")
-            == (
-                F.greatest(F.col(left_lo), F.col(right_lo)) / bucket_seconds
-            ).cast("long")
-        )
+        & (F.col("_bkt") == bkt(F.greatest(F.col(left_lo), F.col(right_lo))))
     )
     if extra_on is not None:
         cond = cond & extra_on
