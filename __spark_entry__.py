@@ -3920,6 +3920,36 @@ def q_media_dup_resolve(spark, sf_dir):
     return dup_clusters(d, pairs)
 
 
+def q_embed_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (contrastive-training data prep): per
+    labeled query vector, the 10 most-similar corpus vectors with a
+    DIFFERENT label — the near-misses a contrastive loss learns from.
+    Label mismatch rides the broadcast-join condition; one corpus
+    scan, no corpus shuffle (the cosine_topk shape)."""
+    from unitdb_spark.operators.similarity import hard_negatives
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    out = hard_negatives(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", "neg_label",
+        F.round("cosine_sim", 6).alias("cosine_r"), "rank",
+    )
+
+
+def q_embed_balanced_sample(spark, sf_dir):
+    """Cluster-balanced curation: k-means cells as the diversity
+    structure, at most 40 vectors admitted per cell in content-hash
+    order — the anti-mode-collapse selection uniform sampling can't
+    give. Oracle composes the embed_kmeans assignment replay with the
+    per-cell admission window."""
+    from unitdb_spark.operators.sampling import cluster_balanced_sample
+
+    return cluster_balanced_sample(_emb(spark, sf_dir), k=8, cap=40)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4156,6 +4186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_corr": q_lineitem_corr,
         "events_funnel_window": q_events_funnel_window,
         "media_dup_resolve": q_media_dup_resolve,
+        "embed_hard_negatives": q_embed_hard_negatives,
+        "embed_balanced_sample": q_embed_balanced_sample,
     }
 
 
@@ -5240,6 +5272,26 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
+        """,
+        "embed_hard_negatives": """
+        WITH q AS (
+          SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+          FROM embeddings WHERE vec_id < 8
+        ), scored AS (
+          SELECT q.query_id, e.vec_id, e.label AS neg_label,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[])) AS sim
+          FROM embeddings e JOIN q
+            ON e.vec_id <> q.query_id
+           AND e.label IS DISTINCT FROM q.qlabel
+        ), ranked AS (
+          SELECT query_id, vec_id, neg_label, round(sim, 6) AS cosine_r,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, neg_label, cosine_r, rank
+        FROM ranked WHERE rank <= 10
         """,
         "streamed_rollup_snapshot": M + """
         , pfx AS (
@@ -6490,31 +6542,18 @@ def oracle_sql() -> dict[str, str]:
           FROM scored)
         SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 10
         """,
-        "embed_kmeans": """
-        WITH cents0 AS (
-          SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
-          ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id LIMIT 8
-        ), a0 AS (
-          SELECT vec_id, embedding, cent_id AS cell FROM (
-            SELECT e.vec_id, e.embedding, c.cent_id,
-                   row_number() OVER (
-                     PARTITION BY e.vec_id
-                     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
-                              c.cent_id) AS rn
-            FROM embeddings e CROSS JOIN cents0 c) WHERE rn = 1
-        ), m AS (
-          SELECT cell, r.pos AS pos, AVG(CAST(embedding[r.pos + 1] AS DOUBLE)) AS mv
-          FROM a0, range(64) r(pos) GROUP BY cell, r.pos
-        ), cents1 AS (
-          SELECT cell AS cent_id, list(mv ORDER BY pos) AS cv FROM m GROUP BY cell
+        "embed_kmeans": _KMEANS_ASSIGN_SQL + "SELECT vec_id, cell FROM assign",
+        "embed_balanced_sample": _KMEANS_ASSIGN_SQL + """
+        , adm AS (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY cell ORDER BY
+              CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                   AS BIGINT), vec_id) AS admission
+          FROM assign
         )
-        SELECT vec_id, cell FROM (
-          SELECT e.vec_id, c.cent_id AS cell,
-                 row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
-                            c.cent_id) AS rn
-          FROM embeddings e CROSS JOIN cents1 c) WHERE rn = 1
+        SELECT vec_id, cell, CAST(admission AS INTEGER) AS admission,
+               admission <= 40 AS kept
+        FROM adm
         """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,
@@ -8348,6 +8387,37 @@ _PHASH_CHAIN_SQL = """
           JOIN wide wb ON wb.doc_id = c.id_b
         )
         """
+
+
+# k-means assignment CTE chain — shared by embed_kmeans and the
+# cluster-balanced sample (assignment + per-cell admission window)
+_KMEANS_ASSIGN_SQL = """
+        WITH cents0 AS (
+          SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id LIMIT 8
+        ), a0 AS (
+          SELECT vec_id, embedding, cent_id AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                              c.cent_id) AS rn
+            FROM embeddings e CROSS JOIN cents0 c) WHERE rn = 1
+        ), m AS (
+          SELECT cell, r.pos AS pos, AVG(CAST(embedding[r.pos + 1] AS DOUBLE)) AS mv
+          FROM a0, range(64) r(pos) GROUP BY cell, r.pos
+        ), cents1 AS (
+          SELECT cell AS cent_id, list(mv ORDER BY pos) AS cv FROM m GROUP BY cell
+        )
+        , assign AS (
+SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cent_id AS cell,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                            c.cent_id) AS rn
+          FROM embeddings e CROSS JOIN cents1 c) WHERE rn = 1)
+"""
 
 
 def _canon_url_sql(e: str) -> str:

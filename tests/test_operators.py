@@ -4412,3 +4412,53 @@ class TestFunnelWithin:
             ).collect()
         }
         assert got == {"signup": 1, "click": 0}
+
+
+class TestEmbeddingCuration:
+    def test_hard_negatives_exclude_same_label_and_rank(self, spark):
+        from unitdb_spark.operators.similarity import cosine_topk, hard_negatives
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "label", "embedding"
+        )
+        out = hard_negatives(emb, q, k=5).collect()
+        qlabels = {r["query_id"]: r["label"] for r in q.collect()}
+        assert out and all(
+            r["neg_label"] != qlabels[r["query_id"]] for r in out
+        )
+        # equals the plain top-k computed over the label-filtered corpus
+        for qid, lab in qlabels.items():
+            corp = emb.filter(F.col("label") != lab)
+            qq = q.filter(F.col("query_id") == qid).select("query_id", "embedding")
+            want = [
+                (r["vec_id"], r["rank"])
+                for r in cosine_topk(corp, qq, k=5).collect()
+            ]
+            got = [
+                (r["vec_id"], r["rank"])
+                for r in sorted(
+                    (r for r in out if r["query_id"] == qid),
+                    key=lambda r: r["rank"],
+                )
+            ]
+            assert got == sorted(want, key=lambda t: t[1])
+
+    def test_balanced_sample_caps_every_cell(self, spark):
+        from unitdb_spark.operators.sampling import cluster_balanced_sample
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = cluster_balanced_sample(emb, k=4, cap=10).collect()
+        assert len(out) == emb.count()  # audit view keeps every row
+        from collections import Counter
+
+        kept = Counter(r["cell"] for r in out if r["kept"])
+        assert kept and all(n <= 10 for n in kept.values())
+        # deterministic under repartitioning
+        again = {
+            (r["vec_id"], r["cell"], r["admission"], r["kept"])
+            for r in cluster_balanced_sample(emb.repartition(7), k=4, cap=10).collect()
+        }
+        assert again == {
+            (r["vec_id"], r["cell"], r["admission"], r["kept"]) for r in out
+        }

@@ -200,3 +200,44 @@ def split_assign(
     return (expr.otherwise(F.lit(last_label)) if expr is not None else F.lit(last_label)).alias(
         "split"
     )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    k: int = 8,
+    cap: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced selection over an embedding corpus: k-means
+    cells as the diversity structure, at most ``cap`` vectors admitted
+    per cell in content-hash order — the curation move that stops one
+    dominant mode (boilerplate cluster, one topic) from eating the
+    whole budget, where uniform sampling would reproduce the skew.
+
+    Determinism end to end: the cells come from the md5-seeded
+    deterministic Lloyd fit (`operators.kmeans.kmeans_lloyd`), the
+    admission order is md5 of the id (`mixture.source_cap`'s
+    convention) — the kept set is a function of the data alone, so a
+    SQL oracle replays it exactly.
+
+    Scale: the Lloyd fit's cost model (centroids broadcast, one scan
+    per round); the cap is one per-cell window on the assignment
+    relation (ids + cell, not vectors).
+
+    Output: (vec_id, cell, admission, kept) — every vector keeps its
+    row (the audit view); filter on ``kept`` for the sample.
+    """
+    from pyspark.sql.window import Window
+
+    from unitdb_spark.operators.kmeans import kmeans_lloyd
+
+    assign = kmeans_lloyd(embeddings, k=k, n_iters=1,
+                          id_col=id_col, vec_col=vec_col)
+    order = md5_int60(F.col(id_col).cast("string"))
+    w = Window.partitionBy("cell").orderBy(order, id_col)
+    return assign.select(
+        id_col,
+        "cell",
+        F.row_number().over(w).alias("admission"),
+    ).withColumn("kept", F.col("admission") <= cap)

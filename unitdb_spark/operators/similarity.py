@@ -93,6 +93,57 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for embedding/retrieval training: per
+    labeled query, the top-k most-similar corpus vectors with a
+    DIFFERENT label — the near-misses a contrastive loss learns the
+    most from (random negatives are trivially separable; same-label
+    neighbors are positives, not negatives).
+
+    Same scale shape as `cosine_topk`: queries (with their labels)
+    broadcast, ONE corpus scan, no corpus shuffle; the label-mismatch
+    test rides the broadcast-join condition so same-label rows never
+    reach scoring. Output: (query_id, vec_id, neg_label, cosine_sim,
+    rank).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(label_col).alias("_qlabel"),
+        F.col(vec_col).alias("_qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("_cvec"),
+    )
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
+    joined = c.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & ~F.col("neg_label").eqNullSafe(F.col("_qlabel")),
+    )
+    scored = joined.select(
+        "query_id", "vec_id", "neg_label",
+        cosine_expr("_cvec", "_qvec").alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def random_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
