@@ -3950,6 +3950,48 @@ def q_embed_balanced_sample(spark, sf_dir):
     return cluster_balanced_sample(_emb(spark, sf_dir), k=8, cap=40)
 
 
+def q_events_chisq(spark, sf_dir):
+    """Chi-squared independence test: is event_type independent of the
+    6-hour band of the day? The contingency table is a grouped count;
+    the statistic is the exact BIGINT sum of per-cell floor-micro
+    contributions over the algebraic (o·N − r·c)²/(r·c·N) form — no
+    cross-row float accumulation anywhere."""
+    from unitdb_spark.operators.stats_tests import chi_square_independence
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.hour("ts") / 6).cast("long").alias("hour_band"),
+    )
+    return chi_square_independence(ev, "event_type", "hour_band")
+
+
+def q_events_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test on purchase values between two
+    hash-assigned user arms — the heavy-tail-proof cousin of
+    events_abtest. Doubled midranks keep every rank sum in BIGINT;
+    the tie-corrected z is the single pinned float."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.stats_tests import mann_whitney_u
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    arm = (
+        md5_int60(F.concat(F.col("user_id").cast("string"), F.lit(":mw"))) % 2
+    ).cast("int")
+    return mann_whitney_u(ev, "value", arm)
+
+
+def q_lineitem_spearman(spark, sf_dir):
+    """Spearman rank correlation between l_quantity and
+    l_extendedprice: monotone association, immune to the raw scale.
+    Midranks-doubled are exact integers; moments accumulate in
+    DECIMAL(38,0); one pinned float finish."""
+    from unitdb_spark.operators.stats_tests import spearman_corr
+
+    return spearman_corr(
+        _read(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4188,6 +4230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dup_resolve": q_media_dup_resolve,
         "embed_hard_negatives": q_embed_hard_negatives,
         "embed_balanced_sample": q_embed_balanced_sample,
+        "events_chisq": q_events_chisq,
+        "events_mannwhitney": q_events_mannwhitney,
+        "lineitem_spearman": q_lineitem_spearman,
     }
 
 
@@ -6554,6 +6599,140 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, cell, CAST(admission AS INTEGER) AS admission,
                admission <= 40 AS kept
         FROM adm
+        """,
+        "events_chisq": """
+        WITH cells AS (
+          SELECT event_type AS r,
+            CAST(floor(extract(hour FROM ts) / 6) AS BIGINT) AS c,
+            count(*) AS o
+          FROM events GROUP BY 1, 2
+        ), fullx AS (
+          SELECT rr.r, cc.c, coalesce(cells.o, 0) AS o
+          FROM (SELECT DISTINCT r FROM cells) rr
+          CROSS JOIN (SELECT DISTINCT c FROM cells) cc
+          LEFT JOIN cells ON cells.r = rr.r AND cells.c = cc.c
+        ), t AS (
+          SELECT r, c, o,
+            sum(o) OVER (PARTITION BY r) AS rt,
+            sum(o) OVER (PARTITION BY c) AS ct,
+            sum(o) OVER () AS nn
+          FROM fullx
+        ), pc AS (
+          SELECT r, c, nn,
+            CAST(floor(
+              (CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+               - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+              * (CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+                 - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+              * 1000000.0
+              / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                 * CAST(nn AS DOUBLE))
+            ) AS BIGINT) AS contrib_micro
+          FROM t
+        )
+        SELECT CAST(max(nn) AS BIGINT) AS n,
+          CAST(count(DISTINCT r) AS BIGINT) AS r_levels,
+          CAST(count(DISTINCT c) AS BIGINT) AS c_levels,
+          CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT)
+            AS dof,
+          CAST(sum(contrib_micro) AS BIGINT) AS chi2_micro
+        FROM pc
+        """,
+        "events_mannwhitney": """
+        WITH base AS (
+          SELECT value AS v,
+            CAST((CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':mw'),
+                        1, 15)) AS BIGINT) % 2) AS INTEGER) AS arm
+          FROM events
+          WHERE event_type = 'purchase'
+            AND value IS NOT NULL AND NOT isnan(value)
+        ), per AS (
+          SELECT v,
+            count(*) FILTER (arm = 0) AS na_v,
+            count(*) FILTER (arm = 1) AS nb_v
+          FROM base GROUP BY v
+        ), rk AS (
+          SELECT na_v, nb_v, na_v + nb_v AS t_v,
+            coalesce(sum(na_v + nb_v) OVER (
+              ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS below
+          FROM per
+        ), agg AS (
+          SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+            CAST(sum(nb_v) AS BIGINT) AS n_b,
+            CAST(sum(na_v * (2 * below + t_v + 1)) AS BIGINT) AS r_a2,
+            CAST(sum(t_v * t_v * t_v - t_v) AS BIGINT) AS tie3
+          FROM rk
+        )
+        SELECT n_a, n_b,
+          CAST(r_a2 - n_a * (n_a + 1) AS BIGINT) AS u_a2,
+          CASE WHEN (
+            CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+            * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+               - CAST(tie3 AS DOUBLE)
+                 / (CAST(n_a + n_b AS DOUBLE)
+                    * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+          ) > 0.0 AND n_a > 0 AND n_b > 0 THEN
+            round(
+              (CAST(r_a2 - n_a * (n_a + 1) AS DOUBLE)
+               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+              / 2.0
+              / sqrt(
+                  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                  * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                     - CAST(tie3 AS DOUBLE)
+                       / (CAST(n_a + n_b AS DOUBLE)
+                          * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+                ), 6)
+          END AS z_r
+        FROM agg
+        """,
+        "lineitem_spearman": """
+        WITH base AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS x,
+                 CAST(l_extendedprice AS DOUBLE) AS y
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+            AND l_extendedprice IS NOT NULL
+            AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        ), rx AS (
+          SELECT x,
+            2 * coalesce(sum(t) OVER (
+              ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) + t + 1 AS rx2
+          FROM (SELECT x, count(*) AS t FROM base GROUP BY x)
+        ), ry AS (
+          SELECT y,
+            2 * coalesce(sum(t) OVER (
+              ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) + t + 1 AS ry2
+          FROM (SELECT y, count(*) AS t FROM base GROUP BY y)
+        ), pairs AS (
+          SELECT rx2, ry2 FROM base JOIN rx USING (x) JOIN ry USING (y)
+        ), m AS (
+          SELECT count(*) AS n,
+            CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+            CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+            CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+            CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+          FROM pairs
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+          CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN
+            round(
+              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt(
+                  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                ), 6)
+          END AS rho_r
+        FROM m
         """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,

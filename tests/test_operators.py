@@ -4462,3 +4462,122 @@ class TestEmbeddingCuration:
         assert again == {
             (r["vec_id"], r["cell"], r["admission"], r["kept"]) for r in out
         }
+
+
+class TestStatsTests:
+    def test_chi_square_known_table(self, spark):
+        # classic 2x2: rows [[10, 20], [20, 10]] -> chi2 = 60/9 = 6.6667
+        from unitdb_spark.operators.stats_tests import chi_square_independence
+
+        rows = (
+            [("a", "x")] * 10 + [("a", "y")] * 20
+            + [("b", "x")] * 20 + [("b", "y")] * 10
+        )
+        df = spark.createDataFrame(rows, "r string, c string")
+        (out,) = chi_square_independence(df, "r", "c").collect()
+        assert out["n"] == 60 and out["dof"] == 1
+        # per-cell contribution is floor((o*N - rt*ct)^2 * 1e6 / (rt*ct*N));
+        # each of the four cells contributes floor(5/3 * 1e6) = 1666666
+        assert out["chi2_micro"] == 4 * 1_666_666
+
+    def test_chi_square_counts_absent_cells(self, spark):
+        # a level pair that never co-occurs must still add its expected mass
+        from unitdb_spark.operators.stats_tests import chi_square_independence
+
+        rows = [("a", "x")] * 5 + [("b", "y")] * 5
+        df = spark.createDataFrame(rows, "r string, c string")
+        (out,) = chi_square_independence(df, "r", "c").collect()
+        # perfect separation of a 2x2: chi2 = N = 10
+        assert out["chi2_micro"] == 10 * 1_000_000
+
+    def test_chi_square_independent_uniform_is_zero(self, spark):
+        from unitdb_spark.operators.stats_tests import chi_square_independence
+
+        rows = [(r, c) for r in "ab" for c in "xyz" for _ in range(7)]
+        df = spark.createDataFrame(rows, "r string, c string")
+        (out,) = chi_square_independence(df, "r", "c").collect()
+        assert out["chi2_micro"] == 0 and out["dof"] == 2
+
+    def test_mann_whitney_matches_scipy_formula(self, spark):
+        # hand-checkable sample with ties
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import mann_whitney_u
+
+        a = [1.0, 2.0, 2.0, 5.0, 7.0]
+        b = [3.0, 3.0, 4.0, 6.0, 8.0, 9.0]
+        rows = [(v, 0) for v in a] + [(v, 1) for v in b]
+        df = spark.createDataFrame(rows, "v double, arm int")
+        (out,) = mann_whitney_u(df, "v", F.col("arm")).collect()
+        assert out["n_a"] == 5 and out["n_b"] == 6
+        # midranks: 1,2.5,2.5,4.5,4.5,6,7,8,9,10,11; arm A holds values
+        # 1,2,2,5,7 -> ranks 1,2.5,2.5,7,9 -> R_A = 22
+        assert out["u_a2"] == 2 * 7  # U_A = R_A - n_a(n_a+1)/2 = 22 - 15
+        # z must be negative (arm A ranks lower) and finite
+        assert out["z_r"] is not None and out["z_r"] < 0
+
+    def test_mann_whitney_all_tied_is_null_z(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import mann_whitney_u
+
+        df = spark.createDataFrame(
+            [(5.0, 0)] * 4 + [(5.0, 1)] * 4, "v double, arm int"
+        )
+        (out,) = mann_whitney_u(df, "v", F.col("arm")).collect()
+        assert out["z_r"] is None  # zero variance -> guarded NULL
+        assert out["u_a2"] == 2 * 8  # U_A = n_a*n_b/2 at full tie
+
+    def test_spearman_perfect_monotone_and_ties(self, spark):
+        from unitdb_spark.operators.stats_tests import spearman_corr
+
+        up = [(float(i), float(i * i)) for i in range(1, 30)]
+        df = spark.createDataFrame(up, "x double, y double")
+        (out,) = spearman_corr(df, "x", "y").collect()
+        assert out["n"] == 29 and abs(out["rho_r"] - 1.0) < 1e-9
+
+        down = [(float(i), float(-i)) for i in range(1, 20)]
+        (o2,) = spearman_corr(
+            spark.createDataFrame(down, "x double, y double"), "x", "y"
+        ).collect()
+        assert abs(o2["rho_r"] + 1.0) < 1e-9
+
+    def test_spearman_matches_scipy_value(self, spark):
+        import numpy as np
+
+        from unitdb_spark.operators.stats_tests import spearman_corr
+
+        rng = np.random.RandomState(3)
+        x = np.round(rng.uniform(0, 50, 120), 1)  # forced ties via rounding
+        y = np.round(x + rng.uniform(0, 30, 120), 1)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+        )
+        (out,) = spearman_corr(df, "x", "y").collect()
+
+        # reference midrank computation in numpy
+        def midrank(v):
+            order = np.argsort(v, kind="stable")
+            ranks = np.empty(len(v), float)
+            sv = v[order]
+            i = 0
+            while i < len(sv):
+                j = i
+                while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+                    j += 1
+                ranks[order[i : j + 1]] = (i + j) / 2 + 1
+                i = j + 1
+            return ranks
+
+        rx, ry = midrank(x), midrank(y)
+        want = float(np.corrcoef(rx, ry)[0, 1])
+        assert abs(out["rho_r"] - want) < 1e-5
+
+    def test_spearman_constant_column_guard(self, spark):
+        from unitdb_spark.operators.stats_tests import spearman_corr
+
+        df = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double"
+        )
+        (out,) = spearman_corr(df, "x", "y").collect()
+        assert out["rho_r"] is None

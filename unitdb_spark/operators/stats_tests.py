@@ -1,0 +1,236 @@
+"""Classical hypothesis tests as single-pass DataFrame aggregations.
+
+The A/B readout (`evaluation.ab_test_report`) covers the two-proportion
+case; real experiment review also needs independence checks over
+categorical panels (chi-squared), a rank test that survives heavy-tailed
+metrics (Mann-Whitney), and a monotone-association measure that ignores
+outliers (Spearman). All three reduce to counts, ranks, and exact
+integer/DECIMAL moments — no sampling, no scipy.
+
+Cross-engine determinism follows the repo convention: every sum that
+crosses rows is an exact integer/DECIMAL aggregate (order-free); each
+float statistic is ONE pinned expression over those exact inputs,
+rounded to 6 — identical on any IEEE engine.
+
+Reference parity: unitdb itself stops at Varz counters/percentiles
+(/root/reference/server/varz.go:140); these are the analytics-surface
+extensions SURVEY §2.4 budgets for experiment review.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PPM = 1_000_000
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """One-row chi-squared test of independence over two categoricals.
+
+    The contingency table is a grouped count; absent cells still carry
+    their full expected mass, so the level cross-product is rebuilt
+    (levels × levels — tiny) and left-joined to the observed counts.
+    Per-cell contribution uses the algebraic form
+
+        (o·N − r·c)² / (r·c·N)   ==  (o − e)²/e,  e = r·c/N
+
+    so every operand is an exact integer; the division is ONE pinned
+    double expression floored into micro-units (×1e6), and the final
+    statistic is the exact BIGINT sum of those per-cell integers —
+    order-free, engine-identical.
+
+    Output: (n, r_levels, c_levels, dof, chi2_micro).
+
+    Scale: one shuffle on (row, col) for the cell counts; totals are
+    windows over the cells relation (levels², not rows). Integer
+    envelope: o·N must fit the double's exact-integer range before the
+    pinned division — fine up to ~9·10¹⁵ products; past that, cast the
+    products to DECIMAL(38,0) first (same pinned shape).
+    """
+    cells = (
+        df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    # full level cross-product so zero-observed cells contribute e
+    full = (
+        cells.select("r").distinct()
+        .crossJoin(cells.select("c").distinct())
+        .join(cells, ["r", "c"], "left")
+        .select("r", "c", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("c")
+    wall = Window.partitionBy()
+    t = full.select(
+        "r", "c", "o",
+        F.sum("o").over(wr).alias("rt"),
+        F.sum("o").over(wc).alias("ct"),
+        F.sum("o").over(wall).alias("nn"),
+    )
+    num = (
+        F.col("o").cast("double") * F.col("nn").cast("double")
+        - F.col("rt").cast("double") * F.col("ct").cast("double")
+    )
+    den = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        * F.col("nn").cast("double")
+    )
+    contrib = F.floor(num * num * F.lit(float(_PPM)) / den).cast("long")
+    per_cell = t.select(
+        "r", "c", "nn", contrib.alias("contrib_micro")
+    )
+    return per_cell.agg(
+        F.max("nn").cast("long").alias("n"),
+        F.countDistinct("r").cast("long").alias("r_levels"),
+        F.countDistinct("c").cast("long").alias("c_levels"),
+        (
+            (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)
+        ).cast("long").alias("dof"),
+        F.sum("contrib_micro").cast("long").alias("chi2_micro"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame, value_col: str, arm_col
+) -> DataFrame:
+    """One-row Mann-Whitney U (rank-sum) test between two arms.
+
+    The nonparametric cousin of the A/B readout: compares the full
+    value DISTRIBUTIONS, so a heavy-tailed metric (revenue, latency)
+    cannot let a handful of whales fake a win. ``arm_col`` is a 0/1
+    column (hash-assign units like `ab_test_report`).
+
+    Rank bookkeeping is exact by doubling: the midrank of a tied group
+    is (2·below + ties + 1)/2, so TWICE the midrank is an integer —
+    every rank sum lives in BIGINT (`u_a2` = 2·U_A). Ranks come from
+    one cumulative window over the DISTINCT-value relation (values,
+    not rows). The normal-approximation z applies the standard tie
+    correction Σ(t³−t) — again an exact integer aggregate — and is
+    the single pinned float, NULL when every value ties (variance 0).
+
+    Output: (n_a, n_b, u_a2, z_r).
+    """
+    base = df.select(
+        F.col(value_col).alias("_v"), arm_col.cast("int").alias("_arm")
+    ).filter(F.col("_v").isNotNull() & ~F.isnan(F.col("_v").cast("double")))
+    per_val = base.groupBy("_v").agg(
+        F.count(F.when(F.col("_arm") == 0, 1)).alias("na_v"),
+        F.count(F.when(F.col("_arm") == 1, 1)).alias("nb_v"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_val.select(
+        "na_v", "nb_v",
+        (F.col("na_v") + F.col("nb_v")).alias("t_v"),
+        F.coalesce(
+            F.sum(F.col("na_v") + F.col("nb_v")).over(w), F.lit(0)
+        ).alias("below"),
+    )
+    # 2·midrank = 2·below + t + 1 (integer); R_A2 = Σ na_v · rank2
+    agg = ranked.agg(
+        F.sum("na_v").alias("n_a"),
+        F.sum("nb_v").alias("n_b"),
+        F.sum(
+            F.col("na_v") * (F.lit(2) * F.col("below") + F.col("t_v") + 1)
+        ).alias("r_a2"),
+        F.sum(
+            F.col("t_v") * F.col("t_v") * F.col("t_v") - F.col("t_v")
+        ).alias("tie3"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    u_a2 = F.col("r_a2") - na * (na + 1)  # 2·U_A, exact BIGINT
+    naD, nbD, nD = (
+        na.cast("double"), nb.cast("double"), n.cast("double")
+    )
+    var = (
+        naD * nbD / F.lit(12.0)
+        * (
+            (nD + F.lit(1.0))
+            - F.col("tie3").cast("double") / (nD * (nD - F.lit(1.0)))
+        )
+    )
+    z = (
+        (u_a2.cast("double") - naD * nbD)
+        / F.lit(2.0)
+        / F.sqrt(var)
+    )
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        u_a2.cast("long").alias("u_a2"),
+        F.when(
+            (var > F.lit(0.0)) & (na > 0) & (nb > 0), F.round(z, 6)
+        ).alias("z_r"),
+    )
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """One-row Spearman rank correlation between two numeric columns.
+
+    Pearson (`olap.correlation_matrix`) answers "linear on the raw
+    scale"; Spearman answers "monotone", which is what a curation
+    signal audit usually wants (does quality score RANK documents like
+    the gold signal does?). Implementation: midranks-doubled (exact
+    integers, same trick as `mann_whitney_u`) for each column via one
+    cumulative window over its distinct values, then the Pearson
+    formula over the integer rank pairs with exact DECIMAL(38,0)
+    moments and ONE pinned float finish, round-6, NULL on zero
+    variance (a constant column has no rank order).
+
+    Output: (n, rho_r).
+    """
+    base = df.select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(
+        F.col("_x").isNotNull() & ~F.isnan("_x")
+        & F.col("_y").isNotNull() & ~F.isnan("_y")
+    )
+
+    def rank2(col: str, out: str) -> DataFrame:
+        per = base.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
+        w = (
+            Window.partitionBy()
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return per.select(
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("t").over(w), F.lit(0))
+                + F.col("t") + 1
+            ).alias(out),
+        )
+
+    rx = rank2("_x", "rx2")
+    ry = rank2("_y", "ry2")
+    pairs = base.join(rx, "_x").join(ry, "_y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("rx2")).alias("sx"),
+        F.sum(dec("ry2")).alias("sy"),
+        F.sum(dec("rx2") * dec("rx2")).alias("sxx"),
+        F.sum(dec("ry2") * dec("ry2")).alias("syy"),
+        F.sum(dec("rx2") * dec("ry2")).alias("sxy"),
+    )
+    nD = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = nD * d("sxy") - d("sx") * d("sy")
+    vx = nD * d("sxx") - d("sx") * d("sx")
+    vy = nD * d("syy") - d("sy") * d("sy")
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6)
+        ).alias("rho_r"),
+    )
