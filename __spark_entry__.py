@@ -3992,6 +3992,27 @@ def q_lineitem_spearman(spark, sf_dir):
     )
 
 
+def q_orders_benford(spark, sf_dir):
+    """Benford first-digit audit over o_totalprice: fabricated-numbers
+    / broken-ETL smell test. Exact-cents leading digit (no float
+    log10), all nine digits present, per-digit floor-micro chi-squared
+    contribution on integer inputs."""
+    from unitdb_spark.operators.profile import benford_report
+
+    return benford_report(_read(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q_orders_gini(spark, sf_dir):
+    """Per-priority-class Gini over order value: the Lorenz-curve
+    inequality measure next to concentration_report's HHI. Sorted
+    formula on exact cents, DECIMAL(38,0) moments, one pinned floor."""
+    from unitdb_spark.operators.profile import gini_by_group
+
+    return gini_by_group(
+        _read(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4233,6 +4254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chisq": q_events_chisq,
         "events_mannwhitney": q_events_mannwhitney,
         "lineitem_spearman": q_lineitem_spearman,
+        "orders_benford": q_orders_benford,
+        "orders_gini": q_orders_gini,
     }
 
 
@@ -6733,6 +6756,64 @@ def oracle_sql() -> dict[str, str]:
                 ), 6)
           END AS rho_r
         FROM m
+        """,
+        "orders_benford": """
+        WITH cents AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS c
+          FROM orders
+        ), d AS (
+          SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+            count(*) AS n
+          FROM cents WHERE c > 0 GROUP BY 1
+        ), nine AS (
+          SELECT * FROM (VALUES
+            (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+            (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+          ) AS t(digit, exp_ppm)
+        ), j AS (
+          SELECT nine.digit, nine.exp_ppm, coalesce(d.n, 0) AS n
+          FROM nine LEFT JOIN d USING (digit)
+        ), t AS (
+          SELECT digit, exp_ppm, n, sum(n) OVER () AS total FROM j
+        )
+        SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+          CAST(total AS BIGINT) AS total,
+          CAST(floor(n * 1000000 / greatest(total, 1)) AS BIGINT) AS obs_ppm,
+          CAST(exp_ppm AS BIGINT) AS exp_ppm,
+          CAST(floor(n * 1000000 / greatest(total, 1)) - exp_ppm AS BIGINT)
+            AS dev_ppm,
+          CAST(floor(
+            (CAST(n AS DOUBLE) * 1000000.0
+             - CAST(total AS DOUBLE) * CAST(exp_ppm AS DOUBLE))
+            * (CAST(n AS DOUBLE) * 1000000.0
+               - CAST(total AS DOUBLE) * CAST(exp_ppm AS DOUBLE))
+            * 1000000.0
+            / (CAST(total AS DOUBLE) * CAST(exp_ppm AS DOUBLE) * 1000000.0)
+          ) AS BIGINT) AS chi2_micro
+        FROM t
+        """,
+        "orders_gini": """
+        WITH base AS (
+          SELECT o_orderpriority AS g,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+          FROM orders
+          WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >= 0
+        ), r AS (
+          SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS i
+          FROM base
+        ), a AS (
+          SELECT g, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+            CAST(sum(i * x) AS BIGINT) AS six
+          FROM r GROUP BY g
+        )
+        SELECT g AS "group", CAST(n AS BIGINT) AS n, sx AS sum_cents,
+          CASE WHEN sx > 0 THEN CAST(floor(
+            (2.0 * CAST(six AS DOUBLE)
+             - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+            * 1000000.0 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+          ) AS BIGINT) END AS gini_ppm
+        FROM a
         """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,

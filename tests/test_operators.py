@@ -4581,3 +4581,74 @@ class TestStatsTests:
         )
         (out,) = spearman_corr(df, "x", "y").collect()
         assert out["rho_r"] is None
+
+
+class TestBenfordGini:
+    def test_benford_constants_sum_to_one(self):
+        from unitdb_spark.operators.profile import BENFORD_PPM
+
+        assert sum(BENFORD_PPM) == 1_000_000 and len(BENFORD_PPM) == 9
+
+    def test_benford_zero_count_digits_present(self, spark):
+        from unitdb_spark.operators.profile import benford_report
+
+        # amounts starting only with 1 and 2; other digits must appear
+        # with n=0 and carry their full expected mass
+        df = spark.createDataFrame(
+            [(1.00,), (1.50,), (12.34,), (2.00,), (25.0,)], "amt double"
+        )
+        rows = {r["digit"]: r for r in benford_report(df, "amt").collect()}
+        assert set(rows) == set(range(1, 10))
+        assert rows[1]["n"] == 3 and rows[2]["n"] == 2
+        assert rows[9]["n"] == 0 and rows[9]["total"] == 5
+        assert rows[9]["obs_ppm"] == 0 and rows[9]["dev_ppm"] == -45757
+        # zero observed -> contribution = e*1e6/1e6... = total*exp_ppm/1e6
+        # floor((0 - 5*45757)^2 * 1e6 / (5*45757*1e6)) = floor(5*45757/1e6*1e6)
+        assert rows[9]["chi2_micro"] == 5 * 45757  # (o-e)^2/e = e, in micro
+
+    def test_benford_ignores_nonpositive_and_uses_cents(self, spark):
+        from unitdb_spark.operators.profile import benford_report
+
+        # 0.05 -> 5 cents -> digit 5 (first digit of the CENTS integer)
+        df = spark.createDataFrame(
+            [(0.05,), (-3.0,), (0.0,), (9.99,)], "amt double"
+        )
+        rows = {r["digit"]: r["n"] for r in benford_report(df, "amt").collect()}
+        assert rows[5] == 1 and rows[9] == 1 and sum(rows.values()) == 2
+
+    def test_gini_extremes(self, spark):
+        from unitdb_spark.operators.profile import gini_by_group
+
+        # perfectly equal -> 0; one holder of everything -> (n-1)/n
+        rows = [("eq", 10.0)] * 5 + [("uneq", 0.0)] * 4 + [("uneq", 100.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["group"]: r for r in gini_by_group(df, "g", "v").collect()}
+        assert out["eq"]["gini_ppm"] == 0
+        # G = (2*(5*10000) - 6*10000)/(5*10000) = 40000/50000 = 0.8
+        assert out["uneq"]["gini_ppm"] == 800_000
+        assert out["uneq"]["sum_cents"] == 10_000
+
+    def test_gini_known_small_sample(self, spark):
+        from unitdb_spark.operators.profile import gini_by_group
+
+        # x = [1,2,3,4] dollars -> cents [100..400]
+        # G = (2*(1*100+2*200+3*300+4*400) - 5*1000) / (4*1000) = 0.25
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)],
+            "g string, v double",
+        )
+        (r,) = gini_by_group(df, "g", "v").collect()
+        assert r["gini_ppm"] == 250_000 and r["n"] == 4
+
+    def test_gini_tie_invariance(self, spark):
+        from unitdb_spark.operators.profile import gini_by_group
+
+        # heavy ties: result must be stable under any input order
+        vals = [1.0] * 10 + [5.0] * 10
+        df1 = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        df2 = spark.createDataFrame(
+            [("g", v) for v in reversed(vals)], "g string, v double"
+        )
+        (a,) = gini_by_group(df1, "g", "v").collect()
+        (b,) = gini_by_group(df2.repartition(7), "g", "v").collect()
+        assert a["gini_ppm"] == b["gini_ppm"]

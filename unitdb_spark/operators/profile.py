@@ -276,3 +276,139 @@ def group_shares(df: DataFrame, key_col: str) -> DataFrame:
             F.row_number().over(w).alias("rank"),
         )
     )
+
+
+# Benford expected first-digit mass, floor(log10(1 + 1/d) * 1e6).
+# The nine constants sum to exactly 1_000_000; both engines take them
+# as literals, so the expectation side is integer by construction.
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+               51153, 45757)
+
+
+def benford_report(df: DataFrame, amount_col: str) -> DataFrame:
+    """First-significant-digit audit against Benford's law — the
+    classic fabricated-numbers / broken-ETL smell test for financial
+    amount columns.
+
+    Amounts go through the repo's exact-cents idiom (DECIMAL(18,2) ×
+    100), the first digit is the leading character of the positive
+    cents integer (no float log10 anywhere), and all nine digits are
+    emitted even at zero observed count. Per-digit deviation is
+    obs_ppm − exp_ppm on floor-ppm integers; the chi-squared-style
+    per-digit contribution uses the same pinned integer form as
+    `stats_tests.chi_square_independence` with the EXPECTED counts
+    coming from the ppm constants: e·1e6 = total·exp_ppm exactly.
+
+    Output: (digit, n, total, obs_ppm, exp_ppm, dev_ppm,
+    chi2_micro) — one row per digit 1–9; Σ chi2_micro is the audit
+    statistic and is an exact BIGINT sum.
+
+    Scale: one shuffle on the digit (9 groups); the digit extraction
+    is a scan-side string op on the cents integer.
+    """
+    from pyspark.sql import Window
+
+    cents = (F.col(amount_col).cast("decimal(18,2)") * 100).cast("long")
+    digits = (
+        df.select(cents.alias("_c"))
+        .filter(F.col("_c") > 0)
+        .select(
+            F.substring(F.col("_c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nine = F.explode(
+        F.array(*[
+            F.struct(F.lit(d + 1).alias("digit"),
+                     F.lit(int(p)).alias("exp_ppm"))
+            for d, p in enumerate(BENFORD_PPM)
+        ])
+    )
+    frame = df.sparkSession.range(1).select(nine.alias("kv")).select("kv.*")
+    joined = frame.join(digits, "digit", "left").select(
+        "digit", "exp_ppm", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy())
+    t = joined.select(
+        "digit", "exp_ppm", "n", tot.alias("total")
+    )
+    obs_ppm = F.floor(
+        F.col("n") * F.lit(1_000_000) / F.greatest(F.col("total"), F.lit(1))
+    ).cast("long")
+    # chi2 cell on exact integers: (o·1e6 − total·exp_ppm)² /
+    # (total·exp_ppm·1e6), floored into micro-units — same pinned
+    # shape as chi_square_independence
+    oM = F.col("n").cast("double") * F.lit(1_000_000.0)
+    eM = F.col("total").cast("double") * F.col("exp_ppm").cast("double")
+    chi_cell = F.floor(
+        (oM - eM) * (oM - eM) * F.lit(1_000_000.0)
+        / (eM * F.lit(1_000_000.0))
+    ).cast("long")
+    return t.select(
+        F.col("digit").cast("long").alias("digit"),
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+        obs_ppm.alias("obs_ppm"),
+        F.col("exp_ppm").cast("long").alias("exp_ppm"),
+        (obs_ppm - F.col("exp_ppm")).cast("long").alias("dev_ppm"),
+        chi_cell.alias("chi2_micro"),
+    )
+
+
+def gini_by_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group Gini coefficient over a money column, integer-exact.
+
+    The concentration_report's HHI weighs squared SHARES (top-heavy
+    sensitivity); Gini is the full-Lorenz-curve inequality measure
+    auditors and dataset cards expect. Sorted-formula form on exact
+    cents: G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) with xᵢ ascending,
+    i = 1..n. Both Σ accumulate in DECIMAL(38,0) (order-free); ties
+    in x are order-independent by algebra (equal x swap freely), so
+    the row_number tiebreak cannot change the value. gini_ppm is the
+    single pinned floor.
+
+    Output: (group, n, sum_cents, gini_ppm).
+
+    Scale: ONE shuffle — the rank window partitions by group and
+    sorts within it; partial aggregation reuses the same exchange.
+    Gini is undefined below zero, so negative cents are filtered out
+    and the report covers the non-negative mass.
+    """
+    from pyspark.sql import Window
+
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    base = df.select(
+        F.col(group_col).alias("g"), cents.alias("x")
+    ).filter(F.col("x") >= 0)
+    # ties in x take arbitrary row_numbers; Σ i·x is invariant under
+    # any permutation of equal x, so the OUTPUT is still deterministic
+    w = Window.partitionBy("g").orderBy("x")
+    ranked = base.select(
+        "g", "x", F.row_number().over(w).alias("i")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("i") * F.col("x"))).alias("six"),
+    )
+    num = (
+        F.lit(2.0) * F.col("six").cast("double")
+        - (F.col("n").cast("double") + F.lit(1.0))
+        * F.col("sx").cast("double")
+    )
+    den = F.col("n").cast("double") * F.col("sx").cast("double")
+    return agg.select(
+        F.col("g").alias("group"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("sum_cents"),
+        F.when(
+            F.col("sx") > 0,
+            F.floor(num * F.lit(1_000_000.0) / den).cast("long"),
+        ).alias("gini_ppm"),
+    )
