@@ -4013,6 +4013,46 @@ def q_orders_gini(spark, sf_dir):
     )
 
 
+def q_orders_assoc_rules(spark, sf_dir):
+    """Directed association rules over co-ordered part brands: the
+    recommendation step after orders_basket_pairs — same blocked
+    self-join, plus asymmetric confidence (floor-ppm) per direction
+    and the pinned-order lift."""
+    from unitdb_spark.operators.olap import association_rules
+
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    baskets = li.join(
+        part, li.l_partkey == part.p_partkey
+    ).select(F.col("l_orderkey").alias("order_id"), "p_brand")
+    return association_rules(baskets, "order_id", "p_brand", min_support=5)
+
+
+def q_events_paths3(spark, sf_dir):
+    """Frequent 3-step behavioral paths: per-user consecutive
+    event-type triples where both hops land within 6 hours (exact
+    epoch-µs gap guard; sized to this corpus's ~2 events/user/day
+    density) — the open-ended funnel. One window delivers both lags;
+    support ≥ 5."""
+    from unitdb_spark.operators.funnel import top_paths
+
+    return top_paths(
+        _events(spark, sf_dir),
+        user_col="user_id", type_col="event_type", ts_col="ts",
+        order_cols=["event_id"], k_steps=3, max_gap_s=21600, min_support=5,
+    )
+
+
+def q_events_json_stats(spark, sf_dir):
+    """Semi-structured extraction: pull the numeric `k` field out of
+    the JSON props column JVM-side (get_json_object, no Python) and
+    profile presence/range/mean per event_type — the first question
+    against any event-properties blob."""
+    from unitdb_spark.operators.olap import json_field_stats
+
+    return json_field_stats(_events(spark, sf_dir), "props", "k", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4256,6 +4296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_spearman": q_lineitem_spearman,
         "orders_benford": q_orders_benford,
         "orders_gini": q_orders_gini,
+        "orders_assoc_rules": q_orders_assoc_rules,
+        "events_paths3": q_events_paths3,
+        "events_json_stats": q_events_json_stats,
     }
 
 
@@ -6814,6 +6857,74 @@ def oracle_sql() -> dict[str, str]:
             * 1000000.0 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
           ) AS BIGINT) END AS gini_ppm
         FROM a
+        """,
+        "orders_assoc_rules": """
+        WITH base AS (
+          SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), nb AS (
+          SELECT COUNT(DISTINCT b) AS n FROM base
+        ), ic AS (
+          SELECT i, COUNT(*) AS n_item FROM base GROUP BY 1
+        ), pairs AS (
+          SELECT a.i AS x, c.i AS y, COUNT(*) AS n_ab
+          FROM base a JOIN base c ON a.b = c.b AND a.i < c.i
+          GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        ), directed AS (
+          SELECT x AS ante, y AS cons, n_ab FROM pairs
+          UNION ALL
+          SELECT y AS ante, x AS cons, n_ab FROM pairs
+        )
+        SELECT ante, cons, CAST(n_ab AS BIGINT) AS n_ab,
+          CAST(ia.n_item AS BIGINT) AS n_ante,
+          CAST(ib.n_item AS BIGINT) AS n_cons,
+          CAST(floor(n_ab * 1000000 / nb.n) AS BIGINT) AS support_ppm,
+          CAST(floor(n_ab * 1000000 / ia.n_item) AS BIGINT) AS conf_ppm,
+          round(
+            (CAST(n_ab AS DOUBLE) / CAST(nb.n AS DOUBLE))
+            / ((CAST(ia.n_item AS DOUBLE) / CAST(nb.n AS DOUBLE))
+               * (CAST(ib.n_item AS DOUBLE) / CAST(nb.n AS DOUBLE))),
+            6) AS lift_r
+        FROM directed
+        JOIN ic ia ON ia.i = ante
+        JOIN ic ib ON ib.i = cons, nb
+        """,
+        "events_paths3": """
+        WITH lagged AS (
+          SELECT event_type AS step_3, epoch_us(ts) AS t3,
+            lag(event_type, 1) OVER w AS step_2,
+            lag(epoch_us(ts), 1) OVER w AS t2,
+            lag(event_type, 2) OVER w AS step_1,
+            lag(epoch_us(ts), 2) OVER w AS t1
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), valid AS (
+          SELECT step_1, step_2, step_3 FROM lagged
+          WHERE step_1 IS NOT NULL
+            AND t2 - t1 <= 21600000000 AND t3 - t2 <= 21600000000
+        ), counts AS (
+          SELECT step_1, step_2, step_3, count(*) AS n
+          FROM valid GROUP BY 1, 2, 3
+        ), tot AS (SELECT sum(n) AS nn FROM counts)
+        SELECT step_1, step_2, step_3, CAST(n AS BIGINT) AS n,
+          CAST(floor(n * 1000000 / nn) AS BIGINT) AS share_ppm
+        FROM counts, tot WHERE n >= 5
+        """,
+        "events_json_stats": """
+        SELECT event_type AS "group", count(*) AS n,
+          count(*) FILTER (v IS NULL) AS n_missing,
+          CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+          min(v) AS min_v, max(v) AS max_v,
+          CAST(sum(v) AS BIGINT) AS sum_v,
+          CAST(floor(sum(v) * 1000000
+               / greatest(count(*) - count(*) FILTER (v IS NULL), 1))
+            AS BIGINT) AS mean_ppm
+        FROM (
+          SELECT event_type,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+          FROM events
+        )
+        GROUP BY 1
         """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,

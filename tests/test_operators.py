@@ -4652,3 +4652,111 @@ class TestBenfordGini:
         (a,) = gini_by_group(df1, "g", "v").collect()
         (b,) = gini_by_group(df2.repartition(7), "g", "v").collect()
         assert a["gini_ppm"] == b["gini_ppm"]
+
+
+class TestAssocRulesPathsJson:
+    def test_association_rules_directions_and_confidence(self, spark):
+        from unitdb_spark.operators.olap import association_rules
+
+        # 10 baskets: 8 contain {a,b}, 1 only a, 1 only b
+        rows = []
+        for i in range(8):
+            rows += [(i, "a"), (i, "b")]
+        rows += [(8, "a"), (9, "b")]
+        df = spark.createDataFrame(rows, "b int, i string")
+        out = {
+            (r["ante"], r["cons"]): r
+            for r in association_rules(df, "b", "i", min_support=2).collect()
+        }
+        assert set(out) == {("a", "b"), ("b", "a")}
+        ab, ba = out[("a", "b")], out[("b", "a")]
+        assert ab["n_ab"] == 8 and ab["n_ante"] == 9 and ab["n_cons"] == 9
+        # conf(a->b) = 8/9 -> floor ppm
+        assert ab["conf_ppm"] == 888_888 == ba["conf_ppm"]
+        assert ab["support_ppm"] == 800_000
+        # lift symmetric: (8/10)/((9/10)*(9/10))
+        assert abs(ab["lift_r"] - round(0.8 / 0.81, 6)) < 1e-9
+        assert ab["lift_r"] == ba["lift_r"]
+
+    def test_association_rules_asymmetric_confidence(self, spark):
+        from unitdb_spark.operators.olap import association_rules
+
+        # a appears in 4 baskets, b in 2; {a,b} together in 2
+        rows = [(0, "a"), (0, "b"), (1, "a"), (1, "b"), (2, "a"), (3, "a")]
+        df = spark.createDataFrame(rows, "b int, i string")
+        out = {
+            (r["ante"], r["cons"]): r
+            for r in association_rules(df, "b", "i", min_support=1).collect()
+        }
+        assert out[("a", "b")]["conf_ppm"] == 500_000   # 2/4
+        assert out[("b", "a")]["conf_ppm"] == 1_000_000  # 2/2
+
+    def test_top_paths_gap_guard_and_counts(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.funnel import top_paths
+
+        t0 = dt.datetime(2024, 1, 1)
+        s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+        rows = [
+            # user 1: a->b->c twice, tight gaps
+            (1, "a", s(0), 1), (1, "b", s(10), 2), (1, "c", s(20), 3),
+            (1, "a", s(100), 4), (1, "b", s(110), 5), (1, "c", s(120), 6),
+            # user 2: a->b then a HUGE gap before c (second hop invalid)
+            (2, "a", s(0), 7), (2, "b", s(10), 8), (2, "c", s(10_000), 9),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id int, event_type string, ts timestamp, event_id int"
+        )
+        out = top_paths(
+            df, "user_id", "event_type", "ts",
+            order_cols=["event_id"], k_steps=3, max_gap_s=60, min_support=1,
+        ).collect()
+        paths = {(r["step_1"], r["step_2"], r["step_3"]): r for r in out}
+        # user 1 contributes abc twice and the cross-repeat triples
+        # b,c,a / c,a,b have an 80s gap -> valid under 60s? 100-20=80 > 60: no
+        assert paths[("a", "b", "c")]["n"] == 2
+        assert ("b", "c", "a") not in paths  # gap 80s > 60s
+        # user 2's abc blocked by the second hop gap
+        assert sum(r["n"] for r in out) == 2
+        assert paths[("a", "b", "c")]["share_ppm"] == 1_000_000
+
+    def test_top_paths_k2_equals_pair_counting(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.funnel import top_paths
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, "x", t0, 1),
+            (1, "y", t0 + dt.timedelta(seconds=5), 2),
+            (1, "x", t0 + dt.timedelta(seconds=9), 3),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id int, event_type string, ts timestamp, event_id int"
+        )
+        out = top_paths(
+            df, "user_id", "event_type", "ts", order_cols=["event_id"],
+            k_steps=2, max_gap_s=60, min_support=1,
+        ).collect()
+        got = {(r["step_1"], r["step_2"]): r["n"] for r in out}
+        assert got == {("x", "y"): 1, ("y", "x"): 1}
+
+    def test_json_field_stats_missing_and_garbage(self, spark):
+        from unitdb_spark.operators.olap import json_field_stats
+
+        df = spark.createDataFrame(
+            [
+                ("a", '{"k": 5}'), ("a", '{"k": 7}'), ("a", '{"other": 1}'),
+                ("a", "not json at all"), ("b", None), ("b", '{"k": 10}'),
+            ],
+            "t string, props string",
+        )
+        out = {r["group"]: r for r in
+               json_field_stats(df, "props", "k", "t").collect()}
+        a = out["a"]
+        assert a["n"] == 4 and a["n_missing"] == 2
+        assert a["min_v"] == 5 and a["max_v"] == 7 and a["sum_v"] == 12
+        assert a["mean_ppm"] == 6_000_000  # floor(12e6/2)
+        b = out["b"]
+        assert b["n"] == 2 and b["n_missing"] == 1 and b["sum_v"] == 10

@@ -71,3 +71,68 @@ def funnel_within(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    order_cols: list[str] | None = None,
+    k_steps: int = 3,
+    max_gap_s: int = 1800,
+    min_support: int = 5,
+) -> DataFrame:
+    """Frequent k-step behavioral paths: consecutive event-type
+    sequences per user where EVERY hop happens within ``max_gap_s``
+    seconds — the open-ended cousin of the funnel (which checks one
+    fixed path) and of the transition matrix (which stops at pairs).
+
+    One window per user delivers all k−1 lags in a single sort; the
+    gap guard uses exact epoch-microsecond integers, so session
+    boundaries are engine-identical. Output: (step_1..step_k, n,
+    share_ppm) for paths with support ≥ ``min_support``; share_ppm is
+    the floor-ppm share among ALL complete gap-valid k-paths (the
+    denominator the support threshold does not bias).
+
+    Scale: one shuffle on the user key; path counting is a partial
+    agg on the (tiny) path-label relation.
+    """
+    if k_steps < 2:
+        raise ValueError("top_paths: k_steps must be >= 2")
+    from pyspark.sql import Window
+
+    order_cols = order_cols or []
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))  # exact integer
+    cols = [F.col(type_col).alias(f"step_{k_steps}"),
+            us.alias(f"_t{k_steps}")]
+    for back in range(1, k_steps):
+        cols.append(
+            F.lag(type_col, back).over(w).alias(f"step_{k_steps - back}")
+        )
+        cols.append(
+            F.lag(us, back).over(w).alias(f"_t{k_steps - back}")
+        )
+    lagged = df.select(*cols).filter(F.col("step_1").isNotNull())
+    gap_ok = F.lit(True)
+    for i in range(1, k_steps):
+        gap_ok = gap_ok & (
+            (F.col(f"_t{i + 1}") - F.col(f"_t{i}"))
+            <= F.lit(max_gap_s * 1_000_000)
+        )
+    valid = lagged.filter(gap_ok)
+    counts = valid.groupBy(
+        *[f"step_{i}" for i in range(1, k_steps + 1)]
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("_N"))
+    return (
+        counts.filter(F.col("n") >= min_support)
+        .join(F.broadcast(tot))
+        .select(
+            *[f"step_{i}" for i in range(1, k_steps + 1)],
+            "n",
+            F.floor(F.col("n") * F.lit(1_000_000) / F.col("_N"))
+            .cast("long").alias("share_ppm"),
+        )
+    )

@@ -347,3 +347,117 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
                 )
             )
     return m.select(F.explode(F.array(*rows)).alias("kv")).select("kv.*")
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 5,
+) -> DataFrame:
+    """Directed association rules a→b over frequent 2-itemsets — the
+    recommendation step after `basket_pairs`: same blocked self-join
+    (per-basket O(b²), never corpus-wide), then each surviving
+    unordered pair unions into both directions so confidence (which is
+    asymmetric) reads directly.
+
+    confidence_ppm = floor(n_ab·1e6/n_ante) and support_ppm =
+    floor(n_ab·1e6/N) are exact integers; lift keeps `basket_pairs`'
+    pinned (n_ab/N)/((n_a/N)·(n_b/N)) order, round-6 (symmetric, so
+    both directions show the same lift — the confidence columns are
+    what differ).
+
+    Output: (ante, cons, n_ab, n_ante, n_cons, support_ppm,
+    conf_ppm, lift_r).
+    """
+    base = (
+        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+    )
+    nb = base.agg(F.countDistinct("_b").alias("_nb"))
+    item_counts = base.groupBy("_i").agg(F.count(F.lit(1)).alias("n_item"))
+    a = base.select(F.col("_b"), F.col("_i").alias("x"))
+    b = base.select(F.col("_b"), F.col("_i").alias("y"))
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    directed = pairs.select(
+        F.col("x").alias("ante"), F.col("y").alias("cons"), "n_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("y").alias("ante"), F.col("x").alias("cons"), "n_ab"
+        )
+    )
+    joined = (
+        directed.join(
+            item_counts.select(F.col("_i").alias("ante"),
+                               F.col("n_item").alias("n_ante")), "ante"
+        )
+        .join(
+            item_counts.select(F.col("_i").alias("cons"),
+                               F.col("n_item").alias("n_cons")), "cons"
+        )
+        .join(F.broadcast(nb))
+    )
+    n = F.col("_nb").cast("double")
+    lift = (
+        (F.col("n_ab").cast("double") / n)
+        / (
+            (F.col("n_ante").cast("double") / n)
+            * (F.col("n_cons").cast("double") / n)
+        )
+    )
+    return joined.select(
+        "ante", "cons", "n_ab", "n_ante", "n_cons",
+        F.floor(F.col("n_ab") * F.lit(1_000_000) / F.col("_nb"))
+        .cast("long").alias("support_ppm"),
+        F.floor(F.col("n_ab") * F.lit(1_000_000) / F.col("n_ante"))
+        .cast("long").alias("conf_ppm"),
+        F.round(lift, 6).alias("lift_r"),
+    )
+
+
+def json_field_stats(
+    df: DataFrame, json_col: str, field: str, group_col: str
+) -> DataFrame:
+    """Semi-structured column profiling: extract one numeric field
+    from a JSON string column JVM-side (`get_json_object` — no Python
+    in the path) and aggregate presence/shape stats per group — the
+    first question against any event-properties blob ("is this field
+    always there, what range, how many distinct").
+
+    Output per group: (group, n, n_missing, n_distinct, min_v, max_v,
+    sum_v, mean_ppm) — all integer-exact (mean is the usual
+    floor-ppm).
+
+    Scale: extraction is a scan-side projection; one partial-agg
+    shuffle on the group. At 100 TB the same expression serves as a
+    materialized-column backfill (write the extracted field once,
+    query the column forever).
+    """
+    v = F.get_json_object(F.col(json_col), f"$.{field}").cast("long")
+    base = df.select(F.col(group_col).alias("group"), v.alias("v"))
+    return (
+        base.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("v").isNull(), 1)).alias("n_missing"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum("v").alias("sum_v"),
+        )
+        .select(
+            "group", "n", "n_missing",
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_v", "max_v", "sum_v",
+            F.floor(
+                F.col("sum_v") * F.lit(1_000_000)
+                / F.greatest(F.col("n") - F.col("n_missing"), F.lit(1))
+            ).cast("long").alias("mean_ppm"),
+        )
+    )
