@@ -2337,15 +2337,12 @@ _GOPHER_HASHES = " " + "#" * 30
 _GOPHER_DIGITS = " " + " ".join(str(i) for i in range(30))
 
 
-def q_doc_gopher_filter(spark, sf_dir):
-    """Gopher document-quality rules (Rae et al. 2021 appendix A) as
-    one all-integer codegen projection: word-count bounds, mean word
-    length, symbol ratios, bullet/ellipsis line fractions, alpha-word
-    ratio, required stop words. Violations planted deterministically
-    (bullet walls, ellipsis lines, hash runs, digit runs). Complements
-    doc_c4_filter (boilerplate cues) and doc_repetition (the same
-    paper's repetition section)."""
-    d = _docs(spark, sf_dir).withColumn(
+def _gopher_planted(spark, sf_dir):
+    """Documents with the deterministic Gopher-violation planting
+    (bullet walls, ellipsis lines, hash runs, digit runs) — shared by
+    doc_gopher_filter, doc_filter_kappa, and doc_calibration so all
+    three judge the same text."""
+    return _docs(spark, sf_dir).withColumn(
         "text",
         F.concat(
             F.col("text"),
@@ -2355,6 +2352,17 @@ def q_doc_gopher_filter(spark, sf_dir):
             F.when(F.col("doc_id") % 17 == 0, F.lit(_GOPHER_DIGITS)).otherwise(F.lit("")),
         ),
     )
+
+
+def q_doc_gopher_filter(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 appendix A) as
+    one all-integer codegen projection: word-count bounds, mean word
+    length, symbol ratios, bullet/ellipsis line fractions, alpha-word
+    ratio, required stop words. Violations planted deterministically
+    (bullet walls, ellipsis lines, hash runs, digit runs). Complements
+    doc_c4_filter (boilerplate cues) and doc_repetition (the same
+    paper's repetition section)."""
+    d = _gopher_planted(spark, sf_dir)
     rules = TXT.gopher_rules("text")
     order = ["r_word_count", "r_mean_len", "r_symbols", "r_bullets",
              "r_ellipsis", "r_alpha", "r_stops", "keep"]
@@ -4053,6 +4061,42 @@ def q_events_json_stats(spark, sf_dir):
     return json_field_stats(_events(spark, sf_dir), "props", "k", "event_type")
 
 
+def q_doc_filter_kappa(spark, sf_dir):
+    """Cohen's kappa between the C4 and Gopher keep verdicts (each on
+    its own planted text): do the two rule families agree beyond the
+    chance floor that their high keep rates guarantee? Exact 2×2
+    integer cells; kappa is one pinned floor-ppm."""
+    from unitdb_spark.operators.evaluation import filter_agreement
+
+    c4 = _c4_planted(spark, sf_dir)
+    a = c4.select("doc_id", TXT.c4_rules("text")["keep"].alias("keep_c4"))
+    g = _gopher_planted(spark, sf_dir)
+    b = g.select(
+        "doc_id", TXT.gopher_rules("text")["keep"].alias("keep_gopher")
+    )
+    return filter_agreement(a.join(b, "doc_id"), "keep_c4", "keep_gopher")
+
+
+def q_doc_calibration(spark, sf_dir):
+    """Reliability-by-decile calibration of the hashed linear
+    classifier against the Gopher rule gate as gold: per score decile,
+    claimed confidence vs observed keep rate, plus the expected
+    calibration error — the audit that decides whether a cheap
+    classifier can stand in for the expensive rule pass."""
+    from unitdb_spark.operators.classify import classify_score
+    from unitdb_spark.operators.evaluation import calibration_report
+
+    scored = classify_score(_docs(spark, sf_dir), n_buckets=4096).select(
+        F.col("id").alias("doc_id"), "score"
+    )
+    gold = _gopher_planted(spark, sf_dir).select(
+        "doc_id", TXT.gopher_rules("text")["keep"].alias("gold")
+    )
+    return calibration_report(
+        scored.join(gold, "doc_id"), "score", "gold", "doc_id", n_bins=10
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4299,6 +4343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_assoc_rules": q_orders_assoc_rules,
         "events_paths3": q_events_paths3,
         "events_json_stats": q_events_json_stats,
+        "doc_filter_kappa": q_doc_filter_kappa,
+        "doc_calibration": q_doc_calibration,
     }
 
 
@@ -8146,6 +8192,82 @@ def oracle_sql() -> dict[str, str]:
           AND ent.entropy_r BETWEEN 3.8 AND 4.3
           AND nll.nll_r <= 1.479
           AND nov.novelty_ppm >= 400000
+        """
+    )
+    # filter-agreement kappa: the two rule-filter oracles become CTEs;
+    # the 2x2 cells and the pinned kappa are computed over their join
+    d["doc_filter_kappa"] = (
+        "WITH c4 AS (" + d["doc_c4_filter"] + "), "
+        "gf AS (" + d["doc_gopher_filter"] + "), "
+        """
+        j AS (
+          SELECT c4.doc_id, c4.keep AS ka, gf.keep AS kb
+          FROM c4 JOIN gf USING (doc_id)
+        ), agg AS (
+          SELECT count(*) AS n,
+            count(*) FILTER (ka AND kb) AS n11,
+            count(*) FILTER (ka AND NOT kb) AS n10,
+            count(*) FILTER (NOT ka AND kb) AS n01,
+            count(*) FILTER (NOT ka AND NOT kb) AS n00
+          FROM j
+        )
+        SELECT n, n11, n10, n01, n00,
+          CAST(floor(CAST(n11 + n00 AS DOUBLE) * 1000000.0
+                     / CAST(n AS DOUBLE)) AS BIGINT) AS agree_ppm,
+          CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                        + CAST(n01 + n00 AS DOUBLE)
+                          * CAST(n10 + n00 AS DOUBLE))) <> 0.0 THEN
+            CAST(floor(
+              (CAST(n AS DOUBLE) * CAST(n11 + n00 AS DOUBLE)
+               - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                  + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)))
+              * 1000000.0
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                    + CAST(n01 + n00 AS DOUBLE)
+                      * CAST(n10 + n00 AS DOUBLE)))
+            ) AS BIGINT)
+          END AS kappa_ppm
+        FROM agg
+        """
+    )
+    # calibration: the classifier chain re-used with the UNROUNDED
+    # score (the report bins/floors the raw double exactly like the
+    # Spark side), the gopher chain provides the gold keep flag
+    d["doc_calibration"] = (
+        "WITH sc AS ("
+        + d["doc_classify_score"].replace(
+            "round(1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1)))), 6)"
+            " AS score_r",
+            "1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1)))) AS score",
+        )
+        + "), gf AS (" + d["doc_gopher_filter"] + "), "
+        """
+        j AS (
+          SELECT sc.id AS doc_id, sc.score, gf.keep AS gold
+          FROM sc JOIN gf ON gf.doc_id = sc.id
+        ), b AS (
+          SELECT ntile(10) OVER (ORDER BY score, doc_id) AS bin,
+            CAST(floor(score * 1000000.0) AS BIGINT) AS sm, gold
+          FROM j
+        ), bins AS (
+          SELECT bin, count(*) AS n, count(*) FILTER (gold) AS n_pos,
+            CAST(sum(sm) AS BIGINT) AS smsum
+          FROM b GROUP BY 1
+        ), s2 AS (
+          SELECT bin, n, n_pos,
+            CAST(floor(smsum / n) AS BIGINT) AS conf_ppm,
+            CAST(floor(n_pos * 1000000 / n) AS BIGINT) AS acc_ppm,
+            CAST(floor(n_pos * 1000000 / n) - floor(smsum / n) AS BIGINT)
+              AS gap_ppm
+          FROM bins
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, n, n_pos, conf_ppm, acc_ppm,
+          gap_ppm,
+          CAST(floor(sum(n * abs(gap_ppm)) OVER ()
+                     / sum(n) OVER ()) AS BIGINT) AS ece_ppm
+        FROM s2
         """
     )
     return d

@@ -4760,3 +4760,94 @@ class TestAssocRulesPathsJson:
         assert a["mean_ppm"] == 6_000_000  # floor(12e6/2)
         b = out["b"]
         assert b["n"] == 2 and b["n_missing"] == 1 and b["sum_v"] == 10
+
+
+class TestAgreementCalibration:
+    def test_kappa_known_2x2(self, spark):
+        from unitdb_spark.operators.evaluation import filter_agreement
+
+        # n11=20 n10=5 n01=10 n00=15, N=50
+        rows = (
+            [(True, True)] * 20 + [(True, False)] * 5
+            + [(False, True)] * 10 + [(False, False)] * 15
+        )
+        df = spark.createDataFrame(rows, "a boolean, b boolean")
+        (r,) = filter_agreement(df, "a", "b").collect()
+        assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (20, 5, 10, 15)
+        assert r["agree_ppm"] == 700_000
+        # chance = 25*30 + 25*20 = 1250; kappa = (50*35-1250)/(2500-1250)=0.4
+        assert r["kappa_ppm"] == 400_000
+
+    def test_kappa_perfect_and_degenerate(self, spark):
+        from unitdb_spark.operators.evaluation import filter_agreement
+
+        same = spark.createDataFrame(
+            [(True, True)] * 3 + [(False, False)] * 3, "a boolean, b boolean"
+        )
+        (r,) = filter_agreement(same, "a", "b").collect()
+        assert r["kappa_ppm"] == 1_000_000
+        # one constant filter carries zero information -> kappa 0
+        alltrue = spark.createDataFrame(
+            [(True, True)] * 3 + [(True, False)] * 3, "a boolean, b boolean"
+        )
+        (r2,) = filter_agreement(alltrue, "a", "b").collect()
+        assert r2["kappa_ppm"] == 0
+        # BOTH filters constant -> chance == N^2 -> guarded NULL
+        allsame = spark.createDataFrame(
+            [(True, True)] * 4, "a boolean, b boolean"
+        )
+        (r3,) = filter_agreement(allsame, "a", "b").collect()
+        assert r3["kappa_ppm"] is None and r3["agree_ppm"] == 1_000_000
+
+    def test_kappa_independent_filters_near_zero(self, spark):
+        from unitdb_spark.operators.evaluation import filter_agreement
+
+        # a = first half, b = alternating -> statistically independent
+        rows = [(i < 50, i % 2 == 0) for i in range(100)]
+        df = spark.createDataFrame(rows, "a boolean, b boolean")
+        (r,) = filter_agreement(df, "a", "b").collect()
+        assert abs(r["kappa_ppm"]) < 50_000
+
+    def test_calibration_perfectly_calibrated(self, spark):
+        from unitdb_spark.operators.evaluation import calibration_report
+
+        # score == empirical rate within each decile by construction:
+        # 10 groups of 10 rows, group g has score g/10+0.05 and
+        # exactly g positives... use score s with s*10 positives per 10
+        rows = []
+        i = 0
+        for g in range(10):
+            s = g / 10 + 0.05
+            for j in range(10):
+                rows.append((i, s, j < round(s * 10)))
+                i += 1
+        df = spark.createDataFrame(rows, "id int, score double, y boolean")
+        out = calibration_report(df, "score", "y", "id", n_bins=10).collect()
+        assert len(out) == 10
+        for r in out:
+            assert r["n"] == 10
+            # |gap| <= 50000 ppm (0.05 offset vs x/10 positives grid)
+            assert abs(r["gap_ppm"]) <= 50_000
+        assert all(r["ece_ppm"] == out[0]["ece_ppm"] for r in out)
+        assert out[0]["ece_ppm"] <= 50_000
+
+    def test_calibration_anticalibrated_has_big_ece(self, spark):
+        from unitdb_spark.operators.evaluation import calibration_report
+
+        # high scores get negatives, low scores get positives
+        rows = [(i, i / 100.0, i < 50) for i in range(100)]
+        df = spark.createDataFrame(rows, "id int, score double, y boolean")
+        out = calibration_report(df, "score", "y", "id", n_bins=10).collect()
+        assert out[0]["ece_ppm"] > 400_000
+        by_bin = {r["bin"]: r for r in out}
+        assert by_bin[1]["acc_ppm"] == 1_000_000  # lowest decile all positive
+        assert by_bin[10]["acc_ppm"] == 0
+
+    def test_calibration_decile_sizes_balanced(self, spark):
+        from unitdb_spark.operators.evaluation import calibration_report
+
+        rows = [(i, 0.5, True) for i in range(23)]  # fully tied scores
+        df = spark.createDataFrame(rows, "id int, score double, y boolean")
+        out = calibration_report(df, "score", "y", "id", n_bins=10).collect()
+        sizes = sorted(r["n"] for r in out)
+        assert sum(sizes) == 23 and max(sizes) - min(sizes) <= 1

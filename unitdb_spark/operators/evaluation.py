@@ -265,3 +265,109 @@ def diff_in_diff(
         d_c.alias("delta_ctrl_mu"),
         (d_t - d_c).alias("did_mu"),
     )
+
+
+def filter_agreement(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """One-row Cohen's kappa between two boolean keep/drop columns —
+    "do these two curation filters agree beyond chance?". Raw
+    agreement is misleading when both filters keep almost everything;
+    kappa subtracts the chance-agreement floor.
+
+    All four confusion cells are exact integer counts; with
+    r1 = n11+n10, c1 = n11+n01 (and r0/c0 their complements),
+
+        kappa = (N·agree − (r1·c1 + r0·c0)) / (N² − (r1·c1 + r0·c0))
+
+    is evaluated as ONE pinned double floored into ppm. NULL when the
+    denominator is 0 (a filter that keeps everything or nothing has no
+    chance-corrected agreement). Integer envelope: N² must stay
+    inside the double's exact range (N ≲ 9·10⁷ rows; past that,
+    lift the products to DECIMAL(38,0) — same pinned shape).
+
+    Output: (n, n11, n10, n01, n00, agree_ppm, kappa_ppm).
+    """
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(a & b, 1)).alias("n11"),
+        F.count(F.when(a & ~b, 1)).alias("n10"),
+        F.count(F.when(~a & b, 1)).alias("n01"),
+        F.count(F.when(~a & ~b, 1)).alias("n00"),
+    )
+    nD = F.col("n").cast("double")
+    agree = (F.col("n11") + F.col("n00")).cast("double")
+    r1 = (F.col("n11") + F.col("n10")).cast("double")
+    c1 = (F.col("n11") + F.col("n01")).cast("double")
+    r0 = (F.col("n01") + F.col("n00")).cast("double")
+    c0 = (F.col("n10") + F.col("n00")).cast("double")
+    chance = r1 * c1 + r0 * c0
+    den = nD * nD - chance
+    return agg.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.floor(agree * F.lit(1_000_000.0) / nD).cast("long")
+        .alias("agree_ppm"),
+        F.when(
+            den != F.lit(0.0),
+            F.floor(
+                (nD * agree - chance) * F.lit(1_000_000.0) / den
+            ).cast("long"),
+        ).alias("kappa_ppm"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-by-decile calibration report for a probabilistic
+    scorer against a gold boolean — "when the classifier says 0.7,
+    is it right 70% of the time?". Decile binning (ntile over the
+    score order) instead of fixed-width bins, so every bin is
+    populated no matter how concentrated the score distribution is.
+
+    Per-row score_micro = floor(score·1e6) is the only float touch
+    (pinned per row); everything after is integer: per-bin confidence
+    floor(Σ score_micro / n), accuracy floor(n_pos·1e6/n), the signed
+    gap, and the expected calibration error ECE =
+    floor(Σ n·|gap| / N) stamped on every row.
+
+    Output: (bin, n, n_pos, conf_ppm, acc_ppm, gap_ppm, ece_ppm).
+
+    Scale: ntile needs a global sort of (score, id) — at 100 TB
+    replace with precomputed approx-quantile boundaries (one pass +
+    broadcast); the per-bin aggregation is unchanged.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(score_col, id_col)
+    base = df.select(
+        F.ntile(n_bins).over(w).alias("bin"),
+        F.floor(F.col(score_col).cast("double") * F.lit(1_000_000.0))
+        .cast("long").alias("score_micro"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    bins = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("_y"), 1)).alias("n_pos"),
+        F.sum("score_micro").alias("_sm"),
+    )
+    conf = F.floor(F.col("_sm") / F.col("n")).cast("long")
+    acc = F.floor(F.col("n_pos") * F.lit(1_000_000) / F.col("n")).cast("long")
+    scored = bins.select(
+        "bin", "n", "n_pos",
+        conf.alias("conf_ppm"), acc.alias("acc_ppm"),
+        (acc - conf).alias("gap_ppm"),
+    )
+    wall = Window.partitionBy()
+    return scored.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n", "n_pos", "conf_ppm", "acc_ppm", "gap_ppm",
+        F.floor(
+            F.sum(F.col("n") * F.abs(F.col("gap_ppm"))).over(wall)
+            / F.sum("n").over(wall)
+        ).cast("long").alias("ece_ppm"),
+    )
