@@ -4097,6 +4097,23 @@ def q_doc_calibration(spark, sf_dir):
     )
 
 
+def q_events_survival(spark, sf_dir):
+    """Kaplan-Meier time-to-conversion: signup → first purchase,
+    right-censored at the corpus horizon. The survival product is
+    EXACT integer fixed-point (s·(n−d)//n from 1e12), replayed by a
+    recursive CTE in the oracle — no float cumulative product
+    anywhere."""
+    from unitdb_spark.operators.survival import kaplan_meier, time_to_event
+
+    ev = _events(spark, sf_dir)
+    durations = time_to_event(
+        ev, "user_id", "ts",
+        origin_filter=F.col("event_type") == "signup",
+        event_filter=F.col("event_type") == "purchase",
+    )
+    return kaplan_meier(durations, "duration_days", "event")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4345,6 +4362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": q_events_json_stats,
         "doc_filter_kappa": q_doc_filter_kappa,
         "doc_calibration": q_doc_calibration,
+        "events_survival": q_events_survival,
     }
 
 
@@ -6971,6 +6989,51 @@ def oracle_sql() -> dict[str, str]:
           FROM events
         )
         GROUP BY 1
+        """,
+        "events_survival": """
+        WITH RECURSIVE org AS (
+          SELECT user_id, min(ts) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY 1
+        ), conv AS (
+          SELECT o.user_id, min(e.ts) AS tc
+          FROM org o JOIN events e ON e.user_id = o.user_id
+            AND e.event_type = 'purchase' AND e.ts > o.t0
+          GROUP BY 1
+        ), ref AS (SELECT max(ts) AS mx FROM events),
+        u AS (
+          SELECT o.user_id,
+            CASE WHEN c.tc IS NOT NULL THEN
+              date_diff('day', CAST(o.t0 AS DATE), CAST(c.tc AS DATE))
+            ELSE
+              date_diff('day', CAST(o.t0 AS DATE), CAST(ref.mx AS DATE))
+            END AS dur,
+            c.tc IS NOT NULL AS ev
+          FROM org o LEFT JOIN conv c USING (user_id), ref
+        ), days AS (
+          SELECT dur AS t,
+            count(*) FILTER (ev) AS d,
+            count(*) FILTER (NOT ev) AS c
+          FROM u GROUP BY 1
+        ), risk AS (
+          SELECT t, d, c,
+            CAST(sum(d + c) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS n_risk
+          FROM days
+        ), steps AS (
+          SELECT t, n_risk, d, c,
+            row_number() OVER (ORDER BY t) AS rn
+          FROM risk WHERE d > 0
+        ), km AS (
+          SELECT CAST(0 AS BIGINT) AS rn, CAST(1000000000000 AS BIGINT) AS s
+          UNION ALL
+          SELECT st.rn, (km.s * (st.n_risk - st.d)) // st.n_risk
+          FROM km JOIN steps st ON st.rn = km.rn + 1
+        )
+        SELECT CAST(st.t AS BIGINT) AS t_day, st.n_risk,
+          CAST(st.d AS BIGINT) AS d, CAST(st.c AS BIGINT) AS c,
+          km.s AS surv_e12
+        FROM steps st JOIN km ON km.rn = st.rn
         """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,

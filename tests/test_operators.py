@@ -4851,3 +4851,77 @@ class TestAgreementCalibration:
         out = calibration_report(df, "score", "y", "id", n_bins=10).collect()
         sizes = sorted(r["n"] for r in out)
         assert sum(sizes) == 23 and max(sizes) - min(sizes) <= 1
+
+
+class TestKaplanMeier:
+    def test_km_hand_computed_curve(self, spark):
+        from unitdb_spark.operators.survival import kaplan_meier
+
+        # classic textbook sample: events at t=1 (2 of 10), t=3 (1 of 7,
+        # after 1 censored at 2), censored at 2 (1)
+        rows = (
+            [(1, True)] * 2 + [(2, False)] * 1 + [(3, True)] * 1
+            + [(5, False)] * 6
+        )
+        df = spark.createDataFrame(rows, "dur int, ev boolean")
+        out = {r["t_day"]: r for r in
+               kaplan_meier(df, "dur", "ev").collect()}
+        assert set(out) == {1, 3}
+        t1 = out[1]
+        assert t1["n_risk"] == 10 and t1["d"] == 2
+        assert t1["surv_e12"] == 10**12 * 8 // 10  # 0.8
+        t3 = out[3]
+        assert t3["n_risk"] == 7 and t3["d"] == 1
+        # s = floor(0.8e12 * 6 / 7)
+        assert t3["surv_e12"] == (10**12 * 8 // 10) * 6 // 7
+
+    def test_km_censoring_between_events_shrinks_risk(self, spark):
+        from unitdb_spark.operators.survival import kaplan_meier
+
+        rows = [(1, True), (2, False), (2, False), (4, True), (4, False)]
+        df = spark.createDataFrame(rows, "dur int, ev boolean")
+        out = {r["t_day"]: r for r in
+               kaplan_meier(df, "dur", "ev").collect()}
+        assert out[1]["n_risk"] == 5
+        assert out[4]["n_risk"] == 2  # two censored at 2 left the set
+        assert out[4]["c"] == 1  # censored AT an event time reported
+
+    def test_km_all_events_reaches_zero(self, spark):
+        from unitdb_spark.operators.survival import kaplan_meier
+
+        df = spark.createDataFrame(
+            [(i, True) for i in range(1, 6)], "dur int, ev boolean"
+        )
+        out = sorted(
+            kaplan_meier(df, "dur", "ev").collect(),
+            key=lambda r: r["t_day"],
+        )
+        assert out[-1]["surv_e12"] == 0
+        # survival is non-increasing
+        vals = [r["surv_e12"] for r in out]
+        assert vals == sorted(vals, reverse=True)
+
+    def test_time_to_event_censors_at_horizon(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.survival import time_to_event
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0)
+        rows = [
+            (1, "signup", t0), (1, "purchase", t0 + dt.timedelta(days=3)),
+            (2, "signup", t0), (2, "view", t0 + dt.timedelta(days=9)),
+            # user 3 purchased BEFORE signup: not an event after origin
+            (3, "purchase", t0 - dt.timedelta(days=1)),
+            (3, "signup", t0),
+        ]
+        df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+        out = {r["subject"]: r for r in time_to_event(
+            df, "user_id", "ts",
+            origin_filter=F.col("event_type") == "signup",
+            event_filter=F.col("event_type") == "purchase",
+        ).collect()}
+        assert out[1]["event"] and out[1]["duration_days"] == 3
+        assert not out[2]["event"] and out[2]["duration_days"] == 9
+        assert not out[3]["event"]  # pre-origin purchase ignored

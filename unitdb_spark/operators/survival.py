@@ -1,0 +1,148 @@
+"""Kaplan-Meier survival estimation over DataFrames.
+
+Time-to-event questions (signup → first conversion, first touch →
+churn) need censoring-aware estimates — a plain mean of observed
+durations is biased the moment any subject hasn't converted yet. The
+KM product-limit estimator is the standard answer; here it reduces to
+one per-subject aggregation plus arithmetic on the DAY relation, which
+is bounded by the observation span (≤ a few hundred rows) no matter
+how many subjects flow in.
+
+Cross-engine determinism: the survival product is sequential by
+nature, so instead of a float cumulative product (whose exp/sum(ln)
+replay is order- and libm-sensitive) the curve is computed in EXACT
+integer fixed-point: s₀ = 1e12, sᵢ = ⌊sᵢ₋₁·(nᵢ−dᵢ)/nᵢ⌋ — a recursion
+both engines replay bit-for-bit (DuckDB via a recursive CTE, Spark
+via an arbitrary-precision Python fold over the tiny step relation).
+
+Reference parity: unitdb has no survival surface (its analytics stop
+at Varz counters, /root/reference/server/varz.go:140); this extends
+SURVEY §2.4's experiment-review family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SCALE = 10**12
+
+_OUT_SCHEMA = (
+    "t_day long, n_risk long, d long, c long, surv_e12 long"
+)
+
+
+def kaplan_meier(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Product-limit survival curve from per-subject rows.
+
+    Input: one row per subject with an integer duration (days until
+    event or censoring) and a boolean event flag (True = event
+    observed, False = right-censored). Output: one row per EVENT time
+    (standard KM support) with the at-risk count, events d, censored
+    c at that time, and the fixed-point survival
+    ``surv_e12 = ⌊s·(n−d)/n⌋`` folded over prior steps (1e12 = 1.0).
+
+    Shuffle budget: the subject relation aggregates once onto the day
+    relation (≤ observation-span rows); the at-risk counts are a
+    cumulative window over that tiny relation, and the sequential
+    fold runs in ONE applyInPandas task over the step rows — a few
+    hundred integers, regardless of subject count.
+    """
+    days = (
+        df.select(
+            F.col(duration_col).cast("long").alias("t"),
+            F.col(event_col).cast("boolean").alias("_e"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.when(F.col("_e"), 1)).alias("d"),
+            F.count(F.when(~F.col("_e"), 1)).alias("c"),
+        )
+    )
+    # at risk at t = subjects whose duration >= t: cumulative sum over
+    # the day relation from the LARGEST duration down
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = days.select(
+        "t", "d", "c",
+        F.sum(F.col("d") + F.col("c")).over(w).alias("n_risk"),
+    )
+    steps = risk.filter(F.col("d") > 0).select("t", "n_risk", "d", "c")
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("t")
+        s = _SCALE
+        out = []
+        for r in pdf.itertuples(index=False):
+            # python ints: exact at any magnitude
+            n, d = int(r.n_risk), int(r.d)
+            s = s * (n - d) // n
+            out.append((int(r.t), n, d, int(r.c), s))
+        return pd.DataFrame(
+            out, columns=["t_day", "n_risk", "d", "c", "surv_e12"]
+        )
+
+    return (
+        steps.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(fold, _OUT_SCHEMA)
+    )
+
+
+def time_to_event(
+    df: DataFrame,
+    subject_col: str,
+    ts_col: str,
+    origin_filter,
+    event_filter,
+) -> DataFrame:
+    """Per-subject (duration, event) rows for `kaplan_meier`.
+
+    Origin = the subject's FIRST row matching ``origin_filter``;
+    event = the first row matching ``event_filter`` STRICTLY after the
+    origin. Subjects without an event are right-censored at the corpus
+    max timestamp. Durations are whole days between the DATE parts
+    (engine-portable datediff).
+
+    Output: (subject, duration_days, event). Two aggregations on the
+    subject key + a broadcast 1-row corpus max.
+    """
+    base = df.select(
+        F.col(subject_col).alias("_s"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        origin_filter.alias("_is_o"),
+        event_filter.alias("_is_e"),
+    )
+    org = (
+        base.filter(F.col("_is_o"))
+        .groupBy("_s")
+        .agg(F.min("_ts").alias("_t0"))
+    )
+    ev = (
+        base.filter(F.col("_is_e"))
+        .join(org, "_s")
+        .filter(F.col("_ts") > F.col("_t0"))
+        .groupBy("_s")
+        .agg(F.min("_ts").alias("_tc"))
+    )
+    mx = base.agg(F.max("_ts").alias("_mx"))
+    return (
+        org.join(ev, "_s", "left")
+        .join(F.broadcast(mx))
+        .select(
+            F.col("_s").alias("subject"),
+            F.when(
+                F.col("_tc").isNotNull(),
+                F.datediff(F.to_date("_tc"), F.to_date("_t0")),
+            )
+            .otherwise(F.datediff(F.to_date("_mx"), F.to_date("_t0")))
+            .cast("long")
+            .alias("duration_days"),
+            F.col("_tc").isNotNull().alias("event"),
+        )
+    )
