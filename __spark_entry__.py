@@ -4114,6 +4114,19 @@ def q_events_survival(spark, sf_dir):
     return kaplan_meier(durations, "duration_days", "event")
 
 
+def q_embed_outliers(spark, sf_dir):
+    """Embedding-space outlier pruning: per k-means cell, the 5
+    members farthest from their own centroid (cosine, ties → smaller
+    id) flagged for removal before contrastive training. Output is
+    integer/boolean only — the similarity orders the window but never
+    leaves the plan."""
+    from unitdb_spark.operators.sampling import cluster_outlier_report
+
+    return cluster_outlier_report(
+        _emb(spark, sf_dir), k=8, n_iters=1, per_cell=5
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4363,6 +4376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_filter_kappa": q_doc_filter_kappa,
         "doc_calibration": q_doc_calibration,
         "events_survival": q_events_survival,
+        "embed_outliers": q_embed_outliers,
     }
 
 
@@ -8331,6 +8345,31 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(sum(n * abs(gap_ppm)) OVER ()
                      / sum(n) OVER ()) AS BIGINT) AS ece_ppm
         FROM s2
+        """
+    )
+    # embedding outliers: the shared kmeans chain with the winning
+    # cosine sim exposed, ranked ascending within each cell
+    d["embed_outliers"] = (
+        _KMEANS_ASSIGN_SQL.replace(
+            "SELECT vec_id, cell FROM (",
+            "SELECT vec_id, cell, sim FROM (",
+        ).replace(
+            "SELECT e.vec_id, c.cent_id AS cell,\n"
+            "                 row_number() OVER (\n"
+            "                   PARTITION BY e.vec_id",
+            "SELECT e.vec_id, c.cent_id AS cell,\n"
+            "                 list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), c.cv) AS sim,\n"
+            "                 row_number() OVER (\n"
+            "                   PARTITION BY e.vec_id",
+        )
+        + """
+        SELECT vec_id, cell,
+          CAST(row_number() OVER (PARTITION BY cell
+                 ORDER BY sim ASC, vec_id) AS INTEGER) AS far_rank,
+          row_number() OVER (PARTITION BY cell
+            ORDER BY sim ASC, vec_id) <= 5 AS outlier
+        FROM assign
         """
     )
     return d

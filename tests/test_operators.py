@@ -4925,3 +4925,57 @@ class TestKaplanMeier:
         assert out[1]["event"] and out[1]["duration_days"] == 3
         assert not out[2]["event"] and out[2]["duration_days"] == 9
         assert not out[3]["event"]  # pre-origin purchase ignored
+
+
+class TestClusterOutliers:
+    def test_outliers_are_farthest_per_cell(self, spark):
+        import math
+
+        from unitdb_spark.operators.sampling import cluster_outlier_report
+
+        # two obvious clusters on axes + one planted stray per cluster
+        rows = []
+        vid = 0
+        for base in ([1.0, 0.0], [0.0, 1.0]):
+            for _ in range(6):
+                rows.append((vid, [float(b) for b in base])); vid += 1
+            # stray: tilted 40 degrees off the cluster axis
+            a = math.radians(40)
+            stray = (
+                [math.cos(a), math.sin(a)]
+                if base[0] else [math.sin(a), math.cos(a)]
+            )
+            rows.append((vid, stray)); vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = cluster_outlier_report(
+            df, k=2, n_iters=1, per_cell=1
+        ).collect()
+        # flagged = the min-sim member of each cell under the SAME fit
+        from unitdb_spark.operators.kmeans import kmeans_lloyd
+
+        ref = kmeans_lloyd(df, k=2, n_iters=1, sim_out="_s").collect()
+        expect = {}
+        for r in ref:
+            cur = expect.get(r["cell"])
+            key = (r["_s"], r["vec_id"])
+            if cur is None or key < cur:
+                expect[r["cell"]] = key
+        want = sorted(v[1] for v in expect.values())
+        flagged = sorted(r["vec_id"] for r in out if r["outlier"])
+        assert flagged == want
+        assert all(r["far_rank"] == 1 for r in out if r["outlier"])
+        # every cell flags exactly one member
+        cells = {r["cell"] for r in out}
+        assert sum(1 for r in out if r["outlier"]) == len(cells)
+
+    def test_sim_out_does_not_change_assignment(self, spark):
+        from unitdb_spark.operators.kmeans import kmeans_lloyd
+
+        rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+                for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        plain = {r["vec_id"]: r["cell"]
+                 for r in kmeans_lloyd(df, k=3, n_iters=1).collect()}
+        with_sim = kmeans_lloyd(df, k=3, n_iters=1, sim_out="_s").collect()
+        assert {r["vec_id"]: r["cell"] for r in with_sim} == plain
+        assert all(-1.0001 <= r["_s"] <= 1.0001 for r in with_sim)

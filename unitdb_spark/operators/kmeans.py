@@ -56,14 +56,20 @@ def _init_centroids(
     return pref.orderBy(h, F.col("cent_id")).limit(k)
 
 
-def _assign(df: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _assign(
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str,
+    sim_out: str | None = None,
+) -> DataFrame:
     """Nearest-centroid assignment — delegated to the shared
     ``similarity.nearest_cell_assign``: a zero-shuffle inlined-literal
     argmax projection for k <= its inline cap, broadcast-join +
     map-side max_by beyond."""
     from unitdb_spark.operators.similarity import nearest_cell_assign
 
-    return nearest_cell_assign(df, cents, id_col=id_col, vec_col=vec_col, vec_out="_v")
+    return nearest_cell_assign(
+        df, cents, id_col=id_col, vec_col=vec_col, vec_out="_v",
+        sim_out=sim_out,
+    )
 
 
 def kmeans_lloyd(
@@ -73,12 +79,15 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    sim_out: str | None = None,
 ) -> DataFrame:
     """Cluster ``df[vec_col]`` into ``k`` cells; returns (vec_id, cell).
 
     ``n_iters`` full Lloyd rounds (assign → mean-update) run before the
     final assignment that is returned, so ``n_iters=0`` is plain
     assignment to the sampled init centroids (== IVF assignment).
+    ``sim_out`` adds the winning cosine similarity to the output
+    (assignments unchanged).
     """
     if k < 1 or n_iters < 0:
         raise ValueError("kmeans_lloyd: need k >= 1 and n_iters >= 0")
@@ -105,7 +114,9 @@ def kmeans_lloyd(
             [(r["cent_id"], [float(x) for x in r["_cent"]]) for r in rows],
             "cent_id long, _cent array<double>",
         )
-    return _assign(df, cents, id_col, vec_col).select("vec_id", "cell")
+    final = _assign(df, cents, id_col, vec_col, sim_out=sim_out)
+    keep = ["vec_id", "cell"] + ([sim_out] if sim_out else [])
+    return final.select(*keep)
 
 
 def cluster_sizes(assignment: DataFrame) -> DataFrame:

@@ -241,3 +241,44 @@ def cluster_balanced_sample(
         "cell",
         F.row_number().over(w).alias("admission"),
     ).withColumn("kept", F.col("admission") <= cap)
+
+
+def cluster_outlier_report(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iters: int = 1,
+    per_cell: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier pruning: within each k-means cell, rank
+    members by cosine similarity to their OWN centroid (ascending) and
+    flag the ``per_cell`` farthest — the curation pass that drops
+    mislabeled/garbage vectors before contrastive training, where a
+    global distance threshold would be meaningless across cells of
+    different tightness.
+
+    Output: (vec_id, cell, far_rank, outlier) — integer/boolean only;
+    the float similarity orders the rank window (ties → smaller id)
+    but never leaves the plan, so the result is engine-exact without
+    any rounding convention.
+
+    Scale: the Lloyd fit's cost model (centroids broadcast/inlined,
+    one scan per round); the rank window partitions by cell over the
+    (id, cell, sim) relation — vectors never shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    from unitdb_spark.operators.kmeans import kmeans_lloyd
+
+    assign = kmeans_lloyd(
+        embeddings, k=k, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col, sim_out="_sim",
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("_sim").asc(), id_col)
+    return (
+        assign.select(
+            id_col, "cell", F.row_number().over(w).alias("far_rank")
+        )
+        .withColumn("outlier", F.col("far_rank") <= per_cell)
+    )

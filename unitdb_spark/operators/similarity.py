@@ -300,8 +300,12 @@ def nearest_cell_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vec_out: str = "_v",
+    sim_out: str | None = None,
 ) -> DataFrame:
-    """Nearest-centroid assignment shared by IVF and k-means. For
+    """Nearest-centroid assignment shared by IVF and k-means.
+    ``sim_out`` optionally adds the winning cosine similarity as a
+    column (both paths emit the identical value; output is otherwise
+    unchanged). For
     moderate k the centroids inline as literal arrays and the argmax is
     one greatest() over k structs (sim, -cent_id, cent_id) — a pure
     codegen PROJECTION: the corpus is never joined, exploded, or
@@ -334,20 +338,27 @@ def nearest_cell_assign(
             )
             for r in rows
         ]
-        return base.select(
-            "vec_id", vec_out, F.greatest(*entries)["c"].alias("cell")
-        )
+        best = F.greatest(*entries)
+        out = [F.col("vec_id"), F.col(vec_out), best["c"].alias("cell")]
+        if sim_out is not None:
+            out.append(best["s"].alias(sim_out))
+        return base.select(*out)
     joined = base.join(F.broadcast(cents))
     sim = cosine_expr(vec_out, "_cent").alias("_sim")
+    aggs = [
+        F.first(vec_out).alias(vec_out),
+        F.max_by(
+            "cent_id", F.struct(F.col("_sim"), (-F.col("cent_id")).alias("_nc"))
+        ).alias("cell"),
+    ]
+    if sim_out is not None:
+        # the winning sim IS the max sim (the cent_id tiebreak never
+        # changes the value)
+        aggs.append(F.max("_sim").alias(sim_out))
     return (
         joined.select("vec_id", vec_out, "cent_id", sim)
         .groupBy("vec_id")
-        .agg(
-            F.first(vec_out).alias(vec_out),
-            F.max_by(
-                "cent_id", F.struct(F.col("_sim"), (-F.col("cent_id")).alias("_nc"))
-            ).alias("cell"),
-        )
+        .agg(*aggs)
     )
 
 
