@@ -4127,6 +4127,38 @@ def q_embed_outliers(spark, sf_dir):
     )
 
 
+def q_parts_related_ndcg(spark, sf_dir):
+    """NDCG@10 of the related-items retrieval against an on-brand
+    relevance signal (neighbor shares the query part's brand): the
+    rank-quality readout for the recommendation surface. Binary-
+    relevance gains are integer literals (no float log2 in either
+    engine); NULL where a list has no relevant neighbor."""
+    from unitdb_spark.operators.evaluation import ranking_ndcg
+    from unitdb_spark.operators.graph import related_items
+
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    recs = related_items(li, "l_orderkey", "l_partkey", k=10, min_cooc=2)
+    labeled = (
+        recs.join(
+            part.select(
+                F.col("p_partkey").alias("item"),
+                F.col("p_brand").alias("_ba"),
+            ),
+            "item",
+        )
+        .join(
+            part.select(
+                F.col("p_partkey").alias("neighbor"),
+                F.col("p_brand").alias("_bb"),
+            ),
+            "neighbor",
+        )
+        .select("item", "rank", (F.col("_ba") == F.col("_bb")).alias("rel"))
+    )
+    return ranking_ndcg(labeled, "item", "rank", "rel", k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4377,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_calibration": q_doc_calibration,
         "events_survival": q_events_survival,
         "embed_outliers": q_embed_outliers,
+        "parts_related_ndcg": q_parts_related_ndcg,
     }
 
 
@@ -8345,6 +8378,43 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(sum(n * abs(gap_ppm)) OVER ()
                      / sum(n) OVER ()) AS BIGINT) AS ece_ppm
         FROM s2
+        """
+    )
+    # related-items NDCG: the retrieval oracle becomes a CTE; gains
+    # come from the SAME Python-computed literal table the Spark plan
+    # uses, so neither engine evaluates log2
+    from unitdb_spark.operators.evaluation import (
+        NDCG_GAIN_MICRO, NDCG_PREFIX_MICRO,
+    )
+    _gain_vals = ", ".join(
+        f"({i + 1}, {g}, {p})"
+        for i, (g, p) in enumerate(
+            zip(NDCG_GAIN_MICRO[:10], NDCG_PREFIX_MICRO[:10])
+        )
+    )
+    d["parts_related_ndcg"] = (
+        "WITH rr AS (" + d["parts_related"] + "), "
+        f"gv AS (SELECT * FROM (VALUES {_gain_vals}) AS t(rk, gain, prefix)), "
+        """
+        j AS (
+          SELECT rr.item, rr.rank, (pa.p_brand = pb.p_brand) AS rel
+          FROM rr
+          JOIN part pa ON pa.p_partkey = rr.item
+          JOIN part pb ON pb.p_partkey = rr.neighbor
+        ), per AS (
+          SELECT j.item, count(*) FILTER (rel) AS n_rel,
+            CAST(coalesce(sum(CASE WHEN rel THEN g.gain END), 0) AS BIGINT)
+              AS dcg_micro
+          FROM j JOIN gv g ON g.rk = j.rank
+          GROUP BY 1
+        )
+        SELECT per.item, CAST(n_rel AS BIGINT) AS n_rel, dcg_micro,
+          CASE WHEN n_rel > 0 THEN CAST(p.prefix AS BIGINT) END
+            AS idcg_micro,
+          CASE WHEN n_rel > 0 THEN
+            CAST(floor(dcg_micro * 1000000 / p.prefix) AS BIGINT)
+          END AS ndcg_ppm
+        FROM per LEFT JOIN gv p ON p.rk = per.n_rel
         """
     )
     # embedding outliers: the shared kmeans chain with the winning

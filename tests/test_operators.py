@@ -4979,3 +4979,48 @@ class TestClusterOutliers:
         with_sim = kmeans_lloyd(df, k=3, n_iters=1, sim_out="_s").collect()
         assert {r["vec_id"]: r["cell"] for r in with_sim} == plain
         assert all(-1.0001 <= r["_s"] <= 1.0001 for r in with_sim)
+
+
+class TestRankingNdcg:
+    def test_ndcg_perfect_and_worst_ranking(self, spark):
+        from unitdb_spark.operators.evaluation import (
+            NDCG_GAIN_MICRO, ranking_ndcg,
+        )
+
+        # q1: 2 relevant at top -> perfect; q2: same 2 relevant at the
+        # bottom of a 5-list -> dcg < idcg
+        rows = []
+        for r in range(1, 6):
+            rows.append(("q1", r, r <= 2))
+            rows.append(("q2", r, r >= 4))
+        df = spark.createDataFrame(rows, "q string, rank int, rel boolean")
+        out = {r["item"]: r for r in
+               ranking_ndcg(df, "q", "rank", "rel", k=5).collect()}
+        g = NDCG_GAIN_MICRO
+        assert out["q1"]["dcg_micro"] == g[0] + g[1]
+        assert out["q1"]["idcg_micro"] == g[0] + g[1]
+        assert out["q1"]["ndcg_ppm"] == 1_000_000
+        assert out["q2"]["dcg_micro"] == g[3] + g[4]
+        assert out["q2"]["idcg_micro"] == g[0] + g[1]
+        want = (g[3] + g[4]) * 1_000_000 // (g[0] + g[1])
+        assert out["q2"]["ndcg_ppm"] == want
+
+    def test_ndcg_no_relevant_is_null_and_k_cut(self, spark):
+        from unitdb_spark.operators.evaluation import ranking_ndcg
+
+        rows = [("q", r, False) for r in range(1, 6)]
+        # a relevant item BEYOND k must not count
+        rows.append(("q", 7, True))
+        df = spark.createDataFrame(rows, "q string, rank int, rel boolean")
+        (out,) = ranking_ndcg(df, "q", "rank", "rel", k=5).collect()
+        assert out["n_rel"] == 0 and out["dcg_micro"] == 0
+        assert out["idcg_micro"] is None and out["ndcg_ppm"] is None
+
+    def test_ndcg_gain_table_is_monotone(self):
+        from unitdb_spark.operators.evaluation import (
+            NDCG_GAIN_MICRO, NDCG_PREFIX_MICRO,
+        )
+
+        assert NDCG_GAIN_MICRO[0] == 1_000_000
+        assert list(NDCG_GAIN_MICRO) == sorted(NDCG_GAIN_MICRO, reverse=True)
+        assert NDCG_PREFIX_MICRO[-1] == sum(NDCG_GAIN_MICRO)

@@ -371,3 +371,71 @@ def calibration_report(
             / F.sum("n").over(wall)
         ).cast("long").alias("ece_ppm"),
     )
+
+
+# binary-relevance NDCG gain table: gain(i) = floor(1e6 / log2(i+1)).
+# Computed ONCE here and injected into both the Spark plan and the SQL
+# oracle as literals, so no engine ever evaluates log2 — rank quality
+# becomes pure integer arithmetic.
+import math as _math
+
+NDCG_GAIN_MICRO = tuple(
+    int(1_000_000 / _math.log2(i + 1)) for i in range(1, 33)
+)
+NDCG_PREFIX_MICRO = tuple(
+    sum(NDCG_GAIN_MICRO[: i + 1]) for i in range(len(NDCG_GAIN_MICRO))
+)
+
+
+def ranking_ndcg(
+    recs: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Binary-relevance NDCG@k per query over an already-ranked
+    retrieval table — the standard rank-quality readout for a
+    related-items / ANN surface against any 0/1 relevance signal.
+
+    With binary relevance the discounted gain at rank i is a CONSTANT
+    (`NDCG_GAIN_MICRO[i-1]`), so DCG is an exact integer sum of
+    literals selected by the relevance flags, and the ideal DCG is the
+    n_rel-th prefix sum — no float log2 in either engine. ndcg_ppm is
+    the single pinned floor; NULL when the list has no relevant item
+    (rank quality is undefined, not zero).
+
+    Output: (item, n_rel, dcg_micro, idcg_micro, ndcg_ppm).
+
+    Scale: one partial-agg shuffle on the query key over the rank≤k
+    relation (k rows per query, not the corpus).
+    """
+    if not 1 <= k <= len(NDCG_GAIN_MICRO):
+        raise ValueError(f"ranking_ndcg: k must be in 1..{len(NDCG_GAIN_MICRO)}")
+    gain_arr = F.array(*[F.lit(g) for g in NDCG_GAIN_MICRO[:k]])
+    prefix_arr = F.array(*[F.lit(p) for p in NDCG_PREFIX_MICRO[:k]])
+    base = recs.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("item"),
+        F.col(rank_col).cast("int").alias("_r"),
+        F.col(rel_col).cast("boolean").alias("_rel"),
+    )
+    per = base.groupBy("item").agg(
+        F.count(F.when(F.col("_rel"), 1)).alias("n_rel"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_rel"), F.element_at(gain_arr, F.col("_r")))
+            ),
+            F.lit(0),
+        ).cast("long").alias("dcg_micro"),
+    )
+    idcg = F.element_at(prefix_arr, F.col("n_rel").cast("int"))
+    return per.select(
+        "item", "n_rel", "dcg_micro",
+        F.when(F.col("n_rel") > 0, idcg).cast("long").alias("idcg_micro"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.floor(
+                F.col("dcg_micro") * F.lit(1_000_000) / idcg
+            ),
+        ).cast("long").alias("ndcg_ppm"),
+    )
