@@ -4159,6 +4159,33 @@ def q_parts_related_ndcg(spark, sf_dir):
     return ranking_ndcg(labeled, "item", "rank", "rel", k=10)
 
 
+def q_streamed_json_stats(spark, sf_dir):
+    """Driver-checkable twin of the JSON field profile: per-type
+    (n, n_missing, sum, min, max) partials fold into the versioned
+    commit-logged state (all algebraic, so the state equals the
+    one-shot aggregation bit for bit); mean_ppm derives through the
+    batch operator's shared finish. n_distinct is deliberately absent
+    (not mergeable — the KMV snapshot twin covers sketched
+    distincts), so the oracle is the batch SQL minus that column."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_json_stats,
+        read_json_stats,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_json_stats(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "props", "k", "event_type",
+        f"{base}/jstate",
+        f"{base}/jcp",
+    )
+    q.awaitTermination(300)
+    return read_json_stats(spark, f"{base}/jstate")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4410,6 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival": q_events_survival,
         "embed_outliers": q_embed_outliers,
         "parts_related_ndcg": q_parts_related_ndcg,
+        "streamed_json_stats": q_streamed_json_stats,
     }
 
 
@@ -7025,6 +7053,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type AS "group", count(*) AS n,
           count(*) FILTER (v IS NULL) AS n_missing,
           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+          min(v) AS min_v, max(v) AS max_v,
+          CAST(sum(v) AS BIGINT) AS sum_v,
+          CAST(floor(sum(v) * 1000000
+               / greatest(count(*) - count(*) FILTER (v IS NULL), 1))
+            AS BIGINT) AS mean_ppm
+        FROM (
+          SELECT event_type,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+          FROM events
+        )
+        GROUP BY 1
+        """,
+        # the streaming twin's state carries only the ALGEBRAIC columns
+        # (no n_distinct) — otherwise the batch SQL verbatim
+        "streamed_json_stats": """
+        SELECT event_type AS "group", count(*) AS n,
+          count(*) FILTER (v IS NULL) AS n_missing,
           min(v) AS min_v, max(v) AS max_v,
           CAST(sum(v) AS BIGINT) AS sum_v,
           CAST(floor(sum(v) * 1000000

@@ -1378,3 +1378,42 @@ class TestStreamingCusumNullVsNan:
         assert got[0]["s_r"] is None and got[0]["alarm"] is None
         assert got[1]["s_r"] == 2.0
         assert got[2]["s_r"] == 2.0 and got[2]["alarm"] is False
+
+
+class TestContinuousJsonStats:
+    def test_rolling_json_state_matches_batch(self, spark, events_dir, tmp_path):
+        """The JSON field profile's streaming twin: algebraic partials
+        folded across micro-batches (and a restart boundary) equal the
+        one-shot aggregation, and the derived report — shared finish
+        with the batch operator — equals batch json_field_stats minus
+        the non-mergeable n_distinct column."""
+        from unitdb_spark.operators.olap import json_field_stats
+        from unitdb_spark.streaming.continuous import (
+            continuous_json_stats,
+            read_json_stats,
+        )
+
+        state = str(tmp_path / "js-state")
+        cp = str(tmp_path / "js-cp")
+        ev = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q = continuous_json_stats(ev, "props", "k", "event_type", state, cp)
+        q.awaitTermination(180)
+        # restart with no new data: commit log -> no double count
+        ev2 = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q2 = continuous_json_stats(ev2, "props", "k", "event_type", state, cp)
+        q2.awaitTermination(180)
+
+        batch = spark.read.parquet(events_dir)
+        want = {
+            r["group"]: {k: r[k] for k in
+                         ("n", "n_missing", "min_v", "max_v", "sum_v",
+                          "mean_ppm")}
+            for r in json_field_stats(batch, "props", "k", "event_type").collect()
+        }
+        got = {
+            r["group"]: {k: r[k] for k in
+                         ("n", "n_missing", "min_v", "max_v", "sum_v",
+                          "mean_ppm")}
+            for r in read_json_stats(spark, state).collect()
+        }
+        assert got == want

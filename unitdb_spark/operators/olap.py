@@ -439,25 +439,41 @@ def json_field_stats(
     materialized-column backfill (write the extracted field once,
     query the column forever).
     """
-    v = F.get_json_object(F.col(json_col), f"$.{field}").cast("long")
-    base = df.select(F.col(group_col).alias("group"), v.alias("v"))
-    return (
-        base.groupBy("group")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.when(F.col("v").isNull(), 1)).alias("n_missing"),
-            F.countDistinct("v").alias("n_distinct"),
-            F.min("v").alias("min_v"),
-            F.max("v").alias("max_v"),
-            F.sum("v").alias("sum_v"),
-        )
-        .select(
-            "group", "n", "n_missing",
-            F.col("n_distinct").cast("long").alias("n_distinct"),
-            "min_v", "max_v", "sum_v",
-            F.floor(
-                F.col("sum_v") * F.lit(1_000_000)
-                / F.greatest(F.col("n") - F.col("n_missing"), F.lit(1))
-            ).cast("long").alias("mean_ppm"),
-        )
+    base = df.select(
+        F.col(group_col).alias("group"),
+        json_field_expr(json_col, field).alias("v"),
+    )
+    agg = base.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("v").isNull(), 1)).alias("n_missing"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.sum("v").alias("sum_v"),
+    )
+    return json_stats_finish(agg)
+
+
+def json_field_expr(json_col: str, field: str):
+    """The shared scan-side extraction expression (batch operator and
+    streaming twin must hash the same longs)."""
+    return F.get_json_object(F.col(json_col), f"$.{field}").cast("long")
+
+
+def json_stats_finish(agg: DataFrame) -> DataFrame:
+    """Derive mean_ppm from aggregated JSON-field partials — shared by
+    the batch operator and the streaming twin's read path, so the
+    rolling report IS the batch report on the same counts. Passes
+    n_distinct through when present (it is not algebraically
+    mergeable, so the streaming state does not carry it)."""
+    cols = ["group", "n", "n_missing"]
+    if "n_distinct" in agg.columns:
+        cols.append("n_distinct")
+    cols += ["min_v", "max_v", "sum_v"]
+    return agg.select(
+        *cols,
+        F.floor(
+            F.col("sum_v") * F.lit(1_000_000)
+            / F.greatest(F.col("n") - F.col("n_missing"), F.lit(1))
+        ).cast("long").alias("mean_ppm"),
     )

@@ -320,3 +320,70 @@ def read_seasonal_decompose(
     from unitdb_spark.operators.timeseries import seasonal_from_cells
 
     return seasonal_from_cells(read_cells(spark, state_path), key_col)
+
+
+# ------------------------------------------------ rolling JSON stats
+#
+# The JSON field profile's streaming twin: per-group (n, n_missing,
+# sum_v, min_v, max_v) are all algebraic (sums merge by sum, extrema
+# by min/max), so the committed state equals the one-shot aggregation
+# bit for bit. n_distinct is NOT algebraic and is deliberately absent
+# (the KMV snapshot twin covers sketched distincts); the derived
+# mean_ppm comes from the batch operator's own shared finish
+# (operators.olap.json_stats_finish).
+
+
+def continuous_json_stats(
+    stream: DataFrame,
+    json_col: str,
+    field: str,
+    group_col: str,
+    state_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain the versioned per-group JSON-field stats state; read
+    the report with ``read_json_stats``. Returns the StreamingQuery."""
+    from unitdb_spark.operators.olap import json_field_expr
+
+    def partials(b: DataFrame) -> DataFrame:
+        base = b.select(
+            F.col(group_col).alias("group"),
+            json_field_expr(json_col, field).alias("v"),
+        )
+        return base.groupBy("group").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("v").isNull(), 1)).alias("n_missing"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum("v").alias("sum_v"),
+        )
+
+    def merge(prev: DataFrame, p: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(p)
+            .groupBy("group")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("n_missing").alias("n_missing"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+                F.sum("sum_v").alias("sum_v"),
+            )
+        )
+
+    return _run_maintainer(
+        stream, state_path, checkpoint, partials, merge, trigger_available_now
+    )
+
+
+def read_json_stats(spark, state_path: str) -> DataFrame:
+    """The rolling JSON-field profile over the committed state —
+    identical math to the batch `operators.olap.json_field_stats`
+    minus the non-mergeable n_distinct column."""
+    from unitdb_spark.operators.olap import json_stats_finish
+
+    cur = latest_commit(spark, state_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed json-stats state under {state_path}")
+    return json_stats_finish(spark.read.parquet(_snap_path(state_path, *cur)))
