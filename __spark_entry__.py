@@ -4186,6 +4186,34 @@ def q_streamed_json_stats(spark, sf_dir):
     return read_json_stats(spark, f"{base}/jstate")
 
 
+def q_events_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between the purchase and
+    view value distributions — the unbinned drift test next to
+    events_psi. D and its location are exact cross-multiplied
+    integers; d_ppm is the single pinned floor."""
+    from unitdb_spark.operators.stats_tests import ks_two_sample
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    arm = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    return ks_two_sample(ev, "value", arm)
+
+
+def q_events_m4(spark, sf_dir):
+    """M4 dashboard downsampling (VLDB '14): per event_type and 6-hour
+    bucket, the min/max/first/last values that render the series
+    pixel-exactly. first/last by the deterministic (ts, event_id)
+    rank; one shuffle serves both rank windows and the aggregate."""
+    from unitdb_spark.operators.timeseries import m4_downsample
+
+    return m4_downsample(
+        _events(spark, sf_dir),
+        key_col="event_type", ts_col="ts", value_col="value",
+        order_cols=["event_id"], bucket_s=21600,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4438,6 +4466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_outliers": q_embed_outliers,
         "parts_related_ndcg": q_parts_related_ndcg,
         "streamed_json_stats": q_streamed_json_stats,
+        "events_ks": q_events_ks,
+        "events_m4": q_events_m4,
     }
 
 
@@ -7126,6 +7156,65 @@ def oracle_sql() -> dict[str, str]:
           CAST(st.d AS BIGINT) AS d, CAST(st.c AS BIGINT) AS c,
           km.s AS surv_e12
         FROM steps st JOIN km ON km.rn = st.rn
+        """,
+        "events_ks": """
+        WITH base AS (
+          SELECT value AS v,
+            CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS arm
+          FROM events
+          WHERE event_type IN ('purchase', 'view')
+            AND value IS NOT NULL AND NOT isnan(value)
+        ), per AS (
+          SELECT v,
+            count(*) FILTER (arm = 0) AS na_v,
+            count(*) FILTER (arm = 1) AS nb_v
+          FROM base GROUP BY v
+        ), cum AS (
+          SELECT v,
+            sum(na_v) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+            sum(nb_v) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+            sum(na_v) OVER () AS n_a,
+            sum(nb_v) OVER () AS n_b
+          FROM per
+        ), scored AS (
+          SELECT n_a, n_b, abs(ca * n_b - cb * n_a) AS d,
+            CAST(v AS DOUBLE) AS vd
+          FROM cum
+        ), best AS (
+          SELECT n_a, n_b, d, vd FROM scored
+          ORDER BY d DESC, vd ASC LIMIT 1
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          CAST(d AS BIGINT) AS d_scaled,
+          CASE WHEN n_a > 0 AND n_b > 0 THEN
+            CAST(floor(d * 1000000 / (n_a * n_b)) AS BIGINT)
+          END AS d_ppm,
+          vd AS ks_at
+        FROM best
+        """,
+        "events_m4": """
+        WITH base AS (
+          SELECT event_type AS key, epoch_us(ts) AS t, value AS v, event_id
+          FROM events
+        ), b AS (
+          SELECT key, CAST(floor(t / 21600000000) AS BIGINT) AS bk, t, v,
+            event_id
+          FROM base
+        ), r AS (
+          SELECT key, bk, v,
+            row_number() OVER (PARTITION BY key, bk
+              ORDER BY t, event_id) AS ra,
+            row_number() OVER (PARTITION BY key, bk
+              ORDER BY t DESC, event_id DESC) AS rd
+          FROM b
+        )
+        SELECT key, CAST(bk * 21600 AS BIGINT) AS bucket_start_s,
+          count(*) AS n, min(v) AS min_v, max(v) AS max_v,
+          max(CASE WHEN ra = 1 THEN v END) AS first_v,
+          max(CASE WHEN rd = 1 THEN v END) AS last_v
+        FROM r GROUP BY key, bk
         """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,

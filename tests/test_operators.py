@@ -5024,3 +5024,87 @@ class TestRankingNdcg:
         assert NDCG_GAIN_MICRO[0] == 1_000_000
         assert list(NDCG_GAIN_MICRO) == sorted(NDCG_GAIN_MICRO, reverse=True)
         assert NDCG_PREFIX_MICRO[-1] == sum(NDCG_GAIN_MICRO)
+
+
+class TestKsAndM4:
+    def test_ks_identical_samples_zero(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import ks_two_sample
+
+        rows = [(float(i), a) for i in range(20) for a in (0, 1)]
+        df = spark.createDataFrame(rows, "v double, arm int")
+        (r,) = ks_two_sample(df, "v", F.col("arm")).collect()
+        assert r["d_scaled"] == 0 and r["d_ppm"] == 0
+
+    def test_ks_disjoint_samples_is_one(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import ks_two_sample
+
+        rows = [(float(i), 0) for i in range(10)] + [
+            (float(i + 100), 1) for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "v double, arm int")
+        (r,) = ks_two_sample(df, "v", F.col("arm")).collect()
+        assert r["d_ppm"] == 1_000_000  # fully separated ECDFs
+        assert r["ks_at"] == 9.0  # max first reached at A's last value
+
+    def test_ks_hand_computed(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import ks_two_sample
+
+        # A = {1,2,3,4}, B = {3,4,5,6}: max |ECDF diff| = 0.5 at v=2
+        a = [(float(v), 0) for v in (1, 2, 3, 4)]
+        b = [(float(v), 1) for v in (3, 4, 5, 6)]
+        df = spark.createDataFrame(a + b, "v double, arm int")
+        (r,) = ks_two_sample(df, "v", F.col("arm")).collect()
+        assert r["n_a"] == 4 and r["n_b"] == 4
+        assert r["d_scaled"] == 8  # |2*4 - 0*4|
+        assert r["d_ppm"] == 500_000
+        assert r["ks_at"] == 2.0  # smallest value attaining the max
+
+    def test_m4_per_bucket_points(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import m4_downsample
+
+        t0 = dt.datetime(2024, 1, 1)
+        mk = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+        rows = [
+            ("k", mk(0), 5.0, 1),   # bucket 0: first
+            ("k", mk(10), 9.0, 2),  # max
+            ("k", mk(20), 1.0, 3),  # min
+            ("k", mk(30), 4.0, 4),  # last
+            ("k", mk(70), 2.0, 5),  # bucket 1 single point
+        ]
+        df = spark.createDataFrame(
+            rows, "key string, ts timestamp, value double, event_id int"
+        )
+        out = {r["bucket_start_s"]: r for r in m4_downsample(
+            df, "key", "ts", "value", ["event_id"], bucket_s=3600
+        ).collect()}
+        b0 = out[int(t0.replace(tzinfo=dt.timezone.utc).timestamp())]
+        assert (b0["first_v"], b0["last_v"], b0["min_v"], b0["max_v"]) == (
+            5.0, 4.0, 1.0, 9.0
+        ) and b0["n"] == 4
+        b1 = out[int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) + 3600]
+        assert b1["n"] == 1 and all(
+            b1[c] == 2.0 for c in ("first_v", "last_v", "min_v", "max_v")
+        )
+
+    def test_m4_tiebreak_on_equal_ts(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import m4_downsample
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("k", t0, 7.0, 2), ("k", t0, 3.0, 1)]  # same ts
+        df = spark.createDataFrame(
+            rows, "key string, ts timestamp, value double, event_id int"
+        )
+        (r,) = m4_downsample(
+            df, "key", "ts", "value", ["event_id"], bucket_s=3600
+        ).collect()
+        assert r["first_v"] == 3.0 and r["last_v"] == 7.0  # id order

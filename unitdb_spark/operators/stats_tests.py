@@ -234,3 +234,70 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6)
         ).alias("rho_r"),
     )
+
+
+def ks_two_sample(df: DataFrame, value_col: str, arm_col) -> DataFrame:
+    """One-row two-sample Kolmogorov-Smirnov distance — the
+    distribution-drift test to run between two cohorts or two time
+    periods when PSI's fixed binning is too coarse. D = max |ECDF_A −
+    ECDF_B| evaluated WITHOUT floats: at each distinct value,
+
+        |cumA·n_b − cumB·n_a|
+
+    is an exact cross-multiplied integer (the ECDF difference times
+    n_a·n_b), so the max and its location are engine-exact; d_ppm is
+    the single pinned floor at the end. The location reported is the
+    SMALLEST value attaining the max (deterministic tie rule).
+
+    Output: (n_a, n_b, d_scaled, d_ppm, ks_at).
+
+    Scale: one value-group agg + one ordered pass over DISTINCT
+    values (same envelope as `mann_whitney_u`: pre-quantize metrics
+    with ≳1e8 distinct values). Integer envelope: cum·n must stay in
+    BIGINT — n_a·n_b < 9·10¹⁸, i.e. ~3·10⁹ rows per side.
+    """
+    base = df.select(
+        F.col(value_col).alias("_v"), arm_col.cast("int").alias("_arm")
+    ).filter(
+        F.col("_v").isNotNull() & ~F.isnan(F.col("_v").cast("double"))
+    )
+    per = base.groupBy("_v").agg(
+        F.count(F.when(F.col("_arm") == 0, 1)).alias("na_v"),
+        F.count(F.when(F.col("_arm") == 1, 1)).alias("nb_v"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    cum = per.select(
+        "_v",
+        F.sum("na_v").over(w).alias("ca"),
+        F.sum("nb_v").over(w).alias("cb"),
+        F.sum("na_v").over(wall).alias("n_a"),
+        F.sum("nb_v").over(wall).alias("n_b"),
+    )
+    d = F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+    scored = cum.select(
+        "n_a", "n_b", d.alias("_d"), F.col("_v").cast("double").alias("_vd")
+    )
+    agg = scored.groupBy("n_a", "n_b").agg(
+        F.max("_d").alias("d_scaled"),
+        # smallest value attaining the max: max over (d, -v) then negate
+        (-F.max(F.struct(F.col("_d").alias("d"),
+                         (-F.col("_vd")).alias("nv")))["nv"]).alias("ks_at"),
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("d_scaled").cast("long").alias("d_scaled"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.floor(
+                F.col("d_scaled") * F.lit(1_000_000)
+                / (F.col("n_a") * F.col("n_b"))
+            ),
+        ).cast("long").alias("d_ppm"),
+        "ks_at",
+    )

@@ -807,3 +807,61 @@ def seasonal_from_cells(
             "residual_mu"
         ),
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str],
+    bucket_s: int = 21600,
+) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    (key, time bucket) keep min/max/first/last of the value — the
+    four points that make a line chart over the bucket pixel-exact,
+    which is why it is THE dashboard-rendering reduction (error-free
+    at one bucket per pixel, unlike averaging which flattens spikes).
+
+    first/last are decided by (ts, *order_cols) row_number windows —
+    the repo's deterministic tiebreak discipline — and min/max are
+    plain aggregates; values pass through untouched (no rounding
+    convention needed: both engines aggregate identical input
+    doubles).
+
+    Output: (key, bucket_start_s, n, min_v, max_v, first_v, last_v).
+
+    Scale: ONE shuffle on (key, bucket); the two rank windows and the
+    final aggregation all reuse that exchange. A month of µs events
+    reduces to keys × (span/bucket) rows — the point of M4.
+    """
+    from pyspark.sql import Window
+
+    bucket_us = bucket_s * 1_000_000
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        F.col(key_col).alias("key"),
+        t.alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+        *[F.col(c) for c in order_cols],
+    ).withColumn("_b", F.floor(F.col("_t") / F.lit(bucket_us)).cast("long"))
+    w_asc = Window.partitionBy("key", "_b").orderBy("_t", *order_cols)
+    w_desc = Window.partitionBy("key", "_b").orderBy(
+        F.col("_t").desc(), *[F.col(c).desc() for c in order_cols]
+    )
+    ranked = base.select(
+        "key", "_b", "_v",
+        F.row_number().over(w_asc).alias("_ra"),
+        F.row_number().over(w_desc).alias("_rd"),
+    )
+    return ranked.groupBy("key", "_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_v").alias("min_v"),
+        F.max("_v").alias("max_v"),
+        F.max(F.when(F.col("_ra") == 1, F.col("_v"))).alias("first_v"),
+        F.max(F.when(F.col("_rd") == 1, F.col("_v"))).alias("last_v"),
+    ).select(
+        "key",
+        (F.col("_b") * F.lit(bucket_s)).cast("long").alias("bucket_start_s"),
+        "n", "min_v", "max_v", "first_v", "last_v",
+    )
