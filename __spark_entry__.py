@@ -4214,6 +4214,45 @@ def q_events_m4(spark, sf_dir):
     )
 
 
+def q_events_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (Deng '13): per-user
+    purchase spend in the second half-month adjusted by the first
+    half as covariate, hash-assigned arms. Exact DECIMAL moments in
+    one aggregation; θ and the adjusted means are pinned round-6."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.evaluation import cuped_adjusted
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.dayofmonth("ts") <= 15,
+                         F.col("value").cast("decimal(18,2)"))),
+            F.lit(0).cast("decimal(18,2)"),
+        ).cast("decimal(18,2)").alias("x_pre"),
+        F.coalesce(
+            F.sum(F.when(F.dayofmonth("ts") > 15,
+                         F.col("value").cast("decimal(18,2)"))),
+            F.lit(0).cast("decimal(18,2)"),
+        ).cast("decimal(18,2)").alias("y_post"),
+    )
+    arm = (
+        md5_int60(F.concat(F.col("user_id").cast("string"), F.lit(":cu"))) % 2
+    ).cast("int")
+    return cuped_adjusted(per_user, "y_post", "x_pre", arm)
+
+
+def q_orders_robust_mean(spark, sf_dir):
+    """Trimmed and winsorized order-value means per priority class
+    (5% each tail) next to the whale-draggable plain mean — exact
+    cents, DECIMAL(38,0) sums, floor micro-cents out."""
+    from unitdb_spark.operators.profile import robust_mean_report
+
+    return robust_mean_report(
+        _read(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice",
+        trim_ppm=50_000,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4468,6 +4507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_json_stats": q_streamed_json_stats,
         "events_ks": q_events_ks,
         "events_m4": q_events_m4,
+        "events_cuped": q_events_cuped,
+        "orders_robust_mean": q_orders_robust_mean,
     }
 
 
@@ -7215,6 +7256,110 @@ def oracle_sql() -> dict[str, str]:
           max(CASE WHEN ra = 1 THEN v END) AS first_v,
           max(CASE WHEN rd = 1 THEN v END) AS last_v
         FROM r GROUP BY key, bk
+        """,
+        "events_cuped": """
+        WITH pu AS (
+          SELECT user_id,
+            CAST(coalesce(sum(CASE WHEN day(ts) <= 15
+                   THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                 AS DECIMAL(18,2)) AS x,
+            CAST(coalesce(sum(CASE WHEN day(ts) > 15
+                   THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                 AS DECIMAL(18,2)) AS y
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), b AS (
+          SELECT x, y,
+            CAST((CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':cu'),
+                        1, 15)) AS BIGINT) % 2) AS INTEGER) AS arm
+          FROM pu
+        ), m AS (
+          SELECT count(*) AS n,
+            CAST(sum(CAST(x AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(y AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+            CAST(sum(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+            count(*) FILTER (arm = 0) AS n_a,
+            CAST(sum(CAST(x AS DECIMAL(38,4))) FILTER (arm = 0) AS DOUBLE)
+              AS sx_a,
+            CAST(sum(CAST(y AS DECIMAL(38,4))) FILTER (arm = 0) AS DOUBLE)
+              AS sy_a,
+            count(*) FILTER (arm = 1) AS n_b,
+            CAST(sum(CAST(x AS DECIMAL(38,4))) FILTER (arm = 1) AS DOUBLE)
+              AS sx_b,
+            CAST(sum(CAST(y AS DECIMAL(38,4))) FILTER (arm = 1) AS DOUBLE)
+              AS sy_b
+          FROM b
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0.0 THEN
+            round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)
+          END AS theta_r,
+          round(sy_a / CAST(n_a AS DOUBLE), 6) AS ya_r,
+          round(sy_b / CAST(n_b AS DOUBLE), 6) AS yb_r,
+          round(sy_a / CAST(n_a AS DOUBLE) - sy_b / CAST(n_b AS DOUBLE), 6)
+            AS diff_r,
+          CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0.0 THEN
+            round(sy_a / CAST(n_a AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx))
+                    * (sx_a / CAST(n_a AS DOUBLE) - sx / CAST(n AS DOUBLE)),
+                  6)
+          ELSE round(sy_a / CAST(n_a AS DOUBLE), 6) END AS adj_a_r,
+          CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0.0 THEN
+            round(sy_b / CAST(n_b AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx))
+                    * (sx_b / CAST(n_b AS DOUBLE) - sx / CAST(n AS DOUBLE)),
+                  6)
+          ELSE round(sy_b / CAST(n_b AS DOUBLE), 6) END AS adj_b_r,
+          CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0.0 THEN
+            round((sy_a / CAST(n_a AS DOUBLE)
+                   - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n AS DOUBLE) * sxx - sx * sx))
+                     * (sx_a / CAST(n_a AS DOUBLE) - sx / CAST(n AS DOUBLE)))
+                  - (sy_b / CAST(n_b AS DOUBLE)
+                     - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx))
+                       * (sx_b / CAST(n_b AS DOUBLE)
+                          - sx / CAST(n AS DOUBLE))),
+                  6)
+          ELSE round(sy_a / CAST(n_a AS DOUBLE)
+                     - sy_b / CAST(n_b AS DOUBLE), 6)
+          END AS adj_diff_r
+        FROM m
+        """,
+        "orders_robust_mean": """
+        WITH base AS (
+          SELECT o_orderpriority AS g,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+        ), r AS (
+          SELECT g, x,
+            row_number() OVER (PARTITION BY g ORDER BY x) AS i,
+            count(*) OVER (PARTITION BY g) AS n
+          FROM base
+        ), r2 AS (
+          SELECT *, CAST(floor(n * 50000 / 1000000) AS BIGINT) AS k FROM r
+        ), a AS (
+          SELECT g, max(n) AS n, max(k) AS k,
+            sum(x) AS s_all,
+            sum(CASE WHEN i > k AND i <= n - k THEN x END) AS s_kept,
+            count(CASE WHEN i > k AND i <= n - k THEN 1 END) AS n_kept,
+            max(CASE WHEN i = k + 1 THEN x END) AS lo,
+            max(CASE WHEN i = n - k THEN x END) AS hi
+          FROM r2 GROUP BY g
+        )
+        SELECT g AS "group", CAST(n AS BIGINT) AS n,
+          CAST(k AS BIGINT) AS k_trim, CAST(n_kept AS BIGINT) AS n_kept,
+          CAST(floor(CAST(s_all AS DOUBLE) * 1000000 / n) AS BIGINT)
+            AS mean_micro,
+          CAST(floor(CAST(s_kept AS DOUBLE) * 1000000
+                     / greatest(n_kept, 1)) AS BIGINT) AS trimmed_micro,
+          CAST(floor(CAST(s_kept + k * lo + k * hi AS DOUBLE) * 1000000 / n)
+            AS BIGINT) AS winsor_micro
+        FROM a
         """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,

@@ -5108,3 +5108,69 @@ class TestKsAndM4:
             df, "key", "ts", "value", ["event_id"], bucket_s=3600
         ).collect()
         assert r["first_v"] == 3.0 and r["last_v"] == 7.0  # id order
+
+
+class TestCupedRobustMean:
+    def test_cuped_hand_computed_moments(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.evaluation import cuped_adjusted
+
+        # (x, y, arm): sxy = 2+8+21+36 = 67 -> theta =
+        # (4*67-10*22)/(4*30-100) = 48/20 = 2.4; muX = 2.5;
+        # adj_a = 3 - 2.4*(1.5-2.5) = 5.4; adj_b = 8 - 2.4*1 = 5.6
+        rows = [(1.0, 2.0, 0), (2.0, 4.0, 0), (3.0, 7.0, 1), (4.0, 9.0, 1)]
+        df = spark.createDataFrame(rows, "x double, y double, arm int")
+        (r,) = cuped_adjusted(df, "y", "x", F.col("arm")).collect()
+        assert r["theta_r"] == 2.4
+        assert r["ya_r"] == 3.0 and r["yb_r"] == 8.0 and r["diff_r"] == -5.0
+        assert r["adj_a_r"] == 5.4 and r["adj_b_r"] == 5.6
+        assert abs(r["adj_diff_r"] + 0.2) < 1e-9
+
+    def test_cuped_randomized_arms_theta_one(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.evaluation import cuped_adjusted
+
+        # Y = X exactly, arms independent of X -> theta == 1 and the
+        # adjusted arm means collapse onto the pooled mean
+        rows = [(float(10 + (i * 7) % 50),) * 2 + (i % 2,) for i in range(40)]
+        df = spark.createDataFrame(rows, "x double, y double, arm int")
+        (r,) = cuped_adjusted(df, "y", "x", F.col("arm")).collect()
+        assert r["theta_r"] == 1.0
+        assert r["adj_a_r"] == r["adj_b_r"]  # all X-variance removed
+        assert r["adj_diff_r"] == 0.0
+
+    def test_cuped_zero_variance_covariate_falls_back(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.evaluation import cuped_adjusted
+
+        rows = [(5.0, float(i), i % 2) for i in range(10)]
+        df = spark.createDataFrame(rows, "x double, y double, arm int")
+        (r,) = cuped_adjusted(df, "y", "x", F.col("arm")).collect()
+        assert r["theta_r"] is None
+        assert r["adj_diff_r"] == r["diff_r"]
+
+    def test_robust_mean_trims_the_whale(self, spark):
+        from unitdb_spark.operators.profile import robust_mean_report
+
+        # 18 x $1 + one $0 + one $1000 whale, 5% trim -> k=1 cuts both
+        rows = [("g", 1.0)] * 18 + [("g", 0.0), ("g", 1000.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        (r,) = robust_mean_report(df, "g", "v", trim_ppm=50_000).collect()
+        assert r["n"] == 20 and r["k_trim"] == 1 and r["n_kept"] == 18
+        assert r["trimmed_micro"] == 100 * 1_000_000  # exactly $1.00
+        # winsorized: tails replaced by $1 boundaries -> also $1 mean
+        assert r["winsor_micro"] == 100 * 1_000_000
+        # plain mean dragged by the whale: (18*100 + 0 + 100000)/20
+        assert r["mean_micro"] == (18 * 100 + 100000) * 1_000_000 // 20
+
+    def test_robust_mean_zero_trim_equals_mean(self, spark):
+        from unitdb_spark.operators.profile import robust_mean_report
+
+        rows = [("g", float(v)) for v in (1, 2, 3, 4)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        (r,) = robust_mean_report(df, "g", "v", trim_ppm=0).collect()
+        assert r["k_trim"] == 0
+        assert r["mean_micro"] == r["trimmed_micro"] == r["winsor_micro"]

@@ -439,3 +439,74 @@ def ranking_ndcg(
             ),
         ).cast("long").alias("ndcg_ppm"),
     )
+
+
+def cuped_adjusted(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    arm_col,
+) -> DataFrame:
+    """One-row CUPED variance-reduced A/B readout (Deng et al., WSDM
+    2013): adjust each unit's metric by its pre-period covariate,
+    Y' = Y − θ·(X − μX) with θ = cov(X,Y)/var(X) pooled across arms —
+    the industry-standard way to cut experiment runtime when a
+    correlated pre-metric exists.
+
+    All moments (per-arm and pooled n, ΣX, ΣY, ΣXX, ΣXY in exact
+    DECIMAL cents) come from ONE aggregation; θ, the raw and adjusted
+    per-arm means, and both diffs are pinned round-6 doubles over
+    those exact inputs. θ is NULL (and adjusted columns fall back to
+    the raw means) when var(X) is 0 — no covariate signal, nothing to
+    adjust.
+
+    Output: (n_a, n_b, theta_r, ya_r, yb_r, diff_r, adj_a_r,
+    adj_b_r, adj_diff_r).
+    """
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    base = df.select(
+        dec(metric_col).alias("_y"),
+        dec(covariate_col).alias("_x"),
+        arm_col.cast("int").alias("_arm"),
+    ).filter(F.col("_y").isNotNull() & F.col("_x").isNotNull())
+    d38 = "decimal(38,4)"
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_x").cast(d38)).alias("sx"),
+        F.sum(F.col("_y").cast(d38)).alias("sy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("_x") * F.col("_y")).cast(d38)).alias("sxy"),
+        F.count(F.when(F.col("_arm") == 0, 1)).alias("n_a"),
+        F.sum(F.when(F.col("_arm") == 0, F.col("_x")).cast(d38)).alias("sx_a"),
+        F.sum(F.when(F.col("_arm") == 0, F.col("_y")).cast(d38)).alias("sy_a"),
+        F.count(F.when(F.col("_arm") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("_arm") == 1, F.col("_x")).cast(d38)).alias("sx_b"),
+        F.sum(F.when(F.col("_arm") == 1, F.col("_y")).cast(d38)).alias("sy_b"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nD = d("n")
+    varx = nD * d("sxx") - d("sx") * d("sx")
+    covxy = nD * d("sxy") - d("sx") * d("sy")
+    theta = covxy / varx
+    mux = d("sx") / nD
+    ya = d("sy_a") / d("n_a")
+    yb = d("sy_b") / d("n_b")
+    xa = d("sx_a") / d("n_a")
+    xb = d("sx_b") / d("n_b")
+    adj_a = ya - theta * (xa - mux)
+    adj_b = yb - theta * (xb - mux)
+    has_theta = varx > F.lit(0.0)
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(has_theta, F.round(theta, 6)).alias("theta_r"),
+        F.round(ya, 6).alias("ya_r"),
+        F.round(yb, 6).alias("yb_r"),
+        F.round(ya - yb, 6).alias("diff_r"),
+        F.when(has_theta, F.round(adj_a, 6)).otherwise(F.round(ya, 6))
+        .alias("adj_a_r"),
+        F.when(has_theta, F.round(adj_b, 6)).otherwise(F.round(yb, 6))
+        .alias("adj_b_r"),
+        F.when(has_theta, F.round(adj_a - adj_b, 6))
+        .otherwise(F.round(ya - yb, 6)).alias("adj_diff_r"),
+    )

@@ -412,3 +412,75 @@ def gini_by_group(
             F.floor(num * F.lit(1_000_000.0) / den).cast("long"),
         ).alias("gini_ppm"),
     )
+
+
+def robust_mean_report(
+    df: DataFrame, group_col: str, value_col: str, trim_ppm: int = 50_000
+) -> DataFrame:
+    """Per-group trimmed and winsorized means on exact cents — the
+    robust location estimates a metrics pipeline needs next to the
+    plain mean, which one whale order can drag arbitrarily.
+
+    k = ⌊n·trim_ppm/1e6⌋ rows are cut from EACH tail by value rank
+    (ties are value-identical under trimming, so the arbitrary
+    row_number among equals cannot change any sum); winsorizing
+    replaces each cut tail with k copies of the surviving boundary
+    value. Every sum accumulates in DECIMAL(38,0) cents; the three
+    means are floor micro-cents (cents·1e6/n) — integer-exact end to
+    end, no float accumulation anywhere.
+
+    Output: (group, n, k_trim, n_kept, mean_micro, trimmed_micro,
+    winsor_micro).
+
+    Scale: ONE shuffle — the rank window partitions by group; the
+    aggregation reuses the exchange.
+    """
+    from pyspark.sql import Window
+
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    base = df.select(
+        F.col(group_col).alias("g"), cents.alias("x")
+    ).filter(F.col("x").isNotNull())
+    w = Window.partitionBy("g").orderBy("x")
+    wn = Window.partitionBy("g")
+    ranked = base.select(
+        "g", "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn(
+        "k", F.floor(F.col("n") * F.lit(trim_ppm) / F.lit(1_000_000))
+        .cast("long")
+    )
+    kept = (F.col("i") > F.col("k")) & (F.col("i") <= F.col("n") - F.col("k"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(dec(F.col("x"))).alias("s_all"),
+        F.sum(F.when(kept, dec(F.col("x")))).alias("s_kept"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.max(F.when(F.col("i") == F.col("k") + 1, F.col("x")))
+        .alias("lo"),
+        F.max(F.when(F.col("i") == F.col("n") - F.col("k"), F.col("x")))
+        .alias("hi"),
+    )
+    ws = (
+        F.col("s_kept")
+        + dec(F.col("k") * F.col("lo"))
+        + dec(F.col("k") * F.col("hi"))
+    )
+    micro = F.lit(1_000_000)
+    return agg.select(
+        F.col("g").alias("group"),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k_trim"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.floor(F.col("s_all").cast("double") * micro / F.col("n"))
+        .cast("long").alias("mean_micro"),
+        F.floor(
+            F.col("s_kept").cast("double") * micro
+            / F.greatest(F.col("n_kept"), F.lit(1))
+        ).cast("long").alias("trimmed_micro"),
+        F.floor(ws.cast("double") * micro / F.col("n"))
+        .cast("long").alias("winsor_micro"),
+    )
