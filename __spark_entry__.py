@@ -4253,6 +4253,21 @@ def q_orders_robust_mean(spark, sf_dir):
     )
 
 
+def q_events_lag_corr(spark, sf_dir):
+    """Cross-correlation profile: hourly purchase counts vs error
+    counts shifted by each lag in ±12 h, both series densified onto
+    the full hour spine (missing hours are real zeros). Integer
+    moments per lag; one pinned round-6 correlation each."""
+    from unitdb_spark.operators.timeseries import lag_correlation
+
+    return lag_correlation(
+        _events(spark, sf_dir),
+        key_col="event_type", ts_col="ts",
+        key_a="purchase", key_b="error",
+        bucket_s=3600, max_lag=12,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4509,6 +4524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_m4": q_events_m4,
         "events_cuped": q_events_cuped,
         "orders_robust_mean": q_orders_robust_mean,
+        "events_lag_corr": q_events_lag_corr,
     }
 
 
@@ -7360,6 +7376,55 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(CAST(s_kept + k * lo + k * hi AS DOUBLE) * 1000000 / n)
             AS BIGINT) AS winsor_micro
         FROM a
+        """,
+        "events_lag_corr": """
+        WITH c AS (
+          SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+            event_type AS k, count(*) AS n
+          FROM events WHERE event_type IN ('purchase', 'error')
+          GROUP BY 1, 2
+        ), bounds AS (
+          SELECT min(h) AS mn, max(h) AS mx FROM c
+        ), spine AS (
+          -- the table function needs constants; the LIST form of
+          -- generate_series takes columns, unnest explodes it
+          SELECT unnest(generate_series(mn, mx)) AS h FROM bounds
+        ), sa AS (
+          SELECT spine.h, CAST(coalesce(c.n, 0) AS BIGINT) AS x
+          FROM spine LEFT JOIN c ON c.h = spine.h AND c.k = 'purchase'
+        ), sb AS (
+          SELECT spine.h, CAST(coalesce(c.n, 0) AS BIGINT) AS y
+          FROM spine LEFT JOIN c ON c.h = spine.h AND c.k = 'error'
+        ), lags AS (
+          SELECT CAST(gs.l AS BIGINT) AS lag
+          FROM generate_series(-12, 12) AS gs(l)
+        ), j AS (
+          SELECT lags.lag, sa.x, sb.y
+          FROM lags CROSS JOIN sa JOIN sb ON sb.h = sa.h + lags.lag
+        ), m AS (
+          SELECT lag, count(*) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(y * y) AS BIGINT) AS syy,
+            CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM j GROUP BY 1
+        )
+        SELECT lag, CAST(n AS BIGINT) AS n,
+          CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN
+            round(
+              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt(
+                  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                ), 6)
+          END AS corr_r
+        FROM m
         """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,

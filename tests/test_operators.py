@@ -5174,3 +5174,47 @@ class TestCupedRobustMean:
         (r,) = robust_mean_report(df, "g", "v", trim_ppm=0).collect()
         assert r["k_trim"] == 0
         assert r["mean_micro"] == r["trimmed_micro"] == r["winsor_micro"]
+
+
+class TestLagCorrelation:
+    def test_planted_lag_is_detected(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import lag_correlation
+
+        # B is exactly A shifted by +3 buckets: corr at lag 3 == 1.0
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        pattern = [5, 1, 9, 2, 7, 3, 8, 1, 6, 4] * 3
+        for hour, cnt in enumerate(pattern):
+            for j in range(cnt):
+                rows.append(("a", t0 + dt.timedelta(hours=hour, seconds=j)))
+            for j in range(cnt):
+                rows.append(("b", t0 + dt.timedelta(hours=hour + 3, seconds=j)))
+        df = spark.createDataFrame(rows, "k string, ts timestamp")
+        out = {r["lag"]: r for r in lag_correlation(
+            df, "k", "ts", "a", "b", bucket_s=3600, max_lag=5
+        ).collect()}
+        assert len(out) == 11
+        assert out[3]["corr_r"] == 1.0
+        # every other lag is strictly worse
+        for lag, r in out.items():
+            if lag != 3 and r["corr_r"] is not None:
+                assert r["corr_r"] < 1.0
+
+    def test_zero_variance_side_is_null(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import lag_correlation
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        for hour in range(6):
+            rows.append(("a", t0 + dt.timedelta(hours=hour)))  # constant 1/h
+            for j in range(hour + 1):
+                rows.append(("b", t0 + dt.timedelta(hours=hour, seconds=j)))
+        df = spark.createDataFrame(rows, "k string, ts timestamp")
+        out = lag_correlation(
+            df, "k", "ts", "a", "b", bucket_s=3600, max_lag=2
+        ).collect()
+        assert all(r["corr_r"] is None for r in out if r["lag"] == 0)

@@ -865,3 +865,86 @@ def m4_downsample(
         (F.col("_b") * F.lit(bucket_s)).cast("long").alias("bucket_start_s"),
         "n", "min_v", "max_v", "first_v", "last_v",
     )
+
+
+def lag_correlation(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    key_a: str,
+    key_b: str,
+    bucket_s: int = 3600,
+    max_lag: int = 12,
+) -> DataFrame:
+    """Cross-correlation profile between two event series: Pearson
+    correlation of A's per-bucket counts against B's shifted by each
+    lag in [−max_lag, +max_lag] — "do errors follow deploys, and by
+    how many hours?". A positive-lag peak means B trails A.
+
+    Both series are densified onto the full bucket spine (missing
+    buckets count 0 — skipping them would silently bias the moments),
+    the shift is an integer-bucket equi-join per lag, and every
+    moment is an exact integer sum; each lag's correlation is the one
+    pinned round-6 float (NULL on zero variance in the overlap).
+
+    Output: (lag, n, corr_r) — one row per lag.
+
+    Scale: the count aggregation is the only data-sized shuffle; the
+    spine and the 2·max_lag+1 lag joins run on the bucket relation
+    (span/bucket rows — thousands, not the corpus).
+    """
+    bucket_us = bucket_s * 1_000_000
+    h = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(bucket_us)
+    ).cast("long")
+    counts = (
+        df.filter(F.col(key_col).isin(key_a, key_b))
+        .select(h.alias("h"), F.col(key_col).alias("k"))
+        .groupBy("h", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = counts.agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("h")
+    )
+
+    def dense(key: str, out: str) -> DataFrame:
+        side = counts.filter(F.col("k") == key).select(
+            "h", F.col("n").alias(out)
+        )
+        return spine.join(side, "h", "left").select(
+            "h", F.coalesce(out, F.lit(0)).alias(out)
+        )
+
+    sa = dense(key_a, "x")
+    sb = dense(key_b, "y")
+    spark = df.sparkSession
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    j = sa.crossJoin(F.broadcast(lags)).join(
+        sb.select(F.col("h").alias("h2"), "y"),
+        F.col("h2") == F.col("h") + F.col("lag"),
+    )
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nD = d("n")
+    num = nD * d("sxy") - d("sx") * d("sy")
+    vx = nD * d("sxx") - d("sx") * d("sx")
+    vy = nD * d("syy") - d("sy") * d("sy")
+    return m.select(
+        "lag",
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6)
+        ).alias("corr_r"),
+    )
