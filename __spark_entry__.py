@@ -4268,6 +4268,40 @@ def q_events_lag_corr(spark, sf_dir):
     )
 
 
+def q_events_audience_overlap(spark, sf_dir):
+    """Exact pairwise audience overlap between event types (shared
+    distinct users + exact Jaccard) — the ground truth next to
+    events_kmv_overlap's sketch estimates. Per-user pair fan-out is
+    |types|², user-blocked."""
+    from unitdb_spark.operators.olap import audience_overlap
+
+    return audience_overlap(_events(spark, sf_dir), "event_type", "user_id")
+
+
+def q_orders_lorenz(spark, sf_dir):
+    """Lorenz-curve decile table over customer revenue: each revenue
+    decile's share and cumulative share of total spend — the curve
+    orders_gini summarizes into one number. Exact cents, floor-ppm
+    shares, deterministic (value, custkey) decile assignment."""
+    from unitdb_spark.operators.profile import lorenz_deciles
+
+    return lorenz_deciles(
+        _read(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
+def q_doc_source_infogain(spark, sf_dir):
+    """Gini-impurity information gain of the document source against
+    the Gopher keep gate: does provenance predict quality? Rational
+    arithmetic end to end — G = 2·pos·neg/n² needs no logarithm."""
+    from unitdb_spark.operators.evaluation import gini_gain
+
+    gold = _gopher_planted(spark, sf_dir).select(
+        "doc_id", "source", TXT.gopher_rules("text")["keep"].alias("gold")
+    )
+    return gini_gain(gold, "source", "gold")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4525,6 +4559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cuped": q_events_cuped,
         "orders_robust_mean": q_orders_robust_mean,
         "events_lag_corr": q_events_lag_corr,
+        "events_audience_overlap": q_events_audience_overlap,
+        "orders_lorenz": q_orders_lorenz,
+        "doc_source_infogain": q_doc_source_infogain,
     }
 
 
@@ -7426,6 +7463,46 @@ def oracle_sql() -> dict[str, str]:
           END AS corr_r
         FROM m
         """,
+        "events_audience_overlap": """
+        WITH base AS (
+          SELECT DISTINCT event_type AS k, user_id AS u FROM events
+        ), t AS (
+          SELECT k, count(*) AS n FROM base GROUP BY 1
+        ), c AS (
+          SELECT a.k AS key_a, b.k AS key_b, count(*) AS n_common
+          FROM base a JOIN base b ON a.u = b.u AND a.k < b.k
+          GROUP BY 1, 2
+        )
+        SELECT key_a, key_b, CAST(ta.n AS BIGINT) AS n_a,
+          CAST(tb.n AS BIGINT) AS n_b, CAST(n_common AS BIGINT) AS n_common,
+          CAST(floor(n_common * 1000000 / (ta.n + tb.n - n_common))
+            AS BIGINT) AS jaccard_ppm
+        FROM c JOIN t ta ON ta.k = key_a JOIN t tb ON tb.k = key_b
+        """,
+        "orders_lorenz": """
+        WITH pu AS (
+          SELECT o_custkey AS u,
+            CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS BIGINT) AS c
+          FROM orders GROUP BY 1
+        ), b AS (
+          SELECT ntile(10) OVER (ORDER BY c, u) AS decile, c FROM pu
+        ), pb AS (
+          SELECT decile, count(*) AS n, CAST(sum(c) AS BIGINT) AS s
+          FROM b GROUP BY 1
+        )
+        SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+          s AS sum_cents,
+          CAST(floor(CAST(s AS DOUBLE) * 1000000.0
+                     / CAST(sum(s) OVER () AS DOUBLE)) AS BIGINT)
+            AS share_ppm,
+          CAST(floor(CAST(sum(s) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) * 1000000.0
+               / CAST(sum(s) OVER () AS DOUBLE)) AS BIGINT)
+            AS cum_share_ppm
+        FROM pb
+        """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -8759,6 +8836,44 @@ def oracle_sql() -> dict[str, str]:
             CAST(floor(dcg_micro * 1000000 / p.prefix) AS BIGINT)
           END AS ndcg_ppm
         FROM per LEFT JOIN gv p ON p.rk = per.n_rel
+        """
+    )
+    # source information gain: the gopher chain supplies the label,
+    # documents the feature; all arithmetic rational (no logs)
+    d["doc_source_infogain"] = (
+        "WITH gf AS (" + d["doc_gopher_filter"] + "), "
+        """
+        g2 AS (
+          SELECT doc.source AS feature, gf.keep AS y
+          FROM gf JOIN documents doc USING (doc_id)
+        ), per AS (
+          SELECT feature, count(*) AS n, count(*) FILTER (y) AS n_pos
+          FROM g2 GROUP BY 1
+        ), scored AS (
+          SELECT feature, CAST(n AS BIGINT) AS n,
+            CAST(n_pos AS BIGINT) AS n_pos,
+            CAST(floor(2.0 * CAST(n_pos AS DOUBLE)
+                       * CAST(n - n_pos AS DOUBLE) * 1000000.0
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              AS BIGINT) AS gini_s_ppm,
+            CAST(floor(2.0 * CAST(n_pos AS DOUBLE)
+                       * CAST(n - n_pos AS DOUBLE) * 1000000.0
+                       / (CAST(n AS DOUBLE)
+                          * CAST(sum(n) OVER () AS DOUBLE)))
+              AS BIGINT) AS contrib_micro,
+            CAST(floor(2.0 * CAST(sum(n_pos) OVER () AS DOUBLE)
+                       * CAST(sum(n) OVER () - sum(n_pos) OVER ()
+                              AS DOUBLE) * 1000000.0
+                       / (CAST(sum(n) OVER () AS DOUBLE)
+                          * CAST(sum(n) OVER () AS DOUBLE)))
+              AS BIGINT) AS root_gini_ppm
+          FROM per
+        )
+        SELECT feature, n, n_pos, gini_s_ppm, contrib_micro,
+          root_gini_ppm,
+          CAST(root_gini_ppm - sum(contrib_micro) OVER () AS BIGINT)
+            AS gain_micro
+        FROM scored
         """
     )
     # embedding outliers: the shared kmeans chain with the winning

@@ -5218,3 +5218,73 @@ class TestLagCorrelation:
             df, "k", "ts", "a", "b", bucket_s=3600, max_lag=2
         ).collect()
         assert all(r["corr_r"] is None for r in out if r["lag"] == 0)
+
+
+class TestOverlapLorenzInfogain:
+    def test_audience_overlap_exact_jaccard(self, spark):
+        from unitdb_spark.operators.olap import audience_overlap
+
+        rows = (
+            [("a", u) for u in (1, 2, 3, 4)]
+            + [("b", u) for u in (3, 4, 5)]
+            + [("c", 9)]
+        )
+        df = spark.createDataFrame(rows, "k string, u int")
+        out = {(r["key_a"], r["key_b"]): r
+               for r in audience_overlap(df, "k", "u").collect()}
+        ab = out[("a", "b")]
+        assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (4, 3, 2)
+        assert ab["jaccard_ppm"] == 400_000  # 2/5
+        assert ("a", "c") not in out  # disjoint pairs absent
+
+    def test_audience_overlap_dedups_units(self, spark):
+        from unitdb_spark.operators.olap import audience_overlap
+
+        rows = [("a", 1)] * 5 + [("b", 1)] * 3
+        df = spark.createDataFrame(rows, "k string, u int")
+        (r,) = audience_overlap(df, "k", "u").collect()
+        assert r["n_a"] == r["n_b"] == r["n_common"] == 1
+        assert r["jaccard_ppm"] == 1_000_000
+
+    def test_lorenz_uniform_and_concentrated(self, spark):
+        from unitdb_spark.operators.profile import lorenz_deciles
+
+        uni = spark.createDataFrame(
+            [(u, 10.0) for u in range(20)], "u int, v double"
+        )
+        out = sorted(lorenz_deciles(uni, "u", "v").collect(),
+                     key=lambda r: r["decile"])
+        assert len(out) == 10 and all(r["n"] == 2 for r in out)
+        assert out[-1]["cum_share_ppm"] == 1_000_000
+        assert out[0]["share_ppm"] == 100_000  # uniform: each decile 10%
+
+        conc = spark.createDataFrame(
+            [(u, 0.01) for u in range(19)] + [(99, 1000.0)],
+            "u int, v double",
+        )
+        o2 = sorted(lorenz_deciles(conc, "u", "v").collect(),
+                    key=lambda r: r["decile"])
+        assert o2[-1]["share_ppm"] > 990_000  # whale decile owns it all
+        # cumulative is monotone
+        cums = [r["cum_share_ppm"] for r in o2]
+        assert cums == sorted(cums)
+
+    def test_gini_gain_perfect_and_useless_feature(self, spark):
+        from unitdb_spark.operators.evaluation import gini_gain
+
+        # perfect separation: feature fully determines the label
+        perfect = spark.createDataFrame(
+            [("x", True)] * 10 + [("y", False)] * 10, "f string, y boolean"
+        )
+        rows = gini_gain(perfect, "f", "y").collect()
+        assert all(r["gini_s_ppm"] == 0 for r in rows)
+        assert all(r["root_gini_ppm"] == 500_000 for r in rows)
+        assert all(r["gain_micro"] == 500_000 for r in rows)
+
+        # label independent of the feature: gain ~ 0
+        useless = spark.createDataFrame(
+            [(f, bool(i % 2)) for f in "xy" for i in range(10)],
+            "f string, y boolean",
+        )
+        r2 = gini_gain(useless, "f", "y").collect()
+        assert all(abs(r["gain_micro"]) <= 2 for r in r2)  # floor slack

@@ -510,3 +510,62 @@ def cuped_adjusted(
         F.when(has_theta, F.round(adj_a - adj_b, 6))
         .otherwise(F.round(ya - yb, 6)).alias("adj_diff_r"),
     )
+
+
+def gini_gain(df: DataFrame, feature_col: str, label_col: str) -> DataFrame:
+    """Gini-impurity information gain of a categorical feature against
+    a boolean label — "does source predict quality?" ranked without a
+    single logarithm, so the whole computation stays rational.
+
+    For a binary label, Gini impurity is G = 2·pos·neg/n² exactly;
+    the root impurity and each category's contribution to the
+    weighted child impurity are floor-micro integers:
+
+        contrib = ⌊2·pos_s·neg_s·1e6 / (n_s·N)⌋
+
+    so the gain = root − Σ contrib is integer arithmetic end to end
+    (per-category floors bias the gain up by < |categories| micro —
+    deterministic, engine-identical).
+
+    Output per category: (feature, n, n_pos, gini_s_ppm,
+    contrib_micro, root_gini_ppm, gain_micro) — the last two repeated
+    on every row (window over the category relation).
+    """
+    base = df.select(
+        F.col(feature_col).alias("feature"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    per = base.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("_y"), 1)).alias("n_pos"),
+    )
+    wall = Window.partitionBy()
+    nn = F.sum("n").over(wall)
+    npos = F.sum("n_pos").over(wall)
+    neg = F.col("n") - F.col("n_pos")
+    d = lambda c: c.cast("double")  # noqa: E731
+    gini_s = F.floor(
+        F.lit(2.0) * d(F.col("n_pos")) * d(neg) * F.lit(1_000_000.0)
+        / (d(F.col("n")) * d(F.col("n")))
+    ).cast("long")
+    contrib = F.floor(
+        F.lit(2.0) * d(F.col("n_pos")) * d(neg) * F.lit(1_000_000.0)
+        / (d(F.col("n")) * d(nn))
+    ).cast("long")
+    root = F.floor(
+        F.lit(2.0) * d(npos) * d(nn - npos) * F.lit(1_000_000.0)
+        / (d(nn) * d(nn))
+    ).cast("long")
+    scored = per.select(
+        "feature", "n", "n_pos",
+        gini_s.alias("gini_s_ppm"),
+        contrib.alias("contrib_micro"),
+        root.alias("root_gini_ppm"),
+    )
+    return scored.select(
+        "feature", "n", "n_pos", "gini_s_ppm", "contrib_micro",
+        "root_gini_ppm",
+        (
+            F.col("root_gini_ppm") - F.sum("contrib_micro").over(wall)
+        ).cast("long").alias("gain_micro"),
+    )

@@ -477,3 +477,47 @@ def json_stats_finish(agg: DataFrame) -> DataFrame:
             / F.greatest(F.col("n") - F.col("n_missing"), F.lit(1))
         ).cast("long").alias("mean_ppm"),
     )
+
+
+def audience_overlap(
+    df: DataFrame, key_col: str, unit_col: str
+) -> DataFrame:
+    """Exact pairwise audience overlap: for every key pair, how many
+    UNITS (users) both keys share, with the exact Jaccard — the
+    ground-truth companion to the KMV sketch overlap (`sketch.
+    kmv_set_algebra`), runnable whenever a full pass is affordable.
+
+    Per-unit key sets explode into per-unit pairs (the unit is the
+    natural block — fan-out is |keys-per-unit|², never corpus-wide),
+    then one count per ordered pair. Output: (key_a, key_b, n_a, n_b,
+    n_common, jaccard_ppm) with key_a < key_b, floor-ppm Jaccard on
+    exact integers.
+    """
+    base = df.select(
+        F.col(key_col).alias("_k"), F.col(unit_col).alias("_u")
+    ).distinct()
+    totals = base.groupBy("_k").agg(F.count(F.lit(1)).alias("n_units"))
+    a = base.select("_u", F.col("_k").alias("key_a"))
+    b = base.select("_u", F.col("_k").alias("key_b"))
+    common = (
+        a.join(b, "_u")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(
+            totals.select(F.col("_k").alias("key_a"),
+                          F.col("n_units").alias("n_a")), "key_a"
+        )
+        .join(
+            totals.select(F.col("_k").alias("key_b"),
+                          F.col("n_units").alias("n_b")), "key_b"
+        )
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return out.select(
+        "key_a", "key_b", "n_a", "n_b", "n_common",
+        F.floor(F.col("n_common") * F.lit(1_000_000) / union)
+        .cast("long").alias("jaccard_ppm"),
+    )

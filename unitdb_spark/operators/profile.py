@@ -484,3 +484,58 @@ def robust_mean_report(
         F.floor(ws.cast("double") * micro / F.col("n"))
         .cast("long").alias("winsor_micro"),
     )
+
+
+def lorenz_deciles(
+    df: DataFrame, unit_col: str, value_col: str
+) -> DataFrame:
+    """Lorenz-curve decile table: units ranked by their value into
+    ntile(10) bins, each bin's share and cumulative share of the
+    total — the "top 10% of customers drive X% of revenue" readout
+    that `gini_by_group` summarizes into one number.
+
+    Exact cents per unit (DECIMAL sums), deterministic decile
+    assignment (value, unit id) — equal-valued units may land in
+    either of two adjacent bins but BOTH engines pick identically —
+    and floor-ppm shares. Output: (decile, n, sum_cents, share_ppm,
+    cum_share_ppm).
+
+    Scale: one unit aggregation + a global sort for ntile; at 100 TB
+    swap ntile for approx-quantile boundaries exactly like the
+    calibration report (documented there).
+    """
+    from pyspark.sql import Window
+
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    per_unit = (
+        df.select(F.col(unit_col).alias("_u"), cents.alias("_c"))
+        .groupBy("_u")
+        .agg(F.sum("_c").alias("_c"))
+    )
+    w = Window.orderBy("_c", "_u")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    binned = per_unit.select(
+        F.ntile(10).over(w).alias("decile"), "_c"
+    )
+    per_bin = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("_c")).alias("s"),
+    )
+    wall = Window.partitionBy()
+    wcum = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_bin.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("sum_cents"),
+        F.floor(
+            F.col("s").cast("double") * F.lit(1_000_000.0)
+            / F.sum("s").over(wall).cast("double")
+        ).cast("long").alias("share_ppm"),
+        F.floor(
+            F.sum("s").over(wcum).cast("double") * F.lit(1_000_000.0)
+            / F.sum("s").over(wall).cast("double")
+        ).cast("long").alias("cum_share_ppm"),
+    )
