@@ -4302,6 +4302,48 @@ def q_doc_source_infogain(spark, sf_dir):
     return gini_gain(gold, "source", "gold")
 
 
+def q_doc_token_budget(spark, sf_dir):
+    """Water-filling token-budget allocation across document sources:
+    the level L with Σ min(tokens_s, L) spending the budget, solved
+    exactly on the source relation by prefix sums — the data-mixing
+    computation behind every 'no source may dominate' training run.
+    n_chars stands in for tokens (same shape)."""
+    from unitdb_spark.operators.mixture import token_budget_allocation
+
+    return token_budget_allocation(
+        _docs(spark, sf_dir), "source", "n_chars", budget=100_000
+    )
+
+
+def q_doc_quantile_map(spark, sf_dir):
+    """Quantile normalization: src0's documents mapped onto the GLOBAL
+    n_chars distribution at the same quantile — cross-source score
+    harmonization. Integer ranks and positions end to end;
+    nearest-below interpolation."""
+    from unitdb_spark.operators.olap import quantile_map
+
+    docs = _docs(spark, sf_dir)
+    src = docs.filter(F.col("source") == "src0").select("doc_id", "n_chars")
+    return quantile_map(src, "doc_id", "n_chars", docs, "n_chars")
+
+
+def q_parts_neg_edges(spark, sf_dir):
+    """Deterministic negative sampling over the co-purchase graph:
+    per part, 3 hash-drawn non-neighbors (self-loops and true edges
+    anti-joined away, collision dedup, first-3-by-draw) — the
+    link-prediction training-pair generator."""
+    from unitdb_spark.operators.graph import (
+        cooccurrence_edges,
+        negative_edge_samples,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    mx = part.agg(F.max("p_partkey").alias("max_id"))
+    return negative_edge_samples(edges, mx, k=3, oversample=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4562,6 +4604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_audience_overlap": q_events_audience_overlap,
         "orders_lorenz": q_orders_lorenz,
         "doc_source_infogain": q_doc_source_infogain,
+        "doc_token_budget": q_doc_token_budget,
+        "doc_quantile_map": q_doc_quantile_map,
+        "parts_neg_edges": q_parts_neg_edges,
     }
 
 
@@ -7502,6 +7547,103 @@ def oracle_sql() -> dict[str, str]:
                / CAST(sum(s) OVER () AS DOUBLE)) AS BIGINT)
             AS cum_share_ppm
         FROM pb
+        """,
+        "doc_token_budget": """
+        WITH per AS (
+          SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+          FROM documents GROUP BY 1
+        ), rk AS (
+          SELECT source, w,
+            row_number() OVER (ORDER BY w, source) AS j,
+            CAST(sum(w) OVER (ORDER BY w, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS pj,
+            count(*) OVER () AS s,
+            CAST(sum(w) OVER () AS BIGINT) AS total
+          FROM per
+        ), cand AS (
+          SELECT *,
+            CAST(floor((100000 - (pj - w)) / (s - j + 1)) AS BIGINT)
+              AS lvl,
+            coalesce(lag(w, 1) OVER (ORDER BY w, source), -1) AS wprev
+          FROM rk
+        ), valid AS (
+          SELECT lvl FROM cand
+          WHERE lvl < w AND lvl >= wprev ORDER BY j LIMIT 1
+        ), fb AS (
+          SELECT CASE WHEN 100000 >= total THEN w END AS lvl_fb
+          FROM rk WHERE j = s
+        ), lv AS (
+          SELECT coalesce(fb.lvl_fb, valid.lvl) AS lvl
+          FROM fb LEFT JOIN valid ON TRUE
+        ), outp AS (
+          SELECT source, w AS n_tokens, lv.lvl AS level,
+            least(w, lv.lvl) AS alloc
+          FROM per, lv
+        )
+        SELECT source, n_tokens, CAST(level AS BIGINT) AS level,
+          CAST(alloc AS BIGINT) AS alloc,
+          CAST(least(100000, sum(n_tokens) OVER ())
+               - sum(alloc) OVER () AS BIGINT) AS leftover
+        FROM outp
+        """,
+        "doc_quantile_map": """
+        WITH a AS (
+          SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS value,
+            rank() OVER (ORDER BY n_chars) AS ra,
+            count(*) OVER () AS na
+          FROM documents WHERE source = 'src0'
+        ), a2 AS (
+          SELECT id, value,
+            CAST(floor((ra - 1) * 1000000 / greatest(na - 1, 1))
+              AS BIGINT) AS q_ppm
+          FROM a
+        ), b AS (
+          SELECT CAST(n_chars AS DOUBLE) AS mapped,
+            row_number() OVER (ORDER BY n_chars) AS rb,
+            count(*) OVER () AS nb2
+          FROM documents
+        )
+        SELECT a2.id, a2.value, a2.q_ppm, b.mapped
+        FROM a2 JOIN b
+          ON b.rb = CAST(floor(a2.q_ppm * (b.nb2 - 1) / 1000000)
+                    AS BIGINT) + 1
+        """,
+        "parts_neg_edges": """
+        WITH g AS (
+          SELECT DISTINCT l_orderkey AS gg, l_partkey AS i FROM lineitem
+        ), und AS (
+          SELECT DISTINCT a.i AS src, b.i AS dst
+          FROM g a JOIN g b ON a.gg = b.gg AND a.i < b.i
+        ), edges AS (
+          SELECT src, dst FROM und
+          UNION ALL SELECT dst AS src, src AS dst FROM und
+        ), mx AS (SELECT max(p_partkey) AS max_id FROM part),
+        srcs AS (SELECT DISTINCT src FROM edges),
+        cand AS (
+          SELECT src, d.draw,
+            CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':neg'
+                  || CAST(d.draw AS VARCHAR)), 1, 15)) AS BIGINT)
+              % max_id + 1 AS neg_dst
+          FROM srcs, mx,
+            (SELECT unnest(generate_series(1, 9)) AS draw) d
+        ), surv AS (
+          SELECT c.src, c.draw, c.neg_dst
+          FROM cand c LEFT JOIN edges e
+            ON e.src = c.src AND e.dst = c.neg_dst
+          WHERE e.src IS NULL AND c.neg_dst <> c.src
+        ), dd AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY src, neg_dst ORDER BY draw) AS ddr
+          FROM surv
+        )
+        SELECT src, neg_dst, CAST(draw AS INTEGER) AS draw,
+          CAST(rnk AS INTEGER) AS rank
+        FROM (
+          SELECT src, neg_dst, draw,
+            row_number() OVER (PARTITION BY src ORDER BY draw) AS rnk
+          FROM dd WHERE ddr = 1
+        ) WHERE rnk <= 3
         """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,

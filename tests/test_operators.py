@@ -5288,3 +5288,93 @@ class TestOverlapLorenzInfogain:
         )
         r2 = gini_gain(useless, "f", "y").collect()
         assert all(abs(r["gain_micro"]) <= 2 for r in r2)  # floor slack
+
+
+class TestBudgetQuantileNegatives:
+    def test_water_filling_levels(self, spark):
+        from unitdb_spark.operators.mixture import token_budget_allocation
+
+        df = spark.createDataFrame(
+            [("a", 100), ("b", 50), ("c", 10), ("d", 7)], "s string, w int"
+        )
+        got = {b: {r["source"]: r for r in
+                   token_budget_allocation(df, "s", "w", b).collect()}
+               for b in (200, 100, 20, 3)}
+        # budget covers all: full allocation, leftover 0
+        assert all(r["alloc"] == r["n_tokens"] for r in got[200].values())
+        assert got[200]["a"]["leftover"] == 0
+        # partial: level 41 -> a,b capped, c,d full; floor leaves 1
+        g = got[100]
+        assert g["a"]["level"] == 41
+        assert g["a"]["alloc"] == 41 and g["b"]["alloc"] == 41
+        assert g["c"]["alloc"] == 10 and g["d"]["alloc"] == 7
+        assert g["a"]["leftover"] == 1
+        # everyone capped below the smallest weight
+        assert all(r["alloc"] == 5 for r in got[20].values())
+        # budget smaller than one-each: level 0, all leftover
+        assert all(r["alloc"] == 0 for r in got[3].values())
+        assert got[3]["a"]["leftover"] == 3
+
+    def test_water_filling_conservation_property(self, spark):
+        from unitdb_spark.operators.mixture import token_budget_allocation
+
+        df = spark.createDataFrame(
+            [(f"s{i}", (i * 13) % 40 + 1) for i in range(12)],
+            "s string, w int",
+        )
+        total = sum((i * 13) % 40 + 1 for i in range(12))
+        for b in (1, 17, total // 2, total, total + 100):
+            rows = token_budget_allocation(df, "s", "w", b).collect()
+            spent = sum(r["alloc"] for r in rows)
+            assert spent + rows[0]["leftover"] == min(b, total)
+            assert all(0 <= r["alloc"] <= r["n_tokens"] for r in rows)
+
+    def test_quantile_map_endpoints_and_median(self, spark):
+        from unitdb_spark.operators.olap import quantile_map
+
+        a = spark.createDataFrame(
+            [(1, 5.0), (2, 50.0), (3, 500.0)], "id int, v double"
+        )
+        ref = spark.createDataFrame(
+            [(i, float(i * 10)) for i in range(1, 12)], "id int, v double"
+        )  # ref values 10..110
+        out = {r["id"]: r for r in
+               quantile_map(a, "id", "v", ref, "v").collect()}
+        assert out[1]["q_ppm"] == 0 and out[1]["mapped"] == 10.0
+        assert out[2]["q_ppm"] == 500_000 and out[2]["mapped"] == 60.0
+        assert out[3]["q_ppm"] == 1_000_000 and out[3]["mapped"] == 110.0
+
+    def test_quantile_map_ties_share_quantile(self, spark):
+        from unitdb_spark.operators.olap import quantile_map
+
+        a = spark.createDataFrame(
+            [(1, 7.0), (2, 7.0), (3, 9.0)], "id int, v double"
+        )
+        ref = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 6)], "id int, v double"
+        )
+        out = {r["id"]: r for r in
+               quantile_map(a, "id", "v", ref, "v").collect()}
+        assert out[1]["q_ppm"] == out[2]["q_ppm"] == 0  # rank() ties
+        assert out[1]["mapped"] == out[2]["mapped"]
+
+    def test_negative_edges_exclude_true_edges(self, spark):
+        from unitdb_spark.operators.graph import negative_edge_samples
+        from pyspark.sql import functions as F
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 3), (3, 1)], "src long, dst long"
+        )
+        mx = spark.createDataFrame([(20,)], "max_id long")
+        out = negative_edge_samples(edges, mx, k=3, oversample=4).collect()
+        true_pairs = {(1, 2), (1, 3), (2, 1), (3, 1)}
+        for r in out:
+            assert (r["src"], r["neg_dst"]) not in true_pairs
+            assert r["neg_dst"] != r["src"]
+            assert 1 <= r["neg_dst"] <= 20 and r["rank"] <= 3
+        # deterministic across recomputation
+        again = negative_edge_samples(edges, mx, k=3, oversample=4).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+        # no duplicate negatives per src
+        seen = [(r["src"], r["neg_dst"]) for r in out]
+        assert len(seen) == len(set(seen))

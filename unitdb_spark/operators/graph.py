@@ -427,3 +427,77 @@ def bfs_hops(
         visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("_n")
     return visited.select(F.col("_n").alias("node"), "hop")
+
+
+def negative_edge_samples(
+    edges: DataFrame,
+    max_node_df: DataFrame,
+    k: int = 3,
+    oversample: int = 3,
+    salt: str = ":neg",
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction training:
+    per source node, ``k`` nodes that are NOT neighbors, drawn by
+    content hash so the sample is reproducible and layout-independent
+    (the same discipline as every hash-assignment in this repo).
+
+    ``edges`` is the positive relation (src, dst) — both orientations
+    are excluded; ``max_node_df`` is a 1-row (max_id) relation
+    (broadcast) defining the dense node universe to draw from.
+    k·oversample candidates are generated per source (md5(src:i) %
+    max_id + 1), self-loops and true edges drop via one left-anti
+    join, and the first k survivors in draw order are kept. A source
+    with fewer than k survivors keeps what it has (auditable by
+    counting) rather than silently resampling.
+
+    Output: (src, neg_dst, draw, rank) with rank ≤ k.
+
+    Scale: candidates are |src|·k·oversample rows (ids only); the
+    anti-join shuffles on the edge key like any membership test.
+    """
+    from pyspark.sql import Window
+
+    from unitdb_spark.functions.portable_hash import md5_int60
+
+    srcs = edges.select(F.col("src")).distinct()
+    draws = F.explode(
+        F.array(*[F.lit(i) for i in range(1, k * oversample + 1)])
+    ).alias("draw")
+    cand = (
+        srcs.join(F.broadcast(max_node_df))
+        .select("src", F.col("max_id"), draws)
+        .select(
+            "src", "draw",
+            (
+                md5_int60(
+                    F.concat(
+                        F.col("src").cast("string"), F.lit(salt),
+                        F.col("draw").cast("string"),
+                    )
+                ) % F.col("max_id") + 1
+            ).cast("long").alias("neg_dst"),
+        )
+        .filter(F.col("neg_dst") != F.col("src"))
+    )
+    both = edges.select("src", F.col("dst").alias("neg_dst")).unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("neg_dst")
+        )
+    )
+    survivors = cand.join(both, ["src", "neg_dst"], "left_anti")
+    # hash collisions can draw the same negative twice for one src —
+    # keep the earliest draw of each (src, neg_dst)
+    wd = Window.partitionBy("src", "neg_dst").orderBy("draw")
+    deduped = (
+        survivors.withColumn("_dd", F.row_number().over(wd))
+        .filter(F.col("_dd") == 1)
+        .drop("_dd")
+    )
+    w = Window.partitionBy("src").orderBy("draw")
+    return (
+        deduped.select(
+            "src", "neg_dst", "draw",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -106,3 +106,89 @@ def source_cap(
         (F.col("cum_tokens") <= cap_tokens)
         | (F.col("cum_tokens") == F.col("n_tokens")),
     )
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    source_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Water-filling token-budget allocation across sources: find the
+    level L such that every source contributes min(its_tokens, L) and
+    the total spends the budget — THE data-mixing computation when a
+    training run has a token budget and no source may dominate.
+
+    Exact integer solution on the source relation (tiny): sources
+    sort ascending by weight; for each prefix j the candidate level
+    is L_j = ⌊(B − P_j)/(S − j)⌋, and exactly one j satisfies
+    w_j ≤ L_j < w_{j+1} (sentinels at the ends) — selected by filter,
+    no iteration. If the budget covers everything, every source gets
+    its full weight and the level reports the max. The ≤ S−j−1 token
+    remainder left by the floor is reported, not silently spread.
+
+    Output: (source, n_tokens, level, alloc, leftover) — leftover
+    identical on every row (window over sources).
+
+    Scale: one partial-agg shuffle for the per-source weights; the
+    water-filling runs on the source relation (dataset-card-sized).
+    """
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("w")
+    )
+    w_ord = Window.orderBy("w", "source")
+    wall = Window.partitionBy()
+    ranked = per.select(
+        "source", "w",
+        F.row_number().over(w_ord).alias("j"),
+        F.sum("w").over(
+            Window.orderBy("w", "source").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("pj"),
+        F.count(F.lit(1)).over(wall).alias("s"),
+        F.sum("w").over(wall).alias("total"),
+    )
+    # candidate level if every source with index > j-1 is capped;
+    # j runs 1..S here, prefix EXCLUDING row j is pj - w
+    cand = ranked.select(
+        "*",
+        F.floor(
+            (F.lit(budget) - (F.col("pj") - F.col("w")))
+            / (F.col("s") - F.col("j") + 1)
+        ).cast("long").alias("lvl"),
+    )
+    # the valid row: previous weight <= lvl < own weight  ->  every
+    # source before j is uncapped, j.. are capped at lvl
+    prev_w = F.lag("w", 1).over(w_ord)
+    valid = cand.select(
+        "*", F.coalesce(prev_w, F.lit(-1)).alias("wprev")
+    ).filter(
+        (F.col("lvl") < F.col("w")) & (F.col("lvl") >= F.col("wprev"))
+    ).orderBy("j").limit(1)
+    # budget >= total: no capping anywhere — level = max weight
+    fallback = ranked.filter(F.col("j") == F.col("s")).select(
+        F.when(F.lit(budget) >= F.col("total"), F.col("w"))
+        .alias("lvl_fb")
+    )
+    level = F.broadcast(
+        valid.select(F.col("lvl").alias("_lvl"))
+        .join(fallback, how="full")
+        .select(F.coalesce("lvl_fb", "_lvl").alias("_lvl"))
+    )
+    alloc = F.least(F.col("w"), F.col("_lvl"))
+    out = per.join(level).select(
+        "source",
+        F.col("w").alias("n_tokens"),
+        F.col("_lvl").cast("long").alias("level"),
+        alloc.cast("long").alias("alloc"),
+    )
+    wall2 = Window.partitionBy()
+    spent = F.sum("alloc").over(wall2)
+    spendable = F.least(F.lit(budget), F.sum("n_tokens").over(wall2))
+    return out.select(
+        "source", "n_tokens", "level", "alloc",
+        (spendable - spent).cast("long").alias("leftover"),
+    )

@@ -521,3 +521,64 @@ def audience_overlap(
         F.floor(F.col("n_common") * F.lit(1_000_000) / union)
         .cast("long").alias("jaccard_ppm"),
     )
+
+
+def quantile_map(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    ref_df: DataFrame,
+    ref_value_col: str,
+) -> DataFrame:
+    """Quantile normalization: map each row's value onto the REFERENCE
+    distribution's value at the same quantile — the score
+    harmonization step when per-source scores live on incomparable
+    scales ("this doc is source-X's 80th percentile; what would an
+    80th-percentile doc score globally?").
+
+    Rank side: SQL rank() ties (equal values share a quantile, the
+    percent_rank_ppm convention), q_ppm = ⌊(rank−1)·1e6/(n−1)⌋
+    exact. Reference side: the value at 1-indexed position
+    ⌊q_ppm·(n_ref−1)/1e6⌋ + 1 of the sorted reference — nearest-below
+    interpolation entirely in integers; tied reference values make
+    the position ambiguous but the VALUE identical, so the output is
+    engine-exact.
+
+    Output: (id, value, q_ppm, mapped).
+
+    Scale: two global sorts (input ranks, reference positions) — at
+    100 TB pre-compute reference quantile boundaries once (tiny
+    broadcast table) exactly like the calibration report's swap.
+    """
+    from pyspark.sql import Window
+
+    wa = Window.orderBy(value_col)
+    na = df.select(F.count(F.lit(1)).alias("_na"))
+    a = df.select(
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("double").alias("value"),
+        F.rank().over(wa).alias("_ra"),
+    ).join(F.broadcast(na))
+    a = a.select(
+        "id", "value",
+        F.floor(
+            (F.col("_ra") - 1) * F.lit(1_000_000)
+            / F.greatest(F.col("_na") - 1, F.lit(1))
+        ).cast("long").alias("q_ppm"),
+    )
+    wb = Window.orderBy(ref_value_col)
+    nb = ref_df.select(F.count(F.lit(1)).alias("_nb"))
+    b = ref_df.select(
+        F.col(ref_value_col).cast("double").alias("mapped"),
+        F.row_number().over(wb).alias("_rb"),
+    ).join(F.broadcast(nb))
+    keyed = a.join(F.broadcast(nb)).withColumn(
+        "_idx",
+        (
+            F.floor(F.col("q_ppm") * (F.col("_nb") - 1) / F.lit(1_000_000))
+            + 1
+        ).cast("int"),
+    ).drop("_nb")
+    return keyed.join(
+        b.select("_rb", "mapped"), keyed["_idx"] == b["_rb"]
+    ).select("id", "value", "q_ppm", "mapped")
