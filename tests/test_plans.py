@@ -780,3 +780,91 @@ class TestBucketedJoinReadiness:
         finally:
             for t in ("bt_r8a", "bt_r8b", "bt_r4", "bt_plain"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestRound5ContinuationPlans:
+    def _events(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(minutes=17 * i), "t%d" % (i % 3),
+             float(i % 7), '{"k": %d}' % (i % 9))
+            for i in range(200)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, event_type string, value double,"
+            " props string",
+        )
+
+    def test_json_stats_single_shuffle_no_python(self, spark):
+        """SCALE.md: get_json_object is a scan-side codegen projection
+        feeding one partial-agg exchange — no Python worker."""
+        from unitdb_spark.operators.olap import json_field_stats
+
+        out = json_field_stats(self._events(spark), "props", "k", "event_type")
+        assert not has_python_eval(out)
+        # countDistinct plans an Expand + two-phase agg: 2 exchanges max
+        assert shuffle_count(out) <= 2
+
+    def test_m4_single_exchange_for_windows_and_agg(self, spark):
+        """SCALE.md: both rank windows and the aggregation reuse ONE
+        (key, bucket) exchange."""
+        from unitdb_spark.operators.timeseries import m4_downsample
+
+        out = m4_downsample(
+            self._events(spark), "event_type", "ts", "value",
+            ["event_id"], bucket_s=3600,
+        )
+        assert shuffle_count(out) == 1
+        assert not has_python_eval(out)
+
+    def test_gini_single_shuffle(self, spark):
+        """SCALE.md: the rank window partitions by group and the
+        aggregation reuses that exchange."""
+        from unitdb_spark.operators.profile import gini_by_group
+
+        df = spark.createDataFrame(
+            [("g%d" % (i % 3), float(i)) for i in range(100)],
+            "g string, v double",
+        )
+        out = gini_by_group(df, "g", "v")
+        assert shuffle_count(out) == 1
+        assert not has_python_eval(out)
+
+    def test_chi_square_no_python_bounded_exchanges(self, spark):
+        from unitdb_spark.operators.stats_tests import chi_square_independence
+
+        ev = self._events(spark).select(
+            "event_type", (F.col("event_id") % 4).alias("band")
+        )
+        out = chi_square_independence(ev, "event_type", "band")
+        assert not has_python_eval(out)
+
+    def test_km_fold_is_the_only_python_stage(self, spark):
+        """The sequential KM fold is the sanctioned applyInPandas over
+        the DAY relation; everything before it is JVM-side."""
+        from unitdb_spark.operators.survival import kaplan_meier
+
+        df = spark.createDataFrame(
+            [(i % 9, i % 3 != 0) for i in range(100)], "dur int, ev boolean"
+        )
+        out = kaplan_meier(df, "dur", "ev")
+        plan = formatted_plan(out)
+        assert "FlatMapGroupsInPandas" in plan
+        # no row-at-a-time Python anywhere
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_negative_sampling_anti_join(self, spark):
+        from unitdb_spark.operators.graph import negative_edge_samples
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        )
+        mx = spark.createDataFrame([(50,)], "max_id long")
+        out = negative_edge_samples(edges, mx, k=2, oversample=2)
+        plan = formatted_plan(out)
+        assert "LeftAnti" in plan
+        assert not has_python_eval(out)
