@@ -4344,6 +4344,29 @@ def q_parts_neg_edges(spark, sf_dir):
     return negative_edge_samples(edges, mx, k=3, oversample=3)
 
 
+def q_streamed_m4(spark, sf_dir):
+    """Driver-checkable twin of the M4 downsample: per-(key, bucket)
+    n/min/max plus first/last as struct extrema — ALL algebraic, so
+    the commit-logged state equals the one-shot aggregation bit for
+    bit and the oracle is events_m4's SQL verbatim. The pixel-exact
+    dashboard, maintained per micro-batch."""
+    from unitdb_spark.streaming.continuous import continuous_m4, read_m4
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_m4(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        key_col="event_type", ts_col="ts", value_col="value",
+        order_cols=["event_id"], bucket_s=21600,
+        state_path=f"{base}/m4state",
+        checkpoint=f"{base}/m4cp",
+    )
+    q.awaitTermination(300)
+    return read_m4(spark, f"{base}/m4state", bucket_s=21600)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4607,6 +4630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget": q_doc_token_budget,
         "doc_quantile_map": q_doc_quantile_map,
         "parts_neg_edges": q_parts_neg_edges,
+        "streamed_m4": q_streamed_m4,
     }
 
 
@@ -8943,6 +8967,9 @@ def oracle_sql() -> dict[str, str]:
         FROM s2
         """
     )
+    # the M4 twin's state is fully algebraic -> same report as the
+    # one-shot aggregation: oracle shared verbatim
+    d["streamed_m4"] = d["events_m4"]
     # related-items NDCG: the retrieval oracle becomes a CTE; gains
     # come from the SAME Python-computed literal table the Spark plan
     # uses, so neither engine evaluates log2

@@ -809,8 +809,9 @@ class TestRound5ContinuationPlans:
         assert shuffle_count(out) <= 2
 
     def test_m4_single_exchange_for_windows_and_agg(self, spark):
-        """SCALE.md: both rank windows and the aggregation reuse ONE
-        (key, bucket) exchange."""
+        """SCALE.md: M4 is ONE map-side-combined aggregation — a single
+        (key, bucket) exchange, no window sort (first/last are struct
+        extrema)."""
         from unitdb_spark.operators.timeseries import m4_downsample
 
         out = m4_downsample(

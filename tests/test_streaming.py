@@ -1417,3 +1417,47 @@ class TestContinuousJsonStats:
             for r in read_json_stats(spark, state).collect()
         }
         assert got == want
+
+
+class TestContinuousM4:
+    def test_rolling_m4_matches_batch(self, spark, events_dir, tmp_path):
+        """The M4 twin: struct-extrema first/last plus n/min/max all
+        merge algebraically, so the committed state across micro-
+        batches (and a restart boundary) equals the one-shot batch
+        downsample row for row."""
+        from unitdb_spark.operators.timeseries import m4_downsample
+        from unitdb_spark.streaming.continuous import continuous_m4, read_m4
+
+        state = str(tmp_path / "m4-state")
+        cp = str(tmp_path / "m4-cp")
+        args = dict(
+            key_col="event_type", ts_col="ts", value_col="value",
+            order_cols=["event_id"], bucket_s=3600,
+        )
+        ev = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q = continuous_m4(
+            ev, state_path=state, checkpoint=cp, **args
+        )
+        q.awaitTermination(180)
+        ev2 = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q2 = continuous_m4(
+            ev2, state_path=state, checkpoint=cp, **args
+        )
+        q2.awaitTermination(180)
+
+        batch = spark.read.parquet(events_dir)
+        want = {
+            (r["key"], r["bucket_start_s"]): tuple(
+                r[c] for c in ("n", "min_v", "max_v", "first_v", "last_v")
+            )
+            for r in m4_downsample(
+                batch, "event_type", "ts", "value", ["event_id"], 3600
+            ).collect()
+        }
+        got = {
+            (r["key"], r["bucket_start_s"]): tuple(
+                r[c] for c in ("n", "min_v", "max_v", "first_v", "last_v")
+            )
+            for r in read_m4(spark, state, bucket_s=3600).collect()
+        }
+        assert got == want

@@ -823,20 +823,40 @@ def m4_downsample(
     which is why it is THE dashboard-rendering reduction (error-free
     at one bucket per pixel, unlike averaging which flattens spikes).
 
-    first/last are decided by (ts, *order_cols) row_number windows —
-    the repo's deterministic tiebreak discipline — and min/max are
-    plain aggregates; values pass through untouched (no rounding
-    convention needed: both engines aggregate identical input
-    doubles).
+    first/last ride as lexicographic struct extrema over
+    (ts, *order_cols, value) — the repo's deterministic tiebreak
+    discipline expressed as a plain aggregate, so the whole operator
+    is ONE map-side-combined aggregation (no window sort at all) and
+    every column merges algebraically (see `m4_partials`, shared with
+    the streaming twin). Values pass through untouched (no rounding
+    convention needed: both engines aggregate identical doubles).
 
     Output: (key, bucket_start_s, n, min_v, max_v, first_v, last_v).
 
-    Scale: ONE shuffle on (key, bucket); the two rank windows and the
-    final aggregation all reuse that exchange. A month of µs events
-    reduces to keys × (span/bucket) rows — the point of M4.
+    Scale: ONE shuffle on (key, bucket), partials combined map-side.
+    A month of µs events reduces to keys × (span/bucket) rows — the
+    point of M4.
     """
-    from pyspark.sql import Window
+    partials = m4_partials(
+        df, key_col, ts_col, value_col, order_cols, bucket_s
+    )
+    return m4_finish(partials, bucket_s)
 
+
+def m4_partials(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str],
+    bucket_s: int,
+) -> DataFrame:
+    """The MERGEABLE M4 state: per (key, bucket) n/min/max plus the
+    first and last points carried as lexicographic struct extrema over
+    (ts, *order_cols, value) — a pure aggregation (map-side combined,
+    no window sort), and every column merges algebraically, which is
+    what makes the streaming twin exact. Shared by the batch operator
+    and `streaming.continuous.continuous_m4`."""
     bucket_us = bucket_s * 1_000_000
     t = F.unix_micros(F.col(ts_col).cast("timestamp"))
     base = df.select(
@@ -845,25 +865,29 @@ def m4_downsample(
         F.col(value_col).cast("double").alias("_v"),
         *[F.col(c) for c in order_cols],
     ).withColumn("_b", F.floor(F.col("_t") / F.lit(bucket_us)).cast("long"))
-    w_asc = Window.partitionBy("key", "_b").orderBy("_t", *order_cols)
-    w_desc = Window.partitionBy("key", "_b").orderBy(
-        F.col("_t").desc(), *[F.col(c).desc() for c in order_cols]
+    point = F.struct(
+        F.col("_t").alias("t"),
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+        F.col("_v").alias("v"),
     )
-    ranked = base.select(
-        "key", "_b", "_v",
-        F.row_number().over(w_asc).alias("_ra"),
-        F.row_number().over(w_desc).alias("_rd"),
-    )
-    return ranked.groupBy("key", "_b").agg(
+    return base.groupBy("key", "_b").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("_v").alias("min_v"),
         F.max("_v").alias("max_v"),
-        F.max(F.when(F.col("_ra") == 1, F.col("_v"))).alias("first_v"),
-        F.max(F.when(F.col("_rd") == 1, F.col("_v"))).alias("last_v"),
-    ).select(
+        F.min(point).alias("_first"),
+        F.max(point).alias("_last"),
+    )
+
+
+def m4_finish(partials: DataFrame, bucket_s: int) -> DataFrame:
+    """Project the M4 state into the chart-ready relation — shared by
+    the batch operator and the streaming twin's read path."""
+    return partials.select(
         "key",
         (F.col("_b") * F.lit(bucket_s)).cast("long").alias("bucket_start_s"),
-        "n", "min_v", "max_v", "first_v", "last_v",
+        "n", "min_v", "max_v",
+        F.col("_first")["v"].alias("first_v"),
+        F.col("_last")["v"].alias("last_v"),
     )
 
 

@@ -387,3 +387,58 @@ def read_json_stats(spark, state_path: str) -> DataFrame:
     if cur is None:
         raise FileNotFoundError(f"no committed json-stats state under {state_path}")
     return json_stats_finish(spark.read.parquet(_snap_path(state_path, *cur)))
+
+
+# ------------------------------------------------------- rolling M4
+#
+# The M4 downsample is algebraic end to end (n/min/max are trivial;
+# first/last ride as lexicographic struct extrema that merge by
+# min/max), so the committed state equals the one-shot aggregation bit
+# for bit — a pixel-exact dashboard maintained per micro-batch.
+
+
+def continuous_m4(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str],
+    bucket_s: int,
+    state_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain the versioned M4 state; read the chart-ready relation
+    with ``read_m4``. Returns the StreamingQuery."""
+    from unitdb_spark.operators.timeseries import m4_partials
+
+    def partials(b: DataFrame) -> DataFrame:
+        return m4_partials(b, key_col, ts_col, value_col, order_cols, bucket_s)
+
+    def merge(prev: DataFrame, p: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(p)
+            .groupBy("key", "_b")
+            .agg(
+                F.sum("n").alias("n"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+                F.min("_first").alias("_first"),
+                F.max("_last").alias("_last"),
+            )
+        )
+
+    return _run_maintainer(
+        stream, state_path, checkpoint, partials, merge, trigger_available_now
+    )
+
+
+def read_m4(spark, state_path: str, bucket_s: int) -> DataFrame:
+    """The rolling M4 chart relation over the committed state — shared
+    finish with the batch `operators.timeseries.m4_downsample`."""
+    from unitdb_spark.operators.timeseries import m4_finish
+
+    cur = latest_commit(spark, state_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed m4 state under {state_path}")
+    return m4_finish(spark.read.parquet(_snap_path(state_path, *cur)), bucket_s)
