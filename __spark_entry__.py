@@ -4367,6 +4367,30 @@ def q_streamed_m4(spark, sf_dir):
     return read_m4(spark, f"{base}/m4state", bucket_s=21600)
 
 
+def q_events_kanon(spark, sf_dir):
+    """k-anonymity / l-diversity audit with (event_type, day) as the
+    quasi-identifier and user_id the sensitive attribute: how much of
+    the table is re-identifiable below k=50, and how many classes
+    expose a single user. All exact integers."""
+    from unitdb_spark.operators.profile import kanonymity_report
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.dayofmonth("ts").alias("day"), "user_id"
+    )
+    return kanonymity_report(ev, ["event_type", "day"], "user_id", k=50)
+
+
+def q_events_cohort_ltv(spark, sf_dir):
+    """Cohort LTV matrix: users grouped by first-seen week, purchase
+    revenue per week of age with the cumulative per-cohort LTV — the
+    revenue-weighted companion of events_retention. Exact cents;
+    calendar math only."""
+    from unitdb_spark.operators.olap import cohort_ltv
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return cohort_ltv(ev, "user_id", "ts", F.col("value"), bucket="week")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4631,6 +4655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quantile_map": q_doc_quantile_map,
         "parts_neg_edges": q_parts_neg_edges,
         "streamed_m4": q_streamed_m4,
+        "events_kanon": q_events_kanon,
+        "events_cohort_ltv": q_events_cohort_ltv,
     }
 
 
@@ -7668,6 +7694,48 @@ def oracle_sql() -> dict[str, str]:
             row_number() OVER (PARTITION BY src ORDER BY draw) AS rnk
           FROM dd WHERE ddr = 1
         ) WHERE rnk <= 3
+        """,
+        "events_kanon": """
+        WITH classes AS (
+          SELECT event_type, day(ts) AS day, count(*) AS n,
+            count(DISTINCT user_id) AS l
+          FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_classes,
+          CAST(min(n) AS BIGINT) AS min_class,
+          CAST(coalesce(sum(CASE WHEN n < 50 THEN n END), 0) AS BIGINT)
+            AS n_rows_below_k,
+          CAST(floor(coalesce(sum(CASE WHEN n < 50 THEN n END), 0)
+                     * 1000000 / sum(n)) AS BIGINT) AS share_below_k_ppm,
+          CAST(min(l) AS BIGINT) AS min_l,
+          CAST(count(*) FILTER (l = 1) AS BIGINT) AS n_classes_l1
+        FROM classes
+        """,
+        "events_cohort_ltv": """
+        WITH base AS (
+          SELECT user_id AS u, CAST(ts AS DATE) AS d,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          FROM events WHERE event_type = 'purchase'
+        ), f AS (
+          SELECT u, date_trunc('week', min(d)) AS cohort
+          FROM base GROUP BY 1
+        ), j AS (
+          SELECT base.u, base.c, f.cohort,
+            CAST(floor(date_diff('day', f.cohort,
+                                 date_trunc('week', base.d)) / 7)
+              AS BIGINT) AS age
+          FROM base JOIN f ON base.u = f.u
+        ), cells AS (
+          SELECT cohort, age, CAST(count(DISTINCT u) AS BIGINT) AS n_units,
+            CAST(sum(c) AS BIGINT) AS revenue_cents
+          FROM j GROUP BY 1, 2
+        )
+        SELECT cohort AS cohort_start, age, n_units, revenue_cents,
+          CAST(sum(revenue_cents) OVER (PARTITION BY cohort ORDER BY age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_revenue_cents
+        FROM cells
         """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,

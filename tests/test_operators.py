@@ -5378,3 +5378,73 @@ class TestBudgetQuantileNegatives:
         # no duplicate negatives per src
         seen = [(r["src"], r["neg_dst"]) for r in out]
         assert len(seen) == len(set(seen))
+
+
+class TestKanonCohortLtv:
+    def test_kanon_counts_small_classes(self, spark):
+        from unitdb_spark.operators.profile import kanonymity_report
+
+        # class (a,1): 5 rows 2 users; (a,2): 2 rows 1 user; (b,1): 1 row
+        rows = (
+            [("a", 1, 10)] * 3 + [("a", 1, 11)] * 2
+            + [("a", 2, 12)] * 2 + [("b", 1, 13)]
+        )
+        df = spark.createDataFrame(rows, "q1 string, q2 int, s int")
+        (r,) = kanonymity_report(df, ["q1", "q2"], "s", k=3).collect()
+        assert r["n_rows"] == 8 and r["n_classes"] == 3
+        assert r["min_class"] == 1
+        assert r["n_rows_below_k"] == 3  # the 2-row and 1-row classes
+        assert r["share_below_k_ppm"] == 375_000
+        assert r["min_l"] == 1 and r["n_classes_l1"] == 2
+
+    def test_kanon_fully_anonymous_table(self, spark):
+        from unitdb_spark.operators.profile import kanonymity_report
+
+        rows = [("g", i % 3) for i in range(30)]
+        df = spark.createDataFrame(rows, "q string, s int")
+        (r,) = kanonymity_report(df, ["q"], "s", k=5).collect()
+        assert r["n_rows_below_k"] == 0 and r["share_below_k_ppm"] == 0
+        assert r["min_l"] == 3 and r["n_classes_l1"] == 0
+
+    def test_cohort_ltv_ages_and_cumulative(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.olap import cohort_ltv
+
+        mon = dt.datetime(2024, 1, 1, 9)  # a Monday
+        rows = [
+            (1, mon, 10.0),                       # cohort w0, age 0
+            (1, mon + dt.timedelta(days=8), 5.0),  # age 1
+            (1, mon + dt.timedelta(days=15), 2.5),  # age 2
+            (2, mon + dt.timedelta(days=1), 20.0),  # same cohort, age 0
+        ]
+        df = spark.createDataFrame(rows, "u int, ts timestamp, v double")
+        out = {r["age"]: r for r in cohort_ltv(
+            df, "u", "ts", F.col("v"), bucket="week"
+        ).collect()}
+        assert out[0]["n_units"] == 2 and out[0]["revenue_cents"] == 3000
+        assert out[1]["revenue_cents"] == 500
+        assert out[2]["cum_revenue_cents"] == 3750
+        assert all(r["cohort_start"] == dt.date(2024, 1, 1) for r in out.values())
+
+    def test_cohort_ltv_separate_cohorts(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.olap import cohort_ltv
+
+        mon = dt.datetime(2024, 1, 1, 12)
+        rows = [
+            (1, mon, 1.0),
+            (2, mon + dt.timedelta(days=7), 2.0),  # next week's cohort
+        ]
+        df = spark.createDataFrame(rows, "u int, ts timestamp, v double")
+        out = cohort_ltv(df, "u", "ts", F.col("v"), bucket="week").collect()
+        assert len(out) == 2
+        assert {r["cohort_start"] for r in out} == {
+            dt.date(2024, 1, 1), dt.date(2024, 1, 8)
+        }
+        assert all(r["age"] == 0 for r in out)

@@ -582,3 +582,70 @@ def quantile_map(
     return keyed.join(
         b.select("_rb", "mapped"), keyed["_idx"] == b["_rb"]
     ).select("id", "value", "q_ppm", "mapped")
+
+
+def cohort_ltv(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str,
+    value_expr,
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort lifetime-value matrix: units grouped by their FIRST-seen
+    period, revenue accumulated per period of age — the
+    "how much is a January signup worth by week 4" table behind any
+    LTV projection, and the revenue-weighted companion of the
+    count-based retention matrix.
+
+    Cohort and age are whole periods from exact date arithmetic
+    (``trunc``/datediff — no float time); values are exact DECIMAL
+    cents, plus the cumulative LTV per cohort as a running window over
+    the (cohort, age) matrix relation. ``value_expr`` is the per-row
+    revenue column/expression (cast to cents internally).
+
+    Output: (cohort_start, age, n_units, revenue_cents,
+    cum_revenue_cents).
+
+    Scale: one shuffle for first-seen, one for the (cohort, age)
+    cells; the cumulative window runs on the matrix relation
+    (cohorts × ages, tiny).
+    """
+    from pyspark.sql import Window
+
+    if bucket not in ("week", "month"):
+        raise ValueError("cohort_ltv: bucket must be 'week' or 'month'")
+    trunc_fmt = {"week": "week", "month": "month"}[bucket]
+    base = df.select(
+        F.col(unit_col).alias("_u"),
+        F.to_date(F.col(ts_col)).alias("_d"),
+        (value_expr.cast("decimal(18,2)") * 100).cast("long").alias("_c"),
+    )
+    first = base.groupBy("_u").agg(
+        F.trunc(F.min("_d"), trunc_fmt).alias("_cohort")
+    )
+    j = base.join(first, "_u").select(
+        "_u", "_c", "_cohort",
+        F.floor(
+            F.datediff(F.trunc(F.col("_d"), trunc_fmt), F.col("_cohort"))
+            / F.lit(7 if bucket == "week" else 1)
+        ).cast("long").alias("_age")
+        if bucket == "week"
+        else F.months_between(
+            F.trunc(F.col("_d"), trunc_fmt), F.col("_cohort")
+        ).cast("long").alias("_age"),
+    )
+    cells = j.groupBy("_cohort", "_age").agg(
+        F.countDistinct("_u").alias("n_units"),
+        F.sum("_c").alias("revenue_cents"),
+    )
+    w = Window.partitionBy("_cohort").orderBy("_age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cells.select(
+        F.col("_cohort").alias("cohort_start"),
+        F.col("_age").alias("age"),
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+        F.sum("revenue_cents").over(w).cast("long")
+        .alias("cum_revenue_cents"),
+    )

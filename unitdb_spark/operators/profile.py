@@ -539,3 +539,45 @@ def lorenz_deciles(
             / F.sum("s").over(wall).cast("double")
         ).cast("long").alias("cum_share_ppm"),
     )
+
+
+def kanonymity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """One-row k-anonymity / l-diversity audit before a data release:
+    group rows by the quasi-identifier columns and measure how much of
+    the table sits in equivalence classes smaller than ``k`` (re-
+    identifiable) and how many classes carry a single sensitive value
+    (attribute disclosure even when k holds).
+
+    Output: (n_rows, n_classes, min_class, n_rows_below_k,
+    share_below_k_ppm, min_l, n_classes_l1) — all exact integers /
+    floor-ppm.
+
+    Scale: ONE shuffle on the QI key computes class size and distinct
+    sensitive count together; the summary is an aggregate over the
+    class relation.
+    """
+    classes = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(sensitive_col).alias("_l"),
+    )
+    return classes.agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("_n").cast("long").alias("min_class"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") < k, F.col("_n"))), F.lit(0)
+        ).cast("long").alias("n_rows_below_k"),
+        F.floor(
+            F.coalesce(
+                F.sum(F.when(F.col("_n") < k, F.col("_n"))), F.lit(0)
+            ) * F.lit(1_000_000) / F.sum("_n")
+        ).cast("long").alias("share_below_k_ppm"),
+        F.min("_l").cast("long").alias("min_l"),
+        F.count(F.when(F.col("_l") == 1, 1)).cast("long")
+        .alias("n_classes_l1"),
+    )
