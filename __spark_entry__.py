@@ -4391,6 +4391,32 @@ def q_events_cohort_ltv(spark, sf_dir):
     return cohort_ltv(ev, "user_id", "ts", F.col("value"), bucket="week")
 
 
+def q_media_dup_modularity(spark, sf_dir):
+    """Newman modularity of the image-dedup partition: scores the
+    pHash connected components against the pair graph — the quality
+    metric for any clustering the dedup path emits. Exact integer
+    numerators per community; Q is a BIGINT sum of floor-micro
+    contributions (chi-squared discipline)."""
+    from unitdb_spark.functions.multimodal import (
+        ahash_pairs,
+        bmp_ahash_chunks,
+        synthetic_bmp_media,
+    )
+    from unitdb_spark.operators.cluster import dup_clusters
+    from unitdb_spark.operators.graph import modularity
+
+    d = _docs(spark, sf_dir)
+    media = synthetic_bmp_media(d, seed_mod=23)
+    pairs = ahash_pairs(bmp_ahash_chunks(media), max_distance=3)
+    clusters = dup_clusters(d, pairs)
+    return modularity(
+        pairs, clusters.select(
+            F.col("doc_id").alias("node"),
+            F.col("cluster_id").alias("comm"),
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4657,6 +4683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_m4": q_streamed_m4,
         "events_kanon": q_events_kanon,
         "events_cohort_ltv": q_events_cohort_ltv,
+        "media_dup_modularity": q_media_dup_modularity,
     }
 
 
@@ -9033,6 +9060,60 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(sum(n * abs(gap_ppm)) OVER ()
                      / sum(n) OVER ()) AS BIGINT) AS ece_ppm
         FROM s2
+        """
+    )
+    # modularity of the image-dedup partition: the shared pHash chain
+    # + recursive reach supply (pairs, communities); the score mirrors
+    # the chi-squared floor-micro discipline
+    d["media_dup_modularity"] = (
+        _PHASH_CHAIN_SQL.replace("WITH g AS", "WITH RECURSIVE g AS", 1)
+        + """
+        , p AS (SELECT id_a, id_b FROM scored WHERE hamming <= 3),
+        edg AS (
+          SELECT id_a AS s, id_b AS d FROM p
+          UNION ALL
+          SELECT id_b AS s, id_a AS d FROM p
+        ),
+        reach(node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.d, r.label FROM reach r JOIN edg e ON r.node = e.s
+        ),
+        comm AS (SELECT node, MIN(label) AS comm FROM reach GROUP BY node),
+        und AS (SELECT DISTINCT id_a AS a, id_b AS b FROM p),
+        degt AS (
+          SELECT n, count(*) AS deg FROM (
+            SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+          ) GROUP BY 1
+        ),
+        mm AS (SELECT count(*) AS m FROM und),
+        ec AS (
+          SELECT ca.comm, count(*) AS e_in
+          FROM und
+          JOIN comm ca ON ca.node = und.a
+          JOIN comm cb ON cb.node = und.b AND cb.comm = ca.comm
+          GROUP BY 1
+        ),
+        dc AS (
+          SELECT comm.comm, CAST(sum(degt.deg) AS BIGINT) AS d_sum,
+            count(*) AS n_nodes
+          FROM degt JOIN comm ON comm.node = degt.n GROUP BY 1
+        ),
+        sm AS (
+          SELECT dc.comm, CAST(dc.n_nodes AS BIGINT) AS n_nodes,
+            CAST(coalesce(ec.e_in, 0) AS BIGINT) AS e_in, dc.d_sum,
+            CAST(floor(
+              (4.0 * CAST(mm.m AS DOUBLE)
+                 * CAST(coalesce(ec.e_in, 0) AS DOUBLE)
+               - CAST(dc.d_sum AS DOUBLE) * CAST(dc.d_sum AS DOUBLE))
+              * 1000000.0
+              / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))
+            ) AS BIGINT) AS contrib_micro
+          FROM dc LEFT JOIN ec ON ec.comm = dc.comm, mm
+        )
+        SELECT comm, n_nodes, e_in, d_sum, contrib_micro,
+          CAST(sum(contrib_micro) OVER () AS BIGINT) AS q_micro
+        FROM sm
         """
     )
     # the M4 twin's state is fully algebraic -> same report as the

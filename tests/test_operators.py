@@ -5448,3 +5448,52 @@ class TestKanonCohortLtv:
             dt.date(2024, 1, 1), dt.date(2024, 1, 8)
         }
         assert all(r["age"] == 0 for r in out)
+
+
+class TestModularity:
+    def test_two_cliques_high_q(self, spark):
+        from unitdb_spark.operators.graph import modularity
+
+        # two disjoint triangles, communities = the triangles
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6)],
+            "id_a long, id_b long",
+        )
+        assign = spark.createDataFrame(
+            [(n, 1 if n <= 3 else 4) for n in range(1, 7)],
+            "node long, comm long",
+        )
+        out = {r["comm"]: r for r in modularity(edges, assign).collect()}
+        # each community: e_in=3, d_sum=6, m=6 ->
+        # contrib = (4*6*3 - 36)/(4*36) = 36/144 = 0.25
+        for c in (1, 4):
+            assert out[c]["e_in"] == 3 and out[c]["d_sum"] == 6
+            assert out[c]["contrib_micro"] == 250_000
+        assert out[1]["q_micro"] == 500_000  # the classic 2-clique Q
+
+    def test_everything_one_community_is_zero(self, spark):
+        from unitdb_spark.operators.graph import modularity
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+        )
+        assign = spark.createDataFrame(
+            [(n, 0) for n in range(1, 5)], "node long, comm long"
+        )
+        (r,) = modularity(edges, assign).collect()
+        # e_in = m and d_sum = 2m -> contrib = (4m^2 - 4m^2)/(4m^2) = 0
+        assert r["contrib_micro"] == 0 and r["q_micro"] == 0
+
+    def test_random_split_negative_or_zero(self, spark):
+        from unitdb_spark.operators.graph import modularity
+
+        # a clique split across two communities scores NEGATIVE
+        edges = spark.createDataFrame(
+            [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+            "id_a long, id_b long",
+        )
+        assign = spark.createDataFrame(
+            [(1, 0), (2, 1), (3, 0), (4, 1)], "node long, comm long"
+        )
+        out = modularity(edges, assign).collect()
+        assert out[0]["q_micro"] < 0

@@ -501,3 +501,93 @@ def negative_edge_samples(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def modularity(
+    edges: DataFrame,
+    assign: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    node_col: str = "node",
+    comm_col: str = "comm",
+) -> DataFrame:
+    """Newman modularity of a community partition over an undirected
+    edge set — the quality score for any clustering the dedup path
+    produces (a Q near 0 says the "clusters" are no better than random
+    wiring; a giant component drags Q down through its degree term).
+
+    ``edges`` holds each undirected edge ONCE (id_a < id_b);
+    ``assign`` maps nodes to communities. Per community c with e_c
+    internal edges and total member degree d_c,
+
+        contrib = (4·m·e_c − d_c²) / (4·m²)
+
+    — every operand an exact integer, the division ONE pinned double
+    floored into micro-units, and Q the exact BIGINT sum of those
+    integers (same discipline as the chi-squared statistic). Only
+    communities with edge-touching members appear (edge-less
+    singletons contribute exactly 0).
+
+    Output: (comm, n_nodes, e_in, d_sum, contrib_micro, q_micro) with
+    q_micro repeated per row (window over the community relation).
+
+    Scale: degrees and labels shuffle on node/edge keys once each;
+    everything after runs on the community relation.
+    """
+    from pyspark.sql import Window
+
+    und = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    m = und.agg(F.count(F.lit(1)).alias("m"))
+    comm = assign.select(
+        F.col(node_col).alias("n"), F.col(comm_col).alias("comm")
+    )
+    ec = (
+        und.join(comm.select(F.col("n").alias("a"),
+                             F.col("comm").alias("_ca")), "a")
+        .join(comm.select(F.col("n").alias("b"),
+                          F.col("comm").alias("_cb")), "b")
+        .filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("comm"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    dc = (
+        deg.join(comm, "n")
+        .groupBy("comm")
+        .agg(
+            F.sum("deg").alias("d_sum"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+    )
+    j = dc.join(ec, "comm", "left").select(
+        "comm", "n_nodes",
+        F.coalesce("e_in", F.lit(0)).alias("e_in"), "d_sum",
+    ).join(F.broadcast(m))
+    mD = F.col("m").cast("double")
+    contrib = F.floor(
+        (
+            F.lit(4.0) * mD * F.col("e_in").cast("double")
+            - F.col("d_sum").cast("double") * F.col("d_sum").cast("double")
+        )
+        * F.lit(1_000_000.0)
+        / (F.lit(4.0) * mD * mD)
+    ).cast("long")
+    scored = j.select(
+        "comm",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("e_in").cast("long").alias("e_in"),
+        F.col("d_sum").cast("long").alias("d_sum"),
+        contrib.alias("contrib_micro"),
+    )
+    wall = Window.partitionBy()
+    return scored.select(
+        "*",
+        F.sum("contrib_micro").over(wall).cast("long").alias("q_micro"),
+    )
