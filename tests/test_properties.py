@@ -436,3 +436,101 @@ class TestCharEntropyProperty:
         )
         assert got["n_unique"] == len(counts)
         assert Decimal(str(got["entropy_r"])) == model
+
+
+class TestMannWhitneyProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        vals=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=8),  # forced ties
+                st.integers(min_value=0, max_value=1),
+            ),
+            min_size=4, max_size=30,
+        ).filter(
+            lambda xs: len({a for _, a in xs}) == 2
+        )
+    )
+    def test_u_matches_midrank_model(self, spark, vals):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import mann_whitney_u
+
+        df = spark.createDataFrame(
+            [(float(v), a) for v, a in vals], "v double, arm int"
+        )
+        (out,) = mann_whitney_u(df, "v", F.col("arm")).collect()
+
+        # independent midrank model
+        sv = sorted(v for v, _ in vals)
+        def midrank(v):
+            lo = sv.index(v)
+            hi = lo + sv.count(v) - 1
+            return (lo + hi) / 2 + 1
+        ra = sum(midrank(v) for v, a in vals if a == 0)
+        na = sum(1 for _, a in vals if a == 0)
+        u_a = ra - na * (na + 1) / 2
+        assert out["u_a2"] == int(round(2 * u_a))
+        # U_A + U_B = n_a * n_b (fundamental identity)
+        nb = len(vals) - na
+        rb = sum(midrank(v) for v, a in vals if a == 1)
+        u_b = rb - nb * (nb + 1) / 2
+        assert int(round(2 * u_a + 2 * u_b)) == 2 * na * nb
+
+
+class TestKsProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        vals=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10),
+                st.integers(min_value=0, max_value=1),
+            ),
+            min_size=4, max_size=30,
+        ).filter(
+            lambda xs: {a for _, a in xs} == {0, 1}
+        )
+    )
+    def test_d_matches_ecdf_model(self, spark, vals):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import ks_two_sample
+
+        df = spark.createDataFrame(
+            [(float(v), a) for v, a in vals], "v double, arm int"
+        )
+        (out,) = ks_two_sample(df, "v", F.col("arm")).collect()
+
+        a = sorted(v for v, x in vals if x == 0)
+        b = sorted(v for v, x in vals if x == 1)
+        na, nb = len(a), len(b)
+        support = sorted({v for v, _ in vals})
+        want = max(
+            abs(sum(1 for x in a if x <= t) * nb
+                - sum(1 for x in b if x <= t) * na)
+            for t in support
+        )
+        assert out["d_scaled"] == want
+
+
+class TestGiniProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=0, max_value=500),
+            min_size=2, max_size=25,
+        ).filter(lambda xs: sum(xs) > 0)
+    )
+    def test_gini_matches_pairwise_model(self, spark, vals):
+        from unitdb_spark.operators.profile import gini_by_group
+
+        df = spark.createDataFrame(
+            [("g", v / 100.0) for v in vals], "g string, v double"
+        )
+        (r,) = gini_by_group(df, "g", "v").collect()
+        # mean-absolute-difference formulation:
+        # G = sum_ij |xi - xj| / (2 n sum(x))
+        n, s = len(vals), sum(vals)
+        mad = sum(abs(x - y) for x in vals for y in vals)
+        want = mad * 1_000_000 // (2 * n * s)
+        assert abs(r["gini_ppm"] - want) <= 1  # floor-vs-floor slack
