@@ -7111,8 +7111,12 @@ def oracle_sql() -> dict[str, str]:
         ), agg AS (
           SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
             CAST(sum(nb_v) AS BIGINT) AS n_b,
-            CAST(sum(na_v * (2 * below + t_v + 1)) AS BIGINT) AS r_a2,
-            CAST(sum(t_v * t_v * t_v - t_v) AS BIGINT) AS tie3
+            CAST(sum(CAST(na_v AS HUGEINT)
+                     * CAST(2 * below + t_v + 1 AS HUGEINT)) AS BIGINT)
+              AS r_a2,
+            CAST(sum(CAST(t_v AS HUGEINT) * CAST(t_v AS HUGEINT)
+                     * CAST(t_v AS HUGEINT)
+                     - CAST(t_v AS HUGEINT)) AS BIGINT) AS tie3
           FROM rk
         )
         SELECT n_a, n_b,
@@ -7232,7 +7236,8 @@ def oracle_sql() -> dict[str, str]:
           FROM base
         ), a AS (
           SELECT g, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-            CAST(sum(i * x) AS BIGINT) AS six
+            CAST(sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS BIGINT)
+              AS six
           FROM r GROUP BY g
         )
         SELECT g AS "group", CAST(n AS BIGINT) AS n, sx AS sum_cents,
@@ -7395,7 +7400,9 @@ def oracle_sql() -> dict[str, str]:
             sum(nb_v) OVER () AS n_b
           FROM per
         ), scored AS (
-          SELECT n_a, n_b, abs(ca * n_b - cb * n_a) AS d,
+          SELECT n_a, n_b,
+            abs(CAST(ca AS HUGEINT) * CAST(n_b AS HUGEINT)
+                - CAST(cb AS HUGEINT) * CAST(n_a AS HUGEINT)) AS d,
             CAST(v AS DOUBLE) AS vd
           FROM cum
         ), best AS (
@@ -7405,7 +7412,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
           CAST(d AS BIGINT) AS d_scaled,
           CASE WHEN n_a > 0 AND n_b > 0 THEN
-            CAST(floor(d * 1000000 / (n_a * n_b)) AS BIGINT)
+            CAST(floor(CAST(d AS DOUBLE) * 1000000.0
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS BIGINT)
           END AS d_ppm,
           vd AS ks_at
         FROM best
@@ -7532,8 +7540,9 @@ def oracle_sql() -> dict[str, str]:
             AS mean_micro,
           CAST(floor(CAST(s_kept AS DOUBLE) * 1000000
                      / greatest(n_kept, 1)) AS BIGINT) AS trimmed_micro,
-          CAST(floor(CAST(s_kept + k * lo + k * hi AS DOUBLE) * 1000000 / n)
-            AS BIGINT) AS winsor_micro
+          CAST(floor(CAST(s_kept + CAST(k AS HUGEINT) * CAST(lo AS HUGEINT)
+                 + CAST(k AS HUGEINT) * CAST(hi AS HUGEINT) AS DOUBLE)
+               * 1000000 / n) AS BIGINT) AS winsor_micro
         FROM a
         """,
         "events_lag_corr": """
@@ -8996,14 +9005,16 @@ def oracle_sql() -> dict[str, str]:
           SELECT c4.doc_id, c4.keep AS ka, gf.keep AS kb
           FROM c4 JOIN gf USING (doc_id)
         ), agg AS (
-          SELECT count(*) AS n,
+          SELECT
+            count(*) FILTER (ka IS NOT NULL AND kb IS NOT NULL) AS n,
+            count(*) FILTER (ka IS NULL OR kb IS NULL) AS n_null,
             count(*) FILTER (ka AND kb) AS n11,
             count(*) FILTER (ka AND NOT kb) AS n10,
             count(*) FILTER (NOT ka AND kb) AS n01,
             count(*) FILTER (NOT ka AND NOT kb) AS n00
           FROM j
         )
-        SELECT n, n11, n10, n01, n00,
+        SELECT n, n_null, n11, n10, n01, n00,
           CAST(floor(CAST(n11 + n00 AS DOUBLE) * 1000000.0
                      / CAST(n AS DOUBLE)) AS BIGINT) AS agree_ppm,
           CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)

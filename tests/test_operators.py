@@ -5497,3 +5497,34 @@ class TestModularity:
         )
         out = modularity(edges, assign).collect()
         assert out[0]["q_micro"] < 0
+
+
+class TestReviewFixesRound5b:
+    def test_kappa_null_verdicts_reported_not_conflated(self, spark):
+        from unitdb_spark.operators.evaluation import filter_agreement
+
+        rows = [(True, True)] * 6 + [(False, False)] * 6 + [(None, True)] * 3
+        df = spark.createDataFrame(rows, "a boolean, b boolean")
+        (r,) = filter_agreement(df, "a", "b").collect()
+        assert r["n"] == 12 and r["n_null"] == 3
+        # perfect agreement on the decided rows, undeflated
+        assert r["agree_ppm"] == 1_000_000
+        assert r["kappa_ppm"] == 1_000_000
+
+    def test_ndcg_zero_based_ranks_drop_instead_of_crash(self, spark):
+        from unitdb_spark.operators.evaluation import ranking_ndcg
+
+        rows = [("q", r, True) for r in range(0, 5)]  # 0-based by mistake
+        df = spark.createDataFrame(rows, "q string, rank int, rel boolean")
+        (out,) = ranking_ndcg(df, "q", "rank", "rel", k=5).collect()
+        assert out["n_rel"] == 4  # rank 0 dropped, 1..4 counted
+
+    def test_outlier_report_custom_id_col(self, spark):
+        from unitdb_spark.operators.sampling import cluster_outlier_report
+
+        rows = [(i, [float(i % 2), float(1 - i % 2)]) for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, emb array<float>")
+        out = cluster_outlier_report(
+            df, k=2, n_iters=1, per_cell=1, id_col="doc_id", vec_col="emb"
+        ).collect()
+        assert len(out) == 12 and "doc_id" in out[0].asDict()

@@ -284,12 +284,18 @@ def filter_agreement(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     inside the double's exact range (N ≲ 9·10⁷ rows; past that,
     lift the products to DECIMAL(38,0) — same pinned shape).
 
-    Output: (n, n11, n10, n01, n00, agree_ppm, kappa_ppm).
+    Rows where EITHER verdict is NULL cannot land in any confusion
+    cell; they are excluded from n and reported in ``n_null`` instead
+    of silently deflating the agreement (a 10% NULL rate would
+    otherwise bias agree_ppm down by up to 100k ppm).
+
+    Output: (n, n_null, n11, n10, n01, n00, agree_ppm, kappa_ppm).
     """
     a = F.col(a_col).cast("boolean")
     b = F.col(b_col).cast("boolean")
     agg = df.agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(a.isNotNull() & b.isNotNull(), 1)).alias("n"),
+        F.count(F.when(a.isNull() | b.isNull(), 1)).alias("n_null"),
         F.count(F.when(a & b, 1)).alias("n11"),
         F.count(F.when(a & ~b, 1)).alias("n10"),
         F.count(F.when(~a & b, 1)).alias("n01"),
@@ -304,7 +310,7 @@ def filter_agreement(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     chance = r1 * c1 + r0 * c0
     den = nD * nD - chance
     return agg.select(
-        "n", "n11", "n10", "n01", "n00",
+        "n", "n_null", "n11", "n10", "n01", "n00",
         F.floor(agree * F.lit(1_000_000.0) / nD).cast("long")
         .alias("agree_ppm"),
         F.when(
@@ -414,7 +420,12 @@ def ranking_ndcg(
         raise ValueError(f"ranking_ndcg: k must be in 1..{len(NDCG_GAIN_MICRO)}")
     gain_arr = F.array(*[F.lit(g) for g in NDCG_GAIN_MICRO[:k]])
     prefix_arr = F.array(*[F.lit(p) for p in NDCG_PREFIX_MICRO[:k]])
-    base = recs.filter(F.col(rank_col) <= k).select(
+    # ranks are 1-based by contract; a 0-based table would crash
+    # element_at (rank 0) or silently index from the array END
+    # (negative ranks) — out-of-domain ranks drop here instead
+    base = recs.filter(
+        (F.col(rank_col) >= 1) & (F.col(rank_col) <= k)
+    ).select(
         F.col(query_col).alias("item"),
         F.col(rank_col).cast("int").alias("_r"),
         F.col(rel_col).cast("boolean").alias("_rel"),

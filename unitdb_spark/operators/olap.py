@@ -296,6 +296,25 @@ def rfm_segments(
     )
 
 
+def pinned_pearson(n, sx, sy, sxx, syy, sxy):
+    """The repo's ONE pinned Pearson finish over exact moments: every
+    argument must already be an exact integer/DECIMAL Column; the
+    expression casts each to double once and evaluates
+
+        (n·sxy − sx·sy) / sqrt((n·sxx − sx²)(n·syy − sy²))
+
+    in this fixed order, round-6, NULL on zero variance. Shared by
+    `correlation_matrix`, `stats_tests.spearman_corr`, and
+    `timeseries.lag_correlation` so the oracle convention has exactly
+    one Python source."""
+    d = lambda c: c.cast("double")  # noqa: E731
+    nD = d(n)
+    num = nD * d(sxy) - d(sx) * d(sy)
+    vx = nD * d(sxx) - d(sx) * d(sx)
+    vy = nD * d(syy) - d(sy) * d(sy)
+    return F.when((vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6))
+
+
 def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pearson correlation for every column pair in ONE pass over the
     data: all sufficient moments (count, sums, pairwise product sums)
@@ -325,24 +344,18 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
             aggs.append(F.sum(dec[a] * dec[b]).alias(f"_p_{a}_{b}"))
     m = d.agg(*aggs)
 
-    def _d(name):  # exact decimal -> double, once
-        return F.col(name).cast("double")
-
     rows = []
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
-            n = F.col("_n").cast("double")
-            num = n * _d(f"_p_{a}_{b}") - _d(f"_s_{a}") * _d(f"_s_{b}")
-            va = n * _d(f"_p_{a}_{a}") - _d(f"_s_{a}") * _d(f"_s_{a}")
-            vb = n * _d(f"_p_{b}_{b}") - _d(f"_s_{b}") * _d(f"_s_{b}")
             rows.append(
                 F.struct(
                     F.lit(a).alias("col_a"),
                     F.lit(b).alias("col_b"),
                     F.col("_n").alias("n"),
-                    F.when(
-                        (va > 0) & (vb > 0),
-                        F.round(num / F.sqrt(va * vb), 6),
+                    pinned_pearson(
+                        F.col("_n"), F.col(f"_s_{a}"), F.col(f"_s_{b}"),
+                        F.col(f"_p_{a}_{a}"), F.col(f"_p_{b}_{b}"),
+                        F.col(f"_p_{a}_{b}"),
                     ).alias("corr_r"),
                 )
             )

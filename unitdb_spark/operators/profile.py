@@ -395,7 +395,9 @@ def gini_by_group(
     agg = ranked.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec(F.col("x"))).alias("sx"),
-        F.sum(dec(F.col("i") * F.col("x"))).alias("six"),
+        # operands lift to DECIMAL BEFORE the product — i·x in int64
+        # wraps silently at the huge-group envelope
+        F.sum(dec(F.col("i")) * dec(F.col("x"))).alias("six"),
     )
     num = (
         F.lit(2.0) * F.col("six").cast("double")
@@ -466,8 +468,8 @@ def robust_mean_report(
     )
     ws = (
         F.col("s_kept")
-        + dec(F.col("k") * F.col("lo"))
-        + dec(F.col("k") * F.col("hi"))
+        + dec(F.col("k")) * dec(F.col("lo"))
+        + dec(F.col("k")) * dec(F.col("hi"))
     )
     micro = F.lit(1_000_000)
     return agg.select(

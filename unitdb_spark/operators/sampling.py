@@ -275,10 +275,13 @@ def cluster_outlier_report(
         embeddings, k=k, n_iters=n_iters,
         id_col=id_col, vec_col=vec_col, sim_out="_sim",
     )
-    w = Window.partitionBy("cell").orderBy(F.col("_sim").asc(), id_col)
+    # kmeans_lloyd normalizes the id column to "vec_id" in its output;
+    # alias back to the caller's name on the way out
+    w = Window.partitionBy("cell").orderBy(F.col("_sim").asc(), "vec_id")
     return (
         assign.select(
-            id_col, "cell", F.row_number().over(w).alias("far_rank")
+            F.col("vec_id").alias(id_col), "cell",
+            F.row_number().over(w).alias("far_rank"),
         )
         .withColumn("outlier", F.col("far_rank") <= per_cell)
     )

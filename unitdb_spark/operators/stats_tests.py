@@ -134,20 +134,29 @@ def mann_whitney_u(
             F.sum(F.col("na_v") + F.col("nb_v")).over(w), F.lit(0)
         ).alias("below"),
     )
-    # 2·midrank = 2·below + t + 1 (integer); R_A2 = Σ na_v · rank2
+    # 2·midrank = 2·below + t + 1 (integer); R_A2 = Σ na_v · rank2.
+    # Products lift to DECIMAL(38,0) BEFORE multiplying — at the
+    # billions-of-rows envelope t³ and na_v·rank2 overflow int64
+    # silently (Spark wraps, DuckDB raises: gate divergence)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = ranked.agg(
         F.sum("na_v").alias("n_a"),
         F.sum("nb_v").alias("n_b"),
         F.sum(
-            F.col("na_v") * (F.lit(2) * F.col("below") + F.col("t_v") + 1)
+            d38(F.col("na_v"))
+            * d38(F.lit(2) * F.col("below") + F.col("t_v") + 1)
         ).alias("r_a2"),
         F.sum(
-            F.col("t_v") * F.col("t_v") * F.col("t_v") - F.col("t_v")
+            d38(F.col("t_v")) * d38(F.col("t_v")) * d38(F.col("t_v"))
+            - d38(F.col("t_v"))
         ).alias("tie3"),
     )
     na, nb = F.col("n_a"), F.col("n_b")
     n = na + nb
-    u_a2 = F.col("r_a2") - na * (na + 1)  # 2·U_A, exact BIGINT
+    # 2·U_A, exact in DECIMAL; the emitted BIGINT column bounds the
+    # OUTPUT envelope at n_a·n_b < 2^63 (~3e9 rows per side) — the
+    # accumulation itself can no longer wrap
+    u_a2 = F.col("r_a2") - d38(na) * d38(na + 1)
     naD, nbD, nD = (
         na.cast("double"), nb.cast("double"), n.cast("double")
     )
@@ -223,15 +232,13 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.sum(dec("ry2") * dec("ry2")).alias("syy"),
         F.sum(dec("rx2") * dec("ry2")).alias("sxy"),
     )
-    nD = F.col("n").cast("double")
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    num = nD * d("sxy") - d("sx") * d("sy")
-    vx = nD * d("sxx") - d("sx") * d("sx")
-    vy = nD * d("syy") - d("sy") * d("sy")
+    from unitdb_spark.operators.olap import pinned_pearson
+
     return m.select(
         F.col("n").cast("long").alias("n"),
-        F.when(
-            (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6)
+        pinned_pearson(
+            F.col("n"), F.col("sx"), F.col("sy"),
+            F.col("sxx"), F.col("syy"), F.col("sxy"),
         ).alias("rho_r"),
     )
 
@@ -278,7 +285,13 @@ def ks_two_sample(df: DataFrame, value_col: str, arm_col) -> DataFrame:
         F.sum("na_v").over(wall).alias("n_a"),
         F.sum("nb_v").over(wall).alias("n_b"),
     )
-    d = F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+    # cross-multiplied ECDF difference in DECIMAL(38,0): int64 would
+    # wrap silently past ~3e9 rows per side (Spark) or raise (DuckDB)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d = F.abs(
+        d38(F.col("ca")) * d38(F.col("n_b"))
+        - d38(F.col("cb")) * d38(F.col("n_a"))
+    )
     scored = cum.select(
         "n_a", "n_b", d.alias("_d"), F.col("_v").cast("double").alias("_vd")
     )
@@ -294,9 +307,11 @@ def ks_two_sample(df: DataFrame, value_col: str, arm_col) -> DataFrame:
         F.col("d_scaled").cast("long").alias("d_scaled"),
         F.when(
             (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            # pinned DOUBLE ratio — doubles cannot wrap, and both
+            # engines evaluate the identical expression
             F.floor(
-                F.col("d_scaled") * F.lit(1_000_000)
-                / (F.col("n_a") * F.col("n_b"))
+                F.col("d_scaled").cast("double") * F.lit(1_000_000.0)
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             ),
         ).cast("long").alias("d_ppm"),
         "ks_at",

@@ -960,15 +960,13 @@ def lag_correlation(
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    d = lambda c: F.col(c).cast("double")  # noqa: E731
-    nD = d("n")
-    num = nD * d("sxy") - d("sx") * d("sy")
-    vx = nD * d("sxx") - d("sx") * d("sx")
-    vy = nD * d("syy") - d("sy") * d("sy")
+    from unitdb_spark.operators.olap import pinned_pearson
+
     return m.select(
         "lag",
         F.col("n").cast("long").alias("n"),
-        F.when(
-            (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6)
+        pinned_pearson(
+            F.col("n"), F.col("sx"), F.col("sy"),
+            F.col("sxx"), F.col("syy"), F.col("sxy"),
         ).alias("corr_r"),
     )
