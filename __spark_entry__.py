@@ -4417,6 +4417,61 @@ def q_media_dup_modularity(spark, sf_dir):
     )
 
 
+def q_lineitem_trend_break(spark, sf_dir):
+    """Piecewise daily-revenue trend around 1995-06-17: OLS slope on
+    (day index, exact cents) before vs after, both sides' moments in
+    one pass, pinned round-6 slopes — 'did the trend change at the
+    break?'."""
+    from unitdb_spark.operators.timeseries import trend_break
+
+    return trend_break(
+        _read(spark, sf_dir, "lineitem"),
+        "l_shipdate", "l_extendedprice", "1995-06-17",
+    )
+
+
+def q_parts_rank_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two related-items rankings: the
+    cosine-normalized retrieval and the raw co-purchase-count
+    ranking, fused on the literal floor-micro 1/(60+rank) gains —
+    exact BIGINT scores, engine-exact re-rank."""
+    from unitdb_spark.operators.evaluation import reciprocal_rank_fusion
+    from unitdb_spark.operators.graph import related_items
+
+    li = _read(spark, sf_dir, "lineitem")
+    cosine = related_items(li, "l_orderkey", "l_partkey", k=10, min_cooc=2)
+    # count-based ranking over the same pair relation
+    g = li.select(
+        F.col("l_orderkey").alias("_g"), F.col("l_partkey").alias("_i")
+    ).distinct()
+    und = (
+        g.select("_g", F.col("_i").alias("x"))
+        .join(g.select("_g", F.col("_i").alias("y")), "_g")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    both = und.select(
+        F.col("x").alias("item"), F.col("y").alias("neighbor"), "n_ab"
+    ).unionByName(
+        und.select(
+            F.col("y").alias("item"), F.col("x").alias("neighbor"), "n_ab"
+        )
+    )
+    wc = W.partitionBy("item").orderBy(F.col("n_ab").desc(), "neighbor")
+    counts = both.select(
+        "item", "neighbor", F.row_number().over(wc).alias("rank")
+    ).filter(F.col("rank") <= 10)
+    return reciprocal_rank_fusion(
+        [
+            cosine.select("item", "neighbor", "rank"),
+            counts,
+        ],
+        query_col="item", item_col="neighbor", rank_col="rank", top_k=10,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4684,6 +4739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kanon": q_events_kanon,
         "events_cohort_ltv": q_events_cohort_ltv,
         "media_dup_modularity": q_media_dup_modularity,
+        "lineitem_trend_break": q_lineitem_trend_break,
+        "parts_rank_fusion": q_parts_rank_fusion,
     }
 
 
@@ -7773,6 +7830,58 @@ def oracle_sql() -> dict[str, str]:
             AS cum_revenue_cents
         FROM cells
         """,
+        "lineitem_trend_break": """
+        WITH base AS (
+          SELECT CAST(l_shipdate AS DATE) AS d,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              AS y
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ), org AS (SELECT min(d) AS o FROM base),
+        xy AS (
+          SELECT CAST(date_diff('day', org.o, base.d) AS BIGINT) AS x,
+            y, base.d >= DATE '1995-06-17' AS post
+          FROM base, org
+        ), m AS (
+          SELECT
+            count(*) FILTER (NOT post) AS n_pre,
+            CAST(sum(CAST(x AS HUGEINT)) FILTER (NOT post) AS DOUBLE)
+              AS sxf,
+            CAST(sum(CAST(y AS HUGEINT)) FILTER (NOT post) AS DOUBLE)
+              AS syf,
+            CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                 FILTER (NOT post) AS DOUBLE) AS sxxf,
+            CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                 FILTER (NOT post) AS DOUBLE) AS sxyf,
+            count(*) FILTER (post) AS n_post,
+            CAST(sum(CAST(x AS HUGEINT)) FILTER (post) AS DOUBLE) AS sxt,
+            CAST(sum(CAST(y AS HUGEINT)) FILTER (post) AS DOUBLE) AS syt,
+            CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                 FILTER (post) AS DOUBLE) AS sxxt,
+            CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                 FILTER (post) AS DOUBLE) AS sxyt
+          FROM xy
+        )
+        SELECT CAST(n_pre AS BIGINT) AS n_pre,
+          CASE WHEN (CAST(n_pre AS DOUBLE) * sxxf - sxf * sxf) > 0.0 THEN
+            round((CAST(n_pre AS DOUBLE) * sxyf - sxf * syf)
+                  / (CAST(n_pre AS DOUBLE) * sxxf - sxf * sxf), 6)
+          END AS slope_pre_r,
+          CAST(n_post AS BIGINT) AS n_post,
+          CASE WHEN (CAST(n_post AS DOUBLE) * sxxt - sxt * sxt) > 0.0 THEN
+            round((CAST(n_post AS DOUBLE) * sxyt - sxt * syt)
+                  / (CAST(n_post AS DOUBLE) * sxxt - sxt * sxt), 6)
+          END AS slope_post_r,
+          CASE WHEN (CAST(n_pre AS DOUBLE) * sxxf - sxf * sxf) > 0.0
+                AND (CAST(n_post AS DOUBLE) * sxxt - sxt * sxt) > 0.0 THEN
+            round(
+              round((CAST(n_post AS DOUBLE) * sxyt - sxt * syt)
+                    / (CAST(n_post AS DOUBLE) * sxxt - sxt * sxt), 6)
+              - round((CAST(n_pre AS DOUBLE) * sxyf - sxf * syf)
+                      / (CAST(n_pre AS DOUBLE) * sxxf - sxf * sxf), 6),
+              6)
+          END AS delta_r
+        FROM m
+        """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -9203,6 +9312,51 @@ def oracle_sql() -> dict[str, str]:
           CAST(root_gini_ppm - sum(contrib_micro) OVER () AS BIGINT)
             AS gain_micro
         FROM scored
+        """
+    )
+    # rank fusion: the cosine retrieval oracle becomes one CTE, the
+    # count ranking rebuilds from the same pair relation, gains are
+    # the Python-computed RRF literal table
+    from unitdb_spark.operators.evaluation import RRF_GAIN_MICRO
+    _rrf_vals = ", ".join(
+        f"({r + 1}, {g})" for r, g in enumerate(RRF_GAIN_MICRO[:10])
+    )
+    d["parts_rank_fusion"] = (
+        "WITH rr AS (" + d["parts_related"] + "), "
+        f"gv2 AS (SELECT * FROM (VALUES {_rrf_vals}) AS t(rk, gain)), "
+        """
+        g2 AS (
+          SELECT DISTINCT l_orderkey AS gg, l_partkey AS i FROM lineitem
+        ), und2 AS (
+          SELECT a.i AS x, b.i AS y, count(*) AS n_ab
+          FROM g2 a JOIN g2 b ON a.gg = b.gg AND a.i < b.i
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ), both2 AS (
+          SELECT x AS item, y AS neighbor, n_ab FROM und2
+          UNION ALL SELECT y AS item, x AS neighbor, n_ab FROM und2
+        ), cnt AS (
+          SELECT item, neighbor, rnk AS rank FROM (
+            SELECT item, neighbor,
+              row_number() OVER (PARTITION BY item
+                ORDER BY n_ab DESC, neighbor) AS rnk
+            FROM both2
+          ) WHERE rnk <= 10
+        ), uni AS (
+          SELECT item AS query, neighbor AS it, rank FROM rr
+          UNION ALL SELECT item AS query, neighbor AS it, rank FROM cnt
+        ), sc AS (
+          SELECT query, it, CAST(count(*) AS BIGINT) AS n_systems,
+            CAST(sum(g.gain) AS BIGINT) AS rrf_micro
+          FROM uni JOIN gv2 g ON g.rk = uni.rank GROUP BY 1, 2
+        )
+        SELECT query, it AS item, n_systems, rrf_micro,
+          CAST(fr AS INTEGER) AS fused_rank
+        FROM (
+          SELECT query, it, n_systems, rrf_micro,
+            row_number() OVER (PARTITION BY query
+              ORDER BY rrf_micro DESC, it) AS fr
+          FROM sc
+        ) WHERE fr <= 10
         """
     )
     # embedding outliers: the shared kmeans chain with the winning

@@ -5528,3 +5528,73 @@ class TestReviewFixesRound5b:
             df, k=2, n_iters=1, per_cell=1, id_col="doc_id", vec_col="emb"
         ).collect()
         assert len(out) == 12 and "doc_id" in out[0].asDict()
+
+
+class TestTrendBreakRrf:
+    def test_trend_break_planted_slopes(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import trend_break
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # pre: slope +2 $/day for 10 days; post: slope -1 $/day
+        for i in range(10):
+            rows.append((t0 + dt.timedelta(days=i), 100.0 + 2.0 * i))
+        for i in range(10, 20):
+            rows.append((t0 + dt.timedelta(days=i), 140.0 - 1.0 * (i - 10)))
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        (r,) = trend_break(df, "ts", "v", "2024-01-11").collect()
+        assert r["n_pre"] == 10 and r["n_post"] == 10
+        assert r["slope_pre_r"] == 200.0   # cents per day
+        assert r["slope_post_r"] == -100.0
+        assert r["delta_r"] == -300.0
+
+    def test_trend_break_single_day_side_is_null(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import trend_break
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(t0, 5.0), (t0 + dt.timedelta(days=3), 9.0),
+                (t0 + dt.timedelta(days=4), 9.0)]
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        (r,) = trend_break(df, "ts", "v", "2024-01-04").collect()
+        assert r["slope_pre_r"] is None  # one distinct pre day: no slope
+        assert r["delta_r"] is None
+
+    def test_rrf_fuses_two_rankings(self, spark):
+        from unitdb_spark.operators.evaluation import (
+            RRF_GAIN_MICRO, reciprocal_rank_fusion,
+        )
+
+        a = spark.createDataFrame(
+            [("q", "x", 1), ("q", "y", 2)], "q string, i string, rank int"
+        )
+        b = spark.createDataFrame(
+            [("q", "y", 1), ("q", "z", 2)], "q string, i string, rank int"
+        )
+        out = {r["item"]: r for r in reciprocal_rank_fusion(
+            [a, b], "q", "i", "rank", top_k=3
+        ).collect()}
+        g = RRF_GAIN_MICRO
+        # y appears in both systems: rank2 + rank1
+        assert out["y"]["rrf_micro"] == g[1] + g[0]
+        assert out["y"]["n_systems"] == 2
+        assert out["x"]["rrf_micro"] == g[0] and out["x"]["n_systems"] == 1
+        # consensus beats a single first place
+        assert out["y"]["fused_rank"] == 1
+        assert out["x"]["fused_rank"] == 2  # g[0] > g[1] tie-free
+
+    def test_rrf_single_system_preserves_order(self, spark):
+        from unitdb_spark.operators.evaluation import reciprocal_rank_fusion
+
+        a = spark.createDataFrame(
+            [("q", "c", 3), ("q", "a", 1), ("q", "b", 2)],
+            "q string, i string, rank int",
+        )
+        out = sorted(
+            reciprocal_rank_fusion([a], "q", "i", "rank").collect(),
+            key=lambda r: r["fused_rank"],
+        )
+        assert [r["item"] for r in out] == ["a", "b", "c"]

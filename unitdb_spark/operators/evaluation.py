@@ -580,3 +580,72 @@ def gini_gain(df: DataFrame, feature_col: str, label_col: str) -> DataFrame:
             F.col("root_gini_ppm") - F.sum("contrib_micro").over(wall)
         ).cast("long").alias("gain_micro"),
     )
+
+
+# reciprocal-rank-fusion gain table: floor(1e6 / (60 + rank)), the
+# standard RRF constant; literal on both engines like the NDCG gains.
+RRF_K = 60
+RRF_GAIN_MICRO = tuple(
+    int(1_000_000 / (RRF_K + r)) for r in range(1, 101)
+)
+
+
+def reciprocal_rank_fusion(
+    rankings: list[DataFrame],
+    query_col: str,
+    item_col: str,
+    rank_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack '09) of several per-query
+    rankings into one — the standard way to combine retrieval systems
+    (lexical + embedding, cosine + popularity) without score
+    calibration, because only RANKS enter.
+
+    score = Σ_systems 1/(60 + rank) — evaluated on the literal
+    floor-micro gain table, so the fused score is an exact BIGINT sum
+    and the re-rank (score DESC, item) is engine-exact without any
+    rounding convention. Items missing from a system simply
+    contribute nothing (the RRF convention).
+
+    Output: (query, item, n_systems, rrf_micro, fused_rank) with
+    fused_rank ≤ ``top_k``.
+
+    Scale: a union of rank≤len(gain-table) relations (k rows per
+    query per system) + one partial agg + one per-query rank window —
+    never the corpora behind the rankings.
+    """
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("reciprocal_rank_fusion: need >= 1 ranking")
+    gain_arr = F.array(*[F.lit(g) for g in RRF_GAIN_MICRO])
+    parts = [
+        r.filter(
+            (F.col(rank_col) >= 1)
+            & (F.col(rank_col) <= len(RRF_GAIN_MICRO))
+        ).select(
+            F.col(query_col).alias("query"),
+            F.col(item_col).alias("item"),
+            F.element_at(gain_arr, F.col(rank_col).cast("int"))
+            .alias("_g"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query", "item").agg(
+        F.count(F.lit(1)).alias("n_systems"),
+        F.sum("_g").cast("long").alias("rrf_micro"),
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("rrf_micro").desc(), "item"
+    )
+    return (
+        fused.select(
+            "query", "item", "n_systems", "rrf_micro",
+            F.row_number().over(w).alias("fused_rank"),
+        )
+        .filter(F.col("fused_rank") <= top_k)
+    )

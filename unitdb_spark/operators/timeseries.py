@@ -970,3 +970,72 @@ def lag_correlation(
             F.col("sxx"), F.col("syy"), F.col("sxy"),
         ).alias("corr_r"),
     )
+
+
+def trend_break(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    break_ts: str,
+) -> DataFrame:
+    """Piecewise-linear trend comparison around a known breakpoint —
+    "did the daily trend change after the deploy?". OLS slope on
+    (day index, exact cents) fitted separately before and after
+    ``break_ts`` (an ISO timestamp literal; the break row itself
+    counts as post).
+
+    Day indices are exact integers from a shared origin (the corpus
+    min date — the slope is origin-invariant, the shared origin just
+    keeps x small); all moments accumulate in DECIMAL(38,0); each
+    slope is ONE pinned double (n·Σxy − Σx·Σy)/(n·Σxx − Σx²),
+    round-6, NULL when a side has < 2 distinct days. delta_r is the
+    pinned difference of the two rounded slopes (cents per day).
+
+    Output: (n_pre, slope_pre_r, n_post, slope_post_r, delta_r).
+
+    Scale: one global aggregation; both sides' moments come from the
+    same pass via conditional aggregates.
+    """
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    base = df.select(
+        F.to_date(F.col(ts_col)).alias("_d"), cents.alias("_y")
+    ).filter(F.col("_y").isNotNull())
+    origin = base.agg(F.min("_d").alias("_o"))
+    xy = base.join(F.broadcast(origin)).select(
+        F.datediff(F.col("_d"), F.col("_o")).cast("long").alias("_x"),
+        "_y",
+        (F.col("_d") >= F.to_date(F.lit(break_ts))).alias("_post"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def side(flag):
+        cond = F.col("_post") == flag
+        return [
+            F.count(F.when(cond, 1)).alias(f"n_{flag}"),
+            F.sum(F.when(cond, d38(F.col("_x")))).alias(f"sx_{flag}"),
+            F.sum(F.when(cond, d38(F.col("_y")))).alias(f"sy_{flag}"),
+            F.sum(F.when(cond, d38(F.col("_x")) * d38(F.col("_x"))))
+            .alias(f"sxx_{flag}"),
+            F.sum(F.when(cond, d38(F.col("_x")) * d38(F.col("_y"))))
+            .alias(f"sxy_{flag}"),
+        ]
+
+    m = xy.agg(*side(False), *side(True))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def slope(flag):
+        n = d(f"n_{flag}")
+        num = n * d(f"sxy_{flag}") - d(f"sx_{flag}") * d(f"sy_{flag}")
+        den = n * d(f"sxx_{flag}") - d(f"sx_{flag}") * d(f"sx_{flag}")
+        return F.when(den > F.lit(0.0), F.round(num / den, 6))
+
+    sp, sq = slope(False), slope(True)
+    return m.select(
+        F.col("n_false").cast("long").alias("n_pre"),
+        sp.alias("slope_pre_r"),
+        F.col("n_true").cast("long").alias("n_post"),
+        sq.alias("slope_post_r"),
+        F.when(
+            sp.isNotNull() & sq.isNotNull(), F.round(sq - sp, 6)
+        ).alias("delta_r"),
+    )
