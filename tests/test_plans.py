@@ -869,3 +869,47 @@ class TestRound5ContinuationPlans:
         plan = formatted_plan(out)
         assert "LeftAnti" in plan
         assert not has_python_eval(out)
+
+
+class TestPlanAudit:
+    def test_clean_aggregate_has_no_warnings(self, spark):
+        from unitdb_spark.plans.audit import plan_audit
+
+        df = spark.createDataFrame(
+            [(i % 3, float(i)) for i in range(50)], "k int, v double"
+        ).groupBy("k").count()
+        codes = {f.code for f in plan_audit(df)}
+        assert "python-udf" not in codes and "cartesian" not in codes
+
+    def test_flags_python_udf(self, spark):
+        from pyspark.sql.functions import udf
+        from pyspark.sql.types import IntegerType
+
+        from unitdb_spark.plans.audit import plan_audit
+
+        nasty = udf(lambda x: x + 1, IntegerType())
+        df = spark.createDataFrame([(1,), (2,)], "x int").select(nasty("x"))
+        codes = {f.code for f in plan_audit(df)}
+        assert "python-udf" in codes
+        assert all(f.severity in ("warn", "info") for f in plan_audit(df))
+
+    def test_flags_cartesian_product(self, spark):
+        from unitdb_spark.plans.audit import plan_audit
+
+        a = spark.range(100).toDF("x")
+        b = spark.range(100).toDF("y")
+        df = a.join(b)  # no keys
+        codes = {f.code for f in plan_audit(df)}
+        assert "cartesian" in codes or "nested-loop" in codes
+
+    def test_flags_global_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.plans.audit import plan_audit
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(20)], "v double"
+        ).select("v", F.row_number().over(Window.orderBy("v")).alias("r"))
+        codes = {f.code for f in plan_audit(df)}
+        assert "global-window" in codes
