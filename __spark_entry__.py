@@ -4472,6 +4472,17 @@ def q_parts_rank_fusion(spark, sf_dir):
     )
 
 
+def q_events_pettitt(spark, sf_dir):
+    """Pettitt changepoint test on the purchase-value series: the
+    rank-based single-shift detector (no known target mean, unlike
+    CUSUM). Doubled midranks keep every prefix statistic exact BIGINT;
+    K and its location carry no floats at all."""
+    from unitdb_spark.operators.stats_tests import pettitt_test
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return pettitt_test(ev, "ts", "value", order_cols=["event_id"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4741,6 +4752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dup_modularity": q_media_dup_modularity,
         "lineitem_trend_break": q_lineitem_trend_break,
         "parts_rank_fusion": q_parts_rank_fusion,
+        "events_pettitt": q_events_pettitt,
     }
 
 
@@ -7881,6 +7893,36 @@ def oracle_sql() -> dict[str, str]:
               6)
           END AS delta_r
         FROM m
+        """,
+        "events_pettitt": """
+        WITH base AS (
+          SELECT ts, event_id, value AS v FROM events
+          WHERE event_type = 'purchase'
+            AND value IS NOT NULL AND NOT isnan(value)
+        ), per AS (
+          SELECT v, count(*) AS t FROM base GROUP BY v
+        ), rk AS (
+          SELECT v,
+            2 * coalesce(sum(t) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + t + 1 AS r2
+          FROM per
+        ), seq AS (
+          SELECT base.ts,
+            sum(rk.r2) OVER (ORDER BY base.ts, base.event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            row_number() OVER (ORDER BY base.ts, base.event_id) AS t,
+            count(*) OVER () AS n
+          FROM base JOIN rk ON rk.v = base.v
+        ), scored AS (
+          SELECT n, abs(cum - t * (n + 1)) AS au, epoch_us(ts) AS us
+          FROM seq WHERE t < n
+        ), best AS (
+          SELECT n, au, us FROM scored ORDER BY au DESC, us ASC LIMIT 1
+        )
+        SELECT CAST(n AS BIGINT) AS n, CAST(au AS BIGINT) AS k_stat,
+          CAST(floor(us / 1000000) AS BIGINT) AS t_at_s
+        FROM best
         """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,

@@ -5598,3 +5598,52 @@ class TestTrendBreakRrf:
             key=lambda r: r["fused_rank"],
         )
         assert [r["item"] for r in out] == ["a", "b", "c"]
+
+
+class TestPettitt:
+    def test_planted_shift_found_at_boundary(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.stats_tests import pettitt_test
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # 20 low values then 20 high values: changepoint at row 20
+        for i in range(20):
+            rows.append((t0 + dt.timedelta(minutes=i), 10.0 + (i % 3), i))
+        for i in range(20, 40):
+            rows.append((t0 + dt.timedelta(minutes=i), 100.0 + (i % 3), i))
+        df = spark.createDataFrame(rows, "ts timestamp, v double, event_id int")
+        (r,) = pettitt_test(df, "ts", "v", ["event_id"]).collect()
+        assert r["n"] == 40
+        # max separation: every low < every high -> |U| = 2*20*20/... :
+        # U_20 = sum of first 20 doubled-ranks - 20*41; first 20 hold
+        # ranks 1..20 in some midrank arrangement summing to 2*(210)
+        assert r["k_stat"] == abs(2 * 210 - 20 * 41)  # = 400
+        want_ts = t0 + dt.timedelta(minutes=19)
+        assert r["t_at_s"] == int(
+            want_ts.replace(tzinfo=dt.timezone.utc).timestamp()
+        )
+
+    def test_pettitt_matches_bruteforce_sign_sum(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.stats_tests import pettitt_test
+
+        t0 = dt.datetime(2024, 1, 1)
+        vals = [3.0, 7.0, 7.0, 1.0, 9.0, 2.0, 8.0, 8.0]
+        rows = [(t0 + dt.timedelta(minutes=i), v, i)
+                for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "ts timestamp, v double, event_id int")
+        (r,) = pettitt_test(df, "ts", "v", ["event_id"]).collect()
+
+        def sgn(x):
+            return (x > 0) - (x < 0)
+
+        n = len(vals)
+        us = [
+            sum(sgn(vals[i] - vals[j])
+                for i in range(t + 1) for j in range(t + 1, n))
+            for t in range(n - 1)
+        ]
+        assert r["k_stat"] == max(abs(u) for u in us)

@@ -316,3 +316,73 @@ def ks_two_sample(df: DataFrame, value_col: str, arm_col) -> DataFrame:
         ).cast("long").alias("d_ppm"),
         "ks_at",
     )
+
+
+def pettitt_test(
+    df: DataFrame, ts_col: str, value_col: str, order_cols=None
+) -> DataFrame:
+    """One-row Pettitt changepoint test: the rank-based detector for a
+    single unknown shift in a series — the complement of the CUSUM
+    chart, which needs a KNOWN target mean. Using doubled midranks
+    (exact integers, the `mann_whitney_u` trick),
+
+        U_t = Σ_{i≤t} rank2ᵢ − t·(n+1)
+
+    is exact BIGINT at every prefix t; the statistic K = max|U_t| and
+    its location (earliest time attaining the max) are engine-exact
+    with no floats anywhere.
+
+    Output: (n, k_stat, t_at_s) — the changepoint as epoch seconds of
+    the LAST observation of the left segment.
+
+    Scale: one value-group pass for ranks (distinct-value envelope as
+    `mann_whitney_u`) + one time-ordered cumulative window (global —
+    a single series by construction; partition upstream to test many
+    keys).
+    """
+    order_cols = order_cols or []
+    base = df.select(
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(value_col).cast("double").alias("_v"),
+        *[F.col(c) for c in order_cols],
+    ).filter(F.col("_v").isNotNull() & ~F.isnan("_v"))
+    per = base.groupBy("_v").agg(F.count(F.lit(1)).alias("t"))
+    wv = (
+        Window.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranks = per.select(
+        "_v",
+        (
+            F.lit(2) * F.coalesce(F.sum("t").over(wv), F.lit(0))
+            + F.col("t") + 1
+        ).alias("r2"),
+    )
+    wt = Window.partitionBy().orderBy("_ts", *order_cols)
+    wn = Window.partitionBy()
+    seq = base.join(ranks, "_v").select(
+        "_ts",
+        F.sum("r2").over(
+            wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+        F.row_number().over(wt).alias("_t"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    # U_t in doubled units: Σ r2 − t·(n+1); |U| max, earliest ts tie rule
+    u = F.col("_cum") - F.col("_t") * (F.col("_n") + 1)
+    scored = seq.select(
+        "_n", F.abs(u).alias("_au"),
+        F.unix_micros(F.col("_ts")).alias("_us"),
+    ).filter(F.col("_t") < F.col("_n"))  # t = n gives U_n = 0 trivially
+    agg = scored.groupBy("_n").agg(
+        F.max("_au").alias("k_stat"),
+        (-F.max(F.struct(F.col("_au").alias("a"),
+                         (-F.col("_us")).alias("nu")))["nu"]).alias("_at_us"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("k_stat").cast("long").alias("k_stat"),
+        F.floor(F.col("_at_us") / F.lit(1_000_000)).cast("long")
+        .alias("t_at_s"),
+    )
