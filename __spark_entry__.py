@@ -4483,6 +4483,31 @@ def q_events_pettitt(spark, sf_dir):
     return pettitt_test(ev, "ts", "value", order_cols=["event_id"])
 
 
+def q_streamed_benford(spark, sf_dir):
+    """Driver-checkable twin of the Benford audit over the event value
+    stream: per-digit counts (9 rows — the smallest algebraic state)
+    folded into the commit-logged snapshot, report via the batch
+    operator's shared finish. Oracle = the batch SQL over the same
+    events."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_benford,
+        read_benford,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_benford(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "value",
+        f"{base}/bfstate",
+        f"{base}/bfcp",
+    )
+    q.awaitTermination(300)
+    return read_benford(spark, f"{base}/bfstate")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4753,6 +4778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_trend_break": q_lineitem_trend_break,
         "parts_rank_fusion": q_parts_rank_fusion,
         "events_pettitt": q_events_pettitt,
+        "streamed_benford": q_streamed_benford,
     }
 
 
@@ -7923,6 +7949,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(n AS BIGINT) AS n, CAST(au AS BIGINT) AS k_stat,
           CAST(floor(us / 1000000) AS BIGINT) AS t_at_s
         FROM best
+        """,
+        # the Benford twin's 9-row digit-count state is a plain sum —
+        # batch SQL over the same events, verbatim math
+        "streamed_benford": """
+        WITH cents AS (
+          SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          FROM events
+        ), d AS (
+          SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+            count(*) AS n
+          FROM cents WHERE c > 0 GROUP BY 1
+        ), nine AS (
+          SELECT * FROM (VALUES
+            (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+            (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+          ) AS t(digit, exp_ppm)
+        ), j AS (
+          SELECT nine.digit, nine.exp_ppm, coalesce(d.n, 0) AS n
+          FROM nine LEFT JOIN d USING (digit)
+        ), t AS (
+          SELECT digit, exp_ppm, n, sum(n) OVER () AS total FROM j
+        )
+        SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+          CAST(total AS BIGINT) AS total,
+          CAST(floor(n * 1000000 / greatest(total, 1)) AS BIGINT) AS obs_ppm,
+          CAST(exp_ppm AS BIGINT) AS exp_ppm,
+          CAST(floor(n * 1000000 / greatest(total, 1)) - exp_ppm AS BIGINT)
+            AS dev_ppm,
+          CAST(floor(
+            (CAST(n AS DOUBLE) * 1000000.0
+             - CAST(total AS DOUBLE) * CAST(exp_ppm AS DOUBLE))
+            * (CAST(n AS DOUBLE) * 1000000.0
+               - CAST(total AS DOUBLE) * CAST(exp_ppm AS DOUBLE))
+            * 1000000.0
+            / (CAST(total AS DOUBLE) * CAST(exp_ppm AS DOUBLE) * 1000000.0)
+          ) AS BIGINT) AS chi2_micro
+        FROM t
         """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,

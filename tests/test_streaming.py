@@ -1461,3 +1461,30 @@ class TestContinuousM4:
             for r in read_m4(spark, state, bucket_s=3600).collect()
         }
         assert got == want
+
+
+class TestContinuousBenford:
+    def test_rolling_benford_matches_batch(self, spark, events_dir, tmp_path):
+        """Digit counts are plain sums: the committed state across
+        micro-batches (and a restart) equals the one-shot audit."""
+        from unitdb_spark.operators.profile import benford_report
+        from unitdb_spark.streaming.continuous import (
+            continuous_benford,
+            read_benford,
+        )
+
+        state = str(tmp_path / "bf-state")
+        cp = str(tmp_path / "bf-cp")
+        ev = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q = continuous_benford(ev, "value", state, cp)
+        q.awaitTermination(180)
+        ev2 = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q2 = continuous_benford(ev2, "value", state, cp)
+        q2.awaitTermination(180)
+
+        batch = spark.read.parquet(events_dir)
+        want = {r["digit"]: r.asDict()
+                for r in benford_report(batch, "value").collect()}
+        got = {r["digit"]: r.asDict()
+               for r in read_benford(spark, state).collect()}
+        assert got == want

@@ -306,10 +306,17 @@ def benford_report(df: DataFrame, amount_col: str) -> DataFrame:
     Scale: one shuffle on the digit (9 groups); the digit extraction
     is a scan-side string op on the cents integer.
     """
-    from pyspark.sql import Window
+    digits = benford_digit_counts(df, amount_col)
+    return benford_finish(digits)
 
+
+def benford_digit_counts(df: DataFrame, amount_col: str) -> DataFrame:
+    """The MERGEABLE Benford state: per-digit counts over the exact
+    cents integers — a plain sum, so the streaming twin's fold equals
+    the one-shot aggregation bit for bit. Shared with
+    `streaming.continuous.continuous_benford`."""
     cents = (F.col(amount_col).cast("decimal(18,2)") * 100).cast("long")
-    digits = (
+    return (
         df.select(cents.alias("_c"))
         .filter(F.col("_c") > 0)
         .select(
@@ -320,6 +327,13 @@ def benford_report(df: DataFrame, amount_col: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def benford_finish(digits: DataFrame) -> DataFrame:
+    """Project digit counts into the audit report — shared by the
+    batch operator and the streaming twin's read path."""
+    from pyspark.sql import Window
+
     nine = F.explode(
         F.array(*[
             F.struct(F.lit(d + 1).alias("digit"),
@@ -327,7 +341,7 @@ def benford_report(df: DataFrame, amount_col: str) -> DataFrame:
             for d, p in enumerate(BENFORD_PPM)
         ])
     )
-    frame = df.sparkSession.range(1).select(nine.alias("kv")).select("kv.*")
+    frame = digits.sparkSession.range(1).select(nine.alias("kv")).select("kv.*")
     joined = frame.join(digits, "digit", "left").select(
         "digit", "exp_ppm", F.coalesce("n", F.lit(0)).alias("n")
     )

@@ -442,3 +442,48 @@ def read_m4(spark, state_path: str, bucket_s: int) -> DataFrame:
     if cur is None:
         raise FileNotFoundError(f"no committed m4 state under {state_path}")
     return m4_finish(spark.read.parquet(_snap_path(state_path, *cur)), bucket_s)
+
+
+# --------------------------------------------------- rolling Benford
+#
+# Per-digit counts are plain sums — the smallest possible algebraic
+# state (9 rows) — so the rolling fabricated-numbers audit equals the
+# one-shot report bit for bit.
+
+
+def continuous_benford(
+    stream: DataFrame,
+    amount_col: str,
+    state_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain the versioned per-digit count state; read the audit
+    with ``read_benford``. Returns the StreamingQuery."""
+    from unitdb_spark.operators.profile import benford_digit_counts
+
+    def partials(b: DataFrame) -> DataFrame:
+        return benford_digit_counts(b, amount_col)
+
+    def merge(prev: DataFrame, p: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(p)
+            .groupBy("digit")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    return _run_maintainer(
+        stream, state_path, checkpoint, partials, merge, trigger_available_now
+    )
+
+
+def read_benford(spark, state_path: str) -> DataFrame:
+    """The rolling Benford audit over the committed digit counts —
+    identical math to the batch `operators.profile.benford_report`
+    (shared finish)."""
+    from unitdb_spark.operators.profile import benford_finish
+
+    cur = latest_commit(spark, state_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed benford state under {state_path}")
+    return benford_finish(spark.read.parquet(_snap_path(state_path, *cur)))
