@@ -534,3 +534,72 @@ class TestGiniProperty:
         mad = sum(abs(x - y) for x in vals for y in vals)
         want = mad * 1_000_000 // (2 * n * s)
         assert abs(r["gini_ppm"] - want) <= 1  # floor-vs-floor slack
+
+
+class TestQuantileMapProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        avals=st.lists(st.integers(min_value=0, max_value=50),
+                       min_size=2, max_size=15),
+        rvals=st.lists(st.integers(min_value=0, max_value=50),
+                       min_size=2, max_size=20),
+    )
+    def test_mapping_is_monotone_and_in_ref_range(self, spark, avals, rvals):
+        from unitdb_spark.operators.olap import quantile_map
+
+        a = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(avals)], "id int, v double"
+        )
+        ref = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(rvals)], "id int, v double"
+        )
+        out = quantile_map(a, "id", "v", ref, "v").collect()
+        assert len(out) == len(avals)
+        lo, hi = min(rvals), max(rvals)
+        for r in out:
+            assert lo <= r["mapped"] <= hi
+        # monotone: a larger input value never maps LOWER
+        by_val = sorted(out, key=lambda r: (r["value"], r["mapped"]))
+        for p, q in zip(by_val, by_val[1:]):
+            if q["value"] > p["value"]:
+                assert q["mapped"] >= p["mapped"]
+
+
+class TestModularityProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(min_value=1, max_value=8),
+                      st.integers(min_value=1, max_value=8)),
+            min_size=1, max_size=15,
+        ).map(lambda es: sorted({(min(a, b), max(a, b))
+                                 for a, b in es if a != b}))
+         .filter(lambda es: len(es) >= 1),
+        split=st.integers(min_value=1, max_value=8),
+    )
+    def test_q_matches_float_model(self, spark, edges, split):
+        from unitdb_spark.operators.graph import modularity
+
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = sorted({n for ab in edges for n in ab})
+        assign = spark.createDataFrame(
+            [(n, 0 if n <= split else 1) for n in nodes],
+            "node long, comm long",
+        )
+        rows = modularity(e, assign).collect()
+        q_micro = rows[0]["q_micro"]
+
+        # independent float model
+        m = len(edges)
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        comm = {n: (0 if n <= split else 1) for n in nodes}
+        q = 0.0
+        for c in set(comm.values()):
+            e_c = sum(1 for a, b in edges if comm[a] == c and comm[b] == c)
+            d_c = sum(d for n, d in deg.items() if comm[n] == c)
+            q += e_c / m - (d_c / (2 * m)) ** 2
+        # per-community floors bias by < n_communities micro
+        assert abs(q_micro - q * 1_000_000) <= len(set(comm.values())) + 1
