@@ -4508,6 +4508,19 @@ def q_streamed_benford(spark, sf_dir):
     return read_benford(spark, f"{base}/bfstate")
 
 
+def q_doc_sparse_cosine(spark, sf_dir):
+    """Sparse lexical cosine pairs via the inverted index: documents
+    meet only on shared vocabulary terms (df-banded — stopword cap =
+    the pair-explosion bound), integer reciprocal-df weights, exact
+    DECIMAL dot/norms, integer cross-multiplied 2/5 threshold, one
+    pinned cosine at the end."""
+    from unitdb_spark.operators.tfidf import sparse_cosine_pairs
+
+    return sparse_cosine_pairs(
+        _docs(spark, sf_dir), min_df=5, max_df=50,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4779,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_rank_fusion": q_parts_rank_fusion,
         "events_pettitt": q_events_pettitt,
         "streamed_benford": q_streamed_benford,
+        "doc_sparse_cosine": q_doc_sparse_cosine,
     }
 
 
@@ -7986,6 +8000,41 @@ def oracle_sql() -> dict[str, str]:
             / (CAST(total AS DOUBLE) * CAST(exp_ppm AS DOUBLE) * 1000000.0)
           ) AS BIGINT) AS chi2_micro
         FROM t
+        """,
+        "doc_sparse_cosine": f"""
+        WITH tok AS (
+          SELECT doc_id, u.term FROM (
+            SELECT doc_id, {_TOKS} AS tk FROM documents
+          ), unnest(tk) AS u(term)
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+          HAVING COUNT(*) BETWEEN 5 AND 50
+        ), w AS (
+          SELECT tf.term, tf.doc_id,
+            CAST(tf.tf AS HUGEINT)
+            * CAST(floor(1000000 / (dfreq.df + 1)) AS HUGEINT) AS w
+          FROM tf JOIN dfreq USING (term)
+        ), norms AS (
+          SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1
+        ), dots AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            count(*) AS n_shared, sum(a.w * b.w) AS dot
+          FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), j AS (
+          SELECT dots.id_a, dots.id_b, dots.n_shared, dots.dot,
+            na.n2 AS na2, nb.n2 AS nb2
+          FROM dots
+          JOIN norms na ON na.doc_id = dots.id_a
+          JOIN norms nb ON nb.doc_id = dots.id_b
+        )
+        SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+          round(CAST(dot AS DOUBLE)
+                / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)), 6)
+            AS cosine_r
+        FROM j WHERE 25 * dot * dot >= 4 * na2 * nb2
         """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,

@@ -5647,3 +5647,46 @@ class TestPettitt:
             for t in range(n - 1)
         ]
         assert r["k_stat"] == max(abs(u) for u in us)
+
+
+class TestSparseCosine:
+    def test_identical_docs_score_one(self, spark):
+        from unitdb_spark.operators.tfidf import sparse_cosine_pairs
+
+        # 6 identical docs (df of every term = 6, inside [2, 50])
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma delta") for i in range(6)],
+            "doc_id long, text string",
+        )
+        out = sparse_cosine_pairs(docs, min_df=2, max_df=50).collect()
+        assert len(out) == 15  # all pairs
+        assert all(r["cosine_r"] == 1.0 and r["n_shared"] == 4 for r in out)
+
+    def test_threshold_and_vocabulary_banding(self, spark):
+        from fractions import Fraction
+
+        from unitdb_spark.operators.tfidf import sparse_cosine_pairs
+
+        rows = [
+            (1, "shared common x1 y1"),
+            (2, "shared common x2 y2"),
+            (3, "totally different words here"),
+            (4, "shared common x4 y4"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = sparse_cosine_pairs(
+            docs, min_df=2, max_df=3, threshold=Fraction(1, 2)
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in out}
+        # docs 1,2,4 share their whole surviving vocabulary
+        assert pairs == {(1, 2), (1, 4), (2, 4)}
+        assert all(r["cosine_r"] == 1.0 for r in out)  # x*/y* are hapax
+
+    def test_stopword_cap_removes_ubiquitous_term(self, spark):
+        from unitdb_spark.operators.tfidf import sparse_cosine_pairs
+
+        # 'the' everywhere; pairs must NOT form on it with max_df=2
+        rows = [(i, f"the unique{i} token{i}") for i in range(5)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = sparse_cosine_pairs(docs, min_df=2, max_df=2).collect()
+        assert out == []  # everything else is hapax

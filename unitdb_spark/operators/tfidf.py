@@ -416,3 +416,103 @@ def bigram_pmi(
         "rank",
         F.row_number().over(Window.orderBy(F.desc("pmi_r"), F.asc("bigram"))),
     )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    min_df: int = 5,
+    max_df: int = 50,
+    threshold=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse lexical cosine similarity join — the inverted-index
+    sibling of the embedding-cosine dedup path: documents meet ONLY on
+    shared vocabulary terms (the term is the blocking key), and the
+    similarity is cosine over integer term-weight vectors.
+
+    Weight design keeps everything exact at any corpus size:
+    w(d,t) = tf(d,t) · ⌊1e6/(df(t)+1)⌋ — a bounded reciprocal-df
+    weight (saturates for rare terms instead of growing with N like
+    (N+1)/(df+1) would), so w, the per-doc norms Σw², and the pair
+    dot products all live in DECIMAL(38,0) with room for the
+    cross-multiplied threshold test
+
+        num² · dot²  ≥  den² · ‖a‖² · ‖b‖²     (dot ≥ 0 always)
+
+    with threshold = Fraction(num, den) — the repo's integer
+    threshold convention, no float ceil anywhere. cosine_r is the one
+    pinned float at the end. ``threshold`` defaults to 2/5.
+
+    Terms with df < min_df (hapax noise) or df > max_df (stopwords —
+    also the per-term df² pair-explosion bound, the LSH-bucket-cap
+    analog) do not enter the vocabulary; the similarity is DEFINED
+    over that vocabulary, which is the standard sparse-retrieval
+    pruning, not a silent approximation.
+
+    Output: (id_a, id_b, n_shared, cosine_r), id_a < id_b, pairs
+    above the threshold only.
+    """
+    from fractions import Fraction
+
+    thr = Fraction(2, 5) if threshold is None else Fraction(threshold)
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).filter(
+        (F.col("df") >= min_df) & (F.col("df") <= max_df)
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w = tf.join(dfreq, "term").select(
+        "term", "doc_id",
+        (
+            d38(F.col("tf"))
+            * d38(F.floor(F.lit(1_000_000) / (F.col("df") + 1)))
+        ).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    a = w.select("term", F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    b = w.select("term", F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+        )
+    )
+    j = (
+        dots.join(
+            norms.select(F.col("doc_id").alias("id_a"),
+                         F.col("n2").alias("na2")), "id_a"
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("id_b"),
+                         F.col("n2").alias("nb2")), "id_b"
+        )
+    )
+    num2 = thr.numerator * thr.numerator
+    den2 = thr.denominator * thr.denominator
+    keep = (
+        F.lit(den2) * F.col("dot") * F.col("dot")
+        >= F.lit(num2) * F.col("na2") * F.col("nb2")
+    )
+    return j.filter(keep).select(
+        "id_a", "id_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round(
+            F.col("dot").cast("double")
+            / F.sqrt(
+                F.col("na2").cast("double") * F.col("nb2").cast("double")
+            ),
+            6,
+        ).alias("cosine_r"),
+    )
