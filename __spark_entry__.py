@@ -4439,34 +4439,16 @@ def q_parts_rank_fusion(spark, sf_dir):
     from unitdb_spark.operators.graph import related_items
 
     li = _read(spark, sf_dir, "lineitem")
-    cosine = related_items(li, "l_orderkey", "l_partkey", k=10, min_cooc=2)
-    # count-based ranking over the same pair relation
-    g = li.select(
-        F.col("l_orderkey").alias("_g"), F.col("l_partkey").alias("_i")
-    ).distinct()
-    und = (
-        g.select("_g", F.col("_i").alias("x"))
-        .join(g.select("_g", F.col("_i").alias("y")), "_g")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
+    cosine = related_items(
+        li, "l_orderkey", "l_partkey", k=10, min_cooc=2, score="cosine"
     )
-    both = und.select(
-        F.col("x").alias("item"), F.col("y").alias("neighbor"), "n_ab"
-    ).unionByName(
-        und.select(
-            F.col("y").alias("item"), F.col("x").alias("neighbor"), "n_ab"
-        )
+    counts = related_items(
+        li, "l_orderkey", "l_partkey", k=10, min_cooc=2, score="count"
     )
-    wc = W.partitionBy("item").orderBy(F.col("n_ab").desc(), "neighbor")
-    counts = both.select(
-        "item", "neighbor", F.row_number().over(wc).alias("rank")
-    ).filter(F.col("rank") <= 10)
     return reciprocal_rank_fusion(
         [
             cosine.select("item", "neighbor", "rank"),
-            counts,
+            counts.select("item", "neighbor", "rank"),
         ],
         query_col="item", item_col="neighbor", rank_col="rank", top_k=10,
     )
@@ -7955,14 +7937,16 @@ def oracle_sql() -> dict[str, str]:
             count(*) OVER () AS n
           FROM base JOIN rk ON rk.v = base.v
         ), scored AS (
-          SELECT n, abs(cum - t * (n + 1)) AS au, epoch_us(ts) AS us
+          SELECT abs(cum - t * (n + 1)) AS au, epoch_us(ts) AS us
           FROM seq WHERE t < n
+        ), stats AS (
+          SELECT CAST(coalesce(max(n), 0) AS BIGINT) AS n FROM seq
         ), best AS (
-          SELECT n, au, us FROM scored ORDER BY au DESC, us ASC LIMIT 1
+          SELECT au, us FROM scored ORDER BY au DESC, us ASC LIMIT 1
         )
-        SELECT CAST(n AS BIGINT) AS n, CAST(au AS BIGINT) AS k_stat,
-          CAST(floor(us / 1000000) AS BIGINT) AS t_at_s
-        FROM best
+        SELECT stats.n, CAST(best.au AS BIGINT) AS k_stat,
+          CAST(floor(best.us / 1000000) AS BIGINT) AS t_at_s
+        FROM stats LEFT JOIN best ON TRUE
         """,
         # the Benford twin's 9-row digit-count state is a plain sum —
         # batch SQL over the same events, verbatim math

@@ -5690,3 +5690,74 @@ class TestSparseCosine:
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         out = sparse_cosine_pairs(docs, min_df=2, max_df=2).collect()
         assert out == []  # everything else is hapax
+
+
+class TestReviewFixesRound5c:
+    def test_sparse_cosine_accepts_float_threshold(self, spark):
+        from unitdb_spark.operators.tfidf import sparse_cosine_pairs
+
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in range(4)],
+            "doc_id long, text string",
+        )
+        # 0.4 must mean the exact decimal 2/5, not the 53-bit dyadic
+        out = sparse_cosine_pairs(
+            docs, min_df=2, max_df=50, threshold=0.4
+        ).collect()
+        assert len(out) == 6 and all(r["cosine_r"] == 1.0 for r in out)
+
+    def test_pettitt_one_row_contract_on_degenerate_series(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.stats_tests import pettitt_test
+
+        t0 = dt.datetime(2024, 1, 1)
+        one = spark.createDataFrame(
+            [(t0, 5.0, 1)], "ts timestamp, v double, event_id int"
+        )
+        (r,) = pettitt_test(one, "ts", "v", ["event_id"]).collect()
+        assert r["n"] == 1 and r["k_stat"] is None and r["t_at_s"] is None
+        empty = spark.createDataFrame(
+            [(t0, float("nan"), 1)], "ts timestamp, v double, event_id int"
+        )
+        (r2,) = pettitt_test(empty, "ts", "v", ["event_id"]).collect()
+        assert r2["n"] == 0 and r2["k_stat"] is None
+
+    def test_rrf_max_rank_widens_the_table(self, spark):
+        from unitdb_spark.operators.evaluation import reciprocal_rank_fusion
+
+        deep = spark.createDataFrame(
+            [("q", "deep", 150), ("q", "shallow", 1)],
+            "q string, i string, rank int",
+        )
+        # default table (100): the deep item drops
+        out = reciprocal_rank_fusion([deep], "q", "i", "rank").collect()
+        assert {r["item"] for r in out} == {"shallow"}
+        # widened table keeps it with the correct gain
+        out2 = {r["item"]: r for r in reciprocal_rank_fusion(
+            [deep], "q", "i", "rank", max_rank=200
+        ).collect()}
+        assert out2["deep"]["rrf_micro"] == int(1_000_000 / (60 + 150))
+
+    def test_related_items_count_mode_reorders(self, spark):
+        from unitdb_spark.operators.graph import related_items
+
+        # item 1 co-occurs with 2 often (high count) but 2 is
+        # ubiquitous (low cosine); with 3 rarely but exclusively
+        rows = []
+        basket = 0
+        for _ in range(3):
+            rows += [(basket, 1), (basket, 2)]; basket += 1
+        for _ in range(20):
+            rows += [(basket, 2)]; basket += 1  # 2 alone: inflates n_2
+        rows += [(basket, 1), (basket, 3)]; basket += 1
+        rows += [(basket, 1), (basket, 3)]; basket += 1
+        df = spark.createDataFrame(rows, "g long, i long")
+        cos = {r["neighbor"]: r["rank"] for r in related_items(
+            df, "g", "i", k=5, min_cooc=2, score="cosine"
+        ).filter("item = 1").collect()}
+        cnt = {r["neighbor"]: r["rank"] for r in related_items(
+            df, "g", "i", k=5, min_cooc=2, score="count"
+        ).filter("item = 1").collect()}
+        assert cnt[2] == 1          # raw count favors the popular item
+        assert cos[3] < cos[2]      # cosine favors the exclusive one

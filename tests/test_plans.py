@@ -913,3 +913,47 @@ class TestPlanAudit:
         ).select("v", F.row_number().over(Window.orderBy("v")).alias("r"))
         codes = {f.code for f in plan_audit(df)}
         assert "global-window" in codes
+
+
+class TestPlanAuditRegression:
+    def test_keyed_window_plus_global_agg_not_flagged(self, spark):
+        """A partitioned window next to an unrelated one-row global
+        aggregate must NOT read as a global window."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.plans.audit import plan_audit
+
+        df = spark.createDataFrame(
+            [(i % 3, float(i)) for i in range(40)], "k int, v double"
+        )
+        w = Window.partitionBy("k").orderBy("v")
+        ranked = df.select("k", "v", F.row_number().over(w).alias("r"))
+        tot = df.agg(F.sum("v").alias("s"))  # SinglePartition exchange
+        out = ranked.join(tot)
+        codes = {f.code for f in plan_audit(out)}
+        assert "global-window" not in codes
+
+    def test_intended_cross_join_not_flagged_as_nested_loop(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.plans.audit import plan_audit
+
+        a = spark.range(50).toDF("x")
+        b = spark.range(3).toDF("y")
+        out = a.crossJoin(F.broadcast(b))
+        codes = {f.code for f in plan_audit(out)}
+        assert "nested-loop" not in codes and "cartesian" not in codes
+
+    def test_shuffle_count_uses_real_nodes(self, spark):
+        from unitdb_spark.plans.audit import plan_audit
+
+        df = spark.createDataFrame(
+            [(i % 5, float(i)) for i in range(50)], "k int, v double"
+        )
+        # 2 real shuffles (join re-key + agg) must NOT trip max_shuffles=3
+        j = df.groupBy("k").count().join(
+            df.select("k", "v").distinct(), "k"
+        )
+        codes = {f.code for f in plan_audit(j, max_shuffles=3)}
+        assert "many-shuffles" not in codes

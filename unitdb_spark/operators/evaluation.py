@@ -596,6 +596,7 @@ def reciprocal_rank_fusion(
     item_col: str,
     rank_col: str,
     top_k: int = 10,
+    max_rank: int = 100,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack '09) of several per-query
     rankings into one — the standard way to combine retrieval systems
@@ -606,7 +607,10 @@ def reciprocal_rank_fusion(
     floor-micro gain table, so the fused score is an exact BIGINT sum
     and the re-rank (score DESC, item) is engine-exact without any
     rounding convention. Items missing from a system simply
-    contribute nothing (the RRF convention).
+    contribute nothing (the RRF convention); entries DEEPER than
+    ``max_rank`` are likewise out of contract and dropped — raise
+    ``max_rank`` (the gain table is generated to length) when fusing
+    recall-oriented deep candidate lists.
 
     Output: (query, item, n_systems, rrf_micro, fused_rank) with
     fused_rank ≤ ``top_k``.
@@ -619,11 +623,16 @@ def reciprocal_rank_fusion(
 
     if not rankings:
         raise ValueError("reciprocal_rank_fusion: need >= 1 ranking")
-    gain_arr = F.array(*[F.lit(g) for g in RRF_GAIN_MICRO])
+    if not 1 <= max_rank <= 10_000:
+        raise ValueError("reciprocal_rank_fusion: max_rank in 1..10000")
+    gains = tuple(
+        int(1_000_000 / (RRF_K + r)) for r in range(1, max_rank + 1)
+    )
+    gain_arr = F.array(*[F.lit(g) for g in gains])
     parts = [
         r.filter(
             (F.col(rank_col) >= 1)
-            & (F.col(rank_col) <= len(RRF_GAIN_MICRO))
+            & (F.col(rank_col) <= max_rank)
         ).select(
             F.col(query_col).alias("query"),
             F.col(item_col).alias("item"),

@@ -234,6 +234,7 @@ def related_items(
     item_col: str,
     k: int = 10,
     min_cooc: int = 2,
+    score: str = "cosine",
 ) -> DataFrame:
     """Top-k related items by cosine-normalized co-occurrence.
 
@@ -250,7 +251,11 @@ def related_items(
     ranking convention. Per-group pair fan-out is O(b^2) with the
     group as the natural block, exactly like `basket_pairs`.
 
-    Output: (item, neighbor, n_cooc, cosine_r, rank), rank <= k.
+    ``score`` picks the ranking key: "cosine" (default — the
+    normalized retrieval) or "count" (raw co-occurrence popularity;
+    same relation, different order — the second system a rank-fusion
+    feeds on). Output: (item, neighbor, n_cooc, cosine_r, rank),
+    rank <= k.
     """
     g = df.select(
         F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
@@ -283,9 +288,13 @@ def related_items(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("item").orderBy(
-        F.col("cosine_r").desc(), F.col("neighbor")
-    )
+    if score == "cosine":
+        order = (F.col("cosine_r").desc(), F.col("neighbor"))
+    elif score == "count":
+        order = (F.col("n_cooc").desc(), F.col("neighbor"))
+    else:
+        raise ValueError("related_items: score must be 'cosine' or 'count'")
+    w = Window.partitionBy("item").orderBy(*order)
     return scored.select(
         "item", "neighbor", "n_cooc", "cosine_r",
         F.row_number().over(w).alias("rank"),

@@ -369,19 +369,27 @@ def pettitt_test(
         F.row_number().over(wt).alias("_t"),
         F.count(F.lit(1)).over(wn).alias("_n"),
     )
-    # U_t in doubled units: Σ r2 − t·(n+1); |U| max, earliest ts tie rule
+    # U_t in doubled units: Σ r2 − t·(n+1); |U| max, earliest ts tie
+    # rule. The final shape is stats × best (global aggregates, one
+    # row each) so the ONE-ROW output contract holds even when the
+    # t < n filter empties the prefix relation (n ≤ 1, all-NULL
+    # input): n still reports, k_stat/t_at_s read NULL (the test is
+    # undefined on a 0/1-point series, not absent).
     u = F.col("_cum") - F.col("_t") * (F.col("_n") + 1)
     scored = seq.select(
-        "_n", F.abs(u).alias("_au"),
+        F.abs(u).alias("_au"),
         F.unix_micros(F.col("_ts")).alias("_us"),
     ).filter(F.col("_t") < F.col("_n"))  # t = n gives U_n = 0 trivially
-    agg = scored.groupBy("_n").agg(
+    stats = seq.agg(
+        F.coalesce(F.max("_n"), F.lit(0)).cast("long").alias("n")
+    )
+    best = scored.agg(
         F.max("_au").alias("k_stat"),
         (-F.max(F.struct(F.col("_au").alias("a"),
                          (-F.col("_us")).alias("nu")))["nu"]).alias("_at_us"),
     )
-    return agg.select(
-        F.col("_n").cast("long").alias("n"),
+    return stats.join(best).select(
+        "n",
         F.col("k_stat").cast("long").alias("k_stat"),
         F.floor(F.col("_at_us") / F.lit(1_000_000)).cast("long")
         .alias("t_at_s"),

@@ -438,11 +438,14 @@ def sparse_cosine_pairs(
     dot products all live in DECIMAL(38,0) with room for the
     cross-multiplied threshold test
 
-        num² · dot²  ≥  den² · ‖a‖² · ‖b‖²     (dot ≥ 0 always)
+        den² · dot²  ≥  num² · ‖a‖² · ‖b‖²     (dot ≥ 0 always)
 
     with threshold = Fraction(num, den) — the repo's integer
-    threshold convention, no float ceil anywhere. cosine_r is the one
-    pinned float at the end. ``threshold`` defaults to 2/5.
+    threshold convention, no float ceil anywhere (a float threshold
+    goes through Fraction(str(·)), so 0.4 means the exact decimal
+    2/5, not the 53-bit dyadic whose squared terms overflow a long
+    literal). cosine_r is the one pinned float at the end.
+    ``threshold`` defaults to 2/5.
 
     Terms with df < min_df (hapax noise) or df > max_df (stopwords —
     also the per-term df² pair-explosion bound, the LSH-bucket-cap
@@ -455,7 +458,12 @@ def sparse_cosine_pairs(
     """
     from fractions import Fraction
 
-    thr = Fraction(2, 5) if threshold is None else Fraction(threshold)
+    if threshold is None:
+        thr = Fraction(2, 5)
+    elif isinstance(threshold, float):
+        thr = Fraction(str(threshold))
+    else:
+        thr = Fraction(threshold)
     tf = (
         docs.select(
             F.col(id_col).alias("doc_id"),

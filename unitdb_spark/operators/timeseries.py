@@ -1008,32 +1008,32 @@ def trend_break(
     )
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
 
-    def side(flag):
+    def side(name: str, flag: bool):
         cond = F.col("_post") == flag
         return [
-            F.count(F.when(cond, 1)).alias(f"n_{flag}"),
-            F.sum(F.when(cond, d38(F.col("_x")))).alias(f"sx_{flag}"),
-            F.sum(F.when(cond, d38(F.col("_y")))).alias(f"sy_{flag}"),
+            F.count(F.when(cond, 1)).alias(f"n_{name}"),
+            F.sum(F.when(cond, d38(F.col("_x")))).alias(f"sx_{name}"),
+            F.sum(F.when(cond, d38(F.col("_y")))).alias(f"sy_{name}"),
             F.sum(F.when(cond, d38(F.col("_x")) * d38(F.col("_x"))))
-            .alias(f"sxx_{flag}"),
+            .alias(f"sxx_{name}"),
             F.sum(F.when(cond, d38(F.col("_x")) * d38(F.col("_y"))))
-            .alias(f"sxy_{flag}"),
+            .alias(f"sxy_{name}"),
         ]
 
-    m = xy.agg(*side(False), *side(True))
+    m = xy.agg(*side("pre", False), *side("post", True))
     d = lambda c: F.col(c).cast("double")  # noqa: E731
 
-    def slope(flag):
-        n = d(f"n_{flag}")
-        num = n * d(f"sxy_{flag}") - d(f"sx_{flag}") * d(f"sy_{flag}")
-        den = n * d(f"sxx_{flag}") - d(f"sx_{flag}") * d(f"sx_{flag}")
+    def slope(name: str):
+        n = d(f"n_{name}")
+        num = n * d(f"sxy_{name}") - d(f"sx_{name}") * d(f"sy_{name}")
+        den = n * d(f"sxx_{name}") - d(f"sx_{name}") * d(f"sx_{name}")
         return F.when(den > F.lit(0.0), F.round(num / den, 6))
 
-    sp, sq = slope(False), slope(True)
+    sp, sq = slope("pre"), slope("post")
     return m.select(
-        F.col("n_false").cast("long").alias("n_pre"),
+        F.col("n_pre").cast("long").alias("n_pre"),
         sp.alias("slope_pre_r"),
-        F.col("n_true").cast("long").alias("n_post"),
+        F.col("n_post").cast("long").alias("n_post"),
         sq.alias("slope_post_r"),
         F.when(
             sp.isNotNull() & sq.isNotNull(), F.round(sq - sp, 6)

@@ -26,7 +26,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
-from unitdb_spark.plans.explain import formatted_plan
+from unitdb_spark.plans.explain import formatted_plan, shuffle_count
 
 
 @dataclass(frozen=True)
@@ -54,15 +54,28 @@ def plan_audit(df: DataFrame, max_shuffles: int = 4) -> list[Finding]:
             "CartesianProduct join — no join keys reached the planner; "
             "broadcast one side explicitly if a cross join is intended",
         ))
-    if re.search(r"BroadcastNestedLoopJoin .*(?:Inner|Left|Right)", plan) \
-            and "BuildRight, Cross" not in plan:
+    # a deliberate cross join also plans as BNLJ with join type
+    # "Cross" on the node line — exempt it (the cartesian check above
+    # owes nothing here: Spark only chose BNLJ because a side was
+    # explicitly broadcast)
+    # only the tree-sketch line carries the join type; the detail
+    # header "(6) BroadcastNestedLoopJoin" does not and must not count
+    bnlj = [
+        line for line in plan.splitlines()
+        if re.search(r"BroadcastNestedLoopJoin .*\(\d+\)\s*$", line)
+        and " Cross " not in line
+    ]
+    if bnlj:
         out.append(Finding(
             "info", "nested-loop",
             "BroadcastNestedLoopJoin — non-equi join condition; fine "
             "when one side is tiny, quadratic otherwise",
         ))
 
-    n_shuffles = plan.count("Exchange")
+    # shuffle_count's regex counts actual shuffle Exchange NODES —
+    # plan.count("Exchange") would double-count the detail sections
+    # and sweep in Broadcast/ReusedExchange
+    n_shuffles = shuffle_count(df)
     if n_shuffles > max_shuffles:
         out.append(Finding(
             "info", "many-shuffles",
@@ -82,10 +95,26 @@ def plan_audit(df: DataFrame, max_shuffles: int = 4) -> list[Finding]:
             "a cast/expression may be blocking predicate pushdown",
         ))
 
-    if re.search(r"Window.*\n.*Sort", plan) and "SinglePartition" in plan:
-        out.append(Finding(
-            "info", "global-window",
-            "single-partition global window/sort — the whole input "
-            "serializes through one task; fine only for tiny relations",
-        ))
+    # a GLOBAL window is a Window node fed (through its Sort) by an
+    # Exchange whose Arguments are SinglePartition — correlate node
+    # ids instead of grepping the whole plan (a keyed window plus an
+    # unrelated global aggregate would otherwise false-positive)
+    sketch = re.findall(r"(\w+) \((\d+)\)", plan)
+    args = dict(re.findall(r"\((\d+)\) Exchange[^\n]*\n"
+                           r"[^\n]*\nArguments: (\w+)", plan))
+    for i, (name, nid) in enumerate(sketch):
+        if name != "Window":
+            continue
+        for name2, nid2 in sketch[i + 1:i + 4]:
+            if name2 == "Exchange" and args.get(nid2) == "SinglePartition":
+                out.append(Finding(
+                    "info", "global-window",
+                    "single-partition global window/sort — the whole "
+                    "input serializes through one task; fine only for "
+                    "tiny relations",
+                ))
+                break
+        else:
+            continue
+        break
     return out
