@@ -4503,6 +4503,35 @@ def q_doc_sparse_cosine(spark, sf_dir):
     )
 
 
+def q_events_decomp_strength(spark, sf_dir):
+    """Trend/seasonality strength (Hyndman FPP) per event type from
+    the shared decomposition: exact integer variances on the BIGINT
+    micro-unit components, one pinned strength expression each — the
+    'which series are actually seasonal' triage row."""
+    from unitdb_spark.operators.timeseries import (
+        decomposition_strength,
+        seasonal_decompose,
+    )
+
+    return decomposition_strength(
+        seasonal_decompose(_events(spark, sf_dir), "event_type")
+    )
+
+
+def q_parts_abc(spark, sf_dir):
+    """ABC (Pareto) classification of parts by revenue: exact cents,
+    deterministic rank, integer cross-multiplied 80/95 band tests —
+    the inventory-policy cut."""
+    from unitdb_spark.operators.olap import abc_classification
+
+    li = _read(spark, sf_dir, "lineitem")
+    rev = li.select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return abc_classification(rev, "part", "price")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4775,6 +4804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pettitt": q_events_pettitt,
         "streamed_benford": q_streamed_benford,
         "doc_sparse_cosine": q_doc_sparse_cosine,
+        "events_decomp_strength": q_events_decomp_strength,
+        "parts_abc": q_parts_abc,
     }
 
 
@@ -8020,6 +8051,33 @@ def oracle_sql() -> dict[str, str]:
             AS cosine_r
         FROM j WHERE 25 * dot * dot >= 4 * na2 * nb2
         """,
+        "parts_abc": """
+        WITH per AS (
+          SELECT l_partkey AS key,
+            CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS BIGINT) AS cents
+          FROM lineitem GROUP BY 1
+        ), r AS (
+          SELECT key, cents,
+            row_number() OVER (ORDER BY cents DESC, key) AS rank,
+            CAST(sum(cents) OVER (ORDER BY cents DESC, key
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_cents,
+            CAST(sum(cents) OVER () AS BIGINT) AS total
+          FROM per
+        )
+        SELECT key, cents, CAST(rank AS INTEGER) AS rank, cum_cents,
+          CAST(floor(CAST(cents AS DOUBLE) * 1000000.0
+               / CAST(total AS DOUBLE)) AS BIGINT) AS share_ppm,
+          CAST(floor(CAST(cum_cents AS DOUBLE) * 1000000.0
+               / CAST(total AS DOUBLE)) AS BIGINT) AS cum_share_ppm,
+          CASE WHEN CAST(cum_cents - cents AS HUGEINT) * 100
+                    < CAST(total AS HUGEINT) * 80 THEN 'A'
+               WHEN CAST(cum_cents - cents AS HUGEINT) * 100
+                    < CAST(total AS HUGEINT) * 95 THEN 'B'
+               ELSE 'C' END AS abc_class
+        FROM r
+        """,
         "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -9372,6 +9430,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT comm, n_nodes, e_in, d_sum, contrib_micro,
           CAST(sum(contrib_micro) OVER () AS BIGINT) AS q_micro
         FROM sm
+        """
+    )
+    # decomposition strength: the decomp oracle becomes a CTE; exact
+    # integer variances, pinned Hyndman strengths
+    d["events_decomp_strength"] = (
+        "WITH sd AS (" + d["events_seasonal_decomp"] + "), "
+        """
+        b AS (
+          SELECT event_type,
+            residual_mu AS r,
+            value_mu - seasonal_mu AS tr,
+            value_mu - trend_mu AS sr
+          FROM sd WHERE trend_mu IS NOT NULL
+        ), m AS (
+          SELECT event_type, count(*) AS n,
+            CAST(sum(CAST(r AS HUGEINT)) AS DOUBLE) AS s_r,
+            CAST(sum(CAST(r AS HUGEINT) * CAST(r AS HUGEINT)) AS DOUBLE)
+              AS q_r,
+            CAST(sum(CAST(tr AS HUGEINT)) AS DOUBLE) AS s_tr,
+            CAST(sum(CAST(tr AS HUGEINT) * CAST(tr AS HUGEINT)) AS DOUBLE)
+              AS q_tr,
+            CAST(sum(CAST(sr AS HUGEINT)) AS DOUBLE) AS s_sr,
+            CAST(sum(CAST(sr AS HUGEINT) * CAST(sr AS HUGEINT)) AS DOUBLE)
+              AS q_sr
+          FROM b GROUP BY 1
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+          CASE WHEN (CAST(n AS DOUBLE) * q_tr - s_tr * s_tr) > 0.0 THEN
+            round(greatest(0.0,
+              1.0 - (CAST(n AS DOUBLE) * q_r - s_r * s_r)
+                    / (CAST(n AS DOUBLE) * q_tr - s_tr * s_tr)), 6)
+          END AS trend_strength_r,
+          CASE WHEN (CAST(n AS DOUBLE) * q_sr - s_sr * s_sr) > 0.0 THEN
+            round(greatest(0.0,
+              1.0 - (CAST(n AS DOUBLE) * q_r - s_r * s_r)
+                    / (CAST(n AS DOUBLE) * q_sr - s_sr * s_sr)), 6)
+          END AS seasonal_strength_r
+        FROM m
         """
     )
     # the M4 twin's state is fully algebraic -> same report as the

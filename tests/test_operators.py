@@ -5761,3 +5761,59 @@ class TestReviewFixesRound5c:
         ).filter("item = 1").collect()}
         assert cnt[2] == 1          # raw count favors the popular item
         assert cos[3] < cos[2]      # cosine favors the exclusive one
+
+
+class TestDecompStrengthAbc:
+    def test_strength_extremes(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import (
+            decomposition_strength,
+            seasonal_decompose,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for day in range(6):
+            for hour in range(24):
+                ts = t0 + dt.timedelta(days=day, hours=hour)
+                # "seasonal": pure daily rhythm; "flat": constant
+                rows.append((eid, ts, "seasonal",
+                             100.0 + 50.0 * (hour % 24 < 12))); eid += 1
+                rows.append((eid, ts, "flat", 42.0)); eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        sd = seasonal_decompose(df, "event_type")
+        out = {r["event_type"]: r
+               for r in decomposition_strength(sd).collect()}
+        assert out["seasonal"]["seasonal_strength_r"] > 0.9
+        # a constant series has zero variance everywhere -> NULL guards
+        assert out["flat"]["seasonal_strength_r"] is None
+
+    def test_abc_bands_and_shares(self, spark):
+        from unitdb_spark.operators.olap import abc_classification
+
+        # revenues 50, 30, 15, 5 -> cum shares 50/80/95/100
+        rows = [("a", 50.0), ("b", 30.0), ("c", 15.0), ("d", 5.0)]
+        df = spark.createDataFrame(rows, "k string, v double")
+        out = {r["key"]: r for r in
+               abc_classification(df, "k", "v").collect()}
+        assert out["a"]["abc_class"] == "A"   # cum-before 0 < 80
+        assert out["b"]["abc_class"] == "A"   # cum-before 50 < 80
+        assert out["c"]["abc_class"] == "B"   # cum-before 80 -> B band
+        assert out["d"]["abc_class"] == "C"   # cum-before 95 -> C
+        assert out["d"]["cum_share_ppm"] == 1_000_000
+        assert out["a"]["share_ppm"] == 500_000
+        assert [out[k]["rank"] for k in "abcd"] == [1, 2, 3, 4]
+
+    def test_abc_aggregates_per_key_first(self, spark):
+        from unitdb_spark.operators.olap import abc_classification
+
+        rows = [("x", 10.0)] * 9 + [("y", 1.0)]
+        df = spark.createDataFrame(rows, "k string, v double")
+        out = {r["key"]: r for r in
+               abc_classification(df, "k", "v").collect()}
+        assert out["x"]["cents"] == 9000 and out["x"]["abc_class"] == "A"
+        assert out["y"]["abc_class"] == "C"

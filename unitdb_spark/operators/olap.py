@@ -662,3 +662,63 @@ def cohort_ltv(
         F.sum("revenue_cents").over(w).cast("long")
         .alias("cum_revenue_cents"),
     )
+
+
+def abc_classification(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """ABC (Pareto) classification over a money column: keys ranked by
+    revenue; class A while the running cumulative share stays ≤ 80%,
+    B while ≤ 95%, C after — the inventory-policy cut behind "A items
+    get daily counts, C items get yearly".
+
+    Exact cents per key, deterministic (cents DESC, key) rank, and
+    the band tests are integer cross-multiplications on the
+    cumulative share EXCLUDING the current key
+    ((cum−cents)·100 < total·80 — never a float share, and a single
+    dominant key is class A, not pushed past its own band). share/
+    cum_share ppm columns are the usual floors for display.
+
+    Output: (key, cents, rank, cum_cents, share_ppm, cum_share_ppm,
+    abc_class).
+
+    Scale: one keyed aggregation + one global rank sort over the KEY
+    relation (items, not rows) — swap in approx-quantile bands at
+    extreme key cardinality like the calibration report.
+    """
+    from pyspark.sql import Window
+
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    per = (
+        df.select(F.col(key_col).alias("key"), cents.alias("_c"))
+        .groupBy("key")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    w = Window.orderBy(F.col("cents").desc(), "key")
+    wall = Window.partitionBy()
+    ranked = per.select(
+        "key", "cents",
+        F.row_number().over(w).alias("rank"),
+        F.sum("cents").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_cents"),
+        F.sum("cents").over(wall).alias("_total"),
+    )
+    # band tests lift to DECIMAL before the cross-multiplication (the
+    # review-fixes discipline: int64 would wrap past ~$9e14 totals);
+    # banding on cum BEFORE the key keeps a dominant top item in A
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    before = F.col("cum_cents") - F.col("cents")
+    a = d38(before) * 100 < d38(F.col("_total")) * 80
+    b = d38(before) * 100 < d38(F.col("_total")) * 95
+    return ranked.select(
+        "key", "cents", "rank", "cum_cents",
+        F.floor(F.col("cents").cast("double") * F.lit(1_000_000.0)
+                / F.col("_total").cast("double")).cast("long")
+        .alias("share_ppm"),
+        F.floor(F.col("cum_cents").cast("double") * F.lit(1_000_000.0)
+                / F.col("_total").cast("double")).cast("long")
+        .alias("cum_share_ppm"),
+        F.when(a, F.lit("A")).when(b, F.lit("B")).otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

@@ -1039,3 +1039,60 @@ def trend_break(
             sp.isNotNull() & sq.isNotNull(), F.round(sq - sp, 6)
         ).alias("delta_r"),
     )
+
+
+def decomposition_strength(sd: DataFrame) -> DataFrame:
+    """Trend/seasonality strength (Hyndman & Athanasopoulos, FPP) from
+    a `seasonal_decompose` output — the one-row-per-series summary
+    that turns a decomposition into a triage signal ("which series
+    are actually seasonal?"):
+
+        F_trend    = max(0, 1 − Var(R) / Var(T+R))
+        F_seasonal = max(0, 1 − Var(R) / Var(S+R))
+
+    Rows without a trend value (the MA warm-up edges) are excluded —
+    the residual is undefined there. Components are exact BIGINT
+    micro-units, so every variance is the exact integer
+    n·Σx² − (Σx)² (DECIMAL accumulation); each strength is ONE pinned
+    round-6 expression, NULL when the denominator variance is 0.
+
+    Output: (event_type, n, trend_strength_r, seasonal_strength_r).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = sd.filter(F.col("trend_mu").isNotNull()).select(
+        "event_type",
+        F.col("residual_mu").alias("_r"),
+        (F.col("value_mu") - F.col("seasonal_mu")).alias("_tr"),
+        (F.col("value_mu") - F.col("trend_mu")).alias("_sr"),
+    )
+
+    def moments(col: str, tag: str):
+        return [
+            F.sum(d38(F.col(col))).alias(f"s_{tag}"),
+            F.sum(d38(F.col(col)) * d38(F.col(col))).alias(f"q_{tag}"),
+        ]
+
+    m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *moments("_r", "r"), *moments("_tr", "tr"), *moments("_sr", "sr"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nD = d("n")
+
+    def var(tag: str):
+        return nD * d(f"q_{tag}") - d(f"s_{tag}") * d(f"s_{tag}")
+
+    def strength(tag: str):
+        return F.when(
+            var(tag) > F.lit(0.0),
+            F.round(
+                F.greatest(F.lit(0.0), F.lit(1.0) - var("r") / var(tag)), 6
+            ),
+        )
+
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        strength("tr").alias("trend_strength_r"),
+        strength("sr").alias("seasonal_strength_r"),
+    )
