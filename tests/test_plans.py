@@ -957,3 +957,37 @@ class TestPlanAuditRegression:
         )
         codes = {f.code for f in plan_audit(j, max_shuffles=3)}
         assert "many-shuffles" not in codes
+
+
+class TestRound5FinalPlans:
+    def test_sparse_cosine_no_python(self, spark):
+        from unitdb_spark.operators.tfidf import sparse_cosine_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = sparse_cosine_pairs(docs, min_df=2, max_df=50)
+        assert not has_python_eval(out)
+
+    def test_trend_break_single_aggregation(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import trend_break
+
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1 + i % 20), float(i)) for i in range(100)],
+            "ts timestamp, v double",
+        )
+        out = trend_break(df, "ts", "v", "2024-01-10")
+        assert not has_python_eval(out)
+        # origin broadcast + one global aggregate — no data re-shuffle
+        plan = formatted_plan(out)
+        assert "BroadcastExchange" in plan or shuffle_count(out) <= 2
+
+    def test_rrf_no_python_bounded_exchanges(self, spark):
+        from unitdb_spark.operators.evaluation import reciprocal_rank_fusion
+
+        a = spark.createDataFrame(
+            [("q", "x", 1), ("q", "y", 2)], "q string, i string, rank int"
+        )
+        out = reciprocal_rank_fusion([a, a], "q", "i", "rank")
+        assert not has_python_eval(out)
+        assert shuffle_count(out) <= 2  # fuse agg + re-rank window
