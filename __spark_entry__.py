@@ -4532,6 +4532,28 @@ def q_parts_abc(spark, sf_dir):
     return abc_classification(rev, "part", "price")
 
 
+def q_streamed_abc(spark, sf_dir):
+    """Driver-checkable twin of the ABC classification over the event
+    value stream: per-user cents (plain sums) fold into the
+    commit-logged state; the rank/band derivation — not algebraic —
+    runs at read time through the batch operator's shared finish.
+    Oracle = the batch SQL over the same events."""
+    from unitdb_spark.streaming.continuous import continuous_abc, read_abc
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_abc(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "user_id", "value",
+        f"{base}/abcstate",
+        f"{base}/abccp",
+    )
+    q.awaitTermination(300)
+    return read_abc(spark, f"{base}/abcstate")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -4806,6 +4828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sparse_cosine": q_doc_sparse_cosine,
         "events_decomp_strength": q_events_decomp_strength,
         "parts_abc": q_parts_abc,
+        "streamed_abc": q_streamed_abc,
     }
 
 
@@ -8050,6 +8073,35 @@ def oracle_sql() -> dict[str, str]:
                 / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)), 6)
             AS cosine_r
         FROM j WHERE 25 * dot * dot >= 4 * na2 * nb2
+        """,
+        # the ABC twin's state is the per-key cents sum — batch SQL
+        # over the same events, verbatim math
+        "streamed_abc": """
+        WITH per AS (
+          SELECT user_id AS key,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+          FROM events GROUP BY 1
+        ), r AS (
+          SELECT key, cents,
+            row_number() OVER (ORDER BY cents DESC, key) AS rank,
+            CAST(sum(cents) OVER (ORDER BY cents DESC, key
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_cents,
+            CAST(sum(cents) OVER () AS BIGINT) AS total
+          FROM per
+        )
+        SELECT key, cents, CAST(rank AS INTEGER) AS rank, cum_cents,
+          CAST(floor(CAST(cents AS DOUBLE) * 1000000.0
+               / CAST(total AS DOUBLE)) AS BIGINT) AS share_ppm,
+          CAST(floor(CAST(cum_cents AS DOUBLE) * 1000000.0
+               / CAST(total AS DOUBLE)) AS BIGINT) AS cum_share_ppm,
+          CASE WHEN CAST(cum_cents - cents AS HUGEINT) * 100
+                    < CAST(total AS HUGEINT) * 80 THEN 'A'
+               WHEN CAST(cum_cents - cents AS HUGEINT) * 100
+                    < CAST(total AS HUGEINT) * 95 THEN 'B'
+               ELSE 'C' END AS abc_class
+        FROM r
         """,
         "parts_abc": """
         WITH per AS (

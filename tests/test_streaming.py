@@ -1488,3 +1488,31 @@ class TestContinuousBenford:
         got = {r["digit"]: r.asDict()
                for r in read_benford(spark, state).collect()}
         assert got == want
+
+
+class TestContinuousAbc:
+    def test_rolling_abc_matches_batch(self, spark, events_dir, tmp_path):
+        """Per-key cents merge by sum; rank/banding at read time via
+        the shared finish: the committed classification across
+        micro-batches (and a restart) equals the one-shot batch."""
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.olap import abc_classification
+        from unitdb_spark.streaming.continuous import continuous_abc, read_abc
+
+        state = str(tmp_path / "abc-state")
+        cp = str(tmp_path / "abc-cp")
+        ev = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q = continuous_abc(ev, "user_id", "value", state, cp)
+        q.awaitTermination(180)
+        ev2 = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q2 = continuous_abc(ev2, "user_id", "value", state, cp)
+        q2.awaitTermination(180)
+
+        batch = spark.read.parquet(events_dir)
+        want = {r["key"]: r.asDict() for r in abc_classification(
+            batch, "user_id", "value"
+        ).collect()}
+        got = {r["key"]: r.asDict()
+               for r in read_abc(spark, state).collect()}
+        assert got == want

@@ -686,14 +686,30 @@ def abc_classification(
     relation (items, not rows) — swap in approx-quantile bands at
     extreme key cardinality like the calibration report.
     """
-    from pyspark.sql import Window
+    per = abc_key_cents(df, key_col, value_col)
+    return abc_finish(per)
 
+
+def abc_key_cents(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """The MERGEABLE ABC state: exact cents per key (plain sums) —
+    shared with `streaming.continuous.continuous_abc`, whose rolling
+    state therefore equals the one-shot aggregation bit for bit; the
+    rank/banding happens at read time in `abc_finish`."""
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
-    per = (
+    return (
         df.select(F.col(key_col).alias("key"), cents.alias("_c"))
         .groupBy("key")
         .agg(F.sum("_c").alias("cents"))
     )
+
+
+def abc_finish(per: DataFrame) -> DataFrame:
+    """Rank + band the per-key cents relation — shared by the batch
+    operator and the streaming twin's read path."""
+    from pyspark.sql import Window
+
     w = Window.orderBy(F.col("cents").desc(), "key")
     wall = Window.partitionBy()
     ranked = per.select(

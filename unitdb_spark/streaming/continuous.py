@@ -487,3 +487,51 @@ def read_benford(spark, state_path: str) -> DataFrame:
     if cur is None:
         raise FileNotFoundError(f"no committed benford state under {state_path}")
     return benford_finish(spark.read.parquet(_snap_path(state_path, *cur)))
+
+
+# ------------------------------------------------------ rolling ABC
+#
+# The ABC classification's state (exact cents per key) is a plain
+# sum; the rank and band derivation — NOT algebraic — runs at read
+# time over the committed key relation through the batch operator's
+# shared finish. The pattern for any "ranked report over mergeable
+# totals" dashboard.
+
+
+def continuous_abc(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    state_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain the versioned per-key cents state; read the ranked
+    classification with ``read_abc``. Returns the StreamingQuery."""
+    from unitdb_spark.operators.olap import abc_key_cents
+
+    def partials(b: DataFrame) -> DataFrame:
+        return abc_key_cents(b, key_col, value_col)
+
+    def merge(prev: DataFrame, p: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(p)
+            .groupBy("key")
+            .agg(F.sum("cents").alias("cents"))
+        )
+
+    return _run_maintainer(
+        stream, state_path, checkpoint, partials, merge, trigger_available_now
+    )
+
+
+def read_abc(spark, state_path: str) -> DataFrame:
+    """The rolling ABC classification over the committed per-key cents
+    — identical math to the batch `operators.olap.abc_classification`
+    (shared finish)."""
+    from unitdb_spark.operators.olap import abc_finish
+
+    cur = latest_commit(spark, state_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed abc state under {state_path}")
+    return abc_finish(spark.read.parquet(_snap_path(state_path, *cur)))
