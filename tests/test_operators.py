@@ -4498,6 +4498,22 @@ class TestStatsTests:
         (out,) = chi_square_independence(df, "r", "c").collect()
         assert out["chi2_micro"] == 0 and out["dof"] == 2
 
+    def test_chi_square_null_levels_excluded(self, spark):
+        # NULL in either category drops the row up front (the sibling
+        # tests' contract); result equals the test on the clean subset
+        from unitdb_spark.operators.stats_tests import chi_square_independence
+
+        clean = (
+            [("a", "x")] * 10 + [("a", "y")] * 20
+            + [("b", "x")] * 20 + [("b", "y")] * 10
+        )
+        dirty = clean + [(None, "x")] * 3 + [("a", None)] * 4 + [(None, None)]
+        d1 = spark.createDataFrame(clean, "r string, c string")
+        d2 = spark.createDataFrame(dirty, "r string, c string")
+        (want,) = chi_square_independence(d1, "r", "c").collect()
+        (got,) = chi_square_independence(d2, "r", "c").collect()
+        assert got == want and got["n"] == 60 and got["r_levels"] == 2
+
     def test_mann_whitney_matches_scipy_formula(self, spark):
         # hand-checkable sample with ties
         from pyspark.sql import functions as F
@@ -5358,6 +5374,26 @@ class TestBudgetQuantileNegatives:
         assert out[1]["q_ppm"] == out[2]["q_ppm"] == 0  # rank() ties
         assert out[1]["mapped"] == out[2]["mapped"]
 
+    def test_quantile_map_empty_reference_raises(self, spark):
+        import pytest
+
+        from unitdb_spark.operators.olap import quantile_map
+
+        a = spark.createDataFrame([(1, 7.0)], "id int, v double")
+        ref = spark.createDataFrame([], "id int, v double")
+        with pytest.raises(ValueError, match="empty reference"):
+            quantile_map(a, "id", "v", ref, "v")
+
+    def test_quantile_map_one_row_reference_is_constant(self, spark):
+        from unitdb_spark.operators.olap import quantile_map
+
+        a = spark.createDataFrame(
+            [(1, 7.0), (2, 9.0), (3, 11.0)], "id int, v double"
+        )
+        ref = spark.createDataFrame([(1, 5.0)], "id int, v double")
+        out = quantile_map(a, "id", "v", ref, "v").collect()
+        assert len(out) == 3 and all(r["mapped"] == 5.0 for r in out)
+
     def test_negative_edges_exclude_true_edges(self, spark):
         from unitdb_spark.operators.graph import negative_edge_samples
         from pyspark.sql import functions as F
@@ -5791,6 +5827,26 @@ class TestDecompStrengthAbc:
         assert out["seasonal"]["seasonal_strength_r"] > 0.9
         # a constant series has zero variance everywhere -> NULL guards
         assert out["flat"]["seasonal_strength_r"] is None
+
+    def test_strength_respects_key_col(self, spark):
+        # non-default key name flows seasonal_decompose -> strength
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import (
+            decomposition_strength,
+            seasonal_decompose,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        for day in range(3):
+            for hour in range(24):
+                ts = t0 + dt.timedelta(days=day, hours=hour)
+                rows.append((ts, "s1", 10.0 + 5.0 * (hour < 12)))
+        df = spark.createDataFrame(rows, "ts timestamp, series string, value double")
+        sd = seasonal_decompose(df, "series")
+        out = decomposition_strength(sd, key_col="series").collect()
+        assert len(out) == 1 and out[0]["series"] == "s1"
 
     def test_abc_bands_and_shares(self, spark):
         from unitdb_spark.operators.olap import abc_classification

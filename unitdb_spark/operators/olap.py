@@ -562,9 +562,18 @@ def quantile_map(
     Scale: two global sorts (input ranks, reference positions) — at
     100 TB pre-compute reference quantile boundaries once (tiny
     broadcast table) exactly like the calibration report's swap.
+
+    Degenerate reference: an EMPTY ``ref_df`` raises (a silent
+    zero-row result would read as "no input data" — same loud-failure
+    contract as pagerank's empty edge list); a one-row reference is
+    legal and maps every input to that single value. The emptiness
+    probe is a LIMIT-1 scan of the reference only (the small,
+    broadcast side), not a job over ``df``.
     """
     from pyspark.sql import Window
 
+    if ref_df.isEmpty():
+        raise ValueError("quantile_map: empty reference distribution")
     wa = Window.orderBy(value_col)
     na = df.select(F.count(F.lit(1)).alias("_na"))
     a = df.select(

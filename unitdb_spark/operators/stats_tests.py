@@ -49,9 +49,17 @@ def chi_square_independence(
     envelope: o·N must fit the double's exact-integer range before the
     pinned division — fine up to ~9·10¹⁵ products; past that, cast the
     products to DECIMAL(38,0) first (same pinned shape).
+
+    NULL contract (same as the sibling tests): rows where either
+    category is NULL are excluded up front. Without the filter a NULL
+    level survives groupBy but never matches the null-unsafe [r, c]
+    rebuild join, so its observed mass silently coalesces to 0 (or
+    divides by a zero row/col total under ANSI). Callers that want
+    NULL as a real level must map it to a sentinel first.
     """
     cells = (
         df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+        .filter(F.col("r").isNotNull() & F.col("c").isNotNull())
         .groupBy("r", "c")
         .agg(F.count(F.lit(1)).alias("o"))
     )

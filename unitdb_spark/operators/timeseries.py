@@ -1041,7 +1041,9 @@ def trend_break(
     )
 
 
-def decomposition_strength(sd: DataFrame) -> DataFrame:
+def decomposition_strength(
+    sd: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
     """Trend/seasonality strength (Hyndman & Athanasopoulos, FPP) from
     a `seasonal_decompose` output — the one-row-per-series summary
     that turns a decomposition into a triage signal ("which series
@@ -1056,11 +1058,15 @@ def decomposition_strength(sd: DataFrame) -> DataFrame:
     n·Σx² − (Σx)² (DECIMAL accumulation); each strength is ONE pinned
     round-6 expression, NULL when the denominator variance is 0.
 
-    Output: (event_type, n, trend_strength_r, seasonal_strength_r).
+    ``key_col`` names the series-key column of the decomposition
+    (``seasonal_decompose`` emits it under the caller-chosen key_col;
+    default matches its default), mirroring ``seasonal_from_cells``.
+
+    Output: (<key_col>, n, trend_strength_r, seasonal_strength_r).
     """
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     base = sd.filter(F.col("trend_mu").isNotNull()).select(
-        "event_type",
+        key_col,
         F.col("residual_mu").alias("_r"),
         (F.col("value_mu") - F.col("seasonal_mu")).alias("_tr"),
         (F.col("value_mu") - F.col("trend_mu")).alias("_sr"),
@@ -1072,7 +1078,7 @@ def decomposition_strength(sd: DataFrame) -> DataFrame:
             F.sum(d38(F.col(col)) * d38(F.col(col))).alias(f"q_{tag}"),
         ]
 
-    m = base.groupBy("event_type").agg(
+    m = base.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n"),
         *moments("_r", "r"), *moments("_tr", "tr"), *moments("_sr", "sr"),
     )
@@ -1091,7 +1097,7 @@ def decomposition_strength(sd: DataFrame) -> DataFrame:
         )
 
     return m.select(
-        "event_type",
+        key_col,
         F.col("n").cast("long").alias("n"),
         strength("tr").alias("trend_strength_r"),
         strength("sr").alias("seasonal_strength_r"),
