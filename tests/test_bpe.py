@@ -67,6 +67,37 @@ class TestBpeTrain:
             )
             assert bpe_train(df, n_merges=5) == _model(joined, 5)
 
+    def test_thousand_merges_no_per_merge_jobs(self, spark):
+        # production vocab sizes need ~30k merges; training must be ONE
+        # corpus pass + driver-side learning, never a job per merge
+        import time
+
+        from unitdb_spark.operators.bpe import bpe_train
+
+        rng = random.Random(7)
+        words = [
+            "".join(rng.choice("abcdefgh") for _ in range(rng.randrange(3, 12)))
+            for _ in range(400)
+        ]
+        text = " ".join(rng.choice(words) for _ in range(3000))
+        df = spark.createDataFrame([(1, text)], "id long, text string")
+        sc = spark.sparkContext
+        sc.setJobGroup("bpe1000", "bpe train")
+        t0 = time.monotonic()
+        try:
+            rules = bpe_train(df, n_merges=1000)
+        finally:
+            jobs = sc.statusTracker().getJobIdsForGroup("bpe1000")
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        elapsed = time.monotonic() - t0
+        # the vocabulary collect is the only Spark work (AQE may split
+        # it into a couple of jobs); 1000 sequential per-merge jobs
+        # would be hundreds
+        assert len(jobs) <= 4, jobs
+        assert elapsed < 30.0, elapsed
+        # deterministic prefix: a shorter run is a prefix of a longer one
+        assert bpe_train(df, n_merges=10) == rules[:10]
+
     def test_stops_when_pairs_exhaust(self, spark):
         from unitdb_spark.operators.bpe import bpe_train
 

@@ -12,18 +12,18 @@ already ran: LEARN the merge table from the corpus. Word-level BPE:
    order, so training is deterministic), merge it greedily
    left-to-right in every word, repeat.
 
-Spark shape per iteration: one vocab-sized window (adjacent pairs),
-one vocab-sized partial-agg shuffle (pair counts), one single-row
-argmax collected driver-side (the merge RULE — metadata-sized, the
-kmeans-centroid precedent), and a relational greedy-merge rewrite
-(windows, no UDF). `localCheckpoint` per round cuts lineage like
-every iterative operator here.
-
-The greedy left-to-right application is done RELATIONALLY so a SQL
-oracle can replay it: match positions (sym = left, next = right) form
-runs of consecutive positions; within a run, matches at even offsets
-from the run start are applied (overlaps only arise for left == right
-pairs, where "aaa" must merge as (aa)(a), not a(aa)).
+Spark shape: ONE corpus pass (token explode + word-frequency groupBy)
+is the only distributed work; the vocabulary collects driver-side and
+all merges are learned in pure Python with incremental pair-count
+updates (`_learn_merges` — merge learning is inherently sequential,
+and a per-merge Spark job would serialize 30k job launches at a
+production vocab). ENCODING stays relational on the vocabulary
+relation so the SQL oracle can replay it: the greedy left-to-right
+application matches positions (sym = left, next = right) into runs of
+consecutive positions; within a run, matches at even offsets from the
+run start are applied (overlaps only arise for left == right pairs,
+where "aaa" must merge as (aa)(a), not a(aa)). The Python
+`_apply_merge` implements the same contract.
 
 Intra-word only, no end-of-word marker (the </w> variant changes
 boundary merges, not the algorithm; documented divergence from the
@@ -108,6 +108,71 @@ def _merge_once(syms: DataFrame, left: str, right: str) -> DataFrame:
     return out
 
 
+def _apply_merge(seq: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right application of one merge rule to a symbol
+    sequence — the Python twin of `_merge_once` ("aaa" under (a,a)
+    merges as (aa)(a))."""
+    out: list[str] = []
+    i, n = 0, len(seq)
+    while i < n:
+        if i + 1 < n and seq[i] == left and seq[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def _learn_merges(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side merge learning over the collected word-frequency
+    vocabulary (Sennrich et al. 2016, the standard incremental-update
+    implementation): pair counts live in a dict, and each merge only
+    re-segments the words that CONTAIN the chosen pair (tracked by a
+    pair -> words index), so cost per merge is proportional to the
+    affected slice of the vocabulary, not the whole table.
+
+    Selection order (count DESC, left ASC, right ASC) matches the
+    relational formulation bit-for-bit: Python's str comparison is by
+    code point, which equals Spark's UTF8String byte order (UTF-8
+    preserves code-point order)."""
+    from collections import Counter, defaultdict
+
+    seqs: dict[str, list[str]] = {w: list(w) for w, _ in vocab}
+    freq: dict[str, int] = dict(vocab)
+    counts: Counter = Counter()
+    where: defaultdict[tuple[str, str], set[str]] = defaultdict(set)
+    for w, f in vocab:
+        s = seqs[w]
+        for a, b in zip(s, s[1:]):
+            counts[(a, b)] += f
+            where[(a, b)].add(w)
+    rules: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((rank, left, right, int(n)))
+        for w in list(where[(left, right)]):
+            f = freq[w]
+            old = seqs[w]
+            new = _apply_merge(old, left, right)
+            seqs[w] = new
+            for a, b in zip(old, old[1:]):
+                counts[(a, b)] -= f
+                if counts[(a, b)] <= 0:
+                    del counts[(a, b)]
+                where[(a, b)].discard(w)
+            for a, b in zip(new, new[1:]):
+                counts[(a, b)] += f
+                where[(a, b)].add(w)
+    return rules
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -120,6 +185,17 @@ def bpe_train(
     count at selection time (overlapping occurrences counted, the
     textbook tally). Stops early if the symbol pairs exhaust.
 
+    ONE Spark job total: the corpus pass that builds the
+    word-frequency vocabulary (the only corpus-sized work). The
+    vocabulary is collected driver-side — it is Zipf-sublinear in the
+    corpus and merge learning is inherently sequential, so learning in
+    pure Python with incremental pair-count updates (standard
+    practice; `_learn_merges`) replaces the previous
+    one-Spark-job-per-merge loop that serialized 30k job launches at a
+    production vocab size. At 100 TB, bound the collected table with a
+    frequency floor on the words relation (hapax pruning — the
+    standard trainer knob) before calling.
+
     The rules ARE metadata (a tokenizer ships them as a file), so a
     driver-side list is the honest return type; `bpe_train_df` wraps
     them as a DataFrame for the oracle-checked query surface.
@@ -129,25 +205,8 @@ def bpe_train(
         .groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_f"))
     )
-    syms = _word_symbols(words).localCheckpoint(eager=False)
-    rules: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        w = Window.partitionBy("_w").orderBy("_pos")
-        pairs = (
-            syms.select(
-                "_w", "_f", "_sym", F.lead("_sym").over(w).alias("_nxt")
-            )
-            .filter(F.col("_nxt").isNotNull())
-            .groupBy("_sym", "_nxt")
-            .agg(F.sum("_f").alias("_n"))
-        )
-        top = pairs.orderBy(F.col("_n").desc(), "_sym", "_nxt").limit(1).collect()
-        if not top:
-            break
-        left, right, n = top[0]["_sym"], top[0]["_nxt"], int(top[0]["_n"])
-        rules.append((rank, left, right, n))
-        syms = _merge_once(syms, left, right).localCheckpoint(eager=False)
-    return rules
+    vocab = [(r["_w"], int(r["_f"])) for r in words.collect()]
+    return _learn_merges(vocab, n_merges)
 
 
 def bpe_train_df(
