@@ -3611,6 +3611,30 @@ def q_media_bmp_resize(spark, sf_dir):
     )
 
 
+def q_media_png_resize(spark, sf_dir):
+    """REAL pixel kernel for a genuinely COMPRESSED container: every
+    doc becomes a valid 8-bit truecolor PNG (zlib-deflated IDAT, every
+    scanline filtered with type (s+y)%5 so all five PNG filters are in
+    the path), the pixels are reconstructed (inflate + per-row
+    unfilter), nearest-neighbor-resampled to 8×6 with integer index
+    math, re-encoded as a PNG, decoded AGAIN, and reduced to integer
+    statistics (channel sum + position-weighted checksum over the
+    flattened top-down RGB array). The oracle regenerates the
+    resampled pixels from doc_id alone — a hash-match proves inflate,
+    unfilter, resample, row order, and channel order are all
+    byte-correct. No stub in the path."""
+    from unitdb_spark.functions.multimodal import (
+        png_pixel_stats,
+        resize_png_images,
+        synthetic_png_media,
+    )
+
+    media = synthetic_png_media(_docs(spark, sf_dir))
+    return png_pixel_stats(resize_png_images(media, 8, 6)).select(
+        F.col("id").alias("doc_id"), "width", "height", "px_sum", "px_wsum"
+    )
+
+
 def q_media_wav_pcm(spark, sf_dir):
     """REAL sample kernel: the WAV blobs in the synthetic media fixture
     (doc_id % 5 == 3) carry actual 16-bit PCM — decode the samples and
@@ -4831,6 +4855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_merged": q_events_kmv_merged,
         "events_interval_lookup": q_events_interval_lookup,
         "events_multitouch": q_events_multitouch,
+        # --- new in round 6 (enter a later window per rotation) -------
+        "media_png_resize": q_media_png_resize,
     }
 
 
@@ -5633,6 +5659,38 @@ def oracle_sql() -> dict[str, str]:
           CAST(SUM(cb * ((vy * 8 + vx) * 3 + 1)
                  + cg * ((vy * 8 + vx) * 3 + 2)
                  + cr * ((vy * 8 + vx) * 3 + 3)) AS BIGINT) AS px_wsum
+        FROM px GROUP BY 1
+        """,
+        "media_png_resize": """
+        -- regenerate the 8x6 nearest-neighbor-resampled pixels from
+        -- doc_id alone: source dims sw = d%21+4, sh = (d//5)%17+4,
+        -- seed s = d%241; source pixel for output (X, Y) is
+        -- (X*sw//8, Y*sh//6); channels are the PNG fixture's closed
+        -- form (RGB order — unlike the BMP twin's BGR). px_wsum
+        -- weights each channel value by its 1-based position in the
+        -- flattened top-down RGB array — any flip/transpose/
+        -- channel-swap (or a wrong filter reconstruction upstream)
+        -- breaks the match
+        WITH g AS (
+          SELECT d.doc_id,
+            d.doc_id % 21 + 4 AS sw,
+            (d.doc_id // 5) % 17 + 4 AS sh,
+            d.doc_id % 241 AS s, x.vx, y.vy
+          FROM documents d,
+               UNNEST(generate_series(0, 7)) AS x(vx),
+               UNNEST(generate_series(0, 5)) AS y(vy)
+        ), px AS (
+          SELECT doc_id, vx, vy,
+            (s + 5 * ((vx * sw) // 8) + 3 * ((vy * sh) // 6)) % 256 AS cr,
+            (2 * s + 7 * ((vx * sw) // 8) + ((vy * sh) // 6)) % 256 AS cg,
+            (3 * s + 2 * ((vx * sw) // 8) + 11 * ((vy * sh) // 6)) % 256 AS cb
+          FROM g
+        )
+        SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+          CAST(SUM(cr + cg + cb) AS BIGINT) AS px_sum,
+          CAST(SUM(cr * ((vy * 8 + vx) * 3 + 1)
+                 + cg * ((vy * 8 + vx) * 3 + 2)
+                 + cb * ((vy * 8 + vx) * 3 + 3)) AS BIGINT) AS px_wsum
         FROM px GROUP BY 1
         """,
         "media_phash_dups": _PHASH_CHAIN_SQL + """

@@ -283,3 +283,124 @@ class TestFlac:
             build_flac(1 << 21, 100)
         with _pytest.raises(ValueError):
             build_flac(8000, 1 << 37)
+
+
+class TestPngPixels:
+    """The REAL PNG pixel kernel: stdlib zlib inflate + per-scanline
+    unfilter. Roundtrips cannot catch a spec misread that is symmetric
+    in filter/unfilter, so the decoder is ALSO pinned against a PNG
+    whose filtered scanline bytes were computed BY HAND from the spec
+    (§9.2/9.4) and embedded as literals."""
+
+    def test_roundtrip_all_filters(self):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_png_rgb,
+            encode_png_rgb,
+        )
+
+        rng = np.random.default_rng(7)
+        for _ in range(10):
+            h, w = int(rng.integers(1, 33)), int(rng.integers(1, 33))
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            filters = rng.integers(0, 5, h)
+            back = decode_png_rgb(encode_png_rgb(arr, filters))
+            assert back is not None and (back == arr).all()
+
+    def test_unfilter_matches_hand_computed_spec_bytes(self):
+        # 2x2 RGB image, row0 filtered with Sub(1), row1 with Paeth(4);
+        # the filtered bytes below were derived by hand from the spec
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            PNG_SIG,
+            _png_chunk,
+            decode_png_rgb,
+        )
+
+        pixels = np.array(
+            [[[10, 20, 30], [13, 19, 40]], [[5, 120, 200], [255, 0, 7]]],
+            dtype=np.uint8,
+        )
+        scanlines = bytes(
+            [1, 10, 20, 30, 3, 255, 10]       # Sub: delta to left pixel
+            + [4, 251, 100, 170, 245, 136, 63]  # Paeth per §9.4
+        )
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        png = (
+            PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scanlines))
+            + _png_chunk(b"IEND", b"")
+        )
+        got = decode_png_rgb(png)
+        assert got is not None and (got == pixels).all()
+
+    def test_split_idat_chunks(self):
+        # IDAT may be split at any byte boundary; decoders must concat
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            PNG_SIG,
+            _png_chunk,
+            decode_png_rgb,
+            encode_png_rgb,
+        )
+
+        arr = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+        comp = zlib.compress(
+            b"".join(b"\x00" + arr[y].tobytes() for y in range(5))
+        )
+        ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0)
+        png = (
+            PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", comp[:7])
+            + _png_chunk(b"IDAT", comp[7:])
+            + _png_chunk(b"IEND", b"")
+        )
+        got = decode_png_rgb(png)
+        assert got is not None and (got == arr).all()
+        assert (decode_png_rgb(encode_png_rgb(arr)) == arr).all()
+
+    def test_rejects_unsupported_and_corrupt(self):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            build_png,
+            decode_png_rgb,
+            encode_png_rgb,
+            resize_png_nearest,
+        )
+
+        assert decode_png_rgb(b"not a png") is None
+        assert decode_png_rgb(build_png(4, 4, 10)) is None  # junk IDAT
+        arr = np.zeros((3, 3, 3), dtype=np.uint8)
+        b = bytearray(encode_png_rgb(arr))
+        b[25] = 3  # color type 3 = palette -> unsupported
+        assert decode_png_rgb(bytes(b)) is None
+        assert resize_png_nearest(b"junk", 4, 4) is None
+
+    def test_resize_matches_numpy_model(self):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_png_rgb,
+            encode_png_rgb,
+            resize_png_nearest,
+        )
+
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+        b = encode_png_rgb(arr, [(y * 2) % 5 for y in range(13)])
+        out = decode_png_rgb(resize_png_nearest(b, 8, 6))
+        xs = (np.arange(8) * 17) // 8
+        ys = (np.arange(6) * 13) // 6
+        assert (out == arr[np.ix_(ys, xs)]).all()

@@ -628,3 +628,163 @@ def decode_wav_pcm16(b: bytes):
         return None
     samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
     return sample_rate, samples
+
+
+# PNG is the one COMPRESSED container that decodes stdlib-only: IDAT is
+# zlib deflate over filtered scanlines, and the five per-row filters
+# (None/Sub/Up/Average/Paeth, PNG spec §9) are byte arithmetic. These
+# are REAL kernels over real pixels — encode_png_rgb/decode_png_rgb
+# invert each other for 8-bit truecolor (color type 2, no interlace),
+# including every filter type; anything narrower-than-spec (palette,
+# alpha, 16-bit, Adam7) returns None per the honest-failure contract.
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties won by left, then up."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter_row(ftype: int, row: bytes, prev: bytes) -> bytes:
+    """Forward-filter one scanline (bpp = 3); `prev` is the RAW prior
+    scanline (zeros for the first row)."""
+    out = bytearray(len(row))
+    for i in range(len(row)):
+        left = row[i - 3] if i >= 3 else 0
+        up = prev[i]
+        ul = prev[i - 3] if i >= 3 else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) >> 1
+        else:
+            pred = _paeth(left, up, ul)
+        out[i] = (row[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_row(ftype: int, row: bytearray, prev: bytes) -> None:
+    """Reconstruct one filtered scanline IN PLACE (bpp = 3); `prev` is
+    the already-reconstructed prior scanline (zeros for the first)."""
+    for i in range(len(row)):
+        left = row[i - 3] if i >= 3 else 0
+        up = prev[i]
+        ul = prev[i - 3] if i >= 3 else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) >> 1
+        else:
+            pred = _paeth(left, up, ul)
+        row[i] = (row[i] + pred) & 0xFF
+
+
+def encode_png_rgb(arr, row_filters=None) -> bytes:
+    """numpy (h, w, 3) uint8, RGB channel order, top-down rows -> a
+    valid 8-bit truecolor PNG (one IDAT, real CRCs). ``row_filters``
+    optionally gives the filter type (0-4) per scanline — the fixture
+    uses it to exercise ALL five unfilter paths; default is type 0."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    raw = bytearray()
+    prev = bytes(w * 3)
+    for y in range(h):
+        row = a[y].tobytes()
+        ftype = int(row_filters[y]) if row_filters is not None else 0
+        raw.append(ftype)
+        raw += _png_filter_row(ftype, row, prev)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb(b: bytes):
+    """8-bit truecolor PNG -> numpy (h, w, 3) uint8 RGB top-down, or
+    None for anything this real-but-narrow decoder doesn't cover
+    (palette/alpha/16-bit/interlaced, truncated or corrupt streams).
+    Walks the chunk list (IDAT may be split), inflates, and runs the
+    per-row unfilter for all five filter types."""
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        payload = b[pos + 8 : pos + 8 + clen]
+        if len(payload) < clen:
+            return None
+        if ctype == b"IHDR":
+            ihdr = payload
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, ctype_, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8 or ctype_ != 2 or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    if w == 0 or h == 0:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytes(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        if ftype > 4:
+            return None
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        _png_unfilter_row(ftype, row, prev)
+        prev = bytes(row)
+        out[y] = np.frombuffer(prev, dtype=np.uint8)
+    return out.reshape(h, w, 3)
+
+
+def resize_png_nearest(b: bytes, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor resample of an 8-bit truecolor PNG,
+    re-encoded as a PNG (filter type 0 rows — the content, not the
+    filter choice, is the contract). Source pixel for output (X, Y) is
+    (floor(X·sw/width), floor(Y·sh/height)) — the same integer index
+    math as the BMP kernel, so an SQL oracle predicts every pixel.
+    None for blobs decode_png_rgb doesn't claim."""
+    import numpy as np
+
+    src = decode_png_rgb(b)
+    if src is None:
+        return None
+    sh, sw, _ = src.shape
+    xs = (np.arange(width) * sw) // width
+    ys = (np.arange(height) * sh) // height
+    return encode_png_rgb(src[np.ix_(ys, xs)])
