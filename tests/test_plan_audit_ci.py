@@ -1,0 +1,83 @@
+"""Dog-food `plans.audit.plan_audit` over every batch driver query.
+
+The audit is the repo's own 100 TB pre-flight check; this test makes
+CI eat it so a future operator cannot silently add a row-at-a-time
+Python UDF, an unkeyed cartesian product, or a corpus-sized
+single-partition window. Policy enforced here:
+
+- severity "warn" findings (python-udf, cartesian) are NEVER allowed;
+- "global-window" findings are allowed only for the queries in the
+  explicit allowlist below, each justified by the tiny bounded
+  relation its window runs over (levels², distinct values, per-key
+  totals — never the corpus);
+- the allowlist must stay exact: an entry whose query stops reporting
+  global-window fails the test, so the list cannot rot;
+- the other info codes (nested-loop over a broadcast tiny side,
+  many-shuffles in deliberately multi-stage pipelines, no-pushdown)
+  stay advisory — they are the audit's user-facing guidance, and
+  test_plans pins the load-bearing plans individually.
+
+Streamed twins are excluded: building their DataFrame runs a real
+checkpointed streaming job (test_streaming covers them), and the
+audit targets batch plans.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from .conftest import SF_SMALL
+
+# every entry = a sanctioned single-partition window over a PROVABLY
+# tiny relation (the operator docstrings carry the full argument)
+GLOBAL_WINDOW_ALLOWLIST = {
+    "doc_vocab_coverage": "cumulative coverage over the ranked vocabulary relation (Zipf-small), not documents",
+    "doc_source_balance": "share windows over the per-source totals relation (n_sources rows)",
+    "events_chisq": "row/col/grand totals are windows over the levels-squared cells relation",
+    "events_mannwhitney": "doubled-midrank cumulative window over the DISTINCT-value relation",
+    "lineitem_spearman": "rank windows over the distinct-value relations of the two variables",
+    "orders_benford": "digit-share window over the 9-row leading-digit relation",
+    "doc_calibration": "ntile + reliability windows over scores then the 10-row decile relation",
+    "events_survival": "at-risk cumulative window over the per-day event-time relation",
+    "events_ks": "CDF-gap cumulative window over the pooled distinct-value relation",
+    "orders_lorenz": "cumulative-share window over the per-customer totals relation",
+    "doc_source_infogain": "entropy windows over the (source x label) cells relation",
+    "doc_token_budget": "water-filling rank window over the per-source totals relation",
+    "doc_quantile_map": "global rank sorts documented with the 100 TB swap (pre-computed reference boundaries)",
+    "media_dup_modularity": "degree/total windows over the dup-cluster edge relation (near-dup pairs, not docs)",
+    "events_pettitt": "doubled-midrank and U_t windows over the series' distinct-value/day relations",
+    "parts_abc": "cumulative revenue-share window over the per-part totals relation",
+}
+
+
+def test_plan_audit_every_batch_query(spark):
+    import __spark_entry__ as e
+    from unitdb_spark.plans.audit import plan_audit
+
+    failures: list[str] = []
+    global_window_hits: set[str] = set()
+    by_code: defaultdict[str, int] = defaultdict(int)
+
+    for name, fn in e.queries().items():
+        if name.startswith("streamed_"):
+            continue
+        df = fn(spark, SF_SMALL)
+        for f in plan_audit(df):
+            by_code[f.code] += 1
+            if f.severity == "warn":
+                failures.append(f"{name}: {f.code} — {f.detail}")
+            elif f.code == "global-window":
+                global_window_hits.add(name)
+                if name not in GLOBAL_WINDOW_ALLOWLIST:
+                    failures.append(
+                        f"{name}: unexplained single-partition global "
+                        "window — justify the bounded relation and "
+                        "allowlist it, or re-key the window"
+                    )
+
+    stale = set(GLOBAL_WINDOW_ALLOWLIST) - global_window_hits
+    assert not failures, "\n".join(failures)
+    assert not stale, (
+        f"allowlist entries no longer reporting global-window: "
+        f"{sorted(stale)} — remove them so the list stays exact"
+    )
