@@ -1162,6 +1162,82 @@ def q_streamed_sessions(spark, sf_dir):
     )
 
 
+def q_streamed_dedup(spark, sf_dir):
+    """Driver-checkable twin of STREAMING exactly-once dedup (the
+    Reliable-delivery redelivery ledger as a standalone operator):
+    events replay as two checkpointed runs with THREE planted
+    duplicate classes — in-batch (%7 re-emitted beside originals),
+    cross-micro-batch (%5 re-emitted as the run's second file), and
+    cross-checkpoint-restart (first half's %3 re-emitted in run 2) —
+    through `streaming_dedup` (dropDuplicatesWithinWatermark) with a
+    watermark covering the replayed span, so every planted duplicate
+    is in horizon and the streamed output must equal the ORIGINAL
+    row set exactly. Oracle = per-type aggregates straight off the
+    events table. Proves in-state, cross-batch, and restored-state
+    dedup in one query."""
+    import tempfile
+
+    from unitdb_spark.streaming.state import streaming_dedup
+
+    spark = _pin_utc(spark)
+    base = tempfile.mkdtemp(prefix="dedup_twin_")
+    src, cp, out = f"{base}/src", f"{base}/cp", f"{base}/out"
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type")
+    lo, hi = ev.agg(
+        F.unix_timestamp(F.min("ts")), F.unix_timestamp(F.max("ts"))
+    ).collect()[0]
+    mid = F.timestamp_seconds(F.lit((int(lo) + int(hi)) // 2))
+    horizon_days = (int(hi) - int(lo)) // 86400 + 2
+
+    def run(originals, second_file):
+        # file 1: originals + in-batch redeliveries; file 2: the
+        # cross-batch redeliveries (maxFilesPerTrigger=1 -> own batch)
+        originals.union(
+            originals.filter(F.col("event_id") % 7 == 0)
+        ).coalesce(1).write.mode("append").parquet(src)
+        second_file.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            streaming_dedup(
+                spark.readStream.schema(originals.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                id_col="event_id",
+                ts_col="ts",
+                watermark=f"{horizon_days} days",
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("overwrite")
+                .parquet(f"{out}/batch={bid}")
+                if not df.isEmpty() else None
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    first = ev.filter(F.col("ts") < mid)
+    second = ev.filter(F.col("ts") >= mid)
+    run(first, first.filter(F.col("event_id") % 5 == 0))
+    run(
+        second,
+        second.filter(F.col("event_id") % 5 == 0).union(
+            first.filter(F.col("event_id") % 3 == 0)
+        ),
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("event_id").cast("long").alias("n_ids"),
+            F.sum("event_id").cast("long").alias("sum_id"),
+            F.min(F.unix_micros("ts")).alias("min_ts_us"),
+            F.max(F.unix_micros("ts")).alias("max_ts_us"),
+        )
+    )
+
+
 def q_doc_lsh_verified(spark, sf_dir):
     """Candidate→verify near-dup pipeline: MinHash-LSH candidates
     confirmed by the EXACT Jaccard over shingle sets — exactness is
@@ -4857,6 +4933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_multitouch": q_events_multitouch,
         # --- new in round 6 (enter a later window per rotation) -------
         "media_png_resize": q_media_png_resize,
+        "streamed_dedup": q_streamed_dedup,
     }
 
 
@@ -5795,6 +5872,19 @@ def oracle_sql() -> dict[str, str]:
                    / (power(2, len(vals)) - 1)) / 1000000.0, 6)
           END AS ewma_r
         FROM l
+        """,
+        "streamed_dedup": """
+        -- the streamed run planted three duplicate classes (in-batch,
+        -- cross-micro-batch, cross-checkpoint-restart), all within the
+        -- watermark horizon; exactly-once dedup must restore the
+        -- ORIGINAL row set, so the aggregates come straight off events
+        SELECT event_type,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+          CAST(sum(event_id) AS BIGINT) AS sum_id,
+          CAST(floor(epoch(min(ts)) * 1000000) AS BIGINT) AS min_ts_us,
+          CAST(floor(epoch(max(ts)) * 1000000) AS BIGINT) AS max_ts_us
+        FROM events GROUP BY 1
         """,
         "streamed_sessions": """
         -- batch gaps-and-islands minus each user's final (still-open)

@@ -345,6 +345,67 @@ class TestStatefulRestart:
         assert list(final["seq"]) == [40, 35, 30]
 
 
+class TestStreamingDedup:
+    def test_dedup_ledger_survives_checkpoint_restart(self, spark, tmp_path):
+        """Exactly-once id dedup across a checkpoint restart: run 1
+        keeps ids {1..4} (dropping an in-batch duplicate of 2); run 2
+        restarts from the SAME checkpoint and re-delivers 1 and 3
+        beside new ids {5,6} — the restored ledger must drop the
+        redeliveries, so the union of emissions is exactly one row per
+        id (Reliable-mode receipt ledger, store/store.go:183-288, as
+        query state)."""
+        import datetime as dt
+
+        from unitdb_spark.streaming.state import streaming_dedup
+
+        src = tmp_path / "src"
+        src.mkdir()
+        cp = str(tmp_path / "cp")
+        out_dir = str(tmp_path / "out")
+        schema = "event_id long, ts timestamp, payload string"
+
+        def write_file(ids):
+            rows = [
+                (
+                    i,
+                    dt.datetime.fromtimestamp(
+                        1_700_000_000 + i, dt.timezone.utc
+                    ).replace(tzinfo=None),
+                    f"p{i}",
+                )
+                for i in ids
+            ]
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+        def run_once():
+            stream = spark.readStream.schema(
+                spark.read.parquet(str(src)).schema
+            ).parquet(str(src))
+            q = (
+                streaming_dedup(
+                    stream, id_col="event_id", ts_col="ts", watermark="1 hour"
+                )
+                .writeStream.foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(out_dir)
+                )
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        write_file([1, 2, 2, 3, 4])  # in-batch duplicate of 2
+        run_once()
+        write_file([1, 3, 5, 6])  # cross-restart redeliveries of 1 and 3
+        run_once()
+        got = spark.read.parquet(out_dir).toPandas()
+        assert sorted(got["event_id"]) == [1, 2, 3, 4, 5, 6]
+        # payloads are the first arrival's, one row per id
+        assert got["payload"].nunique() == 6
+
+
 class TestStreamingSessionWindows:
     def test_streamed_sessions_match_batch(self, spark, events_dir):
         """session_agg is the same expression in batch and streaming;

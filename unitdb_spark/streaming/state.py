@@ -752,3 +752,35 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermark-bounded exactly-once id dedup: the STANDALONE form of
+    Reliable delivery's redelivery ledger (pubsub.subscribe with
+    DeliveryMode.RELIABLE applies the same construction to
+    msg_id/seq; reference NOTIFY/RECEIPT ledger, store/store.go:183-288)
+    — and the streaming twin of batch ``exact_dedup`` over an id.
+
+    `dropDuplicatesWithinWatermark`, not `dropDuplicates`: the plain
+    form never evicts state unless event time is part of the key, so
+    its ledger grows without bound; the watermarked form holds one
+    entry per id within the horizon and evicts as event time advances
+    — state is O(ids per watermark window), the property that matters
+    on an unbounded stream. The first arrival of an id is kept;
+    duplicates arriving within ``watermark`` of it are dropped
+    (in-batch, across micro-batches, and across checkpoint restarts —
+    the ledger is part of the query state). Duplicates separated by
+    MORE than the watermark are out of contract, exactly like a
+    redelivery after the receipt horizon.
+
+    Input needs (``id_col``, ``ts_col``, payload columns). Output: the
+    input row set minus in-horizon duplicates, schema unchanged.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
