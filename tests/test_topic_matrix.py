@@ -130,3 +130,68 @@ class TestExhaustiveMatrix:
             if got[(t, q)] != want:
                 mismatches.append((t, q, got[(t, q)], want))
         assert not mismatches, f"{len(mismatches)} mismatches, first 10: {mismatches[:10]}"
+
+
+class TestRandomizedPatternMatch:
+    """Hypothesis sweep beyond the closed universes above: random
+    stored/query pairs — including pattern-vs-pattern with deeper
+    bodies, longer tokens, and '*' in any position — checked against
+    an INDEPENDENT in-test model of the reference trie semantics
+    (trie.go:156-188: '*' consumes exactly one level, trailing '...'
+    consumes >=0; symmetric = either side matches the other treated
+    as concrete, its own wildcard tokens counting as literal levels).
+    The model deliberately re-derives the semantics from scratch —
+    it shares no code with core.topic — so a shared bug can't hide."""
+
+    TOKENS = ("a", "b", "c", "dev", "x9", "*")
+
+    @staticmethod
+    def _tokens(p: str) -> list[str]:
+        """Pattern string -> token list, trailing '...' as a token."""
+        tail = p.endswith("...")
+        body = p[:-3] if tail else p
+        return (body.split(".") if body else []) + (["..."] if tail else [])
+
+    @classmethod
+    def _one_way(cls, pat: list[str], conc: list[str]) -> bool:
+        if pat and pat[-1] == "...":
+            base = pat[:-1]
+            return len(conc) >= len(base) and all(
+                x == "*" or x == y for x, y in zip(base, conc)
+            )
+        return len(pat) == len(conc) and all(
+            x == "*" or x == y for x, y in zip(pat, conc)
+        )
+
+    @classmethod
+    def _model(cls, stored: str, query: str) -> bool:
+        s, q = cls._tokens(stored), cls._tokens(query)
+        return cls._one_way(s, q) or cls._one_way(q, s)
+
+    def test_random_pairs_match_model(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        token = st.sampled_from(self.TOKENS)
+        pattern = (
+            st.tuples(
+                st.lists(token, min_size=0, max_size=5), st.booleans()
+            )
+            .filter(lambda t: t[0] or t[1])  # empty body only as bare '...'
+            .map(lambda t: ".".join(t[0]) + ("..." if t[1] else ""))
+        )
+
+        @settings(max_examples=10, deadline=None)
+        @given(
+            stored=st.lists(pattern, min_size=1, max_size=8, unique=True),
+            queries=st.lists(pattern, min_size=1, max_size=8, unique=True),
+        )
+        def check(stored, queries):
+            got = _eval_matrix(spark, stored, queries)
+            mismatches = [
+                (t, q, got[(t, q)], self._model(t, q))
+                for t, q in got
+                if got[(t, q)] != self._model(t, q)
+            ]
+            assert not mismatches, f"first 10: {mismatches[:10]}"
+
+        check()
