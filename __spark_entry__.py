@@ -3401,6 +3401,27 @@ def q_parts_related(spark, sf_dir):
     return related_items(li, "l_orderkey", "l_partkey", k=10, min_cooc=2)
 
 
+def q_parts_label_prop(spark, sf_dir):
+    """Community detection by synchronous weighted label propagation
+    (3 fixed rounds, highest incident weight wins, ties to the
+    smallest label) over the thresholded co-purchase graph — the
+    community family beyond connected components: reachability alone
+    would glue bridged groups, LPA's weighted vote keeps them apart.
+    All-integer vote sums + min tie-break, so the oracle unrolls the
+    same 3 rounds as CTEs and matches bitwise."""
+    from unitdb_spark.operators.graph import (
+        label_propagation,
+        weighted_cooccurrence_edges,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = weighted_cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_count=2
+    )
+    out = label_propagation(edges, weight="w", rounds=3)
+    return out.select(F.col("node").alias("part_id"), F.col("lbl").alias("comm"))
+
+
 def q_doc_keyphrases(spark, sf_dir):
     """Top-3 RAKE keyphrases per document (Rose '10): candidate runs
     split at stopwords/non-letter tokens, word score = floor-ppm
@@ -4934,6 +4955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 6 (enter a later window per rotation) -------
         "media_png_resize": q_media_png_resize,
         "streamed_dedup": q_streamed_dedup,
+        "parts_label_prop": q_parts_label_prop,
     }
 
 
@@ -5886,6 +5908,7 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(epoch(max(ts)) * 1000000) AS BIGINT) AS max_ts_us
         FROM events GROUP BY 1
         """,
+        "parts_label_prop": _label_prop_oracle(),
         "streamed_sessions": """
         -- batch gaps-and-islands minus each user's final (still-open)
         -- session == the streaming sessionizer's closed-session output
@@ -10142,6 +10165,43 @@ def _pagerank_oracle() -> str:
           round(CAST(u AS DOUBLE) * (SELECT CAST(nn AS DOUBLE) FROM n)
                 / 1000000000000.0, 6) AS pr_r
         FROM r5
+        """
+    )
+
+
+def _label_prop_oracle() -> str:
+    """`parts_label_prop` replay: the SAME 3 synchronous rounds the
+    Spark loop runs, unrolled as CTEs. Vote sums are exact BIGINT and
+    the winner is (sum DESC, label ASC) — order-free integer
+    arithmetic + a total tie-break, so the match is bitwise."""
+    rnd = """
+          SELECT v.node, v.lbl FROM (
+            SELECT e.d AS node, l.lbl, sum(e.w) AS ws,
+              row_number() OVER (
+                PARTITION BY e.d ORDER BY sum(e.w) DESC, l.lbl
+              ) AS rn
+            FROM e JOIN {prev} l ON e.s = l.node
+            GROUP BY e.d, l.lbl
+          ) v WHERE v.rn = 1
+    """
+    steps = ",\n".join(
+        f"l{k} AS ({rnd.format(prev=f'l{k - 1}')})" for k in range(1, 4)
+    )
+    return (
+        """
+        WITH g AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        p0 AS (SELECT a.i AS s, b.i AS d, CAST(count(*) AS BIGINT) AS w
+               FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        e AS (SELECT s, d, w FROM p0
+              UNION ALL SELECT d AS s, s AS d, w FROM p0),
+        n AS (SELECT DISTINCT s AS node FROM e),
+        l0 AS (SELECT node, node AS lbl FROM n),
+        """
+        + steps
+        + """
+        SELECT CAST(node AS BIGINT) AS part_id, CAST(lbl AS BIGINT) AS comm
+        FROM l3
         """
     )
 

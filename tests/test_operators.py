@@ -3503,6 +3503,94 @@ class TestLinkRecords:
             link_records(df, df, [], "rid", "rid", "name", "name")
 
 
+class TestLabelPropagation:
+    @staticmethod
+    def _sym(spark, und, w=None):
+        from pyspark.sql import functions as F
+
+        rows = [(a, b, wt) for (a, b, wt) in und]
+        e = spark.createDataFrame(rows, ["src", "dst", "w"])
+        return e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+
+    def test_bridged_cliques_stay_separate(self, spark):
+        """Two weighted triangles joined by ONE weight-1 bridge:
+        connected components would merge them; LPA's weighted vote
+        must keep two communities (labelled by each clique's min)."""
+        from unitdb_spark.operators.graph import label_propagation
+
+        und = [
+            (1, 2, 5), (1, 3, 5), (2, 3, 5),
+            (11, 12, 5), (11, 13, 5), (12, 13, 5),
+            (3, 11, 1),
+        ]
+        got = {
+            r.node: r.lbl
+            for r in label_propagation(
+                self._sym(spark, und), rounds=4
+            ).collect()
+        }
+        assert {got[1], got[2], got[3]} == {1}
+        assert {got[11], got[12], got[13]} == {11}
+
+    def test_unweighted_star_adopts_center_label(self, spark):
+        """weight=None: every vote counts 1 — leaves of a star see
+        only the center, so after round 1 all leaves carry its label;
+        the center sees leaf labels (tie) and takes the smallest."""
+        from unitdb_spark.operators.graph import label_propagation
+
+        und = [(5, 1, 1), (5, 2, 1), (5, 3, 1)]
+        got = {
+            r.node: r.lbl
+            for r in label_propagation(
+                self._sym(spark, und), weight=None, rounds=1
+            ).collect()
+        }
+        assert got == {1: 5, 2: 5, 3: 5, 5: 1}
+
+    def test_matches_python_model_on_random_graph(self, spark):
+        """Synchronous weighted LPA vs an independent Python model on
+        a seeded random graph, all rounds' worth of drift checked at
+        the end."""
+        import random
+
+        from unitdb_spark.operators.graph import label_propagation
+
+        rng = random.Random(7)
+        nodes = list(range(30))
+        und = []
+        seen = set()
+        for _ in range(60):
+            a, b = rng.sample(nodes, 2)
+            key = (min(a, b), max(a, b))
+            if key in seen:
+                continue
+            seen.add(key)
+            und.append((key[0], key[1], rng.randint(1, 9)))
+        adj: dict[int, list[tuple[int, int]]] = {}
+        for a, b, w in und:
+            adj.setdefault(a, []).append((b, w))
+            adj.setdefault(b, []).append((a, w))
+        lbl = {n: n for n in adj}
+        for _ in range(3):
+            new = {}
+            for n, nbrs in adj.items():
+                votes: dict[int, int] = {}
+                for m, w in nbrs:
+                    votes[lbl[m]] = votes.get(lbl[m], 0) + w
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[n] = best[0]
+            lbl = new
+        got = {
+            r.node: r.lbl
+            for r in label_propagation(
+                self._sym(spark, und), rounds=3
+            ).collect()
+        }
+        assert got == lbl
+
+
 class TestPagerank:
     def test_two_node_symmetric_is_uniform(self, spark):
         from unitdb_spark.operators.graph import pagerank

@@ -600,3 +600,110 @@ def modularity(
         "*",
         F.sum("contrib_micro").over(wall).cast("long").alias("q_micro"),
     )
+
+
+def weighted_cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Symmetric weighted edges between items sharing a group: weight =
+    number of distinct groups containing both, kept when >= min_count.
+
+    The threshold is the sparsifier that makes community structure
+    (and 100 TB cost) tractable: singleton co-occurrences on a dense
+    co-purchase graph are noise edges that glue everything into one
+    blob AND dominate the pair count. Same blocking contract as
+    `cooccurrence_edges` — per-group cost |group|^2.
+    """
+    g = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    a = g.select("_g", F.col("_i").alias("src"))
+    b = g.select("_g", F.col("_i").alias("dst"))
+    pairs = (
+        a.join(b, "_g")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= F.lit(min_count))
+    )
+    return pairs.unionAll(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "w",
+    rounds: int = 3,
+    persist: str = "memory",
+) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan '07), made
+    fully deterministic: every node starts as its own label; each
+    round it adopts the label with the highest total incident edge
+    weight, ties broken by SMALLEST label; all nodes update
+    simultaneously for a FIXED number of rounds (no convergence test
+    to diverge on — same contract as `pagerank`). Communities beyond
+    connected components: a bridge edge doesn't merge two dense
+    groups the way `connected_components` would, because the vote is
+    weighted by edge mass, not reachability.
+
+    ``edges`` must be symmetric (both directions present — the
+    `cooccurrence_edges` / `weighted_cooccurrence_edges` shape);
+    ``weight=None`` votes 1 per edge. All arithmetic is integer
+    (weight sums + min tie-break), so any SQL oracle that unrolls the
+    same rounds agrees bitwise.
+
+    Per round: one shuffle joining labels to edges on ``src``, one
+    partial-agg shuffle on (dst, label), one window over the per-node
+    candidate labels (partitioned by node — no global ordering).
+    The edge and node relations are loop-invariant and persisted by
+    default (`persist="none"` opts out); lineage is cut per round
+    with a lazy localCheckpoint like the pagerank loop.
+
+    Output: (node, lbl) — final community label per connected node.
+    """
+    from pyspark.sql import Window
+
+    w_col = (
+        F.col(weight).cast("long") if weight is not None else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), w_col.alias("_w")
+    )
+    nodes = e.select(F.col("_s").alias("_n")).distinct()
+    if persist == "memory":
+        e = e.persist()
+        nodes = nodes.persist()
+    labels = nodes.select("_n", F.col("_n").alias("_lbl"))
+    rank_w = Window.partitionBy("_d").orderBy(
+        F.desc("_wsum"), F.asc("_lbl")
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(labels.withColumnRenamed("_n", "_s"), "_s")
+            .groupBy("_d", "_lbl")
+            .agg(F.sum("_w").alias("_wsum"))
+        )
+        winner = (
+            votes.withColumn("_rn", F.row_number().over(rank_w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_d").alias("_n"), "_lbl")
+        )
+        # symmetric edges => every node receives votes; the left join +
+        # coalesce keeps the contract explicit if a caller passes a
+        # directed edge list with source-only nodes
+        labels = (
+            nodes.join(winner, "_n", "left")
+            .select(
+                "_n", F.coalesce("_lbl", F.col("_n")).alias("_lbl")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("_n").alias("node"), F.col("_lbl").alias("lbl"))
