@@ -3340,7 +3340,12 @@ def q_customer_er(spark, sf_dir):
     (exactly one edit per name, variant keyed by custkey % 3) is
     re-linked to the clean table by blocked levenshtein matching —
     best (distance, id) candidate per record, unmatched kept as NULL
-    rows."""
+    rows. chunk_key=True (PassJoin pigeonhole chunks inside the
+    nation x segment blocks) after the sf1 audit measured the plain
+    block join at O(n²/125): candidates — and therefore results and
+    the oracle — are provably identical, but the join key cardinality
+    scales with the data (6.4s/745s at sf0.1/sf1 plain → see
+    BASELINE.md for the chunked numbers)."""
     from unitdb_spark.operators.linkage import link_records
 
     c = _read(spark, sf_dir, "customer")
@@ -3358,7 +3363,7 @@ def q_customer_er(spark, sf_dir):
     )
     return link_records(
         dirty, c, ["c_nationkey", "c_mktsegment"], "d_id", "c_custkey",
-        "d_name", "c_name", max_distance=2,
+        "d_name", "c_name", max_distance=2, chunk_key=True,
     ).withColumn("distance", F.col("distance").cast("long"))
 
 
@@ -3399,6 +3404,26 @@ def q_parts_related(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     return related_items(li, "l_orderkey", "l_partkey", k=10, min_cooc=2)
+
+
+def q_events_holt_forecast(spark, sf_dir):
+    """Holt linear-trend smoothing over daily event counts per type —
+    the trend-aware forecaster (level + trend state) next to the
+    seasonal-naive and EWMA families. Exact integer fixed-point with
+    TRUNCATING division (the one both engines share for negative
+    trends); the oracle replays the per-key fold as a recursive CTE
+    and matches bitwise, including the h=1..3 linear forecasts."""
+    from unitdb_spark.operators.timeseries import holt_linear
+
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        F.col("event_type"),
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return holt_linear(
+        cells, "event_type", t_col="day", y_col="y",
+        alpha=(3, 10), beta=(1, 10), horizon=3,
+    )
 
 
 def q_parts_label_prop(spark, sf_dir):
@@ -4956,6 +4981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_resize": q_media_png_resize,
         "streamed_dedup": q_streamed_dedup,
         "parts_label_prop": q_parts_label_prop,
+        "events_holt_forecast": q_events_holt_forecast,
     }
 
 
@@ -5909,6 +5935,51 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1
         """,
         "parts_label_prop": _label_prop_oracle(),
+        "events_holt_forecast": """
+        -- Holt fold replayed as a recursive CTE: anchor = state after
+        -- the init pair (L0 = y0*S, B0 = (y1-y0)*S at index 0), each
+        -- step consumes the next observation. DuckDB's // truncates
+        -- toward zero, which is exactly the Python fold's tdiv — the
+        -- shared semantics for negative trend terms (floor differs).
+        WITH RECURSIVE cells AS (
+          SELECT event_type AS k,
+            CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        s AS (SELECT k, y,
+                CAST(row_number() OVER (PARTITION BY k ORDER BY day) - 1
+                     AS BIGINT) AS i
+              FROM cells),
+        n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_obs FROM s GROUP BY k),
+        init AS (
+          SELECT a.k, a.y * 1000000 AS l, (b.y - a.y) * 1000000 AS b
+          FROM s a JOIN s b ON a.k = b.k AND a.i = 0 AND b.i = 1
+        ),
+        rec AS (
+          SELECT k, CAST(0 AS BIGINT) AS i, l, b FROM init
+          UNION ALL
+          SELECT r.k, r.i + 1,
+            (3 * s.y * 1000000 + 7 * (r.l + r.b)) // 10,
+            (1 * (((3 * s.y * 1000000 + 7 * (r.l + r.b)) // 10) - r.l)
+              + 9 * r.b) // 10
+          FROM rec r JOIN s ON s.k = r.k AND s.i = r.i + 1
+        ),
+        fin AS (
+          SELECT rec.k, rec.l, rec.b FROM rec
+          JOIN n ON rec.k = n.k AND rec.i = n.n_obs - 1
+          WHERE n.n_obs >= 2
+          UNION ALL
+          SELECT s.k, s.y * 1000000 AS l, CAST(0 AS BIGINT) AS b
+          FROM s JOIN n ON s.k = n.k WHERE n.n_obs = 1
+        )
+        SELECT fin.k AS event_type, n.n_obs,
+          CAST(fin.l AS BIGINT) AS l_e6, CAST(fin.b AS BIGINT) AS b_e6,
+          CAST(fin.l + fin.b AS BIGINT) AS fc1_e6,
+          CAST(fin.l + 2 * fin.b AS BIGINT) AS fc2_e6,
+          CAST(fin.l + 3 * fin.b AS BIGINT) AS fc3_e6
+        FROM fin JOIN n ON fin.k = n.k
+        """,
         "streamed_sessions": """
         -- batch gaps-and-islands minus each user's final (still-open)
         -- session == the streaming sessionizer's closed-session output

@@ -3502,6 +3502,107 @@ class TestLinkRecords:
         with pytest.raises(ValueError):
             link_records(df, df, [], "rid", "rid", "name", "name")
 
+    def test_chunk_key_identical_results(self, spark):
+        """chunk_key=True (PassJoin pigeonhole inside the block) must
+        return EXACTLY the plain block join's rows — the losslessness
+        contract that lets the scale path share the oracle. Random
+        strings over a 4-letter alphabet, half perturbed by up to 2
+        random insert/delete/substitute edits, lengths 1..12 so the
+        short-string fallback (right < d+1 chars) is exercised too."""
+        import random
+
+        from unitdb_spark.operators.linkage import link_records
+
+        rng = random.Random(11)
+
+        def rand_s(n):
+            return "".join(rng.choice("abcd") for _ in range(n))
+
+        rows_r = [
+            (i, rand_s(rng.randint(1, 12)), rng.randint(0, 1))
+            for i in range(100)
+        ]
+        rows_l = []
+        for j in range(100):
+            if j % 2 == 0:
+                s = list(rows_r[j][1])
+                for _ in range(rng.randint(0, 2)):
+                    op = rng.choice("ids")
+                    if op == "i":
+                        s.insert(rng.randint(0, len(s)), rng.choice("abcd"))
+                    elif s and op == "d":
+                        s.pop(rng.randrange(len(s)))
+                    elif s:
+                        s[rng.randrange(len(s))] = rng.choice("abcd")
+                rows_l.append((1000 + j, "".join(s) or "a", rows_r[j][2]))
+            else:
+                rows_l.append(
+                    (1000 + j, rand_s(rng.randint(1, 12)), rng.randint(0, 1))
+                )
+        l = spark.createDataFrame(rows_l, "lid long, txt string, blk int")
+        r = spark.createDataFrame(rows_r, "rid long, txt string, blk int")
+        kw = dict(max_distance=2)
+        plain = link_records(
+            l, r, ["blk"], "lid", "rid", "txt", "txt", **kw
+        ).orderBy("lid").collect()
+        chunked = link_records(
+            l, r, ["blk"], "lid", "rid", "txt", "txt", chunk_key=True, **kw
+        ).orderBy("lid").collect()
+        assert plain == chunked
+
+
+class TestHoltLinear:
+    def _run(self, spark, rows, **kw):
+        from unitdb_spark.operators.timeseries import holt_linear
+
+        cells = spark.createDataFrame(rows, "k string, t long, y long")
+        return {r.k: r for r in holt_linear(cells, "k", **kw).collect()}
+
+    def test_constant_series_is_fixed_point(self, spark):
+        got = self._run(spark, [("a", i, 7) for i in range(10)])["a"]
+        assert (got.l_e6, got.b_e6) == (7_000_000, 0)
+        assert got.fc3_e6 == 7_000_000
+
+    def test_linear_series_tracked_exactly(self, spark):
+        """y = 3 + 2t is a fixed point of the recurrence: level rides
+        the line, trend stays 2, forecasts continue it exactly."""
+        got = self._run(spark, [("a", t, 3 + 2 * t) for t in range(8)])["a"]
+        assert got.l_e6 == (3 + 2 * 7) * 1_000_000
+        assert got.b_e6 == 2_000_000
+        assert got.fc2_e6 == (3 + 2 * 9) * 1_000_000
+
+    def test_single_point_key(self, spark):
+        got = self._run(spark, [("a", 0, 5)])["a"]
+        assert (got.n_obs, got.l_e6, got.b_e6) == (1, 5_000_000, 0)
+
+    def test_matches_python_model_random(self, spark):
+        import random
+
+        rng = random.Random(3)
+        ys = [rng.randint(-50, 500) for _ in range(40)]
+        got = self._run(
+            spark, [("a", t, y) for t, y in enumerate(ys)],
+            alpha=(2, 7), beta=(3, 11),
+        )["a"]
+
+        def tdiv(n, d):
+            q = abs(n) // d
+            return q if n >= 0 else -q
+
+        S = 1_000_000
+        lvl, tr = ys[0] * S, (ys[1] - ys[0]) * S
+        for y in ys[1:]:
+            prev = lvl
+            lvl = tdiv(2 * y * S + 5 * (lvl + tr), 7)
+            tr = tdiv(3 * (lvl - prev) + 8 * tr, 11)
+        assert (got.l_e6, got.b_e6) == (lvl, tr)
+
+    def test_rejects_bad_rational(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            self._run(spark, [("a", 0, 1)], alpha=(3, 2))
+
 
 class TestLabelPropagation:
     @staticmethod

@@ -34,6 +34,7 @@ def link_records(
     left_text: str,
     right_text: str,
     max_distance: int = 2,
+    chunk_key: bool = False,
 ) -> DataFrame:
     """Best fuzzy match per left record among same-block right records.
 
@@ -48,7 +49,19 @@ def link_records(
     Scale: the candidate join shuffles on the block key only; cost is
     sum of |block_l|x|block_r| per block, so block choice is the
     knob that bounds work (same contract as the dedup family's
-    blocking columns — pick keys that cap block size).
+    blocking columns — pick keys that cap block size). When the
+    available block keys have FIXED cardinality (nation x segment =
+    125 blocks forever), block size grows with the data and the cost
+    is O(n²/k) — the sf1 audit measured exactly that (customer_er
+    6.4s at sf0.1 → 745s at sf1). ``chunk_key=True`` is the scale
+    path for that case: PassJoin-style pigeonhole chunking (Li,
+    Deng, Feng '11) ADDS a content-derived join key inside each
+    block — the right string splits into max_distance+1 even chunks,
+    and any pair within ``max_distance`` edits must share one chunk
+    (as a left substring shifted by at most max_distance), so the
+    post-verify candidate set is IDENTICAL to the plain block join
+    (lossless — the oracle doesn't change) while the join key
+    cardinality now scales with the data instead of the block count.
     """
     if not block_cols:
         raise ValueError("link_records requires at least one blocking column")
@@ -60,16 +73,16 @@ def link_records(
         F.col(right_id).alias("_rid"), F.col(right_text).alias("_rtxt"), *blocks
     )
     dist = F.levenshtein("_ltxt", "_rtxt")
-    cand = (
-        l.join(r, blocks)
-        .select(
-            "_lid",
-            "_rid",
-            dist.alias("_d"),
-            F.greatest(F.length("_ltxt"), F.length("_rtxt")).alias("_mx"),
-        )
-        .filter(F.col("_d") <= max_distance)
-    )
+    if chunk_key:
+        pairs = _passjoin_pairs(l, r, blocks, max_distance)
+    else:
+        pairs = l.join(r, blocks).select("_lid", "_ltxt", "_rid", "_rtxt")
+    cand = pairs.select(
+        "_lid",
+        "_rid",
+        dist.alias("_d"),
+        F.greatest(F.length("_ltxt"), F.length("_rtxt")).alias("_mx"),
+    ).filter(F.col("_d") <= max_distance)
     w = Window.partitionBy("_lid").orderBy("_d", "_rid")
     best = (
         cand.select(
@@ -104,4 +117,113 @@ def link_records(
             "score_ppm",
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
         )
+    )
+
+
+def _passjoin_pairs(
+    l: DataFrame, r: DataFrame, blocks: list[str], d: int
+) -> DataFrame:
+    """Candidate (left, right) pairs sharing a pigeonhole chunk inside
+    a block — the PassJoin signature scheme (Li, Deng, Feng, ICDE '11).
+
+    Each right string of length >= d+1 splits into d+1 contiguous
+    even chunks (first ``len % (d+1)`` chunks one char longer). If
+    edit(s, r) <= d, at least one chunk of r occurs VERBATIM in s at
+    a start position shifted by at most d (pigeonhole: d edits can't
+    touch all d+1 chunks, and untouched text shifts by at most the
+    number of preceding insertions/deletions). The left side
+    enumerates, for every plausible right length l in
+    [len(s)-d, len(s)+d] and slot i, the substrings of s with that
+    slot's chunk length at starts within ±d of the slot origin —
+    a constant (<= (2d+1)²·(d+1)) key fan-out per row, deduplicated
+    before the join. Right strings SHORTER than d+1 chars (no valid
+    chunking) fall back to the plain block join — a bounded-size
+    residue (every such string is < d+1 chars long).
+
+    The join key is (blocks…, right_len, slot, chunk_text): content-
+    derived, so its cardinality grows with the corpus — per-key
+    groups stay small no matter how big the fixed block alphabet's
+    groups grow. Output pairs are distinct; verification (the
+    levenshtein filter) happens in the caller, so completeness of
+    this stage is exactly what makes chunk_key=True result-identical
+    to the quadratic block join.
+    """
+    np1 = d + 1
+    slots = F.sequence(F.lit(0), F.lit(d))
+
+    def geom(length, i):
+        base = F.floor(length / np1).cast("int")
+        rem = (length % np1).cast("int")
+        clen = base + F.when(i < rem, 1).otherwise(0)
+        start1 = i * base + F.least(i, rem) + F.lit(1)  # 1-based
+        return start1, clen
+
+    rl = F.length("_rtxt")
+
+    def rslot(i):
+        s1, cl = geom(rl, i)
+        return F.struct(
+            rl.cast("int").alias("_l"),
+            i.cast("int").alias("_slot"),
+            F.col("_rtxt").substr(s1, cl).alias("_ck"),
+        )
+
+    rch = (
+        r.filter(rl >= np1)
+        .select("*", F.explode(F.transform(slots, rslot)).alias("_c"))
+        .select(
+            "_rid", "_rtxt", *blocks,
+            F.col("_c._l").alias("_l"),
+            F.col("_c._slot").alias("_slot"),
+            F.col("_c._ck").alias("_ck"),
+        )
+    )
+
+    ll = F.length("_ltxt")
+
+    def lkeys(lv):
+        def islot(i):
+            s1, cl = geom(lv, i)
+            return F.transform(
+                F.sequence(F.lit(-d), F.lit(d)),
+                lambda sh: F.struct(
+                    lv.cast("int").alias("_l"),
+                    i.cast("int").alias("_slot"),
+                    (s1 + sh).cast("int").alias("_q"),
+                    cl.cast("int").alias("_cl"),
+                ),
+            )
+
+        return F.flatten(F.transform(slots, islot))
+
+    keys = F.flatten(F.transform(F.sequence(ll - d, ll + d), lkeys))
+    lch = (
+        l.select("*", F.explode(keys).alias("_kk"))
+        .filter(
+            (F.col("_kk._l") >= np1)
+            & (F.col("_kk._q") >= 1)
+            & (F.col("_kk._cl") >= 1)
+            & (F.col("_kk._q") + F.col("_kk._cl") - 1 <= ll)
+        )
+        .select(
+            "_lid", "_ltxt", *blocks,
+            F.col("_kk._l").alias("_l"),
+            F.col("_kk._slot").alias("_slot"),
+            F.col("_ltxt")
+            .substr(F.col("_kk._q"), F.col("_kk._cl"))
+            .alias("_ck"),
+        )
+        .dropDuplicates(["_lid", "_l", "_slot", "_ck"])
+    )
+
+    chunk_pairs = lch.join(rch, blocks + ["_l", "_slot", "_ck"]).select(
+        "_lid", "_ltxt", "_rid", "_rtxt"
+    )
+    short_pairs = (
+        l.join(r.filter(rl < np1), blocks)
+        .filter(F.abs(F.length("_ltxt") - F.length("_rtxt")) <= d)
+        .select("_lid", "_ltxt", "_rid", "_rtxt")
+    )
+    return chunk_pairs.unionByName(short_pairs).dropDuplicates(
+        ["_lid", "_rid"]
     )

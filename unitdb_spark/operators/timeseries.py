@@ -1102,3 +1102,96 @@ def decomposition_strength(
         strength("tr").alias("trend_strength_r"),
         strength("sr").alias("seasonal_strength_r"),
     )
+
+
+def holt_linear(
+    cells: DataFrame,
+    key_col: str,
+    t_col: str = "t",
+    y_col: str = "y",
+    alpha: tuple[int, int] = (3, 10),
+    beta: tuple[int, int] = (1, 10),
+    horizon: int = 3,
+) -> DataFrame:
+    """Holt's linear-trend (double) exponential smoothing per key, in
+    EXACT integer fixed-point — the trend-aware forecaster the
+    level-only `trailing_ewma` / seasonal-naive pair lacks.
+
+    Input: one row per (key, t, y) with integer ``y`` (counts,
+    micro-units) — the CELL relation, i.e. already aggregated, so its
+    size is keys × observation span regardless of event volume.
+    Ordering is by ``t`` per key; indices need not be contiguous
+    (each observation is one smoothing step, the standard discrete
+    formulation).
+
+    Recurrence (micro-unit states, α = an/ad, β = bn/bd as exact
+    rationals; S = 10⁶):
+
+        L₀ = y₀·S        B₀ = (y₁ − y₀)·S
+        for each subsequent observation yᵢ (i ≥ 1):
+          L ← (an·yᵢ·S + (ad − an)·(L + B)) div ad
+          B ← (bn·(L_new − L_old) + (bd − bn)·B) div bd
+
+    where ``div`` TRUNCATES toward zero on both engines (Python
+    mirrors SQL's integer division; trend terms go negative, where
+    floor and truncate differ). Every state is an exact integer, so a
+    recursive-CTE oracle replays the fold bit-for-bit. Envelope:
+    |y|·S·ad must stay inside int64 — |y| < 9·10¹¹/ad micro-scaled,
+    far beyond any daily-count series; the Python fold itself is
+    arbitrary-precision.
+
+    Keys with a single observation emit (L=y₀·S, B=0). Forecasts are
+    the linear extrapolation fc_h = L + h·B for h = 1..horizon.
+
+    Shuffle budget: ONE applyInPandas shuffle on the key column; the
+    fold is sequential per key (inherent to exponential smoothing)
+    but over the tiny cell relation, and keys run in parallel.
+
+    Output: (key, n_obs, l_e6, b_e6, fc1_e6..fc{horizon}_e6).
+    """
+    an, ad = alpha
+    bn, bd = beta
+    if not (0 < an <= ad and 0 < bn <= bd):
+        raise ValueError("alpha/beta must be rationals in (0, 1]")
+
+    fc_cols = [f"fc{h}_e6" for h in range(1, horizon + 1)]
+    out_schema = (
+        f"{key_col} string, n_obs long, l_e6 long, b_e6 long, "
+        + ", ".join(f"{c} long" for c in fc_cols)
+    )
+
+    def tdiv(n: int, d: int) -> int:
+        q = abs(n) // d
+        return q if n >= 0 else -q
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(t_col)
+        ys = [int(v) for v in pdf[y_col]]
+        key = pdf[key_col].iloc[0]
+        S = 1_000_000
+        if len(ys) == 1:
+            lvl, tr = ys[0] * S, 0
+        else:
+            lvl, tr = ys[0] * S, (ys[1] - ys[0]) * S
+            for y in ys[1:]:
+                prev = lvl
+                lvl = tdiv(an * y * S + (ad - an) * (lvl + tr), ad)
+                tr = tdiv(bn * (lvl - prev) + (bd - bn) * tr, bd)
+        row = [key, len(ys), lvl, tr] + [
+            lvl + h * tr for h in range(1, horizon + 1)
+        ]
+        return pd.DataFrame(
+            [row], columns=[key_col, "n_obs", "l_e6", "b_e6"] + fc_cols
+        )
+
+    return (
+        cells.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(t_col).alias(t_col),
+            F.col(y_col).cast("long").alias(y_col),
+        )
+        .groupBy(key_col)
+        .applyInPandas(fold, out_schema)
+    )
