@@ -3426,6 +3426,37 @@ def q_events_holt_forecast(spark, sf_dir):
     )
 
 
+def q_streamed_holt(spark, sf_dir):
+    """Driver-checkable twin of the Holt forecaster over the rolling
+    cell state: the events stream folds (key, day, hour) cells into
+    the commit-logged versioned state (mergeable sums — bit-equal to
+    the batch groupBy however the stream splits), then the
+    integer-fixed-point Holt fold runs over the committed day rollup
+    through the batch operator's shared code path — the THIRD derived
+    dashboard off the same maintained state as the forecast-backtest
+    and seasonal twins. Oracle = the recursive-CTE Holt replay over
+    the same day counts (value-non-null rows, the cell contract)."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_hourly_cells,
+        read_holt,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_hourly_cells(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "event_type",
+        "ts",
+        "value",
+        f"{base}/cells",
+        f"{base}/cp",
+    )
+    q.awaitTermination(300)
+    return read_holt(spark, f"{base}/cells", "event_type")
+
+
 def q_parts_label_prop(spark, sf_dir):
     """Community detection by synchronous weighted label propagation
     (3 fixed rounds, highest incident weight wins, ties to the
@@ -4982,6 +5013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_dedup": q_streamed_dedup,
         "parts_label_prop": q_parts_label_prop,
         "events_holt_forecast": q_events_holt_forecast,
+        "streamed_holt": q_streamed_holt,
     }
 
 
@@ -5935,51 +5967,8 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1
         """,
         "parts_label_prop": _label_prop_oracle(),
-        "events_holt_forecast": """
-        -- Holt fold replayed as a recursive CTE: anchor = state after
-        -- the init pair (L0 = y0*S, B0 = (y1-y0)*S at index 0), each
-        -- step consumes the next observation. DuckDB's // truncates
-        -- toward zero, which is exactly the Python fold's tdiv — the
-        -- shared semantics for negative trend terms (floor differs).
-        WITH RECURSIVE cells AS (
-          SELECT event_type AS k,
-            CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-            CAST(count(*) AS BIGINT) AS y
-          FROM events GROUP BY 1, 2
-        ),
-        s AS (SELECT k, y,
-                CAST(row_number() OVER (PARTITION BY k ORDER BY day) - 1
-                     AS BIGINT) AS i
-              FROM cells),
-        n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_obs FROM s GROUP BY k),
-        init AS (
-          SELECT a.k, a.y * 1000000 AS l, (b.y - a.y) * 1000000 AS b
-          FROM s a JOIN s b ON a.k = b.k AND a.i = 0 AND b.i = 1
-        ),
-        rec AS (
-          SELECT k, CAST(0 AS BIGINT) AS i, l, b FROM init
-          UNION ALL
-          SELECT r.k, r.i + 1,
-            (3 * s.y * 1000000 + 7 * (r.l + r.b)) // 10,
-            (1 * (((3 * s.y * 1000000 + 7 * (r.l + r.b)) // 10) - r.l)
-              + 9 * r.b) // 10
-          FROM rec r JOIN s ON s.k = r.k AND s.i = r.i + 1
-        ),
-        fin AS (
-          SELECT rec.k, rec.l, rec.b FROM rec
-          JOIN n ON rec.k = n.k AND rec.i = n.n_obs - 1
-          WHERE n.n_obs >= 2
-          UNION ALL
-          SELECT s.k, s.y * 1000000 AS l, CAST(0 AS BIGINT) AS b
-          FROM s JOIN n ON s.k = n.k WHERE n.n_obs = 1
-        )
-        SELECT fin.k AS event_type, n.n_obs,
-          CAST(fin.l AS BIGINT) AS l_e6, CAST(fin.b AS BIGINT) AS b_e6,
-          CAST(fin.l + fin.b AS BIGINT) AS fc1_e6,
-          CAST(fin.l + 2 * fin.b AS BIGINT) AS fc2_e6,
-          CAST(fin.l + 3 * fin.b AS BIGINT) AS fc3_e6
-        FROM fin JOIN n ON fin.k = n.k
-        """,
+        "events_holt_forecast": _holt_oracle(""),
+        "streamed_holt": _holt_oracle("WHERE value IS NOT NULL"),
         "streamed_sessions": """
         -- batch gaps-and-islands minus each user's final (still-open)
         -- session == the streaming sessionizer's closed-session output
@@ -10238,6 +10227,58 @@ def _pagerank_oracle() -> str:
         FROM r5
         """
     )
+
+
+def _holt_oracle(row_filter: str) -> str:
+    """Holt fold replayed as a recursive CTE: anchor = state after the
+    init pair (L0 = y0*S, B0 = (y1-y0)*S at index 0), each step
+    consumes the next observation. DuckDB's // truncates toward zero,
+    which is exactly the Python fold's tdiv — the shared semantics for
+    negative trend terms (floor differs). ``row_filter`` narrows the
+    event rows (the streamed twin's cell state only counts
+    value-non-null rows, its `continuous_hourly_cells` contract);
+    alpha = 3/10, beta = 1/10, horizon 3 — the driver queries'
+    parameters."""
+    return f"""
+        WITH RECURSIVE cells AS (
+          SELECT event_type AS k,
+            CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events {row_filter} GROUP BY 1, 2
+        ),
+        s AS (SELECT k, y,
+                CAST(row_number() OVER (PARTITION BY k ORDER BY day) - 1
+                     AS BIGINT) AS i
+              FROM cells),
+        n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_obs FROM s GROUP BY k),
+        init AS (
+          SELECT a.k, a.y * 1000000 AS l, (b.y - a.y) * 1000000 AS b
+          FROM s a JOIN s b ON a.k = b.k AND a.i = 0 AND b.i = 1
+        ),
+        rec AS (
+          SELECT k, CAST(0 AS BIGINT) AS i, l, b FROM init
+          UNION ALL
+          SELECT r.k, r.i + 1,
+            (3 * s.y * 1000000 + 7 * (r.l + r.b)) // 10,
+            (1 * (((3 * s.y * 1000000 + 7 * (r.l + r.b)) // 10) - r.l)
+              + 9 * r.b) // 10
+          FROM rec r JOIN s ON s.k = r.k AND s.i = r.i + 1
+        ),
+        fin AS (
+          SELECT rec.k, rec.l, rec.b FROM rec
+          JOIN n ON rec.k = n.k AND rec.i = n.n_obs - 1
+          WHERE n.n_obs >= 2
+          UNION ALL
+          SELECT s.k, s.y * 1000000 AS l, CAST(0 AS BIGINT) AS b
+          FROM s JOIN n ON s.k = n.k WHERE n.n_obs = 1
+        )
+        SELECT fin.k AS event_type, n.n_obs,
+          CAST(fin.l AS BIGINT) AS l_e6, CAST(fin.b AS BIGINT) AS b_e6,
+          CAST(fin.l + fin.b AS BIGINT) AS fc1_e6,
+          CAST(fin.l + 2 * fin.b AS BIGINT) AS fc2_e6,
+          CAST(fin.l + 3 * fin.b AS BIGINT) AS fc3_e6
+        FROM fin JOIN n ON fin.k = n.k
+        """
 
 
 def _label_prop_oracle() -> str:

@@ -535,3 +535,25 @@ def read_abc(spark, state_path: str) -> DataFrame:
     if cur is None:
         raise FileNotFoundError(f"no committed abc state under {state_path}")
     return abc_finish(spark.read.parquet(_snap_path(state_path, *cur)))
+
+
+def read_holt(
+    spark, state_path: str, key_col: str = "event_type"
+) -> DataFrame:
+    """Holt linear-trend forecasts over the committed hourly cells —
+    a third read-time dashboard off the SAME state `read_forecast_
+    backtest` and `read_seasonal_decompose` derive from: the cells
+    roll up to per-(key, day) event counts (exact BIGINT sums — the
+    rollup of mergeable partials is batch-equal however the stream
+    split), then the batch `operators.timeseries.holt_linear` fold
+    runs over that tiny relation. One maintained fold, three derived
+    dashboards; the sequential recursion happens only at read time
+    over keys x days rows."""
+    from unitdb_spark.operators.timeseries import holt_linear
+
+    cells = read_cells(spark, state_path)
+    days = cells.groupBy(
+        F.col("_k").alias(key_col),
+        F.expr("CAST(unix_date(_d) AS BIGINT)").alias("day"),
+    ).agg(F.sum("_c").alias("y"))
+    return holt_linear(days, key_col, t_col="day", y_col="y")
