@@ -3426,6 +3426,31 @@ def q_events_holt_forecast(spark, sf_dir):
     )
 
 
+def q_events_topn_salted(spark, sf_dir):
+    """Skew-proof per-key top-3 (two-stage salted ranking — the
+    window twin of events_salted_agg): result is identical to the
+    plain per-key window because the order is total (value DESC NULLS
+    LAST, event_id) — which is exactly what the oracle checks with a
+    single-window replay."""
+    from unitdb_spark.operators.skew import hash_salt
+    from unitdb_spark.operators.topk import topk_per_key_salted
+
+    ev = _events(spark, sf_dir)
+    out = topk_per_key_salted(
+        ev.select("event_type", "event_id", "value"),
+        ["event_type"],
+        3,
+        [F.desc_nulls_last("value"), F.asc("event_id")],
+        hash_salt("event_id", 32),
+        n_salts=32,
+        rank_name="rank",
+    )
+    return out.select(
+        "event_type", F.col("rank").cast("long").alias("rank"),
+        "event_id", "value",
+    )
+
+
 def q_streamed_holt(spark, sf_dir):
     """Driver-checkable twin of the Holt forecaster over the rolling
     cell state: the events stream folds (key, day, hour) cells into
@@ -5014,6 +5039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_label_prop": q_parts_label_prop,
         "events_holt_forecast": q_events_holt_forecast,
         "streamed_holt": q_streamed_holt,
+        "events_topn_salted": q_events_topn_salted,
     }
 
 
@@ -5969,6 +5995,19 @@ def oracle_sql() -> dict[str, str]:
         "parts_label_prop": _label_prop_oracle(),
         "events_holt_forecast": _holt_oracle(""),
         "streamed_holt": _holt_oracle("WHERE value IS NOT NULL"),
+        "events_topn_salted": """
+        -- single-window replay: the two-stage salted ranking must
+        -- equal the plain per-key window under the same total order
+        SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id, value
+        FROM (
+          SELECT event_type, event_id, value,
+            row_number() OVER (
+              PARTITION BY event_type
+              ORDER BY value DESC NULLS LAST, event_id
+            ) AS rank
+          FROM events
+        ) WHERE rank <= 3
+        """,
         "streamed_sessions": """
         -- batch gaps-and-islands minus each user's final (still-open)
         -- session == the streaming sessionizer's closed-session output

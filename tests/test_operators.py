@@ -3551,6 +3551,43 @@ class TestLinkRecords:
         assert plain == chunked
 
 
+class TestSaltedTopK:
+    def test_identical_to_single_window(self, spark):
+        """Two-stage salted top-K == plain per-key window under a
+        total order, including ties on the primary sort column and
+        NULLs (NULLS LAST) — the losslessness contract."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from pyspark.sql import Window
+
+        from unitdb_spark.operators.skew import hash_salt
+        from unitdb_spark.operators.topk import topk_per_key_salted
+
+        rng = random.Random(5)
+        rows = [
+            (
+                rng.choice(["a", "b", "c"]),
+                i,
+                rng.choice([None, 1.0, 2.0, rng.random()]),
+            )
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "k string, id long, v double")
+        order = [F.desc_nulls_last("v"), F.asc("id")]
+        plain = df.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("k").orderBy(*order)),
+        ).filter(F.col("rn") <= 5)
+        salted = topk_per_key_salted(
+            df, ["k"], 5, order, hash_salt("id", 7), n_salts=7
+        )
+        a = sorted(map(tuple, plain.select("k", "rn", "id", "v").collect()))
+        b = sorted(map(tuple, salted.select("k", "rn", "id", "v").collect()))
+        assert a == b
+
+
 class TestHoltLinear:
     def _run(self, spark, rows, **kw):
         from unitdb_spark.operators.timeseries import holt_linear
