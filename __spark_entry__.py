@@ -2450,10 +2450,20 @@ def q_embed_semdedup(spark, sf_dir):
     structure, near-dup marking only within a cell — the published
     recipe for semantic dedup at corpus scale. Keep rule is min-id
     exemplar per ε-ball (engine-portable variant of 'pick one');
-    oracle replays the Lloyd round and the per-cell pair scan in SQL."""
+    oracle replays the Lloyd round and the per-cell pair scan in SQL.
+
+    k is sized from the corpus (k = max(8, n // 250)) so cells hold
+    ~250 vectors whatever the scale — the round-6 sf1 audit measured
+    fixed k=8 at 49× wall for 10× data (cells grow with n, per-cell
+    pairs square: 13.1s → 641.9s), the same fixed-cardinality-block
+    disease as the linkage query. At the sf0.01 gate n=200 keeps
+    k=8, so the oracle's k literal is unchanged; the count() is a
+    bounded control-plane read (one column scan)."""
     from unitdb_spark.operators.semdedup import semdedup
 
-    return semdedup(_emb(spark, sf_dir), k=8, n_iters=1, threshold=0.15)
+    emb = _emb(spark, sf_dir)
+    k = max(8, emb.count() // 250)
+    return semdedup(emb, k=k, n_iters=1, threshold=0.15)
 
 
 def q_doc_postings(spark, sf_dir):

@@ -788,3 +788,235 @@ def resize_png_nearest(b: bytes, width: int, height: int) -> bytes | None:
     xs = (np.arange(width) * sw) // width
     ys = (np.arange(height) * sh) // height
     return encode_png_rgb(src[np.ix_(ys, xs)])
+
+
+# ------------------------------------------------- GIF LZW pixel kernel
+#
+# Real LZW codec for GIF image data — the second genuinely COMPRESSED
+# container with a full pixel path (PNG/zlib being the first). The
+# encoder exists to build valid fixtures; the decoder is the kernel
+# under test. Both use the same width-growth rule (bump after the
+# table add that fills the current code space, 12-bit cap, CLEAR on
+# table full), which the roundtrip property tests pin across the
+# 9->10->11->12-bit transitions and the 4096-entry reset.
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: LSB-first bit packing, CLEAR emitted first and
+    on table overflow, EOI last."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    emit(clear, width)
+    prev = -1
+    for byte in data:
+        if prev < 0:
+            prev = byte
+            continue
+        if (prev, byte) in table:
+            prev = table[(prev, byte)]
+            continue
+        emit(prev, width)
+        if next_code < 4096:
+            table[(prev, byte)] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table.clear()
+            width = min_code_size + 1
+            next_code = eoi + 1
+        prev = byte
+    if prev >= 0:
+        emit(prev, width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
+    """Inverse of `_lzw_encode`; None on any malformed stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return -1
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    out = bytearray()
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev = -1
+    while True:
+        code = read(width)
+        if code < 0:
+            return None
+        if code == clear:
+            table = table[: eoi + 1]
+            width = min_code_size + 1
+            prev = -1
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev < 0:
+            if code >= len(table):
+                return None
+            out += table[code]
+            prev = code
+            continue
+        if code < len(table):
+            s = table[code]
+        elif code == len(table):
+            s = table[prev] + table[prev][:1]
+        else:
+            return None
+        out += s
+        if len(table) < 4096:
+            table.append(table[prev] + s[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    return None
+
+
+def encode_gif_indexed(idx, palette) -> bytes:
+    """numpy (h, w) uint8 palette indices + 256-entry RGB palette ->
+    a valid single-image GIF87a (global color table, REAL LZW-packed
+    image data in 255-byte sub-blocks)."""
+    import numpy as np
+
+    a = np.asarray(idx, dtype=np.uint8)
+    h, w = a.shape
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes((r & 0xFF, g & 0xFF, b & 0xFF))
+    assert len(pal) == 768, "palette must have 256 RGB entries"
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    out += pal
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)  # LZW minimum code size
+    lzw = _lzw_encode(a.tobytes(), 8)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_indexed(b: bytes):
+    """Single-image GIF with a 256-entry GCT -> (numpy (h, w) uint8
+    indices, numpy (256, 3) uint8 RGB palette), or None for anything
+    this real-but-narrow decoder doesn't cover (no GCT, local color
+    tables, interlace, multi-frame/extensions beyond skippable
+    blocks, malformed LZW)."""
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w0, h0, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    if not packed & 0x80:
+        return None
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    if pos + 3 * gct_n > len(b):
+        return None
+    pal_raw = b[pos : pos + 3 * gct_n]
+    pos += 3 * gct_n
+    if gct_n != 256:
+        return None
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif marker == 0x2C:
+            if pos + 10 > len(b):
+                return None
+            _l, _t, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", b[pos + 1 : pos + 10]
+            )
+            if ipacked & 0xC0:  # LCT or interlace
+                return None
+            pos += 10
+            if pos >= len(b):
+                return None
+            mcs = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos]:
+                n = b[pos]
+                data += b[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            raw = _lzw_decode(bytes(data), mcs)
+            if raw is None or len(raw) != iw * ih or iw == 0 or ih == 0:
+                return None
+            idx = np.frombuffer(raw, dtype=np.uint8).reshape(ih, iw)
+            pal = np.frombuffer(pal_raw, dtype=np.uint8).reshape(256, 3)
+            return idx, pal
+        elif marker == 0x3B:
+            return None  # trailer before any image
+        else:
+            return None
+    return None
+
+
+def decode_gif_rgb(b: bytes):
+    """GIF -> numpy (h, w, 3) uint8 RGB top-down via the global
+    palette, or None (see `decode_gif_indexed` coverage)."""
+    got = decode_gif_indexed(b)
+    if got is None:
+        return None
+    idx, pal = got
+    return pal[idx]
+
+
+def resize_gif_nearest(b: bytes, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor resample of a GIF in INDEX space (the
+    palette carries over untouched), re-encoded through the real LZW
+    encoder. Source pixel for output (X, Y) is (X·sw//width,
+    Y·sh//height) — the same integer index math as the PNG/BMP
+    kernels, so an SQL oracle predicts every output pixel."""
+    import numpy as np
+
+    got = decode_gif_indexed(b)
+    if got is None or width <= 0 or height <= 0:
+        return None
+    idx, pal = got
+    sh, sw = idx.shape
+    xs = (np.arange(width) * sw) // width
+    ys = (np.arange(height) * sh) // height
+    out = idx[np.ix_(ys, xs)]
+    return encode_gif_indexed(out, [tuple(p) for p in pal])
