@@ -3823,6 +3823,30 @@ def q_media_png_resize(spark, sf_dir):
     )
 
 
+def q_media_gif_resize(spark, sf_dir):
+    """REAL pixel kernel for the second COMPRESSED container: every
+    doc becomes a valid single-image GIF87a (256-entry palette, REAL
+    LZW data — code-width growth and KwKwK chains in the path), the
+    index array is reconstructed (LZW decode), nearest-neighbor-
+    resampled to 8x6 with integer index math, re-encoded through the
+    real LZW encoder, decoded AGAIN, palette-mapped to RGB, and
+    reduced to integer statistics (channel sum + position-weighted
+    checksum). The oracle regenerates the resampled indices and
+    palette entries from doc_id alone — a hash-match proves LZW
+    decode, palette order, resample, row order, and channel order are
+    all byte-correct. No stub in the path."""
+    from unitdb_spark.functions.multimodal import (
+        gif_pixel_stats,
+        resize_gif_images,
+        synthetic_gif_media,
+    )
+
+    media = synthetic_gif_media(_docs(spark, sf_dir))
+    return gif_pixel_stats(resize_gif_images(media, 8, 6)).select(
+        F.col("id").alias("doc_id"), "width", "height", "px_sum", "px_wsum"
+    )
+
+
 def q_media_wav_pcm(spark, sf_dir):
     """REAL sample kernel: the WAV blobs in the synthetic media fixture
     (doc_id % 5 == 3) carry actual 16-bit PCM — decode the samples and
@@ -5050,6 +5074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_forecast": q_events_holt_forecast,
         "streamed_holt": q_streamed_holt,
         "events_topn_salted": q_events_topn_salted,
+        "media_gif_resize": q_media_gif_resize,
     }
 
 
@@ -5852,6 +5877,42 @@ def oracle_sql() -> dict[str, str]:
           CAST(SUM(cb * ((vy * 8 + vx) * 3 + 1)
                  + cg * ((vy * 8 + vx) * 3 + 2)
                  + cr * ((vy * 8 + vx) * 3 + 3)) AS BIGINT) AS px_wsum
+        FROM px GROUP BY 1
+        """,
+        "media_gif_resize": """
+        -- regenerate the 8x6 nearest-neighbor-resampled GIF pixels
+        -- from doc_id alone: source dims sw = d%19+4, sh = (d//7)%15+4,
+        -- seed s = d%251; source pixel for output (X, Y) is
+        -- (X*sw//8, Y*sh//6); index (x,y) = (s+3x+5y)%256 and the
+        -- palette maps i -> ((s+i)%256, (2s+3i)%256, (3s+7i)%256).
+        -- px_wsum weights each channel value by its 1-based position
+        -- in the flattened top-down RGB array — any flip/transpose/
+        -- palette shift (or a mis-stepped LZW table upstream) breaks
+        -- the match
+        WITH g AS (
+          SELECT d.doc_id,
+            d.doc_id % 19 + 4 AS sw,
+            (d.doc_id // 7) % 15 + 4 AS sh,
+            d.doc_id % 251 AS s, x.vx, y.vy
+          FROM documents d,
+               UNNEST(generate_series(0, 7)) AS x(vx),
+               UNNEST(generate_series(0, 5)) AS y(vy)
+        ), ix AS (
+          SELECT doc_id, vx, vy, s,
+            (s + 3 * ((vx * sw) // 8) + 5 * ((vy * sh) // 6)) % 256 AS i
+          FROM g
+        ), px AS (
+          SELECT doc_id, vx, vy,
+            (s + i) % 256 AS cr,
+            (2 * s + 3 * i) % 256 AS cg,
+            (3 * s + 7 * i) % 256 AS cb
+          FROM ix
+        )
+        SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+          CAST(SUM(cr + cg + cb) AS BIGINT) AS px_sum,
+          CAST(SUM(cr * ((vy * 8 + vx) * 3 + 1)
+                 + cg * ((vy * 8 + vx) * 3 + 2)
+                 + cb * ((vy * 8 + vx) * 3 + 3)) AS BIGINT) AS px_wsum
         FROM px GROUP BY 1
         """,
         "media_png_resize": """

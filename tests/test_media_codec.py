@@ -404,3 +404,76 @@ class TestPngPixels:
         xs = (np.arange(8) * 17) // 8
         ys = (np.arange(6) * 13) // 6
         assert (out == arr[np.ix_(ys, xs)]).all()
+
+
+class TestGifLzw:
+    """Real LZW codec: the width-growth rules are the classic
+    off-by-one pair (encoder bumps at 2^w via next_code, decoder at
+    2^w - 1 via its lagging table, encoder simulates the decoder's
+    final-flush add before EOI) — pinned across every boundary."""
+
+    def test_random_roundtrip_all_widths(self):
+        import random
+
+        from unitdb_spark.functions.media_codec import _lzw_decode, _lzw_encode
+
+        rng = random.Random(9)
+        for n in (1, 255, 256, 257, 300, 5000, 200_000):
+            data = bytes(rng.randrange(256) for _ in range(n))
+            assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+        for mcs in (2, 4, 7):
+            data = bytes(rng.randrange(1 << mcs) for _ in range(20_000))
+            assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+
+    def test_tail_lands_on_every_width_boundary(self):
+        """Streams sized so the final flush + EOI straddle the
+        9->10-bit transition — the edge the fixture sweep caught."""
+        from unitdb_spark.functions.media_codec import _lzw_decode, _lzw_encode
+
+        for pad in range(240, 280):
+            data = bytes((i * 3) % 256 for i in range(pad))
+            assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+
+    def test_kwkwk_and_table_reset(self):
+        from unitdb_spark.functions.media_codec import _lzw_decode, _lzw_encode
+
+        assert _lzw_decode(_lzw_encode(b"\x00" * 100_000, 8), 8) == b"\x00" * 100_000
+        rep = b"abcabcabd" * 30_000  # >4096 entries -> CLEAR path
+        assert _lzw_decode(_lzw_encode(rep, 8), 8) == rep
+
+    def test_gif_roundtrip_and_resize(self):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_gif_indexed,
+            encode_gif_indexed,
+            parse_gif,
+            resize_gif_nearest,
+        )
+
+        idx = (np.arange(37 * 23).reshape(23, 37) % 256).astype(np.uint8)
+        pal = [((i * 3) % 256, (i * 7) % 256, (i * 11) % 256) for i in range(256)]
+        g = encode_gif_indexed(idx, pal)
+        i2, p2 = decode_gif_indexed(g)
+        assert (i2 == idx).all() and [tuple(p) for p in p2] == pal
+        # the header parser agrees on dims (one container, two readers)
+        assert parse_gif(g)["width"] == 37 and parse_gif(g)["height"] == 23
+        i3, _ = decode_gif_indexed(resize_gif_nearest(g, 8, 6))
+        xs = (np.arange(8) * 37) // 8
+        ys = (np.arange(6) * 23) // 6
+        assert (i3 == idx[np.ix_(ys, xs)]).all()
+
+    def test_malformed_gifs_are_null(self):
+        from unitdb_spark.functions.media_codec import decode_gif_indexed
+
+        assert decode_gif_indexed(b"GIF87a") is None
+        assert decode_gif_indexed(b"notagif" * 10) is None
+        # valid header, truncated image data
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import encode_gif_indexed
+
+        idx = np.zeros((5, 5), dtype=np.uint8)
+        pal = [(i, i, i) for i in range(256)]
+        g = encode_gif_indexed(idx, pal)
+        assert decode_gif_indexed(g[:40]) is None

@@ -845,6 +845,15 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
         prev = byte
     if prev >= 0:
         emit(prev, width)
+        # the decoder grows its table on EVERY data code after the
+        # first — including this flush, which the encoder never pairs
+        # with an add. Simulate that add so the EOI is emitted at the
+        # width the decoder will read it with (the tail twin of the
+        # decoder's 2^w - 1 bump).
+        if next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -902,7 +911,12 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
         out += s
         if len(table) < 4096:
             table.append(table[prev] + s[:1])
-            if len(table) == (1 << width) and width < 12:
+            # one EARLY relative to the encoder's bump: when the
+            # encoder emits a code it has already added the entry the
+            # decoder can only reconstruct after this read, so the
+            # decoder's table lags by one — it must widen at 2^w - 1
+            # (the classic GIF decoder off-by-one)
+            if len(table) == (1 << width) - 1 and width < 12:
                 width += 1
         prev = code
     return None

@@ -773,3 +773,124 @@ def png_pixel_stats(df: DataFrame) -> DataFrame:
     return df.select("id", "blob").mapInPandas(
         _stats, "id long, width int, height int, px_sum long, px_wsum long"
     )
+
+
+def synthetic_gif_media(documents: DataFrame) -> DataFrame:
+    """Real-pixel GIF fixture — the LZW counterpart of
+    `synthetic_png_media`: every doc becomes a VALID single-image
+    GIF87a (256-entry global color table, REAL LZW-compressed data)
+    whose dimensions, every palette entry, and every index are
+    closed-form in doc_id — index (x, y) = (s + 3x + 5y) % 256 with
+    palette[i] = ((s + i) % 256, (2s + 3i) % 256, (3s + 7i) % 256),
+    s = doc_id % 251, sw = doc_id % 19 + 4, sh = (doc_id // 7) % 15
+    + 4 — so an SQL oracle can predict any derived pixel statistic.
+    A hash-match proves the LZW decode (code-width growth, KwKwK
+    chains), palette mapping, and row order are all byte-correct."""
+    from unitdb_spark.functions import media_codec as mc
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sw, sh, s = d % 19 + 4, (d // 7) % 15 + 4, d % 251
+                X, Y = np.meshgrid(np.arange(sw), np.arange(sh))
+                idx = ((s + 3 * X + 5 * Y) % 256).astype(np.uint8)
+                pal = [
+                    ((s + i) % 256, (2 * s + 3 * i) % 256, (3 * s + 7 * i) % 256)
+                    for i in range(256)
+                ]
+                blobs.append(mc.encode_gif_indexed(idx, pal))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"].values,
+                    "media_type": "image",
+                    "blob": blobs,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _build, "id long, media_type string, blob binary"
+    )
+
+
+def resize_gif_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor resize for single-image GIF blobs: LZW
+    decode, resample the index array with integer index math
+    (sx = floor(X·sw/W)) — the palette rides along untouched — and
+    re-encode through the real LZW encoder. Blobs the decoder doesn't
+    claim (local color tables, interlace, non-256 GCT, malformed LZW)
+    keep their row with a NULL blob — the honest-failure contract.
+
+    Output blob size is bounded by the target dims regardless of
+    input size — the fixed-footprint property that matters at 100 TB."""
+    from unitdb_spark.functions.media_codec import resize_gif_nearest
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                resize_gif_nearest(bytes(b), width, height)
+                if b is not None
+                else None
+                for b in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "width": width,
+                    "height": height,
+                    "blob": pd.Series(out, dtype=object),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _resize, "id long, width int, height int, blob binary"
+    )
+
+
+def gif_pixel_stats(df: DataFrame) -> DataFrame:
+    """Integer-exact pixel statistics from REAL GIF decode (LZW +
+    palette mapping): per image the dimensions, the plain RGB
+    channel-value sum, and the position-weighted checksum sum(v · p)
+    over the flattened top-down RGB array (p = 1-based) —
+    order-sensitive, so a flipped, transposed, palette-shifted, or
+    mis-decoded stream cannot hash-match. NULL stats for undecodable
+    blobs."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import decode_gif_rgb
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"].values, pdf["blob"]):
+                arr = decode_gif_rgb(bytes(b)) if b is not None else None
+                if arr is None:
+                    rows.append((int(i), None, None, None, None))
+                    continue
+                flat = arr.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(i),
+                        int(arr.shape[1]),
+                        int(arr.shape[0]),
+                        int(flat.sum()),
+                        int((flat * (np.arange(flat.size) + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "width": pd.Series([r[1] for r in rows], dtype=object),
+                    "height": pd.Series([r[2] for r in rows], dtype=object),
+                    "px_sum": pd.Series([r[3] for r in rows], dtype=object),
+                    "px_wsum": pd.Series([r[4] for r in rows], dtype=object),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _stats, "id long, width int, height int, px_sum long, px_wsum long"
+    )
