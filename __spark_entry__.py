@@ -3847,6 +3847,88 @@ def q_media_gif_resize(spark, sf_dir):
     )
 
 
+def q_events_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: lag-1 pairs under the total order (ts, event_id),
+    transition counts, and floor-ppm row-stochastic probabilities.
+    One partitioned window (parallel across users) + one partial-agg
+    shuffle; the matrix is |states|^2 — broadcast-sized for every
+    consumer. The reference has no sequence surface (opaque
+    payloads, db_internal.go:59-60); north-star analytics."""
+    from unitdb_spark.operators.markov import transition_matrix
+
+    return transition_matrix(
+        _events(spark, sf_dir), "user_id", "event_type", "ts", "event_id"
+    )
+
+
+def q_events_markov_anomaly(spark, sf_dir):
+    """Markov typicality audit: train the transition matrix on the
+    first half of the month (ts < 2024-01-16, the `events_did`
+    cutoff), then score EVERY user's full sequence under it —
+    integer-ppm sum/min/unseen-count per user (no transcendental
+    log-likelihood: the matrix is data-dependent, so the repo's
+    literal-gain-table exactness rule keeps the score in exact ppm
+    space). The matrix side of the join is broadcast."""
+    from unitdb_spark.operators.markov import (
+        sequence_typicality,
+        transition_matrix,
+    )
+
+    ev = _events(spark, sf_dir)
+    train = ev.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    m = transition_matrix(train, "user_id", "event_type", "ts", "event_id")
+    out = sequence_typicality(ev, m, "user_id", "event_type", "ts", "event_id")
+    return out.select(
+        F.col("k").alias("user_id"),
+        "n_trans",
+        "sum_p_ppm",
+        "min_p_ppm",
+        "n_unseen",
+    )
+
+
+def q_parts_kcore(spark, sf_dir):
+    """3-core of the thresholded co-purchase graph by bounded-round
+    peeling (3 synchronous rounds, same determinism contract as
+    `parts_label_prop`): nodes whose degree among survivors stays
+    >= 3, with their degree inside the final subgraph. The density
+    cut the community family can't express: LPA says who groups with
+    whom, the k-core says who sits in a dense region at all.
+    All-integer, so the unrolled-CTE oracle matches bitwise."""
+    from unitdb_spark.operators.graph import (
+        kcore,
+        weighted_cooccurrence_edges,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = weighted_cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_count=2
+    ).select("src", "dst")
+    out = kcore(edges, k=3, rounds=3)
+    return out.select(F.col("node").alias("part_id"), "deg")
+
+
+def q_parts_skyline(spark, sf_dir):
+    """Pareto frontier of the parts catalog under (minimize price,
+    maximize size) — Börzsönyi '01 skyline via the distributive
+    two-stage plan: parallel bucket-local staircase pruning, then the
+    global pass over the provably tiny survivor set (buckets x
+    |distinct sizes|). Integer cents/sizes end to end; duplicates of
+    a frontier point all survive (dominance needs one strict
+    inequality) — exactly the NOT EXISTS oracle's semantics."""
+    from unitdb_spark.operators.skyline import skyline2d
+
+    p = _read(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(
+            "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("price_cents"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    return skyline2d(p, "price_cents", "size", bucket_width=10_000)
+
+
 def q_media_wav_pcm(spark, sf_dir):
     """REAL sample kernel: the WAV blobs in the synthetic media fixture
     (doc_id % 5 == 3) carry actual 16-bit PCM — decode the samples and
@@ -5075,6 +5157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_holt": q_streamed_holt,
         "events_topn_salted": q_events_topn_salted,
         "media_gif_resize": q_media_gif_resize,
+        "events_markov": q_events_markov,
+        "events_markov_anomaly": q_events_markov_anomaly,
+        "parts_kcore": q_parts_kcore,
+        "parts_skyline": q_parts_skyline,
     }
 
 
@@ -6078,6 +6164,75 @@ def oracle_sql() -> dict[str, str]:
             ) AS rank
           FROM events
         ) WHERE rank <= 3
+        """,
+        "events_markov": """
+        WITH p AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS src,
+                 event_type AS dst
+          FROM events
+        ), t AS (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE src IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT src, dst, n,
+          CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS row_total,
+          CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY src))
+               AS BIGINT) AS p_ppm
+        FROM t
+        """,
+        "events_markov_anomaly": """
+        WITH tr AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS src,
+                 event_type AS dst
+          FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        ), t AS (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+          FROM tr WHERE src IS NOT NULL GROUP BY 1, 2
+        ), m AS (
+          SELECT src, dst,
+            CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY src))
+                 AS BIGINT) AS p_ppm
+          FROM t
+        ), sq AS (
+          SELECT user_id AS k,
+            lag(event_type) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+            ) AS src,
+            event_type AS dst
+          FROM events
+        ), j AS (
+          SELECT sq.k, m.p_ppm
+          FROM sq LEFT JOIN m ON sq.src = m.src AND sq.dst = m.dst
+          WHERE sq.src IS NOT NULL
+        )
+        SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_trans,
+          CAST(sum(coalesce(p_ppm, 0)) AS BIGINT) AS sum_p_ppm,
+          CAST(min(coalesce(p_ppm, 0)) AS BIGINT) AS min_p_ppm,
+          CAST(sum(CASE WHEN p_ppm IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unseen
+        FROM j GROUP BY k
+        """,
+        "parts_kcore": _kcore_oracle(),
+        "parts_skyline": """
+        -- brute-force dominance NOT EXISTS: the two-stage bucketed
+        -- plan must reproduce this row set exactly
+        WITH p AS (
+          SELECT p_partkey,
+            CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT) AS price_cents,
+            CAST(p_size AS INTEGER) AS size
+          FROM part
+        )
+        SELECT p_partkey, price_cents, size FROM p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p q
+          WHERE q.price_cents <= p.price_cents AND q.size >= p.size
+            AND (q.price_cents < p.price_cents OR q.size > p.size)
+        )
         """,
         "streamed_sessions": """
         -- batch gaps-and-islands minus each user's final (still-open)
@@ -10424,6 +10579,43 @@ def _label_prop_oracle() -> str:
         + """
         SELECT CAST(node AS BIGINT) AS part_id, CAST(lbl AS BIGINT) AS comm
         FROM l3
+        """
+    )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    """`parts_kcore` replay: the SAME bounded peeling rounds the
+    Spark loop runs, unrolled as CTEs over the same thresholded
+    co-purchase edges as `parts_label_prop`. Degrees are exact
+    BIGINT counts; the final degree is recomputed inside the last
+    surviving set — bitwise."""
+    rnd = """
+          SELECT e.s AS node FROM e
+          JOIN {prev} a ON e.s = a.node
+          JOIN {prev} b ON e.d = b.node
+          GROUP BY e.s HAVING count(*) >= {k}
+    """
+    steps = ",\n".join(
+        f"n{r} AS ({rnd.format(prev=f'n{r - 1}', k=k)})"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        """
+        WITH g AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        p0 AS (SELECT a.i AS s, b.i AS d
+               FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        e AS (SELECT s, d FROM p0 UNION ALL SELECT d AS s, s AS d FROM p0),
+        n0 AS (SELECT DISTINCT s AS node FROM e),
+        """
+        + steps
+        + f"""
+        SELECT CAST(e.s AS BIGINT) AS part_id,
+               CAST(count(*) AS BIGINT) AS deg
+        FROM e
+        JOIN n{rounds} a ON e.s = a.node
+        JOIN n{rounds} b ON e.d = b.node
+        GROUP BY e.s
         """
     )
 

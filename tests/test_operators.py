@@ -6099,3 +6099,207 @@ class TestDecompStrengthAbc:
                abc_classification(df, "k", "v").collect()}
         assert out["x"]["cents"] == 9000 and out["x"]["abc_class"] == "A"
         assert out["y"]["abc_class"] == "C"
+
+
+class TestMarkov:
+    """First-order transition matrix + typicality (operators/markov.py)."""
+
+    @staticmethod
+    def _seq(spark, rows):
+        return spark.createDataFrame(
+            rows, "k bigint, ts bigint, s string"
+        )
+
+    def test_transition_counts_basic(self, spark):
+        """One key, sequence a b a b b: transitions ab, ba, ab, bb."""
+        from unitdb_spark.operators.markov import transition_counts
+
+        df = self._seq(
+            spark,
+            [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"), (1, 5, "b")],
+        )
+        got = {
+            (r.src, r.dst): r.n
+            for r in transition_counts(df, "k", "s", "ts", "ts").collect()
+        }
+        assert got == {("a", "b"): 2, ("b", "a"): 1, ("b", "b"): 1}
+
+    def test_no_cross_key_pairing(self, spark):
+        """The lag never pairs across keys: two keys of one event
+        each produce zero transitions."""
+        from unitdb_spark.operators.markov import transition_counts
+
+        df = self._seq(spark, [(1, 1, "a"), (2, 2, "b")])
+        assert transition_counts(df, "k", "s", "ts", "ts").count() == 0
+
+    def test_matrix_floor_ppm_rows(self, spark):
+        """Row a: 2x ab, 1x ac -> p(ab)=666666 ppm (floored), p(ac)=333333."""
+        from unitdb_spark.operators.markov import transition_matrix
+
+        df = self._seq(
+            spark,
+            [
+                (1, 1, "a"), (1, 2, "b"),
+                (2, 1, "a"), (2, 2, "b"),
+                (3, 1, "a"), (3, 2, "c"),
+            ],
+        )
+        got = {
+            (r.src, r.dst): (r.n, r.row_total, r.p_ppm)
+            for r in transition_matrix(df, "k", "s", "ts", "ts").collect()
+        }
+        assert got[("a", "b")] == (2, 3, 666_666)
+        assert got[("a", "c")] == (1, 3, 333_333)
+
+    def test_tiebreak_orders_equal_ts(self, spark):
+        """Equal timestamps fall back to the tiebreak column, keeping
+        the pairing total-ordered."""
+        from unitdb_spark.operators.markov import transition_counts
+
+        df = spark.createDataFrame(
+            [(1, 1, 10, "a"), (1, 1, 11, "b"), (1, 1, 12, "c")],
+            "k bigint, ts bigint, eid bigint, s string",
+        )
+        got = {
+            (r.src, r.dst)
+            for r in transition_counts(df, "k", "s", "ts", "eid").collect()
+        }
+        assert got == {("a", "b"), ("b", "c")}
+
+    def test_typicality_flags_unseen(self, spark):
+        """Score a sequence under a matrix trained elsewhere: the
+        unseen transition contributes 0 ppm and bumps n_unseen."""
+        from unitdb_spark.operators.markov import (
+            sequence_typicality,
+            transition_matrix,
+        )
+
+        train = self._seq(
+            spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b")]
+        )
+        m = transition_matrix(train, "k", "s", "ts", "ts")
+        score = self._seq(spark, [(9, 1, "a"), (9, 2, "b"), (9, 3, "z")])
+        row = sequence_typicality(score, m, "k", "s", "ts", "ts").collect()[0]
+        assert row.k == 9 and row.n_trans == 2
+        assert row.n_unseen == 1
+        assert row.min_p_ppm == 0
+        assert row.sum_p_ppm == 1_000_000  # p(a->b) = 1.0
+
+
+class TestKCore:
+    @staticmethod
+    def _sym(spark, und):
+        from pyspark.sql import functions as F
+
+        e = spark.createDataFrame(und, ["src", "dst"])
+        return e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def test_peels_tail_off_triangle(self, spark):
+        """Triangle 1-2-3 plus pendant chain 3-4-5: the 2-core is the
+        triangle; the chain peels off within 2 rounds."""
+        from unitdb_spark.operators.graph import kcore
+
+        und = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+        got = {
+            r.node: r.deg
+            for r in kcore(self._sym(spark, und), k=2, rounds=3).collect()
+        }
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_bounded_rounds_is_superset(self, spark):
+        """A long chain needs one round per link: rounds=1 keeps a
+        superset of the true 2-core (which is empty)."""
+        from unitdb_spark.operators.graph import kcore
+
+        und = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        one = kcore(self._sym(spark, und), k=2, rounds=1)
+        # after one peel only the endpoints drop
+        assert {r.node for r in one.collect()} == {2, 3, 4}
+        full = kcore(self._sym(spark, und), k=2, rounds=4)
+        assert full.count() == 0
+
+    def test_matches_python_model(self, spark):
+        """Fixed-round peeling vs an independent Python model on a
+        seeded random graph."""
+        import random
+
+        from unitdb_spark.operators.graph import kcore
+
+        rng = random.Random(13)
+        und = sorted(
+            {
+                (a, b)
+                for _ in range(60)
+                for a, b in [sorted(rng.sample(range(20), 2))]
+            }
+        )
+        und = [(a, b) for a, b in und]
+        k, rounds = 3, 4
+        # independent model
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        for _ in range(rounds):
+            alive = {
+                n for n in alive if len(adj[n] & alive) >= k
+            }
+        want = {n: len(adj[n] & alive) for n in alive}
+        got = {
+            r.node: r.deg
+            for r in kcore(self._sym(spark, und), k=k, rounds=rounds).collect()
+        }
+        assert got == want
+
+
+class TestSkyline:
+    def test_frontier_with_ties_and_duplicates(self, spark):
+        """min price / max size. Duplicates of a frontier point both
+        stay; a same-price smaller-size point is dominated; a
+        same-size dearer point is dominated."""
+        from unitdb_spark.operators.skyline import skyline2d
+
+        rows = [
+            ("a", 100, 5),
+            ("a2", 100, 5),   # duplicate frontier point - stays
+            ("b", 100, 4),    # same price, smaller size - dominated
+            ("c", 200, 5),    # same size, dearer - dominated
+            ("d", 200, 7),
+            ("e", 300, 7),    # dominated by d
+            ("f", 50, 1),     # cheapest overall - frontier
+        ]
+        df = spark.createDataFrame(rows, "id string, price long, size int")
+        got = {r.id for r in skyline2d(df, "price", "size").collect()}
+        assert got == {"a", "a2", "d", "f"}
+
+    def test_bucket_width_never_changes_result(self, spark):
+        """The bucket width is a plan knob: widths 1, 7, 10**9 give
+        identical frontiers on a seeded random set."""
+        import random
+
+        from unitdb_spark.operators.skyline import skyline2d
+
+        rng = random.Random(99)
+        rows = [
+            (i, rng.randrange(1, 500), rng.randrange(1, 40))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "id long, a long, b int")
+        frontiers = [
+            {r.id for r in skyline2d(df, "a", "b", bucket_width=w).collect()}
+            for w in (1, 7, 10**9)
+        ]
+        assert frontiers[0] == frontiers[1] == frontiers[2]
+        # and it matches the quadratic model
+        want = {
+            i
+            for (i, a, b) in rows
+            if not any(
+                (a2 <= a and b2 >= b and (a2 < a or b2 > b))
+                for (_, a2, b2) in rows
+            )
+        }
+        assert frontiers[0] == want

@@ -47,6 +47,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "media_dup_modularity": "degree/total windows over the dup-cluster edge relation (near-dup pairs, not docs)",
     "events_pettitt": "doubled-midrank and U_t windows over the series' distinct-value/day relations",
     "parts_abc": "cumulative revenue-share window over the per-part totals relation",
+    "parts_skyline": "stage-2 dominance windows over the bucket-local survivor staircase (buckets x distinct sizes), not the catalog",
 }
 
 

@@ -707,3 +707,57 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select(F.col("_n").alias("node"), F.col("_lbl").alias("lbl"))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    persist: str = "memory",
+) -> DataFrame:
+    """Bounded-round k-core peeling (Seidman '83): repeatedly delete
+    nodes whose degree in the SURVIVING subgraph is < k. The fixed
+    round count keeps the repo's determinism contract (no
+    convergence test — same as `pagerank`/`label_propagation`); with
+    enough rounds the result IS the exact k-core, with fewer it is a
+    superset (each round only deletes, never restores). Communities
+    answer "who groups with whom"; the k-core answers "which nodes
+    sit in a dense region at all" — the standard first cut for
+    separating catalog anchors from long-tail leaves.
+
+    ``edges`` must be symmetric (the `cooccurrence_edges` shape).
+    Per round: two semi-join shuffles (edge endpoints against the
+    surviving set) + one partial-agg shuffle for degrees — all keyed
+    joins, no broadcast needed when the node relation is large. The
+    edge relation is loop-invariant and persisted by default;
+    survivor lineage is cut per round with a lazy localCheckpoint.
+
+    Output: (node, deg) — survivors after ``rounds`` peels, with
+    their degree inside the FINAL surviving subgraph (recomputed
+    after the last peel; all-integer, so an unrolled-CTE oracle
+    matches bitwise).
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if persist == "memory":
+        e = e.persist()
+    alive = e.select(F.col("_s").alias("_n")).distinct()
+    for _ in range(rounds):
+        sub = e.join(
+            alive.withColumnRenamed("_n", "_s"), "_s", "leftsemi"
+        ).join(alive.withColumnRenamed("_n", "_d"), "_d", "leftsemi")
+        alive = (
+            sub.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select(F.col("_s").alias("_n"))
+            .localCheckpoint(eager=False)
+        )
+    final = (
+        e.join(alive.withColumnRenamed("_n", "_s"), "_s", "leftsemi")
+        .join(alive.withColumnRenamed("_n", "_d"), "_d", "leftsemi")
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return final.select(F.col("_s").alias("node"), "deg")

@@ -1,0 +1,138 @@
+"""First-order Markov-chain analysis over per-key event sequences.
+
+The events table is a stream of (user, ts, event_type); the natural
+sequence question — "what does a user do NEXT after X?" — is a lag-1
+self-pairing: order each user's events by time, pair each event with
+its successor, and aggregate the (src, dst) transition counts into a
+row-stochastic matrix. `funnel.top_paths` answers the *k-step prefix*
+question; this module answers the *conditional next-step* question
+(the transition matrix is the object you'd feed a next-event
+recommender, a session simulator, or an anomaly scorer that flags
+improbable transitions).
+
+Spark shape: one partitioned window (lag over user, ordered by a
+total order — parallel across users, never a global sort) and one
+partial-agg shuffle on (src, dst). The matrix itself is
+|states|² ≤ tiny, so every downstream consumer broadcasts it.
+
+Determinism contract: the per-key order is (ts, tiebreak) — a total
+order, so the lag pairing is unique; probabilities are floor-ppm
+integers (same convention as the rest of the repo), so the DuckDB
+oracle replays bitwise.
+
+The reference engine has no sequence surface (opaque payloads,
+db_internal.go:59-60); north-star analytics per the builder brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Lag-1 transition counts per (src, dst) state pair.
+
+    Each key's events are ordered by (ts, tiebreak) — callers must
+    pass a tiebreak making the order total, else the pairing is
+    ambiguous. The window is partitioned by ``key_col`` (parallel;
+    per-task cost is the largest single key's event count — the same
+    per-key bound as `window_agg.sessionize_ids`). The final
+    transition count is NULL-free: the first event of each key has no
+    predecessor and is dropped.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    paired = df.select(
+        F.lag(F.col(state_col)).over(w).alias("src"),
+        F.col(state_col).alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    return paired.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Row-stochastic transition matrix in floor-ppm.
+
+    (src, dst, n, row_total, p_ppm) with
+    p_ppm = floor(n * 1e6 / row_total) — integer arithmetic end to
+    end. The row totals are a window over the counts relation
+    (|states|² rows — tiny by construction), partitioned by src.
+    """
+    counts = transition_counts(df, key_col, state_col, ts_col, tiebreak_col)
+    w_src = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.sum("n").over(w_src).cast("long").alias("row_total"),
+        F.floor(
+            F.col("n") * F.lit(1_000_000) / F.sum("n").over(w_src)
+        )
+        .cast("long")
+        .alias("p_ppm"),
+    )
+
+
+def sequence_typicality(
+    df: DataFrame,
+    matrix: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-key typicality of its own transition sequence under a
+    (possibly other-cohort) transition matrix — the Markov anomaly
+    surface: keys whose behaviour the matrix finds improbable.
+
+    A true log-likelihood needs ln() — a transcendental whose floor
+    boundaries the repo's cross-engine exactness rules forbid
+    (driver-conventions: inject literal gain tables or stay integer).
+    The matrix here is data-dependent, so no literal table exists at
+    oracle-authoring time; instead the score stays in exact integer
+    ppm space: sum, min and unseen-count of the per-transition
+    probabilities. Low sum / low min / high unseen = anomalous, and
+    every column is BIGINT so the oracle matches bitwise.
+
+    The matrix side is broadcast (|states|² rows — never a shuffle).
+    Output: (key, n_trans, sum_p_ppm, min_p_ppm, n_unseen).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    paired = df.select(
+        F.col(key_col).alias("k"),
+        F.lag(F.col(state_col)).over(w).alias("src"),
+        F.col(state_col).alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    m = matrix.select("src", "dst", "p_ppm")
+    scored = paired.join(F.broadcast(m), ["src", "dst"], "left")
+    return scored.groupBy(F.col("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans"),
+        F.sum(F.coalesce(F.col("p_ppm"), F.lit(0)))
+        .cast("long")
+        .alias("sum_p_ppm"),
+        F.min(F.coalesce(F.col("p_ppm"), F.lit(0)))
+        .cast("long")
+        .alias("min_p_ppm"),
+        F.sum(
+            F.when(F.col("p_ppm").isNull(), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_unseen"),
+    )
