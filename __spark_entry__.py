@@ -3929,6 +3929,45 @@ def q_parts_skyline(spark, sf_dir):
     return skyline2d(p, "price_cents", "size", bucket_width=10_000)
 
 
+def q_parts_hits(spark, sf_dir):
+    """HITS hubs/authorities over the bipartite customer->part
+    purchase graph (Kleinberg '99): authoritative parts are bought by
+    strong hub customers and vice versa, 2 synchronous updates in
+    exact BIGINT fixed-point — re-normalization by an integer
+    quotient (q = max(1, total div (scale x n_side))) instead of a
+    decimal division, so the unrolled-CTE oracle replays every value
+    bitwise. Complements `parts_pagerank` (importance inside the
+    co-purchase projection) with the two-sided bipartite view."""
+    from unitdb_spark.operators.graph import hits_bipartite
+
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = o.join(
+        li, o["o_orderkey"] == li["l_orderkey"]
+    ).select("o_custkey", "l_partkey")
+    return hits_bipartite(edges, "o_custkey", "l_partkey", iterations=2)
+
+
+def q_parts_link_pred(spark, sf_dir):
+    """Common-neighbor link prediction over the thresholded
+    co-purchase graph (Liben-Nowell '03): non-edge pairs at distance
+    2 with >= 2 shared neighbors, scored by shared-neighbor count and
+    floor-ppm neighborhood Jaccard — the "you may also like"
+    candidate generator. Candidates come only from the 2-hop
+    self-join (cost = sum of degree² on the THRESHOLDED graph, never
+    all pairs); existing edges drop via a keyed anti-join."""
+    from unitdb_spark.operators.graph import (
+        link_prediction,
+        weighted_cooccurrence_edges,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = weighted_cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_count=2
+    ).select("src", "dst")
+    return link_prediction(edges, min_common=2)
+
+
 def q_media_wav_pcm(spark, sf_dir):
     """REAL sample kernel: the WAV blobs in the synthetic media fixture
     (doc_id % 5 == 3) carry actual 16-bit PCM — decode the samples and
@@ -5161,6 +5200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_anomaly": q_events_markov_anomaly,
         "parts_kcore": q_parts_kcore,
         "parts_skyline": q_parts_skyline,
+        "parts_hits": q_parts_hits,
+        "parts_link_pred": q_parts_link_pred,
     }
 
 
@@ -6217,6 +6258,34 @@ def oracle_sql() -> dict[str, str]:
         FROM j GROUP BY k
         """,
         "parts_kcore": _kcore_oracle(),
+        "parts_hits": _hits_oracle(),
+        "parts_link_pred": """
+        WITH g AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        p0 AS (SELECT a.i AS s, b.i AS d
+               FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        e AS (SELECT s, d FROM p0 UNION ALL SELECT d AS s, s AS d FROM p0),
+        deg AS (SELECT s AS a, CAST(count(*) AS BIGINT) AS dg
+                FROM e GROUP BY s),
+        cand AS (
+          SELECT l.s AS a, r.d AS b, CAST(count(*) AS BIGINT) AS n_common
+          FROM e l JOIN e r ON l.d = r.s AND l.s < r.d
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        ne AS (
+          SELECT c.a, c.b, c.n_common FROM cand c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.s = c.a AND e.d = c.b
+          )
+        )
+        SELECT ne.a AS src, ne.b AS dst, ne.n_common,
+          CAST(floor(ne.n_common * 1000000
+                     / (da.dg + db.dg - ne.n_common)) AS BIGINT)
+            AS jaccard_ppm
+        FROM ne
+        JOIN deg da ON ne.a = da.a
+        JOIN deg db ON ne.b = db.a
+        """,
         "parts_skyline": """
         -- brute-force dominance NOT EXISTS: the two-stage bucketed
         -- plan must reproduce this row set exactly
@@ -10616,6 +10685,54 @@ def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
         JOIN n{rounds} a ON e.s = a.node
         JOIN n{rounds} b ON e.d = b.node
         GROUP BY e.s
+        """
+    )
+
+
+def _hits_oracle(iters: int = 2, scale: int = 1_000_000_000) -> str:
+    """`parts_hits` replay: the SAME synchronous updates unrolled as
+    CTEs. All BIGINT; normalization divides by the integer quotient
+    q = max(1, total // (scale x n_side)) — DuckDB `//` and Spark
+    `div` agree on positive values, so the match is bitwise."""
+    parts = []
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i}r AS (
+          SELECT e.p, CAST(sum({prev_h}.s) AS BIGINT) AS r
+          FROM e JOIN {prev_h} ON e.c = {prev_h}.c GROUP BY e.p
+        ), a{i} AS (
+          SELECT p, CAST(r // greatest(1,
+            (SELECT CAST(sum(r) AS BIGINT) FROM a{i}r)
+              // ({scale} * (SELECT n FROM na))) AS BIGINT) AS s
+          FROM a{i}r
+        ), h{i}r AS (
+          SELECT e.c, CAST(sum(a{i}.s) AS BIGINT) AS r
+          FROM e JOIN a{i} ON e.p = a{i}.p GROUP BY e.c
+        ), h{i} AS (
+          SELECT c, CAST(r // greatest(1,
+            (SELECT CAST(sum(r) AS BIGINT) FROM h{i}r)
+              // ({scale} * (SELECT n FROM nh))) AS BIGINT) AS s
+          FROM h{i}r
+        )"""
+        )
+        prev_h = f"h{i}"
+    steps = ",\n".join(parts)
+    return (
+        f"""
+        WITH e AS (
+          SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        nh AS (SELECT count(DISTINCT c) AS n FROM e),
+        na AS (SELECT count(DISTINCT p) AS n FROM e),
+        h0 AS (SELECT DISTINCT c, CAST({scale} AS BIGINT) AS s FROM e),
+        """
+        + steps
+        + f"""
+        SELECT 'auth' AS side, CAST(p AS BIGINT) AS node, s AS score FROM a{iters}
+        UNION ALL
+        SELECT 'hub' AS side, CAST(c AS BIGINT) AS node, s AS score FROM h{iters}
         """
     )
 

@@ -6303,3 +6303,111 @@ class TestSkyline:
             )
         }
         assert frontiers[0] == want
+
+
+class TestHits:
+    def test_star_bipartite(self, spark):
+        """Customers {1,2,3} all buy part 10; customer 1 also buys
+        part 11. Part 10 must out-rank part 11; customer 1 must
+        out-rank customers 2 and 3."""
+        from unitdb_spark.operators.graph import hits_bipartite
+
+        e = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 10), (1, 11)], ["c", "p"]
+        )
+        rows = hits_bipartite(e, "c", "p", iterations=2).collect()
+        auth = {r.node: r.score for r in rows if r.side == "auth"}
+        hub = {r.node: r.score for r in rows if r.side == "hub"}
+        assert auth[10] > auth[11]
+        assert hub[1] > hub[2] == hub[3]
+
+    def test_matches_python_model(self, spark):
+        """The integer-div normalized HITS vs an independent Python
+        model on a seeded random bipartite graph."""
+        import random
+
+        from unitdb_spark.operators.graph import HITS_SCALE, hits_bipartite
+
+        rng = random.Random(21)
+        edges = sorted(
+            {(rng.randrange(8), 100 + rng.randrange(12)) for _ in range(40)}
+        )
+        iters, scale = 2, HITS_SCALE
+        hubs = sorted({c for c, _ in edges})
+        auths = sorted({p for _, p in edges})
+        hub = {c: scale for c in hubs}
+        auth = {}
+        for _ in range(iters):
+            raw = {p: sum(hub[c] for c, q in edges if q == p) for p in auths}
+            t = sum(raw.values())
+            q_ = max(1, t // (scale * len(auths)))
+            auth = {p: raw[p] // q_ for p in auths}
+            raw = {c: sum(auth[p] for d, p in edges if d == c) for c in hubs}
+            t = sum(raw.values())
+            q_ = max(1, t // (scale * len(hubs)))
+            hub = {c: raw[c] // q_ for c in hubs}
+        df = spark.createDataFrame(edges, ["c", "p"])
+        rows = hits_bipartite(df, "c", "p", iterations=iters).collect()
+        got_auth = {r.node: r.score for r in rows if r.side == "auth"}
+        got_hub = {r.node: r.score for r in rows if r.side == "hub"}
+        assert got_auth == auth
+        assert got_hub == hub
+
+
+class TestLinkPrediction:
+    @staticmethod
+    def _sym(spark, und):
+        from pyspark.sql import functions as F
+
+        e = spark.createDataFrame(und, ["src", "dst"])
+        return e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def test_candidates_exclude_existing_edges(self, spark):
+        """Square 1-2-3-4: diagonals (1,3) and (2,4) share 2 common
+        neighbors each; the existing edges never appear."""
+        from unitdb_spark.operators.graph import link_prediction
+
+        und = [(1, 2), (2, 3), (3, 4), (4, 1)]
+        got = {
+            (r.src, r.dst): (r.n_common, r.jaccard_ppm)
+            for r in link_prediction(self._sym(spark, und)).collect()
+        }
+        # deg all 2; jaccard = 2 / (2+2-2) = 1.0
+        assert got == {(1, 3): (2, 1_000_000), (2, 4): (2, 1_000_000)}
+
+    def test_matches_python_model(self, spark):
+        import random
+
+        from unitdb_spark.operators.graph import link_prediction
+
+        rng = random.Random(5)
+        und = sorted(
+            {
+                (a, b)
+                for _ in range(70)
+                for a, b in [sorted(rng.sample(range(18), 2))]
+            }
+        )
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        nodes = sorted(adj)
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                if b in adj[a]:
+                    continue
+                cn = len(adj[a] & adj[b])
+                if cn >= 2:
+                    want[(a, b)] = (
+                        cn,
+                        cn * 1_000_000 // (len(adj[a]) + len(adj[b]) - cn),
+                    )
+        got = {
+            (r.src, r.dst): (r.n_common, r.jaccard_ppm)
+            for r in link_prediction(self._sym(spark, und)).collect()
+        }
+        assert got == want

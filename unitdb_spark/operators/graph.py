@@ -761,3 +761,150 @@ def kcore(
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
     return final.select(F.col("_s").alias("node"), "deg")
+
+
+#: fixed-point scale for HITS: mean score per side ~1e9. Smaller than
+#: PR_SCALE on purpose — the L1 re-normalization keeps TOTAL mass near
+#: scale x n_side, and total x max_degree products must clear int64;
+#: 1e9 leaves ~9.2e9 nodes of headroom (document: shrink `scale` when
+#: a side outgrows that).
+HITS_SCALE = 1_000_000_000
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    hub_col: str,
+    auth_col: str,
+    iterations: int = 2,
+    scale: int = HITS_SCALE,
+    persist: str = "memory",
+) -> DataFrame:
+    """HITS (Kleinberg '99) over a bipartite edge list — hubs on the
+    left (e.g. customers), authorities on the right (e.g. parts):
+    auth(v) = sum of hub scores pointing at v, hub(u) = sum of auth
+    scores u points at, re-normalized each update so total mass per
+    side stays ~scale x n_side.
+
+    Exactness contract: all arithmetic is BIGINT. The normalization
+    avoids the decimal-division precision trap entirely — instead of
+    floor(raw * K / total) it divides by the integer quotient
+    q = max(1, total div (scale x n_side)), so every value is one
+    integer `div` from its raw sum and any SQL engine replays the
+    unrolled iterations bitwise (positive values: floor == trunc).
+    Resolution: mean score stays within [scale/2, 2-scale] of scale —
+    q is exact only up to 1 part in total/(scale x n), invisible at
+    ranking granularity and identically computed by both engines.
+
+    Per update: one keyed join shuffle + one partial agg; the total
+    and the side counts are 1-row/driver-scalar control-plane reads
+    (pagerank's sanctioned pattern). The edge relation is
+    loop-invariant and persisted by default.
+
+    Output: (side, node, score) with side in ('hub', 'auth') — raw
+    BIGINT fixed-point scores, no float anywhere.
+    """
+    e = edges.select(
+        F.col(hub_col).alias("_c"), F.col(auth_col).alias("_p")
+    ).distinct()
+    if persist == "memory":
+        e = e.persist()
+    hubs0 = e.select("_c").distinct()
+    n_auth = e.select("_p").distinct().count()
+    n_hub = hubs0.count()
+    if n_hub == 0:
+        raise ValueError("hits_bipartite: empty edge list")
+
+    def _norm(raw: DataFrame, key: str, n_side: int) -> DataFrame:
+        tot = raw.agg(F.sum("_r").cast("long").alias("_t"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            key,
+            F.expr(
+                f"_r div greatest(1L, _t div {int(scale) * int(n_side)}L)"
+            )
+            .cast("long")
+            .alias("_s"),
+        )
+
+    hub = hubs0.withColumn("_s", F.lit(int(scale)).cast("long"))
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            e.join(hub, "_c")
+            .groupBy("_p")
+            .agg(F.sum("_s").cast("long").alias("_r"))
+        )
+        auth = _norm(araw, "_p", n_auth).localCheckpoint(eager=False)
+        hraw = (
+            e.join(auth, "_p")
+            .groupBy("_c")
+            .agg(F.sum("_s").cast("long").alias("_r"))
+        )
+        hub = _norm(hraw, "_c", n_hub).localCheckpoint(eager=False)
+    return auth.select(
+        F.lit("auth").alias("side"),
+        F.col("_p").cast("long").alias("node"),
+        F.col("_s").alias("score"),
+    ).unionAll(
+        hub.select(
+            F.lit("hub").alias("side"),
+            F.col("_c").cast("long").alias("node"),
+            F.col("_s").alias("score"),
+        )
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+) -> DataFrame:
+    """Common-neighbor link prediction (Liben-Nowell '03) over a
+    symmetric edge list: for every NON-edge pair (a, b) at distance
+    2, the number of shared neighbors and the floor-ppm Jaccard of
+    their neighborhoods — the classic "you may also like" candidate
+    generator.
+
+    Candidates come only from the 2-hop self-join (never all pairs):
+    cost = sum over nodes of degree², so the thresholded input graph
+    (`weighted_cooccurrence_edges` min_count) is the blocking
+    structure, same contract as the dedup family. Existing edges are
+    removed with a keyed anti-join; ``min_common`` prunes the long
+    tail before the degree join. All-integer (counts, cross-
+    multiplied Jaccard in ppm), so a SQL oracle replays it bitwise.
+
+    Output: (src, dst, n_common, jaccard_ppm) with src < dst.
+    """
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    deg = e.groupBy("_a").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    l_ = e.select(F.col("_a").alias("_s"), F.col("_b").alias("_x"))
+    r_ = e.select(F.col("_a").alias("_x"), F.col("_b").alias("_d"))
+    cand = (
+        l_.join(r_, "_x")
+        .filter(F.col("_s") < F.col("_d"))
+        .groupBy("_s", "_d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= F.lit(int(min_common)))
+    )
+    non_edge = cand.join(
+        e.select(F.col("_a").alias("_s"), F.col("_b").alias("_d")),
+        ["_s", "_d"],
+        "left_anti",
+    )
+    out = (
+        non_edge.join(deg.withColumnRenamed("_a", "_s").withColumnRenamed("_deg", "_ds"), "_s")
+        .join(deg.withColumnRenamed("_a", "_d").withColumnRenamed("_deg", "_dd"), "_d")
+        .select(
+            F.col("_s").alias("src"),
+            F.col("_d").alias("dst"),
+            "n_common",
+            F.floor(
+                F.col("n_common")
+                * F.lit(1_000_000)
+                / (F.col("_ds") + F.col("_dd") - F.col("n_common"))
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+    return out
