@@ -3929,6 +3929,71 @@ def q_parts_skyline(spark, sf_dir):
     return skyline2d(p, "price_cents", "size", bucket_width=10_000)
 
 
+def q_streamed_markov(spark, sf_dir):
+    """Driver-checkable twin of STREAMING Markov transition counting:
+    events replay as two in-order checkpointed runs (midpoint split,
+    the order-sensitive-twin pattern of `streamed_sessions`) through
+    the one-string-state transition stitcher; summed partials fold
+    into the same floor-ppm matrix shape as `events_markov`, and the
+    oracle is that query's batch SQL VERBATIM — a hash-match proves
+    the stream (including the cross-checkpoint boundary transition)
+    reproduces the batch lag pairing exactly."""
+    import tempfile
+
+    from unitdb_spark.streaming.state import streaming_markov
+
+    spark = _pin_utc(spark)
+    base = tempfile.mkdtemp(prefix="markov_twin_")
+    src, cp, out = f"{base}/src", f"{base}/cp", f"{base}/out"
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    lo, hi = ev.agg(
+        F.unix_timestamp(F.min("ts")), F.unix_timestamp(F.max("ts"))
+    ).collect()[0]
+    mid = F.timestamp_seconds(F.lit((int(lo) + int(hi)) // 2))
+
+    def run(batch_df):
+        batch_df.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            streaming_markov(
+                spark.readStream.schema(batch_df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+                if not df.isEmpty()
+                else None
+            )
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run(ev.filter(F.col("ts") < mid))
+    run(ev.filter(F.col("ts") >= mid))
+    from pyspark.sql import Window
+
+    counts = (
+        spark.read.parquet(out)
+        .groupBy("src", "dst")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    w_src = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.sum("n").over(w_src).cast("long").alias("row_total"),
+        F.floor(F.col("n") * F.lit(1_000_000) / F.sum("n").over(w_src))
+        .cast("long")
+        .alias("p_ppm"),
+    )
+
+
 def q_parts_hits(spark, sf_dir):
     """HITS hubs/authorities over the bipartite customer->part
     purchase graph (Kleinberg '99): authoritative parts are bought by
@@ -5202,6 +5267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_skyline": q_parts_skyline,
         "parts_hits": q_parts_hits,
         "parts_link_pred": q_parts_link_pred,
+        "streamed_markov": q_streamed_markov,
     }
 
 
@@ -6206,23 +6272,8 @@ def oracle_sql() -> dict[str, str]:
           FROM events
         ) WHERE rank <= 3
         """,
-        "events_markov": """
-        WITH p AS (
-          SELECT lag(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-                 ) AS src,
-                 event_type AS dst
-          FROM events
-        ), t AS (
-          SELECT src, dst, CAST(count(*) AS BIGINT) AS n
-          FROM p WHERE src IS NOT NULL GROUP BY 1, 2
-        )
-        SELECT src, dst, n,
-          CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS row_total,
-          CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY src))
-               AS BIGINT) AS p_ppm
-        FROM t
-        """,
+        "events_markov": _MARKOV_MATRIX_SQL,
+        "streamed_markov": _MARKOV_MATRIX_SQL,
         "events_markov_anomaly": """
         WITH tr AS (
           SELECT lag(event_type) OVER (
@@ -10650,6 +10701,28 @@ def _label_prop_oracle() -> str:
         FROM l3
         """
     )
+
+
+#: shared by `events_markov` (batch) and `streamed_markov` (the
+#: stateful streaming twin): the streamed partial counts summed over
+#: micro-batches must reproduce this batch lag pairing bitwise.
+_MARKOV_MATRIX_SQL = """
+        WITH p AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS src,
+                 event_type AS dst
+          FROM events
+        ), t AS (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE src IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT src, dst, n,
+          CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS row_total,
+          CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY src))
+               AS BIGINT) AS p_ppm
+        FROM t
+        """
 
 
 def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:

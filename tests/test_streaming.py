@@ -1577,3 +1577,123 @@ class TestContinuousAbc:
         got = {r["key"]: r.asDict()
                for r in read_abc(spark, state).collect()}
         assert got == want
+
+
+class TestStreamingMarkov:
+    def test_partials_sum_to_batch_counts_across_restart(self, spark, tmp_path):
+        """Two checkpointed runs over one key: the one-string state
+        stitches the cross-run boundary transition, and summed
+        partials equal the batch lag pairing exactly."""
+        import datetime as dt
+
+        from unitdb_spark.streaming.state import streaming_markov
+
+        base = dt.datetime(2024, 1, 1)
+        src = str(tmp_path / "src")
+        cp = str(tmp_path / "cp")
+        out_dir = str(tmp_path / "out")
+        schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+        def run(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            out = streaming_markov(
+                spark.readStream.schema(
+                    spark.read.parquet(src).schema
+                ).parquet(src)
+            )
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(out_dir)
+                    if not df.isEmpty()
+                    else None
+                )
+                .outputMode("append")
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        seq1, seq2 = ["a", "b", "a"], ["b", "b", "a"]
+        run([
+            (i, base + dt.timedelta(minutes=i), 7, s)
+            for i, s in enumerate(seq1)
+        ])
+        run([
+            (i + 3, base + dt.timedelta(minutes=i + 3), 7, s)
+            for i, s in enumerate(seq2)
+        ])
+        got = {}
+        for r in spark.read.parquet(out_dir).collect():
+            assert r["key"] == 7
+            got[(r["src"], r["dst"])] = got.get((r["src"], r["dst"]), 0) + r["n"]
+        # full sequence a b a | b b a -> ab, ba, ab(BOUNDARY), bb, ba
+        assert got == {("a", "b"): 2, ("b", "a"): 2, ("b", "b"): 1}
+
+    def test_matches_batch_transition_counts(self, spark, tmp_path):
+        """IN-ORDER replay of the real events table (three sequential
+        checkpointed runs over time slices — the order-sensitive-twin
+        pattern of streamed_sessions): summed streamed partials ==
+        batch transition_counts row for row."""
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.markov import transition_counts
+        from unitdb_spark.sources.events import load_events
+        from unitdb_spark.streaming.state import streaming_markov
+
+        src = str(tmp_path / "src")
+        out_dir = str(tmp_path / "out")
+        cp = str(tmp_path / "cp")
+        ev = load_events(spark, SF).select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        lo, hi = ev.agg(
+            F.unix_timestamp(F.min("ts")), F.unix_timestamp(F.max("ts"))
+        ).collect()[0]
+        cut1 = F.timestamp_seconds(F.lit(int(lo) + (int(hi) - int(lo)) // 3))
+        cut2 = F.timestamp_seconds(
+            F.lit(int(lo) + 2 * (int(hi) - int(lo)) // 3)
+        )
+
+        def run(batch_df):
+            batch_df.coalesce(1).write.mode("append").parquet(src)
+            q = (
+                streaming_markov(
+                    spark.readStream.schema(batch_df.schema).option(
+                        "maxFilesPerTrigger", 1
+                    ).parquet(src)
+                )
+                .writeStream.foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(out_dir)
+                    if not df.isEmpty()
+                    else None
+                )
+                .outputMode("append")
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        run(ev.filter(F.col("ts") < cut1))
+        run(ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)))
+        run(ev.filter(F.col("ts") >= cut2))
+
+        streamed = {
+            (r["src"], r["dst"]): r["n"]
+            for r in spark.read.parquet(out_dir)
+            .groupBy("src", "dst")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        want = {
+            (r["src"], r["dst"]): r["n"]
+            for r in transition_counts(
+                spark.read.parquet(f"{SF}/events.parquet"),
+                "user_id", "event_type", "ts", "event_id",
+            ).collect()
+        }
+        assert streamed == want

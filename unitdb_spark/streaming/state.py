@@ -784,3 +784,78 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [id_col]
     )
+
+
+MARKOV_OUTPUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("src", StringType()),
+        StructField("dst", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+MARKOV_STATE = StructType([StructField("last_s", StringType())])
+
+
+def _markov_fn():
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        prev = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        counts: dict[tuple[str, str], int] = {}
+        for s in batch["s"]:
+            s = str(s)
+            if prev is not None:
+                pair = (prev, s)
+                counts[pair] = counts.get(pair, 0) + 1
+            prev = s
+        state.update((prev,))
+        yield pd.DataFrame(
+            [(int(k), a, b, n) for (a, b), n in counts.items()],
+            columns=["key", "src", "dst", "n"],
+        )
+
+    return fn
+
+
+def streaming_markov(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Streaming lag-1 transition counts: the stateful twin of
+    ``operators.markov.transition_counts``. State per key is ONE
+    string — the last event's state under the (ts, event_id) order —
+    so the cross-micro-batch (and cross-checkpoint-restart) boundary
+    transition is stitched exactly where the batch window's lag would
+    pair it. Each micro-batch emits its per-key (src, dst) partial
+    counts (append mode); partial counts are mergeable by summation,
+    so summing the emitted rows reproduces the batch transition
+    relation row for row on an in-order replay.
+
+    Ordering caveat (shared with streaming_sessionize): rows sort by
+    event time within a micro-batch; cross-batch late data would
+    pair differently than a batch recomputation.
+
+    Input needs (``key_col``, ts, event_id, ``state_col``). Output:
+    (key, src, dst, n) partials per micro-batch.
+    """
+    from pyspark.sql import functions as F
+
+    prepped = stream.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.col(state_col).cast("string").alias("s"),
+    )
+    return prepped.groupBy("key").applyInPandasWithState(
+        _markov_fn(),
+        outputStructType=MARKOV_OUTPUT,
+        stateStructType=MARKOV_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
