@@ -3929,6 +3929,42 @@ def q_parts_skyline(spark, sf_dir):
     return skyline2d(p, "price_cents", "size", bucket_width=10_000)
 
 
+def q_embed_pca_dir(spark, sf_dir):
+    """Dominant embedding axis by single-pass integer PCA: per-batch
+    int64 Gram partials (mapInPandas — d² longs per batch, the corpus
+    never shuffles), centered about floored means with an exact
+    integer identity, scaled to Md = M div n, then 3 unrolled power-
+    iteration rounds with max-norm integer re-normalization (the
+    `hits_bipartite` quotient trick — no sqrt, no decimal division).
+    All BIGINT with truncating division, so the CTE oracle replays
+    bitwise. Output: (i, v) — the fixed-point eigenvector."""
+    from unitdb_spark.operators.pca import power_iteration, second_moment
+
+    md, _, _ = second_moment(_emb(spark, sf_dir), dim=64)
+    return power_iteration(md, dim=64)
+
+
+def q_embed_pca_proj(spark, sf_dir):
+    """Every vector's coordinate along the dominant axis (drift /
+    diversity / outlier triage surface): proj = Σ (x_i − μ_i)·v_i
+    over quantized components — one posexplode + two broadcast joins
+    + one agg on top of `embed_pca_dir`'s eigenvector. Label kept for
+    interpretability. Integer-exact end to end."""
+    from unitdb_spark.operators.pca import (
+        pca_project,
+        power_iteration,
+        second_moment,
+    )
+
+    emb = _emb(spark, sf_dir)
+    md, mu, _ = second_moment(emb, dim=64)
+    v = power_iteration(md, dim=64)
+    proj = pca_project(emb, mu, v)
+    return proj.join(
+        emb.select(F.col("vec_id").alias("id"), "label"), "id"
+    ).select(F.col("id").alias("vec_id"), "proj", F.col("label").cast("int").alias("label"))
+
+
 def q_streamed_markov(spark, sf_dir):
     """Driver-checkable twin of STREAMING Markov transition counting:
     events replay as two in-order checkpointed runs (midpoint split,
@@ -5268,6 +5304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_hits": q_parts_hits,
         "parts_link_pred": q_parts_link_pred,
         "streamed_markov": q_streamed_markov,
+        "embed_pca_dir": q_embed_pca_dir,
+        "embed_pca_proj": q_embed_pca_proj,
     }
 
 
@@ -6309,6 +6347,8 @@ def oracle_sql() -> dict[str, str]:
         FROM j GROUP BY k
         """,
         "parts_kcore": _kcore_oracle(),
+        "embed_pca_dir": _pca_oracle("dir"),
+        "embed_pca_proj": _pca_oracle("proj"),
         "parts_hits": _hits_oracle(),
         "parts_link_pred": """
         WITH g AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
@@ -10722,6 +10762,62 @@ _MARKOV_MATRIX_SQL = """
           CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY src))
                AS BIGINT) AS p_ppm
         FROM t
+        """
+
+
+def _pca_oracle(kind: str, iters: int = 3) -> str:
+    """`embed_pca_dir` / `embed_pca_proj` replay: quantize (the same
+    correctly-rounded double floor), center about floored means via
+    the exact integer identity, scale by // n, unroll the same
+    power-iteration rounds with the max-norm integer quotient. All
+    BIGINT, truncating division both engines — bitwise."""
+    steps = []
+    prev = "v0"
+    for k in range(1, iters + 1):
+        steps.append(f"""w{k} AS (
+          SELECT md.i, CAST(sum(md.m * {prev}.v) AS BIGINT) AS w
+          FROM md JOIN {prev} ON md.j = {prev}.i GROUP BY md.i
+        ), v{k} AS (
+          SELECT i, CAST(w // (SELECT greatest(1, max(abs(w)) // 1000000)
+                               FROM w{k}) AS BIGINT) AS v
+          FROM w{k}
+        )""")
+        prev = f"v{k}"
+    prefix = """
+        WITH comp AS (
+          SELECT vec_id, r.i AS i,
+            CAST(floor(CAST(embedding[r.i + 1] AS DOUBLE) * 10000)
+                 AS BIGINT) AS x
+          FROM embeddings, range(64) r(i)
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        s AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM comp GROUP BY i),
+        mu AS (SELECT i, CAST(s // (SELECT n FROM nn) AS BIGINT) AS mu, s
+               FROM s),
+        gram AS (SELECT a.i AS i, b.i AS j,
+                   CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+                 FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+                 GROUP BY 1, 2),
+        md AS (SELECT g.i, g.j,
+                 CAST((g.sxy - mi.mu * mj.s - mj.mu * mi.s
+                       + (SELECT n FROM nn) * mi.mu * mj.mu)
+                      // (SELECT n FROM nn) AS BIGINT) AS m
+               FROM gram g
+               JOIN mu mi ON g.i = mi.i JOIN mu mj ON g.j = mj.i),
+        v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS v FROM s),
+        """ + ",\n".join(steps)
+    if kind == "dir":
+        return prefix + f"""
+        SELECT i, v FROM v{iters}
+        """
+    return prefix + f"""
+        SELECT c.vec_id, CAST(sum((c.x - mu.mu) * vf.v) AS BIGINT) AS proj,
+               CAST(any_value(e.label) AS INTEGER) AS label
+        FROM comp c
+        JOIN mu ON c.i = mu.i
+        JOIN v{iters} vf ON c.i = vf.i
+        JOIN embeddings e ON c.vec_id = e.vec_id
+        GROUP BY c.vec_id
         """
 
 

@@ -6411,3 +6411,89 @@ class TestLinkPrediction:
             for r in link_prediction(self._sym(spark, und)).collect()
         }
         assert got == want
+
+
+class TestPca:
+    def _model(self, vecs, quant=10_000, scale=1_000_000, iters=3):
+        """Independent integer-exact replay of the fixed-point PCA."""
+        import numpy as np
+
+        def tdiv(a, b):
+            # truncating division (Spark div / DuckDB //), elementwise
+            return np.trunc(np.asarray(a, dtype=object) / b).astype(object)
+
+        q = np.floor(np.asarray(vecs, dtype=np.float64) * quant).astype(object)
+        n, d = q.shape
+        s = q.sum(axis=0)
+        mu = np.array([int(x) // n if x >= 0 else -((-int(x)) // n) for x in s],
+                      dtype=object)
+        gram = q.T @ q
+        m = np.empty((d, d), dtype=object)
+        for i in range(d):
+            for j in range(d):
+                t = (gram[i, j] - mu[i] * s[j] - mu[j] * s[i]
+                     + n * mu[i] * mu[j])
+                m[i, j] = t // n if t >= 0 else -((-t) // n)
+        v = np.full(d, scale, dtype=object)
+        for _ in range(iters):
+            w = m @ v
+            qq = max(1, max(abs(int(x)) for x in w) // scale)
+            v = np.array([int(x) // qq if x >= 0 else -((-int(x)) // qq)
+                          for x in w], dtype=object)
+        proj = [
+            int(sum((int(q[r, i]) - int(mu[i])) * int(v[i]) for i in range(d)))
+            for r in range(n)
+        ]
+        return [int(x) for x in v], proj
+
+    def test_matches_python_model(self, spark):
+        import random
+
+        from unitdb_spark.operators.pca import (
+            pca_project,
+            power_iteration,
+            second_moment,
+        )
+
+        rng = random.Random(3)
+        d = 8
+        vecs = [
+            [rng.uniform(-0.5, 0.5) + (0.3 if i < 2 else 0.0) for i in range(d)]
+            for _ in range(40)
+        ]
+        rows = [(k, [float(x) for x in v]) for k, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        # float32 storage: the model must quantize the float32-rounded values
+        stored = [
+            [float(x) for x in r.embedding]
+            for r in df.orderBy("vec_id").collect()
+        ]
+        want_v, want_proj = self._model(stored)
+        md, mu, _ = second_moment(df, dim=d)
+        v = power_iteration(md, dim=d)
+        got_v = {r.i: r.v for r in v.collect()}
+        assert [got_v[i] for i in range(d)] == want_v
+        got_proj = {
+            r.id: r.proj for r in pca_project(df, mu, v).collect()
+        }
+        assert [got_proj[k] for k in range(len(stored))] == want_proj
+
+    def test_dominant_axis_found(self, spark):
+        """Variance concentrated on one axis: the fixed-point
+        eigenvector must put its largest |component| there."""
+        import random
+
+        from unitdb_spark.operators.pca import power_iteration, second_moment
+
+        rng = random.Random(11)
+        rows = [
+            (k, [rng.uniform(-0.9, 0.9)] + [rng.uniform(-0.05, 0.05)
+                                            for _ in range(5)])
+            for k in range(60)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        md, _, _ = second_moment(df, dim=6)
+        v = {r.i: abs(r.v) for r in power_iteration(md, dim=6).collect()}
+        assert v[0] == max(v.values()) and v[0] > 2 * max(
+            v[i] for i in range(1, 6)
+        )
