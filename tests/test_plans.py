@@ -991,3 +991,100 @@ class TestRound5FinalPlans:
         out = reciprocal_rank_fusion([a, a], "q", "i", "rank")
         assert not has_python_eval(out)
         assert shuffle_count(out) <= 2  # fuse agg + re-rank window
+
+
+class TestSessionPlans6b:
+    """Plan pins for the round-6 second-session additions."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_markov_matrix_one_window_one_agg_no_python(self, spark):
+        """The transition matrix: a key-partitioned window + a pair
+        agg — no Python, no cartesian, bounded shuffle count."""
+        from unitdb_spark.operators.markov import transition_matrix
+
+        ev = spark.read.parquet(f"{self.SF}/events.parquet")
+        out = transition_matrix(ev, "user_id", "event_type", "ts", "event_id")
+        plan = formatted_plan(out)
+        assert "CartesianProduct" not in plan
+        assert not has_python_eval(out)
+
+    def test_typicality_matrix_side_broadcast(self, spark):
+        """The states^2 matrix joins the corpus via broadcast — the
+        pairing side never shuffles for the matrix."""
+        from unitdb_spark.operators.markov import (
+            sequence_typicality,
+            transition_matrix,
+        )
+
+        ev = spark.read.parquet(f"{self.SF}/events.parquet")
+        m = transition_matrix(ev, "user_id", "event_type", "ts", "event_id")
+        out = sequence_typicality(ev, m, "user_id", "event_type", "ts", "event_id")
+        plan = formatted_plan(out)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert not has_python_eval(out)
+
+    def test_kcore_no_python_no_cross(self, spark):
+        from unitdb_spark.operators.graph import cooccurrence_edges, kcore
+
+        li = spark.read.parquet(f"{self.SF}/lineitem.parquet")
+        out = kcore(cooccurrence_edges(li, "l_orderkey", "l_partkey"),
+                    k=2, rounds=2, persist="none")
+        plan = formatted_plan(out)
+        assert "CartesianProduct" not in plan
+        assert not has_python_eval(out)
+
+    def test_skyline_stage1_window_is_partitioned(self, spark):
+        """Stage 1's staircase windows are partitioned by bucket —
+        the corpus never sorts globally; only the survivor pass may
+        be a single partition (plan-audit allowlisted)."""
+        from unitdb_spark.operators.skyline import skyline2d
+        from pyspark.sql import functions as F
+
+        p = spark.read.parquet(f"{self.SF}/part.parquet").select(
+            "p_partkey",
+            F.expr(
+                "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("pc"),
+            "p_size",
+        )
+        out = skyline2d(p, "pc", "p_size", bucket_width=10_000)
+        plan = formatted_plan(out)
+        assert "hashpartitioning(_bkt" in plan  # stage-1 window keyed by bucket
+        assert "CartesianProduct" not in plan
+        assert not has_python_eval(out)
+
+    def test_pca_partials_are_the_only_python_and_hits_none(self, spark):
+        """PCA's mapInPandas partials are the sanctioned Arrow kernel;
+        the HITS loop is pure JVM (integer div + broadcast totals)."""
+        from unitdb_spark.operators.graph import hits_bipartite
+        from unitdb_spark.operators.pca import power_iteration, second_moment
+
+        emb = spark.read.parquet(f"{self.SF}/embeddings.parquet")
+        md, mu, _ = second_moment(emb, dim=64)
+        v = power_iteration(md, dim=64, iterations=1)
+        assert "CartesianProduct" not in formatted_plan(v)
+
+        o = spark.read.parquet(f"{self.SF}/orders.parquet")
+        li = spark.read.parquet(f"{self.SF}/lineitem.parquet")
+        e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+            "o_custkey", "l_partkey"
+        )
+        out = hits_bipartite(e, "o_custkey", "l_partkey", iterations=1,
+                             persist="none")
+        assert not has_python_eval(out)
+        assert "CartesianProduct" not in formatted_plan(out)
+
+    def test_link_pred_keyed_joins_only(self, spark):
+        from unitdb_spark.operators.graph import (
+            cooccurrence_edges,
+            link_prediction,
+        )
+
+        li = spark.read.parquet(f"{self.SF}/lineitem.parquet")
+        out = link_prediction(cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+        plan = formatted_plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert not has_python_eval(out)

@@ -603,3 +603,70 @@ class TestModularityProperty:
             q += e_c / m - (d_c / (2 * m)) ** 2
         # per-community floors bias by < n_communities micro
         assert abs(q_micro - q * 1_000_000) <= len(set(comm.values())) + 1
+
+
+class TestSkylineProperty:
+    @given(
+        pts=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=10),
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        width=st.sampled_from([1, 3, 1000]),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_quadratic_model(self, spark, pts, width):
+        """skyline2d == the NOT EXISTS dominance model for every
+        random point set and any bucket width (incl. duplicates and
+        full-tie columns)."""
+        from unitdb_spark.operators.skyline import skyline2d
+
+        rows = [(k, a, b) for k, (a, b) in enumerate(pts)]
+        df = spark.createDataFrame(rows, "id long, a long, b int")
+        got = {r.id for r in skyline2d(df, "a", "b", bucket_width=width).collect()}
+        want = {
+            k
+            for (k, a, b) in rows
+            if not any(
+                a2 <= a and b2 >= b and (a2 < a or b2 > b)
+                for (_, a2, b2) in rows
+            )
+        }
+        assert got == want
+
+
+class TestMarkovProperty:
+    @given(
+        seqs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),   # key
+                st.sampled_from("abc"),                  # state
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_counts_match_model(self, spark, seqs):
+        """Transition counts == the per-key adjacent-pair model under
+        the (ts, tiebreak) total order (ts = list index here)."""
+        from unitdb_spark.operators.markov import transition_counts
+
+        rows = [(k, i, s) for i, (k, s) in enumerate(seqs)]
+        df = spark.createDataFrame(rows, "k long, ts long, s string")
+        got = {
+            (r.src, r.dst): r.n
+            for r in transition_counts(df, "k", "s", "ts", "ts").collect()
+        }
+        want: dict = {}
+        per_key: dict = {}
+        for k, i, s in rows:
+            per_key.setdefault(k, []).append((i, s))
+        for k, evs in per_key.items():
+            evs.sort()
+            for (_, a), (_, b) in zip(evs, evs[1:]):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        assert got == want
