@@ -3965,6 +3965,43 @@ def q_embed_pca_proj(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"), "proj", F.col("label").cast("int").alias("label"))
 
 
+def q_streamed_pca(spark, sf_dir):
+    """Driver-checkable twin of CONTINUOUS integer PCA: the embedding
+    corpus replays as two checkpointed runs (halved on vec_id) whose
+    d²-long Gram partials merge into the commit-logged state
+    (integer sums — batch-equal however the stream splits); the read
+    side finishes through the batch code path (moment_finish +
+    power_iteration). Oracle = `embed_pca_dir`'s SQL VERBATIM — a
+    hash-match proves streamed fold == batch PCA bitwise."""
+    import tempfile
+
+    from unitdb_spark.streaming.continuous import (
+        continuous_gram,
+        read_pca_dir,
+    )
+
+    spark = _pin_utc(spark)
+    base = tempfile.mkdtemp(prefix="pca_twin_")
+    src, cp, state = f"{base}/src", f"{base}/cp", f"{base}/state"
+    emb = _emb(spark, sf_dir)
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
+
+    def run(part_df):
+        part_df.coalesce(1).write.mode("append").parquet(src)
+        q = continuous_gram(
+            spark.readStream.schema(part_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            state,
+            cp,
+        )
+        q.awaitTermination(300)
+
+    run(emb.filter(F.col("vec_id") <= mid))
+    run(emb.filter(F.col("vec_id") > mid))
+    return read_pca_dir(spark, state)
+
+
 def q_streamed_markov(spark, sf_dir):
     """Driver-checkable twin of STREAMING Markov transition counting:
     events replay as two in-order checkpointed runs (midpoint split,
@@ -5306,6 +5343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_markov": q_streamed_markov,
         "embed_pca_dir": q_embed_pca_dir,
         "embed_pca_proj": q_embed_pca_proj,
+        "streamed_pca": q_streamed_pca,
     }
 
 
@@ -6348,6 +6386,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parts_kcore": _kcore_oracle(),
         "embed_pca_dir": _pca_oracle("dir"),
+        "streamed_pca": _pca_oracle("dir"),
         "embed_pca_proj": _pca_oracle("proj"),
         "parts_hits": _hits_oracle(),
         "parts_link_pred": """

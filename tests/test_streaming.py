@@ -1697,3 +1697,44 @@ class TestStreamingMarkov:
             ).collect()
         }
         assert streamed == want
+
+
+class TestContinuousGram:
+    def test_rolling_gram_matches_batch_bitwise_across_restart(
+        self, spark, tmp_path
+    ):
+        """Two checkpointed runs (first half of the corpus, then the
+        rest): the merged Gram state finished through the shared
+        batch path must equal batch PCA over the full table bit for
+        bit — integer partials merge by summation, split-independent."""
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.pca import power_iteration, second_moment
+        from unitdb_spark.streaming.continuous import (
+            continuous_gram,
+            read_pca_dir,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        src = str(tmp_path / "src")
+        cp = str(tmp_path / "cp")
+        state = str(tmp_path / "state")
+        mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).collect()[0][0]
+
+        def run(part_df):
+            part_df.coalesce(1).write.mode("append").parquet(src)
+            q = continuous_gram(
+                spark.readStream.schema(part_df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                state,
+                cp,
+            )
+            q.awaitTermination(120)
+
+        run(emb.filter(F.col("vec_id") <= mid))
+        run(emb.filter(F.col("vec_id") > mid))
+        got = {r.i: r.v for r in read_pca_dir(spark, state).collect()}
+        md, _, _ = second_moment(emb)
+        want = {r.i: r.v for r in power_iteration(md).collect()}
+        assert got == want

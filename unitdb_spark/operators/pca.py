@@ -90,6 +90,24 @@ def _partials_fn(vec_col: str, dim: int, quant: int):
     return fn
 
 
+def gram_partials(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    quant: int = PCA_QUANT,
+) -> DataFrame:
+    """The summed (i, j, v) partial relation: Gram cells (i, j ≥ 0),
+    component sums (j = −1), row count (i = j = −1). MERGEABLE by
+    summation — the streaming twin folds exactly these rows into its
+    commit-logged state."""
+    partials = df.mapInPandas(
+        _partials_fn(vec_col, dim, quant), schema="i long, j long, v long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("v").cast("long").alias("v")
+    )
+
+
 def second_moment(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -105,10 +123,15 @@ def second_moment(
     - nrel: 1-row (n).
     Each batch ships d² + d + 1 longs; the corpus never shuffles.
     """
-    partials = df.mapInPandas(
-        _partials_fn(vec_col, dim, quant), schema="i long, j long, v long"
-    )
-    tot = partials.groupBy("i", "j").agg(F.sum("v").cast("long").alias("v"))
+    return moment_finish(gram_partials(df, vec_col, dim, quant))
+
+
+def moment_finish(
+    tot: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Center + scale the summed partial relation (shared verbatim by
+    the batch path and the streaming twin's read side, so the rolled
+    state finishes into bit-identical results)."""
     nrel = tot.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
         F.col("v").alias("n")
     )

@@ -557,3 +557,60 @@ def read_holt(
         F.expr("CAST(unix_date(_d) AS BIGINT)").alias("day"),
     ).agg(F.sum("_c").alias("y"))
     return holt_linear(days, key_col, t_col="day", y_col="y")
+
+
+# ------------------------------------------------ rolling integer PCA
+#
+# The embedding corpus's dominant axis as a continuously-maintained
+# dashboard: the (i, j, v) Gram/sum/count partial relation from
+# operators.pca is MERGEABLE by summation (integer sums — batch-equal
+# however the stream splits), so the commit-logged fold holds d² + d
+# + 1 longs of state regardless of corpus size, and the read side
+# finishes through the batch code path (moment_finish +
+# power_iteration) — the streamed eigenvector IS the batch
+# eigenvector, bit for bit.
+
+
+def continuous_gram(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    trigger_available_now: bool = True,
+):
+    """Maintain the versioned integer Gram state over a vector
+    stream; read the rolling dominant axis with ``read_pca_dir``.
+    Returns the StreamingQuery."""
+    from unitdb_spark.operators.pca import PCA_QUANT, gram_partials
+
+    def partials(b: DataFrame) -> DataFrame:
+        return gram_partials(b, vec_col, dim, PCA_QUANT)
+
+    def merge(prev: DataFrame, p: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(p)
+            .groupBy("i", "j")
+            .agg(F.sum("v").cast("long").alias("v"))
+        )
+
+    return _run_maintainer(
+        stream, state_path, checkpoint, partials, merge, trigger_available_now
+    )
+
+
+def read_pca_dir(spark, state_path: str, dim: int = 64) -> DataFrame:
+    """The dominant embedding axis over the committed Gram state —
+    centering, scaling and the unrolled power iteration all run
+    through the batch operator's shared code path
+    (operators.pca.moment_finish / power_iteration) over the d²-row
+    state relation: read cost is control-plane sized, never a corpus
+    rescan."""
+    from unitdb_spark.operators.pca import moment_finish, power_iteration
+
+    cur = latest_commit(spark, state_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed gram state under {state_path}")
+    tot = spark.read.parquet(_snap_path(state_path, *cur))
+    md, _, _ = moment_finish(tot)
+    return power_iteration(md, dim=dim)
