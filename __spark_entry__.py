@@ -3888,6 +3888,56 @@ def q_events_markov_anomaly(spark, sf_dir):
     )
 
 
+def q_events_markov_eval(spark, sf_dir):
+    """Markov next-event prediction audit: train on the first half
+    (argmax next state per source, count DESC / dst ASC tie-break),
+    score on transitions inside the second half — per-source test
+    counts, hits, and floor-ppm accuracy. The train/test complement
+    of `events_markov_anomaly`, all integer."""
+    from pyspark.sql import Window
+
+    from unitdb_spark.operators.markov import transition_counts
+
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    train = transition_counts(
+        ev.filter(F.col("ts") < cutoff),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+    pred = (
+        train.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("src", F.col("dst").alias("_pred"))
+    )
+    test = transition_counts(
+        ev.filter(F.col("ts") >= cutoff),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    return (
+        test.join(F.broadcast(pred), "src", "left")
+        .groupBy("src")
+        .agg(
+            F.sum("n").cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("dst") == F.col("_pred"), F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "src",
+            "n_test",
+            "n_correct",
+            F.floor(F.col("n_correct") * F.lit(1_000_000) / F.col("n_test"))
+            .cast("long")
+            .alias("acc_ppm"),
+        )
+    )
+
+
 def q_parts_kcore(spark, sf_dir):
     """3-core of the thresholded co-purchase graph by bounded-round
     peeling (3 synchronous rounds, same determinism contract as
@@ -4810,6 +4860,20 @@ def q_doc_token_budget(spark, sf_dir):
     )
 
 
+def q_doc_temperature_mix(spark, sf_dir):
+    """Temperature-weighted (α=1/2) token-budget split across
+    document sources (Conneau '19 XLM sampling): EXACT integer
+    square-root weights (libm-seeded, boundary-corrected) +
+    largest-remainder apportionment, so allocations are integers
+    summing to exactly the budget — the reshaping companion of
+    `doc_token_budget`'s capping allocator."""
+    from unitdb_spark.operators.mixture import temperature_allocation
+
+    return temperature_allocation(
+        _docs(spark, sf_dir), "source", "n_chars", budget=100_000
+    )
+
+
 def q_doc_quantile_map(spark, sf_dir):
     """Quantile normalization: src0's documents mapped onto the GLOBAL
     n_chars distribution at the same quantile — cross-source score
@@ -5344,6 +5408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pca_dir": q_embed_pca_dir,
         "embed_pca_proj": q_embed_pca_proj,
         "streamed_pca": q_streamed_pca,
+        "doc_temperature_mix": q_doc_temperature_mix,
+        "events_markov_eval": q_events_markov_eval,
     }
 
 
@@ -6385,6 +6451,73 @@ def oracle_sql() -> dict[str, str]:
         FROM j GROUP BY k
         """,
         "parts_kcore": _kcore_oracle(),
+        "doc_temperature_mix": """
+        WITH per AS (
+          SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1
+        ), seed AS (
+          SELECT source, n_tokens,
+            CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+          FROM per
+        ), wts AS (
+          SELECT source, n_tokens,
+            CAST(CASE WHEN s0 * s0 > n_tokens THEN s0 - 1
+                 WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+                 ELSE s0 END AS BIGINT) AS w
+          FROM seed
+        ), tw AS (
+          SELECT source, n_tokens, w,
+            CAST(sum(w) OVER () AS BIGINT) AS ww FROM wts
+        ), based AS (
+          SELECT source, n_tokens, w,
+            CAST((100000 * w) // ww AS BIGINT) AS base,
+            CAST((100000 * w) % ww AS BIGINT) AS rem
+          FROM tw
+        ), rk AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+            CAST(100000 - sum(base) OVER () AS BIGINT) AS leftover
+          FROM based
+        )
+        SELECT source, n_tokens, w,
+          CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+               AS BIGINT) AS alloc
+        FROM rk
+        """,
+        "events_markov_eval": """
+        WITH tr AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS src, event_type AS dst
+          FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        ), tc AS (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+          FROM tr WHERE src IS NOT NULL GROUP BY 1, 2
+        ), pred AS (
+          SELECT src, dst AS pred FROM (
+            SELECT src, dst,
+              row_number() OVER (PARTITION BY src
+                                 ORDER BY n DESC, dst) AS rn
+            FROM tc
+          ) WHERE rn = 1
+        ), te AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS src, event_type AS dst
+          FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        ), tt AS (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+          FROM te WHERE src IS NOT NULL GROUP BY 1, 2
+        ), j AS (
+          SELECT tt.src, CAST(sum(tt.n) AS BIGINT) AS n_test,
+            CAST(sum(CASE WHEN tt.dst = p.pred THEN tt.n ELSE 0 END)
+                 AS BIGINT) AS n_correct
+          FROM tt LEFT JOIN pred p ON tt.src = p.src
+          GROUP BY tt.src
+        )
+        SELECT src, n_test, n_correct,
+          CAST(floor(n_correct * 1000000 / n_test) AS BIGINT) AS acc_ppm
+        FROM j
+        """,
         "embed_pca_dir": _pca_oracle("dir"),
         "streamed_pca": _pca_oracle("dir"),
         "embed_pca_proj": _pca_oracle("proj"),

@@ -6497,3 +6497,49 @@ class TestPca:
         assert v[0] == max(v.values()) and v[0] > 2 * max(
             v[i] for i in range(1, 6)
         )
+
+
+class TestTemperatureAllocation:
+    def test_sqrt_flattens_and_sums_to_budget(self, spark):
+        """9:1 corpus at alpha=1/2 splits 3:1 (isqrt weights), and the
+        largest-remainder step makes the allocations sum EXACTLY."""
+        from unitdb_spark.operators.mixture import temperature_allocation
+
+        rows = [("big", 900), ("small", 100)]
+        df = spark.createDataFrame(rows, "src string, tok long")
+        got = {
+            r.source: r
+            for r in temperature_allocation(df, "src", "tok", 1000).collect()
+        }
+        assert got["big"].w == 30 and got["small"].w == 10
+        assert got["big"].alloc == 750 and got["small"].alloc == 250
+        assert sum(r.alloc for r in got.values()) == 1000
+
+    def test_largest_remainder_exact_and_deterministic(self, spark):
+        """Budget 10 over three equal sources: 3/3/3 base + one
+        remainder unit to the smallest key among equal remainders."""
+        from unitdb_spark.operators.mixture import temperature_allocation
+
+        rows = [("a", 49), ("b", 49), ("c", 49)]
+        df = spark.createDataFrame(rows, "src string, tok long")
+        got = {
+            r.source: r.alloc
+            for r in temperature_allocation(df, "src", "tok", 10).collect()
+        }
+        assert sum(got.values()) == 10
+        assert got == {"a": 4, "b": 3, "c": 3}
+
+    def test_isqrt_boundary_exact(self, spark):
+        """Perfect squares and off-by-one counts get the true integer
+        sqrt (the boundary-corrected expression, not raw libm)."""
+        from unitdb_spark.operators.mixture import temperature_allocation
+
+        rows = [("p", 10**14), ("q", 10**14 - 1), ("r", 10**14 + 1)]
+        df = spark.createDataFrame(rows, "src string, tok long")
+        got = {
+            r.source: r.w
+            for r in temperature_allocation(df, "src", "tok", 100).collect()
+        }
+        assert got["p"] == 10**7
+        assert got["q"] == 10**7 - 1
+        assert got["r"] == 10**7

@@ -43,6 +43,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "orders_lorenz": "cumulative-share window over the per-customer totals relation",
     "doc_source_infogain": "entropy windows over the (source x label) cells relation",
     "doc_token_budget": "water-filling rank window over the per-source totals relation",
+    "doc_temperature_mix": "largest-remainder apportionment windows over the per-source totals relation",
     "doc_quantile_map": "global rank sorts documented with the 100 TB swap (pre-computed reference boundaries)",
     "media_dup_modularity": "degree/total windows over the dup-cluster edge relation (near-dup pairs, not docs)",
     "events_pettitt": "doubled-midrank and U_t windows over the series' distinct-value/day relations",

@@ -192,3 +192,89 @@ def token_budget_allocation(
         "source", "n_tokens", "level", "alloc",
         (spendable - spent).cast("long").alias("leftover"),
     )
+
+
+#: exact integer square root as a Column expression: floor(sqrt(n))
+#: seeded by libm then CORRECTED at the boundaries, so the result is
+#: the true isqrt regardless of either engine's sqrt rounding.
+def _isqrt_expr(n: str) -> str:
+    s0 = f"CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN {s0} * {s0} > {n} THEN {s0} - 1 "
+        f"WHEN ({s0} + 1) * ({s0} + 1) <= {n} THEN {s0} + 1 "
+        f"ELSE {s0} END)"
+    )
+
+
+def temperature_allocation(
+    df: DataFrame,
+    source_col: str,
+    weight_col: str,
+    budget: int,
+    temperature: str = "sqrt",
+) -> DataFrame:
+    """Temperature-weighted token-budget split across sources:
+    alloc_i ∝ n_i^α with α = 1/2 (``temperature="sqrt"`` — the
+    standard multilingual up-sampling exponent) or α = 1
+    (``"linear"`` — proportional). The water-filling allocator caps
+    dominant sources at a level; the temperature allocator instead
+    RESHAPES the whole distribution — flatter than proportional,
+    heavier than uniform (Conneau '19 XLM-style sampling).
+
+    Exactness: weights are EXACT integer square roots (libm-seeded,
+    boundary-corrected — no perfect-square ulp risk), and the split
+    is largest-remainder apportionment: base_i = B·w_i div W, then
+    the leftover units go to the largest remainders (B·w_i mod W,
+    ties to the smaller source key) — allocations are integers that
+    sum to EXACTLY the budget, and every step is replayable SQL.
+
+    Output: (source, n_tokens, w, alloc) — Σ alloc = budget.
+    Scale: one partial-agg shuffle; apportionment runs on the source
+    relation (dataset-card-sized; global windows allowlisted like
+    `group_shares`).
+    """
+    from pyspark.sql import Window
+
+    if temperature not in ("sqrt", "linear"):
+        raise ValueError("temperature must be 'sqrt' or 'linear'")
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("n_tokens")
+    )
+    w_expr = (
+        F.expr(_isqrt_expr("n_tokens"))
+        if temperature == "sqrt"
+        else F.col("n_tokens")
+    )
+    wall = Window.partitionBy()
+    weighted = per.select(
+        "source", "n_tokens", w_expr.cast("long").alias("w")
+    ).select(
+        "source", "n_tokens", "w", F.sum("w").over(wall).alias("_W")
+    )
+    b = F.lit(int(budget))
+    based = weighted.select(
+        "source",
+        "n_tokens",
+        "w",
+        F.expr(f"({int(budget)} * w) div _W").cast("long").alias("_base"),
+        ((b * F.col("w")) % F.col("_W")).cast("long").alias("_rem"),
+    )
+    w_rank = Window.orderBy(F.desc("_rem"), F.asc("source"))
+    ranked = based.select(
+        "*",
+        F.row_number().over(w_rank).alias("_rk"),
+        (b - F.sum("_base").over(wall)).cast("long").alias("_left"),
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        "w",
+        (
+            F.col("_base")
+            + F.when(F.col("_rk") <= F.col("_left"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
