@@ -4156,6 +4156,58 @@ def q_parts_link_pred(spark, sf_dir):
     return link_prediction(edges, min_common=2)
 
 
+def q_parts_link_eval(spark, sf_dir):
+    """Forward-holdout audit of common-neighbor link prediction: the
+    co-purchase graph built from orders BEFORE 1998-05-01 (fixed
+    literal, no global ntile) proposes distance-2 candidates
+    (min_common=1); each is checked against the AFTER graph — per
+    shared-neighbor-count bucket, candidate count, realized count and
+    floor-ppm precision. The evaluative companion of
+    `parts_link_pred`: does the score actually predict future
+    co-purchases?"""
+    from unitdb_spark.operators.graph import (
+        cooccurrence_edges,
+        link_prediction,
+        weighted_cooccurrence_edges,
+    )
+
+    cutoff = F.lit("1998-05-01").cast("timestamp")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    h1 = j.filter(F.col("o_orderdate") < cutoff)
+    h2 = j.filter(F.col("o_orderdate") >= cutoff)
+    e1 = weighted_cooccurrence_edges(
+        h1, "l_orderkey", "l_partkey", min_count=2
+    ).select("src", "dst")
+    cand = link_prediction(e1, min_common=1)
+    e2 = (
+        cooccurrence_edges(h2, "l_orderkey", "l_partkey")
+        .filter(F.col("src") < F.col("dst"))
+        .withColumn("_hit", F.lit(1))
+    )
+    scored = cand.join(e2, ["src", "dst"], "left")
+    return (
+        scored.groupBy("n_common")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_realized"),
+        )
+        .select(
+            "n_common",
+            "n_cand",
+            "n_realized",
+            F.floor(
+                F.col("n_realized") * F.lit(1_000_000) / F.col("n_cand")
+            )
+            .cast("long")
+            .alias("prec_ppm"),
+        )
+    )
+
+
 def q_media_wav_pcm(spark, sf_dir):
     """REAL sample kernel: the WAV blobs in the synthetic media fixture
     (doc_id % 5 == 3) carry actual 16-bit PCM — decode the samples and
@@ -5410,6 +5462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_pca": q_streamed_pca,
         "doc_temperature_mix": q_doc_temperature_mix,
         "events_markov_eval": q_events_markov_eval,
+        "parts_link_eval": q_parts_link_eval,
     }
 
 
@@ -6522,6 +6575,46 @@ def oracle_sql() -> dict[str, str]:
         "streamed_pca": _pca_oracle("dir"),
         "embed_pca_proj": _pca_oracle("proj"),
         "parts_hits": _hits_oracle(),
+        "parts_link_eval": """
+        WITH j AS (
+          SELECT l.l_orderkey AS o, l.l_partkey AS i, o2.o_orderdate AS d
+          FROM lineitem l JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+        ),
+        g1 AS (SELECT DISTINCT o, i FROM j
+               WHERE d < TIMESTAMP '1998-05-01'),
+        p1 AS (SELECT a.i AS s, b.i AS d
+               FROM g1 a JOIN g1 b ON a.o = b.o AND a.i < b.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        e1 AS (SELECT s, d FROM p1 UNION ALL SELECT d, s FROM p1),
+        deg AS (SELECT s AS a, CAST(count(*) AS BIGINT) AS dg
+                FROM e1 GROUP BY s),
+        cand AS (
+          SELECT l.s AS a, r.d AS b, CAST(count(*) AS BIGINT) AS n_common
+          FROM e1 l JOIN e1 r ON l.d = r.s AND l.s < r.d
+          GROUP BY 1, 2 HAVING count(*) >= 1
+        ),
+        ne AS (
+          SELECT c.a, c.b, c.n_common FROM cand c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM e1 WHERE e1.s = c.a AND e1.d = c.b
+          )
+        ),
+        g2 AS (SELECT DISTINCT o, i FROM j
+               WHERE d >= TIMESTAMP '1998-05-01'),
+        e2 AS (SELECT DISTINCT a.i AS s, b.i AS d
+               FROM g2 a JOIN g2 b ON a.o = b.o AND a.i < b.i),
+        sc AS (
+          SELECT ne.n_common,
+            CASE WHEN EXISTS (
+              SELECT 1 FROM e2 WHERE e2.s = ne.a AND e2.d = ne.b
+            ) THEN 1 ELSE 0 END AS hit
+          FROM ne
+        )
+        SELECT n_common, CAST(count(*) AS BIGINT) AS n_cand,
+          CAST(sum(hit) AS BIGINT) AS n_realized,
+          CAST(floor(sum(hit) * 1000000 / count(*)) AS BIGINT) AS prec_ppm
+        FROM sc GROUP BY n_common
+        """,
         "parts_link_pred": """
         WITH g AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
         p0 AS (SELECT a.i AS s, b.i AS d
