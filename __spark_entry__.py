@@ -4226,6 +4226,33 @@ def q_media_wav_pcm(spark, sf_dir):
     )
 
 
+def q_streamed_tempmix(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING temperature mixture: the
+    events stream folds per-event-type counts into the commit-logged
+    key-count state, then the α=1/2 apportionment derives from the
+    committed state through the batch operator's shared code path —
+    a second dashboard off the `streamed_concentration` state shape.
+    Counts merge by SUM, so the oracle is the batch SQL (isqrt +
+    largest-remainder over per-type event counts) verbatim."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_key_counts,
+        read_temperature_mix,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_key_counts(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "event_type",
+        f"{base}/state",
+        f"{base}/cp",
+    )
+    q.awaitTermination(300)
+    return read_temperature_mix(spark, f"{base}/state", budget=100_000)
+
+
 def q_streamed_concentration(spark, sf_dir):
     """Driver-checkable twin of the ROLLING concentration audit: the
     events stream folds per-user counts into a versioned commit-logged
@@ -5463,6 +5490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_temperature_mix": q_doc_temperature_mix,
         "events_markov_eval": q_events_markov_eval,
         "parts_link_eval": q_parts_link_eval,
+        "streamed_tempmix": q_streamed_tempmix,
     }
 
 
@@ -6504,6 +6532,39 @@ def oracle_sql() -> dict[str, str]:
         FROM j GROUP BY k
         """,
         "parts_kcore": _kcore_oracle(),
+        "streamed_tempmix": """
+        WITH per AS (
+          SELECT event_type AS source,
+            CAST(count(*) AS BIGINT) AS n_tokens
+          FROM events GROUP BY 1
+        ), seed AS (
+          SELECT source, n_tokens,
+            CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+          FROM per
+        ), wts AS (
+          SELECT source, n_tokens,
+            CAST(CASE WHEN s0 * s0 > n_tokens THEN s0 - 1
+                 WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+                 ELSE s0 END AS BIGINT) AS w
+          FROM seed
+        ), tw AS (
+          SELECT source, n_tokens, w,
+            CAST(sum(w) OVER () AS BIGINT) AS ww FROM wts
+        ), based AS (
+          SELECT source, n_tokens, w,
+            CAST((100000 * w) // ww AS BIGINT) AS base,
+            CAST((100000 * w) % ww AS BIGINT) AS rem
+          FROM tw
+        ), rk AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+            CAST(100000 - sum(base) OVER () AS BIGINT) AS leftover
+          FROM based
+        )
+        SELECT source, n_tokens, w,
+          CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+               AS BIGINT) AS alloc
+        FROM rk
+        """,
         "doc_temperature_mix": """
         WITH per AS (
           SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens

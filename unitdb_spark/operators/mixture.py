@@ -233,13 +233,25 @@ def temperature_allocation(
     relation (dataset-card-sized; global windows allowlisted like
     `group_shares`).
     """
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("n_tokens")
+    )
+    return temperature_allocation_from_counts(per, budget, temperature)
+
+
+def temperature_allocation_from_counts(
+    per: DataFrame,
+    budget: int,
+    temperature: str = "sqrt",
+) -> DataFrame:
+    """The apportionment over a pre-aggregated (source, n_tokens)
+    relation — shared verbatim by the batch entry point and the
+    streaming twin's read side (per-source counts are mergeable sums,
+    so the rolled state finishes into the batch answer bitwise)."""
     from pyspark.sql import Window
 
     if temperature not in ("sqrt", "linear"):
         raise ValueError("temperature must be 'sqrt' or 'linear'")
-    per = df.groupBy(F.col(source_col).alias("source")).agg(
-        F.sum(F.col(weight_col)).cast("long").alias("n_tokens")
-    )
     w_expr = (
         F.expr(_isqrt_expr("n_tokens"))
         if temperature == "sqrt"

@@ -614,3 +614,23 @@ def read_pca_dir(spark, state_path: str, dim: int = 64) -> DataFrame:
     tot = spark.read.parquet(_snap_path(state_path, *cur))
     md, _, _ = moment_finish(tot)
     return power_iteration(md, dim=dim)
+
+
+def read_temperature_mix(
+    spark, state_path: str, budget: int, temperature: str = "sqrt"
+) -> DataFrame:
+    """Rolling temperature-mixture dashboard over the committed
+    per-key count state (`continuous_key_counts`): the committed
+    counts ARE the batch per-source totals (mergeable sums), and the
+    α=1/2 apportionment runs through the batch operator's shared
+    code path (operators.mixture.temperature_allocation_from_counts)
+    — a second derived dashboard off the same state
+    `read_concentration` audits."""
+    from unitdb_spark.operators.mixture import (
+        temperature_allocation_from_counts,
+    )
+
+    per = read_key_counts(spark, state_path).select(
+        F.col("_k").alias("source"), F.col("_n").cast("long").alias("n_tokens")
+    )
+    return temperature_allocation_from_counts(per, budget, temperature)
