@@ -670,3 +670,37 @@ class TestMarkovProperty:
             for (_, a), (_, b) in zip(evs, evs[1:]):
                 want[(a, b)] = want.get((a, b), 0) + 1
         assert got == want
+
+
+class TestTemperatureAllocationProperty:
+    @given(
+        counts=st.lists(
+            st.integers(min_value=1, max_value=10**12),
+            min_size=1,
+            max_size=8,
+        ),
+        budget=st.integers(min_value=0, max_value=10**9),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_allocations_sum_exactly_and_follow_isqrt(self, spark, counts, budget):
+        """Largest-remainder invariants: Σalloc == budget exactly;
+        every w is the true isqrt; allocation order follows weight
+        order (monotone apportionment)."""
+        import math
+
+        from unitdb_spark.operators.mixture import temperature_allocation
+
+        rows = [(f"s{i}", c) for i, c in enumerate(counts)]
+        df = spark.createDataFrame(rows, "src string, tok long")
+        out = {
+            r.source: r
+            for r in temperature_allocation(df, "src", "tok", budget).collect()
+        }
+        assert sum(r.alloc for r in out.values()) == budget
+        for i, c in enumerate(counts):
+            assert out[f"s{i}"].w == math.isqrt(c)
+        # monotone: a strictly larger weight never gets a smaller alloc
+        rs = sorted(out.values(), key=lambda r: r.w)
+        for a, b in zip(rs, rs[1:]):
+            if b.w > a.w:
+                assert b.alloc >= a.alloc
