@@ -3938,6 +3938,87 @@ def q_events_markov_eval(spark, sf_dir):
     )
 
 
+def q_events_markov2(spark, sf_dir):
+    """Second-order Markov matrix: (prev2, prev1) -> next counts and
+    floor-ppm conditional probabilities from TWO lags over one
+    per-user window sort (one shuffle). The order-2 vs order-1
+    probability gap is the sequence-memory signal; contexts live on
+    the |states|^3 relation — broadcast-sized."""
+    from unitdb_spark.operators.markov import transition_matrix2
+
+    return transition_matrix2(
+        _events(spark, sf_dir), "user_id", "event_type", "ts", "event_id"
+    )
+
+
+def q_events_markov2_eval(spark, sf_dir):
+    """Does sequence memory help? Per (prev2, prev1) context on the
+    test half: order-2 argmax hits vs order-1 argmax hits side by
+    side (train = first half, the `events_did` cutoff; unseen
+    contexts predict nothing and score 0). All integer counts +
+    floor-ppm accuracies — the memory-gain readout of the Markov
+    family."""
+    from pyspark.sql import Window
+
+    from unitdb_spark.operators.markov import (
+        transition_counts,
+        transition_counts2,
+    )
+
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    tr1 = transition_counts(
+        ev.filter(F.col("ts") < cutoff), "user_id", "event_type", "ts", "event_id"
+    )
+    w1 = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+    pred1 = (
+        tr1.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("src").alias("src1"), F.col("dst").alias("_p1"))
+    )
+    tr2 = transition_counts2(
+        ev.filter(F.col("ts") < cutoff), "user_id", "event_type", "ts", "event_id"
+    )
+    w2 = Window.partitionBy("src2", "src1").orderBy(F.desc("n"), F.asc("dst"))
+    pred2 = (
+        tr2.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .select("src2", "src1", F.col("dst").alias("_p2"))
+    )
+    test = transition_counts2(
+        ev.filter(F.col("ts") >= cutoff), "user_id", "event_type", "ts", "event_id"
+    )
+    scored = test.join(F.broadcast(pred2), ["src2", "src1"], "left").join(
+        F.broadcast(pred1), "src1", "left"
+    )
+    agg = scored.groupBy("src2", "src1").agg(
+        F.sum("n").cast("long").alias("n_test"),
+        F.sum(
+            F.when(F.col("dst") == F.col("_p2"), F.col("n")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_hit2"),
+        F.sum(
+            F.when(F.col("dst") == F.col("_p1"), F.col("n")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_hit1"),
+    )
+    return agg.select(
+        "src2",
+        "src1",
+        "n_test",
+        "n_hit2",
+        "n_hit1",
+        F.floor(F.col("n_hit2") * F.lit(1_000_000) / F.col("n_test"))
+        .cast("long")
+        .alias("acc2_ppm"),
+        F.floor(F.col("n_hit1") * F.lit(1_000_000) / F.col("n_test"))
+        .cast("long")
+        .alias("acc1_ppm"),
+    )
+
+
 def q_parts_kcore(spark, sf_dir):
     """3-core of the thresholded co-purchase graph by bounded-round
     peeling (3 synchronous rounds, same determinism contract as
@@ -5491,6 +5572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_eval": q_events_markov_eval,
         "parts_link_eval": q_parts_link_eval,
         "streamed_tempmix": q_streamed_tempmix,
+        "events_markov2": q_events_markov2,
+        "events_markov2_eval": q_events_markov2_eval,
     }
 
 
@@ -6596,6 +6679,80 @@ def oracle_sql() -> dict[str, str]:
           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
                AS BIGINT) AS alloc
         FROM rk
+        """,
+        "events_markov2": """
+        WITH p AS (
+          SELECT lag(event_type, 2) OVER w AS src2,
+                 lag(event_type, 1) OVER w AS src1,
+                 event_type AS dst
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), t AS (
+          SELECT src2, src1, dst, CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE src2 IS NOT NULL GROUP BY 1, 2, 3
+        )
+        SELECT src2, src1, dst, n,
+          CAST(sum(n) OVER (PARTITION BY src2, src1) AS BIGINT)
+            AS ctx_total,
+          CAST(floor(n * 1000000
+                     / sum(n) OVER (PARTITION BY src2, src1))
+               AS BIGINT) AS p_ppm
+        FROM t
+        """,
+        "events_markov2_eval": """
+        WITH tr1p AS (
+          SELECT lag(event_type) OVER w AS src, event_type AS dst
+          FROM events WHERE ts < TIMESTAMP '2024-01-16'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), tc1 AS (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+          FROM tr1p WHERE src IS NOT NULL GROUP BY 1, 2
+        ), pred1 AS (
+          SELECT src AS src1, dst AS p1 FROM (
+            SELECT src, dst, row_number() OVER (
+              PARTITION BY src ORDER BY n DESC, dst) AS rn
+            FROM tc1
+          ) WHERE rn = 1
+        ), tr2p AS (
+          SELECT lag(event_type, 2) OVER w AS src2,
+                 lag(event_type, 1) OVER w AS src1,
+                 event_type AS dst
+          FROM events WHERE ts < TIMESTAMP '2024-01-16'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), tc2 AS (
+          SELECT src2, src1, dst, CAST(count(*) AS BIGINT) AS n
+          FROM tr2p WHERE src2 IS NOT NULL GROUP BY 1, 2, 3
+        ), pred2 AS (
+          SELECT src2, src1, dst AS p2 FROM (
+            SELECT src2, src1, dst, row_number() OVER (
+              PARTITION BY src2, src1 ORDER BY n DESC, dst) AS rn
+            FROM tc2
+          ) WHERE rn = 1
+        ), tep AS (
+          SELECT lag(event_type, 2) OVER w AS src2,
+                 lag(event_type, 1) OVER w AS src1,
+                 event_type AS dst
+          FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), te AS (
+          SELECT src2, src1, dst, CAST(count(*) AS BIGINT) AS n
+          FROM tep WHERE src2 IS NOT NULL GROUP BY 1, 2, 3
+        ), agg AS (
+          SELECT te.src2, te.src1,
+            CAST(sum(te.n) AS BIGINT) AS n_test,
+            CAST(sum(CASE WHEN te.dst = p2.p2 THEN te.n ELSE 0 END)
+                 AS BIGINT) AS n_hit2,
+            CAST(sum(CASE WHEN te.dst = p1.p1 THEN te.n ELSE 0 END)
+                 AS BIGINT) AS n_hit1
+          FROM te
+          LEFT JOIN pred2 p2 ON te.src2 = p2.src2 AND te.src1 = p2.src1
+          LEFT JOIN pred1 p1 ON te.src1 = p1.src1
+          GROUP BY te.src2, te.src1
+        )
+        SELECT src2, src1, n_test, n_hit2, n_hit1,
+          CAST(floor(n_hit2 * 1000000 / n_test) AS BIGINT) AS acc2_ppm,
+          CAST(floor(n_hit1 * 1000000 / n_test) AS BIGINT) AS acc1_ppm
+        FROM agg
         """,
         "events_markov_eval": """
         WITH tr AS (

@@ -6543,3 +6543,34 @@ class TestTemperatureAllocation:
         assert got["p"] == 10**7
         assert got["q"] == 10**7 - 1
         assert got["r"] == 10**7
+
+
+class TestMarkov2:
+    def test_second_order_counts(self, spark):
+        """Sequence a b a b a on one key: contexts (a,b)->a x2,
+        (b,a)->b x1."""
+        from unitdb_spark.operators.markov import transition_counts2
+
+        rows = [(1, i, s) for i, s in enumerate("ababa")]
+        df = spark.createDataFrame(rows, "k bigint, ts bigint, s string")
+        got = {
+            (r.src2, r.src1, r.dst): r.n
+            for r in transition_counts2(df, "k", "s", "ts", "ts").collect()
+        }
+        assert got == {("a", "b", "a"): 2, ("b", "a", "b"): 1}
+
+    def test_matrix2_context_ppm(self, spark):
+        """Context (a,a): 1x b, 1x c -> 500000 ppm each."""
+        from unitdb_spark.operators.markov import transition_matrix2
+
+        rows = [
+            (1, 1, "a"), (1, 2, "a"), (1, 3, "b"),
+            (2, 1, "a"), (2, 2, "a"), (2, 3, "c"),
+        ]
+        df = spark.createDataFrame(rows, "k bigint, ts bigint, s string")
+        got = {
+            (r.src2, r.src1, r.dst): (r.ctx_total, r.p_ppm)
+            for r in transition_matrix2(df, "k", "s", "ts", "ts").collect()
+        }
+        assert got[("a", "a", "b")] == (2, 500_000)
+        assert got[("a", "a", "c")] == (2, 500_000)

@@ -136,3 +136,56 @@ def sequence_typicality(
         .cast("long")
         .alias("n_unseen"),
     )
+
+
+def transition_counts2(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Second-order transition counts: (prev2, prev1) -> current,
+    from two lags over the SAME per-key window sort (one shuffle —
+    Spark reuses the partitioned sort for both lag frames). The
+    context relation is |states|³ — still broadcast-sized for any
+    realistic state alphabet. First two events of each key drop
+    (no full context)."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    paired = df.select(
+        F.lag(F.col(state_col), 2).over(w).alias("src2"),
+        F.lag(F.col(state_col), 1).over(w).alias("src1"),
+        F.col(state_col).alias("dst"),
+    ).filter(F.col("src2").isNotNull())
+    return paired.groupBy("src2", "src1", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def transition_matrix2(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Row-stochastic second-order matrix in floor-ppm: context =
+    (src2, src1). The order-2 vs order-1 probability gap is the
+    sequence-memory signal (how much the next event depends on more
+    than the last one)."""
+    counts = transition_counts2(
+        df, key_col, state_col, ts_col, tiebreak_col
+    )
+    w_ctx = Window.partitionBy("src2", "src1")
+    return counts.select(
+        "src2",
+        "src1",
+        "dst",
+        "n",
+        F.sum("n").over(w_ctx).cast("long").alias("ctx_total"),
+        F.floor(F.col("n") * F.lit(1_000_000) / F.sum("n").over(w_ctx))
+        .cast("long")
+        .alias("p_ppm"),
+    )
