@@ -3404,6 +3404,40 @@ def q_parts_triangles(spark, sf_dir):
     return triangle_counts(cooccurrence_edges(li, "l_orderkey", "l_partkey"))
 
 
+def q_parts_clustering(spark, sf_dir):
+    """Local clustering coefficient per part: closed wedges over
+    possible wedges, cc_ppm = floor(2·tri·1e6 / (deg·(deg−1))) on
+    exact integers (deg < 2 → 0) — the hub-vs-cohesion readout that
+    separates genuinely dense neighborhoods from high-degree
+    artifacts, riding the degree-ordered triangle counts."""
+    from unitdb_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    e = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    tri = triangle_counts(e)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    return tri.join(deg, "node").select(
+        "node",
+        "deg",
+        "n_triangles",
+        F.when(
+            F.col("deg") >= 2,
+            F.floor(
+                F.lit(2_000_000) * F.col("n_triangles")
+                / (F.col("deg") * (F.col("deg") - F.lit(1)))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cc_ppm"),
+    )
+
+
 def q_parts_related(spark, sf_dir):
     """'Also bought' retrieval: top-10 related parts per part by
     cosine-normalized co-purchase (n_ab / sqrt(n_a·n_b)) — the
@@ -5574,6 +5608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_tempmix": q_streamed_tempmix,
         "events_markov2": q_events_markov2,
         "events_markov2_eval": q_events_markov2_eval,
+        "parts_clustering": q_parts_clustering,
     }
 
 
@@ -10122,6 +10157,33 @@ def oracle_sql() -> dict[str, str]:
                     UNION ALL SELECT y FROM tri),
         cnt AS (SELECT n, count(*) AS c FROM corners GROUP BY n)
         SELECT deg.n AS node, CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles
+        FROM deg LEFT JOIN cnt USING (n)
+        """,
+        "parts_clustering": """
+        -- triangles replayed with the same degree-ordered
+        -- orientation, then cc = 2*tri / (deg*(deg-1)) in floor-ppm
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (SELECT DISTINCT a.p AS ea, b.p AS eb
+              FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        nodes AS (SELECT ea AS n FROM e UNION ALL SELECT eb FROM e),
+        deg AS (SELECT n, count(*) AS d FROM nodes GROUP BY n),
+        fwd AS (
+          SELECT CASE WHEN (da.d, e.ea) < (db.d, e.eb) THEN e.ea ELSE e.eb END AS u,
+                 CASE WHEN (da.d, e.ea) < (db.d, e.eb) THEN e.eb ELSE e.ea END AS v
+          FROM e JOIN deg da ON e.ea = da.n JOIN deg db ON e.eb = db.n
+        ),
+        wedges AS (SELECT w1.u, w1.v AS x, w2.v AS y
+                   FROM fwd w1 JOIN fwd w2 ON w1.u = w2.u AND w1.v < w2.v),
+        tri AS (SELECT u, x, y FROM wedges JOIN e ON x = e.ea AND y = e.eb),
+        corners AS (SELECT u AS n FROM tri UNION ALL SELECT x FROM tri
+                    UNION ALL SELECT y FROM tri),
+        cnt AS (SELECT n, count(*) AS c FROM corners GROUP BY n)
+        SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS deg,
+          CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_triangles,
+          CASE WHEN deg.d >= 2 THEN
+            CAST(floor(2000000 * coalesce(cnt.c, 0)
+                       / (deg.d * (deg.d - 1))) AS BIGINT)
+          ELSE 0 END AS cc_ppm
         FROM deg LEFT JOIN cnt USING (n)
         """,
         "parts_related": """

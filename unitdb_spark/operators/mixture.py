@@ -231,7 +231,10 @@ def temperature_allocation(
     Output: (source, n_tokens, w, alloc) — Σ alloc = budget.
     Scale: one partial-agg shuffle; apportionment runs on the source
     relation (dataset-card-sized; global windows allowlisted like
-    `group_shares`).
+    `group_shares`). Overflow envelope: budget × max(w) must fit
+    int64 — at α=1/2 that is budget × isqrt(max_tokens) < 9.2e18,
+    comfortable for any real (budget, corpus) pair (1e12 tokens of
+    budget against a 1e12-token source is 1e18).
     """
     per = df.groupBy(F.col(source_col).alias("source")).agg(
         F.sum(F.col(weight_col)).cast("long").alias("n_tokens")
