@@ -235,3 +235,68 @@ class TestCanonicalUrlProperty:
         assert head == head.lower()
         assert not c1.endswith("/")
         assert ":443" not in c1 or scheme.lower() == "http"
+
+
+class TestKCoreProperty:
+    @given(edges=_edges, k=st.integers(2, 3))
+    @settings(max_examples=8, deadline=None)
+    def test_bounded_peel_matches_model(self, spark, edges, k):
+        """Fixed-round peeling == the independent Python model (both
+        the surviving set and the final in-subgraph degrees)."""
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.graph import kcore
+
+        if not edges:
+            return
+        rounds = 3
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        for _ in range(rounds):
+            alive = {n for n in alive if len(adj[n] & alive) >= k}
+        want = {n: len(adj[n] & alive) for n in alive}
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        sym = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        got = {
+            r.node: r.deg
+            for r in kcore(sym, k=k, rounds=rounds, persist="none").collect()
+        }
+        assert got == want
+
+
+class TestHitsProperty:
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(100, 106)),
+            min_size=1,
+            max_size=20,
+        ).map(lambda es: sorted(set(es)))
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_integer_hits_matches_model(self, spark, edges):
+        """The integer-quotient-normalized HITS == the independent
+        Python fold, hub and auth sides both, bit for bit."""
+        from unitdb_spark.operators.graph import HITS_SCALE, hits_bipartite
+
+        scale, iters = HITS_SCALE, 2
+        hubs = sorted({c for c, _ in edges})
+        auths = sorted({p for _, p in edges})
+        hub = {c: scale for c in hubs}
+        auth: dict = {}
+        for _ in range(iters):
+            raw = {p: sum(hub[c] for c, q in edges if q == p) for p in auths}
+            q_ = max(1, sum(raw.values()) // (scale * len(auths)))
+            auth = {p: raw[p] // q_ for p in auths}
+            raw = {c: sum(auth[p] for d, p in edges if d == c) for c in hubs}
+            q_ = max(1, sum(raw.values()) // (scale * len(hubs)))
+            hub = {c: raw[c] // q_ for c in hubs}
+        df = spark.createDataFrame(edges, ["c", "p"])
+        rows = hits_bipartite(df, "c", "p", iterations=iters,
+                              persist="none").collect()
+        assert {r.node: r.score for r in rows if r.side == "auth"} == auth
+        assert {r.node: r.score for r in rows if r.side == "hub"} == hub
