@@ -4232,6 +4232,70 @@ def q_streamed_markov(spark, sf_dir):
     )
 
 
+def q_streamed_markov2(spark, sf_dir):
+    """Second-order twin of `streamed_markov`: the per-user state is
+    the last TWO event-type strings, so both boundary contexts
+    spanning the checkpointed midpoint split stitch exactly as the
+    batch double-lag window pairs them; summed partials fold into the
+    order-2 matrix shape and the oracle is `events_markov2`'s batch
+    SQL VERBATIM."""
+    import tempfile
+
+    from unitdb_spark.streaming.state import streaming_markov2
+
+    spark = _pin_utc(spark)
+    base = tempfile.mkdtemp(prefix="markov2_twin_")
+    src, cp, out = f"{base}/src", f"{base}/cp", f"{base}/out"
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    lo, hi = ev.agg(
+        F.unix_timestamp(F.min("ts")), F.unix_timestamp(F.max("ts"))
+    ).collect()[0]
+    mid = F.timestamp_seconds(F.lit((int(lo) + int(hi)) // 2))
+
+    def run(batch_df):
+        batch_df.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            streaming_markov2(
+                spark.readStream.schema(batch_df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+                if not df.isEmpty()
+                else None
+            )
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run(ev.filter(F.col("ts") < mid))
+    run(ev.filter(F.col("ts") >= mid))
+    from pyspark.sql import Window
+
+    counts = (
+        spark.read.parquet(out)
+        .groupBy("src2", "src1", "dst")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    w_ctx = Window.partitionBy("src2", "src1")
+    return counts.select(
+        "src2",
+        "src1",
+        "dst",
+        "n",
+        F.sum("n").over(w_ctx).cast("long").alias("ctx_total"),
+        F.floor(F.col("n") * F.lit(1_000_000) / F.sum("n").over(w_ctx))
+        .cast("long")
+        .alias("p_ppm"),
+    )
+
+
 def q_parts_hits(spark, sf_dir):
     """HITS hubs/authorities over the bipartite customer->part
     purchase graph (Kleinberg '99): authoritative parts are bought by
@@ -5609,6 +5673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov2": q_events_markov2,
         "events_markov2_eval": q_events_markov2_eval,
         "parts_clustering": q_parts_clustering,
+        "streamed_markov2": q_streamed_markov2,
     }
 
 
@@ -6715,26 +6780,9 @@ def oracle_sql() -> dict[str, str]:
                AS BIGINT) AS alloc
         FROM rk
         """,
-        "events_markov2": """
-        WITH p AS (
-          SELECT lag(event_type, 2) OVER w AS src2,
-                 lag(event_type, 1) OVER w AS src1,
-                 event_type AS dst
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ), t AS (
-          SELECT src2, src1, dst, CAST(count(*) AS BIGINT) AS n
-          FROM p WHERE src2 IS NOT NULL GROUP BY 1, 2, 3
-        )
-        SELECT src2, src1, dst, n,
-          CAST(sum(n) OVER (PARTITION BY src2, src1) AS BIGINT)
-            AS ctx_total,
-          CAST(floor(n * 1000000
-                     / sum(n) OVER (PARTITION BY src2, src1))
-               AS BIGINT) AS p_ppm
-        FROM t
-        """,
-        "events_markov2_eval": """
+        "streamed_markov2": _MARKOV2_MATRIX_SQL,
+        "events_markov2": _MARKOV2_MATRIX_SQL,
+                "events_markov2_eval": """
         WITH tr1p AS (
           SELECT lag(event_type) OVER w AS src, event_type AS dst
           FROM events WHERE ts < TIMESTAMP '2024-01-16'
@@ -11363,6 +11411,29 @@ def _pca_oracle(kind: str, iters: int = 3) -> str:
         JOIN v{iters} vf ON c.i = vf.i
         JOIN embeddings e ON c.vec_id = e.vec_id
         GROUP BY c.vec_id
+        """
+
+
+#: shared by `events_markov2` (batch) and `streamed_markov2` (the
+#: two-string-state streaming twin).
+_MARKOV2_MATRIX_SQL = """
+        WITH p AS (
+          SELECT lag(event_type, 2) OVER w AS src2,
+                 lag(event_type, 1) OVER w AS src1,
+                 event_type AS dst
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), t AS (
+          SELECT src2, src1, dst, CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE src2 IS NOT NULL GROUP BY 1, 2, 3
+        )
+        SELECT src2, src1, dst, n,
+          CAST(sum(n) OVER (PARTITION BY src2, src1) AS BIGINT)
+            AS ctx_total,
+          CAST(floor(n * 1000000
+                     / sum(n) OVER (PARTITION BY src2, src1))
+               AS BIGINT) AS p_ppm
+        FROM t
         """
 
 

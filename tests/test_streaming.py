@@ -1738,3 +1738,123 @@ class TestContinuousGram:
         md, _, _ = second_moment(emb)
         want = {r.i: r.v for r in power_iteration(md).collect()}
         assert got == want
+
+
+class TestStreamingMarkov2:
+    def test_two_string_state_stitches_across_restart(self, spark, tmp_path):
+        """Runs split so one key has a single event in run 1 (state =
+        (None, s)) and the triple completes only in run 2 — both
+        boundary contexts must land exactly as the batch double-lag."""
+        import datetime as dt
+
+        from unitdb_spark.streaming.state import streaming_markov2
+
+        base = dt.datetime(2024, 1, 1)
+        src = str(tmp_path / "src")
+        cp = str(tmp_path / "cp")
+        out_dir = str(tmp_path / "out")
+        schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+        def run(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = (
+                streaming_markov2(
+                    spark.readStream.schema(
+                        spark.read.parquet(src).schema
+                    ).parquet(src)
+                )
+                .writeStream.foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(out_dir)
+                    if not df.isEmpty()
+                    else None
+                )
+                .outputMode("append")
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # key 7: a b | a b a  -> triples (a,b,a), (b,a,b), (a,b,a)
+        # key 9: a   | b a    -> triples (a,b,a)
+        run([(0, base, 7, "a"),
+             (1, base + dt.timedelta(minutes=1), 7, "b"),
+             (2, base + dt.timedelta(minutes=2), 9, "a")])
+        run([(3, base + dt.timedelta(minutes=3), 7, "a"),
+             (4, base + dt.timedelta(minutes=4), 7, "b"),
+             (5, base + dt.timedelta(minutes=5), 7, "a"),
+             (6, base + dt.timedelta(minutes=6), 9, "b"),
+             (7, base + dt.timedelta(minutes=7), 9, "a")])
+        got: dict = {}
+        for r in spark.read.parquet(out_dir).collect():
+            k = (r["key"], r["src2"], r["src1"], r["dst"])
+            got[k] = got.get(k, 0) + r["n"]
+        assert got == {
+            (7, "a", "b", "a"): 2,
+            (7, "b", "a", "b"): 1,
+            (9, "a", "b", "a"): 1,
+        }
+
+    def test_matches_batch_counts2(self, spark, tmp_path):
+        """Three in-order checkpointed runs over the real events
+        table: summed partials == batch transition_counts2."""
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.markov import transition_counts2
+        from unitdb_spark.sources.events import load_events
+        from unitdb_spark.streaming.state import streaming_markov2
+
+        src = str(tmp_path / "src")
+        out_dir = str(tmp_path / "out")
+        cp = str(tmp_path / "cp")
+        ev = load_events(spark, SF).select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        lo, hi = ev.agg(
+            F.unix_timestamp(F.min("ts")), F.unix_timestamp(F.max("ts"))
+        ).collect()[0]
+        cut1 = F.timestamp_seconds(F.lit(int(lo) + (int(hi) - int(lo)) // 3))
+        cut2 = F.timestamp_seconds(
+            F.lit(int(lo) + 2 * (int(hi) - int(lo)) // 3)
+        )
+
+        def run(batch_df):
+            batch_df.coalesce(1).write.mode("append").parquet(src)
+            q = (
+                streaming_markov2(
+                    spark.readStream.schema(batch_df.schema).option(
+                        "maxFilesPerTrigger", 1
+                    ).parquet(src)
+                )
+                .writeStream.foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(out_dir)
+                    if not df.isEmpty()
+                    else None
+                )
+                .outputMode("append")
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        run(ev.filter(F.col("ts") < cut1))
+        run(ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)))
+        run(ev.filter(F.col("ts") >= cut2))
+        streamed = {
+            (r["src2"], r["src1"], r["dst"]): r["n"]
+            for r in spark.read.parquet(out_dir)
+            .groupBy("src2", "src1", "dst")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        }
+        want = {
+            (r["src2"], r["src1"], r["dst"]): r["n"]
+            for r in transition_counts2(
+                spark.read.parquet(f"{SF}/events.parquet"),
+                "user_id", "event_type", "ts", "event_id",
+            ).collect()
+        }
+        assert streamed == want

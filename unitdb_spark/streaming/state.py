@@ -859,3 +859,74 @@ def streaming_markov(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MARKOV2_OUTPUT = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("src2", StringType()),
+        StructField("src1", StringType()),
+        StructField("dst", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+MARKOV2_STATE = StructType(
+    [StructField("s2", StringType()), StructField("s1", StringType())]
+)
+
+
+def _markov2_fn():
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        s2, s1 = state.get if state.exists else (None, None)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        counts: dict[tuple[str, str, str], int] = {}
+        for s in batch["s"]:
+            s = str(s)
+            if s2 is not None:
+                trip = (s2, s1, s)
+                counts[trip] = counts.get(trip, 0) + 1
+            s2, s1 = s1, s
+        state.update((s2, s1))
+        yield pd.DataFrame(
+            [(int(k), a, b, c, n) for (a, b, c), n in counts.items()],
+            columns=["key", "src2", "src1", "dst", "n"],
+        )
+
+    return fn
+
+
+def streaming_markov2(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Second-order twin of `streaming_markov`: state per key is the
+    last TWO event-type strings, so both boundary contexts spanning a
+    micro-batch (or checkpoint restart) land exactly where the batch
+    double-lag window would put them. Partial (src2, src1, dst)
+    counts merge by summation into the batch relation on an in-order
+    replay.
+
+    Input needs (``key_col``, ts, event_id, ``state_col``). Output:
+    (key, src2, src1, dst, n) partials per micro-batch.
+    """
+    from pyspark.sql import functions as F
+
+    prepped = stream.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.col(state_col).cast("string").alias("s"),
+    )
+    return prepped.groupBy("key").applyInPandasWithState(
+        _markov2_fn(),
+        outputStructType=MARKOV2_OUTPUT,
+        stateStructType=MARKOV2_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
