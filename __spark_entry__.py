@@ -4232,6 +4232,51 @@ def q_streamed_markov(spark, sf_dir):
     )
 
 
+def q_streamed_skyline(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING Pareto frontier: the
+    parts catalog replays as two checkpointed runs; each refresh
+    folds the batch frontier into the committed frontier state
+    (skylines are mergeable — dominated rows never rejoin), both
+    through the batch `skyline2d`. Oracle = `parts_skyline`'s
+    NOT EXISTS SQL VERBATIM."""
+    import tempfile
+
+    from unitdb_spark.streaming.continuous import (
+        continuous_skyline,
+        read_skyline,
+    )
+
+    spark = _pin_utc(spark)
+    base = tempfile.mkdtemp(prefix="sky_twin_")
+    src, cp, state = f"{base}/src", f"{base}/cp", f"{base}/state"
+    p = _read(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(
+            "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("price_cents"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    mid = p.agg(F.expr("percentile_approx(p_partkey, 0.5)")).collect()[0][0]
+
+    def run(part_df):
+        part_df.coalesce(1).write.mode("append").parquet(src)
+        q = continuous_skyline(
+            spark.readStream.schema(part_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            "price_cents",
+            "size",
+            state,
+            cp,
+            bucket_width=10_000,
+        )
+        q.awaitTermination(300)
+
+    run(p.filter(F.col("p_partkey") <= mid))
+    run(p.filter(F.col("p_partkey") > mid))
+    return read_skyline(spark, state)
+
+
 def q_streamed_markov2(spark, sf_dir):
     """Second-order twin of `streamed_markov`: the per-user state is
     the last TWO event-type strings, so both boundary contexts
@@ -5674,6 +5719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov2_eval": q_events_markov2_eval,
         "parts_clustering": q_parts_clustering,
         "streamed_markov2": q_streamed_markov2,
+        "streamed_skyline": q_streamed_skyline,
     }
 
 
@@ -6943,23 +6989,8 @@ def oracle_sql() -> dict[str, str]:
         JOIN deg da ON ne.a = da.a
         JOIN deg db ON ne.b = db.a
         """,
-        "parts_skyline": """
-        -- brute-force dominance NOT EXISTS: the two-stage bucketed
-        -- plan must reproduce this row set exactly
-        WITH p AS (
-          SELECT p_partkey,
-            CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
-                 AS BIGINT) AS price_cents,
-            CAST(p_size AS INTEGER) AS size
-          FROM part
-        )
-        SELECT p_partkey, price_cents, size FROM p
-        WHERE NOT EXISTS (
-          SELECT 1 FROM p q
-          WHERE q.price_cents <= p.price_cents AND q.size >= p.size
-            AND (q.price_cents < p.price_cents OR q.size > p.size)
-        )
-        """,
+        "parts_skyline": _SKYLINE_SQL,
+        "streamed_skyline": _SKYLINE_SQL,
         "streamed_sessions": """
         -- batch gaps-and-islands minus each user's final (still-open)
         -- session == the streaming sessionizer's closed-session output
@@ -11434,6 +11465,27 @@ _MARKOV2_MATRIX_SQL = """
                      / sum(n) OVER (PARTITION BY src2, src1))
                AS BIGINT) AS p_ppm
         FROM t
+        """
+
+
+#: shared by `parts_skyline` (batch) and `streamed_skyline` (the
+#: mergeable-frontier twin).
+_SKYLINE_SQL = """
+        -- brute-force dominance NOT EXISTS: the two-stage bucketed
+        -- plan must reproduce this row set exactly
+        WITH p AS (
+          SELECT p_partkey,
+            CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT) AS price_cents,
+            CAST(p_size AS INTEGER) AS size
+          FROM part
+        )
+        SELECT p_partkey, price_cents, size FROM p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM p q
+          WHERE q.price_cents <= p.price_cents AND q.size >= p.size
+            AND (q.price_cents < p.price_cents OR q.size > p.size)
+        )
         """
 
 

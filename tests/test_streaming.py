@@ -1858,3 +1858,46 @@ class TestStreamingMarkov2:
             ).collect()
         }
         assert streamed == want
+
+
+class TestContinuousSkyline:
+    def test_frontier_folds_across_restart(self, spark, tmp_path):
+        """A point on the run-1 frontier is dominated by a run-2
+        arrival and must leave the committed state; the final
+        frontier equals the batch skyline over all rows."""
+        from unitdb_spark.operators.skyline import skyline2d
+        from unitdb_spark.streaming.continuous import (
+            continuous_skyline,
+            read_skyline,
+        )
+
+        src = str(tmp_path / "src")
+        cp = str(tmp_path / "cp")
+        state = str(tmp_path / "state")
+        schema = "id long, a long, b int"
+        r1 = [(1, 100, 5), (2, 200, 7), (3, 50, 1)]
+        r2 = [(4, 90, 6), (5, 400, 7), (6, 60, 2)]  # 4 dominates 1
+
+        def run(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = continuous_skyline(
+                spark.readStream.schema("id long, a long, b int")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                "a", "b", state, cp,
+            )
+            q.awaitTermination(120)
+
+        run(r1)
+        run(r2)
+        got = {r.id for r in read_skyline(spark, state).collect()}
+        want = {
+            r.id
+            for r in skyline2d(
+                spark.createDataFrame(r1 + r2, schema), "a", "b"
+            ).collect()
+        }
+        assert got == want
+        assert 1 not in got and 4 in got

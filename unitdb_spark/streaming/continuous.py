@@ -634,3 +634,49 @@ def read_temperature_mix(
         F.col("_k").alias("source"), F.col("_n").cast("long").alias("n_tokens")
     )
     return temperature_allocation_from_counts(per, budget, temperature)
+
+
+# ------------------------------------------------ rolling 2-D skyline
+#
+# The Pareto frontier is MERGEABLE: skyline(A ∪ B) =
+# skyline(skyline(A) ∪ skyline(B)) — dominated rows can never rejoin
+# the frontier, so the committed state holds only the current
+# frontier (buckets × |distinct B| rows, corpus-size-independent) and
+# each refresh folds the batch's own frontier into it through the
+# batch operator (operators.skyline.skyline2d) — the streamed
+# frontier IS the batch frontier on the same rows.
+
+
+def continuous_skyline(
+    stream: DataFrame,
+    min_col: str,
+    max_col: str,
+    state_path: str,
+    checkpoint: str,
+    bucket_width: int = 1000,
+    trigger_available_now: bool = True,
+):
+    """Maintain the versioned frontier state under (minimize
+    ``min_col``, maximize ``max_col``); read it with
+    ``read_skyline``. Returns the StreamingQuery."""
+    from unitdb_spark.operators.skyline import skyline2d
+
+    def partials(b: DataFrame) -> DataFrame:
+        return skyline2d(b, min_col, max_col, bucket_width)
+
+    def merge(prev: DataFrame, p: DataFrame) -> DataFrame:
+        return skyline2d(
+            prev.unionByName(p), min_col, max_col, bucket_width
+        )
+
+    return _run_maintainer(
+        stream, state_path, checkpoint, partials, merge, trigger_available_now
+    )
+
+
+def read_skyline(spark, state_path: str) -> DataFrame:
+    """The committed frontier rows (full input schema)."""
+    cur = latest_commit(spark, state_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed skyline state under {state_path}")
+    return spark.read.parquet(_snap_path(state_path, *cur))
