@@ -5101,6 +5101,66 @@ def q_orders_robust_mean(spark, sf_dir):
     )
 
 
+def q_events_dominant_period(spark, sf_dir):
+    """Auto-seasonality detector: autocorrelation of the hourly click
+    series at lags 1..24 (the lag_correlation machinery with the
+    series against itself), argmax by (corr DESC, lag ASC) — "what
+    period does this signal repeat at?". The argmax window runs over
+    the 24-row lag relation (allowlisted); both engines compute the
+    identical pinned round-6 correlations, so the argmax agrees."""
+    from pyspark.sql import Window
+
+    from unitdb_spark.operators.timeseries import lag_correlation
+
+    ac = lag_correlation(
+        _events(spark, sf_dir),
+        key_col="event_type", ts_col="ts",
+        key_a="click", key_b="click",
+        bucket_s=3600, max_lag=24,
+    ).filter(F.col("lag") >= 1)
+    w = Window.orderBy(F.desc_nulls_last("corr_r"), F.asc("lag"))
+    return (
+        ac.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("lag", "n", "corr_r")
+    )
+
+
+def q_parts_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph (Newman '02):
+    Pearson correlation of endpoint degrees over every directed edge
+    of the symmetric edge set — one number saying whether hubs attach
+    to hubs. Exact integer moments from a single aggregation; the
+    finish is the repo's one pinned round-6 Pearson expression."""
+    from unitdb_spark.operators.graph import cooccurrence_edges
+    from unitdb_spark.operators.olap import pinned_pearson
+
+    li = _read(spark, sf_dir, "lineitem")
+    e = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    deg = e.groupBy(F.col("src").alias("_n")).agg(
+        F.count(F.lit(1)).cast("long").alias("_d")
+    )
+    pairs = (
+        e.join(deg.select(F.col("_n").alias("src"), F.col("_d").alias("dx")), "src")
+        .join(deg.select(F.col("_n").alias("dst"), F.col("_d").alias("dy")), "dst")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    return m.select(
+        "n_edges",
+        pinned_pearson(
+            F.col("n_edges"), F.col("sx"), F.col("sy"),
+            F.col("sxx"), F.col("syy"), F.col("sxy"),
+        ).alias("corr_r"),
+    )
+
+
 def q_events_lag_corr(spark, sf_dir):
     """Cross-correlation profile: hourly purchase counts vs error
     counts shifted by each lag in ±12 h, both series densified onto
@@ -5720,6 +5780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_clustering": q_parts_clustering,
         "streamed_markov2": q_streamed_markov2,
         "streamed_skyline": q_streamed_skyline,
+        "events_dominant_period": q_events_dominant_period,
+        "parts_assortativity": q_parts_assortativity,
     }
 
 
@@ -8954,6 +9016,87 @@ def oracle_sql() -> dict[str, str]:
                  + CAST(k AS HUGEINT) * CAST(hi AS HUGEINT) AS DOUBLE)
                * 1000000 / n) AS BIGINT) AS winsor_micro
         FROM a
+        """,
+        "events_dominant_period": """
+        WITH c AS (
+          SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+            count(*) AS n
+          FROM events WHERE event_type = 'click' GROUP BY 1
+        ), bounds AS (
+          SELECT min(h) AS mn, max(h) AS mx FROM c
+        ), spine AS (
+          SELECT unnest(generate_series(mn, mx)) AS h FROM bounds
+        ), s AS (
+          SELECT spine.h, CAST(coalesce(c.n, 0) AS BIGINT) AS v
+          FROM spine LEFT JOIN c ON c.h = spine.h
+        ), lags AS (
+          SELECT CAST(gs.l AS BIGINT) AS lag
+          FROM generate_series(-24, 24) AS gs(l)
+        ), j AS (
+          SELECT lags.lag, a.v AS x, b.v AS y
+          FROM lags CROSS JOIN s a JOIN s b ON b.h = a.h + lags.lag
+        ), m AS (
+          SELECT lag, count(*) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(y * y) AS BIGINT) AS syy,
+            CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM j GROUP BY 1
+        ), corr AS (
+          SELECT lag, CAST(n AS BIGINT) AS n,
+            CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                  AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN
+              round(
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / sqrt(
+                    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                  ), 6)
+            END AS corr_r
+          FROM m WHERE lag >= 1
+        )
+        SELECT lag, n, corr_r FROM (
+          SELECT *, row_number() OVER (
+            ORDER BY corr_r DESC NULLS LAST, lag) AS rn
+          FROM corr
+        ) WHERE rn = 1
+        """,
+        "parts_assortativity": """
+        WITH g AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        p0 AS (SELECT a.i AS s, b.i AS d
+               FROM g a JOIN g b ON a.o = b.o AND a.i < b.i GROUP BY 1, 2),
+        e AS (SELECT s, d FROM p0 UNION ALL SELECT d AS s, s AS d FROM p0),
+        deg AS (SELECT s AS n, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY s),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_edges,
+            CAST(sum(da.dg) AS BIGINT) AS sx,
+            CAST(sum(db.dg) AS BIGINT) AS sy,
+            CAST(sum(da.dg * da.dg) AS BIGINT) AS sxx,
+            CAST(sum(db.dg * db.dg) AS BIGINT) AS syy,
+            CAST(sum(da.dg * db.dg) AS BIGINT) AS sxy
+          FROM e JOIN deg da ON e.s = da.n JOIN deg db ON e.d = db.n
+        )
+        SELECT n_edges,
+          CASE WHEN (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                AND (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN
+            round(
+              (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt(
+                  (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                ), 6)
+          END AS corr_r
+        FROM m
         """,
         "events_lag_corr": """
         WITH c AS (
