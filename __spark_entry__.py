@@ -3922,6 +3922,24 @@ def q_events_markov_anomaly(spark, sf_dir):
     )
 
 
+def q_events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain: 4
+    fixed-point iterations in BIGINT (mass transfer (pi·p_ppm) div
+    1e6, L1 rescale by the integer quotient), starting uniform — the
+    long-run share of time the stream spends in each state, closing
+    the Markov family (matrix → anomaly → eval → stationary). The
+    oracle unrolls the same iterations as CTEs bitwise."""
+    from unitdb_spark.operators.markov import (
+        stationary_distribution,
+        transition_matrix,
+    )
+
+    m = transition_matrix(
+        _events(spark, sf_dir), "user_id", "event_type", "ts", "event_id"
+    )
+    return stationary_distribution(m, iterations=4)
+
+
 def q_events_markov_eval(spark, sf_dir):
     """Markov next-event prediction audit: train on the first half
     (argmax next state per source, count DESC / dst ASC tie-break),
@@ -5782,6 +5800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_skyline": q_streamed_skyline,
         "events_dominant_period": q_events_dominant_period,
         "parts_assortativity": q_parts_assortativity,
+        "events_markov_stationary": q_events_markov_stationary,
     }
 
 
@@ -6944,6 +6963,70 @@ def oracle_sql() -> dict[str, str]:
           CAST(floor(n_hit2 * 1000000 / n_test) AS BIGINT) AS acc2_ppm,
           CAST(floor(n_hit1 * 1000000 / n_test) AS BIGINT) AS acc1_ppm
         FROM agg
+        """,
+        "events_markov_stationary": """
+        WITH p AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS src,
+                 event_type AS dst
+          FROM events
+        ), t AS (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE src IS NOT NULL GROUP BY 1, 2
+        ), mx AS (
+          SELECT src, dst,
+            CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY src))
+                 AS BIGINT) AS p_ppm
+          FROM t
+        ), st AS (SELECT DISTINCT src AS state FROM mx),
+        nn AS (SELECT count(*) AS n FROM st),
+        pi0 AS (
+          SELECT state,
+            CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS pi
+          FROM st
+        ),
+        r1 AS (
+          SELECT mx.dst AS state,
+            CAST(sum(((pi0.pi * mx.p_ppm)) // 1000000) AS BIGINT) AS raw
+          FROM mx JOIN pi0 ON mx.src = pi0.state GROUP BY 1
+        ), pi1 AS (
+          SELECT state,
+            CAST((raw * 1000000000) // greatest(1,
+              (SELECT CAST(sum(raw) AS BIGINT) FROM r1)) AS BIGINT) AS pi
+          FROM r1
+        ),
+        r2 AS (
+          SELECT mx.dst AS state,
+            CAST(sum(((pi1.pi * mx.p_ppm)) // 1000000) AS BIGINT) AS raw
+          FROM mx JOIN pi1 ON mx.src = pi1.state GROUP BY 1
+        ), pi2 AS (
+          SELECT state,
+            CAST((raw * 1000000000) // greatest(1,
+              (SELECT CAST(sum(raw) AS BIGINT) FROM r2)) AS BIGINT) AS pi
+          FROM r2
+        ),
+        r3 AS (
+          SELECT mx.dst AS state,
+            CAST(sum(((pi2.pi * mx.p_ppm)) // 1000000) AS BIGINT) AS raw
+          FROM mx JOIN pi2 ON mx.src = pi2.state GROUP BY 1
+        ), pi3 AS (
+          SELECT state,
+            CAST((raw * 1000000000) // greatest(1,
+              (SELECT CAST(sum(raw) AS BIGINT) FROM r3)) AS BIGINT) AS pi
+          FROM r3
+        ),
+        r4 AS (
+          SELECT mx.dst AS state,
+            CAST(sum(((pi3.pi * mx.p_ppm)) // 1000000) AS BIGINT) AS raw
+          FROM mx JOIN pi3 ON mx.src = pi3.state GROUP BY 1
+        ), pi4 AS (
+          SELECT state,
+            CAST((raw * 1000000000) // greatest(1,
+              (SELECT CAST(sum(raw) AS BIGINT) FROM r4)) AS BIGINT) AS pi
+          FROM r4
+        )
+        SELECT state, pi FROM pi4
         """,
         "events_markov_eval": """
         WITH tr AS (

@@ -6574,3 +6574,34 @@ class TestMarkov2:
         }
         assert got[("a", "a", "b")] == (2, 500_000)
         assert got[("a", "a", "c")] == (2, 500_000)
+
+
+class TestStationary:
+    def test_matches_python_model(self, spark):
+        """4 fixed-point iterations vs an independent integer model on
+        a small chain (two communicating states + a sink-ish third)."""
+        from unitdb_spark.operators.markov import (
+            stationary_distribution,
+            transition_matrix,
+        )
+
+        rows = [(1, i, s) for i, s in enumerate("ababcababcabab")]
+        df = spark.createDataFrame(rows, "k bigint, ts bigint, s string")
+        m = transition_matrix(df, "k", "s", "ts", "ts")
+        mat = {(r.src, r.dst): r.p_ppm for r in m.collect()}
+        states = sorted({s for s, _ in mat})
+        scale, iters = 1_000_000_000, 4
+        pi = {s: scale // len(states) for s in states}
+        for _ in range(iters):
+            raw = {}
+            for (a, b), p in mat.items():
+                raw[b] = raw.get(b, 0) + (pi[a] * p) // 1_000_000
+            t = sum(raw.values())
+            pi = {s: (v * scale) // max(1, t) for s, v in raw.items()}
+        got = {
+            r.state: r.pi
+            for r in stationary_distribution(m, iterations=iters).collect()
+        }
+        assert got == pi
+        # sanity: a/b dominate the chain, c is rare
+        assert got["a"] > got["c"] and got["b"] > got["c"]

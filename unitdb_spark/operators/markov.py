@@ -189,3 +189,59 @@ def transition_matrix2(
         .cast("long")
         .alias("p_ppm"),
     )
+
+
+def stationary_distribution(
+    matrix: DataFrame,
+    iterations: int = 4,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Stationary distribution of a transition matrix by fixed-round
+    power iteration in exact BIGINT fixed-point: pi_{k+1}(dst) =
+    Σ_src pi_k(src) · p_ppm(src, dst) div 1e6, then L1-rescaled by
+    the integer quotient q = max(1, total div scale) (the
+    `hits_bipartite` trick — no decimal division, bitwise SQL
+    replay). Starts uniform over the observed source states. The
+    long-run share of time the chain spends in each state — the
+    Markov family's closing number.
+
+    Every relation is |states|-sized (control-plane); ``matrix`` is
+    `transition_matrix` output (needs src, dst, p_ppm). States with
+    no outgoing row leak mass by construction (p_ppm rows only) —
+    with the lag-derived matrix every observed src has a row, so the
+    leak is only the floor loss (< |states| ppm per step).
+
+    Output: (state, pi) — fixed-point mass per state, total ~scale.
+    """
+    m = matrix.select("src", "dst", "p_ppm")
+    states = m.select(F.col("src").alias("state")).distinct()
+    n = states.count()
+    if n == 0:
+        raise ValueError("stationary_distribution: empty matrix")
+    pi = states.withColumn(
+        "pi", F.lit(int(scale) // n).cast("long")
+    )
+    for _ in range(iterations):
+        nxt = (
+            m.join(pi.withColumnRenamed("state", "src"), "src")
+            .groupBy(F.col("dst").alias("state"))
+            .agg(
+                F.sum(
+                    F.expr("(pi * p_ppm) div 1000000")
+                )
+                .cast("long")
+                .alias("_raw")
+            )
+        )
+        tot = nxt.agg(F.sum("_raw").cast("long").alias("_t"))
+        pi = (
+            nxt.crossJoin(F.broadcast(tot))
+            .select(
+                "state",
+                F.expr(f"(_raw * {int(scale)}L) div greatest(1L, _t)")
+                .cast("long")
+                .alias("pi"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pi
