@@ -5179,6 +5179,26 @@ def q_parts_assortativity(spark, sf_dir):
     )
 
 
+def q_parts_pagerank_w(spark, sf_dir):
+    """Weighted PageRank over the thresholded co-purchase graph:
+    mass flows in proportion to co-order counts — a 40× co-purchase
+    pulls 40× the rank of a one-off pairing, which the unweighted
+    `parts_pagerank` flattens. Same exact-picounit contract; the
+    oracle unrolls the same 3 iterations with the weighted
+    (pr·w) div Σw transfer."""
+    from unitdb_spark.operators.graph import (
+        pagerank_weighted,
+        weighted_cooccurrence_edges,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    pr = pagerank_weighted(
+        weighted_cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2),
+        iterations=3,
+    )
+    return pr.select(F.col("node").alias("part_id"), "pr_r")
+
+
 def q_events_lag_corr(spark, sf_dir):
     """Cross-correlation profile: hourly purchase counts vs error
     counts shifted by each lag in ±12 h, both series densified onto
@@ -5801,6 +5821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dominant_period": q_events_dominant_period,
         "parts_assortativity": q_parts_assortativity,
         "events_markov_stationary": q_events_markov_stationary,
+        "parts_pagerank_w": q_parts_pagerank_w,
     }
 
 
@@ -10440,6 +10461,7 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (d_id)
         """,
         "parts_pagerank": _pagerank_oracle(),
+        "parts_pagerank_w": _pagerank_w_oracle(),
         "parts_triangles": """
         -- same degree-ordered wedge-close orientation as the Spark
         -- operator: each triangle closes at its (degree, id)-smallest
@@ -11455,6 +11477,48 @@ def _doc_lang_oracle() -> str:
     WITH hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM documents)
     SELECT doc_id, {expr} AS lang_pred FROM hits
     """
+
+
+def _pagerank_w_oracle(iters: int = 3) -> str:
+    """`parts_pagerank_w` replay: the weighted transfer
+    (r.u * e.w) // ws per edge, damping (17x) // 20, restart
+    (3 * 1e12) // (20 * N) — BIGINT throughout, bitwise."""
+    it = """
+          SELECT nd.s AS node,
+            (SELECT (3 * 1000000000000) // (20 * nn) FROM n)
+              + (17 * coalesce(c.v, CAST(0 AS BIGINT))) // 20 AS u
+          FROM ws nd LEFT JOIN (
+            SELECT e.d, CAST(sum((r.u * e.w) // ws.t) AS BIGINT) AS v
+            FROM e JOIN {prev} r ON e.s = r.node
+            JOIN ws ON e.s = ws.s
+            GROUP BY e.d
+          ) c ON nd.s = c.d
+    """
+    steps = ",\n".join(
+        f"r{k} AS ({it.format(prev=f'r{k - 1}')})"
+        for k in range(1, iters + 1)
+    )
+    return (
+        """
+        WITH g AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        p0 AS (SELECT a.i AS s, b.i AS d, CAST(count(*) AS BIGINT) AS w
+               FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        e AS (SELECT s, d, w FROM p0
+              UNION ALL SELECT d AS s, s AS d, w FROM p0),
+        ws AS (SELECT s, CAST(sum(w) AS BIGINT) AS t FROM e GROUP BY s),
+        n AS (SELECT count(*) AS nn FROM ws),
+        r0 AS (SELECT s AS node,
+                 (SELECT 1000000000000 // nn FROM n) AS u FROM ws),
+        """
+        + steps
+        + f"""
+        SELECT node AS part_id,
+          round(CAST(u AS DOUBLE) * (SELECT CAST(nn AS DOUBLE) FROM n)
+                / 1000000000000.0, 6) AS pr_r
+        FROM r{iters}
+        """
+    )
 
 
 def _pagerank_oracle() -> str:

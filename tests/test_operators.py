@@ -6605,3 +6605,57 @@ class TestStationary:
         assert got == pi
         # sanity: a/b dominate the chain, c is rare
         assert got["a"] > got["c"] and got["b"] > got["c"]
+
+
+class TestPagerankWeighted:
+    def test_matches_python_model(self, spark):
+        """Weighted power iteration vs an independent integer model on
+        a seeded weighted graph."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.graph import PR_SCALE, pagerank_weighted
+
+        rng = random.Random(17)
+        und = sorted(
+            {
+                (a, b)
+                for _ in range(30)
+                for a, b in [sorted(rng.sample(range(12), 2))]
+            }
+        )
+        wts = {p: rng.randint(1, 9) for p in und}
+        rows = [(a, b, w) for (a, b), w in wts.items()] + [
+            (b, a, w) for (a, b), w in wts.items()
+        ]
+        df = spark.createDataFrame(rows, ["src", "dst", "w"])
+        iters, scale = 3, PR_SCALE
+        nodes = sorted({n for ab in wts for n in ab})
+        n = len(nodes)
+        ws = {u: sum(w for (a, b), w in wts.items() if a == u or b == u)
+              for u in nodes}
+        restart = (20 - 17) * scale // (20 * n)
+        pr = {u: scale // n for u in nodes}
+        for _ in range(iters):
+            inflow = {u: 0 for u in nodes}
+            for (a, b), w in wts.items():
+                inflow[b] += (pr[a] * w) // ws[a]
+                inflow[a] += (pr[b] * w) // ws[b]
+            pr = {u: restart + (17 * inflow[u]) // 20 for u in nodes}
+        want = {u: round(pr[u] * n / scale, 6) for u in nodes}
+        got = {
+            r.node: r.pr_r
+            for r in pagerank_weighted(df, iterations=iters).collect()
+        }
+        assert got == want
+
+    def test_heavy_edge_outranks(self, spark):
+        """Three nodes: 1-2 weight 50, 2-3 weight 1 — node 1 must
+        outrank node 3 (symmetric topology, asymmetric weights)."""
+        from unitdb_spark.operators.graph import pagerank_weighted
+
+        rows = [(1, 2, 50), (2, 1, 50), (2, 3, 1), (3, 2, 1)]
+        df = spark.createDataFrame(rows, ["src", "dst", "w"])
+        got = {r.node: r.pr_r for r in pagerank_weighted(df).collect()}
+        assert got[1] > got[3]

@@ -908,3 +908,76 @@ def link_prediction(
         )
     )
     return out
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 5,
+    damping: float = 0.85,
+    persist: str = "memory",
+) -> DataFrame:
+    """Weighted PageRank: mass flows along edges in proportion to
+    edge weight — contribution u→v = (pr_u · w_uv) div Σw_u — so a
+    part co-purchased with something 40 times pulls 40× the rank a
+    one-off pairing does. Same exact-BIGINT-picounits determinism
+    contract, iteration shape, damping rational, and lineage
+    discipline as `pagerank` (which this generalizes: weight ≡ 1
+    reduces to it up to per-step floor placement).
+
+    Overflow envelope: pr_u ≤ SCALE (1e12 picounits of total mass)
+    and pr_u · w must clear int64 — fine for any count-valued weight
+    below ~9e6; rescale heavier weights upstream.
+
+    Output: (node, pr_r) — N-scaled round-6, as `pagerank`.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(damping))
+    d_num, d_den = frac.numerator, frac.denominator
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_d"),
+        F.col(weight).cast("long").alias("_w"),
+    )
+    ws = e.groupBy("_s").agg(F.sum("_w").cast("long").alias("_ws"))
+    ewd = e.join(ws, "_s")
+    nodes = ws.select("_s")
+    if persist == "memory":
+        ewd = ewd.persist()
+        nodes = nodes.persist()
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank_weighted: empty edge list")
+    restart = (d_den - d_num) * PR_SCALE // (d_den * n)
+    pr = nodes.withColumn("_u", F.lit(PR_SCALE // n).cast("long"))
+    for _ in range(iterations):
+        inflow = (
+            ewd.join(pr.withColumnRenamed("_s", "_src").withColumnRenamed("_u", "_pu"),
+                     F.col("_s") == F.col("_src"))
+            .select("_d", F.expr("(_pu * _w) div _ws").alias("_c"))
+            .groupBy("_d")
+            .agg(F.sum("_c").cast("long").alias("_v"))
+        )
+        pr = (
+            nodes.join(inflow, nodes["_s"] == inflow["_d"], "left")
+            .select(
+                "_s",
+                (
+                    F.lit(int(restart)).cast("long")
+                    + F.expr(
+                        f"({d_num} * coalesce(_v, 0L)) div {d_den}"
+                    ).cast("long")
+                ).alias("_u"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(
+        F.col("_s").alias("node"),
+        F.round(
+            F.col("_u").cast("double") * F.lit(float(n)) / F.lit(float(PR_SCALE)),
+            6,
+        ).alias("pr_r"),
+    )
