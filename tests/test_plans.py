@@ -1088,3 +1088,37 @@ class TestSessionPlans6b:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert not has_python_eval(out)
+
+    def test_stationary_and_weighted_pagerank_no_python_no_cross(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.graph import pagerank_weighted
+        from unitdb_spark.operators.markov import (
+            stationary_distribution,
+            transition_matrix,
+        )
+
+        ev = spark.read.parquet(f"{self.SF}/events.parquet")
+        m = transition_matrix(ev, "user_id", "event_type", "ts", "event_id")
+        pi = stationary_distribution(m, iterations=1)
+        assert "CartesianProduct" not in formatted_plan(pi)
+        assert not has_python_eval(pi)
+
+        e = spark.createDataFrame(
+            [(1, 2, 3), (2, 1, 3), (2, 3, 1), (3, 2, 1)], ["src", "dst", "w"]
+        )
+        pr = pagerank_weighted(e, iterations=1, persist="none")
+        assert "CartesianProduct" not in formatted_plan(pr)
+        assert not has_python_eval(pr)
+
+    def test_dominant_period_argmax_is_group_limit(self, spark):
+        """The rank-1 filter over the lag relation must compile to a
+        WindowGroupLimit (or equivalent) — NOT a corpus-sized global
+        window; the audit reports no global-window for this query."""
+        import __spark_entry__ as e
+        from unitdb_spark.plans.audit import plan_audit
+
+        df = e.queries()["events_dominant_period"](spark, self.SF)
+        codes = {f.code for f in plan_audit(df)}
+        assert "global-window" not in codes
+        assert not has_python_eval(df)
