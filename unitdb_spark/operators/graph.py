@@ -803,6 +803,8 @@ def hits_bipartite(
     Output: (side, node, score) with side in ('hub', 'auth') — raw
     BIGINT fixed-point scores, no float anywhere.
     """
+    if iterations < 1:
+        raise ValueError("hits_bipartite: iterations must be >= 1")
     e = edges.select(
         F.col(hub_col).alias("_c"), F.col(auth_col).alias("_p")
     ).distinct()

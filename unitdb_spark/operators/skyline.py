@@ -45,11 +45,12 @@ def _dominated(min_col: str, max_col: str, part_cols: list[str]):
     minimized column: strictly-lower-A rows with B >= mine, or
     lower-or-equal-A rows with B > mine (the latter excludes self
     automatically). Returns the boolean column."""
-    base = Window.orderBy(F.col(min_col).cast("long"))
     if part_cols:
         base = Window.partitionBy(*part_cols).orderBy(
             F.col(min_col).cast("long")
         )
+    else:
+        base = Window.orderBy(F.col(min_col).cast("long"))
     w_strict = base.rangeBetween(Window.unboundedPreceding, -1)
     w_incl = base.rangeBetween(Window.unboundedPreceding, 0)
     return (
