@@ -5199,6 +5199,51 @@ def q_parts_pagerank_w(spark, sf_dir):
     return pr.select(F.col("node").alias("part_id"), "pr_r")
 
 
+def q_events_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test over each event type's daily
+    count series — the nonparametric "is this metric drifting?"
+    detector next to Pettitt's single-shift test. S, the tie-corrected
+    Var×18 and the continuity-corrected α=0.05 decision are all exact
+    integers (cross-multiplied 1.96² = 38416/10⁴); no float exists."""
+    from unitdb_spark.operators.stats_tests import mann_kendall
+
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return mann_kendall(cells, "event_type", t_col="day", y_col="y")
+
+
+def q_parts_link_ra(spark, sf_dir):
+    """Resource-allocation link prediction over the thresholded
+    co-purchase graph (Zhou '09): distance-2 non-edges scored by
+    Σ 1/deg(z) over shared neighbors — the degree-penalized upgrade of
+    parts_link_pred's raw common-neighbor count, with each term the
+    exact integer floor(1e9/deg) so the oracle replays bitwise."""
+    from unitdb_spark.operators.graph import (
+        link_prediction_ra,
+        weighted_cooccurrence_edges,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = weighted_cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_count=2
+    ).select("src", "dst")
+    return link_prediction_ra(edges, min_common=2)
+
+
+def q_doc_bigram_nll(spark, sf_dir):
+    """Interpolated bigram language-model quality score (λ=0.8 bigram
+    + 0.2 unigram back-off) — the context-aware CCNet-style filter
+    next to doc_unigram_nll: word salad with plausible unigrams
+    scores badly because its TRANSITIONS are corpus-atypical. One
+    round-6 log10 per bigram type; per-doc sums are exact decimal."""
+    from unitdb_spark.operators.tfidf import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 def q_events_lag_corr(spark, sf_dir):
     """Cross-correlation profile: hourly purchase counts vs error
     counts shifted by each lag in ±12 h, both series densified onto
@@ -5822,6 +5867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_assortativity": q_parts_assortativity,
         "events_markov_stationary": q_events_markov_stationary,
         "parts_pagerank_w": q_parts_pagerank_w,
+        "events_mann_kendall": q_events_mann_kendall,
+        "parts_link_ra": q_parts_link_ra,
+        "doc_bigram_nll": q_doc_bigram_nll,
     }
 
 
@@ -11210,6 +11258,121 @@ def oracle_sql() -> dict[str, str]:
         FROM assign
         """
     )
+    # Mann-Kendall per event type: pairwise sign sum, tie-corrected
+    # Var×18, and the continuity-corrected cross-multiplied alpha=0.05
+    # decision — all exact integers (HUGEINT lift for the n^4 square)
+    d["events_mann_kendall"] = """
+        WITH cells AS (
+          SELECT event_type AS k,
+            CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ), s_rel AS (
+          SELECT i.k,
+            CAST(sum(CASE WHEN j.y > i.y THEN 1
+                          WHEN j.y < i.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+          FROM cells i JOIN cells j ON i.k = j.k AND i.day < j.day
+          GROUP BY i.k
+        ), n_rel AS (
+          SELECT k, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY k
+        ), tie_rel AS (
+          SELECT k,
+            CAST(sum(g * (g - 1) * (2 * g + 5)) AS BIGINT) AS tie3
+          FROM (SELECT k, y, count(*) AS g FROM cells GROUP BY k, y)
+          GROUP BY k
+        )
+        SELECT n_rel.k AS event_type, n_rel.n,
+          CAST(coalesce(s_rel.s, 0) AS BIGINT) AS s,
+          CAST(n_rel.n * (n_rel.n - 1) * (2 * n_rel.n + 5) - tie_rel.tie3
+               AS BIGINT) AS var18,
+          CAST(CASE WHEN coalesce(s_rel.s, 0) <> 0
+                 AND (n_rel.n * (n_rel.n - 1) * (2 * n_rel.n + 5)
+                      - tie_rel.tie3) > 0
+                 AND CAST(180000 AS HUGEINT)
+                     * CAST(abs(s_rel.s) - 1 AS HUGEINT)
+                     * CAST(abs(s_rel.s) - 1 AS HUGEINT)
+                   > CAST(38416 AS HUGEINT)
+                     * CAST(n_rel.n * (n_rel.n - 1) * (2 * n_rel.n + 5)
+                            - tie_rel.tie3 AS HUGEINT)
+               THEN CASE WHEN s_rel.s > 0 THEN 1 ELSE -1 END
+               ELSE 0 END AS INTEGER) AS trend
+        FROM n_rel
+        JOIN tie_rel ON n_rel.k = tie_rel.k
+        LEFT JOIN s_rel ON n_rel.k = s_rel.k
+        """
+    # resource-allocation link prediction: same 2-hop wedge relation
+    # as parts_link_pred's oracle, scored floor(1e9/deg(z)) per shared
+    # neighbor — exact BIGINT throughout
+    d["parts_link_ra"] = """
+        WITH li AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ), e0 AS (
+          SELECT a.p AS src, b.p AS dst, count(*) AS w
+          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ), e AS (
+          SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        ), deg AS (
+          SELECT src AS x, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src
+        ), wedge AS (
+          SELECT l.src AS s, r.dst AS t, l.dst AS z
+          FROM e l JOIN e r ON l.dst = r.src AND l.src < r.dst
+        ), cand AS (
+          SELECT s, t, CAST(count(*) AS BIGINT) AS n_common,
+            CAST(sum(1000000000 // deg.d) AS BIGINT) AS ra_nano
+          FROM wedge JOIN deg ON wedge.z = deg.x
+          GROUP BY s, t HAVING count(*) >= 2
+        )
+        SELECT s AS src, t AS dst, n_common, ra_nano
+        FROM cand
+        WHERE NOT EXISTS (
+          SELECT 1 FROM e WHERE e.src = cand.s AND e.dst = cand.t
+        )
+        """
+    # interpolated bigram LM: bigrams encoded "prev cur" (tokens are
+    # whitespace-split, so the space separator is injective); one
+    # round-6 log10 per bigram TYPE over the pinned lambda expression,
+    # DECIMAL(18,6) per-doc sums
+    d["doc_bigram_nll"] = """
+        WITH tk AS (
+          SELECT doc_id, {toks} AS t FROM documents
+        ), big AS (
+          SELECT doc_id, u.bg
+          FROM tk, unnest(
+            list_transform(range(1, len(t)),
+                           i -> t[i] || ' ' || t[i + 1])
+          ) AS u(bg)
+        ), uni AS (
+          SELECT u.term, count(*) AS c_u
+          FROM (SELECT unnest(t) AS term FROM tk) u
+          GROUP BY u.term
+        ), tot AS (
+          SELECT sum(c_u) AS total FROM uni
+        ), bic AS (
+          SELECT bg, count(*) AS c_b,
+            string_split(bg, ' ')[1] AS prev,
+            string_split(bg, ' ')[2] AS cur
+          FROM big GROUP BY bg
+        ), ctx AS (
+          SELECT prev, sum(c_b) AS c_ctx FROM bic GROUP BY prev
+        ), lp AS (
+          SELECT bic.bg,
+            CAST(round(log10(
+              0.8 * (CAST(bic.c_b AS DOUBLE) / CAST(ctx.c_ctx AS DOUBLE))
+              + 0.2 * (CAST(uni.c_u AS DOUBLE) / CAST(tot.total AS DOUBLE))
+            ), 6) AS DECIMAL(18,6)) AS logp
+          FROM bic
+          JOIN ctx ON bic.prev = ctx.prev
+          JOIN uni ON bic.cur = uni.term
+          CROSS JOIN tot
+        )
+        SELECT big.doc_id, count(*) AS n_bigrams,
+          CAST(sum(lp.logp) AS DOUBLE) AS logp_sum_r,
+          round(-CAST(sum(lp.logp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS nll_r
+        FROM big JOIN lp ON big.bg = lp.bg
+        GROUP BY big.doc_id
+        """.replace("{toks}", _TOKS)
     return d
 
 

@@ -6659,3 +6659,200 @@ class TestPagerankWeighted:
         df = spark.createDataFrame(rows, ["src", "dst", "w"])
         got = {r.node: r.pr_r for r in pagerank_weighted(df).collect()}
         assert got[1] > got[3]
+
+
+class TestMannKendall:
+    def test_matches_python_model(self, spark):
+        """S, tie-corrected var18 and the alpha=0.05 decision vs an
+        independent brute-force model on seeded integer series."""
+        import random
+        from collections import Counter
+
+        from unitdb_spark.operators.stats_tests import mann_kendall
+
+        rng = random.Random(11)
+        rows = []
+        series = {}
+        for k in ["a", "b", "c", "d"]:
+            n = rng.randint(1, 25)
+            ys = [rng.randint(0, 5) for _ in range(n)]
+            series[k] = ys
+            rows += [(k, t, y) for t, y in enumerate(ys)]
+        df = spark.createDataFrame(rows, ["k", "t", "y"])
+        want = {}
+        for k, ys in series.items():
+            n = len(ys)
+            s = sum(
+                (ys[j] > ys[i]) - (ys[j] < ys[i])
+                for i in range(n)
+                for j in range(i + 1, n)
+            )
+            tie3 = sum(
+                g * (g - 1) * (2 * g + 5) for g in Counter(ys).values()
+            )
+            var18 = n * (n - 1) * (2 * n + 5) - tie3
+            sig = (
+                s != 0
+                and var18 > 0
+                and 180000 * (abs(s) - 1) ** 2 > 38416 * var18
+            )
+            want[k] = (n, s, var18, (1 if s > 0 else -1) if sig else 0)
+        got = {
+            r.k: (r.n, r.s, r.var18, r.trend)
+            for r in mann_kendall(df, "k").collect()
+        }
+        assert got == want
+
+    def test_monotone_series_is_significant(self, spark):
+        """A strictly increasing 10-point series: S = 45, no ties,
+        (45-1)^2*180000 > 38416*var18 -> trend +1; its negation -1."""
+        from unitdb_spark.operators.stats_tests import mann_kendall
+
+        rows = [("up", t, t) for t in range(10)] + [
+            ("down", t, -t) for t in range(10)
+        ]
+        df = spark.createDataFrame(rows, ["k", "t", "y"])
+        got = {r.k: (r.s, r.trend) for r in mann_kendall(df, "k").collect()}
+        assert got == {"up": (45, 1), "down": (-45, -1)}
+
+    def test_single_point_and_all_tied_are_no_trend(self, spark):
+        from unitdb_spark.operators.stats_tests import mann_kendall
+
+        rows = [("one", 0, 7)] + [("flat", t, 3) for t in range(8)]
+        df = spark.createDataFrame(rows, ["k", "t", "y"])
+        got = {r.k: (r.n, r.s, r.var18, r.trend)
+               for r in mann_kendall(df, "k").collect()}
+        assert got["one"] == (1, 0, 0, 0)
+        assert got["flat"][1] == 0 and got["flat"][3] == 0
+        assert got["flat"][2] == 0  # full tie correction cancels
+
+
+class TestLinkPredictionRa:
+    def test_matches_python_model(self, spark):
+        """RA scores vs an independent adjacency-set model: every
+        distance-2 non-edge pair, score = sum floor(1e9/deg(z))."""
+        import random
+
+        from unitdb_spark.operators.graph import link_prediction_ra
+
+        rng = random.Random(7)
+        und = sorted(
+            {
+                (a, b)
+                for _ in range(60)
+                for a, b in [sorted(rng.sample(range(16), 2))]
+            }
+        )
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        nodes = sorted(adj)
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                if b in adj[a]:
+                    continue
+                common = adj[a] & adj[b]
+                if len(common) >= 2:
+                    want[(a, b)] = (
+                        len(common),
+                        sum(1_000_000_000 // len(adj[z]) for z in common),
+                    )
+        got = {
+            (r.src, r.dst): (r.n_common, r.ra_nano)
+            for r in link_prediction_ra(
+                TestLinkPrediction._sym(spark, und)
+            ).collect()
+        }
+        assert got == want
+
+    def test_hub_neighbor_contributes_less(self, spark):
+        """Star hub h connects 1..4; 1-2 also share private neighbor
+        p. Pair (1,2): RA = 1e9/deg(h) + 1e9/deg(p) — the private
+        neighbor term dominates the hub term."""
+        from unitdb_spark.operators.graph import link_prediction_ra
+
+        und = [(10, 1), (10, 2), (10, 3), (10, 4), (5, 1), (5, 2)]
+        got = {
+            (r.src, r.dst): (r.n_common, r.ra_nano)
+            for r in link_prediction_ra(
+                TestLinkPrediction._sym(spark, und), min_common=2
+            ).collect()
+        }
+        assert got[(1, 2)] == (2, 1_000_000_000 // 4 + 1_000_000_000 // 2)
+
+
+class TestBigramLogprob:
+    def test_matches_python_model(self, spark):
+        """NLL vs an independent Counter model: interpolated
+        P = 0.8*c_bi/c_ctx + 0.2*c_uni/N, one round-6 log per type,
+        decimal-exact per-doc sums."""
+        from collections import Counter
+        from decimal import Decimal
+        from math import log10
+
+        from unitdb_spark.operators.tfidf import bigram_logprob
+
+        docs = [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ate the cat food"),
+            (3, "dogs chase the cat"),
+            (4, "single"),
+            (5, "  spaced   out   tokens  "),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        toks = {i: t.lower().split() for i, t in docs}
+        uni = Counter(w for ws in toks.values() for w in ws)
+        total = sum(uni.values())
+        bi = Counter(
+            (ws[i], ws[i + 1])
+            for ws in toks.values()
+            for i in range(len(ws) - 1)
+        )
+        ctx = Counter()
+        for (p, _), c in bi.items():
+            ctx[p] += c
+        lp = {
+            pc: Decimal(
+                str(
+                    round(
+                        log10(
+                            0.8 * (bi[pc] / ctx[pc[0]])
+                            + 0.2 * (uni[pc[1]] / total)
+                        ),
+                        6,
+                    )
+                )
+            )
+            for pc in bi
+        }
+        want = {}
+        for i, ws in toks.items():
+            pairs = [(ws[k], ws[k + 1]) for k in range(len(ws) - 1)]
+            if not pairs:
+                continue  # <2 tokens: absent from output
+            s = sum(lp[p] for p in pairs)
+            want[i] = (
+                len(pairs),
+                float(s),
+                round(-float(s) / len(pairs), 6),
+            )
+        got = {
+            r.doc_id: (r.n_bigrams, r.logp_sum_r, r.nll_r)
+            for r in bigram_logprob(df).collect()
+        }
+        assert got == want
+
+    def test_word_salad_scores_worse_than_typical(self, spark):
+        """Docs built from the same vocabulary: the doc whose
+        transitions are corpus-typical beats the shuffled one."""
+        from unitdb_spark.operators.tfidf import bigram_logprob
+
+        typical = "the cat sat on the mat"
+        rows = [(i, typical) for i in range(6)] + [
+            (99, "mat the on cat the sat")
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: r.nll_r for r in bigram_logprob(df).collect()}
+        assert got[0] < got[99]

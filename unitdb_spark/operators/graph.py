@@ -912,6 +912,65 @@ def link_prediction(
     return out
 
 
+def link_prediction_ra(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lü & Zhang '09) —
+    the degree-penalized upgrade of `link_prediction`'s raw
+    common-neighbor count: each shared neighbor z contributes 1/deg(z),
+    so a hub shared with everything is worth almost nothing while a
+    rare mutual neighbor is strong evidence. Published benchmarks rank
+    RA above both common-neighbors and Adamic-Adar on co-occurrence
+    graphs, and unlike Adamic-Adar's 1/log deg it needs NO
+    transcendental — each contribution is the exact integer
+    floor(scale / deg(z)), summed in BIGINT, so a SQL oracle replays
+    it bitwise.
+
+    Input contract: a SYMMETRIC edge list (both directions present,
+    `weighted_cooccurrence_edges` shape). Candidates come only from
+    the 2-hop self-join (cost = Σ_z deg(z)² on the THRESHOLDED graph,
+    never all pairs); existing edges are removed with a keyed
+    anti-join; ``min_common`` prunes the tail before scoring.
+
+    Output: (src, dst, n_common, ra_nano) with src < dst and
+    ra_nano = Σ_z floor(scale / deg(z)) (scale defaults to 1e9 —
+    "nano" units; Σ over ≤ deg² neighbors stays far inside BIGINT).
+    """
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    deg = e.groupBy("_a").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    l_ = e.select(F.col("_a").alias("_s"), F.col("_b").alias("_x"))
+    r_ = e.select(F.col("_a").alias("_x"), F.col("_b").alias("_d"))
+    wedges = (
+        l_.join(r_, "_x")
+        .filter(F.col("_s") < F.col("_d"))
+        .join(deg.withColumnRenamed("_a", "_x"), "_x")
+    )
+    cand = (
+        wedges.groupBy("_s", "_d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.floor(F.lit(int(scale)) / F.col("_deg")))
+            .cast("long").alias("ra_nano"),
+        )
+        .filter(F.col("n_common") >= F.lit(int(min_common)))
+    )
+    non_edge = cand.join(
+        e.select(F.col("_a").alias("_s"), F.col("_b").alias("_d")),
+        ["_s", "_d"],
+        "left_anti",
+    )
+    return non_edge.select(
+        F.col("_s").alias("src"),
+        F.col("_d").alias("dst"),
+        "n_common",
+        "ra_nano",
+    )
+
+
 def pagerank_weighted(
     edges: DataFrame,
     src: str = "src",

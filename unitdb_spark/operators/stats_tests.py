@@ -402,3 +402,101 @@ def pettitt_test(
         F.floor(F.col("_at_us") / F.lit(1_000_000)).cast("long")
         .alias("t_at_s"),
     )
+
+
+def mann_kendall(
+    cells: DataFrame,
+    key_col: str,
+    t_col: str = "t",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-key Mann-Kendall monotone-trend test (Mann '45, Kendall
+    '75) — the nonparametric "is this series drifting?" detector that
+    complements Pettitt (single SHIFT) and the Holt family (trend
+    MAGNITUDE): it answers significance with no distribution or
+    linearity assumption, which is the triage question over thousands
+    of metric series.
+
+        S      = Σ_{i<j} sign(y_j − y_i)               (by t order)
+        Var(S) = [n(n−1)(2n+5) − Σ_g g(g−1)(2g+5)] / 18
+
+    with g ranging over tie-group sizes of y. Everything is exact
+    integer: S is a BIGINT sum of signs, ``var18`` keeps Var×18 so
+    the tie correction never divides, and the α=0.05 two-sided
+    decision (|z| > 1.96 with the standard ±1 continuity correction)
+    is the cross-multiplied integer test
+
+        180000·(|S|−1)² > 38416·var18        (1.96² = 38416/10⁴,
+                                              ×18 both sides)
+
+    lifted to DECIMAL(38,0) so n⁴-sized squares cannot wrap. No float
+    exists anywhere — the oracle replays bitwise.
+
+    Input: the CELL relation — one row per (key, t, y) with integer y
+    (counts/micro-units), already aggregated upstream, so its size is
+    keys × observation span regardless of event volume.
+
+    Output: (key, n, s, var18, trend) with trend ∈ {−1, 0, +1}
+    (signed significant direction; 0 = no significant trend, n ≤ 1
+    and all-tied series included).
+
+    Scale: the pairwise relation is a per-key self-join — cost
+    Σ_k n_k², bounded by the CELL contract (n_k = series length, e.g.
+    days), never by event volume; ties and n are single map-side-
+    combined aggs. One shuffle on key for the join, one for each agg.
+    """
+    a = cells.select(
+        F.col(key_col).alias("_k"),
+        F.col(t_col).alias("_t"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).filter(F.col("_t").isNotNull() & F.col("_y").isNotNull())
+    i, j = a.alias("i"), a.alias("j")
+    s_rel = (
+        i.join(j, (F.col("i._k") == F.col("j._k"))
+               & (F.col("i._t") < F.col("j._t")))
+        .groupBy(F.col("i._k").alias("_k"))
+        .agg(
+            F.sum(F.signum(F.col("j._y") - F.col("i._y")).cast("long"))
+            .alias("s")
+        )
+    )
+    n_rel = a.groupBy("_k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tie_rel = (
+        a.groupBy("_k", "_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("_g"))
+        .groupBy("_k")
+        .agg(
+            F.sum(
+                F.col("_g") * (F.col("_g") - 1) * (2 * F.col("_g") + 5)
+            ).cast("long").alias("_tie3")
+        )
+    )
+    out = (
+        n_rel.join(tie_rel, "_k")
+        .join(s_rel, "_k", "left")
+        .select(
+            "_k", "n",
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s"),
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("_tie3")
+            ).cast("long").alias("var18"),
+        )
+    )
+    m = F.abs(F.col("s")) - 1  # continuity-corrected margin
+    sig = (
+        (F.col("s") != 0)
+        & (F.col("var18") > 0)
+        & (
+            F.lit(180000).cast("decimal(38,0)")
+            * m.cast("decimal(38,0)") * m.cast("decimal(38,0)")
+            > F.lit(38416).cast("decimal(38,0)")
+            * F.col("var18").cast("decimal(38,0)")
+        )
+    )
+    return out.select(
+        F.col("_k").alias(key_col),
+        "n", "s", "var18",
+        F.when(sig, F.signum(F.col("s")).cast("int"))
+        .otherwise(F.lit(0)).alias("trend"),
+    )
