@@ -5233,6 +5233,54 @@ def q_parts_link_ra(spark, sf_dir):
     return link_prediction_ra(edges, min_common=2)
 
 
+def q_events_jackknife(spark, sf_dir):
+    """Delete-1-day jackknife SE of each event type's cents-per-event
+    ratio — the standard-error machinery for a NONLINEAR ratio
+    statistic (no closed sum form). LOO ratios quantize once as
+    floor(micro); every moment after that is exact (the n²Q2 − nS1²
+    identity), and var/se are each ONE pinned float."""
+    from unitdb_spark.operators.stats_tests import jackknife_ratio
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cells = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)"
+        ).alias("y"),
+        F.count(F.lit(1)).alias("x"),
+    )
+    return jackknife_ratio(cells, "event_type", "y", "x")
+
+
+def q_streamed_jackknife(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING jackknife: the events
+    stream folds (key, day, hour) cents/count cells into the
+    commit-logged state (mergeable sums), the read side rolls them to
+    delete-1 DAY units and finishes through the batch operator's
+    shared code path — so on the same data the streamed SE IS the
+    batch SE, and the oracle is the batch SQL verbatim."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_hourly_cells,
+        read_jackknife_ratio,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_hourly_cells(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "event_type",
+        "ts",
+        "value",
+        f"{base}/cells",
+        f"{base}/cp",
+    )
+    q.awaitTermination(300)
+    return read_jackknife_ratio(spark, f"{base}/cells")
+
+
 def q_doc_bigram_nll(spark, sf_dir):
     """Interpolated bigram language-model quality score (λ=0.8 bigram
     + 0.2 unigram back-off) — the context-aware CCNet-style filter
@@ -5870,6 +5918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mann_kendall": q_events_mann_kendall,
         "parts_link_ra": q_parts_link_ra,
         "doc_bigram_nll": q_doc_bigram_nll,
+        "events_jackknife": q_events_jackknife,
+        "streamed_jackknife": q_streamed_jackknife,
     }
 
 
@@ -11329,6 +11379,54 @@ def oracle_sql() -> dict[str, str]:
           SELECT 1 FROM e WHERE e.src = cand.s AND e.dst = cand.t
         )
         """
+    # delete-1-day jackknife of the cents-per-event ratio: LOO ratios
+    # quantize once (floor micro of a pinned double), then exact
+    # integer moments via n²Q2 − nS1²; var/se are each ONE pinned
+    # float (IEEE sqrt is correctly rounded by spec). Shared verbatim
+    # by the batch query and the rolling-cells streamed twin (cents/
+    # counts merge by sum, finish through the same code path).
+    _jk_sql = """
+        WITH cells AS (
+          SELECT event_type AS k, CAST(ts AS DATE) AS d,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+            CAST(count(*) AS BIGINT) AS x
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), g AS (
+          SELECT k, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x) AS BIGINT) AS sx,
+            CAST(count(*) AS BIGINT) AS n
+          FROM cells GROUP BY k HAVING count(*) >= 2
+        ), loo AS (
+          SELECT cells.k,
+            CAST(floor(CAST(g.sy - cells.y AS DOUBLE)
+                       / CAST(g.sx - cells.x AS DOUBLE)
+                       * 1000000.0) AS BIGINT) AS r
+          FROM cells JOIN g ON cells.k = g.k
+        ), st AS (
+          SELECT k, CAST(sum(r) AS BIGINT) AS s1,
+            sum(CAST(r AS HUGEINT) * CAST(r AS HUGEINT)) AS q2
+          FROM loo GROUP BY k
+        ), fin AS (
+          SELECT g.k, g.n, g.sy, g.sx, st.s1,
+            CAST(CAST(g.n AS HUGEINT) * CAST(g.n AS HUGEINT) * st.q2
+                 - CAST(g.n AS HUGEINT) * CAST(st.s1 AS HUGEINT)
+                   * CAST(st.s1 AS HUGEINT) AS DOUBLE)
+              * CAST(g.n - 1 AS DOUBLE)
+              / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE)
+                 * CAST(g.n AS DOUBLE))
+              / 1000000000000.0 AS inner_v
+          FROM g JOIN st ON g.k = st.k
+        )
+        SELECT k AS event_type, n, sy, sx,
+          CAST(floor(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)
+                     * 1000000.0) AS BIGINT) AS r_e6,
+          s1 AS s1_e6,
+          round(inner_v, 6) AS var_r,
+          round(sqrt(inner_v), 6) AS se_r
+        FROM fin
+        """
+    d["events_jackknife"] = _jk_sql
+    d["streamed_jackknife"] = _jk_sql
     # interpolated bigram LM: bigrams encoded "prev cur" (tokens are
     # whitespace-split, so the space separator is injective); one
     # round-6 log10 per bigram TYPE over the pinned lambda expression,

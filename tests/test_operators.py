@@ -6856,3 +6856,74 @@ class TestBigramLogprob:
         df = spark.createDataFrame(rows, ["doc_id", "text"])
         got = {r.doc_id: r.nll_r for r in bigram_logprob(df).collect()}
         assert got[0] < got[99]
+
+
+class TestJackknifeRatio:
+    @staticmethod
+    def _model(cells):
+        from math import floor, sqrt
+
+        out = {}
+        per = {}
+        for k, y, x in cells:
+            if x > 0:
+                per.setdefault(k, []).append((y, x))
+        for k, units in per.items():
+            n = len(units)
+            if n < 2:
+                continue
+            sy = sum(y for y, _ in units)
+            sx = sum(x for _, x in units)
+            rs = [
+                floor((sy - y) / (sx - x) * 1_000_000.0)
+                for y, x in units
+            ]
+            s1 = sum(rs)
+            q2 = sum(r * r for r in rs)
+            q = n * n * q2 - n * s1 * s1
+            inner = q * (n - 1) / (n * n * n) / 1e12
+            out[k] = (
+                n, sy, sx,
+                floor(sy / sx * 1_000_000.0),
+                s1,
+                round(inner, 6),
+                round(sqrt(inner), 6),
+            )
+        return out
+
+    def test_matches_python_model(self, spark):
+        import random
+
+        from unitdb_spark.operators.stats_tests import jackknife_ratio
+
+        rng = random.Random(23)
+        cells = [
+            (k, rng.randint(100, 99_999), rng.randint(1, 50))
+            for k in ["a", "b", "c"]
+            for _ in range(rng.randint(2, 14))
+        ] + [("solo", 500, 5)]  # n=1: excluded
+        df = spark.createDataFrame(cells, ["k", "y", "x"])
+        got = {
+            r.k: (r.n, r.sy, r.sx, r.r_e6, r.s1_e6, r.var_r, r.se_r)
+            for r in jackknife_ratio(df, "k", "y", "x").collect()
+        }
+        assert got == self._model(cells)
+        assert "solo" not in got
+
+    def test_constant_ratio_has_zero_variance(self, spark):
+        """Every day at exactly 3.0 cents/event: every LOO replicate
+        equals the full-sample ratio, so var and se are exactly 0."""
+        from unitdb_spark.operators.stats_tests import jackknife_ratio
+
+        cells = [("k", 30 * m, 10 * m) for m in (1, 2, 3, 4)]
+        df = spark.createDataFrame(cells, ["k", "y", "x"])
+        (r,) = jackknife_ratio(df, "k", "y", "x").collect()
+        assert (r.r_e6, r.var_r, r.se_r) == (3_000_000, 0.0, 0.0)
+
+    def test_zero_denominator_units_excluded(self, spark):
+        from unitdb_spark.operators.stats_tests import jackknife_ratio
+
+        cells = [("k", 10, 2), ("k", 20, 4), ("k", 99, 0)]
+        df = spark.createDataFrame(cells, ["k", "y", "x"])
+        (r,) = jackknife_ratio(df, "k", "y", "x").collect()
+        assert (r.n, r.sy, r.sx) == (2, 30, 6)

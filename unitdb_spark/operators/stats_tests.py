@@ -500,3 +500,98 @@ def mann_kendall(
         F.when(sig, F.signum(F.col("s")).cast("int"))
         .otherwise(F.lit(0)).alias("trend"),
     )
+
+
+def jackknife_ratio(
+    cells: DataFrame,
+    key_col: str,
+    num_col: str,
+    den_col: str,
+) -> DataFrame:
+    """Per-key delete-1 jackknife for a RATIO estimator (Quenouille
+    '56, Tukey '58) — the standard-error machinery the point
+    estimates lack: a ratio of sums (revenue per event, cents per
+    order) is a NONLINEAR statistic, so its variance has no closed
+    sum form; the jackknife's leave-one-unit-out replicates estimate
+    it without distributional assumptions.
+
+    Input: the CELL relation — one row per (key, resampling unit)
+    with integer numerator/denominator sums (e.g. per-day cents and
+    counts), already aggregated, so its size is keys × units
+    regardless of event volume. Units with denominator ≤ 0 are
+    excluded (the ratio is undefined there); keys with < 2 usable
+    units are dropped (delete-1 needs a remainder).
+
+    Determinism: each leave-one-out ratio is quantized ONCE as
+    r_i = floor((Sy−y_i)/(Sx−x_i) · 10⁶) — floor of a pinned double,
+    the repo's float→integer idiom — and every cross-row moment after
+    that is exact: S1 = Σ r_i (BIGINT), Q2 = Σ r_i² (DECIMAL(38,0)
+    lift), and the centered sum-of-squares by the algebraic identity
+
+        Σ (n·r_i − S1)²  =  n²·Q2 − n·S1²            (exact, single
+                                                      pass, no join
+                                                      back on a mean)
+
+    The jackknife variance  (n−1)/n · Σ(R_i − R̄)²  then comes out of
+    ONE pinned float expression: q·(n−1)/n³/10¹², round-6; the
+    standard error is its IEEE sqrt (correctly rounded by spec),
+    round-6.
+
+    Output: (key, n, sy, sx, r_e6, s1_e6, var_r, se_r) — n usable
+    units, total sums, the full-sample ratio in micro-units, the
+    LOO-ratio sum in micro-units, jackknife variance and SE of the
+    ratio.
+
+    Scale: two map-side-combined aggs on key + one broadcastable join
+    of the unit relation against the key totals. The cell contract
+    bounds everything by keys × units.
+    """
+    a = cells.select(
+        F.col(key_col).alias("_k"),
+        F.col(num_col).cast("long").alias("_y"),
+        F.col(den_col).cast("long").alias("_x"),
+    ).filter(F.col("_y").isNotNull() & (F.col("_x") > 0))
+    g = a.groupBy("_k").agg(
+        F.sum("_y").alias("sy"),
+        F.sum("_x").alias("sx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).filter(F.col("n") >= 2)
+    loo = a.join(g, "_k").select(
+        "_k",
+        F.floor(
+            (
+                (F.col("sy") - F.col("_y")).cast("double")
+                / (F.col("sx") - F.col("_x")).cast("double")
+            )
+            * F.lit(1_000_000.0)
+        ).cast("long").alias("_r"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = loo.groupBy("_k").agg(
+        F.sum("_r").cast("long").alias("s1_e6"),
+        F.sum(dec(F.col("_r")) * dec(F.col("_r"))).alias("_q2"),
+    )
+    nd = dec(F.col("n"))
+    s1d = dec(F.col("s1_e6"))
+    q = nd * nd * F.col("_q2") - nd * s1d * s1d
+    inner = (
+        q.cast("double")
+        * (F.col("n") - 1).cast("double")
+        / (
+            F.col("n").cast("double")
+            * F.col("n").cast("double")
+            * F.col("n").cast("double")
+        )
+        / F.lit(1_000_000_000_000.0)
+    )
+    return g.join(stats, "_k").select(
+        F.col("_k").alias(key_col),
+        "n", "sy", "sx",
+        F.floor(
+            (F.col("sy").cast("double") / F.col("sx").cast("double"))
+            * F.lit(1_000_000.0)
+        ).cast("long").alias("r_e6"),
+        "s1_e6",
+        F.round(inner, 6).alias("var_r"),
+        F.round(F.sqrt(inner), 6).alias("se_r"),
+    )

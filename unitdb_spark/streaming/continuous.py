@@ -322,6 +322,28 @@ def read_seasonal_decompose(
     return seasonal_from_cells(read_cells(spark, state_path), key_col)
 
 
+def read_jackknife_ratio(
+    spark, state_path: str, key_col: str = "event_type"
+) -> DataFrame:
+    """Rolling jackknife SE of the per-key cents-per-event ratio, off
+    the SAME committed hourly cells the backtest/decomposition read —
+    a third dashboard on one maintained state. The hourly cells roll
+    up to delete-1 DAY units (cents/counts merge by sum, so the
+    rolled relation equals the batch day groupBy bit for bit), then
+    the finish is the batch operator's shared code path
+    (operators.stats_tests.jackknife_ratio)."""
+    from pyspark.sql import functions as F
+
+    from unitdb_spark.operators.stats_tests import jackknife_ratio
+
+    days = (
+        read_cells(spark, state_path)
+        .groupBy(F.col("_k").alias(key_col), "_d")
+        .agg(F.sum("_cents").alias("y"), F.sum("_c").alias("x"))
+    )
+    return jackknife_ratio(days, key_col, "y", "x")
+
+
 # ------------------------------------------------ rolling JSON stats
 #
 # The JSON field profile's streaming twin: per-group (n, n_missing,
