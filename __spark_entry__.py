@@ -5233,6 +5233,41 @@ def q_parts_link_ra(spark, sf_dir):
     return link_prediction_ra(edges, min_common=2)
 
 
+def q_events_cramers_v(spark, sf_dir):
+    """Cramér's V effect size for event_type × ISO weekday — the
+    sample-size-free association strength that tells a real weekday
+    pattern from a χ²-inflated one (at scale everything is
+    "significant"). Rides the exact BIGINT chi2_micro; V is one
+    pinned sqrt, round-6."""
+    from unitdb_spark.operators.stats_tests import cramers_v
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.weekday("ts").alias("wd")
+    )
+    return cramers_v(ev, "event_type", "wd")
+
+
+def q_events_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for each event type's mean value
+    (Chamandy '12, the massive-data bootstrap): every (row,
+    replicate) draws a deterministic Poisson(1) weight from the
+    portable md5 variate through a ppm-quantized inverse-CDF literal
+    table shared with the oracle — single pass, no index joins, B=40
+    replicate means, drop-one-tail order statistics."""
+    from unitdb_spark.operators.bootstrap import poisson_bootstrap_ci
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(
+        "event_type", "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("cents"),
+    )
+    return poisson_bootstrap_ci(
+        ev, "event_type", "event_id", "cents", b=40
+    )
+
+
 def q_events_jackknife(spark, sf_dir):
     """Delete-1-day jackknife SE of each event type's cents-per-event
     ratio — the standard-error machinery for a NONLINEAR ratio
@@ -5920,6 +5955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_nll": q_doc_bigram_nll,
         "events_jackknife": q_events_jackknife,
         "streamed_jackknife": q_streamed_jackknife,
+        "events_cramers_v": q_events_cramers_v,
+        "events_bootstrap_ci": q_events_bootstrap_ci,
     }
 
 
@@ -11427,6 +11464,109 @@ def oracle_sql() -> dict[str, str]:
         """
     d["events_jackknife"] = _jk_sql
     d["streamed_jackknife"] = _jk_sql
+    # Cramér's V over event_type × ISO weekday: the chisq oracle's
+    # exact-integer cell machinery verbatim, plus the one pinned
+    # sqrt finish
+    d["events_cramers_v"] = """
+        WITH cells AS (
+          SELECT event_type AS r,
+            CAST(isodow(ts) - 1 AS BIGINT) AS c,
+            count(*) AS o
+          FROM events
+          WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY 1, 2
+        ), fullx AS (
+          SELECT rr.r, cc.c, coalesce(cells.o, 0) AS o
+          FROM (SELECT DISTINCT r FROM cells) rr
+          CROSS JOIN (SELECT DISTINCT c FROM cells) cc
+          LEFT JOIN cells ON cells.r = rr.r AND cells.c = cc.c
+        ), t AS (
+          SELECT r, c, o,
+            sum(o) OVER (PARTITION BY r) AS rt,
+            sum(o) OVER (PARTITION BY c) AS ct,
+            sum(o) OVER () AS nn
+          FROM fullx
+        ), pc AS (
+          SELECT r, c, nn,
+            CAST(floor(
+              (CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+               - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+              * (CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+                 - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+              * 1000000.0
+              / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                 * CAST(nn AS DOUBLE))
+            ) AS BIGINT) AS contrib_micro
+          FROM t
+        ), agg AS (
+          SELECT CAST(max(nn) AS BIGINT) AS n,
+            CAST(count(DISTINCT r) AS BIGINT) AS r_levels,
+            CAST(count(DISTINCT c) AS BIGINT) AS c_levels,
+            CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1)
+                 AS BIGINT) AS dof,
+            CAST(sum(contrib_micro) AS BIGINT) AS chi2_micro
+          FROM pc
+        )
+        SELECT n, r_levels, c_levels, dof, chi2_micro,
+          CASE WHEN n > 0 AND least(r_levels - 1, c_levels - 1) > 0 THEN
+            round(sqrt(
+              CAST(chi2_micro AS DOUBLE) / 1000000.0
+              / (CAST(n AS DOUBLE)
+                 * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE))
+            ), 6)
+          END AS v_r
+        FROM agg
+        """
+    # Poisson bootstrap: weights replay through the SAME ppm literal
+    # table the Spark operator was built from (single point of truth
+    # in operators/bootstrap.py) over the portable md5 variate
+    from unitdb_spark.operators.bootstrap import poisson_weight_sql
+
+    _pb_u = (
+        "CAST(('0x' || substr(md5(id || ':' || CAST(b AS VARCHAR)"
+        " || ':pb'), 1, 15)) AS BIGINT) % 1000000"
+    )
+    d["events_bootstrap_ci"] = f"""
+        WITH base AS (
+          SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        ), reps AS (
+          SELECT CAST(b AS BIGINT) AS b FROM range(1, 41) t(b)
+        ), w AS (
+          SELECT g, b, c, {poisson_weight_sql(_pb_u)} AS w
+          FROM base CROSS JOIN reps
+        ), sums AS (
+          SELECT g, b,
+            sum(CAST(w AS HUGEINT) * CAST(c AS HUGEINT)) AS s,
+            CAST(sum(w) AS BIGINT) AS wn
+          FROM w GROUP BY g, b
+        ), means AS (
+          SELECT g, b,
+            CAST(floor(CAST(s AS DOUBLE) * 1000000.0
+                       / CAST(wn AS DOUBLE)) AS BIGINT) AS m
+          FROM sums WHERE wn > 0
+        ), ranked AS (
+          SELECT g, m,
+            row_number() OVER (PARTITION BY g ORDER BY m, b) AS rn,
+            count(*) OVER (PARTITION BY g) AS beff
+          FROM means
+        ), bounds AS (
+          SELECT g, CAST(max(beff) AS BIGINT) AS b_eff,
+            max(CASE WHEN rn = beff * 25 // 1000 + 1 THEN m END) AS lo_e6,
+            max(CASE WHEN rn = beff - beff * 25 // 1000 THEN m END)
+              AS hi_e6
+          FROM ranked GROUP BY g
+        ), fullg AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n,
+            CAST(floor(CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE)
+                       * 1000000.0
+                       / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_e6
+          FROM base GROUP BY g
+        )
+        SELECT fullg.g AS event_type, n, b_eff, mean_e6, lo_e6, hi_e6
+        FROM fullg JOIN bounds ON fullg.g = bounds.g
+        """
     # interpolated bigram LM: bigrams encoded "prev cur" (tokens are
     # whitespace-split, so the space separator is injective); one
     # round-6 log10 per bigram TYPE over the pinned lambda expression,

@@ -6927,3 +6927,113 @@ class TestJackknifeRatio:
         df = spark.createDataFrame(cells, ["k", "y", "x"])
         (r,) = jackknife_ratio(df, "k", "y", "x").collect()
         assert (r.n, r.sy, r.sx) == (2, 30, 6)
+
+
+class TestCramersV:
+    def test_perfect_association_is_one(self, spark):
+        """Diagonal 2x2 table: chi2 = n, V = sqrt(n/(n*1)) = 1."""
+        from unitdb_spark.operators.stats_tests import cramers_v
+
+        rows = [("a", 0)] * 10 + [("b", 1)] * 10
+        df = spark.createDataFrame(rows, ["r", "c"])
+        (r,) = cramers_v(df, "r", "c").collect()
+        assert r.v_r == 1.0 and r.dof == 1
+
+    def test_independence_is_near_zero(self, spark):
+        """Product-form table: expected == observed, chi2 = 0, V = 0."""
+        from unitdb_spark.operators.stats_tests import cramers_v
+
+        rows = [
+            (rr, cc)
+            for rr in ["a", "b"]
+            for cc in [0, 1, 2]
+            for _ in range(4)
+        ]
+        df = spark.createDataFrame(rows, ["r", "c"])
+        (r,) = cramers_v(df, "r", "c").collect()
+        assert r.chi2_micro == 0 and r.v_r == 0.0
+
+    def test_single_level_axis_is_null(self, spark):
+        from unitdb_spark.operators.stats_tests import cramers_v
+
+        df = spark.createDataFrame([("a", 0), ("a", 1)], ["r", "c"])
+        (r,) = cramers_v(df, "r", "c").collect()
+        assert r.v_r is None
+
+
+class TestPoissonBootstrap:
+    def test_weight_table_is_poisson1_ppm(self):
+        """The injected literal table equals the Poisson(1) CDF
+        floored to ppm, computed independently here."""
+        from math import exp, floor
+
+        from unitdb_spark.operators.bootstrap import POISSON1_PPM
+
+        acc, term, want = 0.0, exp(-1.0), []
+        for k in range(9):
+            acc += term
+            want.append(floor(acc * 1_000_000))
+            term /= k + 1
+        assert POISSON1_PPM == want
+        assert want[0] == 367879 and want[-1] == 999998
+
+    def test_matches_python_model(self, spark):
+        """Replicate means and CI bounds vs an independent Python
+        replay of the md5 weights."""
+        import hashlib
+        from math import floor
+
+        from unitdb_spark.operators.bootstrap import (
+            POISSON1_PPM,
+            poisson_bootstrap_ci,
+        )
+
+        rows = [("g", i, 100 + 7 * (i % 13)) for i in range(60)] + [
+            ("h", 1000 + i, 500 * i) for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, ["g", "id", "c"])
+        B = 16
+
+        def u(i, b):
+            h = hashlib.md5(f"{i}:{b}:pb".encode()).hexdigest()[:15]
+            return int(h, 16) % 1_000_000
+
+        def wgt(uv):
+            for k, t in enumerate(POISSON1_PPM):
+                if uv < t:
+                    return k
+            return len(POISSON1_PPM)
+
+        want = {}
+        for g in ["g", "h"]:
+            units = [(i, c) for gg, i, c in rows if gg == g]
+            ms = []
+            for b in range(1, B + 1):
+                ws = [(wgt(u(i, b)), c) for i, c in units]
+                wn = sum(w for w, _ in ws)
+                if wn == 0:
+                    continue
+                s = sum(w * c for w, c in ws)
+                ms.append((floor(s * 1_000_000.0 / wn), b))
+            ms.sort()
+            beff = len(ms)
+            lo = ms[beff * 25 // 1000 + 1 - 1][0]
+            hi = ms[beff - beff * 25 // 1000 - 1][0]
+            n = len(units)
+            sy = sum(c for _, c in units)
+            want[g] = (n, beff, floor(sy * 1_000_000.0 / n), lo, hi)
+        got = {
+            r.g: (r.n, r.b_eff, r.mean_e6, r.lo_e6, r.hi_e6)
+            for r in poisson_bootstrap_ci(df, "g", "id", "c", b=B).collect()
+        }
+        assert got == want
+
+    def test_ci_brackets_the_mean_for_stable_data(self, spark):
+        from unitdb_spark.operators.bootstrap import poisson_bootstrap_ci
+
+        rows = [("g", i, 1000 + (i % 3)) for i in range(200)]
+        df = spark.createDataFrame(rows, ["g", "id", "c"])
+        (r,) = poisson_bootstrap_ci(df, "g", "id", "c", b=40).collect()
+        assert r.lo_e6 <= r.mean_e6 <= r.hi_e6
+        # near-constant data: width well under 0.1% of the mean
+        assert r.hi_e6 - r.lo_e6 < r.mean_e6 // 1000

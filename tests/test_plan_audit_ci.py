@@ -34,6 +34,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "doc_vocab_coverage": "cumulative coverage over the ranked vocabulary relation (Zipf-small), not documents",
     "doc_source_balance": "share windows over the per-source totals relation (n_sources rows)",
     "events_chisq": "row/col/grand totals are windows over the levels-squared cells relation",
+    "events_cramers_v": "rides chi_square_independence: same levels-squared cell windows",
     "events_mannwhitney": "doubled-midrank cumulative window over the DISTINCT-value relation",
     "lineitem_spearman": "rank windows over the distinct-value relations of the two variables",
     "orders_benford": "digit-share window over the 9-row leading-digit relation",

@@ -595,3 +595,32 @@ def jackknife_ratio(
         F.round(inner, 6).alias("var_r"),
         F.round(F.sqrt(inner), 6).alias("se_r"),
     )
+
+
+def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Cramér's V effect size on top of `chi_square_independence` —
+    the answer to the chi-squared test's classic failure mode at
+    scale: with millions of rows EVERYTHING is "significant", and V =
+    sqrt(χ² / (n·min(r−1, c−1))) ∈ [0, 1] is the sample-size-free
+    strength that tells a real association from a χ²-inflated one.
+
+    Rides the χ² operator's exact BIGINT `chi2_micro`; V is ONE
+    pinned float over exact inputs (χ²_micro/10⁶ / (n·min), IEEE
+    sqrt, round-6), NULL when undefined (n = 0 or a single level on
+    either axis).
+
+    Output: (n, r_levels, c_levels, dof, chi2_micro, v_r).
+    """
+    base = chi_square_independence(df, row_col, col_col)
+    mind = F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+    inner = (
+        F.col("chi2_micro").cast("double")
+        / F.lit(1_000_000.0)
+        / (F.col("n").cast("double") * mind.cast("double"))
+    )
+    return base.select(
+        "n", "r_levels", "c_levels", "dof", "chi2_micro",
+        F.when(
+            (F.col("n") > 0) & (mind > 0), F.round(F.sqrt(inner), 6)
+        ).alias("v_r"),
+    )
