@@ -5233,6 +5233,20 @@ def q_parts_link_ra(spark, sf_dir):
     return link_prediction_ra(edges, min_common=2)
 
 
+def q_embed_grid_clusters(spark, sf_dir):
+    """Grid-density clustering (STING/DBSCAN family) over the first
+    two embedding coordinates: h=0.05 cells, dense at >= 5 points,
+    clusters = 8-neighborhood connected components of dense cells via
+    the existing CC fixpoint — the dense-cell relation is corpus-size
+    independent, so the component step is control-plane sized. The
+    oracle replays the fixpoint with a recursive CTE."""
+    from unitdb_spark.operators.cluster import grid_density_clusters
+
+    return grid_density_clusters(
+        _emb(spark, sf_dir), "vec_id", "embedding", h=0.05, min_pts=5
+    )
+
+
 def q_events_cramers_v(spark, sf_dir):
     """Cramér's V effect size for event_type × ISO weekday — the
     sample-size-free association strength that tells a real weekday
@@ -5957,6 +5971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_jackknife": q_streamed_jackknife,
         "events_cramers_v": q_events_cramers_v,
         "events_bootstrap_ci": q_events_bootstrap_ci,
+        "embed_grid_clusters": q_embed_grid_clusters,
     }
 
 
@@ -11345,6 +11360,45 @@ def oracle_sql() -> dict[str, str]:
         FROM assign
         """
     )
+    # grid-density clustering: dense cells (floor(coord/h), >= 5 pts)
+    # + 8-neighborhood components; the recursive CTE replays the
+    # min-label fixpoint on the dense-cell relation
+    d["embed_grid_clusters"] = """
+        WITH RECURSIVE pts AS (
+          SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.05)
+                      AS BIGINT) AS cx,
+                 CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.05)
+                      AS BIGINT) AS cy
+          FROM embeddings
+        ), cells AS (
+          SELECT cx, cy, CAST(count(*) AS BIGINT) AS cnt
+          FROM pts GROUP BY 1, 2
+        ), dense AS (
+          SELECT cx, cy, cnt,
+            (cx + 1048576) * 2097152 + (cy + 1048576) AS cell
+          FROM cells WHERE cnt >= 5
+        ), gedges AS (
+          SELECT a.cell AS s, b.cell AS d
+          FROM dense a JOIN dense b
+            ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+           AND a.cell <> b.cell
+        ), reach(node, label) AS (
+          SELECT cell, cell FROM dense
+          UNION
+          SELECT e.d, r.label FROM reach r JOIN gedges e ON r.node = e.s
+        ), comp AS (
+          SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT comp.cluster_id,
+          CAST(count(*) AS BIGINT) AS n_cells,
+          CAST(sum(dense.cnt) AS BIGINT) AS n_points,
+          CAST(min(dense.cx) AS BIGINT) AS min_cx,
+          CAST(max(dense.cx) AS BIGINT) AS max_cx,
+          CAST(min(dense.cy) AS BIGINT) AS min_cy,
+          CAST(max(dense.cy) AS BIGINT) AS max_cy
+        FROM comp JOIN dense ON comp.node = dense.cell
+        GROUP BY 1
+        """
     # Mann-Kendall per event type: pairwise sign sum, tie-corrected
     # Var×18, and the continuity-corrected cross-multiplied alpha=0.05
     # decision — all exact integers (HUGEINT lift for the n^4 square)

@@ -7037,3 +7037,58 @@ class TestPoissonBootstrap:
         assert r.lo_e6 <= r.mean_e6 <= r.hi_e6
         # near-constant data: width well under 0.1% of the mean
         assert r.hi_e6 - r.lo_e6 < r.mean_e6 // 1000
+
+
+class TestGridDensityClusters:
+    @staticmethod
+    def _df(spark, pts):
+        """pts: list of (x, y) -> embeddings-shaped (vec_id, [x, y])."""
+        return spark.createDataFrame(
+            [(i, [float(x), float(y)]) for i, (x, y) in enumerate(pts)],
+            ["vec_id", "embedding"],
+        )
+
+    def test_two_blobs_one_bridge_cell_sparse(self, spark):
+        """Two dense blobs 3 cells apart with a single sparse point
+        between them: two clusters; the sparse cell is noise."""
+        from unitdb_spark.operators.cluster import grid_density_clusters
+
+        blob_a = [(0.01 + 0.001 * i, 0.01) for i in range(6)]
+        blob_b = [(0.31 + 0.001 * i, 0.01) for i in range(6)]
+        bridge = [(0.16, 0.01)]  # cell (1, 0) alone: sparse
+        df = self._df(spark, blob_a + blob_b + bridge)
+        rows = grid_density_clusters(
+            df, h=0.1, min_pts=5
+        ).collect()
+        assert len(rows) == 2
+        assert sorted((r.n_cells, r.n_points) for r in rows) == [
+            (1, 6), (1, 6)
+        ]
+
+    def test_diagonal_cells_merge(self, spark):
+        """Dense cells at (0,0) and (1,1): 8-neighborhood adjacency
+        makes them ONE cluster."""
+        from unitdb_spark.operators.cluster import grid_density_clusters
+
+        a = [(0.05, 0.05)] * 5
+        b = [(0.15, 0.15)] * 5
+        rows = grid_density_clusters(
+            self._df(spark, a + b), h=0.1, min_pts=5
+        ).collect()
+        assert len(rows) == 1
+        (r,) = rows
+        assert (r.n_cells, r.n_points) == (2, 10)
+        assert (r.min_cx, r.max_cx, r.min_cy, r.max_cy) == (0, 1, 0, 1)
+
+    def test_negative_coordinates(self, spark):
+        """floor (not truncate) cell math: points just below zero land
+        in cell -1 and cluster fine."""
+        from unitdb_spark.operators.cluster import grid_density_clusters
+
+        pts = [(-0.01 - 0.001 * i, -0.02) for i in range(7)]
+        rows = grid_density_clusters(
+            self._df(spark, pts), h=0.1, min_pts=5
+        ).collect()
+        (r,) = rows
+        assert (r.n_cells, r.n_points) == (1, 7)
+        assert (r.min_cx, r.min_cy) == (-1, -1)

@@ -145,3 +145,91 @@ def dedup_resolve(
             (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
         )
     )
+
+
+def grid_density_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    h: float = 0.05,
+    min_pts: int = 5,
+    dims: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Grid-density clustering over two embedding coordinates — the
+    STING/DBSCAN-family density view (Wang '97; grid cells stand in
+    for the ε-neighborhood): a cell of side ``h`` is DENSE when it
+    holds ≥ ``min_pts`` points, and clusters are connected components
+    of dense cells under 8-neighborhood adjacency. Sparse-cell points
+    are noise. The grid is what makes density clustering tractable at
+    100 TB: cell assignment is a map-side expression, the dense-cell
+    relation is corpus-size-INDEPENDENT (bounded by occupied cells),
+    and the component step runs on that tiny relation via the
+    existing `connected_components` fixpoint.
+
+    Determinism: cell coords are floor(coord / h) on the exact
+    parquet doubles (pinned division, floor — engine-identical);
+    cell ids pack as (cx+2²⁰)·2²¹ + (cy+2²⁰) BIGINT (coords beyond
+    ±2²⁰ cells would alias — raise ``h`` long before that); cluster
+    id = min cell id in the component (the CC operator's contract).
+    The oracle replays the fixpoint with a recursive CTE.
+
+    Output: (cluster_id, n_cells, n_points, min_cx, max_cx, min_cy,
+    max_cy) — one row per dense-cell cluster.
+    """
+    OFF, K = 1 << 20, 1 << 21
+    d0, d1 = dims
+    pts = df.select(
+        F.element_at(F.col(vec_col), d0).cast("double").alias("_x"),
+        F.element_at(F.col(vec_col), d1).cast("double").alias("_y"),
+    )
+    cells = (
+        pts.select(
+            F.floor(F.col("_x") / F.lit(float(h))).cast("long").alias("cx"),
+            F.floor(F.col("_y") / F.lit(float(h))).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    dense = cells.filter(F.col("cnt") >= F.lit(int(min_pts))).select(
+        "cx", "cy", "cnt",
+        ((F.col("cx") + OFF) * K + (F.col("cy") + OFF)).alias("cell"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ]
+    )
+    nb = dense.select(
+        "cell", "cx", "cy", F.explode(offsets).alias("_o")
+    ).select(
+        "cell",
+        (
+            (F.col("cx") + F.col("_o.dx") + OFF) * K
+            + (F.col("cy") + F.col("_o.dy") + OFF)
+        ).alias("ncell"),
+    )
+    edges = (
+        nb.join(dense.select(F.col("cell").alias("ncell")), "ncell")
+        .filter(F.col("cell") < F.col("ncell"))
+        .select(
+            F.col("cell").alias("id_a"), F.col("ncell").alias("id_b")
+        )
+    )
+    comp = connected_components(
+        edges, nodes=dense.select(F.col("cell").alias("node"))
+    )
+    return (
+        comp.join(dense, comp["node"] == dense["cell"])
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("cnt").cast("long").alias("n_points"),
+            F.min("cx").alias("min_cx"),
+            F.max("cx").alias("max_cx"),
+            F.min("cy").alias("min_cy"),
+            F.max("cy").alias("max_cy"),
+        )
+    )
