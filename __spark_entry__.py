@@ -5233,6 +5233,26 @@ def q_parts_link_ra(spark, sf_dir):
     return link_prediction_ra(edges, min_common=2)
 
 
+def q_events_hw_forecast(spark, sf_dir):
+    """Holt-Winters additive triple smoothing over daily event counts
+    per type (m=7 weekly cycle) — the seasonal member of the
+    forecasting family next to events_holt_forecast. Exact integer
+    fixed-point with truncating division; the oracle replays the fold
+    as a recursive CTE carrying the seasonal vector as a LIST and
+    matches bitwise, including the h=1..3 forecasts."""
+    from unitdb_spark.operators.timeseries import holt_winters_additive
+
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        F.col("event_type"),
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return holt_winters_additive(
+        cells, "event_type", t_col="day", y_col="y",
+        m=7, alpha=(3, 10), beta=(1, 10), gamma=(2, 10), horizon=3,
+    )
+
+
 def q_embed_grid_clusters(spark, sf_dir):
     """Grid-density clustering (STING/DBSCAN family) over the first
     two embedding coordinates: h=0.05 cells, dense at >= 5 points,
@@ -5972,6 +5992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cramers_v": q_events_cramers_v,
         "events_bootstrap_ci": q_events_bootstrap_ci,
         "embed_grid_clusters": q_embed_grid_clusters,
+        "events_hw_forecast": q_events_hw_forecast,
     }
 
 
@@ -11360,6 +11381,7 @@ def oracle_sql() -> dict[str, str]:
         FROM assign
         """
     )
+    d["events_hw_forecast"] = _hw_oracle()
     # grid-density clustering: dense cells (floor(coord/h), >= 5 pts)
     # + 8-neighborhood components; the recursive CTE replays the
     # min-label fixpoint on the dense-cell relation
@@ -12072,6 +12094,74 @@ def _holt_oracle(row_filter: str) -> str:
           CAST(fin.l + 2 * fin.b AS BIGINT) AS fc2_e6,
           CAST(fin.l + 3 * fin.b AS BIGINT) AS fc3_e6
         FROM fin JOIN n ON fin.k = n.k
+        """
+
+
+def _hw_oracle() -> str:
+    """Holt-Winters additive fold replayed as a recursive CTE whose
+    state carries the m=7 seasonal vector as a LIST: anchor = state
+    after the init season (L0 = season-mean, B0 = 0, S = deviations),
+    each step consumes the next observation and rewrites ONE list
+    slot via a list comprehension. `//` truncates toward zero —
+    exactly the Python fold's tdiv. α=3/10, β=1/10, γ=2/10,
+    horizon 3 — the driver query's parameters."""
+    sm = "r.sv[((r.i + 1) % 7) + 1]"
+    lnew = f"((3 * (s.y * 1000000 - {sm}) + 7 * (r.l + r.b)) // 10)"
+    bnew = f"((1 * ({lnew} - r.l) + 9 * r.b) // 10)"
+    snew = f"((2 * (s.y * 1000000 - {lnew}) + 8 * {sm}) // 10)"
+    svnew = (
+        f"[CASE WHEN j = ((r.i + 1) % 7) + 1 THEN {snew} "
+        "ELSE r.sv[j] END FOR j IN range(1, 8)]"
+    )
+    fcs = ",\n          ".join(
+        f"CAST(fin.l + {h} * fin.b"
+        f" + fin.sv[((fin.n_obs - 1 + {h}) % 7) + 1] AS BIGINT)"
+        f" AS fc{h}_e6"
+        for h in (1, 2, 3)
+    )
+    return f"""
+        WITH RECURSIVE cells AS (
+          SELECT event_type AS k,
+            CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        s AS (SELECT k, y,
+                CAST(row_number() OVER (PARTITION BY k ORDER BY day) - 1
+                     AS BIGINT) AS i
+              FROM cells),
+        n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_obs
+              FROM s GROUP BY k),
+        init AS (
+          SELECT s.k,
+            (sum(s.y * 1000000) // 7) AS l0,
+            list(s.y * 1000000 ORDER BY s.i) AS ys0
+          FROM s WHERE s.i < 7 GROUP BY s.k
+          HAVING count(*) = 7
+        ),
+        init2 AS (
+          SELECT k, l0, [v - l0 FOR v IN ys0] AS s0 FROM init
+        ),
+        rec AS (
+          SELECT k, CAST(6 AS BIGINT) AS i, l0 AS l,
+            CAST(0 AS BIGINT) AS b, s0 AS sv
+          FROM init2
+          UNION ALL
+          SELECT r.k, r.i + 1,
+            {lnew},
+            {bnew},
+            {svnew}
+          FROM rec r JOIN s ON s.k = r.k AND s.i = r.i + 1
+        ),
+        fin AS (
+          SELECT rec.k, n.n_obs, rec.l, rec.b, rec.sv
+          FROM rec JOIN n ON rec.k = n.k AND rec.i = n.n_obs - 1
+        )
+        SELECT fin.k AS event_type, fin.n_obs,
+          CAST(fin.l AS BIGINT) AS l_e6,
+          CAST(fin.b AS BIGINT) AS b_e6,
+          {fcs}
+        FROM fin
         """
 
 

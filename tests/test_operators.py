@@ -7092,3 +7092,68 @@ class TestGridDensityClusters:
         (r,) = rows
         assert (r.n_cells, r.n_points) == (1, 7)
         assert (r.min_cx, r.min_cy) == (-1, -1)
+
+
+class TestHoltWinters:
+    def test_matches_python_model(self, spark):
+        """The integer fold vs an independent replay on seeded
+        series, including phase bookkeeping through gaps in t."""
+        import random
+
+        from unitdb_spark.operators.timeseries import holt_winters_additive
+
+        rng = random.Random(31)
+        rows, series = [], {}
+        for k in ["a", "b"]:
+            n = rng.randint(9, 30)
+            ys = [rng.randint(0, 40) for _ in range(n)]
+            series[k] = ys
+            t = 0
+            for y in ys:
+                rows.append((k, t, y))
+                t += rng.randint(1, 3)  # gaps: position-based phases
+        rows += [("tiny", t, 5) for t in range(4)]  # < m: dropped
+        df = spark.createDataFrame(rows, ["k", "t", "y"])
+
+        def tdiv(n, d):
+            q = abs(n) // d
+            return q if n >= 0 else -q
+
+        want = {}
+        SC = 1_000_000
+        for k, ys in series.items():
+            lvl = tdiv(sum(y * SC for y in ys[:7]), 7)
+            tr = 0
+            seas = [y * SC - lvl for y in ys[:7]]
+            for i in range(7, len(ys)):
+                sm = seas[i % 7]
+                prev = lvl
+                lvl = tdiv(3 * (ys[i] * SC - sm) + 7 * (lvl + tr), 10)
+                tr = tdiv(1 * (lvl - prev) + 9 * tr, 10)
+                seas[i % 7] = tdiv(2 * (ys[i] * SC - lvl) + 8 * sm, 10)
+            n = len(ys)
+            want[k] = (n, lvl, tr) + tuple(
+                lvl + h * tr + seas[(n - 1 + h) % 7] for h in (1, 2, 3)
+            )
+        got = {
+            r.k: (r.n_obs, r.l_e6, r.b_e6, r.fc1_e6, r.fc2_e6, r.fc3_e6)
+            for r in holt_winters_additive(df, "k").collect()
+        }
+        assert got == want
+        assert "tiny" not in got
+
+    def test_periodic_series_forecasts_the_cycle(self, spark):
+        """A pure period-7 cycle with zero trend: forecasts reproduce
+        the upcoming phase values exactly (level locks to the cycle
+        mean, trend stays 0, seasonal deviations are exact)."""
+        from unitdb_spark.operators.timeseries import holt_winters_additive
+
+        cycle = [70, 140, 210, 280, 350, 420, 630]  # mean 300
+        rows = [("k", t, cycle[t % 7]) for t in range(28)]
+        df = spark.createDataFrame(rows, ["k", "t", "y"])
+        (r,) = holt_winters_additive(df, "k").collect()
+        assert r.b_e6 == 0
+        # next three observations would be phases 0, 1, 2
+        assert (r.fc1_e6, r.fc2_e6, r.fc3_e6) == (
+            70_000_000, 140_000_000, 210_000_000
+        )

@@ -1195,3 +1195,105 @@ def holt_linear(
         .groupBy(key_col)
         .applyInPandas(fold, out_schema)
     )
+
+
+def holt_winters_additive(
+    cells: DataFrame,
+    key_col: str,
+    t_col: str = "t",
+    y_col: str = "y",
+    m: int = 7,
+    alpha: tuple[int, int] = (3, 10),
+    beta: tuple[int, int] = (1, 10),
+    gamma: tuple[int, int] = (2, 10),
+    horizon: int = 3,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple smoothing per key in exact integer
+    fixed-point — the seasonal member of the forecasting family
+    (`trailing_ewma` = level, `holt_linear` = level+trend, this =
+    level+trend+season): a weekly-cycled daily series forecasts with
+    the cycle instead of smearing it into the trend.
+
+    Input: the CELL relation (one row per (key, t, y), integer y),
+    ordered by ``t`` per key; observation POSITION i (0-based, the
+    standard discrete formulation) carries the seasonal phase
+    i mod m. Keys with fewer than ``m`` observations are dropped —
+    the seasonal state needs one full cycle to initialize.
+
+    Recurrence (micro-unit states, α/β/γ exact rationals, S = 10⁶;
+    ``div`` truncates toward zero — the semantics Python's sign-split
+    fold and DuckDB's ``//`` share, pinning negative seasonal terms):
+
+        L₀ = (Σ_{i<m} yᵢ·S) div m      B₀ = 0     Sᵢ = yᵢ·S − L₀
+        for i = m .. n−1, with sm = S[i mod m]:
+          L ← (an·(yᵢ·S − sm) + (ad−an)·(L + B)) div ad
+          B ← (bn·(L_new − L_old) + (bd−bn)·B) div bd
+          S[i mod m] ← (gn·(yᵢ·S − L_new) + (gd−gn)·sm) div gd
+
+    Every state is an exact integer, so a recursive-CTE oracle
+    carrying the seasonal vector as a LIST replays the fold
+    bit-for-bit. Forecasts: fc_h = L + h·B + S[(n−1+h) mod m].
+
+    Shuffle budget: ONE applyInPandas shuffle on the key column (the
+    holt_linear contract) — the fold is sequential per key, inherent
+    to exponential smoothing, but runs over the tiny cell relation
+    with keys in parallel.
+
+    Output: (key, n_obs, l_e6, b_e6, fc1_e6..fc{horizon}_e6).
+    """
+    an, ad = alpha
+    bn, bd = beta
+    gn, gd = gamma
+    if not (0 < an <= ad and 0 < bn <= bd and 0 < gn <= gd):
+        raise ValueError("alpha/beta/gamma must be rationals in (0, 1]")
+    if m < 2:
+        raise ValueError("season length m must be >= 2")
+
+    fc_cols = [f"fc{h}_e6" for h in range(1, horizon + 1)]
+    out_schema = (
+        f"{key_col} string, n_obs long, l_e6 long, b_e6 long, "
+        + ", ".join(f"{c} long" for c in fc_cols)
+    )
+
+    def tdiv(n: int, d: int) -> int:
+        q = abs(n) // d
+        return q if n >= 0 else -q
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(t_col)
+        ys = [int(v) for v in pdf[y_col]]
+        key = pdf[key_col].iloc[0]
+        SC = 1_000_000
+        if len(ys) < m:
+            return pd.DataFrame(
+                [], columns=[key_col, "n_obs", "l_e6", "b_e6"] + fc_cols
+            )
+        lvl = tdiv(sum(y * SC for y in ys[:m]), m)
+        tr = 0
+        seas = [y * SC - lvl for y in ys[:m]]
+        for i in range(m, len(ys)):
+            sm = seas[i % m]
+            prev = lvl
+            lvl = tdiv(an * (ys[i] * SC - sm) + (ad - an) * (lvl + tr), ad)
+            tr = tdiv(bn * (lvl - prev) + (bd - bn) * tr, bd)
+            seas[i % m] = tdiv(gn * (ys[i] * SC - lvl) + (gd - gn) * sm, gd)
+        n = len(ys)
+        row = [key, n, lvl, tr] + [
+            lvl + h * tr + seas[(n - 1 + h) % m]
+            for h in range(1, horizon + 1)
+        ]
+        return pd.DataFrame(
+            [row], columns=[key_col, "n_obs", "l_e6", "b_e6"] + fc_cols
+        )
+
+    return (
+        cells.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(t_col).alias(t_col),
+            F.col(y_col).cast("long").alias(y_col),
+        )
+        .groupBy(key_col)
+        .applyInPandas(fold, out_schema)
+    )
