@@ -5233,6 +5233,36 @@ def q_parts_link_ra(spark, sf_dir):
     return link_prediction_ra(edges, min_common=2)
 
 
+def q_streamed_bootstrap(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING Poisson-bootstrap CI: the
+    events stream folds per-(type, replicate) weighted partial sums
+    into the commit-logged state — weights are a pure function of
+    (event_id, replicate, salt), so partials merge by SUM to the
+    batch relation bit for bit however the stream splits — and the
+    order-statistic CI report derives at read time through the batch
+    operator's shared finish. Oracle = events_bootstrap_ci verbatim."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_bootstrap,
+        read_bootstrap_ci,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_bootstrap(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "event_type",
+        "event_id",
+        "value",
+        f"{base}/state",
+        f"{base}/cp",
+        b=40,
+    )
+    q.awaitTermination(300)
+    return read_bootstrap_ci(spark, f"{base}/state")
+
+
 def q_events_hw_forecast(spark, sf_dir):
     """Holt-Winters additive triple smoothing over daily event counts
     per type (m=7 weekly cycle) — the seasonal member of the
@@ -5993,6 +6023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bootstrap_ci": q_events_bootstrap_ci,
         "embed_grid_clusters": q_embed_grid_clusters,
         "events_hw_forecast": q_events_hw_forecast,
+        "streamed_bootstrap": q_streamed_bootstrap,
     }
 
 
@@ -11643,6 +11674,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT fullg.g AS event_type, n, b_eff, mean_e6, lo_e6, hi_e6
         FROM fullg JOIN bounds ON fullg.g = bounds.g
         """
+    # rolling bootstrap twin: partial sums merge to the batch relation
+    # bit for bit (weights are pure functions of id/replicate), finish
+    # is shared — the oracle is the batch SQL verbatim
+    d["streamed_bootstrap"] = d["events_bootstrap_ci"]
     # interpolated bigram LM: bigrams encoded "prev cur" (tokens are
     # whitespace-split, so the space separator is injective); one
     # round-6 log10 per bigram TYPE over the pinned lambda expression,

@@ -1901,3 +1901,55 @@ class TestContinuousSkyline:
         }
         assert got == want
         assert 1 not in got and 4 in got
+
+
+class TestContinuousBootstrap:
+    def test_rolling_bootstrap_matches_batch_across_restart(
+        self, spark, events_dir, tmp_path
+    ):
+        """The Poisson bootstrap's streaming twin: per-(group,
+        replicate) weighted partial sums folded across micro-batches
+        (and a stop/restart boundary) equal the one-shot batch
+        partials — weights are pure functions of (id, replicate) —
+        and the derived CI report, shared finish with the batch
+        operator, equals poisson_bootstrap_ci row for row."""
+        from unitdb_spark.operators.bootstrap import poisson_bootstrap_ci
+        from unitdb_spark.streaming.continuous import (
+            continuous_bootstrap,
+            read_bootstrap_ci,
+        )
+        from unitdb_spark.streaming.pubsub import events_as_stream
+
+        state = str(tmp_path / "pb-state")
+        cp = str(tmp_path / "pb-cp")
+        ev = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q = continuous_bootstrap(
+            ev, "event_type", "event_id", "value", state, cp, b=12
+        )
+        q.awaitTermination(180)
+        # restart with no new data: commit log -> no double count
+        ev2 = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q2 = continuous_bootstrap(
+            ev2, "event_type", "event_id", "value", state, cp, b=12
+        )
+        q2.awaitTermination(180)
+
+        batch = spark.read.parquet(events_dir).filter(
+            F.col("value").isNotNull() & ~F.isnan("value")
+        ).select(
+            "event_type", "event_id",
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        want = {
+            r["event_type"]: (r.n, r.b_eff, r.mean_e6, r.lo_e6, r.hi_e6)
+            for r in poisson_bootstrap_ci(
+                batch, "event_type", "event_id", "cents", b=12
+            ).collect()
+        }
+        got = {
+            r["event_type"]: (r.n, r.b_eff, r.mean_e6, r.lo_e6, r.hi_e6)
+            for r in read_bootstrap_ci(spark, state).collect()
+        }
+        assert got == want

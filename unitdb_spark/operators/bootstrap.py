@@ -76,41 +76,31 @@ def poisson_weight_sql(u_expr: str) -> str:
     return f"CASE {arms} ELSE {len(POISSON1_PPM)} END"
 
 
-def poisson_bootstrap_ci(
+def bootstrap_partials(
     df: DataFrame,
     group_col: str,
     id_col: str,
     cents_col: str,
     b: int = 40,
-    tail_permille: int = 25,
     salt: str = "pb",
 ) -> DataFrame:
-    """Per-group percentile bootstrap CI for the mean, via B Poisson
-    replicates.
+    """The bootstrap's MERGEABLE layer: per-(group, replicate) partial
+    sums (_g, _b, _s, _wn), where replicate 0 carries identity
+    weights (the full sample) and replicates 1..B carry the
+    deterministic Poisson(1) weights. Partials from any row split
+    merge by SUM — the property the streaming twin commits on — and
+    `bootstrap_finish` turns the merged relation into the CI report.
 
-    Each (row, replicate) draws w ~ Poisson(1) deterministically from
-    `md5_int60(id:b:salt) % 1e6`; replicate means are
-    floor((Σw·cents)·1e6 / Σw) — ONE pinned double per replicate,
-    integer after — and the CI bounds are order statistics of the B
-    integer replicate means: positions floor(B·tail‰)+1 and
-    B − floor(B·tail‰) (drop-a-tail convention, deterministic
-    (mean, b) tie order). Replicates with Σw = 0 (probability e^-n)
-    are excluded and `b_eff` reports the survivors.
-
-    Output: (group, n, b_eff, mean_e6, lo_e6, hi_e6).
-
-    Scale: the ×B fan-out happens AFTER row projection to
-    (group, id, cents) and aggregates map-side into B×groups partial
-    sums — no index join, no corpus shuffle; the order-statistic
-    window is over B rows per group (control-plane sized). B is the
-    explicit cost knob; at extreme scale drop B, not rows.
+    Products lift to DECIMAL(38,0) before summing: at the
+    billions-of-rows envelope Σ w·cents wraps int64 silently in Spark
+    while DuckDB promotes (gate divergence).
     """
     base = df.select(
         F.col(group_col).alias("_g"),
         F.col(id_col).cast("string").alias("_id"),
         F.col(cents_col).cast("long").alias("_c"),
     ).filter(F.col("_c").isNotNull())
-    reps = base.sparkSession.range(1, int(b) + 1).select(
+    reps = base.sparkSession.range(0, int(b) + 1).select(
         F.col("id").cast("long").alias("_b")
     )
     u = (
@@ -122,28 +112,41 @@ def poisson_bootstrap_ci(
         )
         % _PPM
     )
+    w = F.when(F.col("_b") == 0, F.lit(1)).otherwise(poisson_weight(u))
     weighted = base.crossJoin(F.broadcast(reps)).select(
-        "_g", "_b", "_c", poisson_weight(u).cast("long").alias("_w")
+        "_g", "_b", "_c", w.cast("long").alias("_w")
     )
-    # products lift to DECIMAL(38,0) before summing — at the
-    # billions-of-rows envelope Σ w·cents wraps int64 silently in
-    # Spark while DuckDB promotes (gate divergence)
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return weighted.groupBy("_g", "_b").agg(
+        F.sum(d38(F.col("_w")) * d38(F.col("_c"))).alias("_s"),
+        F.sum("_w").cast("long").alias("_wn"),
+    )
+
+
+def bootstrap_finish(
+    partials: DataFrame,
+    group_col: str,
+    tail_permille: int = 25,
+) -> DataFrame:
+    """CI report from the (merged) partial-sum relation: replicate
+    means are floor((Σw·cents)·1e6 / Σw) — ONE pinned double each,
+    integer after — and the bounds are order statistics over the B
+    integer means (positions floor(B·tail‰)+1 / B − floor(B·tail‰),
+    drop-a-tail, deterministic (mean, b) tie order). Replicate 0 IS
+    the full sample, so n and mean_e6 come from the same formula.
+    Zero-weight replicates (probability e^-n) are excluded; `b_eff`
+    reports survivors.
+
+    Output: (group, n, b_eff, mean_e6, lo_e6, hi_e6).
+    """
+    mean_of = F.floor(
+        F.col("_s").cast("double")
+        * F.lit(1_000_000.0)
+        / F.col("_wn").cast("double")
+    ).cast("long")
     sums = (
-        weighted.groupBy("_g", "_b")
-        .agg(
-            F.sum(d38(F.col("_w")) * d38(F.col("_c"))).alias("_s"),
-            F.sum("_w").alias("_wn"),
-        )
-        .filter(F.col("_wn") > 0)
-        .select(
-            "_g", "_b",
-            F.floor(
-                F.col("_s").cast("double")
-                * F.lit(1_000_000.0)
-                / F.col("_wn").cast("double")
-            ).cast("long").alias("_m"),
-        )
+        partials.filter((F.col("_b") >= 1) & (F.col("_wn") > 0))
+        .select("_g", "_b", mean_of.alias("_m"))
     )
     wo = Window.partitionBy("_g").orderBy("_m", "_b")
     wg = Window.partitionBy("_g")
@@ -159,15 +162,40 @@ def poisson_bootstrap_ci(
         F.max(F.when(F.col("_rn") == lo_pos, F.col("_m"))).alias("lo_e6"),
         F.max(F.when(F.col("_rn") == hi_pos, F.col("_m"))).alias("hi_e6"),
     )
-    full = base.groupBy("_g").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.floor(
-            F.sum(F.col("_c").cast("decimal(38,0)")).cast("double")
-            * F.lit(1_000_000.0)
-            / F.count(F.lit(1)).cast("double")
-        ).cast("long").alias("mean_e6"),
+    full = partials.filter(F.col("_b") == 0).select(
+        "_g",
+        F.col("_wn").alias("n"),
+        mean_of.alias("mean_e6"),
     )
     return full.join(bounds, "_g").select(
         F.col("_g").alias(group_col),
         "n", "b_eff", "mean_e6", "lo_e6", "hi_e6",
+    )
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cents_col: str,
+    b: int = 40,
+    tail_permille: int = 25,
+    salt: str = "pb",
+) -> DataFrame:
+    """Per-group percentile bootstrap CI for the mean, via B Poisson
+    replicates: `bootstrap_partials` (the mergeable layer) composed
+    with `bootstrap_finish` (the order-statistic report) — the same
+    two stages the streaming twin commits and reads.
+
+    Scale: the ×(B+1) fan-out happens AFTER row projection to
+    (group, id, cents) and aggregates map-side into (B+1)×groups
+    partial sums — no index join, no corpus shuffle; the
+    order-statistic window is over B rows per group (control-plane
+    sized). B is the explicit cost knob; at extreme scale drop B,
+    not rows.
+    """
+    return bootstrap_finish(
+        bootstrap_partials(df, group_col, id_col, cents_col, b, salt),
+        group_col,
+        tail_permille,
     )

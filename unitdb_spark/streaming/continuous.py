@@ -702,3 +702,74 @@ def read_skyline(spark, state_path: str) -> DataFrame:
     if cur is None:
         raise FileNotFoundError(f"no committed skyline state under {state_path}")
     return spark.read.parquet(_snap_path(state_path, *cur))
+
+
+# ---------------------------------------------- rolling bootstrap CI
+#
+# The Poisson bootstrap's streaming twin: the mergeable state is the
+# per-(group, replicate) partial-sum relation (replicate 0 = identity
+# weights). Weights are a PURE FUNCTION of (event id, replicate,
+# salt), so partials merge by sum to the batch relation bit for bit
+# however the stream was split; the order-statistic CI report runs at
+# read time through the batch operator's shared finish.
+
+
+def continuous_bootstrap(
+    stream: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    state_path: str,
+    checkpoint: str,
+    b: int = 40,
+    trigger_available_now: bool = True,
+):
+    """Maintain the versioned (group, replicate) bootstrap partial-sum
+    state; read the CI report with ``read_bootstrap_ci``. Returns the
+    StreamingQuery."""
+    from unitdb_spark.operators.bootstrap import bootstrap_partials
+
+    def partials(batch: DataFrame) -> DataFrame:
+        rows = batch.filter(
+            F.col(value_col).isNotNull() & ~F.isnan(value_col)
+        ).select(
+            F.col(group_col),
+            F.col(id_col),
+            F.expr(
+                f"CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("_cents"),
+        )
+        return bootstrap_partials(rows, group_col, id_col, "_cents", b)
+
+    def merge(prev: DataFrame, p: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(p)
+            .groupBy("_g", "_b")
+            .agg(
+                F.sum("_s").cast("decimal(38,0)").alias("_s"),
+                F.sum("_wn").cast("long").alias("_wn"),
+            )
+        )
+
+    return _run_maintainer(
+        stream, state_path, checkpoint, partials, merge,
+        trigger_available_now,
+    )
+
+
+def read_bootstrap_ci(
+    spark, state_path: str, group_col: str = "event_type"
+) -> DataFrame:
+    """The rolling CI report over the committed partial sums — the
+    batch operator's own finish (operators.bootstrap.bootstrap_finish),
+    so on the same data the streamed CI IS the batch CI."""
+    from unitdb_spark.operators.bootstrap import bootstrap_finish
+
+    cur = latest_commit(spark, state_path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no committed bootstrap state under {state_path}"
+        )
+    return bootstrap_finish(
+        spark.read.parquet(_snap_path(state_path, *cur)), group_col
+    )
