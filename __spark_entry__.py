@@ -5233,6 +5233,40 @@ def q_parts_link_ra(spark, sf_dir):
     return link_prediction_ra(edges, min_common=2)
 
 
+def q_events_logrank(spark, sf_dir):
+    """Log-rank (Mantel-Cox) test of signup→purchase conversion
+    curves between two hash-assigned user arms — the censoring-aware
+    survival hypothesis test next to events_survival's Kaplan-Meier
+    point estimates. Per-time E/V terms are pinned doubles floored to
+    micro (the chi-squared discipline), accumulations exact BIGINT,
+    z one pinned finish."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.survival import logrank_test, time_to_event
+
+    ev = _events(spark, sf_dir)
+    durations = time_to_event(
+        ev, "user_id", "ts",
+        origin_filter=F.col("event_type") == "signup",
+        event_filter=F.col("event_type") == "purchase",
+    )
+    arm = (
+        md5_int60(F.concat(F.col("subject").cast("string"), F.lit(":lr")))
+        % 2
+    ).cast("int")
+    return logrank_test(durations, "duration_days", "event", arm)
+
+
+def q_doc_source_kl(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram distribution —
+    the domain-shift audit for mixture curation (high KL = the source
+    adds diversity or fights the mixture; ~0 = adds volume only).
+    One round-6 log10 per (source, term) type; exact decimal sums,
+    one pinned final division. Gibbs: KL >= 0 always."""
+    from unitdb_spark.operators.tfidf import source_unigram_kl
+
+    return source_unigram_kl(_docs(spark, sf_dir))
+
+
 def q_streamed_bootstrap(spark, sf_dir):
     """Driver-checkable twin of the ROLLING Poisson-bootstrap CI: the
     events stream folds per-(type, replicate) weighted partial sums
@@ -6024,6 +6058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_grid_clusters": q_embed_grid_clusters,
         "events_hw_forecast": q_events_hw_forecast,
         "streamed_bootstrap": q_streamed_bootstrap,
+        "events_logrank": q_events_logrank,
+        "doc_source_kl": q_doc_source_kl,
     }
 
 
@@ -11412,6 +11448,115 @@ def oracle_sql() -> dict[str, str]:
         FROM assign
         """
     )
+    # log-rank: the events_survival durations CTE + per-arm at-risk
+    # windows over the pooled day relation; per-time E/V floored to
+    # micro from pinned doubles (chi-squared discipline)
+    d["events_logrank"] = """
+        WITH org AS (
+          SELECT user_id, min(ts) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY 1
+        ), conv AS (
+          SELECT o.user_id, min(e.ts) AS tc
+          FROM org o JOIN events e ON e.user_id = o.user_id
+            AND e.event_type = 'purchase' AND e.ts > o.t0
+          GROUP BY 1
+        ), ref AS (SELECT max(ts) AS mx FROM events),
+        u AS (
+          SELECT o.user_id,
+            CASE WHEN c.tc IS NOT NULL THEN
+              date_diff('day', CAST(o.t0 AS DATE), CAST(c.tc AS DATE))
+            ELSE
+              date_diff('day', CAST(o.t0 AS DATE), CAST(ref.mx AS DATE))
+            END AS dur,
+            c.tc IS NOT NULL AS ev,
+            CAST((CAST(('0x' || substr(md5(CAST(o.user_id AS VARCHAR)
+                        || ':lr'), 1, 15)) AS BIGINT) % 2) AS INTEGER) AS a
+          FROM org o LEFT JOIN conv c USING (user_id), ref
+        ), days AS (
+          SELECT dur AS t,
+            count(*) FILTER (ev AND a = 0) AS d1,
+            count(*) FILTER (NOT ev AND a = 0) AS c1,
+            count(*) FILTER (ev AND a = 1) AS d2,
+            count(*) FILTER (NOT ev AND a = 1) AS c2
+          FROM u GROUP BY 1
+        ), risk AS (
+          SELECT t, d1, d2,
+            CAST(sum(d1 + c1) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS n1,
+            CAST(sum(d2 + c2) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS n2
+          FROM days
+        ), steps AS (
+          SELECT * FROM risk WHERE d1 + d2 > 0
+        ), per AS (
+          SELECT d1, d2,
+            CAST(floor(
+              CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE) * 1000000.0
+              / CAST(n1 + n2 AS DOUBLE)
+            ) AS BIGINT) AS e1m,
+            CASE WHEN n1 + n2 > 1 THEN CAST(floor(
+              CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+              * CAST(n2 AS DOUBLE)
+              * (CAST(n1 + n2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+              * 1000000.0
+              / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                 * (CAST(n1 + n2 AS DOUBLE) - 1.0))
+            ) AS BIGINT) ELSE 0 END AS vm
+          FROM steps
+        ), arms AS (
+          SELECT CAST(count(*) FILTER (a = 0) AS BIGINT) AS n_a,
+            CAST(count(*) FILTER (a = 1) AS BIGINT) AS n_b
+          FROM u
+        ), acc AS (
+          SELECT CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+            CAST(coalesce(sum(d2), 0) AS BIGINT) AS o2,
+            CAST(coalesce(sum(e1m), 0) AS BIGINT) AS e1_micro,
+            CAST(coalesce(sum(vm), 0) AS BIGINT) AS v_micro
+          FROM per
+        )
+        SELECT n_a, n_b, o1, o2, e1_micro, v_micro,
+          CASE WHEN v_micro > 0 THEN round(
+            (CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1000000.0)
+            / sqrt(CAST(v_micro AS DOUBLE) / 1000000.0), 6)
+          END AS z_r
+        FROM arms CROSS JOIN acc
+        """
+    # per-source KL: one round-6 log per (source, term) type over the
+    # pinned ratio-of-ratios; numerator exact DECIMAL, final division
+    # pinned round-6
+    d["doc_source_kl"] = """
+        WITH tok AS (
+          SELECT source AS src, u.t AS term
+          FROM documents, unnest({toks}) AS u(t)
+        ), st AS (
+          SELECT src, term, count(*) AS c_st FROM tok GROUP BY 1, 2
+        ), ts AS (
+          SELECT src, sum(c_st) AS t_s FROM st GROUP BY 1
+        ), ct AS (
+          SELECT term, sum(c_st) AS c_t FROM st GROUP BY 1
+        ), nn AS (
+          SELECT sum(t_s) AS nt FROM ts
+        ), lp AS (
+          SELECT st.src, st.c_st,
+            CAST(round(log10(
+              (CAST(st.c_st AS DOUBLE) / CAST(ts.t_s AS DOUBLE))
+              / (CAST(ct.c_t AS DOUBLE) / CAST(nn.nt AS DOUBLE))
+            ), 6) AS DECIMAL(18,6)) AS lg
+          FROM st JOIN ts USING (src) JOIN ct USING (term)
+          CROSS JOIN nn
+        ), agg AS (
+          SELECT src,
+            sum(CAST(c_st AS DECIMAL(18,0)) * lg) AS s,
+            CAST(count(*) AS BIGINT) AS n_types,
+            CAST(sum(c_st) AS BIGINT) AS n_tokens
+          FROM lp GROUP BY src
+        )
+        SELECT src AS source, n_tokens, n_types,
+          round(CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS kl_r
+        FROM agg
+        """.replace("{toks}", _TOKS)
     d["events_hw_forecast"] = _hw_oracle()
     # grid-density clustering: dense cells (floor(coord/h), >= 5 pts)
     # + 8-neighborhood components; the recursive CTE replays the

@@ -7157,3 +7157,132 @@ class TestHoltWinters:
         assert (r.fc1_e6, r.fc2_e6, r.fc3_e6) == (
             70_000_000, 140_000_000, 210_000_000
         )
+
+
+class TestLogrank:
+    def test_matches_python_model(self, spark):
+        """O/E/V accumulations vs an independent replay on seeded
+        two-arm censored durations."""
+        import random
+        from math import floor, sqrt
+
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.survival import logrank_test
+
+        rng = random.Random(41)
+        rows = [
+            (rng.randint(0, 20), rng.random() < 0.7, rng.randint(0, 1))
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(rows, ["dur", "ev", "arm"])
+        times = sorted({t for t, e, a in rows})
+        o1 = o2 = e1m = vm = 0
+        for t in times:
+            d1 = sum(1 for tt, e, a in rows if tt == t and e and a == 0)
+            d2 = sum(1 for tt, e, a in rows if tt == t and e and a == 1)
+            n1 = sum(1 for tt, _, a in rows if tt >= t and a == 0)
+            n2 = sum(1 for tt, _, a in rows if tt >= t and a == 1)
+            d, n = d1 + d2, n1 + n2
+            if d == 0:
+                continue
+            o1 += d1
+            o2 += d2
+            e1m += floor(d * n1 * 1_000_000.0 / n)
+            if n > 1:
+                vm += floor(
+                    d * n1 * n2 * (n - d) * 1_000_000.0 / (n * n * (n - 1))
+                )
+        (r,) = logrank_test(df, "dur", "ev", F.col("arm")).collect()
+        assert (r.o1, r.o2, r.e1_micro, r.v_micro) == (o1, o2, e1m, vm)
+        want_z = round((o1 - e1m / 1e6) / sqrt(vm / 1e6), 6)
+        assert r.z_r == want_z
+
+    def test_identical_arms_give_zero_z(self, spark):
+        """Mirrored arms: at every time n1 = n2 and d1 = d2, so
+        E1 = O1 exactly (d·1e6/2 is integral) and z = 0."""
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.survival import logrank_test
+
+        half = [(3, True), (5, True), (5, False), (9, True), (12, False)]
+        rows = [(t, e, a) for a in (0, 1) for t, e in half]
+        df = spark.createDataFrame(rows, ["dur", "ev", "arm"])
+        (r,) = logrank_test(df, "dur", "ev", F.col("arm")).collect()
+        assert r.o1 == r.o2
+        assert r.e1_micro == r.o1 * 1_000_000
+        assert r.z_r == 0.0
+
+    def test_early_events_in_one_arm_go_negative(self, spark):
+        """Arm 0 converts strictly earlier: O1 > E1 -> z > 0 (more
+        events than expected under the null)."""
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.survival import logrank_test
+
+        rows = [(1, True, 0)] * 10 + [(20, True, 1)] * 10
+        df = spark.createDataFrame(rows, ["dur", "ev", "arm"])
+        (r,) = logrank_test(df, "dur", "ev", F.col("arm")).collect()
+        assert r.z_r is not None and r.z_r > 2.0
+
+
+class TestSourceKl:
+    def test_matches_python_model(self, spark):
+        from collections import Counter
+        from decimal import Decimal
+        from math import log10
+
+        from unitdb_spark.operators.tfidf import source_unigram_kl
+
+        docs = [
+            (1, "alpha beta beta gamma", "s1"),
+            (2, "alpha alpha beta", "s1"),
+            (3, "delta delta delta epsilon", "s2"),
+            (4, "alpha gamma", "s2"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+        st = Counter()
+        for _, t, s in docs:
+            for w in t.split():
+                st[(s, w)] += 1
+        ts = Counter()
+        ct = Counter()
+        for (s, w), c in st.items():
+            ts[s] += c
+            ct[w] += c
+        nt = sum(ts.values())
+        want = {}
+        for s in ts:
+            total = Decimal(0)
+            ntypes = 0
+            for (ss, w), c in st.items():
+                if ss != s:
+                    continue
+                lg = Decimal(
+                    str(round(log10((c / ts[s]) / (ct[w] / nt)), 6))
+                )
+                total += c * lg
+                ntypes += 1
+            want[s] = (ts[s], ntypes, round(float(total) / ts[s], 6))
+        got = {
+            r.source: (r.n_tokens, r.n_types, r.kl_r)
+            for r in source_unigram_kl(df).collect()
+        }
+        assert got == want
+
+    def test_gibbs_nonnegative_and_identical_sources_zero(self, spark):
+        """A source that IS the corpus distribution has KL = 0; any
+        source's KL is >= 0 (Gibbs), up to the round-6 quantization."""
+        from unitdb_spark.operators.tfidf import source_unigram_kl
+
+        same = "a b c d"
+        docs = [(i, same, f"s{i % 3}") for i in range(9)]
+        df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+        for r in source_unigram_kl(df).collect():
+            assert r.kl_r == 0.0
+        skew = [(100, "a a a a a a", "sk")] + [
+            (i, "a b c d e f g h", "bg") for i in range(8)
+        ]
+        df2 = spark.createDataFrame(skew, ["doc_id", "text", "source"])
+        for r in source_unigram_kl(df2).collect():
+            assert r.kl_r >= -1e-06  # round-6 quantization floor

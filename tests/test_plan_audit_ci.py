@@ -40,6 +40,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "orders_benford": "digit-share window over the 9-row leading-digit relation",
     "doc_calibration": "ntile + reliability windows over scores then the 10-row decile relation",
     "events_survival": "at-risk cumulative window over the per-day event-time relation",
+    "events_logrank": "per-arm at-risk cumulative windows over the pooled per-day relation",
     "events_ks": "CDF-gap cumulative window over the pooled distinct-value relation",
     "orders_lorenz": "cumulative-share window over the per-customer totals relation",
     "doc_source_infogain": "entropy windows over the (source x label) cells relation",

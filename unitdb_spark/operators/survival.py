@@ -146,3 +146,95 @@ def time_to_event(
             F.col("_tc").isNotNull().alias("event"),
         )
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    arm_col,
+) -> DataFrame:
+    """One-row log-rank (Mantel-Cox) test between two arms — the
+    survival family's hypothesis test: does arm 0 convert/churn on a
+    different time curve than arm 1, accounting for censoring? The
+    whole-curve complement of `kaplan_meier`'s point estimates, and
+    the censoring-aware cousin of `mann_whitney_u`.
+
+    At each pooled event time t (d_t > 0):
+
+        E1 += d_t · n1_t / n_t
+        V  += d_t · n1_t · n2_t · (n_t − d_t) / (n_t² · (n_t − 1))
+
+    with the at-risk counts n1/n2 from per-arm descending cumulative
+    sums over the pooled DAY relation. Each per-time term is ONE
+    pinned double floored into micro-units (the chi-squared
+    discipline), so the accumulations are exact BIGINT sums; the
+    z-statistic (O1 − E1)/√V is the single pinned float finish, NULL
+    when V = 0. Double-exactness envelope: d·n1·n2·n products must
+    stay inside 2⁵³ — fine to ~10⁵ subjects per time; past that lift
+    the products to DECIMAL(38,0) in the same pinned shape.
+
+    ``arm_col`` is a 0/1 column expression (hash-assign units like
+    `ab_test_report`).
+
+    Output: (n_a, n_b, o1, o2, e1_micro, v_micro, z_r).
+
+    Scale: one subject aggregation onto the pooled day relation
+    (≤ observation-span rows); the at-risk windows run over that tiny
+    relation (the `events_survival` allowlist class).
+    """
+    base = df.select(
+        F.col(duration_col).cast("long").alias("_t"),
+        F.col(event_col).cast("boolean").alias("_e"),
+        arm_col.cast("int").alias("_a"),
+    ).filter(F.col("_t").isNotNull() & F.col("_a").isNotNull())
+    days = base.groupBy("_t").agg(
+        F.count(F.when(F.col("_e") & (F.col("_a") == 0), 1)).alias("d1"),
+        F.count(F.when(~F.col("_e") & (F.col("_a") == 0), 1)).alias("c1"),
+        F.count(F.when(F.col("_e") & (F.col("_a") == 1), 1)).alias("d2"),
+        F.count(F.when(~F.col("_e") & (F.col("_a") == 1), 1)).alias("c2"),
+    )
+    w = Window.orderBy(F.col("_t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = days.select(
+        "_t", "d1", "d2",
+        F.sum(F.col("d1") + F.col("c1")).over(w).alias("n1"),
+        F.sum(F.col("d2") + F.col("c2")).over(w).alias("n2"),
+    )
+    steps = risk.filter(F.col("d1") + F.col("d2") > 0)
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    e1m = F.floor(d * n1d * F.lit(1_000_000.0) / nd).cast("long")
+    vm = F.when(
+        F.col("n1") + F.col("n2") > 1,
+        F.floor(
+            d * n1d * n2d * (nd - d) * F.lit(1_000_000.0)
+            / (nd * nd * (nd - F.lit(1.0)))
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    per = steps.select(
+        "d1", "d2", e1m.alias("_e1m"), vm.alias("_vm")
+    )
+    arms = base.agg(
+        F.count(F.when(F.col("_a") == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("_a") == 1, 1)).cast("long").alias("n_b"),
+    )
+    acc = per.agg(
+        F.coalesce(F.sum("d1"), F.lit(0)).cast("long").alias("o1"),
+        F.coalesce(F.sum("d2"), F.lit(0)).cast("long").alias("o2"),
+        F.coalesce(F.sum("_e1m"), F.lit(0)).cast("long").alias("e1_micro"),
+        F.coalesce(F.sum("_vm"), F.lit(0)).cast("long").alias("v_micro"),
+    )
+    z = (
+        (
+            F.col("o1").cast("double")
+            - F.col("e1_micro").cast("double") / F.lit(1_000_000.0)
+        )
+        / F.sqrt(F.col("v_micro").cast("double") / F.lit(1_000_000.0))
+    )
+    return arms.join(acc).select(
+        "n_a", "n_b", "o1", "o2", "e1_micro", "v_micro",
+        F.when(F.col("v_micro") > 0, F.round(z, 6)).alias("z_r"),
+    )

@@ -624,3 +624,76 @@ def sparse_cosine_pairs(
             6,
         ).alias("cosine_r"),
     )
+
+
+def source_unigram_kl(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    the domain-shift audit for mixture curation: a source whose token
+    distribution sits far from the corpus mean (KL high) dominates or
+    fights the mixture, while KL ≈ 0 means it adds volume, not
+    diversity. The distributional upgrade of coarse source shares
+    (`doc_source_balance`) and label-based information gain
+    (`doc_source_infogain`).
+
+        KL(Pₛ ‖ P) = Σ_t (c_st/Tₛ) · log10((c_st/Tₛ) / (c_t/N))
+
+    computed over the source's OBSERVED terms (c_st > 0, so both
+    ratios are positive — no smoothing knob; the corpus includes the
+    source, so P(t) > 0 always). Gibbs' inequality gives KL ≥ 0 — a
+    property test pin.
+
+    Cross-engine contract: ONE round-6 log10 per (source, term) TYPE
+    over the pinned ratio-of-ratios, cast DECIMAL(18,6); the
+    numerator Σ c_st·log is exact decimal (products lifted via the
+    c_st long × DECIMAL(18,6) → exact decimal rule), and the final
+    ÷Tₛ is the single pinned round-6 division.
+
+    Output: (source, n_tokens, n_types, kl_r).
+
+    Shape (100 TB): token stream aggregates once onto the
+    (source × term) TYPE relation (Zipf-sublinear per source); the
+    corpus term relation joins on term; totals broadcast. No window,
+    no corpus re-shuffle.
+    """
+    tok = docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(_tokens(text_col)).alias("term"),
+    )
+    st = tok.groupBy("src", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    ts = st.groupBy("src").agg(F.sum("c_st").alias("t_s"))
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    nn = ts.agg(F.sum("t_s").alias("nt"))
+    lp = (
+        st.join(ts, "src")
+        .join(ct, "term")
+        .join(F.broadcast(nn))
+        .select(
+            "src", "c_st",
+            F.round(
+                F.log10(
+                    (F.col("c_st").cast("double")
+                     / F.col("t_s").cast("double"))
+                    / (F.col("c_t").cast("double")
+                       / F.col("nt").cast("double"))
+                ),
+                6,
+            ).cast("decimal(18,6)").alias("_lg"),
+        )
+    )
+    agg = lp.groupBy("src").agg(
+        F.sum(F.col("c_st").cast("decimal(18,0)") * F.col("_lg"))
+        .alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c_st").cast("long").alias("n_tokens"),
+    )
+    return agg.select(
+        F.col("src").alias(source_col),
+        "n_tokens", "n_types",
+        F.round(
+            F.col("_s").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("kl_r"),
+    )
