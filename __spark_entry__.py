@@ -5267,6 +5267,26 @@ def q_doc_source_kl(spark, sf_dir):
     return source_unigram_kl(_docs(spark, sf_dir))
 
 
+def q_events_markov_entropy(spark, sf_dir):
+    """Entropy rate of the event-type Markov chain — bits per event
+    under the stationary distribution (Shannon eq. 7): the chain's
+    single-number predictability summary closing the Markov family.
+    Per-row logs use the exact count rationals (one round-6 log2 per
+    transition type); H(src) floors to micro; the pi-weighted rate is
+    exact integer products with one pinned division. Oracle = the
+    stationary oracle's unrolled iterations + entropy CTEs."""
+    from unitdb_spark.operators.markov import (
+        entropy_rate,
+        stationary_distribution,
+        transition_matrix,
+    )
+
+    m = transition_matrix(
+        _events(spark, sf_dir), "user_id", "event_type", "ts", "event_id"
+    )
+    return entropy_rate(m, stationary_distribution(m, iterations=4))
+
+
 def q_streamed_bootstrap(spark, sf_dir):
     """Driver-checkable twin of the ROLLING Poisson-bootstrap CI: the
     events stream folds per-(type, replicate) weighted partial sums
@@ -6060,6 +6080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_bootstrap": q_streamed_bootstrap,
         "events_logrank": q_events_logrank,
         "doc_source_kl": q_doc_source_kl,
+        "events_markov_entropy": q_events_markov_entropy,
     }
 
 
@@ -11557,6 +11578,37 @@ def oracle_sql() -> dict[str, str]:
           round(CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS kl_r
         FROM agg
         """.replace("{toks}", _TOKS)
+    # entropy rate rides the stationary oracle: replace its final
+    # SELECT with entropy CTEs over the same t/pi4 relations
+    d["events_markov_entropy"] = d["events_markov_stationary"].replace(
+        "SELECT state, pi FROM pi4",
+        """, hterm AS (
+          SELECT src, n, rt,
+            CAST(round(log2(CAST(n AS DOUBLE) / CAST(rt AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS lg
+          FROM (SELECT src, dst, n,
+                  sum(n) OVER (PARTITION BY src) AS rt FROM t) q
+        ), hs AS (
+          SELECT src, CAST(max(rt) AS BIGINT) AS rt,
+            sum(CAST(n AS DECIMAL(18,0)) * lg) AS s
+          FROM hterm GROUP BY src
+        ), hm AS (
+          SELECT src,
+            CAST(floor((-CAST(s AS DOUBLE)) * 1000000.0
+                       / CAST(rt AS DOUBLE)) AS BIGINT) AS h_micro
+          FROM hs
+        ), tot AS (
+          SELECT sum(CAST(pi4.pi AS HUGEINT)
+                     * CAST(hm.h_micro AS HUGEINT)) AS num,
+            CAST(sum(pi4.pi) AS BIGINT) AS den
+          FROM pi4 JOIN hm ON pi4.state = hm.src
+        )
+        SELECT pi4.state, pi4.pi, hm.h_micro,
+          round(CAST(tot.num AS DOUBLE)
+                / (CAST(tot.den AS DOUBLE) * 1000000.0), 6)
+            AS entropy_rate_r
+        FROM pi4 JOIN hm ON pi4.state = hm.src CROSS JOIN tot""",
+    )
     d["events_hw_forecast"] = _hw_oracle()
     # grid-density clustering: dense cells (floor(coord/h), >= 5 pts)
     # + 8-neighborhood components; the recursive CTE replays the

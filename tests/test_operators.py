@@ -7286,3 +7286,65 @@ class TestSourceKl:
         df2 = spark.createDataFrame(skew, ["doc_id", "text", "source"])
         for r in source_unigram_kl(df2).collect():
             assert r.kl_r >= -1e-06  # round-6 quantization floor
+
+
+class TestEntropyRate:
+    def test_matches_python_model(self, spark):
+        """Per-state conditional entropy and the pi-weighted rate vs
+        an independent replay on a small two-state chain."""
+        from decimal import Decimal
+        from math import floor, log2
+
+        from unitdb_spark.operators.markov import (
+            entropy_rate,
+            stationary_distribution,
+            transition_matrix,
+        )
+
+        # one user, alternating-ish sequence: a a b a b b a ...
+        seq = "aababbaabbabaaabbbab"
+        rows = [(1, s, i, i) for i, s in enumerate(seq)]
+        df = spark.createDataFrame(rows, ["u", "state", "ts", "tb"])
+        m = transition_matrix(df, "u", "state", "ts", "tb")
+        pi = stationary_distribution(m, iterations=4)
+        got = {
+            r.state: (r.pi, r.h_micro, r.entropy_rate_r)
+            for r in entropy_rate(m, pi).collect()
+        }
+        trans = {}
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+        rt = {}
+        for (a, _), c in trans.items():
+            rt[a] = rt.get(a, 0) + c
+        hm = {}
+        for a in rt:
+            s = sum(
+                Decimal(str(round(log2(c / rt[a]), 6))) * c
+                for (aa, _), c in trans.items()
+                if aa == a
+            )
+            hm[a] = floor(-float(s) * 1_000_000.0 / rt[a])
+        pis = {r.state: r.pi for r in pi.collect()}
+        num = sum(pis[a] * hm[a] for a in hm)
+        den = sum(pis.values())
+        rate = round(num / (den * 1_000_000.0), 6)
+        want = {a: (pis[a], hm[a], rate) for a in hm}
+        assert got == want
+
+    def test_deterministic_chain_has_zero_entropy(self, spark):
+        """A strictly periodic chain (a->b->a->...): every row is
+        p=1, H = 0 exactly."""
+        from unitdb_spark.operators.markov import (
+            entropy_rate,
+            stationary_distribution,
+            transition_matrix,
+        )
+
+        seq = "ababababab"
+        rows = [(1, s, i, i) for i, s in enumerate(seq)]
+        df = spark.createDataFrame(rows, ["u", "state", "ts", "tb"])
+        m = transition_matrix(df, "u", "state", "ts", "tb")
+        out = entropy_rate(m, stationary_distribution(m)).collect()
+        assert {r.h_micro for r in out} == {0}
+        assert {r.entropy_rate_r for r in out} == {0.0}

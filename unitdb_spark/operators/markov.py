@@ -245,3 +245,69 @@ def stationary_distribution(
             .localCheckpoint(eager=False)
         )
     return pi
+
+
+def entropy_rate(matrix: DataFrame, pi: DataFrame) -> DataFrame:
+    """Entropy rate of the Markov chain (Shannon '48, eq. 7):
+
+        H = Σ_src π(src) · H(src),   H(src) = −Σ_dst p log₂ p
+
+    — the bits-per-event information density of the stream, the
+    Markov family's single-number summary: a chain whose next event
+    is predictable (low H) needs no per-event attention; rising H on
+    a dashboard means behavior is genuinely changing, not just
+    shifting between known patterns.
+
+    ``matrix`` is `transition_matrix` output (src, dst, n,
+    row_total); ``pi`` is `stationary_distribution` output (state,
+    pi). Per-row log₂ uses the EXACT count rationals n/row_total
+    (not the ppm-quantized p) — one round-6 log per (src, dst) TYPE,
+    DECIMAL(18,6); per-src sums are exact decimal; each H(src) is
+    floored to micro from one pinned double; the final weighting is
+    exact integer products (DECIMAL(38,0) lift) with ONE pinned
+    round-6 division.
+
+    Output: (state, pi, h_micro, entropy_rate_r) — per-state
+    conditional entropy plus the chain's (repeated) rate. States are
+    the inner join of the π relation and the outgoing-transition
+    relation (identical sets with the lag-derived matrix).
+
+    Scale: every relation is |states|²-bounded (control-plane).
+    """
+    lg = F.round(
+        F.log2(F.col("n").cast("double") / F.col("row_total").cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    hs = (
+        matrix.select("src", "n", "row_total", lg.alias("_lg"))
+        .groupBy("src")
+        .agg(
+            F.max("row_total").cast("long").alias("_rt"),
+            F.sum(F.col("n").cast("decimal(18,0)") * F.col("_lg"))
+            .alias("_s"),
+        )
+    )
+    hm = hs.select(
+        "src",
+        F.floor(
+            (-F.col("_s").cast("double"))
+            * F.lit(1_000_000.0)
+            / F.col("_rt").cast("double")
+        ).cast("long").alias("h_micro"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = pi.join(hm, pi["state"] == hm["src"]).select(
+        "state", "pi", "h_micro"
+    )
+    tot = j.agg(
+        F.sum(d38(F.col("pi")) * d38(F.col("h_micro"))).alias("_num"),
+        F.sum("pi").cast("long").alias("_den"),
+    )
+    return j.join(F.broadcast(tot)).select(
+        "state", "pi", "h_micro",
+        F.round(
+            F.col("_num").cast("double")
+            / (F.col("_den").cast("double") * F.lit(1_000_000.0)),
+            6,
+        ).alias("entropy_rate_r"),
+    )
