@@ -5267,6 +5267,23 @@ def q_doc_source_kl(spark, sf_dir):
     return source_unigram_kl(_docs(spark, sf_dir))
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """Recall@10 of the IVF probe (2/8 cells) against exact cosine
+    top-10 for the same query set — the FAISS acceptance protocol:
+    the number a probe budget is tuned against. All-integer pair
+    join over two already-top-K relations; the oracle composes the
+    two retrieval oracles as CTEs."""
+    from unitdb_spark.operators.evaluation import topk_recall
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, n_cells=8, n_probe=2)
+    return topk_recall(exact, approx)
+
+
 def q_events_markov_entropy(spark, sf_dir):
     """Entropy rate of the event-type Markov chain — bits per event
     under the stationary distribution (Shannon eq. 7): the chain's
@@ -6081,6 +6098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_logrank": q_events_logrank,
         "doc_source_kl": q_doc_source_kl,
         "events_markov_entropy": q_events_markov_entropy,
+        "ann_ivf_recall": q_ann_ivf_recall,
     }
 
 
@@ -11608,6 +11626,26 @@ def oracle_sql() -> dict[str, str]:
                 / (CAST(tot.den AS DOUBLE) * 1000000.0), 6)
             AS entropy_rate_r
         FROM pi4 JOIN hm ON pi4.state = hm.src CROSS JOIN tot""",
+    )
+    # recall@k audit composes the two retrieval oracles verbatim
+    d["ann_ivf_recall"] = (
+        "WITH ex AS (" + d["ann_cosine_topk"] + "), ap AS ("
+        + d["ann_ivf_topk"] + """)
+        SELECT ne.query_id,
+          ne.n_exact,
+          coalesce(na.n_approx, 0) AS n_approx,
+          coalesce(h.n_hit, 0) AS n_hit,
+          CAST(floor(coalesce(h.n_hit, 0) * 1000000 / ne.n_exact)
+               AS BIGINT) AS recall_ppm
+        FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+              FROM ex GROUP BY 1) ne
+        LEFT JOIN (SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
+                   FROM ap GROUP BY 1) na USING (query_id)
+        LEFT JOIN (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hit
+                   FROM ex JOIN ap ON ex.query_id = ap.query_id
+                    AND ex.vec_id = ap.vec_id
+                   GROUP BY 1) h USING (query_id)
+        """
     )
     d["events_hw_forecast"] = _hw_oracle()
     # grid-density clustering: dense cells (floor(coord/h), >= 5 pts)

@@ -7348,3 +7348,38 @@ class TestEntropyRate:
         out = entropy_rate(m, stationary_distribution(m)).collect()
         assert {r.h_micro for r in out} == {0}
         assert {r.entropy_rate_r for r in out} == {0.0}
+
+
+class TestTopkRecall:
+    def test_counts_and_missing_queries(self, spark):
+        """Hit counting, ppm floor, and the absent-query contract
+        (no approx rows -> recall 0, row kept)."""
+        from unitdb_spark.operators.evaluation import topk_recall
+
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+            ["query_id", "vec_id"],
+        )
+        approx = spark.createDataFrame(
+            [(1, 11), (1, 12), (1, 99), (2, 20)],
+            ["query_id", "vec_id"],
+        )
+        got = {
+            r.query_id: (r.n_exact, r.n_approx, r.n_hit, r.recall_ppm)
+            for r in topk_recall(exact, approx).collect()
+        }
+        assert got == {
+            1: (3, 3, 2, 666_666),
+            2: (2, 1, 1, 500_000),
+            3: (1, 0, 0, 0),
+        }
+
+    def test_identical_rankings_are_full_recall(self, spark):
+        from unitdb_spark.operators.evaluation import topk_recall
+
+        e = spark.createDataFrame(
+            [(q, i) for q in range(3) for i in range(5)],
+            ["query_id", "vec_id"],
+        )
+        for r in topk_recall(e, e).collect():
+            assert r.recall_ppm == 1_000_000

@@ -658,3 +658,61 @@ def reciprocal_rank_fusion(
         )
         .filter(F.col("fused_rank") <= top_k)
     )
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-K retrieval against the
+    exact ranking — the ANN family's acceptance gate: an index
+    (IVF/LSH/PQ) is only as good as the ground-truth neighbors it
+    still returns, and this report is the number a probe/cell/bit
+    budget gets tuned against (the FAISS recall@k protocol).
+
+    Inputs are any two (query, item) rankings (extra columns
+    ignored). All-integer: n_hit = |exact ∩ approx| per query via a
+    keyed pair join; recall_ppm = floor(n_hit·1e6 / n_exact).
+    Queries absent from ``approx`` (index returned nothing) report
+    n_approx = 0, recall 0 — absence is a result, not a dropped row.
+
+    Output: (query, n_exact, n_approx, n_hit, recall_ppm).
+
+    Scale: both inputs are ALREADY top-K relations (queries × k
+    rows — control-plane next to the corpus scans that produced
+    them); the join is on the (query, item) key. No corpus access.
+    """
+    e = exact.select(
+        F.col(query_col).alias("_q"), F.col(item_col).alias("_i")
+    )
+    a = approx.select(
+        F.col(query_col).alias("_q"), F.col(item_col).alias("_i")
+    )
+    hits = (
+        e.join(a, ["_q", "_i"])
+        .groupBy("_q")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    ne = e.groupBy("_q").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    na = a.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx")
+    )
+    return (
+        ne.join(na, "_q", "left")
+        .join(hits, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0)).cast("long")
+            .alias("n_approx"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+            .alias("n_hit"),
+            F.floor(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                * F.lit(1_000_000)
+                / F.col("n_exact")
+            ).cast("long").alias("recall_ppm"),
+        )
+    )
