@@ -5267,6 +5267,52 @@ def q_doc_source_kl(spark, sf_dir):
     return source_unigram_kl(_docs(spark, sf_dir))
 
 
+def q_customer_fs_link(spark, sf_dir):
+    """Fellegi-Sunter probabilistic linkage of the perturbed customer
+    copy back to the clean table: three comparison fields (lowercased
+    name, digit core, floored balance) weighted log2(m/u) with u
+    estimated EXACTLY from value frequencies — rare-value agreement
+    outscores common-value agreement, which customer_er's edit
+    distance cannot express. Weights are round-6 logs per FIELD;
+    pair scores exact decimal sums; best match per left record."""
+    from unitdb_spark.operators.linkage import fellegi_sunter_link
+
+    c = _read(spark, sf_dir, "customer")
+    dirty = c.select(
+        F.col("c_custkey").alias("d_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.regexp_replace("c_name", "Customer", "Custmer"),
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.concat(F.col("c_name"), F.lit("!")))
+        .otherwise(F.lower(F.col("c_name")))
+        .alias("d_name"),
+        (
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 5 == 0, F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("d_bal"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    fields = [
+        (F.lower(F.col("d_name")), F.lower(F.col("c_name"))),
+        (
+            F.regexp_replace(F.col("d_name"), "[^0-9]", ""),
+            F.regexp_replace(F.col("c_name"), "[^0-9]", ""),
+        ),
+        (
+            F.floor(F.col("d_bal")).cast("long"),
+            F.floor(F.col("c_acctbal")).cast("long"),
+        ),
+    ]
+    return fellegi_sunter_link(
+        dirty, c, ["c_nationkey", "c_mktsegment"], "d_id", "c_custkey",
+        fields, m_permille=900,
+    )
+
+
 def q_ann_ivf_recall(spark, sf_dir):
     """Recall@10 of the IVF probe (2/8 cells) against exact cosine
     top-10 for the same query set — the FAISS acceptance protocol:
@@ -6099,6 +6145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_kl": q_doc_source_kl,
         "events_markov_entropy": q_events_markov_entropy,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "customer_fs_link": q_customer_fs_link,
     }
 
 
@@ -11647,6 +11694,99 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY 1) h USING (query_id)
         """
     )
+    # Fellegi-Sunter: per-field u from exact value-frequency joins,
+    # round-6 log2 weights over pinned cross-multiplied ratios,
+    # decimal pair sums, best per left (score DESC, rid ASC)
+    d["customer_fs_link"] = """
+        WITH l AS (
+          SELECT c_custkey AS lid, c_nationkey AS nk,
+            c_mktsegment AS seg,
+            lower(CASE WHEN c_custkey % 3 = 0 THEN
+                    regexp_replace(c_name, 'Customer', 'Custmer', 'g')
+                  WHEN c_custkey % 3 = 1 THEN c_name || '!'
+                  ELSE lower(c_name) END) AS f0,
+            regexp_replace(CASE WHEN c_custkey % 3 = 0 THEN
+                    regexp_replace(c_name, 'Customer', 'Custmer', 'g')
+                  WHEN c_custkey % 3 = 1 THEN c_name || '!'
+                  ELSE lower(c_name) END, '[^0-9]', '', 'g') AS f1,
+            CAST(floor(c_acctbal + CASE WHEN c_custkey % 5 = 0
+                  THEN 1.0 ELSE 0.0 END) AS BIGINT) AS f2
+          FROM customer
+        ), r AS (
+          SELECT c_custkey AS rid, c_nationkey AS nk,
+            c_mktsegment AS seg,
+            lower(c_name) AS f0,
+            regexp_replace(c_name, '[^0-9]', '', 'g') AS f1,
+            CAST(floor(c_acctbal) AS BIGINT) AS f2
+          FROM customer
+        ), nn AS (
+          SELECT (SELECT CAST(count(*) AS DOUBLE) FROM l) AS nl,
+                 (SELECT CAST(count(*) AS DOUBLE) FROM r) AS nr
+        ), u0 AS (
+          SELECT coalesce(sum(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)),
+                          0) AS num
+          FROM (SELECT f0 AS v, count(*) AS c FROM l GROUP BY 1) a
+          JOIN (SELECT f0 AS v, count(*) AS c FROM r GROUP BY 1) b
+            USING (v)
+        ), w0 AS (
+          SELECT
+            CAST(round(log2(0.9 * (nn.nl * nn.nr)
+                 / greatest(CAST(u0.num AS DOUBLE), 1.0)), 6)
+                 AS DECIMAL(18,6)) AS wa,
+            CAST(round(log2(0.1 * (nn.nl * nn.nr)
+                 / greatest((nn.nl * nn.nr) - CAST(u0.num AS DOUBLE),
+                            1.0)), 6)
+                 AS DECIMAL(18,6)) AS wd
+          FROM u0, nn
+        ), u1 AS (
+          SELECT coalesce(sum(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)),
+                          0) AS num
+          FROM (SELECT f1 AS v, count(*) AS c FROM l GROUP BY 1) a
+          JOIN (SELECT f1 AS v, count(*) AS c FROM r GROUP BY 1) b
+            USING (v)
+        ), w1 AS (
+          SELECT
+            CAST(round(log2(0.9 * (nn.nl * nn.nr)
+                 / greatest(CAST(u1.num AS DOUBLE), 1.0)), 6)
+                 AS DECIMAL(18,6)) AS wa,
+            CAST(round(log2(0.1 * (nn.nl * nn.nr)
+                 / greatest((nn.nl * nn.nr) - CAST(u1.num AS DOUBLE),
+                            1.0)), 6)
+                 AS DECIMAL(18,6)) AS wd
+          FROM u1, nn
+        ), u2 AS (
+          SELECT coalesce(sum(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)),
+                          0) AS num
+          FROM (SELECT f2 AS v, count(*) AS c FROM l GROUP BY 1) a
+          JOIN (SELECT f2 AS v, count(*) AS c FROM r GROUP BY 1) b
+            USING (v)
+        ), w2 AS (
+          SELECT
+            CAST(round(log2(0.9 * (nn.nl * nn.nr)
+                 / greatest(CAST(u2.num AS DOUBLE), 1.0)), 6)
+                 AS DECIMAL(18,6)) AS wa,
+            CAST(round(log2(0.1 * (nn.nl * nn.nr)
+                 / greatest((nn.nl * nn.nr) - CAST(u2.num AS DOUBLE),
+                            1.0)), 6)
+                 AS DECIMAL(18,6)) AS wd
+          FROM u2, nn
+        ),
+        pairs AS (
+          SELECT l.lid, r.rid,
+            (CASE WHEN l.f0 IS NOT DISTINCT FROM r.f0 THEN (SELECT wa FROM w0) ELSE (SELECT wd FROM w0) END + CASE WHEN l.f1 IS NOT DISTINCT FROM r.f1 THEN (SELECT wa FROM w1) ELSE (SELECT wd FROM w1) END + CASE WHEN l.f2 IS NOT DISTINCT FROM r.f2 THEN (SELECT wa FROM w2) ELSE (SELECT wd FROM w2) END) AS score,
+            CAST((CASE WHEN l.f0 IS NOT DISTINCT FROM r.f0 THEN 1 ELSE 0 END + CASE WHEN l.f1 IS NOT DISTINCT FROM r.f1 THEN 1 ELSE 0 END + CASE WHEN l.f2 IS NOT DISTINCT FROM r.f2 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+          FROM l JOIN r ON l.nk = r.nk AND l.seg = r.seg
+        ), best AS (
+          SELECT lid, rid, n_agree, score,
+            row_number() OVER (PARTITION BY lid
+                               ORDER BY score DESC, rid ASC) AS rk
+          FROM pairs
+        )
+        SELECT l2.lid AS d_id, b.rid AS matched_id, b.n_agree,
+          CAST(b.score AS DOUBLE) AS score_r
+        FROM (SELECT DISTINCT lid FROM l) l2
+        LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (lid)
+        """
     d["events_hw_forecast"] = _hw_oracle()
     # grid-density clustering: dense cells (floor(coord/h), >= 5 pts)
     # + 8-neighborhood components; the recursive CTE replays the

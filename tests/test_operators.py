@@ -7383,3 +7383,86 @@ class TestTopkRecall:
         )
         for r in topk_recall(e, e).collect():
             assert r.recall_ppm == 1_000_000
+
+
+class TestFellegiSunter:
+    def test_matches_python_model_small(self, spark):
+        """Weights and best-match selection vs an independent replay
+        on a tiny two-field linkage."""
+        from decimal import Decimal
+        from math import log2
+
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.linkage import fellegi_sunter_link
+
+        lrows = [(1, "b", "ann", "x"), (2, "b", "bob", "x"),
+                 (3, "b", "cat", "y")]
+        rrows = [(10, "b", "ann", "x"), (20, "b", "bob", "y"),
+                 (30, "b", "dog", "y")]
+        l = spark.createDataFrame(lrows, ["lid", "blk", "name", "tag"])
+        r = spark.createDataFrame(rrows, ["rid", "blk", "name", "tag"])
+        got = {
+            row.lid: (row.matched_id, row.n_agree, row.score_r)
+            for row in fellegi_sunter_link(
+                l, r, ["blk"], "lid", "rid",
+                [(F.col("name"), F.col("name")),
+                 (F.col("tag"), F.col("tag"))],
+            ).collect()
+        }
+
+        def w(num, nl, nr, m=0.9):
+            nlnr = float(nl) * float(nr)
+            wa = Decimal(str(round(log2(m * nlnr / max(float(num), 1.0)), 6)))
+            wd = Decimal(str(round(
+                log2((1 - m) * nlnr / max(nlnr - float(num), 1.0)), 6)))
+            return wa, wd
+
+        # field 0 (name): shared values ann(1*1) + bob(1*1) -> num=2
+        w0a, w0d = w(2, 3, 3)
+        # field 1 (tag): x: 2*1, y: 1*2 -> num=4
+        w1a, w1d = w(4, 3, 3)
+        want = {}
+        for lid, _, lname, ltag in lrows:
+            best = None
+            for rid, _, rname, rtag in rrows:
+                s = (w0a if lname == rname else w0d) + (
+                    w1a if ltag == rtag else w1d
+                )
+                na = int(lname == rname) + int(ltag == rtag)
+                key = (-s, rid)
+                if best is None or key < best[0]:
+                    best = (key, rid, na, float(s))
+            want[lid] = (best[1], best[2], best[3])
+        assert got == want
+
+    def test_rare_field_agreement_outscores_common(self, spark):
+        """Agreement on a near-unique field must earn more bits than
+        agreement on a half-common field — the FS property the edit
+        distance lacks."""
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.linkage import fellegi_sunter_link
+
+        n = 40
+        # field A: unique per row; field B: only two values
+        l = spark.createDataFrame(
+            [(i, "b", f"u{i}", i % 2) for i in range(n)],
+            ["lid", "blk", "uniq", "coarse"],
+        )
+        r = spark.createDataFrame(
+            [(i + 100, "b", f"u{i}", (i + 1) % 2) for i in range(n)],
+            ["rid", "blk", "uniq", "coarse"],
+        )
+        out = {
+            row.lid: (row.matched_id, row.score_r)
+            for row in fellegi_sunter_link(
+                l, r, ["blk"], "lid", "rid",
+                [(F.col("uniq"), F.col("uniq")),
+                 (F.col("coarse"), F.col("coarse"))],
+            ).collect()
+        }
+        # every left matches its uniq twin even though coarse DISAGREES
+        # there and agrees on half the block
+        for i in range(n):
+            assert out[i][0] == i + 100
