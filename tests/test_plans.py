@@ -1122,3 +1122,101 @@ class TestSessionPlans6b:
         codes = {f.code for f in plan_audit(df)}
         assert "global-window" not in codes
         assert not has_python_eval(df)
+
+
+class TestSessionPlans6d:
+    """Plan pins for the round-6 fourth-session additions."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_mann_kendall_no_cartesian_no_python(self, spark):
+        """The pairwise relation is a keyed equi-join on the series
+        key (theta-join on t INSIDE the key match), never a cross."""
+        from unitdb_spark.operators.stats_tests import mann_kendall
+
+        ev = spark.read.parquet(f"{self.SF}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        cells = ev.groupBy(
+            "event_type",
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day"),
+        ).agg(F.count(F.lit(1)).alias("y"))
+        out = mann_kendall(cells, "event_type", t_col="day", y_col="y")
+        plan = formatted_plan(out)
+        assert "CartesianProduct" not in plan
+        assert not has_python_eval(out)
+
+    def test_bootstrap_broadcasts_replicates_and_partials_agg(self, spark):
+        """The x(B+1) fan-out is a broadcast nested loop against the
+        tiny replicate relation (never a shuffle of the corpus per
+        replicate) and the sums are a partial-agg shuffle keyed
+        (group, replicate). No Python anywhere."""
+        from unitdb_spark.operators.bootstrap import poisson_bootstrap_ci
+
+        ev = spark.read.parquet(f"{self.SF}/events.parquet").select(
+            "event_type", "event_id",
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .alias("cents"),
+        )
+        out = poisson_bootstrap_ci(ev, "event_type", "event_id", "cents", b=8)
+        plan = formatted_plan(out)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "HashAggregate" in plan
+        assert not has_python_eval(out)
+
+    def test_bigram_nll_broadcast_total_no_python(self, spark):
+        from unitdb_spark.operators.tfidf import bigram_logprob
+
+        docs = spark.read.parquet(f"{self.SF}/documents.parquet")
+        out = bigram_logprob(docs)
+        plan = formatted_plan(out)
+        assert "CartesianProduct" not in plan
+        assert not has_python_eval(out)
+
+    def test_fs_link_weight_relation_broadcasts(self, spark):
+        """Pair scoring joins the |fields|-row weight relation via
+        broadcast; candidates come only from the block join."""
+        from unitdb_spark.operators.linkage import fellegi_sunter_link
+
+        c = spark.read.parquet(f"{self.SF}/customer.parquet")
+        out = fellegi_sunter_link(
+            c.select(F.col("c_custkey").alias("d_id"),
+                     F.col("c_name").alias("d_name"),
+                     "c_nationkey", "c_mktsegment"),
+            c, ["c_nationkey", "c_mktsegment"], "d_id", "c_custkey",
+            [(F.lower(F.col("d_name")), F.lower(F.col("c_name")))],
+        )
+        plan = formatted_plan(out)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert not has_python_eval(out)
+
+    def test_grid_clusters_only_python_free_cell_path(self, spark):
+        """Cell assignment and the dense-cell pipeline stay JVM-side
+        (the CC fixpoint is driver-looped but each round is pure
+        DataFrame ops)."""
+        from unitdb_spark.operators.cluster import grid_density_clusters
+
+        emb = spark.read.parquet(f"{self.SF}/embeddings.parquet")
+        out = grid_density_clusters(emb, h=0.1, min_pts=2)
+        assert not has_python_eval(out)
+
+    def test_holt_winters_single_key_shuffle(self, spark):
+        """One applyInPandas exchange on the key column — the
+        holt_linear contract (the sanctioned Arrow fold)."""
+        from unitdb_spark.operators.timeseries import holt_winters_additive
+
+        ev = spark.read.parquet(f"{self.SF}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        cells = ev.groupBy(
+            "event_type",
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day"),
+        ).agg(F.count(F.lit(1)).alias("y"))
+        out = holt_winters_additive(cells, "event_type", t_col="day",
+                                    y_col="y")
+        plan = formatted_plan(out)
+        # exactly one Arrow fold stage (node + its details section)
+        assert "FlatMapGroupsInPandas" in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
