@@ -5267,6 +5267,35 @@ def q_doc_source_kl(spark, sf_dir):
     return source_unigram_kl(_docs(spark, sf_dir))
 
 
+def q_streamed_hw(spark, sf_dir):
+    """Driver-checkable twin of the Holt-Winters forecaster over the
+    rolling cell state: the stream folds (key, day, hour) cents/count
+    cells into the commit-logged state, then the m=7 integer HW fold
+    runs over the committed day rollup through the batch operator's
+    shared code path — the FOURTH dashboard off the same maintained
+    state. Oracle = the list-state recursive-CTE replay over the same
+    day counts (value-non-null rows, the cell contract)."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_hourly_cells,
+        read_holt_winters,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_hourly_cells(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "event_type",
+        "ts",
+        "value",
+        f"{base}/cells",
+        f"{base}/cp",
+    )
+    q.awaitTermination(300)
+    return read_holt_winters(spark, f"{base}/cells")
+
+
 def q_customer_fs_link(spark, sf_dir):
     """Fellegi-Sunter probabilistic linkage of the perturbed customer
     copy back to the clean table: three comparison fields (lowercased
@@ -6146,6 +6175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_entropy": q_events_markov_entropy,
         "ann_ivf_recall": q_ann_ivf_recall,
         "customer_fs_link": q_customer_fs_link,
+        "streamed_hw": q_streamed_hw,
     }
 
 
@@ -11788,6 +11818,9 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (lid)
         """
     d["events_hw_forecast"] = _hw_oracle()
+    # rolling HW twin: same day-count cells from value-non-null rows
+    # (the hourly-cell contract), shared batch fold at read time
+    d["streamed_hw"] = _hw_oracle("WHERE value IS NOT NULL")
     # grid-density clustering: dense cells (floor(coord/h), >= 5 pts)
     # + 8-neighborhood components; the recursive CTE replays the
     # min-label fixpoint on the dense-cell relation
@@ -12507,7 +12540,7 @@ def _holt_oracle(row_filter: str) -> str:
         """
 
 
-def _hw_oracle() -> str:
+def _hw_oracle(row_filter: str = "") -> str:
     """Holt-Winters additive fold replayed as a recursive CTE whose
     state carries the m=7 seasonal vector as a LIST: anchor = state
     after the init season (L0 = season-mean, B0 = 0, S = deviations),
@@ -12534,7 +12567,7 @@ def _hw_oracle() -> str:
           SELECT event_type AS k,
             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
             CAST(count(*) AS BIGINT) AS y
-          FROM events GROUP BY 1, 2
+          FROM events {row_filter} GROUP BY 1, 2
         ),
         s AS (SELECT k, y,
                 CAST(row_number() OVER (PARTITION BY k ORDER BY day) - 1

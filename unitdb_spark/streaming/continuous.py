@@ -581,6 +581,26 @@ def read_holt(
     return holt_linear(days, key_col, t_col="day", y_col="y")
 
 
+def read_holt_winters(
+    spark, state_path: str, key_col: str = "event_type", m: int = 7
+) -> DataFrame:
+    """Holt-Winters ADDITIVE forecasts over the committed hourly
+    cells — the SEASONAL sibling of `read_holt` on the same
+    maintained state: cells roll up to per-(key, day) counts
+    (mergeable sums, batch-equal however the stream split), then the
+    batch `operators.timeseries.holt_winters_additive` fold runs over
+    that tiny relation at read time. One maintained fold, four
+    derived dashboards."""
+    from unitdb_spark.operators.timeseries import holt_winters_additive
+
+    cells = read_cells(spark, state_path)
+    days = cells.groupBy(
+        F.col("_k").alias(key_col),
+        F.expr("CAST(unix_date(_d) AS BIGINT)").alias("day"),
+    ).agg(F.sum("_c").alias("y"))
+    return holt_winters_additive(days, key_col, t_col="day", y_col="y", m=m)
+
+
 # ------------------------------------------------ rolling integer PCA
 #
 # The embedding corpus's dominant axis as a continuously-maintained
