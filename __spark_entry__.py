@@ -5267,6 +5267,20 @@ def q_doc_source_kl(spark, sf_dir):
     return source_unigram_kl(_docs(spark, sf_dir))
 
 
+def q_events_peaks(spark, sf_dir):
+    """Hourly spike triage per event type: strict local maxima on the
+    densified hour spine (missing hours are real zeros) that also
+    beat 2x the +/-12h rolling mean via a cross-multiplied integer
+    test — the SHAPE-based anomaly view next to z-score/CUSUM's
+    row-against-baseline flags. All integer; partitioned windows."""
+    from unitdb_spark.operators.timeseries import detect_peaks
+
+    return detect_peaks(
+        _events(spark, sf_dir), "event_type", "ts",
+        bucket_s=3600, half_window=12, thresh_num=2, thresh_den=1,
+    )
+
+
 def q_streamed_hw(spark, sf_dir):
     """Driver-checkable twin of the Holt-Winters forecaster over the
     rolling cell state: the stream folds (key, day, hour) cents/count
@@ -6176,6 +6190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": q_ann_ivf_recall,
         "customer_fs_link": q_customer_fs_link,
         "streamed_hw": q_streamed_hw,
+        "events_peaks": q_events_peaks,
     }
 
 
@@ -11816,6 +11831,41 @@ def oracle_sql() -> dict[str, str]:
           CAST(b.score AS DOUBLE) AS score_r
         FROM (SELECT DISTINCT lid FROM l) l2
         LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (lid)
+        """
+    # peaks: densified spine (real zeros), strict local max + the
+    # cross-multiplied 2x rolling-mean test — all integer
+    d["events_peaks"] = """
+        WITH b AS (
+          SELECT event_type AS k,
+            CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ), rng AS (
+          SELECT k, min(h) AS mn, max(h) AS mx FROM b GROUP BY 1
+        ), spine AS (
+          SELECT k, CAST(u.h AS BIGINT) AS h
+          FROM rng, unnest(generate_series(mn, mx)) AS u(h)
+        ), d AS (
+          SELECT spine.k, spine.h, coalesce(b.y, 0) AS y
+          FROM spine LEFT JOIN b ON b.k = spine.k AND b.h = spine.h
+        ), w AS (
+          SELECT k, h, y,
+            lag(y) OVER (PARTITION BY k ORDER BY h) AS py,
+            lead(y) OVER (PARTITION BY k ORDER BY h) AS ny,
+            CAST(sum(y) OVER (PARTITION BY k ORDER BY h
+              ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT)
+              AS win_sum,
+            CAST(count(*) OVER (PARTITION BY k ORDER BY h
+              ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT)
+              AS win_n
+          FROM d
+        )
+        SELECT k AS event_type, CAST(h * 3600 AS BIGINT) AS bucket_s,
+          y, win_sum, win_n
+        FROM w
+        WHERE py IS NOT NULL AND ny IS NOT NULL
+          AND y > py AND y > ny
+          AND y * win_n * 1 > 2 * win_sum
         """
     d["events_hw_forecast"] = _hw_oracle()
     # rolling HW twin: same day-count cells from value-non-null rows

@@ -7466,3 +7466,52 @@ class TestFellegiSunter:
         # there and agrees on half the block
         for i in range(n):
             assert out[i][0] == i + 100
+
+
+class TestDetectPeaks:
+    @staticmethod
+    def _events_df(spark, series, bucket_s=3600):
+        """series: {key: {hour_index: count}} -> one event row per
+        count unit at that hour."""
+        import datetime
+
+        rows = []
+        for k, hs in series.items():
+            for h, c in hs.items():
+                t = datetime.datetime(
+                    2024, 1, 1, tzinfo=datetime.timezone.utc
+                ) + datetime.timedelta(seconds=h * bucket_s)
+                rows += [(k, t)] * c
+        return spark.createDataFrame(rows, ["k", "ts"])
+
+    def test_spike_over_quiet_baseline_detected(self, spark):
+        from unitdb_spark.operators.timeseries import detect_peaks
+
+        series = {"a": {h: 1 for h in range(30)}}
+        series["a"][15] = 20  # spike
+        df = self._events_df(spark, series)
+        ys = [r.y for r in detect_peaks(df, "k", "ts").collect()]
+        assert ys == [20]
+
+    def test_missing_hours_are_zeros_and_plateau_excluded(self, spark):
+        from unitdb_spark.operators.timeseries import detect_peaks
+
+        # key b: events only at hours 0, 10, 20 — hour 10 is a peak
+        # BECAUSE the spine fills 1..9 and 11..19 with zeros
+        series = {"b": {0: 3, 10: 5, 20: 3}}
+        out = detect_peaks(self._events_df(spark, series), "k", "ts")
+        rows = out.collect()
+        assert [r.y for r in rows] == [5]
+        # plateau: two equal adjacent maxima -> strictness drops both
+        series2 = {"c": {h: 1 for h in range(20)}}
+        series2["c"][8] = 9
+        series2["c"][9] = 9
+        out2 = detect_peaks(self._events_df(spark, series2), "k", "ts")
+        assert out2.count() == 0
+
+    def test_edge_buckets_never_peak(self, spark):
+        from unitdb_spark.operators.timeseries import detect_peaks
+
+        series = {"d": {0: 50, 1: 1, 2: 1, 3: 1, 4: 60}}
+        out = detect_peaks(self._events_df(spark, series), "k", "ts")
+        assert out.count() == 0  # both maxima sit on spine edges

@@ -1297,3 +1297,81 @@ def holt_winters_additive(
         .groupBy(key_col)
         .applyInPandas(fold, out_schema)
     )
+
+
+def detect_peaks(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    half_window: int = 12,
+    thresh_num: int = 2,
+    thresh_den: int = 1,
+) -> DataFrame:
+    """Local-peak detection over densified per-key count series — the
+    spike TRIAGE view the anomaly family lacks: z-score/CUSUM flag
+    individual rows against a global or drifting baseline, while a
+    peak is a SHAPE claim (strictly above both neighbors AND above
+    thresh × the rolling mean), which is what "did traffic spike at
+    3am" actually asks.
+
+    The series densifies onto the full bucket spine per key (missing
+    buckets are REAL ZEROS — a spike next to silence must compare
+    against 0, the `lag_correlation` spine discipline). Peak test,
+    all integer (cross-multiplied threshold, never a float mean):
+
+        y > y_prev  AND  y > y_next  AND
+        y · win_n · thresh_den  >  thresh_num · win_sum
+
+    with win_sum/win_n over ±half_window buckets (center included;
+    edge buckets carry their true shorter window). First/last spine
+    buckets are excluded (no two-sided neighborhood). Strictness
+    breaks plateau ties deliberately — a flat-top "peak" is a level
+    shift, CUSUM's territory.
+
+    Output: (key, bucket_s, y, win_sum, win_n) — peak rows only.
+
+    Scale: one count agg onto the bucket relation; the spine is
+    keys × span buckets regardless of event volume; all windows
+    PARTITION BY key. 100 TB note: a multi-year 1s-bucket spine is
+    ~10⁸ rows per key — raise bucket_s with the horizon.
+    """
+    b = df.groupBy(
+        F.col(key_col).alias("_k"),
+        F.floor(
+            F.unix_micros(F.col(ts_col)) / F.lit(bucket_s * 1_000_000)
+        ).alias("_h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    rng = b.groupBy("_k").agg(
+        F.min("_h").alias("_mn"), F.max("_h").alias("_mx")
+    )
+    spine = rng.select(
+        "_k", F.explode(F.sequence("_mn", "_mx")).alias("_h")
+    )
+    d = spine.join(b, ["_k", "_h"], "left").select(
+        "_k", "_h", F.coalesce(F.col("_y"), F.lit(0)).alias("_y")
+    )
+    wo = Window.partitionBy("_k").orderBy("_h")
+    ww = wo.rowsBetween(-int(half_window), int(half_window))
+    w = d.select(
+        "_k", "_h", "_y",
+        F.lag("_y").over(wo).alias("_py"),
+        F.lead("_y").over(wo).alias("_ny"),
+        F.sum("_y").over(ww).cast("long").alias("win_sum"),
+        F.count(F.lit(1)).over(ww).cast("long").alias("win_n"),
+    )
+    return w.filter(
+        F.col("_py").isNotNull()
+        & F.col("_ny").isNotNull()
+        & (F.col("_y") > F.col("_py"))
+        & (F.col("_y") > F.col("_ny"))
+        & (
+            F.col("_y") * F.col("win_n") * F.lit(int(thresh_den))
+            > F.lit(int(thresh_num)) * F.col("win_sum")
+        )
+    ).select(
+        F.col("_k").alias(key_col),
+        (F.col("_h") * F.lit(int(bucket_s))).cast("long").alias("bucket_s"),
+        F.col("_y").alias("y"),
+        "win_sum", "win_n",
+    )
