@@ -5267,6 +5267,22 @@ def q_doc_source_kl(spark, sf_dir):
     return source_unigram_kl(_docs(spark, sf_dir))
 
 
+def q_events_binseg(spark, sf_dir):
+    """Multiple changepoints by binary segmentation over the daily
+    total-event series: Pettitt at the root, recurse once into each
+    half when the cross-multiplied integer alpha=0.05 test fires
+    (3·K2²·1e6 >= LN40_2_E6·(n³+n²) — the one literal shared with
+    the oracle). Up to 3 changepoints; each evaluated segment
+    reports its own statistic and verdict."""
+    from unitdb_spark.operators.stats_tests import binseg_changepoints
+
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return binseg_changepoints(cells, t_col="day", y_col="y", min_seg=5)
+
+
 def q_events_peaks(spark, sf_dir):
     """Hourly spike triage per event type: strict local maxima on the
     densified hour spine (missing hours are real zeros) that also
@@ -6191,6 +6207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_fs_link": q_customer_fs_link,
         "streamed_hw": q_streamed_hw,
         "events_peaks": q_events_peaks,
+        "events_binseg": q_events_binseg,
     }
 
 
@@ -11867,6 +11884,117 @@ def oracle_sql() -> dict[str, str]:
           AND y > py AND y > ny
           AND y * win_n * 1 > 2 * win_sum
         """
+    # binary segmentation: three parameterized Pettitt blocks, the
+    # child segments gated on the root's integer significance test
+    # (the shared LN40_2_E6 literal)
+    from unitdb_spark.operators.stats_tests import LN40_2_E6 as _LN40
+
+    d["events_binseg"] = """
+        WITH series AS (
+          SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ), rbase AS (
+          SELECT t, y FROM series WHERE TRUE
+        ), rper AS (
+          SELECT y, count(*) AS g FROM rbase GROUP BY y
+        ), rrk AS (
+          SELECT y,
+            2 * coalesce(sum(g) OVER (ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + g + 1 AS r2
+          FROM rper
+        ), rseq AS (
+          SELECT b.t,
+            sum(r2) OVER (ORDER BY b.t ROWS UNBOUNDED PRECEDING) AS cum,
+            row_number() OVER (ORDER BY b.t) AS i,
+            count(*) OVER () AS n
+          FROM rbase b JOIN rrk USING (y)
+        ), rsc AS (
+          SELECT t, i, n, abs(cum - i * (n + 1)) AS au
+          FROM rseq WHERE i < n
+        ), rstat AS (
+          SELECT
+            (SELECT CAST(coalesce(max(n), 0) AS BIGINT) FROM rseq) AS n,
+            CAST(coalesce((SELECT max(au) FROM rsc), 0) AS BIGINT) AS k2,
+            (SELECT CAST(t AS BIGINT) FROM rsc
+             ORDER BY au DESC, t ASC LIMIT 1) AS split_t,
+            (SELECT CAST(i AS BIGINT) FROM rsc
+             ORDER BY au DESC, t ASC LIMIT 1) AS left_n
+        ),
+        lbase AS (
+          SELECT t, y FROM series WHERE t <= (SELECT split_t FROM rstat) AND (SELECT (n > 0 AND 3 * CAST(k2 AS HUGEINT) * CAST(k2 AS HUGEINT) * 1000000 >= {LN} * (CAST(n AS HUGEINT) * n * n + n * n) AND split_t IS NOT NULL AND left_n >= 5 AND n - left_n >= 5) FROM rstat)
+        ), lper AS (
+          SELECT y, count(*) AS g FROM lbase GROUP BY y
+        ), lrk AS (
+          SELECT y,
+            2 * coalesce(sum(g) OVER (ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + g + 1 AS r2
+          FROM lper
+        ), lseq AS (
+          SELECT b.t,
+            sum(r2) OVER (ORDER BY b.t ROWS UNBOUNDED PRECEDING) AS cum,
+            row_number() OVER (ORDER BY b.t) AS i,
+            count(*) OVER () AS n
+          FROM lbase b JOIN lrk USING (y)
+        ), lsc AS (
+          SELECT t, i, n, abs(cum - i * (n + 1)) AS au
+          FROM lseq WHERE i < n
+        ), lstat AS (
+          SELECT
+            (SELECT CAST(coalesce(max(n), 0) AS BIGINT) FROM lseq) AS n,
+            CAST(coalesce((SELECT max(au) FROM lsc), 0) AS BIGINT) AS k2,
+            (SELECT CAST(t AS BIGINT) FROM lsc
+             ORDER BY au DESC, t ASC LIMIT 1) AS split_t,
+            (SELECT CAST(i AS BIGINT) FROM lsc
+             ORDER BY au DESC, t ASC LIMIT 1) AS left_n
+        ),
+        rtbase AS (
+          SELECT t, y FROM series WHERE t > (SELECT split_t FROM rstat) AND (SELECT (n > 0 AND 3 * CAST(k2 AS HUGEINT) * CAST(k2 AS HUGEINT) * 1000000 >= {LN} * (CAST(n AS HUGEINT) * n * n + n * n) AND split_t IS NOT NULL AND left_n >= 5 AND n - left_n >= 5) FROM rstat)
+        ), rtper AS (
+          SELECT y, count(*) AS g FROM rtbase GROUP BY y
+        ), rtrk AS (
+          SELECT y,
+            2 * coalesce(sum(g) OVER (ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + g + 1 AS r2
+          FROM rtper
+        ), rtseq AS (
+          SELECT b.t,
+            sum(r2) OVER (ORDER BY b.t ROWS UNBOUNDED PRECEDING) AS cum,
+            row_number() OVER (ORDER BY b.t) AS i,
+            count(*) OVER () AS n
+          FROM rtbase b JOIN rtrk USING (y)
+        ), rtsc AS (
+          SELECT t, i, n, abs(cum - i * (n + 1)) AS au
+          FROM rtseq WHERE i < n
+        ), rtstat AS (
+          SELECT
+            (SELECT CAST(coalesce(max(n), 0) AS BIGINT) FROM rtseq) AS n,
+            CAST(coalesce((SELECT max(au) FROM rtsc), 0) AS BIGINT) AS k2,
+            (SELECT CAST(t AS BIGINT) FROM rtsc
+             ORDER BY au DESC, t ASC LIMIT 1) AS split_t,
+            (SELECT CAST(i AS BIGINT) FROM rtsc
+             ORDER BY au DESC, t ASC LIMIT 1) AS left_n
+        )
+        SELECT 'root' AS seg,
+          (SELECT min(t) FROM rbase) AS lo_t,
+          (SELECT max(t) FROM rbase) AS hi_t,
+          rstat.n, rstat.k2, rstat.split_t,
+          (rstat.n > 0 AND 3 * CAST(rstat.k2 AS HUGEINT) * CAST(rstat.k2 AS HUGEINT) * 1000000 >= {LN} * (CAST(rstat.n AS HUGEINT) * rstat.n * rstat.n + rstat.n * rstat.n) AND rstat.split_t IS NOT NULL AND rstat.left_n >= 5 AND rstat.n - rstat.left_n >= 5) AS significant
+        FROM rstat
+        UNION ALL
+        SELECT 'L',
+          (SELECT min(t) FROM lbase), (SELECT max(t) FROM lbase),
+          lstat.n, lstat.k2, lstat.split_t, (lstat.n > 0 AND 3 * CAST(lstat.k2 AS HUGEINT) * CAST(lstat.k2 AS HUGEINT) * 1000000 >= {LN} * (CAST(lstat.n AS HUGEINT) * lstat.n * lstat.n + lstat.n * lstat.n) AND lstat.split_t IS NOT NULL AND lstat.left_n >= 5 AND lstat.n - lstat.left_n >= 5)
+        FROM lstat WHERE (SELECT (n > 0 AND 3 * CAST(k2 AS HUGEINT) * CAST(k2 AS HUGEINT) * 1000000 >= {LN} * (CAST(n AS HUGEINT) * n * n + n * n) AND split_t IS NOT NULL AND left_n >= 5 AND n - left_n >= 5) FROM rstat)
+        UNION ALL
+        SELECT 'R',
+          (SELECT min(t) FROM rtbase), (SELECT max(t) FROM rtbase),
+          rtstat.n, rtstat.k2, rtstat.split_t, (rtstat.n > 0 AND 3 * CAST(rtstat.k2 AS HUGEINT) * CAST(rtstat.k2 AS HUGEINT) * 1000000 >= {LN} * (CAST(rtstat.n AS HUGEINT) * rtstat.n * rtstat.n + rtstat.n * rtstat.n) AND rtstat.split_t IS NOT NULL AND rtstat.left_n >= 5 AND rtstat.n - rtstat.left_n >= 5)
+        FROM rtstat WHERE (SELECT (n > 0 AND 3 * CAST(k2 AS HUGEINT) * CAST(k2 AS HUGEINT) * 1000000 >= {LN} * (CAST(n AS HUGEINT) * n * n + n * n) AND split_t IS NOT NULL AND left_n >= 5 AND n - left_n >= 5) FROM rstat)
+        """.replace("{LN}", str(_LN40))
     d["events_hw_forecast"] = _hw_oracle()
     # rolling HW twin: same day-count cells from value-non-null rows
     # (the hourly-cell contract), shared batch fold at read time

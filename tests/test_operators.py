@@ -7515,3 +7515,52 @@ class TestDetectPeaks:
         series = {"d": {0: 50, 1: 1, 2: 1, 3: 1, 4: 60}}
         out = detect_peaks(self._events_df(spark, series), "k", "ts")
         assert out.count() == 0  # both maxima sit on spine edges
+
+
+class TestBinseg:
+    def test_two_shifts_found_and_segments_recurse(self, spark):
+        """A staircase 10.. | 50.. | 90..: the root split is
+        significant; the L and R segments are evaluated (R contains
+        the second shift and fires; L is flat and does not)."""
+        from unitdb_spark.operators.stats_tests import binseg_changepoints
+
+        # monotone two-step staircase (an up-then-back-down series
+        # deliberately does NOT fire at the root: Pettitt tests ONE
+        # shift and the return-to-baseline washes the ranks out)
+        ys = [10] * 30 + [50] * 30 + [90] * 30
+        # tiny deterministic jitter so ranks aren't fully tied
+        ys = [y + (i % 3) for i, y in enumerate(ys)]
+        df = spark.createDataFrame(
+            [(t, y) for t, y in enumerate(ys)], ["t", "y"]
+        )
+        rows = {r.seg: r for r in binseg_changepoints(df).collect()}
+        assert set(rows) == {"root", "L", "R"}
+        root = rows["root"]
+        assert root.significant and 25 <= root.split_t <= 34
+        # the right segment contains the 50->90 step and must fire
+        assert rows["R"].significant
+        assert 55 <= rows["R"].split_t <= 64
+        assert not rows["L"].significant
+
+    def test_flat_series_is_one_insignificant_row(self, spark):
+        from unitdb_spark.operators.stats_tests import binseg_changepoints
+
+        df = spark.createDataFrame(
+            [(t, 7 + (t % 2)) for t in range(30)], ["t", "y"]
+        )
+        rows = binseg_changepoints(df).collect()
+        assert len(rows) == 1
+        assert rows[0].seg == "root" and not rows[0].significant
+
+    def test_min_seg_blocks_edge_splits(self, spark):
+        """A shift 2 points from the end: K may be large but the
+        min_seg guard refuses the degenerate split."""
+        from unitdb_spark.operators.stats_tests import binseg_changepoints
+
+        ys = [10 + (i % 2) for i in range(28)] + [99, 98]
+        df = spark.createDataFrame(
+            [(t, y) for t, y in enumerate(ys)], ["t", "y"]
+        )
+        rows = {r.seg: r for r in binseg_changepoints(df, min_seg=5).collect()}
+        assert set(rows) == {"root"}
+        assert not rows["root"].significant

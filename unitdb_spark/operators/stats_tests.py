@@ -624,3 +624,143 @@ def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
             (F.col("n") > 0) & (mind > 0), F.round(F.sqrt(inner), 6)
         ).alias("v_r"),
     )
+
+
+#: floor(2·ln(40)·1e6) — the Pettitt α=0.05 significance constant for
+#: the cross-multiplied integer test (p ≤ α ⟺ 6K²/(n³+n²) ≥ ln(2/α);
+#: K is carried DOUBLED, so 6K² = 1.5·K2² and the test becomes
+#: 3·K2²·1e6 ≥ LN40_2_E6·(n³+n²)). Computed once here and injected
+#: into BOTH engines — the literal-table idiom.
+import math as _math
+
+LN40_2_E6 = _math.floor(2 * _math.log(40) * 1_000_000)
+
+
+def binseg_changepoints(
+    cells: DataFrame,
+    t_col: str = "t",
+    y_col: str = "y",
+    min_seg: int = 5,
+) -> DataFrame:
+    """MULTIPLE changepoints by binary segmentation (Scott & Knott
+    '74 scheme) over a single integer series — the recursive upgrade
+    of `pettitt_test`, which finds exactly one shift: split at the
+    Pettitt point if significant, then test each half once more
+    (depth 2 → up to 3 changepoints), the standard triage depth for
+    "did this metric shift, and did it shift back?".
+
+    Per segment the statistic is the exact doubled-midrank Pettitt
+    machinery (BIGINT U_t prefixes); significance at α = 0.05 uses
+    the asymptotic bound p ≈ 2·exp(−6K²/(n³+n²)) CROSS-MULTIPLIED to
+    the integer test 3·K2²·10⁶ ≥ LN40_2_E6·(n³+n²) (K2 = doubled K;
+    the only non-integer is the module-level literal, injected into
+    both engines; the driver-side test runs on Python ints — exact
+    at any magnitude — and the oracle lifts to HUGEINT).
+    A split must leave ≥ ``min_seg`` observations on each side.
+
+    Output: one row per EVALUATED segment — (seg, lo_t, hi_t, n,
+    k2, split_t, significant) with seg ∈ {'root','L','R'}; L/R rows
+    exist only when the root split fired. ``split_t`` is the LAST
+    observation of the left part (the Pettitt convention).
+
+    Scale: the statistic runs on the CELL relation (a single series
+    by construction — the `pettitt_test` contract; the windows are
+    the allowlisted tiny-series class). The recursion is a
+    fixed-depth driver loop with one 1-row collect per segment
+    (bounded control-plane reads, the kmeans-centroid class).
+    """
+    def seg_stats(df):
+        base = df.select(
+            F.col(t_col).cast("long").alias("_t"),
+            F.col(y_col).cast("long").alias("_y"),
+        ).filter(F.col("_t").isNotNull() & F.col("_y").isNotNull())
+        per = base.groupBy("_y").agg(F.count(F.lit(1)).alias("g"))
+        wv = (
+            Window.partitionBy()
+            .orderBy("_y")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        ranks = per.select(
+            "_y",
+            (
+                F.lit(2) * F.coalesce(F.sum("g").over(wv), F.lit(0))
+                + F.col("g") + 1
+            ).alias("r2"),
+        )
+        wt = Window.partitionBy().orderBy("_t")
+        wn = Window.partitionBy()
+        seq = base.join(ranks, "_y").select(
+            "_t",
+            F.sum("r2").over(
+                wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("_cum"),
+            F.row_number().over(wt).alias("_i"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        u = F.col("_cum") - F.col("_i") * (F.col("_n") + 1)
+        scored = seq.select(
+            "_t", "_i", "_n", F.abs(u).alias("_au")
+        ).filter(F.col("_i") < F.col("_n"))
+        stats = seq.agg(F.coalesce(F.max("_n"), F.lit(0)).alias("n"))
+        best = scored.agg(
+            F.max("_au").alias("k2"),
+            (-F.max(F.struct(F.col("_au").alias("a"),
+                             (-F.col("_t")).alias("nt")))["nt"])
+            .alias("split_t"),
+            (-F.max(F.struct(F.col("_au").alias("a"),
+                             (-F.col("_t")).alias("nt2"),
+                             F.col("_i").alias("i")))["i"])
+            .alias("_neg_i"),
+        )
+        row = stats.join(best).collect()[0]
+        n = int(row["n"])
+        if row["k2"] is None:
+            return n, 0, None, 0
+        # left size = rank index of the split row (earliest argmax)
+        return n, int(row["k2"]), int(row["split_t"]), -int(row["_neg_i"])
+
+    def significant(n, k2):
+        return (
+            n > 0
+            and 3 * k2 * k2 * 1_000_000 >= LN40_2_E6 * (n**3 + n * n)
+        )
+
+    base = cells.select(
+        F.col(t_col).cast("long").alias(t_col),
+        F.col(y_col).cast("long").alias(y_col),
+    ).filter(F.col(t_col).isNotNull())
+    lo_hi = base.agg(
+        F.min(t_col).alias("lo"), F.max(t_col).alias("hi")
+    ).collect()[0]
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    spark = cells.sparkSession
+    out_rows = []
+    n0, k20, t0, left_n0 = seg_stats(base)
+    sig0 = (
+        significant(n0, k20)
+        and t0 is not None
+        and left_n0 >= min_seg
+        and (n0 - left_n0) >= min_seg
+    )
+    out_rows.append(("root", lo, hi, n0, k20, t0, sig0))
+    if sig0:
+        for name, seg in (
+            ("L", base.filter(F.col(t_col) <= F.lit(t0))),
+            ("R", base.filter(F.col(t_col) > F.lit(t0))),
+        ):
+            n, k2, t, left_n = seg_stats(seg)
+            sig = (
+                significant(n, k2)
+                and t is not None
+                and left_n >= min_seg
+                and (n - left_n) >= min_seg
+            )
+            b = seg.agg(
+                F.min(t_col).alias("lo"), F.max(t_col).alias("hi")
+            ).collect()[0]
+            out_rows.append((name, b["lo"], b["hi"], n, k2, t, sig))
+    return spark.createDataFrame(
+        out_rows,
+        "seg string, lo_t long, hi_t long, n long, k2 long, "
+        "split_t long, significant boolean",
+    )
