@@ -5267,6 +5267,36 @@ def q_doc_source_kl(spark, sf_dir):
     return source_unigram_kl(_docs(spark, sf_dir))
 
 
+def q_streamed_survival(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING Kaplan-Meier curve: the
+    events stream folds min-origin / per-day-max-event / censor-max
+    state (all min/max-mergeable), and the read side rebuilds the
+    batch durations EXACTLY — date(min ts > t0) equals the earliest
+    day whose per-day max exceeds t0, including same-day edges — then
+    runs the shared KM fold. Oracle = events_survival verbatim;
+    censoring recomputes against the rolling corpus max per refresh."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_survival,
+        read_survival,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_survival(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "user_id",
+        "ts",
+        F.col("event_type") == "signup",
+        F.col("event_type") == "purchase",
+        f"{base}/state",
+        f"{base}/cp",
+    )
+    q.awaitTermination(300)
+    return read_survival(spark, f"{base}/state")
+
+
 def q_events_binseg(spark, sf_dir):
     """Multiple changepoints by binary segmentation over the daily
     total-event series: Pettitt at the root, recurse once into each
@@ -6208,6 +6238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_hw": q_streamed_hw,
         "events_peaks": q_events_peaks,
         "events_binseg": q_events_binseg,
+        "streamed_survival": q_streamed_survival,
     }
 
 
@@ -11995,6 +12026,9 @@ def oracle_sql() -> dict[str, str]:
           rtstat.n, rtstat.k2, rtstat.split_t, (rtstat.n > 0 AND 3 * CAST(rtstat.k2 AS HUGEINT) * CAST(rtstat.k2 AS HUGEINT) * 1000000 >= {LN} * (CAST(rtstat.n AS HUGEINT) * rtstat.n * rtstat.n + rtstat.n * rtstat.n) AND rtstat.split_t IS NOT NULL AND rtstat.left_n >= 5 AND rtstat.n - rtstat.left_n >= 5)
         FROM rtstat WHERE (SELECT (n > 0 AND 3 * CAST(k2 AS HUGEINT) * CAST(k2 AS HUGEINT) * 1000000 >= {LN} * (CAST(n AS HUGEINT) * n * n + n * n) AND split_t IS NOT NULL AND left_n >= 5 AND n - left_n >= 5) FROM rstat)
         """.replace("{LN}", str(_LN40))
+    # rolling KM twin: the min/max state rebuilds the batch durations
+    # exactly (see continuous_survival's module note) — oracle shared
+    d["streamed_survival"] = d["events_survival"]
     d["events_hw_forecast"] = _hw_oracle()
     # rolling HW twin: same day-count cells from value-non-null rows
     # (the hourly-cell contract), shared batch fold at read time

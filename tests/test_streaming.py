@@ -1953,3 +1953,52 @@ class TestContinuousBootstrap:
             for r in read_bootstrap_ci(spark, state).collect()
         }
         assert got == want
+
+
+class TestContinuousSurvival:
+    def test_rolling_km_matches_batch_across_restart(
+        self, spark, events_dir, tmp_path
+    ):
+        """The KM twin: min/max survival state folded across
+        micro-batches (and a restart boundary) rebuilds the batch
+        durations exactly — including the strictly-after-origin and
+        same-day edge contracts — and the derived curve equals the
+        one-shot kaplan_meier(time_to_event(...)) row for row."""
+        from unitdb_spark.operators.survival import (
+            kaplan_meier,
+            time_to_event,
+        )
+        from unitdb_spark.streaming.continuous import (
+            continuous_survival,
+            read_survival,
+        )
+        from unitdb_spark.streaming.pubsub import events_as_stream
+
+        state = str(tmp_path / "surv-state")
+        cp = str(tmp_path / "surv-cp")
+        args = (
+            "user_id", "ts",
+            F.col("event_type") == "signup",
+            F.col("event_type") == "purchase",
+            state, cp,
+        )
+        ev = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q = continuous_survival(ev, *args)
+        q.awaitTermination(180)
+        ev2 = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q2 = continuous_survival(ev2, *args)
+        q2.awaitTermination(180)
+
+        batch = spark.read.parquet(events_dir).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        want = kaplan_meier(
+            time_to_event(
+                batch, "user_id", "ts",
+                origin_filter=F.col("event_type") == "signup",
+                event_filter=F.col("event_type") == "purchase",
+            ),
+            "duration_days", "event",
+        ).collect()
+        got = read_survival(spark, state).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -793,3 +793,124 @@ def read_bootstrap_ci(
     return bootstrap_finish(
         spark.read.parquet(_snap_path(state_path, *cur)), group_col
     )
+
+
+# ------------------------------------------- rolling survival curve
+#
+# The Kaplan-Meier twin: censoring-aware survival over a STREAM. The
+# insight that makes the state mergeable: the batch duration is
+# datediff(date(first event AFTER origin), date(origin)), and
+# date(min ts > t0) == the earliest DAY whose per-day MAX event ts
+# exceeds t0 — so (subject → min origin ts), (subject, day → max
+# event ts) and (global max ts, the censor) are all min/max-mergeable
+# and reproduce the batch durations EXACTLY, including the
+# strictly-after contract and same-day edge cases. State size:
+# subjects × active event days, independent of event volume.
+
+
+def continuous_survival(
+    stream: DataFrame,
+    subject_col: str,
+    ts_col: str,
+    origin_filter,
+    event_filter,
+    state_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain the versioned survival state (origin mins, per-day
+    event maxes, global censor max); read the rolling KM curve with
+    ``read_survival``. ``origin_filter``/``event_filter`` are Column
+    predicates (the `time_to_event` contract). Returns the
+    StreamingQuery."""
+
+    def partials(batch: DataFrame) -> DataFrame:
+        base = batch.select(
+            F.col(subject_col).alias("_s"),
+            F.col(ts_col).cast("timestamp").alias("_ts"),
+            origin_filter.alias("_is_o"),
+            event_filter.alias("_is_e"),
+        )
+        o = base.filter(F.col("_is_o")).groupBy("_s").agg(
+            F.min("_ts").alias("_v")
+        ).select(
+            F.lit("o").alias("_kind"), "_s",
+            F.lit(None).cast("date").alias("_d"),
+            F.col("_v").alias("_vmin"), F.col("_v").alias("_vmax"),
+        )
+        e = base.filter(F.col("_is_e")).groupBy(
+            "_s", F.to_date("_ts").alias("_d")
+        ).agg(F.max("_ts").alias("_v")).select(
+            F.lit("e").alias("_kind"), "_s", "_d",
+            F.col("_v").alias("_vmin"), F.col("_v").alias("_vmax"),
+        )
+        m = base.agg(F.max("_ts").alias("_v")).select(
+            F.lit("m").alias("_kind"),
+            F.lit(None).cast(base.schema["_s"].dataType).alias("_s"),
+            F.lit(None).cast("date").alias("_d"),
+            F.col("_v").alias("_vmin"), F.col("_v").alias("_vmax"),
+        ).filter(F.col("_vmin").isNotNull())
+        return o.unionByName(e).unionByName(m)
+
+    def merge(prev: DataFrame, p: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(p)
+            .groupBy("_kind", "_s", "_d")
+            .agg(
+                F.min("_vmin").alias("_vmin"),
+                F.max("_vmax").alias("_vmax"),
+            )
+        )
+
+    return _run_maintainer(
+        stream, state_path, checkpoint, partials, merge,
+        trigger_available_now,
+    )
+
+
+def read_survival(spark, state_path: str) -> DataFrame:
+    """The rolling Kaplan-Meier curve over the committed survival
+    state — durations rebuilt from the min/max state (equal to the
+    batch `time_to_event` bit for bit, see the module note), then the
+    batch `kaplan_meier` fold. Censoring recomputes against the
+    rolling corpus max every refresh — late data moves the censor,
+    exactly as a batch recompute would."""
+    from unitdb_spark.operators.survival import kaplan_meier
+
+    cur = latest_commit(spark, state_path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no committed survival state under {state_path}"
+        )
+    st = spark.read.parquet(_snap_path(state_path, *cur))
+    t0 = st.filter(F.col("_kind") == "o").select(
+        "_s", F.col("_vmin").alias("_t0")
+    )
+    ev = st.filter(F.col("_kind") == "e").select(
+        "_s", "_d", F.col("_vmax").alias("_mx")
+    )
+    censor = st.filter(F.col("_kind") == "m").select(
+        F.col("_vmax").alias("_cmx")
+    )
+    conv = (
+        ev.join(t0, "_s")
+        .filter(F.col("_mx") > F.col("_t0"))
+        .groupBy("_s")
+        .agg(F.min("_d").alias("_cd"))
+    )
+    durations = (
+        t0.join(conv, "_s", "left")
+        .join(F.broadcast(censor))
+        .select(
+            F.col("_s").alias("subject"),
+            F.when(
+                F.col("_cd").isNotNull(),
+                F.datediff(F.col("_cd"), F.to_date("_t0")),
+            )
+            .otherwise(F.datediff(F.to_date("_cmx"), F.to_date("_t0")))
+            .cast("long")
+            .alias("duration_days"),
+            F.col("_cd").isNotNull().alias("event"),
+        )
+    )
+    return kaplan_meier(durations, "duration_days", "event")
