@@ -5267,6 +5267,44 @@ def q_doc_source_kl(spark, sf_dir):
     return source_unigram_kl(_docs(spark, sf_dir))
 
 
+def q_doc_zipf_slope(spark, sf_dir):
+    """Zipf log-log slope over the top-100 vocabulary ranks — the
+    one-number corpus-health signal (natural text ~ -1; boilerplate
+    flattens, dedup failures steepen). Round-6 logs per rank point,
+    exact decimal OLS moments, two pinned finishes."""
+    from unitdb_spark.operators.tfidf import zipf_slope
+
+    return zipf_slope(_docs(spark, sf_dir), topk=100)
+
+
+def q_streamed_peaks(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING spike triage: hourly
+    count cells (value-non-null rows, the cell contract) fold into
+    the commit-logged state, and the strict-local-max +
+    cross-multiplied rolling-mean peak test runs at read time through
+    the shared peaks_from_cells path. Oracle = the batch peaks SQL
+    with the cell row filter."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_hourly_cells,
+        read_peaks,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_hourly_cells(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "event_type",
+        "ts",
+        "value",
+        f"{base}/cells",
+        f"{base}/cp",
+    )
+    q.awaitTermination(300)
+    return read_peaks(spark, f"{base}/cells")
+
+
 def q_streamed_survival(spark, sf_dir):
     """Driver-checkable twin of the ROLLING Kaplan-Meier curve: the
     events stream folds min-origin / per-day-max-event / censor-max
@@ -6239,6 +6277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_peaks": q_events_peaks,
         "events_binseg": q_events_binseg,
         "streamed_survival": q_streamed_survival,
+        "streamed_peaks": q_streamed_peaks,
+        "doc_zipf_slope": q_doc_zipf_slope,
     }
 
 
@@ -12029,6 +12069,51 @@ def oracle_sql() -> dict[str, str]:
     # rolling KM twin: the min/max state rebuilds the batch durations
     # exactly (see continuous_survival's module note) — oracle shared
     d["streamed_survival"] = d["events_survival"]
+    # rolling peaks twin: same hour-count cells (value-non-null), the
+    # batch peaks SQL with the cell row filter
+    d["streamed_peaks"] = d["events_peaks"].replace(
+        "FROM events GROUP BY 1, 2",
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2",
+    )
+    # Zipf slope: exact decimal OLS over the top-K rank points
+    d["doc_zipf_slope"] = """
+        WITH counts AS (
+          SELECT u.t AS term, count(*) AS n
+          FROM documents, unnest({toks}) AS u(t) GROUP BY 1
+        ), pts AS (
+          SELECT
+            CAST(round(log10(CAST(rank AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS x,
+            CAST(round(log10(CAST(n AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS y
+          FROM (
+            SELECT n, row_number() OVER (ORDER BY n DESC, term ASC)
+              AS rank
+            FROM counts
+          ) WHERE rank <= 100
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_used,
+            sum(x) AS sx, sum(y) AS sy,
+            sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM pts
+        )
+        SELECT k_used,
+          round(
+            (CAST(k_used AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(k_used AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+            AS slope_r,
+          round(
+            (CAST(sy AS DOUBLE)
+             - (CAST(k_used AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(k_used AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * CAST(sx AS DOUBLE))
+            / CAST(k_used AS DOUBLE), 6) AS intercept_r
+        FROM m
+        """.replace("{toks}", _TOKS)
     d["events_hw_forecast"] = _hw_oracle()
     # rolling HW twin: same day-count cells from value-non-null rows
     # (the hourly-cell contract), shared batch fold at read time

@@ -7564,3 +7564,54 @@ class TestBinseg:
         rows = {r.seg: r for r in binseg_changepoints(df, min_seg=5).collect()}
         assert set(rows) == {"root"}
         assert not rows["root"].significant
+
+
+class TestZipfSlope:
+    def test_matches_python_model(self, spark):
+        from decimal import Decimal
+        from math import log10
+
+        from unitdb_spark.operators.tfidf import zipf_slope
+
+        docs = [
+            (1, "a a a a b b b c c d"),
+            (2, "a a b c d e"),
+            (3, "a b b c e f"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        from collections import Counter
+
+        cnt = Counter(w for _, t in docs for w in t.split())
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        pts = [
+            (
+                Decimal(str(round(log10(i + 1), 6))),
+                Decimal(str(round(log10(n), 6))),
+            )
+            for i, (_, n) in enumerate(ranked)
+        ]
+        k = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        kd, sxd, syd = float(k), float(sx), float(sy)
+        sxyd, sxxd = float(sxy), float(sxx)
+        slope = (kd * sxyd - sxd * syd) / (kd * sxxd - sxd * sxd)
+        (r,) = zipf_slope(df).collect()
+        assert r.k_used == k
+        assert r.slope_r == round(slope, 6)
+        assert r.intercept_r == round((syd - slope * sxd) / kd, 6)
+
+    def test_pure_zipf_corpus_slope_near_minus_one(self, spark):
+        """Frequencies proportional to 1/rank: slope must sit near
+        −1 (quantization keeps it within a few thousandths)."""
+        from unitdb_spark.operators.tfidf import zipf_slope
+
+        words = [f"w{i:03d}" for i in range(60)]
+        text = " ".join(
+            " ".join([w] * (600 // (i + 1))) for i, w in enumerate(words)
+        )
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        (r,) = zipf_slope(df, topk=50).collect()
+        assert -1.05 < r.slope_r < -0.95

@@ -697,3 +697,66 @@ def source_unigram_kl(
             F.col("_s").cast("double") / F.col("n_tokens").cast("double"), 6
         ).alias("kl_r"),
     )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    text_col: str = "text",
+    topk: int = 100,
+) -> DataFrame:
+    """Zipf log-log slope over the top-``topk`` vocabulary ranks —
+    the one-number corpus-health signal: natural language sits near
+    slope −1 (Zipf 1935); template/boilerplate corpora flatten
+    toward 0 at the head, and dedup failures steepen it. Slope and
+    intercept come from exact OLS over ``topk`` points:
+
+        x_r = round-6 log10(rank),  y_r = round-6 log10(count)
+
+    (rank from the (count DESC, term ASC) total order — deterministic
+    under ties), DECIMAL(18,6) each, so every moment Σx, Σy, Σxy, Σx²
+    is exact decimal; slope and intercept are each ONE pinned double
+    over those exact moments, round-6.
+
+    Output: one row (k_used, slope_r, intercept_r).
+
+    Scale: counts = one map-side-combined agg; the rank-and-cut
+    compiles to WindowGroupLimit (Spark pushes ``rank <= topk`` into
+    the window, keeping topk rows per partition before the final
+    sort) so no corpus-sized single-partition window exists — the
+    plan audit reports clean. The OLS is control-plane arithmetic
+    over one topk-row relation.
+    """
+    counts = (
+        docs.select(F.explode(_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    pts = (
+        counts.select(
+            "n", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= F.lit(int(topk)))
+        .select(
+            F.round(F.log10(F.col("rank").cast("double")), 6)
+            .cast("decimal(18,6)").alias("x"),
+            F.round(F.log10(F.col("n").cast("double")), 6)
+            .cast("decimal(18,6)").alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    kd = F.col("k_used").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (kd * sxyd - sxd * syd) / (kd * sxxd - sxd * sxd)
+    return m.select(
+        "k_used",
+        F.round(slope, 6).alias("slope_r"),
+        F.round((syd - slope * sxd) / kd, 6).alias("intercept_r"),
+    )

@@ -1342,6 +1342,37 @@ def detect_peaks(
             F.unix_micros(F.col(ts_col)) / F.lit(bucket_s * 1_000_000)
         ).alias("_h"),
     ).agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    return peaks_from_cells(
+        b, "_k", "_h", "_y",
+        bucket_s=bucket_s, half_window=half_window,
+        thresh_num=thresh_num, thresh_den=thresh_den,
+        out_key=key_col,
+    )
+
+
+def peaks_from_cells(
+    cells: DataFrame,
+    key_col: str,
+    h_col: str,
+    y_col: str,
+    bucket_s: int = 3600,
+    half_window: int = 12,
+    thresh_num: int = 2,
+    thresh_den: int = 1,
+    out_key: str | None = None,
+) -> DataFrame:
+    """The peak finish over an already-aggregated (key, bucket-index,
+    count) CELL relation — the shared code path between
+    `detect_peaks` (batch) and the rolling cell-state twin: cells
+    densify onto the spine, then the strict-local-max +
+    cross-multiplied rolling-mean test runs per key. See
+    `detect_peaks` for semantics."""
+    out_key = out_key or key_col
+    b = cells.select(
+        F.col(key_col).alias("_k"),
+        F.col(h_col).cast("long").alias("_h"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
     rng = b.groupBy("_k").agg(
         F.min("_h").alias("_mn"), F.max("_h").alias("_mx")
     )
@@ -1370,7 +1401,7 @@ def detect_peaks(
             > F.lit(int(thresh_num)) * F.col("win_sum")
         )
     ).select(
-        F.col("_k").alias(key_col),
+        F.col("_k").alias(out_key),
         (F.col("_h") * F.lit(int(bucket_s))).cast("long").alias("bucket_s"),
         F.col("_y").alias("y"),
         "win_sum", "win_n",

@@ -914,3 +914,29 @@ def read_survival(spark, state_path: str) -> DataFrame:
         )
     )
     return kaplan_meier(durations, "duration_days", "event")
+
+
+def read_peaks(
+    spark, state_path: str, key_col: str = "event_type",
+    half_window: int = 12, thresh_num: int = 2, thresh_den: int = 1,
+) -> DataFrame:
+    """Rolling spike triage over the committed hourly cells — a FIFTH
+    dashboard off the same maintained state: the (key, day, hour)
+    counts map to absolute hour indices (mergeable sums, batch-equal
+    however the stream split) and finish through the shared
+    `peaks_from_cells` code path."""
+    from unitdb_spark.operators.timeseries import peaks_from_cells
+
+    cells = read_cells(spark, state_path)
+    hourly = cells.select(
+        F.col("_k").alias(key_col),
+        (
+            F.expr("CAST(unix_date(_d) AS BIGINT)") * 24 + F.col("_h")
+        ).alias("hidx"),
+        F.col("_c").alias("y"),
+    )
+    return peaks_from_cells(
+        hourly, key_col, "hidx", "y",
+        bucket_s=3600, half_window=half_window,
+        thresh_num=thresh_num, thresh_den=thresh_den,
+    )
