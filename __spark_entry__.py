@@ -5962,6 +5962,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return df.select("seq", "topic", EPOCH("ts"), "payload")
 
 
+
+def q_events_ljungbox(spark, sf_dir):
+    """Ljung-Box white-noise portmanteau over each event_type's hourly
+    count series (densified spine, lags 1..12): the referee for the
+    forecasting family — a key whose Q clears chi2_0.95(dof) carries
+    autocorrelated structure worth modeling; one that doesn't is noise
+    and Holt/Holt-Winters/seasonal-naive have nothing to fit. Integer
+    centered series n*x - S, DECIMAL/HUGEINT moment lifts, round-6
+    micro terms, literal critical-value table in both engines."""
+    from unitdb_spark.operators.stats_tests import ljung_box
+
+    return ljung_box(_events(spark, sf_dir), "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6279,6 +6293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_survival": q_streamed_survival,
         "streamed_peaks": q_streamed_peaks,
         "doc_zipf_slope": q_doc_zipf_slope,
+        "events_ljungbox": q_events_ljungbox,
     }
 
 
@@ -12427,6 +12442,61 @@ def oracle_sql() -> dict[str, str]:
         FROM big JOIN lp ON big.bg = lp.bg
         GROUP BY big.doc_id
         """.replace("{toks}", _TOKS)
+    # Ljung-Box: HUGEINT moment lifts mirror the Spark DECIMAL(38,0)
+    # lifts; per-lag round-6 micro terms; the critical-value list is
+    # the same LB_CRIT_MICRO literal table
+    d["events_ljungbox"] = """
+        WITH b AS (
+          SELECT event_type AS k,
+            CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ), rng AS (
+          SELECT k, min(h) AS mn, max(h) AS mx FROM b GROUP BY 1
+        ), spine AS (
+          SELECT k, CAST(u.h AS BIGINT) AS h
+          FROM rng, unnest(generate_series(mn, mx)) AS u(h)
+        ), d AS (
+          SELECT spine.k, spine.h, coalesce(b.y, 0) AS y
+          FROM spine LEFT JOIN b ON b.k = spine.k AND b.h = spine.h
+        ), m AS (
+          SELECT k, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(y) AS BIGINT) AS s
+          FROM d GROUP BY 1
+        ), c AS (
+          SELECT d.k, d.h, m.n,
+            CAST(m.n AS HUGEINT) * d.y - m.s AS c
+          FROM d JOIN m ON m.k = d.k
+        ), den AS (
+          SELECT k, sum(c * c) AS den FROM c GROUP BY 1
+          HAVING sum(c * c) > 0
+        ), lagk AS (
+          SELECT CAST(u.kk AS BIGINT) AS kk
+          FROM unnest(generate_series(1, 12)) AS u(kk)
+        ), nums AS (
+          SELECT a.k, a.n, l.kk, sum(a.c * b2.c) AS num
+          FROM c a CROSS JOIN lagk l
+          JOIN c b2 ON b2.k = a.k AND b2.h = a.h + l.kk
+          GROUP BY 1, 2, 3
+        ), terms AS (
+          SELECT nums.k, nums.n, nums.kk,
+            CAST(CAST(round(
+              (CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE))
+              * (CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE))
+              / CAST(nums.n - nums.kk AS DOUBLE), 6)
+              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS tm
+          FROM nums JOIN den ON den.k = nums.k
+        )
+        SELECT k AS event_type, n,
+          CAST(count(*) AS BIGINT) AS dof,
+          CAST(CAST(n AS HUGEINT) * (n + 2) * sum(tm) AS BIGINT)
+            AS q_micro,
+          CAST(CAST(n AS HUGEINT) * (n + 2) * sum(tm) AS BIGINT) >
+            ([3841459, 5991465, 7814728, 9487729, 11070498, 12591587,
+              14067140, 15507313, 16918978, 18307038, 19675138,
+              21026070])[CAST(count(*) AS INT)] AS significant
+        FROM terms GROUP BY 1, 2
+        """
     return d
 
 

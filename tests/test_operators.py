@@ -7615,3 +7615,94 @@ class TestZipfSlope:
         df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
         (r,) = zipf_slope(df, topk=50).collect()
         assert -1.05 < r.slope_r < -0.95
+
+
+class TestLjungBox:
+    @staticmethod
+    def _model(rows, key, lags=12):
+        from collections import Counter
+        from decimal import Decimal
+
+        from unitdb_spark.operators.stats_tests import LB_CRIT_MICRO
+
+        cnt = Counter()
+        for k, t in rows:
+            if k == key:
+                cnt[int(t.timestamp()) // 3600] += 1
+        xs = [cnt.get(h, 0) for h in range(min(cnt), max(cnt) + 1)]
+        n, s = len(xs), sum(xs)
+        c = [n * x - s for x in xs]
+        den = sum(v * v for v in c)
+        if den == 0:
+            return None
+        total, dof = Decimal(0), 0
+        for k in range(1, min(lags, n - 1) + 1):
+            num = sum(c[t] * c[t + k] for t in range(n - k))
+            rho = num / den
+            total += Decimal(str(round(rho * rho / (n - k), 6)))
+            dof += 1
+        qm = int(n * (n + 2) * total * 1_000_000)
+        return key, n, dof, qm, qm > LB_CRIT_MICRO[dof - 1]
+
+    def test_matches_python_model(self, spark):
+        import datetime as dt
+        import random
+
+        from unitdb_spark.operators.stats_tests import ljung_box
+
+        random.seed(7)
+        base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        rows = []
+        for h in range(200):
+            # A: strong 24h cycle; B: sparse Bernoulli noise
+            for i in range(5 + (3 if h % 24 < 12 else 0)):
+                rows.append(("A", base + dt.timedelta(hours=h, minutes=i)))
+            if random.random() < 0.3:
+                rows.append(("B", base + dt.timedelta(hours=h, minutes=1)))
+        df = spark.createDataFrame(
+            [(k, t.replace(tzinfo=None)) for k, t in rows],
+            "event_type string, ts timestamp",
+        )
+        got = {r.event_type: tuple(r) for r in ljung_box(df, "event_type").collect()}
+        assert got["A"] == self._model(rows, "A")
+        assert got["B"] == self._model(rows, "B")
+        # the cycle is detected; the noise is not
+        assert got["A"][4] is True
+        assert got["B"][4] is False
+
+    def test_constant_series_excluded(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.stats_tests import ljung_box
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [("flat", base + dt.timedelta(hours=h)) for h in range(50)]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        assert ljung_box(df, "event_type").count() == 0  # rho undefined
+
+    def test_short_series_caps_dof(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.stats_tests import ljung_box
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("s", base + dt.timedelta(hours=h, minutes=i))
+            for h, reps in enumerate([3, 1, 4, 1, 5])
+            for i in range(reps)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        (r,) = ljung_box(df, "event_type").collect()
+        assert r.n == 5 and r.dof == 4  # lags capped at n-1
+
+    def test_lags_beyond_table_raise(self, spark):
+        import pytest
+
+        from unitdb_spark.operators.stats_tests import ljung_box
+
+        df = spark.range(1).select(
+            F.lit("k").alias("event_type"),
+            F.current_timestamp().alias("ts"),
+        )
+        with pytest.raises(ValueError, match="critical-value table"):
+            ljung_box(df, "event_type", lags=13)

@@ -764,3 +764,158 @@ def binseg_changepoints(
         "seg string, lo_t long, hi_t long, n long, k2 long, "
         "split_t long, significant boolean",
     )
+
+
+# chi-squared 0.95 quantiles for dof 1..12, in micro units — computed
+# once (Wilson-Hilferty-checked against standard tables) and injected
+# as LITERALS into both engines so neither evaluates a transcendental
+# (the NDCG-log2 / RRF convention).
+LB_CRIT_MICRO = [
+    3841459, 5991465, 7814728, 9487729, 11070498, 12591587,
+    14067140, 15507313, 16918978, 18307038, 19675138, 21026070,
+]
+
+
+def ljung_box(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    lags: int = 12,
+) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test (Ljung & Box 1978) over
+    the densified per-key count series — the missing referee for the
+    forecasting family: Holt/Holt-Winters/seasonal-naive all assume
+    the series carries autocorrelated structure, and peaks/CUSUM
+    assume departures from noise are meaningful; this test says, per
+    key, whether the series is distinguishable from white noise AT
+    ALL:
+
+        Q = n (n+2) Σ_{k=1..h} ρ_k² / (n − k),   reject if
+        Q > χ²_{0.95}(h used)
+
+    Exactness discipline (cross-engine): with the spine count series
+    x_t, n = spine length and S = Σx, the CENTERED-SCALED series
+    c_t = n·x_t − S is integral (Σc = 0, so ρ_k = Σ c_t c_{t+k} /
+    Σ c_t² exactly — the n² scale cancels). Every num_k and den is an
+    exact DECIMAL(38,0)/HUGEINT sum (lifted BEFORE multiplying);
+    each per-lag term round((num/den)·(num/den)/(n−k), 6) is ONE
+    pinned double over exact integers, then an exact micro-unit
+    integer; Q = n(n+2)·Σ term_micro lands as the exact integer
+    q_micro (n lifted to DECIMAL(20,0)/HUGEINT first — int64 n(n+2)·Σ
+    wraps near n ≈ 10⁶ spine cells), compared against the literal
+    LB_CRIT_MICRO table — the whole decision is integer arithmetic.
+
+    Keys with a constant series (den = 0: ρ undefined) are excluded;
+    lags used = min(lags, n−1) per key (contiguous spine ⇒ lag-k
+    pairs exist iff k ≤ n−1).
+
+    Output: (key, n, dof, q_micro, significant), one row per key.
+
+    Scale: the spine is keys × span buckets regardless of event
+    volume; ONE partitioned window pass computes all ``lags`` leads;
+    the explode fans out lags+1 rows per cell into a map-side-combined
+    partial agg. No global window, no driver loop. 100 TB envelope:
+    |c| ≤ n·max_count, so den ≤ n³·max_count² — DECIMAL(38,0) holds
+    n = 10⁹ spine cells at max_count 10⁶; int64 would wrap at
+    n ≈ 10⁵ hours, which is why the lift is not optional.
+    """
+    if not 1 <= int(lags) <= len(LB_CRIT_MICRO):
+        raise ValueError(
+            f"ljung_box: lags must be in 1..{len(LB_CRIT_MICRO)} "
+            "(the injected critical-value table)"
+        )
+    lags = int(lags)
+    b = df.groupBy(
+        F.col(key_col).alias("_k"),
+        F.floor(
+            F.unix_micros(F.col(ts_col)) / F.lit(bucket_s * 1_000_000)
+        ).alias("_h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    rng = b.groupBy("_k").agg(
+        F.min("_h").alias("_mn"), F.max("_h").alias("_mx")
+    )
+    spine = rng.select(
+        "_k", F.explode(F.sequence("_mn", "_mx")).alias("_h")
+    )
+    d = spine.join(b, ["_k", "_h"], "left").select(
+        "_k", "_h", F.coalesce(F.col("_y"), F.lit(0)).alias("_y")
+    )
+    m = d.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("_s"),
+    )
+    c = d.join(m, "_k").select(
+        "_k", "_h", "n",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("_y")
+            - F.col("_s")
+        ).cast("decimal(38,0)").alias("_c"),
+    )
+    wo = Window.partitionBy("_k").orderBy("_h")
+    # lag 0 rides along as the denominator Σc² — one window pass
+    # (window exprs can't live under the Generate, so lead columns
+    # materialize first, then the array explodes)
+    led = c.select(
+        "_k", "n", "_c",
+        *[
+            F.lead("_c", k).over(wo).alias(f"_l{k}")
+            for k in range(1, lags + 1)
+        ],
+    )
+    prods = led.select(
+        "_k", "n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("kk"),
+                    (
+                        F.col("_c")
+                        * (F.col("_c") if k == 0 else F.col(f"_l{k}"))
+                    ).alias("p"),
+                )
+                for k in range(0, lags + 1)
+            ])
+        ).alias("kv"),
+    ).select("_k", "n", F.col("kv.kk").alias("kk"), F.col("kv.p").alias("p"))
+    nums = (
+        prods.filter(F.col("p").isNotNull())
+        .groupBy("_k", "n", "kk")
+        .agg(F.sum("p").alias("num"))
+    )
+    den = (
+        nums.filter(F.col("kk") == 0)
+        .select("_k", F.col("num").alias("den"))
+        .filter(F.col("den") > 0)
+    )
+    rho_d = F.col("num").cast("double") / F.col("den").cast("double")
+    term = F.round(
+        rho_d * rho_d / (F.col("n") - F.col("kk")).cast("double"), 6
+    ).cast("decimal(18,6)")
+    terms = (
+        nums.filter(F.col("kk") >= 1)
+        .join(den, "_k")
+        .select(
+            "_k", "n", "kk",
+            # round-6 decimal → exact integer micro term
+            (term * F.lit(1_000_000)).cast("long").alias("tm"),
+        )
+    )
+    crit = F.element_at(
+        F.array(*[F.lit(v) for v in LB_CRIT_MICRO]), F.col("dof").cast("int")
+    )
+    return (
+        terms.groupBy("_k", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dof"),
+            (
+                F.col("n").cast("decimal(20,0)")
+                * (F.col("n") + 2)
+                * F.sum("tm")
+            ).cast("long").alias("q_micro"),
+        )
+        .select(
+            F.col("_k").alias(key_col), "n", "dof", "q_micro",
+            (F.col("q_micro") > crit).alias("significant"),
+        )
+    )
