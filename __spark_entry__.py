@@ -5976,6 +5976,46 @@ def q_events_ljungbox(spark, sf_dir):
     return ljung_box(_events(spark, sf_dir), "event_type")
 
 
+
+def q_events_ewma(spark, sf_dir):
+    """EWMA control chart (lambda = 1/8, 3-sigma asymptotic band) over
+    each event_type's hourly count spine — the drift detector between
+    the point z-score, CUSUM's level shift, and the peak shape test.
+    Micro-unit truncating-div fold, fully cross-multiplied integer
+    control test; oracle = recursive-CTE replay in HUGEINT."""
+    from unitdb_spark.operators.timeseries import ewma_control
+
+    return ewma_control(_events(spark, sf_dir), "event_type")
+
+
+def q_streamed_ewma(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING EWMA control chart: hourly
+    count cells (value-non-null rows, the cell contract) fold into the
+    commit-logged state; the micro-unit EWMA fold + cross-multiplied
+    3-sigma test runs at read time through the shared ewma_from_cells
+    path — the SIXTH dashboard off the same maintained state. Oracle =
+    the batch recursive-CTE replay with the cell row filter."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_hourly_cells,
+        read_ewma,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_hourly_cells(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "event_type",
+        "ts",
+        "value",
+        f"{base}/cells",
+        f"{base}/cp",
+    )
+    q.awaitTermination(300)
+    return read_ewma(spark, f"{base}/cells")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6294,6 +6334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_peaks": q_streamed_peaks,
         "doc_zipf_slope": q_doc_zipf_slope,
         "events_ljungbox": q_events_ljungbox,
+        "events_ewma": q_events_ewma,
+        "streamed_ewma": q_streamed_ewma,
     }
 
 
@@ -12497,6 +12539,12 @@ def oracle_sql() -> dict[str, str]:
               21026070])[CAST(count(*) AS INT)] AS significant
         FROM terms GROUP BY 1, 2
         """
+    # EWMA control chart: recursive-CTE replay of the truncating-div
+    # micro-unit fold; the 3-sigma test is the same cross-multiplied
+    # integer inequality, HUGEINT both sides
+    d["events_ewma"] = _ewma_oracle()
+    # rolling EWMA twin: same hour-count cells (value-non-null rows)
+    d["streamed_ewma"] = _ewma_oracle("WHERE value IS NOT NULL")
     return d
 
 
@@ -12906,6 +12954,62 @@ def _holt_oracle(row_filter: str) -> str:
         FROM fin JOIN n ON fin.k = n.k
         """
 
+
+
+def _ewma_oracle(row_filter: str = "") -> str:
+    """Recursive-CTE replay of the EWMA control-chart fold (see
+    operators/timeseries.ewma_control): z in micro units with
+    DuckDB's truncating `//` (states are non-negative, so floor ==
+    truncate), flag iff (z*n - S*1e6)^2 * 15 > 9*(n*SS - S^2)*1e12,
+    every side HUGEINT-exact."""
+    return """
+        WITH RECURSIVE b AS (
+          SELECT event_type AS k,
+            CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events {rf} GROUP BY 1, 2
+        ), rng AS (
+          SELECT k, min(h) AS mn, max(h) AS mx FROM b GROUP BY 1
+        ), spine AS (
+          SELECT k, CAST(u.h AS BIGINT) AS h
+          FROM rng, unnest(generate_series(mn, mx)) AS u(h)
+        ), d AS (
+          SELECT spine.k, spine.h, coalesce(b.y, 0) AS y
+          FROM spine LEFT JOIN b ON b.k = spine.k AND b.h = spine.h
+        ), s AS (
+          SELECT k, h, y,
+            CAST(row_number() OVER (PARTITION BY k ORDER BY h) - 1
+                 AS BIGINT) AS i
+          FROM d
+        ), m AS (
+          SELECT k, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(y) AS BIGINT) AS sm,
+            CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS ss
+          FROM s GROUP BY 1
+        ), rec AS (
+          SELECT m.k, CAST(0 AS BIGINT) AS i,
+            (CAST(m.sm AS HUGEINT) * 1000000 // m.n) AS z
+          FROM m
+          UNION ALL
+          SELECT r.k, r.i + 1,
+            ((1 * CAST(s.y AS HUGEINT) * 1000000 + 7 * r.z) // 8)
+          FROM rec r JOIN s ON s.k = r.k AND s.i = r.i + 1
+        ), fl AS (
+          SELECT rec.k, rec.z, s.h, s.y, m.n, m.sm, m.ss,
+            (rec.z * m.n - CAST(m.sm AS HUGEINT) * 1000000) AS dlt
+          FROM rec
+          JOIN s ON s.k = rec.k AND s.i = rec.i
+          JOIN m ON m.k = rec.k
+          WHERE rec.i >= 1
+        )
+        SELECT k AS event_type,
+          CAST(h * 3600 AS BIGINT) AS bucket_s, y,
+          CAST(z AS BIGINT) AS z_e6,
+          CAST(CASE WHEN dlt > 0 THEN 1 ELSE -1 END AS INT) AS side
+        FROM fl
+        WHERE dlt * dlt * 15 >
+          9 * (n * ss - CAST(sm AS HUGEINT) * sm) * 1000000 * 1000000
+        """.replace("{rf}", row_filter)
 
 def _hw_oracle(row_filter: str = "") -> str:
     """Holt-Winters additive fold replayed as a recursive CTE whose

@@ -7706,3 +7706,69 @@ class TestLjungBox:
         )
         with pytest.raises(ValueError, match="critical-value table"):
             ljung_box(df, "event_type", lags=13)
+
+
+class TestEwmaControl:
+    def test_matches_python_model(self, spark):
+        import datetime as dt
+        import random
+
+        from unitdb_spark.operators.timeseries import ewma_control
+
+        random.seed(11)
+        base = dt.datetime(2024, 3, 1)
+        rows = []
+        for h in range(240):
+            # stable regime, then a sustained +3 drift after hour 180
+            lam = 4 + (3 if h >= 180 else 0)
+            for i in range(lam + random.randint(-1, 1)):
+                rows.append(("d", base + dt.timedelta(hours=h, minutes=i)))
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        got = sorted(tuple(r) for r in ewma_control(df, "event_type").collect())
+
+        from collections import Counter
+
+        cnt = Counter()
+        for _, t in rows:
+            cnt[int(t.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600] += 1
+        mn, mx = min(cnt), max(cnt)
+        ys = [cnt.get(h, 0) for h in range(mn, mx + 1)]
+        n, s, ss = len(ys), sum(ys), sum(y * y for y in ys)
+        rhs = 9 * (n * ss - s * s) * 10**12
+        z, want = (s * 10**6) // n, []
+        for i in range(1, n):
+            z = (ys[i] * 10**6 + 7 * z) // 8
+            dlt = z * n - s * 10**6
+            if dlt * dlt * 15 > rhs:
+                want.append(
+                    ("d", (mn + i) * 3600, ys[i], z, 1 if dlt > 0 else -1)
+                )
+        assert got == sorted(want)
+        # the drift is caught, and caught on the high side
+        assert any(t >= (mn + 180) * 3600 and side == 1 for _, t, _, _, side in got)
+
+    def test_constant_series_never_flags(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import ewma_control
+
+        base = dt.datetime(2024, 3, 1)
+        rows = [
+            ("flat", base + dt.timedelta(hours=h, minutes=i))
+            for h in range(60)
+            for i in range(3)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        assert ewma_control(df, "event_type").count() == 0
+
+    def test_bad_lambda_raises(self, spark):
+        import pytest
+
+        from unitdb_spark.operators.timeseries import ewma_control
+
+        df = spark.range(1).select(
+            F.lit("k").alias("event_type"),
+            F.current_timestamp().alias("ts"),
+        )
+        with pytest.raises(ValueError, match="rational in"):
+            ewma_control(df, "event_type", lam=(8, 8))

@@ -2038,3 +2038,39 @@ class TestContinuousPeaks:
         got = read_peaks(spark, state).collect()
         assert len(want) > 0
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+class TestContinuousEwma:
+    def test_rolling_ewma_matches_batch_across_restart(
+        self, spark, events_dir, tmp_path
+    ):
+        """The EWMA-chart twin: hourly count cells folded across
+        micro-batches (and a restart boundary) feed the shared
+        ewma_from_cells fold, and the flagged rows equal the batch
+        ewma_control over the same value-non-null row contract."""
+        from unitdb_spark.operators.timeseries import ewma_control
+        from unitdb_spark.streaming.continuous import (
+            continuous_hourly_cells,
+            read_ewma,
+        )
+        from unitdb_spark.streaming.pubsub import events_as_stream
+
+        state = str(tmp_path / "cell-state")
+        cp = str(tmp_path / "cell-cp")
+        args = ("event_type", "ts", "value", state, cp)
+        ev = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q = continuous_hourly_cells(ev, *args)
+        q.awaitTermination(180)
+        ev2 = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q2 = continuous_hourly_cells(ev2, *args)
+        q2.awaitTermination(180)
+
+        batch = (
+            spark.read.parquet(events_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("value").isNotNull())
+        )
+        want = ewma_control(batch, "event_type").collect()
+        got = read_ewma(spark, state).collect()
+        assert len(want) > 0
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -1406,3 +1406,134 @@ def peaks_from_cells(
         F.col("_y").alias("y"),
         "win_sum", "win_n",
     )
+
+
+def ewma_control(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    lam: tuple[int, int] = (1, 8),
+    l2: int = 9,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959; Lucas & Saccucci 1990) over
+    densified per-key count series — the DRIFT detector between the
+    point anomaly (z-score), the level shift (CUSUM), and the shape
+    claim (peaks): the EWMA statistic z_t = λ·x_t + (1−λ)·z_{t−1}
+    accumulates small persistent departures that no single bucket
+    would flag, and the chart signals when z leaves the asymptotic
+    control band μ ± L·σ·sqrt(λ/(2−λ)).
+
+    Exactness discipline: λ = ln/ld stays rational; the fold runs in
+    micro-unit integers with TRUNCATING division (DuckDB's `//`, the
+    holt_linear contract — here every state is non-negative so floor
+    and truncate agree):
+
+        z_0 = (S·10⁶) div n          (the series mean — never flags)
+        z_t = (ln·x_t·10⁶ + (ld−ln)·z_{t−1}) div ld
+
+    and the control test is fully cross-multiplied — with n = spine
+    length, S = Σx, SS = Σx², flag at step t ≥ 1 iff
+
+        (z_t·n − S·10⁶)² · (2·ld − ln)  >  l2 · (n·SS − S²) · 10¹² · ln
+
+    (l2 = L², default 9 = the classic 3σ). Both sides are exact
+    integers — arbitrary precision in the Python fold, HUGEINT in the
+    oracle replay. Constant series (σ² = 0) never flag: z stays
+    pinned at μ, so the strict inequality fails.
+
+    Output: out-of-control rows only —
+    (key, bucket_s, y, z_e6, side ±1).
+
+    Scale: ONE applyInPandas shuffle on the key; the fold is
+    inherently sequential per key but runs over the CELL relation
+    (keys × span buckets, independent of event volume), keys in
+    parallel. 100 TB envelope: the oracle's HUGEINT (z·n − S·10⁶)²
+    holds to n ≈ 10⁶ spine cells at max_count 10⁶; the Spark fold is
+    exact at any scale.
+    """
+    b = df.groupBy(
+        F.col(key_col).alias("_k"),
+        F.floor(
+            F.unix_micros(F.col(ts_col)) / F.lit(bucket_s * 1_000_000)
+        ).alias("_h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    return ewma_from_cells(
+        b, "_k", "_h", "_y",
+        bucket_s=bucket_s, lam=lam, l2=l2, out_key=key_col,
+    )
+
+
+def ewma_from_cells(
+    cells: DataFrame,
+    key_col: str,
+    h_col: str,
+    y_col: str,
+    bucket_s: int = 3600,
+    lam: tuple[int, int] = (1, 8),
+    l2: int = 9,
+    out_key: str | None = None,
+) -> DataFrame:
+    """The EWMA-chart finish over an already-aggregated (key,
+    bucket-index, count) CELL relation — the shared code path between
+    `ewma_control` (batch) and the rolling hourly-cell twin. Cells
+    densify onto the contiguous spine (missing buckets are real
+    zeros), then the micro-unit fold + cross-multiplied 3σ test runs
+    per key. See `ewma_control` for semantics."""
+    ln, ld = int(lam[0]), int(lam[1])
+    if not 0 < ln < ld:
+        raise ValueError("lam must be a rational in (0, 1)")
+    l2 = int(l2)
+    out_key = out_key or key_col
+    b = cells.select(
+        F.col(key_col).alias("_k"),
+        F.col(h_col).cast("long").alias("_h"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    rng = b.groupBy("_k").agg(
+        F.min("_h").alias("_mn"), F.max("_h").alias("_mx")
+    )
+    spine = rng.select(
+        "_k", F.explode(F.sequence("_mn", "_mx")).alias("_h")
+    )
+    d = spine.join(b, ["_k", "_h"], "left").select(
+        F.col("_k").cast("string").alias("_k"),
+        "_h",
+        F.coalesce(F.col("_y"), F.lit(0)).alias("_y"),
+    )
+    SC = 1_000_000
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("_h")
+        ys = [int(v) for v in pdf["_y"]]
+        hs = [int(v) for v in pdf["_h"]]
+        key = pdf["_k"].iloc[0]
+        n, s = len(ys), sum(ys)
+        ss = sum(y * y for y in ys)
+        rhs = l2 * (n * ss - s * s) * SC * SC * ln
+        z = (s * SC) // n
+        out = []
+        for i in range(1, n):
+            z = (ln * ys[i] * SC + (ld - ln) * z) // ld
+            dlt = z * n - s * SC
+            if dlt * dlt * (2 * ld - ln) > rhs:
+                out.append(
+                    (key, hs[i] * bucket_s, ys[i], z, 1 if dlt > 0 else -1)
+                )
+        return pd.DataFrame(
+            out, columns=["_k", "bucket_s", "_y", "z_e6", "side"]
+        )
+
+    return (
+        d.groupBy("_k")
+        .applyInPandas(
+            fold,
+            "_k string, bucket_s long, _y long, z_e6 long, side int",
+        )
+        .select(
+            F.col("_k").alias(out_key), "bucket_s",
+            F.col("_y").alias("y"), "z_e6", "side",
+        )
+    )

@@ -940,3 +940,27 @@ def read_peaks(
         bucket_s=3600, half_window=half_window,
         thresh_num=thresh_num, thresh_den=thresh_den,
     )
+
+
+def read_ewma(
+    spark, state_path: str, key_col: str = "event_type",
+    lam: tuple[int, int] = (1, 8), l2: int = 9,
+) -> DataFrame:
+    """Rolling EWMA control chart over the committed hourly cells — a
+    SIXTH dashboard off the same maintained state: the (key, day,
+    hour) counts map to absolute hour indices (mergeable sums,
+    batch-equal however the stream split) and finish through the
+    shared `ewma_from_cells` fold + cross-multiplied 3σ test."""
+    from unitdb_spark.operators.timeseries import ewma_from_cells
+
+    cells = read_cells(spark, state_path)
+    hourly = cells.select(
+        F.col("_k").alias(key_col),
+        (
+            F.expr("CAST(unix_date(_d) AS BIGINT)") * 24 + F.col("_h")
+        ).alias("hidx"),
+        F.col("_c").alias("y"),
+    )
+    return ewma_from_cells(
+        hourly, key_col, "hidx", "y", bucket_s=3600, lam=lam, l2=l2
+    )
