@@ -5977,7 +5977,7 @@ def q_events_ljungbox(spark, sf_dir):
 
 
 
-def q_events_ewma(spark, sf_dir):
+def q_events_ewma_chart(spark, sf_dir):
     """EWMA control chart (lambda = 1/8, 3-sigma asymptotic band) over
     each event_type's hourly count spine — the drift detector between
     the point z-score, CUSUM's level shift, and the peak shape test.
@@ -5988,7 +5988,7 @@ def q_events_ewma(spark, sf_dir):
     return ewma_control(_events(spark, sf_dir), "event_type")
 
 
-def q_streamed_ewma(spark, sf_dir):
+def q_streamed_ewma_chart(spark, sf_dir):
     """Driver-checkable twin of the ROLLING EWMA control chart: hourly
     count cells (value-non-null rows, the cell contract) fold into the
     commit-logged state; the micro-unit EWMA fold + cross-multiplied
@@ -6334,8 +6334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_peaks": q_streamed_peaks,
         "doc_zipf_slope": q_doc_zipf_slope,
         "events_ljungbox": q_events_ljungbox,
-        "events_ewma": q_events_ewma,
-        "streamed_ewma": q_streamed_ewma,
+        "events_ewma_chart": q_events_ewma_chart,
+        "streamed_ewma_chart": q_streamed_ewma_chart,
     }
 
 
@@ -12542,9 +12542,9 @@ def oracle_sql() -> dict[str, str]:
     # EWMA control chart: recursive-CTE replay of the truncating-div
     # micro-unit fold; the 3-sigma test is the same cross-multiplied
     # integer inequality, HUGEINT both sides
-    d["events_ewma"] = _ewma_oracle()
+    d["events_ewma_chart"] = _ewma_oracle()
     # rolling EWMA twin: same hour-count cells (value-non-null rows)
-    d["streamed_ewma"] = _ewma_oracle("WHERE value IS NOT NULL")
+    d["streamed_ewma_chart"] = _ewma_oracle("WHERE value IS NOT NULL")
     return d
 
 
