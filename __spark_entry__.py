@@ -6016,6 +6016,35 @@ def q_streamed_ewma_chart(spark, sf_dir):
     return read_ewma(spark, f"{base}/cells")
 
 
+
+def q_streamed_ljungbox(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING Ljung-Box referee: hourly
+    count cells (value-non-null rows, the cell contract) fold into the
+    commit-logged state; the exact-moment Q test runs at read time
+    through the shared ljungbox_from_cells path — the SEVENTH
+    dashboard off the same maintained state. Oracle = the batch
+    Ljung-Box SQL with the cell row filter."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_hourly_cells,
+        read_ljungbox,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_hourly_cells(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "event_type",
+        "ts",
+        "value",
+        f"{base}/cells",
+        f"{base}/cp",
+    )
+    q.awaitTermination(300)
+    return read_ljungbox(spark, f"{base}/cells")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6336,6 +6365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ljungbox": q_events_ljungbox,
         "events_ewma_chart": q_events_ewma_chart,
         "streamed_ewma_chart": q_streamed_ewma_chart,
+        "streamed_ljungbox": q_streamed_ljungbox,
     }
 
 
@@ -12545,6 +12575,11 @@ def oracle_sql() -> dict[str, str]:
     d["events_ewma_chart"] = _ewma_oracle()
     # rolling EWMA twin: same hour-count cells (value-non-null rows)
     d["streamed_ewma_chart"] = _ewma_oracle("WHERE value IS NOT NULL")
+    # rolling Ljung-Box twin: same hour-count cells (value-non-null)
+    d["streamed_ljungbox"] = d["events_ljungbox"].replace(
+        "FROM events GROUP BY 1, 2",
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2",
+    )
     return d
 
 

@@ -2074,3 +2074,33 @@ class TestContinuousEwma:
         got = read_ewma(spark, state).collect()
         assert len(want) > 0
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+class TestContinuousLjungBox:
+    def test_rolling_ljungbox_matches_batch(self, spark, events_dir, tmp_path):
+        """The Ljung-Box twin: hourly count cells folded across
+        micro-batches feed the shared ljungbox_from_cells finish, and
+        the per-key Q rows equal the batch ljung_box over the same
+        value-non-null row contract."""
+        from unitdb_spark.operators.stats_tests import ljung_box
+        from unitdb_spark.streaming.continuous import (
+            continuous_hourly_cells,
+            read_ljungbox,
+        )
+        from unitdb_spark.streaming.pubsub import events_as_stream
+
+        state = str(tmp_path / "cell-state")
+        cp = str(tmp_path / "cell-cp")
+        ev = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q = continuous_hourly_cells(ev, "event_type", "ts", "value", state, cp)
+        q.awaitTermination(180)
+
+        batch = (
+            spark.read.parquet(events_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("value").isNotNull())
+        )
+        want = ljung_box(batch, "event_type").collect()
+        got = read_ljungbox(spark, state).collect()
+        assert len(want) > 0
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))

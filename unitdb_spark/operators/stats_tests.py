@@ -832,6 +832,35 @@ def ljung_box(
             F.unix_micros(F.col(ts_col)) / F.lit(bucket_s * 1_000_000)
         ).alias("_h"),
     ).agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    return ljungbox_from_cells(b, "_k", "_h", "_y", lags=lags, out_key=key_col)
+
+
+def ljungbox_from_cells(
+    cells: DataFrame,
+    key_col: str,
+    h_col: str,
+    y_col: str,
+    lags: int = 12,
+    out_key: str | None = None,
+) -> DataFrame:
+    """The Ljung-Box finish over an already-aggregated (key,
+    bucket-index, count) CELL relation — the shared code path between
+    `ljung_box` (batch) and the rolling hourly-cell twin. Cells
+    densify onto the contiguous spine, then the exact-moment Q test
+    runs per key. See `ljung_box` for semantics."""
+    if not 1 <= int(lags) <= len(LB_CRIT_MICRO):
+        raise ValueError(
+            f"ljung_box: lags must be in 1..{len(LB_CRIT_MICRO)} "
+            "(the injected critical-value table)"
+        )
+    lags = int(lags)
+    out_key = out_key or key_col
+    b = cells.select(
+        F.col(key_col).alias("_k"),
+        F.col(h_col).cast("long").alias("_h"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    key_col = out_key
     rng = b.groupBy("_k").agg(
         F.min("_h").alias("_mn"), F.max("_h").alias("_mx")
     )

@@ -964,3 +964,24 @@ def read_ewma(
     return ewma_from_cells(
         hourly, key_col, "hidx", "y", bucket_s=3600, lam=lam, l2=l2
     )
+
+
+def read_ljungbox(
+    spark, state_path: str, key_col: str = "event_type", lags: int = 12,
+) -> DataFrame:
+    """Rolling Ljung-Box white-noise test over the committed hourly
+    cells — a SEVENTH dashboard off the same maintained state: the
+    (key, day, hour) counts map to absolute hour indices (mergeable
+    sums, batch-equal however the stream split) and finish through the
+    shared `ljungbox_from_cells` exact-moment Q test."""
+    from unitdb_spark.operators.stats_tests import ljungbox_from_cells
+
+    cells = read_cells(spark, state_path)
+    hourly = cells.select(
+        F.col("_k").alias(key_col),
+        (
+            F.expr("CAST(unix_date(_d) AS BIGINT)") * 24 + F.col("_h")
+        ).alias("hidx"),
+        F.col("_c").alias("y"),
+    )
+    return ljungbox_from_cells(hourly, key_col, "hidx", "y", lags=lags)
