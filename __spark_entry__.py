@@ -6045,6 +6045,20 @@ def q_streamed_ljungbox(spark, sf_dir):
     return read_ljungbox(spark, f"{base}/cells")
 
 
+
+def q_doc_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary-growth exponent over the documents table
+    — the companion corpus-health number to doc_zipf_slope: beta near
+    0.5 is natural text, beta -> 1 is unsaturating vocabulary (noise,
+    random IDs), beta -> 0 is a saturated/duplicated corpus. Value-cut
+    doc_id checkpoints keep both cumulative curves plain filtered
+    aggregates (no corpus-length running window); exact decimal OLS
+    finish shared with the Zipf slope."""
+    from unitdb_spark.operators.tfidf import heaps_law
+
+    return heaps_law(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6366,6 +6380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma_chart": q_events_ewma_chart,
         "streamed_ewma_chart": q_streamed_ewma_chart,
         "streamed_ljungbox": q_streamed_ljungbox,
+        "doc_heaps": q_doc_heaps,
     }
 
 
@@ -12580,6 +12595,62 @@ def oracle_sql() -> dict[str, str]:
         "FROM events GROUP BY 1, 2",
         "FROM events WHERE value IS NOT NULL GROUP BY 1, 2",
     )
+    # Heaps' law: same value-cut checkpoints, integer-div thresholds,
+    # decimal OLS finish (the zipf_slope pinned expressions)
+    d["doc_heaps"] = """
+        WITH per_doc AS (
+          SELECT doc_id AS id, CAST(len({toks}) AS BIGINT) AS t
+          FROM documents
+        ), frst AS (
+          SELECT u.t AS term, min(doc_id) AS fid
+          FROM documents, unnest({toks}) AS u(t) GROUP BY 1
+        ), bounds AS (
+          SELECT min(id) AS mn, max(id) AS mx FROM per_doc
+        ), th AS (
+          SELECT CAST(u.c AS BIGINT) AS c,
+            mn + ((mx - mn) * u.c) // 16 AS th
+          FROM bounds, unnest(generate_series(1, 16)) AS u(c)
+        ), n_c AS (
+          SELECT c, CAST(sum(t) AS BIGINT) AS n
+          FROM per_doc JOIN th ON id <= th GROUP BY 1
+        ), v_c AS (
+          SELECT c, CAST(count(*) AS BIGINT) AS v
+          FROM frst JOIN th ON fid <= th GROUP BY 1
+        ), pts AS (
+          SELECT
+            CAST(round(log10(CAST(n AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS x,
+            CAST(round(log10(CAST(v AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS y
+          FROM n_c JOIN v_c USING (c) WHERE n > 0 AND v > 0
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS c_used,
+            sum(x) AS sx, sum(y) AS sy,
+            sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM pts
+        )
+        SELECT c_used,
+          CASE WHEN CAST(c_used AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+          THEN round(
+            (CAST(c_used AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(c_used AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+          END AS beta_r,
+          CASE WHEN CAST(c_used AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+          THEN round(
+            (CAST(sy AS DOUBLE)
+             - (CAST(c_used AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(c_used AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * CAST(sx AS DOUBLE))
+            / CAST(c_used AS DOUBLE), 6)
+          END AS logk_r
+        FROM m
+        """.replace("{toks}", _TOKS)
     return d
 
 

@@ -7772,3 +7772,70 @@ class TestEwmaControl:
         )
         with pytest.raises(ValueError, match="rational in"):
             ewma_control(df, "event_type", lam=(8, 8))
+
+
+class TestHeapsLaw:
+    def test_matches_python_model(self, spark):
+        from decimal import Decimal
+        from math import log10
+
+        from unitdb_spark.operators.tfidf import heaps_law
+
+        # vocabulary grows ~sqrt(n): doc i introduces words up to
+        # isqrt(40*(i+1)) — a Heaps-ish corpus with beta well inside
+        # (0, 1)
+        from math import isqrt
+
+        docs = []
+        for i in range(120):
+            hi = isqrt(40 * (i + 1))
+            words = [f"w{j}" for j in range(hi)] + ["the", "a"] * 5
+            docs.append((i + 1, " ".join(words)))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        (r,) = heaps_law(df, checkpoints=8).collect()
+
+        C, mn, mx = 8, 1, 120
+        ths = [mn + ((mx - mn) * c) // C for c in range(1, C + 1)]
+        first, toks = {}, {}
+        for did, text in docs:
+            ws = text.split()
+            toks[did] = len(ws)
+            for w in ws:
+                first.setdefault(w, did)
+        pts = []
+        for th in ths:
+            n = sum(t for d, t in toks.items() if d <= th)
+            v = sum(1 for f in first.values() if f <= th)
+            if n > 0 and v > 0:
+                pts.append(
+                    (
+                        Decimal(str(round(log10(n), 6))),
+                        Decimal(str(round(log10(v), 6))),
+                    )
+                )
+        k = len(pts)
+        sx = float(sum(x for x, _ in pts)); sy = float(sum(y for _, y in pts))
+        sxy = float(sum(x * y for x, y in pts))
+        sxx = float(sum(x * x for x, _ in pts))
+        den = k * sxx - sx * sx
+        beta = (k * sxy - sx * sy) / den
+        assert r.c_used == k
+        assert r.beta_r == round(beta, 6)
+        assert r.logk_r == round((sy - beta * sx) / k, 6)
+        assert 0.3 < r.beta_r < 0.8  # Heaps regime
+
+    def test_single_doc_yields_null_slope(self, spark):
+        from unitdb_spark.operators.tfidf import heaps_law
+
+        df = spark.createDataFrame([(7, "a b c a")], ["doc_id", "text"])
+        (r,) = heaps_law(df).collect()
+        assert r.c_used >= 1 and r.beta_r is None and r.logk_r is None
+
+    def test_too_few_checkpoints_raise(self, spark):
+        import pytest
+
+        from unitdb_spark.operators.tfidf import heaps_law
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="checkpoints"):
+            heaps_law(df, checkpoints=1)

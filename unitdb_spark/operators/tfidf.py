@@ -760,3 +760,101 @@ def zipf_slope(
         F.round(slope, 6).alias("slope_r"),
         F.round((syd - slope * sxd) / kd, 6).alias("intercept_r"),
     )
+
+
+def heaps_law(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoints: int = 16,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent (Heaps 1978): V(n) ≈
+    K·n^β — the companion corpus-health number to `zipf_slope`
+    (natural corpora sit near β ≈ 0.5; β drifting toward 1 means the
+    vocabulary never saturates — OCR noise, random IDs, boilerplate
+    churn; β collapsing toward 0 means near-duplicate text).
+
+    The curve is sampled at ``checkpoints`` doc_id-range thresholds
+    θ_c = mn + ((mx−mn)·c) div C, c = 1..C — VALUE-based cuts, so
+    both n_c (cumulative token count over docs with id ≤ θ_c) and
+    V_c (distinct terms whose FIRST-occurrence doc id ≤ θ_c) are
+    plain filtered aggregates: no corpus-length running window
+    anywhere, which is what makes the estimator hold at 100 TB (the
+    classic prefix formulation needs a global cumulative sum over
+    the document order).
+
+    β and log10 K come from exact decimal OLS over the round-6
+    (log10 n_c, log10 V_c) points — the `zipf_slope` finish. The
+    degenerate all-thresholds-equal case (single doc id) yields NULL
+    slope/intercept rather than a division blow-up.
+
+    Output: one row (c_used, beta_r, logk_r).
+
+    Scale: per-doc token counts and the term→min(doc_id) relation
+    are one explode + map-side-combined agg each; the C-row
+    threshold relation broadcast-joins against both (a C× fan-out of
+    two ALREADY-AGGREGATED relations, C = 16 by default). The OLS is
+    control-plane arithmetic over ≤ C points.
+    """
+    C = int(checkpoints)
+    if C < 2:
+        raise ValueError("heaps_law: need at least 2 checkpoints")
+    per_doc = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(_tokens(text_col)).cast("long").alias("_t"),
+    )
+    first = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(_tokens(text_col)).alias("_term"))
+        .groupBy("_term")
+        .agg(F.min("_id").alias("_fid"))
+    )
+    bounds = per_doc.agg(
+        F.min("_id").alias("_mn"), F.max("_id").alias("_mx")
+    )
+    th = bounds.select(
+        F.explode(F.sequence(F.lit(1), F.lit(C))).alias("c"),
+        "_mn", "_mx",
+    ).select(
+        "c",
+        # integer div, never a double floor (doc ids can exceed 2^53)
+        (
+            F.col("_mn") + F.expr(f"((_mx - _mn) * c) div {C}")
+        ).cast("long").alias("_th"),
+    )
+    n_c = (
+        per_doc.join(F.broadcast(th), per_doc["_id"] <= th["_th"])
+        .groupBy("c")
+        .agg(F.sum("_t").alias("_n"))
+    )
+    v_c = (
+        first.join(F.broadcast(th), first["_fid"] <= th["_th"])
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("_v"))
+    )
+    pts = (
+        n_c.join(v_c, "c")
+        .filter((F.col("_n") > 0) & (F.col("_v") > 0))
+        .select(
+            F.round(F.log10(F.col("_n").cast("double")), 6)
+            .cast("decimal(18,6)").alias("x"),
+            F.round(F.log10(F.col("_v").cast("double")), 6)
+            .cast("decimal(18,6)").alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("c_used"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    kd = F.col("c_used").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    den = kd * sxxd - sxd * sxd
+    slope = (kd * sxyd - sxd * syd) / den
+    return m.select(
+        "c_used",
+        F.when(den != 0, F.round(slope, 6)).alias("beta_r"),
+        F.when(den != 0, F.round((syd - slope * sxd) / kd, 6)).alias("logk_r"),
+    )
