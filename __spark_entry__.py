@@ -6059,6 +6059,38 @@ def q_doc_heaps(spark, sf_dir):
     return heaps_law(_docs(spark, sf_dir))
 
 
+
+def q_events_permtest(spark, sf_dir):
+    """Deterministic randomization test for the per-user revenue
+    difference between the hash-assigned A/B arms — the
+    assumption-free referee behind events_abtest's normal
+    approximation: 199 md5-seeded Bernoulli re-randomizations, every
+    exceedance comparison cross-multiplied in DECIMAL/HUGEINT, add-one
+    p-value in integer micro-units. Same data, same salt -> same
+    p-value on any engine."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.stats_tests import permutation_test
+
+    ev = _events(spark, sf_dir)
+    units = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            ),
+            F.lit(0),
+        ).alias("cents")
+    ).select(
+        "user_id",
+        "cents",
+        (
+            md5_int60(
+                F.concat(F.col("user_id").cast("string"), F.lit(":ab"))
+            ) % 2
+        ).cast("int").alias("arm"),
+    )
+    return permutation_test(units, "cents", "arm", "user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6381,6 +6413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_ewma_chart": q_streamed_ewma_chart,
         "streamed_ljungbox": q_streamed_ljungbox,
         "doc_heaps": q_doc_heaps,
+        "events_permtest": q_events_permtest,
     }
 
 
@@ -12651,6 +12684,59 @@ def oracle_sql() -> dict[str, str]:
           END AS logk_r
         FROM m
         """.replace("{toks}", _TOKS)
+    # randomization test: md5 re-assignment replayed verbatim; all
+    # exceedance comparisons HUGEINT cross-multiplied; `//` and `div`
+    # both truncate toward zero
+    d["events_permtest"] = """
+        WITH units AS (
+          SELECT CAST(user_id AS VARCHAR) AS u,
+            coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT)), 0) AS v,
+            CAST((CAST(('0x' || substr(md5(
+              CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT)
+              % 2) AS INTEGER) AS arm
+          FROM events GROUP BY user_id
+        ), obs AS (
+          SELECT
+            CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+            coalesce(sum(v) FILTER (arm = 0), 0) AS s_a,
+            CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+            coalesce(sum(v) FILTER (arm = 1), 0) AS s_b
+          FROM units
+        ), assigned AS (
+          SELECT CAST(g.r AS BIGINT) AS r, units.v,
+            CAST(('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':' ||
+              units.u || ':perm'), 1, 15)) AS BIGINT) % 2 AS pa
+          FROM units, unnest(generate_series(1, 199)) AS g(r)
+        ), by_r AS (
+          SELECT r,
+            CAST(count(*) FILTER (pa = 0) AS BIGINT) AS n1,
+            coalesce(sum(v) FILTER (pa = 0), 0) AS s1,
+            CAST(count(*) FILTER (pa = 1) AS BIGINT) AS n2,
+            coalesce(sum(v) FILTER (pa = 1), 0) AS s2
+          FROM assigned GROUP BY 1
+        ), fl AS (
+          SELECT by_r.*, obs.n_a, obs.s_a, obs.n_b, obs.s_b,
+            (n1 > 0 AND n2 > 0) AS valid,
+            (abs(CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+               * (CAST(n_a AS HUGEINT) * n_b)
+             >=
+             abs(CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a)
+               * (CAST(n1 AS HUGEINT) * n2)) AS exceed
+          FROM by_r, obs
+        )
+        SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+          CAST((any_value(CAST(s_a AS HUGEINT) * n_b
+                          - CAST(s_b AS HUGEINT) * n_a) * 1000)
+               // (any_value(CAST(n_a AS HUGEINT) * n_b)) AS BIGINT)
+            AS diff_obs_milli,
+          CAST(count(*) FILTER (valid) AS BIGINT) AS r_used,
+          CAST(count(*) FILTER (valid AND exceed) AS BIGINT)
+            AS n_exceed,
+          CAST((1 + count(*) FILTER (valid AND exceed)) * 1000000
+               // (count(*) FILTER (valid) + 1) AS BIGINT) AS p_micro
+        FROM fl
+        """
     return d
 
 

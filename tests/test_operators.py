@@ -7839,3 +7839,68 @@ class TestHeapsLaw:
         df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="checkpoints"):
             heaps_law(df, checkpoints=1)
+
+
+class TestPermutationTest:
+    def test_matches_python_model(self, spark):
+        import hashlib
+
+        from unitdb_spark.operators.stats_tests import permutation_test
+
+        # 30 units, arm 1 shifted upward
+        data = [
+            (f"u{i}", 100 + (i % 7) * 10 + (40 if i % 2 else 0), i % 2)
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(data, "uid string, v long, arm int")
+        (r,) = permutation_test(df, "v", "arm", "uid", n_perm=99).collect()
+
+        def h60(sx):
+            return int(hashlib.md5(sx.encode()).hexdigest()[:15], 16)
+
+        n_a = sum(1 for _, _, a in data if a == 0)
+        n_b = len(data) - n_a
+        s_a = sum(v for _, v, a in data if a == 0)
+        s_b = sum(v for _, v, a in data if a == 1)
+        obs = abs(s_a * n_b - s_b * n_a)
+        used = exceed = 0
+        for rr in range(1, 100):
+            s1 = n1 = s2 = n2 = 0
+            for u, v, _ in data:
+                if h60(f"{rr}:{u}:perm") % 2 == 0:
+                    s1 += v; n1 += 1
+                else:
+                    s2 += v; n2 += 1
+            if n1 and n2:
+                used += 1
+                if abs(s1 * n2 - s2 * n1) * (n_a * n_b) >= obs * (n1 * n2):
+                    exceed += 1
+        q = s_a * n_b - s_b * n_a
+        diff = (1 if q >= 0 else -1) * (abs(q) * 1000 // (n_a * n_b))
+        want = (n_a, n_b, diff, used, exceed,
+                (1 + exceed) * 1_000_000 // (used + 1))
+        assert tuple(r) == want
+        # a real shift should look extreme against the null
+        assert r.p_micro < 100_000
+
+    def test_null_effect_is_not_significant(self, spark):
+        from unitdb_spark.operators.stats_tests import permutation_test
+
+        # identical distribution in both arms
+        data = [(f"u{i}", 100 + (i % 10), (i // 10) % 2) for i in range(40)]
+        df = spark.createDataFrame(data, "uid string, v long, arm int")
+        (r,) = permutation_test(df, "v", "arm", "uid", n_perm=99).collect()
+        assert r.p_micro > 50_000
+
+    def test_salt_changes_reference_not_observed(self, spark):
+        from unitdb_spark.operators.stats_tests import permutation_test
+
+        data = [(f"u{i}", i * 3 % 17, i % 2) for i in range(24)]
+        df = spark.createDataFrame(data, "uid string, v long, arm int")
+        (a,) = permutation_test(df, "v", "arm", "uid", n_perm=49).collect()
+        (b,) = permutation_test(
+            df, "v", "arm", "uid", n_perm=49, salt="other"
+        ).collect()
+        assert (a.n_a, a.n_b, a.diff_obs_milli) == (b.n_a, b.n_b, b.diff_obs_milli)
+        (a2,) = permutation_test(df, "v", "arm", "uid", n_perm=49).collect()
+        assert tuple(a2) == tuple(a)  # fully deterministic

@@ -948,3 +948,125 @@ def ljungbox_from_cells(
             (F.col("q_micro") > crit).alias("significant"),
         )
     )
+
+
+def permutation_test(
+    units: DataFrame,
+    value_col: str,
+    arm_col: str,
+    unit_col: str,
+    n_perm: int = 199,
+    salt: str = "perm",
+) -> DataFrame:
+    """Deterministic randomization test (Fisher 1935) for a difference
+    in means between two arms — the assumption-free referee behind the
+    parametric A/B readout: instead of a normal approximation it asks
+    how extreme the OBSERVED mean difference is within the
+    re-randomization distribution itself.
+
+    Input: ONE ROW PER UNIT — (unit id, exact integer value, observed
+    arm 0/1). Re-randomization r ∈ 1..n_perm reassigns each unit by
+    the portable content hash md5(r:unit:salt) % 2 — Bernoulli(1/2),
+    the same mechanism that assigned the observed arms, so the
+    reference distribution is the actual randomization distribution
+    (the classical fixed-margin permutation variant would need a
+    corpus-wide sort PER PERMUTATION to deal out exactly n_a labels —
+    a non-starter at scale, and the wrong reference when assignment
+    was Bernoulli to begin with). Everything is deterministic: same
+    data, same salt → same p-value, on any engine.
+
+    Exactness: with per-arm integer sums/counts, |mean_A − mean_B|
+    comparisons cross-multiply —
+
+        |s_r·n2_r − t_r·n1_r| · (n_a·n_b)  ≥  |s_a·n_b − s_b·n_a| · (n1_r·n2_r)
+
+    in DECIMAL(38,0)/HUGEINT, so the exceedance count and the
+    add-one p-value p = (1 + #exceed)/(#valid + 1) are pure integer
+    arithmetic (permutations that land every unit in one arm have no
+    statistic and drop out of #valid; at any realistic n that never
+    happens). diff_obs_milli is the truncating integer division both
+    engines share.
+
+    Output: one row (n_a, n_b, diff_obs_milli, r_used, n_exceed,
+    p_micro).
+
+    Scale: ONE explode of the per-unit relation by n_perm feeding a
+    map-side-combined (r, arm) aggregate — 2·n_perm partial rows out
+    of the shuffle regardless of unit count; the exceedance test runs
+    on the n_perm-row relation against a broadcast 1-row observed
+    aggregate. Cost is the documented n_perm× fan-out of the
+    ALREADY-AGGREGATED unit relation; no global sort, no driver loop.
+    """
+    from unitdb_spark.functions.portable_hash import md5_int60
+
+    R = int(n_perm)
+    if R < 1:
+        raise ValueError("permutation_test: n_perm must be >= 1")
+    base = units.select(
+        F.col(unit_col).cast("string").alias("_u"),
+        F.col(value_col).cast("long").alias("_v"),
+        F.col(arm_col).cast("int").alias("_a"),
+    )
+    D = "decimal(38,0)"
+
+    def arm_aggs(arm_expr):
+        return [
+            F.count(F.when(arm_expr == 0, 1)).cast("long"),
+            F.coalesce(
+                F.sum(F.when(arm_expr == 0, F.col("_v"))), F.lit(0)
+            ).cast("long"),
+            F.count(F.when(arm_expr == 1, 1)).cast("long"),
+            F.coalesce(
+                F.sum(F.when(arm_expr == 1, F.col("_v"))), F.lit(0)
+            ).cast("long"),
+        ]
+
+    na, sa, nb, sb = arm_aggs(F.col("_a"))
+    obs = base.agg(
+        na.alias("n_a"), sa.alias("s_a"), nb.alias("n_b"), sb.alias("s_b")
+    )
+    perm = base.select(
+        "_u", "_v",
+        F.explode(F.sequence(F.lit(1), F.lit(R))).alias("_r"),
+    ).select(
+        "_r", "_v",
+        (
+            md5_int60(
+                F.concat_ws(":", F.col("_r"), F.col("_u"), F.lit(salt))
+            ) % 2
+        ).cast("int").alias("_pa"),
+    )
+    n1, s1, n2, s2 = arm_aggs(F.col("_pa"))
+    by_r = perm.groupBy("_r").agg(
+        n1.alias("n1"), s1.alias("s1"), n2.alias("n2"), s2.alias("s2")
+    )
+    j = by_r.crossJoin(F.broadcast(obs))  # 1-row observed side
+    lhs = F.abs(
+        F.col("s1").cast(D) * F.col("n2") - F.col("s2").cast(D) * F.col("n1")
+    ) * (F.col("n_a").cast(D) * F.col("n_b"))
+    rhs = F.abs(
+        F.col("s_a").cast(D) * F.col("n_b") - F.col("s_b").cast(D) * F.col("n_a")
+    ) * (F.col("n1").cast(D) * F.col("n2"))
+    valid = (F.col("n1") > 0) & (F.col("n2") > 0)
+    out = j.agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.first(
+            (
+                (F.col("s_a").cast(D) * F.col("n_b")
+                 - F.col("s_b").cast(D) * F.col("n_a"))
+                * 1000
+            )
+        ).alias("_dnum"),
+        F.first(F.col("n_a").cast(D) * F.col("n_b")).alias("_dden"),
+        F.count(F.when(valid, 1)).cast("long").alias("r_used"),
+        F.count(F.when(valid & (lhs >= rhs), 1)).cast("long").alias("n_exceed"),
+    )
+    return out.select(
+        "n_a", "n_b",
+        F.expr("CAST(_dnum div _dden AS BIGINT)").alias("diff_obs_milli"),
+        "r_used", "n_exceed",
+        F.expr(
+            "CAST((1 + n_exceed) * 1000000 div (r_used + 1) AS BIGINT)"
+        ).alias("p_micro"),
+    )
