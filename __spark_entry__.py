@@ -6091,6 +6091,24 @@ def q_events_permtest(spark, sf_dir):
     return permutation_test(units, "cents", "arm", "user_id")
 
 
+
+def q_events_sprt(spark, sf_dir):
+    """Wald SPRT per event_type: sequentially monitor the daily share
+    of high-value events (value >= 150) for H1: p = 8% against
+    H0: p = 5% at alpha = beta = 0.05 — the anytime-valid stop/go
+    decision the fixed-horizon A/B readouts cannot give (no peeking
+    problem). Integer micro-nat LLR off injected log literals; the
+    boundary comparisons and first-crossing day are pure integer
+    arithmetic."""
+    from unitdb_spark.operators.stats_tests import sprt_decision
+
+    ev = _events(spark, sf_dir)
+    hi = F.col("value").isNotNull() & (
+        F.expr("CAST(value AS DECIMAL(18,2))") >= 150
+    )
+    return sprt_decision(ev, "event_type", "ts", hi)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6414,6 +6432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_ljungbox": q_streamed_ljungbox,
         "doc_heaps": q_doc_heaps,
         "events_permtest": q_events_permtest,
+        "events_sprt": q_events_sprt,
     }
 
 
@@ -12736,6 +12755,51 @@ def oracle_sql() -> dict[str, str]:
           CAST((1 + count(*) FILTER (valid AND exceed)) * 1000000
                // (count(*) FILTER (valid) + 1) AS BIGINT) AS p_micro
         FROM fl
+        """
+    # SPRT: the same four micro-nat literals injected (l1=470004,
+    # l0=-32088, la=2944439, lb=-2944439); running LLR and both boundary
+    # tests are exact integers
+    d["events_sprt"] = """
+        WITH cells AS (
+          SELECT event_type AS k,
+            CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
+                 AS BIGINT) AS d,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(count(*) FILTER (value IS NOT NULL AND
+              CAST(value AS DECIMAL(18,2)) >= 150) AS BIGINT) AS s
+          FROM events GROUP BY 1, 2
+        ), cum AS (
+          SELECT k, d,
+            sum(n) OVER (PARTITION BY k ORDER BY d) AS nn,
+            sum(s) OVER (PARTITION BY k ORDER BY d) AS kk
+          FROM cells
+        ), llr AS (
+          SELECT k, d, nn, kk,
+            kk * (470004) + (nn - kk) * (-32088) AS llr
+          FROM cum
+        ), agg AS (
+          SELECT k,
+            CAST(count(*) AS BIGINT) AS n_days,
+            CAST(max(nn) AS BIGINT) AS n_end,
+            CAST(max(kk) AS BIGINT) AS k_end,
+            CAST(max_by(llr, d) AS BIGINT) AS llr_end_micro,
+            min(d) FILTER (llr >= 2944439) AS h1d,
+            min(d) FILTER (llr <= -2944439) AS h0d
+          FROM llr GROUP BY 1
+        )
+        SELECT k AS event_type, n_days, n_end, k_end, llr_end_micro,
+          CASE
+            WHEN h1d IS NOT NULL AND (h0d IS NULL OR h1d <= h0d)
+              THEN 'h1'
+            WHEN h0d IS NOT NULL THEN 'h0'
+            ELSE 'continue'
+          END AS decision,
+          CAST(CASE
+            WHEN h1d IS NOT NULL AND (h0d IS NULL OR h1d <= h0d)
+              THEN h1d
+            WHEN h0d IS NOT NULL THEN h0d
+          END AS BIGINT) AS cross_day
+        FROM agg
         """
     return d
 

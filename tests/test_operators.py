@@ -7904,3 +7904,72 @@ class TestPermutationTest:
         assert (a.n_a, a.n_b, a.diff_obs_milli) == (b.n_a, b.n_b, b.diff_obs_milli)
         (a2,) = permutation_test(df, "v", "arm", "uid", n_perm=49).collect()
         assert tuple(a2) == tuple(a)  # fully deterministic
+
+
+class TestSprtDecision:
+    @staticmethod
+    def _mk(spark, per_day):
+        """per_day: list of (n, k) tuples, one per consecutive day."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 5, 1)
+        rows = []
+        for d, (n, k) in enumerate(per_day):
+            for i in range(n):
+                rows.append(
+                    ("s", base + dt.timedelta(days=d, minutes=i), i < k)
+                )
+        return spark.createDataFrame(
+            rows, "event_type string, ts timestamp, hit boolean"
+        )
+
+    def test_h0_crossing_day_exact(self, spark):
+        from unitdb_spark.operators.stats_tests import sprt_decision
+
+        # zero successes: llr = -32088*N crosses lb = -2944439 at
+        # N = 92 -> with 10 trials/day that's day index 9 (N = 100)
+        df = self._mk(spark, [(10, 0)] * 12)
+        (r,) = sprt_decision(df, "event_type", "ts", F.col("hit")).collect()
+        assert r.decision == "h0"
+        import datetime as dt
+
+        day0 = dt.date(2024, 5, 1).toordinal() - dt.date(1970, 1, 1).toordinal()
+        assert r.cross_day == day0 + 9
+        assert r.llr_end_micro == -32088 * 120
+
+    def test_h1_crossing_and_llr_arithmetic(self, spark):
+        from unitdb_spark.operators.stats_tests import sprt_decision
+
+        # heavy successes: llr(day d) = K*470004 + (N-K)*(-32088)
+        df = self._mk(spark, [(10, 5)] * 3)
+        (r,) = sprt_decision(df, "event_type", "ts", F.col("hit")).collect()
+        assert r.decision == "h1"
+        assert r.llr_end_micro == 15 * 470004 + 15 * -32088
+        # first crossing: day 0 gives 5*470004 - 5*32088 = 2189580 < la;
+        # day 1 doubles it past 2944439
+        import datetime as dt
+
+        day0 = dt.date(2024, 5, 1).toordinal() - dt.date(1970, 1, 1).toordinal()
+        assert r.cross_day == day0 + 1
+
+    def test_continue_between_boundaries(self, spark):
+        from unitdb_spark.operators.stats_tests import sprt_decision
+
+        # ~6.5% sits between p0 = 5% and p1 = 8%: evidence accrues
+        # too slowly to cross either bound in 3 small days
+        df = self._mk(spark, [(31, 2)] * 3)
+        (r,) = sprt_decision(df, "event_type", "ts", F.col("hit")).collect()
+        assert r.decision == "continue" and r.cross_day is None
+
+    def test_bad_rates_raise(self, spark):
+        import pytest
+
+        from unitdb_spark.operators.stats_tests import sprt_decision
+
+        df = spark.range(1).select(
+            F.lit("k").alias("event_type"),
+            F.current_timestamp().alias("ts"),
+            F.lit(True).alias("hit"),
+        )
+        with pytest.raises(ValueError, match="p0"):
+            sprt_decision(df, "event_type", "ts", F.col("hit"), p0=0.1, p1=0.1)

@@ -1070,3 +1070,99 @@ def permutation_test(
             "CAST((1 + n_exceed) * 1000000 div (r_used + 1) AS BIGINT)"
         ).alias("p_micro"),
     )
+
+
+def sprt_decision(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    success,
+    p0: float = 0.05,
+    p1: float = 0.08,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's sequential probability ratio test (Wald 1945) per key —
+    the SEQUENTIAL decision the fixed-horizon A/B family
+    (ab_test_report, permutation_test) cannot give: monitor a
+    conversion rate day by day and STOP the moment the evidence
+    crosses either boundary, with guaranteed error rates (α, β)
+    regardless of when you stop — the peeking problem that invalidates
+    repeated z-tests simply does not arise.
+
+    After each day the cumulative log-likelihood ratio for H1: p = p1
+    against H0: p = p0 over N trials / K successes is
+
+        LLR = K·ln(p1/p0) + (N−K)·ln((1−p1)/(1−p0))
+
+    accept H1 when LLR ≥ ln((1−β)/α), accept H0 when
+    LLR ≤ ln(β/(1−α)), continue otherwise.
+
+    Exactness: the four logs are computed ONCE here and injected as
+    integer micro-nat literals into the plan (the NDCG-log2/RRF
+    convention — the DuckDB oracle injects the same literals), so the
+    running LLR is the exact integer K·l1 + (N−K)·l0 and every
+    boundary comparison is integer — no engine evaluates a
+    transcendental per row.
+
+    Output per key: (key, n_days, n_end, k_end, llr_end_micro,
+    decision 'h1'|'h0'|'continue', cross_day — epoch days of the
+    FIRST boundary crossing, NULL while in 'continue').
+
+    Scale: one (key, day) count shuffle; the cumulative window is
+    PARTITIONED BY KEY over the day relation (span days, not events);
+    the finish is a per-key aggregate. Envelope: K·l1 at 10¹² daily
+    successes is ~5·10¹⁷ — inside int64; lift to DECIMAL past that.
+    """
+    from math import log
+
+    if not (0 < p0 < 1 and 0 < p1 < 1 and p0 != p1):
+        raise ValueError("sprt_decision: need 0 < p0 != p1 < 1")
+    l1 = round(log(p1 / p0) * 1_000_000)
+    l0 = round(log((1 - p1) / (1 - p0)) * 1_000_000)
+    la = round(log((1 - beta) / alpha) * 1_000_000)
+    lb = round(log(beta / (1 - alpha)) * 1_000_000)
+    cells = df.groupBy(
+        F.col(key_col).alias("_k"),
+        F.unix_date(F.to_date(ts_col)).cast("long").alias("_d"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.count(F.when(success, 1)).cast("long").alias("_s"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "_k", "_d",
+        F.sum("_n").over(w).alias("N"),
+        F.sum("_s").over(w).alias("K"),
+    ).select(
+        "_k", "_d", "N", "K",
+        (
+            F.col("K") * F.lit(l1) + (F.col("N") - F.col("K")) * F.lit(l0)
+        ).alias("llr"),
+    )
+    agg = cum.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("N").cast("long").alias("n_end"),
+        F.max("K").cast("long").alias("k_end"),
+        F.max_by("llr", "_d").cast("long").alias("llr_end_micro"),
+        F.min(F.when(F.col("llr") >= F.lit(la), F.col("_d"))).alias("_h1d"),
+        F.min(F.when(F.col("llr") <= F.lit(lb), F.col("_d"))).alias("_h0d"),
+    )
+    h1_wins = F.col("_h1d").isNotNull() & (
+        F.col("_h0d").isNull() | (F.col("_h1d") <= F.col("_h0d"))
+    )
+    h0_wins = F.col("_h0d").isNotNull() & ~h1_wins
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "n_days", "n_end", "k_end", "llr_end_micro",
+        F.when(h1_wins, F.lit("h1"))
+        .when(h0_wins, F.lit("h0"))
+        .otherwise(F.lit("continue")).alias("decision"),
+        F.when(h1_wins, F.col("_h1d"))
+        .when(h0_wins, F.col("_h0d"))
+        .cast("long").alias("cross_day"),
+    )
