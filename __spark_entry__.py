@@ -6109,6 +6109,25 @@ def q_events_sprt(spark, sf_dir):
     return sprt_decision(ev, "event_type", "ts", hi)
 
 
+
+def q_events_markov_attrib(spark, sf_dir):
+    """Markov removal-effect attribution (Anderl et al. 2014): each
+    channel's credit = how much corpus-wide conversion probability
+    drops when journeys can no longer pass through it — the
+    data-driven counterpart of the rule-based events_multitouch.
+    First-order transitions from one user-partitioned lead window;
+    the levels-squared chain solves driver-side in exact ppm
+    fixed-point (the sanctioned BPE pattern); oracle = 40 unrolled
+    fixpoint CTEs over the same integer arithmetic."""
+    from unitdb_spark.operators.markov import markov_attribution
+
+    return markov_attribution(
+        _events(spark, sf_dir),
+        "user_id", "ts", "event_id", "event_type",
+        F.col("event_type") == "purchase",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6433,6 +6452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_heaps": q_doc_heaps,
         "events_permtest": q_events_permtest,
         "events_sprt": q_events_sprt,
+        "events_markov_attrib": q_events_markov_attrib,
     }
 
 
@@ -12801,6 +12821,8 @@ def oracle_sql() -> dict[str, str]:
           END AS BIGINT) AS cross_day
         FROM agg
         """
+    # Markov removal-effect attribution: 40 unrolled fixpoint CTEs
+    d["events_markov_attrib"] = _attribution_oracle()
     return d
 
 
@@ -13210,6 +13232,88 @@ def _holt_oracle(row_filter: str) -> str:
         FROM fin JOIN n ON fin.k = n.k
         """
 
+
+
+
+def _attribution_oracle(iters: int = 40) -> str:
+    """Unrolled fixpoint replay of markov_attribution's driver-side
+    solve: v_i(sc, a) = Σ_b cnt(a,b)·val(b) // tot(a) with
+    val(conv)=1e6, val(null)=val(removed)=0 — same truncating integer
+    arithmetic, |channels|+1 scenarios solved jointly."""
+    head = """
+        WITH seq AS (
+          SELECT user_id AS u, event_type AS s,
+            (event_type = 'purchase') AS cv,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM events
+        ), fb AS (
+          SELECT u, min(rn) AS frn FROM seq WHERE cv GROUP BY 1
+        ), users AS (
+          SELECT d.u,
+            CASE WHEN fb.frn IS NOT NULL THEN 'conv' ELSE 'null' END AS t
+          FROM (SELECT DISTINCT u FROM seq) d LEFT JOIN fb ON fb.u = d.u
+        ), pre AS (
+          SELECT seq.u, seq.s, seq.rn
+          FROM seq LEFT JOIN fb ON fb.u = seq.u
+          WHERE fb.frn IS NULL OR seq.rn < fb.frn
+        ), aug AS (
+          SELECT u, s, rn FROM pre
+          UNION ALL
+          SELECT u, 'start', 0 FROM users
+        ), led AS (
+          SELECT aug.u, aug.s,
+            lead(aug.s) OVER (PARTITION BY aug.u ORDER BY aug.rn) AS nxt
+          FROM aug
+        ), tr AS MATERIALIZED (
+          SELECT led.s AS a, coalesce(led.nxt, users.t) AS b,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM led JOIN users ON users.u = led.u
+          GROUP BY 1, 2
+        ), tot AS MATERIALIZED (
+          SELECT a, CAST(sum(cnt) AS BIGINT) AS t FROM tr GROUP BY 1
+        ), ch AS (
+          SELECT s FROM (
+            SELECT a AS s FROM tr UNION SELECT b AS s FROM tr
+          ) WHERE s NOT IN ('start', 'conv', 'null')
+        ), scen AS MATERIALIZED (
+          SELECT 'base' AS sc UNION ALL SELECT s FROM ch
+        ), v0 AS MATERIALIZED (
+          SELECT scen.sc, tot.a AS node, CAST(0 AS BIGINT) AS u
+          FROM scen, tot
+        )"""
+    step = """, v{i} AS MATERIALIZED (
+          SELECT s.sc, tr.a AS node,
+            CAST(sum(CAST(tr.cnt AS HUGEINT) *
+              (CASE WHEN tr.b = 'conv' THEN 1000000
+                    WHEN tr.b = 'null' OR tr.b = s.sc THEN 0
+                    ELSE coalesce(p.u, 0) END))
+              // any_value(tt.t) AS BIGINT) AS u
+          FROM scen s
+          CROSS JOIN tr
+          JOIN tot tt ON tt.a = tr.a
+          LEFT JOIN v{j} p ON p.sc = s.sc AND p.node = tr.b
+          GROUP BY 1, 2
+        )"""
+    tail = """, base AS (
+          SELECT u AS pb FROM v{n} WHERE sc = 'base' AND node = 'start'
+        ), eff AS (
+          SELECT v.sc AS channel, base.pb AS p_base_ppm,
+            greatest(base.pb - v.u, 0) AS effect
+          FROM v{n} v, base WHERE v.sc <> 'base' AND v.node = 'start'
+        ), te AS (SELECT sum(effect) AS se FROM eff)
+        SELECT channel,
+          CAST(p_base_ppm AS BIGINT) AS p_base_ppm,
+          CAST(p_base_ppm - effect AS BIGINT) AS p_removed_ppm,
+          CAST(effect AS BIGINT) AS removal_effect_ppm,
+          CASE WHEN te.se > 0
+            THEN CAST(effect * 1000000 // te.se AS BIGINT)
+          END AS share_ppm
+        FROM eff, te"""
+    body = head + "".join(
+        step.format(i=i, j=i - 1) for i in range(1, iters + 1)
+    ) + tail.format(n=iters)
+    return body
 
 
 def _ewma_oracle(row_filter: str = "") -> str:

@@ -7973,3 +7973,107 @@ class TestSprtDecision:
         )
         with pytest.raises(ValueError, match="p0"):
             sprt_decision(df, "event_type", "ts", F.col("hit"), p0=0.1, p1=0.1)
+
+
+class TestMarkovAttribution:
+    def test_matches_python_model_on_crafted_journeys(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.markov import markov_attribution
+
+        # journeys: A->B->buy, A->buy, B->(no buy), C->C->buy
+        base = dt.datetime(2024, 6, 1)
+        rows, eid = [], 0
+
+        def add(u, seq, buys):
+            nonlocal eid
+            for i, s in enumerate(seq):
+                rows.append((u, base + dt.timedelta(minutes=i), eid, s))
+                eid += 1
+            if buys:
+                rows.append(
+                    (u, base + dt.timedelta(minutes=len(seq)), eid, "purchase")
+                )
+                eid += 1
+
+        add(1, ["A", "B"], True)
+        add(2, ["A"], True)
+        add(3, ["B"], False)
+        add(4, ["C", "C"], True)
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        got = {
+            r.channel: tuple(r)
+            for r in markov_attribution(
+                df, "user_id", "ts", "event_id", "event_type",
+                F.col("event_type") == "purchase",
+            ).collect()
+        }
+
+        # independent python fixpoint
+        edges = {}
+        journeys = [
+            (["start", "A", "B"], "conv"),
+            (["start", "A"], "conv"),
+            (["start", "B"], "null"),
+            (["start", "C", "C"], "conv"),
+        ]
+        for seq, term in journeys:
+            path = seq + [term]
+            for a, b in zip(path, path[1:]):
+                edges[(a, b)] = edges.get((a, b), 0) + 1
+        tot = {}
+        for (a, _), c in edges.items():
+            tot[a] = tot.get(a, 0) + c
+
+        def solve(removed):
+            v = {a: 0 for a in tot}
+            for _ in range(40):
+                nv = {}
+                for a in tot:
+                    acc = 0
+                    for (ea, eb), c in edges.items():
+                        if ea != a:
+                            continue
+                        val = (
+                            1_000_000 if eb == "conv"
+                            else 0 if eb in ("null", removed)
+                            else v.get(eb, 0)
+                        )
+                        acc += c * val
+                    nv[a] = acc // tot[a]
+                v = nv
+            return v["start"]
+
+        pb = solve(None)
+        effects = {c: max(0, pb - solve(c)) for c in ("A", "B", "C")}
+        se = sum(effects.values())
+        for c in ("A", "B", "C"):
+            want = (c, pb, pb - effects[c], effects[c],
+                    effects[c] * 1_000_000 // se)
+            assert got[c] == want
+        # removing C only kills user 4's journey; A carries two
+        assert effects["A"] > effects["C"] > 0
+
+    def test_no_conversions_yields_zero_base(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.markov import markov_attribution
+
+        base = dt.datetime(2024, 6, 1)
+        rows = [
+            (u, base + dt.timedelta(minutes=i), u * 10 + i, "A")
+            for u in range(3)
+            for i in range(2)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        out = markov_attribution(
+            df, "user_id", "ts", "event_id", "event_type",
+            F.col("event_type") == "purchase",
+        ).collect()
+        assert [
+            (r.p_base_ppm, r.removal_effect_ppm, r.share_ppm) for r in out
+        ] == [(0, 0, None)]

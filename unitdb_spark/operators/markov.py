@@ -311,3 +311,142 @@ def entropy_rate(matrix: DataFrame, pi: DataFrame) -> DataFrame:
             6,
         ).alias("entropy_rate_r"),
     )
+
+
+def markov_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    state_col: str,
+    conv,
+    iters: int = 40,
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014) — the
+    DATA-DRIVEN credit assignment the positional models can't give:
+    `multitouch_attribution` splits credit by rule (linear over the
+    lookback); here each channel's credit is how much the corpus-wide
+    conversion probability DROPS when journeys can no longer pass
+    through it.
+
+    Journeys: per user, the ``state_col`` sequence ordered by
+    (ts, order_col) strictly BEFORE the first ``conv`` row, opened by
+    the synthetic 'start' state and closed by the absorbing 'conv'
+    (user converted) or 'null' terminal. First-order transition
+    counts cnt(a→b) come from one partitioned lead window.
+
+    Absorption: P(conv | a) is the fixpoint v(a) = Σ_b cnt(a,b)·
+    val(b) div tot(a) with val(conv) = 10⁶, val(null) = 0 — iterated
+    ``iters`` times from v = 0 in ppm fixed-point with truncating
+    division (the pagerank discipline: monotone from below,
+    deterministic, engine-replayable). The removal scenario for
+    channel c forces val(c) = 0 — journeys entering c die, the
+    standard removal semantics. All |channels|+1 scenarios solve
+    jointly.
+
+    The chain itself is a levels²-sized relation BY CONSTRUCTION
+    (distinct journey states squared), so after the one corpus pass
+    that builds the counts, the solve runs driver-side in exact
+    Python integers — the sanctioned BPE pattern (collect a
+    vocab-sized relation, never per-iteration Spark jobs). The
+    collect is a bounded control-plane read, documented here.
+
+    Output per channel: (channel, p_base_ppm, p_removed_ppm,
+    removal_effect_ppm, share_ppm) — share = effect·10⁶ div
+    Σ effects (NULL when no channel has any effect).
+
+    Scale: the heavy work is the sequence window (partitioned by
+    user) and one (a, b) count shuffle; everything after operates on
+    the levels² relation. 100 TB note: journeys with millions of
+    events per user would skew the window — cap per-user history
+    upstream if that ever applies.
+    """
+    spark = df.sparkSession
+    w = Window.partitionBy("_u").orderBy("_ts", "_o")
+    seq = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(order_col).alias("_o"),
+        F.col(state_col).cast("string").alias("_s"),
+        conv.cast("boolean").alias("_cv"),
+    ).select("_u", "_s", "_cv", F.row_number().over(w).alias("_rn"))
+    fb = (
+        seq.filter(F.col("_cv"))
+        .groupBy("_u")
+        .agg(F.min("_rn").alias("_frn"))
+    )
+    users = seq.select("_u").distinct().join(fb, "_u", "left").select(
+        "_u",
+        F.when(F.col("_frn").isNotNull(), F.lit("conv"))
+        .otherwise(F.lit("null")).alias("_t"),
+        "_frn",
+    )
+    pre = (
+        seq.join(fb, "_u", "left")
+        .filter(F.col("_frn").isNull() | (F.col("_rn") < F.col("_frn")))
+        .select("_u", "_s", "_rn")
+    )
+    aug = pre.unionByName(
+        users.select("_u", F.lit("start").alias("_s"), F.lit(0).alias("_rn"))
+    )
+    w2 = Window.partitionBy("_u").orderBy("_rn")
+    tr = (
+        aug.select("_u", "_s", F.lead("_s").over(w2).alias("_nxt"))
+        .join(users.select("_u", "_t"), "_u")
+        .select(
+            F.col("_s").alias("a"),
+            F.coalesce(F.col("_nxt"), F.col("_t")).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # levels²-sized by construction: bounded control-plane read
+    edges = [(r["a"], r["b"], int(r["cnt"])) for r in tr.collect()]
+    tot: dict[str, int] = {}
+    for a, _, c in edges:
+        tot[a] = tot.get(a, 0) + c
+    channels = sorted(
+        ({a for a, _, _ in edges} | {b for _, b, _ in edges})
+        - {"start", "conv", "null"}
+    )
+    PPM = 1_000_000
+
+    def solve(removed: str | None) -> int:
+        v = {a: 0 for a in tot}
+        for _ in range(int(iters)):
+            nv = {}
+            for a in tot:
+                acc = 0
+                for ea, eb, c in edges:
+                    if ea != a:
+                        continue
+                    if eb == "conv":
+                        val = PPM
+                    elif eb == "null" or eb == removed:
+                        val = 0
+                    else:
+                        val = v.get(eb, 0)
+                    acc += c * val
+                nv[a] = acc // tot[a]
+            v = nv
+        return v.get("start", 0)
+
+    base = solve(None)
+    rows = []
+    effects = {c: max(0, base - solve(c)) for c in channels}
+    s_eff = sum(effects.values())
+    for c in channels:
+        rows.append(
+            (
+                c,
+                base,
+                base - effects[c],
+                effects[c],
+                effects[c] * PPM // s_eff if s_eff > 0 else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_base_ppm long, p_removed_ppm long, "
+        "removal_effect_ppm long, share_ppm long",
+    )
