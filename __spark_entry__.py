@@ -6128,6 +6128,19 @@ def q_events_markov_attrib(spark, sf_dir):
     )
 
 
+
+def q_embed_kcenter(spark, sf_dir):
+    """Greedy k-center (farthest-point) coreset over the embedding
+    corpus: 8 maximally-diverse representatives, each round a fused
+    greatest() scan + TakeOrdered(1) control-plane pick on the raw
+    cosine doubles (the ANN family's pinned zip_with fold), so the
+    whole selection replays bitwise in the oracle's 8 unrolled
+    argmin CTEs."""
+    from unitdb_spark.operators.similarity import kcenter_select
+
+    return kcenter_select(_read(spark, sf_dir, "embeddings"), k=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6453,6 +6466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_permtest": q_events_permtest,
         "events_sprt": q_events_sprt,
         "events_markov_attrib": q_events_markov_attrib,
+        "embed_kcenter": q_embed_kcenter,
     }
 
 
@@ -12823,6 +12837,8 @@ def oracle_sql() -> dict[str, str]:
         """
     # Markov removal-effect attribution: 40 unrolled fixpoint CTEs
     d["events_markov_attrib"] = _attribution_oracle()
+    # greedy k-center: 8 unrolled argmin CTEs on the raw cosine doubles
+    d["embed_kcenter"] = _kcenter_oracle()
     return d
 
 
@@ -13314,6 +13330,43 @@ def _attribution_oracle(iters: int = 40) -> str:
         step.format(i=i, j=i - 1) for i in range(1, iters + 1)
     ) + tail.format(n=iters)
     return body
+
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled greedy farthest-point replay: step j orders the
+    remaining corpus by (max cosine sim to the j-1 selected, id) on
+    the RAW doubles and takes one row — MATERIALIZED so DuckDB
+    computes each center once."""
+    ctes = [
+        """c1 AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            CAST(NULL AS DOUBLE) AS fs
+          FROM embeddings ORDER BY vec_id LIMIT 1
+        )"""
+    ]
+    for j in range(2, k + 1):
+        prev = [f"c{i}" for i in range(1, j)]
+        g = ", ".join(
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            f"(SELECT v FROM {c}))" for c in prev
+        )
+        best = f"greatest({g})" if len(prev) > 1 else g
+        notin = " UNION ALL ".join(f"SELECT vec_id FROM {c}" for c in prev)
+        ctes.append(f"""c{j} AS MATERIALIZED (
+          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+            round({best}, 6) AS fs
+          FROM embeddings e
+          WHERE e.vec_id NOT IN ({notin})
+          ORDER BY {best} ASC, e.vec_id ASC
+          LIMIT 1
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({j} AS INTEGER) AS sel_rank, "
+        f"CAST(vec_id AS BIGINT) AS id, fs AS far_sim_r FROM c{j}"
+        for j in range(1, k + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + sel
 
 
 def _ewma_oracle(row_filter: str = "") -> str:

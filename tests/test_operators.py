@@ -8077,3 +8077,63 @@ class TestMarkovAttribution:
         assert [
             (r.p_base_ppm, r.removal_effect_ppm, r.share_ppm) for r in out
         ] == [(0, 0, None)]
+
+
+class TestKCenterSelect:
+    def test_matches_python_model(self, spark):
+        import numpy as np
+
+        from unitdb_spark.operators.similarity import kcenter_select
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(60, 8).astype(float)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+            "vec_id long, embedding array<double>",
+        )
+        got = [tuple(r) for r in kcenter_select(df, k=5).collect()]
+
+        def cos(a, b):
+            # same shape as the engines' fold: dot / (na*nb)
+            return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        chosen = [0]
+        want = [(1, 0, None)]
+        best = {i: -2.0 for i in range(60)}
+        for j in range(2, 6):
+            c = vecs[chosen[-1]]
+            for i in range(60):
+                if i in chosen:
+                    continue
+                best[i] = max(best[i], cos(vecs[i], c))
+            pick = min(
+                (b, i) for i, b in best.items() if i not in chosen
+            )
+            chosen.append(pick[1])
+            want.append((j, pick[1], round(pick[0], 6)))
+        assert [(r[0], r[1]) for r in got] == [(w[0], w[1]) for w in want]
+        for g, w in zip(got, want):
+            if w[2] is not None:
+                assert abs(g[2] - w[2]) < 2e-6  # numpy vs fold order
+
+    def test_selection_is_diverse_and_monotone(self, spark):
+        from unitdb_spark.operators.similarity import kcenter_select
+
+        vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = kcenter_select(vecs, k=6).collect()
+        assert [r.sel_rank for r in rows] == [1, 2, 3, 4, 5, 6]
+        sims = [r.far_sim_r for r in rows if r.far_sim_r is not None]
+        # each later pick is no farther than the previous (coverage
+        # shrinks): far_sim is non-decreasing
+        assert sims == sorted(sims)
+        assert len(set(r.id for r in rows)) == 6
+
+    def test_k1_is_just_the_seed(self, spark):
+        from unitdb_spark.operators.similarity import kcenter_select
+
+        df = spark.createDataFrame(
+            [(5, [1.0, 0.0]), (9, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = kcenter_select(df, k=1).collect()
+        assert [tuple(r) for r in rows] == [(1, 5, None)]

@@ -686,3 +686,81 @@ def lsh_multiprobe_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def kcenter_select(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-center (farthest-point / Gonzalez 1985) coreset
+    selection over an embedding corpus — the diversity-first
+    counterpart of `cluster_balanced_sample`: each round picks the
+    point FARTHEST (lowest max cosine similarity) from everything
+    selected so far, giving a 2-approximation of the optimal k-center
+    cover. The classic seed for diverse eval sets, annotation
+    batches, and k-means++-style inits.
+
+    Determinism: the seed is the smallest id; every later round
+    orders by (best_sim ASC, id ASC) on the RAW cosine doubles — the
+    same index-ordered zip_with/aggregate fold the ANN family pins
+    against DuckDB's list_cosine_similarity, so the argmin (and the
+    whole selection) replays bitwise in the oracle.
+
+    The per-round argmin is a 1-row control-plane collect (k−1 rounds
+    total, the pagerank bounded-iteration discipline); the running
+    best-similarity column updates against the new center as a
+    BROADCAST LITERAL vector — one map-side expression per round, no
+    shuffle, no cross join of the corpus against the center set.
+
+    Output: (sel_rank, id, far_sim_r) — far_sim_r = the selected
+    point's max similarity to all PRIOR centers, round-6 (NULL for
+    the seed). The covering radius of the selection is
+    1 − min(far_sim_r).
+
+    Scale: k scans of the corpus with a fused greatest() update —
+    O(k·n) work, no quadratic term; persist keeps the lineage flat.
+    At a billion points the argmin is a TakeOrdered(1), not a sort.
+    """
+    k = int(k)
+    if k < 1:
+        raise ValueError("kcenter_select: k must be >= 1")
+    spark = vecs.sparkSession
+    state = vecs.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.lit(None).cast("double").alias("_best"),
+    ).persist()
+    seed = state.orderBy("_id").limit(1).collect()[0]
+    chosen = [(1, seed["_id"], None)]
+    cvec = list(seed["_v"])
+    for j in range(2, k + 1):
+        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+        sim = cosine_expr(F.col("_v"), lit_vec)
+        taken = [cid for _, cid, _ in chosen]
+        nxt = state.filter(~F.col("_id").isin(taken)).select(
+            "_id", "_v",
+            F.greatest(
+                F.coalesce(F.col("_best"), F.lit(-2.0)), sim
+            ).alias("_best"),
+        ).persist()
+        state.unpersist()
+        state = nxt
+        pick = (
+            state.select(
+                "_id", "_v", "_best",
+                # rounding stays IN ENGINE — a driver-side Python
+                # round() is banker's, not the engines' HALF_UP
+                F.round("_best", 6).alias("_best_r"),
+            )
+            .orderBy(F.col("_best").asc(), F.col("_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((j, pick["_id"], pick["_best_r"]))
+        cvec = list(pick["_v"])
+    state.unpersist()
+    return spark.createDataFrame(
+        chosen, "sel_rank int, id long, far_sim_r double"
+    )
