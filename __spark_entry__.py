@@ -6141,6 +6141,45 @@ def q_embed_kcenter(spark, sf_dir):
     return kcenter_select(_read(spark, sf_dir, "embeddings"), k=8)
 
 
+
+def q_events_fano(spark, sf_dir):
+    """Fano factor (index of dispersion) per event_type's hourly count
+    spine: the one-number burstiness verdict routing the anomaly
+    family (Poisson D=1, bursty D>>1, clocked D<<1), with the
+    classical dispersion-test z. Exact integer spine moments; D and z
+    are single pinned doubles, round-6."""
+    from unitdb_spark.operators.timeseries import fano_factor
+
+    return fano_factor(_events(spark, sf_dir), "event_type")
+
+
+def q_streamed_fano(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING Fano verdict: hourly count
+    cells fold into the commit-logged state; the moment finish runs at
+    read time through the shared fano_from_cells path — the EIGHTH
+    dashboard off the same maintained state. Oracle = batch Fano SQL
+    with the cell row filter."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_hourly_cells,
+        read_fano,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_hourly_cells(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "event_type",
+        "ts",
+        "value",
+        f"{base}/cells",
+        f"{base}/cp",
+    )
+    q.awaitTermination(300)
+    return read_fano(spark, f"{base}/cells")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6467,6 +6506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sprt": q_events_sprt,
         "events_markov_attrib": q_events_markov_attrib,
         "embed_kcenter": q_embed_kcenter,
+        "events_fano": q_events_fano,
+        "streamed_fano": q_streamed_fano,
     }
 
 
@@ -12839,6 +12880,10 @@ def oracle_sql() -> dict[str, str]:
     d["events_markov_attrib"] = _attribution_oracle()
     # greedy k-center: 8 unrolled argmin CTEs on the raw cosine doubles
     d["embed_kcenter"] = _kcenter_oracle()
+    # Fano factor: exact HUGEINT spine moments, pinned-double finish
+    d["events_fano"] = _fano_oracle()
+    # rolling Fano twin: same hour-count cells (value-non-null rows)
+    d["streamed_fano"] = _fano_oracle("WHERE value IS NOT NULL")
     return d
 
 
@@ -13367,6 +13412,46 @@ def _kcenter_oracle(k: int = 8) -> str:
         for j in range(1, k + 1)
     )
     return "WITH " + ", ".join(ctes) + " " + sel
+
+
+
+def _fano_oracle(row_filter: str = "") -> str:
+    """HUGEINT spine moments; D and z as the same pinned doubles."""
+    return """
+        WITH b AS (
+          SELECT event_type AS k,
+            CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events {rf} GROUP BY 1, 2
+        ), rng AS (
+          SELECT k, min(h) AS mn, max(h) AS mx FROM b GROUP BY 1
+        ), spine AS (
+          SELECT k, CAST(u.h AS BIGINT) AS h
+          FROM rng, unnest(generate_series(mn, mx)) AS u(h)
+        ), d AS (
+          SELECT spine.k, coalesce(b.y, 0) AS y
+          FROM spine LEFT JOIN b ON b.k = spine.k AND b.h = spine.h
+        ), m AS (
+          SELECT k, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(y) AS BIGINT) AS s,
+            sum(CAST(y AS HUGEINT) * y) AS ss
+          FROM d GROUP BY 1 HAVING sum(y) > 0
+        )
+        SELECT k AS event_type, n,
+          round(CAST(CAST(n AS HUGEINT) * ss
+                     - CAST(s AS HUGEINT) * s AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * s AS DOUBLE), 6) AS fano_r,
+          round((CAST(CAST(n AS HUGEINT) * ss
+                      - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * s AS DOUBLE) - 1.0)
+                * sqrt(CAST(n - 1 AS DOUBLE) / 2.0), 6) AS z_r,
+          round((CAST(CAST(n AS HUGEINT) * ss
+                      - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * s AS DOUBLE) - 1.0)
+                * sqrt(CAST(n - 1 AS DOUBLE) / 2.0), 6) > 1.644854
+            AS overdispersed
+        FROM m
+        """.replace("{rf}", row_filter)
 
 
 def _ewma_oracle(row_filter: str = "") -> str:

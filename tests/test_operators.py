@@ -8137,3 +8137,53 @@ class TestKCenterSelect:
         )
         rows = kcenter_select(df, k=1).collect()
         assert [tuple(r) for r in rows] == [(1, 5, None)]
+
+
+class TestFanoFactor:
+    def test_matches_python_model(self, spark):
+        import datetime as dt
+        import math
+        import random
+
+        from unitdb_spark.operators.timeseries import fano_factor
+
+        random.seed(5)
+        base = dt.datetime(2024, 7, 1)
+        rows = []
+        for h in range(120):
+            # bursty: occasional large spikes
+            n = 20 if random.random() < 0.1 else 1
+            for i in range(n):
+                rows.append(("bursty", base + dt.timedelta(hours=h, minutes=i)))
+            # clocked: constant-ish
+            for i in range(3 + (h % 2)):
+                rows.append(("clocked", base + dt.timedelta(hours=h, minutes=i)))
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        got = {r.event_type: r for r in fano_factor(df, "event_type").collect()}
+
+        from collections import Counter
+
+        for key in ("bursty", "clocked"):
+            cnt = Counter()
+            for k, t in rows:
+                if k == key:
+                    cnt[int(t.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600] += 1
+            ys = [cnt.get(h, 0) for h in range(min(cnt), max(cnt) + 1)]
+            n, s = len(ys), sum(ys)
+            ss = sum(y * y for y in ys)
+            fano = (n * ss - s * s) / (n * s)
+            z = (fano - 1.0) * math.sqrt((n - 1) / 2.0)
+            assert got[key].n == n
+            assert got[key].fano_r == round(fano, 6)
+            assert got[key].z_r == round(z, 6)
+        assert got["bursty"].overdispersed is True
+        assert got["clocked"].overdispersed is False
+        assert got["clocked"].fano_r < 1.0 < got["bursty"].fano_r
+
+    def test_all_zero_key_impossible_but_s0_excluded(self, spark):
+        from unitdb_spark.operators.timeseries import fano_from_cells
+
+        cells = spark.createDataFrame(
+            [("z", 0, 0), ("z", 3, 0)], "k string, h long, y long"
+        )
+        assert fano_from_cells(cells, "k", "h", "y").count() == 0

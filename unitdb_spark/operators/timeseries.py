@@ -1537,3 +1537,91 @@ def ewma_from_cells(
             F.col("_y").alias("y"), "z_e6", "side",
         )
     )
+
+
+def fano_factor(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Index of dispersion (Fano factor) per key over the densified
+    count spine — the one-number burstiness verdict that routes the
+    anomaly family: D = Var/Mean is 1 for a Poisson arrival process,
+    D >> 1 means bursty traffic (peaks/CUSUM territory), D << 1 means
+    regular/clocked traffic (seasonal territory).
+
+        D = (n·SS − S²) / (n·S),   z = (D − 1)·sqrt((n−1)/2)
+
+    (the classical dispersion-test normal approximation). n, S, SS
+    are exact integer/DECIMAL spine moments (lifted before
+    multiplying); D and z are each ONE pinned double over those exact
+    integers, round-6 — sqrt is IEEE-correctly-rounded on every
+    engine, so both columns replay bitwise. `overdispersed` compares
+    the round-6 z against the literal one-sided 5% normal quantile.
+
+    Keys with S = 0 (an empty spine can't happen; an all-zero one
+    can) are excluded — D is undefined.
+
+    Output: (key, n, fano_r, z_r, overdispersed).
+
+    Scale: one count agg onto the bucket relation + one spine agg per
+    key — no windows at all. Envelope: n·SS at 10⁶ cells × 10⁶ max
+    count needs the DECIMAL(38,0)/HUGEINT lift used here.
+    """
+    b = df.groupBy(
+        F.col(key_col).alias("_k"),
+        F.floor(
+            F.unix_micros(F.col(ts_col)) / F.lit(bucket_s * 1_000_000)
+        ).alias("_h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    return fano_from_cells(b, "_k", "_h", "_y", out_key=key_col)
+
+
+def fano_from_cells(
+    cells: DataFrame,
+    key_col: str,
+    h_col: str,
+    y_col: str,
+    out_key: str | None = None,
+) -> DataFrame:
+    """The Fano finish over an already-aggregated (key, bucket-index,
+    count) CELL relation — shared between `fano_factor` (batch) and
+    the rolling hourly-cell twin. See `fano_factor` for semantics."""
+    out_key = out_key or key_col
+    b = cells.select(
+        F.col(key_col).alias("_k"),
+        F.col(h_col).cast("long").alias("_h"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    rng = b.groupBy("_k").agg(
+        F.min("_h").alias("_mn"), F.max("_h").alias("_mx")
+    )
+    spine = rng.select(
+        "_k", F.explode(F.sequence("_mn", "_mx")).alias("_h")
+    )
+    d = spine.join(b, ["_k", "_h"], "left").select(
+        "_k", F.coalesce(F.col("_y"), F.lit(0)).alias("_y")
+    )
+    D38 = "decimal(38,0)"
+    m = d.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("_s"),
+        F.sum(F.col("_y").cast(D38) * F.col("_y")).alias("_ss"),
+    ).filter(F.col("_s") > 0)
+    num = (
+        F.col("n").cast(D38) * F.col("_ss") - F.col("_s").cast(D38) * F.col("_s")
+    ).cast("double")
+    den = (F.col("n").cast(D38) * F.col("_s")).cast("double")
+    fano = num / den
+    z = (fano - F.lit(1.0)) * F.sqrt(
+        (F.col("n") - 1).cast("double") / F.lit(2.0)
+    )
+    out = m.select(
+        F.col("_k").alias(out_key), "n",
+        F.round(fano, 6).alias("fano_r"),
+        F.round(z, 6).alias("z_r"),
+    )
+    return out.select(
+        "*", (F.col("z_r") > F.lit(1.644854)).alias("overdispersed")
+    )

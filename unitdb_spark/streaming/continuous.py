@@ -985,3 +985,22 @@ def read_ljungbox(
         F.col("_c").alias("y"),
     )
     return ljungbox_from_cells(hourly, key_col, "hidx", "y", lags=lags)
+
+
+def read_fano(
+    spark, state_path: str, key_col: str = "event_type",
+) -> DataFrame:
+    """Rolling Fano burstiness verdict over the committed hourly
+    cells — an EIGHTH dashboard off the same maintained state,
+    through the shared `fano_from_cells` finish."""
+    from unitdb_spark.operators.timeseries import fano_from_cells
+
+    cells = read_cells(spark, state_path)
+    hourly = cells.select(
+        F.col("_k").alias(key_col),
+        (
+            F.expr("CAST(unix_date(_d) AS BIGINT)") * 24 + F.col("_h")
+        ).alias("hidx"),
+        F.col("_c").alias("y"),
+    )
+    return fano_from_cells(hourly, key_col, "hidx", "y")
