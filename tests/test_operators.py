@@ -8187,3 +8187,75 @@ class TestFanoFactor:
             [("z", 0, 0), ("z", 3, 0)], "k string, h long, y long"
         )
         assert fano_from_cells(cells, "k", "h", "y").count() == 0
+
+
+class TestConformalBacktest:
+    def test_matches_python_model(self, spark):
+        import datetime as dt
+        import math
+        import random
+
+        from unitdb_spark.operators.timeseries import conformal_backtest
+
+        random.seed(9)
+        base = dt.datetime(2024, 8, 1)
+        rows = []
+        for day in range(14):
+            for h in range(24):
+                v = 100 + 10 * math.sin(h) + random.randint(-5, 5)
+                rows.append(
+                    ("m", base + dt.timedelta(days=day, hours=h), round(v, 2))
+                )
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+        (r,) = conformal_backtest(df, "event_type").collect()
+
+        # model: mu per (day,hour) = floor(cents*10000/cnt); residual
+        # vs same hour previous day; q = k-th smallest |r|
+        from decimal import Decimal
+
+        cell = {}
+        for _, t, v in rows:
+            key = (t.date(), t.hour)
+            cell.setdefault(key, []).append(Decimal(str(v)))
+        mu = {
+            k: math.floor(int(sum(vs) * 100) * 10000 / len(vs))
+            for k, vs in cell.items()
+        }
+        resid = []
+        for (d, h), m in mu.items():
+            prev = (d - dt.timedelta(days=1), h)
+            if prev in mu:
+                resid.append(abs(m - mu[prev]))
+        n = len(resid)
+        k = (9 * (n + 1) + 9) // 10
+        q = sorted(resid)[k - 1] if k <= n else None
+        nin = sum(1 for a in resid if a <= q)
+        assert (r.n_scored, r.k_rank, r.q_mu) == (n, k, q)
+        assert r.cov_ppm == nin * 1_000_000 // n
+        assert r.cov_ppm >= 900_000  # the conformal guarantee, in sample
+
+    def test_too_few_points_yield_null_radius(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import conformal_backtest
+
+        base = dt.datetime(2024, 8, 1)
+        # two days, same hour: exactly 1 residual -> k = ceil(0.9*2)=2 > 1
+        rows = [("m", base, 5.0), ("m", base + dt.timedelta(days=1), 7.0)]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+        (r,) = conformal_backtest(df, "event_type").collect()
+        assert r.n_scored == 1 and r.k_rank == 2
+        assert r.q_mu is None and r.cov_ppm is None
+
+    def test_bad_alpha_raises(self, spark):
+        import pytest
+
+        from unitdb_spark.operators.timeseries import conformal_backtest
+
+        df = spark.range(1).select(
+            F.lit("k").alias("event_type"),
+            F.current_timestamp().alias("ts"),
+            F.lit(1.0).alias("value"),
+        )
+        with pytest.raises(ValueError, match="rational"):
+            conformal_backtest(df, alpha=(10, 10))

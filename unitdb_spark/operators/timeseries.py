@@ -650,13 +650,11 @@ def seasonal_naive_backtest(
     return seasonal_naive_from_cells(cells, key_col)
 
 
-def seasonal_naive_from_cells(cells: DataFrame, key_col: str) -> DataFrame:
-    """The scoring half of `seasonal_naive_backtest`, over an
-    already-aggregated (_k, _d, _h, _cents, _c) cell relation — shared
-    verbatim with the streaming twin's committed cell state
-    (streaming.continuous.continuous_hourly_cells): cents and counts
-    are mergeable sums, so 'streamed cells == batch groupBy' gives
-    'streamed backtest == batch backtest' through this one code path."""
+def _seasonal_naive_residuals(cells: DataFrame) -> DataFrame:
+    """Per-bucket seasonal-naive residuals (_k, _e) over the shared
+    (_k, _d, _h, _cents, _c) cell relation: prediction = same hour,
+    previous CALENDAR day; scored only when that day exists. The
+    common core of the backtest aggregate and the conformal radius."""
     b = cells.select(
         "_k", "_d", "_h",
         F.floor(F.col("_cents") * F.lit(10_000) / F.col("_c"))
@@ -672,9 +670,18 @@ def seasonal_naive_from_cells(cells: DataFrame, key_col: str) -> DataFrame:
         F.col("_prev_mu").isNotNull()
         & (F.datediff(F.col("_d"), F.col("_prev_d")) == 1)
     )
-    err = F.col("_mu") - F.col("_prev_mu")
+    return scored.select("_k", (F.col("_mu") - F.col("_prev_mu")).alias("_e"))
+
+
+def seasonal_naive_from_cells(cells: DataFrame, key_col: str) -> DataFrame:
+    """The scoring half of `seasonal_naive_backtest`, over an
+    already-aggregated (_k, _d, _h, _cents, _c) cell relation — shared
+    verbatim with the streaming twin's committed cell state
+    (streaming.continuous.continuous_hourly_cells): cents and counts
+    are mergeable sums, so 'streamed cells == batch groupBy' gives
+    'streamed backtest == batch backtest' through this one code path."""
     return (
-        scored.select("_k", err.alias("_e"))
+        _seasonal_naive_residuals(cells)
         .groupBy("_k")
         .agg(
             F.count(F.lit(1)).alias("n_scored"),
@@ -1624,4 +1631,101 @@ def fano_from_cells(
     )
     return out.select(
         "*", (F.col("z_r") > F.lit(1.644854)).alias("overdispersed")
+    )
+
+
+def conformal_backtest(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: tuple[int, int] = (1, 10),
+) -> DataFrame:
+    """Split-conformal prediction radius (Vovk et al. 2005; Lei et al.
+    2018) for the seasonal-naive forecaster — the distribution-free
+    interval the point forecasters (seasonal-naive, Holt, HW) lack:
+    with calibration residuals r_1..r_n, the radius
+
+        q = the k-th smallest |r|,  k = ceil((1−α)·(n+1))
+
+    guarantees ≥ 1−α coverage for the NEXT observation under
+    exchangeability — no normality, no variance estimate, pure order
+    statistics, which is also why it is exactly replayable: k is the
+    integer ceil((αd−αn)·(n+1) / αd), the radius is the value at
+    row_number k over |r| (deterministic under ties — equal values,
+    whatever their arbitrary rank order), and the audit coverage
+    count(|r| ≤ q)·10⁶ div n is pure integer arithmetic. k > n (too
+    few calibration points for the requested level) yields a NULL
+    radius — the honest 'interval is infinite' answer.
+
+    Output per key: (key, n_scored, k_rank, q_mu, cov_ppm) — q in the
+    backtest's micro-units.
+
+    Scale: rides `_seasonal_naive_residuals` (one cell agg + one
+    (key, hour)-partitioned lag window); the rank is a key-partitioned
+    window over the residual relation (scored buckets, not events).
+    """
+    an, ad = int(alpha[0]), int(alpha[1])
+    if not 0 < an < ad:
+        raise ValueError("alpha must be a rational in (0, 1)")
+    cents = F.expr(
+        f"CAST(SUM(CAST({value_col} AS DECIMAL(18,2))) * 100 AS BIGINT)"
+    )
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("_k"),
+            F.to_date(ts_col).alias("_d"),
+            F.hour(ts_col).alias("_h"),
+        )
+        .agg(cents.alias("_cents"), F.count(F.lit(1)).alias("_c"))
+    )
+    return conformal_from_cells(cells, key_col, alpha=(an, ad))
+
+
+def conformal_from_cells(
+    cells: DataFrame,
+    key_col: str,
+    alpha: tuple[int, int] = (1, 10),
+) -> DataFrame:
+    """The conformal finish over the shared (_k, _d, _h, _cents, _c)
+    cell relation — `conformal_backtest`'s scoring half, shared with
+    the rolling hourly-cell twin. See `conformal_backtest`."""
+    an, ad = int(alpha[0]), int(alpha[1])
+    r = _seasonal_naive_residuals(cells).select(
+        "_k", F.abs(F.col("_e")).alias("_a")
+    )
+    w = Window.partitionBy("_k").orderBy("_a")
+    ranked = r.select(
+        "_k", "_a", F.row_number().over(w).alias("_rn")
+    )
+    m = r.groupBy("_k").agg(F.count(F.lit(1)).cast("long").alias("n_scored"))
+    # k = ceil((1-α)(n+1)) = ((ad-an)(n+1) + ad - 1) div ad
+    k_rank = F.expr(
+        f"CAST((({ad - an}) * (n_scored + 1) + {ad - 1}) div {ad} AS BIGINT)"
+    )
+    mk = m.select("_k", "n_scored", k_rank.alias("k_rank"))
+    q = (
+        ranked.join(mk, "_k")
+        .filter(F.col("_rn") == F.col("k_rank"))
+        .select("_k", F.col("_a").alias("q_mu"))
+    )
+    cov = (
+        r.join(q, "_k")
+        .groupBy("_k")
+        .agg(
+            F.count(F.when(F.col("_a") <= F.col("q_mu"), 1))
+            .cast("long").alias("_nin"),
+        )
+    )
+    return (
+        mk.join(q, "_k", "left")
+        .join(cov, "_k", "left")
+        .select(
+            F.col("_k").alias(key_col),
+            "n_scored", "k_rank",
+            F.col("q_mu").cast("long").alias("q_mu"),
+            F.expr("CAST(_nin * 1000000 div n_scored AS BIGINT)")
+            .alias("cov_ppm"),
+        )
     )

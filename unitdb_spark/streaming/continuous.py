@@ -1004,3 +1004,16 @@ def read_fano(
         F.col("_c").alias("y"),
     )
     return fano_from_cells(hourly, key_col, "hidx", "y")
+
+
+def read_conformal(
+    spark, state_path: str, key_col: str = "event_type",
+    alpha: tuple[int, int] = (1, 10),
+) -> DataFrame:
+    """Rolling split-conformal radius over the committed hourly
+    cells — a NINTH dashboard off the same maintained state, through
+    the shared `conformal_from_cells` order-statistic finish."""
+    from unitdb_spark.operators.timeseries import conformal_from_cells
+
+    cells = read_cells(spark, state_path)
+    return conformal_from_cells(cells, key_col, alpha=alpha)
