@@ -6220,6 +6220,19 @@ def q_streamed_conformal(spark, sf_dir):
     return read_conformal(spark, f"{base}/cells")
 
 
+
+def q_events_forecast_recon(spark, sf_dir):
+    """Hierarchical forecast reconciliation: per-event_type Holt h=1
+    forecasts and the aggregate series' own Holt forecast disagree;
+    this apportions the total forecast across keys by exact
+    largest-remainder over the clamped base forecasts, so dashboards
+    get COHERENT numbers (sum of parts == total, to the micro-unit).
+    One fold covers keys and the synthetic __total__ series."""
+    from unitdb_spark.operators.timeseries import holt_reconcile
+
+    return holt_reconcile(_events(spark, sf_dir), "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6550,6 +6563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_fano": q_streamed_fano,
         "events_conformal": q_events_conformal,
         "streamed_conformal": q_streamed_conformal,
+        "events_forecast_recon": q_events_forecast_recon,
     }
 
 
@@ -12966,6 +12980,83 @@ def oracle_sql() -> dict[str, str]:
     # rolling twin shares it: the batch cells already filter
     # value-non-null, the exact cell contract
     d["streamed_conformal"] = d["events_conformal"]
+    # hierarchical reconciliation: the holt recursion over keys UNION
+    # the __total__ series, then HUGEINT largest-remainder
+    d["events_forecast_recon"] = """
+        WITH RECURSIVE cells0 AS (
+          SELECT event_type AS k,
+            CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ), cells AS (
+          SELECT k, day, y FROM cells0
+          UNION ALL
+          SELECT '__total__', day, CAST(sum(y) AS BIGINT)
+          FROM cells0 GROUP BY 2
+        ),
+        s AS (SELECT k, y,
+                CAST(row_number() OVER (PARTITION BY k ORDER BY day) - 1
+                     AS BIGINT) AS i
+              FROM cells),
+        n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_obs
+              FROM s GROUP BY k),
+        init AS (
+          SELECT a.k, a.y * 1000000 AS l, (b.y - a.y) * 1000000 AS b
+          FROM s a JOIN s b ON a.k = b.k AND a.i = 0 AND b.i = 1
+        ),
+        rec AS (
+          SELECT k, CAST(0 AS BIGINT) AS i, l, b FROM init
+          UNION ALL
+          SELECT r.k, r.i + 1,
+            (3 * s.y * 1000000 + 7 * (r.l + r.b)) // 10,
+            (1 * (((3 * s.y * 1000000 + 7 * (r.l + r.b)) // 10) - r.l)
+              + 9 * r.b) // 10
+          FROM rec r JOIN s ON s.k = r.k AND s.i = r.i + 1
+        ),
+        fin AS (
+          SELECT rec.k, rec.l, rec.b FROM rec
+          JOIN n ON rec.k = n.k AND rec.i = n.n_obs - 1
+          WHERE n.n_obs >= 2
+          UNION ALL
+          SELECT s.k, s.y * 1000000 AS l, CAST(0 AS BIGINT) AS b
+          FROM s JOIN n ON s.k = n.k WHERE n.n_obs = 1
+        ),
+        fc AS (
+          SELECT fin.k, n.n_obs, CAST(fin.l + fin.b AS BIGINT) AS fc1
+          FROM fin JOIN n ON fin.k = n.k
+        ),
+        tt AS (SELECT greatest(fc1, 0) AS t FROM fc WHERE k = '__total__'),
+        keys AS (
+          SELECT k, n_obs, fc1, greatest(fc1, 0) AS w
+          FROM fc WHERE k <> '__total__'
+        ),
+        ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM keys),
+        based AS (
+          SELECT keys.k, keys.n_obs, keys.fc1, tt.t, ws.wsum,
+            CASE WHEN ws.wsum > 0 THEN
+              CAST((CAST(tt.t AS HUGEINT) * keys.w) // ws.wsum AS BIGINT)
+            END AS base,
+            CASE WHEN ws.wsum > 0 THEN
+              CAST((CAST(tt.t AS HUGEINT) * keys.w) % ws.wsum AS BIGINT)
+            END AS rem
+          FROM keys, tt, ws
+        ),
+        ranked AS (
+          SELECT based.*,
+            row_number() OVER (ORDER BY rem DESC, k ASC) AS rk,
+            t - sum(base) OVER () AS leftv
+          FROM based
+        )
+        SELECT k AS event_type, n_obs, fc1 AS fc1_e6,
+          CASE WHEN wsum > 0 THEN
+            CAST(base + CASE WHEN rk <= leftv THEN 1 ELSE 0 END AS BIGINT)
+          END AS recon_e6,
+          CASE WHEN wsum > 0 THEN
+            CAST(base + CASE WHEN rk <= leftv THEN 1 ELSE 0 END - fc1
+                 AS BIGINT)
+          END AS delta_e6
+        FROM ranked
+        """
     return d
 
 

@@ -8259,3 +8259,62 @@ class TestConformalBacktest:
         )
         with pytest.raises(ValueError, match="rational"):
             conformal_backtest(df, alpha=(10, 10))
+
+
+class TestHoltReconcile:
+    def test_coherence_and_model(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import (
+            holt_linear,
+            holt_reconcile,
+        )
+
+        base = dt.datetime(2024, 9, 1)
+        rows = []
+        for day in range(20):
+            for i in range(10 + day):          # A trends up
+                rows.append(("A", base + dt.timedelta(days=day, minutes=i)))
+            for i in range(30):                 # B flat
+                rows.append(("B", base + dt.timedelta(days=day, minutes=i)))
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        out = {r.event_type: r for r in holt_reconcile(df, "event_type").collect()}
+
+        # coherence: sum of reconciled == clamped total forecast
+        cells = df.groupBy(
+            F.col("event_type").alias("_k"),
+            F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("_t"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("_y"))
+        tot_cells = cells.groupBy("_t").agg(
+            F.sum("_y").cast("long").alias("_y")
+        ).select(F.lit("__t__").alias("_k"), "_t", "_y")
+        (t_fc,) = holt_linear(tot_cells, "_k", "_t", "_y", horizon=1).collect()
+        T = max(t_fc.fc1_e6, 0)
+        assert sum(r.recon_e6 for r in out.values()) == T
+        # each delta is recon - fc1
+        for r in out.values():
+            assert r.delta_e6 == r.recon_e6 - r.fc1_e6
+        # proportionality: A's share of recon ~ A's share of base
+        wA, wB = max(out["A"].fc1_e6, 0), max(out["B"].fc1_e6, 0)
+        assert abs(out["A"].recon_e6 - T * wA // (wA + wB)) <= 1
+
+    def test_all_nonpositive_forecasts_yield_null(self, spark):
+        from unitdb_spark.operators.timeseries import holt_reconcile
+        import datetime as dt
+
+        # single day per key: fc1 = count*1e6 > 0 — craft a negative
+        # trend instead: day0 heavy, day1 empty is impossible (no rows),
+        # so force via two keys with crashing counts
+        base = dt.datetime(2024, 9, 1)
+        rows = []
+        counts = [40, 20, 5, 1]  # steep decline -> negative fc1
+        for day, n in enumerate(counts):
+            for i in range(n):
+                rows.append(("crash", base + dt.timedelta(days=day, minutes=i)))
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        (r,) = holt_reconcile(df, "event_type").collect()
+        if r.fc1_e6 <= 0:
+            # weights all clamp to zero -> no proportional answer
+            assert r.recon_e6 is None and r.delta_e6 is None
+        else:  # if the fold lands slightly positive, coherence holds
+            assert r.recon_e6 is not None

@@ -1729,3 +1729,90 @@ def conformal_from_cells(
             .alias("cov_ppm"),
         )
     )
+
+
+def holt_reconcile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    alpha: tuple[int, int] = (3, 10),
+    beta: tuple[int, int] = (1, 10),
+) -> DataFrame:
+    """Hierarchical forecast reconciliation (top-down proportional,
+    Hyndman FPP ch. 11) over the Holt family: per-key daily forecasts
+    and the AGGREGATE series' own forecast generally disagree —
+    Σ fc_key ≠ fc_total — because each Holt state smooths its own
+    noise. Dashboards need COHERENT numbers: this reconciles the
+    per-key h=1 forecasts to the total-series forecast by exact
+    largest-remainder apportionment, weights = the clamped base
+    forecasts max(fc1, 0).
+
+    One fold covers everything: the per-key daily-count cells UNION a
+    synthetic '__total__' series (the day-summed counts) run through
+    the SAME holt_linear fold, so the total's forecast obeys the
+    identical integer fixed-point contract and the whole operator
+    replays in one recursive-CTE oracle.
+
+    Exactness: T = max(fc1_total, 0); base_i = (T·w_i) div W lifted
+    to DECIMAL(38,0)/HUGEINT before multiplying (T·w reaches 10²² at
+    production volumes); the T − Σ base leftover units go to the
+    largest remainders (ties to the smaller key). Σ recon = T
+    exactly. W = 0 (every clamped weight zero) yields NULL
+    reconciled values — no proportional answer exists.
+
+    Output per key: (key, n_obs, fc1_e6, recon_e6, delta_e6).
+
+    Scale: the cells relation is keys × days; the apportionment runs
+    on the per-key forecast relation (keys rows — the
+    temperature_allocation allowlist class for its global windows).
+    """
+    TOTAL = "__total__"
+    cells = df.groupBy(
+        F.col(key_col).cast("string").alias("_k"),
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).alias(
+            "_t"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    tot_cells = cells.groupBy("_t").agg(
+        F.sum("_y").cast("long").alias("_y")
+    ).select(F.lit(TOTAL).alias("_k"), "_t", "_y")
+    fc = holt_linear(
+        cells.unionByName(tot_cells), "_k", "_t", "_y",
+        alpha=alpha, beta=beta, horizon=1,
+    )
+    tot = fc.filter(F.col("_k") == TOTAL).select(
+        F.greatest(F.col("fc1_e6"), F.lit(0)).alias("_T")
+    )
+    D38 = "decimal(38,0)"
+    keys = fc.filter(F.col("_k") != TOTAL).select(
+        "_k", "n_obs", "fc1_e6",
+        F.greatest(F.col("fc1_e6"), F.lit(0)).alias("_w"),
+    )
+    wall = Window.partitionBy()
+    j = keys.crossJoin(F.broadcast(tot)).select(
+        "*", F.sum("_w").over(wall).cast("long").alias("_wsum")
+    )
+    tw = F.col("_T").cast(D38) * F.col("_w")
+    based = j.select(
+        "_k", "n_obs", "fc1_e6", "_T", "_wsum",
+        F.when(F.col("_wsum") > 0, F.expr(
+            "CAST((CAST(_T AS DECIMAL(38,0)) * _w) div _wsum AS BIGINT)"
+        )).alias("_base"),
+        F.when(F.col("_wsum") > 0, (tw % F.col("_wsum")).cast("long")).alias("_rem"),
+    )
+    w_rank = Window.orderBy(F.desc("_rem"), F.asc("_k"))
+    ranked = based.select(
+        "*",
+        F.row_number().over(w_rank).alias("_rk"),
+        (F.col("_T") - F.sum("_base").over(wall)).cast("long").alias("_left"),
+    )
+    recon = F.when(
+        F.col("_wsum") > 0,
+        F.col("_base")
+        + F.when(F.col("_rk") <= F.col("_left"), F.lit(1)).otherwise(F.lit(0)),
+    ).cast("long")
+    return ranked.select(
+        F.col("_k").alias(key_col), "n_obs", "fc1_e6",
+        recon.alias("recon_e6"),
+        (recon - F.col("fc1_e6")).cast("long").alias("delta_e6"),
+    )
