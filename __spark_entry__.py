@@ -6233,6 +6233,19 @@ def q_events_forecast_recon(spark, sf_dir):
     return holt_reconcile(_events(spark, sf_dir), "event_type")
 
 
+
+def q_embed_drift(spark, sf_dir):
+    """Per-label embedding drift + dispersion audit: centroid shift vs
+    the rest of the corpus (linear-kernel MMD^2) and internal spread,
+    over a GLOBAL fixed-point quantization grid so every moment is an
+    exact DECIMAL/HUGEINT integer and both outputs are single pinned
+    double divisions — the model/source change monitor for embedding
+    pipelines."""
+    from unitdb_spark.operators.similarity import embedding_drift
+
+    return embedding_drift(_read(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6564,6 +6577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_conformal": q_events_conformal,
         "streamed_conformal": q_streamed_conformal,
         "events_forecast_recon": q_events_forecast_recon,
+        "embed_drift": q_embed_drift,
     }
 
 
@@ -13056,6 +13070,51 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT)
           END AS delta_e6
         FROM ranked
+        """
+    # embedding drift: global fixed-point grid, HUGEINT moments,
+    # pinned-double finishes in the same association order
+    d["embed_drift"] = """
+        WITH ex AS (
+          SELECT label AS l, r.pos AS pos,
+            CAST(floor(CAST(embedding[r.pos + 1] AS DOUBLE) * 10000.0
+                       + 0.5) AS BIGINT) AS q
+          FROM embeddings, range(64) r(pos)
+        ), by_ld AS (
+          SELECT l, pos, CAST(sum(q) AS BIGINT) AS s,
+            sum(CAST(q AS HUGEINT) * q) AS sq
+          FROM ex GROUP BY 1, 2
+        ), by_d AS (
+          SELECT pos, CAST(sum(s) AS BIGINT) AS st FROM by_ld GROUP BY 1
+        ), nl AS (
+          SELECT label AS l, CAST(count(*) AS BIGINT) AS n
+          FROM embeddings GROUP BY 1
+        ), nt AS (
+          SELECT CAST(count(*) AS BIGINT) AS ntot FROM embeddings
+        ), j AS (
+          SELECT by_ld.l, by_ld.s, by_ld.sq, nl.n, nt.ntot,
+            (CAST(by_ld.s AS HUGEINT) * (nt.ntot - nl.n)
+             - CAST(by_d.st - by_ld.s AS HUGEINT) * nl.n) AS diff
+          FROM by_ld
+          JOIN by_d USING (pos)
+          JOIN nl ON nl.l = by_ld.l
+          CROSS JOIN nt
+          WHERE nl.n < nt.ntot
+        ), per AS (
+          SELECT l, n, ntot,
+            sum(diff * diff) AS num,
+            sum(sq) AS ssq,
+            sum(CAST(s AS HUGEINT) * s) AS s2
+          FROM j GROUP BY 1, 2, 3
+        )
+        SELECT l AS label, n,
+          round(CAST(num AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (ntot - n) * 10000.0)
+                / (CAST(n AS DOUBLE) * (ntot - n) * 10000.0), 6)
+            AS shift2_r,
+          round(CAST(CAST(n AS HUGEINT) * ssq - s2 AS DOUBLE)
+                / (CAST(n AS DOUBLE) * n * 10000.0 * 10000.0), 6)
+            AS disp_r
+        FROM per
         """
     return d
 

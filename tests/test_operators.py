@@ -8318,3 +8318,56 @@ class TestHoltReconcile:
             assert r.recon_e6 is None and r.delta_e6 is None
         else:  # if the fold lands slightly positive, coherence holds
             assert r.recon_e6 is not None
+
+
+class TestEmbeddingDrift:
+    def test_matches_python_model(self, spark):
+        import numpy as np
+
+        from unitdb_spark.operators.similarity import embedding_drift
+
+        rng = np.random.RandomState(4)
+        rows = []
+        for i in range(40):
+            lab = "shifted" if i % 2 else "base"
+            v = rng.randn(8) + (2.0 if lab == "shifted" else 0.0)
+            rows.append((i, lab, [float(x) for x in v]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<double>"
+        )
+        got = {r.label: r for r in embedding_drift(df).collect()}
+
+        import math
+
+        K = 10_000
+        qv = {
+            i: [math.floor(x * K + 0.5) for x in v] for i, _, v in rows
+        }
+        labs = {"base", "shifted"}
+        for lab in labs:
+            ids = [i for i, l, _ in rows if l == lab]
+            rest = [i for i, l, _ in rows if l != lab]
+            n, nr = len(ids), len(rest)
+            num = 0
+            for d in range(8):
+                s = sum(qv[i][d] for i in ids)
+                sr = sum(qv[i][d] for i in rest)
+                num += (s * nr - sr * n) ** 2
+            shift2 = num / (n * nr * K) / (n * nr * K)
+            ssq = sum(sum(q * q for q in qv[i]) for i in ids)
+            s2 = sum(sum(qv[i][d] for i in ids) ** 2 for d in range(8))
+            disp = (n * ssq - s2) / (n * n * K * K)
+            assert got[lab].n == n
+            assert got[lab].shift2_r == round(shift2, 6)
+            assert got[lab].disp_r == round(disp, 6)
+        # a 2-sigma mean shift in every dim: shift2 ~ 8*(2^2)/... >> 0
+        assert got["shifted"].shift2_r > 1.0
+
+    def test_single_label_corpus_is_empty(self, spark):
+        from unitdb_spark.operators.similarity import embedding_drift
+
+        df = spark.createDataFrame(
+            [(1, "only", [0.1, 0.2]), (2, "only", [0.3, 0.4])],
+            "vec_id long, label string, embedding array<double>",
+        )
+        assert embedding_drift(df).count() == 0  # no rest to drift from

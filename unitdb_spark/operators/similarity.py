@@ -764,3 +764,89 @@ def kcenter_select(
     return spark.createDataFrame(
         chosen, "sel_rank int, id long, far_sim_r double"
     )
+
+
+def embedding_drift(
+    vecs: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 10_000,
+) -> DataFrame:
+    """Per-group embedding drift + dispersion audit — the monitoring
+    view a pipeline needs when sources/models change: for every label
+    (source, shard, model version), how far has the group's CENTROID
+    moved from the rest of the corpus, and how spread out is the
+    group internally?
+
+        shift² = ‖μ_L − μ_rest‖²           (linear-kernel MMD²)
+        disp   = E‖x − μ_L‖² = SS/n − ‖μ_L‖²
+
+    Exactness: every vector quantizes to the GLOBAL fixed-point grid
+    q_d = floor(x_d·quant + 0.5) (one shared scale — per-vector int8
+    scales would break cross-vector comparability), so per-(label,
+    dim) sums, ‖q‖² sums, and the cross-multiplied shift numerator
+    Σ_d (s_Ld·n_R − s_Rd·n_L)² are exact DECIMAL(38,0) integers; each
+    output is ONE pinned double division by (n_L·n_R·quant)² /
+    (n²·quant²), round-6 — so the whole audit replays bitwise.
+
+    Output per label: (label, n, shift2_r, disp_r) in embedding-space
+    units (quant² cancels out).
+
+    Scale: one posexplode → (label, dim) partial agg (64·rows fan-out
+    into a map-side combine, dims·labels rows out), one per-label
+    scalar agg, one broadcast of the dims-sized totals. Envelope: the
+    squared numerator holds in DECIMAL(38,0) to n ≈ 3·10⁸ rows per
+    label at quant = 10⁴ — shrink quant for larger groups (documented
+    trade: 10³ still gives 3 decimal digits of grid).
+    """
+    K = int(quant)
+    if K < 1:
+        raise ValueError("embedding_drift: quant must be >= 1")
+    D38 = "decimal(38,0)"
+    q = F.floor(F.col("x").cast("double") * F.lit(float(K)) + F.lit(0.5)).cast(
+        "long"
+    )
+    exploded = vecs.select(
+        F.col(label_col).alias("_l"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select("_l", "pos", q.alias("_q"))
+    by_ld = exploded.groupBy("_l", "pos").agg(
+        F.sum("_q").cast("long").alias("s"),
+        F.sum(F.col("_q").cast(D38) * F.col("_q")).alias("sq"),
+    )
+    by_d = by_ld.groupBy("pos").agg(
+        F.sum("s").cast("long").alias("st"),
+    )
+    n_l = vecs.groupBy(F.col(label_col).alias("_l")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    n_tot = vecs.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    j = (
+        by_ld.join(F.broadcast(by_d), "pos")
+        .join(F.broadcast(n_l), "_l")
+        .crossJoin(F.broadcast(n_tot))
+        .filter(F.col("n") < F.col("nt"))  # a lone label has no rest
+    )
+    diff = (
+        F.col("s").cast(D38) * (F.col("nt") - F.col("n"))
+        - (F.col("st") - F.col("s")).cast(D38) * F.col("n")
+    )
+    per_label = j.groupBy("_l", "n", "nt").agg(
+        F.sum(diff * diff).alias("_num"),
+        F.sum("sq").alias("_ssq"),
+        F.sum(F.col("s").cast(D38) * F.col("s")).alias("_s2"),
+    )
+    nl = F.col("n").cast("double")
+    nr = (F.col("nt") - F.col("n")).cast("double")
+    shift2 = F.col("_num").cast("double") / (
+        nl * nr * F.lit(float(K))
+    ) / (nl * nr * F.lit(float(K)))
+    disp = (
+        F.col("n").cast(D38) * F.col("_ssq") - F.col("_s2")
+    ).cast("double") / (nl * nl * F.lit(float(K)) * F.lit(float(K)))
+    return per_label.select(
+        F.col("_l").alias(label_col), "n",
+        F.round(shift2, 6).alias("shift2_r"),
+        F.round(disp, 6).alias("disp_r"),
+    )
