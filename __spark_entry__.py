@@ -6246,6 +6246,19 @@ def q_embed_drift(spark, sf_dir):
     return embedding_drift(_read(spark, sf_dir, "embeddings"))
 
 
+
+def q_events_haar(spark, sf_dir):
+    """Haar wavelet energy spectrum per event_type: which dyadic
+    timescale (hour pairs ... ~2.5-day blocks) carries the count
+    variance — the all-scales complement of the single-period
+    detectors. Block sums are plain integer aggregates (missing cells
+    are real zeros for free — no spine), energies are exact
+    DECIMAL/HUGEINT, shares integer-cross-scaled ppm."""
+    from unitdb_spark.operators.timeseries import haar_energy
+
+    return haar_energy(_events(spark, sf_dir), "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6578,6 +6591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_conformal": q_streamed_conformal,
         "events_forecast_recon": q_events_forecast_recon,
         "embed_drift": q_embed_drift,
+        "events_haar": q_events_haar,
     }
 
 
@@ -13115,6 +13129,55 @@ def oracle_sql() -> dict[str, str]:
                 / (CAST(n AS DOUBLE) * n * 10000.0 * 10000.0), 6)
             AS disp_r
         FROM per
+        """
+    # Haar spectrum: same block arithmetic, HUGEINT energies,
+    # integer cross-scaled shares
+    d["events_haar"] = """
+        WITH b AS (
+          SELECT event_type AS k,
+            CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ), rng AS (
+          SELECT k, min(h) AS mn, max(h) AS mx FROM b GROUP BY 1
+        ), o AS (
+          SELECT b.k, b.h - rng.mn AS o, b.y,
+            rng.mx - rng.mn AS span
+          FROM b JOIN rng ON rng.k = b.k
+        ), lv AS (
+          SELECT k, CAST(r.lvl AS BIGINT) AS lvl, y, span,
+            o // CAST(pow(2, r.lvl) AS BIGINT) AS blk
+          FROM o, range(8) r(lvl)
+        ), blocks AS (
+          SELECT k, lvl, span, blk, CAST(sum(y) AS BIGINT) AS s
+          FROM lv GROUP BY 1, 2, 3, 4
+        ), paired0 AS (
+          SELECT k, lvl, span, blk // 2 AS j,
+            coalesce(sum(s) FILTER (blk % 2 = 0), 0) AS s0,
+            coalesce(sum(s) FILTER (blk % 2 = 1), 0) AS s1
+          FROM blocks GROUP BY 1, 2, 3, 4
+        ), paired AS (
+          SELECT * FROM paired0
+          WHERE (2 * j + 1) * CAST(pow(2, lvl) AS BIGINT) <= span
+        ), en AS (
+          SELECT k, lvl,
+            sum(CAST(s0 - s1 AS HUGEINT) * (s0 - s1)) AS en
+          FROM paired GROUP BY 1, 2
+        ), scaled AS (
+          SELECT k, lvl, en,
+            en * CAST(pow(2, 8 - lvl) AS BIGINT) AS sc
+          FROM en
+        ), tot AS (
+          SELECT k, sum(sc) AS tot FROM scaled GROUP BY 1
+        )
+        SELECT scaled.k AS event_type,
+          CAST(lvl AS INTEGER) AS level,
+          CAST(CAST(pow(2, lvl) AS BIGINT) * 3600 AS BIGINT) AS block_s,
+          CAST(en AS BIGINT) AS energy,
+          CASE WHEN tot.tot > 0
+            THEN CAST((sc * 1000000) // tot.tot AS BIGINT)
+          END AS share_ppm
+        FROM scaled JOIN tot ON tot.k = scaled.k
         """
     return d
 

@@ -8371,3 +8371,60 @@ class TestEmbeddingDrift:
             "vec_id long, label string, embedding array<double>",
         )
         assert embedding_drift(df).count() == 0  # no rest to drift from
+
+
+class TestHaarEnergy:
+    def test_matches_python_model(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import haar_energy
+
+        base = dt.datetime(2024, 10, 1)
+        # alternating 5,1 counts: almost all energy at level 0
+        counts = [5 if h % 2 == 0 else 1 for h in range(64)]
+        rows = [
+            ("alt", base + dt.timedelta(hours=h, minutes=i))
+            for h, n in enumerate(counts)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        got = {
+            r.level: r for r in haar_energy(df, "event_type", levels=4).collect()
+        }
+
+        span = 63
+        want = {}
+        for lvl in range(4):
+            w = 2 ** lvl
+            blocks = {}
+            for o, y in enumerate(counts):
+                blocks[o // w] = blocks.get(o // w, 0) + y
+            e = 0
+            for j in range(0, max(blocks) // 2 + 1):
+                if (2 * j + 1) * w <= span:
+                    e += (blocks.get(2 * j, 0) - blocks.get(2 * j + 1, 0)) ** 2
+            want[lvl] = e
+        tot = sum(want[l] * 2 ** (4 - l) for l in range(4))
+        for lvl in range(4):
+            assert got[lvl].energy == want[lvl]
+            assert got[lvl].share_ppm == want[lvl] * 2 ** (4 - lvl) * 10**6 // tot
+            assert got[lvl].block_s == 3600 * 2 ** lvl
+        # the alternation concentrates normalized energy at level 0
+        assert got[0].share_ppm > 800_000
+
+    def test_slow_swing_concentrates_high_levels(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import haar_energy
+
+        base = dt.datetime(2024, 10, 1)
+        # step function: first 32 hours heavy, next 32 light ->
+        # energy at the coarsest pairing
+        rows = [
+            ("step", base + dt.timedelta(hours=h, minutes=i))
+            for h in range(64)
+            for i in range(8 if h < 32 else 1)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        got = {r.level: r for r in haar_energy(df, "event_type", levels=6).collect()}
+        assert got[5].share_ppm > 500_000  # the 32-hour pairing wins

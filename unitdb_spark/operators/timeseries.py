@@ -1816,3 +1816,115 @@ def holt_reconcile(
         recon.alias("recon_e6"),
         (recon - F.col("fc1_e6")).cast("long").alias("delta_e6"),
     )
+
+
+def haar_energy(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    levels: int = 8,
+) -> DataFrame:
+    """Haar wavelet energy spectrum per key — WHICH TIMESCALE carries
+    the variance: level 0 pairs adjacent buckets (hour-to-hour churn
+    at the default bucket), level ℓ pairs adjacent blocks of 2^ℓ
+    buckets (level 4–5 ≈ intraday vs overnight, beyond ≈ multi-day
+    swings). The complement of `events_dominant_period` (which finds
+    ONE period) and `seasonal_decompose` (which needs the period
+    given): the spectrum localizes energy across ALL dyadic scales in
+    one pass.
+
+    Per level ℓ, unnormalized detail energy
+
+        E_ℓ = Σ_j (S_{2j} − S_{2j+1})²,   S = counts summed over
+                                           blocks of 2^ℓ buckets
+
+    where pair j is scored iff its odd block intersects the observed
+    span (blocks never extend past the data — no zero-padding
+    artifacts; EMPTY interior blocks are real zeros automatically,
+    because missing cells simply add nothing to a block sum — the
+    spine never materializes). share_ppm applies the classical
+    1/2^(ℓ+1) Haar normalization by CROSS-SCALING to integers:
+    share_ℓ = E_ℓ·2^(L−ℓ)·10⁶ div Σ_m E_m·2^(L−m).
+
+    Everything is exact: block sums are integer aggregates, energies
+    are DECIMAL(38,0) sums of squared integers, shares are integer
+    division. Levels whose pairing exceeds the span emit no row.
+
+    Output: (key, level, block_s, energy, share_ppm) — block_s = the
+    block width in seconds.
+
+    Scale: ONE levels× explode of the (key, bucket) cell relation
+    into a map-side-combined (key, level, block) aggregate; the pair
+    diff and energy run on block relations that HALVE per level.
+    Envelope: S ≤ span·max_count; E sums of S² need the DECIMAL lift
+    (present) past ~3·10⁹ block mass.
+    """
+    L = int(levels)
+    if L < 1:
+        raise ValueError("haar_energy: levels must be >= 1")
+    b = df.groupBy(
+        F.col(key_col).alias("_k"),
+        F.floor(
+            F.unix_micros(F.col(ts_col)) / F.lit(bucket_s * 1_000_000)
+        ).alias("_h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    rng = b.groupBy("_k").agg(
+        F.min("_h").alias("_mn"), F.max("_h").alias("_mx")
+    )
+    o = b.join(rng, "_k").select(
+        "_k", (F.col("_h") - F.col("_mn")).alias("_o"), "_y",
+        (F.col("_mx") - F.col("_mn")).alias("_span"),
+    )
+    lv = o.select(
+        "_k", "_y", "_span",
+        F.explode(F.sequence(F.lit(0), F.lit(L - 1))).alias("lvl"),
+        "_o",
+    ).select(
+        "_k", "lvl", "_y", "_span",
+        F.expr("_o div CAST(pow(2, lvl) AS BIGINT)").alias("_blk"),
+    )
+    blocks = lv.groupBy("_k", "lvl", "_span", "_blk").agg(
+        F.sum("_y").cast("long").alias("_s")
+    )
+    paired = blocks.select(
+        "_k", "lvl", "_span",
+        F.expr("_blk div 2").alias("_j"),
+        F.when(F.col("_blk") % 2 == 0, F.col("_s")).alias("_e"),
+        F.when(F.col("_blk") % 2 == 1, F.col("_s")).alias("_od"),
+    ).groupBy("_k", "lvl", "_span", "_j").agg(
+        F.coalesce(F.sum("_e"), F.lit(0)).alias("s0"),
+        F.coalesce(F.sum("_od"), F.lit(0)).alias("s1"),
+    ).filter(
+        # the odd block must start inside the span
+        (F.lit(2) * F.col("_j") + 1)
+        * F.expr("CAST(pow(2, lvl) AS BIGINT)")
+        <= F.col("_span")
+    )
+    d = (F.col("s0") - F.col("s1")).cast("decimal(38,0)")
+    en = paired.groupBy("_k", "lvl").agg(
+        F.sum(d * d).cast("decimal(38,0)").alias("_en")
+    )
+    wsum = Window.partitionBy("_k")
+    scaled = en.select(
+        "_k", "lvl", "_en",
+        (
+            F.col("_en")
+            * F.expr(f"CAST(pow(2, {L} - lvl) AS BIGINT)")
+        ).alias("_sc"),
+    ).select(
+        "_k", "lvl", "_en", "_sc",
+        F.sum("_sc").over(wsum).alias("_tot"),
+    )
+    return scaled.select(
+        F.col("_k").alias(key_col),
+        F.col("lvl").cast("int").alias("level"),
+        (
+            F.expr("CAST(pow(2, lvl) AS BIGINT)") * F.lit(int(bucket_s))
+        ).cast("long").alias("block_s"),
+        F.col("_en").cast("long").alias("energy"),
+        F.when(
+            F.col("_tot") > 0,
+            F.expr("CAST((_sc * 1000000) div _tot AS BIGINT)"),
+        ).alias("share_ppm"),
+    )
