@@ -6259,6 +6259,35 @@ def q_events_haar(spark, sf_dir):
     return haar_energy(_events(spark, sf_dir), "event_type")
 
 
+
+def q_streamed_haar(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING Haar spectrum: hourly
+    count cells (value-non-null rows, the cell contract) fold into the
+    commit-logged state; the block arithmetic runs at read time
+    through the shared haar_from_cells path — the TENTH dashboard off
+    the same maintained state. Oracle = the batch Haar SQL with the
+    cell row filter."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_hourly_cells,
+        read_haar,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_hourly_cells(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "event_type",
+        "ts",
+        "value",
+        f"{base}/cells",
+        f"{base}/cp",
+    )
+    q.awaitTermination(300)
+    return read_haar(spark, f"{base}/cells")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6592,6 +6621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forecast_recon": q_events_forecast_recon,
         "embed_drift": q_embed_drift,
         "events_haar": q_events_haar,
+        "streamed_haar": q_streamed_haar,
     }
 
 
@@ -13179,6 +13209,11 @@ def oracle_sql() -> dict[str, str]:
           END AS share_ppm
         FROM scaled JOIN tot ON tot.k = scaled.k
         """
+    # rolling Haar twin: same hour-count cells (value-non-null rows)
+    d["streamed_haar"] = d["events_haar"].replace(
+        "FROM events GROUP BY 1, 2",
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2",
+    )
     return d
 
 

@@ -1860,15 +1860,40 @@ def haar_energy(
     Envelope: S ≤ span·max_count; E sums of S² need the DECIMAL lift
     (present) past ~3·10⁹ block mass.
     """
-    L = int(levels)
-    if L < 1:
-        raise ValueError("haar_energy: levels must be >= 1")
     b = df.groupBy(
         F.col(key_col).alias("_k"),
         F.floor(
             F.unix_micros(F.col(ts_col)) / F.lit(bucket_s * 1_000_000)
         ).alias("_h"),
     ).agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    return haar_from_cells(
+        b, "_k", "_h", "_y",
+        bucket_s=bucket_s, levels=levels, out_key=key_col,
+    )
+
+
+def haar_from_cells(
+    cells: DataFrame,
+    key_col: str,
+    h_col: str,
+    y_col: str,
+    bucket_s: int = 3600,
+    levels: int = 8,
+    out_key: str | None = None,
+) -> DataFrame:
+    """The Haar-spectrum finish over an already-aggregated (key,
+    bucket-index, count) CELL relation — shared between `haar_energy`
+    (batch) and the rolling hourly-cell twin. See `haar_energy`."""
+    L = int(levels)
+    if L < 1:
+        raise ValueError("haar_energy: levels must be >= 1")
+    out_key = out_key or key_col
+    b = cells.select(
+        F.col(key_col).alias("_k"),
+        F.col(h_col).cast("long").alias("_h"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    key_col = out_key
     rng = b.groupBy("_k").agg(
         F.min("_h").alias("_mn"), F.max("_h").alias("_mx")
     )

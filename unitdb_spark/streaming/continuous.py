@@ -1017,3 +1017,22 @@ def read_conformal(
 
     cells = read_cells(spark, state_path)
     return conformal_from_cells(cells, key_col, alpha=alpha)
+
+
+def read_haar(
+    spark, state_path: str, key_col: str = "event_type", levels: int = 8,
+) -> DataFrame:
+    """Rolling Haar energy spectrum over the committed hourly cells —
+    a TENTH dashboard off the same maintained state, through the
+    shared `haar_from_cells` block arithmetic."""
+    from unitdb_spark.operators.timeseries import haar_from_cells
+
+    cells = read_cells(spark, state_path)
+    hourly = cells.select(
+        F.col("_k").alias(key_col),
+        (
+            F.expr("CAST(unix_date(_d) AS BIGINT)") * 24 + F.col("_h")
+        ).alias("hidx"),
+        F.col("_c").alias("y"),
+    )
+    return haar_from_cells(hourly, key_col, "hidx", "y", levels=levels)
