@@ -6288,6 +6288,19 @@ def q_streamed_haar(spark, sf_dir):
     return read_haar(spark, f"{base}/cells")
 
 
+
+def q_events_training_table(spark, sf_dir):
+    """Leakage-free point-in-time training table: features aggregate
+    STRICTLY at-or-before the 70%-of-span cutoff, the label is a
+    purchase in the following 15% window, and users unseen before the
+    cutoff emit no row (scoring-time parity). Cutoff arithmetic is
+    integer micros; every feature is an exact integer — the
+    training-set builder pattern every ML-on-events pipeline needs."""
+    from unitdb_spark.operators.features import training_table
+
+    return training_table(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6622,6 +6635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_drift": q_embed_drift,
         "events_haar": q_events_haar,
         "streamed_haar": q_streamed_haar,
+        "events_training_table": q_events_training_table,
     }
 
 
@@ -13214,6 +13228,43 @@ def oracle_sql() -> dict[str, str]:
         "FROM events GROUP BY 1, 2",
         "FROM events WHERE value IS NOT NULL GROUP BY 1, 2",
     )
+    # point-in-time training table: same integer-micro cutoff split
+    d["events_training_table"] = """
+        WITH base AS (
+          SELECT user_id AS u, epoch_us(ts) AS t, event_type AS ty,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events
+        ), bounds AS (
+          SELECT
+            min(t) + ((max(t) - min(t)) * 700000) // 1000000 AS cut,
+            ((max(t) - min(t)) * 150000) // 1000000 AS hz
+          FROM base
+        ), pre AS (
+          SELECT base.* FROM base, bounds WHERE t <= cut
+        ), feats AS (
+          SELECT u, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(count(*) FILTER (ty = 'click') AS BIGINT) AS n_click,
+            CAST(count(*) FILTER (ty = 'error') AS BIGINT) AS n_error,
+            CAST(count(*) FILTER (ty = 'purchase') AS BIGINT)
+              AS n_purchase,
+            CAST(count(*) FILTER (ty = 'signup') AS BIGINT) AS n_signup,
+            CAST(count(*) FILTER (ty = 'view') AS BIGINT) AS n_view,
+            CAST(coalesce(sum(cents), 0) AS BIGINT) AS cents,
+            max(t) AS lastt, min(t) AS firstt
+          FROM pre GROUP BY 1
+        ), lab AS (
+          SELECT DISTINCT u FROM base, bounds
+          WHERE t > cut AND t <= cut + hz AND ty = 'purchase'
+        )
+        SELECT feats.u AS user_id, n_events, n_click, n_error,
+          n_purchase, n_signup, n_view, cents,
+          CAST((bounds.cut - lastt) // 1000000 AS BIGINT) AS recency_s,
+          CAST((bounds.cut - firstt) // 1000000 AS BIGINT) AS tenure_s,
+          CAST(CASE WHEN lab.u IS NOT NULL THEN 1 ELSE 0 END
+               AS INTEGER) AS label
+        FROM feats CROSS JOIN bounds
+        LEFT JOIN lab ON lab.u = feats.u
+        """
     return d
 
 

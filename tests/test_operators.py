@@ -8428,3 +8428,53 @@ class TestHaarEnergy:
         df = spark.createDataFrame(rows, "event_type string, ts timestamp")
         got = {r.level: r for r in haar_energy(df, "event_type", levels=6).collect()}
         assert got[5].share_ppm > 500_000  # the 32-hour pairing wins
+
+
+class TestTrainingTable:
+    def test_no_leakage_and_labels(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.features import training_table
+
+        base = dt.datetime(2024, 11, 1)
+        rows = []
+        # span = 100 hours; cutoff at 70h, horizon 15h
+        # u1: active early, purchases at 75h (inside window) -> label 1
+        # u2: active early, purchases at 90h (outside window) -> label 0
+        # u3: first seen at 80h (after cutoff) -> NO ROW
+        for h in (0, 10, 60):
+            rows.append((1, base + dt.timedelta(hours=h), "click", 10.0))
+            rows.append((2, base + dt.timedelta(hours=h), "view", None))
+        rows.append((1, base + dt.timedelta(hours=75), "purchase", 5.0))
+        rows.append((2, base + dt.timedelta(hours=90), "purchase", 5.0))
+        rows.append((3, base + dt.timedelta(hours=80), "click", 1.0))
+        rows.append((2, base + dt.timedelta(hours=100), "view", None))
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string, value double"
+        )
+        out = {r.user_id: r for r in training_table(df).collect()}
+        assert set(out) == {1, 2}          # u3 unseen pre-cutoff
+        assert out[1].label == 1 and out[2].label == 0
+        # features count ONLY pre-cutoff events
+        assert out[1].n_events == 3 and out[2].n_events == 3
+        # the 75h purchase is label-side: 'purchase' never appears
+        # pre-cutoff, so it isn't even a feature column
+        assert "n_purchase" not in out[1].asDict()
+        assert out[1].n_click == 3
+        assert out[1].cents == 3000 and out[2].cents == 0
+        # recency/tenure relative to the cutoff (70h), in seconds
+        assert out[1].recency_s == 10 * 3600 and out[1].tenure_s == 70 * 3600
+
+    def test_bad_split_raises(self, spark):
+        import pytest
+
+        from unitdb_spark.operators.features import training_table
+
+        df = spark.range(1).select(
+            F.lit(1).alias("user_id"),
+            F.current_timestamp().alias("ts"),
+            F.lit("click").alias("event_type"),
+            F.lit(1.0).alias("value"),
+        )
+        with pytest.raises(ValueError, match="split the unit span"):
+            training_table(df, cutoff_ppm=950_000, horizon_ppm=100_000)
