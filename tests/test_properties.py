@@ -704,3 +704,107 @@ class TestTemperatureAllocationProperty:
         for a, b in zip(rs, rs[1:]):
             if b.w > a.w:
                 assert b.alloc >= a.alloc
+
+
+# hourly count series per key: list of (hour offset, count>=1)
+_count_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=80),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=2,
+    max_size=30,
+).map(dict)  # dedupe hour offsets, keep last count
+
+
+def _series_rows(hours: dict, key="s"):
+    rows = []
+    for h, n in hours.items():
+        for i in range(n):
+            rows.append((key, T0 + dt.timedelta(hours=h, minutes=i)))
+    return rows
+
+
+class TestLjungBoxProperties:
+    @given(series=_count_series)
+    @settings(max_examples=12, deadline=None)
+    def test_matches_model_on_random_series(self, spark, series):
+        from decimal import Decimal
+
+        from unitdb_spark.operators.stats_tests import (
+            LB_CRIT_MICRO,
+            ljung_box,
+        )
+
+        df = spark.createDataFrame(
+            _series_rows(series), "event_type string, ts timestamp"
+        )
+        got = ljung_box(df, "event_type").collect()
+
+        mn, mx = min(series), max(series)
+        xs = [series.get(h, 0) for h in range(mn, mx + 1)]
+        n, s = len(xs), sum(xs)
+        c = [n * x - s for x in xs]
+        den = sum(v * v for v in c)
+        if den == 0:
+            assert got == []
+            return
+        total, dof = Decimal(0), 0
+        for k in range(1, min(12, n - 1) + 1):
+            num = sum(c[t] * c[t + k] for t in range(n - k))
+            rho = num / den
+            total += Decimal(str(round(rho * rho / (n - k), 6)))
+            dof += 1
+        qm = int(n * (n + 2) * total * 1_000_000)
+        assert [tuple(r) for r in got] == [
+            ("s", n, dof, qm, qm > LB_CRIT_MICRO[dof - 1])
+        ]
+
+
+class TestEwmaChartProperties:
+    @given(series=_count_series)
+    @settings(max_examples=12, deadline=None)
+    def test_matches_model_on_random_series(self, spark, series):
+        from unitdb_spark.operators.timeseries import ewma_control
+
+        df = spark.createDataFrame(
+            _series_rows(series), "event_type string, ts timestamp"
+        )
+        got = sorted(tuple(r) for r in ewma_control(df, "event_type").collect())
+
+        mn, mx = min(series), max(series)
+        ys = [series.get(h, 0) for h in range(mn, mx + 1)]
+        n, s = len(ys), sum(ys)
+        ss = sum(y * y for y in ys)
+        rhs = 9 * (n * ss - s * s) * 10**12
+        z, want = (s * 10**6) // n, []
+        for i in range(1, n):
+            z = (ys[i] * 10**6 + 7 * z) // 8
+            dlt = z * n - s * 10**6
+            if dlt * dlt * 15 > rhs:
+                h_epoch = int(
+                    (T0 + dt.timedelta(hours=mn + i))
+                    .replace(tzinfo=dt.timezone.utc).timestamp()
+                )
+                want.append(("s", h_epoch, ys[i], z, 1 if dlt > 0 else -1))
+        assert got == sorted(want)
+
+
+class TestFanoProperties:
+    @given(series=_count_series)
+    @settings(max_examples=12, deadline=None)
+    def test_matches_model_on_random_series(self, spark, series):
+        from unitdb_spark.operators.timeseries import fano_factor
+
+        df = spark.createDataFrame(
+            _series_rows(series), "event_type string, ts timestamp"
+        )
+        (r,) = fano_factor(df, "event_type").collect()
+        mn, mx = min(series), max(series)
+        ys = [series.get(h, 0) for h in range(mn, mx + 1)]
+        n, s = len(ys), sum(ys)
+        ss = sum(y * y for y in ys)
+        fano = (n * ss - s * s) / (n * s)
+        zz = (fano - 1.0) * math.sqrt((n - 1) / 2.0)
+        assert (r.n, r.fano_r, r.z_r) == (n, round(fano, 6), round(zz, 6))
+        assert r.overdispersed == (round(zz, 6) > 1.644854)
