@@ -51,6 +51,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "events_pettitt": "doubled-midrank and U_t windows over the series' distinct-value/day relations",
     "parts_abc": "cumulative revenue-share window over the per-part totals relation",
     "parts_skyline": "stage-2 dominance windows over the bucket-local survivor staircase (buckets x distinct sizes), not the catalog",
+    "events_forecast_recon": "largest-remainder apportionment windows over the per-key FORECAST relation (keys rows — the temperature_allocation class)",
 }
 
 
