@@ -6301,6 +6301,27 @@ def q_events_training_table(spark, sf_dir):
     return training_table(_events(spark, sf_dir))
 
 
+
+def q_events_power(spark, sf_dir):
+    """Experiment design for the per-user revenue metric: the per-arm
+    sample size needed to detect a 5% relative lift at alpha=0.05,
+    power=0.8 — the missing step in front of the readout family.
+    Injected round-6 z constant; exact integer moments; ONE pinned
+    double estimate with an engine-identical ceil."""
+    from unitdb_spark.operators.evaluation import power_analysis
+
+    ev = _events(spark, sf_dir)
+    units = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            ),
+            F.lit(0),
+        ).alias("cents")
+    )
+    return power_analysis(units, "cents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6636,6 +6657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_haar": q_events_haar,
         "streamed_haar": q_streamed_haar,
         "events_training_table": q_events_training_table,
+        "events_power": q_events_power,
     }
 
 
@@ -13264,6 +13286,45 @@ def oracle_sql() -> dict[str, str]:
                AS INTEGER) AS label
         FROM feats CROSS JOIN bounds
         LEFT JOIN lab ON lab.u = feats.u
+        """
+    # power analysis: same z constant C=15.697757, exact HUGEINT moments,
+    # identical pinned-double estimate and ceil
+    d["events_power"] = """
+        WITH units AS (
+          SELECT user_id,
+            coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT)), 0) AS cents
+          FROM events GROUP BY 1
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(coalesce(sum(cents), 0) AS BIGINT) AS s,
+            coalesce(sum(CAST(cents AS HUGEINT) * cents), 0) AS ss
+          FROM units
+        ), fin AS (
+          SELECT n, s,
+            (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s) AS vn
+          FROM m
+        )
+        SELECT n AS n_units,
+          CASE WHEN n >= 2 AND s <> 0 THEN
+            round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS mu_r,
+          CASE WHEN n >= 2 AND s <> 0 THEN
+            round(sqrt(CAST(vn AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))),
+                  6) END AS sd_r,
+          CASE WHEN n >= 2 AND s <> 0 THEN
+            CAST(ceil(15.697757 * (CAST(vn AS DOUBLE) * 1e12 * CAST(n AS DOUBLE))
+                 / ((50000.0 * 50000.0) * CAST(n - 1 AS DOUBLE)
+                    * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))))
+              AS BIGINT) END AS n_required,
+          CASE WHEN n >= 2 AND s <> 0 THEN
+            CAST(n AS DOUBLE) >=
+            2 * CAST(ceil(15.697757 * (CAST(vn AS DOUBLE) * 1e12
+                                 * CAST(n AS DOUBLE))
+                 / ((50000.0 * 50000.0) * CAST(n - 1 AS DOUBLE)
+                    * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))))
+                 AS BIGINT) END AS feasible
+        FROM fin
         """
     return d
 

@@ -8478,3 +8478,41 @@ class TestTrainingTable:
         )
         with pytest.raises(ValueError, match="split the unit span"):
             training_table(df, cutoff_ppm=950_000, horizon_ppm=100_000)
+
+
+class TestPowerAnalysis:
+    def test_matches_python_model(self, spark):
+        import math
+
+        from unitdb_spark.operators.evaluation import power_analysis
+
+        vals = [(f"u{i}", 100 + (i * 37) % 50) for i in range(200)]
+        df = spark.createDataFrame(vals, "uid string, cents long")
+        (r,) = power_analysis(df, "cents").collect()
+        n = len(vals)
+        s = sum(v for _, v in vals)
+        ss = sum(v * v for _, v in vals)
+        vn = n * ss - s * s
+        C = round(2 * (1.959964 + 0.841621) ** 2, 6)
+        n_req = math.ceil(C * (vn * 1e12 * n) / ((50000.0 * 50000.0) * (n - 1) * (s * s)))
+        assert r.n_units == n
+        assert r.mu_r == round(s / n, 6)
+        assert r.sd_r == round(math.sqrt(vn / (n * (n - 1))), 6)
+        assert r.n_required == n_req
+        assert r.feasible == (n >= 2 * n_req)
+
+    def test_degenerate_inputs_yield_null(self, spark):
+        from unitdb_spark.operators.evaluation import power_analysis
+
+        df = spark.createDataFrame([("u1", 5)], "uid string, cents long")
+        (r,) = power_analysis(df, "cents").collect()
+        assert r.n_units == 1 and r.n_required is None and r.feasible is None
+
+    def test_off_table_quantiles_raise(self, spark):
+        import pytest
+
+        from unitdb_spark.operators.evaluation import power_analysis
+
+        df = spark.createDataFrame([("u", 1), ("v", 2)], "uid string, cents long")
+        with pytest.raises(ValueError, match="z table"):
+            power_analysis(df, "cents", alpha=0.03)

@@ -716,3 +716,88 @@ def topk_recall(
             ).cast("long").alias("recall_ppm"),
         )
     )
+
+
+def power_analysis(
+    units: DataFrame,
+    value_col: str,
+    mde_ppm: int = 50_000,
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> DataFrame:
+    """Two-sample experiment design: the per-arm sample size needed to
+    detect a relative effect of ``mde_ppm`` (default 5%) on the unit
+    metric at the given significance and power —
+
+        n/arm = 2·(z_{1−α/2} + z_power)² · σ² / (mde·μ)²
+
+    the missing DESIGN step in front of the readout family
+    (ab_test_report says what happened; this says how long to run).
+
+    Exactness: the z constant is computed ONCE here and injected as a
+    round-6 literal (the SPRT log-table convention); μ² and the
+    sample variance expand into exact integer moments so the whole
+    estimate is ONE pinned double
+
+        n = ceil( C · 10¹² · n·(n·SS − S²)
+                  / (mde² · (n−1) · S²) )
+
+    identical on any IEEE engine. n < 2 units or S = 0 yields NULL
+    (no variance or no mean to size against).
+
+    Output: one row (n_units, mu_r, sd_r, n_required, feasible) —
+    feasible = the observed corpus could already populate both arms.
+
+    Scale: one per-unit aggregate; moments lift to DECIMAL(38,0).
+    """
+    from math import sqrt as _sqrt
+
+    if not 0 < alpha < 1 or not 0 < power < 1:
+        raise ValueError("alpha and power must be in (0, 1)")
+    # inverse-normal quantiles via Acklam's rational approximation is
+    # overkill here: the two standard design points are injected as
+    # literals (computed once, like the SPRT log table); other
+    # (alpha, power) pairs extend _Z the same way
+    _Z = {0.975: 1.959964, 0.95: 1.644854, 0.8: 0.841621, 0.9: 1.281552}
+    za = _Z.get(round(1 - alpha / 2, 6))
+    zb = _Z.get(round(power, 6))
+    if za is None or zb is None:
+        raise ValueError(
+            "alpha/power outside the injected z table "
+            f"(have quantiles {sorted(_Z)})"
+        )
+    C = round(2 * (za + zb) ** 2, 6)
+    D38 = "decimal(38,0)"
+    m = units.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(F.col(value_col)), F.lit(0))
+        .cast("long").alias("s"),
+        F.coalesce(
+            F.sum(F.col(value_col).cast(D38) * F.col(value_col)), F.lit(0)
+        ).cast(D38).alias("ss"),
+    )
+    nD = F.col("n").cast("double")
+    var_num = (F.col("n").cast(D38) * F.col("ss")
+               - F.col("s").cast(D38) * F.col("s"))
+    mu = F.col("s").cast("double") / nD
+    sd = F.sqrt(
+        var_num.cast("double") / (nD * (nD - F.lit(1.0)))
+    )
+    # the finish is double anyway: cast the EXACT integer moments to
+    # double first, then multiply in pinned order — no DECIMAL(38)
+    # ceiling to outgrow at any corpus size
+    num = var_num.cast("double") * F.lit(1e12) * nD
+    den = (
+        F.lit(float(mde_ppm) * float(mde_ppm))
+        * (F.col("n") - 1).cast("double")
+        * (F.col("s").cast("double") * F.col("s").cast("double"))
+    )
+    n_req = F.ceil(F.lit(C) * num / den).cast("long")
+    ok = (F.col("n") >= 2) & (F.col("s") != 0)
+    return m.select(
+        F.col("n").alias("n_units"),
+        F.when(ok, F.round(mu, 6)).alias("mu_r"),
+        F.when(ok, F.round(sd, 6)).alias("sd_r"),
+        F.when(ok, n_req).alias("n_required"),
+        F.when(ok, nD >= 2 * n_req).alias("feasible"),
+    )
