@@ -6322,6 +6322,18 @@ def q_events_power(spark, sf_dir):
     return power_analysis(units, "cents")
 
 
+
+def q_events_runs(spark, sf_dir):
+    """Wald-Wolfowitz runs test per event_type's hourly spine: the
+    sign-pattern member of the randomness trio (Ljung-Box hears
+    autocorrelation, Fano measures dispersion). Median = exact order
+    statistic, runs from one lag window, z a single pinned double,
+    the verdict vs the literal two-sided 5% quantile."""
+    from unitdb_spark.operators.stats_tests import runs_test
+
+    return runs_test(_events(spark, sf_dir), "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6658,6 +6670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_haar": q_streamed_haar,
         "events_training_table": q_events_training_table,
         "events_power": q_events_power,
+        "events_runs": q_events_runs,
     }
 
 
@@ -13324,6 +13337,61 @@ def oracle_sql() -> dict[str, str]:
                  / ((50000.0 * 50000.0) * CAST(n - 1 AS DOUBLE)
                     * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))))
                  AS BIGINT) END AS feasible
+        FROM fin
+        """
+    # runs test: same spine, order-statistic median, lag boundaries
+    d["events_runs"] = """
+        WITH b AS (
+          SELECT event_type AS k,
+            CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ), rng AS (
+          SELECT k, min(h) AS mn, max(h) AS mx FROM b GROUP BY 1
+        ), spine AS (
+          SELECT k, CAST(u.h AS BIGINT) AS h
+          FROM rng, unnest(generate_series(mn, mx)) AS u(h)
+        ), d AS (
+          SELECT spine.k, spine.h, coalesce(b.y, 0) AS y
+          FROM spine LEFT JOIN b ON b.k = spine.k AND b.h = spine.h
+        ), ranked AS (
+          SELECT k, h, y,
+            row_number() OVER (PARTITION BY k ORDER BY y, h) AS rv,
+            count(*) OVER (PARTITION BY k) AS n
+          FROM d
+        ), med AS (
+          SELECT k, y AS medv FROM ranked WHERE rv = (n + 1) // 2
+        ), sides AS (
+          SELECT d.k, d.h,
+            CAST(d.y > med.medv AS INTEGER) AS side
+          FROM d JOIN med ON med.k = d.k
+          WHERE d.y <> med.medv
+        ), lagged AS (
+          SELECT k, side,
+            lag(side) OVER (PARTITION BY k ORDER BY h) AS prev
+          FROM sides
+        ), agg AS (
+          SELECT k,
+            CAST(count(*) FILTER (side = 1) AS BIGINT) AS n1,
+            CAST(count(*) FILTER (side = 0) AS BIGINT) AS n2,
+            CAST(1 + count(*) FILTER (prev IS NOT NULL
+                                      AND side <> prev) AS BIGINT)
+              AS runs
+          FROM lagged GROUP BY 1
+        ), fin AS (
+          SELECT k, n1 + n2 AS n, n1, n2, runs,
+            CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+              round((CAST(runs AS DOUBLE)
+                     - (2.0 * n1 * n2 / CAST(n1 + n2 AS DOUBLE) + 1.0))
+                / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2
+                                        - CAST(n1 + n2 AS DOUBLE))
+                  / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                     * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 6)
+            END AS z_r
+          FROM agg
+        )
+        SELECT k AS event_type, n, n1, n2, runs, z_r,
+          abs(z_r) > 1.959964 AS nonrandom
         FROM fin
         """
     return d

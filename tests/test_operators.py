@@ -8516,3 +8516,71 @@ class TestPowerAnalysis:
         df = spark.createDataFrame([("u", 1), ("v", 2)], "uid string, cents long")
         with pytest.raises(ValueError, match="z table"):
             power_analysis(df, "cents", alpha=0.03)
+
+
+class TestRunsTest:
+    def test_matches_python_model(self, spark):
+        import datetime as dt
+        import math
+
+        from unitdb_spark.operators.stats_tests import runs_test
+
+        base = dt.datetime(2024, 12, 1)
+        # alternating high/low around a single median cell: far more
+        # runs than chance -> nonrandom (3 levels so the median drops
+        # only itself, not a whole side)
+        counts = [6 if h % 2 == 0 else 2 for h in range(40)] + [4]
+        rows = [
+            ("alt", base + dt.timedelta(hours=h, minutes=i))
+            for h, c in enumerate(counts)
+            for i in range(c)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        (r,) = runs_test(df, "event_type").collect()
+
+        ys = counts
+        med = sorted(ys)[(len(ys) + 1) // 2 - 1]
+        sides = [1 if y > med else 0 for y in ys if y != med]
+        n1, n2 = sum(sides), len(sides) - sum(sides)
+        runs = 1 + sum(1 for a, b in zip(sides, sides[1:]) if a != b)
+        n = n1 + n2
+        mu = 2.0 * n1 * n2 / n + 1.0
+        var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+        z = (runs - mu) / math.sqrt(var)
+        assert (r.n, r.n1, r.n2, r.runs) == (n, n1, n2, runs)
+        assert r.z_r == round(z, 6)
+        assert r.nonrandom is True and r.z_r > 0  # alternation inflates runs
+
+    def test_clumped_series_flags_low(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.stats_tests import runs_test
+
+        base = dt.datetime(2024, 12, 1)
+        counts = [6] * 20 + [4] + [2] * 20  # one giant run each side
+        rows = [
+            ("clump", base + dt.timedelta(hours=h, minutes=i))
+            for h, c in enumerate(counts)
+            for i in range(c)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        (r,) = runs_test(df, "event_type").collect()
+        assert r.runs == 2 and r.nonrandom is True and r.z_r < 0
+
+    def test_one_sided_series_yields_null(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.stats_tests import runs_test
+
+        base = dt.datetime(2024, 12, 1)
+        # constant series: everything ties at the median and drops
+        rows = [
+            ("flat", base + dt.timedelta(hours=h, minutes=i))
+            for h in range(10)
+            for i in range(3)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        out = runs_test(df, "event_type").collect()
+        assert len(out) <= 1
+        if out:
+            assert out[0].z_r is None

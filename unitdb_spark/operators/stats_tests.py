@@ -1166,3 +1166,105 @@ def sprt_decision(
         .when(h0_wins, F.col("_h0d"))
         .cast("long").alias("cross_day"),
     )
+
+
+def runs_test(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per key over the densified count
+    spine — the SIGN-PATTERN member of the randomness trio (Ljung-Box
+    hears autocorrelation, Fano measures dispersion; this one sees
+    structure neither can: a series can pass both and still alternate
+    or clump suspiciously around its median).
+
+    The series dichotomizes against its own MEDIAN (the low order
+    statistic of the spine counts — exact, row_number-ranked; ties AT
+    the median drop, the classical treatment), R = number of
+    alternating runs, and
+
+        z = (R − μ_R) / σ_R,   μ_R = 2·n1·n2/n + 1,
+        σ_R² = 2·n1·n2·(2·n1·n2 − n) / (n²·(n−1))
+
+    n1/n2/R are exact integer aggregates (runs = 1 + boundary count
+    from ONE key-partitioned lag window); z is a single pinned double
+    over them, round-6; `nonrandom` compares |z| against the literal
+    two-sided 5% quantile. Keys where a side is empty (constant-ish
+    series) yield NULL z.
+
+    Output: (key, n, n1, n2, runs, z_r, nonrandom).
+
+    Scale: the spine is keys × span buckets; the median is a
+    key-partitioned rank over the spine relation; one lag window for
+    the boundaries. Nothing grows with event volume past the first
+    count agg.
+    """
+    b = df.groupBy(
+        F.col(key_col).alias("_k"),
+        F.floor(
+            F.unix_micros(F.col(ts_col)) / F.lit(bucket_s * 1_000_000)
+        ).alias("_h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    rng = b.groupBy("_k").agg(
+        F.min("_h").alias("_mn"), F.max("_h").alias("_mx")
+    )
+    spine = rng.select(
+        "_k", F.explode(F.sequence("_mn", "_mx")).alias("_h")
+    )
+    d = spine.join(b, ["_k", "_h"], "left").select(
+        "_k", "_h", F.coalesce(F.col("_y"), F.lit(0)).alias("_y")
+    )
+    # median = lower middle order statistic (rank (n+1) div 2 by value)
+    wv = Window.partitionBy("_k").orderBy("_y", "_h")
+    ranked = d.select(
+        "_k", "_h", "_y", F.row_number().over(wv).alias("_rv"),
+        F.count(F.lit(1)).over(Window.partitionBy("_k")).alias("_n"),
+    )
+    med = ranked.filter(
+        F.col("_rv") == F.expr("(_n + 1) div 2")
+    ).select("_k", F.col("_y").alias("_med"))
+    sides = (
+        d.join(med, "_k")
+        .filter(F.col("_y") != F.col("_med"))
+        .select(
+            "_k", "_h",
+            (F.col("_y") > F.col("_med")).cast("int").alias("_side"),
+        )
+    )
+    wo = Window.partitionBy("_k").orderBy("_h")
+    runs = sides.select(
+        "_k", "_side", F.lag("_side").over(wo).alias("_prev")
+    ).groupBy("_k").agg(
+        F.count(F.when(F.col("_side") == 1, 1)).cast("long").alias("n1"),
+        F.count(F.when(F.col("_side") == 0, 1)).cast("long").alias("n2"),
+        (
+            F.lit(1)
+            + F.count(
+                F.when(
+                    F.col("_prev").isNotNull()
+                    & (F.col("_side") != F.col("_prev")),
+                    1,
+                )
+            )
+        ).cast("long").alias("runs"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    mu = F.lit(2.0) * n1d * n2d / nd + F.lit(1.0)
+    var = (
+        F.lit(2.0) * n1d * n2d * (F.lit(2.0) * n1d * n2d - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    z = (F.col("runs").cast("double") - mu) / F.sqrt(var)
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n1") + F.col("n2") > 1)
+    out = runs.select(
+        F.col("_k").alias(key_col),
+        (F.col("n1") + F.col("n2")).alias("n"),
+        "n1", "n2", "runs",
+        F.when(ok, F.round(z, 6)).alias("z_r"),
+    )
+    return out.select(
+        "*", (F.abs(F.col("z_r")) > F.lit(1.959964)).alias("nonrandom")
+    )
