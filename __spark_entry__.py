@@ -6334,6 +6334,35 @@ def q_events_runs(spark, sf_dir):
     return runs_test(_events(spark, sf_dir), "event_type")
 
 
+
+def q_streamed_runs(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING runs verdict: hourly count
+    cells (value-non-null rows, the cell contract) fold into the
+    commit-logged state; the order-statistic median + run counting
+    finish runs at read time through the shared runs_from_cells path
+    — the ELEVENTH dashboard off the same maintained state. Oracle =
+    the batch runs SQL with the cell row filter."""
+    from unitdb_spark.streaming.continuous import (
+        continuous_hourly_cells,
+        read_runs,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_hourly_cells(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "event_type",
+        "ts",
+        "value",
+        f"{base}/cells",
+        f"{base}/cp",
+    )
+    q.awaitTermination(300)
+    return read_runs(spark, f"{base}/cells")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6671,6 +6700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_training_table": q_events_training_table,
         "events_power": q_events_power,
         "events_runs": q_events_runs,
+        "streamed_runs": q_streamed_runs,
     }
 
 
@@ -13394,6 +13424,11 @@ def oracle_sql() -> dict[str, str]:
           abs(z_r) > 1.959964 AS nonrandom
         FROM fin
         """
+    # rolling runs twin: same hour-count cells (value-non-null rows)
+    d["streamed_runs"] = d["events_runs"].replace(
+        "FROM events GROUP BY 1, 2",
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2",
+    )
     return d
 
 

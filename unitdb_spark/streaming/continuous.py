@@ -1036,3 +1036,22 @@ def read_haar(
         F.col("_c").alias("y"),
     )
     return haar_from_cells(hourly, key_col, "hidx", "y", levels=levels)
+
+
+def read_runs(
+    spark, state_path: str, key_col: str = "event_type",
+) -> DataFrame:
+    """Rolling Wald-Wolfowitz runs verdict over the committed hourly
+    cells — an ELEVENTH dashboard off the same maintained state,
+    through the shared `runs_from_cells` finish."""
+    from unitdb_spark.operators.stats_tests import runs_from_cells
+
+    cells = read_cells(spark, state_path)
+    hourly = cells.select(
+        F.col("_k").alias(key_col),
+        (
+            F.expr("CAST(unix_date(_d) AS BIGINT)") * 24 + F.col("_h")
+        ).alias("hidx"),
+        F.col("_c").alias("y"),
+    )
+    return runs_from_cells(hourly, key_col, "hidx", "y")
