@@ -2104,3 +2104,50 @@ class TestContinuousLjungBox:
         got = read_ljungbox(spark, state).collect()
         assert len(want) > 0
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+class TestContinuousDashboards:
+    def test_fano_conformal_haar_runs_match_batch(
+        self, spark, events_dir, tmp_path
+    ):
+        """Four dashboards, ONE folded cell state: the Fano verdict,
+        conformal radius, Haar spectrum, and runs verdict read off the
+        same committed hourly cells and each equals its batch operator
+        over the value-non-null row contract."""
+        from unitdb_spark.operators.stats_tests import runs_test
+        from unitdb_spark.operators.timeseries import (
+            conformal_backtest,
+            fano_factor,
+            haar_energy,
+        )
+        from unitdb_spark.streaming.continuous import (
+            continuous_hourly_cells,
+            read_conformal,
+            read_fano,
+            read_haar,
+            read_runs,
+        )
+        from unitdb_spark.streaming.pubsub import events_as_stream
+
+        state = str(tmp_path / "cell-state")
+        cp = str(tmp_path / "cell-cp")
+        ev = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q = continuous_hourly_cells(ev, "event_type", "ts", "value", state, cp)
+        q.awaitTermination(180)
+
+        batch = (
+            spark.read.parquet(events_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("value").isNotNull())
+        )
+        pairs = [
+            (read_fano(spark, state), fano_factor(batch, "event_type")),
+            (read_conformal(spark, state), conformal_backtest(batch)),
+            (read_haar(spark, state), haar_energy(batch, "event_type")),
+            (read_runs(spark, state), runs_test(batch, "event_type")),
+        ]
+        for got_df, want_df in pairs:
+            got = sorted(map(tuple, got_df.collect()))
+            want = sorted(map(tuple, want_df.collect()))
+            assert len(want) > 0
+            assert got == want
