@@ -6363,6 +6363,17 @@ def q_streamed_runs(spark, sf_dir):
     return read_runs(spark, f"{base}/cells")
 
 
+
+def q_events_acf(spark, sf_dir):
+    """Per-lag autocorrelation table behind the Ljung-Box verdict:
+    which lags carry the structure. rho_ppm = num*1e6 div den over the
+    exact HUGEINT/DECIMAL moments of the integral centered series —
+    truncating division, both engines."""
+    from unitdb_spark.operators.stats_tests import acf_table
+
+    return acf_table(_events(spark, sf_dir), "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6701,6 +6712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_power": q_events_power,
         "events_runs": q_events_runs,
         "streamed_runs": q_streamed_runs,
+        "events_acf": q_events_acf,
     }
 
 
@@ -13429,6 +13441,45 @@ def oracle_sql() -> dict[str, str]:
         "FROM events GROUP BY 1, 2",
         "FROM events WHERE value IS NOT NULL GROUP BY 1, 2",
     )
+    # ACF table: the Ljung-Box moment machinery, per-lag ppm output
+    d["events_acf"] = """
+        WITH b AS (
+          SELECT event_type AS k,
+            CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ), rng AS (
+          SELECT k, min(h) AS mn, max(h) AS mx FROM b GROUP BY 1
+        ), spine AS (
+          SELECT k, CAST(u.h AS BIGINT) AS h
+          FROM rng, unnest(generate_series(mn, mx)) AS u(h)
+        ), d AS (
+          SELECT spine.k, spine.h, coalesce(b.y, 0) AS y
+          FROM spine LEFT JOIN b ON b.k = spine.k AND b.h = spine.h
+        ), m AS (
+          SELECT k, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(y) AS BIGINT) AS s
+          FROM d GROUP BY 1
+        ), c AS (
+          SELECT d.k, d.h,
+            CAST(m.n AS HUGEINT) * d.y - m.s AS c
+          FROM d JOIN m ON m.k = d.k
+        ), den AS (
+          SELECT k, sum(c * c) AS den FROM c GROUP BY 1
+          HAVING sum(c * c) > 0
+        ), lagk AS (
+          SELECT CAST(u.kk AS BIGINT) AS kk
+          FROM unnest(generate_series(1, 12)) AS u(kk)
+        ), nums AS (
+          SELECT a.k, l.kk, sum(a.c * b2.c) AS num
+          FROM c a CROSS JOIN lagk l
+          JOIN c b2 ON b2.k = a.k AND b2.h = a.h + l.kk
+          GROUP BY 1, 2
+        )
+        SELECT nums.k AS event_type, CAST(kk AS INTEGER) AS lag,
+          CAST((num * 1000000) // den.den AS BIGINT) AS rho_ppm
+        FROM nums JOIN den ON den.k = nums.k
+        """
     return d
 
 

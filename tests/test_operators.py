@@ -8584,3 +8584,31 @@ class TestRunsTest:
         assert len(out) <= 1
         if out:
             assert out[0].z_r is None
+
+
+class TestAcfTable:
+    def test_matches_python_model(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.stats_tests import acf_table
+
+        base = dt.datetime(2024, 12, 15)
+        counts = [4 + (3 if h % 6 < 3 else 0) for h in range(60)]
+        rows = [
+            ("p", base + dt.timedelta(hours=h, minutes=i))
+            for h, c in enumerate(counts)
+            for i in range(c)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        got = {r.lag: r.rho_ppm for r in acf_table(df, "event_type", lags=8).collect()}
+
+        n, s = len(counts), sum(counts)
+        c = [n * x - s for x in counts]
+        den = sum(v * v for v in c)
+        for k in range(1, 9):
+            num = sum(c[t] * c[t + k] for t in range(n - k))
+            q = abs(num) * 1_000_000 // den
+            want = q if num >= 0 else -q
+            assert got[k] == want
+        # 6-hour square wave: lag 6 strongly positive, lag 3 negative
+        assert got[6] > 500_000 and got[3] < -500_000

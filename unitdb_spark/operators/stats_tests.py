@@ -1288,3 +1288,97 @@ def runs_from_cells(
     return out.select(
         "*", (F.abs(F.col("z_r")) > F.lit(1.959964)).alias("nonrandom")
     )
+
+
+def acf_table(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    lags: int = 12,
+) -> DataFrame:
+    """Per-lag autocorrelation table — the diagnostic VIEW behind
+    `ljung_box`'s one-number verdict: which lags carry the structure
+    (lag 24 on an hourly spine = daily cycle, lag 1 = momentum).
+
+    Same exactness as Ljung-Box: with the integral centered series
+    c_t = n·x_t − S, ρ_k = Σ c_t·c_{t+k} / Σ c_t² is a ratio of exact
+    DECIMAL(38,0)/HUGEINT integers, reported as the truncating
+    integer division rho_ppm = num·10⁶ div den (both engines truncate
+    toward zero, negative lags included). Constant series (den = 0)
+    are excluded.
+
+    Output: (key, lag, rho_ppm), lags 1..``lags`` where the spine has
+    pairs.
+
+    Scale: identical shape to `ljung_box` — one partitioned window
+    pass for all leads, one lag-exploded map-side-combined partial
+    agg.
+    """
+    if not 1 <= int(lags) <= 48:
+        raise ValueError("acf_table: lags must be in 1..48")
+    lags = int(lags)
+    b = df.groupBy(
+        F.col(key_col).alias("_k"),
+        F.floor(
+            F.unix_micros(F.col(ts_col)) / F.lit(bucket_s * 1_000_000)
+        ).alias("_h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    rng = b.groupBy("_k").agg(
+        F.min("_h").alias("_mn"), F.max("_h").alias("_mx")
+    )
+    spine = rng.select(
+        "_k", F.explode(F.sequence("_mn", "_mx")).alias("_h")
+    )
+    d = spine.join(b, ["_k", "_h"], "left").select(
+        "_k", "_h", F.coalesce(F.col("_y"), F.lit(0)).alias("_y")
+    )
+    m = d.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("_s"),
+    )
+    c = d.join(m, "_k").select(
+        "_k", "_h",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("_y") - F.col("_s")
+        ).cast("decimal(38,0)").alias("_c"),
+    )
+    wo = Window.partitionBy("_k").orderBy("_h")
+    led = c.select(
+        "_k", "_c",
+        *[F.lead("_c", k).over(wo).alias(f"_l{k}") for k in range(1, lags + 1)],
+    )
+    prods = led.select(
+        "_k",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("kk"),
+                    (
+                        F.col("_c")
+                        * (F.col("_c") if k == 0 else F.col(f"_l{k}"))
+                    ).alias("p"),
+                )
+                for k in range(0, lags + 1)
+            ])
+        ).alias("kv"),
+    ).select("_k", F.col("kv.kk").alias("kk"), F.col("kv.p").alias("p"))
+    nums = (
+        prods.filter(F.col("p").isNotNull())
+        .groupBy("_k", "kk")
+        .agg(F.sum("p").alias("num"))
+    )
+    den = (
+        nums.filter(F.col("kk") == 0)
+        .select("_k", F.col("num").alias("den"))
+        .filter(F.col("den") > 0)
+    )
+    return (
+        nums.filter(F.col("kk") >= 1)
+        .join(den, "_k")
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("kk").cast("int").alias("lag"),
+            F.expr("CAST((num * 1000000) div den AS BIGINT)").alias("rho_ppm"),
+        )
+    )
