@@ -6374,6 +6374,34 @@ def q_events_acf(spark, sf_dir):
     return acf_table(_events(spark, sf_dir), "event_type")
 
 
+
+def q_events_qte(spark, sf_dir):
+    """Quantile treatment effects over the hash-assigned arms: per
+    decile, the exact order statistic of per-user revenue in each arm
+    and their difference — the distributional readout behind the
+    mean-based A/B verdicts. Pure integer arithmetic."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.evaluation import quantile_treatment_effect
+
+    ev = _events(spark, sf_dir)
+    units = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            ),
+            F.lit(0),
+        ).alias("cents")
+    ).select(
+        "cents",
+        (
+            md5_int60(
+                F.concat(F.col("user_id").cast("string"), F.lit(":ab"))
+            ) % 2
+        ).cast("int").alias("arm"),
+    )
+    return quantile_treatment_effect(units, "cents", "arm")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6713,6 +6741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_runs": q_events_runs,
         "streamed_runs": q_streamed_runs,
         "events_acf": q_events_acf,
+        "events_qte": q_events_qte,
     }
 
 
@@ -13479,6 +13508,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT nums.k AS event_type, CAST(kk AS INTEGER) AS lag,
           CAST((num * 1000000) // den.den AS BIGINT) AS rho_ppm
         FROM nums JOIN den ON den.k = nums.k
+        """
+    # QTE: exact per-arm order statistics at rank (d*n+9) div 10
+    d["events_qte"] = """
+        WITH units AS (
+          SELECT
+            coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT)), 0) AS v,
+            CAST((CAST(('0x' || substr(md5(
+              CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT)
+              % 2) AS INTEGER) AS a
+          FROM events GROUP BY user_id
+        ), ranked AS (
+          SELECT a, v,
+            row_number() OVER (PARTITION BY a ORDER BY v) AS rn,
+            count(*) OVER (PARTITION BY a) AS n
+          FROM units
+        ), dd AS (
+          SELECT ranked.*, CAST(g.d AS INTEGER) AS decile
+          FROM ranked, unnest(generate_series(1, 9)) AS g(d)
+          WHERE rn = (g.d * n + 9) // 10
+        )
+        SELECT aa.decile,
+          CAST(aa.n AS BIGINT) AS n_a, CAST(bb.n AS BIGINT) AS n_b,
+          CAST(aa.v AS BIGINT) AS qa, CAST(bb.v AS BIGINT) AS qb,
+          CAST(bb.v - aa.v AS BIGINT) AS diff
+        FROM (SELECT * FROM dd WHERE a = 0) aa
+        JOIN (SELECT * FROM dd WHERE a = 1) bb USING (decile)
         """
     return d
 

@@ -8612,3 +8612,38 @@ class TestAcfTable:
             assert got[k] == want
         # 6-hour square wave: lag 6 strongly positive, lag 3 negative
         assert got[6] > 500_000 and got[3] < -500_000
+
+
+class TestQuantileTreatmentEffect:
+    def test_matches_python_model(self, spark):
+        from unitdb_spark.operators.evaluation import (
+            quantile_treatment_effect,
+        )
+
+        # arm 1 = arm 0 shifted up by 7 at every rank
+        a = [(v, 0) for v in range(1, 41)]
+        b = [(v + 7, 1) for v in range(1, 36)]
+        df = spark.createDataFrame(a + b, "cents long, arm int")
+        got = {r.decile: r for r in
+               quantile_treatment_effect(df, "cents", "arm").collect()}
+        va = sorted(v for v, _ in a)
+        vb = sorted(v for v, _ in b)
+        for d in range(1, 10):
+            qa = va[(d * len(va) + 9) // 10 - 1]
+            qb = vb[(d * len(vb) + 9) // 10 - 1]
+            r = got[d]
+            assert (r.n_a, r.n_b, r.qa, r.qb, r.diff) == (
+                len(va), len(vb), qa, qb, qb - qa
+            )
+        assert all(got[d].diff > 0 for d in range(1, 10))
+
+    def test_bad_deciles_raise(self, spark):
+        import pytest
+
+        from unitdb_spark.operators.evaluation import (
+            quantile_treatment_effect,
+        )
+
+        df = spark.createDataFrame([(1, 0)], "cents long, arm int")
+        with pytest.raises(ValueError, match="deciles"):
+            quantile_treatment_effect(df, "cents", "arm", deciles=(0, 5))

@@ -801,3 +801,62 @@ def power_analysis(
         F.when(ok, n_req).alias("n_required"),
         F.when(ok, nD >= 2 * n_req).alias("feasible"),
     )
+
+
+def quantile_treatment_effect(
+    units: DataFrame,
+    value_col: str,
+    arm_col: str,
+    deciles: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8, 9),
+) -> DataFrame:
+    """Quantile treatment effects — the DISTRIBUTIONAL A/B readout the
+    mean-based tests can't give: a treatment that lifts the median
+    but craters the tail shows a flat mean; comparing the arms decile
+    by decile shows WHERE the distribution moved.
+
+    Each decile value is the exact order statistic at rank
+    ceil(d·n/10) = (d·n + 9) div 10 within its arm (value-ordered
+    row_number — the value at a rank is deterministic under ties),
+    so every output column is exact integer arithmetic; diff is a
+    plain integer subtraction.
+
+    Output per decile: (decile, n_a, n_b, qa, qb, diff).
+
+    Scale: one rank window PARTITIONED BY ARM over the unit relation
+    (units, not events). At billions of units per arm the single
+    per-arm sort partition is the honest cost of EXACT quantiles —
+    the sketch path (`histogram_quantiles`, KLL) is the documented
+    scale alternative; this operator is the exact referee.
+    """
+    ds = sorted(set(int(d) for d in deciles))
+    if not ds or ds[0] < 1 or ds[-1] > 9:
+        raise ValueError("deciles must be within 1..9")
+    base = units.select(
+        F.col(value_col).cast("long").alias("_v"),
+        F.col(arm_col).cast("int").alias("_a"),
+    ).filter(F.col("_v").isNotNull())
+    w = Window.partitionBy("_a").orderBy("_v")
+    ranked = base.select(
+        "_a", "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_a")).alias("_n"),
+    )
+    dd = ranked.crossJoin(
+        F.broadcast(
+            ranked.sparkSession.createDataFrame(
+                [(d,) for d in ds], "decile int"
+            )
+        )
+    ).filter(
+        F.col("_rn") == F.expr("(decile * _n + 9) div 10")
+    )
+    a = dd.filter(F.col("_a") == 0).select(
+        "decile", F.col("_n").alias("n_a"), F.col("_v").alias("qa")
+    )
+    b = dd.filter(F.col("_a") == 1).select(
+        "decile", F.col("_n").alias("n_b"), F.col("_v").alias("qb")
+    )
+    return a.join(b, "decile").select(
+        "decile", "n_a", "n_b", "qa", "qb",
+        (F.col("qb") - F.col("qa")).alias("diff"),
+    )
