@@ -6402,6 +6402,18 @@ def q_events_qte(spark, sf_dir):
     return quantile_treatment_effect(units, "cents", "arm")
 
 
+
+def q_events_its(spark, sf_dir):
+    """Interrupted time-series (segmented regression) per event_type
+    around the 70%-of-span cutoff: level and slope changes at the
+    break — the within-series causal readout when no control arm
+    exists (events_did's counterpart). Exact DECIMAL integer moments;
+    each fitted quantity is one pinned double, round-6."""
+    from unitdb_spark.operators.timeseries import interrupted_ts
+
+    return interrupted_ts(_events(spark, sf_dir), "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6742,6 +6754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_runs": q_streamed_runs,
         "events_acf": q_events_acf,
         "events_qte": q_events_qte,
+        "events_its": q_events_its,
     }
 
 
@@ -13535,6 +13548,83 @@ def oracle_sql() -> dict[str, str]:
           CAST(bb.v - aa.v AS BIGINT) AS diff
         FROM (SELECT * FROM dd WHERE a = 0) aa
         JOIN (SELECT * FROM dd WHERE a = 1) bb USING (decile)
+        """
+    # ITS: HUGEINT moments, identical pinned-double fits
+    d["events_its"] = """
+        WITH cells AS (
+          SELECT event_type AS k,
+            CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ), rng AS (
+          SELECT k, min(d) AS mn,
+            min(d) + ((max(d) - min(d)) * 700000) // 1000000 AS cut
+          FROM cells GROUP BY 1
+        ), sided AS (
+          SELECT cells.k, cells.y, rng.cut, rng.mn,
+            cells.d - rng.mn AS x,
+            CAST(cells.d > rng.cut AS INTEGER) AS post
+          FROM cells JOIN rng ON rng.k = cells.k
+        ), m AS (
+          SELECT k,
+            CAST(count(*) FILTER (post = 0) AS BIGINT) AS n_pre,
+            coalesce(sum(CAST(x AS HUGEINT)) FILTER (post = 0), 0)
+              AS sx_pre,
+            coalesce(sum(CAST(y AS HUGEINT)) FILTER (post = 0), 0)
+              AS sy_pre,
+            coalesce(sum(CAST(x AS HUGEINT) * y) FILTER (post = 0), 0)
+              AS sxy_pre,
+            coalesce(sum(CAST(x AS HUGEINT) * x) FILTER (post = 0), 0)
+              AS sxx_pre,
+            CAST(count(*) FILTER (post = 1) AS BIGINT) AS n_post,
+            coalesce(sum(CAST(x AS HUGEINT)) FILTER (post = 1), 0)
+              AS sx_post,
+            coalesce(sum(CAST(y AS HUGEINT)) FILTER (post = 1), 0)
+              AS sy_post,
+            coalesce(sum(CAST(x AS HUGEINT) * y) FILTER (post = 1), 0)
+              AS sxy_post,
+            coalesce(sum(CAST(x AS HUGEINT) * x) FILTER (post = 1), 0)
+              AS sxx_post,
+            CAST(min(cut) - min(mn) + 1 AS DOUBLE) AS x0
+          FROM sided GROUP BY 1
+        ), fits AS (
+          SELECT k, n_pre, n_post, x0,
+            (CAST(n_pre AS DOUBLE) * CAST(sxy_pre AS DOUBLE)
+             - CAST(sx_pre AS DOUBLE) * CAST(sy_pre AS DOUBLE))
+            / (CAST(n_pre AS DOUBLE) * CAST(sxx_pre AS DOUBLE)
+               - CAST(sx_pre AS DOUBLE) * CAST(sx_pre AS DOUBLE))
+              AS m_pre,
+            (CAST(n_post AS DOUBLE) * CAST(sxy_post AS DOUBLE)
+             - CAST(sx_post AS DOUBLE) * CAST(sy_post AS DOUBLE))
+            / (CAST(n_post AS DOUBLE) * CAST(sxx_post AS DOUBLE)
+               - CAST(sx_post AS DOUBLE) * CAST(sx_post AS DOUBLE))
+              AS m_post,
+            CAST(sy_pre AS DOUBLE) AS syd_pre,
+            CAST(sx_pre AS DOUBLE) AS sxd_pre,
+            CAST(sy_post AS DOUBLE) AS syd_post,
+            CAST(sx_post AS DOUBLE) AS sxd_post,
+            (n_pre >= 2 AND
+             CAST(n_pre AS DOUBLE) * CAST(sxx_pre AS DOUBLE)
+             - CAST(sx_pre AS DOUBLE) * CAST(sx_pre AS DOUBLE) <> 0)
+              AS ok_pre,
+            (n_post >= 2 AND
+             CAST(n_post AS DOUBLE) * CAST(sxx_post AS DOUBLE)
+             - CAST(sx_post AS DOUBLE) * CAST(sx_post AS DOUBLE) <> 0)
+              AS ok_post
+          FROM m
+        )
+        SELECT k AS event_type, n_pre, n_post,
+          CASE WHEN ok_pre THEN round(m_pre, 6) END AS slope_pre_r,
+          CASE WHEN ok_post THEN round(m_post, 6) END AS slope_post_r,
+          CASE WHEN ok_pre AND ok_post THEN round(m_post - m_pre, 6)
+            END AS slope_change_r,
+          CASE WHEN ok_pre AND ok_post THEN
+            round(((syd_post - m_post * sxd_post)
+                     / CAST(n_post AS DOUBLE) + m_post * x0)
+                  - ((syd_pre - m_pre * sxd_pre)
+                     / CAST(n_pre AS DOUBLE) + m_pre * x0), 6)
+            END AS level_change_r
+        FROM fits
         """
     return d
 

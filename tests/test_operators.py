@@ -8647,3 +8647,44 @@ class TestQuantileTreatmentEffect:
         df = spark.createDataFrame([(1, 0)], "cents long, arm int")
         with pytest.raises(ValueError, match="deciles"):
             quantile_treatment_effect(df, "cents", "arm", deciles=(0, 5))
+
+
+class TestInterruptedTs:
+    def test_detects_level_and_slope_break(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import interrupted_ts
+
+        base = dt.datetime(2025, 1, 1)
+        rows = []
+        # 40 days: pre = flat 10/day; post (day >= 28, the 70% cut of
+        # span 39 at day 27) = jump to 30 and grow +2/day
+        for day in range(40):
+            n = 10 if day <= 27 else 30 + 2 * (day - 28)
+            for i in range(n):
+                rows.append(("brk", base + dt.timedelta(days=day, minutes=i)))
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        (r,) = interrupted_ts(df, "event_type").collect()
+        assert (r.n_pre, r.n_post) == (28, 12)
+        assert r.slope_pre_r == 0.0
+        assert r.slope_post_r == 2.0
+        assert r.slope_change_r == 2.0
+        # pre predicts 10 at x0=28; post fit passes through 30 at x0
+        assert abs(r.level_change_r - 20.0) < 1e-6
+
+    def test_single_day_side_yields_nulls(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import interrupted_ts
+
+        base = dt.datetime(2025, 1, 1)
+        rows = [
+            ("thin", base + dt.timedelta(days=d, minutes=i))
+            for d in (0, 1, 2)
+            for i in range(3)
+        ]
+        # cutoff at 70% of span 2 -> day 1: post side has ONE day
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        (r,) = interrupted_ts(df, "event_type").collect()
+        assert r.n_post == 1
+        assert r.slope_post_r is None and r.level_change_r is None

@@ -1953,3 +1953,106 @@ def haar_from_cells(
             F.expr("CAST((_sc * 1000000) div _tot AS BIGINT)"),
         ).alias("share_ppm"),
     )
+
+
+def interrupted_ts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    cutoff_ppm: int = 700_000,
+) -> DataFrame:
+    """Interrupted time-series (segmented-regression) analysis per
+    key: fit y ~ t to the daily counts BEFORE and AFTER a cutoff and
+    report the level and slope changes at the break — the standard
+    causal readout for "we shipped/changed X on day D" when no
+    concurrent control exists (the within-series counterpart of
+    events_did's control-arm design).
+
+    The cutoff day is value-based integer arithmetic (mn +
+    (mx−mn)·ppm div 10⁶, the training_table convention). Each side's
+    OLS runs on EXACT integer moments (x = day − mn and y = count are
+    integers, so Σx, Σy, Σxy, Σx² are exact DECIMAL(38,0) sums);
+    slope, intercept, the slope change, and the level change at the
+    first post day x₀
+
+        level_change = (b_post + m_post·x₀) − (b_pre + m_pre·x₀)
+
+    are each ONE pinned double, round-6. A side with fewer than 2
+    days or zero x-variance yields NULLs.
+
+    Output per key: (key, n_pre, n_post, slope_pre_r, slope_post_r,
+    slope_change_r, level_change_r).
+
+    Scale: one (key, day) count agg; both fits are plain aggregates
+    over the day relation — no windows at all.
+    """
+    if not 0 < int(cutoff_ppm) < 1_000_000:
+        raise ValueError("cutoff_ppm must be inside the unit span")
+    D38 = "decimal(38,0)"
+    cells = df.groupBy(
+        F.col(key_col).alias("_k"),
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000))
+        .alias("_d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    rng = cells.groupBy("_k").agg(
+        F.min("_d").alias("_mn"), F.max("_d").alias("_mx")
+    ).select(
+        "_k", "_mn",
+        (
+            F.col("_mn")
+            + F.expr(f"((_mx - _mn) * {int(cutoff_ppm)}) div 1000000")
+        ).alias("_cut"),
+    )
+    x = (F.col("_d") - F.col("_mn")).alias("_x")
+    sided = cells.join(rng, "_k").select(
+        "_k", "_y", "_cut", "_mn", x,
+        (F.col("_d") > F.col("_cut")).cast("int").alias("_post"),
+    )
+
+    def moments(side: int, tag: str):
+        c = F.col("_post") == side
+        xx = F.when(c, F.col("_x"))
+        yy = F.when(c, F.col("_y"))
+        return [
+            F.count(xx).cast("long").alias(f"n_{tag}"),
+            F.coalesce(F.sum(xx.cast(D38)), F.lit(0)).alias(f"sx_{tag}"),
+            F.coalesce(F.sum(yy.cast(D38)), F.lit(0)).alias(f"sy_{tag}"),
+            F.coalesce(
+                F.sum(xx.cast(D38) * F.col("_y")), F.lit(0)
+            ).alias(f"sxy_{tag}"),
+            F.coalesce(
+                F.sum(xx.cast(D38) * F.col("_x")), F.lit(0)
+            ).alias(f"sxx_{tag}"),
+        ]
+
+    m = sided.groupBy("_k").agg(
+        *moments(0, "pre"), *moments(1, "post"),
+        (F.min("_cut") - F.min("_mn") + 1).cast("double").alias("_x0"),
+    )
+
+    def fit(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        sx = F.col(f"sx_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        sxy = F.col(f"sxy_{tag}").cast("double")
+        sxx = F.col(f"sxx_{tag}").cast("double")
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den
+        intercept = (sy - slope * sx) / n
+        ok = (F.col(f"n_{tag}") >= 2) & (den != 0)
+        return ok, slope, intercept
+
+    ok_a, m_a, b_a = fit("pre")
+    ok_b, m_b, b_b = fit("post")
+    both = ok_a & ok_b
+    x0 = F.col("_x0")
+    return m.select(
+        F.col("_k").alias(key_col), "n_pre", "n_post",
+        F.when(ok_a, F.round(m_a, 6)).alias("slope_pre_r"),
+        F.when(ok_b, F.round(m_b, 6)).alias("slope_post_r"),
+        F.when(both, F.round(m_b - m_a, 6)).alias("slope_change_r"),
+        F.when(
+            both,
+            F.round((b_b + m_b * x0) - (b_a + m_a * x0), 6),
+        ).alias("level_change_r"),
+    )
