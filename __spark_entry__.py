@@ -6414,6 +6414,28 @@ def q_events_its(spark, sf_dir):
     return interrupted_ts(_events(spark, sf_dir), "event_type")
 
 
+
+def q_brand_revenue_bridge(spark, sf_dir):
+    """Revenue bridge per brand between the two halves of the order
+    span: delta = volume effect + price effect, reconciling to the
+    cent by construction (the truncating volume division's remainder
+    lands in the price effect). Broadcast part dim; new/discontinued
+    brands report NULL effects — they are mix, not price or volume."""
+    from unitdb_spark.operators.olap import revenue_bridge
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    pt = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    f = li.join(o, "l_orderkey").join(F.broadcast(pt), "l_partkey")
+    return revenue_bridge(
+        f, "p_brand", "o_orderdate", "l_quantity", "l_extendedprice"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6755,6 +6777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_acf": q_events_acf,
         "events_qte": q_events_qte,
         "events_its": q_events_its,
+        "brand_revenue_bridge": q_brand_revenue_bridge,
     }
 
 
@@ -13625,6 +13648,44 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n_pre AS DOUBLE) + m_pre * x0), 6)
             END AS level_change_r
         FROM fits
+        """
+    # revenue bridge: exact-cent decomposition, remainder in price
+    d["brand_revenue_bridge"] = """
+        WITH f AS (
+          SELECT p.p_brand AS k,
+            CAST(epoch(CAST(o.o_orderdate AS TIMESTAMP)) // 86400
+                 AS BIGINT) AS d,
+            CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+              AS q,
+            CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT) AS r
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN part p ON p.p_partkey = l.l_partkey
+        ), bounds AS (
+          SELECT min(d) + (max(d) - min(d)) // 2 AS mid FROM f
+        ), per AS (
+          SELECT k,
+            CAST(coalesce(sum(q) FILTER (d <= mid), 0) AS BIGINT)
+              AS q0_c,
+            CAST(coalesce(sum(q) FILTER (d > mid), 0) AS BIGINT)
+              AS q1_c,
+            CAST(coalesce(sum(r) FILTER (d <= mid), 0) AS BIGINT)
+              AS r0_c,
+            CAST(coalesce(sum(r) FILTER (d > mid), 0) AS BIGINT)
+              AS r1_c
+          FROM f, bounds GROUP BY 1
+        )
+        SELECT k AS p_brand, q0_c, q1_c, r0_c, r1_c,
+          CAST(r1_c - r0_c AS BIGINT) AS delta_c,
+          CASE WHEN q0_c > 0 AND q1_c > 0 THEN
+            CAST((CAST(q1_c - q0_c AS HUGEINT) * r0_c) // q0_c
+                 AS BIGINT) END AS volume_eff_c,
+          CASE WHEN q0_c > 0 AND q1_c > 0 THEN
+            CAST((r1_c - r0_c)
+                 - (CAST(q1_c - q0_c AS HUGEINT) * r0_c) // q0_c
+                 AS BIGINT) END AS price_eff_c
+        FROM per
         """
     return d
 

@@ -8688,3 +8688,35 @@ class TestInterruptedTs:
         (r,) = interrupted_ts(df, "event_type").collect()
         assert r.n_post == 1
         assert r.slope_post_r is None and r.level_change_r is None
+
+
+class TestRevenueBridge:
+    def test_identity_and_edge_cases(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.olap import revenue_bridge
+
+        d0 = dt.date(2025, 1, 1)
+        rows = [
+            # A: steady volume, price doubles
+            ("A", d0, 10.0, 100.0), ("A", d0 + dt.timedelta(days=9), 10.0, 200.0),
+            # B: volume doubles, price flat
+            ("B", d0, 5.0, 50.0), ("B", d0 + dt.timedelta(days=9), 10.0, 100.0),
+            # C: only in the first half (discontinued)
+            ("C", d0, 3.0, 30.0),
+            # D: only in the second half (new)
+            ("D", d0 + dt.timedelta(days=9), 4.0, 40.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, d date, qty double, rev double")
+        out = {r.k: r for r in revenue_bridge(df, "k", "d", "qty", "rev").collect()}
+        # pure price move: volume effect 0, all delta in price
+        assert out["A"].volume_eff_c == 0 and out["A"].price_eff_c == 10000
+        # pure volume move: price effect 0
+        assert out["B"].volume_eff_c == 5000 and out["B"].price_eff_c == 0
+        # every row reconciles exactly
+        for r in out.values():
+            if r.volume_eff_c is not None:
+                assert r.volume_eff_c + r.price_eff_c == r.delta_c
+        # one-sided keys: delta reported, effects honest NULL
+        assert out["C"].delta_c == -3000 and out["C"].volume_eff_c is None
+        assert out["D"].delta_c == 4000 and out["D"].price_eff_c is None

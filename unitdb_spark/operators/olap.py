@@ -747,3 +747,87 @@ def abc_finish(per: DataFrame) -> DataFrame:
         F.when(a, F.lit("A")).when(b, F.lit("B")).otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+def revenue_bridge(
+    fact: DataFrame,
+    key_col: str,
+    date_col: str,
+    qty_col: str,
+    rev_col: str,
+) -> DataFrame:
+    """Revenue bridge (price/volume decomposition) between the two
+    halves of the observed date span — the classic finance walk "why
+    did revenue move": per key,
+
+        ΔR = volume_effect + price_effect
+        volume_effect = (q₁ − q₀) · p₀ = (q₁ − q₀)·r₀ div q₀
+        price_effect  = ΔR − volume_effect
+
+    The identity (q₁−q₀)p₀ + (p₁−p₀)q₁ = R₁ − R₀ holds exactly in
+    rationals; the integer rendering keeps it exact BY CONSTRUCTION —
+    the volume effect takes the truncating division and the price
+    effect absorbs its remainder, so every row reconciles to its ΔR
+    to the cent and the grand total walks (no "rounding plug" row).
+
+    Quantities and revenue are exact cents (×100 DECIMAL lifts);
+    the period split is the value-based midpoint of the date span
+    (the training_table convention). Keys missing from either period
+    (q₀ = 0 or q₁ = 0: no base price / no close price) report their
+    ΔR with NULL effects — new and discontinued keys are mix, not
+    price or volume, and pretending otherwise is how bridges lie.
+
+    Output per key: (key, q0_c, q1_c, r0_c, r1_c, delta_c,
+    volume_eff_c, price_eff_c).
+
+    Scale: one (key, period) partial agg; the pivot to the two-period
+    row is a second tiny agg over keys×2. No windows.
+    """
+    base = fact.select(
+        F.col(key_col).alias("_k"),
+        F.unix_date(F.to_date(F.col(date_col))).alias("_d"),
+        F.expr(f"CAST(CAST({qty_col} AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("_q"),
+        F.expr(f"CAST(CAST({rev_col} AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("_r"),
+    )
+    bounds = base.agg(
+        F.min("_d").alias("_mn"), F.max("_d").alias("_mx")
+    ).select(
+        (F.col("_mn") + F.expr("(_mx - _mn) div 2")).alias("_mid")
+    )
+    per = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("_k")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_d") <= F.col("_mid"), F.col("_q"))),
+                F.lit(0),
+            ).cast("long").alias("q0_c"),
+            F.coalesce(
+                F.sum(F.when(F.col("_d") > F.col("_mid"), F.col("_q"))),
+                F.lit(0),
+            ).cast("long").alias("q1_c"),
+            F.coalesce(
+                F.sum(F.when(F.col("_d") <= F.col("_mid"), F.col("_r"))),
+                F.lit(0),
+            ).cast("long").alias("r0_c"),
+            F.coalesce(
+                F.sum(F.when(F.col("_d") > F.col("_mid"), F.col("_r"))),
+                F.lit(0),
+            ).cast("long").alias("r1_c"),
+        )
+    )
+    both = (F.col("q0_c") > 0) & (F.col("q1_c") > 0)
+    vol = F.expr(
+        "CAST((CAST(q1_c - q0_c AS DECIMAL(38,0)) * r0_c) div q0_c"
+        " AS BIGINT)"
+    )
+    delta = F.col("r1_c") - F.col("r0_c")
+    return per.select(
+        F.col("_k").alias(key_col),
+        "q0_c", "q1_c", "r0_c", "r1_c",
+        delta.cast("long").alias("delta_c"),
+        F.when(both, vol).alias("volume_eff_c"),
+        F.when(both, delta - vol).cast("long").alias("price_eff_c"),
+    )
