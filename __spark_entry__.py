@@ -6436,6 +6436,28 @@ def q_brand_revenue_bridge(spark, sf_dir):
     )
 
 
+
+def q_events_seasonal_mk(spark, sf_dir):
+    """Seasonal Mann-Kendall (Hirsch-Slack): weekday-stratified trend
+    test over the daily counts — Mondays compare only with Mondays,
+    then the per-season S and var18 pool into the same
+    cross-multiplied integer decision. One code path with
+    events_mann_kendall (composite-key reuse)."""
+    from unitdb_spark.operators.stats_tests import seasonal_mann_kendall
+
+    ev = _events(spark, sf_dir)
+    cells = ev.filter(F.col("ts").isNotNull()).groupBy(
+        F.col("event_type").alias("k"),
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y")).select(
+        "k", "t", "y", F.pmod("t", F.lit(7)).alias("season")
+    )
+    return seasonal_mann_kendall(cells, "k", "season").select(
+        F.col("k").alias("event_type"), "n_seasons", "n", "s", "var18",
+        "trend",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6778,6 +6800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_qte": q_events_qte,
         "events_its": q_events_its,
         "brand_revenue_bridge": q_brand_revenue_bridge,
+        "events_seasonal_mk": q_events_seasonal_mk,
     }
 
 
@@ -13686,6 +13709,56 @@ def oracle_sql() -> dict[str, str]:
                  - (CAST(q1_c - q0_c AS HUGEINT) * r0_c) // q0_c
                  AS BIGINT) END AS price_eff_c
         FROM per
+        """
+    # seasonal MK: the MK oracle stratified by day-of-week, pooled
+    d["events_seasonal_mk"] = """
+        WITH cells AS (
+          SELECT event_type AS k,
+            CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+            CAST(count(*) AS BIGINT) AS y
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        ), cc AS (
+          SELECT k, day % 7 AS m, day, y FROM cells
+        ), s_rel AS (
+          SELECT i.k, i.m,
+            CAST(sum(CASE WHEN j.y > i.y THEN 1
+                          WHEN j.y < i.y THEN -1 ELSE 0 END) AS BIGINT)
+              AS s
+          FROM cc i JOIN cc j ON i.k = j.k AND i.m = j.m
+                              AND i.day < j.day
+          GROUP BY 1, 2
+        ), n_rel AS (
+          SELECT k, m, CAST(count(*) AS BIGINT) AS n
+          FROM cc GROUP BY 1, 2
+        ), tie_rel AS (
+          SELECT k, m,
+            CAST(sum(g * (g - 1) * (2 * g + 5)) AS BIGINT) AS tie3
+          FROM (SELECT k, m, y, count(*) AS g FROM cc GROUP BY 1, 2, 3)
+          GROUP BY 1, 2
+        ), per AS (
+          SELECT n_rel.k, n_rel.n,
+            CAST(coalesce(s_rel.s, 0) AS BIGINT) AS s,
+            CAST(n_rel.n * (n_rel.n - 1) * (2 * n_rel.n + 5)
+                 - tie_rel.tie3 AS BIGINT) AS var18
+          FROM n_rel
+          JOIN tie_rel ON tie_rel.k = n_rel.k AND tie_rel.m = n_rel.m
+          LEFT JOIN s_rel ON s_rel.k = n_rel.k AND s_rel.m = n_rel.m
+        ), pooled AS (
+          SELECT k, CAST(count(*) AS BIGINT) AS n_seasons,
+            CAST(sum(n) AS BIGINT) AS n,
+            CAST(sum(s) AS BIGINT) AS s,
+            CAST(sum(var18) AS BIGINT) AS var18
+          FROM per GROUP BY 1
+        )
+        SELECT k AS event_type, n_seasons, n, s, var18,
+          CAST(CASE WHEN s <> 0 AND var18 > 0
+                 AND CAST(180000 AS HUGEINT)
+                     * CAST(abs(s) - 1 AS HUGEINT)
+                     * CAST(abs(s) - 1 AS HUGEINT)
+                   > CAST(38416 AS HUGEINT) * CAST(var18 AS HUGEINT)
+               THEN CASE WHEN s > 0 THEN 1 ELSE -1 END
+               ELSE 0 END AS INTEGER) AS trend
+        FROM pooled
         """
     return d
 

@@ -8720,3 +8720,42 @@ class TestRevenueBridge:
         # one-sided keys: delta reported, effects honest NULL
         assert out["C"].delta_c == -3000 and out["C"].volume_eff_c is None
         assert out["D"].delta_c == 4000 and out["D"].price_eff_c is None
+
+
+class TestSeasonalMannKendall:
+    def test_deseasonalized_trend_detected(self, spark):
+        from unitdb_spark.operators.stats_tests import (
+            mann_kendall,
+            seasonal_mann_kendall,
+        )
+
+        # strong weekly cycle + slow upward drift: plain MK's S is
+        # diluted by cross-weekday comparisons; seasonal MK pools
+        # within-weekday evidence and flags the drift
+        rows = []
+        for t in range(70):
+            season = t % 7
+            y = 100 * (season + 1) + t  # cycle dominates, drift +1/day
+            rows.append(("d", t, y, season))
+        df = spark.createDataFrame(rows, "k string, t long, y long, season int")
+        (r,) = seasonal_mann_kendall(df, "k", "season").collect()
+        assert r.n_seasons == 7 and r.n == 70
+        # within each weekday the series is strictly increasing:
+        # S = 7 * C(10,2) = 315, all evidence, trend +1
+        assert r.s == 7 * 45 and r.trend == 1
+
+        # the pooled variance is the sum of per-season variances
+        per = mann_kendall(
+            df.selectExpr("concat(k, season) AS ck", "t", "y"), "ck", "t", "y"
+        ).agg(F.sum("var18")).collect()[0][0]
+        assert r.var18 == per
+
+    def test_pure_cycle_is_no_trend(self, spark):
+        from unitdb_spark.operators.stats_tests import seasonal_mann_kendall
+
+        rows = []
+        for t in range(42):
+            rows.append(("c", t, 100 * ((t % 7) + 1), t % 7))
+        df = spark.createDataFrame(rows, "k string, t long, y long, season int")
+        (r,) = seasonal_mann_kendall(df, "k", "season").collect()
+        assert r.s == 0 and r.trend == 0  # within-season all ties

@@ -1382,3 +1382,71 @@ def acf_table(
             F.expr("CAST((num * 1000000) div den AS BIGINT)").alias("rho_ppm"),
         )
     )
+
+
+def seasonal_mann_kendall(
+    cells: DataFrame,
+    key_col: str,
+    season_col: str,
+    t_col: str = "t",
+    y_col: str = "y",
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984): the
+    plain MK test reads a weekly cycle as tie-breaking noise (or
+    worse, as trend when the span ends mid-cycle); the seasonal
+    variant compares each season ONLY with itself — Mondays with
+    Mondays — and pools the evidence:
+
+        S' = Sum_m S_m,   Var'(S)*18 = Sum_m var18_m
+
+    then applies the same cross-multiplied integer decision as
+    `mann_kendall` (continuity-corrected |z| > 1.96). Implementation
+    IS `mann_kendall` run on the composite (key, season) series —
+    one code path, one set of exactness guarantees — followed by a
+    per-key pooled aggregate (the composite key uses the unit
+    separator \\x1f, which cannot appear in sane key values; callers
+    with binary keys should pre-encode).
+
+    Output: (key, n_seasons, n, s, var18, trend in {-1, 0, +1}).
+
+    Scale: identical to mann_kendall with the pairwise cost now
+    Sum_{k,m} n_{k,m}^2 — the seasonal split SHRINKS the quadratic
+    term (a 7-season split cuts it ~7x).
+    """
+    SEP = "\x1f"
+    comp = cells.select(
+        F.concat_ws(
+            SEP,
+            F.col(key_col).cast("string"),
+            F.col(season_col).cast("string"),
+        ).alias("_ck"),
+        F.col(t_col).alias("_t"),
+        F.col(y_col).alias("_y"),
+    )
+    per = mann_kendall(comp, "_ck", "_t", "_y").select(
+        F.substring_index(F.col("_ck"), SEP, 1).alias("_k"),
+        "n", "s", "var18",
+    )
+    pooled = per.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s"),
+        F.sum("var18").cast("long").alias("var18"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sig = (
+        (F.col("s") != 0)
+        & (F.col("var18") > 0)
+        & (
+            F.lit(180000).cast("decimal(38,0)")
+            * d38(F.abs(F.col("s")) - 1)
+            * d38(F.abs(F.col("s")) - 1)
+            > F.lit(38416).cast("decimal(38,0)") * d38(F.col("var18"))
+        )
+    )
+    return pooled.select(
+        F.col("_k").alias(key_col), "n_seasons", "n", "s", "var18",
+        F.when(sig & (F.col("s") > 0), F.lit(1))
+        .when(sig & (F.col("s") < 0), F.lit(-1))
+        .otherwise(F.lit(0)).cast("int").alias("trend"),
+    )
