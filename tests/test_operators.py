@@ -8759,3 +8759,42 @@ class TestSeasonalMannKendall:
         df = spark.createDataFrame(rows, "k string, t long, y long, season int")
         (r,) = seasonal_mann_kendall(df, "k", "season").collect()
         assert r.s == 0 and r.trend == 0  # within-season all ties
+
+
+class TestTheilSen:
+    def test_robust_to_outlier(self, spark):
+        from unitdb_spark.operators.stats_tests import theil_sen
+
+        # clean slope 3, one wild outlier day
+        rows = [("s", t, 3 * t + 10) for t in range(20)]
+        rows[7] = ("s", 7, 10_000)
+        df = spark.createDataFrame(rows, "k string, t long, y long")
+        (r,) = theil_sen(df, "k").collect()
+        assert r.n_obs == 20 and r.n_pairs == 190
+        assert r.sen_slope_r == 3.0  # the outlier cannot move the median
+
+    def test_matches_python_model(self, spark):
+        from unitdb_spark.operators.stats_tests import theil_sen
+
+        rows = [("m", t, (t * 13) % 7 + t // 2) for t in range(15)]
+        df = spark.createDataFrame(rows, "k string, t long, y long")
+        (r,) = theil_sen(df, "k").collect()
+        slopes = sorted(
+            (
+                (yj - yi) / (tj - ti),
+                yj - yi,
+                tj - ti,
+            )
+            for _, ti, yi in rows
+            for _, tj, yj in rows
+            if ti < tj
+        )
+        want = slopes[(len(slopes) + 1) // 2 - 1][0]
+        assert r.sen_slope_r == round(want, 6)
+
+    def test_single_obs_yields_null(self, spark):
+        from unitdb_spark.operators.stats_tests import theil_sen
+
+        df = spark.createDataFrame([("one", 0, 5)], "k string, t long, y long")
+        (r,) = theil_sen(df, "k").collect()
+        assert r.n_pairs == 0 and r.sen_slope_r is None

@@ -1450,3 +1450,60 @@ def seasonal_mann_kendall(
         .when(sig & (F.col("s") < 0), F.lit(-1))
         .otherwise(F.lit(0)).cast("int").alias("trend"),
     )
+
+
+def theil_sen(
+    cells: DataFrame,
+    key_col: str,
+    t_col: str = "t",
+    y_col: str = "y",
+) -> DataFrame:
+    """Theil-Sen slope per key — the robust MAGNITUDE companion to
+    `mann_kendall`'s direction verdict: the median of all pairwise
+    slopes (y_j − y_i)/(t_j − t_i), immune to outliers that wreck an
+    OLS fit (breakdown point ~29%).
+
+    Determinism: each pairwise slope is ONE pinned double over exact
+    integer differences; the median is the lower-middle order
+    statistic by (slope, dy, dt) — the integer tie-breakers make the
+    row_number pick stable even among bit-identical slopes. Output
+    slope round-6.
+
+    Output: (key, n_obs, n_pairs, sen_slope_r).
+
+    Scale: the pairwise relation is the same per-key self-join as
+    mann_kendall — cost Σ_k n_k², bounded by the CELL contract
+    (days, not events); the median is a key-partitioned rank window
+    over the pairs relation.
+    """
+    b = cells.select(
+        F.col(key_col).alias("_k"),
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    i = b.select("_k", F.col("_t").alias("_ti"), F.col("_y").alias("_yi"))
+    j = b.select("_k", F.col("_t").alias("_tj"), F.col("_y").alias("_yj"))
+    pairs = i.join(j, "_k").filter(F.col("_ti") < F.col("_tj")).select(
+        "_k",
+        (F.col("_yj") - F.col("_yi")).alias("_dy"),
+        (F.col("_tj") - F.col("_ti")).alias("_dt"),
+    ).select(
+        "_k", "_dy", "_dt",
+        (F.col("_dy").cast("double") / F.col("_dt").cast("double"))
+        .alias("_sl"),
+    )
+    w = Window.partitionBy("_k").orderBy("_sl", "_dy", "_dt")
+    ranked = pairs.select(
+        "_k", "_sl",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_k")).alias("_np"),
+    )
+    med = ranked.filter(
+        F.col("_rn") == F.expr("(_np + 1) div 2")
+    ).select("_k", F.col("_sl").alias("_med"), F.col("_np").alias("n_pairs"))
+    n_obs = b.groupBy("_k").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    return n_obs.join(med, "_k", "left").select(
+        F.col("_k").alias(key_col), "n_obs",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.round(F.col("_med"), 6).alias("sen_slope_r"),
+    )
