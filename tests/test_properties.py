@@ -808,3 +808,52 @@ class TestFanoProperties:
         zz = (fano - 1.0) * math.sqrt((n - 1) / 2.0)
         assert (r.n, r.fano_r, r.z_r) == (n, round(fano, 6), round(zz, 6))
         assert r.overdispersed == (round(zz, 6) > 1.644854)
+
+
+class TestPermutationTestProperties:
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=500),
+                st.integers(min_value=0, max_value=1),
+            ),
+            min_size=4,
+            max_size=25,
+        ).filter(lambda xs: len({a for _, a in xs}) == 2)
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_model_on_random_units(self, spark, data):
+        import hashlib
+
+        from unitdb_spark.operators.stats_tests import permutation_test
+
+        rows = [(f"u{i}", v, a) for i, (v, a) in enumerate(data)]
+        df = spark.createDataFrame(rows, "uid string, v long, arm int")
+        (r,) = permutation_test(df, "v", "arm", "uid", n_perm=29).collect()
+
+        def h60(sx):
+            return int(hashlib.md5(sx.encode()).hexdigest()[:15], 16)
+
+        n_a = sum(1 for _, _, a in rows if a == 0)
+        n_b = len(rows) - n_a
+        s_a = sum(v for _, v, a in rows if a == 0)
+        s_b = sum(v for _, v, a in rows if a == 1)
+        obs = abs(s_a * n_b - s_b * n_a)
+        used = exceed = 0
+        for rr in range(1, 30):
+            s1 = n1 = s2 = n2 = 0
+            for u, v, _ in rows:
+                if h60(f"{rr}:{u}:perm") % 2 == 0:
+                    s1 += v; n1 += 1
+                else:
+                    s2 += v; n2 += 1
+            if n1 and n2:
+                used += 1
+                if abs(s1 * n2 - s2 * n1) * (n_a * n_b) >= obs * (n1 * n2):
+                    exceed += 1
+        q = s_a * n_b - s_b * n_a
+        diff = (1 if q >= 0 else -1) * (abs(q) * 1000 // (n_a * n_b))
+        assert tuple(r) == (
+            n_a, n_b, diff, used, exceed,
+            (1 + exceed) * 1_000_000 // (used + 1),
+        )
