@@ -6476,6 +6476,61 @@ def q_events_theil_sen(spark, sf_dir):
     )
 
 
+
+def _cells_twin(spark, sf_dir):
+    """Shared setup for the cell-state twins: fold the stream into a
+    fresh commit-logged hourly-cell state, return its path."""
+    from unitdb_spark.streaming.continuous import continuous_hourly_cells
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_hourly_cells(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "event_type",
+        "ts",
+        "value",
+        f"{base}/cells",
+        f"{base}/cp",
+    )
+    q.awaitTermination(300)
+    return f"{base}/cells"
+
+
+def q_streamed_acf(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING ACF table — the TWELFTH
+    dashboard off the maintained hourly-cell state, through the
+    shared acf_from_cells finish. Oracle = the batch ACF SQL with the
+    cell row filter."""
+    from unitdb_spark.streaming.continuous import read_acf
+
+    spark = _pin_utc(spark)
+    return read_acf(spark, _cells_twin(spark, sf_dir))
+
+
+def q_streamed_mk(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING Mann-Kendall verdict over
+    the cells' day rollup — the THIRTEENTH dashboard; mergeable day
+    sums make the rolled state finish into the batch answer exactly.
+    Oracle = the batch MK SQL with the cell row filter."""
+    from unitdb_spark.streaming.continuous import read_mann_kendall
+
+    spark = _pin_utc(spark)
+    return read_mann_kendall(spark, _cells_twin(spark, sf_dir))
+
+
+def q_streamed_sen(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING Theil-Sen slope over the
+    cells' day rollup — the FOURTEENTH dashboard. Oracle = the batch
+    Theil-Sen SQL with the cell row filter."""
+    from unitdb_spark.streaming.continuous import read_theil_sen
+
+    spark = _pin_utc(spark)
+    return read_theil_sen(spark, _cells_twin(spark, sf_dir)).select(
+        F.col("event_type"), "n_obs", "n_pairs", "sen_slope_r"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6820,6 +6875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue_bridge": q_brand_revenue_bridge,
         "events_seasonal_mk": q_events_seasonal_mk,
         "events_theil_sen": q_events_theil_sen,
+        "streamed_acf": q_streamed_acf,
+        "streamed_mk": q_streamed_mk,
+        "streamed_sen": q_streamed_sen,
     }
 
 
@@ -13809,6 +13867,19 @@ def oracle_sql() -> dict[str, str]:
           round(med.medv, 6) AS sen_slope_r
         FROM n_rel LEFT JOIN med ON med.k = n_rel.k
         """
+    # rolling ACF / MK / Theil-Sen twins: batch SQL + cell row filter
+    d["streamed_acf"] = d["events_acf"].replace(
+        "FROM events GROUP BY 1, 2",
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2",
+    )
+    d["streamed_mk"] = d["events_mann_kendall"].replace(
+        "WHERE ts IS NOT NULL",
+        "WHERE ts IS NOT NULL AND value IS NOT NULL",
+    )
+    d["streamed_sen"] = d["events_theil_sen"].replace(
+        "WHERE ts IS NOT NULL",
+        "WHERE ts IS NOT NULL AND value IS NOT NULL",
+    )
     return d
 
 

@@ -1324,6 +1324,28 @@ def acf_table(
             F.unix_micros(F.col(ts_col)) / F.lit(bucket_s * 1_000_000)
         ).alias("_h"),
     ).agg(F.count(F.lit(1)).cast("long").alias("_y"))
+    return acf_from_cells(b, "_k", "_h", "_y", lags=lags, out_key=key_col)
+
+
+def acf_from_cells(
+    cells: DataFrame,
+    key_col: str,
+    h_col: str,
+    y_col: str,
+    lags: int = 12,
+    out_key: str | None = None,
+) -> DataFrame:
+    """The ACF finish over an already-aggregated (key, bucket-index,
+    count) CELL relation — shared between `acf_table` (batch) and the
+    rolling hourly-cell twin. See `acf_table`."""
+    out_key = out_key or key_col
+    lags = int(lags)
+    b = cells.select(
+        F.col(key_col).alias("_k"),
+        F.col(h_col).cast("long").alias("_h"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    key_col = out_key
     rng = b.groupBy("_k").agg(
         F.min("_h").alias("_mn"), F.max("_h").alias("_mx")
     )

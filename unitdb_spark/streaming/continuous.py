@@ -1055,3 +1055,65 @@ def read_runs(
         F.col("_c").alias("y"),
     )
     return runs_from_cells(hourly, key_col, "hidx", "y")
+
+
+def _cells_hourly(spark, state_path: str, key_col: str) -> DataFrame:
+    """The committed cells mapped to absolute hour indices — the
+    shared entry point of the hour-grain dashboards."""
+    cells = read_cells(spark, state_path)
+    return cells.select(
+        F.col("_k").alias(key_col),
+        (
+            F.expr("CAST(unix_date(_d) AS BIGINT)") * 24 + F.col("_h")
+        ).alias("hidx"),
+        F.col("_c").alias("y"),
+    )
+
+
+def _cells_daily(spark, state_path: str, key_col: str) -> DataFrame:
+    """The committed cells rolled up to (key, day-index, count) — the
+    shared entry point of the day-grain dashboards (mergeable sums,
+    batch-equal however the stream split)."""
+    cells = read_cells(spark, state_path)
+    return cells.groupBy(
+        F.col("_k").alias(key_col),
+        F.expr("CAST(unix_date(_d) AS BIGINT)").alias("t"),
+    ).agg(F.sum("_c").cast("long").alias("y"))
+
+
+def read_acf(
+    spark, state_path: str, key_col: str = "event_type", lags: int = 12,
+) -> DataFrame:
+    """Rolling ACF table over the committed hourly cells — a TWELFTH
+    dashboard off the same maintained state."""
+    from unitdb_spark.operators.stats_tests import acf_from_cells
+
+    return acf_from_cells(
+        _cells_hourly(spark, state_path, key_col), key_col, "hidx", "y",
+        lags=lags,
+    )
+
+
+def read_mann_kendall(
+    spark, state_path: str, key_col: str = "event_type",
+) -> DataFrame:
+    """Rolling Mann-Kendall trend verdict over the committed cells'
+    DAY rollup — a THIRTEENTH dashboard; the batch operator already
+    takes the cell relation directly."""
+    from unitdb_spark.operators.stats_tests import mann_kendall
+
+    return mann_kendall(
+        _cells_daily(spark, state_path, key_col), key_col, "t", "y"
+    )
+
+
+def read_theil_sen(
+    spark, state_path: str, key_col: str = "event_type",
+) -> DataFrame:
+    """Rolling Theil-Sen slope over the committed cells' DAY rollup —
+    a FOURTEENTH dashboard."""
+    from unitdb_spark.operators.stats_tests import theil_sen
+
+    return theil_sen(
+        _cells_daily(spark, state_path, key_col), key_col, "t", "y"
+    )
