@@ -1220,3 +1220,93 @@ class TestSessionPlans6d:
         assert "FlatMapGroupsInPandas" in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestSessionPlans6e:
+    """Plan pins for the session-5 operators."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_heaps_thresholds_broadcast_no_global_window(self, spark):
+        """Both cumulative curves are filtered aggregates against the
+        BROADCAST 16-row threshold relation — the classic prefix
+        formulation's corpus-length running window must not exist."""
+        from unitdb_spark.operators.tfidf import heaps_law
+
+        docs = spark.read.parquet(f"{self.SF}/documents.parquet")
+        plan = formatted_plan(heaps_law(docs))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_permtest_observed_side_broadcasts_partial_agg(self, spark):
+        """The 1-row observed aggregate broadcasts against the
+        permutation relation; the (r, arm) aggregate map-side combines
+        (partial_count before the exchange)."""
+        from unitdb_spark.operators.stats_tests import permutation_test
+
+        df = spark.createDataFrame(
+            [(f"u{i}", i, i % 2) for i in range(20)],
+            "uid string, v long, arm int",
+        )
+        plan = formatted_plan(permutation_test(df, "v", "arm", "uid", n_perm=9))
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "partial_count" in plan  # map-side combine on (r, arm)
+        assert "BatchEvalPython" not in plan
+
+    def test_revenue_bridge_no_windows_dim_broadcast(self, spark):
+        """One (key, period) aggregate; the bounds relation broadcasts;
+        no WindowExec anywhere."""
+        from unitdb_spark.operators.olap import revenue_bridge
+
+        li = spark.read.parquet(f"{self.SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{self.SF}/orders.parquet").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+        )
+        f = li.join(o, "l_orderkey")
+        plan = formatted_plan(
+            revenue_bridge(f, "l_partkey", "o_orderdate",
+                           "l_quantity", "l_extendedprice")
+        )
+        assert "Window" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds
+        assert "BatchEvalPython" not in plan
+
+    def test_its_no_windows_at_all(self, spark):
+        """Both segment fits are plain aggregates over the day
+        relation — segmented regression needs no window."""
+        from unitdb_spark.operators.timeseries import interrupted_ts
+
+        ev = spark.read.parquet(f"{self.SF}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        plan = formatted_plan(interrupted_ts(ev, "event_type"))
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_ewma_chart_single_key_fold(self, spark):
+        """One Arrow fold stage on the key — the holt contract."""
+        from unitdb_spark.operators.timeseries import ewma_control
+
+        ev = spark.read.parquet(f"{self.SF}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        plan = formatted_plan(ewma_control(ev, "event_type"))
+        assert plan.count("FlatMapGroupsInPandas") >= 1
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_ljungbox_windows_are_key_partitioned(self, spark):
+        """All lead windows carry the key partition spec — never a
+        single-partition WindowExec over the spine."""
+        from unitdb_spark.operators.stats_tests import ljung_box
+
+        ev = spark.read.parquet(f"{self.SF}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        plan = formatted_plan(ljung_box(ev, "event_type"))
+        import re
+
+        for spec in re.findall(r"Window \[.*?\]", plan):
+            assert "partitionBy" not in spec or "_k" in spec
+        assert "BatchEvalPython" not in plan
