@@ -6531,6 +6531,48 @@ def q_streamed_sen(spark, sf_dir):
     )
 
 
+
+def _user_cents_twin(spark, sf_dir):
+    """Shared setup for the experiment-state twins: fold the stream
+    into a fresh per-user revenue state, return its path."""
+    from unitdb_spark.streaming.continuous import continuous_user_cents
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    q = continuous_user_cents(
+        events_as_stream(spark, src, max_files_per_trigger=2),
+        "user_id",
+        "value",
+        f"{base}/ucents",
+        f"{base}/ucp",
+    )
+    q.awaitTermination(300)
+    return f"{base}/ucents"
+
+
+def q_streamed_power(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING sample-size design: the
+    per-user revenue state folds incrementally (mergeable cents/count
+    sums); power_analysis finishes at read time. Units = users with at
+    least one value-non-null event (the state's row contract) — the
+    oracle filters identically."""
+    from unitdb_spark.streaming.continuous import read_power
+
+    spark = _pin_utc(spark)
+    return read_power(spark, _user_cents_twin(spark, sf_dir))
+
+
+def q_streamed_qte(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING quantile treatment
+    effects off the same per-user revenue state — the distributional
+    A/B readout maintained incrementally."""
+    from unitdb_spark.streaming.continuous import read_qte
+
+    spark = _pin_utc(spark)
+    return read_qte(spark, _user_cents_twin(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6878,6 +6920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_acf": q_streamed_acf,
         "streamed_mk": q_streamed_mk,
         "streamed_sen": q_streamed_sen,
+        "streamed_power": q_streamed_power,
+        "streamed_qte": q_streamed_qte,
     }
 
 
@@ -13879,6 +13923,16 @@ def oracle_sql() -> dict[str, str]:
     d["streamed_sen"] = d["events_theil_sen"].replace(
         "WHERE ts IS NOT NULL",
         "WHERE ts IS NOT NULL AND value IS NOT NULL",
+    )
+    # rolling experiment twins: units = value-non-null users (the
+    # per-user state's row contract)
+    d["streamed_power"] = d["events_power"].replace(
+        "FROM events GROUP BY 1",
+        "FROM events WHERE value IS NOT NULL GROUP BY 1",
+    )
+    d["streamed_qte"] = d["events_qte"].replace(
+        "FROM events GROUP BY user_id",
+        "FROM events WHERE value IS NOT NULL GROUP BY user_id",
     )
     return d
 

@@ -2151,3 +2151,59 @@ class TestContinuousDashboards:
             want = sorted(map(tuple, want_df.collect()))
             assert len(want) > 0
             assert got == want
+
+
+class TestContinuousUserCents:
+    def test_rolling_experiment_panel_matches_batch_across_restart(
+        self, spark, events_dir, tmp_path
+    ):
+        """The experiment-state twin: per-user cents folded across
+        micro-batches (and a restart boundary) equal the batch unit
+        relation; the power and QTE finishes match their batch
+        operators over the same value-non-null user contract."""
+        from unitdb_spark.functions.portable_hash import md5_int60
+        from unitdb_spark.operators.evaluation import (
+            power_analysis,
+            quantile_treatment_effect,
+        )
+        from unitdb_spark.streaming.continuous import (
+            continuous_user_cents,
+            read_power,
+            read_qte,
+        )
+        from unitdb_spark.streaming.pubsub import events_as_stream
+
+        state = str(tmp_path / "ucents")
+        cp = str(tmp_path / "ucp")
+        args = ("user_id", "value", state, cp)
+        ev = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q = continuous_user_cents(ev, *args)
+        q.awaitTermination(180)
+        ev2 = events_as_stream(spark, events_dir, max_files_per_trigger=2)
+        q2 = continuous_user_cents(ev2, *args)
+        q2.awaitTermination(180)
+
+        batch = spark.read.parquet(events_dir).filter(
+            F.col("value").isNotNull()
+        )
+        units = batch.groupBy("user_id").agg(
+            F.expr(
+                "CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)"
+            ).alias("cents")
+        )
+        want_p = power_analysis(units, "cents").collect()
+        got_p = read_power(spark, state).collect()
+        assert sorted(map(tuple, got_p)) == sorted(map(tuple, want_p))
+
+        units_arm = units.select(
+            "cents",
+            (
+                md5_int60(
+                    F.concat(F.col("user_id").cast("string"), F.lit(":ab"))
+                ) % 2
+            ).cast("int").alias("arm"),
+        )
+        want_q = quantile_treatment_effect(units_arm, "cents", "arm").collect()
+        got_q = read_qte(spark, state).collect()
+        assert len(want_q) > 0
+        assert sorted(map(tuple, got_q)) == sorted(map(tuple, want_q))

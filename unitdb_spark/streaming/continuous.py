@@ -1117,3 +1117,72 @@ def read_theil_sen(
     return theil_sen(
         _cells_daily(spark, state_path, key_col), key_col, "t", "y"
     )
+
+
+def continuous_user_cents(
+    stream: DataFrame,
+    user_col: str,
+    value_col: str,
+    state_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain the versioned per-user revenue state (exact cents +
+    row count, mergeable sums over value-non-null rows) — the UNIT
+    relation of the experiment family, folded incrementally so the
+    design/readout dashboards (`read_power`, `read_qte`) answer
+    without rescanning history. Returns the StreamingQuery."""
+    cents = F.expr(
+        f"CAST(sum(CAST({value_col} AS DECIMAL(18,2)) * 100) AS BIGINT)"
+    )
+    return _run_maintainer(
+        stream,
+        state_path,
+        checkpoint,
+        lambda b: b.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(user_col).alias("_u"))
+        .agg(cents.alias("_cents"), F.count(F.lit(1)).alias("_c")),
+        lambda prev, p: prev.unionByName(p)
+        .groupBy("_u")
+        .agg(F.sum("_cents").alias("_cents"), F.sum("_c").alias("_c")),
+        trigger_available_now,
+    )
+
+
+def read_user_cents(spark, state_path: str) -> DataFrame:
+    """The committed (_u, _cents, _c) per-user revenue state."""
+    cur = latest_commit(spark, state_path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no committed user-cents state under {state_path}"
+        )
+    return spark.read.parquet(_snap_path(state_path, *cur))
+
+
+def read_power(spark, state_path: str) -> DataFrame:
+    """Rolling experiment sample-size design off the per-user revenue
+    state — how long must the test still run, recomputed per refresh
+    from the maintained unit relation."""
+    from unitdb_spark.operators.evaluation import power_analysis
+
+    units = read_user_cents(spark, state_path).select(
+        F.col("_u").alias("user_id"), F.col("_cents").alias("cents")
+    )
+    return power_analysis(units, "cents")
+
+
+def read_qte(spark, state_path: str) -> DataFrame:
+    """Rolling quantile treatment effects off the per-user revenue
+    state: the distributional A/B readout, arms from the same
+    portable hash the batch queries use."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.evaluation import quantile_treatment_effect
+
+    units = read_user_cents(spark, state_path).select(
+        F.col("_cents").alias("cents"),
+        (
+            md5_int60(F.concat(F.col("_u").cast("string"), F.lit(":ab")))
+            % 2
+        ).cast("int").alias("arm"),
+    )
+    return quantile_treatment_effect(units, "cents", "arm")
