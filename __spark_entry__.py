@@ -6573,6 +6573,18 @@ def q_streamed_qte(spark, sf_dir):
     return read_qte(spark, _user_cents_twin(spark, sf_dir))
 
 
+
+def q_streamed_permtest(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING randomization test off the
+    per-user revenue state: the 199 md5 re-randomizations explode the
+    maintained unit relation at read time. Oracle = the batch
+    randomization SQL with the state's value-non-null user contract."""
+    from unitdb_spark.streaming.continuous import read_permtest
+
+    spark = _pin_utc(spark)
+    return read_permtest(spark, _user_cents_twin(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -6922,6 +6934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_sen": q_streamed_sen,
         "streamed_power": q_streamed_power,
         "streamed_qte": q_streamed_qte,
+        "streamed_permtest": q_streamed_permtest,
     }
 
 
@@ -13931,6 +13944,10 @@ def oracle_sql() -> dict[str, str]:
         "FROM events WHERE value IS NOT NULL GROUP BY 1",
     )
     d["streamed_qte"] = d["events_qte"].replace(
+        "FROM events GROUP BY user_id",
+        "FROM events WHERE value IS NOT NULL GROUP BY user_id",
+    )
+    d["streamed_permtest"] = d["events_permtest"].replace(
         "FROM events GROUP BY user_id",
         "FROM events WHERE value IS NOT NULL GROUP BY user_id",
     )

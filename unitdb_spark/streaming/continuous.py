@@ -1186,3 +1186,22 @@ def read_qte(spark, state_path: str) -> DataFrame:
         ).cast("int").alias("arm"),
     )
     return quantile_treatment_effect(units, "cents", "arm")
+
+
+def read_permtest(spark, state_path: str, n_perm: int = 199) -> DataFrame:
+    """Rolling randomization test off the per-user revenue state —
+    the assumption-free significance readout next to `read_power` and
+    `read_qte`: the md5 re-randomizations explode the maintained UNIT
+    relation at read time (users, not events)."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.stats_tests import permutation_test
+
+    units = read_user_cents(spark, state_path).select(
+        F.col("_u").alias("user_id"),
+        F.col("_cents").alias("cents"),
+        (
+            md5_int60(F.concat(F.col("_u").cast("string"), F.lit(":ab")))
+            % 2
+        ).cast("int").alias("arm"),
+    )
+    return permutation_test(units, "cents", "arm", "user_id", n_perm=n_perm)
