@@ -14830,12 +14830,18 @@ def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
         """
         + steps
         + f"""
-        SELECT CAST(e.s AS BIGINT) AS part_id,
-               CAST(count(*) AS BIGINT) AS deg
-        FROM e
-        JOIN n{rounds} a ON e.s = a.node
-        JOIN n{rounds} b ON e.d = b.node
-        GROUP BY e.s
+        , fdeg AS (
+          SELECT e.s AS node, CAST(count(*) AS BIGINT) AS deg
+          FROM e
+          JOIN n{rounds} a ON e.s = a.node
+          JOIN n{rounds} b ON e.d = b.node
+          GROUP BY e.s
+        )
+        -- survivors, not edge endpoints: a node the last peel
+        -- isolated keeps its row with deg 0 (matches graph.kcore)
+        SELECT CAST(n{rounds}.node AS BIGINT) AS part_id,
+               CAST(coalesce(fdeg.deg, 0) AS BIGINT) AS deg
+        FROM n{rounds} LEFT JOIN fdeg ON fdeg.node = n{rounds}.node
         """
     )
 

@@ -754,13 +754,21 @@ def kcore(
             .select(F.col("_s").alias("_n"))
             .localCheckpoint(eager=False)
         )
-    final = (
+    deg = (
         e.join(alive.withColumnRenamed("_n", "_s"), "_s", "leftsemi")
         .join(alive.withColumnRenamed("_n", "_d"), "_d", "leftsemi")
         .groupBy("_s")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .select(F.col("_s").alias("node"), "deg")
     )
-    return final.select(F.col("_s").alias("node"), "deg")
+    # survivors, not edge endpoints: a node the LAST peel isolated is
+    # still a survivor (deg 0) under truncated rounds — deriving the
+    # output rows from the edge relation would silently drop it (at
+    # the fixpoint every survivor has deg >= k, so this only matters
+    # when rounds stop early; found by the hypothesis peel model)
+    return alive.select(F.col("_n").alias("node")).join(
+        deg, "node", "left"
+    ).select("node", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
 
 
 #: fixed-point scale for HITS: mean score per side ~1e9. Smaller than
