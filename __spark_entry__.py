@@ -2635,8 +2635,14 @@ def q_events_transitions(spark, sf_dir):
         "to_type",
         "n",
         F.sum("n").over(w_tot).alias("row_total"),
-        # integer-exact probability in parts-per-million: floor(n*1e6/total)
-        F.floor(F.col("n") * F.lit(1_000_000) / F.sum("n").over(w_tot))
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        "row_total",
+        # integer-exact probability in parts-per-million via exact
+        # integer `div` (not floor over a double '/')
+        F.expr("(n * 1000000L) div row_total")
         .cast("long")
         .alias("p_ppm"),
     )
@@ -3983,7 +3989,7 @@ def q_events_markov_eval(spark, sf_dir):
             "src",
             "n_test",
             "n_correct",
-            F.floor(F.col("n_correct") * F.lit(1_000_000) / F.col("n_test"))
+            F.expr("(n_correct * 1000000L) div n_test")
             .cast("long")
             .alias("acc_ppm"),
         )
@@ -4062,10 +4068,10 @@ def q_events_markov2_eval(spark, sf_dir):
         "n_test",
         "n_hit2",
         "n_hit1",
-        F.floor(F.col("n_hit2") * F.lit(1_000_000) / F.col("n_test"))
+        F.expr("(n_hit2 * 1000000L) div n_test")
         .cast("long")
         .alias("acc2_ppm"),
-        F.floor(F.col("n_hit1") * F.lit(1_000_000) / F.col("n_test"))
+        F.expr("(n_hit1 * 1000000L) div n_test")
         .cast("long")
         .alias("acc1_ppm"),
     )
@@ -4244,7 +4250,13 @@ def q_streamed_markov(spark, sf_dir):
         "dst",
         "n",
         F.sum("n").over(w_src).cast("long").alias("row_total"),
-        F.floor(F.col("n") * F.lit(1_000_000) / F.sum("n").over(w_src))
+    ).select(
+        "src",
+        "dst",
+        "n",
+        "row_total",
+        # exact integer `div` — lockstep with operators.markov
+        F.expr("(n * 1000000L) div row_total")
         .cast("long")
         .alias("p_ppm"),
     )
@@ -4353,7 +4365,14 @@ def q_streamed_markov2(spark, sf_dir):
         "dst",
         "n",
         F.sum("n").over(w_ctx).cast("long").alias("ctx_total"),
-        F.floor(F.col("n") * F.lit(1_000_000) / F.sum("n").over(w_ctx))
+    ).select(
+        "src2",
+        "src1",
+        "dst",
+        "n",
+        "ctx_total",
+        # exact integer `div` — lockstep with operators.markov
+        F.expr("(n * 1000000L) div ctx_total")
         .cast("long")
         .alias("p_ppm"),
     )
@@ -4441,9 +4460,7 @@ def q_parts_link_eval(spark, sf_dir):
             "n_common",
             "n_cand",
             "n_realized",
-            F.floor(
-                F.col("n_realized") * F.lit(1_000_000) / F.col("n_cand")
-            )
+            F.expr("(n_realized * 1000000L) div n_cand")
             .cast("long")
             .alias("prec_ppm"),
         )
@@ -7954,7 +7971,7 @@ def oracle_sql() -> dict[str, str]:
           FROM tr WHERE src IS NOT NULL GROUP BY 1, 2
         ), m AS (
           SELECT src, dst,
-            CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY src))
+            CAST((n * 1000000) // sum(n) OVER (PARTITION BY src)
                  AS BIGINT) AS p_ppm
           FROM t
         ), sq AS (
@@ -8095,8 +8112,8 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY te.src2, te.src1
         )
         SELECT src2, src1, n_test, n_hit2, n_hit1,
-          CAST(floor(n_hit2 * 1000000 / n_test) AS BIGINT) AS acc2_ppm,
-          CAST(floor(n_hit1 * 1000000 / n_test) AS BIGINT) AS acc1_ppm
+          CAST((n_hit2 * 1000000) // n_test AS BIGINT) AS acc2_ppm,
+          CAST((n_hit1 * 1000000) // n_test AS BIGINT) AS acc1_ppm
         FROM agg
         """,
         "events_markov_stationary": """
@@ -8111,7 +8128,7 @@ def oracle_sql() -> dict[str, str]:
           FROM p WHERE src IS NOT NULL GROUP BY 1, 2
         ), mx AS (
           SELECT src, dst,
-            CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY src))
+            CAST((n * 1000000) // sum(n) OVER (PARTITION BY src)
                  AS BIGINT) AS p_ppm
           FROM t
         ), st AS (SELECT DISTINCT src AS state FROM mx),
@@ -8195,7 +8212,7 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY tt.src
         )
         SELECT src, n_test, n_correct,
-          CAST(floor(n_correct * 1000000 / n_test) AS BIGINT) AS acc_ppm
+          CAST((n_correct * 1000000) // n_test AS BIGINT) AS acc_ppm
         FROM j
         """,
         "embed_pca_dir": _pca_oracle("dir"),
@@ -8239,7 +8256,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT n_common, CAST(count(*) AS BIGINT) AS n_cand,
           CAST(sum(hit) AS BIGINT) AS n_realized,
-          CAST(floor(sum(hit) * 1000000 / count(*)) AS BIGINT) AS prec_ppm
+          CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS prec_ppm
         FROM sc GROUP BY n_common
         """,
         "parts_link_pred": """
@@ -8262,8 +8279,8 @@ def oracle_sql() -> dict[str, str]:
           )
         )
         SELECT ne.a AS src, ne.b AS dst, ne.n_common,
-          CAST(floor(ne.n_common * 1000000
-                     / (da.dg + db.dg - ne.n_common)) AS BIGINT)
+          CAST((ne.n_common * 1000000)
+                     // (da.dg + db.dg - ne.n_common) AS BIGINT)
             AS jaccard_ppm
         FROM ne
         JOIN deg da ON ne.a = da.a
@@ -11547,8 +11564,8 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT count(*) FROM hit) AS n_hit
         )
         SELECT n_true, n_cand, n_hit,
-          CAST(floor(n_hit * 1000000.0 / greatest(n_true, 1)) AS BIGINT) AS recall_ppm,
-          CAST(floor(n_hit * 1000000.0 / greatest(n_cand, 1)) AS BIGINT) AS precision_ppm
+          CAST((n_hit * 1000000) // greatest(n_true, 1) AS BIGINT) AS recall_ppm,
+          CAST((n_hit * 1000000) // greatest(n_cand, 1) AS BIGINT) AS precision_ppm
         FROM m
         """,
         "customer_er": """
@@ -12472,7 +12489,7 @@ def oracle_sql() -> dict[str, str]:
           ne.n_exact,
           coalesce(na.n_approx, 0) AS n_approx,
           coalesce(h.n_hit, 0) AS n_hit,
-          CAST(floor(coalesce(h.n_hit, 0) * 1000000 / ne.n_exact)
+          CAST((coalesce(h.n_hit, 0) * 1000000) // ne.n_exact
                AS BIGINT) AS recall_ppm
         FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
               FROM ex GROUP BY 1) ne
@@ -14698,7 +14715,7 @@ _MARKOV_MATRIX_SQL = """
         )
         SELECT src, dst, n,
           CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS row_total,
-          CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY src))
+          CAST((n * 1000000) // sum(n) OVER (PARTITION BY src)
                AS BIGINT) AS p_ppm
         FROM t
         """
@@ -14776,8 +14793,8 @@ _MARKOV2_MATRIX_SQL = """
         SELECT src2, src1, dst, n,
           CAST(sum(n) OVER (PARTITION BY src2, src1) AS BIGINT)
             AS ctx_total,
-          CAST(floor(n * 1000000
-                     / sum(n) OVER (PARTITION BY src2, src1))
+          CAST((n * 1000000)
+                     // sum(n) OVER (PARTITION BY src2, src1)
                AS BIGINT) AS p_ppm
         FROM t
         """

@@ -108,16 +108,17 @@ def pair_retrieval_report(
     t = truth.select(ka, kb).distinct().select(ka, kb, F.lit(1).alias("_t"))
     c = candidates.select(ka, kb).distinct().select(ka, kb, F.lit(1).alias("_c"))
     j = t.join(c, [ka, kb], "full")
-    ppm = F.lit(1_000_000)
     return j.agg(
         F.count("_t").alias("n_true"),
         F.count("_c").alias("n_cand"),
         F.count(F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)).alias("n_hit"),
     ).select(
         "n_true", "n_cand", "n_hit",
-        F.floor(F.col("n_hit") * ppm / F.greatest(F.col("n_true"), F.lit(1)))
+        # exact integer `div` (not floor over a double '/'): stays
+        # exact past the 2^53 double envelope
+        F.expr("(n_hit * 1000000L) div greatest(n_true, 1)")
         .cast("long").alias("recall_ppm"),
-        F.floor(F.col("n_hit") * ppm / F.greatest(F.col("n_cand"), F.lit(1)))
+        F.expr("(n_hit * 1000000L) div greatest(n_cand, 1)")
         .cast("long").alias("precision_ppm"),
     )
 
@@ -709,10 +710,9 @@ def topk_recall(
             .alias("n_approx"),
             F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
             .alias("n_hit"),
-            F.floor(
-                F.coalesce(F.col("n_hit"), F.lit(0))
-                * F.lit(1_000_000)
-                / F.col("n_exact")
+            # exact integer `div` — see pair_retrieval_report
+            F.expr(
+                "(coalesce(n_hit, 0L) * 1000000L) div n_exact"
             ).cast("long").alias("recall_ppm"),
         )
     )

@@ -908,10 +908,12 @@ def link_prediction(
             F.col("_s").alias("src"),
             F.col("_d").alias("dst"),
             "n_common",
-            F.floor(
-                F.col("n_common")
-                * F.lit(1_000_000)
-                / (F.col("_ds") + F.col("_dd") - F.col("n_common"))
+            # exact integer division (`div`), not floor over a double
+            # '/': the double route is only exact while the numerator
+            # stays inside 2^53 — the repo's cross-multiplied-integer
+            # contract holds by construction this way
+            F.expr(
+                "(n_common * 1000000L) div (_ds + _dd - n_common)"
             )
             .cast("long")
             .alias("jaccard_ppm"),

@@ -80,9 +80,14 @@ def transition_matrix(
         "dst",
         "n",
         F.sum("n").over(w_src).cast("long").alias("row_total"),
-        F.floor(
-            F.col("n") * F.lit(1_000_000) / F.sum("n").over(w_src)
-        )
+    ).select(
+        "src",
+        "dst",
+        "n",
+        "row_total",
+        # exact integer `div` (not floor over a double '/'): stays
+        # exact past the 2^53 double envelope
+        F.expr("(n * 1000000L) div row_total")
         .cast("long")
         .alias("p_ppm"),
     )
@@ -185,7 +190,14 @@ def transition_matrix2(
         "dst",
         "n",
         F.sum("n").over(w_ctx).cast("long").alias("ctx_total"),
-        F.floor(F.col("n") * F.lit(1_000_000) / F.sum("n").over(w_ctx))
+    ).select(
+        "src2",
+        "src1",
+        "dst",
+        "n",
+        "ctx_total",
+        # exact integer `div` — see transition_matrix
+        F.expr("(n * 1000000L) div ctx_total")
         .cast("long")
         .alias("p_ppm"),
     )
