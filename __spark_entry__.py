@@ -15042,7 +15042,8 @@ def _bpe_oracle(n_merges: int = 10) -> str:
     overlap tallying (lead window), argmax by (n DESC, a, b), and the
     relational greedy merge (islands of consecutive match positions,
     even offsets applied, right neighbors dropped, positions
-    renumbered) — exactly `operators.bpe._merge_once`."""
+    renumbered) — the relational replay of the same greedy contract
+    `operators.bpe._apply_merge` pins in Python."""
     ctes = [
         f"words AS MATERIALIZED (SELECT u.t AS w, CAST(count(*) AS BIGINT) AS f "
         f"FROM documents, UNNEST({_TOKS}) AS u(t) GROUP BY 1)",

@@ -107,6 +107,22 @@ class TestBpeTrain:
         assert [(r[1], r[2]) for r in rules] == [("a", "b"), ("c", "d")]
         assert len(rules) == 2
 
+    def test_min_freq_floor_bounds_the_collect(self, spark):
+        from unitdb_spark.operators.bpe import bpe_train
+
+        # "rare" appears once; with min_freq=2 it must not contribute
+        # pairs, so the learned table equals training on the frequent
+        # words alone. min_freq=1 is exact textbook (default).
+        df = spark.createDataFrame(
+            [(1, "low low low rare")], "id long, text string"
+        )
+        assert bpe_train(df, n_merges=3, min_freq=2) == _model(
+            "low low low", 3
+        )
+        assert bpe_train(df, n_merges=3, min_freq=1) == _model(
+            "low low low rare", 3
+        )
+
 
 class TestBpeEncode:
     def test_subword_counts_match_model(self, spark):
@@ -143,3 +159,62 @@ class TestBpeEncode:
             assert out[did]["n_subwords"] == sum(len(vocab[w]) for w in ws)
             # merges only ever shrink the char tokenization
             assert out[did]["n_subwords"] <= sum(len(w) for w in ws)
+
+    def test_thousand_rules_no_per_rule_jobs(self, spark):
+        # encoding under a production-sized rule table must be ONE
+        # vocabulary collect + driver-side application + one count
+        # join back — never a window-function job chained per rule
+        import time
+
+        from unitdb_spark.operators.bpe import bpe_subword_counts
+
+        rng = random.Random(11)
+        words = [
+            "".join(rng.choice("abcdefgh") for _ in range(rng.randrange(3, 12)))
+            for _ in range(300)
+        ]
+        text = " ".join(rng.choice(words) for _ in range(2000))
+        df = spark.createDataFrame(
+            [(1, text[: len(text) // 2]), (2, text[len(text) // 2 :])],
+            "doc_id long, text string",
+        )
+        # synthetic 1000-rule table: mostly rules whose pairs never
+        # occur plus one real rule — rank order must still apply
+        rules = [(1, "a", "b", 1)] + [
+            (r, f"x{r}", f"y{r}", 1) for r in range(2, 1001)
+        ]
+        sc = spark.sparkContext
+        sc.setJobGroup("bpe-enc-1000", "bpe encode")
+        t0 = time.monotonic()
+        try:
+            out = {
+                r["doc_id"]: r
+                for r in bpe_subword_counts(df, rules).collect()
+            }
+        finally:
+            jobs = sc.statusTracker().getJobIdsForGroup("bpe-enc-1000")
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        elapsed = time.monotonic() - t0
+        # the vocab collect + the final count collect are the only
+        # Spark work (AQE may split each into a couple of jobs); 1000
+        # sequential per-rule jobs would be hundreds
+        assert len(jobs) <= 6, jobs
+        assert elapsed < 30.0, elapsed
+        # value check against the python model with only the real rule
+        # (slicing mid-word creates fragment words — model the halves)
+        halves = [text[: len(text) // 2], text[len(text) // 2 :]]
+        vocab = {w: list(w) for t in halves for w in t.split()}
+        for w in vocab:
+            s, ns, i = vocab[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == "a" and s[i + 1] == "b":
+                    ns.append("ab")
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            vocab[w] = ns
+        for did, t in ((1, text[: len(text) // 2]), (2, text[len(text) // 2 :])):
+            ws = t.split()
+            assert out[did]["n_words"] == len(ws)
+            assert out[did]["n_subwords"] == sum(len(vocab[w]) for w in ws)

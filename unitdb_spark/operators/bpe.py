@@ -12,18 +12,22 @@ already ran: LEARN the merge table from the corpus. Word-level BPE:
    order, so training is deterministic), merge it greedily
    left-to-right in every word, repeat.
 
-Spark shape: ONE corpus pass (token explode + word-frequency groupBy)
-is the only distributed work; the vocabulary collects driver-side and
-all merges are learned in pure Python with incremental pair-count
-updates (`_learn_merges` — merge learning is inherently sequential,
-and a per-merge Spark job would serialize 30k job launches at a
-production vocab). ENCODING stays relational on the vocabulary
-relation so the SQL oracle can replay it: the greedy left-to-right
-application matches positions (sym = left, next = right) into runs of
-consecutive positions; within a run, matches at even offsets from the
-run start are applied (overlaps only arise for left == right pairs,
-where "aaa" must merge as (aa)(a), not a(aa)). The Python
-`_apply_merge` implements the same contract.
+Spark shape — the same for BOTH directions: ONE corpus pass (token
+explode + word groupBy) is the only distributed work; the vocabulary
+collects driver-side (Zipf-sublinear in the corpus; bound it
+explicitly with ``min_freq``) and the per-word symbol work runs in
+pure Python with a pair -> words index (`_learn_merges` for training,
+`_encode_vocab` for encoding — both directions are inherently
+sequential in the rule order, and a per-rule Spark job would
+serialize 30k job launches at a production rule table). The per-word
+subword counts then join back to the token instances as a broadcast
+relation.
+
+Greedy left-to-right application per rule: overlaps only arise for
+left == right pairs, where "aaa" must merge as (aa)(a), not a(aa) —
+`_apply_merge` pins that contract, and the SQL oracle replays the
+same semantics relationally (consecutive match positions keep even
+offsets within a run).
 
 Intra-word only, no end-of-word marker (the </w> variant changes
 boundary merges, not the algorithm; documented divergence from the
@@ -35,83 +39,16 @@ north-star LLM-pipeline operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from unitdb_spark.operators.dedup import raw_tokens
 
 
-def _word_symbols(words: DataFrame) -> DataFrame:
-    """(word, freq) -> (word, freq, pos, sym): one row per character,
-    1-based positions, substr-over-index (the char_entropy convention —
-    no split() semantics dependence)."""
-    return words.select(
-        "_w",
-        "_f",
-        F.posexplode(F.sequence(F.lit(1), F.length("_w"))).alias("_x", "_p"),
-    ).select(
-        "_w", "_f", F.col("_p").alias("_pos"),
-        F.substring(F.col("_w"), F.col("_p"), 1).alias("_sym"),
-    )
-
-
-def _merge_once(syms: DataFrame, left: str, right: str) -> DataFrame:
-    """Apply one merge rule greedily left-to-right, relationally:
-    runs of consecutive match positions keep even offsets; kept
-    matches become the concatenated symbol, their right neighbors
-    drop, everything re-numbers."""
-    w = Window.partitionBy("_w").orderBy("_pos")
-    with_next = syms.select(
-        "_w", "_f", "_pos", "_sym", F.lead("_sym").over(w).alias("_nxt")
-    )
-    flagged = with_next.withColumn(
-        "_m", (F.col("_sym") == left) & (F.col("_nxt") == right)
-    )
-    # runs of consecutive match positions: island id = pos - rank
-    wm = Window.partitionBy("_w").orderBy("_pos")
-    runs = flagged.withColumn(
-        "_isl",
-        F.when(
-            F.col("_m"),
-            F.col("_pos")
-            - F.row_number().over(
-                Window.partitionBy("_w", "_m").orderBy("_pos")
-            ),
-        ),
-    )
-    wr = Window.partitionBy("_w", "_isl")
-    sel = runs.withColumn(
-        "_apply",
-        F.col("_m")
-        & (((F.col("_pos") - F.min("_pos").over(wr)) % 2) == 0),
-    )
-    # a position is DROPPED when the previous position applied
-    dropped = sel.withColumn(
-        "_drop", F.coalesce(F.lag("_apply").over(wm), F.lit(False))
-    )
-    out = (
-        dropped.filter(~F.col("_drop"))
-        .select(
-            "_w",
-            "_f",
-            "_pos",
-            F.when(F.col("_apply"), F.concat(F.lit(left), F.lit(right)))
-            .otherwise(F.col("_sym"))
-            .alias("_sym"),
-        )
-        .select(
-            "_w", "_f",
-            F.row_number().over(wm).alias("_pos"),
-            "_sym",
-        )
-    )
-    return out
-
-
 def _apply_merge(seq: list[str], left: str, right: str) -> list[str]:
     """Greedy left-to-right application of one merge rule to a symbol
-    sequence — the Python twin of `_merge_once` ("aaa" under (a,a)
-    merges as (aa)(a))."""
+    sequence ("aaa" under (a,a) merges as (aa)(a)). The contract the
+    SQL oracle replays relationally."""
     out: list[str] = []
     i, n = 0, len(seq)
     while i < n:
@@ -173,10 +110,45 @@ def _learn_merges(
     return rules
 
 
+def _encode_vocab(
+    vocab: list[str], rules: list[tuple[int, str, str, int]]
+) -> dict[str, int]:
+    """Driver-side encoding of a distinct-word vocabulary under a
+    learned merge table: apply the rules once each, in rank order,
+    greedily left-to-right per word — the `_learn_merges` machinery
+    with a FIXED rule sequence instead of the argmax selection.
+
+    The pair -> words index makes each rule cost proportional to the
+    words that actually contain its pair (most of a 30k-rule
+    production table touches nothing for any given vocabulary), never
+    |vocab| x |rules|. Returns {word: n_subwords}."""
+    from collections import defaultdict
+
+    seqs: dict[str, list[str]] = {w: list(w) for w in vocab}
+    where: defaultdict[tuple[str, str], set[str]] = defaultdict(set)
+    for w, s in seqs.items():
+        for a, b in zip(s, s[1:]):
+            where[(a, b)].add(w)
+    for _rank, left, right, *_ in sorted(rules):
+        for w in list(where[(left, right)]):
+            old = seqs[w]
+            new = _apply_merge(old, left, right)
+            if new == old:  # stale index entry (pair already consumed)
+                where[(left, right)].discard(w)
+                continue
+            seqs[w] = new
+            for a, b in zip(old, old[1:]):
+                where[(a, b)].discard(w)
+            for a, b in zip(new, new[1:]):
+                where[(a, b)].add(w)
+    return {w: len(s) for w, s in seqs.items()}
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
+    min_freq: int = 1,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merge rules from the corpus.
 
@@ -192,31 +164,36 @@ def bpe_train(
     pure Python with incremental pair-count updates (standard
     practice; `_learn_merges`) replaces the previous
     one-Spark-job-per-merge loop that serialized 30k job launches at a
-    production vocab size. At 100 TB, bound the collected table with a
-    frequency floor on the words relation (hapax pruning — the
-    standard trainer knob) before calling.
+    production vocab size.
 
-    The rules ARE metadata (a tokenizer ships them as a file), so a
-    driver-side list is the honest return type; `bpe_train_df` wraps
-    them as a DataFrame for the oracle-checked query surface.
+    ``min_freq`` bounds the collected table BY CONSTRUCTION: words
+    rarer than the floor are filtered in the distributed aggregation
+    before the collect (hapax pruning — the standard trainer knob; at
+    100 TB the long tail of the word distribution is mostly noise and
+    typos, and a floor of even 2-10 shrinks the vocabulary by an
+    order of magnitude). The default 1 keeps every word (exact
+    textbook behaviour).
     """
     words = (
         df.select(F.explode(raw_tokens(text_col)).alias("_w"))
         .groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_f"))
     )
+    if min_freq > 1:
+        words = words.filter(F.col("_f") >= F.lit(int(min_freq)))
     vocab = [(r["_w"], int(r["_f"])) for r in words.collect()]
     return _learn_merges(vocab, n_merges)
 
 
 def bpe_train_df(
-    df: DataFrame, text_col: str = "text", n_merges: int = 10
+    df: DataFrame, text_col: str = "text", n_merges: int = 10,
+    min_freq: int = 1,
 ) -> DataFrame:
     """`bpe_train` as a DataFrame: (merge_rank, merge_left,
     merge_right, n_pairs) — LEFT/RIGHT are SQL keywords, so the
     column names carry the prefix."""
     spark = df.sparkSession
-    rules = bpe_train(df, text_col, n_merges)
+    rules = bpe_train(df, text_col, n_merges, min_freq)
     return spark.createDataFrame(
         rules,
         "merge_rank int, merge_left string, merge_right string, n_pairs long",
@@ -229,33 +206,33 @@ def bpe_subword_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """ENCODE under a learned merge table: apply the rules in rank
-    order to the corpus VOCABULARY (each application is the same
-    relational greedy merge training used), then join the per-word
-    subword counts back to the token instances — the "how many
-    subword tokens is my corpus under this tokenizer" question that
-    drives packing/budget decisions.
+    """ENCODE under a learned merge table — the "how many subword
+    tokens is my corpus under this tokenizer" question that drives
+    packing/budget decisions.
 
-    Scale shape: merges run on the vocabulary relation; the only
-    corpus-sized work is the token explode + the word-count join
-    (vocab relation broadcasts when it fits — it is Zipf-small).
+    Shape mirrors `bpe_train`: ONE corpus pass builds the
+    distinct-word vocabulary, the rule table applies driver-side over
+    it (`_encode_vocab` — the indexed `_learn_merges` machinery with
+    a fixed rule sequence; the previous relational formulation
+    chained one window-function job + localCheckpoint PER RULE, which
+    at a production 30k-rule table meant a 30k-stage driver-bound
+    plan), and the per-word subword counts join back to the token
+    instances as a broadcast relation (Zipf-small).
 
     Output: (id_col, n_words, n_subwords).
     """
-    words = (
-        df.select(F.explode(raw_tokens(text_col)).alias("_w"))
-        .distinct()
-        .select("_w", F.lit(1).alias("_f"))
+    spark = df.sparkSession
+    words = df.select(F.explode(raw_tokens(text_col)).alias("_w")).distinct()
+    vocab = [r["_w"] for r in words.collect()]
+    n_sub = _encode_vocab(vocab, rules)
+    wc = spark.createDataFrame(
+        list(n_sub.items()), "_w string, _nsub long"
     )
-    syms = _word_symbols(words).localCheckpoint(eager=False)
-    for _rank, left, right, _n in sorted(rules):
-        syms = _merge_once(syms, left, right).localCheckpoint(eager=False)
-    wc = syms.groupBy("_w").agg(F.count(F.lit(1)).alias("_nsub"))
     inst = df.select(
         F.col(id_col).alias("_id"), F.explode(raw_tokens(text_col)).alias("_w")
     )
     return (
-        inst.join(wc, "_w")
+        inst.join(F.broadcast(wc), "_w")
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
