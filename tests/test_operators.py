@@ -8760,6 +8760,21 @@ class TestSeasonalMannKendall:
         (r,) = seasonal_mann_kendall(df, "k", "season").collect()
         assert r.s == 0 and r.trend == 0  # within-season all ties
 
+    def test_separator_in_key_raises(self, spark):
+        # a key containing the \x1f composite separator would silently
+        # mis-split and pool evidence under a truncated key — the
+        # operator must refuse it loudly, not corrupt the grouping
+        import pytest
+
+        from unitdb_spark.operators.stats_tests import seasonal_mann_kendall
+
+        df = spark.createDataFrame(
+            [("a\x1fb", 0, 1, 10), ("a\x1fb", 0, 2, 20)],
+            "k string, season int, t long, y long",
+        )
+        with pytest.raises(Exception, match="separator"):
+            seasonal_mann_kendall(df, "k", "season").collect()
+
 
 class TestTheilSen:
     def test_robust_to_outlier(self, spark):

@@ -415,8 +415,14 @@ def markov_attribution(
     # levels²-sized by construction: bounded control-plane read
     edges = [(r["a"], r["b"], int(r["cnt"])) for r in tr.collect()]
     tot: dict[str, int] = {}
-    for a, _, c in edges:
+    # out-edges indexed by source ONCE: each fixpoint iteration walks
+    # every edge exactly once, not |states| x |edges| (the naive
+    # rescan grows cubically in the state alphabet across removal
+    # scenarios; same outputs, levels²-per-iteration cost)
+    out: dict[str, list[tuple[str, int]]] = {}
+    for a, b, c in edges:
         tot[a] = tot.get(a, 0) + c
+        out.setdefault(a, []).append((b, c))
     channels = sorted(
         ({a for a, _, _ in edges} | {b for _, b, _ in edges})
         - {"start", "conv", "null"}
@@ -427,11 +433,9 @@ def markov_attribution(
         v = {a: 0 for a in tot}
         for _ in range(int(iters)):
             nv = {}
-            for a in tot:
+            for a, outs in out.items():
                 acc = 0
-                for ea, eb, c in edges:
-                    if ea != a:
-                        continue
+                for eb, c in outs:
                     if eb == "conv":
                         val = PPM
                     elif eb == "null" or eb == removed:

@@ -1425,9 +1425,12 @@ def seasonal_mann_kendall(
     `mann_kendall` (continuity-corrected |z| > 1.96). Implementation
     IS `mann_kendall` run on the composite (key, season) series —
     one code path, one set of exactness guarantees — followed by a
-    per-key pooled aggregate (the composite key uses the unit
-    separator \\x1f, which cannot appear in sane key values; callers
-    with binary keys should pre-encode).
+    per-key pooled aggregate. The composite key uses the unit
+    separator \\x1f; a key value containing the separator would
+    silently mis-split and pool evidence under a truncated key, so
+    the select RAISES on such keys (callers with binary keys should
+    pre-encode) — the guard is a per-row contains() in the same
+    projection, free next to the pairwise work downstream.
 
     Output: (key, n_seasons, n, s, var18, trend in {-1, 0, +1}).
 
@@ -1436,10 +1439,24 @@ def seasonal_mann_kendall(
     term (a 7-season split cuts it ~7x).
     """
     SEP = "\x1f"
+    key_s = F.col(key_col).cast("string")
+    guarded_key = F.when(
+        key_s.contains(SEP),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "seasonal_mann_kendall: key value contains the "
+                    "\\x1f composite separator (pre-encode such "
+                    "keys): "
+                ),
+                key_s,
+            )
+        ),
+    ).otherwise(key_s)
     comp = cells.select(
         F.concat_ws(
             SEP,
-            F.col(key_col).cast("string"),
+            guarded_key,
             F.col(season_col).cast("string"),
         ).alias("_ck"),
         F.col(t_col).alias("_t"),
