@@ -4084,7 +4084,12 @@ def q_parts_kcore(spark, sf_dir):
     >= 3, with their degree inside the final subgraph. The density
     cut the community family can't express: LPA says who groups with
     whom, the k-core says who sits in a dense region at all.
-    All-integer, so the unrolled-CTE oracle matches bitwise."""
+    All-integer, so the unrolled-CTE oracle matches bitwise. The
+    edge threshold is density-derived (min_count="auto": largest w
+    keeping average degree >= 3, else 1 — the oracle derives the
+    identical integer rule), so the operator stays meaningful at any
+    scale factor: a literal w>=2 empties the graph as the catalog
+    grows (TPC-H's uniform part choice thins pair repeats)."""
     from unitdb_spark.operators.graph import (
         kcore,
         weighted_cooccurrence_edges,
@@ -4092,7 +4097,7 @@ def q_parts_kcore(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     edges = weighted_cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", min_count=2
+        li, "l_orderkey", "l_partkey", min_count="auto"
     ).select("src", "dst")
     out = kcore(edges, k=3, rounds=3)
     return out.select(F.col("node").alias("part_id"), "deg")
@@ -4404,7 +4409,12 @@ def q_parts_link_pred(spark, sf_dir):
     floor-ppm neighborhood Jaccard — the "you may also like"
     candidate generator. Candidates come only from the 2-hop
     self-join (cost = sum of degree² on the THRESHOLDED graph, never
-    all pairs); existing edges drop via a keyed anti-join."""
+    all pairs); existing edges drop via a keyed anti-join. The edge
+    threshold is density-derived (min_count="auto", same rule and
+    rationale as parts_kcore) so candidates exist at any scale
+    factor, and the output is capped at the top 10 per src
+    (n_common DESC, jaccard DESC, dst — a total order) so a DENSE
+    derived graph cannot explode the result toward all-pairs."""
     from unitdb_spark.operators.graph import (
         link_prediction,
         weighted_cooccurrence_edges,
@@ -4412,9 +4422,9 @@ def q_parts_link_pred(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     edges = weighted_cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", min_count=2
+        li, "l_orderkey", "l_partkey", min_count="auto"
     ).select("src", "dst")
-    return link_prediction(edges, min_common=2)
+    return link_prediction(edges, min_common=2, per_src_top=10)
 
 
 def q_parts_link_eval(spark, sf_dir):
@@ -8261,9 +8271,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parts_link_pred": """
         WITH g AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
-        p0 AS (SELECT a.i AS s, b.i AS d
+        pr AS MATERIALIZED (
+               SELECT a.i AS s, b.i AS d, CAST(count(*) AS BIGINT) AS w
                FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
-               GROUP BY 1, 2 HAVING count(*) >= 2),
+               GROUP BY 1, 2),
+        nn AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n FROM g),
+        -- density-derived threshold, the weighted_cooccurrence_edges
+        -- "auto" rule: largest w keeping avg degree >= 3, else 1
+        thr AS (
+          SELECT coalesce(max(w), 1) AS t FROM (
+            SELECT h.w FROM (SELECT DISTINCT w FROM pr) h, nn
+            WHERE 2 * (SELECT count(*) FROM pr p2 WHERE p2.w >= h.w)
+                  >= 3 * nn.n
+          )
+        ),
+        p0 AS (SELECT s, d FROM pr, thr WHERE pr.w >= thr.t),
         e AS (SELECT s, d FROM p0 UNION ALL SELECT d AS s, s AS d FROM p0),
         deg AS (SELECT s AS a, CAST(count(*) AS BIGINT) AS dg
                 FROM e GROUP BY s),
@@ -8278,13 +8300,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 FROM e WHERE e.s = c.a AND e.d = c.b
           )
         )
-        SELECT ne.a AS src, ne.b AS dst, ne.n_common,
-          CAST((ne.n_common * 1000000)
-                     // (da.dg + db.dg - ne.n_common) AS BIGINT)
-            AS jaccard_ppm
-        FROM ne
-        JOIN deg da ON ne.a = da.a
-        JOIN deg db ON ne.b = db.a
+        , scored AS (
+          SELECT ne.a AS src, ne.b AS dst, ne.n_common,
+            CAST((ne.n_common * 1000000)
+                       // (da.dg + db.dg - ne.n_common) AS BIGINT)
+              AS jaccard_ppm
+          FROM ne
+          JOIN deg da ON ne.a = da.a
+          JOIN deg db ON ne.b = db.a
+        )
+        SELECT src, dst, n_common, jaccard_ppm FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY src
+            ORDER BY n_common DESC, jaccard_ppm DESC, dst ASC) AS rk
+          FROM scored
+        ) WHERE rk <= 10
         """,
         "parts_skyline": _SKYLINE_SQL,
         "streamed_skyline": _SKYLINE_SQL,
@@ -14840,9 +14870,21 @@ def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
     return (
         """
         WITH g AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
-        p0 AS (SELECT a.i AS s, b.i AS d
+        pr AS MATERIALIZED (
+               SELECT a.i AS s, b.i AS d, CAST(count(*) AS BIGINT) AS w
                FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
-               GROUP BY 1, 2 HAVING count(*) >= 2),
+               GROUP BY 1, 2),
+        nn AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n FROM g),
+        -- density-derived threshold, the weighted_cooccurrence_edges
+        -- "auto" rule: largest w keeping avg degree >= 3, else 1
+        thr AS (
+          SELECT coalesce(max(w), 1) AS t FROM (
+            SELECT h.w FROM (SELECT DISTINCT w FROM pr) h, nn
+            WHERE 2 * (SELECT count(*) FROM pr p2 WHERE p2.w >= h.w)
+                  >= 3 * nn.n
+          )
+        ),
+        p0 AS (SELECT s, d FROM pr, thr WHERE pr.w >= thr.t),
         e AS (SELECT s, d FROM p0 UNION ALL SELECT d AS s, s AS d FROM p0),
         n0 AS (SELECT DISTINCT s AS node FROM e),
         """

@@ -6412,6 +6412,69 @@ class TestLinkPrediction:
         }
         assert got == want
 
+    def test_per_src_top_caps_deterministically(self, spark):
+        from unitdb_spark.operators.graph import link_prediction
+
+        # star around 0 plus a chord clique: node 0 is adjacent to
+        # everything, so all leaf pairs are distance-2 candidates
+        und = [(0, i) for i in range(1, 8)] + [(1, 2), (1, 3)]
+        full = link_prediction(self._sym(spark, und), min_common=1)
+        capped = link_prediction(
+            self._sym(spark, und), min_common=1, per_src_top=2
+        )
+        fr = {(r.src, r.dst): (r.n_common, r.jaccard_ppm)
+              for r in full.collect()}
+        cr = [(r.src, r.dst, r.n_common, r.jaccard_ppm)
+              for r in capped.collect()]
+        # capped rows are a subset of the full result with identical values
+        for s, d, n, j in cr:
+            assert fr[(s, d)] == (n, j)
+        # per-src cap respected, and the kept rows are the top by
+        # (n_common DESC, jaccard DESC, dst ASC)
+        import collections
+        by_src = collections.defaultdict(list)
+        for (s, d), (n, j) in fr.items():
+            by_src[s].append((-n, -j, d))
+        for s, rows in by_src.items():
+            want = sorted(rows)[:2]
+            got = sorted(
+                (-n, -j, d) for (ss, d, n, j) in cr if ss == s
+            )
+            assert got == want, (s, got, want)
+
+
+class TestAutoEdgeThreshold:
+    def test_dense_picks_literal_sparse_falls_back(self, spark):
+        from unitdb_spark.operators.graph import (
+            weighted_cooccurrence_edges,
+        )
+
+        # dense: pairs repeat across groups -> w=2 keeps avg degree
+        # >= 3 (items 1..4 all co-occur twice with each other)
+        dense = [(g, i) for g in (10, 20) for i in (1, 2, 3, 4)]
+        df = spark.createDataFrame(dense, "g long, i long")
+        got = weighted_cooccurrence_edges(
+            df, "g", "i", min_count="auto"
+        ).collect()
+        assert got and all(r.w == 2 for r in got)
+        # 4 items, 6 undirected w=2 edges: threshold 2 qualifies
+        assert len(got) == 12  # symmetric
+
+        # sparse: every pair occurs once -> w=2 would empty the graph,
+        # the rule falls back to 1
+        sparse = [(g, i) for g, i in [(1, 1), (1, 2), (2, 3), (2, 4),
+                                      (3, 5), (3, 6), (4, 1), (4, 3)]]
+        df2 = spark.createDataFrame(sparse, "g long, i long")
+        got2 = weighted_cooccurrence_edges(
+            df2, "g", "i", min_count="auto"
+        ).collect()
+        assert got2 and all(r.w == 1 for r in got2)
+        # literal min_count still honored when passed
+        got3 = weighted_cooccurrence_edges(
+            df2, "g", "i", min_count=2
+        ).collect()
+        assert got3 == []
+
 
 class TestPca:
     def _model(self, vecs, quant=10_000, scale=1_000_000, iters=3):

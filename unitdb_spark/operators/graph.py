@@ -22,7 +22,7 @@ The reference engine has no graph surface; north-star analytics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -606,7 +606,8 @@ def weighted_cooccurrence_edges(
     df: DataFrame,
     group_col: str,
     item_col: str,
-    min_count: int = 2,
+    min_count: int | str = 2,
+    target_avg_degree: int = 3,
 ) -> DataFrame:
     """Symmetric weighted edges between items sharing a group: weight =
     number of distinct groups containing both, kept when >= min_count.
@@ -616,19 +617,46 @@ def weighted_cooccurrence_edges(
     co-purchase graph are noise edges that glue everything into one
     blob AND dominate the pair count. Same blocking contract as
     `cooccurrence_edges` — per-group cost |group|^2.
+
+    ``min_count="auto"`` derives the threshold from the weight
+    distribution instead of a literal: the LARGEST w whose surviving
+    undirected edge count keeps average degree >= target_avg_degree
+    (2·E(>=w) >= target·|items|), else 1. A fixed literal goes
+    degenerate as the catalog grows — on a uniform-choice corpus the
+    pair-repeat probability falls with item count, so the w>=2 graph
+    empties while the w>=1 graph stays meaningful; the density rule
+    adapts in either direction and is exact-integer, so a SQL oracle
+    derives the identical threshold. Costs one extra pass over the
+    pair relation (weight histogram — |distinct weights| rows — plus
+    an item count; both bounded control-plane reads).
     """
     g = df.select(
         F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
     ).distinct()
     a = g.select("_g", F.col("_i").alias("src"))
     b = g.select("_g", F.col("_i").alias("dst"))
-    pairs = (
+    pairs_all = (
         a.join(b, "_g")
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= F.lit(min_count))
     )
+    if min_count == "auto":
+        hist = [
+            (int(r["w"]), int(r["c"]))
+            for r in pairs_all.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        n_items = g.select("_i").distinct().count()
+        min_count = 1
+        cum = 0
+        for w, c in sorted(hist, reverse=True):
+            cum += c
+            if 2 * cum >= target_avg_degree * n_items:
+                min_count = w
+                break
+    pairs = pairs_all.filter(F.col("w") >= F.lit(int(min_count)))
     return pairs.unionAll(
         pairs.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
@@ -868,6 +896,7 @@ def link_prediction(
     src: str = "src",
     dst: str = "dst",
     min_common: int = 2,
+    per_src_top: int | None = None,
 ) -> DataFrame:
     """Common-neighbor link prediction (Liben-Nowell '03) over a
     symmetric edge list: for every NON-edge pair (a, b) at distance
@@ -882,6 +911,15 @@ def link_prediction(
     removed with a keyed anti-join; ``min_common`` prunes the long
     tail before the degree join. All-integer (counts, cross-
     multiplied Jaccard in ppm), so a SQL oracle replays it bitwise.
+
+    ``per_src_top`` caps the output per src (n_common DESC,
+    jaccard_ppm DESC, dst ASC — a total order, so deterministic):
+    a recommender only ever serves the top few candidates, and on a
+    dense input graph the uncapped distance-2 relation approaches
+    all-pairs-sized output (every pair with >= min_common shared
+    neighbors). The cap bounds OUTPUT at top·|nodes| at any scale;
+    the intermediate wedge cost remains the documented sum-degree²
+    contract of the input graph.
 
     Output: (src, dst, n_common, jaccard_ppm) with src < dst.
     """
@@ -919,6 +957,17 @@ def link_prediction(
             .alias("jaccard_ppm"),
         )
     )
+    if per_src_top is not None:
+        w_top = Window.partitionBy("src").orderBy(
+            F.col("n_common").desc(),
+            F.col("jaccard_ppm").desc(),
+            F.col("dst").asc(),
+        )
+        out = (
+            out.withColumn("_rk", F.row_number().over(w_top))
+            .filter(F.col("_rk") <= F.lit(int(per_src_top)))
+            .drop("_rk")
+        )
     return out
 
 
