@@ -3887,6 +3887,34 @@ def q_media_gif_resize(spark, sf_dir):
     )
 
 
+def q_media_jpeg_resize(spark, sf_dir):
+    """REAL pixel kernel for the ENTROPY-CODED container — the last
+    multimodal stub closed: every doc becomes a valid baseline JFIF
+    (real FDCT, flat quant 8, Huffman scan with byte stuffing) whose
+    pixels are constant per 8x8 block, so the lossy format round-trips
+    bit-exactly by construction (a constant block is DC-only and
+    quant 8 stores 8·(v−128) exactly). The scan is entropy-DECODED
+    (canonical Huffman from the stream's DHT, dequant, de-zigzag,
+    IDCT, level shift, PINNED integer YCbCr->RGB),
+    nearest-neighbor-resampled to 8x6, re-encoded LOSSLESSLY as PNG
+    (a real pipeline never re-JPEGs intermediates), decoded AGAIN by
+    the PNG kernel, and reduced to integer statistics. The oracle
+    regenerates the resampled pixels from doc_id alone — a hash-match
+    proves Huffman decode, block layout, IDCT scaling, the color
+    transform, resample and channel order are all byte-correct. No
+    stub in the path."""
+    from unitdb_spark.functions.multimodal import (
+        png_pixel_stats,
+        resize_jpeg_images,
+        synthetic_jpeg_media,
+    )
+
+    media = synthetic_jpeg_media(_docs(spark, sf_dir))
+    return png_pixel_stats(resize_jpeg_images(media, 8, 6)).select(
+        F.col("id").alias("doc_id"), "width", "height", "px_sum", "px_wsum"
+    )
+
+
 def q_events_markov(spark, sf_dir):
     """First-order Markov transition matrix over per-user event
     sequences: lag-1 pairs under the total order (ts, event_id),
@@ -6963,6 +6991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_hard_negatives": q_embed_hard_negatives,
         "embed_balanced_sample": q_embed_balanced_sample,
         "events_chisq": q_events_chisq,
+        # --- new in round 7 (enter a later window per rotation) -------
+        "media_jpeg_resize": q_media_jpeg_resize,
     }
 
 
@@ -7833,6 +7863,55 @@ def oracle_sql() -> dict[str, str]:
           CAST(SUM(cr * ((vy * 8 + vx) * 3 + 1)
                  + cg * ((vy * 8 + vx) * 3 + 2)
                  + cb * ((vy * 8 + vx) * 3 + 3)) AS BIGINT) AS px_wsum
+        FROM px GROUP BY 1
+        """,
+        "media_jpeg_resize": """
+        -- regenerate the 8x6 nearest-neighbor-resampled pixels from
+        -- doc_id alone: the JPEG fixture is constant per 8x8 block
+        -- (DC-only, flat quant 8 -> bit-exact round trip), so source
+        -- pixel (sx, sy) = (vx*sw//8, vy*sh//6) carries the YCbCr of
+        -- block (sx//8, sy//8); RGB is the decoder's PINNED integer
+        -- BT.601 rendition floor((1e6*Y + c*(C-128) + 5e5)/1e6)
+        -- clamped — any Huffman/IDCT/layout/channel error upstream
+        -- breaks the match
+        WITH g AS (
+          SELECT d.doc_id,
+            8 * (d.doc_id % 3 + 2) AS sw,
+            8 * ((d.doc_id // 5) % 3 + 2) AS sh,
+            d.doc_id % 241 AS s, x.vx, y.vy
+          FROM documents d,
+               UNNEST(generate_series(0, 7)) AS x(vx),
+               UNNEST(generate_series(0, 5)) AS y(vy)
+        ), blk AS (
+          SELECT doc_id, vx, vy,
+            ((vx * sw) // 8) // 8 AS bx,
+            ((vy * sh) // 6) // 8 AS by, s
+          FROM g
+        ), ycc AS (
+          SELECT doc_id, vx, vy,
+            (s + 3 * bx + 5 * by) % 256 AS yv,
+            (2 * s + 7 * bx + by) % 256 AS cb,
+            (3 * s + bx + 11 * by) % 256 AS cr
+          FROM blk
+        ), px AS (
+          SELECT doc_id, vx, vy,
+            LEAST(255, GREATEST(0,
+              (1000000 * yv + 1402000 * (cr - 128) + 500000) // 1000000
+            )) AS r,
+            LEAST(255, GREATEST(0,
+              (1000000 * yv - 344136 * (cb - 128)
+               - 714136 * (cr - 128) + 500000) // 1000000
+            )) AS g2,
+            LEAST(255, GREATEST(0,
+              (1000000 * yv + 1772000 * (cb - 128) + 500000) // 1000000
+            )) AS b
+          FROM ycc
+        )
+        SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+          CAST(SUM(r + g2 + b) AS BIGINT) AS px_sum,
+          CAST(SUM(r * ((vy * 8 + vx) * 3 + 1)
+                 + g2 * ((vy * 8 + vx) * 3 + 2)
+                 + b * ((vy * 8 + vx) * 3 + 3)) AS BIGINT) AS px_wsum
         FROM px GROUP BY 1
         """,
         "media_phash_dups": _PHASH_CHAIN_SQL + """

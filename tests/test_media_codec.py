@@ -477,3 +477,136 @@ class TestGifLzw:
         pal = [(i, i, i) for i in range(256)]
         g = encode_gif_indexed(idx, pal)
         assert decode_gif_indexed(g[:40]) is None
+
+
+class TestJpegBaseline:
+    def _block_constant(self, bw, bh, seed=0):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        blocks = rng.randint(0, 256, size=(bh, bw, 3))
+        return np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(
+            np.uint8
+        )
+
+    def test_block_constant_roundtrip_is_exact(self):
+        """A constant 8x8 block is DC-only; flat quant 8 stores
+        8*(v-128) exactly, so the lossy format round-trips
+        bit-for-bit — the exactness contract the fixture leans on."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            _ycbcr_to_rgb_int,
+            decode_jpeg_rgb,
+            encode_jpeg_baseline,
+        )
+
+        arr = self._block_constant(3, 2, seed=1)
+        dec = decode_jpeg_rgb(encode_jpeg_baseline(arr, quant=8))
+        assert dec is not None and dec.shape == arr.shape
+        exp = np.zeros_like(dec)
+        for y in range(arr.shape[0]):
+            for x in range(arr.shape[1]):
+                exp[y, x] = _ycbcr_to_rgb_int(*[int(v) for v in arr[y, x]])
+        assert np.array_equal(dec, exp)
+
+    def test_odd_dimensions_pad_and_crop(self):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            _ycbcr_to_rgb_int,
+            decode_jpeg_rgb,
+            encode_jpeg_baseline,
+        )
+
+        arr = self._block_constant(3, 2, seed=2)[:13, :19]
+        dec = decode_jpeg_rgb(encode_jpeg_baseline(arr, quant=8))
+        assert dec is not None and dec.shape == (13, 19, 3)
+        for y, x in [(0, 0), (12, 18), (7, 8)]:
+            assert tuple(dec[y, x]) == _ycbcr_to_rgb_int(
+                *[int(v) for v in arr[y, x]]
+            )
+
+    def test_general_image_with_ac_coefficients(self):
+        """Smooth gradient (real AC coefficients, run-length + ZRL
+        paths) decodes within quantization error of the input —
+        grayscale, so no color transform blurs the bound."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_jpeg_rgb,
+            encode_jpeg_baseline,
+        )
+
+        g = (
+            np.clip(np.add.outer(np.arange(24) * 3, np.arange(32) * 2)
+                    % 200 + 20, 0, 255)
+        ).astype(np.uint8)
+        dec = decode_jpeg_rgb(encode_jpeg_baseline(g, quant=4))
+        assert dec is not None and dec.shape == (24, 32, 3)
+        # grayscale replicates across channels
+        assert (dec[:, :, 0] == dec[:, :, 1]).all()
+        diff = np.abs(dec[:, :, 0].astype(int) - g.astype(int))
+        assert diff.max() <= 8, diff.max()
+
+    def test_header_parser_agrees(self):
+        from unitdb_spark.functions.media_codec import (
+            encode_jpeg_baseline,
+            parse_jpeg,
+        )
+
+        arr = self._block_constant(4, 3, seed=3)
+        info = parse_jpeg(encode_jpeg_baseline(arr))
+        assert info["container"] == "jpeg"
+        assert info["width"] == 32 and info["height"] == 24
+
+    def test_refusals_are_none(self):
+        from unitdb_spark.functions.media_codec import (
+            decode_jpeg_rgb,
+            encode_jpeg_baseline,
+        )
+
+        arr = self._block_constant(2, 2)
+        j = encode_jpeg_baseline(arr)
+        assert decode_jpeg_rgb(j[:40]) is None  # truncated
+        assert decode_jpeg_rgb(b"") is None
+        assert decode_jpeg_rgb(b"\xff\xd8\x00\x00") is None
+        # progressive (SOF2) refused: flip the frame marker
+        prog = bytearray(j)
+        idx = bytes(prog).find(b"\xff\xc0")
+        prog[idx + 1] = 0xC2
+        assert decode_jpeg_rgb(bytes(prog)) is None
+        # subsampled refused: 2x2 luma sampling factor
+        sub = bytearray(j)
+        sub[idx + 11] = 0x22
+        assert decode_jpeg_rgb(bytes(sub)) is None
+
+    def test_resize_to_png_matches_index_math(self):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            _ycbcr_to_rgb_int,
+            decode_png_rgb,
+            encode_jpeg_baseline,
+            resize_jpeg_nearest_png,
+        )
+
+        arr = self._block_constant(3, 3, seed=4)
+        png = resize_jpeg_nearest_png(encode_jpeg_baseline(arr, quant=8), 8, 6)
+        got = decode_png_rgb(png)
+        assert got is not None and got.shape == (6, 8, 3)
+        exp = np.zeros_like(arr)
+        for y in range(arr.shape[0]):
+            for x in range(arr.shape[1]):
+                exp[y, x] = _ycbcr_to_rgb_int(*[int(v) for v in arr[y, x]])
+        xs = (np.arange(8) * arr.shape[1]) // 8
+        ys = (np.arange(6) * arr.shape[0]) // 6
+        assert np.array_equal(got, exp[np.ix_(ys, xs)])
+
+    def test_zigzag_is_the_standard_table(self):
+        from unitdb_spark.functions.media_codec import _ZIGZAG
+
+        assert _ZIGZAG[:16] == [0, 1, 8, 16, 9, 2, 3, 10,
+                                17, 24, 32, 25, 18, 11, 4, 5]
+        assert sorted(_ZIGZAG) == list(range(64))
+        assert _ZIGZAG[-4:] == [47, 55, 62, 63]

@@ -1034,3 +1034,489 @@ def resize_gif_nearest(b: bytes, width: int, height: int) -> bytes | None:
     ys = (np.arange(height) * sh) // height
     out = idx[np.ix_(ys, xs)]
     return encode_gif_indexed(out, [tuple(p) for p in pal])
+
+
+# --------------------------------------------------- JPEG pixel codec
+#
+# Real baseline-sequential JPEG (ITU T.81), stdlib + numpy only — the
+# last compressed container to get a true pixel kernel. Scope is the
+# honest-decoder contract of the PNG/GIF kernels: baseline DCT (SOF0),
+# 8-bit samples, 1 or 3 components with 1x1 sampling (4:4:4), any
+# DQT/DHT the stream declares, restart markers honored; anything else
+# (progressive, subsampled, 12-bit, arithmetic coding) returns None.
+#
+# The encoder is general (FDCT, quantize, zigzag, Huffman) but emits
+# FIXED-LENGTH Huffman tables of its own: 12 four-bit DC codes and
+# 162 eight-bit AC codes (the all-ones code stays unused as T.81
+# requires). Building tables instead of transcribing the Annex K
+# defaults removes a 300-constant transcription risk at the cost of a
+# few percent of compression — irrelevant here, and the decoder reads
+# whatever DHT the stream carries, so it handles Annex-K files too.
+#
+# Exactness contract the fixtures lean on: a block whose samples are
+# CONSTANT has only a DC coefficient (8*(v-128)); with a flat quant
+# table of 8 the quantized DC is exactly v-128, so decode returns the
+# constant bit-for-bit. YCbCr -> RGB uses a PINNED integer rendition
+# (floor((1e6*Y + c*(C-128) + 5e5) / 1e6), BT.601 coefficients scaled
+# by 1e6) so a SQL oracle replays the conversion exactly.
+
+_JPEG_DC_SYMBOLS = list(range(12))
+_JPEG_AC_SYMBOLS = sorted(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+
+
+def _zigzag_order() -> list[int]:
+    """Zigzag scan positions (T.81 figure 5), generated not
+    transcribed: diagonals alternate direction, odd diagonals walk
+    top-right to bottom-left."""
+    order = []
+    for d in range(15):
+        pts = [(i, d - i) for i in range(d + 1) if i < 8 and d - i < 8]
+        if d % 2 == 0:
+            pts = pts[::-1]
+        order += [r * 8 + c for r, c in pts]
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+
+
+def _dct_matrix():
+    import numpy as np
+
+    C = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / (2.0 ** 0.5)) if u == 0 else 1.0
+        for x in range(8):
+            C[u, x] = 0.5 * cu * __import__("math").cos(
+                (2 * x + 1) * u * __import__("math").pi / 16.0
+            )
+    return C
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per T.81 F.1.2.3
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.b = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int | None:
+        if self.n == 0:
+            while True:
+                if self.p >= len(self.b):
+                    return None
+                byte = self.b[self.p]
+                self.p += 1
+                if byte == 0xFF:
+                    if self.p >= len(self.b):
+                        return None
+                    nxt = self.b[self.p]
+                    if nxt == 0x00:
+                        self.p += 1  # stuffed
+                    else:
+                        # a real marker: rewind so the caller sees it
+                        self.p -= 1
+                        return None
+                break
+            self.acc, self.n = byte, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int | None:
+        v = 0
+        for _ in range(k):
+            bit = self.read_bit()
+            if bit is None:
+                return None
+            v = (v << 1) | bit
+        return v
+
+    def align(self) -> None:
+        self.n = 0
+
+
+def _huff_fixed(symbols: list[int], length: int):
+    """Fixed-length canonical table: counts vector (1-16) + symbol
+    list + encode map {sym: (code, len)}."""
+    counts = [0] * 16
+    counts[length - 1] = len(symbols)
+    enc = {s: (i, length) for i, s in enumerate(symbols)}
+    return counts, symbols, enc
+
+
+def _dht_segment(tc: int, th: int, counts: list[int], symbols: list[int]) -> bytes:
+    payload = bytes([(tc << 4) | th]) + bytes(counts) + bytes(symbols)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, additional-bits value) per T.81 F.1.2.1: negatives are
+    stored as v + 2^size - 1."""
+    if v == 0:
+        return 0, 0
+    a, size = abs(v), 0
+    while a:
+        a >>= 1
+        size += 1
+    return size, v if v >= 0 else v + (1 << size) - 1
+
+
+def _extend(v: int, size: int) -> int:
+    """Inverse of _magnitude's additional-bits mapping."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def encode_jpeg_baseline(arr, quant: int = 8) -> bytes:
+    """numpy (h, w, 3) uint8 Y/Cb/Cr planes (encoded as-is, NO RGB
+    transform — the caller owns color space) or (h, w) grayscale ->
+    a valid baseline JFIF. Flat quantization table of ``quant``
+    everywhere; 4:4:4 sampling; fixed-length Huffman tables (see
+    module note). Dimensions pad to multiples of 8 by edge
+    replication (decoders crop back via SOF dims)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if gray:
+        a = a[:, :, None]
+    h, w, ncomp = a.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.empty((ph, pw, ncomp), dtype=np.uint8)
+    padded[:h, :w] = a
+    if pw > w:
+        padded[:h, w:] = a[:, w - 1 : w]
+    if ph > h:
+        padded[h:, :] = padded[h - 1 : h, :]
+    C = _dct_matrix()
+    qtab = np.full((8, 8), int(quant), dtype=np.int32)
+    dc_counts, dc_syms, dc_enc = _huff_fixed(_JPEG_DC_SYMBOLS, 4)
+    ac_counts, ac_syms, ac_enc = _huff_fixed(_JPEG_AC_SYMBOLS, 8)
+    bw = _BitWriter()
+    prev_dc = [0] * ncomp
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for c in range(ncomp):
+                block = padded[
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c
+                ].astype(np.float64) - 128.0
+                S = C @ block @ C.T
+                q = np.round(S / qtab).astype(np.int64)
+                zz = [int(q.flat[_ZIGZAG[k]]) for k in range(64)]
+                diff = zz[0] - prev_dc[c]
+                prev_dc[c] = zz[0]
+                size, bits = _magnitude(diff)
+                code, clen = dc_enc[size]
+                bw.write(code, clen)
+                if size:
+                    bw.write(bits, size)
+                # AC run-length coding
+                k, run = 1, 0
+                last_nz = 0
+                for i in range(63, 0, -1):
+                    if zz[i]:
+                        last_nz = i
+                        break
+                while k <= last_nz:
+                    if zz[k] == 0:
+                        run += 1
+                        k += 1
+                        continue
+                    while run >= 16:
+                        code, clen = ac_enc[0xF0]
+                        bw.write(code, clen)
+                        run -= 16
+                    size, bits = _magnitude(zz[k])
+                    code, clen = ac_enc[(run << 4) | size]
+                    bw.write(code, clen)
+                    bw.write(bits, size)
+                    run = 0
+                    k += 1
+                if last_nz < 63:
+                    code, clen = ac_enc[0x00]  # EOB
+                    bw.write(code, clen)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HBB", 1, 1, 1) + b"\x00\x00"
+    )
+    dqt = bytes([0]) + bytes(int(qtab.flat[_ZIGZAG[k]]) for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, dc_counts, dc_syms)
+    out += _dht_segment(1, 0, ac_counts, ac_syms)
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _huff_decode_table(counts: list[int], symbols: list[int]):
+    """Canonical (code, length) -> symbol map per T.81 C.2."""
+    table = {}
+    code, idx = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(code, length)] = symbols[idx]
+            code += 1
+            idx += 1
+        code <<= 1
+    return table
+
+
+def _read_huff_symbol(br: _BitReader, table) -> int | None:
+    code, length = 0, 0
+    while length < 16:
+        bit = br.read_bit()
+        if bit is None:
+            return None
+        code = (code << 1) | bit
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _ycbcr_to_rgb_int(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """PINNED exact-integer BT.601 conversion: floor((1e6*Y +
+    coeff*(C-128) + 5e5) / 1e6), clamped to [0, 255] — DuckDB //
+    replays it bitwise (floor division on possibly-negative
+    numerators matches Python //)."""
+    r = (1_000_000 * y + 1_402_000 * (cr - 128) + 500_000) // 1_000_000
+    g = (
+        1_000_000 * y - 344_136 * (cb - 128) - 714_136 * (cr - 128) + 500_000
+    ) // 1_000_000
+    b = (1_000_000 * y + 1_772_000 * (cb - 128) + 500_000) // 1_000_000
+    cl = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return cl(r), cl(g), cl(b)
+
+
+def decode_jpeg_rgb(b: bytes):
+    """Baseline JPEG -> numpy (h, w, 3) uint8 RGB top-down, or None
+    for anything outside the honest-decoder contract (progressive,
+    subsampled, 12-bit, arithmetic, truncated). Grayscale decodes
+    with the luma replicated across channels. Full pipeline: marker
+    walk, DHT canonical tables, entropy decode with byte unstuffing
+    and restart-marker handling, dequantize, de-zigzag, IDCT, level
+    shift, clamp, pinned integer YCbCr->RGB."""
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            return None  # EOI before SOS
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            return None
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    vals = list(seg[p : p + 64])
+                    p += 64
+                else:
+                    vals = [
+                        struct.unpack(">H", seg[p + 2 * i : p + 2 * i + 2])[0]
+                        for i in range(64)
+                    ]
+                    p += 128
+                if len(vals) < 64:
+                    return None
+                qtabs[tq] = vals
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1 : p + 17])
+                n = sum(counts)
+                symbols = list(seg[p + 17 : p + 17 + n])
+                if len(symbols) < n:
+                    return None
+                huff[(tc, th)] = _huff_decode_table(counts, symbols)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    return None  # only 4:4:4 / single-component
+                comps.append((cid, tq))
+            sof = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if sof is None or ns != len(sof[2]):
+                return None
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c : 3 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            data_start = pos + 2 + seglen
+            return _jpeg_decode_scan(
+                b, data_start, sof, qtabs, huff, scan, restart_interval
+            )
+        pos += 2 + seglen
+    return None
+
+
+def _jpeg_decode_scan(b, pos, sof, qtabs, huff, scan, restart_interval):
+    import numpy as np
+
+    h, w, comps = sof
+    nc = len(comps)
+    C = _dct_matrix()
+    bw_blocks, bh_blocks = (w + 7) // 8, (h + 7) // 8
+    planes = [
+        np.zeros((bh_blocks * 8, bw_blocks * 8), dtype=np.int32)
+        for _ in range(nc)
+    ]
+    qt = []
+    for (cid, tq), (cs, _td, _ta) in zip(comps, scan):
+        if cid != cs or tq not in qtabs:
+            return None
+        q = np.empty(64, dtype=np.int64)
+        for k in range(64):
+            q[_ZIGZAG[k]] = qtabs[tq][k]
+        qt.append(q.reshape(8, 8))
+    br = _BitReader(b, pos)
+    prev_dc = [0] * nc
+    mcu = 0
+    for by in range(bh_blocks):
+        for bx in range(bw_blocks):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.align()
+                p = br.p
+                if p + 2 <= len(b) and b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7:
+                    br.p = p + 2
+                    prev_dc = [0] * nc
+            for ci, (cs, td, ta) in enumerate(scan):
+                dt = huff.get((0, td))
+                at = huff.get((1, ta))
+                if dt is None or at is None:
+                    return None
+                size = _read_huff_symbol(br, dt)
+                if size is None or size > 11:
+                    return None
+                bits = br.read_bits(size) if size else 0
+                if bits is None:
+                    return None
+                prev_dc[ci] += _extend(bits, size)
+                zz = [0] * 64
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = _read_huff_symbol(br, at)
+                    if sym is None:
+                        return None
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63 or size == 0:
+                        return None
+                    bits = br.read_bits(size)
+                    if bits is None:
+                        return None
+                    zz[k] = _extend(bits, size)
+                    k += 1
+                S = np.empty((8, 8), dtype=np.float64)
+                for k2 in range(64):
+                    S.flat[_ZIGZAG[k2]] = zz[k2]
+                S *= qt[ci]
+                block = C.T @ S @ C
+                pix = np.clip(np.round(block) + 128, 0, 255)
+                planes[ci][
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ] = pix.astype(np.int32)
+            mcu += 1
+    if nc == 1:
+        y = planes[0][:h, :w].astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    Y = planes[0][:h, :w]
+    Cb = planes[1][:h, :w]
+    Cr = planes[2][:h, :w]
+    # vectorized pinned integer conversion (same math as
+    # _ycbcr_to_rgb_int: floor((1e6*Y + c*(C-128) + 5e5) / 1e6))
+    M = 1_000_000
+    r = (M * Y + 1_402_000 * (Cr - 128) + 500_000) // M
+    g = (M * Y - 344_136 * (Cb - 128) - 714_136 * (Cr - 128) + 500_000) // M
+    bl = (M * Y + 1_772_000 * (Cb - 128) + 500_000) // M
+    out = np.stack([r, g, bl], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def resize_jpeg_nearest_png(b: bytes, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor resample of a baseline JPEG, re-encoded
+    LOSSLESSLY as an 8-bit truecolor PNG — the honest pipeline shape
+    (a training pipeline never re-JPEGs intermediates; every
+    generation loses). Source pixel for output (X, Y) is
+    (X·sw//width, Y·sh//height), the shared integer index math, so an
+    SQL oracle predicts every output pixel. None for blobs the
+    decoder doesn't claim."""
+    import numpy as np
+
+    arr = decode_jpeg_rgb(b)
+    if arr is None or width <= 0 or height <= 0:
+        return None
+    sh, sw, _ = arr.shape
+    xs = (np.arange(width) * sw) // width
+    ys = (np.arange(height) * sh) // height
+    return encode_png_rgb(arr[np.ix_(ys, xs)])

@@ -6,11 +6,14 @@ raw bytes by ``functions.media_codec`` — stdlib-only, no PIL/ffmpeg.
 Pixel/sample kernels are REAL for everything stdlib can decode:
 24-bit BMP decode → true nearest-neighbor resize → re-encode
 (`resize_bmp_images`), WAV PCM16 sample statistics (`pcm_features`),
-and 8-bit truecolor PNG — a genuinely COMPRESSED container — via
+8-bit truecolor PNG — a genuinely COMPRESSED container — via
 stdlib zlib inflate + per-scanline unfilter (`resize_png_images`,
-`png_pixel_stats`). Only kernels for formats whose codecs aren't in
-the stdlib (JPEG/MP4 pixels) or model inference remain behind
-clearly-marked deterministic stubs.
+`png_pixel_stats`), GIF via a real LZW codec, and baseline JPEG via
+a real entropy decoder (Huffman + dequant + IDCT + pinned integer
+YCbCr→RGB: `resize_jpeg_images`, `synthetic_jpeg_media`). Only
+model inference (and codecs genuinely outside a from-scratch scope:
+progressive/subsampled JPEG, MP4 video frames) remains behind a
+clearly-marked deterministic stub.
 
 Design for 100 TB of media:
 - media rows stay (id, media_type, blob BINARY, meta STRUCT); blobs
@@ -241,10 +244,13 @@ def resize_images(
     """
     if not decode_stub:
         raise NotImplementedError(
-            "real resizing of JPEG/GIF pixels requires PIL — not in "
-            "this container; 24-bit BMPs have a REAL kernel "
-            "(resize_bmp_images) and 8-bit truecolor PNGs too "
-            "(resize_png_images — stdlib zlib inflate + unfilter)"
+            "this generic byte-resample path has no pixel decode; the "
+            "REAL kernels are per-container: resize_bmp_images (24-bit "
+            "BMP), resize_png_images (8-bit truecolor PNG, zlib "
+            "inflate + unfilter), resize_gif_images (real LZW), "
+            "resize_jpeg_images (baseline JPEG: Huffman + dequant + "
+            "IDCT + pinned integer YCbCr->RGB). Progressive/subsampled "
+            "JPEG and video frames remain out of from-scratch scope"
         )
     target = width * height
 
@@ -893,4 +899,91 @@ def gif_pixel_stats(df: DataFrame) -> DataFrame:
 
     return df.select("id", "blob").mapInPandas(
         _stats, "id long, width int, height int, px_sum long, px_wsum long"
+    )
+
+
+def synthetic_jpeg_media(documents: DataFrame) -> DataFrame:
+    """Real-pixel baseline-JPEG fixture — the ENTROPY-CODED
+    counterpart of `synthetic_png_media`: every doc becomes a VALID
+    baseline JFIF (real FDCT, flat quant 8, Huffman-coded scan with
+    byte stuffing) whose dimensions AND every decoded pixel are
+    closed-form in doc_id. Pixels are CONSTANT per 8x8 block — a
+    constant block carries only its DC coefficient 8·(v−128), which a
+    flat quant of 8 stores exactly — so lossy-format decode is still
+    bit-exact by construction and an SQL oracle can predict any
+    derived statistic. Block (bx, by) holds YCbCr =
+    ((s + 3bx + 5by) % 256, (2s + 7bx + by) % 256,
+    (3s + bx + 11by) % 256) with s = doc_id % 241,
+    sw = 8·(doc_id % 3 + 2), sh = 8·((doc_id//5) % 3 + 2)."""
+    from unitdb_spark.functions import media_codec as mc
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw, bh, s = d % 3 + 2, (d // 5) % 3 + 2, d % 241
+                BX, BY = np.meshgrid(np.arange(bw), np.arange(bh))
+                blocks = np.stack(
+                    [
+                        (s + 3 * BX + 5 * BY) % 256,
+                        (2 * s + 7 * BX + BY) % 256,
+                        (3 * s + BX + 11 * BY) % 256,
+                    ],
+                    axis=-1,
+                )
+                arr = np.repeat(
+                    np.repeat(blocks, 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                blobs.append(mc.encode_jpeg_baseline(arr, quant=8))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"].values,
+                    "media_type": "image",
+                    "blob": blobs,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _build, "id long, media_type string, blob binary"
+    )
+
+
+def resize_jpeg_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor resize for baseline JPEG blobs: full
+    entropy decode (Huffman, dequant, de-zigzag, IDCT, level shift,
+    pinned integer YCbCr->RGB), integer-index resample, and LOSSLESS
+    re-encode as an 8-bit truecolor PNG — a real pipeline never
+    re-JPEGs intermediates (every generation loses), so the output
+    container is deliberately PNG and composes with
+    `png_pixel_stats`. Blobs the decoder doesn't claim (progressive,
+    subsampled, 12-bit, truncated) keep their row with a NULL blob —
+    the honest-failure contract.
+
+    Output blob size is bounded by the target dims regardless of
+    input size — the fixed-footprint property that matters at
+    100 TB."""
+    from unitdb_spark.functions.media_codec import resize_jpeg_nearest_png
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                resize_jpeg_nearest_png(bytes(b), width, height)
+                if b is not None
+                else None
+                for b in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "width": width,
+                    "height": height,
+                    "blob": pd.Series(out, dtype=object),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _resize, "id long, width int, height int, blob binary"
     )
