@@ -4440,17 +4440,23 @@ def q_parts_link_pred(spark, sf_dir):
     all pairs); existing edges drop via a keyed anti-join. The edge
     threshold is density-derived (min_count="auto", same rule and
     rationale as parts_kcore) so candidates exist at any scale
-    factor, and the output is capped at the top 10 per src
-    (n_common DESC, jaccard DESC, dst — a total order) so a DENSE
-    derived graph cannot explode the result toward all-pairs."""
+    factor; the graph is then mutual-top-32 sparsified (the standard
+    mutual-kNN construction — never binds at gate scale, max degree
+    13 there) so the WEDGE INTERMEDIATE is bounded at |nodes|·32² on
+    a dense derived graph, and the output is capped at the top 10
+    per src (n_common DESC, jaccard DESC, dst — a total order)."""
     from unitdb_spark.operators.graph import (
         link_prediction,
+        mutual_top_neighbors,
         weighted_cooccurrence_edges,
     )
 
     li = _read(spark, sf_dir, "lineitem")
-    edges = weighted_cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", min_count="auto"
+    edges = mutual_top_neighbors(
+        weighted_cooccurrence_edges(
+            li, "l_orderkey", "l_partkey", min_count="auto"
+        ),
+        max_degree=32,
     ).select("src", "dst")
     return link_prediction(edges, min_common=2, per_src_top=10)
 
@@ -6005,6 +6011,140 @@ def q_streamed_abc(spark, sf_dir):
     return read_abc(spark, f"{base}/abcstate")
 
 
+# ------------------------------------------------- round-7 additions
+
+
+def q_events_hll_users(spark, sf_dir):
+    """Portable-HLL distinct users per event_type (Flajolet '07 raw
+    estimator on 64 md5-derived registers) — the register-state
+    counterpart of the KMV bottom-k sketch: registers merge by MAX
+    (executor partials, day rollups, stream batches), where KMV
+    merges by re-taking the bottom k. The harmonic mean stays integer
+    (z_scaled = sum of 2^(55-rho)) until one pinned IEEE division; no
+    log-based range corrections (transcendental — the small range
+    belongs to KMV, exact below k=64)."""
+    from unitdb_spark.operators.sketch import hll_distinct
+
+    ev = _events(spark, sf_dir)
+    return hll_distinct(ev, ["event_type"], "user_id").orderBy(
+        "event_type"
+    )
+
+
+def q_streamed_hll(spark, sf_dir):
+    """Driver-checkable twin of the STREAMING HLL: each micro-batch
+    appends its per-(key, register) max-rho partials via foreachBatch;
+    the read-time fold re-MAXes per register and finishes with the
+    SAME pinned estimator expression. A register max is order- and
+    split-free, so the oracle is the identical SQL as
+    `events_hll_users` — a hash-match proves the streamed registers
+    == the batch registers bitwise regardless of micro-batch split."""
+    import tempfile
+    import uuid
+
+    from unitdb_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    out = f"{base}/hll_{uuid.uuid4().hex[:8]}"
+    cp = f"{base}/hllcp_{uuid.uuid4().hex[:8]}"
+
+    stream = events_as_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _eid: hll_registers(
+                df, ["event_type"], "user_id"
+            ).write.mode("append").parquet(out)
+            if not df.isEmpty()
+            else None
+        )
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    regs = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return hll_estimate_from_registers(
+        regs, ["event_type"]
+    ).orderBy("event_type")
+
+
+def q_events_cliffs_delta(spark, sf_dir):
+    """Cliff's delta effect size on purchase values between the SAME
+    two hash-assigned arms as events_mannwhitney — MWU says whether
+    the distributions differ, delta says by how much
+    ((2U - n_a·n_b)/(n_a·n_b) via the exact doubled-U identity, ppm
+    integer division) with the Romano '06 magnitude label."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.stats_tests import cliffs_delta
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    arm = (
+        md5_int60(F.concat(F.col("user_id").cast("string"), F.lit(":mw"))) % 2
+    ).cast("int")
+    return cliffs_delta(ev, "value", arm)
+
+
+def q_doc_brier(spark, sf_dir):
+    """Brier score of the hashed linear classifier against the Gopher
+    gate as gold — the strictly proper companion of doc_calibration:
+    a scorer that hedges at the base rate can ace ECE but not the
+    Brier score. Same pinned score quantization as the calibration
+    report; squared error accumulates in DECIMAL(38,0)."""
+    from unitdb_spark.operators.classify import classify_score
+    from unitdb_spark.operators.evaluation import brier_score
+
+    scored = classify_score(_docs(spark, sf_dir), n_buckets=4096).select(
+        F.col("id").alias("doc_id"), "score"
+    )
+    gold = _gopher_planted(spark, sf_dir).select(
+        "doc_id", TXT.gopher_rules("text")["keep"].alias("gold")
+    )
+    return brier_score(scored.join(gold, "doc_id"), "score", "gold")
+
+
+def q_parts_related_mrr(spark, sf_dir):
+    """MRR@10 of the related-items retrieval against the on-brand
+    relevance signal — the "how soon is the first good hit" companion
+    of parts_related_ndcg over the SAME labeled ranking. All-integer:
+    rr_micro = 1e6 div first-relevant-rank; empty-hit queries count
+    in the denominator."""
+    from unitdb_spark.operators.evaluation import ranking_mrr
+    from unitdb_spark.operators.graph import related_items
+
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    recs = related_items(li, "l_orderkey", "l_partkey", k=10, min_cooc=2)
+    labeled = (
+        recs.join(
+            part.select(
+                F.col("p_partkey").alias("item"),
+                F.col("p_brand").alias("_ba"),
+            ),
+            "item",
+        )
+        .join(
+            part.select(
+                F.col("p_partkey").alias("neighbor"),
+                F.col("p_brand").alias("_bb"),
+            ),
+            "neighbor",
+        )
+        .select("item", "rank", (F.col("_ba") == F.col("_bb")).alias("rel"))
+    )
+    return ranking_mrr(labeled, "item", "rank", "rel", k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -6993,6 +7133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chisq": q_events_chisq,
         # --- new in round 7 (enter a later window per rotation) -------
         "media_jpeg_resize": q_media_jpeg_resize,
+        "events_hll_users": q_events_hll_users,
+        "streamed_hll": q_streamed_hll,
+        "events_cliffs_delta": q_events_cliffs_delta,
+        "doc_brier": q_doc_brier,
+        "parts_related_mrr": q_parts_related_mrr,
     }
 
 
@@ -8364,8 +8509,24 @@ def oracle_sql() -> dict[str, str]:
                   >= 3 * nn.n
           )
         ),
-        p0 AS (SELECT s, d FROM pr, thr WHERE pr.w >= thr.t),
-        e AS (SELECT s, d FROM p0 UNION ALL SELECT d AS s, s AS d FROM p0),
+        p0 AS (SELECT s, d, w FROM pr, thr WHERE pr.w >= thr.t),
+        -- mutual top-32 sparsifier (mutual-kNN): each node ranks its
+        -- neighbors (w DESC, d ASC); an edge survives only if BOTH
+        -- ends keep it. Never binds at gate scale (max degree 13)
+        esym AS (SELECT s, d, w FROM p0
+                 UNION ALL SELECT d AS s, s AS d, w FROM p0),
+        ek AS (
+          SELECT s, d FROM (
+            SELECT s, d, row_number() OVER (
+              PARTITION BY s ORDER BY w DESC, d ASC) AS rk
+            FROM esym
+          ) WHERE rk <= 32
+        ),
+        e AS (
+          SELECT a.s, a.d FROM ek a
+          WHERE EXISTS (SELECT 1 FROM ek b
+                        WHERE b.s = a.d AND b.d = a.s)
+        ),
         deg AS (SELECT s AS a, CAST(count(*) AS BIGINT) AS dg
                 FROM e GROUP BY s),
         cand AS (
@@ -14077,6 +14238,119 @@ def oracle_sql() -> dict[str, str]:
     d["streamed_permtest"] = d["events_permtest"].replace(
         "FROM events GROUP BY user_id",
         "FROM events WHERE value IS NOT NULL GROUP BY user_id",
+    )
+    # ------------------------------------------------ round-7 oracles
+    # portable HLL: registers from the md5 hash's top-6/bottom-54 bit
+    # split (integer div/mod — never a double route), rho via
+    # length(bin(x)) which Spark and DuckDB agree on; z_scaled stays
+    # an exact BIGINT (sum of 1<<(55-rho) + untouched-register mass);
+    # alpha*m^2 = 0.709*4096 = 2904.064 EXACTLY in decimal, and
+    # scaling by 2^12 preserves nearest-double, so the literal is the
+    # same IEEE value the Spark side computes. Registers merge by MAX
+    # (order/split-free), so the streamed twin shares the SQL verbatim.
+    _HLL_SQL = """
+        WITH d AS (
+          SELECT DISTINCT event_type, user_id FROM events
+          WHERE user_id IS NOT NULL
+        ), h AS (
+          SELECT event_type,
+            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS hv
+          FROM d
+        ), r AS (
+          SELECT event_type,
+            hv // 18014398509481984 AS reg,
+            CASE WHEN hv % 18014398509481984 = 0 THEN 55
+                 ELSE 55 - length(bin(hv % 18014398509481984))
+            END AS rho
+          FROM h
+        ), m AS (
+          SELECT event_type, reg, max(rho) AS rho FROM r GROUP BY 1, 2
+        ), a AS (
+          SELECT event_type,
+            CAST(count(*) AS BIGINT) AS n_regs_set,
+            CAST(sum(CAST(1 AS BIGINT) << (55 - rho))
+                 + (64 - count(*)) * 36028797018963968 AS BIGINT)
+              AS z_scaled
+          FROM m GROUP BY 1
+        )
+        SELECT event_type, n_regs_set, z_scaled,
+          round(2904.064 * (36028797018963968.0
+                            / CAST(z_scaled AS DOUBLE)), 6) AS hll_raw_est
+        FROM a ORDER BY event_type
+        """
+    d["events_hll_users"] = _HLL_SQL
+    d["streamed_hll"] = _HLL_SQL
+    # Cliff's delta rides the MWU oracle: same base/rank CTEs, final
+    # select swaps the z for the exact doubled-U delta identity
+    d["events_cliffs_delta"] = (
+        "WITH mwu AS (" + d["events_mannwhitney"] + """)
+        SELECT n_a, n_b, u_a2,
+          CAST(((u_a2 - n_a * n_b) * 1000000) // (n_a * n_b) AS BIGINT)
+            AS delta_ppm,
+          CASE
+            WHEN abs(((u_a2 - n_a * n_b) * 1000000) // (n_a * n_b))
+                 < 147000 THEN 'negligible'
+            WHEN abs(((u_a2 - n_a * n_b) * 1000000) // (n_a * n_b))
+                 < 330000 THEN 'small'
+            WHEN abs(((u_a2 - n_a * n_b) * 1000000) // (n_a * n_b))
+                 < 474000 THEN 'medium'
+            ELSE 'large'
+          END AS magnitude
+        FROM mwu
+        """
+    )
+    # Brier score rides the calibration chain's score + gold CTEs
+    d["doc_brier"] = (
+        "WITH sc AS ("
+        + d["doc_classify_score"].replace(
+            "round(1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1)))), 6)"
+            " AS score_r",
+            "1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1)))) AS score",
+        )
+        + "), gf AS (" + d["doc_gopher_filter"] + "), "
+        """
+        j AS (
+          SELECT CAST(floor(sc.score * 1000000.0) AS BIGINT) AS sm,
+            gf.keep AS gold
+          FROM sc JOIN gf ON gf.doc_id = sc.id
+        ), e AS (
+          SELECT sm - CASE WHEN gold THEN 1000000 ELSE 0 END AS err,
+            gold
+          FROM j
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (gold) AS BIGINT) AS n_pos,
+          CAST(sum(CAST(err AS HUGEINT) * CAST(err AS HUGEINT))
+               // count(*) AS BIGINT) AS brier_micro2
+        FROM e
+        """
+    )
+    # MRR rides the related-items oracle: first relevant rank per
+    # query, rr = 1e6 // rank, no-hit queries stay in the denominator
+    d["parts_related_mrr"] = (
+        "WITH rr AS (" + d["parts_related"] + "), "
+        """
+        j AS (
+          SELECT rr.item, rr.rank, (pa.p_brand = pb.p_brand) AS rel
+          FROM rr
+          JOIN part pa ON pa.p_partkey = rr.item
+          JOIN part pb ON pb.p_partkey = rr.neighbor
+        ), per AS (
+          SELECT item,
+            min(CASE WHEN rel THEN rank END) AS fr
+          FROM j WHERE rank <= 10 GROUP BY 1
+        ), agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_queries,
+            CAST(count(fr) AS BIGINT) AS n_with_rel,
+            CAST(sum(CASE WHEN fr IS NOT NULL THEN 1000000 // fr
+                          ELSE 0 END) AS BIGINT) AS sum_rr_micro
+          FROM per
+        )
+        SELECT n_queries, n_with_rel, sum_rr_micro,
+          CAST(sum_rr_micro // n_queries AS BIGINT) AS mrr_micro
+        FROM agg
+        """
     )
     return d
 

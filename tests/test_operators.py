@@ -6443,6 +6443,183 @@ class TestLinkPrediction:
             assert got == want, (s, got, want)
 
 
+class TestMutualTopNeighbors:
+    def test_cap_binds_mutually_and_stays_symmetric(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.graph import mutual_top_neighbors
+
+        # hub 0 connects to 1..5; spokes connect only to the hub and
+        # one peer. With max_degree=2 the hub keeps its two heaviest
+        # neighbors; spokes all keep the hub -> only MUTUAL pairs live
+        und = [(0, i, 10 - i) for i in range(1, 6)] + [(1, 2, 1)]
+        e = spark.createDataFrame(und, ["src", "dst", "w"])
+        sym = e.unionAll(e.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst"), "w"))
+        got = {
+            (r.src, r.dst)
+            for r in mutual_top_neighbors(sym, max_degree=2).collect()
+        }
+        # hub keeps (0,1) w=9 and (0,2) w=8; 1 keeps {0 (9), 2 (1)};
+        # 2 keeps {0 (8), 1 (1)} -> mutual: (0,1), (0,2), (1,2)
+        assert got == {(0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1)}
+        # symmetric by construction
+        assert all((b, a) in got for a, b in got)
+
+    def test_no_bind_is_identity(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.graph import mutual_top_neighbors
+
+        und = [(1, 2, 3), (2, 3, 1), (3, 4, 2)]
+        e = spark.createDataFrame(und, ["src", "dst", "w"])
+        sym = e.unionAll(e.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst"), "w"))
+        got = {(r.src, r.dst, r.w)
+               for r in mutual_top_neighbors(sym, max_degree=32).collect()}
+        want = {(r.src, r.dst, r.w) for r in sym.collect()}
+        assert got == want
+
+
+class TestPortableHll:
+    def test_registers_match_python_model(self, spark):
+        import hashlib
+
+        from unitdb_spark.operators.sketch import (
+            hll_distinct,
+            hll_registers,
+        )
+
+        vals = [f"u{i}" for i in range(500)]
+        df = spark.createDataFrame(
+            [("k", v) for v in vals], "k string, v string"
+        )
+        regs = {}
+        for v in vals:
+            h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+            idx, rem = h >> 54, h & ((1 << 54) - 1)
+            rho = 55 if rem == 0 else 55 - rem.bit_length()
+            regs[idx] = max(regs.get(idx, 0), rho)
+        got = {
+            (r.reg, r.rho)
+            for r in hll_registers(df, ["k"], "v").collect()
+        }
+        assert got == set(regs.items())
+        (row,) = hll_distinct(df, ["k"], "v").collect()
+        z = sum(1 << (55 - r) for r in regs.values()) + (
+            64 - len(regs)
+        ) * (1 << 55)
+        assert row.n_regs_set == len(regs) and row.z_scaled == z
+        est = round(0.709 * 64 * 64 * (float(1 << 55) / float(z)), 6)
+        assert row.hll_raw_est == est
+        # the raw estimator should land near truth for n >> m
+        assert 250 < row.hll_raw_est < 1000
+
+    def test_registers_merge_by_max(self, spark):
+        from unitdb_spark.operators.sketch import (
+            hll_estimate_from_registers,
+            hll_registers,
+        )
+
+        vals = [f"u{i}" for i in range(300)]
+        df = spark.createDataFrame(
+            [("k", v) for v in vals], "k string, v string"
+        )
+        whole = hll_registers(df, ["k"], "v")
+        h1 = hll_registers(df.limit(150), ["k"], "v")
+        h2 = hll_registers(
+            spark.createDataFrame(
+                [("k", v) for v in vals[150:]], "k string, v string"
+            ),
+            ["k"], "v",
+        )
+        merged = (
+            h1.unionByName(h2).groupBy("k", "reg").agg(
+                __import__("pyspark.sql.functions", fromlist=["max"])
+                .max("rho").alias("rho")
+            )
+        )
+        a = {(r.reg, r.rho) for r in whole.collect()}
+        b = {(r.reg, r.rho) for r in merged.collect()}
+        assert a == b
+        (ew,) = hll_estimate_from_registers(whole, ["k"]).collect()
+        (em,) = hll_estimate_from_registers(merged, ["k"]).collect()
+        assert ew == em
+
+
+class TestCliffsDelta:
+    def test_matches_pairwise_definition(self, spark):
+        import itertools
+
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import cliffs_delta
+
+        a = [1.0, 3.0, 5.0, 5.0, 9.0]
+        b = [2.0, 2.0, 5.0, 4.0]
+        rows = [(v, 0) for v in a] + [(v, 1) for v in b]
+        df = spark.createDataFrame(rows, "v double, arm int")
+        (r,) = cliffs_delta(df, "v", F.col("arm")).collect()
+        gt = sum(1 for x, y in itertools.product(a, b) if x > y)
+        lt = sum(1 for x, y in itertools.product(a, b) if x < y)
+        want = ((gt - lt) * 1_000_000) // (len(a) * len(b))
+        assert r.n_a == 5 and r.n_b == 4
+        assert r.delta_ppm == want
+        # u_a2 identity: delta = (u_a2 - n_a n_b) / (n_a n_b)
+        assert r.delta_ppm == ((r.u_a2 - 20) * 1_000_000) // 20
+
+    def test_magnitude_labels(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import cliffs_delta
+
+        # complete separation -> delta = 1 -> large
+        rows = [(float(v), 0) for v in (10, 11, 12)] + [
+            (float(v), 1) for v in (1, 2, 3)
+        ]
+        df = spark.createDataFrame(rows, "v double, arm int")
+        (r,) = cliffs_delta(df, "v", F.col("arm")).collect()
+        assert r.delta_ppm == 1_000_000 and r.magnitude == "large"
+        # identical arms -> 0 -> negligible
+        rows2 = [(1.0, 0), (2.0, 0), (1.0, 1), (2.0, 1)]
+        (r2,) = cliffs_delta(
+            spark.createDataFrame(rows2, "v double, arm int"),
+            "v", F.col("arm"),
+        ).collect()
+        assert r2.delta_ppm == 0 and r2.magnitude == "negligible"
+
+
+class TestBrierMrr:
+    def test_brier_exact(self, spark):
+        from unitdb_spark.operators.evaluation import brier_score
+
+        rows = [(0.9, True), (0.2, False), (0.5, True), (0.1, False)]
+        df = spark.createDataFrame(rows, "score double, y boolean")
+        (r,) = brier_score(df, "score", "y").collect()
+        import math
+        sq = 0
+        for s, y in rows:
+            sm = math.floor(s * 1_000_000)
+            e = sm - (1_000_000 if y else 0)
+            sq += e * e
+        assert r.n == 4 and r.n_pos == 2
+        assert r.brier_micro2 == sq // 4
+
+    def test_mrr_counts_empty_queries(self, spark):
+        from unitdb_spark.operators.evaluation import ranking_mrr
+
+        rows = [
+            ("q1", 1, False), ("q1", 2, True), ("q1", 3, True),
+            ("q2", 1, True),
+            ("q3", 1, False), ("q3", 2, False),
+        ]
+        df = spark.createDataFrame(rows, "q string, rank int, rel boolean")
+        (r,) = ranking_mrr(df, "q", "rank", "rel", k=10).collect()
+        assert r.n_queries == 3 and r.n_with_rel == 2
+        assert r.sum_rr_micro == 1_000_000 // 2 + 1_000_000
+        assert r.mrr_micro == (500_000 + 1_000_000) // 3
+
+
 class TestAutoEdgeThreshold:
     def test_dense_picks_literal_sparse_falls_back(self, spark):
         from unitdb_spark.operators.graph import (

@@ -718,6 +718,92 @@ def topk_recall(
     )
 
 
+def brier_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """One-row Brier score of a probabilistic scorer against a gold
+    boolean (Brier 1950) — the strictly proper companion of
+    `calibration_report`: ECE can look good for a scorer that hedges
+    everything at the base rate, the Brier score cannot (it prices
+    both calibration AND resolution).
+
+    Per-row score_micro = floor(score·1e6) is the only float touch
+    (the calibration report's pinned quantization, shared so the two
+    audits grade the SAME quantized scorer); the squared error
+    (score_micro - y·1e6)² accumulates in DECIMAL(38,0) — micro²
+    units overflow int64 past ~9M rows — and the output
+    brier_micro2 = floor(Σ/n) is one integer division (≤ 1e12, back
+    in BIGINT).
+
+    Output: (n, n_pos, brier_micro2).
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.select(
+        F.floor(F.col(score_col).cast("double") * F.lit(1_000_000.0))
+        .cast("long").alias("_sm"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    err = F.col("_sm") - F.when(F.col("_y"), F.lit(1_000_000)).otherwise(
+        F.lit(0)
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("_y"), 1)).cast("long").alias("n_pos"),
+        F.sum(d38(err) * d38(err)).alias("_sq"),
+    )
+    return agg.select(
+        "n", "n_pos",
+        F.expr("CAST(_sq div n AS BIGINT)").alias("brier_micro2"),
+    )
+
+
+def ranking_mrr(
+    recs: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """One-row mean reciprocal rank@k over an already-ranked retrieval
+    table — the "how soon is the first good hit" companion of
+    `ranking_ndcg` (which prices the whole list). Binary relevance.
+
+    All-integer: per query the first relevant rank r <= k contributes
+    rr_micro = 1e6 div r (an exact integer division — no float 1/r);
+    queries with no relevant hit in the top k contribute 0 but COUNT
+    in the denominator (absence is a result). mrr_micro =
+    floor(Σ rr_micro / n_queries).
+
+    Output: (n_queries, n_with_rel, sum_rr_micro, mrr_micro).
+    """
+    first_rel = (
+        recs.filter(F.col(rank_col) <= k)
+        .groupBy(query_col)
+        .agg(
+            F.min(
+                F.when(F.col(rel_col).cast("boolean"), F.col(rank_col))
+            ).alias("_fr")
+        )
+    )
+    agg = first_rel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.count("_fr").cast("long").alias("n_with_rel"),
+        F.sum(
+            F.when(
+                F.col("_fr").isNotNull(),
+                F.expr("1000000L div _fr"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("sum_rr_micro"),
+    )
+    return agg.select(
+        "n_queries", "n_with_rel", "sum_rr_micro",
+        F.expr("sum_rr_micro div n_queries").cast("long")
+        .alias("mrr_micro"),
+    )
+
+
 def power_analysis(
     units: DataFrame,
     value_col: str,

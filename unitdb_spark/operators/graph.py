@@ -891,6 +891,43 @@ def hits_bipartite(
     )
 
 
+def mutual_top_neighbors(
+    edges: DataFrame,
+    max_degree: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Mutual top-D sparsifier for a SYMMETRIC weighted edge list —
+    the standard mutual-kNN graph construction: each node ranks its
+    neighbors (weight DESC, neighbor ASC — a total order), and an
+    edge survives only if BOTH endpoints rank each other inside the
+    top ``max_degree``.
+
+    This is the degree bound the quadratic graph operators need on a
+    DENSE input: after the cap every degree is <= max_degree, so a
+    2-hop self-join costs <= |nodes|·D² wedges — linear in nodes —
+    where the uncapped dense graph's wedge relation approaches
+    all-pairs (the intermediate, not just the output, is what blows
+    up at scale). Keeping only MUTUAL edges (not the union) is what
+    bounds it: re-symmetrizing a one-sided cap hands every hub its
+    full degree back. Deterministic and SQL-replayable (one
+    row_number window + a keyed self-join). Output stays symmetric.
+    """
+    w_rank = Window.partitionBy(src).orderBy(
+        F.col(weight_col).desc(), F.col(dst).asc()
+    )
+    kept = (
+        edges.withColumn("_rk", F.row_number().over(w_rank))
+        .filter(F.col("_rk") <= F.lit(int(max_degree)))
+        .select(src, dst, weight_col)
+    )
+    rev = kept.select(
+        F.col(dst).alias(src), F.col(src).alias(dst)
+    )
+    return kept.join(rev, [src, dst], "left_semi")
+
+
 def link_prediction(
     edges: DataFrame,
     src: str = "src",

@@ -374,3 +374,114 @@ def population_stability(
         F.sum("_nb").alias("n_b"),
         F.sum("_t").cast("double").alias("psi_r"),
     )
+
+
+# ------------------------------------------------------- portable HLL
+
+HLL_P = 6  #: default precision: m = 64 registers per key
+_HLL_ALPHA64 = 0.709  # Flajolet et al. 2007 alpha_m for m = 64
+_POW55 = 1 << 55  # 2^55 — the Z-sum integer scale
+
+
+def hll_registers(
+    df: DataFrame, keys: list[str], value_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Per (keys, register): the max leading-zero rank — the
+    ENGINE-PORTABLE HyperLogLog register relation (Flajolet, Fusy,
+    Gandouet & Meunier 2007) built on the repo-wide md5 hash, so any
+    SQL engine replays it bitwise (unlike ``approx_count_distinct``'s
+    engine-private HLL++ layout).
+
+    Register index = the top ``p`` bits of the 60-bit hash; rank rho =
+    1 + leading zeros of the remaining ``60-p`` bits (an empty
+    remainder ranks 61-p). bit_length via length(bin(x)) — Spark and
+    DuckDB agree on minimal binary strings — keeps the whole relation
+    in exact integers.
+
+    The register relation IS the mergeable state (MAX per register):
+    executors combine map-side, days union and re-MAX, and the
+    streaming twin appends per-batch partials — the property HLL is
+    famous for, kept SQL-checkable.
+
+    Output: keys + (reg int, rho int). Scale: one distinct shuffle +
+    one (keys, reg) max agg — ≤ 2^p rows of state per key.
+    """
+    rem_bits = 60 - p
+    distinct = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, value_col)
+        .distinct()
+    )
+    hashed = distinct.select(
+        *keys, md5_int60(F.col(value_col).cast("string")).alias("_h")
+    )
+    rem = F.col("_h") % F.lit(1 << rem_bits)
+    return (
+        hashed.select(
+            *keys,
+            # integer div — a double route would round: _h has 60 bits
+            F.expr(f"_h div {1 << rem_bits}").cast("long").alias("reg"),
+            F.when(rem == 0, F.lit(rem_bits + 1))
+            .otherwise(F.lit(rem_bits + 1) - F.length(F.expr(f"bin(_h % {1 << rem_bits})")))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy(*keys, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, keys: list[str], p: int = HLL_P
+) -> DataFrame:
+    """Fold a register relation into the raw HLL estimate.
+
+    The harmonic mean stays INTEGER until the single pinned float:
+    z_scaled = sum over all m registers of 2^(55 - rho) (untouched
+    registers contribute 2^55 each) is an exact BIGINT (m·2^55 <
+    2^61), and hll_raw_est = round(alpha_m · m² · 2^55 / z_scaled, 6)
+    is one pinned IEEE division. NO small/large-range corrections:
+    they need ln(), a transcendental the cross-engine exactness
+    contract forbids — the small range belongs to the KMV sketch
+    (`kmv_distinct`, exact below k), which is why the two sketches
+    ship together.
+
+    Output: keys + (n_regs_set, z_scaled, hll_raw_est).
+    """
+    m = 1 << p
+    if p != 6:
+        raise ValueError("alpha is pinned for p=6 (m=64) only")
+    agg = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs_set"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), 55 - rho)")
+        ).cast("long").alias("_z_set"),
+    )
+    z = (
+        F.col("_z_set")
+        + (F.lit(m) - F.col("n_regs_set")) * F.lit(_POW55)
+    ).cast("long")
+    return agg.select(
+        *keys,
+        "n_regs_set",
+        z.alias("z_scaled"),
+    ).select(
+        *keys,
+        "n_regs_set",
+        "z_scaled",
+        F.round(
+            F.lit(_HLL_ALPHA64 * m * m)
+            * (F.lit(float(_POW55)) / F.col("z_scaled").cast("double")),
+            6,
+        ).alias("hll_raw_est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, keys: list[str], value_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Per ``keys``: the portable-HLL distinct estimate
+    (`hll_registers` folded by `hll_estimate_from_registers`)."""
+    return hll_estimate_from_registers(
+        hll_registers(df, keys, value_col, p), keys, p
+    )

@@ -190,6 +190,41 @@ def mann_whitney_u(
     )
 
 
+def cliffs_delta(
+    df: DataFrame, value_col: str, arm_col
+) -> DataFrame:
+    """One-row Cliff's delta effect size between two arms — the
+    nonparametric "how big, not just how sure" companion of
+    `mann_whitney_u` (Cliff 1993): delta = P(a > b) - P(a < b) over
+    all cross-arm pairs, scale-free and whale-proof where a mean
+    difference is not.
+
+    Exact-integer identity, no new pairwise work: with u_a2 = 2·U_A
+    from the MWU machinery (midranks doubled, ties counted half),
+    delta = (u_a2 - n_a·n_b) / (n_a·n_b) — rendered in ppm by
+    cross-multiplied integer division (Spark `div` / DuckDB `//`,
+    floor semantics agree on negatives). The magnitude label uses
+    Romano et al. 2006 thresholds (0.147 / 0.33 / 0.474), compared in
+    exact ppm — no float ceil knife-edges.
+
+    Output: (n_a, n_b, u_a2, delta_ppm, magnitude).
+    """
+    base = mann_whitney_u(df, value_col, arm_col)
+    delta = F.expr(
+        "((u_a2 - n_a * n_b) * 1000000L) div (n_a * n_b)"
+    ).cast("long")
+    mag = (
+        F.when(F.abs(F.col("delta_ppm")) < 147_000, F.lit("negligible"))
+        .when(F.abs(F.col("delta_ppm")) < 330_000, F.lit("small"))
+        .when(F.abs(F.col("delta_ppm")) < 474_000, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return (
+        base.select("n_a", "n_b", "u_a2", delta.alias("delta_ppm"))
+        .select("n_a", "n_b", "u_a2", "delta_ppm", mag.alias("magnitude"))
+    )
+
+
 def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """One-row Spearman rank correlation between two numeric columns.
 
