@@ -6113,6 +6113,91 @@ def q_doc_brier(spark, sf_dir):
     return brier_score(scored.join(gold, "doc_id"), "score", "gold")
 
 
+def q_events_wilcoxon(spark, sf_dir):
+    """Wilcoxon signed-rank pre/post test on per-user purchase cents
+    (before vs after the fixed 2024-01-16 boundary): the PAIRED
+    companion of events_mannwhitney — each user is their own control.
+    Differences are exact integer cents; zero diffs drop (standard);
+    users active in only one half drop (no pair). Doubled midranks
+    over |d| keep every rank sum BIGINT; the tie-corrected z is the
+    single pinned float."""
+    from unitdb_spark.operators.stats_tests import wilcoxon_signed_rank
+
+    ev = _events(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    mid = F.lit("2024-01-16").cast("timestamp")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < mid, cents)).alias("_pre"),
+        F.sum(F.when(F.col("ts") >= mid, cents)).alias("_post"),
+    )
+    diffs = per.filter(
+        F.col("_pre").isNotNull() & F.col("_post").isNotNull()
+    ).select((F.col("_post") - F.col("_pre")).alias("d"))
+    return wilcoxon_signed_rank(diffs, "d")
+
+
+def q_events_hll_overlap(spark, sf_dir):
+    """Pairwise audience overlap between event types by HLL
+    inclusion-exclusion — the mergeable-state counterpart of
+    events_kmv_overlap: the union sketch is the register-wise MAX, so
+    the overlap estimate composes from three pinned single-division
+    estimates over exact integer z-sums. Small-audience overlaps can
+    go negative (estimator variance, reported honestly — KMV is the
+    exact small-range path)."""
+    from unitdb_spark.operators.sketch import hll_overlap
+
+    ev = _events(spark, sf_dir)
+    return hll_overlap(ev, "event_type", "user_id").orderBy(
+        "key_a", "key_b"
+    )
+
+
+def q_doc_split_leakage(spark, sf_dir):
+    """Dedup-aware split audit: near-dup pairs (the LSH→exact-verify
+    chain of doc_lsh_verified) that CROSS the train/valid/test
+    boundary of doc_train_split — the contamination a naive
+    split-then-train pipeline ships (a test doc whose near-twin sits
+    in train is leakage, not generalization). Output: per unordered
+    split pair, the number of near-dup pairs joining them — the
+    off-diagonal rows are the leak."""
+    from unitdb_spark.operators.dedup import lsh_verified_pairs
+    from unitdb_spark.operators.sampling import split_assign
+
+    docs = _docs(spark, sf_dir)
+    pairs = lsh_verified_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.5, hash_family="md5"
+    ).select("id_a", "id_b")
+    splits = docs.select(
+        "doc_id",
+        split_assign("doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}),
+    )
+    j = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("_sb")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("_sa", "_sb").alias("split_lo"),
+            F.greatest("_sa", "_sb").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("split_lo", "split_hi")
+    )
+
+
 def q_parts_related_mrr(spark, sf_dir):
     """MRR@10 of the related-items retrieval against the on-brand
     relevance signal — the "how soon is the first good hit" companion
@@ -7138,6 +7223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cliffs_delta": q_events_cliffs_delta,
         "doc_brier": q_doc_brier,
         "parts_related_mrr": q_parts_related_mrr,
+        "events_wilcoxon": q_events_wilcoxon,
+        "events_hll_overlap": q_events_hll_overlap,
+        "doc_split_leakage": q_doc_split_leakage,
     }
 
 
@@ -14248,25 +14336,27 @@ def oracle_sql() -> dict[str, str]:
     # scaling by 2^12 preserves nearest-double, so the literal is the
     # same IEEE value the Spark side computes. Registers merge by MAX
     # (order/split-free), so the streamed twin shares the SQL verbatim.
-    _HLL_SQL = """
-        WITH d AS (
+    _HLL_M_CTE = """
+        WITH hd AS (
           SELECT DISTINCT event_type, user_id FROM events
           WHERE user_id IS NOT NULL
-        ), h AS (
+        ), hh AS (
           SELECT event_type,
             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                  AS BIGINT) AS hv
-          FROM d
-        ), r AS (
+          FROM hd
+        ), hr AS (
           SELECT event_type,
             hv // 18014398509481984 AS reg,
             CASE WHEN hv % 18014398509481984 = 0 THEN 55
                  ELSE 55 - length(bin(hv % 18014398509481984))
             END AS rho
-          FROM h
+          FROM hh
         ), m AS (
-          SELECT event_type, reg, max(rho) AS rho FROM r GROUP BY 1, 2
-        ), a AS (
+          SELECT event_type, reg, max(rho) AS rho FROM hr GROUP BY 1, 2
+        )"""
+    _HLL_SQL = _HLL_M_CTE + """
+        , a AS (
           SELECT event_type,
             CAST(count(*) AS BIGINT) AS n_regs_set,
             CAST(sum(CAST(1 AS BIGINT) << (55 - rho))
@@ -14281,6 +14371,131 @@ def oracle_sql() -> dict[str, str]:
         """
     d["events_hll_users"] = _HLL_SQL
     d["streamed_hll"] = _HLL_SQL
+    # pairwise overlap by inclusion-exclusion: union registers =
+    # register-wise MAX across the two keys; three pinned estimates,
+    # one pinned subtraction of the rounded values (same shape as the
+    # Spark side)
+    d["events_hll_overlap"] = _HLL_M_CTE + """
+        , ks AS (SELECT DISTINCT event_type FROM m),
+        prs AS (
+          SELECT a.event_type AS key_a, b.event_type AS key_b
+          FROM ks a, ks b WHERE a.event_type < b.event_type
+        ),
+        est AS (
+          SELECT event_type,
+            round(2904.064 * (36028797018963968.0 / CAST(z AS DOUBLE)),
+                  6) AS e
+          FROM (
+            SELECT event_type,
+              CAST(sum(CAST(1 AS BIGINT) << (55 - rho))
+                   + (64 - count(*)) * 36028797018963968 AS BIGINT) AS z
+            FROM m GROUP BY 1
+          )
+        ),
+        ur AS (
+          SELECT p.key_a, p.key_b, m.reg, max(m.rho) AS rho
+          FROM prs p JOIN m ON m.event_type IN (p.key_a, p.key_b)
+          GROUP BY 1, 2, 3
+        ),
+        ue AS (
+          SELECT key_a, key_b,
+            CAST(sum(CAST(1 AS BIGINT) << (55 - rho))
+                 + (64 - count(*)) * 36028797018963968 AS BIGINT) AS z
+          FROM ur GROUP BY 1, 2
+        )
+        SELECT ue.key_a, ue.key_b, ea.e AS est_a, eb.e AS est_b,
+          round(2904.064 * (36028797018963968.0 / CAST(ue.z AS DOUBLE)),
+                6) AS est_union,
+          round(ea.e + eb.e
+                - round(2904.064 * (36028797018963968.0
+                                    / CAST(ue.z AS DOUBLE)), 6),
+                6) AS overlap_est
+        FROM ue
+        JOIN est ea ON ea.event_type = ue.key_a
+        JOIN est eb ON eb.event_type = ue.key_b
+        ORDER BY ue.key_a, ue.key_b
+        """
+    # Wilcoxon signed-rank: per-user pre/post cents, doubled midranks
+    # over |d| — the mann_whitney machinery with the paired twist
+    d["events_wilcoxon"] = """
+        WITH per AS (
+          SELECT user_id,
+            CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 END) AS BIGINT) AS pre,
+            CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                 THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 END) AS BIGINT) AS post
+          FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL
+          GROUP BY 1
+        ), dd AS (
+          SELECT post - pre AS dv FROM per
+          WHERE pre IS NOT NULL AND post IS NOT NULL AND post <> pre
+        ), pv AS (
+          SELECT abs(dv) AS a,
+            count(*) FILTER (dv > 0) AS np_v,
+            count(*) FILTER (dv < 0) AS nn_v
+          FROM dd GROUP BY 1
+        ), rk AS (
+          SELECT np_v, nn_v, np_v + nn_v AS t_v,
+            coalesce(sum(np_v + nn_v) OVER (
+              ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS below
+          FROM pv
+        ), agg AS (
+          SELECT CAST(sum(np_v + nn_v) AS BIGINT) AS n,
+            CAST(sum(CAST(np_v AS HUGEINT)
+                     * CAST(2 * below + t_v + 1 AS HUGEINT)) AS BIGINT)
+              AS wp2,
+            CAST(sum(CAST(nn_v AS HUGEINT)
+                     * CAST(2 * below + t_v + 1 AS HUGEINT)) AS BIGINT)
+              AS wm2,
+            sum(CAST(t_v AS HUGEINT) * CAST(t_v AS HUGEINT)
+                * CAST(t_v AS HUGEINT) - CAST(t_v AS HUGEINT)) AS tie3
+          FROM rk
+        )
+        SELECT coalesce(n, 0) AS n,
+          coalesce(wp2, 0) AS w_plus2,
+          coalesce(wm2, 0) AS w_minus2,
+          CASE WHEN n > 0 AND (
+            2 * CAST(n AS HUGEINT) * CAST(n + 1 AS HUGEINT)
+              * CAST(2 * n + 1 AS HUGEINT) - tie3
+          ) > 0 THEN
+            round(
+              (CAST(wp2 AS DOUBLE)
+               - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0)
+              / sqrt(CAST(2 * CAST(n AS HUGEINT)
+                          * CAST(n + 1 AS HUGEINT)
+                          * CAST(2 * n + 1 AS HUGEINT) - tie3 AS DOUBLE)
+                     / 12.0), 6)
+          END AS z_r
+        FROM agg
+        """
+    # split-leakage audit rides the verified near-dup chain + the
+    # split-assignment hash rule
+    d["doc_split_leakage"] = (
+        "WITH v AS (" + d["doc_lsh_verified"] + """), sp AS (
+          SELECT doc_id,
+            CASE WHEN u < 0.1 THEN 'test'
+                 WHEN u < 0.9 THEN 'train'
+                 ELSE 'valid' END AS split
+          FROM (
+            SELECT doc_id,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || ':split'), 1, 15)) AS BIGINT)
+                / 1152921504606846976.0 AS u
+            FROM documents)
+        )
+        SELECT least(sa.split, sb.split) AS split_lo,
+          greatest(sa.split, sb.split) AS split_hi,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM v
+        JOIN sp sa ON sa.doc_id = v.id_a
+        JOIN sp sb ON sb.doc_id = v.id_b
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
     # Cliff's delta rides the MWU oracle: same base/rank CTEs, final
     # select swaps the z for the exact doubled-U delta identity
     d["events_cliffs_delta"] = (

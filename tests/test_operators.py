@@ -6589,6 +6589,60 @@ class TestCliffsDelta:
         assert r2.delta_ppm == 0 and r2.magnitude == "negligible"
 
 
+class TestWilcoxon:
+    def test_matches_scipy_free_model(self, spark):
+        from unitdb_spark.operators.stats_tests import (
+            wilcoxon_signed_rank,
+        )
+
+        # diffs with ties and both signs; model the doubled-rank sums
+        diffs = [5, -3, 3, 8, -8, 8, 1, -1, 2]
+        df = spark.createDataFrame([(d,) for d in diffs], "d long")
+        (r,) = wilcoxon_signed_rank(df, "d").collect()
+        # ranks of |d| ascending: |1|,|1| -> midrank 1.5 (rank2=3);
+        # |2| -> 3 (6); |3|,|3| -> 4.5 (9); |5| -> 6 (12);
+        # |8|x3 -> 8 (16)
+        rank2 = {1: 3, 2: 6, 3: 9, 5: 12, 8: 16}
+        wp2 = sum(rank2[abs(d)] for d in diffs if d > 0)
+        wm2 = sum(rank2[abs(d)] for d in diffs if d < 0)
+        assert r.n == 9
+        assert r.w_plus2 == wp2 and r.w_minus2 == wm2
+        n = 9
+        assert r.w_plus2 + r.w_minus2 == n * (n + 1)
+
+    def test_zero_diffs_drop_and_empty_is_zero(self, spark):
+        from unitdb_spark.operators.stats_tests import (
+            wilcoxon_signed_rank,
+        )
+
+        df = spark.createDataFrame([(0,), (0,)], "d long")
+        (r,) = wilcoxon_signed_rank(df, "d").collect()
+        assert r.n == 0 and r.w_plus2 == 0 and r.z_r is None
+
+
+class TestHllOverlap:
+    def test_union_is_registerwise_max(self, spark):
+        from unitdb_spark.operators.sketch import (
+            hll_distinct,
+            hll_overlap,
+        )
+
+        rows = (
+            [("a", f"u{i}") for i in range(200)]
+            + [("b", f"u{i}") for i in range(100, 400)]
+        )
+        df = spark.createDataFrame(rows, "k string, v string")
+        (ov,) = hll_overlap(df, "k", "v").collect()
+        assert (ov.key_a, ov.key_b) == ("a", "b")
+        # est_union equals the direct estimate over the union set
+        udf = spark.createDataFrame(
+            [("u", f"u{i}") for i in range(400)], "k string, v string"
+        )
+        (direct,) = hll_distinct(udf, ["k"], "v").collect()
+        assert ov.est_union == direct.hll_raw_est
+        assert round(ov.est_a + ov.est_b - ov.est_union, 6) == ov.overlap_est
+
+
 class TestBrierMrr:
     def test_brier_exact(self, spark):
         from unitdb_spark.operators.evaluation import brier_score

@@ -485,3 +485,65 @@ def hll_distinct(
     return hll_estimate_from_registers(
         hll_registers(df, keys, value_col, p), keys, p
     )
+
+
+def hll_overlap(
+    df: DataFrame, key_col: str, value_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Pairwise audience overlap between every two key values,
+    estimated from HLL registers by inclusion-exclusion — the
+    mergeable-state counterpart of `kmv_set_algebra`: the union
+    sketch of two keys is the register-wise MAX of their sketches (an
+    HLL exactness, not an approximation on top of one), so
+    overlap ≈ est(A) + est(B) − est(A∪B).
+
+    Everything up to the three estimates is exact integers (the three
+    z-sums); each estimate is the pinned single-division expression,
+    and the overlap is one pinned subtraction of the rounded
+    estimates. The overlap of small audiences can go NEGATIVE —
+    that's the estimator's variance showing, reported honestly (KMV
+    gives the exact small-range answer; this is the merge-at-scale
+    path).
+
+    Output: (key_a, key_b, est_a, est_b, est_union, overlap_est)
+    with key_a < key_b. Scale: |keys|² × 2^p rows of register work —
+    control-plane next to the corpus scan that built the registers.
+    """
+    regs = hll_registers(df, [key_col], value_col, p)
+    est = hll_estimate_from_registers(regs, [key_col], p).select(
+        F.col(key_col), F.col("hll_raw_est").alias("_e")
+    )
+    keys = regs.select(F.col(key_col).alias("_k")).distinct()
+    pairs = (
+        keys.select(F.col("_k").alias("key_a"))
+        .join(keys.select(F.col("_k").alias("key_b")))
+        .filter(F.col("key_a") < F.col("key_b"))
+    )
+    both = pairs.join(
+        regs,
+        (F.col(key_col) == F.col("key_a"))
+        | (F.col(key_col) == F.col("key_b")),
+    )
+    union_regs = both.groupBy("key_a", "key_b", "reg").agg(
+        F.max("rho").alias("rho")
+    )
+    union_est = hll_estimate_from_registers(
+        union_regs, ["key_a", "key_b"], p
+    ).select("key_a", "key_b", F.col("hll_raw_est").alias("_eu"))
+    return (
+        union_est.join(
+            est.select(F.col(key_col).alias("key_a"), F.col("_e").alias("est_a")),
+            "key_a",
+        )
+        .join(
+            est.select(F.col(key_col).alias("key_b"), F.col("_e").alias("est_b")),
+            "key_b",
+        )
+        .select(
+            "key_a", "key_b", "est_a", "est_b",
+            F.col("_eu").alias("est_union"),
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("_eu"), 6
+            ).alias("overlap_est"),
+        )
+    )

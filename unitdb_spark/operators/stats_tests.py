@@ -190,6 +190,85 @@ def mann_whitney_u(
     )
 
 
+def wilcoxon_signed_rank(
+    df: DataFrame, diff_col: str
+) -> DataFrame:
+    """One-row Wilcoxon signed-rank test over precomputed paired
+    differences — the PAIRED companion of `mann_whitney_u` (Wilcoxon
+    1945): each unit is its own control, so between-unit variance
+    cancels and a pre/post effect needs far fewer units than the
+    unpaired test.
+
+    Input: one INTEGER difference per unit (compute pre/post in exact
+    cents upstream; zero differences drop, the standard treatment).
+    Ranks of |d| use the doubled-midrank trick (2·below + t + 1 — an
+    exact integer), so w_plus2 = 2·W+ and w_minus2 = 2·W− are BIGINT
+    with w_plus2 + w_minus2 = 2·n(n+1)/2 by construction. The
+    normal-approximation z applies the tie correction Σ(t³−t) and is
+    the single pinned float: z = (w_plus2 − n(n+1)/2) /
+    sqrt((2·n(n+1)(2n+1) − tie3) / 12).
+
+    Output: (n, w_plus2, w_minus2, z_r) — z NULL when n = 0 or every
+    |d| ties into zero variance.
+    """
+    base = df.select(F.col(diff_col).cast("long").alias("_d")).filter(
+        F.col("_d").isNotNull() & (F.col("_d") != 0)
+    )
+    per = base.groupBy(F.abs(F.col("_d")).alias("_a")).agg(
+        F.count(F.when(F.col("_d") > 0, 1)).alias("np_v"),
+        F.count(F.when(F.col("_d") < 0, 1)).alias("nn_v"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("_a")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per.select(
+        "np_v", "nn_v",
+        (F.col("np_v") + F.col("nn_v")).alias("t_v"),
+        F.coalesce(
+            F.sum(F.col("np_v") + F.col("nn_v")).over(w), F.lit(0)
+        ).alias("below"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.sum(F.col("np_v") + F.col("nn_v")).alias("n"),
+        F.sum(
+            d38(F.col("np_v"))
+            * d38(F.lit(2) * F.col("below") + F.col("t_v") + 1)
+        ).alias("wp2"),
+        F.sum(
+            d38(F.col("nn_v"))
+            * d38(F.lit(2) * F.col("below") + F.col("t_v") + 1)
+        ).alias("wm2"),
+        F.sum(
+            d38(F.col("t_v")) * d38(F.col("t_v")) * d38(F.col("t_v"))
+            - d38(F.col("t_v"))
+        ).alias("tie3"),
+    )
+    n = F.col("n")
+    inner = (
+        F.lit(2).cast("decimal(38,0)") * d38(n) * d38(n + 1)
+        * d38(F.lit(2) * n + 1)
+        - F.col("tie3")
+    )
+    z = (
+        (
+            F.col("wp2").cast("double")
+            - n.cast("double") * (n.cast("double") + F.lit(1.0)) / F.lit(2.0)
+        )
+        / F.sqrt(inner.cast("double") / F.lit(12.0))
+    )
+    return agg.select(
+        F.coalesce(n, F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("wp2"), F.lit(0)).cast("long").alias("w_plus2"),
+        F.coalesce(F.col("wm2"), F.lit(0)).cast("long").alias("w_minus2"),
+        F.when(
+            (n > 0) & (inner > 0), F.round(z, 6)
+        ).alias("z_r"),
+    )
+
+
 def cliffs_delta(
     df: DataFrame, value_col: str, arm_col
 ) -> DataFrame:
