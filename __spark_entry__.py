@@ -6138,6 +6138,65 @@ def q_events_wilcoxon(spark, sf_dir):
     return wilcoxon_signed_rank(diffs, "d")
 
 
+def q_streamed_wilcoxon(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING paired test: each
+    micro-batch appends its per-user (pre_cents, post_cents) partial
+    sums via foreachBatch (plain sums — mergeable by SUM, so the
+    folded state equals the one-shot aggregation bitwise); the
+    read-time fold re-sums per user and finishes through the SAME
+    wilcoxon_signed_rank operator. Oracle = the batch SQL verbatim —
+    a hash-match proves the streamed panel equals the batch test
+    regardless of micro-batch split."""
+    import uuid
+
+    from unitdb_spark.operators.stats_tests import wilcoxon_signed_rank
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    out = f"{base}/wx_{uuid.uuid4().hex[:8]}"
+    cp = f"{base}/wxcp_{uuid.uuid4().hex[:8]}"
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    mid = F.lit("2024-01-16").cast("timestamp")
+
+    def _fold(df, _eid):
+        if df.isEmpty():
+            return
+        (
+            df.filter(
+                (F.col("event_type") == "purchase")
+                & F.col("value").isNotNull()
+            )
+            .groupBy("user_id")
+            .agg(
+                F.sum(F.when(F.col("ts") < mid, cents)).alias("pre"),
+                F.sum(F.when(F.col("ts") >= mid, cents)).alias("post"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    stream = events_as_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    per = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.sum("pre").alias("_pre"), F.sum("post").alias("_post"))
+    )
+    diffs = per.filter(
+        F.col("_pre").isNotNull() & F.col("_post").isNotNull()
+    ).select((F.col("_post") - F.col("_pre")).alias("d"))
+    return wilcoxon_signed_rank(diffs, "d")
+
+
 def q_events_hll_overlap(spark, sf_dir):
     """Pairwise audience overlap between event types by HLL
     inclusion-exclusion — the mergeable-state counterpart of
@@ -7224,6 +7283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_brier": q_doc_brier,
         "parts_related_mrr": q_parts_related_mrr,
         "events_wilcoxon": q_events_wilcoxon,
+        "streamed_wilcoxon": q_streamed_wilcoxon,
         "events_hll_overlap": q_events_hll_overlap,
         "doc_split_leakage": q_doc_split_leakage,
     }
@@ -14472,6 +14532,7 @@ def oracle_sql() -> dict[str, str]:
           END AS z_r
         FROM agg
         """
+    d["streamed_wilcoxon"] = d["events_wilcoxon"]
     # split-leakage audit rides the verified near-dup chain + the
     # split-assignment hash rule
     d["doc_split_leakage"] = (
