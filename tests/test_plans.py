@@ -1310,3 +1310,49 @@ class TestSessionPlans6e:
         for spec in re.findall(r"Window \[.*?\]", plan):
             assert "partitionBy" not in spec or "_k" in spec
         assert "BatchEvalPython" not in plan
+
+
+class TestSessionPlans7:
+    """Plan pins for the round-7 operators."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_hll_registers_two_exchanges_no_python(self, spark):
+        """Distinct shuffle + (key, reg) max agg — two exchanges, the
+        whole register computation inside WholeStageCodegen (bin/
+        length/shift are JVM expressions, never a UDF)."""
+        from unitdb_spark.operators.sketch import hll_registers
+
+        ev = spark.read.parquet(f"{self.SF}/events.parquet")
+        plan = formatted_plan(hll_registers(ev, ["event_type"], "user_id"))
+        assert plan.count("Exchange") <= 2
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "partial_max" in plan  # map-side combine on (key, reg)
+
+    def test_mutual_top_cap_compiles_to_group_limit(self, spark):
+        """The per-src rank cut must compile to WindowGroupLimit
+        (map-side partial top-D before the exchange), and the mutual
+        check to a semi join — never a second full join."""
+        from unitdb_spark.operators.graph import mutual_top_neighbors
+
+        e = spark.createDataFrame(
+            [(1, 2, 3), (2, 1, 3), (2, 3, 1), (3, 2, 1)],
+            ["src", "dst", "w"],
+        )
+        plan = formatted_plan(mutual_top_neighbors(e, max_degree=2))
+        assert "WindowGroupLimit" in plan
+        assert "LeftSemi" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_wilcoxon_single_agg_after_user_fold(self, spark):
+        """Per-user agg, midrank window over the distinct-|d| relation,
+        one final aggregate — no Python stages."""
+        from unitdb_spark.operators.stats_tests import wilcoxon_signed_rank
+
+        df = spark.createDataFrame(
+            [(i * ((-1) ** i),) for i in range(1, 30)], "d long"
+        )
+        plan = formatted_plan(wilcoxon_signed_rank(df, "d"))
+        assert "BatchEvalPython" not in plan
+        assert "partial_sum" in plan  # map-side combine into the agg
