@@ -1325,7 +1325,9 @@ class TestSessionPlans7:
 
         ev = spark.read.parquet(f"{self.SF}/events.parquet")
         plan = formatted_plan(hll_registers(ev, ["event_type"], "user_id"))
-        assert plan.count("Exchange") <= 2
+        # each node prints twice in formatted output (tree + detail):
+        # 2 exchanges = 4 occurrences
+        assert plan.count("Exchange") <= 4
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "partial_max" in plan  # map-side combine on (key, reg)
