@@ -6213,6 +6213,51 @@ def q_events_hll_overlap(spark, sf_dir):
     )
 
 
+def q_events_hll_merged(spark, sf_dir):
+    """HLL MERGEABILITY, driver-checked: per-(type, day) registers
+    re-MAXed up to per-type must equal the direct per-type registers
+    bitwise (max of a set is associative) — so this query shares the
+    events_hll_users oracle VERBATIM. The rollup a 1000-executor
+    fleet runs over persisted daily register tables instead of
+    rescanning raw data — the same contract events_kmv_merged pins
+    for the bottom-k sketch."""
+    from unitdb_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    spark = _pin_utc(spark)
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    daily = hll_registers(ev, ["event_type", "day"], "user_id")
+    merged = daily.groupBy("event_type", "reg").agg(
+        F.max("rho").alias("rho")
+    )
+    return hll_estimate_from_registers(merged, ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+def q_doc_kfold(spark, sf_dir):
+    """Stratified k-fold assignment audit: stable fold = content hash
+    of doc_id (same row -> same fold on any engine/partitioning, the
+    split_assign contract), reported as per-(source, fold) counts —
+    the balance table a cross-validation pipeline checks before
+    trusting its folds. All map-side until one counts aggregate."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+
+    docs = _docs(spark, sf_dir)
+    fold = (
+        md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit(":fold")))
+        % 5
+    ).cast("int")
+    return (
+        docs.select("source", fold.alias("fold"))
+        .groupBy("source", "fold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "fold")
+    )
+
+
 def q_doc_split_leakage(spark, sf_dir):
     """Dedup-aware split audit: near-dup pairs (the LSH→exact-verify
     chain of doc_lsh_verified) that CROSS the train/valid/test
@@ -7286,6 +7331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_wilcoxon": q_streamed_wilcoxon,
         "events_hll_overlap": q_events_hll_overlap,
         "doc_split_leakage": q_doc_split_leakage,
+        "events_hll_merged": q_events_hll_merged,
+        "doc_kfold": q_doc_kfold,
     }
 
 
@@ -14533,6 +14580,18 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
         """
     d["streamed_wilcoxon"] = d["events_wilcoxon"]
+    # merge identity: daily registers re-MAXed == direct registers,
+    # so the merged rollup shares the whole-period oracle verbatim
+    d["events_hll_merged"] = _HLL_SQL
+    d["doc_kfold"] = """
+        SELECT source,
+          CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                         || ':fold'), 1, 15)) AS BIGINT)
+               % 5 AS INTEGER) AS fold,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
     # split-leakage audit rides the verified near-dup chain + the
     # split-assignment hash rule
     d["doc_split_leakage"] = (
