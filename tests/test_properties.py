@@ -857,3 +857,82 @@ class TestPermutationTestProperties:
             n_a, n_b, diff, used, exceed,
             (1 + exceed) * 1_000_000 // (used + 1),
         )
+
+
+class TestWilcoxonProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+        )
+    )
+    def test_rank_sums_match_midrank_model(self, spark, diffs):
+        from unitdb_spark.operators.stats_tests import wilcoxon_signed_rank
+
+        df = spark.createDataFrame([(d,) for d in diffs], "d long")
+        (r,) = wilcoxon_signed_rank(df, "d").collect()
+        nz = [d for d in diffs if d != 0]
+        # doubled midranks of |d| over the nonzero diffs
+        from collections import Counter
+
+        cnt = Counter(abs(d) for d in nz)
+        rank2, below = {}, 0
+        for a in sorted(cnt):
+            rank2[a] = 2 * below + cnt[a] + 1
+            below += cnt[a]
+        wp2 = sum(rank2[abs(d)] for d in nz if d > 0)
+        wm2 = sum(rank2[abs(d)] for d in nz if d < 0)
+        n = len(nz)
+        assert r.n == n
+        assert r.w_plus2 == wp2 and r.w_minus2 == wm2
+        assert r.w_plus2 + r.w_minus2 == n * (n + 1)
+
+
+class TestMutualTopProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),
+                st.integers(min_value=0, max_value=9),
+                st.integers(min_value=1, max_value=5),
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        st.integers(min_value=1, max_value=4),
+    )
+    def test_degree_bound_symmetry_subset(self, spark, raw, d_cap):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.graph import mutual_top_neighbors
+
+        und = {(min(a, b), max(a, b)): w for a, b, w in raw if a != b}
+        if not und:
+            return
+        rows = [(a, b, w) for (a, b), w in und.items()]
+        e = spark.createDataFrame(rows, ["src", "dst", "w"])
+        sym = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+        out = mutual_top_neighbors(sym, max_degree=d_cap).collect()
+        got = {(r.src, r.dst) for r in out}
+        inp = {(r.src, r.dst) for r in sym.collect()}
+        # subset of the input, symmetric, degree bounded by the cap
+        assert got <= inp
+        assert all((b, a) in got for a, b in got)
+        from collections import Counter
+
+        deg = Counter(a for a, _ in got)
+        assert all(c <= d_cap for c in deg.values())
+        # model: mutual top-d_cap by (w DESC, dst ASC)
+        adj = {}
+        for r in sym.collect():
+            adj.setdefault(r.src, []).append((-r.w, r.dst))
+        keep = {
+            (s, d)
+            for s, lst in adj.items()
+            for _, d in sorted(lst)[:d_cap]
+        }
+        want = {(s, d) for (s, d) in keep if (d, s) in keep}
+        assert got == want
