@@ -6213,6 +6213,87 @@ def q_events_hll_overlap(spark, sf_dir):
     )
 
 
+def q_parts_graph_drift(spark, sf_dir):
+    """Temporal drift of the co-purchase graph: the thresholded edge
+    sets built from orders BEFORE vs AFTER the fixed 1995-06-01
+    cutoff, compared as sets — edge counts, node counts, common
+    edges, and the integer-div edge Jaccard. The structural-change
+    alarm for any graph-derived surface (related items, pagerank):
+    when edge Jaccard collapses, every downstream ranking is stale.
+    One full-outer join on the (src, dst) key over two bounded edge
+    relations; never touches raw pairs twice."""
+    from unitdb_spark.operators.graph import weighted_cooccurrence_edges
+
+    cutoff = F.lit("1995-06-01").cast("timestamp")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+
+    def half_edges(h):
+        return (
+            weighted_cooccurrence_edges(
+                h, "l_orderkey", "l_partkey", min_count=2
+            )
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+        )
+
+    e1 = half_edges(j.filter(F.col("o_orderdate") < cutoff)).withColumn(
+        "_a", F.lit(1)
+    )
+    e2 = half_edges(j.filter(F.col("o_orderdate") >= cutoff)).withColumn(
+        "_b", F.lit(1)
+    )
+    full = e1.join(e2, ["src", "dst"], "full")
+    agg = full.agg(
+        F.count("_a").cast("long").alias("n_edges_pre"),
+        F.count("_b").cast("long").alias("n_edges_post"),
+        F.count(
+            F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
+        ).cast("long").alias("n_common"),
+    )
+    return agg.select(
+        "n_edges_pre", "n_edges_post", "n_common",
+        F.expr(
+            "(n_common * 1000000L) div greatest("
+            "n_edges_pre + n_edges_post - n_common, 1)"
+        ).cast("long").alias("edge_jaccard_ppm"),
+    )
+
+
+def q_orders_rfm_migration(spark, sf_dir):
+    """RFM segment MIGRATION matrix: each customer's segment computed
+    independently on orders before vs after the fixed 1995-06-01
+    cutoff (each half scored against its own max date — the
+    rfm_segments contract), counted per (segment_pre, segment_post)
+    cell; customers active in only one half land in the 0 row/column.
+    The churn/upsell flow a CRM reads off the classic segmentation.
+    Two bounded per-customer aggregates + one full-outer join on the
+    customer key."""
+    from unitdb_spark.operators.olap import rfm_segments
+
+    cutoff = F.lit("1995-06-01").cast("date")
+    orders = _read(spark, sf_dir, "orders")
+    pre = rfm_segments(orders.filter(F.col("o_orderdate") < cutoff)).select(
+        F.col("o_custkey").alias("_c"), F.col("segment").alias("_sp")
+    )
+    post = rfm_segments(
+        orders.filter(F.col("o_orderdate") >= cutoff)
+    ).select(F.col("o_custkey").alias("_c"), F.col("segment").alias("_sq"))
+    full = pre.join(post, "_c", "full")
+    return (
+        full.select(
+            F.coalesce(F.col("_sp"), F.lit(0)).cast("int")
+            .alias("segment_pre"),
+            F.coalesce(F.col("_sq"), F.lit(0)).cast("int")
+            .alias("segment_post"),
+        )
+        .groupBy("segment_pre", "segment_post")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("segment_pre", "segment_post")
+    )
+
+
 def q_events_hll_merged(spark, sf_dir):
     """HLL MERGEABILITY, driver-checked: per-(type, day) registers
     re-MAXed up to per-type must equal the direct per-type registers
@@ -7333,6 +7414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_leakage": q_doc_split_leakage,
         "events_hll_merged": q_events_hll_merged,
         "doc_kfold": q_doc_kfold,
+        "parts_graph_drift": q_parts_graph_drift,
+        "orders_rfm_migration": q_orders_rfm_migration,
     }
 
 
@@ -14583,6 +14666,39 @@ def oracle_sql() -> dict[str, str]:
     # merge identity: daily registers re-MAXed == direct registers,
     # so the merged rollup shares the whole-period oracle verbatim
     d["events_hll_merged"] = _HLL_SQL
+    # temporal graph drift: the two half-graphs as CTEs, set compare
+    d["parts_graph_drift"] = """
+        WITH j AS (
+          SELECT li.l_orderkey AS o, li.l_partkey AS i, ord.o_orderdate AS d
+          FROM lineitem li JOIN orders ord ON li.l_orderkey = ord.o_orderkey
+        ),
+        g1 AS (SELECT DISTINCT o, i FROM j
+               WHERE d < TIMESTAMP '1995-06-01'),
+        g2 AS (SELECT DISTINCT o, i FROM j
+               WHERE d >= TIMESTAMP '1995-06-01'),
+        e1 AS (SELECT a.i AS s, b.i AS dd FROM g1 a
+               JOIN g1 b ON a.o = b.o AND a.i < b.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        e2 AS (SELECT a.i AS s, b.i AS dd FROM g2 a
+               JOIN g2 b ON a.o = b.o AND a.i < b.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        fj AS (
+          SELECT coalesce(e1.s, e2.s) AS s,
+            e1.s IS NOT NULL AS ina, e2.s IS NOT NULL AS inb
+          FROM e1 FULL JOIN e2 ON e1.s = e2.s AND e1.dd = e2.dd
+        ),
+        agg AS (
+          SELECT CAST(count(*) FILTER (ina) AS BIGINT) AS n_edges_pre,
+            CAST(count(*) FILTER (inb) AS BIGINT) AS n_edges_post,
+            CAST(count(*) FILTER (ina AND inb) AS BIGINT) AS n_common
+          FROM fj
+        )
+        SELECT n_edges_pre, n_edges_post, n_common,
+          CAST((n_common * 1000000)
+               // greatest(n_edges_pre + n_edges_post - n_common, 1)
+               AS BIGINT) AS edge_jaccard_ppm
+        FROM agg
+        """
     d["doc_kfold"] = """
         SELECT source,
           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
@@ -14592,6 +14708,25 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         GROUP BY 1, 2 ORDER BY 1, 2
         """
+    # RFM migration: the rfm oracle replayed per half (each half's
+    # ref = its own max date), full-joined on the customer key
+    _rfm_pre = d["orders_rfm"].replace(
+        "FROM orders",
+        "FROM orders WHERE o_orderdate < DATE '1995-06-01'",
+    )
+    _rfm_post = d["orders_rfm"].replace(
+        "FROM orders",
+        "FROM orders WHERE o_orderdate >= DATE '1995-06-01'",
+    )
+    d["orders_rfm_migration"] = (
+        "WITH prh AS (" + _rfm_pre + "), poh AS (" + _rfm_post + """)
+        SELECT coalesce(prh.segment, 0) AS segment_pre,
+          coalesce(poh.segment, 0) AS segment_post,
+          CAST(count(*) AS BIGINT) AS n_customers
+        FROM prh FULL JOIN poh ON prh.o_custkey = poh.o_custkey
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
     # split-leakage audit rides the verified near-dup chain + the
     # split-assignment hash rule
     d["doc_split_leakage"] = (
