@@ -6213,6 +6213,29 @@ def q_events_hll_overlap(spark, sf_dir):
     )
 
 
+def q_media_jpeg420_resize(spark, sf_dir):
+    """REAL pixel kernel for SUBSAMPLED baseline JPEG — the
+    real-world 4:2:0 MCU layout (four Y blocks + decimated chroma
+    per 16x16 macroblock, interleaved in the scan): pixels constant
+    per MACROBLOCK make chroma decimation and the integer-index
+    replication upsample lossless, so the DC-only/flat-quant-8
+    exactness carries over and every decoded pixel is closed-form in
+    doc_id. Same decode→resample→lossless-PNG→stats chain as
+    media_jpeg_resize; a hash-match additionally proves the 2x2
+    MCU block ORDER, the per-component DC predictor interleave, and
+    the chroma upsample index math."""
+    from unitdb_spark.functions.multimodal import (
+        png_pixel_stats,
+        resize_jpeg_images,
+        synthetic_jpeg420_media,
+    )
+
+    media = synthetic_jpeg420_media(_docs(spark, sf_dir))
+    return png_pixel_stats(resize_jpeg_images(media, 8, 6)).select(
+        F.col("id").alias("doc_id"), "width", "height", "px_sum", "px_wsum"
+    )
+
+
 def q_parts_graph_drift(spark, sf_dir):
     """Temporal drift of the co-purchase graph: the thresholded edge
     sets built from orders BEFORE vs AFTER the fixed 1995-06-01
@@ -7416,6 +7439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kfold": q_doc_kfold,
         "parts_graph_drift": q_parts_graph_drift,
         "orders_rfm_migration": q_orders_rfm_migration,
+        "media_jpeg420_resize": q_media_jpeg420_resize,
     }
 
 
@@ -8315,6 +8339,53 @@ def oracle_sql() -> dict[str, str]:
             (s + 3 * bx + 5 * by) % 256 AS yv,
             (2 * s + 7 * bx + by) % 256 AS cb,
             (3 * s + bx + 11 * by) % 256 AS cr
+          FROM blk
+        ), px AS (
+          SELECT doc_id, vx, vy,
+            LEAST(255, GREATEST(0,
+              (1000000 * yv + 1402000 * (cr - 128) + 500000) // 1000000
+            )) AS r,
+            LEAST(255, GREATEST(0,
+              (1000000 * yv - 344136 * (cb - 128)
+               - 714136 * (cr - 128) + 500000) // 1000000
+            )) AS g2,
+            LEAST(255, GREATEST(0,
+              (1000000 * yv + 1772000 * (cb - 128) + 500000) // 1000000
+            )) AS b
+          FROM ycc
+        )
+        SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+          CAST(SUM(r + g2 + b) AS BIGINT) AS px_sum,
+          CAST(SUM(r * ((vy * 8 + vx) * 3 + 1)
+                 + g2 * ((vy * 8 + vx) * 3 + 2)
+                 + b * ((vy * 8 + vx) * 3 + 3)) AS BIGINT) AS px_wsum
+        FROM px GROUP BY 1
+        """,
+        "media_jpeg420_resize": """
+        -- 4:2:0 fixture is constant per 16x16 MACROBLOCK: chroma
+        -- decimation + replication upsample are lossless there, so
+        -- source pixel (sx, sy) carries the YCbCr of macroblock
+        -- (sx//16, sy//16); same pinned integer BT.601 as the 4:4:4
+        -- twin — a mismatch in MCU block order, DC interleave or
+        -- the upsample index math breaks the hash
+        WITH g AS (
+          SELECT d.doc_id,
+            16 * (d.doc_id % 2 + 1) AS sw,
+            16 * ((d.doc_id // 7) % 2 + 1) AS sh,
+            d.doc_id % 241 AS s, x.vx, y.vy
+          FROM documents d,
+               UNNEST(generate_series(0, 7)) AS x(vx),
+               UNNEST(generate_series(0, 5)) AS y(vy)
+        ), blk AS (
+          SELECT doc_id, vx, vy,
+            ((vx * sw) // 8) // 16 AS mx,
+            ((vy * sh) // 6) // 16 AS my, s
+          FROM g
+        ), ycc AS (
+          SELECT doc_id, vx, vy,
+            (s + 7 * mx + 3 * my) % 256 AS yv,
+            (2 * s + mx + 5 * my) % 256 AS cb,
+            (3 * s + 4 * mx + my) % 256 AS cr
           FROM blk
         ), px AS (
           SELECT doc_id, vx, vy,

@@ -576,9 +576,10 @@ class TestJpegBaseline:
         idx = bytes(prog).find(b"\xff\xc0")
         prog[idx + 1] = 0xC2
         assert decode_jpeg_rgb(bytes(prog)) is None
-        # subsampled refused: 2x2 luma sampling factor
+        # exotic sampling refused: 3x3 luma factor (1-2 per axis is
+        # the supported envelope — 4:4:4/4:2:2/4:4:0/4:2:0)
         sub = bytearray(j)
-        sub[idx + 11] = 0x22
+        sub[idx + 11] = 0x33
         assert decode_jpeg_rgb(bytes(sub)) is None
 
     def test_resize_to_png_matches_index_math(self):
@@ -610,3 +611,75 @@ class TestJpegBaseline:
                                 17, 24, 32, 25, 18, 11, 4, 5]
         assert sorted(_ZIGZAG) == list(range(64))
         assert _ZIGZAG[-4:] == [47, 55, 62, 63]
+
+
+class TestJpeg420:
+    def _macro_constant(self, mw, mh, seed=0):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        mb = rng.randint(0, 256, size=(mh, mw, 3))
+        return np.repeat(np.repeat(mb, 16, axis=0), 16, axis=1).astype(
+            np.uint8
+        )
+
+    def test_macroblock_constant_roundtrip_is_exact(self):
+        """Chroma decimation + replication upsample are lossless on a
+        macroblock-constant image, so 4:2:0 round-trips bit-exactly —
+        and a hash-match proves the 2x2 MCU block order and the
+        per-component DC interleave."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            _ycbcr_to_rgb_int,
+            decode_jpeg_rgb,
+            encode_jpeg_baseline,
+        )
+
+        arr = self._macro_constant(3, 2, seed=5)
+        dec = decode_jpeg_rgb(encode_jpeg_baseline(arr, quant=8,
+                                                   subsample="420"))
+        assert dec is not None and dec.shape == arr.shape
+        exp = np.zeros_like(dec)
+        for y in range(arr.shape[0]):
+            for x in range(arr.shape[1]):
+                exp[y, x] = _ycbcr_to_rgb_int(*[int(v) for v in arr[y, x]])
+        assert np.array_equal(dec, exp)
+
+    def test_odd_dimensions_pad_and_crop(self):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            _ycbcr_to_rgb_int,
+            decode_jpeg_rgb,
+            encode_jpeg_baseline,
+        )
+
+        arr = self._macro_constant(3, 2, seed=6)[:27, :37]
+        dec = decode_jpeg_rgb(encode_jpeg_baseline(arr, quant=8,
+                                                   subsample="420"))
+        assert dec is not None and dec.shape == (27, 37, 3)
+        for y, x in [(0, 0), (26, 36), (15, 16)]:
+            assert tuple(dec[y, x]) == _ycbcr_to_rgb_int(
+                *[int(v) for v in arr[y, x]]
+            )
+
+    def test_420_smaller_than_444(self):
+        from unitdb_spark.functions.media_codec import encode_jpeg_baseline
+
+        arr = self._macro_constant(2, 2, seed=7)
+        assert len(encode_jpeg_baseline(arr, quant=8, subsample="420")) < len(
+            encode_jpeg_baseline(arr, quant=8)
+        )
+
+    def test_3x_sampling_still_refused(self):
+        from unitdb_spark.functions.media_codec import (
+            decode_jpeg_rgb,
+            encode_jpeg_baseline,
+        )
+
+        arr = self._macro_constant(2, 2)
+        j = bytearray(encode_jpeg_baseline(arr, quant=8, subsample="420"))
+        idx = bytes(j).find(b"\xff\xc0")
+        j[idx + 11] = 0x33  # Y sampling 3x3
+        assert decode_jpeg_rgb(bytes(j)) is None

@@ -1191,13 +1191,74 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def encode_jpeg_baseline(arr, quant: int = 8) -> bytes:
+def _pad_edge(a, ph, pw):
+    """Edge-replicate a 2-D plane up to (ph, pw)."""
+    import numpy as np
+
+    h, w = a.shape
+    out = np.empty((ph, pw), dtype=a.dtype)
+    out[:h, :w] = a
+    if pw > w:
+        out[:h, w:] = a[:, w - 1 : w]
+    if ph > h:
+        out[h:, :] = out[h - 1 : h, :]
+    return out
+
+
+def _encode_block(bw, block, qtab, C, prev_dc, dc_enc, ac_enc):
+    """FDCT + quantize + zigzag + Huffman one 8x8 block; returns the
+    new DC predictor."""
+    import numpy as np
+
+    S = C @ (block.astype(np.float64) - 128.0) @ C.T
+    q = np.round(S / qtab).astype(np.int64)
+    zz = [int(q.flat[_ZIGZAG[k]]) for k in range(64)]
+    diff = zz[0] - prev_dc
+    size, bits = _magnitude(diff)
+    code, clen = dc_enc[size]
+    bw.write(code, clen)
+    if size:
+        bw.write(bits, size)
+    k, run = 1, 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    while k <= last_nz:
+        if zz[k] == 0:
+            run += 1
+            k += 1
+            continue
+        while run >= 16:
+            code, clen = ac_enc[0xF0]
+            bw.write(code, clen)
+            run -= 16
+        size, bits = _magnitude(zz[k])
+        code, clen = ac_enc[(run << 4) | size]
+        bw.write(code, clen)
+        bw.write(bits, size)
+        run = 0
+        k += 1
+    if last_nz < 63:
+        code, clen = ac_enc[0x00]  # EOB
+        bw.write(code, clen)
+    return zz[0]
+
+
+def encode_jpeg_baseline(arr, quant: int = 8, subsample: str | None = None) -> bytes:
     """numpy (h, w, 3) uint8 Y/Cb/Cr planes (encoded as-is, NO RGB
     transform — the caller owns color space) or (h, w) grayscale ->
     a valid baseline JFIF. Flat quantization table of ``quant``
-    everywhere; 4:4:4 sampling; fixed-length Huffman tables (see
-    module note). Dimensions pad to multiples of 8 by edge
-    replication (decoders crop back via SOF dims)."""
+    everywhere; fixed-length Huffman tables (see module note).
+    Dimensions pad by edge replication (decoders crop back via SOF
+    dims).
+
+    ``subsample=None`` emits 4:4:4 (one block per component per MCU);
+    ``subsample="420"`` emits 4:2:0 — Y at 2x2 sampling (four Y
+    blocks per 16x16 MCU in raster order) with chroma decimated by
+    taking the TOP-LEFT sample of each 2x2 (nearest — deterministic,
+    and exact on block-constant fixtures)."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -1205,60 +1266,41 @@ def encode_jpeg_baseline(arr, quant: int = 8) -> bytes:
     if gray:
         a = a[:, :, None]
     h, w, ncomp = a.shape
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = np.empty((ph, pw, ncomp), dtype=np.uint8)
-    padded[:h, :w] = a
-    if pw > w:
-        padded[:h, w:] = a[:, w - 1 : w]
-    if ph > h:
-        padded[h:, :] = padded[h - 1 : h, :]
+    if subsample == "420" and ncomp == 3:
+        samps = [(2, 2), (1, 1), (1, 1)]
+        ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+        yp = _pad_edge(a[:, :, 0], ph, pw)
+        cb = _pad_edge(a[:, :, 1], ph, pw)[::2, ::2]
+        cr = _pad_edge(a[:, :, 2], ph, pw)[::2, ::2]
+        comp_planes = [yp, cb, cr]
+    elif subsample is None:
+        samps = [(1, 1)] * ncomp
+        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        comp_planes = [_pad_edge(a[:, :, c], ph, pw) for c in range(ncomp)]
+    else:
+        raise ValueError("subsample must be None or '420' (3-component)")
     C = _dct_matrix()
     qtab = np.full((8, 8), int(quant), dtype=np.int32)
     dc_counts, dc_syms, dc_enc = _huff_fixed(_JPEG_DC_SYMBOLS, 4)
     ac_counts, ac_syms, ac_enc = _huff_fixed(_JPEG_AC_SYMBOLS, 8)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x, mcus_y = pw // (8 * hmax), ph // (8 * vmax)
     bw = _BitWriter()
     prev_dc = [0] * ncomp
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             for c in range(ncomp):
-                block = padded[
-                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c
-                ].astype(np.float64) - 128.0
-                S = C @ block @ C.T
-                q = np.round(S / qtab).astype(np.int64)
-                zz = [int(q.flat[_ZIGZAG[k]]) for k in range(64)]
-                diff = zz[0] - prev_dc[c]
-                prev_dc[c] = zz[0]
-                size, bits = _magnitude(diff)
-                code, clen = dc_enc[size]
-                bw.write(code, clen)
-                if size:
-                    bw.write(bits, size)
-                # AC run-length coding
-                k, run = 1, 0
-                last_nz = 0
-                for i in range(63, 0, -1):
-                    if zz[i]:
-                        last_nz = i
-                        break
-                while k <= last_nz:
-                    if zz[k] == 0:
-                        run += 1
-                        k += 1
-                        continue
-                    while run >= 16:
-                        code, clen = ac_enc[0xF0]
-                        bw.write(code, clen)
-                        run -= 16
-                    size, bits = _magnitude(zz[k])
-                    code, clen = ac_enc[(run << 4) | size]
-                    bw.write(code, clen)
-                    bw.write(bits, size)
-                    run = 0
-                    k += 1
-                if last_nz < 63:
-                    code, clen = ac_enc[0x00]  # EOB
-                    bw.write(code, clen)
+                hi, vi = samps[c]
+                for bv in range(vi):
+                    for bh in range(hi):
+                        py = (my * vi + bv) * 8
+                        px = (mx * hi + bh) * 8
+                        prev_dc[c] = _encode_block(
+                            bw,
+                            comp_planes[c][py : py + 8, px : px + 8],
+                            qtab, C, prev_dc[c], dc_enc, ac_enc,
+                        )
     bw.flush()
     out = bytearray(b"\xff\xd8")  # SOI
     out += (
@@ -1269,7 +1311,7 @@ def encode_jpeg_baseline(arr, quant: int = 8) -> bytes:
     out += b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0])
+        sof += bytes([c + 1, (samps[c][0] << 4) | samps[c][1], 0])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, dc_counts, dc_syms)
     out += _dht_segment(1, 0, ac_counts, ac_syms)
@@ -1327,11 +1369,15 @@ def _ycbcr_to_rgb_int(y: int, cb: int, cr: int) -> tuple[int, int, int]:
 def decode_jpeg_rgb(b: bytes):
     """Baseline JPEG -> numpy (h, w, 3) uint8 RGB top-down, or None
     for anything outside the honest-decoder contract (progressive,
-    subsampled, 12-bit, arithmetic, truncated). Grayscale decodes
-    with the luma replicated across channels. Full pipeline: marker
-    walk, DHT canonical tables, entropy decode with byte unstuffing
-    and restart-marker handling, dequantize, de-zigzag, IDCT, level
-    shift, clamp, pinned integer YCbCr->RGB."""
+    12-bit, arithmetic, 3x/4x sampling factors, truncated).
+    Sampling factors 1-2 per axis are fully decoded — 4:4:4, 4:2:2,
+    4:4:0 and 4:2:0 MCU layouts, chroma upsampled by integer-index
+    replication (y·vi//vmax — the pinned rule a SQL oracle replays).
+    Grayscale decodes with the luma replicated across channels. Full
+    pipeline: marker walk, DHT canonical tables, entropy decode with
+    byte unstuffing and restart-marker handling, dequantize,
+    de-zigzag, IDCT, level shift, clamp, pinned integer
+    YCbCr->RGB."""
     import numpy as np
 
     if len(b) < 4 or b[:2] != b"\xff\xd8":
@@ -1389,9 +1435,13 @@ def decode_jpeg_rgb(b: bytes):
             comps = []
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    return None  # only 4:4:4 / single-component
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                # sampling factors 1 or 2 cover 4:4:4 / 4:2:2 /
+                # 4:4:0 / 4:2:0 — where real-world baseline JPEGs
+                # live; 3/4x factors stay refused
+                if hi not in (1, 2) or vi not in (1, 2):
+                    return None
+                comps.append((cid, hi, vi, tq))
             sof = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -1420,13 +1470,16 @@ def _jpeg_decode_scan(b, pos, sof, qtabs, huff, scan, restart_interval):
     h, w, comps = sof
     nc = len(comps)
     C = _dct_matrix()
-    bw_blocks, bh_blocks = (w + 7) // 8, (h + 7) // 8
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     planes = [
-        np.zeros((bh_blocks * 8, bw_blocks * 8), dtype=np.int32)
-        for _ in range(nc)
+        np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi), dtype=np.int32)
+        for _, hi, vi, _ in comps
     ]
     qt = []
-    for (cid, tq), (cs, _td, _ta) in zip(comps, scan):
+    for (cid, _hi, _vi, tq), (cs, _td, _ta) in zip(comps, scan):
         if cid != cs or tq not in qtabs:
             return None
         q = np.empty(64, dtype=np.int64)
@@ -1436,8 +1489,8 @@ def _jpeg_decode_scan(b, pos, sof, qtabs, huff, scan, restart_interval):
     br = _BitReader(b, pos)
     prev_dc = [0] * nc
     mcu = 0
-    for by in range(bh_blocks):
-        for bx in range(bw_blocks):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.align()
                 p = br.p
@@ -1445,54 +1498,69 @@ def _jpeg_decode_scan(b, pos, sof, qtabs, huff, scan, restart_interval):
                     br.p = p + 2
                     prev_dc = [0] * nc
             for ci, (cs, td, ta) in enumerate(scan):
+                _cid, hi, vi, _tq = comps[ci]
                 dt = huff.get((0, td))
                 at = huff.get((1, ta))
                 if dt is None or at is None:
                     return None
-                size = _read_huff_symbol(br, dt)
-                if size is None or size > 11:
-                    return None
-                bits = br.read_bits(size) if size else 0
-                if bits is None:
-                    return None
-                prev_dc[ci] += _extend(bits, size)
-                zz = [0] * 64
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_huff_symbol(br, at)
-                    if sym is None:
-                        return None
-                    if sym == 0x00:
-                        break
-                    if sym == 0xF0:
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63 or size == 0:
-                        return None
-                    bits = br.read_bits(size)
-                    if bits is None:
-                        return None
-                    zz[k] = _extend(bits, size)
-                    k += 1
-                S = np.empty((8, 8), dtype=np.float64)
-                for k2 in range(64):
-                    S.flat[_ZIGZAG[k2]] = zz[k2]
-                S *= qt[ci]
-                block = C.T @ S @ C
-                pix = np.clip(np.round(block) + 128, 0, 255)
-                planes[ci][
-                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                ] = pix.astype(np.int32)
+                for bv in range(vi):
+                    for bh in range(hi):
+                        size = _read_huff_symbol(br, dt)
+                        if size is None or size > 11:
+                            return None
+                        bits = br.read_bits(size) if size else 0
+                        if bits is None:
+                            return None
+                        prev_dc[ci] += _extend(bits, size)
+                        zz = [0] * 64
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_huff_symbol(br, at)
+                            if sym is None:
+                                return None
+                            if sym == 0x00:
+                                break
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63 or size == 0:
+                                return None
+                            bits = br.read_bits(size)
+                            if bits is None:
+                                return None
+                            zz[k] = _extend(bits, size)
+                            k += 1
+                        S = np.empty((8, 8), dtype=np.float64)
+                        for k2 in range(64):
+                            S.flat[_ZIGZAG[k2]] = zz[k2]
+                        S *= qt[ci]
+                        block = C.T @ S @ C
+                        pix = np.clip(np.round(block) + 128, 0, 255)
+                        py = (my * vi + bv) * 8
+                        px = (mx * hi + bh) * 8
+                        planes[ci][py : py + 8, px : px + 8] = pix.astype(
+                            np.int32
+                        )
             mcu += 1
+
+    def full_res(ci):
+        """Upsample component ci to (h, w) by index replication —
+        integer index math (y·vi//vmax), the same pinned rule the SQL
+        oracle replays."""
+        _cid, hi, vi, _tq = comps[ci]
+        ys = (np.arange(h) * vi) // vmax
+        xs = (np.arange(w) * hi) // hmax
+        return planes[ci][np.ix_(ys, xs)]
+
     if nc == 1:
-        y = planes[0][:h, :w].astype(np.uint8)
+        y = full_res(0).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
-    Y = planes[0][:h, :w]
-    Cb = planes[1][:h, :w]
-    Cr = planes[2][:h, :w]
+    Y = full_res(0)
+    Cb = full_res(1)
+    Cr = full_res(2)
     # vectorized pinned integer conversion (same math as
     # _ycbcr_to_rgb_int: floor((1e6*Y + c*(C-128) + 5e5) / 1e6))
     M = 1_000_000

@@ -987,3 +987,52 @@ def resize_jpeg_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.select("id", "blob").mapInPandas(
         _resize, "id long, width int, height int, blob binary"
     )
+
+
+def synthetic_jpeg420_media(documents: DataFrame) -> DataFrame:
+    """4:2:0 baseline-JPEG fixture — the SUBSAMPLED counterpart of
+    `synthetic_jpeg_media`, exercising the real-world MCU layout
+    (four Y blocks + decimated chroma per 16x16 macroblock): pixels
+    are CONSTANT per macroblock, so chroma decimation and the
+    replication upsample are lossless and the DC-only/flat-quant-8
+    exactness argument carries over — every decoded pixel stays
+    closed-form in doc_id. Macroblock (mx, my) holds YCbCr =
+    ((s + 7mx + 3my) % 256, (2s + mx + 5my) % 256,
+    (3s + 4mx + my) % 256) with s = doc_id % 241,
+    sw = 16·(doc_id % 2 + 1), sh = 16·((doc_id//7) % 2 + 1)."""
+    from unitdb_spark.functions import media_codec as mc
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                mw, mh, s = d % 2 + 1, (d // 7) % 2 + 1, d % 241
+                MX, MY = np.meshgrid(np.arange(mw), np.arange(mh))
+                macros = np.stack(
+                    [
+                        (s + 7 * MX + 3 * MY) % 256,
+                        (2 * s + MX + 5 * MY) % 256,
+                        (3 * s + 4 * MX + MY) % 256,
+                    ],
+                    axis=-1,
+                )
+                arr = np.repeat(
+                    np.repeat(macros, 16, axis=0), 16, axis=1
+                ).astype(np.uint8)
+                blobs.append(
+                    mc.encode_jpeg_baseline(arr, quant=8, subsample="420")
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"].values,
+                    "media_type": "image",
+                    "blob": blobs,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _build, "id long, media_type string, blob binary"
+    )
