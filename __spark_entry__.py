@@ -6213,6 +6213,55 @@ def q_events_hll_overlap(spark, sf_dir):
     )
 
 
+def q_streamed_histq(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING quantile dashboard: each
+    micro-batch appends its fixed-bucket histogram partials via
+    foreachBatch (bucket counts are plain SUMs — mergeable, so the
+    folded histogram equals the one-shot build bitwise); the
+    read-time fold re-sums per (key, bucket) and finishes through
+    the SAME pinned interpolation (quantiles_from_histogram). Oracle
+    = the batch SQL verbatim — hash-match proves the streamed
+    histogram equals the batch histogram regardless of micro-batch
+    split."""
+    import uuid
+
+    from unitdb_spark.operators.sketch import (
+        histogram_counts,
+        quantiles_from_histogram,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    out = f"{base}/hq_{uuid.uuid4().hex[:8]}"
+    cp = f"{base}/hqcp_{uuid.uuid4().hex[:8]}"
+
+    stream = events_as_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _eid: histogram_counts(
+                df, "value", ["event_type"], 0.0, 1000.0, 20
+            ).write.mode("append").parquet(out)
+            if not df.isEmpty()
+            else None
+        )
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    hist = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("n_b").alias("n_b"))
+    )
+    return quantiles_from_histogram(
+        hist, ["event_type"], [0.5, 0.9, 0.99], 0.0, 1000.0, 20
+    )
+
+
 def q_media_jpeg420_resize(spark, sf_dir):
     """REAL pixel kernel for SUBSAMPLED baseline JPEG — the
     real-world 4:2:0 MCU layout (four Y blocks + decimated chroma
@@ -7440,6 +7489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_graph_drift": q_parts_graph_drift,
         "orders_rfm_migration": q_orders_rfm_migration,
         "media_jpeg420_resize": q_media_jpeg420_resize,
+        "streamed_histq": q_streamed_histq,
     }
 
 
@@ -14737,6 +14787,9 @@ def oracle_sql() -> dict[str, str]:
     # merge identity: daily registers re-MAXed == direct registers,
     # so the merged rollup shares the whole-period oracle verbatim
     d["events_hll_merged"] = _HLL_SQL
+    # rolling histogram-quantile twin: bucket counts merge by SUM,
+    # so the twin shares the batch oracle verbatim
+    d["streamed_histq"] = d["events_hist_quantiles"]
     # temporal graph drift: the two half-graphs as CTEs, set compare
     d["parts_graph_drift"] = """
         WITH j AS (

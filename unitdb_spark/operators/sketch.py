@@ -120,10 +120,30 @@ def histogram_quantiles(
         raise ValueError("histogram_quantiles: need at least one quantile")
     if not all(0.0 < q < 1.0 for q in quantiles):
         raise ValueError("histogram_quantiles: quantiles must be in (0, 1)")
+    hist = histogram_counts(df, value_col, keys, lo, hi, n_buckets)
+    return quantiles_from_histogram(
+        hist, keys, quantiles, lo, hi, n_buckets
+    )
+
+
+def histogram_counts(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """The fixed-bucket histogram relation (keys, bucket, n_b) —
+    `histogram_quantiles`' build stage split out because bucket
+    counts are the MERGEABLE state: partitions/days/stream batches
+    sum, so a rollup or a streaming twin folds partial histograms
+    and finishes through `quantiles_from_histogram` bit-identically
+    to the one-shot pass."""
     if n_buckets < 1:
-        raise ValueError("histogram_quantiles: n_buckets must be >= 1")
+        raise ValueError("histogram_counts: n_buckets must be >= 1")
     if not hi > lo:
-        raise ValueError("histogram_quantiles: need hi > lo (got a degenerate range)")
+        raise ValueError("histogram_counts: need hi > lo (got a degenerate range)")
     width = (hi - lo) / n_buckets
     bucket = F.least(
         F.greatest(
@@ -132,11 +152,25 @@ def histogram_quantiles(
         ),
         F.lit(n_buckets - 1),
     )
-    hist = (
+    return (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*keys, bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_b"))
     )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    keys: list[str],
+    quantiles: list[float],
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """`histogram_quantiles`' finish stage over an already-built (or
+    merged) histogram relation — the same pinned-order interpolation,
+    windows over keys × n_buckets rows only."""
+    width = (hi - lo) / n_buckets
     w_cum = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
