@@ -683,3 +683,41 @@ class TestJpeg420:
         idx = bytes(j).find(b"\xff\xc0")
         j[idx + 11] = 0x33  # Y sampling 3x3
         assert decode_jpeg_rgb(bytes(j)) is None
+
+
+class TestJpegRestarts:
+    def test_restart_markers_roundtrip_exact(self):
+        """DRI + RSTn every N MCUs: byte-aligned restarts with DC
+        predictor resets must decode bit-exactly — the T.81 error-
+        resilience machinery real-world encoders emit."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            _ycbcr_to_rgb_int,
+            decode_jpeg_rgb,
+            encode_jpeg_baseline,
+        )
+
+        rng = np.random.RandomState(9)
+        b8 = np.repeat(
+            np.repeat(rng.randint(0, 256, (4, 5, 3)), 8, axis=0), 8, axis=1
+        ).astype(np.uint8)
+        b16 = np.repeat(
+            np.repeat(rng.randint(0, 256, (2, 3, 3)), 16, axis=0), 16, axis=1
+        ).astype(np.uint8)
+        for arr, kw in [
+            (b8, {"restart_interval": 2}),
+            (b8, {"restart_interval": 1}),  # >8 restarts: index wraps
+            (b16, {"subsample": "420", "restart_interval": 2}),
+        ]:
+            j = encode_jpeg_baseline(arr, quant=8, **kw)
+            assert b"\xff\xdd" in j  # DRI present
+            dec = decode_jpeg_rgb(j)
+            assert dec is not None
+            exp = np.zeros_like(dec)
+            for y in range(arr.shape[0]):
+                for x in range(arr.shape[1]):
+                    exp[y, x] = _ycbcr_to_rgb_int(
+                        *[int(v) for v in arr[y, x]]
+                    )
+            assert np.array_equal(dec, exp), kw

@@ -1246,7 +1246,10 @@ def _encode_block(bw, block, qtab, C, prev_dc, dc_enc, ac_enc):
     return zz[0]
 
 
-def encode_jpeg_baseline(arr, quant: int = 8, subsample: str | None = None) -> bytes:
+def encode_jpeg_baseline(
+    arr, quant: int = 8, subsample: str | None = None,
+    restart_interval: int = 0,
+) -> bytes:
     """numpy (h, w, 3) uint8 Y/Cb/Cr planes (encoded as-is, NO RGB
     transform — the caller owns color space) or (h, w) grayscale ->
     a valid baseline JFIF. Flat quantization table of ``quant``
@@ -1258,7 +1261,12 @@ def encode_jpeg_baseline(arr, quant: int = 8, subsample: str | None = None) -> b
     ``subsample="420"`` emits 4:2:0 — Y at 2x2 sampling (four Y
     blocks per 16x16 MCU in raster order) with chroma decimated by
     taking the TOP-LEFT sample of each 2x2 (nearest — deterministic,
-    and exact on block-constant fixtures)."""
+    and exact on block-constant fixtures).
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every N MCUs (byte-aligned with 1-padding, DC predictors reset,
+    marker index mod 8 — the T.81 restart machinery real-world
+    encoders use for error resilience)."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -1288,8 +1296,14 @@ def encode_jpeg_baseline(arr, quant: int = 8, subsample: str | None = None) -> b
     mcus_x, mcus_y = pw // (8 * hmax), ph // (8 * vmax)
     bw = _BitWriter()
     prev_dc = [0] * ncomp
+    mcu, rst = 0, 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()  # byte-align with 1-padding per F.1.2.3
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                prev_dc = [0] * ncomp
             for c in range(ncomp):
                 hi, vi = samps[c]
                 for bv in range(vi):
@@ -1301,6 +1315,7 @@ def encode_jpeg_baseline(arr, quant: int = 8, subsample: str | None = None) -> b
                             comp_planes[c][py : py + 8, px : px + 8],
                             qtab, C, prev_dc[c], dc_enc, ac_enc,
                         )
+            mcu += 1
     bw.flush()
     out = bytearray(b"\xff\xd8")  # SOI
     out += (
@@ -1309,6 +1324,8 @@ def encode_jpeg_baseline(arr, quant: int = 8, subsample: str | None = None) -> b
     )
     dqt = bytes([0]) + bytes(int(qtab.flat[_ZIGZAG[k]]) for k in range(64))
     out += b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
         sof += bytes([c + 1, (samps[c][0] << 4) | samps[c][1], 0])
