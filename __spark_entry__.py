@@ -6487,6 +6487,95 @@ def q_parts_related_mrr(spark, sf_dir):
     return ranking_mrr(labeled, "item", "rank", "rel", k=10)
 
 
+def q_events_kruskal(spark, sf_dir):
+    """Kruskal-Wallis H across the five event types on value — the
+    k-sample omnibus to run BEFORE pairwise MWU tests inflate the
+    false-positive budget. Doubled midranks over the distinct-value
+    relation keep every rank sum exact; the statistic is defined in
+    floored micro units (order-free cross-group sum); the
+    tie-corrected h_r is the single pinned float."""
+    from unitdb_spark.operators.stats_tests import kruskal_wallis
+
+    ev = _events(spark, sf_dir)
+    return kruskal_wallis(ev, "value", F.col("event_type"))
+
+
+def q_events_anova(spark, sf_dir):
+    """One-way ANOVA F across event types on exact cents — the
+    parametric mean-separation twin of events_kruskal. Per-group
+    (n, Σx, Σx²) integer moments feed the shared anova_from_moments
+    finisher; sums of squares are floored-micro integers, F is one
+    pinned float chain, eta² an exact ppm."""
+    from unitdb_spark.operators.stats_tests import one_way_anova
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    return one_way_anova(ev, cents, F.col("event_type"))
+
+
+def q_events_friedman(spark, sf_dir):
+    """Friedman test over the day × event-type daily-revenue panel —
+    each day ranks the five types internally, so day-level traffic
+    shifts cancel exactly (the repeated-measures cousin of
+    events_kruskal). Complete blocks enforced; within-block doubled
+    midranks; S2/D2 exact BIGINTs; tie-general Q is one pinned
+    division."""
+    from unitdb_spark.operators.stats_tests import friedman_test
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    cells = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.sum(cents).alias("rev"))
+    return friedman_test(cells, "d", "event_type", "rev")
+
+
+def q_events_cochran(spark, sf_dir):
+    """Cochran's Q over the user × event-type engagement grid
+    (success = the user logged >= 14 events of that type): do the
+    five surfaces convert the SAME users at equal rates? The binary
+    repeated-measures member of the family (Friedman on 0/1 cells,
+    McNemar at k = 2); closed form — exact integer numerator and
+    denominator, one pinned division."""
+    from unitdb_spark.operators.stats_tests import cochran_q
+
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dense = (
+        ev.select("user_id").distinct()
+        .crossJoin(ev.select("event_type").distinct())
+        .join(per, ["user_id", "event_type"], "left")
+        .select(
+            "user_id", "event_type",
+            (F.coalesce("c", F.lit(0)) >= 14).cast("int").alias("x"),
+        )
+    )
+    return cochran_q(dense, "user_id", "event_type", "x")
+
+
+def q_events_kendall(spark, sf_dir):
+    """Kendall tau-b per event type between daily volume and daily
+    revenue cents — pair-level concordance with both tie corrections,
+    the quantization-proof companion of lineitem_spearman and the
+    two-variable sibling of events_mann_kendall. Pairwise over the
+    30-day cell relation (the mann_kendall bound); six exact integers
+    per key, one pinned float."""
+    from unitdb_spark.operators.stats_tests import kendall_tau_b
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    cells = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(cents).alias("rev"))
+        .withColumn(
+            "t", F.datediff("d", F.lit("2024-01-01").cast("date"))
+        )
+    )
+    return kendall_tau_b(cells, "event_type", "cnt", "rev", "t")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -7490,6 +7579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rfm_migration": q_orders_rfm_migration,
         "media_jpeg420_resize": q_media_jpeg420_resize,
         "streamed_histq": q_streamed_histq,
+        "events_kruskal": q_events_kruskal,
+        "events_anova": q_events_anova,
+        "events_friedman": q_events_friedman,
+        "events_cochran": q_events_cochran,
+        "events_kendall": q_events_kendall,
     }
 
 
@@ -14946,7 +15040,217 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
         """
     )
+    d["events_kruskal"] = """
+        WITH base AS (
+          SELECT value AS v, event_type AS g FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+        ), pv AS (
+          SELECT v, g, count(*) AS c_vg FROM base GROUP BY v, g
+        ), per_v AS (
+          SELECT v, sum(c_vg) AS t_v FROM pv GROUP BY v
+        ), rk AS (
+          SELECT v, t_v, coalesce(sum(t_v) OVER (
+            ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+          ), 0) AS below
+          FROM per_v
+        ), per_g AS (
+          SELECT g, sum(c_vg) AS n_j,
+            sum(CAST(c_vg AS HUGEINT)
+                * CAST(2 * below + t_v + 1 AS HUGEINT)) AS r_j2
+          FROM pv JOIN rk USING (v) GROUP BY g
+        ), tie AS (
+          SELECT sum(t_v) AS n,
+            sum(CAST(t_v AS HUGEINT) * t_v * t_v - t_v) AS tie3
+          FROM per_v
+        ), terms AS (
+          SELECT n, tie3,
+            (CAST(r_j2 AS HUGEINT) * r_j2 * 1000000)
+              // (CAST(4 AS HUGEINT) * n_j * n * (n + 1)) AS tm
+          FROM per_g, tie
+        ), agg AS (
+          SELECT CAST(count(*) AS INTEGER) AS k,
+            CAST(any_value(n) AS BIGINT) AS n,
+            CAST(any_value(tie3) AS HUGEINT) AS tie3,
+            CAST(12 * sum(tm)
+                 - 3 * (any_value(n) + 1) * 1000000 AS BIGINT) AS h_micro
+          FROM terms
+        )
+        SELECT k, n, h_micro,
+          CASE WHEN CAST(n AS HUGEINT) * n * n - n - tie3 > 0 THEN
+            round(CAST(h_micro AS DOUBLE) / 1000000.0
+              * CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)
+              / CAST(CAST(n AS HUGEINT) * n * n - n - tie3 AS DOUBLE), 6)
+          END AS h_r
+        FROM agg
+        """
+    d["events_anova"] = """
+        WITH base AS (
+          SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+            event_type AS g
+          FROM events WHERE value IS NOT NULL
+        ), m AS (
+          SELECT g, count(*) AS n_j, sum(x) AS s_j,
+            sum(CAST(x AS HUGEINT) * x) AS q_j
+          FROM base GROUP BY g
+        ), tot AS (
+          SELECT CAST(count(*) AS INTEGER) AS k, sum(n_j) AS n,
+            sum(CAST(s_j AS HUGEINT)) AS s, sum(q_j) AS q
+          FROM m
+        ), terms AS (
+          SELECT k, n, s, q,
+            ((CAST(s_j AS HUGEINT) * n - s * n_j)
+             * (CAST(s_j AS HUGEINT) * n - s * n_j) * 1000000)
+              // (CAST(n_j AS HUGEINT) * n * n) AS bt
+          FROM m, tot
+        ), agg AS (
+          SELECT k, CAST(n AS BIGINT) AS n,
+            CAST(sum(bt) AS BIGINT) AS ssb_micro,
+            CAST(((any_value(q) * any_value(n)
+                   - any_value(s) * any_value(s)) * 1000000)
+                 // any_value(n) AS BIGINT) AS sst_micro
+          FROM terms GROUP BY k, n, s, q
+        )
+        SELECT k, n, ssb_micro,
+          CAST(sst_micro - ssb_micro AS BIGINT) AS ssw_micro,
+          sst_micro,
+          CASE WHEN k >= 2 AND n > k AND sst_micro - ssb_micro > 0 THEN
+            round(CAST(ssb_micro AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+              / (CAST(sst_micro - ssb_micro AS DOUBLE)
+                 / CAST(n - k AS DOUBLE)), 6)
+          END AS f_r,
+          CASE WHEN sst_micro > 0 THEN
+            CAST((CAST(ssb_micro AS HUGEINT) * 1000000) // sst_micro
+                 AS BIGINT)
+          END AS eta2_ppm
+        FROM agg
+        """
+    d["events_friedman"] = """
+        WITH cells AS (
+          SELECT CAST(ts AS DATE) AS b, event_type AS t,
+            sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), k_row AS (
+          SELECT CAST(count(DISTINCT t) AS INTEGER) AS k FROM cells
+        ), complete AS (
+          SELECT b FROM cells GROUP BY b
+          HAVING count(*) = (SELECT k FROM k_row)
+        ), cb AS (
+          SELECT cells.* FROM cells JOIN complete USING (b)
+        ), pv AS (
+          SELECT b, v, count(*) AS t_v FROM cb GROUP BY b, v
+        ), rk AS (
+          SELECT b, v,
+            2 * coalesce(sum(t_v) OVER (
+              PARTITION BY b ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) + t_v + 1 AS rank2
+          FROM pv
+        ), ranked AS (
+          SELECT cb.t, rk.rank2
+          FROM cb JOIN rk ON cb.b = rk.b AND cb.v = rk.v
+        ), per_t AS (
+          SELECT t, sum(rank2) AS r_j2, count(*) AS n_b,
+            sum(CAST(rank2 AS HUGEINT) * rank2) AS r2sq
+          FROM ranked GROUP BY t
+        ), kn AS (
+          SELECT CAST(count(*) AS INTEGER) AS k,
+            CAST(min(n_b) AS BIGINT) AS n_blocks,
+            sum(r2sq) AS r2sq_tot
+          FROM per_t
+        ), s2t AS (
+          SELECT k, n_blocks, r2sq_tot,
+            sum((CAST(r_j2 AS HUGEINT)
+                 - CAST(n_blocks AS HUGEINT) * (k + 1))
+                * (CAST(r_j2 AS HUGEINT)
+                   - CAST(n_blocks AS HUGEINT) * (k + 1))) AS s2
+          FROM per_t, kn GROUP BY k, n_blocks, r2sq_tot
+        )
+        SELECT n_blocks, k, CAST(s2 AS BIGINT) AS s2,
+          CAST(r2sq_tot
+               - CAST(n_blocks AS HUGEINT) * k * (k + 1) * (k + 1)
+               AS BIGINT) AS d2,
+          CASE WHEN r2sq_tot
+                    - CAST(n_blocks AS HUGEINT) * k * (k + 1) * (k + 1)
+                    > 0 THEN
+            round(CAST(k - 1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              / CAST(r2sq_tot
+                     - CAST(n_blocks AS HUGEINT) * k * (k + 1) * (k + 1)
+                     AS DOUBLE), 6)
+          END AS q_r
+        FROM s2t
+        """
+    d["events_cochran"] = """
+        WITH per AS (
+          SELECT user_id, event_type, count(*) AS c
+          FROM events GROUP BY 1, 2
+        ), u AS (SELECT DISTINCT user_id FROM events),
+        ty AS (SELECT DISTINCT event_type FROM events),
+        dense AS (
+          SELECT u.user_id AS b, ty.event_type AS t,
+            CASE WHEN coalesce(per.c, 0) >= 14 THEN 1 ELSE 0 END AS x
+          FROM u CROSS JOIN ty
+          LEFT JOIN per ON per.user_id = u.user_id
+            AND per.event_type = ty.event_type
+        ), per_t AS (SELECT t, sum(x) AS c_j FROM dense GROUP BY t),
+        per_b AS (SELECT b, sum(x) AS l_i FROM dense GROUP BY b),
+        tt AS (
+          SELECT CAST(count(*) AS INTEGER) AS k, sum(c_j) AS n_tot,
+            sum(CAST(c_j AS HUGEINT) * c_j) AS c2
+          FROM per_t
+        ), bb AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+            sum(CAST(l_i AS HUGEINT) * l_i) AS l2
+          FROM per_b
+        )
+        SELECT n_blocks, k,
+          CAST((k - 1) * (k * c2 - CAST(n_tot AS HUGEINT) * n_tot)
+               AS BIGINT) AS q_num,
+          CAST(CAST(k AS HUGEINT) * n_tot - l2 AS BIGINT) AS q_den,
+          CASE WHEN CAST(k AS HUGEINT) * n_tot - l2 > 0 THEN
+            round(CAST((k - 1) * (k * c2 - CAST(n_tot AS HUGEINT) * n_tot)
+                       AS DOUBLE)
+              / CAST(CAST(k AS HUGEINT) * n_tot - l2 AS DOUBLE), 6)
+          END AS q_r
+        FROM tt, bb
+        """
+    d["events_kendall"] = """
+        WITH cells AS (
+          SELECT event_type AS k, CAST(ts AS DATE) AS d,
+            count(*) AS cnt,
+            sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), b AS (
+          SELECT k, datediff('day', DATE '2024-01-01', d) AS t,
+            CAST(cnt AS BIGINT) AS x, CAST(rev AS BIGINT) AS y
+          FROM cells
+        ), pairs AS (
+          SELECT i.k,
+            sign(j.x - i.x) * sign(j.y - i.y) AS ss,
+            sign(j.x - i.x) AS sx, sign(j.y - i.y) AS sy
+          FROM b i JOIN b j ON i.k = j.k AND i.t < j.t
+        ), agg AS (
+          SELECT k,
+            CAST(count(*) FILTER (ss > 0) AS BIGINT) AS n_c,
+            CAST(count(*) FILTER (ss < 0) AS BIGINT) AS n_d,
+            CAST(count(*) FILTER (sx = 0) AS BIGINT) AS tie_x,
+            CAST(count(*) FILTER (sy = 0) AS BIGINT) AS tie_y,
+            count(*) AS n_pairs
+          FROM pairs GROUP BY k
+        ), nn AS (
+          SELECT k, CAST(count(*) AS BIGINT) AS n_obs FROM b GROUP BY k
+        )
+        SELECT nn.k AS event_type, n_obs,
+          coalesce(n_c, 0) AS n_c, coalesce(n_d, 0) AS n_d,
+          coalesce(tie_x, 0) AS tie_x, coalesce(tie_y, 0) AS tie_y,
+          CASE WHEN n_pairs - tie_x > 0 AND n_pairs - tie_y > 0 THEN
+            round(CAST(n_c - n_d AS DOUBLE)
+              / sqrt(CAST(n_pairs - tie_x AS DOUBLE)
+                     * CAST(n_pairs - tie_y AS DOUBLE)), 6)
+          END AS tau_r
+        FROM nn LEFT JOIN agg ON nn.k = agg.k
+        """
     return d
+
 
 
 def _simhash_md5_cte() -> str:

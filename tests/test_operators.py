@@ -9107,3 +9107,239 @@ class TestTheilSen:
         df = spark.createDataFrame([("one", 0, 5)], "k string, t long, y long")
         (r,) = theil_sen(df, "k").collect()
         assert r.n_pairs == 0 and r.sen_slope_r is None
+
+
+class TestKruskalWallis:
+    def test_matches_hand_model_with_ties(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import kruskal_wallis
+
+        data = {"a": [1.0, 2.0, 2.0, 5.0], "b": [2.0, 4.0, 6.0],
+                "c": [3.0, 3.0, 7.0]}
+        rows = [(v, g) for g, vs in data.items() for v in vs]
+        df = spark.createDataFrame(rows, "v double, g string")
+        (r,) = kruskal_wallis(df, "v", F.col("g")).collect()
+        # midranks over pooled sorted values
+        import collections
+
+        pooled = sorted(v for vs in data.values() for v in vs)
+        cnt = collections.Counter(pooled)
+        below, mid = 0, {}
+        for v in sorted(cnt):
+            mid[v] = below + (cnt[v] + 1) / 2.0
+            below += cnt[v]
+        n = len(pooled)
+        h_micro = 0
+        for vs in data.values():
+            r_j2 = int(sum(2 * mid[v] for v in vs))
+            h_micro += (r_j2 * r_j2 * 1_000_000) // (
+                4 * len(vs) * n * (n + 1)
+            )
+        h_micro = 12 * h_micro - 3 * (n + 1) * 1_000_000
+        assert r.k == 3 and r.n == n and r.h_micro == h_micro
+        tie3 = sum(t**3 - t for t in cnt.values())
+        want = (
+            h_micro / 1e6 * (n**3 - n) / ((n**3 - n) - tie3)
+        )
+        assert abs(r.h_r - want) < 1e-5
+
+    def test_all_tied_null_h(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import kruskal_wallis
+
+        df = spark.createDataFrame(
+            [(1.0, "a"), (1.0, "a"), (1.0, "b")], "v double, g string"
+        )
+        (r,) = kruskal_wallis(df, "v", F.col("g")).collect()
+        assert r.h_r is None
+
+
+class TestOneWayAnova:
+    def test_matches_float_model(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import one_way_anova
+
+        data = {"a": [10, 12, 14], "b": [20, 21, 25, 26], "c": [9, 15]}
+        rows = [(v, g) for g, vs in data.items() for v in vs]
+        df = spark.createDataFrame(rows, "x long, g string")
+        (r,) = one_way_anova(df, "x", F.col("g")).collect()
+        import statistics
+
+        allv = [v for vs in data.values() for v in vs]
+        gm = sum(allv) / len(allv)
+        ssb = sum(
+            len(vs) * (statistics.mean(vs) - gm) ** 2
+            for vs in data.values()
+        )
+        sst = sum((v - gm) ** 2 for v in allv)
+        ssw = sst - ssb
+        k, n = 3, len(allv)
+        assert abs(r.ssb_micro / 1e6 - ssb) < 1e-3
+        assert abs(r.ssw_micro / 1e6 - ssw) < 1e-3
+        assert abs(r.f_r - (ssb / (k - 1)) / (ssw / (n - k))) < 1e-4
+        assert r.eta2_ppm == (r.ssb_micro * 1_000_000) // r.sst_micro
+
+    def test_constant_values_null_f(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import one_way_anova
+
+        df = spark.createDataFrame(
+            [(5, "a"), (5, "a"), (5, "b")], "x long, g string"
+        )
+        (r,) = one_way_anova(df, "x", F.col("g")).collect()
+        assert r.f_r is None and r.ssb_micro == 0 and r.ssw_micro == 0
+
+    def test_moment_fold_equals_one_shot(self, spark):
+        """Mergeability pin for the streaming twin: per-group moments
+        summed across two batches finish identically to the one-shot
+        aggregation."""
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import (
+            anova_from_moments,
+            one_way_anova,
+        )
+
+        rows = [(v, g) for g, vs in
+                {"a": [3, 9, 1, 7], "b": [4, 4, 8], "c": [2, 6]}.items()
+                for v in vs]
+        df = spark.createDataFrame(rows, "x long, g string")
+        one = one_way_anova(df, "x", F.col("g")).collect()
+        d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        halves = [df.filter("x <= 4"), df.filter("x > 4")]
+        partials = [
+            h.groupBy(F.col("g").alias("_g")).agg(
+                F.count(F.lit(1)).alias("n_j"),
+                F.sum("x").alias("s_j"),
+                F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("q_j"),
+            )
+            for h in halves
+        ]
+        folded = (
+            partials[0].unionByName(partials[1])
+            .groupBy("_g")
+            .agg(
+                F.sum("n_j").alias("n_j"),
+                F.sum("s_j").alias("s_j"),
+                F.sum("q_j").alias("q_j"),
+            )
+        )
+        two = anova_from_moments(folded).collect()
+        assert one == two
+
+
+class TestFriedman:
+    def test_matches_textbook_no_ties(self, spark):
+        from unitdb_spark.operators.stats_tests import friedman_test
+
+        # 4 blocks x 3 treatments, no ties within any block
+        panel = {
+            1: {"x": 10, "y": 20, "z": 30},
+            2: {"x": 15, "y": 12, "z": 40},
+            3: {"x": 8, "y": 22, "z": 9},
+            4: {"x": 5, "y": 11, "z": 12},
+        }
+        rows = [(b, t, v) for b, tv in panel.items()
+                for t, v in tv.items()]
+        df = spark.createDataFrame(rows, "b int, t string, v long")
+        (r,) = friedman_test(df, "b", "t", "v").collect()
+        # textbook: Q = 12/(nk(k+1)) sum R_j^2 - 3n(k+1)
+        ranks = {"x": 0.0, "y": 0.0, "z": 0.0}
+        for tv in panel.values():
+            order = sorted(tv, key=tv.get)
+            for i, t in enumerate(order):
+                ranks[t] += i + 1
+        n, k = 4, 3
+        q = (
+            12.0 / (n * k * (k + 1))
+            * sum(v * v for v in ranks.values())
+            - 3 * n * (k + 1)
+        )
+        assert r.n_blocks == n and r.k == k
+        assert abs(r.q_r - q) < 1e-6
+
+    def test_incomplete_blocks_drop(self, spark):
+        from unitdb_spark.operators.stats_tests import friedman_test
+
+        rows = [
+            (1, "x", 1), (1, "y", 2), (2, "x", 3),  # block 2 incomplete
+        ]
+        df = spark.createDataFrame(rows, "b int, t string, v long")
+        (r,) = friedman_test(df, "b", "t", "v").collect()
+        assert r.n_blocks == 1 and r.k == 2
+
+
+class TestCochranQ:
+    def test_matches_closed_form(self, spark):
+        from unitdb_spark.operators.stats_tests import cochran_q
+
+        grid = [
+            (1, [1, 1, 0]), (2, [1, 0, 0]), (3, [1, 1, 1]),
+            (4, [0, 1, 0]), (5, [1, 1, 0]), (6, [1, 0, 1]),
+        ]
+        rows = [(b, f"t{j}", x) for b, xs in grid for j, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "b int, t string, x int")
+        (r,) = cochran_q(df, "b", "t", "x").collect()
+        k = 3
+        cj = [sum(xs[j] for _, xs in grid) for j in range(k)]
+        li = [sum(xs) for _, xs in grid]
+        ntot = sum(cj)
+        num = (k - 1) * (k * sum(c * c for c in cj) - ntot * ntot)
+        den = k * ntot - sum(x * x for x in li)
+        assert r.q_num == num and r.q_den == den
+        assert abs(r.q_r - num / den) < 1e-6
+
+    def test_concordant_blocks_only_null(self, spark):
+        from unitdb_spark.operators.stats_tests import cochran_q
+
+        rows = [
+            (1, "a", 1), (1, "b", 1), (2, "a", 0), (2, "b", 0),
+        ]
+        df = spark.createDataFrame(rows, "b int, t string, x int")
+        (r,) = cochran_q(df, "b", "t", "x").collect()
+        assert r.q_den == 0 and r.q_r is None
+
+
+class TestKendallTauB:
+    def test_matches_bruteforce_with_ties(self, spark):
+        import itertools
+        import math
+
+        from unitdb_spark.operators.stats_tests import kendall_tau_b
+
+        xs = [3, 1, 4, 1, 5, 9, 2, 6, 5]
+        ys = [2, 7, 1, 8, 2, 8, 1, 8, 3]
+        rows = [("k", t, x, y) for t, (x, y) in
+                enumerate(zip(xs, ys))]
+        df = spark.createDataFrame(rows, "g string, t int, x long, y long")
+        (r,) = kendall_tau_b(df, "g", "x", "y", "t").collect()
+        c = d = tx = ty = 0
+        for (xa, ya), (xb, yb) in itertools.combinations(
+            zip(xs, ys), 2
+        ):
+            sx = (xb > xa) - (xb < xa)
+            sy = (yb > ya) - (yb < ya)
+            if sx == 0:
+                tx += 1
+            if sy == 0:
+                ty += 1
+            if sx * sy > 0:
+                c += 1
+            elif sx * sy < 0:
+                d += 1
+        n0 = len(xs) * (len(xs) - 1) // 2
+        assert (r.n_c, r.n_d, r.tie_x, r.tie_y) == (c, d, tx, ty)
+        want = (c - d) / math.sqrt((n0 - tx) * (n0 - ty))
+        assert abs(r.tau_r - want) < 1e-6
+
+    def test_constant_series_null(self, spark):
+        from unitdb_spark.operators.stats_tests import kendall_tau_b
+
+        rows = [("k", t, 5, t) for t in range(4)]
+        df = spark.createDataFrame(rows, "g string, t int, x long, y long")
+        (r,) = kendall_tau_b(df, "g", "x", "y", "t").collect()
+        assert r.tau_r is None and r.n_obs == 4

@@ -1660,3 +1660,482 @@ def theil_sen(
         F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
         F.round(F.col("_med"), 6).alias("sen_slope_r"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame, value_col: str, group_col
+) -> DataFrame:
+    """One-row Kruskal-Wallis H test across k groups — the k-sample
+    generalization of `mann_whitney_u` (Kruskal & Wallis 1952): does
+    ANY group's value distribution sit apart, without assuming
+    normality or equal variances. The omnibus check to run before
+    k·(k-1)/2 pairwise MWU tests inflate the false-positive budget.
+
+    Rank bookkeeping reuses the doubled-midrank trick: one cumulative
+    window over the DISTINCT-value relation gives 2·midrank =
+    2·below + t + 1 (an exact integer), so every per-group rank sum
+    R_j2 = 2·R_j is BIGINT-exact. The statistic is DEFINED in floored
+    micro units so the cross-group sum is order-free:
+
+        term_micro_j = (R_j2² · 1e6) div (4 · n_j · N · (N+1))
+        h_micro      = 12 · Σ_j term_micro_j − 3 · (N+1) · 1e6
+
+    (the algebraic identity H = 12/(N(N+1)) Σ R_j²/n_j − 3(N+1);
+    R_j2² = 4·R_j² cancels the 4· in the divisor, so each term is
+    R_j²·1e6/(n_j·N·(N+1)) exactly). The tie correction
+    C = 1 − Σ(t³−t)/(N³−N) divides once at the end: h_r =
+    h_micro/1e6 · (N³−N)/((N³−N) − tie3) — ONE pinned float
+    expression over exact integers, NULL when every value ties.
+
+    Output: (k, n, h_micro, h_r).
+
+    Scale: the window runs over the DISTINCT-value relation (values
+    quantize — cents, latencies — so it is bounded far below the row
+    count; the MWU argument). Per-term DECIMAL envelope: R_j2² · 1e6
+    ≤ 4·N²·n_j²·1e6 stays inside DECIMAL(38,0) to N ~ 1e7 rows per
+    group; past that, pre-aggregate rows onto value cells first (the
+    midrank math only needs per-value counts).
+    """
+    base = df.select(
+        F.col(value_col).alias("_v"),
+        group_col if not isinstance(group_col, str) else F.col(group_col),
+    ).toDF("_v", "_g").filter(
+        F.col("_v").isNotNull() & ~F.isnan(F.col("_v").cast("double"))
+    )
+    pv = base.groupBy("_v", "_g").agg(F.count(F.lit(1)).alias("c_vg"))
+    per_v = pv.groupBy("_v").agg(F.sum("c_vg").alias("t_v"))
+    w = (
+        Window.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = per_v.select(
+        "_v", "t_v",
+        F.coalesce(F.sum("t_v").over(w), F.lit(0)).alias("below"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = (
+        pv.join(rk, "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("c_vg").alias("n_j"),
+            F.sum(
+                d38(F.col("c_vg"))
+                * d38(F.lit(2) * F.col("below") + F.col("t_v") + 1)
+            ).alias("r_j2"),
+        )
+    )
+    tie = per_v.agg(
+        F.sum("t_v").alias("n"),
+        F.sum(
+            d38(F.col("t_v")) * d38(F.col("t_v")) * d38(F.col("t_v"))
+            - d38(F.col("t_v"))
+        ).alias("tie3"),
+    )
+    terms = per_g.join(F.broadcast(tie)).select(
+        "n_j", "n", "tie3",
+        F.expr(
+            "CAST((CAST(r_j2 AS DECIMAL(38,0)) * r_j2 * 1000000) "
+            "div (CAST(4 AS DECIMAL(38,0)) * n_j * n * (n + 1)) "
+            "AS BIGINT)"
+        ).alias("_tm"),
+    )
+    agg = terms.groupBy("n", "tie3").agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        (F.lit(12) * F.sum("_tm")
+         - F.lit(3) * (F.first("n") + 1) * F.lit(_PPM))
+        .cast("long").alias("h_micro"),
+    )
+    n3n = (
+        d38(F.col("n")) * F.col("n") * F.col("n") - F.col("n")
+    )
+    h = (
+        F.col("h_micro").cast("double") / F.lit(1_000_000.0)
+        * n3n.cast("double")
+        / (n3n - F.col("tie3")).cast("double")
+    )
+    return agg.select(
+        "k",
+        F.col("n").cast("long").alias("n"),
+        "h_micro",
+        F.when(
+            (n3n - F.col("tie3")) > 0, F.round(h, 6)
+        ).alias("h_r"),
+    )
+
+
+def anova_from_moments(moments: DataFrame) -> DataFrame:
+    """Finish a one-way ANOVA from per-group exact integer moments
+    (g, n_j, s_j = Σx, q_j = Σx²) — split out so the streaming twin
+    can fold mergeable (n, Σx, Σx²) cells into the SAME finisher
+    (`streaming twin` pattern: partial sums are order-free, so the
+    folded state equals the one-shot aggregation bitwise).
+
+    Sums of squares are DEFINED in floored micro units so every
+    cross-group sum is order-free integer arithmetic:
+
+        ssb_term_j = ((s_j·N − S·n_j)² · 1e6) div (n_j · N²)
+        sst_micro  = ((Q·N − S²) · 1e6) div N
+        ssw_micro  = sst_micro − Σ_j ssb_term_j
+
+    (the textbook SSB_j = n_j(x̄_j − x̄)² with the means cleared to
+    integer numerators). The F statistic is ONE pinned float chain
+    over those integers: (ssb/(k−1)) / (ssw/(N−k)), round-6, NULL
+    when k < 2 or ssw = 0; eta² is an exact integer ppm.
+
+    Output: (k, n, ssb_micro, ssw_micro, sst_micro, f_r, eta2_ppm).
+
+    Scale: k+1 rows after the per-group partial agg — the moment
+    relation IS the shuffle payload (three integers per group).
+    DECIMAL envelope: (s_j·N − S·n_j)² needs |x|·N ≲ 1e16 in the
+    input unit (cents): fine to ~1e11 rows of ~1e5-cent values.
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = moments.agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum("n_j").alias("n"),
+        F.sum(d38(F.col("s_j"))).alias("s"),
+        F.sum(d38(F.col("q_j"))).alias("q"),
+    )
+    terms = moments.join(F.broadcast(tot)).select(
+        "k", "n", "s", "q",
+        F.expr(
+            "CAST(((CAST(s_j AS DECIMAL(38,0)) * n - s * n_j) "
+            "* (CAST(s_j AS DECIMAL(38,0)) * n - s * n_j) * 1000000) "
+            "div (CAST(n_j AS DECIMAL(38,0)) * n * n) AS BIGINT)"
+        ).alias("_bt"),
+    )
+    agg = terms.groupBy("k", "n", "s", "q").agg(
+        F.sum("_bt").cast("long").alias("ssb_micro")
+    )
+    sst = F.expr(
+        "CAST(((q * n - s * s) * 1000000) div CAST(n AS DECIMAL(38,0)) "
+        "AS BIGINT)"
+    )
+    out = agg.select(
+        "k",
+        F.col("n").cast("long").alias("n"),
+        "ssb_micro",
+        (sst - F.col("ssb_micro")).cast("long").alias("ssw_micro"),
+        sst.alias("sst_micro"),
+    )
+    fstat = (
+        F.col("ssb_micro").cast("double")
+        / (F.col("k") - 1).cast("double")
+        / (
+            F.col("ssw_micro").cast("double")
+            / (F.col("n") - F.col("k")).cast("double")
+        )
+    )
+    return out.select(
+        "k", "n", "ssb_micro", "ssw_micro", "sst_micro",
+        F.when(
+            (F.col("k") >= 2) & (F.col("n") > F.col("k"))
+            & (F.col("ssw_micro") > 0),
+            F.round(fstat, 6),
+        ).alias("f_r"),
+        F.when(
+            F.col("sst_micro") > 0,
+            F.expr(
+                "CAST((CAST(ssb_micro AS DECIMAL(38,0)) * 1000000) "
+                "div sst_micro AS BIGINT)"
+            ),
+        ).cast("long").alias("eta2_ppm"),
+    )
+
+
+def one_way_anova(
+    df: DataFrame, value_col, group_col
+) -> DataFrame:
+    """One-row one-way ANOVA F test across k groups — the parametric
+    twin of `kruskal_wallis` (mean separation instead of rank
+    separation), and the k-sample generalization of the two-arm mean
+    test. ``value_col`` must already be an exact INTEGER unit (cents,
+    micro-units — the repo's pre/post convention), so the per-group
+    moments (n, Σx, Σx²) accumulate without float error.
+
+    One partial aggregation onto the k-row moment relation, then the
+    `anova_from_moments` finisher (shared verbatim with the streaming
+    twin). See that docstring for the floored-micro sum-of-squares
+    definition and the pinned-float F.
+
+    Output: (k, n, ssb_micro, ssw_micro, sst_micro, f_r, eta2_ppm).
+
+    Scale: map-side combine reduces everything to three integers per
+    group before the shuffle — the canonical "partial agg" shape; no
+    window, no distinct-value relation (contrast `kruskal_wallis`).
+    """
+    val = value_col if not isinstance(value_col, str) else F.col(value_col)
+    grp = group_col if not isinstance(group_col, str) else F.col(group_col)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = df.select(
+        val.cast("long").alias("_x"), grp.alias("_g")
+    ).filter(F.col("_x").isNotNull())
+    moments = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_j"),
+        F.sum("_x").alias("s_j"),
+        F.sum(d38(F.col("_x")) * d38(F.col("_x"))).alias("q_j"),
+    )
+    return anova_from_moments(moments)
+
+
+def friedman_test(
+    cells: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-row Friedman test over a blocks × treatments panel
+    (Friedman 1937) — the REPEATED-MEASURES cousin of
+    `kruskal_wallis`: each block (day, user, site) ranks the k
+    treatments internally, so between-block level differences cancel
+    exactly the way `wilcoxon_signed_rank` cancels between-unit
+    variance for k = 2.
+
+    Input: at most one integer observation per (block, treatment);
+    blocks missing any treatment are dropped (complete-block
+    contract, enforced here). Within-block doubled midranks make
+    every rank an exact integer (2·below + t + 1 over the per-value
+    relation INSIDE the block — a block-partitioned window, never
+    global). With R_j2 = Σ_blocks 2·rank:
+
+        S2 = Σ_j (R_j2 − n(k+1))²          (expected rank2 = n(k+1))
+        D2 = Σ_ij rank2² − n·k·(k+1)²      (tie-corrected denominator)
+        Q  = (k−1) · S2 / D2
+
+    — the general tied form (reduces to the textbook
+    12/(nk(k+1)) Σ R_j² − 3n(k+1) when no ties). S2 and D2 are exact
+    BIGINTs; Q is ONE pinned float division, NULL when every block
+    ranks all treatments identically tied (D2 = 0).
+
+    Output: (n_blocks, k, s2, d2, q_r).
+
+    Scale: cost is the CELL relation (blocks × k), not raw rows —
+    the upstream aggregation owns the reduction; all windows are
+    block-partitioned.
+    """
+    k_row = cells.select(F.col(treat_col).alias("_t")).distinct().agg(
+        F.count(F.lit(1)).cast("int").alias("k")
+    )
+    b = cells.select(
+        F.col(block_col).alias("_b"),
+        F.col(treat_col).alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    complete = (
+        b.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+        .join(F.broadcast(k_row))
+        .filter(F.col("_c") == F.col("k"))
+        .select("_b")
+    )
+    b = b.join(complete, "_b")
+    pv = b.groupBy("_b", "_v").agg(F.count(F.lit(1)).alias("t_v"))
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = pv.select(
+        "_b", "_v", "t_v",
+        F.coalesce(F.sum("t_v").over(w), F.lit(0)).alias("below"),
+    ).select(
+        "_b", "_v",
+        (F.lit(2) * F.col("below") + F.col("t_v") + 1).alias("rank2"),
+    )
+    ranked = b.join(rk, ["_b", "_v"])
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_t = ranked.groupBy("_t").agg(
+        F.sum("rank2").alias("r_j2"),
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum(d38(F.col("rank2")) * d38(F.col("rank2"))).alias("r2sq"),
+    )
+    kn = per_t.agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.min("n_b").cast("long").alias("n_blocks"),
+        F.sum(d38(F.col("r2sq"))).alias("r2sq_tot"),
+    )
+    s2 = (
+        per_t.join(F.broadcast(kn))
+        .select(
+            "k", "n_blocks", "r2sq_tot",
+            (
+                (d38(F.col("r_j2"))
+                 - d38(F.col("n_blocks")) * (F.col("k") + 1))
+                * (d38(F.col("r_j2"))
+                   - d38(F.col("n_blocks")) * (F.col("k") + 1))
+            ).alias("_sq"),
+        )
+        .groupBy("k", "n_blocks", "r2sq_tot")
+        .agg(F.sum("_sq").alias("s2"))
+    )
+    d2 = (
+        F.col("r2sq_tot")
+        - d38(F.col("n_blocks")) * F.col("k")
+        * (F.col("k") + 1) * (F.col("k") + 1)
+    )
+    q = (
+        (F.col("k") - 1).cast("double")
+        * F.col("s2").cast("double")
+        / d2.cast("double")
+    )
+    return s2.select(
+        F.col("n_blocks"),
+        "k",
+        F.col("s2").cast("long").alias("s2"),
+        d2.cast("long").alias("d2"),
+        F.when(d2 > 0, F.round(q, 6)).alias("q_r"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treat_col: str,
+    success_col: str,
+) -> DataFrame:
+    """One-row Cochran's Q test (Cochran 1950) — the BINARY
+    repeated-measures member of the family: k treatments judged
+    pass/fail by the same n blocks (did the user touch each surface?
+    did the filter pass each doc version?). Friedman with 0/1 cells
+    degenerates to exactly this, McNemar when k = 2.
+
+    Input: one 0/1 observation per (block, treatment) — build the
+    dense grid upstream (absent = 0 rows are part of the contract).
+    Blocks with every treatment equal (all 0 or all 1) contribute
+    nothing (standard) but are kept in n_blocks; the closed form
+    needs no ranks at all:
+
+        Q = (k−1) · (k·ΣC_j² − N²) / (k·N − ΣL_i²)
+
+    with C_j the per-treatment success totals, L_i the per-block
+    totals, N = ΣC_j = ΣL_i — every term an exact integer (numerator
+    and denominator emitted as BIGINT columns); Q is ONE pinned
+    float division, NULL when the denominator is 0 (no discordant
+    block anywhere).
+
+    Output: (n_blocks, k, q_num, q_den, q_r).
+
+    Scale: two partial aggregations (per treatment, per block) over
+    the cell grid — blocks × k rows, three integers on the wire; no
+    window anywhere.
+    """
+    b = df.select(
+        F.col(block_col).alias("_b"),
+        F.col(treat_col).alias("_t"),
+        F.col(success_col).cast("int").alias("_x"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_t = b.groupBy("_t").agg(F.sum("_x").alias("c_j"))
+    per_b = b.groupBy("_b").agg(F.sum("_x").alias("l_i"))
+    tt = per_t.agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum("c_j").alias("n_tot"),
+        F.sum(d38(F.col("c_j")) * d38(F.col("c_j"))).alias("c2"),
+    )
+    bb = per_b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(d38(F.col("l_i")) * d38(F.col("l_i"))).alias("l2"),
+    )
+    j = tt.join(F.broadcast(bb))
+    num = (
+        (F.col("k") - 1).cast("decimal(38,0)")
+        * (F.col("k") * F.col("c2")
+           - F.col("n_tot").cast("decimal(38,0)") * F.col("n_tot"))
+    )
+    den = (
+        F.col("k").cast("decimal(38,0)") * F.col("n_tot") - F.col("l2")
+    )
+    q = num.cast("double") / den.cast("double")
+    return j.select(
+        "n_blocks", "k",
+        num.cast("long").alias("q_num"),
+        den.cast("long").alias("q_den"),
+        F.when(den > 0, F.round(q, 6)).alias("q_r"),
+    )
+
+
+def kendall_tau_b(
+    cells: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    t_col: str,
+) -> DataFrame:
+    """Kendall tau-b between two integer series per key — the
+    concordance companion of `spearman_corr` (which prices rank
+    DISTANCE, not pair agreement) and the two-variable sibling of
+    `mann_kendall` (which IS Kendall of y against time). tau-b
+    applies the standard tie corrections in both variables, so
+    heavily quantized metrics (counts, cents) don't deflate the
+    score.
+
+    Pairwise over the per-key CELL relation (``t_col`` is the unique
+    in-key tag — days — so each unordered pair meets exactly once as
+    t_i < t_j): concordant / discordant / tie classification is
+    exact integer sign arithmetic. With n0 = n(n−1)/2, n1 = x-tied
+    pairs, n2 = y-tied pairs:
+
+        tau_b = (C − D) / sqrt((n0 − n1) · (n0 − n2))
+
+    ONE pinned float over six exact integers, NULL when either
+    variable is constant (denominator 0).
+
+    Output: (key, n_obs, n_c, n_d, tie_x, tie_y, tau_r).
+
+    Scale: the self-join is the mann_kendall/theil_sen pairwise
+    shape — cost Σ_k n_k², bounded by the CELL contract (days per
+    key, not events); everything after is one partial agg per key.
+    """
+    b = cells.select(
+        F.col(key_col).alias("_k"),
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    i = b.select(
+        "_k", F.col("_t").alias("_ti"),
+        F.col("_x").alias("_xi"), F.col("_y").alias("_yi"),
+    )
+    j = b.select(
+        "_k", F.col("_t").alias("_tj"),
+        F.col("_x").alias("_xj"), F.col("_y").alias("_yj"),
+    )
+    sx = F.signum((F.col("_xj") - F.col("_xi")).cast("double")).cast("int")
+    sy = F.signum((F.col("_yj") - F.col("_yi")).cast("double")).cast("int")
+    pairs = (
+        i.join(j, "_k")
+        .filter(F.col("_ti") < F.col("_tj"))
+        .select("_k", (sx * sy).alias("_ss"), sx.alias("_sx"), sy.alias("_sy"))
+    )
+    agg = pairs.groupBy("_k").agg(
+        F.count(F.when(F.col("_ss") > 0, 1)).cast("long").alias("n_c"),
+        F.count(F.when(F.col("_ss") < 0, 1)).cast("long").alias("n_d"),
+        F.count(F.when(F.col("_sx") == 0, 1)).cast("long").alias("tie_x"),
+        F.count(F.when(F.col("_sy") == 0, 1)).cast("long").alias("tie_y"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    n_obs = b.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    d0x = F.col("n_pairs") - F.col("tie_x")
+    d0y = F.col("n_pairs") - F.col("tie_y")
+    tau = (
+        (F.col("n_c") - F.col("n_d")).cast("double")
+        / F.sqrt(d0x.cast("double") * d0y.cast("double"))
+    )
+    return (
+        n_obs.join(agg, "_k", "left")
+        .select(
+            F.col("_k").alias(key_col),
+            "n_obs",
+            F.coalesce(F.col("n_c"), F.lit(0)).cast("long").alias("n_c"),
+            F.coalesce(F.col("n_d"), F.lit(0)).cast("long").alias("n_d"),
+            F.coalesce(F.col("tie_x"), F.lit(0)).cast("long")
+            .alias("tie_x"),
+            F.coalesce(F.col("tie_y"), F.lit(0)).cast("long")
+            .alias("tie_y"),
+            F.when(
+                (d0x > 0) & (d0y > 0), F.round(tau, 6)
+            ).alias("tau_r"),
+        )
+    )
