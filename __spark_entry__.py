@@ -6576,6 +6576,77 @@ def q_events_kendall(spark, sf_dir):
     return kendall_tau_b(cells, "event_type", "cnt", "rev", "t")
 
 
+def q_doc_auc(spark, sf_dir):
+    """Exact ROC AUC of the hashed linear classifier against the
+    Gopher gate as gold — the threshold-free ranking audit beside
+    doc_calibration (reliability) and doc_brier (proper score): the
+    Mann-Whitney identity prices P(score+ > score-) with ties at
+    half via the doubled-midrank window over DISTINCT quantized
+    scores; AUC and Gini are exact integer ppm."""
+    from unitdb_spark.operators.classify import classify_score
+    from unitdb_spark.operators.evaluation import auc_from_scores
+
+    scored = classify_score(_docs(spark, sf_dir), n_buckets=4096).select(
+        F.col("id").alias("doc_id"), "score"
+    )
+    gold = _gopher_planted(spark, sf_dir).select(
+        "doc_id", TXT.gopher_rules("text")["keep"].alias("gold")
+    )
+    return auc_from_scores(scored.join(gold, "doc_id"), "score", "gold")
+
+
+def q_doc_cum_gains(spark, sf_dir):
+    """Cumulative-gains / lift deciles of the classifier against the
+    Gopher gold — the selection-budget curve ("act on the top 30% by
+    score, capture what share of keepers at how many times the base
+    rate?"). ntile over (score DESC, doc_id); every ratio an exact
+    cross-multiplied integer ppm."""
+    from unitdb_spark.operators.classify import classify_score
+    from unitdb_spark.operators.evaluation import cumulative_gains
+
+    scored = classify_score(_docs(spark, sf_dir), n_buckets=4096).select(
+        F.col("id").alias("doc_id"), "score"
+    )
+    gold = _gopher_planted(spark, sf_dir).select(
+        "doc_id", TXT.gopher_rules("text")["keep"].alias("gold")
+    )
+    return cumulative_gains(
+        scored.join(gold, "doc_id"), "score", "gold", "doc_id", n_bins=10
+    )
+
+
+def q_parts_related_map(spark, sf_dir):
+    """MAP@10 of the related-items retrieval against the on-brand
+    relevance signal — the whole-list average-precision companion of
+    parts_related_ndcg (graded positions) and parts_related_mrr
+    (first hit): burying the second and third relevant items costs
+    what MRR cannot see. All-integer floor-micro precision terms."""
+    from unitdb_spark.operators.evaluation import ranking_map
+    from unitdb_spark.operators.graph import related_items
+
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    recs = related_items(li, "l_orderkey", "l_partkey", k=10, min_cooc=2)
+    labeled = (
+        recs.join(
+            part.select(
+                F.col("p_partkey").alias("item"),
+                F.col("p_brand").alias("_ba"),
+            ),
+            "item",
+        )
+        .join(
+            part.select(
+                F.col("p_partkey").alias("neighbor"),
+                F.col("p_brand").alias("_bb"),
+            ),
+            "neighbor",
+        )
+        .select("item", "rank", (F.col("_ba") == F.col("_bb")).alias("rel"))
+    )
+    return ranking_map(labeled, "item", "rank", "rel", k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -7584,6 +7655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_friedman": q_events_friedman,
         "events_cochran": q_events_cochran,
         "events_kendall": q_events_kendall,
+        "doc_auc": q_doc_auc,
+        "doc_cum_gains": q_doc_cum_gains,
+        "parts_related_map": q_parts_related_map,
     }
 
 
@@ -15249,7 +15323,135 @@ def oracle_sql() -> dict[str, str]:
           END AS tau_r
         FROM nn LEFT JOIN agg ON nn.k = agg.k
         """
+    # AUC rides the brier chain's score + gold CTEs; doubled-midrank
+    # window over the DISTINCT quantized-score relation
+    d["doc_auc"] = (
+        "WITH sc AS ("
+        + d["doc_classify_score"].replace(
+            "round(1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1)))), 6)"
+            " AS score_r",
+            "1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1)))) AS score",
+        )
+        + "), gf AS (" + d["doc_gopher_filter"] + "), "
+        """
+        j AS (
+          SELECT CAST(floor(sc.score * 1000000.0) AS BIGINT) AS sm,
+            gf.keep AS gold
+          FROM sc JOIN gf ON gf.doc_id = sc.id
+        ), per AS (
+          SELECT sm, count(*) FILTER (gold) AS np_v,
+            count(*) FILTER (NOT gold) AS nn_v
+          FROM j GROUP BY sm
+        ), rk AS (
+          SELECT np_v, nn_v, np_v + nn_v AS t_v,
+            coalesce(sum(np_v + nn_v) OVER (
+              ORDER BY sm ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING
+            ), 0) AS below
+          FROM per
+        ), agg AS (
+          SELECT CAST(sum(np_v) AS BIGINT) AS n_pos,
+            CAST(sum(nn_v) AS BIGINT) AS n_neg,
+            sum(CAST(np_v AS HUGEINT)
+                * CAST(2 * below + t_v + 1 AS HUGEINT)) AS rp2
+          FROM rk
+        )
+        SELECT n_pos, n_neg,
+          CAST(rp2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT)
+            AS u_pos2,
+          CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+            CAST(((rp2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 500000)
+                 // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+          END AS auc_ppm,
+          CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+            CAST(((rp2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000)
+                 // (CAST(n_pos AS HUGEINT) * n_neg) - 1000000 AS BIGINT)
+          END AS gini_ppm
+        FROM agg
+        """
+    )
+    # cumulative gains ride the same score + gold chain; deciles by
+    # (score DESC, doc_id), cumulative windows over the 10-row relation
+    d["doc_cum_gains"] = (
+        "WITH sc AS ("
+        + d["doc_classify_score"].replace(
+            "round(1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1)))), 6)"
+            " AS score_r",
+            "1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1)))) AS score",
+        )
+        + "), gf AS (" + d["doc_gopher_filter"] + "), "
+        """
+        j AS (
+          SELECT sc.id AS doc_id, sc.score, gf.keep AS gold
+          FROM sc JOIN gf ON gf.doc_id = sc.id
+        ), b AS (
+          SELECT ntile(10) OVER (ORDER BY score DESC, doc_id) AS bin,
+            gold
+          FROM j
+        ), bins AS (
+          SELECT bin, count(*) AS n, count(*) FILTER (gold) AS n_pos
+          FROM b GROUP BY 1
+        ), c AS (
+          SELECT bin, n, n_pos,
+            sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_n,
+            sum(n_pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cum_pos,
+            sum(n) OVER () AS nt, sum(n_pos) OVER () AS pt
+          FROM bins
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+          CAST(n_pos AS BIGINT) AS n_pos,
+          CAST(cum_n AS BIGINT) AS cum_n,
+          CAST(cum_pos AS BIGINT) AS cum_pos,
+          CASE WHEN pt > 0 THEN
+            CAST((cum_pos * 1000000) // pt AS BIGINT)
+          END AS gain_ppm,
+          CASE WHEN pt > 0 THEN
+            CAST((CAST(cum_pos AS HUGEINT) * nt * 1000000)
+                 // (CAST(cum_n AS HUGEINT) * pt) AS BIGINT)
+          END AS lift_ppm
+        FROM c
+        """
+    )
+    # MAP rides the related-items oracle like MRR: floor-micro
+    # precision at each relevant rank, AP normalized by in-list hits
+    d["parts_related_map"] = (
+        "WITH rr AS (" + d["parts_related"] + "), "
+        """
+        j AS (
+          SELECT rr.item, rr.rank, (pa.p_brand = pb.p_brand) AS rel
+          FROM rr
+          JOIN part pa ON pa.p_partkey = rr.item
+          JOIN part pb ON pb.p_partkey = rr.neighbor
+        ), b AS (
+          SELECT item, rank, rel FROM j WHERE rank BETWEEN 1 AND 10
+        ), cum AS (
+          SELECT item, rank, rel,
+            sum(CASE WHEN rel THEN 1 ELSE 0 END) OVER (
+              PARTITION BY item ORDER BY rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS c
+          FROM b
+        ), per AS (
+          SELECT item,
+            sum(CASE WHEN rel THEN (c * 1000000) // rank
+                     ELSE 0 END) AS psum,
+            count(*) FILTER (rel) AS nrel
+          FROM cum GROUP BY item
+        ), ap AS (
+          SELECT item, nrel,
+            CASE WHEN nrel > 0 THEN psum // nrel ELSE 0 END AS ap
+          FROM per
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+          CAST(count(*) FILTER (nrel > 0) AS BIGINT) AS n_with_rel,
+          CAST(sum(ap) // count(*) AS BIGINT) AS map_micro
+        FROM ap
+        """
+    )
     return d
+
 
 
 

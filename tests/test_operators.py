@@ -9343,3 +9343,95 @@ class TestKendallTauB:
         df = spark.createDataFrame(rows, "g string, t int, x long, y long")
         (r,) = kendall_tau_b(df, "g", "x", "y", "t").collect()
         assert r.tau_r is None and r.n_obs == 4
+
+
+class TestAucFromScores:
+    def test_matches_pairwise_definition(self, spark):
+        import itertools
+
+        from unitdb_spark.operators.evaluation import auc_from_scores
+
+        pos = [0.9, 0.7, 0.7, 0.4]
+        neg = [0.8, 0.7, 0.3, 0.3, 0.1]
+        rows = [(s, True) for s in pos] + [(s, False) for s in neg]
+        df = spark.createDataFrame(rows, "score double, y boolean")
+        (r,) = auc_from_scores(df, "score", "y").collect()
+        gt = ht = 0
+        for p, n in itertools.product(pos, neg):
+            if p > n:
+                gt += 1
+            elif p == n:
+                ht += 1
+        # u_pos2 = 2*U+ counts ties once each
+        assert r.n_pos == 4 and r.n_neg == 5
+        assert r.u_pos2 == 2 * gt + ht
+        assert r.auc_ppm == (r.u_pos2 * 500_000) // (4 * 5)
+        assert r.gini_ppm == (r.u_pos2 * 1_000_000) // (4 * 5) - 1_000_000
+
+    def test_perfect_and_degenerate(self, spark):
+        from unitdb_spark.operators.evaluation import auc_from_scores
+
+        rows = [(0.9, True), (0.8, True), (0.2, False)]
+        (r,) = auc_from_scores(
+            spark.createDataFrame(rows, "score double, y boolean"),
+            "score", "y",
+        ).collect()
+        assert r.auc_ppm == 1_000_000 and r.gini_ppm == 1_000_000
+        (r2,) = auc_from_scores(
+            spark.createDataFrame(
+                [(0.5, True), (0.4, True)], "score double, y boolean"
+            ),
+            "score", "y",
+        ).collect()
+        assert r2.n_neg == 0 and r2.auc_ppm is None
+
+
+class TestRankingMap:
+    def test_hand_computed_ap(self, spark):
+        from unitdb_spark.operators.evaluation import ranking_map
+
+        # q1: rel at ranks 1 and 3 -> AP = (1/1 + 2/3)/2
+        # q2: rel at rank 2        -> AP = (1/2)/1
+        # q3: no rel               -> AP = 0, stays in denominator
+        rows = (
+            [("q1", 1, True), ("q1", 2, False), ("q1", 3, True)]
+            + [("q2", 1, False), ("q2", 2, True)]
+            + [("q3", 1, False), ("q3", 2, False)]
+        )
+        df = spark.createDataFrame(rows, "q string, rank int, rel boolean")
+        (r,) = ranking_map(df, "q", "rank", "rel", k=10).collect()
+        ap1 = (1_000_000 + (2 * 1_000_000) // 3) // 2
+        ap2 = 500_000
+        assert r.n_queries == 3 and r.n_with_rel == 2
+        assert r.map_micro == (ap1 + ap2 + 0) // 3
+
+    def test_rank_k_cutoff(self, spark):
+        from unitdb_spark.operators.evaluation import ranking_map
+
+        rows = [("q", 1, False), ("q", 2, True), ("q", 3, True)]
+        df = spark.createDataFrame(rows, "q string, rank int, rel boolean")
+        (r,) = ranking_map(df, "q", "rank", "rel", k=2).collect()
+        # only rank <= 2 counts: one hit at rank 2
+        assert r.map_micro == 500_000
+
+
+class TestCumulativeGains:
+    def test_hand_model_and_invariants(self, spark):
+        from unitdb_spark.operators.evaluation import cumulative_gains
+
+        # 10 rows, descending score; positives concentrated on top
+        rows = [
+            (i, 1.0 - i / 10.0, i < 3) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "id int, score double, y boolean")
+        out = cumulative_gains(df, "score", "y", "id", n_bins=5).collect()
+        assert [r.bin for r in out] == [1, 2, 3, 4, 5]
+        assert [r.n for r in out] == [2] * 5
+        # top bin holds 2 of the 3 positives
+        top = out[0]
+        assert top.cum_pos == 2
+        assert top.gain_ppm == (2 * 1_000_000) // 3
+        assert top.lift_ppm == (2 * 10 * 1_000_000) // (2 * 3)
+        # the full prefix always captures everything at lift 1
+        last = out[-1]
+        assert last.gain_ppm == 1_000_000 and last.lift_ppm == 1_000_000

@@ -42,6 +42,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "lineitem_spearman": "rank windows over the distinct-value relations of the two variables",
     "orders_benford": "digit-share window over the 9-row leading-digit relation",
     "doc_calibration": "ntile + reliability windows over scores then the 10-row decile relation",
+    "doc_auc": "doubled-midrank cumulative window over the DISTINCT quantized-score relation (<= 1e6+1 rows by construction)",
+    "doc_cum_gains": "ntile over (score, id) then cumulative windows over the 10-row decile relation (the doc_calibration class)",
     "events_survival": "at-risk cumulative window over the per-day event-time relation",
     "events_logrank": "per-arm at-risk cumulative windows over the pooled per-day relation",
     "events_ks": "CDF-gap cumulative window over the pooled distinct-value relation",

@@ -946,3 +946,226 @@ def quantile_treatment_effect(
         "decile", "n_a", "n_b", "qa", "qb",
         (F.col("qb") - F.col("qa")).alias("diff"),
     )
+
+
+def auc_from_scores(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """One-row exact ROC AUC of a probabilistic scorer against a gold
+    boolean — the threshold-free RANKING companion of
+    `calibration_report` (is the score well-ordered?) and
+    `brier_score` (is it well-priced?): AUC = P(score⁺ > score⁻) with
+    ties at half, i.e. the Mann-Whitney identity (Hanley & McNeil
+    1982), so the same doubled-midrank machinery prices it exactly.
+
+    Per-row score_micro = floor(score·1e6) is the only float touch
+    (the family's shared pinned quantization, so all three audits
+    grade the SAME quantized scorer). One cumulative window over the
+    DISTINCT-score relation gives 2·midrank = 2·below + t + 1; with
+    u_pos2 = 2·U⁺ = R⁺2 − n_pos(n_pos+1):
+
+        auc_ppm  = (u_pos2 · 500000)  div (n_pos · n_neg)
+        gini_ppm = (u_pos2 · 1000000) div (n_pos · n_neg) − 1e6
+
+    — all integers, NULL when either class is empty.
+
+    Output: (n_pos, n_neg, u_pos2, auc_ppm, gini_ppm).
+
+    Scale: the window relation is DISTINCT quantized scores (≤ 1e6+1
+    rows by construction — the micro grid), never the corpus; the
+    per-score counts are one map-side-combined aggregation.
+    """
+    base = df.select(
+        F.floor(F.col(score_col).cast("double") * F.lit(1_000_000.0))
+        .cast("long").alias("_sm"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    per = base.groupBy("_sm").agg(
+        F.count(F.when(F.col("_y"), 1)).alias("np_v"),
+        F.count(F.when(~F.col("_y"), 1)).alias("nn_v"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("_sm")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per.select(
+        "np_v", "nn_v",
+        (F.col("np_v") + F.col("nn_v")).alias("t_v"),
+        F.coalesce(
+            F.sum(F.col("np_v") + F.col("nn_v")).over(w), F.lit(0)
+        ).alias("below"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.agg(
+        F.sum("np_v").cast("long").alias("n_pos"),
+        F.sum("nn_v").cast("long").alias("n_neg"),
+        F.sum(
+            d38(F.col("np_v"))
+            * d38(F.lit(2) * F.col("below") + F.col("t_v") + 1)
+        ).alias("_rp2"),
+    )
+    u2 = F.col("_rp2") - d38(F.col("n_pos")) * (F.col("n_pos") + 1)
+    both = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return agg.select(
+        "n_pos", "n_neg",
+        u2.cast("long").alias("u_pos2"),
+    ).select(
+        "n_pos", "n_neg", "u_pos2",
+        F.when(
+            both,
+            F.expr(
+                "CAST((CAST(u_pos2 AS DECIMAL(38,0)) * 500000) "
+                "div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+            ),
+        ).alias("auc_ppm"),
+        F.when(
+            both,
+            F.expr(
+                "CAST((CAST(u_pos2 AS DECIMAL(38,0)) * 1000000) "
+                "div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) "
+                "- 1000000 AS BIGINT)"
+            ),
+        ).alias("gini_ppm"),
+    )
+
+
+def ranking_map(
+    recs: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """One-row mean average precision@k over an already-ranked
+    retrieval table — the whole-list companion of `ranking_mrr`
+    (first hit only) and `ranking_ndcg` (graded positions): AP
+    averages precision AT EACH relevant position, so burying the
+    second and third hits costs what MRR cannot see. Binary
+    relevance.
+
+    All-integer: at each relevant rank r ≤ k, precision_micro =
+    (cum_rel·1e6) div r (cum_rel from a per-query rank-ordered
+    window); per query AP_micro = (Σ precision_micro) div n_rel_in_k
+    — normalized by the query's relevant count INSIDE the top-k list
+    (the labeled list is the ground truth here; queries with no
+    relevant hit score 0 and stay in the denominator, the
+    `ranking_mrr` convention); MAP_micro = (Σ AP_micro) div
+    n_queries.
+
+    Output: (n_queries, n_with_rel, map_micro).
+
+    Scale: input is a top-k relation (queries × k rows —
+    control-plane); one per-query window on its own key + two
+    aggregations. No corpus access.
+    """
+    base = recs.select(
+        F.col(query_col).alias("_q"),
+        F.col(rank_col).cast("long").alias("_r"),
+        F.col(rel_col).cast("boolean").alias("_rel"),
+    ).filter((F.col("_r") >= 1) & (F.col("_r") <= k))
+    w = (
+        Window.partitionBy("_q")
+        .orderBy("_r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = base.select(
+        "_q", "_r", "_rel",
+        F.sum(F.col("_rel").cast("long")).over(w).alias("_cum"),
+    )
+    per = cum.groupBy("_q").agg(
+        F.sum(
+            F.when(
+                F.col("_rel"),
+                F.expr("(_cum * 1000000L) div _r"),
+            ).otherwise(F.lit(0))
+        ).alias("_psum"),
+        F.count(F.when(F.col("_rel"), 1)).alias("_nrel"),
+    )
+    ap = per.select(
+        "_q", "_nrel",
+        F.when(
+            F.col("_nrel") > 0,
+            F.expr("_psum div _nrel"),
+        ).otherwise(F.lit(0)).cast("long").alias("_ap"),
+    )
+    return ap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.count(F.when(F.col("_nrel") > 0, 1)).cast("long")
+        .alias("n_with_rel"),
+        F.expr("CAST(sum(_ap) div count(*) AS BIGINT)").alias("map_micro"),
+    )
+
+
+def cumulative_gains(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Cumulative-gains / lift table by score decile — the CAMPAIGN
+    reading of a classifier next to `calibration_report`'s
+    reliability reading: "if we act on the top 30% by score, what
+    share of all positives do we capture, and at how many times the
+    base rate?". The curve a selection budget is tuned against.
+
+    Deciles come from ntile over (score DESC, id) — best-scored
+    first, id tie-break pinned; per cumulative prefix (top 1..b
+    bins):
+
+        gain_ppm = (cum_pos · 1e6) div P
+        lift_ppm = (cum_pos · N · 1e6) div (cum_n · P)
+
+    — exact integer cross-multiplied ratios (N rows, P positives
+    total), so random targeting reads lift_ppm ≈ 1e6 with no float
+    anywhere.
+
+    Output: (bin, n, n_pos, cum_n, cum_pos, gain_ppm, lift_ppm).
+
+    Scale: the same global (score, id) sort contract as
+    `calibration_report` — at 100 TB replace ntile with precomputed
+    approx-quantile score boundaries (one pass + broadcast); the
+    cumulative windows run over the n_bins-row relation.
+    """
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    base = df.select(
+        F.ntile(n_bins).over(w).alias("bin"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    bins = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("_y"), 1)).alias("n_pos"),
+    )
+    wc = (
+        Window.partitionBy()
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy()
+    cum = bins.select(
+        "bin", "n", "n_pos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+        F.sum("n").over(wall).alias("_nt"),
+        F.sum("n_pos").over(wall).alias("_pt"),
+    )
+    return cum.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n", "n_pos",
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("cum_pos").cast("long").alias("cum_pos"),
+        F.when(
+            F.col("_pt") > 0,
+            F.expr("(cum_pos * 1000000L) div _pt"),
+        ).cast("long").alias("gain_ppm"),
+        F.when(
+            F.col("_pt") > 0,
+            F.expr(
+                "CAST((CAST(cum_pos AS DECIMAL(38,0)) * _nt * 1000000) "
+                "div (CAST(cum_n AS DECIMAL(38,0)) * _pt) AS BIGINT)"
+            ),
+        ).alias("lift_ppm"),
+    )
