@@ -6647,6 +6647,41 @@ def q_parts_related_map(spark, sf_dir):
     return ranking_map(labeled, "item", "rank", "rel", k=10)
 
 
+def q_doc_source_js(spark, sf_dir):
+    """Per-source Jensen-Shannon divergence from the corpus unigram
+    distribution — the symmetric, bounded ([0, log10 2]) companion of
+    doc_source_kl, so sources are comparable on one scale. Observed
+    (source, term) types carry two round-6 log10s; the never-touched
+    corpus tail is the algebraic log10(2)·complement-mass term; exact
+    decimal sums, one pinned float finish."""
+    from unitdb_spark.operators.tfidf import source_unigram_js
+
+    return source_unigram_js(_docs(spark, sf_dir))
+
+
+def q_events_sax(spark, sf_dir):
+    """SAX-style motif discovery per event type: the daily revenue
+    series symbolized by equal-frequency ntile(4) letters (scale-free,
+    float-free, deterministic), 3-day contiguous words counted, top-3
+    recurring shapes per type — the symbolic pattern companion of
+    events_dominant_period. Calendar gaps cannot fabricate a motif
+    (lead(t, i) = t + i enforced)."""
+    from unitdb_spark.operators.timeseries import sax_motifs
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    cells = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum(cents).alias("rev"))
+        .withColumn(
+            "t", F.datediff("d", F.lit("2024-01-01").cast("date"))
+        )
+    )
+    return sax_motifs(
+        cells, "event_type", "t", "rev", alphabet=4, word_len=3, top_k=3
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -7658,6 +7693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_auc": q_doc_auc,
         "doc_cum_gains": q_doc_cum_gains,
         "parts_related_map": q_parts_related_map,
+        "doc_source_js": q_doc_source_js,
+        "events_sax": q_events_sax,
     }
 
 
@@ -15450,7 +15487,85 @@ def oracle_sql() -> dict[str, str]:
         FROM ap
         """
     )
+    # Jensen-Shannon rides the KL token/type CTE shape; the unseen
+    # corpus tail is the literal log10(2) complement-mass identity
+    d["doc_source_js"] = """
+        WITH tok AS (
+          SELECT source AS src, u.t AS term
+          FROM documents, unnest({toks}) AS u(t)
+        ), st AS (
+          SELECT src, term, count(*) AS c_st FROM tok GROUP BY 1, 2
+        ), ts AS (
+          SELECT src, sum(c_st) AS t_s FROM st GROUP BY 1
+        ), ct AS (
+          SELECT term, sum(c_st) AS c_t FROM st GROUP BY 1
+        ), nn AS (
+          SELECT sum(t_s) AS nt FROM ts
+        ), lp AS (
+          SELECT st.src, st.c_st, ct.c_t,
+            CAST(round(log10(
+              (CAST(st.c_st AS DOUBLE) / CAST(ts.t_s AS DOUBLE))
+              / ((CAST(st.c_st AS DOUBLE) / CAST(ts.t_s AS DOUBLE)
+                  + CAST(ct.c_t AS DOUBLE) / CAST(nn.nt AS DOUBLE))
+                 / 2.0)
+            ), 6) AS DECIMAL(18,6)) AS l1,
+            CAST(round(log10(
+              (CAST(ct.c_t AS DOUBLE) / CAST(nn.nt AS DOUBLE))
+              / ((CAST(st.c_st AS DOUBLE) / CAST(ts.t_s AS DOUBLE)
+                  + CAST(ct.c_t AS DOUBLE) / CAST(nn.nt AS DOUBLE))
+                 / 2.0)
+            ), 6) AS DECIMAL(18,6)) AS l2
+          FROM st JOIN ts USING (src) JOIN ct USING (term)
+          CROSS JOIN nn
+        ), agg AS (
+          SELECT src,
+            sum(CAST(c_st AS DECIMAL(18,0)) * l1) AS s1,
+            sum(CAST(c_t AS DECIMAL(18,0)) * l2) AS s2,
+            sum(c_t) AS cs,
+            CAST(count(*) AS BIGINT) AS n_types,
+            CAST(sum(c_st) AS BIGINT) AS n_tokens
+          FROM lp GROUP BY src
+        )
+        SELECT agg.src AS source, n_tokens, n_types,
+          round((CAST(s1 AS DOUBLE) / CAST(ts.t_s AS DOUBLE)
+                 + CAST(s2 + CAST('0.301030' AS DECIMAL(18,6))
+                          * CAST(nn.nt - cs AS DECIMAL(18,0))
+                        AS DOUBLE) / CAST(nn.nt AS DOUBLE)) / 2.0,
+                6) AS js_r
+        FROM agg JOIN ts ON ts.src = agg.src CROSS JOIN nn
+        """.replace("{toks}", _TOKS)
+    d["events_sax"] = """
+        WITH cells AS (
+          SELECT event_type AS k,
+            datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+            sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), sym AS (
+          SELECT k, t,
+            list_extract(['a', 'b', 'c', 'd'],
+              ntile(4) OVER (PARTITION BY k ORDER BY y, t)) AS s
+          FROM cells
+        ), words AS (
+          SELECT k,
+            s || lead(s, 1) OVER w || lead(s, 2) OVER w AS wd,
+            (lead(t, 1) OVER w = t + 1
+             AND lead(t, 2) OVER w = t + 2) AS ok
+          FROM sym WINDOW w AS (PARTITION BY k ORDER BY t)
+        ), counts AS (
+          SELECT k, wd, CAST(count(*) AS BIGINT) AS n FROM words
+          WHERE ok AND wd IS NOT NULL GROUP BY 1, 2
+        ), ranked AS (
+          SELECT k, wd, n,
+            row_number() OVER (PARTITION BY k ORDER BY n DESC, wd)
+              AS rank
+          FROM counts
+        )
+        SELECT k AS event_type, wd AS motif, n,
+          CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
+        """
     return d
+
 
 
 

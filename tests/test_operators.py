@@ -9435,3 +9435,73 @@ class TestCumulativeGains:
         # the full prefix always captures everything at lift 1
         last = out[-1]
         assert last.gain_ppm == 1_000_000 and last.lift_ppm == 1_000_000
+
+
+class TestSourceUnigramJs:
+    def test_identical_sources_zero_and_bounds(self, spark):
+        from unitdb_spark.operators.tfidf import source_unigram_js
+
+        rows = [
+            (1, "alpha beta beta gamma", "s1"),
+            (2, "alpha beta beta gamma", "s2"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r.source: r for r in source_unigram_js(df).collect()}
+        # both sources match the corpus distribution exactly -> JS = 0
+        assert out["s1"].js_r == 0.0 and out["s2"].js_r == 0.0
+        assert out["s1"].n_tokens == 4 and out["s1"].n_types == 3
+
+    def test_disjoint_vocab_hits_log2_bound(self, spark):
+        import math
+
+        from unitdb_spark.operators.tfidf import source_unigram_js
+
+        rows = [(1, "aa aa aa", "s1"), (2, "bb bb bb", "s2")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r.source: r for r in source_unigram_js(df).collect()}
+        # the corpus CONTAINS the source (p=1, q=1/2, m=3/4 on the own
+        # term; complement mass 1/2 at the exact log10(2) tail):
+        # JS = (log10(4/3) + (1/2)·log10(2/3) + log10(2)/2) / 2
+        want = (
+            math.log10(4 / 3)
+            + 0.5 * math.log10(2 / 3)
+            + math.log10(2) / 2
+        ) / 2
+        for r in out.values():
+            assert abs(r.js_r - want) < 2e-6
+            assert 0.0 <= r.js_r <= 0.301031
+
+
+class TestSaxMotifs:
+    def test_hand_series_and_gap_guard(self, spark):
+        from unitdb_spark.operators.timeseries import sax_motifs
+
+        # 8 contiguous days; values repeat a low-low-high cycle.
+        ys = [1, 2, 9, 1, 2, 9, 1, 2]
+        rows = [("k", t, y) for t, y in enumerate(ys)]
+        df = spark.createDataFrame(rows, "k string, t long, y long")
+        out = sax_motifs(df, "k", "t", "y", alphabet=2, word_len=3,
+                         top_k=2).collect()
+        # ntile(2) over (y, t): 4 lowest (1,1,1,2) -> 'a', rest 'b'
+        # seq: a a b a b b a b -> words: aab aba bab abb bba bab
+        top = out[0]
+        assert top.motif == "bab" and top.n == 2 and top.rank == 1
+        # a calendar gap must break the word stream
+        rows_gap = [("k", t, y) for t, y in
+                    [(0, 1), (1, 2), (3, 9), (4, 1), (5, 2)]]
+        df2 = spark.createDataFrame(rows_gap, "k string, t long, y long")
+        out2 = sax_motifs(df2, "k", "t", "y", alphabet=2, word_len=3,
+                          top_k=5).collect()
+        # only t=3,4,5 are contiguous -> exactly one word
+        assert sum(r.n for r in out2) == 1
+
+    def test_validation(self, spark):
+        import pytest
+
+        from unitdb_spark.operators.timeseries import sax_motifs
+
+        df = spark.createDataFrame([("k", 0, 1)], "k string, t long, y long")
+        with pytest.raises(ValueError):
+            sax_motifs(df, "k", "t", "y", alphabet=1)
+        with pytest.raises(ValueError):
+            sax_motifs(df, "k", "t", "y", word_len=1)

@@ -858,3 +858,89 @@ def heaps_law(
         F.when(den != 0, F.round(slope, 6)).alias("beta_r"),
         F.when(den != 0, F.round((syd - slope * sxd) / kd, 6)).alias("logk_r"),
     )
+
+
+def source_unigram_js(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the corpus unigram
+    distribution — the SYMMETRIC, bounded companion of
+    `source_unigram_kl`: KL explodes when a source concentrates on
+    rare corpus terms, JS stays in [0, log10 2] and weighs both
+    directions, so sources are comparable on one scale (the
+    distance mixture dashboards actually chart).
+
+        JS(Pₛ ‖ P) = ½·KL(Pₛ ‖ M) + ½·KL(P ‖ M),  M = (Pₛ + P)/2
+
+    Decomposition keeps the work on the OBSERVED (source × term)
+    relation: for terms with c_st > 0 both logs are pinned
+    ratio-of-ratio doubles (one round-6 log10 each, the KL
+    contract); for the corpus mass a source never touches, P/M = 2
+    exactly, so that whole tail contributes log10(2)·(N − Σ_{t∈s}
+    c_t)/N — a LITERAL times an exact integer, no per-term work.
+    Exact decimal sums; the finish is one pinned float chain
+    (s1/Tₛ + s2/N)/2, round-6.
+
+    Output: (source, n_tokens, n_types, js_r).
+
+    Shape (100 TB): identical to `source_unigram_kl` — the token
+    stream aggregates once onto the (source × term) TYPE relation,
+    corpus term counts join on term, totals broadcast; the
+    complement mass is an algebraic identity, not a scan of the
+    unseen vocabulary.
+    """
+    LOG10_2 = "0.301030"  # round(log10(2), 6), literal in both engines
+    tok = docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(_tokens(text_col)).alias("term"),
+    )
+    st = tok.groupBy("src", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    ts = st.groupBy("src").agg(F.sum("c_st").alias("t_s"))
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    nn = ts.agg(F.sum("t_s").alias("nt"))
+    p = F.col("c_st").cast("double") / F.col("t_s").cast("double")
+    q = F.col("c_t").cast("double") / F.col("nt").cast("double")
+    m = (p + q) / F.lit(2.0)
+    lp = (
+        st.join(ts, "src")
+        .join(ct, "term")
+        .join(F.broadcast(nn))
+        .select(
+            "src", "c_st", "c_t",
+            F.round(F.log10(p / m), 6).cast("decimal(18,6)").alias("_l1"),
+            F.round(F.log10(q / m), 6).cast("decimal(18,6)").alias("_l2"),
+        )
+    )
+    agg = lp.groupBy("src").agg(
+        F.sum(F.col("c_st").cast("decimal(18,0)") * F.col("_l1"))
+        .alias("_s1"),
+        F.sum(F.col("c_t").cast("decimal(18,0)") * F.col("_l2"))
+        .alias("_s2"),
+        F.sum("c_t").alias("_cs"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c_st").cast("long").alias("n_tokens"),
+    )
+    out = agg.join(F.broadcast(nn)).select(
+        "src", "n_tokens", "n_types", "nt",
+        (F.col("_s1")).alias("_s1"),
+        (
+            F.col("_s2")
+            + F.lit(LOG10_2).cast("decimal(18,6)")
+            * (F.col("nt") - F.col("_cs")).cast("decimal(18,0)")
+        ).alias("_s2t"),
+    )
+    ts2 = ts.select(F.col("src"), F.col("t_s"))
+    return out.join(ts2, "src").select(
+        F.col("src").alias(source_col),
+        "n_tokens", "n_types",
+        F.round(
+            (
+                F.col("_s1").cast("double") / F.col("t_s").cast("double")
+                + F.col("_s2t").cast("double") / F.col("nt").cast("double")
+            )
+            / F.lit(2.0),
+            6,
+        ).alias("js_r"),
+    )

@@ -2056,3 +2056,77 @@ def interrupted_ts(
             F.round((b_b + m_b * x0) - (b_a + m_a * x0), 6),
         ).alias("level_change_r"),
     )
+
+
+def sax_motifs(
+    cells: DataFrame,
+    key_col: str,
+    t_col: str,
+    y_col: str,
+    alphabet: int = 4,
+    word_len: int = 3,
+    top_k: int = 3,
+) -> DataFrame:
+    """SAX-style motif discovery per key (Lin & Keogh 2003's
+    symbolize-then-count idea): the daily series becomes a string
+    over a small alphabet, and the most frequent length-``word_len``
+    words are the series' recurring shapes — "which 3-day pattern
+    does this metric keep playing?". The symbolic companion of
+    `events_dominant_period` (spectral) and the Markov family
+    (per-event transitions; this is per-DAY level patterns).
+
+    Symbolization deviates from the paper's Gaussian breakpoints on
+    purpose: ntile(``alphabet``) over (y, t) within the key gives
+    EQUAL-FREQUENCY symbols — scale-free (no mean/variance
+    normalization, so no floats at all), deterministic cross-engine
+    (ntile is purely positional and the (y, t) order is total), and
+    robust to the heavy tails the Gaussian assumption breaks on.
+    Words must be CONTIGUOUS in t (lead(t, i) = t + i), so calendar
+    gaps never fabricate a motif. Ties rank (count DESC, motif).
+
+    Output: (key, motif, n, rank) with rank ≤ ``top_k``.
+
+    Scale: cost is the per-key CELL relation (days, not events) —
+    two key-partitioned windows (ntile, lead) + one (key, word)
+    count; at 100 TB the upstream daily aggregation owns the
+    reduction and every window stays on the key shuffle.
+    """
+    if not 2 <= alphabet <= 26:
+        raise ValueError("sax_motifs: alphabet in 2..26")
+    if word_len < 2:
+        raise ValueError("sax_motifs: word_len >= 2")
+    b = cells.select(
+        F.col(key_col).alias("_k"),
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    wq = Window.partitionBy("_k").orderBy("_y", "_t")
+    letters = F.array(
+        *[F.lit(c) for c in "abcdefghijklmnopqrstuvwxyz"[:alphabet]]
+    )
+    sym = b.select(
+        "_k", "_t",
+        F.element_at(letters, F.ntile(alphabet).over(wq)).alias("_s"),
+    )
+    wt = Window.partitionBy("_k").orderBy("_t")
+    parts = [F.col("_s")]
+    ok = F.lit(True)
+    for i in range(1, word_len):
+        parts.append(F.lead("_s", i).over(wt))
+        ok = ok & (F.lead("_t", i).over(wt) == F.col("_t") + i)
+    words = sym.select(
+        "_k", F.concat(*parts).alias("_w"), ok.alias("_ok")
+    ).filter(F.col("_ok") & F.col("_w").isNotNull())
+    counts = words.groupBy("_k", "_w").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wr = Window.partitionBy("_k").orderBy(F.col("n").desc(), "_w")
+    return (
+        counts.select(
+            F.col("_k").alias(key_col),
+            F.col("_w").alias("motif"),
+            "n",
+            F.row_number().over(wr).alias("rank"),
+        )
+        .filter(F.col("rank") <= top_k)
+    )
