@@ -6682,6 +6682,40 @@ def q_events_sax(spark, sf_dir):
     )
 
 
+def q_ann_trunc_recall(spark, sf_dir):
+    """Recall@10 of HALF-DIMENSION cosine retrieval (first 32 of 64
+    dims) against full-dimension exact top-10 — the Matryoshka-style
+    truncation audit: how much ranking quality a dimension budget
+    buys back, next to the probe-budget (ann_ivf_recall) and
+    bit-budget (ann_hamming_topk) audits. Same all-integer pair-join
+    recall protocol."""
+    from unitdb_spark.operators.evaluation import topk_recall
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    trunc = F.slice("embedding", 1, 32)
+    exact = cosine_topk(emb, queries, k=10)
+    approx = cosine_topk(
+        emb.withColumn("embedding", trunc),
+        queries.withColumn("embedding", trunc),
+        k=10,
+    )
+    return topk_recall(exact, approx)
+
+
+def q_embed_label_sim(spark, sf_dir):
+    """Pairwise cosine between per-label centroid vectors — the
+    class-confusion-risk matrix to read before hard-negative mining
+    or kNN evaluation leans on the label geometry. Centroid cosine ==
+    sum-vector cosine (scale invariance), so per-(label, dim) sums
+    stay exact BIGINTs and each pair costs one pinned float."""
+    from unitdb_spark.operators.similarity import label_centroid_cosine
+
+    return label_centroid_cosine(_emb(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -7695,6 +7729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_related_map": q_parts_related_map,
         "doc_source_js": q_doc_source_js,
         "events_sax": q_events_sax,
+        "ann_trunc_recall": q_ann_trunc_recall,
+        "embed_label_sim": q_embed_label_sim,
     }
 
 
@@ -15564,7 +15600,76 @@ def oracle_sql() -> dict[str, str]:
           CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 3
         """
+    # truncation recall composes the exact oracle with a sliced-list
+    # variant of the same scoring chain
+    d["ann_trunc_recall"] = (
+        "WITH ex AS (" + d["ann_cosine_topk"] + """), qt AS (
+          SELECT vec_id AS query_id, embedding[1:32] AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), sct AS (
+          SELECT qt.query_id, e.vec_id,
+            list_cosine_similarity(CAST(e.embedding[1:32] AS DOUBLE[]),
+                                   CAST(qt.qv AS DOUBLE[])) AS sim
+          FROM embeddings e JOIN qt ON e.vec_id <> qt.query_id
+        ), rkt AS (
+          SELECT query_id, vec_id,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id) AS rank
+          FROM sct
+        ), ap AS (
+          SELECT query_id, vec_id FROM rkt WHERE rank <= 10
+        )
+        SELECT ne.query_id,
+          ne.n_exact,
+          coalesce(na.n_approx, 0) AS n_approx,
+          coalesce(h.n_hit, 0) AS n_hit,
+          CAST((coalesce(h.n_hit, 0) * 1000000) // ne.n_exact
+               AS BIGINT) AS recall_ppm
+        FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+              FROM ex GROUP BY 1) ne
+        LEFT JOIN (SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
+                   FROM ap GROUP BY 1) na USING (query_id)
+        LEFT JOIN (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hit
+                   FROM ex JOIN ap ON ex.query_id = ap.query_id
+                    AND ex.vec_id = ap.vec_id
+                   GROUP BY 1) h USING (query_id)
+        """
+    )
+    d["embed_label_sim"] = """
+        WITH e AS (
+          SELECT label AS l, r.pos AS dim,
+            CAST(floor(CAST(embedding[r.pos + 1] AS DOUBLE)
+                       * 1000000.0) AS BIGINT) AS vm
+          FROM embeddings, range(64) r(pos)
+        ), per AS (
+          SELECT l, dim, CAST(sum(vm) AS BIGINT) AS s
+          FROM e GROUP BY 1, 2
+        ), norms AS (
+          SELECT l, sum(CAST(s AS HUGEINT) * s) AS n2
+          FROM per GROUP BY 1
+        ), cnts AS (
+          SELECT label AS l, CAST(count(*) AS BIGINT) AS n
+          FROM embeddings GROUP BY 1
+        ), dots AS (
+          SELECT a.l AS la, b.l AS lb,
+            sum(CAST(a.s AS HUGEINT) * b.s) AS dot
+          FROM per a JOIN per b ON a.dim = b.dim AND a.l < b.l
+          GROUP BY 1, 2
+        )
+        SELECT dots.la AS label_a, dots.lb AS label_b,
+          ca.n AS n_a, cb.n AS n_b,
+          CASE WHEN na.n2 > 0 AND nb.n2 > 0 THEN
+            round(CAST(dot AS DOUBLE)
+              / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+          END AS cos_r
+        FROM dots
+        JOIN norms na ON na.l = dots.la
+        JOIN norms nb ON nb.l = dots.lb
+        JOIN cnts ca ON ca.l = dots.la
+        JOIN cnts cb ON cb.l = dots.lb
+        """
     return d
+
 
 
 

@@ -9505,3 +9505,44 @@ class TestSaxMotifs:
             sax_motifs(df, "k", "t", "y", alphabet=1)
         with pytest.raises(ValueError):
             sax_motifs(df, "k", "t", "y", word_len=1)
+
+
+class TestLabelCentroidCosine:
+    def test_identical_orthogonal_and_scale_invariance(self, spark):
+        from unitdb_spark.operators.similarity import (
+            label_centroid_cosine,
+        )
+
+        rows = [
+            # label 0 and 1: same direction, different scales/counts
+            (1, [1.0, 0.0, 1.0], 0),
+            (2, [2.0, 0.0, 2.0], 0),
+            (3, [4.0, 0.0, 4.0], 1),
+            # label 2: orthogonal to 0/1
+            (4, [0.0, 3.0, 0.0], 2),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {
+            (r.label_a, r.label_b): r
+            for r in label_centroid_cosine(df).collect()
+        }
+        assert out[(0, 1)].cos_r == 1.0
+        assert out[(0, 2)].cos_r == 0.0 and out[(1, 2)].cos_r == 0.0
+        assert out[(0, 1)].n_a == 2 and out[(0, 1)].n_b == 1
+
+    def test_zero_norm_side_null(self, spark):
+        from unitdb_spark.operators.similarity import (
+            label_centroid_cosine,
+        )
+
+        rows = [
+            (1, [0.0, 0.0], 0),
+            (2, [1.0, 2.0], 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        (r,) = label_centroid_cosine(df).collect()
+        assert r.cos_r is None

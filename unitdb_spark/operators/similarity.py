@@ -850,3 +850,84 @@ def embedding_drift(
         F.round(shift2, 6).alias("shift2_r"),
         F.round(disp, 6).alias("disp_r"),
     )
+
+
+def label_centroid_cosine(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroid vectors —
+    the class-confusion-risk matrix for a labeled embedding corpus:
+    two labels whose centroids sit close will bleed into each other in
+    any nearest-centroid or contrastive setup, and this table says
+    which pairs to inspect before `hard_negatives` mining or
+    `knn_label` evaluation leans on the geometry.
+
+    Cosine of the centroid equals cosine of the per-label SUM vector
+    (scale invariance), so no division by n ever happens: each
+    coordinate quantizes once to vm = floor(v·1e6) (the only float
+    touch, per input value), per-(label, dim) sums are exact BIGINTs,
+    and dot/norm² accumulate in DECIMAL(38,0). One pinned float
+    finish per pair: cos_r = round(dot / sqrt(na2·nb2), 6), NULL for
+    a zero-norm side.
+
+    Output: (label_a, label_b, n_a, n_b, cos_r) for label_a < label_b.
+
+    Scale: ONE corpus explode into a (label, dim) partial agg
+    (map-side combined, labels × dims rows out — control-plane); the
+    pair join runs on the dims-keyed sum relation, cost
+    labels² × dims. The corpus never shuffles.
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    exp = df.select(
+        F.col(label_col).alias("_l"),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_v"),
+    ).select(
+        "_l", "_dim",
+        F.floor(F.col("_v").cast("double") * F.lit(1_000_000.0))
+        .cast("long").alias("_vm"),
+    )
+    per = exp.groupBy("_l", "_dim").agg(F.sum("_vm").alias("_s"))
+    norms = per.groupBy("_l").agg(
+        F.sum(d38(F.col("_s")) * d38(F.col("_s"))).alias("_n2")
+    )
+    counts = df.groupBy(F.col(label_col).alias("_l")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    a = per.select(
+        F.col("_l").alias("_la"), "_dim", F.col("_s").alias("_sa")
+    )
+    b = per.select(
+        F.col("_l").alias("_lb"), "_dim", F.col("_s").alias("_sb")
+    )
+    dots = (
+        a.join(b, "_dim")
+        .filter(F.col("_la") < F.col("_lb"))
+        .groupBy("_la", "_lb")
+        .agg(F.sum(d38(F.col("_sa")) * d38(F.col("_sb"))).alias("_dot"))
+    )
+    out = (
+        dots.join(norms.select(F.col("_l").alias("_la"),
+                               F.col("_n2").alias("_na2")), "_la")
+        .join(norms.select(F.col("_l").alias("_lb"),
+                           F.col("_n2").alias("_nb2")), "_lb")
+        .join(counts.select(F.col("_l").alias("_la"),
+                            F.col("_n").alias("n_a")), "_la")
+        .join(counts.select(F.col("_l").alias("_lb"),
+                            F.col("_n").alias("n_b")), "_lb")
+    )
+    cos = (
+        F.col("_dot").cast("double")
+        / F.sqrt(
+            F.col("_na2").cast("double") * F.col("_nb2").cast("double")
+        )
+    )
+    return out.select(
+        F.col("_la").alias("label_a"),
+        F.col("_lb").alias("label_b"),
+        "n_a", "n_b",
+        F.when(
+            (F.col("_na2") > 0) & (F.col("_nb2") > 0), F.round(cos, 6)
+        ).alias("cos_r"),
+    )
