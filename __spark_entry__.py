@@ -6716,6 +6716,68 @@ def q_embed_label_sim(spark, sf_dir):
     return label_centroid_cosine(_emb(spark, sf_dir))
 
 
+def q_streamed_anova(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING k-group mean monitor:
+    each micro-batch appends its per-event-type (n, Σcents, Σcents²)
+    moment partials via foreachBatch (the minimal sufficient
+    statistic — mergeable by SUM, so the folded state equals the
+    one-shot aggregation bitwise); the read-time fold re-sums per
+    type and finishes through the SAME anova_from_moments closure as
+    the batch test. Oracle = the batch events_anova SQL verbatim — a
+    hash-match proves the streamed F test equals the batch one
+    regardless of micro-batch split."""
+    import uuid
+
+    from unitdb_spark.operators.stats_tests import anova_from_moments
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    out = f"{base}/av_{uuid.uuid4().hex[:8]}"
+    cp = f"{base}/avcp_{uuid.uuid4().hex[:8]}"
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+
+    def _fold(df, _eid):
+        if df.isEmpty():
+            return
+        (
+            df.filter(F.col("value").isNotNull())
+            .select("event_type", cents.alias("_x"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_j"),
+                F.sum("_x").alias("s_j"),
+                F.sum(
+                    F.col("_x").cast("decimal(38,0)")
+                    * F.col("_x").cast("decimal(38,0)")
+                ).alias("q_j"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    stream = events_as_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    moments = (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_j").alias("n_j"),
+            F.sum("s_j").alias("s_j"),
+            F.sum("q_j").alias("q_j"),
+        )
+    )
+    return anova_from_moments(moments)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -7731,6 +7793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sax": q_events_sax,
         "ann_trunc_recall": q_ann_trunc_recall,
         "embed_label_sim": q_embed_label_sim,
+        "streamed_anova": q_streamed_anova,
     }
 
 
@@ -15635,6 +15698,9 @@ def oracle_sql() -> dict[str, str]:
                    GROUP BY 1) h USING (query_id)
         """
     )
+    # rolling ANOVA twin: moment partials merge by SUM, so the twin
+    # shares the batch oracle verbatim
+    d["streamed_anova"] = d["events_anova"]
     d["embed_label_sim"] = """
         WITH e AS (
           SELECT label AS l, r.pos AS dim,
