@@ -6778,6 +6778,38 @@ def q_streamed_anova(spark, sf_dir):
     return anova_from_moments(moments)
 
 
+def q_events_mcnemar(spark, sf_dir):
+    """McNemar paired-proportion test: did each user purchase before
+    vs after the fixed 2024-01-16 boundary — the binary k = 2 corner
+    of the repeated-measures family (events_cochran at k = 2,
+    events_wilcoxon's flag-level sibling). Only discordant users move
+    the statistic; (b − c)²/(b + c) is one pinned division over exact
+    counters."""
+    from unitdb_spark.operators.stats_tests import mcnemar_test
+
+    ev = _events(spark, sf_dir)
+    mid = F.lit("2024-01-16").cast("timestamp")
+    is_p = F.col("event_type") == "purchase"
+    flags = ev.groupBy("user_id").agg(
+        (F.count(F.when(is_p & (F.col("ts") < mid), 1)) > 0).alias("pre"),
+        (F.count(F.when(is_p & (F.col("ts") >= mid), 1)) > 0).alias("post"),
+    )
+    return mcnemar_test(flags, "pre", "post")
+
+
+def q_events_levene(spark, sf_dir):
+    """Brown-Forsythe equal-spread test across event types on exact
+    cents — the homogeneity-of-variance gate in front of
+    events_anova's equal-variance assumption (median-centered robust
+    form). Per-group median = exact lower-middle order statistic;
+    the rest IS anova_from_moments over |x − med| verbatim."""
+    from unitdb_spark.operators.stats_tests import brown_forsythe
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    return brown_forsythe(ev, cents, F.col("event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -7794,6 +7826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_trunc_recall": q_ann_trunc_recall,
         "embed_label_sim": q_embed_label_sim,
         "streamed_anova": q_streamed_anova,
+        "events_mcnemar": q_events_mcnemar,
+        "events_levene": q_events_levene,
     }
 
 
@@ -15734,7 +15768,84 @@ def oracle_sql() -> dict[str, str]:
         JOIN cnts ca ON ca.l = dots.la
         JOIN cnts cb ON cb.l = dots.lb
         """
+    d["events_mcnemar"] = """
+        WITH flags AS (
+          SELECT user_id,
+            count(*) FILTER (event_type = 'purchase'
+                             AND ts < TIMESTAMP '2024-01-16') > 0 AS fa,
+            count(*) FILTER (event_type = 'purchase'
+                             AND ts >= TIMESTAMP '2024-01-16') > 0 AS fb
+          FROM events GROUP BY user_id
+        ), agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(count(*) FILTER (fa) AS BIGINT) AS n_pre,
+            CAST(count(*) FILTER (fb) AS BIGINT) AS n_post,
+            CAST(count(*) FILTER (fa AND NOT fb) AS BIGINT) AS b,
+            CAST(count(*) FILTER (NOT fa AND fb) AS BIGINT) AS c
+          FROM flags
+        )
+        SELECT n, n_pre, n_post, b, c,
+          CASE WHEN b + c > 0 THEN
+            round(CAST((b - c) * (b - c) AS DOUBLE)
+                  / CAST(b + c AS DOUBLE), 6)
+          END AS chi_r
+        FROM agg
+        """
+    # Brown-Forsythe = the ANOVA oracle over |x - group median|; the
+    # median is the exact lower-middle order statistic
+    d["events_levene"] = """
+        WITH raw AS (
+          SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+            event_type AS g
+          FROM events WHERE value IS NOT NULL
+        ), med AS (
+          SELECT g, x AS med FROM (
+            SELECT g, x,
+              row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+              count(*) OVER (PARTITION BY g) AS nj
+            FROM raw) q
+          WHERE rn = (nj + 1) // 2
+        ), base AS (
+          SELECT abs(raw.x - med.med) AS x, raw.g AS g
+          FROM raw JOIN med USING (g)
+        ), m AS (
+          SELECT g, count(*) AS n_j, sum(x) AS s_j,
+            sum(CAST(x AS HUGEINT) * x) AS q_j
+          FROM base GROUP BY g
+        ), tot AS (
+          SELECT CAST(count(*) AS INTEGER) AS k, sum(n_j) AS n,
+            sum(CAST(s_j AS HUGEINT)) AS s, sum(q_j) AS q
+          FROM m
+        ), terms AS (
+          SELECT k, n, s, q,
+            ((CAST(s_j AS HUGEINT) * n - s * n_j)
+             * (CAST(s_j AS HUGEINT) * n - s * n_j) * 1000000)
+              // (CAST(n_j AS HUGEINT) * n * n) AS bt
+          FROM m, tot
+        ), agg AS (
+          SELECT k, CAST(n AS BIGINT) AS n,
+            CAST(sum(bt) AS BIGINT) AS ssb_micro,
+            CAST(((any_value(q) * any_value(n)
+                   - any_value(s) * any_value(s)) * 1000000)
+                 // any_value(n) AS BIGINT) AS sst_micro
+          FROM terms GROUP BY k, n, s, q
+        )
+        SELECT k, n, ssb_micro,
+          CAST(sst_micro - ssb_micro AS BIGINT) AS ssw_micro,
+          sst_micro,
+          CASE WHEN k >= 2 AND n > k AND sst_micro - ssb_micro > 0 THEN
+            round(CAST(ssb_micro AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+              / (CAST(sst_micro - ssb_micro AS DOUBLE)
+                 / CAST(n - k AS DOUBLE)), 6)
+          END AS f_r,
+          CASE WHEN sst_micro > 0 THEN
+            CAST((CAST(ssb_micro AS HUGEINT) * 1000000) // sst_micro
+                 AS BIGINT)
+          END AS eta2_ppm
+        FROM agg
+        """
     return d
+
 
 
 

@@ -9546,3 +9546,77 @@ class TestLabelCentroidCosine:
         )
         (r,) = label_centroid_cosine(df).collect()
         assert r.cos_r is None
+
+
+class TestMcNemar:
+    def test_matches_closed_form(self, spark):
+        from unitdb_spark.operators.stats_tests import mcnemar_test
+
+        pairs = [(1, 1)] * 4 + [(0, 0)] * 3 + [(1, 0)] * 5 + [(0, 1)] * 2
+        df = spark.createDataFrame(pairs, "pre int, post int")
+        (r,) = mcnemar_test(df, "pre", "post").collect()
+        assert (r.n, r.n_pre, r.n_post) == (14, 9, 6)
+        assert (r.b, r.c) == (5, 2)
+        assert abs(r.chi_r - (5 - 2) ** 2 / 7) < 1e-6
+
+    def test_no_discordant_null(self, spark):
+        from unitdb_spark.operators.stats_tests import mcnemar_test
+
+        df = spark.createDataFrame(
+            [(1, 1), (0, 0)], "pre int, post int"
+        )
+        (r,) = mcnemar_test(df, "pre", "post").collect()
+        assert r.chi_r is None
+
+    def test_cochran_reduction_at_k2(self, spark):
+        """Cochran's Q with k = 2 equals McNemar's chi exactly (the
+        documented reduction)."""
+        from unitdb_spark.operators.stats_tests import (
+            cochran_q,
+            mcnemar_test,
+        )
+
+        pairs = [(1, 1), (1, 0), (1, 0), (0, 1), (0, 0), (1, 0)]
+        df = spark.createDataFrame(pairs, "pre int, post int")
+        (m,) = mcnemar_test(df, "pre", "post").collect()
+        long = spark.createDataFrame(
+            [(i, "pre", a) for i, (a, b) in enumerate(pairs)]
+            + [(i, "post", b) for i, (a, b) in enumerate(pairs)],
+            "u int, t string, x int",
+        )
+        (q,) = cochran_q(long, "u", "t", "x").collect()
+        assert abs(q.q_r - m.chi_r) < 1e-6
+
+
+class TestBrownForsythe:
+    def test_matches_deviation_anova(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import (
+            brown_forsythe,
+            one_way_anova,
+        )
+
+        data = {"a": [1, 2, 3, 100], "b": [10, 11, 12], "c": [5, 50]}
+        rows = [(v, g) for g, vs in data.items() for v in vs]
+        df = spark.createDataFrame(rows, "x long, g string")
+        (r,) = brown_forsythe(df, "x", F.col("g")).collect()
+        # lower-middle medians: a->2, b->11, c->5
+        devs = {"a": [1, 0, 1, 98], "b": [1, 0, 1], "c": [0, 45]}
+        drows = [(v, g) for g, vs in devs.items() for v in vs]
+        ddf = spark.createDataFrame(drows, "x long, g string")
+        (want,) = one_way_anova(ddf, "x", F.col("g")).collect()
+        assert r == want
+
+    def test_equal_spread_small_f(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import brown_forsythe
+
+        # same shape, different levels -> deviations identical -> F = 0/NULL
+        rows = [(v, "a") for v in (1, 2, 3)] + [
+            (v + 100, "b") for v in (1, 2, 3)
+        ]
+        df = spark.createDataFrame(rows, "x long, g string")
+        (r,) = brown_forsythe(df, "x", F.col("g")).collect()
+        assert r.ssb_micro == 0

@@ -2139,3 +2139,98 @@ def kendall_tau_b(
             ).alias("tau_r"),
         )
     )
+
+
+def mcnemar_test(
+    df: DataFrame, pre_col: str, post_col: str
+) -> DataFrame:
+    """One-row McNemar test over paired binary outcomes (McNemar
+    1947) — the k = 2 binary corner of the family: each unit carries
+    a (pre, post) flag pair, and only the DISCORDANT cells move the
+    statistic, so concordant mass (users who never convert, users who
+    always convert) cancels exactly the way `wilcoxon_signed_rank`
+    cancels between-unit levels. `cochran_q` reduces to this at
+    k = 2.
+
+        chi = (b − c)² / (b + c)
+
+    with b = #(1→0), c = #(0→1) — exact integers; chi is ONE pinned
+    float division, NULL when b + c = 0 (no discordant unit). The
+    continuity-corrected variant ((|b−c|−1)²/(b+c)) is deliberately
+    not applied — the raw form matches `cochran_q` at k = 2, and the
+    correction is a knife-edge convention.
+
+    Output: (n, n_pre, n_post, b, c, chi_r).
+
+    Scale: one aggregation over the unit relation — four counters on
+    the wire; no window, no join.
+    """
+    base = df.select(
+        F.col(pre_col).cast("boolean").alias("_a"),
+        F.col(post_col).cast("boolean").alias("_b"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("_a"), 1)).cast("long").alias("n_pre"),
+        F.count(F.when(F.col("_b"), 1)).cast("long").alias("n_post"),
+        F.count(F.when(F.col("_a") & ~F.col("_b"), 1)).cast("long")
+        .alias("b"),
+        F.count(F.when(~F.col("_a") & F.col("_b"), 1)).cast("long")
+        .alias("c"),
+    )
+    num = (F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))
+    den = F.col("b") + F.col("c")
+    return agg.select(
+        "n", "n_pre", "n_post", "b", "c",
+        F.when(
+            den > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("chi_r"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame, value_col, group_col
+) -> DataFrame:
+    """One-row Brown-Forsythe test (Brown & Forsythe 1974) for equal
+    SPREAD across k groups — the homogeneity-of-variance check that
+    gates `one_way_anova`'s equal-variance assumption, in its robust
+    median-centered form (the Levene mean-centered variant chases
+    outliers; the median variant is the recommended default).
+
+    Per group the center is the LOWER-MIDDLE order statistic
+    (row (n_j+1) div 2 by (value, arbitrary-stable input order) —
+    an exact integer, deterministic, no interpolation), computed
+    with one group-partitioned rank window; the test is then
+    literally `anova_from_moments` over z = |x − med_j| — exact
+    integer deviations, so the whole F machinery (floored-micro
+    sums of squares, pinned float F, exact eta² ppm) is shared
+    verbatim.
+
+    Output: (k, n, ssb_micro, ssw_micro, sst_micro, f_r, eta2_ppm)
+    over the deviation variable.
+
+    Scale: one per-group rank window over the raw rows + the ANOVA
+    partial agg. The 100 TB swap for the median window is the same
+    as every quantile path: pre-computed per-group medians (one
+    approx/exact pass) broadcast-joined; the moments shape is
+    unchanged.
+    """
+    val = value_col if not isinstance(value_col, str) else F.col(value_col)
+    grp = group_col if not isinstance(group_col, str) else F.col(group_col)
+    base = df.select(
+        val.cast("long").alias("_x"), grp.alias("_g")
+    ).filter(F.col("_x").isNotNull())
+    w = Window.partitionBy("_g").orderBy("_x")
+    ranked = base.select(
+        "_x", "_g",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("_g")).alias("_nj"),
+    )
+    med = ranked.filter(
+        F.col("_rn") == F.expr("(_nj + 1) div 2")
+    ).select(F.col("_g"), F.col("_x").alias("_med"))
+    dev = base.join(med, "_g").select(
+        "_g", F.abs(F.col("_x") - F.col("_med")).alias("_z")
+    )
+    return one_way_anova(dev, F.col("_z"), F.col("_g"))
