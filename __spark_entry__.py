@@ -6810,6 +6810,63 @@ def q_events_levene(spark, sf_dir):
     return brown_forsythe(ev, cents, F.col("event_type"))
 
 
+def q_streamed_cochran(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING engagement-equality
+    monitor: per-batch (user, event_type) count partials fold via
+    foreachBatch (counts merge by SUM); at read time the fold
+    re-sums, re-derives the >= 14 engagement flags on the dense
+    user × type grid, and finishes through the SAME cochran_q
+    operator. Oracle = the batch events_cochran SQL verbatim —
+    threshold flags are NOT mergeable, so the mergeable COUNT is the
+    state and flagging stays a read-time projection (the rolling-MK
+    / forecast-cell convention)."""
+    import uuid
+
+    from unitdb_spark.operators.stats_tests import cochran_q
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    out = f"{base}/cq_{uuid.uuid4().hex[:8]}"
+    cp = f"{base}/cqcp_{uuid.uuid4().hex[:8]}"
+
+    def _fold(df, _eid):
+        if df.isEmpty():
+            return
+        (
+            df.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    stream = events_as_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    per = (
+        spark.read.parquet(out)
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("c").alias("c"))
+    )
+    dense = (
+        per.select("user_id").distinct()
+        .crossJoin(per.select("event_type").distinct())
+        .join(per, ["user_id", "event_type"], "left")
+        .select(
+            "user_id", "event_type",
+            (F.coalesce("c", F.lit(0)) >= 14).cast("int").alias("x"),
+        )
+    )
+    return cochran_q(dense, "user_id", "event_type", "x")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -7828,6 +7885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_anova": q_streamed_anova,
         "events_mcnemar": q_events_mcnemar,
         "events_levene": q_events_levene,
+        "streamed_cochran": q_streamed_cochran,
     }
 
 
@@ -15768,6 +15826,9 @@ def oracle_sql() -> dict[str, str]:
         JOIN cnts ca ON ca.l = dots.la
         JOIN cnts cb ON cb.l = dots.lb
         """
+    # rolling Cochran twin: per-(user, type) counts merge by SUM; the
+    # threshold flag is a read-time projection, oracle shared verbatim
+    d["streamed_cochran"] = d["events_cochran"]
     d["events_mcnemar"] = """
         WITH flags AS (
           SELECT user_id,
