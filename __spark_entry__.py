@@ -6867,6 +6867,78 @@ def q_streamed_cochran(spark, sf_dir):
     return cochran_q(dense, "user_id", "event_type", "x")
 
 
+def q_events_uplift(spark, sf_dir):
+    """Uplift-by-decile / Qini table for the hash-assigned campaign
+    arm: users ranked by PRE-period spend (the classic "target the
+    big spenders" baseline), per cumulative prefix treated-vs-control
+    post-period purchase conversion — where the targeting rule finds
+    INCREMENTAL converters vs people who convert anyway. Pooled-arm
+    ntile; exact cross-multiplied ppm/micro columns."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.evaluation import uplift_deciles
+
+    ev = _events(spark, sf_dir)
+    mid = F.lit("2024-01-16").cast("timestamp")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    per = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < mid, cents)), F.lit(0)
+        ).alias("pre_cents"),
+        (
+            F.count(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= mid),
+                    1,
+                )
+            )
+            > 0
+        ).alias("y"),
+    )
+    arm = (
+        md5_int60(F.concat(F.col("user_id").cast("string"), F.lit(":mw"))) % 2
+    ).cast("int")
+    per = per.withColumn("treat", arm)
+    return uplift_deciles(
+        per, "pre_cents", "treat", "y", "user_id", n_bins=10
+    )
+
+
+def q_events_strat_ate(spark, sf_dir):
+    """Post-stratification ATE of the hash-assigned arm on
+    post-period purchase cents, stratified by signup-week cohort
+    (first-event week index) — the design-based causal adjustment
+    beside events_cuped and events_did: per-stratum floored-micro
+    mean differences weighted by stratum size; one-arm strata
+    dropped and counted; the naive difference rides along."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.evaluation import stratified_ate
+
+    ev = _events(spark, sf_dir)
+    mid = F.lit("2024-01-16").cast("timestamp")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    per = ev.groupBy("user_id").agg(
+        F.expr(
+            "datediff(to_date(min(ts)), DATE'2024-01-01') div 7"
+        ).alias("cohort"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= mid),
+                    cents,
+                )
+            ),
+            F.lit(0),
+        ).alias("y"),
+    )
+    arm = (
+        md5_int60(F.concat(F.col("user_id").cast("string"), F.lit(":mw"))) % 2
+    ).cast("int")
+    per = per.withColumn("treat", arm)
+    return stratified_ate(per, "cohort", "treat", "y")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -7886,6 +7958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mcnemar": q_events_mcnemar,
         "events_levene": q_events_levene,
         "streamed_cochran": q_streamed_cochran,
+        "events_uplift": q_events_uplift,
+        "events_strat_ate": q_events_strat_ate,
     }
 
 
@@ -15905,7 +15979,113 @@ def oracle_sql() -> dict[str, str]:
           END AS eta2_ppm
         FROM agg
         """
+
+    _UPLIFT_PER = """
+        per AS (
+          SELECT user_id,
+            coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+            END), 0) AS pre_cents,
+            count(*) FILTER (event_type = 'purchase'
+                             AND ts >= TIMESTAMP '2024-01-16') > 0 AS y,
+            CAST((CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                            || ':mw'), 1, 15)) AS BIGINT)
+                  % 2) AS INTEGER) AS treat
+          FROM events GROUP BY user_id
+        )
+    """
+    d["events_uplift"] = (
+        "WITH " + _UPLIFT_PER + """
+        , b AS (
+          SELECT ntile(10) OVER (ORDER BY pre_cents DESC, user_id)
+              AS bin,
+            treat, y
+          FROM per
+        ), bins AS (
+          SELECT bin,
+            count(*) FILTER (treat = 1) AS n_t,
+            count(*) FILTER (treat = 0) AS n_c,
+            count(*) FILTER (treat = 1 AND y) AS pos_t,
+            count(*) FILTER (treat = 0 AND y) AS pos_c
+          FROM b GROUP BY 1
+        ), c AS (
+          SELECT bin, n_t, n_c, pos_t, pos_c,
+            sum(n_t) OVER w AS cum_nt, sum(n_c) OVER w AS cum_nc,
+            sum(pos_t) OVER w AS cum_pt, sum(pos_c) OVER w AS cum_pc
+          FROM bins
+          WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+        )
+        SELECT CAST(bin AS BIGINT) AS bin,
+          CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+          CAST(pos_t AS BIGINT) AS pos_t,
+          CAST(pos_c AS BIGINT) AS pos_c,
+          CAST(cum_nt AS BIGINT) AS cum_nt,
+          CAST(cum_nc AS BIGINT) AS cum_nc,
+          CAST(cum_pt AS BIGINT) AS cum_pt,
+          CAST(cum_pc AS BIGINT) AS cum_pc,
+          CASE WHEN cum_nt > 0 AND cum_nc > 0 THEN
+            CAST((cum_pt * 1000000) // cum_nt
+                 - (cum_pc * 1000000) // cum_nc AS BIGINT)
+          END AS uplift_ppm,
+          CASE WHEN cum_nt > 0 AND cum_nc > 0 THEN
+            CAST(cum_pt * 1000000
+                 - (CAST(cum_pc AS HUGEINT) * cum_nt * 1000000)
+                   // cum_nc AS BIGINT)
+          END AS qini_micro
+        FROM c
+        """
+    )
+    d["events_strat_ate"] = """
+        WITH per AS (
+          SELECT user_id,
+            (datediff('day', DATE '2024-01-01',
+                      CAST(min(ts) AS DATE))) // 7 AS cohort,
+            coalesce(sum(CASE WHEN event_type = 'purchase'
+                              AND ts >= TIMESTAMP '2024-01-16' THEN
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+            END), 0) AS y,
+            CAST((CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                            || ':mw'), 1, 15)) AS BIGINT)
+                  % 2) AS INTEGER) AS treat
+          FROM events GROUP BY user_id
+        ), st AS (
+          SELECT cohort,
+            count(*) FILTER (treat = 1) AS n1,
+            count(*) FILTER (treat = 0) AS n0,
+            sum(y) FILTER (treat = 1) AS s1,
+            sum(y) FILTER (treat = 0) AS s0
+          FROM per GROUP BY 1
+        ), kept AS (
+          SELECT *,
+            (CAST(s1 AS HUGEINT) * 1000000) // n1
+            - (CAST(s0 AS HUGEINT) * 1000000) // n0 AS dm
+          FROM st WHERE n1 > 0 AND n0 > 0
+        ), kagg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_strata,
+            sum(n1 + n0) AS n,
+            sum(n1) AS tn1, sum(n0) AS tn0,
+            sum(s1) AS ts1, sum(s0) AS ts0,
+            sum(CAST(n1 + n0 AS HUGEINT) * dm) AS wsum
+          FROM kept
+        ), dr AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_dropped,
+            CAST(coalesce(sum(n1 + n0), 0) AS BIGINT)
+              AS n_units_dropped
+          FROM st WHERE n1 = 0 OR n0 = 0
+        )
+        SELECT n_strata, n_dropped,
+          CAST(n AS BIGINT) AS n_units, n_units_dropped,
+          CASE WHEN n > 0 THEN CAST(wsum // n AS BIGINT) END
+            AS ate_micro,
+          CASE WHEN tn1 > 0 AND tn0 > 0 THEN
+            CAST((CAST(ts1 AS HUGEINT) * 1000000) // tn1
+                 - (CAST(ts0 AS HUGEINT) * 1000000) // tn0 AS BIGINT)
+          END AS naive_micro
+        FROM kagg, dr
+        """
     return d
+
 
 
 

@@ -9620,3 +9620,75 @@ class TestBrownForsythe:
         df = spark.createDataFrame(rows, "x long, g string")
         (r,) = brown_forsythe(df, "x", F.col("g")).collect()
         assert r.ssb_micro == 0
+
+
+class TestUpliftDeciles:
+    def test_hand_model(self, spark):
+        from unitdb_spark.operators.evaluation import uplift_deciles
+
+        # 8 units, 2 bins of 4; treatment converts in the top bin only
+        rows = [
+            # (id, score, treat, y)
+            (1, 8.0, 1, True), (2, 7.0, 1, True),
+            (3, 6.0, 0, False), (4, 5.0, 0, True),
+            (5, 4.0, 1, False), (6, 3.0, 0, False),
+            (7, 2.0, 1, False), (8, 1.0, 0, False),
+        ]
+        df = spark.createDataFrame(rows, "id int, score double, t int, y boolean")
+        out = uplift_deciles(df, "score", "t", "y", "id", n_bins=2).collect()
+        top, full = out[0], out[1]
+        assert (top.n_t, top.n_c, top.pos_t, top.pos_c) == (2, 2, 2, 1)
+        assert top.uplift_ppm == 1_000_000 - 500_000
+        assert top.qini_micro == 2 * 1_000_000 - (1 * 2 * 1_000_000) // 2
+        assert (full.cum_nt, full.cum_nc) == (4, 4)
+        assert full.uplift_ppm == 500_000 - 250_000
+
+    def test_one_arm_prefix_null(self, spark):
+        from unitdb_spark.operators.evaluation import uplift_deciles
+
+        # top bin is all-treatment -> control prefix empty -> NULL
+        rows = [
+            (1, 9.0, 1, True), (2, 8.0, 1, False),
+            (3, 2.0, 0, True), (4, 1.0, 0, False),
+        ]
+        df = spark.createDataFrame(
+            rows, "id int, score double, t int, y boolean"
+        )
+        out = uplift_deciles(df, "score", "t", "y", "id", n_bins=2).collect()
+        assert out[0].uplift_ppm is None and out[0].qini_micro is None
+        assert out[1].uplift_ppm == 500_000 - 500_000
+
+
+class TestStratifiedAte:
+    def test_simpsons_reversal_recovered(self, spark):
+        from unitdb_spark.operators.evaluation import stratified_ate
+
+        # stratum A: treat 2 units y=10, ctrl 1 unit y=8 (diff +2)
+        # stratum B: treat 1 unit y=2, ctrl 2 units y=0 (diff +2)
+        # naive pools: treat mean (10+10+2)/3, ctrl (8+0+0)/3 -> +14/3
+        rows = [
+            ("A", 1, 10), ("A", 1, 10), ("A", 0, 8),
+            ("B", 1, 2), ("B", 0, 0), ("B", 0, 0),
+        ]
+        df = spark.createDataFrame(rows, "s string, t int, y long")
+        (r,) = stratified_ate(df, "s", "t", "y").collect()
+        assert r.n_strata == 2 and r.n_dropped == 0 and r.n_units == 6
+        # per-stratum diffs both exactly +2 -> ATE = 2.0 in micro
+        assert r.ate_micro == 2_000_000
+        naive = (
+            (22 * 1_000_000) // 3 - (8 * 1_000_000) // 3
+        )
+        assert r.naive_micro == naive
+
+    def test_one_arm_stratum_dropped(self, spark):
+        from unitdb_spark.operators.evaluation import stratified_ate
+
+        rows = [
+            ("A", 1, 5), ("A", 0, 3),
+            ("B", 1, 100), ("B", 1, 100),  # no control -> dropped
+        ]
+        df = spark.createDataFrame(rows, "s string, t int, y long")
+        (r,) = stratified_ate(df, "s", "t", "y").collect()
+        assert r.n_strata == 1 and r.n_dropped == 1
+        assert r.n_units == 2 and r.n_units_dropped == 2
+        assert r.ate_micro == 2_000_000

@@ -1169,3 +1169,177 @@ def cumulative_gains(
             ),
         ).alias("lift_ppm"),
     )
+
+
+def uplift_deciles(
+    df: DataFrame,
+    score_col: str,
+    treat_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Uplift-by-decile / Qini-style table (Radcliffe 2007) — the
+    EXPERIMENT reading of a targeting score next to
+    `cumulative_gains`' single-arm reading: rank ALL units by the
+    score, then per cumulative prefix compare treated vs control
+    conversion, so the table says where the score actually finds
+    INCREMENTAL converters (top deciles positive, tail ~0 = a real
+    uplift signal; flat = the score targets people who convert
+    anyway).
+
+    Deciles from ntile over (score DESC, id) pooled across arms (the
+    standard protocol — per-arm ranking would break comparability).
+    Per cumulative prefix, exact integer ppm:
+
+        uplift_ppm = (cum_pt·1e6) div cum_nt − (cum_pc·1e6) div cum_nc
+        qini_micro = cum_pt·1e6 − (cum_pc·cum_nt·1e6) div cum_nc
+
+    (Qini's control term rescales control conversions to the treated
+    prefix size). NULL when a prefix lacks one arm entirely.
+
+    Output: (bin, n_t, n_c, pos_t, pos_c, cum_nt, cum_nc, cum_pt,
+    cum_pc, uplift_ppm, qini_micro).
+
+    Scale: the `calibration_report` ntile contract (global
+    (score, id) sort; 100 TB swap = precomputed score boundaries);
+    the cumulative windows run over the n_bins-row relation.
+    """
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    base = df.select(
+        F.ntile(n_bins).over(w).alias("bin"),
+        F.col(treat_col).cast("int").alias("_t"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    bins = base.groupBy("bin").agg(
+        F.count(F.when(F.col("_t") == 1, 1)).alias("n_t"),
+        F.count(F.when(F.col("_t") == 0, 1)).alias("n_c"),
+        F.count(F.when((F.col("_t") == 1) & F.col("_y"), 1))
+        .alias("pos_t"),
+        F.count(F.when((F.col("_t") == 0) & F.col("_y"), 1))
+        .alias("pos_c"),
+    )
+    wc = (
+        Window.partitionBy()
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bins.select(
+        "bin", "n_t", "n_c", "pos_t", "pos_c",
+        F.sum("n_t").over(wc).alias("cum_nt"),
+        F.sum("n_c").over(wc).alias("cum_nc"),
+        F.sum("pos_t").over(wc).alias("cum_pt"),
+        F.sum("pos_c").over(wc).alias("cum_pc"),
+    )
+    both = (F.col("cum_nt") > 0) & (F.col("cum_nc") > 0)
+    return cum.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("pos_t").cast("long").alias("pos_t"),
+        F.col("pos_c").cast("long").alias("pos_c"),
+        F.col("cum_nt").cast("long").alias("cum_nt"),
+        F.col("cum_nc").cast("long").alias("cum_nc"),
+        F.col("cum_pt").cast("long").alias("cum_pt"),
+        F.col("cum_pc").cast("long").alias("cum_pc"),
+        F.when(
+            both,
+            F.expr(
+                "(cum_pt * 1000000L) div cum_nt"
+                " - (cum_pc * 1000000L) div cum_nc"
+            ),
+        ).cast("long").alias("uplift_ppm"),
+        F.when(
+            both,
+            F.expr(
+                "cum_pt * 1000000L - CAST((CAST(cum_pc AS DECIMAL(38,0))"
+                " * cum_nt * 1000000) div cum_nc AS BIGINT)"
+            ),
+        ).cast("long").alias("qini_micro"),
+    )
+
+
+def stratified_ate(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    y_col: str,
+) -> DataFrame:
+    """One-row post-stratification average treatment effect — the
+    design-based causal adjustment beside `cuped_adjusted` (covariate
+    regression) and `diff_in_diff` (parallel trends): when arms are
+    imbalanced across strata (cohorts, segments, platforms), the
+    naive arm difference confounds stratum mix with effect; weighting
+    per-stratum differences by stratum SIZE recovers the ATE under
+    ignorability-within-stratum.
+
+    ``y_col`` must be an exact integer unit (cents). Per stratum s:
+    diff_micro_s = (s1·1e6) div n1 − (s0·1e6) div n0 (floored micro
+    means, the repo's pinned quantization); the estimate weights by
+    stratum size:
+
+        ate_micro = (Σ_s n_s · diff_micro_s) div N
+
+    — every term an exact integer, order-free. Strata with only one
+    arm cannot estimate a difference and are DROPPED (standard;
+    counted in n_dropped with their units in n_units_dropped).
+    naive_micro (the unadjusted arm difference over the kept strata's
+    units) rides along so the report shows what the adjustment moved.
+
+    Output: (n_strata, n_dropped, n_units, n_units_dropped,
+    ate_micro, naive_micro).
+
+    Scale: one (stratum, arm) partial aggregation + a strata-sized
+    finish — four integers per stratum on the wire; no window.
+    """
+    base = df.select(
+        F.col(stratum_col).alias("_s"),
+        F.col(treat_col).cast("int").alias("_t"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).filter(F.col("_y").isNotNull())
+    per = base.groupBy("_s").agg(
+        F.count(F.when(F.col("_t") == 1, 1)).alias("n1"),
+        F.count(F.when(F.col("_t") == 0, 1)).alias("n0"),
+        F.sum(F.when(F.col("_t") == 1, F.col("_y"))).alias("s1"),
+        F.sum(F.when(F.col("_t") == 0, F.col("_y"))).alias("s0"),
+    )
+    kept = per.filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    diff = F.expr(
+        "CAST((CAST(s1 AS DECIMAL(38,0)) * 1000000) div n1 AS BIGINT)"
+        " - CAST((CAST(s0 AS DECIMAL(38,0)) * 1000000) div n0 AS BIGINT)"
+    )
+    kterm = kept.select(
+        "n1", "n0", "s1", "s0",
+        ((F.col("n1") + F.col("n0")).cast("decimal(38,0)")
+         * diff.cast("decimal(38,0)")).alias("_wd"),
+    )
+    kagg = kterm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.col("n1") + F.col("n0")).alias("_n"),
+        F.sum("n1").alias("_n1"),
+        F.sum("n0").alias("_n0"),
+        F.sum("s1").alias("_s1"),
+        F.sum("s0").alias("_s0"),
+        F.sum("_wd").alias("_wsum"),
+    )
+    dropped = per.filter((F.col("n1") == 0) | (F.col("n0") == 0)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped"),
+        F.coalesce(F.sum(F.col("n1") + F.col("n0")), F.lit(0))
+        .cast("long").alias("n_units_dropped"),
+    )
+    naive = F.expr(
+        "CAST((CAST(_s1 AS DECIMAL(38,0)) * 1000000) div _n1 AS BIGINT)"
+        " - CAST((CAST(_s0 AS DECIMAL(38,0)) * 1000000) div _n0 AS BIGINT)"
+    )
+    return kagg.join(F.broadcast(dropped)).select(
+        "n_strata", "n_dropped",
+        F.col("_n").cast("long").alias("n_units"),
+        "n_units_dropped",
+        F.when(
+            F.col("_n") > 0,
+            F.expr("CAST(_wsum div _n AS DECIMAL(38,0))"),
+        ).cast("long").alias("ate_micro"),
+        F.when(
+            (F.col("_n1") > 0) & (F.col("_n0") > 0), naive
+        ).cast("long").alias("naive_micro"),
+    )
