@@ -936,3 +936,111 @@ class TestMutualTopProperty:
         }
         want = {(s, d) for (s, d) in keep if (d, s) in keep}
         assert got == want
+
+
+class TestKruskalProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vals=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6),  # forced ties
+                st.integers(min_value=0, max_value=2),  # 3 groups
+            ),
+            min_size=6, max_size=30,
+        ).filter(lambda xs: len({g for _, g in xs}) >= 2)
+    )
+    def test_h_micro_matches_midrank_model(self, spark, vals):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import kruskal_wallis
+
+        df = spark.createDataFrame(
+            [(float(v), str(g)) for v, g in vals], "v double, g string"
+        )
+        (out,) = kruskal_wallis(df, "v", F.col("g")).collect()
+
+        sv = sorted(v for v, _ in vals)
+
+        def midrank(v):
+            lo = sv.index(v)
+            hi = lo + sv.count(v) - 1
+            return (lo + hi) / 2 + 1
+
+        n = len(vals)
+        h_micro = 0
+        for g in sorted({g for _, g in vals}):
+            grp = [v for v, gg in vals if gg == g]
+            r_j2 = int(round(sum(2 * midrank(v) for v in grp)))
+            h_micro += (r_j2 * r_j2 * 1_000_000) // (
+                4 * len(grp) * n * (n + 1)
+            )
+        h_micro = 12 * h_micro - 3 * (n + 1) * 1_000_000
+        assert out.h_micro == h_micro
+        # tie-corrected h_r is NULL iff every value ties
+        all_tied = len(set(v for v, _ in vals)) == 1
+        assert (out.h_r is None) == all_tied
+
+
+class TestAucProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vals=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),
+                st.booleans(),
+            ),
+            min_size=4, max_size=30,
+        ).filter(lambda xs: len({y for _, y in xs}) == 2)
+    )
+    def test_complement_identity_and_pair_model(self, spark, vals):
+        """AUC(score, y) + AUC(score, not y) prices every pair once:
+        u2(y) + u2(!y) = 2·n_pos·n_neg exactly."""
+        from unitdb_spark.operators.evaluation import auc_from_scores
+
+        df = spark.createDataFrame(
+            [(v / 10.0, y) for v, y in vals], "score double, y boolean"
+        )
+        (a,) = auc_from_scores(df, "score", "y").collect()
+        df2 = spark.createDataFrame(
+            [(v / 10.0, not y) for v, y in vals],
+            "score double, y boolean",
+        )
+        (b,) = auc_from_scores(df2, "score", "y").collect()
+        assert a.n_pos == b.n_neg and a.n_neg == b.n_pos
+        assert a.u_pos2 + b.u_pos2 == 2 * a.n_pos * a.n_neg
+        # pairwise model
+        pos = [v for v, y in vals if y]
+        neg = [v for v, y in vals if not y]
+        u2 = sum(
+            2 if p > q else (1 if p == q else 0)
+            for p in pos for q in neg
+        )
+        assert a.u_pos2 == u2
+
+
+class TestKendallProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        xs=st.lists(st.integers(min_value=0, max_value=5),
+                    min_size=3, max_size=15),
+        ys=st.lists(st.integers(min_value=0, max_value=5),
+                    min_size=3, max_size=15),
+    )
+    def test_negation_antisymmetry(self, spark, xs, ys):
+        """tau_b(x, -y) = -tau_b(x, y): negating one variable swaps
+        concordant and discordant exactly, tie counts unchanged."""
+        from unitdb_spark.operators.stats_tests import kendall_tau_b
+
+        n = min(len(xs), len(ys))
+        rows = [("k", t, xs[t], ys[t]) for t in range(n)]
+        neg = [("k", t, xs[t], -ys[t]) for t in range(n)]
+        df = spark.createDataFrame(rows, "g string, t int, x long, y long")
+        dfn = spark.createDataFrame(neg, "g string, t int, x long, y long")
+        (a,) = kendall_tau_b(df, "g", "x", "y", "t").collect()
+        (b,) = kendall_tau_b(dfn, "g", "x", "y", "t").collect()
+        assert (a.n_c, a.n_d) == (b.n_d, b.n_c)
+        assert (a.tie_x, a.tie_y) == (b.tie_x, b.tie_y)
+        if a.tau_r is not None:
+            assert abs(a.tau_r + b.tau_r) < 1e-9
+        else:
+            assert b.tau_r is None
