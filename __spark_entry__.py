@@ -6939,6 +6939,109 @@ def q_events_strat_ate(spark, sf_dir):
     return stratified_ate(per, "cohort", "treat", "y")
 
 
+def q_orders_cube(spark, sf_dir):
+    """GROUP BY CUBE(priority, order-year): all four grouping sets in
+    ONE shuffle (Expand + map-side partial agg) — the cross-tab
+    companion of lineitem_rollup's prefix levels; grouping_id
+    disambiguates subtotal rows from genuine NULLs. Decimal-cast sum
+    keeps the double order-independent."""
+    from unitdb_spark.operators.olap import cube_agg
+
+    ords = _read(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("o_year"),
+        "o_totalprice",
+    )
+    return cube_agg(
+        ords,
+        ["o_orderpriority", "o_year"],
+        [
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+
+
+def q_doc_lexical_diversity(spark, sf_dir):
+    """Per-document type-token ratio + Simpson repetition index — the
+    vocabulary-level quality signals between doc_token_stats (surface
+    counts) and doc_repetition (n-gram share); exact cross-multiplied
+    integer ppm, token-free docs kept with NULLs."""
+    from unitdb_spark.operators.tfidf import lexical_diversity
+
+    return lexical_diversity(_docs(spark, sf_dir))
+
+
+def q_streamed_uplift(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING uplift dashboard: each
+    micro-batch appends per-user (pre_cents, post-purchase count)
+    partials via foreachBatch (both merge by SUM); the read-time fold
+    re-sums, re-derives the conversion flag and hash arm, and
+    finishes through the SAME uplift_deciles operator. Oracle = the
+    batch events_uplift SQL verbatim."""
+    import uuid
+
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.evaluation import uplift_deciles
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    out = f"{base}/up_{uuid.uuid4().hex[:8]}"
+    cp = f"{base}/upcp_{uuid.uuid4().hex[:8]}"
+    mid = F.lit("2024-01-16").cast("timestamp")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+
+    def _fold(df, _eid):
+        if df.isEmpty():
+            return
+        (
+            df.groupBy("user_id")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("ts") < mid, cents)), F.lit(0)
+                ).alias("pre"),
+                F.count(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.col("ts") >= mid),
+                        1,
+                    )
+                ).alias("np"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    stream = events_as_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    per = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.sum("pre").alias("pre_cents"),
+            (F.sum("np") > 0).alias("y"),
+        )
+    )
+    arm = (
+        md5_int60(F.concat(F.col("user_id").cast("string"), F.lit(":mw"))) % 2
+    ).cast("int")
+    per = per.withColumn("treat", arm)
+    return uplift_deciles(
+        per, "pre_cents", "treat", "y", "user_id", n_bins=10
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -7960,6 +8063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_cochran": q_streamed_cochran,
         "events_uplift": q_events_uplift,
         "events_strat_ate": q_events_strat_ate,
+        "orders_cube": q_orders_cube,
+        "doc_lexical_diversity": q_doc_lexical_diversity,
+        "streamed_uplift": q_streamed_uplift,
     }
 
 
@@ -16084,7 +16190,45 @@ def oracle_sql() -> dict[str, str]:
           END AS naive_micro
         FROM kagg, dr
         """
+    d["orders_cube"] = """
+        SELECT o_orderpriority,
+          CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          COUNT(*) AS n,
+          CAST(GROUPING(o_orderpriority, year(o_orderdate)) AS BIGINT)
+            AS grouping_id
+        FROM orders
+        GROUP BY CUBE(o_orderpriority, year(o_orderdate))
+        """
+    d["doc_lexical_diversity"] = """
+        WITH tok AS (
+          SELECT doc_id, u.t AS term
+          FROM documents, unnest({toks}) AS u(t)
+        ), per AS (
+          SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2
+        ), agg AS (
+          SELECT doc_id, sum(c) AS n, count(*) AS ty,
+            sum(CAST(c AS HUGEINT) * (c - 1)) AS rep
+          FROM per GROUP BY 1
+        )
+        SELECT d.doc_id,
+          CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
+          CAST(coalesce(agg.ty, 0) AS BIGINT) AS n_types,
+          CASE WHEN agg.n > 0 THEN
+            CAST((agg.ty * 1000000) // agg.n AS BIGINT)
+          END AS ttr_ppm,
+          CASE WHEN agg.n >= 2 THEN
+            CAST((rep * 1000000) // (CAST(agg.n AS HUGEINT) * (agg.n - 1))
+                 AS BIGINT)
+          END AS simpson_ppm
+        FROM documents d LEFT JOIN agg USING (doc_id)
+        """.replace("{toks}", _TOKS)
+    # rolling uplift twin: per-user partials merge by SUM, flag and
+    # arm re-derived at read — oracle shared verbatim
+    d["streamed_uplift"] = d["events_uplift"]
     return d
+
 
 
 

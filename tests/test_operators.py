@@ -9692,3 +9692,26 @@ class TestStratifiedAte:
         assert r.n_strata == 1 and r.n_dropped == 1
         assert r.n_units == 2 and r.n_units_dropped == 2
         assert r.ate_micro == 2_000_000
+
+
+class TestLexicalDiversity:
+    def test_hand_model_and_edge_cases(self, spark):
+        from unitdb_spark.operators.tfidf import lexical_diversity
+
+        rows = [
+            (1, "a b a b a"),          # n=5, types=2, rep=3*2+2*1=8
+            (2, "unique words only"),  # n=3, types=3, rep=0
+            (3, "x"),                  # n=1 -> simpson NULL
+            (4, ""),                   # token-free -> kept, NULLs
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in lexical_diversity(df).collect()}
+        r1 = out[1]
+        assert (r1.n_tokens, r1.n_types) == (5, 2)
+        assert r1.ttr_ppm == (2 * 1_000_000) // 5
+        assert r1.simpson_ppm == (8 * 1_000_000) // (5 * 4)
+        assert out[2].simpson_ppm == 0 and out[2].ttr_ppm == 1_000_000
+        assert out[3].simpson_ppm is None and out[3].ttr_ppm == 1_000_000
+        r4 = out[4]
+        assert (r4.n_tokens, r4.n_types) == (0, 0)
+        assert r4.ttr_ppm is None and r4.simpson_ppm is None

@@ -944,3 +944,60 @@ def source_unigram_js(
             6,
         ).alias("js_r"),
     )
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document lexical diversity panel: type-token ratio and the
+    Simpson repetition index — the vocabulary-level quality signals
+    between `doc_token_stats` (surface counts) and `doc_repetition`
+    (n-gram share): template/boilerplate text shows low TTR and high
+    Simpson (two random tokens often the same type) long before a
+    human reads it.
+
+        ttr_ppm     = (n_types · 1e6) div n_tokens
+        simpson_ppm = (Σ_t c_t·(c_t−1) · 1e6) div (n·(n−1))
+
+    — exact integer cross-multiplied ratios (Simpson is the unbiased
+    repeat-probability form); simpson_ppm NULL when n < 2, both NULL
+    for token-free documents (kept as rows — absence is a result).
+
+    Output: (doc_id, n_tokens, n_types, ttr_ppm, simpson_ppm).
+
+    Scale: explode → (doc, term) partial agg → per-doc agg — all
+    doc-keyed (the RAKE shape), no global vocabulary relation, no
+    window.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_tokens(text_col)).alias("term"),
+    )
+    per_type = tok.groupBy("_id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = per_type.groupBy("_id").agg(
+        F.sum("c").alias("_n"),
+        F.count(F.lit(1)).alias("_ty"),
+        F.sum(d38(F.col("c")) * (F.col("c") - 1)).alias("_rep"),
+    )
+    base = docs.select(F.col(id_col).alias("_id"))
+    out = base.join(agg, "_id", "left")
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("_ty"), F.lit(0)).cast("long").alias("n_types"),
+        F.when(
+            F.col("_n") > 0, F.expr("(_ty * 1000000L) div _n")
+        ).cast("long").alias("ttr_ppm"),
+        F.when(
+            F.col("_n") >= 2,
+            F.expr(
+                "CAST((_rep * 1000000) div (CAST(_n AS DECIMAL(38,0))"
+                " * (_n - 1)) AS BIGINT)"
+            ),
+        ).cast("long").alias("simpson_ppm"),
+    )
