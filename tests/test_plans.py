@@ -1358,3 +1358,91 @@ class TestSessionPlans7:
         plan = formatted_plan(wilcoxon_signed_rank(df, "d"))
         assert "BatchEvalPython" not in plan
         assert "partial_sum" in plan  # map-side combine into the agg
+
+
+class TestSessionPlans7b:
+    """Plan pins for the round-7 continuation-session operators."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_anova_moments_map_side_no_window(self, spark):
+        """The whole F test is partial-agg shaped: map-side combined
+        per-group moments, no Window node anywhere, no Python."""
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import one_way_anova
+
+        ev = spark.read.parquet(f"{self.SF}/events.parquet")
+        cents = F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        )
+        plan = formatted_plan(
+            one_way_anova(ev, cents, F.col("event_type"))
+        )
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "partial_sum" in plan  # moments combine before the wire
+
+    def test_kruskal_window_is_post_aggregate(self, spark):
+        """The global midrank window must run AFTER the per-value
+        aggregation (distinct-value relation), never over raw rows:
+        the plan's Window sits above a HashAggregate, and the whole
+        thing stays JVM-side."""
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import kruskal_wallis
+
+        ev = spark.read.parquet(f"{self.SF}/events.parquet")
+        plan = formatted_plan(
+            kruskal_wallis(ev, "value", F.col("event_type"))
+        )
+        assert "BatchEvalPython" not in plan
+        # value-cell aggregation feeds the window
+        assert "partial_count" in plan or "partial_sum" in plan
+        assert plan.index("HashAggregate") < plan.index("Window")
+
+    def test_label_centroid_corpus_never_joins_itself(self, spark):
+        """The pair join runs on the (label, dim) SUM relation — the
+        exploded corpus feeds ONE map-side-combined aggregate and is
+        gone before any join."""
+        from unitdb_spark.operators.similarity import (
+            label_centroid_cosine,
+        )
+
+        emb = spark.read.parquet(f"{self.SF}/embeddings.parquet")
+        plan = formatted_plan(label_centroid_cosine(emb))
+        assert "BatchEvalPython" not in plan
+        assert "Generate" in plan  # the posexplode
+        # the explode appears once: the corpus is scanned/exploded
+        # for the sum relation only (joins reuse that relation)
+        assert plan.count("Generate explode") <= 2 * 1  # tree+detail
+
+    def test_auc_window_over_score_cells(self, spark):
+        """AUC's midrank window runs over the per-score aggregate
+        (distinct quantized scores), after a map-side combine."""
+        from unitdb_spark.operators.evaluation import auc_from_scores
+
+        df = spark.createDataFrame(
+            [(i / 7.0, i % 3 == 0) for i in range(50)],
+            "score double, y boolean",
+        )
+        plan = formatted_plan(auc_from_scores(df, "score", "y"))
+        assert "BatchEvalPython" not in plan
+        assert plan.index("HashAggregate") < plan.index("Window")
+
+    def test_sax_windows_are_key_partitioned(self, spark):
+        """Both SAX windows (ntile, lead) carry the key in their
+        partition spec — no single-partition global window."""
+        from unitdb_spark.operators.timeseries import sax_motifs
+
+        cells = spark.createDataFrame(
+            [("k", t, t * 3 % 7) for t in range(12)],
+            "g string, t long, y long",
+        )
+        plan = formatted_plan(sax_motifs(cells, "g", "t", "y"))
+        assert "BatchEvalPython" not in plan
+        import re
+
+        # every windowspec mentions a partition on _k
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs and all("_k" in sp for sp in specs)
