@@ -7042,6 +7042,24 @@ def q_streamed_uplift(spark, sf_dir):
     )
 
 
+def q_doc_source_outliers(spark, sf_dir):
+    """Per-source semantic outliers: the 3 docs least cosine-similar
+    to their OWN source's embedding centroid — the misfiled-document
+    detector (label error / scraper bug / spam) joining the documents
+    and embeddings tables on id. Sum-vector centroid arithmetic stays
+    exact integer; one pinned float per member; group-partitioned
+    ranking."""
+    from unitdb_spark.operators.similarity import group_centroid_outliers
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return group_centroid_outliers(
+        docs.join(emb, "doc_id"), "source", id_col="doc_id", per_group=3
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -8066,6 +8084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": q_orders_cube,
         "doc_lexical_diversity": q_doc_lexical_diversity,
         "streamed_uplift": q_streamed_uplift,
+        "doc_source_outliers": q_doc_source_outliers,
     }
 
 
@@ -16227,7 +16246,47 @@ def oracle_sql() -> dict[str, str]:
     # rolling uplift twin: per-user partials merge by SUM, flag and
     # arm re-derived at read — oracle shared verbatim
     d["streamed_uplift"] = d["events_uplift"]
+    d["doc_source_outliers"] = """
+        WITH j AS (
+          SELECT d.source AS g, d.doc_id AS id, e.embedding AS v
+          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ), ex AS (
+          SELECT g, id, r.pos AS dim,
+            CAST(floor(CAST(v[r.pos + 1] AS DOUBLE) * 1000000.0)
+                 AS BIGINT) AS vm
+          FROM j, range(64) r(pos)
+        ), cent AS (
+          SELECT g, dim, CAST(sum(vm) AS BIGINT) AS s
+          FROM ex GROUP BY 1, 2
+        ), cn AS (
+          SELECT g, sum(CAST(s AS HUGEINT) * s) AS cn2
+          FROM cent GROUP BY 1
+        ), per AS (
+          SELECT ex.g, ex.id,
+            sum(CAST(vm AS HUGEINT) * s) AS dot,
+            sum(CAST(vm AS HUGEINT) * vm) AS vn2
+          FROM ex JOIN cent ON ex.g = cent.g AND ex.dim = cent.dim
+          GROUP BY 1, 2
+        ), sc AS (
+          SELECT per.g, per.id,
+            CASE WHEN vn2 > 0 AND cn2 > 0 THEN
+              round(CAST(dot AS DOUBLE)
+                / sqrt(CAST(vn2 AS DOUBLE) * CAST(cn2 AS DOUBLE)), 6)
+            END AS cos_r
+          FROM per JOIN cn ON per.g = cn.g
+        ), rk AS (
+          SELECT g, id, cos_r,
+            row_number() OVER (PARTITION BY g
+                               ORDER BY cos_r ASC NULLS FIRST, id)
+              AS rank
+          FROM sc
+        )
+        SELECT g AS source, id AS doc_id, cos_r,
+          CAST(rank AS INTEGER) AS rank
+        FROM rk WHERE rank <= 3
+        """
     return d
+
 
 
 

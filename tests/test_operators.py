@@ -9715,3 +9715,46 @@ class TestLexicalDiversity:
         r4 = out[4]
         assert (r4.n_tokens, r4.n_types) == (0, 0)
         assert r4.ttr_ppm is None and r4.simpson_ppm is None
+
+
+class TestGroupCentroidOutliers:
+    def test_planted_outlier_found(self, spark):
+        from unitdb_spark.operators.similarity import (
+            group_centroid_outliers,
+        )
+
+        rows = [
+            (1, "g", [1.0, 0.1]), (2, "g", [1.0, 0.0]),
+            (3, "g", [0.9, 0.1]),
+            (4, "g", [-1.0, 0.5]),  # the planted outlier
+            (5, "h", [0.0, 1.0]), (6, "h", [0.1, 1.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, g string, embedding array<float>"
+        )
+        out = group_centroid_outliers(df, "g", per_group=2).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r.g, []).append(r)
+        assert by_g["g"][0].vec_id == 4 and by_g["g"][0].rank == 1
+        assert len(by_g["h"]) == 2
+        # everyone's cosine to own centroid is within [-1, 1]
+        assert all(
+            r.cos_r is None or -1.0 <= r.cos_r <= 1.0 for r in out
+        )
+
+    def test_zero_vector_ranks_first_with_null(self, spark):
+        from unitdb_spark.operators.similarity import (
+            group_centroid_outliers,
+        )
+
+        rows = [
+            (1, "g", [0.0, 0.0]),
+            (2, "g", [1.0, 1.0]),
+            (3, "g", [1.0, 0.9]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, g string, embedding array<float>"
+        )
+        out = group_centroid_outliers(df, "g", per_group=1).collect()
+        assert out[0].vec_id == 1 and out[0].cos_r is None

@@ -931,3 +931,82 @@ def label_centroid_cosine(
             (F.col("_na2") > 0) & (F.col("_nb2") > 0), F.round(cos, 6)
         ).alias("cos_r"),
     )
+
+
+def group_centroid_outliers(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    per_group: int = 3,
+) -> DataFrame:
+    """Per-group semantic outliers: the ``per_group`` members least
+    cosine-similar to their OWN group's centroid — the misfiled-
+    document detector for a labeled/sourced corpus (a doc filed under
+    `src3` whose embedding sits nowhere near src3's mass is a label
+    error, a scraper bug, or spam). The metadata-group twin of
+    `sampling.cluster_outlier_report` (which uses k-means cells) and
+    the row-level companion of `label_centroid_cosine` (which
+    compares group centroids to each other).
+
+    Same exactness contract as the centroid matrix: centroid cosine
+    == sum-vector cosine, coordinates quantize once to floor(v·1e6),
+    per-(group, dim) sums are exact BIGINTs, dot/norm² in
+    DECIMAL(38,0); ONE pinned round-6 float per member, ranked
+    (cos ASC, id) per group. The centroid INCLUDES the member (the
+    cluster_outlier_report convention — deterministic and
+    leave-one-out-free); zero-norm members rank first with NULL cos.
+
+    Output: (group, id, cos_r, rank) with rank ≤ ``per_group``.
+
+    Scale: ONE corpus explode → (group, dim) partial agg (the
+    centroid relation, groups × dims — broadcastable); the member
+    scoring joins the explode output against that small relation and
+    re-aggregates per member; the final window is group-partitioned.
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    exp = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_v"),
+    ).select(
+        "_g", "_id", "_dim",
+        F.floor(F.col("_v").cast("double") * F.lit(1_000_000.0))
+        .cast("long").alias("_vm"),
+    )
+    cent = exp.groupBy("_g", "_dim").agg(F.sum("_vm").alias("_s"))
+    cnorm = cent.groupBy("_g").agg(
+        F.sum(d38(F.col("_s")) * d38(F.col("_s"))).alias("_cn2")
+    )
+    per = (
+        exp.join(cent, ["_g", "_dim"])
+        .groupBy("_g", "_id")
+        .agg(
+            F.sum(d38(F.col("_vm")) * d38(F.col("_s"))).alias("_dot"),
+            F.sum(d38(F.col("_vm")) * d38(F.col("_vm"))).alias("_vn2"),
+        )
+    )
+    cos = (
+        F.col("_dot").cast("double")
+        / F.sqrt(
+            F.col("_vn2").cast("double") * F.col("_cn2").cast("double")
+        )
+    )
+    scored = per.join(cnorm, "_g").select(
+        "_g", "_id",
+        F.when(
+            (F.col("_vn2") > 0) & (F.col("_cn2") > 0), F.round(cos, 6)
+        ).alias("cos_r"),
+    )
+    w = Window.partitionBy("_g").orderBy(
+        F.col("cos_r").asc_nulls_first(), "_id"
+    )
+    return (
+        scored.select(
+            F.col("_g").alias(group_col),
+            F.col("_id").alias(id_col),
+            "cos_r",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= per_group)
+    )
