@@ -7060,6 +7060,37 @@ def q_doc_source_outliers(spark, sf_dir):
     )
 
 
+def q_doc_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility histogram under the learned 10-rule merge
+    table: instances and word types per subwords-per-word count —
+    n_sub = 1 is in-vocabulary mass, a heavy tail means the tokenizer
+    fragments real words and the corpus budget balloons. Rides the
+    bpe_train + encode machinery; oracle extends the unrolled
+    training replay."""
+    from unitdb_spark.operators.bpe import bpe_fertility, bpe_train
+
+    d = _docs(spark, sf_dir)
+    rules = bpe_train(d, n_merges=10)
+    return bpe_fertility(d, rules)
+
+
+def q_events_topk_drift(spark, sf_dir):
+    """Top-20 users by absolute traffic-share shift across the fixed
+    2024-01-16 boundary — the per-key triage next to events_psi's
+    one-number verdict: WHO moved (churned whale, new bot, the key
+    that quietly 10x'd). Exact ppm shares; the cut is a TakeOrdered
+    heap, never a global sort."""
+    from unitdb_spark.operators.profile import key_share_drift
+
+    ev = _events(spark, sf_dir)
+    return key_share_drift(
+        ev,
+        "user_id",
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+        top_k=20,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -8085,6 +8116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lexical_diversity": q_doc_lexical_diversity,
         "streamed_uplift": q_streamed_uplift,
         "doc_source_outliers": q_doc_source_outliers,
+        "doc_bpe_fertility": q_doc_bpe_fertility,
+        "events_topk_drift": q_events_topk_drift,
     }
 
 
@@ -16285,7 +16318,33 @@ def oracle_sql() -> dict[str, str]:
           CAST(rank AS INTEGER) AS rank
         FROM rk WHERE rank <= 3
         """
+    d["doc_bpe_fertility"] = _bpe_fertility_oracle(10)
+    d["events_topk_drift"] = """
+        WITH per AS (
+          SELECT user_id,
+            count(*) FILTER (ts < TIMESTAMP '2024-01-16') AS n_pre,
+            count(*) FILTER (ts >= TIMESTAMP '2024-01-16') AS n_post
+          FROM events GROUP BY 1
+        ), tot AS (
+          SELECT sum(n_pre) AS tpre, sum(n_post) AS tpost FROM per
+        ), sh AS (
+          SELECT user_id,
+            CAST(n_pre AS BIGINT) AS n_pre,
+            CAST(n_post AS BIGINT) AS n_post,
+            CAST(CASE WHEN tpre > 0 THEN (n_pre * 1000000) // tpre
+                      ELSE 0 END AS BIGINT) AS share_pre_ppm,
+            CAST(CASE WHEN tpost > 0 THEN (n_post * 1000000) // tpost
+                      ELSE 0 END AS BIGINT) AS share_post_ppm
+          FROM per, tot
+        )
+        SELECT user_id, n_pre, n_post, share_pre_ppm, share_post_ppm,
+          share_post_ppm - share_pre_ppm AS delta_ppm
+        FROM sh
+        ORDER BY abs(share_post_ppm - share_pre_ppm) DESC, user_id
+        LIMIT 20
+        """
     return d
+
 
 
 
@@ -17446,6 +17505,38 @@ def _bpe_encode_oracle(n_merges: int = 10) -> str:
           CAST(SUM(wc.n_sub) AS BIGINT) AS n_subwords
         FROM inst i JOIN wc ON i.w = wc.w
         GROUP BY 1
+        """
+    )
+
+
+def _bpe_fertility_oracle(n_merges: int = 10) -> str:
+    """`doc_bpe_fertility` replay: the encode chain's per-word subword
+    counts, histogrammed over token instances."""
+    train = _bpe_oracle(n_merges)
+    head = train[: train.rindex("\nSELECT CAST(1 AS INTEGER)")]
+    return (
+        head
+        + f""",
+        wc AS MATERIALIZED (
+          SELECT w, CAST(count(*) AS BIGINT) AS n_sub
+          FROM p{n_merges} GROUP BY 1
+        ),
+        inst AS (
+          SELECT u.t AS w
+          FROM documents d, UNNEST({_TOKS}) AS u(t)
+        ),
+        hist AS (
+          SELECT wc.n_sub, count(*) AS n_instances,
+            count(DISTINCT i.w) AS n_types
+          FROM inst i JOIN wc ON i.w = wc.w GROUP BY 1
+        ),
+        tot AS (SELECT sum(n_instances) AS nt FROM hist)
+        SELECT CAST(n_sub AS BIGINT) AS n_sub,
+          CAST(n_instances AS BIGINT) AS n_instances,
+          CAST(n_types AS BIGINT) AS n_types,
+          CAST((n_instances * 1000000) // nt AS BIGINT)
+            AS inst_share_ppm
+        FROM hist, tot
         """
     )
 

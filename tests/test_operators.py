@@ -9758,3 +9758,56 @@ class TestGroupCentroidOutliers:
         )
         out = group_centroid_outliers(df, "g", per_group=1).collect()
         assert out[0].vec_id == 1 and out[0].cos_r is None
+
+
+class TestBpeFertility:
+    def test_histogram_matches_encode(self, spark):
+        from unitdb_spark.operators.bpe import (
+            bpe_fertility,
+            bpe_train,
+        )
+
+        rows = [(1, "low low low lower lowest new"), (2, "low new new")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        rules = bpe_train(df, n_merges=4)
+        out = bpe_fertility(df, rules).collect()
+        total = sum(r.n_instances for r in out)
+        assert total == 9  # every token instance lands in one bucket
+        for r in out:
+            assert r.inst_share_ppm == (r.n_instances * 1_000_000) // total
+        # type counts never exceed instance counts
+        assert all(r.n_types <= r.n_instances for r in out)
+
+
+class TestKeyShareDrift:
+    def test_hand_model_and_cut(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.profile import key_share_drift
+
+        rows = (
+            [("a", 0)] * 6 + [("b", 0)] * 2 + [("c", 0)] * 2
+            + [("a", 1)] * 1 + [("b", 1)] * 6 + [("d", 1)] * 3
+        )
+        df = spark.createDataFrame(rows, "k string, p int")
+        out = key_share_drift(df, "k", F.col("p") == 1, top_k=2)
+        got = out.collect()
+        # shares: pre a=600000 b=200000 c=200000; post a=100000 b=600000 d=300000
+        # deltas: a=-500000 b=+400000 c=-200000 d=+300000 -> top2 = a, b
+        assert [r.k for r in got] == ["a", "b"]
+        a = got[0]
+        assert (a.n_pre, a.n_post) == (6, 1)
+        assert a.share_pre_ppm == 600_000 and a.share_post_ppm == 100_000
+        assert a.delta_ppm == -500_000
+
+    def test_one_sided_key_absence_is_signal(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.profile import key_share_drift
+
+        rows = [("x", 0), ("y", 1)]
+        df = spark.createDataFrame(rows, "k string, p int")
+        out = {r.k: r for r in
+               key_share_drift(df, "k", F.col("p") == 1, 5).collect()}
+        assert out["x"].share_post_ppm == 0 and out["x"].n_post == 0
+        assert out["y"].share_pre_ppm == 0 and out["y"].delta_ppm == 1_000_000

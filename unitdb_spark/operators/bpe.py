@@ -240,3 +240,51 @@ def bpe_subword_counts(
         )
         .select(F.col("_id").alias(id_col), "n_words", "n_subwords")
     )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    rules: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility histogram under a learned merge table: for
+    each subwords-per-word count, how many token INSTANCES (and word
+    types) land there — the tokenizer-quality readout behind the
+    corpus budget (`bpe_subword_counts` says how many tokens; this
+    says WHY: n_sub = 1 is in-vocabulary mass, a heavy tail means the
+    merge table fragments real words and the budget balloons).
+
+    Same shape as the encode path: ONE distinct-word pass, the rule
+    table applied driver-side over the Zipf-small vocabulary
+    (`_encode_vocab`), per-word counts joined back to instances as a
+    broadcast relation. inst_share_ppm is an exact integer division.
+
+    Output: (n_sub, n_instances, n_types, inst_share_ppm).
+
+    Scale: the histogram relation is |distinct n_sub| rows (≤ max
+    word length); everything else is the bpe_subword_counts contract.
+    """
+    spark = df.sparkSession
+    words = df.select(F.explode(raw_tokens(text_col)).alias("_w")).distinct()
+    vocab = [r["_w"] for r in words.collect()]
+    n_sub = _encode_vocab(vocab, rules)
+    wc = spark.createDataFrame(
+        list(n_sub.items()), "_w string, _nsub long"
+    )
+    inst = df.select(F.explode(raw_tokens(text_col)).alias("_w"))
+    hist = (
+        inst.join(F.broadcast(wc), "_w")
+        .groupBy("_nsub")
+        .agg(
+            F.count(F.lit(1)).alias("n_instances"),
+            F.countDistinct("_w").alias("n_types"),
+        )
+    )
+    tot = hist.agg(F.sum("n_instances").alias("_nt"))
+    return hist.join(F.broadcast(tot)).select(
+        F.col("_nsub").cast("long").alias("n_sub"),
+        F.col("n_instances").cast("long").alias("n_instances"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.expr("(n_instances * 1000000L) div _nt")
+        .cast("long").alias("inst_share_ppm"),
+    )

@@ -597,3 +597,67 @@ def kanonymity_report(
         F.count(F.when(F.col("_l") == 1, 1)).cast("long")
         .alias("n_classes_l1"),
     )
+
+
+def key_share_drift(
+    df: DataFrame,
+    key_col: str,
+    post_col,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-``top_k`` keys by absolute traffic-share shift between two
+    periods — the per-key TRIAGE next to `population_stability`'s
+    one-number PSI verdict: PSI says "the mix moved", this says WHO
+    moved (the churned whale, the new bot, the key that quietly 10×d).
+    ``post_col`` is a boolean column splitting the rows.
+
+    Exact integer ppm shares per side (cross-multiplied divisions
+    against each side's total), delta_ppm = share_post − share_pre;
+    the cut is (|delta| DESC, key) via orderBy + limit — a
+    TakeOrdered heap merge, NEVER a global sort or a single-partition
+    rank window. Keys absent from one side report that side's share
+    as 0 (absence is the signal).
+
+    Output: (key, n_pre, n_post, share_pre_ppm, share_post_ppm,
+    delta_ppm), ``top_k`` rows.
+
+    Scale: one map-side-combined (key) aggregation; the totals
+    broadcast; the heap cut carries top_k rows per partition to the
+    driver.
+    """
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        post_col.cast("boolean").alias("_p"),
+    )
+    per = base.groupBy("_k").agg(
+        F.count(F.when(~F.col("_p"), 1)).alias("n_pre"),
+        F.count(F.when(F.col("_p"), 1)).alias("n_post"),
+    )
+    tot = per.agg(
+        F.sum("n_pre").alias("_tpre"), F.sum("n_post").alias("_tpost")
+    )
+    shared = per.join(F.broadcast(tot)).select(
+        "_k",
+        F.col("n_pre").cast("long").alias("n_pre"),
+        F.col("n_post").cast("long").alias("n_post"),
+        F.when(
+            F.col("_tpre") > 0, F.expr("(n_pre * 1000000L) div _tpre")
+        ).otherwise(F.lit(0)).cast("long").alias("share_pre_ppm"),
+        F.when(
+            F.col("_tpost") > 0,
+            F.expr("(n_post * 1000000L) div _tpost"),
+        ).otherwise(F.lit(0)).cast("long").alias("share_post_ppm"),
+    ).select(
+        "_k", "n_pre", "n_post", "share_pre_ppm", "share_post_ppm",
+        (F.col("share_post_ppm") - F.col("share_pre_ppm"))
+        .alias("delta_ppm"),
+    )
+    return (
+        shared.orderBy(F.abs(F.col("delta_ppm")).desc(), "_k")
+        .limit(top_k)
+        .select(
+            F.col("_k").alias(key_col),
+            "n_pre", "n_post", "share_pre_ppm", "share_post_ppm",
+            "delta_ppm",
+        )
+    )
