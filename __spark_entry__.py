@@ -7091,6 +7091,18 @@ def q_events_topk_drift(spark, sf_dir):
     )
 
 
+def q_events_dunn(spark, sf_dir):
+    """Dunn's post-hoc pairwise z's over the SAME pooled midranks as
+    events_kruskal — the step after the omnibus rejects: which of the
+    10 type pairs actually differ. Exact integer mean-rank-difference
+    numerators; one pinned float chain per pair; apply Bonferroni/
+    Holm on the emitted z's downstream."""
+    from unitdb_spark.operators.stats_tests import dunn_posthoc
+
+    ev = _events(spark, sf_dir)
+    return dunn_posthoc(ev, "value", F.col("event_type"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -8118,6 +8130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_outliers": q_doc_source_outliers,
         "doc_bpe_fertility": q_doc_bpe_fertility,
         "events_topk_drift": q_events_topk_drift,
+        "events_dunn": q_events_dunn,
     }
 
 
@@ -16343,7 +16356,57 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY abs(share_post_ppm - share_pre_ppm) DESC, user_id
         LIMIT 20
         """
+    d["events_dunn"] = """
+        WITH base AS (
+          SELECT value AS v, event_type AS g FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+        ), pv AS (
+          SELECT v, g, count(*) AS c_vg FROM base GROUP BY v, g
+        ), per_v AS (
+          SELECT v, sum(c_vg) AS t_v FROM pv GROUP BY v
+        ), rk AS (
+          SELECT v, t_v, coalesce(sum(t_v) OVER (
+            ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+          ), 0) AS below
+          FROM per_v
+        ), per_g AS (
+          SELECT g, sum(c_vg) AS n_j,
+            sum(CAST(c_vg AS HUGEINT)
+                * CAST(2 * below + t_v + 1 AS HUGEINT)) AS r_j2
+          FROM pv JOIN rk USING (v) GROUP BY g
+        ), tie AS (
+          SELECT sum(t_v) AS n,
+            sum(CAST(t_v AS HUGEINT) * t_v * t_v - t_v) AS tie3
+          FROM per_v
+        ), pairs AS (
+          SELECT a.g AS ga, b.g AS gb, a.n_j AS na, b.n_j AS nb,
+            a.r_j2 * b.n_j - b.r_j2 * a.n_j AS num,
+            n, tie3
+          FROM per_g a JOIN per_g b ON a.g < b.g CROSS JOIN tie
+        )
+        SELECT ga AS group_a, gb AS group_b,
+          CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          CAST(num AS BIGINT) AS num2,
+          CASE WHEN (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                       / 12.0
+                     - CAST(tie3 AS DOUBLE)
+                       / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+                    * CAST(na + nb AS DOUBLE)
+                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) > 0
+          THEN
+            round(CAST(num AS DOUBLE)
+              / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                        / 12.0
+                      - CAST(tie3 AS DOUBLE)
+                        / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+                     * CAST(na + nb AS DOUBLE)
+                     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+          END AS z_r
+        FROM pairs
+        """
     return d
+
 
 
 

@@ -9811,3 +9811,53 @@ class TestKeyShareDrift:
                key_share_drift(df, "k", F.col("p") == 1, 5).collect()}
         assert out["x"].share_post_ppm == 0 and out["x"].n_post == 0
         assert out["y"].share_pre_ppm == 0 and out["y"].delta_ppm == 1_000_000
+
+
+class TestDunnPosthoc:
+    def test_matches_midrank_model(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import dunn_posthoc
+
+        data = {"a": [1.0, 2.0, 2.0], "b": [2.0, 4.0], "c": [5.0, 6.0, 7.0]}
+        rows = [(v, g) for g, vs in data.items() for v in vs]
+        df = spark.createDataFrame(rows, "v double, g string")
+        out = {(r.group_a, r.group_b): r
+               for r in dunn_posthoc(df, "v", F.col("g")).collect()}
+        assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+        # pooled midranks
+        pooled = sorted(v for vs in data.values() for v in vs)
+        import collections
+
+        cnt = collections.Counter(pooled)
+        below, mid = 0, {}
+        for v in sorted(cnt):
+            mid[v] = below + (cnt[v] + 1) / 2.0
+            below += cnt[v]
+        n = len(pooled)
+        tie3 = sum(t**3 - t for t in cnt.values())
+        for (ga, gb), r in out.items():
+            ra = sum(2 * mid[v] for v in data[ga])
+            rb = sum(2 * mid[v] for v in data[gb])
+            na, nb = len(data[ga]), len(data[gb])
+            assert r.num2 == int(round(ra * nb - rb * na))
+            var = (n * (n + 1) / 12 - tie3 / (12 * (n - 1))) * (
+                na + nb
+            ) / (na * nb)
+            want = (r.num2 / (2 * na * nb)) / math.sqrt(var)
+            assert abs(r.z_r - want) < 1e-5
+        # direction: c ranks above a -> num2 for (a, c) negative
+        assert out[("a", "c")].num2 < 0
+
+    def test_all_tied_null(self, spark):
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.stats_tests import dunn_posthoc
+
+        df = spark.createDataFrame(
+            [(1.0, "a"), (1.0, "b")], "v double, g string"
+        )
+        (r,) = dunn_posthoc(df, "v", F.col("g")).collect()
+        assert r.z_r is None and r.num2 == 0

@@ -37,6 +37,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "events_cramers_v": "rides chi_square_independence: same levels-squared cell windows",
     "events_mannwhitney": "doubled-midrank cumulative window over the DISTINCT-value relation",
     "events_kruskal": "doubled-midrank cumulative window over the DISTINCT-value relation (the mann_whitney class, k groups)",
+    "events_dunn": "rides the kruskal pooled-midrank window: same DISTINCT-value relation, pairs join the k-row group relation",
     "events_cliffs_delta": "rides mann_whitney_u: same doubled-midrank window over the distinct-value relation",
     "events_wilcoxon": "doubled-midrank cumulative window over the distinct-|difference| relation (per-user diffs, not events)",
     "lineitem_spearman": "rank windows over the distinct-value relations of the two variables",

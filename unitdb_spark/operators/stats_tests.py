@@ -2234,3 +2234,112 @@ def brown_forsythe(
         "_g", F.abs(F.col("_x") - F.col("_med")).alias("_z")
     )
     return one_way_anova(dev, F.col("_z"), F.col("_g"))
+
+
+def dunn_posthoc(
+    df: DataFrame, value_col: str, group_col
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons (Dunn 1964) — the step
+    AFTER `kruskal_wallis` rejects: the omnibus says "some group
+    differs", Dunn says WHICH pairs, using the POOLED midranks (not
+    per-pair re-ranking, which would break the family-wise
+    comparability the procedure exists for). Apply your own
+    Bonferroni/Holm cut to the emitted z's — the correction is a
+    reporting convention, the statistic is not.
+
+    Shares the kruskal machinery verbatim: per-(value, group) counts,
+    one cumulative window over the DISTINCT-value relation, doubled
+    midranks. For groups i, j the mean-rank difference clears to an
+    exact integer numerator:
+
+        num = R_i2·n_j − R_j2·n_i        (mean diff = num/(2·n_i·n_j))
+        z   = (num/(2 n_i n_j)) / sqrt((N(N+1)/12 − tie3/(12(N−1)))
+                                        · (n_i + n_j)/(n_i·n_j))
+
+    — ONE pinned float chain per pair over exact integers, NULL when
+    the variance term is ≤ 0 (every value tied). Pairs ordered
+    group_a < group_b.
+
+    Output: (group_a, group_b, n_a, n_b, num2, z_r) — num2 is the
+    exact doubled numerator (sign = direction: positive means
+    group_a ranks higher).
+
+    Scale: identical to kruskal_wallis plus a k²-row pair join on
+    the per-group relation (control-plane).
+    """
+    base = df.select(
+        F.col(value_col).alias("_v"),
+        group_col if not isinstance(group_col, str) else F.col(group_col),
+    ).toDF("_v", "_g").filter(
+        F.col("_v").isNotNull() & ~F.isnan(F.col("_v").cast("double"))
+    )
+    pv = base.groupBy("_v", "_g").agg(F.count(F.lit(1)).alias("c_vg"))
+    per_v = pv.groupBy("_v").agg(F.sum("c_vg").alias("t_v"))
+    w = (
+        Window.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = per_v.select(
+        "_v", "t_v",
+        F.coalesce(F.sum("t_v").over(w), F.lit(0)).alias("below"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = (
+        pv.join(rk, "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("c_vg").alias("n_j"),
+            F.sum(
+                d38(F.col("c_vg"))
+                * d38(F.lit(2) * F.col("below") + F.col("t_v") + 1)
+            ).alias("r_j2"),
+        )
+    )
+    tie = per_v.agg(
+        F.sum("t_v").alias("n"),
+        F.sum(
+            d38(F.col("t_v")) * d38(F.col("t_v")) * d38(F.col("t_v"))
+            - d38(F.col("t_v"))
+        ).alias("tie3"),
+    )
+    a = per_g.select(
+        F.col("_g").alias("_ga"), F.col("n_j").alias("_na"),
+        F.col("r_j2").alias("_ra"),
+    )
+    b = per_g.select(
+        F.col("_g").alias("_gb"), F.col("n_j").alias("_nb"),
+        F.col("r_j2").alias("_rb"),
+    )
+    # broadcast the (tiny, k-row) right side: the inequality pair join
+    # compiles to a nested loop over a broadcast relation, never a
+    # partitioned cartesian product
+    pairs = (
+        a.join(F.broadcast(b), F.col("_ga") < F.col("_gb"))
+        .join(F.broadcast(tie))
+    )
+    num = d38(F.col("_ra")) * F.col("_nb") - d38(F.col("_rb")) * F.col("_na")
+    nD = F.col("n").cast("double")
+    var = (
+        (nD * (nD + F.lit(1.0)) / F.lit(12.0)
+         - F.col("tie3").cast("double")
+         / (F.lit(12.0) * (nD - F.lit(1.0))))
+        * (F.col("_na") + F.col("_nb")).cast("double")
+        / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
+    )
+    z = (
+        num.cast("double")
+        / (
+            F.lit(2.0) * F.col("_na").cast("double")
+            * F.col("_nb").cast("double")
+        )
+        / F.sqrt(var)
+    )
+    return pairs.select(
+        F.col("_ga").alias("group_a"),
+        F.col("_gb").alias("group_b"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        num.cast("long").alias("num2"),
+        F.when(var > 0, F.round(z, 6)).alias("z_r"),
+    )
