@@ -7103,6 +7103,22 @@ def q_events_dunn(spark, sf_dir):
     return dunn_posthoc(ev, "value", F.col("event_type"))
 
 
+def q_events_nemenyi(spark, sf_dir):
+    """Nemenyi post-hoc pairwise z's over the SAME day-ranked
+    revenue panel as events_friedman — the Demšar protocol's second
+    step: which event-type pairs actually differ once the omnibus
+    rejects. Exact integer rank-sum differences; one pinned float
+    per pair; broadcast k-row pair join."""
+    from unitdb_spark.operators.stats_tests import nemenyi_posthoc
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    cells = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.sum(cents).alias("rev"))
+    return nemenyi_posthoc(cells, "d", "event_type", "rev")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -8131,6 +8147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_fertility": q_doc_bpe_fertility,
         "events_topk_drift": q_events_topk_drift,
         "events_dunn": q_events_dunn,
+        "events_nemenyi": q_events_nemenyi,
     }
 
 
@@ -16405,7 +16422,53 @@ def oracle_sql() -> dict[str, str]:
           END AS z_r
         FROM pairs
         """
+    # Nemenyi rides the friedman rank CTEs: same complete-block
+    # midranks, pairwise finish
+    d["events_nemenyi"] = """
+        WITH cells AS (
+          SELECT CAST(ts AS DATE) AS b, event_type AS t,
+            sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), k_row AS (
+          SELECT CAST(count(DISTINCT t) AS INTEGER) AS k FROM cells
+        ), complete AS (
+          SELECT b FROM cells GROUP BY b
+          HAVING count(*) = (SELECT k FROM k_row)
+        ), cb AS (
+          SELECT cells.* FROM cells JOIN complete USING (b)
+        ), pv AS (
+          SELECT b, v, count(*) AS t_v FROM cb GROUP BY b, v
+        ), rk AS (
+          SELECT b, v,
+            2 * coalesce(sum(t_v) OVER (
+              PARTITION BY b ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) + t_v + 1 AS rank2
+          FROM pv
+        ), ranked AS (
+          SELECT cb.t, rk.rank2
+          FROM cb JOIN rk ON cb.b = rk.b AND cb.v = rk.v
+        ), per_t AS (
+          SELECT t, sum(rank2) AS r_j2, count(*) AS n_b
+          FROM ranked GROUP BY t
+        ), kn AS (
+          SELECT CAST(count(*) AS INTEGER) AS k,
+            CAST(min(n_b) AS BIGINT) AS n_blocks
+          FROM per_t
+        )
+        SELECT a.t AS treat_a, b.t AS treat_b, kn.n_blocks,
+          CAST(a.r_j2 - b.r_j2 AS BIGINT) AS diff2,
+          CASE WHEN kn.n_blocks > 0 THEN
+            round(CAST(a.r_j2 - b.r_j2 AS DOUBLE)
+              / (2.0 * CAST(kn.n_blocks AS DOUBLE))
+              / sqrt(CAST(kn.k AS DOUBLE)
+                     * (CAST(kn.k AS DOUBLE) + 1.0)
+                     / (6.0 * CAST(kn.n_blocks AS DOUBLE))), 6)
+          END AS z_r
+        FROM per_t a JOIN per_t b ON a.t < b.t CROSS JOIN kn
+        """
     return d
+
 
 
 

@@ -9861,3 +9861,48 @@ class TestDunnPosthoc:
         )
         (r,) = dunn_posthoc(df, "v", F.col("g")).collect()
         assert r.z_r is None and r.num2 == 0
+
+
+class TestNemenyiPosthoc:
+    def test_matches_rank_model(self, spark):
+        import math
+
+        from unitdb_spark.operators.stats_tests import nemenyi_posthoc
+
+        panel = {
+            1: {"x": 10, "y": 20, "z": 30},
+            2: {"x": 15, "y": 12, "z": 40},
+            3: {"x": 8, "y": 22, "z": 9},
+            4: {"x": 5, "y": 11, "z": 12},
+        }
+        rows = [(b, t, v) for b, tv in panel.items()
+                for t, v in tv.items()]
+        df = spark.createDataFrame(rows, "b int, t string, v long")
+        out = {(r.treat_a, r.treat_b): r
+               for r in nemenyi_posthoc(df, "b", "t", "v").collect()}
+        ranks = {"x": 0.0, "y": 0.0, "z": 0.0}
+        for tv in panel.values():
+            order = sorted(tv, key=tv.get)
+            for i, t in enumerate(order):
+                ranks[t] += i + 1
+        n, k = 4, 3
+        for (ta, tb), r in out.items():
+            diff2 = int(round(2 * (ranks[ta] - ranks[tb])))
+            assert r.diff2 == diff2
+            want = (diff2 / (2 * n)) / math.sqrt(k * (k + 1) / (6 * n))
+            assert abs(r.z_r - want) < 1e-6
+        assert set(out) == {("x", "y"), ("x", "z"), ("y", "z")}
+
+    def test_shares_friedman_machinery(self, spark):
+        """Rank-sum antisymmetry: diff2(a,b) over the shared ranks
+        sums to zero across a three-cycle."""
+        from unitdb_spark.operators.stats_tests import nemenyi_posthoc
+
+        rows = [
+            (b, t, (b * 7 + ord(t)) % 13)
+            for b in range(6) for t in "pqr"
+        ]
+        df = spark.createDataFrame(rows, "b int, t string, v long")
+        out = {(r.treat_a, r.treat_b): r.diff2
+               for r in nemenyi_posthoc(df, "b", "t", "v").collect()}
+        assert out[("p", "q")] + out[("q", "r")] == out[("p", "r")]

@@ -1879,6 +1879,54 @@ def one_way_anova(
     return anova_from_moments(moments)
 
 
+def _friedman_per_treat(
+    cells: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Shared Friedman rank machinery: complete-block filter +
+    within-block doubled midranks, aggregated per treatment to
+    (_t, r_j2, n_b, r2sq). `friedman_test` finishes it into the
+    omnibus Q; `nemenyi_posthoc` into pairwise z's — ONE ranking,
+    two finishes (the kruskal/dunn relationship)."""
+    k_row = cells.select(F.col(treat_col).alias("_t")).distinct().agg(
+        F.count(F.lit(1)).cast("int").alias("k")
+    )
+    b = cells.select(
+        F.col(block_col).alias("_b"),
+        F.col(treat_col).alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    complete = (
+        b.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+        .join(F.broadcast(k_row))
+        .filter(F.col("_c") == F.col("k"))
+        .select("_b")
+    )
+    b = b.join(complete, "_b")
+    pv = b.groupBy("_b", "_v").agg(F.count(F.lit(1)).alias("t_v"))
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = pv.select(
+        "_b", "_v", "t_v",
+        F.coalesce(F.sum("t_v").over(w), F.lit(0)).alias("below"),
+    ).select(
+        "_b", "_v",
+        (F.lit(2) * F.col("below") + F.col("t_v") + 1).alias("rank2"),
+    )
+    ranked = b.join(rk, ["_b", "_v"])
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return ranked.groupBy("_t").agg(
+        F.sum("rank2").alias("r_j2"),
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum(d38(F.col("rank2")) * d38(F.col("rank2"))).alias("r2sq"),
+    )
+
+
 def friedman_test(
     cells: DataFrame,
     block_col: str,
@@ -1914,41 +1962,8 @@ def friedman_test(
     the upstream aggregation owns the reduction; all windows are
     block-partitioned.
     """
-    k_row = cells.select(F.col(treat_col).alias("_t")).distinct().agg(
-        F.count(F.lit(1)).cast("int").alias("k")
-    )
-    b = cells.select(
-        F.col(block_col).alias("_b"),
-        F.col(treat_col).alias("_t"),
-        F.col(value_col).cast("long").alias("_v"),
-    ).filter(F.col("_v").isNotNull())
-    complete = (
-        b.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
-        .join(F.broadcast(k_row))
-        .filter(F.col("_c") == F.col("k"))
-        .select("_b")
-    )
-    b = b.join(complete, "_b")
-    pv = b.groupBy("_b", "_v").agg(F.count(F.lit(1)).alias("t_v"))
-    w = (
-        Window.partitionBy("_b")
-        .orderBy("_v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    rk = pv.select(
-        "_b", "_v", "t_v",
-        F.coalesce(F.sum("t_v").over(w), F.lit(0)).alias("below"),
-    ).select(
-        "_b", "_v",
-        (F.lit(2) * F.col("below") + F.col("t_v") + 1).alias("rank2"),
-    )
-    ranked = b.join(rk, ["_b", "_v"])
+    per_t = _friedman_per_treat(cells, block_col, treat_col, value_col)
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    per_t = ranked.groupBy("_t").agg(
-        F.sum("rank2").alias("r_j2"),
-        F.count(F.lit(1)).alias("n_b"),
-        F.sum(d38(F.col("rank2")) * d38(F.col("rank2"))).alias("r2sq"),
-    )
     kn = per_t.agg(
         F.count(F.lit(1)).cast("int").alias("k"),
         F.min("n_b").cast("long").alias("n_blocks"),
@@ -2342,4 +2357,64 @@ def dunn_posthoc(
         F.col("_nb").cast("long").alias("n_b"),
         num.cast("long").alias("num2"),
         F.when(var > 0, F.round(z, 6)).alias("z_r"),
+    )
+
+
+def nemenyi_posthoc(
+    cells: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Nemenyi post-hoc pairwise comparisons after `friedman_test`
+    (Nemenyi 1963; the Demšar 2006 protocol for comparing k systems
+    over n datasets/blocks): the omnibus says "some treatment
+    differs", this says WHICH pairs, from the SAME within-block
+    ranks — one ranking, two finishes (`_friedman_per_treat`,
+    mirroring the kruskal/dunn relationship).
+
+    With R_j2 = Σ_blocks 2·rank (exact BIGINT) and n complete
+    blocks, the pairwise statistic is
+
+        z = ((R_i2 − R_j2)/(2n)) / sqrt(k(k+1)/(6n))
+
+    — diff2 = R_i2 − R_j2 is the exact integer direction/magnitude;
+    z is ONE pinned float chain per pair, NULL when n = 0. Compare
+    |z| to q_α/√2 (or Bonferroni the normal tail) downstream — the
+    cut is a reporting convention, the statistic is not.
+
+    Output: (treat_a, treat_b, n_blocks, diff2, z_r) for
+    treat_a < treat_b.
+
+    Scale: the friedman cell machinery + a k²-row broadcast pair
+    join (control-plane).
+    """
+    per_t = _friedman_per_treat(cells, block_col, treat_col, value_col)
+    kn = per_t.agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.min("n_b").cast("long").alias("n_blocks"),
+    )
+    a = per_t.select(
+        F.col("_t").alias("_ta"), F.col("r_j2").alias("_ra")
+    )
+    b = per_t.select(
+        F.col("_t").alias("_tb"), F.col("r_j2").alias("_rb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("_ta") < F.col("_tb"))
+        .join(F.broadcast(kn))
+    )
+    diff2 = F.col("_ra") - F.col("_rb")
+    nD = F.col("n_blocks").cast("double")
+    kD = F.col("k").cast("double")
+    z = (
+        diff2.cast("double") / (F.lit(2.0) * nD)
+        / F.sqrt(kD * (kD + F.lit(1.0)) / (F.lit(6.0) * nD))
+    )
+    return pairs.select(
+        F.col("_ta").alias("treat_a"),
+        F.col("_tb").alias("treat_b"),
+        "n_blocks",
+        diff2.cast("long").alias("diff2"),
+        F.when(F.col("n_blocks") > 0, F.round(z, 6)).alias("z_r"),
     )
