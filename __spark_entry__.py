@@ -7119,6 +7119,63 @@ def q_events_nemenyi(spark, sf_dir):
     return nemenyi_posthoc(cells, "d", "event_type", "rev")
 
 
+def q_streamed_topk_drift(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING who-moved triage: each
+    micro-batch appends per-(user, side) count partials via
+    foreachBatch (counts merge by SUM); the read-time fold re-sums
+    and finishes through the SAME key_share_drift ppm/TakeOrdered
+    path. Oracle = the batch events_topk_drift SQL verbatim."""
+    import uuid
+
+    from unitdb_spark.operators.profile import share_drift_from_counts
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    out = f"{base}/kd_{uuid.uuid4().hex[:8]}"
+    cp = f"{base}/kdcp_{uuid.uuid4().hex[:8]}"
+    mid = F.lit("2024-01-16").cast("timestamp")
+
+    def _fold(df, _eid):
+        if df.isEmpty():
+            return
+        (
+            df.groupBy(
+                "user_id", (F.col("ts") >= mid).alias("post")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    stream = events_as_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    per = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(~F.col("post"), F.col("c")))
+            .alias("n_pre"),
+            F.sum(F.when(F.col("post"), F.col("c")))
+            .alias("n_post"),
+        )
+        .select(
+            "user_id",
+            F.coalesce("n_pre", F.lit(0)).alias("n_pre"),
+            F.coalesce("n_post", F.lit(0)).alias("n_post"),
+        )
+    )
+    return share_drift_from_counts(per, "user_id", top_k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -8148,6 +8205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_drift": q_events_topk_drift,
         "events_dunn": q_events_dunn,
         "events_nemenyi": q_events_nemenyi,
+        "streamed_topk_drift": q_streamed_topk_drift,
     }
 
 
@@ -16422,6 +16480,9 @@ def oracle_sql() -> dict[str, str]:
           END AS z_r
         FROM pairs
         """
+    # rolling drift twin: per-(key, side) counts merge by SUM; shares
+    # verbatim with the batch oracle
+    d["streamed_topk_drift"] = d["events_topk_drift"]
     # Nemenyi rides the friedman rank CTEs: same complete-block
     # midranks, pairwise finish
     d["events_nemenyi"] = """

@@ -633,6 +633,21 @@ def key_share_drift(
         F.count(F.when(~F.col("_p"), 1)).alias("n_pre"),
         F.count(F.when(F.col("_p"), 1)).alias("n_post"),
     )
+    return share_drift_from_counts(per, key_col, top_k)
+
+
+def share_drift_from_counts(
+    per: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Finish `key_share_drift` from a pre-aggregated per-key
+    (_k, n_pre, n_post) relation — split out so the streaming twin
+    can fold mergeable count partials into the SAME ppm/TakeOrdered
+    path (counts merge by SUM; shares are a read-time projection).
+    Accepts the key under ``key_col`` or the internal ``_k``."""
+    if "_k" not in per.columns:
+        per = per.withColumnRenamed(key_col, "_k")
     tot = per.agg(
         F.sum("n_pre").alias("_tpre"), F.sum("n_post").alias("_tpost")
     )
