@@ -7176,6 +7176,23 @@ def q_streamed_topk_drift(spark, sf_dir):
     return share_drift_from_counts(per, "user_id", top_k=20)
 
 
+def q_ann_pq_distortion(spark, sf_dir):
+    """Per-query PQ quantization-error report over the ADC top-10 —
+    the ERROR-based ANN audit next to the rank-based recall audits:
+    |adc − exact| on the shared round-6 score grid, mean and max per
+    query; the number an m_blocks × k_codes budget is tuned against.
+    Oracle rides the shared PQ CTE + the rerank-style exact pass."""
+    from unitdb_spark.operators.pq import pq_distortion_report
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_distortion_report(
+        emb, queries, dim=64, k=10, m_blocks=4, k_codes=16
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -8206,6 +8223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dunn": q_events_dunn,
         "events_nemenyi": q_events_nemenyi,
         "streamed_topk_drift": q_streamed_topk_drift,
+        "ann_pq_distortion": q_ann_pq_distortion,
     }
 
 
@@ -16528,7 +16546,32 @@ def oracle_sql() -> dict[str, str]:
           END AS z_r
         FROM per_t a JOIN per_t b ON a.t < b.t CROSS JOIN kn
         """
+    # PQ distortion rides the shared PQ CTE + the rerank exact pass
+    d["ann_pq_distortion"] = _pq_oracle_cte() + """
+        , pairs AS (
+          SELECT query_id, vec_id, score_r AS adc_r
+          FROM ranked WHERE rank <= 10
+        ), exq AS (
+          SELECT p.query_id,
+            p.adc_r,
+            round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(q.qv AS DOUBLE[])), 6) AS ex_r
+          FROM pairs p
+          JOIN embeddings e USING (vec_id)
+          JOIN q USING (query_id)
+        ), err AS (
+          SELECT query_id,
+            abs(CAST(floor(adc_r * 1000000.0 + 0.5) AS BIGINT)
+                - CAST(floor(ex_r * 1000000.0 + 0.5) AS BIGINT)) AS e
+          FROM exq
+        )
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(e) // count(*) AS BIGINT) AS mean_err_micro,
+          CAST(max(e) AS BIGINT) AS max_err_micro
+        FROM err GROUP BY 1
+        """
     return d
+
 
 
 

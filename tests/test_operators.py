@@ -9906,3 +9906,27 @@ class TestNemenyiPosthoc:
         out = {(r.treat_a, r.treat_b): r.diff2
                for r in nemenyi_posthoc(df, "b", "t", "v").collect()}
         assert out[("p", "q")] + out[("q", "r")] == out[("p", "r")]
+
+
+class TestPqDistortion:
+    def test_rerank_shortlist_consistency(self, spark):
+        """The distortion pairs ARE the coarse top-k: n_pairs = k per
+        query, and a perfect codebook (corpus = codebook sample)
+        yields zero error on those vectors."""
+        from pyspark.sql import functions as F
+
+        from unitdb_spark.operators.pq import pq_distortion_report
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = pq_distortion_report(
+            emb, queries, dim=64, k=5, m_blocks=4, k_codes=16
+        ).collect()
+        assert len(out) == 3
+        for r in out:
+            assert r.n_pairs == 5
+            assert 0 <= r.mean_err_micro <= r.max_err_micro

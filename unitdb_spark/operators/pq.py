@@ -316,3 +316,68 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "score_r", "rank")
     )
+
+
+def pq_distortion_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m_blocks: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-query ADC quantization-error report over the PQ coarse
+    top-``k`` — the ERROR-based quality audit next to the RANK-based
+    ones (`topk_recall` answers "did the right ids survive",
+    this answers "by how much do the scores lie"): the number a
+    codebook budget (m_blocks × k_codes) is tuned against, and the
+    early-warning signal when a corpus drifts away from the sample
+    the codebooks were trained on.
+
+    err_micro per (query, candidate) = |adc − exact| on the shared
+    round-6 score grid (floor(x·1e6 + 0.5) of each rounded score —
+    exact integers, identical both engines); the report is
+    (Σ err) div n and max per query.
+
+    Output: (query_id, n_pairs, mean_err_micro, max_err_micro).
+
+    Scale: stage 1 is `pq_topk` (codes-only, corpus never shuffles);
+    the exact pass is the `pq_rerank_topk` shape — the (query,
+    candidate) shortlist broadcasts against ONE corpus scan.
+    """
+    coarse = pq_topk(
+        corpus, queries, dim, k=k, m_blocks=m_blocks, k_codes=k_codes,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        seed=seed,
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_qv"),
+    )
+    cand = coarse.select(
+        "query_id", "vec_id", F.col("score_r").alias("_adc")
+    ).join(q, "query_id")
+    full = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_cv"),
+    )
+    exact = full.join(F.broadcast(cand), "vec_id").select(
+        "query_id",
+        F.abs(
+            F.floor(F.col("_adc") * F.lit(1_000_000.0) + F.lit(0.5))
+            - F.floor(
+                F.round(_dot(F.col("_cv"), F.col("_qv")), 6)
+                * F.lit(1_000_000.0) + F.lit(0.5)
+            )
+        ).cast("long").alias("_e"),
+    )
+    return exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(sum(_e) div count(*) AS BIGINT)")
+        .alias("mean_err_micro"),
+        F.max("_e").cast("long").alias("max_err_micro"),
+    )
