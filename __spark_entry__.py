@@ -7193,6 +7193,18 @@ def q_ann_pq_distortion(spark, sf_dir):
     )
 
 
+def q_embed_silhouette(spark, sf_dir):
+    """Per-cell simplified silhouette of the k-means clustering —
+    the cluster-quality audit (centroid-based Hruschka variant, never
+    n²): own-centroid vs nearest-other-centroid cosine distances,
+    floored-micro per point, mean/min per cell. Centroids come from
+    the SAME Lloyd loop as embed_kmeans (one computation, two
+    finishes); oracle extends the shared assignment CTE."""
+    from unitdb_spark.operators.kmeans import simplified_silhouette
+
+    return simplified_silhouette(_emb(spark, sf_dir), k=8, n_iters=1)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -8224,6 +8236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_nemenyi": q_events_nemenyi,
         "streamed_topk_drift": q_streamed_topk_drift,
         "ann_pq_distortion": q_ann_pq_distortion,
+        "embed_silhouette": q_embed_silhouette,
     }
 
 
@@ -16570,7 +16583,40 @@ def oracle_sql() -> dict[str, str]:
           CAST(max(e) AS BIGINT) AS max_err_micro
         FROM err GROUP BY 1
         """
+    # simplified silhouette rides the kmeans assignment CTE: same
+    # post-round centroids, two-nearest ranking, pinned float chain
+    d["embed_silhouette"] = _KMEANS_ASSIGN_SQL + """
+        , pairsc AS (
+          SELECT e.vec_id AS id, c.cent_id,
+            list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+              AS sim
+          FROM embeddings e CROSS JOIN cents1 c
+        ), two AS (
+          SELECT id, cent_id, sim,
+            row_number() OVER (PARTITION BY id
+                               ORDER BY sim DESC, cent_id) AS rn
+          FROM pairsc
+        ), per AS (
+          SELECT id,
+            max(CASE WHEN rn = 1 THEN cent_id END) AS cell,
+            max(CASE WHEN rn = 1 THEN sim END) AS sa,
+            max(CASE WHEN rn = 2 THEN sim END) AS sb
+          FROM two WHERE rn <= 2 GROUP BY id
+        ), sil AS (
+          SELECT cell,
+            CAST(CASE WHEN greatest(1.0 - sa, 1.0 - sb) > 0 THEN
+              floor(((1.0 - sb) - (1.0 - sa))
+                    / greatest(1.0 - sa, 1.0 - sb) * 1000000.0)
+            ELSE 0 END AS BIGINT) AS sm
+          FROM per
+        )
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+          CAST(sum(sm) // count(*) AS BIGINT) AS mean_sil_micro,
+          CAST(min(sm) AS BIGINT) AS min_sil_micro
+        FROM sil GROUP BY 1
+        """
     return d
+
 
 
 

@@ -9930,3 +9930,43 @@ class TestPqDistortion:
         for r in out:
             assert r.n_pairs == 5
             assert 0 <= r.mean_err_micro <= r.max_err_micro
+
+
+class TestSimplifiedSilhouette:
+    def test_well_separated_near_one(self, spark):
+        from unitdb_spark.operators.kmeans import simplified_silhouette
+
+        # two tight orthogonal blobs -> silhouettes near 1
+        rows = (
+            [(i, [1.0, 0.01 * i]) for i in range(6)]
+            + [(10 + i, [0.01 * i, 1.0]) for i in range(6)]
+        )
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        out = simplified_silhouette(df, k=2, n_iters=1).collect()
+        assert len(out) == 2
+        assert sum(r.n_members for r in out) == 12
+        for r in out:
+            assert r.mean_sil_micro > 800_000
+            assert 0 <= r.min_sil_micro <= r.mean_sil_micro <= 1_000_000
+
+    def test_assignment_consistent_with_kmeans(self, spark):
+        """The silhouette's cell sizes equal kmeans_lloyd's (same
+        centroid loop, two finishes)."""
+        from unitdb_spark.operators.kmeans import (
+            kmeans_lloyd,
+            simplified_silhouette,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        sizes = {
+            r.cell: r.cnt
+            for r in kmeans_lloyd(emb, k=4, n_iters=1)
+            .groupBy("cell").agg(F.count("*").alias("cnt")).collect()
+        }
+        sil = {r.cell: r.n_members
+               for r in simplified_silhouette(emb, k=4, n_iters=1).collect()}
+        assert sizes == sil
