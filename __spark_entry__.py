@@ -7205,6 +7205,18 @@ def q_embed_silhouette(spark, sf_dir):
     return simplified_silhouette(_emb(spark, sf_dir), k=8, n_iters=1)
 
 
+def q_events_burstiness(spark, sf_dir):
+    """Goh-Barabási (B, M) temporal texture per event type: B
+    separates Poisson (≈0) from bursty human activity (>0) and
+    machine heartbeats (<0) in the GAP domain the Fano factor cannot
+    see; M says whether long gaps cluster. Exact integer microsecond
+    gaps from one key-partitioned window; DECIMAL(38,0) moments; B
+    and M each one pinned float chain."""
+    from unitdb_spark.operators.timeseries import burstiness_report
+
+    return burstiness_report(_events(spark, sf_dir), "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -8237,6 +8249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_topk_drift": q_streamed_topk_drift,
         "ann_pq_distortion": q_ann_pq_distortion,
         "embed_silhouette": q_embed_silhouette,
+        "events_burstiness": q_events_burstiness,
     }
 
 
@@ -16615,7 +16628,58 @@ def oracle_sql() -> dict[str, str]:
           CAST(min(sm) AS BIGINT) AS min_sil_micro
         FROM sil GROUP BY 1
         """
+    d["events_burstiness"] = """
+        WITH seq AS (
+          SELECT event_type AS k,
+            epoch_us(ts) - lag(epoch_us(ts)) OVER w AS g,
+            lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS gn
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        ), f AS (
+          SELECT k, g, gn FROM seq WHERE g IS NOT NULL
+        ), agg AS (
+          SELECT k, count(*) AS n,
+            sum(CAST(g AS HUGEINT)) AS s,
+            sum(CAST(g AS HUGEINT) * g) AS q
+          FROM f GROUP BY k
+        ), pair AS (
+          SELECT k, count(*) AS n2,
+            sum(CAST(g AS HUGEINT)) AS sa,
+            sum(CAST(gn AS HUGEINT)) AS sb,
+            sum(CAST(g AS HUGEINT) * g) AS saa,
+            sum(CAST(gn AS HUGEINT) * gn) AS sbb,
+            sum(CAST(g AS HUGEINT) * gn) AS sab
+          FROM f WHERE gn IS NOT NULL GROUP BY k
+        )
+        SELECT agg.k AS event_type,
+          CAST(agg.n AS BIGINT) AS n_gaps,
+          CAST(agg.s // agg.n AS BIGINT) AS mean_gap_us,
+          CASE WHEN agg.n >= 2
+                    AND sqrt(CAST(agg.q * agg.n - agg.s * agg.s
+                                  AS DOUBLE)) / CAST(agg.n AS DOUBLE)
+                        + CAST(agg.s AS DOUBLE) / CAST(agg.n AS DOUBLE)
+                        > 0 THEN
+            round((sqrt(CAST(agg.q * agg.n - agg.s * agg.s AS DOUBLE))
+                     / CAST(agg.n AS DOUBLE)
+                   - CAST(agg.s AS DOUBLE) / CAST(agg.n AS DOUBLE))
+                  / (sqrt(CAST(agg.q * agg.n - agg.s * agg.s AS DOUBLE))
+                       / CAST(agg.n AS DOUBLE)
+                     + CAST(agg.s AS DOUBLE) / CAST(agg.n AS DOUBLE)),
+                  6)
+          END AS b_r,
+          CASE WHEN pair.n2 >= 2
+                    AND pair.saa * pair.n2 - pair.sa * pair.sa > 0
+                    AND pair.sbb * pair.n2 - pair.sb * pair.sb > 0 THEN
+            round(CAST(pair.sab * pair.n2 - pair.sa * pair.sb AS DOUBLE)
+              / sqrt(CAST(pair.saa * pair.n2 - pair.sa * pair.sa
+                          AS DOUBLE)
+                     * CAST(pair.sbb * pair.n2 - pair.sb * pair.sb
+                            AS DOUBLE)), 6)
+          END AS m_r
+        FROM agg LEFT JOIN pair ON agg.k = pair.k
+        """
     return d
+
 
 
 

@@ -9970,3 +9970,47 @@ class TestSimplifiedSilhouette:
         sil = {r.cell: r.n_members
                for r in simplified_silhouette(emb, k=4, n_iters=1).collect()}
         assert sizes == sil
+
+
+class TestBurstiness:
+    def test_heartbeat_bursty_and_memory(self, spark):
+        from datetime import datetime, timedelta
+
+        from unitdb_spark.operators.timeseries import burstiness_report
+
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        # heartbeat: exact 60s gaps -> sigma = 0 -> B = -1
+        for i in range(10):
+            rows.append(("beat", t0 + timedelta(seconds=60 * i), i))
+        # bursty: clusters of 1s gaps separated by 1h gaps -> B > 0
+        t = t0
+        for i in range(12):
+            t = t + (timedelta(seconds=1) if i % 4 else
+                     timedelta(hours=1))
+            rows.append(("burst", t, 100 + i))
+        # alternating short/long gaps -> M < 0
+        t = t0
+        for i in range(14):
+            t = t + timedelta(seconds=5 if i % 2 else 300)
+            rows.append(("alt", t, 200 + i))
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, event_id long"
+        )
+        out = {r.event_type: r
+               for r in burstiness_report(df, "event_type").collect()}
+        assert out["beat"].b_r == -1.0 and out["beat"].m_r is None
+        assert out["beat"].mean_gap_us == 60_000_000
+        assert out["burst"].b_r > 0.3
+        assert out["alt"].m_r < -0.9
+
+    def test_single_event_no_gap_rows(self, spark):
+        from datetime import datetime
+
+        from unitdb_spark.operators.timeseries import burstiness_report
+
+        df = spark.createDataFrame(
+            [("solo", datetime(2024, 1, 1), 1)],
+            "event_type string, ts timestamp, event_id long",
+        )
+        assert burstiness_report(df, "event_type").count() == 0

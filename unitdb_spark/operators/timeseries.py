@@ -2130,3 +2130,86 @@ def sax_motifs(
         )
         .filter(F.col("rank") <= top_k)
     )
+
+
+def burstiness_report(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key (burstiness, memory) characterization of inter-event
+    times (Goh & Barabási 2008) — the temporal-texture signature that
+    separates a Poisson stream (B≈0, M≈0) from human/bursty activity
+    (B>0: heavy-tailed gaps) and from machine heartbeats (B<0:
+    regular gaps), and whether long gaps FOLLOW long gaps (M>0,
+    clustered outages) or alternate (M<0). Complements
+    `events_fano` (count dispersion) with the GAP-domain view the
+    Fano factor cannot see.
+
+        B = (σ − μ)/(σ + μ)          over the gap distribution
+        M = corr(g_i, g_{i+1})        lag-1 gap autocorrelation
+
+    Gaps are exact integer microseconds from one (key)-partitioned
+    lag window; all moments accumulate in DECIMAL(38,0); B and M are
+    each ONE pinned float chain (population σ; Pearson over the
+    consecutive-gap pairs), NULL under 2 gaps / zero variance.
+
+    Output: (key, n_gaps, mean_gap_us, b_r, m_r).
+
+    Scale: one window + one partial agg per key — the
+    sessionize/gaps shape; nothing leaves the key partition.
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w = Window.partitionBy("_k").orderBy("_t", "_e")
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+        F.col(tiebreak_col).alias("_e"),
+    )
+    # one window gives gap i (backward lag) and its successor gap
+    # (forward lead) on the same row — consecutive pairs for free
+    seq = base.select(
+        "_k",
+        (F.col("_t") - F.lag("_t").over(w)).alias("_g"),
+        (F.lead("_t", 1).over(w) - F.col("_t")).alias("_gn"),
+    ).filter(F.col("_g").isNotNull())
+    agg = seq.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("_g"))).alias("s"),
+        F.sum(d38(F.col("_g")) * d38(F.col("_g"))).alias("q"),
+    )
+    pair = seq.filter(F.col("_gn").isNotNull()).groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.sum(d38(F.col("_g"))).alias("sa"),
+        F.sum(d38(F.col("_gn"))).alias("sb"),
+        F.sum(d38(F.col("_g")) * d38(F.col("_g"))).alias("saa"),
+        F.sum(d38(F.col("_gn")) * d38(F.col("_gn"))).alias("sbb"),
+        F.sum(d38(F.col("_g")) * d38(F.col("_gn"))).alias("sab"),
+    )
+    j = agg.join(pair, "_k", "left")
+    nD = F.col("n").cast("double")
+    sig = F.sqrt(
+        (F.col("q") * F.col("n") - F.col("s") * F.col("s"))
+        .cast("double")
+    ) / nD
+    mu = F.col("s").cast("double") / nD
+    b = (sig - mu) / (sig + mu)
+    va = (F.col("saa") * F.col("n2") - F.col("sa") * F.col("sa"))
+    vb = (F.col("sbb") * F.col("n2") - F.col("sb") * F.col("sb"))
+    m = (
+        (F.col("sab") * F.col("n2") - F.col("sa") * F.col("sb"))
+        .cast("double")
+        / F.sqrt(va.cast("double") * vb.cast("double"))
+    )
+    return j.select(
+        F.col("_k").alias(key_col),
+        F.col("n").cast("long").alias("n_gaps"),
+        F.expr("CAST(s div n AS BIGINT)").alias("mean_gap_us"),
+        F.when(
+            (F.col("n") >= 2) & ((sig + mu) > 0), F.round(b, 6)
+        ).alias("b_r"),
+        F.when(
+            (F.col("n2") >= 2) & (va > 0) & (vb > 0), F.round(m, 6)
+        ).alias("m_r"),
+    )
