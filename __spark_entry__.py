@@ -7217,6 +7217,73 @@ def q_events_burstiness(spark, sf_dir):
     return burstiness_report(_events(spark, sf_dir), "event_type")
 
 
+def q_streamed_burstiness(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING temporal-texture monitor:
+    events replay as two in-order checkpointed runs (midpoint split,
+    the order-sensitive-twin pattern of streamed_markov) through the
+    (last-ts, last-gap) stitcher, so every cross-checkpoint boundary
+    gap AND its consecutive-gap pairing land exactly where the batch
+    lag/lead would place them; the folded gap rows finish through the
+    SAME burstiness_from_moments chains. Oracle = events_burstiness
+    SQL verbatim."""
+    import tempfile
+
+    from unitdb_spark.operators.timeseries import burstiness_from_moments
+    from unitdb_spark.streaming.state import streaming_burstiness
+
+    spark = _pin_utc(spark)
+    base = tempfile.mkdtemp(prefix="burst_twin_")
+    src, cp, out = f"{base}/src", f"{base}/cp", f"{base}/out"
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type")
+    lo, hi = ev.agg(
+        F.unix_timestamp(F.min("ts")), F.unix_timestamp(F.max("ts"))
+    ).collect()[0]
+    mid = F.timestamp_seconds(F.lit((int(lo) + int(hi)) // 2))
+
+    def run(batch_df):
+        batch_df.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            streaming_burstiness(
+                spark.readStream.schema(batch_df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+                if not df.isEmpty()
+                else None
+            )
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run(ev.filter(F.col("ts") < mid))
+    run(ev.filter(F.col("ts") >= mid))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    gaps = spark.read.parquet(out)
+    agg = gaps.groupBy(F.col("key").alias("_k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("g"))).alias("s"),
+        F.sum(d38(F.col("g")) * d38(F.col("g"))).alias("q"),
+    )
+    pair = gaps.filter(F.col("gp").isNotNull()).groupBy(
+        F.col("key").alias("_k")
+    ).agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.sum(d38(F.col("gp"))).alias("sa"),
+        F.sum(d38(F.col("g"))).alias("sb"),
+        F.sum(d38(F.col("gp")) * d38(F.col("gp"))).alias("saa"),
+        F.sum(d38(F.col("g")) * d38(F.col("g"))).alias("sbb"),
+        F.sum(d38(F.col("gp")) * d38(F.col("g"))).alias("sab"),
+    )
+    return burstiness_from_moments(
+        agg.join(pair, "_k", "left"), "event_type"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -8250,6 +8317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_distortion": q_ann_pq_distortion,
         "embed_silhouette": q_embed_silhouette,
         "events_burstiness": q_events_burstiness,
+        "streamed_burstiness": q_streamed_burstiness,
     }
 
 
@@ -16678,6 +16746,9 @@ def oracle_sql() -> dict[str, str]:
           END AS m_r
         FROM agg LEFT JOIN pair ON agg.k = pair.k
         """
+    # rolling texture twin: the gap stitcher reproduces the batch
+    # lag/lead pairing exactly, so the oracle is shared verbatim
+    d["streamed_burstiness"] = d["events_burstiness"]
     return d
 
 

@@ -2188,6 +2188,16 @@ def burstiness_report(
         F.sum(d38(F.col("_g")) * d38(F.col("_gn"))).alias("sab"),
     )
     j = agg.join(pair, "_k", "left")
+    return burstiness_from_moments(j, key_col)
+
+
+def burstiness_from_moments(j: DataFrame, key_col: str) -> DataFrame:
+    """Finish the (B, M) report from per-key exact moment sums
+    (_k, n, s, q, n2, sa, sb, saa, sbb, sab) — split out so the
+    streaming stitcher can fold mergeable per-batch gap partials into
+    the SAME pinned float chains (gaps and consecutive-gap pairs are
+    reconstructed exactly at the batch boundary by the last-ts/
+    last-gap state, and their moments merge by SUM)."""
     nD = F.col("n").cast("double")
     sig = F.sqrt(
         (F.col("q") * F.col("n") - F.col("s") * F.col("s"))

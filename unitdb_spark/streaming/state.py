@@ -930,3 +930,85 @@ def streaming_markov2(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BURST_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("g", LongType()),
+        StructField("gp", LongType()),
+    ]
+)
+
+BURST_STATE = StructType(
+    [StructField("last_ts", LongType()), StructField("last_gap", LongType())]
+)
+
+
+def _burst_fn():
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        # -1 sentinels instead of NULLs inside the state tuple
+        if state.exists:
+            last_ts, last_gap = state.get
+            last_ts = None if last_ts < 0 else int(last_ts)
+            last_gap = None if last_gap < 0 else int(last_gap)
+        else:
+            last_ts, last_gap = None, None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        rows = []
+        for t in batch["ts_us"]:
+            t = int(t)
+            if last_ts is not None:
+                g = t - last_ts
+                rows.append((str(k), g, last_gap))
+                last_gap = g
+            last_ts = t
+        state.update((
+            -1 if last_ts is None else last_ts,
+            -1 if last_gap is None else last_gap,
+        ))
+        yield pd.DataFrame(rows, columns=["key", "g", "gp"])
+
+    return fn
+
+
+def streaming_burstiness(
+    stream: DataFrame,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Streaming inter-event-gap stitcher: the stateful twin of
+    `operators.timeseries.burstiness_report`'s gap pass. State per
+    key is (last event ts, last gap) — two longs — so every
+    cross-micro-batch (and cross-restart) boundary gap AND its
+    consecutive-gap pairing are stitched exactly where the batch
+    window's lag/lead would place them. Each micro-batch emits one
+    row per NEW gap: (key, g, gp) with gp the predecessor gap (NULL
+    for the key's first gap); gap rows are trivially mergeable (a
+    union), so the fold finishes through the shared
+    `burstiness_from_moments` chain bitwise.
+
+    Ordering caveat (shared with streaming_markov): rows sort by
+    event time within a micro-batch; cross-batch late data would
+    pair differently than a batch recomputation.
+
+    Input needs (``key_col``, ts, event_id). Output per micro-batch:
+    (key, g, gp) partial gap rows, append mode.
+    """
+    from pyspark.sql import functions as F
+
+    prepped = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    return prepped.groupBy("key").applyInPandasWithState(
+        _burst_fn(),
+        outputStructType=BURST_OUTPUT,
+        stateStructType=BURST_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
