@@ -7284,6 +7284,55 @@ def q_streamed_burstiness(spark, sf_dir):
     )
 
 
+def q_events_exp_gof(spark, sf_dir):
+    """KS goodness-of-fit of per-type inter-event gaps against the
+    fitted exponential — is the memoryless model (SLA math, MTBF,
+    hazard rates) even tenable, next to events_burstiness's
+    how-far-from-Poisson coefficient. Exact empirical-CDF brackets
+    from the distinct-gap relation; one round-6 exp per gap TYPE;
+    the sup-distance is an order-free max of pinned doubles."""
+    from unitdb_spark.operators.stats_tests import ks_exponential
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+        .alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return ks_exponential(gaps, "event_type", "gap_us")
+
+
+def q_doc_gopher_reasons(spark, sf_dir):
+    """Per-rule Gopher violation breakdown — the curation diagnostic
+    behind doc_gopher_filter's single keep bit: WHICH rule rejects
+    how much of the corpus (a bullet-wall epidemic reads very
+    differently from a stop-word desert). One stacked projection +
+    one aggregation; exact integer ppm."""
+    d = _gopher_planted(spark, sf_dir)
+    rules = TXT.gopher_rules("text")
+    names = [k for k in rules if k != "keep"]
+    stacked = d.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nm).alias("rule"),
+                        (~rules[nm]).cast("int").alias("fail"),
+                    )
+                    for nm in sorted(names)
+                ]
+            )
+        ).alias("s")
+    ).select("s.rule", "s.fail")
+    return stacked.groupBy("rule").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("fail").cast("long").alias("n_fail"),
+        F.expr("(sum(fail) * 1000000L) div count(*)")
+        .cast("long").alias("fail_ppm"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -8318,6 +8367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_silhouette": q_embed_silhouette,
         "events_burstiness": q_events_burstiness,
         "streamed_burstiness": q_streamed_burstiness,
+        "events_exp_gof": q_events_exp_gof,
+        "doc_gopher_reasons": q_doc_gopher_reasons,
     }
 
 
@@ -16749,7 +16800,66 @@ def oracle_sql() -> dict[str, str]:
     # rolling texture twin: the gap stitcher reproduces the batch
     # lag/lead pairing exactly, so the oracle is shared verbatim
     d["streamed_burstiness"] = d["events_burstiness"]
+    d["events_exp_gof"] = """
+        WITH gaps AS (
+          SELECT event_type AS k,
+            epoch_us(ts) - lag(epoch_us(ts)) OVER (
+              PARTITION BY event_type ORDER BY ts, event_id
+            ) AS v
+          FROM events
+        ), b AS (
+          SELECT k, v FROM gaps WHERE v IS NOT NULL AND v > 0
+        ), per AS (
+          SELECT k, v, count(*) AS t_v FROM b GROUP BY k, v
+        ), tot AS (
+          SELECT k, count(*) AS n, sum(v) AS s FROM b GROUP BY k
+        ), rk AS (
+          SELECT per.k, per.v, per.t_v,
+            coalesce(sum(per.t_v) OVER (
+              PARTITION BY per.k ORDER BY per.v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS below,
+            tot.n, tot.s
+          FROM per JOIN tot ON per.k = tot.k
+        ), dd AS (
+          SELECT k, n, s,
+            greatest(
+              CAST(below + t_v AS DOUBLE) / CAST(n AS DOUBLE)
+              - (1.0 - CAST(CAST(round(exp(-(CAST(v AS DOUBLE)
+                     * CAST(n AS DOUBLE) / CAST(s AS DOUBLE))), 6)
+                   AS DECIMAL(18,6)) AS DOUBLE)),
+              (1.0 - CAST(CAST(round(exp(-(CAST(v AS DOUBLE)
+                     * CAST(n AS DOUBLE) / CAST(s AS DOUBLE))), 6)
+                   AS DECIMAL(18,6)) AS DOUBLE))
+              - CAST(below AS DOUBLE) / CAST(n AS DOUBLE)
+            ) AS dv
+          FROM rk
+        )
+        SELECT k AS event_type, CAST(any_value(n) AS BIGINT) AS n,
+          CAST(any_value(s) // any_value(n) AS BIGINT) AS mean_dur,
+          CASE WHEN any_value(n) > 0 THEN round(max(dv), 6) END AS d_r
+        FROM dd GROUP BY k
+        """
+    # per-rule breakdown rides the gopher filter oracle's rule columns
+    d["doc_gopher_reasons"] = (
+        "WITH gf AS (" + d["doc_gopher_filter"] + """)
+        SELECT rule, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(*) FILTER (NOT pass) AS BIGINT) AS n_fail,
+          CAST((count(*) FILTER (NOT pass) * 1000000) // count(*)
+               AS BIGINT) AS fail_ppm
+        FROM (
+          SELECT 'r_alpha' AS rule, r_alpha AS pass FROM gf
+          UNION ALL SELECT 'r_bullets', r_bullets FROM gf
+          UNION ALL SELECT 'r_ellipsis', r_ellipsis FROM gf
+          UNION ALL SELECT 'r_mean_len', r_mean_len FROM gf
+          UNION ALL SELECT 'r_stops', r_stops FROM gf
+          UNION ALL SELECT 'r_symbols', r_symbols FROM gf
+          UNION ALL SELECT 'r_word_count', r_word_count FROM gf
+        ) GROUP BY rule
+        """
+    )
     return d
+
 
 
 

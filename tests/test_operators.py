@@ -10014,3 +10014,51 @@ class TestBurstiness:
             "event_type string, ts timestamp, event_id long",
         )
         assert burstiness_report(df, "event_type").count() == 0
+
+
+class TestKsExponential:
+    def test_exponential_like_small_d(self, spark):
+        import math
+        import random
+
+        from unitdb_spark.operators.stats_tests import ks_exponential
+
+        rng = random.Random(7)
+        vals = [max(1, int(-math.log(rng.random()) * 1000))
+                for _ in range(400)]
+        df = spark.createDataFrame(
+            [("k", v) for v in vals], "g string, v long"
+        )
+        (r,) = ks_exponential(df, "g", "v").collect()
+        assert r.n == 400
+        assert r.d_r < 0.08  # true exponential sample fits well
+
+    def test_constant_durations_large_d(self, spark):
+        from unitdb_spark.operators.stats_tests import ks_exponential
+
+        df = spark.createDataFrame(
+            [("k", 100)] * 50, "g string, v long"
+        )
+        (r,) = ks_exponential(df, "g", "v").collect()
+        # a heartbeat is maximally non-exponential: D -> 1 - 1/e
+        assert r.d_r > 0.5
+        assert r.mean_dur == 100
+
+
+class TestGopherReasons:
+    def test_breakdown_consistent_with_keep(self, spark):
+        import __spark_entry__ as e
+
+        out = e.queries()["doc_gopher_reasons"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        rules = {r.rule for r in out}
+        assert rules == {
+            "r_alpha", "r_bullets", "r_ellipsis", "r_mean_len",
+            "r_stops", "r_symbols", "r_word_count",
+        }
+        for r in out:
+            assert 0 <= r.n_fail <= r.n_docs
+            assert r.fail_ppm == (r.n_fail * 1_000_000) // r.n_docs
+        # the planted violations guarantee at least one failing rule
+        assert any(r.n_fail > 0 for r in out)

@@ -2418,3 +2418,68 @@ def nemenyi_posthoc(
         diff2.cast("long").alias("diff2"),
         F.when(F.col("n_blocks") > 0, F.round(z, 6)).alias("z_r"),
     )
+
+
+def ks_exponential(
+    cells: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-key Kolmogorov-Smirnov goodness-of-fit of positive integer
+    durations against the fitted exponential — the reliability
+    question behind `timeseries.burstiness_report`'s B coefficient:
+    B says HOW FAR from Poisson, this says whether the memoryless
+    model is even tenable (SLA math, MTBF reports, and hazard-rate
+    assumptions all quietly assume it).
+
+    λ̂ = n/Σx (the MLE); per DISTINCT duration value the empirical
+    CDF brackets [below/n, (below+t)/n] come exact from one
+    key-partitioned cumulative window, and the model CDF uses ONE
+    round-6 exp per value TYPE (the established per-type
+    transcendental contract): F(v) = 1 − exp(−v·n/S). The statistic
+    is the max of per-value pinned doubles — max is order-free, so
+    no float-sum hazard exists anywhere.
+
+    Output: (key, n, mean_dur, d_r) — d_r = round-6 sup-distance;
+    NULL when n = 0.
+
+    Scale: per-key distinct-value relation (durations quantize), one
+    window on the key shuffle, one partial agg. The mann_whitney
+    bounded-relation argument, per key.
+    """
+    b = cells.select(
+        F.col(key_col).alias("_k"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & (F.col("_v") > 0))
+    per = b.groupBy("_k", "_v").agg(F.count(F.lit(1)).alias("t_v"))
+    tot = b.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("s"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = per.select(
+        "_k", "_v", "t_v",
+        F.coalesce(F.sum("t_v").over(w), F.lit(0)).alias("below"),
+    ).join(tot, "_k")
+    nD = F.col("n").cast("double")
+    fexp = F.lit(1.0) - F.round(
+        F.exp(
+            -(F.col("_v").cast("double") * nD / F.col("s").cast("double"))
+        ),
+        6,
+    ).cast("decimal(18,6)").cast("double")
+    d_plus = (F.col("below") + F.col("t_v")).cast("double") / nD - fexp
+    d_minus = fexp - F.col("below").cast("double") / nD
+    agg = rk.groupBy("_k").agg(
+        F.first("n").alias("n"),
+        F.first("s").alias("s"),
+        F.max(F.greatest(d_plus, d_minus)).alias("_d"),
+    )
+    return agg.select(
+        F.col("_k").alias(key_col),
+        F.col("n").cast("long").alias("n"),
+        F.expr("s div n").cast("long").alias("mean_dur"),
+        F.when(F.col("n") > 0, F.round(F.col("_d"), 6)).alias("d_r"),
+    )
