@@ -7333,6 +7333,36 @@ def q_doc_gopher_reasons(spark, sf_dir):
     )
 
 
+def q_events_hurst(spark, sf_dir):
+    """Hurst exponent of each event type's hourly volume (rescaled-
+    range analysis over a DENSE hourly spine — missing hours count 0,
+    so segment windows are always complete): the long-memory summary
+    behind capacity planning — H > 0.5 means busy hours feed busy
+    hours and independence assumptions undersize everything.
+    Integer-cleared cumulative deviations, one pinned float per
+    window, round-6 log2 per window, literal log2-size OLS axis."""
+    from unitdb_spark.operators.timeseries import hurst_rs
+
+    ev = _events(spark, sf_dir)
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    n_hours = int((int(hi) - int(lo)) // 3_600_000_000) + 1
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(
+        spark.range(n_hours).select(F.col("id").alias("t"))
+    )
+    counts = ev.groupBy(
+        "event_type",
+        F.expr(f"(unix_micros(ts) - {int(lo)}L) div 3600000000L")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cells = spine.join(counts, ["event_type", "t"], "left").select(
+        "event_type", "t", F.coalesce("c", F.lit(0)).alias("y")
+    )
+    return hurst_rs(cells, "event_type", "t", "y")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -8369,6 +8399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_burstiness": q_streamed_burstiness,
         "events_exp_gof": q_events_exp_gof,
         "doc_gopher_reasons": q_doc_gopher_reasons,
+        "events_hurst": q_events_hurst,
     }
 
 
@@ -16858,7 +16889,74 @@ def oracle_sql() -> dict[str, str]:
         ) GROUP BY rule
         """
     )
+    d["events_hurst"] = """
+        WITH bounds AS (
+          SELECT min(epoch_us(ts)) AS lo,
+            (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS nh
+          FROM events
+        ), ty AS (SELECT DISTINCT event_type FROM events),
+        spine AS (
+          SELECT ty.event_type, g.t
+          FROM ty CROSS JOIN (
+            SELECT unnest(generate_series(0,
+              (SELECT CAST(nh AS BIGINT) FROM bounds))) AS t
+          ) g
+        ), cnts AS (
+          SELECT event_type,
+            (epoch_us(ts) - (SELECT lo FROM bounds)) // 3600000000 AS t,
+            count(*) AS c
+          FROM events GROUP BY 1, 2
+        ), cells AS (
+          SELECT spine.event_type AS k, spine.t,
+            coalesce(cnts.c, 0) AS y
+          FROM spine LEFT JOIN cnts
+            ON spine.event_type = cnts.event_type AND spine.t = cnts.t
+        ), u AS (
+          SELECT k, sz, lx, t % sz AS j, t // sz AS seg, y
+          FROM cells, (VALUES (16, 4), (64, 6), (256, 8)) AS sizes(sz, lx)
+        ), spread AS (
+          SELECT k, sz, lx, seg,
+            CAST(sum(y) OVER (PARTITION BY k, sz, seg ORDER BY j
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS HUGEINT) * sz
+            - (j + 1) * CAST(sum(y) OVER (PARTITION BY k, sz, seg)
+                             AS HUGEINT) AS nd,
+            count(*) OVER (PARTITION BY k, sz, seg) AS n,
+            sum(y) OVER (PARTITION BY k, sz, seg) AS s,
+            sum(CAST(y AS HUGEINT) * y)
+              OVER (PARTITION BY k, sz, seg) AS q
+          FROM u
+        ), per_seg AS (
+          SELECT k, sz, lx, seg,
+            any_value(n) AS n, any_value(s) AS s, any_value(q) AS q,
+            max(nd) AS ndmax, min(nd) AS ndmin
+          FROM spread GROUP BY k, sz, lx, seg
+        ), lg AS (
+          SELECT k, sz, lx,
+            CAST(round(log2(
+              CAST(ndmax - ndmin AS DOUBLE)
+              / sqrt(CAST(CAST(q AS HUGEINT) * n - CAST(s AS HUGEINT) * s
+                          AS DOUBLE))
+            ), 6) AS DECIMAL(18,6)) AS l2
+          FROM per_seg
+          WHERE n = sz AND CAST(q AS HUGEINT) * n - CAST(s AS HUGEINT) * s > 0
+        ), per_size AS (
+          SELECT k, lx, count(*) AS n_w, sum(l2) AS l2s
+          FROM lg GROUP BY k, lx
+        ), agg AS (
+          SELECT k, count(*) AS n_sizes,
+            CAST(sum(n_w) AS BIGINT) AS n_windows,
+            sum(CAST(lx * 3 - 18 AS DOUBLE)
+                * (CAST(l2s AS DOUBLE) / CAST(n_w AS DOUBLE))) AS num
+          FROM per_size GROUP BY k
+        )
+        SELECT k AS event_type, n_windows,
+          CASE WHEN n_sizes = 3 THEN round(num * 3.0 / 72.0, 6) END
+            AS h_r
+        FROM agg
+        """
     return d
+
 
 
 

@@ -10062,3 +10062,74 @@ class TestGopherReasons:
             assert r.fail_ppm == (r.n_fail * 1_000_000) // r.n_docs
         # the planted violations guarantee at least one failing rule
         assert any(r.n_fail > 0 for r in out)
+
+
+class TestHurstRs:
+    def test_white_noise_vs_persistent(self, spark):
+        import random
+
+        from unitdb_spark.operators.timeseries import hurst_rs
+
+        rng = random.Random(5)
+        rows = [("wn", t, rng.randrange(0, 1000)) for t in range(768)]
+        acc, rows2 = 0, []
+        for t in range(768):
+            acc += rng.randrange(0, 9)
+            rows2.append(("walk", t, acc))
+        df = spark.createDataFrame(rows + rows2, "k string, t long, y long")
+        out = {r.k: r for r in hurst_rs(df, "k", "t", "y").collect()}
+        # short-window R/S biases white noise high (~0.55-0.6) but the
+        # ORDERING is the contract: a cumulative walk reads far higher
+        assert 0.5 < out["wn"].h_r < 0.7
+        assert out["walk"].h_r > 0.9
+        assert out["wn"].n_windows == 48 + 12 + 3
+
+    def test_matches_python_protocol(self, spark):
+        import math
+        import random
+
+        from unitdb_spark.operators.timeseries import hurst_rs
+
+        rng = random.Random(11)
+        ys = [rng.randrange(0, 50) for _ in range(512)]
+        df = spark.createDataFrame(
+            [("k", t, y) for t, y in enumerate(ys)],
+            "k string, t long, y long",
+        )
+        (r,) = hurst_rs(df, "k", "t", "y").collect()
+
+        def rs_ref(size):
+            ls = []
+            for s0 in range(0, len(ys) - size + 1, size):
+                seg = ys[s0:s0 + size]
+                n, tot = len(seg), sum(seg)
+                cum, nds = 0, []
+                for j, v in enumerate(seg):
+                    cum += v
+                    nds.append(n * cum - (j + 1) * tot)
+                var_n2 = n * sum(v * v for v in seg) - tot * tot
+                if var_n2 <= 0:
+                    continue
+                ls.append(round(math.log2(
+                    (max(nds) - min(nds)) / math.sqrt(var_n2)), 6))
+            return ls
+
+        pts = []
+        for size, lx in [(16, 4), (64, 6), (256, 8)]:
+            l2 = rs_ref(size)
+            pts.append((lx, sum(l2) / len(l2)))
+        m, xsum = 3, sum(p[0] for p in pts)
+        den = sum((p[0] * m - xsum) ** 2 for p in pts)
+        num = sum((p[0] * m - xsum) * p[1] for p in pts)
+        assert abs(r.h_r - num * m / den) < 1e-5
+
+    def test_validation(self, spark):
+        import pytest
+
+        from unitdb_spark.operators.timeseries import hurst_rs
+
+        df = spark.createDataFrame([("k", 0, 1)], "k string, t long, y long")
+        with pytest.raises(ValueError):
+            hurst_rs(df, "k", "t", "y", sizes=(16,))
+        with pytest.raises(ValueError):
+            hurst_rs(df, "k", "t", "y", sizes=(10, 20))

@@ -2223,3 +2223,141 @@ def burstiness_from_moments(j: DataFrame, key_col: str) -> DataFrame:
             (F.col("n2") >= 2) & (va > 0) & (vb > 0), F.round(m, 6)
         ).alias("m_r"),
     )
+
+
+HURST_SIZES = (16, 64, 256)
+# log2 of each window size, exact integers for the literal OLS x-axis
+_HURST_LOG2 = {16: 4, 64: 6, 256: 8}
+
+
+def hurst_rs(
+    cells: DataFrame,
+    key_col: str,
+    t_col: str,
+    y_col: str,
+    sizes: tuple[int, ...] = HURST_SIZES,
+) -> DataFrame:
+    """Per-key Hurst exponent by rescaled-range analysis (Hurst 1951,
+    Mandelbrot & Wallis 1969) — the long-memory summary the ACF table
+    can only hint at: H ≈ 0.5 is a memoryless walk, H > 0.5
+    long-range persistence (trends feed trends — capacity planning
+    must NOT assume independent hours), H < 0.5 mean reversion.
+
+    Protocol, exactness-first: the per-key series (``t_col`` must be
+    a DENSE 0..n-1 index — build the spine upstream) splits into
+    non-overlapping windows of each size in ``sizes`` (incomplete
+    tails drop); within a window the cumulative deviation clears to
+    integers by multiplying through by n (n·dev_j = n·cum_j − j·S),
+    so
+
+        R/S = (max(n·dev) − min(n·dev)) / sqrt(n·Q − S²)
+
+    is ONE pinned float per window (zero-variance windows drop — R/S
+    is undefined there, the standard treatment). Each window
+    contributes a round-6 log2(R/S) (the per-TYPE transcendental
+    contract); per size the mean log2 is an exact decimal sum with
+    one pinned division; H is the OLS slope of mean-log2(R/S) against
+    the LITERAL integer log2(size) axis — with the default sizes the
+    denominator Σ(x−x̄)² = 8 exactly, so the slope is one more pinned
+    float over exact decimals.
+
+    Output: (key, n_windows, h_r) — h_r NULL when fewer than two
+    sizes produced a usable window.
+
+    Scale: windows are (key, size, segment) groups over the CELL
+    relation — Σ_k n_k × |sizes| rows of window work, all
+    key-partitioned; the OLS finish runs on a keys × sizes relation.
+    """
+    if len(sizes) < 2:
+        raise ValueError("hurst_rs: need >= 2 window sizes")
+    if any(_HURST_LOG2.get(sz) is None for sz in sizes):
+        raise ValueError(
+            f"hurst_rs: sizes must be powers of two in {sorted(_HURST_LOG2)}"
+        )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    b = cells.select(
+        F.col(key_col).alias("_k"),
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    parts = [
+        b.select(
+            "_k",
+            F.lit(sz).alias("_sz"),
+            F.lit(_HURST_LOG2[sz]).alias("_lx"),
+            (F.col("_t") % sz).alias("_j"),
+            F.expr(f"_t div {sz}").alias("_seg"),
+            "_y",
+        )
+        for sz in sizes
+    ]
+    u = parts[0]
+    for p_ in parts[1:]:
+        u = u.unionByName(p_)
+    wcum = (
+        Window.partitionBy("_k", "_sz", "_seg")
+        .orderBy("_j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("_k", "_sz", "_seg")
+    # n·dev_j = n·cum_j − (j+1)·S — exact integers, no mean division
+    nd = (
+        d38(F.sum("_y").over(wcum)) * F.col("_sz")
+        - (F.col("_j") + 1) * d38(F.sum("_y").over(wtot))
+    )
+    spread = u.select(
+        "_k", "_sz", "_lx", "_seg",
+        nd.alias("_nd"),
+        F.count(F.lit(1)).over(wtot).alias("_n"),
+        F.sum("_y").over(wtot).alias("_s"),
+        F.sum(d38(F.col("_y")) * d38(F.col("_y"))).over(wtot).alias("_q"),
+    )
+    per_seg = spread.groupBy("_k", "_sz", "_lx", "_seg").agg(
+        F.first("_n").alias("n"),
+        F.first("_s").alias("s"),
+        F.first("_q").alias("q"),
+        F.max("_nd").alias("ndmax"),
+        F.min("_nd").alias("ndmin"),
+    )
+    full = per_seg.filter(F.col("n") == F.col("_sz"))
+    var_n2 = d38(F.col("q")) * F.col("n") - d38(F.col("s")) * F.col("s")
+    rs = (
+        (F.col("ndmax") - F.col("ndmin")).cast("double")
+        / F.sqrt(var_n2.cast("double"))
+    )
+    lg = full.filter(var_n2 > 0).select(
+        "_k", "_sz", "_lx",
+        F.round(F.log2(rs), 6).cast("decimal(18,6)").alias("_l2"),
+    )
+    per_size = lg.groupBy("_k", "_sz", "_lx").agg(
+        F.count(F.lit(1)).alias("n_w"),
+        F.sum("_l2").alias("_l2s"),
+    )
+    # OLS slope over the (log2 size, mean log2 RS) points with the
+    # LITERAL x axis: u_i = m·x_i − Σx clears the mean, so
+    # slope = m·Σ u_i·y_i / Σ u_i² — one pinned float chain. The x̄
+    # is precomputed for the FULL sizes tuple, so H is NULL unless
+    # every size produced a usable window.
+    xs = [_HURST_LOG2[sz] for sz in sizes]
+    xn = len(xs)
+    xsum = sum(xs)
+    den = sum((x * xn - xsum) ** 2 for x in xs)
+    pts = per_size.select(
+        "_k", "_lx", "n_w",
+        (F.col("_l2s").cast("double") / F.col("n_w").cast("double"))
+        .alias("_my"),
+    )
+    agg = pts.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n_sizes"),
+        F.sum("n_w").cast("long").alias("n_windows"),
+        F.sum(
+            (F.col("_lx") * xn - F.lit(xsum)).cast("double")
+            * F.col("_my")
+        ).alias("_num"),
+    )
+    h = F.col("_num") * F.lit(float(xn)) / F.lit(float(den))
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "n_windows",
+        F.when(F.col("n_sizes") == xn, F.round(h, 6)).alias("h_r"),
+    )
