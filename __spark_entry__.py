@@ -7363,6 +7363,36 @@ def q_events_hurst(spark, sf_dir):
     return hurst_rs(cells, "event_type", "t", "y")
 
 
+def q_doc_c4_reasons(spark, sf_dir):
+    """Per-rule C4 violation breakdown — the companion of
+    doc_gopher_reasons for the other rule family: which C4 cleanup
+    rule (terminal punctuation, min tokens, word length, lorem,
+    code brace, policy boilerplate) rejects how much corpus. One
+    stacked projection + one aggregation, exact ppm."""
+    d = _c4_planted(spark, sf_dir)
+    rules = TXT.c4_rules("text")
+    names = [k for k in rules if k != "keep"]
+    stacked = d.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nm).alias("rule"),
+                        (~rules[nm]).cast("int").alias("fail"),
+                    )
+                    for nm in sorted(names)
+                ]
+            )
+        ).alias("s")
+    ).select("s.rule", "s.fail")
+    return stacked.groupBy("rule").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("fail").cast("long").alias("n_fail"),
+        F.expr("(sum(fail) * 1000000L) div count(*)")
+        .cast("long").alias("fail_ppm"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -8400,6 +8430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_exp_gof": q_events_exp_gof,
         "doc_gopher_reasons": q_doc_gopher_reasons,
         "events_hurst": q_events_hurst,
+        "doc_c4_reasons": q_doc_c4_reasons,
     }
 
 
@@ -16955,7 +16986,26 @@ def oracle_sql() -> dict[str, str]:
             AS h_r
         FROM agg
         """
+
+    # per-rule C4 breakdown rides the filter oracle's rule columns
+    d["doc_c4_reasons"] = (
+        "WITH cf AS (" + d["doc_c4_filter"] + """)
+        SELECT rule, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(*) FILTER (NOT pass) AS BIGINT) AS n_fail,
+          CAST((count(*) FILTER (NOT pass) * 1000000) // count(*)
+               AS BIGINT) AS fail_ppm
+        FROM (
+          SELECT 'r_brace' AS rule, r_brace AS pass FROM cf
+          UNION ALL SELECT 'r_lorem', r_lorem FROM cf
+          UNION ALL SELECT 'r_min_tokens', r_min_tokens FROM cf
+          UNION ALL SELECT 'r_policy', r_policy FROM cf
+          UNION ALL SELECT 'r_terminal', r_terminal FROM cf
+          UNION ALL SELECT 'r_word_len', r_word_len FROM cf
+        ) GROUP BY rule
+        """
+    )
     return d
+
 
 
 

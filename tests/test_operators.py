@@ -10133,3 +10133,20 @@ class TestHurstRs:
             hurst_rs(df, "k", "t", "y", sizes=(16,))
         with pytest.raises(ValueError):
             hurst_rs(df, "k", "t", "y", sizes=(10, 20))
+
+
+class TestC4Reasons:
+    def test_breakdown_consistent(self, spark):
+        import __spark_entry__ as e
+
+        out = e.queries()["doc_c4_reasons"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert {r.rule for r in out} == {
+            "r_brace", "r_lorem", "r_min_tokens", "r_policy",
+            "r_terminal", "r_word_len",
+        }
+        for r in out:
+            assert 0 <= r.n_fail <= r.n_docs
+            assert r.fail_ppm == (r.n_fail * 1_000_000) // r.n_docs
+        assert any(r.n_fail > 0 for r in out)  # planted violations
