@@ -7393,6 +7393,56 @@ def q_doc_c4_reasons(spark, sf_dir):
     )
 
 
+def q_streamed_exp_gof(spark, sf_dir):
+    """Second dashboard off the SAME gap-stitcher state the
+    burstiness twin maintains (the one-fold/N-readouts pattern of the
+    hourly-cell family): the folded gap rows finish through
+    ks_exponential at read time, so the rolling memoryless-model
+    check shares the stream with the rolling texture monitor. Oracle
+    = the batch events_exp_gof SQL verbatim — the stitcher reproduces
+    the batch lag pairing exactly."""
+    import tempfile
+
+    from unitdb_spark.operators.stats_tests import ks_exponential
+    from unitdb_spark.streaming.state import streaming_burstiness
+
+    spark = _pin_utc(spark)
+    base = tempfile.mkdtemp(prefix="expgof_twin_")
+    src, cp, out = f"{base}/src", f"{base}/cp", f"{base}/out"
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type")
+    lo, hi = ev.agg(
+        F.unix_timestamp(F.min("ts")), F.unix_timestamp(F.max("ts"))
+    ).collect()[0]
+    mid = F.timestamp_seconds(F.lit((int(lo) + int(hi)) // 2))
+
+    def run(batch_df):
+        batch_df.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            streaming_burstiness(
+                spark.readStream.schema(batch_df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+                if not df.isEmpty()
+                else None
+            )
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run(ev.filter(F.col("ts") < mid))
+    run(ev.filter(F.col("ts") >= mid))
+    gaps = spark.read.parquet(out).select(
+        F.col("key").alias("event_type"), F.col("g").alias("gap_us")
+    )
+    return ks_exponential(gaps, "event_type", "gap_us")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: wildcard-tail Get with
     a trailing window, newest-first top-100."""
@@ -8431,6 +8481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_reasons": q_doc_gopher_reasons,
         "events_hurst": q_events_hurst,
         "doc_c4_reasons": q_doc_c4_reasons,
+        "streamed_exp_gof": q_streamed_exp_gof,
     }
 
 
@@ -16920,6 +16971,8 @@ def oracle_sql() -> dict[str, str]:
         ) GROUP BY rule
         """
     )
+    # second readout off the gap-stitcher fold: oracle verbatim
+    d["streamed_exp_gof"] = d["events_exp_gof"]
     d["events_hurst"] = """
         WITH bounds AS (
           SELECT min(epoch_us(ts)) AS lo,
