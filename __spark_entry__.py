@@ -6599,19 +6599,24 @@ def q_doc_cum_gains(spark, sf_dir):
     """Cumulative-gains / lift deciles of the classifier against the
     Gopher gold — the selection-budget curve ("act on the top 30% by
     score, capture what share of keepers at how many times the base
-    rate?"). ntile over (score DESC, doc_id); every ratio an exact
-    cross-multiplied integer ppm."""
+    rate?"). Mergeable rank-threshold deciles over the family's
+    pinned floor-micro score quantization (the auc_from_scores
+    grid) — ties-together at the exact ntile thresholds, no
+    corpus-sized global sort; every ratio an exact cross-multiplied
+    integer ppm."""
     from unitdb_spark.operators.classify import classify_score
-    from unitdb_spark.operators.evaluation import cumulative_gains
+    from unitdb_spark.operators.evaluation import cumulative_gains_ranked
 
     scored = classify_score(_docs(spark, sf_dir), n_buckets=4096).select(
-        F.col("id").alias("doc_id"), "score"
+        F.col("id").alias("doc_id"),
+        F.floor(F.col("score").cast("double") * F.lit(1_000_000.0))
+        .cast("long").alias("score_micro"),
     )
     gold = _gopher_planted(spark, sf_dir).select(
         "doc_id", TXT.gopher_rules("text")["keep"].alias("gold")
     )
-    return cumulative_gains(
-        scored.join(gold, "doc_id"), "score", "gold", "doc_id", n_bins=10
+    return cumulative_gains_ranked(
+        scored.join(gold, "doc_id"), "score_micro", "gold", n_bins=10
     )
 
 
@@ -6873,9 +6878,11 @@ def q_events_uplift(spark, sf_dir):
     big spenders" baseline), per cumulative prefix treated-vs-control
     post-period purchase conversion — where the targeting rule finds
     INCREMENTAL converters vs people who convert anyway. Pooled-arm
-    ntile; exact cross-multiplied ppm/micro columns."""
+    mergeable rank-threshold deciles on the exact integer pre-spend
+    (ties-together at the ntile thresholds — no per-user global
+    sort); exact cross-multiplied ppm/micro columns."""
     from unitdb_spark.functions.portable_hash import md5_int60
-    from unitdb_spark.operators.evaluation import uplift_deciles
+    from unitdb_spark.operators.evaluation import uplift_deciles_ranked
 
     ev = _events(spark, sf_dir)
     mid = F.lit("2024-01-16").cast("timestamp")
@@ -6899,8 +6906,8 @@ def q_events_uplift(spark, sf_dir):
         md5_int60(F.concat(F.col("user_id").cast("string"), F.lit(":mw"))) % 2
     ).cast("int")
     per = per.withColumn("treat", arm)
-    return uplift_deciles(
-        per, "pre_cents", "treat", "y", "user_id", n_bins=10
+    return uplift_deciles_ranked(
+        per, "pre_cents", "treat", "y", n_bins=10
     )
 
 
@@ -6979,12 +6986,14 @@ def q_streamed_uplift(spark, sf_dir):
     micro-batch appends per-user (pre_cents, post-purchase count)
     partials via foreachBatch (both merge by SUM); the read-time fold
     re-sums, re-derives the conversion flag and hash arm, and
-    finishes through the SAME uplift_deciles operator. Oracle = the
-    batch events_uplift SQL verbatim."""
+    finishes through the SAME uplift_deciles_ranked operator (the
+    mergeable rank-threshold path — its per-score counts are
+    themselves SUM-mergeable, the same contract as this fold).
+    Oracle = the batch events_uplift SQL verbatim."""
     import uuid
 
     from unitdb_spark.functions.portable_hash import md5_int60
-    from unitdb_spark.operators.evaluation import uplift_deciles
+    from unitdb_spark.operators.evaluation import uplift_deciles_ranked
     from unitdb_spark.streaming.pubsub import events_as_stream
 
     spark = _pin_utc(spark)
@@ -7037,8 +7046,8 @@ def q_streamed_uplift(spark, sf_dir):
         md5_int60(F.concat(F.col("user_id").cast("string"), F.lit(":mw"))) % 2
     ).cast("int")
     per = per.withColumn("treat", arm)
-    return uplift_deciles(
-        per, "pre_cents", "treat", "y", "user_id", n_bins=10
+    return uplift_deciles_ranked(
+        per, "pre_cents", "treat", "y", n_bins=10
     )
 
 
@@ -16197,6 +16206,10 @@ def oracle_sql() -> dict[str, str]:
     )
     # cumulative gains ride the same score + gold chain; deciles by
     # (score DESC, doc_id), cumulative windows over the 10-row relation
+    # mergeable rank-threshold deciles (the ranked contract): per
+    # distinct floor-micro score counts, cumulative over the distinct
+    # relation, tie groups binned whole at their last row's ntile
+    # threshold, dense 1..10 spine — replays cumulative_gains_ranked
     d["doc_cum_gains"] = (
         "WITH sc AS ("
         + d["doc_classify_score"].replace(
@@ -16207,36 +16220,56 @@ def oracle_sql() -> dict[str, str]:
         + "), gf AS (" + d["doc_gopher_filter"] + "), "
         """
         j AS (
-          SELECT sc.id AS doc_id, sc.score, gf.keep AS gold
+          SELECT CAST(floor(sc.score * 1000000) AS BIGINT) AS sm,
+            gf.keep AS gold
           FROM sc JOIN gf ON gf.doc_id = sc.id
-        ), b AS (
-          SELECT ntile(10) OVER (ORDER BY score DESC, doc_id) AS bin,
-            gold
-          FROM j
-        ), bins AS (
-          SELECT bin, count(*) AS n, count(*) FILTER (gold) AS n_pos
-          FROM b GROUP BY 1
+        ), per AS (
+          SELECT sm, count(*) AS n_v, count(*) FILTER (gold) AS p_v
+          FROM j GROUP BY 1
+        ), tot AS (
+          SELECT CAST(coalesce(sum(n_v), 0) AS BIGINT) AS nt,
+            CAST(coalesce(sum(p_v), 0) AS BIGINT) AS pt
+          FROM per
+        ), cum AS (
+          SELECT n_v, p_v,
+            sum(n_v) OVER (ORDER BY sm DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS ca
+          FROM per
+        ), bnd AS (
+          SELECT n_v, p_v,
+            CASE WHEN ca <= (nt % 10) * (nt // 10 + 1)
+                 THEN (ca + nt // 10) // (nt // 10 + 1)
+                 ELSE (ca - nt % 10 + greatest(nt // 10, 1) - 1)
+                      // greatest(nt // 10, 1) END AS bin
+          FROM cum, tot
+        ), pb AS (
+          SELECT bin, sum(n_v) AS n, sum(p_v) AS n_pos
+          FROM bnd GROUP BY 1
+        ), sp AS (
+          SELECT CAST(gs.b AS BIGINT) AS bin,
+            CAST(coalesce(pb.n, 0) AS BIGINT) AS n,
+            CAST(coalesce(pb.n_pos, 0) AS BIGINT) AS n_pos
+          FROM generate_series(1, 10) gs(b)
+          LEFT JOIN pb ON pb.bin = gs.b
         ), c AS (
           SELECT bin, n, n_pos,
             sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
                          AND CURRENT ROW) AS cum_n,
             sum(n_pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
-                             PRECEDING AND CURRENT ROW) AS cum_pos,
-            sum(n) OVER () AS nt, sum(n_pos) OVER () AS pt
-          FROM bins
+                             PRECEDING AND CURRENT ROW) AS cum_pos
+          FROM sp
         )
-        SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
-          CAST(n_pos AS BIGINT) AS n_pos,
+        SELECT bin, n, n_pos,
           CAST(cum_n AS BIGINT) AS cum_n,
           CAST(cum_pos AS BIGINT) AS cum_pos,
           CASE WHEN pt > 0 THEN
             CAST((cum_pos * 1000000) // pt AS BIGINT)
           END AS gain_ppm,
-          CASE WHEN pt > 0 THEN
+          CASE WHEN pt > 0 AND cum_n > 0 THEN
             CAST((CAST(cum_pos AS HUGEINT) * nt * 1000000)
                  // (CAST(cum_n AS HUGEINT) * pt) AS BIGINT)
           END AS lift_ppm
-        FROM c
+        FROM c, tot
         """
     )
     # MAP rides the related-items oracle like MRR: floor-micro
@@ -16517,32 +16550,53 @@ def oracle_sql() -> dict[str, str]:
           FROM events GROUP BY user_id
         )
     """
+    # mergeable rank-threshold deciles on the exact integer pre-spend
+    # (ties-together — replays uplift_deciles_ranked; see doc_cum_gains)
     d["events_uplift"] = (
         "WITH " + _UPLIFT_PER + """
-        , b AS (
-          SELECT ntile(10) OVER (ORDER BY pre_cents DESC, user_id)
-              AS bin,
-            treat, y
-          FROM per
-        ), bins AS (
-          SELECT bin,
+        , pv AS (
+          SELECT pre_cents AS s,
             count(*) FILTER (treat = 1) AS n_t,
             count(*) FILTER (treat = 0) AS n_c,
             count(*) FILTER (treat = 1 AND y) AS pos_t,
             count(*) FILTER (treat = 0 AND y) AS pos_c
-          FROM b GROUP BY 1
+          FROM per GROUP BY 1
+        ), tot AS (
+          SELECT CAST(coalesce(sum(n_t + n_c), 0) AS BIGINT) AS nt
+          FROM pv
+        ), cum AS (
+          SELECT n_t, n_c, pos_t, pos_c,
+            sum(n_t + n_c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS ca
+          FROM pv
+        ), bnd AS (
+          SELECT n_t, n_c, pos_t, pos_c,
+            CASE WHEN ca <= (nt % 10) * (nt // 10 + 1)
+                 THEN (ca + nt // 10) // (nt // 10 + 1)
+                 ELSE (ca - nt % 10 + greatest(nt // 10, 1) - 1)
+                      // greatest(nt // 10, 1) END AS bin
+          FROM cum, tot
+        ), pb AS (
+          SELECT bin, sum(n_t) AS n_t, sum(n_c) AS n_c,
+            sum(pos_t) AS pos_t, sum(pos_c) AS pos_c
+          FROM bnd GROUP BY 1
+        ), sp AS (
+          SELECT CAST(gs.b AS BIGINT) AS bin,
+            CAST(coalesce(pb.n_t, 0) AS BIGINT) AS n_t,
+            CAST(coalesce(pb.n_c, 0) AS BIGINT) AS n_c,
+            CAST(coalesce(pb.pos_t, 0) AS BIGINT) AS pos_t,
+            CAST(coalesce(pb.pos_c, 0) AS BIGINT) AS pos_c
+          FROM generate_series(1, 10) gs(b)
+          LEFT JOIN pb ON pb.bin = gs.b
         ), c AS (
           SELECT bin, n_t, n_c, pos_t, pos_c,
             sum(n_t) OVER w AS cum_nt, sum(n_c) OVER w AS cum_nc,
             sum(pos_t) OVER w AS cum_pt, sum(pos_c) OVER w AS cum_pc
-          FROM bins
+          FROM sp
           WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
                        AND CURRENT ROW)
         )
-        SELECT CAST(bin AS BIGINT) AS bin,
-          CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
-          CAST(pos_t AS BIGINT) AS pos_t,
-          CAST(pos_c AS BIGINT) AS pos_c,
+        SELECT bin, n_t, n_c, pos_t, pos_c,
           CAST(cum_nt AS BIGINT) AS cum_nt,
           CAST(cum_nc AS BIGINT) AS cum_nc,
           CAST(cum_pt AS BIGINT) AS cum_pt,

@@ -9436,6 +9436,111 @@ class TestCumulativeGains:
         last = out[-1]
         assert last.gain_ppm == 1_000_000 and last.lift_ppm == 1_000_000
 
+    def test_ranked_equals_ntile_on_distinct_scores(self, spark):
+        # when no tie group straddles a threshold (all scores
+        # distinct), the mergeable rank-threshold path must agree
+        # bit-for-bit with the ntile path
+        from unitdb_spark.operators.evaluation import (
+            cumulative_gains,
+            cumulative_gains_ranked,
+        )
+
+        rows = [(i, 97 - 7 * i, i % 3 == 0) for i in range(23)]
+        df = spark.createDataFrame(rows, "id int, sm long, y boolean")
+        a = cumulative_gains(df, "sm", "y", "id", n_bins=5).collect()
+        b = cumulative_gains_ranked(df, "sm", "y", n_bins=5).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_ranked_ties_together_and_dense_spine(self, spark):
+        from unitdb_spark.operators.evaluation import cumulative_gains_ranked
+
+        # 10 rows all sharing one score: the single tie group lands in
+        # bin 5 (its last row's threshold); bins 1-4 are empty but
+        # still emitted, carrying cum = 0 forward
+        rows = [(i, 42, i < 4) for i in range(10)]
+        df = spark.createDataFrame(rows, "id int, sm long, y boolean")
+        out = cumulative_gains_ranked(df, "sm", "y", n_bins=5).collect()
+        assert [r.bin for r in out] == [1, 2, 3, 4, 5]
+        assert [r.n for r in out] == [0, 0, 0, 0, 10]
+        assert [r.cum_pos for r in out] == [0, 0, 0, 0, 4]
+        assert out[0].lift_ppm is None  # cum_n = 0 prefix
+        assert out[-1].gain_ppm == 1_000_000
+
+    def test_fold_equality_from_counts(self, spark):
+        # per-score counts merge by SUM: three arbitrary segments'
+        # partials re-summed finish identically to the one-shot path
+        from pyspark.sql import functions as F
+        from unitdb_spark.operators.evaluation import (
+            cumulative_gains_from_counts,
+            cumulative_gains_ranked,
+        )
+
+        rows = [(i, (i * 13) % 7, (i * 5) % 3 == 0) for i in range(40)]
+        df = spark.createDataFrame(rows, "id int, sm long, y boolean")
+        direct = cumulative_gains_ranked(df, "sm", "y", n_bins=10).collect()
+        parts = []
+        for seg in range(3):
+            parts.append(
+                df.filter(F.col("id") % 3 == seg)
+                .groupBy(F.col("sm").alias("_s"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_v"),
+                    F.count(F.when(F.col("y"), 1)).alias("p_v"),
+                )
+            )
+        merged = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        folded = cumulative_gains_from_counts(merged, n_bins=10).collect()
+        assert sorted(map(tuple, direct)) == sorted(map(tuple, folded))
+
+
+class TestUpliftRanked:
+    def test_ranked_equals_ntile_on_distinct_scores(self, spark):
+        from unitdb_spark.operators.evaluation import (
+            uplift_deciles,
+            uplift_deciles_ranked,
+        )
+
+        rows = [
+            (i, 1000 - 31 * i, i % 2, (i * 7) % 3 == 0) for i in range(17)
+        ]
+        df = spark.createDataFrame(rows, "id int, s long, t int, y boolean")
+        a = uplift_deciles(df, "s", "t", "y", "id", n_bins=4).collect()
+        b = uplift_deciles_ranked(df, "s", "t", "y", n_bins=4).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_fold_equality_from_counts(self, spark):
+        from pyspark.sql import functions as F
+        from unitdb_spark.operators.evaluation import (
+            uplift_deciles_from_counts,
+            uplift_deciles_ranked,
+        )
+
+        rows = [
+            (i, (i * 11) % 5, i % 2, (i * 3) % 4 == 0) for i in range(36)
+        ]
+        df = spark.createDataFrame(rows, "id int, s long, t int, y boolean")
+        direct = uplift_deciles_ranked(df, "s", "t", "y", n_bins=6).collect()
+
+        def partial(seg):
+            return (
+                df.filter(F.col("id") % 2 == seg)
+                .groupBy(F.col("s").alias("_s"))
+                .agg(
+                    F.count(F.when(F.col("t") == 1, 1)).alias("n_t"),
+                    F.count(F.when(F.col("t") == 0, 1)).alias("n_c"),
+                    F.count(
+                        F.when((F.col("t") == 1) & F.col("y"), 1)
+                    ).alias("pos_t"),
+                    F.count(
+                        F.when((F.col("t") == 0) & F.col("y"), 1)
+                    ).alias("pos_c"),
+                )
+            )
+
+        merged = partial(0).unionByName(partial(1))
+        folded = uplift_deciles_from_counts(merged, n_bins=6).collect()
+        assert sorted(map(tuple, direct)) == sorted(map(tuple, folded))
+
 
 class TestSourceUnigramJs:
     def test_identical_sources_zero_and_bounds(self, spark):

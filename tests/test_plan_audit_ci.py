@@ -44,8 +44,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "orders_benford": "digit-share window over the 9-row leading-digit relation",
     "doc_calibration": "ntile + reliability windows over scores then the 10-row decile relation",
     "doc_auc": "doubled-midrank cumulative window over the DISTINCT quantized-score relation (<= 1e6+1 rows by construction)",
-    "doc_cum_gains": "ntile over (score, id) then cumulative windows over the 10-row decile relation (the doc_calibration class)",
-    "events_uplift": "pooled-arm ntile over per-user (score, id) then cumulative windows over the 10-row decile relation (the doc_calibration class)",
+    "doc_cum_gains": "rank-threshold deciles: cumulative window over the DISTINCT floor-micro score relation (<= 1e6+1 rows by construction, the doc_auc class) + the 10-row spine — the corpus-sized ntile is gone (r8)",
+    "events_uplift": "rank-threshold deciles: cumulative window over the DISTINCT per-user pre-spend histogram (value space, not users — the mannwhitney class) + the 10-row spine — the corpus-sized ntile is gone (r8)",
     "events_survival": "at-risk cumulative window over the per-day event-time relation",
     "events_logrank": "per-arm at-risk cumulative windows over the pooled per-day relation",
     "events_ks": "CDF-gap cumulative window over the pooled distinct-value relation",

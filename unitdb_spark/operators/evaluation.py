@@ -1259,6 +1259,271 @@ def uplift_deciles(
     )
 
 
+def _rank_threshold_bin(cum_col: str, n_col: str, n_bins: int):
+    """Exact-integer decile bin of a tie-group's LAST row under the
+    ntile rank thresholds T_b = b·(N div nb) + min(b, N mod nb):
+    bin = smallest b with T_b ≥ cum. Pure positive-operand integer
+    arithmetic (ceil via (a+d-1) div d), so it evaluates identically
+    in Spark and DuckDB; greatest(q,1) keeps the dead ELSE branch
+    division-safe under ANSI mode when N < n_bins (q = 0 ⇒ every
+    group satisfies the WHEN arm)."""
+    return F.expr(
+        f"CASE WHEN {cum_col} <= ({n_col} % {n_bins})"
+        f" * ({n_col} div {n_bins} + 1)"
+        f" THEN ({cum_col} + {n_col} div {n_bins})"
+        f" div ({n_col} div {n_bins} + 1)"
+        f" ELSE ({cum_col} - {n_col} % {n_bins}"
+        f" + greatest({n_col} div {n_bins}, 1) - 1)"
+        f" div greatest({n_col} div {n_bins}, 1) END"
+    )
+
+
+def cumulative_gains_from_counts(
+    counts: DataFrame, n_bins: int = 10
+) -> DataFrame:
+    """Finisher for `cumulative_gains_ranked` over the mergeable
+    per-score state ``(_s, n_v, p_v)`` — rows and positives per
+    DISTINCT score value. The counts merge by SUM, so a streaming
+    fold (or a union of per-segment partials re-summed) finishes
+    through this function bit-identically to the one-shot batch
+    operator; tests/test_operators.py pins that fold-equality.
+
+    Stages: one cumulative window over the distinct-score relation
+    (value-space sized, never the corpus), the exact ntile rank
+    thresholds from (N, P) = the summed state, a groupBy on the
+    ≤ n_bins bin labels, and a dense 1..n_bins spine so bins fully
+    swallowed by a tie group still report their cumulative row.
+    """
+    per = counts.groupBy("_s").agg(
+        F.sum("n_v").alias("n_v"), F.sum("p_v").alias("p_v")
+    )
+    # the tiny distinct-score relation feeds THREE branches (totals,
+    # cumulative, spine) — materialize it once so an expensive
+    # upstream scoring pipeline isn't recomputed per branch (the
+    # parts_pagerank lineage-discipline convention)
+    per = per.localCheckpoint()
+    tot = per.agg(
+        F.coalesce(F.sum("n_v"), F.lit(0)).cast("long").alias("_nt"),
+        F.coalesce(F.sum("p_v"), F.lit(0)).cast("long").alias("_pt"),
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("_s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select(
+        "n_v", "p_v", F.sum("n_v").over(w).alias("_ca")
+    )
+    binned = cum.join(F.broadcast(tot)).select(
+        "n_v", "p_v",
+        _rank_threshold_bin("_ca", "_nt", n_bins).alias("bin"),
+    )
+    pb = binned.groupBy("bin").agg(
+        F.sum("n_v").alias("n"), F.sum("p_v").alias("n_pos")
+    )
+    spine = tot.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_bins))).alias("bin"),
+        "_nt", "_pt",
+    )
+    wc = (
+        Window.partitionBy()
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = (
+        spine.join(pb, "bin", "left")
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("n_pos", F.lit(0)).cast("long").alias("n_pos"),
+            "_nt", "_pt",
+        )
+        .select(
+            "bin", "n", "n_pos",
+            F.sum("n").over(wc).cast("long").alias("cum_n"),
+            F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+            "_nt", "_pt",
+        )
+    )
+    return j.select(
+        "bin", "n", "n_pos", "cum_n", "cum_pos",
+        F.when(
+            F.col("_pt") > 0,
+            F.expr("(cum_pos * 1000000L) div _pt"),
+        ).cast("long").alias("gain_ppm"),
+        F.when(
+            (F.col("_pt") > 0) & (F.col("cum_n") > 0),
+            F.expr(
+                "CAST((CAST(cum_pos AS DECIMAL(38,0)) * _nt * 1000000) "
+                "div (CAST(cum_n AS DECIMAL(38,0)) * _pt) AS BIGINT)"
+            ),
+        ).alias("lift_ppm"),
+    )
+
+
+def cumulative_gains_ranked(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """`cumulative_gains` re-expressed on MERGEABLE rank-threshold
+    deciles — the 100 TB path the ntile variant's docstring promises:
+    no corpus-sized single-partition WindowExec anywhere.
+
+    Contract difference vs the ntile variant (deliberate, documented):
+    deciles are cut at the exact ntile rank thresholds T_b but a tie
+    group (rows sharing one score value) is kept TOGETHER in the bin
+    of its last-ranked row, instead of being split by an id
+    tie-break. When every boundary falls between distinct scores the
+    two variants agree bit-for-bit (pinned by test); when a tie group
+    straddles a boundary, ties-together is the deterministic,
+    id-free reading (and the only one computable from mergeable
+    (score → count) state — an id split depends on label order
+    inside the tie group, which counts cannot see).
+
+    ``score_col`` must be exactly groupable cross-engine: an integer,
+    or the family's pinned floor-micro quantization of a float score
+    (`auc_from_scores`' score_micro — quantize BEFORE calling).
+
+    Output: exactly `cumulative_gains`' schema, always n_bins rows
+    (a bin fully swallowed by a tie group reports n = 0 and carries
+    the cumulative row forward).
+
+    Scale: per-score counts are one map-side-combined aggregation;
+    the only windows run over the distinct-score relation (for a
+    floor-micro score, ≤ 1e6+1 rows by construction — the
+    `auc_from_scores` class) and the n_bins-row spine.
+    """
+    counts = df.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.count(F.when(F.col(label_col).cast("boolean"), 1)).alias("p_v"),
+    )
+    return cumulative_gains_from_counts(counts, n_bins=n_bins)
+
+
+def uplift_deciles_from_counts(
+    counts: DataFrame, n_bins: int = 10
+) -> DataFrame:
+    """Finisher for `uplift_deciles_ranked` over the mergeable
+    per-score state ``(_s, n_t, n_c, pos_t, pos_c)`` — per DISTINCT
+    score value, unit and converter counts per arm. All four counts
+    merge by SUM (fold-equality pinned in tests); binning and the
+    cumulative table ride the same rank-threshold machinery as
+    `cumulative_gains_from_counts` (pooled arms — n = n_t + n_c sets
+    the thresholds, the standard uplift protocol)."""
+    per = counts.groupBy("_s").agg(
+        F.sum("n_t").alias("n_t"),
+        F.sum("n_c").alias("n_c"),
+        F.sum("pos_t").alias("pos_t"),
+        F.sum("pos_c").alias("pos_c"),
+    )
+    # three branches off the tiny distinct-score relation — see
+    # cumulative_gains_from_counts
+    per = per.localCheckpoint()
+    tot = per.agg(
+        F.coalesce(F.sum(F.col("n_t") + F.col("n_c")), F.lit(0))
+        .cast("long").alias("_nt_all")
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("_s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select(
+        "n_t", "n_c", "pos_t", "pos_c",
+        F.sum(F.col("n_t") + F.col("n_c")).over(w).alias("_ca"),
+    )
+    binned = cum.join(F.broadcast(tot)).select(
+        "n_t", "n_c", "pos_t", "pos_c",
+        _rank_threshold_bin("_ca", "_nt_all", n_bins).alias("bin"),
+    )
+    pb = binned.groupBy("bin").agg(
+        F.sum("n_t").alias("n_t"),
+        F.sum("n_c").alias("n_c"),
+        F.sum("pos_t").alias("pos_t"),
+        F.sum("pos_c").alias("pos_c"),
+    )
+    spine = tot.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_bins))).alias("bin")
+    )
+    wc = (
+        Window.partitionBy()
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = (
+        spine.join(pb, "bin", "left")
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            *[
+                F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                for c in ("n_t", "n_c", "pos_t", "pos_c")
+            ],
+        )
+        .select(
+            "bin", "n_t", "n_c", "pos_t", "pos_c",
+            F.sum("n_t").over(wc).cast("long").alias("cum_nt"),
+            F.sum("n_c").over(wc).cast("long").alias("cum_nc"),
+            F.sum("pos_t").over(wc).cast("long").alias("cum_pt"),
+            F.sum("pos_c").over(wc).cast("long").alias("cum_pc"),
+        )
+    )
+    both = (F.col("cum_nt") > 0) & (F.col("cum_nc") > 0)
+    return j.select(
+        "bin", "n_t", "n_c", "pos_t", "pos_c",
+        "cum_nt", "cum_nc", "cum_pt", "cum_pc",
+        F.when(
+            both,
+            F.expr(
+                "(cum_pt * 1000000L) div cum_nt"
+                " - (cum_pc * 1000000L) div cum_nc"
+            ),
+        ).cast("long").alias("uplift_ppm"),
+        F.when(
+            both,
+            F.expr(
+                "cum_pt * 1000000L - CAST((CAST(cum_pc AS DECIMAL(38,0))"
+                " * cum_nt * 1000000) div cum_nc AS BIGINT)"
+            ),
+        ).cast("long").alias("qini_micro"),
+    )
+
+
+def uplift_deciles_ranked(
+    df: DataFrame,
+    score_col: str,
+    treat_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """`uplift_deciles` on mergeable rank-threshold deciles — the
+    100 TB path: same ties-together contract, schema, and scale
+    argument as `cumulative_gains_ranked` (see its docstring for the
+    exact difference vs the ntile variant), pooled across arms. The
+    score must be exactly groupable (integer cents here — no
+    quantization needed)."""
+    counts = df.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count(F.when(F.col(treat_col).cast("int") == 1, 1)).alias("n_t"),
+        F.count(F.when(F.col(treat_col).cast("int") == 0, 1)).alias("n_c"),
+        F.count(
+            F.when(
+                (F.col(treat_col).cast("int") == 1)
+                & F.col(label_col).cast("boolean"),
+                1,
+            )
+        ).alias("pos_t"),
+        F.count(
+            F.when(
+                (F.col(treat_col).cast("int") == 0)
+                & F.col(label_col).cast("boolean"),
+                1,
+            )
+        ).alias("pos_c"),
+    )
+    return uplift_deciles_from_counts(counts, n_bins=n_bins)
+
+
 def stratified_ate(
     df: DataFrame,
     stratum_col: str,

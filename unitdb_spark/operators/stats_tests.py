@@ -2214,10 +2214,12 @@ def brown_forsythe(
     outliers; the median variant is the recommended default).
 
     Per group the center is the LOWER-MIDDLE order statistic
-    (row (n_j+1) div 2 by (value, arbitrary-stable input order) —
-    an exact integer, deterministic, no interpolation), computed
-    with one group-partitioned rank window; the test is then
-    literally `anova_from_moments` over z = |x − med_j| — exact
+    (rank (n_j+1) div 2 by value — an exact integer, deterministic,
+    no interpolation), PRECOMPUTED from the per-(group, distinct
+    value) count relation: the cumulative window walks the grouped
+    value histogram (value-space sized, map-side combined), never
+    the raw rows, and the k medians broadcast-join back. The test is
+    then literally `anova_from_moments` over z = |x − med_j| — exact
     integer deviations, so the whole F machinery (floored-micro
     sums of squares, pinned float F, exact eta² ppm) is shared
     verbatim.
@@ -2225,27 +2227,35 @@ def brown_forsythe(
     Output: (k, n, ssb_micro, ssw_micro, sst_micro, f_r, eta2_ppm)
     over the deviation variable.
 
-    Scale: one per-group rank window over the raw rows + the ANOVA
-    partial agg. The 100 TB swap for the median window is the same
-    as every quantile path: pre-computed per-group medians (one
-    approx/exact pass) broadcast-joined; the moments shape is
-    unchanged.
+    Scale: two map-side-combined aggregations over the raw rows
+    (the (g, x) histogram, then the ANOVA moments) + one
+    key-partitioned cumulative window over the distinct-value
+    histogram + a k-row broadcast join — no per-row rank window
+    anywhere (the round-7 verdict's documented swap, implemented).
     """
     val = value_col if not isinstance(value_col, str) else F.col(value_col)
     grp = group_col if not isinstance(group_col, str) else F.col(group_col)
     base = df.select(
         val.cast("long").alias("_x"), grp.alias("_g")
     ).filter(F.col("_x").isNotNull())
-    w = Window.partitionBy("_g").orderBy("_x")
-    ranked = base.select(
-        "_x", "_g",
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("_g")).alias("_nj"),
+    hist = base.groupBy("_g", "_x").agg(F.count(F.lit(1)).alias("_c"))
+    wcum = (
+        Window.partitionBy("_g")
+        .orderBy("_x")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    med = ranked.filter(
-        F.col("_rn") == F.expr("(_nj + 1) div 2")
+    cum = hist.select(
+        "_g", "_x", "_c",
+        F.sum("_c").over(wcum).alias("_ca"),
+        F.sum("_c").over(Window.partitionBy("_g")).alias("_nj"),
+    )
+    # lower-middle rank m = (n_j+1) div 2 lands in the first distinct
+    # value whose cumulative count reaches it
+    med = cum.filter(
+        (F.col("_ca") - F.col("_c") < F.expr("(_nj + 1) div 2"))
+        & (F.expr("(_nj + 1) div 2") <= F.col("_ca"))
     ).select(F.col("_g"), F.col("_x").alias("_med"))
-    dev = base.join(med, "_g").select(
+    dev = base.join(F.broadcast(med), "_g").select(
         "_g", F.abs(F.col("_x") - F.col("_med")).alias("_z")
     )
     return one_way_anova(dev, F.col("_z"), F.col("_g"))
