@@ -3915,6 +3915,38 @@ def q_media_jpeg_resize(spark, sf_dir):
     )
 
 
+def q_media_mixed_resize(spark, sf_dir):
+    """ONE-pass resize over a genuinely MIXED media column: each doc
+    becomes a BMP / PNG / GIF / baseline-JPEG by doc_id % 4, then a
+    single magic-byte-dispatching mapInPandas (sniff → the matching
+    REAL kernel) resizes all four containers in one stage, and one
+    mixed stats pass reduces to the shared order-sensitive integer
+    checksums — proving the per-format kernels COMPOSE (the r7
+    verdict's polish ask). Oracle = the four per-format closed-form
+    pixel oracles, each filtered to its residue class, UNION ALL."""
+    from unitdb_spark.functions.multimodal import (
+        mixed_pixel_stats,
+        resize_mixed_images,
+        synthetic_bmp_media,
+        synthetic_gif_media,
+        synthetic_jpeg_media,
+        synthetic_png_media,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cls = lambda k: docs.filter(F.col("doc_id") % 4 == k)  # noqa: E731
+    media = (
+        synthetic_bmp_media(cls(0))
+        .unionByName(synthetic_png_media(cls(1)))
+        .unionByName(synthetic_gif_media(cls(2)))
+        .unionByName(synthetic_jpeg_media(cls(3)))
+    )
+    return mixed_pixel_stats(resize_mixed_images(media, 8, 6)).select(
+        F.col("id").alias("doc_id"), "container",
+        "width", "height", "px_sum", "px_wsum",
+    )
+
+
 def q_events_markov(spark, sf_dir):
     """First-order Markov transition matrix over per-user event
     sequences: lag-1 pairs under the total order (ts, event_id),
@@ -8232,6 +8264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hurst": q_events_hurst,
         "doc_c4_reasons": q_doc_c4_reasons,
         "streamed_exp_gof": q_streamed_exp_gof,
+        # --- new in round 8 (enter a later window per rotation) -------
+        "media_mixed_resize": q_media_mixed_resize,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17111,6 +17145,22 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT 'r_word_len', r_word_len FROM cf
         ) GROUP BY rule
         """
+    )
+    # ---- round 8 ----
+    # mixed-container one-pass resize: the four per-format closed-form
+    # pixel oracles, each filtered to its doc_id % 4 residue class
+    d["media_mixed_resize"] = " UNION ALL ".join(
+        f"SELECT doc_id, '{name}' AS container, width, height, "
+        f"px_sum, px_wsum FROM ({d[key]}\n) {name}_t "
+        f"WHERE doc_id % 4 = {k}"
+        for k, (name, key) in enumerate(
+            [
+                ("bmp", "media_bmp_resize"),
+                ("png", "media_png_resize"),
+                ("gif", "media_gif_resize"),
+                ("jpeg", "media_jpeg_resize"),
+            ]
+        )
     )
     return d
 

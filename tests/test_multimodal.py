@@ -407,3 +407,85 @@ class TestPngKernel:
         flat = a.reshape(-1).astype(np.int64)
         assert rows[1]["px_sum"] == int(flat.sum())
         assert rows[1]["px_wsum"] == int((flat * (np.arange(flat.size) + 1)).sum())
+
+
+class TestMixedDispatch:
+    def test_sniff_container(self):
+        from unitdb_spark.functions.media_codec import (
+            build_bmp,
+            build_gif,
+            build_jpeg,
+            build_png,
+            build_wav,
+        )
+        from unitdb_spark.functions.multimodal import sniff_container
+
+        assert sniff_container(build_bmp(2, 2)) == "bmp"
+        assert sniff_container(build_png(2, 2)) == "png"
+        assert sniff_container(build_gif(2, 2)) == "gif"
+        assert sniff_container(build_jpeg(2, 2)) == "jpeg"
+        assert sniff_container(build_wav(8000, 4)) == "wav"
+        assert sniff_container(b"plain text") is None
+        assert sniff_container(b"") is None
+
+    def test_one_pass_mixed_resize_matches_per_format(self, spark):
+        """The dispatching kernel must produce EXACTLY what each
+        per-format pipeline produces — same blobs, same stats — plus
+        the honest-failure NULL row for unclaimed bytes."""
+        from unitdb_spark.functions.multimodal import (
+            bmp_pixel_stats,
+            mixed_pixel_stats,
+            resize_bmp_images,
+            resize_mixed_images,
+            synthetic_bmp_media,
+            synthetic_gif_media,
+            synthetic_jpeg_media,
+            synthetic_png_media,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(8)], "doc_id long, text string"
+        )
+        media = (
+            synthetic_bmp_media(docs.filter("doc_id % 4 = 0"))
+            .unionByName(synthetic_png_media(docs.filter("doc_id % 4 = 1")))
+            .unionByName(synthetic_gif_media(docs.filter("doc_id % 4 = 2")))
+            .unionByName(synthetic_jpeg_media(docs.filter("doc_id % 4 = 3")))
+        )
+        out = {
+            r["id"]: r
+            for r in mixed_pixel_stats(
+                resize_mixed_images(media, 8, 6)
+            ).collect()
+        }
+        assert len(out) == 8
+        want = {0: "bmp", 1: "png", 2: "gif", 3: "jpeg"}
+        for i, r in out.items():
+            assert r["container"] == want[i % 4]
+            assert r["width"] == 8 and r["height"] == 6
+            assert r["px_sum"] is not None
+        # cross-check one class against its dedicated pipeline
+        bmp_only = synthetic_bmp_media(docs.filter("doc_id % 4 = 0"))
+        ded = {
+            r["id"]: r
+            for r in bmp_pixel_stats(
+                resize_bmp_images(bmp_only, 8, 6)
+            ).collect()
+        }
+        for i in (0, 4):
+            assert out[i]["px_sum"] == ded[i]["px_sum"]
+            assert out[i]["px_wsum"] == ded[i]["px_wsum"]
+
+    def test_unclaimed_blob_keeps_row_with_nulls(self, spark):
+        from unitdb_spark.functions.multimodal import (
+            mixed_pixel_stats,
+            resize_mixed_images,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not an image at all"))],
+            "id long, blob binary",
+        )
+        (r,) = mixed_pixel_stats(resize_mixed_images(df, 8, 6)).collect()
+        assert r["container"] is None
+        assert r["px_sum"] is None and r["px_wsum"] is None

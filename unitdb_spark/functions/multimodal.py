@@ -1036,3 +1036,139 @@ def synthetic_jpeg420_media(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(
         _build, "id long, media_type string, blob binary"
     )
+
+
+def sniff_container(b: bytes) -> str | None:
+    """Magic-byte container sniff — the dispatch key for mixed media
+    columns (a real lake's `blob binary` column is never one format).
+    Returns 'bmp' | 'png' | 'gif' | 'jpeg' | 'wav' | None; pure
+    function so the mapInPandas kernels share it without a closure."""
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if b[:2] == b"\xff\xd8":
+        return "jpeg"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def resize_mixed_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """ONE-pass mixed-container resize: sniff each blob's magic bytes
+    and dispatch to the matching REAL pixel kernel (BMP24 / PNG
+    inflate+unfilter / GIF LZW / baseline-JPEG entropy decode) inside
+    a single Arrow-batched mapInPandas — no per-format scan, no
+    per-format shuffle; at 100 TB a mixed media table is resized in
+    one stage whose output size is bounded by the target dims.
+
+    JPEG inputs re-encode LOSSLESSLY as PNG (the resize_jpeg_images
+    contract: a real pipeline never re-JPEGs intermediates), so the
+    output blob's container can differ from the input's — the emitted
+    `container` column records the INPUT format. Unclaimed blobs keep
+    their row with NULL container/blob (the honest-failure contract).
+    """
+    from unitdb_spark.functions.media_codec import (
+        resize_bmp24_nearest,
+        resize_gif_nearest,
+        resize_jpeg_nearest_png,
+        resize_png_nearest,
+    )
+
+    kernels = {
+        "bmp": resize_bmp24_nearest,
+        "png": resize_png_nearest,
+        "gif": resize_gif_nearest,
+        "jpeg": resize_jpeg_nearest_png,
+    }
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            conts, blobs = [], []
+            for b in pdf["blob"]:
+                bb = bytes(b) if b is not None else b""
+                c = sniff_container(bb)
+                k = kernels.get(c)
+                out = k(bb, width, height) if k else None
+                conts.append(c if out is not None else None)
+                blobs.append(out)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "container": pd.Series(conts, dtype=object),
+                    "width": width,
+                    "height": height,
+                    "blob": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _resize,
+        "id long, container string, width int, height int, blob binary",
+    )
+
+
+def mixed_pixel_stats(df: DataFrame) -> DataFrame:
+    """Integer-exact pixel statistics for a MIXED resized column:
+    sniff the (resized) blob and decode with the matching kernel
+    (BMP24 / PNG / GIF — a resized JPEG is a PNG blob by the
+    resize_mixed_images contract), then the same order-sensitive
+    channel sum + position-weighted checksum as the per-format stats
+    functions. The input's `container` column passes through so the
+    report still says what each image WAS. NULL stats for
+    undecodable blobs."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_bmp24,
+            decode_gif_rgb,
+            decode_png_rgb,
+        )
+
+        decoders = {
+            "bmp": decode_bmp24,
+            "png": decode_png_rgb,
+            "gif": decode_gif_rgb,
+        }
+        for pdf in batches:
+            rows = []
+            for i, c, b in zip(
+                pdf["id"].values, pdf["container"], pdf["blob"]
+            ):
+                bb = bytes(b) if b is not None else b""
+                dec = decoders.get(sniff_container(bb))
+                arr = dec(bb) if dec else None
+                if arr is None:
+                    rows.append((int(i), c, None, None, None, None))
+                    continue
+                flat = arr.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(i),
+                        c,
+                        int(arr.shape[1]),
+                        int(arr.shape[0]),
+                        int(flat.sum()),
+                        int((flat * (np.arange(flat.size) + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "container": pd.Series([r[1] for r in rows], dtype=object),
+                    "width": pd.Series([r[2] for r in rows], dtype=object),
+                    "height": pd.Series([r[3] for r in rows], dtype=object),
+                    "px_sum": pd.Series([r[4] for r in rows], dtype=object),
+                    "px_wsum": pd.Series([r[5] for r in rows], dtype=object),
+                }
+            )
+
+    return df.select("id", "container", "blob").mapInPandas(
+        _stats,
+        "id long, container string, width int, height int, "
+        "px_sum long, px_wsum long",
+    )
