@@ -4660,6 +4660,19 @@ def q_doc_compress_ratio(spark, sf_dir):
     )
 
 
+def q_doc_rle_density(spark, sf_dir):
+    """Run-length density — the driver-CHECKABLE compressibility twin
+    of doc_compress_ratio (r7 verdict ask #5: zlib/DEFLATE is not SQL-
+    expressible and DuckDB lacks crc32, so the rows-only query stays
+    rows-only by necessity; THIS query prices the same repetitive-
+    boilerplate signal with exact cross-engine arithmetic): maximal
+    identical-character runs per doc, floor-ppm density. One JVM-side
+    codegen pass, no Python, no shuffle."""
+    from unitdb_spark.functions.text import rle_run_density
+
+    return rle_run_density(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_streamed_forecast_bt(spark, sf_dir):
     """Driver-checkable twin of the ROLLING forecast backtest: the
     events stream folds (key, day, hour) cents/count cells into a
@@ -8266,6 +8279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_exp_gof": q_streamed_exp_gof,
         # --- new in round 8 (enter a later window per rotation) -------
         "media_mixed_resize": q_media_mixed_resize,
+        "doc_rle_density": q_doc_rle_density,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17147,6 +17161,26 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # RLE run density: neighbor compare replayed via list_transform
+    # over range + substr (char-indexed in both engines)
+    d["doc_rle_density"] = """
+        WITH r AS (
+          SELECT doc_id, length(text) AS n_chars,
+            CASE WHEN length(text) <= 1 THEN length(text)
+                 ELSE list_sum(list_transform(
+                        range(2, length(text) + 1),
+                        i -> CASE WHEN substr(text, i, 1)
+                                  <> substr(text, i - 1, 1)
+                             THEN 1 ELSE 0 END)) + 1 END AS n_runs
+          FROM documents
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(n_runs AS BIGINT) AS n_runs,
+          CASE WHEN n_chars > 0 THEN
+            CAST((n_runs * 1000000) // n_chars AS BIGINT)
+          END AS runs_ppm
+        FROM r
+        """
     # mixed-container one-pass resize: the four per-format closed-form
     # pixel oracles, each filtered to its doc_id % 4 residue class
     d["media_mixed_resize"] = " UNION ALL ".join(

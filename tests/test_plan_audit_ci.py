@@ -103,7 +103,12 @@ def test_plan_audit_every_batch_query(spark):
 # every entry shares a batch query's sanctioned bounded-relation
 # window class (the finisher IS the batch operator)
 STREAMED_GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
-    # filled from the first audited run; keep exact like the batch list
+    "streamed_tempmix": "doc_temperature_mix's finisher: largest-remainder apportionment windows over the per-source totals relation",
+    "streamed_abc": "parts_abc's finisher: cumulative revenue-share window over the per-part totals relation",
+    "streamed_benford": "orders_benford's finisher: digit-share window over the 9-row leading-digit relation",
+    "streamed_survival": "events_survival's finisher: at-risk cumulative window over the per-day event-time relation",
+    "streamed_uplift": "events_uplift's finisher: rank-threshold deciles over the distinct-spend histogram + the 10-row spine",
+    "streamed_wilcoxon": "events_wilcoxon's finisher: doubled-midrank window over the distinct-|difference| relation",
 }
 
 

@@ -91,3 +91,35 @@ class TestCcnScrubbing:
         df = spark.createDataFrame([(1, "x")], "id long, text string")
         out = df.select(pii_ccn_count("text"), scrub_ccn("text"))
         assert "pythonUDF" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+class TestRleRunDensity:
+    def test_hand_counts_and_edges(self, spark):
+        from unitdb_spark.functions.text import rle_run_density
+
+        df = spark.createDataFrame(
+            [
+                (1, "aaabbc"),   # runs: aaa|bb|c = 3
+                (2, ""),         # empty: 0 runs, NULL ppm
+                (3, "x"),        # single char: 1 run
+                (4, "abab"),     # no repeats: 4 runs (ppm = 1e6)
+                (5, "aaaaaaaa"), # one run of 8
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in rle_run_density(df).collect()}
+        assert (out[1]["n_chars"], out[1]["n_runs"]) == (6, 3)
+        assert out[1]["runs_ppm"] == (3 * 1_000_000) // 6
+        assert (out[2]["n_runs"], out[2]["runs_ppm"]) == (0, None)
+        assert (out[3]["n_runs"], out[3]["runs_ppm"]) == (1, 1_000_000)
+        assert out[4]["runs_ppm"] == 1_000_000
+        assert out[5]["runs_ppm"] == 125_000
+
+    def test_partitioning_invariance(self, spark):
+        from unitdb_spark.functions.text import rle_run_density
+
+        rows = [(i, ("ab" * i) + "z" * (i % 5)) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, rle_run_density(df).collect()))
+        b = sorted(map(tuple, rle_run_density(df.repartition(7)).collect()))
+        assert a == b

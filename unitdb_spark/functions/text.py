@@ -835,3 +835,52 @@ def compression_signal(
             ),
         ),
     )
+
+
+def rle_run_density(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document run-length density — the SQL-EXPRESSIBLE
+    compressibility proxy next to `compression_signal`'s DEFLATE
+    ratio (which is rows-only by necessity: zlib exists in neither
+    DuckDB nor pure SQL; CRC32 was also checked and DuckDB lacks it).
+    A maximal run of identical characters compresses to one RLE
+    token, so run density = n_runs / n_chars prices the same
+    repetitive-boilerplate signal deterministically in both engines:
+
+        n_runs   = 1 + |{i : s[i] ≠ s[i−1]}|   (0 for empty text)
+        runs_ppm = floor(n_runs · 1e6 / n_chars)   (NULL when empty)
+
+    near-1e6 ppm = no character-level repetition (prose, noise);
+    low ppm = run-heavy padding/ASCII-art/template fill — the
+    character-granularity end of the scale whose token-granularity
+    ends are doc_repetition (dup n-grams) and doc_char_entropy.
+
+    Output: (id cols..., n_chars, n_runs, runs_ppm), all exact
+    integers — full-oracle checkable (DuckDB replays the neighbor
+    compare via list_transform over range + substr).
+
+    Scale: one JVM-side whole-stage-codegen pass; the zip_with
+    neighbor compare materializes the char array per row (~2× text
+    in flight, same class as any tokenize). No shuffle, no window,
+    no Python.
+    """
+    s = F.col(text_col)
+    n_chars = F.length(s)
+    runs = F.expr(
+        f"CASE WHEN char_length({text_col}) <= 1"
+        f" THEN char_length({text_col})"
+        f" ELSE size(filter(zip_with("
+        f"slice(split({text_col}, ''), 1, char_length({text_col}) - 1),"
+        f" slice(split({text_col}, ''), 2, char_length({text_col}) - 1),"
+        f" (a, b) -> a <> b), x -> x)) + 1 END"
+    )
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        n_chars.cast("long").alias("n_chars"),
+        runs.cast("long").alias("n_runs"),
+    ).withColumn(
+        "runs_ppm",
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr("(n_runs * 1000000L) div n_chars"),
+        ).cast("long"),
+    )
