@@ -5362,6 +5362,41 @@ def q_events_logrank(spark, sf_dir):
     return logrank_test(durations, "duration_days", "event", arm)
 
 
+def q_events_cox(spark, sf_dir):
+    """Cox proportional-hazards SCORE test at beta = 0 (Breslow ties)
+    of signup→purchase conversion speed against PRE-SIGNUP activity
+    count — the continuous-covariate generalization of events_logrank
+    (browsing intensity as a hazard covariate instead of a 0/1 arm).
+    Risk-set x/x² sums ride the survival day-relation machinery;
+    every per-time term an exact DECIMAL(38,0) integer (non-negative
+    covariate keeps all floor divisions on non-negative operands);
+    one pinned float z."""
+    from unitdb_spark.operators.survival import cox_score_test, time_to_event
+
+    ev = _events(spark, sf_dir)
+    durations = time_to_event(
+        ev, "user_id", "ts",
+        origin_filter=F.col("event_type") == "signup",
+        event_filter=F.col("event_type") == "purchase",
+    )
+    org = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t0"))
+    )
+    pre = (
+        ev.join(org, "user_id")
+        .filter(F.col("ts") < F.col("_t0"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .withColumnRenamed("user_id", "subject")
+    )
+    d = durations.join(pre, "subject", "left").select(
+        "duration_days", "event", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    return cox_score_test(d, "duration_days", "event", "x")
+
+
 def q_doc_source_kl(spark, sf_dir):
     """Per-source KL divergence from the corpus unigram distribution —
     the domain-shift audit for mixture curation (high KL = the source
@@ -7096,6 +7131,33 @@ def q_streamed_uplift(spark, sf_dir):
     )
 
 
+def q_events_iv_wald(spark, sf_dir):
+    """Instrumental-variable Wald / LATE estimator for the
+    hash-assigned encouragement: z = the campaign arm, uptake d =
+    any post-period click, outcome y = post-period total cents —
+    the non-compliance reading beside events_uplift (targeting) and
+    events_strat_ate (mix adjustment). Both ITT stages exact floored
+    integers; ONE pinned float division, NULL on a zero first stage
+    (a weak instrument is reported, not divided by)."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.evaluation import iv_wald
+
+    ev = _events(spark, sf_dir)
+    mid = F.lit("2024-01-16").cast("timestamp")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    post = F.col("ts") >= mid
+    per = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(post, cents)), F.lit(0)).alias("y"),
+        (
+            F.count(F.when(post & (F.col("event_type") == "click"), 1)) > 0
+        ).cast("int").alias("d"),
+    )
+    z = (
+        md5_int60(F.concat(F.col("user_id").cast("string"), F.lit(":iv"))) % 2
+    ).cast("int")
+    return iv_wald(per.withColumn("z", z), "z", "d", "y")
+
+
 def q_doc_source_outliers(spark, sf_dir):
     """Per-source semantic outliers: the 3 docs least cosine-similar
     to their OWN source's embedding centroid — the misfiled-document
@@ -8280,6 +8342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 8 (enter a later window per rotation) -------
         "media_mixed_resize": q_media_mixed_resize,
         "doc_rle_density": q_doc_rle_density,
+        "events_iv_wald": q_events_iv_wald,
+        "events_cox": q_events_cox,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17161,6 +17225,120 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # Cox score test at beta=0 (Breslow): risk-set x/x2 sums via the
+    # logrank day-relation machinery; exact HUGEINT per-time terms
+    # (non-negative covariate -> all floor divisions non-negative),
+    # one pinned float z
+    d["events_cox"] = """
+        WITH org AS (
+          SELECT user_id, min(ts) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY 1
+        ), conv AS (
+          SELECT o.user_id, min(e.ts) AS tc
+          FROM org o JOIN events e ON e.user_id = o.user_id
+            AND e.event_type = 'purchase' AND e.ts > o.t0
+          GROUP BY 1
+        ), ref AS (SELECT max(ts) AS mx FROM events),
+        pre AS (
+          SELECT e.user_id, count(*) AS x
+          FROM events e JOIN org o ON e.user_id = o.user_id
+            AND e.ts < o.t0
+          GROUP BY 1
+        ), u AS (
+          SELECT o.user_id,
+            CASE WHEN c.tc IS NOT NULL THEN
+              date_diff('day', CAST(o.t0 AS DATE), CAST(c.tc AS DATE))
+            ELSE
+              date_diff('day', CAST(o.t0 AS DATE), CAST(ref.mx AS DATE))
+            END AS dur,
+            c.tc IS NOT NULL AS ev,
+            coalesce(p.x, 0) AS x
+          FROM org o LEFT JOIN conv c USING (user_id)
+               LEFT JOIN pre p USING (user_id), ref
+        ), days AS (
+          SELECT dur AS t, count(*) AS a_t,
+            count(*) FILTER (ev) AS d_t,
+            sum(CASE WHEN ev THEN x ELSE 0 END) AS sx_ev,
+            sum(x) AS sx_all,
+            sum(CAST(x AS HUGEINT) * x) AS sxx_all
+          FROM u GROUP BY 1
+        ), risk AS (
+          SELECT t, d_t, sx_ev,
+            sum(a_t) OVER wd AS n_r,
+            sum(sx_all) OVER wd AS sx_r,
+            sum(sxx_all) OVER wd AS sxx_r
+          FROM days
+          WINDOW wd AS (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW)
+        ), steps AS (
+          SELECT * FROM risk WHERE d_t > 0
+        ), terms AS (
+          SELECT
+            CAST(sx_ev AS HUGEINT) * 1000000
+              - CAST(d_t AS HUGEINT)
+                * ((CAST(sx_r AS HUGEINT) * 1000000) // n_r) AS u_t,
+            CAST(d_t AS HUGEINT) * (
+              (CAST(sxx_r AS HUGEINT) * 1000000) // n_r
+              - (CAST(sx_r AS HUGEINT) * sx_r * 1000000)
+                // (CAST(n_r AS HUGEINT) * n_r)) AS v_t
+          FROM steps
+        ), subj AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+            CAST(count(*) FILTER (ev) AS BIGINT) AS n_events
+          FROM u
+        ), acc AS (
+          SELECT CAST(coalesce(sum(u_t), 0) AS BIGINT) AS u_micro,
+            CAST(coalesce(sum(v_t), 0) AS BIGINT) AS v_micro
+          FROM terms
+        )
+        SELECT n_subjects, n_events, u_micro, v_micro,
+          CASE WHEN v_micro > 0 THEN round(
+            (CAST(u_micro AS DOUBLE) / 1000000.0)
+            / sqrt(CAST(v_micro AS DOUBLE) / 1000000.0), 6)
+          END AS z_r
+        FROM subj CROSS JOIN acc
+        """
+    # IV / Wald: both ITT stages exact floored integers, one pinned
+    # float division; NULL on an empty arm or zero first stage
+    d["events_iv_wald"] = """
+        WITH per AS (
+          SELECT user_id,
+            coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+            END), 0) AS y,
+            CAST(count(*) FILTER (event_type = 'click'
+                   AND ts >= TIMESTAMP '2024-01-16') > 0 AS INTEGER)
+              AS d,
+            CAST((CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                            || ':iv'), 1, 15)) AS BIGINT)
+                  % 2) AS INTEGER) AS z
+          FROM events GROUP BY user_id
+        ), agg AS (
+          SELECT
+            CAST(count(*) FILTER (z = 1) AS BIGINT) AS n_z1,
+            CAST(count(*) FILTER (z = 0) AS BIGINT) AS n_z0,
+            sum(y) FILTER (z = 1) AS y1, sum(y) FILTER (z = 0) AS y0,
+            sum(d) FILTER (z = 1) AS d1, sum(d) FILTER (z = 0) AS d0
+          FROM per
+        ), itt AS (
+          SELECT n_z1, n_z0,
+            CASE WHEN n_z1 > 0 AND n_z0 > 0 THEN
+              CAST((CAST(y1 AS HUGEINT) * 1000000) // n_z1 AS BIGINT)
+              - CAST((CAST(y0 AS HUGEINT) * 1000000) // n_z0 AS BIGINT)
+            END AS itt_y_micro,
+            CASE WHEN n_z1 > 0 AND n_z0 > 0 THEN
+              CAST((CAST(d1 AS HUGEINT) * 1000000) // n_z1 AS BIGINT)
+              - CAST((CAST(d0 AS HUGEINT) * 1000000) // n_z0 AS BIGINT)
+            END AS itt_d_ppm
+          FROM agg
+        )
+        SELECT n_z1, n_z0, itt_y_micro, itt_d_ppm,
+          CASE WHEN itt_d_ppm IS NOT NULL AND itt_d_ppm <> 0 THEN
+            round(CAST(itt_y_micro AS DOUBLE) * 1000000.0
+                  / CAST(itt_d_ppm AS DOUBLE), 6)
+          END AS wald_r
+        FROM itt
+        """
     # RLE run density: neighbor compare replayed via list_transform
     # over range + substr (char-indexed in both engines)
     d["doc_rle_density"] = """

@@ -10255,3 +10255,86 @@ class TestC4Reasons:
             assert 0 <= r.n_fail <= r.n_docs
             assert r.fail_ppm == (r.n_fail * 1_000_000) // r.n_docs
         assert any(r.n_fail > 0 for r in out)  # planted violations
+
+
+class TestIvWald:
+    def test_hand_model(self, spark):
+        from unitdb_spark.operators.evaluation import iv_wald
+
+        rows = [
+            (1, 1, 100), (1, 1, 200),  # z=1: uptake both, y 100/200
+            (0, 0, 50), (0, 1, 150),   # z=0: one uptake, y 50/150
+        ]
+        df = spark.createDataFrame(rows, "z int, d int, y long")
+        (r,) = iv_wald(df, "z", "d", "y").collect()
+        assert (r.n_z1, r.n_z0) == (2, 2)
+        assert r.itt_y_micro == 150_000_000 - 100_000_000
+        assert r.itt_d_ppm == 1_000_000 - 500_000
+        # LATE = 50 / 0.5 = 100 (in y units, micro-scaled ratio)
+        assert r.wald_r == 100_000_000.0
+
+    def test_weak_instrument_reports_null(self, spark):
+        from unitdb_spark.operators.evaluation import iv_wald
+
+        rows = [(1, 1, 10), (0, 1, 20)]  # identical uptake both arms
+        df = spark.createDataFrame(rows, "z int, d int, y long")
+        (r,) = iv_wald(df, "z", "d", "y").collect()
+        assert r.itt_d_ppm == 0 and r.wald_r is None
+
+    def test_empty_arm_reports_null(self, spark):
+        from unitdb_spark.operators.evaluation import iv_wald
+
+        df = spark.createDataFrame([(1, 1, 10)], "z int, d int, y long")
+        (r,) = iv_wald(df, "z", "d", "y").collect()
+        assert r.itt_y_micro is None and r.wald_r is None
+
+
+class TestCoxScore:
+    def test_hand_model(self, spark):
+        import math
+
+        from unitdb_spark.operators.survival import cox_score_test
+
+        rows = [
+            (1, True, 2),
+            (2, True, 0),
+            (2, False, 1),
+            (3, True, 3),
+        ]
+        df = spark.createDataFrame(rows, "t long, e boolean, x long")
+        (r,) = cox_score_test(df, "t", "e", "x").collect()
+        assert (r.n_subjects, r.n_events) == (4, 3)
+        # risk sets (desc cum): t=1 n=4 sx=6 sxx=14; t=2 n=3 sx=4
+        # sxx=10; t=3 n=1 sx=3 sxx=9
+        u = (
+            (2_000_000 - (6 * 1_000_000) // 4)
+            + (0 - (4 * 1_000_000) // 3)
+            + (3_000_000 - (3 * 1_000_000) // 1)
+        )
+        v = (
+            ((14 * 1_000_000) // 4 - (36 * 1_000_000) // 16)
+            + ((10 * 1_000_000) // 3 - (16 * 1_000_000) // 9)
+            + ((9 * 1_000_000) // 1 - (9 * 1_000_000) // 1)
+        )
+        assert r.u_micro == u and r.v_micro == v
+        want = round((u / 1e6) / math.sqrt(v / 1e6), 6)
+        assert r.z_r == want
+
+    def test_constant_covariate_null_z(self, spark):
+        from unitdb_spark.operators.survival import cox_score_test
+
+        rows = [(1, True, 5), (2, True, 5), (3, False, 5)]
+        df = spark.createDataFrame(rows, "t long, e boolean, x long")
+        (r,) = cox_score_test(df, "t", "e", "x").collect()
+        assert r.v_micro == 0 and r.z_r is None
+        # constant covariate also zeroes the score
+        assert r.u_micro == 0
+
+    def test_binary_covariate_matches_hazard_direction(self, spark):
+        # x=1 subjects all convert early, x=0 late/censored -> U > 0
+        from unitdb_spark.operators.survival import cox_score_test
+
+        rows = [(1, True, 1), (1, True, 1), (9, True, 0), (9, False, 0)]
+        df = spark.createDataFrame(rows, "t long, e boolean, x long")
+        (r,) = cox_score_test(df, "t", "e", "x").collect()
+        assert r.u_micro > 0 and r.z_r > 0

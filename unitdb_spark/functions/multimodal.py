@@ -248,9 +248,11 @@ def resize_images(
             "REAL kernels are per-container: resize_bmp_images (24-bit "
             "BMP), resize_png_images (8-bit truecolor PNG, zlib "
             "inflate + unfilter), resize_gif_images (real LZW), "
-            "resize_jpeg_images (baseline JPEG: Huffman + dequant + "
-            "IDCT + pinned integer YCbCr->RGB). Progressive/subsampled "
-            "JPEG and video frames remain out of from-scratch scope"
+            "resize_jpeg_images (baseline JPEG incl. 4:2:0: Huffman + "
+            "dequant + IDCT + pinned integer YCbCr->RGB) — or "
+            "resize_mixed_images, which magic-byte-dispatches all of "
+            "them in one pass over a mixed column. Progressive JPEG "
+            "and video frames remain out of from-scratch scope"
         )
     target = width * height
 

@@ -1608,3 +1608,72 @@ def stratified_ate(
             (F.col("_n1") > 0) & (F.col("_n0") > 0), naive
         ).cast("long").alias("naive_micro"),
     )
+
+
+def iv_wald(
+    df: DataFrame,
+    instrument_col: str,
+    treat_col: str,
+    y_col: str,
+) -> DataFrame:
+    """One-row instrumental-variable Wald estimator (Angrist &
+    Imbens' LATE under monotonicity) — the causal panel's answer to
+    NON-COMPLIANCE, beside `stratified_ate` (confounded mix) and
+    `cuped_adjusted` (variance): when the randomized thing is only an
+    ENCOURAGEMENT z and uptake d is self-selected, the naive d→y
+    comparison is confounded; the Wald ratio rescales the
+    intent-to-treat effect by the first-stage uptake lift:
+
+        itt_y_micro = (Σy|z₁·1e6) div n₁ − (Σy|z₀·1e6) div n₀
+        itt_d_ppm   = (Σd|z₁·1e6) div n₁ − (Σd|z₀·1e6) div n₀
+        wald_r      = round(itt_y_micro / itt_d_ppm · 1e6, 6)
+
+    — both ITT numerators exact floored integers (``y_col`` in exact
+    units, ``treat_col`` a 0/1 uptake flag), ONE pinned float
+    division at the end (NULL when either arm is empty or the first
+    stage is zero — a weak instrument is reported, not divided by).
+
+    Output: (n_z1, n_z0, itt_y_micro, itt_d_ppm, wald_r).
+
+    Scale: one aggregation over the unit relation — six counters on
+    the wire, no window, no join.
+    """
+    base = df.select(
+        F.col(instrument_col).cast("int").alias("_z"),
+        F.col(treat_col).cast("int").alias("_d"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).filter(F.col("_y").isNotNull())
+    agg = base.agg(
+        F.count(F.when(F.col("_z") == 1, 1)).cast("long").alias("n_z1"),
+        F.count(F.when(F.col("_z") == 0, 1)).cast("long").alias("n_z0"),
+        F.sum(F.when(F.col("_z") == 1, F.col("_y"))).alias("_y1"),
+        F.sum(F.when(F.col("_z") == 0, F.col("_y"))).alias("_y0"),
+        F.sum(F.when(F.col("_z") == 1, F.col("_d"))).alias("_d1"),
+        F.sum(F.when(F.col("_z") == 0, F.col("_d"))).alias("_d0"),
+    )
+    both = (F.col("n_z1") > 0) & (F.col("n_z0") > 0)
+    itt_y = F.expr(
+        "CAST((CAST(_y1 AS DECIMAL(38,0)) * 1000000) div n_z1 AS BIGINT)"
+        " - CAST((CAST(_y0 AS DECIMAL(38,0)) * 1000000) div n_z0 AS BIGINT)"
+    )
+    itt_d = F.expr(
+        "CAST((CAST(_d1 AS DECIMAL(38,0)) * 1000000) div n_z1 AS BIGINT)"
+        " - CAST((CAST(_d0 AS DECIMAL(38,0)) * 1000000) div n_z0 AS BIGINT)"
+    )
+    out = agg.select(
+        "n_z1", "n_z0",
+        F.when(both, itt_y).cast("long").alias("itt_y_micro"),
+        F.when(both, itt_d).cast("long").alias("itt_d_ppm"),
+    )
+    return out.select(
+        "n_z1", "n_z0", "itt_y_micro", "itt_d_ppm",
+        F.when(
+            F.col("itt_d_ppm").isNotNull() & (F.col("itt_d_ppm") != 0),
+            F.round(
+                F.col("itt_y_micro").cast("double")
+                * F.lit(1_000_000.0)
+                / F.col("itt_d_ppm").cast("double"),
+                6,
+            ),
+        ).alias("wald_r"),
+    )

@@ -238,3 +238,95 @@ def logrank_test(
         "n_a", "n_b", "o1", "o2", "e1_micro", "v_micro",
         F.when(F.col("v_micro") > 0, F.round(z, 6)).alias("z_r"),
     )
+
+
+def cox_score_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    x_col: str,
+) -> DataFrame:
+    """One-row Cox proportional-hazards SCORE test at β = 0 (Breslow
+    tie handling) for an integer covariate — the CONTINUOUS-covariate
+    generalization of `logrank_test` (which is this test for a 0/1
+    x): does higher x come with faster event occurrence, accounting
+    for censoring, without fitting the full partial likelihood (the
+    score test needs no iteration, so it stays one aggregation pass —
+    the standard screening statistic; fitted-β estimation is the
+    documented iterative extension, out of one-pass scope).
+
+    ``x_col`` must be an exact NON-NEGATIVE integer (keeps every
+    floor division on non-negative operands — the cross-engine
+    negative-division trap never arises). At each event day t with
+    d_t events, risk set R(t) = subjects with duration ≥ t:
+
+        u_t = Sx_ev(t)·1e6 − d_t · ⌊Sx_R(t)·1e6 / n_R(t)⌋
+        v_t = d_t · ( ⌊Sxx_R(t)·1e6 / n_R(t)⌋
+                      − ⌊Sx_R(t)²·1e6 / n_R(t)²⌋ )
+
+    — every term an EXACT integer (DECIMAL(38,0) lifts before the
+    products; no float until the end), v_t ≥ 0 by floor monotonicity
+    over Cauchy-Schwarz. U = Σu_t, V = Σv_t;
+    z = (U/1e6)/√(V/1e6) is the single pinned float finish (NULL
+    when V = 0 — a constant covariate is reported, not divided by).
+
+    Output: (n_subjects, n_events, u_micro, v_micro, z_r). Positive
+    z = higher x, higher hazard (earlier events).
+
+    Scale: one subject aggregation onto the pooled DAY relation; the
+    at-risk sums are descending cumulative windows over that tiny
+    relation (the `events_survival` allowlist class); x/x² partial
+    sums are map-side combined.
+    """
+    base = df.select(
+        F.col(duration_col).cast("long").alias("_t"),
+        F.col(event_col).cast("boolean").alias("_e"),
+        F.col(x_col).cast("long").alias("_x"),
+    ).filter(F.col("_t").isNotNull() & (F.col("_x") >= 0))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    days = base.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("a_t"),
+        F.count(F.when(F.col("_e"), 1)).alias("d_t"),
+        F.sum(F.when(F.col("_e"), F.col("_x")).otherwise(F.lit(0)))
+        .alias("sx_ev"),
+        F.sum("_x").alias("sx_all"),
+        F.sum(d38(F.col("_x")) * d38(F.col("_x"))).alias("sxx_all"),
+    )
+    w = Window.orderBy(F.col("_t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = days.select(
+        "_t", "d_t", "sx_ev",
+        F.sum("a_t").over(w).alias("n_r"),
+        F.sum("sx_all").over(w).alias("sx_r"),
+        F.sum("sxx_all").over(w).alias("sxx_r"),
+    )
+    steps = risk.filter(F.col("d_t") > 0)
+    terms = steps.select(
+        F.expr(
+            "CAST(sx_ev AS DECIMAL(38,0)) * 1000000"
+            " - CAST(d_t AS DECIMAL(38,0))"
+            "   * ((CAST(sx_r AS DECIMAL(38,0)) * 1000000) div n_r)"
+        ).alias("_u"),
+        F.expr(
+            "CAST(d_t AS DECIMAL(38,0)) * ("
+            " (CAST(sxx_r AS DECIMAL(38,0)) * 1000000) div n_r"
+            " - (CAST(sx_r AS DECIMAL(38,0)) * sx_r * 1000000)"
+            "   div (CAST(n_r AS DECIMAL(38,0)) * n_r))"
+        ).alias("_v"),
+    )
+    subj = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.count(F.when(F.col("_e"), 1)).cast("long").alias("n_events"),
+    )
+    acc = terms.agg(
+        F.coalesce(F.sum("_u"), F.lit(0)).cast("long").alias("u_micro"),
+        F.coalesce(F.sum("_v"), F.lit(0)).cast("long").alias("v_micro"),
+    )
+    z = (
+        F.col("u_micro").cast("double") / F.lit(1_000_000.0)
+    ) / F.sqrt(F.col("v_micro").cast("double") / F.lit(1_000_000.0))
+    return subj.join(F.broadcast(acc)).select(
+        "n_subjects", "n_events", "u_micro", "v_micro",
+        F.when(F.col("v_micro") > 0, F.round(z, 6)).alias("z_r"),
+    )
