@@ -7131,6 +7131,42 @@ def q_streamed_uplift(spark, sf_dir):
     )
 
 
+def q_doc_isotonic(spark, sf_dir):
+    """Isotonic calibration curve of the classifier against the
+    Gopher gold — the non-parametric monotone companion of
+    doc_calibration's fixed deciles, via the minimax characterization
+    of isotonic regression on the permille-quantized score grid
+    (≤ 1001 bins by construction); every interval average floored to
+    micro before the min/max lattice, so the fit is exact-integer and
+    engine-portable. iso_ppm is nondecreasing (pinned by test)."""
+    from unitdb_spark.operators.classify import classify_score
+    from unitdb_spark.operators.evaluation import isotonic_calibration
+
+    scored = classify_score(_docs(spark, sf_dir), n_buckets=4096).select(
+        F.col("id").alias("doc_id"), "score"
+    )
+    gold = _gopher_planted(spark, sf_dir).select(
+        "doc_id", TXT.gopher_rules("text")["keep"].alias("gold")
+    )
+    return isotonic_calibration(
+        scored.join(gold, "doc_id"), "score", "gold", grid=1000
+    )
+
+
+def q_embed_jl_distortion(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1-projection distortion audit over the
+    embeddings table (64 → 16 dims): the pre-flight check before
+    trusting a projected index. The matrix is hash-defined
+    (md5-parity signs — both engines regenerate it, no literal table
+    ships), coordinates on the family's floor-micro grid, distances
+    and the k-normalized per-pair ratio all exact integers."""
+    from unitdb_spark.operators.similarity import jl_distortion_report
+
+    return jl_distortion_report(
+        _emb(spark, sf_dir), "vec_id", "embedding", k=16
+    )
+
+
 def q_events_iv_wald(spark, sf_dir):
     """Instrumental-variable Wald / LATE estimator for the
     hash-assigned encouragement: z = the campaign arm, uptake d =
@@ -8344,6 +8380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rle_density": q_doc_rle_density,
         "events_iv_wald": q_events_iv_wald,
         "events_cox": q_events_cox,
+        "embed_jl_distortion": q_embed_jl_distortion,
+        "doc_isotonic": q_doc_isotonic,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17225,6 +17263,106 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # isotonic calibration: the minimax lattice over the permille
+    # grid, every interval average floored to micro first
+    d["doc_isotonic"] = (
+        "WITH sc AS ("
+        + d["doc_classify_score"].replace(
+            "round(1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1)))), 6)"
+            " AS score_r",
+            "1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1)))) AS score",
+        )
+        + "), gf AS (" + d["doc_gopher_filter"] + "), "
+        """
+        j AS (
+          SELECT CAST(floor(sc.score * 1000) AS BIGINT) AS s,
+            gf.keep AS gold
+          FROM sc JOIN gf ON gf.doc_id = sc.id
+        ), per AS (
+          SELECT s, count(*) AS n, count(*) FILTER (gold) AS pos
+          FROM j GROUP BY 1
+        ), pre AS (
+          SELECT s, n, pos,
+            sum(n) OVER wp - n AS nb, sum(pos) OVER wp - pos AS pb,
+            sum(n) OVER wp AS na, sum(pos) OVER wp AS pa
+          FROM per
+          WINDOW wp AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+        ), pairs AS (
+          SELECT a.s AS si, b.s AS sj,
+            CAST((CAST(b.pa - a.pb AS HUGEINT) * 1000000)
+                 // (b.na - a.nb) AS BIGINT) AS avgm
+          FROM pre a JOIN pre b ON a.s <= b.s
+        ), rmin AS (
+          SELECT si, sj,
+            min(avgm) OVER (PARTITION BY si ORDER BY sj DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+          FROM pairs
+        ), iso AS (
+          SELECT sj AS s, mx AS iso_ppm FROM (
+            SELECT si, sj,
+              max(rm) OVER (PARTITION BY sj ORDER BY si
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+            FROM rmin
+          ) q WHERE si = sj
+        )
+        SELECT per.s AS bin, CAST(per.n AS BIGINT) AS n,
+          CAST(per.pos AS BIGINT) AS n_pos,
+          CAST((per.pos * 1000000) // per.n AS BIGINT) AS rate_ppm,
+          CAST(iso.iso_ppm AS BIGINT) AS iso_ppm
+        FROM per JOIN iso ON iso.s = per.s
+        """
+    )
+    # JL distortion: the +-1 matrix regenerates from md5 parity in
+    # both engines; everything else is exact integer arithmetic on
+    # the floor-micro grid
+    d["embed_jl_distortion"] = """
+        WITH exp AS (
+          SELECT vec_id AS id, r.pos AS dim,
+            CAST(floor(CAST(embedding[r.pos + 1] AS DOUBLE) * 1000000)
+                 AS BIGINT) AS vm
+          FROM embeddings, range(64) r(pos)
+        ), mat AS (
+          SELECT dd.dim, j.j,
+            1 - 2 * (CAST(('0x' || substr(md5(
+                'jl:' || dd.dim || ':' || j.j), 1, 15)) AS BIGINT) % 2)
+              AS r
+          FROM (SELECT DISTINCT dim FROM exp) dd,
+               generate_series(0, 15) j(j)
+        ), proj AS (
+          SELECT e.id, m.j, sum(e.vm * m.r) AS p
+          FROM exp e JOIN mat m ON m.dim = e.dim GROUP BY 1, 2
+        ), od AS (
+          SELECT id // 2 AS pair, dim,
+            sum(CASE WHEN id % 2 = 0 THEN vm END) AS a,
+            sum(CASE WHEN id % 2 = 1 THEN vm END) AS b
+          FROM exp GROUP BY 1, 2
+        ), od2 AS (
+          SELECT pair, sum(CAST(a - b AS HUGEINT) * (a - b)) AS d2o
+          FROM od WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1
+        ), pd AS (
+          SELECT id // 2 AS pair, j,
+            sum(CASE WHEN id % 2 = 0 THEN p END) AS a,
+            sum(CASE WHEN id % 2 = 1 THEN p END) AS b
+          FROM proj GROUP BY 1, 2
+        ), pd2 AS (
+          SELECT pair, sum(CAST(a - b AS HUGEINT) * (a - b)) AS d2p
+          FROM pd WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1
+        ), pairs AS (
+          SELECT CASE WHEN d2o > 0 THEN
+            CAST((d2p * 1000000) // (d2o * 16) AS BIGINT)
+          END AS ratio
+          FROM od2 JOIN pd2 USING (pair)
+        )
+        SELECT
+          CAST(count(ratio) AS BIGINT) AS n_pairs,
+          CAST(count(*) FILTER (ratio IS NULL) AS BIGINT) AS n_zero_orig,
+          min(ratio) AS min_ratio_ppm,
+          max(ratio) AS max_ratio_ppm,
+          CAST(CAST(sum(ratio) AS HUGEINT) // count(ratio) AS BIGINT)
+            AS mean_ratio_ppm
+        FROM pairs
+        """
     # Cox score test at beta=0 (Breslow): risk-set x/x2 sums via the
     # logrank day-relation machinery; exact HUGEINT per-time terms
     # (non-negative covariate -> all floor divisions non-negative),

@@ -10338,3 +10338,110 @@ class TestCoxScore:
         df = spark.createDataFrame(rows, "t long, e boolean, x long")
         (r,) = cox_score_test(df, "t", "e", "x").collect()
         assert r.u_micro > 0 and r.z_r > 0
+
+
+class TestJlDistortion:
+    @staticmethod
+    def _sign(d, j):
+        import hashlib
+
+        h = hashlib.md5(f"jl:{d}:{j}".encode()).hexdigest()
+        return 1 - 2 * (int(h[:15], 16) % 2)
+
+    def test_replays_md5_matrix_exactly(self, spark):
+        import math
+
+        from unitdb_spark.operators.similarity import jl_distortion_report
+
+        vecs = {
+            0: [0.5, -0.25, 0.125, 1.0],
+            1: [0.4, -0.5, 0.25, 0.75],
+            2: [1.0, 0.0, -1.0, 0.5],
+            3: [-0.5, 0.5, 0.5, -0.25],
+        }
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        k = 3
+        (r,) = jl_distortion_report(df, "vec_id", "embedding", k=k).collect()
+        # python replica: floor-micro quantization, md5-parity signs
+        q = {i: [math.floor(x * 1e6) for x in v] for i, v in vecs.items()}
+        ratios = []
+        for pair in (0, 1):
+            a, b = q[2 * pair], q[2 * pair + 1]
+            d2o = sum((x - y) ** 2 for x, y in zip(a, b))
+            d2p = 0
+            for j in range(k):
+                pa = sum(a[d] * self._sign(d, j) for d in range(4))
+                pb = sum(b[d] * self._sign(d, j) for d in range(4))
+                d2p += (pa - pb) ** 2
+            ratios.append((d2p * 1_000_000) // (d2o * k))
+        assert r.n_pairs == 2 and r.n_zero_orig == 0
+        assert r.min_ratio_ppm == min(ratios)
+        assert r.max_ratio_ppm == max(ratios)
+        assert r.mean_ratio_ppm == sum(ratios) // 2
+
+    def test_identical_pair_counted_not_divided(self, spark):
+        from unitdb_spark.operators.similarity import jl_distortion_report
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [1.0, 2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        (r,) = jl_distortion_report(df, "vec_id", "embedding", k=4).collect()
+        assert r.n_pairs == 0 and r.n_zero_orig == 1
+        assert r.mean_ratio_ppm is None
+
+
+class TestIsotonicCalibration:
+    def test_hand_pav_pooling(self, spark):
+        from unitdb_spark.operators.evaluation import isotonic_calibration
+
+        # bins 1/2/3 with rates 0.5 / 0.0 / 1.0 -> PAV pools bins 1+2
+        # at (1+0)/4 = 0.25 exactly (micro multiple -> minimax == PAV)
+        rows = []
+        rows += [(0.0011, True), (0.0011, False)]
+        rows += [(0.0021, False), (0.0021, False)]
+        rows += [(0.0031, True), (0.0031, True)]
+        df = spark.createDataFrame(rows, "score double, y boolean")
+        out = {
+            r.bin: r
+            for r in isotonic_calibration(df, "score", "y").collect()
+        }
+        assert sorted(out) == [1, 2, 3]
+        assert out[1].rate_ppm == 500_000 and out[2].rate_ppm == 0
+        assert out[1].iso_ppm == 250_000
+        assert out[2].iso_ppm == 250_000
+        assert out[3].iso_ppm == 1_000_000
+
+    def test_monotone_and_bounded(self, spark):
+        from unitdb_spark.operators.evaluation import isotonic_calibration
+
+        rows = [
+            (((i * 37) % 100) / 100.0 + 0.0005, (i * 13) % 3 == 0)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "score double, y boolean")
+        out = isotonic_calibration(df, "score", "y").collect()
+        out.sort(key=lambda r: r.bin)
+        isos = [r.iso_ppm for r in out]
+        assert all(a <= b for a, b in zip(isos, isos[1:]))
+        assert all(0 <= v <= 1_000_000 for v in isos)
+        # already-monotone input passes through: n weights respected
+        assert sum(r.n for r in out) == 200
+
+    def test_already_monotone_is_identity(self, spark):
+        from unitdb_spark.operators.evaluation import isotonic_calibration
+
+        rows = []
+        rows += [(0.0015, False)] * 4
+        rows += [(0.0025, True), (0.0025, False)]
+        rows += [(0.0035, True)] * 3
+        df = spark.createDataFrame(rows, "score double, y boolean")
+        out = {
+            r.bin: r
+            for r in isotonic_calibration(df, "score", "y").collect()
+        }
+        for b in out:
+            assert out[b].iso_ppm == out[b].rate_ppm

@@ -63,6 +63,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "parts_abc": "cumulative revenue-share window over the per-part totals relation",
     "parts_skyline": "stage-2 dominance windows over the bucket-local survivor staircase (buckets x distinct sizes), not the catalog",
     "events_forecast_recon": "largest-remainder apportionment windows over the per-key FORECAST relation (keys rows — the temperature_allocation class)",
+    "doc_isotonic": "prefix window over the <= 1001-row permille-bin relation (the doc_auc bounded class); the minimax lattice windows are key-partitioned over the bounded pair relation",
+    "events_cox": "risk-set x/x2 descending cumulative windows over the per-day event-time relation (the events_survival class)",
 }
 
 

@@ -1677,3 +1677,109 @@ def iv_wald(
             ),
         ).alias("wald_r"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    grid: int = 1000,
+) -> DataFrame:
+    """Isotonic (monotone nondecreasing) calibration curve of a
+    scorer against a boolean gold — the NON-PARAMETRIC companion of
+    `calibration_report`'s fixed deciles: instead of 10 bins, fit the
+    best monotone step function to the per-score positive rate, via
+    the MINIMAX characterization of isotonic regression
+    (Robertson-Wright-Dykstra):
+
+        iso(k) = max_{i≤k} min_{j≥k} avg(pos over bins i..j)
+
+    computed on the ``grid``-quantized score relation
+    (s = ⌊score·grid⌋, ≤ grid+1 bins by construction) with every
+    interval average floored to micro BEFORE the min/max — the
+    floors make the whole fit exact-integer and cross-engine
+    deterministic (a quantized isotonic fit, equal to textbook PAV
+    whenever the interval averages are exact micro multiples; the
+    min/max lattice keeps monotonicity REGARDLESS of the floors).
+
+    Output: one row per occupied bin —
+    (bin, n, n_pos, rate_ppm, iso_ppm); iso_ppm is nondecreasing in
+    bin (pinned by test). Consumers calibrate a raw score by
+    looking up its bin (step-function application = a broadcast
+    range join at serve time).
+
+    Scale: one map-side-combined (bin) aggregation over the corpus;
+    everything after runs on the ≤ grid+1 bin relation — the prefix
+    window is the `doc_auc` bounded class, the i≤j pair relation is
+    ≤ (grid+1)²/2 rows (≈ 5·10⁵ at the default grid, corpus-size
+    free) with the tiny side broadcast, and the min/max lattice
+    windows are key-partitioned over the pairs.
+    """
+    per = df.groupBy(
+        F.floor(F.col(score_col).cast("double") * F.lit(float(grid)))
+        .cast("long").alias("_s")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col(label_col).cast("boolean"), 1)).alias("pos"),
+    )
+    # the ≤ grid+1 bin relation feeds FOUR branches (prefix, both
+    # pair sides, final join) — materialize once so the upstream
+    # scoring pipeline isn't recomputed per branch (the
+    # cumulative_gains_from_counts convention)
+    per = per.localCheckpoint()
+    wp = (
+        Window.partitionBy()
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = per.select(
+        "_s", "n", "pos",
+        (F.sum("n").over(wp) - F.col("n")).alias("_nb"),
+        (F.sum("pos").over(wp) - F.col("pos")).alias("_pb"),
+        F.sum("n").over(wp).alias("_na"),
+        F.sum("pos").over(wp).alias("_pa"),
+    )
+    left = pre.select(
+        F.col("_s").alias("_si"), F.col("_nb").alias("_nbi"),
+        F.col("_pb").alias("_pbi"),
+    )
+    right = pre.select(
+        F.col("_s").alias("_sj"), F.col("_na").alias("_naj"),
+        F.col("_pa").alias("_paj"),
+    )
+    pairs = F.broadcast(left).join(
+        right, F.col("_si") <= F.col("_sj")
+    ).select(
+        "_si", "_sj",
+        F.expr(
+            "CAST((CAST(_paj - _pbi AS DECIMAL(38,0)) * 1000000)"
+            " div (_naj - _nbi) AS BIGINT)"
+        ).alias("_avg"),
+    )
+    wmin = (
+        Window.partitionBy("_si")
+        .orderBy(F.col("_sj").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rmin = pairs.select(
+        "_si", "_sj", F.min("_avg").over(wmin).alias("_rmin")
+    )
+    wmax = (
+        Window.partitionBy("_sj")
+        .orderBy("_si")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    iso = (
+        rmin.select(
+            "_si", "_sj", F.max("_rmin").over(wmax).alias("_iso")
+        )
+        .filter(F.col("_si") == F.col("_sj"))
+        .select(F.col("_sj").alias("_s"), F.col("_iso").alias("iso_ppm"))
+    )
+    return per.join(iso, "_s").select(
+        F.col("_s").alias("bin"),
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("n_pos"),
+        F.expr("(pos * 1000000L) div n").alias("rate_ppm"),
+        F.col("iso_ppm").cast("long").alias("iso_ppm"),
+    )

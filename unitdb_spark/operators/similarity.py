@@ -25,6 +25,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from unitdb_spark.functions.portable_hash import md5_int60
+
 
 def dot_expr(a: Column | str, b: Column | str) -> Column:
     """JVM-side dot product of two float arrays."""
@@ -1009,4 +1011,134 @@ def group_centroid_outliers(
             F.row_number().over(w).alias("rank"),
         )
         .filter(F.col("rank") <= per_group)
+    )
+
+
+def jl_distortion_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+) -> DataFrame:
+    """One-row Johnson-Lindenstrauss distortion audit for a ±1 random
+    projection (Achlioptas 2003, the database-friendly JL variant) —
+    the PRE-FLIGHT check before trusting a projected index
+    (sign-sketch ANN, LSH bucketing, dim-reduced dedup): how much do
+    pairwise distances move when D dims collapse to ``k``?
+
+    The projection matrix is HASH-DEFINED, not stored: sign(d, j) =
+    1 − 2·(md5_int60('jl:' d ':' j) mod 2) — both engines regenerate
+    the same ±1 matrix from the same md5, so the oracle replays the
+    projection exactly and no D×k literal table ships in the plan.
+    Coordinates quantize once to the family's floor(v·1e6) grid;
+    projections p(i, j) = Σ_d vm·sign are exact BIGINTs.
+
+    Pairs are the deterministic consecutive pairing (2m, 2m+1) by id
+    — scale-free, join-free to sample, and unbiased for a hashed id
+    space. For ±1 entries E[‖Rx‖²] = k·‖x‖², so the per-pair report
+    is ratio_ppm = ⌊d_proj²·1e6 / (k·d_orig²)⌋ (≈ 1e6 when the
+    projection preserves the pair; zero-distance pairs are dropped
+    and counted).
+
+    Output: (n_pairs, n_zero_orig, min_ratio_ppm, max_ratio_ppm,
+    mean_ratio_ppm) — all exact integers, no float anywhere.
+
+    Scale: one corpus explode → (id, j) partial agg (the projection,
+    k integers per vector); distances are one pair join on the
+    halved-id key; the report is a five-counter aggregation. The
+    matrix relation is D×k rows computed from hashes — broadcast
+    class, never materialized as literals.
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    exp = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_v"),
+    ).select(
+        "_id", "_dim",
+        F.floor(F.col("_v").cast("double") * F.lit(1_000_000.0))
+        .cast("long").alias("_vm"),
+    )
+    spark = df.sparkSession
+    dims = exp.select("_dim").distinct()
+    cols = spark.range(k).select(F.col("id").cast("int").alias("_j"))
+    sign = (
+        F.lit(1)
+        - F.lit(2)
+        * (
+            md5_int60(
+                F.concat(
+                    F.lit("jl:"),
+                    F.col("_dim").cast("string"),
+                    F.lit(":"),
+                    F.col("_j").cast("string"),
+                )
+            )
+            % 2
+        )
+    ).cast("long")
+    mat = dims.crossJoin(F.broadcast(cols)).select(
+        "_dim", "_j", sign.alias("_r")
+    )
+    proj = (
+        exp.join(F.broadcast(mat), "_dim")
+        .groupBy("_id", "_j")
+        .agg(F.sum(F.col("_vm") * F.col("_r")).alias("_p"))
+    )
+    # original squared distance per consecutive pair (2m, 2m+1)
+    side = F.when(F.col("_id") % 2 == 0, F.lit(0)).otherwise(F.lit(1))
+    o = exp.select(
+        F.expr("_id div 2").alias("_pair"),
+        side.alias("_s"), "_dim", "_vm",
+    )
+    od = (
+        o.groupBy("_pair", "_dim")
+        .agg(
+            F.sum(F.when(F.col("_s") == 0, F.col("_vm"))).alias("_a"),
+            F.sum(F.when(F.col("_s") == 1, F.col("_vm"))).alias("_b"),
+        )
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy("_pair")
+        .agg(
+            F.sum(
+                d38(F.col("_a") - F.col("_b"))
+                * d38(F.col("_a") - F.col("_b"))
+            ).alias("_d2o")
+        )
+    )
+    p = proj.select(
+        F.expr("_id div 2").alias("_pair"),
+        side.alias("_s"), "_j", "_p",
+    )
+    pdist = (
+        p.groupBy("_pair", "_j")
+        .agg(
+            F.sum(F.when(F.col("_s") == 0, F.col("_p"))).alias("_a"),
+            F.sum(F.when(F.col("_s") == 1, F.col("_p"))).alias("_b"),
+        )
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy("_pair")
+        .agg(
+            F.sum(
+                d38(F.col("_a") - F.col("_b"))
+                * d38(F.col("_a") - F.col("_b"))
+            ).alias("_d2p")
+        )
+    )
+    ratio = F.expr(
+        f"CAST((_d2p * 1000000) div (_d2o * {k}) AS BIGINT)"
+    )
+    pairs = od.join(pdist, "_pair").select(
+        F.when(F.col("_d2o") > 0, ratio).alias("_ratio")
+    )
+    return pairs.agg(
+        F.count(F.when(F.col("_ratio").isNotNull(), 1))
+        .cast("long").alias("n_pairs"),
+        F.count(F.when(F.col("_ratio").isNull(), 1))
+        .cast("long").alias("n_zero_orig"),
+        F.min("_ratio").alias("min_ratio_ppm"),
+        F.max("_ratio").alias("max_ratio_ppm"),
+        F.expr(
+            "CAST(CAST(sum(_ratio) AS DECIMAL(38,0))"
+            " div count(_ratio) AS BIGINT)"
+        ).alias("mean_ratio_ppm"),
     )
