@@ -7131,6 +7131,99 @@ def q_streamed_uplift(spark, sf_dir):
     )
 
 
+def q_events_type_corr(spark, sf_dir):
+    """Cross-SERIES Pearson matrix: daily revenue of view/click/
+    purchase densified onto the shared day spine (missing days are
+    0 — skipping them would bias the moments), then the one-pass
+    correlation_matrix over the three series — "which event types
+    co-move daily", the series companion of lineitem_corr's
+    cross-column matrix and events_lag_corr's shifted profile. Exact
+    DECIMAL moments; one pinned round-6 float per pair."""
+    from unitdb_spark.operators.olap import correlation_matrix
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    cells = ev.groupBy(
+        F.to_date("ts").alias("d"), F.col("event_type").alias("k")
+    ).agg(F.sum(cents).alias("c"))
+    series = cells.select("d").distinct()
+    for k in ("view", "click", "purchase"):
+        side = cells.filter(F.col("k") == k).select(
+            "d", F.col("c").alias(k)
+        )
+        series = series.join(side, "d", "left").withColumn(
+            k, F.coalesce(k, F.lit(0))
+        )
+    return correlation_matrix(series, ["view", "click", "purchase"])
+
+
+def q_streamed_iv(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING encouragement dashboard:
+    per-batch per-user (post cents, post click count) partials fold
+    via foreachBatch (both merge by SUM); the read-time fold re-sums,
+    re-derives the uptake flag and hash instrument, and finishes
+    through the SAME iv_wald operator. Oracle = the batch
+    events_iv_wald SQL verbatim (the streamed_uplift convention:
+    mergeable counters are the state, thresholds/arms stay read-time
+    projections)."""
+    import uuid
+
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.evaluation import iv_wald
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    out = f"{base}/iv_{uuid.uuid4().hex[:8]}"
+    cp = f"{base}/ivcp_{uuid.uuid4().hex[:8]}"
+    mid = F.lit("2024-01-16").cast("timestamp")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+
+    def _fold(df, _eid):
+        if df.isEmpty():
+            return
+        (
+            df.groupBy("user_id")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("ts") >= mid, cents)), F.lit(0)
+                ).alias("yc"),
+                F.count(
+                    F.when(
+                        (F.col("event_type") == "click")
+                        & (F.col("ts") >= mid),
+                        1,
+                    )
+                ).alias("nc"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    stream = events_as_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    per = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.sum("yc").alias("y"),
+            (F.sum("nc") > 0).cast("int").alias("d"),
+        )
+    )
+    z = (
+        md5_int60(F.concat(F.col("user_id").cast("string"), F.lit(":iv"))) % 2
+    ).cast("int")
+    return iv_wald(per.withColumn("z", z), "z", "d", "y")
+
+
 def q_doc_isotonic(spark, sf_dir):
     """Isotonic calibration curve of the classifier against the
     Gopher gold — the non-parametric monotone companion of
@@ -8382,6 +8475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cox": q_events_cox,
         "embed_jl_distortion": q_embed_jl_distortion,
         "doc_isotonic": q_doc_isotonic,
+        "events_type_corr": q_events_type_corr,
+        "streamed_iv": q_streamed_iv,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17263,6 +17358,54 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # cross-series daily Pearson: dense day spine (0-fill), DECIMAL
+    # moments, the shared pinned_pearson finish per pair
+    _TC_PAIRS = [("view", "click"), ("view", "purchase"),
+                 ("click", "purchase")]
+    _tc_sel = []
+    for _a, _b in _TC_PAIRS:
+        _num = (f"CAST(n AS DOUBLE) * CAST(p_{_a}_{_b} AS DOUBLE)"
+                f" - CAST(s_{_a} AS DOUBLE) * CAST(s_{_b} AS DOUBLE)")
+        _va = (f"CAST(n AS DOUBLE) * CAST(p_{_a}_{_a} AS DOUBLE)"
+               f" - CAST(s_{_a} AS DOUBLE) * CAST(s_{_a} AS DOUBLE)")
+        _vb = (f"CAST(n AS DOUBLE) * CAST(p_{_b}_{_b} AS DOUBLE)"
+               f" - CAST(s_{_b} AS DOUBLE) * CAST(s_{_b} AS DOUBLE)")
+        _tc_sel.append(
+            f"SELECT '{_a}' AS col_a, '{_b}' AS col_b, n, "
+            f"CASE WHEN ({_va}) > 0 AND ({_vb}) > 0 THEN "
+            f"round(({_num}) / sqrt(({_va}) * ({_vb})), 6) END AS corr_r "
+            f"FROM m"
+        )
+    d["events_type_corr"] = (
+        """
+        WITH cells AS (
+          SELECT CAST(ts AS DATE) AS dd, event_type AS k,
+            sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), ser AS (
+          SELECT s.dd,
+            CAST(coalesce(v.c, 0) AS DECIMAL(18,2)) AS view,
+            CAST(coalesce(cl.c, 0) AS DECIMAL(18,2)) AS click,
+            CAST(coalesce(p.c, 0) AS DECIMAL(18,2)) AS purchase
+          FROM (SELECT DISTINCT dd FROM cells) s
+          LEFT JOIN cells v ON v.dd = s.dd AND v.k = 'view'
+          LEFT JOIN cells cl ON cl.dd = s.dd AND cl.k = 'click'
+          LEFT JOIN cells p ON p.dd = s.dd AND p.k = 'purchase'
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            SUM(view) AS s_view, SUM(click) AS s_click,
+            SUM(purchase) AS s_purchase,
+            SUM(view * view) AS p_view_view,
+            SUM(click * click) AS p_click_click,
+            SUM(purchase * purchase) AS p_purchase_purchase,
+            SUM(view * click) AS p_view_click,
+            SUM(view * purchase) AS p_view_purchase,
+            SUM(click * purchase) AS p_click_purchase
+          FROM ser
+        )
+        """
+        + "\nUNION ALL ".join(_tc_sel)
+    )
     # isotonic calibration: the minimax lattice over the permille
     # grid, every interval average floored to micro first
     d["doc_isotonic"] = (
@@ -17477,6 +17620,9 @@ def oracle_sql() -> dict[str, str]:
           END AS wald_r
         FROM itt
         """
+    # rolling IV twin: per-user partials merge by SUM, uptake flag
+    # and hash instrument re-derived at read — oracle shared verbatim
+    d["streamed_iv"] = d["events_iv_wald"]
     # RLE run density: neighbor compare replayed via list_transform
     # over range + substr (char-indexed in both engines)
     d["doc_rle_density"] = """
