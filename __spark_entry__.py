@@ -7131,6 +7131,75 @@ def q_streamed_uplift(spark, sf_dir):
     )
 
 
+def q_events_records(spark, sf_dir):
+    """Running-record detector per event type: the rows whose cents
+    value strictly exceeds every earlier value under (ts, event_id) —
+    the extreme-value trend signal beside events_cusum (mean shift)
+    and events_peaks (local max); a stationary series mints ~ln(n)
+    records, faster = trending. One key-partitioned window; exact
+    integer cents."""
+    from unitdb_spark.operators.timeseries import running_records
+
+    ev = _events(spark, sf_dir)
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    return running_records(
+        ev, "event_type", "ts", "event_id", cents
+    ).withColumnRenamed("key", "event_type").withColumnRenamed(
+        "id", "event_id"
+    )
+
+
+def q_streamed_records(spark, sf_dir):
+    """Driver-checkable twin of the STREAMING record detector: events
+    split at the midpoint replay as two in-order checkpointed runs
+    (the second continues the first's TWO-integer per-key state —
+    current max cents + records-so-far) through
+    streaming.state.streaming_records. Oracle = the batch
+    events_records window SQL verbatim — strict integer comparisons
+    have no order ambiguity, so the emitted record rows match bit for
+    bit."""
+    import tempfile
+
+    from unitdb_spark.streaming.state import streaming_records
+
+    spark = _pin_utc(spark)
+    base = tempfile.mkdtemp(prefix="records_twin_")
+    src, cp, out = f"{base}/src", f"{base}/cp", f"{base}/out"
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    lo, hi = ev.agg(
+        F.unix_timestamp(F.min("ts")), F.unix_timestamp(F.max("ts"))
+    ).collect()[0]
+    mid = F.timestamp_seconds(F.lit((int(lo) + int(hi)) // 2))
+
+    def run(batch_df):
+        batch_df.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            streaming_records(
+                spark.readStream.schema(batch_df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                key_col="event_type",
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("overwrite")
+                .parquet(f"{out}/batch={bid}")
+                if not df.isEmpty() else None
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run(ev.filter(F.col("ts") < mid))
+    run(ev.filter(F.col("ts") >= mid))
+    return spark.read.parquet(out).select(
+        F.col("key").alias("event_type"),
+        F.col("id").alias("event_id"),
+        "value", "record_no",
+    )
+
+
 def q_events_type_corr(spark, sf_dir):
     """Cross-SERIES Pearson matrix: daily revenue of view/click/
     purchase densified onto the shared day spine (missing days are
@@ -8477,6 +8546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_isotonic": q_doc_isotonic,
         "events_type_corr": q_events_type_corr,
         "streamed_iv": q_streamed_iv,
+        "events_records": q_events_records,
+        "streamed_records": q_streamed_records,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17358,6 +17429,33 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # running records: strict prefix-max window per key, exact cents
+    d["events_records"] = """
+        WITH base AS (
+          SELECT event_type AS key, event_id AS id, ts,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value
+          FROM events WHERE value IS NOT NULL
+        ), flagged AS (
+          SELECT key, id, ts, value,
+            max(value) OVER (PARTITION BY key ORDER BY ts, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM base
+        ), numbered AS (
+          SELECT key, id, value,
+            (pm IS NULL OR value > pm) AS rec,
+            sum(CASE WHEN pm IS NULL OR value > pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY key ORDER BY ts, id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS record_no
+          FROM flagged
+        )
+        SELECT key AS event_type, id AS event_id, value,
+          CAST(record_no AS BIGINT) AS record_no
+        FROM numbered WHERE rec
+        """
+    # rolling record twin: two-integer per-key state, in-order
+    # midpoint replay — oracle shared verbatim
+    d["streamed_records"] = d["events_records"]
     # cross-series daily Pearson: dense day spine (0-fill), DECIMAL
     # moments, the shared pinned_pearson finish per pair
     _TC_PAIRS = [("view", "click"), ("view", "purchase"),

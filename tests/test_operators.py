@@ -10445,3 +10445,39 @@ class TestIsotonicCalibration:
         }
         for b in out:
             assert out[b].iso_ppm == out[b].rate_ppm
+
+
+class TestRunningRecords:
+    def test_hand_model(self, spark):
+        from unitdb_spark.operators.timeseries import running_records
+
+        rows = [
+            ("a", 1, 1, 10), ("a", 2, 2, 7), ("a", 3, 3, 12),
+            ("a", 4, 4, 12), ("a", 5, 5, 15),
+            ("b", 6, 1, 5), ("b", 7, 2, 4),
+        ]
+        df = spark.createDataFrame(
+            rows, "k string, id long, t long, v long"
+        )
+        out = running_records(
+            df, "k", F.timestamp_seconds(F.col("t")), "id", "v"
+        ).collect()
+        got = sorted((r.key, r.id, r.value, r.record_no) for r in out)
+        # a: 10 (rec 1), 12 (rec 2), 15 (rec 3); tie 12 is NOT a record
+        # b: 5 (rec 1)
+        assert got == [
+            ("a", 1, 10, 1), ("a", 3, 12, 2), ("a", 5, 15, 3),
+            ("b", 6, 5, 1),
+        ]
+
+    def test_null_values_dropped(self, spark):
+        from unitdb_spark.operators.timeseries import running_records
+
+        rows = [("a", 1, 1, None), ("a", 2, 2, 3)]
+        df = spark.createDataFrame(
+            rows, "k string, id long, t long, v long"
+        )
+        out = running_records(
+            df, "k", F.timestamp_seconds(F.col("t")), "id", "v"
+        ).collect()
+        assert [(r.id, r.record_no) for r in out] == [(2, 1)]

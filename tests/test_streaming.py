@@ -2207,3 +2207,71 @@ class TestContinuousUserCents:
         got_q = read_qte(spark, state).collect()
         assert len(want_q) > 0
         assert sorted(map(tuple, got_q)) == sorted(map(tuple, want_q))
+
+
+class TestStreamingRecords:
+    def test_state_survives_restart_and_matches_batch(self, spark, tmp_path):
+        """Two checkpointed runs: run 2 continues run 1's
+        (cur_max, n_records) state, and the union of emissions equals
+        the batch running_records window on the concatenated input."""
+        import pyspark.sql.functions as F
+
+        from unitdb_spark.operators.timeseries import running_records
+        from unitdb_spark.streaming.state import streaming_records
+
+        src = str(tmp_path / "src")
+        cp = str(tmp_path / "cp")
+        out = str(tmp_path / "out")
+        rows1 = [(1, 10, "a", 5.0), (2, 20, "a", 3.0), (3, 30, "a", 7.0)]
+        rows2 = [(4, 40, "a", 6.0), (5, 50, "a", 9.0), (6, 60, "b", 1.0)]
+        schema = "event_id long, t long, event_type string, value double"
+
+        def run(rows):
+            df = spark.createDataFrame(rows, schema).select(
+                "event_id",
+                F.timestamp_seconds(F.col("t")).alias("ts"),
+                "event_type", "value",
+            )
+            df.coalesce(1).write.mode("append").parquet(src)
+            q = (
+                streaming_records(
+                    spark.readStream.schema(
+                        spark.read.parquet(src).schema
+                    ).option("maxFilesPerTrigger", 1).parquet(src)
+                )
+                .writeStream.foreachBatch(
+                    lambda d, bid: d.write.mode("overwrite")
+                    .parquet(f"{out}/batch={bid}")
+                    if not d.isEmpty() else None
+                )
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run(rows1)
+        run(rows2)
+        got = sorted(
+            (r.key, r.id, r.value, r.record_no)
+            for r in spark.read.parquet(out).collect()
+        )
+        # records: a: 500 (1), 700 (3), 900 (5) — 600 is NOT a record
+        # because run 1's max 700 survived the restart; b: 100 (1)
+        assert got == [
+            ("a", 1, 500, 1), ("a", 3, 700, 2), ("a", 5, 900, 3),
+            ("b", 6, 100, 1),
+        ]
+        batch_df = spark.createDataFrame(rows1 + rows2, schema).select(
+            "event_id",
+            F.timestamp_seconds(F.col("t")).alias("ts"),
+            "event_type", "value",
+        )
+        cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        want = sorted(
+            (r.key, r.id, r.value, r.record_no)
+            for r in running_records(
+                batch_df, "event_type", "ts", "event_id", cents
+            ).collect()
+        )
+        assert got == want

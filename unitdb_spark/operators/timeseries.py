@@ -2361,3 +2361,58 @@ def hurst_rs(
         "n_windows",
         F.when(F.col("n_sizes") == xn, F.round(h, 6)).alias("h_r"),
     )
+
+
+def running_records(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col,
+) -> DataFrame:
+    """Running-record detector: per key, the rows whose value STRICTLY
+    exceeds every earlier value under the total order (ts, id) — the
+    record-breaking events. In a stationary series records arrive
+    ~ln(n) times, so a key minting records much faster is trending or
+    anomalous (the extreme-value companion of `cusum`'s mean-shift
+    and `peaks`' local-max readings).
+
+    ``value_col`` must be an exact integer expression (cents — the
+    repo's quantization); NULL values drop before ranking. A row is a
+    record when the strict prefix max is NULL (first valid row) or
+    smaller; record_no counts records so far within the key.
+
+    Output: one row per RECORD — (key, id, value, record_no).
+
+    Scale: ONE key-partitioned window over the raw rows (parallel
+    across keys, the events_running class); no global sort, no join.
+    The streaming twin (`streaming.state.streaming_records`) holds
+    two integers per key and emits the identical rows on an in-order
+    replay — exact integer arithmetic has no order ambiguity.
+    """
+    val = value_col if not isinstance(value_col, str) else F.col(value_col)
+    ts = ts_col if not isinstance(ts_col, str) else F.col(ts_col)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).cast("long").alias("id"),
+        ts.cast("timestamp").alias("_ts"),
+        val.cast("long").alias("value"),
+    ).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("key").orderBy("_ts", "id")
+    prev_max = F.max("value").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.select(
+        "key", "id", "value",
+        (prev_max.isNull() | (F.col("value") > prev_max)).alias("_rec"),
+        F.sum(
+            F.when(
+                prev_max.isNull() | (F.col("value") > prev_max), 1
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "record_no"
+        ),
+    )
+    return flagged.filter(F.col("_rec")).select(
+        "key", "id", "value", F.col("record_no").cast("long").alias("record_no")
+    )

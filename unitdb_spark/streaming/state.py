@@ -1012,3 +1012,94 @@ def streaming_burstiness(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RECORDS_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("id", LongType()),
+        StructField("value", LongType()),
+        StructField("record_no", LongType()),
+    ]
+)
+
+RECORDS_STATE = StructType(
+    [
+        StructField("cur_max", LongType()),
+        StructField("n_records", LongType()),
+    ]
+)
+
+
+def _records_fn():
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        (k,) = key
+        cur_max, n_rec = state.get if state.exists else (None, 0)
+        q2 = Decimal("0.01")
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "id"])
+        for rid, v in zip(batch["id"], batch["value"]):
+            if isinstance(v, float) and math.isnan(v):
+                # batch twin: CAST(NaN AS DECIMAL) is NULL -> dropped
+                continue
+            # exactly Spark's CAST(value AS DECIMAL(18,2)) * 100:
+            # round-half-up at 2 dp on the double's shortest repr
+            cents = int(
+                Decimal(repr(float(v))).quantize(q2, ROUND_HALF_UP) * 100
+            )
+            if cur_max is None or cents > cur_max:
+                cur_max = cents
+                n_rec += 1
+                rows.append((k, int(rid), cents, n_rec))
+        state.update((cur_max, n_rec))
+        yield pd.DataFrame(
+            {
+                "key": pd.Series([r[0] for r in rows], dtype=object),
+                "id": pd.array([r[1] for r in rows], dtype="int64"),
+                "value": pd.array([r[2] for r in rows], dtype="int64"),
+                "record_no": pd.array(
+                    [r[3] for r in rows], dtype="int64"
+                ),
+            }
+        )
+
+    return fn
+
+
+def streaming_records(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming running-record detector: the stateful twin of
+    ``operators.timeseries.running_records``. Per-key state is TWO
+    integers (current max in exact cents, records-so-far) — O(keys)
+    forever, never the stream; on an in-order replay every emitted
+    record row matches the batch window bit for bit (strict integer
+    comparisons have no order ambiguity). NULL values drop JVM-side
+    (batch isNotNull parity); NaN values drop inside the fold (the
+    batch twin's CAST(NaN AS DECIMAL) is NULL). Output (append): one
+    row per NEW RECORD — (key, id, value, record_no)."""
+    from pyspark.sql import functions as F
+
+    prepped = stream.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("long").alias("id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return prepped.groupBy("key").applyInPandasWithState(
+        _records_fn(),
+        outputStructType=RECORDS_OUTPUT,
+        stateStructType=RECORDS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
