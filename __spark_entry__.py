@@ -7131,6 +7131,19 @@ def q_streamed_uplift(spark, sf_dir):
     )
 
 
+def q_events_dunn_holm(spark, sf_dir):
+    """Holm step-down decisions over the Dunn pairs — the k-sample
+    battery's missing last step (omnibus → pairwise z → WHICH pairs
+    survive family-wise control at 0.05). Thresholds are a literal
+    Acklam-minted z table injected identically into both engines
+    (neither evaluates an inverse normal); rejection is the
+    cumulative AND down the |z| ranking."""
+    from unitdb_spark.operators.stats_tests import dunn_holm
+
+    ev = _events(spark, sf_dir)
+    return dunn_holm(ev, "value", F.col("event_type"), alpha=0.05)
+
+
 def q_events_records(spark, sf_dir):
     """Running-record detector per event type: the rows whose cents
     value strictly exceeds every earlier value under (ts, event_id) —
@@ -8548,6 +8561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_iv": q_streamed_iv,
         "events_records": q_events_records,
         "streamed_records": q_streamed_records,
+        "events_dunn_holm": q_events_dunn_holm,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17429,6 +17443,37 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # Holm step-down over the Dunn pairs: the SAME literal Acklam
+    # z-table CASE is injected into both engines via
+    # holm_threshold_case; decisions are cumulative-AND down the
+    # |z| ranking
+    from unitdb_spark.operators.stats_tests import holm_threshold_case
+
+    d["events_dunn_holm"] = (
+        "WITH dp AS (" + d["events_dunn"] + """
+        ), mm AS (SELECT count(*) AS m FROM dp),
+        rk AS (
+          SELECT dp.*, mm.m,
+            row_number() OVER (ORDER BY abs(z_r) DESC NULLS LAST,
+                               group_a, group_b) AS rank
+          FROM dp, mm
+        ), tt AS (
+          SELECT *, """
+        + holm_threshold_case("(m - rank + 1)")
+        + """ AS thr_r
+          FROM rk
+        ), rr AS (
+          SELECT *, CASE WHEN z_r IS NOT NULL AND thr_r IS NOT NULL
+                         AND abs(z_r) >= thr_r THEN 1 ELSE 0 END AS rej
+          FROM tt
+        )
+        SELECT group_a, group_b, n_a, n_b, z_r,
+          CAST(rank AS BIGINT) AS rank, thr_r,
+          (min(rej) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) = 1) AS reject
+        FROM rr
+        """
+    )
     # running records: strict prefix-max window per key, exact cents
     d["events_records"] = """
         WITH base AS (

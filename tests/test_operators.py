@@ -10481,3 +10481,43 @@ class TestRunningRecords:
             df, "k", F.timestamp_seconds(F.col("t")), "id", "v"
         ).collect()
         assert [(r.id, r.record_no) for r in out] == [(2, 1)]
+
+
+class TestDunnHolm:
+    def test_norm_ppf_matches_injected_design_points(self):
+        from unitdb_spark.operators.stats_tests import norm_ppf
+
+        # the evaluation.py _Z design-point table, re-derived
+        assert round(norm_ppf(0.975), 6) == 1.959964
+        assert round(norm_ppf(0.95), 6) == 1.644854
+        assert round(norm_ppf(0.8), 6) == 0.841621
+        assert round(norm_ppf(0.9), 6) == 1.281552
+        # symmetry and tails
+        assert round(norm_ppf(0.025), 6) == -1.959964
+        assert round(norm_ppf(1 - 0.025 / 10), 6) == 2.807034
+
+    def test_stepdown_invariants_and_separated_groups(self, spark):
+        from unitdb_spark.operators.stats_tests import dunn_holm
+
+        rows = (
+            [(float(i), "a") for i in range(1, 21)]
+            + [(float(100 + i), "b") for i in range(1, 21)]
+            + [(float(200 + i), "c") for i in range(1, 21)]
+        )
+        df = spark.createDataFrame(rows, "x double, g string")
+        out = dunn_holm(df, "x", F.col("g")).collect()
+        out.sort(key=lambda r: r.rank)
+        assert [r.rank for r in out] == [1, 2, 3]
+        # thresholds non-increasing down the ranking (c = m-i+1 shrinks)
+        thrs = [r.thr_r for r in out]
+        assert all(a >= b for a, b in zip(thrs, thrs[1:]))
+        # rejection is a prefix, and every rejection clears its bar
+        rejs = [r.reject for r in out]
+        assert all(a or not b for a, b in zip(rejs, rejs[1:]))
+        for r in out:
+            if r.reject:
+                assert abs(r.z_r) >= r.thr_r
+        # fully separated groups: the extreme pair must reject
+        assert out[0].reject and {out[0].group_a, out[0].group_b} == {
+            "a", "c"
+        }

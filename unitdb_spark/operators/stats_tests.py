@@ -2493,3 +2493,116 @@ def ks_exponential(
         F.expr("s div n").cast("long").alias("mean_dur"),
         F.when(F.col("n") > 0, F.round(F.col("_d"), 6)).alias("d_r"),
     )
+
+
+def norm_ppf(p: float) -> float:
+    """Inverse standard-normal CDF via Acklam's rational approximation
+    (public domain; |relative error| < 1.15e-9 — far inside the
+    repo's 6-dp literal convention). Used ONLY at query-build time to
+    mint literal z-thresholds; no engine ever evaluates it."""
+    import math
+
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0, 1)")
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+    p_low, p_high = 0.02425, 1 - 0.02425
+    if p < p_low:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                * q + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q
+                                + d[3]) * q + 1)
+    if p > p_high:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                 * q + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q
+                                 + d[3]) * q + 1)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4])
+            * r + a[5]) * q / (((((b[0] * r + b[1]) * r + b[2]) * r
+                                 + b[3]) * r + b[4]) * r + 1)
+
+
+def holm_threshold_case(col: str, alpha: float = 0.05,
+                        max_m: int = 45) -> str:
+    """The Holm step-down z-threshold lookup as ONE literal CASE
+    expression (SQL shared verbatim by Spark and DuckDB — the
+    literal-gain-table idiom, so neither engine evaluates an inverse
+    normal): thr(c) = Φ⁻¹(1 − alpha/(2c)) rounded to 6 for
+    c = 1..max_m, NULL beyond (documented: more than max_m
+    simultaneous hypotheses is outside the injected table)."""
+    whens = " ".join(
+        f"WHEN {col} = {c} THEN "
+        f"{round(norm_ppf(1 - alpha / (2 * c)), 6)!r}"
+        for c in range(1, max_m + 1)
+    )
+    return f"CAST(CASE {whens} END AS DOUBLE)"
+
+
+def dunn_holm(
+    df: DataFrame, value_col: str, group_col, alpha: float = 0.05
+) -> DataFrame:
+    """Holm step-down multiple-comparison decisions over Dunn's
+    post-hoc pairs — the round-7 battery's missing LAST step: the
+    omnibus (`kruskal_wallis`) says "some group differs", Dunn says
+    how strongly per pair, Holm says WHICH pairs survive family-wise
+    error control at ``alpha`` (uniformly more powerful than
+    Bonferroni, no independence assumption).
+
+    Pairs rank by |z| descending (ties broken (group_a, group_b));
+    the i-th ranked pair tests against thr(m − i + 1) =
+    Φ⁻¹(1 − α/(2(m−i+1))) from the injected literal table
+    (`holm_threshold_case` — both engines compare the SAME 6-dp
+    literals against the same pinned round-6 z's, so the decision is
+    exact), and step-down rejection is the cumulative AND down the
+    ranking (the first non-rejection stops everything after it —
+    including every NULL-z untestable pair, which never rejects).
+
+    Output: (group_a, group_b, n_a, n_b, z_r, rank, thr_r, reject).
+
+    Scale: the dunn machinery + three windows over the k²-pair
+    relation — control-plane rows however large the corpus.
+    """
+    pairs = dunn_posthoc(df, value_col, group_col)
+    wall = Window.partitionBy()
+    wrank = Window.orderBy(
+        F.abs(F.col("z_r")).desc_nulls_last(), "group_a", "group_b"
+    )
+    ranked = pairs.select(
+        "group_a", "group_b", "n_a", "n_b", "z_r",
+        F.row_number().over(wrank).alias("rank"),
+        F.count(F.lit(1)).over(wall).alias("_m"),
+    )
+    thr = F.expr(holm_threshold_case("_c", alpha=alpha))
+    flagged = ranked.withColumn(
+        "_c", F.col("_m") - F.col("rank") + 1
+    ).withColumn("thr_r", thr).withColumn(
+        "_rej",
+        F.when(
+            F.col("z_r").isNotNull()
+            & F.col("thr_r").isNotNull()
+            & (F.abs(F.col("z_r")) >= F.col("thr_r")),
+            1,
+        ).otherwise(0),
+    )
+    wstep = (
+        Window.partitionBy()
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return flagged.select(
+        "group_a", "group_b", "n_a", "n_b", "z_r",
+        F.col("rank").cast("long").alias("rank"),
+        "thr_r",
+        (F.min("_rej").over(wstep) == 1).alias("reject"),
+    )
