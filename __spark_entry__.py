@@ -7131,6 +7131,25 @@ def q_streamed_uplift(spark, sf_dir):
     )
 
 
+def q_events_km_ci(spark, sf_dir):
+    """Kaplan-Meier signup→purchase curve WITH the Greenwood standard
+    error — the CI-ready reading of events_survival (a point estimate
+    without its band is half a tool). The fold stays pure integer
+    (survival fixed-point e12 + the cumulative Greenwood term
+    Σ⌊d·1e12/(n(n−d))⌋); se is the ONE pinned JVM round-6 float per
+    step, NULL once a step exhausts the risk set. Oracle extends the
+    survival recursive CTE with the g accumulator."""
+    from unitdb_spark.operators.survival import km_greenwood, time_to_event
+
+    ev = _events(spark, sf_dir)
+    durations = time_to_event(
+        ev, "user_id", "ts",
+        origin_filter=F.col("event_type") == "signup",
+        event_filter=F.col("event_type") == "purchase",
+    )
+    return km_greenwood(durations, "duration_days", "event")
+
+
 def q_events_dunn_holm(spark, sf_dir):
     """Holm step-down decisions over the Dunn pairs — the k-sample
     battery's missing last step (omnibus → pairwise z → WHICH pairs
@@ -8562,6 +8581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_records": q_events_records,
         "streamed_records": q_streamed_records,
         "events_dunn_holm": q_events_dunn_holm,
+        "events_km_ci": q_events_km_ci,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17443,6 +17463,66 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # KM + Greenwood: the survival recursion extended with the exact
+    # integer g accumulator (NULL from the first n = d step on); the
+    # one pinned float is the round-6 se finish
+    d["events_km_ci"] = """
+        WITH RECURSIVE org AS (
+          SELECT user_id, min(ts) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY 1
+        ), conv AS (
+          SELECT o.user_id, min(e.ts) AS tc
+          FROM org o JOIN events e ON e.user_id = o.user_id
+            AND e.event_type = 'purchase' AND e.ts > o.t0
+          GROUP BY 1
+        ), ref AS (SELECT max(ts) AS mx FROM events),
+        u AS (
+          SELECT o.user_id,
+            CASE WHEN c.tc IS NOT NULL THEN
+              date_diff('day', CAST(o.t0 AS DATE), CAST(c.tc AS DATE))
+            ELSE
+              date_diff('day', CAST(o.t0 AS DATE), CAST(ref.mx AS DATE))
+            END AS dur,
+            c.tc IS NOT NULL AS ev
+          FROM org o LEFT JOIN conv c USING (user_id), ref
+        ), days AS (
+          SELECT dur AS t,
+            count(*) FILTER (ev) AS d,
+            count(*) FILTER (NOT ev) AS c
+          FROM u GROUP BY 1
+        ), risk AS (
+          SELECT t, d, c,
+            CAST(sum(d + c) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS n_risk
+          FROM days
+        ), steps AS (
+          SELECT t, n_risk, d, c,
+            row_number() OVER (ORDER BY t) AS rn
+          FROM risk WHERE d > 0
+        ), km AS (
+          SELECT CAST(0 AS BIGINT) AS rn,
+            CAST(1000000000000 AS BIGINT) AS s,
+            CAST(0 AS BIGINT) AS g
+          UNION ALL
+          SELECT st.rn,
+            CAST((CAST(km.s AS HUGEINT) * (st.n_risk - st.d))
+                 // st.n_risk AS BIGINT),
+            CASE WHEN km.g IS NULL OR st.n_risk = st.d THEN NULL
+                 ELSE CAST(km.g + (CAST(st.d AS HUGEINT) * 1000000000000)
+                      // (CAST(st.n_risk AS HUGEINT)
+                          * (st.n_risk - st.d)) AS BIGINT) END
+          FROM km JOIN steps st ON st.rn = km.rn + 1
+        )
+        SELECT CAST(st.t AS BIGINT) AS t_day, st.n_risk,
+          CAST(st.d AS BIGINT) AS d, CAST(st.c AS BIGINT) AS c,
+          km.s AS surv_e12, km.g AS g_e12,
+          CASE WHEN km.g IS NOT NULL THEN
+            round(CAST(km.s AS DOUBLE) / 1000000000000.0
+                  * sqrt(CAST(km.g AS DOUBLE) / 1000000000000.0), 6)
+          END AS se_r
+        FROM steps st JOIN km ON km.rn = st.rn
+        """
     # Holm step-down over the Dunn pairs: the SAME literal Acklam
     # z-table CASE is injected into both engines via
     # holm_threshold_case; decisions are cumulative-AND down the

@@ -10521,3 +10521,47 @@ class TestDunnHolm:
         assert out[0].reject and {out[0].group_a, out[0].group_b} == {
             "a", "c"
         }
+
+
+class TestKmGreenwood:
+    def test_hand_model_with_exhaustion(self, spark):
+        import math
+
+        from unitdb_spark.operators.survival import km_greenwood
+
+        rows = [(1, True), (2, True), (2, False), (3, True)]
+        df = spark.createDataFrame(rows, "t long, e boolean")
+        out = {r.t_day: r for r in km_greenwood(df, "t", "e").collect()}
+        assert sorted(out) == [1, 2, 3]
+        # step 1: n=4 d=1 -> s=0.75, g=1e12//12
+        assert out[1].surv_e12 == 750_000_000_000
+        assert out[1].g_e12 == 10**12 // 12
+        assert out[1].se_r == round(
+            0.75 * math.sqrt((10**12 // 12) / 1e12), 6
+        )
+        # step 2: n=3 d=1 -> s=0.5, g += 1e12//6
+        assert out[2].surv_e12 == 500_000_000_000
+        assert out[2].g_e12 == 10**12 // 12 + 10**12 // 6
+        # step 3 exhausts the risk set (n=d=1): s=0, greenwood NULL
+        assert out[3].surv_e12 == 0
+        assert out[3].g_e12 is None and out[3].se_r is None
+
+    def test_matches_kaplan_meier_on_shared_columns(self, spark):
+        from unitdb_spark.operators.survival import (
+            kaplan_meier,
+            km_greenwood,
+        )
+
+        rows = [
+            (i % 7 + 1, (i * 3) % 4 != 0) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "t long, e boolean")
+        a = sorted(
+            (r.t_day, r.n_risk, r.d, r.c, r.surv_e12)
+            for r in kaplan_meier(df, "t", "e").collect()
+        )
+        b = sorted(
+            (r.t_day, r.n_risk, r.d, r.c, r.surv_e12)
+            for r in km_greenwood(df, "t", "e").collect()
+        )
+        assert a == b

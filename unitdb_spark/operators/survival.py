@@ -330,3 +330,91 @@ def cox_score_test(
         "n_subjects", "n_events", "u_micro", "v_micro",
         F.when(F.col("v_micro") > 0, F.round(z, 6)).alias("z_r"),
     )
+
+
+def km_greenwood(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Kaplan-Meier curve WITH the Greenwood standard error — the
+    CI-ready reading of `kaplan_meier` (a survival point estimate
+    without its uncertainty band is half a tool): alongside the
+    fixed-point survival fold, the fold accumulates Greenwood's
+    cumulative variance term
+
+        g_t = Σ_{t'≤t} ⌊d·1e12 / (n·(n−d))⌋        (exact integers)
+
+    and emits se_r = round(S(t)·√(g_t/1e12), 6) — ONE pinned float
+    per step; Var[S] = S²·g is Greenwood (1926). When a step exhausts
+    the risk set (n = d, S hits 0) the term is undefined — g and se
+    are NULL from that step on (reported, not fabricated).
+
+    Deliberately a STANDALONE fold rather than a flag on
+    `kaplan_meier`: that operator feeds the live driver-window twin
+    (streamed_survival) and stays byte-frozen; this one adds columns.
+
+    Output: kaplan_meier's rows + (g_e12, se_r).
+
+    Scale: identical to `kaplan_meier` — one subject aggregation onto
+    the day relation, cumulative window over it, ONE applyInPandas
+    task over the few-hundred-row step relation.
+    """
+    days = (
+        df.select(
+            F.col(duration_col).cast("long").alias("t"),
+            F.col(event_col).cast("boolean").alias("_e"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.when(F.col("_e"), 1)).alias("d"),
+            F.count(F.when(~F.col("_e"), 1)).alias("c"),
+        )
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = days.select(
+        "t", "d", "c",
+        F.sum(F.col("d") + F.col("c")).over(w).alias("n_risk"),
+    )
+    steps = risk.filter(F.col("d") > 0).select("t", "n_risk", "d", "c")
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("t")
+        s = _SCALE
+        g = 0
+        out = []
+        for r in pdf.itertuples(index=False):
+            n, d = int(r.n_risk), int(r.d)
+            s = s * (n - d) // n
+            if g is not None and n > d:
+                g = g + d * _SCALE // (n * (n - d))
+            else:
+                g = None
+            out.append((int(r.t), n, d, int(r.c), s, g))
+        return pd.DataFrame(
+            out,
+            columns=["t_day", "n_risk", "d", "c", "surv_e12", "g_e12"],
+        )
+
+    folded = (
+        steps.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            fold,
+            "t_day long, n_risk long, d long, c long, surv_e12 long, "
+            "g_e12 long",
+        )
+    )
+    # the fold stays pure-integer; the ONE pinned float (JVM round,
+    # half-up — the engine-portable mode) happens here
+    se = F.round(
+        (F.col("surv_e12").cast("double") / F.lit(1e12))
+        * F.sqrt(F.col("g_e12").cast("double") / F.lit(1e12)),
+        6,
+    )
+    return folded.select(
+        "t_day", "n_risk", "d", "c", "surv_e12", "g_e12",
+        F.when(F.col("g_e12").isNotNull(), se).alias("se_r"),
+    )
