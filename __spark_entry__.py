@@ -7131,6 +7131,22 @@ def q_streamed_uplift(spark, sf_dir):
     )
 
 
+def q_events_qq_normal(spark, sf_dir):
+    """Q-Q table of purchase cents against the standard normal — the
+    visual normality companion of the GoF tests: exact lower sample
+    quantiles at k/20 (order-statistic selection off the distinct-
+    value relation, no interpolation) vs literal Acklam-minted micro
+    z's; the OLS line (slope ≈ sd, intercept ≈ mean if normal) rides
+    along — exact integer moments, two pinned round-6 finishes."""
+    from unitdb_spark.operators.stats_tests import qq_normal
+
+    ev = _events(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    return qq_normal(ev, cents, n_points=19)
+
+
 def q_events_km_ci(spark, sf_dir):
     """Kaplan-Meier signup→purchase curve WITH the Greenwood standard
     error — the CI-ready reading of events_survival (a point estimate
@@ -8582,6 +8598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_records": q_streamed_records,
         "events_dunn_holm": q_events_dunn_holm,
         "events_km_ci": q_events_km_ci,
+        "events_qq_normal": q_events_qq_normal,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17463,6 +17480,63 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # Q-Q vs normal: literal micro-z grid (qq_z_case, shared
+    # verbatim), order-statistic selection off the distinct-value
+    # relation, identical pinned double OLS chain
+    from unitdb_spark.operators.stats_tests import qq_z_case
+
+    d["events_qq_normal"] = (
+        """
+        WITH base AS (
+          SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL
+        ), per AS (
+          SELECT v, count(*) AS c FROM base GROUP BY 1
+        ), cum AS (
+          SELECT v, c,
+            sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS ca,
+            sum(c) OVER () AS n
+          FROM per
+        ), ks AS (
+          SELECT k, """
+        + qq_z_case("k")
+        + """ AS z_micro
+          FROM generate_series(1, 19) g(k)
+        ), picked AS (
+          SELECT ks.k, ks.z_micro, cum.v AS sample_q
+          FROM cum, ks
+          WHERE cum.ca - cum.c < (cum.n * ks.k + 19) // 20
+            AND (cum.n * ks.k + 19) // 20 <= cum.ca
+        ), mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS np,
+            sum(z_micro) AS sz, sum(sample_q) AS sq,
+            sum(CAST(z_micro AS HUGEINT) * z_micro) AS szz,
+            sum(CAST(z_micro AS HUGEINT) * sample_q) AS szq
+          FROM picked
+        ), line AS (
+          SELECT
+            CAST(np AS DOUBLE) * (CAST(szq AS DOUBLE) / 1000000.0)
+              - (CAST(sz AS DOUBLE) / 1000000.0) * CAST(sq AS DOUBLE)
+              AS nm,
+            CAST(np AS DOUBLE)
+              * (CAST(szz AS DOUBLE) / 1000000000000.0)
+              - (CAST(sz AS DOUBLE) / 1000000.0)
+                * (CAST(sz AS DOUBLE) / 1000000.0) AS dn,
+            CAST(sq AS DOUBLE) AS sqd,
+            CAST(sz AS DOUBLE) / 1000000.0 AS szd,
+            CAST(np AS DOUBLE) AS npd
+          FROM mom
+        )
+        SELECT CAST(p.k AS BIGINT) AS k, p.z_micro, p.sample_q,
+          CASE WHEN l.dn > 0 THEN round(l.nm / l.dn, 6) END AS slope_r,
+          CASE WHEN l.dn > 0 THEN
+            round((l.sqd - (l.nm / l.dn) * l.szd) / l.npd, 6)
+          END AS intercept_r
+        FROM picked p, line l
+        """
+    )
     # KM + Greenwood: the survival recursion extended with the exact
     # integer g accumulator (NULL from the first n = d step on); the
     # one pinned float is the round-6 se finish

@@ -10565,3 +10565,36 @@ class TestKmGreenwood:
             for r in km_greenwood(df, "t", "e").collect()
         )
         assert a == b
+
+
+class TestQqNormal:
+    def test_points_and_line_on_exact_normal_grid(self, spark):
+        # feed the z grid itself (scaled) as data: sample quantiles
+        # then sit ON the line value = 100*z + 5000 exactly at each
+        # grid point, so slope ~ 100, intercept ~ 5000
+        from unitdb_spark.operators.stats_tests import norm_ppf, qq_normal
+
+        zs = [int(round(norm_ppf(k / 20) * 1_000_000)) for k in range(1, 20)]
+        vals = [100 * z // 1_000_000 + 5000 for z in zs]
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        out = qq_normal(df, "x", n_points=19).collect()
+        out.sort(key=lambda r: r.k)
+        assert [r.k for r in out] == list(range(1, 20))
+        assert [r.z_micro for r in out] == zs
+        # symmetric grid: median point = middle value
+        assert out[9].z_micro == 0 and out[9].sample_q == vals[9]
+        # the fitted line recovers the construction (floor noise < 1)
+        assert abs(out[0].slope_r - 100.0) < 1.0
+        assert abs(out[0].intercept_r - 5000.0) < 1.0
+        # line columns identical on every row
+        assert len({(r.slope_r, r.intercept_r) for r in out}) == 1
+
+    def test_order_statistic_is_lower_exact(self, spark):
+        from unitdb_spark.operators.stats_tests import qq_normal
+
+        # n = 4 values: rank(k) = ceil(4k/20); k=1..5 -> rank 1, etc.
+        df = spark.createDataFrame([(10,), (20,), (30,), (40,)], "x long")
+        out = {r.k: r.sample_q for r in qq_normal(df, "x").collect()}
+        assert out[1] == 10 and out[5] == 10
+        assert out[6] == 20 and out[10] == 20
+        assert out[19] == 40

@@ -2606,3 +2606,94 @@ def dunn_holm(
         "thr_r",
         (F.min("_rej").over(wstep) == 1).alias("reject"),
     )
+
+
+def qq_z_case(col: str, n_points: int = 19) -> str:
+    """The Q-Q plot's normal quantiles as ONE literal CASE over the
+    probability grid k/(n_points+1), k = 1..n_points — z in exact
+    MICRO units (round(Φ⁻¹·1e6)), minted once by `norm_ppf` at build
+    time and shared verbatim by both engines (the holm_threshold_case
+    idiom: no engine evaluates an inverse normal)."""
+    m = n_points + 1
+    whens = " ".join(
+        f"WHEN {col} = {k} THEN "
+        f"{int(round(norm_ppf(k / m) * 1_000_000))}"
+        for k in range(1, n_points + 1)
+    )
+    return f"CAST(CASE {whens} END AS BIGINT)"
+
+
+def qq_normal(
+    df: DataFrame, value_col, n_points: int = 19
+) -> DataFrame:
+    """Q-Q table of an exact-integer variable against the standard
+    normal — the VISUAL normality companion of the GoF tests
+    (`events_exp_gof`'s KS class): per probability point k/20 the
+    exact lower sample quantile (rank ⌈n·p⌉ — the median machinery's
+    order-statistic selection, no interpolation) next to the literal
+    normal z; a straight table means normal with slope ≈ sd and
+    intercept ≈ mean, so the OLS line over the points rides along
+    (exact integer moments — z is in micro units — and TWO pinned
+    round-6 float finishes evaluated in one fixed order).
+
+    Output: one row per point — (k, z_micro, sample_q, slope_r,
+    intercept_r) with the fitted line repeated on every row (the
+    table IS the plot; the line is its summary).
+
+    Scale: per-value counts map-side combine; the cumulative window
+    walks the DISTINCT-value relation (the MWU class); point
+    selection is a broadcast join of the n_points-row literal grid;
+    the OLS runs on n_points rows.
+    """
+    val = value_col if not isinstance(value_col, str) else F.col(value_col)
+    base = df.select(val.cast("long").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    per = base.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    wc = (
+        Window.partitionBy()
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select(
+        "_v", "_c",
+        F.sum("_c").over(wc).alias("_ca"),
+        F.sum("_c").over(Window.partitionBy()).alias("_n"),
+    )
+    spark = df.sparkSession
+    m = n_points + 1
+    ks = spark.range(1, n_points + 1).select(
+        F.col("id").cast("int").alias("k")
+    ).withColumn("z_micro", F.expr(qq_z_case("k", n_points)))
+    # rank of the k-th point: ceil(n*k/m) via positive-operand ceildiv
+    picked = cum.join(F.broadcast(ks)).filter(
+        (F.col("_ca") - F.col("_c")
+         < F.expr(f"(_n * k + {m} - 1) div {m}"))
+        & (F.expr(f"(_n * k + {m} - 1) div {m}") <= F.col("_ca"))
+    ).select("k", "z_micro", F.col("_v").alias("sample_q"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = picked.agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.sum("z_micro").alias("_sz"),
+        F.sum("sample_q").alias("_sq"),
+        F.sum(d38(F.col("z_micro")) * d38(F.col("z_micro"))).alias("_szz"),
+        F.sum(d38(F.col("z_micro")) * d38(F.col("sample_q"))).alias("_szq"),
+    )
+    nD = F.col("_np").cast("double")
+    zd = lambda c: F.col(c).cast("double") / F.lit(1_000_000.0)  # noqa: E731
+    num = nD * zd("_szq") - zd("_sz") * F.col("_sq").cast("double")
+    den = nD * (F.col("_szz").cast("double") / F.lit(1e12)) - zd(
+        "_sz"
+    ) * zd("_sz")
+    slope = num / den
+    intercept = (
+        F.col("_sq").cast("double") - slope * zd("_sz")
+    ) / nD
+    line = mom.select(
+        F.when(den > 0, F.round(slope, 6)).alias("slope_r"),
+        F.when(den > 0, F.round(intercept, 6)).alias("intercept_r"),
+    )
+    return picked.join(F.broadcast(line)).select(
+        F.col("k").cast("long").alias("k"), "z_micro", "sample_q",
+        "slope_r", "intercept_r",
+    )
