@@ -7131,6 +7131,22 @@ def q_streamed_uplift(spark, sf_dir):
     )
 
 
+def q_orders_hill(spark, sf_dir):
+    """Hill tail-index estimate over the 100 largest order totals —
+    the fat-tail diagnostic completing the concentration panel
+    (orders_gini/orders_lorenz say how unequal, this says how
+    Pareto): deterministic (cents DESC, orderkey) LIMIT 101 heap cut,
+    one round(log10·1e6) integer micro-log per value, exact integer
+    denominator, one pinned float alpha."""
+    from unitdb_spark.operators.olap import hill_tail_index
+
+    o = _read(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    return hill_tail_index(o, cents, "o_orderkey", k=100)
+
+
 def q_events_qq_normal(spark, sf_dir):
     """Q-Q table of purchase cents against the standard normal — the
     visual normality companion of the GoF tests: exact lower sample
@@ -8599,6 +8615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dunn_holm": q_events_dunn_holm,
         "events_km_ci": q_events_km_ci,
         "events_qq_normal": q_events_qq_normal,
+        "orders_hill": q_orders_hill,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17480,6 +17497,39 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # Hill tail index: deterministic LIMIT k+1 heap cut, integer
+    # micro-logs, one pinned alpha finish (ln(10) literal)
+    d["orders_hill"] = """
+        WITH base AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS v,
+            o_orderkey AS id
+          FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT) > 0
+        ), top AS (
+          SELECT v, row_number() OVER (ORDER BY v DESC, id) AS rn,
+            CAST(round(log10(CAST(v AS DOUBLE)) * 1000000) AS BIGINT)
+              AS lm
+          FROM (SELECT * FROM base ORDER BY v DESC, id LIMIT 101) t
+        ), agg AS (
+          SELECT count(*) AS nt,
+            sum(CASE WHEN rn <= 100 THEN lm END) AS sl,
+            max(CASE WHEN rn = 101 THEN lm END) AS lmin,
+            max(CASE WHEN rn = 101 THEN v END) AS xmin
+          FROM top
+        ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+        SELECT n, CAST(100 AS BIGINT) AS k, xmin,
+          CASE WHEN nt = 101 THEN
+            CAST(sl - 100 * lmin AS BIGINT)
+          END AS denom_e6,
+          CASE WHEN nt = 101 AND sl - 100 * lmin > 0 THEN
+            round(43429448.19032518
+                  / CAST(sl - 100 * lmin AS DOUBLE), 6)
+          END AS alpha_r
+        FROM nn, agg
+        """
     # Q-Q vs normal: literal micro-z grid (qq_z_case, shared
     # verbatim), order-statistic selection off the distinct-value
     # relation, identical pinned double OLS chain

@@ -10598,3 +10598,40 @@ class TestQqNormal:
         assert out[1] == 10 and out[5] == 10
         assert out[6] == 20 and out[10] == 20
         assert out[19] == 40
+
+
+class TestHillTailIndex:
+    def test_exact_pareto_recovers_alpha(self, spark):
+        # x_(i) = xmin * (n/i)^(1/alpha) is the exact Pareto quantile
+        # skeleton: Hill over it returns ~alpha
+        alpha = 2.0
+        n = 300
+        vals = [
+            (int(1_000_000 * (n / i) ** (1 / alpha)), i)
+            for i in range(1, n + 1)
+        ]
+        df = spark.createDataFrame(vals, "v long, id long")
+        from unitdb_spark.operators.olap import hill_tail_index
+
+        (r,) = hill_tail_index(df, "v", "id", k=100).collect()
+        assert r.n == n and r.k == 100
+        assert r.denom_e6 > 0
+        assert abs(r.alpha_r - alpha) < 0.1
+
+    def test_too_few_rows_reports_null(self, spark):
+        from unitdb_spark.operators.olap import hill_tail_index
+
+        df = spark.createDataFrame(
+            [(10 * i + 1, i) for i in range(1, 50)], "v long, id long"
+        )
+        (r,) = hill_tail_index(df, "v", "id", k=100).collect()
+        assert r.denom_e6 is None and r.alpha_r is None
+
+    def test_flat_tail_reports_null(self, spark):
+        from unitdb_spark.operators.olap import hill_tail_index
+
+        df = spark.createDataFrame(
+            [(7, i) for i in range(1, 202)], "v long, id long"
+        )
+        (r,) = hill_tail_index(df, "v", "id", k=100).collect()
+        assert r.denom_e6 == 0 and r.alpha_r is None

@@ -831,3 +831,83 @@ def revenue_bridge(
         F.when(both, vol).alias("volume_eff_c"),
         F.when(both, delta - vol).cast("long").alias("price_eff_c"),
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col,
+    id_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """One-row Hill (1975) tail-index estimate over the k largest
+    values — the heavy-tail diagnostic that completes the
+    concentration panel (Gini/Lorenz say HOW unequal, HHI says how
+    concentrated, Hill says how FAT the tail is: α ≈ 1 means
+    infinite-variance Pareto, α > 2 a tame tail):
+
+        α̂ = k / Σ_{i≤k} ln(x_(i) / x_(k+1))
+
+    ``value_col`` must be a positive exact integer (cents); the
+    (k+1)-set is the deterministic ORDER BY (value DESC, id) LIMIT
+    k+1 — a TakeOrdered heap cut in Spark and the identical LIMIT in
+    the oracle, never a global sort. Each of the k+1 values carries
+    ONE round(log10·1e6) integer micro-log (the round-6-log idiom at
+    the integer scale, so the long cast has no representation slack),
+    making the denominator Σlog10(xᵢ) − k·log10(x_min) an exact
+    integer sum and
+
+        alpha_r = round((k · 1e6 / ln(10)) / denom_e6, 6)
+
+    is the single pinned float finish (α = k/Σln(xᵢ/x_min) with the
+    denominator carried in micro-log10 units; k·1e6/ln(10) is ONE
+    full-precision literal both engines divide identically). NULL
+    when fewer than k+1 positive values exist or the tail is flat
+    (denom ≤ 0).
+
+    Output: (n, k, xmin, denom_e6, alpha_r).
+
+    Scale: one TakeOrdered heap cut (k+1 rows to the driver-side
+    relation — control-plane); everything after runs on k+1 rows.
+    """
+    import math
+
+    val = value_col if not isinstance(value_col, str) else F.col(value_col)
+    base = df.select(
+        val.cast("long").alias("_v"), F.col(id_col).alias("_id")
+    ).filter(F.col("_v").isNotNull() & (F.col("_v") > 0))
+    top = base.orderBy(F.col("_v").desc(), F.col("_id")).limit(k + 1)
+    w = Window.orderBy(F.col("_v").desc(), F.col("_id"))
+    # round at the INTEGER micro scale (round(log10·1e6)), not
+    # round-6-then-multiply — the scaled round has no representation
+    # slack for the long cast to truncate through
+    ranked = top.select(
+        "_v", F.row_number().over(w).alias("_rn"),
+        F.round(F.log10(F.col("_v").cast("double")) * F.lit(1_000_000.0))
+        .cast("long").alias("_lm"),
+    )
+    lmic = F.col("_lm")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("_nt"),
+        F.sum(F.when(F.col("_rn") <= k, lmic)).alias("_sl"),
+        F.max(F.when(F.col("_rn") == k + 1, lmic)).alias("_lmin"),
+        F.max(F.when(F.col("_rn") == k + 1, F.col("_v"))).alias("_xmin"),
+    )
+    n_total = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    denom = F.col("_sl") - F.lit(k) * F.col("_lmin")
+    alpha = F.round(
+        F.lit(float(k) * 1_000_000.0 / math.log(10))
+        / F.col("denom_e6").cast("double"),
+        6,
+    )
+    out = n_total.join(F.broadcast(agg)).select(
+        "n", F.lit(k).cast("long").alias("k"),
+        F.col("_xmin").alias("xmin"),
+        F.when(F.col("_nt") == k + 1, denom).cast("long")
+        .alias("denom_e6"),
+    )
+    return out.select(
+        "n", "k", "xmin", "denom_e6",
+        F.when(
+            F.col("denom_e6").isNotNull() & (F.col("denom_e6") > 0), alpha
+        ).alias("alpha_r"),
+    )
