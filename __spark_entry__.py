@@ -7131,6 +7131,26 @@ def q_streamed_uplift(spark, sf_dir):
     )
 
 
+def q_events_spc(spark, sf_dir):
+    """Western Electric run rules over the daily-revenue Shewhart
+    chart per event type — the classical zone tests beside
+    events_cusum (drift) and events_ewma_chart (small shifts): r1
+    beyond 3σ, r2 two-of-three beyond 2σ same side, r3 four-of-five
+    beyond 1σ same side, r4 eight consecutive same side. Exact cents
+    cells; μ/σ one pinned chain each; key-partitioned lag windows;
+    day emitted as epoch days (engine-portable integer)."""
+    from unitdb_spark.operators.timeseries import spc_western_rules
+
+    ev = _events(spark, sf_dir)
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    out = spc_western_rules(ev, "event_type", "ts", cents)
+    return out.select(
+        F.col("key").alias("event_type"),
+        F.unix_date(F.col("d")).cast("long").alias("day_idx"),
+        "x_cents", "r1", "r2", "r3", "r4",
+    )
+
+
 def q_orders_hill(spark, sf_dir):
     """Hill tail-index estimate over the 100 largest order totals —
     the fat-tail diagnostic completing the concentration panel
@@ -8616,6 +8636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_km_ci": q_events_km_ci,
         "events_qq_normal": q_events_qq_normal,
         "orders_hill": q_orders_hill,
+        "events_spc": q_events_spc,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17497,6 +17518,70 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # Western Electric rules: exact cents cells, one pinned mu/sd
+    # chain each, key-partitioned lag windows
+    d["events_spc"] = """
+        WITH cells AS (
+          SELECT event_type AS key, CAST(ts AS DATE) AS d,
+            sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS x_cents
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), stats AS (
+          SELECT key, count(*) AS n, sum(x_cents) AS s,
+            sum(CAST(x_cents AS HUGEINT) * x_cents) AS ss
+          FROM cells GROUP BY 1
+        ), st AS (
+          SELECT key,
+            CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+            CASE WHEN CAST(CAST(n AS HUGEINT) * ss
+                           - CAST(s AS HUGEINT) * s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) > 0
+            THEN sqrt(CAST(CAST(n AS HUGEINT) * ss
+                           - CAST(s AS HUGEINT) * s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+            END AS sd
+          FROM stats
+        ), f AS (
+          SELECT c.key, c.d, c.x_cents, st.sd,
+            CASE WHEN CAST(c.x_cents AS DOUBLE) > st.mu
+                 THEN 1 ELSE 0 END AS above,
+            CASE WHEN CAST(c.x_cents AS DOUBLE) < st.mu
+                 THEN 1 ELSE 0 END AS below,
+            CASE WHEN CAST(c.x_cents AS DOUBLE) > st.mu + 2.0 * st.sd
+                 THEN 1 ELSE 0 END AS a2,
+            CASE WHEN CAST(c.x_cents AS DOUBLE) < st.mu - 2.0 * st.sd
+                 THEN 1 ELSE 0 END AS b2,
+            CASE WHEN CAST(c.x_cents AS DOUBLE) > st.mu + st.sd
+                 THEN 1 ELSE 0 END AS a1,
+            CASE WHEN CAST(c.x_cents AS DOUBLE) < st.mu - st.sd
+                 THEN 1 ELSE 0 END AS b1,
+            (CAST(c.x_cents AS DOUBLE) > st.mu + 3.0 * st.sd
+             OR CAST(c.x_cents AS DOUBLE) < st.mu - 3.0 * st.sd) AS r1
+          FROM cells c JOIN st USING (key)
+        ), o AS (
+          SELECT key, d, x_cents, sd, r1,
+            (sum(a2) OVER w3 >= 2 OR sum(b2) OVER w3 >= 2) AS r2,
+            (sum(a1) OVER w5 >= 4 OR sum(b1) OVER w5 >= 4) AS r3,
+            (sum(above) OVER w8 = 8 OR sum(below) OVER w8 = 8) AS r4
+          FROM f
+          WINDOW
+            w3 AS (PARTITION BY key ORDER BY d
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+            w5 AS (PARTITION BY key ORDER BY d
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+            w8 AS (PARTITION BY key ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        )
+        SELECT key AS event_type,
+          CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)
+            AS day_idx,
+          CAST(x_cents AS BIGINT) AS x_cents,
+          CASE WHEN sd IS NOT NULL THEN r1 END AS r1,
+          CASE WHEN sd IS NOT NULL THEN r2 END AS r2,
+          CASE WHEN sd IS NOT NULL THEN r3 END AS r3,
+          CASE WHEN sd IS NOT NULL THEN r4 END AS r4
+        FROM o
+        """
     # Hill tail index: deterministic LIMIT k+1 heap cut, integer
     # micro-logs, one pinned alpha finish (ln(10) literal)
     d["orders_hill"] = """

@@ -10635,3 +10635,47 @@ class TestHillTailIndex:
         )
         (r,) = hill_tail_index(df, "v", "id", k=100).collect()
         assert r.denom_e6 == 0 and r.alpha_r is None
+
+
+class TestSpcWestern:
+    def test_rules_on_constructed_series(self, spark):
+        from unitdb_spark.operators.timeseries import spc_western_rules
+
+        # key A: alternating +-3 around 100 for 20 days (no 8-run),
+        # then 8 consecutive mild highs -> r4 fires exactly once the
+        # run completes; nothing is ever 3-sigma out on A.
+        a_vals = [100 + (3 if i % 2 == 0 else -3) for i in range(20)]
+        a_vals += [104] * 8
+        # key B: 20 stable days then one extreme spike -> r1 on the
+        # spike (the retrospective sigma includes it, dev still > 3s)
+        b_vals = [100] * 20 + [1000]
+        rows = [("a", i, v) for i, v in enumerate(a_vals)]
+        rows += [("b", i, v) for i, v in enumerate(b_vals)]
+        df = spark.createDataFrame(rows, "g string, t int, v long")
+        out = spc_western_rules(
+            df, "g", F.timestamp_seconds(F.col("t") * 86400), "v"
+        ).collect()
+        a = sorted((r for r in out if r.key == "a"), key=lambda r: r.d)
+        b = sorted((r for r in out if r.key == "b"), key=lambda r: r.d)
+        # A: r4 fires exactly when the 8-run completes (index 27),
+        # never during the alternating prefix; r1 never fires
+        r4_days = [i for i, r in enumerate(a) if r.r4]
+        assert r4_days == [27]
+        assert not any(r.r1 for r in a)
+        # B: the spike fires rule 1; the stable days do not
+        assert b[-1].r1 is True
+        assert not any(r.r1 for r in b[:-1])
+
+    def test_flat_series_null_flags(self, spark):
+        from unitdb_spark.operators.timeseries import spc_western_rules
+
+        rows = [("k", i, 50) for i in range(10)]
+        df = spark.createDataFrame(rows, "g string, t int, v long")
+        out = spc_western_rules(
+            df, "g", F.timestamp_seconds(F.col("t") * 86400), "v"
+        ).collect()
+        assert all(
+            r.r1 is None and r.r2 is None and r.r3 is None
+            and r.r4 is None
+            for r in out
+        )

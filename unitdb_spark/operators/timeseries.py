@@ -2416,3 +2416,104 @@ def running_records(
     return flagged.filter(F.col("_rec")).select(
         "key", "id", "value", F.col("record_no").cast("long").alias("record_no")
     )
+
+
+def spc_western_rules(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col,
+) -> DataFrame:
+    """Western Electric run rules over a Shewhart chart of DAILY
+    totals — the classical zone-test complement of `cusum` (drift)
+    and `ewma_chart` (small shifts): per key, center μ and σ come
+    from the series itself (retrospective chart), and each day is
+    judged by the four WE rules:
+
+        r1: the point is beyond μ ± 3σ
+        r2: ≥ 2 of the last 3 points beyond 2σ on the SAME side
+        r3: ≥ 4 of the last 5 points beyond 1σ on the same side
+        r4: 8 consecutive points on the same side of μ
+
+    Daily x = exact SUM of integer cents (no division); μ and σ are
+    each ONE pinned float chain off exact DECIMAL moments (identical
+    text in the oracle), and every zone comparison is between doubles
+    both engines derive identically — deterministic throughout. A
+    flat series (σ = 0) reports NULL flags (no zones to test).
+
+    Output: (key, d, x_cents, r1, r2, r3, r4) — one row per
+    (key, day).
+
+    Scale: one (key, day) cell aggregation; per-key moments broadcast
+    back (keys rows); the rule windows are key-partitioned lags over
+    the day relation — nothing leaves the key partition.
+    """
+    val = value_col if not isinstance(value_col, str) else F.col(value_col)
+    ts = ts_col if not isinstance(ts_col, str) else F.col(ts_col)
+    cells = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.to_date(ts).alias("d"),
+            val.cast("long").alias("_c"),
+        )
+        .filter(F.col("_c").isNotNull())
+        .groupBy("key", "d")
+        .agg(F.sum("_c").alias("x_cents"))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = cells.groupBy("key").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("x_cents").alias("_s"),
+        F.sum(d38(F.col("x_cents")) * d38(F.col("x_cents"))).alias("_ss"),
+    )
+    nD = F.col("_n").cast("double")
+    mu = F.col("_s").cast("double") / nD
+    var = (
+        F.col("_n").cast("decimal(38,0)") * F.col("_ss")
+        - d38(F.col("_s")) * d38(F.col("_s"))
+    ).cast("double") / (nD * nD)
+    st = stats.select(
+        "key", "_n", mu.alias("_mu"),
+        F.when(var > 0, F.sqrt(var)).alias("_sd"),
+    )
+    j = cells.join(F.broadcast(st), "key")
+    xd = F.col("x_cents").cast("double")
+    up1, lo1 = F.col("_mu") + F.col("_sd"), F.col("_mu") - F.col("_sd")
+    up2 = F.col("_mu") + F.lit(2.0) * F.col("_sd")
+    lo2 = F.col("_mu") - F.lit(2.0) * F.col("_sd")
+    up3 = F.col("_mu") + F.lit(3.0) * F.col("_sd")
+    lo3 = F.col("_mu") - F.lit(3.0) * F.col("_sd")
+    flags = j.select(
+        "key", "d", "x_cents", "_sd",
+        (xd > F.col("_mu")).cast("int").alias("_above"),
+        (xd < F.col("_mu")).cast("int").alias("_below"),
+        (xd > up2).cast("int").alias("_a2"),
+        (xd < lo2).cast("int").alias("_b2"),
+        (xd > up1).cast("int").alias("_a1"),
+        (xd < lo1).cast("int").alias("_b1"),
+        ((xd > up3) | (xd < lo3)).alias("_r1"),
+    )
+    w3 = Window.partitionBy("key").orderBy("d").rowsBetween(-2, 0)
+    w5 = Window.partitionBy("key").orderBy("d").rowsBetween(-4, 0)
+    w8 = Window.partitionBy("key").orderBy("d").rowsBetween(-7, 0)
+    out = flags.select(
+        "key", "d", "x_cents", "_sd",
+        F.col("_r1").alias("r1"),
+        (
+            (F.sum("_a2").over(w3) >= 2) | (F.sum("_b2").over(w3) >= 2)
+        ).alias("r2"),
+        (
+            (F.sum("_a1").over(w5) >= 4) | (F.sum("_b1").over(w5) >= 4)
+        ).alias("r3"),
+        (
+            (F.sum("_above").over(w8) == 8)
+            | (F.sum("_below").over(w8) == 8)
+        ).alias("r4"),
+    )
+    return out.select(
+        "key", "d", "x_cents",
+        *[
+            F.when(F.col("_sd").isNotNull(), F.col(c)).alias(c)
+            for c in ("r1", "r2", "r3", "r4")
+        ],
+    )
