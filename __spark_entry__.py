@@ -3915,6 +3915,29 @@ def q_media_jpeg_resize(spark, sf_dir):
     )
 
 
+def q_media_tiff_resize(spark, sf_dir):
+    """REAL pixel kernel for the ENDIAN-RICH container: every doc
+    becomes a valid baseline uncompressed RGB8 TIFF whose byte order
+    ALTERNATES by doc parity (even = II, odd = MM), the strip is
+    decoded (IFD walk in either endianness, external BitsPerSample,
+    single-strip contract), nearest-neighbor-resampled to 8×6,
+    re-encoded preserving the input's byte order, decoded AGAIN, and
+    reduced to the shared integer statistics. The oracle regenerates
+    the resampled pixels from doc_id alone — a hash-match proves the
+    IFD walk, endian handling, strip layout, resample, and channel
+    order are all byte-correct. No stub in the path."""
+    from unitdb_spark.functions.multimodal import (
+        resize_tiff_images,
+        synthetic_tiff_media,
+        tiff_pixel_stats,
+    )
+
+    media = synthetic_tiff_media(_docs(spark, sf_dir))
+    return tiff_pixel_stats(resize_tiff_images(media, 8, 6)).select(
+        F.col("id").alias("doc_id"), "width", "height", "px_sum", "px_wsum"
+    )
+
+
 def q_media_mixed_resize(spark, sf_dir):
     """ONE-pass resize over a genuinely MIXED media column: each doc
     becomes a BMP / PNG / GIF / baseline-JPEG by doc_id % 4, then a
@@ -8637,6 +8660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_qq_normal": q_events_qq_normal,
         "orders_hill": q_orders_hill,
         "events_spc": q_events_spc,
+        "media_tiff_resize": q_media_tiff_resize,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17518,6 +17542,35 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # TIFF resize: regenerate the 8x6 resampled pixels from doc_id
+    # (sw = d%22+4, sh = (d//4)%18+4, s = d%239; RGB closed form —
+    # the BMP oracle shape with the TIFF fixture's coefficients)
+    d["media_tiff_resize"] = """
+        WITH g AS (
+          SELECT d.doc_id,
+            d.doc_id % 22 + 4 AS sw,
+            (d.doc_id // 4) % 18 + 4 AS sh,
+            d.doc_id % 239 AS s, x.vx, y.vy
+          FROM documents d,
+               UNNEST(generate_series(0, 7)) AS x(vx),
+               UNNEST(generate_series(0, 5)) AS y(vy)
+        ), px AS (
+          SELECT doc_id, vx, vy,
+            (s + 4 * ((vx * sw) // 8) + 9 * ((vy * sh) // 6)) % 256 AS cr,
+            (2 * s + 6 * ((vx * sw) // 8) + 5 * ((vy * sh) // 6)) % 256
+              AS cg,
+            (3 * s + 2 * ((vx * sw) // 8) + 7 * ((vy * sh) // 6)) % 256
+              AS cb
+          FROM g
+        )
+        SELECT doc_id, CAST(8 AS INTEGER) AS width,
+          CAST(6 AS INTEGER) AS height,
+          CAST(SUM(cr + cg + cb) AS BIGINT) AS px_sum,
+          CAST(SUM(cr * ((vy * 8 + vx) * 3 + 1)
+                 + cg * ((vy * 8 + vx) * 3 + 2)
+                 + cb * ((vy * 8 + vx) * 3 + 3)) AS BIGINT) AS px_wsum
+        FROM px GROUP BY 1
+        """
     # Western Electric rules: exact cents cells, one pinned mu/sd
     # chain each, key-partitioned lag windows
     d["events_spc"] = """

@@ -489,3 +489,66 @@ class TestMixedDispatch:
         (r,) = mixed_pixel_stats(resize_mixed_images(df, 8, 6)).collect()
         assert r["container"] is None
         assert r["px_sum"] is None and r["px_wsum"] is None
+
+
+class TestTiffKernel:
+    def test_roundtrip_both_endians_and_honest_failure(self, spark):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_tiff_rgb,
+            encode_tiff_rgb,
+        )
+        from unitdb_spark.functions.multimodal import (
+            resize_tiff_images,
+            tiff_pixel_stats,
+        )
+
+        a = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(encode_tiff_rgb(a, True))),
+                (2, bytearray(encode_tiff_rgb(a, False))),
+                (3, bytearray(b"not a tiff")),
+            ],
+            "id long, blob binary",
+        )
+        out = {
+            r["id"]: r
+            for r in tiff_pixel_stats(resize_tiff_images(df, 4, 6)).collect()
+        }
+        # identical pixels in, identical stats out regardless of the
+        # input byte order (4x6 from 4x6-shaped source = identity)
+        assert out[1]["px_sum"] == out[2]["px_sum"]
+        assert out[1]["px_wsum"] == out[2]["px_wsum"]
+        flat = a.reshape(-1).astype(np.int64)
+        assert out[1]["px_sum"] == int(flat.sum())
+        assert out[3]["px_sum"] is None  # honest failure
+
+    def test_decoder_rejects_out_of_contract(self):
+        from unitdb_spark.functions.media_codec import (
+            build_tiff,
+            decode_tiff_rgb,
+        )
+
+        # header-only skeleton (no strip tags) is NOT claimed
+        assert decode_tiff_rgb(build_tiff(4, 4)) is None
+        assert decode_tiff_rgb(b"") is None
+
+    def test_mixed_dispatch_claims_tiff(self, spark):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import encode_tiff_rgb
+        from unitdb_spark.functions.multimodal import (
+            mixed_pixel_stats,
+            resize_mixed_images,
+        )
+
+        a = np.zeros((8, 8, 3), dtype=np.uint8) + 9
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_tiff_rgb(a, False)))],
+            "id long, blob binary",
+        )
+        (r,) = mixed_pixel_stats(resize_mixed_images(df, 4, 4)).collect()
+        assert r["container"] == "tiff"
+        assert r["px_sum"] == 4 * 4 * 3 * 9

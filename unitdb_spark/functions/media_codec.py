@@ -1605,3 +1605,130 @@ def resize_jpeg_nearest_png(b: bytes, width: int, height: int) -> bytes | None:
     xs = (np.arange(width) * sw) // width
     ys = (np.arange(height) * sh) // height
     return encode_png_rgb(arr[np.ix_(ys, xs)])
+
+
+def encode_tiff_rgb(arr, little_endian: bool = True) -> bytes:
+    """Minimal VALID uncompressed RGB8 TIFF (single strip, chunky
+    planar config) from an (h, w, 3) uint8 array — the real-pixel
+    extension of `build_tiff`'s header-only skeleton. Layout:
+    8-byte header → IFD (10 entries) → external BitsPerSample
+    SHORT[3] → pixel strip. Both byte orders, so a decoder's endian
+    handling is genuinely exercised (TIFF 6.0 baseline, RGB full
+    color)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    e = "<" if little_endian else ">"
+    head = (b"II" if little_endian else b"MM") + struct.pack(e + "HI", 42, 8)
+    n_entries = 10
+    ifd_len = 2 + 12 * n_entries + 4
+    bps_off = 8 + ifd_len
+    strip_off = bps_off + 6
+    strip_len = h * w * 3
+
+    def entry(tag, ftype, count, val):
+        if ftype == 3 and count == 1:  # SHORT packs into value bytes
+            return struct.pack(e + "HHIHH", tag, ftype, count, val, 0)
+        return struct.pack(e + "HHII", tag, ftype, count, val)
+
+    ifd = struct.pack(e + "H", n_entries)
+    ifd += entry(256, 4, 1, w)            # ImageWidth
+    ifd += entry(257, 4, 1, h)            # ImageLength
+    ifd += entry(258, 3, 3, bps_off)      # BitsPerSample -> external
+    ifd += entry(259, 3, 1, 1)            # Compression = none
+    ifd += entry(262, 3, 1, 2)            # Photometric = RGB
+    ifd += entry(273, 4, 1, strip_off)    # StripOffsets
+    ifd += entry(277, 3, 1, 3)            # SamplesPerPixel
+    ifd += entry(278, 4, 1, h)            # RowsPerStrip
+    ifd += entry(279, 4, 1, strip_len)    # StripByteCounts
+    ifd += entry(284, 3, 1, 1)            # PlanarConfig = chunky
+    ifd += struct.pack(e + "I", 0)        # next IFD
+    bps = struct.pack(e + "HHH", 8, 8, 8)
+    return head + ifd + bps + a.tobytes()
+
+
+def decode_tiff_rgb(b: bytes):
+    """(h, w, 3) uint8 pixels from a baseline uncompressed RGB8 TIFF
+    (single strip, chunky) — None for anything the baseline contract
+    doesn't claim (compressed, planar, tiled, multi-strip, non-RGB),
+    the honest-failure convention."""
+    import numpy as np
+
+    if len(b) < 8:
+        return None
+    if b[:4] == b"II*\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return None
+    (ifd_off,) = struct.unpack(e + "I", b[4:8])
+    if ifd_off + 2 > len(b):
+        return None
+    (n_entries,) = struct.unpack(e + "H", b[ifd_off:ifd_off + 2])
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        lo = ifd_off + 2 + 12 * i
+        if lo + 12 > len(b):
+            return None
+        tag, ftype, count = struct.unpack(e + "HHI", b[lo:lo + 8])
+        if ftype == 3 and count == 1:
+            # a single SHORT sits left-justified in the value field
+            (val,) = struct.unpack(e + "H", b[lo + 8:lo + 10])
+        elif ftype == 3 and count > 2:
+            # count x SHORT > 4 bytes: the value field is an OFFSET
+            (val,) = struct.unpack(e + "I", b[lo + 8:lo + 12])
+        elif ftype == 4 and count == 1:
+            (val,) = struct.unpack(e + "I", b[lo + 8:lo + 12])
+        else:
+            continue
+        tags[tag] = (ftype, count, val)
+    need = (256, 257, 273, 279)
+    if any(t not in tags for t in need):
+        return None
+    w, h = tags[256][2], tags[257][2]
+    if tags.get(259, (3, 1, 1))[2] != 1:       # uncompressed only
+        return None
+    if tags.get(262, (3, 1, 2))[2] != 2:       # RGB only
+        return None
+    if tags.get(277, (3, 1, 3))[2] != 3:
+        return None
+    if tags.get(284, (3, 1, 1))[2] != 1:       # chunky only
+        return None
+    if tags[273][1] != 1 or tags[279][1] != 1:  # single strip only
+        return None
+    if 258 in tags:
+        ftype, count, val = tags[258]
+        if count == 3:
+            if val + 6 > len(b):
+                return None
+            bps = struct.unpack(e + "HHH", b[val:val + 6])
+            if bps != (8, 8, 8):
+                return None
+        elif not (count == 1 and val == 8):
+            return None
+    off, cnt = tags[273][2], tags[279][2]
+    if cnt != w * h * 3 or off + cnt > len(b):
+        return None
+    return np.frombuffer(b[off:off + cnt], dtype=np.uint8).reshape(
+        h, w, 3
+    ).copy()
+
+
+def resize_tiff_nearest(b: bytes, width: int, height: int) -> bytes | None:
+    """Real nearest-neighbor resize for baseline RGB8 TIFF blobs:
+    decode the strip, integer-index resample (sx = X·sw//W), re-encode
+    preserving the INPUT's byte order (an MM file stays MM — the
+    round-trip must prove the endian path, not normalize it away)."""
+    import numpy as np
+
+    arr = decode_tiff_rgb(b)
+    if arr is None:
+        return None
+    sh, sw = arr.shape[0], arr.shape[1]
+    xs = (np.arange(width) * sw) // width
+    ys = (np.arange(height) * sh) // height
+    return encode_tiff_rgb(
+        arr[ys][:, xs], little_endian=b[:2] == b"II"
+    )

@@ -1053,6 +1053,8 @@ def sniff_container(b: bytes) -> str | None:
         return "gif"
     if b[:2] == b"\xff\xd8":
         return "jpeg"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
     return None
@@ -1077,6 +1079,7 @@ def resize_mixed_images(df: DataFrame, width: int, height: int) -> DataFrame:
         resize_gif_nearest,
         resize_jpeg_nearest_png,
         resize_png_nearest,
+        resize_tiff_nearest,
     )
 
     kernels = {
@@ -1084,6 +1087,7 @@ def resize_mixed_images(df: DataFrame, width: int, height: int) -> DataFrame:
         "png": resize_png_nearest,
         "gif": resize_gif_nearest,
         "jpeg": resize_jpeg_nearest_png,
+        "tiff": resize_tiff_nearest,
     }
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1129,12 +1133,14 @@ def mixed_pixel_stats(df: DataFrame) -> DataFrame:
             decode_bmp24,
             decode_gif_rgb,
             decode_png_rgb,
+            decode_tiff_rgb,
         )
 
         decoders = {
             "bmp": decode_bmp24,
             "png": decode_png_rgb,
             "gif": decode_gif_rgb,
+            "tiff": decode_tiff_rgb,
         }
         for pdf in batches:
             rows = []
@@ -1173,4 +1179,120 @@ def mixed_pixel_stats(df: DataFrame) -> DataFrame:
         _stats,
         "id long, container string, width int, height int, "
         "px_sum long, px_wsum long",
+    )
+
+
+def synthetic_tiff_media(documents: DataFrame) -> DataFrame:
+    """Real-pixel TIFF fixture: every doc becomes a VALID baseline
+    uncompressed RGB8 TIFF whose dimensions AND every pixel are
+    closed-form in doc_id — pixel (x, y) holds RGB =
+    ((s + 4x + 9y) % 256, (2s + 6x + 5y) % 256, (3s + 2x + 7y) % 256)
+    with s = doc_id % 239, dims sw = d % 22 + 4, sh = (d//4) % 18 + 4
+    — and the BYTE ORDER alternates by doc parity (even = II, odd =
+    MM), so the decoder's endian handling is part of every oracle
+    hash, not just a unit test."""
+    from unitdb_spark.functions import media_codec as mc
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sw, sh, s = d % 22 + 4, (d // 4) % 18 + 4, d % 239
+                X, Y = np.meshgrid(np.arange(sw), np.arange(sh))
+                arr = np.stack(
+                    [
+                        (s + 4 * X + 9 * Y) % 256,
+                        (2 * s + 6 * X + 5 * Y) % 256,
+                        (3 * s + 2 * X + 7 * Y) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                blobs.append(
+                    mc.encode_tiff_rgb(arr, little_endian=d % 2 == 0)
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"].values,
+                    "media_type": "image",
+                    "blob": blobs,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _build, "id long, media_type string, blob binary"
+    )
+
+
+def resize_tiff_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor resize for baseline RGB8 TIFF blobs —
+    the uncompressed-but-endian-rich 6th container kernel (decode the
+    strip, integer-index resample, re-encode preserving the input's
+    byte order). Unclaimed blobs keep their row with a NULL blob."""
+    from unitdb_spark.functions.media_codec import resize_tiff_nearest
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                resize_tiff_nearest(bytes(b), width, height)
+                if b is not None
+                else None
+                for b in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "width": width,
+                    "height": height,
+                    "blob": pd.Series(out, dtype=object),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _resize, "id long, width int, height int, blob binary"
+    )
+
+
+def tiff_pixel_stats(df: DataFrame) -> DataFrame:
+    """Integer-exact pixel statistics from REAL TIFF decode: the
+    shared order-sensitive channel sum + position-weighted checksum
+    over the flattened top-down RGB array. NULL stats for
+    undecodable blobs."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import decode_tiff_rgb
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"].values, pdf["blob"]):
+                arr = decode_tiff_rgb(bytes(b)) if b is not None else None
+                if arr is None:
+                    rows.append((int(i), None, None, None, None))
+                    continue
+                flat = arr.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(i),
+                        int(arr.shape[1]),
+                        int(arr.shape[0]),
+                        int(flat.sum()),
+                        int((flat * (np.arange(flat.size) + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "width": pd.Series([r[1] for r in rows], dtype=object),
+                    "height": pd.Series([r[2] for r in rows], dtype=object),
+                    "px_sum": pd.Series([r[3] for r in rows], dtype=object),
+                    "px_wsum": pd.Series([r[4] for r in rows], dtype=object),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _stats, "id long, width int, height int, px_sum long, px_wsum long"
     )
