@@ -3915,6 +3915,90 @@ def q_media_jpeg_resize(spark, sf_dir):
     )
 
 
+def q_media_wav_decimate(spark, sf_dir):
+    """REAL audio sample-rate reduction: the synthetic WAV fixture's
+    PCM16 samples decimated by 4 (every 4th sample kept — the exactly
+    reproducible half of resampling; the anti-alias filter is a
+    documented extension), re-encoded at rate div 4, decoded AGAIN,
+    and reduced to the shared integer signal statistics. The oracle
+    regenerates every KEPT sample from the closed-form byte pattern
+    at index 4j — a hash-match proves decode, stride, rate math, and
+    re-encode are byte-correct."""
+    from unitdb_spark.functions.multimodal import (
+        decimate_wav,
+        pcm_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(_docs(spark, sf_dir)).filter(
+        F.col("media_type") == "audio"
+    )
+    return pcm_features(decimate_wav(media, 4)).select(
+        F.col("id").alias("doc_id"), "sample_rate", "n_samples", "energy",
+        "zero_crossings", "v_min", "v_max", "rms_r",
+    )
+
+
+def q_streamed_spc(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING Shewhart zone monitor:
+    per-batch (event_type, day) cents-cell partials fold via
+    foreachBatch (cells merge by SUM); the read-time fold re-sums
+    and finishes through the SAME spc_western_rules operator (feeding
+    it the folded cells — re-aggregating pre-aggregated days is the
+    identity, the forecast-cell convention). Oracle = the batch
+    events_spc SQL verbatim — the retrospective μ/σ are NOT
+    mergeable per batch, so the mergeable CELL is the state and the
+    chart stays a read-time projection."""
+    import uuid
+
+    from unitdb_spark.operators.timeseries import spc_western_rules
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    out = f"{base}/spc_{uuid.uuid4().hex[:8]}"
+    cp = f"{base}/spccp_{uuid.uuid4().hex[:8]}"
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+
+    def _fold(df, _eid):
+        if df.isEmpty():
+            return
+        (
+            df.filter(F.col("value").isNotNull())
+            .groupBy(
+                F.col("event_type").alias("key"),
+                F.to_date("ts").alias("d"),
+            )
+            .agg(F.sum(cents).alias("x"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    stream = events_as_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    cells = (
+        spark.read.parquet(out)
+        .groupBy("key", "d")
+        .agg(F.sum("x").alias("x"))
+    )
+    res = spc_western_rules(
+        cells, "key", F.col("d").cast("timestamp"), "x"
+    )
+    return res.select(
+        F.col("key").alias("event_type"),
+        F.unix_date(F.col("d")).cast("long").alias("day_idx"),
+        "x_cents", "r1", "r2", "r3", "r4",
+    )
+
+
 def q_media_tiff_resize(spark, sf_dir):
     """REAL pixel kernel for the ENDIAN-RICH container: every doc
     becomes a valid baseline uncompressed RGB8 TIFF whose byte order
@@ -8661,6 +8745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_hill": q_orders_hill,
         "events_spc": q_events_spc,
         "media_tiff_resize": q_media_tiff_resize,
+        "media_wav_decimate": q_media_wav_decimate,
+        "streamed_spc": q_streamed_spc,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17542,6 +17628,41 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # WAV decimation: kept sample j reads the closed form at 4j;
+    # n_out = ceil(n/4), rate = sr div 4 — the media_wav_pcm oracle
+    # with the stride folded into the index
+    d["media_wav_decimate"] = """
+        WITH w AS (
+          SELECT doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 ELSE 44100 END AS sr,
+            doc_id % 4000 + 100 AS n
+          FROM documents WHERE doc_id % 5 = 3
+        ), s AS (
+          SELECT w.doc_id, w.sr // 4 AS sr, (w.n + 3) // 4 AS n, j.j,
+            CASE WHEN ((24 * j.j) % 256
+                       + 256 * ((24 * j.j + 3) % 256)) >= 32768
+                 THEN ((24 * j.j) % 256
+                       + 256 * ((24 * j.j + 3) % 256)) - 65536
+                 ELSE ((24 * j.j) % 256
+                       + 256 * ((24 * j.j + 3) % 256))
+            END AS v
+          FROM w, UNNEST(generate_series(
+            0, CAST((w.n + 3) // 4 - 1 AS BIGINT))) AS j(j)
+        ), z AS (
+          SELECT doc_id, sr, n, v,
+            lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+          FROM s
+        )
+        SELECT doc_id, CAST(MAX(sr) AS INTEGER) AS sample_rate,
+          CAST(MAX(n) AS BIGINT) AS n_samples,
+          CAST(SUM(v * v) AS BIGINT) AS energy,
+          CAST(COUNT(*) FILTER (pv * v < 0) AS BIGINT) AS zero_crossings,
+          CAST(MIN(v) AS BIGINT) AS v_min,
+          CAST(MAX(v) AS BIGINT) AS v_max,
+          round(sqrt(CAST(SUM(v * v) AS DOUBLE) / MAX(n)), 6) AS rms_r
+        FROM z GROUP BY 1
+        """
     # TIFF resize: regenerate the 8x6 resampled pixels from doc_id
     # (sw = d%22+4, sh = (d//4)%18+4, s = d%239; RGB closed form —
     # the BMP oracle shape with the TIFF fixture's coefficients)
@@ -17635,6 +17756,9 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN sd IS NOT NULL THEN r4 END AS r4
         FROM o
         """
+    # rolling Shewhart twin: (key, day) cents cells merge by SUM;
+    # oracle shared verbatim
+    d["streamed_spc"] = d["events_spc"]
     # Hill tail index: deterministic LIMIT k+1 heap cut, integer
     # micro-logs, one pinned alpha finish (ln(10) literal)
     d["orders_hill"] = """

@@ -552,3 +552,41 @@ class TestTiffKernel:
         (r,) = mixed_pixel_stats(resize_mixed_images(df, 4, 4)).collect()
         assert r["container"] == "tiff"
         assert r["px_sum"] == 4 * 4 * 3 * 9
+
+
+class TestWavDecimate:
+    def test_stride_rate_and_honest_failure(self, spark):
+        from unitdb_spark.functions.media_codec import (
+            build_wav,
+            decode_wav_pcm16,
+        )
+        from unitdb_spark.functions.multimodal import decimate_wav
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(build_wav(8000, 101))),
+                (2, bytearray(b"not audio")),
+            ],
+            "id long, blob binary",
+        )
+        out = {r["id"]: r for r in decimate_wav(df, 4).collect()}
+        rate, s = decode_wav_pcm16(bytes(out[1]["blob"]))
+        r0, s0 = decode_wav_pcm16(build_wav(8000, 101))
+        assert rate == 2000 and len(s) == 26
+        assert (s == s0[::4]).all()
+        assert out[2]["blob"] is None
+
+    def test_factor_one_is_identity_samples(self, spark):
+        from unitdb_spark.functions.media_codec import (
+            build_wav,
+            decode_wav_pcm16,
+        )
+        from unitdb_spark.functions.multimodal import decimate_wav
+
+        df = spark.createDataFrame(
+            [(1, bytearray(build_wav(16000, 50)))], "id long, blob binary"
+        )
+        (r,) = decimate_wav(df, 1).collect()
+        rate, s = decode_wav_pcm16(bytes(r["blob"]))
+        r0, s0 = decode_wav_pcm16(build_wav(16000, 50))
+        assert rate == 16000 and (s == s0).all()

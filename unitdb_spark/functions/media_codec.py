@@ -1732,3 +1732,40 @@ def resize_tiff_nearest(b: bytes, width: int, height: int) -> bytes | None:
     return encode_tiff_rgb(
         arr[ys][:, xs], little_endian=b[:2] == b"II"
     )
+
+
+def encode_wav_pcm16(sample_rate: int, samples) -> bytes:
+    """Canonical mono 16-bit PCM RIFF/WAVE from an int16 sample array
+    — the encode half `decode_wav_pcm16` inverts (build_wav makes the
+    fixed byte-pattern fixture; this one carries REAL samples, so a
+    resampled signal can round-trip through the container)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype="<i2")
+    data = a.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decimate_wav_pcm16(b: bytes, factor: int) -> bytes | None:
+    """REAL sample-rate reduction for mono PCM16 WAV: keep every
+    ``factor``-th sample (integer decimation — the zero-phase,
+    exactly-reproducible half of resampling; an anti-alias filter is
+    a documented extension, not silently faked), re-encode at
+    sample_rate div factor. None for blobs the PCM16 contract doesn't
+    claim or a non-positive/rate-exhausting factor."""
+    if factor < 1:
+        return None
+    dec = decode_wav_pcm16(b)
+    if dec is None:
+        return None
+    rate, samples = dec
+    if rate // factor == 0:
+        return None
+    return encode_wav_pcm16(rate // factor, samples[::factor])

@@ -1296,3 +1296,29 @@ def tiff_pixel_stats(df: DataFrame) -> DataFrame:
     return df.select("id", "blob").mapInPandas(
         _stats, "id long, width int, height int, px_sum long, px_wsum long"
     )
+
+
+def decimate_wav(df: DataFrame, factor: int) -> DataFrame:
+    """REAL audio decimation over a WAV PCM16 column: every
+    ``factor``-th sample kept, rate divided, re-encoded — the audio
+    counterpart of the image resize kernels (output size bounded by
+    input/factor). Unclaimed blobs keep their row with a NULL blob.
+    Arrow-batched mapInPandas, one pass."""
+    from unitdb_spark.functions.media_codec import decimate_wav_pcm16
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                decimate_wav_pcm16(bytes(b), factor)
+                if b is not None
+                else None
+                for b in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "blob": pd.Series(out, dtype=object),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(_dec, "id long, blob binary")
