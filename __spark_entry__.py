@@ -3915,6 +3915,72 @@ def q_media_jpeg_resize(spark, sf_dir):
     )
 
 
+def q_events_funnel_wilson(spark, sf_dir):
+    """Step-conversion rates of the signup→click→purchase funnel WITH
+    Wilson 95% score intervals — the uncertainty-aware reading of
+    events_funnel (a 3%-conversion step over 40 users and over 40k
+    users are different facts): exact floor-ppm point rate; the two
+    bounds are ONE shared SQL expression string (wilson_bound_sql)
+    executed verbatim by both engines over exact integers. No window
+    — the three stage counts cross-join into one row and the two
+    steps explode from literals."""
+    from unitdb_spark.operators.evaluation import wilson_bound_sql
+
+    ev = _events(spark, sf_dir)
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    m = (
+        s1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    steps = m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(2).cast("long").alias("stage_n"),
+                    F.lit("click").alias("stage"),
+                    F.col("n1").cast("long").alias("n_prev"),
+                    F.col("n2").cast("long").alias("n_conv"),
+                ),
+                F.struct(
+                    F.lit(3).cast("long").alias("stage_n"),
+                    F.lit("purchase").alias("stage"),
+                    F.col("n2").cast("long").alias("n_prev"),
+                    F.col("n3").cast("long").alias("n_conv"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    ok = F.col("n_prev") > 0
+    return steps.select(
+        "stage_n", "stage", "n_prev", "n_conv",
+        F.when(ok, F.expr("(n_conv * 1000000L) div n_prev"))
+        .cast("long").alias("rate_ppm"),
+        F.when(ok, F.expr(wilson_bound_sql("n_conv", "n_prev", "-")))
+        .alias("wilson_lo_r"),
+        F.when(ok, F.expr(wilson_bound_sql("n_conv", "n_prev", "+")))
+        .alias("wilson_hi_r"),
+    )
+
+
 def q_media_wav_decimate(spark, sf_dir):
     """REAL audio sample-rate reduction: the synthetic WAV fixture's
     PCM16 samples decimated by 4 (every 4th sample kept — the exactly
@@ -8747,6 +8813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_tiff_resize": q_media_tiff_resize,
         "media_wav_decimate": q_media_wav_decimate,
         "streamed_spc": q_streamed_spc,
+        "events_funnel_wilson": q_events_funnel_wilson,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17628,6 +17695,49 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # funnel + Wilson: the bound expressions are the SAME text Spark
+    # executes (wilson_bound_sql) over the same exact integers
+    from unitdb_spark.operators.evaluation import wilson_bound_sql
+
+    d["events_funnel_wilson"] = f"""
+        WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY e.user_id
+        ), m AS (
+          SELECT (SELECT count(*) FROM s1) AS n1,
+                 (SELECT count(*) FROM s2) AS n2,
+                 (SELECT count(*) FROM s3) AS n3
+        ), steps AS (
+          SELECT CAST(2 AS BIGINT) AS stage_n, 'click' AS stage,
+            CAST(n1 AS BIGINT) AS n_prev, CAST(n2 AS BIGINT) AS n_conv
+          FROM m
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), 'purchase',
+            CAST(n2 AS BIGINT), CAST(n3 AS BIGINT)
+          FROM m
+        )
+        SELECT stage_n, stage, n_prev, n_conv,
+          CASE WHEN n_prev > 0 THEN
+            CAST((n_conv * 1000000) // n_prev AS BIGINT)
+          END AS rate_ppm,
+          CASE WHEN n_prev > 0 THEN
+            {wilson_bound_sql("n_conv", "n_prev", "-")}
+          END AS wilson_lo_r,
+          CASE WHEN n_prev > 0 THEN
+            {wilson_bound_sql("n_conv", "n_prev", "+")}
+          END AS wilson_hi_r
+        FROM steps
+        """
     # WAV decimation: kept sample j reads the closed form at 4j;
     # n_out = ceil(n/4), rate = sr div 4 — the media_wav_pcm oracle
     # with the stride folded into the index

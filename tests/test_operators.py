@@ -10679,3 +10679,33 @@ class TestSpcWestern:
             and r.r4 is None
             for r in out
         )
+
+
+class TestWilsonBound:
+    def test_known_interval(self, spark):
+        # Wilson 95% for k=8, n=10: classic textbook check
+        from unitdb_spark.operators.evaluation import wilson_bound_sql
+
+        df = spark.createDataFrame([(8, 10)], "k long, n long")
+        (r,) = df.select(
+            F.expr(wilson_bound_sql("k", "n", "-")).alias("lo"),
+            F.expr(wilson_bound_sql("k", "n", "+")).alias("hi"),
+        ).collect()
+        # scipy reference (proportion_confint wilson): (0.4902, 0.9433)
+        assert abs(r.lo - 0.490199) < 1e-4
+        assert abs(r.hi - 0.943358) < 1e-4
+        assert r.lo < 0.8 < r.hi
+
+    def test_bounds_bracket_and_order(self, spark):
+        from unitdb_spark.operators.evaluation import wilson_bound_sql
+
+        rows = [(k, 20) for k in range(0, 21)]
+        df = spark.createDataFrame(rows, "k long, n long")
+        out = df.select(
+            "k",
+            F.expr(wilson_bound_sql("k", "n", "-")).alias("lo"),
+            F.expr(wilson_bound_sql("k", "n", "+")).alias("hi"),
+        ).collect()
+        for r in out:
+            p = r.k / 20
+            assert 0.0 <= r.lo <= p <= r.hi <= 1.0

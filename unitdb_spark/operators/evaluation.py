@@ -1783,3 +1783,24 @@ def isotonic_calibration(
         F.expr("(pos * 1000000L) div n").alias("rate_ppm"),
         F.col("iso_ppm").cast("long").alias("iso_ppm"),
     )
+
+
+def wilson_bound_sql(k: str, n: str, sign: str, z: float = 1.959964) -> str:
+    """Wilson score-interval bound as ONE SQL expression STRING,
+    shared verbatim by Spark (F.expr) and the DuckDB oracle — the
+    strongest cross-engine parity: both engines execute the same
+    text over the same exact integers, and z / z² are 6-dp-derived
+    literals (the evaluation._Z design point), so the single pinned
+    round-6 float chain cannot diverge. ``sign`` is '-' for the lower
+    bound, '+' for the upper; the caller guards n > 0."""
+    if sign not in ("-", "+"):
+        raise ValueError("sign must be '-' or '+'")
+    Z = repr(z)
+    Z2 = repr(z * z)
+    kd = f"CAST({k} AS DOUBLE)"
+    nd = f"CAST({n} AS DOUBLE)"
+    return (
+        f"round(({kd}/{nd} + {Z2}/(2.0*{nd}) {sign} {Z} * "
+        f"sqrt({kd}/{nd}*(1.0 - {kd}/{nd})/{nd} + "
+        f"{Z2}/(4.0*{nd}*{nd}))) / (1.0 + {Z2}/{nd}), 6)"
+    )
