@@ -3915,6 +3915,37 @@ def q_media_jpeg_resize(spark, sf_dir):
     )
 
 
+def q_ann_probe_curve(spark, sf_dir):
+    """Recall-vs-probe-budget CURVE for the IVF index (n_probe = 1,
+    2, 4, 8 over the 8-cell coarse quantizer) — the tuning TABLE the
+    single-point ann_ivf_recall is one row of: where the curve
+    flattens is the budget worth paying. Exact top-10 computed per
+    branch (5 broadcast queries — control-plane); each budget's
+    recall summarized to one exact-integer row."""
+    from unitdb_spark.operators.evaluation import topk_recall
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = None
+    for p in (1, 2, 4, 8):
+        exact = cosine_topk(emb, queries, k=10)
+        approx = ivf_topk(emb, queries, k=10, n_cells=8, n_probe=p)
+        row = topk_recall(exact, approx).agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum("n_exact").cast("long").alias("sum_exact"),
+            F.sum("n_hit").cast("long").alias("sum_hit"),
+        ).select(
+            F.lit(p).cast("long").alias("n_probe"),
+            "n_queries", "sum_exact", "sum_hit",
+            F.expr("(sum_hit * 1000000L) div sum_exact")
+            .cast("long").alias("recall_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def q_events_funnel_wilson(spark, sf_dir):
     """Step-conversion rates of the signup→click→purchase funnel WITH
     Wilson 95% score intervals — the uncertainty-aware reading of
@@ -8814,6 +8845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_decimate": q_media_wav_decimate,
         "streamed_spc": q_streamed_spc,
         "events_funnel_wilson": q_events_funnel_wilson,
+        "ann_probe_curve": q_ann_probe_curve,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17695,6 +17727,30 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # IVF probe curve: the ivf oracle parameterized by probe budget
+    # (string-substituted pr cutoff), one exact-integer summary row
+    # per budget
+    _pc_parts = []
+    for _p in (1, 2, 4, 8):
+        _ap = d["ann_ivf_topk"].replace("pr <= 2", f"pr <= {_p}")
+        _pc_parts.append(
+            f"SELECT CAST({_p} AS BIGINT) AS n_probe, n_queries, "
+            "sum_exact, sum_hit, "
+            "CAST((sum_hit * 1000000) // sum_exact AS BIGINT) "
+            "AS recall_ppm FROM ("
+            "SELECT "
+            "(SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM ex) "
+            "AS n_queries, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM ex) AS sum_exact, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM ex JOIN (" + _ap +
+            ") ap ON ex.query_id = ap.query_id "
+            "AND ex.vec_id = ap.vec_id) AS sum_hit"
+            ") t"
+        )
+    d["ann_probe_curve"] = (
+        "WITH ex AS (" + d["ann_cosine_topk"] + ")\n"
+        + "\nUNION ALL ".join(_pc_parts)
+    )
     # funnel + Wilson: the bound expressions are the SAME text Spark
     # executes (wilson_bound_sql) over the same exact integers
     from unitdb_spark.operators.evaluation import wilson_bound_sql

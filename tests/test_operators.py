@@ -10709,3 +10709,20 @@ class TestWilsonBound:
         for r in out:
             p = r.k / 20
             assert 0.0 <= r.lo <= p <= r.hi <= 1.0
+
+
+class TestAnnProbeCurve:
+    def test_monotone_and_full_probe_is_exact(self, spark):
+        import __spark_entry__ as e
+
+        rows = e.queries()["ann_probe_curve"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        rows.sort(key=lambda r: r.n_probe)
+        assert [r.n_probe for r in rows] == [1, 2, 4, 8]
+        recalls = [r.recall_ppm for r in rows]
+        # more probes can only add candidates: recall is monotone,
+        # and probing ALL 8 cells recovers the exact top-10
+        assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+        assert recalls[-1] == 1_000_000
+        assert all(r.n_queries == rows[0].n_queries for r in rows)
