@@ -3915,6 +3915,36 @@ def q_media_jpeg_resize(spark, sf_dir):
     )
 
 
+def q_doc_pii_phone(spark, sf_dir):
+    """Phone-number PII with NANP VERIFICATION (the numbering-plan
+    check standing in for doc_pii_ccn's Luhn — the step separating
+    phone scrubbing from blind digit redaction): deterministic
+    spellings planted per doc_id % 4 — a parenthesized valid number,
+    a plan-INVALID 015-area decoy that must survive, a +1-dotted
+    valid number, and nothing — then the JVM-side regex + validity
+    filter counts and fold-replace scrubs. Entirely codegen (no UDF);
+    the oracle replays regex, plan check, and scrub (md5-verified)."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.element_at(
+            F.array(
+                F.lit(" call (415) 555-2671 now"),
+                F.lit(" call (015) 555-2671 now"),
+                F.lit(" call +1 212.555.0188 now"),
+                F.lit(" no phone here"),
+            ),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
+    )
+    w = d.select("doc_id", planted.alias("text"))
+    return w.select(
+        "doc_id",
+        TXT.pii_phone_count("text").alias("n_phones"),
+        F.md5(TXT.scrub_phone("text")).alias("scrubbed_md5"),
+    )
+
+
 def q_ann_probe_curve(spark, sf_dir):
     """Recall-vs-probe-budget CURVE for the IVF index (n_probe = 1,
     2, 4, 8 over the 8-cell coarse quantizer) — the tuning TABLE the
@@ -8846,6 +8876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_spc": q_streamed_spc,
         "events_funnel_wilson": q_events_funnel_wilson,
         "ann_probe_curve": q_ann_probe_curve,
+        "doc_pii_phone": q_doc_pii_phone,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17727,6 +17758,37 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # phone PII: same planted strings, PHONE_RE verbatim, the NANP
+    # plan check in DuckDB list-lambda form, list_prepend fold scrub
+    _ph_strip = (
+        "replace(replace(replace(replace(replace(replace("
+        "c, '+', ''), ' ', ''), '-', ''), '.', ''), '(', ''), ')', '')"
+    )
+    _ph_valid = (
+        f"list_filter(regexp_extract_all(txt, '{TXT.PHONE_RE}', 0), "
+        f"c -> ((length({_ph_strip}) = 10"
+        f" AND substr({_ph_strip}, 1, 1) BETWEEN '2' AND '9'"
+        f" AND substr({_ph_strip}, 4, 1) BETWEEN '2' AND '9')"
+        f" OR (length({_ph_strip}) = 11"
+        f" AND substr({_ph_strip}, 1, 1) = '1'"
+        f" AND substr({_ph_strip}, 2, 1) BETWEEN '2' AND '9'"
+        f" AND substr({_ph_strip}, 5, 1) BETWEEN '2' AND '9')))"
+    )
+    d["doc_pii_phone"] = f"""
+        WITH t AS (
+          SELECT doc_id, text || CASE doc_id % 4
+            WHEN 0 THEN ' call (415) 555-2671 now'
+            WHEN 1 THEN ' call (015) 555-2671 now'
+            WHEN 2 THEN ' call +1 212.555.0188 now'
+            ELSE ' no phone here' END AS txt
+          FROM documents
+        )
+        SELECT doc_id,
+          CAST(len({_ph_valid}) AS INTEGER) AS n_phones,
+          md5(list_reduce(list_prepend(txt, {_ph_valid}),
+              (acc, c) -> replace(acc, c, '[PHONE]'))) AS scrubbed_md5
+        FROM t
+        """
     # IVF probe curve: the ivf oracle parameterized by probe budget
     # (string-substituted pr cutoff), one exact-integer summary row
     # per budget

@@ -123,3 +123,32 @@ class TestRleRunDensity:
         a = sorted(map(tuple, rle_run_density(df).collect()))
         b = sorted(map(tuple, rle_run_density(df.repartition(7)).collect()))
         assert a == b
+
+
+class TestPhonePii:
+    def test_nanp_verification_and_scrub(self, spark):
+        from unitdb_spark.functions.text import pii_phone_count, scrub_phone
+
+        rows = [
+            (1, "call (415) 555-2671 now"),       # valid
+            (2, "call (015) 555-2671 now"),       # bad area code
+            (3, "ring +1 212.555.0188 today"),    # valid, +1 dotted
+            (4, "order 123 456-7890 is (155) 555-0000"),  # bad x2
+            (5, "two: (415) 555-2671 and 646-555-0111 ok"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = {
+            r.id: r
+            for r in df.select(
+                "id",
+                pii_phone_count("text").alias("n"),
+                scrub_phone("text").alias("s"),
+            ).collect()
+        }
+        assert out[1].n == 1 and "[PHONE]" in out[1].s
+        assert out[2].n == 0 and out[2].s == rows[1][1]
+        assert out[3].n == 1 and "+1 212.555.0188" not in out[3].s
+        # 123...: area 1xx invalid as 10-digit; (155): exchange fine
+        # but area 1xx invalid -> both survive
+        assert out[4].n == 0 and out[4].s == rows[3][1]
+        assert out[5].n == 2 and out[5].s.count("[PHONE]") == 2

@@ -884,3 +884,65 @@ def rle_run_density(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.expr("(n_runs * 1000000L) div n_chars"),
         ).cast("long"),
     )
+
+
+#: NANP phone candidate: optional +1 prefix, 3-3-4 digit groups with
+#: (), dash, dot or space separators. Java-regex + RE2 compatible (no
+#: lookarounds). Shared verbatim with the DuckDB oracle.
+PHONE_RE = r"(\+1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"
+
+_PHONE_STRIP = (
+    "replace(replace(replace(replace(replace(replace("
+    "c, '+', ''), ' ', ''), '-', ''), '.', ''), '(', ''), ')', '')"
+)
+
+
+def _nanp_sql(dd: str) -> str:
+    """SQL fragment: NANP validity of the digits-only string ``dd`` —
+    the verification step separating phone scrubbing from blind
+    digit redaction (area code and exchange must start 2-9; an
+    optional leading country code 1). Identical text evaluates in
+    Spark and DuckDB."""
+    return (
+        f"((length({dd}) = 10 AND substr({dd}, 1, 1) BETWEEN '2' AND '9'"
+        f" AND substr({dd}, 4, 1) BETWEEN '2' AND '9')"
+        f" OR (length({dd}) = 11 AND substr({dd}, 1, 1) = '1'"
+        f" AND substr({dd}, 2, 1) BETWEEN '2' AND '9'"
+        f" AND substr({dd}, 5, 1) BETWEEN '2' AND '9'))"
+    )
+
+
+def phone_candidates(col: Column | str) -> Column:
+    """NANP-VERIFIED phone matches (original spelling, with
+    separators): regex candidates filtered by the numbering-plan
+    check, so digit runs with impossible area/exchange codes (order
+    ids, timestamps, the planted 015 decoy) survive untouched —
+    the `ccn_candidates` contract with the plan check standing in
+    for Luhn. Entirely JVM-side codegen, no UDF."""
+    name = col if isinstance(col, str) else None
+    if name is None:
+        raise ValueError("phone_candidates: pass a column NAME")
+    return F.expr(
+        f"filter(regexp_extract_all({name}, "
+        f"'{PHONE_RE.replace(chr(92), chr(92) * 2)}', 0), "
+        f"c -> {_nanp_sql(_PHONE_STRIP)})"
+    )
+
+
+def pii_phone_count(col: Column | str) -> Column:
+    """Count of NANP-valid phone numbers in the text."""
+    return F.size(phone_candidates(col))
+
+
+def scrub_phone(col: Column | str) -> Column:
+    """Replace each NANP-valid phone match (its exact original
+    spelling) with ``[PHONE]`` — the same left-fold replace as
+    `scrub_ccn`, so unverified digit runs survive."""
+    name = col if isinstance(col, str) else None
+    if name is None:
+        raise ValueError("scrub_phone: pass a column NAME")
+    return F.aggregate(
+        phone_candidates(col),
+        F.col(name),
+        lambda acc, c: F.replace(acc, c, F.lit("[PHONE]")),
+    )
