@@ -3915,6 +3915,44 @@ def q_media_jpeg_resize(spark, sf_dir):
     )
 
 
+def q_events_active_time(spark, sf_dir):
+    """Per-user ACTIVE time: each event opens a 5-minute activity
+    interval; overlapping/adjacent intervals merge (the classic
+    interval-union), and the user's engagement is the summed length
+    of the merged islands — the time-based companion of
+    events_sessionize's count-based sessions. Island detection is
+    one user-partitioned lag + cumulative-sum window chain on exact
+    epoch micros; no float anywhere."""
+    ev = _events(spark, sf_dir)
+    pad = 300 * 1_000_000  # 5 min in micros
+    base = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+    ).withColumn("e", F.col("s") + F.lit(pad))
+    w = W.partitionBy("user_id").orderBy("s")
+    marked = base.select(
+        "user_id", "s", "e",
+        F.when(
+            F.col("s")
+            > F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            1,
+        ).otherwise(0).alias("_new"),
+    )
+    islands = marked.select(
+        "user_id", "s", "e",
+        F.sum("_new").over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("_isl"),
+    )
+    per_island = islands.groupBy("user_id", "_isl").agg(
+        F.min("s").alias("_a"), F.max("e").alias("_b")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("_b") - F.col("_a")).cast("long").alias("active_us"),
+    )
+
+
 def q_doc_pii_phone(spark, sf_dir):
     """Phone-number PII with NANP VERIFICATION (the numbering-plan
     check standing in for doc_pii_ccn's Luhn — the step separating
@@ -8877,6 +8915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_wilson": q_events_funnel_wilson,
         "ann_probe_curve": q_ann_probe_curve,
         "doc_pii_phone": q_doc_pii_phone,
+        "events_active_time": q_events_active_time,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17758,6 +17797,34 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # interval-union active time: same lag-max island chain on exact
+    # epoch micros (first row's NULL prefix-max folds to ELSE 0 in
+    # both engines)
+    d["events_active_time"] = """
+        WITH be AS (
+          SELECT user_id,
+            CAST(floor(epoch(ts) * 1000000) AS BIGINT) AS s,
+            CAST(floor(epoch(ts) * 1000000) AS BIGINT) + 300000000 AS e
+          FROM events
+        ), m AS (
+          SELECT user_id, s, e,
+            CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            THEN 1 ELSE 0 END AS nw
+          FROM be
+        ), isl AS (
+          SELECT user_id, s, e,
+            sum(nw) OVER (PARTITION BY user_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+          FROM m
+        ), pi AS (
+          SELECT user_id, k, min(s) AS a, max(e) AS b
+          FROM isl GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+          CAST(sum(b - a) AS BIGINT) AS active_us
+        FROM pi GROUP BY 1
+        """
     # phone PII: same planted strings, PHONE_RE verbatim, the NANP
     # plan check in DuckDB list-lambda form, list_prepend fold scrub
     _ph_strip = (

@@ -10726,3 +10726,36 @@ class TestAnnProbeCurve:
         assert all(a <= b for a, b in zip(recalls, recalls[1:]))
         assert recalls[-1] == 1_000_000
         assert all(r.n_queries == rows[0].n_queries for r in rows)
+
+
+class TestActiveTime:
+    def test_hand_interval_union(self, spark):
+        import __spark_entry__ as e
+        from pyspark.sql import functions as F
+
+        # user u: events at t=0s, 100s (overlap -> one island of
+        # 0..400s), then 1000s (second island 1000..1300)
+        # user v: single event -> one 300s island
+        rows = [
+            ("u", 0), ("u", 100), ("u", 1000), ("v", 50),
+        ]
+        df = spark.createDataFrame(rows, "user_id string, t long").select(
+            "user_id", F.timestamp_seconds(F.col("t")).alias("ts")
+        )
+        import unitdb_spark  # noqa: F401
+        # drive the query's logic through a local copy of the pipeline
+        out = {}
+        q = e.q_events_active_time
+        import types
+        # call with a stub sf_dir by monkeypatching _events
+        orig = e._events
+        e._events = lambda spark, sf: df
+        try:
+            res = q(spark, "unused").collect()
+        finally:
+            e._events = orig
+        out = {r.user_id: r for r in res}
+        assert out["u"].n_islands == 2
+        assert out["u"].active_us == (400 - 0 + 1300 - 1000) * 1_000_000
+        assert out["v"].n_islands == 1
+        assert out["v"].active_us == 300 * 1_000_000
