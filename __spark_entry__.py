@@ -3915,6 +3915,33 @@ def q_media_jpeg_resize(spark, sf_dir):
     )
 
 
+def q_orders_monthly_profile(spark, sf_dir):
+    """Month-of-year revenue seasonality over the multi-year orders
+    table (the calendar the 1-month events table cannot show): per
+    (year, month) revenue cents and the within-year seasonal index
+    index_ppm = floor(month·12·1e6 / year_total) — flat seasonality
+    reads 1e6. Exact integers; the per-year total is a window over
+    the (year, month) cell relation (years×12 rows)."""
+    o = _read(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    cells = o.groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+    ).agg(F.sum(cents).alias("rev_cents"))
+    wy = W.partitionBy("o_year")
+    return cells.select(
+        F.col("o_year").cast("int").alias("o_year"),
+        F.col("o_month").cast("int").alias("o_month"),
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.expr(
+            "CAST((CAST(rev_cents AS DECIMAL(38,0)) * 12 * 1000000)"
+            " div SUM(rev_cents) OVER (PARTITION BY o_year) AS BIGINT)"
+        ).alias("index_ppm"),
+    )
+
+
 def q_events_active_time(spark, sf_dir):
     """Per-user ACTIVE time: each event opens a 5-minute activity
     interval; overlapping/adjacent intervals merge (the classic
@@ -8916,6 +8943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_probe_curve": q_ann_probe_curve,
         "doc_pii_phone": q_doc_pii_phone,
         "events_active_time": q_events_active_time,
+        "orders_monthly_profile": q_orders_monthly_profile,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17797,6 +17825,22 @@ def oracle_sql() -> dict[str, str]:
         """
     )
     # ---- round 8 ----
+    # month-of-year seasonality: exact cents cells + the per-year
+    # window over the years x 12 relation
+    d["orders_monthly_profile"] = """
+        WITH cells AS (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+            CAST(month(o_orderdate) AS INTEGER) AS o_month,
+            sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS rev_cents
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT o_year, o_month, CAST(rev_cents AS BIGINT) AS rev_cents,
+          CAST((CAST(rev_cents AS HUGEINT) * 12 * 1000000)
+               // sum(rev_cents) OVER (PARTITION BY o_year)
+               AS BIGINT) AS index_ppm
+        FROM cells
+        """
     # interval-union active time: same lag-max island chain on exact
     # epoch micros (first row's NULL prefix-max folds to ELSE 0 in
     # both engines)
