@@ -1044,3 +1044,90 @@ class TestKendallProperty:
             assert abs(a.tau_r + b.tau_r) < 1e-9
         else:
             assert b.tau_r is None
+
+
+class TestRankThresholdDecilesProperty:
+    """The mergeable decile contract vs a pure-Python ntile model:
+    on TIE-FREE data the ranked path must equal ntile exactly for any
+    (N, n_bins); with ties, every tie group must land whole in the
+    bin of its last row under the exact thresholds."""
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=60),
+        nb=st.sampled_from([2, 3, 5, 10]),
+        seed=st.integers(min_value=0, max_value=10**6),
+    )
+    def test_tie_free_equals_python_ntile(self, spark, n, nb, seed):
+        from unitdb_spark.operators.evaluation import cumulative_gains_ranked
+
+        # distinct scores via an affine map; labels pseudo-random
+        rows = [
+            (i, 10_000 - 17 * i, (i * 7 + seed) % 3 == 0)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id int, sm long, y boolean")
+        out = {
+            r.bin: r
+            for r in cumulative_gains_ranked(df, "sm", "y", n_bins=nb)
+            .collect()
+        }
+        # python ntile model: first (n % nb) bins get ceil(n/nb) rows
+        ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+        q, rem = divmod(n, nb)
+        sizes = [q + 1 if b < rem else q for b in range(nb)]
+        pos = 0
+        cum_n = cum_pos = 0
+        total_pos = sum(1 for r in rows if r[2])
+        for b in range(1, nb + 1):
+            chunk = ordered[pos: pos + sizes[b - 1]]
+            pos += sizes[b - 1]
+            cum_n += len(chunk)
+            cum_pos += sum(1 for r in chunk if r[2])
+            assert out[b].n == len(chunk)
+            assert out[b].cum_n == cum_n and out[b].cum_pos == cum_pos
+            if total_pos > 0:
+                assert out[b].gain_ppm == (cum_pos * 1_000_000) // total_pos
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=50),
+        nb=st.sampled_from([3, 5, 10]),
+        card=st.integers(min_value=1, max_value=6),
+        seed=st.integers(min_value=0, max_value=10**6),
+    )
+    def test_ties_land_whole_at_last_row_threshold(
+        self, spark, n, nb, card, seed
+    ):
+        from unitdb_spark.operators.evaluation import cumulative_gains_ranked
+
+        rows = [
+            (i, (i * 13 + seed) % card, (i + seed) % 2 == 0)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id int, sm long, y boolean")
+        out = {
+            r.bin: r
+            for r in cumulative_gains_ranked(df, "sm", "y", n_bins=nb)
+            .collect()
+        }
+        # python model: group by score desc, assign whole group to the
+        # bin of its last row under T_b = b*q + min(b, r)
+        from collections import Counter
+
+        counts = Counter(r[1] for r in rows)
+        pos_by_s = Counter(r[1] for r in rows if r[2])
+        q, rem = divmod(n, nb)
+        thresholds = [b * q + min(b, rem) for b in range(1, nb + 1)]
+        want_n = {b: 0 for b in range(1, nb + 1)}
+        want_pos = {b: 0 for b in range(1, nb + 1)}
+        cum = 0
+        for s in sorted(counts, reverse=True):
+            cum += counts[s]
+            b = next(i + 1 for i, t in enumerate(thresholds) if t >= cum)
+            want_n[b] += counts[s]
+            want_pos[b] += pos_by_s.get(s, 0)
+        assert len(out) == nb
+        for b in range(1, nb + 1):
+            assert out[b].n == want_n[b]
+            assert out[b].n_pos == want_pos[b]
