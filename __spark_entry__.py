@@ -8775,6 +8775,21 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_events_dunn_bh(spark, sf_dir):
+    """Benjamini-Hochberg FDR step-up over the Dunn pairs — the
+    false-discovery-rate sibling of `events_dunn_holm` (Holm controls
+    family-wise error; BH controls the expected proportion of false
+    discoveries at q=0.05, the wide-screen convention). Thresholds
+    are a literal Acklam-minted z table keyed on (rank, m) injected
+    identically into both engines; rejection is the cumulative OR
+    *up* the |z| ranking (the classic max{i : p_(i) <= i*q/m} cut).
+    BH rejections are a superset of Holm's at the same level."""
+    from unitdb_spark.operators.stats_tests import dunn_bh
+
+    ev = _events(spark, sf_dir)
+    return dunn_bh(ev, "value", F.col("event_type"), q=0.05)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declaration order is deliberate: the driver's correctness harness
     checks the FIRST 50 entries (observed in r01–r04 — exactly the
@@ -8944,6 +8959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_phone": q_doc_pii_phone,
         "events_active_time": q_events_active_time,
         "orders_monthly_profile": q_orders_monthly_profile,
+        "events_dunn_bh": q_events_dunn_bh,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -18276,6 +18292,36 @@ def oracle_sql() -> dict[str, str]:
           CAST(rank AS BIGINT) AS rank, thr_r,
           (min(rej) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED
                           PRECEDING AND CURRENT ROW) = 1) AS reject
+        FROM rr
+        """
+    )
+    # BH step-up over the same Dunn pairs: the literal (rank, m)-keyed
+    # z-table CASE is injected into both engines via bh_threshold_case;
+    # rejection is the cumulative OR *up* the |z| ranking
+    from unitdb_spark.operators.stats_tests import bh_threshold_case
+
+    d["events_dunn_bh"] = (
+        "WITH dp AS (" + d["events_dunn"] + """
+        ), mm AS (SELECT count(*) AS m FROM dp),
+        rk AS (
+          SELECT dp.*, mm.m,
+            row_number() OVER (ORDER BY abs(z_r) DESC NULLS LAST,
+                               group_a, group_b) AS rank
+          FROM dp, mm
+        ), tt AS (
+          SELECT *, """
+        + bh_threshold_case("rank", "m")
+        + """ AS thr_r
+          FROM rk
+        ), rr AS (
+          SELECT *, CASE WHEN z_r IS NOT NULL AND thr_r IS NOT NULL
+                         AND abs(z_r) >= thr_r THEN 1 ELSE 0 END AS rej
+          FROM tt
+        )
+        SELECT group_a, group_b, n_a, n_b, z_r,
+          CAST(rank AS BIGINT) AS rank, thr_r,
+          (max(rej) OVER (ORDER BY rank ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) = 1) AS reject
         FROM rr
         """
     )

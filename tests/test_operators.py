@@ -10523,6 +10523,57 @@ class TestDunnHolm:
         }
 
 
+class TestDunnBH:
+    def test_stepup_invariants_and_holm_superset(self, spark):
+        from unitdb_spark.operators.stats_tests import dunn_bh, dunn_holm
+
+        # three separated groups + one overlapping with "a": mixed
+        # reject/accept so the step-up cut is exercised
+        rows = (
+            [(float(i), "a") for i in range(1, 21)]
+            + [(float(100 + i), "b") for i in range(1, 21)]
+            + [(float(200 + i), "c") for i in range(1, 21)]
+            + [(float(i) + 0.5, "d") for i in range(1, 21)]
+        )
+        df = spark.createDataFrame(rows, "x double, g string")
+        out = dunn_bh(df, "x", F.col("g")).collect()
+        out.sort(key=lambda r: r.rank)
+        assert [r.rank for r in out] == list(range(1, 7))
+        # BH bars RISE down the ranking (thr(i,m) grows as i*q/m grows
+        # means the tail prob shrinks -> z threshold FALLS): thr is
+        # non-increasing in rank
+        thrs = [r.thr_r for r in out]
+        assert all(a >= b for a, b in zip(thrs, thrs[1:]))
+        # step-up: rejection is a prefix of the ranking
+        rejs = [r.reject for r in out]
+        assert all(a or not b for a, b in zip(rejs, rejs[1:]))
+        # the last rejected rank clears its own bar (the cut's anchor)
+        last = max((r.rank for r in out if r.reject), default=0)
+        if last:
+            anchor = next(r for r in out if r.rank == last)
+            assert abs(anchor.z_r) >= anchor.thr_r
+        # fully separated extreme pair must reject
+        assert out[0].reject
+        # BH rejections are a superset of Holm's at the same level
+        holm = {
+            (r.group_a, r.group_b)
+            for r in dunn_holm(df, "x", F.col("g")).collect()
+            if r.reject
+        }
+        bh = {(r.group_a, r.group_b) for r in out if r.reject}
+        assert holm <= bh
+
+    def test_bh_table_matches_direct_ppf(self):
+        from unitdb_spark.operators.stats_tests import norm_ppf
+
+        # spot design points of the injected (rank, m) table
+        assert round(norm_ppf(1 - 1 * 0.05 / (2 * 1)), 6) == 1.959964
+        assert round(norm_ppf(1 - 3 * 0.05 / (2 * 3)), 6) == 1.959964
+        # rank m always tests at the uncorrected two-sided bar
+        for m in (2, 6, 45):
+            assert round(norm_ppf(1 - m * 0.05 / (2 * m)), 6) == 1.959964
+
+
 class TestKmGreenwood:
     def test_hand_model_with_exhaustion(self, spark):
         import math

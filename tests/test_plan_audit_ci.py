@@ -66,6 +66,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "doc_isotonic": "prefix window over the <= 1001-row permille-bin relation (the doc_auc bounded class); the minimax lattice windows are key-partitioned over the bounded pair relation",
     "events_cox": "risk-set x/x2 descending cumulative windows over the per-day event-time relation (the events_survival class)",
     "events_dunn_holm": "rides the dunn midrank window (distinct-value relation) + rank/step windows over the k2-pair relation (control-plane)",
+    "events_dunn_bh": "rides the dunn midrank window (distinct-value relation) + rank/step windows over the k2-pair relation (control-plane)",
     "events_km_ci": "at-risk descending cumulative window over the per-day event-time relation (the events_survival class)",
     "events_qq_normal": "cumulative window over the DISTINCT-value relation (the MWU class); point selection joins the 19-row literal grid",
 }

@@ -2608,6 +2608,88 @@ def dunn_holm(
     )
 
 
+def bh_threshold_case(rank_col: str, m_col: str, q: float = 0.05,
+                      max_m: int = 45) -> str:
+    """The Benjamini-Hochberg step-up z-threshold lookup as ONE
+    literal CASE (the `holm_threshold_case` idiom — SQL shared
+    verbatim by Spark and DuckDB, neither engine evaluates an inverse
+    normal). BH's bar depends on BOTH the rank and the family size:
+    p_(i) <= i*q/m  <=>  |z_(i)| >= Phi^-1(1 - i*q/(2m)), so the
+    table is keyed on the composite code rank*100 + m for every
+    1 <= rank <= m <= max_m (m(m+1)/2 literals, 6-dp), NULL beyond
+    (documented: more than max_m simultaneous hypotheses is outside
+    the injected table)."""
+    whens = " ".join(
+        f"WHEN {i * 100 + m} THEN "
+        f"{round(norm_ppf(1 - i * q / (2 * m)), 6)!r}"
+        for m in range(1, max_m + 1)
+        for i in range(1, m + 1)
+    )
+    return (
+        f"CAST(CASE ({rank_col}) * 100 + ({m_col}) {whens} END AS DOUBLE)"
+    )
+
+
+def dunn_bh(
+    df: DataFrame, value_col: str, group_col, q: float = 0.05
+) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up decisions over Dunn's post-hoc
+    pairs — the false-discovery-rate sibling of `dunn_holm`: where
+    Holm controls the family-wise error (any false rejection), BH
+    controls the EXPECTED PROPORTION of false rejections at ``q``,
+    which is the convention for wide screens (many pairs, exploratory
+    cut). BH is uniformly at least as powerful as Holm at the same
+    level: every Holm rejection is a BH rejection (pinned by test).
+
+    Pairs rank by |z| descending (ties broken (group_a, group_b)) —
+    equivalently p ascending; the i-th ranked pair tests against
+    thr(i, m) = Phi^-1(1 - i*q/(2m)) from the injected literal table
+    (`bh_threshold_case` — both engines compare the SAME 6-dp
+    literals against the same pinned round-6 z's, so the decision is
+    exact), and step-UP rejection is the cumulative OR *up* the
+    ranking: rank i rejects iff ANY rank j >= i clears its own bar
+    (the classic max{i : p_(i) <= i*q/m} cut). NULL-z untestable
+    pairs sit at the bottom, never clear a bar, and count in m.
+
+    Output: (group_a, group_b, n_a, n_b, z_r, rank, thr_r, reject) —
+    the `dunn_holm` shape, so the two corrections diff row-for-row.
+
+    Scale: the dunn machinery + three windows over the k²-pair
+    relation — control-plane rows however large the corpus.
+    """
+    pairs = dunn_posthoc(df, value_col, group_col)
+    wall = Window.partitionBy()
+    wrank = Window.orderBy(
+        F.abs(F.col("z_r")).desc_nulls_last(), "group_a", "group_b"
+    )
+    ranked = pairs.select(
+        "group_a", "group_b", "n_a", "n_b", "z_r",
+        F.row_number().over(wrank).alias("rank"),
+        F.count(F.lit(1)).over(wall).alias("_m"),
+    )
+    thr = F.expr(bh_threshold_case("rank", "_m", q=q))
+    flagged = ranked.withColumn("thr_r", thr).withColumn(
+        "_rej",
+        F.when(
+            F.col("z_r").isNotNull()
+            & F.col("thr_r").isNotNull()
+            & (F.abs(F.col("z_r")) >= F.col("thr_r")),
+            1,
+        ).otherwise(0),
+    )
+    wstep = (
+        Window.partitionBy()
+        .orderBy("rank")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return flagged.select(
+        "group_a", "group_b", "n_a", "n_b", "z_r",
+        F.col("rank").cast("long").alias("rank"),
+        "thr_r",
+        (F.max("_rej").over(wstep) == 1).alias("reject"),
+    )
+
+
 def qq_z_case(col: str, n_points: int = 19) -> str:
     """The Q-Q plot's normal quantiles as ONE literal CASE over the
     probability grid k/(n_points+1), k = 1..n_points — z in exact
