@@ -8775,6 +8775,57 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def _cls_scored_gold(spark, sf_dir):
+    """The classifier-audit family's shared input: hashed-linear
+    scores (the pinned 4096-bucket scorer every audit in the family
+    grades) joined to the Gopher gate as gold."""
+    from unitdb_spark.operators.classify import classify_score
+
+    scored = classify_score(_docs(spark, sf_dir), n_buckets=4096).select(
+        F.col("id").alias("doc_id"), "score"
+    )
+    gold = _gopher_planted(spark, sf_dir).select(
+        "doc_id", TXT.gopher_rules("text")["keep"].alias("gold")
+    )
+    return scored.join(gold, "doc_id")
+
+
+def q_doc_roc_points(spark, sf_dir):
+    """The full ROC/PR table of the hashed linear classifier against
+    the Gopher gold — the per-threshold curve `doc_auc` integrates:
+    one row per distinct quantized score with the exact confusion
+    quadrant and floor-ppm precision/recall/FPR (+ floor-pico F1),
+    from ONE descending cumulative window over the distinct-score
+    relation. The table a selection-budget UI plots directly."""
+    from unitdb_spark.operators.evaluation import threshold_metrics
+
+    return threshold_metrics(_cls_scored_gold(spark, sf_dir), "score", "gold")
+
+
+def q_doc_best_f1(spark, sf_dir):
+    """The classifier's operating point: the threshold maximizing
+    floor-pico F1 (ties → larger threshold), with the confusion
+    quadrant, accuracy, and Matthews correlation at that cut — MCC's
+    numerator and denominator factors exact integers, one pinned
+    round-6 float finish shared verbatim with the oracle."""
+    from unitdb_spark.operators.evaluation import best_threshold_report
+
+    return best_threshold_report(
+        _cls_scored_gold(spark, sf_dir), "score", "gold"
+    )
+
+
+def q_doc_pr_auc(spark, sf_dir):
+    """Average precision (the PR curve's step integral) of the
+    classifier against the Gopher gold — the class-imbalance-honest
+    rank metric beside doc_auc's ROC view: per-threshold terms
+    (Δtp/P)·precision each an exact floor-pico integer, summed
+    order-free; prevalence rides along as the random-scorer floor."""
+    from unitdb_spark.operators.evaluation import average_precision
+
+    return average_precision(_cls_scored_gold(spark, sf_dir), "score", "gold")
+
+
 def q_events_dunn_bh(spark, sf_dir):
     """Benjamini-Hochberg FDR step-up over the Dunn pairs — the
     false-discovery-rate sibling of `events_dunn_holm` (Holm controls
@@ -8960,6 +9011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_active_time": q_events_active_time,
         "orders_monthly_profile": q_orders_monthly_profile,
         "events_dunn_bh": q_events_dunn_bh,
+        "doc_roc_points": q_doc_roc_points,
+        "doc_best_f1": q_doc_best_f1,
+        "doc_pr_auc": q_doc_pr_auc,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -16929,6 +16983,106 @@ def oracle_sql() -> dict[str, str]:
             CAST(((rp2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000)
                  // (CAST(n_pos AS HUGEINT) * n_neg) - 1000000 AS BIGINT)
           END AS gini_ppm
+        FROM agg
+        """
+    )
+    # the ROC/PR threshold family rides the same score + gold chain;
+    # one descending cumulative window over the distinct-score relation
+    _TR_CTE = (
+        "WITH sc AS ("
+        + d["doc_classify_score"].replace(
+            "round(1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1)))), 6)"
+            " AS score_r",
+            "1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1)))) AS score",
+        )
+        + "), gf AS (" + d["doc_gopher_filter"] + "), "
+        """
+        j AS (
+          SELECT CAST(floor(sc.score * 1000000.0) AS BIGINT) AS sm,
+            gf.keep AS gold
+          FROM sc JOIN gf ON gf.doc_id = sc.id
+        ), per AS (
+          SELECT sm, count(*) FILTER (gold) AS np_v,
+            count(*) FILTER (NOT gold) AS nn_v
+          FROM j GROUP BY sm
+        ), tr AS (
+          SELECT sm, np_v,
+            CAST(sum(np_v) OVER (ORDER BY sm DESC ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+            CAST(sum(nn_v) OVER (ORDER BY sm DESC ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+            CAST(sum(np_v) OVER () AS BIGINT) AS p,
+            CAST(sum(nn_v) OVER () AS BIGINT) AS n
+          FROM per
+        )
+        """
+    )
+    _ROC_SELECT = """
+        roc AS (
+          SELECT sm AS score_micro, tp, fp, p - tp AS fn, n - fp AS tn,
+            p, n, np_v,
+            CAST((CAST(tp AS HUGEINT) * 1000000) // (tp + fp)
+                 AS BIGINT) AS precision_ppm,
+            CASE WHEN p > 0 THEN
+              CAST((CAST(tp AS HUGEINT) * 1000000) // p AS BIGINT)
+            END AS recall_ppm,
+            CASE WHEN n > 0 THEN
+              CAST((CAST(fp AS HUGEINT) * 1000000) // n AS BIGINT)
+            END AS fpr_ppm,
+            CASE WHEN tp + tp + fp + (p - tp) > 0 THEN
+              CAST((CAST(tp AS HUGEINT) * 2000000000000)
+                   // (tp + tp + fp + (p - tp)) AS BIGINT)
+            END AS f1_pico
+          FROM tr
+        )
+        """
+    d["doc_roc_points"] = (
+        _TR_CTE + ", " + _ROC_SELECT + """
+        SELECT score_micro, tp, fp, fn, tn, precision_ppm,
+          recall_ppm, fpr_ppm, f1_pico
+        FROM roc
+        """
+    )
+    d["doc_best_f1"] = (
+        _TR_CTE + ", " + _ROC_SELECT + """
+        , pick AS (
+          SELECT *, row_number() OVER (
+            ORDER BY f1_pico DESC NULLS LAST, score_micro DESC) AS rn
+          FROM roc
+        )
+        SELECT score_micro, tp, fp, fn, tn, f1_pico,
+          CAST(((CAST(tp AS HUGEINT) + tn) * 1000000)
+               // (CAST(tp AS HUGEINT) + fp + fn + tn) AS BIGINT)
+            AS acc_ppm,
+          CASE WHEN (CAST(tp AS HUGEINT) + fp) * (tp + fn) > 0
+                AND (CAST(tn AS HUGEINT) + fp) * (tn + fn) > 0 THEN
+            round(CAST(CAST(tp AS HUGEINT) * tn
+                       - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+              / (sqrt(CAST((CAST(tp AS HUGEINT) + fp) * (tp + fn)
+                           AS DOUBLE))
+                 * sqrt(CAST((CAST(tn AS HUGEINT) + fp) * (tn + fn)
+                             AS DOUBLE))), 6)
+          END AS mcc_r
+        FROM pick WHERE rn = 1
+        """
+    )
+    d["doc_pr_auc"] = (
+        _TR_CTE + """
+        , agg AS (
+          SELECT CAST(max(p) AS BIGINT) AS n_pos,
+            CAST(max(n) AS BIGINT) AS n_neg,
+            sum(CASE WHEN p > 0 THEN
+              CAST((CAST(np_v AS HUGEINT) * tp * 1000000000000)
+                   // (CAST(p AS HUGEINT) * (tp + fp)) AS BIGINT)
+            END) AS ap
+          FROM tr
+        )
+        SELECT n_pos, n_neg,
+          CAST(CASE WHEN n_pos > 0 THEN ap END AS BIGINT) AS ap_pico,
+          CASE WHEN n_pos + n_neg > 0 THEN
+            CAST((CAST(n_pos AS HUGEINT) * 1000000)
+                 // (CAST(n_pos AS HUGEINT) + n_neg) AS BIGINT)
+          END AS prevalence_ppm
         FROM agg
         """
     )

@@ -10574,6 +10574,73 @@ class TestDunnBH:
             assert round(norm_ppf(1 - m * 0.05 / (2 * m)), 6) == 1.959964
 
 
+class TestThresholdMetrics:
+    # scores 0.9/0.8/0.7/0.6 with labels T/F/T/F — every quadrant
+    # exercised, hand-checkable at each of the 4 thresholds
+    ROWS = [(0.9, True), (0.8, False), (0.7, True), (0.6, False)]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, "s double, y boolean")
+
+    def test_confusion_table_hand_model(self, spark):
+        from unitdb_spark.operators.evaluation import threshold_metrics
+
+        out = {
+            r.score_micro: r
+            for r in threshold_metrics(self._df(spark), "s", "y").collect()
+        }
+        assert sorted(out) == [600000, 700000, 800000, 900000]
+        top = out[900000]
+        assert (top.tp, top.fp, top.fn, top.tn) == (1, 0, 1, 2)
+        assert top.precision_ppm == 1_000_000
+        assert top.recall_ppm == 500_000
+        assert top.fpr_ppm == 0
+        assert top.f1_pico == 2 * 10**12 // 3
+        bot = out[600000]
+        assert (bot.tp, bot.fp, bot.fn, bot.tn) == (2, 2, 0, 0)
+        assert bot.recall_ppm == 1_000_000 and bot.fpr_ppm == 1_000_000
+
+    def test_best_f1_and_mcc(self, spark):
+        import math
+
+        from unitdb_spark.operators.evaluation import best_threshold_report
+
+        r = best_threshold_report(self._df(spark), "s", "y").collect()
+        assert len(r) == 1
+        r = r[0]
+        # best F1: threshold 0.7 -> tp=2 fp=1 fn=0 tn=1, F1 = 4/5
+        assert r.score_micro == 700000
+        assert (r.tp, r.fp, r.fn, r.tn) == (2, 1, 0, 1)
+        assert r.f1_pico == 4 * 10**12 // 5
+        assert r.acc_ppm == 750_000
+        assert r.mcc_r == round((2 * 1 - 1 * 0) / math.sqrt(3 * 2 * 2 * 1), 6)
+
+    def test_average_precision_hand_model(self, spark):
+        from unitdb_spark.operators.evaluation import average_precision
+
+        r = average_precision(self._df(spark), "s", "y").collect()[0]
+        assert (r.n_pos, r.n_neg) == (2, 2)
+        # terms: t=0.9 -> (1/2)(1/1); t=0.8 -> 0; t=0.7 -> (1/2)(2/3);
+        # t=0.6 -> 0  ==> AP = 1/2 + 1/3
+        assert r.ap_pico == 10**12 // 2 + (2 * 10**12) // 6
+        assert r.prevalence_ppm == 500_000
+
+    def test_degenerate_single_class(self, spark):
+        from unitdb_spark.operators.evaluation import (
+            average_precision,
+            best_threshold_report,
+        )
+
+        df = spark.createDataFrame(
+            [(0.5, True), (0.4, True)], "s double, y boolean"
+        )
+        bt = best_threshold_report(df, "s", "y").collect()[0]
+        assert bt.mcc_r is None  # empty negative margins
+        ap = average_precision(df, "s", "y").collect()[0]
+        assert ap.ap_pico == 2 * 10**12 // 2  # perfect by vacuity
+        assert ap.prevalence_ppm == 1_000_000
+
+
 class TestKmGreenwood:
     def test_hand_model_with_exhaustion(self, spark):
         import math

@@ -1032,6 +1032,199 @@ def auc_from_scores(
     )
 
 
+def _threshold_relation(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """The shared ROC/PR spine: one row per DISTINCT quantized score
+    (the family's pinned floor-micro grid, so every threshold audit
+    grades the SAME quantized scorer as `auc_from_scores`) carrying
+    the exact confusion counts of the rule "predict positive iff
+    score_micro >= threshold":
+
+        tp/fp from ONE descending cumulative window over the
+        distinct-score relation (the MWU class — never the corpus);
+        fn = n_pos − tp, tn = n_neg − fp; np_v = positives AT the
+        threshold (the PR step's rise, consumed by AP).
+
+    Scale: per-score counts are one map-side-combined aggregation;
+    the window walks ≤ 1e6+1 rows by construction.
+    """
+    base = df.select(
+        F.floor(F.col(score_col).cast("double") * F.lit(1_000_000.0))
+        .cast("long").alias("_sm"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    per = base.groupBy("_sm").agg(
+        F.count(F.when(F.col("_y"), 1)).alias("np_v"),
+        F.count(F.when(~F.col("_y"), 1)).alias("nn_v"),
+    )
+    wdesc = (
+        Window.partitionBy()
+        .orderBy(F.col("_sm").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "_sm", "np_v",
+        F.sum("np_v").over(wdesc).cast("long").alias("tp"),
+        F.sum("nn_v").over(wdesc).cast("long").alias("fp"),
+        F.sum("np_v").over(wall).cast("long").alias("_p"),
+        F.sum("nn_v").over(wall).cast("long").alias("_n"),
+    )
+
+
+_F1_PICO = (
+    "CAST((CAST(tp AS DECIMAL(38,0)) * 2000000000000) "
+    "div (CAST(tp AS DECIMAL(38,0)) + tp + fp + fn) AS BIGINT)"
+)
+
+
+def threshold_metrics(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """The full ROC/PR table of a probabilistic scorer against a gold
+    boolean — the per-threshold companion of `auc_from_scores` (which
+    integrates this curve): one row per distinct quantized score with
+    the exact confusion quadrant and the derived rates, every ratio
+    an exact cross-multiplied integer (floor ppm; F1 in floor pico so
+    near-ties still order):
+
+        recall_ppm = tp·1e6 div P      fpr_ppm  = fp·1e6 div N
+        precision_ppm = tp·1e6 div (tp+fp)   (tp+fp ≥ 1: the
+        threshold is an observed score, so its own row is predicted
+        positive)        f1_pico = 2·tp·1e12 div (2·tp+fp+fn)
+
+    NULL rates when the corresponding class is empty. Output:
+    (score_micro, tp, fp, fn, tn, precision_ppm, recall_ppm,
+    fpr_ppm, f1_pico), one row per distinct score_micro.
+
+    Scale: the `_threshold_relation` spine — bounded by the micro
+    grid, never the corpus.
+    """
+    rel = _threshold_relation(df, score_col, label_col)
+    out = rel.select(
+        F.col("_sm").alias("score_micro"), "tp", "fp",
+        (F.col("_p") - F.col("tp")).alias("fn"),
+        (F.col("_n") - F.col("fp")).alias("tn"),
+        F.col("_p").alias("_p"), F.col("_n").alias("_n"),
+    )
+    return out.select(
+        "score_micro", "tp", "fp", "fn", "tn",
+        F.expr(
+            "CAST((CAST(tp AS DECIMAL(38,0)) * 1000000) "
+            "div (CAST(tp AS DECIMAL(38,0)) + fp) AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.when(
+            F.col("_p") > 0,
+            F.expr(
+                "CAST((CAST(tp AS DECIMAL(38,0)) * 1000000) "
+                "div CAST(_p AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        ).alias("recall_ppm"),
+        F.when(
+            F.col("_n") > 0,
+            F.expr(
+                "CAST((CAST(fp AS DECIMAL(38,0)) * 1000000) "
+                "div CAST(_n AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        ).alias("fpr_ppm"),
+        F.when(
+            F.expr("2 * tp + fp + fn") > 0, F.expr(_F1_PICO)
+        ).alias("f1_pico"),
+    )
+
+
+def best_threshold_report(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """The operating point: ONE row — the threshold maximizing the
+    floor-pico F1 over the `threshold_metrics` table (ties → larger
+    score_micro: the more conservative selection), with the full
+    confusion quadrant, accuracy, and Matthews correlation at that
+    cut. MCC's numerator tp·tn − fp·fn and the two denominator
+    factors (tp+fp)(tp+fn) and (tn+fp)(tn+fn) are exact integers
+    (each factor ≤ n², double-exact through n ≈ 9·10⁷ — past that
+    the DECIMAL→DOUBLE cast rounds once, identically pinned in both
+    engines); the finish is one pinned float chain
+    round(num / (sqrt(d1)·sqrt(d2)), 6), NULL when any margin is
+    empty.
+
+    Output: (score_micro, tp, fp, fn, tn, f1_pico, acc_ppm, mcc_r).
+
+    Scale: an argmax window over the bounded distinct-score relation.
+    """
+    tm = threshold_metrics(df, score_col, label_col)
+    wpick = Window.orderBy(
+        F.col("f1_pico").desc_nulls_last(), F.col("score_micro").desc()
+    )
+    picked = tm.withColumn(
+        "_rn", F.row_number().over(wpick)
+    ).filter(F.col("_rn") == 1)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = d38(F.col("tp")) * F.col("tn") - d38(F.col("fp")) * F.col("fn")
+    d1 = (d38(F.col("tp")) + F.col("fp")) * (d38(F.col("tp")) + F.col("fn"))
+    d2 = (d38(F.col("tn")) + F.col("fp")) * (d38(F.col("tn")) + F.col("fn"))
+    return picked.select(
+        "score_micro", "tp", "fp", "fn", "tn", "f1_pico",
+        F.expr(
+            "CAST(((CAST(tp AS DECIMAL(38,0)) + tn) * 1000000) "
+            "div (CAST(tp AS DECIMAL(38,0)) + fp + fn + tn) AS BIGINT)"
+        ).alias("acc_ppm"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))),
+                6,
+            ),
+        ).alias("mcc_r"),
+    )
+
+
+def average_precision(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """One-row average precision (the PR curve's step integral — the
+    class-imbalance-honest rank metric beside `auc_from_scores`): AP
+    = Σ_t (Δtp_t / P) · precision_t over thresholds, each term an
+    exact floor-pico integer
+
+        term_pico = (np_v · tp · 1e12) div (P · (tp + fp))
+
+    summed order-free, so ap_pico is exact and identical cross-engine
+    (the documented floor-per-term convention: ≤ 1e-12·#thresholds
+    below the real-valued AP). Prevalence (the AP of a random scorer)
+    rides along for calibration of the number.
+
+    Output: (n_pos, n_neg, ap_pico, prevalence_ppm).
+
+    Scale: the `_threshold_relation` spine; the sum is one
+    aggregation over the bounded grid.
+    """
+    rel = _threshold_relation(df, score_col, label_col)
+    term = F.expr(
+        "CAST((CAST(np_v AS DECIMAL(38,0)) * tp * 1000000000000) "
+        "div (CAST(_p AS DECIMAL(38,0)) * (tp + fp)) AS BIGINT)"
+    )
+    agg = rel.agg(
+        F.max("_p").alias("n_pos"),
+        F.max("_n").alias("n_neg"),
+        F.sum(F.when(F.col("_p") > 0, term)).alias("_ap"),
+    )
+    return agg.select(
+        "n_pos", "n_neg",
+        F.when(F.col("n_pos") > 0, F.col("_ap"))
+        .cast("long").alias("ap_pico"),
+        F.when(
+            F.col("n_pos") + F.col("n_neg") > 0,
+            F.expr(
+                "CAST((CAST(n_pos AS DECIMAL(38,0)) * 1000000) "
+                "div (CAST(n_pos AS DECIMAL(38,0)) + n_neg) AS BIGINT)"
+            ),
+        ).alias("prevalence_ppm"),
+    )
+
+
 def ranking_map(
     recs: DataFrame,
     query_col: str,
