@@ -8775,6 +8775,29 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_media_wav_features(spark, sf_dir):
+    """REAL windowed audio features (the VAD/silence primitive): the
+    synthetic WAV fixture's PCM16 samples cut into 256-sample frames,
+    each reduced to exact integers (count, energy, strict zero
+    crossings attributed to the crossing sample's frame, peak |v|)
+    plus the family's pinned round-6 RMS. The oracle regenerates
+    every sample from build_wav's closed-form byte pattern and replays
+    the frame reduction — a hash-match proves decode, framing, and
+    boundary attribution are byte-correct."""
+    from unitdb_spark.functions.multimodal import (
+        pcm_frame_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(_docs(spark, sf_dir)).filter(
+        F.col("media_type") == "audio"
+    )
+    return pcm_frame_features(media, 256).select(
+        F.col("id").alias("doc_id"), "frame_idx", "n", "energy",
+        "zero_crossings", "peak", "rms_r",
+    )
+
+
 def _cls_scored_gold(spark, sf_dir):
     """The classifier-audit family's shared input: hashed-linear
     scores (the pinned 4096-bucket scorer every audit in the family
@@ -9014,6 +9037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_roc_points": q_doc_roc_points,
         "doc_best_f1": q_doc_best_f1,
         "doc_pr_auc": q_doc_pr_auc,
+        "media_wav_features": q_media_wav_features,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -10293,6 +10317,34 @@ def oracle_sql() -> dict[str, str]:
           CAST(MAX(v) AS BIGINT) AS v_max,
           round(sqrt(CAST(SUM(v * v) AS DOUBLE) / MAX(n)), 6) AS rms_r
         FROM z GROUP BY 1
+        """,
+        "media_wav_features": """
+        -- regenerate every PCM sample from build_wav's byte pattern
+        -- (sample j int16 LE: lo=(6j)%256, hi=(6j+3)%256), frame =
+        -- j // 256, crossings attributed to the frame of the later
+        -- sample — replays pcm_frame_features' reduction exactly
+        WITH w AS (
+          SELECT doc_id, doc_id % 4000 + 100 AS n
+          FROM documents WHERE doc_id % 5 = 3
+        ), s AS (
+          SELECT w.doc_id, w.n, j.j,
+            CASE WHEN ((6 * j.j) % 256 + 256 * ((6 * j.j + 3) % 256)) >= 32768
+                 THEN ((6 * j.j) % 256 + 256 * ((6 * j.j + 3) % 256)) - 65536
+                 ELSE ((6 * j.j) % 256 + 256 * ((6 * j.j + 3) % 256))
+            END AS v
+          FROM w, UNNEST(generate_series(0, CAST(w.n - 1 AS BIGINT))) AS j(j)
+        ), z AS (
+          SELECT doc_id, j // 256 AS f, v,
+            lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+          FROM s
+        )
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(v * v) AS BIGINT) AS energy,
+          CAST(COUNT(*) FILTER (pv * v < 0) AS BIGINT) AS zero_crossings,
+          CAST(MAX(abs(v)) AS BIGINT) AS peak,
+          round(sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6) AS rms_r
+        FROM z GROUP BY doc_id, f
         """,
         "media_audio_chunks": """
         -- replay the parsed WAV duration from the closed-form build

@@ -590,3 +590,52 @@ class TestWavDecimate:
         rate, s = decode_wav_pcm16(bytes(r["blob"]))
         r0, s0 = decode_wav_pcm16(build_wav(16000, 50))
         assert rate == 16000 and (s == s0).all()
+
+
+class TestWavFrameFeatures:
+    def test_frames_partition_the_signal(self, spark):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            build_wav,
+            decode_wav_pcm16,
+        )
+        from unitdb_spark.functions.multimodal import (
+            pcm_features,
+            pcm_frame_features,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(build_wav(8000, 700))),
+             (2, bytearray(build_wav(16000, 256))),
+             (3, None)],
+            "id long, blob binary",
+        )
+        frames = pcm_frame_features(df, 256).collect()
+        whole = {r.id: r for r in pcm_features(df).collect()}
+        # non-wav blob produces no frame rows
+        assert {r.id for r in frames} == {1, 2}
+        by = {}
+        for r in frames:
+            by.setdefault(r.id, []).append(r)
+        # 700 samples -> frames of 256, 256, 188; 256 -> exactly one
+        assert sorted((f.frame_idx, f.n) for f in by[1]) == [
+            (0, 256), (1, 256), (2, 188)
+        ]
+        assert [(f.frame_idx, f.n) for f in by[2]] == [(0, 256)]
+        # frame decomposition sums to the whole-blob reduction
+        for i in (1, 2):
+            assert sum(f.energy for f in by[i]) == whole[i].energy
+            assert sum(f.zero_crossings for f in by[i]) == whole[i].zero_crossings
+            assert max(f.peak for f in by[i]) == max(
+                abs(whole[i].v_min), abs(whole[i].v_max)
+            )
+        # rms matches a direct numpy recomputation per frame
+        _, s = decode_wav_pcm16(build_wav(8000, 700))
+        v = s.astype(np.int64)
+        for f in sorted(by[1], key=lambda r: r.frame_idx):
+            seg = v[f.frame_idx * 256:(f.frame_idx + 1) * 256]
+            assert f.energy == int((seg * seg).sum())
+            assert f.rms_r == round(
+                float(np.sqrt(float(f.energy) / float(seg.size))), 6
+            )

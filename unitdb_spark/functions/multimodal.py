@@ -559,6 +559,79 @@ def pcm_features(df: DataFrame) -> DataFrame:
     )
 
 
+def pcm_frame_features(df: DataFrame, frame: int = 256) -> DataFrame:
+    """REAL windowed audio features from WAV PCM16 decode — the
+    voice-activity/silence-detection primitive `pcm_features` (whole
+    blob) cannot express: the samples are cut into fixed ``frame``-
+    sample frames and each frame is reduced to exact integers —
+    sample count, energy (Σv²), strict zero crossings (v[j-1]·v[j]<0
+    attributed to the frame of j, so boundary crossings count exactly
+    once corpus-wide), peak |v| — plus rms_r via the family's pinned
+    round(sqrt(double/double), 6) finish. Blobs that aren't mono
+    PCM16 WAV produce no rows (frame relation, not a per-doc one).
+
+    Scale: the decode is Arrow-batched mapInPandas, embarrassingly
+    partition-parallel; the per-frame reduction happens inside the
+    batch (numpy reshape), so the exploded frame relation — the only
+    output — is ~n_samples/frame rows per blob, never raw samples.
+    """
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import decode_wav_pcm16
+
+        for pdf in batches:
+            ids, fidx, ns, en, zcs, pks, rms = [], [], [], [], [], [], []
+            for i, b in zip(pdf["id"].values, pdf["blob"]):
+                dec = decode_wav_pcm16(bytes(b)) if b is not None else None
+                if dec is None or len(dec[1]) == 0:
+                    continue
+                _, s = dec
+                v = s.astype(np.int64)
+                n = v.size
+                nf = (n + frame - 1) // frame
+                cross = np.zeros(n, dtype=np.int64)
+                if n > 1:
+                    cross[1:] = (v[:-1] * v[1:]) < 0
+                for f in range(nf):
+                    seg = v[f * frame:(f + 1) * frame]
+                    e = int((seg * seg).sum())
+                    ids.append(int(i))
+                    fidx.append(f)
+                    ns.append(int(seg.size))
+                    en.append(e)
+                    zcs.append(int(cross[f * frame:(f + 1) * frame].sum()))
+                    pks.append(int(np.abs(seg).max()))
+                    rms.append(
+                        float(
+                            Decimal(
+                                repr(math.sqrt(float(e) / float(seg.size)))
+                            ).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(fidx, dtype="int64"),
+                    "n": pd.array(ns, dtype="int64"),
+                    "energy": pd.array(en, dtype="int64"),
+                    "zero_crossings": pd.array(zcs, dtype="int64"),
+                    "peak": pd.array(pks, dtype="int64"),
+                    "rms_r": pd.array(rms, dtype="float64"),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _feat,
+        "id long, frame_idx long, n long, energy long, "
+        "zero_crossings long, peak long, rms_r double",
+    )
+
+
 def bmp_ahash_chunks(df: DataFrame, grid: int = 8) -> DataFrame:
     """Perceptual average-hash from REAL BMP pixels: nearest-neighbor
     resample to grid×grid (integer index math), integer grayscale
