@@ -8775,6 +8775,104 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_parts_sssp(spark, sf_dir):
+    """Weighted shortest paths (Bellman-Ford, 4 fixed rounds) from
+    the hash-picked seed parts over the density-thresholded
+    co-purchase graph — edge cost 1e6 div w, so frequent co-purchase
+    = cheap hop. Frontier-delta relaxation (cost tracks the improving
+    frontier); exact BIGINT costs, bitwise oracle unrolling the same
+    rounds."""
+    from unitdb_spark.operators.graph import (
+        sssp_weighted,
+        weighted_cooccurrence_edges,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = weighted_cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_count="auto"
+    ).withColumn("cost", F.expr("1000000 div w"))
+    seeds = (
+        li.select(F.col("l_partkey").alias("p")).distinct()
+        .filter(F.col("p") % 997 == 0)
+    )
+    out = sssp_weighted(edges, seeds, weight="cost", rounds=4)
+    return out.select(F.col("node").alias("part_id"), "dist")
+
+
+def q_streamed_ph(spark, sf_dir):
+    """Driver-checkable twin of the STREAMING Page-Hinkley detector:
+    events split at the midpoint replay as two in-order checkpointed
+    runs (the second continues the first's four-integer state)
+    through `streaming.state.streaming_page_hinkley`. Oracle = the
+    batch window SQL restricted to the twin's slice — bitwise
+    (integer micro-units, floor running mean in both paths)."""
+    import tempfile
+
+    from unitdb_spark.streaming.state import streaming_page_hinkley
+
+    spark = _pin_utc(spark)
+    base = tempfile.mkdtemp(prefix="ph_twin_")
+    src, cp, out = f"{base}/src", f"{base}/cp", f"{base}/out"
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 5 == 1).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    lo, hi = ev.agg(
+        F.unix_timestamp(F.min("ts")), F.unix_timestamp(F.max("ts"))
+    ).collect()[0]
+    mid = F.timestamp_seconds(F.lit((int(lo) + int(hi)) // 2))
+
+    def run(batch_df):
+        batch_df.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            streaming_page_hinkley(
+                spark.readStream.schema(batch_df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                key_col="event_type",
+                delta=0.0,
+                lam=2000.0,
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("overwrite")
+                .parquet(f"{out}/batch={bid}")
+                if not df.isEmpty() else None
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run(ev.filter(F.col("ts") < mid))
+    run(ev.filter(F.col("ts") >= mid))
+    return spark.read.parquet(out).select(
+        "event_id", F.col("key").alias("event_type"),
+        "value_micro", "m_micro", "ph_micro", "alarm",
+    )
+
+
+def q_events_page_hinkley(spark, sf_dir):
+    """Page-Hinkley drift chart per event_type: deviation from the
+    series' OWN running mean (the detector for unknown in-control
+    levels — `events_cusum` needs a reference, PH does not). Exact
+    integer micro-units throughout: floor running mean via the
+    nonneg-mod identity, BIGINT m/PH, integral alarm compare —
+    bitwise oracle."""
+    from unitdb_spark.operators.timeseries import page_hinkley
+
+    spark = _pin_utc(spark)
+    ev = _events(spark, sf_dir)
+    out = page_hinkley(
+        ev.select("event_id", "ts", "event_type", "value"),
+        keys=["event_type"], order_cols=["ts", "event_id"],
+        value_col="value", delta=0.0, lam=2000.0,
+    )
+    return out.select(
+        "event_id", "event_type", "value_micro", "m_micro",
+        "ph_micro", "alarm",
+    )
+
+
 def q_media_wav_features(spark, sf_dir):
     """REAL windowed audio features (the VAD/silence primitive): the
     synthetic WAV fixture's PCM16 samples cut into 256-sample frames,
@@ -9038,6 +9136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_best_f1": q_doc_best_f1,
         "doc_pr_auc": q_doc_pr_auc,
         "media_wav_features": q_media_wav_features,
+        "events_page_hinkley": q_events_page_hinkley,
+        "streamed_ph": q_streamed_ph,
+        "parts_sssp": q_parts_sssp,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -14097,6 +14198,7 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (d_id)
         """,
         "parts_pagerank": _pagerank_oracle(),
+        "parts_sssp": _sssp_oracle(),
         "parts_pagerank_w": _pagerank_w_oracle(),
         "parts_triangles": """
         -- same degree-ordered wedge-close orientation as the Spark
@@ -18558,6 +18660,45 @@ def oracle_sql() -> dict[str, str]:
     # rolling record twin: two-integer per-key state, in-order
     # midpoint replay — oracle shared verbatim
     d["streamed_records"] = d["events_records"]
+    # Page-Hinkley: floor running mean (// floors natively here; the
+    # Spark side uses the nonneg-mod identity), exact BIGINT m/PH
+    d["events_page_hinkley"] = """
+        WITH src AS (
+          SELECT event_id, event_type, ts,
+            CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vu
+          FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        ), r AS (
+          SELECT event_id, event_type, ts, vu,
+            count(*) OVER w AS t, sum(vu) OVER w AS s
+          FROM src
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), r2 AS (
+          SELECT *, s // t AS mf FROM r
+        ), r3 AS (
+          SELECT event_id, event_type, ts, vu,
+            s - sum(mf) OVER w2 AS m
+          FROM r2
+          WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), r4 AS (
+          SELECT event_id, event_type, vu, m,
+            m - min(m) OVER w3 AS ph
+          FROM r3
+          WINDOW w3 AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, event_type, CAST(vu AS BIGINT) AS value_micro,
+          CAST(m AS BIGINT) AS m_micro, CAST(ph AS BIGINT) AS ph_micro,
+          ph > 2000000000 AS alarm
+        FROM r4
+        """
+    # rolling PH twin: four-integer per-key state, in-order midpoint
+    # replay — oracle = the batch SQL on the twin's user slice
+    d["streamed_ph"] = d["events_page_hinkley"].replace(
+        "FROM events WHERE value IS NOT NULL",
+        "FROM events WHERE user_id % 5 = 1 AND value IS NOT NULL",
+    )
     # cross-series daily Pearson: dense day spine (0-fill), DECIMAL
     # moments, the shared pinned_pearson finish per pair
     _TC_PAIRS = [("view", "click"), ("view", "purchase"),
@@ -19182,6 +19323,56 @@ def _pagerank_w_oracle(iters: int = 3) -> str:
           round(CAST(u AS DOUBLE) * (SELECT CAST(nn AS DOUBLE) FROM n)
                 / 1000000000000.0, 6) AS pr_r
         FROM r{iters}
+        """
+    )
+
+
+def _sssp_oracle(rounds: int = 4) -> str:
+    """`parts_sssp` replay: the SAME density-derived threshold as the
+    kcore/label_prop oracles, edge cost 1e6 // w, seeds = part ids
+    ≡ 0 (mod 997) that are graph nodes, and ``rounds`` Bellman-Ford
+    relaxations unrolled as CTEs (full relaxation — provably the same
+    ≤k-edge minima as the operator's frontier-delta form). Exact
+    BIGINT sums/minima — bitwise."""
+    rnd = """
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.d AS node, p.dist + e.cost AS dist
+            FROM {prev} p JOIN e ON e.s = p.node
+          ) GROUP BY node
+    """
+    steps = ",\n".join(
+        f"d{r} AS ({rnd.format(prev=f'd{r - 1}')})"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        """
+        WITH g AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        pr AS MATERIALIZED (
+               SELECT a.i AS s, b.i AS d, CAST(count(*) AS BIGINT) AS w
+               FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+               GROUP BY 1, 2),
+        nn AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n FROM g),
+        thr AS (
+          SELECT coalesce(max(w), 1) AS t FROM (
+            SELECT h.w FROM (SELECT DISTINCT w FROM pr) h, nn
+            WHERE 2 * (SELECT count(*) FROM pr p2 WHERE p2.w >= h.w)
+                  >= 3 * nn.n
+          )
+        ),
+        p0 AS (SELECT s, d, w FROM pr, thr WHERE pr.w >= thr.t),
+        e0 AS (SELECT s, d, w FROM p0
+               UNION ALL SELECT d AS s, s AS d, w FROM p0),
+        e AS (SELECT s, d, 1000000 // w AS cost FROM e0),
+        d0 AS (SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS dist
+               FROM e WHERE s % 997 = 0),
+        """
+        + steps
+        + f"""
+        SELECT CAST(node AS BIGINT) AS part_id,
+               CAST(dist AS BIGINT) AS dist
+        FROM d{rounds}
         """
     )
 

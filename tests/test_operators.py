@@ -4002,6 +4002,40 @@ class TestPersonalizedPagerank:
             personalized_pagerank(e, seeds)
 
 
+class TestSsspWeighted:
+    def test_cheap_detour_beats_direct_edge(self, spark):
+        from unitdb_spark.operators.graph import sssp_weighted
+
+        # direct 1→4 costs 10; detour 1→2→3→4 costs 3 but needs 3 edges
+        und = [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 10), (4, 5, 2)]
+        sym = und + [(b, a, w) for a, b, w in und]
+        e = spark.createDataFrame(sym, ["src", "dst", "w"])
+        seeds = spark.createDataFrame([(1,)], ["node"])
+        # 2 rounds: only the direct edge reaches 4
+        got2 = {r.node: r.dist
+                for r in sssp_weighted(e, seeds, rounds=2).collect()}
+        assert got2[4] == 10 and got2[3] == 2 and got2[5] == 12
+        # 3 rounds: the detour wins; 4 rounds: 5 improves through it
+        got3 = {r.node: r.dist
+                for r in sssp_weighted(e, seeds, rounds=3).collect()}
+        assert got3[4] == 3 and got3[5] == 12
+        got4 = {r.node: r.dist
+                for r in sssp_weighted(e, seeds, rounds=4).collect()}
+        assert got4 == {1: 0, 2: 1, 3: 2, 4: 3, 5: 5}
+
+    def test_isolated_seed_dropped_and_multi_seed_min(self, spark):
+        from unitdb_spark.operators.graph import sssp_weighted
+
+        und = [(1, 2, 5), (2, 3, 5)]
+        sym = und + [(b, a, w) for a, b, w in und]
+        e = spark.createDataFrame(sym, ["src", "dst", "w"])
+        seeds = spark.createDataFrame([(1,), (3,), (99,)], ["node"])
+        got = {r.node: r.dist
+               for r in sssp_weighted(e, seeds, rounds=3).collect()}
+        # 99 is not a graph node; 2 is reached from both seeds at 5
+        assert got == {1: 0, 3: 0, 2: 5}
+
+
 class TestBfsHops:
     def test_min_hop_and_cap(self, spark):
         from unitdb_spark.operators.graph import bfs_hops

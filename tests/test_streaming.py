@@ -2275,3 +2275,78 @@ class TestStreamingRecords:
             ).collect()
         )
         assert got == want
+
+
+class TestStreamingPageHinkley:
+    def test_streamed_stats_match_batch(self, spark, events_dir):
+        """In-order replay: every streaming PH statistic equals the
+        batch stacked-window form bit for bit (integer micro-units,
+        floor running mean in both paths)."""
+        from unitdb_spark.operators.timeseries import page_hinkley
+        from unitdb_spark.streaming.state import streaming_page_hinkley
+
+        stream = events_as_stream(spark, events_dir, max_files_per_trigger=100)
+        out = streaming_page_hinkley(
+            stream, key_col="event_type", delta=0.0, lam=100.0
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ph_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r["event_id"]: (r["value_micro"], r["m_micro"],
+                            r["ph_micro"], r["alarm"])
+            for r in spark.sql("SELECT * FROM ph_stream").collect()
+        }
+        ev = spark.read.parquet(events_dir)
+        if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        batch = page_hinkley(ev, ["event_type"], ["ts", "event_id"],
+                             "value", delta=0.0, lam=100.0)
+        want = {
+            r["event_id"]: (r["value_micro"], r["m_micro"],
+                            r["ph_micro"], r["alarm"])
+            for r in batch.collect()
+        }
+        assert len(got) == len(want) > 0
+        mismatches = {k for k in want if got[k] != want[k]}
+        assert not mismatches, f"{len(mismatches)} rows diverge"
+        assert any(r[3] for r in got.values())  # the chart actually alarms
+
+    def test_hand_model_and_negative_floor(self, spark):
+        """Pure-Python recurrence model, including a NEGATIVE running
+        sum so the floor-vs-truncate distinction is exercised."""
+        import datetime as dt
+
+        from unitdb_spark.operators.timeseries import page_hinkley
+
+        vals = [10.0, -25.0, 10.0, 100.0, 100.0, -3.5]
+        rows = [
+            (i, dt.datetime(2024, 1, 1, 0, 0, i), "k", v)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        out = {r.event_id: r for r in page_hinkley(
+            df, ["event_type"], ["ts", "event_id"], "value",
+            delta=1.0, lam=50.0,
+        ).collect()}
+        n = s = m = 0
+        mn = None
+        for i, v in enumerate(vals):
+            vu = int(round(v * 1_000_000))
+            n += 1
+            s += vu
+            m += vu - (s // n) - 1_000_000
+            mn = m if mn is None else min(mn, m)
+            ph = m - mn
+            r = out[i]
+            assert (r.value_micro, r.m_micro, r.ph_micro) == (vu, m, ph)
+            assert r.alarm == (ph > 50_000_000)
+        # the 100s after the dip must alarm at lam=50
+        assert out[3].alarm or out[4].alarm

@@ -438,6 +438,80 @@ def bfs_hops(
     return visited.select(F.col("_n").alias("node"), "hop")
 
 
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    seed_col: str | None = None,
+    rounds: int = 4,
+) -> DataFrame:
+    """Weighted single-source (seed-set) shortest paths — the
+    WEIGHTED sibling of `bfs_hops`: Bellman-Ford relaxation for a
+    FIXED number of rounds, so the output is the exact minimum total
+    weight among paths of ≤ ``rounds`` edges (the determinism
+    contract every iterative operator here uses — no convergence
+    test to diverge on; nodes farther than ``rounds`` hops are
+    absent, which is the answer).
+
+    Frontier-delta relaxation: each round relaxes only the nodes
+    whose distance IMPROVED last round (classic delta optimization —
+    provably the same ≤k-edge minima as full relaxation, since an
+    improvement propagates exactly one edge per round), so per-round
+    cost tracks the improving frontier, not the settled graph. One
+    join + one map-side-combinable MIN + one improvement anti-check
+    per round; `localCheckpoint` cuts lineage. Weights are exact
+    BIGINTs — sums and minima are integral, so a SQL oracle unrolling
+    the same rounds matches bitwise. Negative weights are legal for
+    the ≤k-edge semantics (no convergence claim), but the intended
+    use is nonnegative costs.
+
+    Output: (node, dist) — hop-0 rows are the seeds themselves (only
+    seeds that are graph source nodes, the `bfs_hops` contract).
+    """
+    sc = seed_col or seeds.columns[0]
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"),
+        F.col(weight).cast("long").alias("_w"),
+    )
+    nodes = e.select("_s").distinct()
+    dist = (
+        seeds.select(F.col(sc).alias("_n"))
+        .distinct()
+        .join(nodes.select(F.col("_s").alias("_n")), "_n", "leftsemi")
+        .select("_n", F.lit(0).cast("long").alias("_dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist
+    for _ in range(rounds):
+        relax = (
+            frontier.join(e, frontier["_n"] == e["_s"])
+            .select(
+                F.col("_d").alias("_n"),
+                (F.col("_dist") + F.col("_w")).alias("_dist"),
+            )
+            .groupBy("_n")
+            .agg(F.min("_dist").alias("_dist"))
+        )
+        improved = (
+            relax.join(
+                dist.select("_n", F.col("_dist").alias("_old")), "_n", "left"
+            )
+            .filter(F.col("_old").isNull() | (F.col("_dist") < F.col("_old")))
+            .select("_n", "_dist")
+            .localCheckpoint(eager=False)
+        )
+        dist = (
+            dist.unionAll(improved)
+            .groupBy("_n")
+            .agg(F.min("_dist").alias("_dist"))
+            .localCheckpoint(eager=False)
+        )
+        frontier = improved
+    return dist.select(F.col("_n").alias("node"), F.col("_dist").alias("dist"))
+
+
 def negative_edge_samples(
     edges: DataFrame,
     max_node_df: DataFrame,

@@ -495,6 +495,78 @@ def cusum(
     )
 
 
+def page_hinkley(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    delta: float = 0.0,
+    lam: float = 25.0,
+) -> DataFrame:
+    """Page-Hinkley drift detection (Page '54 §5, the sequential-mean
+    form; Gama '04's stream-drift staple): where `cusum` watches
+    deviation from a FIXED reference, PH watches deviation from the
+    series' OWN RUNNING MEAN — the detector you deploy when the
+    in-control level is unknown and only the CHANGE matters:
+
+        m_t  = Σ_{i≤t} (x_i − mean_i − δ),   mean_i = running mean
+        PH_t = m_t − min_{τ≤t} m_τ,          alarm when PH_t > λ
+
+    (the rising-mean form; a falling mean is the same chart on −x.)
+
+    Cross-engine exactness: x quantizes to 1e-6 units via the family's
+    DECIMAL(18,6) cast; mean_i = floor(S_i / i) in integer micro-units
+    (true floor for either sign via the nonneg-mod identity
+    (S − ((S%i)+i)%i) div i — DuckDB's `//` floors natively), so every
+    m_t, PH_t is an exact BIGINT and the alarm compare is integral.
+    The floor-mean is the documented convention (≤ 1e-6 below the real
+    mean, same bound both engines). NULL and NaN rows are dropped.
+
+    Output: order_cols + keys + (value_micro, m_micro, ph_micro,
+    alarm) — one judged row per event.
+
+    Scale: three stacked running windows on ONE (key, order) sort —
+    key-partitioned, a single shuffle; state never leaves the plan.
+    Headroom: |S| ≤ n·|x|·1e6 must fit BIGINT (n·|x| ≤ 9·10¹²).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+    delta_u = int(Decimal(repr(float(delta))).quantize(q6, ROUND_HALF_UP) / q6)
+    lam_u = int(Decimal(repr(float(lam))).quantize(q6, ROUND_HALF_UP) / q6)
+    order = [F.col(c).asc() for c in order_cols]
+    v = F.col(value_col)
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v.cast("double"))
+    ).withColumn(
+        "_vu",
+        (v.cast("decimal(18,6)") * 1_000_000).cast("long"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = base.withColumn("_t", F.count(F.lit(1)).over(w)).withColumn(
+        "_s", F.sum("_vu").over(w)
+    )
+    r = r.withColumn(
+        "_mf", F.expr("(_s - ((_s % _t) + _t) % _t) div _t")
+    )
+    r = r.withColumn(
+        "_m",
+        F.col("_s") - F.sum("_mf").over(w) - F.col("_t") * F.lit(delta_u),
+    )
+    r = r.withColumn("_ph", F.col("_m") - F.min("_m").over(w))
+    return r.select(
+        *order_cols, *keys,
+        F.col("_vu").alias("value_micro"),
+        F.col("_m").alias("m_micro"),
+        F.col("_ph").alias("ph_micro"),
+        (F.col("_ph") > F.lit(lam_u)).alias("alarm"),
+    )
+
+
 def watermark_lateness(
     df: DataFrame,
     keys: list[str],

@@ -754,6 +754,109 @@ def streaming_cusum(
     )
 
 
+PH_OUTPUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("key", StringType()),
+        StructField("value_micro", LongType()),
+        StructField("m_micro", LongType()),
+        StructField("ph_micro", LongType()),
+        StructField("alarm", BooleanType()),
+    ]
+)
+
+PH_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s_u", LongType()),
+        StructField("m_u", LongType()),
+        StructField("min_m", LongType()),
+    ]
+)
+
+
+def _ph_fn(delta_u: int, lam_u: int):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        (k,) = key
+        n, s_u, m_u, mn_m = state.get if state.exists else (0, 0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        q6 = Decimal("0.000001")
+        rows = []
+        for eid, v in zip(batch["event_id"], batch["value"]):
+            # NULL/NaN rows never reach here (JVM-side filter parity
+            # with the batch operator's drop)
+            v_u = int(
+                Decimal(repr(float(v))).quantize(q6, ROUND_HALF_UP) / q6
+            )
+            n += 1
+            s_u += v_u
+            # Python // floors for either sign — the batch operator's
+            # nonneg-mod identity, DuckDB's native //
+            m_u += v_u - (s_u // n) - delta_u
+            mn_m = m_u if n == 1 else min(mn_m, m_u)
+            ph = m_u - mn_m
+            rows.append((int(eid), k, v_u, m_u, ph, ph > lam_u))
+        state.update((n, s_u, m_u, mn_m))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "event_id", "key", "value_micro", "m_micro",
+                "ph_micro", "alarm",
+            ],
+        )
+
+    return fn
+
+
+def streaming_page_hinkley(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    delta: float = 0.0,
+    lam: float = 25.0,
+) -> DataFrame:
+    """Streaming Page-Hinkley drift detector: the stateful twin of
+    ``operators.timeseries.page_hinkley``. The live chart runs the
+    recurrence directly — per-key state is FOUR integers (valid count,
+    micro-unit prefix sum, current m, running min of m), so state is
+    O(keys), never the stream. Integer micro-units make the replay
+    value-identical to the batch windows: on an in-order replay every
+    emitted (m, PH, alarm) matches bit for bit (floor-mean and all
+    sums are integral — no accumulation-order ambiguity). NULL and
+    NaN rows drop JVM-side exactly like the batch operator's filter.
+
+    Input needs (event_id, ts, <key_col>, value). Output (append):
+    one judged row per event — (event_id, key, value_micro, m_micro,
+    ph_micro, alarm), alarm when PH exceeds ``lam``.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    q6 = Decimal("0.000001")
+    delta_u = int(Decimal(repr(float(delta))).quantize(q6, ROUND_HALF_UP) / q6)
+    lam_u = int(Decimal(repr(float(lam))).quantize(q6, ROUND_HALF_UP) / q6)
+    prepped = stream.filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value").cast("double"))
+    ).select(
+        "event_id",
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepped.groupBy("key").applyInPandasWithState(
+        _ph_fn(delta_u, lam_u),
+        outputStructType=PH_OUTPUT,
+        stateStructType=PH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     id_col: str = "event_id",
