@@ -8775,6 +8775,17 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_doc_kn_nll(spark, sf_dir):
+    """Kneser-Ney smoothed bigram LM quality score — the back-off
+    weight is CONTEXT DIVERSITY, not frequency (the Chen & Goodman
+    '99 recommendation), so frequent-but-fixed collocates stop
+    inflating novel contexts. One round-6 log10 per bigram type over
+    exact integer statistics; per-doc sums exact decimal."""
+    from unitdb_spark.operators.tfidf import kneser_ney_logprob
+
+    return kneser_ney_logprob(_docs(spark, sf_dir))
+
+
 def q_parts_sssp(spark, sf_dir):
     """Weighted shortest paths (Bellman-Ford, 4 fixed rounds) from
     the hash-picked seed parts over the density-thresholded
@@ -9139,6 +9150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_page_hinkley": q_events_page_hinkley,
         "streamed_ph": q_streamed_ph,
         "parts_sssp": q_parts_sssp,
+        "doc_kn_nll": q_doc_kn_nll,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -15700,6 +15712,51 @@ def oracle_sql() -> dict[str, str]:
           JOIN ctx ON bic.prev = ctx.prev
           JOIN uni ON bic.cur = uni.term
           CROSS JOIN tot
+        )
+        SELECT big.doc_id, count(*) AS n_bigrams,
+          CAST(sum(lp.logp) AS DOUBLE) AS logp_sum_r,
+          round(-CAST(sum(lp.logp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+            AS nll_r
+        FROM big JOIN lp ON big.bg = lp.bg
+        GROUP BY big.doc_id
+        """.replace("{toks}", _TOKS)
+    # Kneser-Ney: same bigram-type spine; back-off weight = context
+    # diversity (N1+ fan-outs), one round-6 log10 per type, pinned
+    # parenthesization shared with the operator
+    d["doc_kn_nll"] = """
+        WITH tk AS (
+          SELECT doc_id, {toks} AS t FROM documents
+        ), big AS (
+          SELECT doc_id, u.bg
+          FROM tk, unnest(
+            list_transform(range(1, len(t)),
+                           i -> t[i] || ' ' || t[i + 1])
+          ) AS u(bg)
+        ), bic AS (
+          SELECT bg, count(*) AS c_b,
+            string_split(bg, ' ')[1] AS prev,
+            string_split(bg, ' ')[2] AS cur
+          FROM big GROUP BY bg
+        ), ctx AS (
+          SELECT prev, sum(c_b) AS c_ctx, count(*) AS n1f
+          FROM bic GROUP BY prev
+        ), back AS (
+          SELECT cur, count(*) AS n1b FROM bic GROUP BY cur
+        ), n1a AS (
+          SELECT count(*) AS n1a FROM bic
+        ), lp AS (
+          SELECT bic.bg,
+            CAST(round(log10(
+              ((CAST(bic.c_b AS DOUBLE) - 0.75)
+               / CAST(ctx.c_ctx AS DOUBLE))
+              + ((0.75 * CAST(ctx.n1f AS DOUBLE))
+                 / CAST(ctx.c_ctx AS DOUBLE))
+                * (CAST(back.n1b AS DOUBLE) / CAST(n1a.n1a AS DOUBLE))
+            ), 6) AS DECIMAL(18,6)) AS logp
+          FROM bic
+          JOIN ctx ON bic.prev = ctx.prev
+          JOIN back ON bic.cur = back.cur
+          CROSS JOIN n1a
         )
         SELECT big.doc_id, count(*) AS n_bigrams,
           CAST(sum(lp.logp) AS DOUBLE) AS logp_sum_r,

@@ -7186,6 +7186,99 @@ class TestBigramLogprob:
         assert got[0] < got[99]
 
 
+class TestKneserNey:
+    def test_matches_python_model(self, spark):
+        """NLL vs an independent Counter model: P_KN = (c_b−d)/c_ctx
+        + (d·n1f/c_ctx)·(n1b/n1a), d = 0.75, one round-6 log per
+        type, decimal-exact per-doc sums."""
+        from collections import Counter
+        from decimal import Decimal
+        from math import log10
+
+        from unitdb_spark.operators.tfidf import kneser_ney_logprob
+
+        docs = [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ate the cat food"),
+            (3, "dogs chase the cat"),
+            (4, "single"),
+            (5, "san francisco loves san francisco"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        toks = {i: t.lower().split() for i, t in docs}
+        bi = Counter(
+            (ws[i], ws[i + 1])
+            for ws in toks.values()
+            for i in range(len(ws) - 1)
+        )
+        ctx, n1f, n1b = Counter(), Counter(), Counter()
+        for (p, c), n in bi.items():
+            ctx[p] += n
+            n1f[p] += 1
+            n1b[c] += 1
+        n1a = len(bi)
+        lp = {
+            pc: Decimal(
+                str(
+                    round(
+                        log10(
+                            ((bi[pc] - 0.75) / ctx[pc[0]])
+                            + ((0.75 * n1f[pc[0]]) / ctx[pc[0]])
+                            * (n1b[pc[1]] / n1a)
+                        ),
+                        6,
+                    )
+                )
+            )
+            for pc in bi
+        }
+        want = {}
+        for i, ws in toks.items():
+            pairs = [(ws[k], ws[k + 1]) for k in range(len(ws) - 1)]
+            if not pairs:
+                continue
+            s = sum(lp[p] for p in pairs)
+            # Spark round() is HALF_UP on the double's shortest repr
+            # (python round() is half-even and loses exact .5 ties)
+            from decimal import ROUND_HALF_UP
+
+            nll = float(
+                Decimal(repr(-float(s) / len(pairs))).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            )
+            want[i] = (len(pairs), float(s), nll)
+        got = {
+            r.doc_id: (r.n_bigrams, r.logp_sum_r, r.nll_r)
+            for r in kneser_ney_logprob(df).collect()
+        }
+        assert got == want
+
+    def test_context_diversity_beats_raw_frequency(self, spark):
+        """The Kneser-Ney signature: a word frequent ONLY after one
+        fixed predecessor ("francisco" after "san") gets a SMALLER
+        back-off boost in a novel context than an equally frequent
+        word seen after many predecessors."""
+        from collections import Counter
+
+        from unitdb_spark.operators.tfidf import kneser_ney_logprob
+
+        rows = [
+            (1, "san francisco san francisco san francisco"),
+            (2, "a house b house c house"),
+            # novel contexts: "new francisco" vs "new house"
+            (3, "new francisco"),
+            (4, "new house"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: r.nll_r for r in kneser_ney_logprob(df).collect()}
+        # both novel bigrams share c_b=1 and the same "new" context;
+        # they differ only through the continuation weight: house
+        # follows 4 distinct predecessors, francisco only 2 ->
+        # "new house" likelier
+        assert got[4] < got[3]
+
+
 class TestJackknifeRatio:
     @staticmethod
     def _model(cells):

@@ -430,6 +430,100 @@ def bigram_logprob(
     )
 
 
+def kneser_ney_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: tuple[int, int] = (3, 4),
+) -> DataFrame:
+    """Kneser-Ney smoothed bigram language-model score (Kneser & Ney
+    '95; the modern-LM-tokenizer-era standard Chen & Goodman '99
+    recommend over interpolated back-off) — the upgrade over
+    `bigram_logprob`'s frequency interpolation: the back-off weight
+    of a word is its CONTEXT DIVERSITY (how many distinct predecessors
+    it follows), not its raw frequency, so "Francisco" (frequent but
+    only ever after "San") stops inflating novel contexts:
+
+        P_KN(cur|prev) = (c(prev,cur) − d)/c(prev·)
+                       + d·N1+(prev·)/c(prev·) · N1+(·cur)/N1+(··)
+
+    with d = discount[0]/discount[1] (default 3/4 = 0.75). Scoring
+    the corpus under itself keeps every observed bigram's first term
+    ≥ (1−d)/c(prev·) > 0, so the log is always defined.
+
+    Cross-engine contract (the family's trick): ONE round-6 log10 per
+    bigram TYPE over the pinned expression ((c_b − d)/c_ctx) +
+    ((d·n1f)/c_ctx)·(n1b/n1a) — every operand an exact integer cast
+    to double, fixed parenthesization — cast DECIMAL(18,6); per-doc
+    summation is exact decimal, order-free, one final pinned round-6
+    division.
+
+    Shape (100 TB): identical to `bigram_logprob` — all statistics
+    (c_ctx, N1+ fan-outs) roll up from the Zipf-small bigram-TYPE
+    relation, never the token stream; n1a is a one-row broadcast.
+
+    Output: (doc_id, n_bigrams, logp_sum_r, nll_r).
+    """
+    d_f = int(discount[0]) / int(discount[1])
+    t = _tokens(text_col)
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    big = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, n1),
+                F.slice(t, 2, n1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    bic = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_b"))
+    bic = bic.select(
+        "bg", "c_b",
+        F.split(F.col("bg"), " ")[0].alias("_prev"),
+        F.split(F.col("bg"), " ")[1].alias("_cur"),
+    )
+    ctx = bic.groupBy("_prev").agg(
+        F.sum("c_b").alias("c_ctx"),
+        F.count(F.lit(1)).alias("n1f"),
+    )
+    back = bic.groupBy("_cur").agg(F.count(F.lit(1)).alias("n1b"))
+    n1a = bic.agg(F.count(F.lit(1)).alias("n1a"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    lp = (
+        bic.join(ctx, "_prev")
+        .join(back, "_cur")
+        .join(F.broadcast(n1a))
+        .select(
+            "bg",
+            F.round(
+                F.log10(
+                    ((dd("c_b") - F.lit(d_f)) / dd("c_ctx"))
+                    + ((F.lit(d_f) * dd("n1f")) / dd("c_ctx"))
+                    * (dd("n1b") / dd("n1a"))
+                ),
+                6,
+            ).cast("decimal(18,6)").alias("_logp"),
+        )
+    )
+    scored = (
+        big.join(lp, "bg")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_logp").alias("_s"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        F.col("_s").cast("double").alias("logp_sum_r"),
+        F.round(
+            -F.col("_s").cast("double") / F.col("n_bigrams").cast("double"), 6
+        ).alias("nll_r"),
+    )
+
+
 def bigram_pmi(
     docs: DataFrame,
     id_col: str = "doc_id",
