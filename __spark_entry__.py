@@ -8775,6 +8775,18 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_events_pacf(spark, sf_dir):
+    """Per-lag PARTIAL autocorrelation (Durbin-Levinson over the
+    integer-exact ppm ACF) — the Box-Jenkins AR-order plot beside
+    events_acf: lag k's contribution after regressing out lags
+    1..k-1. The recursion steps are SQL text shared verbatim between
+    engines; both start from identical rho_ppm integers, so the
+    round-6 output is bitwise."""
+    from unitdb_spark.operators.stats_tests import pacf_table
+
+    return pacf_table(_events(spark, sf_dir), "event_type", lags=4)
+
+
 def q_doc_kn_nll(spark, sf_dir):
     """Kneser-Ney smoothed bigram LM quality score — the back-off
     weight is CONTEXT DIVERSITY, not frequency (the Chen & Goodman
@@ -9151,6 +9163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_ph": q_streamed_ph,
         "parts_sssp": q_parts_sssp,
         "doc_kn_nll": q_doc_kn_nll,
+        "events_pacf": q_events_pacf,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -16384,6 +16397,31 @@ def oracle_sql() -> dict[str, str]:
           CAST((num * 1000000) // den.den AS BIGINT) AS rho_ppm
         FROM nums JOIN den ON den.k = nums.k
         """
+    # PACF: Durbin-Levinson over the ppm-quantized ACF — the step
+    # expressions are the SAME text the Spark plan chains
+    from unitdb_spark.operators.stats_tests import durbin_levinson_steps
+
+    _PACF_LAGS = 4
+    _dl = durbin_levinson_steps(_PACF_LAGS)
+    _piv = ", ".join(
+        f"CAST(max(CASE WHEN lag = {k} THEN rho_ppm END) AS DOUBLE)"
+        f" / 1000000.0 AS r{k}"
+        for k in range(1, _PACF_LAGS + 1)
+    )
+    _steps_sql = "".join(
+        f", s{i + 1} AS (SELECT *, {expr} AS {name} FROM s{i})"
+        for i, (name, expr) in enumerate(_dl)
+    )
+    _final = " UNION ALL ".join(
+        f"SELECT event_type, CAST({k} AS INTEGER) AS lag, "
+        f"round(phi_{k}_{k}, 6) AS pacf_r FROM s{len(_dl)}"
+        for k in range(1, _PACF_LAGS + 1)
+    )
+    d["events_pacf"] = (
+        "WITH acf AS (" + d["events_acf"] + "), s0 AS ("
+        "SELECT event_type, " + _piv + " FROM acf GROUP BY event_type)"
+        + _steps_sql + " " + _final
+    )
     # QTE: exact per-arm order statistics at rank (d*n+9) div 10
     d["events_qte"] = """
         WITH units AS (

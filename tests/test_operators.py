@@ -10650,6 +10650,54 @@ class TestDunnHolm:
         }
 
 
+class TestPacf:
+    def test_steps_match_python_recursion(self, spark):
+        """The SQL step chain evaluates to the textbook Durbin-
+        Levinson on arbitrary rho inputs (checked via a Spark
+        projection so the shared text is what's exercised)."""
+        from unitdb_spark.operators.stats_tests import durbin_levinson_steps
+
+        rho = {1: 0.6, 2: 0.3, 3: 0.1, 4: -0.05}
+        df = spark.createDataFrame(
+            [tuple(rho[k] for k in range(1, 5))], "r1 double, r2 double, r3 double, r4 double"
+        )
+        for name, expr in durbin_levinson_steps(4):
+            df = df.withColumn(name, F.expr(expr))
+        row = df.collect()[0]
+        # python model
+        phi = {(1, 1): rho[1]}
+        for k in range(2, 5):
+            num = rho[k] - sum(phi[(k - 1, j)] * rho[k - j] for j in range(1, k))
+            den = 1 - sum(phi[(k - 1, j)] * rho[j] for j in range(1, k))
+            phi[(k, k)] = num / den
+            for j in range(1, k):
+                phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+        for (k, j), v in phi.items():
+            assert abs(row[f"phi_{k}_{j}"] - v) < 1e-12
+
+    def test_ar1_signature_on_fixture(self, spark):
+        """PACF lag 1 equals the quantized ACF's own r1; for an
+        exactly periodic counting series the chain stays defined."""
+        import datetime as dt
+
+        from unitdb_spark.operators.stats_tests import acf_table, pacf_table
+
+        # hourly event counts with a strong lag-1 pattern: n events in
+        # hour h where n follows a smooth cycle
+        rows = []
+        eid = 0
+        for h in range(48):
+            for _ in range(3 + (h % 4)):
+                rows.append((eid, "k", dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)))
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+        acf = {r.lag: r.rho_ppm for r in acf_table(df, "event_type", lags=4).collect()}
+        pacf = {r.lag: r.pacf_r for r in pacf_table(df, "event_type", lags=4).collect()}
+        assert set(pacf) == {1, 2, 3, 4}
+        assert pacf[1] == round(acf[1] / 1e6, 6)
+        assert all(v is not None for v in pacf.values())
+
+
 class TestDunnBH:
     def test_stepup_invariants_and_holm_superset(self, spark):
         from unitdb_spark.operators.stats_tests import dunn_bh, dunn_holm

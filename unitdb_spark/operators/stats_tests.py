@@ -2608,6 +2608,109 @@ def dunn_holm(
     )
 
 
+def durbin_levinson_steps(lags: int) -> list[tuple[str, str]]:
+    """The Durbin-Levinson recursion unrolled as an ordered list of
+    (column_name, SQL expression) steps over DOUBLE columns r1..rN —
+    the text is shared VERBATIM by the Spark plan (chained
+    withColumn) and the DuckDB oracle (chained CTEs), so both engines
+    evaluate the same IEEE expression tree and the emitted PACF is
+    bitwise identical. Each level-k reflection coefficient:
+
+        phi_k_k = (r_k − Σ_{j<k} phi_{k-1}_j · r_{k−j})
+                / (1 − Σ_{j<k} phi_{k-1}_j · r_j)      (NULL on 0 den)
+        phi_k_j = phi_{k-1}_j − phi_k_k · phi_{k-1}_{k−j}
+    """
+    if not 1 <= int(lags) <= 12:
+        raise ValueError("durbin_levinson_steps: lags must be in 1..12")
+    steps = [("phi_1_1", "r1")]
+    for k in range(2, int(lags) + 1):
+        num = f"r{k} - (" + " + ".join(
+            f"phi_{k - 1}_{j} * r{k - j}" for j in range(1, k)
+        ) + ")"
+        den = "1 - (" + " + ".join(
+            f"phi_{k - 1}_{j} * r{j}" for j in range(1, k)
+        ) + ")"
+        steps.append(
+            (
+                f"phi_{k}_{k}",
+                f"CASE WHEN ({den}) = 0 THEN NULL "
+                f"ELSE ({num}) / ({den}) END",
+            )
+        )
+        for j in range(1, k):
+            steps.append(
+                (
+                    f"phi_{k}_{j}",
+                    f"phi_{k - 1}_{j} - phi_{k}_{k} * phi_{k - 1}_{k - j}",
+                )
+            )
+    return steps
+
+
+def pacf_table(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    lags: int = 4,
+) -> DataFrame:
+    """Per-lag PARTIAL autocorrelation table — the AR-order
+    diagnostic `acf_table` cannot give: ρ_k confounds direct lag-k
+    structure with propagated lag-1 momentum; φ_kk is lag k's
+    contribution AFTER regressing out lags 1..k−1 (an AR(p) series
+    has φ_kk ≈ 0 beyond p — the Box-Jenkins order-picking plot).
+
+    Computed by the Durbin-Levinson recursion over the PPM-QUANTIZED
+    ACF (`acf_table`'s exact integer rho_ppm — so both engines start
+    from identical integers; the ≤1e-6-per-lag quantization is the
+    documented convention, invisible at the round-6 output): the
+    recursion steps are SQL text shared verbatim with the oracle
+    (`durbin_levinson_steps`), one pinned IEEE expression chain per
+    key. Keys missing a lag (no pairs / constant series) carry NULL
+    through the chain in both engines.
+
+    Output: (key, lag, pacf_r), lags 1..``lags``, pacf_r round-6
+    (lag 1 equals the ACF's own r1 by construction).
+
+    Scale: the ACF machinery (one partitioned window pass + lag-
+    exploded partial agg); the recursion runs on the k-keys × 1
+    pivoted relation — control-plane.
+    """
+    lags = int(lags)
+    acf = acf_table(df, key_col, ts_col=ts_col, bucket_s=bucket_s, lags=lags)
+    piv = acf.groupBy(key_col).agg(
+        *[
+            F.max(
+                F.when(F.col("lag") == k, F.col("rho_ppm"))
+            ).alias(f"_r{k}ppm")
+            for k in range(1, lags + 1)
+        ]
+    )
+    cur = piv.select(
+        key_col,
+        *[
+            F.expr(f"CAST(_r{k}ppm AS DOUBLE) / 1000000.0").alias(f"r{k}")
+            for k in range(1, lags + 1)
+        ],
+    )
+    for name, expr in durbin_levinson_steps(lags):
+        cur = cur.withColumn(name, F.expr(expr))
+    return cur.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("lag"),
+                        F.round(F.col(f"phi_{k}_{k}"), 6).alias("pacf_r"),
+                    )
+                    for k in range(1, lags + 1)
+                ]
+            )
+        ).alias("_p"),
+    ).select(key_col, F.col("_p.lag").alias("lag"), F.col("_p.pacf_r").alias("pacf_r"))
+
+
 def bh_threshold_case(rank_col: str, m_col: str, q: float = 0.05,
                       max_m: int = 45) -> str:
     """The Benjamini-Hochberg step-up z-threshold lookup as ONE
