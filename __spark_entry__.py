@@ -8775,6 +8775,30 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_parts_croston(spark, sf_dir):
+    """Croston intermittent-demand forecast per part: weekly shipped
+    quantity is sparse per part, so sizes and inter-demand intervals
+    smooth separately (dyadic α=1/2 over the last 8 demand events —
+    exact-integer terms) and the per-week forecast is ONE pinned
+    division of two exact-integer doubles. Bitwise oracle."""
+    from unitdb_spark.operators.timeseries import croston_forecast
+
+    li = _read(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_partkey").alias("part_id"),
+        F.expr(
+            "CAST(datediff(l_shipdate, DATE '1992-01-01') div 7 AS BIGINT)"
+        ).alias("week"),
+    ).agg(
+        F.sum(
+            (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("dem")
+    )
+    return croston_forecast(
+        cells, "part_id", "week", "dem", n=8, unit_scale=100.0
+    )
+
+
 def q_events_pacf(spark, sf_dir):
     """Per-lag PARTIAL autocorrelation (Durbin-Levinson over the
     integer-exact ppm ACF) — the Box-Jenkins AR-order plot beside
@@ -9164,6 +9188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_sssp": q_parts_sssp,
         "doc_kn_nll": q_doc_kn_nll,
         "events_pacf": q_events_pacf,
+        "parts_croston": q_parts_croston,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -10498,6 +10523,46 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id, CAST(u.i AS INT) AS frame_idx
         FROM m, UNNEST(generate_series(0, nf - 1, 30)) AS u(i)
+        """,
+        "parts_croston": """
+        -- Croston: dyadic EWMAs of demand sizes and inter-demand
+        -- gaps over the SAME last-8 frame; the per-period forecast
+        -- is one division of two exact-integer doubles
+        WITH cells AS (
+          SELECT l_partkey AS k,
+            CAST(date_diff('day', DATE '1992-01-01', l_shipdate) // 7
+                 AS BIGINT) AS w,
+            CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                          AS BIGINT)) AS BIGINT) AS dem
+          FROM lineitem GROUP BY 1, 2
+        ), pos AS (
+          SELECT * FROM cells WHERE dem > 0
+        ), g AS (
+          SELECT k, w, dem,
+            coalesce(w - lag(w) OVER (PARTITION BY k ORDER BY w), 1)
+              AS gap
+          FROM pos
+        ), lists AS (
+          SELECT k, w,
+            list(dem) OVER win AS ds,
+            list(gap) OVER win AS gs,
+            row_number() OVER (PARTITION BY k ORDER BY w DESC) AS rnd
+          FROM g
+          WINDOW win AS (PARTITION BY k ORDER BY w
+                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        ), nums AS (
+          SELECT k, len(ds) AS m,
+            list_sum(list_transform(generate_series(1, len(ds)),
+              j -> CAST(ds[j] AS DOUBLE) * power(2, j - 1))) AS zn,
+            list_sum(list_transform(generate_series(1, len(gs)),
+              j -> CAST(gs[j] AS DOUBLE) * power(2, j - 1))) AS pn
+          FROM lists WHERE rnd = 1
+        )
+        SELECT k AS part_id, CAST(m AS INT) AS m,
+          round((zn / (power(2, m) - 1)) / 100.0, 6) AS z_r,
+          round(pn / (power(2, m) - 1), 6) AS p_r,
+          round((zn / pn) / 100.0, 6) AS croston_r
+        FROM nums
         """,
         "events_ewma": """
         -- dyadic-weight EWMA: terms and partial sums are exact double

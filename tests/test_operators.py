@@ -10650,6 +10650,42 @@ class TestDunnHolm:
         }
 
 
+class TestCroston:
+    def test_hand_model(self, spark):
+        from unitdb_spark.operators.timeseries import croston_forecast
+
+        # demands (cents) at weeks 0, 3, 4 -> gaps 1, 3, 1; zero and
+        # null cells ignored; frame n=8 covers all three
+        rows = [
+            ("p", 0, 500), ("p", 1, 0), ("p", 3, 200), ("p", 4, 700),
+            ("q", 2, 300),
+        ]
+        df = spark.createDataFrame(rows, "k string, w long, d long")
+        out = {r.k: r for r in croston_forecast(
+            df, "k", "w", "d", n=8, unit_scale=100.0
+        ).collect()}
+        p = out["p"]
+        # dyadic weights oldest->newest = 1,2,4; denom = 7
+        zn = 500 * 1 + 200 * 2 + 700 * 4
+        pn = 1 * 1 + 3 * 2 + 1 * 4
+        assert p.m == 3
+        assert p.z_r == round((zn / 7) / 100.0, 6)
+        assert p.p_r == round(pn / 7, 6)
+        assert p.croston_r == round((zn / pn) / 100.0, 6)
+        # a single demand: size smoother = the size, interval = 1
+        q = out["q"]
+        assert (q.m, q.z_r, q.p_r, q.croston_r) == (1, 3.0, 1.0, 3.0)
+
+    def test_frame_bounds_last_n(self, spark):
+        from unitdb_spark.operators.timeseries import croston_forecast
+
+        rows = [("k", w, 100) for w in range(12)]
+        df = spark.createDataFrame(rows, "k string, w long, d long")
+        (r,) = croston_forecast(df, "k", "w", "d", n=4).collect()
+        # steady unit-gap demand: both smoothers flat regardless of frame
+        assert r.m == 4 and r.p_r == 1.0 and r.croston_r == 100.0
+
+
 class TestPacf:
     def test_steps_match_python_recursion(self, spark):
         """The SQL step chain evaluates to the textbook Durbin-

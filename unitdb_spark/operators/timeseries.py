@@ -161,6 +161,85 @@ def trailing_ewma(
     return df.withColumn("ewma_n", m).withColumn("ewma_r", F.round(ewma, 6))
 
 
+def croston_forecast(
+    df: DataFrame,
+    key_col: str,
+    period_col: str,
+    demand_col: str,
+    n: int = 8,
+    unit_scale: float = 1.0,
+) -> DataFrame:
+    """Croston's method (Croston '72) — the forecasting standard for
+    INTERMITTENT demand, where `seasonal_naive_backtest`'s dense
+    charts degenerate (most periods are zero; smoothing zeros drives
+    any plain EWMA to zero, then every demand looks like a spike):
+    smooth the nonzero demand SIZES and the INTERVALS between demands
+    separately, and forecast size/interval demand per period.
+
+    Both smoothers are the `trailing_ewma` dyadic form (α = 1/2 over
+    the last ``n`` demand events): terms and partial sums are exact
+    integers in doubles, order-free, and — because both ride the SAME
+    frame — the per-period forecast needs no denominator at all:
+
+        z/p = (Σ size_j·2^(j−1)) / (Σ gap_j·2^(j−1))
+
+    one pinned division of two exact-integer doubles. The first
+    demand's interval is 1 by convention (no prior event to measure
+    from). Exactness envelope: size·2^(n−1) and gap·2^(n−1) < 2⁵³.
+
+    Input: an already-aggregated (key, period index, integer demand)
+    CELL relation — zero/NULL-demand cells are ignored (Croston
+    updates only on occurrences). ``unit_scale`` divides the size
+    smoother back to natural units (e.g. 100 for cents).
+
+    Output: ONE row per key — (key, m = events in the frame, z_r
+    smoothed size, p_r smoothed interval, croston_r = per-period
+    forecast), all round-6 pinned.
+
+    Scale: one (key, period) window sort; the emitted relation is
+    one row per demanding key.
+    """
+    if n > 20:
+        raise ValueError("n > 20 shrinks the exact-integer envelope below usefulness")
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(period_col).cast("long").alias("_w"),
+        F.col(demand_col).cast("long").alias("_d"),
+    ).filter(F.col("_d") > 0)
+    w_ord = Window.partitionBy("_k").orderBy("_w")
+    g = base.withColumn(
+        "_gap", F.coalesce(F.col("_w") - F.lag("_w").over(w_ord), F.lit(1))
+    )
+    win = Window.partitionBy("_k").orderBy("_w").rowsBetween(-(n - 1), 0)
+    dyadic = lambda c: F.aggregate(  # noqa: E731
+        F.transform(
+            F.collect_list(c).over(win),
+            lambda x, i: x.cast("double") * F.pow(F.lit(2.0), i),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sized = g.select(
+        "_k", "_w",
+        F.size(F.collect_list("_d").over(win)).alias("m"),
+        dyadic(F.col("_d")).alias("_zn"),
+        dyadic(F.col("_gap")).alias("_pn"),
+        F.row_number()
+        .over(Window.partitionBy("_k").orderBy(F.col("_w").desc()))
+        .alias("_rn"),
+    ).filter(F.col("_rn") == 1)
+    denom = F.pow(F.lit(2.0), F.col("m")) - F.lit(1.0)
+    return sized.select(
+        F.col("_k").alias(key_col),
+        F.col("m").cast("int").alias("m"),
+        F.round((F.col("_zn") / denom) / F.lit(float(unit_scale)), 6)
+        .alias("z_r"),
+        F.round(F.col("_pn") / denom, 6).alias("p_r"),
+        F.round((F.col("_zn") / F.col("_pn")) / F.lit(float(unit_scale)), 6)
+        .alias("croston_r"),
+    )
+
+
 def silence_gaps(
     df: DataFrame,
     keys: list[str],
