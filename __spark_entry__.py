@@ -8775,6 +8775,34 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_events_effect_size(spark, sf_dir):
+    """Standardized effect sizes (Cohen's d, Hedges' g, Glass's Δ)
+    of per-user revenue between the hash-assigned arms — the
+    magnitude companion of events_abtest's significance verdict and
+    events_cliffs_delta's ordinal one. Exact integer moments; one
+    pinned float chain shared verbatim with the oracle."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.evaluation import effect_size_report
+
+    ev = _events(spark, sf_dir)
+    units = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            ),
+            F.lit(0),
+        ).alias("cents")
+    ).select(
+        "cents",
+        (
+            md5_int60(
+                F.concat(F.col("user_id").cast("string"), F.lit(":ab"))
+            ) % 2
+        ).cast("int").alias("arm"),
+    )
+    return effect_size_report(units, "cents", "arm")
+
+
 def q_parts_croston(spark, sf_dir):
     """Croston intermittent-demand forecast per part: weekly shipped
     quantity is sparse per part, so sizes and inter-demand intervals
@@ -9189,6 +9217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kn_nll": q_doc_kn_nll,
         "events_pacf": q_events_pacf,
         "parts_croston": q_parts_croston,
+        "events_effect_size": q_events_effect_size,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -16488,6 +16517,55 @@ def oracle_sql() -> dict[str, str]:
         + _steps_sql + " " + _final
     )
     # QTE: exact per-arm order statistics at rank (d*n+9) div 10
+    # effect sizes: exact integer moments per arm, the SAME pinned
+    # float chain as evaluation.effect_size_report
+    d["events_effect_size"] = """
+        WITH units AS (
+          SELECT
+            coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT)), 0) AS v,
+            CAST((CAST(('0x' || substr(md5(
+              CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT)
+              % 2) AS INTEGER) AS a
+          FROM events GROUP BY user_id
+        ), m AS (
+          SELECT
+            CAST(count(*) FILTER (a = 0) AS BIGINT) AS n_a,
+            CAST(count(*) FILTER (a != 0) AS BIGINT) AS n_b,
+            CAST(coalesce(sum(v) FILTER (a = 0), 0) AS BIGINT) AS s_a,
+            CAST(coalesce(sum(v) FILTER (a != 0), 0) AS BIGINT) AS s_b,
+            coalesce(sum(CAST(v AS HUGEINT) * v) FILTER (a = 0), 0)
+              AS ss_a,
+            coalesce(sum(CAST(v AS HUGEINT) * v) FILTER (a != 0), 0)
+              AS ss_b
+          FROM units
+        ), dd AS (
+          SELECT n_a, n_b,
+            CAST(n_a AS DOUBLE) AS na_d, CAST(n_b AS DOUBLE) AS nb_d,
+            CAST(s_a AS DOUBLE) AS sa_d, CAST(s_b AS DOUBLE) AS sb_d,
+            CAST(ss_a AS DOUBLE) AS ssa_d, CAST(ss_b AS DOUBLE) AS ssb_d
+          FROM m
+        ), ee AS (
+          SELECT n_a, n_b,
+            round(sa_d / na_d, 6) AS mean_a_r,
+            round(sb_d / nb_d, 6) AS mean_b_r,
+            (na_d * ssa_d - sa_d * sa_d) / na_d AS A_a,
+            (nb_d * ssb_d - sb_d * sb_d) / nb_d AS A_b,
+            sa_d / na_d - sb_d / nb_d AS md,
+            na_d + nb_d - 2 AS nu,
+            nb_d, na_d
+          FROM dd
+        )
+        SELECT n_a, n_b, mean_a_r, mean_b_r,
+          CASE WHEN n_a > 1 AND n_b > 1 AND (A_a + A_b) / nu > 0 THEN
+            round(md / sqrt((A_a + A_b) / nu), 6) END AS d_r,
+          CASE WHEN n_a > 1 AND n_b > 1 AND (A_a + A_b) / nu > 0 THEN
+            round((1.0 - 3.0 / (4.0 * nu - 1.0))
+                  * (md / sqrt((A_a + A_b) / nu)), 6) END AS g_r,
+          CASE WHEN n_b > 1 AND A_b / (nb_d - 1) > 0 THEN
+            round(md / sqrt(A_b / (nb_d - 1)), 6) END AS glass_r
+        FROM ee
+        """
     d["events_qte"] = """
         WITH units AS (
           SELECT

@@ -10650,6 +10650,39 @@ class TestDunnHolm:
         }
 
 
+class TestEffectSize:
+    def test_hand_model(self, spark):
+        import math
+
+        from unitdb_spark.operators.evaluation import effect_size_report
+
+        a = [10, 12, 14, 16]          # arm 0 (treatment)
+        b = [9, 11, 13, 15, 17]       # arm 1 (control)
+        rows = [(v, 0) for v in a] + [(v, 1) for v in b]
+        df = spark.createDataFrame(rows, "v long, arm int")
+        (r,) = effect_size_report(df, "v", "arm").collect()
+        na, nb = len(a), len(b)
+        sa, sb = sum(a), sum(b)
+        ssa, ssb = sum(x * x for x in a), sum(x * x for x in b)
+        A_a = (na * ssa - sa * sa) / na
+        A_b = (nb * ssb - sb * sb) / nb
+        md = sa / na - sb / nb
+        nu = na + nb - 2
+        d = md / math.sqrt((A_a + A_b) / nu)
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert r.mean_a_r == round(sa / na, 6)
+        assert r.d_r == round(d, 6)
+        assert r.g_r == round((1 - 3 / (4 * nu - 1)) * d, 6)
+        assert r.glass_r == round(md / math.sqrt(A_b / (nb - 1)), 6)
+
+    def test_degenerate_arms_null(self, spark):
+        from unitdb_spark.operators.evaluation import effect_size_report
+
+        df = spark.createDataFrame([(5, 0), (7, 1)], "v long, arm int")
+        (r,) = effect_size_report(df, "v", "arm").collect()
+        assert r.d_r is None and r.g_r is None and r.glass_r is None
+
+
 class TestCroston:
     def test_hand_model(self, spark):
         from unitdb_spark.operators.timeseries import croston_forecast

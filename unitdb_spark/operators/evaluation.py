@@ -889,6 +889,76 @@ def power_analysis(
     )
 
 
+def effect_size_report(
+    units: DataFrame, value_col: str, arm_col: str
+) -> DataFrame:
+    """Standardized effect sizes between two arms — the magnitude
+    companion of `ab_test_report`'s significance verdict and
+    `cliffs_delta`'s ordinal one (a significant-but-tiny d is the
+    classic big-n trap): Cohen's d on the pooled SD, Hedges' g
+    (the small-sample bias correction J = 1 − 3/(4ν−1), ν = n_a+n_b−2),
+    and Glass's Δ on the CONTROL arm's SD alone (arm 1 is control —
+    use when the treatment changes the variance too).
+
+    Exactness: per-arm moments (n, Σv, Σv²) are exact DECIMAL(38,0)
+    integers; every derived quantity is ONE pinned float chain over
+    their double casts —
+
+        mean_k = s_k/n_k,  (n_k−1)·var_k = (n_k·ss_k − s_k²)/n_k,
+        sp² = (A_a/n_a + A_b/n_b)/ν,  d = (mean_a − mean_b)/√sp²
+
+    — so both engines evaluate the same IEEE tree. NULL when either
+    arm has < 2 units or a needed variance is 0.
+
+    Output: ONE row — (n_a, n_b, mean_a_r, mean_b_r, d_r, g_r,
+    glass_r), round-6.
+
+    Scale: one map-side-combined aggregation; no window, no join.
+    """
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v = F.col(value_col).cast("long")
+    is_a = F.col(arm_col) == 0
+    agg = units.agg(
+        F.count(F.when(is_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(~is_a, 1)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(is_a, v)), F.lit(0)).cast("long").alias("s_a"),
+        F.coalesce(F.sum(F.when(~is_a, v)), F.lit(0)).cast("long").alias("s_b"),
+        F.coalesce(F.sum(F.when(is_a, d38(v) * v)), F.lit(0))
+        .cast("decimal(38,0)").alias("ss_a"),
+        F.coalesce(F.sum(F.when(~is_a, d38(v) * v)), F.lit(0))
+        .cast("decimal(38,0)").alias("ss_b"),
+    )
+    # one pinned float chain, SQL text shared verbatim with the oracle
+    out = agg.selectExpr(
+        "*",
+        "CAST(n_a AS DOUBLE) AS na_d",
+        "CAST(n_b AS DOUBLE) AS nb_d",
+        "CAST(s_a AS DOUBLE) AS sa_d",
+        "CAST(s_b AS DOUBLE) AS sb_d",
+        "CAST(ss_a AS DOUBLE) AS ssa_d",
+        "CAST(ss_b AS DOUBLE) AS ssb_d",
+    ).selectExpr(
+        "n_a", "n_b",
+        "round(sa_d / na_d, 6) AS mean_a_r",
+        "round(sb_d / nb_d, 6) AS mean_b_r",
+        "(na_d * ssa_d - sa_d * sa_d) / na_d AS A_a",
+        "(nb_d * ssb_d - sb_d * sb_d) / nb_d AS A_b",
+        "sa_d / na_d - sb_d / nb_d AS md",
+        "na_d + nb_d - 2 AS nu",
+        "nb_d", "na_d",
+    )
+    return out.selectExpr(
+        "n_a", "n_b", "mean_a_r", "mean_b_r",
+        "CASE WHEN n_a > 1 AND n_b > 1 AND (A_a + A_b) / nu > 0 THEN "
+        "round(md / sqrt((A_a + A_b) / nu), 6) END AS d_r",
+        "CASE WHEN n_a > 1 AND n_b > 1 AND (A_a + A_b) / nu > 0 THEN "
+        "round((1.0 - 3.0 / (4.0 * nu - 1.0)) "
+        "* (md / sqrt((A_a + A_b) / nu)), 6) END AS g_r",
+        "CASE WHEN n_b > 1 AND A_b / (nb_d - 1) > 0 THEN "
+        "round(md / sqrt(A_b / (nb_d - 1)), 6) END AS glass_r",
+    )
+
+
 def quantile_treatment_effect(
     units: DataFrame,
     value_col: str,
