@@ -8775,6 +8775,35 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_events_mg_users(spark, sf_dir):
+    """Portable Misra-Gries heavy-hitter rollup: per-day MG summaries
+    (k=16) of per-user event counts merged via the Agarwal '12 rule
+    (sum counters, subtract the (k+1)-th largest) — the mergeable
+    top-k companion of the KMV/HLL sketch family. Output carries the
+    exact counts and the guarantee check err·(k+1) ≤ n_total; all
+    integers, deterministic (count-desc, id-asc tie-break), bitwise
+    oracle replaying the same two-level construction."""
+    from unitdb_spark.operators.sketch import mg_merge, mg_summary
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    counts = ev.groupBy(
+        F.to_date("ts").alias("day"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    merged = mg_merge(mg_summary(counts, "day", "user_id", "c", k=16), k=16)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    tot = ev.agg(F.count(F.lit(1)).alias("n_tot"))
+    return (
+        merged.join(exact, merged["item"] == exact["user_id"])
+        .join(F.broadcast(tot))
+        .select(
+            F.col("user_id"), "mg_est", "exact_n",
+            (F.col("exact_n") - F.col("mg_est")).alias("err"),
+            ((F.col("exact_n") - F.col("mg_est")) * 17 <= F.col("n_tot"))
+            .alias("err_ok"),
+        )
+    )
+
+
 def q_events_effect_size(spark, sf_dir):
     """Standardized effect sizes (Cohen's d, Hedges' g, Glass's Δ)
     of per-user revenue between the hash-assigned arms — the
@@ -9218,6 +9247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pacf": q_events_pacf,
         "parts_croston": q_parts_croston,
         "events_effect_size": q_events_effect_size,
+        "events_mg_users": q_events_mg_users,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -16517,6 +16547,51 @@ def oracle_sql() -> dict[str, str]:
         + _steps_sql + " " + _final
     )
     # QTE: exact per-arm order statistics at rank (d*n+9) div 10
+    # Misra-Gries rollup: per-day subtract-(k+1)th summaries merged
+    # by the Agarwal rule — all integers, same tie-breaks
+    d["events_mg_users"] = """
+        WITH ev AS (
+          SELECT CAST(ts AS DATE) AS day, user_id FROM events
+          WHERE user_id IS NOT NULL
+        ), counts AS (
+          SELECT day, user_id, count(*) AS c FROM ev GROUP BY 1, 2
+        ), rk AS (
+          SELECT day, user_id, c,
+            row_number() OVER (PARTITION BY day
+              ORDER BY c DESC, user_id ASC) AS rk
+          FROM counts
+        ), pv AS (
+          SELECT day, max(CASE WHEN rk = 17 THEN c END) AS pv
+          FROM rk GROUP BY day
+        ), sk AS (
+          SELECT rk.day, rk.user_id,
+            rk.c - coalesce(pv.pv, 0) AS counter
+          FROM rk JOIN pv ON pv.day = rk.day
+          WHERE rk.rk <= 16 AND rk.c - coalesce(pv.pv, 0) > 0
+        ), summed AS (
+          SELECT user_id, sum(counter) AS m FROM sk GROUP BY 1
+        ), rk2 AS (
+          SELECT user_id, m,
+            row_number() OVER (ORDER BY m DESC, user_id ASC) AS rk
+          FROM summed
+        ), pv2 AS (
+          SELECT max(CASE WHEN rk = 17 THEN m END) AS pv FROM rk2
+        ), merged AS (
+          SELECT user_id, m - coalesce(pv2.pv, 0) AS mg_est
+          FROM rk2, pv2
+          WHERE rk <= 16 AND m - coalesce(pv2.pv, 0) > 0
+        ), exact AS (
+          SELECT user_id, count(*) AS exact_n FROM ev GROUP BY 1
+        ), tot AS (
+          SELECT count(*) AS n_tot FROM ev
+        )
+        SELECT merged.user_id,
+          CAST(mg_est AS BIGINT) AS mg_est,
+          CAST(exact_n AS BIGINT) AS exact_n,
+          CAST(exact_n - mg_est AS BIGINT) AS err,
+          (exact_n - mg_est) * 17 <= n_tot AS err_ok
+        FROM merged JOIN exact USING (user_id), tot
+        """
     # effect sizes: exact integer moments per arm, the SAME pinned
     # float chain as evaluation.effect_size_report
     d["events_effect_size"] = """

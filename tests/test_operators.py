@@ -10650,6 +10650,53 @@ class TestDunnHolm:
         }
 
 
+class TestMisraGries:
+    def test_hand_model_two_days(self, spark):
+        from unitdb_spark.operators.sketch import mg_merge, mg_summary
+
+        rows = [
+            ("d1", "a", 5), ("d1", "b", 3), ("d1", "c", 2),
+            ("d2", "b", 4), ("d2", "c", 3), ("d2", "d", 1),
+        ]
+        df = spark.createDataFrame(rows, "p string, i string, c long")
+        sk = {(r.part, r.item): r.counter
+              for r in mg_summary(df, "p", "i", "c", k=2).collect()}
+        # d1 pivot = 2 -> a:3, b:1 (c drops); d2 pivot = 1 -> b:3, c:2
+        assert sk == {("d1", "a"): 3, ("d1", "b"): 1,
+                      ("d2", "b"): 3, ("d2", "c"): 2}
+        merged = {r.item: r.mg_est for r in mg_merge(
+            mg_summary(df, "p", "i", "c", k=2), k=2
+        ).collect()}
+        # sums a:3, b:4, c:2 -> pivot = 2 -> a:1, b:2
+        assert merged == {"a": 1, "b": 2}
+
+    def test_merge_keeps_agarwal_guarantee(self, spark):
+        from unitdb_spark.operators.sketch import mg_merge, mg_summary
+
+        # deterministic skewed counts over 3 parts and 40 items
+        rows = []
+        for p in range(3):
+            for i in range(40):
+                c = 1 + (i * 7 + p * 13) % 9 + (50 if i % 17 == 0 else 0)
+                rows.append((str(p), f"i{i}", c))
+        df = spark.createDataFrame(rows, "p string, i string, c long")
+        k = 8
+        est = {r.item: r.mg_est for r in mg_merge(
+            mg_summary(df, "p", "i", "c", k=k), k=k
+        ).collect()}
+        assert 0 < len(est) <= k
+        exact = {}
+        for _, i, c in rows:
+            exact[i] = exact.get(i, 0) + c
+        n = sum(exact.values())
+        for item, e in est.items():
+            assert e <= exact[item]
+            assert (exact[item] - e) * (k + 1) <= n
+        # the single global heavy hitters must survive the merge
+        top = sorted(exact, key=lambda i: -exact[i])[:2]
+        assert set(top) <= set(est)
+
+
 class TestEffectSize:
     def test_hand_model(self, spark):
         import math

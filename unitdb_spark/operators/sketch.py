@@ -581,3 +581,84 @@ def hll_overlap(
             ).alias("overlap_est"),
         )
     )
+
+
+def mg_summary(
+    counts: DataFrame,
+    part_col: str,
+    item_col: str,
+    count_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Misra-Gries heavy-hitter summary per partition unit — from
+    EXACT per-(partition, item) counts, the order-free canonical form
+    the mergeable-summaries literature uses (Agarwal et al. '12,
+    MERGEABLE SUMMARIES Lemma 1): subtract the (k+1)-th largest count
+    from every counter and keep the strictly-positive ones (≤ k by
+    construction; items tied AT the pivot drop). Counter values are
+    LOWER bounds on the true counts, each within n_part/(k+1).
+
+    Output: (part, item, counter) — ≤ k rows per partition unit.
+
+    Scale: one (part)-partitioned rank window over the per-part item
+    relation; WindowGroupLimit applies to the rank ≤ k+1 cut.
+    """
+    base = counts.select(
+        F.col(part_col).alias("_p"),
+        F.col(item_col).alias("_i"),
+        F.col(count_col).cast("long").alias("_c"),
+    )
+    w = Window.partitionBy("_p").orderBy(
+        F.col("_c").desc(), F.col("_i").asc()
+    )
+    ranked = base.withColumn("_rk", F.row_number().over(w))
+    pivot = ranked.filter(F.col("_rk") == k + 1).select(
+        "_p", F.col("_c").alias("_pv")
+    )
+    return (
+        ranked.filter(F.col("_rk") <= k)
+        .join(pivot, "_p", "left")
+        .select(
+            F.col("_p").alias("part"),
+            F.col("_i").alias("item"),
+            (F.col("_c") - F.coalesce(F.col("_pv"), F.lit(0)))
+            .alias("counter"),
+        )
+        .filter(F.col("counter") > 0)
+    )
+
+
+def mg_merge(summaries: DataFrame, k: int = 16) -> DataFrame:
+    """Merge Misra-Gries summaries across partition units: sum
+    counters per item, then apply the same subtract-(k+1)-th-largest
+    rule once more (the Agarwal merge — per-item cumulative error
+    stays ≤ n_total/(k+1) however many summaries fold in, which is
+    exactly what a 1000-executor per-day rollup needs).
+
+    Input: the `mg_summary` relation (part, item, counter). Output:
+    (item, mg_est) — ≤ k rows, exact integers, deterministic
+    (count-desc, item-asc tie-break throughout).
+
+    Scale: the input is ≤ k × parts rows (control-plane); one sum
+    agg + one rank over that bounded relation.
+    """
+    summed = summaries.groupBy("item").agg(
+        F.sum("counter").cast("long").alias("_m")
+    )
+    w = Window.orderBy(F.col("_m").desc(), F.col("item").asc())
+    ranked = summed.withColumn("_rk", F.row_number().over(w))
+    # always-one-row pivot (NULL when fewer than k+1 items) — a bare
+    # cross join against an empty filter would erase the summary
+    pivot = ranked.agg(
+        F.max(F.when(F.col("_rk") == k + 1, F.col("_m"))).alias("_pv")
+    )
+    return (
+        ranked.filter(F.col("_rk") <= k)
+        .join(F.broadcast(pivot), how="cross")
+        .select(
+            "item",
+            (F.col("_m") - F.coalesce(F.col("_pv"), F.lit(0)))
+            .alias("mg_est"),
+        )
+        .filter(F.col("mg_est") > 0)
+    )
