@@ -8775,6 +8775,29 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_media_png7_resize(spark, sf_dir):
+    """REAL Adam7-interlaced PNG kernel: every doc becomes a valid
+    INTERLACED 8-bit truecolor PNG (seven independently-filtered
+    passes, all five filters in the path), the pixels are
+    reconstructed (inflate + per-pass unfilter + grid scatter),
+    nearest-neighbor-resampled to 8×6, RE-ENCODED AS ADAM7, decoded
+    AGAIN, and reduced to the shared integer statistics. The fixture
+    carries the SAME closed-form pixels as the sequential PNG
+    fixture, so the oracle is media_png_resize's VERBATIM — a
+    hash-match proves the de-interlace scatters every pixel to its
+    exact grid position. No stub in the path."""
+    from unitdb_spark.functions.multimodal import (
+        png7_pixel_stats,
+        resize_png7_images,
+        synthetic_png7_media,
+    )
+
+    media = synthetic_png7_media(_docs(spark, sf_dir))
+    return png7_pixel_stats(resize_png7_images(media, 8, 6)).select(
+        F.col("id").alias("doc_id"), "width", "height", "px_sum", "px_wsum"
+    )
+
+
 def q_events_mg_users(spark, sf_dir):
     """Portable Misra-Gries heavy-hitter rollup: per-day MG summaries
     (k=16) of per-user event counts merged via the Agarwal '12 rule
@@ -9248,6 +9271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_croston": q_parts_croston,
         "events_effect_size": q_events_effect_size,
         "events_mg_users": q_events_mg_users,
+        "media_png7_resize": q_media_png7_resize,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -10380,6 +10404,8 @@ def oracle_sql() -> dict[str, str]:
                  + cb * ((vy * 8 + vx) * 3 + 3)) AS BIGINT) AS px_wsum
         FROM px GROUP BY 1
         """,
+        # Adam7 twin: same closed-form pixels, different container —
+        # the oracle is shared verbatim below (after dict build)
         "media_jpeg_resize": """
         -- regenerate the 8x6 nearest-neighbor-resampled pixels from
         -- doc_id alone: the JPEG fixture is constant per 8x8 block
@@ -16547,6 +16573,11 @@ def oracle_sql() -> dict[str, str]:
         + _steps_sql + " " + _final
     )
     # QTE: exact per-arm order statistics at rank (d*n+9) div 10
+    # Adam7 PNG: the fixture's pixel CONTENT is container-independent
+    # (same dims/seed/formulas as the sequential PNG fixture), so the
+    # resample oracle is shared verbatim — a hash-match proves the
+    # de-interlace scatters every pixel to its exact grid position
+    d["media_png7_resize"] = d["media_png_resize"]
     # Misra-Gries rollup: per-day subtract-(k+1)th summaries merged
     # by the Agarwal rule — all integers, same tie-breaks
     d["events_mg_users"] = """

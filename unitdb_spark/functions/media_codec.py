@@ -772,6 +772,145 @@ def decode_png_rgb(b: bytes):
     return out.reshape(h, w, 3)
 
 
+#: Adam7 interlace pass grid (PNG spec §8.2): (x0, y0, dx, dy) per
+#: pass — pass k samples pixels (x0 + i·dx, y0 + j·dy).
+ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def adam7_scanline_count(w: int, h: int) -> int:
+    """Total filtered scanlines an Adam7 image of (w, h) carries —
+    empty passes (zero width or height) contribute none, per spec."""
+    n = 0
+    for x0, y0, dx, dy in ADAM7_PASSES:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            n += ph
+    return n
+
+
+def encode_png_rgb_adam7(arr, row_filters=None) -> bytes:
+    """numpy (h, w, 3) uint8 RGB top-down -> a valid 8-bit truecolor
+    ADAM7-INTERLACED PNG (IHDR interlace = 1, one IDAT, real CRCs).
+    Each of the seven passes is an independent sub-image: its first
+    scanline filters against a zero prior row, exactly as the spec's
+    'each pass is treated as an independent image' rule demands.
+    ``row_filters`` optionally gives the filter type (0-4) per
+    SEQUENTIAL scanline across passes (`adam7_scanline_count` rows)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    raw = bytearray()
+    seq = 0
+    for x0, y0, dx, dy in ADAM7_PASSES:
+        sub = a[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        prev = bytes(pw * 3)
+        for y in range(ph):
+            row = sub[y].tobytes()
+            ftype = int(row_filters[seq]) if row_filters is not None else 0
+            raw.append(ftype)
+            raw += _png_filter_row(ftype, row, prev)
+            prev = row
+            seq += 1
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb_any(b: bytes):
+    """8-bit truecolor PNG -> numpy (h, w, 3) uint8 RGB top-down,
+    covering BOTH interlace methods: 0 delegates to the sequential
+    path, 1 runs the real Adam7 reconstruction — seven independently
+    unfiltered sub-images scattered back onto the (x0 + i·dx,
+    y0 + j·dy) grids. None for anything narrower than the claim
+    (palette/alpha/16-bit, truncated or corrupt streams)."""
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        payload = b[pos + 8 : pos + 8 + clen]
+        if len(payload) < clen:
+            return None
+        if ctype == b"IHDR":
+            ihdr = payload
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, ctype_, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8 or ctype_ != 2 or comp != 0 or filt != 0:
+        return None
+    if interlace == 0:
+        return decode_png_rgb(b)
+    if interlace != 1 or w == 0 or h == 0:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in ADAM7_PASSES:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * 3
+        sub = np.empty((ph, stride), dtype=np.uint8)
+        prev = bytes(stride)
+        for y in range(ph):
+            if pos + 1 + stride > len(raw):
+                return None
+            ftype = raw[pos]
+            if ftype > 4:
+                return None
+            row = bytearray(raw[pos + 1 : pos + 1 + stride])
+            _png_unfilter_row(ftype, row, prev)
+            prev = bytes(row)
+            sub[y] = np.frombuffer(prev, dtype=np.uint8)
+            pos += 1 + stride
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, 3)
+    if pos != len(raw):
+        return None
+    return out
+
+
+def resize_png_adam7_nearest(b: bytes, width: int, height: int) -> bytes | None:
+    """REAL nearest-neighbor resample of an 8-bit truecolor PNG
+    (either interlace method), RE-ENCODED AS ADAM7 — so a decode of
+    the output exercises the interlaced writer and reader both. Same
+    integer index math as `resize_png_nearest`."""
+    import numpy as np
+
+    src = decode_png_rgb_any(b)
+    if src is None:
+        return None
+    sh, sw, _ = src.shape
+    xs = (np.arange(width) * sw) // width
+    ys = (np.arange(height) * sh) // height
+    return encode_png_rgb_adam7(src[np.ix_(ys, xs)])
+
+
 def resize_png_nearest(b: bytes, width: int, height: int) -> bytes | None:
     """REAL nearest-neighbor resample of an 8-bit truecolor PNG,
     re-encoded as a PNG (filter type 0 rows — the content, not the

@@ -856,6 +856,122 @@ def png_pixel_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_png7_media(documents: DataFrame) -> DataFrame:
+    """Adam7-INTERLACED PNG fixture: the SAME closed-form pixels as
+    `synthetic_png_media` (dims sw = d%21+4, sh = (d//5)%17+4, seed
+    s = d%241, the same RGB formulas) packed through the interlaced
+    writer — sequential scanline y (across the seven passes) filtered
+    with type (s + y) % 5, so every pass exercises every filter. The
+    pixel CONTENT is container-independent, which is the proof trick:
+    the non-interlaced oracle matches bitwise iff the Adam7
+    reconstruction scatters every pixel to its exact grid position."""
+    from unitdb_spark.functions import media_codec as mc
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sw, sh, s = d % 21 + 4, (d // 5) % 17 + 4, d % 241
+                X, Y = np.meshgrid(np.arange(sw), np.arange(sh))
+                arr = np.stack(
+                    [
+                        (s + 5 * X + 3 * Y) % 256,
+                        (2 * s + 7 * X + Y) % 256,
+                        (3 * s + 2 * X + 11 * Y) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                n_lines = mc.adam7_scanline_count(sw, sh)
+                filters = [(s + y) % 5 for y in range(n_lines)]
+                blobs.append(mc.encode_png_rgb_adam7(arr, filters))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"].values,
+                    "media_type": "image",
+                    "blob": blobs,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _build, "id long, media_type string, blob binary"
+    )
+
+
+def resize_png7_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor resize for Adam7-interlaced PNG blobs:
+    de-interlace (seven independently-unfiltered passes scattered back
+    to the grid), resample with integer index math, RE-ENCODE AS
+    ADAM7 — the output blob runs the interlaced writer too. NULL blob
+    for anything the decoder doesn't claim."""
+    from unitdb_spark.functions.media_codec import resize_png_adam7_nearest
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                resize_png_adam7_nearest(bytes(b), width, height)
+                if b is not None
+                else None
+                for b in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "width": width,
+                    "height": height,
+                    "blob": pd.Series(out, dtype=object),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _resize, "id long, width int, height int, blob binary"
+    )
+
+
+def png7_pixel_stats(df: DataFrame) -> DataFrame:
+    """`png_pixel_stats` for either interlace method: decode through
+    `decode_png_rgb_any` and reduce to the same order-sensitive
+    integer statistics (channel sum + position-weighted checksum)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import decode_png_rgb_any
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"].values, pdf["blob"]):
+                arr = decode_png_rgb_any(bytes(b)) if b is not None else None
+                if arr is None:
+                    rows.append((int(i), None, None, None, None))
+                    continue
+                flat = arr.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        int(i),
+                        int(arr.shape[1]),
+                        int(arr.shape[0]),
+                        int(flat.sum()),
+                        int((flat * (np.arange(flat.size) + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "width": pd.Series([r[1] for r in rows], dtype=object),
+                    "height": pd.Series([r[2] for r in rows], dtype=object),
+                    "px_sum": pd.Series([r[3] for r in rows], dtype=object),
+                    "px_wsum": pd.Series([r[4] for r in rows], dtype=object),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _stats, "id long, width int, height int, px_sum long, px_wsum long"
+    )
+
+
 def synthetic_gif_media(documents: DataFrame) -> DataFrame:
     """Real-pixel GIF fixture — the LZW counterpart of
     `synthetic_png_media`: every doc becomes a VALID single-image
