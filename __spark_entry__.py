@@ -8775,6 +8775,25 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_events_ad_exp(spark, sf_dir):
+    """Anderson-Darling exponentiality of per-type inter-event gaps —
+    the tail-weighted companion of events_exp_gof's KS verdict (A²
+    integrates the squared CDF gap with 1/[F(1-F)] weight, so heavy
+    or light TAILS show up that the sup-distance misses). Exact
+    arithmetic-series tie coefficients; nano-quantized transcendental
+    touches; order-free DECIMAL term sum — bitwise oracle."""
+    from unitdb_spark.operators.stats_tests import ad_exponential
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+        .alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return ad_exponential(gaps, "event_type", "gap_us")
+
+
 def q_media_png7_resize(spark, sf_dir):
     """REAL Adam7-interlaced PNG kernel: every doc becomes a valid
     INTERLACED 8-bit truecolor PNG (seven independently-filtered
@@ -9272,6 +9291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_effect_size": q_events_effect_size,
         "events_mg_users": q_events_mg_users,
         "media_png7_resize": q_media_png7_resize,
+        "events_ad_exp": q_events_ad_exp,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -18387,6 +18407,59 @@ def oracle_sql() -> dict[str, str]:
           CAST(any_value(s) // any_value(n) AS BIGINT) AS mean_dur,
           CASE WHEN any_value(n) > 0 THEN round(max(dv), 6) END AS d_r
         FROM dd GROUP BY k
+        """
+    # Anderson-Darling: same gaps/tot/rk spine as the KS oracle;
+    # arithmetic-series tie coefficients; nano-quantized exp/ln
+    # touches; exact HUGEINT term sum — the Spark chain verbatim
+    d["events_ad_exp"] = """
+        WITH gaps AS (
+          SELECT event_type AS k,
+            epoch_us(ts) - lag(epoch_us(ts)) OVER (
+              PARTITION BY event_type ORDER BY ts, event_id
+            ) AS v
+          FROM events
+        ), b AS (
+          SELECT k, v FROM gaps WHERE v IS NOT NULL AND v > 0
+        ), per AS (
+          SELECT k, v, count(*) AS t_v FROM b GROUP BY k, v
+        ), tot AS (
+          SELECT k, count(*) AS n, sum(v) AS s FROM b GROUP BY k
+        ), rk AS (
+          SELECT per.k, per.v, per.t_v,
+            coalesce(sum(per.t_v) OVER (
+              PARTITION BY per.k ORDER BY per.v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS below,
+            tot.n, tot.s
+          FROM per JOIN tot ON per.k = tot.k
+        ), uu AS (
+          SELECT k, n,
+            CAST(v AS DOUBLE) * CAST(n AS DOUBLE) / CAST(s AS DOUBLE)
+              AS u_d,
+            CAST(t_v AS HUGEINT) * (2 * below + t_v) AS coef_a,
+            CAST(t_v AS HUGEINT) * (2 * n - 2 * below - t_v) AS coef_b
+          FROM rk
+        ), qq AS (
+          SELECT k, n, coef_a, coef_b,
+            CAST(round(exp(-u_d) * 1000000000.0) AS BIGINT) AS e_nano,
+            CAST(round(u_d * 1000000000.0) AS BIGINT) AS u_nano
+          FROM uu
+        ), tt AS (
+          SELECT k, n,
+            coef_a * CAST(round(ln(greatest(
+              CAST(1000000000 - e_nano AS DOUBLE), 1.0)
+              / 1000000000.0) * 1000000000.0) AS BIGINT)
+            - coef_b * u_nano AS term
+          FROM qq
+        )
+        SELECT tt.k AS event_type,
+          CAST(any_value(tt.n) AS BIGINT) AS n,
+          CAST(any_value(tot.s) // any_value(tt.n) AS BIGINT) AS mean_dur,
+          round(-CAST(any_value(tt.n) AS DOUBLE)
+                - (CAST(sum(term) AS DOUBLE) / 1000000000.0)
+                / CAST(any_value(tt.n) AS DOUBLE), 6) AS a2_r
+        FROM tt JOIN tot ON tot.k = tt.k
+        GROUP BY tt.k
         """
     # per-rule breakdown rides the gopher filter oracle's rule columns
     d["doc_gopher_reasons"] = (

@@ -10650,6 +10650,62 @@ class TestDunnHolm:
         }
 
 
+class TestAndersonDarling:
+    @staticmethod
+    def _model(vals):
+        import math
+
+        n, s = len(vals), sum(vals)
+        per = {}
+        for v in vals:
+            per[v] = per.get(v, 0) + 1
+        below, total = {}, 0
+        for v in sorted(per):
+            below[v] = total
+            total += per[v]
+        acc = 0
+        for v, t in per.items():
+            b = below[v]
+            u = float(v) * float(n) / float(s)
+            coef_a = t * (2 * b + t)
+            coef_b = t * (2 * n - 2 * b - t)
+            e_nano = round(math.exp(-u) * 1e9)
+            u_nano = round(u * 1e9)
+            lnf_nano = round(
+                math.log(max(float(1_000_000_000 - e_nano), 1.0) / 1e9) * 1e9
+            )
+            acc += coef_a * lnf_nano - coef_b * u_nano
+        return round(-float(n) - (float(acc) / 1e9) / float(n), 6)
+
+    def test_matches_python_model(self, spark):
+        from unitdb_spark.operators.stats_tests import ad_exponential
+
+        vals = [3, 1, 7, 1, 2, 15, 4, 2, 9, 1, 30, 5]
+        df = spark.createDataFrame(
+            [("k", v) for v in vals], "k string, v long"
+        )
+        (r,) = ad_exponential(df, "k", "v").collect()
+        assert r.n == len(vals)
+        assert r.mean_dur == sum(vals) // len(vals)
+        assert r.a2_r == self._model(vals)
+
+    def test_constant_gaps_score_far_worse_than_exponential(self, spark):
+        import math
+
+        from unitdb_spark.operators.stats_tests import ad_exponential
+
+        # quantized exponential sample (inverse-CDF grid) vs constant
+        exp_vals = [
+            max(1, int(-1000 * math.log(1 - (i + 0.5) / 64)))
+            for i in range(64)
+        ]
+        rows = [("exp", v) for v in exp_vals] + [("const", 1000)] * 64
+        df = spark.createDataFrame(rows, "k string, v long")
+        out = {r.k: r.a2_r for r in ad_exponential(df, "k", "v").collect()}
+        assert out["exp"] < 1.0          # comfortably exponential
+        assert out["const"] > out["exp"] * 5  # degenerate tail blows up
+
+
 class TestMisraGries:
     def test_hand_model_two_days(self, spark):
         from unitdb_spark.operators.sketch import mg_merge, mg_summary

@@ -2495,6 +2495,90 @@ def ks_exponential(
     )
 
 
+def ad_exponential(
+    cells: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-key Anderson-Darling goodness-of-fit of positive integer
+    durations against the fitted exponential — the TAIL-WEIGHTED
+    sibling of `ks_exponential`: KS prices the single worst CDF gap
+    (dominated by the body), A² integrates the squared gap with
+    1/[F(1−F)] weight, so it catches the too-heavy/too-light TAILS
+    that SLA and MTBF math actually die on. Same fitted model
+    (λ̂ = n/Σx) and the standard order-statistic form
+
+        A² = −n − (1/n) Σ_i [(2i−1)·ln F(x_(i))
+                             + (2(n−i)+1)·ln(1−F(x_(i)))]
+
+    grouped per DISTINCT duration (ties give arithmetic-series
+    coefficients: ranks b+1..b+t contribute coefA = t(2b+t) on ln F
+    and coefB = t(2n−2b−t) on ln(1−F) — exact integers from the same
+    cumulative window as KS).
+
+    Cross-engine contract: u = v·n/S is pure IEEE arithmetic
+    (identical both engines); the two transcendental touches quantize
+    to integer NANO units (round(exp(−u)·1e9), round(ln(f)·1e9) with
+    the PSI-style 1e-9 floor on f so a sub-resolution u never takes
+    ln 0), every term is then exact DECIMAL(38,0) and the sum is
+    order-free; one pinned round-6 finish. The 1e-9-per-touch
+    quantization is the documented convention (error ≤ ~1e-9·n —
+    invisible at round-6 through n ≈ 10⁵ per key, stated honestly
+    beyond).
+
+    Output: (key, n, mean_dur, a2_r).
+
+    Scale: identical to `ks_exponential` — per-key distinct-value
+    relation, one window on the key shuffle, one partial agg.
+    """
+    b = cells.select(
+        F.col(key_col).alias("_k"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & (F.col("_v") > 0))
+    per = b.groupBy("_k", "_v").agg(F.count(F.lit(1)).alias("t_v"))
+    tot = b.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("s"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = per.select(
+        "_k", "_v", "t_v",
+        F.coalesce(F.sum("t_v").over(w), F.lit(0)).alias("below"),
+    ).join(tot, "_k")
+    # the shared pinned chain (SQL text mirrored by the oracle)
+    terms = rk.selectExpr(
+        "_k", "n",
+        "CAST(_v AS DOUBLE) * CAST(n AS DOUBLE) / CAST(s AS DOUBLE) AS u_d",
+        "CAST(t_v AS DECIMAL(38,0)) * (2 * below + t_v) AS coef_a",
+        "CAST(t_v AS DECIMAL(38,0)) * (2 * n - 2 * below - t_v) AS coef_b",
+    ).selectExpr(
+        "_k", "n", "coef_a", "coef_b",
+        "CAST(round(exp(-u_d) * 1000000000.0) AS BIGINT) AS e_nano",
+        "CAST(round(u_d * 1000000000.0) AS BIGINT) AS u_nano",
+    ).selectExpr(
+        "_k", "n", "coef_b", "u_nano",
+        "coef_a * CAST(round(ln(greatest("
+        "CAST(1000000000 - e_nano AS DOUBLE), 1.0) / 1000000000.0)"
+        " * 1000000000.0) AS BIGINT) AS term_a",
+    ).selectExpr(
+        "_k", "n",
+        "term_a - coef_b * u_nano AS term",
+    )
+    agg = terms.groupBy("_k").agg(
+        F.first("n").alias("n"),
+        F.sum("term").alias("_t"),
+    ).join(tot.select("_k", "s"), "_k")
+    return agg.selectExpr(
+        f"_k AS {key_col}",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(s div n AS BIGINT) AS mean_dur",
+        "round(-CAST(n AS DOUBLE) - (CAST(_t AS DOUBLE) / 1000000000.0)"
+        " / CAST(n AS DOUBLE), 6) AS a2_r",
+    )
+
+
 def norm_ppf(p: float) -> float:
     """Inverse standard-normal CDF via Acklam's rational approximation
     (public domain; |relative error| < 1.15e-9 — far inside the
