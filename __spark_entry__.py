@@ -8775,6 +8775,26 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_orders_fd_audit(spark, sf_dir):
+    """Functional-dependency audit over orders — the profiling check
+    behind join-key and SCD-grain assumptions: per candidate lhs→rhs,
+    violating-key count and worst fan-out, exact integers. The
+    primary-key dependency holds; the behavioral ones don't — the
+    mixed verdict is the point of the audit."""
+    from unitdb_spark.operators.profile import fd_audit
+
+    o = _read(spark, sf_dir, "orders")
+    return fd_audit(
+        o,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderstatus"),
+            ("o_orderdate", "o_orderpriority"),
+            ("o_custkey", "o_orderpriority"),
+        ],
+    )
+
+
 def q_events_ad_exp(spark, sf_dir):
     """Anderson-Darling exponentiality of per-type inter-event gaps —
     the tail-weighted companion of events_exp_gof's KS verdict (A²
@@ -9292,6 +9312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mg_users": q_events_mg_users,
         "media_png7_resize": q_media_png7_resize,
         "events_ad_exp": q_events_ad_exp,
+        "orders_fd_audit": q_orders_fd_audit,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -18408,6 +18429,29 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN any_value(n) > 0 THEN round(max(dv), 6) END AS d_r
         FROM dd GROUP BY k
         """
+    # FD audit: distinct (lhs, rhs) pairs (NULL rhs counts as a
+    # value), per-key fan-out, exact integers per candidate
+    _FD_ONE = """
+        SELECT '{l}' AS lhs, '{r}' AS rhs,
+          CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(count(*) FILTER (nr > 1) AS BIGINT) AS n_violating,
+          CAST(max(nr) AS BIGINT) AS max_rhs_per_key,
+          count(*) FILTER (nr > 1) = 0 AS holds
+        FROM (
+          SELECT l, count(*) AS nr FROM (
+            SELECT DISTINCT {l} AS l, {r} AS r FROM orders
+          ) GROUP BY l
+        )
+    """
+    d["orders_fd_audit"] = " UNION ALL ".join(
+        _FD_ONE.format(l=l, r=r)
+        for l, r in [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderstatus"),
+            ("o_orderdate", "o_orderpriority"),
+            ("o_custkey", "o_orderpriority"),
+        ]
+    )
     # Anderson-Darling: same gaps/tot/rk spine as the KS oracle;
     # arithmetic-series tie coefficients; nano-quantized exp/ln
     # touches; exact HUGEINT term sum — the Spark chain verbatim

@@ -10650,6 +10650,30 @@ class TestDunnHolm:
         }
 
 
+class TestFdAudit:
+    def test_holds_violations_and_null_semantics(self, spark):
+        from unitdb_spark.operators.profile import fd_audit
+
+        rows = [
+            (1, "a", 10), (1, "a", 10),      # duplicates collapse
+            (2, "b", 20), (2, "b", 21),      # id -> v violated
+            (3, None, 30), (3, None, 31),    # NULL rhs is a value
+            (None, "c", 40),                 # NULL lhs is a key
+        ]
+        df = spark.createDataFrame(rows, "id int, s string, v int")
+        out = {(r.lhs, r.rhs): r for r in fd_audit(
+            df, [("id", "s"), ("id", "v"), ("s", "id")]
+        ).collect()}
+        a = out[("id", "s")]
+        # keys 1,2,3,NULL each map to exactly one s
+        assert (a.n_keys, a.n_violating, a.holds) == (4, 0, True)
+        b = out[("id", "v")]
+        # key 2 sees {20,21}, key 3 sees {30,31}
+        assert (b.n_violating, b.max_rhs_per_key, b.holds) == (2, 2, False)
+        c = out[("s", "id")]
+        assert c.holds  # every s (incl. NULL) maps to one id
+
+
 class TestAndersonDarling:
     @staticmethod
     def _model(vals):

@@ -676,3 +676,46 @@ def share_drift_from_counts(
             "delta_ppm",
         )
     )
+
+
+def fd_audit(df: DataFrame, deps: list[tuple[str, str]]) -> DataFrame:
+    """Functional-dependency audit — the data-profiling check behind
+    every "X determines Y" modeling assumption (join keys, SCD
+    grains, star-schema conformance): for each candidate lhs → rhs,
+    how many lhs keys see MORE than one distinct rhs, and how bad is
+    the worst key. Exact integers (count + count distinct per key);
+    a dependency `holds` iff zero violating keys. NULL-safe: NULL
+    rhs counts as a value (two keys agreeing on NULL still agree),
+    NULL lhs groups like any other key — the SQL GROUP BY convention
+    both engines share.
+
+    Output: one row per candidate — (lhs, rhs, n_keys, n_violating,
+    max_rhs_per_key, holds).
+
+    Scale: one map-side-combinable (lhs, rhs) distinct + per-key agg
+    per candidate; candidates are a literal list, so the audit is
+    len(deps) bounded scans — run it on a sampled slice first at
+    100 TB, then confirm on the full table for survivors.
+    """
+    outs = []
+    for lhs, rhs in deps:
+        per = (
+            df.select(F.col(lhs).alias("_l"), F.col(rhs).alias("_r"))
+            .distinct()
+            .groupBy("_l")
+            .agg(F.count(F.lit(1)).alias("_nr"))
+        )
+        outs.append(
+            per.agg(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.count(F.when(F.col("_nr") > 1, 1))
+                .cast("long").alias("n_violating"),
+                F.max("_nr").cast("long").alias("max_rhs_per_key"),
+            ).withColumn("holds", F.col("n_violating") == 0)
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
