@@ -8775,6 +8775,25 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_doc_threshold_transfer(spark, sf_dir):
+    """The leakage-honest operating point: best-F1 threshold picked
+    on the hash-assigned train split, confusion priced on the
+    held-out test split — the production-promisable number beside
+    doc_best_f1's in-sample one (their gap is the threshold's
+    overfit). Exact integers throughout."""
+    from unitdb_spark.operators.evaluation import threshold_transfer
+    from unitdb_spark.operators.sampling import split_assign
+
+    scored = _cls_scored_gold(spark, sf_dir).withColumn(
+        "split",
+        split_assign("doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}),
+    )
+    return threshold_transfer(
+        scored, "score", "gold", "split",
+        pick_split="train", eval_split="test",
+    )
+
+
 def q_orders_fd_audit(spark, sf_dir):
     """Functional-dependency audit over orders — the profiling check
     behind join-key and SCD-grain assumptions: per candidate lhs→rhs,
@@ -9313,6 +9332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png7_resize": q_media_png7_resize,
         "events_ad_exp": q_events_ad_exp,
         "orders_fd_audit": q_orders_fd_audit,
+        "doc_threshold_transfer": q_doc_threshold_transfer,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17622,6 +17642,87 @@ def oracle_sql() -> dict[str, str]:
             CAST((CAST(n_pos AS HUGEINT) * 1000000)
                  // (CAST(n_pos AS HUGEINT) + n_neg) AS BIGINT)
           END AS prevalence_ppm
+        FROM agg
+        """
+    )
+    # threshold transfer: the same score+gold chain with the split
+    # hash; pick on train (the doc_best_f1 argmax restricted to the
+    # train slice), price the confusion on the held-out test slice
+    d["doc_threshold_transfer"] = (
+        "WITH sc AS ("
+        + d["doc_classify_score"].replace(
+            "round(1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1)))), 6)"
+            " AS score_r",
+            "1.0 / (1.0 + exp(-(wsum / greatest(n_feats, 1)))) AS score",
+        )
+        + "), gf AS (" + d["doc_gopher_filter"] + "), "
+        """
+        sp AS (
+          SELECT doc_id,
+            CASE WHEN u < 0.1 THEN 'test'
+                 WHEN u < 0.9 THEN 'train'
+                 ELSE 'valid' END AS split
+          FROM (
+            SELECT doc_id,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                || ':split'), 1, 15)) AS BIGINT)
+                / 1152921504606846976.0 AS u
+            FROM documents)
+        ), j AS (
+          SELECT CAST(floor(sc.score * 1000000.0) AS BIGINT) AS sm,
+            gf.keep AS gold, sp.split
+          FROM sc JOIN gf ON gf.doc_id = sc.id
+          JOIN sp ON sp.doc_id = sc.id
+        ), per AS (
+          SELECT sm, count(*) FILTER (gold) AS np_v,
+            count(*) FILTER (NOT gold) AS nn_v
+          FROM j WHERE split = 'train' GROUP BY sm
+        ), tr AS (
+          SELECT sm,
+            CAST(sum(np_v) OVER (ORDER BY sm DESC ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+            CAST(sum(nn_v) OVER (ORDER BY sm DESC ROWS BETWEEN
+              UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+            CAST(sum(np_v) OVER () AS BIGINT) AS p
+          FROM per
+        ), roc AS (
+          SELECT sm,
+            CASE WHEN tp + tp + fp + (p - tp) > 0 THEN
+              CAST((CAST(tp AS HUGEINT) * 2000000000000)
+                   // (tp + tp + fp + (p - tp)) AS BIGINT)
+            END AS f1_pico
+          FROM tr
+        ), pick AS (
+          SELECT sm AS thr_micro FROM (
+            SELECT sm, row_number() OVER (
+              ORDER BY f1_pico DESC NULLS LAST, sm DESC) AS rn
+            FROM roc
+          ) WHERE rn = 1
+        ), ev AS (
+          SELECT sm, gold FROM j WHERE split = 'test'
+        ), agg AS (
+          SELECT thr_micro,
+            CAST(count(*) FILTER (gold AND sm >= thr_micro)
+                 AS BIGINT) AS tp,
+            CAST(count(*) FILTER (NOT gold AND sm >= thr_micro)
+                 AS BIGINT) AS fp,
+            CAST(count(*) FILTER (gold AND sm < thr_micro)
+                 AS BIGINT) AS fn,
+            CAST(count(*) FILTER (NOT gold AND sm < thr_micro)
+                 AS BIGINT) AS tn
+          FROM ev, pick GROUP BY thr_micro
+        )
+        SELECT thr_micro, tp, fp, fn, tn,
+          CASE WHEN tp + fp > 0 THEN
+            CAST((CAST(tp AS HUGEINT) * 1000000) // (tp + fp) AS BIGINT)
+          END AS precision_ppm,
+          CASE WHEN tp + fn > 0 THEN
+            CAST((CAST(tp AS HUGEINT) * 1000000) // (tp + fn) AS BIGINT)
+          END AS recall_ppm,
+          CASE WHEN tp + tp + fp + fn > 0 THEN
+            CAST((CAST(tp AS HUGEINT) * 2000000000000)
+                 // (CAST(tp AS HUGEINT) + tp + fp + fn) AS BIGINT)
+          END AS f1_pico
         FROM agg
         """
     )

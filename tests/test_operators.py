@@ -10650,6 +10650,35 @@ class TestDunnHolm:
         }
 
 
+class TestThresholdTransfer:
+    def test_picks_on_one_split_scores_the_other(self, spark):
+        from unitdb_spark.operators.evaluation import threshold_transfer
+
+        rows = [
+            # train: best F1 at threshold 0.7 (tp=2 fp=1 fn=0)
+            (0.9, True, "train"), (0.8, False, "train"),
+            (0.7, True, "train"), (0.6, False, "train"),
+            # test: at thr 700000 -> tp=1 fp=1 fn=1 tn=1
+            (0.9, True, "test"), (0.7, False, "test"),
+            (0.6, True, "test"), (0.5, False, "test"),
+        ]
+        df = spark.createDataFrame(rows, "s double, y boolean, split string")
+        (r,) = threshold_transfer(df, "s", "y", "split").collect()
+        assert r.thr_micro == 700000
+        assert (r.tp, r.fp, r.fn, r.tn) == (1, 1, 1, 1)
+        assert r.precision_ppm == 500_000
+        assert r.recall_ppm == 500_000
+        assert r.f1_pico == 2 * 10**12 // 4
+
+    def test_empty_pick_split_yields_no_rows(self, spark):
+        from unitdb_spark.operators.evaluation import threshold_transfer
+
+        df = spark.createDataFrame(
+            [(0.5, True, "test")], "s double, y boolean, split string"
+        )
+        assert threshold_transfer(df, "s", "y", "split").count() == 0
+
+
 class TestFdAudit:
     def test_holds_violations_and_null_semantics(self, spark):
         from unitdb_spark.operators.profile import fd_audit

@@ -1251,6 +1251,59 @@ def best_threshold_report(
     )
 
 
+def threshold_transfer(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    split_col: str,
+    pick_split: str = "train",
+    eval_split: str = "test",
+) -> DataFrame:
+    """The leakage-honest operating point: pick the best-F1 threshold
+    on ``pick_split`` (via `best_threshold_report`), then price the
+    confusion on the HELD-OUT ``eval_split`` — the number you can
+    actually promise in production, vs the in-sample F1 that
+    `doc_best_f1` reports (their gap IS the overfitting of the
+    threshold choice). Same floor-micro quantization family-wide.
+
+    Output: ONE row — (thr_micro, tp, fp, fn, tn, precision_ppm,
+    recall_ppm, f1_pico), all exact integers; empty when the pick
+    split has no rows (no threshold to transfer).
+
+    Scale: the bounded-relation argmax on the pick slice + one
+    aggregation over the eval slice against a broadcast 1-row
+    threshold.
+    """
+    picked = best_threshold_report(
+        df.filter(F.col(split_col) == pick_split), score_col, label_col
+    ).select(F.col("score_micro").alias("thr_micro"))
+    ev = df.filter(F.col(split_col) == eval_split).select(
+        F.floor(F.col(score_col).cast("double") * F.lit(1_000_000.0))
+        .cast("long").alias("_sm"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    pos = F.col("_sm") >= F.col("thr_micro")
+    agg = ev.join(F.broadcast(picked)).groupBy("thr_micro").agg(
+        F.count(F.when(F.col("_y") & pos, 1)).cast("long").alias("tp"),
+        F.count(F.when(~F.col("_y") & pos, 1)).cast("long").alias("fp"),
+        F.count(F.when(F.col("_y") & ~pos, 1)).cast("long").alias("fn"),
+        F.count(F.when(~F.col("_y") & ~pos, 1)).cast("long").alias("tn"),
+    )
+    return agg.selectExpr(
+        "thr_micro", "tp", "fp", "fn", "tn",
+        "CASE WHEN tp + fp > 0 THEN CAST((CAST(tp AS DECIMAL(38,0)) "
+        "* 1000000) div (CAST(tp AS DECIMAL(38,0)) + fp) AS BIGINT) "
+        "END AS precision_ppm",
+        "CASE WHEN tp + fn > 0 THEN CAST((CAST(tp AS DECIMAL(38,0)) "
+        "* 1000000) div (CAST(tp AS DECIMAL(38,0)) + fn) AS BIGINT) "
+        "END AS recall_ppm",
+        "CASE WHEN 2 * tp + fp + fn > 0 THEN "
+        "CAST((CAST(tp AS DECIMAL(38,0)) * 2000000000000) "
+        "div (CAST(tp AS DECIMAL(38,0)) + tp + fp + fn) AS BIGINT) "
+        "END AS f1_pico",
+    )
+
+
 def average_precision(
     df: DataFrame, score_col: str, label_col: str
 ) -> DataFrame:
