@@ -19236,7 +19236,9 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ), r2 AS (
-          SELECT *, s // t AS mf FROM r
+          -- true floor for either sign: DuckDB's // truncates like
+          -- Spark's div, so the nonneg-mod identity is shared verbatim
+          SELECT *, (s - ((s % t) + t) % t) // t AS mf FROM r
         ), r3 AS (
           SELECT event_id, event_type, ts, vu,
             s - sum(mf) OVER w2 AS m

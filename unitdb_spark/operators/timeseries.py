@@ -596,7 +596,8 @@ def page_hinkley(
     Cross-engine exactness: x quantizes to 1e-6 units via the family's
     DECIMAL(18,6) cast; mean_i = floor(S_i / i) in integer micro-units
     (true floor for either sign via the nonneg-mod identity
-    (S − ((S%i)+i)%i) div i — DuckDB's `//` floors natively), so every
+    (S − ((S%i)+i)%i) div i — shared VERBATIM with the oracle, since
+    DuckDB's `//` truncates exactly like Spark's div), so every
     m_t, PH_t is an exact BIGINT and the alarm compare is integral.
     The floor-mean is the documented convention (≤ 1e-6 below the real
     mean, same bound both engines). NULL and NaN rows are dropped.

@@ -795,8 +795,8 @@ def _ph_fn(delta_u: int, lam_u: int):
             )
             n += 1
             s_u += v_u
-            # Python // floors for either sign — the batch operator's
-            # nonneg-mod identity, DuckDB's native //
+            # Python // floors for either sign — the same true floor
+            # as the batch operator's (and oracle's) nonneg-mod identity
             m_u += v_u - (s_u // n) - delta_u
             mn_m = m_u if n == 1 else min(mn_m, m_u)
             ph = m_u - mn_m
