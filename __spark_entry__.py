@@ -8775,6 +8775,37 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_doc_lr_train(spark, sf_dir):
+    """Cross-engine-reproducible TRAINING: a logistic-regression
+    quality classifier fit inside the engine by 3 full-batch GD steps
+    on integer permille features (bias, saturating length,
+    distinct-token ratio, saturating mean token length) against the
+    Gopher gate as labels. Exact integer weights — the only float
+    touch is one micro-rounded sigmoid per doc, so the oracle unrolls
+    the SAME steps in SQL and reproduces the trained weights bitwise."""
+    from unitdb_spark.operators.classify import lr_train
+
+    d = _gopher_planted(spark, sf_dir)
+    base = d.select(
+        TXT.gopher_rules("text")["keep"].alias("keep"),
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+        ).alias("t"),
+    ).selectExpr(
+        "CAST(1000 AS BIGINT) AS x1",
+        "CAST((1000 * greatest(size(t), 1))"
+        " div (greatest(size(t), 1) + 500) AS BIGINT) AS x2",
+        "CAST((1000 * size(array_distinct(t)))"
+        " div greatest(size(t), 1) AS BIGINT) AS x3",
+        "CAST((1000 * aggregate(transform(t, x -> length(x)), 0,"
+        " (a, b) -> a + b)) div (aggregate(transform(t, x -> length(x)),"
+        " 0, (a, b) -> a + b) + 4 * greatest(size(t), 1)) AS BIGINT)"
+        " AS x4",
+        "CAST(CASE WHEN keep THEN 1000000 ELSE 0 END AS BIGINT) AS y",
+    )
+    return lr_train(base, ["x1", "x2", "x3", "x4"], "y", steps=3, lr=(1, 2))
+
+
 def q_doc_threshold_transfer(spark, sf_dir):
     """The leakage-honest operating point: best-F1 threshold picked
     on the hash-assigned train split, confusion priced on the
@@ -9333,6 +9364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ad_exp": q_events_ad_exp,
         "orders_fd_audit": q_orders_fd_audit,
         "doc_threshold_transfer": q_doc_threshold_transfer,
+        "doc_lr_train": q_doc_lr_train,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17645,6 +17677,75 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
         """
     )
+    # LR training replay: the SAME 3 unrolled full-batch GD steps
+    # (lr_step_exprs/lr_update_expr text, '//' division token) over
+    # the SAME permille features — trained weights match bitwise
+    from unitdb_spark.operators.classify import lr_step_exprs, lr_update_expr
+
+    _LR_STEPS, _LR = 3, (1, 2)
+    _lr_xc = ["x1", "x2", "x3", "x4"]
+    _lr_sql = (
+        "WITH gf AS (" + d["doc_gopher_filter"] + f"""
+        ), tk AS (
+          SELECT doc_id,
+            {_TOKS.replace("lower(text)", "lower(atext)")} AS t
+          FROM (
+            SELECT doc_id,
+              text
+              || CASE WHEN doc_id % 7 = 0 THEN '{_GOPHER_BULLETS}' ELSE '' END
+              || CASE WHEN doc_id % 11 = 0 THEN '{_GOPHER_ELLIPSIS}' ELSE '' END
+              || CASE WHEN doc_id % 13 = 0 THEN '{_GOPHER_HASHES}' ELSE '' END
+              || CASE WHEN doc_id % 17 = 0 THEN '{_GOPHER_DIGITS}' ELSE '' END
+              AS atext
+            FROM documents)
+        ), ft AS (
+          SELECT
+            CAST(1000 AS BIGINT) AS x1,
+            CAST((1000 * greatest(len(t), 1))
+                 // (greatest(len(t), 1) + 500) AS BIGINT) AS x2,
+            CAST((1000 * len(list_distinct(t)))
+                 // greatest(len(t), 1) AS BIGINT) AS x3,
+            CAST((1000 * coalesce(list_sum(list_transform(t,
+                   x -> length(x))), 0))
+                 // (coalesce(list_sum(list_transform(t,
+                   x -> length(x))), 0)
+                     + 4 * greatest(len(t), 1)) AS BIGINT) AS x4,
+            CAST(CASE WHEN gf.keep THEN 1000000 ELSE 0 END AS BIGINT)
+              AS y
+          FROM tk JOIN gf ON gf.doc_id = tk.doc_id
+        ), nn AS (SELECT count(*) AS n FROM ft),
+        w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+               CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4)
+        """
+    )
+    for _t in range(1, _LR_STEPS + 1):
+        _p, _gs = lr_step_exprs(
+            [f"w{j + 1}" for j in range(4)], _lr_xc, "y", "//"
+        )
+        _lr_sql += f"""
+        , pp{_t} AS (
+          SELECT ft.*, {_p} AS _p FROM ft, w{_t - 1}
+        ), gg{_t} AS (
+          SELECT """ + ", ".join(
+            f"CAST(sum({g}) AS BIGINT) AS g{j + 1}"
+            for j, g in enumerate(_gs)
+        ) + f"""
+          FROM pp{_t}
+        ), w{_t} AS (
+          SELECT """ + ", ".join(
+            "CAST("
+            + lr_update_expr(f"w{j + 1}", f"g{j + 1}", "n", _LR, "//")
+            + f" AS BIGINT) AS w{j + 1}"
+            for j in range(4)
+        ) + f"""
+          FROM w{_t - 1}, gg{_t}, nn
+        )"""
+    _lr_sql += " " + " UNION ALL ".join(
+        f"SELECT 'x{j + 1}' AS feature, w{j + 1} AS weight_micro"
+        f" FROM w{_LR_STEPS}"
+        for j in range(4)
+    )
+    d["doc_lr_train"] = _lr_sql
     # threshold transfer: the same score+gold chain with the split
     # hash; pick on train (the doc_best_f1 argmax restricted to the
     # train slice), price the confusion on the held-out test slice

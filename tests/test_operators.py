@@ -10650,6 +10650,57 @@ class TestDunnHolm:
         }
 
 
+class TestLrTrain:
+    @staticmethod
+    def _py_model(rows, steps=3, lr=(1, 2)):
+        import math
+
+        d = len(rows[0]) - 1
+        w = [0] * d
+        n = len(rows)
+        for _ in range(steps):
+            G = [0] * d
+            for r in rows:
+                xs, y = r[:d], r[d]
+                z = sum(wj * xj for wj, xj in zip(w, xs)) // 1000
+                p = round(1_000_000.0 / (1.0 + math.exp(-(float(z) / 1e6))))
+                for j in range(d):
+                    G[j] += ((p - y) * xs[j]) // 1000
+            for j in range(d):
+                w[j] -= (lr[0] * G[j]) // (lr[1] * n)
+        return w
+
+    def test_matches_python_recurrence(self, spark):
+        from unitdb_spark.operators.classify import lr_train
+
+        rows = [
+            (1000, 900, 300, 1, 1_000_000),
+            (1000, 100, 800, 0, 0),
+            (1000, 950, 250, 1, 1_000_000),
+            (1000, 50, 900, 1, 0),
+            (1000, 500, 500, 0, 1_000_000),
+        ]
+        df = spark.createDataFrame(
+            rows, "x1 long, x2 long, x3 long, x4 long, y long"
+        )
+        got = {r.feature: r.weight_micro for r in lr_train(
+            df, ["x1", "x2", "x3", "x4"], "y", steps=3
+        ).collect()}
+        want = self._py_model(rows)
+        assert got == {f"x{j + 1}": want[j] for j in range(4)}
+
+    def test_learns_the_separating_direction(self, spark):
+        from unitdb_spark.operators.classify import lr_train
+
+        rows = [(1000, 1000, 1_000_000)] * 10 + [(1000, 0, 0)] * 10
+        df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+        got = {r.feature: r.weight_micro for r in lr_train(
+            df, ["x1", "x2"], "y", steps=3
+        ).collect()}
+        assert got["x2"] > 0  # the discriminating feature gains weight
+        assert abs(got["x1"]) < got["x2"]  # balanced labels: small bias
+
+
 class TestThresholdTransfer:
     def test_picks_on_one_split_scores_the_other(self, spark):
         from unitdb_spark.operators.evaluation import threshold_transfer

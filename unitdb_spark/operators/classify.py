@@ -105,3 +105,116 @@ def classify_score(
         score.alias("score"),
         (score >= F.lit(threshold)).alias("label"),
     )
+
+
+def lr_fld(a: str, b: str, div: str) -> str:
+    """Floor division of SQL expression ``a`` by positive ``b`` for
+    either sign of ``a`` — the repo's nonneg-mod identity, rendered
+    with the engine's truncating integer-division token (Spark 'div',
+    DuckDB '//'; both truncate toward zero, so the identity text is
+    otherwise shared)."""
+    return f"((({a}) - ((({a}) % ({b})) + ({b})) % ({b})) {div} ({b}))"
+
+
+def lr_step_exprs(
+    w: list[str], xcols: list[str], ycol: str, div: str
+) -> tuple[str, list[str]]:
+    """One full-batch gradient-descent step of the integer logistic
+    trainer as SQL text — shared between the Spark driver loop
+    (weights as integer literals, div='div') and the DuckDB oracle
+    (weights as CTE columns, div='//'):
+
+        z_micro = fld(Σ w_j·x_j, 1000)           (x in permille)
+        p_micro = round(1e6 / (1 + exp(−z_micro/1e6)))   [the ONE
+            float touch per doc — micro-rounded, so the exact integer
+            gradient sum is order-free and cross-engine identical]
+        g_j     = fld((p_micro − y_micro)·x_j, 1000)
+
+    Returns (p expression, per-feature gradient-term expressions over
+    a column named ``_p``).
+    """
+    z = " + ".join(f"({wj} * {x})" for wj, x in zip(w, xcols))
+    zf = lr_fld(z, "1000", div)
+    p = (
+        f"CAST(round(1000000.0 / (1.0 + exp(-(CAST({zf} AS DOUBLE)"
+        f" / 1000000.0)))) AS BIGINT)"
+    )
+    gs = [lr_fld(f"(_p - {ycol}) * {x}", "1000", div) for x in xcols]
+    return p, gs
+
+
+def lr_update_expr(wexpr: str, gexpr: str, n_expr: str,
+                   lr: tuple[int, int], div: str) -> str:
+    """The weight update w' = w − fld(lr_num·G, lr_den·n) — exact
+    integer micro-units, shared text (modulo the div token)."""
+    return (
+        f"({wexpr}) - "
+        + lr_fld(f"{int(lr[0])} * ({gexpr})", f"{int(lr[1])} * ({n_expr})", div)
+    )
+
+
+def lr_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    steps: int = 3,
+    lr: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Train a logistic-regression quality classifier INSIDE the
+    engine — full-batch gradient descent for a FIXED number of steps
+    (the repo's iterative-operator determinism contract), on integer
+    PERMILLE features and a micro-unit label, with EXACT integer
+    weights: the only float touch is one micro-rounded sigmoid per
+    document (`lr_step_exprs`), so gradient sums are order-free
+    integers and a SQL oracle unrolling the same steps reproduces the
+    trained weights BITWISE — cross-engine reproducible training, the
+    property classic ML stacks give up first. The hashed scorer
+    (`classify_score`) is the fixed-weight gate; this is the
+    trainable one.
+
+    Input: ``feature_cols`` integer columns in [0, 1000] (permille —
+    include a constant-1000 bias column), ``label_col`` in
+    {0, 1000000}. Learning rate lr[0]/lr[1]; update is the exact
+    floor fld(lr_num·G_j, lr_den·n).
+
+    Output: one row per feature — (feature, weight_micro) after
+    ``steps`` full-batch steps.
+
+    Scale: per step, ONE map-side-combined aggregation over the
+    feature relation (current weights are plan literals — nothing is
+    broadcast or joined); the driver holds d+1 longs per step, the
+    classic bounded control-plane read. steps·1 passes total.
+    """
+    d = len(feature_cols)
+    base = df.select(
+        *[
+            F.col(c).cast("long").alias(f"x{j + 1}")
+            for j, c in enumerate(feature_cols)
+        ],
+        F.col(label_col).cast("long").alias("y"),
+    )
+    xcols = [f"x{j + 1}" for j in range(d)]
+    w = [0] * d
+    n = None
+    for _ in range(int(steps)):
+        p, gs = lr_step_exprs([str(v) for v in w], xcols, "y", "div")
+        staged = base.selectExpr(*xcols, "y", f"{p} AS _p")
+        agg = staged.selectExpr(
+            *[f"{g} AS g{j + 1}" for j, g in enumerate(gs)]
+        ).selectExpr(
+            "CAST(count(*) AS BIGINT) AS n",
+            *[f"CAST(sum(g{j + 1}) AS BIGINT) AS G{j + 1}" for j in range(d)],
+        )
+        row = agg.collect()[0]
+        n = int(row["n"])
+        if n == 0:
+            break
+        num, den = int(lr[0]), int(lr[1])
+        for j in range(d):
+            # python // floors for either sign — the identity's result
+            w[j] -= (num * int(row[f"G{j + 1}"])) // (den * n)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(feature_cols[j], w[j]) for j in range(d)],
+        "feature string, weight_micro long",
+    )
