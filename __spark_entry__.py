@@ -8775,6 +8775,28 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_doc_good_turing(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies: the principled unseen-
+    mass estimate (P0 = N1/N) and smoothed counts r* = (r+1)N_{r+1}/N_r
+    over the corpus vocabulary — what every smoothing scheme and
+    tokenizer-coverage claim quietly depends on. Literal r-spine keeps
+    empty frequency classes visible; exact floor-ppm ratios."""
+    from unitdb_spark.operators.tfidf import good_turing_table
+
+    return good_turing_table(_docs(spark, sf_dir), max_r=10)
+
+
+def q_doc_mattr(spark, sf_dir):
+    """Moving-Average Type-Token Ratio (window 50) — the length-
+    independent lexical diversity plain TTR can't be (TTR falls with
+    length by Heaps' law). Pure per-doc codegen projection; exact
+    cross-multiplied floor ppm; short docs fall back to whole-doc
+    TTR."""
+    from unitdb_spark.operators.tfidf import mattr
+
+    return mattr(_docs(spark, sf_dir), window=50)
+
+
 def q_doc_lr_train(spark, sf_dir):
     """Cross-engine-reproducible TRAINING: a logistic-regression
     quality classifier fit inside the engine by 3 full-batch GD steps
@@ -9365,6 +9387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_fd_audit": q_orders_fd_audit,
         "doc_threshold_transfer": q_doc_threshold_transfer,
         "doc_lr_train": q_doc_lr_train,
+        "doc_good_turing": q_doc_good_turing,
+        "doc_mattr": q_doc_mattr,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17677,6 +17701,63 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
         """
     )
+    # Good-Turing: vocab counts -> frequency-of-frequencies on the
+    # literal 1..10 r-spine; exact floor-ppm ratios
+    d["doc_good_turing"] = f"""
+        WITH tok AS (
+          SELECT unnest({_TOKS}) AS term FROM documents
+        ), vocab AS (
+          SELECT term, count(*) AS c FROM tok GROUP BY term
+        ), ff AS (
+          SELECT c, count(*) AS n_r FROM vocab GROUP BY c
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_total_types,
+            CAST(sum(c) AS BIGINT) AS n_total_tokens,
+            CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0)
+                 AS BIGINT) AS n_1
+          FROM vocab
+        ), spine AS (
+          SELECT c AS r, n_r AS n_types,
+            row_number() OVER (ORDER BY c ASC) AS rk
+          FROM ff
+        )
+        SELECT CAST(spine.r AS BIGINT) AS r,
+          CAST(spine.n_types AS BIGINT) AS n_types,
+          CAST(((spine.r + 1) * CAST(coalesce(nx.n_r, 0) AS HUGEINT)
+                * 1000000) // CAST(spine.n_types AS HUGEINT) AS BIGINT)
+            AS r_star_ppm,
+          tot.n_total_types, tot.n_total_tokens,
+          CASE WHEN tot.n_total_tokens > 0 THEN
+            CAST((CAST(tot.n_1 AS HUGEINT) * 1000000)
+                 // tot.n_total_tokens AS BIGINT)
+          END AS p0_ppm
+        FROM spine
+        LEFT JOIN ff nx ON nx.c = spine.r + 1
+        CROSS JOIN tot
+        WHERE spine.rk <= 10
+        """
+    # MATTR: per-position distinct over 50-token slides, exact
+    # integer div — the same HOF chain as the Spark projection
+    d["doc_mattr"] = f"""
+        WITH tk AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), m AS (
+          SELECT doc_id, len(t) AS n,
+            greatest(len(t) - 50 + 1, 1) AS np,
+            least(len(t), 50) AS ew,
+            coalesce(list_sum(list_transform(
+              generate_series(1, greatest(len(t) - 50 + 1, 1)),
+              i -> len(list_distinct(t[i:i+49]))
+            )), 0) AS ds
+          FROM tk
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+          CASE WHEN n > 0 THEN CAST(np AS BIGINT) END AS n_windows,
+          CASE WHEN n > 0 THEN
+            CAST((ds * 1000000) // (ew * np) AS BIGINT)
+          END AS mattr_ppm
+        FROM m
+        """
     # LR training replay: the SAME 3 unrolled full-batch GD steps
     # (lr_step_exprs/lr_update_expr text, '//' division token) over
     # the SAME permille features — trained weights match bitwise

@@ -10650,6 +10650,62 @@ class TestDunnHolm:
         }
 
 
+class TestGoodTuring:
+    def test_hand_corpus(self, spark):
+        from unitdb_spark.operators.tfidf import good_turing_table
+
+        df = spark.createDataFrame(
+            [(1, "a a a b b c d")], "doc_id long, text string"
+        )
+        out = {r.r: r for r in good_turing_table(df).collect()}
+        # spectrum: N1=2 (c,d), N2=1 (b), N3=1 (a)
+        assert sorted(out) == [1, 2, 3]
+        assert out[1].n_types == 2
+        assert out[1].r_star_ppm == 2 * 1 * 1_000_000 // 2   # (r+1)N2/N1
+        assert out[2].r_star_ppm == 3 * 1 * 1_000_000 // 1
+        assert out[3].r_star_ppm == 0                         # gap: N4=0
+        r = out[1]
+        assert (r.n_total_types, r.n_total_tokens) == (4, 7)
+        assert r.p0_ppm == 2 * 1_000_000 // 7
+
+    def test_no_singletons_p0_zero(self, spark):
+        from unitdb_spark.operators.tfidf import good_turing_table
+
+        df = spark.createDataFrame(
+            [(1, "x x y y")], "doc_id long, text string"
+        )
+        out = good_turing_table(df).collect()
+        assert len(out) == 1 and out[0].r == 2
+        assert out[0].p0_ppm == 0
+
+
+class TestMattr:
+    def test_hand_windows(self, spark):
+        from unitdb_spark.operators.tfidf import mattr
+
+        # 5 tokens, window 3 -> 3 windows: [a b a]=2 [b a b]=2 [a b c]=3
+        rows = [(1, "a b a b c"), (2, "x y"), (3, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in mattr(df, window=3).collect()}
+        assert out[1].n_windows == 3
+        assert out[1].mattr_ppm == 7 * 1_000_000 // (3 * 3)
+        # short doc: one whole-doc window = plain TTR
+        assert out[2].n_windows == 1
+        assert out[2].mattr_ppm == 2 * 1_000_000 // 2
+        # empty doc: row kept with NULLs
+        assert out[3].n_tokens == 0 and out[3].mattr_ppm is None
+
+    def test_mattr_is_length_stable_where_ttr_is_not(self, spark):
+        from unitdb_spark.operators.tfidf import mattr
+
+        base = "the quick brown fox jumps over a lazy dog now"
+        rows = [(1, base), (2, " ".join([base] * 20))]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.mattr_ppm for r in mattr(df, window=10).collect()}
+        # the repeated doc keeps the same per-window diversity
+        assert out[2] == out[1]
+
+
 class TestLrTrain:
     @staticmethod
     def _py_model(rows, steps=3, lr=(1, 2)):

@@ -1095,3 +1095,132 @@ def lexical_diversity(
             ),
         ).cast("long").alias("simpson_ppm"),
     )
+
+
+def good_turing_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_r: int = 10,
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table (Good '53) — the
+    principled answer to "how much probability mass belongs to tokens
+    we have NEVER seen", which every smoothing scheme (and every
+    coverage claim a tokenizer makes) quietly depends on:
+
+        P(unseen) = N1 / N          (share of singleton mass)
+        r*        = (r+1)·N_{r+1} / N_r   (smoothed count for freq r)
+
+    with N_r = number of token TYPES observed exactly r times. All
+    ratios are exact cross-multiplied integer ppm. The spine is the
+    ``max_r`` SMALLEST OBSERVED frequencies (rank over the tiny
+    frequency-of-frequencies relation) — a literal 1..10 spine would
+    be empty on a corpus whose rarest type still occurs dozens of
+    times, whereas the low tail is the estimator's subject wherever
+    it sits. N_{r+1} means "types with frequency exactly r+1": a gap
+    in the spectrum yields r* = 0, the classic GT sparsity signal,
+    reported honestly. A corpus with NO singletons has p0 = 0.
+
+    Output: (r, n_types, r_star_ppm, n_total_types, n_total_tokens,
+    p0_ppm) — totals and p0 repeat on every row.
+
+    Scale: vocab counts = one explode + map-side-combined agg; the
+    rank window walks the distinct-frequency relation (Zipf-tiny),
+    never the vocabulary.
+    """
+    t = _tokens(text_col)
+    tok = docs.select(F.explode(t).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    freqfreq = vocab.groupBy("c").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total_types"),
+        F.sum("c").cast("long").alias("n_total_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 1, 1)), F.lit(0)
+        ).cast("long").alias("n_1"),
+    )
+    wr = Window.orderBy(F.col("c").asc())
+    spine = (
+        freqfreq.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") <= max_r)
+        .select(F.col("c").alias("r"), F.col("n_r").alias("n_types"))
+    )
+    nxt = freqfreq.select(
+        (F.col("c") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    return (
+        spine.join(nxt, "r", "left")
+        .join(F.broadcast(tot))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.expr(
+                "CAST(((r + 1) * CAST(coalesce(n_r1, 0) AS DECIMAL(38,0))"
+                " * 1000000) div CAST(n_types AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("r_star_ppm"),
+            "n_total_types", "n_total_tokens",
+            F.when(
+                F.col("n_total_tokens") > 0,
+                F.expr(
+                    "CAST((CAST(n_1 AS DECIMAL(38,0)) * 1000000)"
+                    " div n_total_tokens AS BIGINT)"
+                ),
+            ).alias("p0_ppm"),
+        )
+    )
+
+
+def mattr(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+) -> DataFrame:
+    """Moving-Average Type-Token Ratio (Covington & McFall '10) — the
+    length-independent lexical-diversity measure plain TTR
+    (`lexical_diversity`) cannot be: TTR falls mechanically with
+    document length (Heaps' law), so cross-length comparisons need
+    the mean TTR over every ``window``-token sliding window instead.
+    Documents shorter than the window fall back to one whole-doc
+    window (their plain TTR).
+
+    Exact integers: per position the window's distinct count, summed;
+    mattr_ppm = (1e6·Σ distinct) div (w·positions) — cross-multiplied
+    floor ppm.
+
+    Output: (doc_id, n_tokens, n_windows, mattr_ppm) — token-free
+    docs keep their row with NULLs.
+
+    Scale: a pure per-doc codegen projection (slice/array_distinct
+    HOFs) — zero shuffles, zero Python; per-doc cost O(n·w), the
+    price of the sliding exactness.
+    """
+    t = _tokens(text_col)
+    base = docs.select(F.col(id_col), t.alias("_t"))
+    n = F.size(F.col("_t"))
+    w = int(window)
+    npos = F.greatest(n - F.lit(w) + 1, F.lit(1))
+    eff_w = F.least(n, F.lit(w))
+    dsum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda i: F.size(F.array_distinct(F.slice(F.col("_t"), i, w))),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    staged = base.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        npos.cast("long").alias("_np"),
+        eff_w.cast("long").alias("_ew"),
+        dsum.alias("_ds"),
+    )
+    # integer div, never a float quotient near an integer boundary
+    return staged.selectExpr(
+        id_col,
+        "n_tokens",
+        "CASE WHEN n_tokens > 0 THEN _np END AS n_windows",
+        "CASE WHEN n_tokens > 0 THEN "
+        "CAST((_ds * 1000000) div (_ew * _np) AS BIGINT) END AS mattr_ppm",
+    )
