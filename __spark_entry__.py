@@ -8775,6 +8775,27 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_media_gif_frames(spark, sf_dir):
+    """REAL multi-frame video-pipeline primitive: every doc becomes a
+    valid ANIMATED GIF (NETSCAPE loop, per-frame GCE, real LZW per
+    frame), every frame's LZW stream decodes for real, every 2nd
+    frame is kept, palette-mapped to RGB, and reduced to the
+    order-sensitive integer statistics. The oracle regenerates every
+    sampled frame's pixels from doc_id alone — a hash-match proves
+    multi-frame walking, per-frame LZW, palette order, and frame
+    indexing are byte-correct."""
+    from unitdb_spark.functions.multimodal import (
+        gif_frame_stats,
+        synthetic_agif_media,
+    )
+
+    media = synthetic_agif_media(_docs(spark, sf_dir))
+    return gif_frame_stats(media, stride=2).select(
+        F.col("id").alias("doc_id"), "frame_idx", "n_frames",
+        "width", "height", "px_sum", "px_wsum",
+    )
+
+
 def q_doc_good_turing(spark, sf_dir):
     """Good-Turing frequency-of-frequencies: the principled unseen-
     mass estimate (P0 = N1/N) and smoothed counts r* = (r+1)N_{r+1}/N_r
@@ -9389,6 +9410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lr_train": q_doc_lr_train,
         "doc_good_turing": q_doc_good_turing,
         "doc_mattr": q_doc_mattr,
+        "media_gif_frames": q_media_gif_frames,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -10698,6 +10720,40 @@ def oracle_sql() -> dict[str, str]:
           CAST(MAX(abs(v)) AS BIGINT) AS peak,
           round(sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6) AS rms_r
         FROM z GROUP BY doc_id, f
+        """,
+        "media_gif_frames": """
+        -- regenerate every SAMPLED frame's pixels from doc_id alone:
+        -- frame f pixel (x, y) holds index (s + 5x + 3y + 11f) % 256;
+        -- palette entry p is ((p+s)%256, (2p+s)%256, (3p+2s)%256)
+        WITH g AS (
+          SELECT d.doc_id,
+            d.doc_id % 13 + 4 AS sw, (d.doc_id // 5) % 11 + 4 AS sh,
+            d.doc_id % 241 AS s, d.doc_id % 7 + 2 AS nf
+          FROM documents d
+        ), fr AS (
+          SELECT doc_id, sw, sh, s, nf, CAST(u.f AS BIGINT) AS f
+          FROM g, UNNEST(generate_series(0, CAST(nf - 1 AS BIGINT), 2))
+            AS u(f)
+        ), px AS (
+          SELECT doc_id, nf, sw, sh, f, x.vx AS vx, y.vy AS vy,
+            (s + 5 * x.vx + 3 * y.vy + 11 * f) % 256 AS idx, s
+          FROM fr,
+            UNNEST(generate_series(0, CAST(sw - 1 AS BIGINT))) AS x(vx),
+            UNNEST(generate_series(0, CAST(sh - 1 AS BIGINT))) AS y(vy)
+        ), ch AS (
+          SELECT doc_id, nf, sw, sh, f, vx, vy,
+            (idx + s) % 256 AS cr,
+            (2 * idx + s) % 256 AS cg,
+            (3 * idx + 2 * s) % 256 AS cb
+          FROM px
+        )
+        SELECT doc_id, f AS frame_idx, CAST(MAX(nf) AS BIGINT) AS n_frames,
+          CAST(MAX(sw) AS BIGINT) AS width, CAST(MAX(sh) AS BIGINT) AS height,
+          CAST(SUM(cr + cg + cb) AS BIGINT) AS px_sum,
+          CAST(SUM(cr * ((vy * sw + vx) * 3 + 1)
+                 + cg * ((vy * sw + vx) * 3 + 2)
+                 + cb * ((vy * sw + vx) * 3 + 3)) AS BIGINT) AS px_wsum
+        FROM ch GROUP BY doc_id, f
         """,
         "media_audio_chunks": """
         -- replay the parsed WAV duration from the closed-form build

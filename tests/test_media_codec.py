@@ -776,3 +776,43 @@ class TestAdam7:
             for x0, y0, dx, dy in ADAM7_PASSES:
                 seen[y0::dy, x0::dx] += 1
             assert (seen == 1).all()
+
+
+class TestAnimatedGif:
+    def test_multiframe_roundtrip(self):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_gif_frames,
+            encode_gif_animated,
+        )
+
+        rng = np.random.default_rng(3)
+        pal = [(p, (2 * p) % 256, (3 * p) % 256) for p in range(256)]
+        frames = [
+            rng.integers(0, 256, (7, 5), dtype=np.uint8) for _ in range(4)
+        ]
+        blob = encode_gif_animated(frames, pal)
+        got = decode_gif_frames(blob)
+        assert got is not None
+        back, back_pal = got
+        assert len(back) == 4
+        for a, b in zip(frames, back):
+            assert (a == b).all()
+        assert (back_pal == np.array(pal, dtype=np.uint8)).all()
+
+    def test_single_image_gif_still_decodes_and_junk_refused(self):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_gif_frames,
+            encode_gif_indexed,
+        )
+
+        pal = [(p, p, p) for p in range(256)]
+        idx = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        got = decode_gif_frames(encode_gif_indexed(idx, pal))
+        assert got is not None and len(got[0]) == 1
+        assert (got[0][0] == idx).all()
+        assert decode_gif_frames(b"GIF89a\x00") is None
+        assert decode_gif_frames(b"notagif") is None

@@ -1146,6 +1146,101 @@ def decode_gif_indexed(b: bytes):
     return None
 
 
+def encode_gif_animated(frames, palette, delay_cs: int = 10) -> bytes:
+    """List of numpy (h, w) uint8 index frames + 256-entry RGB palette
+    -> a valid ANIMATED GIF89a: NETSCAPE2.0 loop extension, one
+    Graphic Control Extension (delay, disposal 1) + image descriptor +
+    REAL LZW data per frame. All frames full-canvas (no partial-frame
+    disposal games — the honest subset)."""
+    import numpy as np
+
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes((r & 0xFF, g & 0xFF, b & 0xFF))
+    assert len(pal) == 768, "palette must have 256 RGB entries"
+    first = np.asarray(frames[0], dtype=np.uint8)
+    h, w = first.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += pal
+    # NETSCAPE looping application extension (loop forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr in frames:
+        a = np.asarray(fr, dtype=np.uint8)
+        assert a.shape == (h, w), "all frames must be full-canvas"
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0x04, delay_cs, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(8)
+        lzw = _lzw_encode(a.tobytes(), 8)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(b: bytes):
+    """ANIMATED (or single-image) GIF with a 256-entry GCT -> (list of
+    numpy (h, w) uint8 index frames, numpy (256, 3) uint8 palette), or
+    None for anything outside the claim (no GCT, local color tables,
+    interlace, partial-canvas frames, malformed LZW). Every frame's
+    LZW stream decodes for real — a sampling caller still pays only
+    for the frames it keeps downstream, but integrity is per-frame."""
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w0, h0, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    if not packed & 0x80:
+        return None
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    if pos + 3 * gct_n > len(b) or gct_n != 256:
+        return None
+    pal_raw = b[pos : pos + 3 * gct_n]
+    pos += 3 * gct_n
+    frames = []
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif marker == 0x2C:
+            if pos + 10 > len(b):
+                return None
+            ll, tt, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", b[pos + 1 : pos + 10]
+            )
+            if ipacked & 0xC0 or (ll, tt, iw, ih) != (0, 0, w0, h0):
+                return None
+            pos += 10
+            if pos >= len(b):
+                return None
+            mcs = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos]:
+                n = b[pos]
+                data += b[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1  # sub-block terminator
+            raw = _lzw_decode(bytes(data), mcs)
+            if raw is None or len(raw) != iw * ih or iw == 0 or ih == 0:
+                return None
+            frames.append(np.frombuffer(raw, dtype=np.uint8).reshape(ih, iw))
+        elif marker == 0x3B:
+            break
+        else:
+            return None
+    if not frames:
+        return None
+    return frames, np.frombuffer(pal_raw, dtype=np.uint8).reshape(256, 3)
+
+
 def decode_gif_rgb(b: bytes):
     """GIF -> numpy (h, w, 3) uint8 RGB top-down via the global
     palette, or None (see `decode_gif_indexed` coverage)."""

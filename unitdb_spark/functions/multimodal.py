@@ -972,6 +972,103 @@ def png7_pixel_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_agif_media(documents: DataFrame) -> DataFrame:
+    """ANIMATED GIF fixture: every doc becomes a valid multi-frame
+    GIF89a (NETSCAPE loop ext, per-frame GCE + REAL LZW data) whose
+    frame count, dimensions, palette, and every frame's every index
+    are closed-form in doc_id — frame f pixel (x, y) holds index
+    (s + 5x + 3y + 11f) % 256 with s = doc_id % 241, sw = d % 13 + 4,
+    sh = (d//5) % 11 + 4, nf = d % 7 + 2; palette entry p is RGB
+    ((p + s) % 256, (2p + s) % 256, (3p + 2s) % 256). An SQL oracle
+    predicts any sampled frame's statistics from doc_id alone."""
+    from unitdb_spark.functions import media_codec as mc
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sw, sh = d % 13 + 4, (d // 5) % 11 + 4
+                s, nf = d % 241, d % 7 + 2
+                X, Y = np.meshgrid(np.arange(sw), np.arange(sh))
+                frames = [
+                    ((s + 5 * X + 3 * Y + 11 * f) % 256).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                pal = [
+                    ((p + s) % 256, (2 * p + s) % 256, (3 * p + 2 * s) % 256)
+                    for p in range(256)
+                ]
+                blobs.append(mc.encode_gif_animated(frames, pal))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"].values,
+                    "media_type": "video",
+                    "blob": blobs,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _build, "id long, media_type string, blob binary"
+    )
+
+
+def gif_frame_stats(df: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL multi-frame decode + frame sampling — the video-pipeline
+    primitive (decode, keep every ``stride``-th frame, reduce): each
+    kept frame maps through the global palette to RGB and reduces to
+    the family's order-sensitive integer statistics (channel sum +
+    position-weighted checksum). Blobs outside `decode_gif_frames`'
+    claim produce no rows.
+
+    Scale: Arrow-batched mapInPandas; the emitted relation is
+    ceil(frames/stride) rows per blob, never pixels.
+    """
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import decode_gif_frames
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"].values, pdf["blob"]):
+                got = decode_gif_frames(bytes(b)) if b is not None else None
+                if got is None:
+                    continue
+                frames, pal = got
+                for f in range(0, len(frames), stride):
+                    rgb = pal[frames[f]]
+                    flat = rgb.reshape(-1).astype(np.int64)
+                    rows.append(
+                        (
+                            int(i), f, len(frames),
+                            int(rgb.shape[1]), int(rgb.shape[0]),
+                            int(flat.sum()),
+                            int((flat * (np.arange(flat.size) + 1)).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "frame_idx": pd.array([r[1] for r in rows], dtype="int64"),
+                    "n_frames": pd.array([r[2] for r in rows], dtype="int64"),
+                    "width": pd.array([r[3] for r in rows], dtype="int64"),
+                    "height": pd.array([r[4] for r in rows], dtype="int64"),
+                    "px_sum": pd.array([r[5] for r in rows], dtype="int64"),
+                    "px_wsum": pd.array([r[6] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _stats,
+        "id long, frame_idx long, n_frames long, width long, "
+        "height long, px_sum long, px_wsum long",
+    )
+
+
 def synthetic_gif_media(documents: DataFrame) -> DataFrame:
     """Real-pixel GIF fixture — the LZW counterpart of
     `synthetic_png_media`: every doc becomes a VALID single-image
