@@ -8775,6 +8775,29 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_media_jpeg_prog_resize(spark, sf_dir):
+    """REAL PROGRESSIVE-JPEG kernel — the round-7 frontier item
+    closed: every doc becomes a valid SOF2 stream (DC first +
+    refinement, per-component AC first + refinement — EOB runs, ZRL,
+    correction bits all present), the multi-scan coefficient
+    accumulation runs for real, then resample + lossless PNG
+    re-encode + the shared integer statistics. The fixture carries
+    the SAME closed-form pixels as the baseline JPEG fixture, so the
+    oracle is media_jpeg_resize's VERBATIM — a hash-match proves
+    every progressive scan reconstructs its exact coefficients. No
+    stub in the path."""
+    from unitdb_spark.functions.multimodal import (
+        png_pixel_stats,
+        resize_jpeg_prog_images,
+        synthetic_jpeg_prog_media,
+    )
+
+    media = synthetic_jpeg_prog_media(_docs(spark, sf_dir))
+    return png_pixel_stats(resize_jpeg_prog_images(media, 8, 6)).select(
+        F.col("id").alias("doc_id"), "width", "height", "px_sum", "px_wsum"
+    )
+
+
 def q_media_gif_frames(spark, sf_dir):
     """REAL multi-frame video-pipeline primitive: every doc becomes a
     valid ANIMATED GIF (NETSCAPE loop, per-frame GCE, real LZW per
@@ -9411,6 +9434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_good_turing": q_doc_good_turing,
         "doc_mattr": q_doc_mattr,
         "media_gif_frames": q_media_gif_frames,
+        "media_jpeg_prog_resize": q_media_jpeg_prog_resize,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -16751,6 +16775,9 @@ def oracle_sql() -> dict[str, str]:
     # resample oracle is shared verbatim — a hash-match proves the
     # de-interlace scatters every pixel to its exact grid position
     d["media_png7_resize"] = d["media_png_resize"]
+    # progressive JPEG: same closed-form pixels as the baseline JPEG
+    # fixture, different entropy layout — oracle shared verbatim
+    d["media_jpeg_prog_resize"] = d["media_jpeg_resize"]
     # Misra-Gries rollup: per-day subtract-(k+1)th summaries merged
     # by the Agarwal rule — all integers, same tie-breaks
     d["events_mg_users"] = """

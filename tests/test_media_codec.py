@@ -816,3 +816,86 @@ class TestAnimatedGif:
         assert (got[0][0] == idx).all()
         assert decode_gif_frames(b"GIF89a\x00") is None
         assert decode_gif_frames(b"notagif") is None
+
+
+class TestProgressiveJpeg:
+    def test_progressive_equals_baseline_decode(self):
+        """The central exactness claim: a progressive stream carries
+        the SAME quantized coefficients as the baseline encoding of
+        the same array, so the two decodes must agree bit for bit —
+        across 4:4:4, 4:2:0, grayscale, and non-square shapes."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_jpeg_progressive_rgb,
+            decode_jpeg_rgb,
+            encode_jpeg_baseline,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(5)
+        for h, w, sub in [(8, 8, None), (16, 16, None), (24, 32, None),
+                          (16, 16, "420"), (32, 48, "420"), (8, 16, None)]:
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            base = decode_jpeg_rgb(encode_jpeg_baseline(arr, subsample=sub))
+            prog = decode_jpeg_progressive_rgb(
+                encode_jpeg_progressive(arr, subsample=sub)
+            )
+            assert prog is not None, (h, w, sub)
+            assert (base == prog).all(), (h, w, sub)
+        g = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+        assert (
+            decode_jpeg_rgb(encode_jpeg_baseline(g))
+            == decode_jpeg_progressive_rgb(encode_jpeg_progressive(g))
+        ).all()
+
+    def test_constant_blocks_roundtrip_exactly(self):
+        """The fixture's exactness argument: block-constant pixels with
+        flat quant 8 survive the progressive path bit for bit."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_jpeg_progressive_rgb,
+            encode_jpeg_progressive,
+        )
+
+        blocks = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3) * 20
+        arr = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        got = decode_jpeg_progressive_rgb(encode_jpeg_progressive(arr, quant=8))
+        assert got is not None
+        # expected: pinned integer YCbCr->RGB of the exact constants
+        M = 1_000_000
+        Y = arr[:, :, 0].astype(np.int64)
+        Cb = arr[:, :, 1].astype(np.int64)
+        Cr = arr[:, :, 2].astype(np.int64)
+        r = (M * Y + 1_402_000 * (Cr - 128) + 500_000) // M
+        g = (M * Y - 344_136 * (Cb - 128) - 714_136 * (Cr - 128) + 500_000) // M
+        bl = (M * Y + 1_772_000 * (Cb - 128) + 500_000) // M
+        want = np.clip(np.stack([r, g, bl], axis=-1), 0, 255).astype(np.uint8)
+        assert (got == want).all()
+
+    def test_cross_refusals(self):
+        """Each decoder keeps its honest contract: the baseline
+        decoder refuses SOF2; the progressive decoder refuses SOF0;
+        the umbrella accepts both."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_jpeg_any_rgb,
+            decode_jpeg_progressive_rgb,
+            decode_jpeg_rgb,
+            encode_jpeg_baseline,
+            encode_jpeg_progressive,
+        )
+
+        arr = np.full((8, 8, 3), 100, dtype=np.uint8)
+        base, prog = encode_jpeg_baseline(arr), encode_jpeg_progressive(arr)
+        assert decode_jpeg_rgb(prog) is None
+        assert decode_jpeg_progressive_rgb(base) is None
+        assert decode_jpeg_any_rgb(base) is not None
+        assert decode_jpeg_any_rgb(prog) is not None
+        # MCU-multiple restriction is loud
+        import pytest
+
+        with pytest.raises(ValueError):
+            encode_jpeg_progressive(np.zeros((9, 8, 3), dtype=np.uint8))

@@ -2003,3 +2003,614 @@ def decimate_wav_pcm16(b: bytes, factor: int) -> bytes | None:
     if rate // factor == 0:
         return None
     return encode_wav_pcm16(rate // factor, samples[::factor])
+
+
+# ---------------------- progressive JPEG (SOF2, Huffman) ----------------
+#
+# The round-7 frontier note left progressive JPEG as the documented
+# stub; this closes it with the real thing: spectral selection AND
+# successive approximation, both scan directions (first + refinement),
+# EOB runs, ZRL-with-correction-bits — the T.81 G.1.2 algorithms,
+# symmetric encoder/decoder. The encoder exists to build valid
+# fixtures (fixed progression script below); the decoder reads any
+# Huffman SOF2 stream within the module's honest bounds (8-bit, 1- or
+# 3-component, sampling factors 1-2). Exactness: the coefficients a
+# progressive stream reconstructs are IDENTICAL to the baseline
+# encoding's (same quantizer, different entropy layout), so
+# decode(progressive(X)) must equal decode(baseline(X)) bit for bit —
+# pinned by test, and the fixture oracle is shared with the baseline
+# query for the same reason.
+
+
+def _jpeg_quantized_coefs(arr, quant: int, subsample: str | None):
+    """Shared front half of both encoders: pad planes, FDCT, quantize.
+    Returns (h, w, samps, coefs) with coefs[c] an int64 array
+    (blocks_y, blocks_x, 64) in ZIGZAG order."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if gray:
+        a = a[:, :, None]
+    h, w, ncomp = a.shape
+    if subsample == "420" and ncomp == 3:
+        samps = [(2, 2), (1, 1), (1, 1)]
+        ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+        yp = _pad_edge(a[:, :, 0], ph, pw)
+        cb = _pad_edge(a[:, :, 1], ph, pw)[::2, ::2]
+        cr = _pad_edge(a[:, :, 2], ph, pw)[::2, ::2]
+        comp_planes = [yp, cb, cr]
+    elif subsample is None:
+        samps = [(1, 1)] * ncomp
+        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        comp_planes = [_pad_edge(a[:, :, c], ph, pw) for c in range(ncomp)]
+    else:
+        raise ValueError("subsample must be None or '420' (3-component)")
+    C = _dct_matrix()
+    qtab = np.full((8, 8), int(quant), dtype=np.float64)
+    coefs = []
+    for c in range(ncomp):
+        pl = comp_planes[c]
+        by, bx = pl.shape[0] // 8, pl.shape[1] // 8
+        out = np.zeros((by, bx, 64), dtype=np.int64)
+        for yy in range(by):
+            for xx in range(bx):
+                blk = pl[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8]
+                S = C @ (blk.astype(np.float64) - 128.0) @ C.T
+                q = np.round(S / qtab).astype(np.int64)
+                for k in range(64):
+                    out[yy, xx, k] = q.flat[_ZIGZAG[k]]
+        coefs.append(out)
+    return h, w, samps, coefs
+
+
+def _emit_ac_first(bw, band_vals, ac_enc):
+    """AC first scan, one block: ``band_vals`` are the point-
+    transformed (toward-zero) band coefficients Ss..Se. Per-block EOB
+    (no EOB-run accumulation — valid, just less compressed)."""
+    last_nz = -1
+    for i in range(len(band_vals) - 1, -1, -1):
+        if band_vals[i]:
+            last_nz = i
+            break
+    k, run = 0, 0
+    while k <= last_nz:
+        v = band_vals[k]
+        if v == 0:
+            run += 1
+            k += 1
+            continue
+        while run >= 16:
+            code, clen = ac_enc[0xF0]
+            bw.write(code, clen)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, clen = ac_enc[(run << 4) | size]
+        bw.write(code, clen)
+        bw.write(bits, size)
+        run = 0
+        k += 1
+    if last_nz < len(band_vals) - 1:
+        code, clen = ac_enc[0x00]
+        bw.write(code, clen)
+
+
+def _emit_ac_refine(bw, band_vals, ac_enc, al):
+    """AC refinement scan, one block (T.81 G.1.2.3 / the libjpeg
+    encode_mcu_AC_refine shape): ``band_vals`` are the RAW band
+    coefficients; this scan sends bit ``al`` of each. Newly-
+    significant = |v| >> al == 1; history-nonzero coefficients
+    contribute pending correction bits flushed after each emitted
+    symbol. Per-block EOB."""
+    pending: list[int] = []
+    run = 0
+    emitted_through = -1
+    for k, v in enumerate(band_vals):
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        if t > 1:
+            pending.append(t & 1)
+            continue
+        # newly significant
+        while run >= 16:
+            code, clen = ac_enc[0xF0]
+            bw.write(code, clen)
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+            run -= 16
+        code, clen = ac_enc[(run << 4) | 1]
+        bw.write(code, clen)
+        bw.write(1 if v > 0 else 0, 1)
+        for bit in pending:
+            bw.write(bit, 1)
+        pending = []
+        run = 0
+        emitted_through = k
+    if emitted_through < len(band_vals) - 1:
+        code, clen = ac_enc[0x00]
+        bw.write(code, clen)
+        for bit in pending:
+            bw.write(bit, 1)
+
+
+def encode_jpeg_progressive(
+    arr, quant: int = 8, subsample: str | None = None
+) -> bytes:
+    """numpy (h, w, 3) Y/Cb/Cr planes (no RGB transform — caller owns
+    color space) or (h, w) grayscale -> a valid PROGRESSIVE JFIF
+    (SOF2). Fixed progression script exercising every decoder path:
+
+        1. DC first, all components interleaved, Al=1
+        2. DC refinement, Al=0
+        3. per component: AC first, Ss=1..63, Al=1 (EOBs, ZRL)
+        4. per component: AC refinement, Ah=1, Al=0 (correction bits)
+
+    Dimensions must be exact MCU multiples (8, or 16 on the sampled
+    axes of '420') so non-interleaved scans cover every block — the
+    honest restriction; the fixture complies by construction."""
+    h, w, samps, coefs = _jpeg_quantized_coefs(arr, quant, subsample)
+    ncomp = len(samps)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    if h % (8 * vmax) or w % (8 * hmax):
+        raise ValueError("progressive encoder needs exact MCU multiples")
+    mcus_x, mcus_y = w // (8 * hmax), h // (8 * vmax)
+    dc_counts, dc_syms, dc_enc = _huff_fixed(_JPEG_DC_SYMBOLS, 4)
+    ac_counts, ac_syms, ac_enc = _huff_fixed(_JPEG_AC_SYMBOLS, 8)
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HBB", 1, 1, 1) + b"\x00\x00"
+    )
+    dqt = bytes([0]) + bytes([int(quant)] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, (samps[c][0] << 4) | samps[c][1], 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, dc_counts, dc_syms)
+    out += _dht_segment(1, 0, ac_counts, ac_syms)
+
+    def sos_header(comps_in_scan, ss, se, ah, al, dc_tbl=True):
+        seg = bytes([len(comps_in_scan)])
+        for c in comps_in_scan:
+            seg += bytes([c + 1, 0x00 if dc_tbl else 0x00])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
+
+    # scan 1: DC first, interleaved, Al=1
+    bw = _BitWriter()
+    prev = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in range(ncomp):
+                hi, vi = samps[c]
+                for bv in range(vi):
+                    for bh in range(hi):
+                        v = int(coefs[c][my * vi + bv, mx * hi + bh, 0]) >> 1
+                        diff = v - prev[c]
+                        prev[c] = v
+                        size, bits = _magnitude(diff)
+                        code, clen = dc_enc[size]
+                        bw.write(code, clen)
+                        if size:
+                            bw.write(bits, size)
+    bw.flush()
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1) + bw.out
+    # scan 2: DC refinement, Al=0
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in range(ncomp):
+                hi, vi = samps[c]
+                for bv in range(vi):
+                    for bh in range(hi):
+                        v = int(coefs[c][my * vi + bv, mx * hi + bh, 0])
+                        bw.write(v & 1, 1)
+    bw.flush()
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0) + bw.out
+    # per component: AC first (Al=1), then AC refinement (Ah=1, Al=0)
+    for c in range(ncomp):
+        by, bx = coefs[c].shape[0], coefs[c].shape[1]
+        bw = _BitWriter()
+        for yy in range(by):
+            for xx in range(bx):
+                band = [
+                    (abs(int(v)) >> 1) * (1 if v > 0 else -1)
+                    for v in coefs[c][yy, xx, 1:64]
+                ]
+                _emit_ac_first(bw, band, ac_enc)
+        bw.flush()
+        out += sos_header([c], 1, 63, 0, 1) + bw.out
+    for c in range(ncomp):
+        by, bx = coefs[c].shape[0], coefs[c].shape[1]
+        bw = _BitWriter()
+        for yy in range(by):
+            for xx in range(bx):
+                band = [int(v) for v in coefs[c][yy, xx, 1:64]]
+                _emit_ac_refine(bw, band, ac_enc, 0)
+        bw.flush()
+        out += sos_header([c], 1, 63, 1, 0) + bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_progressive_rgb(b: bytes):
+    """Progressive (SOF2, Huffman) JPEG -> numpy (h, w, 3) uint8 RGB
+    top-down, or None outside the honest bounds (8-bit, 1/3
+    components, sampling factors 1-2, no arithmetic coding). Full
+    T.81 G.1.2 scan machinery: DC first/refine (interleaved or not),
+    AC first/refine (single-component, spectral bands), EOB runs,
+    ZRL-with-correction-bits, restart markers. Coefficients
+    accumulate across scans; the finish (dequantize, de-zigzag, IDCT,
+    upsample, pinned integer YCbCr->RGB) is the baseline decoder's."""
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    coefs = None  # per component: (by, bx, 64) ints, zigzag order
+    comp_grid = None
+
+    def read_huff(br, table):
+        return _read_huff_symbol(br, table)
+
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 4 > len(b):
+            return None
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            return None
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    vals = list(seg[p : p + 64])
+                    p += 64
+                else:
+                    vals = [
+                        struct.unpack(">H", seg[p + 2 * i : p + 2 * i + 2])[0]
+                        for i in range(64)
+                    ]
+                    p += 128
+                if len(vals) < 64:
+                    return None
+                qtabs[tq] = vals
+        elif marker == 0xC4:
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1 : p + 17])
+                n = sum(counts)
+                symbols = list(seg[p + 17 : p + 17 + n])
+                if len(symbols) < n:
+                    return None
+                huff[(tc, th)] = _huff_decode_table(counts, symbols)
+                p += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    return None
+                comps.append((cid, hi, vi, tq))
+            sof = (h, w, comps)
+            hmax = max(hi for _, hi, _, _ in comps)
+            vmax = max(vi for _, _, vi, _ in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = []
+            comp_grid = []
+            for _, hi, vi, _ in comps:
+                by, bx = mcus_y * vi, mcus_x * hi
+                coefs.append(
+                    [[[0] * 64 for _ in range(bx)] for _ in range(by)]
+                )
+                # non-interleaved scans walk ceil(comp dims / 8)
+                nb_x = (-(-w * hi // hmax) + 7) // 8
+                nb_y = (-(-h * vi // vmax) + 7) // 8
+                comp_grid.append((nb_y, nb_x))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # not a progressive-Huffman frame
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            if sof is None:
+                return None
+            h, w, comps = sof
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c : 3 + 2 * c]
+                ci = next(
+                    (i for i, (cid, *_r) in enumerate(comps) if cid == cs),
+                    None,
+                )
+                if ci is None:
+                    return None
+                scomps.append((ci, tt >> 4, tt & 0x0F))
+            ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
+            br = _BitReader(b, pos + 2 + seglen)
+            ok = _jpeg_progressive_scan(
+                b, br, sof, scomps, huff, coefs, comp_grid,
+                ss, se, ah, al, restart_interval,
+            )
+            if not ok:
+                return None
+            br.align()
+            pos = br.p
+            continue
+        pos += 2 + seglen
+
+    if sof is None or coefs is None:
+        return None
+    # ----- finish: dequant + IDCT + upsample + pinned YCbCr->RGB -----
+    h, w, comps = sof
+    nc = len(comps)
+    C = _dct_matrix()
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    planes = []
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
+        if tq not in qtabs:
+            return None
+        q = np.empty(64, dtype=np.int64)
+        for k in range(64):
+            q[_ZIGZAG[k]] = qtabs[tq][k]
+        qt = q.reshape(8, 8)
+        by = len(coefs[ci])
+        bx = len(coefs[ci][0])
+        plane = np.zeros((by * 8, bx * 8), dtype=np.int32)
+        for yy in range(by):
+            for xx in range(bx):
+                zz = coefs[ci][yy][xx]
+                S = np.empty((8, 8), dtype=np.float64)
+                for k2 in range(64):
+                    S.flat[_ZIGZAG[k2]] = zz[k2]
+                S *= qt
+                block = C.T @ S @ C
+                pix = np.clip(np.round(block) + 128, 0, 255)
+                plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = (
+                    pix.astype(np.int32)
+                )
+        planes.append(plane)
+
+    def full_res(ci):
+        _cid, hi, vi, _tq = comps[ci]
+        ys = (np.arange(h) * vi) // vmax
+        xs = (np.arange(w) * hi) // hmax
+        return planes[ci][np.ix_(ys, xs)]
+
+    if nc == 1:
+        y = full_res(0).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    Y = full_res(0)
+    Cb = full_res(1)
+    Cr = full_res(2)
+    M = 1_000_000
+    r = (M * Y + 1_402_000 * (Cr - 128) + 500_000) // M
+    g = (M * Y - 344_136 * (Cb - 128) - 714_136 * (Cr - 128) + 500_000) // M
+    bl = (M * Y + 1_772_000 * (Cb - 128) + 500_000) // M
+    out = np.stack([r, g, bl], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _jpeg_progressive_scan(
+    b, br, sof, scomps, huff, coefs, comp_grid, ss, se, ah, al,
+    restart_interval,
+):
+    """Entropy-decode ONE progressive scan into the coefficient
+    arrays. Returns True on success. Interleaved (multi-component,
+    DC only) scans walk MCUs; single-component scans walk the
+    component's own ceil-dims block grid. Restart markers reset DC
+    predictors and the EOB run."""
+    h, w, comps = sof
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        return False
+    if not dc_scan and len(scomps) != 1:
+        return False
+
+    state = {"eobrun": 0, "prev": [0] * len(scomps)}
+
+    def maybe_restart(unit_idx):
+        if restart_interval and unit_idx and unit_idx % restart_interval == 0:
+            br.align()
+            p = br.p
+            if p + 2 <= len(b) and b[p] == 0xFF and 0xD0 <= b[p + 1] <= 0xD7:
+                br.p = p + 2
+            state["prev"] = [0] * len(scomps)
+            state["eobrun"] = 0
+
+    def dc_first(ci_s, zz):
+        dt = huff.get((0, scomps[ci_s][1]))
+        if dt is None:
+            return False
+        size = _read_huff_symbol(br, dt)
+        if size is None or size > 11:
+            return False
+        bits = br.read_bits(size) if size else 0
+        if bits is None:
+            return False
+        state["prev"][ci_s] += _extend(bits, size)
+        zz[0] = state["prev"][ci_s] << al
+        return True
+
+    def dc_refine(zz):
+        bit = br.read_bit()
+        if bit is None:
+            return False
+        if bit:
+            zz[0] |= 1 << al
+        return True
+
+    def ac_first(at, zz):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return True
+        k = ss
+        while k <= se:
+            sym = _read_huff_symbol(br, at)
+            if sym is None:
+                return False
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eob = 1 << r
+                if r:
+                    extra = br.read_bits(r)
+                    if extra is None:
+                        return False
+                    eob += extra
+                state["eobrun"] = eob - 1
+                return True
+            k += r
+            if k > se:
+                return False
+            bits = br.read_bits(s)
+            if bits is None:
+                return False
+            zz[k] = _extend(bits, s) << al
+            k += 1
+        return True
+
+    def ac_refine(at, zz):
+        p1 = 1 << al
+
+        def correct(k):
+            bit = br.read_bit()
+            if bit is None:
+                return False
+            if bit:
+                if zz[k] > 0:
+                    zz[k] += p1
+                else:
+                    zz[k] -= p1
+            return True
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                sym = _read_huff_symbol(br, at)
+                if sym is None:
+                    return False
+                r, s = sym >> 4, sym & 0x0F
+                newval = 0
+                if s:
+                    if s != 1:
+                        return False
+                    sign = br.read_bit()
+                    if sign is None:
+                        return False
+                    newval = p1 if sign else -p1
+                else:
+                    if r != 15:
+                        eob = 1 << r
+                        if r:
+                            extra = br.read_bits(r)
+                            if extra is None:
+                                return False
+                            eob += extra
+                        state["eobrun"] = eob
+                        break
+                    # ZRL: skip 16 zero-history slots (r = 15 -> 16)
+                # advance past r zero-history slots, correcting
+                # nonzero-history coefficients on the way
+                while k <= se:
+                    if zz[k] != 0:
+                        if not correct(k):
+                            return False
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    if not correct(k):
+                        return False
+                k += 1
+            state["eobrun"] -= 1
+        return True
+
+    if dc_scan and len(scomps) > 1:
+        # interleaved DC scan over MCUs
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        mcu = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart(mcu)
+                for ci_s, (ci, _td, _ta) in enumerate(scomps):
+                    _cid, hi, vi, _tq = comps[ci]
+                    for bv in range(vi):
+                        for bh in range(hi):
+                            zz = coefs[ci][my * vi + bv][mx * hi + bh]
+                            if ah == 0:
+                                if not dc_first(ci_s, zz):
+                                    return False
+                            else:
+                                if not dc_refine(zz):
+                                    return False
+                mcu += 1
+        return True
+    # single-component scan over the component's ceil-dims grid
+    ci, td, ta = scomps[0]
+    nb_y, nb_x = comp_grid[ci]
+    at = huff.get((1, ta))
+    if not dc_scan and at is None:
+        return False
+    unit = 0
+    for yy in range(nb_y):
+        for xx in range(nb_x):
+            maybe_restart(unit)
+            zz = coefs[ci][yy][xx]
+            if dc_scan:
+                ok = dc_first(0, zz) if ah == 0 else dc_refine(zz)
+            else:
+                ok = ac_first(at, zz) if ah == 0 else ac_refine(at, zz)
+            if not ok:
+                return False
+            unit += 1
+    return True
+
+
+def decode_jpeg_any_rgb(b: bytes):
+    """Baseline OR progressive JPEG -> RGB (see the two decoders'
+    honest bounds)."""
+    got = decode_jpeg_rgb(b)
+    if got is not None:
+        return got
+    return decode_jpeg_progressive_rgb(b)

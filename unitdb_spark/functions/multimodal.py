@@ -10,10 +10,12 @@ Pixel/sample kernels are REAL for everything stdlib can decode:
 stdlib zlib inflate + per-scanline unfilter (`resize_png_images`,
 `png_pixel_stats`), GIF via a real LZW codec, and baseline JPEG via
 a real entropy decoder (Huffman + dequant + IDCT + pinned integer
-YCbCr→RGB: `resize_jpeg_images`, `synthetic_jpeg_media`). Only
-model inference (and codecs genuinely outside a from-scratch scope:
-progressive/subsampled JPEG, MP4 video frames) remains behind a
-clearly-marked deterministic stub.
+YCbCr→RGB: `resize_jpeg_images`, `synthetic_jpeg_media`) — including
+4:2:0 subsampling, restart markers, and PROGRESSIVE (SOF2) streams
+(`synthetic_jpeg_prog_media`/`resize_jpeg_prog_images`: DC+AC
+first/refinement scans, EOB runs, correction bits). Only model
+inference (and codecs genuinely outside a from-scratch scope: MP4
+video frames) remains behind a clearly-marked deterministic stub.
 
 Design for 100 TB of media:
 - media rows stay (id, media_type, blob BINARY, meta STRUCT); blobs
@@ -1261,6 +1263,91 @@ def resize_jpeg_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 resize_jpeg_nearest_png(bytes(b), width, height)
                 if b is not None
                 else None
+                for b in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "width": width,
+                    "height": height,
+                    "blob": pd.Series(out, dtype=object),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _resize, "id long, width int, height int, blob binary"
+    )
+
+
+def synthetic_jpeg_prog_media(documents: DataFrame) -> DataFrame:
+    """PROGRESSIVE-JPEG fixture: the SAME closed-form block-constant
+    pixels as `synthetic_jpeg_media` packed through the SOF2 encoder
+    (DC first/refine + per-component AC first/refine scans — EOBs,
+    ZRL, correction bits all in the stream). Pixel content is
+    container-independent, so the baseline fixture's oracle matches
+    bitwise iff every progressive scan reconstructs its exact
+    coefficients — the Adam7-PNG proof trick, applied to entropy
+    coding."""
+    from unitdb_spark.functions import media_codec as mc
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw, bh, s = d % 3 + 2, (d // 5) % 3 + 2, d % 241
+                BX, BY = np.meshgrid(np.arange(bw), np.arange(bh))
+                blocks = np.stack(
+                    [
+                        (s + 3 * BX + 5 * BY) % 256,
+                        (2 * s + 7 * BX + BY) % 256,
+                        (3 * s + BX + 11 * BY) % 256,
+                    ],
+                    axis=-1,
+                )
+                arr = np.repeat(
+                    np.repeat(blocks, 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                blobs.append(mc.encode_jpeg_progressive(arr, quant=8))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"].values,
+                    "media_type": "image",
+                    "blob": blobs,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _build, "id long, media_type string, blob binary"
+    )
+
+
+def resize_jpeg_prog_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """`resize_jpeg_images` for progressive (or baseline) blobs: the
+    multi-scan coefficient accumulation runs for real, then the same
+    integer-index resample and LOSSLESS PNG re-encode."""
+    import numpy as np
+
+    from unitdb_spark.functions.media_codec import (
+        decode_jpeg_any_rgb,
+        encode_png_rgb,
+    )
+
+    def _one(b):
+        arr = decode_jpeg_any_rgb(b)
+        if arr is None or width <= 0 or height <= 0:
+            return None
+        sh, sw, _ = arr.shape
+        xs = (np.arange(width) * sw) // width
+        ys = (np.arange(height) * sh) // height
+        return encode_png_rgb(arr[np.ix_(ys, xs)])
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _one(bytes(b)) if b is not None else None
                 for b in pdf["blob"]
             ]
             yield pd.DataFrame(
