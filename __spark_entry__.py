@@ -8775,6 +8775,66 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_events_tost(spark, sf_dir):
+    """TOST equivalence verdict on per-user revenue between the hash
+    arms — the do-no-harm gate a plain A/B cannot give (not-significant
+    is not equivalent). Welch z's from exact integer moments against
+    the literal one-sided Acklam threshold; margin $5.00."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.stats_tests import tost_equivalence
+
+    ev = _events(spark, sf_dir)
+    units = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            ),
+            F.lit(0),
+        ).alias("cents")
+    ).select(
+        "cents",
+        (
+            md5_int60(
+                F.concat(F.col("user_id").cast("string"), F.lit(":ab"))
+            ) % 2
+        ).cast("int").alias("arm"),
+    )
+    return tost_equivalence(units, "cents", "arm", margin=500.0)
+
+
+def q_events_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture estimate of the true user population
+    from two hash-disjoint observation days — the coverage question
+    behind every dedup claim ("how many users did we NEVER see?").
+    N_hat = floor((n1+1)(n2+1)/(m+1)) - 1, exact integers, with the
+    observed union for comparison."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    d = ev.select(
+        "user_id", F.dayofmonth("ts").alias("dom")
+    )
+    s1 = d.filter(F.col("dom") % 2 == 0).select("user_id").distinct()
+    s2 = d.filter(F.col("dom") % 2 == 1).select("user_id").distinct()
+    agg = (
+        s1.withColumn("_a", F.lit(1))
+        .join(s2.withColumn("_b", F.lit(1)), "user_id", "full")
+        .agg(
+            F.count(F.when(F.col("_a").isNotNull(), 1))
+            .cast("long").alias("n1"),
+            F.count(F.when(F.col("_b").isNotNull(), 1))
+            .cast("long").alias("n2"),
+            F.count(
+                F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1)
+            ).cast("long").alias("m"),
+            F.count(F.lit(1)).cast("long").alias("n_union"),
+        )
+    )
+    return agg.selectExpr(
+        "n1", "n2", "m", "n_union",
+        "CAST((CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1))"
+        " div (m + 1) - 1 AS BIGINT) AS n_hat",
+    )
+
+
 def q_media_jpeg_prog_resize(spark, sf_dir):
     """REAL PROGRESSIVE-JPEG kernel — the round-7 frontier item
     closed: every doc becomes a valid SOF2 stream (DC first +
@@ -9435,6 +9495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mattr": q_doc_mattr,
         "media_gif_frames": q_media_gif_frames,
         "media_jpeg_prog_resize": q_media_jpeg_prog_resize,
+        "events_tost": q_events_tost,
+        "events_capture_recapture": q_events_capture_recapture,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -16822,6 +16884,88 @@ def oracle_sql() -> dict[str, str]:
           CAST(exact_n - mg_est AS BIGINT) AS err,
           (exact_n - mg_est) * 17 <= n_tot AS err_ok
         FROM merged JOIN exact USING (user_id), tot
+        """
+    # TOST equivalence: the effect-size moment chain with the Welch
+    # se and the literal one-sided Acklam threshold
+    from unitdb_spark.operators.stats_tests import norm_ppf as _nppf
+
+    _TOST_Z = round(_nppf(0.95), 6)
+    d["events_tost"] = f"""
+        WITH units AS (
+          SELECT
+            coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT)), 0) AS v,
+            CAST((CAST(('0x' || substr(md5(
+              CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT)
+              % 2) AS INTEGER) AS a
+          FROM events GROUP BY user_id
+        ), m AS (
+          SELECT
+            CAST(count(*) FILTER (a = 0) AS BIGINT) AS n_a,
+            CAST(count(*) FILTER (a != 0) AS BIGINT) AS n_b,
+            CAST(coalesce(sum(v) FILTER (a = 0), 0) AS BIGINT) AS s_a,
+            CAST(coalesce(sum(v) FILTER (a != 0), 0) AS BIGINT) AS s_b,
+            coalesce(sum(CAST(v AS HUGEINT) * v) FILTER (a = 0), 0)
+              AS ss_a,
+            coalesce(sum(CAST(v AS HUGEINT) * v) FILTER (a != 0), 0)
+              AS ss_b
+          FROM units
+        ), dd AS (
+          SELECT n_a, n_b,
+            CAST(n_a AS DOUBLE) AS na_d, CAST(n_b AS DOUBLE) AS nb_d,
+            CAST(s_a AS DOUBLE) AS sa_d, CAST(s_b AS DOUBLE) AS sb_d,
+            CAST(ss_a AS DOUBLE) AS ssa_d, CAST(ss_b AS DOUBLE) AS ssb_d
+          FROM m
+        ), ee AS (
+          SELECT n_a, n_b, na_d, nb_d,
+            sa_d / na_d - sb_d / nb_d AS diff,
+            (na_d * ssa_d - sa_d * sa_d) / (na_d * (na_d - 1.0)) AS va,
+            (nb_d * ssb_d - sb_d * sb_d) / (nb_d * (nb_d - 1.0)) AS vb
+          FROM dd
+        ), ff AS (
+          SELECT n_a, n_b, diff,
+            sqrt(va / na_d + vb / nb_d) AS se
+          FROM ee
+        )
+        SELECT n_a, n_b,
+          round(diff, 6) AS diff_r,
+          CASE WHEN n_a > 1 AND n_b > 1 THEN round(se, 6) END AS se_r,
+          CASE WHEN n_a > 1 AND n_b > 1 AND se > 0 THEN
+            round((diff + 500.0) / se, 6) END AS z_low_r,
+          CASE WHEN n_a > 1 AND n_b > 1 AND se > 0 THEN
+            round((500.0 - diff) / se, 6) END AS z_high_r,
+          CASE WHEN n_a > 1 AND n_b > 1 AND se > 0 THEN
+            round((diff + 500.0) / se, 6) > {_TOST_Z!r}
+            AND round((500.0 - diff) / se, 6) > {_TOST_Z!r}
+          END AS equivalent
+        FROM ff
+        """
+    # Chapman capture-recapture: exact integers over the two
+    # hash-disjoint day samples
+    d["events_capture_recapture"] = """
+        WITH d AS (
+          SELECT user_id, day(ts) AS dom FROM events
+          WHERE user_id IS NOT NULL
+        ), s1 AS (
+          SELECT DISTINCT user_id FROM d WHERE dom % 2 = 0
+        ), s2 AS (
+          SELECT DISTINCT user_id FROM d WHERE dom % 2 = 1
+        ), j AS (
+          SELECT coalesce(s1.user_id, s2.user_id) AS u,
+            s1.user_id IS NOT NULL AS in1,
+            s2.user_id IS NOT NULL AS in2
+          FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+        ), agg AS (
+          SELECT CAST(count(*) FILTER (in1) AS BIGINT) AS n1,
+            CAST(count(*) FILTER (in2) AS BIGINT) AS n2,
+            CAST(count(*) FILTER (in1 AND in2) AS BIGINT) AS m,
+            CAST(count(*) AS BIGINT) AS n_union
+          FROM j
+        )
+        SELECT n1, n2, m, n_union,
+          CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1
+               AS BIGINT) AS n_hat
+        FROM agg
         """
     # effect sizes: exact integer moments per arm, the SAME pinned
     # float chain as evaluation.effect_size_report

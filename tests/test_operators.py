@@ -10650,6 +10650,58 @@ class TestDunnHolm:
         }
 
 
+class TestTost:
+    def test_equivalent_and_not(self, spark):
+        import math
+
+        from unitdb_spark.operators.stats_tests import tost_equivalence
+
+        # arms nearly identical, tight spread -> equivalent at margin 5
+        a = [100 + (i % 3) for i in range(40)]
+        b = [101 + (i % 3) for i in range(40)]
+        rows = [(v, 0) for v in a] + [(v, 1) for v in b]
+        df = spark.createDataFrame(rows, "v long, arm int")
+        (r,) = tost_equivalence(df, "v", "arm", margin=5.0).collect()
+        assert r.equivalent is True
+        # hand-check the Welch z's
+        na, nb = len(a), len(b)
+        va = (na * sum(x * x for x in a) - sum(a) ** 2) / (na * (na - 1))
+        vb = (nb * sum(x * x for x in b) - sum(b) ** 2) / (nb * (nb - 1))
+        diff = sum(a) / na - sum(b) / nb
+        se = math.sqrt(va / na + vb / nb)
+        assert r.z_low_r == round((diff + 5.0) / se, 6)
+        assert r.z_high_r == round((5.0 - diff) / se, 6)
+        # a real gap larger than the margin -> NOT equivalent
+        rows2 = [(v, 0) for v in a] + [(v + 50, 1) for v in b]
+        df2 = spark.createDataFrame(rows2, "v long, arm int")
+        (r2,) = tost_equivalence(df2, "v", "arm", margin=5.0).collect()
+        assert r2.equivalent is False
+
+    def test_underpowered_is_not_equivalent(self, spark):
+        from unitdb_spark.operators.stats_tests import tost_equivalence
+
+        # same means but huge spread, tiny n: plain A/B would say
+        # "not significant"; TOST refuses to call it equivalent
+        rows = [(0, 0), (1000, 0), (10, 1), (990, 1)]
+        df = spark.createDataFrame(rows, "v long, arm int")
+        (r,) = tost_equivalence(df, "v", "arm", margin=5.0).collect()
+        assert r.equivalent is False
+
+
+class TestCaptureRecapture:
+    def test_chapman_estimate(self, spark):
+        import __spark_entry__ as e
+
+        out = e.queries()["events_capture_recapture"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        # estimator basics: n_hat >= observed union is not guaranteed,
+        # but n_hat >= max(n1, n2) and the Chapman formula holds
+        assert out.n_hat == (out.n1 + 1) * (out.n2 + 1) // (out.m + 1) - 1
+        assert out.n_union == out.n1 + out.n2 - out.m
+        assert out.m > 0  # the two day-parities genuinely overlap
+
+
 class TestGoodTuring:
     def test_hand_corpus(self, spark):
         from unitdb_spark.operators.tfidf import good_turing_table

@@ -2966,3 +2966,71 @@ def qq_normal(
         F.col("k").cast("long").alias("k"), "z_micro", "sample_q",
         "slope_r", "intercept_r",
     )
+
+
+def tost_equivalence(
+    units: DataFrame,
+    value_col: str,
+    arm_col: str,
+    margin: float,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Two One-Sided Tests (Schuirmann '87) — the EQUIVALENCE verdict
+    a plain A/B test cannot give: failing to reject "different" is
+    not evidence of "same"; TOST rejects BOTH "diff ≤ −margin" and
+    "diff ≥ +margin", so passing positively bounds the effect inside
+    ±margin (the do-no-harm launch gate, ship-if-equivalent).
+
+    Welch construction over exact DECIMAL(38,0) per-arm moments; ONE
+    pinned float chain for diff, se, and the two z's (round-6), each
+    compared to the literal Acklam Φ⁻¹(1−α) threshold (6 dp, minted
+    at build time — the holm_threshold_case idiom, no runtime inverse
+    normal). NULL verdict when either arm has < 2 units or se = 0.
+
+    Output: ONE row — (n_a, n_b, diff_r, se_r, z_low_r, z_high_r,
+    equivalent).
+
+    Scale: one map-side-combined aggregation; no window, no join.
+    """
+    zcrit = round(norm_ppf(1 - alpha), 6)
+    m = float(margin)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v = F.col(value_col).cast("long")
+    is_a = F.col(arm_col) == 0
+    agg = units.agg(
+        F.count(F.when(is_a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(~is_a, 1)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(is_a, v)), F.lit(0)).cast("long").alias("s_a"),
+        F.coalesce(F.sum(F.when(~is_a, v)), F.lit(0)).cast("long").alias("s_b"),
+        F.coalesce(F.sum(F.when(is_a, d38(v) * v)), F.lit(0))
+        .cast("decimal(38,0)").alias("ss_a"),
+        F.coalesce(F.sum(F.when(~is_a, d38(v) * v)), F.lit(0))
+        .cast("decimal(38,0)").alias("ss_b"),
+    )
+    staged = agg.selectExpr(
+        "n_a", "n_b",
+        "CAST(n_a AS DOUBLE) AS na_d", "CAST(n_b AS DOUBLE) AS nb_d",
+        "CAST(s_a AS DOUBLE) AS sa_d", "CAST(s_b AS DOUBLE) AS sb_d",
+        "CAST(ss_a AS DOUBLE) AS ssa_d", "CAST(ss_b AS DOUBLE) AS ssb_d",
+    ).selectExpr(
+        "n_a", "n_b", "na_d", "nb_d",
+        "sa_d / na_d - sb_d / nb_d AS diff",
+        # Welch: sample variance over n (vk = (nk*ssk - sk^2)/(nk*(nk-1)))
+        "(na_d * ssa_d - sa_d * sa_d) / (na_d * (na_d - 1.0)) AS va",
+        "(nb_d * ssb_d - sb_d * sb_d) / (nb_d * (nb_d - 1.0)) AS vb",
+    ).selectExpr(
+        "n_a", "n_b", "diff",
+        "sqrt(va / na_d + vb / nb_d) AS se",
+    )
+    return staged.selectExpr(
+        "n_a", "n_b",
+        "round(diff, 6) AS diff_r",
+        "CASE WHEN n_a > 1 AND n_b > 1 THEN round(se, 6) END AS se_r",
+        f"CASE WHEN n_a > 1 AND n_b > 1 AND se > 0 THEN "
+        f"round((diff + {m!r}) / se, 6) END AS z_low_r",
+        f"CASE WHEN n_a > 1 AND n_b > 1 AND se > 0 THEN "
+        f"round(({m!r} - diff) / se, 6) END AS z_high_r",
+        f"CASE WHEN n_a > 1 AND n_b > 1 AND se > 0 THEN "
+        f"round((diff + {m!r}) / se, 6) > {zcrit!r} "
+        f"AND round(({m!r} - diff) / se, 6) > {zcrit!r} END AS equivalent",
+    )
