@@ -8775,6 +8775,28 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_media_wav_mulaw(spark, sf_dir):
+    """REAL telephony codec (G.711 mu-law): every synthetic WAV's
+    PCM16 samples compress to 8-bit mu-law and expand back — exact
+    integer fidelity stats (decoded energy, worst/total roundtrip
+    error, distinct codes touched). The codec is closed-form integer
+    algebra (CCITT segments/mantissa incl. the overflow guard), so
+    the oracle replays compress-expand from the closed-form samples
+    arithmetically — bitwise."""
+    from unitdb_spark.functions.multimodal import (
+        mulaw_roundtrip_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(_docs(spark, sf_dir)).filter(
+        F.col("media_type") == "audio"
+    )
+    return mulaw_roundtrip_features(media).select(
+        F.col("id").alias("doc_id"), "n_samples", "energy_dec",
+        "max_abs_err", "sum_abs_err", "n_codes",
+    )
+
+
 def q_events_tost(spark, sf_dir):
     """TOST equivalence verdict on per-user revenue between the hash
     arms — the do-no-harm gate a plain A/B cannot give (not-significant
@@ -9497,6 +9519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_prog_resize": q_media_jpeg_prog_resize,
         "events_tost": q_events_tost,
         "events_capture_recapture": q_events_capture_recapture,
+        "media_wav_mulaw": q_media_wav_mulaw,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -10778,6 +10801,60 @@ def oracle_sql() -> dict[str, str]:
           CAST(MAX(v) AS BIGINT) AS v_max,
           round(sqrt(CAST(SUM(v * v) AS DOUBLE) / MAX(n)), 6) AS rms_r
         FROM z GROUP BY 1
+        """,
+        "media_wav_mulaw": """
+        -- regenerate PCM samples from build_wav's byte pattern, then
+        -- replay G.711 mu-law compress-expand ARITHMETICALLY (CCITT
+        -- segments/mantissa/overflow guard; code = complemented
+        -- sign|seg|mant as plain arithmetic) — all exact integers
+        WITH w AS (
+          SELECT doc_id, doc_id % 4000 + 100 AS n
+          FROM documents WHERE doc_id % 5 = 3
+        ), s AS (
+          SELECT w.doc_id, w.n,
+            CASE WHEN ((6 * j.j) % 256 + 256 * ((6 * j.j + 3) % 256)) >= 32768
+                 THEN ((6 * j.j) % 256 + 256 * ((6 * j.j + 3) % 256)) - 65536
+                 ELSE ((6 * j.j) % 256 + 256 * ((6 * j.j + 3) % 256))
+            END AS v
+          FROM w, UNNEST(generate_series(0, CAST(w.n - 1 AS BIGINT))) AS j(j)
+        ), e AS (
+          SELECT doc_id, n, v,
+            v < 0 AS neg,
+            least(abs(v) // 4, 8159) + 33 AS a
+          FROM s
+        ), sg AS (
+          SELECT doc_id, n, v, neg, a,
+            CASE WHEN a <= 63 THEN 0 WHEN a <= 127 THEN 1
+                 WHEN a <= 255 THEN 2 WHEN a <= 511 THEN 3
+                 WHEN a <= 1023 THEN 4 WHEN a <= 2047 THEN 5
+                 WHEN a <= 4095 THEN 6 ELSE 7 END AS seg
+          FROM e
+        ), mm AS (
+          SELECT doc_id, n, v, neg, seg,
+            CASE WHEN a > 8191 THEN 15
+                 ELSE (a // (CASE seg WHEN 0 THEN 2 WHEN 1 THEN 4
+                   WHEN 2 THEN 8 WHEN 3 THEN 16 WHEN 4 THEN 32
+                   WHEN 5 THEN 64 WHEN 6 THEN 128 ELSE 256 END)) % 16
+            END AS mant,
+            CASE WHEN a > 8191 THEN 7 ELSE seg END AS segf
+          FROM sg
+        ), dd AS (
+          SELECT doc_id, n, v,
+            CASE WHEN neg THEN 127 - (segf * 16 + mant)
+                 ELSE 255 - (segf * 16 + mant) END AS code,
+            (CASE WHEN neg THEN -1 ELSE 1 END)
+              * ((mant * 8 + 132) * (CASE segf WHEN 0 THEN 1
+                 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64
+                 ELSE 128 END) - 132) AS dec
+          FROM mm
+        )
+        SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+          CAST(SUM(dec * dec) AS BIGINT) AS energy_dec,
+          CAST(MAX(abs(dec - v)) AS BIGINT) AS max_abs_err,
+          CAST(SUM(abs(dec - v)) AS BIGINT) AS sum_abs_err,
+          CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes
+        FROM dd GROUP BY doc_id
         """,
         "media_wav_features": """
         -- regenerate every PCM sample from build_wav's byte pattern

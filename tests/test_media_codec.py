@@ -899,3 +899,49 @@ class TestProgressiveJpeg:
 
         with pytest.raises(ValueError):
             encode_jpeg_progressive(np.zeros((9, 8, 3), dtype=np.uint8))
+
+
+class TestMuLaw:
+    def test_full_domain_properties(self):
+        """Every int16 input: monotone decode, odd symmetry, code
+        idempotence (except the +0/-0 code pair), half-step error
+        bound inside the clip region, all 256 codes reachable."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            pcm16_to_ulaw,
+            ulaw_to_pcm16,
+        )
+
+        s = np.arange(-32768, 32768, dtype=np.int64)
+        enc = pcm16_to_ulaw(s)
+        dec = ulaw_to_pcm16(enc)
+        assert (np.diff(dec) >= 0).all()
+        assert (ulaw_to_pcm16(pcm16_to_ulaw(-s)) == -dec).all()
+        nz = dec != 0
+        assert (pcm16_to_ulaw(dec)[nz] == enc[nz]).all()
+        a = np.minimum(np.abs(s) >> 2, 8159) + 33
+        seg = np.zeros_like(a)
+        for uend in (0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF):
+            seg += a > uend
+        inner = (np.abs(s) >> 2) < 8159
+        assert (np.abs(dec - s)[inner] <= (1 << (seg + 3))[inner]).all()
+        assert len(np.unique(enc)) == 256
+
+    def test_known_codepoints(self):
+        """Spot values against the CCITT algebra worked by hand."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            pcm16_to_ulaw,
+            ulaw_to_pcm16,
+        )
+
+        # 0 -> a=33, seg 0, mant 0 -> uval 0 -> positive mask 0xFF
+        assert pcm16_to_ulaw(np.array([0]))[0] == 0xFF
+        # max positive clips to the loudest code 0x80
+        assert pcm16_to_ulaw(np.array([32767]))[0] == 0x80
+        assert pcm16_to_ulaw(np.array([-32768]))[0] == 0x00
+        # loudest code decodes to the standard 8031 << 2
+        assert ulaw_to_pcm16(np.array([0x80]))[0] == 32124
+        assert ulaw_to_pcm16(np.array([0x00]))[0] == -32124

@@ -2614,3 +2614,39 @@ def decode_jpeg_any_rgb(b: bytes):
     if got is not None:
         return got
     return decode_jpeg_progressive_rgb(b)
+
+
+# --------------------------- G.711 mu-law ------------------------------
+
+_ULAW_SEG_END = (0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF)
+
+
+def pcm16_to_ulaw(samples):
+    """Vectorized G.711 mu-law compression of int16 PCM (the CCITT
+    reference algebra: 14-bit magnitude, +33 bias, 8 segments, 4-bit
+    mantissa, complemented output byte). numpy int -> uint8."""
+    import numpy as np
+
+    v = np.asarray(samples, dtype=np.int64)
+    neg = v < 0
+    a = np.minimum(np.abs(v) >> 2, 8159) + 33
+    seg = np.zeros_like(a)
+    for uend in _ULAW_SEG_END[:-1]:
+        seg += (a > uend).astype(np.int64)
+    mant = (a >> (seg + 1)) & 0x0F
+    uval = (seg << 4) | mant
+    # CCITT overflow guard: the clipped-and-biased maximum (8192)
+    # exceeds segment 7's span (<= 8191) -> the maximum code
+    uval = np.where(a > 0x1FFF, 0x7F, uval)
+    mask = np.where(neg, 0x7F, 0xFF)
+    return (uval ^ mask).astype(np.uint8)
+
+
+def ulaw_to_pcm16(codes):
+    """Vectorized G.711 mu-law expansion: uint8 -> int16-domain ints
+    (segment midpoints — the standard decoder table's values)."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype=np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int64)

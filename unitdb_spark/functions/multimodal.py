@@ -1695,3 +1695,64 @@ def decimate_wav(df: DataFrame, factor: int) -> DataFrame:
             )
 
     return df.select("id", "blob").mapInPandas(_dec, "id long, blob binary")
+
+
+def mulaw_roundtrip_features(df: DataFrame) -> DataFrame:
+    """REAL telephony-codec pass: WAV PCM16 samples compressed to
+    G.711 mu-law (8 bits/sample) and expanded back, reduced to exact
+    integer fidelity statistics — decoded-signal energy, worst and
+    total absolute roundtrip error, and the distinct code count (a
+    full-range signal should touch most of the 256-code book). The
+    codec is pure closed-form integer algebra, so an SQL oracle
+    replays compress∘expand exactly. NULL-free rows only for blobs
+    the WAV decoder claims.
+
+    Scale: Arrow-batched mapInPandas, vectorized numpy codec; output
+    is one row per blob.
+    """
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_wav_pcm16,
+            pcm16_to_ulaw,
+            ulaw_to_pcm16,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"].values, pdf["blob"]):
+                dec = decode_wav_pcm16(bytes(b)) if b is not None else None
+                if dec is None or len(dec[1]) == 0:
+                    continue
+                _, s = dec
+                v = s.astype(np.int64)
+                codes = pcm16_to_ulaw(v)
+                back = ulaw_to_pcm16(codes)
+                err = np.abs(back - v)
+                rows.append(
+                    (
+                        int(i), int(v.size),
+                        int((back * back).sum()),
+                        int(err.max()),
+                        int(err.sum()),
+                        int(np.unique(codes).size),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "n_samples": pd.array([r[1] for r in rows], dtype="int64"),
+                    "energy_dec": pd.array([r[2] for r in rows], dtype="int64"),
+                    "max_abs_err": pd.array([r[3] for r in rows], dtype="int64"),
+                    "sum_abs_err": pd.array([r[4] for r in rows], dtype="int64"),
+                    "n_codes": pd.array([r[5] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _feat,
+        "id long, n_samples long, energy_dec long, max_abs_err long, "
+        "sum_abs_err long, n_codes long",
+    )
