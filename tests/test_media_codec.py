@@ -945,3 +945,55 @@ class TestMuLaw:
         # loudest code decodes to the standard 8031 << 2
         assert ulaw_to_pcm16(np.array([0x80]))[0] == 32124
         assert ulaw_to_pcm16(np.array([0x00]))[0] == -32124
+
+
+class TestProgressiveJpegProperty:
+    def test_extreme_and_structured_content(self):
+        """Stress the refinement paths: flat extremes (long EOB runs),
+        checkerboards (dense high-frequency AC), single-hot-pixel
+        (ZRL chains), narrow strips — progressive decode must equal
+        baseline decode on every one."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_jpeg_progressive_rgb,
+            decode_jpeg_rgb,
+            encode_jpeg_baseline,
+            encode_jpeg_progressive,
+        )
+
+        cases = []
+        cases.append(np.zeros((16, 16, 3), dtype=np.uint8))
+        cases.append(np.full((16, 16, 3), 255, dtype=np.uint8))
+        cb = np.indices((16, 16)).sum(axis=0) % 2 * 255
+        cases.append(np.stack([cb, cb, cb], axis=-1).astype(np.uint8))
+        hot = np.zeros((8, 8, 3), dtype=np.uint8)
+        hot[3, 5] = (200, 10, 250)
+        cases.append(hot)
+        strip = np.tile(
+            np.arange(64, dtype=np.uint8)[None, :, None], (8, 1, 3)
+        ) * 4
+        cases.append(strip[:, :64])
+        rng = np.random.default_rng(17)
+        for _ in range(6):
+            h = 8 * int(rng.integers(1, 5))
+            w = 8 * int(rng.integers(1, 5))
+            cases.append(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        for i, arr in enumerate(cases):
+            base = decode_jpeg_rgb(encode_jpeg_baseline(arr))
+            prog = decode_jpeg_progressive_rgb(encode_jpeg_progressive(arr))
+            assert prog is not None, i
+            assert (base == prog).all(), i
+
+    def test_truncated_progressive_refused(self):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_jpeg_progressive_rgb,
+            encode_jpeg_progressive,
+        )
+
+        arr = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+        blob = encode_jpeg_progressive(arr)
+        assert decode_jpeg_progressive_rgb(blob[: len(blob) // 2]) is None
+        assert decode_jpeg_progressive_rgb(b"\xff\xd8\xff\xd9") is None

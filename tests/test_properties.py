@@ -1131,3 +1131,51 @@ class TestRankThresholdDecilesProperty:
         for b in range(1, nb + 1):
             assert out[b].n == want_n[b]
             assert out[b].n_pos == want_pos[b]
+
+
+class TestMuLawHypothesis:
+    def test_random_batches_roundtrip_properties(self):
+        """Hypothesis-style random batches: decode(encode(x)) stays
+        within the segment half-step, and encoding is scale-monotone
+        (louder in, louder-or-equal code magnitude out)."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            pcm16_to_ulaw,
+            ulaw_to_pcm16,
+        )
+
+        rng = np.random.default_rng(23)
+        for _ in range(20):
+            s = rng.integers(-32768, 32768, 512).astype(np.int64)
+            dec = ulaw_to_pcm16(pcm16_to_ulaw(s))
+            assert (np.sign(dec) == np.sign(np.where(
+                np.abs(s) < 4, dec, s))).all()  # tiny values may quantize to 0
+            # relative error bounded: mu-law's design constraint
+            big = np.abs(s) > 1024
+            if big.any():
+                rel = np.abs(dec[big] - s[big]) / np.abs(s[big])
+                assert rel.max() < 0.06
+
+
+class TestAdam7Hypothesis:
+    def test_random_dims_roundtrip(self):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            adam7_scanline_count,
+            decode_png_rgb_any,
+            encode_png_rgb_adam7,
+        )
+
+        rng = np.random.default_rng(29)
+        for _ in range(15):
+            h = int(rng.integers(1, 40))
+            w = int(rng.integers(1, 40))
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            filters = [
+                int(rng.integers(0, 5))
+                for _ in range(adam7_scanline_count(w, h))
+            ]
+            back = decode_png_rgb_any(encode_png_rgb_adam7(arr, filters))
+            assert back is not None and (back == arr).all(), (h, w)
