@@ -2384,19 +2384,20 @@ def decode_jpeg_progressive_rgb(b: bytes):
         qt = q.reshape(8, 8)
         by = len(coefs[ci])
         bx = len(coefs[ci][0])
-        plane = np.zeros((by * 8, bx * 8), dtype=np.int32)
-        for yy in range(by):
-            for xx in range(bx):
-                zz = coefs[ci][yy][xx]
-                S = np.empty((8, 8), dtype=np.float64)
-                for k2 in range(64):
-                    S.flat[_ZIGZAG[k2]] = zz[k2]
-                S *= qt
-                block = C.T @ S @ C
-                pix = np.clip(np.round(block) + 128, 0, 255)
-                plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = (
-                    pix.astype(np.int32)
-                )
+        # vectorized finish: de-zigzag every block at once, one
+        # batched IDCT (einsum) — the entropy scans stay the honest
+        # pure-Python cost, the linear algebra shouldn't be
+        zzm = np.asarray(coefs[ci], dtype=np.float64).reshape(by * bx, 64)
+        S = np.zeros((by * bx, 64), dtype=np.float64)
+        S[:, _ZIGZAG] = zzm
+        S = S.reshape(by * bx, 8, 8) * qt
+        blocks = np.einsum("ij,njk,kl->nil", C.T, S, C)
+        pix = np.clip(np.round(blocks) + 128, 0, 255).astype(np.int32)
+        plane = (
+            pix.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
         planes.append(plane)
 
     def full_res(ci):
