@@ -73,7 +73,6 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "doc_best_f1": "descending cumulative + argmax windows over the DISTINCT quantized-score relation (the doc_auc bounded class)",
     "doc_pr_auc": "descending cumulative window over the DISTINCT quantized-score relation (the doc_auc bounded class)",
     "events_mg_users": "merge rank window over the summed MG summary relation — bounded by k x days (control-plane)",
-    "doc_good_turing": "rank window over the frequency-of-frequencies relation (distinct counts — Zipf-tiny, never the vocabulary)",
     "doc_threshold_transfer": "the best-F1 argmax windows over the pick slice's DISTINCT quantized-score relation (the doc_auc bounded class)",
 }
 
