@@ -8698,6 +8698,18 @@ def q_streamed_acf(spark, sf_dir):
     return read_acf(spark, _cells_twin(spark, sf_dir))
 
 
+def q_streamed_pacf(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING PACF — the rolling ACF's
+    integer rho_ppm through the shared Durbin-Levinson finish, off
+    the same maintained hourly-cell state. Oracle = the batch PACF
+    SQL with the cell row filter (both engines start from identical
+    integers; bitwise)."""
+    from unitdb_spark.streaming.continuous import read_pacf
+
+    spark = _pin_utc(spark)
+    return read_pacf(spark, _cells_twin(spark, sf_dir))
+
+
 def q_streamed_mk(spark, sf_dir):
     """Driver-checkable twin of the ROLLING Mann-Kendall verdict over
     the cells' day rollup — the THIRTEENTH dashboard; mergeable day
@@ -9520,6 +9532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tost": q_events_tost,
         "events_capture_recapture": q_events_capture_recapture,
         "media_wav_mulaw": q_media_wav_mulaw,
+        "streamed_pacf": q_streamed_pacf,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -16907,6 +16920,12 @@ def oracle_sql() -> dict[str, str]:
         "WITH acf AS (" + d["events_acf"] + "), s0 AS ("
         "SELECT event_type, " + _piv + " FROM acf GROUP BY event_type)"
         + _steps_sql + " " + _final
+    )
+    # rolling PACF twin: the twin's cell contract (value-non-null
+    # rows), otherwise the batch SQL verbatim
+    d["streamed_pacf"] = d["events_pacf"].replace(
+        "FROM events GROUP BY 1, 2",
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2",
     )
     # QTE: exact per-arm order statistics at rank (d*n+9) div 10
     # Adam7 PNG: the fixture's pixel CONTENT is container-independent

@@ -2762,6 +2762,14 @@ def pacf_table(
     """
     lags = int(lags)
     acf = acf_table(df, key_col, ts_col=ts_col, bucket_s=bucket_s, lags=lags)
+    return pacf_from_acf(acf, key_col, lags=lags)
+
+
+def pacf_from_acf(acf: DataFrame, key_col: str, lags: int = 4) -> DataFrame:
+    """The Durbin-Levinson finish over an already-computed (key, lag,
+    rho_ppm) ACF relation — shared between `pacf_table` (batch) and
+    the rolling hourly-cell twin. See `pacf_table`."""
+    lags = int(lags)
     piv = acf.groupBy(key_col).agg(
         *[
             F.max(

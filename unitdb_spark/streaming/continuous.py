@@ -1094,6 +1094,25 @@ def read_acf(
     )
 
 
+def read_pacf(
+    spark, state_path: str, key_col: str = "event_type", lags: int = 4,
+) -> DataFrame:
+    """Rolling PACF over the committed hourly cells: the rolling ACF's
+    integer rho_ppm through the shared Durbin-Levinson finish
+    (`pacf_from_acf`) — the Box-Jenkins order plot as a live
+    dashboard off the same maintained state."""
+    from unitdb_spark.operators.stats_tests import (
+        acf_from_cells,
+        pacf_from_acf,
+    )
+
+    acf = acf_from_cells(
+        _cells_hourly(spark, state_path, key_col), key_col, "hidx", "y",
+        lags=lags,
+    )
+    return pacf_from_acf(acf, key_col, lags=lags)
+
+
 def read_mann_kendall(
     spark, state_path: str, key_col: str = "event_type",
 ) -> DataFrame:
