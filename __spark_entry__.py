@@ -8090,21 +8090,19 @@ def q_doc_c4_reasons(spark, sf_dir):
     )
 
 
-def q_streamed_exp_gof(spark, sf_dir):
-    """Second dashboard off the SAME gap-stitcher state the
-    burstiness twin maintains (the one-fold/N-readouts pattern of the
-    hourly-cell family): the folded gap rows finish through
-    ks_exponential at read time, so the rolling memoryless-model
-    check shares the stream with the rolling texture monitor. Oracle
-    = the batch events_exp_gof SQL verbatim — the stitcher reproduces
-    the batch lag pairing exactly."""
+def _stitched_gaps_twin(spark, sf_dir):
+    """The gap-stitcher twin's folded rows as a (event_type, gap_us)
+    relation: two in-order checkpointed runs through
+    streaming_burstiness (the 2-longs-per-key last-ts/last-gap
+    stitcher), shared by every rolling gap-distribution dashboard
+    (exp-GoF KS, Anderson-Darling). The stitcher reproduces the batch
+    lag pairing exactly."""
     import tempfile
 
-    from unitdb_spark.operators.stats_tests import ks_exponential
     from unitdb_spark.streaming.state import streaming_burstiness
 
     spark = _pin_utc(spark)
-    base = tempfile.mkdtemp(prefix="expgof_twin_")
+    base = tempfile.mkdtemp(prefix="gaps_twin_")
     src, cp, out = f"{base}/src", f"{base}/cp", f"{base}/out"
     ev = _events(spark, sf_dir).select("event_id", "ts", "event_type")
     lo, hi = ev.agg(
@@ -8134,10 +8132,36 @@ def q_streamed_exp_gof(spark, sf_dir):
 
     run(ev.filter(F.col("ts") < mid))
     run(ev.filter(F.col("ts") >= mid))
-    gaps = spark.read.parquet(out).select(
+    return spark.read.parquet(out).select(
         F.col("key").alias("event_type"), F.col("g").alias("gap_us")
     )
-    return ks_exponential(gaps, "event_type", "gap_us")
+
+
+def q_streamed_exp_gof(spark, sf_dir):
+    """Second dashboard off the SAME gap-stitcher state the
+    burstiness twin maintains (the one-fold/N-readouts pattern of the
+    hourly-cell family): the folded gap rows finish through
+    ks_exponential at read time, so the rolling memoryless-model
+    check shares the stream with the rolling texture monitor. Oracle
+    = the batch events_exp_gof SQL verbatim — the stitcher reproduces
+    the batch lag pairing exactly."""
+    from unitdb_spark.operators.stats_tests import ks_exponential
+
+    return ks_exponential(
+        _stitched_gaps_twin(spark, sf_dir), "event_type", "gap_us"
+    )
+
+
+def q_streamed_ad_exp(spark, sf_dir):
+    """Third dashboard off the same gap-stitcher state: the folded
+    gaps finish through the tail-weighted Anderson-Darling GoF — the
+    rolling heavy/light-tail alarm beside the rolling KS verdict.
+    Oracle = the batch events_ad_exp SQL verbatim."""
+    from unitdb_spark.operators.stats_tests import ad_exponential
+
+    return ad_exponential(
+        _stitched_gaps_twin(spark, sf_dir), "event_type", "gap_us"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -9533,6 +9557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_capture_recapture": q_events_capture_recapture,
         "media_wav_mulaw": q_media_wav_mulaw,
         "streamed_pacf": q_streamed_pacf,
+        "streamed_ad_exp": q_streamed_ad_exp,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -19111,6 +19136,9 @@ def oracle_sql() -> dict[str, str]:
         FROM tt JOIN tot ON tot.k = tt.k
         GROUP BY tt.k
         """
+    # rolling AD twin: the stitcher reproduces the batch lag pairing,
+    # so the oracle is the batch SQL verbatim
+    d["streamed_ad_exp"] = d["events_ad_exp"]
     # per-rule breakdown rides the gopher filter oracle's rule columns
     d["doc_gopher_reasons"] = (
         "WITH gf AS (" + d["doc_gopher_filter"] + """)
