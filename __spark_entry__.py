@@ -8800,6 +8800,26 @@ def q_streamed_qte(spark, sf_dir):
 
 
 
+def q_streamed_effect_size(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING effect-size dashboard off
+    the per-user revenue state. Oracle = the batch events_effect_size
+    SQL with the state's value-non-null user contract."""
+    from unitdb_spark.streaming.continuous import read_effect_size
+
+    spark = _pin_utc(spark)
+    return read_effect_size(spark, _user_cents_twin(spark, sf_dir))
+
+
+def q_streamed_tost(spark, sf_dir):
+    """Driver-checkable twin of the ROLLING TOST equivalence gate off
+    the per-user revenue state. Oracle = the batch events_tost SQL
+    with the state's value-non-null user contract."""
+    from unitdb_spark.streaming.continuous import read_tost
+
+    spark = _pin_utc(spark)
+    return read_tost(spark, _user_cents_twin(spark, sf_dir))
+
+
 def q_streamed_permtest(spark, sf_dir):
     """Driver-checkable twin of the ROLLING randomization test off the
     per-user revenue state: the 199 md5 re-randomizations explode the
@@ -9558,6 +9578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_mulaw": q_media_wav_mulaw,
         "streamed_pacf": q_streamed_pacf,
         "streamed_ad_exp": q_streamed_ad_exp,
+        "streamed_effect_size": q_streamed_effect_size,
+        "streamed_tost": q_streamed_tost,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17382,6 +17404,14 @@ def oracle_sql() -> dict[str, str]:
         "FROM events WHERE value IS NOT NULL GROUP BY user_id",
     )
     d["streamed_permtest"] = d["events_permtest"].replace(
+        "FROM events GROUP BY user_id",
+        "FROM events WHERE value IS NOT NULL GROUP BY user_id",
+    )
+    d["streamed_effect_size"] = d["events_effect_size"].replace(
+        "FROM events GROUP BY user_id",
+        "FROM events WHERE value IS NOT NULL GROUP BY user_id",
+    )
+    d["streamed_tost"] = d["events_tost"].replace(
         "FROM events GROUP BY user_id",
         "FROM events WHERE value IS NOT NULL GROUP BY user_id",
     )

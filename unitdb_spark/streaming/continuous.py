@@ -1190,6 +1190,40 @@ def read_power(spark, state_path: str) -> DataFrame:
     return power_analysis(units, "cents")
 
 
+def read_effect_size(spark, state_path: str) -> DataFrame:
+    """Rolling standardized effect sizes (Cohen's d / Hedges' g /
+    Glass's Δ) off the per-user revenue state — the magnitude
+    dashboard beside the rolling power/QTE readouts, arms from the
+    same portable hash."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.evaluation import effect_size_report
+
+    units = read_user_cents(spark, state_path).select(
+        F.col("_cents").alias("cents"),
+        (
+            md5_int60(F.concat(F.col("_u").cast("string"), F.lit(":ab")))
+            % 2
+        ).cast("int").alias("arm"),
+    )
+    return effect_size_report(units, "cents", "arm")
+
+
+def read_tost(spark, state_path: str, margin: float = 500.0) -> DataFrame:
+    """Rolling TOST equivalence verdict off the per-user revenue
+    state — the live do-no-harm gate."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.stats_tests import tost_equivalence
+
+    units = read_user_cents(spark, state_path).select(
+        F.col("_cents").alias("cents"),
+        (
+            md5_int60(F.concat(F.col("_u").cast("string"), F.lit(":ab")))
+            % 2
+        ).cast("int").alias("arm"),
+    )
+    return tost_equivalence(units, "cents", "arm", margin=margin)
+
+
 def read_qte(spark, state_path: str) -> DataFrame:
     """Rolling quantile treatment effects off the per-user revenue
     state: the distributional A/B readout, arms from the same
