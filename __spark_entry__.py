@@ -8831,6 +8831,23 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_events_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard of signup→purchase — the
+    additive sibling of events_survival's KM fold: because H(t) is a
+    SUM of ⌊d·1e12/n⌋ terms, the whole estimator is two cumulative
+    windows over the per-day relation — no sequential product, no
+    recursive CTE. Aalen variance and one pinned round-6 se."""
+    from unitdb_spark.operators.survival import nelson_aalen, time_to_event
+
+    ev = _events(spark, sf_dir)
+    durations = time_to_event(
+        ev, "user_id", "ts",
+        origin_filter=F.col("event_type") == "signup",
+        event_filter=F.col("event_type") == "purchase",
+    )
+    return nelson_aalen(durations, "duration_days", "event")
+
+
 def q_media_wav_mulaw(spark, sf_dir):
     """REAL telephony codec (G.711 mu-law): every synthetic WAV's
     PCM16 samples compress to 8-bit mu-law and expand back — exact
@@ -9580,6 +9597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_ad_exp": q_streamed_ad_exp,
         "streamed_effect_size": q_streamed_effect_size,
         "streamed_tost": q_streamed_tost,
+        "events_nelson_aalen": q_events_nelson_aalen,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -15921,6 +15939,57 @@ def oracle_sql() -> dict[str, str]:
     # rolling KM twin: the min/max state rebuilds the batch durations
     # exactly (see continuous_survival's module note) — oracle shared
     d["streamed_survival"] = d["events_survival"]
+    # Nelson-Aalen: the SAME org/conv/days/risk spine, but the fold
+    # is a SUM — two plain cumulative windows, no recursion
+    d["events_nelson_aalen"] = """
+        WITH org AS (
+          SELECT user_id, min(ts) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY 1
+        ), conv AS (
+          SELECT o.user_id, min(e.ts) AS tc
+          FROM org o JOIN events e ON e.user_id = o.user_id
+            AND e.event_type = 'purchase' AND e.ts > o.t0
+          GROUP BY 1
+        ), ref AS (SELECT max(ts) AS mx FROM events),
+        u AS (
+          SELECT o.user_id,
+            CASE WHEN c.tc IS NOT NULL THEN
+              date_diff('day', CAST(o.t0 AS DATE), CAST(c.tc AS DATE))
+            ELSE
+              date_diff('day', CAST(o.t0 AS DATE), CAST(ref.mx AS DATE))
+            END AS dur,
+            c.tc IS NOT NULL AS ev
+          FROM org o LEFT JOIN conv c USING (user_id), ref
+        ), days AS (
+          SELECT dur AS t,
+            count(*) FILTER (ev) AS d,
+            count(*) FILTER (NOT ev) AS c
+          FROM u GROUP BY 1
+        ), risk AS (
+          SELECT t, d, c,
+            CAST(sum(d + c) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS n_risk
+          FROM days
+        ), steps AS (
+          SELECT t, n_risk, d, c,
+            CAST((CAST(d AS HUGEINT) * 1000000000000) // n_risk
+                 AS BIGINT) AS h_term,
+            CAST((CAST(d AS HUGEINT) * 1000000000000)
+                 // (CAST(n_risk AS HUGEINT) * n_risk) AS BIGINT)
+              AS v_term
+          FROM risk WHERE d > 0
+        )
+        SELECT CAST(t AS BIGINT) AS t_day, n_risk,
+          CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+          CAST(sum(h_term) OVER wa AS BIGINT) AS hazard_e12,
+          CAST(sum(v_term) OVER wa AS BIGINT) AS var_e12,
+          round(sqrt(CAST(sum(v_term) OVER wa AS DOUBLE)
+                     / 1000000000000.0), 6) AS se_r
+        FROM steps
+        WINDOW wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+        """
     # rolling peaks twin: same hour-count cells (value-non-null), the
     # batch peaks SQL with the cell row filter
     d["streamed_peaks"] = d["events_peaks"].replace(

@@ -11200,6 +11200,31 @@ class TestThresholdMetrics:
         assert ap.prevalence_ppm == 1_000_000
 
 
+class TestNelsonAalen:
+    def test_hand_model(self, spark):
+        import math
+
+        from unitdb_spark.operators.survival import nelson_aalen
+
+        rows = [(1, True), (2, True), (2, False), (3, True)]
+        df = spark.createDataFrame(rows, "t long, e boolean")
+        out = {r.t_day: r for r in nelson_aalen(df, "t", "e").collect()}
+        assert sorted(out) == [1, 2, 3]
+        # t=1: n=4 d=1 -> h = 1e12//4; v = 1e12//16
+        assert out[1].hazard_e12 == 10**12 // 4
+        assert out[1].var_e12 == 10**12 // 16
+        # t=2: n=3 d=1 -> +1e12//3, +1e12//9
+        assert out[2].hazard_e12 == 10**12 // 4 + 10**12 // 3
+        assert out[2].var_e12 == 10**12 // 16 + 10**12 // 9
+        # t=3: n=1 d=1 -> +1e12 (exhaustion is fine for a SUM)
+        assert out[3].hazard_e12 == out[2].hazard_e12 + 10**12
+        assert out[3].se_r == round(
+            math.sqrt((out[3].var_e12) / 1e12), 6
+        )
+        # monotone increasing hazard, n_risk strictly decreasing
+        assert out[1].n_risk > out[2].n_risk > out[3].n_risk
+
+
 class TestKmGreenwood:
     def test_hand_model_with_exhaustion(self, spark):
         import math

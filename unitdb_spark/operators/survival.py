@@ -418,3 +418,70 @@ def km_greenwood(
         "t_day", "n_risk", "d", "c", "surv_e12", "g_e12",
         F.when(F.col("g_e12").isNotNull(), se).alias("se_r"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard — the ADDITIVE sibling of
+    `kaplan_meier`'s multiplicative survival fold (H(t) = Σ d/n; the
+    estimator of choice when hazard RATES, not survival fractions,
+    are the deliverable, and the better-behaved one in small risk
+    sets). Because the fold is a SUM, no sequential product is needed
+    at all: per-step terms quantize to exact e12 integers
+
+        h_term = ⌊d·1e12 / n⌋        v_term = ⌊d·1e12 / n²⌋
+
+    and one cumulative window adds them (integer sums are order-free
+    — this estimator needs no applyInPandas fold, unlike KM). The
+    variance is Aalen's Σ d/n²; se_r = round(√(v/1e12), 6) is the one
+    pinned float per step.
+
+    Output: (t_day, n_risk, d, c, hazard_e12, var_e12, se_r).
+
+    Scale: the `kaplan_meier` shape — one subject aggregation onto
+    the per-day event-time relation, two cumulative windows over it
+    (the events_survival bounded class).
+    """
+    days = (
+        df.select(
+            F.col(duration_col).cast("long").alias("t"),
+            F.col(event_col).cast("boolean").alias("_e"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.when(F.col("_e"), 1)).alias("d"),
+            F.count(F.when(~F.col("_e"), 1)).alias("c"),
+        )
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = days.select(
+        "t", "d", "c",
+        F.sum(F.col("d") + F.col("c")).over(w).alias("n_risk"),
+    )
+    steps = risk.filter(F.col("d") > 0).selectExpr(
+        "t", "n_risk", "d", "c",
+        "CAST((CAST(d AS DECIMAL(38,0)) * 1000000000000)"
+        " div n_risk AS BIGINT) AS h_term",
+        "CAST((CAST(d AS DECIMAL(38,0)) * 1000000000000)"
+        " div (CAST(n_risk AS DECIMAL(38,0)) * n_risk) AS BIGINT)"
+        " AS v_term",
+    )
+    wa = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = steps.select(
+        F.col("t").alias("t_day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.col("c").cast("long").alias("c"),
+        F.sum("h_term").over(wa).cast("long").alias("hazard_e12"),
+        F.sum("v_term").over(wa).cast("long").alias("var_e12"),
+    )
+    return out.selectExpr(
+        "t_day", "n_risk", "d", "c", "hazard_e12", "var_e12",
+        "round(sqrt(CAST(var_e12 AS DOUBLE) / 1000000000000.0), 6)"
+        " AS se_r",
+    )
