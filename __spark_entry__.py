@@ -8831,6 +8831,34 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_events_yuen(spark, sf_dir):
+    """Yuen's 20%-trimmed robust two-sample test on per-user revenue
+    between the hash arms — the heavy-tail-proof verdict beside the
+    plain/Welch charts: exact order-statistic trimming and winsorized
+    scaling from the per-arm distinct-value relation, one pinned
+    float finish. Bitwise oracle."""
+    from unitdb_spark.functions.portable_hash import md5_int60
+    from unitdb_spark.operators.stats_tests import yuen_trimmed_test
+
+    ev = _events(spark, sf_dir)
+    units = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            ),
+            F.lit(0),
+        ).alias("cents")
+    ).select(
+        "cents",
+        (
+            md5_int60(
+                F.concat(F.col("user_id").cast("string"), F.lit(":ab"))
+            ) % 2
+        ).cast("int").alias("arm"),
+    )
+    return yuen_trimmed_test(units, "cents", "arm", trim=(1, 5))
+
+
 def q_events_nelson_aalen(spark, sf_dir):
     """Nelson-Aalen cumulative hazard of signup→purchase — the
     additive sibling of events_survival's KM fold: because H(t) is a
@@ -9598,6 +9626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_effect_size": q_streamed_effect_size,
         "streamed_tost": q_streamed_tost,
         "events_nelson_aalen": q_events_nelson_aalen,
+        "events_yuen": q_events_yuen,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17178,6 +17207,84 @@ def oracle_sql() -> dict[str, str]:
           CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1
                AS BIGINT) AS n_hat
         FROM agg
+        """
+    # Yuen trimmed test: exact order-statistic trimming from the
+    # per-arm distinct-value relation; same pinned finish
+    d["events_yuen"] = """
+        WITH units AS (
+          SELECT
+            coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT)), 0) AS v,
+            CAST((CAST(('0x' || substr(md5(
+              CAST(user_id AS VARCHAR) || ':ab'), 1, 15)) AS BIGINT)
+              % 2) AS INTEGER) AS a
+          FROM events GROUP BY user_id
+        ), per AS (
+          SELECT a AS _a, v AS _v, count(*) AS t_v
+          FROM units GROUP BY 1, 2
+        ), tot AS (
+          SELECT a AS _a, count(*) AS n FROM units GROUP BY 1
+        ), rel AS (
+          SELECT per._a, per._v, per.t_v,
+            coalesce(sum(per.t_v) OVER (PARTITION BY per._a
+              ORDER BY per._v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS below,
+            tot.n, (tot.n * 1) // 5 AS g
+          FROM per JOIN tot ON per._a = tot._a
+        ), agg AS (
+          SELECT _a, any_value(n) AS n, any_value(g) AS g,
+            sum(CAST(_v AS HUGEINT)
+                * greatest(0, least(below + t_v, n - g)
+                              - greatest(below, g))) AS ts,
+            sum(CAST(_v AS HUGEINT) * _v
+                * greatest(0, least(below + t_v, n - g)
+                              - greatest(below, g))) AS tss,
+            max(CASE WHEN below < g + 1 AND g + 1 <= below + t_v
+                     THEN _v END) AS lo,
+            max(CASE WHEN below < n - g AND n - g <= below + t_v
+                     THEN _v END) AS hi
+          FROM rel GROUP BY _a
+        ), arms AS (
+          SELECT _a, n, g, n - 2 * g AS h,
+            ts + CAST(g AS HUGEINT) * lo + CAST(g AS HUGEINT) * hi AS w1,
+            tss + CAST(g AS HUGEINT) * lo * lo
+                + CAST(g AS HUGEINT) * hi * hi AS w2,
+            ts
+          FROM agg
+        ), aa AS (
+          SELECT n AS n_a, h AS h_a, w1 AS w1_a, w2 AS w2_a, ts AS ts_a
+          FROM arms WHERE _a = 0
+        ), bb AS (
+          SELECT n AS n_b, h AS h_b, w1 AS w1_b, w2 AS w2_b, ts AS ts_b
+          FROM arms WHERE _a != 0
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          CAST(h_a AS BIGINT) AS h_a, CAST(h_b AS BIGINT) AS h_b,
+          CASE WHEN h_a > 0 THEN round(CAST(ts_a AS DOUBLE)
+            / CAST(h_a AS DOUBLE), 6) END AS tmean_a_r,
+          CASE WHEN h_b > 0 THEN round(CAST(ts_b AS DOUBLE)
+            / CAST(h_b AS DOUBLE), 6) END AS tmean_b_r,
+          CASE WHEN h_a > 1 AND h_b > 1 AND (
+            (CAST(n_a AS DOUBLE) * CAST(w2_a AS DOUBLE)
+             - CAST(w1_a AS DOUBLE) * CAST(w1_a AS DOUBLE))
+            / (CAST(n_a AS DOUBLE) * CAST(h_a AS DOUBLE)
+               * (CAST(h_a AS DOUBLE) - 1.0))
+            + (CAST(n_b AS DOUBLE) * CAST(w2_b AS DOUBLE)
+             - CAST(w1_b AS DOUBLE) * CAST(w1_b AS DOUBLE))
+            / (CAST(n_b AS DOUBLE) * CAST(h_b AS DOUBLE)
+               * (CAST(h_b AS DOUBLE) - 1.0))) > 0 THEN
+            round((CAST(ts_a AS DOUBLE) / CAST(h_a AS DOUBLE)
+              - CAST(ts_b AS DOUBLE) / CAST(h_b AS DOUBLE))
+            / sqrt(
+            (CAST(n_a AS DOUBLE) * CAST(w2_a AS DOUBLE)
+             - CAST(w1_a AS DOUBLE) * CAST(w1_a AS DOUBLE))
+            / (CAST(n_a AS DOUBLE) * CAST(h_a AS DOUBLE)
+               * (CAST(h_a AS DOUBLE) - 1.0))
+            + (CAST(n_b AS DOUBLE) * CAST(w2_b AS DOUBLE)
+             - CAST(w1_b AS DOUBLE) * CAST(w1_b AS DOUBLE))
+            / (CAST(n_b AS DOUBLE) * CAST(h_b AS DOUBLE)
+               * (CAST(h_b AS DOUBLE) - 1.0))), 6) END AS t_r
+        FROM aa, bb
         """
     # effect sizes: exact integer moments per arm, the SAME pinned
     # float chain as evaluation.effect_size_report

@@ -11200,6 +11200,54 @@ class TestThresholdMetrics:
         assert ap.prevalence_ppm == 1_000_000
 
 
+class TestYuen:
+    def test_hand_model_with_ties_and_outlier(self, spark):
+        import math
+
+        from unitdb_spark.operators.stats_tests import yuen_trimmed_test
+
+        # arm 0: n=5, g=1 -> trim min & max (the 1e6 outlier dies)
+        a = [10, 20, 20, 30, 1_000_000]
+        b = [15, 25, 25, 35, 45]
+        rows = [(v, 0) for v in a] + [(v, 1) for v in b]
+        df = spark.createDataFrame(rows, "v long, arm int")
+        (r,) = yuen_trimmed_test(df, "v", "arm", trim=(1, 5)).collect()
+
+        def model(vals):
+            n = len(vals)
+            g = n // 5
+            s = sorted(vals)
+            mid = s[g: n - g]
+            lo, hi = s[g], s[n - g - 1]
+            win = [lo] * g + mid + [hi] * g
+            w1, w2 = sum(win), sum(x * x for x in win)
+            h = n - 2 * g
+            dk = (n * w2 - w1 * w1) / (n * h * (h - 1))
+            return sum(mid), h, dk
+
+        tsa, ha, da = model(a)
+        tsb, hb, db = model(b)
+        assert (r.h_a, r.h_b) == (ha, hb)
+        assert r.tmean_a_r == round(tsa / ha, 6)
+        assert r.tmean_b_r == round(tsb / hb, 6)
+        assert r.t_r == round(
+            (tsa / ha - tsb / hb) / math.sqrt(da + db), 6
+        )
+        # the outlier was trimmed: robust means are ~comparable
+        assert abs(r.tmean_a_r - 23.333333) < 1e-6
+
+    def test_outlier_immunity_vs_plain_mean(self, spark):
+        from unitdb_spark.operators.stats_tests import yuen_trimmed_test
+
+        base = list(range(100, 160))
+        rows = [(v, 0) for v in base] + [(v, 1) for v in base]
+        rows += [(10_000_000, 0)] * 2  # arm-0 whales
+        df = spark.createDataFrame(rows, "v long, arm int")
+        (r,) = yuen_trimmed_test(df, "v", "arm", trim=(1, 5)).collect()
+        # identical cores: the trimmed verdict stays near zero
+        assert abs(r.t_r) < 2.0
+
+
 class TestNelsonAalen:
     def test_hand_model(self, spark):
         import math

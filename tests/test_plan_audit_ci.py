@@ -68,6 +68,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "events_dunn_holm": "rides the dunn midrank window (distinct-value relation) + rank/step windows over the k2-pair relation (control-plane)",
     "events_dunn_bh": "rides the dunn midrank window (distinct-value relation) + rank/step windows over the k2-pair relation (control-plane)",
     "events_km_ci": "at-risk descending cumulative window over the per-day event-time relation (the events_survival class)",
+    "events_nelson_aalen": "at-risk + hazard cumulative windows over the per-day event-time relation (the events_survival class)",
     "events_qq_normal": "cumulative window over the DISTINCT-value relation (the MWU class); point selection joins the 19-row literal grid",
     "doc_roc_points": "descending cumulative window over the DISTINCT quantized-score relation (the doc_auc bounded class)",
     "doc_best_f1": "descending cumulative + argmax windows over the DISTINCT quantized-score relation (the doc_auc bounded class)",

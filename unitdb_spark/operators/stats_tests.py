@@ -3042,3 +3042,117 @@ def tost_equivalence(
         f"round((diff + {m!r}) / se, 6) > {zcrit!r} "
         f"AND round(({m!r} - diff) / se, 6) > {zcrit!r} END AS equivalent",
     )
+
+
+def yuen_trimmed_test(
+    units: DataFrame,
+    value_col: str,
+    arm_col: str,
+    trim: tuple[int, int] = (1, 5),
+) -> DataFrame:
+    """Yuen's trimmed-means test (Yuen '74) — the robust two-sample
+    verdict when heavy tails poison the plain t: per arm, trim the
+    g = ⌊γ·n⌋ smallest and largest observations (γ = trim[0]/trim[1],
+    default 20%), compare TRIMMED means, and scale by the WINSORIZED
+    variance (the Tukey-approved pairing; trimming without
+    winsorized scaling is anti-conservative).
+
+    All moments are EXACT integers from the per-arm DISTINCT-value
+    relation (the MWU machinery): a value with count t covering ranks
+    (b, b+t] contributes cnt_in = max(0, min(b+t, n−g) − max(b, g))
+    instances to the trimmed middle; the winsorized tails add g copies
+    of the exact g+1-th and (n−g)-th order statistics. One pinned
+    float chain finishes
+
+        d_k = (n_k·W2_k − W1_k²) / (n_k·h_k·(h_k−1)),   h_k = n_k−2g_k
+        t   = (T_a/h_a − T_b/h_b) / √(d_a + d_b)
+
+    NULL when either h_k < 2 or the variance term is 0.
+
+    Output: ONE row — (n_a, n_b, h_a, h_b, tmean_a_r, tmean_b_r,
+    t_r).
+
+    Scale: per-(arm, value) counts map-side combine; one cumulative
+    window over each arm's distinct-value relation; the finish is a
+    2-row cross join.
+    """
+    tn, td = int(trim[0]), int(trim[1])
+    b = units.select(
+        F.col(arm_col).cast("int").alias("_a"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    per = b.groupBy("_a", "_v").agg(F.count(F.lit(1)).alias("t_v"))
+    tot = b.groupBy("_a").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("_a")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rel = per.select(
+        "_a", "_v", "t_v",
+        F.coalesce(F.sum("t_v").over(w), F.lit(0)).alias("below"),
+    ).join(tot, "_a").withColumn(
+        "g", F.expr(f"(n * {tn}) div {td}")
+    )
+    d38 = "CAST(_v AS DECIMAL(38,0))"
+    agg = rel.selectExpr(
+        "_a", "n", "g", "_v", "t_v", "below",
+        "greatest(0, least(below + t_v, n - g) - greatest(below, g))"
+        " AS cnt_in",
+        "CASE WHEN below < g + 1 AND g + 1 <= below + t_v THEN _v END"
+        " AS lo_c",
+        "CASE WHEN below < n - g AND n - g <= below + t_v THEN _v END"
+        " AS hi_c",
+    ).groupBy("_a").agg(
+        F.first("n").alias("n"),
+        F.first("g").alias("g"),
+        F.expr(f"CAST(sum({d38} * cnt_in) AS DECIMAL(38,0))").alias("ts"),
+        F.expr(
+            f"CAST(sum({d38} * _v * cnt_in) AS DECIMAL(38,0))"
+        ).alias("tss"),
+        F.max("lo_c").alias("lo"),
+        F.max("hi_c").alias("hi"),
+    )
+    arms = agg.selectExpr(
+        "_a", "n", "g", "n - 2 * g AS h",
+        "ts + CAST(g AS DECIMAL(38,0)) * lo"
+        " + CAST(g AS DECIMAL(38,0)) * hi AS w1",
+        "tss + CAST(g AS DECIMAL(38,0)) * lo * lo"
+        " + CAST(g AS DECIMAL(38,0)) * hi * hi AS w2",
+        "ts",
+    )
+    a = arms.filter(F.col("_a") == 0).selectExpr(
+        "n AS n_a", "h AS h_a", "w1 AS w1_a", "w2 AS w2_a", "ts AS ts_a"
+    )
+    bb = arms.filter(F.col("_a") != 0).selectExpr(
+        "n AS n_b", "h AS h_b", "w1 AS w1_b", "w2 AS w2_b", "ts AS ts_b"
+    )
+    j = a.join(bb, how="cross")
+    return j.selectExpr(
+        "n_a", "n_b",
+        "CAST(h_a AS BIGINT) AS h_a", "CAST(h_b AS BIGINT) AS h_b",
+        "CASE WHEN h_a > 0 THEN round(CAST(ts_a AS DOUBLE)"
+        " / CAST(h_a AS DOUBLE), 6) END AS tmean_a_r",
+        "CASE WHEN h_b > 0 THEN round(CAST(ts_b AS DOUBLE)"
+        " / CAST(h_b AS DOUBLE), 6) END AS tmean_b_r",
+        "CASE WHEN h_a > 1 AND h_b > 1 AND ("
+        " (CAST(n_a AS DOUBLE) * CAST(w2_a AS DOUBLE)"
+        "  - CAST(w1_a AS DOUBLE) * CAST(w1_a AS DOUBLE))"
+        " / (CAST(n_a AS DOUBLE) * CAST(h_a AS DOUBLE)"
+        "    * (CAST(h_a AS DOUBLE) - 1.0))"
+        " + (CAST(n_b AS DOUBLE) * CAST(w2_b AS DOUBLE)"
+        "  - CAST(w1_b AS DOUBLE) * CAST(w1_b AS DOUBLE))"
+        " / (CAST(n_b AS DOUBLE) * CAST(h_b AS DOUBLE)"
+        "    * (CAST(h_b AS DOUBLE) - 1.0))) > 0 THEN"
+        " round((CAST(ts_a AS DOUBLE) / CAST(h_a AS DOUBLE)"
+        "  - CAST(ts_b AS DOUBLE) / CAST(h_b AS DOUBLE))"
+        " / sqrt("
+        " (CAST(n_a AS DOUBLE) * CAST(w2_a AS DOUBLE)"
+        "  - CAST(w1_a AS DOUBLE) * CAST(w1_a AS DOUBLE))"
+        " / (CAST(n_a AS DOUBLE) * CAST(h_a AS DOUBLE)"
+        "    * (CAST(h_a AS DOUBLE) - 1.0))"
+        " + (CAST(n_b AS DOUBLE) * CAST(w2_b AS DOUBLE)"
+        "  - CAST(w1_b AS DOUBLE) * CAST(w1_b AS DOUBLE))"
+        " / (CAST(n_b AS DOUBLE) * CAST(h_b AS DOUBLE)"
+        "    * (CAST(h_b AS DOUBLE) - 1.0))), 6) END AS t_r",
+    )
