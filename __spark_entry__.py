@@ -8831,6 +8831,26 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_media_flac_pcm(spark, sf_dir):
+    """REAL lossless audio codec: every audio doc's closed-form PCM16
+    samples pack through the from-scratch FLAC encoder (STREAMINFO,
+    CRC-8 frame headers, CONSTANT/FIXED(0-4) subframes, Rice-coded
+    residuals, frame CRC-16) and decode back through the real
+    bitstream reader. Losslessness IS the oracle: the WAV fixture's
+    sample-statistics SQL matches bitwise iff the whole FLAC path
+    inverted exactly. No stub in the path."""
+    from unitdb_spark.functions.multimodal import (
+        flac_pcm_features,
+        synthetic_flac_media,
+    )
+
+    media = synthetic_flac_media(_docs(spark, sf_dir))
+    return flac_pcm_features(media).select(
+        F.col("id").alias("doc_id"), "sample_rate", "n_samples", "energy",
+        "zero_crossings", "v_min", "v_max", "rms_r",
+    )
+
+
 def q_events_yuen(spark, sf_dir):
     """Yuen's 20%-trimmed robust two-sample test on per-user revenue
     between the hash arms — the heavy-tail-proof verdict beside the
@@ -9627,6 +9647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_tost": q_streamed_tost,
         "events_nelson_aalen": q_events_nelson_aalen,
         "events_yuen": q_events_yuen,
+        "media_flac_pcm": q_media_flac_pcm,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -17081,6 +17102,9 @@ def oracle_sql() -> dict[str, str]:
     # progressive JPEG: same closed-form pixels as the baseline JPEG
     # fixture, different entropy layout — oracle shared verbatim
     d["media_jpeg_prog_resize"] = d["media_jpeg_resize"]
+    # FLAC: LOSSLESS — the WAV fixture's sample-statistics oracle IS
+    # the FLAC oracle (a match proves the bitstream path inverted)
+    d["media_flac_pcm"] = d["media_wav_pcm"]
     # Misra-Gries rollup: per-day subtract-(k+1)th summaries merged
     # by the Agarwal rule — all integers, same tie-breaks
     d["events_mg_users"] = """

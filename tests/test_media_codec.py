@@ -997,3 +997,53 @@ class TestProgressiveJpegProperty:
         blob = encode_jpeg_progressive(arr)
         assert decode_jpeg_progressive_rgb(blob[: len(blob) // 2]) is None
         assert decode_jpeg_progressive_rgb(b"\xff\xd8\xff\xd9") is None
+
+
+class TestFlacFixed:
+    def test_lossless_roundtrip_matrix(self):
+        """Losslessness over noise (order 0 wins), ramps (order 1-2),
+        smooth curves (higher orders), constants (CONSTANT subframe),
+        multi-frame splits, and sizes around the blocksize boundary."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_flac_fixed,
+            encode_flac_fixed,
+        )
+
+        rng = np.random.default_rng(7)
+        cases = [
+            rng.integers(-32768, 32768, 5000).astype(np.int64),
+            (np.arange(3000, dtype=np.int64) * 11 % 65536) - 32768,
+            (np.sin(np.arange(4000) / 20) * 20000).astype(np.int64),
+            np.full(2000, -1234, dtype=np.int64),
+            np.array([5], dtype=np.int64),
+            np.array([-32768, 32767], dtype=np.int64),
+            rng.integers(-32768, 32768, 1024).astype(np.int64),
+            rng.integers(-32768, 32768, 1025).astype(np.int64),
+        ]
+        for i, s in enumerate(cases):
+            blob = encode_flac_fixed(s, 16000, blocksize=1024)
+            got = decode_flac_fixed(blob)
+            assert got is not None, i
+            rate, back = got
+            assert rate == 16000 and (back == s).all(), i
+
+    def test_compression_is_real_and_crc_guards(self):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_flac_fixed,
+            encode_flac_fixed,
+        )
+
+        s = (np.sin(np.arange(8000) / 15) * 15000).astype(np.int64)
+        blob = encode_flac_fixed(s, 8000)
+        # smooth signal: fixed predictors genuinely compress
+        assert len(blob) < 2 * s.size * 0.4
+        # a flipped payload bit must fail a CRC, not produce samples
+        bad = bytearray(blob)
+        bad[len(bad) // 2] ^= 0x01
+        assert decode_flac_fixed(bytes(bad)) is None
+        assert decode_flac_fixed(b"fLaCjunk") is None
+        assert decode_flac_fixed(blob[: len(blob) - 3]) is None

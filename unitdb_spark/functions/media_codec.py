@@ -2651,3 +2651,319 @@ def ulaw_to_pcm16(codes):
     u = (~np.asarray(codes, dtype=np.int64)) & 0xFF
     t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
     return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int64)
+
+
+# ----------------------------- FLAC (fixed LPC) -------------------------
+#
+# Real lossless audio coding from scratch: the FLAC bitstream's fixed-
+# prediction subset — STREAMINFO, frame headers with CRC-8, CONSTANT /
+# VERBATIM / FIXED(0-4) subframes, Rice-coded residuals (partition
+# order 0), frame CRC-16 — per the format spec's clause structure
+# (https://xiph.org/flac/format.html). Mono 16-bit. The encoder picks
+# the fixed order minimizing the residual magnitude sum per frame (the
+# standard heuristic), so real corpora exercise several orders. The
+# PROOF obligation is losslessness: decode(encode(x)) == x exactly —
+# pinned by tests over the full int16 dynamic range, and by the driver
+# query whose oracle regenerates the original samples (a hash match
+# means the whole bitstream path inverted perfectly). External-lib
+# cross-validation is out of scope in this container; the bitstream
+# conventions (MSB-first, unary = n zeros then a one, zigzag
+# residuals) follow the spec text and are documented here so a libFLAC
+# check is a one-liner wherever one exists.
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _MsbWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc, self.n = 0, 0
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        while self.n:
+            self.write(0, 1)
+
+
+class _MsbReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.b = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+
+    def read(self, nbits: int) -> int | None:
+        v = 0
+        for _ in range(nbits):
+            if self.n == 0:
+                if self.p >= len(self.b):
+                    return None
+                self.acc = self.b[self.p]
+                self.p += 1
+                self.n = 8
+            self.n -= 1
+            v = (v << 1) | ((self.acc >> self.n) & 1)
+        return v
+
+    def read_unary(self) -> int | None:
+        q = 0
+        while True:
+            bit = self.read(1)
+            if bit is None:
+                return None
+            if bit:
+                return q
+            q += 1
+
+    def align(self) -> None:
+        self.n = 0
+
+
+_FLAC_FIXED_COEFS = {
+    0: (),
+    1: (1,),
+    2: (2, -1),
+    3: (3, -3, 1),
+    4: (4, -6, 4, -1),
+}
+
+
+def _fixed_residuals(x, order: int):
+    import numpy as np
+
+    v = np.asarray(x, dtype=np.int64)
+    r = v.copy()
+    for _ in range(order):
+        r = np.diff(r)
+    return r  # order-th difference == fixed-predictor residual
+
+
+def _rice_k(res) -> int:
+    import numpy as np
+
+    if len(res) == 0:
+        return 0
+    mean = int(np.abs(np.asarray(res, dtype=np.int64)).mean()) + 1
+    k = 0
+    while (1 << k) < mean and k < 30:
+        k += 1
+    return k
+
+
+def encode_flac_fixed(samples, sample_rate: int = 8000,
+                      blocksize: int = 4096) -> bytes:
+    """Mono int16 PCM -> a FLAC stream (fixed-prediction subset): one
+    STREAMINFO block, then frames of ``blocksize`` samples, each
+    choosing the fixed order 0-4 with the smallest |residual| sum —
+    CONSTANT subframes for flat blocks, Rice partition order 0."""
+    import numpy as np
+
+    v = np.asarray(samples, dtype=np.int64)
+    n = int(v.size)
+    out = bytearray(b"fLaC")
+    # STREAMINFO: last-metadata flag + type 0, length 34
+    si = bytearray()
+    si += struct.pack(">HH", blocksize, blocksize)
+    si += b"\x00\x00\x00" * 2  # min/max framesize unknown
+    # 20 bits rate | 3 bits (channels-1) | 5 bits (bps-1) | 36 bits n
+    packed = (sample_rate << 44) | (0 << 41) | (15 << 36) | n
+    si += packed.to_bytes(8, "big")
+    si += b"\x00" * 16  # md5 unset (0 = unknown, spec-legal)
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+    frame_no = 0
+    for start in range(0, max(n, 1), blocksize):
+        blk = v[start : start + blocksize]
+        if blk.size == 0:
+            break
+        bs = int(blk.size)
+        hdr = bytearray()
+        hdr += bytes([0xFF, 0xF8])  # sync + fixed blocking
+        # blocksize code 0b0111 (16-bit at end), rate code 0 (STREAMINFO)
+        hdr += bytes([(0b0111 << 4) | 0b0000])
+        # channel mono 0b0000 | sample size 16-bit 0b100 | reserved 0
+        hdr += bytes([(0b0000 << 4) | (0b100 << 1)])
+        assert frame_no < 0x80, "single-byte UTF-8 frame numbers only"
+        hdr += bytes([frame_no])
+        hdr += struct.pack(">H", bs - 1)
+        hdr += bytes([_crc8(bytes(hdr))])
+        bw = _MsbWriter()
+        if bs and (blk == blk[0]).all():
+            bw.write(0b000000 << 1, 8)  # reserved+type CONSTANT+wasted
+            bw.write(int(blk[0]) & 0xFFFF, 16)
+        else:
+            best_o, best_res, best_cost = 0, None, None
+            for o in range(0, 5):
+                if bs <= o:
+                    break
+                res = _fixed_residuals(blk, o)
+                cost = int(np.abs(res).sum())
+                if best_cost is None or cost < best_cost:
+                    best_o, best_res, best_cost = o, res, cost
+            bw.write((0b001000 | best_o) << 1, 8)
+            for w in blk[:best_o]:
+                bw.write(int(w) & 0xFFFF, 16)
+            k = _rice_k(best_res)
+            bw.write(0, 2)       # residual method: 4-bit rice
+            bw.write(0, 4)       # partition order 0
+            bw.write(k, 4)
+            for r in best_res:
+                r = int(r)
+                u = (r << 1) ^ (r >> 63)  # zigzag
+                bw.write_unary(u >> k)
+                if k:
+                    bw.write(u & ((1 << k) - 1), k)
+        bw.align()
+        body = bytes(bw.out)
+        frame = bytes(hdr) + body
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+        frame_no += 1
+    return bytes(out)
+
+
+def decode_flac_fixed(b: bytes):
+    """FLAC (fixed-prediction subset) -> (sample_rate, numpy int64
+    samples), or None outside the honest bounds (mono 16-bit,
+    CONSTANT/VERBATIM/FIXED subframes, rice partition order 0,
+    single-byte frame numbers) or on any CRC mismatch."""
+    import numpy as np
+
+    if len(b) < 42 or b[:4] != b"fLaC":
+        return None
+    pos = 4
+    streaminfo = None
+    while pos + 4 <= len(b):
+        head = b[pos]
+        last = head & 0x80
+        btype = head & 0x7F
+        (blen,) = (int.from_bytes(b[pos + 1 : pos + 4], "big"),)
+        payload = b[pos + 4 : pos + 4 + blen]
+        if len(payload) < blen:
+            return None
+        if btype == 0:
+            streaminfo = payload
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        return None
+    packed = int.from_bytes(streaminfo[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x07) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if channels != 1 or bps != 16:
+        return None
+    samples: list[int] = []
+    while pos + 6 <= len(b) and len(samples) < total:
+        hdr_start = pos
+        if b[pos] != 0xFF or (b[pos + 1] & 0xFE) != 0xF8:
+            return None
+        bs_code = b[pos + 2] >> 4
+        if bs_code != 0b0111 or (b[pos + 2] & 0x0F) != 0:
+            return None
+        if b[pos + 3] != (0b100 << 1):
+            return None
+        pos += 4
+        pos += 1  # single-byte frame number
+        bs = struct.unpack(">H", b[pos : pos + 2])[0] + 1
+        pos += 2
+        if _crc8(b[hdr_start:pos]) != b[pos]:
+            return None
+        pos += 1
+        br = _MsbReader(b, pos)
+        sub = br.read(8)
+        if sub is None or sub & 0x81 not in (0,):
+            # reserved high bit and wasted-bits flag must be 0
+            return None
+        stype = (sub >> 1) & 0x3F
+        if stype == 0b000000:
+            w = br.read(16)
+            if w is None:
+                return None
+            val = w - 65536 if w >= 32768 else w
+            blk = [val] * bs
+        elif stype == 0b000001:
+            blk = []
+            for _ in range(bs):
+                w = br.read(16)
+                if w is None:
+                    return None
+                blk.append(w - 65536 if w >= 32768 else w)
+        elif 0b001000 <= stype <= 0b001100:
+            order = stype & 0x07
+            warm = []
+            for _ in range(order):
+                w = br.read(16)
+                if w is None:
+                    return None
+                warm.append(w - 65536 if w >= 32768 else w)
+            if br.read(2) != 0 or br.read(4) != 0:
+                return None
+            k = br.read(4)
+            if k is None:
+                return None
+            res = []
+            for _ in range(bs - order):
+                q = br.read_unary()
+                if q is None:
+                    return None
+                u = q << k
+                if k:
+                    low = br.read(k)
+                    if low is None:
+                        return None
+                    u |= low
+                res.append((u >> 1) ^ -(u & 1))  # un-zigzag
+            blk = list(warm)
+            coefs = _FLAC_FIXED_COEFS[order]
+            for r in res:
+                pred = 0
+                for j, c in enumerate(coefs):
+                    pred += c * blk[-1 - j]
+                blk.append(r + pred)
+        else:
+            return None
+        br.align()
+        pos = br.p
+        if pos + 2 > len(b):
+            return None
+        if struct.unpack(">H", b[pos : pos + 2])[0] != _crc16(
+            b[hdr_start:pos]
+        ):
+            return None
+        pos += 2
+        samples.extend(blk)
+    if len(samples) != total:
+        return None
+    return rate, np.asarray(samples, dtype=np.int64)

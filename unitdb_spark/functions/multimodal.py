@@ -1756,3 +1756,95 @@ def mulaw_roundtrip_features(df: DataFrame) -> DataFrame:
         "id long, n_samples long, energy_dec long, max_abs_err long, "
         "sum_abs_err long, n_codes long",
     )
+
+
+def synthetic_flac_media(documents: DataFrame) -> DataFrame:
+    """FLAC fixture: the SAME closed-form PCM16 samples as the WAV
+    fixture (sample j int16 LE from bytes (6j)%256 / (6j+3)%256,
+    rate [8000,16000,44100][d%3], n = d%4000+100, on docs with
+    doc_id%5==3) packed through the REAL fixed-prediction FLAC
+    encoder. Losslessness is the proof trick: the WAV fixture's
+    sample-statistics oracle matches bitwise iff the whole FLAC
+    bitstream path (Rice, fixed predictors, CRCs, framing) inverted
+    exactly."""
+    from unitdb_spark.functions import media_codec as mc
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 5 != 3:
+                    continue
+                n = d % 4000 + 100
+                rate = [8000, 16000, 44100][d % 3]
+                j = np.arange(n, dtype=np.int64)
+                raw = (6 * j) % 256 + 256 * ((6 * j + 3) % 256)
+                v = np.where(raw >= 32768, raw - 65536, raw)
+                ids.append(d)
+                blobs.append(mc.encode_flac_fixed(v, rate, blocksize=1024))
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "media_type": "audio",
+                    "blob": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _build, "id long, media_type string, blob binary"
+    )
+
+
+def flac_pcm_features(df: DataFrame) -> DataFrame:
+    """`pcm_features` for FLAC blobs: REAL bitstream decode (Rice,
+    fixed predictors, CRC verification), then the family's exact
+    integer signal statistics and pinned round-6 RMS."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import decode_flac_fixed
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"].values, pdf["blob"]):
+                dec = decode_flac_fixed(bytes(b)) if b is not None else None
+                if dec is None or len(dec[1]) == 0:
+                    rows.append((int(i),) + (None,) * 6 + (None,))
+                    continue
+                sr, v = dec
+                energy = int((v * v).sum())
+                zc = int(((v[:-1] * v[1:]) < 0).sum()) if v.size > 1 else 0
+                rms = float(
+                    Decimal(
+                        repr(math.sqrt(float(energy) / float(v.size)))
+                    ).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+                )
+                rows.append(
+                    (int(i), int(sr), int(v.size), energy, zc,
+                     int(v.min()), int(v.max()), rms)
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "sample_rate": pd.Series([r[1] for r in rows], dtype=object),
+                    "n_samples": pd.Series([r[2] for r in rows], dtype=object),
+                    "energy": pd.Series([r[3] for r in rows], dtype=object),
+                    "zero_crossings": pd.Series([r[4] for r in rows], dtype=object),
+                    "v_min": pd.Series([r[5] for r in rows], dtype=object),
+                    "v_max": pd.Series([r[6] for r in rows], dtype=object),
+                    "rms_r": pd.Series([r[7] for r in rows], dtype=object),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _feat,
+        "id long, sample_rate int, n_samples long, energy long, "
+        "zero_crossings long, v_min long, v_max long, rms_r double",
+    )
