@@ -2672,47 +2672,63 @@ def ulaw_to_pcm16(codes):
 # check is a one-liner wherever one exists.
 
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    tbl = []
+    for byte in range(256):
+        crc = byte << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        tbl.append(crc)
+    return tbl
+
+
+_CRC8_TBL = _crc_table(0x07, 8)
+_CRC16_TBL = _crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    tbl = _CRC8_TBL
     for byte in data:
-        crc ^= byte
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = tbl[crc ^ byte]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    tbl = _CRC16_TBL
     for byte in data:
-        crc ^= byte << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ tbl[((crc >> 8) ^ byte) & 0xFF]
     return crc
 
 
 class _MsbWriter:
+    """MSB-first bit writer with WORD-level appends (a bit-by-bit
+    loop costs ~20 ms per FLAC blob; this is the honest-Python fast
+    path — Python ints make the accumulator arbitrary width)."""
+
     def __init__(self):
         self.out = bytearray()
         self.acc = 0
         self.n = 0
 
     def write(self, value: int, nbits: int) -> None:
-        for i in range(nbits - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                self.acc, self.n = 0, 0
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
 
     def write_unary(self, q: int) -> None:
-        while q >= 32:
-            self.write(0, 32)
-            q -= 32
-        self.write(1, q + 1)  # q zeros then a one
+        # q zeros then a one == the (q+1)-bit value 1
+        self.write(1, q + 1)
 
     def align(self) -> None:
-        while self.n:
-            self.write(0, 1)
+        if self.n:
+            self.write(0, 8 - self.n)
 
 
 class _MsbReader:
@@ -2723,30 +2739,40 @@ class _MsbReader:
         self.n = 0
 
     def read(self, nbits: int) -> int | None:
-        v = 0
-        for _ in range(nbits):
+        while self.n < nbits:
+            if self.p >= len(self.b):
+                return None
+            self.acc = (self.acc << 8) | self.b[self.p]
+            self.p += 1
+            self.n += 8
+        self.n -= nbits
+        v = (self.acc >> self.n) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def read_unary(self) -> int | None:
+        q = 0
+        while True:
             if self.n == 0:
                 if self.p >= len(self.b):
                     return None
                 self.acc = self.b[self.p]
                 self.p += 1
                 self.n = 8
-            self.n -= 1
-            v = (v << 1) | ((self.acc >> self.n) & 1)
-        return v
-
-    def read_unary(self) -> int | None:
-        q = 0
-        while True:
-            bit = self.read(1)
-            if bit is None:
-                return None
-            if bit:
-                return q
-            q += 1
+            if self.acc == 0:  # whole remaining accumulator is zeros
+                q += self.n
+                self.n = 0
+                continue
+            # position of the highest set bit in the n-bit accumulator
+            top = self.acc.bit_length()
+            q += self.n - top
+            self.n = top - 1
+            self.acc &= (1 << self.n) - 1
+            return q
 
     def align(self) -> None:
         self.n = 0
+        self.acc = 0
 
 
 _FLAC_FIXED_COEFS = {
