@@ -9456,13 +9456,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries that have never had a driver row (the oldest 50 of the 70
     round-6 additions left at positions 51–120 last round —
     scripts/rotation_plan.py computed the order); the remaining 20
-    round-6 stragglers sit at positions 51–70 and the 52 round-7
-    additions at 71–122, together fronting the round-9 window,
-    followed by the stalest green blocks (r02-deferred TPC-H, then
-    the r03, r04, r05 blocks, the r06 window, then the r07 window,
-    freshest last). Every query, regardless of position, passes the
-    local replica gate (scripts/check_oracle.py — strictly harder
-    than the driver hash) every round.
+    round-6 stragglers sit at positions 51–70, the 52 round-7
+    additions at 71–122, and ALL round-8 additions directly after
+    them — together the never-checked region fronting the round-9
+    window — followed by the stalest green blocks (r02-deferred
+    TPC-H, then the r03, r04, r05 blocks, the r06 window, then the
+    r07 window, freshest last). Every query, regardless of position,
+    passes the local replica gate (scripts/check_oracle.py — strictly
+    harder than the driver hash) every round.
     """
     return {
         # --- round-8 window (first 50) + positions 51-70: the 70
