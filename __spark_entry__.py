@@ -8831,6 +8831,44 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_media_wav_alaw(spark, sf_dir):
+    """The A-law half of G.711 (the European companding curve):
+    closed-form integer algebra (13-bit magnitude, 8 segments,
+    even-bit inversion), monotone/idempotent/bounded-error pinned
+    over the full int16 domain. Same arithmetic-only oracle replay
+    as the mu-law twin."""
+    from unitdb_spark.functions.multimodal import (
+        alaw_roundtrip_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(_docs(spark, sf_dir)).filter(
+        F.col("media_type") == "audio"
+    )
+    return alaw_roundtrip_features(media).select(
+        F.col("id").alias("doc_id"), "n_samples", "energy_dec",
+        "max_abs_err", "sum_abs_err", "n_codes",
+    )
+
+
+def q_parts_components(spark, sf_dir):
+    """Connected components of the density-thresholded co-purchase
+    graph — the canonical iterative graph operator on its flagship
+    surface (min-label propagation to CONVERGENCE, loudly bounded at
+    25 rounds): per part, the smallest part id in its component. The
+    oracle computes the same fixpoint via min-reachability (confluent
+    — iteration order can't change the answer)."""
+    from unitdb_spark.operators.cluster import connected_components
+    from unitdb_spark.operators.graph import weighted_cooccurrence_edges
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = weighted_cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_count="auto"
+    )
+    out = connected_components(edges, src="src", dst="dst")
+    return out.select(F.col("node").alias("part_id"), "cluster_id")
+
+
 def q_media_flac_pcm(spark, sf_dir):
     """REAL lossless audio codec: every audio doc's closed-form PCM16
     samples pack through the from-scratch FLAC encoder (STREAMINFO,
@@ -9649,6 +9687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_nelson_aalen": q_events_nelson_aalen,
         "events_yuen": q_events_yuen,
         "media_flac_pcm": q_media_flac_pcm,
+        "media_wav_alaw": q_media_wav_alaw,
+        "parts_components": q_parts_components,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -10976,6 +11016,62 @@ def oracle_sql() -> dict[str, str]:
                  WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
                  WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64
                  ELSE 128 END) - 132) AS dec
+          FROM mm
+        )
+        SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+          CAST(SUM(dec * dec) AS BIGINT) AS energy_dec,
+          CAST(MAX(abs(dec - v)) AS BIGINT) AS max_abs_err,
+          CAST(SUM(abs(dec - v)) AS BIGINT) AS sum_abs_err,
+          CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes
+        FROM dd GROUP BY doc_id
+        """,
+        "media_wav_alaw": """
+        -- G.711 A-law compress-expand replayed ARITHMETICALLY:
+        -- 13-bit magnitude (negatives via -v-1, the two's-complement
+        -- convention), 8 segments, 4-bit mantissa, midpoint decode;
+        -- distinct codes counted on the pre-inversion value (XOR 0x55
+        -- is a bijection, so the cardinality is identical)
+        WITH w AS (
+          SELECT doc_id, doc_id % 4000 + 100 AS n
+          FROM documents WHERE doc_id % 5 = 3
+        ), s AS (
+          SELECT w.doc_id, w.n,
+            CASE WHEN ((6 * j.j) % 256 + 256 * ((6 * j.j + 3) % 256)) >= 32768
+                 THEN ((6 * j.j) % 256 + 256 * ((6 * j.j + 3) % 256)) - 65536
+                 ELSE ((6 * j.j) % 256 + 256 * ((6 * j.j + 3) % 256))
+            END AS v
+          FROM w, UNNEST(generate_series(0, CAST(w.n - 1 AS BIGINT))) AS j(j)
+        ), e AS (
+          SELECT doc_id, n, v, v < 0 AS neg,
+            least((CASE WHEN v < 0 THEN -v - 1 ELSE v END) // 8, 4095)
+              AS a
+          FROM s
+        ), sg AS (
+          SELECT doc_id, n, v, neg, a,
+            CASE WHEN a <= 31 THEN 0 WHEN a <= 63 THEN 1
+                 WHEN a <= 127 THEN 2 WHEN a <= 255 THEN 3
+                 WHEN a <= 511 THEN 4 WHEN a <= 1023 THEN 5
+                 WHEN a <= 2047 THEN 6 ELSE 7 END AS seg
+          FROM e
+        ), mm AS (
+          SELECT doc_id, n, v, neg, seg,
+            (a // (CASE (CASE WHEN seg = 0 THEN 1 ELSE seg END)
+                   WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                   WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64
+                   ELSE 128 END)) % 16 AS mant
+          FROM sg
+        ), dd AS (
+          SELECT doc_id, n, v,
+            (CASE WHEN neg THEN 0 ELSE 128 END) + seg * 16 + mant
+              AS code,
+            (CASE WHEN neg THEN -1 ELSE 1 END)
+              * (CASE WHEN seg = 0 THEN mant * 16 + 8
+                 ELSE (mant + 16) * (CASE seg WHEN 1 THEN 16
+                   WHEN 2 THEN 32 WHEN 3 THEN 64 WHEN 4 THEN 128
+                   WHEN 5 THEN 256 WHEN 6 THEN 512 ELSE 1024 END)
+                   + (CASE seg WHEN 1 THEN 8 WHEN 2 THEN 16
+                      WHEN 3 THEN 32 WHEN 4 THEN 64 WHEN 5 THEN 128
+                      WHEN 6 THEN 256 ELSE 512 END) END) AS dec
           FROM mm
         )
         SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
@@ -14839,6 +14935,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parts_pagerank": _pagerank_oracle(),
         "parts_sssp": _sssp_oracle(),
+        # connected components: min-label fixpoint == min-reachability
+        # (confluent, so the recursive-CTE closure and the operator's
+        # synchronized rounds agree exactly)
+        "parts_components": """
+        WITH RECURSIVE
+        g AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        pr AS MATERIALIZED (
+               SELECT a.i AS s, b.i AS d, CAST(count(*) AS BIGINT) AS w
+               FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+               GROUP BY 1, 2),
+        nn AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n FROM g),
+        thr AS (
+          SELECT coalesce(max(w), 1) AS t FROM (
+            SELECT h.w FROM (SELECT DISTINCT w FROM pr) h, nn
+            WHERE 2 * (SELECT count(*) FROM pr p2 WHERE p2.w >= h.w)
+                  >= 3 * nn.n
+          )
+        ),
+        p0 AS (SELECT s, d FROM pr, thr WHERE pr.w >= thr.t),
+        e AS (SELECT s, d FROM p0 UNION ALL SELECT d AS s, s AS d FROM p0),
+        r AS (
+          SELECT s AS node, s AS lab FROM (SELECT DISTINCT s FROM e)
+          UNION
+          SELECT e.d AS node, r.lab FROM r JOIN e ON e.s = r.node
+        )
+        SELECT CAST(node AS BIGINT) AS part_id,
+          CAST(min(lab) AS BIGINT) AS cluster_id
+        FROM r GROUP BY node
+        """,
         "parts_pagerank_w": _pagerank_w_oracle(),
         "parts_triangles": """
         -- same degree-ordered wedge-close orientation as the Spark

@@ -1047,3 +1047,42 @@ class TestFlacFixed:
         assert decode_flac_fixed(bytes(bad)) is None
         assert decode_flac_fixed(b"fLaCjunk") is None
         assert decode_flac_fixed(blob[: len(blob) - 3]) is None
+
+
+class TestALaw:
+    def test_full_domain_properties(self):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            alaw_to_pcm16,
+            pcm16_to_alaw,
+        )
+
+        s = np.arange(-32768, 32768, dtype=np.int64)
+        enc = pcm16_to_alaw(s)
+        dec = alaw_to_pcm16(enc)
+        assert (np.diff(dec) >= 0).all()
+        assert (pcm16_to_alaw(dec) == enc).all()  # no ±0 pair in A-law
+        assert len(np.unique(enc)) == 256
+        a = np.minimum(np.where(s < 0, -s - 1, s) >> 3, 0xFFF)
+        seg = np.zeros_like(a)
+        for uend in (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF):
+            seg += a > uend
+        step = np.where(seg == 0, 16, 1 << (seg + 4))
+        assert (np.abs(dec - s) <= step).all()
+
+    def test_known_codepoints(self):
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            alaw_to_pcm16,
+            pcm16_to_alaw,
+        )
+
+        # 0 -> positive, seg 0, mant 0 -> aval 0x80 -> ^0x55 = 0xD5
+        assert pcm16_to_alaw(np.array([0]))[0] == 0xD5
+        # loudest positive: seg 7 mant 15 -> 0xFF ^ 0x55 = 0xAA
+        assert pcm16_to_alaw(np.array([32767]))[0] == 0xAA
+        # its decode: midpoint (15+16)*1024 + 512 = 32256
+        assert alaw_to_pcm16(np.array([0xAA]))[0] == 32256
+        assert alaw_to_pcm16(np.array([0x2A]))[0] == -32256

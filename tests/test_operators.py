@@ -4002,6 +4002,17 @@ class TestPersonalizedPagerank:
             personalized_pagerank(e, seeds)
 
 
+class TestConnectedComponentsQuery:
+    def test_components_partition_and_min_label(self, spark):
+        from unitdb_spark.operators.cluster import connected_components
+
+        und = [(1, 2), (2, 3), (10, 11), (20, 20)]
+        e = spark.createDataFrame(und, ["id_a", "id_b"])
+        got = {r.node: r.cluster_id
+               for r in connected_components(e).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
 class TestSsspWeighted:
     def test_cheap_detour_beats_direct_edge(self, spark):
         from unitdb_spark.operators.graph import sssp_weighted

@@ -2993,3 +2993,43 @@ def decode_flac_fixed(b: bytes):
     if len(samples) != total:
         return None
     return rate, np.asarray(samples, dtype=np.int64)
+
+
+# ----------------------------- G.711 A-law ------------------------------
+
+
+def pcm16_to_alaw(samples):
+    """Vectorized G.711 A-law compression of int16 PCM (the CCITT
+    reference algebra: 13-bit magnitude, 8 segments, 4-bit mantissa,
+    output XOR 0x55 even-bit inversion). numpy int -> uint8."""
+    import numpy as np
+
+    v = np.asarray(samples, dtype=np.int64)
+    neg = v < 0
+    a = np.minimum(np.where(neg, -v - 1, v) >> 3, 0xFFF)
+    seg = np.zeros_like(a)
+    for uend in (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF):
+        seg += (a > uend).astype(np.int64)
+    # segment 0 keeps bits 1..4; segment s >= 1 keeps bits (s)..(s+3)
+    shift = np.where(seg == 0, 1, seg)
+    mant = (a >> shift) & 0x0F
+    aval = (seg << 4) | mant
+    aval = np.where(~neg, aval | 0x80, aval)
+    return (aval ^ 0x55).astype(np.uint8)
+
+
+def alaw_to_pcm16(codes):
+    """Vectorized G.711 A-law expansion: uint8 -> int16-domain ints
+    (segment midpoints)."""
+    import numpy as np
+
+    u = np.asarray(codes, dtype=np.int64) ^ 0x55
+    pos = (u & 0x80) != 0
+    seg = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = np.where(
+        seg == 0,
+        (mant << 4) + 8,
+        ((mant + 16) << (seg + 3)) + (1 << (seg + 2)),
+    )
+    return np.where(pos, mag, -mag).astype(np.int64)

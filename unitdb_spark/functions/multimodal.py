@@ -1848,3 +1848,56 @@ def flac_pcm_features(df: DataFrame) -> DataFrame:
         "id long, sample_rate int, n_samples long, energy long, "
         "zero_crossings long, v_min long, v_max long, rms_r double",
     )
+
+
+def alaw_roundtrip_features(df: DataFrame) -> DataFrame:
+    """`mulaw_roundtrip_features` for the A-law half of G.711 — the
+    European companding curve (13-bit magnitude, even-bit inversion);
+    same exact integer fidelity statistics, same arithmetic-only SQL
+    replay."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            alaw_to_pcm16,
+            decode_wav_pcm16,
+            pcm16_to_alaw,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"].values, pdf["blob"]):
+                dec = decode_wav_pcm16(bytes(b)) if b is not None else None
+                if dec is None or len(dec[1]) == 0:
+                    continue
+                _, s = dec
+                v = s.astype(np.int64)
+                codes = pcm16_to_alaw(v)
+                back = alaw_to_pcm16(codes)
+                err = np.abs(back - v)
+                rows.append(
+                    (
+                        int(i), int(v.size),
+                        int((back * back).sum()),
+                        int(err.max()),
+                        int(err.sum()),
+                        int(np.unique(codes).size),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pd.array([r[0] for r in rows], dtype="int64"),
+                    "n_samples": pd.array([r[1] for r in rows], dtype="int64"),
+                    "energy_dec": pd.array([r[2] for r in rows], dtype="int64"),
+                    "max_abs_err": pd.array([r[3] for r in rows], dtype="int64"),
+                    "sum_abs_err": pd.array([r[4] for r in rows], dtype="int64"),
+                    "n_codes": pd.array([r[5] for r in rows], dtype="int64"),
+                }
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _feat,
+        "id long, n_samples long, energy_dec long, max_abs_err long, "
+        "sum_abs_err long, n_codes long",
+    )
