@@ -8831,6 +8831,34 @@ def q_streamed_permtest(spark, sf_dir):
     return read_permtest(spark, _user_cents_twin(spark, sf_dir))
 
 
+def q_parts_degree_dist(spark, sf_dir):
+    """Degree distribution of the density-thresholded co-purchase
+    graph — the first profiling chart of any graph workload (is the
+    tail power-law? where does the hub mass sit?): one row per
+    distinct degree with the node count and exact floor-ppm share.
+    Exact integers; the rank orders the distinct-degree relation."""
+    from unitdb_spark.operators.graph import weighted_cooccurrence_edges
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = weighted_cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_count="auto"
+    )
+    deg = edges.groupBy(F.col("src").alias("part_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    dist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+    tot = deg.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        dist.join(F.broadcast(tot))
+        .selectExpr(
+            "CAST(deg AS BIGINT) AS degree",
+            "CAST(n_nodes AS BIGINT) AS n_nodes",
+            "CAST((CAST(n_nodes AS DECIMAL(38,0)) * 1000000)"
+            " div n_total AS BIGINT) AS share_ppm",
+        )
+    )
+
+
 def q_media_wav_alaw(spark, sf_dir):
     """The A-law half of G.711 (the European companding curve):
     closed-form integer algebra (13-bit magnitude, 8 segments,
@@ -9689,6 +9717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_flac_pcm": q_media_flac_pcm,
         "media_wav_alaw": q_media_wav_alaw,
         "parts_components": q_parts_components,
+        "parts_degree_dist": q_parts_degree_dist,
         # --- stalest re-arms: r02-deferred date-free TPC-H ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -14935,6 +14964,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parts_pagerank": _pagerank_oracle(),
         "parts_sssp": _sssp_oracle(),
+        # degree distribution: same threshold CTEs; exact ppm shares
+        "parts_degree_dist": """
+        WITH g AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        pr AS MATERIALIZED (
+               SELECT a.i AS s, b.i AS d, CAST(count(*) AS BIGINT) AS w
+               FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+               GROUP BY 1, 2),
+        nn AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n FROM g),
+        thr AS (
+          SELECT coalesce(max(w), 1) AS t FROM (
+            SELECT h.w FROM (SELECT DISTINCT w FROM pr) h, nn
+            WHERE 2 * (SELECT count(*) FROM pr p2 WHERE p2.w >= h.w)
+                  >= 3 * nn.n
+          )
+        ),
+        p0 AS (SELECT s, d FROM pr, thr WHERE pr.w >= thr.t),
+        e AS (SELECT s, d FROM p0 UNION ALL SELECT d AS s, s AS d FROM p0),
+        deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
+        dist AS (SELECT dg, count(*) AS n_nodes FROM deg GROUP BY dg),
+        tot AS (SELECT count(*) AS n_total FROM deg)
+        SELECT CAST(dg AS BIGINT) AS degree,
+          CAST(n_nodes AS BIGINT) AS n_nodes,
+          CAST((CAST(n_nodes AS HUGEINT) * 1000000) // n_total
+               AS BIGINT) AS share_ppm
+        FROM dist, tot
+        """,
         # connected components: min-label fixpoint == min-reachability
         # (confluent, so the recursive-CTE closure and the operator's
         # synchronized rounds agree exactly)
