@@ -8266,8 +8266,9 @@ def q_doc_heaps(spark, sf_dir):
     0.5 is natural text, beta -> 1 is unsaturating vocabulary (noise,
     random IDs), beta -> 0 is a saturated/duplicated corpus. Value-cut
     doc_id checkpoints keep both cumulative curves plain filtered
-    aggregates (no corpus-length running window); exact decimal OLS
-    finish shared with the Zipf slope."""
+    aggregates (no corpus-length running window); the finish is the
+    engine-proof exact-integer ulog10_micro + integer OLS
+    (exactlog.py) — libm-free on both engines."""
     from unitdb_spark.operators.tfidf import heaps_law
 
     return heaps_law(_docs(spark, sf_dir))
@@ -16691,8 +16692,21 @@ def oracle_sql() -> dict[str, str]:
         "FROM events WHERE value IS NOT NULL GROUP BY 1, 2",
     )
     # Heaps' law: same value-cut checkpoints, integer-div thresholds,
-    # decimal OLS finish (the zipf_slope pinned expressions)
-    d["doc_heaps"] = """
+    # ENGINE-PROOF finish — no floating point anywhere: the (n_c, V_c)
+    # pairs go through the shared exact-integer ulog10_micro program
+    # (exactlog.py) and an exact integer OLS in floor-micro units.
+    # The round-8 doc_heaps driver hash-FAIL was a SIGNED ZERO: the
+    # sf0.01 corpus has constant vocab across checkpoints, the slope
+    # is a cancellation residual (-7.9e-15), and Spark round() emits
+    # +0.0 (BigDecimal) where DuckDB emits -0.0 (std::round) — equal
+    # under IEEE ==, different once rendered into the driver's hash.
+    # Integer OLS makes that numerator EXACTLY 0 instead.
+    from unitdb_spark.functions.exactlog import (
+        lsq_ppm_exprs,
+        ulog10_wrap_sql,
+    )
+
+    _heaps_pts = """
         WITH per_doc AS (
           SELECT doc_id AS id, CAST(len({toks}) AS BIGINT) AS t
           FROM documents
@@ -16711,41 +16725,21 @@ def oracle_sql() -> dict[str, str]:
         ), v_c AS (
           SELECT c, CAST(count(*) AS BIGINT) AS v
           FROM frst JOIN th ON fid <= th GROUP BY 1
-        ), pts AS (
-          SELECT
-            CAST(round(log10(CAST(n AS DOUBLE)), 6)
-                 AS DECIMAL(18,6)) AS x,
-            CAST(round(log10(CAST(v AS DOUBLE)), 6)
-                 AS DECIMAL(18,6)) AS y
-          FROM n_c JOIN v_c USING (c) WHERE n > 0 AND v > 0
-        ), m AS (
-          SELECT CAST(count(*) AS BIGINT) AS c_used,
-            sum(x) AS sx, sum(y) AS sy,
-            sum(x * y) AS sxy, sum(x * x) AS sxx
-          FROM pts
         )
-        SELECT c_used,
-          CASE WHEN CAST(c_used AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
-          THEN round(
-            (CAST(c_used AS DOUBLE) * CAST(sxy AS DOUBLE)
-             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-            / (CAST(c_used AS DOUBLE) * CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-          END AS beta_r,
-          CASE WHEN CAST(c_used AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
-          THEN round(
-            (CAST(sy AS DOUBLE)
-             - (CAST(c_used AS DOUBLE) * CAST(sxy AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-               / (CAST(c_used AS DOUBLE) * CAST(sxx AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-               * CAST(sx AS DOUBLE))
-            / CAST(c_used AS DOUBLE), 6)
-          END AS logk_r
-        FROM m
+        SELECT n, v FROM n_c JOIN v_c USING (c)
+        WHERE n > 0 AND v > 0
         """.replace("{toks}", _TOKS)
+    d["doc_heaps"] = (
+        "SELECT "
+        + ", ".join(lsq_ppm_exprs("duckdb"))
+        + " FROM (SELECT CAST(count(*) AS BIGINT) AS c_used,"
+        " CAST(sum(ux) AS BIGINT) AS sx,"
+        " CAST(sum(uy) AS BIGINT) AS sy,"
+        " CAST(sum(ux * uy) AS BIGINT) AS sxy,"
+        " CAST(sum(ux * ux) AS BIGINT) AS sxx FROM ("
+        + ulog10_wrap_sql(_heaps_pts, {"ux": "n", "uy": "v"}, [])
+        + "))"
+    )
     # randomization test: md5 re-assignment replayed verbatim; all
     # exceedance comparisons HUGEINT cross-multiplied; `//` and `div`
     # both truncate toward zero

@@ -3,8 +3,16 @@
 Runs every queries() entry at sf0.01 on Spark AND its oracle_sql() on
 DuckDB, then compares row count, column names, and exact values
 (columns sorted by name, rows sorted by all columns, float64 compared
-bitwise). Strictly harder than a value-hash — if this passes, the
-driver's hash comparison passes.
+BITWISE on the uint64 view with NaNs canonicalised). Strictly harder
+than a value-hash — if this passes, the driver's hash comparison
+passes.
+
+Signed zeros: the round-8 `doc_heaps` driver FAIL was Spark round()
+emitting +0.0 (BigDecimal HALF_UP has no signed zero) while DuckDB
+round() emitted -0.0 (std::round keeps the sign) for a cancellation
+residual slope of -7.9e-15; IEEE `==` treats them equal, so the old
+gate passed while the driver — which hashes RENDERED values, where
+"-0.0" != "0.0" — failed. The uint64-view compare distinguishes them.
 
 Usage: python scripts/check_oracle.py [query ...]
 """
@@ -67,14 +75,25 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
             )
             continue
         if s_float or d_float:
-            sv64 = sv.astype(np.float64)
-            dv64 = dv.astype(np.float64)
-            if not np.array_equal(sv64, dv64, equal_nan=True):
-                bad = np.where(~((sv64 == dv64) | (np.isnan(sv64) & np.isnan(dv64))))[0]
+            sv64 = sv.astype(np.float64).copy()
+            dv64 = dv.astype(np.float64).copy()
+            # canonicalise NaN payloads, then compare BITWISE — IEEE ==
+            # would hide -0.0 vs +0.0, which the driver's rendered-value
+            # hash distinguishes (the round-8 doc_heaps failure)
+            sv64[np.isnan(sv64)] = np.nan
+            dv64[np.isnan(dv64)] = np.nan
+            sbits, dbits = sv64.view(np.uint64), dv64.view(np.uint64)
+            if not np.array_equal(sbits, dbits):
+                bad = np.where(sbits != dbits)[0]
                 i = bad[0]
+                note = (
+                    " (SIGNED ZERO — IEEE-equal but renders differently)"
+                    if sv64[i] == dv64[i]
+                    else ""
+                )
                 problems.append(
-                    f"col {c}: {len(bad)} mismatches, first idx {i}: "
-                    f"spark={sv64[i]!r} duck={dv64[i]!r} diff={abs(sv64[i]-dv64[i])}"
+                    f"col {c}: {len(bad)} bitwise mismatches, first idx {i}: "
+                    f"spark={sv64[i]!r} duck={dv64[i]!r}{note}"
                 )
         else:
             eq = pd.Series(sv).astype(str).eq(pd.Series(dv).astype(str))

@@ -8208,16 +8208,14 @@ class TestEwmaControl:
 
 class TestHeapsLaw:
     def test_matches_python_model(self, spark):
-        from decimal import Decimal
-        from math import log10
+        from math import isqrt
 
+        from unitdb_spark.functions.exactlog import ulog10_micro_py
         from unitdb_spark.operators.tfidf import heaps_law
 
         # vocabulary grows ~sqrt(n): doc i introduces words up to
         # isqrt(40*(i+1)) — a Heaps-ish corpus with beta well inside
         # (0, 1)
-        from math import isqrt
-
         docs = []
         for i in range(120):
             hi = isqrt(40 * (i + 1))
@@ -8239,29 +8237,42 @@ class TestHeapsLaw:
             n = sum(t for d, t in toks.items() if d <= th)
             v = sum(1 for f in first.values() if f <= th)
             if n > 0 and v > 0:
-                pts.append(
-                    (
-                        Decimal(str(round(log10(n), 6))),
-                        Decimal(str(round(log10(v), 6))),
-                    )
-                )
+                # the engine-proof integer log points (exactlog.py) —
+                # Python ints are exact, so this twins the SQL program
+                pts.append((ulog10_micro_py(n), ulog10_micro_py(v)))
         k = len(pts)
-        sx = float(sum(x for x, _ in pts)); sy = float(sum(y for _, y in pts))
-        sxy = float(sum(x * y for x, y in pts))
-        sxx = float(sum(x * x for x, _ in pts))
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        num = k * sxy - sx * sy
         den = k * sxx - sx * sx
-        beta = (k * sxy - sx * sy) / den
         assert r.c_used == k
-        assert r.beta_r == round(beta, 6)
-        assert r.logk_r == round((sy - beta * sx) / k, 6)
-        assert 0.3 < r.beta_r < 0.8  # Heaps regime
+        # Python // floors natively — matches the SQL nonneg-mod
+        # floor identity bit-for-bit
+        assert r.beta_ppm == (num * 1000000) // den
+        assert r.logk_ppm == (sy * den - num * sx) // (k * den)
+        assert 300000 < r.beta_ppm < 800000  # Heaps regime
+
+    def test_ulog10_micro_tracks_true_log(self, spark):
+        """The fixed-point program stays within 1 micro of the true
+        floor(1e6*log10 x) across magnitudes (accuracy; determinism
+        is the cross-engine property tested via the oracle gate)."""
+        from math import floor, log10
+
+        from unitdb_spark.functions.exactlog import ulog10_micro_py
+
+        for x in [1, 2, 9, 10, 99, 101, 12345, 10**6, 10**6 + 1,
+                  987654321, 10**16, 10**17 + 3, 10**18 - 1]:
+            u = ulog10_micro_py(x)
+            assert abs(u - floor(1e6 * log10(x))) <= 1, x
 
     def test_single_doc_yields_null_slope(self, spark):
         from unitdb_spark.operators.tfidf import heaps_law
 
         df = spark.createDataFrame([(7, "a b c a")], ["doc_id", "text"])
         (r,) = heaps_law(df).collect()
-        assert r.c_used >= 1 and r.beta_r is None and r.logk_r is None
+        assert r.c_used >= 1 and r.beta_ppm is None and r.logk_ppm is None
 
     def test_too_few_checkpoints_raise(self, spark):
         import pytest

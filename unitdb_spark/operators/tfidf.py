@@ -877,12 +877,19 @@ def heaps_law(
     classic prefix formulation needs a global cumulative sum over
     the document order).
 
-    β and log10 K come from exact decimal OLS over the round-6
-    (log10 n_c, log10 V_c) points — the `zipf_slope` finish. The
-    degenerate all-thresholds-equal case (single doc id) yields NULL
+    β and log10 K come from exact INTEGER OLS over engine-proof
+    fixed-point log points: µ = ulog10_micro(count) (exactlog.py) —
+    unlike the `zipf_slope` finish (round-6 libm log10 of small,
+    enumerable ranks), heaps' log inputs are corpus-scale
+    data-dependent integers where a 1-ulp libm difference between
+    environments can flip the 6th rounded decimal (the round-8
+    driver hash-FAIL); the shift-and-square integer program is
+    libm-free and bit-identical on every engine. The degenerate
+    all-thresholds-equal case (single doc id) yields NULL
     slope/intercept rather than a division blow-up.
 
-    Output: one row (c_used, beta_r, logk_r).
+    Output: one row (c_used, beta_ppm, logk_ppm) — slope/intercept
+    as floor(1e6·value) BIGINTs.
 
     Scale: per-doc token counts and the term→min(doc_id) relation
     are one explode + map-side-combined agg each; the C-row
@@ -925,33 +932,28 @@ def heaps_law(
         .groupBy("c")
         .agg(F.count(F.lit(1)).alias("_v"))
     )
-    pts = (
+    from unitdb_spark.functions.exactlog import (
+        lsq_ppm_exprs,
+        with_ulog10,
+    )
+
+    pts = with_ulog10(
         n_c.join(v_c, "c")
         .filter((F.col("_n") > 0) & (F.col("_v") > 0))
         .select(
-            F.round(F.log10(F.col("_n").cast("double")), 6)
-            .cast("decimal(18,6)").alias("x"),
-            F.round(F.log10(F.col("_v").cast("double")), 6)
-            .cast("decimal(18,6)").alias("y"),
-        )
+            F.col("_n").cast("long").alias("_n"),
+            F.col("_v").cast("long").alias("_v"),
+        ),
+        {"ux": "_n", "uy": "_v"},
     )
     m = pts.agg(
         F.count(F.lit(1)).cast("long").alias("c_used"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("ux").alias("sx"),
+        F.sum("uy").alias("sy"),
+        F.sum(F.col("ux") * F.col("uy")).alias("sxy"),
+        F.sum(F.col("ux") * F.col("ux")).alias("sxx"),
     )
-    kd = F.col("c_used").cast("double")
-    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    den = kd * sxxd - sxd * sxd
-    slope = (kd * sxyd - sxd * syd) / den
-    return m.select(
-        "c_used",
-        F.when(den != 0, F.round(slope, 6)).alias("beta_r"),
-        F.when(den != 0, F.round((syd - slope * sxd) / kd, 6)).alias("logk_r"),
-    )
+    return m.selectExpr(*lsq_ppm_exprs("spark"))
 
 
 def source_unigram_js(
