@@ -12,12 +12,23 @@ Benches (BASELINE.md protocol):
   B5 analytics  — tpch_q1 + revenue join
   B6 pipeline   — dedup (exact + minhash-LSH) and ANN cosine top-K
   B7 heavyweight— iterative PageRank, prefix-filtered exact Jaccard
-                  join, blocked record linkage (round-5 panel; the
-                  BASELINE.md-comparable 14-query subtotal is emitted
-                  as `legacy_total_sec`)
+                  join, blocked record linkage (round-5 panel), and
+                  co-purchase connected components (round-9 addition);
+                  the BASELINE.md-comparable 14-query subtotal is
+                  emitted as `legacy_total_sec`
 
 Each timed section runs after a warmup action so JVM/codegen startup
 isn't billed to the first query.
+
+Median-of-5 protocol (round 9): the 11 sub-second queries (the four
+gets, topk, both windows, sessionize, tpch_q1, doc_dedup_exact,
+ann_cosine_topk) are 0.3-0.5s job-launch-overhead-dominated at sf0.1,
+so single-shot timings alias host noise — the driver-run legacy
+subtotal drifted 1.29x -> 1.42x across rounds 7-8 on provably
+untouched plans. Each now runs 5 times in-session and reports the
+MEDIAN; `legacy_total_sec` is computed from medians. The multi-second
+queries (ingest, revenue_by_nation, doc_minhash_lsh, B7 panel) stay
+single-shot — their signal-to-noise is fine.
 """
 
 from __future__ import annotations
@@ -59,11 +70,20 @@ def main() -> None:
     timings["ingest"] = time.time() - t0
     ingest_rate = n_events / timings["ingest"]
 
-    def timed(name: str, fn) -> None:
+    MEDIAN_OF = 5
+    spreads: dict[str, list[float]] = {}
+
+    def _run_once(fn) -> float:
         t = time.time()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = time.time() - t
+        return time.time() - t
+
+    def timed(name: str, fn, reps: int = 1) -> None:
+        runs = sorted(_run_once(fn) for _ in range(reps))
+        timings[name] = runs[len(runs) // 2]
+        if reps > 1:
+            spreads[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
     # B2/B3: Get against the materialized store (the real read path —
     # partition pruning on contract, pushed topic/ts/TTL filters)
@@ -77,9 +97,10 @@ def main() -> None:
     now = now_expr(spark, SF_DIR).replace(tzinfo=dt.timezone.utc).timestamp()
 
     def timed_get(name: str, q: Query) -> None:
-        t = time.time()
-        eng.get_df(q, now=now).write.format("noop").mode("overwrite").save()
-        timings[name] = time.time() - t
+        def one(_spark, _sf):
+            return eng.get_df(q, now=now)
+
+        timed(name, one, reps=MEDIAN_OF)
 
     timed_get("get_static", Query("events.click.u3", limit=1000))
     timed_get("get_last7d", Query("events.click.u3", last="168h", limit=100000))
@@ -87,15 +108,15 @@ def main() -> None:
     timed_get("get_wild_tail", Query("events.purchase...", limit=100000))
 
     qs = entry.queries()
-    timed("topk_per_topic", qs["topk_per_topic"])
-    timed("window_tumbling", qs["events_tumbling_daily"])
-    timed("window_sliding", qs["events_sliding_6h"])
-    timed("sessionize", qs["events_sessionize"])
-    timed("tpch_q1", qs["tpch_q1"])
+    timed("topk_per_topic", qs["topk_per_topic"], reps=MEDIAN_OF)
+    timed("window_tumbling", qs["events_tumbling_daily"], reps=MEDIAN_OF)
+    timed("window_sliding", qs["events_sliding_6h"], reps=MEDIAN_OF)
+    timed("sessionize", qs["events_sessionize"], reps=MEDIAN_OF)
+    timed("tpch_q1", qs["tpch_q1"], reps=MEDIAN_OF)
     timed("revenue_by_nation", qs["revenue_by_nation"])
-    timed("doc_dedup_exact", qs["doc_dedup_exact"])
+    timed("doc_dedup_exact", qs["doc_dedup_exact"], reps=MEDIAN_OF)
     timed("doc_minhash_lsh", qs["doc_minhash_lsh"])
-    timed("ann_cosine_topk", qs["ann_cosine_topk"])
+    timed("ann_cosine_topk", qs["ann_cosine_topk"], reps=MEDIAN_OF)
 
     # the 14 queries above are the round-1 protocol whose total is
     # comparable to BASELINE.md's recorded first-run 17.922s
@@ -108,6 +129,11 @@ def main() -> None:
     timed("parts_pagerank", qs["parts_pagerank"])
     timed("doc_prefix_jaccard", qs["doc_prefix_jaccard"])
     timed("customer_er", qs["customer_er"])
+    # round-9 panel addition: the co-purchase pair build + min-label
+    # components is the second-most-expensive standalone query at sf1
+    # (52.7s) and was invisible to BENCH — same blind spot the round-4
+    # verdict flagged for pagerank
+    timed("parts_components", qs["parts_components"])
 
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -122,6 +148,8 @@ def main() -> None:
         "ingest_rows_per_s": round(ingest_rate),
         "n_events": n_events,
         "cpus": CPUS,
+        "median_of": MEDIAN_OF,
+        "spread_min_max": spreads,
     }
     print(json.dumps(out))
     spark.stop()

@@ -1000,64 +1000,74 @@ def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
 
 
 def _lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
-    """Inverse of `_lzw_encode`; None on any malformed stream."""
+    """Inverse of `_lzw_encode`; None on any malformed stream.
+
+    The string table holds (offset, length) SPANS into the output
+    being built instead of materialized byte strings — the LZ78
+    property that every table entry equals (previous emission) +
+    (first byte of the current one) means each entry is a substring
+    of output already written by the time any code can reference it,
+    so emission is a C-speed bytearray slice-copy and table
+    maintenance is two int stores (the old bytes-concat per code was
+    O(entry length), the decode hot spot)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     pos = 0
     acc = 0
     nbits = 0
-
-    def read(width: int) -> int:
-        nonlocal pos, acc, nbits
+    n = len(data)
+    out = bytearray()
+    width = min_code_size + 1
+    ent_pos = [0] * 4096
+    ent_len = [0] * 4096
+    table_n = eoi + 1
+    prev_q = -1  # output offset of the previous emission
+    prev_len = 0
+    while True:
         while nbits < width:
-            if pos >= len(data):
-                return -1
+            if pos >= n:
+                return None
             acc |= data[pos] << nbits
             pos += 1
             nbits += 8
         code = acc & ((1 << width) - 1)
         acc >>= width
         nbits -= width
-        return code
-
-    out = bytearray()
-    width = min_code_size + 1
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
-    prev = -1
-    while True:
-        code = read(width)
-        if code < 0:
-            return None
         if code == clear:
-            table = table[: eoi + 1]
+            table_n = eoi + 1
             width = min_code_size + 1
-            prev = -1
+            prev_q = -1
             continue
         if code == eoi:
             return bytes(out)
-        if prev < 0:
-            if code >= len(table):
-                return None
-            out += table[code]
-            prev = code
-            continue
-        if code < len(table):
-            s = table[code]
-        elif code == len(table):
-            s = table[prev] + table[prev][:1]
+        q = len(out)
+        if code < clear:
+            out.append(code)
+            length = 1
+        elif eoi < code < table_n:
+            p = ent_pos[code]
+            length = ent_len[code]
+            out += out[p : p + length]
+        elif code == table_n and prev_q >= 0:
+            # KwKwK: previous string plus its own first byte
+            length = prev_len + 1
+            out += out[prev_q : prev_q + prev_len]
+            out.append(out[prev_q])
         else:
             return None
-        out += s
-        if len(table) < 4096:
-            table.append(table[prev] + s[:1])
+        if prev_q >= 0 and table_n < 4096:
+            ent_pos[table_n] = prev_q
+            ent_len[table_n] = prev_len + 1
+            table_n += 1
             # one EARLY relative to the encoder's bump: when the
             # encoder emits a code it has already added the entry the
             # decoder can only reconstruct after this read, so the
             # decoder's table lags by one — it must widen at 2^w - 1
             # (the classic GIF decoder off-by-one)
-            if len(table) == (1 << width) - 1 and width < 12:
+            if table_n == (1 << width) - 1 and width < 12:
                 width += 1
-        prev = code
+        prev_q = q
+        prev_len = length
     return None
 
 
@@ -2704,6 +2714,67 @@ def _crc16(data: bytes) -> int:
     return crc
 
 
+_CRC16_NP: list = []  # lazy: [PT (CxC position tables), ADVC (advance-by-C)]
+_CRC16_CHUNK = 256
+
+
+def _crc16_np_tables():
+    """Lazy tables for the vectorized CRC16 (GF(2)-linearity):
+    PT[p][b] = crc16 of byte b followed by p zero bytes, and
+    ADVC[s] = state s advanced by CHUNK zero bytes (built from its
+    16 bit-basis images — the map is linear)."""
+    import numpy as np
+
+    if _CRC16_NP:
+        return _CRC16_NP
+    C = _CRC16_CHUNK
+    tbl = np.asarray(_CRC16_TBL, dtype=np.uint16)
+
+    def adv1(s):
+        return (((s.astype(np.uint32) << 8) & 0xFFFF)
+                ^ tbl[(s >> 8).astype(np.intp)]).astype(np.uint16)
+
+    pt = np.empty((C, 256), dtype=np.uint16)
+    pt[0] = tbl
+    for p in range(1, C):
+        pt[p] = adv1(pt[p - 1])
+    basis = np.array([1 << i for i in range(16)], dtype=np.uint16)
+    for _ in range(C):
+        basis = adv1(basis)
+    states = np.arange(65536, dtype=np.uint32)
+    advc = np.zeros(65536, dtype=np.uint16)
+    for i in range(16):
+        advc ^= np.where((states >> i) & 1, basis[i], 0).astype(np.uint16)
+    _CRC16_NP.extend([pt, advc])
+    return _CRC16_NP
+
+
+def _crc16_fast(data: bytes) -> int:
+    """Vectorized CRC16 (identical to `_crc16`): the message's crc is
+    the XOR over bytes of PT[distance-from-end][byte], folded in
+    CHUNK-sized blocks with one table-advance per block — per-byte
+    Python only below the cutover."""
+    if len(data) < 64:
+        return _crc16(data)
+    import numpy as np
+
+    pt, advc = _crc16_np_tables()
+    C = _CRC16_CHUNK
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size % C:
+        # leading zero bytes are a no-op from the zero init state
+        arr = np.concatenate(
+            [np.zeros(C - arr.size % C, dtype=np.uint8), arr]
+        )
+    chunks = arr.reshape(-1, C).astype(np.intp)
+    rows = np.arange(C - 1, -1, -1)
+    vals = np.bitwise_xor.reduce(pt[rows[None, :], chunks], axis=1)
+    crc = 0
+    for v in vals:
+        crc = int(advc[crc]) ^ int(v)
+    return crc
+
+
 class _MsbWriter:
     """MSB-first bit writer with WORD-level appends (a bit-by-bit
     loop costs ~20 ms per FLAC blob; this is the honest-Python fast
@@ -2725,6 +2796,26 @@ class _MsbWriter:
     def write_unary(self, q: int) -> None:
         # q zeros then a one == the (q+1)-bit value 1
         self.write(1, q + 1)
+
+    def write_bits(self, bits) -> None:
+        """Bulk-append a uint8 0/1 numpy array (MSB-first) — the
+        vectorized fast path for Rice residual blocks: one packbits
+        instead of a per-value write loop."""
+        import numpy as np
+
+        if self.n:
+            lead = np.array(
+                [(self.acc >> (self.n - 1 - i)) & 1 for i in range(self.n)],
+                dtype=np.uint8,
+            )
+            bits = np.concatenate([lead, bits])
+            self.acc = 0
+            self.n = 0
+        rem = int(bits.size & 7)
+        head = bits[: bits.size - rem] if rem else bits
+        self.out += np.packbits(head).tobytes()
+        for b in bits[bits.size - rem :]:
+            self.write(int(b), 1)
 
     def align(self) -> None:
         if self.n:
@@ -2792,6 +2883,82 @@ def _fixed_residuals(x, order: int):
     for _ in range(order):
         r = np.diff(r)
     return r  # order-th difference == fixed-predictor residual
+
+
+def _rice_bits_np(u, k: int):
+    """Rice-code a zigzagged nonnegative int64 array into a uint8 0/1
+    bit array (unary quotient: q zeros then a one, then k low bits,
+    MSB-first) — vectorized: positions by cumsum, terminators and low
+    bits by fancy indexing, no per-value Python."""
+    import numpy as np
+
+    q = u >> k
+    L = q + 1 + k
+    off = np.zeros(u.size, dtype=np.int64)
+    np.cumsum(L[:-1], out=off[1:])
+    bits = np.zeros(int(off[-1] + L[-1]) if u.size else 0, dtype=np.uint8)
+    bits[off + q] = 1
+    if k:
+        lowpos = (off + q + 1)[:, None] + np.arange(k)[None, :]
+        lowbits = (u[:, None] >> np.arange(k - 1, -1, -1)[None, :]) & 1
+        bits[lowpos.ravel()] = lowbits.ravel().astype(np.uint8)
+    return bits
+
+
+def _rice_decode_np(b: bytes, bit_start: int, n_res: int, k: int):
+    """Vectorized Rice decode of ``n_res`` residuals starting at
+    absolute ``bit_start`` in ``b``: unpack a bounded window, take the
+    positions of all ones, link each one to the first one at least
+    k+1 bits later (one searchsorted), walk that successor list to
+    pick the n_res unary terminators (a plain int-list walk — the
+    only sequential part), then gather quotients and low bits with
+    array ops. The window starts at the expected size for a
+    well-chosen Rice parameter (~k+4 bits/residual) and doubles on
+    under-run, so a frame never unpacks the whole remaining blob.
+    Returns (int64 residuals, absolute bit_end) or None on a
+    truncated stream. Replaces the per-residual read_unary/read(k)
+    pair (~2 Python calls per sample — the FLAC decode hot spot)."""
+    import numpy as np
+
+    byte0 = bit_start >> 3
+    s0 = bit_start - (byte0 << 3)
+    max_bytes = len(b) - byte0
+    want = (s0 + n_res * (k + 4) + 7) // 8 + 1
+    while True:
+        count = min(want, max_bytes)
+        bits = np.unpackbits(np.frombuffer(b, np.uint8, offset=byte0, count=count))
+        ones = np.flatnonzero(bits)
+        nxt = np.searchsorted(ones, ones + (k + 1)).tolist()
+        n_ones = len(nxt)
+        cur = int(np.searchsorted(ones, s0))
+        idxs = []
+        short = False
+        for _ in range(n_res):
+            if cur >= n_ones:
+                short = True
+                break
+            idxs.append(cur)
+            cur = nxt[cur]
+        if not short and idxs and int(ones[idxs[-1]]) + 1 + k <= bits.size:
+            break
+        if count >= max_bytes:
+            return None  # truncated stream
+        want = want * 2
+    T = ones[np.asarray(idxs, dtype=np.int64)]
+    starts = np.empty(n_res, dtype=np.int64)
+    starts[0] = s0
+    starts[1:] = T[:-1] + (k + 1)
+    q = (T - starts).astype(np.int64)
+    if k:
+        lowpos = (T[:, None] + 1) + np.arange(k)[None, :]
+        low = (
+            bits[lowpos].astype(np.int64) << np.arange(k - 1, -1, -1)[None, :]
+        ).sum(axis=1)
+    else:
+        low = np.zeros(n_res, dtype=np.int64)
+    u = (q << k) | low
+    res = (u >> 1) ^ -(u & 1)
+    return res, int(T[-1]) + 1 + k + (byte0 << 3)
 
 
 def _rice_k(res) -> int:
@@ -2862,16 +3029,14 @@ def encode_flac_fixed(samples, sample_rate: int = 8000,
             bw.write(0, 2)       # residual method: 4-bit rice
             bw.write(0, 4)       # partition order 0
             bw.write(k, 4)
-            for r in best_res:
-                r = int(r)
-                u = (r << 1) ^ (r >> 63)  # zigzag
-                bw.write_unary(u >> k)
-                if k:
-                    bw.write(u & ((1 << k) - 1), k)
+            # vectorized zigzag + Rice pack (bit-identical to the old
+            # per-residual write_unary/write(k) loop)
+            u = (best_res << 1) ^ (best_res >> 63)
+            bw.write_bits(_rice_bits_np(u, k))
         bw.align()
         body = bytes(bw.out)
         frame = bytes(hdr) + body
-        frame += struct.pack(">H", _crc16(frame))
+        frame += struct.pack(">H", _crc16_fast(frame))
         out += frame
         frame_no += 1
     return bytes(out)
@@ -2940,12 +3105,17 @@ def decode_flac_fixed(b: bytes):
             val = w - 65536 if w >= 32768 else w
             blk = [val] * bs
         elif stype == 0b000001:
-            blk = []
-            for _ in range(bs):
-                w = br.read(16)
-                if w is None:
-                    return None
-                blk.append(w - 65536 if w >= 32768 else w)
+            # VERBATIM is byte-aligned after the 8-bit subframe header
+            if pos + 1 + 2 * bs > len(b):
+                return None
+            blk = (
+                np.frombuffer(b, ">i2", count=bs, offset=pos + 1)
+                .astype(np.int64)
+                .tolist()
+            )
+            br.p = pos + 1 + 2 * bs
+            br.acc = 0
+            br.n = 0
         elif 0b001000 <= stype <= 0b001100:
             order = stype & 0x07
             warm = []
@@ -2959,32 +3129,35 @@ def decode_flac_fixed(b: bytes):
             k = br.read(4)
             if k is None:
                 return None
-            res = []
-            for _ in range(bs - order):
-                q = br.read_unary()
-                if q is None:
+            n_res = bs - order
+            if n_res:
+                # vectorized Rice decode (see _rice_decode_np) from the
+                # reader's current absolute bit position
+                dec = _rice_decode_np(b, (br.p << 3) - br.n, n_res, k)
+                if dec is None:
                     return None
-                u = q << k
-                if k:
-                    low = br.read(k)
-                    if low is None:
-                        return None
-                    u |= low
-                res.append((u >> 1) ^ -(u & 1))  # un-zigzag
-            blk = list(warm)
-            coefs = _FLAC_FIXED_COEFS[order]
-            for r in res:
-                pred = 0
-                for j, c in enumerate(coefs):
-                    pred += c * blk[-1 - j]
-                blk.append(r + pred)
+                res, bit_end = dec
+                br.p = (bit_end + 7) >> 3
+                br.acc = 0
+                br.n = (br.p << 3) - bit_end
+                if br.n:
+                    br.acc = b[br.p - 1] & ((1 << br.n) - 1)
+                # inverse of the order-th difference: integrate with the
+                # warmup's own difference pyramid as initial values
+                warm_arr = np.asarray(warm, dtype=np.int64)
+                y = res
+                for m in range(order - 1, -1, -1):
+                    y = int(np.diff(warm_arr, m)[-1]) + np.cumsum(y)
+                blk = warm + y.tolist()
+            else:
+                blk = list(warm)
         else:
             return None
         br.align()
         pos = br.p
         if pos + 2 > len(b):
             return None
-        if struct.unpack(">H", b[pos : pos + 2])[0] != _crc16(
+        if struct.unpack(">H", b[pos : pos + 2])[0] != _crc16_fast(
             b[hdr_start:pos]
         ):
             return None
