@@ -8898,6 +8898,36 @@ def q_parts_components(spark, sf_dir):
     return out.select(F.col("node").alias("part_id"), "cluster_id")
 
 
+def q_media_bmp_hog(spark, sf_dir):
+    """Classical image features over REAL decoded pixels — the
+    model-free feature-extraction path (closes the round-8 frontier
+    stub): every doc's closed-form 24-bit BMP decodes through the
+    real kernel, then fully INTEGER features — a 16-bin fixed-point
+    luma histogram and an 8-octant HOG-lite orientation histogram
+    (integer central differences, comparison-only octants, L1
+    magnitudes; no atan2, no float). Emitted as (id, bin, val) with
+    bins 0-15 = gray, 16-23 = octants, zero bins dropped on BOTH
+    sides; the oracle replays the same arithmetic from doc_id alone
+    (pixels are closed-form)."""
+    from unitdb_spark.functions.multimodal import (
+        image_classical_features,
+        synthetic_bmp_media,
+    )
+
+    media = synthetic_bmp_media(_docs(spark, sf_dir))
+    feats = image_classical_features(media)
+    return (
+        feats.select(
+            "id",
+            F.posexplode(F.concat("gray_hist", "orient_hist")).alias(
+                "bin", "val"
+            ),
+        )
+        .filter(F.col("val") > 0)
+        .select("id", F.col("bin").cast("long").alias("bin"), "val")
+    )
+
+
 def q_media_flac_pcm(spark, sf_dir):
     """REAL lossless audio codec: every audio doc's closed-form PCM16
     samples pack through the from-scratch FLAC encoder (STREAMINFO,
@@ -9674,6 +9704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_alaw": q_media_wav_alaw,
         "parts_components": q_parts_components,
         "parts_degree_dist": q_parts_degree_dist,
+        # --- round-9 additions (end of the never-checked region) ---
+        "media_bmp_hog": q_media_bmp_hog,
         # --- green block: last hard driver row r02 ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -15411,6 +15443,61 @@ def oracle_sql() -> dict[str, str]:
         FROM c
         """,
     }
+    # classical image features over the closed-form BMP fixture: the
+    # oracle replays the decoded pixels ((s+3x+7y, 2s+5x+11y,
+    # 3s+x+13y) % 256 stored BGR, so R = 3s+x+13y), the pinned
+    # integer luma (77R+150G+29B)//256, the 16-bin gray histogram,
+    # and the comparison-only octant HOG with L1 weights — all
+    # integer arithmetic, zero-value bins dropped on both sides
+    d["media_bmp_hog"] = """
+        WITH dims AS (
+          SELECT doc_id AS d, doc_id % 24 + 4 AS sw,
+            (doc_id // 3) % 20 + 4 AS sh, doc_id % 251 AS s
+          FROM documents
+        ), px AS (
+          SELECT d, s, sw, sh, ux.x AS x, uy.y AS y
+          FROM dims,
+            unnest(generate_series(0, sw - 1)) AS ux(x),
+            unnest(generate_series(0, sh - 1)) AS uy(y)
+        ), lum AS (
+          SELECT d, x, y, sw, sh, s,
+            (77 * ((3 * s + x + 13 * y) % 256)
+             + 150 * ((2 * s + 5 * x + 11 * y) % 256)
+             + 29 * ((s + 3 * x + 7 * y) % 256)) // 256 AS l
+          FROM px
+        ), gray AS (
+          SELECT d, CAST(l // 16 AS BIGINT) AS bin,
+            CAST(count(*) AS BIGINT) AS val
+          FROM lum GROUP BY 1, 2
+        ), grad AS (
+          SELECT d,
+            ((77 * ((3 * s + (x + 1) + 13 * y) % 256)
+              + 150 * ((2 * s + 5 * (x + 1) + 11 * y) % 256)
+              + 29 * ((s + 3 * (x + 1) + 7 * y) % 256)) // 256)
+            - ((77 * ((3 * s + (x - 1) + 13 * y) % 256)
+                + 150 * ((2 * s + 5 * (x - 1) + 11 * y) % 256)
+                + 29 * ((s + 3 * (x - 1) + 7 * y) % 256)) // 256) AS gx,
+            ((77 * ((3 * s + x + 13 * (y + 1)) % 256)
+              + 150 * ((2 * s + 5 * x + 11 * (y + 1)) % 256)
+              + 29 * ((s + 3 * x + 7 * (y + 1)) % 256)) // 256)
+            - ((77 * ((3 * s + x + 13 * (y - 1)) % 256)
+                + 150 * ((2 * s + 5 * x + 11 * (y - 1)) % 256)
+                + 29 * ((s + 3 * x + 7 * (y - 1)) % 256)) // 256) AS gy
+          FROM px
+          WHERE x BETWEEN 1 AND sw - 2 AND y BETWEEN 1 AND sh - 2
+        ), hog AS (
+          SELECT d,
+            CAST(4 * (CASE WHEN gy < 0 THEN 1 ELSE 0 END)
+                 + 2 * (CASE WHEN gx < 0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN abs(gy) > abs(gx) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS obin,
+            CAST(sum(abs(gx) + abs(gy)) AS BIGINT) AS val
+          FROM grad GROUP BY 1, 2
+        )
+        SELECT d AS id, bin, val FROM gray WHERE val > 0
+        UNION ALL
+        SELECT d AS id, obin + 16 AS bin, val FROM hog WHERE val > 0
+        """
     # composed v2 quality pipeline: the four session signals' oracles
     # become CTEs of one statement, checking their INTERACTION (the
     # same discipline as doc_pipeline's staged CTEs)

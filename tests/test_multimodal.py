@@ -108,9 +108,16 @@ class TestResize:
         b = {r["id"]: bytes(r["blob"]) for r in resize_images(media, 8, 8).collect()}
         assert a == b
 
-    def test_real_decode_is_marked_unimplemented(self, media):
-        with pytest.raises(NotImplementedError):
-            resize_images(media, decode_stub=False)
+    def test_real_decode_dispatches_mixed_kernel(self, media):
+        """decode_stub=False is the REAL pixel path since round 9: it
+        dispatches to the one-pass mixed-container kernel (container
+        column added; unclaimed blobs keep rows with NULLs)."""
+        out = resize_images(media, 8, 8, decode_stub=False)
+        assert "container" in out.columns
+        rows = out.collect()
+        assert len(rows) == media.count()
+        for r in rows:
+            assert (r["blob"] is None) == (r["container"] is None)
 
 
 class TestFeatures:
@@ -122,9 +129,16 @@ class TestFeatures:
             norm = sum(x * x for x in r["feature"]) ** 0.5
             assert abs(norm - 1.0) < 1e-5
 
-    def test_real_model_is_marked_unimplemented(self, media):
-        with pytest.raises(NotImplementedError):
-            extract_features(media, decode_stub=False)
+    def test_real_path_decodes_or_nulls(self, media):
+        """decode_stub=False is the REAL classical path since round 9:
+        decodable blobs get a unit-norm luma-histogram feature,
+        undecodable ones keep their row with a NULL feature."""
+        out = extract_features(media, dim=16, decode_stub=False).collect()
+        assert len(out) == media.count()
+        for r in out:
+            if r["feature"] is not None:
+                norm = sum(x * x for x in r["feature"]) ** 0.5
+                assert abs(norm - 1.0) < 1e-5
 
     def test_features_feed_similarity_search(self, spark, media):
         """End-to-end: media -> features -> exact cosine top-1 finds the
@@ -639,3 +653,112 @@ class TestWavFrameFeatures:
             assert f.rms_r == round(
                 float(np.sqrt(float(f.energy) / float(seg.size))), 6
             )
+
+
+class TestClassicalFeatures:
+    """The round-9 stub closure: real-pixel classical features
+    (integer luma histogram + comparison-only octant HOG) and the
+    real paths behind extract_features/resize_images decode_stub=False."""
+
+    def _bmp(self, d):
+        import numpy as np
+
+        from unitdb_spark.functions import media_codec as mc
+
+        sw, sh, s = d % 24 + 4, (d // 3) % 20 + 4, d % 251
+        X, Y = np.meshgrid(np.arange(sw), np.arange(sh))
+        arr = np.stack(
+            [
+                (s + 3 * X + 7 * Y) % 256,
+                (2 * s + 5 * X + 11 * Y) % 256,
+                (3 * s + X + 13 * Y) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        return mc.encode_bmp24(arr), (sw, sh, s)
+
+    def test_matches_python_model(self, spark):
+        import numpy as np
+
+        from unitdb_spark.functions.multimodal import image_classical_features
+
+        blob, (sw, sh, s) = self._bmp(37)
+        df = spark.createDataFrame(
+            [(37, "image", bytearray(blob)), (99, "image", bytearray(b"junk"))],
+            "id long, media_type string, blob binary",
+        )
+        rows = {r.id: r for r in image_classical_features(df).collect()}
+        # python model straight from the closed-form pixels
+        X, Y = np.meshgrid(np.arange(sw), np.arange(sh))
+        r = (3 * s + X + 13 * Y) % 256
+        g = (2 * s + 5 * X + 11 * Y) % 256
+        b = (s + 3 * X + 7 * Y) % 256
+        y = (77 * r + 150 * g + 29 * b) // 256
+        gray = np.bincount(y.ravel() // 16, minlength=16)
+        gx = (y[1:-1, 2:] - y[1:-1, :-2]).ravel()
+        gy = (y[2:, 1:-1] - y[:-2, 1:-1]).ravel()
+        octant = 4 * (gy < 0) + 2 * (gx < 0) + (np.abs(gy) > np.abs(gx))
+        orient = np.bincount(
+            octant, weights=np.abs(gx) + np.abs(gy), minlength=8
+        ).astype(np.int64)
+        got = rows[37]
+        assert got.container == "bmp"
+        assert got.n_pixels == sw * sh
+        assert got.gray_hist == gray.tolist()
+        assert got.orient_hist == orient.tolist()
+        # honest failure: undecodable blob keeps the row, NULL features
+        assert rows[99].container is None and rows[99].gray_hist is None
+
+    def test_extract_features_real_path(self, spark):
+        import numpy as np
+
+        from unitdb_spark.functions.multimodal import extract_features
+
+        blob, (sw, sh, s) = self._bmp(40)
+        df = spark.createDataFrame(
+            [(40, "image", bytearray(blob)), (7, "image", bytearray(b"no"))],
+            "id long, media_type string, blob binary",
+        )
+        rows = {r.id: r for r in extract_features(df, dim=32, decode_stub=False).collect()}
+        X, Y = np.meshgrid(np.arange(sw), np.arange(sh))
+        y = (
+            77 * ((3 * s + X + 13 * Y) % 256)
+            + 150 * ((2 * s + 5 * X + 11 * Y) % 256)
+            + 29 * ((s + 3 * X + 7 * Y) % 256)
+        ) // 256
+        hist = np.bincount((y.ravel() * 32) // 256, minlength=32).astype(np.float32)
+        want = hist / np.linalg.norm(hist)
+        got = np.array(rows[40].feature, dtype=np.float32)
+        assert got.shape == (32,)
+        assert np.allclose(got, want, atol=0)  # same float32 arithmetic
+        assert rows[7].feature is None
+
+    def test_resize_images_real_path_dispatches(self, spark):
+        from unitdb_spark.functions.multimodal import resize_images
+
+        blob, _ = self._bmp(13)
+        df = spark.createDataFrame(
+            [(13, "image", bytearray(blob))],
+            "id long, media_type string, blob binary",
+        )
+        out = resize_images(df, width=8, height=8, decode_stub=False).collect()
+        assert len(out) == 1
+        assert out[0].container == "bmp"
+        assert out[0].width == 8 and out[0].height == 8
+        from unitdb_spark.functions.media_codec import decode_bmp24
+
+        arr = decode_bmp24(bytes(out[0].blob))
+        assert arr is not None and arr.shape == (8, 8, 3)
+
+    def test_no_stubs_left(self):
+        """The package must carry zero NotImplementedError paths
+        (the round-8 verdict's item 6)."""
+        import pathlib
+
+        root = pathlib.Path("unitdb_spark")
+        hits = []
+        for p in root.rglob("*.py"):
+            for i, line in enumerate(p.read_text().splitlines(), 1):
+                if "raise NotImplementedError" in line:
+                    hits.append(f"{p}:{i}")
+        assert hits == []

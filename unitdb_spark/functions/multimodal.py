@@ -85,6 +85,20 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
     return df.select("id", "media_type", "blob").mapInPandas(_extract, MEDIA_META_SCHEMA)
 
 
+def _media_ids(documents: DataFrame) -> DataFrame:
+    """doc_id relation for the fixture builders, repartitioned to the
+    session's parallelism BEFORE the expensive per-blob kernel: the
+    documents table is small enough to arrive as 1-2 parquet splits
+    (5.9 MB even at sf1), and without this every per-blob
+    encode/decode stage runs on 1-2 of the 32 cores — the round-9
+    sweep found media_flac_pcm spending 18 of its 19.8 s at sf1
+    single-threaded. Shuffling a bare id column is ~free; the blob
+    work then scales with the cluster, which is the property that
+    matters at real media-table sizes."""
+    sc = documents.sparkSession.sparkContext
+    return documents.select("doc_id").repartition(sc.defaultParallelism)
+
+
 def synthetic_media(documents: DataFrame) -> DataFrame:
     """Deterministic media fixture over the driver's documents table:
     every doc becomes a REAL container blob (media_codec builders) whose
@@ -128,7 +142,7 @@ def synthetic_media(documents: DataFrame) -> DataFrame:
                 {"id": pdf["doc_id"].values, "media_type": kinds, "blob": blobs}
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _media_ids(documents).mapInPandas(
         _build, "id long, media_type string, blob binary"
     )
 
@@ -176,7 +190,7 @@ def synthetic_media_ext(documents: DataFrame) -> DataFrame:
                 {"id": pdf["doc_id"].values, "media_type": kinds, "blob": blobs}
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _media_ids(documents).mapInPandas(
         _build, "id long, media_type string, blob binary"
     )
 
@@ -245,17 +259,14 @@ def resize_images(
     a real implementation replaces only ``_resample``.
     """
     if not decode_stub:
-        raise NotImplementedError(
-            "this generic byte-resample path has no pixel decode; the "
-            "REAL kernels are per-container: resize_bmp_images (24-bit "
-            "BMP), resize_png_images (8-bit truecolor PNG, zlib "
-            "inflate + unfilter), resize_gif_images (real LZW), "
-            "resize_jpeg_images (baseline JPEG incl. 4:2:0: Huffman + "
-            "dequant + IDCT + pinned integer YCbCr->RGB) — or "
-            "resize_mixed_images, which magic-byte-dispatches all of "
-            "them in one pass over a mixed column. Progressive JPEG "
-            "and video frames remain out of from-scratch scope"
-        )
+        # the REAL pixel path: magic-byte dispatch to the per-container
+        # kernels (BMP24 / PNG inflate+unfilter / GIF LZW / baseline+
+        # progressive JPEG / TIFF) in one Arrow-batched pass; output
+        # schema additionally carries the sniffed input `container`
+        # (NULL container/blob for unclaimed formats — the
+        # honest-failure contract). Closed round 9 — was a
+        # NotImplementedError stub.
+        return resize_mixed_images(df, width, height)
     target = width * height
 
     def _resample(b: bytes) -> bytes:
@@ -285,6 +296,109 @@ def resize_images(
     )
 
 
+def _decode_rgb_any(bb: bytes):
+    """Magic-byte dispatch to the repo's REAL per-container pixel
+    decoders, normalized to an (h, w, 3) uint8 RGB array (BMP decodes
+    BGR and is flipped here); None for unclaimed/undecodable blobs."""
+    from unitdb_spark.functions.media_codec import (
+        decode_bmp24,
+        decode_gif_rgb,
+        decode_jpeg_any_rgb,
+        decode_png_rgb_any,
+        decode_tiff_rgb,
+    )
+
+    c = sniff_container(bb)
+    if c == "bmp":
+        a = decode_bmp24(bb)
+        return a[..., ::-1] if a is not None else None
+    if c == "png":
+        return decode_png_rgb_any(bb)
+    if c == "gif":
+        return decode_gif_rgb(bb)
+    if c == "tiff":
+        return decode_tiff_rgb(bb)
+    if c == "jpeg":
+        return decode_jpeg_any_rgb(bb)
+    return None
+
+
+def image_classical_features(df: DataFrame, gray_bins: int = 16) -> DataFrame:
+    """(id, media_type, blob) -> (id, container, n_pixels, gray_hist,
+    orient_hist): REAL pixel decode (magic-byte dispatch over the
+    per-container kernels), then fully INTEGER classical image
+    features, so a SQL oracle can replicate them exactly over
+    closed-form fixtures:
+
+    - integer luma  y = (77*R + 150*G + 29*B) >> 8   (BT.601-flavor
+      fixed-point, pinned — no float anywhere);
+    - ``gray_bins``-bin luma histogram (counts, bin = y div
+      (256/gray_bins));
+    - HOG-lite 8-octant orientation histogram over central
+      differences on INTERIOR pixels: gx = y(x+1,y) - y(x-1,y),
+      gy = y(x,y+1) - y(x,y-1), octant = 4*[gy<0] + 2*[gx<0] +
+      [|gy|>|gx|] (pure integer comparisons — no atan2), weighted by
+      the L1 magnitude |gx| + |gy|.
+
+    Undecodable blobs keep their row with NULL container/histograms
+    (the honest-failure contract shared with resize_mixed_images).
+
+    Scale: Arrow-batched mapInPandas, one row out per blob (never
+    pixels); the numpy kernel is vectorized over each image.
+    """
+    if 256 % gray_bins:
+        raise ValueError("image_classical_features: gray_bins must divide 256")
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"].values, pdf["blob"]):
+                bb = bytes(b) if b is not None else b""
+                rgb = _decode_rgb_any(bb)
+                if rgb is None:
+                    rows.append((int(i), None, None, None, None))
+                    continue
+                r = rgb[..., 0].astype(np.int64)
+                g = rgb[..., 1].astype(np.int64)
+                bl = rgb[..., 2].astype(np.int64)
+                y = (77 * r + 150 * g + 29 * bl) >> 8
+                gray = np.bincount(
+                    y.ravel() // (256 // gray_bins), minlength=gray_bins
+                ).astype(np.int64)
+                h, w = y.shape
+                orient = np.zeros(8, dtype=np.int64)
+                if h >= 3 and w >= 3:
+                    gx = (y[1:-1, 2:] - y[1:-1, :-2]).ravel()
+                    gy = (y[2:, 1:-1] - y[:-2, 1:-1]).ravel()
+                    octant = (
+                        4 * (gy < 0) + 2 * (gx < 0) + (np.abs(gy) > np.abs(gx))
+                    )
+                    orient = np.bincount(
+                        octant, weights=np.abs(gx) + np.abs(gy), minlength=8
+                    ).astype(np.int64)
+                rows.append(
+                    (
+                        int(i),
+                        sniff_container(bb),
+                        int(y.size),
+                        gray.tolist(),
+                        orient.tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "container", "n_pixels", "gray_hist", "orient_hist"],
+            )
+
+    return df.select("id", "blob").mapInPandas(
+        _feat,
+        "id long, container string, n_pixels long, "
+        "gray_hist array<long>, orient_hist array<long>",
+    )
+
+
 def extract_features(
     df: DataFrame, dim: int = 64, decode_stub: bool = True
 ) -> DataFrame:
@@ -294,15 +408,43 @@ def extract_features(
 
     The stub features are a deterministic byte-histogram projection
     (numpy, vectorized per Arrow batch) so downstream ANN plumbing is
-    exercised end-to-end; a real model inference replaces only
-    ``_featurize`` (same signature: one Arrow batch in, one out — which
-    is also exactly the batch shape a GPU inference stage wants).
+    exercised end-to-end; ``decode_stub=False`` switches to the REAL
+    pixel path: magic-byte decode and a ``dim``-bin integer-luma
+    histogram, L2-normalized (classical features — no model weights;
+    closed round 9, was a NotImplementedError stub). A real model
+    inference would replace only ``_featurize`` (same signature: one
+    Arrow batch in, one out — which is also exactly the batch shape a
+    GPU inference stage wants).
     """
     if not decode_stub:
-        raise NotImplementedError(
-            "model-based feature extraction requires a vision/audio "
-            "model — not in this container; WAV PCM16 audio has a REAL "
-            "signal-statistics kernel: pcm_features"
+
+        def _featurize_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                feats = []
+                for b in pdf["blob"]:
+                    rgb = _decode_rgb_any(bytes(b) if b is not None else b"")
+                    if rgb is None:
+                        feats.append(None)
+                        continue
+                    r = rgb[..., 0].astype(np.int64)
+                    g = rgb[..., 1].astype(np.int64)
+                    bl = rgb[..., 2].astype(np.int64)
+                    luma = (77 * r + 150 * g + 29 * bl) >> 8
+                    hist = np.bincount(
+                        (luma.ravel() * dim) >> 8, minlength=dim
+                    ).astype(np.float32)
+                    norm = float(np.linalg.norm(hist))
+                    feats.append((hist / norm if norm else hist).tolist())
+                yield pd.DataFrame(
+                    {"id": pdf["id"].values, "feature": feats}
+                )
+
+        return df.select("id", "blob").mapInPandas(
+            _featurize_real, "id long, feature array<float>"
         )
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -413,7 +555,7 @@ def synthetic_bmp_media(
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _media_ids(documents).mapInPandas(
         _build, "id long, media_type string, blob binary"
     )
 
@@ -774,7 +916,7 @@ def synthetic_png_media(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _media_ids(documents).mapInPandas(
         _build, "id long, media_type string, blob binary"
     )
 
@@ -897,7 +1039,7 @@ def synthetic_png7_media(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _media_ids(documents).mapInPandas(
         _build, "id long, media_type string, blob binary"
     )
 
@@ -1012,7 +1154,7 @@ def synthetic_agif_media(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _media_ids(documents).mapInPandas(
         _build, "id long, media_type string, blob binary"
     )
 
@@ -1107,7 +1249,7 @@ def synthetic_gif_media(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _media_ids(documents).mapInPandas(
         _build, "id long, media_type string, blob binary"
     )
 
@@ -1236,7 +1378,7 @@ def synthetic_jpeg_media(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _media_ids(documents).mapInPandas(
         _build, "id long, media_type string, blob binary"
     )
 
@@ -1319,7 +1461,7 @@ def synthetic_jpeg_prog_media(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _media_ids(documents).mapInPandas(
         _build, "id long, media_type string, blob binary"
     )
 
@@ -1408,7 +1550,7 @@ def synthetic_jpeg420_media(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _media_ids(documents).mapInPandas(
         _build, "id long, media_type string, blob binary"
     )
 
@@ -1594,7 +1736,7 @@ def synthetic_tiff_media(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _media_ids(documents).mapInPandas(
         _build, "id long, media_type string, blob binary"
     )
 
@@ -1793,7 +1935,7 @@ def synthetic_flac_media(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return _media_ids(documents).mapInPandas(
         _build, "id long, media_type string, blob binary"
     )
 
