@@ -360,10 +360,15 @@ class TestRound4Plans:
         assert shuffle_count(out) <= 2
         assert not has_python_eval(out)
 
-    def test_media_meta_no_shuffle_no_python_udf(self, spark):
+    def test_media_meta_one_id_shuffle_no_python_udf(self, spark):
         """SCALE.md: header parsing is mapInPandas (ArrowEval — the
-        sanctioned batch path, not BatchEvalPython) and blobs never
-        shuffle: zero exchanges in the whole extraction plan."""
+        sanctioned batch path, not BatchEvalPython) and BLOBS never
+        shuffle. Since round 9 the fixture builder deliberately
+        repartitions the bare doc_id relation BEFORE the per-blob
+        kernel (_media_ids — the testdata parquet arrives as 1-2
+        splits, which serialized every media stage), so the plan
+        carries exactly ONE exchange, and it moves only the 8-byte id
+        column, never a blob."""
         from unitdb_spark.functions.multimodal import (
             extract_media_meta,
             synthetic_media,
@@ -371,7 +376,11 @@ class TestRound4Plans:
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         out = extract_media_meta(synthetic_media(docs))
-        assert shuffle_count(out) == 0
+        assert shuffle_count(out) == 1
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the exchange is upstream of blob construction: RoundRobin
+        # over the bare id projection
+        assert "RoundRobinPartitioning" in plan
         assert not has_python_eval(out)
 
     def test_doc_pipeline_fused_filters_no_python(self, spark):
