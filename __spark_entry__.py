@@ -8898,6 +8898,21 @@ def q_parts_components(spark, sf_dir):
     return out.select(F.col("node").alias("part_id"), "cluster_id")
 
 
+def q_source_token_entropy(spark, sf_dir):
+    """Per-source unigram Shannon entropy in EXACT INTEGER micro-log10
+    units — the second production user of the exactlog primitive
+    (after the repaired doc_heaps): H = Σ (c/T)·log10(T/c) restated as
+    (Σ c·(µ(T)−µ(c))) div T with µ = the shift-and-square integer
+    ulog10. The log inputs are data-dependent term counts over a
+    thousands-of-rows relation — exactly the shape where per-value
+    libm round-6 logs can't be boundary-audited at build time, and
+    where the integer program makes both engines agree by
+    construction."""
+    from unitdb_spark.operators.tfidf import source_token_entropy
+
+    return source_token_entropy(_docs(spark, sf_dir))
+
+
 def q_media_bmp_hog(spark, sf_dir):
     """Classical image features over REAL decoded pixels — the
     model-free feature-extraction path (closes the round-8 frontier
@@ -9706,6 +9721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_degree_dist": q_parts_degree_dist,
         # --- round-9 additions (end of the never-checked region) ---
         "media_bmp_hog": q_media_bmp_hog,
+        "source_token_entropy": q_source_token_entropy,
         # --- green block: last hard driver row r02 ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -15498,6 +15514,38 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT d AS id, obin + 16 AS bin, val FROM hog WHERE val > 0
         """
+    # per-source token entropy: the exactlog integer program wrapped
+    # around the (source, term) count relation; finish is one integer
+    # weighted sum + one truncating div (floor — all terms nonneg)
+    from unitdb_spark.functions.exactlog import ulog10_wrap_sql
+
+    _ste_pairs = """
+        WITH tok AS (
+          SELECT source AS src, u.t AS term
+          FROM documents, unnest({toks}) AS u(t)
+        ), st AS (
+          SELECT src, term, CAST(count(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2
+        ), tot AS (
+          SELECT src, CAST(sum(c) AS BIGINT) AS t,
+            CAST(count(*) AS BIGINT) AS n_terms
+          FROM st GROUP BY 1
+        )
+        SELECT st.src, st.c, tot.t, tot.n_terms
+        FROM st JOIN tot USING (src)
+        """.replace("{toks}", _TOKS)
+    d["source_token_entropy"] = (
+        "SELECT src AS source,"
+        " CAST(any_value(n_terms) AS BIGINT) AS n_terms,"
+        " CAST(any_value(t) AS BIGINT) AS n_tokens,"
+        " CAST(sum(c * (ut - uc)) // any_value(t) AS BIGINT) AS h_micro"
+        " FROM ("
+        + ulog10_wrap_sql(
+            _ste_pairs, {"uc": "c", "ut": "t"},
+            ["src", "c", "t", "n_terms"],
+        )
+        + ") GROUP BY src"
+    )
     # composed v2 quality pipeline: the four session signals' oracles
     # become CTEs of one statement, checking their INTERACTION (the
     # same discipline as doc_pipeline's staged CTEs)

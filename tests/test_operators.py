@@ -11531,3 +11531,55 @@ class TestActiveTime:
         assert out["u"].active_us == (400 - 0 + 1300 - 1000) * 1_000_000
         assert out["v"].n_islands == 1
         assert out["v"].active_us == 300 * 1_000_000
+
+
+class TestSourceTokenEntropy:
+    def test_matches_python_model(self, spark):
+        from unitdb_spark.functions.exactlog import ulog10_micro_py
+        from unitdb_spark.operators.tfidf import source_token_entropy
+
+        docs = [
+            (1, "web", "a a b c"),
+            (2, "web", "a d"),
+            (3, "books", "x x x x"),
+            (4, "books", "x y"),
+            (5, "wiki", "p q r s t u v w"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+        got = {r.source: r for r in source_token_entropy(df).collect()}
+
+        from collections import Counter, defaultdict
+
+        by_src = defaultdict(Counter)
+        for _, s, t in docs:
+            by_src[s].update(t.split())
+        for s, cnt in by_src.items():
+            T = sum(cnt.values())
+            h = sum(
+                c * (ulog10_micro_py(T) - ulog10_micro_py(c))
+                for c in cnt.values()
+            ) // T
+            assert got[s].n_terms == len(cnt)
+            assert got[s].n_tokens == T
+            assert got[s].h_micro == h, s
+        # degenerate: single repeated token -> exactly zero entropy
+        assert got["books"].h_micro > 0
+        one = spark.createDataFrame(
+            [(9, "flat", "z z z z z")], ["doc_id", "source", "text"]
+        )
+        (r,) = source_token_entropy(one).collect()
+        assert r.h_micro == 0  # µ(T) - µ(c) with T == c is exactly 0
+
+    def test_uniform_source_hits_log_of_n(self, spark):
+        """Uniform distribution over k terms has entropy log10(k):
+        the integer program lands within 2 micro of the true value."""
+        from math import log10
+
+        from unitdb_spark.operators.tfidf import source_token_entropy
+
+        text = " ".join(f"t{i}" for i in range(100))
+        df = spark.createDataFrame(
+            [(1, "u", text)], ["doc_id", "source", "text"]
+        )
+        (r,) = source_token_entropy(df).collect()
+        assert abs(r.h_micro - round(1e6 * log10(100))) <= 2

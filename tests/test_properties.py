@@ -1179,3 +1179,72 @@ class TestAdam7Hypothesis:
             ]
             back = decode_png_rgb_any(encode_png_rgb_adam7(arr, filters))
             assert back is not None and (back == arr).all(), (h, w)
+
+
+class TestExactLogProperty:
+    """Properties of the engine-proof fixed-point log10 (exactlog.py)."""
+
+    @given(st.integers(min_value=1, max_value=10**18 - 1))
+    @settings(max_examples=300, deadline=None)
+    def test_tracks_true_log_within_one_micro(self, x):
+        from unitdb_spark.functions.exactlog import ulog10_micro_py
+
+        u = ulog10_micro_py(x)
+        assert abs(u - math.floor(1e6 * math.log10(x))) <= 1
+
+    @given(st.integers(min_value=1, max_value=10**18 - 1))
+    @settings(max_examples=300, deadline=None)
+    def test_monotone_and_exact_on_powers(self, x):
+        from unitdb_spark.functions.exactlog import ulog10_micro_py
+
+        u = ulog10_micro_py(x)
+        assert ulog10_micro_py(x + 1) >= u  # monotone nondecreasing
+        k = len(str(x)) - 1
+        assert u // 1000000 == k  # characteristic is the digit count
+        assert ulog10_micro_py(10**k) == k * 1000000  # exact on powers
+
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=10**12),
+            min_size=2,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_duckdb_program_twins_python(self, xs):
+        """The DuckDB layer chain returns the identical integers —
+        determinism across engines is the whole point (the Spark twin
+        is pinned by the doc_heaps / source_token_entropy oracles)."""
+        import duckdb
+
+        from unitdb_spark.functions.exactlog import (
+            ulog10_micro_py,
+            ulog10_wrap_sql,
+        )
+
+        con = duckdb.connect()
+        vals = ",".join(f"({x})" for x in xs)
+        sql = ulog10_wrap_sql(
+            f"SELECT CAST(x AS BIGINT) AS x FROM (VALUES {vals}) v(x)",
+            {"ux": "x"},
+            ["x"],
+        )
+        for x, u in con.execute(sql).fetchall():
+            assert u == ulog10_micro_py(x)
+
+    @given(
+        st.integers(min_value=-(10**15), max_value=10**15),
+        st.integers(min_value=1, max_value=10**9),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_floordiv_identity_matches_python(self, a, b):
+        """The shared nonneg-mod floor identity == Python's //
+        (which floors natively) for signed numerators."""
+        import duckdb
+
+        from unitdb_spark.functions.exactlog import floordiv_sql
+
+        con = duckdb.connect()
+        expr = floordiv_sql(str(a), str(b), "duckdb")
+        (got,) = con.execute(f"SELECT {expr}").fetchone()
+        assert got == a // b

@@ -1226,3 +1226,72 @@ def mattr(
         "CASE WHEN n_tokens > 0 THEN "
         "CAST((_ds * 1000000) div (_ew * _np) AS BIGINT) END AS mattr_ppm",
     )
+
+
+def source_token_entropy(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source unigram Shannon entropy in EXACT INTEGER micro-log10
+    units — the corpus-health number next to `source_unigram_kl`/`_js`
+    (a source whose entropy collapses is boilerplate or template spam;
+    one whose entropy explodes relative to its size is noise/OCR), and
+    the second production user of the engine-proof exactlog primitive
+    (after `heaps_law`): the log inputs here are DATA-DEPENDENT term
+    counts over a relation of thousands of rows, exactly the shape
+    where per-value libm round-6 logs cannot be boundary-audited at
+    build time.
+
+        H(s) = Σ_t (c_st / T_s) · log10(T_s / c_st)
+             → h_micro = (Σ_t c_st · (µ(T_s) − µ(c_st))) div T_s
+
+    with µ = ulog10_micro (exactlog.py) — every step an exact integer
+    op, so Spark and DuckDB agree bit-for-bit by construction. Output:
+    (source, n_terms, n_tokens, h_micro), h in micro-log10 units
+    (multiply by log2(10) ≈ 3.3219 for bits — a display concern, kept
+    out of the engine).
+
+    Scale: one explode + map-side-combined (source, term) count, one
+    source total, one broadcast-shaped join back (the totals relation
+    is |sources| rows), the ulog10 projection layers (pure whole-stage
+    codegen, no shuffle), and a final per-source agg. Σ c·µ products
+    stay ≤ tokens · 1.8e7 — BIGINT-safe to ~5e11 tokens PER SOURCE;
+    the 100 TB path upgrades the two product columns to DECIMAL(38,0)
+    before the sum, shown in the cost row.
+    """
+    from unitdb_spark.functions.exactlog import with_ulog10
+
+    st = (
+        docs.select(
+            F.col(source_col).alias("_src"),
+            F.explode(_tokens(text_col)).alias("_term"),
+        )
+        .groupBy("_src", "_term")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    tot = st.groupBy("_src").agg(
+        F.sum("_c").alias("_t"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    pairs = with_ulog10(
+        st.join(tot, "_src").select(
+            "_src", "_c", "_t", "n_terms"
+        ),
+        {"_uc": "_c", "_ut": "_t"},
+    )
+    return (
+        pairs.groupBy("_src")
+        .agg(
+            F.first("n_terms").alias("n_terms"),
+            F.first("_t").alias("n_tokens"),
+            F.sum(F.col("_c") * (F.col("_ut") - F.col("_uc"))).alias("_s"),
+        )
+        .select(
+            F.col("_src").alias("source"),
+            "n_terms",
+            "n_tokens",
+            # Σ c·(µT − µc) ≥ 0 and T > 0: plain truncating div is floor
+            F.expr("_s div n_tokens").cast("long").alias("h_micro"),
+        )
+    )
