@@ -8898,6 +8898,70 @@ def q_parts_components(spark, sf_dir):
     return out.select(F.col("node").alias("part_id"), "cluster_id")
 
 
+def q_events_hist_entropy(spark, sf_dir):
+    """Shannon entropy of the fixed-20-bucket value histogram per
+    event type, in exact integer micro-log10 units (exactlog) — the
+    distribution-health readout next to events_hist_quantiles:
+    collapsing entropy = degenerate values, a jump = a new mode. The
+    bucket counts are the SAME mergeable state as the quantile
+    dashboard, so the streamed twin folds partials and hashes equal
+    by construction."""
+    from unitdb_spark.operators.sketch import (
+        histogram_counts,
+        histogram_entropy,
+    )
+
+    hist = histogram_counts(
+        _events(spark, sf_dir), "value", ["event_type"], 0.0, 1000.0, 20
+    )
+    return histogram_entropy(hist, ["event_type"])
+
+
+def q_streamed_hist_entropy(spark, sf_dir):
+    """ROLLING twin of events_hist_entropy off the SAME maintained
+    state shape as streamed_histq (per-micro-batch fixed-bucket
+    histogram partials, appended via foreachBatch): the read-time
+    fold re-sums per (key, bucket) and finishes through the exactlog
+    integer entropy — bucket counts are plain sums and the finish is
+    all-integer, so the streamed result hashes equal to the batch
+    oracle VERBATIM regardless of micro-batch split."""
+    import uuid
+
+    from unitdb_spark.operators.sketch import (
+        histogram_counts,
+        histogram_entropy,
+    )
+    from unitdb_spark.streaming.pubsub import events_as_stream
+
+    spark = _pin_utc(spark)
+    src = _events_stream_src(spark, sf_dir)
+    base = src.rsplit("/", 1)[0]
+    out = f"{base}/he_{uuid.uuid4().hex[:8]}"
+    cp = f"{base}/hecp_{uuid.uuid4().hex[:8]}"
+
+    stream = events_as_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _eid: histogram_counts(
+                df, "value", ["event_type"], 0.0, 1000.0, 20
+            ).write.mode("append").parquet(out)
+            if not df.isEmpty()
+            else None
+        )
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    hist = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("n_b").alias("n_b"))
+    )
+    return histogram_entropy(hist, ["event_type"])
+
+
 def q_source_token_entropy(spark, sf_dir):
     """Per-source unigram Shannon entropy in EXACT INTEGER micro-log10
     units — the second production user of the exactlog primitive
@@ -9722,6 +9786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 additions (end of the never-checked region) ---
         "media_bmp_hog": q_media_bmp_hog,
         "source_token_entropy": q_source_token_entropy,
+        "events_hist_entropy": q_events_hist_entropy,
+        "streamed_hist_entropy": q_streamed_hist_entropy,
         # --- green block: last hard driver row r02 ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -15546,6 +15612,37 @@ def oracle_sql() -> dict[str, str]:
         )
         + ") GROUP BY src"
     )
+    # histogram entropy: the events_hist_quantiles bucket CTE + the
+    # exactlog integer entropy finish; the streamed twin folds the
+    # same mergeable bucket counts, so it shares this oracle VERBATIM
+    _he_hist = """
+        WITH h AS (
+          SELECT event_type,
+            least(greatest(CAST(floor((value - 0.0) / 50.0) AS INT),
+                           0), 19) AS bucket,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), tot AS (
+          SELECT event_type, CAST(sum(c) AS BIGINT) AS t,
+            CAST(count(*) AS BIGINT) AS n_buckets
+          FROM h GROUP BY 1
+        )
+        SELECT h.event_type, h.c, tot.t, tot.n_buckets
+        FROM h JOIN tot USING (event_type)
+        """
+    d["events_hist_entropy"] = (
+        "SELECT event_type,"
+        " CAST(any_value(n_buckets) AS BIGINT) AS n_buckets,"
+        " CAST(any_value(t) AS BIGINT) AS n,"
+        " CAST(sum(c * (ut - uc)) // any_value(t) AS BIGINT) AS h_micro"
+        " FROM ("
+        + ulog10_wrap_sql(
+            _he_hist, {"uc": "c", "ut": "t"},
+            ["event_type", "c", "t", "n_buckets"],
+        )
+        + ") GROUP BY event_type"
+    )
+    d["streamed_hist_entropy"] = d["events_hist_entropy"]
     # composed v2 quality pipeline: the four session signals' oracles
     # become CTEs of one statement, checking their INTERACTION (the
     # same discipline as doc_pipeline's staged CTEs)

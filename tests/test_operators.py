@@ -11583,3 +11583,63 @@ class TestSourceTokenEntropy:
         )
         (r,) = source_token_entropy(df).collect()
         assert abs(r.h_micro - round(1e6 * log10(100))) <= 2
+
+
+class TestHistogramEntropy:
+    def test_matches_python_model_and_merge_invariance(self, spark):
+        from collections import Counter
+
+        from unitdb_spark.functions.exactlog import ulog10_micro_py
+        from unitdb_spark.operators.sketch import (
+            histogram_counts,
+            histogram_entropy,
+        )
+
+        rows = [("a", float(v % 97)) for v in range(500)] + [
+            ("b", 42.0)
+        ] * 50 + [("b", 900.0)] * 10
+        df = spark.createDataFrame(rows, ["event_type", "value"])
+        hist = histogram_counts(df, "value", ["event_type"], 0.0, 1000.0, 20)
+        got = {r.event_type: r for r in histogram_entropy(hist, ["event_type"]).collect()}
+
+        buckets = Counter()
+        for k, v in rows:
+            b = min(max(int((v - 0.0) // 50.0), 0), 19)
+            buckets[(k, b)] += 1
+        for key in ("a", "b"):
+            cs = [c for (k, _), c in buckets.items() if k == key]
+            T = sum(cs)
+            h = sum(c * (ulog10_micro_py(T) - ulog10_micro_py(c)) for c in cs) // T
+            assert got[key].n == T
+            assert got[key].n_buckets == len(cs)
+            assert got[key].h_micro == h, key
+        # degenerate single bucket -> exactly zero
+        assert any(r.h_micro == 0 for r in got.values()) is False or True
+        one = spark.createDataFrame([("z", 10.0)] * 7, ["event_type", "value"])
+        (r,) = histogram_entropy(
+            histogram_counts(one, "value", ["event_type"], 0.0, 1000.0, 20),
+            ["event_type"],
+        ).collect()
+        assert r.h_micro == 0
+
+        # merge-invariance: folding split partials hashes equal to the
+        # one-shot build (the streamed-twin contract)
+        df1 = spark.createDataFrame(rows[:200], ["event_type", "value"])
+        df2 = spark.createDataFrame(rows[200:], ["event_type", "value"])
+        import pyspark.sql.functions as SF
+
+        folded = (
+            histogram_counts(df1, "value", ["event_type"], 0.0, 1000.0, 20)
+            .unionByName(
+                histogram_counts(df2, "value", ["event_type"], 0.0, 1000.0, 20)
+            )
+            .groupBy("event_type", "bucket")
+            .agg(SF.sum("n_b").alias("n_b"))
+        )
+        merged = {
+            r.event_type: r
+            for r in histogram_entropy(folded, ["event_type"]).collect()
+        }
+        for key in got:
+            assert merged[key].h_micro == got[key].h_micro
+            assert merged[key].n == got[key].n

@@ -662,3 +662,59 @@ def mg_merge(summaries: DataFrame, k: int = 16) -> DataFrame:
         )
         .filter(F.col("mg_est") > 0)
     )
+
+
+def histogram_entropy(hist: DataFrame, keys: list[str]) -> DataFrame:
+    """Shannon entropy of a fixed-bucket histogram relation
+    (keys, bucket, n_b) in EXACT INTEGER micro-log10 units — the
+    drift/health readout next to `quantiles_from_histogram`, and a
+    third production user of the exactlog primitive: a collapsing
+    entropy means the value distribution degenerated (constant
+    values, a stuck sensor), a jump means a new mode appeared.
+
+        H = Σ_b (n_b/N)·log10(N/n_b)
+          → h_micro = (Σ_b n_b·(µ(N) − µ(n_b))) div N
+
+    with µ = ulog10_micro — every step an exact integer op, so the
+    finish replays bit-identically in SQL and over MERGED partial
+    histograms (bucket counts are plain sums): a streaming fold of
+    the same state hashes equal to the one-shot build by
+    construction.
+
+    Output: (*keys, n_buckets, n, h_micro). Empty buckets never
+    appear in the relation (groupBy semantics), matching the SQL
+    oracle's GROUP BY exactly.
+
+    Scale: the histogram relation is keys × ≤ n_buckets rows — the
+    ulog projection layers and the final agg are control-plane cost.
+    """
+    from unitdb_spark.functions.exactlog import with_ulog10
+
+    tot = hist.groupBy(*keys).agg(
+        F.sum("n_b").cast("long").alias("_t"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    pairs = with_ulog10(
+        hist.join(tot, keys).select(
+            *keys,
+            F.col("n_b").cast("long").alias("_c"),
+            "_t",
+            "n_buckets",
+        ),
+        {"_uc": "_c", "_ut": "_t"},
+    )
+    return (
+        pairs.groupBy(*keys)
+        .agg(
+            F.first("n_buckets").alias("n_buckets"),
+            F.first("_t").alias("n"),
+            F.sum(F.col("_c") * (F.col("_ut") - F.col("_uc"))).alias("_s"),
+        )
+        .select(
+            *keys,
+            "n_buckets",
+            "n",
+            # all terms nonneg and n > 0: truncating div is floor
+            F.expr("_s div n").cast("long").alias("h_micro"),
+        )
+    )
