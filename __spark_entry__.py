@@ -8898,6 +8898,17 @@ def q_parts_components(spark, sf_dir):
     return out.select(F.col("node").alias("part_id"), "cluster_id")
 
 
+def q_doc_cond_entropy(spark, sf_dir):
+    """Corpus-level conditional bigram entropy H(next|prev) in exact
+    integer micro-log10 units (exactlog) — the corpus-predictability
+    number next to the bigram LM: low = templated/repetitive text,
+    high = structureless transitions. h = (Σ c_xy·(µ(c_x)−µ(c_xy)))
+    div N, all integer — bit-identical on any engine."""
+    from unitdb_spark.operators.tfidf import conditional_bigram_entropy
+
+    return conditional_bigram_entropy(_docs(spark, sf_dir))
+
+
 def q_events_hist_entropy(spark, sf_dir):
     """Shannon entropy of the fixed-20-bucket value histogram per
     event type, in exact integer micro-log10 units (exactlog) — the
@@ -9788,6 +9799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_entropy": q_source_token_entropy,
         "events_hist_entropy": q_events_hist_entropy,
         "streamed_hist_entropy": q_streamed_hist_entropy,
+        "doc_cond_entropy": q_doc_cond_entropy,
         # --- green block: last hard driver row r02 ---
         "tpch_q2": q_tpch_q2,
         "tpch_q11": q_tpch_q11,
@@ -15643,6 +15655,39 @@ def oracle_sql() -> dict[str, str]:
         + ") GROUP BY event_type"
     )
     d["streamed_hist_entropy"] = d["events_hist_entropy"]
+    # conditional bigram entropy: doc_bigram_nll's bigram CTEs + the
+    # exactlog integer entropy finish on the bigram-type relation
+    _cbe_pairs = """
+        WITH tk AS (
+          SELECT doc_id, {toks} AS t FROM documents
+        ), big AS (
+          SELECT u.bg
+          FROM tk, unnest(
+            list_transform(range(1, len(t)),
+                           i -> t[i] || ' ' || t[i + 1])
+          ) AS u(bg)
+        ), bic AS (
+          SELECT bg, CAST(count(*) AS BIGINT) AS c,
+            string_split(bg, ' ')[1] AS prev
+          FROM big GROUP BY bg
+        ), ctx AS (
+          SELECT prev, CAST(sum(c) AS BIGINT) AS cx
+          FROM bic GROUP BY prev
+        )
+        SELECT bic.c, ctx.cx, bic.prev
+        FROM bic JOIN ctx USING (prev)
+        """.replace("{toks}", _TOKS)
+    d["doc_cond_entropy"] = (
+        "SELECT CAST(sum(c) AS BIGINT) AS n_bigrams,"
+        " CAST(count(*) AS BIGINT) AS n_bigram_types,"
+        " CAST(count(DISTINCT prev) AS BIGINT) AS n_contexts,"
+        " CAST(sum(c * (ux - uc)) // sum(c) AS BIGINT) AS h_micro"
+        " FROM ("
+        + ulog10_wrap_sql(
+            _cbe_pairs, {"uc": "c", "ux": "cx"}, ["c", "cx", "prev"]
+        )
+        + ")"
+    )
     # composed v2 quality pipeline: the four session signals' oracles
     # become CTEs of one statement, checking their INTERACTION (the
     # same discipline as doc_pipeline's staged CTEs)

@@ -1086,3 +1086,33 @@ class TestALaw:
         # its decode: midpoint (15+16)*1024 + 512 = 32256
         assert alaw_to_pcm16(np.array([0xAA]))[0] == 32256
         assert alaw_to_pcm16(np.array([0x2A]))[0] == -32256
+
+
+class TestVectorizedCrc16:
+    def test_fast_path_equals_reference_loop(self):
+        """The GF(2) position-table CRC16 (used on every FLAC frame
+        since round 9) must equal the byte-loop reference for every
+        length class: empty, below the cutover, exactly at chunk
+        boundaries, and long messages."""
+        import numpy as np
+
+        from unitdb_spark.functions import media_codec as mc
+
+        rng = np.random.default_rng(99)
+        for n in [0, 1, 63, 64, 65, 255, 256, 257, 511, 512, 513,
+                  1000, 4096, 10000]:
+            d = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            assert mc._crc16_fast(d) == mc._crc16(d), n
+
+    def test_fast_path_equals_reference_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from unitdb_spark.functions import media_codec as mc
+
+        @given(st.binary(min_size=0, max_size=2048))
+        @settings(max_examples=150, deadline=None)
+        def check(d):
+            assert mc._crc16_fast(d) == mc._crc16(d)
+
+        check()

@@ -11643,3 +11643,52 @@ class TestHistogramEntropy:
         for key in got:
             assert merged[key].h_micro == got[key].h_micro
             assert merged[key].n == got[key].n
+
+
+class TestConditionalBigramEntropy:
+    def test_matches_python_model(self, spark):
+        from collections import Counter
+
+        from unitdb_spark.functions.exactlog import ulog10_micro_py
+        from unitdb_spark.operators.tfidf import conditional_bigram_entropy
+
+        docs = [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ran"),
+            (3, "a dog sat"),
+            (4, "single"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        (r,) = conditional_bigram_entropy(df).collect()
+
+        bg = Counter()
+        for _, t in docs:
+            ws = t.split()
+            for a, b in zip(ws, ws[1:]):
+                bg[(a, b)] += 1
+        ctx = Counter()
+        for (a, _), c in bg.items():
+            ctx[a] += c
+        N = sum(bg.values())
+        s = sum(
+            c * (ulog10_micro_py(ctx[a]) - ulog10_micro_py(c))
+            for (a, _), c in bg.items()
+        )
+        assert r.n_bigrams == N
+        assert r.n_bigram_types == len(bg)
+        assert r.n_contexts == len(ctx)
+        assert r.h_micro == s // N
+
+    def test_deterministic_corpus_is_zero(self, spark):
+        """A corpus where every context has exactly one continuation
+        has conditional entropy exactly 0 — the integer program hits
+        it exactly (no float residue)."""
+        from unitdb_spark.operators.tfidf import conditional_bigram_entropy
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d"), (3, "a b c d")],
+            ["doc_id", "text"],
+        )
+        (r,) = conditional_bigram_entropy(df).collect()
+        assert r.h_micro == 0
+        assert r.n_bigram_types == r.n_contexts == 3

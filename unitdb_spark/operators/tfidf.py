@@ -1295,3 +1295,72 @@ def source_token_entropy(
             F.expr("_s div n_tokens").cast("long").alias("h_micro"),
         )
     )
+
+
+def conditional_bigram_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level conditional bigram entropy H(next | prev) in EXACT
+    INTEGER micro-log10 units — the predictability number next to the
+    bigram LM (`bigram_logprob` scores DOCUMENTS against the corpus
+    model; this scores the CORPUS itself): low conditional entropy
+    means templated/repetitive text (each token mostly determines the
+    next), high means transitions carry no structure. The fourth
+    production user of the exactlog primitive:
+
+        H(Y|X) = Σ_{xy} (c_xy / N) · log10(c_x / c_xy)
+               → h_micro = (Σ_{xy} c_xy·(µ(c_x) − µ(c_xy))) div N
+
+    with c_x = Σ_y c_xy (context totals roll up from the Zipf-small
+    bigram-TYPE relation, never the token stream), N = total bigram
+    instances, µ = ulog10_micro. Every step is an exact integer op —
+    the result hashes identically on any engine by construction.
+
+    Output: one row (n_bigrams, n_bigram_types, n_contexts, h_micro).
+
+    Shape (100 TB): one zip_with bigram explode feeding a map-side-
+    combined agg on the bigram string; context totals and the entropy
+    finish live on the bigram-type relation; the ulog layers are
+    shuffle-free codegen projection. Σ c·µ ≤ N·1.8e7 — BIGINT-safe to
+    ~5e11 bigram instances; beyond that the product column upgrades
+    to DECIMAL(38,0).
+    """
+    from unitdb_spark.functions.exactlog import with_ulog10
+
+    t = _tokens(text_col)
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    big = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, n1),
+                F.slice(t, 2, n1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    bic = big.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    bic = bic.select(
+        F.split(F.col("bg"), " ").getItem(0).alias("_prev"), "_c"
+    )
+    ctx = bic.groupBy("_prev").agg(F.sum("_c").alias("_cx"))
+    pairs = with_ulog10(
+        bic.join(ctx, "_prev"),
+        {"_uc": "_c", "_ux": "_cx"},
+    )
+    return (
+        pairs.agg(
+            F.sum("_c").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("n_bigram_types"),
+            F.count_distinct(F.col("_prev")).cast("long").alias("n_contexts"),
+            F.sum(F.col("_c") * (F.col("_ux") - F.col("_uc"))).alias("_s"),
+        )
+        .select(
+            "n_bigrams",
+            "n_bigram_types",
+            "n_contexts",
+            # all terms nonneg, N > 0 whenever any bigram exists
+            F.expr("_s div n_bigrams").cast("long").alias("h_micro"),
+        )
+    )
