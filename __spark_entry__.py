@@ -103,6 +103,15 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _pin_utc(spark).read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _li_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """Session cache key for the lineitem co-purchase pair relation:
+    every parts_* graph query derives from the same (src<dst, w)
+    pairs, so they share ONE |order|² build per session (the
+    per-session analogue of a catalog-bucketed edge table — see
+    operators/graph.cooccurrence_pairs)."""
+    return (spark.sparkContext.applicationId, sf_dir, "lineitem")
+
+
 # ------------------------------------------------- unitdb Get semantics
 
 
@@ -2959,9 +2968,11 @@ def q_doc_corpus_report(spark, sf_dir):
 
 
 def q_doc_char_entropy(spark, sf_dir):
-    """Character-level Shannon entropy per doc (gibberish detector):
-    exact counts, one libm log2 per (doc, char) class round-6'd into a
-    DECIMAL sum — order-free, bitwise oracle."""
+    """Character-level Shannon entropy per doc (gibberish detector) in
+    exact-integer micro-log10 units via the exactlog primitive — the
+    round-10 perturbation audit caught the old round-6 libm log2 within
+    1e-13 of a rounding boundary (the doc_heaps class), so the finish
+    is now zero-libm by construction."""
     from unitdb_spark.functions.text import char_entropy
 
     return char_entropy(_docs(spark, sf_dir))
@@ -3215,20 +3226,22 @@ def q_doc_quality_pipeline(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     sub = substring_dup_stats(d, k=8, min_occ=2).select("doc_id", "dup_ppm")
-    ent = char_entropy(d).select("doc_id", "entropy_r")
+    ent = char_entropy(d).select("doc_id", "h_micro")
     nll = unigram_logprob(d).select("doc_id", "nll_r")
     nov = novelty_stats(d, k=3).select("doc_id", "novelty_ppm")
     out = (
         sub.join(ent, "doc_id").join(nll, "doc_id").join(nov, "doc_id")
         .filter(
             (F.col("dup_ppm") < 300_000)
-            & F.col("entropy_r").between(3.8, 4.3)
+            # 3.8–4.3 bits minted as integer micro-log10 literals:
+            # ceil/floor of bits·log10(2)·1e6 (the literal-table idiom)
+            & F.col("h_micro").between(1_143_914, 1_294_428)
             & (F.col("nll_r") <= 1.479)
             & (F.col("novelty_ppm") >= 400_000)
         )
     )
     return out.select(
-        "doc_id", "dup_ppm", "entropy_r", "nll_r", "novelty_ppm"
+        "doc_id", "dup_ppm", "h_micro", "nll_r", "novelty_ppm"
     )
 
 
@@ -3393,7 +3406,7 @@ def q_parts_pagerank(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     pr = pagerank(
-        cooccurrence_edges(li, "l_orderkey", "l_partkey"), iterations=5
+        cooccurrence_edges(li, "l_orderkey", "l_partkey", cache_key=_li_key(spark, sf_dir)), iterations=5
     )
     return pr.select(F.col("node").alias("part_id"), "pr_r")
 
@@ -3407,7 +3420,7 @@ def q_parts_triangles(spark, sf_dir):
     from unitdb_spark.operators.graph import cooccurrence_edges, triangle_counts
 
     li = _read(spark, sf_dir, "lineitem")
-    return triangle_counts(cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+    return triangle_counts(cooccurrence_edges(li, "l_orderkey", "l_partkey", cache_key=_li_key(spark, sf_dir)))
 
 
 def q_parts_clustering(spark, sf_dir):
@@ -3422,7 +3435,7 @@ def q_parts_clustering(spark, sf_dir):
     )
 
     li = _read(spark, sf_dir, "lineitem")
-    e = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", cache_key=_li_key(spark, sf_dir))
     tri = triangle_counts(e)
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
@@ -3547,7 +3560,8 @@ def q_parts_label_prop(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     edges = weighted_cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", min_count=2
+        li, "l_orderkey", "l_partkey", min_count=2,
+        cache_key=_li_key(spark, sf_dir),
     )
     out = label_propagation(edges, weight="w", rounds=3)
     return out.select(F.col("node").alias("part_id"), F.col("lbl").alias("comm"))
@@ -3580,7 +3594,7 @@ def q_parts_ppr(spark, sf_dir):
     from unitdb_spark.operators.graph import cooccurrence_edges, personalized_pagerank
 
     li = _read(spark, sf_dir, "lineitem")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", cache_key=_li_key(spark, sf_dir))
     seeds = edges.select(F.col("src").alias("node")).distinct().filter(
         F.col("node") % 97 == 0
     )
@@ -3596,7 +3610,7 @@ def q_parts_bfs(spark, sf_dir):
     from unitdb_spark.operators.graph import bfs_hops, cooccurrence_edges
 
     li = _read(spark, sf_dir, "lineitem")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", cache_key=_li_key(spark, sf_dir))
     seeds = edges.select(F.col("src").alias("node")).distinct().filter(
         F.col("node") % 97 == 0
     )
@@ -4456,7 +4470,8 @@ def q_parts_kcore(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     edges = weighted_cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", min_count="auto"
+        li, "l_orderkey", "l_partkey", min_count="auto",
+        cache_key=_li_key(spark, sf_dir),
     ).select("src", "dst")
     out = kcore(edges, k=3, rounds=3)
     return out.select(F.col("node").alias("part_id"), "deg")
@@ -4785,7 +4800,8 @@ def q_parts_link_pred(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     edges = mutual_top_neighbors(
         weighted_cooccurrence_edges(
-            li, "l_orderkey", "l_partkey", min_count="auto"
+            li, "l_orderkey", "l_partkey", min_count="auto",
+            cache_key=_li_key(spark, sf_dir),
         ),
         max_degree=32,
     ).select("src", "dst")
@@ -5559,7 +5575,7 @@ def q_parts_assortativity(spark, sf_dir):
     from unitdb_spark.operators.olap import pinned_pearson
 
     li = _read(spark, sf_dir, "lineitem")
-    e = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    e = cooccurrence_edges(li, "l_orderkey", "l_partkey", cache_key=_li_key(spark, sf_dir))
     deg = e.groupBy(F.col("src").alias("_n")).agg(
         F.count(F.lit(1)).cast("long").alias("_d")
     )
@@ -5598,7 +5614,10 @@ def q_parts_pagerank_w(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     pr = pagerank_weighted(
-        weighted_cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2),
+        weighted_cooccurrence_edges(
+            li, "l_orderkey", "l_partkey", min_count=2,
+            cache_key=_li_key(spark, sf_dir),
+        ),
         iterations=3,
     )
     return pr.select(F.col("node").alias("part_id"), "pr_r")
@@ -5633,7 +5652,8 @@ def q_parts_link_ra(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     edges = weighted_cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", min_count=2
+        li, "l_orderkey", "l_partkey", min_count=2,
+        cache_key=_li_key(spark, sf_dir),
     ).select("src", "dst")
     return link_prediction_ra(edges, min_common=2)
 
@@ -6175,7 +6195,7 @@ def q_parts_neg_edges(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     part = _read(spark, sf_dir, "part")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", cache_key=_li_key(spark, sf_dir))
     mx = part.agg(F.max("p_partkey").alias("max_id"))
     return negative_edge_samples(edges, mx, k=3, oversample=3)
 
@@ -8842,7 +8862,8 @@ def q_parts_degree_dist(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     edges = weighted_cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", min_count="auto"
+        li, "l_orderkey", "l_partkey", min_count="auto",
+        cache_key=_li_key(spark, sf_dir),
     )
     deg = edges.groupBy(F.col("src").alias("part_id")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -8892,7 +8913,8 @@ def q_parts_components(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     edges = weighted_cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", min_count="auto"
+        li, "l_orderkey", "l_partkey", min_count="auto",
+        cache_key=_li_key(spark, sf_dir),
     )
     out = connected_components(edges, src="src", dst="dst")
     return out.select(F.col("node").alias("part_id"), "cluster_id")
@@ -9461,7 +9483,8 @@ def q_parts_sssp(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     edges = weighted_cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", min_count="auto"
+        li, "l_orderkey", "l_partkey", min_count="auto",
+        cache_key=_li_key(spark, sf_dir),
     ).withColumn("cost", F.expr("1000000 div w"))
     seeds = (
         li.select(F.col("l_partkey").alias("p")).distinct()
@@ -12387,24 +12410,8 @@ def oracle_sql() -> dict[str, str]:
                AS BIGINT) AS recall_ppm
         FROM m
         """,
-        "doc_char_entropy": """
-        -- identical char enumeration (substr over a generated index),
-        -- exact counts, round-6 terms, DECIMAL sum
-        WITH ch AS (
-          SELECT doc_id, length(text) AS n, substr(text, i, 1) AS ch
-          FROM documents,
-               UNNEST(generate_series(1, length(text))) AS u(i)
-        ), c AS (
-          SELECT doc_id, n, ch, COUNT(*) AS n_c FROM ch GROUP BY 1, 2, 3
-        )
-        SELECT doc_id, n AS n_chars_m,
-          CAST(COUNT(*) AS BIGINT) AS n_unique,
-          CAST(SUM(CAST(round(
-            -(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))
-            * log2(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
-            AS DECIMAL(18,6))) AS DOUBLE) AS entropy_r
-        FROM c GROUP BY doc_id, n
-        """,
+        # doc_char_entropy is assigned below the dict literal (it
+        # composes the exactlog integer program via ulog10_wrap_sql)
         "doc_corpus_report": f"""
         WITH rows AS (
           SELECT source, lang, {{toks}} AS tk, text,
@@ -15714,20 +15721,45 @@ def oracle_sql() -> dict[str, str]:
         JOIN cd ON cd.event_id = zd.event_id
         """
     )
+    # per-doc char entropy: identical char enumeration (substr over a
+    # generated index), exact counts, exactlog integer entropy finish
+    # (the round-10 perturbation audit retired the round-6 libm log2)
+    _ce_pairs = """
+        WITH ch AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+            substr(text, i, 1) AS ch
+          FROM documents,
+               UNNEST(generate_series(1, length(text))) AS u(i)
+        )
+        SELECT doc_id, n, CAST(COUNT(*) AS BIGINT) AS n_c
+        FROM ch GROUP BY doc_id, n, ch
+        """
+    d["doc_char_entropy"] = (
+        "SELECT doc_id,"
+        " CAST(any_value(n) AS BIGINT) AS n_chars_m,"
+        " CAST(count(*) AS BIGINT) AS n_unique,"
+        " CAST(sum(n_c * (un - uc)) // any_value(n) AS BIGINT) AS h_micro"
+        " FROM ("
+        + ulog10_wrap_sql(
+            _ce_pairs, {"uc": "n_c", "un": "n"},
+            ["doc_id", "n", "n_c"],
+        )
+        + ") GROUP BY doc_id"
+    )
     d["doc_quality_pipeline"] = (
         "WITH sub AS (" + d["doc_substring_dup"] + "), "
         "ent AS (" + d["doc_char_entropy"] + "), "
         "nll AS (" + d["doc_unigram_nll"] + "), "
         "nov AS (" + d["doc_novelty"] + ") "
         """
-        SELECT sub.doc_id, sub.dup_ppm, ent.entropy_r, nll.nll_r,
+        SELECT sub.doc_id, sub.dup_ppm, ent.h_micro, nll.nll_r,
                nov.novelty_ppm
         FROM sub
         JOIN ent USING (doc_id)
         JOIN nll USING (doc_id)
         JOIN nov USING (doc_id)
         WHERE sub.dup_ppm < 300000
-          AND ent.entropy_r BETWEEN 3.8 AND 4.3
+          AND ent.h_micro BETWEEN 1143914 AND 1294428
           AND nll.nll_r <= 1.479
           AND nov.novelty_ppm >= 400000
         """

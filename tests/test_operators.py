@@ -2822,16 +2822,19 @@ class TestCharEntropy:
     def test_known_entropies(self, spark):
         from unitdb_spark.functions.text import char_entropy
 
+        from unitdb_spark.functions.exactlog import ulog10_micro_py as u
+
         rows = [
             (1, "aaaaaaaa"),          # H = 0
-            (2, "abababab"),          # H = 1 bit
-            (3, "abcdabcd"),          # H = 2 bits
+            (2, "abababab"),          # H = 1 bit  = µ(8) − µ(4)
+            (3, "abcdabcd"),          # H = 2 bits = µ(8) − µ(2)
         ]
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
-        assert out[1]["entropy_r"] == 0.0 and out[1]["n_unique"] == 1
-        assert out[2]["entropy_r"] == 1.0
-        assert out[3]["entropy_r"] == 2.0
+        assert out[1]["h_micro"] == 0 and out[1]["n_unique"] == 1
+        assert out[2]["h_micro"] == u(8) - u(4)      # ≈ log10(2)·1e6
+        assert out[3]["h_micro"] == u(8) - u(2)      # ≈ 2·log10(2)·1e6
+        assert abs(out[2]["h_micro"] - 301_030) <= 2
         assert out[3]["n_chars_m"] == 8
 
     def test_gibberish_scores_above_text(self, spark):
@@ -2842,16 +2845,18 @@ class TestCharEntropy:
             (2, "x9!Kq2@Zw8#Jv4$Yt6%Hr1&Gp3*Fo5(En7)Dm0_Cl~Bk^Aj"),
         ]
         docs = spark.createDataFrame(rows, "doc_id long, text string")
-        out = {r["doc_id"]: r["entropy_r"] for r in char_entropy(docs).collect()}
+        out = {r["doc_id"]: r["h_micro"] for r in char_entropy(docs).collect()}
         assert out[2] > out[1]
 
     def test_multibyte_chars_counted_as_chars(self, spark):
         from unitdb_spark.functions.text import char_entropy
 
+        from unitdb_spark.functions.exactlog import ulog10_micro_py as u
+
         docs = spark.createDataFrame([(1, "ééàà")], "doc_id long, text string")
         out = char_entropy(docs).collect()[0]
         assert out["n_chars_m"] == 4 and out["n_unique"] == 2
-        assert out["entropy_r"] == 1.0
+        assert out["h_micro"] == u(4) - u(2)         # 1 bit in µlog10
 
 
 class TestMultiprobeLsh:
@@ -2902,9 +2907,11 @@ class TestReviewFixesRound4b:
         docs = spark.createDataFrame(
             [(1, "abab"), (2, "")], "doc_id long, text string"
         )
+        from unitdb_spark.functions.exactlog import ulog10_micro_py as u
+
         out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
         # empty doc has no char distribution -> absent (both engines)
-        assert set(out) == {1} and out[1]["entropy_r"] == 1.0
+        assert set(out) == {1} and out[1]["h_micro"] == u(4) - u(2)
 
     def test_scd2_same_timestamp_ties_deterministic(self, spark):
         import datetime as dt

@@ -421,21 +421,17 @@ class TestCharEntropyProperty:
     @given(text=st.text(alphabet="abcdef ", min_size=1, max_size=60))
     def test_matches_python_model(self, spark, text):
         from collections import Counter
-        from decimal import Decimal
 
+        from unitdb_spark.functions.exactlog import ulog10_micro_py as u
         from unitdb_spark.functions.text import char_entropy
 
         docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
         got = char_entropy(docs).collect()[0]
         counts = Counter(text)
         n = len(text)
-        model = sum(
-            (Decimal(str(round(-(c / n) * math.log2(c / n), 6)))
-             for c in counts.values()),
-            Decimal(0),
-        )
+        model = sum(c * (u(n) - u(c)) for c in counts.values()) // n
         assert got["n_unique"] == len(counts)
-        assert Decimal(str(got["entropy_r"])) == model
+        assert got["h_micro"] == model
 
 
 class TestMannWhitneyProperty:

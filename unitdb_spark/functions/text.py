@@ -567,26 +567,39 @@ def line_filter(col: Column | str) -> dict[str, Column]:
 
 
 def char_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
-    """Per-document character-level Shannon entropy — the classic
-    gibberish/compression-artifact detector (natural text sits ~4-4.5
-    bits/char; base64 blobs and key-mash both stand out, high and low).
+    """Per-document character-level Shannon entropy in EXACT INTEGER
+    micro-log10 units — the classic gibberish/compression-artifact
+    detector (natural text sits ~4-4.5 bits/char ≈ 1.20-1.35e6 µlog10;
+    base64 blobs and key-mash both stand out, high and low).
 
-    H = -Σ_c p_c·log2(p_c) over the doc's character distribution.
-    Cross-engine contract: counts are exact integers; each character
-    class's term -p·log2(p) is one libm call, round-6'd and summed as
-    DECIMAL(18,6) (order-free, the repo convention); the distinct
-    character count rides the same aggregation.
+    H(d) = Σ_c (n_c/n)·log10(n/n_c)
+         → h_micro = (Σ_c n_c·(µ(n) − µ(n_c))) div n
+
+    with µ = ulog10_micro (exactlog.py). The original round-6 libm
+    formulation was caught by the round-10 perturbation audit
+    (scripts/audit_transcendentals.py): a per-(doc, char-class)
+    -p·log2(p) value sits within 1e-13 relative of a 6dp rounding
+    boundary at sf0.01, i.e. a one-ulp libm disagreement between
+    engines would flip the rendered output — the doc_heaps class.
+    The exactlog finish is the structural fix: every step an exact
+    integer op, identical on every engine by construction. Bits =
+    h_micro / (1e6·log10(2)) — a display concern, kept out of the
+    engine (convention shared with source_token_entropy et al.).
 
     Characters enumerate via substr(text, i, 1) over a generated index
     — the identical construction replays in SQL (no engine-specific
     empty-pattern split semantics).
 
     Shape: explode is linear in characters; one (id, char) partial-agg
-    shuffle + one id rollup.
+    shuffle + one id rollup; the ulog10 layers are pure whole-stage
+    codegen projection. Products n_c·µ ≤ n·1.8e7 sum in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) — unbounded at any physical document.
 
-    Output: (id, n_chars_m, n_unique, entropy_r).
+    Output: (id, n_chars_m, n_unique, h_micro).
     """
     from pyspark.sql import functions as F
+
+    from unitdb_spark.functions.exactlog import with_ulog10
 
     # guard the empty doc: sequence(1, 0) is [1, 0] in Spark (a DOWN
     # ramp, not empty) — unguarded it explodes two '' rows with n=0 and
@@ -607,21 +620,26 @@ def char_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
         ).alias("ch"),
     )
     counts = chars.groupBy("id", "n", "ch").agg(
-        F.count(F.lit(1)).alias("n_c")
+        F.count(F.lit(1)).cast("long").alias("n_c")
     )
-    p = F.col("n_c").cast("double") / F.col("n").cast("double")
-    term = F.round(-p * F.log2(p), 6).cast("decimal(18,6)")
+    pairs = with_ulog10(
+        counts.select("id", F.col("n").cast("long").alias("n"), "n_c"),
+        {"_un": "n", "_uc": "n_c"},
+    )
     return (
-        counts.groupBy("id", "n")
+        pairs.groupBy("id", "n")
         .agg(
             F.count(F.lit(1)).alias("n_unique"),
-            F.sum(term).alias("_h"),
+            F.sum(
+                (F.col("n_c") * (F.col("_un") - F.col("_uc"))).cast("decimal(38,0)")
+            ).alias("_s"),
         )
         .select(
             F.col("id").alias(id_col),
             F.col("n").alias("n_chars_m"),
             "n_unique",
-            F.col("_h").cast("double").alias("entropy_r"),
+            # Σ n_c·(µn − µc) ≥ 0 and n > 0: truncating div is floor
+            F.expr("_s div n").cast("long").alias("h_micro"),
         )
     )
 

@@ -1255,10 +1255,11 @@ def source_token_entropy(
     Scale: one explode + map-side-combined (source, term) count, one
     source total, one broadcast-shaped join back (the totals relation
     is |sources| rows), the ulog10 projection layers (pure whole-stage
-    codegen, no shuffle), and a final per-source agg. Σ c·µ products
-    stay ≤ tokens · 1.8e7 — BIGINT-safe to ~5e11 tokens PER SOURCE;
-    the 100 TB path upgrades the two product columns to DECIMAL(38,0)
-    before the sum, shown in the cost row.
+    codegen, no shuffle), and a final per-source agg. Each c·µ
+    product is ≤ tokens · 1.8e7; the sum runs in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB sum(BIGINT) widens natively), safe to
+    ~5e30 tokens per source — unbounded at any physical corpus; the
+    quotient h_micro ≤ 1.8e7 lands back in BIGINT.
     """
     from unitdb_spark.functions.exactlog import with_ulog10
 
@@ -1285,7 +1286,9 @@ def source_token_entropy(
         .agg(
             F.first("n_terms").alias("n_terms"),
             F.first("_t").alias("n_tokens"),
-            F.sum(F.col("_c") * (F.col("_ut") - F.col("_uc"))).alias("_s"),
+            F.sum(
+                (F.col("_c") * (F.col("_ut") - F.col("_uc"))).cast("decimal(38,0)")
+            ).alias("_s"),
         )
         .select(
             F.col("_src").alias("source"),
