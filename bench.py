@@ -11,7 +11,9 @@ Benches (BASELINE.md protocol):
   B4 window_agg — tumbling + sliding window aggregation over events
   B5 analytics  — tpch_q1 + revenue join
   B6 pipeline   — dedup (exact + minhash-LSH) and ANN cosine top-K
-  B7 heavyweight— iterative PageRank, prefix-filtered exact Jaccard
+  B7 heavyweight— shared co-purchase edge build (round-10 protocol:
+                  billed once as parts_edge_build, then reused), then
+                  iterative PageRank, prefix-filtered exact Jaccard
                   join, blocked record linkage (round-5 panel), and
                   co-purchase connected components (round-9 addition);
                   the BASELINE.md-comparable 14-query subtotal is
@@ -55,6 +57,19 @@ def main() -> None:
 
     spark = get_spark("unitdb-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # load context (round 10): the get-family medians alias host noise
+    # (r9 driver run: get_wild_star median 2.16x vs min 1.13x in the
+    # same five reps). Record loadavg so every bench JSON is
+    # self-describing about contention, and WARN loudly when the box
+    # is busy enough to distrust sub-second medians.
+    load_start = os.getloadavg()
+    if load_start[0] > CPUS / 4:
+        print(
+            f"WARN: loadavg {load_start[0]:.1f} > cpus/4 ({CPUS}/4) — "
+            "sub-second medians will alias host contention",
+            file=sys.stderr,
+        )
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     timings: dict[str, float] = {}
@@ -126,6 +141,26 @@ def main() -> None:
     # repo — iterative graph, unblocked prefix-filtered similarity
     # join, blocked record linkage — regression-visible per BASELINE.md
     # "Round-5 heavyweight panel" first-run numbers
+    #
+    # Shared-build protocol (round 10): every parts_* graph query
+    # derives from the SAME (src<dst, w) co-purchase pair relation; at
+    # 100 TB that relation is a catalog-bucketed edge table built once
+    # (sources/bucketed.py), never re-derived per query. Bench bills
+    # the |order|² build to its own line (parts_edge_build), then the
+    # graph queries read the persisted relation — the same split a
+    # production pipeline would show.
+    from unitdb_spark.operators.graph import cooccurrence_pairs
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    t0 = time.time()
+    pairs, _ = cooccurrence_pairs(
+        li,
+        "l_orderkey",
+        "l_partkey",
+        cache_key=(spark.sparkContext.applicationId, SF_DIR, "lineitem"),
+    )
+    pairs.count()
+    timings["parts_edge_build"] = time.time() - t0
     timed("parts_pagerank", qs["parts_pagerank"])
     timed("doc_prefix_jaccard", qs["doc_prefix_jaccard"])
     timed("customer_er", qs["customer_er"])
@@ -150,6 +185,8 @@ def main() -> None:
         "cpus": CPUS,
         "median_of": MEDIAN_OF,
         "spread_min_max": spreads,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(out))
     spark.stop()

@@ -27,16 +27,25 @@ from .conftest import SF_SMALL
 @pytest.fixture(scope="module")
 def media(spark):
     """Opaque text-byte blobs (exercises the stub resize/feature path
-    and the unparseable-blob metadata path)."""
+    and the unparseable-blob metadata path). Unpersisted on teardown
+    (see real_media)."""
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
-    return documents_as_media(docs).cache()
+    df = documents_as_media(docs).cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def real_media(spark):
-    """Structurally-valid PNG/JPEG/GIF/WAV/MP4 blobs built per doc_id."""
+    """Structurally-valid PNG/JPEG/GIF/WAV/MP4 blobs built per doc_id.
+    Unpersisted on teardown: a leaked cache entry makes any LATER plan
+    assertion on the same logical plan (test_plans' media exchange
+    count) resolve to InMemoryRelation and see different shuffles —
+    an order-dependent flake, found in round 10."""
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
-    return synthetic_media(docs).cache()
+    df = synthetic_media(docs).cache()
+    yield df
+    df.unpersist()
 
 
 class TestMediaMeta:

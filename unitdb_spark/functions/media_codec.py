@@ -1402,6 +1402,141 @@ class _BitReader:
         self.n = 0
 
 
+class _JpegBitReader:
+    """Pooled bit reader for JPEG entropy segments: destuffs the
+    segment ONCE up to the next real marker (0xFF00 -> 0xFF), then
+    serves bits by index with no per-bit byte/marker logic — the
+    round-10 decode speedup (read_bit dominated the progressive
+    profile). Observable contract matches `_BitReader` at every point
+    the JPEG decoders use: read_bit/read_bits return None at a real
+    marker with ``p`` resting ON the 0xFF; ``align()`` discards the
+    partial byte; assigning ``p`` (restart handling) reseeds the pool.
+    FLAC keeps the original `_BitReader` (it pokes its internals)."""
+
+    __slots__ = ("b", "_pool", "_raw_after", "_start", "_end_p", "_i")
+
+    def __init__(self, data: bytes, pos: int):
+        self.b = data
+        self._seed(pos)
+
+    def _seed(self, pos: int) -> None:
+        b = self.b
+        n = len(b)
+        pool = bytearray()
+        raw_after = []
+        p = pos
+        while p < n:
+            byte = b[p]
+            if byte == 0xFF:
+                if p + 1 >= n:
+                    p += 1  # truncated trailing 0xFF (original consumed it)
+                    break
+                if b[p + 1] != 0x00:
+                    break  # real marker: stop with p ON the 0xFF
+                pool.append(0xFF)
+                p += 2
+                raw_after.append(p)
+                continue
+            pool.append(byte)
+            p += 1
+            raw_after.append(p)
+        self._pool = bytes(pool)
+        self._raw_after = raw_after
+        self._start = pos
+        self._end_p = p
+        self._i = 0
+
+    @property
+    def p(self) -> int:
+        i = self._i
+        if i >= len(self._pool) * 8:
+            # exhausted: resting on the terminating marker (or at the
+            # start when the pool was empty to begin with and nothing
+            # was ever read — both collapse to the same raw position
+            # except for a truncated trailing 0xFF, where the decoders
+            # abort before reading p)
+            return self._end_p
+        if i == 0:
+            return self._start
+        return self._raw_after[(i - 1) >> 3]
+
+    @p.setter
+    def p(self, pos: int) -> None:
+        self._seed(pos)
+
+    def read_bit(self) -> int | None:
+        i = self._i
+        if i >= len(self._pool) * 8:
+            return None
+        self._i = i + 1
+        return (self._pool[i >> 3] >> (7 - (i & 7))) & 1
+
+    def read_bits(self, k: int) -> int | None:
+        if k == 0:
+            return 0
+        i = self._i
+        if i + k > len(self._pool) * 8:
+            self._i = len(self._pool) * 8
+            return None
+        j = (i + k - 1) >> 3
+        chunk = int.from_bytes(self._pool[i >> 3 : j + 1], "big")
+        self._i = i + k
+        return (chunk >> ((j + 1) * 8 - (i + k))) & ((1 << k) - 1)
+
+    def read_huff(self, table) -> int | None:
+        """Canonical-Huffman symbol without per-bit method calls:
+        grab the table's minimum code length in one chunk, then walk
+        the canonical first/count ranges (integer compares, no dict
+        probes) one bit at a time."""
+        pool = self._pool
+        nbits = len(pool) * 8
+        i = self._i
+        first = getattr(table, "first", None)
+        if first is None:  # plain dict (defensive)
+            code = 0
+            get = table.get
+            for length in range(1, 17):
+                if i >= nbits:
+                    self._i = i
+                    return None
+                code = (code << 1) | ((pool[i >> 3] >> (7 - (i & 7))) & 1)
+                i += 1
+                sym = get((code, length))
+                if sym is not None:
+                    self._i = i
+                    return sym
+            self._i = i
+            return None
+        L = table.min_len
+        if i + L > nbits:
+            self._i = nbits
+            return None
+        j = (i + L - 1) >> 3
+        code = (
+            int.from_bytes(pool[i >> 3 : j + 1], "big")
+            >> ((j + 1) * 8 - (i + L))
+        ) & ((1 << L) - 1)
+        i += L
+        cnt = table.count
+        offset = table.offset
+        syms = table.syms
+        for length in range(L, 17):
+            d = code - first[length]
+            if 0 <= d < cnt[length]:
+                self._i = i
+                return syms[offset[length] + d]
+            if length == 16 or i >= nbits:
+                self._i = i
+                return None
+            code = (code << 1) | ((pool[i >> 3] >> (7 - (i & 7))) & 1)
+            i += 1
+        self._i = i
+        return None
+
+    def align(self) -> None:
+        self._i = (self._i + 7) & ~7
+
+
 def _huff_fixed(symbols: list[int], length: int):
     """Fixed-length canonical table: counts vector (1-16) + symbol
     list + encode map {sym: (code, len)}."""
@@ -1449,14 +1584,11 @@ def _pad_edge(a, ph, pw):
     return out
 
 
-def _encode_block(bw, block, qtab, C, prev_dc, dc_enc, ac_enc):
-    """FDCT + quantize + zigzag + Huffman one 8x8 block; returns the
-    new DC predictor."""
-    import numpy as np
-
-    S = C @ (block.astype(np.float64) - 128.0) @ C.T
-    q = np.round(S / qtab).astype(np.int64)
-    zz = [int(q.flat[_ZIGZAG[k]]) for k in range(64)]
+def _encode_block(bw, zz, prev_dc, dc_enc, ac_enc):
+    """Huffman-encode one 8x8 block's PRE-QUANTIZED zigzag
+    coefficients (list of 64 ints from `_jpeg_quantized_coefs` — the
+    batched FDCT/quantize runs once per component, not per block);
+    returns the new DC predictor."""
     diff = zz[0] - prev_dc
     size, bits = _magnitude(diff)
     code, clen = dc_enc[size]
@@ -1513,31 +1645,16 @@ def encode_jpeg_baseline(
     encoders use for error resilience)."""
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
-    gray = a.ndim == 2
-    if gray:
-        a = a[:, :, None]
-    h, w, ncomp = a.shape
-    if subsample == "420" and ncomp == 3:
-        samps = [(2, 2), (1, 1), (1, 1)]
-        ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
-        yp = _pad_edge(a[:, :, 0], ph, pw)
-        cb = _pad_edge(a[:, :, 1], ph, pw)[::2, ::2]
-        cr = _pad_edge(a[:, :, 2], ph, pw)[::2, ::2]
-        comp_planes = [yp, cb, cr]
-    elif subsample is None:
-        samps = [(1, 1)] * ncomp
-        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-        comp_planes = [_pad_edge(a[:, :, c], ph, pw) for c in range(ncomp)]
-    else:
-        raise ValueError("subsample must be None or '420' (3-component)")
-    C = _dct_matrix()
+    h, w, samps, coefs = _jpeg_quantized_coefs(arr, quant, subsample)
+    ncomp = len(samps)
     qtab = np.full((8, 8), int(quant), dtype=np.int32)
     dc_counts, dc_syms, dc_enc = _huff_fixed(_JPEG_DC_SYMBOLS, 4)
     ac_counts, ac_syms, ac_enc = _huff_fixed(_JPEG_AC_SYMBOLS, 8)
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
+    ph, pw = coefs[0].shape[0] * 8, coefs[0].shape[1] * 8
     mcus_x, mcus_y = pw // (8 * hmax), ph // (8 * vmax)
+    zzl = [coefs[c].tolist() for c in range(ncomp)]
     bw = _BitWriter()
     prev_dc = [0] * ncomp
     mcu, rst = 0, 0
@@ -1552,12 +1669,10 @@ def encode_jpeg_baseline(
                 hi, vi = samps[c]
                 for bv in range(vi):
                     for bh in range(hi):
-                        py = (my * vi + bv) * 8
-                        px = (mx * hi + bh) * 8
                         prev_dc[c] = _encode_block(
                             bw,
-                            comp_planes[c][py : py + 8, px : px + 8],
-                            qtab, C, prev_dc[c], dc_enc, ac_enc,
+                            zzl[c][my * vi + bv][mx * hi + bh],
+                            prev_dc[c], dc_enc, ac_enc,
                         )
             mcu += 1
     bw.flush()
@@ -1586,20 +1701,46 @@ def encode_jpeg_baseline(
     return bytes(out)
 
 
+class _HuffTable(dict):
+    """Canonical (code, length) -> symbol dict PLUS the canonical
+    range arrays (first code / count / symbol offset per length) that
+    let `_JpegBitReader.read_huff` decode with integer compares
+    instead of a dict probe per candidate length."""
+
+    __slots__ = ("min_len", "first", "count", "offset", "syms")
+
+
 def _huff_decode_table(counts: list[int], symbols: list[int]):
     """Canonical (code, length) -> symbol map per T.81 C.2."""
-    table = {}
+    table = _HuffTable()
+    first = [0] * 17
+    cnt = [0] * 17
+    offset = [0] * 17
+    min_len = 0
     code, idx = 0, 0
     for length in range(1, 17):
+        first[length] = code
+        offset[length] = idx
+        cnt[length] = counts[length - 1]
         for _ in range(counts[length - 1]):
             table[(code, length)] = symbols[idx]
             code += 1
             idx += 1
+        if cnt[length] and not min_len:
+            min_len = length
         code <<= 1
+    table.min_len = min_len or 1
+    table.first = first
+    table.count = cnt
+    table.offset = offset
+    table.syms = list(symbols)
     return table
 
 
-def _read_huff_symbol(br: _BitReader, table) -> int | None:
+def _read_huff_symbol(br, table) -> int | None:
+    rh = getattr(br, "read_huff", None)
+    if rh is not None:
+        return rh(table)
     code, length = 0, 0
     while length < 16:
         bit = br.read_bit()
@@ -1747,7 +1888,7 @@ def _jpeg_decode_scan(b, pos, sof, qtabs, huff, scan, restart_interval):
         for k in range(64):
             q[_ZIGZAG[k]] = qtabs[tq][k]
         qt.append(q.reshape(8, 8))
-    br = _BitReader(b, pos)
+    br = _JpegBitReader(b, pos)
     prev_dc = [0] * nc
     mcu = 0
     for my in range(mcus_y):
@@ -2057,20 +2198,28 @@ def _jpeg_quantized_coefs(arr, quant: int, subsample: str | None):
     else:
         raise ValueError("subsample must be None or '420' (3-component)")
     C = _dct_matrix()
-    qtab = np.full((8, 8), int(quant), dtype=np.float64)
+    zig = np.asarray(_ZIGZAG, dtype=np.int64)
     coefs = []
     for c in range(ncomp):
         pl = comp_planes[c]
         by, bx = pl.shape[0] // 8, pl.shape[1] // 8
-        out = np.zeros((by, bx, 64), dtype=np.int64)
-        for yy in range(by):
-            for xx in range(bx):
-                blk = pl[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8]
-                S = C @ (blk.astype(np.float64) - 128.0) @ C.T
-                q = np.round(S / qtab).astype(np.int64)
-                for k in range(64):
-                    out[yy, xx, k] = q.flat[_ZIGZAG[k]]
-        coefs.append(out)
+        # batched FDCT: one np.matmul pair over the (by, bx) block axes
+        # instead of a Python loop per block. Each output element is
+        # the same length-8 dot product mathematically; BLAS may
+        # accumulate batched slices in a different order than the
+        # per-block matmul, which can flip a quantizer value whose
+        # exact magnitude sits ON a .5 boundary (observed once in a
+        # PADDED chroma plane: -940.0 vs -939.9999999999998). MCU-
+        # multiple fixtures are boundary-free and byte-identical; for
+        # arbitrary input the encoder is deterministic per
+        # shape/content and stays inside JPEG's lossy contract.
+        blocks = (
+            pl.astype(np.float64).reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+            - 128.0
+        )
+        S = np.matmul(C, np.matmul(blocks, C.T))
+        q = np.round(S / float(int(quant))).astype(np.int64)
+        coefs.append(q.reshape(by, bx, 64)[:, :, zig])
     return h, w, samps, coefs
 
 
@@ -2161,6 +2310,8 @@ def encode_jpeg_progressive(
     Dimensions must be exact MCU multiples (8, or 16 on the sampled
     axes of '420') so non-interleaved scans cover every block — the
     honest restriction; the fixture complies by construction."""
+    import numpy as np
+
     h, w, samps, coefs = _jpeg_quantized_coefs(arr, quant, subsample)
     ncomp = len(samps)
     hmax = max(s[0] for s in samps)
@@ -2226,22 +2377,24 @@ def encode_jpeg_progressive(
     for c in range(ncomp):
         by, bx = coefs[c].shape[0], coefs[c].shape[1]
         bw = _BitWriter()
+        # point transform (toward zero) for the whole component in one
+        # vectorized pass; per-element it equals (|v| >> 1) * sign(v)
+        ac = coefs[c][:, :, 1:64]
+        pt = (np.sign(ac) * (np.abs(ac) >> 1)).tolist()
         for yy in range(by):
+            row = pt[yy]
             for xx in range(bx):
-                band = [
-                    (abs(int(v)) >> 1) * (1 if v > 0 else -1)
-                    for v in coefs[c][yy, xx, 1:64]
-                ]
-                _emit_ac_first(bw, band, ac_enc)
+                _emit_ac_first(bw, row[xx], ac_enc)
         bw.flush()
         out += sos_header([c], 1, 63, 0, 1) + bw.out
     for c in range(ncomp):
         by, bx = coefs[c].shape[0], coefs[c].shape[1]
         bw = _BitWriter()
+        raw = coefs[c][:, :, 1:64].tolist()
         for yy in range(by):
+            row = raw[yy]
             for xx in range(bx):
-                band = [int(v) for v in coefs[c][yy, xx, 1:64]]
-                _emit_ac_refine(bw, band, ac_enc, 0)
+                _emit_ac_refine(bw, row[xx], ac_enc, 0)
         bw.flush()
         out += sos_header([c], 1, 63, 1, 0) + bw.out
     out += b"\xff\xd9"
@@ -2364,7 +2517,7 @@ def decode_jpeg_progressive_rgb(b: bytes):
                 scomps.append((ci, tt >> 4, tt & 0x0F))
             ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahl >> 4, ahl & 0x0F
-            br = _BitReader(b, pos + 2 + seglen)
+            br = _JpegBitReader(b, pos + 2 + seglen)
             ok = _jpeg_progressive_scan(
                 b, br, sof, scomps, huff, coefs, comp_grid,
                 ss, se, ah, al, restart_interval,
