@@ -11699,3 +11699,179 @@ class TestConditionalBigramEntropy:
         (r,) = conditional_bigram_entropy(df).collect()
         assert r.h_micro == 0
         assert r.n_bigram_types == r.n_contexts == 3
+
+
+class TestBenfordAudit:
+    def test_benford_distributed_sample_passes(self, spark):
+        """A sample drawn FROM the Benford distribution itself (digit d
+        repeated round(p_d*1000) times, values d*10..) must not reject
+        at 5%: observed == expected up to ppm flooring."""
+        from unitdb_spark.operators.stats_tests import (
+            BENFORD_PPM,
+            benford_audit,
+        )
+
+        rows = []
+        i = 0
+        for d, ppm in BENFORD_PPM.items():
+            for _ in range(round(ppm / 1000)):
+                rows.append(("t", float(d * 10 + i % 10)))
+                i += 1
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        (r,) = benford_audit(df, "value", ["event_type"]).collect()
+        assert r.n_values == len(rows)
+        assert not r.reject_05
+        assert r.chi2_micro < 1_000_000  # chi2 << 1 for the exact mix
+
+    def test_uniform_digits_reject(self, spark):
+        """Uniform first digits (each of 1..9 equally often) are the
+        canonical Benford violation — chi-square must reject."""
+        from unitdb_spark.operators.stats_tests import benford_audit
+
+        rows = [("u", float(d * 100 + k)) for d in range(1, 10) for k in range(100)]
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        (r,) = benford_audit(df, "value", ["event_type"]).collect()
+        assert r.reject_05 and r.n_values == 900
+
+    def test_values_below_one_excluded(self, spark):
+        from unitdb_spark.operators.stats_tests import benford_audit
+
+        df = spark.createDataFrame(
+            [("t", 0.5), ("t", 0.01), ("t", 12.0), ("t", None)],
+            "event_type string, value double",
+        )
+        (r,) = benford_audit(df, "value", ["event_type"]).collect()
+        assert r.n_values == 1
+
+    def test_chi2_matches_python_model(self, spark):
+        from unitdb_spark.operators.stats_tests import (
+            BENFORD_PPM,
+            benford_audit,
+        )
+
+        vals = [1.2, 19.0, 2.0, 25.0, 31.0, 4.0, 444.0, 5.0, 60.0,
+                7.5, 80.0, 9.0, 99.0, 111.0, 18.0]
+        df = spark.createDataFrame(
+            [("x", v) for v in vals], "event_type string, value double"
+        )
+        (r,) = benford_audit(df, "value", ["event_type"]).collect()
+        from collections import Counter
+
+        obs = Counter(int(str(int(v))[0]) for v in vals)
+        n = sum(obs.values())
+        chi2 = sum(
+            (obs.get(d, 0) * 10**6 - n * p) ** 2 // (n * p)
+            for d, p in BENFORD_PPM.items()
+            if obs.get(d, 0) > 0
+        )
+        assert r.chi2_micro == chi2
+
+
+class TestGiniByGroup:
+    def test_perfect_equality_is_zero(self, spark):
+        from unitdb_spark.operators.stats_tests import gini_by_group
+
+        df = spark.createDataFrame(
+            [("g", i, 100) for i in range(10)], "grp string, id long, amt long"
+        )
+        (r,) = gini_by_group(df, "grp", "id", "amt").collect()
+        assert r.gini_ppm == 0 and r.n_members == 10
+        assert r.total_amount == 1000
+
+    def test_total_concentration_approaches_one(self, spark):
+        """One member holds everything: G = (n-1)/n exactly."""
+        from unitdb_spark.operators.stats_tests import gini_by_group
+
+        n = 10
+        df = spark.createDataFrame(
+            [("g", i, 0) for i in range(n - 1)] + [("g", n - 1, 5000)],
+            "grp string, id long, amt long",
+        )
+        (r,) = gini_by_group(df, "grp", "id", "amt").collect()
+        assert r.gini_ppm == (n - 1) * 1_000_000 // n
+
+    def test_matches_mean_absolute_difference_definition(self, spark):
+        """Closed rank form == the O(n²) pairwise definition
+        G = Σ|x_i−x_j| / (2n²·mean), floored to ppm."""
+        from unitdb_spark.operators.stats_tests import gini_by_group
+
+        amts = [3, 1, 4, 1, 5, 9, 2, 6]
+        df = spark.createDataFrame(
+            [("g", i, a) for i, a in enumerate(amts)],
+            "grp string, id long, amt long",
+        )
+        (r,) = gini_by_group(df, "grp", "id", "amt").collect()
+        n, s = len(amts), sum(amts)
+        mad = sum(abs(a - b) for a in amts for b in amts)
+        assert r.gini_ppm == mad * 1_000_000 // (2 * n * s)
+
+    def test_zero_total_emits_null(self, spark):
+        from unitdb_spark.operators.stats_tests import gini_by_group
+
+        df = spark.createDataFrame(
+            [("z", 1, 0), ("z", 2, 0)], "grp string, id long, amt long"
+        )
+        (r,) = gini_by_group(df, "grp", "id", "amt").collect()
+        assert r.gini_ppm is None
+
+
+class TestKtruss:
+    def _edges(self, spark, und):
+        rows = [(a, b, 1) for a, b in und] + [(b, a, 1) for a, b in und]
+        return spark.createDataFrame(rows, "src long, dst long, w long")
+
+    def test_triangle_survives_bridge_falls(self, spark):
+        """Triangle {1,2,3} + bridge 3-4: the 3-truss keeps exactly
+        the triangle's edges (support 1 each); the bridge has no
+        triangle and is peeled in round 1."""
+        from unitdb_spark.operators.graph import ktruss_edges
+
+        und = [(1, 2), (1, 3), (2, 3), (3, 4)]
+        out = {
+            (r.src, r.dst): r.support
+            for r in ktruss_edges(self._edges(spark, und), k=3, rounds=2).collect()
+        }
+        assert out == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+    def test_k4_peel_cascades(self, spark):
+        """Two triangles sharing edge (1,2): (1,2) has support 2 but
+        every other edge has support 1 < 2, so round 1 peels them and
+        round 2 then peels (1,2) — the 4-truss is empty. A K4 clique
+        (every edge support 2) survives intact."""
+        from unitdb_spark.operators.graph import ktruss_edges
+
+        two_tri = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)]
+        assert (
+            ktruss_edges(self._edges(spark, two_tri), k=4, rounds=2).count() == 0
+        )
+        k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        out = {
+            (r.src, r.dst): r.support
+            for r in ktruss_edges(self._edges(spark, k4), k=4, rounds=2).collect()
+        }
+        assert len(out) == 6 and set(out.values()) == {2}
+
+
+class TestIvfBalance:
+    def test_shares_sum_and_load_ratio(self, spark):
+        from unitdb_spark.operators.similarity import ivf_balance
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = ivf_balance(emb, n_cells=4).collect()
+        total = emb.count()
+        assert sum(r.n_vecs for r in rows) == total
+        for r in rows:
+            assert r.share_ppm == r.n_vecs * 1_000_000 // total
+            assert r.load_ratio_ppm == r.n_vecs * 4 * 1_000_000 // total
+        assert 1 <= len(rows) <= 4
+
+    def test_assignment_consistent_with_ivf_topk_cells(self, spark):
+        """Same centroids/assignment machinery as ivf_assign: the cell
+        ids reported are centroid vec_ids."""
+        from unitdb_spark.operators.similarity import ivf_assign, ivf_balance
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        _, cents = ivf_assign(emb, 4)
+        cent_ids = {r.cent_id for r in cents.collect()}
+        rows = ivf_balance(emb, n_cells=4).collect()
+        assert {r.cell for r in rows} <= cent_ids

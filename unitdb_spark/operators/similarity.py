@@ -1142,3 +1142,46 @@ def jl_distortion_report(
             " div count(_ratio) AS BIGINT)"
         ).alias("mean_ratio_ppm"),
     )
+
+
+def ivf_balance(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF cell-occupancy audit — the index-health readout every
+    IVF/ANN deployment watches before anything else: probe latency is
+    bounded by the LARGEST probed cell, so a skewed assignment (one
+    centroid swallowing half the corpus) silently turns "probe 2 of 8
+    cells" into "scan half the table". At 100 TB the cell is the
+    partition key of the index table, so cell skew IS partition skew.
+
+    Rides the exact `ivf_assign` coarse assignment (deterministic
+    md5-sampled centroids, broadcast argmax) and finishes in pure
+    integers: per cell
+
+        share_ppm      = floor(n_vecs · 1e6 / total)
+        load_ratio_ppm = floor(n_vecs · n_cells · 1e6 / total)
+
+    (1e6 = a perfectly balanced cell; 8e6 = this cell holds 8x its
+    fair share). Cells that attracted no vectors simply have no row —
+    visible as missing cell ids. One count shuffle on the cell key.
+    """
+    assigned, _cents = ivf_assign(corpus, n_cells, id_col, vec_col, seed)
+    counts = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    tot = counts.agg(F.sum("n_vecs").alias("_t"))
+    return (
+        counts.join(F.broadcast(tot))
+        .selectExpr(
+            "cell",
+            "n_vecs",
+            "CAST(CAST(n_vecs AS DECIMAL(38,0)) * 1000000 div _t"
+            " AS BIGINT) AS share_ppm",
+            f"CAST(CAST(n_vecs AS DECIMAL(38,0)) * {int(n_cells)} * 1000000"
+            " div _t AS BIGINT) AS load_ratio_ppm",
+        )
+    )
