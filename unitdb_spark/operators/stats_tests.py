@@ -3158,14 +3158,20 @@ def yuen_trimmed_test(
     )
 
 
-#: Benford first-digit probabilities, log10(1 + 1/d) in ppm, MINTED at
-#: build time (Decimal HALF_UP of the double values — they sum to
-#: exactly 1e6). The literal-table idiom: no runtime transcendental,
-#: both engines share the constants verbatim.
-BENFORD_PPM = {
-    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
-    6: 66947, 7: 57992, 8: 51153, 9: 45757,
-}
+#: Benford first-digit probabilities log10(1 + 1/d) in ppm, as a
+#: digit->ppm dict — the SAME minted constants as
+#: `operators.profile.BENFORD_PPM` (single source; they sum to
+#: exactly 1e6). profile.benford_report is the global per-digit
+#: REPORT over exact-cents amounts (with a streamed twin); this
+#: module's `benford_audit` is the per-KEY grouped DECISION audit
+#: (one chi-square + reject row per key) over raw magnitudes.
+def _benford_ppm() -> dict[int, int]:
+    from unitdb_spark.operators.profile import BENFORD_PPM as _T
+
+    return {d + 1: int(p) for d, p in enumerate(_T)}
+
+
+BENFORD_PPM = _benford_ppm()
 
 #: chi-square critical value, 8 degrees of freedom, alpha = 0.05
 #: (standard table value 15.507313), in micro units.
