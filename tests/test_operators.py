@@ -565,6 +565,21 @@ class TestPipelineOps:
         }
         assert out == {1: (1, True), 2: (1, False), 3: (1, False), 9: (9, True)}
 
+    def test_connected_components_long_path_pointer_jumping(self, spark):
+        """Diameter-40 path: plain min-label propagation needs 40
+        rounds (> the 25-round loud cap); the round-10 pointer-jumping
+        step converges in ~log2(40) rounds, so this must succeed AND
+        label everything with the minimum."""
+        from unitdb_spark.operators.cluster import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+        )
+        out = {
+            r.node: r.cluster_id for r in connected_components(edges).collect()
+        }
+        assert len(out) == 41 and set(out.values()) == {0}
+
     def test_scrub_pii_redacts_and_counts(self, spark):
         from unitdb_spark.functions.text import (
             pii_email_count,

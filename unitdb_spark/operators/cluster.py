@@ -40,8 +40,10 @@ def connected_components(
     ``nodes`` (optional, single-column) adds isolated vertices —
     pass the full corpus ids so singleton documents appear as their
     own cluster. Raises if propagation hasn't converged after
-    ``max_iterations`` (diameter > iterations means the input is not
-    near-dup-shaped; fail loudly rather than return wrong labels).
+    ``max_iterations`` — with the pointer-jumping step (round 10)
+    effective distance doubles per round, so the 25-round cap covers
+    component diameters up to ~2^25; hitting it means the input is
+    pathological, fail loudly rather than return wrong labels.
 
     The symmetric edge relation is loop-invariant and consumed twice
     per round (message join + the convergence check's recompute), so
@@ -69,10 +71,31 @@ def connected_components(
         msgs = bi.join(labels, bi["s"] == labels["node"]).select(
             F.col("d").alias("node"), "label"
         )
+        prop = labels.unionByName(msgs).groupBy("node").agg(
+            F.min("label").alias("label")
+        )
+        # pointer jumping (round 10): one extra SELF-join of the
+        # |nodes|-sized label relation replaces label with
+        # label[label] — the label a node points to is itself a node
+        # whose (possibly smaller) label is already known, so the
+        # effective propagation distance DOUBLES per round and the
+        # loop converges in ~log2(diameter) rounds instead of
+        # diameter. The expensive per-round cost is the EDGE join
+        # above; halving (or better) the round count halves it.
+        # Monotone (label[l] <= l since l's own row is in the min)
+        # and closed within the component, so the fixpoint — every
+        # node labeled with its component minimum — is unchanged,
+        # which is exactly the confluence the recursive
+        # min-reachability oracle relies on.
         new = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            prop.alias("x")
+            .join(
+                prop.select(
+                    F.col("node").alias("_ln"), F.col("label").alias("_ll")
+                ).alias("y"),
+                F.col("x.label") == F.col("y._ln"),
+            )
+            .select(F.col("x.node").alias("node"), F.col("_ll").alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (
