@@ -149,17 +149,23 @@ def main() -> None:
     # the |order|² build to its own line (parts_edge_build), then the
     # graph queries read the persisted relation — the same split a
     # production pipeline would show.
-    from unitdb_spark.operators.graph import cooccurrence_pairs
+    from unitdb_spark.operators.graph import (
+        cooccurrence_pairs,
+        weighted_cooccurrence_edges,
+    )
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     t0 = time.time()
+    ck = (spark.sparkContext.applicationId, SF_DIR, "lineitem")
     pairs, _ = cooccurrence_pairs(
-        li,
-        "l_orderkey",
-        "l_partkey",
-        cache_key=(spark.sparkContext.applicationId, SF_DIR, "lineitem"),
+        li, "l_orderkey", "l_partkey", cache_key=ck
     )
     pairs.count()
+    # derive the density threshold once too (the edge TABLE, not just
+    # the pair relation, is what a production pipeline materializes)
+    weighted_cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_count="auto", cache_key=ck
+    )
     timings["parts_edge_build"] = time.time() - t0
     timed("parts_pagerank", qs["parts_pagerank"])
     timed("doc_prefix_jaccard", qs["doc_prefix_jaccard"])

@@ -59,7 +59,16 @@ def connected_components(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     bi = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     if persist == "memory":
-        bi = bi.persist()
+        # cache the symmetric edges PARTITIONED BY DESTINATION (round
+        # 10): the per-round message aggregation groups on the
+        # destination key, and a d-aligned cached relation carries
+        # HashPartitioning(d) through the (broadcast-sized) label
+        # join's project, so the groupBy needs NO exchange — the one
+        # remaining per-round shuffle of |edges| message rows
+        # disappears (labels, |nodes|-sized, is the only thing that
+        # moves). The 100 TB shape is the same relation bucketed by
+        # destination (sources/bucketed.py).
+        bi = bi.repartition("d").persist()
     base = bi.select(F.col("s").alias("node")).distinct()
     if nodes is not None:
         base = base.unionByName(
@@ -71,8 +80,25 @@ def connected_components(
         msgs = bi.join(labels, bi["s"] == labels["node"]).select(
             F.col("d").alias("node"), "label"
         )
-        prop = labels.unionByName(msgs).groupBy("node").agg(
-            F.min("label").alias("label")
+        # exchange-free when bi is d-partitioned (alias-aware output
+        # partitioning carries d → node through the select); the old
+        # union-with-labels formulation is replaced by a LEFT join so
+        # nodes without in-messages keep their label without dragging
+        # the label relation into the big aggregation
+        msg_min = msgs.groupBy("node").agg(F.min("label").alias("_m"))
+        # materialize BEFORE the self-join: prop feeds both sides of
+        # the pointer jump, and without the checkpoint Spark would
+        # recompute the edge-join/agg subtree twice per round
+        # (measured 13s -> 20s at sf0.1 — worse than no jump)
+        prop = (
+            labels.join(msg_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("_m", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
         )
         # pointer jumping (round 10): one extra SELF-join of the
         # |nodes|-sized label relation replaces label with
