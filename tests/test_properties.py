@@ -1244,3 +1244,109 @@ class TestExactLogProperty:
         expr = floordiv_sql(str(a), str(b), "duckdb")
         (got,) = con.execute(f"SELECT {expr}").fetchone()
         assert got == a // b
+
+
+class TestJpegBitReaderEquivalence:
+    """The round-10 pooled `_JpegBitReader` must be observationally
+    identical to the original `_BitReader` on arbitrary byte streams
+    (stuffed 0xFF00, real markers, truncation) for the operations the
+    JPEG decoders use — bit-exact reads, None-at-marker, p at the
+    terminating 0xFF, align semantics."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        data=st.binary(min_size=0, max_size=64),
+        ops=st.lists(
+            st.one_of(
+                st.just(("bit",)),
+                st.tuples(st.just("bits"), st.integers(0, 16)),
+                st.just(("align",)),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+    )
+    def test_read_sequence_matches(self, data, ops):
+        from unitdb_spark.functions.media_codec import (
+            _BitReader,
+            _JpegBitReader,
+        )
+
+        a = _BitReader(data, 0)
+        b = _JpegBitReader(data, 0)
+        dead = False
+        for op in ops:
+            if op[0] == "bit":
+                ra, rb = a.read_bit(), b.read_bit()
+            elif op[0] == "bits":
+                ra, rb = a.read_bits(op[1]), b.read_bits(op[1])
+            else:
+                a.align()
+                b.align()
+                continue
+            assert ra == rb, (data.hex(), op, ra, rb)
+            if ra is None:
+                dead = True
+                break
+        if not dead:
+            # p agrees at alignment points (the only places the
+            # decoders read it mid-stream)
+            a.align()
+            b.align()
+            # original's p lags until the next fetch; fetch one bit
+            ra, rb = a.read_bit(), b.read_bit()
+            assert ra == rb
+            if ra is not None:
+                assert a.p == b.p, (data.hex(), a.p, b.p)
+
+    @settings(max_examples=100, deadline=None)
+    @given(data=st.binary(min_size=2, max_size=64))
+    def test_p_rests_on_marker_after_exhaustion(self, data):
+        from unitdb_spark.functions.media_codec import (
+            _BitReader,
+            _JpegBitReader,
+        )
+
+        a = _BitReader(data, 0)
+        b = _JpegBitReader(data, 0)
+        while True:
+            ra, rb = a.read_bit(), b.read_bit()
+            assert ra == rb
+            if ra is None:
+                break
+        assert a.p == b.p, (data.hex(), a.p, b.p)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        counts_seed=st.integers(0, 2**31 - 1),
+        nbits=st.integers(1, 64),
+    )
+    def test_read_huff_matches_dict_walk(self, counts_seed, nbits):
+        """Canonical-range read_huff == the per-bit dict walk on the
+        repo's fixed-length JPEG tables over random bit pools."""
+        import random
+
+        from unitdb_spark.functions.media_codec import (
+            _JPEG_AC_SYMBOLS,
+            _JPEG_DC_SYMBOLS,
+            _JpegBitReader,
+            _huff_decode_table,
+            _huff_fixed,
+        )
+
+        rng = random.Random(counts_seed)
+        data = bytes(rng.randrange(0xFE) for _ in range((nbits + 7) // 8))
+        for syms, length in ((_JPEG_DC_SYMBOLS, 4), (_JPEG_AC_SYMBOLS, 8)):
+            counts, symbols, _enc = _huff_fixed(syms, length)
+            table = _huff_decode_table(counts, symbols)
+            fast = _JpegBitReader(data, 0)
+            slow = _JpegBitReader(data, 0)
+            # slow path: force the defensive plain-dict walk
+            plain = dict(table)
+            while True:
+                rf = fast.read_huff(table)
+                rs = slow.read_huff(plain)
+                assert rf == rs
+                if rf is None:
+                    break
+            assert fast._i == slow._i
