@@ -72,17 +72,33 @@ def link_records(
     r = right.select(
         F.col(right_id).alias("_rid"), F.col(right_text).alias("_rtxt"), *blocks
     )
-    dist = F.levenshtein("_ltxt", "_rtxt")
+    # BOUNDED levenshtein (r10): the threshold arg switches Spark to
+    # the banded O(d·n) DP that bails out above max_distance and
+    # returns -1 — identical distances for every surviving pair, ~6x
+    # less DP work per candidate at d=2 on ~20-char names. The length
+    # pre-filter (|len_l − len_r| > d ⟹ dist > d) skips the DP
+    # entirely for length-mismatched candidates; the PassJoin path
+    # already enumerates only lengths within ±d, so it mainly serves
+    # the plain block join. Both are lossless — the oracle replays
+    # the unbounded distance and hashes equal.
+    dist = F.levenshtein("_ltxt", "_rtxt", int(max_distance))
     if chunk_key:
         pairs = _passjoin_pairs(l, r, blocks, max_distance)
     else:
         pairs = l.join(r, blocks).select("_lid", "_ltxt", "_rid", "_rtxt")
-    cand = pairs.select(
-        "_lid",
-        "_rid",
-        dist.alias("_d"),
-        F.greatest(F.length("_ltxt"), F.length("_rtxt")).alias("_mx"),
-    ).filter(F.col("_d") <= max_distance)
+    cand = (
+        pairs.filter(
+            F.abs(F.length("_ltxt") - F.length("_rtxt"))
+            <= F.lit(int(max_distance))
+        )
+        .select(
+            "_lid",
+            "_rid",
+            dist.alias("_d"),
+            F.greatest(F.length("_ltxt"), F.length("_rtxt")).alias("_mx"),
+        )
+        .filter((F.col("_d") >= 0) & (F.col("_d") <= max_distance))
+    )
     w = Window.partitionBy("_lid").orderBy("_d", "_rid")
     best = (
         cand.select(
