@@ -170,7 +170,13 @@ def pagerank(
     ewd = e.join(deg, "_s")  # (src, dst, out-degree of src)
     nodes = deg.select("_s")
     if persist == "memory":
-        ewd = ewd.persist()
+        # cache the loop-invariant edge relation PARTITIONED BY
+        # DESTINATION (r10, same trick as connected_components): the
+        # per-iteration contribution agg groups on _d, and the cached
+        # HashPartitioning(_d) survives the (broadcast-sized) rank
+        # join's project, so the groupBy shuffles NOTHING — only the
+        # |nodes|-sized rank relation moves per iteration.
+        ewd = ewd.repartition("_d").persist()
         nodes = nodes.persist()
     n = nodes.count()
     if n == 0:
@@ -395,7 +401,8 @@ def personalized_pagerank(
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     ewd = e.join(deg, "_s")
     if persist == "memory":  # loop-invariant, reused every iteration
-        ewd = ewd.persist()
+        # d-aligned (r10, see pagerank): iteration agg exchange-free
+        ewd = ewd.repartition("_d").persist()
     n = deg.count()
     if n == 0:
         raise ValueError("personalized_pagerank: empty edge list")
@@ -1247,7 +1254,9 @@ def pagerank_weighted(
     ewd = e.join(ws, "_s")
     nodes = ws.select("_s")
     if persist == "memory":
-        ewd = ewd.persist()
+        # d-aligned loop-invariant cache (r10, see pagerank): the
+        # per-iteration inflow agg on _d becomes exchange-free
+        ewd = ewd.repartition("_d").persist()
         nodes = nodes.persist()
     n = nodes.count()
     if n == 0:
