@@ -3798,6 +3798,65 @@ class TestPagerank:
             pagerank(e)
 
 
+class TestPairCacheHygiene:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(100, "a"), (100, "b"), (101, "b"), (101, "c")],
+            ["grp", "item"],
+        )
+
+    def test_clear_pair_cache_releases_persisted_relation(self, spark):
+        from unitdb_spark.operators import graph
+
+        graph.clear_pair_cache()
+        pairs, n = graph.cooccurrence_pairs(
+            self._df(spark), "grp", "item", cache_key=("t", "clear")
+        )
+        pairs.count()  # materialize the cache
+        assert pairs.storageLevel.useMemory  # persisted while memoized
+        assert n == 3
+        dropped = graph.clear_pair_cache()
+        assert dropped == 1
+        assert len(graph._PAIR_CACHE) == 0
+        # the relation is actually released, not just forgotten
+        assert not pairs.storageLevel.useMemory
+        assert graph.clear_pair_cache() == 0  # idempotent
+
+    def test_engine_close_clears_pair_cache(self, spark, tmp_path):
+        from unitdb_spark.engine import Engine
+        from unitdb_spark.operators import graph
+
+        graph.clear_pair_cache()
+        graph.cooccurrence_pairs(
+            self._df(spark), "grp", "item", cache_key=("t", "close")
+        )
+        assert len(graph._PAIR_CACHE) == 1
+        eng = Engine.open(spark, str(tmp_path / "db"))
+        eng.close()
+        assert len(graph._PAIR_CACHE) == 0
+
+    def test_stale_application_id_entry_is_evicted(self, spark):
+        from unitdb_spark.operators import graph
+
+        graph.clear_pair_cache()
+        df = self._df(spark)
+        graph.cooccurrence_pairs(df, "grp", "item", cache_key=("t", "app"))
+        key = (("t", "app"), "grp", "item")
+        pairs, n, memo, _app = graph._PAIR_CACHE[key]
+        # simulate an entry left over from a previous SparkSession
+        graph._PAIR_CACHE[key] = (pairs, n, memo, "app-from-a-dead-session")
+        p2, n2 = graph.cooccurrence_pairs(
+            df, "grp", "item", cache_key=("t", "app")
+        )
+        # the stale entry was dropped and rebuilt under the live appId
+        assert n2 == 3 and p2.count() == 2
+        assert (
+            graph._PAIR_CACHE[key][3]
+            == spark.sparkContext.applicationId
+        )
+        graph.clear_pair_cache()
+
+
 class TestPairRetrievalReport:
     def test_counts_and_ppm(self, spark):
         from unitdb_spark.operators.evaluation import pair_retrieval_report

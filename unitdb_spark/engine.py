@@ -126,6 +126,9 @@ class Engine:
 
     def destroy(self) -> None:
         fs.delete(self.spark, self.path)
+        from unitdb_spark.operators.graph import clear_pair_cache
+
+        clear_pair_cache()
 
     # ------------------------------------------------------------ write
     def put(self, topic: str, payload: bytes | str, contract: int = MASTER_CONTRACT) -> int:
@@ -744,9 +747,15 @@ class Engine:
 
     def close(self) -> None:
         """db.go:213-220 Close(): flush pending writes and drop buffers.
-        The SparkSession is owned by the caller and stays open."""
+        The SparkSession is owned by the caller and stays open. Also
+        releases the session-scoped graph pair-relation memo
+        (operators/graph._PAIR_CACHE) so a long-lived process doesn't
+        pin executor storage for fact tables it no longer queries."""
         self.flush()
         self._buffer.clear()
+        from unitdb_spark.operators.graph import clear_pair_cache
+
+        clear_pair_cache()
 
 
 class Batch:

@@ -66,9 +66,21 @@ def _idiv(a: str, b: str, dialect: str) -> str:
 
 def floordiv_sql(a: str, b: str, dialect: str) -> str:
     """TRUE floor(a / b) for signed a, POSITIVE b — the shared
-    nonneg-mod identity (Python `//` floors natively and matches)."""
+    nonneg-mod identity (Python `//` floors natively and matches).
+
+    Both operands are widened (Spark DECIMAL(38,0) / DuckDB HUGEINT)
+    INSIDE the helper so it is total over the full BIGINT range:
+    DuckDB types bare literals INT32 and the identity's subtraction
+    `a - ((a % b + b) % b)` can leave INT32 even when a and b fit it
+    (found by hypothesis: a=-2,049,870,775, b=97,612,894 raises an
+    out-of-range error instead of promoting). Callers that already
+    pre-widen via `_big` are unaffected — the cast is idempotent.
+    """
+    aw, bw = _big(a, dialect), _big(b, dialect)
     return _idiv(
-        f"({a}) - ((((({a}) % ({b})) + ({b})) % ({b})))", b, dialect
+        f"({aw}) - ((((({aw}) % ({bw})) + ({bw})) % ({bw})))",
+        bw,
+        dialect,
     )
 
 

@@ -39,8 +39,36 @@ from pyspark.sql import functions as F
 #: single interactive session this memo is the same protocol without
 #: the catalog write: first consumer builds + persists, the rest read.
 #: Keyed by (caller key, group, item); entries hold (pairs_df,
-#: n_items, {target_avg_degree: auto_threshold}).
+#: n_items, {target_avg_degree: auto_threshold}, application_id).
+#: Hygiene (r11): entries are self-evicting across SparkSession
+#: restarts — a lookup from a session whose applicationId differs
+#: from the entry's drops the stale entry instead of returning a
+#: dead DataFrame — and `clear_pair_cache()` unpersists + empties
+#: the memo (engine close calls it). The cache contract still
+#: relies on callers minting keys that identify the SOURCE relation
+#: (the docstring's (applicationId, sf_dir, table) idiom): a second
+#: call with the same key but a semantically different df returns
+#: the first relation by design.
 _PAIR_CACHE: dict[tuple, tuple] = {}
+
+
+def clear_pair_cache() -> int:
+    """Unpersist every memoized pair relation and empty the memo.
+
+    Returns the number of entries dropped. Safe across dead
+    sessions (unpersist on a stopped SparkContext is swallowed —
+    the executors holding those blocks are gone anyway). Engine
+    close/destroy calls this so a long-lived process doesn't pin
+    executor storage for fact tables it no longer queries.
+    """
+    n = len(_PAIR_CACHE)
+    for pairs, _n_items, _memo, _app in _PAIR_CACHE.values():
+        try:
+            pairs.unpersist()
+        except Exception:
+            pass  # session already stopped; blocks died with it
+    _PAIR_CACHE.clear()
+    return n
 
 
 def cooccurrence_pairs(
@@ -65,7 +93,13 @@ def cooccurrence_pairs(
         key = (cache_key, group_col, item_col)
         hit = _PAIR_CACHE.get(key)
         if hit is not None:
-            return hit[0], hit[1]
+            # self-evict across SparkSession restarts: an entry built
+            # under a different applicationId holds a DataFrame whose
+            # executors (and cached blocks) no longer exist.
+            app = df.sparkSession.sparkContext.applicationId
+            if hit[3] == app:
+                return hit[0], hit[1]
+            _PAIR_CACHE.pop(key, None)
     g = df.select(
         F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
     ).distinct()
@@ -81,7 +115,12 @@ def cooccurrence_pairs(
         return pairs, None
     pairs = pairs.persist()
     n_items = g.select("_i").distinct().count()
-    _PAIR_CACHE[key] = (pairs, n_items, {})
+    _PAIR_CACHE[key] = (
+        pairs,
+        n_items,
+        {},
+        df.sparkSession.sparkContext.applicationId,
+    )
     return pairs, n_items
 
 
@@ -183,8 +222,16 @@ def pagerank(
         raise ValueError("pagerank: empty edge list")
     ranks = nodes.select("_s", F.lit(PR_SCALE // n).alias("_pr_u"))
     base_u = ((d_den - d_num) * PR_SCALE) // (d_den * n)
+    # the d-alignment above only pays off if the per-iteration rank
+    # join does NOT re-shuffle ewd by _s — pin it with an explicit
+    # broadcast hint on the |nodes|-sized rank relation (r11; without
+    # the hint, a graph past the broadcast threshold gets an AQE
+    # sort-merge join and the repartition("_d") becomes a pure
+    # regression). persist="memory" asserts nodes is broadcast-sized;
+    # billion-node graphs use persist="none" + a bucketed edge table.
+    _hint = F.broadcast if persist == "memory" else (lambda d: d)
     for _ in range(iterations):
-        contrib = ewd.join(ranks, "_s").select(
+        contrib = ewd.join(_hint(ranks), "_s").select(
             F.col("_d"), F.expr("_pr_u div _deg").alias("_c")
         )
         agg = contrib.groupBy("_d").agg(F.sum("_c").alias("_in"))
@@ -428,8 +475,11 @@ def personalized_pagerank(
         .cast("long")
         .alias("_pr_u"),
     )
+    # same plan-pinning broadcast as `pagerank` (r11): keep the rank
+    # join from re-shuffling the d-aligned edge cache by _s.
+    _hint = F.broadcast if persist == "memory" else (lambda d: d)
     for _ in range(iterations):
-        contrib = ewd.join(ranks, "_s").select(
+        contrib = ewd.join(_hint(ranks), "_s").select(
             F.col("_d"), F.expr("_pr_u div _deg").alias("_c")
         )
         agg = contrib.groupBy("_d").agg(F.sum("_c").alias("_in"))
@@ -1263,9 +1313,12 @@ def pagerank_weighted(
         raise ValueError("pagerank_weighted: empty edge list")
     restart = (d_den - d_num) * PR_SCALE // (d_den * n)
     pr = nodes.withColumn("_u", F.lit(PR_SCALE // n).cast("long"))
+    # same plan-pinning broadcast as `pagerank` (r11)
+    _hint = F.broadcast if persist == "memory" else (lambda d: d)
     for _ in range(iterations):
         inflow = (
-            ewd.join(pr.withColumnRenamed("_s", "_src").withColumnRenamed("_u", "_pu"),
+            ewd.join(_hint(pr.withColumnRenamed("_s", "_src")
+                           .withColumnRenamed("_u", "_pu")),
                      F.col("_s") == F.col("_src"))
             .select("_d", F.expr("(_pu * _w) div _ws").alias("_c"))
             .groupBy("_d")
@@ -1354,7 +1407,16 @@ def ktruss_edges(
             .filter(F.col("support") >= need)
         )
         if r < int(rounds) - 1:
-            und = und.select("a", "b").persist()
+            # eager localCheckpoint, not persist (r11): the round's
+            # survivor set is consumed 3× next round (adj twice + the
+            # e side), so materializing here costs nothing extra, it
+            # truncates the growing wedge-join lineage, and — unlike
+            # CacheManager-tracked persist() blocks, which outlive the
+            # call — the checkpoint RDD is reclaimed by the
+            # ContextCleaner once the previous round's relation is
+            # unreferenced, so repeated ktruss calls don't accumulate
+            # cached intermediates for the session lifetime.
+            und = und.select("a", "b").localCheckpoint(eager=True)
     return und.select(
         F.col("a").alias(src), F.col("b").alias(dst), "support"
     )
