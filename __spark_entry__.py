@@ -20910,9 +20910,15 @@ def oracle_sql() -> dict[str, str]:
         CHI2_8DF_05_MICRO,
     )
 
-    _bf_case = "CASE d " + " ".join(
+    _bf_case = "CASE dense.d " + " ".join(
         f"WHEN {dd} THEN {pp}" for dd, pp in BENFORD_PPM.items()
     ) + " END"
+    # r11: the digit cells are DENSIFIED (9-row literal digit table
+    # cross-joined per key, observed counts left-joined with
+    # coalesce(obs,0)) so absent digits contribute their n·p_ppm
+    # zero-cell term — the documented 9-cell Pearson sum the 8-df
+    # critical value assumes (the r10 shape skipped empty cells and
+    # understated chi2 on partially degenerate feeds).
     d["events_benford"] = f"""
         WITH v AS (
           SELECT event_type,
@@ -20925,14 +20931,21 @@ def oracle_sql() -> dict[str, str]:
         ), n AS (
           SELECT event_type, CAST(sum(obs) AS BIGINT) AS n
           FROM o GROUP BY 1
+        ), dig AS (
+          SELECT CAST(c0 AS INT) AS d FROM (VALUES (1),(2),(3),(4),
+            (5),(6),(7),(8),(9)) t(c0)
+        ), dense AS (
+          SELECT n.event_type, n.n, dig.d FROM n CROSS JOIN dig
         ), t AS (
-          SELECT o.event_type, n.n,
-            CAST((CAST(obs AS HUGEINT) * 1000000
-                  - CAST(n AS HUGEINT) * ({_bf_case}))
-               * (CAST(obs AS HUGEINT) * 1000000
-                  - CAST(n AS HUGEINT) * ({_bf_case}))
-               // (CAST(n AS HUGEINT) * ({_bf_case})) AS BIGINT) AS term
-          FROM o JOIN n USING (event_type)
+          SELECT dense.event_type, dense.n,
+            CAST((CAST(COALESCE(o.obs, 0) AS HUGEINT) * 1000000
+                  - CAST(dense.n AS HUGEINT) * ({_bf_case}))
+               * (CAST(COALESCE(o.obs, 0) AS HUGEINT) * 1000000
+                  - CAST(dense.n AS HUGEINT) * ({_bf_case}))
+               // (CAST(dense.n AS HUGEINT) * ({_bf_case}))
+               AS BIGINT) AS term
+          FROM dense LEFT JOIN o
+            ON o.event_type = dense.event_type AND o.d = dense.d
         )
         SELECT event_type, any_value(n) AS n_values,
           CAST(sum(term) AS BIGINT) AS chi2_micro,

@@ -11836,9 +11836,36 @@ class TestBenfordAudit:
         chi2 = sum(
             (obs.get(d, 0) * 10**6 - n * p) ** 2 // (n * p)
             for d, p in BENFORD_PPM.items()
-            if obs.get(d, 0) > 0
         )
         assert r.chi2_micro == chi2
+
+    def test_zero_cell_digits_contribute(self, spark):
+        """A constant-digit feed (the detector's actual target) hits
+        ONE digit cell; the other 8 EMPTY cells must still contribute
+        their (0 − n·p)²/(n·p) = n·p_ppm terms — the r10 shape
+        skipped them, understating chi2 by Σ_absent n·p and passing
+        partially degenerate feeds at 5%."""
+        from unitdb_spark.operators.stats_tests import (
+            BENFORD_PPM,
+            benford_audit,
+        )
+
+        n = 40
+        df = spark.createDataFrame(
+            [("const", 7000.0 + k) for k in range(n)],
+            "event_type string, value double",
+        )
+        (r,) = benford_audit(df, "value", ["event_type"]).collect()
+        p7 = BENFORD_PPM[7]
+        expect = (n * 10**6 - n * p7) ** 2 // (n * p7) + sum(
+            (0 - n * p) ** 2 // (n * p)
+            for d, p in BENFORD_PPM.items()
+            if d != 7
+        )
+        assert r.chi2_micro == expect
+        # 40 identical first digits is an overwhelming violation —
+        # with the zero cells counted the audit now rejects
+        assert r.reject_05
 
 
 class TestGiniByGroup:

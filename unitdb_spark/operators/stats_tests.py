@@ -3195,13 +3195,24 @@ def benford_audit(
 
         term_micro(d) = (obs_d·1e6 − n·p_ppm(d))² div (n·p_ppm(d))
 
-    summed over d=1..9 (products run in DECIMAL(38,0)/HUGEINT — obs²
-    ·1e12 overflows int64 at ~3e3 rows without it). Output per key:
+    summed over ALL NINE digits d=1..9 — the digit cells are
+    DENSIFIED per key (a broadcast 9-row literal digit table
+    left-joined against the observed counts, coalesce(obs, 0)), so a
+    digit a key never produced still contributes its (0 − n·p)²/(n·p)
+    = n·p_ppm term. That zero-cell term is exactly what makes the
+    detector fire on partially degenerate feeds (a constant-valued
+    counter hits ONE digit; skipping its 8 empty cells — the r10 bug
+    — understated chi2 by Σ_absent n·p and could falsely pass
+    reject_05). Products run in DECIMAL(38,0)/HUGEINT — obs²·1e12
+    overflows int64 at ~3e3 rows without it. Output per key:
     (n_values, chi2_micro, reject_05) with the 8-df 5% critical value
-    as a minted literal.
+    as a minted literal; the 8-df value now genuinely matches the
+    9-cell Pearson sum.
 
     Scale: one partial-agg shuffle on (keys, digit) — 9 rows per key
-    after the combine — then a key rollup. No windows, no floats.
+    after the combine — then a key rollup; the densifying cross join
+    is against a broadcast bounded literal (9 rows). No windows, no
+    floats.
     """
     keys = keys or []
     v = F.col(value_col)
@@ -3214,15 +3225,14 @@ def benford_audit(
         .groupBy(*keys, "_d")
         .agg(F.count(F.lit(1)).cast("long").alias("_o"))
     )
-    p_expr = "CASE _d " + " ".join(
-        f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
-    ) + " END"
-    terms = obs.selectExpr(
-        *keys, "_o",
-        f"CAST({p_expr} AS BIGINT) AS _p",
+    n_tot = obs.groupBy(*keys).agg(F.sum("_o").alias("_n"))
+    dig = df.sparkSession.createDataFrame(
+        sorted(BENFORD_PPM.items()), "_d int, _p bigint"
     )
-    n_tot = terms.groupBy(*keys).agg(F.sum("_o").alias("_n"))
-    j = terms.join(n_tot, keys) if keys else terms.crossJoin(n_tot)
+    dense = n_tot.crossJoin(F.broadcast(dig))
+    j = dense.join(obs, [*keys, "_d"], "left").withColumn(
+        "_o", F.coalesce(F.col("_o"), F.lit(0)).cast("long")
+    )
     big = "CAST(_o AS DECIMAL(38,0)) * 1000000 - CAST(_n AS DECIMAL(38,0)) * _p"
     per = j.selectExpr(
         *keys, "_n",
