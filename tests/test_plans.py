@@ -1455,3 +1455,104 @@ class TestSessionPlans7b:
         # every windowspec mentions a partition on _k
         specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
         assert specs and all("_k" in sp for sp in specs)
+
+
+class TestBucketedEdgeTable:
+    """The claimed 100 TB shape for the graph family, proven by plan:
+    the co-purchase edge list materialized ONCE as a catalog table
+    bucketed on the node key (sources/bucketed.py), so every
+    downstream node-key aggregation and join reads the bucket spec
+    instead of shuffling the edge relation. The session `_PAIR_CACHE`
+    memo is the interactive equivalent; this is the production one."""
+
+    def _write_edges(self, spark, bucket_col="dst"):
+        from unitdb_spark.sources.bucketed import write_bucketed
+
+        pairs = spark.range(0, 600).selectExpr(
+            "id % 40 AS src", "(id * 7 + 3) % 40 AS dst"
+        ).filter("src != dst").distinct()
+        edges = pairs.unionAll(
+            pairs.selectExpr("dst AS src", "src AS dst")
+        )
+        write_bucketed(edges, "bt_copurchase", [bucket_col], n_buckets=8)
+
+    def test_bucket_key_agg_and_cojoin_have_no_exchange(self, spark):
+        from unitdb_spark.sources.bucketed import read_table
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            self._write_edges(spark, bucket_col="src")
+            e = read_table(spark, "bt_copurchase")
+            # groupBy on the bucket key — zero Exchange
+            deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            assert shuffle_count(deg) == 0
+            # join on the bucket key against a relation derived from
+            # the same bucketed scan — zero Exchange on BOTH sides
+            # (broadcast disabled: this is bucketing, not luck)
+            ewd = e.join(deg, "src")
+            assert shuffle_count(ewd) == 0
+            assert ewd.count() > 0
+            # control: the same relation built from a plain frame
+            # shuffles for the agg
+            plain = e.unionAll(e).limit(10**6)  # breaks the bucketing
+            pdeg = plain.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            assert shuffle_count(pdeg) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS bt_copurchase")
+
+    def test_aligned_iteration_agg_is_exchange_free(self, spark):
+        """pagerank's per-iteration shape over a DST-bucketed table:
+        degree broadcast into the edge join keeps the scan's
+        hash(dst) partitioning, so the contribution groupBy(dst) adds
+        NO Exchange — the only one in the whole relation is the
+        node-sized degree partial-agg. This is the persist="aligned"
+        contract at 100 TB: per iteration, zero edge-sized shuffles."""
+        from unitdb_spark.sources.bucketed import read_table
+
+        try:
+            self._write_edges(spark, bucket_col="dst")
+            e = read_table(spark, "bt_copurchase")
+            deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            contrib = (
+                e.join(F.broadcast(deg), "src")
+                .select("dst", (F.lit(1000000) / F.col("deg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            # exactly ONE exchange: deg's partial agg (node-sized).
+            # The edge-sized relation never shuffles.
+            assert shuffle_count(contrib) == 1
+            assert contrib.count() == 40
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bt_copurchase")
+
+    def test_pagerank_aligned_matches_memory_values(self, spark):
+        """End-to-end: `pagerank(persist="aligned")` over the
+        dst-bucketed catalog table returns the same ranks as
+        persist="memory" over the plain frame (the layout is a
+        physical detail, invisible to values)."""
+        from unitdb_spark.operators.graph import pagerank
+        from unitdb_spark.sources.bucketed import read_table
+
+        try:
+            self._write_edges(spark, bucket_col="dst")
+            e = read_table(spark, "bt_copurchase")
+            got = {
+                r.node: r.pr_r
+                for r in pagerank(
+                    e, iterations=2, persist="aligned"
+                ).collect()
+            }
+            want = {
+                r.node: r.pr_r
+                for r in pagerank(
+                    e.unionAll(e).distinct(),  # same edges, no bucketing
+                    iterations=2,
+                    persist="memory",
+                ).collect()
+            }
+            assert got == want and len(got) == 40
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bt_copurchase")

@@ -186,7 +186,14 @@ def pagerank(
     self-join from the source table). ``persist="none"`` opts out for
     callers managing their own storage level; at 100 TB the
     edge relation belongs in MEMORY_AND_DISK or a pre-materialized
-    table.
+    table. ``persist="aligned"`` (r11) is the pre-materialized form:
+    the caller passes edges whose source partitioning ALREADY hashes
+    on ``dst`` (a catalog table bucketed on dst —
+    sources/bucketed.py), so the loop invariants persist WITHOUT the
+    repartition and the degree join broadcasts the node-sized degree
+    relation to keep the edge side's partitioning intact; every
+    per-iteration aggregation is then exchange-free straight off the
+    table layout (tests/test_plans.py pins the plan).
 
     Determinism contract (the fix for the round-4 ulp risk): all
     arithmetic is BIGINT — contribution = pr_u div out_degree, damping
@@ -206,7 +213,13 @@ def pagerank(
     d_num, d_den = frac.numerator, frac.denominator
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
-    ewd = e.join(deg, "_s")  # (src, dst, out-degree of src)
+    # broadcast-sized modes broadcast the node-sized degree relation
+    # into the edges-with-degree build, so the edge relation is never
+    # shuffled by _s on its way to d-alignment (memory: saves one
+    # edge-sized exchange before the repartition; aligned: PRESERVES
+    # the bucketed table's hash(dst) partitioning, the whole point).
+    _bc = persist in ("memory", "aligned")
+    ewd = e.join(F.broadcast(deg) if _bc else deg, "_s")
     nodes = deg.select("_s")
     if persist == "memory":
         # cache the loop-invariant edge relation PARTITIONED BY
@@ -216,6 +229,12 @@ def pagerank(
         # join's project, so the groupBy shuffles NOTHING — only the
         # |nodes|-sized rank relation moves per iteration.
         ewd = ewd.repartition("_d").persist()
+        nodes = nodes.persist()
+    elif persist == "aligned":
+        # edges arrive already hash-partitioned on dst (dst-bucketed
+        # catalog table): same exchange-free iterations as "memory"
+        # with NO repartition at all — the 100 TB steady state.
+        ewd = ewd.persist()
         nodes = nodes.persist()
     n = nodes.count()
     if n == 0:
@@ -227,9 +246,9 @@ def pagerank(
     # broadcast hint on the |nodes|-sized rank relation (r11; without
     # the hint, a graph past the broadcast threshold gets an AQE
     # sort-merge join and the repartition("_d") becomes a pure
-    # regression). persist="memory" asserts nodes is broadcast-sized;
+    # regression). memory/aligned assert nodes is broadcast-sized;
     # billion-node graphs use persist="none" + a bucketed edge table.
-    _hint = F.broadcast if persist == "memory" else (lambda d: d)
+    _hint = F.broadcast if _bc else (lambda d: d)
     for _ in range(iterations):
         contrib = ewd.join(_hint(ranks), "_s").select(
             F.col("_d"), F.expr("_pr_u div _deg").alias("_c")

@@ -43,8 +43,19 @@ def write_bucketed(
     count). Rule of thumb: buckets ≈ cluster cores, fixed for the
     table's lifetime — repartition-by-key jobs can grow with data,
     bucket counts cannot (changing one is a rewrite).
+
+    The input is repartitioned onto the bucket key first (r11):
+    without it every input task writes its own file PER BUCKET —
+    tasks × buckets tiny files (measured 64×32 = 2048 at sf0.1,
+    tripling both write and downstream scan time); with it, one file
+    per bucket and the writer's own hash does no further splitting.
     """
-    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    writer = (
+        df.repartition(n_buckets, *[df[c] for c in bucket_cols])
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
