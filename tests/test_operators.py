@@ -11976,3 +11976,212 @@ class TestIvfBalance:
         cent_ids = {r.cent_id for r in cents.collect()}
         rows = ivf_balance(emb, n_cells=4).collect()
         assert {r.cell for r in rows} <= cent_ids
+
+
+class TestPadWaste:
+    def test_hand_computed_batches(self, spark):
+        """lens (4,1,3,2) in id order, B=2, one shard: arrival batches
+        (4,1),(3,2) pad to 8+6=14; sorted batches (1,2),(3,4) pad to
+        4+8=12. real=10. waste_ppm = floor(waste*1e6/padded)."""
+        from unitdb_spark.operators.packing import pad_waste
+
+        texts = {1: "a b c d", 2: "a", 3: "a b c", 4: "a b"}
+        df = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string"
+        )
+        rows = {
+            (r.policy, r.shard): r
+            for r in pad_waste(df, batch_size=2, n_shards=1).collect()
+        }
+        arr = rows[("arrival", 0)]
+        assert (arr.n_docs, arr.n_batches) == (4, 2)
+        assert (arr.real_tokens, arr.padded_tokens) == (10, 14)
+        assert arr.waste_ppm == (4 * 10**6) // 14
+        srt = rows[("sorted", 0)]
+        assert (srt.real_tokens, srt.padded_tokens) == (10, 12)
+        assert srt.waste_ppm == (2 * 10**6) // 12
+        # sorting never pads more than arrival order
+        assert srt.padded_tokens <= arr.padded_tokens
+
+    def test_partial_last_batch_pads_to_own_max(self, spark):
+        from unitdb_spark.operators.packing import pad_waste
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b c"), (3, "a")],
+            "doc_id long, text string",
+        )
+        (arr,) = [
+            r
+            for r in pad_waste(df, batch_size=2, n_shards=1).collect()
+            if r.policy == "arrival"
+        ]
+        # batches (2,3),(1): padded 3*2 + 1 = 7, real 6
+        assert (arr.n_batches, arr.padded_tokens, arr.real_tokens) == (2, 7, 6)
+
+
+class TestShapleyAttribution:
+    def _events(self, spark, rows):
+        import datetime as dt
+
+        T = dt.datetime(2024, 1, 1)
+        data = [
+            (u, t, T + dt.timedelta(seconds=s)) for u, t, s in rows
+        ]
+        return spark.createDataFrame(
+            data, "user_id long, event_type string, ts timestamp"
+        )
+
+    def test_hand_computed_two_channels(self, spark):
+        """Observed coalitions: ∅ (converter), A (converter), B
+        (non-converter), AB (converter) → v(∅)=v(A)=v(AB)=1e6,
+        v(B)=0; exact textbook Shapley gives φ_A=+5e5, φ_B=−5e5 and
+        efficiency φ_A+φ_B = v(AB)−v(∅) = 0 holds."""
+        from unitdb_spark.operators.funnel import shapley_attribution
+
+        ev = self._events(spark, [
+            (1, "A", 0), (1, "buy", 5),
+            (2, "B", 0),
+            (3, "A", 0), (3, "B", 1), (3, "buy", 5),
+            (4, "buy", 0),
+        ])
+        # masks: A={u1} v=1e6; B={u2} v=0; AB={u3} v=1e6; ∅={u4} v=1e6
+        # φ_A·2 = [0!1!·v(A) + 1!0!·v(AB)] − [0!1!·v(∅) + 1!0!·v(B)]
+        #       = (1e6 + 1e6) − (1e6 + 0) = 1e6 → φ_A = 500000
+        # φ_B·2 = [0!1!·v(B) + 1!0!·v(AB)] − [0!1!·v(∅) + 1!0!·v(A)]
+        #       = (0 + 1e6) − (1e6 + 1e6) = −1e6 → φ_B = −500000
+        got = {
+            r.channel: (r.n_users_touched, r.shapley_ppm)
+            for r in shapley_attribution(ev, "buy").collect()
+        }
+        assert got == {"A": (2, 500000), "B": (2, -500000)}
+
+    def test_touch_after_conversion_ignored(self, spark):
+        from unitdb_spark.operators.funnel import shapley_attribution
+
+        ev = self._events(spark, [
+            (1, "A", 0), (1, "buy", 5),
+            (2, "buy", 0), (2, "A", 5),  # touch AFTER first buy
+            (3, "B", 0),
+        ])
+        got = {
+            r.channel: r.n_users_touched
+            for r in shapley_attribution(ev, "buy").collect()
+        }
+        # u2's post-conversion A touch doesn't count
+        assert got["A"] == 1 and got["B"] == 1
+
+    def test_constant_v_gives_null_players(self, spark):
+        """Every user converts AND the empty coalition is observed →
+        v ≡ 1e6 on every observed mask INCLUDING ∅ → all channels are
+        null players (φ = 0). Without an observed untouched user the
+        pinned v(∅)=0 convention makes φ nonzero — that asymmetry is
+        the definition, also pinned here via the sibling hand test."""
+        from unitdb_spark.operators.funnel import shapley_attribution
+
+        ev = self._events(spark, [
+            (1, "A", 0), (1, "buy", 5),
+            (2, "B", 0), (2, "buy", 5),
+            (3, "A", 0), (3, "B", 1), (3, "buy", 5),
+            (4, "buy", 0),  # untouched converter: observed ∅, v=1e6
+        ])
+        got = {
+            r.channel: r.shapley_ppm
+            for r in shapley_attribution(ev, "buy").collect()
+        }
+        assert got == {"A": 0, "B": 0}
+
+
+class TestDsirLogweights:
+    def test_hand_computed_weights(self, spark):
+        from unitdb_spark.functions.exactlog import ulog10_micro_py
+        from unitdb_spark.operators.tfidf import dsir_logweights
+
+        df = spark.createDataFrame(
+            [
+                (1, "a a b", True),
+                (2, "a c c c", False),
+                (3, "a b", False),
+            ],
+            "doc_id long, text string, is_target boolean",
+        )
+        # vocab over ALL rows: a: ct=2 cr=2, b: ct=1 cr=1, c: ct=0 cr=3
+        # V=3, Tt=3, Tr=6
+        u = ulog10_micro_py
+        exp3 = (
+            (u(2 + 1) - u(2 + 1)) + (u(1 + 1) - u(1 + 1))
+            + 2 * (u(6 + 3) - u(3 + 3))
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.dsir_wt_micro)
+            for r in dsir_logweights(df).collect()
+        }
+        assert got[3] == (2, exp3)
+        # target doc 1 ("a a b"): 2·(u(3)−u(3)) + 1·(u(2)−u(2)) + 3·(u(9)−u(6))
+        exp1 = 3 * (u(9) - u(6))
+        assert got[1] == (3, exp1)
+        # raw doc 2 leans raw (contains c, target count 0): weight < doc1's
+        assert got[2][1] < got[1][1]
+
+    def test_target_like_scores_higher(self, spark):
+        from unitdb_spark.operators.tfidf import dsir_logweights
+
+        rows = [(i, "wiki facts prose text", True) for i in range(5)]
+        rows += [(10 + i, "spam buy now click", False) for i in range(5)]
+        rows += [(20, "wiki facts prose text", False), (21, "spam buy now click", False)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, is_target boolean")
+        got = {r.doc_id: r.dsir_wt_micro for r in dsir_logweights(df).collect()}
+        assert got[20] > got[21]
+
+
+class TestRougeNPairs:
+    def _docs(self, spark, d):
+        return spark.createDataFrame(
+            list(d.items()), "doc_id long, text string"
+        )
+
+    def _pairs(self, spark, ps):
+        return spark.createDataFrame(ps, "id_a long, id_b long")
+
+    def test_hand_computed_bigram_overlap(self, spark):
+        from unitdb_spark.operators.evaluation import rouge_n_pairs
+
+        docs = self._docs(spark, {1: "x y z w", 2: "x y z q"})
+        (r,) = rouge_n_pairs(
+            docs, self._pairs(spark, [(1, 2)]), n=2
+        ).collect()
+        assert (r.n_grams_a, r.n_grams_b, r.overlap) == (3, 3, 2)
+        assert r.rouge_p_ppm == r.rouge_r_ppm == (2 * 10**6) // 3
+        assert r.rouge_f1_ppm == (2 * 666666 * 666666) // (2 * 666666)
+
+    def test_multiset_clipping(self, spark):
+        """'x x x' has the bigram 'x x' TWICE; against 'x x' (once)
+        the multiset overlap clips to 1 — the ROUGE-vs-Jaccard
+        distinction this operator exists for."""
+        from unitdb_spark.operators.evaluation import rouge_n_pairs
+
+        docs = self._docs(spark, {1: "x x x", 2: "x x"})
+        (r,) = rouge_n_pairs(
+            docs, self._pairs(spark, [(1, 2)]), n=2
+        ).collect()
+        assert (r.n_grams_a, r.n_grams_b, r.overlap) == (2, 1, 1)
+        assert r.rouge_p_ppm == 500000 and r.rouge_r_ppm == 1000000
+        assert r.rouge_f1_ppm == (2 * 500000 * 1000000) // 1500000
+
+    def test_short_side_yields_null_metrics(self, spark):
+        from unitdb_spark.operators.evaluation import rouge_n_pairs
+
+        docs = self._docs(spark, {1: "x y z", 2: "q"})
+        (r,) = rouge_n_pairs(
+            docs, self._pairs(spark, [(1, 2)]), n=2
+        ).collect()
+        assert r.n_grams_b == 0 and r.overlap == 0
+        assert r.rouge_r_ppm is None and r.rouge_f1_ppm is None
+
+    def test_no_shared_grams_is_zero(self, spark):
+        from unitdb_spark.operators.evaluation import rouge_n_pairs
+
+        docs = self._docs(spark, {1: "a b c", 2: "x y z"})
+        (r,) = rouge_n_pairs(
+            docs, self._pairs(spark, [(1, 2)]), n=2
+        ).collect()
+        assert r.overlap == 0 and r.rouge_f1_ppm == 0

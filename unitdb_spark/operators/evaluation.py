@@ -2120,3 +2120,104 @@ def wilson_bound_sql(k: str, n: str, sign: str, z: float = 1.959964) -> str:
         f"sqrt({kd}/{nd}*(1.0 - {kd}/{nd})/{nd} + "
         f"{Z2}/(4.0*{nd}*{nd}))) / (1.0 + {Z2}/{nd}), 6)"
     )
+
+
+def rouge_n_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """ROUGE-N between candidate document pairs (Lin '04): n-gram
+    MULTISET overlap — Σ_g min(count_a(g), count_b(g)) — read as
+    precision against a's grams, recall against b's, plus the F1.
+    Jaccard (`doc_ngram_jaccard`) asks "how similar are the SETS";
+    ROUGE asks the summarization/near-dup question "how much of b's
+    content does a reproduce, repetitions counted" — the standard
+    report when auditing near-duplicate clusters or generated-text
+    overlap against sources.
+
+    ``pairs`` supplies the candidates ((id_a, id_b) — extra columns
+    pass through untouched), so the quadratic stays confined to
+    whatever blocking produced them (LSH bands in the flagship
+    query). Cost: one explode + (doc, gram) count, then the pair
+    relation joins both sides' counts on gram — each pair touches
+    only its shared gram TYPES.
+
+    Exact integers: counts, overlap, and floor-ppm metrics —
+    p_ppm = ov·1e6 div grams_a, r_ppm = ov·1e6 div grams_b,
+    f1_ppm = 2·p·r div (p+r) (0 when both are 0); a side with
+    FEWER than n tokens has zero n-grams and yields NULL metrics
+    (nothing to overlap — absence is the answer). Engine-portable:
+    grams are space-joined lowercase whitespace tokens, replayed
+    verbatim in SQL.
+
+    Output: pairs' columns + (n_grams_a, n_grams_b, overlap,
+    rouge_p_ppm, rouge_r_ppm, rouge_f1_ppm).
+    """
+    from unitdb_spark.functions.text import _toks
+
+    nn = int(n)
+    t = docs.select(
+        F.col(id_col).alias("_id"), _toks(text_col).alias("_tk")
+    )
+    grams = t.select(
+        "_id",
+        F.when(
+            F.size("_tk") >= nn,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_tk") - F.lit(nn - 1)),
+                lambda i: F.array_join(F.slice("_tk", i, nn), " "),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_g"),
+    )
+    gc = (
+        grams.select("_id", F.explode("_g").alias("gram"))
+        .groupBy("_id", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    totals = grams.select(
+        "_id", F.size("_g").cast("long").alias("_ng")
+    )
+    a_tot = totals.select(
+        F.col("_id").alias(a_col), F.col("_ng").alias("n_grams_a")
+    )
+    b_tot = totals.select(
+        F.col("_id").alias(b_col), F.col("_ng").alias("n_grams_b")
+    )
+    ga = gc.select(F.col("_id").alias(a_col), "gram", F.col("_c").alias("_ca"))
+    gb = gc.select(F.col("_id").alias(b_col), "gram", F.col("_c").alias("_cb"))
+    ov = (
+        pairs.select(a_col, b_col)
+        .join(ga, a_col)
+        .join(gb, [b_col, "gram"])
+        .groupBy(a_col, b_col)
+        .agg(F.sum(F.least("_ca", "_cb")).cast("long").alias("overlap"))
+    )
+    out = (
+        pairs.join(ov, [a_col, b_col], "left")
+        .join(a_tot, a_col)
+        .join(b_tot, b_col)
+        .withColumn("overlap", F.coalesce("overlap", F.lit(0)).cast("long"))
+    )
+    p = "CASE WHEN n_grams_a > 0 THEN (overlap * 1000000L) div n_grams_a END"
+    r = "CASE WHEN n_grams_b > 0 THEN (overlap * 1000000L) div n_grams_b END"
+    return (
+        out.withColumn("rouge_p_ppm", F.expr(p))
+        .withColumn("rouge_r_ppm", F.expr(r))
+        .withColumn(
+            "rouge_f1_ppm",
+            F.expr(
+                "CASE WHEN rouge_p_ppm IS NULL OR rouge_r_ppm IS NULL"
+                " THEN NULL"
+                " WHEN rouge_p_ppm + rouge_r_ppm = 0 THEN 0"
+                " ELSE (2 * rouge_p_ppm * rouge_r_ppm)"
+                " div (rouge_p_ppm + rouge_r_ppm) END"
+            ),
+        )
+    )

@@ -136,3 +136,130 @@ def top_paths(
             .cast("long").alias("share_ppm"),
         )
     )
+
+
+def shapley_attribution(
+    df: DataFrame,
+    conversion: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EXACT Shapley-value channel attribution (Shapley '53 applied to
+    multi-touch conversion credit, the coalition-game formulation of
+    e.g. Zhao et al. '18): each non-conversion event type is a
+    player, a user's coalition is the SET of channels they touched
+    strictly before their first conversion (all their touches if they
+    never convert), the characteristic function v(S) is the exact
+    conversion rate (ppm) of users whose touched-set is EXACTLY S,
+    and channel i's credit is the Shapley value
+
+        φ_i = Σ_{S ∌ i} |S|!·(k−|S|−1)!/k! · (v(S∪{i}) − v(S)).
+
+    The last-touch / linear heuristics (`q_events_multitouch`) answer
+    "who was nearest the conversion"; Shapley answers "who MOVED the
+    conversion rate", with the only symmetric, efficient, null-player
+    credit assignment. Efficiency here: Σφ_i = (Σ_observed-S≠∅ terms)
+    telescopes so that credits sum to v over the touched population
+    minus the no-touch baseline — pinned by the unit tests.
+
+    NO 2^k subset enumeration (the textbook form): with v(S) ≡ 0 for
+    unobserved coalitions, split the sum per observed mask T —
+        φ_scaled(i) = Σ_{T ∋ i} (|T|−1)!·(k−|T|)!·v(T)
+                    − Σ_{S ∌ i} |S|!·(k−|S|−1)!·v(S)
+    over OBSERVED masks only, so the plan is: one distinct-touch
+    aggregation, one node... user-sized mask groupBy, then a
+    (observed_masks × k channels) join against a broadcast channel
+    relation — |masks| ≤ min(users, 2^k) rows, k rows broadcast.
+    Arithmetic is exact integers end to end: v in floor-ppm,
+    factorials via the engines' exact BIGINT factorial(), products in
+    DECIMAL(38,0), final φ_ppm = floor-div by k!. Deterministic and
+    bitwise SQL-replayable; unobserved-S v=0 is part of the pinned
+    definition (the standard data-driven simplification).
+
+    Scale: everything is keyed by user or by (mask ≤ 2^k); the only
+    user-data shuffles are the distinct and the two groupBys. The
+    channel list is a bounded control-plane read (≤ #event types —
+    the centroid/vocab-cap idiom).
+
+    Output: (channel, n_users_touched, shapley_ppm), one row per
+    non-conversion channel, sorted by nothing (caller orders).
+    """
+    u = F.col(user_col)
+    ev = df.select(
+        u.alias("_u"),
+        F.col(type_col).alias("_t"),
+        F.col(ts_col).alias("_ts"),
+    ).filter(F.col("_u").isNotNull() & F.col("_t").isNotNull())
+    conv = (
+        ev.filter(F.col("_t") == conversion)
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_cts"))
+    )
+    users = ev.select("_u").distinct().join(
+        conv.select("_u", F.lit(1).alias("_conv")), "_u", "left"
+    ).select("_u", F.coalesce("_conv", F.lit(0)).alias("_conv"))
+    touches = (
+        ev.filter(F.col("_t") != conversion)
+        .join(conv, "_u", "left")
+        .filter(F.col("_cts").isNull() | (F.col("_ts") < F.col("_cts")))
+        .select("_u", "_t")
+        .distinct()
+    )
+    # channel -> bit index: bounded control-plane read (#event types)
+    chans = sorted(
+        r["_t"] for r in touches.select("_t").distinct().collect()
+    )
+    k = len(chans)
+    if k == 0:
+        raise ValueError(
+            "shapley_attribution: no non-conversion touches in the data"
+        )
+    spark = df.sparkSession
+    chan_df = spark.createDataFrame(
+        [(c, 1 << i) for i, c in enumerate(chans)],
+        "channel string, bit long",
+    )
+    masks = (
+        users.join(
+            touches.join(F.broadcast(chan_df), touches["_t"] == chan_df["channel"])
+            .groupBy("_u")
+            .agg(F.sum("bit").cast("long").alias("_mask")),
+            "_u",
+            "left",
+        )
+        .select("_u", "_conv", F.coalesce("_mask", F.lit(0)).alias("_mask"))
+        .groupBy("_mask")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_conv").cast("long").alias("_c"),
+        )
+        .select(
+            "_mask",
+            "_n",
+            F.expr("bit_count(_mask)").cast("int").alias("_pc"),
+            F.expr("(_c * 1000000L) div _n").alias("_v_ppm"),
+        )
+    )
+    terms = masks.crossJoin(F.broadcast(chan_df)).select(
+        "channel",
+        F.when((F.expr("_mask div bit") % 2) == 1, F.col("_n"))
+        .otherwise(F.lit(0))
+        .alias("_touched_n"),
+        F.expr(
+            f"""CASE WHEN (_mask div bit) % 2 = 1 THEN
+                  CAST(factorial(_pc - 1) AS DECIMAL(38,0))
+                  * factorial({k} - _pc) * _v_ppm
+                ELSE
+                  - CAST(factorial(_pc) AS DECIMAL(38,0))
+                  * factorial({k} - _pc - 1) * _v_ppm
+                END"""
+        ).alias("_term"),
+    )
+    return terms.groupBy("channel").agg(
+        F.sum("_touched_n").cast("long").alias("n_users_touched"),
+        F.expr(
+            f"CAST(SUM(_term) div CAST(factorial({k}) AS DECIMAL(38,0))"
+            " AS BIGINT)"
+        ).alias("shapley_ppm"),
+    )

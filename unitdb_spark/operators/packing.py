@@ -55,3 +55,87 @@ def pack_sequences(
         F.floor(cum_before / F.lit(ctx_tokens)).cast("long").alias("bin_id"),
         F.pmod(cum_before, F.lit(ctx_tokens)).cast("long").alias("bin_offset"),
     )
+
+
+def pad_waste(
+    df: DataFrame,
+    batch_size: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard: Column | None = None,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Padding overhead of fixed-size batching, arrival-order vs
+    length-sorted — the number that decides whether a training
+    pipeline needs a length-bucketing stage: every sequence in a
+    batch pads to the batch max, so padded cost = Σ_batches
+    batch_max · |batch| and waste = padded − real tokens. Sorting by
+    length before batching is the classic fix; this operator measures
+    exactly how much it buys on THIS corpus.
+
+    Same shard-local discipline as `pack_sequences` (a global order
+    would be a single-partition window): documents shard by
+    ``id % n_shards`` (or any deterministic ``shard`` column), each
+    shard batches independently under both policies — (a) "arrival"
+    = ordered by id, (b) "sorted" = ordered by (n_tokens, id) — and
+    the last partial batch pads to its own max over its actual
+    members (size < batch_size does NOT pad to a full batch: the
+    collator ships the short batch).
+
+    Exact integers end to end: token counts are the portable
+    whitespace counts, waste_ppm = floor(waste · 1e6 / padded).
+
+    Output: (policy, shard, n_docs, n_batches, real_tokens,
+    padded_tokens, waste_ppm), one row per policy × shard.
+    """
+    id_c = F.col(id_col)
+    shard_c = shard if shard is not None else F.pmod(id_c, F.lit(n_shards))
+    t = df.select(
+        id_c.alias("id"),
+        shard_c.cast("long").alias("shard"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+
+    def _policy(name: str, order: list[Column]) -> DataFrame:
+        w = Window.partitionBy("shard").orderBy(*order)
+        b = t.select(
+            "shard",
+            "n_tokens",
+            (F.row_number().over(w) - F.lit(1))
+            .cast("long")
+            .alias("_rn0"),
+        ).select(
+            "shard",
+            "n_tokens",
+            # integer div, not float-div-and-cast (exactness convention)
+            F.expr(f"_rn0 div {int(batch_size)}").alias("_batch"),
+        )
+        per_batch = b.groupBy("shard", "_batch").agg(
+            F.count(F.lit(1)).cast("long").alias("_bn"),
+            F.sum("n_tokens").cast("long").alias("_real"),
+            F.max("n_tokens").cast("long").alias("_mx"),
+        )
+        return per_batch.groupBy("shard").agg(
+            F.sum("_bn").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("_real").cast("long").alias("real_tokens"),
+            F.sum(F.col("_mx") * F.col("_bn"))
+            .cast("long")
+            .alias("padded_tokens"),
+        ).select(
+            F.lit(name).alias("policy"),
+            "shard",
+            "n_docs",
+            "n_batches",
+            "real_tokens",
+            "padded_tokens",
+            F.expr(
+                "CASE WHEN padded_tokens > 0 THEN"
+                " ((padded_tokens - real_tokens) * 1000000L)"
+                " div padded_tokens END"
+            ).alias("waste_ppm"),
+        )
+
+    arrival = _policy("arrival", [F.col("id")])
+    srt = _policy("sorted", [F.col("n_tokens"), F.col("id")])
+    return arrival.unionAll(srt)

@@ -1367,3 +1367,106 @@ def conditional_bigram_entropy(
             F.expr("_s div n_bigrams").cast("long").alias("h_micro"),
         )
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_col: str = "is_target",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. '23, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its tokens are under the TARGET
+    distribution's unigram model than under the RAW pool's —
+    log w(x) = Σ_tokens [log p̂_target(t) − log p̂_raw(t)] — then
+    resample/select by weight. The field-standard cheap data-selection
+    method (DSIR selects the Pile subset that matches Wikipedia+books
+    before pretraining); this is the weighting stage, with both
+    hashed-unigram models add-one smoothed over the SHARED vocabulary.
+
+    ``target_col`` is a boolean column: True rows define the target
+    corpus, False rows the raw pool; ALL rows are scored (target docs
+    score their own affinity, useful as the sanity diagonal).
+
+    Cross-engine exactness: zero libm — log10s go through the exact
+    integer µlog10 program (functions/exactlog.py), so the weight is
+
+      wt_micro = Σ_t m_t·[ulog(c_tgt(t)+1) − ulog(c_raw(t)+1)]
+               + n_doc·[ulog(T_raw + V) − ulog(T_tgt + V)]
+
+    (m_t = the doc's count of term t, T_* = model token totals, V =
+    shared vocab size; the rearrangement pulls the per-token
+    denominator out of the sum). Every term is an exact BIGINT, sums
+    are order-free, and the DuckDB oracle replays the identical
+    program bit for bit.
+
+    Scale: one explode + (doc, term) agg, one vocab-sized agg, the
+    scoring join on term (vocab side Zipf-small — broadcasts when it
+    fits), one doc rollup; the totals relation is one broadcast row.
+
+    Output: (doc_id, n_tokens, dsir_wt_micro) — positive = target-like.
+    """
+    from unitdb_spark.functions.exactlog import with_ulog10
+
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(target_col).cast("boolean").alias("_tgt"),
+        _tokens(text_col).alias("_tk"),
+    )
+    tok = base.select(
+        "_id", "_tgt", F.explode("_tk").alias("term")
+    )
+    # per (doc, term) multiplicity — the scoring join then moves one
+    # row per TYPE per doc, not per token instance
+    dt = tok.groupBy("_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("_m")
+    )
+    vocab = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0))
+        .cast("long")
+        .alias("_ct"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(1))
+        .cast("long")
+        .alias("_cr"),
+    )
+    vocab_u = with_ulog10(
+        vocab.select(
+            "term",
+            (F.col("_ct") + 1).alias("_ct1"),
+            (F.col("_cr") + 1).alias("_cr1"),
+        ),
+        {"ut": "_ct1", "ur": "_cr1"},
+    )
+    tots = vocab.agg(
+        F.sum("_ct").cast("long").alias("_Tt"),
+        F.sum("_cr").cast("long").alias("_Tr"),
+        F.count(F.lit(1)).cast("long").alias("_V"),
+    )
+    tots_u = with_ulog10(
+        tots.select(
+            (F.col("_Tt") + F.col("_V")).alias("_TtV"),
+            (F.col("_Tr") + F.col("_V")).alias("_TrV"),
+        ),
+        {"utt": "_TtV", "utr": "_TrV"},
+    ).select("utt", "utr")
+    scored = (
+        dt.join(vocab_u.select("term", "ut", "ur"), "term")
+        .groupBy("_id")
+        .agg(
+            F.sum("_m").cast("long").alias("n_tokens"),
+            F.sum(F.col("_m") * (F.col("ut") - F.col("ur")))
+            .cast("long")
+            .alias("_s"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(tots_u)).select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        (
+            F.col("_s")
+            + F.col("n_tokens") * (F.col("utr") - F.col("utt"))
+        )
+        .cast("long")
+        .alias("dsir_wt_micro"),
+    )
