@@ -80,6 +80,22 @@ def main() -> None:
     print(f"# next window would cover {min(w, len(order))} queries, "
           f"of which {sum(1 for q in order[:w] if last_round[q] == 0)} "
           "get their FIRST hard row")
+    if not never:
+        # backlog-0 regime (reached round 11): with every query
+        # carrying a hard row, the window becomes a fixed stalest-
+        # green re-check rotation — each round re-proves the 50
+        # queries whose last hard row is oldest, so the whole
+        # inventory re-certifies every ceil(inventory/window) rounds.
+        # New-round additions (last_round == 0) still auto-front.
+        import math
+
+        cycle = math.ceil(len(declared) / w)
+        print(
+            f"# regime: backlog-0 re-check rotation — full-inventory "
+            f"re-proof every {cycle} rounds; queries changed since "
+            "their last hard row should be fronted manually (the "
+            "COVERAGE.md honesty-note convention)"
+        )
     for q in order:
         tag = (
             "FAIL!" if failed_latest[q]
