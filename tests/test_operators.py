@@ -12185,3 +12185,34 @@ class TestRougeNPairs:
             docs, self._pairs(spark, [(1, 2)]), n=2
         ).collect()
         assert r.overlap == 0 and r.rouge_f1_ppm == 0
+
+
+class TestShapleyGuards:
+    def test_too_many_channels_raises(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.funnel import shapley_attribution
+
+        T = dt.datetime(2024, 1, 1)
+        rows = [
+            (u, f"ch{c:02d}", T + dt.timedelta(seconds=c))
+            for u in range(3)
+            for c in range(21)
+        ] + [(0, "buy", T + dt.timedelta(days=1))]
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        with pytest.raises(ValueError, match="factorial bound"):
+            shapley_attribution(ev, "buy")
+
+    def test_no_touches_raises(self, spark):
+        import datetime as dt
+
+        from unitdb_spark.operators.funnel import shapley_attribution
+
+        T = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [(1, "buy", T)], "user_id long, event_type string, ts timestamp"
+        )
+        with pytest.raises(ValueError, match="no non-conversion"):
+            shapley_attribution(ev, "buy")

@@ -215,6 +215,14 @@ def shapley_attribution(
         raise ValueError(
             "shapley_attribution: no non-conversion touches in the data"
         )
+    if k > 20:
+        # factorial(21) overflows BIGINT — Spark would return NULL
+        # silently; with 2^20+ possible coalitions the exact game is
+        # the wrong tool anyway (sample permutations instead).
+        raise ValueError(
+            f"shapley_attribution: {k} channels exceeds the exact "
+            "BIGINT factorial bound (20)"
+        )
     spark = df.sparkSession
     chan_df = spark.createDataFrame(
         [(c, 1 << i) for i, c in enumerate(chans)],

@@ -1406,6 +1406,8 @@ def dsir_logweights(
     fits), one doc rollup; the totals relation is one broadcast row.
 
     Output: (doc_id, n_tokens, dsir_wt_micro) — positive = target-like.
+    Documents with zero tokens have no unigram evidence and emit no
+    row (the oracle drops them identically).
     """
     from unitdb_spark.functions.exactlog import with_ulog10
 
