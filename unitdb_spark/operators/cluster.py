@@ -76,8 +76,17 @@ def connected_components(
         ).distinct()
     labels = base.select("node", F.col("node").alias("label"))
     labels = labels.localCheckpoint(eager=True)
+    # plan-pinning broadcast on the |nodes|-sized label relation
+    # (r11, same as pagerank's rank hint): without it a graph past
+    # the broadcast threshold gets a sort-merge join that re-shuffles
+    # the d-aligned edge cache by s every round, turning the
+    # repartition("d") into a pure regression. persist="memory"
+    # asserts labels is broadcast-sized; at 100 TB use persist="none"
+    # with a dst-bucketed edge table.
+    _hint = F.broadcast if persist == "memory" else (lambda df: df)
     for _ in range(max_iterations):
-        msgs = bi.join(labels, bi["s"] == labels["node"]).select(
+        lab_b = _hint(labels)
+        msgs = bi.join(lab_b, bi["s"] == lab_b["node"]).select(
             F.col("d").alias("node"), "label"
         )
         # exchange-free when bi is d-partitioned (alias-aware output

@@ -465,7 +465,11 @@ def personalized_pagerank(
     sc = seed_col or seeds.columns[0]
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
-    ewd = e.join(deg, "_s")
+    # broadcast the node-sized degree relation into the build (r11,
+    # see pagerank): the edge relation reaches the d-repartition
+    # without first shuffling by _s — one edge-sized exchange, not two
+    _bc = persist == "memory"
+    ewd = e.join(F.broadcast(deg) if _bc else deg, "_s")
     if persist == "memory":  # loop-invariant, reused every iteration
         # d-aligned (r10, see pagerank): iteration agg exchange-free
         ewd = ewd.repartition("_d").persist()
@@ -1320,7 +1324,10 @@ def pagerank_weighted(
         F.col(weight).cast("long").alias("_w"),
     )
     ws = e.groupBy("_s").agg(F.sum("_w").cast("long").alias("_ws"))
-    ewd = e.join(ws, "_s")
+    # broadcast-weighted-degree build (r11, see pagerank): one
+    # edge-sized exchange (the d-repartition), not two
+    _bc = persist == "memory"
+    ewd = e.join(F.broadcast(ws) if _bc else ws, "_s")
     nodes = ws.select("_s")
     if persist == "memory":
         # d-aligned loop-invariant cache (r10, see pagerank): the
