@@ -1116,3 +1116,47 @@ class TestVectorizedCrc16:
             assert mc._crc16_fast(d) == mc._crc16(d)
 
         check()
+
+
+class TestFlacTruncation:
+    def test_cut_mid_frame_header_returns_none(self):
+        """r11 fuzz finding: the frame loop's 6-byte guard let a blob
+        truncated inside the 8-byte fixed frame header index past the
+        end (IndexError) instead of the honest-failure None. Pin every
+        cut point across the first frame header."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_flac_fixed,
+            encode_flac_fixed,
+        )
+
+        s = ((np.arange(600) * 13) % 4096 - 2048).astype(np.int16)
+        blob = encode_flac_fixed(s, blocksize=256)
+        full = decode_flac_fixed(blob)
+        assert full is not None and np.array_equal(full[1], s.astype(np.int64))
+        # 42 = fLaC + STREAMINFO block; cut through the entire stream
+        # at byte granularity around headers and coarse elsewhere
+        cuts = list(range(42, 60)) + list(range(60, len(blob), 37))
+        for cut in cuts:
+            assert decode_flac_fixed(blob[:cut]) is None, cut
+
+    def test_pointer_doubling_matches_reference_walk(self):
+        """The r11 vectorized successor-chain walk in _rice_decode_np
+        must pick the identical terminators as the sequential
+        reference walk, across k values and densities."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            decode_flac_fixed,
+            encode_flac_fixed,
+        )
+
+        rng = np.random.default_rng(11)
+        for k_style in range(6):
+            amp = [1, 7, 60, 500, 4000, 30000][k_style]
+            s = rng.integers(-amp, amp + 1, 3000).astype(np.int16)
+            blob = encode_flac_fixed(s, blocksize=1024)
+            out = decode_flac_fixed(blob)
+            assert out is not None
+            assert np.array_equal(out[1], s.astype(np.int64)), k_style

@@ -3094,23 +3094,35 @@ def _rice_decode_np(b: bytes, bit_start: int, n_res: int, k: int):
         count = min(want, max_bytes)
         bits = np.unpackbits(np.frombuffer(b, np.uint8, offset=byte0, count=count))
         ones = np.flatnonzero(bits)
-        nxt = np.searchsorted(ones, ones + (k + 1)).tolist()
-        n_ones = len(nxt)
+        n_ones = ones.size
+        # successor map: each one-index -> first one-index >= k+1 bits
+        # later, padded with a self-mapping sentinel at n_ones so a
+        # chain that runs off the window parks there
+        nxtp = np.empty(n_ones + 1, dtype=np.int64)
+        nxtp[:n_ones] = np.searchsorted(ones, ones + (k + 1))
+        nxtp[n_ones] = n_ones
         cur = int(np.searchsorted(ones, s0))
-        idxs = []
-        short = False
-        for _ in range(n_res):
-            if cur >= n_ones:
-                short = True
-                break
-            idxs.append(cur)
-            cur = nxt[cur]
-        if not short and idxs and int(ones[idxs[-1]]) + 1 + k <= bits.size:
+        # pointer-doubling chain walk (r11): chain[i+1] = nxtp[chain[i]]
+        # is the only sequential step of the decode; instead of a
+        # 1-per-residual Python loop, double — after step j we hold
+        # chain[0..2^j-1] and comp = nxtp∘…∘nxtp (2^j times), so
+        # chain[2^j..2^{j+1}-1] = comp[chain[0..2^j-1]] — log2(n_res)
+        # numpy gathers total (same trick as the connected-components
+        # pointer jumping, applied to a bit stream)
+        chain = np.array([min(cur, n_ones)], dtype=np.int64)
+        comp = nxtp
+        while chain.size < n_res:
+            chain = np.concatenate([chain, comp[chain]])
+            if chain.size < n_res:
+                comp = comp[comp]
+        idxs = chain[:n_res]
+        short = bool(idxs[-1] >= n_ones) or bool((idxs >= n_ones).any())
+        if not short and n_res and int(ones[idxs[-1]]) + 1 + k <= bits.size:
             break
         if count >= max_bytes:
             return None  # truncated stream
         want = want * 2
-    T = ones[np.asarray(idxs, dtype=np.int64)]
+    T = ones[idxs]
     starts = np.empty(n_res, dtype=np.int64)
     starts[0] = s0
     starts[1:] = T[:-1] + (k + 1)
@@ -3242,7 +3254,11 @@ def decode_flac_fixed(b: bytes):
     if channels != 1 or bps != 16:
         return None
     samples: list[int] = []
-    while pos + 6 <= len(b) and len(samples) < total:
+    # 8 = the fixed frame-header size (sync 2 + codes 2 + frame no 1 +
+    # blocksize 2 + CRC8 1); a 6-byte guard let a blob truncated
+    # mid-header index past the end (r11 fuzz finding) instead of
+    # returning None like every other honest-failure path
+    while pos + 8 <= len(b) and len(samples) < total:
         hdr_start = pos
         if b[pos] != 0xFF or (b[pos + 1] & 0xFE) != 0xF8:
             return None
