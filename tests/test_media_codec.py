@@ -1160,3 +1160,74 @@ class TestFlacTruncation:
             out = decode_flac_fixed(blob)
             assert out is not None
             assert np.array_equal(out[1], s.astype(np.int64)), k_style
+
+
+class TestDecoderRobustness:
+    """r11 exhaustive single-bit-flip fuzz findings, pinned: every
+    decoder's contract is None-on-malformed, never an exception. Each
+    case below reproduces a crash found by flipping one bit of a
+    valid blob."""
+
+    def _arr(self):
+        import numpy as np
+
+        return ((np.arange(16 * 16 * 3).reshape(16, 16, 3) * 5) % 256).astype(
+            np.uint8
+        )
+
+    def test_jpeg_short_dqt_and_sos_segments(self):
+        import numpy as np
+
+        from unitdb_spark.functions import media_codec as mc
+
+        blob = mc.encode_jpeg_baseline(self._arr(), quant=8)
+        # flip the DQT precision nibble: the 65-byte 8-bit table is
+        # suddenly read as 129 bytes of 16-bit values (crashed with
+        # struct.error before the short-segment guard)
+        i = blob.index(b"\xff\xdb") + 4
+        bb = bytearray(blob)
+        bb[i] |= 0x10
+        assert mc.decode_jpeg_rgb(bytes(bb)) is None
+
+    def test_jpeg_progressive_se_out_of_spec(self):
+        from unitdb_spark.functions import media_codec as mc
+
+        blob = mc.encode_jpeg_progressive(self._arr(), quant=8)
+        # corrupt Se in an AC scan header past 63: indexed outside the
+        # 64-coefficient block before the T.81 B.2.3 bounds check
+        crashes = 0
+        for i in range(len(blob)):
+            for bit in (6, 7):
+                bb = bytearray(blob)
+                bb[i] ^= 1 << bit
+                try:
+                    mc.decode_jpeg_progressive_rgb(bytes(bb))
+                except Exception:
+                    crashes += 1
+        assert crashes == 0
+
+    def test_lzw_root_code_past_byte_range(self):
+        from unitdb_spark.functions.media_codec import _lzw_decode, _lzw_encode
+
+        data = bytes(range(250)) * 3
+        enc = _lzw_encode(data, 8)
+        assert _lzw_decode(enc, 8) == data
+        # a corrupt min_code_size mints "root" codes past 255 — must
+        # refuse, not ValueError out of bytearray.append
+        assert _lzw_decode(enc, 11) is None or isinstance(
+            _lzw_decode(enc, 11), bytes
+        )
+        assert _lzw_decode(enc, 12) is None
+        assert _lzw_decode(enc, 0) is None
+
+    def test_adam7_corrupt_dimension_is_refused_not_allocated(self):
+        from unitdb_spark.functions import media_codec as mc
+
+        blob = mc.encode_png_rgb_adam7(self._arr())
+        # flip the IHDR width/height high bytes: the decoder must
+        # refuse via the exact raw-size check, not attempt a multi-GB
+        # np.empty (MemoryError before the fix)
+        for off in (16, 20):
+            bb = bytearray(blob)
+            bb[off] ^= 0x80
+            assert mc.decode_png_rgb_any(bytes(bb)) is None

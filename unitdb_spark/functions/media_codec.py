@@ -868,6 +868,17 @@ def decode_png_rgb_any(b: bytes):
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
+    # validate the EXACT Adam7 raw size before allocating the output:
+    # a corrupt IHDR dimension would otherwise drive a multi-GB
+    # np.empty from a few-KB blob (fuzz r11 MemoryError)
+    expected = 0
+    for x0, y0, dx, dy in ADAM7_PASSES:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            expected += ph * (1 + pw * 3)
+    if expected != len(raw):
+        return None
     out = np.empty((h, w, 3), dtype=np.uint8)
     pos = 0
     for x0, y0, dx, dy in ADAM7_PASSES:
@@ -1010,6 +1021,10 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
     so emission is a C-speed bytearray slice-copy and table
     maintenance is two int stores (the old bytes-concat per code was
     O(entry length), the decode hot spot)."""
+    if not 1 <= min_code_size <= 11:
+        # GIF code widths are 2..12 bits; a corrupt size byte would
+        # mint "root" codes past 255 (fuzz r11)
+        return None
     clear = 1 << min_code_size
     eoi = clear + 1
     pos = 0
@@ -1042,6 +1057,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
             return bytes(out)
         q = len(out)
         if code < clear:
+            if code > 255:  # root codes are byte values (fuzz r11)
+                return None
             out.append(code)
             length = 1
         elif eoi < code < table_n:
@@ -1811,6 +1828,8 @@ def decode_jpeg_rgb(b: bytes):
                     vals = list(seg[p : p + 64])
                     p += 64
                 else:
+                    if p + 128 > len(seg):  # short 16-bit DQT (fuzz r11)
+                        return None
                     vals = [
                         struct.unpack(">H", seg[p + 2 * i : p + 2 * i + 2])[0]
                         for i in range(64)
@@ -1831,8 +1850,12 @@ def decode_jpeg_rgb(b: bytes):
                 huff[(tc, th)] = _huff_decode_table(counts, symbols)
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                return None
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+                return None
+            if len(seg) < 6 + 3 * nc:
                 return None
             comps = []
             for c in range(nc):
@@ -1849,10 +1872,16 @@ def decode_jpeg_rgb(b: bytes):
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # non-baseline frame types
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                return None
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
+            if not seg:
+                return None
             ns = seg[0]
             if sof is None or ns != len(sof[2]):
+                return None
+            if len(seg) < 1 + 2 * ns:
                 return None
             scan = []
             for c in range(ns):
@@ -2457,6 +2486,8 @@ def decode_jpeg_progressive_rgb(b: bytes):
                     vals = list(seg[p : p + 64])
                     p += 64
                 else:
+                    if p + 128 > len(seg):  # short 16-bit DQT (fuzz r11)
+                        return None
                     vals = [
                         struct.unpack(">H", seg[p + 2 * i : p + 2 * i + 2])[0]
                         for i in range(64)
@@ -2477,8 +2508,12 @@ def decode_jpeg_progressive_rgb(b: bytes):
                 huff[(tc, th)] = _huff_decode_table(counts, symbols)
                 p += 17 + n
         elif marker == 0xC2:
+            if len(seg) < 6:
+                return None
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+                return None
+            if len(seg) < 6 + 3 * nc:
                 return None
             comps = []
             for c in range(nc):
@@ -2507,12 +2542,16 @@ def decode_jpeg_progressive_rgb(b: bytes):
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # not a progressive-Huffman frame
         elif marker == 0xDD:
+            if len(seg) < 2:
+                return None
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
-            if sof is None:
+            if sof is None or not seg:
                 return None
             h, w, comps = sof
             ns = seg[0]
+            if len(seg) < 4 + 2 * ns:  # scan comps + Ss/Se/AhAl
+                return None
             scomps = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c : 3 + 2 * c]
@@ -2525,6 +2564,11 @@ def decode_jpeg_progressive_rgb(b: bytes):
                 scomps.append((ci, tt >> 4, tt & 0x0F))
             ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahl >> 4, ahl & 0x0F
+            # spec bounds (T.81 B.2.3): Ss,Se in 0..63 ordered, Ah/Al
+            # successive-approximation bits 0..13 — a corrupt Se past
+            # 63 would index outside the 64-coefficient block (fuzz r11)
+            if not (0 <= ss <= se <= 63) or ah > 13 or al > 13:
+                return None
             br = _JpegBitReader(b, pos + 2 + seglen)
             ok = _jpeg_progressive_scan(
                 b, br, sof, scomps, huff, coefs, comp_grid,
