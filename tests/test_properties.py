@@ -1376,3 +1376,164 @@ class TestJpegBitReaderEquivalence:
                 if rf is None:
                     break
             assert fast._i == slow._i
+
+
+class TestShapleyProperty:
+    """shapley_attribution vs the TEXTBOOK 2^k enumeration, exact.
+
+    The operator never enumerates subsets (the observed-masks split);
+    this property proves the split equals Shapley's definition with
+    v(unobserved)=0, including the truncating final division, on
+    randomized touch/conversion patterns."""
+
+    @staticmethod
+    def _brute(touched: dict, converted: set, k_channels: list):
+        from itertools import combinations
+        from math import factorial
+
+        # v(S) in exact ppm ints over EXACT-set coalitions
+        groups: dict = {}
+        for u, chans in touched.items():
+            key = frozenset(chans)
+            n, c = groups.get(key, (0, 0))
+            groups[key] = (n + 1, c + (1 if u in converted else 0))
+        v = {s: (c * 10**6) // n for s, (n, c) in groups.items()}
+        k = len(k_channels)
+        out = {}
+        for i in k_channels:
+            others = [c for c in k_channels if c != i]
+            total = 0
+            for r in range(k):
+                for comb in combinations(others, r):
+                    s = frozenset(comb)
+                    dv = v.get(s | {i}, 0) - v.get(s, 0)
+                    total += factorial(r) * factorial(k - r - 1) * dv
+            # the operator's truncating div (both engines truncate)
+            q = abs(total) // factorial(k)
+            out[i] = q if total >= 0 else -q
+        return out
+
+    @given(st.data())
+    @settings(max_examples=25, deadline=None)
+    def test_matches_textbook_enumeration(self, spark, data):
+        import datetime as dt
+
+        from unitdb_spark.operators.funnel import shapley_attribution
+
+        chans = data.draw(
+            st.lists(
+                st.sampled_from(["A", "B", "C", "D"]),
+                min_size=1,
+                max_size=4,
+                unique=True,
+            )
+        )
+        n_users = data.draw(st.integers(min_value=2, max_value=12))
+        T = dt.datetime(2024, 1, 1)
+        rows, touched, converted = [], {}, set()
+        for u in range(n_users):
+            sub = data.draw(
+                st.lists(st.sampled_from(chans), max_size=4, unique=True)
+            )
+            conv = data.draw(st.booleans())
+            touched[u] = set(sub)
+            for j, c in enumerate(sub):
+                rows.append((u, c, T + dt.timedelta(seconds=j)))
+            if conv:
+                converted.add(u)
+                rows.append((u, "buy", T + dt.timedelta(seconds=100)))
+        # the operator needs at least one touch overall
+        if not any(touched.values()):
+            touched[0] = {chans[0]}
+            rows.append((0, chans[0], T))
+        # a user with no events at all does not exist to the operator
+        # (the coalition universe is users WITH data) — drop phantoms
+        # from the model too
+        present = {u for u, _, _ in rows}
+        touched = {u: s for u, s in touched.items() if u in present}
+        converted = {u for u in converted if u in present}
+        observed = sorted({c for s in touched.values() for c in s})
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        got = {
+            r.channel: r.shapley_ppm
+            for r in shapley_attribution(ev, "buy").collect()
+        }
+        want = self._brute(touched, converted, observed)
+        assert got == want
+
+
+class TestPadWasteProperty:
+    @given(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                 max_size=60),
+        st.integers(min_value=1, max_value=7),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_sorted_never_pads_more_and_python_model_agrees(
+        self, spark, lens, bsize
+    ):
+        from unitdb_spark.operators.packing import pad_waste
+
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * ln)) for i, ln in enumerate(lens)],
+            "doc_id long, text string",
+        )
+        rows = pad_waste(df, batch_size=bsize, n_shards=1).collect()
+        by = {r.policy: r for r in rows}
+
+        def model(order):
+            padded = real = 0
+            for b0 in range(0, len(order), bsize):
+                batch = order[b0 : b0 + bsize]
+                padded += max(batch) * len(batch)
+                real += sum(batch)
+            return real, padded
+
+        real_a, padded_a = model(lens)
+        real_s, padded_s = model(sorted(lens))
+        assert (by["arrival"].real_tokens, by["arrival"].padded_tokens) == (
+            real_a, padded_a,
+        )
+        assert (by["sorted"].real_tokens, by["sorted"].padded_tokens) == (
+            real_s, padded_s,
+        )
+        # length-sorted consecutive batching never pads more than
+        # arrival order (exchange argument; ties allowed)
+        assert padded_s <= padded_a
+
+
+class TestRougeProperty:
+    @given(st.data())
+    @settings(max_examples=15, deadline=None)
+    def test_bounds_and_direction_swap(self, spark, data):
+        from collections import Counter
+
+        from unitdb_spark.operators.evaluation import rouge_n_pairs
+
+        words = ["a", "b", "c", "d"]
+        ta = " ".join(data.draw(st.lists(st.sampled_from(words), min_size=2, max_size=30)))
+        tb = " ".join(data.draw(st.lists(st.sampled_from(words), min_size=2, max_size=30)))
+        docs = spark.createDataFrame(
+            [(1, ta), (2, tb)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        (r,) = rouge_n_pairs(docs, pairs, n=2).collect()
+
+        def grams(t):
+            tk = t.split()
+            return Counter(
+                " ".join(tk[i : i + 2]) for i in range(len(tk) - 1)
+            )
+        ga, gb = grams(ta), grams(tb)
+        ov = sum(min(ga[g], gb[g]) for g in ga)
+        assert r.overlap == ov
+        assert r.n_grams_a == sum(ga.values()) and r.n_grams_b == sum(gb.values())
+        assert 0 <= r.rouge_p_ppm <= 10**6 and 0 <= r.rouge_r_ppm <= 10**6
+        # direction swap: precision against a == recall against b swapped
+        pairs2 = spark.createDataFrame([(2, 1)], "id_a long, id_b long")
+        (r2,) = rouge_n_pairs(docs, pairs2, n=2).collect()
+        assert r2.rouge_p_ppm == r.rouge_r_ppm
+        assert r2.rouge_r_ppm == r.rouge_p_ppm
+        assert r2.overlap == r.overlap
