@@ -159,6 +159,16 @@ def main() -> None:
     MessagesTable(spark, tmp + "/messages").append(msgs)
     timings["ingest"] = time.time() - t0
     ingest_rate = n_events / timings["ingest"]
+    # steady-state ingest (r11): the first append pays codegen + FS
+    # committer warmup (measured 2.9s cold vs 1.0-1.3s warm at sf0.1
+    # — the whole 26-33k rows/s band is that cold path). Production
+    # appends are repeated, so report the warm rate alongside; the
+    # cold number stays `ingest` for baseline like-for-like.
+    tmp2 = tempfile.mkdtemp(prefix="bench-messages-warm-")
+    t0 = time.time()
+    MessagesTable(spark, tmp2 + "/messages").append(msgs)
+    ingest_warm_rate = n_events / (time.time() - t0)
+    shutil.rmtree(tmp2, ignore_errors=True)
 
     MEDIAN_OF = 5
     spreads: dict[str, list[float]] = {}
@@ -303,6 +313,7 @@ def main() -> None:
         "sf": sf,
         "legacy_total_sec": round(legacy_total, 3),
         "ingest_rows_per_s": round(ingest_rate),
+        "ingest_rows_per_s_warm": round(ingest_warm_rate),
         "n_events": n_events,
         "cpus": CPUS,
         "median_of": MEDIAN_OF,
