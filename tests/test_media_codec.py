@@ -1231,3 +1231,98 @@ class TestDecoderRobustness:
             bb = bytearray(blob)
             bb[off] ^= 0x80
             assert mc.decode_png_rgb_any(bytes(bb)) is None
+
+
+class TestDecoderFuzzCI:
+    """Seeded random corruption fuzz over EVERY decoder and metadata
+    parser — the fast CI version of the r11 exhaustive single-bit-flip
+    sweep (which found four crash classes, pinned above). Any raise is
+    a failure: the contract is None-on-malformed. ~200 flips + 60
+    truncations per codec, fixed seed, <15s total."""
+
+    def _cases(self):
+        import numpy as np
+
+        from unitdb_spark.functions import media_codec as mc
+
+        arr = ((np.arange(24 * 32 * 3).reshape(24, 32, 3) * 7) % 256).astype(
+            np.uint8
+        )
+        arr8 = (
+            (np.arange(16 * 16 * 3).reshape(16, 16, 3) * 5) % 256
+        ).astype(np.uint8)
+        idx = (arr[:, :, 0] % 256).astype(np.uint8)
+        palette = [(i, (i * 3) % 256, (i * 7) % 256) for i in range(256)]
+        pcm = ((np.arange(2000) * 17) % 4096 - 2048).astype(np.int16)
+        return [
+            (mc.encode_jpeg_baseline(arr, quant=8), mc.decode_jpeg_rgb),
+            (
+                mc.encode_jpeg_baseline(arr, quant=8, subsample="420"),
+                mc.decode_jpeg_rgb,
+            ),
+            (
+                mc.encode_jpeg_progressive(arr8, quant=8),
+                mc.decode_jpeg_progressive_rgb,
+            ),
+            (mc.encode_jpeg_progressive(arr8, quant=8), mc.decode_jpeg_any_rgb),
+            (mc.encode_png_rgb(arr), mc.decode_png_rgb),
+            (mc.encode_png_rgb_adam7(arr), mc.decode_png_rgb_any),
+            (mc.encode_gif_indexed(idx, palette), mc.decode_gif_indexed),
+            (
+                mc.encode_gif_animated([idx, idx], palette),
+                mc.decode_gif_frames,
+            ),
+            (mc.encode_gif_indexed(idx, palette), mc.decode_gif_rgb),
+            (mc.encode_tiff_rgb(arr), mc.decode_tiff_rgb),
+            (mc.encode_bmp24(arr), mc.decode_bmp24),
+            (mc.encode_wav_pcm16(8000, pcm), mc.decode_wav_pcm16),
+            (mc.encode_flac_fixed(pcm, blocksize=512), mc.decode_flac_fixed),
+        ]
+
+    def test_random_bit_flips_never_raise(self):
+        import numpy as np
+
+        rng = np.random.default_rng(1106)
+        for blob, dec in self._cases():
+            assert dec(blob) is not None
+            for _ in range(200):
+                i = int(rng.integers(0, len(blob)))
+                bb = bytearray(blob)
+                bb[i] ^= 1 << int(rng.integers(0, 8))
+                dec(bytes(bb))  # any exception fails the test
+
+    def test_truncations_never_raise(self):
+        for blob, dec in self._cases():
+            step = max(1, len(blob) // 60)
+            for cut in range(0, len(blob), step):
+                dec(blob[:cut])
+
+    def test_metadata_parsers_never_raise(self):
+        import numpy as np
+
+        from unitdb_spark.functions import media_codec as mc
+
+        rng = np.random.default_rng(1107)
+        cases = [
+            (mc.build_png(320, 200, 128), mc.parse_png),
+            (mc.build_jpeg(320, 200, 256), mc.parse_jpeg),
+            (mc.build_gif(100, 80, 3), mc.parse_gif),
+            (mc.build_wav(8000, 4000), mc.parse_wav),
+            (mc.build_mp4(320, 200, 5000, 120), mc.parse_mp4),
+            (mc.build_bmp(64, 48, 64 * 48 * 3), mc.parse_bmp),
+            (mc.build_tiff(64, 48), mc.parse_tiff),
+            (mc.build_mp3(44100, 20), mc.parse_mp3),
+            (mc.build_flac(8000, 4000, 64), mc.parse_flac),
+        ]
+        for blob, p in cases:
+            assert p(blob) is not None
+            for _ in range(200):
+                i = int(rng.integers(0, len(blob)))
+                bb = bytearray(blob)
+                bb[i] ^= 1 << int(rng.integers(0, 8))
+                p(bytes(bb))
+                mc.parse_media(bytes(bb))
+            step = max(1, len(blob) // 40)
+            for cut in range(0, len(blob), step):
+                p(blob[:cut])
+                mc.parse_media(blob[:cut])
