@@ -124,11 +124,51 @@ def media_kernel_ms_per_blob(n: int = 32) -> dict[str, float]:
     return out
 
 
+def wait_for_quiet_box(
+    thresh: float, cap_sec: float = 600.0, poll_sec: float = 10.0
+) -> tuple[float, bool]:
+    """Bounded settle-wait: poll the 1-min loadavg until it drops
+    below `thresh`, giving up after `cap_sec`. Returns (seconds
+    waited, contended) where contended=True means the cap expired
+    with the box still busy. Round-12 protocol: the r11 driver bench
+    fired into loadavg 16 and produced the only above-baseline run
+    in three rounds — every shared query uniformly 1.1-1.4x with no
+    plan change. The official number shouldn't be hostage to harness
+    timing, so the bench now waits (bounded) for a quiet box and
+    records whether it got one. Disable with SPARK_GRAFT_NO_SETTLE=1
+    (used by tests)."""
+    if os.environ.get("SPARK_GRAFT_NO_SETTLE"):
+        return 0.0, os.getloadavg()[0] >= thresh
+    t0 = time.time()
+    while os.getloadavg()[0] >= thresh:
+        waited = time.time() - t0
+        if waited >= cap_sec:
+            print(
+                f"WARN: settle-wait gave up after {waited:.0f}s "
+                f"(loadavg {os.getloadavg()[0]:.1f} >= {thresh:.1f}) "
+                "— recording contended: true",
+                file=sys.stderr,
+            )
+            return waited, True
+        print(
+            f"settle-wait: loadavg {os.getloadavg()[0]:.1f} >= "
+            f"{thresh:.1f}, sleeping {poll_sec:.0f}s "
+            f"({waited:.0f}/{cap_sec:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(poll_sec)
+    return time.time() - t0, False
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from unitdb_spark.session import get_spark
     from unitdb_spark.sources.events import messages_from_events
     from unitdb_spark.table import MessagesTable
+
+    # settle BEFORE the session spin-up so the first measurement (and
+    # the JVM/codegen warmups) start on a quiet box.
+    settle_sec, contended = wait_for_quiet_box(CPUS / 4)
 
     spark = get_spark("unitdb-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -320,6 +360,8 @@ def main() -> None:
         "spread_min_max": spreads,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "settle_wait_sec": round(settle_sec, 1),
+        "contended": contended,
         "media_ms_per_blob": media_ms,
     }
     print(json.dumps(out))
