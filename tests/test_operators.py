@@ -3822,17 +3822,33 @@ class TestPairCacheHygiene:
         assert not pairs.storageLevel.useMemory
         assert graph.clear_pair_cache() == 0  # idempotent
 
-    def test_engine_close_clears_pair_cache(self, spark, tmp_path):
+    def test_engine_close_evicts_only_its_own_entries(self, spark, tmp_path):
+        """ADVICE r11: the memo is process-global; closing one engine
+        must drop entries minted under ITS path and leave every other
+        engine's (and the query registry's) relations persisted."""
         from unitdb_spark.engine import Engine
         from unitdb_spark.operators import graph
 
         graph.clear_pair_cache()
-        graph.cooccurrence_pairs(
-            self._df(spark), "grp", "item", cache_key=("t", "close")
+        path = str(tmp_path / "db")
+        df = self._df(spark)
+        mine, _ = graph.cooccurrence_pairs(
+            df, "grp", "item", cache_key=(path, "edges")
         )
-        assert len(graph._PAIR_CACHE) == 1
-        eng = Engine.open(spark, str(tmp_path / "db"))
+        # distinct plan: identical plans share one CacheManager entry,
+        # so an aliased relation couldn't prove the scoping
+        other, _ = graph.cooccurrence_pairs(
+            df.filter("grp >= 100"), "grp", "item",
+            cache_key=("someone-else", "edges"),
+        )
+        mine.count(), other.count()
+        assert len(graph._PAIR_CACHE) == 2
+        eng = Engine.open(spark, path)
         eng.close()
+        assert len(graph._PAIR_CACHE) == 1
+        assert not mine.storageLevel.useMemory
+        assert other.storageLevel.useMemory  # survived the foreign close
+        graph.clear_pair_cache()
         assert len(graph._PAIR_CACHE) == 0
 
     def test_stale_application_id_entry_is_evicted(self, spark):
@@ -12018,6 +12034,26 @@ class TestPadWaste:
         # batches (2,3),(1): padded 3*2 + 1 = 7, real 6
         assert (arr.n_batches, arr.padded_tokens, arr.real_tokens) == (2, 7, 6)
 
+    def test_string_ids_shard_by_hash_not_null(self, spark):
+        """ADVICE r11: the old default pmod(id, n) was NULL for every
+        non-numeric id — the whole corpus collapsed into one NULL
+        shard (a single global window). String ids now shard by an
+        md5-prefix integer; no NULL shard, >1 shard for a spread of
+        ids, and the same discipline holds for pack_sequences."""
+        from unitdb_spark.operators.packing import pack_sequences, pad_waste
+
+        df = spark.createDataFrame(
+            [(f"doc-{i}", "a b c") for i in range(64)],
+            "doc_id string, text string",
+        )
+        rows = pad_waste(df, batch_size=4, n_shards=8).collect()
+        shards = {r.shard for r in rows}
+        assert None not in shards and len(shards) > 1
+        assert sum(r.n_docs for r in rows if r.policy == "arrival") == 64
+        packed = pack_sequences(df, ctx_tokens=8, n_shards=8).collect()
+        pshards = {r.shard for r in packed}
+        assert None not in pshards and len(pshards) > 1
+
 
 class TestShapleyAttribution:
     def _events(self, spark, rows):
@@ -12185,6 +12221,35 @@ class TestRougeNPairs:
             docs, self._pairs(spark, [(1, 2)]), n=2
         ).collect()
         assert r.overlap == 0 and r.rouge_f1_ppm == 0
+
+    def test_duplicate_pairs_do_not_inflate_overlap(self, spark):
+        """ADVICE r11: duplicate (id_a, id_b) rows multiplied the
+        gram-join rows before the sum, inflating overlap. Now each
+        duplicate emits its own row with the SAME (correct) metrics."""
+        from unitdb_spark.operators.evaluation import rouge_n_pairs
+
+        docs = self._docs(spark, {1: "x y z w", 2: "x y z q"})
+        rows = rouge_n_pairs(
+            docs, self._pairs(spark, [(1, 2), (1, 2)]), n=2
+        ).collect()
+        assert len(rows) == 2
+        for r in rows:
+            assert (r.n_grams_a, r.n_grams_b, r.overlap) == (3, 3, 2)
+            assert r.rouge_p_ppm == (2 * 10**6) // 3
+
+    def test_unknown_id_surfaces_with_null_metrics(self, spark):
+        """ADVICE r11: pairs whose ids are absent from docs were
+        silently dropped by the inner totals joins; the docstring's
+        absence-is-the-answer convention says surface them as NULL."""
+        from unitdb_spark.operators.evaluation import rouge_n_pairs
+
+        docs = self._docs(spark, {1: "x y z w"})
+        (r,) = rouge_n_pairs(
+            docs, self._pairs(spark, [(1, 99)]), n=2
+        ).collect()
+        assert r.n_grams_a == 3 and r.n_grams_b is None
+        assert r.overlap is None
+        assert r.rouge_p_ppm is None and r.rouge_f1_ppm is None
 
 
 class TestShapleyGuards:

@@ -128,7 +128,11 @@ class Engine:
         fs.delete(self.spark, self.path)
         from unitdb_spark.operators.graph import clear_pair_cache
 
-        clear_pair_cache()
+        # scoped eviction (ADVICE r11): the pair memo is process-
+        # global; drop only entries minted under THIS engine's path
+        # so destroying one engine can't unpersist relations another
+        # live engine or the query registry still reads.
+        clear_pair_cache(owner=str(self.path))
 
     # ------------------------------------------------------------ write
     def put(self, topic: str, payload: bytes | str, contract: int = MASTER_CONTRACT) -> int:
@@ -748,14 +752,19 @@ class Engine:
     def close(self) -> None:
         """db.go:213-220 Close(): flush pending writes and drop buffers.
         The SparkSession is owned by the caller and stays open. Also
-        releases the session-scoped graph pair-relation memo
+        releases this engine's slice of the graph pair-relation memo
         (operators/graph._PAIR_CACHE) so a long-lived process doesn't
-        pin executor storage for fact tables it no longer queries."""
+        pin executor storage for fact tables it no longer queries.
+        Scoped to entries minted under this engine's path (ADVICE
+        r11): the memo is process-global, and closing one engine must
+        not unpersist relations another live engine is still using —
+        a process-wide release is the explicit
+        ``clear_pair_cache()`` (no owner) call."""
         self.flush()
         self._buffer.clear()
         from unitdb_spark.operators.graph import clear_pair_cache
 
-        clear_pair_cache()
+        clear_pair_cache(owner=str(self.path))
 
 
 class Batch:

@@ -2145,7 +2145,12 @@ def rouge_n_pairs(
     whatever blocking produced them (LSH bands in the flagship
     query). Cost: one explode + (doc, gram) count, then the pair
     relation joins both sides' counts on gram — each pair touches
-    only its shared gram TYPES.
+    only its shared gram TYPES. Duplicate (id_a, id_b) rows in
+    ``pairs`` are deduplicated before the gram joins so they cannot
+    inflate the overlap sum (each duplicate input row still emits
+    its own output row, with the same metrics). A pair id absent
+    from ``docs`` is NOT dropped: it surfaces with NULL totals and
+    NULL overlap/metrics — absence is the answer.
 
     Exact integers: counts, overlap, and floor-ppm metrics —
     p_ppm = ov·1e6 div grams_a, r_ppm = ov·1e6 div grams_b,
@@ -2194,6 +2199,7 @@ def rouge_n_pairs(
     gb = gc.select(F.col("_id").alias(b_col), "gram", F.col("_c").alias("_cb"))
     ov = (
         pairs.select(a_col, b_col)
+        .distinct()
         .join(ga, a_col)
         .join(gb, [b_col, "gram"])
         .groupBy(a_col, b_col)
@@ -2201,9 +2207,16 @@ def rouge_n_pairs(
     )
     out = (
         pairs.join(ov, [a_col, b_col], "left")
-        .join(a_tot, a_col)
-        .join(b_tot, b_col)
-        .withColumn("overlap", F.coalesce("overlap", F.lit(0)).cast("long"))
+        .join(a_tot, a_col, "left")
+        .join(b_tot, b_col, "left")
+        .withColumn(
+            "overlap",
+            F.when(
+                F.col("n_grams_a").isNotNull()
+                & F.col("n_grams_b").isNotNull(),
+                F.coalesce("overlap", F.lit(0)),
+            ).cast("long"),
+        )
     )
     p = "CASE WHEN n_grams_a > 0 THEN (overlap * 1000000L) div n_grams_a END"
     r = "CASE WHEN n_grams_b > 0 THEN (overlap * 1000000L) div n_grams_b END"

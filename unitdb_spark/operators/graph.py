@@ -52,23 +52,32 @@ from pyspark.sql import functions as F
 _PAIR_CACHE: dict[tuple, tuple] = {}
 
 
-def clear_pair_cache() -> int:
-    """Unpersist every memoized pair relation and empty the memo.
+def clear_pair_cache(owner: str | None = None) -> int:
+    """Unpersist memoized pair relations and drop them from the memo.
+
+    ``owner=None`` clears everything (test teardown / explicit
+    process-wide release). With ``owner`` set, only entries whose
+    cache_key mentions that string are evicted — ADVICE r11: the
+    memo is process-global and shared by all Engine instances, so
+    Engine.close()/destroy() must not unpersist relations another
+    live engine (or the query registry, which keys by sf_dir) is
+    still using; they pass their engine path as the owner scope.
 
     Returns the number of entries dropped. Safe across dead
     sessions (unpersist on a stopped SparkContext is swallowed —
-    the executors holding those blocks are gone anyway). Engine
-    close/destroy calls this so a long-lived process doesn't pin
-    executor storage for fact tables it no longer queries.
+    the executors holding those blocks are gone anyway).
     """
-    n = len(_PAIR_CACHE)
-    for pairs, _n_items, _memo, _app in _PAIR_CACHE.values():
+    if owner is None:
+        victims = list(_PAIR_CACHE.keys())
+    else:
+        victims = [k for k in _PAIR_CACHE if owner in repr(k[0])]
+    for k in victims:
+        pairs = _PAIR_CACHE.pop(k)[0]
         try:
             pairs.unpersist()
         except Exception:
             pass  # session already stopped; blocks died with it
-    _PAIR_CACHE.clear()
-    return n
+    return len(victims)
 
 
 def cooccurrence_pairs(

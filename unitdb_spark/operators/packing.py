@@ -22,6 +22,31 @@ from pyspark.sql import functions as F
 from unitdb_spark.functions.text import token_count
 
 
+def _default_shard(df: DataFrame, id_col: str, n_shards: int) -> Column:
+    """Deterministic engine-portable shard key from the id column.
+
+    ADVICE r11: `pmod(id, n)` on a non-numeric id is NULL for every
+    row, silently collapsing the corpus into ONE NULL shard — the
+    exact single-partition window the sharding exists to avoid.
+    Dispatch on the id dtype: numeric ids keep the portable
+    ``id % n_shards``; anything else shards by an md5-prefix integer
+    (md5 exists verbatim in DuckDB, so oracles can replay it:
+    ``conv(substring(md5(id),1,15),16,10) % n``).
+    """
+    id_c = F.col(id_col)
+    dtype = dict(df.dtypes).get(id_col, "")
+    numeric = dtype in (
+        "tinyint", "smallint", "int", "bigint", "float", "double"
+    ) or dtype.startswith("decimal")
+    if numeric:
+        return F.pmod(id_c, F.lit(n_shards))
+    return F.pmod(
+        F.conv(F.substring(F.md5(id_c.cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(n_shards),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     ctx_tokens: int = 2048,
@@ -40,7 +65,9 @@ def pack_sequences(
     Output: (id, shard, n_tokens, bin_id, bin_offset).
     """
     id_c = F.col(id_col)
-    shard_c = shard if shard is not None else F.pmod(id_c, F.lit(n_shards))
+    shard_c = shard if shard is not None else _default_shard(
+        df, id_col, n_shards
+    )
     t = df.select(
         id_c.alias("id"),
         shard_c.cast("long").alias("shard"),
@@ -75,7 +102,9 @@ def pad_waste(
 
     Same shard-local discipline as `pack_sequences` (a global order
     would be a single-partition window): documents shard by
-    ``id % n_shards`` (or any deterministic ``shard`` column), each
+    ``id % n_shards`` for numeric ids, an md5-prefix integer mod
+    ``n_shards`` otherwise (see ``_default_shard``; or pass any
+    deterministic ``shard`` column), each
     shard batches independently under both policies — (a) "arrival"
     = ordered by id, (b) "sorted" = ordered by (n_tokens, id) — and
     the last partial batch pads to its own max over its actual
@@ -89,7 +118,9 @@ def pad_waste(
     padded_tokens, waste_ppm), one row per policy × shard.
     """
     id_c = F.col(id_col)
-    shard_c = shard if shard is not None else F.pmod(id_c, F.lit(n_shards))
+    shard_c = shard if shard is not None else _default_shard(
+        df, id_col, n_shards
+    )
     t = df.select(
         id_c.alias("id"),
         shard_c.cast("long").alias("shard"),
