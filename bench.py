@@ -330,6 +330,20 @@ def main() -> None:
         persist="aligned",
     ).count()
     timings["parts_pagerank_bucketed"] = time.time() - t0
+    # round-12: the other iterative heavyweight off the SAME table —
+    # connected components persist="aligned" (the weighted edges are
+    # symmetric, so the union+repartition are skipped and every
+    # per-round message agg is exchange-free off the bucket layout)
+    from unitdb_spark.operators.cluster import connected_components
+
+    t0 = time.time()
+    connected_components(
+        read_table(spark, "copurchase_edges"),
+        src="src",
+        dst="dst",
+        persist="aligned",
+    ).count()
+    timings["parts_components_bucketed"] = time.time() - t0
     spark.sql("DROP TABLE IF EXISTS copurchase_edges")
 
     shutil.rmtree(tmp, ignore_errors=True)

@@ -1556,3 +1556,57 @@ class TestBucketedEdgeTable:
             assert got == want and len(got) == 40
         finally:
             spark.sql("DROP TABLE IF EXISTS bt_copurchase")
+
+    def test_components_aligned_round_agg_is_exchange_free(self, spark):
+        """connected_components' per-round shape over the SAME
+        dst-bucketed table (r12): the message aggregation groups on
+        the destination key, the label relation joins broadcast, so
+        the round adds NO edge-sized Exchange — the table layout does
+        the work the memory-mode repartition("d") simulates."""
+        from unitdb_spark.sources.bucketed import read_table
+
+        try:
+            self._write_edges(spark, bucket_col="dst")
+            e = read_table(spark, "bt_copurchase")
+            labels = e.selectExpr("src AS node", "src AS label").distinct()
+            msgs = (
+                e.join(F.broadcast(labels), e["src"] == labels["node"])
+                .select(F.col("dst").alias("node"), "label")
+                .groupBy("node")
+                .agg(F.min("label").alias("_m"))
+            )
+            # the only Exchange is the node-sized distinct for the
+            # label seed; the edge relation never shuffles
+            assert shuffle_count(msgs) == 1
+            assert msgs.count() == 40
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bt_copurchase")
+
+    def test_components_aligned_matches_memory_values(self, spark):
+        """End-to-end: `connected_components(persist="aligned")` over
+        the dst-bucketed symmetric edge table returns the same labels
+        as persist="memory" over the plain (one-direction) frame."""
+        from unitdb_spark.operators.cluster import connected_components
+        from unitdb_spark.sources.bucketed import read_table
+
+        try:
+            self._write_edges(spark, bucket_col="dst")
+            e = read_table(spark, "bt_copurchase")
+            got = {
+                r.node: r.cluster_id
+                for r in connected_components(
+                    e, src="src", dst="dst", persist="aligned"
+                ).collect()
+            }
+            want = {
+                r.node: r.cluster_id
+                for r in connected_components(
+                    e.filter("src < dst"),  # one direction, no bucketing
+                    src="src",
+                    dst="dst",
+                    persist="memory",
+                ).collect()
+            }
+            assert got == want and len(got) == 40
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bt_copurchase")

@@ -53,11 +53,30 @@ def connected_components(
     parts_components query: measured 32s → 13s at sf0.1 from this
     cache alone). ``persist="none"`` opts out for callers managing
     their own storage level; at 100 TB pre-materialize the edge list.
+    ``persist="aligned"`` (r12, same contract as
+    `graph.pagerank(persist="aligned")`) is that pre-materialized
+    form: the caller passes a SYMMETRIC edge relation (both
+    directions present — e.g. `weighted_cooccurrence_edges`, or any
+    undirected edge table written with its reverse union) whose
+    source partitioning already hashes on ``dst`` (a dst-bucketed
+    catalog table, sources/bucketed.py). The symmetrization union
+    and the repartition are both skipped, so every per-round message
+    aggregation is exchange-free straight off the table layout
+    (tests/test_plans.py pins the plan).
 
     Output: (node, cluster_id).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    bi = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    if persist == "aligned":
+        # edges arrive symmetric AND hash-partitioned on the
+        # destination key (dst-bucketed catalog table): no union (it
+        # would destroy the scan's partitioning), no repartition —
+        # the per-round groupBy(d) is exchange-free off the layout.
+        bi = e.persist()
+    else:
+        bi = e.unionByName(
+            e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
     if persist == "memory":
         # cache the symmetric edges PARTITIONED BY DESTINATION (round
         # 10): the per-round message aggregation groups on the
@@ -80,10 +99,12 @@ def connected_components(
     # (r11, same as pagerank's rank hint): without it a graph past
     # the broadcast threshold gets a sort-merge join that re-shuffles
     # the d-aligned edge cache by s every round, turning the
-    # repartition("d") into a pure regression. persist="memory"
-    # asserts labels is broadcast-sized; at 100 TB use persist="none"
-    # with a dst-bucketed edge table.
-    _hint = F.broadcast if persist == "memory" else (lambda df: df)
+    # repartition("d") into a pure regression. memory/aligned assert
+    # labels is broadcast-sized; billion-node graphs use
+    # persist="none" and manage their own layout.
+    _hint = (
+        F.broadcast if persist in ("memory", "aligned") else (lambda df: df)
+    )
     for _ in range(max_iterations):
         lab_b = _hint(labels)
         msgs = bi.join(lab_b, bi["s"] == lab_b["node"]).select(
