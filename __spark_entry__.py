@@ -9891,12 +9891,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kmeans": q_embed_kmeans,
         "lineitem_rollup": q_lineitem_rollup,
         "events_pivot": q_events_pivot,
-        "events_running": q_events_running,
-        "events_ohlc": q_events_ohlc,
+        # (r12 honesty swap: the shared JPEG quantizer changed this
+        # round after these two queries' r11 hard rows — they take
+        # the last two window slots; the displaced stale greens
+        # return to the r03 re-check pool)
+        "media_jpeg420_resize": q_media_jpeg420_resize,
+        "media_jpeg_prog_resize": q_media_jpeg_prog_resize,
         # --- never-checked region (positions 51+): round-12
         # additions (front the round-13 window) ---
         # --- green blocks, stalest hard row first ---
         # --- last hard row: r03 ---
+        "events_running": q_events_running,
+        "events_ohlc": q_events_ohlc,
         "events_zscore": q_events_zscore,
         "events_gap_fill": q_events_gap_fill,
         "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
@@ -10186,7 +10192,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_kfold": q_doc_kfold,
         "parts_graph_drift": q_parts_graph_drift,
         "orders_rfm_migration": q_orders_rfm_migration,
-        "media_jpeg420_resize": q_media_jpeg420_resize,
         "streamed_histq": q_streamed_histq,
         "events_kruskal": q_events_kruskal,
         "events_anova": q_events_anova,

@@ -685,6 +685,105 @@ class TestJpeg420:
         assert decode_jpeg_rgb(bytes(j)) is None
 
 
+class TestJpegQuantizerDeterminism:
+    """r12 permanent decision on the padded-plane .5-boundary note:
+    the FDCT output is snapped to 6 dp before quantization (BLAS
+    accumulation-order noise is ~1e-12, five orders under the snap
+    radius) and the quantizer is the fixed-order half-up
+    floor(S/q + 0.5) — so the encoded coefficients are identical for
+    ANY summation order, padded non-MCU-multiple planes included."""
+
+    def _quantized(self, arr, quant, subsample):
+        from unitdb_spark.functions.media_codec import _jpeg_quantized_coefs
+
+        return _jpeg_quantized_coefs(arr, quant, subsample)
+
+    def test_padded_plane_loop_vs_batched_fdct_identical(self):
+        """Recompute the padded 4:2:0 planes' coefficients with a
+        per-block Python-loop FDCT (a different BLAS accumulation
+        order than the shipped batched matmul) and assert the
+        quantized output is bit-identical — the exact scenario that
+        flipped a coefficient before the snap (-940.0 vs
+        -939.9999999999998 on a padded chroma plane)."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            _ZIGZAG,
+            _dct_matrix,
+            _pad_edge,
+        )
+
+        rng = np.random.RandomState(7)
+        arr = rng.randint(0, 256, size=(21, 13, 3)).astype(np.uint8)
+        quant = 8
+        h, w, samps, coefs = self._quantized(arr, quant, "420")
+        ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+        planes = [
+            _pad_edge(arr[:, :, 0], ph, pw),
+            _pad_edge(arr[:, :, 1], ph, pw)[::2, ::2],
+            _pad_edge(arr[:, :, 2], ph, pw)[::2, ::2],
+        ]
+        C = _dct_matrix()
+        zig = np.asarray(_ZIGZAG, dtype=np.int64)
+        for c, pl in enumerate(planes):
+            by, bx = pl.shape[0] // 8, pl.shape[1] // 8
+            ref = np.empty((by, bx, 64), dtype=np.int64)
+            for i in range(by):
+                for j in range(bx):
+                    blk = (
+                        pl[i * 8 : i * 8 + 8, j * 8 : j * 8 + 8].astype(
+                            np.float64
+                        )
+                        - 128.0
+                    )
+                    S = np.round(C @ blk @ C.T, 6)
+                    q = np.floor(S / float(quant) + 0.5).astype(np.int64)
+                    ref[i, j] = q.reshape(64)[zig]
+            assert np.array_equal(coefs[c], ref)
+
+    def test_half_boundary_is_ulp_immune(self):
+        """The quantizer decision at an exact .5 quotient is identical
+        whether the accumulated DCT value arrives a few ulps above,
+        below, or exactly on the true value — the snap absorbs the
+        perturbation before the discontinuity can see it."""
+        import numpy as np
+
+        for true in (-940.0, -939.5, 117.5, 4.0, -0.5):
+            outs = {
+                float(
+                    np.floor(np.round(true + eps, 6) / 8.0 + 0.5)
+                )
+                for eps in (-2e-12, -1e-13, 0.0, 1e-13, 2e-12)
+            }
+            assert len(outs) == 1, (true, outs)
+
+    def test_mcu_multiple_fixture_bytes_unchanged(self):
+        """Half-up only differs from the old half-even AT the .5
+        boundary; the block-constant fixtures are boundary-free by
+        construction, so their encoded bytes (and the shared DuckDB
+        oracles) are untouched by the r12 decision. Round-trip
+        exactness re-pinned here."""
+        import numpy as np
+
+        from unitdb_spark.functions.media_codec import (
+            _ycbcr_to_rgb_int,
+            decode_jpeg_rgb,
+            encode_jpeg_baseline,
+        )
+
+        rng = np.random.RandomState(3)
+        blocks = rng.randint(0, 256, size=(2, 3, 3))
+        arr = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1).astype(
+            np.uint8
+        )
+        dec = decode_jpeg_rgb(encode_jpeg_baseline(arr, quant=8))
+        exp = np.zeros_like(dec)
+        for y in range(arr.shape[0]):
+            for x in range(arr.shape[1]):
+                exp[y, x] = _ycbcr_to_rgb_int(*[int(v) for v in arr[y, x]])
+        assert np.array_equal(dec, exp)
+
+
 class TestJpegRestarts:
     def test_restart_markers_roundtrip_exact(self):
         """DRI + RSTn every N MCUs: byte-aligned restarts with DC

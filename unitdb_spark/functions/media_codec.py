@@ -2244,18 +2244,29 @@ def _jpeg_quantized_coefs(arr, quant: int, subsample: str | None):
         # instead of a Python loop per block. Each output element is
         # the same length-8 dot product mathematically; BLAS may
         # accumulate batched slices in a different order than the
-        # per-block matmul, which can flip a quantizer value whose
-        # exact magnitude sits ON a .5 boundary (observed once in a
-        # PADDED chroma plane: -940.0 vs -939.9999999999998). MCU-
-        # multiple fixtures are boundary-free and byte-identical; for
-        # arbitrary input the encoder is deterministic per
-        # shape/content and stays inside JPEG's lossy contract.
+        # per-block matmul, shifting the last ulp (observed once in a
+        # PADDED chroma plane: -940.0 vs -939.9999999999998 — a .5
+        # quantizer boundary, so half-even np.round flipped the
+        # coefficient). Decided permanently in r12: snap the DCT
+        # output to 6 dp FIRST — accumulation-order noise is ~1e-12,
+        # five orders under the 5e-7 snap radius, so the snapped S is
+        # bit-identical for ANY summation order — then quantize with
+        # the fixed-order half-up floor(x/q + 0.5), whose only
+        # discontinuities sit at exact .5 quotients of the now-exact
+        # snapped values. The encoder is therefore deterministic
+        # across loop/batched/BLAS rewrites for every input shape,
+        # padded planes included (regression test: test_media_codec
+        # padded-fixture loop-vs-batched equality). Inside JPEG's
+        # lossy contract: the snap moves a coefficient only if the
+        # true value was within 5e-7 of it. MCU-multiple fixtures
+        # were boundary-free already and their bytes are unchanged
+        # (half-up == half-even off the .5 boundary).
         blocks = (
             pl.astype(np.float64).reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
             - 128.0
         )
-        S = np.matmul(C, np.matmul(blocks, C.T))
-        q = np.round(S / float(int(quant))).astype(np.int64)
+        S = np.round(np.matmul(C, np.matmul(blocks, C.T)), 6)
+        q = np.floor(S / float(int(quant)) + 0.5).astype(np.int64)
         coefs.append(q.reshape(by, bx, 64)[:, :, zig])
     return h, w, samps, coefs
 
