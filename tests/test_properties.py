@@ -1500,8 +1500,17 @@ class TestPadWasteProperty:
             real_s, padded_s,
         )
         # length-sorted consecutive batching never pads more than
-        # arrival order (exchange argument; ties allowed)
-        assert padded_s <= padded_a
+        # arrival order WHEN EVERY BATCH IS FULL (exchange argument
+        # over equal-size batches; ties allowed). With a ragged tail
+        # the claim is FALSE: lens=[0,0,0,1,1,0], bsize=5 — arrival
+        # pads 5 (both 1s land in the full batch), sorted pads 6
+        # (sorting pushes a 1 into the size-1 tail batch, whose max
+        # is weighted by its own length). pad_waste reports both
+        # policies; which one wins on a ragged tail is data-dependent
+        # and exactly the decision number the operator exists to
+        # surface.
+        if len(lens) % bsize == 0:
+            assert padded_s <= padded_a
 
 
 class TestRougeProperty:
