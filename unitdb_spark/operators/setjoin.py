@@ -124,6 +124,22 @@ def prefix_jaccard_pairs(
         F.lit(tp) * F.col("_len")
         <= F.lit(tq) * (F.col("_len") - F.col("_pos") + 1)
     )
+    # materialize the prefix relation: it feeds BOTH sides of the
+    # candidate self-join, and without a persist each side re-runs
+    # the Exchange+Sort+Window rank over every token position (AQE's
+    # ReuseExchange dedupes the identical exchanges, but each
+    # consumer still sorts and windows the exchanged data itself —
+    # the r12 before-plan shows the Sort(22)/Window(23) subtree twice,
+    # plans/r12/doc_prefix_jaccard_before.txt). Persisting the
+    # already-filtered prefix rows (a subset of token positions) runs
+    # that rank once; ABBA-measured at sf0.1/32c with cache cleared
+    # per rep: quiet-cluster 8.1-8.9s -> 7.2-7.5s (~12%); at scale
+    # the saved work is a full Sort+Window of the token-position
+    # relation. Same storage-level knob as the token-set persist;
+    # "none" keeps the recompute-per-use behavior for callers
+    # managing storage.
+    if persist != "none":
+        pre = _persist_sig(pre, persist)
 
     # candidates: share any prefix token + the length filter
     # (|y| >= t*|x| is necessary for J >= t): q*|y| >= p*|x|.
