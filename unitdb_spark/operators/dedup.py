@@ -267,7 +267,22 @@ def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
     )
 
 
-def _lsh_pairs_from(sig: DataFrame, banded: DataFrame, num_hashes: int) -> DataFrame:
+def _lsh_pairs_from(
+    sig: DataFrame,
+    banded: DataFrame,
+    num_hashes: int,
+    persist: str = "none",
+) -> DataFrame:
+    # materialize the (capped) banded relation: it feeds BOTH sides of
+    # the bucket self-join, and without a persist each side re-runs
+    # the band posexplode + Exchange + Sort + Window bucket-size count
+    # from the cached signatures (the r12 before-plan shows the
+    # Sort(14)/Window(15) subtree twice, ops 12-17 vs 20-25,
+    # plans/r12/doc_minhash_lsh_before.txt) — the same duplicated-
+    # subtree shape setjoin.prefix_jaccard_pairs had. The relation is
+    # three narrow columns (_id, band, bucket), far smaller than the
+    # signatures already persisted under the same knob.
+    banded = _persist_sig(banded, persist)
     a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
     cand = (
@@ -319,7 +334,9 @@ def minhash_lsh_pairs(
     sig, banded = _minhash_sig_banded(
         df, text_col, id_col, num_hashes, bands, shingle_n, "xxhash64", persist
     )
-    return _lsh_pairs_from(sig, _cap_buckets(banded, max_bucket_size), num_hashes)
+    return _lsh_pairs_from(
+        sig, _cap_buckets(banded, max_bucket_size), num_hashes, persist
+    )
 
 
 def minhash_lsh_pairs_md5(
@@ -345,7 +362,9 @@ def minhash_lsh_pairs_md5(
     sig, banded = _minhash_sig_banded(
         df, text_col, id_col, num_hashes, bands, shingle_n, "md5", persist
     )
-    return _lsh_pairs_from(sig, _cap_buckets(banded, max_bucket_size), num_hashes)
+    return _lsh_pairs_from(
+        sig, _cap_buckets(banded, max_bucket_size), num_hashes, persist
+    )
 
 
 def lsh_verified_pairs(
