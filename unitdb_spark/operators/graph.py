@@ -114,8 +114,19 @@ def cooccurrence_pairs(
     ).distinct()
     a = g.select("_g", F.col("_i").alias("src"))
     b = g.select("_g", F.col("_i").alias("dst"))
+    # SHUFFLE_HASH on the build side: both sides are the SAME distinct
+    # (group, item) relation, so the exchange is shared (ReuseExchange)
+    # and the only per-strategy cost is sort-vs-hash-build. A hash
+    # build over one partition of (group, item) rows is bounded by the
+    # shuffle partition size and uniform in the group key, so the SHJ
+    # OOM hazard doesn't apply; SMJ pays two full sorts of the widest
+    # relation in the build. Targeted hint rather than
+    # preferSortMergeJoin=false / the AQE localMap threshold: the r12
+    # global A/B showed those regress minhash (1.8->17.3s) and
+    # customer_er (5->17-42s) while this join is where the graph
+    # family's win lives (OPTIMIZATION_r12.md).
     pairs = (
-        a.join(b, "_g")
+        a.join(b.hint("shuffle_hash"), "_g")
         .filter(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
