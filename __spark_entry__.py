@@ -9855,12 +9855,19 @@ def q_doc_training_mix(spark, sf_dir):
     keep_exact = qual.groupBy(content_hash("text").alias("_h")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    surv1 = qual.join(keep_exact.select("doc_id"), "doc_id")
+    # surv1 feeds THREE consumers (the pair build, the resolve, and
+    # the survivor join) and surv two more (DSIR + packing); without a
+    # persist each consumer re-runs the docs scan + quality_score +
+    # content-hash dedup join from the source — the r12 before-plan
+    # shows 24 parquet scans / 43 exchanges for this one query
+    # (plans/r12/doc_training_mix_before.txt). Persisting the two
+    # reused survivor relations computes each stage once per run.
+    surv1 = qual.join(keep_exact.select("doc_id"), "doc_id").persist()
     pairs = ngram_jaccard_pairs(surv1, block_col="source", threshold=0.2)
     resolved = dedup_resolve(surv1, pairs, quality_col="quality")
     surv = surv1.join(
         resolved.filter(F.col("is_keeper")).select("doc_id"), "doc_id"
-    )
+    ).persist()
     weights = dsir_logweights(
         surv.select(
             "doc_id", "text", (F.col("source") == "src0").alias("is_target")

@@ -76,18 +76,40 @@ def ngram_jaccard_pairs(
     """
     if block_col is None:
         raise ValueError("ngram_jaccard_pairs requires a blocking column at scale")
-    t = df.select(
-        F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"), tokens(text_col).alias("_tok")
+    # the per-pair verify is CPU-bound and sits directly on the scan:
+    # spread small inputs (one parquet file/row group = one task)
+    # across the cluster BEFORE tokenizing, same fan-out guard as the
+    # MinHash signature build — at scale the scan already has enough
+    # splits and this is skipped (r12: the sf0.1 probe side was ONE
+    # task evaluating every same-block pair single-threaded).
+    narrow = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.col(text_col).alias("_txt"),
     )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    t = narrow.select(
+        "_id", "_blk", tokens("_txt").alias("_tok")
+    ).withColumn("_n", F.size("_tok"))
     a = t.select(
-        F.col("_id").alias("id_a"), F.col("_blk").alias("_blk"), F.col("_tok").alias("tok_a")
+        F.col("_id").alias("id_a"), "_blk",
+        F.col("_tok").alias("tok_a"), F.col("_n").alias("_na"),
     )
     b = t.select(
-        F.col("_id").alias("id_b"), F.col("_blk").alias("_blk"), F.col("_tok").alias("tok_b")
+        F.col("_id").alias("id_b"), "_blk",
+        F.col("_tok").alias("tok_b"), F.col("_n").alias("_nb"),
     )
     pairs = a.join(b, on="_blk").filter(F.col("id_a") < F.col("id_b"))
+    # |A∪B| = |A| + |B| - |A∩B| exactly (token arrays are distinct),
+    # so the union array is never materialized: the pushed-down filter
+    # evaluates ONE array_intersect per candidate pair instead of
+    # intersect + union (r12: halves the per-pair work in the join
+    # condition). Identical integers -> identical double division ->
+    # bit-identical jaccard values.
     inter = F.size(F.array_intersect("tok_a", "tok_b"))
-    union = F.size(F.array_union("tok_a", "tok_b"))
+    union = F.col("_na") + F.col("_nb") - inter
     jac = (inter.cast("double") / union.cast("double")).alias("jaccard")
     return (
         pairs.select("id_a", "id_b", jac)
