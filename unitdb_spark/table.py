@@ -130,9 +130,18 @@ class MessagesTable:
         # instead of n_tasks x n_dirs small files; AQE splits any
         # skewed partition. seq-sort within gives row-group stats that
         # newest-first scans prune on.
+        # sort key = partition cols THEN seq: the dynamic-partition
+        # writer requires task rows ordered by (contract, p_date) and
+        # plans its own sort when the child ordering doesn't match —
+        # a bare seq sort is ELIMINATED as redundant under it (r12:
+        # the executed plan showed Sort[contract, p_date] only, so the
+        # documented seq-within-file layout rode on sort-internals
+        # luck). The combined key satisfies the writer's requirement
+        # (one sort, no planner-inserted extra) and makes the
+        # row-group min/max-on-seq property structural.
         (
             out.repartition(F.col("contract"), F.col("p_date"))
-            .sortWithinPartitions("seq")
+            .sortWithinPartitions("contract", "p_date", "seq")
             .write.mode("append")
             .partitionBy("contract", "p_date")
             .parquet(self.path)
