@@ -46,13 +46,17 @@ def decontaminate(
     # distinct benchmark grams, broadcast (small side by construction)
     bench = (
         benchmark.select(raw_tokens(bcol).alias("_tk"))
-        .select(F.explode(shingles_from_tokens("_tk", n)).alias("gram"))
+        .select(F.explode_outer(shingles_from_tokens("_tk", n)).alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     d = docs.select(F.col(id_col).alias("id"), raw_tokens(text_col).alias("_tk"))
     d = d.select("id", shingles_from_tokens("_tk", n).alias("_g"))
-    ex = d.select("id", F.size("_g").alias("n_grams"), F.explode("_g").alias("gram"))
+    # explode_outer at every gram site: shingle arrays are never empty
+    # (dedup.shingles_from_tokens yields [""] even for empty docs), and
+    # outer blocks the inferred Generate filter that would inline the
+    # shingle expression at the scan (r12 finding, see rouge_n_pairs).
+    ex = d.select("id", F.size("_g").alias("n_grams"), F.explode_outer("_g").alias("gram"))
     hit = ex.join(F.broadcast(bench), on="gram", how="left")
     per_doc = hit.groupBy("id", "n_grams").agg(
         F.count("_hit").alias("n_contaminated")
@@ -122,14 +126,18 @@ def bloom_decontaminate(
     bcol = bench_text_col or text_col
     bench = (
         benchmark.select(raw_tokens(bcol).alias("_tk"))
-        .select(F.explode(shingles_from_tokens("_tk", n)).alias("gram"))
+        .select(F.explode_outer(shingles_from_tokens("_tk", n)).alias("gram"))
         .distinct()
     )
     filt = bloom_build(bench, "gram", m_bits=m_bits, k=k)
 
     d = docs.select(F.col(id_col).alias("id"), raw_tokens(text_col).alias("_tk"))
     d = d.select("id", shingles_from_tokens("_tk", n).alias("_g"))
-    ex = d.select("id", F.size("_g").alias("n_grams"), F.explode("_g").alias("gram"))
+    # explode_outer at every gram site: shingle arrays are never empty
+    # (dedup.shingles_from_tokens yields [""] even for empty docs), and
+    # outer blocks the inferred Generate filter that would inline the
+    # shingle expression at the scan (r12 finding, see rouge_n_pairs).
+    ex = d.select("id", F.size("_g").alias("n_grams"), F.explode_outer("_g").alias("gram"))
     # k probes as k successive broadcast joins: the gram stream is never
     # shuffled (no row-explosion groupBy) — each probe adds one boolean
     passed = ex

@@ -216,7 +216,15 @@ def _minhash_sig_banded(
     # exchange, so the added shuffle carries exactly one row per doc.
     # Tokens are bound to a column first — see shingles_from_tokens.
     sh = narrow.select("_id", raw_tokens("_txt").alias("_tk")).select(
-        "_id", F.explode(shingles_from_tokens("_tk", shingle_n)).alias("_s")
+        # explode_OUTER: identical to explode here (a shingle array is
+        # never empty or NULL — an empty token list still yields [""]),
+        # but InferFiltersFromGenerate skips outer generates, so the
+        # planner cannot infer a size>0/isnotnull filter that INLINES the
+        # tokenizer+shingle expression twice below the fan-out (r12: that
+        # inferred filter made the sig build 7.6-11.4s cold vs 2-3s
+        # without it — the giant codegen'd Filter is the cost, not the
+        # filtering).
+        "_id", F.explode_outer(shingles_from_tokens("_tk", shingle_n)).alias("_s")
     )
     if hash_family == "xxhash64":
         mins = [F.min(F.xxhash64("_s", F.lit(k))) for k in range(num_hashes)]

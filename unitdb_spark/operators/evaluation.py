@@ -2181,8 +2181,29 @@ def rouge_n_pairs(
         .otherwise(F.array().cast("array<string>"))
         .alias("_g"),
     )
+    # materialize the gram arrays through ONE hash exchange before any
+    # consumer: Generate re-evaluates a non-attribute child expression
+    # per OUTPUT row, so exploding the lazy transform above costs
+    # O(grams-per-doc) evaluations of an O(tokens)-sized expression per
+    # doc — measured 15.5s vs 0.45s over a materialized input at sf0.1
+    # (and the un-exchanged pipeline ran single-task off a one-row-group
+    # scan). The keyed repartition (a) evaluates _g once per doc on the
+    # map side, (b) is shared by gc and both totals sides via
+    # ReuseExchange, (c) restores parallelism, and (d) avoids the
+    # keyless-repartition sort (SPARK-23207). Row distribution only —
+    # results are unchanged.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    grams = grams.repartition(par, F.col("_id"))
+    # explode_OUTER, deliberately: InferFiltersFromGenerate skips outer
+    # generates, so no `size(grams)>0 AND isnotnull(grams)` filter gets
+    # inferred and pushed below the projections — that filter INLINES
+    # the whole gram expression (tokenizer included) twice at the scan
+    # (r12: 10.5-16s vs 1.2-1.7s for this explode at sf0.1). The extra
+    # (id, NULL-gram) row an empty doc contributes dies in the
+    # gram-keyed joins below (NULL never equals), so results are
+    # unchanged — gate-verified bitwise.
     gc = (
-        grams.select("_id", F.explode("_g").alias("gram"))
+        grams.select("_id", F.explode_outer("_g").alias("gram"))
         .groupBy("_id", "gram")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
     )

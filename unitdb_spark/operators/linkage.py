@@ -186,7 +186,11 @@ def _passjoin_pairs(
 
     rch = (
         r.filter(rl >= np1)
-        .select("*", F.explode(F.transform(slots, rslot)).alias("_c"))
+        # explode_outer: slots = sequence(0, d) is never empty, so outer is
+        # identical — and it blocks the inferred Generate filter that
+        # would inline the whole chunk-struct transform twice below the
+        # scan (r12, same finding as the MinHash sig build).
+        .select("*", F.explode_outer(F.transform(slots, rslot)).alias("_c"))
         .select(
             "_rid", "_rtxt", *blocks,
             F.col("_c._l").alias("_l"),
@@ -214,7 +218,7 @@ def _passjoin_pairs(
 
     keys = F.flatten(F.transform(F.sequence(ll - d, ll + d), lkeys))
     lch = (
-        l.select("*", F.explode(keys).alias("_kk"))
+        l.select("*", F.explode_outer(keys).alias("_kk"))
         .filter(
             (F.col("_kk._l") >= np1)
             & (F.col("_kk._q") >= 1)
