@@ -179,18 +179,56 @@ def ulog10_layers(
     return layers
 
 
-def with_ulog10(df, mapping: Dict[str, str]):
-    """Spark-side application: chain the layers with selectExpr and
-    drop the scratch columns.  Control-plane sized relations only
-    (the heaps checkpoint relation is 16 rows) — the layer chain is
-    pure whole-stage-codegen projection either way."""
-    layers = ulog10_layers(mapping, "spark")
+def with_ulog10(df, mapping: Dict[str, str], via_distinct: bool = False):
+    """Spark-side application of ``ulog10_micro``.
+
+    Default (``via_distinct=False``): chain the layers with selectExpr
+    — right for control-plane-sized relations (the heaps checkpoint is
+    16 rows, entropy rollups are per-source/bucket). Note the layers
+    COLLAPSE into one Project whose renormalisation CASEs inline their
+    operands ~5^6 times; the tree exceeds the codegen method limits
+    and evaluates INTERPRETED at ~13µs/row — irrelevant at 16-50k
+    rows, fatal at corpus scale.
+
+    ``via_distinct=True``: evaluate the program once per DISTINCT
+    source value and broadcast-join the results back (null-safe, so
+    NULL inputs still yield NULL exactly like the in-row path). Same
+    integer function, O(distinct) monster evaluations instead of
+    O(rows) — the right shape when the input relation is large and
+    its values are bounded-cardinality counts (char_entropy's
+    (doc, char) relation: 17s -> 4.4-5.7s at sf0.1). Costs one extra
+    evaluation of df's lineage per source column for the distinct, so
+    do NOT use it for tiny relations with expensive lineage (measured
+    REGRESSION on dsir's vocab: 3.0 -> 5.7s)."""
+    if not via_distinct:
+        layers = ulog10_layers(mapping, "spark")
+        out = df
+        for layer in layers[:-1]:
+            out = out.selectExpr("*", *layer)
+        out = out.selectExpr("*", *layers[-1])
+        keep = [c for c in out.columns if not c.startswith("_ul_")]
+        return out.select(*keep)
+
+    from pyspark.sql import functions as F
+
     out = df
-    for layer in layers[:-1]:
-        out = out.selectExpr("*", *layer)
-    out = out.selectExpr("*", *layers[-1])
-    keep = [c for c in out.columns if not c.startswith("_ul_")]
-    return out.select(*keep)
+    by_src: Dict[str, List[str]] = {}
+    for o, s in mapping.items():
+        by_src.setdefault(s, []).append(o)
+    for src, outs in by_src.items():
+        vname = f"_ulv_{src}"
+        layers = ulog10_layers({"_ul_res": vname}, "spark")
+        vals = df.select(F.col(src).alias(vname)).distinct()
+        for layer in layers[:-1]:
+            vals = vals.selectExpr("*", *layer)
+        vals = vals.selectExpr("*", *layers[-1])
+        vals = vals.select(
+            vname, *[F.col("_ul_res").alias(o) for o in outs]
+        )
+        out = out.join(
+            F.broadcast(vals), F.col(src).eqNullSafe(F.col(vname)), "left"
+        ).drop(vname)
+    return out.select(*df.columns, *mapping.keys())
 
 
 def ulog10_wrap_sql(

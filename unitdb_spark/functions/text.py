@@ -605,26 +605,52 @@ def char_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
     # ramp, not empty) — unguarded it explodes two '' rows with n=0 and
     # the p division blows up under ANSI; an empty doc has no character
     # distribution, so it is absent from the output on BOTH engines
-    # (DuckDB's generate_series(1, 0) is empty)
-    chars = docs.select(
+    # (DuckDB's generate_series(1, 0) is empty).
+    #
+    # r12 shape: explode the index SEQUENCE and take substr(text, i, 1)
+    # AFTER the explode, instead of exploding a pre-built n-element
+    # char array — Generate's non-attribute child is re-evaluated per
+    # OUTPUT row, so the old array-of-substrings child cost O(chars²)
+    # string work per doc (17s single-task at sf0.1; 1.3s this way).
+    # explode_OUTER + the NULL-index filter keeps the empty-doc
+    # semantics (sequence indices are never NULL, so NULL marks only
+    # the fabricated row of an n=0 doc, which inner explode dropped)
+    # while blocking InferFiltersFromGenerate's pushed-down inline of
+    # the child. The fan-out guard is the repo-standard spread for
+    # one-row-group inputs.
+    narrow = docs.select(
         F.col(id_col).alias("id"),
         F.length(text_col).alias("n"),
-        F.explode(
-            F.when(
-                F.length(text_col) > 0,
-                F.transform(
-                    F.sequence(F.lit(1), F.length(text_col)),
-                    lambda i: F.col(text_col).substr(i, F.lit(1)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("ch"),
+        F.col(text_col).alias("_txt"),
+    )
+    sc = docs.sparkSession.sparkContext
+    if narrow.rdd.getNumPartitions() < sc.defaultParallelism:
+        narrow = narrow.repartition(sc.defaultParallelism)
+    chars = (
+        narrow.select(
+            "id",
+            "n",
+            "_txt",
+            F.explode_outer(
+                F.when(
+                    F.col("n") > 0, F.sequence(F.lit(1), F.col("n"))
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("_i"),
+        )
+        .filter(F.col("_i").isNotNull())
+        .select("id", "n", F.col("_txt").substr(F.col("_i"), F.lit(1)).alias("ch"))
     )
     counts = chars.groupBy("id", "n", "ch").agg(
         F.count(F.lit(1)).cast("long").alias("n_c")
     )
+    # via_distinct: the (doc, char) relation is corpus-sized but its
+    # values are doc lengths and per-char counts — tiny distinct sets;
+    # the inline layer chain evaluated interpreted at ~13us/row here
+    # (r12: 17s -> 4.4-5.7s at sf0.1).
     pairs = with_ulog10(
         counts.select("id", F.col("n").cast("long").alias("n"), "n_c"),
         {"_un": "n", "_uc": "n_c"},
+        via_distinct=True,
     )
     return (
         pairs.groupBy("id", "n")

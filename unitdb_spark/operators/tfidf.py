@@ -1416,6 +1416,12 @@ def dsir_logweights(
         F.col(target_col).cast("boolean").alias("_tgt"),
         _tokens(text_col).alias("_tk"),
     )
+    # (r12 note: a keyed-exchange materialization of _tk + explode_outer
+    # was tried here — the shape that wins for rouge/char_entropy — and
+    # MEASURED SLOWER (3.0-3.4s -> 5.3-8.7s at sf0.1): tok's two
+    # consumers re-run only a cheap scan+tokenize each, and the extra
+    # stage boundary costs more than the saved recompute. Reverted;
+    # see OPTIMIZATION_r12.md.)
     tok = base.select(
         "_id", "_tgt", F.explode("_tk").alias("term")
     )
