@@ -463,8 +463,18 @@ def ngram_repetition(
     grams = F.when(short, F.array().cast("array<string>")).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
-    ex = t.select(
-        F.col(id_col), F.size(grams).alias("_n_grams"), F.explode_outer(grams).alias("_g")
+    # bind the gram array and materialize it through one keyed exchange
+    # before sizing/exploding it: Generate re-evaluates a non-attribute
+    # child per OUTPUT row and F.size would evaluate it once more
+    # (r12 Generate finding, see rouge_n_pairs).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    bound = t.select(F.col(id_col), grams.alias("_ga")).repartition(
+        par, F.col(id_col)
+    )
+    ex = bound.select(
+        F.col(id_col),
+        F.size("_ga").alias("_n_grams"),
+        F.explode_outer("_ga").alias("_g"),
     )
     per_gram = ex.groupBy(id_col, "_n_grams", "_g").agg(
         F.count(F.col("_g")).alias("_c")

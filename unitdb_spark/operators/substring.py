@@ -65,6 +65,16 @@ def _positions(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame
         F.col(id_col).alias("id"), raw_tokens(text_col).alias("_tok")
     ).select("id", F.size("_tok").alias("n_tokens"),
              gram_hashes("_tok", k).alias("_gh"))
+    # materialize the hash arrays through one keyed exchange before the
+    # explode: Generate re-evaluates a non-attribute child per OUTPUT
+    # row (O(positions) evaluations of the O(tokens)-md5 window
+    # program = O(tokens²) md5 per doc), and `pos` feeds TWO consumers
+    # (the gram filter and the per-doc base rollup) which would each
+    # re-derive it — the shared exchange (ReuseExchange) computes the
+    # window hashes exactly once per doc (r12 Generate finding, see
+    # rouge_n_pairs).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = toks.repartition(par, F.col("id"))
     return toks.select(
         "id", "n_tokens",
         F.posexplode_outer("_gh").alias("pos", "gram_hash"),
@@ -157,6 +167,15 @@ def novelty_stats(
     """
     from unitdb_spark.operators.dedup import raw_tokens
 
+    # same materialize-then-explode shape as _positions: the distinct
+    # hash array is computed once per doc on the map side of one keyed
+    # exchange shared by both consumers (the first-doc agg and the
+    # join back), instead of being re-evaluated per exploded row and
+    # inlined into an inferred Generate filter. explode_OUTER + the
+    # NULL filter is exactly inner-explode semantics (hashes are never
+    # NULL; the fabricated row of a <k-token doc is what inner
+    # explode dropped).
+    par = docs.sparkSession.sparkContext.defaultParallelism
     g = (
         docs.select(
             F.col(id_col).alias("id"), raw_tokens(text_col).alias("_tok")
@@ -164,7 +183,9 @@ def novelty_stats(
         .select(
             "id", F.array_distinct(gram_hashes("_tok", k)).alias("_gh")
         )
-        .select("id", F.explode("_gh").alias("gram_hash"))
+        .repartition(par, F.col("id"))
+        .select("id", F.explode_outer("_gh").alias("gram_hash"))
+        .filter(F.col("gram_hash").isNotNull())
     )
     first = g.groupBy("gram_hash").agg(F.min("id").alias("first_doc"))
     out = (
