@@ -298,7 +298,8 @@ def pagerank(
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    persist: str = "memory",
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph.
 
@@ -321,20 +322,32 @@ def triangle_counts(
     Output: (node, n_triangles) for every node in the edge set,
     zeros included. Exact integers end to end.
     """
-    e = (
+    from unitdb_spark.operators.dedup import _persist_sig
+
+    # the normalized edge set feeds FOUR consumers (both degree
+    # derivations, the orientation join, and the wedge-closing join),
+    # fwd two (both wedge sides), deg three — without persists each
+    # consumer re-runs the distinct (an edge-sized exchange) from the
+    # source relation per use (r12: parts_triangles 26.6-32.7s →
+    # 4.6-5.6s with the three persists; same storage knob as the
+    # MinHash/prefix persists, "none" opts out).
+    e = _persist_sig(
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .filter(F.col("_a") != F.col("_b"))
         .select(
             F.least("_a", "_b").alias("_a"), F.greatest("_a", "_b").alias("_b")
         )
-        .distinct()
+        .distinct(),
+        persist,
     )
     # total degree per node (undirected), then direct each edge from
     # the (degree, id)-smaller endpoint to the larger
     nodes = e.select(F.col("_a").alias("_n")).unionAll(
         e.select(F.col("_b").alias("_n"))
     )
-    deg = nodes.groupBy("_n").agg(F.count(F.lit(1)).alias("_deg"))
+    deg = _persist_sig(
+        nodes.groupBy("_n").agg(F.count(F.lit(1)).alias("_deg")), persist
+    )
     da = deg.select(F.col("_n").alias("_a"), F.col("_deg").alias("_dega"))
     db = deg.select(F.col("_n").alias("_b"), F.col("_deg").alias("_degb"))
     ed = e.join(da, "_a").join(db, "_b")
@@ -347,24 +360,49 @@ def triangle_counts(
         .otherwise(F.struct(F.col("_b").alias("u"), F.col("_a").alias("v")))
         .alias("_e")
     ).select(F.col("_e.u").alias("_u"), F.col("_e.v").alias("_v"))
-    # wedges at the order-smallest vertex (its two forward neighbors),
-    # id-normalized x < y, closed against the id-normalized undirected
-    # edge set (the closing edge's FORWARD direction depends on degree,
-    # so the membership test must be direction-free)
-    w1 = fwd.select(F.col("_u"), F.col("_v").alias("_x"))
-    w2 = fwd.select(F.col("_u"), F.col("_v").alias("_y"))
-    wedges = w1.join(w2, "_u").filter(F.col("_x") < F.col("_y"))
-    tri = wedges.join(
-        e.select(F.col("_a").alias("_x"), F.col("_b").alias("_y")),
-        ["_x", "_y"],
-    ).select("_u", "_x", "_y")
-    # each triangle credits all three corners
-    corners = (
-        tri.select(F.col("_u").alias("_n"))
-        .unionAll(tri.select(F.col("_x").alias("_n")))
-        .unionAll(tri.select(F.col("_y").alias("_n")))
+    fwd = _persist_sig(fwd, persist)
+    # adjacency-intersect close (r12): the explicit wedge self-join
+    # materializes Σ fd(u)² wedge ROWS through an exchange before the
+    # closing join — 41M wedges for sf0.1's 1.2M-edge co-purchase
+    # graph, the dominant shuffle (guide §2.3: shuffle fewer bytes).
+    # Equivalent formulation: with every edge directed by the
+    # (degree, id) total order, triangle a→b, a→c, b→c is found
+    # exactly once at its a→b edge as c ∈ L(a) ∩ L(b) over FORWARD
+    # neighbor lists — so join each forward edge to its endpoints'
+    # lists and intersect. The shuffle volume is O(edges + node
+    # lists) = O(m) rows (lists total m longs), never O(wedges); the
+    # per-edge intersect does the same Σ fd(u)+fd(v) membership work
+    # the wedge join did, but in-pipeline as CPU instead of through a
+    # 41M-row exchange + sort-merge join. Same exact integer counts:
+    # a and b each credit |L(a)∩L(b)|, every common neighbor c
+    # credits 1. Measured (sf0.1 isolated mins): parts_triangles
+    # 21.8-26.6s → 7.1-8.0s, parts_clustering 20.5 → 11.0s.
+    adj = fwd.groupBy("_u").agg(F.collect_list("_v").alias("_nb"))
+    la = adj.select(F.col("_u"), F.col("_nb").alias("_nbu"))
+    lb = adj.select(F.col("_u").alias("_v"), F.col("_nb").alias("_nbv"))
+    etri = _persist_sig(
+        fwd.join(la, "_u")
+        .join(lb, "_v")
+        .select(
+            "_u", "_v", F.array_intersect("_nbu", "_nbv").alias("_cm")
+        )
+        .select("_u", "_v", F.size("_cm").alias("_nc"), "_cm"),
+        persist,
     )
-    counts = corners.groupBy("_n").agg(F.count(F.lit(1)).alias("n_triangles"))
+    corners = (
+        etri.select(F.col("_u").alias("_n"), F.col("_nc").alias("_c"))
+        .unionAll(
+            etri.select(F.col("_v").alias("_n"), F.col("_nc").alias("_c"))
+        )
+        .unionAll(
+            etri.select(F.explode("_cm").alias("_n")).withColumn(
+                "_c", F.lit(1)
+            )
+        )
+    )
+    counts = corners.groupBy("_n").agg(
+        F.sum("_c").cast("long").alias("n_triangles")
+    )
     return (
         deg.select("_n")
         .join(counts, "_n", "left")
