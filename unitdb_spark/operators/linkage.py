@@ -163,6 +163,18 @@ def _passjoin_pairs(
     levenshtein filter) happens in the caller, so completeness of
     this stage is exactly what makes chunk_key=True result-identical
     to the quadratic block join.
+
+    r13 shuffle-shape rewrite (guide §2.4, §7.2): duplicate left
+    chunk keys can only arise WITHIN one source row's <=(2d+1)²(d+1)
+    fan-out (the key includes the row id), so the former global
+    ``dropDuplicates`` — which compiled to Sort+SortAggregate+
+    Exchange+Sort+SortAggregate because its ``first(string)`` buffers
+    are hash-agg-incompatible — is done per row with
+    ``array_distinct`` BEFORE the explode: zero shuffles, zero sorts.
+    The final pair dedup keeps the texts in the grouping key (they
+    are functions of the ids — the operator's one-row-per-record
+    contract), turning first()-carrying SortAggregates into plain
+    HashAggregates. Both are result-identical for id-keyed inputs.
     """
     np1 = d + 1
     slots = F.sequence(F.lit(0), F.lit(d))
@@ -217,23 +229,42 @@ def _passjoin_pairs(
         return F.flatten(F.transform(slots, islot))
 
     keys = F.flatten(F.transform(F.sequence(ll - d, ll + d), lkeys))
-    lch = (
-        l.select("*", F.explode_outer(keys).alias("_kk"))
-        .filter(
-            (F.col("_kk._l") >= np1)
-            & (F.col("_kk._q") >= 1)
-            & (F.col("_kk._cl") >= 1)
-            & (F.col("_kk._q") + F.col("_kk._cl") - 1 <= ll)
+    # validity filter and substr at ARRAY level, then per-row distinct:
+    # the explode then emits already-unique (row, _l, _slot, _ck) keys,
+    # so no post-explode dedup (and no shuffle) is needed. explode_outer
+    # keeps the no-valid-chunk rows as NULL keys, which the inner chunk
+    # join drops — identical pair set, and no Generate-filter inline.
+    valid = F.filter(
+        keys,
+        lambda k: (k["_l"] >= np1)
+        & (k["_q"] >= 1)
+        & (k["_cl"] >= 1)
+        & (k["_q"] + k["_cl"] - 1 <= ll),
+    )
+    cks = F.array_distinct(
+        F.transform(
+            valid,
+            lambda k: F.struct(
+                k["_l"].alias("_l"),
+                k["_slot"].alias("_slot"),
+                F.col("_ltxt").substr(k["_q"], k["_cl"]).alias("_ck"),
+            ),
         )
-        .select(
-            "_lid", "_ltxt", *blocks,
-            F.col("_kk._l").alias("_l"),
-            F.col("_kk._slot").alias("_slot"),
-            F.col("_ltxt")
-            .substr(F.col("_kk._q"), F.col("_kk._cl"))
-            .alias("_ck"),
-        )
-        .dropDuplicates(["_lid", "_l", "_slot", "_ck"])
+    )
+    # fan-out guard (dedup.py pattern, guide §2.5): the <=(2d+1)²(d+1)
+    # interpreted key tower sits directly on the scan; a one-row-group
+    # input would evaluate it in ONE task (r13: 11.6s serial at sf0.1).
+    # At scale the scan already has >= defaultParallelism splits and
+    # this is skipped.
+    lsrc = l
+    par = l.sparkSession.sparkContext.defaultParallelism
+    if lsrc.rdd.getNumPartitions() < par:
+        lsrc = lsrc.repartition(par)
+    lch = lsrc.select("*", F.explode_outer(cks).alias("_kk")).select(
+        "_lid", "_ltxt", *blocks,
+        F.col("_kk._l").alias("_l"),
+        F.col("_kk._slot").alias("_slot"),
+        F.col("_kk._ck").alias("_ck"),
     )
 
     chunk_pairs = lch.join(rch, blocks + ["_l", "_slot", "_ck"]).select(
@@ -245,7 +276,7 @@ def _passjoin_pairs(
         .select("_lid", "_ltxt", "_rid", "_rtxt")
     )
     return chunk_pairs.unionByName(short_pairs).dropDuplicates(
-        ["_lid", "_rid"]
+        ["_lid", "_ltxt", "_rid", "_rtxt"]
     )
 
 
