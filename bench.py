@@ -28,9 +28,22 @@ ann_cosine_topk) are 0.3-0.5s job-launch-overhead-dominated at sf0.1,
 so single-shot timings alias host noise — the driver-run legacy
 subtotal drifted 1.29x -> 1.42x across rounds 7-8 on provably
 untouched plans. Each now runs 5 times in-session and reports the
-MEDIAN; `legacy_total_sec` is computed from medians. The multi-second
-queries (ingest, revenue_by_nation, doc_minhash_lsh, B7 panel) stay
-single-shot — their signal-to-noise is fine.
+MEDIAN; `legacy_total_sec` is computed from medians.
+
+Heavy-panel median-of-3 (round 13, r12 verdict item 1): the
+multi-second queries were single-shot, so one host stall (documented
+17-45s spikes) wrote the round's official number. They now run one
+untimed warmup (their cold first run is codegen/JIT-compile-dominated —
+the same startup cost the bench has excluded from every timed section
+since round 1) and then SPARK_GRAFT_HEAVY_REPS (default 3) timed reps
+with the Spark cache cleared between reps (within-query persists would
+otherwise serve the next rep's identical plan from memory), reporting
+median + min/max spread;
+the shared co-purchase pair memo is re-persisted outside the timed
+region so each rep sees the billed-once warm-memo state. Round 13
+also adds the round-12-optimized heavies (ngram jaccard, ROUGE,
+repetition, novelty, char entropy, quality pipeline, triangles,
+training mix) as additions-only panel entries.
 """
 
 from __future__ import annotations
@@ -211,6 +224,18 @@ def main() -> None:
     shutil.rmtree(tmp2, ignore_errors=True)
 
     MEDIAN_OF = 5
+    # Round-13 protocol (r12 verdict item 1): the multi-second heavy
+    # panel was single-shot on a box with documented 17-45s stalls, so
+    # a single stall wrote the round's official number. Heavies now run
+    # HEAVY_REPS times and report the MEDIAN with min/max spreads, like
+    # the sub-second queries. Between reps the Spark cache is CLEARED
+    # (within-query persisted relations would otherwise be picked up by
+    # the next rep's identical plan via CacheManager, timing a warm
+    # cache instead of the query); the session-scoped co-purchase pair
+    # memo — deliberately shared across graph queries and billed once
+    # as parts_edge_build — is re-persisted OUTSIDE the timed region so
+    # every rep sees the same warm-memo state the r12 single-shot saw.
+    HEAVY_REPS = int(os.environ.get("SPARK_GRAFT_HEAVY_REPS", "3"))
     spreads: dict[str, list[float]] = {}
 
     def _run_once(fn) -> float:
@@ -223,6 +248,36 @@ def main() -> None:
         runs = sorted(_run_once(fn) for _ in range(reps))
         timings[name] = runs[len(runs) // 2]
         if reps > 1:
+            spreads[name] = [round(runs[0], 3), round(runs[-1], 3)]
+
+    def _canonical_state(reprime) -> None:
+        # canonical per-rep state: nothing cached except (for graph
+        # queries) the billed-once pair memo — the within-query
+        # persists a previous rep left behind would otherwise serve
+        # the next rep's identical plan from memory.
+        spark.catalog.clearCache()
+        if reprime is not None:
+            reprime()
+
+    def timed_heavy(name: str, fn, reprime=None) -> None:
+        # one untimed warmup run first: the heavies' cold first run is
+        # dominated by whole-stage-codegen compilation + JIT of their
+        # (large, iteration-unrolled) generated classes, not by data
+        # work — measured 23.5 -> 15.3 -> 9.9 -> 7.4s across identical
+        # canonical-state reps of parts_components at sf0.1. The bench
+        # has excluded JVM/codegen startup from timed sections since
+        # round 1 (see module docstring); the heavy panel now gets the
+        # same treatment explicitly instead of inheriting whatever
+        # compilation state earlier queries left.
+        _canonical_state(reprime)
+        _run_once(fn)
+        runs = []
+        for _ in range(HEAVY_REPS):
+            _canonical_state(reprime)
+            runs.append(_run_once(fn))
+        runs.sort()
+        timings[name] = runs[len(runs) // 2]
+        if HEAVY_REPS > 1:
             spreads[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
     # B2/B3: Get against the materialized store (the real read path —
@@ -253,9 +308,9 @@ def main() -> None:
     timed("window_sliding", qs["events_sliding_6h"], reps=MEDIAN_OF)
     timed("sessionize", qs["events_sessionize"], reps=MEDIAN_OF)
     timed("tpch_q1", qs["tpch_q1"], reps=MEDIAN_OF)
-    timed("revenue_by_nation", qs["revenue_by_nation"])
+    timed_heavy("revenue_by_nation", qs["revenue_by_nation"])
     timed("doc_dedup_exact", qs["doc_dedup_exact"], reps=MEDIAN_OF)
-    timed("doc_minhash_lsh", qs["doc_minhash_lsh"])
+    timed_heavy("doc_minhash_lsh", qs["doc_minhash_lsh"])
     timed("ann_cosine_topk", qs["ann_cosine_topk"], reps=MEDIAN_OF)
 
     # the 14 queries above are the round-1 protocol whose total is
@@ -292,14 +347,22 @@ def main() -> None:
         li, "l_orderkey", "l_partkey", min_count="auto", cache_key=ck
     )
     timings["parts_edge_build"] = time.time() - t0
-    timed("parts_pagerank", qs["parts_pagerank"])
-    timed("doc_prefix_jaccard", qs["doc_prefix_jaccard"])
-    timed("customer_er", qs["customer_er"])
+
+    def reprime_pairs() -> None:
+        # clearCache between heavy reps unpersists the session pair
+        # memo; re-persist + materialize it outside the timed region so
+        # graph queries keep the billed-once warm-memo protocol.
+        p, _ = cooccurrence_pairs(li, "l_orderkey", "l_partkey", cache_key=ck)
+        p.persist().count()
+
+    timed_heavy("parts_pagerank", qs["parts_pagerank"], reprime=reprime_pairs)
+    timed_heavy("doc_prefix_jaccard", qs["doc_prefix_jaccard"])
+    timed_heavy("customer_er", qs["customer_er"])
     # round-9 panel addition: the co-purchase pair build + min-label
     # components is the second-most-expensive standalone query at sf1
     # (52.7s) and was invisible to BENCH — same blind spot the round-4
     # verdict flagged for pagerank
-    timed("parts_components", qs["parts_components"])
+    timed_heavy("parts_components", qs["parts_components"], reprime=reprime_pairs)
 
     # Round-11: the claimed 100 TB edge shape demonstrated END TO END
     # — the same weighted co-purchase edges written ONCE as a catalog
@@ -312,6 +375,11 @@ def main() -> None:
     from unitdb_spark.operators.graph import pagerank
     from unitdb_spark.sources.bucketed import read_table, write_bucketed
 
+    # pin the write's cache state to the canonical memo-warm one —
+    # residual within-query persists from the panel reps above would
+    # otherwise be substituted into the write plan and make the timing
+    # depend on panel ordering (observed 1.7-10.6s for the same write).
+    _canonical_state(reprime_pairs)
     edges = weighted_cooccurrence_edges(
         li, "l_orderkey", "l_partkey", min_count="auto", cache_key=ck
     )
@@ -323,28 +391,64 @@ def main() -> None:
         edges, "copurchase_edges", ["dst"], n_buckets=CPUS
     )
     timings["parts_edge_bucketed_write"] = time.time() - t0
-    t0 = time.time()
-    pagerank(
-        read_table(spark, "copurchase_edges"),
-        iterations=5,
-        persist="aligned",
-    ).count()
-    timings["parts_pagerank_bucketed"] = time.time() - t0
+
+    def timed_heavy_count(name: str, mk) -> None:
+        # bucketed legs keep their r11/r12 .count() action for
+        # like-for-like comparability; warmup + reps + cache-clear per
+        # the heavy-panel protocol (they read only the catalog table).
+        spark.catalog.clearCache()
+        mk().count()
+        runs = []
+        for _ in range(HEAVY_REPS):
+            spark.catalog.clearCache()
+            t = time.time()
+            mk().count()
+            runs.append(time.time() - t)
+        runs.sort()
+        timings[name] = runs[len(runs) // 2]
+        if HEAVY_REPS > 1:
+            spreads[name] = [round(runs[0], 3), round(runs[-1], 3)]
+
+    timed_heavy_count(
+        "parts_pagerank_bucketed",
+        lambda: pagerank(
+            read_table(spark, "copurchase_edges"),
+            iterations=5,
+            persist="aligned",
+        ),
+    )
     # round-12: the other iterative heavyweight off the SAME table —
     # connected components persist="aligned" (the weighted edges are
     # symmetric, so the union+repartition are skipped and every
     # per-round message agg is exchange-free off the bucket layout)
     from unitdb_spark.operators.cluster import connected_components
 
-    t0 = time.time()
-    connected_components(
-        read_table(spark, "copurchase_edges"),
-        src="src",
-        dst="dst",
-        persist="aligned",
-    ).count()
-    timings["parts_components_bucketed"] = time.time() - t0
+    timed_heavy_count(
+        "parts_components_bucketed",
+        lambda: connected_components(
+            read_table(spark, "copurchase_edges"),
+            src="src",
+            dst="dst",
+            persist="aligned",
+        ),
+    )
     spark.sql("DROP TABLE IF EXISTS copurchase_edges")
+
+    # Round-13 panel additions (r12 verdict item 3): the round-12
+    # optimizations' biggest wins (3-20x: ngram-jaccard fan-out,
+    # ROUGE/repetition/novelty/char-entropy keyed-exchange gram
+    # materialization, triangle adjacency-intersect, training-mix
+    # survivor persists) all sat OUTSIDE the bench, so a regression in
+    # any of them would be driver-invisible. Additions-only: no
+    # existing entry renamed or removed.
+    timed_heavy("doc_ngram_jaccard", qs["doc_ngram_jaccard"])
+    timed_heavy("doc_rouge_bigram", qs["doc_rouge_bigram"])
+    timed_heavy("doc_repetition", qs["doc_repetition"])
+    timed_heavy("doc_novelty", qs["doc_novelty"])
+    timed_heavy("doc_char_entropy", qs["doc_char_entropy"])
+    timed_heavy("doc_quality_pipeline", qs["doc_quality_pipeline"])
+    timed_heavy("parts_triangles", qs["parts_triangles"], reprime=reprime_pairs)
+    timed_heavy("doc_training_mix", qs["doc_training_mix"])
 
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -371,6 +475,7 @@ def main() -> None:
         "n_events": n_events,
         "cpus": CPUS,
         "median_of": MEDIAN_OF,
+        "heavy_reps": HEAVY_REPS,
         "spread_min_max": spreads,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],

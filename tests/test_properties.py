@@ -1511,6 +1511,16 @@ class TestPadWasteProperty:
         # surface.
         if len(lens) % bsize == 0:
             assert padded_s <= padded_a
+        # r13 (r12 advice): the guard above fires only when hypothesis
+        # draws len(lens) % bsize == 0, leaving the property near-
+        # vacuous for most cases — so ALSO exercise it on the prefix
+        # truncated to a multiple of bsize, where every batch is full
+        # and the exchange argument applies unconditionally.
+        full = lens[: len(lens) // bsize * bsize]
+        if full:
+            _, padded_fa = model(full)
+            _, padded_fs = model(sorted(full))
+            assert padded_fs <= padded_fa
 
 
 class TestRougeProperty:

@@ -96,6 +96,16 @@ def cooccurrence_pairs(
     relation is persisted (MEMORY_AND_DISK) and memoized for the
     session, so N graph queries pay ONE |group|² build. Without it,
     behavior is the classic build-per-call.
+
+    Skew assumption (r12 advice): the self-join is pinned to a
+    shuffled hash join, whose build side must hold an entire hash
+    partition in memory. That is safe when (group, item) rows are
+    roughly uniform in the group key — the blocking contract above.
+    A single hot group concentrates its rows into one build
+    partition; where SMJ would spill, SHJ can OOM. If group sizes
+    are unbounded upstream, cap them before calling (the dedup
+    family's `_cap_buckets` pattern) rather than relying on AQE's
+    partial skew-split.
     """
     key = None
     if cache_key is not None:
@@ -321,6 +331,14 @@ def triangle_counts(
 
     Output: (node, n_triangles) for every node in the edge set,
     zeros included. Exact integers end to end.
+
+    ``persist="memory"`` (default) caches the normalized edge,
+    degree, and forward-list relations for the duration of the
+    returned plan and does NOT unpersist them (the result is lazy; a
+    terminal action inside the operator would change its contract).
+    Repeated calls in a long-lived session therefore accumulate
+    cached relations — call ``spark.catalog.clearCache()`` between
+    invocations, or pass ``persist="none"``, when that matters.
     """
     from unitdb_spark.operators.dedup import _persist_sig
 
