@@ -63,9 +63,19 @@ def semdedup(
     without a broadcast gamble).
     """
     assigned = kmeans_lloyd(df, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col, seed=seed)
+    # persist the assignment relation ALREADY hash-partitioned on the
+    # cell key, with an explicit partition count (r13, guide §2.4/§2.5):
+    # the per-cell self-join below then needs ZERO exchanges (the cached
+    # layout satisfies both sides' clustering), and — because the pair
+    # scan is CPU-bound (|cell|² dot products) while its input is only
+    # a few hundred KB — AQE's byte-based coalescing can no longer fold
+    # the join into one serial task (measured: a 1-task 6.5s stage
+    # reading 0.5 MB at sf0.1).
+    par = df.sparkSession.sparkContext.defaultParallelism
     t = (
         df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec"))
         .join(assigned.withColumnRenamed(id_col, "vec_id"), "vec_id")
+        .repartition(par, "cell")
     )
     if persist != "none":
         from pyspark import StorageLevel
