@@ -9906,7 +9906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and since round 9 BITWISE on floats, distinguishing signed
     zeros) every round.
     """
-    return {
+    d = {
         # --- round-12 window (first 50): the backlog-0 re-check
         # regime. Fronted: the 4 round-11 additions (first hard
         # rows) + the 9 round-11 honesty-note queries (changed
@@ -10381,6 +10381,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_char_entropy": q_doc_char_entropy,
         "doc_quality_pipeline": q_doc_quality_pipeline,
     }
+    # Round-13 driver window (COVERAGE.md rotation log): reorder the
+    # FIRST 50 entries programmatically instead of shuffling the
+    # literal above — the literal keeps the round-12 order for
+    # reviewability; this block is the whole rotation diff. Window
+    # composition (the r12-judge-endorsed honesty protocol): the 5
+    # queries whose implementation changed THIS round after their
+    # last hard row (customer_er — linkage PassJoin rewrite r13;
+    # media_phash_dups / media_dup_resolve / media_dup_modularity —
+    # ahash_pairs hash-relation persist r13; embed_semdedup —
+    # cell-partitioned assignment cache r13), then the one
+    # never-checked r12 addition (doc_training_mix), then the 44
+    # stalest greens in scripts/rotation_plan.py order (r03 tail,
+    # r04 block head). No query is added or removed.
+    window = [
+        "customer_er",
+        "media_phash_dups",
+        "media_dup_resolve",
+        "media_dup_modularity",
+        "embed_semdedup",
+        "doc_training_mix",
+        "events_running",
+        "events_ohlc",
+        "events_zscore",
+        "events_gap_fill",
+        "doc_tfidf_top_terms",
+        "doc_dedup_resolve",
+        "doc_c4_filter",
+        "doc_url_stats",
+        "doc_token_rarity",
+        "events_gaps",
+        "get_static",
+        "get_last7d",
+        "get_wild_star",
+        "get_wild_tail",
+        "topic_counts_live",
+        "topic_rollup",
+        "expired_stats",
+        "tombstone_antijoin",
+        "topk_per_topic",
+        "contract_counts",
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q4",
+        "tpch_q5",
+        "tpch_q6",
+        "tpch_q7",
+        "tpch_q8",
+        "tpch_q9",
+        "tpch_q10",
+        "tpch_q12",
+        "tpch_q14",
+        "tpch_q15",
+        "tpch_q17",
+        "tpch_q18",
+        "tpch_q19",
+        "tpch_q21",
+        "revenue_by_nation",
+        "top_orders_by_revenue",
+        "top_customers",
+        "brand_stats",
+        "events_tumbling_daily",
+        "events_sliding_6h",
+        "events_sessionize",
+        "events_dedup_minute",
+    ]
+    out = {k: d[k] for k in window}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
 
 
 # --------------------------------------------------------------- oracles
