@@ -146,3 +146,35 @@ class TestNullTextPins:
             (3, 0.16666666666666666),
             (4, 0.0),
         ]
+
+    def test_token_sets_prefilter_equivalence(self, spark):
+        # r13: _token_sets drops the post-tokenize size(_tok) > 0
+        # filter (pushdown inlined the tokenizer below the fan-out
+        # repartition as a serial 38s scan task at sf1) in favor of a
+        # cheap text predicate. Pins the replacement's equivalence on
+        # the edge rows: word mode drops NULL/empty/whitespace-only
+        # texts; shingle mode keeps every row (NULL/empty token lists
+        # still shingle to [""] — the invariant the r12 explode_outer
+        # rewrites also rely on).
+        from unitdb_spark.operators.setjoin import _token_sets
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, None), (3, ""),
+             (4, "   "), (5, "one")],
+            "doc_id long, text string",
+        )
+        word = {
+            r._id: r._tok
+            for r in _token_sets(docs, "text", "doc_id", "word", 3).collect()
+        }
+        assert word == {
+            1: ["alpha", "beta", "gamma", "delta"], 5: ["one"]
+        }
+        sh = {
+            r._id: r._tok
+            for r in _token_sets(docs, "text", "doc_id", "shingle", 3).collect()
+        }
+        assert sh == {
+            1: ["alpha beta gamma", "beta gamma delta"],
+            2: [""], 3: [""], 4: [""], 5: ["one"],
+        }

@@ -44,19 +44,43 @@ def _token_sets(
 ) -> DataFrame:
     """(_id, _tok) with _tok a DISTINCT token/shingle array; empty
     sets dropped (Jaccard is undefined on them)."""
+    # the tokenize/shingle pass is CPU-bound and sits directly on the
+    # scan: spread small inputs (one parquet file/row group = one
+    # task) across the cluster BEFORE tokenizing — the same fan-out
+    # guard as the MinHash signature build and the blocked-Jaccard
+    # verify (dedup.py). Without it the whole corpus shingle pass runs
+    # as a single task (r13 sf1 profile: one 48s task in a 75s query,
+    # and an 8c/32c scaling ratio of 1.08 where the guarded
+    # ngram-jaccard scales at 2.36). At scale the scan already has
+    # >= defaultParallelism splits and this is skipped.
+    narrow = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+    )
+    # the empty-set drop is applied BEFORE the fan-out as a cheap text
+    # predicate rather than as size(_tok) > 0 after tokenizing: a
+    # filter on the derived array is pushed below the repartition by
+    # substituting its whole defining expression, which re-runs the
+    # tokenizer inside the (serial, pre-fan-out) scan stage — the r13
+    # sf1 profile showed that inlined filter as a single 38s task.
+    # Equivalences (pinned by tests): tokens(_txt) is non-empty iff
+    # _txt has a non-whitespace char; the shingle array is NEVER empty
+    # or NULL (an empty/NULL token list still yields [""]), so shingle
+    # mode keeps every row and needs no filter at all.
     if unit == "word":
-        toks: Column = F.array_distinct(raw_tokens(text_col))
-    elif unit == "shingle":
-        bound = df.select(
-            F.col(id_col).alias("_id"), raw_tokens(text_col).alias("_raw")
+        narrow = narrow.filter(
+            F.col("_txt").isNotNull() & F.col("_txt").rlike(r"\S")
         )
-        return bound.select(
-            "_id", shingles_from_tokens("_raw", shingle_n).alias("_tok")
-        ).filter(F.size("_tok") > 0)
-    else:
+    elif unit != "shingle":
         raise ValueError(f"unit must be word|shingle, got {unit!r}")
-    return df.select(F.col(id_col).alias("_id"), toks.alias("_tok")).filter(
-        F.size("_tok") > 0
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    if unit == "word":
+        toks: Column = F.array_distinct(raw_tokens("_txt"))
+        return narrow.select("_id", toks.alias("_tok"))
+    bound = narrow.select("_id", raw_tokens("_txt").alias("_raw"))
+    return bound.select(
+        "_id", shingles_from_tokens("_raw", shingle_n).alias("_tok")
     )
 
 
